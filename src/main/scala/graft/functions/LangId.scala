@@ -1,0 +1,47 @@
+package graft.functions
+
+/** N-gram/stopword-heuristic language identification (deterministic, no model).
+  *
+  * Scores each candidate language by its stopword hit count over whitespace
+  * tokens, with a CJK-character fast path; ties break by fixed language order
+  * so the result is stable. Returns "und" when nothing matches.
+  */
+object LangId {
+  /** Fixed priority order — also the tiebreak order. */
+  val Languages: Seq[String] = Seq("en", "es", "fr", "de", "zh")
+
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "en", "un", "une", "du", "que", "pour"),
+    "de" -> Set("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "auf", "ist", "ein"),
+    "zh" -> Set.empty)
+
+  def detect(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    // CJK fast path: >10% CJK chars → zh
+    var cjk = 0
+    var total = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (!c.isWhitespace) {
+        total += 1
+        if (Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN) cjk += 1
+      }
+      i += 1
+    }
+    if (total > 0 && cjk * 10 > total) return "zh"
+    val toks = text.toLowerCase.split("\\s+")
+    var best = "und"
+    var bestScore = 0
+    for (lang <- Languages if lang != "zh") {
+      val sw = stopwords(lang)
+      var score = 0
+      var j = 0
+      while (j < toks.length) { if (sw.contains(toks(j))) score += 1; j += 1 }
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    best
+  }
+}

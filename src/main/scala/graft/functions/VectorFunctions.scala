@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/** Column-level vector math over `ARRAY<FLOAT>` embedding columns.
+  *
+  * The fast path (`cosine`, `dot`) lowers to the native codegen'd Catalyst
+  * expressions in [[CosineSimilarity]] / [[DotProduct]]; the `*Hof` variants
+  * are pure-public-API equivalents built from higher-order functions, kept for
+  * cross-checking the custom expressions in tests.
+  */
+object VectorFunctions {
+
+  import ColumnBridge.col2expr, ColumnBridge.expr2col
+
+  /** Cosine similarity (double), codegen'd. 0.0 on zero-norm inputs. */
+  def cosine(a: Column, b: Column): Column =
+    expr2col(CosineSimilarity(col2expr(asFloatArray(a)), col2expr(asFloatArray(b))))
+
+  /** Dot product (double), codegen'd. */
+  def dot(a: Column, b: Column): Column =
+    expr2col(DotProduct(col2expr(asFloatArray(a)), col2expr(asFloatArray(b))))
+
+  /** Coerce any numeric array column to ARRAY<FLOAT>. */
+  def asFloatArray(a: Column): Column = a.cast(ArrayType(FloatType))
+
+  /** Pure-API cosine via zip_with + aggregate (reference semantics check). */
+  def cosineHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, b)
+    val na = dotHof(a, a)
+    val nb = dotHof(b, b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / sqrt(na * nb))
+  }
+
+  /** Pure-API dot product: double accumulation, left-to-right. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm (double). */
+  def l2Norm(a: Column): Column = sqrt(dot(a, b = a))
+
+  /** L2-normalize into ARRAY<DOUBLE> (for pre-normalized dot-product search). */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, transform(a, x => x.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+}
+
+/** Bridge between the public Column API and Catalyst expressions (Spark 4
+  * classic mode). Isolated here so every custom expression shares one
+  * entry point; the `private[sql]` conversions live in
+  * [[org.apache.spark.sql.graftshim.ColumnShim]].
+  */
+private[graft] object ColumnBridge {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  def col2expr(c: Column): Expression = ColumnShim.expression(c)
+  def expr2col(e: Expression): Column = ColumnShim.column(e)
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines, four tiers:
+  *
+  *  1. [[exactGroups]] — exact dedup via content-hash groupBy (one shuffle on
+  *     a 128-bit key; at 100 TB this is the cheapest possible full-corpus op).
+  *  2. [[ngramJaccardPairs]] — exact word-n-gram Jaccard within blocking keys
+  *     (quadratic *inside a block only*; blocks must be bounded).
+  *  3. [[minhashCandidatePairs]] — MinHash + LSH banding: shingle → 64-component
+  *     signature → 16 band keys → equality self-join on (band, key). Linear
+  *     shuffle volume; the scale path for all-pairs near-dup at 100 TB.
+  *  4. [[simhashPairs]] — 64-bit SimHash with 16-bit chunk banding (pigeonhole:
+  *     hamming ≤ 3 ⇒ some chunk equal), then an exact hamming check.
+  *
+  * The reference's only dedup is the SHA-256 file-hash skip
+  * (/root/reference/internal/drone/watcher/decision.go:43-99); tiers 2-4 are
+  * the LLM-pipeline extension required by BASELINE.json's north star.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct content, with the canonical
+    * (minimum) id and the copy count. `HAVING n_copies > 1` gives dup groups;
+    * joining back on `text_hash` selects survivors.
+    */
+  def exactGroups(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.groupBy(TextAnalysis.exactDupKey(textCol).as("text_hash"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard for all pairs sharing a blocking key. Quadratic in
+    * block size — callers bound blocks (e.g. language × source, or an LSH
+    * band from tier 3) so the crossproduct never exceeds executor memory.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int = 3): DataFrame = {
+    val prepared = docs.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        TextAnalysis.wordShingles(col(textCol), n).as("grams"): _*)
+    val a = prepared.select(
+      Seq(col(idCol).as("doc_a"), col("grams").as("grams_a")) ++ blockCols.map(col): _*)
+    val b = prepared.select(
+      Seq(col(idCol).as("doc_b"), col("grams").as("grams_b")) ++ blockCols.map(col): _*)
+    a.join(b, blockCols).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", TextAnalysis.jaccard(col("grams_a"), col("grams_b")))
+      .select((Seq(col("doc_a"), col("doc_b"), col("jaccard")) ++ blockCols.map(col)): _*)
+  }
+
+  /** MinHash signatures + LSH band keys for each document. */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      GraftFunctions.minhashSigUdf(TextAnalysis.wordShingles(col(textCol), n)).as("sig"))
+      .withColumn("bands", GraftFunctions.lshBandsUdf(col("sig")))
+
+  /** Near-duplicate candidate pairs via LSH banding, refined by estimated
+    * Jaccard from the full signatures. Shuffle volume is O(docs × bands), not
+    * O(docs²): the join key is (band_index, band_hash).
+    */
+  def minhashCandidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      minEstJaccard: Double = 0.5, n: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n).cache()
+    val exploded = sigs.select(col(idCol),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val candidates = exploded.as("a")
+      .join(exploded.as("b"), Seq("band_idx", "band_key"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        GraftFunctions.minhashJaccardUdf(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3 for the
+    * 4×16-bit banding to be lossless; larger values may miss pairs).
+    */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = docs.select(col(idCol),
+      GraftFunctions.simhashUdf(TextAnalysis.tokens(col(textCol))).as("simhash"))
+    val exploded = hashed.select(col(idCol), col("simhash"),
+      explode(GraftFunctions.simhashChunksUdf(col("simhash"))).as("chunk_key"))
+    exploded.as("a").join(exploded.as("b"), Seq("chunk_key"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", GraftFunctions.hammingUdf(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

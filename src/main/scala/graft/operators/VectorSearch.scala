@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.3 J2, §2.5 T1).
+  *
+  * Exact brute force is the baseline: a broadcast of the query vector(s),
+  * a codegen'd cosine, and `TakeOrderedAndProject` (single query) or a
+  * per-query-key window (k-NN join). Both scan the corpus once with no
+  * corpus-side shuffle; the k-NN join shuffles only (query, candidate)
+  * score rows. [[lshBucketJoin]] is the approximate scale path: random
+  * hyperplane signs bucket the corpus so each query only scores one bucket.
+  */
+object VectorSearch {
+
+  /** Exact top-k for one query vector: `orderBy(desc).limit(k)` lowers to
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    * `scoreScale` rounds scores for engine-independent output (None = raw).
+    */
+  def topK(
+      corpus: DataFrame, vecCol: String, queryVec: Array[Float], k: Int,
+      filter: Column = lit(true), scoreScale: Option[Int] = None): DataFrame = {
+    val raw = VectorFunctions.cosine(col(vecCol), typedLit(queryVec))
+    val score = scoreScale.fold(raw)(s => round(raw, s))
+    corpus.where(filter)
+      .withColumn("score", score)
+      .orderBy(col("score").desc)
+      .limit(k)
+  }
+
+  /** Exact k-NN join: for every row of `queries`, the top-k rows of `corpus`.
+    * Queries are broadcast; corpus partitions compute scores locally; the
+    * window shuffles only by query id. Self-matches excluded by id inequality.
+    */
+  def knnJoin(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, scoreScale: Int = 6): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("score", round(VectorFunctions.cosine(col(cVec), col(qVec)), scoreScale))
+    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
+        col("score"), col("rn"))
+  }
+
+  /** All pairs with cosine ≥ threshold within the (bounded) input — embedding
+    * near-duplicate detection. Quadratic: callers bound or pre-bucket input.
+    */
+  def cosinePairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, scoreScale: Int = 6): DataFrame = {
+    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("v_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("score", round(VectorFunctions.cosine(col("v_a"), col("v_b")), scoreScale))
+      .filter(col("score") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("score"))
+  }
+
+  /** Approximate path: random-hyperplane LSH bucketing. `nBits` sign bits of
+    * dot products with fixed pseudo-random hyperplanes form the bucket id;
+    * near vectors collide with high probability. Joining query and corpus on
+    * bucket id turns O(|Q|×|C|) scoring into O(collisions).
+    */
+  def lshBucketJoin(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nBits: Int = 8, dim: Int = 64, scoreScale: Int = 6): DataFrame = {
+    val qb = queries.withColumn("bucket", hyperplaneBucket(col(qVec), nBits, dim))
+    val cb = corpus.withColumn("bucket", hyperplaneBucket(col(cVec), nBits, dim))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("score", round(VectorFunctions.cosine(col(cVec), col(qVec)), scoreScale))
+    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"), col("score"), col("rn"))
+  }
+
+  /** Sign-bit bucket id from `nBits` fixed pseudo-random hyperplanes. The
+    * hyperplanes are generated per-element from a splitmix-style integer mix,
+    * so the bucketing is deterministic with no side data to ship.
+    */
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column = {
+    val bits = (0 until nBits).map { b =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(hyperplane(b, dim)), (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  private def hyperplane(seed: Int, dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      var z = (seed.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      // map to [-1, 1): enough for a sign test
+      out(i) = (z.toDouble / Long.MaxValue.toDouble)
+      i += 1
+    }
+    out
+  }
+
+  /** Semantic search (§3.1): embed the query text deterministically, filter by
+    * tenant, score, top-k — returns (id, document_id, content, score, metadata)
+    * shaped rows from a chunks table.
+    */
+  def semanticSearch(
+      chunks: DataFrame, queryText: String, k: Int,
+      organizationId: Option[String] = None,
+      dim: Int = graft.functions.MockEmbedder.DefaultDim): DataFrame = {
+    val qVec = graft.functions.MockEmbedder.embed(queryText, dim)
+    val tenant = organizationId.fold(lit(true))(o => col("organization_id") === o)
+    topK(chunks, "vector", qVec, k, filter = tenant, scoreScale = Some(6))
+  }
+}

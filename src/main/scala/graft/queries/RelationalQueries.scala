@@ -1,0 +1,344 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The general relational surface (SURVEY.md §2.3-§2.6, §2.11): aggregation,
+  * multi-way joins, top-k, windows, rollup, set ops, semi/anti joins, JSON and
+  * date functions — the Spark SQL capabilities the reference gets "for free"
+  * in this rebuild, expressed over the driver's TPC-H-ish tables.
+  *
+  * Determinism/oracle contract: every floating aggregate goes through an exact
+  * DECIMAL intermediate and back to DOUBLE, timestamps are projected as epoch
+  * milliseconds (both engines truncate identically), and every query has a
+  * total deterministic ORDER BY.
+  *
+  * Scale notes (100 TB): fact-fact joins (lineitem⋈orders) shuffle on the join
+  * key and are AQE-managed; all dimension joins are explicit broadcasts; sorts
+  * feeding LIMIT lower to TakeOrderedAndProject (no global sort shuffle).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** SUM(x) via exact decimal, emitted as DOUBLE — engine-independent. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  private def tsMs(c: Column): Column = unix_millis(c)
+
+  val defs: Map[String, Q] = Map(
+
+    // A-family: grouped aggregation with exact decimal sums (TPC-H Q1 shape).
+    "q01_pricing_summary" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            // exact decimal(24,10) sum, re-rounded to (18,2) so the scaled
+            // integer stays inside 2^53: the decimal→double cast is then
+            // bit-identical across engines (19-digit decimals convert with
+            // an extra rounding in some engines)
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(24,10)"))
+              .cast("decimal(18,2)").cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,10))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      headline = true),
+
+    // Join + agg + top-k (TPC-H Q3 shape); dims broadcast, fact join shuffles.
+    "q02_top_revenue_orders" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(24,10)"))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      oracle = Some("""
+        SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,10))) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+        ORDER BY revenue DESC, o.o_orderkey LIMIT 10"""),
+      headline = true),
+
+    // Six-way join (TPC-H Q5 shape): local-supplier revenue per nation.
+    "q03_revenue_by_nation" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val su = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(24,10)"))
+            .cast("decimal(18,2)").cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("r_name"), col("n_name"))
+      },
+      oracle = Some("""
+        SELECT r_name, n_name,
+               CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,10))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY revenue DESC, r_name, n_name"""),
+      headline = true),
+
+    // Predicate-pushdown scalar aggregate (TPC-H Q6 shape).
+    "q04_filtered_revenue" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 25)
+          .agg(
+            sum((col("l_extendedprice") * col("l_discount")).cast("decimal(24,10)"))
+              .cast("decimal(18,2)").cast("double").as("revenue"),
+            count(lit(1)).as("n_rows")),
+      oracle = Some("""
+        SELECT CAST(CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,10))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 25""")),
+
+    "q05_order_priority" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
+          .orderBy(col("o_orderpriority"), col("o_orderstatus")),
+      oracle = Some("""
+        SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+        ORDER BY o_orderpriority, o_orderstatus""")),
+
+    // Window: top-3 orders per customer (k-NN-join shape on relational data).
+    "q06_top_orders_per_customer" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+          FROM orders) WHERE rn <= 3
+        ORDER BY o_custkey, rn""")),
+
+    // Window: running sum per tenant over the event stream.
+    "q07_running_total" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), tsMs(col("ts")).as("ts_ms"), col("value"))
+          .withColumn("running_value",
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+          .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+      },
+      oracle = Some("""
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                 PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        FROM events ORDER BY user_id, ts_ms, event_id"""),
+      headline = true),
+
+    // J5: graph-node derivation — DISTINCT ∪ DISTINCT.
+    "q08_union_distinct_nodes" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.select(col("l_partkey").as("node_id"))
+          .union(li.select(col("l_suppkey").as("node_id")))
+          .distinct()
+          .orderBy(col("node_id"))
+      },
+      oracle = Some("""
+        SELECT l_partkey AS node_id FROM lineitem
+        UNION SELECT l_suppkey FROM lineitem
+        ORDER BY node_id""")),
+
+    // Semi join (EXISTS): customers having orders.
+    "q09_customers_with_orders" -> Q(
+      fn = (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // Anti join (NOT EXISTS): customers without orders.
+    "q10_customers_without_orders" -> Q(
+      fn = (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // Rollup (grouping sets surface, §2.11).
+    "q11_rollup_lineitem" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+            col("n_rows"), col("sum_qty"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      oracle = Some("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // A5: exact distinct counts.
+    "q12_distinct_counts" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders""")),
+
+    // Date functions (§2.6): per-month order stats.
+    "q13_monthly_orders" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
+          .orderBy(col("order_month")),
+      oracle = Some("""
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+        ORDER BY order_month""")),
+
+    // JSON extraction (§2.6 to_json/from_json surface) over event props.
+    "q14_json_props" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("event_type")),
+      oracle = Some("""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // T3: recent-events timeline (sort desc + limit).
+    "q15_timeline_recent" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"), tsMs(col("ts")).as("ts_ms"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("ts_ms").desc, col("event_id").desc)
+          .limit(100),
+      oracle = Some("""
+        SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        FROM events ORDER BY ts_ms DESC, event_id DESC LIMIT 100""")),
+
+    // T4: filtered audit tail (action filter + sort desc + limit).
+    "q16_audit_errors" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), tsMs(col("ts")).as("ts_ms"), col("user_id"), col("value"))
+          .orderBy(col("ts_ms").desc, col("event_id").desc)
+          .limit(50),
+      oracle = Some("""
+        SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, value
+        FROM events WHERE event_type = 'error'
+        ORDER BY ts_ms DESC, event_id DESC LIMIT 50""")),
+
+    // A3: per-key ordered accumulation (doc-chunk concat shape) — the
+    // deterministic version of the reference's arrival-order concat
+    // (hive_service.go:194): explicit (ts, id) ordering inside the group.
+    "q17_session_concat" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            concat_ws("|",
+              transform(
+                array_sort(collect_list(struct(tsMs(col("ts")).as("ts_ms"),
+                  col("event_id"), col("event_type")))),
+                x => x.getField("event_type"))).as("event_seq"))
+          .orderBy(col("user_id")),
+      oracle = Some("""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               string_agg(event_type, '|' ORDER BY epoch_ms(ts), event_id) AS event_seq
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      headline = true),
+
+    // F4: tenant predicate (partition-prunable filter in every query).
+    "q18_tenant_slice" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("user_id") === 7)
+          .select(col("event_id"), tsMs(col("ts")).as("ts_ms"), col("event_type"), col("value"))
+          .orderBy(col("ts_ms"), col("event_id")),
+      oracle = Some("""
+        SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, value
+        FROM events WHERE user_id = 7 ORDER BY ts_ms, event_id"""))
+  )
+}

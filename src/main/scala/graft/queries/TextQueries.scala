@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.operators.{Dedup, RuleEngine}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication queries over the `documents` table — the
+  * LLM-training-pipeline surface (token counting, quality scoring,
+  * fingerprinting, exact/near dedup, keyword alerting, rule matching,
+  * language-ID).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  val defs: Map[String, Q] = Map(
+
+    // Token counting: whitespace + BPE-ish regex tokens.
+    "q20_token_count" -> Q(
+      fn = (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id, n_chars,
+               CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    // Quality scoring: punctuation / stopword / word-length heuristics.
+    "q21_quality_score" -> Q(
+      fn = (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.meanWordLen(col("text")).as("mean_word_len"))
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks,
+                 CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+               CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                 CAST(len(list_filter(toks, tk -> tk IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / n_tokens END AS stopword_ratio,
+               CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                 CAST(list_sum(list_transform(toks, tk -> len(tk))) AS DOUBLE) / n_tokens END AS mean_word_len
+        FROM t ORDER BY doc_id""")),
+
+    // Document fingerprint: sha256 over normalized text.
+    "q22_fingerprint" -> Q(
+      fn = (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id,
+               sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents ORDER BY doc_id""")),
+
+    // Exact dedup: content-hash groups with canonical id + copy count.
+    "q23_dedup_exact" -> Q(
+      fn = (s, dir) =>
+        Dedup.exactGroups(docs(s, dir), col("doc_id"), col("text"))
+          .orderBy(col("text_hash")),
+      oracle = Some("""
+        SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY text_hash""")),
+
+    // Near-dedup, exact n-gram Jaccard inside (lang, source) blocks: the
+    // top-20 most similar pairs.
+    "q24_ngram_jaccard_pairs" -> Q(
+      fn = (s, dir) =>
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          blockCols = Seq("lang", "source"), n = 3)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+          .limit(20),
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [trim(text)] END) AS grams
+          FROM (SELECT doc_id, lang, source, text,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(a.grams || b.grams)) AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+                         AND a.doc_id < b.doc_id
+        ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""),
+      headline = true),
+
+    // F6: keyword predicate (the reference's CONFIDENTIAL alert filter shape).
+    "q25_keyword_filter" -> Q(
+      fn = (s, dir) =>
+        docs(s, dir)
+          .filter(upper(col("text")).contains("SPARK") && col("lang") === "en")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source")),
+      oracle = Some("""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        WHERE upper(text) LIKE '%SPARK%' AND lang = 'en'
+        GROUP BY source ORDER BY source""")),
+
+    // Per-language corpus stats (A-family over documents).
+    "q26_lang_stats" -> Q(
+      fn = (s, dir) =>
+        docs(s, dir)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+          .orderBy(col("lang")),
+      oracle = Some("""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // J3 + §2.10: broadcast rule × document join with the deterministic
+    // fallback answer (analyst.go:269-292 semantics).
+    "q27_rule_matches" -> Q(
+      fn = (s, dir) => {
+        val rules = RuleEngine.demoRules(s)
+        val answered = RuleEngine.evaluate(docs(s, dir), rules, col("text"))
+        answered.groupBy(col("rule_id"), col("answer"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("rule_id"), col("answer"))
+      },
+      oracle = Some(s"""
+        WITH rules AS (SELECT * FROM (VALUES ${RuleEngine.DemoRules.map {
+          case (id, q) => s"($id, '$q')" }.mkString(", ")}) AS t(rule_id, question)),
+        answered AS (
+          SELECT r.rule_id,
+                 CASE
+                   WHEN contains(lower(r.question), 'confidential') AND contains(lower(d.text), 'confidential') THEN 'YES'
+                   WHEN contains(lower(r.question), 'pricing') AND (contains(lower(d.text), 'pricing') OR contains(lower(d.text), 'price')) THEN 'YES'
+                   WHEN contains(lower(r.question), 'secret') AND contains(lower(d.text), 'secret') THEN 'YES'
+                   ELSE 'NO' END AS answer
+          FROM documents d CROSS JOIN rules r)
+        SELECT rule_id, answer, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM answered GROUP BY rule_id, answer ORDER BY rule_id, answer""")),
+
+    // Auto-tagging (§2.10): deterministic fallback tags, tag frequencies.
+    "q28_tag_frequencies" -> Q(
+      fn = (s, dir) =>
+        docs(s, dir)
+          .select(explode(RuleEngine.fallbackTags(col("text"))).as("tag"))
+          .groupBy(col("tag")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("tag")),
+      oracle = Some("""
+        WITH tagged AS (
+          SELECT unnest(
+            (CASE WHEN contains(lower(text),'legal') OR contains(lower(text),'law') OR contains(lower(text),'contract') THEN ['#legal'] ELSE [] END) ||
+            (CASE WHEN contains(lower(text),'invoice') OR contains(lower(text),'billing') OR contains(lower(text),'payment') THEN ['#finance'] ELSE [] END) ||
+            (CASE WHEN contains(lower(text),'urgent') OR contains(lower(text),'asap') OR contains(lower(text),'immediate') THEN ['#urgent'] ELSE [] END) ||
+            (CASE WHEN contains(lower(text),'proposal') OR contains(lower(text),'quote') THEN ['#proposal'] ELSE [] END) ||
+            (CASE WHEN contains(lower(text),'confidential') OR contains(lower(text),'secret') THEN ['#confidential'] ELSE [] END)) AS tag
+          FROM documents)
+        SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM tagged GROUP BY tag ORDER BY tag""")),
+
+    // MinHash LSH candidate pairs (no SQL oracle: driver rows-only check;
+    // equivalence with exact Jaccard is asserted in DedupSpec).
+    "q29_minhash_lsh_pairs" -> Q(
+      fn = (s, dir) =>
+        Dedup.minhashCandidatePairs(docs(s, dir), "doc_id", "text",
+          minEstJaccard = 0.2)
+          .orderBy(col("doc_a"), col("doc_b")),
+      oracle = None,
+      headline = true),
+
+    // SimHash near-dup pairs (rows-only check; spec-tested).
+    "q2a_simhash_pairs" -> Q(
+      fn = (s, dir) =>
+        Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 16)
+          .orderBy(col("doc_a"), col("doc_b")),
+      oracle = None),
+
+    // Language-ID heuristic (rows-only check; spec-tested).
+    "q2b_langid" -> Q(
+      fn = (s, dir) =>
+        docs(s, dir)
+          .select(col("lang"), GraftFunctions.langIdUdf(col("text")).as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("lang_pred")),
+      oracle = None),
+
+    // Rolling-hash (winnowing) fingerprint (rows-only; spec-tested).
+    "q2c_rolling_fingerprint" -> Q(
+      fn = (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            GraftFunctions.rollingFingerprintUdf(col("text")).as("rolling_fp"))
+          .orderBy(col("doc_id")),
+      oracle = None)
+  )
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{GraftFunctions, VectorFunctions}
+import graft.operators.VectorSearch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over the `embeddings` table and the
+  * document→chunk→embed pipeline (SURVEY.md §2.5 T1, §2.3 J2, §3.1).
+  * Scores are double-precision cosine rounded to 6 decimals — the exact
+  * contract the DuckDB oracles reproduce with `CAST(... AS DOUBLE[])`.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  val defs: Map[String, Q] = Map(
+
+    // T1: exact brute-force cosine top-k for one query vector (vec_id 0).
+    "q30_ann_topk" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            round(VectorFunctions.cosine(col("embedding"), col("qv")), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label,
+               ROUND(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6) AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY score DESC, e.vec_id LIMIT 10"""),
+      headline = true),
+
+    // J2: exact k-NN join — top-5 neighbors for each of the first 20 vectors.
+    "q31_knn_join" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+        VectorSearch.knnJoin(queries, corpus, "q_id", "qv", "c_id", "cv", k = 5)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      oracle = Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6) AS score
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, score, rn FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS INT) AS rn FROM scored)
+        WHERE rn <= 5 ORDER BY query_id, rn"""),
+      headline = true),
+
+    // Embedding near-dup: all pairs ≥ threshold within a deterministic subset.
+    "q32_cosine_pairs" -> Q(
+      fn = (s, dir) =>
+        VectorSearch.cosinePairs(
+          emb(s, dir).filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          threshold = 0.3)
+          .orderBy(col("vec_a"), col("vec_b")),
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id % 10 = 0)
+        SELECT * FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6) AS score
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        WHERE score >= 0.3 ORDER BY vec_a, vec_b""")),
+
+    // §3.1 semantic search: deterministic mock embedding of documents + query
+    // text, exact top-5. Rows-only check (the embedder is not SQL-expressible);
+    // ranking correctness is asserted in VectorSearchSpec.
+    "q33_semantic_search" -> Q(
+      fn = (s, dir) => {
+        val chunks = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            GraftFunctions.mockEmbed(col("text"), 64).as("vector"))
+        VectorSearch.topK(chunks, "vector",
+          graft.functions.MockEmbedder.embed("spark window query merge", 64),
+          k = 5, scoreScale = Some(6))
+          .select(col("doc_id"), col("score"))
+      },
+      oracle = None,
+      headline = true),
+
+    // Approximate scale path: random-hyperplane LSH bucket join (rows-only;
+    // recall vs exact k-NN asserted in VectorSearchSpec).
+    "q34_lsh_bucket_knn" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+        VectorSearch.lshBucketJoin(queries, corpus, "q_id", "qv", "c_id", "cv",
+          k = 5, nBits = 4)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      oracle = None,
+      headline = true),
+
+    // §2.7/§2.8: sentence-aware chunk explode with idempotent uuid5 ids
+    // (rows-only; chunker semantics are spec-tested against the reference's
+    // unit-test contract).
+    "q35_chunk_explode" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        docs.select(col("doc_id"),
+            posexplode(GraftFunctions.chunkText(col("text"), size = 120, overlap = 30))
+              .as(Seq("pos", "piece")))
+          .select(col("doc_id"),
+            col("piece.chunk_index").as("chunk_index"),
+            col("piece.content").as("content"))
+          .withColumn("chunk_id",
+            GraftFunctions.uuid5(concat(col("doc_id"), lit("-"), col("chunk_index"))))
+          .orderBy(col("doc_id"), col("chunk_index"))
+      },
+      oracle = None)
+  )
+}
