@@ -42,6 +42,18 @@ object GraftFunctions {
     udf((shingles: Seq[String]) =>
       TextHashing.minhashSignature(Option(shingles).getOrElse(Seq.empty)))
 
+  /** One-pass MinHash signature straight from raw text (hot path: no
+    * intermediate shingle array column).
+    */
+  val minhashTextUdf: UserDefinedFunction =
+    udf((text: String, n: Int) => TextHashing.minhashSignatureFromText(text, n))
+
+  /** Sorted distinct shingle hashes (ARRAY<BIGINT>) straight from text —
+    * the exact-Jaccard set representation.
+    */
+  val shingleHashesUdf: UserDefinedFunction =
+    udf((text: String, n: Int) => TextHashing.shingleHashes(text, n))
+
   /** LSH band keys from a signature (ARRAY<BIGINT> of length 16). */
   val lshBandsUdf: UserDefinedFunction =
     udf((sig: Seq[Long]) => TextHashing.lshBands(sig.toArray))
@@ -62,9 +74,13 @@ object GraftFunctions {
   val hammingUdf: UserDefinedFunction =
     udf((a: Long, b: Long) => TextHashing.hammingDistance(a, b))
 
-  /** Winnowing-style rolling-hash fingerprint. */
+  /** Whole-text Karp-Rabin rolling-hash fingerprint. */
   val rollingFingerprintUdf: UserDefinedFunction =
     udf((text: String) => TextHashing.rollingFingerprint(Option(text).getOrElse("")))
+
+  /** Winnowing fingerprint set (ARRAY<BIGINT>, deduplicated). */
+  val winnowingUdf: UserDefinedFunction =
+    udf((text: String) => TextHashing.winnowingFingerprints(Option(text).getOrElse("")))
 
   /** Heuristic language-ID ("en"/"es"/"fr"/"de"/"zh"/"und"). */
   val langIdUdf: UserDefinedFunction =

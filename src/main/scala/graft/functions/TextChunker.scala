@@ -60,8 +60,12 @@ object TextChunker {
       if (chunk.nonEmpty) out += chunk
       if (end >= n) done = true
       else {
-        start = math.max(end - overlap, 0)
-        if (start >= end) start = end // loop guard
+        // strict-progress guard: with overlap >= advance the reference's
+        // `start >= end` check never fires and the loop stalls; require the
+        // new start to move past the old one (identical behavior whenever
+        // overlap < chunkSize, i.e. all reference configurations)
+        val next = math.max(end - overlap, 0)
+        start = if (next > start) next else end
       }
     }
     out.toSeq

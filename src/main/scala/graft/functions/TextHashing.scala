@@ -16,21 +16,19 @@ object TextHashing {
 
   private val Mersenne61 = (1L << 61) - 1
 
-  // Fixed affine permutation parameters a_i * x + b_i mod (2^61-1),
-  // generated from a seeded splitmix64 so every run/engine agrees.
-  private val (hashA, hashB): (Array[Long], Array[Long]) = {
-    var state = 0x9e3779b97f4a7c15L
-    def next(): Long = {
-      state += 0x9e3779b97f4a7c15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val a = Array.fill(MinhashSize)((next() & Long.MaxValue) % (Mersenne61 - 1) + 1)
-    val b = Array.fill(MinhashSize)((next() & Long.MaxValue) % Mersenne61)
-    (a, b)
+  /** splitmix64 finalizer — a cheap, well-mixed 64-bit bijection. */
+  @inline private def mix64(v: Long): Long = {
+    var z = v + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
+
+  // Fixed per-component seeds; component i's "permutation" is
+  // x → mix64(x ^ seed_i), a far cheaper family than affine-mod-Mersenne
+  // with equivalent min-hash behavior.
+  private val seeds: Array[Long] =
+    Array.tabulate(MinhashSize)(i => mix64(0x5851f42d4c957f2dL * (i + 1)))
 
   /** Base 64-bit hash of a string (two murmur3-32 halves, fixed seeds). */
   def hash64(s: String): Long = {
@@ -68,14 +66,70 @@ object TextHashing {
   def minhashSignature(shingles: Iterable[String]): Array[Long] = {
     val sig = Array.fill(MinhashSize)(Long.MaxValue)
     val it = shingles.iterator
-    while (it.hasNext) {
-      val x = java.lang.Long.remainderUnsigned(hash64(it.next()), Mersenne61)
-      var i = 0
-      while (i < MinhashSize) {
-        val h = (mulmod61(hashA(i), x) + hashB(i)) % Mersenne61
-        if (h < sig(i)) sig(i) = h
-        i += 1
-      }
+    while (it.hasNext) { updateSignature(sig, hash64(it.next())) }
+    sig
+  }
+
+  @inline private def updateSignature(sig: Array[Long], x: Long): Unit = {
+    var i = 0
+    while (i < MinhashSize) {
+      val h = mix64(x ^ seeds(i))
+      if (h < sig(i)) sig(i) = h
+      i += 1
+    }
+  }
+
+  /** Sorted, distinct 64-bit hashes of a text's word n-gram shingles — one
+    * pass, no shingle strings materialized. The set representation for exact
+    * Jaccard via [[graft.functions.SortedIntersectCount]]: Jaccard over these
+    * hash sets equals Jaccard over the string shingle sets (collisions
+    * ~|union|²/2^64 per pair are negligible).
+    */
+  def shingleHashes(text: String, n: Int = 3): Array[Long] = {
+    val t = if (text == null) "" else text.trim
+    if (t.isEmpty) return Array.empty
+    val toks = t.split("\\s+")
+    if (toks.length < n) return Array(hash64(t))
+    val tokHash = toks.map(hash64)
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= toks.length) {
+      var acc = 0x100000001b3L
+      var j = 0
+      while (j < n) { acc = mix64(acc ^ tokHash(i + j)); j += 1 }
+      seen.add(acc)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** One-pass MinHash straight from text: tokenize, roll word n-gram hashes
+    * (no shingle strings materialized), dedupe base hashes, update the
+    * signature. This is the pipeline hot path — avoids building an
+    * ARRAY<STRING> column and its ser/de entirely.
+    */
+  def minhashSignatureFromText(text: String, n: Int = 3): Array[Long] = {
+    val sig = Array.fill(MinhashSize)(Long.MaxValue)
+    val t = if (text == null) "" else text.trim
+    if (t.isEmpty) return sig
+    val toks = t.split("\\s+")
+    val seen = new java.util.HashSet[java.lang.Long]()
+    if (toks.length < n) {
+      updateSignature(sig, hash64(t))
+      return sig
+    }
+    val tokHash = toks.map(hash64)
+    var i = 0
+    while (i + n <= toks.length) {
+      var acc = 0x100000001b3L
+      var j = 0
+      while (j < n) { acc = mix64(acc ^ tokHash(i + j)); j += 1 }
+      if (seen.add(acc)) updateSignature(sig, acc)
+      i += 1
     }
     sig
   }
@@ -132,28 +186,66 @@ object TextHashing {
 
   def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** Karp-Rabin rolling-hash fingerprints of character k-grams: the minimum
-    * w of every window — a winnowing-style document fingerprint.
+  /** Document fingerprint: Karp-Rabin polynomial rolling hash of the entire
+    * whitespace-normalized lowercase text, mod 2^61-1. One pass, content-
+    * sensitive, whitespace/case-insensitive.
     */
-  def rollingFingerprint(text: String, k: Int = 8): Long = {
-    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+  def rollingFingerprint(text: String): Long = {
+    val s = normalize(text)
     if (s.isEmpty) return 0L
-    if (s.length <= k) return java.lang.Long.remainderUnsigned(hash64(s), Mersenne61)
     val base = 1000003L
-    var pow = 1L
-    var i = 0
-    while (i < k - 1) { pow = mulmod61(pow, base); i += 1 }
     var h = 0L
-    var minH = Long.MaxValue
+    var i = 0
+    while (i < s.length) {
+      h = (mulmod61(h, base) + s.charAt(i)) % Mersenne61
+      i += 1
+    }
+    h
+  }
+
+  /** Winnowing fingerprints (Schleimer et al.): the minimum character-k-gram
+    * rolling hash of each window of w consecutive k-grams, deduplicated.
+    * Two documents sharing a run of ≥ w+k-1 chars share a fingerprint —
+    * the classic plagiarism/near-dup selection set.
+    */
+  def winnowingFingerprints(text: String, k: Int = 8, w: Int = 16): Array[Long] = {
+    val s = normalize(text)
+    if (s.isEmpty) return Array.empty
+    if (s.length <= k)
+      return Array(java.lang.Long.remainderUnsigned(hash64(s), Mersenne61))
+    val base = 1000003L
+    var powK = 1L
+    var i = 0
+    while (i < k) { powK = mulmod61(powK, base); i += 1 } // base^k
+    // rolling k-gram hashes
+    val nGrams = s.length - k + 1
+    val grams = new Array[Long](nGrams)
+    var h = 0L
     i = 0
     while (i < s.length) {
       h = (mulmod61(h, base) + s.charAt(i)) % Mersenne61
-      if (i >= k) {
-        h = (h - mulmod61(s.charAt(i - k).toLong, mulmod61(pow, base)) % Mersenne61 + Mersenne61) % Mersenne61
-      }
-      if (i >= k - 1 && h < minH) minH = h
+      if (i >= k)
+        h = (h - mulmod61(s.charAt(i - k).toLong, powK) % Mersenne61 + Mersenne61) % Mersenne61
+      if (i >= k - 1) grams(i - k + 1) = h
       i += 1
     }
-    minH
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start < nGrams) {
+      var minH = Long.MaxValue
+      var j = start
+      val end = math.min(start + w, nGrams)
+      while (j < end) { if (grams(j) < minH) minH = grams(j); j += 1 }
+      out.add(minH)
+      start += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    arr
   }
+
+  private def normalize(text: String): String =
+    if (text == null) "" else text.toLowerCase.replaceAll("\\s+", " ").trim
 }

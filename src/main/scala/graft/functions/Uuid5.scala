@@ -15,7 +15,7 @@ import java.util.UUID
   */
 object Uuid5 {
   /** RFC 4122 URL namespace. */
-  val NamespaceUrl: UUID = UUID.fromString("6ba7b811-9ad9-11d1-80b4-00c04fd430c8")
+  val NamespaceUrl: UUID = UUID.fromString("6ba7b811-9dad-11d1-80b4-00c04fd430c8")
 
   def uuid5(namespace: UUID, name: String): UUID = {
     val md = MessageDigest.getInstance("SHA-1")

@@ -26,6 +26,12 @@ object VectorFunctions {
   /** Coerce any numeric array column to ARRAY<FLOAT>. */
   def asFloatArray(a: Column): Column = a.cast(ArrayType(FloatType))
 
+  /** |A ∩ B| of two sorted distinct ARRAY<BIGINT> columns (codegen'd merge
+    * scan, see [[SortedIntersectCount]]).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    expr2col(SortedIntersectCount(col2expr(a), col2expr(b)))
+
   /** Pure-API cosine via zip_with + aggregate (reference semantics check). */
   def cosineHof(a: Column, b: Column): Column = {
     val d = dotHof(a, b)

@@ -1,0 +1,77 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** The engine's data model (SURVEY.md §1, FIXTURES.md §2): typed case classes
+  * for the warehouse tables. Metadata is `Map[String,String]` everywhere —
+  * preserving the reference's string-only payload contract
+  * (/root/reference/internal/vectordb/vectordb.go:150-156); the engine
+  * validates rather than silently dropping non-string values.
+  *
+  * At scale, `chunks`/`events`/`audit_logs` partition by `organization_id`
+  * (and date for append-only tables) so the mandatory tenant predicate (F4)
+  * prunes partitions at the scan.
+  */
+final case class Chunk(
+    id: String,
+    document_id: String,
+    content: String,
+    chunk_index: Int,
+    vector: Array[Float],
+    metadata: Map[String, String],
+    organization_id: String,
+    created_at: Timestamp)
+
+final case class DocumentRow(
+    id: String,
+    filename: String,
+    uploaded_at: Timestamp,
+    metadata: Map[String, String],
+    organization_id: String)
+
+/** events table (events.go:37-48): event_type ∈ {ingest, update, alert}. */
+final case class EventRow(
+    timestamp: Timestamp,
+    event_type: String,
+    document_name: String,
+    details: String)
+
+/** audit_logs (audit_log.go:47-58): action ∈ {SEARCH, INGEST}. */
+final case class AuditRow(
+    timestamp: Timestamp,
+    client_ip: String,
+    action: String,
+    details: String,
+    organization_id: String)
+
+/** graph_edges (graph.go:35-48); PK (source, target, type). */
+final case class GraphEdge(
+    source_doc_id: String,
+    target_doc_id: String,
+    relationship_type: String,
+    description: String,
+    created_at: Timestamp)
+
+/** rules (rules/store.go:49-56). */
+final case class Rule(
+    id: Long,
+    query: String,
+    active: Boolean,
+    organization_id: String)
+
+/** file_catalog — the drone's tracked_files dedup state
+  * (client_db.go:70-79), re-expressed as a table for anti-join dedup.
+  */
+final case class FileCatalogEntry(
+    file_path: String,
+    file_hash: String,
+    last_processed: Timestamp,
+    server_status: String)
+
+/** Alert row emitted by keyword alerting / rule matches. */
+final case class Alert(
+    alert_type: String,
+    document_id: String,
+    detail: String,
+    organization_id: String,
+    created_at: Timestamp)

@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import graft.functions.MockEmbedder
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `BINARY` with typed
+  * metadata (BASELINE.json north-star requirement).
+  *
+  * The Spark-side plumbing — schema, partitioning, per-partition batch shape —
+  * is real and tested; the *decode* step is a clearly-marked deterministic
+  * STUB (`fakeDecodeFeatures`), because no image/audio codec libraries exist
+  * in this offline container. A production build replaces exactly one
+  * function (the bytes→features kernel inside [[extractFeatures]]) with a
+  * codec-backed implementation; everything around it is unchanged.
+  *
+  * Scale: media bytes stay columnar in parquet (never collected); feature
+  * extraction is `mapPartitions` so a real decoder amortizes model/codec
+  * init per partition (the same batching contract as `mapInPandas`).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("format", StringType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("frame_rate", DoubleType, nullable = true))), nullable = true)))
+
+  final case class MediaFeature(media_id: String, kind: String, feature: Array[Float])
+
+  /** STUB decode: deterministic pseudo-features from the raw bytes (content
+    * hash → mock-embedding series). Stands in for image decode + CNN
+    * embedding / audio decode + spectrogram; deterministic so pipelines are
+    * testable offline.
+    */
+  def fakeDecodeFeatures(bytes: Array[Byte], dim: Int = 64): Array[Float] =
+    MockEmbedder.embed(java.util.Base64.getEncoder.encodeToString(bytes), dim)
+
+  /** Batched feature extraction over partitions — the real pipeline shape:
+    * one iterator per partition, decoder initialized once per partition,
+    * rows streamed through it.
+    */
+  def extractFeatures(
+      spark: SparkSession, media: DataFrame, dim: Int = 64): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select("media_id", "kind", "bytes").as[(String, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init site: a real impl constructs its codec here
+        rows.map { case (id, kind, bytes) =>
+          MediaFeature(id, kind, fakeDecodeFeatures(bytes, dim))
+        }
+      }
+  }
+
+  /** Video frame sampling: one row per sampled frame index, evenly spaced
+    * across the duration — pure plan-side arithmetic (no decode), the decode
+    * of each frame is deferred to [[extractFeatures]] on the exploded rows.
+    */
+  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame =
+    media.filter(col("kind") === "video" && col("meta.duration_ms").isNotNull)
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
+      .withColumn("frame_ts_ms",
+        (col("frame_idx") * col("meta.duration_ms") / nFrames).cast("long"))
+      .select(col("media_id"), col("frame_idx"), col("frame_ts_ms"), col("meta"))
+
+  /** Resize metadata transform (STUB kernel): plan-side metadata math is
+    * real; the pixel work is the deferred decode kernel.
+    */
+  def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(
+      lit(maxDim) / greatest(col("meta.width"), col("meta.height")), lit(1.0))
+    media.withColumn("target_width", (col("meta.width") * scale).cast("int"))
+      .withColumn("target_height", (col("meta.height") * scale).cast("int"))
+  }
+}

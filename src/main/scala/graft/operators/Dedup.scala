@@ -37,23 +37,38 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int = 3): DataFrame = {
+    // shingles are hashed to sorted 64-bit longs in one UDF pass: one
+    // tokenization per doc (the HOF formulation re-evaluates split() inside
+    // every lambda element), ~8B/shingle in the pair shuffle instead of
+    // ~20B+ strings, and set intersection becomes a primitive merge scan.
+    // Hash collisions (~|union|²/2^64 per pair) are negligible, so Jaccard
+    // values are unchanged — the DuckDB string-based oracle matches exactly.
     val prepared = docs.select(
       (col(idCol) +: blockCols.map(col)) :+
-        TextAnalysis.wordShingles(col(textCol), n).as("grams"): _*)
+        GraftFunctions.shingleHashesUdf(col(textCol), lit(n)).as("grams"): _*)
     val a = prepared.select(
       Seq(col(idCol).as("doc_a"), col("grams").as("grams_a")) ++ blockCols.map(col): _*)
     val b = prepared.select(
       Seq(col(idCol).as("doc_b"), col("grams").as("grams_b")) ++ blockCols.map(col): _*)
+    // |A∩B| via a codegen'd merge scan over the sorted hash arrays (no boxed
+    // hash sets); Jaccard = inter / (|A| + |B| − inter).
+    val inter = graft.functions.VectorFunctions.sortedIntersectCount(
+      col("grams_a"), col("grams_b"))
     a.join(b, blockCols).filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", TextAnalysis.jaccard(col("grams_a"), col("grams_b")))
+      .withColumn("inter", inter)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("grams_a")) + size(col("grams_b")) - col("inter")))
       .select((Seq(col("doc_a"), col("doc_b"), col("jaccard")) ++ blockCols.map(col)): _*)
   }
 
-  /** MinHash signatures + LSH band keys for each document. */
+  /** MinHash signatures + LSH band keys for each document (one-pass UDF —
+    * no materialized shingle arrays).
+    */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol),
-      GraftFunctions.minhashSigUdf(TextAnalysis.wordShingles(col(textCol), n)).as("sig"))
+      GraftFunctions.minhashTextUdf(col(textCol), lit(n)).as("sig"))
       .withColumn("bands", GraftFunctions.lshBandsUdf(col("sig")))
 
   /** Near-duplicate candidate pairs via LSH banding, refined by estimated

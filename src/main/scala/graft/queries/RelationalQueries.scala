@@ -63,12 +63,21 @@ object RelationalQueries {
       fn = (s, dir) => {
         val li = t(s, dir, "lineitem")
         val o = t(s, dir, "orders")
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+        // aggregate-then-join: revenue is a function of lineitem alone, so
+        // the fact-fact join shrinks to (top-10 keys) ⋈ orders instead of
+        // shipping every lineitem row through the join — the plan that
+        // survives a 100× scale-up
+        val top = li.groupBy(col("l_orderkey").as("o_orderkey"))
           .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(24,10)"))
             .cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
+        // the 10-row side is the broadcast side; orders is only probed
+        broadcast(top)
+          .join(o.select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate")),
+            Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
       },
       oracle = Some("""
         SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,

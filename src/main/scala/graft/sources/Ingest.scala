@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch ingest pipeline (SURVEY.md §3.2/§3.4): directory → filter →
+  * parse → sentence-aware chunk explode → deterministic embed → idempotent
+  * chunk ids → `chunks`-shaped DataFrame.
+  *
+  * The reference's drone/server tiers (fsnotify watcher, gRPC transport,
+  * worker pools) collapse into this one declarative pipeline; Spark's file
+  * source + DAG scheduler replace the custom topology. The streaming twin
+  * ([[graft.streaming.StreamingIngest]]) reuses exactly these stages over
+  * `readStream`.
+  *
+  * Scale: `binaryFile` scans parallelize per file; chunk explode is
+  * narrow (no shuffle); the only wide stage is the optional idempotent
+  * `dropDuplicates(id)`. Partition the sink by `organization_id`.
+  */
+object Ingest {
+
+  /** F1: temp-file patterns (dispatcher.go:64-79): `~$*`, `._*`, `*.tmp`. */
+  val TempFilePattern = "(^~\\$.*)|(^\\._.*)|(.*\\.tmp$)"
+
+  /** Read a directory tree as (path, filename, ext, content bytes, length). */
+  def readDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(
+        col("path"),
+        element_at(split(col("path"), "/"), -1).as("filename"),
+        lower(element_at(split(col("path"), "\\."), -1)).as("ext"),
+        col("content"),
+        col("length"))
+
+  /** F1+F2+F3: drop temp files, unsupported extensions, empty files. */
+  def applyFilters(files: DataFrame): DataFrame =
+    files
+      .filter(!col("filename").rlike(TempFilePattern))
+      .filter(col("ext").isin(Parsers.supportedExtensions: _*))
+      .filter(col("length") > 0)
+
+  private val parseUdf = udf((ext: String, bytes: Array[Byte]) =>
+    Parsers.parseOrNone(ext, bytes))
+
+  /** Parse bytes → `text` column; unparseable files are dropped (the
+    * reference logs-and-skips, dispatcher.go:41-50).
+    */
+  def parse(files: DataFrame): DataFrame =
+    files.withColumn("text", parseUdf(col("ext"), col("content")))
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .drop("content")
+
+  /** Full pipeline: returns a `chunks`-shaped DataFrame with idempotent
+    * uuid5 ids — re-ingesting the same path yields identical ids, so the
+    * sink MERGE/dropDuplicates is a no-op on unchanged content.
+    */
+  def ingestDir(
+      spark: SparkSession, dir: String, organizationId: String = "default",
+      chunkSize: Int = graft.functions.TextChunker.DefaultChunkSize,
+      overlap: Int = graft.functions.TextChunker.DefaultOverlap,
+      dim: Int = graft.functions.MockEmbedder.DefaultDim): DataFrame =
+    chunkAndEmbed(parse(applyFilters(readDir(spark, dir))),
+      organizationId, chunkSize, overlap, dim)
+
+  /** Chunk + embed a parsed (path, filename, text) DataFrame. `total_chunks`
+    * comes from the pre-explode array size — no window, no shuffle, and the
+    * same plan is legal under Structured Streaming append mode.
+    */
+  def chunkAndEmbed(
+      parsed: DataFrame, organizationId: String,
+      chunkSize: Int, overlap: Int, dim: Int): DataFrame = {
+    val chunked = parsed
+      .withColumn("pieces", GraftFunctions.chunkText(col("text"), chunkSize, overlap))
+      .withColumn("total_chunks", size(col("pieces")))
+      .select(
+        Seq(col("path"), col("filename"), col("total_chunks")) :+
+          posexplode(col("pieces")).as(Seq("pos", "piece")): _*)
+      .select(
+        col("path"), col("filename"), col("total_chunks"),
+        col("piece.chunk_index").as("chunk_index"),
+        col("piece.content").as("content"))
+    chunked
+      .withColumn("id",
+        GraftFunctions.uuid5(concat(col("path"), lit("-"), col("chunk_index"))))
+      .withColumn("document_id", GraftFunctions.uuid5(col("path")))
+      .withColumn("vector", GraftFunctions.mockEmbed(col("content"), dim))
+      .withColumn("organization_id", lit(organizationId))
+      .withColumn("created_at", current_timestamp())
+      .withColumn("metadata", map(
+        lit("filename"), col("filename"),
+        lit("path"), col("path"),
+        lit("total_chunks"), col("total_chunks").cast("string"),
+        lit("chunk_index"), col("chunk_index").cast("string"),
+        lit("organization_id"), col("organization_id")))
+      .select("id", "document_id", "content", "chunk_index", "vector",
+        "metadata", "organization_id", "created_at")
+  }
+
+  /** Idempotent landing: drop duplicate ids (INSERT OR REPLACE semantics of
+    * hive_service.go:81-91; with a transactional table format this becomes a
+    * MERGE keyed on id).
+    */
+  def idempotent(chunks: DataFrame): DataFrame = chunks.dropDuplicates("id")
+}

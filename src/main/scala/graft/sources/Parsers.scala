@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+/** Format parsers: bytes → extracted text (SURVEY.md §2.1 S3-S9).
+  *
+  * Text/markdown/HTML/EML have real deterministic implementations; PDF, DOCX
+  * and XLSX need binary-format libraries that are not available in this
+  * offline environment (no pdfbox/POI on the classpath), so they are explicit
+  * stubs behind the same trait — the dispatch, schema and pipeline plumbing
+  * are real and tested, and a production deployment drops in library-backed
+  * parsers without touching the pipeline.
+  */
+trait Parser extends Serializable {
+  /** Extract plain text; throw on unparseable input (caller maps to error col). */
+  def parse(bytes: Array[Byte]): String
+}
+
+object Parsers {
+
+  /** Extension → parser dispatch table (dispatcher.go:12-62). */
+  val supportedExtensions: Seq[String] =
+    Seq("pdf", "docx", "txt", "md", "xlsx", "xls", "html", "htm", "eml")
+
+  object TextParser extends Parser {
+    def parse(bytes: Array[Byte]): String = {
+      val s = new String(bytes, StandardCharsets.UTF_8)
+      if (s.isEmpty) throw new IllegalArgumentException("empty file")
+      s
+    }
+  }
+
+  /** HTML → text: drop script/style/noscript subtrees and all tags, decode
+    * basic entities, collapse whitespace (html.go:13-40 contract: the visible
+    * text only).
+    */
+  object HtmlParser extends Parser {
+    private val dropBlocks = "(?is)<(script|style|noscript)\\b[^>]*>.*?</\\1>".r
+    private val comments = "(?s)<!--.*?-->".r
+    private val tags = "(?s)<[^>]+>".r
+    def parse(bytes: Array[Byte]): String = {
+      var s = new String(bytes, StandardCharsets.UTF_8)
+      s = dropBlocks.replaceAllIn(s, " ")
+      s = comments.replaceAllIn(s, " ")
+      s = tags.replaceAllIn(s, " ")
+      s = s.replace("&nbsp;", " ").replace("&amp;", "&").replace("&lt;", "<")
+        .replace("&gt;", ">").replace("&quot;", "\"").replace("&#39;", "'")
+      s.replaceAll("\\s+", " ").trim
+    }
+  }
+
+  /** EML → text: `Subject:`/`Sender:`/`Date:` header lines + the body after
+    * the first blank line (email.go:15-77 output shape).
+    */
+  object EmlParser extends Parser {
+    def parse(bytes: Array[Byte]): String = {
+      val s = new String(bytes, StandardCharsets.UTF_8)
+      val (headerPart, body) = s.indexOf("\n\n") match {
+        case -1 => (s, "")
+        case i => (s.substring(0, i), s.substring(i + 2))
+      }
+      val headers = headerPart.linesIterator.toSeq
+      def header(name: String): Option[String] =
+        headers.find(_.toLowerCase.startsWith(name.toLowerCase + ":"))
+          .map(_.substring(name.length + 1).trim)
+      val out = new StringBuilder
+      header("Subject").foreach(v => out.append(s"Subject: $v\n"))
+      header("From").foreach(v => out.append(s"Sender: $v\n"))
+      header("Date").foreach(v => out.append(s"Date: $v\n"))
+      out.append("\n").append(body.trim)
+      out.toString.trim
+    }
+  }
+
+  /** STUB: PDF text extraction (pdf.go:14-44 contract: per-page text joined
+    * by "\n\n"). Requires a PDF library unavailable offline.
+    */
+  object PdfParser extends Parser {
+    def parse(bytes: Array[Byte]): String =
+      throw new UnsupportedOperationException(
+        "PDF parsing requires a PDF library (e.g. pdfbox) not present in this offline build")
+  }
+
+  /** STUB: DOCX extraction (docx.go:13-31). */
+  object DocxParser extends Parser {
+    def parse(bytes: Array[Byte]): String =
+      throw new UnsupportedOperationException(
+        "DOCX parsing requires Apache POI, not present in this offline build")
+  }
+
+  /** STUB: XLSX/XLS "markdownification" (excel.go:13-94 contract:
+    * per sheet a header line then "Row N: H1: v1, H2: v2" rows).
+    */
+  object ExcelParser extends Parser {
+    def parse(bytes: Array[Byte]): String =
+      throw new UnsupportedOperationException(
+        "XLSX parsing requires Apache POI, not present in this offline build")
+  }
+
+  /** Dispatch by lowercase extension (dispatcher.go:12-50). */
+  def forExtension(ext: String): Option[Parser] = ext.toLowerCase match {
+    case "txt" | "md" => Some(TextParser)
+    case "html" | "htm" => Some(HtmlParser)
+    case "eml" => Some(EmlParser)
+    case "pdf" => Some(PdfParser)
+    case "docx" => Some(DocxParser)
+    case "xlsx" | "xls" => Some(ExcelParser)
+    case _ => None
+  }
+
+  /** Parse or None on failure/unsupported (pipeline keeps going; the
+    * reference logs and skips failed files).
+    */
+  def parseOrNone(ext: String, bytes: Array[Byte]): Option[String] =
+    forExtension(ext).flatMap(p => scala.util.Try(p.parse(bytes)).toOption)
+}

@@ -1,0 +1,47 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.operators.{RuleEngine, VectorSearch}
+import graft.sources.Ingest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Library quickstart: directory → ingest → chunks → semantic search →
+  * keyword alerts, end-to-end through the public API.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = Files.createTempDirectory("graft-demo")
+    Files.write(dir.resolve("alpha.md"),
+      ("Project Alpha confidential report. " + ("Alpha body sentence. " * 80)).getBytes)
+    Files.write(dir.resolve("beta.txt"),
+      "Beta analysis quarterly results with growth numbers.".getBytes)
+    Files.write(dir.resolve("skip.tmp"), "temp file".getBytes)
+
+    val chunks = Ingest.idempotent(
+      Ingest.ingestDir(spark, dir.toString, organizationId = "demo",
+        chunkSize = 200, overlap = 40, dim = 64)).cache()
+    println(s"chunks: ${chunks.count()} from ${chunks.select("document_id").distinct().count()} docs")
+
+    val hits = VectorSearch.semanticSearch(chunks,
+      "Beta analysis quarterly results with growth numbers.", k = 3,
+      organizationId = Some("demo"), dim = 64)
+    println("top hits:")
+    hits.select(col("score"), col("metadata")("filename").as("file"),
+      substring(col("content"), 1, 40).as("snippet"))
+      .collect().foreach(r => println(s"  $r"))
+
+    val alerts = RuleEngine.keywordAlerts(
+      chunks.filter(col("chunk_index") === 0), col("content"))
+    println(s"alerts: ${alerts.count()}")
+    alerts.select(col("metadata")("filename"), col("alert_keyword"))
+      .collect().foreach(r => println(s"  $r"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,116 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  // --- mock embedder (mock.go:27-56 semantics) ---
+
+  test("fnv32a matches the independent reference implementation") {
+    assert(MockEmbedder.fnv32a("hello") == 1335831723L)
+    assert(MockEmbedder.fnv32a("") == 2166136261L)
+    assert(MockEmbedder.fnv32a("spark window query merge") == 381383822L)
+  }
+
+  test("mock embedding is deterministic, L2-normalized, right dimension") {
+    val a = MockEmbedder.embed("some text", 384)
+    val b = MockEmbedder.embed("some text", 384)
+    assert(a.sameElements(b))
+    assert(a.length == 384)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(!MockEmbedder.embed("other text", 384).sameElements(a))
+  }
+
+  // --- uuid5 (RFC 4122, URL namespace) ---
+
+  test("uuid5 matches the RFC reference implementation") {
+    assert(Uuid5.uuid5(Uuid5.NamespaceUrl, "hello").toString
+      == "074171de-bc84-5ea4-b636-1135477620e1")
+    assert(Uuid5.chunkId("/data/a.txt", 0)
+      == "ed1844fc-1c4b-577e-95e0-8b73d0913a0e")
+    assert(Uuid5.uuid5(Uuid5.NamespaceUrl, "").toString
+      == "1b4db7eb-4057-5ddf-91e0-36dec72071f5")
+  }
+
+  test("uuid5 is idempotent across calls (re-ingest stability)") {
+    assert(Uuid5.chunkId("p", 3) == Uuid5.chunkId("p", 3))
+    assert(Uuid5.chunkId("p", 3) != Uuid5.chunkId("p", 4))
+  }
+
+  // --- cosine expression vs pure-API HOF vs scala reference ---
+
+  test("codegen CosineSimilarity == HOF cosine == scala reference") {
+    import spark.implicits._
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(0.5f, -0.5f, 0.25f), Array(-1.0f, 0.75f, 2.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))).toDF("a", "b")
+    val rows = vecs.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("expr"),
+      VectorFunctions.cosineHof(col("a"), col("b")).as("hof")).collect()
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val expected = Seq(
+      ref(Array(1f, 2f, 3f), Array(3f, 2f, 1f)),
+      ref(Array(0.5f, -0.5f, 0.25f), Array(-1f, 0.75f, 2f)),
+      0.0)
+    rows.zip(expected).foreach { case (r, e) =>
+      assert(math.abs(r.getDouble(0) - e) < 1e-12, "expr")
+      assert(math.abs(r.getDouble(1) - e) < 1e-12, "hof")
+    }
+  }
+
+  test("cosine survives whole-stage codegen over a real scan") {
+    import spark.implicits._
+    val df = (1 to 100).map(i =>
+      (i.toLong, MockEmbedder.embed(s"doc $i", 16))).toDF("id", "v")
+    val q = MockEmbedder.embed("doc 42", 16)
+    val top = df.withColumn("s", VectorFunctions.cosine(col("v"), typedLit(q)))
+      .orderBy(col("s").desc).limit(1).collect()
+    assert(top.head.getLong(0) == 42L)
+    assert(math.abs(top.head.getAs[Double]("s") - 1.0) < 1e-9)
+  }
+
+  // --- text analysis columns ---
+
+  test("token count / stopword ratio / mean word length") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "  ", "a a a b").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.stopwordRatio(col("text")).as("sr"),
+      TextAnalysis.meanWordLen(col("text")).as("mwl")).collect()
+    assert(r(0).getLong(0) == 4)
+    assert(math.abs(r(0).getDouble(1) - 0.25) < 1e-12) // "the"
+    assert(math.abs(r(0).getDouble(2) - 4.0) < 1e-12) // (3+5+5+3)/4
+    assert(r(1).getLong(0) == 0 && r(1).getDouble(1) == 0.0)
+    assert(r(2).getLong(0) == 4)
+    assert(math.abs(r(2).getDouble(1) - 0.75) < 1e-12) // three "a"
+  }
+
+  test("word shingles: distinct 3-grams, short-text fallback") {
+    import spark.implicits._
+    val df = Seq("a b c d", "one two").toDF("text")
+    val r = df.select(TextAnalysis.wordShingles(col("text"), 3).as("g")).collect()
+    assert(r(0).getSeq[String](0).toSet == Set("a b c", "b c d"))
+    assert(r(1).getSeq[String](0) == Seq("one two"))
+  }
+
+  test("langid detects via stopwords and han fast-path") {
+    assert(LangId.detect("the cat sat on the mat with it") == "en")
+    assert(LangId.detect("el perro y la casa de los niños") == "es")
+    assert(LangId.detect("der Hund und die Katze auf den Tischen") == "de")
+    assert(LangId.detect("le chat et les maisons du village") == "fr")
+    assert(LangId.detect("这是一个中文句子") == "zh")
+    assert(LangId.detect("xyzzy plugh") == "und")
+    assert(LangId.detect("") == "und")
+  }
+}

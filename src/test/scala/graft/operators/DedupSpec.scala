@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup tiers over a fixture corpus with planted exact + near duplicates. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def fixture = {
+    import spark.implicits._
+    val base = (1 to 120).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val nearDup = base.split(" ").drop(6).mkString(" ") // ~95% shingle overlap
+    val unrelated1 = (1 to 120).map(i => s"delta$i epsilon$i zeta$i").mkString(" ")
+    val unrelated2 = (1 to 120).map(i => s"eta$i theta$i iota$i").mkString(" ")
+    Seq(
+      (1L, base), (2L, base), // exact dups
+      (3L, nearDup), // near dup of 1/2
+      (4L, unrelated1), (5L, unrelated2)).toDF("doc_id", "text")
+  }
+
+  test("exactGroups finds the planted exact duplicate") {
+    val groups = Dedup.exactGroups(fixture, col("doc_id"), col("text"))
+    val dups = groups.filter(col("n_copies") > 1).collect()
+    assert(dups.length == 1)
+    assert(dups.head.getAs[Long]("canonical_id") == 1L)
+    assert(dups.head.getAs[Long]("n_copies") == 2L)
+    assert(groups.count() == 4) // 4 distinct contents
+  }
+
+  test("ngram jaccard pairs rank the near-dup at the top") {
+    val withBlock = fixture.withColumn("block", lit("b"))
+    val pairs = Dedup.ngramJaccardPairs(withBlock, "doc_id", "text", Seq("block"))
+      .orderBy(col("jaccard").desc).collect()
+    val top = pairs.head
+    assert(Set(top.getAs[Long]("doc_a"), top.getAs[Long]("doc_b")) == Set(1L, 2L))
+    assert(top.getAs[Double]("jaccard") == 1.0)
+    val second = pairs(1)
+    assert(second.getAs[Double]("jaccard") > 0.8) // near dup pair (1,3)/(2,3)
+    assert(pairs.count(_.getAs[Double]("jaccard") > 0.5) == 3) // (1,2),(1,3),(2,3)
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs, skip unrelated") {
+    val cands = Dedup.minhashCandidatePairs(fixture, "doc_id", "text",
+      minEstJaccard = 0.5).collect()
+    val pairSet = cands.map(r =>
+      Set(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairSet.contains(Set(1L, 2L)))
+    assert(pairSet.contains(Set(1L, 3L)))
+    assert(pairSet.contains(Set(2L, 3L)))
+    assert(!pairSet.exists(_.contains(4L)))
+    assert(!pairSet.exists(_.contains(5L)))
+    // exact-dup pair estimates 1.0
+    val exact = cands.find(r =>
+      Set(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == Set(1L, 2L)).get
+    assert(exact.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("simhash pairs find exact and near dups within hamming budget") {
+    val pairs = Dedup.simhashPairs(fixture, "doc_id", "text", maxHamming = 16)
+      .collect()
+    val pairSet = pairs.map(r =>
+      Set(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairSet.contains(Set(1L, 2L)))
+    val exact = pairs.find(r =>
+      Set(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == Set(1L, 2L)).get
+    assert(exact.getAs[Int]("hamming") == 0)
+    assert(!pairSet.exists(s => s.contains(4L) && s.contains(5L)))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.MockEmbedder
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorSearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** Seeder corpus (FIXTURES.md §1 / cmd/seeder/main.go:30-160): five docs
+    * with unique searchable phrases.
+    */
+  private val seederDocs = Seq(
+    ("alpha", "Project Alpha confidential report. This document contains CONFIDENTIAL data about the project."),
+    ("beta", "Beta analysis quarterly results. Financial metrics and growth numbers."),
+    ("gamma", "Gamma protocol implementation guide. Security terms and handshake specification."),
+    ("delta", "Delta research findings summary. Compression algorithms comparison."),
+    ("epsilon", "Epsilon design document architecture. Microservices and queue topology."))
+
+  private def chunksDf = {
+    import spark.implicits._
+    seederDocs.toDF("document_id", "content")
+      .withColumn("vector", graft.functions.GraftFunctions.mockEmbed(col("content"), 64))
+      .withColumn("organization_id", lit("org1"))
+  }
+
+  test("semantic search ranks the exact phrase's document first") {
+    for ((id, phrase) <- Seq(
+        "alpha" -> "Project Alpha confidential report. This document contains CONFIDENTIAL data about the project.")) {
+      val hits = VectorSearch.semanticSearch(chunksDf, phrase, k = 3,
+        organizationId = Some("org1"), dim = 64).collect()
+      assert(hits.head.getAs[String]("document_id") == id)
+      assert(hits.head.getAs[Double]("score") > 0.999)
+    }
+  }
+
+  test("tenant filter excludes other organizations (F4)") {
+    val hits = VectorSearch.semanticSearch(chunksDf, "anything", k = 3,
+      organizationId = Some("other-org"), dim = 64)
+    assert(hits.count() == 0)
+  }
+
+  test("topK matches a driver-side brute-force ranking") {
+    import spark.implicits._
+    val corpus = (0 until 200).map(i => (i.toLong, MockEmbedder.embed(s"doc $i", 32)))
+    val q = MockEmbedder.embed("doc 7", 32)
+    val got = VectorSearch.topK(corpus.toDF("id", "vector"), "vector", q, 5)
+      .select("id").as[Long].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expected = corpus.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("knnJoin returns k neighbors per query, self excluded, ranked") {
+    import spark.implicits._
+    val e = (0 until 50).map(i => (i.toLong, MockEmbedder.embed(s"v$i", 32))).toDF("id", "v")
+    val res = VectorSearch.knnJoin(
+      e.filter(col("id") < 3).select(col("id").as("q_id"), col("v").as("qv")),
+      e.select(col("id").as("c_id"), col("v").as("cv")),
+      "q_id", "qv", "c_id", "cv", k = 4).collect()
+    assert(res.length == 12)
+    assert(res.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    res.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sorted.reverse))
+    }
+  }
+
+  test("lsh bucket join recall: clustered vectors find their cluster") {
+    import spark.implicits._
+    // build clusters: 10 centers, members = center + tiny per-member jitter
+    val rnd = new scala.util.Random(7)
+    val centers = (0 until 10).map(c => Array.fill(32)(rnd.nextGaussian().toFloat))
+    val rows = for {
+      c <- 0 until 10
+      m <- 0 until 20
+    } yield {
+      val v = centers(c).map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+      ((c * 20 + m).toLong, c, v)
+    }
+    val df = rows.toDF("id", "cluster", "v")
+    val res = VectorSearch.lshBucketJoin(
+      df.filter(col("id") % 20 === 0).select(col("id").as("q_id"), col("v").as("qv")),
+      df.select(col("id").as("c_id"), col("v").as("cv")),
+      "q_id", "qv", "c_id", "cv", k = 5, nBits = 6, dim = 32).collect()
+    // every returned neighbor should be from the query's own cluster
+    val ok = res.count { r =>
+      r.getAs[Long]("neighbor_id") / 20 == r.getAs[Long]("query_id") / 20
+    }
+    assert(res.nonEmpty)
+    assert(ok.toDouble / res.length > 0.95)
+  }
+
+  test("cosinePairs finds only above-threshold pairs") {
+    import spark.implicits._
+    val a = Array.fill(16)(1.0f)
+    val b = a.clone(); b(0) = 0.9f // nearly identical
+    val c = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "v")
+    val pairs = VectorSearch.cosinePairs(df, "id", "v", threshold = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("vec_a") == 1L)
+    assert(pairs.head.getAs[Long]("vec_b") == 2L)
+  }
+}
