@@ -68,6 +68,30 @@ final case class FileCatalogEntry(
     last_processed: Timestamp,
     server_status: String)
 
+/** Chat session (reconstructed from call sites — the reference's ChatStore
+  * is missing from the snapshot; shape per chat_handler.go:156-195).
+  */
+final case class ChatSession(
+    session_id: String,
+    user_id: String,
+    organization_id: String,
+    first_query: String,
+    created_at: Timestamp)
+
+/** Chat message with citation structs (chat_handler.go:170-195). */
+final case class ChatMessage(
+    session_id: String,
+    role: String, // user | assistant
+    content: String,
+    citations: Seq[Citation],
+    created_at: Timestamp)
+
+final case class Citation(
+    document_id: String,
+    chunk_id: String,
+    content: String,
+    score: Double)
+
 /** Alert row emitted by keyword alerting / rule matches. */
 final case class Alert(
     alert_type: String,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RAG retrieval with citation assembly (SURVEY.md §3.3): top-k semantic
+  * search → context concat → citation structs. Answer *generation* is a
+  * pluggable side-effect (the reference stubs it too, chat_handler.go:145-150);
+  * the engine's contract is retrieval + citation assembly.
+  */
+object Rag {
+
+  /** Retrieval: top-k chunks for a query under a tenant (chat defaults k=5,
+    * chat_handler.go:125).
+    */
+  def retrieve(
+      chunks: DataFrame, queryText: String, k: Int = 5,
+      organizationId: Option[String] = None,
+      dim: Int = graft.functions.MockEmbedder.DefaultDim): DataFrame =
+    VectorSearch.semanticSearch(chunks, queryText, k, organizationId, dim)
+
+  /** One-row result: concatenated context + ARRAY<STRUCT> citations
+    * (chat_handler.go:135-143 context build; :170-180 citation shape
+    * {document_id, chunk_id, content, score}). Citations keep score order.
+    */
+  def withCitations(hits: DataFrame): DataFrame =
+    hits.agg(
+      concat_ws("\n\n", collect_list(col("content"))).as("context"),
+      collect_list(struct(
+        col("document_id"),
+        col("id").as("chunk_id"),
+        col("content"),
+        col("score"))).as("citations"))
+
+  /** T6: matched-chunk display truncation (analyst.go:621-644): first
+    * `maxChunks` chunks of a group, each clipped to `maxChars`.
+    */
+  def truncateForDisplay(
+      grouped: DataFrame, chunksCol: String,
+      maxChunks: Int = 3, maxChars: Int = 500): DataFrame =
+    grouped.withColumn("display_chunks",
+      transform(slice(col(chunksCol), 1, maxChunks),
+        c => substring(c, 0, maxChars)))
+}

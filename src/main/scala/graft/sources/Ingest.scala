@@ -49,9 +49,14 @@ object Ingest {
     * reference logs-and-skips, dispatcher.go:41-50).
     */
   def parse(files: DataFrame): DataFrame =
+    parseWithStatus(files).filter(col("ok")).drop("content", "ok")
+
+  /** Parse keeping failures as rows with `ok = false` — feeds the A4
+    * success/failure tally ([[Warehouse.ingestTally]]).
+    */
+  def parseWithStatus(files: DataFrame): DataFrame =
     files.withColumn("text", parseUdf(col("ext"), col("content")))
-      .filter(col("text").isNotNull && length(col("text")) > 0)
-      .drop("content")
+      .withColumn("ok", col("text").isNotNull && length(col("text")) > 0)
 
   /** Full pipeline: returns a `chunks`-shaped DataFrame with idempotent
     * uuid5 ids — re-ingesting the same path yields identical ids, so the

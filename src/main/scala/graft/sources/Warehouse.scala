@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse sinks for the chunks table (SURVEY.md §2.1 S10-S12).
+  *
+  * Layout: parquet partitioned by `organization_id` — the tenant predicate
+  * (F4) becomes partition pruning, and tenant purge (S12) becomes a
+  * partition-level delete instead of the reference's scroll+batched-delete
+  * loop (vectordb.go:403-591). On a transactional format (Delta/Iceberg)
+  * `writeChunks` is a MERGE on id and `purgeOrganization` a
+  * `DELETE WHERE organization_id = ?`; plain parquet gets the same semantics
+  * via idempotent ids + partition overwrite/delete.
+  */
+object Warehouse {
+
+  /** S10/S11: land chunks idempotently, partitioned by tenant. */
+  def writeChunks(chunks: DataFrame, path: String): Unit =
+    Ingest.idempotent(chunks)
+      .write.mode("append").partitionBy("organization_id").parquet(path)
+
+  def readChunks(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S12: tenant purge = drop the tenant's partition directory (the logical
+    * equivalent of `DELETE FROM chunks WHERE organization_id = ?`,
+    * purge_handler.go:96-122 — without the 1000-point batching artifact).
+    */
+  def purgeOrganization(spark: SparkSession, path: String, organizationId: String): Boolean = {
+    val partition = new Path(path, s"organization_id=$organizationId")
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(partition) && fs.delete(partition, true)
+  }
+
+  /** S12: purge-all (vectordb.go:403-485) — recreate the table root. */
+  def purgeAll(spark: SparkSession, path: String): Boolean = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && fs.delete(root, true)
+  }
+
+  /** A4: per-file ingest tally — successes vs failures per source file
+    * (ingest_handler.go:97-171 success/failedChunks counters). Expects a
+    * DataFrame with (path, ok BOOLEAN) rows from the parse stage.
+    */
+  def ingestTally(parsedStatus: DataFrame): DataFrame =
+    parsedStatus.groupBy(col("path")).agg(
+      sum(when(col("ok"), 1).otherwise(0)).as("n_success"),
+      sum(when(!col("ok"), 1).otherwise(0)).as("n_failed"))
+}

@@ -42,6 +42,27 @@ object Demo {
     println(s"alerts: ${alerts.count()}")
     alerts.select(col("metadata")("filename"), col("alert_keyword"))
       .collect().foreach(r => println(s"  $r"))
+
+    // warehouse: tenant-partitioned landing, pruning, purge
+    val wh = Files.createTempDirectory("graft-demo-wh").toString + "/chunks"
+    graft.sources.Warehouse.writeChunks(chunks, wh)
+    graft.sources.Warehouse.writeChunks(
+      chunks.withColumn("organization_id", lit("other"))
+        .withColumn("id", concat(lit("o-"), col("id"))), wh)
+    val back = graft.sources.Warehouse.readChunks(spark, wh)
+    val prunedPlan = back.filter(col("organization_id") === "demo")
+      .queryExecution.executedPlan.toString
+    println(s"warehouse rows: ${back.count()}; partition-pruned plan: " +
+      prunedPlan.contains("PartitionFilters"))
+    graft.sources.Warehouse.purgeOrganization(spark, wh, "other")
+    println(s"after purge of 'other': ${graft.sources.Warehouse.readChunks(spark, wh).count()}")
+
+    // RAG citations
+    val rag = graft.operators.Rag.withCitations(
+      graft.operators.Rag.retrieve(chunks, "Beta analysis quarterly results",
+        k = 2, organizationId = Some("demo"), dim = 64)).collect().head
+    println(s"rag context head: ${rag.getAs[String]("context").take(40)}")
+    println(s"rag citations: ${rag.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("citations").length}")
     spark.stop()
   }
 }

@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Warehouse layout: tenant-partitioned writes, partition pruning of the
+  * tenant predicate (F4), partition-level purge (S12), ingest tally (A4).
+  */
+class WarehouseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def sampleChunks = {
+    import spark.implicits._
+    Seq(
+      ("c1", "d1", "text one", 0, "org1"),
+      ("c1", "d1", "text one dup", 0, "org1"), // duplicate id → dropped
+      ("c2", "d1", "text two", 1, "org1"),
+      ("c3", "d2", "other org", 0, "org2"))
+      .toDF("id", "document_id", "content", "chunk_index", "organization_id")
+  }
+
+  test("partitioned write is idempotent-deduped; tenant filter partition-prunes") {
+    val path = Files.createTempDirectory("graft-wh").toString + "/chunks"
+    Warehouse.writeChunks(sampleChunks, path)
+    val back = Warehouse.readChunks(spark, path)
+    assert(back.count() == 3) // dup id collapsed
+    // F4 predicate becomes partition pruning, visible in the physical plan
+    val pruned = back.filter(col("organization_id") === "org1")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("organization_id"))
+    assert(pruned.count() == 2)
+  }
+
+  test("purgeOrganization deletes exactly one tenant partition") {
+    val path = Files.createTempDirectory("graft-wh2").toString + "/chunks"
+    Warehouse.writeChunks(sampleChunks, path)
+    assert(Warehouse.purgeOrganization(spark, path, "org2"))
+    val back = Warehouse.readChunks(spark, path)
+    assert(back.count() == 2)
+    assert(back.filter(col("organization_id") === "org2").count() == 0)
+    assert(!Warehouse.purgeOrganization(spark, path, "org-missing"))
+    assert(Warehouse.purgeAll(spark, path))
+  }
+
+  test("ingest tally counts successes and failures per file (A4)") {
+    import spark.implicits._
+    val status = Seq(
+      ("/a.txt", true), ("/a.txt", true),
+      ("/b.pdf", false), ("/b.pdf", false), ("/b.pdf", true))
+      .toDF("path", "ok")
+    val tally = Warehouse.ingestTally(status).collect()
+      .map(r => r.getAs[String]("path") ->
+        (r.getAs[Long]("n_success"), r.getAs[Long]("n_failed"))).toMap
+    assert(tally("/a.txt") == ((2L, 0L)))
+    assert(tally("/b.pdf") == ((1L, 2L)))
+  }
+
+  test("parseWithStatus keeps failed parses for the tally") {
+    import spark.implicits._
+    val files = Seq(
+      ("/ok.txt", "ok.txt", "txt", "hello world".getBytes, 11L),
+      ("/bad.pdf", "bad.pdf", "pdf", Array[Byte](1, 2), 2L))
+      .toDF("path", "filename", "ext", "content", "length")
+    val status = Ingest.parseWithStatus(files)
+    val m = status.collect().map(r =>
+      r.getAs[String]("path") -> r.getAs[Boolean]("ok")).toMap
+    assert(m == Map("/ok.txt" -> true, "/bad.pdf" -> false))
+  }
+}
