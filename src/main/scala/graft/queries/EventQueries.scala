@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Sessionize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics (the case/alert north star): as-of enrichment,
+  * sessionization, inter-event deltas, tumbling windows, table stats,
+  * exact percentiles. All over the `events`/TPC-H tables with exact
+  * DuckDB oracles.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+
+  val defs: Map[String, Q] = Map(
+
+    // As-of join: each purchase enriched with the user's most recent
+    // prior-or-simultaneous view event.
+    "q40_asof_enrich" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_ms"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ts_ms"),
+            col("event_id").as("view_event_id"), col("ts_ms").as("view_ts_ms"))
+        AsOfJoin.asOf(purchases, views, Seq("user_id"), "ts_ms", "event_id",
+            payload = Seq("view_event_id", "view_ts_ms"))
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("__asof.view_event_id").as("view_event_id"),
+            col("__asof.view_ts_ms").as("view_ts_ms"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                 CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side,
+                 event_type,
+                 CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+                 CASE WHEN event_type = 'view' THEN epoch_ms(ts) END AS v_ts
+          FROM events WHERE event_type IN ('view', 'purchase')),
+        w AS (
+          SELECT *,
+                 last_value(v_id IGNORE NULLS) OVER (PARTITION BY user_id
+                   ORDER BY ts_ms, side, event_id
+                   ROWS UNBOUNDED PRECEDING) AS view_event_id,
+                 last_value(v_ts IGNORE NULLS) OVER (PARTITION BY user_id
+                   ORDER BY ts_ms, side, event_id
+                   ROWS UNBOUNDED PRECEDING) AS view_ts_ms
+          FROM u)
+        SELECT event_id, user_id, ts_ms, view_event_id, view_ts_ms
+        FROM w WHERE event_type = 'purchase' ORDER BY event_id"""),
+      headline = true),
+
+    // Sessionization: 30-minute inactivity gap, per-session rollup.
+    "q41_sessions" -> Q(
+      fn = (s, dir) => {
+        val sessionized = Sessionize.byGap(
+          ev(s, dir).select(col("user_id"), col("event_id"), col("ts_ms"), col("value")),
+          Seq("user_id"), col("ts_ms"), col("event_id"), gapMs = 1800000L)
+        Sessionize.sessionStats(sessionized, Seq("user_id"), col("ts_ms"), col("value"))
+          .orderBy(col("user_id"), col("session_seq"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        s AS (
+          SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 THEN 1 ELSE 0 END AS st
+          FROM (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id
+                  ORDER BY ts_ms, event_id) AS prev FROM e)),
+        g AS (
+          SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM s)
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""),
+      headline = true),
+
+    // Inter-event deltas (lag) + next-event lookahead (lead).
+    "q42_event_deltas" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+        ev(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+          .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+      },
+      oracle = Some("""
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+               epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                 ORDER BY epoch_ms(ts), event_id) AS gap_ms,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_ms(ts), event_id) AS next_type
+        FROM events ORDER BY user_id, ts_ms, event_id""")),
+
+    // Tumbling 1-hour windows (batch twin of the streaming windowed agg).
+    "q43_hourly_windows" -> Q(
+      fn = (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .select(unix_millis(col("w.start")).as("window_start_ms"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .orderBy(col("window_start_ms"), col("event_type")),
+      oracle = Some("""
+        SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""")),
+
+    // A1/A2-style store stats across tables.
+    "q44_table_stats" -> Q(
+      fn = (s, dir) => {
+        def cnt(n: String, as: String) =
+          Tables(s, dir, n).agg(count(lit(1)).as(as))
+        cnt("lineitem", "n_lineitem")
+          .crossJoin(cnt("orders", "n_orders"))
+          .crossJoin(cnt("documents", "n_documents"))
+          .crossJoin(cnt("events", "n_events"))
+      },
+      oracle = Some("""
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_documents,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events""")),
+
+    // Exact percentiles (linear interpolation — both engines' continuous
+    // quantile definition; quantities are small integers so the arithmetic
+    // is dyadic-exact).
+    "q45_quantity_percentiles" -> Q(
+      fn = (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.9)").as("p90"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+          .orderBy(col("l_returnflag")),
+      oracle = Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS p50,
+               quantile_cont(l_quantity, 0.9) AS p90,
+               MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
+}
