@@ -79,6 +79,24 @@ object Sessionize {
       .drop("__prev_ts")
   }
 
+  /** Streaming twin: Structured Streaming's native `session_window` with the
+    * same inactivity gap — per-session aggregates with watermark-driven state
+    * eviction (SURVEY.md §2.9). `events` must be a streaming DataFrame with
+    * event-time column `tsCol`.
+    */
+  def streamingSessions(
+      events: DataFrame, keyCols: Seq[String], tsColName: String,
+      valueCol: Column, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.{session_window => sw}
+    events
+      .withWatermark(tsColName, watermark)
+      .groupBy((sw(col(tsColName), gap) +: keyCols.map(col)): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(valueCol.cast("decimal(18,2)")).cast("double").as("session_value"))
+  }
+
   /** Per-session rollup: bounds, size, value sum (exact decimal). */
   def sessionStats(
       sessionized: DataFrame, keyCols: Seq[String], tsCol: Column,

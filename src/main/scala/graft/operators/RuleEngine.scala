@@ -54,10 +54,38 @@ object RuleEngine {
       tagIf(c.contains("confidential") || c.contains("secret"), "#confidential"))
   }
 
+  /** F7: rule-routing predicate (analyst.go:381-400) — rules whose question
+    * implies comparing documents route to the cross-doc path.
+    */
+  val CrossDocKeywords: Seq[String] = Seq(
+    "contradict", "conflict", "violate", "inconsistent", "match", "compare",
+    "other document", "existing document", "across document")
+
+  def isCrossDocRule(question: Column): Column =
+    CrossDocKeywords.map(k => lower(question).contains(k)).reduce(_ || _)
+
   /** Rule × document broadcast join, answered deterministically. */
   def evaluate(docs: DataFrame, rules: DataFrame, contentCol: Column): DataFrame =
     docs.crossJoin(broadcast(rules))
       .withColumn("answer", fallbackAnswer(col("question"), contentCol))
+
+  /** J4: cross-doc rule evaluation — rule × (doc × its top-k similar docs).
+    * `pairs` is a k-NN join result (query_id, neighbor_id, score); each
+    * cross-doc rule is answered over the CONCATENATION of the two documents'
+    * texts (the reference prompts the model with both docs,
+    * analyst.go:451-568; the deterministic fallback sees both contents).
+    */
+  def crossDocEvaluate(
+      pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      rules: DataFrame): DataFrame = {
+    val crossRules = rules.filter(isCrossDocRule(col("question")))
+    pairs
+      .join(docs.select(col(idCol).as("query_id"), col(textCol).as("text_a")), "query_id")
+      .join(docs.select(col(idCol).as("neighbor_id"), col(textCol).as("text_b")), "neighbor_id")
+      .crossJoin(broadcast(crossRules))
+      .withColumn("answer",
+        fallbackAnswer(col("question"), concat_ws("\n\n", col("text_a"), col("text_b"))))
+  }
 
   /** Keyword alerting (F6 / hive_service.go:221-246): rows whose content
     * contains the alert keyword, as an alerts-shaped DataFrame.
