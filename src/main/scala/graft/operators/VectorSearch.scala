@@ -49,6 +49,25 @@ object VectorSearch {
         col("score"), col("rn"))
   }
 
+  /** Exact k-NN join via the top-k heap aggregator: same results as
+    * [[knnJoin]] but with map-side partial aggregation — each partition
+    * ships ≤ k candidates per query instead of its whole scored slice.
+    * The scale-preferred shape for large corpora.
+    */
+  def knnJoinViaAggregator(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, scoreScale: Int = 6): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("score", round(VectorFunctions.cosine(col(cVec), col(qVec)), scoreScale))
+    scored.groupBy(col(qId).as("query_id"))
+      .agg(graft.functions.TopKAggregator.topK(k)(col("score"), col(cId)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"),
+        col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** All pairs with cosine ≥ threshold within the (bounded) input — embedding
     * near-duplicate detection. Quadratic: callers bound or pre-bucket input.
     */

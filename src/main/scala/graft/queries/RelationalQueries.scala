@@ -339,6 +339,51 @@ object RelationalQueries {
         FROM events GROUP BY user_id ORDER BY user_id"""),
       headline = true),
 
+    // Set ops (§2.11): nations present in BOTH supplier and customer bases.
+    "q50_intersect_nations" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+          .intersect(t(s, dir, "customer").select(col("c_nationkey").as("nationkey")))
+          .orderBy(col("nationkey")),
+      oracle = Some("""
+        SELECT s_nationkey AS nationkey FROM supplier
+        INTERSECT SELECT c_nationkey FROM customer
+        ORDER BY nationkey""")),
+
+    // Set ops: customer nations with no supplier presence.
+    "q51_except_nations" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy(col("nationkey")),
+      oracle = Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT SELECT s_nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    // Pivot as conditional aggregation (the shape that scales — one pass,
+    // map-side partials, no per-value shuffle).
+    "q52_status_pivot" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+        def n(st: String) = count(when(col("o_orderstatus") === st, 1)).as(s"n_${st.toLowerCase}")
+        def sm(st: String) =
+          sum(when(col("o_orderstatus") === st, col("o_totalprice")).cast("decimal(18,2)"))
+            .cast("double").as(s"sum_${st.toLowerCase}")
+        o.groupBy(col("o_orderpriority"))
+          .agg(n("F"), n("O"), n("P"), sm("F"), sm("O"), sm("P"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p,
+               CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_f,
+               CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_o,
+               CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>

@@ -46,7 +46,10 @@ object VectorQueries {
         val queries = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-        VectorSearch.knnJoin(queries, corpus, "q_id", "qv", "c_id", "cv", k = 5)
+        // aggregator variant: map-side partial top-k, ≤k rows per partition
+        // shuffle (VectorSearchSpec proves exact equivalence with the
+        // window-based knnJoin)
+        VectorSearch.knnJoinViaAggregator(queries, corpus, "q_id", "qv", "c_id", "cv", k = 5)
           .orderBy(col("query_id"), col("rn"))
       },
       oracle = Some("""

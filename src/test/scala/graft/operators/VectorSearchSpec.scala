@@ -71,6 +71,20 @@ class VectorSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoinViaAggregator matches the window-based knnJoin exactly") {
+    import spark.implicits._
+    val e = (0 until 80).map(i => (i.toLong, MockEmbedder.embed(s"vec$i", 24))).toDF("id", "v")
+    val queries = e.filter(col("id") < 5).select(col("id").as("q_id"), col("v").as("qv"))
+    val corpus = e.select(col("id").as("c_id"), col("v").as("cv"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "score", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val viaWindow = canon(VectorSearch.knnJoin(queries, corpus, "q_id", "qv", "c_id", "cv", 4))
+    val viaAgg = canon(VectorSearch.knnJoinViaAggregator(queries, corpus, "q_id", "qv", "c_id", "cv", 4))
+    assert(viaAgg == viaWindow)
+  }
+
   test("lsh bucket join recall: clustered vectors find their cluster") {
     import spark.implicits._
     // build clusters: 10 centers, members = center + tiny per-member jitter
