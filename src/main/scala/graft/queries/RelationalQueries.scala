@@ -39,11 +39,11 @@ object RelationalQueries {
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
             dsum(col("l_extendedprice")).as("sum_base_price"),
-            // exact decimal(24,10) sum, re-rounded to (18,2) so the scaled
+            // exact decimal(18,6) sum, re-rounded to (18,2) so the scaled
             // integer stays inside 2^53: the decimal→double cast is then
             // bit-identical across engines (19-digit decimals convert with
             // an extra rounding in some engines)
-            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(24,10)"))
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
               .cast("decimal(18,2)").cast("double").as("sum_disc_price"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -52,7 +52,7 @@ object RelationalQueries {
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,10))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
                CAST(COUNT(*) AS BIGINT) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus"""),
@@ -68,7 +68,7 @@ object RelationalQueries {
         // shipping every lineitem row through the join — the plan that
         // survives a 100× scale-up
         val top = li.groupBy(col("l_orderkey").as("o_orderkey"))
-          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(24,10)"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
             .cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
@@ -81,7 +81,7 @@ object RelationalQueries {
       },
       oracle = Some("""
         SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,10))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
         ORDER BY revenue DESC, o.o_orderkey LIMIT 10"""),
@@ -103,13 +103,13 @@ object RelationalQueries {
           .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(24,10)"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
             .cast("decimal(18,2)").cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("r_name"), col("n_name"))
       },
       oracle = Some("""
         SELECT r_name, n_name,
-               CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,10))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+               CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -129,11 +129,11 @@ object RelationalQueries {
             col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
             col("l_quantity") < 25)
           .agg(
-            sum((col("l_extendedprice") * col("l_discount")).cast("decimal(24,10)"))
+            sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,6)"))
               .cast("decimal(18,2)").cast("double").as("revenue"),
             count(lit(1)).as("n_rows")),
       oracle = Some("""
-        SELECT CAST(CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,10))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+        SELECT CAST(CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-SQL surface: after Graft.init, everything runs via spark.sql. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestBase.spark
+    Graft.init(s, "/root/testdata/sf0.001")
+  }
+
+  test("custom codegen expression is callable from SQL") {
+    val r = spark.sql("""
+      SELECT vec_id,
+             cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS score
+      FROM embeddings WHERE vec_id <> 0
+      ORDER BY score DESC, vec_id LIMIT 3""").collect()
+    assert(r.length == 3)
+    assert(r.forall(x => math.abs(x.getAs[Double]("score")) <= 1.0))
+    val dot = spark.sql(
+      "SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    assert(dot == 11.0)
+  }
+
+  test("chunking + uuid5 + embedding pipeline in pure SQL") {
+    val rows = spark.sql("""
+      SELECT doc_id, p.chunk_index, p.content,
+             uuid5(concat(doc_id, '-', p.chunk_index)) AS chunk_id,
+             mock_embed(p.content, 32) AS vector
+      FROM documents
+      LATERAL VIEW explode(chunk_text(text, 120, 30)) t AS p
+      WHERE doc_id < 5
+      ORDER BY doc_id, p.chunk_index""").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("vector").length == 32))
+    assert(rows.forall(_.getAs[String]("chunk_id").length == 36))
+  }
+
+  test("dedup + text analysis functions in pure SQL") {
+    val r = spark.sql("""
+      SELECT lang_id(text) AS lang_pred,
+             hamming(simhash(split(text, ' ')), 0L) AS bits,
+             size(minhash_signature(text, 3)) AS sig_len,
+             rolling_fingerprint(text) AS fp
+      FROM documents LIMIT 5""").collect()
+    assert(r.length == 5)
+    assert(r.forall(_.getAs[Int]("sig_len") == 64))
+  }
+
+  test("general SQL over registered views (reference-style analytics)") {
+    val r = spark.sql("""
+      SELECT event_type, COUNT(*) AS n
+      FROM events
+      WHERE user_id = 7
+      GROUP BY event_type ORDER BY event_type""").collect()
+    assert(r.nonEmpty)
+  }
+}
