@@ -77,12 +77,23 @@ object Dedup {
     */
   def minhashCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
-      minEstJaccard: Double = 0.5, n: Int = 3): DataFrame = {
+      minEstJaccard: Double = 0.5, n: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, n).cache()
     val exploded = sigs.select(col(idCol),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    val candidates = exploded.as("a")
-      .join(exploded.as("b"), Seq("band_idx", "band_key"))
+    // skew control: a band bucket with >maxBucketSize members would produce
+    // a quadratic blow-up in one task; such buckets are boilerplate/identical
+    // content (exact dedup's job — tier 1), not near-dup signal. Cap via a
+    // windowless two-pass: count per bucket, semi-join the survivors.
+    val bucketSizes = exploded.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("__n"))
+    val keptBuckets = bucketSizes
+      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
+      .select(col("band_idx"), col("band_key"))
+    val pruned = exploded.join(keptBuckets, Seq("band_idx", "band_key"), "left_semi")
+    val candidates = pruned.as("a")
+      .join(pruned.as("b"), Seq("band_idx", "band_key"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()

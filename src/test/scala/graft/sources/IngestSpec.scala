@@ -86,6 +86,16 @@ class IngestSpec extends AnyFunSuite {
     assert(Ingest.idempotent(chunks.union(chunks)).count() == rows.length)
   }
 
+  test("ingest output conforms to the typed Chunk schema") {
+    import spark.implicits._
+    val ds = Ingest.ingestDir(spark, dir, organizationId = "org1",
+      chunkSize = 200, overlap = 40, dim = 8).as[graft.model.Chunk]
+    val first = ds.head()
+    assert(first.vector.length == 8)
+    assert(first.organization_id == "org1")
+    assert(first.metadata.contains("filename"))
+  }
+
   test("file catalog decides new/update/skip") {
     import spark.implicits._
     val files = Seq(
