@@ -10,7 +10,8 @@ object Prof {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     val dir = "/root/testdata/sf0.1"
     def time(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
@@ -40,6 +41,24 @@ object Prof {
       li.groupBy(col("l_orderkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")))
         .count())
+    // q24: does a symmetric self-join reuse the shuffle (one shingle pass)?
+    val docs = Tables(spark, dir, "documents")
+    val prepared = docs.select(col("doc_id"), col("lang"), col("source"),
+      graft.functions.GraftFunctions.shingleHashesUdf(col("text"), lit(3)).as("grams"))
+    val a = prepared.as("a")
+    val b = prepared.as("b")
+    val selfJoin = a.join(b, Seq("lang", "source"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+    val plan = selfJoin.queryExecution.executedPlan.toString
+    println("ReusedExchange in symmetric self-join: " + plan.contains("ReusedExchange"))
+    time("symmetric self-join count")(selfJoin.count())
+    val pairsNoJac = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"))
+    time("q24 pairs count only")(pairsNoJac.select(col("doc_a")).count())
+    time("q24 jaccard sum")(pairsNoJac.agg(sum(col("jaccard"))).collect()(0))
+    println(pairsNoJac.agg(sum(col("jaccard"))).queryExecution.executedPlan.toString.split("\n").filter(l => l.contains("WholeStageCodegen") || l.contains("Project") || l.contains("Join") || l.contains("Filter")).mkString("\n"))
+    time("current q24 full")(
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20).collect().length)
     spark.stop()
   }
 }
