@@ -52,7 +52,9 @@ object VectorSearch {
   /** Exact k-NN join via the top-k heap aggregator: same results as
     * [[knnJoin]] but with map-side partial aggregation — each partition
     * ships ≤ k candidates per query instead of its whole scored slice.
-    * The scale-preferred shape for large corpora.
+    * The scale-preferred shape for large corpora. Requires numeric candidate
+    * ids (the aggregator buffer is primitive); use [[knnJoin]] for string
+    * ids such as uuid chunk ids.
     */
   def knnJoinViaAggregator(
       queries: DataFrame, corpus: DataFrame,

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-invariance: the rows-only queries (no DuckDB oracle) must
+  * produce byte-identical results under different parallelism — the
+  * distributed-correctness property the oracle gate can't check. Guards
+  * against arrival-order dependence (the reference's concat bug,
+  * hive_service.go:194) sneaking back in.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val rows = df.collect().map(_.toString)
+    rows.sorted.toSeq
+  }
+
+  private val rowsOnly = SparkEntry.all.collect {
+    case (name, q) if q.oracle.isEmpty => name
+  }.toSeq.sorted
+
+  for (name <- rowsOnly) {
+    test(s"$name is partition-invariant") {
+      val fn = SparkEntry.queries(name)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val r1 = canon(fn(spark, sf))
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val r2 = canon(fn(spark, sf))
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(r1 == r2, s"$name differs across partition counts")
+      assert(r1.nonEmpty || name == "q2a_simhash_pairs", s"$name empty") // simhash pairs may be empty on random docs
+    }
+  }
+}
