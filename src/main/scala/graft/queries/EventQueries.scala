@@ -133,6 +133,40 @@ object EventQueries {
                (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_documents,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events""")),
 
+    // Date arithmetic (§2.6 datediff surface): order-age histogram in
+    // 30-day buckets from a fixed epoch.
+    "q46_order_age_histogram" -> Q(
+      fn = (s, dir) =>
+        Tables(s, dir, "orders")
+          .withColumn("age_days", datediff(col("o_orderdate"), lit("1995-01-01")))
+          .groupBy((col("age_days") / 30).cast("long").as("age_bucket"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("age_bucket")),
+      oracle = Some("""
+        SELECT CAST(FLOOR(datediff('day', DATE '1995-01-01', o_orderdate) / 30.0) AS BIGINT) AS age_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY age_bucket ORDER BY age_bucket"""),
+      ),
+
+    // Sliding windows: 2-hour windows every hour (each event in 2 windows).
+    "q47_sliding_windows" -> Q(
+      fn = (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_millis(col("w.start")).as("window_start_ms"),
+            col("event_type"), col("n_events"))
+          .orderBy(col("window_start_ms"), col("event_type")),
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, unnest([
+            epoch_ms(date_trunc('hour', ts)) - 3600000,
+            epoch_ms(date_trunc('hour', ts))]) AS window_start_ms
+          FROM events)
+        SELECT window_start_ms, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM e GROUP BY window_start_ms, event_type
+        ORDER BY window_start_ms, event_type""")),
+
     // Exact percentiles (linear interpolation — both engines' continuous
     // quantile definition; quantities are small integers so the arithmetic
     // is dyadic-exact).
