@@ -68,6 +68,35 @@ final case class FileCatalogEntry(
     last_processed: Timestamp,
     server_status: String)
 
+/** RECONSTRUCTED thin tables: the reference's user/org/usage/domain stores
+  * are missing from the snapshot (SURVEY.md preamble caveat; constructors
+  * called at cmd/hive-server/main.go:199-232 but absent from
+  * internal/database/). Shapes inferred from handler call sites
+  * (tenant_handler.go, login/licensing middleware) — API-surface
+  * requirements, not behavior specs.
+  */
+final case class UserRow(
+    user_id: String,
+    email: String,
+    organization_id: String,
+    created_at: Timestamp)
+
+final case class OrganizationRow(
+    organization_id: String,
+    name: String,
+    created_at: Timestamp)
+
+final case class UsageRow(
+    organization_id: String,
+    period: String, // e.g. "2026-08"
+    n_searches: Long,
+    n_ingests: Long)
+
+final case class CustomDomainRow(
+    domain: String,
+    organization_id: String,
+    created_at: Timestamp)
+
 /** Chat session (reconstructed from call sites — the reference's ChatStore
   * is missing from the snapshot; shape per chat_handler.go:156-195).
   */

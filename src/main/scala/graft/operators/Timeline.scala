@@ -36,6 +36,17 @@ object Timeline {
     c.crossJoin(d)
   }
 
+  /** Usage metering (the engine-side of the reconstructed UsageStore):
+    * per-tenant, per-month action counts derived from the audit log — the
+    * audit table IS the usage ledger, no separate counter store.
+    */
+  def usageRollup(audit: DataFrame): DataFrame =
+    audit.groupBy(col("organization_id"),
+        date_format(col("timestamp"), "yyyy-MM").as("period"))
+      .agg(
+        count(when(col("action") === "SEARCH", 1)).as("n_searches"),
+        count(when(col("action") === "INGEST", 1)).as("n_ingests"))
+
   /** S13: append event rows (events.go:53-63) — append-only parquet sink;
     * at scale partition by date.
     */

@@ -65,6 +65,21 @@ class RagTimelineSpec extends AnyFunSuite {
       .collect().head.getAs[Long]("id") == 2L)
   }
 
+  test("usage rollup meters per tenant and month from the audit log") {
+    import spark.implicits._
+    val audit = Seq(
+      (Timestamp.valueOf("2026-08-01 10:00:00"), "1.1.1.1", "SEARCH", "", "org1"),
+      (Timestamp.valueOf("2026-08-02 10:00:00"), "1.1.1.1", "SEARCH", "", "org1"),
+      (Timestamp.valueOf("2026-08-03 10:00:00"), "1.1.1.1", "INGEST", "", "org1"),
+      (Timestamp.valueOf("2026-07-01 10:00:00"), "1.1.1.2", "SEARCH", "", "org2")).toDF(
+      "timestamp", "client_ip", "action", "details", "organization_id")
+    val usage = Timeline.usageRollup(audit).collect()
+      .map(r => (r.getAs[String]("organization_id"), r.getAs[String]("period")) ->
+        (r.getAs[Long]("n_searches"), r.getAs[Long]("n_ingests"))).toMap
+    assert(usage(("org1", "2026-08")) == ((2L, 1L)))
+    assert(usage(("org2", "2026-07")) == ((1L, 0L)))
+  }
+
   test("graph ops: nodes, edges-for, node-link degrees (J5/J6)") {
     import spark.implicits._
     val edges = Seq(
