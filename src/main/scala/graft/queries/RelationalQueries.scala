@@ -384,6 +384,45 @@ object RelationalQueries {
                CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Correlated scalar subquery (Catalyst decorrelation), via the SQL
+    // front door: cheapest part per brand.
+    "q53_min_price_per_brand" -> Q(
+      fn = (s, dir) => {
+        Tables(s, dir, "part").createOrReplaceTempView("part")
+        s.sql("""
+          SELECT p_brand, p_partkey, p_name, p_retailprice
+          FROM part p
+          WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+                                 FROM part p2 WHERE p2.p_brand = p.p_brand)
+          ORDER BY p_brand, p_partkey""")
+      },
+      oracle = Some("""
+        SELECT p_brand, p_partkey, p_name, p_retailprice
+        FROM part p
+        WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+                               FROM part p2 WHERE p2.p_brand = p.p_brand)
+        ORDER BY p_brand, p_partkey""")),
+
+    // Correlated EXISTS (decorrelated to semi join): orders containing any
+    // high-quantity line.
+    "q54_orders_with_bulk_lines" -> Q(
+      fn = (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""
+          SELECT o_orderkey, o_orderstatus
+          FROM orders o
+          WHERE EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+          ORDER BY o_orderkey""")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_orderstatus
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        ORDER BY o_orderkey""")),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>
