@@ -112,6 +112,27 @@ object VectorQueries {
       oracle = None,
       headline = true),
 
+    // Full ingest transform as a throughput probe (headline): chunk explode
+    // → deterministic embed → idempotent ids over every document. This is
+    // the reference's core write path (§3.2) expressed as one narrow
+    // (shuffle-free) pipeline; bench tracks its rows/sec.
+    "q36_ingest_transform" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        docs
+          .withColumn("pieces", GraftFunctions.chunkText(col("text"), 200, 40))
+          .select(col("doc_id"), col("lang"),
+            posexplode(col("pieces")).as(Seq("pos", "piece")))
+          .select(col("doc_id"), col("lang"),
+            col("piece.chunk_index").as("chunk_index"),
+            col("piece.content").as("content"))
+          .withColumn("id",
+            GraftFunctions.uuid5(concat(col("doc_id"), lit("-"), col("chunk_index"))))
+          .withColumn("vector", GraftFunctions.mockEmbed(col("content"), 64))
+      },
+      oracle = None,
+      headline = true),
+
     // §2.7/§2.8: sentence-aware chunk explode with idempotent uuid5 ids
     // (rows-only; chunker semantics are spec-tested against the reference's
     // unit-test contract).
