@@ -63,6 +63,15 @@ object Demo {
         k = 2, organizationId = Some("demo"), dim = 64)).collect().head
     println(s"rag context head: ${rag.getAs[String]("context").take(40)}")
     println(s"rag citations: ${rag.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("citations").length}")
+
+    // incremental pipeline: run twice, second run must be a no-op
+    val pwh = Files.createTempDirectory("graft-demo-pipe").toString
+    val r1 = graft.Pipeline.runIngestOnce(spark, dir.toString, pwh,
+      organizationId = "demo", chunkSize = 200, overlap = 40, dim = 32)
+    val r2 = graft.Pipeline.runIngestOnce(spark, dir.toString, pwh,
+      organizationId = "demo", chunkSize = 200, overlap = 40, dim = 32)
+    println(s"pipeline run1: $r1")
+    println(s"pipeline run2: $r2")
     spark.stop()
   }
 }
