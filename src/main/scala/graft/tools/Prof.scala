@@ -56,6 +56,15 @@ object Prof {
     time("q24 pairs count only")(pairsNoJac.select(col("doc_a")).count())
     time("q24 jaccard sum")(pairsNoJac.agg(sum(col("jaccard"))).collect()(0))
     println(pairsNoJac.agg(sum(col("jaccard"))).queryExecution.executedPlan.toString.split("\n").filter(l => l.contains("WholeStageCodegen") || l.contains("Project") || l.contains("Join") || l.contains("Filter")).mkString("\n"))
+    val preparedU = prepared.repartition(32)
+    val aU = preparedU.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"), col("lang"), col("source"))
+    val bU = preparedU.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"), col("lang"), col("source"))
+    val interU = graft.functions.VectorFunctions.sortedIntersectCount(col("grams_a"), col("grams_b"))
+    time("jaccard after repartition")(
+      aU.join(bU, Seq("lang", "source")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("j", interU.cast("double") /
+          (size(col("grams_a")) + size(col("grams_b")) - interU))
+        .agg(sum(col("j"))).collect()(0))
     time("current q24 full")(
       graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"))
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20).collect().length)
