@@ -41,6 +41,38 @@ object Warehouse {
     fs.exists(root) && fs.delete(root, true)
   }
 
+  /** S12 delete-by-id (vectordb.go:382-400): the read-path view with a set
+    * of deleted document ids applied — an anti-join, the scalable logical
+    * delete. Physical deletion on plain parquet = rewrite of affected
+    * tenant partitions ([[rewriteWithoutDocuments]]); on a transactional
+    * format it is a `DELETE WHERE document_id IN (...)`.
+    */
+  def applyDeletes(chunks: DataFrame, deletedDocIds: DataFrame): DataFrame =
+    chunks.join(deletedDocIds.select(col("document_id")),
+      Seq("document_id"), "left_anti")
+
+  /** Physical delete: rewrite only the tenant partitions that contain the
+    * doomed documents (staging + swap, since we read what we overwrite).
+    */
+  def rewriteWithoutDocuments(
+      spark: SparkSession, path: String, docIds: Seq[String]): Unit = {
+    val all = readChunks(spark, path)
+    val affectedOrgs = all
+      .filter(col("document_id").isin(docIds: _*))
+      .select("organization_id").distinct()
+      .collect().map(_.getString(0))
+    affectedOrgs.foreach { org =>
+      val partPath = new Path(path, s"organization_id=$org")
+      val staging = new Path(path, s".staging-organization_id=$org")
+      val fs = partPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val kept = spark.read.parquet(partPath.toString)
+        .filter(!col("document_id").isin(docIds: _*))
+      kept.write.mode("overwrite").parquet(staging.toString)
+      fs.delete(partPath, true)
+      fs.rename(staging, partPath)
+    }
+  }
+
   /** A4: per-file ingest tally — successes vs failures per source file
     * (ingest_handler.go:97-171 success/failedChunks counters). Expects a
     * DataFrame with (path, ok BOOLEAN) rows from the parse stage.

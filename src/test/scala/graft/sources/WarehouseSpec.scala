@@ -46,6 +46,23 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Warehouse.purgeAll(spark, path))
   }
 
+  test("document deletes: logical anti-join view and physical partition rewrite") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-wh3").toString + "/chunks"
+    Warehouse.writeChunks(sampleChunks, path)
+    // logical view
+    val deleted = Seq("d1").toDF("document_id")
+    val view = Warehouse.applyDeletes(Warehouse.readChunks(spark, path), deleted)
+    assert(view.count() == 1)
+    assert(view.head().getAs[String]("document_id") == "d2")
+    // physical rewrite: only org1's partition is rewritten, org2 untouched
+    Warehouse.rewriteWithoutDocuments(spark, path, Seq("d1"))
+    val after = Warehouse.readChunks(spark, path)
+    assert(after.count() == 1)
+    assert(after.head().getAs[String]("document_id") == "d2")
+    assert(after.filter(col("organization_id") === "org2").count() == 1)
+  }
+
   test("ingest tally counts successes and failures per file (A4)") {
     import spark.implicits._
     val status = Seq(
