@@ -111,6 +111,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
+  /** Connected components over duplicate pairs: label propagation — each
+    * node repeatedly adopts the minimum id reachable in one hop until a
+    * fixpoint (O(log n) iterations for typical dup-cluster diameters).
+    * Returns (doc_id, component_id = min id in the component). This is what
+    * turns pairwise near-dup evidence into transitive dedup clusters.
+    *
+    * Scale: each iteration is one self-join + one min-aggregate, both keyed
+    * shuffles; `checkpointEvery` truncates the lineage so long chains don't
+    * accumulate plan depth.
+    */
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    try {
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("component_id", col("doc_id"))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        // candidate label for each node: min of own and neighbors' labels
+        val neighborLabels = edges
+          .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .select(col("dst").as("doc_id"), col("component_id"))
+        val updated = labels.union(neighborLabels)
+          .groupBy(col("doc_id"))
+          .agg(min(col("component_id")).as("component_id"))
+          .cache()
+        changed = updated.join(labels,
+            updated("doc_id") === labels("doc_id") &&
+              updated("component_id") =!= labels("component_id"))
+          .count()
+        labels.unpersist()
+        labels = updated
+        iter += 1
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
+  /** The dedup decision: from near-dup pairs, the set of ids to DROP
+    * (everything but the minimum id of each component).
+    */
+  def dropSet(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    connectedComponents(pairs, maxIter)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id"))
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3 for the
     * 4×16-bit banding to be lossless; larger values may miss pairs).
     */

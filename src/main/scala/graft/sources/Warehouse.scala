@@ -24,6 +24,20 @@ object Warehouse {
   def readChunks(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Latest-state view over appended history: one row per chunk id, the
+    * most recently written wins (re-ingests append new versions under the
+    * same uuid5 id; a transactional format would MERGE instead).
+    */
+  def latestChunks(spark: SparkSession, path: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("created_at").desc)
+    readChunks(spark, path)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** S12: tenant purge = drop the tenant's partition directory (the logical
     * equivalent of `DELETE FROM chunks WHERE organization_id = ?`,
     * purge_handler.go:96-122 — without the 1000-point batching artifact).

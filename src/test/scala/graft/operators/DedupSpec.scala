@@ -57,6 +57,28 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.getAs[Double]("est_jaccard") == 1.0)
   }
 
+  test("connected components turn pairs into transitive clusters + drop set") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (one cluster) and 10-11 (another); 99 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_id")).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val drops = Dedup.dropSet(pairs).collect().map(_.getLong(0)).toSet
+    assert(drops == Set(2L, 3L, 11L))
+  }
+
+  test("end-to-end near-dedup: pairs → clusters → surviving corpus") {
+    val pairs = Dedup.minhashCandidatePairs(fixture, "doc_id", "text",
+      minEstJaccard = 0.5)
+    val drops = Dedup.dropSet(pairs)
+    val survivors = fixture.join(drops.withColumnRenamed("doc_id", "d"),
+      col("doc_id") === col("d"), "left_anti")
+    // docs 1,2,3 are one near-dup cluster → only doc 1 survives; 4,5 kept
+    val ids = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 4L, 5L))
+  }
+
   test("simhash pairs find exact and near dups within hamming budget") {
     val pairs = Dedup.simhashPairs(fixture, "doc_id", "text", maxHamming = 16)
       .collect()

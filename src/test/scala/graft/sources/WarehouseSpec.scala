@@ -46,6 +46,20 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Warehouse.purgeAll(spark, path))
   }
 
+  test("latestChunks: newest version wins per chunk id across appends") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-wh4").toString + "/chunks"
+    def batch(content: String, ts: String) = Seq(
+      ("c1", "d1", content, 0, "org1", java.sql.Timestamp.valueOf(ts)))
+      .toDF("id", "document_id", "content", "chunk_index", "organization_id", "created_at")
+    Warehouse.writeChunks(batch("v1", "2026-01-01 00:00:00"), path)
+    Warehouse.writeChunks(batch("v2", "2026-02-01 00:00:00"), path)
+    assert(Warehouse.readChunks(spark, path).count() == 2) // full history
+    val latest = Warehouse.latestChunks(spark, path).collect()
+    assert(latest.length == 1)
+    assert(latest.head.getAs[String]("content") == "v2")
+  }
+
   test("document deletes: logical anti-join view and physical partition rewrite") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-wh3").toString + "/chunks"
