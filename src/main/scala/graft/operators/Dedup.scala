@@ -111,51 +111,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
-  /** Connected components over duplicate pairs: label propagation — each
-    * node repeatedly adopts the minimum id reachable in one hop until a
-    * fixpoint (O(log n) iterations for typical dup-cluster diameters).
-    * Returns (doc_id, component_id = min id in the component). This is what
-    * turns pairwise near-dup evidence into transitive dedup clusters.
+  /** Connected components over duplicate pairs: min-label propagation with
+    * pointer jumping — each round every node takes the min label in its
+    * 1-hop neighborhood, then follows its label's own label (path halving),
+    * giving O(log diameter) rounds. Returns (doc_id, component_id = min id
+    * in the component). This is what turns pairwise near-dup evidence into
+    * transitive dedup clusters.
     *
-    * Scale: each iteration is one self-join + one min-aggregate, both keyed
-    * shuffles; `checkpointEvery` truncates the lineage so long chains don't
-    * accumulate plan depth.
+    * Each round's result is `localCheckpoint`ed: lineage is truncated (the
+    * iterative plan would otherwise grow exponentially) and the backing
+    * blocks are released by the ContextCleaner once unreferenced — no
+    * permanent cache pinning. Throws if `maxIter` rounds don't reach the
+    * fixpoint rather than returning silently-wrong non-transitive labels.
     */
   def connectedComponents(
-      pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+      pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
-    try {
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("component_id", col("doc_id"))
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < maxIter) {
-        // candidate label for each node: min of own and neighbors' labels
-        val neighborLabels = edges
-          .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-          .select(col("dst").as("doc_id"), col("component_id"))
-        val updated = labels.union(neighborLabels)
-          .groupBy(col("doc_id"))
-          .agg(min(col("component_id")).as("component_id"))
-          .cache()
-        changed = updated.join(labels,
-            updated("doc_id") === labels("doc_id") &&
-              updated("component_id") =!= labels("component_id"))
-          .count()
-        labels.unpersist()
-        labels = updated
-        iter += 1
-      }
-      labels
-    } finally edges.unpersist()
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // 1-hop min: each node adopts the min of its own and neighbors' labels
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), col("component_id"))
+      val hopped = labels.union(neighborLabels)
+        .groupBy(col("doc_id"))
+        .agg(min(col("component_id")).as("component_id"))
+      // pointer jump: follow the label's own label (labels only decrease,
+      // and every component_id is itself a labeled node)
+      val parents = hopped
+        .select(col("doc_id").as("__cid"), col("component_id").as("__parent"))
+      val updated = hopped
+        .join(parents, hopped("component_id") === parents("__cid"))
+        .select(hopped("doc_id"), col("__parent").as("component_id"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("component_id", "__old"), Seq("doc_id"))
+        .filter(col("component_id") =!= col("__old"))
+        .count()
+      labels = updated
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(pathological component diameter); raise maxIter")
+    labels
   }
 
   /** The dedup decision: from near-dup pairs, the set of ids to DROP
     * (everything but the minimum id of each component).
     */
-  def dropSet(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+  def dropSet(pairs: DataFrame, maxIter: Int = 20): DataFrame =
     connectedComponents(pairs, maxIter)
       .filter(col("doc_id") =!= col("component_id"))
       .select(col("doc_id"))

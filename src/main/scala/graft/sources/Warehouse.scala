@@ -26,12 +26,14 @@ object Warehouse {
 
   /** Latest-state view over appended history: one row per chunk id, the
     * most recently written wins (re-ingests append new versions under the
-    * same uuid5 id; a transactional format would MERGE instead).
+    * same uuid5 id; a transactional format would MERGE instead). Equal
+    * timestamps tiebreak on the content hash so the view is deterministic.
     */
   def latestChunks(spark: SparkSession, path: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"))
-      .orderBy(col("created_at").desc)
+      .orderBy(col("created_at").desc,
+        org.apache.spark.sql.functions.md5(col("content")).desc)
     readChunks(spark, path)
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("__rn") === 1)

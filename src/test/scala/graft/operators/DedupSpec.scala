@@ -68,6 +68,16 @@ class DedupSpec extends AnyFunSuite {
     assert(drops == Set(2L, 3L, 11L))
   }
 
+  test("connected components: a 30-node chain converges (lineage bounded)") {
+    import spark.implicits._
+    // previously OOM'd (exponential plan growth) / silently mislabeled
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_id"))
+    assert(comps.length == 30)
+    assert(comps.forall(_._2 == 1L)) // one component, min id everywhere
+  }
+
   test("end-to-end near-dedup: pairs → clusters → surviving corpus") {
     val pairs = Dedup.minhashCandidatePairs(fixture, "doc_id", "text",
       minEstJaccard = 0.5)
