@@ -29,7 +29,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = CosineSimilarity.checkedLength(x.numElements(), y.numElements())
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
@@ -55,7 +55,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = graft.functions.CosineSimilarity.checkedLength(
+         |  $a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $xi = (double) $a.getFloat($i);
@@ -73,6 +74,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object CosineSimilarity {
+  /** Dimension mismatch is a pipeline bug (e.g. querying a 64-dim corpus
+    * with a 384-dim embedding); fail loudly instead of silently scoring a
+    * truncated prefix. Called from both interpreted and generated code.
+    */
+  def checkedLength(nx: Int, ny: Int): Int = {
+    if (nx != ny)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: $nx vs $ny")
+    nx
+  }
+}
+
 /** Dot product of two `ARRAY<FLOAT>` columns (double accumulation), codegen'd. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -84,7 +98,7 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = CosineSimilarity.checkedLength(x.numElements(), y.numElements())
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -100,7 +114,8 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = graft.functions.CosineSimilarity.checkedLength(
+         |  $a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);

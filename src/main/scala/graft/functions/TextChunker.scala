@@ -84,7 +84,12 @@ object TextChunker {
       val end = math.min(start + chunkSize, n)
       out += text.substring(start, end).trim
       if (end >= n) done = true
-      else start = math.max(end - overlap, 0)
+      else {
+        // same strict-progress guard as the sentence-aware variant:
+        // overlap >= chunkSize would otherwise stall the loop forever
+        val next = math.max(end - overlap, 0)
+        start = if (next > start) next else end
+      }
     }
     out.toSeq
   }

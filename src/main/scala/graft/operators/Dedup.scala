@@ -84,7 +84,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       minEstJaccard: Double = 0.5, n: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, n).cache()
+    // localCheckpoint (not cache): blocks are freed by the ContextCleaner
+    // once this call's results are consumed — no permanent cache pinning
+    val sigs = minhashSignatures(docs, idCol, textCol, n).localCheckpoint()
     val exploded = sigs.select(col(idCol),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     // skew control: a band bucket with >maxBucketSize members would produce
@@ -176,11 +178,19 @@ object Dedup {
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val hashed = docs.select(col(idCol),
       GraftFunctions.simhashUdf(TextAnalysis.tokens(col(textCol))).as("simhash"))
-    val exploded = hashed.select(col(idCol), col("simhash"),
+    val allExploded = hashed.select(col(idCol), col("simhash"),
       explode(GraftFunctions.simhashChunksUdf(col("simhash"))).as("chunk_key"))
+    // same skew control as the MinHash path: a 16-bit chunk bucket with
+    // >maxBucketSize members (boilerplate-heavy corpora) would go quadratic
+    // in one task; cap it before the self-join
+    val keptKeys = allExploded.groupBy(col("chunk_key"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
+      .select(col("chunk_key"))
+    val exploded = allExploded.join(keptKeys, Seq("chunk_key"), "left_semi")
     exploded.as("a").join(exploded.as("b"), Seq("chunk_key"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),

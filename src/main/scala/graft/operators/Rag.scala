@@ -21,16 +21,28 @@ object Rag {
 
   /** One-row result: concatenated context + ARRAY<STRUCT> citations
     * (chat_handler.go:135-143 context build; :170-180 citation shape
-    * {document_id, chunk_id, content, score}). Citations keep score order.
+    * {document_id, chunk_id, content, score}). `collect_list` does not
+    * guarantee upstream order, so citations are explicitly re-sorted by
+    * (score desc, chunk_id) via a sortable struct (same pattern as the
+    * ordered concat in q17).
     */
-  def withCitations(hits: DataFrame): DataFrame =
-    hits.agg(
-      concat_ws("\n\n", collect_list(col("content"))).as("context"),
-      collect_list(struct(
-        col("document_id"),
-        col("id").as("chunk_id"),
-        col("content"),
-        col("score"))).as("citations"))
+  def withCitations(hits: DataFrame): DataFrame = {
+    val sortable = struct(
+      (-col("score")).as("neg_score"),
+      col("id").as("chunk_id"),
+      col("document_id"),
+      col("content"),
+      col("score"))
+    hits.agg(array_sort(collect_list(sortable)).as("__sorted"))
+      .select(
+        concat_ws("\n\n",
+          transform(col("__sorted"), x => x.getField("content"))).as("context"),
+        transform(col("__sorted"), x => struct(
+          x.getField("document_id").as("document_id"),
+          x.getField("chunk_id").as("chunk_id"),
+          x.getField("content").as("content"),
+          x.getField("score").as("score"))).as("citations"))
+  }
 
   /** T6: matched-chunk display truncation (analyst.go:621-644): first
     * `maxChunks` chunks of a group, each clipped to `maxChars`.

@@ -22,12 +22,19 @@ object VectorSearch {
     */
   def topK(
       corpus: DataFrame, vecCol: String, queryVec: Array[Float], k: Int,
-      filter: Column = lit(true), scoreScale: Option[Int] = None): DataFrame = {
+      filter: Column = lit(true), scoreScale: Option[Int] = None,
+      tiebreak: Option[String] = None): DataFrame = {
     val raw = VectorFunctions.cosine(col(vecCol), typedLit(queryVec))
     val score = scoreScale.fold(raw)(s => round(raw, s))
+    // equal (rounded) scores at the k boundary need a unique tiebreak for
+    // run-to-run determinism; callers pass their id column, and the chunks
+    // convention ("id", else "doc_id"/"document_id") is picked up by default
+    val tb = tiebreak.orElse(
+      Seq("id", "doc_id", "document_id", "vec_id").find(corpus.columns.contains))
+    val ordering = col("score").desc +: tb.map(col(_).asc).toSeq
     corpus.where(filter)
       .withColumn("score", score)
-      .orderBy(col("score").desc)
+      .orderBy(ordering: _*)
       .limit(k)
   }
 

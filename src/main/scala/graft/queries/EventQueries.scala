@@ -139,7 +139,9 @@ object EventQueries {
       fn = (s, dir) =>
         Tables(s, dir, "orders")
           .withColumn("age_days", datediff(col("o_orderdate"), lit("1995-01-01")))
-          .groupBy((col("age_days") / 30).cast("long").as("age_bucket"))
+          // floor, not cast-truncation: they differ on negative ages and the
+          // oracle uses FLOOR
+          .groupBy(floor(col("age_days") / 30).cast("long").as("age_bucket"))
           .agg(count(lit(1)).as("n_orders"))
           .orderBy(col("age_bucket")),
       oracle = Some("""

@@ -189,10 +189,12 @@ object TextQueries {
       oracle = None,
       headline = true),
 
-    // SimHash near-dup pairs (rows-only check; spec-tested).
+    // SimHash near-dup pairs (rows-only check; spec-tested). maxHamming=3:
+    // the 4×16-bit banding is only recall-complete up to hamming 3 — a
+    // larger filter would silently under-report.
     "q2a_simhash_pairs" -> Q(
       fn = (s, dir) =>
-        Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 16)
+        Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
           .orderBy(col("doc_a"), col("doc_b")),
       oracle = None),
 

@@ -54,7 +54,8 @@ object Parsers {
     */
   object EmlParser extends Parser {
     def parse(bytes: Array[Byte]): String = {
-      val s = new String(bytes, StandardCharsets.UTF_8)
+      // RFC 5322 messages use CRLF; normalize so the blank-line split works
+      val s = new String(bytes, StandardCharsets.UTF_8).replace("\r\n", "\n")
       val (headerPart, body) = s.indexOf("\n\n") match {
         case -1 => (s, "")
         case i => (s.substring(0, i), s.substring(i + 2))

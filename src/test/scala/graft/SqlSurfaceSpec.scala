@@ -21,6 +21,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
       .collect().head.getDouble(0)
     assert(dot == 11.0)
+    // plain double-literal arrays (the natural SQL spelling) are coerced,
+    // not misread on 4-byte strides
+    val unit = spark.sql(
+      "SELECT cosine_similarity(array(0.6, 0.8), array(0.6, 0.8)) AS s")
+      .collect().head.getDouble(0)
+    assert(math.abs(unit - 1.0) < 1e-6)
+    val dotD = spark.sql("SELECT dot_product(array(1.0, 2.0), array(3.0, 4.0)) AS d")
+      .collect().head.getDouble(0)
+    assert(dotD == 11.0)
+  }
+
+  test("dimension mismatch fails loudly, not with a truncated score") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array(1.0, 2.0), array(1.0, 2.0, 3.0))")
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("dimension mismatch"))))
   }
 
   test("chunking + uuid5 + embedding pipeline in pure SQL") {
