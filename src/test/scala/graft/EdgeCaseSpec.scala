@@ -56,6 +56,16 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(hits.head.getAs[Double]("score") == 0.0)
   }
 
+  test("1MB document chunks in linear time with full coverage") {
+    val big = ("The quick brown fox jumps over the lazy dog. " * 23000) // ~1MB
+    val t0 = System.nanoTime()
+    val chunks = TextChunker.chunkSentenceAware(big)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(chunks.length > 1000)
+    assert(chunks.forall(c => c.nonEmpty && c.length <= 1000))
+    assert(secs < 10.0, s"chunking 1MB took ${secs}s") // linear, not quadratic
+  }
+
   test("chunker handles text of exactly chunkSize and chunkSize+1") {
     val at = "x" * 1000
     assert(TextChunker.chunkSentenceAware(at) == Seq(at))
