@@ -77,12 +77,14 @@ object Pipeline {
     if (!events.isEmpty)
       events.write.mode("append").parquet(s"$warehouseDir/events")
 
-    // advance catalog state (overwrite with merged view)
+    // advance catalog state (overwrite with merged view). nFiles comes from
+    // byType (already materialized): counting `decided` after the swap would
+    // recompute through the replaced catalog files on cache loss.
     val newCatalog = FileCatalog.updatedCatalog(catalog, toProcess)
     writeCatalogAtomically(spark, newCatalog, catalogPath)
 
     IngestReport(
-      nFiles = decided.count(),
+      nFiles = byType.values.sum,
       nNew = byType.getOrElse("new", 0L),
       nUpdated = byType.getOrElse("update", 0L),
       nSkipped = byType.getOrElse("skip", 0L),
@@ -102,14 +104,26 @@ object Pipeline {
   }
 
   /** Overwrite-in-place of state we are also reading requires a staging
-    * write + swap (plain parquet has no transactions).
+    * write + swap (plain parquet has no transactions). The live catalog is
+    * renamed aside (recoverable) before the staging copy is promoted, and
+    * renames are checked — a crash between steps leaves either the old or
+    * the new catalog intact, never neither.
     */
   private def writeCatalogAtomically(
       spark: SparkSession, catalog: DataFrame, path: String): Unit = {
-    val staging = path + "__staging"
-    catalog.write.mode("overwrite").parquet(staging)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(path))) fs.delete(new Path(path), true)
-    fs.rename(new Path(staging), new Path(path))
+    val live = new Path(path)
+    val staging = new Path(path + "__staging")
+    val retired = new Path(path + "__retired")
+    catalog.write.mode("overwrite").parquet(staging.toString)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(retired)) fs.delete(retired, true)
+    val hadLive = fs.exists(live)
+    if (hadLive && !fs.rename(live, retired))
+      throw new java.io.IOException(s"failed to retire catalog $live")
+    if (!fs.rename(staging, live)) {
+      if (hadLive) fs.rename(retired, live) // roll back; old state intact
+      throw new java.io.IOException(s"failed to promote catalog $staging")
+    }
+    if (hadLive) fs.delete(retired, true)
   }
 }

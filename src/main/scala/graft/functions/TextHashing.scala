@@ -45,7 +45,11 @@ object TextHashing {
     val bLo = b & 0xffffffffL
     // a*b = aHi*bHi*2^64 + (aHi*bLo + aLo*bHi)*2^32 + aLo*bLo
     var res = modPow2(aHi * bHi, 64) // contribution of 2^64 term
-    res = (res + modPow2(aHi * bLo + aLo * bHi, 32)) % Mersenne61
+    // the two cross terms are reduced separately: their SUM can exceed 2^64
+    // and wrap (aHi,bHi < 2^29; aHi*bLo < 2^61 each, but 2^61+2^61 ≥ 2^62 is
+    // fine — yet with full 61-bit operands the sum can reach 2^65)
+    res = (res + modPow2(aHi * bLo, 32)) % Mersenne61
+    res = (res + modPow2(aLo * bHi, 32)) % Mersenne61
     // aLo*bLo < 2^64 may wrap the signed long; unsigned remainder is exact
     res = (res + java.lang.Long.remainderUnsigned(aLo * bLo, Mersenne61)) % Mersenne61
     res

@@ -62,12 +62,16 @@ object Multimodal {
     * across the duration — pure plan-side arithmetic (no decode), the decode
     * of each frame is deferred to [[extractFeatures]] on the exploded rows.
     */
-  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame =
+  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
+    // sequence(0, nFrames-1) with nFrames <= 0 would auto-step DOWNWARD and
+    // emit bogus negative frame indexes instead of zero rows
+    require(nFrames > 0, s"nFrames must be positive, got $nFrames")
     media.filter(col("kind") === "video" && col("meta.duration_ms").isNotNull)
       .withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
       .withColumn("frame_ts_ms",
         (col("frame_idx") * col("meta.duration_ms") / nFrames).cast("long"))
       .select(col("media_id"), col("frame_idx"), col("frame_ts_ms"), col("meta"))
+  }
 
   /** Resize metadata transform (STUB kernel): plan-side metadata math is
     * real; the pixel work is the deferred decode kernel.

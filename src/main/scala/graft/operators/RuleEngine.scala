@@ -92,7 +92,8 @@ object RuleEngine {
     */
   def keywordAlerts(docs: DataFrame, contentCol: Column,
       keyword: String = "CONFIDENTIAL"): DataFrame =
-    docs.filter(upper(contentCol).contains(keyword))
+    // keyword uppercased too: matching is case-insensitive for any input
+    docs.filter(upper(contentCol).contains(keyword.toUpperCase))
       .withColumn("alert_type", lit("keyword"))
       .withColumn("alert_keyword", lit(keyword))
 }

@@ -43,8 +43,11 @@ object Parsers {
       s = dropBlocks.replaceAllIn(s, " ")
       s = comments.replaceAllIn(s, " ")
       s = tags.replaceAllIn(s, " ")
-      s = s.replace("&nbsp;", " ").replace("&amp;", "&").replace("&lt;", "<")
+      // &amp; decoded LAST: decoding it first would double-decode escaped
+      // entities ("&amp;lt;" must yield "&lt;", not "<")
+      s = s.replace("&nbsp;", " ").replace("&lt;", "<")
         .replace("&gt;", ">").replace("&quot;", "\"").replace("&#39;", "'")
+        .replace("&amp;", "&")
       s.replaceAll("\\s+", " ").trim
     }
   }

@@ -57,6 +57,22 @@ object Warehouse {
     fs.exists(root) && fs.delete(root, true)
   }
 
+  /** Latest DOCUMENT state: for each document, only the chunks of its most
+    * recent ingest run (all rows of one run share a created_at). Unlike
+    * [[latestChunks]] (per-chunk-id), this correctly drops the stale tail
+    * when a re-ingested document shrinks to fewer chunks — chunk ids
+    * path-2..4 from v1 no longer shadow a 2-chunk v2.
+    */
+  def latestDocuments(spark: SparkSession, path: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("document_id"))
+    readChunks(spark, path)
+      .withColumn("__max_ts",
+        org.apache.spark.sql.functions.max(col("created_at")).over(w))
+      .filter(col("created_at") === col("__max_ts"))
+      .drop("__max_ts")
+      .dropDuplicates("id")
+  }
+
   /** S12 delete-by-id (vectordb.go:382-400): the read-path view with a set
     * of deleted document ids applied — an anti-join, the scalable logical
     * delete. Physical deletion on plain parquet = rewrite of affected
@@ -68,7 +84,10 @@ object Warehouse {
       Seq("document_id"), "left_anti")
 
   /** Physical delete: rewrite only the tenant partitions that contain the
-    * doomed documents (staging + swap, since we read what we overwrite).
+    * doomed documents. Swap order is crash-safe: the live partition is
+    * renamed aside (recoverable) before the staging copy takes its place,
+    * and every rename is checked — the old data is only dropped after the
+    * new data is live.
     */
   def rewriteWithoutDocuments(
       spark: SparkSession, path: String, docIds: Seq[String]): Unit = {
@@ -80,12 +99,19 @@ object Warehouse {
     affectedOrgs.foreach { org =>
       val partPath = new Path(path, s"organization_id=$org")
       val staging = new Path(path, s".staging-organization_id=$org")
+      val retired = new Path(path, s".retired-organization_id=$org")
       val fs = partPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val kept = spark.read.parquet(partPath.toString)
         .filter(!col("document_id").isin(docIds: _*))
       kept.write.mode("overwrite").parquet(staging.toString)
-      fs.delete(partPath, true)
-      fs.rename(staging, partPath)
+      if (fs.exists(retired)) fs.delete(retired, true)
+      if (!fs.rename(partPath, retired))
+        throw new java.io.IOException(s"failed to retire $partPath")
+      if (!fs.rename(staging, partPath)) {
+        fs.rename(retired, partPath) // roll back; old data is still intact
+        throw new java.io.IOException(s"failed to promote $staging")
+      }
+      fs.delete(retired, true)
     }
   }
 

@@ -66,6 +66,12 @@ object DocCompletion {
       if (updated.total > 0 && updated.chunks.size >= updated.total) {
         state.remove()
         Iterator.single(assemble(docId, updated, complete = true))
+      } else if (timeoutMs.isEmpty && updated.total <= 0) {
+        // no timer exists to ever flush a document with unknown
+        // total_chunks under NoTimeout — emit what arrived (incomplete)
+        // instead of leaking its state forever
+        state.remove()
+        Iterator.single(assemble(docId, updated, complete = false))
       } else {
         state.update(updated)
         timeoutMs.foreach(state.setTimeoutDuration)

@@ -8,8 +8,13 @@ import org.apache.spark.sql.Row
 
 /** Streaming ingest (SURVEY.md §2.9): the fsnotify watcher + 500 ms debounce
   * (manager.go:324-371, :68) becomes a Structured Streaming file source —
-  * discovery, backfill and incremental pickup are unified; the debounce is
-  * subsumed by the trigger interval (the file source only lists stable
+  * discovery, backfill and incremental pickup are unified.
+  *
+  * Producer contract: files must land ATOMICALLY in the watch dir (write to
+  * a temp location, then move) — Spark's file source never re-reads a path
+  * it has seen, so a file copied in place non-atomically would be ingested
+  * half-written and its completed content never picked up. The batch path
+  * does not share this constraint (its SHA-256 decide re-ingests changed
   * files).
   *
   * The transform stages are the *same* functions as batch ingest
@@ -46,7 +51,8 @@ object StreamingIngest {
       chunks: DataFrame, keyword: String = "CONFIDENTIAL")(
       onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     chunks
-      .filter(upper(col("content")).contains(keyword) && col("chunk_index") === 0)
+      .filter(upper(col("content")).contains(keyword.toUpperCase) &&
+        col("chunk_index") === 0)
       .writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("1 second"))

@@ -55,6 +55,10 @@ class RuleEngineSpec extends AnyFunSuite {
     val alerts = RuleEngine.keywordAlerts(doc, col("text")).collect()
     assert(alerts.length == 1)
     assert(alerts.head.getAs[String]("alert_keyword") == "CONFIDENTIAL")
+    // keyword matching is case-insensitive regardless of how it's passed
+    assert(RuleEngine.keywordAlerts(doc, col("text"), "pricing").count() == 1)
+    assert(RuleEngine.keywordAlerts(doc, col("text"), "Pricing").count() == 1)
+    assert(RuleEngine.keywordAlerts(doc, col("text"), "absent").count() == 0)
   }
 
   test("DeterministicOracle mirrors the column implementation") {

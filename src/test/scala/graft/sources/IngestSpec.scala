@@ -47,6 +47,19 @@ class IngestSpec extends AnyFunSuite {
     assert(text == "Gamma protocol & implementation guide.")
   }
 
+  test("html parser does not double-decode escaped entities") {
+    val text = Parsers.HtmlParser.parse(
+      "<p>use &amp;lt;br&amp;gt; here, a &amp; b</p>".getBytes)
+    assert(text == "use &lt;br&gt; here, a & b")
+  }
+
+  test("eml parser handles CRLF line endings (RFC 5322)") {
+    val text = Parsers.EmlParser.parse(
+      "From: bob@example.com\r\nSubject: CRLF mail\r\n\r\nThe actual body.".getBytes)
+    assert(text.contains("Subject: CRLF mail"))
+    assert(text.endsWith("The actual body."))
+  }
+
   test("eml parser emits Subject/Sender/Date headers + body") {
     val text = Parsers.EmlParser.parse(
       Files.readAllBytes(java.nio.file.Paths.get(dir, "mail.eml")))

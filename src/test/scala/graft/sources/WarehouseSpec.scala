@@ -60,6 +60,25 @@ class WarehouseSpec extends AnyFunSuite {
     assert(latest.head.getAs[String]("content") == "v2")
   }
 
+  test("latestDocuments drops the stale tail when a document shrinks") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-wh5").toString + "/chunks"
+    def version(ts: String, contents: Seq[String]) =
+      contents.zipWithIndex.map { case (c, i) =>
+        (s"d1-$i", "d1", c, i, "org1", java.sql.Timestamp.valueOf(ts))
+      }.toDF("id", "document_id", "content", "chunk_index", "organization_id", "created_at")
+    // v1: 5 chunks; v2 (newer): only 2 chunks under the same id scheme
+    Warehouse.writeChunks(version("2026-01-01 00:00:00",
+      Seq("v1c0", "v1c1", "v1c2", "v1c3", "v1c4")), path)
+    Warehouse.writeChunks(version("2026-02-01 00:00:00", Seq("v2c0", "v2c1")), path)
+    // per-chunk-id view keeps the stale tail (documented limitation)...
+    assert(Warehouse.latestChunks(spark, path).count() == 5)
+    // ...the per-document view does not
+    val latest = Warehouse.latestDocuments(spark, path)
+      .orderBy(col("chunk_index")).collect()
+    assert(latest.map(_.getAs[String]("content")).toSeq == Seq("v2c0", "v2c1"))
+  }
+
   test("document deletes: logical anti-join view and physical partition rewrite") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-wh3").toString + "/chunks"

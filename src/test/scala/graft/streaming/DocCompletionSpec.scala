@@ -47,6 +47,19 @@ class DocCompletionSpec extends AnyFunSuite {
     assert(out.isEmpty) // 1 distinct of 2 expected → still open
   }
 
+  test("NoTimeout + unknown total_chunks flushes incomplete instead of leaking") {
+    val state = TestGroupState.create[DocState](
+      Optional.empty[DocState], GroupStateTimeout.NoTimeout,
+      1000L, Optional.empty[java.lang.Long].asInstanceOf[Optional[Long]],
+      hasTimedOut = false)
+    val out = DocCompletion.completionFnWithTimeout(None)(
+      "dx", Iterator(msg("dx", 0, "orphan", 0)), state).toSeq
+    assert(out.length == 1)
+    assert(!out.head.complete)
+    assert(out.head.content == "orphan")
+    assert(!state.exists)
+  }
+
   test("completionFn: inactivity timeout flushes incomplete doc") {
     val state = TestGroupState.create[DocState](
       Optional.empty[DocState], GroupStateTimeout.ProcessingTimeTimeout,
