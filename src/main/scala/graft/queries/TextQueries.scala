@@ -179,6 +179,56 @@ object TextQueries {
         SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM tagged GROUP BY tag ORDER BY tag""")),
 
+    // Repetition ratio: duplicated-3-gram fraction — the standard "loopy
+    // generation / boilerplate" quality signal for training corpora.
+    "q2d_repetition" -> Q(
+      fn = (s, dir) => {
+        docs(s, dir)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("grams", transform(
+            sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+          .select(col("doc_id"),
+            size(col("grams")).cast("long").as("n_grams"),
+            size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+          .withColumn("dup_ratio",
+            lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+               1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_ratio
+        FROM (
+          SELECT doc_id, list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+          FROM t WHERE len(toks) >= 3)
+        ORDER BY doc_id""")),
+
+    // Token document frequency: the corpus-stats op behind IDF weighting
+    // and stopword discovery.
+    "q2e_token_df" -> Q(
+      fn = (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+          .groupBy(col("token"))
+          .agg(countDistinct(col("doc_id")).as("doc_freq"))
+          .orderBy(col("doc_freq").desc, col("token"))
+          .limit(20),
+      oracle = Some("""
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM (SELECT doc_id,
+                unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS token
+              FROM documents)
+        GROUP BY token ORDER BY doc_freq DESC, token LIMIT 20""")),
+
     // MinHash LSH candidate pairs (no SQL oracle: driver rows-only check;
     // equivalence with exact Jaccard is asserted in DedupSpec).
     "q29_minhash_lsh_pairs" -> Q(
