@@ -99,8 +99,18 @@ object VectorSearch {
   def lshBucketJoin(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, nBits: Int = 8, dim: Int = 64, scoreScale: Int = 6): DataFrame = {
-    val qb = queries.withColumn("bucket", hyperplaneBucket(col(qVec), nBits, dim))
+      k: Int, nBits: Int = 8, dim: Int = 64, scoreScale: Int = 6,
+      multiProbe: Boolean = false): DataFrame = {
+    val qBucket = queries.withColumn("bucket", hyperplaneBucket(col(qVec), nBits, dim))
+    // multi-probe: each query also probes every hamming-1 neighbor bucket —
+    // a vector near one hyperplane lands on either side, so flipping single
+    // sign bits recovers most of those misses at (nBits+1)× probe cost
+    // (probe-side only; the corpus is still bucketed exactly once).
+    val qb =
+      if (!multiProbe) qBucket
+      else qBucket.withColumn("bucket",
+        explode(array((col("bucket") +:
+          (0 until nBits).map(b => col("bucket").bitwiseXOR(lit(1L << b)))): _*)))
     val cb = corpus.withColumn("bucket", hyperplaneBucket(col(cVec), nBits, dim))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col(qId) =!= col(cId))

@@ -108,6 +108,19 @@ class VectorSearchSpec extends AnyFunSuite {
     }
     assert(res.nonEmpty)
     assert(ok.toDouble / res.length > 0.95)
+
+    // multi-probe recovers at least as many neighbors (hamming-1 buckets)
+    val single = res.length
+    val multi = VectorSearch.lshBucketJoin(
+      df.filter(col("id") % 20 === 0).select(col("id").as("q_id"), col("v").as("qv")),
+      df.select(col("id").as("c_id"), col("v").as("cv")),
+      "q_id", "qv", "c_id", "cv", k = 5, nBits = 6, dim = 32,
+      multiProbe = true).collect()
+    assert(multi.length >= single)
+    val okMulti = multi.count { r =>
+      r.getAs[Long]("neighbor_id") / 20 == r.getAs[Long]("query_id") / 20
+    }
+    assert(okMulti.toDouble / multi.length > 0.95)
   }
 
   test("cosinePairs finds only above-threshold pairs") {
