@@ -115,7 +115,10 @@ object VectorQueries {
     // Full ingest transform as a throughput probe (headline): chunk explode
     // → deterministic embed → idempotent ids over every document. This is
     // the reference's core write path (§3.2) expressed as one narrow
-    // (shuffle-free) pipeline; bench tracks its rows/sec.
+    // (shuffle-free) pipeline; bench tracks its rows/sec. The embed vector is
+    // projected to scalar fingerprints at the query boundary (the driver's
+    // rows-only compare sorts the frame and can't hash ARRAY columns) — the
+    // full 64-dim embed still executes, nothing is pruned.
     "q36_ingest_transform" -> Q(
       fn = (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -129,6 +132,11 @@ object VectorQueries {
           .withColumn("id",
             GraftFunctions.uuid5(concat(col("doc_id"), lit("-"), col("chunk_index"))))
           .withColumn("vector", GraftFunctions.mockEmbed(col("content"), 64))
+          .select(col("doc_id"), col("lang"), col("chunk_index"), col("content"),
+            col("id"),
+            sha2(to_json(col("vector")), 256).as("vector_sha"),
+            size(col("vector")).as("vector_dim"),
+            round(element_at(col("vector"), 1).cast("double"), 6).as("vector_head"))
       },
       oracle = None,
       headline = true),

@@ -4,12 +4,11 @@ import java.nio.charset.StandardCharsets
 
 /** Format parsers: bytes → extracted text (SURVEY.md §2.1 S3-S9).
   *
-  * Text/markdown/HTML/EML have real deterministic implementations; PDF, DOCX
-  * and XLSX need binary-format libraries that are not available in this
-  * offline environment (no pdfbox/POI on the classpath), so they are explicit
-  * stubs behind the same trait — the dispatch, schema and pipeline plumbing
-  * are real and tested, and a production deployment drops in library-backed
-  * parsers without touching the pipeline.
+  * All formats have real zero-dependency implementations: text/markdown/HTML/
+  * EML directly, DOCX and XLSX via `java.util.zip` + JDK StAX over the OOXML
+  * parts (`OoxmlExtract`), and PDF via a minimal classic-layout extractor with
+  * FlateDecode + ToUnicode CMap support (`PdfExtract`). The PDF subset
+  * boundary (no object streams / encryption) is documented on `PdfExtract`.
   */
 trait Parser extends Serializable {
   /** Extract plain text; throw on unparseable input (caller maps to error col). */
@@ -76,29 +75,29 @@ object Parsers {
     }
   }
 
-  /** STUB: PDF text extraction (pdf.go:14-44 contract: per-page text joined
-    * by "\n\n"). Requires a PDF library unavailable offline.
+  /** PDF text extraction (pdf.go:14-44 contract: per-page text joined by
+    * "\n\n", errored pages skipped, error when nothing extracted). Classic
+    * xref layout + FlateDecode + ToUnicode CMaps; see `PdfExtract` scaladoc
+    * for the exact subset boundary.
     */
   object PdfParser extends Parser {
-    def parse(bytes: Array[Byte]): String =
-      throw new UnsupportedOperationException(
-        "PDF parsing requires a PDF library (e.g. pdfbox) not present in this offline build")
+    def parse(bytes: Array[Byte]): String = PdfExtract.text(bytes)
   }
 
-  /** STUB: DOCX extraction (docx.go:13-31). */
+  /** DOCX extraction (docx.go:13-31 contract: all text, trimmed, error when
+    * empty) — ZIP + `word/document.xml` `<w:t>` runs, no POI needed.
+    */
   object DocxParser extends Parser {
-    def parse(bytes: Array[Byte]): String =
-      throw new UnsupportedOperationException(
-        "DOCX parsing requires Apache POI, not present in this offline build")
+    def parse(bytes: Array[Byte]): String = OoxmlExtract.docxText(bytes)
   }
 
-  /** STUB: XLSX/XLS "markdownification" (excel.go:13-94 contract:
-    * per sheet a header line then "Row N: H1: v1, H2: v2" rows).
+  /** XLSX "markdownification" (excel.go:13-94 contract: per sheet a
+    * `Sheet: name` line then `Row N: H1: v1, H2: v2` rows, empty cells
+    * skipped, unreadable sheets noted inline) — ZIP + worksheet/sharedStrings
+    * XML. Legacy binary .xls is not OOXML and still raises.
     */
   object ExcelParser extends Parser {
-    def parse(bytes: Array[Byte]): String =
-      throw new UnsupportedOperationException(
-        "XLSX parsing requires Apache POI, not present in this offline build")
+    def parse(bytes: Array[Byte]): String = OoxmlExtract.xlsxText(bytes)
   }
 
   /** Dispatch by lowercase extension (dispatcher.go:12-50). */

@@ -1,0 +1,473 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+/** Minimal, zero-dependency PDF text extractor.
+  *
+  * Contract from the reference (/root/reference/internal/parser/pdf.go:14-44,
+  * MuPDF-backed): per-page text, pages joined by a blank line, pages that fail
+  * to decode are skipped, error when nothing was extracted.
+  *
+  * Supported subset (the "simple generated PDF" class — office exports,
+  * report generators, the reference's own seeder corpus):
+  *   - classic xref PDFs with `N 0 obj … endobj` bodies (PDF ≤ 1.4 layout;
+  *     also any newer file that keeps objects uncompressed)
+  *   - streams stored raw or /FlateDecode (java.util.zip.Inflater), direct or
+  *     indirect /Length
+  *   - page tree walk (/Catalog → /Pages → /Kids) with document-order fallback
+  *   - text operators BT/ET, Tj, TJ, ', ", Td/TD/T*, Tf; literal `(…)` strings
+  *     with escapes and hex `<…>` strings
+  *   - per-font /ToUnicode CMaps (bfchar + bfrange, 1- and 2-byte codes), the
+  *     mechanism subsetted fonts use — without it glyph-index strings are
+  *     unreadable
+  *
+  * Out of scope (documented boundary, not silent): cross-reference streams
+  * whose objects live inside /ObjStm object streams, predictor-filtered
+  * streams, DCT/CCITT image text, encrypted PDFs.
+  */
+private[graft] object PdfExtract {
+
+  private val Latin1 = StandardCharsets.ISO_8859_1
+
+  // ---------------------------------------------------------------- objects
+
+  private final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]])
+
+  private val ObjStart: Regex = """(?s)(\d+)\s+\d+\s+obj""".r
+
+  /** Scan `N G obj … endobj` bodies; for stream objects capture the raw
+    * stream bytes using /Length when resolvable, else the endstream scan.
+    */
+  private def parseObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
+    val s = new String(bytes, Latin1)
+    // First pass: object body spans (endobj may be absent on malformed tails).
+    val starts = ObjStart.findAllMatchIn(s).toVector
+    val bodies = mutable.Map.empty[Int, (Int, Int)] // num -> (bodyStart, bodyEnd)
+    for (i <- starts.indices) {
+      val m = starts(i)
+      val bodyStart = m.end
+      val hardEnd = if (i + 1 < starts.length) starts(i + 1).start else s.length
+      val endObj = s.indexOf("endobj", bodyStart)
+      val bodyEnd = if (endObj >= 0 && endObj < hardEnd) endObj else hardEnd
+      bodies(m.group(1).toInt) = (bodyStart, bodyEnd)
+    }
+    def body(num: Int): String = bodies.get(num) match {
+      case Some((a, b)) => s.substring(a, b)
+      case None => ""
+    }
+    val lengthRef = """/Length\s+(\d+)(\s+\d+\s+R)?""".r
+    bodies.map { case (num, (a, b)) =>
+      val raw = s.substring(a, b)
+      val streamKw = raw.indexOf("stream")
+      val obj =
+        if (streamKw < 0) PdfObj(num, raw, None)
+        else {
+          val dict = raw.substring(0, streamKw)
+          // stream keyword is followed by CRLF or LF
+          var dataStart = a + streamKw + "stream".length
+          if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
+          if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
+          val len: Option[Int] = lengthRef.findFirstMatchIn(dict).flatMap { lm =>
+            if (lm.group(2) == null) Some(lm.group(1).toInt)
+            else body(lm.group(1).toInt).trim.toIntOption
+          }
+          val dataEnd = len match {
+            case Some(n) if dataStart + n <= b => dataStart + n
+            case _ =>
+              val e = s.indexOf("endstream", dataStart)
+              if (e >= 0 && e <= b) {
+                // strip the EOL that precedes endstream
+                var e2 = e
+                if (e2 > dataStart && bytes(e2 - 1) == '\n') e2 -= 1
+                if (e2 > dataStart && bytes(e2 - 1) == '\r') e2 -= 1
+                e2
+              } else b
+          }
+          PdfObj(num, dict, Some(java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)))
+        }
+      num -> obj
+    }.toMap
+  }
+
+  /** Decode a stream body: raw unless /FlateDecode; None when undecodable. */
+  private def decodeStream(obj: PdfObj): Option[Array[Byte]] =
+    obj.stream.flatMap { data =>
+      if (!obj.dict.contains("/FlateDecode")) Some(data)
+      else
+        try {
+          val inf = new Inflater()
+          inf.setInput(data)
+          val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+          val buf = new Array[Byte](8192)
+          while (!inf.finished() && !inf.needsInput()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && !inf.finished()) throw new IllegalStateException("stall")
+            out.write(buf, 0, n)
+          }
+          inf.end()
+          Some(out.toByteArray)
+        } catch { case _: Exception => None }
+    }
+
+  // ----------------------------------------------------------------- CMaps
+
+  /** code → unicode string; width = bytes per code (1 or 2). */
+  private final case class CMap(width: Int, map: Map[Int, String])
+
+  private def hexToInt(h: String): Int = java.lang.Integer.parseInt(h, 16)
+
+  private def hexToUtf16(h: String): String = {
+    // dst hex is UTF-16BE code units
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 4 <= h.length) { sb.append(hexToInt(h.substring(i, i + 4)).toChar); i += 4 }
+    if (i + 2 <= h.length && h.length % 4 != 0)
+      sb.append(hexToInt(h.substring(i, i + 2)).toChar) // tolerate 1-byte dst
+    sb.toString
+  }
+
+  private val CodeSpace: Regex = """(?s)begincodespacerange\s*<([0-9A-Fa-f]+)>""".r
+  private val BfCharBlock: Regex = """(?s)beginbfchar(.*?)endbfchar""".r
+  private val BfRangeBlock: Regex = """(?s)beginbfrange(.*?)endbfrange""".r
+  private val HexPair: Regex = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+  private val RangeArr: Regex = """(?s)<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]""".r
+  private val RangeFlat: Regex = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+  private val HexTok: Regex = """<([0-9A-Fa-f]+)>""".r
+
+  private def parseCMap(text: String): CMap = {
+    val width = CodeSpace.findFirstMatchIn(text)
+      .map(m => math.max(1, m.group(1).length / 2)).getOrElse(1)
+    val map = mutable.Map.empty[Int, String]
+    for (block <- BfCharBlock.findAllMatchIn(text); p <- HexPair.findAllMatchIn(block.group(1)))
+      map(hexToInt(p.group(1))) = hexToUtf16(p.group(2))
+    for (block <- BfRangeBlock.findAllMatchIn(text)) {
+      val body = block.group(1)
+      // array form first (the flat regex would also match its prefix)
+      val arrSpans = RangeArr.findAllMatchIn(body).toVector
+      for (m <- arrSpans) {
+        val lo = hexToInt(m.group(1))
+        val dsts = HexTok.findAllMatchIn(m.group(3)).map(_.group(1)).toVector
+        dsts.zipWithIndex.foreach { case (d, i) => map(lo + i) = hexToUtf16(d) }
+      }
+      val arrCovered = arrSpans.map(m => (m.start, m.end))
+      def inArr(pos: Int) = arrCovered.exists { case (a, b) => pos >= a && pos < b }
+      for (m <- RangeFlat.findAllMatchIn(body) if !inArr(m.start)) {
+        val lo = hexToInt(m.group(1)); val hi = hexToInt(m.group(2))
+        val dst = m.group(3)
+        // increment the last code unit of dst across the range
+        val base = hexToUtf16(dst)
+        var c = lo
+        while (c <= hi && c - lo < 65536) {
+          val off = c - lo
+          map(c) =
+            if (base.isEmpty) ""
+            else base.dropRight(1) + (base.last + off).toChar
+          c += 1
+        }
+      }
+    }
+    CMap(width, map.toMap)
+  }
+
+  // ------------------------------------------------------- dict navigation
+
+  private val Ref: Regex = """(\d+)\s+\d+\s+R""".r
+
+  /** Value after /Key: Some(Left(objNum)) for `N 0 R`, Some(Right(inline))
+    * for an inline `<<…>>` dict (balanced), None when absent.
+    */
+  private def dictValue(dict: String, key: String): Option[Either[Int, String]] = {
+    val i = dict.indexOf(s"/$key")
+    if (i < 0) return None
+    var j = i + key.length + 1
+    while (j < dict.length && dict.charAt(j).isWhitespace) j += 1
+    if (j >= dict.length) None
+    else if (dict.charAt(j).isDigit)
+      Ref.findPrefixMatchOf(dict.substring(j)).map(m => Left(m.group(1).toInt))
+    else if (dict.startsWith("<<", j)) {
+      var depth = 0; var k = j
+      while (k < dict.length) {
+        if (dict.startsWith("<<", k)) { depth += 1; k += 2 }
+        else if (dict.startsWith(">>", k)) {
+          depth -= 1; k += 2
+          if (depth == 0) return Some(Right(dict.substring(j, k)))
+        } else k += 1
+      }
+      None
+    } else None
+  }
+
+  // ---------------------------------------------------- content tokenizer
+
+  /** Decode a literal `(…)` string body (escapes, nesting already handled by
+    * the scanner — this receives the raw inner bytes with escapes intact).
+    */
+  private def decodeLiteral(raw: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\\' && i + 1 < raw.length) {
+        raw.charAt(i + 1) match {
+          case 'n' => out.write('\n'); i += 2
+          case 'r' => out.write('\r'); i += 2
+          case 't' => out.write('\t'); i += 2
+          case 'b' => out.write('\b'); i += 2
+          case 'f' => out.write('\f'); i += 2
+          case '(' => out.write('('); i += 2
+          case ')' => out.write(')'); i += 2
+          case '\\' => out.write('\\'); i += 2
+          case '\n' => i += 2 // line continuation
+          case '\r' =>
+            i += 2; if (i < raw.length && raw.charAt(i) == '\n') i += 1
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var n = 0; var k = i + 1
+            while (k < raw.length && n < 3 && raw.charAt(k) >= '0' && raw.charAt(k) <= '7') {
+              v = v * 8 + (raw.charAt(k) - '0'); k += 1; n += 1
+            }
+            out.write(v & 0xff); i = k
+          case other => out.write(other.toInt & 0xff); i += 2
+        }
+      } else { out.write(c.toInt & 0xff); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Map shown string bytes → text through the current font's CMap. */
+  private def showBytes(b: Array[Byte], cmap: Option[CMap]): String = cmap match {
+    case None => new String(b, Latin1)
+    case Some(m) if m.width <= 1 =>
+      b.map(x => m.map.getOrElse(x & 0xff, "")).mkString
+    case Some(m) =>
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 1 < b.length) {
+        sb.append(m.map.getOrElse(((b(i) & 0xff) << 8) | (b(i + 1) & 0xff), ""))
+        i += 2
+      }
+      sb.toString
+  }
+
+  /** Extract text from one page's content stream(s). */
+  private def pageText(content: Array[Byte], fonts: Map[String, CMap]): String = {
+    val s = new String(content, Latin1)
+    val out = new StringBuilder
+    var cmap: Option[CMap] = None
+    val nums = mutable.ArrayBuffer.empty[Double]
+    var lastName: String = ""
+    var pendingStr: Array[Byte] = null
+    var inArray = false
+    val arrayParts = mutable.ArrayBuffer.empty[Array[Byte]]
+    var emittedInBlock = false
+
+    def newline(): Unit =
+      if (out.nonEmpty && out.last != '\n') out.append('\n')
+    def show(b: Array[Byte]): Unit = {
+      val t = showBytes(b, cmap)
+      if (t.nonEmpty) { out.append(t); emittedInBlock = true }
+    }
+
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '%') { while (i < n && s.charAt(i) != '\n') i += 1 } // comment
+      else if (c == '(') {
+        // literal string: balanced parens, backslash escapes
+        var depth = 1; var j = i + 1
+        val sb = new StringBuilder
+        while (j < n && depth > 0) {
+          val ch = s.charAt(j)
+          if (ch == '\\' && j + 1 < n) { sb.append(ch).append(s.charAt(j + 1)); j += 2 }
+          else {
+            if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            if (depth > 0) sb.append(ch)
+            j += 1
+          }
+        }
+        val bytes = decodeLiteral(sb.toString)
+        if (inArray) arrayParts += bytes else pendingStr = bytes
+        i = j
+      } else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '<') {
+        // inline dict (BDC property lists etc.) — skip balanced
+        var depth = 0; var j = i
+        while (j < n) {
+          if (s.startsWith("<<", j)) { depth += 1; j += 2 }
+          else if (s.startsWith(">>", j)) { depth -= 1; j += 2; if (depth == 0) { i = j; j = n } }
+          else j += 1
+        }
+        if (i < j && depth != 0) i = n // unbalanced: bail
+      } else if (c == '<') {
+        val j = s.indexOf('>', i + 1)
+        val hex = if (j < 0) "" else s.substring(i + 1, j).replaceAll("\\s", "")
+        val padded = if (hex.length % 2 == 1) hex + "0" else hex
+        val bytes = new Array[Byte](padded.length / 2)
+        var k = 0
+        var ok = true
+        while (k < bytes.length && ok) {
+          try bytes(k) = hexToInt(padded.substring(k * 2, k * 2 + 2)).toByte
+          catch { case _: NumberFormatException => ok = false }
+          k += 1
+        }
+        if (ok) { if (inArray) arrayParts += bytes else pendingStr = bytes }
+        i = if (j < 0) n else j + 1
+      } else if (c == '[') { inArray = true; arrayParts.clear(); i += 1 }
+      else if (c == ']') { inArray = false; i += 1 }
+      else if (c == '/') {
+        var j = i + 1
+        while (j < n && !s.charAt(j).isWhitespace &&
+          !"()<>[]{}/%".contains(s.charAt(j))) j += 1
+        lastName = s.substring(i + 1, j)
+        i = j
+      } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+        var j = i + 1
+        while (j < n && (s.charAt(j).isDigit || s.charAt(j) == '.')) j += 1
+        s.substring(i, j).toDoubleOption.foreach(nums += _)
+        i = j
+      } else {
+        // operator token
+        var j = i
+        while (j < n && !s.charAt(j).isWhitespace &&
+          !"()<>[]{}/%".contains(s.charAt(j))) j += 1
+        val op = s.substring(i, j)
+        op match {
+          case "BT" => emittedInBlock = false
+          case "ET" => if (emittedInBlock) newline()
+          case "Tf" => cmap = fonts.get(lastName)
+          case "Tj" => if (pendingStr != null) show(pendingStr); pendingStr = null
+          case "'" =>
+            newline(); if (pendingStr != null) show(pendingStr); pendingStr = null
+          case "\"" =>
+            newline(); if (pendingStr != null) show(pendingStr); pendingStr = null
+          case "TJ" =>
+            arrayParts.foreach(show); arrayParts.clear()
+          case "Td" | "TD" =>
+            // ty != 0 → vertical move → new output line
+            if (nums.length >= 2 && nums.last != 0.0) newline()
+          case "T*" => newline()
+          case _ => () // graphics ops — ignored
+        }
+        nums.clear()
+        i = if (j == i) i + 1 else j
+      }
+    }
+    out.toString
+  }
+
+  // ------------------------------------------------------------ page walk
+
+  /** Ordered page object numbers via the /Catalog → /Pages → /Kids tree;
+    * document-order /Type/Page objects when the tree is unnavigable.
+    */
+  private def pageOrder(objs: Map[Int, PdfObj]): Seq[Int] = {
+    val typePage = """/Type\s*/Page\b(?!s)""".r
+    def isPage(o: PdfObj) = typePage.findFirstIn(o.dict).isDefined
+    val catalog = objs.values.find(o => o.dict.contains("/Catalog"))
+    val fromTree = catalog.flatMap { c =>
+      dictValue(c.dict, "Pages").collect { case Left(root) => root }
+    }.map { root =>
+      val out = mutable.ArrayBuffer.empty[Int]
+      val seen = mutable.Set.empty[Int]
+      def walk(num: Int): Unit =
+        if (seen.add(num)) objs.get(num).foreach { o =>
+          if (isPage(o)) out += num
+          else {
+            val kidsIdx = o.dict.indexOf("/Kids")
+            if (kidsIdx >= 0) {
+              val close = o.dict.indexOf(']', kidsIdx)
+              val arr = if (close > 0) o.dict.substring(kidsIdx, close) else o.dict.substring(kidsIdx)
+              Ref.findAllMatchIn(arr).foreach(m => walk(m.group(1).toInt))
+            }
+          }
+        }
+      walk(root)
+      out.toSeq
+    }
+    fromTree.filter(_.nonEmpty).getOrElse(
+      objs.toSeq.sortBy(_._1).collect { case (num, o) if isPage(o) => num })
+  }
+
+  // ---------------------------------------------------------------- public
+
+  def text(bytes: Array[Byte]): String = {
+    val objs = parseObjects(bytes)
+    if (objs.isEmpty) throw new IllegalArgumentException("failed to open PDF: no objects")
+
+    // font name → CMap, resolved per page resources below; cache per obj num
+    val cmapCache = mutable.Map.empty[Int, Option[CMap]]
+    def fontCmap(fontObj: Int): Option[CMap] =
+      cmapCache.getOrElseUpdate(fontObj,
+        objs.get(fontObj)
+          .flatMap(f => dictValue(f.dict, "ToUnicode").collect { case Left(r) => r })
+          .flatMap(objs.get)
+          .flatMap(decodeStream)
+          .map(b => parseCMap(new String(b, Latin1))))
+
+    def resourceFonts(pageDict: String): Map[String, CMap] = {
+      val resDict: Option[String] = dictValue(pageDict, "Resources") match {
+        case Some(Left(num)) => objs.get(num).map(_.dict)
+        case Some(Right(inline)) => Some(inline)
+        case None => None
+      }
+      val fontDict: Option[String] = resDict.flatMap(rd => dictValue(rd, "Font") match {
+        case Some(Left(num)) => objs.get(num).map(_.dict)
+        case Some(Right(inline)) => Some(inline)
+        case None => None
+      })
+      fontDict.map { fd =>
+        """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fd).flatMap { m =>
+          fontCmap(m.group(2).toInt).map(cm => m.group(1) -> cm)
+        }.toMap
+      }.getOrElse(Map.empty)
+    }
+
+    val pages = pageOrder(objs)
+    val texts: Seq[String] =
+      if (pages.nonEmpty) {
+        pages.flatMap { num =>
+          objs.get(num).flatMap { page =>
+            val contentNums: Seq[Int] = dictValue(page.dict, "Contents") match {
+              case Some(Left(n)) => Seq(n)
+              case _ =>
+                val ci = page.dict.indexOf("/Contents")
+                if (ci < 0) Seq.empty
+                else {
+                  val close = page.dict.indexOf(']', ci)
+                  val arr = if (close > 0) page.dict.substring(ci, close) else ""
+                  Ref.findAllMatchIn(arr).map(_.group(1).toInt).toSeq
+                }
+            }
+            val content = contentNums.flatMap(cn => objs.get(cn).flatMap(decodeStream))
+            if (content.isEmpty) None // errored page skipped (pdf.go:27-30)
+            else {
+              val merged = content.reduce(_ ++ Array[Byte](' ') ++ _)
+              val t = pageText(merged, resourceFonts(page.dict)).trim
+              if (t.isEmpty) None else Some(t)
+            }
+          }
+        }
+      } else {
+        // no page objects (e.g. objects inside /ObjStm): best-effort — every
+        // decodable stream that looks like a content stream, document order
+        objs.toSeq.sortBy(_._1).flatMap { case (_, o) =>
+          decodeStream(o).flatMap { b =>
+            val str = new String(b, Latin1)
+            if (str.contains("BT") && (str.contains("Tj") || str.contains("TJ"))) {
+              val t = pageText(b, Map.empty).trim
+              if (t.isEmpty) None else Some(t)
+            } else None
+          }
+        }
+      }
+
+    val result = texts.mkString("\n\n").trim
+    if (result.isEmpty)
+      throw new IllegalArgumentException("no text extracted from PDF")
+    result
+  }
+}

@@ -1,0 +1,222 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.{Deflater, ZipEntry, ZipOutputStream}
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Binary-format parsers built from java.util.zip + JDK XML only:
+  * DOCX/XLSX (OoxmlExtract) against the reference's docx.go/excel.go
+  * contracts, and the minimal PDF extractor (PdfExtract) against pdf.go's
+  * per-page contract — including the reference's own sample.pdf, whose
+  * subsetted font requires the ToUnicode CMap path.
+  */
+class BinaryParsersSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------- fixture builders
+
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private val W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+  private def docxFixture: Array[Byte] = zip(
+    "[Content_Types].xml" -> """<?xml version="1.0"?><Types/>""",
+    "word/document.xml" ->
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<w:document xmlns:w="$W"><w:body>
+         |<w:p><w:r><w:t>Quarterly report for </w:t></w:r><w:r><w:t>Project Alpha</w:t></w:r></w:p>
+         |<w:p><w:r><w:t>Second paragraph with a</w:t><w:tab/><w:t>tab and a</w:t><w:br/><w:t>line break.</w:t></w:r></w:p>
+         |</w:body></w:document>""".stripMargin)
+
+  private def xlsxFixture: Array[Byte] = zip(
+    "xl/workbook.xml" ->
+      """<?xml version="1.0"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets>
+        |  <sheet name="People" sheetId="1" r:id="rId1"/>
+        |  <sheet name="Extra" sheetId="2" r:id="rId2"/>
+        |  <sheet name="Broken" sheetId="3" r:id="rId3"/>
+        |</sheets></workbook>""".stripMargin,
+    "xl/_rels/workbook.xml.rels" ->
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>
+        |<Relationship Id="rId3" Type="t" Target="worksheets/missing.xml"/>
+        |</Relationships>""".stripMargin,
+    "xl/sharedStrings.xml" ->
+      """<?xml version="1.0"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="5" uniqueCount="5">
+        |<si><t>Name</t></si>
+        |<si><r><t>Reg</t></r><r><t>ion</t></r></si>
+        |<si><t>Alice</t></si>
+        |<si><t>North</t></si>
+        |<si><t>Bob</t></si>
+        |</sst>""".stripMargin,
+    "xl/worksheets/sheet1.xml" ->
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1">
+        |  <c r="A1" t="s"><v>0</v></c>
+        |  <c r="B1" t="s"><v>1</v></c>
+        |  <c r="C1" t="inlineStr"><is><t>Amount</t></is></c>
+        |</row>
+        |<row r="2">
+        |  <c r="A2" t="s"><v>2</v></c>
+        |  <c r="B2" t="s"><v>3</v></c>
+        |  <c r="C2"><v>100</v></c>
+        |</row>
+        |<row r="4">
+        |  <c r="A4" t="s"><v>4</v></c>
+        |  <c r="C4"><v>250</v></c>
+        |</row>
+        |</sheetData></worksheet>""".stripMargin,
+    "xl/worksheets/sheet2.xml" ->
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="B1" t="inlineStr"><is><t>H</t></is></c></row>
+        |<row r="2">
+        |  <c r="A2" t="inlineStr"><is><t>x</t></is></c>
+        |  <c r="B2" t="b"><v>1</v></c>
+        |</row>
+        |</sheetData></worksheet>""".stripMargin)
+
+  /** Two-page classic-layout PDF: page 1 Flate-compressed with escapes and a
+    * hex string, page 2 a raw stream; Kids order 3,5 regardless of object
+    * order in the file.
+    */
+  private def pdfFixture: Array[Byte] = {
+    def deflate(s: String): Array[Byte] = {
+      val d = new Deflater()
+      d.setInput(s.getBytes(StandardCharsets.ISO_8859_1)); d.finish()
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val c1 = deflate(
+      "BT /F1 12 Tf 72 720 Td (Hello from page one.) Tj " +
+        "0 -14 Td (Second line with \\(escapes\\) and octal \\101.) Tj " +
+        "0 -14 Td [(A)-120(B)] TJ 0 -14 Td <48657821> Tj ET")
+    val c2 = "BT (Page two text) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj <</Type/Catalog/Pages 2 0 R>> endobj\n")
+    w("2 0 obj <</Type/Pages/Kids[3 0 R 5 0 R]/Count 2>> endobj\n")
+    w("3 0 obj <</Type/Page/Parent 2 0 R/Contents 4 0 R/Resources<</Font<</F1 7 0 R>>>>>> endobj\n")
+    w(s"4 0 obj <</Length ${c1.length}/Filter/FlateDecode>>\nstream\n")
+    bos.write(c1)
+    w("\nendstream\nendobj\n")
+    w("5 0 obj <</Type/Page/Parent 2 0 R/Contents 6 0 R>> endobj\n")
+    w(s"6 0 obj <</Length ${c2.length}>>\nstream\n")
+    bos.write(c2)
+    w("\nendstream\nendobj\n")
+    w("7 0 obj <</Type/Font/Subtype/Type1/BaseFont/Helvetica>> endobj\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------ DOCX
+
+  test("docx: w:t runs, tabs, breaks, paragraph newlines (docx.go contract)") {
+    val text = Parsers.DocxParser.parse(docxFixture)
+    assert(text ==
+      "Quarterly report for Project Alpha\nSecond paragraph with a\ttab and a\nline break.")
+  }
+
+  test("docx: empty document and non-docx zip fail loudly") {
+    intercept[IllegalArgumentException](
+      Parsers.DocxParser.parse(zip("other.xml" -> "<a/>")))
+    intercept[IllegalArgumentException](Parsers.DocxParser.parse(zip(
+      "word/document.xml" -> s"""<w:document xmlns:w="$W"><w:body/></w:document>""")))
+    assert(Parsers.parseOrNone("docx", Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  // ------------------------------------------------------------------ XLSX
+
+  test("xlsx: markdownification matches excel.go row format exactly") {
+    val text = Parsers.ExcelParser.parse(xlsxFixture)
+    // row lines end with \n and sheets are separated by "\n\n" — exactly the
+    // strings.Builder sequence of excel.go:30-33,73 (two blank lines between
+    // a sheet's last row and the next Sheet: header)
+    val expected =
+      """Sheet: People
+        |Row 2: Name: Alice, Region: North, Amount: 100
+        |Row 4: Name: Bob, Amount: 250
+        |
+        |
+        |Sheet: Extra
+        |Row 2: Column 1: x, H: TRUE
+        |
+        |
+        |Sheet: Broken
+        |(Unable to read sheet Broken: worksheet part not found)""".stripMargin
+    assert(text == expected)
+  }
+
+  test("xlsx: column reference arithmetic (A, Z, AA, AB)") {
+    assert(OoxmlExtract.colIndex("A1") == 0)
+    assert(OoxmlExtract.colIndex("Z9") == 25)
+    assert(OoxmlExtract.colIndex("AA10") == 26)
+    assert(OoxmlExtract.colIndex("AB1") == 27)
+  }
+
+  test("xlsx: no-sheet workbook fails loudly") {
+    intercept[IllegalArgumentException](Parsers.ExcelParser.parse(zip(
+      "xl/workbook.xml" -> "<workbook><sheets/></workbook>")))
+  }
+
+  // ------------------------------------------------------------------- PDF
+
+  test("pdf: pages in Kids order joined by blank line; escapes, TJ, hex") {
+    val text = Parsers.PdfParser.parse(pdfFixture)
+    assert(text ==
+      "Hello from page one.\nSecond line with (escapes) and octal A.\nAB\nHex!\n\nPage two text")
+  }
+
+  test("pdf: the reference's sample.pdf decodes via its ToUnicode CMap") {
+    val path = Paths.get("/root/reference/test_watch_dir/sample.pdf")
+    assume(Files.exists(path))
+    val text = Parsers.PdfParser.parse(Files.readAllBytes(path))
+    assert(text == "Dummy PDF file")
+  }
+
+  test("pdf: garbage bytes and text-free PDFs fail loudly") {
+    intercept[IllegalArgumentException](Parsers.PdfParser.parse(Array[Byte](1, 2)))
+    assert(Parsers.parseOrNone("pdf", "no pdf here".getBytes).isEmpty)
+  }
+
+  // ----------------------------------------------------------- end-to-end
+
+  test("ingest pipeline chunks docx/xlsx/pdf through the dispatcher") {
+    val spark = SparkTestBase.spark
+    val dir = Files.createTempDirectory("graft-binparse")
+    Files.write(dir.resolve("report.docx"), docxFixture)
+    Files.write(dir.resolve("numbers.xlsx"), xlsxFixture)
+    Files.write(dir.resolve("brief.pdf"), pdfFixture)
+    val chunks = Ingest.ingestDir(spark, dir.toString, organizationId = "org1",
+      chunkSize = 200, overlap = 40, dim = 8)
+    val byFile = chunks.collect()
+      .groupBy(_.getAs[Map[String, String]]("metadata")("filename"))
+      .view.mapValues(_.map(_.getAs[String]("content")).mkString(" ")).toMap
+    assert(byFile.keySet == Set("report.docx", "numbers.xlsx", "brief.pdf"))
+    assert(byFile("report.docx").contains("Project Alpha"))
+    assert(byFile("numbers.xlsx").contains("Row 2: Name: Alice, Region: North, Amount: 100"))
+    assert(byFile("brief.pdf").contains("Hello from page one."))
+  }
+}

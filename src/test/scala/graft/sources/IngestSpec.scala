@@ -67,9 +67,11 @@ class IngestSpec extends AnyFunSuite {
     assert(text.endsWith("Summary of compression algorithms."))
   }
 
-  test("stub parsers fail loudly, dispatcher drops them gracefully") {
-    intercept[UnsupportedOperationException](Parsers.PdfParser.parse(Array[Byte](1)))
+  test("unparseable binary inputs fail loudly, dispatcher drops them gracefully") {
+    intercept[IllegalArgumentException](Parsers.PdfParser.parse(Array[Byte](1)))
     assert(Parsers.parseOrNone("pdf", Array[Byte](1)).isEmpty)
+    // legacy binary .xls is not OOXML — still rejected, not misparsed
+    assert(Parsers.parseOrNone("xls", Array[Byte](0xd0.toByte, 0xcf.toByte)).isEmpty)
     assert(Parsers.forExtension("nope").isEmpty)
   }
 
