@@ -59,19 +59,29 @@ object VectorSearch {
   /** Exact k-NN join via the top-k heap aggregator: same results as
     * [[knnJoin]] but with map-side partial aggregation — each partition
     * ships ≤ k candidates per query instead of its whole scored slice.
-    * The scale-preferred shape for large corpora. Requires numeric candidate
-    * ids (the aggregator buffer is primitive); use [[knnJoin]] for string
-    * ids such as uuid chunk ids.
+    * The scale-preferred shape for large corpora. Candidate ids may be
+    * numeric (tiebreak: numeric asc) or string, e.g. uuid chunk ids
+    * (tiebreak: lexicographic asc, matching [[knnJoin]]'s `orderBy(cId)` on
+    * the same type).
     */
   def knnJoinViaAggregator(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, scoreScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(qId) =!= col(cId))
       .withColumn("score", round(VectorFunctions.cosine(col(cVec), col(qVec)), scoreScale))
+    val topAgg = corpus.schema(cId).dataType match {
+      case _: NumericType =>
+        graft.functions.TopKAggregator.topK(k)(col("score"), col(cId))
+      case StringType =>
+        graft.functions.TopKAggregator.topKString(k)(col("score"), col(cId))
+      case other => throw new IllegalArgumentException(
+        s"knnJoinViaAggregator: unsupported id type $other for column $cId")
+    }
     scored.groupBy(col(qId).as("query_id"))
-      .agg(graft.functions.TopKAggregator.topK(k)(col("score"), col(cId)).as("top"))
+      .agg(topAgg.as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "hit")))
       .select(col("query_id"), col("hit.id").as("neighbor_id"),
         col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
@@ -95,25 +105,46 @@ object VectorSearch {
     * dot products with fixed pseudo-random hyperplanes form the bucket id;
     * near vectors collide with high probability. Joining query and corpus on
     * bucket id turns O(|Q|×|C|) scoring into O(collisions).
+    *
+    * Recall levers, composable:
+    *  - `multiProbe`: each query also probes every hamming-1 neighbor bucket
+    *    (probe-side only — the corpus is still bucketed once per table).
+    *  - `nTables`: L independent hash tables (distinct hyperplane seeds);
+    *    candidates are the union across tables — recall 1−(1−p)^L at L× the
+    *    corpus bucketing cost. The standard LSH scale knob.
+    * Candidate (query, candidate) pairs colliding in several tables are
+    * deduplicated before scoring, so output ranks stay exact top-k of the
+    * candidate set.
     */
   def lshBucketJoin(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, nBits: Int = 8, dim: Int = 64, scoreScale: Int = 6,
-      multiProbe: Boolean = false): DataFrame = {
-    val qBucket = queries.withColumn("bucket", hyperplaneBucket(col(qVec), nBits, dim))
-    // multi-probe: each query also probes every hamming-1 neighbor bucket —
-    // a vector near one hyperplane lands on either side, so flipping single
-    // sign bits recovers most of those misses at (nBits+1)× probe cost
-    // (probe-side only; the corpus is still bucketed exactly once).
+      multiProbe: Boolean = false, nTables: Int = 1): DataFrame = {
+    def tableBuckets(vec: String) = explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneBucket(col(vec), nBits, dim, seedBase = t * nBits).as("bucket"))): _*))
+    def withBuckets(df: DataFrame, vec: String): DataFrame =
+      df.withColumn("__tb", tableBuckets(vec))
+        .withColumn("tbl", col("__tb.tbl"))
+        .withColumn("bucket", col("__tb.bucket"))
+        .drop("__tb")
+    val qBucket = withBuckets(queries, qVec)
+    // multi-probe: flipping single sign bits recovers vectors that landed
+    // just across one hyperplane, at (nBits+1)× probe cost per table
     val qb =
       if (!multiProbe) qBucket
       else qBucket.withColumn("bucket",
         explode(array((col("bucket") +:
           (0 until nBits).map(b => col("bucket").bitwiseXOR(lit(1L << b)))): _*)))
-    val cb = corpus.withColumn("bucket", hyperplaneBucket(col(cVec), nBits, dim))
-    val scored = cb.join(broadcast(qb), Seq("bucket"))
+    val cb = withBuckets(corpus, cVec)
+    val joined = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col(qId) =!= col(cId))
+    // same pair can collide in several tables; dedup only when possible so
+    // the single-table plan keeps its shuffle-free candidate phase
+    val candidates =
+      if (nTables > 1) joined.dropDuplicates(qId, cId) else joined
+    val scored = candidates
       .withColumn("score", round(VectorFunctions.cosine(col(cVec), col(qVec)), scoreScale))
     val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
     scored.withColumn("rn", row_number().over(w))
@@ -123,12 +154,13 @@ object VectorSearch {
 
   /** Sign-bit bucket id from `nBits` fixed pseudo-random hyperplanes. The
     * hyperplanes are generated per-element from a splitmix-style integer mix,
-    * so the bucketing is deterministic with no side data to ship.
+    * so the bucketing is deterministic with no side data to ship. `seedBase`
+    * selects an independent hyperplane family (one per LSH table).
     */
-  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column = {
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int, seedBase: Int = 0): Column = {
     val bits = (0 until nBits).map { b =>
       val dot = aggregate(
-        zip_with(vec, typedLit(hyperplane(b, dim)), (x, h) => x.cast("double") * h),
+        zip_with(vec, typedLit(hyperplane(seedBase + b, dim)), (x, h) => x.cast("double") * h),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
     }

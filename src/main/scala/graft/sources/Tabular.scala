@@ -24,19 +24,30 @@ object Tabular {
     * skipped, 1-based row numbers (excel.go:73 contract). Row order is
     * pinned by `orderCol` (a file has an implicit order; a DataFrame needs
     * an explicit one).
+    *
+    * Row numbers come from a range-repartition + per-partition index
+    * (`zipWithIndex`), NOT a global `Window.orderBy` — a single-partition
+    * window serializes a 10⁹-row "sheet" onto one task; this path keeps the
+    * numbering distributed (one extra count job, no extra shuffle beyond the
+    * range sort).
     */
   def rowTexts(sheet: DataFrame, orderCol: String): DataFrame = {
-    val headers = sheet.columns
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
-    val cells = headers.map { h =>
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = sheet.sparkSession
+    val sorted = sheet
+      .repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val withIdx = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      sorted.schema.add("__row_n", LongType, nullable = false))
+    val cells = sheet.columns.map { h =>
       when(col(h).isNotNull && length(trim(col(h).cast("string"))) > 0,
         concat(lit(s"$h: "), col(h).cast("string")))
     }
-    sheet
-      .withColumn("__row_n", row_number().over(w))
-      .select(col("__row_n").as("row_idx"),
-        concat(lit("Row "), col("__row_n"), lit(": "),
-          concat_ws(", ", cells: _*)).as("text"))
+    withIdx.select(col("__row_n").as("row_idx"),
+      concat(lit("Row "), col("__row_n"), lit(": "),
+        concat_ws(", ", cells: _*)).as("text"))
   }
 
   /** Whole-sheet text: header line + row lines, newline-joined — the exact

@@ -85,6 +85,27 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("knnJoinViaAggregator handles uuid string ids like the window path") {
+    import spark.implicits._
+    // uuid-style string keys, including score ties (duplicate vectors) so the
+    // lexicographic tiebreak is actually exercised
+    val e = (0 until 60).map { i =>
+      val vec = MockEmbedder.embed(s"vec${i % 30}", 24) // each vector twice → ties
+      (f"chunk-${i % 30}%02d-${i / 30}", vec)
+    }.toDF("id", "v")
+    val queries = e.filter(col("id").startsWith("chunk-00"))
+      .limit(3).select(col("id").as("q_id"), col("v").as("qv"))
+    val corpus = e.select(col("id").as("c_id"), col("v").as("cv"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "score", "rn")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val viaWindow = canon(VectorSearch.knnJoin(queries, corpus, "q_id", "qv", "c_id", "cv", 5))
+    val viaAgg = canon(VectorSearch.knnJoinViaAggregator(queries, corpus, "q_id", "qv", "c_id", "cv", 5))
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
+
   test("lsh bucket join recall: clustered vectors find their cluster") {
     import spark.implicits._
     // build clusters: 10 centers, members = center + tiny per-member jitter

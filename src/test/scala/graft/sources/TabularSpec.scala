@@ -24,10 +24,29 @@ class TabularSpec extends AnyFunSuite {
   test("row textualization: 'Row N: H: v' with empty cells skipped") {
     val sheet = Tabular.readCsv(spark, csvPath)
     val rows = Tabular.rowTexts(sheet, "id").collect()
-      .map(r => r.getAs[Int]("row_idx") -> r.getAs[String]("text")).toMap
-    assert(rows(1) == "Row 1: id: 1, name: alpha, amount: 100, notes: first row")
-    assert(rows(2) == "Row 2: id: 2, name: beta, notes: missing amount") // empty amount skipped
-    assert(rows(3) == "Row 3: id: 3, name: gamma, amount: 300") // empty notes skipped
+      .map(r => r.getAs[Long]("row_idx") -> r.getAs[String]("text")).toMap
+    assert(rows(1L) == "Row 1: id: 1, name: alpha, amount: 100, notes: first row")
+    assert(rows(2L) == "Row 2: id: 2, name: beta, notes: missing amount") // empty amount skipped
+    assert(rows(3L) == "Row 3: id: 3, name: gamma, amount: 300") // empty notes skipped
+  }
+
+  test("row numbering is distributed: no single-partition global-sort window") {
+    import spark.implicits._
+    // enough rows to span many partitions; numbering must stay contiguous
+    val sheet = spark.range(1, 5001).select($"id", ($"id" % 7).as("v"))
+    val out = Tabular.rowTexts(sheet.toDF(), "id")
+    // physical plan: no Window over an empty partition spec (the scale trap)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected global window in plan:\n$plan")
+    val idx = out.collect().map(_.getAs[Long]("row_idx")).sorted
+    assert(idx.head == 1L && idx.last == 5000L && idx.distinct.length == 5000)
+    // with AQE's small-data coalescing off, the numbering really runs on
+    // many partitions (per-partition offsets, not one global task)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val parts = Tabular.rowTexts(sheet.toDF(), "id").rdd.getNumPartitions
+      assert(parts > 1, s"expected multi-partition numbering, got $parts")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("sheet text feeds the chunk pipeline") {
