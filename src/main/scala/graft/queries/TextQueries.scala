@@ -248,7 +248,10 @@ object TextQueries {
           .orderBy(col("doc_a"), col("doc_b")),
       oracle = None),
 
-    // Language-ID heuristic (rows-only check; spec-tested).
+    // Language-ID heuristic, hash-exact: the stopword scoring + CJK ratio +
+    // fixed tiebreak order of LangId.detect re-expressed in DuckDB SQL
+    // (list_filter hit counts, CASE ladder encoding "first language with a
+    // strictly greater score wins").
     "q2b_langid" -> Q(
       fn = (s, dir) =>
         docs(s, dir)
@@ -256,15 +259,53 @@ object TextQueries {
           .groupBy(col("lang"), col("lang_pred"))
           .agg(count(lit(1)).as("n_docs"))
           .orderBy(col("lang"), col("lang_pred")),
-      oracle = None),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT lang,
+                 string_split_regex(lower(text), '\s+') AS t,
+                 regexp_replace(text, '\s', '', 'g') AS ns
+          FROM documents),
+        scored AS (
+          SELECT lang,
+            len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','that','it','for','with','was','on'], x))) AS s_en,
+            len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','los','las','por','con'], x))) AS s_es,
+            len(list_filter(t, x -> list_contains(['le','la','les','de','des','et','en','un','une','du','que','pour'], x))) AS s_fr,
+            len(list_filter(t, x -> list_contains(['der','die','das','und','in','den','von','zu','mit','auf','ist','ein'], x))) AS s_de,
+            length(ns) AS total,
+            length(regexp_replace(ns, '[^\x{4e00}-\x{9fff}\x{3400}-\x{4dbf}]', '', 'g')) AS cjk
+          FROM toks)
+        SELECT lang,
+          CASE WHEN total > 0 AND cjk * 10 > total THEN 'zh'
+               WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+               WHEN s_es > 0 AND s_es > s_en AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+               WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_es AND s_fr >= s_de THEN 'fr'
+               WHEN s_de > 0 AND s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+               ELSE 'und' END AS lang_pred,
+          count(*) AS n_docs
+        FROM scored GROUP BY 1, 2 ORDER BY 1, 2""")),
 
-    // Rolling-hash (winnowing) fingerprint (rows-only; spec-tested).
+    // Karp-Rabin rolling fingerprint, hash-exact: the mod-2^61-1 polynomial
+    // fold re-expressed as a DuckDB list_reduce over codepoints in HUGEINT
+    // (h*base+c stays < 2^81, far inside 128-bit).
     "q2c_rolling_fingerprint" -> Q(
       fn = (s, dir) =>
         docs(s, dir)
           .select(col("doc_id"),
             GraftFunctions.rollingFingerprintUdf(col("text")).as("rolling_fp"))
           .orderBy(col("doc_id")),
-      oracle = None)
+      oracle = Some("""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+          FROM documents),
+        codes AS (
+          SELECT doc_id,
+                 list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cs
+          FROM norm)
+        SELECT doc_id,
+          CAST(CASE WHEN len(cs) = 0 THEN 0
+               ELSE list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
+                      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951)
+               END AS BIGINT) AS rolling_fp
+        FROM codes ORDER BY doc_id"""))
   )
 }
