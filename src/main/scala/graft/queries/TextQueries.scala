@@ -306,6 +306,45 @@ object TextQueries {
                ELSE list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
                       (acc, c) -> (acc * 1000003 + c) % 2305843009213693951)
                END AS BIGINT) AS rolling_fp
-        FROM codes ORDER BY doc_id"""))
+        FROM codes ORDER BY doc_id""")),
+
+    // Transitive dedup clusters, hash-exact: pointer-jumping connected
+    // components over the exact n-gram-Jaccard near-dup pairs (>= 0.5),
+    // oracled by a DuckDB recursive reachability CTE + min label. Headline:
+    // benches the iterative localCheckpoint loop at sf0.1 every round.
+    "q37_dedup_clusters" -> Q(
+      fn = (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          blockCols = Seq("lang", "source"), n = 3)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [trim(text)] END) AS grams
+          FROM (SELECT doc_id, lang, source, text,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents)),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+                           AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(a.grams || b.grams)) >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS doc_id, MIN(comp) AS component_id
+        FROM reach GROUP BY node ORDER BY doc_id"""),
+      headline = true)
   )
 }
