@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked keyword retrieval — the lexical half of hybrid RAG search
+  * (complements [[VectorSearch.semanticSearch]]; the reference only has a
+  * boolean keyword predicate, internal/analyst/analyst.go keyword rules —
+  * ranked BM25 + fusion is the capability upgrade a retrieval engine needs).
+  *
+  * Scale shape: one narrow pass over tokens; per-doc lengths and corpus
+  * stats are tiny aggregates; the term-frequency table is filtered to the
+  * query's terms BEFORE any shuffle (the groupBy key space is |matching
+  * docs| × |query terms|, not the corpus vocabulary); document frequencies
+  * and corpus stats broadcast.
+  */
+object KeywordSearch {
+
+  /** Okapi BM25 top-k for a bag of query terms.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — Robertson/Lucene form,
+    * always positive. Scores rounded to 6 dp; ties broken by id asc.
+    */
+  def bm25(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * (col("tf") * (k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1) - b + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy("doc_id").agg(round(sum("w"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Reciprocal rank fusion (Cormack et al.): fuse any rankings — BM25,
+    * vector search, recency, quality — by Σ 1/(c + rank). Each input must
+    * have columns (doc_id, rn); bounded inputs (top-n lists), so the union
+    * and final aggregation are tiny regardless of corpus size.
+    */
+  def reciprocalRankFusion(
+      rankings: Seq[DataFrame], k: Int = 10, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contributions = rankings.map(
+      _.select(col("doc_id"), (lit(1.0) / (lit(c) + col("rn"))).as("contrib")))
+    contributions.reduce(_ unionByName _)
+      .groupBy("doc_id").agg(round(sum("contrib"), 6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Attach 1-based ranks to a scored, bounded result (rank = position under
+    * (score desc, doc_id asc)). The window is unpartitioned by design: inputs
+    * are top-n lists (≤ a few hundred rows), not corpus-sized.
+    */
+  def ranked(topList: DataFrame, scoreCol: String): DataFrame =
+    topList.withColumn("rn",
+      row_number().over(Window.orderBy(col(scoreCol).desc, col("doc_id"))))
+}

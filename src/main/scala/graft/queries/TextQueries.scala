@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{Dedup, RuleEngine}
+import graft.operators.{Dedup, KeywordSearch, RuleEngine}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -345,6 +345,88 @@ object TextQueries {
           SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)
         SELECT node AS doc_id, MIN(comp) AS component_id
         FROM reach GROUP BY node ORDER BY doc_id"""),
-      headline = true)
+      headline = true),
+
+    // Okapi BM25 ranked keyword search, hash-exact (the lexical half of
+    // hybrid RAG retrieval; Robertson/Lucene idf). Casts in the oracle pin
+    // DuckDB to double arithmetic (its bare decimal literals would otherwise
+    // run the inner math in DECIMAL).
+    "q38_bm25_search" -> Q(
+      fn = (s, dir) =>
+        KeywordSearch.bm25(docs(s, dir), "doc_id", "text",
+          Seq("spark", "window", "merge"), k = 10),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark','window','merge') GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 ln((CAST(stats.n_docs AS DOUBLE) - dfreq.df + 0.5)
+                      / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS w
+          FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats)
+        SELECT doc_id, ROUND(SUM(w), 6) AS score
+        FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""),
+      headline = true),
+
+    // Reciprocal rank fusion of the BM25 ranking with a quality ranking
+    // (stopword ratio) — hybrid retrieval, hash-exact. Each doc gets
+    // Σ 1/(60 + rank) over the rankings it appears in.
+    "q39_hybrid_rrf" -> Q(
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+        val bm = KeywordSearch.ranked(
+          KeywordSearch.bm25(d, "doc_id", "text",
+            Seq("spark", "window", "merge"), k = 50), "score")
+          .select("doc_id", "rn")
+        val qual = KeywordSearch.ranked(
+          d.select(col("doc_id"),
+            TextAnalysis.stopwordRatio(col("text")).as("score"))
+            .orderBy(col("score").desc, col("doc_id")).limit(50), "score")
+          .select("doc_id", "rn")
+        KeywordSearch.reciprocalRankFusion(Seq(bm, qual), k = 10)
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+          FROM documents),
+        lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark','window','merge') GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 ln((CAST(stats.n_docs AS DOUBLE) - dfreq.df + 0.5)
+                      / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS w
+          FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+        bm AS (SELECT doc_id, ROUND(SUM(w), 6) AS score
+               FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+        bmr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM bm),
+        qual AS (
+          SELECT doc_id, CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+            CAST(len(list_filter(tks, tk -> tk IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / n_tokens END AS score
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tks,
+                       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+                FROM documents)),
+        qtop AS (SELECT doc_id, score FROM qual ORDER BY score DESC, doc_id LIMIT 50),
+        qr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM qtop),
+        unioned AS (
+          SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rn) AS contrib FROM bmr
+          UNION ALL
+          SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rn) AS contrib FROM qr)
+        SELECT doc_id, ROUND(SUM(contrib), 6) AS rrf_score
+        FROM unioned GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10"""))
   )
 }

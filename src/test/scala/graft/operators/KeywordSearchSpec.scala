@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 ranking semantics + reciprocal rank fusion. */
+class KeywordSearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark window merge spark window merge"), // all terms, repeated
+      (2L, "spark window merge"), // all terms once
+      (3L, "spark spark spark spark spark spark spark spark"), // one term, high tf
+      (4L, "filler filler filler filler filler filler"), // no terms
+      (5L, "window and some other words entirely unrelated")) // one term
+      .toDF("doc_id", "text")
+  }
+
+  test("bm25 ranks docs with more matching terms first; non-matching absent") {
+    val res = KeywordSearch.bm25(corpus, "doc_id", "text",
+      Seq("spark", "window", "merge"), k = 10).collect()
+    val ids = res.map(_.getAs[Long]("doc_id"))
+    assert(!ids.contains(4L)) // zero matching terms → no score at all
+    assert(ids.take(2).toSet == Set(1L, 2L)) // all three terms beat single-term docs
+    // scores strictly ordered, ties impossible here
+    val scores = res.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("bm25 term-frequency saturation: tf grows score sublinearly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t x x x x x x x"),
+      (2L, "t t x x x x x x"),
+      (3L, "t t t t t t x x")).toDF("doc_id", "text")
+    val res = KeywordSearch.bm25(docs, "doc_id", "text", Seq("t"), k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(res(3L) > res(2L) && res(2L) > res(1L))
+    // saturation: going 1→2 occurrences gains more than 2→6
+    assert(res(2L) - res(1L) > (res(3L) - res(2L)) / 4)
+  }
+
+  test("reciprocal rank fusion: appearing in both rankings beats one") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rn")
+    val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rn")
+    val fused = KeywordSearch.reciprocalRankFusion(Seq(a, b), k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rrf_score"))
+    assert(fused.head._1 == 20L) // rank 2 + rank 1 beats any single ranking
+    val m = fused.toMap
+    assert(m(20L) == math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6)
+    assert(m(10L) == math.rint((1.0 / 61) * 1e6) / 1e6)
+  }
+
+  test("ranked attaches contiguous 1-based ranks with deterministic ties") {
+    import spark.implicits._
+    val top = Seq((5L, 1.0), (2L, 2.0), (9L, 1.0)).toDF("doc_id", "score")
+    val r = KeywordSearch.ranked(top, "score").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Int]("rn")).toMap
+    assert(r == Map(2L -> 1, 5L -> 2, 9L -> 3)) // tie on 1.0 → doc_id asc
+  }
+}
