@@ -24,8 +24,11 @@ import scala.util.matching.Regex
   *     mechanism subsetted fonts use — without it glyph-index strings are
   *     unreadable
   *
-  * Out of scope (documented boundary, not silent): cross-reference streams
-  * whose objects live inside /ObjStm object streams, predictor-filtered
+  *   - /ObjStm object streams (PDF 1.5+ compressed-object layout): embedded
+  *     objects are expanded after the top-level scan, so page trees and font
+  *     dicts stored inside object streams resolve normally
+  *
+  * Out of scope (documented boundary, not silent): predictor-filtered
   * streams, DCT/CCITT image text, encrypted PDFs.
   */
 private[graft] object PdfExtract {
@@ -111,6 +114,28 @@ private[graft] object PdfExtract {
           Some(out.toByteArray)
         } catch { case _: Exception => None }
     }
+
+  /** Expand a /Type/ObjStm stream: header is N (objnum, offset) integer
+    * pairs; object bodies start at /First + offset. ObjStm members carry no
+    * streams of their own (forbidden by the spec), so dict-only PdfObjs.
+    */
+  private def parseObjStm(dict: String, data: Array[Byte]): Seq[PdfObj] = {
+    val s = new String(data, Latin1)
+    val n = """/N\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(0)
+    val first = """/First\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(0)
+    if (n == 0 || first <= 0 || first > s.length) return Seq.empty
+    val headerInts = s.substring(0, first).trim.split("\\s+").toSeq
+      .flatMap(_.toIntOption)
+    val pairs = headerInts.grouped(2).collect { case Seq(a, b) => (a, b) }
+      .toVector.take(n)
+    pairs.zipWithIndex.map { case ((num, off), i) =>
+      val start = math.min(first + off, s.length)
+      val end =
+        if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, s.length)
+        else s.length
+      PdfObj(num, s.substring(start, math.max(start, end)), None)
+    }
+  }
 
   // ----------------------------------------------------------------- CMaps
 
@@ -395,8 +420,15 @@ private[graft] object PdfExtract {
   // ---------------------------------------------------------------- public
 
   def text(bytes: Array[Byte]): String = {
-    val objs = parseObjects(bytes)
-    if (objs.isEmpty) throw new IllegalArgumentException("failed to open PDF: no objects")
+    val topObjs = parseObjects(bytes)
+    if (topObjs.isEmpty) throw new IllegalArgumentException("failed to open PDF: no objects")
+    // expand compressed object streams; top-level definitions win conflicts
+    val objStmType = """/Type\s*/ObjStm""".r
+    val embedded = topObjs.values
+      .filter(o => objStmType.findFirstIn(o.dict).isDefined)
+      .flatMap(o => decodeStream(o).toSeq.flatMap(d => parseObjStm(o.dict, d)))
+      .map(o => o.num -> o).toMap
+    val objs = embedded ++ topObjs
 
     // font name → CMap, resolved per page resources below; cache per obj num
     val cmapCache = mutable.Map.empty[Int, Option[CMap]]

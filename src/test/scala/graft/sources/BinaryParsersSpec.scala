@@ -131,6 +131,41 @@ class BinaryParsersSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  /** PDF 1.5-style layout: catalog/pages/page dicts live inside a Flate-
+    * compressed /ObjStm; only the content stream is a top-level object.
+    */
+  private def pdfObjStmFixture: Array[Byte] = {
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new Deflater(); d.setInput(b); d.finish()
+      val out = new ByteArrayOutputStream(); val buf = new Array[Byte](1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val bodies = Seq(
+      1 -> "<</Type/Catalog/Pages 2 0 R>>",
+      2 -> "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+      3 -> "<</Type/Page/Parent 2 0 R/Contents 4 0 R>>")
+    val joined = bodies.map(_._2).mkString("\n")
+    val offsets = bodies.map(_._2).scanLeft(0)((acc, b) => acc + b.length + 1)
+    val header = bodies.zip(offsets).map { case ((num, _), off) => s"$num $off" }
+      .mkString(" ") + "\n"
+    val stmData = (header + joined).getBytes(StandardCharsets.ISO_8859_1)
+    val packed = deflate(stmData)
+    val content = "BT (Compressed object stream text) Tj ET"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w(s"5 0 obj <</Type/ObjStm/N 3/First ${header.length}/Length ${packed.length}/Filter/FlateDecode>>\nstream\n")
+    bos.write(packed)
+    w("\nendstream\nendobj\n")
+    w(s"4 0 obj <</Length ${content.length}>>\nstream\n")
+    bos.write(content)
+    w("\nendstream\nendobj\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
   // ------------------------------------------------------------------ DOCX
 
   test("docx: w:t runs, tabs, breaks, paragraph newlines (docx.go contract)") {
@@ -194,6 +229,11 @@ class BinaryParsersSpec extends AnyFunSuite {
     assume(Files.exists(path))
     val text = Parsers.PdfParser.parse(Files.readAllBytes(path))
     assert(text == "Dummy PDF file")
+  }
+
+  test("pdf: page tree inside a compressed /ObjStm object stream resolves") {
+    val text = Parsers.PdfParser.parse(pdfObjStmFixture)
+    assert(text == "Compressed object stream text")
   }
 
   test("pdf: garbage bytes and text-free PDFs fail loudly") {
