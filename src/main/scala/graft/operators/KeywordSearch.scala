@@ -28,13 +28,23 @@ object KeywordSearch {
       queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queryTerms.map(_.toLowerCase).distinct
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // doc length = token count, computed as size(split(...)) — identical
+    // value with no explode and no groupBy shuffle (split never yields an
+    // empty array, so every doc appears, matching the explode+count shape)
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(split(lower(trim(col(textCol))), "\\s+")).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    // substring pre-filter before the explode: a superset of true matches
+    // (the exact term equality below refines), but it reaches the scan as a
+    // pushable predicate — at corpus scale only matching docs are exploded
+    val candidates = docs.filter(
+      terms.map(t => lower(col(textCol)).contains(t)).reduce(_ || _))
+    val toks = candidates.select(col(idCol).as("doc_id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     val tf = toks.filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // tf rows are unique per (doc, term) — plain count IS the doc frequency
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfreq), "term")
       .join(lens, "doc_id")
