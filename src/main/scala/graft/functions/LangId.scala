@@ -17,22 +17,36 @@ object LangId {
     "de" -> Set("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "auf", "ist", "ein"),
     "zh" -> Set.empty)
 
+  /** RE2-class whitespace ([\t\n\f\r ]) — the exact set the q2b DuckDB
+    * oracle's `\s` strips; Java's Character.isWhitespace (U+000B, U+3000,
+    * Unicode separators) would silently diverge from it.
+    */
+  @inline private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
+
+  /** BMP CJK Unified Ideographs + Extension A — the oracle-expressible Han
+    * set (class `[\x{4e00}-\x{9fff}\x{3400}-\x{4dbf}]`).
+    */
+  @inline private def isHan(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF)
+
   def detect(text: String): String = {
     if (text == null || text.isEmpty) return "und"
-    // CJK fast path: >10% CJK chars → zh
+    // CJK fast path: >10% CJK codepoints → zh (codepoint iteration so
+    // surrogate pairs count once, matching DuckDB's length())
     var cjk = 0
     var total = 0
     var i = 0
     while (i < text.length) {
-      val c = text.charAt(i)
-      if (!c.isWhitespace) {
+      val cp = text.codePointAt(i)
+      if (!isWs(cp)) {
         total += 1
-        if (Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN) cjk += 1
+        if (isHan(cp)) cjk += 1
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     if (total > 0 && cjk * 10 > total) return "zh"
-    val toks = text.toLowerCase.split("\\s+")
+    val toks = text.toLowerCase.split("[ \\t\\n\\f\\r]+")
     var best = "und"
     var bestScore = 0
     for (lang <- Languages if lang != "zh") {

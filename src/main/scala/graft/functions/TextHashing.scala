@@ -193,6 +193,11 @@ object TextHashing {
   /** Document fingerprint: Karp-Rabin polynomial rolling hash of the entire
     * whitespace-normalized lowercase text, mod 2^61-1. One pass, content-
     * sensitive, whitespace/case-insensitive.
+    *
+    * Folds Unicode CODEPOINTS, not UTF-16 units — encoding-representation
+    * independent, and exactly what the q2c DuckDB oracle's
+    * `unicode(char)` fold computes (surrogate pairs would otherwise
+    * diverge on any non-BMP character).
     */
   def rollingFingerprint(text: String): Long = {
     val s = normalize(text)
@@ -201,8 +206,9 @@ object TextHashing {
     var h = 0L
     var i = 0
     while (i < s.length) {
-      h = (mulmod61(h, base) + s.charAt(i)) % Mersenne61
-      i += 1
+      val cp = s.codePointAt(i)
+      h = (mulmod61(h, base) + cp) % Mersenne61
+      i += Character.charCount(cp)
     }
     h
   }

@@ -37,6 +37,13 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int = 3): DataFrame = {
+    // blank docs have no shingles: they can't be near-dups of anything, and
+    // keeping them would make jaccard 0/0 (NaN sorts above every real score
+    // in Spark) — excluded here and in the q24/q37 oracles identically.
+    // "blank" = no non-whitespace character (SQL trim strips spaces ONLY,
+    // so trim-based emptiness would miss tab/newline-only docs)
+    val nonBlank = docs.filter(
+      length(regexp_replace(col(textCol), "\\s+", "")) > 0)
     // shingles are hashed to sorted 64-bit longs in one UDF pass: one
     // tokenization per doc (the HOF formulation re-evaluates split() inside
     // every lambda element), ~8B/shingle in the pair shuffle instead of
@@ -47,7 +54,7 @@ object Dedup {
     // sides on the key (the correct cluster layout), and the exchange
     // materializes rows as UnsafeRows, so the merge scan reads primitive
     // longs instead of boxed UDF output (~3× on the pair phase).
-    val prepared = docs.select(
+    val prepared = nonBlank.select(
       (col(idCol) +: blockCols.map(col)) :+
         GraftFunctions.shingleHashesUdf(col(textCol), lit(n)).as("grams"): _*)
       .repartition(blockCols.map(col): _*)

@@ -28,16 +28,20 @@ object KeywordSearch {
       queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queryTerms.map(_.toLowerCase).distinct
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    // null-text docs carry no tokens: excluded from corpus stats (the SQL
+    // oracle's unnest drops them implicitly — n_docs must agree)
+    val corpus = docs.filter(col(textCol).isNotNull)
     // doc length = token count, computed as size(split(...)) — identical
     // value with no explode and no groupBy shuffle (split never yields an
     // empty array, so every doc appears, matching the explode+count shape)
-    val lens = docs.select(col(idCol).as("doc_id"),
+    val lens = corpus.select(col(idCol).as("doc_id"),
       size(split(lower(trim(col(textCol))), "\\s+")).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     // substring pre-filter before the explode: a superset of true matches
     // (the exact term equality below refines), but it reaches the scan as a
     // pushable predicate — at corpus scale only matching docs are exploded
-    val candidates = docs.filter(
+    val candidates = corpus.filter(
       terms.map(t => lower(col(textCol)).contains(t)).reduce(_ || _))
     val toks = candidates.select(col(idCol).as("doc_id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
@@ -53,7 +57,11 @@ object KeywordSearch {
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
           * (col("tf") * (k1 + 1))
           / (col("tf") + lit(k1) * (lit(1) - b + lit(b) * col("dl") / col("avgdl"))))
-    scored.groupBy("doc_id").agg(round(sum("w"), 6).as("score"))
+    // SUM over DECIMAL, not raw doubles: addend order varies with shuffle
+    // arrival and would let a boundary-straddling double round differently
+    // across engines/runs; decimal accumulation is exact and order-free
+    scored.groupBy("doc_id")
+      .agg(round(sum(col("w").cast("decimal(28,12)")), 6).cast("double").as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
@@ -69,7 +77,9 @@ object KeywordSearch {
     val contributions = rankings.map(
       _.select(col("doc_id"), (lit(1.0) / (lit(c) + col("rn"))).as("contrib")))
     contributions.reduce(_ unionByName _)
-      .groupBy("doc_id").agg(round(sum("contrib"), 6).as("rrf_score"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib").cast("decimal(28,12)")), 6)
+        .cast("double").as("rrf_score"))
       .orderBy(col("rrf_score").desc, col("doc_id"))
       .limit(k)
   }

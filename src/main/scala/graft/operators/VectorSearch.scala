@@ -68,17 +68,20 @@ object VectorSearch {
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, scoreScale: Int = 6): DataFrame = {
-    import org.apache.spark.sql.types.{NumericType, StringType}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(qId) =!= col(cId))
       .withColumn("score", round(VectorFunctions.cosine(col(cVec), col(qVec)), scoreScale))
+    // integral OR string only: a fractional id would be silently truncated
+    // by the aggregator's long buffer and merge distinct candidates
     val topAgg = corpus.schema(cId).dataType match {
-      case _: NumericType =>
+      case ByteType | ShortType | IntegerType | LongType =>
         graft.functions.TopKAggregator.topK(k)(col("score"), col(cId))
       case StringType =>
         graft.functions.TopKAggregator.topKString(k)(col("score"), col(cId))
       case other => throw new IllegalArgumentException(
-        s"knnJoinViaAggregator: unsupported id type $other for column $cId")
+        s"knnJoinViaAggregator: unsupported id type $other for column $cId " +
+          "(use integral or string ids, or knnJoin)")
     }
     scored.groupBy(col(qId).as("query_id"))
       .agg(topAgg.as("top"))

@@ -97,7 +97,7 @@ object TextQueries {
                    ELSE [trim(text)] END) AS grams
           FROM (SELECT doc_id, lang, source, text,
                        regexp_split_to_array(trim(text), '\s+') AS toks
-                FROM documents))
+                FROM documents WHERE len(regexp_replace(text, '\s', '', 'g')) > 0))
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                  / len(list_distinct(a.grams || b.grams)) AS jaccard
@@ -329,7 +329,7 @@ object TextQueries {
                    ELSE [trim(text)] END) AS grams
           FROM (SELECT doc_id, lang, source, text,
                        regexp_split_to_array(trim(text), '\s+') AS toks
-                FROM documents)),
+                FROM documents WHERE len(regexp_replace(text, '\s', '', 'g')) > 0)),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
@@ -372,7 +372,8 @@ object TextQueries {
                    / (CAST(tf.tf AS DOUBLE)
                       + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS w
           FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats)
-        SELECT doc_id, ROUND(SUM(w), 6) AS score
+        SELECT doc_id,
+               CAST(ROUND(SUM(CAST(w AS DECIMAL(28,12))), 6) AS DOUBLE) AS score
         FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""),
       headline = true),
 
@@ -410,7 +411,8 @@ object TextQueries {
                    / (CAST(tf.tf AS DOUBLE)
                       + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS w
           FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
-        bm AS (SELECT doc_id, ROUND(SUM(w), 6) AS score
+        bm AS (SELECT doc_id,
+                      CAST(ROUND(SUM(CAST(w AS DECIMAL(28,12))), 6) AS DOUBLE) AS score
                FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
         bmr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM bm),
         qual AS (
@@ -426,7 +428,8 @@ object TextQueries {
           SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rn) AS contrib FROM bmr
           UNION ALL
           SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rn) AS contrib FROM qr)
-        SELECT doc_id, ROUND(SUM(contrib), 6) AS rrf_score
+        SELECT doc_id,
+               CAST(ROUND(SUM(CAST(contrib AS DECIMAL(28,12))), 6) AS DOUBLE) AS rrf_score
         FROM unioned GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10"""))
   )
 }

@@ -165,7 +165,8 @@ private[graft] object OoxmlExtract {
               val raw = value.toString
               val resolved = cellType match {
                 case "s" => raw.toIntOption.flatMap(shared.lift).getOrElse("")
-                case "b" => if (raw == "1") "TRUE" else "FALSE"
+                // value-less boolean cells are EMPTY cells, not FALSE
+                case "b" => if (raw == "1") "TRUE" else if (raw.nonEmpty) "FALSE" else ""
                 case _ => raw // n, str, inlineStr (already captured), e
               }
               if (resolved.nonEmpty && rowN > 0 && colN >= 0)

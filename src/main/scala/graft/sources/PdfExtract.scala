@@ -77,17 +77,20 @@ private[graft] object PdfExtract {
             if (lm.group(2) == null) Some(lm.group(1).toInt)
             else body(lm.group(1).toInt).trim.toIntOption
           }
+          // bounds are GLOBAL, not clamped to the next object start: binary
+          // stream bytes can spell an ASCII "N M obj" and fake an object
+          // boundary, which must not truncate this stream mid-data
           val dataEnd = len match {
-            case Some(n) if dataStart + n <= b => dataStart + n
+            case Some(n) if dataStart + n <= bytes.length => dataStart + n
             case _ =>
               val e = s.indexOf("endstream", dataStart)
-              if (e >= 0 && e <= b) {
+              if (e >= 0) {
                 // strip the EOL that precedes endstream
                 var e2 = e
                 if (e2 > dataStart && bytes(e2 - 1) == '\n') e2 -= 1
                 if (e2 > dataStart && bytes(e2 - 1) == '\r') e2 -= 1
                 e2
-              } else b
+              } else bytes.length
           }
           PdfObj(num, dict, Some(java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)))
         }

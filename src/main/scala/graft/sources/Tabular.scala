@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * `"Row N: Header1: v1, Header2: v2"` rows with empty cells skipped
   * (/root/reference/internal/parser/excel.go:13-94, row format :73).
   *
-  * XLSX itself needs POI (absent offline; `Parsers.ExcelParser` is the
-  * stub), but the *operator* is format-independent: any tabular DataFrame —
-  * CSV/TSV/parquet "sheets" — textualizes the same way and feeds the chunk
-  * pipeline. Keeping sheets as real DataFrames (and flattening only at the
-  * ingest edge) is the capability upgrade SURVEY §2.1 S6 notes.
+  * XLSX bytes are handled by the real `Parsers.ExcelParser` →
+  * `OoxmlExtract.xlsxText` (ZIP + worksheet XML, zero deps); this operator
+  * is the format-independent twin: any tabular DataFrame — CSV/TSV/parquet
+  * "sheets" — textualizes the same way and feeds the chunk pipeline.
+  * Keeping sheets as real DataFrames (and flattening only at the ingest
+  * edge) is the capability upgrade SURVEY §2.1 S6 notes.
   */
 object Tabular {
 

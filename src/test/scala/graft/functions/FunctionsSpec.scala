@@ -112,5 +112,10 @@ class FunctionsSpec extends AnyFunSuite {
     assert(LangId.detect("这是一个中文句子") == "zh")
     assert(LangId.detect("xyzzy plugh") == "und")
     assert(LangId.detect("") == "und")
+    // ideographic space U+3000 counts as a character (RE2 \s doesn't strip
+    // it), exactly like the q2b oracle — must still classify as zh
+    assert(LangId.detect("这是中文　句子") == "zh")
+    // non-BMP chars count once (codepoint iteration, like DuckDB length())
+    assert(LangId.detect("😀 the and of to in is that it") == "en")
   }
 }

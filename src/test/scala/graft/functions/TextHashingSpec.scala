@@ -64,6 +64,21 @@ class TextHashingSpec extends AnyFunSuite {
     assert(rollingFingerprint("abc") == rollingFingerprint("abc"))
   }
 
+  test("rolling fingerprint folds codepoints, not UTF-16 units (oracle parity)") {
+    // independent BigInt reference over codepoints — the same fold the q2c
+    // DuckDB oracle computes with unicode(c); a surrogate-pair iteration
+    // would fold two values for the emoji and diverge
+    val m = BigInt(2).pow(61) - 1
+    def ref(s: String): Long = {
+      var h = BigInt(0)
+      s.codePoints().toArray.foreach(cp => h = (h * 1000003 + cp) % m)
+      h.toLong
+    }
+    val nonBmp = "a😀b" // a😀b
+    assert(rollingFingerprint(nonBmp) == ref(nonBmp.toLowerCase))
+    assert(rollingFingerprint("héllo wörld") == ref("héllo wörld"))
+  }
+
   test("winnowing fingerprints: shared runs share fingerprints") {
     val a = "the quick brown fox jumps over the lazy dog and keeps running far away"
     val b = "PREFIX text here. " + a + " SUFFIX trailing words"

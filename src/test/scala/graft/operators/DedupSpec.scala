@@ -41,6 +41,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.count(_.getAs[Double]("jaccard") > 0.5) == 3) // (1,2),(1,3),(2,3)
   }
 
+  test("blank documents produce no jaccard pairs (no NaN, no phantom clusters)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same near dup text body here same near dup text"),
+      (2L, "same near dup text body here same near dup text"),
+      (3L, ""), (4L, "   "), (5L, "\t\n")) // blank: must pair with nothing
+      .toDF("doc_id", "text").withColumn("block", lit("b"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("block")).collect()
+    assert(pairs.length == 1)
+    assert(Set(pairs.head.getAs[Long]("doc_a"), pairs.head.getAs[Long]("doc_b")) == Set(1L, 2L))
+    assert(!pairs.exists(r => r.getAs[Double]("jaccard").isNaN))
+  }
+
   test("minhash LSH candidates cover all high-jaccard pairs, skip unrelated") {
     val cands = Dedup.minhashCandidatePairs(fixture, "doc_id", "text",
       minEstJaccard = 0.5).collect()

@@ -43,6 +43,21 @@ class KeywordSearchSpec extends AnyFunSuite {
     assert(res(2L) - res(1L) > (res(3L) - res(2L)) / 4)
   }
 
+  test("bm25 guards: empty query throws; null-text docs excluded from stats") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      KeywordSearch.bm25(corpus, "doc_id", "text", Seq.empty))
+    val withNull = Seq((1L, "spark spark"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val res = KeywordSearch.bm25(withNull, "doc_id", "text", Seq("spark"), k = 5)
+      .collect()
+    assert(res.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    // idf from n_docs=1 (null-text doc not counted): ln((1-1+0.5)/(1+0.5)+1)
+    val idf = math.log(0.5 / 1.5 + 1.0)
+    val expected = math.rint(idf * (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 1.0)) * 1e6) / 1e6
+    assert(math.abs(res.head.getAs[Double]("score") - expected) < 1e-9)
+  }
+
   test("reciprocal rank fusion: appearing in both rankings beats one") {
     import spark.implicits._
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rn")

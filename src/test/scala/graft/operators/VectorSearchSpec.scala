@@ -106,6 +106,18 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(viaAgg.nonEmpty)
   }
 
+  test("knnJoinViaAggregator rejects fractional ids instead of truncating") {
+    import spark.implicits._
+    val e = Seq((1.2, MockEmbedder.embed("a", 8)), (1.9, MockEmbedder.embed("b", 8)))
+      .toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      VectorSearch.knnJoinViaAggregator(
+        e.select(col("id").as("q_id"), col("v").as("qv")),
+        e.select(col("id").as("c_id"), col("v").as("cv")),
+        "q_id", "qv", "c_id", "cv", k = 1)
+    }
+  }
+
   test("lsh bucket join recall: clustered vectors find their cluster") {
     import spark.implicits._
     // build clusters: 10 centers, members = center + tiny per-member jitter

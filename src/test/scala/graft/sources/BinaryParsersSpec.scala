@@ -74,15 +74,18 @@ class BinaryParsersSpec extends AnyFunSuite {
         |  <c r="A1" t="s"><v>0</v></c>
         |  <c r="B1" t="s"><v>1</v></c>
         |  <c r="C1" t="inlineStr"><is><t>Amount</t></is></c>
+        |  <c r="D1" t="inlineStr"><is><t>Flag</t></is></c>
         |</row>
         |<row r="2">
         |  <c r="A2" t="s"><v>2</v></c>
         |  <c r="B2" t="s"><v>3</v></c>
         |  <c r="C2"><v>100</v></c>
+        |  <c r="D2" t="b"/>
         |</row>
         |<row r="4">
         |  <c r="A4" t="s"><v>4</v></c>
         |  <c r="C4"><v>250</v></c>
+        |  <c r="D4" t="b"><v>1</v></c>
         |</row>
         |</sheetData></worksheet>""".stripMargin,
     "xl/worksheets/sheet2.xml" ->
@@ -189,10 +192,12 @@ class BinaryParsersSpec extends AnyFunSuite {
     // row lines end with \n and sheets are separated by "\n\n" — exactly the
     // strings.Builder sequence of excel.go:30-33,73 (two blank lines between
     // a sheet's last row and the next Sheet: header)
+    // D2 is a value-less boolean cell: an EMPTY cell (skipped), not FALSE;
+    // D4 carries <v>1</v> → TRUE
     val expected =
       """Sheet: People
         |Row 2: Name: Alice, Region: North, Amount: 100
-        |Row 4: Name: Bob, Amount: 250
+        |Row 4: Name: Bob, Amount: 250, Flag: TRUE
         |
         |
         |Sheet: Extra
@@ -234,6 +239,23 @@ class BinaryParsersSpec extends AnyFunSuite {
   test("pdf: page tree inside a compressed /ObjStm object stream resolves") {
     val text = Parsers.PdfParser.parse(pdfObjStmFixture)
     assert(text == "Compressed object stream text")
+  }
+
+  test("pdf: stream bytes spelling 'N M obj' don't truncate the stream") {
+    // a content stream whose DATA contains an ASCII object-header pattern;
+    // the object scanner must not clamp the stream at the fake boundary
+    val content = "BT (fake 7 0 obj inside string) Tj ET"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj <</Type/Catalog/Pages 2 0 R>> endobj\n")
+    w("2 0 obj <</Type/Pages/Kids[3 0 R]/Count 1>> endobj\n")
+    w("3 0 obj <</Type/Page/Parent 2 0 R/Contents 4 0 R>> endobj\n")
+    w(s"4 0 obj <</Length ${content.length}>>\nstream\n")
+    bos.write(content)
+    w("\nendstream\nendobj\n%%EOF\n")
+    assert(Parsers.PdfParser.parse(bos.toByteArray) == "fake 7 0 obj inside string")
   }
 
   test("pdf: garbage bytes and text-free PDFs fail loudly") {
