@@ -19,6 +19,36 @@ object Rag {
       dim: Int = graft.functions.MockEmbedder.DefaultDim): DataFrame =
     VectorSearch.semanticSearch(chunks, queryText, k, organizationId, dim)
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the semantic ranking and a
+    * BM25 lexical ranking over the same chunk table — the standard upgrade
+    * over either alone (lexical catches exact identifiers/rare terms that
+    * embeddings smear; semantic catches paraphrase the lexicon misses).
+    * Both candidate lists are top-`poolK` (default 5×k) before fusion, so
+    * fusion cost is independent of corpus size.
+    */
+  def retrieveHybrid(
+      chunks: DataFrame, queryText: String, k: Int = 5,
+      organizationId: Option[String] = None,
+      dim: Int = graft.functions.MockEmbedder.DefaultDim,
+      poolK: Int = 0): DataFrame = {
+    val pool = if (poolK > 0) poolK else 5 * k
+    val tenant = organizationId.fold(chunks)(o =>
+      chunks.filter(col("organization_id") === o))
+    val semantic = VectorSearch.semanticSearch(chunks, queryText, pool,
+        organizationId, dim)
+      .select(col("id").as("doc_id"), col("score"))
+    val semRanked = KeywordSearch.ranked(semantic, "score").select("doc_id", "rn")
+    val terms = queryText.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val lexical = KeywordSearch.bm25(tenant, "id", "content", terms, k = pool)
+    val lexRanked = KeywordSearch.ranked(lexical, "score").select("doc_id", "rn")
+    KeywordSearch.reciprocalRankFusion(Seq(semRanked, lexRanked), k)
+      .withColumnRenamed("doc_id", "id")
+      .join(tenant, Seq("id"))
+      .select(col("id"), col("document_id"), col("content"),
+        col("rrf_score").as("score"))
+      .orderBy(col("score").desc, col("id"))
+  }
+
   /** One-row result: concatenated context + ARRAY<STRUCT> citations
     * (chat_handler.go:135-143 context build; :170-180 citation shape
     * {document_id, chunk_id, content, score}). `collect_list` does not

@@ -70,6 +70,27 @@ class KeywordSearchSpec extends AnyFunSuite {
     assert(m(10L) == math.rint((1.0 / 61) * 1e6) / 1e6)
   }
 
+  test("hybrid retrieval surfaces exact-identifier matches semantic search misses") {
+    import spark.implicits._
+    val query = "ERR4492 handshake failure"
+    val chunks = Seq(
+      ("c1", "docA", "ERR4492 handshake failure"), // exact → both rankings
+      ("c2", "docB", "the gateway rejected the tls negotiation yesterday evening"),
+      ("c3", "docC", "error code ERR4492 appeared in the proxy logbook"), // lexical-only
+      ("c4", "docD", "quarterly budget and staffing review notes"),
+      ("c5", "docE", "handshake retries exceeded during maintenance"))
+      .toDF("id", "document_id", "content")
+      .withColumn("vector", graft.functions.GraftFunctions.mockEmbed(col("content"), 32))
+      .withColumn("organization_id", lit("org1"))
+    val hybrid = Rag.retrieveHybrid(chunks, query, k = 3,
+      organizationId = Some("org1"), dim = 32).collect()
+    assert(hybrid.head.getAs[String]("id") == "c1") // exact match tops fusion
+    // c3 has no semantic similarity to the query text but carries the exact
+    // rare identifier — lexical ranking must pull it into the fused top-3
+    assert(hybrid.map(_.getAs[String]("id")).contains("c3"))
+    assert(hybrid.forall(_.getAs[String]("document_id").nonEmpty))
+  }
+
   test("ranked attaches contiguous 1-based ranks with deterministic ties") {
     import spark.implicits._
     val top = Seq((5L, 1.0), (2L, 2.0), (9L, 1.0)).toDF("doc_id", "score")
