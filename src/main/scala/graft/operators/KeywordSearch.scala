@@ -47,10 +47,13 @@ object KeywordSearch {
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     val tf = toks.filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // tf rows are unique per (doc, term) — plain count IS the doc frequency
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(dfreq), "term")
+    // doc frequency as a window over tf (rows are unique per (doc, term), so
+    // a per-term count IS df) — Catalyst does not reuse the tf subtree for a
+    // separate groupBy, which would re-scan and re-explode the corpus; the
+    // window reshuffles only the tiny tf table
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
+    val scored = withDf
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("w",
