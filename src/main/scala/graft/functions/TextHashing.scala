@@ -214,28 +214,38 @@ object TextHashing {
   }
 
   /** Winnowing fingerprints (Schleimer et al.): the minimum character-k-gram
-    * rolling hash of each window of w consecutive k-grams, deduplicated.
-    * Two documents sharing a run of ≥ w+k-1 chars share a fingerprint —
-    * the classic plagiarism/near-dup selection set.
+    * rolling hash of each window of w consecutive k-grams, deduplicated and
+    * sorted. Two documents sharing a run of ≥ w+k-1 chars share a
+    * fingerprint — the classic plagiarism/near-dup selection set.
+    *
+    * Operates on CODEPOINTS (like [[rollingFingerprint]]); texts of ≤ k
+    * codepoints fall back to the whole-text Karp-Rabin fold — both choices
+    * keep every branch expressible in the q2f DuckDB oracle (a murmur
+    * fallback would not be).
     */
   def winnowingFingerprints(text: String, k: Int = 8, w: Int = 16): Array[Long] = {
     val s = normalize(text)
     if (s.isEmpty) return Array.empty
-    if (s.length <= k)
-      return Array(java.lang.Long.remainderUnsigned(hash64(s), Mersenne61))
+    val cps = s.codePoints().toArray
     val base = 1000003L
+    if (cps.length <= k) {
+      var h = 0L
+      var i = 0
+      while (i < cps.length) { h = (mulmod61(h, base) + cps(i)) % Mersenne61; i += 1 }
+      return Array(h)
+    }
     var powK = 1L
     var i = 0
     while (i < k) { powK = mulmod61(powK, base); i += 1 } // base^k
     // rolling k-gram hashes
-    val nGrams = s.length - k + 1
+    val nGrams = cps.length - k + 1
     val grams = new Array[Long](nGrams)
     var h = 0L
     i = 0
-    while (i < s.length) {
-      h = (mulmod61(h, base) + s.charAt(i)) % Mersenne61
+    while (i < cps.length) {
+      h = (mulmod61(h, base) + cps(i)) % Mersenne61
       if (i >= k)
-        h = (h - mulmod61(s.charAt(i - k).toLong, powK) % Mersenne61 + Mersenne61) % Mersenne61
+        h = (h - mulmod61(cps(i - k).toLong, powK) % Mersenne61 + Mersenne61) % Mersenne61
       if (i >= k - 1) grams(i - k + 1) = h
       i += 1
     }
@@ -256,6 +266,13 @@ object TextHashing {
     arr
   }
 
+  /** Whitespace-collapse + lowercase + space-trim, using exactly the RE2
+    * `\s` class ([\t\n\f\r ]) and space-only trim the DuckDB oracles use
+    * (Java's `\s` adds U+000B and String.trim strips all controls ≤ 0x20 —
+    * either would silently diverge).
+    */
   private def normalize(text: String): String =
-    if (text == null) "" else text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (text == null) ""
+    else text.toLowerCase.replaceAll("[ \t\n\f\r]+", " ")
+      .replaceAll("^ +| +$", "")
 }

@@ -308,6 +308,42 @@ object TextQueries {
                END AS BIGINT) AS rolling_fp
         FROM codes ORDER BY doc_id""")),
 
+    // Winnowing fingerprints (Schleimer et al.), hash-exact: per-position
+    // k-gram Karp-Rabin hashes re-derived in DuckDB as list_reduce folds
+    // over codepoint slices, window minima via list_min over list slices,
+    // dedup + sort mirroring the TreeSet. k=8, w=16.
+    "q2f_winnowing" -> Q(
+      fn = (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            explode(GraftFunctions.winnowingUdf(col("text"))).as("fp"))
+          .orderBy(col("doc_id"), col("fp")),
+      oracle = Some("""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+          FROM documents),
+        codes AS (
+          SELECT doc_id, list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cs
+          FROM norm),
+        grams AS (
+          SELECT doc_id, len(cs) AS n,
+            CASE WHEN len(cs) = 0 THEN CAST([] AS BIGINT[])
+                 WHEN len(cs) <= 8 THEN [CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
+                      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS BIGINT)]
+                 ELSE list_transform(range(1, len(cs) - 6), i ->
+                      CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), cs[i : i + 7]),
+                        (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS BIGINT))
+            END AS g
+          FROM codes),
+        fps AS (
+          SELECT doc_id,
+            CASE WHEN n <= 8 THEN g
+                 ELSE list_sort(list_distinct(list_transform(range(1, len(g) + 1),
+                      st -> list_min(g[st : least(st + 15, len(g))]))))
+            END AS f
+          FROM grams)
+        SELECT doc_id, unnest(f) AS fp FROM fps ORDER BY doc_id, fp""")),
+
     // Transitive dedup clusters, hash-exact: pointer-jumping connected
     // components over the exact n-gram-Jaccard near-dup pairs (>= 0.5),
     // oracled by a DuckDB recursive reachability CTE + min label. Headline:
