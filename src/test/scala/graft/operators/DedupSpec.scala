@@ -41,6 +41,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.count(_.getAs[Double]("jaccard") > 0.5) == 3) // (1,2),(1,3),(2,3)
   }
 
+  test("connectedComponents converges on a 2000-node chain (deep diameter)") {
+    import spark.implicits._
+    // worst case for label propagation: a single path graph — naive
+    // propagation needs O(diameter) rounds; pointer jumping must finish a
+    // 2000-hop chain comfortably inside maxIter=20 (~log2 rounds)
+    val chain = (0L until 1999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain, maxIter = 20).collect()
+    assert(labels.length == 2000)
+    assert(labels.forall(_.getAs[Long]("component_id") == 0L))
+    // and a forest of 100 separate 20-node chains keeps components apart
+    val forest = (for (c <- 0L until 100L; i <- 0L until 19L)
+      yield (c * 100 + i, c * 100 + i + 1)).toDF("doc_a", "doc_b")
+    val fLabels = Dedup.connectedComponents(forest, maxIter = 20).collect()
+    assert(fLabels.length == 2000)
+    assert(fLabels.forall(r =>
+      r.getAs[Long]("component_id") == (r.getAs[Long]("doc_id") / 100) * 100))
+  }
+
   test("blank documents produce no jaccard pairs (no NaN, no phantom clusters)") {
     import spark.implicits._
     val docs = Seq(
