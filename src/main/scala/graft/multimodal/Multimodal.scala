@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * metadata (BASELINE.json north-star requirement).
   *
   * The Spark-side plumbing — schema, partitioning, per-partition batch shape —
-  * is real and tested; the *decode* step is a clearly-marked deterministic
-  * STUB (`fakeDecodeFeatures`), because no image/audio codec libraries exist
-  * in this offline container. A production build replaces exactly one
-  * function (the bytes→features kernel inside [[extractFeatures]]) with a
-  * codec-backed implementation; everything around it is unchanged.
+  * is real and tested. Decode is REAL for the codec-free byte formats
+  * ([[MediaDecode]]: BMP → 8×8 mean-luma grid, WAV/PCM → RMS envelope +
+  * duration) and a clearly-marked deterministic STUB
+  * ([[fakeDecodeFeatures]]) for compressed codecs (JPEG/PNG/MP3/MP4),
+  * which genuinely need codec libraries absent from this offline
+  * container. A production build swaps exactly one function (the
+  * bytes→features kernel inside [[extractFeatures]]); everything around it
+  * is unchanged.
   *
   * Scale: media bytes stay columnar in parquet (never collected); feature
   * extraction is `mapPartitions` so a real decoder amortizes model/codec
@@ -35,12 +38,34 @@ object Multimodal {
   final case class MediaFeature(media_id: String, kind: String, feature: Array[Float])
 
   /** STUB decode: deterministic pseudo-features from the raw bytes (content
-    * hash → mock-embedding series). Stands in for image decode + CNN
-    * embedding / audio decode + spectrogram; deterministic so pipelines are
-    * testable offline.
+    * hash → mock-embedding series). Stands in for compressed-codec decode +
+    * CNN embedding / spectrogram; deterministic so pipelines are testable
+    * offline.
     */
   def fakeDecodeFeatures(bytes: Array[Byte], dim: Int = 64): Array[Float] =
     MockEmbedder.embed(java.util.Base64.getEncoder.encodeToString(bytes), dim)
+
+  /** Decode dispatch: REAL kernels for the codec-free byte formats, stub
+    * for the rest. BMP → 8×8 mean-luma grid (perceptual-hash basis);
+    * WAV/PCM → `dim`-bin RMS envelope (audio-fingerprint basis); other
+    * formats → [[fakeDecodeFeatures]]. Malformed bytes of a recognized
+    * format also fall back (ingest must not die on one corrupt file).
+    */
+  def decodeFeatures(bytes: Array[Byte], dim: Int = 64): Array[Float] = {
+    def fit(a: Array[Float]): Array[Float] =
+      if (a.length == dim) a
+      else if (a.length > dim) a.take(dim)
+      else a ++ Array.fill(dim - a.length)(0f)
+    try {
+      if (MediaDecode.isBmp(bytes))
+        fit(MediaDecode.bmpLumaGrid(bytes, grid = math.max(1, math.sqrt(dim).toInt)))
+      else if (MediaDecode.isWav(bytes))
+        MediaDecode.wavEnvelope(bytes, bins = dim)
+      else fakeDecodeFeatures(bytes, dim)
+    } catch {
+      case _: IllegalArgumentException => fakeDecodeFeatures(bytes, dim)
+    }
+  }
 
   /** Batched feature extraction over partitions — the real pipeline shape:
     * one iterator per partition, decoder initialized once per partition,
@@ -53,9 +78,44 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init site: a real impl constructs its codec here
         rows.map { case (id, kind, bytes) =>
-          MediaFeature(id, kind, fakeDecodeFeatures(bytes, dim))
+          MediaFeature(id, kind, decodeFeatures(bytes, dim))
         }
       }
+  }
+
+  final case class ProbedMeta(
+      width: Option[Int], height: Option[Int], format: Option[String],
+      duration_ms: Option[Long], frame_rate: Option[Double])
+
+  /** Probe real metadata from the bytes where the format allows (BMP
+    * dimensions, WAV duration); None fields where it doesn't.
+    */
+  def probeMeta(bytes: Array[Byte]): ProbedMeta =
+    try {
+      if (MediaDecode.isBmp(bytes)) {
+        val (w, h) = MediaDecode.bmpSize(bytes)
+        ProbedMeta(Some(w), Some(h), Some("bmp"), None, None)
+      } else if (MediaDecode.isWav(bytes)) {
+        ProbedMeta(None, None, Some("wav"),
+          Some(MediaDecode.wavDurationMs(bytes)), None)
+      } else ProbedMeta(None, None, None, None, None)
+    } catch {
+      case _: IllegalArgumentException => ProbedMeta(None, None, None, None, None)
+    }
+
+  /** Column transform: overwrite `meta` with probed values where the format
+    * is parseable, keeping the declared meta otherwise.
+    */
+  def withProbedMeta(media: DataFrame): DataFrame = {
+    val probeUdf = udf((bytes: Array[Byte]) => probeMeta(bytes))
+    media.withColumn("__probe", probeUdf(col("bytes")))
+      .withColumn("meta", struct(
+        coalesce(col("__probe.width"), col("meta.width")).as("width"),
+        coalesce(col("__probe.height"), col("meta.height")).as("height"),
+        coalesce(col("__probe.format"), col("meta.format")).as("format"),
+        coalesce(col("__probe.duration_ms"), col("meta.duration_ms")).as("duration_ms"),
+        col("meta.frame_rate").as("frame_rate")))
+      .drop("__probe")
   }
 
   /** Video frame sampling: one row per sampled frame index, evenly spaced

@@ -28,6 +28,102 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.values.forall(_.length == 16))
   }
 
+  // ------------------------------------------------- real decode fixtures
+
+  /** Uncompressed 24-bit bottom-up BMP with the given row-major pixels
+    * (display order, (r,g,b)).
+    */
+  private def bmp(w: Int, h: Int, px: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54) // reserved, pixel offset
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (row <- h - 1 to 0 by -1) { // bottom-up storage
+      for (x <- 0 until w) {
+        val (r, g, b) = px(row * w + x)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      buf.position(buf.position() + (rowSize - w * 3)) // row padding
+    }
+    buf.array()
+  }
+
+  /** 16-bit PCM mono WAV from raw samples. */
+  private def wav(rate: Int, samples: Seq[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  test("BMP decode: real 8x8 luma grid separates black and white halves") {
+    // 8x8 image, left half black, right half white
+    val px = for (y <- 0 until 8; x <- 0 until 8)
+      yield if (x < 4) (0, 0, 0) else (255, 255, 255)
+    val img = bmp(8, 8, px)
+    assert(MediaDecode.isBmp(img))
+    assert(MediaDecode.bmpSize(img) == ((8, 8)))
+    val grid = MediaDecode.bmpLumaGrid(img)
+    assert(grid.length == 64)
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      val v = grid(gy * 8 + gx)
+      if (gx < 4) assert(v < 0.01, s"cell ($gx,$gy)") else assert(v > 0.99, s"cell ($gx,$gy)")
+    }
+    // the same image through the pipeline dispatch (not the stub)
+    assert(Multimodal.decodeFeatures(img, 64).toSeq == grid.toSeq)
+  }
+
+  test("WAV decode: duration and constant RMS envelope") {
+    val samples = Seq.fill(1000)(16384.toShort) // constant half-amplitude
+    val audio = wav(8000, samples)
+    assert(MediaDecode.isWav(audio))
+    assert(MediaDecode.wavDurationMs(audio) == 125L) // 1000/8000 s
+    val env = MediaDecode.wavEnvelope(audio, bins = 64)
+    assert(env.length == 64)
+    env.foreach(v => assert(math.abs(v - 0.5) < 0.001))
+    assert(Multimodal.decodeFeatures(audio, 64).toSeq == env.toSeq)
+  }
+
+  test("probeMeta fills real dimensions/duration, stub formats untouched") {
+    val img = bmp(4, 2, Seq.fill(8)((10, 20, 30)))
+    val audio = wav(16000, Seq.fill(320)(0.toShort))
+    assert(Multimodal.probeMeta(img) ==
+      Multimodal.ProbedMeta(Some(4), Some(2), Some("bmp"), None, None))
+    assert(Multimodal.probeMeta(audio) ==
+      Multimodal.ProbedMeta(None, None, Some("wav"), Some(20L), None))
+    assert(Multimodal.probeMeta(Array[Byte](1, 2, 3)) ==
+      Multimodal.ProbedMeta(None, None, None, None, None))
+
+    // column transform: BMP row gets real meta, jpg row keeps declared meta
+    val rows = Seq(
+      Row("b1", "image", img, Row(null, null, null, null, null)),
+      Row("j1", "image", Array[Byte](1, 2, 3), Row(640, 480, "jpg", null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val probed = Multimodal.withProbedMeta(df).collect()
+      .map(r => r.getAs[String]("media_id") -> r.getAs[Row]("meta")).toMap
+    assert(probed("b1").getAs[Integer]("width") == 4)
+    assert(probed("b1").getAs[String]("format") == "bmp")
+    assert(probed("j1").getAs[Integer]("width") == 640)
+    assert(probed("j1").getAs[String]("format") == "jpg")
+  }
+
+  test("corrupt bytes of a recognized format fall back to the stub, not crash") {
+    val truncated = bmp(8, 8, Seq.fill(64)((1, 2, 3))).take(60) // claims BM, no pixels
+    val f = Multimodal.decodeFeatures(truncated, 16)
+    assert(f.length == 16)
+    assert(f.toSeq == Multimodal.fakeDecodeFeatures(truncated, 16).toSeq)
+  }
+
   test("frame sampling: evenly spaced frames for videos only") {
     val frames = Multimodal.sampleFrames(mediaDf, nFrames = 5).collect()
     assert(frames.length == 5)
