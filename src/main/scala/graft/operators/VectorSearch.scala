@@ -170,7 +170,7 @@ object VectorSearch {
     bits.reduce((a, b) => a + b)
   }
 
-  private def hyperplane(seed: Int, dim: Int): Array[Double] = {
+  private[graft] def hyperplane(seed: Int, dim: Int): Array[Double] = {
     val out = new Array[Double](dim)
     var i = 0
     while (i < dim) {

@@ -97,8 +97,11 @@ object VectorQueries {
       oracle = None,
       headline = true),
 
-    // Approximate scale path: random-hyperplane LSH bucket join (rows-only;
-    // recall vs exact k-NN asserted in VectorSearchSpec).
+    // Approximate scale path: random-hyperplane LSH bucket join — hash-exact.
+    // The hyperplanes are deterministic constants (splitmix64 family), so the
+    // oracle inlines them as literal DOUBLE[] and re-derives bucket ids with
+    // list_dot_product sign bits; recall vs exact k-NN is separately gated in
+    // RecallSpec.
     "q34_lsh_bucket_knn" -> Q(
       fn = (s, dir) => {
         val e = emb(s, dir)
@@ -109,7 +112,24 @@ object VectorQueries {
           k = 5, nBits = 4)
           .orderBy(col("query_id"), col("rn"))
       },
-      oracle = None,
+      oracle = {
+        val bucketExpr = (0 until 4).map { b =>
+          val lit = VectorSearch.hyperplane(b, 64).mkString("[", ",", "]")
+          s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+        Some(s"""
+          WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+          q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 100),
+          scored AS (
+            SELECT q.q_id, c.vec_id AS c_id,
+                   ROUND(CAST(list_cosine_similarity(c.v, q.qv) AS DOUBLE), 6) AS score
+            FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.q_id)
+          SELECT q_id AS query_id, c_id AS neighbor_id, score, rn FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY score DESC, c_id) AS INT) AS rn
+            FROM scored) WHERE rn <= 5 ORDER BY query_id, rn""")
+      },
       headline = true),
 
     // Full ingest transform as a throughput probe (headline): chunk explode
