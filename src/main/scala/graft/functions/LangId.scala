@@ -46,7 +46,9 @@ object LangId {
       i += Character.charCount(cp)
     }
     if (total > 0 && cjk * 10 > total) return "zh"
-    val toks = text.toLowerCase.split("[ \\t\\n\\f\\r]+")
+    // Locale.ROOT: the default locale would turn 'I' into dotless-ı under
+    // tr_TR and diverge from DuckDB's locale-independent lower()
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[ \\t\\n\\f\\r]+")
     var best = "und"
     var bestScore = 0
     for (lang <- Languages if lang != "zh") {

@@ -249,15 +249,25 @@ object TextHashing {
       if (i >= k - 1) grams(i - k + 1) = h
       i += 1
     }
+    // standard winnowing: only FULL windows of w grams (a clamped tail
+    // window would always select the doc's final k-gram and inflate the
+    // candidate set); docs with fewer than w grams contribute their single
+    // overall minimum
     val out = new java.util.TreeSet[java.lang.Long]()
-    var start = 0
-    while (start < nGrams) {
+    if (nGrams < w) {
       var minH = Long.MaxValue
-      var j = start
-      val end = math.min(start + w, nGrams)
-      while (j < end) { if (grams(j) < minH) minH = grams(j); j += 1 }
+      var j = 0
+      while (j < nGrams) { if (grams(j) < minH) minH = grams(j); j += 1 }
       out.add(minH)
-      start += 1
+    } else {
+      var start = 0
+      while (start <= nGrams - w) {
+        var minH = Long.MaxValue
+        var j = start
+        while (j < start + w) { if (grams(j) < minH) minH = grams(j); j += 1 }
+        out.add(minH)
+        start += 1
+      }
     }
     val arr = new Array[Long](out.size)
     val it = out.iterator()
@@ -273,6 +283,8 @@ object TextHashing {
     */
   private def normalize(text: String): String =
     if (text == null) ""
-    else text.toLowerCase.replaceAll("[ \t\n\f\r]+", " ")
+    // Locale.ROOT: default-locale lowercasing (tr_TR dotless-ı etc.) would
+    // diverge from DuckDB's locale-independent lower() in the q2c/q2f oracles
+    else text.toLowerCase(java.util.Locale.ROOT).replaceAll("[ \t\n\f\r]+", " ")
       .replaceAll("^ +| +$", "")
 }

@@ -53,17 +53,24 @@ private[multimodal] object MediaDecode {
     val heightRaw = le32(b, 22)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (width <= 0 || heightRaw == 0)
+    // all bounds in Long with hard dimension caps: crafted headers must not
+    // be able to overflow Int arithmetic into a "valid" bounds check and
+    // then AIOOBE out of the IllegalArgumentException fallback contract
+    val MaxDim = 1 << 16
+    if (width <= 0 || width > MaxDim || heightRaw == 0 || heightRaw == Int.MinValue ||
+        math.abs(heightRaw) > MaxDim)
       throw new IllegalArgumentException(s"bad BMP dimensions ${width}x$heightRaw")
     if (bpp != 24 && bpp != 32)
       throw new IllegalArgumentException(s"unsupported BMP bpp $bpp (24/32 only)")
     if (compression != 0)
       throw new IllegalArgumentException(s"unsupported BMP compression $compression")
+    if (dataOffset < 54)
+      throw new IllegalArgumentException(s"bad BMP data offset $dataOffset")
     val height = math.abs(heightRaw)
-    val rowSize = ((width * (bpp / 8) + 3) / 4) * 4
-    if (dataOffset.toLong + rowSize.toLong * height > b.length)
+    val rowSize = ((width.toLong * (bpp / 8) + 3) / 4) * 4
+    if (dataOffset.toLong + rowSize * height > b.length)
       throw new IllegalArgumentException("truncated BMP pixel data")
-    Bmp(width, height, heightRaw < 0, bpp, dataOffset, rowSize, b)
+    Bmp(width, height, heightRaw < 0, bpp, dataOffset, rowSize.toInt, b)
   }
 
   def bmpSize(b: Array[Byte]): (Int, Int) = {
@@ -132,6 +139,10 @@ private[multimodal] object MediaDecode {
         throw new IllegalArgumentException("truncated WAV chunk")
       id match {
         case "fmt " =>
+          // a declared size < 16 would let the field reads below run past
+          // the chunk (and potentially the buffer) — reject, don't AIOOBE
+          if (size < 16)
+            throw new IllegalArgumentException(s"fmt chunk too short ($size)")
           val audioFormat = le16(b, off + 8)
           if (audioFormat != 1)
             throw new IllegalArgumentException(s"unsupported WAV format $audioFormat (PCM only)")

@@ -63,7 +63,9 @@ object Multimodal {
         MediaDecode.wavEnvelope(bytes, bins = dim)
       else fakeDecodeFeatures(bytes, dim)
     } catch {
-      case _: IllegalArgumentException => fakeDecodeFeatures(bytes, dim)
+      // NonFatal, not just IllegalArgumentException: a decode bug on one
+      // crafted file must degrade to the stub, never kill the ingest task
+      case scala.util.control.NonFatal(_) => fakeDecodeFeatures(bytes, dim)
     }
   }
 
@@ -100,7 +102,7 @@ object Multimodal {
           Some(MediaDecode.wavDurationMs(bytes)), None)
       } else ProbedMeta(None, None, None, None, None)
     } catch {
-      case _: IllegalArgumentException => ProbedMeta(None, None, None, None, None)
+      case scala.util.control.NonFatal(_) => ProbedMeta(None, None, None, None, None)
     }
 
   /** Column transform: overwrite `meta` with probed values where the format

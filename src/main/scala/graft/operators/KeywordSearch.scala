@@ -27,7 +27,9 @@ object KeywordSearch {
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val terms = queryTerms.map(_.toLowerCase).distinct
+    // Locale.ROOT so query terms lower-case exactly like Spark's own
+    // locale-independent lower() applied to the document tokens
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     require(terms.nonEmpty, "bm25 needs at least one query term")
     // null-text docs carry no tokens: excluded from corpus stats (the SQL
     // oracle's unnest drops them implicitly — n_docs must agree)

@@ -38,10 +38,17 @@ object Rag {
         organizationId, dim)
       .select(col("id").as("doc_id"), col("score"))
     val semRanked = KeywordSearch.ranked(semantic, "score").select("doc_id", "rn")
-    val terms = queryText.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
-    val lexical = KeywordSearch.bm25(tenant, "id", "content", terms, k = pool)
-    val lexRanked = KeywordSearch.ranked(lexical, "score").select("doc_id", "rn")
-    KeywordSearch.reciprocalRankFusion(Seq(semRanked, lexRanked), k)
+    val terms = queryText.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+    // blank query → no lexical signal; degrade to semantic-only rather than
+    // throwing where plain retrieve() would have succeeded
+    val rankings =
+      if (terms.isEmpty) Seq(semRanked)
+      else {
+        val lexical = KeywordSearch.bm25(tenant, "id", "content", terms, k = pool)
+        Seq(semRanked, KeywordSearch.ranked(lexical, "score").select("doc_id", "rn"))
+      }
+    KeywordSearch.reciprocalRankFusion(rankings, k)
       .withColumnRenamed("doc_id", "id")
       .join(tenant, Seq("id"))
       .select(col("id"), col("document_id"), col("content"),

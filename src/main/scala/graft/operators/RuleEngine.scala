@@ -109,15 +109,15 @@ trait LLMOracle extends Serializable {
 
 object DeterministicOracle extends LLMOracle {
   def yesNo(question: String, content: String): Boolean = {
-    val q = question.toLowerCase
-    val c = content.toLowerCase
+    val q = question.toLowerCase(java.util.Locale.ROOT)
+    val c = content.toLowerCase(java.util.Locale.ROOT)
     (q.contains("confidential") && c.contains("confidential")) ||
       (q.contains("pricing") && (c.contains("pricing") || c.contains("price"))) ||
       (q.contains("secret") && c.contains("secret"))
   }
 
   def tags(content: String): Seq[String] = {
-    val c = content.toLowerCase
+    val c = content.toLowerCase(java.util.Locale.ROOT)
     val out = Seq.newBuilder[String]
     if (c.contains("legal") || c.contains("law") || c.contains("contract")) out += "#legal"
     if (c.contains("invoice") || c.contains("billing") || c.contains("payment")) out += "#finance"

@@ -338,8 +338,9 @@ object TextQueries {
         fps AS (
           SELECT doc_id,
             CASE WHEN n <= 8 THEN g
-                 ELSE list_sort(list_distinct(list_transform(range(1, len(g) + 1),
-                      st -> list_min(g[st : least(st + 15, len(g))]))))
+                 WHEN len(g) < 16 THEN [list_min(g)]
+                 ELSE list_sort(list_distinct(list_transform(range(1, len(g) - 14),
+                      st -> list_min(g[st : st + 15]))))
             END AS f
           FROM grams)
         SELECT doc_id, unnest(f) AS fp FROM fps ORDER BY doc_id, fp""")),

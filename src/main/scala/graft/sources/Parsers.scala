@@ -6,9 +6,9 @@ import java.nio.charset.StandardCharsets
   *
   * All formats have real zero-dependency implementations: text/markdown/HTML/
   * EML directly, DOCX and XLSX via `java.util.zip` + JDK StAX over the OOXML
-  * parts (`OoxmlExtract`), and PDF via a minimal classic-layout extractor with
-  * FlateDecode + ToUnicode CMap support (`PdfExtract`). The PDF subset
-  * boundary (no object streams / encryption) is documented on `PdfExtract`.
+  * parts (`OoxmlExtract`), and PDF via a minimal extractor with FlateDecode,
+  * ToUnicode CMap and /ObjStm support (`PdfExtract`). The PDF subset boundary
+  * (no predictor filters / encryption) is documented on `PdfExtract`.
   */
 trait Parser extends Serializable {
   /** Extract plain text; throw on unparseable input (caller maps to error col). */
@@ -64,7 +64,7 @@ object Parsers {
       }
       val headers = headerPart.linesIterator.toSeq
       def header(name: String): Option[String] =
-        headers.find(_.toLowerCase.startsWith(name.toLowerCase + ":"))
+        headers.find(_.toLowerCase(java.util.Locale.ROOT).startsWith(name.toLowerCase(java.util.Locale.ROOT) + ":"))
           .map(_.substring(name.length + 1).trim)
       val out = new StringBuilder
       header("Subject").foreach(v => out.append(s"Subject: $v\n"))
@@ -101,7 +101,7 @@ object Parsers {
   }
 
   /** Dispatch by lowercase extension (dispatcher.go:12-50). */
-  def forExtension(ext: String): Option[Parser] = ext.toLowerCase match {
+  def forExtension(ext: String): Option[Parser] = ext.toLowerCase(java.util.Locale.ROOT) match {
     case "txt" | "md" => Some(TextParser)
     case "html" | "htm" => Some(HtmlParser)
     case "eml" => Some(EmlParser)

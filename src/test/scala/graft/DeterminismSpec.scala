@@ -26,7 +26,8 @@ class DeterminismSpec extends AnyFunSuite {
   // classes where partition count could sneak into results (the oracle gate
   // runs at one fixed parallelism and wouldn't see it)
   private val shapeSensitive =
-    Seq("q37_dedup_clusters", "q38_bm25_search", "q39_hybrid_rrf", "q2f_winnowing")
+    Seq("q37_dedup_clusters", "q38_bm25_search", "q39_hybrid_rrf",
+      "q2f_winnowing", "q34_lsh_bucket_knn")
 
   for (name <- (rowsOnly ++ shapeSensitive).distinct.sorted) {
     test(s"$name is partition-invariant") {

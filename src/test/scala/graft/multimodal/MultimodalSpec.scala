@@ -124,6 +124,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.toSeq == Multimodal.fakeDecodeFeatures(truncated, 16).toSeq)
   }
 
+  test("decode fuzz: crafted headers can never escape the fallback") {
+    val rnd = new scala.util.Random(42)
+    // random bytes behind valid magic — includes overflow-crafted headers
+    for (_ <- 1 to 200) {
+      val body = new Array[Byte](54 + rnd.nextInt(256)); rnd.nextBytes(body)
+      body(0) = 'B'; body(1) = 'M'
+      assert(Multimodal.decodeFeatures(body, 16).length == 16)
+      assert(Multimodal.probeMeta(body) != null)
+      val wavBody = new Array[Byte](44 + rnd.nextInt(256)); rnd.nextBytes(wavBody)
+      "RIFF".getBytes.copyToArray(wavBody, 0); "WAVE".getBytes.copyToArray(wavBody, 8)
+      assert(Multimodal.decodeFeatures(wavBody, 16).length == 16)
+      assert(Multimodal.probeMeta(wavBody) != null)
+    }
+    // specific Int-overflow header: width chosen so width*3 overflows Int
+    val evil = bmp(4, 2, Seq.fill(8)((0, 0, 0)))
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 0x2AAAAAAB) // width
+    assert(Multimodal.decodeFeatures(evil, 16).length == 16) // falls back
+    // short trailing fmt chunk: declared size 4, reads would run past buffer
+    val shortFmt = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    shortFmt.put("RIFF".getBytes).putInt(16).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(4).putInt(0)
+    assert(Multimodal.probeMeta(java.util.Arrays.copyOf(shortFmt.array(), 48)) ==
+      Multimodal.ProbedMeta(None, None, None, None, None))
+  }
+
   test("frame sampling: evenly spaced frames for videos only") {
     val frames = Multimodal.sampleFrames(mediaDf, nFrames = 5).collect()
     assert(frames.length == 5)
