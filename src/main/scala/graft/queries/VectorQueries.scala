@@ -132,6 +132,41 @@ object VectorQueries {
       },
       headline = true),
 
+    // Int8-quantized ANN, hash-exact: per-vector symmetric quantization
+    // (scale = max|x|/127 → ARRAY<TINYINT>, 4× smaller than FLOAT), scored
+    // on the dequantized vectors. The memory/bandwidth lever for the
+    // 100 TB-dominant embedding column; ranking fidelity vs float is gated
+    // in VectorSearchSpec.
+    "q3a_quantized_topk" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+          .withColumn("scale", VectorFunctions.int8Scale(col("embedding")))
+          .withColumn("q8", VectorFunctions.int8Quantize(col("embedding"), col("scale")))
+          .withColumn("dv", VectorFunctions.int8Dequant(col("q8"), col("scale")))
+        val q = e.filter(col("vec_id") === 0).select(col("dv").as("qv"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            round(VectorFunctions.cosine(col("dv"), col("qv")), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, label, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        d AS (SELECT vec_id, label,
+              CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0.0 AS DOUBLE))
+                   ELSE CAST(list_transform(v, x ->
+                        CAST(CAST(ROUND(x / scale) AS TINYINT) * scale AS FLOAT))
+                        AS DOUBLE[]) END AS dv
+              FROM s),
+        q AS (SELECT dv AS qv FROM d WHERE vec_id = 0)
+        SELECT d.vec_id, d.label,
+               ROUND(CAST(list_cosine_similarity(d.dv, q.qv) AS DOUBLE), 6) AS score
+        FROM d CROSS JOIN q WHERE d.vec_id <> 0
+        ORDER BY score DESC, vec_id LIMIT 10""")),
+
     // Full ingest transform as a throughput probe (headline): chunk explode
     // → deterministic embed → idempotent ids over every document. This is
     // the reference's core write path (§3.2) expressed as one narrow

@@ -156,6 +156,35 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(okMulti.toDouble / multi.length > 0.95)
   }
 
+  test("int8 quantization: bounded error, ranking fidelity, zero-vector safe") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val e = ((0 until 200).map(i => (i.toLong, MockEmbedder.embed(s"vec $i", 32)))
+      :+ (999L, Array.fill(32)(0f))).toDF("id", "v")
+      .withColumn("scale", int8Scale(col("v")))
+      .withColumn("q8", int8Quantize(col("v"), col("scale")))
+      .withColumn("dv", int8Dequant(col("q8"), col("scale")))
+      .cache()
+    // per-component reconstruction error ≤ scale/2 (symmetric rounding)
+    val bad = e.withColumn("err",
+      aggregate(zip_with(col("v"), col("dv"), (a, b) => abs(a.cast("double") - b)),
+        lit(0.0), (acc, x) => greatest(acc, x)))
+      .filter(col("err") > col("scale") / 2 + 1e-9).count()
+    assert(bad == 0)
+    // zero vector quantizes to all-zero bytes, dequantizes to zeros
+    val z = e.filter(col("id") === 999L).select("q8", "dv").head()
+    assert(z.getAs[scala.collection.Seq[Byte]]("q8").forall(_ == 0))
+    assert(z.getAs[scala.collection.Seq[Float]]("dv").forall(_ == 0f))
+    // ranking fidelity: top-10 by quantized cosine overlaps float top-10
+    val q = MockEmbedder.embed("vec 7", 32)
+    def top(c: String) = VectorSearch.topK(
+      e.filter(col("id") =!= 999L).select(col("id"), col(c).as("vector")),
+      "vector", q, k = 10).select("id").as[Long].collect().toSet
+    val overlap = (top("v") intersect top("dv")).size
+    assert(overlap >= 8, s"quantized top-10 overlap only $overlap/10")
+    e.unpersist()
+  }
+
   test("cosinePairs finds only above-threshold pairs") {
     import spark.implicits._
     val a = Array.fill(16)(1.0f)
