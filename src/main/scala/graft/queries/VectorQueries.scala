@@ -167,6 +167,37 @@ object VectorQueries {
         FROM d CROSS JOIN q WHERE d.vec_id <> 0
         ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // Pre-normalized dot-product search, hash-exact: vectors L2-normalized
+    // once (the ingest-time transform at 100 TB) so each query probe is a
+    // plain dot product — no per-row norm recomputation. Ranking provably
+    // equals cosine on the raw vectors (spec-gated); scores ARE the cosine.
+    "q3b_normalized_topk" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+          .withColumn("nv", VectorFunctions.l2Normalize(col("embedding")))
+        val q = e.filter(col("vec_id") === 0).select(col("nv").as("qv"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            round(VectorFunctions.dot(col("nv"), col("qv")), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, label,
+              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, v FROM e),
+        d AS (SELECT vec_id, label,
+              CASE WHEN nrm = 0 THEN CAST(list_transform(v, x -> CAST(x AS FLOAT)) AS DOUBLE[])
+                   ELSE CAST(list_transform(v, x -> CAST(x / nrm AS FLOAT)) AS DOUBLE[])
+              END AS nv
+              FROM n),
+        q AS (SELECT nv AS qv FROM d WHERE vec_id = 0)
+        SELECT d.vec_id, d.label,
+               ROUND(CAST(list_dot_product(d.nv, q.qv) AS DOUBLE), 6) AS score
+        FROM d CROSS JOIN q WHERE d.vec_id <> 0
+        ORDER BY score DESC, vec_id LIMIT 10""")),
+
     // Full ingest transform as a throughput probe (headline): chunk explode
     // → deterministic embed → idempotent ids over every document. This is
     // the reference's core write path (§3.2) expressed as one narrow

@@ -185,6 +185,26 @@ class VectorSearchSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("pre-normalized dot ranking equals cosine ranking on raw vectors") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val e = (0 until 150).map(i => (i.toLong, MockEmbedder.embed(s"n$i", 24)))
+      .toDF("id", "v")
+      .withColumn("nv", l2Normalize(col("v")))
+    val qRaw = MockEmbedder.embed("n3", 24)
+    val nrm = math.sqrt(qRaw.map(x => x.toDouble * x).sum)
+    val qNorm = qRaw.map(x => (x / nrm).toFloat)
+    val byCosine = VectorSearch.topK(
+      e.select(col("id"), col("v").as("vector")), "vector", qRaw, 10)
+      .select("id").as[Long].collect().toSeq
+    val byDot = e.crossJoin(
+        Seq(Tuple1(qNorm)).toDF("qv"))
+      .select(col("id"), round(dot(col("nv"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(10)
+      .select("id").as[Long].collect().toSeq
+    assert(byDot == byCosine)
+  }
+
   test("cosinePairs finds only above-threshold pairs") {
     import spark.implicits._
     val a = Array.fill(16)(1.0f)
