@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental corpus dedup: within-batch collapse, cross-batch drop via the
+  * accumulated signature store, store growth only by survivors.
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest to hide from the loud hunters"
+  private def nearDup(s: String) = s.replace("quick", "swift")
+
+  test("batch 1 collapses internal near-dups; batch 2 drops dups vs store") {
+    import spark.implicits._
+    val emptyStore = Seq.empty[(Long, Array[Long], Int, Long)]
+      .toDF("doc_id", "sig", "band_idx", "band_key")
+
+    // batch 1: doc 1 and 2 are near-dups of each other, 3 is distinct
+    val b1 = Seq(
+      (1L, base),
+      (2L, nearDup(base)),
+      (3L, "completely different content about spark physical plans and " +
+        "shuffle exchanges in distributed query execution engines at scale"))
+      .toDF("doc_id", "text")
+    val (s1, rows1) = StreamingDedup.processBatch(b1, emptyStore, "doc_id", "text",
+      minEstJaccard = 0.5)
+    val kept1 = s1.select("doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(1L, 3L)) // 2 collapsed into min-id rep 1
+    val store1 = rows1.cache()
+    assert(store1.select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 3L))
+
+    // batch 2: doc 4 is a near-dup of stored doc 1; doc 5 is new
+    val b2 = Seq(
+      (4L, nearDup(base) + " extra"),
+      (5L, "an entirely novel document describing reciprocal rank fusion " +
+        "for hybrid lexical and semantic retrieval pipelines in production"))
+      .toDF("doc_id", "text")
+    val (s2, rows2) = StreamingDedup.processBatch(b2, store1, "doc_id", "text",
+      minEstJaccard = 0.5)
+    val kept2 = s2.select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(5L)) // 4 dropped against the store
+    assert(rows2.select("doc_id").distinct().as[Long].collect().toSet == Set(5L))
+
+    // re-sending an already-stored doc is dropped (idempotent re-ingest)
+    val b3 = Seq((6L, base)).toDF("doc_id", "text")
+    val (s3, _) = StreamingDedup.processBatch(
+      b3, store1.union(rows2), "doc_id", "text", minEstJaccard = 0.5)
+    assert(s3.count() == 0)
+    store1.unpersist()
+  }
+
+  test("run(): foreachBatch wiring dedups across real micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup")
+    val (store, out, ckpt) = (s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.run(spark,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      store, out, ckpt, minEstJaccard = 0.5)
+    try {
+      input.addData((1L, base), (2L, nearDup(base)))
+      q.processAllAvailable()
+      input.addData((4L, nearDup(base) + " tail"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L)) // 2 collapsed in-batch, 4 dropped vs store
+    val stored = spark.read.parquet(store).select("doc_id").distinct().as[Long].collect().toSet
+    assert(stored == Set(1L))
+  }
+}
