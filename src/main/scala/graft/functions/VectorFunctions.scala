@@ -71,12 +71,15 @@ object VectorFunctions {
   /** L2 norm (double). */
   def l2Norm(a: Column): Column = sqrt(dot(a, b = a))
 
-  /** L2-normalize into ARRAY<DOUBLE> (for pre-normalized dot-product search). */
-  def l2Normalize(a: Column): Column = {
-    val n = l2Norm(a)
-    when(n === 0.0, transform(a, x => x.cast("double")))
-      .otherwise(transform(a, x => x.cast("double") / n))
-  }
+  /** L2-normalize into ARRAY<DOUBLE> with a PRE-MATERIALIZED norm column
+    * (for pre-normalized dot-product search). Like [[int8Quantize]], the
+    * norm must be its own column: embedding the [[l2Norm]] aggregate inside
+    * the lambda would re-evaluate the full O(d) dot product per element
+    * (the CLAUDE.md HOF gotcha — O(d²) per row on the ingest hot path).
+    */
+  def l2NormalizeWith(a: Column, norm: Column): Column =
+    when(norm === 0.0, transform(a, x => x.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / norm))
 }
 
 /** Bridge between the public Column API and Catalyst expressions (Spark 4

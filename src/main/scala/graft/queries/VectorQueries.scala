@@ -174,7 +174,8 @@ object VectorQueries {
     "q3b_normalized_topk" -> Q(
       fn = (s, dir) => {
         val e = emb(s, dir)
-          .withColumn("nv", VectorFunctions.l2Normalize(col("embedding")))
+          .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
+          .withColumn("nv", VectorFunctions.l2NormalizeWith(col("embedding"), col("nrm")))
         val q = e.filter(col("vec_id") === 0).select(col("nv").as("qv"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))

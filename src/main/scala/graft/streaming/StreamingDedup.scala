@@ -7,79 +7,106 @@ import org.apache.spark.sql.functions._
 
 /** Incremental near-duplicate dedup for a continuously arriving corpus —
   * the production LLM-pipeline pattern: each micro-batch is deduped
-  * (1) within itself (exact + MinHash-LSH near-dup), then (2) against the
-  * ACCUMULATED signature store via an LSH band join, and survivors'
-  * signatures are appended to the store.
+  * (1) within itself (redelivered ids + exact + MinHash-LSH near-dup), then
+  * (2) against the ACCUMULATED signature store via an LSH band join, and
+  * survivors' signatures are appended to the store.
   *
-  * The store is a table (parquet/lakehouse), not executor memory: restart
-  * safety, compaction and TTL come from the storage layer, and the per-batch
-  * work is one band-key join against a bucketed table — O(batch × bands)
-  * lookups regardless of corpus size, the only shape that survives a corpus
-  * that has already ingested 100 TB.
+  * Scale shape: the store is a table (parquet/lakehouse), not executor
+  * memory — restart safety, compaction and TTL come from the storage layer.
+  * Each batch performs ONE scan of the store with the (small) batch side
+  * broadcast, so the store is never shuffled; on a lakehouse, bucket the
+  * store by `band_key` to turn the scan into pruned lookups.
+  *
+  * Replay safety: both sinks are written as `batch_id=N` partitions with
+  * dynamic partition overwrite — a replayed batch overwrites its own
+  * partition instead of appending duplicates.
   */
 object StreamingDedup {
 
-  /** Exploded band-signature rows for a batch: (doc_id, band_idx, band_key,
-    * sig). The store holds exactly these columns.
+  /** Exploded band-signature rows for a batch: (doc_id, sig, band_idx,
+    * band_key). The store holds exactly these columns (doc_id as STRING —
+    * id-type agnostic; uuid5 chunk ids are strings).
     */
   def bandRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     Dedup.minhashSignatures(docs, idCol, textCol, n)
-      .select(col(idCol).as("doc_id"), col("sig"),
+      .select(col(idCol).cast("string").as("doc_id"), col("sig"),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))
 
   /** One batch against one store state (pure — unit-testable without a
-    * stream): returns (survivors, newStoreRows).
+    * stream): returns (survivors, survivorBandRows).
     *
+    *  - redelivered ids within the batch collapse first (`dropDuplicates`)
     *  - within-batch near-dups collapse to their min-id representative
     *  - a batch doc whose estimated Jaccard vs ANY stored signature sharing
     *    an LSH band is ≥ `minEstJaccard` is dropped as a duplicate
+    *
+    * Signatures are computed ONCE (the band rows are localCheckpoint'ed and
+    * reused for both the store join and the returned survivor rows).
     */
   def processBatch(
       batch: DataFrame, store: DataFrame, idCol: String, textCol: String,
       minEstJaccard: Double = 0.8, n: Int = 3): (DataFrame, DataFrame) = {
-    // (1) within-batch: exact + near-dup → drop everything but min-id reps
-    val withinPairs = Dedup.minhashCandidatePairs(batch, idCol, textCol,
+    // (1) within-batch: redelivered ids, then near-dup collapse to min-id rep
+    val uniqueIds = batch.dropDuplicates(idCol)
+    val withinPairs = Dedup.minhashCandidatePairs(uniqueIds, idCol, textCol,
       minEstJaccard, n)
     val dropWithin = Dedup.dropSet(withinPairs)
-    val batchDeduped = batch.join(
+    val batchDeduped = uniqueIds.join(
       dropWithin.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
 
-    // (2) against the store: band-key equality join, signature refine
-    val newBands = bandRows(batchDeduped, idCol, textCol, n)
-    val hits = newBands.as("nb")
-      .join(store.as("st"), Seq("band_idx", "band_key"))
+    // (2) against the store: ONE store scan, batch side broadcast (the store
+    // is never shuffled); signature refine on band collisions. Band rows are
+    // materialized once — the minhash UDF must not re-run per consumer.
+    val newBands = bandRows(batchDeduped, idCol, textCol, n).localCheckpoint()
+    val hitIds = store.as("st")
+      .join(broadcast(newBands.as("nb")), Seq("band_idx", "band_key"))
       .filter(GraftFunctions.minhashJaccardUdf(col("nb.sig"), col("st.sig"))
         >= minEstJaccard)
-      .select(col("nb.doc_id").as(idCol)).distinct()
-    val survivors = batchDeduped.join(hits, Seq(idCol), "left_anti")
-
-    (survivors, bandRows(survivors, idCol, textCol, n))
+      .select(col("nb.doc_id")).distinct()
+    val survivorRows = newBands.join(hitIds, Seq("doc_id"), "left_anti")
+    val survivors = batchDeduped.join(
+      survivorRows.select(col("doc_id").as(idCol)).distinct()
+        .withColumn(idCol, col(idCol).cast(batch.schema(idCol).dataType)),
+      Seq(idCol), "left_semi")
+    (survivors, survivorRows)
   }
 
+  private val StoreSchema =
+    "doc_id STRING, sig ARRAY<BIGINT>, band_idx INT, band_key LONG"
+
   /** Streaming wiring: foreachBatch drives [[processBatch]] with a parquet
-    * signature store and writes survivors to `outPath`. Batch boundaries
-    * give exactly-once per-batch semantics on restart when the sink is
-    * idempotent (survivors carry deterministic ids).
+    * signature store and writes survivors to `outPath`. Both writes land in
+    * a `batch_id` partition with dynamic overwrite, so a replayed batch is
+    * idempotent. Only a genuinely missing store path falls back to the
+    * empty store — any other read failure propagates (silently resetting
+    * dedup state would un-dedup the batch).
     */
   def run(
       spark: SparkSession, docsStream: DataFrame, idCol: String, textCol: String,
       storePath: String, outPath: String, checkpoint: String,
       minEstJaccard: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
-    val storeSchema = "doc_id LONG, sig ARRAY<BIGINT>, band_idx INT, band_key LONG"
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hPath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val store =
-          try spark.read.parquet(storePath)
-          catch { case _: Exception => spark.createDataFrame(
+          if (fs.exists(hPath))
+            spark.read.parquet(storePath)
+              .select("doc_id", "sig", "band_idx", "band_key")
+          else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL(storeSchema)) }
-        val (survivors, newRows) = processBatch(
+            org.apache.spark.sql.types.StructType.fromDDL(StoreSchema))
+        val (survivors, survivorRows) = processBatch(
           batch, store, idCol, textCol, minEstJaccard)
-        survivors.write.mode(SaveMode.Append).parquet(outPath)
-        newRows.select(col("doc_id").cast("long").as("doc_id"), col("sig"),
-            col("band_idx"), col("band_key"))
-          .write.mode(SaveMode.Append).parquet(storePath)
+        survivors.withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
+        survivorRows.withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(storePath)
         ()
       }
       .start()

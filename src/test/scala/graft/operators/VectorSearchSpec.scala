@@ -190,7 +190,8 @@ class VectorSearchSpec extends AnyFunSuite {
     import graft.functions.VectorFunctions._
     val e = (0 until 150).map(i => (i.toLong, MockEmbedder.embed(s"n$i", 24)))
       .toDF("id", "v")
-      .withColumn("nv", l2Normalize(col("v")))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("nv", l2NormalizeWith(col("v"), col("nrm")))
     val qRaw = MockEmbedder.embed("n3", 24)
     val nrm = math.sqrt(qRaw.map(x => x.toDouble * x).sum)
     val qNorm = qRaw.map(x => (x / nrm).toFloat)

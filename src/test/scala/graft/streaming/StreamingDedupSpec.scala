@@ -4,8 +4,9 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Incremental corpus dedup: within-batch collapse, cross-batch drop via the
-  * accumulated signature store, store growth only by survivors.
+/** Incremental corpus dedup: within-batch collapse (including redelivered
+  * ids), cross-batch drop via the accumulated signature store, store growth
+  * only by survivors, replay-idempotent sinks.
   */
 class StreamingDedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -14,11 +15,14 @@ class StreamingDedupSpec extends AnyFunSuite {
     "runs far away into the deep green forest to hide from the loud hunters"
   private def nearDup(s: String) = s.replace("quick", "swift")
 
+  private def emptyStore = {
+    import spark.implicits._
+    Seq.empty[(String, Array[Long], Int, Long)]
+      .toDF("doc_id", "sig", "band_idx", "band_key")
+  }
+
   test("batch 1 collapses internal near-dups; batch 2 drops dups vs store") {
     import spark.implicits._
-    val emptyStore = Seq.empty[(Long, Array[Long], Int, Long)]
-      .toDF("doc_id", "sig", "band_idx", "band_key")
-
     // batch 1: doc 1 and 2 are near-dups of each other, 3 is distinct
     val b1 = Seq(
       (1L, base),
@@ -31,7 +35,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     val kept1 = s1.select("doc_id").as[Long].collect().toSet
     assert(kept1 == Set(1L, 3L)) // 2 collapsed into min-id rep 1
     val store1 = rows1.cache()
-    assert(store1.select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 3L))
+    assert(store1.select("doc_id").distinct().as[String].collect().toSet == Set("1", "3"))
 
     // batch 2: doc 4 is a near-dup of stored doc 1; doc 5 is new
     val b2 = Seq(
@@ -43,7 +47,7 @@ class StreamingDedupSpec extends AnyFunSuite {
       minEstJaccard = 0.5)
     val kept2 = s2.select("doc_id").as[Long].collect().toSet
     assert(kept2 == Set(5L)) // 4 dropped against the store
-    assert(rows2.select("doc_id").distinct().as[Long].collect().toSet == Set(5L))
+    assert(rows2.select("doc_id").distinct().as[String].collect().toSet == Set("5"))
 
     // re-sending an already-stored doc is dropped (idempotent re-ingest)
     val b3 = Seq((6L, base)).toDF("doc_id", "text")
@@ -51,6 +55,25 @@ class StreamingDedupSpec extends AnyFunSuite {
       b3, store1.union(rows2), "doc_id", "text", minEstJaccard = 0.5)
     assert(s3.count() == 0)
     store1.unpersist()
+  }
+
+  test("a doc redelivered twice inside one micro-batch lands once") {
+    import spark.implicits._
+    val b = Seq((7L, base), (7L, base)).toDF("doc_id", "text")
+    val (s, rows) = StreamingDedup.processBatch(b, emptyStore, "doc_id", "text",
+      minEstJaccard = 0.5)
+    assert(s.count() == 1)
+    assert(rows.select("band_idx").count() == graft.functions.TextHashing.LshBands)
+  }
+
+  test("string (uuid-style) ids flow through the store untouched") {
+    import spark.implicits._
+    val b = Seq(("chunk-aaaa", base), ("chunk-bbbb", nearDup(base)))
+      .toDF("doc_id", "text")
+    val (s, rows) = StreamingDedup.processBatch(b, emptyStore, "doc_id", "text",
+      minEstJaccard = 0.5)
+    assert(s.select("doc_id").as[String].collect().toSeq == Seq("chunk-aaaa"))
+    assert(rows.select("doc_id").distinct().as[String].collect().toSeq == Seq("chunk-aaaa"))
   }
 
   test("run(): foreachBatch wiring dedups across real micro-batches") {
@@ -71,7 +94,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
     val landed = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
     assert(landed == Set(1L)) // 2 collapsed in-batch, 4 dropped vs store
-    val stored = spark.read.parquet(store).select("doc_id").distinct().as[Long].collect().toSet
-    assert(stored == Set(1L))
+    val stored = spark.read.parquet(store).select("doc_id").distinct().as[String].collect().toSet
+    assert(stored == Set("1"))
   }
 }
