@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix construction over a document corpus: deterministic sampling
+  * (per-source mix weights) and token-budget sharding — the two transforms
+  * that turn a deduplicated corpus into training input at 100 TB.
+  *
+  * Sampling is HASH-deterministic, not RNG-based: membership depends only on
+  * (key, salt), so it is reproducible across runs, engines and partitionings
+  * — re-running the pipeline yields the same mix (and the DuckDB oracle can
+  * replay it exactly; md5 agrees across engines). Changing the salt redraws
+  * the sample.
+  */
+object DataMix {
+
+  /** First 8 md5 hex chars of (key, salt) — a uniform draw in [0, 2^32) as a
+    * fixed-width lowercase hex string; comparing against [[hexThreshold]]
+    * keeps an expected `rate` fraction. String comparison IS numeric
+    * comparison here (fixed width, single case).
+    */
+  def hashDraw(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 8)
+
+  /** `rate` ∈ [0,1] → the 8-hex-digit threshold for [[hashDraw]]. */
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    f"${math.round(rate * 4294967296.0).min(4294967295L)}%08x"
+  }
+
+  /** Keep an expected `rate` fraction of rows, deterministically by key. */
+  def deterministicSample(
+      df: DataFrame, keyCol: String, rate: Double, salt: String): DataFrame =
+    df.filter(hashDraw(col(keyCol), salt) < lit(hexThreshold(rate)))
+
+  /** Per-source mix: each source keeps its own expected fraction (sources
+    * absent from `rates` are dropped — an explicit mix is a whitelist).
+    */
+  def mixBySource(
+      df: DataFrame, sourceCol: String, keyCol: String,
+      rates: Map[String, Double], salt: String): DataFrame = {
+    val keep = rates.foldLeft(lit(false)) { case (acc, (src, rate)) =>
+      acc || (col(sourceCol) === src &&
+        hashDraw(col(keyCol), salt) < lit(hexThreshold(rate)))
+    }
+    df.filter(keep)
+  }
+
+  /** Token-budget sharding: within each group (ordered by `orderCol`), docs
+    * are assigned to consecutive bins by EXCLUSIVE prefix token count, so
+    * each bin receives ~`budget` tokens (a doc straddling a boundary counts
+    * toward the bin it starts in — the standard prefix-sum shard, one
+    * window, no iteration; exact greedy packing would need a sequential
+    * scan and buys little at corpus scale).
+    */
+  def packByTokenBudget(
+      df: DataFrame, groupCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("bin",
+        ((col("__cum") - col(tokensCol)) / budget).cast("bigint"))
+      .drop("__cum")
+  }
+}

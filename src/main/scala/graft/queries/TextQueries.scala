@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{Dedup, KeywordSearch, RuleEngine}
+import graft.operators.{DataMix, Dedup, KeywordSearch, RuleEngine}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -307,6 +307,52 @@ object TextQueries {
                       (acc, c) -> (acc * 1000003 + c) % 2305843009213693951)
                END AS BIGINT) AS rolling_fp
         FROM codes ORDER BY doc_id""")),
+
+    // Training-mix sampling, hash-exact: per-language mix weights applied as
+    // deterministic md5 draws (membership depends only on key+salt, so the
+    // mix is reproducible across runs/engines/partitionings; md5 agrees with
+    // DuckDB's). Thresholds generated from the same hexThreshold the
+    // operator uses.
+    "q3c_training_mix" -> Q(
+      fn = (s, dir) =>
+        DataMix.mixBySource(docs(s, dir), "lang", "doc_id",
+          rates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "zh" -> 0.1),
+          salt = "mix1")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        SELECT doc_id, lang FROM documents
+        WHERE (lang = 'en' AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) < '${DataMix.hexThreshold(0.5)}')
+           OR (lang = 'de' AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) < '${DataMix.hexThreshold(1.0)}')
+           OR (lang = 'fr' AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) < '${DataMix.hexThreshold(0.25)}')
+           OR (lang = 'zh' AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) < '${DataMix.hexThreshold(0.1)}')
+        ORDER BY doc_id""")),
+
+    // Token-budget sharding, hash-exact: exclusive prefix-sum bin assignment
+    // within each language (one window, no iteration) — each bin receives
+    // ~2000 tokens.
+    "q3d_token_packing" -> Q(
+      fn = (s, dir) =>
+        DataMix.packByTokenBudget(
+          docs(s, dir).select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          groupCol = "lang", orderCol = "doc_id",
+          tokensCol = "n_tokens", budget = 2000L)
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT doc_id, lang, n_tokens,
+               CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2000) AS BIGINT) AS bin
+        FROM c ORDER BY doc_id""")),
 
     // Winnowing fingerprints (Schleimer et al.), hash-exact: per-position
     // k-gram Karp-Rabin hashes re-derived in DuckDB as list_reduce folds

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic training-mix sampling + token-budget sharding. */
+class DataMixSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("deterministic sample: reproducible, salt-sensitive, rate-accurate") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val s1 = DataMix.deterministicSample(df, "id", 0.3, "saltA")
+      .select("id").as[Long].collect().toSet
+    val s2 = DataMix.deterministicSample(df, "id", 0.3, "saltA")
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2) // same key+salt → same members, any run, any partitioning
+    val sB = DataMix.deterministicSample(df, "id", 0.3, "saltB")
+      .select("id").as[Long].collect().toSet
+    assert(s1 != sB) // new salt redraws
+    assert(math.abs(s1.size / 2000.0 - 0.3) < 0.05) // expected fraction
+    // nested property: a higher-rate sample with the same salt is a superset
+    val s50 = DataMix.deterministicSample(df, "id", 0.5, "saltA")
+      .select("id").as[Long].collect().toSet
+    assert(s1.subsetOf(s50))
+    assert(DataMix.deterministicSample(df, "id", 0.0, "x").count() == 0)
+    assert(DataMix.deterministicSample(df, "id", 1.0, "x").count() == 2000)
+  }
+
+  test("mixBySource: explicit whitelist, per-source rates") {
+    import spark.implicits._
+    val df = (0L until 900L).map(i => (i, Seq("web", "books", "code")(i.toInt % 3)))
+      .toDF("id", "src")
+    val mixed = DataMix.mixBySource(df, "src", "id",
+      rates = Map("web" -> 0.2, "books" -> 1.0), salt = "m")
+    val bySrc = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("code")) // unlisted source dropped
+    assert(bySrc("books") == 300L) // rate 1.0 keeps all
+    assert(bySrc("web") < 120 && bySrc("web") > 20) // ~60 expected of 300
+  }
+
+  test("packByTokenBudget: exclusive prefix bins, straddlers start in-place") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", 1L, 900L), ("g", 2L, 900L), ("g", 3L, 900L), // 0,900,1800 → bins 0,0,0
+      ("g", 4L, 100L), // cum-before 2700 → bin 1
+      ("g", 5L, 5000L), // cum-before 2800 → bin 1 (straddles, starts in 1)
+      ("h", 6L, 10L)) // separate group restarts at bin 0
+      .toDF("grp", "id", "toks")
+    val bins = DataMix.packByTokenBudget(df, "grp", "id", "toks", budget = 2000L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bin")).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 0L))
+  }
+}
