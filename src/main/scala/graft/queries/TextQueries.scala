@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{DataMix, Dedup, KeywordSearch, RuleEngine}
+import graft.operators.{DataMix, Decontaminate, Dedup, KeywordSearch, RuleEngine, Scrub}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -353,6 +353,56 @@ object TextQueries {
         SELECT doc_id, lang, n_tokens,
                CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2000) AS BIGINT) AS bin
         FROM c ORDER BY doc_id""")),
+
+    // PII scan + redaction, hash-exact: RE2-compatible patterns run
+    // identically in Spark and DuckDB; the sha256 of the redacted text
+    // validates the full replace pipeline (order-sensitive) per doc.
+    "q3e_pii_scrub" -> Q(
+      fn = (s, dir) =>
+        Scrub.withPiiCounts(docs(s, dir), "text")
+          .select(col("doc_id"), col("n_email"), col("n_ipv4"),
+            col("n_ssn"), col("n_phone"),
+            sha2(Scrub.redact(col("text")), 256).as("redacted_sha"))
+          .orderBy(col("doc_id")),
+      oracle = {
+        val counts = Scrub.PiiPatterns.map { case (name, pat) =>
+          s"CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_$name"
+        }.mkString(",\n               ")
+        val redacted = Scrub.PiiPatterns.foldLeft("text") { case (expr, (name, pat)) =>
+          s"regexp_replace($expr, '$pat', '<${name.toUpperCase(java.util.Locale.ROOT)}>', 'g')"
+        }
+        Some(s"""
+          SELECT doc_id,
+               $counts,
+               sha256($redacted) AS redacted_sha
+          FROM documents ORDER BY doc_id""")
+      }),
+
+    // Benchmark decontamination, hash-exact: corpus docs sharing any word
+    // 8-gram with the "benchmark" slice (doc_id < 20) — the standard n-gram
+    // contamination droplist, string grams so the oracle replays exactly.
+    "q3f_decontamination" -> Q(
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+        Decontaminate.sharedNgrams(
+          d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+          "doc_id", "text", n = 8)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t) - 6),
+                   i -> array_to_string(t[i : i + 7], ' '))) AS gram
+          FROM toks WHERE len(t) >= 8),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM g JOIN bench USING (gram)
+        WHERE doc_id >= 20
+        GROUP BY doc_id HAVING count(*) >= 1 ORDER BY doc_id""")),
 
     // Winnowing fingerprints (Schleimer et al.), hash-exact: per-position
     // k-gram Karp-Rabin hashes re-derived in DuckDB as list_reduce folds

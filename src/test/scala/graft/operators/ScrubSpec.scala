@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PII detection/redaction + benchmark decontamination behavior on real
+  * pattern fixtures (the oracle gate runs them over the synthetic corpus;
+  * these prove the patterns actually catch PII).
+  */
+class ScrubSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("pii counts and redaction over real pattern fixtures") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact alice.smith+dev@example.co.uk or bob@test.io today"),
+      (2L, "server 192.168.1.100 responded; backup at 10.0.0.1"),
+      (3L, "ssn 123-45-6789 leaked with phone 555-867-5309"),
+      (4L, "clean text with numbers 12345 and a date 2024-01-01"))
+      .toDF("doc_id", "text")
+    val r = Scrub.withPiiCounts(df, "text")
+      .withColumn("red", Scrub.redact(col("text")))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Int]("n_email") == 2)
+    assert(r(2L).getAs[Int]("n_ipv4") == 2)
+    assert(r(3L).getAs[Int]("n_ssn") == 1)
+    assert(r(3L).getAs[Int]("n_phone") == 1)
+    assert(r(4L).getAs[Int]("n_email") + r(4L).getAs[Int]("n_ipv4") +
+      r(4L).getAs[Int]("n_ssn") + r(4L).getAs[Int]("n_phone") == 0)
+    assert(r(1L).getAs[String]("red") == "contact <EMAIL> or <EMAIL> today")
+    assert(r(2L).getAs[String]("red") == "server <IPV4> responded; backup at <IPV4>")
+    assert(r(3L).getAs[String]("red") == "ssn <SSN> leaked with phone <PHONE>")
+    assert(r(4L).getAs[String]("red") == r(4L).getAs[String]("text")) // untouched
+  }
+
+  test("decontamination flags only docs sharing a full benchmark 8-gram") {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "what is the capital of france paris is the answer here"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix words what is the capital of france paris is copied"), // shares 8-grams
+      (11L, "what is the capital of germany berlin is the answer"), // no shared 8-gram
+      (12L, "totally unrelated content about spark shuffles and joins"))
+      .toDF("doc_id", "text")
+    val flagged = Decontaminate.sharedNgrams(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_grams")).toMap
+    assert(flagged.keySet == Set(10L))
+    assert(flagged(10L) >= 1L)
+  }
+
+  test("short docs (< n tokens) produce no grams and never flag") {
+    import spark.implicits._
+    val bench = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val corpus = Seq((10L, "a b c")).toDF("doc_id", "text")
+    assert(Decontaminate.sharedNgrams(corpus, bench, "doc_id", "text", 8).count() == 0)
+  }
+}
