@@ -15,6 +15,13 @@ object TextAnalysis {
   /** Whitespace tokens of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Lowercased whitespace tokens — THE shared tokenizer contract for
+    * lexical retrieval and decontamination (BM25's tf/dl and the n-gram
+    * overlap check must tokenize identically or their semantics silently
+    * drift apart).
+    */
+  def lowerTokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
   /** Whitespace token count (BIGINT; 0 for empty/blank text). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))

@@ -30,22 +30,31 @@ object DataMix {
     f"${math.round(rate * 4294967296.0).min(4294967295L)}%08x"
   }
 
+  /** rate-vs-draw predicate; rate ≥ 1.0 is literally keep-all — a strict
+    * `<` against the capped "ffffffff" threshold would drop the ~1-in-4.3B
+    * keys whose draw is exactly ffffffff.
+    */
+  private def keepAtRate(draw: Column, rate: Double): Column =
+    if (rate >= 1.0) lit(true) else draw < lit(hexThreshold(rate))
+
   /** Keep an expected `rate` fraction of rows, deterministically by key. */
   def deterministicSample(
       df: DataFrame, keyCol: String, rate: Double, salt: String): DataFrame =
-    df.filter(hashDraw(col(keyCol), salt) < lit(hexThreshold(rate)))
+    df.filter(keepAtRate(hashDraw(col(keyCol), salt), rate))
 
   /** Per-source mix: each source keeps its own expected fraction (sources
     * absent from `rates` are dropped — an explicit mix is a whitelist).
+    * The draw is materialized once per row — N mix entries must not mean N
+    * md5 evaluations in the corpus-scale filter.
     */
   def mixBySource(
       df: DataFrame, sourceCol: String, keyCol: String,
       rates: Map[String, Double], salt: String): DataFrame = {
+    val withDraw = df.withColumn("__draw", hashDraw(col(keyCol), salt))
     val keep = rates.foldLeft(lit(false)) { case (acc, (src, rate)) =>
-      acc || (col(sourceCol) === src &&
-        hashDraw(col(keyCol), salt) < lit(hexThreshold(rate)))
+      acc || (col(sourceCol) === src && keepAtRate(col("__draw"), rate))
     }
-    df.filter(keep)
+    withDraw.filter(keep).drop("__draw")
   }
 
   /** Token-budget sharding: within each group (ordered by `orderCol`), docs
@@ -54,6 +63,11 @@ object DataMix {
     * toward the bin it starts in — the standard prefix-sum shard, one
     * window, no iteration; exact greedy packing would need a sequential
     * scan and buys little at corpus scale).
+    *
+    * `orderCol` MUST be unique within each group (use a content-derived id):
+    * with ties, the ROWS-frame running sum depends on post-shuffle arrival
+    * order and bin assignment stops being reproducible. Bin arithmetic is
+    * exact integer division (no double rounding at any cumulative count).
     */
   def packByTokenBudget(
       df: DataFrame, groupCol: String, orderCol: String,
@@ -63,7 +77,7 @@ object DataMix {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokensCol)).over(w))
       .withColumn("bin",
-        ((col("__cum") - col(tokensCol)) / budget).cast("bigint"))
+        expr(s"(__cum - $tokensCol) div $budget").cast("bigint"))
       .drop("__cum")
   }
 }

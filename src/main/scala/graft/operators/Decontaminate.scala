@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct word n-grams per row: (idCol, gram). Tokens are RE2-class
-    * whitespace splits of the lowercased text (same contract as BM25).
+  /** Distinct word n-grams per row: (idCol, gram). Tokenization is
+    * [[graft.functions.TextAnalysis.lowerTokens]] — the same expression BM25
+    * uses, by construction.
     */
   def ngrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val toks = graft.functions.TextAnalysis.lowerTokens(col(textCol))
     df.select(col(idCol), toks.as("__toks"))
       .filter(size(col("__toks")) >= n)
       .select(col(idCol), explode(

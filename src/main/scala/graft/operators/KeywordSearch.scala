@@ -38,7 +38,7 @@ object KeywordSearch {
     // value with no explode and no groupBy shuffle (split never yields an
     // empty array, so every doc appears, matching the explode+count shape)
     val lens = corpus.select(col(idCol).as("doc_id"),
-      size(split(lower(trim(col(textCol))), "\\s+")).cast("long").as("dl"))
+      size(graft.functions.TextAnalysis.lowerTokens(col(textCol))).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     // substring pre-filter before the explode: a superset of true matches
     // (the exact term equality below refines), but it reaches the scan as a
@@ -46,7 +46,7 @@ object KeywordSearch {
     val candidates = corpus.filter(
       terms.map(t => lower(col(textCol)).contains(t)).reduce(_ || _))
     val toks = candidates.select(col(idCol).as("doc_id"),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      explode(graft.functions.TextAnalysis.lowerTokens(col(textCol))).as("term"))
     val tf = toks.filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     // doc frequency as a window over tf (rows are unique per (doc, term), so

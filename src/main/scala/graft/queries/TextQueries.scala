@@ -323,7 +323,7 @@ object TextQueries {
       oracle = Some(s"""
         SELECT doc_id, lang FROM documents
         WHERE (lang = 'en' AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) < '${DataMix.hexThreshold(0.5)}')
-           OR (lang = 'de' AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) < '${DataMix.hexThreshold(1.0)}')
+           OR (lang = 'de')
            OR (lang = 'fr' AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) < '${DataMix.hexThreshold(0.25)}')
            OR (lang = 'zh' AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) < '${DataMix.hexThreshold(0.1)}')
         ORDER BY doc_id""")),
@@ -351,7 +351,7 @@ object TextQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM t)
         SELECT doc_id, lang, n_tokens,
-               CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2000) AS BIGINT) AS bin
+               CAST((cum - n_tokens) // 2000 AS BIGINT) AS bin
         FROM c ORDER BY doc_id""")),
 
     // PII scan + redaction, hash-exact: RE2-compatible patterns run

@@ -27,7 +27,8 @@ class DeterminismSpec extends AnyFunSuite {
   // runs at one fixed parallelism and wouldn't see it)
   private val shapeSensitive =
     Seq("q37_dedup_clusters", "q38_bm25_search", "q39_hybrid_rrf",
-      "q2f_winnowing", "q34_lsh_bucket_knn")
+      "q2f_winnowing", "q34_lsh_bucket_knn", "q3d_token_packing",
+      "q3f_decontamination")
 
   for (name <- (rowsOnly ++ shapeSensitive).distinct.sorted) {
     test(s"$name is partition-invariant") {
