@@ -29,6 +29,16 @@ object Graft {
     spark.udf.register("rolling_fingerprint", GraftFunctions.rollingFingerprintUdf)
     spark.udf.register("winnowing", GraftFunctions.winnowingUdf)
     spark.udf.register("lang_id", GraftFunctions.langIdUdf)
+    // binary ingest + multimodal decode for pure-SQL pipelines
+    // (e.g. SELECT parse_document('pdf', content) FROM binaryFiles)
+    spark.udf.register("parse_document",
+      org.apache.spark.sql.functions.udf((ext: String, bytes: Array[Byte]) =>
+        if (ext == null || bytes == null) None
+        else graft.sources.Parsers.parseOrNone(ext, bytes)))
+    spark.udf.register("media_features",
+      org.apache.spark.sql.functions.udf((bytes: Array[Byte], dim: Int) =>
+        if (bytes == null) null
+        else graft.multimodal.Multimodal.decodeFeatures(bytes, dim)))
     spark
   }
 

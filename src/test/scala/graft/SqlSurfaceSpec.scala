@@ -68,6 +68,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Int]("sig_len") == 64))
   }
 
+  test("binary parsing + media decode are callable from pure SQL") {
+    import spark.implicits._
+    val html = "<p>Pure <b>SQL</b> ingest &amp; parse</p>".getBytes("UTF-8")
+    Seq(("a.html", "html", html), ("junk.pdf", "pdf", Array[Byte](1, 2, 3)))
+      .toDF("name", "ext", "content").createOrReplaceTempView("raw_files")
+    val parsed = spark.sql("""
+      SELECT name, parse_document(ext, content) AS text FROM raw_files
+      ORDER BY name""").collect()
+    assert(parsed(0).getAs[String]("text") == "Pure SQL ingest & parse")
+    assert(parsed(1).getAs[String]("text") == null) // unparseable → NULL, no crash
+    val feat = spark.sql(
+      "SELECT media_features(content, 16) AS f FROM raw_files WHERE name = 'a.html'")
+      .collect().head.getAs[scala.collection.Seq[Float]]("f")
+    assert(feat.length == 16) // non-media bytes → deterministic stub features
+  }
+
   test("general SQL over registered views (reference-style analytics)") {
     val r = spark.sql("""
       SELECT event_type, COUNT(*) AS n
