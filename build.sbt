@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the forked program's stdout (graft.Bench prints one JSON
+// line). sbt's default LoggedOutput wraps it in "[info] " which breaks the
+// parse; StdoutOutput inherits this process's stdout/stderr bare. showSuccess
+// off so no "[success] Total time" line trails the JSON.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(outputStrategy, run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

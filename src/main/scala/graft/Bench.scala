@@ -38,7 +38,6 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
     // Also write the JSON to a file so the driver gets a machine-parseable
     // record even when stdout is wrapped in sbt [info] log noise.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -49,5 +48,9 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    // Print LAST, after spark.stop(), so the JSON is the final stdout line
+    // (Spark shutdown logs go to stderr; sbt passes stdout through bare via
+    // outputStrategy := StdoutOutput in build.sbt).
+    println(json)
   }
 }

@@ -5,6 +5,7 @@ set -e
 SF=${1:-/root/testdata/sf0.001}
 OUT=${2:-/tmp/verify_out}
 MAIN=${3:-graft.Verify}
+BENCH_OUT=${SPARK_GRAFT_BENCH_OUT:-bench_out.json}
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
@@ -13,7 +14,14 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS -Xmx8g \
+rc=0
+java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  "$MAIN" "$SF" "$OUT"
+  "$MAIN" "$SF" "$OUT" || rc=$?
+# Bench contract: the driver parses the FINAL stdout line as JSON. Re-emit
+# the machine-written bench record bare (no log prefixes) as that line.
+if [ "$MAIN" = "graft.Bench" ] && [ "$rc" = "0" ] && [ -f "$BENCH_OUT" ]; then
+  tail -n 1 "$BENCH_OUT"
+fi
+exit $rc
