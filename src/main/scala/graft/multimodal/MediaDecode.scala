@@ -135,7 +135,9 @@ private[multimodal] object MediaDecode {
     while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = le32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length)
+      // bounds math in Long: a crafted size near Int.MaxValue wraps Int
+      // arithmetic negative and would bypass the truncation check
+      if (size < 0 || off.toLong + 8L + size > b.length)
         throw new IllegalArgumentException("truncated WAV chunk")
       id match {
         case "fmt " =>

@@ -75,9 +75,11 @@ object DataMix {
     require(budget > 0, s"budget must be positive, got $budget")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exclusive prefix = __cum - tokens, staged as its own column so the
+    // user-supplied column name is never interpolated into SQL text
     df.withColumn("__cum", sum(col(tokensCol)).over(w))
-      .withColumn("bin",
-        expr(s"(__cum - $tokensCol) div $budget").cast("bigint"))
-      .drop("__cum")
+      .withColumn("__start", col("__cum") - col(tokensCol))
+      .withColumn("bin", expr(s"__start div $budget").cast("bigint"))
+      .drop("__cum", "__start")
   }
 }

@@ -190,7 +190,7 @@ object VectorQueries {
               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, v FROM e),
         d AS (SELECT vec_id, label,
               CASE WHEN nrm = 0 THEN CAST(list_transform(v, x -> CAST(x AS FLOAT)) AS DOUBLE[])
-                   ELSE CAST(list_transform(v, x -> CAST(x / nrm AS FLOAT)) AS DOUBLE[])
+                   ELSE list_transform(v, x -> x / nrm)
               END AS nv
               FROM n),
         q AS (SELECT nv AS qv FROM d WHERE vec_id = 0)
