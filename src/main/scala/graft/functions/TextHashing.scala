@@ -1,7 +1,5 @@
 package graft.functions
 
-import scala.util.hashing.MurmurHash3
-
 /** Deterministic hashing primitives for near-duplicate detection at scale:
   * MinHash signatures (→ LSH band join), 64-bit SimHash (→ hamming-banded
   * join), and a Karp-Rabin rolling hash fingerprint.
@@ -30,12 +28,32 @@ object TextHashing {
   private val seeds: Array[Long] =
     Array.tabulate(MinhashSize)(i => mix64(0x5851f42d4c957f2dL * (i + 1)))
 
-  /** Base 64-bit hash of a string (two murmur3-32 halves, fixed seeds). */
+  /** The fixed permutation seeds, exposed so the q29 oracle can inline them
+    * as SQL literals (the q34-hyperplane technique).
+    */
+  private[graft] def permutationSeeds: Array[Long] = seeds.clone()
+
+  /** Base 64-bit hash of a string: FNV-1a-64 folded over Unicode CODEPOINTS,
+    * finalized with [[mix64]]. Chosen over murmur3 deliberately: the fold is a
+    * plain integer recurrence (`h = (h ^ cp) * 0x100000001b3` mod 2^64), so the
+    * q29/q2a DuckDB oracles replay it exactly via `list_reduce` over HUGEINT —
+    * murmur3's 32-bit rotate/pair semantics are not practically expressible in
+    * SQL. FNV-1a's weak low-bit avalanche is repaired by the splitmix64
+    * finalizer; minhash/simhash quality is gated empirically in RecallSpec.
+    */
   def hash64(s: String): Long = {
-    val hi = MurmurHash3.stringHash(s, 0x9747b28c)
-    val lo = MurmurHash3.stringHash(s, 0x85ebca6b)
-    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+    var h = Fnv64Offset
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h ^ cp) * Fnv64Prime
+      i += Character.charCount(cp)
+    }
+    mix64(h)
   }
+
+  private[graft] val Fnv64Offset = 0xcbf29ce484222325L // 14695981039346656037
+  private[graft] val Fnv64Prime = 0x100000001b3L // 1099511628211
 
   private def mulmod61(a: Long, b: Long): Long = {
     // (a*b) mod 2^61-1 without overflow, via 128-bit split
@@ -90,9 +108,9 @@ object TextHashing {
     * ~|union|²/2^64 per pair are negligible).
     */
   def shingleHashes(text: String, n: Int = 3): Array[Long] = {
-    val t = if (text == null) "" else text.trim
+    val t = wsTrim(text)
     if (t.isEmpty) return Array.empty
-    val toks = t.split("\\s+")
+    val toks = t.split(WsClass)
     if (toks.length < n) return Array(hash64(t))
     val tokHash = toks.map(hash64)
     val seen = new java.util.TreeSet[java.lang.Long]()
@@ -118,9 +136,9 @@ object TextHashing {
     */
   def minhashSignatureFromText(text: String, n: Int = 3): Array[Long] = {
     val sig = Array.fill(MinhashSize)(Long.MaxValue)
-    val t = if (text == null) "" else text.trim
+    val t = wsTrim(text)
     if (t.isEmpty) return sig
-    val toks = t.split("\\s+")
+    val toks = t.split(WsClass)
     val seen = new java.util.HashSet[java.lang.Long]()
     if (toks.length < n) {
       updateSignature(sig, hash64(t))
@@ -281,6 +299,17 @@ object TextHashing {
     * (Java's `\s` adds U+000B and String.trim strips all controls ≤ 0x20 —
     * either would silently diverge).
     */
+  /** RE2's `\s` class, exactly: [ \t\n\f\r]. The shingle tokenizer splits on
+    * THIS (not Java's `\s`, which adds \x0B, and not String.trim, which strips
+    * every control ≤ 0x20) so the q29 oracle's `regexp_replace('^\s+|\s+$')` +
+    * `string_split_regex('\s+')` produce the identical token sequence.
+    */
+  private val WsClass = "[ \t\n\f\r]+"
+
+  private def wsTrim(text: String): String =
+    if (text == null) ""
+    else text.replaceAll("^[ \t\n\f\r]+|[ \t\n\f\r]+$", "")
+
   private def normalize(text: String): String =
     if (text == null) ""
     // Locale.ROOT: default-locale lowercasing (tr_TR dotless-ı etc.) would

@@ -1,0 +1,254 @@
+package graft.queries
+
+/** DuckDB SQL fragment generators that replay graft's integer-hash pipelines
+  * (FNV-1a-64 + splitmix64, MinHash, SimHash) inside the oracle, so q29/q2a
+  * get hash-exact correctness rows instead of rows-only checks. The technique
+  * is the one q2c/q2f/q34 proved: deterministic integer folds as `list_reduce`
+  * over HUGEINT, fixed constants inlined as literals.
+  *
+  * Two structural rules, learned the hard way:
+  *  1. u64 arithmetic runs in HUGEINT with explicit `% 2^64`; values convert
+  *     to signed BIGINT only at comparison boundaries (minhash takes SIGNED
+  *     mins, matching Scala's `Long` ordering).
+  *  2. every splitmix64 stage is its own nested-subquery projection. DuckDB
+  *     lateral column aliases substitute the full expression per reference,
+  *     so chaining mix64 stages through aliases blows up the plan
+  *     exponentially (measured: 50× slowdown); nested SELECTs keep it linear.
+  */
+object OracleSql {
+
+  /** 2^64 as a DuckDB HUGEINT literal. */
+  val M64 = "18446744073709551616"
+
+  /** Bitwise XOR of two u64-in-HUGEINT values via 32-bit halves (DuckDB's
+    * xor() is BIGINT-only).
+    */
+  def xor64(a: String, b: String): String =
+    s"(xor(CAST(($a) // 4294967296 AS BIGINT), CAST(($b) // 4294967296 AS BIGINT))::HUGEINT * 4294967296" +
+      s" + xor(CAST(($a) % 4294967296 AS BIGINT), CAST(($b) % 4294967296 AS BIGINT))::HUGEINT)"
+
+  /** (a * c) mod 2^64 for u64 `a` and constant `c`, split so no intermediate
+    * exceeds HUGEINT range.
+    */
+  def mulmod64(a: String, c: Long): String = {
+    val hi = c >>> 32
+    val lo = c & 0xffffffffL
+    s"((($a)*$lo + ((($a)*$hi) % 4294967296) * 4294967296) % $M64)"
+  }
+
+  /** Unsigned right shift of a u64-in-HUGEINT value. */
+  def shr64(a: String, k: Int): String = s"(($a) // ${1L << k})"
+
+  /** Wrap `innerSql` (producing u64 column `arg`) in four projection levels
+    * computing splitmix64(arg) → column `<prefix>_m`. `keep` lists the
+    * pass-through columns of the final projection.
+    */
+  def mix64Nested(innerSql: String, arg: String, prefix: String, keep: String): (String, String) = {
+    var q = s"SELECT *, ((($arg) + 11400714819323198485) % $M64) AS ${prefix}_z1 FROM ($innerSql)"
+    val z2 = mulmod64(xor64(s"${prefix}_z1", shr64(s"${prefix}_z1", 30)), 0xbf58476d1ce4e5b9L)
+    q = s"SELECT *, $z2 AS ${prefix}_z2 FROM ($q)"
+    val z3 = mulmod64(xor64(s"${prefix}_z2", shr64(s"${prefix}_z2", 27)), 0x94d049bb133111ebL)
+    q = s"SELECT *, $z3 AS ${prefix}_z3 FROM ($q)"
+    val m = xor64(s"${prefix}_z3", shr64(s"${prefix}_z3", 31))
+    q = s"SELECT $keep, $m AS ${prefix}_m FROM ($q)"
+    (q, s"${prefix}_m")
+  }
+
+  /** FNV-1a-64 fold over the codepoints of string column `col` (HUGEINT).
+    * The xor uses the low-21-bit trick (codepoints < 2^21 never touch the
+    * high bits); empty strings fold to the offset basis exactly like the
+    * Scala loop (the `ch <> ''` filter drops string_split('','')'s artifact).
+    */
+  def fnv64CodepointFold(col: String): String =
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"list_transform(list_filter(string_split($col, ''), ch -> ch <> ''), " +
+      s"ch -> CAST(unicode(ch) AS HUGEINT))), " +
+      s"(a, c) -> ((((a // 2097152) * 2097152) + xor(CAST(a % 2097152 AS BIGINT), CAST(c AS BIGINT))::HUGEINT)" +
+      s" * 1099511628211) % $M64)"
+
+  /** FNV-1a-32 fold over the UTF-8 BYTES of string column `col` (BIGINT),
+    * deriving the bytes arithmetically from each codepoint — the
+    * MockEmbedder/mock.go seed. All arithmetic fits BIGINT (h < 2^32,
+    * h * prime < 2^57).
+    */
+  def fnv32Utf8Fold(col: String): String = {
+    def f(h: String, b: String) = s"((xor($h, $b) * 16777619) % 4294967296)"
+    val one = f("a", "c")
+    val two = f(f("a", "(192 + c // 64)"), "(128 + c % 64)")
+    val three = f(f(f("a", "(224 + c // 4096)"), "(128 + (c // 64) % 64)"), "(128 + c % 64)")
+    val four = f(f(f(f("a", "(240 + c // 262144)"), "(128 + (c // 4096) % 64)"),
+      "(128 + (c // 64) % 64)"), "(128 + c % 64)")
+    s"list_reduce(list_prepend(CAST(2166136261 AS BIGINT), " +
+      s"list_transform(list_filter(string_split($col, ''), ch -> ch <> ''), " +
+      s"ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(a, c) -> CASE WHEN c < 128 THEN $one WHEN c < 2048 THEN $two " +
+      s"WHEN c < 65536 THEN $three ELSE $four END)"
+  }
+
+  /** u64-in-HUGEINT → signed BIGINT (two's-complement reinterpretation). */
+  def toSigned(v: String): String =
+    s"CASE WHEN $v >= 9223372036854775808 THEN CAST($v - $M64 AS BIGINT) ELSE CAST($v AS BIGINT) END"
+
+  /** Shared front of the q29/q2a oracles: RE2-trimmed text, exploded token
+    * rows, and each token's hash64 (FNV-1a-64 + mix64) as u64 column `h`.
+    * `trimExpr` lets q2a keep TextAnalysis.tokens' space-only trim while q29
+    * uses the full RE2 whitespace trim of TextHashing.
+    */
+  private def tokenHashRows(trimExpr: String, minToks: String): String = {
+    val tokLists =
+      s"SELECT doc_id, tt, string_split_regex(tt, '\\s+') AS toks, " +
+        s"len(string_split_regex(tt, '\\s+')) AS ntoks " +
+        s"FROM (SELECT doc_id, $trimExpr AS tt FROM documents)"
+    val tokRows =
+      s"SELECT doc_id, i, ntoks, toks[i] AS tok FROM ($tokLists) t, " +
+        s"UNNEST(range(1, ntoks + 1)) AS u(i) $minToks"
+    val fnv = s"SELECT doc_id, i, ntoks, ${fnv64CodepointFold("tok")} AS fnv_raw FROM ($tokRows)"
+    val (mixed, c) = mix64Nested(fnv, "fnv_raw", "th", keep = "doc_id, i, ntoks")
+    s"SELECT doc_id, i, ntoks, $c AS h FROM ($mixed)"
+  }
+
+  /** The full q29 oracle: minhash signatures → 4-component band keys →
+    * capped-bucket LSH self-join → signature-agreement estimate. Mirrors
+    * Dedup.minhashCandidatePairs(minEstJaccard, maxBucketSize) exactly.
+    */
+  def minhashPairsOracle(minEstJaccard: Double, maxBucketSize: Int): String = {
+    val seeds = graft.functions.TextHashing.permutationSeeds
+    val nSeeds = seeds.length
+    val seedsLit = seeds.map(s => java.lang.Long.toUnsignedString(s))
+      .mkString("[", ",", "]::HUGEINT[]")
+    val trimmed = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+    val th = tokenHashRows(trimmed, "WHERE ntoks >= 3 AND length(tt) > 0")
+
+    // word-3-gram shingle hash: fold mix64(acc ^ h_j) over the window
+    val win =
+      "SELECT a.doc_id, a.h AS h1, b.h AS h2, c.h AS h3 " +
+        "FROM th_cte a JOIN th_cte b ON a.doc_id = b.doc_id AND b.i = a.i + 1 " +
+        "JOIN th_cte c ON a.doc_id = c.doc_id AND c.i = a.i + 2"
+    var q = s"SELECT *, ${xor64("1099511628211", "h1")} AS x1 FROM ($win)"
+    val (q1, m1) = mix64Nested(q, "x1", "s1", keep = "doc_id, h2, h3")
+    q = s"SELECT *, ${xor64(m1, "h2")} AS x2 FROM ($q1)"
+    val (q2, m2) = mix64Nested(q, "x2", "s2", keep = "doc_id, h3")
+    q = s"SELECT *, ${xor64(m2, "h3")} AS x3 FROM ($q2)"
+    val (q3, m3) = mix64Nested(q, "x3", "s3", keep = "doc_id")
+    val longShingles = s"SELECT DISTINCT doc_id, $m3 AS sh FROM ($q3)"
+
+    // docs with < 3 tokens shingle to hash64 of the whole trimmed text
+    val shortFnv =
+      s"SELECT doc_id, ${fnv64CodepointFold("tt")} AS fnv_raw " +
+        s"FROM (SELECT doc_id, $trimmed AS tt FROM documents) " +
+        s"WHERE length(tt) > 0 AND len(string_split_regex(tt, '\\s+')) < 3"
+    val (shortQ, shc) = mix64Nested(shortFnv, "fnv_raw", "sh0", keep = "doc_id")
+    val shortShingles = s"SELECT doc_id, $shc AS sh FROM ($shortQ)"
+
+    val shingles = s"$longShingles UNION $shortShingles"
+
+    // 64 permutations per shingle; min per (doc, component) over SIGNED values
+    val permIn =
+      s"SELECT doc_id, i, ${xor64("sh", "sv")} AS px FROM ($shingles) sh_t, " +
+        s"(SELECT CAST(i AS INT) AS i, ($seedsLit)[i + 1] AS sv " +
+        s"FROM UNNEST(range(0, $nSeeds)) AS s(i)) seed_t"
+    val (permQ, pc) = mix64Nested(permIn, "px", "pm", keep = "doc_id, i")
+    val comp =
+      s"SELECT doc_id, i, min(${toSigned(pc)}) AS c FROM ($permQ) GROUP BY doc_id, i"
+    // blank docs keep the all-Long.MaxValue signature
+    val emptyComp =
+      s"SELECT doc_id, CAST(i AS INT) AS i, 9223372036854775807 AS c " +
+        s"FROM (SELECT doc_id, $trimmed AS tt FROM documents) e_t, " +
+        s"UNNEST(range(0, $nSeeds)) AS s(i) WHERE length(tt) = 0"
+
+    s"""
+    WITH th_cte AS MATERIALIZED ($th),
+    allcomp AS MATERIALIZED ($comp UNION ALL $emptyComp),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, list(c ORDER BY i) AS sig FROM allcomp GROUP BY doc_id),
+    bands AS MATERIALIZED (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band_idx, list(c ORDER BY i) AS band_key
+      FROM allcomp GROUP BY doc_id, i // 4),
+    kept AS MATERIALIZED (
+      SELECT band_idx, band_key FROM bands GROUP BY band_idx, band_key
+      HAVING count(*) > 1 AND count(*) <= $maxBucketSize),
+    pruned AS MATERIALIZED (
+      SELECT b.* FROM bands b SEMI JOIN kept k
+      ON b.band_idx = k.band_idx AND b.band_key = k.band_key),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pruned a JOIN pruned b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, est_jaccard FROM (
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(range(1, $nSeeds + 1), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / $nSeeds AS est_jaccard
+      FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
+                JOIN sigs sb ON cand.doc_b = sb.doc_id)
+    WHERE est_jaccard >= $minEstJaccard
+    ORDER BY doc_a, doc_b"""
+  }
+
+  /** The full q2a oracle: 64-bit simhash of whitespace tokens → 16-bit chunk
+    * banding with bucket cap → hamming filter. Mirrors Dedup.simhashPairs
+    * over TextAnalysis.tokens (Spark trim = space-only; split keeps empty
+    * tokens, whose hash64('') folds to mix64(offset) on both engines).
+    */
+  def simhashPairsOracle(maxHamming: Int, maxBucketSize: Int): String = {
+    val th = tokenHashRows("trim(text)", "")
+    val signedXor = s"xor(${toSigned("ha")}, ${toSigned("hb")})"
+    s"""
+    WITH bits AS MATERIALIZED (
+      SELECT doc_id, CAST(j AS INT) AS j,
+             sum(CASE WHEN (h // (CAST(1 AS HUGEINT) << j)) % 2 = 1 THEN 1 ELSE 0 END) AS hits,
+             any_value(ntoks) AS n
+      FROM ($th) th_t, UNNEST(range(0, 64)) AS b(j)
+      GROUP BY doc_id, j),
+    sim AS MATERIALIZED (
+      SELECT doc_id,
+             sum(CASE WHEN 2 * hits > n THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END) AS h
+      FROM bits GROUP BY doc_id),
+    chunks AS MATERIALIZED (
+      SELECT doc_id, h, CAST(c AS INT) AS c,
+             CAST((h // (CAST(1 AS HUGEINT) << (16 * CAST(c AS INT)))) % 65536 AS BIGINT) AS chunk_val
+      FROM sim, UNNEST(range(0, 4)) AS u(c)),
+    kept AS MATERIALIZED (
+      SELECT c, chunk_val FROM chunks GROUP BY c, chunk_val
+      HAVING count(*) > 1 AND count(*) <= $maxBucketSize),
+    pruned AS MATERIALIZED (
+      SELECT ch.* FROM chunks ch SEMI JOIN kept k ON ch.c = k.c AND ch.chunk_val = k.chunk_val),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h AS ha, b.h AS hb
+      FROM pruned a JOIN pruned b ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count($signedXor) AS INT) AS hamming
+    FROM cand WHERE bit_count($signedXor) <= $maxHamming
+    ORDER BY doc_a, doc_b"""
+  }
+
+  /** The full q33 oracle: MockEmbedder replayed in SQL — FNV-32a seed over
+    * UTF-8 bytes, sin(uint32(seed*(i+1)) * 0.1) series CAST to FLOAT, float32
+    * sequential L2 normalization (list_reduce keeps Scala's accumulation
+    * order), cosine vs the inlined query vector. The query embedding is
+    * computed Scala-side and inlined as DOUBLE literals (q34 technique).
+    */
+  def mockEmbedTopKOracle(queryText: String, k: Int, dim: Int): String = {
+    val qv = graft.functions.MockEmbedder.embed(queryText, dim)
+    val qLit = qv.map(v => v.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+    val fnv = fnv32Utf8Fold("text")
+    s"""
+    WITH seeded AS MATERIALIZED (
+      SELECT doc_id, $fnv AS seed FROM documents),
+    comps AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             CAST(sin(CAST((seed * (i + 1)) % 4294967296 AS DOUBLE) * 0.1) AS FLOAT) AS v
+      FROM seeded, UNNEST(range(0, $dim)) AS u(i)),
+    vecs AS MATERIALIZED (
+      SELECT doc_id, list(v ORDER BY i) AS vraw FROM comps GROUP BY doc_id),
+    normed AS (
+      SELECT doc_id,
+             CAST(sqrt(CAST(list_reduce(list_prepend(CAST(0 AS FLOAT), vraw),
+               (a, x) -> CAST(a + CAST(x * x AS FLOAT) AS FLOAT)) AS DOUBLE)) AS FLOAT) AS nrm,
+             vraw FROM vecs),
+    unit AS (
+      SELECT doc_id,
+             CASE WHEN nrm > 0 THEN list_transform(vraw, x -> CAST(x / nrm AS FLOAT))
+                  ELSE vraw END AS v FROM normed)
+    SELECT doc_id,
+           ROUND(CAST(list_cosine_similarity(CAST(v AS DOUBLE[]), $qLit) AS DOUBLE), 6) AS score
+    FROM unit ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+}

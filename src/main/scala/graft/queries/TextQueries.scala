@@ -229,24 +229,27 @@ object TextQueries {
               FROM documents)
         GROUP BY token ORDER BY doc_freq DESC, token LIMIT 20""")),
 
-    // MinHash LSH candidate pairs (no SQL oracle: driver rows-only check;
-    // equivalence with exact Jaccard is asserted in DedupSpec).
+    // MinHash LSH candidate pairs — hash-exact: the FNV-64+splitmix64 token
+    // hashes, shingle folds, 64 permutations (seeds inlined as literals),
+    // 4-component band keys, bucket cap, and signature-agreement estimate
+    // are all replayed in DuckDB by OracleSql.minhashPairsOracle.
     "q29_minhash_lsh_pairs" -> Q(
       fn = (s, dir) =>
         Dedup.minhashCandidatePairs(docs(s, dir), "doc_id", "text",
           minEstJaccard = 0.2)
           .orderBy(col("doc_a"), col("doc_b")),
-      oracle = None,
+      oracle = Some(OracleSql.minhashPairsOracle(minEstJaccard = 0.2, maxBucketSize = 1000)),
       headline = true),
 
-    // SimHash near-dup pairs (rows-only check; spec-tested). maxHamming=3:
-    // the 4×16-bit banding is only recall-complete up to hamming 3 — a
-    // larger filter would silently under-report.
+    // SimHash near-dup pairs — hash-exact via OracleSql.simhashPairsOracle
+    // (per-bit majority vote + 16-bit chunk banding replayed in SQL).
+    // maxHamming=3: the 4×16-bit banding is only recall-complete up to
+    // hamming 3 — a larger filter would silently under-report.
     "q2a_simhash_pairs" -> Q(
       fn = (s, dir) =>
         Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
           .orderBy(col("doc_a"), col("doc_b")),
-      oracle = None),
+      oracle = Some(OracleSql.simhashPairsOracle(maxHamming = 3, maxBucketSize = 1000))),
 
     // Language-ID heuristic, hash-exact: the stopword scoring + CJK ratio +
     // fixed tiebreak order of LangId.detect re-expressed in DuckDB SQL

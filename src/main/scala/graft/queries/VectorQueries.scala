@@ -82,8 +82,9 @@ object VectorQueries {
         WHERE score >= 0.3 ORDER BY vec_a, vec_b""")),
 
     // §3.1 semantic search: deterministic mock embedding of documents + query
-    // text, exact top-5. Rows-only check (the embedder is not SQL-expressible);
-    // ranking correctness is asserted in VectorSearchSpec.
+    // text, exact top-5 — hash-exact: OracleSql.mockEmbedTopKOracle replays
+    // the FNV-32a/sin/float32-normalize embedder in SQL with the query
+    // embedding inlined as literals (ranking also asserted in VectorSearchSpec).
     "q33_semantic_search" -> Q(
       fn = (s, dir) => {
         val chunks = Tables(s, dir, "documents")
@@ -94,7 +95,7 @@ object VectorQueries {
           k = 5, scoreScale = Some(6))
           .select(col("doc_id"), col("score"))
       },
-      oracle = None,
+      oracle = Some(OracleSql.mockEmbedTopKOracle("spark window query merge", k = 5, dim = 64)),
       headline = true),
 
     // Approximate scale path: random-hyperplane LSH bucket join — hash-exact.
