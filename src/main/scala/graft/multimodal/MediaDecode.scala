@@ -1,21 +1,26 @@
 package graft.multimodal
 
-/** Real, zero-dependency decode kernels for the container formats that are
-  * pure byte layout — no codec library needed:
+/** Real, zero-dependency decode kernels for the formats that are pure byte
+  * layout or only need the JDK's zlib — no codec library:
   *
   *  - BMP (BI_RGB 24/32-bit): header parse + pixel access → 8×8 mean-luma
   *    grid, the classic perceptual-hash feature (and the real base for
   *    image near-dup at scale).
+  *  - PNG (8/16-bit, color types 0/2/3/4/6, non-interlaced): chunk walk →
+  *    `java.util.zip.Inflater` → Sub/Up/Average/Paeth unfiltering → the same
+  *    mean-luma grid. Covers the most common image format with zero deps;
+  *    the row unfilter is shared with PDF /Predictor decoding
+  *    ([[pngUnfilter]]).
   *  - WAV (PCM 8/16-bit): RIFF chunk walk → duration + N-bin RMS envelope,
   *    the audio-fingerprint baseline.
   *
-  * Compressed codecs (JPEG/PNG/MP3/MP4) remain the documented stub in
+  * Lossy codecs (JPEG/MP3/MP4) remain the documented stub in
   * [[Multimodal.fakeDecodeFeatures]] — those genuinely need codec libraries
   * absent from this offline build. Every parser here throws
   * IllegalArgumentException on malformed/unsupported input; callers decide
   * whether to fall back.
   */
-private[multimodal] object MediaDecode {
+private[graft] object MediaDecode {
 
   @inline private def le16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -82,29 +87,235 @@ private[multimodal] object MediaDecode {
     */
   def bmpLumaGrid(b: Array[Byte], grid: Int = 8): Array[Float] = {
     val img = parseBmp(b)
+    lumaGrid(img.width, img.height, grid, img.luma)
+  }
+
+  /** Shared block-mean grid: same arithmetic for every raster source. */
+  private def lumaGrid(
+      width: Int, height: Int, grid: Int, luma: (Int, Int) => Double): Array[Float] = {
     val out = new Array[Float](grid * grid)
     var gy = 0
     while (gy < grid) {
-      val y0 = gy * img.height / grid
-      val y1 = math.max(y0 + 1, (gy + 1) * img.height / grid)
+      val y0 = gy * height / grid
+      val y1 = math.max(y0 + 1, (gy + 1) * height / grid)
       var gx = 0
       while (gx < grid) {
-        val x0 = gx * img.width / grid
-        val x1 = math.max(x0 + 1, (gx + 1) * img.width / grid)
+        val x0 = gx * width / grid
+        val x1 = math.max(x0 + 1, (gx + 1) * width / grid)
         var sum = 0.0
         var y = y0
-        while (y < math.min(y1, img.height)) {
+        while (y < math.min(y1, height)) {
           var x = x0
-          while (x < math.min(x1, img.width)) { sum += img.luma(x, y); x += 1 }
+          while (x < math.min(x1, width)) { sum += luma(x, y); x += 1 }
           y += 1
         }
-        val n = (math.min(y1, img.height) - y0) * (math.min(x1, img.width) - x0)
+        val n = (math.min(y1, height) - y0) * (math.min(x1, width) - x0)
         out(gy * grid + gx) = (sum / math.max(1, n)).toFloat
         gx += 1
       }
       gy += 1
     }
     out
+  }
+
+  // ------------------------------------------------------------------- PNG
+
+  private val PngSignature =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (0 until 8).forall(i => b(i) == PngSignature(i))
+
+  @inline private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private final case class Png(
+      width: Int, height: Int, colorType: Int, bitDepth: Int,
+      channels: Int, palette: Array[Byte], pixels: Array[Byte]) {
+    private val sampleBytes = bitDepth / 8 // 1 or 2; 16-bit reads the high byte
+    private val pixBytes = channels * sampleBytes
+    private val rowBytes = width * pixBytes
+
+    /** Luminance in [0,1]; alpha ignored (features are content, not blending). */
+    def luma(x: Int, y: Int): Double = {
+      val off = y * rowBytes + x * pixBytes
+      colorType match {
+        case 0 | 4 => (pixels(off) & 0xff) / 255.0 // gray / gray+alpha
+        case 2 | 6 => // RGB / RGBA
+          val r = pixels(off) & 0xff
+          val g = pixels(off + sampleBytes) & 0xff
+          val bl = pixels(off + 2 * sampleBytes) & 0xff
+          (0.299 * r + 0.587 * g + 0.114 * bl) / 255.0
+        case 3 => // palette index → PLTE rgb
+          val idx = (pixels(off) & 0xff) * 3
+          val r = palette(idx) & 0xff
+          val g = palette(idx + 1) & 0xff
+          val bl = palette(idx + 2) & 0xff
+          (0.299 * r + 0.587 * g + 0.114 * bl) / 255.0
+      }
+    }
+  }
+
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // rgb
+    case 3 => 1 // palette index
+    case 4 => 2 // gray + alpha
+    case 6 => 4 // rgba
+    case other => throw new IllegalArgumentException(s"bad PNG color type $other")
+  }
+
+  private def parsePng(b: Array[Byte]): Png = {
+    require(isPng(b), "not a PNG")
+    val MaxDim = 1 << 16
+    var off = 8
+    var width, height, colorType, bitDepth = -1
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && off + 8 <= b.length) {
+      val len = be32(b, off)
+      if (len < 0 || off.toLong + 12L + len > b.length)
+        throw new IllegalArgumentException("truncated PNG chunk")
+      val ctype = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      ctype match {
+        case "IHDR" =>
+          if (len < 13) throw new IllegalArgumentException("short IHDR")
+          width = be32(b, off + 8)
+          height = be32(b, off + 12)
+          bitDepth = b(off + 16) & 0xff
+          colorType = b(off + 17) & 0xff
+          val interlace = b(off + 20) & 0xff
+          if (width <= 0 || width > MaxDim || height <= 0 || height > MaxDim)
+            throw new IllegalArgumentException(s"bad PNG dimensions ${width}x$height")
+          if (bitDepth != 8 && bitDepth != 16)
+            throw new IllegalArgumentException(s"unsupported PNG bit depth $bitDepth (8/16 only)")
+          if (colorType == 3 && bitDepth != 8)
+            throw new IllegalArgumentException("palette PNG requires bit depth 8")
+          if (interlace != 0)
+            throw new IllegalArgumentException("interlaced PNG unsupported")
+        case "PLTE" => palette = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
+        case "IDAT" => idat.write(b, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+      off += 12 + len // length + type + data + crc
+    }
+    if (width < 0) throw new IllegalArgumentException("PNG missing IHDR")
+    if (idat.size() == 0) throw new IllegalArgumentException("PNG missing IDAT")
+    val channels = pngChannels(colorType)
+    if (colorType == 3 && (palette == null || palette.length % 3 != 0 || palette.isEmpty))
+      throw new IllegalArgumentException("palette PNG missing/bad PLTE")
+    val pixBytes = channels * (bitDepth / 8)
+    val rowBytes = width * pixBytes
+    val raw = inflate(idat.toByteArray, (rowBytes + 1).toLong * height)
+    val pixels = pngUnfilter(raw, rowBytes, pixBytes, height)
+    if (colorType == 3) {
+      // validate indices up front so luma() can't AIOOBE past the palette
+      val maxIdx = palette.length / 3
+      var i = 0
+      while (i < pixels.length) {
+        if ((pixels(i) & 0xff) >= maxIdx)
+          throw new IllegalArgumentException("PNG palette index out of range")
+        i += 1
+      }
+    }
+    Png(width, height, colorType, bitDepth, channels, palette, pixels)
+  }
+
+  /** zlib-inflate exactly `expected` bytes (short/long streams both reject —
+    * a wrong-size stream means a corrupt or lying header).
+    */
+  private def inflate(data: Array[Byte], expected: Long): Array[Byte] = {
+    if (expected > Int.MaxValue - 8)
+      throw new IllegalArgumentException("PNG raster too large")
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new Array[Byte](expected.toInt)
+      var total = 0
+      while (total < out.length && !inf.finished()) {
+        val n = inf.inflate(out, total, out.length - total)
+        if (n == 0 && inf.needsInput())
+          throw new IllegalArgumentException("truncated PNG IDAT stream")
+        total += n
+      }
+      if (total < out.length)
+        throw new IllegalArgumentException("short PNG IDAT stream")
+      out
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"bad zlib stream: ${e.getMessage}")
+    } finally inf.end()
+  }
+
+  /** PNG row unfiltering (filters 0-4: None/Sub/Up/Average/Paeth) over
+    * `height` rows of `rowBytes` bytes, each preceded by its filter-type
+    * byte; `bpp` is the filter delta distance in bytes. Returns the
+    * reconstructed scanlines without filter bytes.
+    *
+    * Shared with PDF stream /Predictor >= 10 decoding (PdfExtract) — the
+    * PDF spec defines those predictors as exactly these PNG filters.
+    */
+  private[graft] def pngUnfilter(
+      raw: Array[Byte], rowBytes: Int, bpp: Int, height: Int): Array[Byte] = {
+    if (raw.length < (rowBytes + 1).toLong * height)
+      throw new IllegalArgumentException("short filtered stream")
+    val out = new Array[Byte](rowBytes * height)
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (rowBytes + 1)) & 0xff
+      val src = y * (rowBytes + 1) + 1
+      val dst = y * rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        val cur = raw(src + x) & 0xff
+        val left = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+        val up = if (y > 0) out(dst - rowBytes + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= bpp) out(dst - rowBytes + x - bpp) & 0xff else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => cur + paeth(left, up, upLeft)
+          case other => throw new IllegalArgumentException(s"bad PNG filter $other")
+        }
+        out(dst + x) = recon.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  def pngSize(b: Array[Byte]): (Int, Int) = {
+    require(isPng(b), "not a PNG")
+    if (b.length < 24 ||
+        new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) != "IHDR")
+      throw new IllegalArgumentException("PNG missing IHDR")
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    if (w <= 0 || h <= 0) throw new IllegalArgumentException(s"bad PNG dimensions ${w}x$h")
+    (w, h)
+  }
+
+  /** grid×grid mean-luminance feature over a decoded PNG — identical
+    * arithmetic to [[bmpLumaGrid]], so a pixel-identical BMP and PNG produce
+    * the identical feature vector.
+    */
+  def pngLumaGrid(b: Array[Byte], grid: Int = 8): Array[Float] = {
+    val img = parsePng(b)
+    lumaGrid(img.width, img.height, grid, img.luma)
   }
 
   // ------------------------------------------------------------------- WAV

@@ -9,14 +9,13 @@ import org.apache.spark.sql.types._
   * metadata (BASELINE.json north-star requirement).
   *
   * The Spark-side plumbing — schema, partitioning, per-partition batch shape —
-  * is real and tested. Decode is REAL for the codec-free byte formats
-  * ([[MediaDecode]]: BMP → 8×8 mean-luma grid, WAV/PCM → RMS envelope +
-  * duration) and a clearly-marked deterministic STUB
-  * ([[fakeDecodeFeatures]]) for compressed codecs (JPEG/PNG/MP3/MP4),
-  * which genuinely need codec libraries absent from this offline
-  * container. A production build swaps exactly one function (the
-  * bytes→features kernel inside [[extractFeatures]]); everything around it
-  * is unchanged.
+  * is real and tested. Decode is REAL for the zero-dependency formats
+  * ([[MediaDecode]]: BMP and PNG → 8×8 mean-luma grid, WAV/PCM → RMS
+  * envelope + duration) and a clearly-marked deterministic STUB
+  * ([[fakeDecodeFeatures]]) for lossy codecs (JPEG/MP3/MP4), which
+  * genuinely need codec libraries absent from this offline container. A
+  * production build swaps exactly one function (the bytes→features kernel
+  * inside [[extractFeatures]]); everything around it is unchanged.
   *
   * Scale: media bytes stay columnar in parquet (never collected); feature
   * extraction is `mapPartitions` so a real decoder amortizes model/codec
@@ -59,6 +58,8 @@ object Multimodal {
     try {
       if (MediaDecode.isBmp(bytes))
         fit(MediaDecode.bmpLumaGrid(bytes, grid = math.max(1, math.sqrt(dim).toInt)))
+      else if (MediaDecode.isPng(bytes))
+        fit(MediaDecode.pngLumaGrid(bytes, grid = math.max(1, math.sqrt(dim).toInt)))
       else if (MediaDecode.isWav(bytes))
         MediaDecode.wavEnvelope(bytes, bins = dim)
       else fakeDecodeFeatures(bytes, dim)
@@ -97,6 +98,9 @@ object Multimodal {
       if (MediaDecode.isBmp(bytes)) {
         val (w, h) = MediaDecode.bmpSize(bytes)
         ProbedMeta(Some(w), Some(h), Some("bmp"), None, None)
+      } else if (MediaDecode.isPng(bytes)) {
+        val (w, h) = MediaDecode.pngSize(bytes)
+        ProbedMeta(Some(w), Some(h), Some("png"), None, None)
       } else if (MediaDecode.isWav(bytes)) {
         ProbedMeta(None, None, Some("wav"),
           Some(MediaDecode.wavDurationMs(bytes)), None)

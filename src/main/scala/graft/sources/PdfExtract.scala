@@ -28,8 +28,12 @@ import scala.util.matching.Regex
   *     objects are expanded after the top-level scan, so page trees and font
   *     dicts stored inside object streams resolve normally
   *
-  * Out of scope (documented boundary, not silent): predictor-filtered
-  * streams, DCT/CCITT image text, encrypted PDFs.
+  *   - PNG-predictor-filtered Flate streams (/Predictor >= 10 with /Columns,
+  *     the common modern xref/ObjStm layout), undone via the shared PNG row
+  *     unfilter
+  *
+  * Out of scope (documented boundary, not silent): TIFF /Predictor 2,
+  * DCT/CCITT image text, encrypted PDFs.
   */
 private[graft] object PdfExtract {
 
@@ -98,7 +102,12 @@ private[graft] object PdfExtract {
     }.toMap
   }
 
-  /** Decode a stream body: raw unless /FlateDecode; None when undecodable. */
+  /** Decode a stream body: raw unless /FlateDecode; PNG-predictor
+    * post-filtering (/Predictor >= 10, the common modern xref/ObjStm layout)
+    * is undone via the shared [[graft.multimodal.MediaDecode.pngUnfilter]]
+    * — the PDF spec defines those predictors as exactly the PNG row filters.
+    * None when undecodable (TIFF /Predictor 2 stays out of scope).
+    */
   private def decodeStream(obj: PdfObj): Option[Array[Byte]] =
     obj.stream.flatMap { data =>
       if (!obj.dict.contains("/FlateDecode")) Some(data)
@@ -114,9 +123,39 @@ private[graft] object PdfExtract {
             out.write(buf, 0, n)
           }
           inf.end()
-          Some(out.toByteArray)
+          unpredict(obj.dict, out.toByteArray)
         } catch { case _: Exception => None }
     }
+
+  private def dictInt(dict: String, key: String): Option[Int] =
+    (key + """\s+(\d+)""").r.findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** Undo a declared /Predictor on inflated data. Predictor 1/absent = raw;
+    * >= 10 = PNG row filters over /Columns-wide rows (each prefixed by its
+    * filter byte). A stream that isn't a whole number of rows is corrupt —
+    * None, never a partial decode.
+    */
+  private def unpredict(dict: String, inflated: Array[Byte]): Option[Array[Byte]] = {
+    val predictor = dictInt(dict, "/Predictor").getOrElse(1)
+    if (predictor <= 1) Some(inflated)
+    else if (predictor >= 10) {
+      val columns = dictInt(dict, "/Columns").getOrElse(1)
+      val colors = dictInt(dict, "/Colors").getOrElse(1)
+      val bpc = dictInt(dict, "/BitsPerComponent").getOrElse(8)
+      if (columns <= 0 || colors <= 0 || bpc <= 0) None
+      else {
+        val rowBytes = (columns.toLong * colors * bpc + 7) / 8
+        if (rowBytes <= 0 || rowBytes > Int.MaxValue - 1) None
+        else {
+          val bpp = math.max(1, colors * bpc / 8)
+          val height = inflated.length / (rowBytes.toInt + 1)
+          if (height.toLong * (rowBytes + 1) != inflated.length) None
+          else Some(graft.multimodal.MediaDecode.pngUnfilter(
+            inflated, rowBytes.toInt, bpp, height))
+        }
+      }
+    } else None // TIFF predictor 2: documented out of scope
+  }
 
   /** Expand a /Type/ObjStm stream: header is N (objnum, offset) integer
     * pairs; object bodies start at /First + offset. ObjStm members carry no

@@ -82,6 +82,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeFeatures(img, 64).toSeq == grid.toSeq)
   }
 
+  /** PNG from row-major (r,g,b) pixels via the JDK encoder (java.desktop
+    * ships a full PNG writer; its adaptive per-row filter choice exercises
+    * the Sub/Up/Average/Paeth reconstruction paths).
+    */
+  private def png(w: Int, h: Int, px: Seq[(Int, Int, Int)],
+                  imageType: Int = java.awt.image.BufferedImage.TYPE_INT_RGB): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imageType)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(y * w + x)
+      img.setRGB(x, y, (0xff << 24) | (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("PNG decode: identical pixels as BMP yield the identical luma grid") {
+    // gradient + noise: non-trivial rows force varied filter types
+    val rnd = new scala.util.Random(7)
+    val px = for (y <- 0 until 32; x <- 0 until 32)
+      yield ((x * 8 + rnd.nextInt(16)) % 256, (y * 8) % 256, ((x + y) * 4) % 256)
+    val pngBytes = png(32, 32, px)
+    val bmpBytes = bmp(32, 32, px)
+    assert(MediaDecode.isPng(pngBytes))
+    assert(MediaDecode.pngSize(pngBytes) == ((32, 32)))
+    val pGrid = MediaDecode.pngLumaGrid(pngBytes)
+    val bGrid = MediaDecode.bmpLumaGrid(bmpBytes)
+    assert(pGrid.toSeq == bGrid.toSeq)
+    // dispatch routes PNG to the real kernel, not the stub
+    assert(Multimodal.decodeFeatures(pngBytes, 64).toSeq == pGrid.toSeq)
+    assert(Multimodal.probeMeta(pngBytes) ==
+      Multimodal.ProbedMeta(Some(32), Some(32), Some("png"), None, None))
+  }
+
+  test("PNG decode: grayscale and palette color types") {
+    val px = for (y <- 0 until 8; x <- 0 until 8)
+      yield { val v = if (x < 4) 0 else 255; (v, v, v) }
+    for (t <- Seq(java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
+                  java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+                  java.awt.image.BufferedImage.TYPE_INT_ARGB)) {
+      val bytes = png(8, 8, px, t)
+      val grid = MediaDecode.pngLumaGrid(bytes)
+      for (gy <- 0 until 8; gx <- 0 until 8) {
+        val v = grid(gy * 8 + gx)
+        if (gx < 4) assert(v < 0.01, s"type $t cell ($gx,$gy)")
+        else assert(v > 0.99, s"type $t cell ($gx,$gy)")
+      }
+    }
+  }
+
+  test("PNG fuzz: crafted bytes behind the magic never escape the fallback") {
+    val rnd = new scala.util.Random(43)
+    val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    for (_ <- 1 to 200) {
+      val body = new Array[Byte](16 + rnd.nextInt(256)); rnd.nextBytes(body)
+      magic.copyToArray(body, 0)
+      assert(Multimodal.decodeFeatures(body, 16).length == 16)
+      assert(Multimodal.probeMeta(body) != null)
+    }
+    // truncated real PNG: valid signature + IHDR, cut mid-IDAT
+    val real = png(16, 16, Seq.fill(256)((120, 30, 200)))
+    val cut = real.take(real.length - 20)
+    assert(Multimodal.decodeFeatures(cut, 16).toSeq ==
+      Multimodal.fakeDecodeFeatures(cut, 16).toSeq)
+  }
+
   test("WAV decode: duration and constant RMS envelope") {
     val samples = Seq.fill(1000)(16384.toShort) // constant half-amplitude
     val audio = wav(8000, samples)

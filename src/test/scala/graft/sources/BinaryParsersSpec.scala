@@ -258,6 +258,66 @@ class BinaryParsersSpec extends AnyFunSuite {
     assert(Parsers.PdfParser.parse(bos.toByteArray) == "fake 7 0 obj inside string")
   }
 
+  /** Classic-layout PDF whose content stream is Flate + PNG-Up predictor
+    * (/Predictor 12 /Columns 16) — the filter layout modern writers use for
+    * xref/ObjStm streams, applied here to a content stream so text
+    * extraction exercises the full unpredict path.
+    */
+  private def pdfPredictorFixture: Array[Byte] = {
+    val text = "BT (Predictor stream text) Tj ET"
+    val columns = 16
+    val padded = text + " " * ((columns - text.length % columns) % columns)
+    val raw = padded.getBytes(StandardCharsets.ISO_8859_1)
+    // PNG Up filter: filtered[x] = raw[x] - prior[x]; each row prefixed by 2
+    val rows = raw.grouped(columns).toSeq
+    val filtered = new ByteArrayOutputStream()
+    var prior = new Array[Byte](columns)
+    for (row <- rows) {
+      filtered.write(2)
+      for (x <- row.indices) filtered.write((row(x) - prior(x)) & 0xff)
+      prior = row
+    }
+    val d = new Deflater(); d.setInput(filtered.toByteArray); d.finish()
+    val out = new ByteArrayOutputStream(); val buf = new Array[Byte](1024)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val packed = out.toByteArray
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("1 0 obj <</Type/Catalog/Pages 2 0 R>> endobj\n")
+    w("2 0 obj <</Type/Pages/Kids[3 0 R]/Count 1>> endobj\n")
+    w("3 0 obj <</Type/Page/Parent 2 0 R/Contents 4 0 R>> endobj\n")
+    w(s"4 0 obj <</Length ${packed.length}/Filter/FlateDecode" +
+      s"/DecodeParms<</Predictor 12/Columns $columns>>>>\nstream\n")
+    bos.write(packed)
+    w("\nendstream\nendobj\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
+  test("pdf: PNG-predictor Flate stream (Predictor 12) extracts correctly") {
+    assert(PdfExtract.text(pdfPredictorFixture) == "Predictor stream text")
+  }
+
+  test("pdf: corrupt predictor layout degrades to no-text error, not crash") {
+    // declare Columns that don't divide the stream into whole rows
+    val fixture = new String(pdfPredictorFixture, StandardCharsets.ISO_8859_1)
+      .replace("/Columns 16", "/Columns 7")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    intercept[IllegalArgumentException](PdfExtract.text(fixture))
+  }
+
+  test("xls: legacy BIFF bytes land in the error column, not a crash") {
+    // BIFF8 compound-file magic (D0 CF 11 E0 ...) — not OOXML, must raise
+    val biff = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+      .map(_.toByte) ++ Array.fill[Byte](64)(0)
+    assert(Parsers.forExtension("xls").contains(Parsers.ExcelParser))
+    intercept[Exception](Parsers.ExcelParser.parse(biff))
+    // the pipeline-level contract: parseOrNone skips, never throws
+    assert(Parsers.parseOrNone("xls", biff).isEmpty)
+  }
+
   test("pdf: garbage bytes and text-free PDFs fail loudly") {
     intercept[IllegalArgumentException](Parsers.PdfParser.parse(Array[Byte](1, 2)))
     assert(Parsers.parseOrNone("pdf", "no pdf here".getBytes).isEmpty)
