@@ -25,7 +25,7 @@ object Bench {
     try SparkEntry.queries("q12_distinct_counts")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.headline.map { name =>
+    val headlineResults = SparkEntry.headline.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
@@ -33,6 +33,27 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // non-query benches: incremental streaming dedup (the accumulated-store
+    // join cost must be tracked across rounds like q37) and amortized BM25
+    // (precomputed lens table vs q38's inline corpus scan). The lens
+    // materialization is the amortized, once-per-snapshot cost — written
+    // here, OUTSIDE the timed region, by design.
+    val lensPath = java.nio.file.Files.createTempDirectory("graft-bench-lens")
+      .resolve("lens").toString
+    graft.operators.KeywordSearch.docLengths(
+      Tables(spark, sfDir, "documents"), "doc_id", "text").write.parquet(lensPath)
+    val extras = Seq(
+      "streaming_dedup_4batches" -> (() => streamingDedup4Batches(spark, sfDir)),
+      "q38_bm25_precomputed" -> (() => bm25Precomputed(spark, sfDir, lensPath)))
+    val extraResults = extras.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = headlineResults ++ extraResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -52,5 +73,44 @@ object Bench {
     // (Spark shutdown logs go to stderr; sbt passes stdout through bare via
     // outputStrategy := StdoutOutput in build.sbt).
     println(json)
+  }
+
+  /** The documents corpus split into 4 micro-batches driven through
+    * StreamingDedup.processBatch against an accumulating parquet signature
+    * store — the foreachBatch body without the stream harness, so the
+    * store-scan + broadcast-join cost per batch is what's measured.
+    */
+  private def streamingDedup4Batches(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-sdedup")
+    val storePath = tmp.resolve("store").toString
+    val outPath = tmp.resolve("out").toString
+    val docs = Tables(spark, sfDir, "documents")
+    (0 until 4).foreach { b =>
+      val batch = docs.filter(col("doc_id") % 4 === b)
+      val store = graft.streaming.StreamingDedup.readStore(spark, storePath)
+      val (survivors, survivorRows) = graft.streaming.StreamingDedup
+        .processBatch(batch, store, "doc_id", "text")
+      survivors.withColumn("batch_id", lit(b.toLong))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outPath)
+      survivorRows.withColumn("batch_id", lit(b.toLong))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(storePath)
+    }
+  }
+
+  /** q38's BM25 with the per-doc length table read from a pre-materialized
+    * parquet instead of the inline corpus scan — the amortized retrieval
+    * path (the lens write happens untimed in main).
+    */
+  private def bm25Precomputed(spark: SparkSession, sfDir: String, lensPath: String): Unit = {
+    graft.operators.KeywordSearch.bm25(
+      Tables(spark, sfDir, "documents"), "doc_id", "text",
+      Seq("spark", "window", "merge"), k = 10,
+      lens = Some(spark.read.parquet(lensPath))).count()
+    ()
   }
 }

@@ -90,10 +90,20 @@ object Dedup {
   def minhashCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
       minEstJaccard: Double = 0.5, n: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
     // localCheckpoint (not cache): blocks are freed by the ContextCleaner
     // once this call's results are consumed — no permanent cache pinning
-    val sigs = minhashSignatures(docs, idCol, textCol, n).localCheckpoint()
+    minhashCandidatePairsFromSigs(
+      minhashSignatures(docs, idCol, textCol, n).localCheckpoint(),
+      idCol, minEstJaccard, maxBucketSize)
+
+  /** The banding + refine phase over PRECOMPUTED signatures (columns: idCol,
+    * sig, bands) — callers that also need the signatures for other joins
+    * (e.g. streaming dedup's store rows) hash each document exactly once.
+    */
+  def minhashCandidatePairsFromSigs(
+      sigs: DataFrame, idCol: String,
+      minEstJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     val exploded = sigs.select(col(idCol),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     // skew control: a band bucket with >maxBucketSize members would produce

@@ -17,16 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object KeywordSearch {
 
+  /** Per-doc token lengths (doc_id, dl) — the corpus-wide scan behind BM25's
+    * normalization. At scale, materialize this ONCE per corpus snapshot
+    * (parquet next to the corpus) and hand it to [[bm25]]'s `lens` parameter:
+    * every query then reads the tiny lens table instead of re-tokenizing
+    * 100 TB of text per retrieval.
+    */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(graft.functions.TextAnalysis.lowerTokens(col(textCol))).cast("long").as("dl"))
+
   /** Okapi BM25 top-k for a bag of query terms.
     *
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
     * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — Robertson/Lucene form,
     * always positive. Scores rounded to 6 dp; ties broken by id asc.
+    *
+    * `lens`: a precomputed [[docLengths]] table for the SAME corpus snapshot
+    * (amortizes the full-corpus length scan across queries — the
+    * interactive-vs-batch lever at 100 TB). None = compute inline.
     */
   def bm25(
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      lens: Option[DataFrame] = None): DataFrame = {
     // Locale.ROOT so query terms lower-case exactly like Spark's own
     // locale-independent lower() applied to the document tokens
     val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
@@ -37,9 +53,8 @@ object KeywordSearch {
     // doc length = token count, computed as size(split(...)) — identical
     // value with no explode and no groupBy shuffle (split never yields an
     // empty array, so every doc appears, matching the explode+count shape)
-    val lens = corpus.select(col(idCol).as("doc_id"),
-      size(graft.functions.TextAnalysis.lowerTokens(col(textCol))).cast("long").as("dl"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val lensDf = lens.getOrElse(docLengths(docs, idCol, textCol))
+    val stats = lensDf.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     // substring pre-filter before the explode: a superset of true matches
     // (the exact term equality below refines), but it reaches the scan as a
     // pushable predicate — at corpus scale only matching docs are exploded
@@ -56,7 +71,7 @@ object KeywordSearch {
     val withDf = tf.withColumn("df",
       count(lit(1)).over(Window.partitionBy("term")))
     val scored = withDf
-      .join(lens, "doc_id")
+      .join(lensDf, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("w",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)

@@ -46,18 +46,27 @@ object StreamingDedup {
   def processBatch(
       batch: DataFrame, store: DataFrame, idCol: String, textCol: String,
       minEstJaccard: Double = 0.8, n: Int = 3): (DataFrame, DataFrame) = {
-    // (1) within-batch: redelivered ids, then near-dup collapse to min-id rep
+    // (1) within-batch: redelivered ids, then near-dup collapse to min-id
+    // rep. Signatures are hashed ONCE for the whole batch (localCheckpoint)
+    // and reused for both the within-batch banding and the store rows —
+    // text is the widest column; hashing it twice per batch would double
+    // the dominant batch cost.
     val uniqueIds = batch.dropDuplicates(idCol)
-    val withinPairs = Dedup.minhashCandidatePairs(uniqueIds, idCol, textCol,
-      minEstJaccard, n)
+    val sigs = Dedup.minhashSignatures(uniqueIds, idCol, textCol, n)
+      .localCheckpoint()
+    val withinPairs = Dedup.minhashCandidatePairsFromSigs(sigs, idCol, minEstJaccard)
     val dropWithin = Dedup.dropSet(withinPairs)
     val batchDeduped = uniqueIds.join(
       dropWithin.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
 
     // (2) against the store: ONE store scan, batch side broadcast (the store
-    // is never shuffled); signature refine on band collisions. Band rows are
-    // materialized once — the minhash UDF must not re-run per consumer.
-    val newBands = bandRows(batchDeduped, idCol, textCol, n).localCheckpoint()
+    // is never shuffled); signature refine on band collisions. Survivor band
+    // rows are derived from the SAME precomputed signatures.
+    val newBands = sigs
+      .join(dropWithin.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+      .select(col(idCol).cast("string").as("doc_id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .localCheckpoint()
     val hitIds = store.as("st")
       .join(broadcast(newBands.as("nb")), Seq("band_idx", "band_key"))
       .filter(GraftFunctions.minhashJaccardUdf(col("nb.sig"), col("st.sig"))
@@ -74,6 +83,21 @@ object StreamingDedup {
   private val StoreSchema =
     "doc_id STRING, sig ARRAY<BIGINT>, band_idx INT, band_key LONG"
 
+  /** The signature store at `storePath`, or the empty store when the path
+    * does not exist yet (first batch). Any OTHER read failure propagates —
+    * silently resetting dedup state would un-dedup the batch.
+    */
+  def readStore(spark: SparkSession, storePath: String): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath))
+      spark.read.parquet(storePath)
+        .select("doc_id", "sig", "band_idx", "band_key")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(StoreSchema))
+  }
+
   /** Streaming wiring: foreachBatch drives [[processBatch]] with a parquet
     * signature store and writes survivors to `outPath`. Both writes land in
     * a `batch_id` partition with dynamic overwrite, so a replayed batch is
@@ -88,15 +112,7 @@ object StreamingDedup {
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hPath = new org.apache.hadoop.fs.Path(storePath)
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val store =
-          if (fs.exists(hPath))
-            spark.read.parquet(storePath)
-              .select("doc_id", "sig", "band_idx", "band_key")
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL(StoreSchema))
+        val store = readStore(spark, storePath)
         val (survivors, survivorRows) = processBatch(
           batch, store, idCol, textCol, minEstJaccard)
         survivors.withColumn("batch_id", lit(batchId))

@@ -1,0 +1,68 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.{Dedup, VectorSearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recall measurement for the approximate paths at an arbitrary scale factor
+  * (SPARK_GRAFT_SF_DIR) — the same four numbers RecallSpec gates at sf0.01,
+  * runnable per-round at sf0.1+ so the recall contracts in SCALE.md stay
+  * scale-verified instead of extrapolated:
+  *
+  *   tools/run_verify.sh x x graft.tools.RecallAtScale
+  */
+object RecallAtScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .appName("graft-recall")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def recallOfKnn(approx: DataFrame, exact: DataFrame): Double = {
+      val e = exact.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a = approx.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (e intersect a).size.toDouble / e.size
+    }
+
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val exact = VectorSearch.knnJoin(queries, corpus, "q_id", "qv", "c_id", "cv", k = 10)
+      .localCheckpoint()
+    val rSingle = recallOfKnn(VectorSearch.lshBucketJoin(
+      queries, corpus, "q_id", "qv", "c_id", "cv", k = 10, nBits = 4), exact)
+    val rMulti = recallOfKnn(VectorSearch.lshBucketJoin(
+      queries, corpus, "q_id", "qv", "c_id", "cv", k = 10, nBits = 4,
+      multiProbe = true), exact)
+    val rTables = recallOfKnn(VectorSearch.lshBucketJoin(
+      queries, corpus, "q_id", "qv", "c_id", "cv", k = 10, nBits = 4,
+      multiProbe = true, nTables = 8), exact)
+
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val exactPairs = Dedup.ngramJaccardPairs(
+      docs.withColumn("blk", lit(1)), "doc_id", "text", Seq("blk"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      minEstJaccard = 0.4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rMinhash =
+      if (exactPairs.isEmpty) Double.NaN
+      else (exactPairs intersect lshPairs).size.toDouble / exactPairs.size
+
+    spark.stop()
+    println(f"""{"sf":"$sfDir","lsh_single":$rSingle%.4f,"lsh_multiprobe":$rMulti%.4f,""" +
+      f""""lsh_8table":$rTables%.4f,"minhash_banding":$rMinhash%.4f,""" +
+      f""""minhash_true_pairs":${exactPairs.size}}""")
+  }
+}

@@ -43,6 +43,22 @@ class KeywordSearchSpec extends AnyFunSuite {
     assert(res(2L) - res(1L) > (res(3L) - res(2L)) / 4)
   }
 
+  test("bm25 with precomputed lens table is identical to the inline scan") {
+    val lens = KeywordSearch.docLengths(corpus, "doc_id", "text")
+    val inline = KeywordSearch.bm25(corpus, "doc_id", "text",
+      Seq("spark", "window", "merge"), k = 10).collect().toSeq
+    val precomputed = KeywordSearch.bm25(corpus, "doc_id", "text",
+      Seq("spark", "window", "merge"), k = 10, lens = Some(lens)).collect().toSeq
+    assert(inline == precomputed)
+    // lens persisted through parquet (the at-scale shape) round-trips too
+    val tmp = java.nio.file.Files.createTempDirectory("lens").toString
+    lens.write.mode("overwrite").parquet(tmp)
+    val fromDisk = KeywordSearch.bm25(corpus, "doc_id", "text",
+      Seq("spark", "window", "merge"), k = 10,
+      lens = Some(spark.read.parquet(tmp))).collect().toSeq
+    assert(inline == fromDisk)
+  }
+
   test("bm25 guards: empty query throws; null-text docs excluded from stats") {
     import spark.implicits._
     intercept[IllegalArgumentException](
