@@ -219,36 +219,185 @@ object OracleSql {
     ORDER BY doc_a, doc_b"""
   }
 
-  /** The full q33 oracle: MockEmbedder replayed in SQL — FNV-32a seed over
-    * UTF-8 bytes, sin(uint32(seed*(i+1)) * 0.1) series CAST to FLOAT, float32
-    * sequential L2 normalization (list_reduce keeps Scala's accumulation
-    * order), cosine vs the inlined query vector. The query embedding is
-    * computed Scala-side and inlined as DOUBLE literals (q34 technique).
+  /** CTE chain replaying MockEmbedder over `textCol` of CTE `inCte` keyed by
+    * `keyCols`: FNV-32a seed over UTF-8 bytes, sin(uint32(seed*(i+1)) * 0.1)
+    * series CAST to FLOAT, float32 sequential L2 normalization (list_reduce
+    * keeps Scala's accumulation order). Emits CTE `<p>_unit` with keyCols +
+    * `v` (unit FLOAT32 list).
+    */
+  def mockEmbedCtes(
+      inCte: String, textCol: String, keyCols: String, dim: Int, p: String): String = {
+    val fnv = fnv32Utf8Fold(textCol)
+    s"""${p}_seeded AS MATERIALIZED (
+      SELECT $keyCols, $fnv AS seed FROM $inCte),
+    ${p}_comps AS (
+      SELECT $keyCols, CAST(i AS INT) AS i,
+             CAST(sin(CAST((seed * (i + 1)) % 4294967296 AS DOUBLE) * 0.1) AS FLOAT) AS v
+      FROM ${p}_seeded, UNNEST(range(0, $dim)) AS u(i)),
+    ${p}_vecs AS MATERIALIZED (
+      SELECT $keyCols, list(v ORDER BY i) AS vraw FROM ${p}_comps GROUP BY $keyCols),
+    ${p}_normed AS (
+      SELECT $keyCols, vraw,
+             CAST(sqrt(CAST(list_reduce(list_prepend(CAST(0 AS FLOAT), vraw),
+               (a, x) -> CAST(a + CAST(x * x AS FLOAT) AS FLOAT)) AS DOUBLE)) AS FLOAT) AS nrm
+      FROM ${p}_vecs),
+    ${p}_unit AS (
+      SELECT $keyCols,
+             CASE WHEN nrm > 0 THEN list_transform(vraw, x -> CAST(x / nrm AS FLOAT))
+                  ELSE vraw END AS v FROM ${p}_normed)"""
+  }
+
+  /** The full q33 oracle: MockEmbedder replayed in SQL ([[mockEmbedCtes]]),
+    * cosine vs the query embedding computed Scala-side and inlined as DOUBLE
+    * literals (q34 technique).
     */
   def mockEmbedTopKOracle(queryText: String, k: Int, dim: Int): String = {
     val qv = graft.functions.MockEmbedder.embed(queryText, dim)
     val qLit = qv.map(v => v.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
-    val fnv = fnv32Utf8Fold("text")
     s"""
-    WITH seeded AS MATERIALIZED (
-      SELECT doc_id, $fnv AS seed FROM documents),
-    comps AS (
-      SELECT doc_id, CAST(i AS INT) AS i,
-             CAST(sin(CAST((seed * (i + 1)) % 4294967296 AS DOUBLE) * 0.1) AS FLOAT) AS v
-      FROM seeded, UNNEST(range(0, $dim)) AS u(i)),
-    vecs AS MATERIALIZED (
-      SELECT doc_id, list(v ORDER BY i) AS vraw FROM comps GROUP BY doc_id),
-    normed AS (
-      SELECT doc_id,
-             CAST(sqrt(CAST(list_reduce(list_prepend(CAST(0 AS FLOAT), vraw),
-               (a, x) -> CAST(a + CAST(x * x AS FLOAT) AS FLOAT)) AS DOUBLE)) AS FLOAT) AS nrm,
-             vraw FROM vecs),
-    unit AS (
-      SELECT doc_id,
-             CASE WHEN nrm > 0 THEN list_transform(vraw, x -> CAST(x / nrm AS FLOAT))
-                  ELSE vraw END AS v FROM normed)
+    WITH ${mockEmbedCtes("documents", "text", "doc_id", dim, "e")}
     SELECT doc_id,
            ROUND(CAST(list_cosine_similarity(CAST(v AS DOUBLE[]), $qLit) AS DOUBLE), 6) AS score
-    FROM unit ORDER BY score DESC, doc_id LIMIT $k"""
+    FROM e_unit ORDER BY score DESC, doc_id LIMIT $k"""
   }
+
+  // ------------------------------------------------------------- chunker
+
+  /** CTE chain replaying TextChunker.chunkSentenceAware as a recursive CTE:
+    * per-doc sequential window walk with the 200-char sentence/paragraph
+    * backtrack, Java-trim of each window, empties dropped. Emits CTE
+    * `emitted` with (doc_id, chunk_index, content).
+    */
+  def chunkCtes(table: String, size: Int, overlap: Int): String = {
+    // end of the chunk starting at 0-based `start` (0-based exclusive):
+    // backtrack scans positions descending for the LAST sentence-end
+    // (./!/? followed by space/\n/\r -> i+1) or paragraph break (\n\n -> i+2)
+    def endExpr(start: String): String = {
+      val e0 = s"least($start + $size, n)"
+      val ss = s"greatest($e0 - 200, $start)"
+      val sent = "substr(text, p, 1) IN ('.', '!', '?') AND " +
+        "substr(text, p + 1, 1) IN (' ', chr(10), chr(13))"
+      val para = "substr(text, p, 1) = chr(10) AND substr(text, p + 1, 1) = chr(10)"
+      val maxp = s"list_max(list_filter(range($ss + 1, $e0 + 1), p -> ($sent) OR ($para)))"
+      s"CASE WHEN $e0 >= n THEN n WHEN $maxp IS NULL THEN $e0 " +
+        s"WHEN substr(text, $maxp, 1) = chr(10) THEN $maxp + 1 ELSE $maxp END"
+    }
+    // Java String.trim strips every char <= 0x20; the realistic text set
+    val trimSet = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+    val eBase = endExpr("0")
+    val eRec = endExpr("nstart")
+    s"""chunk_st AS (
+      SELECT doc_id, text, length(text) AS n, 0 AS start,
+             $eBase AS fin,
+             trim(substr(text, 1, $eBase), $trimSet) AS content
+      FROM $table WHERE length(text) > 0
+      UNION ALL
+      SELECT doc_id, text, n, nstart,
+             $eRec AS fin,
+             trim(substr(text, nstart + 1, $eRec - nstart), $trimSet) AS content
+      FROM (
+        SELECT doc_id, text, n,
+               CASE WHEN greatest(fin - $overlap, 0) > start
+                    THEN greatest(fin - $overlap, 0) ELSE fin END AS nstart
+        FROM chunk_st WHERE fin < n) nx
+    ),
+    emitted AS MATERIALIZED (
+      SELECT doc_id, start, content,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INT)
+               AS chunk_index
+      FROM chunk_st WHERE length(content) > 0)"""
+  }
+
+  // --------------------------------------------------------------- uuid5
+
+  /** CTE chain computing RFC 4122 UUIDv5 (URL namespace) of column `nm` of
+    * CTE `inCte` — a full single-block SHA-1 in SQL: message bytes (namespace
+    * + ASCII name + padding + BE bit length) -> 16 BE words -> the 80-round
+    * compression as a list_reduce whose accumulator is [a,b,c,d,e] plus a
+    * 16-entry W ring buffer -> version/variant-patched hex string. Names must
+    * be ASCII and <= 39 bytes (chunk ids are '<digits>-<digits>').
+    * Emits CTE `u_id` with keyCols + `id`.
+    */
+  def uuid5Ctes(inCte: String, keyCols: String): String = {
+    // RFC 4122 URL namespace 6ba7b811-9dad-11d1-80b4-00c04fd430c8, as bytes
+    val ns = "107,167,184,17,157,173,17,209,128,180,0,192,79,212,48,200"
+    val msg = s"list_concat(list_concat([$ns]::BIGINT[], " +
+      s"list_transform(list_filter(string_split(nm, ''), ch -> ch <> ''), " +
+      s"ch -> CAST(unicode(ch) AS BIGINT))), [128]::BIGINT[])"
+    val bits = "((16 + length(nm)) * 8)"
+    // zeros fill bytes [17+len, 61]; last two bytes are the BE bit length
+    // (single-block: bit length < 2^16, higher length bytes are the zeros)
+    val padded = s"list_concat(list_concat($msg, " +
+      s"list_transform(range(0, 45 - length(nm)), z -> 0)), " +
+      s"[$bits // 256, $bits % 256]::BIGINT[])"
+    val words = "list_transform(range(0, 16), w -> " +
+      "pb[4*w + 1] * 16777216 + pb[4*w + 2] * 65536 + pb[4*w + 3] * 256 + pb[4*w + 4])"
+    def rotl(x: String, s: Int): String =
+      s"((($x) % ${1L << (32 - s)}) * ${1L << s} + (($x) // ${1L << (32 - s)}))"
+    // acc = [a,b,c,d,e] ++ ring16 where ring[i] = W[t-17+i] (acc positions
+    // 6..21); W[t-3]=acc[19], W[t-8]=acc[14], W[t-14]=acc[8], W[t-16]=acc[6]
+    val wt = s"CASE WHEN x[1] < 16 THEN mw[x[1] + 1] ELSE " +
+      rotl("xor(xor(acc[19], acc[14]), xor(acc[8], acc[6]))", 1) + " END"
+    val fExpr = "CASE WHEN x[1] < 20 THEN ((acc[2] & acc[3]) | ((4294967295 - acc[2]) & acc[4])) " +
+      "WHEN x[1] < 40 THEN xor(xor(acc[2], acc[3]), acc[4]) " +
+      "WHEN x[1] < 60 THEN ((acc[2] & acc[3]) | (acc[2] & acc[4]) | (acc[3] & acc[4])) " +
+      "ELSE xor(xor(acc[2], acc[3]), acc[4]) END"
+    val kExpr = "CASE WHEN x[1] < 20 THEN 1518500249 WHEN x[1] < 40 THEN 1859775393 " +
+      "WHEN x[1] < 60 THEN 2400959708 ELSE 3395469782 END"
+    val temp = s"((${rotl("acc[1]", 5)} + $fExpr + acc[5] + $kExpr + ($wt)) % 4294967296)"
+    val step = s"list_concat(list_concat([$temp, acc[1], ${rotl("acc[2]", 30)}, acc[3], acc[4]], " +
+      s"acc[7:21]), [($wt)])"
+    val fold = "list_reduce(list_prepend(" +
+      "[1732584193, 4023233417, 2562383102, 271733878, 3285377520, " +
+      "0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0]::BIGINT[], " +
+      s"list_transform(range(0, 80), t -> [t]::BIGINT[])), (acc, x) -> $step)"
+    s"""u_pb AS (SELECT $keyCols, nm, $padded AS pb FROM $inCte),
+    u_mw AS (SELECT $keyCols, $words AS mw FROM u_pb),
+    u_st AS (SELECT $keyCols, $fold AS st FROM u_mw),
+    u_id AS MATERIALIZED (SELECT $keyCols,
+      printf('%08x-%04x-%04x-%04x-%04x%08x',
+        (1732584193 + st[1]) % 4294967296,
+        ((4023233417 + st[2]) % 4294967296) // 65536,
+        ((((4023233417 + st[2]) % 4294967296) // 256) % 256 % 16 + 80) * 256
+          + ((4023233417 + st[2]) % 4294967296) % 256,
+        (((2562383102 + st[3]) % 4294967296) // 16777216 % 64 + 128) * 256
+          + (((2562383102 + st[3]) % 4294967296) // 65536) % 256,
+        ((2562383102 + st[3]) % 4294967296) % 65536,
+        (271733878 + st[4]) % 4294967296) AS id
+      FROM u_st)"""
+  }
+
+  /** The full q35 oracle: recursive-CTE chunker + SHA-1 uuid5 chunk ids. */
+  def chunkExplodeOracle(size: Int, overlap: Int): String =
+    s"""
+    WITH RECURSIVE ${chunkCtes("documents", size, overlap)},
+    named AS (
+      SELECT doc_id, chunk_index, content,
+             CAST(doc_id AS VARCHAR) || '-' || CAST(chunk_index AS VARCHAR) AS nm
+      FROM emitted),
+    ${uuid5Ctes("named", "doc_id, chunk_index, content")}
+    SELECT doc_id, chunk_index, content, id AS chunk_id
+    FROM u_id ORDER BY doc_id, chunk_index"""
+
+  /** The full q36 oracle: chunker + uuid5 + MockEmbedder projections (the
+    * scaled-int md5 fingerprint proves the full embed executed, in an
+    * engine-neutral encoding).
+    */
+  def ingestTransformOracle(size: Int, overlap: Int, dim: Int): String =
+    s"""
+    WITH RECURSIVE ${chunkCtes("documents", size, overlap)},
+    named AS (
+      SELECT e.doc_id, d.lang, e.chunk_index, e.content,
+             CAST(e.doc_id AS VARCHAR) || '-' || CAST(e.chunk_index AS VARCHAR) AS nm
+      FROM emitted e JOIN documents d ON e.doc_id = d.doc_id),
+    ${uuid5Ctes("named", "doc_id, lang, chunk_index, content")},
+    ${mockEmbedCtes("u_id", "content", "doc_id, chunk_index", dim, "e")}
+    SELECT h.doc_id, h.lang, h.chunk_index, h.content, h.id,
+           md5(list_aggregate(list_transform(u.v,
+             x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)),
+             'string_agg', ',')) AS vector_fp,
+           CAST($dim AS INT) AS vector_dim,
+           ROUND(CAST(u.v[1] AS DOUBLE), 6) AS vector_head
+    FROM u_id h JOIN e_unit u ON h.doc_id = u.doc_id AND h.chunk_index = u.chunk_index
+    ORDER BY h.doc_id, h.chunk_index"""
 }

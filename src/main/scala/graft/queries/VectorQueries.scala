@@ -205,8 +205,12 @@ object VectorQueries {
     // the reference's core write path (§3.2) expressed as one narrow
     // (shuffle-free) pipeline; bench tracks its rows/sec. The embed vector is
     // projected to scalar fingerprints at the query boundary (the driver's
-    // rows-only compare sorts the frame and can't hash ARRAY columns) — the
-    // full 64-dim embed still executes, nothing is pruned.
+    // compare can't hash ARRAY columns) — the full 64-dim embed still
+    // executes, nothing is pruned. Hash-exact: the oracle replays the
+    // backtracking chunker as a recursive CTE, uuid5 as a full SHA-1 in SQL,
+    // and the embedder via the q33 technique; the fingerprint is md5 over
+    // scaled-int components (engine-neutral, unlike Spark's to_json float
+    // formatting).
     "q36_ingest_transform" -> Q(
       fn = (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -222,16 +226,19 @@ object VectorQueries {
           .withColumn("vector", GraftFunctions.mockEmbed(col("content"), 64))
           .select(col("doc_id"), col("lang"), col("chunk_index"), col("content"),
             col("id"),
-            sha2(to_json(col("vector")), 256).as("vector_sha"),
+            md5(concat_ws(",", transform(col("vector"),
+              x => round(x.cast("double") * 1000000).cast("long").cast("string"))))
+              .as("vector_fp"),
             size(col("vector")).as("vector_dim"),
             round(element_at(col("vector"), 1).cast("double"), 6).as("vector_head"))
       },
-      oracle = None,
+      oracle = Some(OracleSql.ingestTransformOracle(size = 200, overlap = 40, dim = 64)),
       headline = true),
 
-    // §2.7/§2.8: sentence-aware chunk explode with idempotent uuid5 ids
-    // (rows-only; chunker semantics are spec-tested against the reference's
-    // unit-test contract).
+    // §2.7/§2.8: sentence-aware chunk explode with idempotent uuid5 ids —
+    // hash-exact: OracleSql replays the backtracking chunker as a recursive
+    // CTE and uuid5 as a single-block SHA-1 in SQL (chunker semantics also
+    // spec-tested against the reference's unit-test contract).
     "q35_chunk_explode" -> Q(
       fn = (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -245,6 +252,6 @@ object VectorQueries {
             GraftFunctions.uuid5(concat(col("doc_id"), lit("-"), col("chunk_index"))))
           .orderBy(col("doc_id"), col("chunk_index"))
       },
-      oracle = None)
+      oracle = Some(OracleSql.chunkExplodeOracle(size = 120, overlap = 30)))
   )
 }
