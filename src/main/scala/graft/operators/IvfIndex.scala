@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inverted-file (IVF) approximate nearest-neighbor index over an embedding
+  * column — the coarse-quantizer scale path alongside the hyperplane LSH in
+  * [[VectorSearch]] (SURVEY.md §2.5 T1 extension; the capability the
+  * reference serves per-query via brute force, re-expressed as an index).
+  *
+  * Shape at 100 TB: `centroidsByDraw` (or `refine`) builds a small centroid
+  * table once per corpus snapshot — index metadata, broadcastable by
+  * construction. `assign` adds a `cell` column in one narrow, shuffle-free,
+  * whole-stage-codegen pass (the centroids are inlined literals, not a join
+  * side); writing the corpus partitioned by `cell` then makes every probe a
+  * partition-pruned scan of nProbe/nCells of the data. `search` touches only
+  * the probed cells and lowers to TakeOrderedAndProject like the exact path.
+  *
+  * Determinism contract (what makes q3g oracle-able in DuckDB): the centroid
+  * draw orders by (md5(id), id); assignment and probe selection rank by
+  * (round(cosine, 6) DESC, cell ASC). Both engines replay the identical
+  * integer/double pipeline, so cell ids and search results are hash-exact.
+  */
+object IvfIndex {
+
+  /** A built coarse index: cell ids 0..nCells-1 with centroid vectors.
+    * Small by contract (index metadata) — it ships to executors as literals.
+    */
+  final case class Index(centroids: Array[(Int, Array[Float])]) {
+    def nCells: Int = centroids.length
+    require(nCells > 0, "IVF index needs at least one centroid")
+  }
+
+  /** Deterministic centroid selection: the `nCells` corpus vectors with the
+    * smallest (md5(id), id) — a uniform pseudo-random draw with no RNG state,
+    * the same technique as [[DataMix]]'s sampling hash. One corpus scan with
+    * a global top-nCells (TakeOrderedAndProject — per-partition heaps), and a
+    * driver collect bounded by nCells × dim.
+    */
+  def centroidsByDraw(
+      corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): Index = {
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    val rows = corpus
+      .select(md5(col(idCol).cast("string")).as("__d"),
+        col(idCol).cast("string").as("__id"),
+        VectorFunctions.asFloatArray(col(vecCol)).as("__v"))
+      .orderBy(col("__d"), col("__id"))
+      .limit(nCells)
+      .collect()
+    Index(rows.zipWithIndex.map { case (r, i) =>
+      i -> r.getAs[scala.collection.Seq[Float]]("__v").toArray
+    })
+  }
+
+  /** Nearest-centroid id for a vector column: argmax over the centroid set by
+    * (round(cosine, 6) DESC, cell ASC) as one codegen expression — K cosines
+    * per row, zero shuffle, no join. The tiebreak is encoded by taking the
+    * struct-ordering max of (score, -cell). For very large nCells a two-level
+    * coarse/fine assignment keeps the expression bounded; at typical
+    * nCells ≤ 1024 this inlines fine (Spark splits oversized codegen).
+    */
+  def assignCell(vec: Column, index: Index, scoreScale: Int = 6): Column = {
+    val scored = index.centroids.map { case (cell, cv) =>
+      struct(
+        round(VectorFunctions.cosine(vec, typedLit(cv)), scoreScale).as("s"),
+        lit(-cell).as("negc"))
+    }
+    (-array_max(array(scored.toIndexedSeq: _*)).getField("negc")).as("cell")
+  }
+
+  /** Corpus with a `cellCol` nearest-centroid column appended (the index
+    * build's data pass). Persist partitioned/bucketed by this column so
+    * probes prune at the source.
+    */
+  def assign(
+      corpus: DataFrame, vecCol: String, index: Index,
+      cellCol: String = "cell"): DataFrame =
+    corpus.withColumn(cellCol, assignCell(col(vecCol), index))
+
+  /** The nProbe cells nearest the query vector, ranked exactly like
+    * [[assignCell]] ((round(cosine, 6) DESC, cell ASC)) — driver-side math
+    * over the tiny centroid set, mirroring Spark's HALF_UP rounding so the
+    * DuckDB oracle reproduces the probe set.
+    */
+  def probeCells(
+      index: Index, queryVec: Array[Float], nProbe: Int,
+      scoreScale: Int = 6): Seq[Int] = {
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    index.centroids
+      .map { case (cell, cv) => (roundHalfUp(cosineScalar(cv, queryVec), scoreScale), cell) }
+      .sortBy { case (s, cell) => (-s, cell) }
+      .take(nProbe)
+      .map(_._2)
+      .toSeq
+  }
+
+  /** IVF top-k: brute-force cosine restricted to the nProbe probed cells.
+    * With the corpus stored partitioned by cell, the `isin` filter is a
+    * partition-pruning predicate — the scan reads nProbe/nCells of the data.
+    * nProbe = nCells degrades to the exact [[VectorSearch.topK]].
+    */
+  def search(
+      assigned: DataFrame, vecCol: String, queryVec: Array[Float], index: Index,
+      nProbe: Int, k: Int, cellCol: String = "cell",
+      scoreScale: Option[Int] = Some(6), tiebreak: Option[String] = None): DataFrame = {
+    val cells = probeCells(index, queryVec, nProbe)
+    VectorSearch.topK(assigned, vecCol, queryVec, k,
+      filter = col(cellCol).isin(cells: _*), scoreScale = scoreScale,
+      tiebreak = tiebreak)
+  }
+
+  /** Lloyd's k-means refinement of an index: `iters` rounds of assign →
+    * per-cell mean. Each round is one narrow assignment pass plus one
+    * partial-aggregated shuffle of nCells × dim × partitions rows (posexplode
+    * keyed on (cell, dim)); the driver collect per round is nCells × dim
+    * doubles — index metadata. Empty cells keep their previous centroid.
+    * Means use distributed double summation, so refined centroids are
+    * deterministic only up to float-addition order — refinement trades the
+    * draw index's bit-exact replayability for recall (RecallSpec gates the
+    * improvement); keep [[centroidsByDraw]] output where oracle parity
+    * matters.
+    */
+  def refine(
+      corpus: DataFrame, vecCol: String, index: Index, iters: Int = 3): Index = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    var cents = index
+    var round = 0
+    while (round < iters) {
+      val sums = assign(corpus, vecCol, cents, cellCol = "__cell")
+        .select(col("__cell"),
+          posexplode(VectorFunctions.asFloatArray(col(vecCol))).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos")
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      val next = cents.centroids.map { case (cell, old) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val v = old.clone()
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+            cell -> v
+          case None => cell -> old
+        }
+      }
+      cents = Index(next)
+      round += 1
+    }
+    cents
+  }
+
+  /** Double cosine, left-to-right accumulation over float inputs — the exact
+    * arithmetic of the codegen [[graft.functions.CosineSimilarity]] and of
+    * DuckDB's list_cosine_similarity over CAST(... AS DOUBLE[]). 0.0 on
+    * zero-norm inputs (the expression's contract).
+    */
+  private[graft] def cosineScalar(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Spark `round(col, s)` semantics (BigDecimal HALF_UP over the double's
+    * shortest decimal repr) for driver-side score math.
+    */
+  private[graft] def roundHalfUp(x: Double, scale: Int): Double =
+    BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+}

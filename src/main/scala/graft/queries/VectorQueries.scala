@@ -200,6 +200,50 @@ object VectorQueries {
         FROM d CROSS JOIN q WHERE d.vec_id <> 0
         ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // IVF coarse-quantizer ANN, hash-exact: deterministic centroid draw
+    // (smallest (md5(id), id) — the DataMix sampling hash), nearest-centroid
+    // assignment and probe ranking by (round(cosine,6) DESC, cell ASC), then
+    // brute force inside the 4 probed cells only. The partition-pruning scale
+    // path: stored partitioned by cell, a probe reads nProbe/nCells of the
+    // corpus. Recall vs exact and the k-means refinement lift are gated in
+    // RecallSpec; nProbe = nCells degrades to exact (IvfSpec).
+    "q3g_ivf_topk" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val index = graft.operators.IvfIndex.centroidsByDraw(e, "vec_id", "embedding", nCells = 16)
+        val assigned = graft.operators.IvfIndex.assign(e, "embedding", index)
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+          .head.getAs[scala.collection.Seq[Float]](0).toArray
+        graft.operators.IvfIndex.search(
+            assigned.filter(col("vec_id") =!= 0), "embedding", qv, index,
+            nProbe = 4, k = 10, tiebreak = Some("vec_id"))
+          .select(col("vec_id"), col("label"), col("score"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT) AS cell, v AS cv
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS d, vec_id, v FROM e
+                ORDER BY d, vec_id LIMIT 16)),
+        assign AS (
+          SELECT vec_id, label, v, cell FROM (
+            SELECT e.vec_id, e.label, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(e.v, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        probe AS (
+          SELECT cell FROM (
+            SELECT c.cell, ROW_NUMBER() OVER (ORDER BY
+              ROUND(CAST(list_cosine_similarity(c.cv, q.qv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM cent c CROSS JOIN q) WHERE rn <= 4)
+        SELECT a.vec_id, a.label,
+               ROUND(CAST(list_cosine_similarity(a.v, q.qv) AS DOUBLE), 6) AS score
+        FROM assign a CROSS JOIN q JOIN probe p ON a.cell = p.cell
+        WHERE a.vec_id <> 0
+        ORDER BY score DESC, a.vec_id LIMIT 10"""),
+      headline = true),
+
     // Full ingest transform as a throughput probe (headline): chunk explode
     // → deterministic embed → idempotent ids over every document. This is
     // the reference's core write path (§3.2) expressed as one narrow

@@ -1,12 +1,13 @@
 package graft.tools
 
 import graft.Tables
-import graft.operators.{Dedup, VectorSearch}
+import graft.operators.{Dedup, IvfIndex, VectorSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Recall measurement for the approximate paths at an arbitrary scale factor
-  * (SPARK_GRAFT_SF_DIR) — the same four numbers RecallSpec gates at sf0.01,
+  * (SPARK_GRAFT_SF_DIR) — the same numbers RecallSpec gates at sf0.01
+  * (LSH single/multi-probe/8-table, minhash banding, IVF draw/refined),
   * runnable per-round at sf0.1+ so the recall contracts in SCALE.md stay
   * scale-verified instead of extrapolated:
   *
@@ -60,9 +61,42 @@ object RecallAtScale {
       if (exactPairs.isEmpty) Double.NaN
       else (exactPairs intersect lshPairs).size.toDouble / exactPairs.size
 
+    // IVF (same config RecallSpec gates at sf0.01: K=16, 30 queries, k=10).
+    // One Spark job per index for the real assignment path; ranking math is
+    // local — cosineScalar/roundHalfUp mirror the codegen arithmetic
+    // (IvfSpec argmax cross-check).
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+      .sortBy(_._1)
+    val ivfQueries = vecs.take(30)
+    def ivfRecall(idx: IvfIndex.Index, nProbe: Int): Double = {
+      val cell = IvfIndex.assign(emb, "embedding", idx)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val per = ivfQueries.map { case (qid, qv) =>
+        def ranked(cand: Array[(Long, Array[Float])]) =
+          cand.map { case (id, v) =>
+            (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
+          }.sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+        val ex = ranked(vecs.filter(_._1 != qid))
+        val probes = IvfIndex.probeCells(idx, qv, nProbe).toSet
+        val got = ranked(vecs.filter { case (id, _) =>
+          id != qid && probes.contains(cell(id)) })
+        (ex intersect got).size.toDouble / ex.size
+      }
+      per.sum / per.length
+    }
+    val draw = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val rIvf4 = ivfRecall(draw, nProbe = 4)
+    val rIvf8 = ivfRecall(draw, nProbe = 8)
+    val refined = IvfIndex.refine(emb, "embedding", draw, iters = 3)
+    val rIvfKm4 = ivfRecall(refined, nProbe = 4)
+
     spark.stop()
     println(f"""{"sf":"$sfDir","lsh_single":$rSingle%.4f,"lsh_multiprobe":$rMulti%.4f,""" +
       f""""lsh_8table":$rTables%.4f,"minhash_banding":$rMinhash%.4f,""" +
-      f""""minhash_true_pairs":${exactPairs.size}}""")
+      f""""minhash_true_pairs":${exactPairs.size},""" +
+      f""""ivf_draw_nprobe4":$rIvf4%.4f,"ivf_draw_nprobe8":$rIvf8%.4f,""" +
+      f""""ivf_kmeans3_nprobe4":$rIvfKm4%.4f}""")
   }
 }

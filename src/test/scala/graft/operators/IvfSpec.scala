@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF index contracts: deterministic centroid draw, assignment = argmax of
+  * the ranking contract, exactness at nProbe = nCells, probe containment, and
+  * k-means refinement shape. Recall gates live in RecallSpec; driver-level
+  * hash-exactness is q3g_ivf_topk.
+  */
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def emb = Tables(spark, sf, "embeddings")
+
+  private def collected: Array[(Long, Array[Float])] =
+    emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+
+  test("centroid draw is deterministic and matches driver-side md5 ranking") {
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val idx2 = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    assert(idx.nCells === 16)
+    assert(idx.centroids.map(_._1).toSeq === (0 until 16))
+    // same draw on a second build (determinism across jobs)
+    for (((c1, v1), (c2, v2)) <- idx.centroids.zip(idx2.centroids)) {
+      assert(c1 === c2); assert(v1.toSeq === v2.toSeq)
+    }
+    // replay the draw locally: md5 hex of the decimal id string, then id
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = collected.map { case (id, v) => (hex(id.toString), id, v) }
+      .sortBy { case (d, id, _) => (d, id) }.take(16)
+    for (((_, _, ev), (_, av)) <- expect.zip(idx.centroids))
+      assert(ev.toSeq === av.toSeq)
+  }
+
+  test("assignment equals the local argmax by (round(cosine,6) desc, cell asc)") {
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val got = IvfIndex.assign(emb, "embedding", idx)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((id, v) <- collected) {
+      val best = idx.centroids.map { case (cell, cv) =>
+        (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, cv), 6), cell)
+      }.minBy { case (s, cell) => (-s, cell) }._2
+      assert(got(id) === best, s"vec $id assigned ${got(id)}, expected $best")
+    }
+  }
+
+  test("nProbe = nCells reproduces the exact top-k") {
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val assigned = IvfIndex.assign(emb, "embedding", idx)
+    val qv = collected.find(_._1 == 0L).get._2
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = rows(IvfIndex.search(assigned.filter(col("vec_id") =!= 0),
+      "embedding", qv, idx, nProbe = 16, k = 10, tiebreak = Some("vec_id")))
+    val exact = rows(VectorSearch.topK(emb.filter(col("vec_id") =!= 0),
+      "embedding", qv, k = 10, scoreScale = Some(6), tiebreak = Some("vec_id")))
+    assert(ivf === exact)
+  }
+
+  test("probed search stays inside the probed cells, ranked and bounded") {
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val assigned = IvfIndex.assign(emb, "embedding", idx)
+    val qv = collected.find(_._1 == 0L).get._2
+    val probes = IvfIndex.probeCells(idx, qv, nProbe = 4).toSet
+    assert(probes.size === 4)
+    val out = IvfIndex.search(assigned.filter(col("vec_id") =!= 0),
+      "embedding", qv, idx, nProbe = 4, k = 10, tiebreak = Some("vec_id"))
+      .select(col("vec_id"), col("cell"), col("score")).collect()
+    assert(out.length <= 10)
+    assert(out.forall(r => probes.contains(r.getInt(1))))
+    val scores = out.map(_.getDouble(2)).toSeq
+    assert(scores === scores.sorted(Ordering[Double].reverse))
+  }
+
+  test("k-means refine moves occupied centroids to cell means, keeps empty ones") {
+    import spark.implicits._
+    // all data in the +x/+y quadrant: cell 2's centroid (-1, 0) attracts
+    // nothing and must survive refinement unchanged
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.2f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val idx = IvfIndex.Index(Array(
+      0 -> Array(1.0f, 0.0f), 1 -> Array(0.0f, 1.0f), 2 -> Array(-1.0f, 0.0f)))
+    val refined = IvfIndex.refine(vecs, "embedding", idx, iters = 1)
+    assert(refined.nCells === idx.nCells)
+    assert(refined.centroids.forall(_._2.length === 2))
+    // cell 0 ← mean{(1,0),(0.8,0.2)}; cell 1 ← mean{(0,1),(0.2,0.8)}; 2 kept
+    assert(refined.centroids(0)._2.map(_.toDouble).toSeq
+      .zip(Seq(0.9, 0.1)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(refined.centroids(1)._2.map(_.toDouble).toSeq
+      .zip(Seq(0.1, 0.9)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(refined.centroids(2)._2.toSeq === idx.centroids(2)._2.toSeq)
+    // refined index still assigns every vector to a declared cell
+    val assigned = IvfIndex.assign(vecs, "embedding", refined)
+      .select("cell").collect().map(_.getInt(0)).toSet
+    assert(assigned.subsetOf(refined.centroids.map(_._1).toSet))
+  }
+}
