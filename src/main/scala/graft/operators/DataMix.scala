@@ -57,6 +57,30 @@ object DataMix {
     withDraw.filter(keep).drop("__draw")
   }
 
+  /** Per-group deterministic cap: keep at most `n` rows per group, chosen by
+    * (hashDraw(key, salt), key) order — domain/source capping, the curation
+    * op that bounds any one domain's contribution to a training mix (the
+    * heavy-tail complement of [[mixBySource]]'s rate sampling). The kept
+    * subset is a uniform pseudo-random draw, reproducible across runs,
+    * engines and partitionings; changing the salt redraws it. One window
+    * shuffle keyed on the group — groups are never globally sorted, and
+    * map-side nothing precedes it, so cost is linear in the corpus with
+    * per-group heaps bounded by group size (for pathological mega-groups,
+    * pre-filter with [[deterministicSample]] at a rate that overshoots n,
+    * then cap exactly).
+    */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, keyCol: String, n: Int,
+      salt: String): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__draw"), col(keyCol))
+    df.withColumn("__draw", hashDraw(col(keyCol), salt))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__draw", "__rn")
+  }
+
   /** Token-budget sharding: within each group (ordered by `orderCol`), docs
     * are assigned to consecutive bins by EXCLUSIVE prefix token count, so
     * each bin receives ~`budget` tokens (a doc straddling a boundary counts

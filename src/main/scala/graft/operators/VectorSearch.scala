@@ -155,6 +155,45 @@ object VectorSearch {
       .select(col(qId).as("query_id"), col(cId).as("neighbor_id"), col("score"), col("rn"))
   }
 
+  /** All pairs with cosine ≥ threshold, restricted to LSH bucket collisions —
+    * the scale path for [[cosinePairs]] (embedding-cosine near-duplicate
+    * detection over an unbounded corpus). Each vector is bucketed in
+    * `nTables` independent hyperplane families (one scan, buckets exploded);
+    * the self-join on (table, bucket) is a plain equality join — linear
+    * shuffle, quadratic only inside buckets, no broadcast side. Candidate
+    * pairs colliding in several tables are deduplicated before scoring.
+    * Recall vs the exact quadratic is gated in RecallSpec (≈0.85 at
+    * nBits=2 × 4 tables on near-isotropic vectors, flat from sf0.01→sf0.1);
+    * more tables raise recall linearly in cost, more bits cut cost for
+    * high-similarity-only workloads.
+    */
+  def cosinePairsLsh(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nBits: Int = 2, dim: Int = 64, nTables: Int = 4,
+      scoreScale: Int = 6): DataFrame = {
+    val buckets = explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneBucket(col(vecCol), nBits, dim, seedBase = t * nBits).as("bucket"))): _*))
+    // bucketed ids ONLY: the collision join and pair-dedup shuffle narrow
+    // (id, id) rows, never the vectors — at corpus scale the candidate set
+    // dwarfs the corpus, so vectors are re-attached afterwards by two plain
+    // equality joins (AQE broadcasts the corpus side when it fits)
+    val b = emb.select(col(idCol), col(vecCol), buckets.as("__tb"))
+      .select(col(idCol),
+        col("__tb.tbl").as("tbl"), col("__tb.bucket").as("bucket"))
+    val cand = b.select(col("tbl"), col("bucket"), col(idCol).as("vec_a"))
+      .join(b.select(col("tbl"), col("bucket"), col(idCol).as("vec_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .join(emb.select(col(idCol).as("vec_a"), col(vecCol).as("v_a")), Seq("vec_a"))
+      .join(emb.select(col(idCol).as("vec_b"), col(vecCol).as("v_b")), Seq("vec_b"))
+      .withColumn("score", round(VectorFunctions.cosine(col("v_a"), col("v_b")), scoreScale))
+      .filter(col("score") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("score"))
+  }
+
   /** Sign-bit bucket id from `nBits` fixed pseudo-random hyperplanes. The
     * hyperplanes are generated per-element from a splitmix-style integer mix,
     * so the bucketing is deterministic with no side data to ship. `seedBase`

@@ -423,6 +423,33 @@ object RelationalQueries {
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
         ORDER BY o_orderkey""")),
 
+    // Z-order layout audit, hash-exact: Morton address of (l_partkey,
+    // l_suppkey), coarse 256-way binning (z >> 24), per-bin row counts and
+    // min/max of BOTH dimensions — the per-file statistics a z-ordered
+    // parquet layout would expose for data skipping (every bin covers a
+    // tight range of each dimension; ZOrderSpec quantifies the pruning win
+    // vs a single-column sort). Pure bit arithmetic, identical in both
+    // engines via ZOrder.interleave / interleaveSql.
+    "q3k_zorder_bins" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "lineitem")
+          .withColumn("z", graft.functions.ZOrder.interleave(
+            Seq(col("l_partkey"), col("l_suppkey")), bitsPerDim = 16))
+          .withColumn("zbin", shiftright(col("z"), 24))
+          .groupBy(col("zbin"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+            min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+          .orderBy(col("zbin")),
+      oracle = Some(s"""
+        WITH z AS (SELECT l_partkey, l_suppkey,
+          ${graft.functions.ZOrder.interleaveSql(Seq("l_partkey", "l_suppkey"), 16)} AS zval
+          FROM lineitem)
+        SELECT zval >> 24 AS zbin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+               MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+        FROM z GROUP BY zbin ORDER BY zbin""")),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{DataMix, Decontaminate, Dedup, KeywordSearch, RuleEngine, Scrub}
+import graft.operators.{DataMix, Decontaminate, Dedup, KeywordSearch, LmScore, RuleEngine, Scrub}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -330,6 +330,52 @@ object TextQueries {
            OR (lang = 'fr' AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) < '${DataMix.hexThreshold(0.25)}')
            OR (lang = 'zh' AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) < '${DataMix.hexThreshold(0.1)}')
         ORDER BY doc_id""")),
+
+    // Unigram-LM surprisal scoring, hash-exact: per-doc mean −ln p(token)
+    // under the corpus unigram distribution (the cheap LM quality filter).
+    // Per-token surprisal is ROUND(...,9) → DECIMAL(28,9) so per-doc sums
+    // are exact and order-free across partitions; the mean divides as double
+    // at the query boundary (ROUND 6).
+    "q3j_lm_surprisal" -> Q(
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+        val lm = LmScore.unigramLm(d, "text")
+        LmScore.surprisalScores(d, "doc_id", "text", broadcast(lm))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH tok AS (SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                     FROM documents),
+        cnt AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+        tot AS (SELECT SUM(c) AS t FROM cnt),
+        lp AS (SELECT token,
+                 CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 9)
+                      AS DECIMAL(28,9)) AS s
+               FROM cnt CROSS JOIN tot),
+        agg AS (SELECT doc_id, SUM(s) AS ssum, COUNT(*) AS n
+                FROM tok JOIN lp USING (token) GROUP BY doc_id)
+        SELECT doc_id, ROUND(CAST(ssum AS DOUBLE) / n, 6) AS surprisal,
+               CAST(n AS BIGINT) AS n_tokens
+        FROM agg ORDER BY doc_id""")),
+
+    // Per-source domain cap, hash-exact: keep at most 10 docs per source in
+    // deterministic (md5 draw, id) order — the heavy-tail curation op that
+    // bounds any single domain's contribution to a training mix. Uniform
+    // pseudo-random subset, salt-redrawable, partition-invariant
+    // (DataMixSpec).
+    "q3i_domain_cap" -> Q(
+      fn = (s, dir) =>
+        DataMix.capPerGroup(docs(s, dir).select(col("doc_id"), col("source")),
+          groupCol = "source", keyCol = "doc_id", n = 10, salt = "cap1")
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                   substring(md5(CAST(doc_id AS VARCHAR) || 'cap1'), 1, 8), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10 ORDER BY doc_id""")),
 
     // Token-budget sharding, hash-exact: exclusive prefix-sum bin assignment
     // within each language (one window, no iteration) — each bin receives

@@ -16,6 +16,37 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
+  /** Shared oracle CTE prefix for the LSH-bucketed cosine-pair pipeline
+    * (q3h, q3l): bucket ids re-derived from the inlined hyperplane constants
+    * per table, candidate pairs = distinct same-bucket collisions, scored
+    * pairs filtered at `threshold`. Ends with a `pairs(vec_a, vec_b, score)`
+    * CTE ready for selection or graph traversal.
+    */
+  private def lshPairsCtes(threshold: Double, nBits: Int, nTables: Int): String = {
+    def bucketExpr(t: Int) = (0 until nBits).map { b =>
+      val lit = VectorSearch.hyperplane(t * nBits + b, 64).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val tables = (0 until nTables).map(t =>
+      s"SELECT vec_id, v, $t AS tbl, ${bucketExpr(t)} AS bucket FROM e")
+      .mkString("\nUNION ALL\n")
+    // WITH RECURSIVE so callers may append recursive CTEs (q3l's reach);
+    // DuckDB accepts the keyword when no CTE recurses (q3h)
+    s"""WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS MATERIALIZED ($tables),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+          FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+                            AND a.vec_id < c.vec_id),
+        pairs AS (
+          SELECT vec_a, vec_b, score FROM (
+            SELECT cand.vec_a, cand.vec_b,
+                   ROUND(CAST(list_cosine_similarity(ea.v, eb.v) AS DOUBLE), 6) AS score
+            FROM cand JOIN e ea ON ea.vec_id = cand.vec_a
+                      JOIN e eb ON eb.vec_id = cand.vec_b)
+          WHERE score >= $threshold)"""
+  }
+
   val defs: Map[String, Q] = Map(
 
     // T1: exact brute-force cosine top-k for one query vector (vec_id 0).
@@ -199,6 +230,49 @@ object VectorQueries {
                ROUND(CAST(list_dot_product(d.nv, q.qv) AS DOUBLE), 6) AS score
         FROM d CROSS JOIN q WHERE d.vec_id <> 0
         ORDER BY score DESC, vec_id LIMIT 10""")),
+
+    // Embedding-cosine near-dup at scale, hash-exact: q32's all-pairs
+    // semantics restricted to LSH bucket collisions (2 sign bits × 4
+    // independent hyperplane tables — recall ≈0.85 vs the exact quadratic,
+    // RecallSpec-gated). The oracle re-derives every bucket id from the
+    // inlined hyperplane constants (q34 technique) and replays the
+    // collision→dedup→score pipeline.
+    "q3h_neardup_lsh_pairs" -> Q(
+      fn = (s, dir) =>
+        VectorSearch.cosinePairsLsh(emb(s, dir), "vec_id", "embedding",
+          threshold = 0.3, nBits = 2, nTables = 4)
+          .orderBy(col("vec_a"), col("vec_b")),
+      oracle = Some(s"""
+        ${lshPairsCtes(threshold = 0.3, nBits = 2, nTables = 4)}
+        SELECT vec_a, vec_b, score FROM pairs ORDER BY vec_a, vec_b"""),
+      headline = true),
+
+    // Transitive embedding-dedup clusters, hash-exact: connected components
+    // over the LSH-bucketed cosine pairs ≥ 0.4 — pointer-jumping CC on the
+    // Spark side, recursive reachability + MIN label in the oracle (the q37
+    // technique composed over the q3h candidate pipeline). This is the
+    // embedding-space twin of the text near-dup clusters: near-dup groups
+    // collapse to one canonical member at corpus scale.
+    "q3l_embedding_dedup_clusters" -> Q(
+      fn = (s, dir) => {
+        val pairs = VectorSearch.cosinePairsLsh(emb(s, dir), "vec_id", "embedding",
+          threshold = 0.4, nBits = 2, nTables = 4)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        graft.operators.Dedup.connectedComponents(pairs)
+          .select(col("doc_id").as("vec_id"), col("component_id"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(s"""
+        ${lshPairsCtes(threshold = 0.4, nBits = 2, nTables = 4)},
+        edges AS (
+          SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+        reach(node, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS vec_id, MIN(comp) AS component_id
+        FROM reach GROUP BY node ORDER BY vec_id""")),
 
     // IVF coarse-quantizer ANN, hash-exact: deterministic centroid draw
     // (smallest (md5(id), id) — the DataMix sampling hash), nearest-centroid

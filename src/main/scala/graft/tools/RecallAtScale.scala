@@ -61,6 +61,19 @@ object RecallAtScale {
       if (exactPairs.isEmpty) Double.NaN
       else (exactPairs intersect lshPairs).size.toDouble / exactPairs.size
 
+    // LSH-bucketed embedding near-dup pairs vs the exact quadratic (same
+    // config RecallSpec gates: threshold 0.3, 2 bits × 4 tables)
+    def pairSet(df: DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactCos = pairSet(VectorSearch.cosinePairs(
+      emb, "vec_id", "embedding", threshold = 0.3))
+    val approxCos = pairSet(VectorSearch.cosinePairsLsh(
+      emb, "vec_id", "embedding", threshold = 0.3, nBits = 2, nTables = 4))
+    val rNearDup =
+      if (exactCos.isEmpty) Double.NaN
+      else (approxCos intersect exactCos).size.toDouble / exactCos.size
+
     // IVF (same config RecallSpec gates at sf0.01: K=16, 30 queries, k=10).
     // One Spark job per index for the real assignment path; ranking math is
     // local — cosineScalar/roundHalfUp mirror the codegen arithmetic
@@ -97,6 +110,7 @@ object RecallAtScale {
       f""""lsh_8table":$rTables%.4f,"minhash_banding":$rMinhash%.4f,""" +
       f""""minhash_true_pairs":${exactPairs.size},""" +
       f""""ivf_draw_nprobe4":$rIvf4%.4f,"ivf_draw_nprobe8":$rIvf8%.4f,""" +
-      f""""ivf_kmeans3_nprobe4":$rIvfKm4%.4f}""")
+      f""""ivf_kmeans3_nprobe4":$rIvfKm4%.4f,""" +
+      f""""neardup_lsh_pairs":$rNearDup%.4f,"neardup_true_pairs":${exactCos.size}}""")
   }
 }

@@ -41,6 +41,35 @@ class DataMixSpec extends AnyFunSuite {
     assert(bySrc("web") < 120 && bySrc("web") > 20) // ~60 expected of 300
   }
 
+  test("capPerGroup: bound per group, small groups intact, deterministic") {
+    import spark.implicits._
+    // group g0: 50 rows, g1: 5 rows, g2: 1 row
+    val df = ((0L until 50L).map(i => (i, "g0")) ++
+      (50L until 55L).map(i => (i, "g1")) ++ Seq((55L, "g2")))
+      .toDF("id", "grp")
+    val capped = DataMix.capPerGroup(df, "grp", "id", n = 10, salt = "s1")
+    val byGrp = capped.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp === Map("g0" -> 10L, "g1" -> 5L, "g2" -> 1L))
+    // kept set is exactly the n smallest by (draw, id) — replay locally
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long) = md.digest(s"${id}s1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val expectG0 = (0L until 50L).sortBy(i => (draw(i), i)).take(10).toSet
+    val gotG0 = capped.filter($"grp" === "g0").select("id").as[Long]
+      .collect().toSet
+    assert(gotG0 === expectG0)
+    // partition-invariant and salt-redrawable
+    val repart = DataMix.capPerGroup(df.repartition(7), "grp", "id", 10, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(repart === capped.select("id").as[Long].collect().toSet)
+    val redraw = DataMix.capPerGroup(df, "grp", "id", 10, "s2")
+      .filter($"grp" === "g0").select("id").as[Long].collect().toSet
+    assert(redraw !== gotG0)
+    // columns pass through unchanged (no helper columns leak)
+    assert(capped.columns.toSeq === Seq("id", "grp"))
+  }
+
   test("packByTokenBudget: exclusive prefix bins, straddlers start in-place") {
     import spark.implicits._
     val df = Seq(

@@ -73,6 +73,24 @@ class RecallSpec extends AnyFunSuite {
     assert(recall >= 0.90, f"minhash recall $recall%.4f below gate")
   }
 
+  test("LSH-bucketed near-dup pairs: subset of exact pairs, recall gated") {
+    val emb = Tables(spark, sf, "embeddings")
+    def pairSet(df: DataFrame) =
+      df.select("vec_a", "vec_b", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairSet(VectorSearch.cosinePairs(
+      emb, "vec_id", "embedding", threshold = 0.3))
+    val approx = pairSet(VectorSearch.cosinePairsLsh(
+      emb, "vec_id", "embedding", threshold = 0.3, nBits = 2, nTables = 4))
+    assert(exact.nonEmpty, "fixture has no pairs >= 0.3 to measure against")
+    // same threshold + identical scoring → collisions can only lose pairs
+    assert(approx.subsetOf(exact), "bucketed pairs must agree with exact scores")
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    info(f"lsh near-dup pair recall $recall%.4f over ${exact.size} true pairs")
+    // gate pinned below deterministic measured 0.847 (sf0.01) / 0.844 (sf0.1)
+    assert(recall >= 0.80, f"near-dup pair recall $recall%.4f below gate")
+  }
+
   test("IVF recall vs exact: draw centroids and k-means refinement lift") {
     val emb = Tables(spark, sf, "embeddings")
     val vecs = emb.select(col("vec_id"), col("embedding")).collect()
