@@ -14,7 +14,8 @@ package graft.multimodal
   *  - WAV (PCM 8/16-bit): RIFF chunk walk → duration + N-bin RMS envelope,
   *    the audio-fingerprint baseline.
   *
-  * Lossy codecs (JPEG/MP3/MP4) remain the documented stub in
+  * Baseline sequential JPEG decodes for real too ([[JpegDecode]], luma
+  * channel). Progressive JPEG and MP3/MP4 remain the documented stub in
   * [[Multimodal.fakeDecodeFeatures]] — those genuinely need codec libraries
   * absent from this offline build. Every parser here throws
   * IllegalArgumentException on malformed/unsupported input; callers decide
@@ -87,11 +88,11 @@ private[graft] object MediaDecode {
     */
   def bmpLumaGrid(b: Array[Byte], grid: Int = 8): Array[Float] = {
     val img = parseBmp(b)
-    lumaGrid(img.width, img.height, grid, img.luma)
+    lumaGridOf(img.width, img.height, grid, img.luma)
   }
 
   /** Shared block-mean grid: same arithmetic for every raster source. */
-  private def lumaGrid(
+  private[multimodal] def lumaGridOf(
       width: Int, height: Int, grid: Int, luma: (Int, Int) => Double): Array[Float] = {
     val out = new Array[Float](grid * grid)
     var gy = 0
@@ -315,7 +316,7 @@ private[graft] object MediaDecode {
     */
   def pngLumaGrid(b: Array[Byte], grid: Int = 8): Array[Float] = {
     val img = parsePng(b)
-    lumaGrid(img.width, img.height, grid, img.luma)
+    lumaGridOf(img.width, img.height, grid, img.luma)
   }
 
   // ------------------------------------------------------------------- WAV

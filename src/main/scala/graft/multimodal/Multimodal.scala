@@ -11,11 +11,12 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing — schema, partitioning, per-partition batch shape —
   * is real and tested. Decode is REAL for the zero-dependency formats
   * ([[MediaDecode]]: BMP and PNG → 8×8 mean-luma grid, WAV/PCM → RMS
-  * envelope + duration) and a clearly-marked deterministic STUB
-  * ([[fakeDecodeFeatures]]) for lossy codecs (JPEG/MP3/MP4), which
-  * genuinely need codec libraries absent from this offline container. A
-  * production build swaps exactly one function (the bytes→features kernel
-  * inside [[extractFeatures]]); everything around it is unchanged.
+  * envelope + duration; [[JpegDecode]]: baseline sequential JPEG → luma
+  * grid) and a clearly-marked deterministic STUB ([[fakeDecodeFeatures]])
+  * for the remaining codecs (progressive JPEG, MP3/MP4), which genuinely
+  * need codec libraries absent from this offline container. A production
+  * build swaps exactly one function (the bytes→features kernel inside
+  * [[extractFeatures]]); everything around it is unchanged.
   *
   * Scale: media bytes stay columnar in parquet (never collected); feature
   * extraction is `mapPartitions` so a real decoder amortizes model/codec
@@ -60,6 +61,8 @@ object Multimodal {
         fit(MediaDecode.bmpLumaGrid(bytes, grid = math.max(1, math.sqrt(dim).toInt)))
       else if (MediaDecode.isPng(bytes))
         fit(MediaDecode.pngLumaGrid(bytes, grid = math.max(1, math.sqrt(dim).toInt)))
+      else if (JpegDecode.isJpeg(bytes))
+        fit(JpegDecode.jpegLumaGrid(bytes, grid = math.max(1, math.sqrt(dim).toInt)))
       else if (MediaDecode.isWav(bytes))
         MediaDecode.wavEnvelope(bytes, bins = dim)
       else fakeDecodeFeatures(bytes, dim)
@@ -101,6 +104,9 @@ object Multimodal {
       } else if (MediaDecode.isPng(bytes)) {
         val (w, h) = MediaDecode.pngSize(bytes)
         ProbedMeta(Some(w), Some(h), Some("png"), None, None)
+      } else if (JpegDecode.isJpeg(bytes)) {
+        val (w, h) = JpegDecode.jpegSize(bytes)
+        ProbedMeta(Some(w), Some(h), Some("jpeg"), None, None)
       } else if (MediaDecode.isWav(bytes)) {
         ProbedMeta(None, None, Some("wav"),
           Some(MediaDecode.wavDurationMs(bytes)), None)

@@ -132,6 +132,135 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** Baseline JPEG via the JDK encoder (java.desktop ships a full libjpeg-
+    * style writer: SOF0, 4:2:0 subsampling, standard huffman tables).
+    */
+  private def jpeg(w: Int, h: Int, px: Seq[(Int, Int, Int)],
+                   imageType: Int = java.awt.image.BufferedImage.TYPE_INT_RGB,
+                   quality: Float = 0.9f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imageType)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(y * w + x)
+      img.setRGB(x, y, (0xff << 24) | (r << 16) | (g << 8) | b)
+    }
+    val w0 = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w0.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    w0.setOutput(ios)
+    w0.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w0.dispose()
+    out.toByteArray
+  }
+
+  /** Reference luma grid: decode the SAME jpeg bytes with the JDK reader,
+    * take 0.299R+0.587G+0.114B, block-mean with the shared grid arithmetic.
+    */
+  private def jdkLumaGrid(bytes: Array[Byte], grid: Int = 8): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val out = new Array[Float](grid * grid)
+    for (gy <- 0 until grid; gx <- 0 until grid) {
+      val y0 = gy * img.getHeight / grid
+      val y1 = math.max(y0 + 1, (gy + 1) * img.getHeight / grid)
+      val x0 = gx * img.getWidth / grid
+      val x1 = math.max(x0 + 1, (gx + 1) * img.getWidth / grid)
+      var sum = 0.0
+      for (y <- y0 until math.min(y1, img.getHeight);
+           x <- x0 until math.min(x1, img.getWidth)) {
+        val rgb = img.getRGB(x, y)
+        sum += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)) / 255.0
+      }
+      val n = (math.min(y1, img.getHeight) - y0) * (math.min(x1, img.getWidth) - x0)
+      out(gy * grid + gx) = (sum / math.max(1, n)).toFloat
+    }
+    out
+  }
+
+  test("JPEG decode: luma grid matches the JDK's decode of the same bytes") {
+    // gradient + structure: exercises DC prediction, AC runs, 4:2:0 MCUs
+    val px = for (y <- 0 until 40; x <- 0 until 56)
+      yield { val v = (x * 4 + y * 2) % 256; (v, (v + 40) % 256, (255 - v)) }
+    val bytes = jpeg(56, 40, px)
+    assert(JpegDecode.isJpeg(bytes))
+    assert(JpegDecode.jpegSize(bytes) == ((56, 40)))
+    val ours = JpegDecode.jpegLumaGrid(bytes)
+    val jdk = jdkLumaGrid(bytes)
+    // same coefficients, two IDCT/color paths: grids agree to ~1 luma level
+    val maxDiff = ours.zip(jdk).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff < 2.0 / 255.0, s"max grid diff $maxDiff")
+    // dispatch routes JPEG to the real kernel, and meta probes real dims
+    assert(Multimodal.decodeFeatures(bytes, 64).toSeq == ours.toSeq)
+    assert(Multimodal.probeMeta(bytes) ==
+      Multimodal.ProbedMeta(Some(56), Some(40), Some("jpeg"), None, None))
+  }
+
+  test("JPEG decode: grayscale (single-component scan) and low quality") {
+    val px = for (y <- 0 until 24; x <- 0 until 24)
+      yield { val v = if (x < 12) 30 else 220; (v, v, v) }
+    for (q <- Seq(0.5f, 0.95f)) {
+      val bytes = jpeg(24, 24, px,
+        imageType = java.awt.image.BufferedImage.TYPE_BYTE_GRAY, quality = q)
+      val ours = JpegDecode.jpegLumaGrid(bytes)
+      // reference from RAW raster samples: getRGB would re-apply the JDK's
+      // gray→sRGB colorspace transfer and no longer reflect the coded Y
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val jdk = new Array[Float](64)
+      for (gy <- 0 until 8; gx <- 0 until 8) {
+        var sum = 0.0
+        for (y <- gy * 3 until gy * 3 + 3; x <- gx * 3 until gx * 3 + 3)
+          sum += img.getRaster.getSample(x, y, 0) / 255.0
+        jdk(gy * 8 + gx) = (sum / 9).toFloat
+      }
+      val maxDiff = ours.zip(jdk).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxDiff < 2.0 / 255.0, s"quality $q max grid diff $maxDiff")
+      // halves stay separated even through heavy quantization (the JDK
+      // encoder stores linearized gray: ~2 vs ~181 of the original 30/220)
+      for (gy <- 0 until 8) {
+        assert(ours(gy * 8) < 0.3, s"q $q left cell $gy")
+        assert(ours(gy * 8 + 7) > 0.5, s"q $q right cell $gy")
+      }
+    }
+  }
+
+  test("JPEG fuzz: truncated/corrupt bytes fall back, progressive rejected") {
+    val px = for (y <- 0 until 16; x <- 0 until 16) yield (x * 16, y * 16, 128)
+    val good = jpeg(16, 16, px)
+    // truncations at every growth stage throw IAE (never AIOOBE/hang)…
+    for (cut <- Seq(2, 4, 20, good.length / 2)) {
+      intercept[IllegalArgumentException] {
+        JpegDecode.jpegLumaGrid(good.take(cut))
+      }
+    }
+    // a file cut exactly at the EOI marker still decodes (the scan is
+    // complete; EOI is a trailer, not data)
+    assert(JpegDecode.jpegLumaGrid(good.take(good.length - 2)).length == 64)
+    // …and the pipeline dispatch degrades to the deterministic stub
+    val cut = good.take(good.length / 2)
+    assert(Multimodal.decodeFeatures(cut, 64).toSeq ==
+      Multimodal.fakeDecodeFeatures(cut, 64).toSeq)
+    // bit flips inside the entropy segment must never escape the fallback
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 200) {
+      val mut = good.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      try JpegDecode.jpegLumaGrid(mut)
+      catch { case _: IllegalArgumentException => () } // only IAE allowed
+    }
+    // progressive JPEG (SOF2) is a documented boundary: clean rejection
+    val sof0 = good.indexOfSlice(Seq(0xFF.toByte, 0xC0.toByte))
+    if (sof0 >= 0) {
+      val prog = good.clone()
+      prog(sof0 + 1) = 0xC2.toByte
+      val e = intercept[IllegalArgumentException] {
+        JpegDecode.jpegLumaGrid(prog)
+      }
+      assert(e.getMessage.contains("progressive"))
+    }
+  }
+
   test("PNG fuzz: crafted bytes behind the magic never escape the fallback") {
     val rnd = new scala.util.Random(43)
     val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)

@@ -80,6 +80,34 @@ class IvfSpec extends AnyFunSuite {
     assert(scores === scores.sorted(Ordering[Double].reverse))
   }
 
+  test("cell-partitioned storage prunes probes at the source") {
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-part").toString
+    IvfIndex.assign(emb, "embedding", idx)
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val qv = collected.find(_._1 == 0L).get._2
+    val probes = IvfIndex.probeCells(idx, qv, nProbe = 4)
+    val pruned = stored.filter(col("cell").isin(probes: _*))
+    // the probe predicate must land as a PartitionFilter on the scan node —
+    // that is the mechanism by which Spark prunes the cell= directory
+    // listing at the source (inputFiles reports the pre-pruning listing,
+    // so the plan is the honest evidence)
+    val explained = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PartitionFilters"),
+      s"probe filter did not reach the scan:\n$explained")
+    val pfLine = explained.linesIterator
+      .find(_.contains("PartitionFilters")).get
+    assert(pfLine.contains("cell"), s"partition filter not on cell: $pfLine")
+    assert(probes.forall(c => pfLine.contains(c.toString)),
+      s"probe cells $probes not all in: $pfLine")
+    // and the pruned scan returns exactly the probed cells' rows
+    val expect = IvfIndex.assign(emb, "embedding", idx)
+      .filter(col("cell").isin(probes: _*)).count()
+    assert(pruned.count() === expect)
+  }
+
   test("k-means refine moves occupied centroids to cell means, keeps empty ones") {
     import spark.implicits._
     // all data in the +x/+y quadrant: cell 2's centroid (-1, 0) attracts
