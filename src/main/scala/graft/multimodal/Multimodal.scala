@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * is real and tested. Decode is REAL for the zero-dependency formats
   * ([[MediaDecode]]: BMP and PNG → 8×8 mean-luma grid, WAV/PCM → RMS
   * envelope + duration; [[JpegDecode]]: baseline sequential JPEG → luma
-  * grid) and a clearly-marked deterministic STUB ([[fakeDecodeFeatures]])
+  * grid; [[GifDecode]]: GIF87a/89a LZW first frame → luma grid) and a
+  * clearly-marked deterministic STUB ([[fakeDecodeFeatures]])
   * for the remaining codecs (progressive JPEG, MP3/MP4), which genuinely
   * need codec libraries absent from this offline container. A production
   * build swaps exactly one function (the bytes→features kernel inside
@@ -63,6 +64,8 @@ object Multimodal {
         fit(MediaDecode.pngLumaGrid(bytes, grid = math.max(1, math.sqrt(dim).toInt)))
       else if (JpegDecode.isJpeg(bytes))
         fit(JpegDecode.jpegLumaGrid(bytes, grid = math.max(1, math.sqrt(dim).toInt)))
+      else if (GifDecode.isGif(bytes))
+        fit(GifDecode.gifLumaGrid(bytes, grid = math.max(1, math.sqrt(dim).toInt)))
       else if (MediaDecode.isWav(bytes))
         MediaDecode.wavEnvelope(bytes, bins = dim)
       else fakeDecodeFeatures(bytes, dim)
@@ -107,6 +110,9 @@ object Multimodal {
       } else if (JpegDecode.isJpeg(bytes)) {
         val (w, h) = JpegDecode.jpegSize(bytes)
         ProbedMeta(Some(w), Some(h), Some("jpeg"), None, None)
+      } else if (GifDecode.isGif(bytes)) {
+        val (w, h) = GifDecode.gifSize(bytes)
+        ProbedMeta(Some(w), Some(h), Some("gif"), None, None)
       } else if (MediaDecode.isWav(bytes)) {
         ProbedMeta(None, None, Some("wav"),
           Some(MediaDecode.wavDurationMs(bytes)), None)

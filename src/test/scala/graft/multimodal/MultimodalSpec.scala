@@ -261,6 +261,51 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF decode: first frame luma grid matches the JDK's decode") {
+    // blocky structure survives the encoder's palette quantization exactly
+    // (GIF is lossless for ≤256-color images)
+    val px = for (y <- 0 until 32; x <- 0 until 32)
+      yield if ((x / 8 + y / 8) % 2 == 0) (255, 0, 0) else (0, 0, 255)
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val (r, g, b) = px(y * 32 + x)
+      img.setRGB(x, y, (0xff << 24) | (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", out)
+    val bytes = out.toByteArray
+    assert(GifDecode.isGif(bytes))
+    assert(GifDecode.gifSize(bytes) == ((32, 32)))
+    val ours = GifDecode.gifLumaGrid(bytes)
+    val jdk = jdkLumaGrid(bytes) // exact: same palette colors both sides
+    assert(ours.toSeq == jdk.toSeq)
+    assert(Multimodal.decodeFeatures(bytes, 64).toSeq == ours.toSeq)
+    assert(Multimodal.probeMeta(bytes) ==
+      Multimodal.ProbedMeta(Some(32), Some(32), Some("gif"), None, None))
+  }
+
+  test("GIF fuzz: mutations and truncations never escape the fallback") {
+    val img = new java.awt.image.BufferedImage(24, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd0 = new scala.util.Random(5)
+    for (y <- 0 until 24; x <- 0 until 24)
+      img.setRGB(x, y, (0xff << 24) | rnd0.nextInt(1 << 24))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", out)
+    val good = out.toByteArray
+    assert(GifDecode.gifLumaGrid(good).length == 64) // the fixture decodes
+    val rnd = new scala.util.Random(17)
+    for (i <- 0 until 2000) {
+      val m = good.clone()
+      for (_ <- 0 to rnd.nextInt(3))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      val cut = if (rnd.nextBoolean()) m.take(14 + rnd.nextInt(m.length - 14)) else m
+      try GifDecode.gifLumaGrid(cut)
+      catch { case _: IllegalArgumentException => () } // only IAE allowed
+    }
+  }
+
   test("PNG fuzz: crafted bytes behind the magic never escape the fallback") {
     val rnd = new scala.util.Random(43)
     val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
