@@ -28,7 +28,12 @@ class DeterminismSpec extends AnyFunSuite {
   private val shapeSensitive =
     Seq("q37_dedup_clusters", "q38_bm25_search", "q39_hybrid_rrf",
       "q2f_winnowing", "q34_lsh_bucket_knn", "q3d_token_packing",
-      "q3f_decontamination")
+      "q3f_decontamination",
+      // round-3 additions: iterative (q3l CC), driver-side index metadata
+      // (q3g centroids), pair-dedup shuffles (q3h), windowed caps (q3i),
+      // float-aggregating LM sums (q3j), bit-keys + aggregation (q3k)
+      "q3g_ivf_topk", "q3h_neardup_lsh_pairs", "q3i_domain_cap",
+      "q3j_lm_surprisal", "q3k_zorder_bins", "q3l_embedding_dedup_clusters")
 
   for (name <- (rowsOnly ++ shapeSensitive).distinct.sorted) {
     test(s"$name is partition-invariant") {
