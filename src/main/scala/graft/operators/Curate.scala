@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One-call corpus curation: the full training-data flow composed from the
+  * individually-oracled operators —
+  *
+  *   exact dedup → transitive near-dup dedup (MinHash-LSH + connected
+  *   components) → benchmark decontamination → unigram-LM quality band →
+  *   PII scrub → per-domain cap → deterministic mix sample.
+  *
+  * Every stage is hash-deterministic (content hashes, md5 draws, DECIMAL
+  * sums), so the whole pipeline is reproducible across runs, partitionings
+  * and engines — q3m replays the enabled stages end-to-end in DuckDB.
+  * Each stage is also individually optional, so the same entry point
+  * serves "just dedup" and "the full mix build".
+  *
+  * Scale shape: stages are the already-audited operators (banded LSH, one
+  * broadcast of benchmark grams, a vocabulary join, window caps) — no new
+  * shuffle patterns are introduced by the composition; between-stage
+  * anti-joins key on the id column only.
+  */
+object Curate {
+
+  /** Stage toggles. None/1.0 disables a stage entirely (no plan cost). */
+  final case class Config(
+      nearDupMinJaccard: Option[Double] = Some(0.5),
+      surprisalBand: Option[(Double, Double)] = None,
+      benchmarkNgram: Int = 8,
+      capPerSource: Option[Int] = None,
+      sampleRate: Double = 1.0,
+      salt: String = "curate")
+
+  /** Ordered (stageName, DataFrame-after-stage) — the last entry is the
+    * curated output: original columns plus `surprisal` (when banded) and
+    * `redacted` (PII-scrubbed text). [[run]] returns just that; CurateSpec
+    * and [[stageCounts]] use the prefix frames.
+    */
+  def stages(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      benchmarks: Option[DataFrame], cfg: Config): Seq[(String, DataFrame)] = {
+    val out = Seq.newBuilder[(String, DataFrame)]
+    out += ("input" -> docs)
+
+    // 1. exact dedup: canonical = min id per exact text (md5 grouping, the
+    // q23 semantics in drop-duplicates form)
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    var cur = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    out += ("exact_dedup" -> cur)
+
+    // 2. transitive near-dup dedup: MinHash banding → CC → drop non-canonical
+    cfg.nearDupMinJaccard.foreach { j =>
+      val pairs = Dedup
+        .minhashCandidatePairs(cur, idCol, textCol, minEstJaccard = j)
+        .select(col("doc_a"), col("doc_b"))
+      val drops = Dedup.dropSet(pairs).withColumnRenamed("doc_id", idCol)
+      cur = cur.join(drops, Seq(idCol), "left_anti")
+      out += ("near_dedup" -> cur)
+    }
+
+    // 3. benchmark decontamination: drop docs sharing any benchmark n-gram
+    benchmarks.foreach { b =>
+      val contaminated = Decontaminate
+        .sharedNgrams(cur, b, idCol, textCol, cfg.benchmarkNgram)
+        .select(col(idCol))
+      cur = cur.join(contaminated, Seq(idCol), "left_anti")
+      out += ("decontaminated" -> cur)
+    }
+
+    // 4. quality band: mean token surprisal under the LM of the ORIGINAL
+    // input corpus (a stable reference — dropping docs must not move other
+    // docs' scores), keep lo ≤ s ≤ hi
+    cfg.surprisalBand.foreach { case (lo, hi) =>
+      val lm = LmScore.unigramLm(docs, textCol)
+      val scores = LmScore.surprisalScores(docs, idCol, textCol, broadcast(lm))
+        .select(col(idCol), col("surprisal"))
+      cur = cur.join(scores, Seq(idCol))
+        .filter(col("surprisal").between(lo, hi))
+      out += ("quality_band" -> cur)
+    }
+
+    // 5. PII scrub (adds `redacted`; original text kept for provenance)
+    cur = cur.withColumn("redacted", Scrub.redact(col(textCol)))
+    out += ("scrubbed" -> cur)
+
+    // 6. per-domain cap (heavy-tail bound)
+    cfg.capPerSource.foreach { n =>
+      cur = DataMix.capPerGroup(cur, sourceCol, idCol, n, cfg.salt + "-cap")
+      out += ("domain_cap" -> cur)
+    }
+
+    // 7. deterministic mix sample
+    if (cfg.sampleRate < 1.0) {
+      cur = DataMix.deterministicSample(cur, idCol, cfg.sampleRate, cfg.salt + "-mix")
+      out += ("sampled" -> cur)
+    }
+    out += ("output" -> cur)
+    out.result()
+  }
+
+  /** The curated corpus (last stage of [[stages]]). */
+  def run(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      benchmarks: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame =
+    stages(docs, idCol, textCol, sourceCol, benchmarks, cfg).last._2
+
+  /** Row counts per stage — the curation report (one action per stage;
+    * diagnostics, not a query path).
+    */
+  def stageCounts(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      benchmarks: Option[DataFrame] = None,
+      cfg: Config = Config()): Seq[(String, Long)] =
+    stages(docs, idCol, textCol, sourceCol, benchmarks, cfg)
+      .map { case (name, df) => name -> df.count() }
+}

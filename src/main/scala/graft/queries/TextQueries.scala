@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{DataMix, Decontaminate, Dedup, KeywordSearch, LmScore, RuleEngine, Scrub}
+import graft.operators.{Curate, DataMix, Decontaminate, Dedup, KeywordSearch, LmScore, RuleEngine, Scrub}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -330,6 +330,75 @@ object TextQueries {
            OR (lang = 'fr' AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) < '${DataMix.hexThreshold(0.25)}')
            OR (lang = 'zh' AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) < '${DataMix.hexThreshold(0.1)}')
         ORDER BY doc_id""")),
+
+    // END-TO-END curation pipeline, hash-exact: Curate.run composing exact
+    // dedup → benchmark decontamination (docs < 20 are the "benchmark") →
+    // unigram-LM quality band → PII scrub → per-source cap (15) →
+    // deterministic 0.8 sample, replayed stage-for-stage in one DuckDB
+    // query. The transitive near-dup stage is disabled HERE only because
+    // its CC fixpoint is oracled separately (q37 text-space, q3l
+    // embedding-space); CurateSpec runs the full pipeline including it.
+    "q3m_curation_pipeline" -> Q(
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+        Curate.run(
+          d.filter(col("doc_id") >= 20), "doc_id", "text", "source",
+          benchmarks = Some(d.filter(col("doc_id") < 20)),
+          cfg = Curate.Config(
+            nearDupMinJaccard = None,
+            surprisalBand = Some((3.396, 3.410)),
+            capPerSource = Some(15),
+            sampleRate = 0.8,
+            salt = "curate"))
+          .select(col("doc_id"), col("source"), col("surprisal"),
+            sha2(col("redacted"), 256).as("redacted_sha"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = {
+        val redacted = Scrub.PiiPatterns.foldLeft("text") { case (expr, (name, pat)) =>
+          s"regexp_replace($expr, '$pat', '<${name.toUpperCase(java.util.Locale.ROOT)}>', 'g')"
+        }
+        Some(s"""
+        WITH base AS (SELECT doc_id, text, source FROM documents WHERE doc_id >= 20),
+        ex AS (SELECT doc_id, text, source FROM (
+                 SELECT doc_id, text, source,
+                        ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                 FROM base) WHERE rn = 1),
+        dt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+               FROM documents),
+        dg AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t) - 6),
+                   i -> array_to_string(t[i : i + 7], ' '))) AS gram
+               FROM dt WHERE len(t) >= 8),
+        bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id < 20),
+        contaminated AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bench USING (gram)
+                         WHERE dg.doc_id >= 20),
+        clean AS (SELECT e.* FROM ex e LEFT JOIN contaminated c ON e.doc_id = c.doc_id
+                  WHERE c.doc_id IS NULL),
+        tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                FROM base),
+        cnt AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+        tot AS (SELECT SUM(c) AS t FROM cnt),
+        lp AS (SELECT token,
+                 CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 9)
+                      AS DECIMAL(28,9)) AS s
+               FROM cnt CROSS JOIN tot),
+        surp AS (SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS surprisal
+                 FROM tok JOIN lp USING (token) GROUP BY doc_id),
+        qual AS (SELECT c.doc_id, c.text, c.source, sp.surprisal
+                 FROM clean c JOIN surp sp USING (doc_id)
+                 WHERE sp.surprisal BETWEEN CAST(3.396 AS DOUBLE) AND CAST(3.410 AS DOUBLE)),
+        capped AS (SELECT doc_id, text, source, surprisal FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                       substring(md5(CAST(doc_id AS VARCHAR) || 'curate-cap'), 1, 8),
+                       doc_id) AS rn
+                     FROM qual) WHERE rn <= 15),
+        sampled AS (SELECT * FROM capped
+                    WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'curate-mix'), 1, 8)
+                          < '${DataMix.hexThreshold(0.8)}')
+        SELECT doc_id, source, surprisal, sha256($redacted) AS redacted_sha
+        FROM sampled ORDER BY doc_id""")
+      }),
 
     // Unigram-LM surprisal scoring, hash-exact: per-doc mean −ln p(token)
     // under the corpus unigram distribution (the cheap LM quality filter).

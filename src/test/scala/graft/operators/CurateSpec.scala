@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full curation pipeline on a crafted corpus where every stage has a
+  * known victim — exact dupes, transitive near-dupes, a benchmark leak,
+  * quality outliers, PII, a dominant domain — so each stage's count drop
+  * is asserted, not just the end state. (q3m_curation_pipeline is the
+  * hash-exact driver twin with the near-dup stage factored out.)
+  */
+class CurateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val filler =
+    "the quick brown fox jumps over the lazy dog while birds sing softly today"
+
+  test("every stage drops exactly its victims; output is reproducible") {
+    import spark.implicits._
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    // per-doc PERMUTED shared vocabulary: common unigrams (stable LM
+    // probabilities) but near-disjoint word trigrams, so the minhash
+    // stage sees no accidental near-dupes among the normal docs
+    def permuted(seed: Int) =
+      new scala.util.Random(seed).shuffle(vocab).mkString(" ")
+    val normal = (10L until 30L).map(i =>
+      (i, s"item $i ${permuted(i.toInt)}", s"src${i % 3}"))
+    val corpus = Seq(
+      (1L, filler, "src0"),
+      (2L, filler, "src0"), // exact dupe of 1 → dropped at exact_dedup
+      (3L, filler + " extra tail words here now", "src1"), // near-dupe of 1
+      (4L, "leaked benchmark question about the seven wonders of the ancient world", "src1"),
+      (5L, "zz qq xx yy ww vv uu tt ss rr", "src2"), // all-rare tokens → high surprisal
+      (6L, s"call me at 555-867-5309 or mail bob@example.com regarding ${permuted(999)}", "src2")
+    ) ++ normal
+    val docs = corpus.toDF("doc_id", "text", "source")
+    val bench = Seq(
+      (100L, "a benchmark question about the seven wonders of the ancient world indeed"))
+      .toDF("doc_id", "text")
+
+    val cfg = Curate.Config(
+      nearDupMinJaccard = Some(0.4),
+      surprisalBand = Some((0.0, 5.0)), // cuts only the all-rare-token doc
+      capPerSource = Some(9),
+      sampleRate = 1.0,
+      salt = "spec")
+    val st = Curate.stages(docs, "doc_id", "text", "source", Some(bench), cfg)
+      .toMap
+    def ids(name: String) =
+      st(name).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(ids("input").size == 26)
+    assert(!ids("exact_dedup").contains(2L)) // exact dupe out, canonical kept
+    assert(ids("exact_dedup").contains(1L))
+    assert(ids("exact_dedup").size == 25)
+    assert(!ids("near_dedup").contains(3L)) // near-dupe collapsed onto 1
+    assert(ids("near_dedup").contains(1L))
+    assert(!ids("decontaminated").contains(4L)) // benchmark 8-gram overlap
+    assert(!ids("quality_band").contains(5L)) // surprisal above the band
+    assert(ids("quality_band").contains(6L))
+    // scrub: PII gone from `redacted`, original text untouched
+    val red = st("scrubbed").filter($"doc_id" === 6L)
+      .select("redacted", "text").head
+    assert(!red.getString(0).contains("bob@example.com"))
+    assert(red.getString(0).contains("<EMAIL>"))
+    assert(red.getString(1).contains("bob@example.com"))
+    // domain cap: no source exceeds 9 docs
+    val perSrc = st("domain_cap").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc.values.forall(_ <= 9), s"cap exceeded: $perSrc")
+    // output reproducible row-for-row
+    val out1 = Curate.run(docs, "doc_id", "text", "source", Some(bench), cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out2 = Curate.run(docs.repartition(7), "doc_id", "text", "source",
+      Some(bench), cfg).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out1 == out2)
+    assert(out1 == ids("output"))
+  }
+
+  test("disabled stages are skipped entirely") {
+    import spark.implicits._
+    val docs = Seq((1L, s"a $filler", "s"), (2L, s"b $filler", "s"))
+      .toDF("doc_id", "text", "source")
+    val st = Curate.stages(docs, "doc_id", "text", "source", None,
+      Curate.Config(nearDupMinJaccard = None, surprisalBand = None,
+        capPerSource = None, sampleRate = 1.0))
+    assert(st.map(_._1) == Seq("input", "exact_dedup", "scrubbed", "output"))
+    assert(st.last._2.count() == 2)
+    // surprisal column only exists when the band stage runs
+    assert(!st.last._2.columns.contains("surprisal"))
+    assert(st.last._2.columns.contains("redacted"))
+  }
+}
