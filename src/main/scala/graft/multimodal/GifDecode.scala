@@ -29,24 +29,28 @@ private[graft] object GifDecode {
 
   private final case class Frame(
       screenW: Int, screenH: Int, left: Int, top: Int, w: Int, h: Int,
-      palette: Array[Byte], indices: Array[Int], bg: Int) {
-    /** Luminance in [0,1] at screen coordinates; pixels outside the first
-      * frame's rectangle take the background color.
-      */
-    def luma(x: Int, y: Int): Double = {
-      val idx =
-        if (x >= left && x < left + w && y >= top && y < top + h)
-          indices((y - top) * w + (x - left))
-        else bg
+      palette: Array[Byte], indices: Array[Int], bg: Int,
+      globalPalette: Array[Byte]) {
+    private def lumaOf(pal: Array[Byte], idx: Int): Double = {
       val o = idx * 3
-      if (o + 2 >= palette.length) 0.0
+      if (pal == null || o < 0 || o + 2 >= pal.length) 0.0
       else {
-        val r = palette(o) & 0xFF
-        val g = palette(o + 1) & 0xFF
-        val bl = palette(o + 2) & 0xFF
+        val r = pal(o) & 0xFF
+        val g = pal(o + 1) & 0xFF
+        val bl = pal(o + 2) & 0xFF
         (0.299 * r + 0.587 * g + 0.114 * bl) / 255.0
       }
     }
+    /** Luminance in [0,1] at screen coordinates; pixels outside the first
+      * frame's rectangle take the background color. Frame pixels index the
+      * frame's (possibly local) table; the background index is defined
+      * against the GLOBAL color table by the spec — with a local-table
+      * frame the two differ.
+      */
+    def luma(x: Int, y: Int): Double =
+      if (x >= left && x < left + w && y >= top && y < top + h)
+        lumaOf(palette, indices((y - top) * w + (x - left)))
+      else lumaOf(globalPalette, bg)
   }
 
   /** LZW decode of the concatenated image sub-blocks into `nPixels` color
@@ -195,7 +199,7 @@ private[graft] object GifDecode {
             }
             idx = ordered
           }
-          return Frame(screenW, screenH, left, top, w, h, pal, idx, bg)
+          return Frame(screenW, screenH, left, top, w, h, pal, idx, bg, globalPal)
         case other => fail(f"unknown block 0x$other%02x")
       }
     }

@@ -415,8 +415,13 @@ private[graft] object JpegDecode {
       if (pos >= b.length) fail("truncated marker")
       val m = b(pos) & 0xFF
       pos += 1
-      if ((m >= 0xC0 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC)
-        return (be16(b, pos + 5), be16(b, pos + 3))
+      if ((m >= 0xC0 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+        val (w, h) = (be16(b, pos + 5), be16(b, pos + 3))
+        // same validity contract as decodeLuma: corrupt dims must probe as
+        // an error (→ all-None meta), not as Some(0)
+        if (w <= 0 || h <= 0) fail("empty frame")
+        return (w, h)
+      }
       if (m == 0xD9 || m == 0xDA) fail("no SOF before scan")
       if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) ()
       else pos += be16(b, pos)

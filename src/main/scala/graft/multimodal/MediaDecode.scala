@@ -238,8 +238,11 @@ private[graft] object MediaDecode {
       var total = 0
       while (total < out.length && !inf.finished()) {
         val n = inf.inflate(out, total, out.length - total)
-        if (n == 0 && inf.needsInput())
-          throw new IllegalArgumentException("truncated PNG IDAT stream")
+        // n == 0 while unfinished covers truncation (needsInput), preset-
+        // dictionary streams (needsDictionary — inflate returns 0 forever,
+        // a hang if only needsInput were checked), and any other stall
+        if (n == 0 && !inf.finished())
+          throw new IllegalArgumentException("truncated or unsupported zlib stream")
         total += n
       }
       if (total < out.length)

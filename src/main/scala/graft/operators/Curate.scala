@@ -72,13 +72,16 @@ object Curate {
 
     // 4. quality band: mean token surprisal under the LM of the ORIGINAL
     // input corpus (a stable reference — dropping docs must not move other
-    // docs' scores), keep lo ≤ s ≤ hi
+    // docs' scores), keep lo ≤ s ≤ hi. LEFT join: a doc that produces no
+    // score (null text; all tokens OOV under a foreign LM) is kept with a
+    // null surprisal — a quality FILTER must not silently delete docs it
+    // could not score (callers can drop the nulls explicitly).
     cfg.surprisalBand.foreach { case (lo, hi) =>
       val lm = LmScore.unigramLm(docs, textCol)
       val scores = LmScore.surprisalScores(docs, idCol, textCol, broadcast(lm))
         .select(col(idCol), col("surprisal"))
-      cur = cur.join(scores, Seq(idCol))
-        .filter(col("surprisal").between(lo, hi))
+      cur = cur.join(scores, Seq(idCol), "left")
+        .filter(col("surprisal").between(lo, hi) || col("surprisal").isNull)
       out += ("quality_band" -> cur)
     }
 

@@ -386,8 +386,9 @@ object TextQueries {
         surp AS (SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS surprisal
                  FROM tok JOIN lp USING (token) GROUP BY doc_id),
         qual AS (SELECT c.doc_id, c.text, c.source, sp.surprisal
-                 FROM clean c JOIN surp sp USING (doc_id)
-                 WHERE sp.surprisal BETWEEN CAST(3.396 AS DOUBLE) AND CAST(3.410 AS DOUBLE)),
+                 FROM clean c LEFT JOIN surp sp USING (doc_id)
+                 WHERE sp.surprisal BETWEEN CAST(3.396 AS DOUBLE) AND CAST(3.410 AS DOUBLE)
+                    OR sp.surprisal IS NULL),
         capped AS (SELECT doc_id, text, source, surprisal FROM (
                      SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY
                        substring(md5(CAST(doc_id AS VARCHAR) || 'curate-cap'), 1, 8),

@@ -28,9 +28,15 @@ object StreamingDedup {
     * id-type agnostic; uuid5 chunk ids are strings).
     */
   def bandRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    Dedup.minhashSignatures(docs, idCol, textCol, n)
-      .select(col(idCol).cast("string").as("doc_id"), col("sig"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    bandRowsFromSigs(Dedup.minhashSignatures(docs, idCol, textCol, n), idCol)
+
+  /** The store-row projection over precomputed signatures — shared by
+    * [[bandRows]] (store bootstrap) and [[processBatch]] (which hashes the
+    * batch once and must not recompute signatures for the projection).
+    */
+  private def bandRowsFromSigs(sigs: DataFrame, idCol: String): DataFrame =
+    sigs.select(col(idCol).cast("string").as("doc_id"), col("sig"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
 
   /** One batch against one store state (pure — unit-testable without a
     * stream): returns (survivors, survivorBandRows).
@@ -62,10 +68,9 @@ object StreamingDedup {
     // (2) against the store: ONE store scan, batch side broadcast (the store
     // is never shuffled); signature refine on band collisions. Survivor band
     // rows are derived from the SAME precomputed signatures.
-    val newBands = sigs
-      .join(dropWithin.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
-      .select(col(idCol).cast("string").as("doc_id"), col("sig"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val newBands = bandRowsFromSigs(
+      sigs.join(dropWithin.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti"),
+      idCol)
       .localCheckpoint()
     val hitIds = store.as("st")
       .join(broadcast(newBands.as("nb")), Seq("band_idx", "band_key"))

@@ -24,86 +24,50 @@ object RecallAtScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def recallOfKnn(approx: DataFrame, exact: DataFrame): Double = {
-      val e = exact.select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val a = approx.select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      (e intersect a).size.toDouble / e.size
-    }
-
     val emb = Tables(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
     val exact = VectorSearch.knnJoin(queries, corpus, "q_id", "qv", "c_id", "cv", k = 10)
       .localCheckpoint()
-    val rSingle = recallOfKnn(VectorSearch.lshBucketJoin(
+    val rSingle = RecallHarness.knnRecall(VectorSearch.lshBucketJoin(
       queries, corpus, "q_id", "qv", "c_id", "cv", k = 10, nBits = 4), exact)
-    val rMulti = recallOfKnn(VectorSearch.lshBucketJoin(
+    val rMulti = RecallHarness.knnRecall(VectorSearch.lshBucketJoin(
       queries, corpus, "q_id", "qv", "c_id", "cv", k = 10, nBits = 4,
       multiProbe = true), exact)
-    val rTables = recallOfKnn(VectorSearch.lshBucketJoin(
+    val rTables = RecallHarness.knnRecall(VectorSearch.lshBucketJoin(
       queries, corpus, "q_id", "qv", "c_id", "cv", k = 10, nBits = 4,
       multiProbe = true, nTables = 8), exact)
 
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
-    val exactPairs = Dedup.ngramJaccardPairs(
+    val exactPairs = RecallHarness.pairSet(Dedup.ngramJaccardPairs(
       docs.withColumn("blk", lit(1)), "doc_id", "text", Seq("blk"))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lshPairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-      minEstJaccard = 0.4)
-      .select("doc_a", "doc_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(col("jaccard") >= 0.5), "doc_a", "doc_b")
+    val lshPairs = RecallHarness.pairSet(Dedup.minhashCandidatePairs(
+      docs, "doc_id", "text", minEstJaccard = 0.4), "doc_a", "doc_b")
     val rMinhash =
       if (exactPairs.isEmpty) Double.NaN
       else (exactPairs intersect lshPairs).size.toDouble / exactPairs.size
 
     // LSH-bucketed embedding near-dup pairs vs the exact quadratic (same
     // config RecallSpec gates: threshold 0.3, 2 bits × 4 tables)
-    def pairSet(df: DataFrame) =
-      df.select("vec_a", "vec_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exactCos = pairSet(VectorSearch.cosinePairs(
-      emb, "vec_id", "embedding", threshold = 0.3))
-    val approxCos = pairSet(VectorSearch.cosinePairsLsh(
-      emb, "vec_id", "embedding", threshold = 0.3, nBits = 2, nTables = 4))
+    val exactCos = RecallHarness.pairSet(VectorSearch.cosinePairs(
+      emb, "vec_id", "embedding", threshold = 0.3), "vec_a", "vec_b")
+    val approxCos = RecallHarness.pairSet(VectorSearch.cosinePairsLsh(
+      emb, "vec_id", "embedding", threshold = 0.3, nBits = 2, nTables = 4),
+      "vec_a", "vec_b")
     val rNearDup =
       if (exactCos.isEmpty) Double.NaN
       else (approxCos intersect exactCos).size.toDouble / exactCos.size
 
-    // IVF (same config RecallSpec gates at sf0.01: K=16, 30 queries, k=10).
-    // One Spark job per index for the real assignment path; ranking math is
-    // local — cosineScalar/roundHalfUp mirror the codegen arithmetic
-    // (IvfSpec argmax cross-check).
-    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
-      .sortBy(_._1)
-    val ivfQueries = vecs.take(30)
-    def ivfRecall(idx: IvfIndex.Index, nProbe: Int): Double = {
-      val cell = IvfIndex.assign(emb, "embedding", idx)
-        .select(col("vec_id"), col("cell")).collect()
-        .map(r => r.getLong(0) -> r.getInt(1)).toMap
-      val per = ivfQueries.map { case (qid, qv) =>
-        def ranked(cand: Array[(Long, Array[Float])]) =
-          cand.map { case (id, v) =>
-            (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
-          }.sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
-        val ex = ranked(vecs.filter(_._1 != qid))
-        val probes = IvfIndex.probeCells(idx, qv, nProbe).toSet
-        val got = ranked(vecs.filter { case (id, _) =>
-          id != qid && probes.contains(cell(id)) })
-        (ex intersect got).size.toDouble / ex.size
-      }
-      per.sum / per.length
-    }
+    // IVF (same config RecallSpec gates at sf0.01: K=16, 30 queries, k=10),
+    // measured through the SHARED RecallHarness.ivfMeanRecall
+    val vecs = RecallHarness.collectVecs(emb)
     val draw = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
-    val rIvf4 = ivfRecall(draw, nProbe = 4)
-    val rIvf8 = ivfRecall(draw, nProbe = 8)
+    val rIvf4 = RecallHarness.ivfMeanRecall(emb, vecs, draw, nProbe = 4)
+    val rIvf8 = RecallHarness.ivfMeanRecall(emb, vecs, draw, nProbe = 8)
     val refined = IvfIndex.refine(emb, "embedding", draw, iters = 3)
-    val rIvfKm4 = ivfRecall(refined, nProbe = 4)
+    val rIvfKm4 = RecallHarness.ivfMeanRecall(emb, vecs, refined, nProbe = 4)
 
     spark.stop()
     println(f"""{"sf":"$sfDir","lsh_single":$rSingle%.4f,"lsh_multiprobe":$rMulti%.4f,""" +

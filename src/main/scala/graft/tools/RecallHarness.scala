@@ -1,0 +1,61 @@
+package graft.tools
+
+import graft.operators.IvfIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** THE recall measurement used by both the sf0.01 spec gates (RecallSpec)
+  * and the per-round scale verification (RecallAtScale) — one
+  * implementation so the gated numbers and the SCALE.md-reported numbers
+  * can never desynchronize.
+  */
+object RecallHarness {
+
+  /** Recall of an approximate k-NN result vs the exact one, both shaped
+    * (query_id, neighbor_id).
+    */
+  def knnRecall(approx: DataFrame, exact: DataFrame): Double = {
+    val e = exact.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = approx.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (e intersect a).size.toDouble / e.size
+  }
+
+  /** Id-pair set of a pair frame (first two columns are long ids). */
+  def pairSet(df: DataFrame, aCol: String, bCol: String): Set[(Long, Long)] =
+    df.select(aCol, bCol).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  def collectVecs(emb: DataFrame): Array[(Long, Array[Float])] =
+    emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+      .sortBy(_._1)
+
+  /** Mean IVF recall@k over the first `nQueries` vectors: ONE Spark job for
+    * the real assignment path; the exact and probed rankings are computed
+    * locally with the identical arithmetic of the codegen expression
+    * (cosineScalar/roundHalfUp — IvfSpec's argmax cross-check proves the
+    * equivalence).
+    */
+  def ivfMeanRecall(
+      emb: DataFrame, vecs: Array[(Long, Array[Float])], idx: IvfIndex.Index,
+      nProbe: Int, nQueries: Int = 30, k: Int = 10): Double = {
+    val cell = IvfIndex.assign(emb, "embedding", idx)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val queries = vecs.take(nQueries)
+    val per = queries.map { case (qid, qv) =>
+      def ranked(cand: Array[(Long, Array[Float])]) =
+        cand.map { case (id, v) =>
+          (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
+        }.sortBy { case (s, id) => (-s, id) }.take(k).map(_._2).toSet
+      val exact = ranked(vecs.filter(_._1 != qid))
+      val probes = IvfIndex.probeCells(idx, qv, nProbe).toSet
+      val got = ranked(vecs.filter { case (id, _) =>
+        id != qid && probes.contains(cell(id)) })
+      (exact intersect got).size.toDouble / exact.size
+    }
+    per.sum / per.length
+  }
+}

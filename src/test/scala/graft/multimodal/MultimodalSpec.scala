@@ -258,7 +258,39 @@ class MultimodalSpec extends AnyFunSuite {
         JpegDecode.jpegLumaGrid(prog)
       }
       assert(e.getMessage.contains("progressive"))
+      // zero-dimension SOF: jpegSize must reject like decodeLuma does, so
+      // probeMeta degrades to all-None instead of reporting Some(0)
+      val zero = good.clone()
+      zero(sof0 + 5) = 0; zero(sof0 + 6) = 0 // height := 0
+      intercept[IllegalArgumentException] { JpegDecode.jpegSize(zero) }
+      assert(Multimodal.probeMeta(zero) ==
+        Multimodal.ProbedMeta(None, None, None, None, None))
     }
+  }
+
+  test("PNG with a preset-dictionary zlib stream fails fast, never hangs") {
+    // minimal PNG: IHDR(1x1 gray 8-bit) + IDAT whose zlib header sets the
+    // FDICT flag (0x78 0x20: valid FCHECK, dictionary required). Inflater
+    // returns 0 forever on it — the decoder must throw, not spin.
+    def chunk(ctype: String, payload: Array[Byte]): Array[Byte] = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(payload.length).array()
+      val crc = new java.util.zip.CRC32()
+      crc.update(ctype.getBytes); crc.update(payload)
+      val c = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+      len ++ ctype.getBytes ++ payload ++ c
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(1).putInt(1).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++
+      chunk("IDAT", Array(0x78, 0x20, 0, 0, 0, 0).map(_.toByte)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(MediaDecode.isPng(png))
+    intercept[IllegalArgumentException] { MediaDecode.pngLumaGrid(png) }
+    // and through the pipeline boundary it degrades to the stub
+    assert(Multimodal.decodeFeatures(png, 64).toSeq ==
+      Multimodal.fakeDecodeFeatures(png, 64).toSeq)
   }
 
   test("GIF decode: first frame luma grid matches the JDK's decode") {

@@ -79,6 +79,22 @@ class CurateSpec extends AnyFunSuite {
     assert(out1 == ids("output"))
   }
 
+  test("quality band keeps unscoreable docs (null text) with null surprisal") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, s"one $filler", "s"), (2L, s"two $filler", "s"),
+      (3L, null.asInstanceOf[String], "s")) // tokenizes to nothing → no score
+      .toDF("doc_id", "text", "source")
+    val out = Curate.run(docs, "doc_id", "text", "source", None,
+      Curate.Config(nearDupMinJaccard = None, surprisalBand = Some((0.0, 100.0)),
+        capPerSource = None, sampleRate = 1.0))
+    val rows = out.select("doc_id", "surprisal").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L)) // the filter must not delete doc 3
+    assert(rows(3L).isEmpty) // surfaced as unscored, not silently dropped
+    assert(rows(1L).nonEmpty && rows(2L).nonEmpty)
+  }
+
   test("disabled stages are skipped entirely") {
     import spark.implicits._
     val docs = Seq((1L, s"a $filler", "s"), (2L, s"b $filler", "s"))

@@ -15,13 +15,11 @@ class RecallSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val sf = "/root/testdata/sf0.01"
 
-  private def recallOfKnn(approx: DataFrame, exact: DataFrame): Double = {
-    val e = exact.select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val a = approx.select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    (e intersect a).size.toDouble / e.size
-  }
+  // all recall math lives in graft.tools.RecallHarness — the SAME code the
+  // per-round RecallAtScale tool reports with, so gate and report cannot
+  // desynchronize
+  private def recallOfKnn(approx: DataFrame, exact: DataFrame): Double =
+    graft.tools.RecallHarness.knnRecall(approx, exact)
 
   test("hyperplane LSH k-NN recall vs exact, with and without multi-probe") {
     val emb = Tables(spark, sf, "embeddings")
@@ -93,31 +91,10 @@ class RecallSpec extends AnyFunSuite {
 
   test("IVF recall vs exact: draw centroids and k-means refinement lift") {
     val emb = Tables(spark, sf, "embeddings")
-    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
-      .sortBy(_._1)
-    val queries = vecs.take(30)
+    val vecs = graft.tools.RecallHarness.collectVecs(emb)
 
-    def meanRecall(idx: IvfIndex.Index, nProbe: Int): Double = {
-      // ONE Spark job for the real assignment path; ranking math local —
-      // identical arithmetic (cosineScalar/roundHalfUp mirror the codegen
-      // expression + Spark round, proven by IvfSpec's argmax cross-check)
-      val cell = IvfIndex.assign(emb, "embedding", idx)
-        .select(col("vec_id"), col("cell")).collect()
-        .map(r => r.getLong(0) -> r.getInt(1)).toMap
-      val per = queries.map { case (qid, qv) =>
-        def ranked(cand: Array[(Long, Array[Float])]) =
-          cand.map { case (id, v) =>
-            (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
-          }.sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
-        val exact = ranked(vecs.filter(_._1 != qid))
-        val probes = IvfIndex.probeCells(idx, qv, nProbe).toSet
-        val got = ranked(vecs.filter { case (id, _) =>
-          id != qid && probes.contains(cell(id)) })
-        (exact intersect got).size.toDouble / exact.size
-      }
-      per.sum / per.length
-    }
+    def meanRecall(idx: IvfIndex.Index, nProbe: Int): Double =
+      graft.tools.RecallHarness.ivfMeanRecall(emb, vecs, idx, nProbe)
 
     val draw = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
     val r4 = meanRecall(draw, nProbe = 4)
