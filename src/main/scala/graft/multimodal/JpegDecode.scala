@@ -1,18 +1,22 @@
 package graft.multimodal
 
-/** Zero-dependency baseline JPEG decoder — luma (Y) channel only.
+/** Zero-dependency JPEG decoder — luma (Y) channel only.
   *
-  * Scope (documented boundary, like the PDF subset): baseline sequential
-  * Huffman JPEG (SOF0/SOF1, 8-bit, interleaved scan, restart intervals,
-  * arbitrary sampling factors) — what cameras, JDK ImageIO, libjpeg
-  * defaults and most web encoders emit. Progressive (SOF2), arithmetic
-  * coding, hierarchical and 12-bit modes throw `IllegalArgumentException`
-  * and fall back to the stub at the [[Multimodal.decodeFeatures]] boundary.
+  * Scope: Huffman-coded 8-bit JPEG, BOTH sequential (SOF0/SOF1 —
+  * interleaved scan, restart intervals, arbitrary sampling factors) AND
+  * progressive (SOF2 — spectral selection, successive approximation, EOB
+  * runs, interleaved-DC / single-component-AC scans per ITU T.81 §G).
+  * That covers what cameras, JDK ImageIO, libjpeg and web encoders emit.
+  * Arithmetic coding, hierarchical and 12-bit modes throw
+  * `IllegalArgumentException` and fall back to the stub at the
+  * [[Multimodal.decodeFeatures]] boundary.
   *
   * Only the Y component is inverse-transformed: the feature kernel is the
   * 8×8 mean-luma grid, so chroma blocks are entropy-decoded (the bitstream
-  * must advance) but never dequantized/IDCT'd — decode cost is one IDCT per
-  * luma block. Pure integer/double arithmetic, bit-identical across JVMs.
+  * must advance) but never dequantized/IDCT'd — sequential cost is one
+  * IDCT per luma block; progressive additionally buffers coefficient
+  * planes across scans (hence its tighter pixel cap). Pure integer/double
+  * arithmetic, bit-identical across JVMs.
   */
 private[graft] object JpegDecode {
 
@@ -216,7 +220,20 @@ private[graft] object JpegDecode {
     p
   }
 
-  /** Parse markers up to SOS, then decode the interleaved scan. */
+  /** Per-component coefficient plane for progressive decoding: zigzag-order
+    * coefficients for every (MCU-padded) block, accumulated across scans and
+    * dequantized/IDCT'd only at the end.
+    */
+  private final class ProgComp(
+      val comp: Comp, val padBW: Int, val padBH: Int,
+      val bw: Int, val bh: Int) {
+    val coef = new Array[Int](padBW * padBH * 64)
+    var pred = 0 // DC predictor, reset per scan / restart
+  }
+
+  /** Parse markers up to SOS, then decode the interleaved scan (baseline)
+    * or accumulate every scan into coefficient planes (progressive, SOF2).
+    */
   private def decodeLuma(b: Array[Byte]): Luma = {
     if (!isJpeg(b)) fail("not a JPEG (SOI missing)")
     val qts = new Array[Array[Int]](4)
@@ -226,6 +243,9 @@ private[graft] object JpegDecode {
     var width = 0
     var height = 0
     var dri = 0
+    var progressive = false
+    var prog: Array[ProgComp] = null
+    var sawScan = false
     var pos = 2
     while (pos < b.length) {
       if ((b(pos) & 0xFF) != 0xFF) fail("expected marker")
@@ -236,7 +256,10 @@ private[graft] object JpegDecode {
       m match {
         case 0x01 => () // TEM: no payload
         case x if x >= 0xD0 && x <= 0xD7 => () // stray RST: no payload
-        case 0xD9 => fail("EOI before SOS")
+        case 0xD9 =>
+          if (progressive && sawScan)
+            return progressiveLuma(width, height, comps, prog, qts)
+          fail("EOI before SOS")
         case 0xDB => // DQT
           val len = be16(b, pos)
           var p = pos + 2
@@ -274,14 +297,17 @@ private[graft] object JpegDecode {
             else acT(th) = new Huff(counts, vals)
           }
           pos += len
-        case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
+        case 0xC0 | 0xC1 | 0xC2 => // SOF0/SOF1 sequential; SOF2 progressive
+          progressive = m == 0xC2
           val len = be16(b, pos)
           if ((b(pos + 2) & 0xFF) != 8) fail("only 8-bit precision supported")
           height = be16(b, pos + 3)
           width = be16(b, pos + 5)
           if (width <= 0 || height <= 0) fail("empty frame")
-          // crafted headers must not drive allocation/decode work unbounded
-          if (width.toLong * height > (1L << 26)) fail("image too large")
+          // crafted headers must not drive allocation/decode work unbounded;
+          // progressive holds full coefficient planes, so its cap is tighter
+          if (width.toLong * height > (if (progressive) 1L << 24 else 1L << 26))
+            fail("image too large")
           val nc = b(pos + 7) & 0xFF
           if (nc < 1 || nc > 4) fail("invalid component count")
           comps = Array.tabulate(nc) { i =>
@@ -292,10 +318,21 @@ private[graft] object JpegDecode {
               fail("invalid sampling/quant spec")
             c
           }
+          if (progressive) {
+            val hmax = comps.map(_.h).max
+            val vmax = comps.map(_.v).max
+            val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+            prog = comps.map { c =>
+              val cw = (width * c.h + hmax - 1) / hmax
+              val ch = (height * c.v + vmax - 1) / vmax
+              new ProgComp(c, mcusX * c.h, mcusY * c.v,
+                (cw + 7) / 8, (ch + 7) / 8)
+            }
+          }
           pos += len
-        case 0xC2 => fail("progressive JPEG not supported (baseline subset)")
         case x if (x >= 0xC3 && x <= 0xCB) || (x >= 0xCD && x <= 0xCF) =>
-          fail(f"SOF marker $x%02x not supported (baseline subset)")
+          fail(f"SOF marker $x%02x not supported (sequential/progressive huffman only)")
         case 0xDD => // DRI
           dri = be16(b, pos + 2)
           pos += be16(b, pos)
@@ -303,8 +340,7 @@ private[graft] object JpegDecode {
           if (comps == null) fail("SOS before SOF")
           val len = be16(b, pos)
           val ns = b(pos + 2) & 0xFF
-          if (ns != comps.length)
-            fail("non-interleaved multi-scan JPEG not supported")
+          if (ns < 1 || ns > comps.length) fail("invalid scan component count")
           val order = Array.tabulate(ns) { i =>
             val o = pos + 3 + 2 * i
             if (o + 1 >= b.length) fail("truncated SOS")
@@ -316,8 +352,22 @@ private[graft] object JpegDecode {
             if (td > 3 || ta > 3) fail("invalid SOS table selector")
             (ci, td, ta)
           }
-          return decodeScan(b, pos + len, comps, order, qts, dcT, acT,
-            width, height, dri)
+          if (!progressive) {
+            if (ns != comps.length)
+              fail("non-interleaved multi-scan sequential JPEG not supported")
+            return decodeScan(b, pos + len, comps, order, qts, dcT, acT,
+              width, height, dri)
+          }
+          // progressive: spectral selection + successive approximation
+          val o = pos + 3 + 2 * ns
+          if (o + 2 >= b.length) fail("truncated SOS")
+          val ss = b(o) & 0xFF
+          val se = b(o + 1) & 0xFF
+          val ah = (b(o + 2) & 0xFF) >> 4
+          val al = b(o + 2) & 0x0F
+          pos = decodeProgressiveScan(b, pos + len, prog, order,
+            ss, se, ah, al, dri, dcT, acT)
+          sawScan = true
         case _ => // APPn, COM, anything else with a length field
           pos += be16(b, pos)
       }
@@ -390,6 +440,234 @@ private[graft] object JpegDecode {
       my += 1
     }
     Luma(width, height, plane, planeW, yC.h, hmax, yC.v, vmax)
+  }
+
+  // ------------------------------------------------- progressive decoding
+
+  /** Position of the next marker (0xFF followed by a non-stuffing byte) at
+    * or after `from` — how the multi-scan loop resumes after a scan's
+    * entropy-coded segment.
+    */
+  private def nextMarker(b: Array[Byte], from: Int): Int = {
+    var p = math.max(0, from)
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xFF) == 0xFF && (b(p + 1) & 0xFF) != 0x00) return p
+      p += 1
+    }
+    fail("unterminated scan (no trailing marker)")
+  }
+
+  /** One progressive scan (ITU T.81 §G.2): DC scans may be interleaved,
+    * AC scans are single-component; Ah == 0 is the first pass for the
+    * (Ss..Se, Al) band, Ah > 0 a successive-approximation refinement.
+    * Returns the position of the marker terminating the scan.
+    */
+  private def decodeProgressiveScan(
+      b: Array[Byte], dataPos: Int, prog: Array[ProgComp],
+      order: Array[(Int, Int, Int)], ss: Int, se: Int, ah: Int, al: Int,
+      dri: Int, dcT: Array[Huff], acT: Array[Huff]): Int = {
+    if (ss > se || se > 63 || al > 13 || ah > 13) fail("invalid scan band")
+    if (ss == 0 && se != 0) fail("DC scan must have Se = 0")
+    if (ss > 0 && order.length != 1) fail("AC scan must be single-component")
+    val r = new BitReader(b, dataPos)
+    var eobrun = 0
+    var unit = 0
+    def maybeRestart(): Unit =
+      if (dri > 0 && unit > 0 && unit % dri == 0) {
+        r.restart()
+        prog.foreach(_.pred = 0)
+        eobrun = 0
+      }
+
+    def dcFirst(pc: ProgComp, huff: Huff, blockOff: Int): Unit = {
+      val t = huff.decode(r)
+      if (t > 11) fail("invalid DC category")
+      val diff = if (t == 0) 0 else extend(r.receive(t), t)
+      pc.pred += diff
+      pc.coef(blockOff) = pc.pred << al
+    }
+    def dcRefine(pc: ProgComp, blockOff: Int): Unit =
+      if (r.bit() == 1) pc.coef(blockOff) |= (1 << al)
+
+    def acFirst(pc: ProgComp, huff: Huff, blockOff: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = huff.decode(r)
+        val run = rs >> 4
+        val s = rs & 0x0F
+        if (s == 0) {
+          if (run == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << run) - 1 + (if (run > 0) r.receive(run) else 0)
+            k = se + 1
+          }
+        } else {
+          k += run
+          if (k > se) fail("AC index beyond band")
+          pc.coef(blockOff + k) = extend(r.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    def acRefine(pc: ProgComp, huff: Huff, blockOff: Int): Unit = {
+      val p1 = 1 << al
+      val m1 = -1 << al
+      @inline def correct(k: Int): Unit = {
+        val c = pc.coef(blockOff + k)
+        if (r.bit() == 1 && (c & p1) == 0)
+          pc.coef(blockOff + k) = c + (if (c >= 0) p1 else m1)
+      }
+      var k = ss
+      if (eobrun == 0) {
+        var inBand = true
+        while (inBand && k <= se) {
+          val rs = huff.decode(r)
+          var run = rs >> 4
+          val s = rs & 0x0F
+          var newval = 0
+          if (s == 0) {
+            if (run < 15) { // EOB run begins (includes this block's tail)
+              eobrun = (1 << run) + (if (run > 0) r.receive(run) else 0)
+              inBand = false
+            }
+            // run == 15: ZRL — skip 16 zero-history positions below
+          } else {
+            if (s != 1) fail("refinement magnitude must be 1")
+            newval = if (r.bit() == 1) p1 else m1
+          }
+          if (inBand) {
+            var placed = false
+            while (!placed && k <= se) {
+              if (pc.coef(blockOff + k) != 0) correct(k)
+              else if (run == 0) {
+                if (newval != 0) pc.coef(blockOff + k) = newval
+                placed = true
+              } else run -= 1
+              k += 1
+            }
+            if (!placed && newval != 0) fail("refinement ran past band")
+          }
+        }
+      }
+      if (eobrun > 0) { // EOB region: correction bits for nonzero coeffs
+        while (k <= se) {
+          if (pc.coef(blockOff + k) != 0) correct(k)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    if (ss == 0) { // DC scan: interleaved MCU order, or single-component
+      if (order.length > 1) {
+        val mcusX = prog(0).padBW / prog(0).comp.h
+        val mcusY = prog(0).padBH / prog(0).comp.v
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            order.foreach { case (ci, td, _) =>
+              val pc = prog(ci)
+              if (ah == 0 && dcT(td) == null) fail("missing DC huffman table")
+              var bv = 0
+              while (bv < pc.comp.v) {
+                var bh2 = 0
+                while (bh2 < pc.comp.h) {
+                  val off = ((my * pc.comp.v + bv) * pc.padBW +
+                    (mx * pc.comp.h + bh2)) * 64
+                  if (ah == 0) dcFirst(pc, dcT(td), off) else dcRefine(pc, off)
+                  bh2 += 1
+                }
+                bv += 1
+              }
+            }
+            unit += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        val (ci, td, _) = order(0)
+        val pc = prog(ci)
+        if (ah == 0 && dcT(td) == null) fail("missing DC huffman table")
+        var by = 0
+        while (by < pc.bh) {
+          var bx = 0
+          while (bx < pc.bw) {
+            maybeRestart()
+            val off = (by * pc.padBW + bx) * 64
+            if (ah == 0) dcFirst(pc, dcT(td), off) else dcRefine(pc, off)
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    } else { // AC scan: single component, non-interleaved block order
+      val (ci, _, ta) = order(0)
+      val pc = prog(ci)
+      if (acT(ta) == null) fail("missing AC huffman table")
+      var by = 0
+      while (by < pc.bh) {
+        var bx = 0
+        while (bx < pc.bw) {
+          maybeRestart()
+          val off = (by * pc.padBW + bx) * 64
+          if (ah == 0) acFirst(pc, acT(ta), off) else acRefine(pc, acT(ta), off)
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    nextMarker(b, r.pos)
+  }
+
+  /** Dequantize + IDCT the accumulated luma coefficient plane. */
+  private def progressiveLuma(
+      width: Int, height: Int, comps: Array[Comp], prog: Array[ProgComp],
+      qts: Array[Array[Int]]): Luma = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val yPc = prog(0) // luma is the first SOF component (JFIF/EXIF contract)
+    val qt = qts(yPc.comp.tq)
+    if (qt == null) fail("missing quantization table")
+    val planeW = yPc.padBW * 8
+    val plane = new Array[Int](planeW * yPc.padBH * 8)
+    val coef = new Array[Double](64)
+    val px = new Array[Int](64)
+    var by = 0
+    while (by < yPc.padBH) {
+      var bx = 0
+      while (bx < yPc.padBW) {
+        val off = (by * yPc.padBW + bx) * 64
+        java.util.Arrays.fill(coef, 0.0)
+        var k = 0
+        while (k < 64) {
+          val v = yPc.coef(off + k)
+          if (v != 0) coef(ZigZag(k)) = v.toDouble * qt(k)
+          k += 1
+        }
+        idct(coef, px)
+        val ox = bx * 8
+        val oy = by * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            plane((oy + yy) * planeW + ox + xx) = px(yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Luma(width, height, plane, planeW, yPc.comp.h, hmax, yPc.comp.v, vmax)
   }
 
   // ------------------------------------------------------------ public API

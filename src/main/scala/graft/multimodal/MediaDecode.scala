@@ -14,8 +14,8 @@ package graft.multimodal
   *  - WAV (PCM 8/16-bit): RIFF chunk walk → duration + N-bin RMS envelope,
   *    the audio-fingerprint baseline.
   *
-  * Baseline sequential JPEG decodes for real too ([[JpegDecode]], luma
-  * channel). Progressive JPEG and MP3/MP4 remain the documented stub in
+  * JPEG (baseline AND progressive) decodes for real too ([[JpegDecode]],
+  * luma channel). MP3/MP4 remain the documented stub in
   * [[Multimodal.fakeDecodeFeatures]] — those genuinely need codec libraries
   * absent from this offline build. Every parser here throws
   * IllegalArgumentException on malformed/unsupported input; callers decide

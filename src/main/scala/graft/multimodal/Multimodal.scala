@@ -11,10 +11,10 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing — schema, partitioning, per-partition batch shape —
   * is real and tested. Decode is REAL for the zero-dependency formats
   * ([[MediaDecode]]: BMP and PNG → 8×8 mean-luma grid, WAV/PCM → RMS
-  * envelope + duration; [[JpegDecode]]: baseline sequential JPEG → luma
-  * grid; [[GifDecode]]: GIF87a/89a LZW first frame → luma grid) and a
+  * envelope + duration; [[JpegDecode]]: sequential AND progressive JPEG →
+  * luma grid; [[GifDecode]]: GIF87a/89a LZW first frame → luma grid) and a
   * clearly-marked deterministic STUB ([[fakeDecodeFeatures]])
-  * for the remaining codecs (progressive JPEG, MP3/MP4), which genuinely
+  * for the remaining codecs (MP3/MP4), which genuinely
   * need codec libraries absent from this offline container. A production
   * build swaps exactly one function (the bytes→features kernel inside
   * [[extractFeatures]]); everything around it is unchanged.

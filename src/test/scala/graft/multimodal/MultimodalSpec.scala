@@ -137,7 +137,8 @@ class MultimodalSpec extends AnyFunSuite {
     */
   private def jpeg(w: Int, h: Int, px: Seq[(Int, Int, Int)],
                    imageType: Int = java.awt.image.BufferedImage.TYPE_INT_RGB,
-                   quality: Float = 0.9f): Array[Byte] = {
+                   quality: Float = 0.9f,
+                   progressive: Boolean = false): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, imageType)
     for (y <- 0 until h; x <- 0 until w) {
       val (r, g, b) = px(y * w + x)
@@ -147,6 +148,8 @@ class MultimodalSpec extends AnyFunSuite {
     val p = w0.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(quality)
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val out = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
     w0.setOutput(ios)
@@ -225,7 +228,7 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("JPEG fuzz: truncated/corrupt bytes fall back, progressive rejected") {
+  test("JPEG fuzz: truncated/corrupt bytes fall back cleanly") {
     val px = for (y <- 0 until 16; x <- 0 until 16) yield (x * 16, y * 16, 128)
     val good = jpeg(16, 16, px)
     // truncations at every growth stage throw IAE (never AIOOBE/hang)…
@@ -249,15 +252,8 @@ class MultimodalSpec extends AnyFunSuite {
       try JpegDecode.jpegLumaGrid(mut)
       catch { case _: IllegalArgumentException => () } // only IAE allowed
     }
-    // progressive JPEG (SOF2) is a documented boundary: clean rejection
     val sof0 = good.indexOfSlice(Seq(0xFF.toByte, 0xC0.toByte))
     if (sof0 >= 0) {
-      val prog = good.clone()
-      prog(sof0 + 1) = 0xC2.toByte
-      val e = intercept[IllegalArgumentException] {
-        JpegDecode.jpegLumaGrid(prog)
-      }
-      assert(e.getMessage.contains("progressive"))
       // zero-dimension SOF: jpegSize must reject like decodeLuma does, so
       // probeMeta degrades to all-None instead of reporting Some(0)
       val zero = good.clone()
@@ -265,6 +261,57 @@ class MultimodalSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] { JpegDecode.jpegSize(zero) }
       assert(Multimodal.probeMeta(zero) ==
         Multimodal.ProbedMeta(None, None, None, None, None))
+    }
+  }
+
+  test("progressive JPEG decode: multi-scan luma matches the JDK's decode") {
+    // gradient + structure across several MCU rows: the JDK's progressive
+    // encoder emits the full scan script (interleaved DC first, per-
+    // component AC bands, successive-approximation refinements with EOB
+    // runs) — decoding it exercises every §G scan kind
+    val px = for (y <- 0 until 48; x <- 0 until 64)
+      yield { val v = (x * 3 + y * 4) % 256; (v, (v + 90) % 256, (255 - v)) }
+    val bytes = jpeg(64, 48, px, progressive = true)
+    // confirm the fixture really is progressive (SOF2 present)
+    assert(bytes.indexOfSlice(Seq(0xFF.toByte, 0xC2.toByte)) >= 0)
+    assert(JpegDecode.jpegSize(bytes) == ((64, 48)))
+    val ours = JpegDecode.jpegLumaGrid(bytes)
+    val jdk = jdkLumaGrid(bytes)
+    val maxDiff = ours.zip(jdk).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff < 2.0 / 255.0, s"max grid diff $maxDiff")
+    assert(Multimodal.decodeFeatures(bytes, 64).toSeq == ours.toSeq)
+
+    // grayscale progressive: single-component scans, no interleaving
+    val gpx = for (y <- 0 until 24; x <- 0 until 24)
+      yield { val v = (x * 10 + y) % 256; (v, v, v) }
+    val gbytes = jpeg(24, 24, gpx,
+      imageType = java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
+      progressive = true)
+    assert(gbytes.indexOfSlice(Seq(0xFF.toByte, 0xC2.toByte)) >= 0)
+    val gOurs = JpegDecode.jpegLumaGrid(gbytes)
+    val gImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gbytes))
+    val gJdk = new Array[Float](64)
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      var sum = 0.0
+      for (y <- gy * 3 until gy * 3 + 3; x <- gx * 3 until gx * 3 + 3)
+        sum += gImg.getRaster.getSample(x, y, 0) / 255.0
+      gJdk(gy * 8 + gx) = (sum / 9).toFloat
+    }
+    val gDiff = gOurs.zip(gJdk).map { case (a, b) => math.abs(a - b) }.max
+    assert(gDiff < 2.0 / 255.0, s"grayscale max grid diff $gDiff")
+  }
+
+  test("progressive JPEG fuzz: mutations never escape the fallback") {
+    val px = for (y <- 0 until 16; x <- 0 until 16) yield (x * 16, y * 16, 64)
+    val good = jpeg(16, 16, px, progressive = true)
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 300) {
+      val m = good.clone()
+      for (_ <- 0 to rnd.nextInt(3))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      val cut = if (rnd.nextBoolean()) m.take(3 + rnd.nextInt(m.length - 3)) else m
+      try JpegDecode.jpegLumaGrid(cut)
+      catch { case _: IllegalArgumentException => () } // only IAE allowed
     }
   }
 
