@@ -25,7 +25,8 @@ object GraftExtensions {
   private type Builder = Seq[Expression] => Expression
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+    // the non-deprecated wide constructor (usage/examples/note/group/since)
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   // the expressions read float slots from ArrayData; SQL callers pass
   // double-literal arrays, so coerce explicitly (the Column API coerces via

@@ -287,7 +287,7 @@ object VectorQueries {
         val index = graft.operators.IvfIndex.centroidsByDraw(e, "vec_id", "embedding", nCells = 16)
         val assigned = graft.operators.IvfIndex.assign(e, "embedding", index)
         val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
-          .head.getAs[scala.collection.Seq[Float]](0).toArray
+          .head().getAs[scala.collection.Seq[Float]](0).toArray
         graft.operators.IvfIndex.search(
             assigned.filter(col("vec_id") =!= 0), "embedding", qv, index,
             nProbe = 4, k = 10, tiebreak = Some("vec_id"))

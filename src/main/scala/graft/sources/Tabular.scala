@@ -48,7 +48,7 @@ object Tabular {
     }
     withIdx.select(col("__row_n").as("row_idx"),
       concat(lit("Row "), col("__row_n"), lit(": "),
-        concat_ws(", ", cells: _*)).as("text"))
+        concat_ws(", ", cells.toIndexedSeq: _*)).as("text"))
   }
 
   /** Whole-sheet text: header line + row lines, newline-joined — the exact
