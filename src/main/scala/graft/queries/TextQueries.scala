@@ -399,7 +399,8 @@ object TextQueries {
                           < '${DataMix.hexThreshold(0.8)}')
         SELECT doc_id, source, surprisal, sha256($redacted) AS redacted_sha
         FROM sampled ORDER BY doc_id""")
-      }),
+      },
+      headline = true),
 
     // Unigram-LM surprisal scoring, hash-exact: per-doc mean −ln p(token)
     // under the corpus unigram distribution (the cheap LM quality filter).
