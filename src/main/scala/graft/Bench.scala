@@ -51,8 +51,8 @@ object Bench {
     // (precomputed lens table vs q38's inline corpus scan). The lens
     // materialization is the amortized, once-per-snapshot cost — written
     // here, OUTSIDE the timed region, by design.
-    val lensPath = java.nio.file.Files.createTempDirectory("graft-bench-lens")
-      .resolve("lens").toString
+    val lensDir = java.nio.file.Files.createTempDirectory("graft-bench-lens")
+    val lensPath = lensDir.resolve("lens").toString
     // guarded like every timed entry: a failed lens write must cost only
     // the one extra that depends on it (timed() catches the read failure),
     // never the whole bench record
@@ -65,6 +65,7 @@ object Bench {
       "streaming_dedup_4batches" -> (() => streamingDedup4Batches(spark, sfDir)),
       "q38_bm25_precomputed" -> (() => bm25Precomputed(spark, sfDir, lensPath)))
     val extraResults = extras.map { case (name, fn) => timed(name)(fn()) }
+    deleteRecursively(lensDir) // repeated per-round runs must not accumulate /tmp parquet
     val results = headlineResults ++ extraResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -98,7 +99,7 @@ object Bench {
     val storePath = tmp.resolve("store").toString
     val outPath = tmp.resolve("out").toString
     val docs = Tables(spark, sfDir, "documents")
-    (0 until 4).foreach { b =>
+    try (0 until 4).foreach { b =>
       val batch = docs.filter(col("doc_id") % 4 === b)
       val store = graft.streaming.StreamingDedup.readStore(spark, storePath)
       val (survivors, survivorRows) = graft.streaming.StreamingDedup
@@ -111,6 +112,22 @@ object Bench {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(storePath)
+    } finally deleteRecursively(tmp) // warmup + timed run each build a full store tree
+  }
+
+  /** Best-effort recursive delete of a bench temp tree (cleanup must never
+    * fail the bench record).
+    */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    try {
+      val stream = Files.walk(root)
+      try stream.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally stream.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] temp cleanup of $root failed: ${e.getMessage}")
     }
   }
 

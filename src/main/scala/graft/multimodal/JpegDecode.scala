@@ -372,6 +372,10 @@ private[graft] object JpegDecode {
           pos += be16(b, pos)
       }
     }
+    // input exhausted without EOI: if every scan seen decoded to completion,
+    // a lost trailer must not fail what the sequential path tolerates
+    if (progressive && sawScan)
+      return progressiveLuma(width, height, comps, prog, qts)
     fail("no SOS marker")
   }
 
@@ -454,7 +458,11 @@ private[graft] object JpegDecode {
       if ((b(p) & 0xFF) == 0xFF && (b(p + 1) & 0xFF) != 0x00) return p
       p += 1
     }
-    fail("unterminated scan (no trailing marker)")
+    // scan decoded to completion but the trailing marker is cut off: report
+    // end-of-input and let the caller decide (the marker loop treats a
+    // truncated trailer after a complete scan like the sequential path does
+    // a missing EOI — tolerated)
+    b.length
   }
 
   /** One progressive scan (ITU T.81 §G.2): DC scans may be interleaved,

@@ -190,6 +190,9 @@ private[graft] object MediaDecode {
           val interlace = b(off + 20) & 0xff
           if (width <= 0 || width > MaxDim || height <= 0 || height > MaxDim)
             throw new IllegalArgumentException(s"bad PNG dimensions ${width}x$height")
+          if (width.toLong * height > (1L << 26))
+            throw new IllegalArgumentException(
+              s"PNG area ${width}x$height exceeds pixel cap") // deflate-bomb guard, same cap as GIF/JPEG
           if (bitDepth != 8 && bitDepth != 16)
             throw new IllegalArgumentException(s"unsupported PNG bit depth $bitDepth (8/16 only)")
           if (colorType == 3 && bitDepth != 8)

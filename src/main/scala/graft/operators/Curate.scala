@@ -45,10 +45,13 @@ object Curate {
     out += ("input" -> docs)
 
     // 1. exact dedup: canonical = min id per exact text (md5 grouping, the
-    // q23 semantics in drop-duplicates form)
+    // q23 semantics in drop-duplicates form). Null-text rows are exempt:
+    // md5(NULL) is NULL and the window would collapse ALL null-text docs
+    // into one "duplicate" group — but docs the stage cannot compare must
+    // not be silently deleted (same null policy as the quality band).
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
     var cur = docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("__rn") === 1 || col(textCol).isNull).drop("__rn")
     out += ("exact_dedup" -> cur)
 
     // 2. transitive near-dup dedup: MinHash banding → CC → drop non-canonical

@@ -363,7 +363,7 @@ object TextQueries {
         ex AS (SELECT doc_id, text, source FROM (
                  SELECT doc_id, text, source,
                         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-                 FROM base) WHERE rn = 1),
+                 FROM base) WHERE rn = 1 OR text IS NULL),
         dt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
                FROM documents),
         dg AS (SELECT DISTINCT doc_id,

@@ -301,6 +301,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(gDiff < 2.0 / 255.0, s"grayscale max grid diff $gDiff")
   }
 
+  test("progressive JPEG cut exactly at the EOI still decodes") {
+    // parity with the sequential path: all scans are complete, the missing
+    // EOI is a tolerated trailer loss, not data loss
+    val px = for (y <- 0 until 16; x <- 0 until 16) yield (x * 16, y * 16, 64)
+    val good = jpeg(16, 16, px, progressive = true)
+    assert((good(good.length - 2) & 0xFF) == 0xFF &&
+      (good.last & 0xFF) == 0xD9) // fixture really ends with EOI
+    val cut = good.take(good.length - 2)
+    assert(JpegDecode.jpegLumaGrid(cut).toSeq ==
+      JpegDecode.jpegLumaGrid(good).toSeq)
+  }
+
   test("progressive JPEG fuzz: mutations never escape the fallback") {
     val px = for (y <- 0 until 16; x <- 0 until 16) yield (x * 16, y * 16, 64)
     val good = jpeg(16, 16, px, progressive = true)
@@ -336,6 +348,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaDecode.isPng(png))
     intercept[IllegalArgumentException] { MediaDecode.pngLumaGrid(png) }
     // and through the pipeline boundary it degrades to the stub
+    assert(Multimodal.decodeFeatures(png, 64).toSeq ==
+      Multimodal.fakeDecodeFeatures(png, 64).toSeq)
+  }
+
+  test("PNG deflate-bomb guard: huge-area IHDR rejected before inflate") {
+    // 65535x65535 passes the per-dimension cap but is ~4G pixels — the area
+    // cap must throw IAE at IHDR time, never attempt the ~2GB allocations
+    // (an OOME would escape the NonFatal fallback and kill the ingest task)
+    def chunk(ctype: String, payload: Array[Byte]): Array[Byte] = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(payload.length).array()
+      val crc = new java.util.zip.CRC32()
+      crc.update(ctype.getBytes); crc.update(payload)
+      val c = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+      len ++ ctype.getBytes ++ payload ++ c
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(65535).putInt(65535).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++
+      chunk("IDAT", Array(0x78, 0x9c, 0, 0, 0, 0).map(_.toByte)) ++
+      chunk("IEND", Array.empty[Byte])
+    val e = intercept[IllegalArgumentException] { MediaDecode.pngLumaGrid(png) }
+    assert(e.getMessage.contains("pixel cap"))
     assert(Multimodal.decodeFeatures(png, 64).toSeq ==
       Multimodal.fakeDecodeFeatures(png, 64).toSeq)
   }

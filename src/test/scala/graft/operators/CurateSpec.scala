@@ -95,6 +95,22 @@ class CurateSpec extends AnyFunSuite {
     assert(rows(1L).nonEmpty && rows(2L).nonEmpty)
   }
 
+  test("exact dedup never collapses null-text docs into one") {
+    import spark.implicits._
+    // md5(NULL) is NULL: without the exemption the window would treat all
+    // null-text docs as duplicates of each other and keep only the min id
+    val docs = Seq(
+      (1L, s"a $filler", "s"), (2L, s"a $filler", "s"), // real exact dupes
+      (3L, null.asInstanceOf[String], "s"),
+      (4L, null.asInstanceOf[String], "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Curate.run(docs, "doc_id", "text", "source", None,
+      Curate.Config(nearDupMinJaccard = None, surprisalBand = None,
+        capPerSource = None, sampleRate = 1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L, 4L)) // dupe 2 dropped; BOTH null-text docs kept
+  }
+
   test("disabled stages are skipped entirely") {
     import spark.implicits._
     val docs = Seq((1L, s"a $filler", "s"), (2L, s"b $filler", "s"))
