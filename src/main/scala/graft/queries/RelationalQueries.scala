@@ -218,18 +218,24 @@ object RelationalQueries {
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         ORDER BY c_custkey""")),
 
-    // Anti join (NOT EXISTS): customers without orders.
+    // Anti join (NOT EXISTS): customers without URGENT orders. The orders
+    // side is filtered (every fixture customer has SOME order, which made
+    // the unfiltered anti-join vacuously empty) so the difference set has
+    // genuine survivors at every scale factor (203 at sf0.01).
     "q10_customers_without_orders" -> Q(
       fn = (s, dir) => {
         val c = t(s, dir, "customer")
         val o = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
           .orderBy(col("c_custkey"))
       },
       oracle = Some("""
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
         ORDER BY c_custkey""")),
 
     // Rollup (grouping sets surface, §2.11).
@@ -350,15 +356,21 @@ object RelationalQueries {
         INTERSECT SELECT c_nationkey FROM customer
         ORDER BY nationkey""")),
 
-    // Set ops: customer nations with no supplier presence.
+    // Set ops: customer nations with no TOP-BALANCE supplier presence. The
+    // supplier side is filtered (every fixture nation has some supplier,
+    // which made the unfiltered EXCEPT vacuously empty) so the difference
+    // set survives at every scale factor (24 at sf0.01, 12 at sf0.1).
     "q51_except_nations" -> Q(
       fn = (s, dir) =>
         t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
-          .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .except(t(s, dir, "supplier")
+            .filter(col("s_acctbal") > 9800)
+            .select(col("s_nationkey").as("nationkey")))
           .orderBy(col("nationkey")),
       oracle = Some("""
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT SELECT s_nationkey FROM supplier
+               WHERE s_acctbal > CAST(9800 AS DOUBLE)
         ORDER BY nationkey""")),
 
     // Pivot as conditional aggregation (the shape that scales — one pass,

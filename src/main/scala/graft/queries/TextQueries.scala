@@ -161,21 +161,47 @@ object TextQueries {
         FROM answered GROUP BY rule_id, answer ORDER BY rule_id, answer""")),
 
     // Auto-tagging (§2.10): deterministic fallback tags, tag frequencies.
+    // The synthetic documents vocabulary contains none of tagger.go's
+    // keywords, so tagging bare `text` is vacuously empty — instead tag a
+    // keyword-bearing ANNOTATED corpus: each doc joined to its order
+    // (doc_id = o_orderkey) and suffixed with the order's priority tag and
+    // a status/price phrase, the way a filed business document carries its
+    // workflow caption. Every one of the five tags fires on the fixture,
+    // including multi-tag docs (urgent + settled + high-value → 3 tags).
     "q28_tag_frequencies" -> Q(
-      fn = (s, dir) =>
-        docs(s, dir)
-          .select(explode(RuleEngine.fallbackTags(col("text"))).as("tag"))
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+        val o = Tables(s, dir, "orders")
+        d.join(o, d("doc_id") === o("o_orderkey"))
+          .select(concat(
+            col("text"), lit(" ["), col("o_orderpriority"), lit("] "),
+            when(col("o_orderstatus") === "F", "invoice settled and payment archived")
+              .when(col("o_orderstatus") === "O", "open contract pending legal review")
+              .otherwise("proposal quote in preparation"),
+            when(col("o_totalprice") > 250000, " confidential pricing attached")
+              .otherwise("")).as("annotated"))
+          .select(explode(RuleEngine.fallbackTags(col("annotated"))).as("tag"))
           .groupBy(col("tag")).agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("tag")),
+          .orderBy(col("tag"))
+      },
       oracle = Some("""
-        WITH tagged AS (
+        WITH annotated AS (
+          SELECT d.text || ' [' || o.o_orderpriority || '] ' ||
+            CASE o.o_orderstatus
+              WHEN 'F' THEN 'invoice settled and payment archived'
+              WHEN 'O' THEN 'open contract pending legal review'
+              ELSE 'proposal quote in preparation' END ||
+            CASE WHEN o.o_totalprice > CAST(250000 AS DOUBLE)
+              THEN ' confidential pricing attached' ELSE '' END AS text
+          FROM documents d JOIN orders o ON d.doc_id = o.o_orderkey),
+        tagged AS (
           SELECT unnest(
             (CASE WHEN contains(lower(text),'legal') OR contains(lower(text),'law') OR contains(lower(text),'contract') THEN ['#legal'] ELSE [] END) ||
             (CASE WHEN contains(lower(text),'invoice') OR contains(lower(text),'billing') OR contains(lower(text),'payment') THEN ['#finance'] ELSE [] END) ||
             (CASE WHEN contains(lower(text),'urgent') OR contains(lower(text),'asap') OR contains(lower(text),'immediate') THEN ['#urgent'] ELSE [] END) ||
             (CASE WHEN contains(lower(text),'proposal') OR contains(lower(text),'quote') THEN ['#proposal'] ELSE [] END) ||
             (CASE WHEN contains(lower(text),'confidential') OR contains(lower(text),'secret') THEN ['#confidential'] ELSE [] END)) AS tag
-          FROM documents)
+          FROM annotated)
         SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM tagged GROUP BY tag ORDER BY tag""")),
 
