@@ -13,15 +13,26 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the store is a table (parquet/lakehouse), not executor
   * memory — restart safety, compaction and TTL come from the storage layer.
-  * Each batch performs ONE scan of the store with the (small) batch side
-  * broadcast, so the store is never shuffled; on a lakehouse, bucket the
-  * store by `band_key` to turn the scan into pruned lookups.
+  * Each batch performs ONE read of the store with the (small) batch side
+  * broadcast, so the store is never shuffled — and the store is laid out
+  * partitioned by `band_bucket` (= band_key mod [[NumBandBuckets]]), so
+  * that read PRUNES to the buckets the batch's band keys can collide with
+  * (a directory-level PartitionFilter, not a full scan). A micro-batch of
+  * b docs touches ≤ min(b·bands, NumBandBuckets) buckets of the
+  * accumulated store; at cluster scale raise NumBandBuckets into the
+  * thousands so a trigger's read stays a small fraction of a 100 TB store.
   *
   * Replay safety: both sinks are written as `batch_id=N` partitions with
   * dynamic partition overwrite — a replayed batch overwrites its own
-  * partition instead of appending duplicates.
+  * partitions instead of appending duplicates (signatures are
+  * deterministic, so a replay regenerates identical band_bucket leaves).
   */
 object StreamingDedup {
+
+  /** Store partition fan-out. Bounded so the bucket set of a batch can be
+    * collected driver-side (≤ this many ints) to drive partition pruning.
+    */
+  val NumBandBuckets = 64
 
   /** Exploded band-signature rows for a batch: (doc_id, sig, band_idx,
     * band_key). The store holds exactly these columns (doc_id as STRING —
@@ -37,6 +48,8 @@ object StreamingDedup {
   private def bandRowsFromSigs(sigs: DataFrame, idCol: String): DataFrame =
     sigs.select(col(idCol).cast("string").as("doc_id"), col("sig"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .withColumn("band_bucket",
+        pmod(col("band_key"), lit(NumBandBuckets.toLong)).cast("int"))
 
   /** One batch against one store state (pure — unit-testable without a
     * stream): returns (survivors, survivorBandRows).
@@ -65,14 +78,15 @@ object StreamingDedup {
     val batchDeduped = uniqueIds.join(
       dropWithin.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
 
-    // (2) against the store: ONE store scan, batch side broadcast (the store
-    // is never shuffled); signature refine on band collisions. Survivor band
-    // rows are derived from the SAME precomputed signatures.
+    // (2) against the store: ONE bucket-pruned store read, batch side
+    // broadcast (the store is never shuffled); signature refine on band
+    // collisions. Survivor band rows are derived from the SAME precomputed
+    // signatures.
     val newBands = bandRowsFromSigs(
       sigs.join(dropWithin.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti"),
       idCol)
       .localCheckpoint()
-    val hitIds = store.as("st")
+    val hitIds = pruneStoreForBatch(store, newBands).as("st")
       .join(broadcast(newBands.as("nb")), Seq("band_idx", "band_key"))
       .filter(GraftFunctions.minhashJaccardUdf(col("nb.sig"), col("st.sig"))
         >= minEstJaccard)
@@ -85,8 +99,25 @@ object StreamingDedup {
     (survivors, survivorRows)
   }
 
+  /** The store restricted to band buckets the batch can collide with:
+    * `band_bucket` is a pure function of the join key `band_key`, so rows
+    * outside the batch's bucket set can never satisfy the band join — the
+    * IN filter is a safe superset selection. On a `band_bucket`-partitioned
+    * store it lands as a directory-level PartitionFilter (the 100 TB
+    * lever); the driver-side collect is bounded by [[NumBandBuckets]].
+    * Stores without the column (pre-bucketing layouts) pass through intact.
+    */
+  private[graft] def pruneStoreForBatch(store: DataFrame, newBands: DataFrame): DataFrame =
+    if (!store.columns.contains("band_bucket")) store
+    else {
+      val buckets = newBands.select("band_bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq // ≤ NumBandBuckets values
+      if (buckets.size >= NumBandBuckets) store // full coverage: nothing to prune
+      else store.filter(col("band_bucket").isin(buckets: _*))
+    }
+
   private val StoreSchema =
-    "doc_id STRING, sig ARRAY<BIGINT>, band_idx INT, band_key LONG"
+    "doc_id STRING, sig ARRAY<BIGINT>, band_idx INT, band_key LONG, band_bucket INT"
 
   /** The signature store at `storePath`, or the empty store when the path
     * does not exist yet (first batch). Any OTHER read failure propagates —
@@ -95,10 +126,16 @@ object StreamingDedup {
   def readStore(spark: SparkSession, storePath: String): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(storePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hPath))
-      spark.read.parquet(storePath)
-        .select("doc_id", "sig", "band_idx", "band_key")
-    else spark.createDataFrame(
+    if (fs.exists(hPath)) {
+      val df = spark.read.parquet(storePath)
+      // pre-bucketing stores: derive the bucket (no pruning, but the same
+      // code path); bucketed stores read it back as the partition column
+      val withBucket =
+        if (df.columns.contains("band_bucket")) df
+        else df.withColumn("band_bucket",
+          pmod(col("band_key"), lit(NumBandBuckets.toLong)).cast("int"))
+      withBucket.select("doc_id", "sig", "band_idx", "band_key", "band_bucket")
+    } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(StoreSchema))
   }
@@ -124,10 +161,14 @@ object StreamingDedup {
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(outPath)
+        // one shuffle of the (small) survivor band rows so each band_bucket
+        // leaf gets a single file instead of one per task — the store is
+        // read every batch; its file count is the read cost
         survivorRows.withColumn("batch_id", lit(batchId))
+          .repartition(col("band_bucket"))
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(storePath)
+          .partitionBy("batch_id", "band_bucket").parquet(storePath)
         ()
       }
       .start()

@@ -76,6 +76,47 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(rows.select("doc_id").distinct().as[String].collect().toSeq == Seq("chunk-aaaa"))
   }
 
+  test("band_bucket-partitioned store prunes the per-batch read at the source") {
+    import spark.implicits._
+    // accumulated store: 40 distinct docs' band rows, laid out partitioned
+    // by band_bucket (what run() writes)
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, s"stored document number $i with unique content token$i " +
+        s"about subject${i % 7} and topic${i % 11} plus filler trailing words"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sdedup-bucketed").toString
+    StreamingDedup.bandRows(corpus, "doc_id", "text")
+      .write.partitionBy("band_bucket").mode("overwrite").parquet(dir)
+    val store = StreamingDedup.readStore(spark, dir)
+
+    // a one-doc micro-batch touches ≤ LshBands buckets of NumBandBuckets
+    val batch = Seq((100L, base)).toDF("doc_id", "text")
+    val newBands = StreamingDedup.bandRows(batch, "doc_id", "text")
+    val pruned = StreamingDedup.pruneStoreForBatch(store, newBands)
+    val explained = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PartitionFilters"),
+      s"bucket filter did not reach the scan:\n$explained")
+    val pfLine = explained.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pfLine.contains("band_bucket"),
+      s"partition filter not on band_bucket: $pfLine")
+    // the pruned read really is partial...
+    val batchBuckets = newBands.select("band_bucket").distinct()
+      .as[Int].collect().toSet
+    assert(batchBuckets.size < StreamingDedup.NumBandBuckets)
+    assert(pruned.select("band_bucket").distinct().as[Int].collect().toSet
+      .subsetOf(batchBuckets))
+    // ...and pruning never changes the answer: survivors match an identical
+    // processBatch against the unpruned (bucket-column-free) store
+    val plain = store.drop("band_bucket")
+    val (sBucketed, _) = StreamingDedup.processBatch(batch, store, "doc_id", "text",
+      minEstJaccard = 0.5)
+    val (sPlain, _) = StreamingDedup.processBatch(batch, plain, "doc_id", "text",
+      minEstJaccard = 0.5)
+    assert(sBucketed.select("doc_id").as[Long].collect().toSet ==
+      sPlain.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("run(): foreachBatch wiring dedups across real micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -96,5 +137,12 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(landed == Set(1L)) // 2 collapsed in-batch, 4 dropped vs store
     val stored = spark.read.parquet(store).select("doc_id").distinct().as[String].collect().toSet
     assert(stored == Set("1"))
+    // the store landed in the band_bucket-partitioned layout (the pruning
+    // substrate), nested under its batch_id partition
+    val batchDirs = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(batchDirs.nonEmpty)
+    assert(batchDirs.forall(_.listFiles().exists(
+      _.getName.startsWith("band_bucket="))))
   }
 }
