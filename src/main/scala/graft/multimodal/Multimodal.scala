@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * is real and tested. Decode is REAL for the zero-dependency formats
   * ([[MediaDecode]]: BMP and PNG → 8×8 mean-luma grid, WAV/PCM → RMS
   * envelope + duration; [[JpegDecode]]: sequential AND progressive JPEG →
-  * luma grid; [[GifDecode]]: GIF87a/89a LZW first frame → luma grid) and a
-  * clearly-marked deterministic STUB ([[fakeDecodeFeatures]])
-  * for the remaining codecs (MP3/MP4), which genuinely
+  * luma grid; [[GifDecode]]: GIF87a/89a LZW first frame → luma grid;
+  * [[Mp3Decode]]: MPEG Layer III frame-header walk → exact duration +
+  * per-frame bitrate envelope) and a clearly-marked deterministic STUB
+  * ([[fakeDecodeFeatures]]) for the one remaining codec boundary (MP4
+  * video, and MP3 *PCM* synthesis), which genuinely
   * need codec libraries absent from this offline container. A production
   * build swaps exactly one function (the bytes→features kernel inside
   * [[extractFeatures]]); everything around it is unchanged.
@@ -68,6 +70,8 @@ object Multimodal {
         fit(GifDecode.gifLumaGrid(bytes, grid = math.max(1, math.sqrt(dim).toInt)))
       else if (MediaDecode.isWav(bytes))
         MediaDecode.wavEnvelope(bytes, bins = dim)
+      else if (Mp3Decode.isMp3(bytes))
+        Mp3Decode.mp3BitrateEnvelope(bytes, bins = dim)
       else fakeDecodeFeatures(bytes, dim)
     } catch {
       // NonFatal, not just IllegalArgumentException: a decode bug on one
@@ -116,6 +120,9 @@ object Multimodal {
       } else if (MediaDecode.isWav(bytes)) {
         ProbedMeta(None, None, Some("wav"),
           Some(MediaDecode.wavDurationMs(bytes)), None)
+      } else if (Mp3Decode.isMp3(bytes)) {
+        ProbedMeta(None, None, Some("mp3"),
+          Some(Mp3Decode.mp3Meta(bytes).durationMs), None)
       } else ProbedMeta(None, None, None, None, None)
     } catch {
       case scala.util.control.NonFatal(_) => ProbedMeta(None, None, None, None, None)

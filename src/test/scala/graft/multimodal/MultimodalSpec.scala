@@ -448,6 +448,136 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeFeatures(audio, 64).toSeq == env.toSeq)
   }
 
+  // ---- MP3: hand-built MPEG-1/2 Layer III streams (the header layout and
+  // bitrate/samplerate tables are public ISO/IEC 11172-3 knowledge; the JDK
+  // has no MP3 encoder, so fixtures are constructed frame by frame)
+
+  /** One Layer III frame: 4-byte header + deterministic payload to the
+    * exact computed frame size.
+    */
+  private def mp3Frame(
+      bitrateKbps: Int = 128, sampleRate: Int = 44100, padding: Int = 0,
+      mono: Boolean = false, mpeg1: Boolean = true): Array[Byte] = {
+    val bitrates =
+      if (mpeg1) Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+      else Seq(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    val rates = if (mpeg1) Seq(44100, 48000, 32000) else Seq(22050, 24000, 16000)
+    val bi = bitrates.indexOf(bitrateKbps); require(bi > 0, s"bad bitrate $bitrateKbps")
+    val si = rates.indexOf(sampleRate); require(si >= 0, s"bad rate $sampleRate")
+    val b1 = if (mpeg1) 0xFB else 0xF3 // sync | version | layer III | no CRC
+    val b2 = (bi << 4) | (si << 2) | (padding << 1)
+    val b3 = if (mono) 0xC0 else 0x00
+    val spf = if (mpeg1) 1152 else 576
+    val size = (spf / 8) * bitrateKbps * 1000 / sampleRate + padding
+    val f = new Array[Byte](size)
+    f(0) = 0xFF.toByte; f(1) = b1.toByte; f(2) = b2.toByte; f(3) = b3.toByte
+    var i = 4
+    while (i < size) { f(i) = (i * 7 + 13).toByte; i += 1 }
+    f
+  }
+
+  test("MP3 frame walk: duration/bitrate/channels from a hand-built CBR stream") {
+    // known table anchor: 128 kbps @ 44100 → floor(144*128000/44100) = 417
+    assert(mp3Frame().length == 417)
+    assert(mp3Frame(padding = 1).length == 418)
+    val bytes = Array.concat(Seq.fill(38)(mp3Frame()): _*)
+    assert(Mp3Decode.isMp3(bytes))
+    val m = Mp3Decode.mp3Meta(bytes)
+    assert(m.nFrames == 38)
+    assert(m.sampleRate == 44100)
+    assert(m.channels == 2)
+    assert(!m.vbr)
+    assert(m.durationMs == 38L * 1152 * 1000 / 44100) // 992 ms
+    assert(m.bitrateKbps == 128)
+    // MPEG-2 (576 samples/frame) mono variant
+    val m2bytes = Array.concat(Seq.fill(20)(mp3Frame(
+      bitrateKbps = 64, sampleRate = 22050, mono = true, mpeg1 = false)): _*)
+    val m2 = Mp3Decode.mp3Meta(m2bytes)
+    assert(m2.nFrames == 20 && m2.channels == 1 && m2.sampleRate == 22050)
+    assert(m2.durationMs == 20L * 576 * 1000 / 22050)
+  }
+
+  test("MP3: ID3v2 tag skipped, ID3v1 trailer tolerated, truncation safe") {
+    val frames = Array.concat(Seq.fill(10)(mp3Frame()): _*)
+    val id3size = 40
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0,
+      0, 0, 0, id3size.toByte) ++ new Array[Byte](id3size)
+    val id3v1 = Array[Byte]('T', 'A', 'G') ++ new Array[Byte](125)
+    val full = id3 ++ frames ++ id3v1
+    assert(Mp3Decode.isMp3(full))
+    val m = Mp3Decode.mp3Meta(full)
+    assert(m.nFrames == 10) // tags excluded from the walk
+    // truncated mid-frame: the walk stops, never throws
+    val cut = (id3 ++ frames).take(id3.length + 417 * 3 + 100)
+    assert(Mp3Decode.mp3Meta(cut).nFrames == 4) // 3 whole + the partial head
+    // non-MP3 bytes are rejected, not decoded
+    assert(!Mp3Decode.isMp3(Array[Byte](1, 2, 3, 4)))
+    intercept[IllegalArgumentException] {
+      Mp3Decode.mp3Meta(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  test("MP3 Xing/VBRI frame counts take precedence over the walk") {
+    // Xing in the first frame: MPEG1 stereo no-CRC → offset 4 + 32 = 36
+    val first = mp3Frame()
+    first(36) = 'X'; first(37) = 'i'; first(38) = 'n'; first(39) = 'g'
+    first(40) = 0; first(41) = 0; first(42) = 0; first(43) = 1 // flags: FRAMES
+    first(44) = 0; first(45) = 0; first(46) = 0; first(47) = 100 // count
+    val bytes = Array.concat(first +: Seq.fill(3)(mp3Frame()): _*)
+    val m = Mp3Decode.mp3Meta(bytes)
+    assert(m.nFrames == 100 && m.vbr)
+    assert(m.durationMs == 100L * 1152 * 1000 / 44100)
+    // "Info" is the CBR variant of the same header
+    val info = mp3Frame()
+    info(36) = 'I'; info(37) = 'n'; info(38) = 'f'; info(39) = 'o'
+    info(40) = 0; info(41) = 0; info(42) = 0; info(43) = 1
+    info(44) = 0; info(45) = 0; info(46) = 0; info(47) = 50
+    val mi = Mp3Decode.mp3Meta(info)
+    assert(mi.nFrames == 50 && !mi.vbr)
+    // VBRI sits at a fixed 4 + 32 offset with frames at +14
+    val vbri = mp3Frame()
+    vbri(36) = 'V'; vbri(37) = 'B'; vbri(38) = 'R'; vbri(39) = 'I'
+    vbri(50) = 0; vbri(51) = 0; vbri(52) = 0; vbri(53) = 25 // frames at 36+14
+    val mv = Mp3Decode.mp3Meta(vbri)
+    assert(mv.nFrames == 25 && mv.vbr)
+  }
+
+  test("MP3 bitrate envelope is the stream's real VBR structure") {
+    // first half 128 kbps, second half 320 kbps → a two-level envelope
+    val bytes = Array.concat(
+      (Seq.fill(16)(mp3Frame(128)) ++ Seq.fill(16)(mp3Frame(320))): _*)
+    val env = Mp3Decode.mp3BitrateEnvelope(bytes, bins = 4)
+    assert(env.length == 4)
+    assert(math.abs(env(0) - 0.4f) < 1e-6 && math.abs(env(1) - 0.4f) < 1e-6)
+    assert(math.abs(env(2) - 1.0f) < 1e-6 && math.abs(env(3) - 1.0f) < 1e-6)
+    // pipeline routing: decodeFeatures uses the REAL kernel, probeMeta the
+    // real duration — MP3 has left the stub path
+    assert(Multimodal.decodeFeatures(bytes, 4).toSeq == env.toSeq)
+    val pm = Multimodal.probeMeta(bytes)
+    assert(pm.format.contains("mp3"))
+    assert(pm.duration_ms.contains(32L * 1152 * 1000 / 44100))
+  }
+
+  test("MP3 fuzz: mutations and truncations never escape the fallback") {
+    val good = Array.concat(Seq.fill(8)(mp3Frame()): _*)
+    val rnd = new scala.util.Random(37)
+    for (_ <- 0 until 500) {
+      val m = good.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      val cut = if (rnd.nextBoolean()) m.take(1 + rnd.nextInt(m.length - 1)) else m
+      try {
+        Mp3Decode.isMp3(cut)
+        if (Mp3Decode.isMp3(cut)) {
+          Mp3Decode.mp3Meta(cut)
+          Mp3Decode.mp3BitrateEnvelope(cut, 16)
+        }
+      } catch { case _: IllegalArgumentException => () } // only IAE allowed
+      // and the pipeline boundary never throws at all
+      assert(Multimodal.decodeFeatures(cut, 16).length == 16)
+    }
+  }
+
   test("probeMeta fills real dimensions/duration, stub formats untouched") {
     val img = bmp(4, 2, Seq.fill(8)((10, 20, 30)))
     val audio = wav(16000, Seq.fill(320)(0.toShort))
