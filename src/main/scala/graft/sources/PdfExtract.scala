@@ -32,8 +32,15 @@ import scala.util.matching.Regex
   *     the common modern xref/ObjStm layout), undone via the shared PNG row
   *     unfilter
   *
+  *   - standard security handler, RC4 revisions 2–3 (40–128 bit), for files
+  *     openable with the EMPTY user password — the owner-locked "encrypted"
+  *     PDF a user actually meets (PDF 1.7 §7.6.3 algorithms 2/4/5/6; pure
+  *     JDK MD5 + a 30-line RC4). A file that genuinely requires a user
+  *     password throws (lands in the error column); AES (/V ≥ 4) stays out
+  *     of scope.
+  *
   * Out of scope (documented boundary, not silent): TIFF /Predictor 2,
-  * DCT/CCITT image text, encrypted PDFs.
+  * DCT/CCITT image text, AES-encrypted and user-password-locked PDFs.
   */
 private[graft] object PdfExtract {
 
@@ -41,9 +48,10 @@ private[graft] object PdfExtract {
 
   // ---------------------------------------------------------------- objects
 
-  private final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]])
+  private final case class PdfObj(
+      num: Int, dict: String, stream: Option[Array[Byte]], gen: Int = 0)
 
-  private val ObjStart: Regex = """(?s)(\d+)\s+\d+\s+obj""".r
+  private val ObjStart: Regex = """(?s)(\d+)\s+(\d+)\s+obj""".r
 
   /** Scan `N G obj … endobj` bodies; for stream objects capture the raw
     * stream bytes using /Length when resolvable, else the endstream scan.
@@ -53,6 +61,7 @@ private[graft] object PdfExtract {
     // First pass: object body spans (endobj may be absent on malformed tails).
     val starts = ObjStart.findAllMatchIn(s).toVector
     val bodies = mutable.Map.empty[Int, (Int, Int)] // num -> (bodyStart, bodyEnd)
+    val gens = mutable.Map.empty[Int, Int]
     for (i <- starts.indices) {
       val m = starts(i)
       val bodyStart = m.end
@@ -60,6 +69,7 @@ private[graft] object PdfExtract {
       val endObj = s.indexOf("endobj", bodyStart)
       val bodyEnd = if (endObj >= 0 && endObj < hardEnd) endObj else hardEnd
       bodies(m.group(1).toInt) = (bodyStart, bodyEnd)
+      gens(m.group(1).toInt) = m.group(2).toIntOption.getOrElse(0)
     }
     def body(num: Int): String = bodies.get(num) match {
       case Some((a, b)) => s.substring(a, b)
@@ -68,9 +78,10 @@ private[graft] object PdfExtract {
     val lengthRef = """/Length\s+(\d+)(\s+\d+\s+R)?""".r
     bodies.map { case (num, (a, b)) =>
       val raw = s.substring(a, b)
+      val gen = gens.getOrElse(num, 0)
       val streamKw = raw.indexOf("stream")
       val obj =
-        if (streamKw < 0) PdfObj(num, raw, None)
+        if (streamKw < 0) PdfObj(num, raw, None, gen)
         else {
           val dict = raw.substring(0, streamKw)
           // stream keyword is followed by CRLF or LF
@@ -96,7 +107,7 @@ private[graft] object PdfExtract {
                 e2
               } else bytes.length
           }
-          PdfObj(num, dict, Some(java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)))
+          PdfObj(num, dict, Some(java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)), gen)
         }
       num -> obj
     }.toMap
@@ -459,11 +470,146 @@ private[graft] object PdfExtract {
       objs.toSeq.sortBy(_._1).collect { case (num, o) if isPage(o) => num })
   }
 
+  // ------------------------------------------------- standard security handler
+
+  /** The 32-byte password pad of PDF 1.7 §7.6.3.3 (Algorithm 2 step a). */
+  private[graft] val PasswordPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private[graft] def md5Bytes(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** Textbook RC4 (KSA + PRGA) — the cipher of the standard handler's
+    * revisions 2–3. Symmetric, so the spec uses it to BUILD fixtures too.
+    */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val st = Array.tabulate(256)(identity)
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + st(i) + (key(i % key.length) & 0xFF)) & 0xFF
+      val t = st(i); st(i) = st(j); st(j) = t
+    }
+    val out = new Array[Byte](data.length)
+    var a = 0; var b = 0; var i = 0
+    while (i < data.length) {
+      a = (a + 1) & 0xFF
+      b = (b + st(a)) & 0xFF
+      val t = st(a); st(a) = st(b); st(b) = t
+      out(i) = (data(i) ^ st((st(a) + st(b)) & 0xFF)).toByte
+      i += 1
+    }
+    out
+  }
+
+  private[graft] def padPassword(pw: Array[Byte]): Array[Byte] =
+    (pw.take(32) ++ PasswordPad).take(32)
+
+  /** File-level encryption key from the (empty) user password — Algorithm 2
+    * for /R 2–3: MD5(paddedPw ‖ O ‖ P-as-LE32 ‖ ID[0]), then for R3 fifty
+    * MD5 re-digests of the first `n` bytes.
+    */
+  private[graft] def fileKey(
+      o: Array[Byte], p: Int, id: Array[Byte], r: Int, keyLen: Int): Array[Byte] = {
+    val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte, (p >> 24).toByte)
+    var h = md5Bytes(PasswordPad, o, pLe, id)
+    if (r >= 3) for (_ <- 0 until 50) h = md5Bytes(h.take(keyLen))
+    h.take(keyLen)
+  }
+
+  /** Per-object RC4 decryptor (Algorithm 1: obj/gen-salted MD5 key). */
+  private final class Decryptor(key: Array[Byte]) {
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val salt = Array[Byte](
+        num.toByte, (num >> 8).toByte, (num >> 16).toByte,
+        gen.toByte, (gen >> 8).toByte)
+      val objKey = md5Bytes(key, salt).take(math.min(key.length + 5, 16))
+      rc4(objKey, data)
+    }
+  }
+
+  /** Parse a PDF string value (`(…)` literal or `<…>` hex) after /key. */
+  private def dictStringBytes(dict: String, key: String): Option[Array[Byte]] = {
+    val m = (s"""/$key\\s*(\\((?:\\\\.|[^\\\\)])*\\)|<[0-9A-Fa-f\\s]*>)""").r
+      .findFirstMatchIn(dict).map(_.group(1))
+    m.map { v =>
+      if (v.startsWith("(")) decodeLiteral(v.substring(1, v.length - 1))
+      else v.substring(1, v.length - 1).replaceAll("\\s", "")
+        .grouped(2).filter(_.length == 2)
+        .map(h => java.lang.Integer.parseInt(h, 16).toByte).toArray
+    }
+  }
+
+  /** Build the decryptor when the trailer carries /Encrypt: standard
+    * handler, RC4 /V 1–2, /R 2–3, empty user password only. Wrong password
+    * or an unsupported scheme throws (→ the caller's error column); returns
+    * (encrypt object number, decryptor) so the encrypt dict itself is left
+    * alone.
+    */
+  private def buildDecryptor(
+      s: String, objs: Map[Int, PdfObj]): Option[(Int, Decryptor)] = {
+    val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt)
+    encRef.map { num =>
+      val dict = objs.get(num).map(_.dict)
+        .getOrElse(throw new IllegalArgumentException("missing /Encrypt object"))
+      if (!dict.contains("/Standard"))
+        throw new IllegalArgumentException("unsupported PDF security handler")
+      val v = dictInt(dict, "V").getOrElse(0)
+      val r = dictInt(dict, "R").getOrElse(0)
+      if (v < 1 || v > 2 || r < 2 || r > 3)
+        throw new IllegalArgumentException(
+          s"unsupported PDF encryption (V=$v R=$r; RC4 V1-2/R2-3 only)")
+      val keyLen = if (v == 1 || r == 2) 5
+        else dictInt(dict, "Length").map(_ / 8).getOrElse(5)
+      val o = dictStringBytes(dict, "O")
+        .getOrElse(throw new IllegalArgumentException("missing /O entry"))
+      val u = dictStringBytes(dict, "U")
+        .getOrElse(throw new IllegalArgumentException("missing /U entry"))
+      val p = """/P\s+(-?\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException("missing /P entry"))
+      val id = """/ID\s*\[\s*<([0-9A-Fa-f]*)>""".r.findFirstMatchIn(s)
+        .map(_.group(1).grouped(2).filter(_.length == 2)
+          .map(h => java.lang.Integer.parseInt(h, 16).toByte).toArray)
+        .getOrElse(Array.empty[Byte])
+      val key = fileKey(o, p, id, r, keyLen)
+      // Algorithm 6: verify the EMPTY user password against /U
+      val ok =
+        if (r == 2) java.util.Arrays.equals(rc4(key, PasswordPad), u.take(32))
+        else {
+          var enc = rc4(key, md5Bytes(PasswordPad, id))
+          for (i <- 1 to 19)
+            enc = rc4(key.map(b => (b ^ i).toByte), enc)
+          java.util.Arrays.equals(enc, u.take(16))
+        }
+      if (!ok)
+        throw new IllegalArgumentException(
+          "encrypted PDF requires a user password")
+      (num, new Decryptor(key))
+    }
+  }
+
   // ---------------------------------------------------------------- public
 
   def text(bytes: Array[Byte]): String = {
-    val topObjs = parseObjects(bytes)
-    if (topObjs.isEmpty) throw new IllegalArgumentException("failed to open PDF: no objects")
+    val topObjs0 = parseObjects(bytes)
+    if (topObjs0.isEmpty) throw new IllegalArgumentException("failed to open PDF: no objects")
+    // standard security handler: RC4-decrypt every object stream (strings
+    // inside content streams decrypt with their stream; XRef streams and
+    // the encrypt dict are never encrypted per spec)
+    val topObjs = buildDecryptor(new String(bytes, Latin1), topObjs0) match {
+      case None => topObjs0
+      case Some((encNum, d)) =>
+        val xref = """/Type\s*/XRef""".r
+        topObjs0.map { case (n, o) =>
+          val skip = n == encNum || xref.findFirstIn(o.dict).isDefined
+          n -> (if (skip) o else o.copy(stream = o.stream.map(d.decrypt(n, o.gen, _))))
+        }
+    }
     // expand compressed object streams; top-level definitions win conflicts
     val objStmType = """/Type\s*/ObjStm""".r
     val embedded = topObjs.values

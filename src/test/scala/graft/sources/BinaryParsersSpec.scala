@@ -308,6 +308,83 @@ class BinaryParsersSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PdfExtract.text(fixture))
   }
 
+  /** Owner-locked RC4-encrypted PDF built with the PDF 1.7 §7.6.3 public
+    * algorithms themselves (RC4 is symmetric, so the extractor's own
+    * primitives encrypt the fixture): owner password "hive-owner", EMPTY
+    * user password, the most common "encrypted" PDF in the wild.
+    * `userPw` non-empty builds a genuinely user-locked file instead.
+    */
+  private def pdfRc4Fixture(r: Int, userPw: String = ""): Array[Byte] = {
+    import PdfExtract.{md5Bytes, padPassword, rc4, PasswordPad}
+    val keyLen = if (r == 2) 5 else 16
+    val perms = -44 // print allowed, modify denied — a typical owner lock
+    val id = Array.tabulate[Byte](16)(i => (i * 11 + 3).toByte)
+    val idHex = id.map(b => f"${b & 0xFF}%02x").mkString
+    // Algorithm 3: the /O entry (padded user password under the owner key)
+    var oh = md5Bytes(padPassword("hive-owner".getBytes(StandardCharsets.ISO_8859_1)))
+    if (r >= 3) for (_ <- 0 until 50) oh = md5Bytes(oh)
+    val ownerKey = oh.take(keyLen)
+    var o = rc4(ownerKey, padPassword(userPw.getBytes(StandardCharsets.ISO_8859_1)))
+    if (r >= 3) for (i <- 1 to 19) o = rc4(ownerKey.map(b => (b ^ i).toByte), o)
+    // Algorithm 2: file key from the USER password this fixture is locked to
+    val pLe = Array[Byte](perms.toByte, (perms >> 8).toByte,
+      (perms >> 16).toByte, (perms >> 24).toByte)
+    var kh = md5Bytes(padPassword(userPw.getBytes(StandardCharsets.ISO_8859_1)),
+      o, pLe, id)
+    if (r >= 3) for (_ <- 0 until 50) kh = md5Bytes(kh.take(keyLen))
+    val key = kh.take(keyLen)
+    // Algorithms 4/5: the /U entry
+    val u =
+      if (r == 2) rc4(key, PasswordPad)
+      else {
+        var enc = rc4(key, md5Bytes(PasswordPad, id))
+        for (i <- 1 to 19) enc = rc4(key.map(b => (b ^ i).toByte), enc)
+        enc ++ new Array[Byte](16) // 16 bytes of arbitrary padding per spec
+      }
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02x").mkString
+    // Algorithm 1: per-object stream encryption
+    def encObj(num: Int, data: Array[Byte]): Array[Byte] = {
+      val salt = Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte, 0, 0)
+      rc4(md5Bytes(key, salt).take(math.min(keyLen + 5, 16)), data)
+    }
+    val c1 = encObj(4, "BT (Owner locked, user readable.) Tj ET"
+      .getBytes(StandardCharsets.ISO_8859_1))
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj <</Type/Catalog/Pages 2 0 R>> endobj\n")
+    w("2 0 obj <</Type/Pages/Kids[3 0 R]/Count 1>> endobj\n")
+    w("3 0 obj <</Type/Page/Parent 2 0 R/Contents 4 0 R>> endobj\n")
+    w(s"4 0 obj <</Length ${c1.length}>>\nstream\n")
+    bos.write(c1)
+    w("\nendstream\nendobj\n")
+    w(s"5 0 obj <</Filter/Standard/V ${if (r == 2) 1 else 2}/R $r" +
+      s"${if (r >= 3) "/Length 128" else ""}/O <${hex(o)}>/U <${hex(u)}>" +
+      s"/P $perms>> endobj\n")
+    w(s"trailer <</Root 1 0 R/Encrypt 5 0 R/ID [<$idHex> <$idHex>]>>\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
+  test("pdf: RC4 owner-locked files extract with the empty user password") {
+    // both the 40-bit R2 and 128-bit R3 revisions of the standard handler
+    assert(PdfExtract.text(pdfRc4Fixture(r = 2)) == "Owner locked, user readable.")
+    assert(PdfExtract.text(pdfRc4Fixture(r = 3)) == "Owner locked, user readable.")
+  }
+
+  test("pdf: user-password-locked and AES files land in the error column") {
+    // genuinely user-locked: the empty-password /U check must refuse loudly
+    val locked = pdfRc4Fixture(r = 3, userPw = "secret123")
+    val e = intercept[IllegalArgumentException](PdfExtract.text(locked))
+    assert(e.getMessage.contains("user password"))
+    // AES (/V 4) is out of scope and must say so, not mis-decrypt
+    val aes = new String(pdfRc4Fixture(r = 3), StandardCharsets.ISO_8859_1)
+      .replace("/V 2/R 3", "/V 4/R 4").getBytes(StandardCharsets.ISO_8859_1)
+    intercept[IllegalArgumentException](PdfExtract.text(aes))
+    // and through the pipeline boundary: skipped, never a crash
+    assert(Parsers.parseOrNone("pdf", locked).isEmpty)
+  }
+
   test("xls: legacy BIFF bytes land in the error column, not a crash") {
     // BIFF8 compound-file magic (D0 CF 11 E0 ...) — not OOXML, must raise
     val biff = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
