@@ -110,6 +110,41 @@ object IvfIndex {
       tiebreak = tiebreak)
   }
 
+  /** The q3a × q3g composition — the 100 TB serving layout: per-vector
+    * symmetric int8 quantization (4× scan bandwidth vs FLOAT) stored
+    * together with its `scale`, assigned to IVF cells by the DEQUANTIZED
+    * view (what the stored bytes can reproduce — assignment must not
+    * depend on the discarded float original). Write the result partitioned
+    * by `cellCol`; [[searchQuantized]] then prunes partitions AND
+    * dequantizes only the probed rows.
+    */
+  def quantizedStore(
+      corpus: DataFrame, vecCol: String, index: Index,
+      cellCol: String = "cell"): DataFrame =
+    corpus
+      .withColumn("scale", VectorFunctions.int8Scale(col(vecCol)))
+      .withColumn("q8", VectorFunctions.int8Quantize(col(vecCol), col("scale")))
+      .withColumn("__dv", VectorFunctions.int8Dequant(col("q8"), col("scale")))
+      .withColumn(cellCol, assignCell(col("__dv"), index))
+      .drop("__dv", vecCol)
+
+  /** IVF top-k over an int8 store: probe cells exactly like [[search]]
+    * (float query against the float centroid metadata), dequantize on the
+    * fly inside the probed cells only — the cell filter is applied BEFORE
+    * the dequant column so it reaches the scan as a partition predicate.
+    */
+  def searchQuantized(
+      store: DataFrame, q8Col: String, scaleCol: String, queryVec: Array[Float],
+      index: Index, nProbe: Int, k: Int, cellCol: String = "cell",
+      scoreScale: Option[Int] = Some(6), tiebreak: Option[String] = None): DataFrame = {
+    val cells = probeCells(index, queryVec, nProbe)
+    VectorSearch.topK(
+      store.where(col(cellCol).isin(cells: _*))
+        .withColumn("__dv", VectorFunctions.int8Dequant(col(q8Col), col(scaleCol))),
+      "__dv", queryVec, k, scoreScale = scoreScale, tiebreak = tiebreak)
+      .drop("__dv")
+  }
+
   /** Lloyd's k-means refinement of an index: `iters` rounds of assign →
     * per-cell mean. Each round is one narrow assignment pass plus one
     * partial-aggregated shuffle of nCells × dim × partitions rows (posexplode

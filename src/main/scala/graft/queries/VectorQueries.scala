@@ -318,6 +318,58 @@ object VectorQueries {
         ORDER BY score DESC, a.vec_id LIMIT 10"""),
       headline = true),
 
+    // Quantized IVF, hash-exact: the q3a × q3g composition — int8 vectors
+    // (+scale) assigned to IVF cells by their DEQUANTIZED view, searched
+    // with on-the-fly dequant inside the probed cells only. The 100 TB
+    // serving layout: 4× scan bandwidth cut stacked on nProbe/nCells
+    // partition pruning (IvfSpec proves the store predicate; RecallSpec
+    // gates quantized-vs-float fidelity). Oracle composes the q3a dequant
+    // CTEs with the q3g assignment/probe replay.
+    "q3n_ivf_quantized_topk" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val index = graft.operators.IvfIndex.centroidsByDraw(e, "vec_id", "embedding", nCells = 16)
+        val store = graft.operators.IvfIndex.quantizedStore(e, "embedding", index)
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getAs[scala.collection.Seq[Float]](0).toArray
+        graft.operators.IvfIndex.searchQuantized(
+            store.filter(col("vec_id") =!= 0), "q8", "scale", qv, index,
+            nProbe = 4, k = 10, tiebreak = Some("vec_id"))
+          .select(col("vec_id"), col("label"), col("score"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, label, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        d AS MATERIALIZED (SELECT vec_id, label,
+              CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0.0 AS DOUBLE))
+                   ELSE CAST(list_transform(v, x ->
+                        CAST(CAST(ROUND(x / scale) AS TINYINT) * scale AS FLOAT))
+                        AS DOUBLE[]) END AS dv
+              FROM s),
+        cent AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY dd, vec_id) - 1 AS INT) AS cell, v AS cv
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS dd, vec_id, v FROM e
+                ORDER BY dd, vec_id LIMIT 16)),
+        assign AS (
+          SELECT vec_id, label, dv, cell FROM (
+            SELECT d.vec_id, d.label, d.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(d.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM d CROSS JOIN cent c) WHERE rn = 1),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        probe AS (
+          SELECT cell FROM (
+            SELECT c.cell, ROW_NUMBER() OVER (ORDER BY
+              ROUND(CAST(list_cosine_similarity(c.cv, q.qv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM cent c CROSS JOIN q) WHERE rn <= 4)
+        SELECT a.vec_id, a.label,
+               ROUND(CAST(list_cosine_similarity(a.dv, q.qv) AS DOUBLE), 6) AS score
+        FROM assign a CROSS JOIN q JOIN probe p ON a.cell = p.cell
+        WHERE a.vec_id <> 0
+        ORDER BY score DESC, a.vec_id LIMIT 10"""),
+      headline = true),
+
     // Full ingest transform as a throughput probe (headline): chunk explode
     // → deterministic embed → idempotent ids over every document. This is
     // the reference's core write path (§3.2) expressed as one narrow

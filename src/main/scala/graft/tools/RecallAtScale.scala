@@ -68,6 +68,7 @@ object RecallAtScale {
     val rIvf8 = RecallHarness.ivfMeanRecall(emb, vecs, draw, nProbe = 8)
     val refined = IvfIndex.refine(emb, "embedding", draw, iters = 3)
     val rIvfKm4 = RecallHarness.ivfMeanRecall(emb, vecs, refined, nProbe = 4)
+    val rQuant = RecallHarness.ivfQuantOverlap(emb, draw)
 
     spark.stop()
     println(f"""{"sf":"$sfDir","lsh_single":$rSingle%.4f,"lsh_multiprobe":$rMulti%.4f,""" +
@@ -75,6 +76,7 @@ object RecallAtScale {
       f""""minhash_true_pairs":${exactPairs.size},""" +
       f""""ivf_draw_nprobe4":$rIvf4%.4f,"ivf_draw_nprobe8":$rIvf8%.4f,""" +
       f""""ivf_kmeans3_nprobe4":$rIvfKm4%.4f,""" +
+      f""""ivf_quant_overlap":$rQuant%.4f,""" +
       f""""neardup_lsh_pairs":$rNearDup%.4f,"neardup_true_pairs":${exactCos.size}}""")
   }
 }

@@ -38,6 +38,30 @@ object RecallHarness {
     * (cosineScalar/roundHalfUp — IvfSpec's argmax cross-check proves the
     * equivalence).
     */
+  /** Mean top-k id overlap of quantized-IVF vs float-IVF search over the
+    * first `nQueries` vectors — the int8 fidelity number (both sides run
+    * the REAL distributed search path).
+    */
+  def ivfQuantOverlap(
+      emb: DataFrame, idx: IvfIndex.Index,
+      nQueries: Int = 10, nProbe: Int = 4, k: Int = 10): Double = {
+    val assigned = IvfIndex.assign(emb, "embedding", idx).localCheckpoint()
+    val store = IvfIndex.quantizedStore(emb, "embedding", idx).localCheckpoint()
+    val queries = collectVecs(emb).take(nQueries)
+    val per = queries.map { case (qid, qv) =>
+      def ids(df: DataFrame) =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val float = ids(IvfIndex.search(
+        assigned.filter(col("vec_id") =!= qid), "embedding", qv, idx,
+        nProbe = nProbe, k = k, tiebreak = Some("vec_id")))
+      val quant = ids(IvfIndex.searchQuantized(
+        store.filter(col("vec_id") =!= qid), "q8", "scale", qv, idx,
+        nProbe = nProbe, k = k, tiebreak = Some("vec_id")))
+      (float intersect quant).size.toDouble / float.size
+    }
+    per.sum / per.length
+  }
+
   def ivfMeanRecall(
       emb: DataFrame, vecs: Array[(Long, Array[Float])], idx: IvfIndex.Index,
       nProbe: Int, nQueries: Int = 30, k: Int = 10): Double = {

@@ -108,6 +108,35 @@ class IvfSpec extends AnyFunSuite {
     assert(pruned.count() === expect)
   }
 
+  test("quantized store: cell partitions prune AND only probed rows dequantize") {
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-quant").toString
+    IvfIndex.quantizedStore(emb, "embedding", idx)
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    assert(!stored.columns.contains("embedding")) // floats really discarded
+    val qv = collected.find(_._1 == 0L).get._2
+    val res = IvfIndex.searchQuantized(
+      stored.filter(col("vec_id") =!= 0L), "q8", "scale", qv, idx,
+      nProbe = 4, k = 10, tiebreak = Some("vec_id"))
+    // the probe predicate must reach the scan as a PartitionFilter — the
+    // dequant projection sits ABOVE the filter, so unprobed cells are
+    // neither read nor dequantized
+    val explained = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pfLine = explained.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pfLine.isDefined, s"no PartitionFilters:\n$explained")
+    assert(pfLine.get.contains("cell"), s"filter not on cell: ${pfLine.get}")
+    // and the partitioned read returns exactly the in-memory composition
+    val expect = IvfIndex.searchQuantized(
+      IvfIndex.quantizedStore(emb, "embedding", idx).filter(col("vec_id") =!= 0L),
+      "q8", "scale", qv, idx, nProbe = 4, k = 10, tiebreak = Some("vec_id"))
+      .select("vec_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = res.select("vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+  }
+
   test("k-means refine moves occupied centroids to cell means, keeps empty ones") {
     import spark.implicits._
     // all data in the +x/+y quadrant: cell 2's centroid (-1, 0) attracts

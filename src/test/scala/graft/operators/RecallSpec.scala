@@ -110,4 +110,14 @@ class RecallSpec extends AnyFunSuite {
     assert(r8 >= r4, "more probes must not lose recall")
     assert(k4 >= 0.50, f"ivf kmeans nprobe4 recall $k4%.4f below gate")
   }
+
+  test("quantized IVF matches float IVF ranking (int8 fidelity gate)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val overlap = graft.tools.RecallHarness.ivfQuantOverlap(emb, idx)
+    info(f"quantized-vs-float IVF top-10 overlap: $overlap%.4f")
+    // int8 symmetric quantization perturbs cosine by ~1/254 per component;
+    // gate pinned below the deterministic measured overlap (1.00 at sf0.01)
+    assert(overlap >= 0.85, f"quantized IVF overlap $overlap%.4f below gate")
+  }
 }
