@@ -69,6 +69,10 @@ object Bench {
       // long-running stream pays per trigger (the 4batches entry is the
       // bootstrap regime where every batch covers all buckets)
       "streaming_dedup_trigger" -> (() => streamingDedupTrigger(spark, sfDir)),
+      // q3m runs the oracled default stage set; this tracks the FULL
+      // seven-stage pipeline (adds transitive MinHash near-dup CC + the
+      // LM surprisal band) so the complete curation cost moves per round
+      "q3m_full_curation" -> (() => curateFull(spark, sfDir)),
       "q38_bm25_precomputed" -> (() => bm25Precomputed(spark, sfDir, lensPath)))
     val extraResults = extras.map { case (name, fn) => timed(name)(fn()) }
     // repeated per-round runs must not accumulate /tmp parquet
@@ -162,6 +166,27 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] temp cleanup of $root failed: ${e.getMessage}")
     }
+  }
+
+  /** All seven curation stages enabled (q3m keeps the near-dup CC and the
+    * surprisal band off because they're oracled separately): exact dedup →
+    * MinHash near-dup clusters → decontamination → LM band (wide: the cost
+    * is the scoring, not the selectivity) → PII scrub → domain cap →
+    * deterministic sample.
+    */
+  private def curateFull(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val d = Tables(spark, sfDir, "documents")
+    graft.operators.Curate.run(
+      d.filter(col("doc_id") >= 20), "doc_id", "text", "source",
+      benchmarks = Some(d.filter(col("doc_id") < 20)),
+      cfg = graft.operators.Curate.Config(
+        nearDupMinJaccard = Some(0.5),
+        surprisalBand = Some((0.0, 100.0)),
+        capPerSource = Some(15),
+        sampleRate = 0.8,
+        salt = "curate")).count()
+    ()
   }
 
   /** q38's BM25 with the per-doc length table read from a pre-materialized

@@ -35,6 +35,54 @@ class WarehouseSpec extends AnyFunSuite {
     assert(pruned.count() == 2)
   }
 
+  test("z-ordered write: files bound BOTH dimensions; x-sort leaves y unbounded") {
+    import spark.implicits._
+    // a 64×64 grid of chunks over two filter dimensions (e.g. created-day ×
+    // doc-length bin); candidate files for a predicate = files whose
+    // [min,max] stats intersect it — exactly the parquet row-group/file
+    // skipping rule, computed here from the written files' own contents
+    val grid = for (x <- 0 until 64; y <- 0 until 64)
+      yield (s"c$x-$y", x.toLong, y.toLong, "org1")
+    val chunks = grid.toDF("id", "x", "y", "organization_id")
+
+    def fileRanges(path: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("x"), max("x"), min("y"), max("y"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+
+    // layout A: z-ordered on (x, y); layout B: sorted by x only
+    val zPath = Files.createTempDirectory("graft-wh-z").toString + "/chunks"
+    Warehouse.writeChunksZOrdered(chunks, zPath,
+      zDims = Seq(col("x"), col("y")), bitsPerDim = 6, filesPerTenant = 16)
+    val xPath = Files.createTempDirectory("graft-wh-x").toString + "/chunks"
+    chunks.repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x"))
+      .write.partitionBy("organization_id").parquet(xPath)
+
+    val zRanges = fileRanges(zPath)
+    val xRanges = fileRanges(xPath)
+    assert(zRanges.size >= 8 && xRanges.size >= 8) // real multi-file layouts
+
+    // predicate on the SECOND dimension: y ∈ [8, 15]
+    def yCandidates(rs: Seq[(Long, Long, Long, Long)]) =
+      rs.count { case (_, _, yMin, yMax) => yMax >= 8 && yMin <= 15 }
+    val zFrac = yCandidates(zRanges).toDouble / zRanges.size
+    val xFrac = yCandidates(xRanges).toDouble / xRanges.size
+    info(f"y-predicate candidate files: zorder $zFrac%.2f, x-sort $xFrac%.2f")
+    assert(xFrac == 1.0, "x-sorted files each span the full y range")
+    assert(zFrac <= 0.5, f"z-order must skip most files on y, got $zFrac%.2f")
+    // and the two-column box prunes even harder under z-order
+    def boxCandidates(rs: Seq[(Long, Long, Long, Long)]) =
+      rs.count { case (xMin, xMax, yMin, yMax) =>
+        xMax >= 8 && xMin <= 15 && yMax >= 8 && yMin <= 15 }
+    assert(boxCandidates(zRanges).toDouble / zRanges.size <= 0.25)
+    // the layout changes file placement, never content
+    assert(spark.read.parquet(zPath).count() == 64 * 64)
+  }
+
   test("purgeOrganization deletes exactly one tenant partition") {
     val path = Files.createTempDirectory("graft-wh2").toString + "/chunks"
     Warehouse.writeChunks(sampleChunks, path)
