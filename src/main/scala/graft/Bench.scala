@@ -119,7 +119,8 @@ object Bench {
     val docs = Tables(spark, sfDir, "documents")
     (0 until 4).foreach { b =>
       val batch = docs.filter(col("doc_id") % 4 === b)
-      val store = graft.streaming.StreamingDedup.readStore(spark, storePath)
+      val store = graft.streaming.StreamingDedup.readStore(
+        spark, storePath, excludeBatchId = Some(b.toLong))
       val (survivors, survivorRows) = graft.streaming.StreamingDedup
         .processBatch(batch, store, "doc_id", "text")
       survivors.withColumn("batch_id", lit(b.toLong))

@@ -122,17 +122,33 @@ object StreamingDedup {
   /** The signature store at `storePath`, or the empty store when the path
     * does not exist yet (first batch). Any OTHER read failure propagates —
     * silently resetting dedup state would un-dedup the batch.
+    *
+    * `excludeBatchId` is the replay guard: a micro-batch replayed after a
+    * crash that happened AFTER its store write but BEFORE the checkpoint
+    * commit would otherwise see its own signatures in the store, drop
+    * every one of its docs as a "duplicate" of itself, and dynamically
+    * overwrite its output partition with an EMPTY survivor set — silent
+    * data loss. Excluding the batch's own `batch_id` partition makes the
+    * replay read exactly the state the original attempt saw (signatures
+    * are deterministic, so the recomputed survivors are identical).
     */
-  def readStore(spark: SparkSession, storePath: String): DataFrame = {
+  def readStore(
+      spark: SparkSession, storePath: String,
+      excludeBatchId: Option[Long] = None): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(storePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(hPath)) {
       val df = spark.read.parquet(storePath)
+      val replaySafe = excludeBatchId match {
+        case Some(b) if df.columns.contains("batch_id") =>
+          df.filter(col("batch_id") =!= b)
+        case _ => df
+      }
       // pre-bucketing stores: derive the bucket (no pruning, but the same
       // code path); bucketed stores read it back as the partition column
       val withBucket =
-        if (df.columns.contains("band_bucket")) df
-        else df.withColumn("band_bucket",
+        if (replaySafe.columns.contains("band_bucket")) replaySafe
+        else replaySafe.withColumn("band_bucket",
           pmod(col("band_key"), lit(NumBandBuckets.toLong)).cast("int"))
       withBucket.select("doc_id", "sig", "band_idx", "band_key", "band_bucket")
     } else spark.createDataFrame(
@@ -154,7 +170,7 @@ object StreamingDedup {
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val store = readStore(spark, storePath)
+        val store = readStore(spark, storePath, excludeBatchId = Some(batchId))
         val (survivors, survivorRows) = processBatch(
           batch, store, idCol, textCol, minEstJaccard)
         survivors.withColumn("batch_id", lit(batchId))

@@ -117,6 +117,36 @@ class StreamingDedupSpec extends AnyFunSuite {
       sPlain.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("replayed batch recomputes identical survivors, not an empty set") {
+    import spark.implicits._
+    // crash window: store write committed, checkpoint not — the replay
+    // re-reads a store that already holds THIS batch's signatures
+    val dir = java.nio.file.Files.createTempDirectory("sdedup-replay")
+    val storePath = dir.resolve("store").toString
+    val batch = Seq((1L, base), (2L, nearDup(base))).toDF("doc_id", "text")
+    def attempt(): Set[Long] = {
+      val store = StreamingDedup.readStore(spark, storePath, excludeBatchId = Some(7L))
+      val (survivors, rows) = StreamingDedup.processBatch(batch, store, "doc_id", "text",
+        minEstJaccard = 0.5)
+      rows.withColumn("batch_id", lit(7L))
+        .repartition(col("band_bucket"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "band_bucket").parquet(storePath)
+      survivors.select("doc_id").as[Long].collect().toSet
+    }
+    val first = attempt()
+    assert(first == Set(1L)) // 2 collapses onto 1 within the batch
+    val replay = attempt() // store now holds batch 7's own signatures
+    assert(replay == first, "replay must reproduce the original survivors")
+    // the unguarded read demonstrates the hazard the exclusion closes:
+    // the batch's own stored signatures count as duplicates
+    val unguarded = StreamingDedup.readStore(spark, storePath)
+    val (lost, _) = StreamingDedup.processBatch(batch, unguarded, "doc_id", "text",
+      minEstJaccard = 0.5)
+    assert(lost.count() == 0)
+  }
+
   test("run(): foreachBatch wiring dedups across real micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
