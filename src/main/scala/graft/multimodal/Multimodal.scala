@@ -14,9 +14,10 @@ import org.apache.spark.sql.types._
   * envelope + duration; [[JpegDecode]]: sequential AND progressive JPEG →
   * luma grid; [[GifDecode]]: GIF87a/89a LZW first frame → luma grid;
   * [[Mp3Decode]]: MPEG Layer III frame-header walk → exact duration +
-  * per-frame bitrate envelope) and a clearly-marked deterministic STUB
-  * ([[fakeDecodeFeatures]]) for the one remaining codec boundary (MP4
-  * video, and MP3 *PCM* synthesis), which genuinely
+  * per-frame bitrate envelope; [[Mp4Probe]]: ISO-BMFF box walk → duration,
+  * video dimensions, frame rate) and a clearly-marked deterministic STUB
+  * ([[fakeDecodeFeatures]]) for the one remaining codec boundary (MP4/MP3
+  * SAMPLE decode — H.264 pixels, Layer III PCM), which genuinely
   * need codec libraries absent from this offline container. A production
   * build swaps exactly one function (the bytes→features kernel inside
   * [[extractFeatures]]); everything around it is unchanged.
@@ -123,6 +124,10 @@ object Multimodal {
       } else if (Mp3Decode.isMp3(bytes)) {
         ProbedMeta(None, None, Some("mp3"),
           Some(Mp3Decode.mp3Meta(bytes).durationMs), None)
+      } else if (Mp4Probe.isMp4(bytes)) {
+        val m = Mp4Probe.probe(bytes)
+        ProbedMeta(m.width, m.height, Some("mp4"),
+          Some(m.durationMs), m.frameRate)
       } else ProbedMeta(None, None, None, None, None)
     } catch {
       case scala.util.control.NonFatal(_) => ProbedMeta(None, None, None, None, None)

@@ -578,6 +578,72 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- MP4: hand-built ISO-BMFF box trees (public 14496-12 layout)
+
+  private def mp4Box(t: String, body: Array[Byte]*): Array[Byte] = {
+    val payload = body.flatten.toArray
+    java.nio.ByteBuffer.allocate(8 + payload.length)
+      .putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload).array()
+  }
+
+  private def mp4Fixture: Array[Byte] = {
+    def u32(v: Long) = java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def u16(v: Int) = java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
+    val mvhd = mp4Box("mvhd", // v0: timescale 600, duration 3000 → 5000 ms
+      u32(0), u32(0), u32(0), u32(600), u32(3000), u32(0x00010000), u16(0x0100),
+      new Array[Byte](10), new Array[Byte](36), new Array[Byte](24), u32(2))
+    val tkhd = mp4Box("tkhd", // v0 84-byte body; width/height 16.16 at the tail
+      u32(0), u32(0), u32(0), u32(1), u32(0), u32(3000),
+      new Array[Byte](8), u16(0), u16(0), u16(0), u16(0), new Array[Byte](36),
+      u32(320L << 16), u32(240L << 16))
+    val mdhd = mp4Box("mdhd", // v0: media timescale 2400
+      u32(0), u32(0), u32(0), u32(2400), u32(12000), u16(0x55C4), u16(0))
+    val hdlr = mp4Box("hdlr",
+      u32(0), u32(0), "vide".getBytes("US-ASCII"), new Array[Byte](12), Array[Byte](0))
+    val stts = mp4Box("stts", // 120 samples × 100 ticks @ 2400 → 24 fps
+      u32(0), u32(1), u32(120), u32(100))
+    val stbl = mp4Box("stbl", stts)
+    val minf = mp4Box("minf", stbl)
+    val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+    val trak = mp4Box("trak", tkhd, mdia)
+    val moov = mp4Box("moov", mvhd, trak)
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), u32(0),
+      "isom".getBytes("US-ASCII"))
+    val mdat = mp4Box("mdat", Array.tabulate[Byte](64)(i => (i * 3).toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  test("MP4 box walk: duration, video dimensions, frame rate") {
+    val bytes = mp4Fixture
+    assert(Mp4Probe.isMp4(bytes))
+    val m = Mp4Probe.probe(bytes)
+    assert(m.durationMs == 5000L) // 3000 ticks @ 600/s
+    assert(m.width.contains(320) && m.height.contains(240))
+    assert(m.frameRate.exists(r => math.abs(r - 24.0) < 1e-9))
+    // routed through the pipeline: REAL metadata, stub features
+    assert(Multimodal.probeMeta(bytes) == Multimodal.ProbedMeta(
+      Some(320), Some(240), Some("mp4"), Some(5000L), Some(24.0)))
+    assert(Multimodal.decodeFeatures(bytes, 16).toSeq ==
+      Multimodal.fakeDecodeFeatures(bytes, 16).toSeq)
+    // non-MP4 binary is rejected at the sniff
+    assert(!Mp4Probe.isMp4("garbage bytes here".getBytes))
+    intercept[IllegalArgumentException](Mp4Probe.probe(Array[Byte](1, 2, 3)))
+  }
+
+  test("MP4 fuzz: mutations and truncations never escape the fallback") {
+    val good = mp4Fixture
+    val rnd = new scala.util.Random(41)
+    for (_ <- 0 until 500) {
+      val m = good.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      val cut = if (rnd.nextBoolean()) m.take(1 + rnd.nextInt(m.length - 1)) else m
+      try { if (Mp4Probe.isMp4(cut)) Mp4Probe.probe(cut) }
+      catch { case _: IllegalArgumentException => () } // only IAE allowed
+      assert(Multimodal.probeMeta(cut) != null) // boundary never throws
+    }
+  }
+
   test("probeMeta fills real dimensions/duration, stub formats untouched") {
     val img = bmp(4, 2, Seq.fill(8)((10, 20, 30)))
     val audio = wav(16000, Seq.fill(320)(0.toShort))
