@@ -39,8 +39,12 @@ import scala.util.matching.Regex
   *     password throws (lands in the error column); AES (/V ≥ 4) stays out
   *     of scope.
   *
-  * Out of scope (documented boundary, not silent): TIFF /Predictor 2,
-  * DCT/CCITT image text, AES-encrypted and user-password-locked PDFs.
+  *   - predictor-filtered Flate streams: PNG predictors (/Predictor >= 10,
+  *     shared row unfilter) AND TIFF horizontal differencing (/Predictor 2,
+  *     8-bit components)
+  *
+  * Out of scope (documented boundary, not silent): DCT/CCITT image text,
+  * AES-encrypted and user-password-locked PDFs.
   */
 private[graft] object PdfExtract {
 
@@ -165,7 +169,35 @@ private[graft] object PdfExtract {
             inflated, rowBytes.toInt, bpp, height))
         }
       }
-    } else None // TIFF predictor 2: documented out of scope
+    } else if (predictor == 2) {
+      // TIFF horizontal differencing: each sample byte is a delta against
+      // the byte one pixel earlier in its row (8-bit components only — the
+      // layout every real predictor-2 PDF stream uses)
+      val columns = dictInt(dict, "/Columns").getOrElse(1)
+      val colors = dictInt(dict, "/Colors").getOrElse(1)
+      val bpc = dictInt(dict, "/BitsPerComponent").getOrElse(8)
+      if (columns <= 0 || colors <= 0 || bpc != 8) None
+      else {
+        val rowBytes = columns.toLong * colors
+        if (rowBytes <= 0 || rowBytes > Int.MaxValue ||
+            inflated.length % rowBytes != 0) None
+        else {
+          val out = inflated.clone()
+          val rb = rowBytes.toInt
+          var row = 0
+          while (row * rb < out.length) {
+            var i = row * rb + colors
+            val end = (row + 1) * rb
+            while (i < end) {
+              out(i) = (out(i) + out(i - colors)).toByte
+              i += 1
+            }
+            row += 1
+          }
+          Some(out)
+        }
+      }
+    } else None // predictors 3-9 are not defined by the PDF spec
   }
 
   /** Expand a /Type/ObjStm stream: header is N (objnum, offset) integer

@@ -296,6 +296,36 @@ class BinaryParsersSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("pdf: TIFF-predictor Flate stream (Predictor 2) extracts correctly") {
+    val text = "BT (Tiff predictor text) Tj ET"
+    val columns = 15
+    val padded = text + " " * ((columns - text.length % columns) % columns)
+    val raw = padded.getBytes(StandardCharsets.ISO_8859_1)
+    // TIFF horizontal differencing (no per-row filter byte): delta vs the
+    // previous sample in the row
+    val diffed = raw.clone()
+    for (row <- 0 until raw.length / columns; i <- (columns - 1) to 1 by -1)
+      diffed(row * columns + i) =
+        (raw(row * columns + i) - raw(row * columns + i - 1)).toByte
+    val d = new Deflater(); d.setInput(diffed); d.finish()
+    val out = new ByteArrayOutputStream(); val buf = new Array[Byte](1024)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val packed = out.toByteArray
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("1 0 obj <</Type/Catalog/Pages 2 0 R>> endobj\n")
+    w("2 0 obj <</Type/Pages/Kids[3 0 R]/Count 1>> endobj\n")
+    w("3 0 obj <</Type/Page/Parent 2 0 R/Contents 4 0 R>> endobj\n")
+    w(s"4 0 obj <</Length ${packed.length}/Filter/FlateDecode" +
+      s"/DecodeParms<</Predictor 2/Columns $columns>>>>\nstream\n")
+    bos.write(packed)
+    w("\nendstream\nendobj\n")
+    w("%%EOF\n")
+    assert(PdfExtract.text(bos.toByteArray) == "Tiff predictor text")
+  }
+
   test("pdf: PNG-predictor Flate stream (Predictor 12) extracts correctly") {
     assert(PdfExtract.text(pdfPredictorFixture) == "Predictor stream text")
   }
