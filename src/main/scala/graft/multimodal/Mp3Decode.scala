@@ -181,10 +181,13 @@ object Mp3Decode {
       }
       if (frames <= 0) fail("empty MP3 stream")
       val durationMs = frames.toLong * first.samplesPerFrame * 1000L / first.sampleRate
-      // average bitrate over the walked audio region (excludes ID3 tags)
+      // average bitrate over the WALKED audio region and the WALKED
+      // duration — dividing walked bytes by the (possibly larger)
+      // Xing-declared duration would understate the rate on truncated files
+      val walkedMs = walked.toLong * first.samplesPerFrame * 1000L / first.sampleRate
       val bitrate =
-        if (durationMs <= 0) first.bitrateKbps
-        else math.round(walkedBytes * 8.0 / durationMs).toInt
+        if (walkedMs <= 0) first.bitrateKbps
+        else math.round(walkedBytes * 8.0 / walkedMs).toInt
       Mp3Meta(durationMs, bitrate, first.sampleRate, first.channels, frames,
         vbr = vbrFlag)
     } catch {

@@ -90,7 +90,7 @@ object Mp4Probe {
               if (bodyStart + 4 > bodyEnd) fail("short mvhd")
               val v = b(bodyStart) & 0xFF
               if (v == 1) {
-                if (bodyStart + 28 > bodyEnd) fail("short mvhd v1")
+                if (bodyStart + 32 > bodyEnd) fail("short mvhd v1")
                 val ts = be32(b, bodyStart + 20)
                 val dur = be64(b, bodyStart + 24)
                 if (ts > 0) movieDurationMs = dur * 1000 / ts

@@ -591,18 +591,22 @@ private[graft] object PdfExtract {
         .getOrElse(throw new IllegalArgumentException("missing /Encrypt object"))
       if (!dict.contains("/Standard"))
         throw new IllegalArgumentException("unsupported PDF security handler")
-      val v = dictInt(dict, "V").getOrElse(0)
-      val r = dictInt(dict, "R").getOrElse(0)
+      // the 32 raw bytes inside the /O and /U literal strings can spell
+      // 'R 9' or '/V 7' by chance — strip every (…) literal before
+      // scanning for integer entries (ints never live inside strings)
+      val cleanDict = dict.replaceAll("""\((?:\\.|[^\\)])*\)""", " ")
+      val v = dictInt(cleanDict, "/V").getOrElse(0)
+      val r = dictInt(cleanDict, "/R").getOrElse(0)
       if (v < 1 || v > 2 || r < 2 || r > 3)
         throw new IllegalArgumentException(
           s"unsupported PDF encryption (V=$v R=$r; RC4 V1-2/R2-3 only)")
       val keyLen = if (v == 1 || r == 2) 5
-        else dictInt(dict, "Length").map(_ / 8).getOrElse(5)
+        else dictInt(cleanDict, "/Length").map(_ / 8).getOrElse(5)
       val o = dictStringBytes(dict, "O")
         .getOrElse(throw new IllegalArgumentException("missing /O entry"))
       val u = dictStringBytes(dict, "U")
         .getOrElse(throw new IllegalArgumentException("missing /U entry"))
-      val p = """/P\s+(-?\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+      val p = """/P\s+(-?\d+)""".r.findFirstMatchIn(cleanDict).map(_.group(1).toInt)
         .getOrElse(throw new IllegalArgumentException("missing /P entry"))
       val id = """/ID\s*\[\s*<([0-9A-Fa-f]*)>""".r.findFirstMatchIn(s)
         .map(_.group(1).grouped(2).filter(_.length == 2)

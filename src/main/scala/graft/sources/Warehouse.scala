@@ -29,17 +29,35 @@ object Warehouse {
     * (WarehouseSpec quantifies the candidate-file fraction vs a
     * single-column sort; a one-column layout only skips on that column).
     * The multi-dimensional row-skipping lever for the 100 TB chunks table;
-    * costs one range shuffle at write, nothing at read.
+    * costs one range shuffle (plus one distinct-count pass to size it) at
+    * write, nothing at read.
+    *
+    * Dimensions must already be non-negative ints fitting `bitsPerDim`
+    * bits — pre-bin wider domains with [[graft.functions.ZOrder.quantileBins]]
+    * / `binByBoundaries`. Out-of-range values SATURATE at the bin edges
+    * (order-preserving, so stats stay tight) instead of aliasing modulo
+    * 2^bits. The range-partition count scales with the tenant count so each
+    * tenant keeps ≈`filesPerTenant` files (range boundaries are sampled
+    * over (tenant, z) jointly — data-proportional, bigger tenants get more
+    * files, which is the right file-size behavior).
     */
   def writeChunksZOrdered(
       chunks: DataFrame, path: String, zDims: Seq[org.apache.spark.sql.Column],
-      bitsPerDim: Int = 8, filesPerTenant: Int = 8): Unit =
-    Ingest.idempotent(chunks)
-      .withColumn("__z", graft.functions.ZOrder.interleave(zDims, bitsPerDim))
-      .repartitionByRange(filesPerTenant, col("organization_id"), col("__z"))
+      bitsPerDim: Int = 8, filesPerTenant: Int = 8): Unit = {
+    val deduped = Ingest.idempotent(chunks)
+    val maxV = (1L << bitsPerDim) - 1
+    val clamped = zDims.map(c =>
+      least(greatest(c.cast("long"), lit(0L)), lit(maxV)))
+    val nTenants = math.max(1L,
+      deduped.select("organization_id").distinct().count()).toInt
+    deduped
+      .withColumn("__z", graft.functions.ZOrder.interleave(clamped, bitsPerDim))
+      .repartitionByRange(filesPerTenant * nTenants,
+        col("organization_id"), col("__z"))
       .sortWithinPartitions(col("organization_id"), col("__z"))
       .drop("__z")
       .write.mode("append").partitionBy("organization_id").parquet(path)
+  }
 
   def readChunks(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

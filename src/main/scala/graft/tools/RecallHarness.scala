@@ -48,7 +48,7 @@ object RecallHarness {
     val assigned = IvfIndex.assign(emb, "embedding", idx).localCheckpoint()
     val store = IvfIndex.quantizedStore(emb, "embedding", idx).localCheckpoint()
     val queries = collectVecs(emb).take(nQueries)
-    val per = queries.map { case (qid, qv) =>
+    val per = queries.flatMap { case (qid, qv) =>
       def ids(df: DataFrame) =
         df.select("vec_id").collect().map(_.getLong(0)).toSet
       val float = ids(IvfIndex.search(
@@ -57,8 +57,12 @@ object RecallHarness {
       val quant = ids(IvfIndex.searchQuantized(
         store.filter(col("vec_id") =!= qid), "q8", "scale", qv, idx,
         nProbe = nProbe, k = k, tiebreak = Some("vec_id")))
-      (float intersect quant).size.toDouble / float.size
+      // a query whose probed cells are empty has no ranking to compare —
+      // skip it rather than let 0/0 poison the mean with NaN
+      if (float.isEmpty) None
+      else Some((float intersect quant).size.toDouble / float.size)
     }
+    require(per.nonEmpty, "every probe set was empty — index degenerate")
     per.sum / per.length
   }
 

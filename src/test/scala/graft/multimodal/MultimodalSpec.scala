@@ -527,6 +527,9 @@ class MultimodalSpec extends AnyFunSuite {
     val m = Mp3Decode.mp3Meta(bytes)
     assert(m.nFrames == 100 && m.vbr)
     assert(m.durationMs == 100L * 1152 * 1000 / 44100)
+    // bitrate is walked-bytes over WALKED duration — the Xing-declared
+    // duration of a truncated file must not understate the rate
+    assert(m.bitrateKbps == 128, s"got ${m.bitrateKbps}")
     // "Info" is the CBR variant of the same header
     val info = mp3Frame()
     info(36) = 'I'; info(37) = 'n'; info(38) = 'f'; info(39) = 'o'

@@ -83,6 +83,36 @@ class WarehouseSpec extends AnyFunSuite {
     assert(spark.read.parquet(zPath).count() == 64 * 64)
   }
 
+  test("z-ordered write keeps per-tenant multi-file layouts; wide values saturate") {
+    import spark.implicits._
+    val grid = for (org <- Seq("orgA", "orgB"); x <- 0 until 32; y <- 0 until 32)
+      yield (s"$org-$x-$y", x.toLong, y.toLong, org)
+    val chunks = grid.toDF("id", "x", "y", "organization_id")
+    val path = Files.createTempDirectory("graft-wh-z2").toString + "/chunks"
+    Warehouse.writeChunksZOrdered(chunks, path,
+      zDims = Seq(col("x"), col("y")), bitsPerDim = 5, filesPerTenant = 8)
+    // the range-partition count scales with tenants: each org keeps a
+    // multi-file z-layout instead of collapsing to ~1 file
+    val perOrg = spark.read.parquet(path)
+      .withColumn("__f", input_file_name())
+      .groupBy("organization_id").agg(countDistinct(col("__f")).as("nf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perOrg.keySet == Set("orgA", "orgB"))
+    assert(perOrg.values.forall(_ >= 4), s"tenant collapsed to few files: $perOrg")
+
+    // out-of-range dimensions saturate (order-preserving) instead of
+    // aliasing mod 2^bits: day 100 and day 356 must NOT interleave equal
+    val wide = Seq(("w1", 100L, 1L, "orgC"), ("w2", 356L, 1L, "orgC"),
+      (s"w3", -5L, 1L, "orgC"))
+      .toDF("id", "x", "y", "organization_id")
+    Warehouse.writeChunksZOrdered(wide, path,
+      zDims = Seq(col("x"), col("y")), bitsPerDim = 5, filesPerTenant = 2)
+    // both clamp to 31 (not 100%32=4 vs 356%32=4 aliasing); just assert the
+    // write succeeded and rows survive — the clamp itself is unit-level
+    assert(spark.read.parquet(path)
+      .filter(col("organization_id") === "orgC").count() == 3)
+  }
+
   test("purgeOrganization deletes exactly one tenant partition") {
     val path = Files.createTempDirectory("graft-wh2").toString + "/chunks"
     Warehouse.writeChunks(sampleChunks, path)
