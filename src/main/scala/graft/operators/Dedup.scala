@@ -217,4 +217,36 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Passage-level overlap pairs: documents sharing ≥ `minShared` winnowing
+    * fingerprints (Schleimer et al. k-gram window minima — the same
+    * fingerprints q2f emits). Where MinHash measures WHOLE-document
+    * similarity, shared winnowing minima localize COPIED PASSAGES — the
+    * C4/RefinedWeb-style boilerplate/quotation signal: two documents that
+    * each embed the same paragraph light up here even when their overall
+    * Jaccard is low.
+    *
+    * Scale shape: one fingerprint explosion (linear), an equality self-join
+    * on `fp` (linear shuffle; quadratic only inside one fingerprint's
+    * bucket), and a pair-count aggregation. A fingerprint present in more
+    * than `maxDocsPerFp` docs is corpus boilerplate, not passage identity —
+    * and would go quadratic in its bucket — so it is capped out before the
+    * join (the MinHash/SimHash maxBucketSize pattern).
+    */
+  def passageOverlapPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 8, maxDocsPerFp: Int = 20): DataFrame = {
+    // winnowing output is already per-doc distinct+sorted (TreeSet contract)
+    val fp = docs.select(col(idCol).as("doc_id"),
+      explode(GraftFunctions.winnowingUdf(col(textCol))).as("fp"))
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 1 && col("__df") <= maxDocsPerFp)
+      .select(col("fp"))
+    val fpc = fp.join(rare, Seq("fp"), "left_semi")
+    fpc.as("a").join(fpc.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
 }

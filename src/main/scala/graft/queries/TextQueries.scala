@@ -587,6 +587,51 @@ object TextQueries {
           FROM grams)
         SELECT doc_id, unnest(f) AS fp FROM fps ORDER BY doc_id, fp""")),
 
+    // Passage-level overlap pairs, hash-exact: docs sharing >= 8 winnowing
+    // fingerprints (the q2f minima replayed), with ubiquitous fingerprints
+    // (> 20 docs) capped out as corpus boilerplate — the copied-paragraph /
+    // quotation signal that whole-doc MinHash misses. The oracle reuses the
+    // q2f fingerprint CTEs and adds the df-cap + pair-count tail.
+    "q3o_passage_overlap_pairs" -> Q(
+      fn = (s, dir) =>
+        Dedup.passageOverlapPairs(docs(s, dir), "doc_id", "text",
+          minShared = 8, maxDocsPerFp = 20)
+          .orderBy(col("doc_a"), col("doc_b")),
+      oracle = Some("""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+          FROM documents),
+        codes AS (
+          SELECT doc_id, list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cs
+          FROM norm),
+        grams AS (
+          SELECT doc_id, len(cs) AS n,
+            CASE WHEN len(cs) = 0 THEN CAST([] AS BIGINT[])
+                 WHEN len(cs) <= 8 THEN [CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
+                      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS BIGINT)]
+                 ELSE list_transform(range(1, len(cs) - 6), i ->
+                      CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), cs[i : i + 7]),
+                        (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS BIGINT))
+            END AS g
+          FROM codes),
+        fps AS (
+          SELECT doc_id,
+            CASE WHEN n <= 8 THEN g
+                 WHEN len(g) < 16 THEN [list_min(g)]
+                 ELSE list_sort(list_distinct(list_transform(range(1, len(g) - 14),
+                      st -> list_min(g[st : st + 15]))))
+            END AS f
+          FROM grams),
+        fp AS MATERIALIZED (SELECT doc_id, unnest(f) AS fp FROM fps),
+        rare AS (SELECT fp FROM fp GROUP BY fp
+                 HAVING COUNT(*) > 1 AND COUNT(*) <= 20),
+        fpc AS (SELECT fp.* FROM fp JOIN rare USING (fp))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+        FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 8
+        ORDER BY doc_a, doc_b""")),
+
     // Transitive dedup clusters, hash-exact: pointer-jumping connected
     // components over the exact n-gram-Jaccard near-dup pairs (>= 0.5),
     // oracled by a DuckDB recursive reachability CTE + min label. Headline:

@@ -120,6 +120,35 @@ class DedupSpec extends AnyFunSuite {
     assert(ids == Set(1L, 4L, 5L))
   }
 
+  test("passage overlap pairs: a copied paragraph links low-Jaccard docs") {
+    import spark.implicits._
+    val passage = (1 to 40).map(i => s"quoted$i boiler$i plate$i").mkString(" ")
+    def body(tag: String) = (1 to 80).map(i => s"$tag$i own$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, body("aa") + " " + passage), // shares ONLY the embedded passage
+      (2L, passage + " " + body("bb")),
+      (3L, body("cc")), // no passage
+      (4L, body("dd")))
+      .toDF("doc_id", "text")
+    // whole-doc similarity is low (distinct 120-word bodies) but the copied
+    // passage produces many shared winnowing minima
+    val pairs = Dedup.passageOverlapPairs(docs, "doc_id", "text",
+      minShared = 8, maxDocsPerFp = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 >= 8) // the passage contributes a block of minima
+    // sanity: the same docs do NOT meet a 0.5 whole-doc Jaccard bar
+    val whole = Dedup.ngramJaccardPairs(
+      docs.withColumn("blk", lit(1)), "doc_id", "text", Seq("blk"))
+      .filter(col("jaccard") >= 0.5)
+    assert(whole.count() == 0)
+    // ubiquitous fingerprints are capped out: with every doc sharing the
+    // passage and the cap below the corpus size, no pair survives
+    val all = Seq.tabulate(5)(i => (i.toLong, passage)).toDF("doc_id", "text")
+    assert(Dedup.passageOverlapPairs(all, "doc_id", "text",
+      minShared = 1, maxDocsPerFp = 4).count() == 0)
+  }
+
   test("simhash pairs find exact and near dups within hamming budget") {
     val pairs = Dedup.simhashPairs(fixture, "doc_id", "text", maxHamming = 16)
       .collect()
