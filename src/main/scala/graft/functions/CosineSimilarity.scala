@@ -87,6 +87,55 @@ object CosineSimilarity {
   }
 }
 
+/** Squared Euclidean distance of two `ARRAY<FLOAT>` columns (double
+  * accumulation, left-to-right), codegen'd. The product-quantization
+  * primitive: PQ encode is argmin of this over a codebook, and the DuckDB
+  * oracle replays the identical (x−y)·(x−y) fold over `DOUBLE[]` slices.
+  */
+case class L2SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "l2_squared_distance"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = CosineSimilarity.checkedLength(x.numElements(), y.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val t = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      s"""
+         |final int $n = graft.functions.CosineSimilarity.checkedLength(
+         |  $a.numElements(), $b.numElements());
+         |double $d = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $t = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $d += $t * $t;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Dot product of two `ARRAY<FLOAT>` columns (double accumulation), codegen'd. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -23,6 +23,10 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     expr2col(DotProduct(col2expr(asFloatArray(a)), col2expr(asFloatArray(b))))
 
+  /** Squared L2 distance (double), codegen'd — the PQ encode/ADC primitive. */
+  def l2Sq(a: Column, b: Column): Column =
+    expr2col(L2SquaredDistance(col2expr(asFloatArray(a)), col2expr(asFloatArray(b))))
+
   /** Coerce any numeric array column to ARRAY<FLOAT>. */
   def asFloatArray(a: Column): Column = a.cast(ArrayType(FloatType))
 

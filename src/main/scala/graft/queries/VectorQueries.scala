@@ -47,6 +47,45 @@ object VectorQueries {
           WHERE score >= $threshold)"""
   }
 
+  /** Shared oracle CTE block for the PQ pipeline (q3p, q3q): assumes an
+    * `e(vec_id, label, v DOUBLE[])` CTE is already defined; emits
+    * `js/draw/cb/sub/enc/q/lutt/adc` — codebook draw by (md5(id), id),
+    * per-subspace encode by (round(d²,6) ASC, code ASC), and the ADC
+    * lookup-table distance summed in subspace order, every fold the same
+    * left-to-right (x−y)·(x−y) double arithmetic as the codegen
+    * [[graft.functions.L2SquaredDistance]].
+    */
+  private def pqCtes(m: Int, subDim: Int, nCodes: Int): String = s"""
+        js AS (SELECT CAST(UNNEST(range($m)) AS INT) AS j),
+        draw AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT) AS code, v
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS d, vec_id, v FROM e
+                ORDER BY d, vec_id LIMIT $nCodes)),
+        cb AS MATERIALIZED (
+          SELECT code, j, list_slice(v, j*$subDim + 1, j*$subDim + $subDim) AS cw
+          FROM draw CROSS JOIN js),
+        sub AS MATERIALIZED (
+          SELECT vec_id, j, list_slice(v, j*$subDim + 1, j*$subDim + $subDim) AS sv
+          FROM e CROSS JOIN js),
+        enc AS MATERIALIZED (
+          SELECT vec_id, j, code FROM (
+            SELECT s.vec_id, s.j, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                     ROUND(list_sum(list_transform(list_zip(s.sv, c.cw),
+                       p -> (p[1]-p[2])*(p[1]-p[2]))), 6) ASC, c.code) AS rn
+            FROM sub s JOIN cb c ON c.j = s.j) WHERE rn = 1),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        lutt AS MATERIALIZED (
+          SELECT c.j, c.code,
+                 list_sum(list_transform(
+                   list_zip(list_slice(q.qv, c.j*$subDim + 1, c.j*$subDim + $subDim), c.cw),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+          FROM cb c CROSS JOIN q),
+        adc AS (
+          SELECT n.vec_id, ROUND(list_sum(list(l.d ORDER BY n.j)), 6) AS adist
+          FROM enc n JOIN lutt l ON l.j = n.j AND l.code = n.code
+          GROUP BY n.vec_id)"""
+
   val defs: Map[String, Q] = Map(
 
     // T1: exact brute-force cosine top-k for one query vector (vec_id 0).
@@ -368,6 +407,86 @@ object VectorQueries {
         FROM assign a CROSS JOIN q JOIN probe p ON a.cell = p.cell
         WHERE a.vec_id <> 0
         ORDER BY score DESC, a.vec_id LIMIT 10"""),
+      headline = true),
+
+    // Product-quantization ADC top-k, hash-exact: deterministic codebook draw
+    // (the q3g (md5(id), id) technique — 16 codewords × 8 subspaces over
+    // dim 64), encode = per-subspace argmin by (round(d²,6), code), search =
+    // ADC lookup-table sum over the 8-byte codes column ONLY (32× less I/O
+    // than the float vectors; ranking ascending by distance ≡ descending by
+    // cosine on these unit-norm embeddings). The oracle replays draw, slice,
+    // encode and the LUT sum with the identical left-to-right (x−y)² folds.
+    // Recall vs exact cosine is gated in RecallSpec.
+    "q3p_pq_adc_topk" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val cb = graft.operators.PqIndex.codebookByDraw(e, "vec_id", "embedding", m = 8, nCodes = 16)
+        val encoded = graft.operators.PqIndex.encode(e, "embedding", cb)
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getAs[scala.collection.Seq[Float]](0).toArray
+        graft.operators.PqIndex.search(
+            encoded.filter(col("vec_id") =!= 0), "pq", qv, cb, k = 10,
+            tiebreak = "vec_id")
+          .select(col("vec_id"), col("label"), col("adist"))
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${pqCtes(m = 8, subDim = 8, nCodes = 16)}
+        SELECT a.vec_id, e.label, a.adist
+        FROM adc a JOIN e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> 0
+        ORDER BY a.adist ASC, a.vec_id LIMIT 10"""),
+      headline = true),
+
+    // Full IVF × PQ two-stage retrieval, hash-exact: coarse cells prune the
+    // scan to nProbe/nCells of the corpus (q3g), ADC over the probed cells'
+    // 8-byte codes shortlists r=50 candidates without touching the float
+    // column, exact cosine re-ranks just those 50 — the FAISS-style
+    // three-tier cost shape at 100 TB. The oracle composes the q3g
+    // cent/assign/probe replay with the q3p codebook/encode/LUT replay and
+    // re-ranks the shortlist with list_cosine_similarity.
+    "q3q_ivfpq_rerank_topk" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val ivf = graft.operators.IvfIndex.centroidsByDraw(e, "vec_id", "embedding", nCells = 16)
+        val cb = graft.operators.PqIndex.codebookByDraw(e, "vec_id", "embedding", m = 8, nCodes = 16)
+        val store = graft.operators.PqIndex.ivfPqStore(e, "embedding", ivf, cb)
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getAs[scala.collection.Seq[Float]](0).toArray
+        graft.operators.PqIndex.searchIvfPq(
+            store.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv,
+            ivf, cb, nProbe = 4, r = 50, k = 10)
+          .select(col("vec_id"), col("label"), col("score"))
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY dd, vec_id) - 1 AS INT) AS cell, v AS cv
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS dd, vec_id, v FROM e
+                ORDER BY dd, vec_id LIMIT 16)),
+        assign AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(e.v, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        ${pqCtes(m = 8, subDim = 8, nCodes = 16)},
+        probe AS (
+          SELECT cell FROM (
+            SELECT c.cell, ROW_NUMBER() OVER (ORDER BY
+              ROUND(CAST(list_cosine_similarity(c.cv, q.qv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM cent c CROSS JOIN q) WHERE rn <= 4),
+        short AS (
+          SELECT vec_id FROM (
+            SELECT a.vec_id,
+                   ROW_NUMBER() OVER (ORDER BY a.adist ASC, a.vec_id) AS rn
+            FROM adc a JOIN assign g ON g.vec_id = a.vec_id
+                       JOIN probe p ON g.cell = p.cell
+            WHERE a.vec_id <> 0) WHERE rn <= 50)
+        SELECT e.vec_id, e.label,
+               ROUND(CAST(list_cosine_similarity(e.v, q.qv) AS DOUBLE), 6) AS score
+        FROM short s JOIN e ON e.vec_id = s.vec_id CROSS JOIN q
+        ORDER BY score DESC, e.vec_id LIMIT 10"""),
       headline = true),
 
     // Full ingest transform as a throughput probe (headline): chunk explode

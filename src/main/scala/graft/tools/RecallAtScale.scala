@@ -70,6 +70,18 @@ object RecallAtScale {
     val rIvfKm4 = RecallHarness.ivfMeanRecall(emb, vecs, refined, nProbe = 4)
     val rQuant = RecallHarness.ivfQuantOverlap(emb, draw)
 
+    // PQ (same configs RecallSpec gates at sf0.01: the oracled m=8/16 draw
+    // and the trained m=16/64 k-means serving book)
+    val pqDraw = graft.operators.PqIndex.codebookByDraw(
+      emb, "vec_id", "embedding", m = 8, nCodes = 16)
+    val rPqDrawAdc = RecallHarness.pqMeanRecall(emb, pqDraw, rerank = None)
+    val rPqDrawRr = RecallHarness.pqMeanRecall(emb, pqDraw, rerank = Some(50))
+    val pqTrained = graft.operators.PqIndex.refineCodebook(emb, "embedding",
+      graft.operators.PqIndex.codebookByDraw(emb, "vec_id", "embedding", m = 16, nCodes = 64),
+      iters = 3)
+    val rPqAdc = RecallHarness.pqMeanRecall(emb, pqTrained, rerank = None)
+    val rPqRr = RecallHarness.pqMeanRecall(emb, pqTrained, rerank = Some(50))
+
     spark.stop()
     println(f"""{"sf":"$sfDir","lsh_single":$rSingle%.4f,"lsh_multiprobe":$rMulti%.4f,""" +
       f""""lsh_8table":$rTables%.4f,"minhash_banding":$rMinhash%.4f,""" +
@@ -77,6 +89,8 @@ object RecallAtScale {
       f""""ivf_draw_nprobe4":$rIvf4%.4f,"ivf_draw_nprobe8":$rIvf8%.4f,""" +
       f""""ivf_kmeans3_nprobe4":$rIvfKm4%.4f,""" +
       f""""ivf_quant_overlap":$rQuant%.4f,""" +
+      f""""pq_draw_adc":$rPqDrawAdc%.4f,"pq_draw_rerank50":$rPqDrawRr%.4f,""" +
+      f""""pq_kmeans_adc":$rPqAdc%.4f,"pq_kmeans_rerank50":$rPqRr%.4f,""" +
       f""""neardup_lsh_pairs":$rNearDup%.4f,"neardup_true_pairs":${exactCos.size}}""")
   }
 }

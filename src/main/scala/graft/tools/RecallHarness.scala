@@ -66,6 +66,34 @@ object RecallHarness {
     per.sum / per.length
   }
 
+  /** Mean PQ recall@k over the first `nQueries` vectors, running the REAL
+    * distributed search path (encode once, ADC per query; optionally the
+    * two-stage re-rank with shortlist `rerank`). Exact ground truth is the
+    * local cosine ranking with the codegen expression's arithmetic.
+    */
+  def pqMeanRecall(
+      emb: DataFrame, cb: graft.operators.PqIndex.Codebook,
+      rerank: Option[Int], nQueries: Int = 10, k: Int = 10): Double = {
+    import graft.operators.PqIndex
+    val encoded = PqIndex.encode(emb, "embedding", cb).localCheckpoint()
+    val vecs = collectVecs(emb)
+    val per = vecs.take(nQueries).map { case (qid, qv) =>
+      def ids(df: DataFrame) =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = vecs.filter(_._1 != qid).map { case (id, v) =>
+        (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
+      }.sortBy { case (s, id) => (-s, id) }.take(k).map(_._2).toSet
+      val cand = encoded.filter(col("vec_id") =!= qid)
+      val got = rerank match {
+        case Some(r) =>
+          ids(PqIndex.searchRerank(cand, "vec_id", "embedding", "pq", qv, cb, r, k))
+        case None => ids(PqIndex.search(cand, "pq", qv, cb, k, tiebreak = "vec_id"))
+      }
+      (exact intersect got).size.toDouble / exact.size
+    }
+    per.sum / per.length
+  }
+
   def ivfMeanRecall(
       emb: DataFrame, vecs: Array[(Long, Array[Float])], idx: IvfIndex.Index,
       nProbe: Int, nQueries: Int = 30, k: Int = 10): Double = {

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization contracts: encode = local argmin replay, ADC ≡ exact
+  * distance to the reconstructed vector, degenerate exactness (full-corpus
+  * shortlist re-rank == exact top-k; IVF-PQ with nProbe = nCells likewise),
+  * and partition invariance. Recall gates live in RecallSpec; driver-level
+  * hash-exactness is q3p/q3q.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def emb = Tables(spark, sf, "embeddings")
+
+  private def collected: Array[(Long, Array[Float])] =
+    emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+
+  private def cb = PqIndex.codebookByDraw(emb, "vec_id", "embedding", m = 8, nCodes = 16)
+
+  private def l2sqLocal(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1 }
+    d
+  }
+
+  test("codebook draw is deterministic with the IVF (md5(id), id) ordering") {
+    val c1 = cb; val c2 = cb
+    assert(c1.m === 8); assert(c1.nCodes === 16); assert(c1.subDim === 8)
+    for (j <- 0 until 8; k <- 0 until 16)
+      assert(c1.codewords(j)(k).toSeq === c2.codewords(j)(k).toSeq)
+    // subspace j's codewords are the j-th slices of the IVF draw rows
+    val ivf = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    for ((cell, v) <- ivf.centroids; j <- 0 until 8)
+      assert(c1.codewords(j)(cell).toSeq === v.slice(j * 8, (j + 1) * 8).toSeq)
+  }
+
+  test("encode equals the local argmin by (round(d2,6) asc, code asc)") {
+    val book = cb
+    val got = PqIndex.encode(emb, "embedding", book)
+      .select(col("vec_id"), col("pq")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Byte]](1).toArray).toMap
+    for ((id, v) <- collected; j <- 0 until book.m) {
+      val sub = v.slice(j * book.subDim, (j + 1) * book.subDim)
+      val best = book.codewords(j).zipWithIndex.map { case (cw, c) =>
+        (IvfIndex.roundHalfUp(l2sqLocal(sub, cw), 6), c)
+      }.minBy { case (d, c) => (d, c) }._2
+      assert(got(id)(j) === best.toByte, s"vec $id subspace $j")
+    }
+  }
+
+  test("ADC distance equals exact distance to the reconstructed vector") {
+    val book = cb
+    val qv = collected.find(_._1 == 0L).get._2
+    val table = PqIndex.lut(book, qv)
+    val rows = PqIndex.encode(emb, "embedding", book)
+      .withColumn("adist", PqIndex.adcDistExpr(col("pq"), table))
+      .select(col("vec_id"), col("pq"), col("adist")).collect()
+    for (r <- rows) {
+      val codes = r.getAs[scala.collection.Seq[Byte]]("pq")
+      val recon = (0 until book.m).flatMap(j => book.codewords(j)(codes(j).toInt)).toArray
+      val exact = l2sqLocal(qv, recon)
+      // adist is rounded to 6 decimals (oracle contract) — up to 5e-7 off
+      assert(math.abs(r.getDouble(2) - exact) < 1e-6,
+        s"vec ${r.getLong(0)}: adc ${r.getDouble(2)} vs recon $exact")
+    }
+  }
+
+  test("full-corpus shortlist re-rank reproduces the exact top-k") {
+    val book = cb
+    val e = emb
+    val n = e.count().toInt
+    val qv = collected.find(_._1 == 0L).get._2
+    val encoded = PqIndex.encode(e, "embedding", book).filter(col("vec_id") =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rerank = rows(PqIndex.searchRerank(encoded, "vec_id", "embedding", "pq",
+      qv, book, r = n, k = 10))
+    val exact = rows(VectorSearch.topK(e.filter(col("vec_id") =!= 0),
+      "embedding", qv, k = 10, scoreScale = Some(6), tiebreak = Some("vec_id")))
+    assert(rerank === exact)
+  }
+
+  test("IVF-PQ with nProbe = nCells and a full shortlist is exact") {
+    val book = cb
+    val ivf = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val n = emb.count().toInt
+    val store = PqIndex.ivfPqStore(emb, "embedding", ivf, book)
+    val qv = collected.find(_._1 == 0L).get._2
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = rows(PqIndex.searchIvfPq(store.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", qv, ivf, book, nProbe = 16, r = n, k = 10))
+    val exact = rows(VectorSearch.topK(emb.filter(col("vec_id") =!= 0),
+      "embedding", qv, k = 10, scoreScale = Some(6), tiebreak = Some("vec_id")))
+    assert(got === exact)
+  }
+
+  test("IVF-PQ search stays inside the probed cells and shortlist bound") {
+    val book = cb
+    val ivf = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val store = PqIndex.ivfPqStore(emb, "embedding", ivf, book)
+    val qv = collected.find(_._1 == 0L).get._2
+    val probes = IvfIndex.probeCells(ivf, qv, nProbe = 4).toSet
+    val out = PqIndex.searchIvfPq(store.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", qv, ivf, book, nProbe = 4, r = 50, k = 10)
+      .select(col("vec_id"), col("cell"), col("score")).collect()
+    assert(out.length <= 10)
+    assert(out.forall(r => probes.contains(r.getInt(1))))
+    val scores = out.map(_.getDouble(2)).toSeq
+    assert(scores === scores.sorted(Ordering[Double].reverse))
+  }
+
+  test("k-means refinement preserves shape; zero iters is the identity") {
+    val book = cb
+    val same = PqIndex.refineCodebook(emb, "embedding", book, iters = 0)
+    for (j <- 0 until book.m; c <- 0 until book.nCodes)
+      assert(same.codewords(j)(c).toSeq === book.codewords(j)(c).toSeq)
+    val refined = PqIndex.refineCodebook(emb, "embedding", book, iters = 2)
+    assert(refined.m === book.m)
+    assert(refined.nCodes === book.nCodes)
+    assert(refined.subDim === book.subDim)
+    // refined codewords still encode to valid byte codes
+    val codes = PqIndex.encode(emb, "embedding", refined)
+      .select(col("pq")).collect()
+      .flatMap(_.getAs[scala.collection.Seq[Byte]](0))
+    assert(codes.forall(c => c >= 0 && c < book.nCodes))
+  }
+
+  test("encode is partition-invariant") {
+    val book = cb
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      PqIndex.encode(df, "embedding", book)
+        .select(col("vec_id"), col("pq")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Byte]](1).toSeq)
+        .sortBy(_._1).toSeq
+    assert(codes(emb.repartition(1)) === codes(emb.repartition(13)))
+  }
+
+  test("ADC scan reads only the codes column (float vectors pruned)") {
+    val book = cb
+    val qv = collected.find(_._1 == 0L).get._2
+    val dir = java.nio.file.Files.createTempDirectory("pq-store").toString
+    PqIndex.encode(emb, "embedding", book)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val adc = stored
+      .withColumn("adist", PqIndex.adcDistExpr(col("pq"), PqIndex.lut(book, qv)))
+      .select(col("vec_id"), col("adist"))
+    val explained = adc.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = explained.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("pq") && !readSchema.contains("embedding"),
+      s"ADC scan should read codes only:\n$readSchema")
+  }
+}

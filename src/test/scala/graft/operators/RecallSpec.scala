@@ -120,4 +120,27 @@ class RecallSpec extends AnyFunSuite {
     // gate pinned below the deterministic measured overlap (1.00 at sf0.01)
     assert(overlap >= 0.85, f"quantized IVF overlap $overlap%.4f below gate")
   }
+
+  test("PQ recall vs exact: ADC-only and two-stage re-rank lift") {
+    val emb = Tables(spark, sf, "embeddings")
+    // the oracled q3p/q3q configuration (m=8, 16 draw codewords)
+    val drawCb = PqIndex.codebookByDraw(emb, "vec_id", "embedding", m = 8, nCodes = 16)
+    val drawAdc = graft.tools.RecallHarness.pqMeanRecall(emb, drawCb, rerank = None)
+    val drawRr = graft.tools.RecallHarness.pqMeanRecall(emb, drawCb, rerank = Some(50))
+    info(f"pq draw m=8/16: adc $drawAdc%.4f, rerank-50 $drawRr%.4f")
+    // the trained serving configuration (m=16, 64 k-means codewords)
+    val base = PqIndex.codebookByDraw(emb, "vec_id", "embedding", m = 16, nCodes = 64)
+    val trained = PqIndex.refineCodebook(emb, "embedding", base, iters = 3)
+    val adc = graft.tools.RecallHarness.pqMeanRecall(emb, trained, rerank = None)
+    val rr = graft.tools.RecallHarness.pqMeanRecall(emb, trained, rerank = Some(50))
+    info(f"pq kmeans3 m=16/64: adc $adc%.4f, rerank-50 $rr%.4f")
+    // gates pinned below deterministic measured values (draw: 0.20/0.45 at
+    // sf0.01; trained: 0.53/0.94 with float-mean jitter, hence wider margin)
+    assert(drawAdc >= 0.15, f"pq draw adc recall $drawAdc%.4f below gate")
+    assert(drawRr >= 0.40, f"pq draw rerank recall $drawRr%.4f below gate")
+    assert(adc >= 0.45, f"pq trained adc recall $adc%.4f below gate")
+    assert(rr >= 0.85, f"pq trained rerank recall $rr%.4f below gate")
+    assert(rr >= adc, "re-ranking must not lose recall")
+    assert(adc >= drawAdc, "k-means training must not lose recall vs the draw")
+  }
 }
