@@ -32,19 +32,22 @@ import scala.util.matching.Regex
   *     the common modern xref/ObjStm layout), undone via the shared PNG row
   *     unfilter
   *
-  *   - standard security handler, RC4 revisions 2–3 (40–128 bit), for files
-  *     openable with the EMPTY user password — the owner-locked "encrypted"
-  *     PDF a user actually meets (PDF 1.7 §7.6.3 algorithms 2/4/5/6; pure
-  *     JDK MD5 + a 30-line RC4). A file that genuinely requires a user
-  *     password throws (lands in the error column); AES (/V ≥ 4) stays out
-  *     of scope.
+  *   - standard security handler, for files openable with the EMPTY user
+  *     password — the owner-locked "encrypted" PDF a user actually meets:
+  *     RC4 revisions 2–3 (40–128 bit, PDF 1.7 §7.6.3 algorithms 2/4/5/6;
+  *     pure JDK MD5 + a 30-line RC4), AES-128-CBC (/V 4 /R 4 with the
+  *     /AESV2 crypt filter, §7.6.2's sAlT object keys + javax.crypto), and
+  *     AES-256-CBC (/V 5 /R 5–6, ISO 32000-2 §7.6.4: the SHA-256/384/512 +
+  *     AES-CBC hardened hash of Algorithm 2.B validates /U and unwraps the
+  *     file key from /UE). A file that genuinely requires a user password
+  *     throws (lands in the error column).
   *
   *   - predictor-filtered Flate streams: PNG predictors (/Predictor >= 10,
   *     shared row unfilter) AND TIFF horizontal differencing (/Predictor 2,
   *     8-bit components)
   *
   * Out of scope (documented boundary, not silent): DCT/CCITT image text,
-  * AES-encrypted and user-password-locked PDFs.
+  * user-password-locked PDFs, public-key (/Adobe.PubSec) security handlers.
   */
 private[graft] object PdfExtract {
 
@@ -542,19 +545,89 @@ private[graft] object PdfExtract {
     (pw.take(32) ++ PasswordPad).take(32)
 
   /** File-level encryption key from the (empty) user password — Algorithm 2
-    * for /R 2–3: MD5(paddedPw ‖ O ‖ P-as-LE32 ‖ ID[0]), then for R3 fifty
-    * MD5 re-digests of the first `n` bytes.
+    * for /R 2–4: MD5(paddedPw ‖ O ‖ P-as-LE32 ‖ ID[0] ‖ [FFFFFFFF if R4 and
+    * /EncryptMetadata false]), then for R ≥ 3 fifty MD5 re-digests of the
+    * first `n` bytes.
     */
   private[graft] def fileKey(
-      o: Array[Byte], p: Int, id: Array[Byte], r: Int, keyLen: Int): Array[Byte] = {
+      o: Array[Byte], p: Int, id: Array[Byte], r: Int, keyLen: Int,
+      encryptMetadata: Boolean = true): Array[Byte] = {
     val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte, (p >> 24).toByte)
-    var h = md5Bytes(PasswordPad, o, pLe, id)
+    val noMeta =
+      if (r >= 4 && !encryptMetadata) Array.fill[Byte](4)(0xFF.toByte)
+      else Array.empty[Byte]
+    var h = md5Bytes(PasswordPad, o, pLe, id, noMeta)
     if (r >= 3) for (_ <- 0 until 50) h = md5Bytes(h.take(keyLen))
     h.take(keyLen)
   }
 
-  /** Per-object RC4 decryptor (Algorithm 1: obj/gen-salted MD5 key). */
-  private final class Decryptor(key: Array[Byte]) {
+  /** AES-CBC via the JDK provider (the standard handler's /V ≥ 4 cipher).
+    * Exposed private[graft] like [[rc4]]/[[md5Bytes]] — AES is symmetric, so
+    * the spec builds its encrypted fixtures with the same primitive.
+    */
+  private[graft] def aesCbc(
+      encrypt: Boolean, key: Array[Byte], iv: Array[Byte], data: Array[Byte],
+      pkcs5: Boolean): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance(
+      if (pkcs5) "AES/CBC/PKCS5Padding" else "AES/CBC/NoPadding")
+    c.init(
+      if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    try c.doFinal(data)
+    catch {
+      case e: java.security.GeneralSecurityException =>
+        throw new IllegalArgumentException(s"AES stream undecipherable: ${e.getMessage}")
+    }
+  }
+
+  /** Decrypt a /V ≥ 4 stream: leading 16-byte IV, AES-CBC body, PKCS#5
+    * padding (§7.6.2). Empty input stays empty (some writers emit
+    * zero-length encrypted streams); a body that is not whole blocks is a
+    * corrupt file, reported loudly.
+    */
+  private def aesDecryptStream(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    if (data.isEmpty) data
+    else if (data.length < 32 || (data.length - 16) % 16 != 0)
+      throw new IllegalArgumentException(
+        s"AES stream is not IV + whole blocks (${data.length} bytes)")
+    else aesCbc(encrypt = false, key, data.take(16), data.drop(16), pkcs5 = true)
+  }
+
+  /** The hardened password hash of ISO 32000-2 §7.6.4.3.4 (Algorithm 2.B,
+    * /R 6): SHA-256 seed, then rounds of AES-128-CBC over 64 repetitions of
+    * (password ‖ K ‖ udata) re-digested with SHA-256/384/512 chosen by the
+    * first 16 bytes mod 3, until ≥ 64 rounds AND last-E-byte ≤ round − 32.
+    */
+  private[graft] def hash2B(
+      pw: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+    def sha(algo: String, parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance(algo)
+      parts.foreach(d.update)
+      d.digest()
+    }
+    var k = sha("SHA-256", pw, salt, udata)
+    var e = Array.empty[Byte]
+    var round = 0
+    while (round < 64 || (e(e.length - 1) & 0xFF) > round - 32) {
+      val one = pw ++ k ++ udata
+      val k1 = new Array[Byte](one.length * 64)
+      for (i <- 0 until 64) System.arraycopy(one, 0, k1, i * one.length, one.length)
+      e = aesCbc(encrypt = true, k.take(16), k.slice(16, 32), k1, pkcs5 = false)
+      val mod = (0 until 16).map(e(_) & 0xFF).sum % 3
+      k = sha(Seq("SHA-256", "SHA-384", "SHA-512")(mod), e)
+      round += 1
+    }
+    k.take(32)
+  }
+
+  /** Per-object decryptor — one impl per standard-handler cipher family. */
+  private sealed trait Decryptor {
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte]
+  }
+
+  /** RC4 /V 1–2 (Algorithm 1: obj/gen-salted MD5 key). */
+  private final class Rc4Decryptor(key: Array[Byte]) extends Decryptor {
     def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
       val salt = Array[Byte](
         num.toByte, (num >> 8).toByte, (num >> 16).toByte,
@@ -562,6 +635,28 @@ private[graft] object PdfExtract {
       val objKey = md5Bytes(key, salt).take(math.min(key.length + 5, 16))
       rc4(objKey, data)
     }
+  }
+
+  /** AES-128 /V 4 (/AESV2): the object key appends the sAlT marker bytes to
+    * the MD5 input (§7.6.2 Algorithm 1 step b).
+    */
+  private final class AesV2Decryptor(key: Array[Byte]) extends Decryptor {
+    private val SAlT = Array[Byte](0x73, 0x41, 0x6C, 0x54)
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val salt = Array[Byte](
+        num.toByte, (num >> 8).toByte, (num >> 16).toByte,
+        gen.toByte, (gen >> 8).toByte)
+      val objKey = md5Bytes(key, salt, SAlT).take(math.min(key.length + 5, 16))
+      aesDecryptStream(objKey, data)
+    }
+  }
+
+  /** AES-256 /V 5 (/AESV3): the file key is used directly (Algorithm 1.A —
+    * no per-object salting).
+    */
+  private final class AesV3Decryptor(key: Array[Byte]) extends Decryptor {
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      aesDecryptStream(key, data)
   }
 
   /** Parse a PDF string value (`(…)` literal or `<…>` hex) after /key. */
@@ -577,16 +672,18 @@ private[graft] object PdfExtract {
   }
 
   /** Build the decryptor when the trailer carries /Encrypt: standard
-    * handler, RC4 /V 1–2, /R 2–3, empty user password only. Wrong password
-    * or an unsupported scheme throws (→ the caller's error column); returns
-    * (encrypt object number, decryptor) so the encrypt dict itself is left
-    * alone.
+    * handler, RC4 /V 1–2 (/R 2–3), AES-128 /V 4 (/R 4), or AES-256 /V 5
+    * (/R 5–6) — empty user password only. Wrong password or an unsupported
+    * scheme throws (→ the caller's error column); returns (encrypt object
+    * number, decryptor) so the encrypt dict itself is left alone. `None`
+    * also when a /V 4–5 file routes streams through the /Identity filter
+    * (streams then aren't encrypted at all).
     */
   private def buildDecryptor(
       s: String, objs: Map[Int, PdfObj]): Option[(Int, Decryptor)] = {
     val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s)
       .map(_.group(1).toInt)
-    encRef.map { num =>
+    encRef.flatMap { num =>
       val dict = objs.get(num).map(_.dict)
         .getOrElse(throw new IllegalArgumentException("missing /Encrypt object"))
       if (!dict.contains("/Standard"))
@@ -597,36 +694,112 @@ private[graft] object PdfExtract {
       val cleanDict = dict.replaceAll("""\((?:\\.|[^\\)])*\)""", " ")
       val v = dictInt(cleanDict, "/V").getOrElse(0)
       val r = dictInt(cleanDict, "/R").getOrElse(0)
-      if (v < 1 || v > 2 || r < 2 || r > 3)
-        throw new IllegalArgumentException(
-          s"unsupported PDF encryption (V=$v R=$r; RC4 V1-2/R2-3 only)")
-      val keyLen = if (v == 1 || r == 2) 5
-        else dictInt(cleanDict, "/Length").map(_ / 8).getOrElse(5)
-      val o = dictStringBytes(dict, "O")
-        .getOrElse(throw new IllegalArgumentException("missing /O entry"))
       val u = dictStringBytes(dict, "U")
         .getOrElse(throw new IllegalArgumentException("missing /U entry"))
-      val p = """/P\s+(-?\d+)""".r.findFirstMatchIn(cleanDict).map(_.group(1).toInt)
-        .getOrElse(throw new IllegalArgumentException("missing /P entry"))
       val id = """/ID\s*\[\s*<([0-9A-Fa-f]*)>""".r.findFirstMatchIn(s)
         .map(_.group(1).grouped(2).filter(_.length == 2)
           .map(h => java.lang.Integer.parseInt(h, 16).toByte).toArray)
         .getOrElse(Array.empty[Byte])
-      val key = fileKey(o, p, id, r, keyLen)
-      // Algorithm 6: verify the EMPTY user password against /U
-      val ok =
-        if (r == 2) java.util.Arrays.equals(rc4(key, PasswordPad), u.take(32))
-        else {
-          var enc = rc4(key, md5Bytes(PasswordPad, id))
-          for (i <- 1 to 19)
-            enc = rc4(key.map(b => (b ^ i).toByte), enc)
-          java.util.Arrays.equals(enc, u.take(16))
-        }
-      if (!ok)
-        throw new IllegalArgumentException(
-          "encrypted PDF requires a user password")
-      (num, new Decryptor(key))
+
+      def pEntry: Int =
+        """/P\s+(-?\d+)""".r.findFirstMatchIn(cleanDict).map(_.group(1).toInt)
+          .getOrElse(throw new IllegalArgumentException("missing /P entry"))
+      def oEntry: Array[Byte] = dictStringBytes(dict, "O")
+        .getOrElse(throw new IllegalArgumentException("missing /O entry"))
+
+      // Algorithm 6 (/R 2–4): verify the EMPTY user password against /U
+      def verifyEmptyUserPassword(key: Array[Byte]): Unit = {
+        val ok =
+          if (r == 2) java.util.Arrays.equals(rc4(key, PasswordPad), u.take(32))
+          else {
+            var enc = rc4(key, md5Bytes(PasswordPad, id))
+            for (i <- 1 to 19)
+              enc = rc4(key.map(b => (b ^ i).toByte), enc)
+            java.util.Arrays.equals(enc, u.take(16))
+          }
+        if (!ok)
+          throw new IllegalArgumentException(
+            "encrypted PDF requires a user password")
+      }
+
+      v match {
+        case 1 | 2 =>
+          if (r < 2 || r > 3)
+            throw new IllegalArgumentException(
+              s"unsupported PDF encryption (V=$v R=$r)")
+          val keyLen = if (v == 1 || r == 2) 5
+            else dictInt(cleanDict, "/Length").map(_ / 8).getOrElse(5)
+          val key = fileKey(oEntry, pEntry, id, r, keyLen)
+          verifyEmptyUserPassword(key)
+          Some((num, new Rc4Decryptor(key)))
+
+        case 4 =>
+          // crypt-filter layout: /CF <</StdCF <</CFM /AESV2|/V2 …>>>>; the
+          // stream filter /StmF names the CF (absent = /Identity = streams
+          // in the clear, nothing for us to decrypt)
+          val stmF = """/StmF\s*/(\w+)""".r.findFirstMatchIn(cleanDict).map(_.group(1))
+          if (stmF.forall(_ == "Identity")) None
+          else {
+            val cfm = """/CFM\s*/(\w+)""".r.findFirstMatchIn(cleanDict).map(_.group(1))
+              .getOrElse(throw new IllegalArgumentException(
+                "V4 encryption without a /CFM crypt filter method"))
+            val keyLen = dictInt(cleanDict, "/Length").map(_ / 8).getOrElse(16)
+            val encMeta = !"""/EncryptMetadata\s+false""".r
+              .findFirstIn(cleanDict).isDefined
+            val key = fileKey(oEntry, pEntry, id, r = 4, keyLen, encMeta)
+            verifyEmptyUserPassword(key)
+            cfm match {
+              case "AESV2" => Some((num, new AesV2Decryptor(key)))
+              case "V2" => Some((num, new Rc4Decryptor(key)))
+              case other => throw new IllegalArgumentException(
+                s"unsupported crypt filter method /$other")
+            }
+          }
+
+        case 5 =>
+          if (r != 5 && r != 6)
+            throw new IllegalArgumentException(
+              s"unsupported PDF encryption (V=5 R=$r)")
+          val stmF = """/StmF\s*/(\w+)""".r.findFirstMatchIn(cleanDict).map(_.group(1))
+          if (stmF.forall(_ == "Identity")) None
+          else {
+            if (u.length < 48)
+              throw new IllegalArgumentException(
+                s"/U entry is ${u.length} bytes, need 48 for V5")
+            val hash = u.take(32)
+            val validationSalt = u.slice(32, 40)
+            val keySalt = u.slice(40, 48)
+            val empty = Array.empty[Byte]
+            // R6 hardens with Algorithm 2.B; R5 (deprecated Adobe
+            // extension) is a single SHA-256
+            def pwHash(salt: Array[Byte]): Array[Byte] =
+              if (r == 6) hash2B(empty, salt, empty)
+              else sha256Of(empty, salt)
+            if (!java.util.Arrays.equals(pwHash(validationSalt), hash))
+              throw new IllegalArgumentException(
+                "encrypted PDF requires a user password")
+            val ue = dictStringBytes(dict, "UE")
+              .getOrElse(throw new IllegalArgumentException("missing /UE entry"))
+            if (ue.length != 32)
+              throw new IllegalArgumentException(
+                s"/UE entry is ${ue.length} bytes, need 32")
+            val key = aesCbc(encrypt = false, pwHash(keySalt),
+              new Array[Byte](16), ue, pkcs5 = false)
+            Some((num, new AesV3Decryptor(key)))
+          }
+
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported PDF encryption (V=$other R=$r)")
+      }
     }
+  }
+
+  /** SHA-256(pw ‖ salt) — the /R 5 password hash (Adobe ext. level 3). */
+  private def sha256Of(pw: Array[Byte], salt: Array[Byte]): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.update(pw); d.update(salt)
+    d.digest()
   }
 
   // ---------------------------------------------------------------- public

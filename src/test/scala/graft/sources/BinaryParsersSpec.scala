@@ -396,23 +396,178 @@ class BinaryParsersSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  /** Owner-locked AES-128 (/V 4 /R 4 /AESV2) PDF — same MD5 key derivation
+    * as RC4 R3/R4, content streams AES-CBC'd with the sAlT object key and a
+    * leading IV (PDF 1.7 §7.6.2). Built with the extractor's own symmetric
+    * primitives, like [[pdfRc4Fixture]].
+    */
+  private def pdfAesV2Fixture(userPw: String = ""): Array[Byte] = {
+    import PdfExtract.{aesCbc, md5Bytes, padPassword, rc4, PasswordPad}
+    val keyLen = 16
+    val perms = -44
+    val id = Array.tabulate[Byte](16)(i => (i * 11 + 3).toByte)
+    val idHex = id.map(b => f"${b & 0xFF}%02x").mkString
+    // Algorithm 3 /O (identical to R3/R4)
+    var oh = md5Bytes(padPassword("hive-owner".getBytes(StandardCharsets.ISO_8859_1)))
+    for (_ <- 0 until 50) oh = md5Bytes(oh)
+    val ownerKey = oh.take(keyLen)
+    var o = rc4(ownerKey, padPassword(userPw.getBytes(StandardCharsets.ISO_8859_1)))
+    for (i <- 1 to 19) o = rc4(ownerKey.map(b => (b ^ i).toByte), o)
+    // Algorithm 2 file key (R4, /EncryptMetadata true)
+    val pLe = Array[Byte](perms.toByte, (perms >> 8).toByte,
+      (perms >> 16).toByte, (perms >> 24).toByte)
+    var kh = md5Bytes(padPassword(userPw.getBytes(StandardCharsets.ISO_8859_1)),
+      o, pLe, id)
+    for (_ <- 0 until 50) kh = md5Bytes(kh.take(keyLen))
+    val key = kh.take(keyLen)
+    // Algorithm 5 /U (R >= 3 branch)
+    var uEnc = rc4(key, md5Bytes(PasswordPad, id))
+    for (i <- 1 to 19) uEnc = rc4(key.map(b => (b ^ i).toByte), uEnc)
+    val u = uEnc ++ new Array[Byte](16)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02x").mkString
+    // AESV2 object encryption: MD5(key || salt || sAlT), IV-prefixed CBC
+    def encObj(num: Int, data: Array[Byte]): Array[Byte] = {
+      val salt = Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte, 0, 0,
+        0x73, 0x41, 0x6C, 0x54)
+      val objKey = md5Bytes(key, salt).take(16)
+      val iv = Array.fill[Byte](16)(0x42)
+      iv ++ aesCbc(encrypt = true, objKey, iv, data, pkcs5 = true)
+    }
+    val c1 = encObj(4, "BT (AES-128 owner locked.) Tj ET"
+      .getBytes(StandardCharsets.ISO_8859_1))
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.6\n")
+    w("1 0 obj <</Type/Catalog/Pages 2 0 R>> endobj\n")
+    w("2 0 obj <</Type/Pages/Kids[3 0 R]/Count 1>> endobj\n")
+    w("3 0 obj <</Type/Page/Parent 2 0 R/Contents 4 0 R>> endobj\n")
+    w(s"4 0 obj <</Length ${c1.length}>>\nstream\n")
+    bos.write(c1)
+    w("\nendstream\nendobj\n")
+    w(s"5 0 obj <</Filter/Standard/V 4/R 4/Length 128" +
+      s"/CF <</StdCF <</CFM/AESV2/AuthEvent/DocOpen/Length 16>>>>" +
+      s"/StmF/StdCF/StrF/StdCF/O <${hex(o)}>/U <${hex(u)}>/P $perms>> endobj\n")
+    w(s"trailer <</Root 1 0 R/Encrypt 5 0 R/ID [<$idHex> <$idHex>]>>\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** Owner-locked AES-256 (/V 5 /R 5–6 /AESV3) PDF per ISO 32000-2 §7.6.4:
+    * /U carries hash ‖ validation salt ‖ key salt, /UE wraps the random
+    * file key under the key-salt hash (Algorithm 2.B for R6, single
+    * SHA-256 for the deprecated R5).
+    */
+  private def pdfAesV3Fixture(r: Int, userPw: String = ""): Array[Byte] = {
+    import PdfExtract.{aesCbc, hash2B}
+    val fileKey = Array.tabulate[Byte](32)(i => (i * 7 + 1).toByte)
+    val pw = userPw.getBytes(StandardCharsets.UTF_8).take(127)
+    val vs = Array.tabulate[Byte](8)(i => (i + 10).toByte)
+    val ks = Array.tabulate[Byte](8)(i => (i + 50).toByte)
+    def sha256(parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      parts.foreach(d.update)
+      d.digest()
+    }
+    def pwHash(salt: Array[Byte], udata: Array[Byte]): Array[Byte] =
+      if (r == 6) hash2B(pw, salt, udata) else sha256(pw, salt, udata)
+    val empty = Array.empty[Byte]
+    val iv0 = new Array[Byte](16)
+    val u = pwHash(vs, empty) ++ vs ++ ks
+    val ue = aesCbc(encrypt = true, pwHash(ks, empty), iv0, fileKey, pkcs5 = false)
+    // owner entries (hashed over the full 48-byte /U per Algorithms 9/3.A)
+    val opw = "hive-owner".getBytes(StandardCharsets.UTF_8)
+    val ovs = Array.tabulate[Byte](8)(i => (i + 90).toByte)
+    val oks = Array.tabulate[Byte](8)(i => (i + 120).toByte)
+    def oHash(salt: Array[Byte]): Array[Byte] =
+      if (r == 6) hash2B(opw, salt, u) else sha256(opw, salt, u)
+    val o = oHash(ovs) ++ ovs ++ oks
+    val oe = aesCbc(encrypt = true, oHash(oks), iv0, fileKey, pkcs5 = false)
+    val permsBlock = Array[Byte](
+      -44, -1, -1, -1, -1.toByte, -1.toByte, -1.toByte, -1.toByte,
+      'T', 'a', 'd', 'b', 0, 0, 0, 0)
+    val permsEnc = aesCbc(encrypt = true, fileKey, iv0, permsBlock, pkcs5 = false)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02x").mkString
+    def encObj(data: Array[Byte]): Array[Byte] = {
+      val iv = Array.fill[Byte](16)(0x24)
+      iv ++ aesCbc(encrypt = true, fileKey, iv, data, pkcs5 = true)
+    }
+    val c1 = encObj(s"BT (AES-256 R$r owner locked.) Tj ET"
+      .getBytes(StandardCharsets.ISO_8859_1))
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-2.0\n")
+    w("1 0 obj <</Type/Catalog/Pages 2 0 R>> endobj\n")
+    w("2 0 obj <</Type/Pages/Kids[3 0 R]/Count 1>> endobj\n")
+    w("3 0 obj <</Type/Page/Parent 2 0 R/Contents 4 0 R>> endobj\n")
+    w(s"4 0 obj <</Length ${c1.length}>>\nstream\n")
+    bos.write(c1)
+    w("\nendstream\nendobj\n")
+    w(s"5 0 obj <</Filter/Standard/V 5/R $r/Length 256" +
+      s"/CF <</StdCF <</CFM/AESV3/AuthEvent/DocOpen/Length 32>>>>" +
+      s"/StmF/StdCF/StrF/StdCF/O <${hex(o)}>/OE <${hex(oe)}>" +
+      s"/U <${hex(u)}>/UE <${hex(ue)}>/P -44/Perms <${hex(permsEnc)}>>> endobj\n")
+    w("trailer <</Root 1 0 R/Encrypt 5 0 R>>\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
   test("pdf: RC4 owner-locked files extract with the empty user password") {
     // both the 40-bit R2 and 128-bit R3 revisions of the standard handler
     assert(PdfExtract.text(pdfRc4Fixture(r = 2)) == "Owner locked, user readable.")
     assert(PdfExtract.text(pdfRc4Fixture(r = 3)) == "Owner locked, user readable.")
   }
 
-  test("pdf: user-password-locked and AES files land in the error column") {
-    // genuinely user-locked: the empty-password /U check must refuse loudly
-    val locked = pdfRc4Fixture(r = 3, userPw = "secret123")
-    val e = intercept[IllegalArgumentException](PdfExtract.text(locked))
-    assert(e.getMessage.contains("user password"))
-    // AES (/V 4) is out of scope and must say so, not mis-decrypt
-    val aes = new String(pdfRc4Fixture(r = 3), StandardCharsets.ISO_8859_1)
-      .replace("/V 2/R 3", "/V 4/R 4").getBytes(StandardCharsets.ISO_8859_1)
-    intercept[IllegalArgumentException](PdfExtract.text(aes))
-    // and through the pipeline boundary: skipped, never a crash
-    assert(Parsers.parseOrNone("pdf", locked).isEmpty)
+  test("pdf: AES-128 (AESV2) owner-locked files extract") {
+    assert(PdfExtract.text(pdfAesV2Fixture()) == "AES-128 owner locked.")
+  }
+
+  test("pdf: AES-256 (AESV3) owner-locked files extract, R5 and R6") {
+    assert(PdfExtract.text(pdfAesV3Fixture(r = 5)) == "AES-256 R5 owner locked.")
+    assert(PdfExtract.text(pdfAesV3Fixture(r = 6)) == "AES-256 R6 owner locked.")
+  }
+
+  test("pdf: user-password-locked files land in the error column") {
+    // genuinely user-locked: the empty-password check must refuse loudly
+    // across all three cipher families
+    for (locked <- Seq(pdfRc4Fixture(r = 3, userPw = "secret123"),
+        pdfAesV2Fixture(userPw = "secret123"),
+        pdfAesV3Fixture(r = 6, userPw = "secret123"))) {
+      val e = intercept[IllegalArgumentException](PdfExtract.text(locked))
+      assert(e.getMessage.contains("user password"))
+      // and through the pipeline boundary: skipped, never a crash
+      assert(Parsers.parseOrNone("pdf", locked).isEmpty)
+    }
+  }
+
+  test("pdf: mutated encrypted fixtures never escape parseOrNone") {
+    // bit-flips over all three cipher families: corrupt key material, IVs,
+    // padding and dict entries must degrade to None, never hang or escape
+    // (the ParserFuzzSpec contract applied to the encrypted layouts)
+    val rnd = new scala.util.Random(20260812L)
+    for (base <- Seq(pdfRc4Fixture(r = 3), pdfAesV2Fixture(), pdfAesV3Fixture(r = 6));
+        _ <- 1 to 60) {
+      val mutated = base.clone()
+      for (_ <- 1 to 1 + rnd.nextInt(5))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      Parsers.parseOrNone("pdf", mutated) // must return, Some or None
+    }
+  }
+
+  test("pdf: unsupported encryption schemes error loudly, not mis-decrypt") {
+    // an unknown /V version
+    val v7 = new String(pdfRc4Fixture(r = 3), StandardCharsets.ISO_8859_1)
+      .replace("/V 2/R 3", "/V 7/R 9").getBytes(StandardCharsets.ISO_8859_1)
+    intercept[IllegalArgumentException](PdfExtract.text(v7))
+    // a public-key security handler
+    val pubsec = new String(pdfRc4Fixture(r = 3), StandardCharsets.ISO_8859_1)
+      .replace("/Filter/Standard", "/Filter/Adobe.PubSec")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    intercept[IllegalArgumentException](PdfExtract.text(pubsec))
+    // a V4 file with an unknown crypt filter method
+    val cfm = new String(pdfAesV2Fixture(), StandardCharsets.ISO_8859_1)
+      .replace("/CFM/AESV2", "/CFM/AESV9")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    intercept[IllegalArgumentException](PdfExtract.text(cfm))
   }
 
   test("xls: legacy BIFF bytes land in the error column, not a crash") {
