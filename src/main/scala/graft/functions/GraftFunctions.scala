@@ -85,6 +85,10 @@ object GraftFunctions {
   /** Heuristic language-ID ("en"/"es"/"fr"/"de"/"zh"/"und"). */
   val langIdUdf: UserDefinedFunction =
     udf((text: String) => LangId.detect(Option(text).getOrElse("")))
+
+  /** Gopher-style repetition stats struct — one parse per document. */
+  val repetitionStatsUdf: UserDefinedFunction =
+    udf((text: String) => RepetitionStats.compute(text))
 }
 
 /** One chunk of a document, with its position. */

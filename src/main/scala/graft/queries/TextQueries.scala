@@ -632,6 +632,91 @@ object TextQueries {
         GROUP BY 1, 2 HAVING COUNT(*) >= 8
         ORDER BY doc_a, doc_b""")),
 
+    // Gopher-style repetition stats (Rae et al. 2021 table A1 family):
+    // duplicate-line fractions + most-frequent/duplicated word-n-gram
+    // character fractions, one UDF parse per doc (no shuffle; the oracle
+    // replays the same definitions via unnest + group-by). Ties on the top
+    // gram break by UTF-8 byte order = DuckDB binary collation.
+    "q3r_repetition_stats" -> Q(
+      fn = (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), GraftFunctions.repetitionStatsUdf(col("text")).as("rs"))
+          .select(
+            col("doc_id"),
+            col("rs.nLines").as("n_lines"),
+            round(col("rs.dupLineFrac"), 6).as("dup_line_frac"),
+            round(col("rs.dupLineCharFrac"), 6).as("dup_line_char_frac"),
+            round(col("rs.top2gramFrac"), 6).as("top2gram_char_frac"),
+            round(col("rs.top3gramFrac"), 6).as("top3gram_char_frac"),
+            round(col("rs.dup5gramFrac"), 6).as("dup5gram_char_frac"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH lines AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                   l -> trim(l, ' ' || chr(9) || chr(13))), l -> l <> '') AS ls
+          FROM documents),
+        linecnt AS (
+          SELECT doc_id, line, count(*) AS c, len(line) AS ll
+          FROM (SELECT doc_id, unnest(ls) AS line FROM lines)
+          GROUP BY doc_id, line),
+        lineagg AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_lines,
+                 CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_line_frac,
+                 CAST(sum(CASE WHEN c > 1 THEN c * ll ELSE 0 END) AS DOUBLE)
+                   / sum(c * ll) AS dup_line_char_frac
+          FROM linecnt GROUP BY doc_id),
+        toks AS MATERIALIZED (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        norm AS (SELECT doc_id, len(array_to_string(t, ' ')) AS nc FROM toks),
+        g2cnt AS (
+          SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              i -> array_to_string(t[i:i+1], ' '))) AS g
+            FROM toks WHERE len(t) >= 2)
+          GROUP BY doc_id, g),
+        top2 AS (
+          SELECT doc_id, c * len(g) AS mass,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+          FROM g2cnt),
+        g3cnt AS (
+          SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' '))) AS g
+            FROM toks WHERE len(t) >= 3)
+          GROUP BY doc_id, g),
+        top3 AS (
+          SELECT doc_id, c * len(g) AS mass,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+          FROM g3cnt),
+        g5agg AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN c > 1 THEN c * len(g) ELSE 0 END) AS DOUBLE)
+                   / sum(c * len(g)) AS dup5
+          FROM (
+            SELECT doc_id, g, count(*) AS c FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+                i -> array_to_string(t[i:i+4], ' '))) AS g
+              FROM toks WHERE len(t) >= 5)
+            GROUP BY doc_id, g)
+          GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(la.n_lines, 0) AS BIGINT) AS n_lines,
+               ROUND(COALESCE(la.dup_line_frac, 0), 6) AS dup_line_frac,
+               ROUND(COALESCE(la.dup_line_char_frac, 0), 6) AS dup_line_char_frac,
+               ROUND(COALESCE(LEAST(1.0, CAST(t2.mass AS DOUBLE) / n.nc), 0), 6) AS top2gram_char_frac,
+               ROUND(COALESCE(LEAST(1.0, CAST(t3.mass AS DOUBLE) / n.nc), 0), 6) AS top3gram_char_frac,
+               ROUND(COALESCE(g5.dup5, 0), 6) AS dup5gram_char_frac
+        FROM documents d
+        LEFT JOIN lineagg la USING (doc_id)
+        LEFT JOIN norm n USING (doc_id)
+        LEFT JOIN (SELECT doc_id, mass FROM top2 WHERE rn = 1) t2 USING (doc_id)
+        LEFT JOIN (SELECT doc_id, mass FROM top3 WHERE rn = 1) t3 USING (doc_id)
+        LEFT JOIN g5agg g5 USING (doc_id)
+        ORDER BY doc_id""")),
+
     // Transitive dedup clusters, hash-exact: pointer-jumping connected
     // components over the exact n-gram-Jaccard near-dup pairs (>= 0.5),
     // oracled by a DuckDB recursive reachability CTE + min label. Headline:
