@@ -109,4 +109,35 @@ object Ingest {
     * MERGE keyed on id).
     */
   def idempotent(chunks: DataFrame): DataFrame = chunks.dropDuplicates("id")
+
+  /** One WARC archive's parse result: extracted docs + file-level error. */
+  private case class WarcParsed(docs: Seq[WarcExtract.WarcDoc], error: String)
+
+  private val warcUdf = udf((bytes: Array[Byte]) =>
+    try WarcParsed(WarcExtract.documents(bytes), null)
+    catch {
+      case e: IllegalArgumentException => WarcParsed(Seq.empty, e.getMessage)
+    })
+
+  /** Web-archive ingest: every text-bearing record of the `.warc`/`.warc.gz`
+    * files under `dir` as (path, target_uri, warc_date, text, error) rows —
+    * the Common Crawl entry point of the curation pipeline (feed the result
+    * into [[chunkAndEmbed]] or `operators.Curate`). One archive = one task
+    * (WARC is not splittable mid-stream; Common Crawl ships ~1 GB archives
+    * so the file is the parallelism unit). A corrupt archive yields one row
+    * with a non-null `error` instead of killing the scan.
+    */
+  def readWarcDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+      .select(col("path"), warcUdf(col("content")).as("w"))
+      .select(col("path"), explode_outer(col("w.docs")).as("doc"), col("w.error").as("error"))
+      .select(
+        col("path"),
+        col("doc.target_uri").as("target_uri"),
+        col("doc.warc_date").as("warc_date"),
+        col("doc.text").as("text"),
+        col("error"))
 }
