@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextAnalysis
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Unigram language-model quality scoring: per-document mean token surprisal
@@ -49,6 +50,79 @@ object LmScore {
       .join(lm, Seq("token"))
       .groupBy(col(idCol))
       .agg(sum("token_surprisal").as("__ssum"), count(lit(1)).as("n_tokens"))
+      .select(col(idCol),
+        round(col("__ssum").cast("double") / col("n_tokens"), 6).as("surprisal"),
+        col("n_tokens"))
+
+  /** (id, token, prev) rows — every token position with its predecessor
+    * (null at position 1). Built in the array domain (`zip_with` against the
+    * 1-shifted array) so there is no per-position self-join and the lambda
+    * only touches its own arguments (the HOF re-evaluation gotcha).
+    */
+  private def positions(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t"))
+    val shifted = concat(array(lit(null).cast("string")),
+      slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))))
+    toks
+      .select(col(idCol),
+        explode(zip_with(col("t"), shifted,
+          (cur, prev) => struct(cur.as("token"), prev.as("prev")))).as("p"))
+      .select(col(idCol), col("p.token").as("token"), col("p.prev").as("prev"))
+  }
+
+  /** Corpus unigram probabilities (token, p_uni DOUBLE) — the interpolation
+    * floor for [[interpolatedSurprisalScores]] (raw probability, unlike
+    * [[unigramLm]]'s pre-logged table, because interpolation mixes
+    * probabilities, not logs).
+    */
+  def unigramProbs(docs: DataFrame, textCol: String): DataFrame = {
+    val cnt = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum("cnt").as("total"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("token"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("p_uni"))
+  }
+
+  /** Corpus bigram conditional probabilities (prev, token, p_bi DOUBLE):
+    * count(prev,token) / count(prev,·). One groupBy shuffle over token
+    * pairs (corpus-linear) + a window over the vocabulary-sized count table
+    * partitioned by `prev` — no quadratic stage anywhere.
+    */
+  def bigramLm(docs: DataFrame, textCol: String): DataFrame = {
+    val cnt = positions(docs.select(lit(0L).as("__row"), col(textCol)), "__row", textCol)
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "token").agg(count(lit(1)).as("c"))
+    cnt
+      .withColumn("pc", sum("c").over(Window.partitionBy("prev")))
+      .select(col("prev"), col("token"),
+        (col("c").cast("double") / col("pc").cast("double")).as("p_bi"))
+  }
+
+  /** Per-document mean interpolated bigram surprisal — the step up from
+    * [[surprisalScores]] that actually models local word order (boilerplate
+    * and templated text score LOW, shuffled-token word salad scores HIGH,
+    * which the unigram model cannot see). Position 1 scores as unigram;
+    * positions ≥ 2 as −ln(λ_bi·p(tok|prev) + λ_uni·p(tok)). The λs are
+    * EXPLICIT literals (not 1−λ arithmetic) so the oracle replays the exact
+    * doubles. Same DECIMAL(28,9) order-free accumulation as the unigram
+    * path. `uniProbs`/`biLm` are vocabulary-sized snapshot artifacts —
+    * broadcast when they fit, shuffle-join otherwise.
+    */
+  def interpolatedSurprisalScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      uniProbs: DataFrame, biLm: DataFrame,
+      lambdaBi: Double = 0.7, lambdaUni: Double = 0.3): DataFrame =
+    positions(docs, idCol, textCol)
+      .join(uniProbs, Seq("token"))
+      .join(biLm, Seq("prev", "token"), "left_outer")
+      .withColumn("p",
+        when(col("prev").isNull, col("p_uni"))
+          .otherwise(lit(lambdaBi) * coalesce(col("p_bi"), lit(0.0)) +
+            lit(lambdaUni) * col("p_uni")))
+      .withColumn("s", round(-log(col("p")), 9).cast("decimal(28,9)"))
+      .groupBy(col(idCol))
+      .agg(sum("s").as("__ssum"), count(lit(1)).as("n_tokens"))
       .select(col(idCol),
         round(col("__ssum").cast("double") / col("n_tokens"), 6).as("surprisal"),
         col("n_tokens"))

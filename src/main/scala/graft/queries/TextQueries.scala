@@ -456,6 +456,59 @@ object TextQueries {
                CAST(n AS BIGINT) AS n_tokens
         FROM agg ORDER BY doc_id""")),
 
+    // Interpolated bigram-LM surprisal, hash-exact: position 1 scores as
+    // unigram, later positions as −ln(0.7·p(tok|prev) + 0.3·p(tok)) — the
+    // word-order-aware upgrade of q3j (templated text scores low, token
+    // salad scores high). λs are explicit literals so the oracle replays
+    // the exact doubles; DECIMAL(28,9) per-token accumulation keeps the
+    // per-doc sums order-free.
+    "q3s_bigram_surprisal" -> Q(
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+        val uni = LmScore.unigramProbs(d, "text")
+        val bi = LmScore.bigramLm(d, "text")
+        LmScore.interpolatedSurprisalScores(d, "doc_id", "text",
+          broadcast(uni), broadcast(bi))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        pos AS MATERIALIZED (
+          SELECT doc_id, p['token'] AS token, p['prev'] AS prev FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+              i -> {'token': t[i],
+                    'prev': CASE WHEN i = 1 THEN NULL ELSE t[i-1] END})) AS p
+            FROM toks)),
+        uni AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM pos GROUP BY token),
+        tot AS (SELECT SUM(c) AS tt FROM uni),
+        unip AS (SELECT token, CAST(c AS DOUBLE) / CAST(tt AS DOUBLE) AS p_uni
+                 FROM uni CROSS JOIN tot),
+        bi AS MATERIALIZED (
+          SELECT prev, token, COUNT(*) AS c FROM pos
+          WHERE prev IS NOT NULL GROUP BY prev, token),
+        bip AS (
+          SELECT prev, token,
+                 CAST(c AS DOUBLE)
+                   / CAST(SUM(c) OVER (PARTITION BY prev) AS DOUBLE) AS p_bi
+          FROM bi),
+        scored AS (
+          SELECT doc_id,
+            CAST(ROUND(-ln(
+              CASE WHEN pos.prev IS NULL THEN p_uni
+                   ELSE CAST(0.7 AS DOUBLE) * COALESCE(p_bi, 0)
+                        + CAST(0.3 AS DOUBLE) * p_uni END), 9)
+              AS DECIMAL(28,9)) AS s
+          FROM pos
+          JOIN unip USING (token)
+          LEFT JOIN bip ON pos.prev = bip.prev AND pos.token = bip.token),
+        agg AS (SELECT doc_id, SUM(s) AS ssum, COUNT(*) AS n
+                FROM scored GROUP BY doc_id)
+        SELECT doc_id, ROUND(CAST(ssum AS DOUBLE) / n, 6) AS surprisal,
+               CAST(n AS BIGINT) AS n_tokens
+        FROM agg ORDER BY doc_id""")),
+
     // Per-source domain cap, hash-exact: keep at most 10 docs per source in
     // deterministic (md5 draw, id) order — the heavy-tail curation op that
     // bounds any single domain's contribution to a training mix. Uniform

@@ -39,4 +39,53 @@ class LmScoreSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(out === Array((9L, 2L))) // only a and b scored
   }
+
+  test("bigram LM: hand-computed conditional probabilities") {
+    import spark.implicits._
+    // corpus "a b a b" + "a c": pairs (a,b)x2, (b,a)x1, (a,c)x1
+    // p(b|a)=2/3, p(c|a)=1/3, p(a|b)=1
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val bi = LmScore.bigramLm(docs, "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(bi.size == 3)
+    assert(bi(("a", "b")) === 2.0 / 3)
+    assert(bi(("a", "c")) === 1.0 / 3)
+    assert(bi(("b", "a")) === 1.0)
+  }
+
+  test("interpolated surprisal: hand-computed, word-order-aware, partition-invariant") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val uni = LmScore.unigramProbs(docs, "text")
+    val bi = LmScore.bigramLm(docs, "text")
+    // unigram: a 3/6, b 2/6, c 1/6
+    // doc1 positions: a(uni 0.5); b|a .7*2/3+.3*1/3=0.566...; a|b .7*1+.3*.5=0.85;
+    //   b|a 0.566...
+    val pb_a = 0.7 * (2.0 / 3) + 0.3 * (2.0 / 6)
+    val pa_b = 0.7 * 1.0 + 0.3 * (3.0 / 6)
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val d1 = BigDecimal(r9(-math.log(0.5))) + BigDecimal(r9(-math.log(pb_a))) * 2 +
+      BigDecimal(r9(-math.log(pa_b)))
+    val exp1 = (d1 / 4).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+
+    def run(d: org.apache.spark.sql.DataFrame) =
+      LmScore.interpolatedSurprisalScores(d, "doc_id", "text", uni, bi)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+    val got = run(docs)
+    assert(got.head == ((1L, exp1, 4L)))
+    assert(run(docs.repartition(7)) == got)
+
+    // Word order matters: the bigram-coherent doc scores strictly lower
+    // than the same tokens shuffled into an unseen order.
+    val coherent = Seq((10L, "a b a b a b")).toDF("doc_id", "text")
+    val salad = Seq((10L, "b b b a a a")).toDF("doc_id", "text")
+    val sc = run(coherent).head._2
+    val ss = run(salad).head._2
+    assert(sc < ss)
+    // ...while the unigram model cannot tell them apart (same token bag).
+    val uLm = LmScore.unigramLm(docs, "text")
+    val us = LmScore.surprisalScores(coherent, "doc_id", "text", uLm).collect().head.getDouble(1)
+    val uu = LmScore.surprisalScores(salad, "doc_id", "text", uLm).collect().head.getDouble(1)
+    assert(us == uu)
+  }
 }
