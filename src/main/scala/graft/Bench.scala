@@ -169,11 +169,11 @@ object Bench {
     }
   }
 
-  /** All seven curation stages enabled (q3m keeps the near-dup CC and the
-    * surprisal band off because they're oracled separately): exact dedup →
-    * MinHash near-dup clusters → decontamination → LM band (wide: the cost
-    * is the scoring, not the selectivity) → PII scrub → domain cap →
-    * deterministic sample.
+  /** All eight curation stages enabled (q3m keeps the near-dup CC and the
+    * surprisal band off because they're oracled separately): repetition
+    * filter → exact dedup → MinHash near-dup clusters → decontamination →
+    * LM band (wide: the cost is the scoring, not the selectivity) → PII
+    * scrub → domain cap → deterministic sample.
     */
   private def curateFull(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -186,7 +186,8 @@ object Bench {
         surprisalBand = Some((0.0, 100.0)),
         capPerSource = Some(15),
         sampleRate = 0.8,
-        salt = "curate")).count()
+        salt = "curate",
+        repetitionMaxDup5gram = Some(0.9))).count()
     ()
   }
 

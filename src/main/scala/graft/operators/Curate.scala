@@ -31,7 +31,8 @@ object Curate {
       benchmarkNgram: Int = 8,
       capPerSource: Option[Int] = None,
       sampleRate: Double = 1.0,
-      salt: String = "curate")
+      salt: String = "curate",
+      repetitionMaxDup5gram: Option[Double] = None)
 
   /** Ordered (stageName, DataFrame-after-stage) — the last entry is the
     * curated output: original columns plus `surprisal` (when banded) and
@@ -43,6 +44,20 @@ object Curate {
       benchmarks: Option[DataFrame], cfg: Config): Seq[(String, DataFrame)] = {
     val out = Seq.newBuilder[(String, DataFrame)]
     out += ("input" -> docs)
+    var docsIn = docs
+
+    // 0. repetition filter (Gopher-style): drop docs whose duplicated-5-gram
+    // character fraction exceeds the threshold. FIRST because it is the one
+    // per-doc narrow filter in the pipeline (no shuffle, pushes toward the
+    // scan) — every doc it drops is a doc MinHash never has to shingle.
+    // Null/empty text scores 0 everywhere, so unevaluable docs pass (the
+    // shared null policy).
+    cfg.repetitionMaxDup5gram.foreach { t =>
+      docsIn = docsIn.filter(
+        graft.functions.GraftFunctions.repetitionStatsUdf(col(textCol))
+          .getField("dup5gramFrac") <= t)
+      out += ("repetition_filter" -> docsIn)
+    }
 
     // 1. exact dedup: canonical = min id per exact text (md5 grouping, the
     // q23 semantics in drop-duplicates form). Null-text rows are exempt:
@@ -50,7 +65,7 @@ object Curate {
     // into one "duplicate" group — but docs the stage cannot compare must
     // not be silently deleted (same null policy as the quality band).
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    var cur = docs.withColumn("__rn", row_number().over(w))
+    var cur = docsIn.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 || col(textCol).isNull).drop("__rn")
     out += ("exact_dedup" -> cur)
 

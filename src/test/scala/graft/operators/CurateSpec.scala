@@ -111,6 +111,24 @@ class CurateSpec extends AnyFunSuite {
     assert(out == Set(1L, 3L, 4L)) // dupe 2 dropped; BOTH null-text docs kept
   }
 
+  test("repetition filter drops degenerate docs, keeps prose and nulls") {
+    import spark.implicits._
+    val spam = Array.fill(30)("buy now cheap deals online today").mkString(" ")
+    val docs = Seq(
+      (1L, s"a normal document $filler", "s"),
+      (2L, spam, "s"), // every 5-gram duplicated -> dup5 = 1.0
+      (3L, null.asInstanceOf[String], "s")) // unevaluable -> kept
+      .toDF("doc_id", "text", "source")
+    val st = Curate.stages(docs, "doc_id", "text", "source", None,
+      Curate.Config(nearDupMinJaccard = None, surprisalBand = None,
+        capPerSource = None, sampleRate = 1.0,
+        repetitionMaxDup5gram = Some(0.5))).toMap
+    assert(st("repetition_filter").select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(st("output").select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("disabled stages are skipped entirely") {
     import spark.implicits._
     val docs = Seq((1L, s"a $filler", "s"), (2L, s"b $filler", "s"))
