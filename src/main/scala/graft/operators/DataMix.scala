@@ -106,4 +106,25 @@ object DataMix {
       .withColumn("bin", expr(s"__start div $budget").cast("bigint"))
       .drop("__cum", "__start")
   }
+
+  /** Per-group quantile bands: each row gets its group-RELATIVE score band
+    * 1..k (`ntile` over the group ordered by score) — the per-domain score
+    * normalization step of mix construction ("keep each source's top
+    * quartile" rather than one global cutoff, which would empty easy
+    * domains and keep everything from hard ones; FineWeb-style per-dump
+    * normalization).
+    *
+    * `keyCol` breaks score ties so banding is total-order deterministic and
+    * replayable (same discipline as [[capPerGroup]]). `ntile` is ANSI
+    * (remainder rows land in the leading bands identically in Spark and
+    * DuckDB). One window per group — same shuffle shape as the cap.
+    */
+  def perGroupQuantileBands(
+      df: DataFrame, groupCol: String, scoreCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(keyCol))
+    df.withColumn("band", ntile(k).over(w).cast("int"))
+  }
 }

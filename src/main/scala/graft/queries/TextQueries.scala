@@ -471,6 +471,7 @@ object TextQueries {
           broadcast(uni), broadcast(bi))
           .orderBy(col("doc_id"))
       },
+      headline = true,
       oracle = Some("""
         WITH toks AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -508,6 +509,27 @@ object TextQueries {
         SELECT doc_id, ROUND(CAST(ssum AS DOUBLE) / n, 6) AS surprisal,
                CAST(n AS BIGINT) AS n_tokens
         FROM agg ORDER BY doc_id""")),
+
+    // Per-source quantile bands, hash-exact: each doc's SOURCE-relative
+    // quality quartile (ntile over token count, doc_id tiebreak) — the
+    // per-domain normalization step ("keep each source's top quartile"
+    // instead of one global cutoff that empties easy domains).
+    "q3t_quality_bands" -> Q(
+      fn = (s, dir) => {
+        val scored = docs(s, dir).select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        DataMix.perGroupQuantileBands(scored, "source", "n_tokens", "doc_id", 4)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT doc_id, source, n_tokens,
+               CAST(ntile(4) OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS INT) AS band
+        FROM t ORDER BY doc_id""")),
 
     // Per-source domain cap, hash-exact: keep at most 10 docs per source in
     // deterministic (md5 draw, id) order — the heavy-tail curation op that
@@ -703,6 +725,7 @@ object TextQueries {
             round(col("rs.top3gramFrac"), 6).as("top3gram_char_frac"),
             round(col("rs.dup5gramFrac"), 6).as("dup5gram_char_frac"))
           .orderBy(col("doc_id")),
+      headline = true,
       oracle = Some("""
         WITH lines AS (
           SELECT doc_id,

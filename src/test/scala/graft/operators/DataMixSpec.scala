@@ -82,4 +82,27 @@ class DataMixSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bin")).toMap
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 0L))
   }
+
+  test("perGroupQuantileBands: group-relative bands, ANSI remainder, tie determinism") {
+    import spark.implicits._
+    // group g: 6 rows with k=4 -> band sizes 2,2,1,1 (remainder leads);
+    // group h: one row -> band 1. Scores tie inside g (30,30) -> id breaks.
+    val df = Seq(
+      ("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 30L),
+      ("g", 4L, 30L), ("g", 5L, 40L), ("g", 6L, 50L),
+      ("h", 7L, 999L))
+      .toDF("src", "id", "score")
+    def run() = DataMix.perGroupQuantileBands(df, "src", "score", "id", 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("band")).toMap
+    val bands = run()
+    assert(bands == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3, 6L -> 4, 7L -> 1))
+    assert(run() == bands) // deterministic under re-run
+    // group-relative: the BEST doc of a weak group outranks its own group's
+    // cutoff even though its absolute score is below g's top band
+    val weak = Seq(("g", 1L, 100L), ("g", 2L, 200L), ("w", 3L, 5L), ("w", 4L, 1L))
+      .toDF("src", "id", "score")
+    val wb = DataMix.perGroupQuantileBands(weak, "src", "score", "id", 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("band")).toMap
+    assert(wb(3L) == 2 && wb(2L) == 2) // each group has its own top band
+  }
 }
