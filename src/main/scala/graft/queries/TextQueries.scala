@@ -510,6 +510,48 @@ object TextQueries {
                CAST(n AS BIGINT) AS n_tokens
         FROM agg ORDER BY doc_id""")),
 
+    // C4 line/page cleaning rules (Raffel et al. 2020 §2.2), hash-exact:
+    // keep lines ending in terminal punctuation with >= 3 words and no
+    // "javascript"; keep pages with >= 5 surviving lines and no
+    // "lorem ipsum"/curly brace. Pure codegen column functions — the
+    // lambdas only touch their own argument, no UDF. The fixture is
+    // single-line word salad, so the driver check first derives line
+    // structure deterministically on BOTH sides (" the " → ".\n",
+    // " slow " → " javascript ") — n_kept_lines spans 0..5 and keep_page
+    // takes both values at sf0.01 (no vacuous hash match).
+    "q3u_c4_clean" -> Q(
+      fn = (s, dir) => {
+        val lined = regexp_replace(
+          regexp_replace(col("text"), " the ", ".\n"),
+          " slow ", " javascript ")
+        docs(s, dir).select(col("doc_id"), lined.as("t"))
+          .select(
+            col("doc_id"),
+            size(graft.functions.C4Rules.keptLines(col("t"))).as("n_kept_lines"),
+            graft.functions.C4Rules.keepPage(col("t")).cast("int").as("keep_page"),
+            sha2(graft.functions.C4Rules.cleanedText(col("t")), 256).as("cleaned_sha"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(text, ' the ', '.' || chr(10), 'g'),
+                           ' slow ', ' javascript ', 'g') AS t
+          FROM documents),
+        k AS (
+          SELECT doc_id, t,
+            list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+              l -> regexp_matches(l, '[.!?"]$')
+                   AND len(regexp_split_to_array(l, '\s+')) >= 3
+                   AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM d)
+        SELECT doc_id,
+          CAST(len(kept) AS INT) AS n_kept_lines,
+          CAST(len(kept) >= 5 AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(t, '{') AS INT) AS keep_page,
+          sha256(COALESCE(array_to_string(kept, chr(10)), '')) AS cleaned_sha
+        FROM k ORDER BY doc_id""")),
+
     // Per-source quantile bands, hash-exact: each doc's SOURCE-relative
     // quality quartile (ntile over token count, doc_id tiebreak) — the
     // per-domain normalization step ("keep each source's top quartile"
