@@ -552,6 +552,46 @@ object TextQueries {
           sha256(COALESCE(array_to_string(kept, chr(10)), '')) AS cleaned_sha
         FROM k ORDER BY doc_id""")),
 
+    // Unicode canonicalization, hash-exact: CRLF/CR → LF, zero-width strip,
+    // C0-control strip, then NFC (Java Normalizer vs DuckDB nfc_normalize).
+    // The ASCII fixture would make this vacuous, so the driver check first
+    // injects decomposed accents and zero-width salts deterministically on
+    // BOTH sides — n_removed is non-zero wherever an injection landed.
+    "q3v_canonicalize" -> Q(
+      fn = (s, dir) => {
+        val salted = regexp_replace(
+          regexp_replace(col("text"), " fast ", " cafe\u0301 "),
+          " key ", " data\u200Bbase ")
+        docs(s, dir).select(col("doc_id"), salted.as("t"))
+          .select(
+            col("doc_id"),
+            sha2(graft.functions.TextNormalize.canonicalize(col("t")), 256)
+              .as("canonical_sha"),
+            (length(col("t")) -
+              length(graft.functions.TextNormalize.canonicalize(col("t"))))
+              .cast("long").as("n_removed"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_replace(
+              regexp_replace(text, ' fast ', ' cafe' || chr(769) || ' ', 'g'),
+              ' key ', ' data' || chr(8203) || 'base ', 'g') AS t
+          FROM documents),
+        n AS (
+          SELECT doc_id, t,
+            nfc_normalize(
+              regexp_replace(
+                regexp_replace(
+                  replace(replace(t, chr(13) || chr(10), chr(10)), chr(13), chr(10)),
+                  '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS c
+          FROM d)
+        SELECT doc_id, sha256(c) AS canonical_sha,
+               CAST(len(t) - len(c) AS BIGINT) AS n_removed
+        FROM n ORDER BY doc_id""")),
+
     // Per-source quantile bands, hash-exact: each doc's SOURCE-relative
     // quality quartile (ntile over token count, doc_id tiebreak) — the
     // per-domain normalization step ("keep each source's top quartile"

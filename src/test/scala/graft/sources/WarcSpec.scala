@@ -134,6 +134,41 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("warc docs flow into the curation pipeline end-to-end") {
+    val spark = SparkTestBase.spark
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("warc-curate").toFile
+    try {
+      // two near-identical pages (near-dup), one unique, one degenerate spam
+      val page = (1 to 12).map(i => s"<p>Sentence number $i of real content here.</p>").mkString
+      val spamText = Array.fill(30)("buy cheap deals now online").mkString(" ")
+      Files.write(new java.io.File(dir, "crawl.warc").toPath,
+        record("response", "http://a.com/1", "application/http; msgtype=response",
+          httpResponse("text/html", page.getBytes(UTF_8))) ++
+          record("response", "http://b.com/copy", "application/http; msgtype=response",
+            httpResponse("text/html", (page + "<p>tail</p>").getBytes(UTF_8))) ++
+          record("conversion", "http://c.com/unique", "text/plain",
+            "a genuinely different document about completely other matters".getBytes(UTF_8)) ++
+          record("conversion", "http://d.com/spam", "text/plain", spamText.getBytes(UTF_8)))
+
+      val docs = Ingest.readWarcDir(spark, dir.getAbsolutePath)
+        .filter(col("error").isNull)
+        .withColumn("doc_id", abs(xxhash64(col("target_uri"))))
+      val out = graft.operators.Curate.run(
+        docs, "doc_id", "text", "target_uri",
+        cfg = graft.operators.Curate.Config(
+          nearDupMinJaccard = Some(0.5),
+          repetitionMaxDup5gram = Some(0.5)))
+        .select("target_uri").collect().map(_.getString(0)).toSet
+      // spam dropped by the repetition stage, the copy by near-dup dedup
+      assert(out.contains("http://c.com/unique"))
+      assert(!out.contains("http://d.com/spam"))
+      assert((out & Set("http://a.com/1", "http://b.com/copy")).size == 1)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("readWarcDir: Spark scan explodes docs and surfaces file errors") {
     val spark = SparkTestBase.spark
     val dir = Files.createTempDirectory("warc-spec").toFile
