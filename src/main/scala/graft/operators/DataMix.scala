@@ -127,4 +127,33 @@ object DataMix {
       .orderBy(col(scoreCol), col(keyCol))
     df.withColumn("band", ntile(k).over(w).cast("int"))
   }
+
+  /** Sketch-based twin of [[perGroupQuantileBands]] for the 100 TB regime:
+    * instead of a full per-group sort (the ntile window shuffles AND sorts
+    * every row), aggregate per-group cutoffs with `percentile_approx` (a
+    * mergeable GK sketch — partial aggregation map-side, tiny merge), then
+    * band by comparing each score against its group's k−1 broadcast
+    * cutoffs. Two narrow passes, no per-row sort anywhere.
+    *
+    * Trade-off (why both exist): sketch cutoffs are approximate — band
+    * edges can differ from [[perGroupQuantileBands]] near quantile
+    * boundaries (DataMixSpec gates agreement ≥ 0.9 on the fixture), and
+    * the sketch merge is not bit-stable across partitionings, so this
+    * variant has no hash-exact oracle. Use the exact ntile form when the
+    * group fits a sort; use this when one domain is a terabyte.
+    */
+  def perGroupQuantileBandsApprox(
+      df: DataFrame, groupCol: String, scoreCol: String, k: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val probs = array((1 until k).map(i => lit(i.toDouble / k)): _*)
+    val cuts = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol), probs, lit(accuracy)).as("__cuts"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("band",
+        (lit(1) + aggregate(col("__cuts"), lit(0),
+          (acc, c) => acc + when(col(scoreCol) > c, 1).otherwise(0)))
+          .cast("int"))
+      .drop("__cuts")
+  }
 }

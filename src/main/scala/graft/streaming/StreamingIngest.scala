@@ -43,6 +43,32 @@ object StreamingIngest {
     Ingest.chunkAndEmbed(readDirStream(spark, dir),
       organizationId, chunkSize, overlap, dim)
 
+  /** Streaming quality gate: the SAME narrow per-doc filters the batch
+    * curation pipeline runs (Gopher repetition cap, C4 page rules, Unicode
+    * canonicalization before any downstream hashing) applied to a streaming
+    * ingest frame. Every predicate here is stateless and per-row — legal in
+    * append mode with no watermark, and the streaming twin can never drift
+    * from batch semantics because it IS the batch column functions.
+    */
+  def qualityGate(
+      docs: DataFrame, textCol: String = "text",
+      maxDup5gramFrac: Option[Double] = Some(0.9),
+      c4PageRules: Boolean = false,
+      canonicalize: Boolean = true): DataFrame = {
+    var cur = docs
+    if (canonicalize)
+      cur = cur.withColumn(textCol,
+        graft.functions.TextNormalize.canonicalize(col(textCol)))
+    maxDup5gramFrac.foreach { t =>
+      cur = cur.filter(
+        graft.functions.GraftFunctions.repetitionStatsUdf(col(textCol))
+          .getField("dup5gramFrac") <= t)
+    }
+    if (c4PageRules)
+      cur = cur.filter(graft.functions.C4Rules.keepPage(col(textCol)))
+    cur
+  }
+
   /** Alert sink (hive_service.go:221-246 → WebSocket push): keyword hits
     * appended per micro-batch via foreachBatch; the push transport is a
     * serving-layer concern, the engine lands an `alerts` table.

@@ -105,4 +105,20 @@ class DataMixSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("band")).toMap
     assert(wb(3L) == 2 && wb(2L) == 2) // each group has its own top band
   }
+
+  test("approx quantile bands agree >= 0.9 with exact ntile on real data") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val exact = DataMix.perGroupQuantileBands(docs, "source", "n_chars", "doc_id", 4)
+      .select(col("doc_id"), col("band").as("b_exact"))
+    val approx = DataMix.perGroupQuantileBandsApprox(docs, "source", "n_chars", 4)
+      .select(col("doc_id"), col("band").as("b_approx"))
+    val joined = exact.join(approx, "doc_id")
+    val n = joined.count().toDouble
+    val agree = joined.filter(col("b_exact") === col("b_approx")).count() / n
+    assert(n == 500.0)
+    assert(agree >= 0.9, s"band agreement $agree below gate")
+    // bands must still span the full 1..k range per variant
+    assert(approx.select("b_approx").distinct().count() == 4)
+  }
 }

@@ -81,4 +81,41 @@ class StreamingOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("quality gate filters a stream in append mode, batch-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val spam = Array.fill(20)("buy cheap deals now online").mkString(" ")
+    val docs = Seq(
+      (1L, "a perfectly ordinary document about spark streams and files"),
+      (2L, spam), // repetition-capped
+      (3L, "decomposed cafe\u0301 text with a zero\u200Bwidth salt inside"))
+
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      StreamingIngest.qualityGate(df, maxDup5gramFrac = Some(0.5))
+
+    val expected = gate(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+
+    val input = MemoryStream[(Long, String)]
+    val q = gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append") // stateless filters: append-legal, no watermark
+      .start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gate_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    assert(got.map(_._1).toSet == Set(1L, 3L)) // spam gone
+    // canonicalization happened inside the stream: composed + salt-free
+    val t3 = got.find(_._1 == 3L).get._2
+    assert(t3.contains("caf\u00E9") && !t3.contains("\u200B"))
+  }
 }
