@@ -84,6 +84,17 @@ object VectorFunctions {
   def l2NormalizeWith(a: Column, norm: Column): Column =
     when(norm === 0.0, transform(a, x => x.cast("double")))
       .otherwise(transform(a, x => x.cast("double") / norm))
+
+  /** Matryoshka truncation (Kusupati et al. 2022): the first `k` dimensions
+    * of an MRL-trained embedding are themselves a usable embedding — the
+    * third bandwidth lever next to int8 and pre-normalization (64→16 dims
+    * is 4×, and it COMPOSES with int8 for 16×). Cosine over the truncated
+    * prefix needs no renormalization (cosine is scale-invariant), so
+    * truncation is a pure `slice` — store the prefix, or slice at scan
+    * time for progressive search (coarse prefix pass → full-dim rerank,
+    * the same two-stage shape as IVF-PQ).
+    */
+  def matryoshka(vec: Column, k: Int): Column = slice(vec, 1, k)
 }
 
 /** Bridge between the public Column API and Catalyst expressions (Spark 4

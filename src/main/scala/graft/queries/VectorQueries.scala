@@ -109,6 +109,42 @@ object VectorQueries {
         ORDER BY score DESC, e.vec_id LIMIT 10"""),
       headline = true),
 
+    // Matryoshka two-stage search, hash-exact: coarse top-50 shortlist on
+    // the 16-dim PREFIX (cosine is scale-invariant, so truncation is a pure
+    // slice — no renormalization), exact full-dim rerank to top-10. The
+    // third bandwidth lever next to int8 (q3a) and IVF (q3g): a 4× cheaper
+    // first pass that composes with both.
+    "q3w_matryoshka_topk" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val coarse = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"), col("embedding"), col("qv"),
+            round(VectorFunctions.cosine(
+              VectorFunctions.matryoshka(col("embedding"), 16),
+              VectorFunctions.matryoshka(col("qv"), 16)), 6).as("coarse_score"))
+          .orderBy(col("coarse_score").desc, col("vec_id"))
+          .limit(50)
+        coarse.select(col("vec_id"), col("label"),
+          round(VectorFunctions.cosine(col("embedding"), col("qv")), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        coarse AS (
+          SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv,
+                 ROUND(CAST(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[])[1:16], q.qv[1:16]) AS DOUBLE), 6) AS cs
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> 0
+          ORDER BY cs DESC, e.vec_id LIMIT 50)
+        SELECT vec_id, label,
+               ROUND(CAST(list_cosine_similarity(ev, qv) AS DOUBLE), 6) AS score
+        FROM coarse ORDER BY score DESC, vec_id LIMIT 10""")),
+
     // J2: exact k-NN join — top-5 neighbors for each of the first 20 vectors.
     "q31_knn_join" -> Q(
       fn = (s, dir) => {

@@ -143,4 +143,41 @@ class RecallSpec extends AnyFunSuite {
     assert(rr >= adc, "re-ranking must not lose recall")
     assert(adc >= drawAdc, "k-means training must not lose recall vs the draw")
   }
+
+  test("matryoshka prefix search: rerank recall gated, grows with prefix") {
+    import graft.functions.VectorFunctions
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val exact = VectorSearch.knnJoin(queries, corpus, "q_id", "qv", "c_id", "cv", k = 10)
+
+    def mrl(prefix: Int): DataFrame = {
+      val tq = queries.select(col("q_id"),
+        VectorFunctions.matryoshka(col("qv"), prefix).as("qv"))
+      val tc = corpus.select(col("c_id"),
+        VectorFunctions.matryoshka(col("cv"), prefix).as("cv"))
+      val shortlist = VectorSearch.knnJoin(tq, tc, "q_id", "qv", "c_id", "cv", k = 50)
+        .select(col("query_id").as("q_id"), col("neighbor_id").as("c_id"))
+      val rescored = shortlist
+        .join(queries, "q_id").join(corpus, "c_id")
+        .select(col("q_id"), col("c_id"),
+          VectorFunctions.cosine(col("cv"), col("qv")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("c_id"))
+      rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"))
+    }
+
+    val r16 = recallOfKnn(mrl(16), exact)
+    val r32 = recallOfKnn(mrl(32), exact)
+    info(f"matryoshka rerank-50 recall: 16-dim $r16%.4f, 32-dim $r32%.4f")
+    // The mock embeddings are near-isotropic (every dim carries equal
+    // signal — the WORST case for prefix truncation; MRL-trained models
+    // front-load signal precisely so prefixes work). Gates pinned below
+    // the deterministic measured values 0.5450 / 0.7300.
+    assert(r16 >= 0.50, f"16-dim prefix recall $r16%.4f below gate")
+    assert(r32 >= 0.65, f"32-dim prefix recall $r32%.4f below gate")
+    assert(r32 > r16, "longer prefix must lift recall on isotropic data")
+  }
 }
