@@ -149,11 +149,16 @@ object DataMix {
     val probs = array((1 until k).map(i => lit(i.toDouble / k)): _*)
     val cuts = df.groupBy(col(groupCol))
       .agg(percentile_approx(col(scoreCol), probs, lit(accuracy)).as("__cuts"))
-    df.join(broadcast(cuts), Seq(groupCol))
+    // null-SAFE join: groupBy puts null-group rows in their own cuts row
+    // (exactly like the exact variant's window partition), so a plain
+    // equi-join would silently drop them — the twins must agree on row set,
+    // not just band edges
+    df.join(broadcast(cuts.withColumnRenamed(groupCol, "__grp")),
+        col(groupCol) <=> col("__grp"))
       .withColumn("band",
         (lit(1) + aggregate(col("__cuts"), lit(0),
           (acc, c) => acc + when(col(scoreCol) > c, 1).otherwise(0)))
           .cast("int"))
-      .drop("__cuts")
+      .drop("__cuts", "__grp")
   }
 }

@@ -134,6 +134,9 @@ object Ingest {
       .load(dir)
       .select(col("path"), warcUdf(col("content")).as("w"))
       .select(col("path"), explode_outer(col("w.docs")).as("doc"), col("w.error").as("error"))
+      // explode_outer exists to preserve ERROR rows; a healthy archive with
+      // zero text-bearing records must not emit a phantom null-text row
+      .filter(col("error").isNotNull || col("doc").isNotNull)
       .select(
         col("path"),
         col("doc.target_uri").as("target_uri"),

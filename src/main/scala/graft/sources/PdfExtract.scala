@@ -148,6 +148,35 @@ private[graft] object PdfExtract {
   private def dictInt(dict: String, key: String): Option[Int] =
     (key + """\s+(\d+)""").r.findFirstMatchIn(dict).map(_.group(1).toInt)
 
+  /** Blank out nested `<< … >>` sub-dictionaries, keeping only the top-level
+    * entries of `dict` (which may or may not include its own outer `<<`).
+    * Needed wherever a nested dict can shadow a same-named top-level key —
+    * e.g. the /CF crypt-filter's '/Length 16' (BYTES) vs the encrypt dict's
+    * '/Length 128' (bits).
+    */
+  private[graft] def stripNestedDicts(dict: String): String = {
+    val sb = new java.lang.StringBuilder(dict.length)
+    var depth = 0
+    var i = 0
+    val topDepth = if (dict.trim.startsWith("<<")) 1 else 0
+    while (i < dict.length) {
+      val two = if (i + 1 < dict.length) dict.substring(i, i + 2) else ""
+      if (two == "<<") {
+        depth += 1
+        sb.append(if (depth <= topDepth) "<<" else "  ")
+        i += 2
+      } else if (two == ">>") {
+        sb.append(if (depth <= topDepth) ">>" else "  ")
+        depth -= 1
+        i += 2
+      } else {
+        sb.append(if (depth <= topDepth) dict.charAt(i) else ' ')
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** Undo a declared /Predictor on inflated data. Predictor 1/absent = raw;
     * >= 10 = PNG row filters over /Columns-wide rows (each prefixed by its
     * filter byte). A stream that isn't a whole number of rows is corrupt —
@@ -692,8 +721,15 @@ private[graft] object PdfExtract {
       // 'R 9' or '/V 7' by chance — strip every (…) literal before
       // scanning for integer entries (ints never live inside strings)
       val cleanDict = dict.replaceAll("""\((?:\\.|[^\\)])*\)""", " ")
-      val v = dictInt(cleanDict, "/V").getOrElse(0)
-      val r = dictInt(cleanDict, "/R").getOrElse(0)
+      // Top-level entries only: Acrobat serializes dict keys alphabetically,
+      // so the nested /CF crypt-filter dict (whose /Length is in BYTES, e.g.
+      // '/Length 16') precedes the top-level '/Length 128' (bits) — a
+      // first-match regex over the whole dict would read the wrong one and
+      // derive a 2-byte file key. /CFM is looked up in cleanDict because it
+      // legitimately lives INSIDE the nested CF dict.
+      val topDict = stripNestedDicts(cleanDict)
+      val v = dictInt(topDict, "/V").getOrElse(0)
+      val r = dictInt(topDict, "/R").getOrElse(0)
       val u = dictStringBytes(dict, "U")
         .getOrElse(throw new IllegalArgumentException("missing /U entry"))
       val id = """/ID\s*\[\s*<([0-9A-Fa-f]*)>""".r.findFirstMatchIn(s)
@@ -702,7 +738,7 @@ private[graft] object PdfExtract {
         .getOrElse(Array.empty[Byte])
 
       def pEntry: Int =
-        """/P\s+(-?\d+)""".r.findFirstMatchIn(cleanDict).map(_.group(1).toInt)
+        """/P\s+(-?\d+)""".r.findFirstMatchIn(topDict).map(_.group(1).toInt)
           .getOrElse(throw new IllegalArgumentException("missing /P entry"))
       def oEntry: Array[Byte] = dictStringBytes(dict, "O")
         .getOrElse(throw new IllegalArgumentException("missing /O entry"))
@@ -728,7 +764,7 @@ private[graft] object PdfExtract {
             throw new IllegalArgumentException(
               s"unsupported PDF encryption (V=$v R=$r)")
           val keyLen = if (v == 1 || r == 2) 5
-            else dictInt(cleanDict, "/Length").map(_ / 8).getOrElse(5)
+            else dictInt(topDict, "/Length").map(_ / 8).getOrElse(5)
           val key = fileKey(oEntry, pEntry, id, r, keyLen)
           verifyEmptyUserPassword(key)
           Some((num, new Rc4Decryptor(key)))
@@ -737,15 +773,15 @@ private[graft] object PdfExtract {
           // crypt-filter layout: /CF <</StdCF <</CFM /AESV2|/V2 …>>>>; the
           // stream filter /StmF names the CF (absent = /Identity = streams
           // in the clear, nothing for us to decrypt)
-          val stmF = """/StmF\s*/(\w+)""".r.findFirstMatchIn(cleanDict).map(_.group(1))
+          val stmF = """/StmF\s*/(\w+)""".r.findFirstMatchIn(topDict).map(_.group(1))
           if (stmF.forall(_ == "Identity")) None
           else {
             val cfm = """/CFM\s*/(\w+)""".r.findFirstMatchIn(cleanDict).map(_.group(1))
               .getOrElse(throw new IllegalArgumentException(
                 "V4 encryption without a /CFM crypt filter method"))
-            val keyLen = dictInt(cleanDict, "/Length").map(_ / 8).getOrElse(16)
+            val keyLen = dictInt(topDict, "/Length").map(_ / 8).getOrElse(16)
             val encMeta = !"""/EncryptMetadata\s+false""".r
-              .findFirstIn(cleanDict).isDefined
+              .findFirstIn(topDict).isDefined
             val key = fileKey(oEntry, pEntry, id, r = 4, keyLen, encMeta)
             verifyEmptyUserPassword(key)
             cfm match {
@@ -760,7 +796,7 @@ private[graft] object PdfExtract {
           if (r != 5 && r != 6)
             throw new IllegalArgumentException(
               s"unsupported PDF encryption (V=5 R=$r)")
-          val stmF = """/StmF\s*/(\w+)""".r.findFirstMatchIn(cleanDict).map(_.group(1))
+          val stmF = """/StmF\s*/(\w+)""".r.findFirstMatchIn(topDict).map(_.group(1))
           if (stmF.forall(_ == "Identity")) None
           else {
             if (u.length < 48)

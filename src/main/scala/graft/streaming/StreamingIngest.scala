@@ -64,8 +64,12 @@ object StreamingIngest {
         graft.functions.GraftFunctions.repetitionStatsUdf(col(textCol))
           .getField("dup5gramFrac") <= t)
     }
+    // null text passes here too (keepPage(null) is null → filter would
+    // silently drop) — the shared unevaluable-docs policy of the batch
+    // pipeline applies to every stage of the gate
     if (c4PageRules)
-      cur = cur.filter(graft.functions.C4Rules.keepPage(col(textCol)))
+      cur = cur.filter(
+        graft.functions.C4Rules.keepPage(col(textCol)) || col(textCol).isNull)
     cur
   }
 

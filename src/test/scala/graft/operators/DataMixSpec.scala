@@ -121,4 +121,17 @@ class DataMixSpec extends AnyFunSuite {
     // bands must still span the full 1..k range per variant
     assert(approx.select("b_approx").distinct().count() == 4)
   }
+
+  test("approx bands keep null-group rows (agree with the exact twin's row set)") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L),
+      (null.asInstanceOf[String], 3L, 5L), (null.asInstanceOf[String], 4L, 50L))
+      .toDF("src", "id", "score")
+    val exact = DataMix.perGroupQuantileBands(df, "src", "score", "id", 2)
+    val approx = DataMix.perGroupQuantileBandsApprox(df, "src", "score", 2)
+    assert(exact.count() == 4 && approx.count() == 4)
+    val nullBands = approx.filter(col("src").isNull)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("band")).toMap
+    assert(nullBands == Map(3L -> 1, 4L -> 2)) // banded within their own group
+  }
 }

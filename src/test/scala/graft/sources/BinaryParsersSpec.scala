@@ -521,6 +521,25 @@ class BinaryParsersSpec extends AnyFunSuite {
     assert(PdfExtract.text(pdfAesV2Fixture()) == "AES-128 owner locked.")
   }
 
+  test("pdf: AESV2 with Acrobat's alphabetical key order (/CF precedes /Length)") {
+    // Acrobat serializes dict keys alphabetically, so the nested crypt
+    // filter's '/Length 16' (BYTES) appears before the top-level
+    // '/Length 128' (bits) — a first-match scan over the whole dict reads
+    // the wrong one and derives a 2-byte file key
+    val s = new String(pdfAesV2Fixture(), StandardCharsets.ISO_8859_1)
+    val pat = ("""(?s)<</Filter/Standard/V 4/R 4/Length 128""" +
+      """(/CF <</StdCF <</CFM/AESV2/AuthEvent/DocOpen/Length 16>>>>)""" +
+      """/StmF/StdCF/StrF/StdCF/O <([0-9a-f]+)>/U <([0-9a-f]+)>/P (-?\d+)>>""").r
+    val m = pat.findFirstMatchIn(s).getOrElse(fail("encrypt dict not found"))
+    val alphabetical = s"<<${m.group(1)}/Filter/Standard/Length 128" +
+      s"/O <${m.group(2)}>/P ${m.group(4)}/R 4/StmF/StdCF/StrF/StdCF" +
+      s"/U <${m.group(3)}>/V 4>>"
+    val reordered = s.substring(0, m.start) + alphabetical + s.substring(m.end)
+    assert(reordered != s)
+    assert(PdfExtract.text(reordered.getBytes(StandardCharsets.ISO_8859_1))
+      == "AES-128 owner locked.")
+  }
+
   test("pdf: AES-256 (AESV3) owner-locked files extract, R5 and R6") {
     assert(PdfExtract.text(pdfAesV3Fixture(r = 5)) == "AES-256 R5 owner locked.")
     assert(PdfExtract.text(pdfAesV3Fixture(r = 6)) == "AES-256 R6 owner locked.")

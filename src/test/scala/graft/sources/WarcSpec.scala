@@ -120,6 +120,40 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt SECOND gzip member throws instead of silently truncating") {
+    // GZIPInputStream treats a damaged later member header as EOF — the
+    // strict member walker must refuse the whole archive loudly instead
+    // of yielding a partial doc set with error = null
+    val m1 = {
+      val out = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(out)
+      gz.write(record("conversion", "http://a.com", "text/plain", "first".getBytes(UTF_8)))
+      gz.finish()
+      out.toByteArray
+    }
+    val m2 = {
+      val out = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(out)
+      gz.write(record("conversion", "http://b.com", "text/plain", "second".getBytes(UTF_8)))
+      gz.finish()
+      out.toByteArray
+    }
+    // sanity: intact two-member archive yields both docs
+    assert(WarcExtract.documents(m1 ++ m2).map(_.text) == Vector("first", "second"))
+    // corrupt the second member's header magic
+    val badHeader = m2.clone(); badHeader(1) = 0x77
+    intercept[IllegalArgumentException](WarcExtract.documents(m1 ++ badHeader))
+    // corrupt the second member's deflate body
+    val badBody = m2.clone(); badBody(14) = (badBody(14) ^ 0x5A).toByte
+    intercept[IllegalArgumentException](WarcExtract.documents(m1 ++ badBody))
+    // corrupt the second member's CRC trailer
+    val badCrc = m2.clone(); badCrc(m2.length - 6) = (badCrc(m2.length - 6) ^ 1).toByte
+    intercept[IllegalArgumentException](WarcExtract.documents(m1 ++ badCrc))
+    // trailing garbage after the last member
+    intercept[IllegalArgumentException](
+      WarcExtract.documents(m1 ++ m2 ++ Array[Byte](9, 9, 9)))
+  }
+
   test("mutation fuzz: 20k corruptions only ever raise IllegalArgumentException") {
     val base = fixture
     val rnd = new scala.util.Random(42)
@@ -180,6 +214,11 @@ class WarcSpec extends AnyFunSuite {
       Files.write(new java.io.File(dir, "bad.warc").toPath,
         "WARC/1.0\r\nContent-Length: 999\r\n\r\nx".getBytes(UTF_8))
       Files.write(new java.io.File(dir, "ignored.txt").toPath, "not a warc".getBytes(UTF_8))
+      // parses fine but carries no text-bearing record: must emit NO row
+      // (a phantom null-text row would masquerade as a document)
+      Files.write(new java.io.File(dir, "empty.warc").toPath,
+        record("response", "http://img.only", "application/http; msgtype=response",
+          httpResponse("image/png", Array[Byte](9, 8, 7))))
 
       val rows = Ingest.readWarcDir(spark, dir.getAbsolutePath)
         .collect().map(r => (r.getAs[String]("path"), r.getAs[String]("target_uri"),
@@ -194,6 +233,7 @@ class WarcSpec extends AnyFunSuite {
       val bad = rows.filter(_._1.endsWith("bad.warc"))
       assert(bad.length == 1 && bad.head._3 == null && bad.head._4 != null)
       assert(!rows.exists(_._1.endsWith("ignored.txt")))
+      assert(!rows.exists(_._1.endsWith("empty.warc")))
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
