@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL decomposition for web-corpus curation — the step between a WARC scan
+  * and per-domain operators (capping, mixing, reputation lists): group by
+  * REGISTERED domain, not hostname, or `a.cdn.example.com` and
+  * `b.cdn.example.com` count as different publishers.
+  *
+  * Pure codegen regexp/array expressions (no UDF). `registeredDomain` uses
+  * the standard two-label heuristic plus the common second-level labels
+  * (`co.uk`-style) — a full Public Suffix List is a data file, not logic,
+  * and plugs in here verbatim at deployment; the boundary is documented,
+  * not silent.
+  */
+object UrlParts {
+
+  /** Hostname: scheme and userinfo stripped, path/query/fragment cut,
+    * port removed. Schemeless input ("example.com/path") is tolerated.
+    */
+  def host(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noUser = regexp_replace(noScheme, "^[^/?#@]*@", "")
+    val hostPort = regexp_extract(noUser, "^([^/?#]*)", 1)
+    regexp_replace(hostPort, ":[0-9]+$", "")
+  }
+
+  /** Common second-level registry labels (the `co` of `bbc.co.uk`). */
+  val SecondLevelLabels: Seq[String] =
+    Seq("co", "com", "net", "org", "gov", "edu", "ac")
+
+  /** Registered domain of a hostname: last two labels, or last three when
+    * the middle one is a registry second-level label.
+    */
+  def registeredDomain(hostname: Column): Column = {
+    val parts = split(hostname, "\\.")
+    val n = size(parts)
+    when(n <= 2, hostname)
+      .otherwise(
+        when(element_at(parts, -2).isin(SecondLevelLabels: _*),
+          concat_ws(".",
+            element_at(parts, -3), element_at(parts, -2), element_at(parts, -1)))
+          .otherwise(concat_ws(".", element_at(parts, -2), element_at(parts, -1))))
+  }
+}

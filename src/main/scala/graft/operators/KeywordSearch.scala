@@ -111,4 +111,38 @@ object KeywordSearch {
   def ranked(topList: DataFrame, scoreCol: String): DataFrame =
     topList.withColumn("rn",
       row_number().over(Window.orderBy(col(scoreCol).desc, col("doc_id"))))
+
+  /** Per-document TF-IDF keyword extraction: the top-k most
+    * characteristic tokens of each doc (tf × ln(N/df), score desc with
+    * token-ascending tiebreak — total order, replayable). The corpus-wide
+    * metadata tagger this enables is the query-independent complement of
+    * [[bm25]] (same tokenizer contract, so the two never disagree on what
+    * a term is).
+    *
+    * Scale shape: ONE token explode feeds the (doc, token) tf aggregate;
+    * df re-aggregates the tf table (vocabulary-sized, no second corpus
+    * scan); idf attaches via a broadcast-sized join; the per-doc top-k is
+    * a window whose partial `WindowGroupLimit` bounds the shuffle at
+    * k·partitions rows per doc.
+    */
+  def tfidfTopKeywords(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tot = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val tf = docs
+      .select(col(idCol),
+        explode(graft.functions.TextAnalysis.lowerTokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          log(col("__n") / col("df").cast("double")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("score"), col("rn"))
+  }
 }

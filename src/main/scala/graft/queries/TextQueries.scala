@@ -592,6 +592,83 @@ object TextQueries {
                CAST(len(t) - len(c) AS BIGINT) AS n_removed
         FROM n ORDER BY doc_id""")),
 
+    // Per-doc TF-IDF keyword extraction, hash-exact: top-3 characteristic
+    // tokens per doc (tf × ln(N/df), token-ascending tiebreak) — the
+    // query-independent complement of BM25 under the same tokenizer
+    // contract. One token explode; df re-aggregates the tf table.
+    "q3y_tfidf_keywords" -> Q(
+      fn = (s, dir) =>
+        KeywordSearch.tfidfTopKeywords(docs(s, dir), "doc_id", "text", k = 3)
+          .orderBy(col("doc_id"), col("rn")),
+      oracle = Some("""
+        WITH tf AS MATERIALIZED (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+                FROM documents)
+          GROUP BY doc_id, token),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, token, tf,
+                 ROUND(CAST(tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE)), 6) AS score
+          FROM tf JOIN df USING (token) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, token, tf, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, token) AS INT) AS rn
+          FROM scored)
+        SELECT doc_id, token, tf, score, rn
+        FROM ranked WHERE rn <= 3
+        ORDER BY doc_id, rn""")),
+
+    // URL host + registered-domain extraction, hash-exact: the step between
+    // a WARC scan and per-domain curation. The fixture has no URL column,
+    // so the driver check synthesizes four URL shapes (multi-label TLD,
+    // port, deep subdomain + fragment, schemeless) deterministically on
+    // both sides — every shape exercises a different stripping rule.
+    "q3x_url_domains" -> Q(
+      fn = (s, dir) => {
+        val u = when(col("doc_id") % 4 === 0,
+          concat(lit("https://www."), col("source"), lit(".co.uk/p/"), col("doc_id")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("http://"), col("source"), lit(".example.com:8080/x?q=1")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://a.b."), col("source"), lit(".org/path#frag")))
+          .otherwise(concat(col("source"), lit(".net/no-scheme/path")))
+        docs(s, dir).select(col("doc_id"), u.as("url"))
+          .select(col("doc_id"), col("url"),
+            graft.functions.UrlParts.host(col("url")).as("host"),
+            graft.functions.UrlParts.registeredDomain(
+              graft.functions.UrlParts.host(col("url"))).as("domain"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 4 = 0 THEN 'https://www.' || source || '.co.uk/p/' || doc_id
+                 WHEN doc_id % 4 = 1 THEN 'http://' || source || '.example.com:8080/x?q=1'
+                 WHEN doc_id % 4 = 2 THEN 'https://a.b.' || source || '.org/path#frag'
+                 ELSE source || '.net/no-scheme/path' END AS url
+          FROM documents),
+        h AS (
+          SELECT doc_id, url,
+            regexp_replace(
+              regexp_extract(
+                regexp_replace(
+                  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                  '^[^/?#@]*@', ''),
+                '^([^/?#]*)', 1),
+              ':[0-9]+$', '') AS host
+          FROM u),
+        p AS (SELECT doc_id, url, host, string_split(host, '.') AS parts FROM h)
+        SELECT doc_id, url, host,
+          CASE WHEN len(parts) <= 2 THEN host
+               WHEN parts[-2] IN ('co','com','net','org','gov','edu','ac')
+                 THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+               ELSE parts[-2] || '.' || parts[-1] END AS domain
+        FROM p ORDER BY doc_id""")),
+
     // Per-source quantile bands, hash-exact: each doc's SOURCE-relative
     // quality quartile (ntile over token count, doc_id tiebreak) — the
     // per-domain normalization step ("keep each source's top quartile"

@@ -1,0 +1,46 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlPartsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def run(urls: Seq[String]): Seq[(String, String)] = {
+    import spark.implicits._
+    urls.toDF("url")
+      .select(
+        UrlParts.host(col("url")).as("h"),
+        UrlParts.registeredDomain(UrlParts.host(col("url"))).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  test("host extraction: scheme, userinfo, port, path, query, fragment") {
+    assert(run(Seq(
+      "https://www.example.com/path?q=1#f",
+      "http://user:pw@example.com:8080/x",
+      "ftp://files.example.org",
+      "example.com/schemeless/path",
+      "https://example.com")) == Seq(
+      ("www.example.com", "example.com"),
+      ("example.com", "example.com"),
+      ("files.example.org", "example.org"),
+      ("example.com", "example.com"),
+      ("example.com", "example.com")))
+  }
+
+  test("registered domain: two-label default, second-level registry labels") {
+    assert(run(Seq(
+      "https://www.bbc.co.uk/news",
+      "https://a.b.c.deep.example.com",
+      "https://example.ac.jp",
+      "https://localhost/x",
+      "https://a.gov.au")) == Seq(
+      ("www.bbc.co.uk", "bbc.co.uk"),
+      ("a.b.c.deep.example.com", "example.com"),
+      ("example.ac.jp", "example.ac.jp"),
+      ("localhost", "localhost"),
+      ("a.gov.au", "a.gov.au")))
+  }
+}

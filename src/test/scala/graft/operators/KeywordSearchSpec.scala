@@ -114,4 +114,24 @@ class KeywordSearchSpec extends AnyFunSuite {
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[Int]("rn")).toMap
     assert(r == Map(2L -> 1, 5L -> 2, 9L -> 3)) // tie on 1.0 → doc_id asc
   }
+
+  test("tfidf keywords: rare terms beat common, corpus-wide terms score zero") {
+    import spark.implicits._
+    // "shared" appears in all 3 docs -> idf = ln(1) = 0; "rare" only in doc 1
+    val docs = Seq(
+      (1L, "shared rare rare common"),
+      (2L, "shared common common"),
+      (3L, "shared other")).toDF("doc_id", "text")
+    val out = KeywordSearch.tfidfTopKeywords(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> (r.getString(1), r.getDouble(3)))
+      .toMap
+    // doc 1: rare tf=2 idf=ln(3) -> top; common tf=1 idf=ln(3/2) second
+    assert(out((1L, 1))._1 == "rare")
+    assert(math.abs(out((1L, 1))._2 - 2 * math.log(3.0)) < 1e-6)
+    assert(out((1L, 2))._1 == "common")
+    // doc 3: "other" (unique) beats "shared" (idf 0)
+    assert(out((3L, 1))._1 == "other")
+    assert(out((3L, 2)) == ("shared", 0.0))
+  }
 }
