@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skewed large×large equi-joins — the manual lever for the
+  * case AQE's skew-join split cannot fix: ONE reducer key so hot (a null-ish
+  * sentinel, a boilerplate hash, an empty-text md5) that any partition
+  * containing it alone exceeds executor memory.
+  *
+  * The skewed side gets a deterministic salt in [0, nSalts); the other side
+  * is replicated once per salt value; the join runs on (key, salt), so a hot
+  * key's rows spread over nSalts reducer partitions. Result set is EXACTLY
+  * the plain equi-join's (SkewJoinSpec proves equivalence including
+  * duplicates and null keys); the price is an nSalts× replication of the
+  * other side's matching rows in the shuffle — pick nSalts ≈ (hot-key rows /
+  * healthy-partition rows), not a big constant.
+  *
+  * The salt derives from a hash of the skewed side's whole row (not RNG, not
+  * a row id): deterministic across retries and partitionings, which keeps
+  * the join replayable and any downstream hash-checks stable. Join types:
+  * inner / left / left_semi / left_anti (the replicated side's unmatched
+  * rows are meaningless, so right/full outer are rejected loudly).
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(
+      skewed: DataFrame, other: DataFrame, key: String, nSalts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase(java.util.Locale.ROOT)),
+      s"salted join supports $allowed, got '$joinType' " +
+        "(replicated-side outer rows would be duplicated)")
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(nSalts)).cast("int"))
+    val replicated = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  // 1000 rows of hot key 'h' + a tail, joined to a 3-keys-x-2-rows side
+  private def fixtures: (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val skewed = ((1 to 1000).map(i => ("h", i.toLong)) ++
+      Seq(("a", 2000L), ("b", 2001L), ("x", 2002L), (null, 2003L)))
+      .toDF("k", "v")
+    val other = Seq(("h", "H1"), ("h", "H2"), ("a", "A"), ("b", "B"),
+      (null.asInstanceOf[String], "N")).toDF("k", "tag")
+    (skewed, other)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("salted inner join equals the plain join, duplicates and nulls included") {
+    val (skewed, other) = fixtures
+    val plain = skewed.join(other, Seq("k"), "inner")
+    val salted = SkewJoin.saltedEquiJoin(skewed, other, "k", nSalts = 8)
+    assert(sortedRows(salted.select("k", "v", "tag"))
+      == sortedRows(plain.select("k", "v", "tag")))
+    assert(salted.count() == 2002) // 1000 hot rows x 2 tags + a + b
+  }
+
+  test("salted left and left_anti joins preserve outer semantics") {
+    val (skewed, other) = fixtures
+    for (jt <- Seq("left", "left_anti")) {
+      val plain = skewed.join(other, Seq("k"), jt)
+      val salted = SkewJoin.saltedEquiJoin(skewed, other, "k", nSalts = 4, jt)
+      assert(sortedRows(salted) == sortedRows(plain), s"join type $jt")
+    }
+  }
+
+  test("the hot key's rows actually spread across salts") {
+    val (skewed, _) = fixtures
+    val salts = skewed.filter(col("k") === "h")
+      .withColumn("__salt",
+        pmod(xxhash64(struct(col("k"), col("v"))), lit(8)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(salts == 8, "1000 distinct rows must cover all 8 salt buckets")
+  }
+
+  test("right/full outer are rejected loudly") {
+    val (skewed, other) = fixtures
+    intercept[IllegalArgumentException](
+      SkewJoin.saltedEquiJoin(skewed, other, "k", 4, "right"))
+    intercept[IllegalArgumentException](
+      SkewJoin.saltedEquiJoin(skewed, other, "k", 4, "full_outer"))
+  }
+}
