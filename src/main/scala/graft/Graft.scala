@@ -29,6 +29,8 @@ object Graft {
     spark.udf.register("rolling_fingerprint", GraftFunctions.rollingFingerprintUdf)
     spark.udf.register("winnowing", GraftFunctions.winnowingUdf)
     spark.udf.register("lang_id", GraftFunctions.langIdUdf)
+    spark.udf.register("repetition_stats", GraftFunctions.repetitionStatsUdf)
+    spark.udf.register("nfc_canonicalize", graft.functions.TextNormalize.nfcUdf)
     // binary ingest + multimodal decode for pure-SQL pipelines
     // (e.g. SELECT parse_document('pdf', content) FROM binaryFiles)
     spark.udf.register("parse_document",

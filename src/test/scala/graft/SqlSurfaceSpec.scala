@@ -68,6 +68,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Int]("sig_len") == 64))
   }
 
+  test("repetition stats + NFC canonicalization in pure SQL") {
+    val r = spark.sql("""
+      SELECT repetition_stats('a b\na b\nc d').dupLineFrac AS dlf,
+             nfc_canonicalize(concat('cafe', decode(unhex('CC81'), 'UTF-8'))) AS nfc""").collect().head
+    assert(math.abs(r.getAs[Double]("dlf") - 1.0 / 3) < 1e-9)
+    assert(r.getAs[String]("nfc") == "caf\u00E9")
+  }
+
   test("binary parsing + media decode are callable from pure SQL") {
     import spark.implicits._
     val html = "<p>Pure <b>SQL</b> ingest &amp; parse</p>".getBytes("UTF-8")
