@@ -18,19 +18,30 @@ object Decontaminate {
     * [[graft.functions.TextAnalysis.lowerTokens]] — the same expression BM25
     * uses, by construction.
     */
-  def ngrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def ngrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    rawNgrams(df, idCol, textCol, n).distinct()
+
+  /** [[ngrams]] without the distinct — narrow (explode only, no shuffle). */
+  private def rawNgrams(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = graft.functions.TextAnalysis.lowerTokens(col(textCol))
     df.select(col(idCol), toks.as("__toks"))
       .filter(size(col("__toks")) >= n)
       .select(col(idCol), explode(
         transform(sequence(lit(0), size(col("__toks")) - n),
           i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("gram"))
-      .distinct()
   }
 
   /** Per-corpus-doc count of distinct n-grams that appear in ANY benchmark
     * doc, plus the contamination flag (≥ `minShared` shared grams). Only
     * contaminated docs are returned — the droplist.
+    *
+    * The broadcast semi-join runs BEFORE any distinct: filtering corpus
+    * grams down to benchmark hits first means the only shuffle is the
+    * per-doc `countDistinct` over matched grams (a sliver of the corpus),
+    * never a corpus-wide gram dedup. Semi-join-then-distinct ≡
+    * distinct-then-semi-join, so results are unchanged (q3f stays
+    * hash-exact).
     */
   def sharedNgrams(
       corpus: DataFrame, benchmark: DataFrame,
@@ -38,10 +49,37 @@ object Decontaminate {
       minShared: Int = 1): DataFrame = {
     val benchGrams = ngrams(benchmark, idCol, textCol, n)
       .select(col("gram")).distinct()
-    ngrams(corpus, idCol, textCol, n)
+    rawNgrams(corpus, idCol, textCol, n)
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shared_grams"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
+
+  /** [[sharedNgrams]] for benchmark sets too large to broadcast as strings
+    * (full eval-suite unions: 10⁷ grams ≈ hundreds of MB of strings, but a
+    * ~1% Bloom filter over them is ~12 MB): corpus grams pass a broadcast
+    * `mightContain` pre-filter, then the surviving sliver — true hits plus
+    * the fpp share of false positives — is verified by an EXACT join
+    * against the benchmark grams (now a shuffle join of two small sides).
+    * Results are identical to [[sharedNgrams]] by construction (the exact
+    * join removes every false positive); the Bloom stage only bounds what
+    * shuffles.
+    */
+  def sharedNgramsBloom(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      minShared: Int = 1, fpp: Double = 0.01): DataFrame = {
+    val benchGrams = ngrams(benchmark, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val expected = math.max(1L, benchGrams.count())
+    val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
+    val mightContain = udf((g: String) => g != null && bloom.mightContain(g))
+    rawNgrams(corpus, idCol, textCol, n)
+      .filter(mightContain(col("gram")))
+      .join(benchGrams, Seq("gram"), "left_semi") // exact: kills false positives
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
       .filter(col("n_shared_grams") >= minShared)
   }
 }

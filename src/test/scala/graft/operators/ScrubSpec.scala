@@ -56,4 +56,26 @@ class ScrubSpec extends AnyFunSuite {
     val corpus = Seq((10L, "a b c")).toDF("doc_id", "text")
     assert(Decontaminate.sharedNgrams(corpus, bench, "doc_id", "text", 8).count() == 0)
   }
+
+  test("bloom-prefiltered decontamination equals the exact path, even at fpp 0.5") {
+    import spark.implicits._
+    val bench = (1L to 20L).map(i =>
+      (i, s"benchmark question number $i asks about topic $i in exactly eight words yes"))
+      .toDF("doc_id", "text")
+    val corpus = ((1L to 20L).map(i =>
+      (100L + i, s"a doc copying benchmark question number $i asks about topic $i in exactly eight words yes indeed")) ++
+      (200L to 260L).map(i => (i, s"clean document $i with its own words token$i filler$i etc$i and more padding here")))
+      .toDF("doc_id", "text")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_grams")).toMap
+    val exact = toMap(Decontaminate.sharedNgrams(corpus, bench, "doc_id", "text", 8))
+    assert(exact.size == 20) // every copier flagged, no clean doc flagged
+    // a deliberately terrible filter (fpp 0.5) floods the pre-filter with
+    // false positives; the exact verification join must kill every one
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = toMap(Decontaminate.sharedNgramsBloom(
+        corpus, bench, "doc_id", "text", 8, minShared = 1, fpp = fpp))
+      assert(bloom == exact, s"fpp=$fpp diverged")
+    }
+  }
 }
