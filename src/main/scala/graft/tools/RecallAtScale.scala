@@ -82,6 +82,17 @@ object RecallAtScale {
     val rPqAdc = RecallHarness.pqMeanRecall(emb, pqTrained, rerank = None)
     val rPqRr = RecallHarness.pqMeanRecall(emb, pqTrained, rerank = Some(50))
 
+    // Matryoshka prefix search (q3w config: coarse-50 on the prefix, exact
+    // rerank to top-10) — 20 queries, the RecallSpec gate shape
+    val q20 = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val exact20 = VectorSearch.knnJoin(q20, corpus, "q_id", "qv", "c_id", "cv", k = 10)
+      .localCheckpoint()
+    val rMrl16 = RecallHarness.knnRecall(
+      RecallHarness.matryoshkaRerank(q20, corpus, prefix = 16, shortlist = 50, k = 10), exact20)
+    val rMrl32 = RecallHarness.knnRecall(
+      RecallHarness.matryoshkaRerank(q20, corpus, prefix = 32, shortlist = 50, k = 10), exact20)
+
     spark.stop()
     println(f"""{"sf":"$sfDir","lsh_single":$rSingle%.4f,"lsh_multiprobe":$rMulti%.4f,""" +
       f""""lsh_8table":$rTables%.4f,"minhash_banding":$rMinhash%.4f,""" +
@@ -91,6 +102,7 @@ object RecallAtScale {
       f""""ivf_quant_overlap":$rQuant%.4f,""" +
       f""""pq_draw_adc":$rPqDrawAdc%.4f,"pq_draw_rerank50":$rPqDrawRr%.4f,""" +
       f""""pq_kmeans_adc":$rPqAdc%.4f,"pq_kmeans_rerank50":$rPqRr%.4f,""" +
+      f""""matryoshka16_rerank50":$rMrl16%.4f,"matryoshka32_rerank50":$rMrl32%.4f,""" +
       f""""neardup_lsh_pairs":$rNearDup%.4f,"neardup_true_pairs":${exactCos.size}}""")
   }
 }

@@ -27,6 +27,32 @@ object RecallHarness {
     df.select(aCol, bCol).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** Matryoshka two-stage result: coarse `shortlist`-NN on the `prefix`-dim
+    * slice, exact full-dim rerank to top-`k` — (query_id, neighbor_id) rows
+    * for [[knnRecall]] against an exact frame. Queries/corpus are the
+    * (q_id, qv)/(c_id, cv) shapes of `VectorSearch.knnJoin`.
+    */
+  def matryoshkaRerank(
+      queries: DataFrame, corpus: DataFrame,
+      prefix: Int, shortlist: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    import graft.operators.VectorSearch
+    val tq = queries.select(col("q_id"),
+      VectorFunctions.matryoshka(col("qv"), prefix).as("qv"))
+    val tc = corpus.select(col("c_id"),
+      VectorFunctions.matryoshka(col("cv"), prefix).as("cv"))
+    val short = VectorSearch.knnJoin(tq, tc, "q_id", "qv", "c_id", "cv", k = shortlist)
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("c_id"))
+    val rescored = short
+      .join(queries, "q_id").join(corpus, "c_id")
+      .select(col("q_id"), col("c_id"),
+        VectorFunctions.cosine(col("cv"), col("qv")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("c_id"))
+    rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"))
+  }
+
   def collectVecs(emb: DataFrame): Array[(Long, Array[Float])] =
     emb.select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)

@@ -145,29 +145,16 @@ class RecallSpec extends AnyFunSuite {
   }
 
   test("matryoshka prefix search: rerank recall gated, grows with prefix") {
-    import graft.functions.VectorFunctions
     val emb = Tables(spark, sf, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
     val exact = VectorSearch.knnJoin(queries, corpus, "q_id", "qv", "c_id", "cv", k = 10)
 
-    def mrl(prefix: Int): DataFrame = {
-      val tq = queries.select(col("q_id"),
-        VectorFunctions.matryoshka(col("qv"), prefix).as("qv"))
-      val tc = corpus.select(col("c_id"),
-        VectorFunctions.matryoshka(col("cv"), prefix).as("cv"))
-      val shortlist = VectorSearch.knnJoin(tq, tc, "q_id", "qv", "c_id", "cv", k = 50)
-        .select(col("query_id").as("q_id"), col("neighbor_id").as("c_id"))
-      val rescored = shortlist
-        .join(queries, "q_id").join(corpus, "c_id")
-        .select(col("q_id"), col("c_id"),
-          VectorFunctions.cosine(col("cv"), col("qv")).as("score"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-        .orderBy(col("score").desc, col("c_id"))
-      rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
-        .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"))
-    }
+    // shared harness code — the same math RecallAtScale reports at sf0.1
+    def mrl(prefix: Int): DataFrame =
+      graft.tools.RecallHarness.matryoshkaRerank(
+        queries, corpus, prefix, shortlist = 50, k = 10)
 
     val r16 = recallOfKnn(mrl(16), exact)
     val r32 = recallOfKnn(mrl(32), exact)
