@@ -30,7 +30,9 @@ object Graft {
     spark.udf.register("winnowing", GraftFunctions.winnowingUdf)
     spark.udf.register("lang_id", GraftFunctions.langIdUdf)
     spark.udf.register("repetition_stats", GraftFunctions.repetitionStatsUdf)
-    spark.udf.register("nfc_canonicalize", graft.functions.TextNormalize.nfcUdf)
+    // the FULL pipeline (strip zero-width/controls BEFORE NFC) — the bare
+    // NFC step alone would let a zero-width char block mark composition
+    spark.udf.register("canonicalize_text", graft.functions.TextNormalize.canonicalizeUdf)
     // binary ingest + multimodal decode for pure-SQL pipelines
     // (e.g. SELECT parse_document('pdf', content) FROM binaryFiles)
     spark.udf.register("parse_document",

@@ -39,4 +39,22 @@ object TextNormalize {
 
   /** The full canonical form (steps 1–4). */
   def canonicalize(text: Column): Column = nfcUdf(stripped(text))
+
+  /** Plain-Scala twin of [[canonicalize]] for one-call registration on the
+    * SQL front door — same java.util.regex patterns Spark's
+    * `regexp_replace` compiles, so the two paths cannot diverge. (The bare
+    * [[nfcUdf]] alone would SKIP the strip-before-NFC ordering: a
+    * zero-width char between a base and its mark would block composition
+    * and SQL-pipeline hashes would differ from batch hashes.)
+    */
+  def canonicalizeString(s: String): String =
+    if (s == null) null
+    else java.text.Normalizer.normalize(
+      s.replace("\r\n", "\n").replace("\r", "\n")
+        .replaceAll(ZeroWidthClass, "")
+        .replaceAll(ControlClass, ""),
+      java.text.Normalizer.Form.NFC)
+
+  val canonicalizeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => canonicalizeString(s))
 }

@@ -16,14 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object UrlParts {
 
-  /** Hostname: scheme and userinfo stripped, path/query/fragment cut,
+  /** Hostname, LOWERCASED (RFC 3986: the host component is
+    * case-insensitive — without folding, `BBC.co.uk` and `bbc.co.uk` split
+    * one publisher into two domain groups): scheme and protocol-relative
+    * `//` prefixes stripped, userinfo stripped, path/query/fragment cut,
     * port removed. Schemeless input ("example.com/path") is tolerated.
     */
   def host(url: Column): Column = {
-    val noScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noScheme = regexp_replace(url, "^([A-Za-z][A-Za-z0-9+.-]*:)?//", "")
     val noUser = regexp_replace(noScheme, "^[^/?#@]*@", "")
     val hostPort = regexp_extract(noUser, "^([^/?#]*)", 1)
-    regexp_replace(hostPort, ":[0-9]+$", "")
+    lower(regexp_replace(hostPort, ":[0-9]+$", ""))
   }
 
   /** Common second-level registry labels (the `co` of `bbc.co.uk`). */

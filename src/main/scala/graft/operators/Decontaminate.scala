@@ -70,8 +70,12 @@ object Decontaminate {
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       minShared: Int = 1, fpp: Double = 0.01): DataFrame = {
+    // persisted: the benchmark explode+distinct would otherwise recompute
+    // THREE times (count action, bloomFilter build, verification join) —
+    // and "too big to broadcast" is exactly when that triple pass hurts
     val benchGrams = ngrams(benchmark, idCol, textCol, n)
       .select(col("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected = math.max(1L, benchGrams.count())
     val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
     val mightContain = udf((g: String) => g != null && bloom.mightContain(g))

@@ -121,12 +121,17 @@ object KeywordSearch {
     *
     * Scale shape: ONE token explode feeds the (doc, token) tf aggregate;
     * df re-aggregates the tf table (vocabulary-sized, no second corpus
-    * scan); idf attaches via a broadcast-sized join; the per-doc top-k is
-    * a window whose partial `WindowGroupLimit` bounds the shuffle at
-    * k·partitions rows per doc.
+    * scan); the per-doc top-k is a window whose partial `WindowGroupLimit`
+    * bounds the shuffle at k·partitions rows per doc. `broadcastDf`
+    * defaults true (vocabularies of curated corpora broadcast fine) — at
+    * web scale the whitespace vocabulary is UNBOUNDED (URLs, glued
+    * punctuation, typos grow with corpus size) and a forced broadcast is a
+    * hard 8 GB/driver-OOM failure, so pass false there and the idf join
+    * degrades to a plain shuffle join, slower but linear.
     */
   def tfidfTopKeywords(
-      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      broadcastDf: Boolean = true): DataFrame = {
     val tot = docs.agg(count(lit(1)).cast("double").as("__n"))
     val tf = docs
       .select(col(idCol),
@@ -136,7 +141,7 @@ object KeywordSearch {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token"))
-    tf.join(broadcast(df), Seq("token"))
+    tf.join(if (broadcastDf) broadcast(df) else df, Seq("token"))
       .crossJoin(broadcast(tot))
       .withColumn("score",
         round(col("tf").cast("double") *

@@ -629,12 +629,16 @@ object TextQueries {
     // both sides — every shape exercises a different stripping rule.
     "q3x_url_domains" -> Q(
       fn = (s, dir) => {
-        val u = when(col("doc_id") % 4 === 0,
+        val u = when(col("doc_id") % 6 === 0,
           concat(lit("https://www."), col("source"), lit(".co.uk/p/"), col("doc_id")))
-          .when(col("doc_id") % 4 === 1,
+          .when(col("doc_id") % 6 === 1,
             concat(lit("http://"), col("source"), lit(".example.com:8080/x?q=1")))
-          .when(col("doc_id") % 4 === 2,
+          .when(col("doc_id") % 6 === 2,
             concat(lit("https://a.b."), col("source"), lit(".org/path#frag")))
+          .when(col("doc_id") % 6 === 3,
+            concat(lit("//cdn."), col("source"), lit(".com/asset.js"))) // protocol-relative
+          .when(col("doc_id") % 6 === 4,
+            concat(lit("HTTPS://WWW."), upper(col("source")), lit(".CO.UK/U"))) // case-folding
           .otherwise(concat(col("source"), lit(".net/no-scheme/path")))
         docs(s, dir).select(col("doc_id"), u.as("url"))
           .select(col("doc_id"), col("url"),
@@ -646,20 +650,22 @@ object TextQueries {
       oracle = Some("""
         WITH u AS (
           SELECT doc_id,
-            CASE WHEN doc_id % 4 = 0 THEN 'https://www.' || source || '.co.uk/p/' || doc_id
-                 WHEN doc_id % 4 = 1 THEN 'http://' || source || '.example.com:8080/x?q=1'
-                 WHEN doc_id % 4 = 2 THEN 'https://a.b.' || source || '.org/path#frag'
+            CASE WHEN doc_id % 6 = 0 THEN 'https://www.' || source || '.co.uk/p/' || doc_id
+                 WHEN doc_id % 6 = 1 THEN 'http://' || source || '.example.com:8080/x?q=1'
+                 WHEN doc_id % 6 = 2 THEN 'https://a.b.' || source || '.org/path#frag'
+                 WHEN doc_id % 6 = 3 THEN '//cdn.' || source || '.com/asset.js'
+                 WHEN doc_id % 6 = 4 THEN 'HTTPS://WWW.' || upper(source) || '.CO.UK/U'
                  ELSE source || '.net/no-scheme/path' END AS url
           FROM documents),
         h AS (
           SELECT doc_id, url,
-            regexp_replace(
+            lower(regexp_replace(
               regexp_extract(
                 regexp_replace(
-                  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                  regexp_replace(url, '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''),
                   '^[^/?#@]*@', ''),
                 '^([^/?#]*)', 1),
-              ':[0-9]+$', '') AS host
+              ':[0-9]+$', '')) AS host
           FROM u),
         p AS (SELECT doc_id, url, host, string_split(host, '.') AS parts FROM h)
         SELECT doc_id, url, host,

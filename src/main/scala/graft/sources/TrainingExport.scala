@@ -42,7 +42,13 @@ object TrainingExport {
       .sortWithinPartitions(col("__shard"), col(orderCol))
       .select(col("__shard").as("shard"), col("line").as("value"))
       .write.partitionBy("shard").mode("overwrite").text(path)
-    binned.agg(countDistinct(col("__shard"))).head.getLong(0)
+    // shard count from the COMMITTED output directories — re-running the
+    // binning pipeline for a scalar would double the whole job's cost
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .toLong
   }
 
   /** Convenience: budget-sharded (id, text) export grouped by `groupCol`,

@@ -68,12 +68,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Int]("sig_len") == 64))
   }
 
-  test("repetition stats + NFC canonicalization in pure SQL") {
+  test("repetition stats + full canonicalization in pure SQL") {
+    // E2808B = zero-width space BETWEEN base and combining mark (CC81):
+    // the full pipeline must strip it first so the mark still composes
     val r = spark.sql("""
       SELECT repetition_stats('a b\na b\nc d').dupLineFrac AS dlf,
-             nfc_canonicalize(concat('cafe', decode(unhex('CC81'), 'UTF-8'))) AS nfc""").collect().head
+             canonicalize_text(concat('cafe', decode(unhex('CC81'), 'UTF-8'))) AS nfc,
+             canonicalize_text(concat('cafe', decode(unhex('E2808BCC81'), 'UTF-8'))) AS zw""").collect().head
     assert(math.abs(r.getAs[Double]("dlf") - 1.0 / 3) < 1e-9)
     assert(r.getAs[String]("nfc") == "caf\u00E9")
+    assert(r.getAs[String]("zw") == "caf\u00E9")
   }
 
   test("binary parsing + media decode are callable from pure SQL") {

@@ -30,6 +30,18 @@ class UrlPartsSpec extends AnyFunSuite {
       ("example.com", "example.com")))
   }
 
+  test("case folding and protocol-relative URLs (RFC 3986 host case-insensitivity)") {
+    assert(run(Seq(
+      "https://WWW.BBC.CO.UK/News", // uppercase must not split the publisher
+      "HTTPS://Example.COM/x",
+      "//cdn.example.com/asset.js", // protocol-relative crawl href
+      "//CDN.Example.ORG:443/y")) == Seq(
+      ("www.bbc.co.uk", "bbc.co.uk"),
+      ("example.com", "example.com"),
+      ("cdn.example.com", "example.com"),
+      ("cdn.example.org", "example.org")))
+  }
+
   test("registered domain: two-label default, second-level registry labels") {
     assert(run(Seq(
       "https://www.bbc.co.uk/news",
