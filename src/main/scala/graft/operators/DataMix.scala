@@ -42,6 +42,41 @@ object DataMix {
       df: DataFrame, keyCol: String, rate: Double, salt: String): DataFrame =
     df.filter(keepAtRate(hashDraw(col(keyCol), salt), rate))
 
+  /** Deterministic train/val/test-style split: each row gets the FIRST
+    * label whose cumulative weight its md5 draw falls under, so membership
+    * depends only on (key, salt) — reproducible across runs, engines and
+    * partitionings, and disjoint-and-total by construction (weights must
+    * sum to 1). Changing the salt redraws the whole split; adding docs
+    * never moves existing ones between splits (per-key draws are
+    * independent) — the property that keeps a held-out set held out as the
+    * corpus grows.
+    */
+  def deterministicSplit(
+      df: DataFrame, keyCol: String, weights: Seq[(String, Double)],
+      salt: String): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0),
+      "weights must be non-negative")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.map(_._2).sum}")
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    val draw = hashDraw(col(keyCol), salt)
+    // CASE ladder over cumulative hex thresholds; the last label is the
+    // otherwise-branch so rounding in hexThreshold can never drop a row
+    val labeled = weights.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((label, _), c)) =>
+        val cond = draw < lit(hexThreshold(c))
+        Some(acc match {
+          case None => when(cond, lit(label))
+          case Some(w) => w.when(cond, lit(label))
+        })
+    }
+    val split = labeled match {
+      case Some(w) => w.otherwise(lit(weights.last._1))
+      case None => lit(weights.last._1)
+    }
+    df.withColumn("split", split)
+  }
+
   /** Per-source mix: each source keeps its own expected fraction (sources
     * absent from `rates` are dropped — an explicit mix is a whitelist).
     * The draw is materialized once per row — N mix entries must not mean N

@@ -592,6 +592,24 @@ object TextQueries {
                CAST(len(t) - len(c) AS BIGINT) AS n_removed
         FROM n ORDER BY doc_id""")),
 
+    // Deterministic train/val/test split, hash-exact: membership is a pure
+    // function of (doc_id, salt) — adding docs never moves existing ones
+    // between splits, which is what keeps a held-out set held out as the
+    // corpus grows. Oracle replays the md5-hex CASE ladder.
+    "q3z_split" -> Q(
+      fn = (s, dir) =>
+        DataMix.deterministicSplit(docs(s, dir).select(col("doc_id")), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split1")
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        SELECT doc_id,
+          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split1'), 1, 8)
+                 < '${DataMix.hexThreshold(0.8)}' THEN 'train'
+               WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split1'), 1, 8)
+                 < '${DataMix.hexThreshold(0.9)}' THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id""")),
+
     // Per-doc TF-IDF keyword extraction, hash-exact: top-3 characteristic
     // tokens per doc (tf × ln(N/df), token-ascending tiebreak) — the
     // query-independent complement of BM25 under the same tokenizer

@@ -106,6 +106,30 @@ class DataMixSpec extends AnyFunSuite {
     assert(wb(3L) == 2 && wb(2L) == 2) // each group has its own top band
   }
 
+  test("deterministic split: disjoint-total, proportional, growth-stable") {
+    import spark.implicits._
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (1L to 2000L).toDF("id")
+    val labels = DataMix.deterministicSplit(small, "id", w, "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labels.size == 2000) // total: every row labeled exactly once
+    val frac = labels.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05)
+    assert(math.abs(frac("val") - 0.1) < 0.03)
+    assert(math.abs(frac("test") - 0.1) < 0.03)
+    // growing the corpus never relabels existing keys (held-out stays out)
+    val grown = DataMix.deterministicSplit((1L to 4000L).toDF("id"), "id", w, "s1")
+      .filter(col("id") <= 2000).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(grown == labels)
+    // salt redraw changes the assignment
+    val redrawn = DataMix.deterministicSplit(small, "id", w, "s2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(redrawn != labels)
+    // weights must sum to 1
+    intercept[IllegalArgumentException](
+      DataMix.deterministicSplit(small, "id", Seq("a" -> 0.5, "b" -> 0.4), "s"))
+  }
+
   test("approx quantile bands agree >= 0.9 with exact ntile on real data") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
