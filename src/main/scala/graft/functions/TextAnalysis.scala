@@ -83,4 +83,15 @@ object TextAnalysis {
   /** Exact Jaccard similarity of two shingle-set columns (double). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Intra-document duplicate-line removal: keep each line's FIRST
+    * occurrence in order (`array_distinct` preserves first-seen order) —
+    * the transform twin of [[RepetitionStats]]'s dup-line diagnostics, for
+    * scraped navigation/boilerplate repeated inside one page. Lines
+    * compare RAW (no trim), and repeated blank lines collapse to one —
+    * both deliberate (and replayed by the q2g oracle). Narrow codegen,
+    * no UDF.
+    */
+  def dedupLines(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
 }

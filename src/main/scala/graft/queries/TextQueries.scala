@@ -592,6 +592,47 @@ object TextQueries {
                CAST(len(t) - len(c) AS BIGINT) AS n_removed
         FROM n ORDER BY doc_id""")),
 
+    // Intra-doc duplicate-line removal, hash-exact: keep each line's first
+    // occurrence in order (the transform twin of q3r's dup-line stats).
+    // Line structure is derived on both sides (the fixture is single-line):
+    // token-per-line, so the salad's repeated tokens become duplicate lines
+    // with per-doc-varying removal counts (NOT vacuous — the " the "-style
+    // derivation produced zero duplicate lines corpus-wide). The oracle
+    // replays order-preserving distinct via first-occurrence row_number +
+    // ordered string_agg.
+    "q2g_dedup_lines" -> Q(
+      fn = (s, dir) => {
+        val lined = regexp_replace(col("text"), " ", "\n")
+        docs(s, dir).select(col("doc_id"), lined.as("t"))
+          .select(
+            col("doc_id"),
+            (size(split(col("t"), "\n")) -
+              size(array_distinct(split(col("t"), "\n")))).as("n_removed"),
+            sha2(TextAnalysis.dedupLines(col("t")), 256).as("dedup_sha"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+          FROM documents),
+        pos AS (
+          SELECT doc_id, p['i'] AS i, p['l'] AS l FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+              i -> {'i': i, 'l': ls[i]})) AS p
+            FROM d)),
+        firsts AS (
+          SELECT doc_id, i, l,
+                 row_number() OVER (PARTITION BY doc_id, l ORDER BY i) AS occ
+          FROM pos)
+        SELECT d2.doc_id,
+               CAST(len(d2.ls) - count(f.i) AS INT) AS n_removed,
+               sha256(COALESCE(string_agg(f.l, chr(10) ORDER BY f.i), '')) AS dedup_sha
+        FROM d d2 LEFT JOIN (SELECT * FROM firsts WHERE occ = 1) f
+          ON d2.doc_id = f.doc_id
+        GROUP BY d2.doc_id, len(d2.ls)
+        ORDER BY d2.doc_id""")),
+
     // Deterministic train/val/test split, hash-exact: membership is a pure
     // function of (doc_id, salt) — adding docs never moves existing ones
     // between splits, which is what keeps a held-out set held out as the

@@ -104,6 +104,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r(1).getSeq[String](0) == Seq("one two"))
   }
 
+  test("dedupLines keeps first occurrences in order; blanks collapse") {
+    import spark.implicits._
+    val df = Seq(
+      "nav\nbody one\nnav\nbody two\nnav", // boilerplate interleaved
+      "a\n\nb\n\nc", // repeated blanks collapse to one
+      "only line").toDF("text")
+    val r = df.select(TextAnalysis.dedupLines(col("text")).as("d"))
+      .collect().map(_.getString(0))
+    assert(r(0) == "nav\nbody one\nbody two")
+    assert(r(1) == "a\n\nb\nc")
+    assert(r(2) == "only line")
+  }
+
   test("langid detects via stopwords and han fast-path") {
     assert(LangId.detect("the cat sat on the mat with it") == "en")
     assert(LangId.detect("el perro y la casa de los niños") == "es")
