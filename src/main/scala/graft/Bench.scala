@@ -187,7 +187,12 @@ object Bench {
         capPerSource = Some(15),
         sampleRate = 0.8,
         salt = "curate",
-        repetitionMaxDup5gram = Some(0.9))).count()
+        repetitionMaxDup5gram = Some(0.9),
+        // canonicalize tracked (NFC UDF scan cost); C4 page rules stay off
+        // HERE only because the fixture is unpunctuated word salad — the
+        // stage would empty the corpus and zero out every later stage's
+        // cost, making the bench line meaningless
+        canonicalize = true)).count()
     ()
   }
 

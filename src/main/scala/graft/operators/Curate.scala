@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  /** Stage toggles. None/1.0 disables a stage entirely (no plan cost). */
+  /** Stage toggles. None/1.0/false disables a stage entirely (no plan
+    * cost).
+    */
   final case class Config(
       nearDupMinJaccard: Option[Double] = Some(0.5),
       surprisalBand: Option[(Double, Double)] = None,
@@ -32,7 +34,9 @@ object Curate {
       capPerSource: Option[Int] = None,
       sampleRate: Double = 1.0,
       salt: String = "curate",
-      repetitionMaxDup5gram: Option[Double] = None)
+      repetitionMaxDup5gram: Option[Double] = None,
+      canonicalize: Boolean = false,
+      c4PageRules: Boolean = false)
 
   /** Ordered (stageName, DataFrame-after-stage) — the last entry is the
     * curated output: original columns plus `surprisal` (when banded) and
@@ -45,6 +49,24 @@ object Curate {
     val out = Seq.newBuilder[(String, DataFrame)]
     out += ("input" -> docs)
     var docsIn = docs
+
+    // 0a. Unicode canonicalization FIRST — every downstream hash (exact
+    // dedup md5, MinHash shingles, benchmark grams) must see the canonical
+    // text, or composed/decomposed variants of the same doc slip past
+    // dedup. Rewrites the text column in place; narrow.
+    if (cfg.canonicalize) {
+      docsIn = docsIn.withColumn(textCol,
+        graft.functions.TextNormalize.canonicalize(col(textCol)))
+      out += ("canonicalized" -> docsIn)
+    }
+
+    // 0b. C4 page rules: the line-level web-cleaning recipe. Null text
+    // passes (shared unevaluable-docs policy).
+    if (cfg.c4PageRules) {
+      docsIn = docsIn.filter(
+        graft.functions.C4Rules.keepPage(col(textCol)) || col(textCol).isNull)
+      out += ("c4_page_rules" -> docsIn)
+    }
 
     // 0. repetition filter (Gopher-style): drop docs whose duplicated-5-gram
     // character fraction exceeds the threshold. FIRST because it is the one

@@ -129,6 +129,37 @@ class CurateSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("canonicalize stage makes composed/decomposed duplicates dedupe exactly") {
+    import spark.implicits._
+    // same visible text, one composed one decomposed: WITHOUT
+    // canonicalization md5 differs and both survive exact dedup
+    val composed = s"caf\u00E9 menu $filler"
+    val decomposed = s"cafe\u0301 menu $filler"
+    val docs = Seq((1L, composed, "s"), (2L, decomposed, "s"))
+      .toDF("doc_id", "text", "source")
+    def run(canon: Boolean) = Curate.run(docs, "doc_id", "text", "source", None,
+      Curate.Config(nearDupMinJaccard = None, surprisalBand = None,
+        capPerSource = None, sampleRate = 1.0, canonicalize = canon))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(run(false) == Set(1L, 2L)) // hash-distinct without canonicalization
+    assert(run(true) == Set(1L)) // canonical twin collapses to the min id
+  }
+
+  test("c4 page rules stage drops unpunctuated pages, keeps prose and nulls") {
+    import spark.implicits._
+    val prose = (1 to 6).map(i => s"This is sentence number $i of the page.").mkString("\n")
+    val docs = Seq(
+      (1L, prose, "s"),
+      (2L, s"word salad no punctuation $filler", "s"),
+      (3L, null.asInstanceOf[String], "s"))
+      .toDF("doc_id", "text", "source")
+    val st = Curate.stages(docs, "doc_id", "text", "source", None,
+      Curate.Config(nearDupMinJaccard = None, surprisalBand = None,
+        capPerSource = None, sampleRate = 1.0, c4PageRules = true)).toMap
+    assert(st("c4_page_rules").select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("disabled stages are skipped entirely") {
     import spark.implicits._
     val docs = Seq((1L, s"a $filler", "s"), (2L, s"b $filler", "s"))
