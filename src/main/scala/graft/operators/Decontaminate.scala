@@ -70,14 +70,19 @@ object Decontaminate {
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       minShared: Int = 1, fpp: Double = 0.01): DataFrame = {
-    // persisted: the benchmark explode+distinct would otherwise recompute
-    // THREE times (count action, bloomFilter build, verification join) —
-    // and "too big to broadcast" is exactly when that triple pass hurts
+    // Cached only across the two BUILD actions (count + bloomFilter), then
+    // released — a persist held by the returned lazy plan would pin
+    // hundreds of MB of gram blocks for the application lifetime on every
+    // call. The verification join recomputes benchGrams once at execution:
+    // 2 total passes over the benchmark instead of the naive 3, no leak.
     val benchGrams = ngrams(benchmark, idCol, textCol, n)
       .select(col("gram")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val expected = math.max(1L, benchGrams.count())
-    val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
+    val cached = benchGrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try {
+        val expected = math.max(1L, cached.count())
+        cached.stat.bloomFilter("gram", expected, fpp)
+      } finally { cached.unpersist(blocking = false); () }
     val mightContain = udf((g: String) => g != null && bloom.mightContain(g))
     rawNgrams(corpus, idCol, textCol, n)
       .filter(mightContain(col("gram")))

@@ -16,38 +16,46 @@ import org.apache.spark.sql.functions._
   * other side's matching rows in the shuffle — pick nSalts ≈ (hot-key rows /
   * healthy-partition rows), not a big constant.
   *
-  * The default salt derives from a hash of the skewed side's whole row (not
-  * RNG, not a row id): deterministic across retries and partitionings, which
-  * keeps the join replayable and any downstream hash-checks stable. The
-  * LIMIT of that choice: EXACT-duplicate rows hash identically and land in
-  * ONE salt bucket — a hot key whose rows are all byte-identical (the
-  * empty-document case) does not spread at all. For that shape pass
-  * `spreadDuplicates = true`, which folds the physical row position into
-  * the salt: identical rows then spread, at the price of salt assignment
-  * (NOT the result set, which stays exactly the plain join's) varying with
-  * partitioning. Join types: inner / left / left_semi / left_anti (the
-  * replicated side's unmatched rows are meaningless, so right/full outer
-  * are rejected loudly).
+  * The salt derives from a hash of the skewed side's whole row (not RNG, not
+  * a row id): deterministic across retries and partitionings — a salt is a
+  * SHUFFLE KEY, and a nondeterministic shuffle key silently loses or
+  * duplicates rows when a map task is recomputed after a fetch failure.
+  * The limit of that choice: EXACT-duplicate rows hash identically and land
+  * in ONE salt bucket, so a hot key whose rows are all byte-identical (the
+  * empty-document case) does not spread. `collapseDuplicates = true` is the
+  * deterministic answer for that shape: identical rows pre-aggregate into
+  * (row, multiplicity) — partial aggregation combines them MAP-SIDE, so the
+  * hot partition never ships its duplicates anywhere — the join runs on the
+  * now-skewless distinct rows, and the result re-expands by multiplicity.
+  * Result set is exactly the plain join's in both modes. Join types: inner /
+  * left / left_semi / left_anti (the replicated side's unmatched rows are
+  * meaningless, so right/full outer are rejected loudly).
   */
 object SkewJoin {
 
   def saltedEquiJoin(
       skewed: DataFrame, other: DataFrame, key: String, nSalts: Int,
-      joinType: String = "inner", spreadDuplicates: Boolean = false): DataFrame = {
+      joinType: String = "inner", collapseDuplicates: Boolean = false): DataFrame = {
     require(nSalts > 0, s"nSalts must be positive, got $nSalts")
     val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
       "leftsemi", "left_anti", "leftanti")
     require(allowed.contains(joinType.toLowerCase(java.util.Locale.ROOT)),
       s"salted join supports $allowed, got '$joinType' " +
         "(replicated-side outer rows would be duplicated)")
-    val rowHash = xxhash64(struct(skewed.columns.map(col): _*))
-    val saltSource =
-      if (spreadDuplicates) rowHash + monotonically_increasing_id()
-      else rowHash
-    val salted = skewed.withColumn("__salt",
-      pmod(saltSource, lit(nSalts)).cast("int"))
+    val skewedCols = skewed.columns
+    def withSalt(df: DataFrame): DataFrame = df.withColumn("__salt",
+      pmod(xxhash64(struct(skewedCols.map(col): _*)), lit(nSalts)).cast("int"))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
-    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+    if (!collapseDuplicates)
+      withSalt(skewed).join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+    else {
+      val collapsed = skewed.groupBy(skewedCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+      withSalt(collapsed).join(replicated, Seq(key, "__salt"), joinType)
+        .drop("__salt")
+        .withColumn("__i", explode(sequence(lit(1L), col("__n"))))
+        .drop("__n", "__i")
+    }
   }
 }

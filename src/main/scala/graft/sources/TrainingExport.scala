@@ -32,6 +32,13 @@ object TrainingExport {
   def writeJsonlShards(
       docs: DataFrame, groupCol: String, orderCol: String, tokensCol: String,
       tokenBudget: Long, path: String, cols: Seq[String]): Long = {
+    // explicit whole-path delete BEFORE the write: with
+    // partitionOverwriteMode=dynamic an overwrite only replaces the shard
+    // dirs this export produces, leaving stale shard= dirs from a previous
+    // larger export both on disk AND in the directory-listing count below
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(fsPath)) fs.delete(fsPath, true)
     val binned = DataMix.packByTokenBudget(
       docs, groupCol = groupCol, orderCol = orderCol, tokensCol = tokensCol,
       budget = tokenBudget)
@@ -42,11 +49,10 @@ object TrainingExport {
       .sortWithinPartitions(col("__shard"), col(orderCol))
       .select(col("__shard").as("shard"), col("line").as("value"))
       .write.partitionBy("shard").mode("overwrite").text(path)
-    // shard count from the COMMITTED output directories — re-running the
+    // shard count from the COMMITTED output directories (safe: the path was
+    // wiped above, so only this export's dirs exist) — re-running the
     // binning pipeline for a scalar would double the whole job's cost
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    fs.listStatus(fsPath)
       .count(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
       .toLong
   }

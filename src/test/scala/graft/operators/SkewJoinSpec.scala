@@ -49,20 +49,23 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(salts == 8, "1000 distinct rows must cover all 8 salt buckets")
   }
 
-  test("spreadDuplicates: identical rows spread, result set still exact") {
+  test("collapseDuplicates: identical hot rows pre-aggregate, result multiset exact") {
     import spark.implicits._
     // 500 BYTE-IDENTICAL hot rows — the whole-row hash puts them all in one
-    // salt bucket (documented limit); spreadDuplicates must fan them out
+    // salt bucket (documented limit); collapseDuplicates turns them into a
+    // single (row, 500) aggregate before the join and re-expands after
     val dup = (Seq.fill(500)(("h", 0L)) ++ Seq(("a", 1L))).toDF("k", "v")
     val (_, other) = fixtures
     val defaultSalts = dup.filter(col("k") === "h")
       .withColumn("__salt", pmod(xxhash64(struct(col("k"), col("v"))), lit(8)).cast("int"))
       .select("__salt").distinct().count()
     assert(defaultSalts == 1L) // the documented limitation, pinned
-    val spread = SkewJoin.saltedEquiJoin(dup, other, "k", nSalts = 8,
-      spreadDuplicates = true)
-    assert(sortedRows(spread.select("k", "v", "tag"))
-      == sortedRows(dup.join(other, Seq("k"), "inner").select("k", "v", "tag")))
+    for (jt <- Seq("inner", "left", "left_anti")) {
+      val collapsed = SkewJoin.saltedEquiJoin(dup, other, "k", nSalts = 8,
+        joinType = jt, collapseDuplicates = true)
+      assert(sortedRows(collapsed) == sortedRows(dup.join(other, Seq("k"), jt)),
+        s"join type $jt")
+    }
   }
 
   test("right/full outer are rejected loudly") {
