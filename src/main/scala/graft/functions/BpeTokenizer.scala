@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: TRAIN merges over a corpus with Spark,
+  * APPLY them as a deterministic encode — the real thing behind
+  * [[TextAnalysis.bpeTokenCount]]'s regex approximation (Sennrich et al.
+  * 2016; the GPT-2 tokenizer family is this algorithm over bytes).
+  *
+  * Training operates on the WORD-FREQUENCY table, not the corpus: one
+  * corpus-wide token count (a single shuffle — Zipf keeps the distinct-word
+  * table orders of magnitude smaller than the corpus), then `nMerges`
+  * iterations of: count adjacent symbol pairs weighted by word frequency →
+  * take the argmax pair (count desc, then lexicographic — fully
+  * deterministic) → rewrite the vocabulary's symbol sequences. Each
+  * iteration is two narrow passes + one pair aggregate over the VOCABULARY
+  * (not the corpus); `localCheckpoint` every few rounds truncates lineage
+  * exactly like the connected-components loop. At 100 TB the standard
+  * practice applies unchanged: train on the word-frequency table of a
+  * sample or a frequency-floored vocabulary (`minWordCount`) — merges
+  * converge on the head of the distribution, which a sample captures.
+  *
+  * The word boundary is the shared whitespace contract
+  * ([[TextAnalysis.lowerTokens]]); an end-of-word marker `</w>` attaches to
+  * each word's last symbol so merges never cross word boundaries, per the
+  * original paper.
+  */
+object BpeTokenizer {
+
+  val EndOfWord = "</w>"
+
+  final case class Merge(a: String, b: String)
+
+  /** Initial symbol sequence of a word: its characters, last one tagged
+    * with the end-of-word marker.
+    */
+  private[graft] def initialSymbols(word: String): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    val cps = word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    cps.init.toSeq :+ (cps.last + EndOfWord)
+  }
+
+  /** Apply one learned merge to a symbol sequence (all occurrences,
+    * left-to-right).
+    */
+  private[graft] def applyMerge(symbols: Seq[String], m: Merge): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < symbols.length) {
+      if (i + 1 < symbols.length && symbols(i) == m.a && symbols(i + 1) == m.b) {
+        out += (m.a + m.b)
+        i += 2
+      } else {
+        out += symbols(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Learn `nMerges` merges from the corpus. Returns them in rank order
+    * (earlier = higher priority for [[encode]]). Deterministic: ties on
+    * pair count break lexicographically on (a, b).
+    */
+  def train(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      minWordCount: Long = 1L): Seq[Merge] = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    val spark = docs.sparkSession
+    val initUdf = udf((w: String) => initialSymbols(w))
+    var vocab = docs
+      .select(explode(TextAnalysis.lowerTokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minWordCount)
+      .select(initUdf(col("word")).as("symbols"), col("cnt"))
+      .localCheckpoint()
+
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      // pair counts over the vocabulary, weighted by word frequency.
+      // Fully-merged single-symbol words are filtered FIRST: sequence(0,-1)
+      // descends and indexes symbols[-1], an ANSI-mode array error.
+      val top = vocab
+        .filter(size(col("symbols")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(symbols) - 2), " +
+            "i -> struct(symbols[i] as a, symbols[i + 1] as b))")).as("p"),
+          col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val m = Merge(top.head.getString(0), top.head.getString(1))
+        merges += m
+        val mergeUdf = udf((s: Seq[String]) => applyMerge(s, m))
+        vocab = vocab.select(mergeUdf(col("symbols")).as("symbols"), col("cnt"))
+        // truncate lineage like the CC loop — iteration N must not replan 1..N-1
+        if ((rank + 1) % 4 == 0) vocab = vocab.localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode one text with a learned merge list: per word, start from
+    * characters and apply the HIGHEST-RANKED applicable merge repeatedly
+    * (the standard BPE apply — rank order, not left-to-right discovery
+    * order). Pure function of (text, merges): embarrassingly parallel.
+    */
+  def encode(text: String, merges: Seq[Merge]): Seq[String] = {
+    if (text == null) return Seq.empty
+    val rankOf = merges.zipWithIndex.map { case (m, i) => (m.a, m.b) -> i }.toMap
+    val words = text.toLowerCase(java.util.Locale.ROOT).trim
+      .split("\\s+").filter(_.nonEmpty)
+    words.toSeq.flatMap { w =>
+      var symbols = initialSymbols(w)
+      var continue = true
+      while (continue && symbols.length > 1) {
+        // the lowest-rank (earliest-learned) pair present in this word
+        var best = Int.MaxValue
+        var bestIdx = -1
+        var i = 0
+        while (i + 1 < symbols.length) {
+          rankOf.get((symbols(i), symbols(i + 1))).foreach { r =>
+            if (r < best) { best = r; bestIdx = i }
+          }
+          i += 1
+        }
+        if (bestIdx < 0) continue = false
+        else {
+          val m = merges(best)
+          symbols = applyMerge(symbols, m)
+        }
+      }
+      symbols
+    }
+  }
+
+  /** Encoder UDF bound to a fixed merge list (broadcast via closure). */
+  def encodeUdf(merges: Seq[Merge]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => encode(text, merges))
+
+  /** Token count under a learned tokenizer — the honest replacement for
+    * the regex estimate when a merge list exists.
+    */
+  def tokenCount(merges: Seq[Merge])(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(encodeUdf(merges)(textCol))
+}
