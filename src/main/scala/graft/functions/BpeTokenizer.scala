@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer: TRAIN merges over a corpus with Spark,
@@ -22,22 +22,31 @@ import org.apache.spark.sql.functions._
   * converge on the head of the distribution, which a sample captures.
   *
   * The word boundary is the shared whitespace contract
-  * ([[TextAnalysis.lowerTokens]]); an end-of-word marker `</w>` attaches to
-  * each word's last symbol so merges never cross word boundaries, per the
-  * original paper.
+  * ([[TextAnalysis.lowerTokens]]); an end-of-word marker ([[EndOfWord]])
+  * attaches to each word's last symbol so merges never cross word
+  * boundaries, per the original paper.
   */
 object BpeTokenizer {
 
-  val EndOfWord = "</w>"
+  /** End-of-word marker: U+FFFF, a Unicode NONCHARACTER — it cannot occur
+    * in valid interchange text, and [[initialSymbols]] strips it from input
+    * defensively, so no sequence of learned merges over corpus characters
+    * can ever assemble a symbol string-equal to a boundary-tagged one (a
+    * literal "</w>"-style marker WOULD collide on markup-heavy crawl text:
+    * mid-word '<','/','w','>' runs merge into exactly the marker).
+    */
+  val EndOfWord = "\uFFFF"
 
   final case class Merge(a: String, b: String)
 
   /** Initial symbol sequence of a word: its characters, last one tagged
-    * with the end-of-word marker.
+    * with the end-of-word marker. Literal marker chars in the input are
+    * stripped (see [[EndOfWord]]).
     */
   private[graft] def initialSymbols(word: String): Seq[String] = {
-    if (word.isEmpty) return Seq.empty
-    val cps = word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    val clean = word.replace(EndOfWord, "")
+    if (clean.isEmpty) return Seq.empty
+    val cps = clean.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     cps.init.toSeq :+ (cps.last + EndOfWord)
   }
 
@@ -67,7 +76,6 @@ object BpeTokenizer {
       docs: DataFrame, textCol: String, nMerges: Int,
       minWordCount: Long = 1L): Seq[Merge] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
-    val spark = docs.sparkSession
     val initUdf = udf((w: String) => initialSymbols(w))
     var vocab = docs
       .select(explode(TextAnalysis.lowerTokens(col(textCol))).as("word"))
@@ -109,14 +117,13 @@ object BpeTokenizer {
     merges.result()
   }
 
-  /** Encode one text with a learned merge list: per word, start from
-    * characters and apply the HIGHEST-RANKED applicable merge repeatedly
-    * (the standard BPE apply — rank order, not left-to-right discovery
-    * order). Pure function of (text, merges): embarrassingly parallel.
-    */
-  def encode(text: String, merges: Seq[Merge]): Seq[String] = {
+  private def rankMap(merges: Seq[Merge]): Map[(String, String), Int] =
+    merges.zipWithIndex.map { case (m, i) => (m.a, m.b) -> i }.toMap
+
+  private def encodeWith(
+      text: String, merges: IndexedSeq[Merge],
+      rankOf: Map[(String, String), Int]): Seq[String] = {
     if (text == null) return Seq.empty
-    val rankOf = merges.zipWithIndex.map { case (m, i) => (m.a, m.b) -> i }.toMap
     val words = text.toLowerCase(java.util.Locale.ROOT).trim
       .split("\\s+").filter(_.nonEmpty)
     words.toSeq.flatMap { w =>
@@ -125,27 +132,38 @@ object BpeTokenizer {
       while (continue && symbols.length > 1) {
         // the lowest-rank (earliest-learned) pair present in this word
         var best = Int.MaxValue
-        var bestIdx = -1
         var i = 0
         while (i + 1 < symbols.length) {
           rankOf.get((symbols(i), symbols(i + 1))).foreach { r =>
-            if (r < best) { best = r; bestIdx = i }
+            if (r < best) best = r
           }
           i += 1
         }
-        if (bestIdx < 0) continue = false
-        else {
-          val m = merges(best)
-          symbols = applyMerge(symbols, m)
-        }
+        if (best == Int.MaxValue) continue = false
+        else symbols = applyMerge(symbols, merges(best))
       }
       symbols
     }
   }
 
-  /** Encoder UDF bound to a fixed merge list (broadcast via closure). */
-  def encodeUdf(merges: Seq[Merge]): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((text: String) => encode(text, merges))
+  /** Encode one text with a learned merge list: per word, start from
+    * characters and apply the HIGHEST-RANKED applicable merge repeatedly
+    * (the standard BPE apply — rank order, not left-to-right discovery
+    * order). Pure function of (text, merges): embarrassingly parallel.
+    */
+  def encode(text: String, merges: Seq[Merge]): Seq[String] =
+    encodeWith(text, merges.toIndexedSeq, rankMap(merges))
+
+  /** Encoder UDF bound to a fixed merge list. The rank map is built ONCE
+    * here and captured by the per-row lambda — building it per row would
+    * dominate the actual encoding on a realistic 10k+-merge list (the
+    * hot-path discipline of the other one-pass UDFs).
+    */
+  def encodeUdf(merges: Seq[Merge]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val ms = merges.toIndexedSeq
+    val rankOf = rankMap(merges)
+    udf((text: String) => encodeWith(text, ms, rankOf))
+  }
 
   /** Token count under a learned tokenizer — the honest replacement for
     * the regex estimate when a merge list exists.

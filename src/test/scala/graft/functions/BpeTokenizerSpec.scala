@@ -70,6 +70,22 @@ class BpeTokenizerSpec extends AnyFunSuite {
     assert(floored.nonEmpty && floored != merges)
   }
 
+  test("marker cannot be forged from corpus text (markup collision guard)") {
+    import spark.implicits._
+    // markup text whose characters could assemble a literal '</w>'-style
+    // marker; with the U+FFFF noncharacter marker no merge sequence can
+    // ever equal a boundary-tagged symbol, and literal U+FFFF is stripped
+    val docs = Seq(Tuple1("end</w>tag end</w>tag ends ends")).toDF("text")
+    val merges = BpeTokenizer.train(docs, "text", nMerges = 12)
+    val enc = BpeTokenizer.encode("end</w>tag", merges)
+    // the final symbol (and only it) carries the marker
+    assert(enc.last.endsWith(BpeTokenizer.EndOfWord))
+    assert(enc.init.forall(!_.contains(BpeTokenizer.EndOfWord)))
+    // a literal marker char in input is stripped, not boundary-conflated
+    assert(BpeTokenizer.encode("ab" + BpeTokenizer.EndOfWord + "cd", merges)
+      == BpeTokenizer.encode("abcd", merges))
+  }
+
   test("training exhausts gracefully when fewer merges exist than requested") {
     import spark.implicits._
     val tiny = Seq(Tuple1("ab ab")).toDF("text")
