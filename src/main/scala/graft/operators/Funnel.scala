@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-step funnel analysis: how many users completed step 1, then step
+  * 2 STRICTLY AFTER their first step-1 completion, then step 3 after that —
+  * the classic conversion query (signup → activation → purchase).
+  *
+  * Shape: one filtered aggregate per step over that step's event sliver,
+  * each joined to the previous step's per-user completion time (a
+  * users-sized frame — broadcastable at any realistic user count). K steps
+  * = K cheap passes; no per-user event-list collection, no window over the
+  * whole event stream, so a power user with 10⁸ events costs the same as
+  * anyone else (min-aggregates combine map-side).
+  *
+  * "Strictly after" uses the first (minimum) completion of the previous
+  * step — the standard earliest-completion funnel. `maxGapMs` bounds each
+  * step-to-step gap (the conversion window that makes a funnel a funnel —
+  * unbounded, any long-lived user eventually "converts"). Re-orderable
+  * ties are impossible by construction (pure min/count aggregates).
+  */
+object Funnel {
+
+  /** Per-user earliest completion time of each step, in order. Returns one
+    * frame per step: (userCol, __t) — frame i contains only users who
+    * reached step i (within `maxGapMs` of step i−1 when bounded).
+    */
+  def stepCompletions(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String], maxGapMs: Option[Long] = None): Seq[DataFrame] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(maxGapMs.forall(_ > 0), s"maxGapMs must be positive, got $maxGapMs")
+    val frames = Seq.newBuilder[DataFrame]
+    var prev: Option[DataFrame] = None
+    steps.foreach { step =>
+      val slice = events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol))
+      val reached = prev match {
+        case None =>
+          slice.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        case Some(p) =>
+          val inWindow = maxGapMs match {
+            case Some(g) => col(tsCol) > col("__prev") &&
+              col(tsCol) <= col("__prev") + g
+            case None => col(tsCol) > col("__prev")
+          }
+          slice
+            .join(broadcast(p.withColumnRenamed("__t", "__prev")), Seq(userCol))
+            .filter(inWindow)
+            .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      }
+      frames += reached
+      prev = Some(reached)
+    }
+    frames.result()
+  }
+
+  /** The funnel report: (step_idx, step, n_users), strictly ordered. */
+  def stepCounts(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String], maxGapMs: Option[Long] = None): DataFrame =
+    stepCompletions(events, userCol, typeCol, tsCol, steps, maxGapMs).zipWithIndex
+      .map { case (df, i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
+            col("n_users"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("step_idx"))
+}

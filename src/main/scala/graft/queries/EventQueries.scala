@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, Funnel, Sessionize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -82,6 +82,33 @@ object EventQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""),
       headline = true),
+
+    // Ordered-step funnel, hash-exact: users completing view → click →
+    // purchase in strict temporal order, each step within a 1-DAY window
+    // of the user's first completion of the previous one (unbounded, the
+    // sparse fixture converts everyone — the window makes the funnel
+    // discriminate: 150 → 60 → 25 at sf0.01). K cheap per-step
+    // aggregates, no per-user event collection.
+    "q48_funnel" -> Q(
+      fn = (s, dir) =>
+        Funnel.stepCounts(ev(s, dir), "user_id", "event_type", "ts_ms",
+          Seq("view", "click", "purchase"), maxGapMs = Some(86400000L)),
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        s1 AS (SELECT user_id, MIN(ts_ms) AS t FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts_ms) AS t FROM e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts_ms > s1.t
+                 AND e.ts_ms <= s1.t + 86400000 GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts_ms) AS t FROM e JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t
+                 AND e.ts_ms <= s2.t + 86400000 GROUP BY e.user_id)
+        SELECT * FROM (VALUES
+          (1, 'view', (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)),
+          (2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)),
+          (3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)))
+          t(step_idx, step, n_users)
+        ORDER BY step_idx""")),
 
     // Inter-event deltas (lag) + next-event lookahead (lead).
     "q42_event_deltas" -> Q(

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  // user 1: A(10) B(20) C(30)        -> completes all three
+  // user 2: B(5)  A(10) B(9) C(40)   -> B never AFTER first A, stops at A
+  // user 3: A(10) B(20) C(15)        -> C before B's completion, stops at B
+  // user 4: C(5)                     -> never does A
+  // user 5: A(10) B(11) C(12)        -> completes (tight but ordered)
+  private def events = {
+    import spark.implicits._
+    Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      (2L, "B", 5L), (2L, "A", 10L), (2L, "B", 9L), (2L, "C", 40L),
+      (3L, "A", 10L), (3L, "B", 20L), (3L, "C", 15L),
+      (4L, "C", 5L),
+      (5L, "A", 10L), (5L, "B", 11L), (5L, "C", 12L))
+      .toDF("user_id", "event_type", "ts_ms")
+  }
+
+  test("strict ordering: steps count only completions after the previous step") {
+    val counts = Funnel.stepCounts(events, "user_id", "event_type", "ts_ms",
+      Seq("A", "B", "C"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(counts.toSeq == Seq((1, "A", 4L), (2, "B", 3L), (3, "C", 2L)))
+  }
+
+  test("conversion window bounds each step-to-step gap") {
+    // window of 5 ms: user 1's B(20) is 10 after A(10) -> out;
+    // user 5's B(11)/C(12) stay in
+    val counts = Funnel.stepCounts(events, "user_id", "event_type", "ts_ms",
+      Seq("A", "B", "C"), maxGapMs = Some(5L))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(counts == Map("A" -> 4L, "B" -> 1L, "C" -> 1L))
+  }
+
+  test("earliest-completion semantics: the FIRST previous-step time anchors the window") {
+    import spark.implicits._
+    // first A at 10; a later A at 100 must NOT re-open the window for B(105)
+    val e = Seq((9L, "A", 10L), (9L, "A", 100L), (9L, "B", 105L))
+      .toDF("user_id", "event_type", "ts_ms")
+    val counts = Funnel.stepCounts(e, "user_id", "event_type", "ts_ms",
+      Seq("A", "B"), maxGapMs = Some(20L))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(counts == Map("A" -> 1L, "B" -> 0L))
+  }
+
+  test("funnel is monotone non-increasing and partition-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Funnel.stepCounts(df, "user_id", "event_type", "ts_ms", Seq("A", "B", "C"))
+        .collect().map(_.getLong(2)).toSeq
+    val a = run(events)
+    assert(a == a.sorted.reverse, "conversion counts must not increase")
+    assert(run(events.repartition(7)) == a)
+  }
+}
