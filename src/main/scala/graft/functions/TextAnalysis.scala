@@ -84,6 +84,23 @@ object TextAnalysis {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Codepoints of `text` belonging to a Unicode script, counted — crawl
+    * triage columns (a "zh" page that is 80% Latin is mislabeled or
+    * boilerplate-dominated). `script` is the Unicode script name
+    * ("Latin", "Han", "Cyrillic", "Arabic", …): Java regex spells it
+    * `\p{IsLatin}`, RE2/DuckDB `\p{Latin}` — [[scriptCount]] speaks Java,
+    * oracles must use the RE2 spelling of the same class.
+    */
+  def scriptCount(text: Column, script: String): Column =
+    length(regexp_replace(text, s"[^\\p{Is$script}]", ""))
+
+  /** Fraction of non-whitespace codepoints in `script` (0 when empty). */
+  def scriptRatio(text: Column, script: String): Column = {
+    val total = length(regexp_replace(text, "\\s", ""))
+    when(total === 0, lit(0.0))
+      .otherwise(scriptCount(text, script).cast("double") / total)
+  }
+
   /** Intra-document duplicate-line removal: keep each line's FIRST
     * occurrence in order (`array_distinct` preserves first-seen order) —
     * the transform twin of [[RepetitionStats]]'s dup-line diagnostics, for

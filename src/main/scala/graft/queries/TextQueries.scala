@@ -592,6 +592,27 @@ object TextQueries {
                CAST(len(t) - len(c) AS BIGINT) AS n_removed
         FROM n ORDER BY doc_id""")),
 
+    // Script-profile columns, hash-exact: per-doc Latin/Han codepoint
+    // counts + the Latin ratio over non-whitespace — crawl triage (a "zh"
+    // doc that is 80% Latin is mislabeled). Java \p{IsX} vs RE2 \p{X}
+    // spell the same Unicode script classes.
+    "q49_script_profile" -> Q(
+      fn = (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"), col("lang"),
+          TextAnalysis.scriptCount(col("text"), "Latin").cast("long").as("n_latin"),
+          TextAnalysis.scriptCount(col("text"), "Han").cast("long").as("n_han"),
+          round(TextAnalysis.scriptRatio(col("text"), "Latin"), 6).as("latin_ratio"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id, lang,
+               CAST(len(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS BIGINT) AS n_latin,
+               CAST(len(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS BIGINT) AS n_han,
+               ROUND(CASE WHEN len(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
+                 ELSE CAST(len(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS DOUBLE)
+                      / len(regexp_replace(text, '\s', '', 'g')) END, 6) AS latin_ratio
+        FROM documents ORDER BY doc_id""")),
+
     // Intra-doc duplicate-line removal, hash-exact: keep each line's first
     // occurrence in order (the transform twin of q3r's dup-line stats).
     // Line structure is derived on both sides (the fixture is single-line):

@@ -104,6 +104,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r(1).getSeq[String](0) == Seq("one two"))
   }
 
+  test("script counts and ratios on mixed-script text") {
+    import spark.implicits._
+    // "Hello(e-acute) Han-x2 Cyrillic-x3 abc": Latin 8, Han 2, Cyrillic 3;
+    // non-whitespace total 13
+    val t = "H\u00E9llo \u4E2D\u6587 \u043C\u0438\u0440 abc"
+    val r = Seq(Tuple1(t)).toDF("text").select(
+      TextAnalysis.scriptCount(col("text"), "Latin").as("la"),
+      TextAnalysis.scriptCount(col("text"), "Han").as("ha"),
+      TextAnalysis.scriptCount(col("text"), "Cyrillic").as("cy"),
+      TextAnalysis.scriptRatio(col("text"), "Latin").as("lr")).collect().head
+    assert(r.getInt(0) == 8 && r.getInt(1) == 2 && r.getInt(2) == 3)
+    assert(math.abs(r.getDouble(3) - 8.0 / 13) < 1e-12)
+    val empty = Seq(Tuple1("   ")).toDF("text")
+      .select(TextAnalysis.scriptRatio(col("text"), "Latin")).collect().head
+    assert(empty.getDouble(0) == 0.0)
+  }
+
   test("dedupLines keeps first occurrences in order; blanks collapse") {
     import spark.implicits._
     val df = Seq(
