@@ -68,4 +68,32 @@ object Funnel {
       }
       .reduce(_ unionByName _)
       .orderBy(col("step_idx"))
+
+  /** Cohort retention matrix: users grouped by their FIRST-activity day
+    * (the cohort), counted on each later day-offset they were active —
+    * the other classic event analytic next to funnels and sessions.
+    * Output: (cohort_day, day_offset, n_users), day 0 = cohort size.
+    *
+    * Two aggregates and a broadcast join of the users-sized cohort frame:
+    * per-user first day, per-(user, day) distinct activity, offset
+    * subtraction, then a count-distinct per cell. No window over the
+    * event stream; cells are bounded by users × active-day span.
+    */
+  def retention(
+      events: DataFrame, userCol: String, tsCol: String,
+      dayMs: Long = 86400000L): DataFrame = {
+    // exact integer division (`div`), staged through a fixed column name so
+    // the user-supplied column is never interpolated into SQL text — double
+    // division + cast could misround at day boundaries
+    val days = events
+      .select(col(userCol), col(tsCol).as("__ts"))
+      .select(col(userCol), expr(s"__ts div $dayMs").as("__day"))
+      .distinct()
+    val cohorts = days.groupBy(col(userCol)).agg(min(col("__day")).as("__cohort"))
+    days.join(broadcast(cohorts), Seq(userCol))
+      .groupBy(col("__cohort").as("cohort_day"),
+        (col("__day") - col("__cohort")).as("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 }

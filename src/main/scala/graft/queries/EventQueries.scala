@@ -110,6 +110,24 @@ object EventQueries {
           t(step_idx, step, n_users)
         ORDER BY step_idx""")),
 
+    // Cohort retention matrix, hash-exact: users bucketed by first-activity
+    // day, counted per later active day-offset. Integer day arithmetic on
+    // epoch-ms; DuckDB replays with the same integer division.
+    "q4a_retention" -> Q(
+      fn = (s, dir) =>
+        Funnel.retention(ev(s, dir), "user_id", "ts_ms"),
+      oracle = Some("""
+        WITH d AS (
+          SELECT DISTINCT user_id,
+                 CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day
+          FROM events),
+        c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+        SELECT c.cohort AS cohort_day, d.day - c.cohort AS day_offset,
+               CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM d JOIN c USING (user_id)
+        GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset""")),
+
     // Inter-event deltas (lag) + next-event lookahead (lead).
     "q42_event_deltas" -> Q(
       fn = (s, dir) => {

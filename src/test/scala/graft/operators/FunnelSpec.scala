@@ -49,6 +49,25 @@ class FunnelSpec extends AnyFunSuite {
     assert(counts == Map("A" -> 1L, "B" -> 0L))
   }
 
+  test("retention: cohorts by first day, offsets count distinct active users") {
+    import spark.implicits._
+    val day = 86400000L
+    // u1: days 0,1,3 (cohort 0); u2: days 0,1 (cohort 0); u3: day 1 only
+    // (cohort 1); duplicate events on one day must count once
+    val e = Seq(
+      (1L, 0L * day + 5), (1L, 1L * day + 5), (1L, 3L * day + 5),
+      (2L, 0L * day + 9), (2L, 0L * day + 10), (2L, 1L * day + 9),
+      (3L, 1L * day + 1))
+      .toDF("user_id", "ts_ms")
+    val m = Funnel.retention(e, "user_id", "ts_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m == Map(
+      (0L, 0L) -> 2L, // u1 + u2 on their cohort day
+      (0L, 1L) -> 2L, // both return next day
+      (0L, 3L) -> 1L, // only u1
+      (1L, 0L) -> 1L)) // u3's own cohort
+  }
+
   test("funnel is monotone non-increasing and partition-invariant") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Funnel.stepCounts(df, "user_id", "event_type", "ts_ms", Seq("A", "B", "C"))
