@@ -89,14 +89,25 @@ object TextAnalysis {
     * boilerplate-dominated). `script` is the Unicode script name
     * ("Latin", "Han", "Cyrillic", "Arabic", …): Java regex spells it
     * `\p{IsLatin}`, RE2/DuckDB `\p{Latin}` — [[scriptCount]] speaks Java,
-    * oracles must use the RE2 spelling of the same class.
+    * oracles must use the RE2 spelling. PARITY CAVEAT: the classes agree
+    * only up to the engines' common Unicode version — codepoints assigned
+    * to a script in a NEWER Unicode (e.g. U+A7C0, Latin in Unicode 14)
+    * diverge between JRE and DuckDB builds. Established scripts over
+    * real-world text are stable; audits of bleeding-edge codepoints are
+    * not oracle-exact.
     */
   def scriptCount(text: Column, script: String): Column =
     length(regexp_replace(text, s"[^\\p{Is$script}]", ""))
 
+  /** ASCII whitespace, spelled EXPLICITLY: Java `\s` includes U+000B but
+    * RE2's does not, so a bare `\s` in an oracled expression diverges on
+    * vertical tabs. Same class both engines: `[\t\n\x0B\f\r ]`.
+    */
+  val AsciiWsClass = "[\\t\\n\\x0B\\f\\r ]"
+
   /** Fraction of non-whitespace codepoints in `script` (0 when empty). */
   def scriptRatio(text: Column, script: String): Column = {
-    val total = length(regexp_replace(text, "\\s", ""))
+    val total = length(regexp_replace(text, AsciiWsClass, ""))
     when(total === 0, lit(0.0))
       .otherwise(scriptCount(text, script).cast("double") / total)
   }

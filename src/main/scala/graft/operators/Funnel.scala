@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * Shape: one filtered aggregate per step over that step's event sliver,
   * each joined to the previous step's per-user completion time (a
-  * users-sized frame — broadcastable at any realistic user count). K steps
-  * = K cheap passes; no per-user event-list collection, no window over the
-  * whole event stream, so a power user with 10⁸ events costs the same as
-  * anyone else (min-aggregates combine map-side).
+  * users-sized frame; the join strategy is left to Catalyst — broadcast
+  * when it fits, shuffle join at billions of users). Each step frame is
+  * localCheckpoint-ed, so K steps = K passes, not K² lineage replays; no
+  * per-user event-list collection, no window over the whole event stream,
+  * so a power user with 10⁸ events costs the same as anyone else
+  * (min-aggregates combine map-side).
   *
   * "Strictly after" uses the first (minimum) completion of the previous
   * step — the standard earliest-completion funnel. `maxGapMs` bounds each
@@ -45,13 +47,20 @@ object Funnel {
               col(tsCol) <= col("__prev") + g
             case None => col(tsCol) > col("__prev")
           }
+          // no broadcast() hint: it is MANDATORY (AQE cannot demote it),
+          // and at billions of users the per-user frame exceeds the 8 GB
+          // broadcast limit — let Catalyst pick broadcast vs shuffle by size
           slice
-            .join(broadcast(p.withColumnRenamed("__t", "__prev")), Seq(userCol))
+            .join(p.withColumnRenamed("__t", "__prev"), Seq(userCol))
             .filter(inWindow)
             .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
       }
-      frames += reached
-      prev = Some(reached)
+      // localCheckpoint: frame i is reused as frame i+1's build side AND in
+      // the counts union — without truncation, K steps replay each other's
+      // lineage (K(K+1)/2 event scans instead of K)
+      val materialized = reached.localCheckpoint()
+      frames += materialized
+      prev = Some(materialized)
     }
     frames.result()
   }
@@ -82,6 +91,7 @@ object Funnel {
   def retention(
       events: DataFrame, userCol: String, tsCol: String,
       dayMs: Long = 86400000L): DataFrame = {
+    require(dayMs > 0, s"dayMs must be positive, got $dayMs (div 0 is NULL, not an error)")
     // exact integer division (`div`), staged through a fixed column name so
     // the user-supplied column is never interpolated into SQL text — double
     // division + cast could misround at day boundaries
@@ -90,10 +100,14 @@ object Funnel {
       .select(col(userCol), expr(s"__ts div $dayMs").as("__day"))
       .distinct()
     val cohorts = days.groupBy(col(userCol)).agg(min(col("__day")).as("__cohort"))
-    days.join(broadcast(cohorts), Seq(userCol))
+    // plain count: `days` is distinct per (user, day) and a cell's day is
+    // cohort + offset, so each user contributes at most one row per cell —
+    // countDistinct would pay the distinct-aggregate path for nothing.
+    // No broadcast hint (same reason as the funnel): size-based choice.
+    days.join(cohorts, Seq(userCol))
       .groupBy(col("__cohort").as("cohort_day"),
         (col("__day") - col("__cohort")).as("day_offset"))
-      .agg(countDistinct(col(userCol)).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 }

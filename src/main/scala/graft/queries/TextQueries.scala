@@ -608,9 +608,9 @@ object TextQueries {
         SELECT doc_id, lang,
                CAST(len(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS BIGINT) AS n_latin,
                CAST(len(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS BIGINT) AS n_han,
-               ROUND(CASE WHEN len(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
+               ROUND(CASE WHEN len(regexp_replace(text, '[\t\n\x0B\f\r ]', '', 'g')) = 0 THEN 0.0
                  ELSE CAST(len(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS DOUBLE)
-                      / len(regexp_replace(text, '\s', '', 'g')) END, 6) AS latin_ratio
+                      / len(regexp_replace(text, '[\t\n\x0B\f\r ]', '', 'g')) END, 6) AS latin_ratio
         FROM documents ORDER BY doc_id""")),
 
     // Intra-doc duplicate-line removal, hash-exact: keep each line's first
