@@ -36,7 +36,8 @@ object Curate {
       salt: String = "curate",
       repetitionMaxDup5gram: Option[Double] = None,
       canonicalize: Boolean = false,
-      c4PageRules: Boolean = false)
+      c4PageRules: Boolean = false,
+      lmMinTokenCount: Long = 1L)
 
   /** Ordered (stageName, DataFrame-after-stage) — the last entry is the
     * curated output: original columns plus `surprisal` (when banded) and
@@ -116,9 +117,15 @@ object Curate {
     // score (null text; all tokens OOV under a foreign LM) is kept with a
     // null surprisal — a quality FILTER must not silently delete docs it
     // could not score (callers can drop the nulls explicitly).
+    // No broadcast() hint on the LM: a hint is MANDATORY (AQE cannot demote
+    // it) and a unigram vocabulary grows with the corpus (Heaps' law) — on a
+    // 100 TB web corpus it exceeds the broadcast ceiling. Catalyst/AQE
+    // choose by actual size instead; cfg.lmMinTokenCount > 1 additionally
+    // Zipf-head-bounds the table so the broadcast choice stays available at
+    // any corpus size.
     cfg.surprisalBand.foreach { case (lo, hi) =>
-      val lm = LmScore.unigramLm(docs, textCol)
-      val scores = LmScore.surprisalScores(docs, idCol, textCol, broadcast(lm))
+      val lm = LmScore.unigramLm(docs, textCol, cfg.lmMinTokenCount)
+      val scores = LmScore.surprisalScores(docs, idCol, textCol, lm)
         .select(col(idCol), col("surprisal"))
       cur = cur.join(scores, Seq(idCol), "left")
         .filter(col("surprisal").between(lo, hi) || col("surprisal").isNull)

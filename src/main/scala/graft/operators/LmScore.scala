@@ -25,12 +25,23 @@ object LmScore {
     * token_surprisal = round(−ln(count/total), 9). Tokenization is the
     * shared whitespace contract ([[TextAnalysis.tokens]] ≡ DuckDB
     * regexp_split_to_array(trim(text), '\s+')).
+    *
+    * `minTokenCount` > 1 drops tokens seen fewer times from the table —
+    * the Zipf-head bound that keeps the LM broadcastable at any corpus
+    * size (an unfloored vocabulary grows with the corpus per Heaps' law
+    * and eventually exceeds the broadcast ceiling). The denominator stays
+    * the FULL corpus token count, so surviving tokens keep exactly the
+    * unfloored surprisal; floored-out tokens score as OOV downstream
+    * (ignored by [[surprisalScores]]' inner join), which moves a doc's
+    * mean only by the rare-token terms it loses.
     */
-  def unigramLm(docs: DataFrame, textCol: String): DataFrame = {
+  def unigramLm(
+      docs: DataFrame, textCol: String, minTokenCount: Long = 1L): DataFrame = {
     val tok = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
     val cnt = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
     val tot = cnt.agg(sum("cnt").as("total"))
-    cnt.crossJoin(broadcast(tot))
+    val kept = if (minTokenCount > 1L) cnt.filter(col("cnt") >= minTokenCount) else cnt
+    kept.crossJoin(broadcast(tot))
       .select(col("token"),
         round(-log(col("cnt").cast("double") / col("total").cast("double")), 9)
           .cast("decimal(28,9)").as("token_surprisal"))

@@ -31,6 +31,33 @@ class LmScoreSpec extends AnyFunSuite {
     assert(scores(docs.repartition(13)) === got)
   }
 
+  test("minTokenCount floor: surviving tokens keep exact surprisal; band membership preserved") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val full = LmScore.unigramLm(docs, "text")
+    // floor just above the fixture's rarest token count, so the floor
+    // provably drops the rare tail (the fixture vocabulary has no hapaxes)
+    val minCnt = docs
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").count().agg(min("count")).collect().head.getLong(0)
+    val floored = LmScore.unigramLm(docs, "text", minTokenCount = minCnt + 1)
+    // the floor only removes rows — every surviving token keeps the exact
+    // unfloored surprisal (denominator is the full corpus either way)
+    val fullMap = full.collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val flooredRows = floored.collect().map(r => r.getString(0) -> r.getDecimal(1))
+    assert(flooredRows.nonEmpty && flooredRows.length < fullMap.size)
+    flooredRows.foreach { case (t, s) => assert(fullMap(t) == s) }
+
+    // band membership on the fixture: the quality band a doc lands in is
+    // unchanged under the floored LM (hapax tokens are a vanishing share of
+    // any real doc's mass; the wide band Curate's bench uses is (0,100))
+    def band(lm: org.apache.spark.sql.DataFrame): Set[Long] =
+      LmScore.surprisalScores(docs, "doc_id", "text", lm)
+        .filter(col("surprisal").between(2.0, 9.0))
+        .collect().map(_.getLong(0)).toSet
+    assert(band(floored) == band(full))
+  }
+
   test("out-of-vocabulary tokens are ignored against a foreign LM") {
     import spark.implicits._
     val lm = LmScore.unigramLm(Seq((1L, "a b")).toDF("doc_id", "text"), "text")
