@@ -188,6 +188,25 @@ object PqIndex {
       .orderBy(col(distCol).asc, col(tiebreak).asc)
       .limit(k)
 
+  /** Adaptive shortlist size: `max(r0, ceil(frac × poolSize))`, never below
+    * k. A FIXED shortlist's recall decays as the candidate pool grows (the
+    * measured r=50 cliff: PQ k-means rerank 0.94 → 0.81 and 16-dim
+    * Matryoshka 0.545 → 0.255 from 500 to 2000 vectors) because r/N is the
+    * actual knob. `frac` defaults to 0.10 — the ratio the sf0.01 recall
+    * gates were pinned at (r0=50 over N=500) — so growing corpora keep the
+    * gated operating point. Cost is linear and bounded: the ADC top-r heap
+    * plus an r-row exact re-rank, and under IVF-PQ `poolSize` is the PROBED
+    * rows (post partition-pruning), not the corpus.
+    */
+  def adaptiveShortlist(
+      poolSize: Long, k: Int, r0: Int = 50, frac: Double = 0.10): Int = {
+    require(poolSize >= 0, s"negative poolSize $poolSize")
+    require(k > 0, s"k must be positive, got $k")
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    val scaled = math.min(math.ceil(frac * poolSize), Int.MaxValue.toDouble).toInt
+    math.max(k, math.max(r0, scaled))
+  }
+
   /** Two-stage PQ retrieval: ADC shortlists `r` candidates from codes alone,
     * exact cosine re-ranks just those `r` rows to the final top-k. The
     * shortlist (ids only) broadcasts back onto the corpus, so the expensive
@@ -221,13 +240,21 @@ object PqIndex {
     * the probed cells' codes, exact re-rank of the r-shortlist — the
     * three-tier cost shape (nProbe/nCells of the data → m-byte codes →
     * r float vectors) that survives 100 TB.
+    *
+    * `r ≤ 0` (the default) sizes the shortlist adaptively via
+    * [[adaptiveShortlist]] over the PROBED row count — recall then tracks
+    * the sf0.01-gated r/N operating point at any scale instead of decaying
+    * as the pool outgrows a fixed r. The sizing count is one extra
+    * codes-column-free job over the pruned partitions; pass an explicit r
+    * to skip it (oracle-pinned queries like q3q do).
     */
   def searchIvfPq(
       store: DataFrame, idCol: String, vecCol: String, queryVec: Array[Float],
-      ivf: IvfIndex.Index, cb: Codebook, nProbe: Int, r: Int, k: Int,
+      ivf: IvfIndex.Index, cb: Codebook, nProbe: Int, r: Int = -1, k: Int,
       cellCol: String = "cell", codesCol: String = "pq"): DataFrame = {
     val cells = IvfIndex.probeCells(ivf, queryVec, nProbe)
-    searchRerank(store.where(col(cellCol).isin(cells: _*)),
-      idCol, vecCol, codesCol, queryVec, cb, r, k)
+    val probed = store.where(col(cellCol).isin(cells: _*))
+    val rr = if (r > 0) r else adaptiveShortlist(probed.count(), k)
+    searchRerank(probed, idCol, vecCol, codesCol, queryVec, cb, rr, k)
   }
 }

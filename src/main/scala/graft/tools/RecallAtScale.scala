@@ -70,28 +70,32 @@ object RecallAtScale {
     val rIvfKm4 = RecallHarness.ivfMeanRecall(emb, vecs, refined, nProbe = 4)
     val rQuant = RecallHarness.ivfQuantOverlap(emb, draw)
 
-    // PQ (same configs RecallSpec gates at sf0.01: the oracled m=8/16 draw
-    // and the trained m=16/64 k-means serving book)
+    // PQ (same codebook configs RecallSpec gates at sf0.01: the oracled
+    // m=8/16 draw and the trained m=16/64 k-means serving book). The
+    // shortlist is ADAPTIVE (round 5): max(50, ceil(0.10 × N)) — at sf0.01
+    // that is exactly the gated r=50, at larger SFs r/N holds the gated
+    // operating point instead of decaying (the measured fixed-r=50 cliff).
+    val rAdapt = graft.operators.PqIndex.adaptiveShortlist(emb.count(), k = 10)
     val pqDraw = graft.operators.PqIndex.codebookByDraw(
       emb, "vec_id", "embedding", m = 8, nCodes = 16)
     val rPqDrawAdc = RecallHarness.pqMeanRecall(emb, pqDraw, rerank = None)
-    val rPqDrawRr = RecallHarness.pqMeanRecall(emb, pqDraw, rerank = Some(50))
+    val rPqDrawRr = RecallHarness.pqMeanRecall(emb, pqDraw, rerank = Some(rAdapt))
     val pqTrained = graft.operators.PqIndex.refineCodebook(emb, "embedding",
       graft.operators.PqIndex.codebookByDraw(emb, "vec_id", "embedding", m = 16, nCodes = 64),
       iters = 3)
     val rPqAdc = RecallHarness.pqMeanRecall(emb, pqTrained, rerank = None)
-    val rPqRr = RecallHarness.pqMeanRecall(emb, pqTrained, rerank = Some(50))
+    val rPqRr = RecallHarness.pqMeanRecall(emb, pqTrained, rerank = Some(rAdapt))
 
-    // Matryoshka prefix search (q3w config: coarse-50 on the prefix, exact
-    // rerank to top-10) — 20 queries, the RecallSpec gate shape
+    // Matryoshka prefix search (q3w shape: coarse shortlist on the prefix,
+    // exact rerank to top-10) — 20 queries, adaptive shortlist
     val q20 = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val exact20 = VectorSearch.knnJoin(q20, corpus, "q_id", "qv", "c_id", "cv", k = 10)
       .localCheckpoint()
     val rMrl16 = RecallHarness.knnRecall(
-      RecallHarness.matryoshkaRerank(q20, corpus, prefix = 16, shortlist = 50, k = 10), exact20)
+      RecallHarness.matryoshkaRerank(q20, corpus, prefix = 16, shortlist = rAdapt, k = 10), exact20)
     val rMrl32 = RecallHarness.knnRecall(
-      RecallHarness.matryoshkaRerank(q20, corpus, prefix = 32, shortlist = 50, k = 10), exact20)
+      RecallHarness.matryoshkaRerank(q20, corpus, prefix = 32, shortlist = rAdapt, k = 10), exact20)
 
     spark.stop()
     println(f"""{"sf":"$sfDir","lsh_single":$rSingle%.4f,"lsh_multiprobe":$rMulti%.4f,""" +
@@ -100,9 +104,10 @@ object RecallAtScale {
       f""""ivf_draw_nprobe4":$rIvf4%.4f,"ivf_draw_nprobe8":$rIvf8%.4f,""" +
       f""""ivf_kmeans3_nprobe4":$rIvfKm4%.4f,""" +
       f""""ivf_quant_overlap":$rQuant%.4f,""" +
-      f""""pq_draw_adc":$rPqDrawAdc%.4f,"pq_draw_rerank50":$rPqDrawRr%.4f,""" +
-      f""""pq_kmeans_adc":$rPqAdc%.4f,"pq_kmeans_rerank50":$rPqRr%.4f,""" +
-      f""""matryoshka16_rerank50":$rMrl16%.4f,"matryoshka32_rerank50":$rMrl32%.4f,""" +
+      f""""shortlist_r":$rAdapt,""" +
+      f""""pq_draw_adc":$rPqDrawAdc%.4f,"pq_draw_rerank":$rPqDrawRr%.4f,""" +
+      f""""pq_kmeans_adc":$rPqAdc%.4f,"pq_kmeans_rerank":$rPqRr%.4f,""" +
+      f""""matryoshka16_rerank":$rMrl16%.4f,"matryoshka32_rerank":$rMrl32%.4f,""" +
       f""""neardup_lsh_pairs":$rNearDup%.4f,"neardup_true_pairs":${exactCos.size}}""")
   }
 }

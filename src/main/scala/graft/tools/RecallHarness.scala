@@ -30,18 +30,23 @@ object RecallHarness {
   /** Matryoshka two-stage result: coarse `shortlist`-NN on the `prefix`-dim
     * slice, exact full-dim rerank to top-`k` — (query_id, neighbor_id) rows
     * for [[knnRecall]] against an exact frame. Queries/corpus are the
-    * (q_id, qv)/(c_id, cv) shapes of `VectorSearch.knnJoin`.
+    * (q_id, qv)/(c_id, cv) shapes of `VectorSearch.knnJoin`. `shortlist ≤ 0`
+    * (the default) sizes it adaptively — `PqIndex.adaptiveShortlist` over
+    * the corpus count — so coarse-stage recall holds the gated r/N point as
+    * the corpus grows instead of decaying at a fixed r.
     */
   def matryoshkaRerank(
       queries: DataFrame, corpus: DataFrame,
-      prefix: Int, shortlist: Int, k: Int): DataFrame = {
+      prefix: Int, shortlist: Int = -1, k: Int): DataFrame = {
     import graft.functions.VectorFunctions
     import graft.operators.VectorSearch
+    val r = if (shortlist > 0) shortlist
+      else graft.operators.PqIndex.adaptiveShortlist(corpus.count(), k)
     val tq = queries.select(col("q_id"),
       VectorFunctions.matryoshka(col("qv"), prefix).as("qv"))
     val tc = corpus.select(col("c_id"),
       VectorFunctions.matryoshka(col("cv"), prefix).as("cv"))
-    val short = VectorSearch.knnJoin(tq, tc, "q_id", "qv", "c_id", "cv", k = shortlist)
+    val short = VectorSearch.knnJoin(tq, tc, "q_id", "qv", "c_id", "cv", k = r)
       .select(col("query_id").as("q_id"), col("neighbor_id").as("c_id"))
     val rescored = short
       .join(queries, "q_id").join(corpus, "c_id")

@@ -117,6 +117,34 @@ class PqSpec extends AnyFunSuite {
     assert(scores === scores.sorted(Ordering[Double].reverse))
   }
 
+  test("adaptive shortlist: gated at small pools, tracks r/N, overflow-safe") {
+    import PqIndex.adaptiveShortlist
+    assert(adaptiveShortlist(500, k = 10) === 50)   // sf0.01 pool: exactly the gated r=50
+    assert(adaptiveShortlist(2000, k = 10) === 200) // sf0.1 pool: same 10% operating point
+    assert(adaptiveShortlist(0, k = 10) === 50)     // empty pool: the r0 floor
+    assert(adaptiveShortlist(100, k = 80) === 80)   // never below k
+    assert(adaptiveShortlist(Long.MaxValue, k = 10) === Int.MaxValue) // no Int overflow
+    intercept[IllegalArgumentException](adaptiveShortlist(100, k = 0))
+    intercept[IllegalArgumentException](adaptiveShortlist(100, k = 10, frac = 1.5))
+  }
+
+  test("IVF-PQ default (adaptive) shortlist reproduces the explicit-r result") {
+    val book = cb
+    val ivf = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val store = PqIndex.ivfPqStore(emb, "embedding", ivf, book)
+    val qv = collected.find(_._1 == 0L).get._2
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // probed pool at nProbe=4 is ≤ 499 rows → adaptive r = max(50, ceil(.1·pool)) = 50,
+    // so omitting r must reproduce the r=50 result exactly
+    val adaptive = rows(PqIndex.searchIvfPq(store.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", qv, ivf, book, nProbe = 4, k = 10))
+    val explicit = rows(PqIndex.searchIvfPq(store.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", qv, ivf, book, nProbe = 4, r = 50, k = 10))
+    assert(adaptive === explicit)
+  }
+
   test("k-means refinement preserves shape; zero iters is the identity") {
     val book = cb
     val same = PqIndex.refineCodebook(emb, "embedding", book, iters = 0)
