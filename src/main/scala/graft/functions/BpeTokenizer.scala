@@ -124,7 +124,16 @@ object BpeTokenizer {
       text: String, merges: IndexedSeq[Merge],
       rankOf: Map[(String, String), Int]): Seq[String] = {
     if (text == null) return Seq.empty
-    val words = text.toLowerCase(java.util.Locale.ROOT).trim
+    // word derivation MUST replicate train()'s pipeline — explode of
+    // TextAnalysis.lowerTokens + length>0 filter. Spark trim strips SPACES
+    // only; Java String.trim strips every char <= U+0020 (tabs, newlines),
+    // so it would tokenize tab-bounded text differently than training did.
+    // Space-only trim + the same \s+ split + drop-empties matches exactly.
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    val words = text.substring(b, e).toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
     words.toSeq.flatMap { w =>
       var symbols = initialSymbols(w)

@@ -26,20 +26,33 @@ object UrlParts {
     val noScheme = regexp_replace(url, "^([A-Za-z][A-Za-z0-9+.-]*:)?//", "")
     val noUser = regexp_replace(noScheme, "^[^/?#@]*@", "")
     val hostPort = regexp_extract(noUser, "^([^/?#]*)", 1)
-    lower(regexp_replace(hostPort, ":[0-9]+$", ""))
+    // RFC 3986 IP-literal: an IPv6 host is bracketed ("[::1]:8080") — the
+    // brackets are delimiters, not part of the host, and the port-strip
+    // regex must not see the colons inside them
+    val v6 = regexp_extract(hostPort, "^\\[([^\\]]*)\\]", 1)
+    lower(when(length(v6) > 0, v6)
+      .otherwise(regexp_replace(hostPort, ":[0-9]+$", "")))
   }
+
+  /** True for hosts that are IP addresses, not registrable names: dotted-quad
+    * IPv4 and (unbracketed, as [[host]] emits them) colon-bearing IPv6.
+    */
+  def isIpHost(hostname: Column): Column =
+    hostname.rlike("^[0-9]+(\\.[0-9]+){3}$") || hostname.contains(":")
 
   /** Common second-level registry labels (the `co` of `bbc.co.uk`). */
   val SecondLevelLabels: Seq[String] =
     Seq("co", "com", "net", "org", "gov", "edu", "ac")
 
   /** Registered domain of a hostname: last two labels, or last three when
-    * the middle one is a registry second-level label.
+    * the middle one is a registry second-level label. IP-address hosts
+    * ([[isIpHost]]) have no registrable labels and pass through verbatim —
+    * splitting a dotted quad on '.' would emit a nonsense "0.1" domain.
     */
   def registeredDomain(hostname: Column): Column = {
     val parts = split(hostname, "\\.")
     val n = size(parts)
-    when(n <= 2, hostname)
+    when(isIpHost(hostname) || n <= 2, hostname)
       .otherwise(
         when(element_at(parts, -2).isin(SecondLevelLabels: _*),
           concat_ws(".",

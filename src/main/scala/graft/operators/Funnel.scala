@@ -92,12 +92,17 @@ object Funnel {
       events: DataFrame, userCol: String, tsCol: String,
       dayMs: Long = 86400000L): DataFrame = {
     require(dayMs > 0, s"dayMs must be positive, got $dayMs (div 0 is NULL, not an error)")
-    // exact integer division (`div`), staged through a fixed column name so
+    // exact integer FLOOR division, staged through a fixed column name so
     // the user-supplied column is never interpolated into SQL text — double
-    // division + cast could misround at day boundaries
+    // division + cast could misround at day boundaries. Spark's `div` alone
+    // truncates toward zero while DuckDB's `//` floors, so pre-1970
+    // (negative epoch-ms) events would bucket one day late; subtracting the
+    // non-negative pmod remainder first makes `div` exact, hence a true
+    // floor on both engines.
     val days = events
       .select(col(userCol), col(tsCol).as("__ts"))
-      .select(col(userCol), expr(s"__ts div $dayMs").as("__day"))
+      .select(col(userCol),
+        expr(s"(__ts - pmod(__ts, $dayMs)) div $dayMs").as("__day"))
       .distinct()
     val cohorts = days.groupBy(col(userCol)).agg(min(col("__day")).as("__cohort"))
     // plain count: `days` is distinct per (user, day) and a cell's day is

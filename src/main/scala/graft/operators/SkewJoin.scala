@@ -42,9 +42,31 @@ object SkewJoin {
     require(allowed.contains(joinType.toLowerCase(java.util.Locale.ROOT)),
       s"salted join supports $allowed, got '$joinType' " +
         "(replicated-side outer rows would be duplicated)")
+    val reserved = Seq("__salt", "__n", "__i")
+    val clash = (skewed.columns ++ other.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input columns collide with salted-join internals: ${clash.distinct.mkString(", ")}")
     val skewedCols = skewed.columns
+    // the salt hashes only HASHABLE columns — xxhash64 rejects MapType at
+    // analysis (map equality is undefined); skipping maps keeps the salt
+    // deterministic, it just can't draw spread from map-only differences
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = skewed.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(saltCols.nonEmpty,
+      "every skewed-side column is map-typed — no deterministic salt source")
+    // collapse groups by EVERY column — Spark rejects grouping on maps, and
+    // silently excluding them would merge rows that differ only in the map
+    require(!collapseDuplicates || saltCols.length == skewedCols.length,
+      "collapseDuplicates cannot group map-typed columns: " +
+        skewed.schema.fields.filterNot(f => hashable(f.dataType))
+          .map(_.name).mkString(", "))
     def withSalt(df: DataFrame): DataFrame = df.withColumn("__salt",
-      pmod(xxhash64(struct(skewedCols.map(col): _*)), lit(nSalts)).cast("int"))
+      pmod(xxhash64(struct(saltCols.toIndexedSeq: _*)), lit(nSalts)).cast("int"))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     if (!collapseDuplicates)

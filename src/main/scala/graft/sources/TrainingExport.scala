@@ -35,10 +35,23 @@ object TrainingExport {
     // explicit whole-path delete BEFORE the write: with
     // partitionOverwriteMode=dynamic an overwrite only replaces the shard
     // dirs this export produces, leaving stale shard= dirs from a previous
-    // larger export both on disk AND in the directory-listing count below
+    // larger export both on disk AND in the directory-listing count below.
+    // Guarded: only a path that looks like a previous export (shard= dirs,
+    // _SUCCESS, Spark marker files) is wiped — a typo'd path pointing at
+    // unrelated data must fail loudly, not silently destroy it.
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(fsPath)) fs.delete(fsPath, true)
+    if (fs.exists(fsPath)) {
+      val foreign = fs.listStatus(fsPath).filterNot { s =>
+        val n = s.getPath.getName
+        (s.isDirectory && n.startsWith("shard=")) || n == "_SUCCESS" || n.startsWith("._")
+      }
+      require(foreign.isEmpty,
+        s"refusing to overwrite $path: it contains entries that are not a " +
+          s"previous export (${foreign.take(3).map(_.getPath.getName).mkString(", ")}" +
+          s"${if (foreign.length > 3) ", …" else ""}) — delete it explicitly first")
+      fs.delete(fsPath, true)
+    }
     val binned = DataMix.packByTokenBudget(
       docs, groupCol = groupCol, orderCol = orderCol, tokensCol = tokensCol,
       budget = tokenBudget)

@@ -86,6 +86,23 @@ class BpeTokenizerSpec extends AnyFunSuite {
       == BpeTokenizer.encode("abcd", merges))
   }
 
+  test("encode tokenization matches the train-side contract on control chars") {
+    import spark.implicits._
+    // U+0001 (spelled as an escape per the no-invisible-chars source rule)
+    // is <= U+0020, so Java String.trim would strip it — but it is NOT
+    // regex-whitespace, so the shared lowerTokens contract KEEPS it in the
+    // word. Training on such a corpus learns merges over the tagged word;
+    // encode must derive the identical word or its merges never apply.
+    val ctl = "\u0001"
+    val docs = Seq(Tuple1(s"${ctl}ab ${ctl}ab ab")).toDF("text")
+    val merges = BpeTokenizer.train(docs, "text", nMerges = 4)
+    val enc = BpeTokenizer.encode(s"${ctl}ab", merges)
+    assert(enc.mkString == ctl + "ab" + BpeTokenizer.EndOfWord)
+    // space-bounded text still trims; tabs/newlines split but never vanish
+    assert(BpeTokenizer.encode("  ab  ", merges) == BpeTokenizer.encode("ab", merges))
+    assert(BpeTokenizer.encode("\tab\n", merges) == BpeTokenizer.encode("ab", merges))
+  }
+
   test("training exhausts gracefully when fewer merges exist than requested") {
     import spark.implicits._
     val tiny = Seq(Tuple1("ab ab")).toDF("text")

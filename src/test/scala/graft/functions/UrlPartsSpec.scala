@@ -42,6 +42,23 @@ class UrlPartsSpec extends AnyFunSuite {
       ("cdn.example.org", "example.org")))
   }
 
+  test("IP-literal hosts: bracketed IPv6 unwrapped, IPv4/IPv6 pass registeredDomain verbatim") {
+    assert(run(Seq(
+      "http://[::1]:8080/x",                 // brackets are delimiters, not host chars
+      "https://[2001:db8::7]/path?q=1",
+      "http://192.168.0.1:8080/admin",
+      "http://10.0.0.1",
+      "http://user@[::1]/y")) == Seq(
+      ("::1", "::1"),
+      ("2001:db8::7", "2001:db8::7"),
+      ("192.168.0.1", "192.168.0.1"), // not split into a nonsense "0.1" domain
+      ("10.0.0.1", "10.0.0.1"),
+      ("::1", "::1")))
+    // version-ish names are NOT dotted quads — label logic still applies
+    assert(run(Seq("http://v1.2.archive.example.com")) ==
+      Seq(("v1.2.archive.example.com", "example.com")))
+  }
+
   test("registered domain: two-label default, second-level registry labels") {
     assert(run(Seq(
       "https://www.bbc.co.uk/news",

@@ -68,6 +68,17 @@ class FunnelSpec extends AnyFunSuite {
       (1L, 0L) -> 1L)) // u3's own cohort
   }
 
+  test("retention day bucketing floors negative (pre-1970) timestamps") {
+    import spark.implicits._
+    val day = 86400000L
+    // -5 ms is late on day -1; truncate-toward-zero would misbucket it as
+    // day 0 and split this user into two cohort cells
+    val e = Seq((1L, -5L), (1L, 5L)).toDF("user_id", "ts_ms")
+    val m = Funnel.retention(e, "user_id", "ts_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L))
+  }
+
   test("funnel is monotone non-increasing and partition-invariant") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Funnel.stepCounts(df, "user_id", "event_type", "ts_ms", Seq("A", "B", "C"))

@@ -68,6 +68,30 @@ class SkewJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("reserved internal column names are rejected loudly") {
+    import spark.implicits._
+    val (skewed, other) = fixtures
+    val bad = skewed.withColumn("__salt", lit(1))
+    intercept[IllegalArgumentException](
+      SkewJoin.saltedEquiJoin(bad, other, "k", 4))
+    intercept[IllegalArgumentException](
+      SkewJoin.saltedEquiJoin(skewed, other.withColumn("__n", lit(1)), "k", 4))
+  }
+
+  test("map-typed columns are skipped by the salt hash, not an analysis error") {
+    import spark.implicits._
+    val skewed = Seq(("a", 1L), ("a", 2L), ("b", 3L))
+      .toDF("k", "v").withColumn("m", map(lit("x"), col("v")))
+    val other = Seq(("a", 10L), ("b", 20L)).toDF("k", "w")
+    val got = SkewJoin.saltedEquiJoin(skewed, other, "k", 4)
+      .select(col("k"), col("v"), col("w")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq(("a", 1L, 10L), ("a", 2L, 10L), ("b", 3L, 20L)))
+    // collapseDuplicates must refuse: it would have to group by the map
+    intercept[IllegalArgumentException](
+      SkewJoin.saltedEquiJoin(skewed, other, "k", 4, collapseDuplicates = true))
+  }
+
   test("right/full outer are rejected loudly") {
     val (skewed, other) = fixtures
     intercept[IllegalArgumentException](

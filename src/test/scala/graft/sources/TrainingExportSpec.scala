@@ -92,4 +92,23 @@ class TrainingExportSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(d2)
     }
   }
+
+  test("overwrite guard: re-export over a previous export OK, foreign data refused") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-export-guard").toFile
+    try {
+      val path = dir.getAbsolutePath
+      TrainingExport.exportCorpus(corpus, "doc_id", "text", "source", 10L, path)
+      // a second export over the first succeeds (the wipe-then-write path)
+      val n = TrainingExport.exportCorpus(corpus, "doc_id", "text", "source", 10L, path)
+      assert(n > 0)
+      // unrelated data in the target dir must fail loudly, not be deleted
+      val foreign = new java.io.File(dir, "precious.txt")
+      Files.write(foreign.toPath, "do not lose me".getBytes)
+      val e = intercept[IllegalArgumentException](
+        TrainingExport.exportCorpus(corpus, "doc_id", "text", "source", 10L, path))
+      assert(e.getMessage.contains("precious.txt"))
+      assert(foreign.exists, "guard must not have deleted anything")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
