@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * REGISTERED domain, not hostname, or `a.cdn.example.com` and
   * `b.cdn.example.com` count as different publishers.
   *
-  * Pure codegen regexp/array expressions (no UDF). `registeredDomain` uses
-  * the standard two-label heuristic plus the common second-level labels
-  * (`co.uk`-style) — a full Public Suffix List is a data file, not logic,
-  * and plugs in here verbatim at deployment; the boundary is documented,
-  * not silent.
+  * Pure codegen regexp/array expressions (no UDF). `registeredDomain` has
+  * two tiers: the zero-data two-label heuristic plus common second-level
+  * labels (`co.uk`-style), and the [[PublicSuffixList]] overload that runs
+  * the real publicsuffix.org algorithm (wildcards, exceptions, private
+  * platform suffixes) over a pluggable rule file — a bundled snapshot for
+  * offline builds, the full Mozilla list verbatim at deployment.
   */
 object UrlParts {
 
@@ -43,6 +44,15 @@ object UrlParts {
   /** Common second-level registry labels (the `co` of `bbc.co.uk`). */
   val SecondLevelLabels: Seq[String] =
     Seq("co", "com", "net", "org", "gov", "edu", "ac")
+
+  /** Registered domain under a real Public Suffix List — the full-fidelity
+    * variant of [[registeredDomain]] (wildcards, exceptions, private
+    * platform suffixes like `github.io`). Pass [[PublicSuffixList.snapshot]]
+    * for the bundled data, or `PublicSuffixList.fromLines` over the complete
+    * Mozilla file at deployment.
+    */
+  def registeredDomain(hostname: Column, psl: PublicSuffixList.Psl): Column =
+    PublicSuffixList.registeredDomainExpr(hostname, psl)
 
   /** Registered domain of a hostname: last two labels, or last three when
     * the middle one is a registry second-level label. IP-address hosts

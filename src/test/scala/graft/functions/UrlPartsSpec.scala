@@ -59,6 +59,56 @@ class UrlPartsSpec extends AnyFunSuite {
       Seq(("v1.2.archive.example.com", "example.com")))
   }
 
+  private def runPsl(urls: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("url")
+      .select(UrlParts.registeredDomain(
+        UrlParts.host(col("url")), PublicSuffixList.snapshot).as("d"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("PSL registered domain: multi-label suffixes, private domains, defaults") {
+    assert(runPsl(Seq(
+      "https://www.bbc.co.uk/news",      // co.uk is a rule -> 3 labels
+      "https://a.b.c.deep.example.com",  // com -> 2 labels
+      "https://alice.github.io/repo",    // private platform suffix
+      "https://assets.cdn.blogspot.com",
+      "http://sub.example.unknowntld",   // no rule -> default '*' = bare TLD
+      "https://localhost/x",             // single label IS the suffix
+      "http://192.168.0.1:8080/a")) == Seq(
+      "bbc.co.uk",
+      "example.com",
+      "alice.github.io",
+      "cdn.blogspot.com",
+      "example.unknowntld",
+      "localhost",
+      "192.168.0.1"))
+  }
+
+  test("PSL wildcard and exception rules (the *.ck / !www.ck pair)") {
+    assert(runPsl(Seq(
+      "http://shop.a.ck/x",   // *.ck: a.ck is a suffix -> shop.a.ck registers
+      "http://www.ck/x",      // exception: www.ck registers under bare ck
+      "http://sub.www.ck/x")) == Seq(
+      "shop.a.ck",
+      "www.ck",
+      "www.ck"))
+    // a host that IS a public suffix passes through verbatim
+    assert(runPsl(Seq("https://co.uk", "https://github.io")) ==
+      Seq("co.uk", "github.io"))
+  }
+
+  test("PSL parser: comments, blanks, wildcards, exceptions, case folding") {
+    val psl = PublicSuffixList.fromLines(Iterator(
+      "// comment", "", "  ", "COM", "*.CK", "!www.ck", "co.uk  // trailing"))
+    assert(psl.exact == Set("com", "co.uk"))
+    assert(psl.wildcardParents == Set("ck"))
+    assert(psl.exceptions == Set("www.ck"))
+    assert(psl.maxDepth == 2)
+    assert(PublicSuffixList.snapshot.exact.contains("co.uk"))
+    assert(PublicSuffixList.snapshot.wildcardParents.contains("ck"))
+  }
+
   test("registered domain: two-label default, second-level registry labels") {
     assert(run(Seq(
       "https://www.bbc.co.uk/news",
