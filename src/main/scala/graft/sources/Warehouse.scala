@@ -59,6 +59,31 @@ object Warehouse {
       .write.mode("append").partitionBy("organization_id").parquet(path)
   }
 
+  /** Write a fact table bucketed (and sorted) on its join key — the layout
+    * that turns a fact-fact equi-join into local merges with NO shuffle on
+    * either side (BucketingSpec proves the Exchange-free plan; SCALE.md
+    * carries the q02/q03 capture). Both sides of a co-located join must use
+    * the SAME bucket count on their join keys.
+    *
+    * Bucket metadata lives in the catalog, so this is a `saveAsTable`;
+    * pass `path` to keep the files external to the warehouse dir. Size
+    * `nBuckets` so one bucket of the LARGER fact fits an executor's scan
+    * budget (at 100 TB of lineitem-shaped data, thousands of buckets —
+    * the write shuffles once on the bucket hash, every subsequent join of
+    * the co-bucketed facts shuffles never).
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
+      path: Option[String] = None, sortCols: Seq[String] = Seq.empty): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val sorts = if (sortCols.nonEmpty) sortCols else Seq(bucketCol)
+    val writer = df.write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .mode("overwrite")
+    path.fold(writer)(p => writer.option("path", p)).saveAsTable(table)
+  }
+
   def readChunks(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -59,7 +59,15 @@ class TextPropertySpec extends AnyFunSuite {
     val rnd = new scala.util.Random(13)
     (0 until 2000).foreach { _ =>
       val t = randomText(rnd)
-      val words = t.toLowerCase(java.util.Locale.ROOT).trim
+      // expected words via the SAME derivation encode uses (the train()
+      // contract): space-only trim + \s+ split + drop empties. Java .trim
+      // would also strip non-whitespace control chars <= U+0020 and desync
+      // from the tokenizer on inputs bounded by them.
+      var b = 0
+      var e = t.length
+      while (b < e && t.charAt(b) == ' ') b += 1
+      while (e > b && t.charAt(e - 1) == ' ') e -= 1
+      val words = t.substring(b, e).toLowerCase(java.util.Locale.ROOT)
         .split("\\s+").filter(_.nonEmpty)
         .map(_.replace(BpeTokenizer.EndOfWord, "")).filter(_.nonEmpty)
       val rejoined = BpeTokenizer.encode(t, merges)
