@@ -32,22 +32,30 @@ import scala.util.matching.Regex
   *     the common modern xref/ObjStm layout), undone via the shared PNG row
   *     unfilter
   *
-  *   - standard security handler, for files openable with the EMPTY user
-  *     password — the owner-locked "encrypted" PDF a user actually meets:
-  *     RC4 revisions 2–3 (40–128 bit, PDF 1.7 §7.6.3 algorithms 2/4/5/6;
-  *     pure JDK MD5 + a 30-line RC4), AES-128-CBC (/V 4 /R 4 with the
-  *     /AESV2 crypt filter, §7.6.2's sAlT object keys + javax.crypto), and
-  *     AES-256-CBC (/V 5 /R 5–6, ISO 32000-2 §7.6.4: the SHA-256/384/512 +
-  *     AES-CBC hardened hash of Algorithm 2.B validates /U and unwraps the
-  *     file key from /UE). A file that genuinely requires a user password
-  *     throws (lands in the error column).
+  *   - standard security handler: RC4 revisions 2–3 (40–128 bit, PDF 1.7
+  *     §7.6.3 algorithms 2/4/5/6; pure JDK MD5 + a 30-line RC4), AES-128-CBC
+  *     (/V 4 /R 4 with the /AESV2 crypt filter, §7.6.2's sAlT object keys +
+  *     javax.crypto), and AES-256-CBC (/V 5 /R 5–6, ISO 32000-2 §7.6.4: the
+  *     SHA-256/384/512 + AES-CBC hardened hash of Algorithm 2.B validates
+  *     /U and unwraps the file key from /UE). `text(bytes)` opens files
+  *     with the EMPTY user password (the owner-locked "encrypted" PDF a
+  *     user actually meets); `text(bytes, password)` authenticates a
+  *     supplied password FIRST as the user password, THEN as the owner
+  *     password (Algorithm 7: the owner key decrypts /O back into the
+  *     padded user password for R 2–4; /O‖/OE hashed over the 48-byte /U
+  *     for V5) — the Acrobat try-order. A wrong or missing password throws
+  *     (lands in the caller's error column); there is no silent fallback
+  *     from a supplied-but-wrong password to the empty one.
   *
   *   - predictor-filtered Flate streams: PNG predictors (/Predictor >= 10,
   *     shared row unfilter) AND TIFF horizontal differencing (/Predictor 2,
   *     8-bit components)
   *
   * Out of scope (documented boundary, not silent): DCT/CCITT image text,
-  * user-password-locked PDFs, public-key (/Adobe.PubSec) security handlers.
+  * public-key (/Adobe.PubSec) security handlers, SASLprep normalization of
+  * non-ASCII V5 passwords (UTF-8 bytes are used verbatim, truncated to the
+  * spec's 127-byte bound; R ≤ 4 passwords are Latin-1 bytes per
+  * PDFDocEncoding's Latin-text subset).
   */
 private[graft] object PdfExtract {
 
@@ -573,19 +581,34 @@ private[graft] object PdfExtract {
   private[graft] def padPassword(pw: Array[Byte]): Array[Byte] =
     (pw.take(32) ++ PasswordPad).take(32)
 
-  /** File-level encryption key from the (empty) user password — Algorithm 2
+  /** File-level encryption key from a PADDED user password — Algorithm 2
     * for /R 2–4: MD5(paddedPw ‖ O ‖ P-as-LE32 ‖ ID[0] ‖ [FFFFFFFF if R4 and
     * /EncryptMetadata false]), then for R ≥ 3 fifty MD5 re-digests of the
-    * first `n` bytes.
+    * first `n` bytes. The default padded password is the bare pad — the
+    * empty user password.
     */
   private[graft] def fileKey(
       o: Array[Byte], p: Int, id: Array[Byte], r: Int, keyLen: Int,
-      encryptMetadata: Boolean = true): Array[Byte] = {
+      encryptMetadata: Boolean = true,
+      paddedPw: Array[Byte] = PasswordPad): Array[Byte] = {
     val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte, (p >> 24).toByte)
     val noMeta =
       if (r >= 4 && !encryptMetadata) Array.fill[Byte](4)(0xFF.toByte)
       else Array.empty[Byte]
-    var h = md5Bytes(PasswordPad, o, pLe, id, noMeta)
+    var h = md5Bytes(paddedPw, o, pLe, id, noMeta)
+    if (r >= 3) for (_ <- 0 until 50) h = md5Bytes(h.take(keyLen))
+    h.take(keyLen)
+  }
+
+  /** The RC4 key of the /O entry — Algorithm 3 steps a–d: MD5 of the padded
+    * OWNER password (fifty re-digests for R ≥ 3), truncated to the key
+    * length. Encrypting direction builds /O; decrypting direction
+    * (Algorithm 7) recovers the padded user password from it.
+    */
+  private def ownerKey(paddedOwnerPw: Array[Byte], r: Int, keyLen: Int): Array[Byte] = {
+    var h = md5Bytes(paddedOwnerPw)
+    // like Algorithm 2 step h, each re-digest runs over the first keyLen
+    // bytes only (a no-op at the common 128-bit length, real at 40-bit)
     if (r >= 3) for (_ <- 0 until 50) h = md5Bytes(h.take(keyLen))
     h.take(keyLen)
   }
@@ -702,14 +725,17 @@ private[graft] object PdfExtract {
 
   /** Build the decryptor when the trailer carries /Encrypt: standard
     * handler, RC4 /V 1–2 (/R 2–3), AES-128 /V 4 (/R 4), or AES-256 /V 5
-    * (/R 5–6) — empty user password only. Wrong password or an unsupported
-    * scheme throws (→ the caller's error column); returns (encrypt object
-    * number, decryptor) so the encrypt dict itself is left alone. `None`
-    * also when a /V 4–5 file routes streams through the /Identity filter
-    * (streams then aren't encrypted at all).
+    * (/R 5–6). `password` ("" = the empty user password) authenticates
+    * first as user, then as owner (Algorithm 7 / the V5 /O‖/OE check).
+    * Wrong password or an unsupported scheme throws (→ the caller's error
+    * column); returns (encrypt object number, decryptor) so the encrypt
+    * dict itself is left alone. `None` also when a /V 4–5 file routes
+    * streams through the /Identity filter (streams then aren't encrypted
+    * at all).
     */
   private def buildDecryptor(
-      s: String, objs: Map[Int, PdfObj]): Option[(Int, Decryptor)] = {
+      s: String, objs: Map[Int, PdfObj],
+      password: String): Option[(Int, Decryptor)] = {
     val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s)
       .map(_.group(1).toInt)
     encRef.flatMap { num =>
@@ -743,19 +769,45 @@ private[graft] object PdfExtract {
       def oEntry: Array[Byte] = dictStringBytes(dict, "O")
         .getOrElse(throw new IllegalArgumentException("missing /O entry"))
 
-      // Algorithm 6 (/R 2–4): verify the EMPTY user password against /U
-      def verifyEmptyUserPassword(key: Array[Byte]): Unit = {
-        val ok =
-          if (r == 2) java.util.Arrays.equals(rc4(key, PasswordPad), u.take(32))
-          else {
-            var enc = rc4(key, md5Bytes(PasswordPad, id))
-            for (i <- 1 to 19)
-              enc = rc4(key.map(b => (b ^ i).toByte), enc)
-            java.util.Arrays.equals(enc, u.take(16))
-          }
-        if (!ok)
-          throw new IllegalArgumentException(
-            "encrypted PDF requires a user password")
+      // Algorithm 4/5 check (/R 2–4): does this file key open the file?
+      // (The /U comparison only depends on the derived key, so it verifies
+      // whichever password — empty, user, or owner-recovered — produced it.)
+      def keyOpensFile(key: Array[Byte]): Boolean =
+        if (r == 2) java.util.Arrays.equals(rc4(key, PasswordPad), u.take(32))
+        else {
+          var enc = rc4(key, md5Bytes(PasswordPad, id))
+          for (i <- 1 to 19)
+            enc = rc4(key.map(b => (b ^ i).toByte), enc)
+          java.util.Arrays.equals(enc, u.take(16))
+        }
+
+      def authFailure: Nothing =
+        throw new IllegalArgumentException(
+          if (password.isEmpty) "encrypted PDF requires a user password"
+          else "wrong password for encrypted PDF")
+
+      // R 2–4 authentication: the supplied password as USER password
+      // (Algorithm 2 + 4/5), else as OWNER password (Algorithm 7: the
+      // owner key peels /O back into the padded user password, which must
+      // then itself open the file).
+      def authenticate(keyLen: Int, encMeta: Boolean = true): Array[Byte] = {
+        val pwBytes = password.getBytes(Latin1)
+        val asUser = fileKey(oEntry, pEntry, id, r, keyLen, encMeta,
+          paddedPw = padPassword(pwBytes))
+        if (keyOpensFile(asUser)) return asUser
+        if (password.nonEmpty) {
+          val ok = ownerKey(padPassword(pwBytes), r, keyLen)
+          var recovered = oEntry.take(32)
+          if (r == 2) recovered = rc4(ok, recovered)
+          else for (i <- 19 to 0 by -1)
+            recovered = rc4(ok.map(b => (b ^ i).toByte), recovered)
+          // recovered is already 32 padded bytes; padPassword is the
+          // identity on it
+          val asOwner = fileKey(oEntry, pEntry, id, r, keyLen, encMeta,
+            paddedPw = padPassword(recovered))
+          if (keyOpensFile(asOwner)) return asOwner
+        }
+        authFailure
       }
 
       v match {
@@ -765,8 +817,7 @@ private[graft] object PdfExtract {
               s"unsupported PDF encryption (V=$v R=$r)")
           val keyLen = if (v == 1 || r == 2) 5
             else dictInt(topDict, "/Length").map(_ / 8).getOrElse(5)
-          val key = fileKey(oEntry, pEntry, id, r, keyLen)
-          verifyEmptyUserPassword(key)
+          val key = authenticate(keyLen)
           Some((num, new Rc4Decryptor(key)))
 
         case 4 =>
@@ -782,8 +833,7 @@ private[graft] object PdfExtract {
             val keyLen = dictInt(topDict, "/Length").map(_ / 8).getOrElse(16)
             val encMeta = !"""/EncryptMetadata\s+false""".r
               .findFirstIn(topDict).isDefined
-            val key = fileKey(oEntry, pEntry, id, r = 4, keyLen, encMeta)
-            verifyEmptyUserPassword(key)
+            val key = authenticate(keyLen, encMeta)
             cfm match {
               case "AESV2" => Some((num, new AesV2Decryptor(key)))
               case "V2" => Some((num, new Rc4Decryptor(key)))
@@ -802,25 +852,44 @@ private[graft] object PdfExtract {
             if (u.length < 48)
               throw new IllegalArgumentException(
                 s"/U entry is ${u.length} bytes, need 48 for V5")
-            val hash = u.take(32)
-            val validationSalt = u.slice(32, 40)
-            val keySalt = u.slice(40, 48)
-            val empty = Array.empty[Byte]
+            // Algorithm 2.A: V5 passwords are UTF-8, capped at 127 bytes
+            // (SASLprep normalization documented out of scope)
+            val pw = password.getBytes(StandardCharsets.UTF_8).take(127)
             // R6 hardens with Algorithm 2.B; R5 (deprecated Adobe
-            // extension) is a single SHA-256
-            def pwHash(salt: Array[Byte]): Array[Byte] =
-              if (r == 6) hash2B(empty, salt, empty)
-              else sha256Of(empty, salt)
-            if (!java.util.Arrays.equals(pwHash(validationSalt), hash))
-              throw new IllegalArgumentException(
-                "encrypted PDF requires a user password")
-            val ue = dictStringBytes(dict, "UE")
-              .getOrElse(throw new IllegalArgumentException("missing /UE entry"))
-            if (ue.length != 32)
-              throw new IllegalArgumentException(
-                s"/UE entry is ${ue.length} bytes, need 32")
-            val key = aesCbc(encrypt = false, pwHash(keySalt),
-              new Array[Byte](16), ue, pkcs5 = false)
+            // extension) is a single SHA-256(pw ‖ salt ‖ udata)
+            def pwHash(salt: Array[Byte], udata: Array[Byte]): Array[Byte] =
+              if (r == 6) hash2B(pw, salt, udata)
+              else sha256Of(pw, salt, udata)
+            def unwrap(keyHash: Array[Byte], e: Array[Byte], entry: String): Array[Byte] = {
+              if (e.length != 32)
+                throw new IllegalArgumentException(
+                  s"/$entry entry is ${e.length} bytes, need 32")
+              aesCbc(encrypt = false, keyHash, new Array[Byte](16), e, pkcs5 = false)
+            }
+            val empty = Array.empty[Byte]
+            val key =
+              if (java.util.Arrays.equals(pwHash(u.slice(32, 40), empty), u.take(32))) {
+                // user password: key salt + /UE
+                val ue = dictStringBytes(dict, "UE").getOrElse(
+                  throw new IllegalArgumentException("missing /UE entry"))
+                unwrap(pwHash(u.slice(40, 48), empty), ue, "UE")
+              } else {
+                // owner password: /O's salts hash over the full 48-byte /U
+                // (Algorithms 12/2.A), key unwraps from /OE
+                val u48 = u.take(48)
+                val oOpt = dictStringBytes(dict, "O").filter(_.length >= 48)
+                val asOwner = password.nonEmpty && oOpt.exists(o =>
+                  java.util.Arrays.equals(
+                    pwHash(o.slice(32, 40), u48), o.take(32)))
+                if (!asOwner)
+                  throw new IllegalArgumentException(
+                    if (password.isEmpty) "encrypted PDF requires a user password"
+                    else "wrong password for encrypted PDF")
+                val o = oOpt.get
+                val oe = dictStringBytes(dict, "OE").getOrElse(
+                  throw new IllegalArgumentException("missing /OE entry"))
+                unwrap(pwHash(o.slice(40, 48), u48), oe, "OE")
+              }
             Some((num, new AesV3Decryptor(key)))
           }
 
@@ -831,22 +900,32 @@ private[graft] object PdfExtract {
     }
   }
 
-  /** SHA-256(pw ‖ salt) — the /R 5 password hash (Adobe ext. level 3). */
-  private def sha256Of(pw: Array[Byte], salt: Array[Byte]): Array[Byte] = {
+  /** SHA-256(pw ‖ salt ‖ udata) — the /R 5 password hash (Adobe ext.
+    * level 3); `udata` is empty for /U, the 48-byte /U for /O.
+    */
+  private def sha256Of(
+      pw: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte] = Array.empty): Array[Byte] = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
-    d.update(pw); d.update(salt)
+    d.update(pw); d.update(salt); d.update(udata)
     d.digest()
   }
 
   // ---------------------------------------------------------------- public
 
-  def text(bytes: Array[Byte]): String = {
+  def text(bytes: Array[Byte]): String = text(bytes, password = "")
+
+  /** [[text]] for a password-protected file: `password` authenticates as
+    * the user password first, then as the owner password (see the handler
+    * notes in the object scaladoc). "" = the empty user password.
+    */
+  def text(bytes: Array[Byte], password: String): String = {
     val topObjs0 = parseObjects(bytes)
     if (topObjs0.isEmpty) throw new IllegalArgumentException("failed to open PDF: no objects")
     // standard security handler: RC4-decrypt every object stream (strings
     // inside content streams decrypt with their stream; XRef streams and
     // the encrypt dict are never encrypted per spec)
-    val topObjs = buildDecryptor(new String(bytes, Latin1), topObjs0) match {
+    val topObjs = buildDecryptor(new String(bytes, Latin1), topObjs0, password) match {
       case None => topObjs0
       case Some((encNum, d)) =>
         val xref = """/Type\s*/XRef""".r

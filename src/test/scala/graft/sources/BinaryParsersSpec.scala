@@ -558,6 +558,61 @@ class BinaryParsersSpec extends AnyFunSuite {
     }
   }
 
+  test("pdf: the user password opens user-locked files, all cipher families") {
+    assert(PdfExtract.text(pdfRc4Fixture(r = 2, userPw = "secret123"), "secret123")
+      == "Owner locked, user readable.")
+    assert(PdfExtract.text(pdfRc4Fixture(r = 3, userPw = "secret123"), "secret123")
+      == "Owner locked, user readable.")
+    assert(PdfExtract.text(pdfAesV2Fixture(userPw = "secret123"), "secret123")
+      == "AES-128 owner locked.")
+    assert(PdfExtract.text(pdfAesV3Fixture(r = 5, userPw = "secret123"), "secret123")
+      == "AES-256 R5 owner locked.")
+    assert(PdfExtract.text(pdfAesV3Fixture(r = 6, userPw = "secret123"), "secret123")
+      == "AES-256 R6 owner locked.")
+  }
+
+  test("pdf: the owner password opens user-locked files, all cipher families") {
+    // Algorithm 7 for R 2–4 (the owner key peels /O back into the padded
+    // user password); the /O‖/OE hash-over-/U path for V5
+    for (locked <- Seq(pdfRc4Fixture(r = 2, userPw = "secret123"),
+        pdfRc4Fixture(r = 3, userPw = "secret123"),
+        pdfAesV2Fixture(userPw = "secret123"),
+        pdfAesV3Fixture(r = 5, userPw = "secret123"),
+        pdfAesV3Fixture(r = 6, userPw = "secret123")))
+      assert(PdfExtract.text(locked, "hive-owner").nonEmpty)
+  }
+
+  test("pdf: a wrong password fails loudly, never mis-decrypts") {
+    for (locked <- Seq(pdfRc4Fixture(r = 3, userPw = "secret123"),
+        pdfAesV2Fixture(userPw = "secret123"),
+        pdfAesV3Fixture(r = 6, userPw = "secret123"))) {
+      val e = intercept[IllegalArgumentException](
+        PdfExtract.text(locked, "not-the-password"))
+      assert(e.getMessage.contains("wrong password"))
+    }
+    // a supplied-but-wrong password on an owner-locked (empty-user) file
+    // must ALSO refuse — no silent fallback to the empty password
+    intercept[IllegalArgumentException](
+      PdfExtract.text(pdfRc4Fixture(r = 3), "not-the-password"))
+    // and the empty password still opens owner-locked files via the overload
+    assert(PdfExtract.text(pdfRc4Fixture(r = 3), "")
+      == "Owner locked, user readable.")
+  }
+
+  test("pdf: passwords past the spec bound are truncated, not rejected") {
+    // R <= 4 pads/truncates to 32 bytes (§7.6.3.3 Algorithm 2 step a): a
+    // 40-char password authenticates via its first 32 chars
+    val pw40 = "A" * 40
+    val lockedR3 = pdfRc4Fixture(r = 3, userPw = pw40)
+    assert(PdfExtract.text(lockedR3, pw40) == "Owner locked, user readable.")
+    assert(PdfExtract.text(lockedR3, "A" * 32) == "Owner locked, user readable.")
+    // V5 caps at 127 UTF-8 bytes (Algorithm 2.A)
+    val pw130 = "B" * 130
+    val lockedV5 = pdfAesV3Fixture(r = 6, userPw = pw130)
+    assert(PdfExtract.text(lockedV5, pw130) == "AES-256 R6 owner locked.")
+    assert(PdfExtract.text(lockedV5, "B" * 127) == "AES-256 R6 owner locked.")
+  }
+
   test("pdf: mutated encrypted fixtures never escape parseOrNone") {
     // bit-flips over all three cipher families: corrupt key material, IVs,
     // padding and dict entries must degrade to None, never hang or escape
@@ -569,6 +624,17 @@ class BinaryParsersSpec extends AnyFunSuite {
       for (_ <- 1 to 1 + rnd.nextInt(5))
         mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
       Parsers.parseOrNone("pdf", mutated) // must return, Some or None
+    }
+    // same contract down the password-authentication paths (user and owner)
+    for (base <- Seq(pdfRc4Fixture(r = 3, userPw = "secret123"),
+        pdfAesV2Fixture(userPw = "secret123"),
+        pdfAesV3Fixture(r = 6, userPw = "secret123"));
+        pw <- Seq("secret123", "hive-owner"); _ <- 1 to 30) {
+      val mutated = base.clone()
+      for (_ <- 1 to 1 + rnd.nextInt(5))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      try { PdfExtract.text(mutated, pw); () }
+      catch { case _: IllegalArgumentException => () } // only the loud kind
     }
   }
 
