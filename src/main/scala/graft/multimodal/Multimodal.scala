@@ -22,6 +22,17 @@ import org.apache.spark.sql.types._
   * build swaps exactly one function (the bytes→features kernel inside
   * [[extractFeatures]]); everything around it is unchanged.
   *
+  * Why the Layer III PCM boundary stays a stub rather than going the way
+  * progressive JPEG did: JPEG's entropy tables travel INSIDE the file and
+  * its transform is analytic, so a from-the-spec decoder is verifiable
+  * against golden JDK output. Layer III's 34 Huffman tables and the
+  * 512-coefficient synthesis window are fixed spec-side DATA (ISO/IEC
+  * 11172-3 Annex B) that ships with no container copy and no reference
+  * decoder to validate against here — a decoder built on reconstructed
+  * tables could only be tested against fixtures encoded with those same
+  * tables, a circular check that would pass even if every table were
+  * wrong. An honest documented boundary beats unverifiable surface.
+  *
   * Scale: media bytes stay columnar in parquet (never collected); feature
   * extraction is `mapPartitions` so a real decoder amortizes model/codec
   * init per partition (the same batching contract as `mapInPandas`).
