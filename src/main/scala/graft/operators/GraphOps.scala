@@ -53,4 +53,75 @@ object GraphOps {
         concat(lit("similarity="), col("score")).as("description"),
         current_timestamp().as("created_at"))
   }
+
+  /** Power-iteration PageRank over a directed edge list — the link-graph
+    * quality signal a crawl-scale curation pipeline ranks domains and pages
+    * by (the CommonCrawl/Gopher "page quality from graph structure" family;
+    * north-star extension, the reference has no graph analytics).
+    *
+    * `edges` = (src, dst) rows, self-loops and duplicates allowed on input
+    * (deduplicated here — parallel edges would double-count contributions).
+    * PR_0 = 1/N; PR_{t+1}(v) = (1−d)/N + d·(Σ_{u→v} PR_t(u)/outdeg(u)
+    * + danglingMass_t/N), the dangling (no-out-edge) mass redistributed
+    * uniformly so the scores stay a probability distribution.
+    *
+    * Scale shape (billions of nodes): the classic Pregel cost — per
+    * iteration ONE shuffle for the contribution `groupBy(dst)` and one
+    * equi-join of the rank vector against the (static) out-degree table;
+    * ranks are `localCheckpoint`ed per round so the iterative lineage never
+    * compounds (the q37 connected-components discipline), and edges +
+    * degrees are checkpointed ONCE and reused every round. The dangling
+    * mass is a scalar aggregate per round (a cheap count-shaped job), never
+    * a driver-side collect of rank rows.
+    *
+    * Determinism/oracle contract: per-edge contributions sum through exact
+    * DECIMAL(28,12) (order-free, the q38 BM25 discipline), every double
+    * expression is evaluated in the same operation order as the DuckDB
+    * twin, and ranks snap to 9 decimals per round so iteration inputs stay
+    * on a clean grid.
+    */
+  def pageRank(
+      edges: DataFrame, iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val base = (1.0 - damping) / n
+
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val ranked = pr.join(outdeg, pr("node") === outdeg("src"), "left")
+        .select(col("node"), col("pr"), col("outdeg"))
+      val danglingMass = ranked.filter(col("outdeg").isNull)
+        .agg(sum(col("pr").cast("decimal(28,12)")).as("m"))
+        .head().getDecimal(0) match {
+          case null => 0.0
+          case d    => d.doubleValue()
+        }
+      val contrib = e
+        .join(ranked.filter(col("outdeg").isNotNull),
+          e("src") === col("node"))
+        .select(col("dst"),
+          (col("pr") / col("outdeg")).cast("decimal(28,12)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("csum"))
+      pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          round(
+            lit(base) + lit(damping) *
+              (coalesce(col("csum").cast("double"), lit(0.0)) +
+                lit(danglingMass / n)), 9).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
 }

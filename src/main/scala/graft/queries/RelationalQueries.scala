@@ -462,6 +462,88 @@ object RelationalQueries {
                MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
         FROM z GROUP BY zbin ORDER BY zbin""")),
 
+    // Link-graph PageRank (3 power iterations, damping 0.85) over a
+    // directed graph derived deterministically from orders on BOTH sides
+    // (custkey mod 80 → orderkey mod 97: nodes 80-96 are dst-only, so the
+    // dangling-mass redistribution path is genuinely exercised). The
+    // iterative twin of q37's connected components: Spark runs the
+    // Pregel-style localCheckpoint loop, DuckDB unrolls the three
+    // iterations as chained materialized CTEs; per-edge contributions sum
+    // through exact DECIMAL(28,12) and ranks snap to 9 decimals per round,
+    // so both engines walk identical doubles.
+    "q4b_pagerank" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 80).cast("long").as("src"),
+          (col("o_orderkey") % 97).cast("long").as("dst"))
+        graft.operators.GraphOps.pageRank(edges, iterations = 3, damping = 0.85)
+          .select(col("node"), round(col("pr"), 6).as("pagerank"))
+          .orderBy(col("node"))
+      },
+      oracle = Some("""
+        WITH edges AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey % 80 AS BIGINT) AS src,
+                          CAST(o_orderkey % 97 AS BIGINT) AS dst
+          FROM orders
+          WHERE o_custkey % 80 <> o_orderkey % 97),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        odeg AS MATERIALIZED (
+          SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        pr0 AS MATERIALIZED (
+          SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes),
+        d1 AS MATERIALIZED (
+          SELECT COALESCE(CAST(SUM(CAST(p.pr AS DECIMAL(28,12))) AS DOUBLE),
+                          CAST(0 AS DOUBLE)) AS dm
+          FROM pr0 p LEFT JOIN odeg o ON o.src = p.node WHERE o.src IS NULL),
+        c1 AS MATERIALIZED (
+          SELECT e.dst,
+                 SUM(CAST(p.pr / CAST(o.outdeg AS DOUBLE) AS DECIMAL(28,12))) AS csum
+          FROM edges e JOIN pr0 p ON p.node = e.src JOIN odeg o ON o.src = e.src
+          GROUP BY e.dst),
+        pr1 AS MATERIALIZED (
+          SELECT n.node,
+                 ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nn.n FROM nn)
+                   + CAST(0.85 AS DOUBLE) *
+                     (COALESCE(CAST(c.csum AS DOUBLE), CAST(0 AS DOUBLE))
+                      + (SELECT dm FROM d1) / (SELECT nn.n FROM nn)), 9) AS pr
+          FROM nodes n LEFT JOIN c1 c ON c.dst = n.node),
+        d2 AS MATERIALIZED (
+          SELECT COALESCE(CAST(SUM(CAST(p.pr AS DECIMAL(28,12))) AS DOUBLE),
+                          CAST(0 AS DOUBLE)) AS dm
+          FROM pr1 p LEFT JOIN odeg o ON o.src = p.node WHERE o.src IS NULL),
+        c2 AS MATERIALIZED (
+          SELECT e.dst,
+                 SUM(CAST(p.pr / CAST(o.outdeg AS DOUBLE) AS DECIMAL(28,12))) AS csum
+          FROM edges e JOIN pr1 p ON p.node = e.src JOIN odeg o ON o.src = e.src
+          GROUP BY e.dst),
+        pr2 AS MATERIALIZED (
+          SELECT n.node,
+                 ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nn.n FROM nn)
+                   + CAST(0.85 AS DOUBLE) *
+                     (COALESCE(CAST(c.csum AS DOUBLE), CAST(0 AS DOUBLE))
+                      + (SELECT dm FROM d2) / (SELECT nn.n FROM nn)), 9) AS pr
+          FROM nodes n LEFT JOIN c2 c ON c.dst = n.node),
+        d3 AS MATERIALIZED (
+          SELECT COALESCE(CAST(SUM(CAST(p.pr AS DECIMAL(28,12))) AS DOUBLE),
+                          CAST(0 AS DOUBLE)) AS dm
+          FROM pr2 p LEFT JOIN odeg o ON o.src = p.node WHERE o.src IS NULL),
+        c3 AS MATERIALIZED (
+          SELECT e.dst,
+                 SUM(CAST(p.pr / CAST(o.outdeg AS DOUBLE) AS DECIMAL(28,12))) AS csum
+          FROM edges e JOIN pr2 p ON p.node = e.src JOIN odeg o ON o.src = e.src
+          GROUP BY e.dst),
+        pr3 AS MATERIALIZED (
+          SELECT n.node,
+                 ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nn.n FROM nn)
+                   + CAST(0.85 AS DOUBLE) *
+                     (COALESCE(CAST(c.csum AS DOUBLE), CAST(0 AS DOUBLE))
+                      + (SELECT dm FROM d3) / (SELECT nn.n FROM nn)), 9) AS pr
+          FROM nodes n LEFT JOIN c3 c ON c.dst = n.node)
+        SELECT node, ROUND(pr, 6) AS pagerank FROM pr3 ORDER BY node"""),
+      headline = true),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>

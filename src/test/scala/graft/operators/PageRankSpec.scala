@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Power-iteration PageRank: hand-computed ranks, probability-mass
+  * conservation (the dangling-redistribution invariant), input hygiene
+  * (duplicate edges, self-loops), and partition invariance.
+  */
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    GraphOps.pageRank(edges.toDF("src", "dst"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("one iteration matches the hand-computed ranks") {
+    // 1→2, 2→1, 1→3; node 3 is dangling. N=3, d=0.85, pr0 = 1/3 each:
+    //   dangling mass = 1/3, base = 0.15/3 = 0.05, dm/N = 1/9
+    //   pr(1) = 0.05 + 0.85·(1/3 + 1/9)  = 0.427777778
+    //   pr(2) = 0.05 + 0.85·(1/6 + 1/9)  = 0.286111111
+    //   pr(3) = pr(2)                     (same in-contribution)
+    val pr = ranks(Seq((1L, 2L), (2L, 1L), (1L, 3L)), iters = 1)
+    assert(math.abs(pr(1L) - 0.427777778) < 1e-8)
+    assert(math.abs(pr(2L) - 0.286111111) < 1e-8)
+    assert(math.abs(pr(3L) - 0.286111111) < 1e-8)
+  }
+
+  test("rank mass stays a probability distribution across iterations") {
+    // star + chain + a dangling sink: redistribution must conserve mass
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 4L), (4L, 5L))
+    for (k <- 1 to 4) {
+      val pr = ranks(edges, iters = k)
+      assert(math.abs(pr.values.sum - 1.0) < 1e-6, s"mass drifted at iter $k")
+      assert(pr.values.forall(_ > 0))
+    }
+  }
+
+  test("duplicate edges and self-loops do not change the result") {
+    val clean = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L)), iters = 3)
+    val noisy = ranks(
+      Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L), (3L, 3L)), iters = 3)
+    assert(clean == noisy)
+  }
+
+  test("a well-linked node outranks the periphery") {
+    // everyone points at 9; 9 points at 1
+    val edges = (1L to 8L).map(i => (i, 9L)) :+ ((9L, 1L))
+    val pr = ranks(edges, iters = 3)
+    assert(pr(9L) == pr.values.max)
+    assert((2L to 8L).forall(i => pr(9L) > pr(i)))
+  }
+
+  test("partition-invariant: repartitioned edges produce identical ranks") {
+    val edges = (1L to 40L).map(i => (i % 7, (i * 3) % 11)).filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    val a = GraphOps.pageRank(df, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = GraphOps.pageRank(df.repartition(13), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b)
+  }
+
+  test("validation: empty graph, bad damping, bad iterations refuse") {
+    intercept[IllegalArgumentException](
+      GraphOps.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst")))
+    intercept[IllegalArgumentException](
+      GraphOps.pageRank(Seq((1L, 2L)).toDF("src", "dst"), damping = 1.0))
+    intercept[IllegalArgumentException](
+      GraphOps.pageRank(Seq((1L, 2L)).toDF("src", "dst"), iterations = 0))
+  }
+}
