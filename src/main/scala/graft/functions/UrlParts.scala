@@ -54,6 +54,49 @@ object UrlParts {
   def registeredDomain(hostname: Column, psl: PublicSuffixList.Psl): Column =
     PublicSuffixList.registeredDomainExpr(hostname, psl)
 
+  /** Tracking query parameters dropped by [[canonicalize]] — the
+    * click/campaign identifiers that make one page spell a thousand URLs.
+    */
+  val TrackingParamPattern: String =
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)(=|$)"
+
+  /** URL canonicalization — the cheapest crawl-dedup tier (CCNet/RefinedWeb
+    * dedup by canonical URL before any content hashing): one page, one key.
+    *   - fragment stripped (never sent to the server),
+    *   - scheme and authority lowercased (RFC 3986 case-insensitivity;
+    *     path/query case is preserved — it IS significant),
+    *   - default ports stripped (`:80` for http, `:443` for https),
+    *   - empty path normalized to "/",
+    *   - tracking parameters ([[TrackingParamPattern]]) dropped and the
+    *     surviving query parameters SORTED (param order is almost never
+    *     significant; unsorted order splits one page into n! keys).
+    * Input without a `scheme://` is passed through trimmed and
+    * fragment-stripped only (no authority to normalize — protocol-relative
+    * and bare-host strings stay verbatim). Dot-segment resolution and
+    * percent-encoding normalization are documented out of scope. Pure
+    * column expressions (regexp + array ops, the one lambda closes only
+    * over its own argument).
+    */
+  def canonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val hostPart = when(scheme === "http", regexp_replace(lower(auth), ":80$", ""))
+      .when(scheme === "https", regexp_replace(lower(auth), ":443$", ""))
+      .otherwise(lower(auth))
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => !p.rlike(TrackingParamPattern) && p =!= "")
+    val sortedQ = array_join(array_sort(params), "&")
+    when(scheme === "", noFrag)
+      .otherwise(concat(
+        scheme, lit("://"), hostPart,
+        when(path === "", lit("/")).otherwise(path),
+        when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
+  }
+
   /** Registered domain of a hostname: last two labels, or last three when
     * the middle one is a registry second-level label. IP-address hosts
     * ([[isIpHost]]) have no registrable labels and pass through verbatim —

@@ -755,6 +755,70 @@ object TextQueries {
                ELSE parts[-2] || '.' || parts[-1] END AS domain
         FROM p ORDER BY doc_id""")),
 
+    // URL canonicalization, hash-exact: the crawl-dedup key (one page, one
+    // URL). Six synthesized shapes exercise every rule on both sides —
+    // tracking-param drop + query sort, default-port strip, scheme/host
+    // case-folding with path case PRESERVED, fragment strip, empty-path
+    // normalization, schemeless passthrough.
+    "q4c_url_canonical" -> Q(
+      fn = (s, dir) => {
+        val u = when(col("doc_id") % 6 === 0,
+          concat(lit("https://WWW."), col("source"),
+            lit(".com:443/a/b?utm_source=x&b=2&a=1#sec")))
+          .when(col("doc_id") % 6 === 1,
+            concat(lit("http://"), col("source"), lit(".org:80")))
+          .when(col("doc_id") % 6 === 2,
+            concat(lit("http://"), col("source"), lit(".org:8080/x?gclid=abc")))
+          .when(col("doc_id") % 6 === 3,
+            concat(lit("HTTPS://"), upper(col("source")), lit(".Net/Path/?z=1&y=2")))
+          .when(col("doc_id") % 6 === 4,
+            concat(col("source"), lit(".com/x?utm_campaign=1")))
+          .otherwise(concat(lit("https://"), col("source"), lit(".com/a#frag")))
+        docs(s, dir).select(col("doc_id"), u.as("url"))
+          .select(col("doc_id"), col("url"),
+            graft.functions.UrlParts.canonicalize(col("url")).as("canonical"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 6 = 0
+                   THEN 'https://WWW.' || source || '.com:443/a/b?utm_source=x&b=2&a=1#sec'
+                 WHEN doc_id % 6 = 1 THEN 'http://' || source || '.org:80'
+                 WHEN doc_id % 6 = 2 THEN 'http://' || source || '.org:8080/x?gclid=abc'
+                 WHEN doc_id % 6 = 3 THEN 'HTTPS://' || upper(source) || '.Net/Path/?z=1&y=2'
+                 WHEN doc_id % 6 = 4 THEN source || '.com/x?utm_campaign=1'
+                 ELSE 'https://' || source || '.com/a#frag' END AS url
+          FROM documents),
+        s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS nf FROM u),
+        s2 AS (
+          SELECT doc_id, url, nf,
+                 lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+                 regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+          FROM s1),
+        s3 AS (
+          SELECT doc_id, url, nf, scheme,
+                 CASE WHEN scheme = 'http' THEN regexp_replace(lower(auth), ':80$', '')
+                      WHEN scheme = 'https' THEN regexp_replace(lower(auth), ':443$', '')
+                      ELSE lower(auth) END AS hostp,
+                 regexp_extract(rest, '^([^?]*)', 1) AS path,
+                 regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS q
+          FROM s2),
+        s4 AS (
+          SELECT doc_id, url, nf, scheme, hostp, path,
+                 COALESCE(array_to_string(list_sort(list_filter(
+                   string_split(q, '&'),
+                   p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)(=|$)')
+                        AND p <> '')), '&'), '') AS sq
+          FROM s3)
+        SELECT doc_id, url,
+               CASE WHEN scheme = '' THEN nf
+                    ELSE scheme || '://' || hostp ||
+                         CASE WHEN path = '' THEN '/' ELSE path END ||
+                         CASE WHEN sq = '' THEN '' ELSE '?' || sq END END AS canonical
+        FROM s4 ORDER BY doc_id""")),
+
     // Per-source quantile bands, hash-exact: each doc's SOURCE-relative
     // quality quartile (ntile over token count, doc_id tiebreak) — the
     // per-domain normalization step ("keep each source's top quartile"

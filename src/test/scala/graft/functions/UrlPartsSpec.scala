@@ -109,6 +109,52 @@ class UrlPartsSpec extends AnyFunSuite {
     assert(PublicSuffixList.snapshot.wildcardParents.contains("ck"))
   }
 
+  private def canon(urls: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    urls.toDF("url")
+      .select(UrlParts.canonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("canonicalize: every URL spelling of one page maps to one key") {
+    // the crawl-dedup property: case, default port, fragment, tracking
+    // params and param order all collapse
+    val variants = Seq(
+      "https://Example.com/a/b?x=1&y=2",
+      "HTTPS://EXAMPLE.COM/a/b?y=2&x=1",
+      "https://example.com:443/a/b?x=1&y=2#section",
+      "https://example.com/a/b?utm_source=tw&y=2&fbclid=z&x=1")
+    assert(canon(variants).toSet == Set("https://example.com/a/b?x=1&y=2"))
+  }
+
+  test("canonicalize: rules fire individually, path case preserved") {
+    assert(canon(Seq(
+      "http://a.com:80",             // default port + empty path
+      "http://a.com:8080/x",         // non-default port kept
+      "https://a.com/CaseSensitive/Path", // path case IS significant
+      "https://a.com/x?gclid=1&utm_campaign=2", // tracking-only query drops '?'
+      "a.com/x?utm_campaign=1",      // schemeless passthrough
+      "//cdn.a.com/asset.js",        // protocol-relative passthrough
+      "  https://a.com/x#f  "        // trim + fragment
+    )) == Seq(
+      "http://a.com/",
+      "http://a.com:8080/x",
+      "https://a.com/CaseSensitive/Path",
+      "https://a.com/x",
+      "a.com/x?utm_campaign=1",
+      "//cdn.a.com/asset.js",
+      "https://a.com/x"))
+  }
+
+  test("canonicalize is idempotent") {
+    val in = Seq(
+      "https://WWW.Example.com:443/a?b=2&a=1#f",
+      "http://a.com:80", "a.com/x?z=1", "https://a.com/p?utm_source=x")
+    val once = canon(in)
+    assert(canon(once) == once)
+  }
+
   test("registered domain: two-label default, second-level registry labels") {
     assert(run(Seq(
       "https://www.bbc.co.uk/news",
