@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 /** One-call corpus curation: the full training-data flow composed from the
   * individually-oracled operators —
   *
-  *   exact dedup → transitive near-dup dedup (MinHash-LSH + connected
-  *   components) → benchmark decontamination → unigram-LM quality band →
-  *   PII scrub → per-domain cap → deterministic mix sample.
+  *   URL-key dedup → exact dedup → transitive near-dup dedup (MinHash-LSH
+  *   + connected components) → benchmark decontamination → unigram-LM
+  *   quality band → PII scrub → per-domain cap → deterministic mix sample.
   *
   * Every stage is hash-deterministic (content hashes, md5 draws, DECIMAL
   * sums), so the whole pipeline is reproducible across runs, partitionings
@@ -37,7 +37,8 @@ object Curate {
       repetitionMaxDup5gram: Option[Double] = None,
       canonicalize: Boolean = false,
       c4PageRules: Boolean = false,
-      lmMinTokenCount: Long = 1L)
+      lmMinTokenCount: Long = 1L,
+      urlCol: Option[String] = None)
 
   /** Ordered (stageName, DataFrame-after-stage) — the last entry is the
     * curated output: original columns plus `surprisal` (when banded) and
@@ -50,6 +51,21 @@ object Curate {
     val out = Seq.newBuilder[(String, DataFrame)]
     out += ("input" -> docs)
     var docsIn = docs
+
+    // -1. URL-key dedup: the cheapest tier of all — one page, one
+    // canonical URL ([[graft.functions.UrlParts.canonicalize]]), min id
+    // wins, NO text touched (runs before canonicalization/shingling so
+    // every URL-duplicate it drops is a doc the text stages never see;
+    // the CCNet/RefinedWeb ordering). Null-URL rows are exempt, same
+    // policy as the null-text exemptions below.
+    cfg.urlCol.foreach { uc =>
+      val wUrl = Window
+        .partitionBy(graft.functions.UrlParts.canonicalize(col(uc)))
+        .orderBy(col(idCol))
+      docsIn = docsIn.withColumn("__urn", row_number().over(wUrl))
+        .filter(col("__urn") === 1 || col(uc).isNull).drop("__urn")
+      out += ("url_dedup" -> docsIn)
+    }
 
     // 0a. Unicode canonicalization FIRST — every downstream hash (exact
     // dedup md5, MinHash shingles, benchmark grams) must see the canonical

@@ -160,6 +160,30 @@ class CurateSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("url dedup stage collapses URL variants before any text work") {
+    import spark.implicits._
+    // 1/2/3 are the SAME page spelled three ways (case, default port +
+    // tracking params, fragment); texts differ, so only URL dedup can
+    // collapse them. 4 is a different page; 5 has no URL (exempt).
+    val docs = Seq(
+      (1L, s"v1 $filler", "s", "https://Example.com/page?a=1"),
+      (2L, s"v2 $filler", "s", "https://example.com:443/page?a=1&utm_source=x"),
+      (3L, s"v3 $filler", "s", "https://example.com/page?a=1#top"),
+      (4L, s"w4 $filler", "s", "https://example.com/other"),
+      (5L, s"x5 $filler", "s", null)
+    ).toDF("doc_id", "text", "source", "url")
+    val st = Curate.stages(docs, "doc_id", "text", "source", None,
+      Curate.Config(nearDupMinJaccard = None, surprisalBand = None,
+        urlCol = Some("url"))).toMap
+    assert(st("url_dedup").select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 4L, 5L)) // min id wins; null exempt
+    assert(st("output").count() == 3)
+    // disabled by default: no url_dedup frame without the config
+    assert(!Curate.stages(docs, "doc_id", "text", "source", None,
+      Curate.Config(nearDupMinJaccard = None, surprisalBand = None))
+      .exists(_._1 == "url_dedup"))
+  }
+
   test("disabled stages are skipped entirely") {
     import spark.implicits._
     val docs = Seq((1L, s"a $filler", "s"), (2L, s"b $filler", "s"))
