@@ -78,23 +78,30 @@ object UrlParts {
     * over its own argument).
     */
   def canonicalize(url: Column): Column = {
-    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    // anchor hygiene: '$' means "before a FINAL line terminator" in Java
+    // but "end of text" in RE2 — on input carrying stray terminators the
+    // two engines diverge (and a fragment regex that can't cross '\r'
+    // breaks idempotence). (?s) + \z have IDENTICAL semantics in both.
+    val noFrag = regexp_replace(trim(url), "(?s)#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    val hostPart = when(scheme === "http", regexp_replace(lower(auth), ":80$", ""))
-      .when(scheme === "https", regexp_replace(lower(auth), ":443$", ""))
+    val hostPart = when(scheme === "http", regexp_replace(lower(auth), ":80\\z", ""))
+      .when(scheme === "https", regexp_replace(lower(auth), ":443\\z", ""))
       .otherwise(lower(auth))
     val path = regexp_extract(rest, "^([^?]*)", 1)
-    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val query = regexp_extract(rest, "(?s)^[^?]*\\?(.*)", 1)
     val params = filter(split(query, "&"),
       p => !p.rlike(TrackingParamPattern) && p =!= "")
     val sortedQ = array_join(array_sort(params), "&")
-    when(scheme === "", noFrag)
+    // outer trim LAST: stripping "#fragment" can expose a trailing space
+    // ("path #f" → "path ") that a re-canonicalization would then trim —
+    // trimming the result keeps the function idempotent (fuzz-proven)
+    trim(when(scheme === "", noFrag)
       .otherwise(concat(
         scheme, lit("://"), hostPart,
         when(path === "", lit("/")).otherwise(path),
-        when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
+        when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))))
   }
 
   /** Registered domain of a hostname: last two labels, or last three when

@@ -790,7 +790,7 @@ object TextQueries {
                  WHEN doc_id % 6 = 4 THEN source || '.com/x?utm_campaign=1'
                  ELSE 'https://' || source || '.com/a#frag' END AS url
           FROM documents),
-        s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS nf FROM u),
+        s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '(?s)#.*', '') AS nf FROM u),
         s2 AS (
           SELECT doc_id, url, nf,
                  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -799,11 +799,11 @@ object TextQueries {
           FROM s1),
         s3 AS (
           SELECT doc_id, url, nf, scheme,
-                 CASE WHEN scheme = 'http' THEN regexp_replace(lower(auth), ':80$', '')
-                      WHEN scheme = 'https' THEN regexp_replace(lower(auth), ':443$', '')
+                 CASE WHEN scheme = 'http' THEN regexp_replace(lower(auth), ':80\z', '')
+                      WHEN scheme = 'https' THEN regexp_replace(lower(auth), ':443\z', '')
                       ELSE lower(auth) END AS hostp,
                  regexp_extract(rest, '^([^?]*)', 1) AS path,
-                 regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS q
+                 regexp_extract(rest, '(?s)^[^?]*\?(.*)', 1) AS q
           FROM s2),
         s4 AS (
           SELECT doc_id, url, nf, scheme, hostp, path,
@@ -813,10 +813,10 @@ object TextQueries {
                         AND p <> '')), '&'), '') AS sq
           FROM s3)
         SELECT doc_id, url,
-               CASE WHEN scheme = '' THEN nf
+               trim(CASE WHEN scheme = '' THEN nf
                     ELSE scheme || '://' || hostp ||
                          CASE WHEN path = '' THEN '/' ELSE path END ||
-                         CASE WHEN sq = '' THEN '' ELSE '?' || sq END END AS canonical
+                         CASE WHEN sq = '' THEN '' ELSE '?' || sq END END) AS canonical
         FROM s4 ORDER BY doc_id""")),
 
     // Per-source quantile bands, hash-exact: each doc's SOURCE-relative

@@ -76,6 +76,23 @@ class TextPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("url canonicalize: never crashes, idempotent, fragment-free on 3k random inputs") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val urls = (0 until 3000).map(_ => randomText(rnd).replace("\n", ""))
+    val rows = urls.toDF("url")
+      .select(col("url"), UrlParts.canonicalize(col("url")).as("c"))
+      .select(col("c"), UrlParts.canonicalize(col("c")).as("cc"))
+      .collect()
+    rows.foreach { r =>
+      val c = r.getString(0)
+      assert(c != null && !c.contains("#"), s"fragment survived: $c")
+      assert(r.getString(1) == c, s"not idempotent: $c -> ${r.getString(1)}")
+    }
+  }
+
   test("url parts: never crash, host has no scheme/port/path on 3k random urls") {
     // exercised through the Column API in one batch (codegen path)
     val spark = graft.SparkTestBase.spark
