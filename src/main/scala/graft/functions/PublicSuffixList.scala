@@ -76,7 +76,11 @@ object PublicSuffixList {
     * `psl`. IP hosts and hosts that are themselves a public suffix pass
     * through verbatim.
     */
-  def registeredDomainExpr(hostname: Column, psl: Psl): Column = {
+  def registeredDomainExpr(hostname0: Column, psl: Psl): Column = {
+    // FQDN form: a trailing dot ("example.com.") is legal in crawls and the
+    // PSL algorithm strips it before matching — without this the empty last
+    // label misses every rule and the default rule emits the bare suffix
+    val hostname = regexp_replace(hostname0, "\\.+\\z", "")
     val parts = split(hostname, "\\.")
     val n = size(parts)
     def inSet(set: Set[String], c: Column): Column =

@@ -58,7 +58,7 @@ object UrlParts {
     * click/campaign identifiers that make one page spell a thousand URLs.
     */
   val TrackingParamPattern: String =
-    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)(=|$)"
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)(=|\\z)"
 
   /** URL canonicalization — the cheapest crawl-dedup tier (CCNet/RefinedWeb
     * dedup by canonical URL before any content hashing): one page, one key.
@@ -86,9 +86,14 @@ object UrlParts {
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    val hostPart = when(scheme === "http", regexp_replace(lower(auth), ":80\\z", ""))
-      .when(scheme === "https", regexp_replace(lower(auth), ":443\\z", ""))
-      .otherwise(lower(auth))
+    // RFC 3986 case-insensitivity covers scheme and HOST only — userinfo
+    // (before the last '@') is case-significant and passes verbatim
+    val userinfo = regexp_extract(auth, "(?s)^(.*@)", 1)
+    val hostport = lower(regexp_replace(auth, "(?s)^.*@", ""))
+    val hostPart = concat(userinfo,
+      when(scheme === "http", regexp_replace(hostport, ":80\\z", ""))
+        .when(scheme === "https", regexp_replace(hostport, ":443\\z", ""))
+        .otherwise(hostport))
     val path = regexp_extract(rest, "^([^?]*)", 1)
     val query = regexp_extract(rest, "(?s)^[^?]*\\?(.*)", 1)
     val params = filter(split(query, "&"),
@@ -109,7 +114,10 @@ object UrlParts {
     * ([[isIpHost]]) have no registrable labels and pass through verbatim —
     * splitting a dotted quad on '.' would emit a nonsense "0.1" domain.
     */
-  def registeredDomain(hostname: Column): Column = {
+  def registeredDomain(hostname0: Column): Column = {
+    // FQDN trailing dot stripped before label logic (same rule as the PSL
+    // tier) — "example.com." must group with "example.com"
+    val hostname = regexp_replace(hostname0, "\\.+\\z", "")
     val parts = split(hostname, "\\.")
     val n = size(parts)
     when(isIpHost(hostname) || n <= 2, hostname)

@@ -59,11 +59,17 @@ object Curate {
     // the CCNet/RefinedWeb ordering). Null-URL rows are exempt, same
     // policy as the null-text exemptions below.
     cfg.urlCol.foreach { uc =>
+      // null-URL rows (exempt anyway) are split out BEFORE the window —
+      // otherwise they all hash to the single null partition key and one
+      // reducer sorts the entire non-web fraction of the corpus just to
+      // produce row numbers the exemption filter would discard
+      val withUrl = docsIn.filter(col(uc).isNotNull)
       val wUrl = Window
         .partitionBy(graft.functions.UrlParts.canonicalize(col(uc)))
         .orderBy(col(idCol))
-      docsIn = docsIn.withColumn("__urn", row_number().over(wUrl))
-        .filter(col("__urn") === 1 || col(uc).isNull).drop("__urn")
+      docsIn = withUrl.withColumn("__urn", row_number().over(wUrl))
+        .filter(col("__urn") === 1).drop("__urn")
+        .unionByName(docsIn.filter(col(uc).isNull))
       out += ("url_dedup" -> docsIn)
     }
 

@@ -799,9 +799,12 @@ object TextQueries {
           FROM s1),
         s3 AS (
           SELECT doc_id, url, nf, scheme,
-                 CASE WHEN scheme = 'http' THEN regexp_replace(lower(auth), ':80\z', '')
-                      WHEN scheme = 'https' THEN regexp_replace(lower(auth), ':443\z', '')
-                      ELSE lower(auth) END AS hostp,
+                 regexp_extract(auth, '(?s)^(.*@)', 1) ||
+                 CASE WHEN scheme = 'http'
+                        THEN regexp_replace(lower(regexp_replace(auth, '(?s)^.*@', '')), ':80\z', '')
+                      WHEN scheme = 'https'
+                        THEN regexp_replace(lower(regexp_replace(auth, '(?s)^.*@', '')), ':443\z', '')
+                      ELSE lower(regexp_replace(auth, '(?s)^.*@', '')) END AS hostp,
                  regexp_extract(rest, '^([^?]*)', 1) AS path,
                  regexp_extract(rest, '(?s)^[^?]*\?(.*)', 1) AS q
           FROM s2),
@@ -809,7 +812,7 @@ object TextQueries {
           SELECT doc_id, url, nf, scheme, hostp, path,
                  COALESCE(array_to_string(list_sort(list_filter(
                    string_split(q, '&'),
-                   p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)(=|$)')
+                   p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)(=|\z)')
                         AND p <> '')), '&'), '') AS sq
           FROM s3)
         SELECT doc_id, url,

@@ -44,7 +44,14 @@ object TrainingExport {
     if (fs.exists(fsPath)) {
       val foreign = fs.listStatus(fsPath).filterNot { s =>
         val n = s.getPath.getName
-        (s.isDirectory && n.startsWith("shard=")) || n == "_SUCCESS" || n.startsWith("._")
+        // shard dirs + commit markers from a COMPLETED export, and the
+        // staging/marker debris a KILLED export leaves behind (FileOutput-
+        // Committer `_temporary`, DataSource `_started_`/`_committed_`
+        // ids) — a crashed run must stay self-healing on re-run, only
+        // genuinely foreign data refuses
+        (s.isDirectory && n.startsWith("shard=")) || n == "_SUCCESS" ||
+          n.startsWith("._") || n == "_temporary" ||
+          n.startsWith("_started_") || n.startsWith("_committed_")
       }
       require(foreign.isEmpty,
         s"refusing to overwrite $path: it contains entries that are not a " +

@@ -42,9 +42,12 @@ private final case class RetentionState(cohort: Long, offsets: Seq[Long])
   * remains the ground truth.
   *
   * Scale shape: state per user is K longs (funnel) or the active-day-offset
-  * list (retention, bounded by the analysis horizon) — no per-user event
-  * collection, state updates are O(batch events for that user), and the
-  * shuffle is the same single user-key exchange the batch aggregates pay.
+  * list (retention — set `horizonDays` to BOUND it: a retention analysis
+  * only ever reads a fixed offset window, and without the bound a
+  * years-running stream accretes one long per active day per user forever)
+  * — no per-user event collection, state updates are O(batch events for
+  * that user), and the shuffle is the same single user-key exchange the
+  * batch aggregates pay.
   */
 object StreamingFunnel {
 
@@ -104,13 +107,22 @@ object StreamingFunnel {
   /** Retention cells over a (possibly streaming) event Dataset: each
     * (user, day_offset) emitted exactly once, anchored at the user's first
     * active day. `count(*)` per (cohort_day, day_offset) over the sink is
-    * the batch [[graft.operators.Funnel.retention]] matrix.
+    * the batch [[graft.operators.Funnel.retention]] matrix (restricted to
+    * the horizon when one is set).
+    *
+    * `horizonDays`: offsets beyond it are neither emitted nor remembered,
+    * bounding per-user state to ≤ horizon+1 longs for the life of the
+    * stream. None preserves exact batch ≡ stream over any window but lets
+    * state grow with the user's active-day count — only for bounded
+    * replays/backfills, not a years-running production stream.
     */
   def retentionCells(
       spark: SparkSession, events: Dataset[FunnelEvent],
-      dayMs: Long = 86400000L): Dataset[RetentionCell] = {
+      dayMs: Long = 86400000L,
+      horizonDays: Option[Long] = None): Dataset[RetentionCell] = {
     import spark.implicits._
     require(dayMs > 0, s"dayMs must be positive, got $dayMs")
+    require(horizonDays.forall(_ >= 0), s"horizonDays must be >= 0, got $horizonDays")
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[FunnelEvent], state: GroupState[RetentionState]) =>
@@ -120,7 +132,8 @@ object StreamingFunnel {
           else {
             val st = state.getOption.getOrElse(RetentionState(days.min, Seq.empty))
             val seen = st.offsets.toSet
-            val fresh = days.map(_ - st.cohort).filter(o => o >= 0 && !seen.contains(o))
+            val fresh = days.map(_ - st.cohort).filter(o =>
+              o >= 0 && !seen.contains(o) && horizonDays.forall(o <= _))
             if (fresh.isEmpty) Iterator.empty
             else {
               state.update(RetentionState(st.cohort, (st.offsets ++ fresh).sorted))

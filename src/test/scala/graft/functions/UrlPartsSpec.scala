@@ -147,6 +147,25 @@ class UrlPartsSpec extends AnyFunSuite {
       "https://a.com/x"))
   }
 
+  test("canonicalize: userinfo case is preserved, host still folds") {
+    // RFC 3986: only scheme and host are case-insensitive — credentials
+    // differing in case are DIFFERENT resources and must not collapse
+    assert(canon(Seq(
+      "https://Alice@Example.com/x",
+      "https://alice@example.com/x")) ==
+      Seq("https://Alice@example.com/x", "https://alice@example.com/x"))
+  }
+
+  test("canonicalize: bare tracking keys (no '=') are dropped too") {
+    assert(canon(Seq("https://a.com/x?fbclid&b=1")) == Seq("https://a.com/x?b=1"))
+  }
+
+  test("registered domain: FQDN trailing dot groups with the dotless host") {
+    // both tiers — the PSL algorithm strips a trailing dot before matching
+    assert(run(Seq("https://example.com./x")).map(_._2) == Seq("example.com"))
+    assert(runPsl(Seq("https://www.bbc.co.uk./news")) == Seq("bbc.co.uk"))
+  }
+
   test("canonicalize is idempotent") {
     val in = Seq(
       "https://WWW.Example.com:443/a?b=2&a=1#f",

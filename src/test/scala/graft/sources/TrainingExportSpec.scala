@@ -111,4 +111,21 @@ class TrainingExportSpec extends AnyFunSuite {
       assert(foreign.exists, "guard must not have deleted anything")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("overwrite guard: a crashed export's staging debris self-heals") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-export-crash").toFile
+    try {
+      val path = dir.getAbsolutePath
+      TrainingExport.exportCorpus(corpus, "doc_id", "text", "source", 10L, path)
+      // simulate a killed run: FileOutputCommitter staging left behind,
+      // _SUCCESS missing (a completed marker would hide the crash anyway)
+      new java.io.File(dir, "_temporary/0").mkdirs()
+      new java.io.File(dir, "_SUCCESS").delete()
+      Files.write(new java.io.File(dir, "_started_12345").toPath, Array.empty[Byte])
+      val n = TrainingExport.exportCorpus(corpus, "doc_id", "text", "source", 10L, path)
+      assert(n > 0, "re-run over crash debris must recover, not refuse")
+      assert(!new java.io.File(dir, "_temporary").exists)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }

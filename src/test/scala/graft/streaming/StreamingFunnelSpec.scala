@@ -118,4 +118,25 @@ class StreamingFunnelSpec extends AnyFunSuite {
     assert(spark.table("ret_s1").count() ==
       spark.table("ret_s1").distinct().count())
   }
+
+  test("retention horizon bounds state and emission") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 86400000L
+    // user 1 active on offsets 0, 2, 400 — a 30-day horizon must neither
+    // emit nor remember the 400-day offset
+    val evs = Seq(0L, 2L * day, 400L * day).map(FunnelEvent(1L, "X", _))
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.retentionCells(spark, input.toDS(),
+        horizonDays = Some(30L))
+      .writeStream.format("memory").queryName("ret_hz").outputMode("update").start()
+    try {
+      input.addData(evs: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("ret_hz").select("day_offset")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+    intercept[IllegalArgumentException](
+      StreamingFunnel.retentionCells(spark, input.toDS(), horizonDays = Some(-1L)))
+  }
 }
