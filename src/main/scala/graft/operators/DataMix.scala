@@ -42,6 +42,33 @@ object DataMix {
       df: DataFrame, keyCol: String, rate: Double, salt: String): DataFrame =
     df.filter(keepAtRate(hashDraw(col(keyCol), salt), rate))
 
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-Res): the
+    * top `k` rows by exponential key — rank ln(u)/w, monotone-equivalent to
+    * the textbook u^(1/w), where u ∈ (0,1) is this row's [[hashDraw]]
+    * mapped to the unit interval. Selection probability is proportional to
+    * weight (exactly w_i/Σw for k = 1), the quality-weighted corpus
+    * selection step ("sample by score, don't hard-threshold"). Same
+    * (key, salt) ⇒ same sample across runs, partitionings and engines;
+    * changing the salt redraws. Rows with non-positive weight are never
+    * sampled (excluded up front — ln(u)/w flips sign there and would
+    * otherwise rank garbage first). Scale: `orderBy().limit(k)` lowers to
+    * TakeOrderedAndProject — per-partition heaps, O(k) per partition
+    * shuffled, never a global sort.
+    */
+  def weightedSampleTopK(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int,
+      salt: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // (draw32 + 0.5) / 2^32: centered so u is never 0 (ln(0) = -Inf) nor 1
+    val u = (conv(hashDraw(col(keyCol), salt), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wkey", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__wkey").desc, col(keyCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Deterministic train/val/test-style split: each row gets the FIRST
     * label whose cumulative weight its md5 draw falls under, so membership
     * depends only on (key, salt) — reproducible across runs, engines and

@@ -672,6 +672,31 @@ object TextQueries {
                ELSE 'test' END AS split
         FROM documents ORDER BY doc_id""")),
 
+    // Weighted sample without replacement (Efraimidis–Spirakis A-Res),
+    // hash-exact: top-100 docs by exponential key ln(u)/w with doc length
+    // as the quality-proxy weight — "sample by score" corpus selection.
+    // u = (md5 draw + 0.5)/2^32; ln and the divisions replay in DuckDB
+    // with the same IEEE doubles (the q3y/q38 ln-parity precedent).
+    "q4d_weighted_sample" -> Q(
+      fn = (s, dir) => {
+        val weighted = docs(s, dir).select(col("doc_id"),
+          (length(col("text")) + lit(1)).cast("double").as("w"))
+        DataMix.weightedSampleTopK(weighted, "doc_id", "w", k = 100,
+          salt = "q4d-wsample")
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, CAST(length(text) + 1 AS DOUBLE) AS w FROM documents),
+        keyed AS (
+          SELECT doc_id, w,
+                 ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'q4d-wsample'), 1, 8) AS BIGINT) AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) / CAST(4294967296 AS DOUBLE)) / w AS wkey
+          FROM w WHERE w > 0),
+        sel AS (
+          SELECT doc_id, w FROM keyed ORDER BY wkey DESC, doc_id LIMIT 100)
+        SELECT doc_id, w FROM sel ORDER BY doc_id""")),
+
     // Per-doc TF-IDF keyword extraction, hash-exact: top-3 characteristic
     // tokens per doc (tf × ln(N/df), token-ascending tiebreak) — the
     // query-independent complement of BM25 under the same tokenizer

@@ -146,6 +146,36 @@ class DataMixSpec extends AnyFunSuite {
     assert(approx.select("b_approx").distinct().count() == 4)
   }
 
+  test("weightedSampleTopK: deterministic, partition-invariant, weight-biased") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, if (i == 7L) 500.0 else 1.0))
+    val df = rows.toDF("id", "w")
+    def ids(d: org.apache.spark.sql.DataFrame, salt: String) =
+      DataMix.weightedSampleTopK(d, "id", "w", 20, salt)
+        .collect().map(_.getLong(0)).toSet
+    // deterministic across runs and partitionings
+    assert(ids(df, "s1") == ids(df.repartition(17), "s1"))
+    // redraws on salt change
+    assert((1 to 9).map(i => ids(df, s"s$i")).distinct.size > 1)
+    // weight bias: the 500x row wins the k=1 draw on most salts (its
+    // exact A-Res selection probability is 500/699 ≈ 0.72)
+    val wins = (1 to 40).count { i =>
+      DataMix.weightedSampleTopK(df, "id", "w", 1, s"t$i")
+        .head().getLong(0) == 7L
+    }
+    assert(wins > 20, s"heavy row won only $wins/40 single-draws")
+  }
+
+  test("weightedSampleTopK: non-positive weights excluded, k past population") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0), (4L, 5.0)).toDF("id", "w")
+    val got = DataMix.weightedSampleTopK(df, "id", "w", 10, "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L)) // zero/negative never sampled; k caps at pop
+    intercept[IllegalArgumentException](
+      DataMix.weightedSampleTopK(df, "id", "w", 0, "s"))
+  }
+
   test("approx bands keep null-group rows (agree with the exact twin's row set)") {
     import spark.implicits._
     val df = Seq(("g", 1L, 10L), ("g", 2L, 20L),
