@@ -143,6 +143,29 @@ object DataMix {
       .drop("__draw", "__rn")
   }
 
+  /** [[capPerGroup]] with WEIGHTED selection: each group keeps its at-most-n
+    * rows drawn by the [[weightedSampleTopK]] exponential key ln(u)/w —
+    * within a domain, higher-weight (higher-quality) docs survive the cap
+    * with proportionally higher probability instead of uniformly at random.
+    * The per-domain version of "sample by score": one window shuffle keyed
+    * on the group, same cost shape as the uniform cap; non-positive weights
+    * are never kept.
+    */
+  def weightedCapPerGroup(
+      df: DataFrame, groupCol: String, keyCol: String, weightCol: String,
+      n: Int, salt: String): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val u = (conv(hashDraw(col(keyCol), salt), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__wkey").desc, col(keyCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wkey", log(u) / col(weightCol).cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__wkey", "__rn")
+  }
+
   /** Token-budget sharding: within each group (ordered by `orderCol`), docs
     * are assigned to consecutive bins by EXCLUSIVE prefix token count, so
     * each bin receives ~`budget` tokens (a doc straddling a boundary counts

@@ -697,6 +697,34 @@ object TextQueries {
           SELECT doc_id, w FROM keyed ORDER BY wkey DESC, doc_id LIMIT 100)
         SELECT doc_id, w FROM sel ORDER BY doc_id""")),
 
+    // Weighted per-domain cap, hash-exact: each source keeps its best-drawn
+    // 20 docs under the same A-Res exponential key — the per-domain
+    // "survive the cap by quality" twin of q4d's global sample.
+    "q4e_weighted_domain_cap" -> Q(
+      fn = (s, dir) => {
+        val weighted = docs(s, dir).select(col("doc_id"), col("source"),
+          (length(col("text")) + lit(1)).cast("double").as("w"))
+        DataMix.weightedCapPerGroup(weighted, "source", "doc_id", "w",
+          n = 20, salt = "q4e-wcap")
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, source, CAST(length(text) + 1 AS DOUBLE) AS w
+          FROM documents),
+        keyed AS (
+          SELECT doc_id, source, w,
+                 ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'q4e-wcap'), 1, 8) AS BIGINT) AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) / CAST(4294967296 AS DOUBLE)) / w AS wkey
+          FROM w WHERE w > 0),
+        ranked AS (
+          SELECT doc_id, source, w,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY wkey DESC, doc_id) AS rn
+          FROM keyed)
+        SELECT doc_id, source, w FROM ranked WHERE rn <= 20
+        ORDER BY doc_id""")),
+
     // Per-doc TF-IDF keyword extraction, hash-exact: top-3 characteristic
     // tokens per doc (tf × ln(N/df), token-ascending tiebreak) — the
     // query-independent complement of BM25 under the same tokenizer

@@ -166,6 +166,28 @@ class DataMixSpec extends AnyFunSuite {
     assert(wins > 20, s"heavy row won only $wins/40 single-draws")
   }
 
+  test("weightedCapPerGroup: per-group bound, weight bias inside each group") {
+    import spark.implicits._
+    // two groups; in g1 row 5 carries 100x the weight of its 49 peers
+    val rows = (1L to 50L).map(i => ("g1", i, if (i == 5L) 100.0 else 1.0)) ++
+      (51L to 60L).map(i => ("g2", i, 1.0))
+    val df = rows.toDF("src", "id", "w")
+    def run(salt: String) =
+      DataMix.weightedCapPerGroup(df, "src", "id", "w", 5, salt)
+    val got = run("c1").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.count(_._1 == "g1") == 5)
+    assert(got.count(_._1 == "g2") == 5) // cap never deletes small groups below n... 10 > 5
+    // deterministic + partition invariant
+    assert(run("c1").collect().map(_.getLong(1)).toSet ==
+      DataMix.weightedCapPerGroup(df.repartition(7), "src", "id", "w", 5, "c1")
+        .collect().map(_.getLong(1)).toSet)
+    // the heavy row survives g1's 5-of-50 cap on most salts (P ≈ uniform
+    // 10% without weighting; with 100x weight it is near-certain)
+    val survives = (1 to 20).count(i =>
+      run(s"d$i").filter(col("id") === 5L).count() == 1)
+    assert(survives >= 15, s"heavy row survived only $survives/20 caps")
+  }
+
   test("weightedSampleTopK: non-positive weights excluded, k past population") {
     import spark.implicits._
     val df = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0), (4L, 5.0)).toDF("id", "w")
