@@ -73,6 +73,36 @@ object StreamingIngest {
     cur
   }
 
+  /** Streaming URL-key dedup — the canonical-URL tier of incremental
+    * ingest (the content tier is [[StreamingDedup]]): the FIRST arrival
+    * per canonical URL ([[graft.functions.UrlParts.canonicalize]]) within
+    * the watermark window survives, later spellings of the same page are
+    * dropped. Null-URL rows always pass (the shared unevaluable-rows
+    * policy — and a null dedup key would otherwise collapse ALL of them
+    * into one).
+    *
+    * vs the batch stage (Curate url_dedup): same survivor-set cardinality
+    * and the same key, but the surviving REPRESENTATIVE is first-arrival
+    * here vs min-id there — an online dedup cannot know the eventual
+    * minimum. State is bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`): a canonical key is remembered
+    * only until the watermark passes its event time, so a years-running
+    * stream holds a window of keys, not the whole crawl history; re-crawls
+    * separated by more than the delay re-admit the page (by design — they
+    * ARE new snapshots).
+    */
+  def urlDedupStream(
+      docs: DataFrame, urlCol: String, tsCol: String,
+      watermarkDelay: String): DataFrame = {
+    val marked = docs.withWatermark(tsCol, watermarkDelay)
+    val deduped = marked.filter(col(urlCol).isNotNull)
+      .withColumn("__canon",
+        graft.functions.UrlParts.canonicalize(col(urlCol)))
+      .dropDuplicatesWithinWatermark("__canon")
+      .drop("__canon")
+    deduped.unionByName(marked.filter(col(urlCol).isNull))
+  }
+
   /** Alert sink (hive_service.go:221-246 → WebSocket push): keyword hits
     * appended per micro-batch via foreachBatch; the push transport is a
     * serving-layer concern, the engine lands an `alerts` table.

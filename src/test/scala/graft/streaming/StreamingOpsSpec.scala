@@ -118,4 +118,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     val t3 = got.find(_._1 == 3L).get._2
     assert(t3.contains("caf\u00E9") && !t3.contains("\u200B"))
   }
+
+  test("streaming URL dedup: first spelling of a page wins, nulls pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val rows = Seq(
+      (1L, "https://Example.com/p?a=1", ts(1)),
+      (2L, "https://example.com:443/p?a=1&utm_source=x", ts(2)), // same page
+      (3L, "https://example.com/other", ts(3)),
+      (4L, null.asInstanceOf[String], ts(4)),
+      (5L, null.asInstanceOf[String], ts(5)),                    // nulls never collapse
+      (6L, "https://example.com/p?a=1#frag", ts(6)))             // same page again
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingIngest.urlDedupStream(
+        input.toDF().toDF("doc_id", "url", "ts"), "url", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("url_dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(2): _*); q.processAllAvailable()
+      input.addData(rows.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("url_dedup_stream")
+      .collect().map(_.getLong(0)).toSet
+    // 1 beats 2 and 6 (same canonical key, first arrival); both nulls pass
+    assert(got == Set(1L, 3L, 4L, 5L))
+  }
 }
