@@ -103,6 +103,59 @@ object Warehouse {
       .drop("__rn")
   }
 
+  /** Small-files compaction for one tenant partition — the housekeeping op
+    * incremental ingest makes mandatory at scale: every micro-batch append
+    * lands more files, and a 100 TB table's scan cost grows with FILE COUNT
+    * (listing, footer reads, task scheduling) long before data volume. Rows
+    * are rewritten into ≈`targetFileBytes` files (estimated from the
+    * partition's current on-disk bytes — parquet-to-parquet size is
+    * roughly preserved), sorted by `sortCols` inside each file so min/max
+    * stats stay tight.
+    *
+    * Crash-safe swap, same discipline as [[rewriteWithoutDocuments]]: the
+    * replacement is staged beside the live partition, the live partition is
+    * retired by rename (recoverable), promotion is a rename, and the old
+    * data is deleted only after the new data is live. Readers of the
+    * warehouse path see the old or the new file set, never a mix.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactOrganization(
+      spark: SparkSession, path: String, organizationId: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Seq("document_id", "chunk_index")): (Int, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val partPath = new Path(path, s"organization_id=$organizationId")
+    val fs = partPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(partPath), s"no partition for organization $organizationId")
+    val dataFiles = fs.listStatus(partPath)
+      .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+    val nBefore = dataFiles.length
+    val bytes = dataFiles.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val rows = spark.read.parquet(partPath.toString)
+    val sorts = sortCols.filter(rows.columns.contains).map(col)
+    val compacted =
+      if (sorts.nonEmpty) rows.repartitionByRange(nFiles, sorts: _*)
+        .sortWithinPartitions(sorts: _*)
+      else rows.repartition(nFiles)
+    val staging = new Path(path, s".compact-organization_id=$organizationId")
+    val retired = new Path(path, s".retired-organization_id=$organizationId")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    compacted.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (!fs.rename(partPath, retired))
+      throw new java.io.IOException(s"failed to retire $partPath")
+    if (!fs.rename(staging, partPath)) {
+      fs.rename(retired, partPath) // roll back; old data is still intact
+      throw new java.io.IOException(s"failed to promote $staging")
+    }
+    fs.delete(retired, true)
+    val nAfter = fs.listStatus(partPath)
+      .count(s => !s.isDirectory && s.getPath.getName.endsWith(".parquet"))
+    (nBefore, nAfter)
+  }
+
   /** S12: tenant purge = drop the tenant's partition directory (the logical
     * equivalent of `DELETE FROM chunks WHERE organization_id = ?`,
     * purge_handler.go:96-122 — without the 1000-point batching artifact).

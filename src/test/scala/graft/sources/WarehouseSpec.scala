@@ -113,6 +113,38 @@ class WarehouseSpec extends AnyFunSuite {
       .filter(col("organization_id") === "orgC").count() == 3)
   }
 
+  test("compaction: many small files become few, data byte-identical") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("wh-compact").toString
+    // 12 appends of one row each = 12+ tiny files in org1's partition
+    (0 until 12).foreach { i =>
+      Warehouse.writeChunks(
+        Seq((s"c$i", s"d${i % 3}", s"text $i", i, "org1"))
+          .toDF("id", "document_id", "content", "chunk_index", "organization_id"),
+        path)
+    }
+    val before = Warehouse.readChunks(spark, path)
+      .collect().map(_.getAs[String]("id")).sorted
+    val (nBefore, nAfter) =
+      Warehouse.compactOrganization(spark, path, "org1",
+        targetFileBytes = 1L << 30) // everything fits one target file
+    assert(nBefore >= 12 && nAfter == 1, s"$nBefore -> $nAfter")
+    val after = Warehouse.readChunks(spark, path)
+      .collect().map(_.getAs[String]("id")).sorted
+    assert(after.toSeq == before.toSeq)
+    // the tenant partition column still prunes (layout contract unchanged)
+    assert(Warehouse.readChunks(spark, path)
+      .filter(col("organization_id") === "org1").count() == 12)
+    // staging/retired debris cleaned up
+    val root = new java.io.File(path)
+    assert(!root.listFiles().exists(_.getName.startsWith(".compact-")))
+    assert(!root.listFiles().exists(_.getName.startsWith(".retired-")))
+    // a missing partition refuses loudly
+    intercept[IllegalArgumentException](
+      Warehouse.compactOrganization(spark, path, "no-such-org"))
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+  }
+
   test("purgeOrganization deletes exactly one tenant partition") {
     val path = Files.createTempDirectory("graft-wh2").toString + "/chunks"
     Warehouse.writeChunks(sampleChunks, path)
