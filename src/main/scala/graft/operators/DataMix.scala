@@ -55,15 +55,30 @@ object DataMix {
     * TakeOrderedAndProject — per-partition heaps, O(k) per partition
     * shuffled, never a global sort.
     */
+  /** The A-Res exponential key ln(u)/w, u = (draw32 + 0.5)/2^32 — centered
+    * so u is never 0 (ln(0) = −Inf) nor 1. Shared by the global sample and
+    * the per-group cap so the draw mapping (and its q4d/q4e oracle twins)
+    * cannot diverge.
+    */
+  private def expKey(keyCol: String, weightCol: String, salt: String): Column = {
+    val u = (conv(hashDraw(col(keyCol), salt), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    log(u) / col(weightCol).cast("double")
+  }
+
+  /** Positive, comparable weight: NaN > 0 is TRUE under Spark's NaN
+    * ordering and ln(u)/NaN = NaN sorts LARGEST under desc — without the
+    * isnan guard, NaN-weight rows would deterministically fill the sample.
+    */
+  private def usableWeight(weightCol: String): Column =
+    col(weightCol) > 0 && !isnan(col(weightCol).cast("double"))
+
   def weightedSampleTopK(
       df: DataFrame, keyCol: String, weightCol: String, k: Int,
       salt: String): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // (draw32 + 0.5) / 2^32: centered so u is never 0 (ln(0) = -Inf) nor 1
-    val u = (conv(hashDraw(col(keyCol), salt), 16, 10).cast("double") + lit(0.5)) /
-      lit(4294967296.0)
-    df.filter(col(weightCol) > 0)
-      .withColumn("__wkey", log(u) / col(weightCol).cast("double"))
+    df.filter(usableWeight(weightCol))
+      .withColumn("__wkey", expKey(keyCol, weightCol, salt))
       .orderBy(col("__wkey").desc, col(keyCol))
       .limit(k)
       .drop("__wkey")
@@ -155,12 +170,10 @@ object DataMix {
       df: DataFrame, groupCol: String, keyCol: String, weightCol: String,
       n: Int, salt: String): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    val u = (conv(hashDraw(col(keyCol), salt), 16, 10).cast("double") + lit(0.5)) /
-      lit(4294967296.0)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__wkey").desc, col(keyCol))
-    df.filter(col(weightCol) > 0)
-      .withColumn("__wkey", log(u) / col(weightCol).cast("double"))
+    df.filter(usableWeight(weightCol))
+      .withColumn("__wkey", expKey(keyCol, weightCol, salt))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__wkey", "__rn")

@@ -103,6 +103,43 @@ object Warehouse {
       .drop("__rn")
   }
 
+  /** The stage/retire/promote partition swap shared by
+    * [[compactOrganization]] and [[rewriteWithoutDocuments]]: the live
+    * partition is retired by rename (recoverable), staging is promoted by
+    * rename, and the old data is deleted only after the new data is live —
+    * so a crash never loses committed rows (a crash between the renames
+    * leaves the data intact under `.retired-*`, recoverable by renaming it
+    * back). Honest limits of plain parquet (a transactional format lifts
+    * both): (1) there is NO atomic directory swap, so a concurrent reader
+    * listing between the two renames sees the partition briefly ABSENT —
+    * old-or-new-never-mixed holds, old-or-new-always-present does not;
+    * (2) the caller must be the partition's only writer for the swap's
+    * duration — a concurrent append between the renames would land in a
+    * recreated live dir and be clobbered, which the promote guards against
+    * by failing (and rolling back) rather than renaming INTO the recreated
+    * directory.
+    */
+  private def swapPartition(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staging: Path, partPath: Path, retired: Path): Unit = {
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (!fs.rename(partPath, retired))
+      throw new java.io.IOException(s"failed to retire $partPath")
+    if (fs.exists(partPath)) {
+      // a concurrent writer recreated the live dir mid-swap: renaming now
+      // would move staging INSIDE it (HDFS rename-into-dir semantics) and
+      // the retired delete would destroy the writer's data — refuse loudly
+      fs.rename(retired, partPath)
+      throw new java.io.IOException(
+        s"concurrent writer recreated $partPath during swap; rolled back")
+    }
+    if (!fs.rename(staging, partPath)) {
+      fs.rename(retired, partPath) // roll back; old data is still intact
+      throw new java.io.IOException(s"failed to promote $staging")
+    }
+    fs.delete(retired, true)
+  }
+
   /** Small-files compaction for one tenant partition — the housekeeping op
     * incremental ingest makes mandatory at scale: every micro-batch append
     * lands more files, and a 100 TB table's scan cost grows with FILE COUNT
@@ -110,14 +147,13 @@ object Warehouse {
     * are rewritten into ≈`targetFileBytes` files (estimated from the
     * partition's current on-disk bytes — parquet-to-parquet size is
     * roughly preserved), sorted by `sortCols` inside each file so min/max
-    * stats stay tight.
+    * stats stay tight. A partition with no data files is a no-op (0, 0).
     *
-    * Crash-safe swap, same discipline as [[rewriteWithoutDocuments]]: the
-    * replacement is staged beside the live partition, the live partition is
-    * retired by rename (recoverable), promotion is a rename, and the old
-    * data is deleted only after the new data is live. Readers of the
-    * warehouse path see the old or the new file set, never a mix.
-    * Returns (filesBefore, filesAfter).
+    * Crash-safe via [[swapPartition]] — read its contract: the caller must
+    * be this partition's ONLY writer while compaction runs (pause the
+    * ingest stream for the tenant, or take maintenance-window ownership);
+    * concurrent readers may see the partition briefly absent between the
+    * renames. Returns (filesBefore, filesAfter).
     */
   def compactOrganization(
       spark: SparkSession, path: String, organizationId: String,
@@ -131,6 +167,7 @@ object Warehouse {
       .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
     val nBefore = dataFiles.length
+    if (nBefore == 0) return (0, 0) // metadata-only dir: nothing to compact
     val bytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val rows = spark.read.parquet(partPath.toString)
@@ -143,14 +180,7 @@ object Warehouse {
     val retired = new Path(path, s".retired-organization_id=$organizationId")
     if (fs.exists(staging)) fs.delete(staging, true)
     compacted.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(retired)) fs.delete(retired, true)
-    if (!fs.rename(partPath, retired))
-      throw new java.io.IOException(s"failed to retire $partPath")
-    if (!fs.rename(staging, partPath)) {
-      fs.rename(retired, partPath) // roll back; old data is still intact
-      throw new java.io.IOException(s"failed to promote $staging")
-    }
-    fs.delete(retired, true)
+    swapPartition(fs, staging, partPath, retired)
     val nAfter = fs.listStatus(partPath)
       .count(s => !s.isDirectory && s.getPath.getName.endsWith(".parquet"))
     (nBefore, nAfter)
@@ -200,10 +230,9 @@ object Warehouse {
       Seq("document_id"), "left_anti")
 
   /** Physical delete: rewrite only the tenant partitions that contain the
-    * doomed documents. Swap order is crash-safe: the live partition is
-    * renamed aside (recoverable) before the staging copy takes its place,
-    * and every rename is checked — the old data is only dropped after the
-    * new data is live.
+    * doomed documents. Crash-safe via [[swapPartition]] (see its contract:
+    * single writer per partition during the swap; readers may see the
+    * partition briefly absent between the renames).
     */
   def rewriteWithoutDocuments(
       spark: SparkSession, path: String, docIds: Seq[String]): Unit = {
@@ -220,14 +249,7 @@ object Warehouse {
       val kept = spark.read.parquet(partPath.toString)
         .filter(!col("document_id").isin(docIds: _*))
       kept.write.mode("overwrite").parquet(staging.toString)
-      if (fs.exists(retired)) fs.delete(retired, true)
-      if (!fs.rename(partPath, retired))
-        throw new java.io.IOException(s"failed to retire $partPath")
-      if (!fs.rename(staging, partPath)) {
-        fs.rename(retired, partPath) // roll back; old data is still intact
-        throw new java.io.IOException(s"failed to promote $staging")
-      }
-      fs.delete(retired, true)
+      swapPartition(fs, staging, partPath, retired)
     }
   }
 

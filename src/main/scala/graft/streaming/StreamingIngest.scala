@@ -74,22 +74,30 @@ object StreamingIngest {
   }
 
   /** Streaming URL-key dedup — the canonical-URL tier of incremental
-    * ingest (the content tier is [[StreamingDedup]]): the FIRST arrival
-    * per canonical URL ([[graft.functions.UrlParts.canonicalize]]) within
-    * the watermark window survives, later spellings of the same page are
+    * ingest (the content tier is [[StreamingDedup]]): one row per
+    * canonical URL ([[graft.functions.UrlParts.canonicalize]]) within the
+    * watermark window survives, later spellings of the same page are
     * dropped. Null-URL rows always pass (the shared unevaluable-rows
     * policy — and a null dedup key would otherwise collapse ALL of them
     * into one).
     *
-    * vs the batch stage (Curate url_dedup): same survivor-set cardinality
-    * and the same key, but the surviving REPRESENTATIVE is first-arrival
-    * here vs min-id there — an online dedup cannot know the eventual
-    * minimum. State is bounded by the watermark
-    * (`dropDuplicatesWithinWatermark`): a canonical key is remembered
-    * only until the watermark passes its event time, so a years-running
-    * stream holds a window of keys, not the whole crawl history; re-crawls
-    * separated by more than the delay re-admit the page (by design — they
-    * ARE new snapshots).
+    * Semantics, honestly stated vs the batch stage (Curate url_dedup,
+    * min-id representative):
+    *  - the survivor is the first row the state operator SEES per key:
+    *    deterministic across micro-batches (earlier batch wins), arbitrary
+    *    among duplicates inside one micro-batch (operator order after the
+    *    key shuffle) — an online dedup cannot know the eventual min id;
+    *  - standard watermark loss applies: a row arriving with event time
+    *    already below the watermark is dropped by
+    *    `dropDuplicatesWithinWatermark` EVEN IF ITS KEY IS NEW (while a
+    *    late null-URL row still passes through the stateless branch), so
+    *    the stream's survivor set can undercount the batch stage's on
+    *    heavily out-of-order input — replaying the store in batch remains
+    *    the ground truth, the same caveat as [[StreamingFunnel]];
+    *  - state is bounded by the delay: a canonical key is remembered only
+    *    until the watermark passes its event time — a years-running stream
+    *    holds a window of keys, not the crawl history; re-crawls past the
+    *    delay re-admit the page (by design — they ARE new snapshots).
     */
   def urlDedupStream(
       docs: DataFrame, urlCol: String, tsCol: String,

@@ -196,6 +196,15 @@ class DataMixSpec extends AnyFunSuite {
     assert(got == Set(1L, 4L)) // zero/negative never sampled; k caps at pop
     intercept[IllegalArgumentException](
       DataMix.weightedSampleTopK(df, "id", "w", 0, "s"))
+    // NaN weights: NaN > 0 is TRUE under Spark's NaN ordering and the NaN
+    // sort key would rank FIRST under desc — they must be excluded, not
+    // deterministically fill the sample
+    val withNan = Seq((1L, 2.0), (2L, Double.NaN), (3L, 1.0)).toDF("id", "w")
+    assert(DataMix.weightedSampleTopK(withNan, "id", "w", 2, "s")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(DataMix.weightedCapPerGroup(
+        withNan.withColumn("g", lit("g")), "g", "id", "w", 2, "s")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
   test("approx bands keep null-group rows (agree with the exact twin's row set)") {
