@@ -81,7 +81,28 @@ object GraphOps {
     * on a clean grid.
     */
   def pageRank(
-      edges: DataFrame, iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+      edges: DataFrame, iterations: Int = 3, damping: Double = 0.85): DataFrame =
+    pageRankImpl(edges, iterations, damping, seeds = None)
+
+  /** PERSONALIZED PageRank: restart mass lands uniformly on `seeds` (a
+    * one-column node DataFrame) instead of all nodes — ranks become
+    * graph-proximity-to-the-seed-set, the topic/entity-conditioned
+    * relevance signal ("pages close to these trusted domains"). Initial
+    * mass, the (1−d) restart AND the dangling redistribution all follow
+    * the restart vector (the standard PPR formulation, so scores stay a
+    * probability distribution). Same iteration cost and determinism
+    * contract as [[pageRank]]; seeds not present in the graph contribute
+    * restart mass to themselves only (they are added as rank-carrying
+    * nodes with no edges).
+    */
+  def personalizedPageRank(
+      edges: DataFrame, seeds: DataFrame, iterations: Int = 3,
+      damping: Double = 0.85): DataFrame =
+    pageRankImpl(edges, iterations, damping, seeds = Some(seeds))
+
+  private def pageRankImpl(
+      edges: DataFrame, iterations: Int, damping: Double,
+      seeds: Option[DataFrame]): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val e = edges
@@ -89,16 +110,31 @@ object GraphOps {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+    val seedNodes = seeds.map(_.select(col("node").cast("long").as("node"))
+      .distinct().localCheckpoint())
+    val graphNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
+    val nodes = seedNodes.fold(graphNodes)(graphNodes.union(_))
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
-    val base = (1.0 - damping) / n
 
-    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    // restart vector: uniform over all nodes, or uniform over the seeds
+    val nodesR = seedNodes match {
+      case None => nodes.withColumn("rv", lit(1.0 / n))
+      case Some(s) =>
+        val sCount = s.count()
+        require(sCount > 0, "personalized PageRank needs a non-empty seed set")
+        nodes.join(s.withColumn("__seed", lit(1)), Seq("node"), "left")
+          .select(col("node"),
+            when(col("__seed").isNotNull, lit(1.0 / sCount))
+              .otherwise(lit(0.0)).as("rv"))
+          .localCheckpoint()
+    }
+
+    var pr = nodesR.withColumn("pr", col("rv"))
     for (_ <- 1 to iterations) {
       val ranked = pr.join(outdeg, pr("node") === outdeg("src"), "left")
         .select(col("node"), col("pr"), col("outdeg"))
@@ -114,14 +150,21 @@ object GraphOps {
         .select(col("dst"),
           (col("pr") / col("outdeg")).cast("decimal(28,12)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("csum"))
-      pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          round(
-            lit(base) + lit(damping) *
-              (coalesce(col("csum").cast("double"), lit(0.0)) +
-                lit(danglingMass / n)), 9).as("pr"))
+      // uniform keeps the exact q4b expression tree; personalized swaps the
+      // constant restart for (1−d)·rv and sends dangling mass through rv too
+      val csumD = coalesce(col("csum").cast("double"), lit(0.0))
+      val newPr = seedNodes match {
+        case None =>
+          lit((1.0 - damping) / n) + lit(damping) *
+            (csumD + lit(danglingMass / n))
+        case Some(_) =>
+          lit(1.0 - damping) * col("rv") + lit(damping) *
+            (csumD + lit(danglingMass) * col("rv"))
+      }
+      pr = nodesR.join(contrib, nodesR("node") === contrib("dst"), "left")
+        .select(col("node"), col("rv"), round(newPr, 9).as("pr"))
         .localCheckpoint()
     }
-    pr
+    pr.select(col("node"), col("pr"))
   }
 }

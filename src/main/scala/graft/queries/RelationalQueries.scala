@@ -544,6 +544,91 @@ object RelationalQueries {
         SELECT node, ROUND(pr, 6) AS pagerank FROM pr3 ORDER BY node"""),
       headline = true),
 
+    // Personalized PageRank (q4b's graph, restart mass uniform over the
+    // seed nodes 0-9): graph-proximity-to-the-seed-set relevance. The
+    // restart, initial mass AND dangling redistribution all follow the
+    // restart vector; same DECIMAL-sum / 9-decimal-grid parity recipe.
+    "q4f_personalized_pagerank" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 80).cast("long").as("src"),
+          (col("o_orderkey") % 97).cast("long").as("dst"))
+        val seeds = s.range(0, 10).select(col("id").as("node"))
+        graft.operators.GraphOps.personalizedPageRank(edges, seeds,
+          iterations = 3, damping = 0.85)
+          .select(col("node"), round(col("pr"), 6).as("pagerank"))
+          .orderBy(col("node"))
+      },
+      oracle = Some("""
+        WITH edges AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey % 80 AS BIGINT) AS src,
+                          CAST(o_orderkey % 97 AS BIGINT) AS dst
+          FROM orders
+          WHERE o_custkey % 80 <> o_orderkey % 97),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+          UNION SELECT * FROM range(0, 10)),
+        ns AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM nodes WHERE node < 10),
+        odeg AS MATERIALIZED (
+          SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        nr AS MATERIALIZED (
+          SELECT node,
+                 CASE WHEN node < 10 THEN CAST(1.0 AS DOUBLE) / (SELECT ns.s FROM ns)
+                      ELSE CAST(0 AS DOUBLE) END AS rv
+          FROM nodes),
+        pr0 AS MATERIALIZED (SELECT node, rv, rv AS pr FROM nr),
+        d1 AS MATERIALIZED (
+          SELECT COALESCE(CAST(SUM(CAST(p.pr AS DECIMAL(28,12))) AS DOUBLE),
+                          CAST(0 AS DOUBLE)) AS dm
+          FROM pr0 p LEFT JOIN odeg o ON o.src = p.node WHERE o.src IS NULL),
+        c1 AS MATERIALIZED (
+          SELECT e.dst,
+                 SUM(CAST(p.pr / CAST(o.outdeg AS DOUBLE) AS DECIMAL(28,12))) AS csum
+          FROM edges e JOIN pr0 p ON p.node = e.src JOIN odeg o ON o.src = e.src
+          GROUP BY e.dst),
+        pr1 AS MATERIALIZED (
+          SELECT n.node, n.rv,
+                 ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n.rv
+                   + CAST(0.85 AS DOUBLE) *
+                     (COALESCE(CAST(c.csum AS DOUBLE), CAST(0 AS DOUBLE))
+                      + (SELECT dm FROM d1) * n.rv), 9) AS pr
+          FROM nr n LEFT JOIN c1 c ON c.dst = n.node),
+        d2 AS MATERIALIZED (
+          SELECT COALESCE(CAST(SUM(CAST(p.pr AS DECIMAL(28,12))) AS DOUBLE),
+                          CAST(0 AS DOUBLE)) AS dm
+          FROM pr1 p LEFT JOIN odeg o ON o.src = p.node WHERE o.src IS NULL),
+        c2 AS MATERIALIZED (
+          SELECT e.dst,
+                 SUM(CAST(p.pr / CAST(o.outdeg AS DOUBLE) AS DECIMAL(28,12))) AS csum
+          FROM edges e JOIN pr1 p ON p.node = e.src JOIN odeg o ON o.src = e.src
+          GROUP BY e.dst),
+        pr2 AS MATERIALIZED (
+          SELECT n.node, n.rv,
+                 ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n.rv
+                   + CAST(0.85 AS DOUBLE) *
+                     (COALESCE(CAST(c.csum AS DOUBLE), CAST(0 AS DOUBLE))
+                      + (SELECT dm FROM d2) * n.rv), 9) AS pr
+          FROM nr n LEFT JOIN c2 c ON c.dst = n.node),
+        d3 AS MATERIALIZED (
+          SELECT COALESCE(CAST(SUM(CAST(p.pr AS DECIMAL(28,12))) AS DOUBLE),
+                          CAST(0 AS DOUBLE)) AS dm
+          FROM pr2 p LEFT JOIN odeg o ON o.src = p.node WHERE o.src IS NULL),
+        c3 AS MATERIALIZED (
+          SELECT e.dst,
+                 SUM(CAST(p.pr / CAST(o.outdeg AS DOUBLE) AS DECIMAL(28,12))) AS csum
+          FROM edges e JOIN pr2 p ON p.node = e.src JOIN odeg o ON o.src = e.src
+          GROUP BY e.dst),
+        pr3 AS MATERIALIZED (
+          SELECT n.node, n.rv,
+                 ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n.rv
+                   + CAST(0.85 AS DOUBLE) *
+                     (COALESCE(CAST(c.csum AS DOUBLE), CAST(0 AS DOUBLE))
+                      + (SELECT dm FROM d3) * n.rv), 9) AS pr
+          FROM nr n LEFT JOIN c3 c ON c.dst = n.node)
+        SELECT node, ROUND(pr, 6) AS pagerank FROM pr3 ORDER BY node"""),
+      headline = false),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>

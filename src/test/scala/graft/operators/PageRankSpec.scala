@@ -62,6 +62,32 @@ class PageRankSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("personalized: mass stays on the seed's component, seed dominates a cycle") {
+    // cycle 1→2→3→1 (mass recirculates to the seed) + off-seed island 10→11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val pr = GraphOps.personalizedPageRank(edges, seeds, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6) // still a distribution
+    assert(pr(1L) == pr.values.max) // recirculation: the seed dominates
+    assert(pr(2L) > 0 && pr(3L) > 0)
+    // the island is unreachable from the seed: zero rank, exactly
+    assert(pr(10L) == 0.0 && pr(11L) == 0.0)
+    // every node keeps at least its restart floor: seed ≥ (1−d)
+    assert(pr(1L) >= 0.15 - 1e-9)
+  }
+
+  test("personalized: a seed outside the edge set still carries its mass") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(99L).toDF("node")
+    val pr = GraphOps.personalizedPageRank(edges, seeds, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.contains(99L) && pr(99L) > 0.9) // dangling seed: keeps ~all mass
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    intercept[IllegalArgumentException](
+      GraphOps.personalizedPageRank(edges, Seq.empty[Long].toDF("node")))
+  }
+
   test("validation: empty graph, bad damping, bad iterations refuse") {
     intercept[IllegalArgumentException](
       GraphOps.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst")))
