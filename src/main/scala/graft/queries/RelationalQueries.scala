@@ -629,6 +629,40 @@ object RelationalQueries {
         SELECT node, ROUND(pr, 6) AS pagerank FROM pr3 ORDER BY node"""),
       headline = false),
 
+    // Per-node triangle counts over q4b's link graph viewed undirected —
+    // local density / community structure (spam-farm signal in crawl
+    // curation). Spark runs the degree-ordered node-iterator (each
+    // triangle found once at its min-rank apex, O(m^1.5) wedge bound);
+    // DuckDB counts the same triangles as a three-way self-join on the
+    // canonical (u < v) edge set with a < b < c. Exact integers — no
+    // float parity concerns.
+    "q4g_triangle_counts" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 80).cast("long").as("src"),
+          (col("o_orderkey") % 97).cast("long").as("dst"))
+        graft.operators.GraphOps.triangleCounts(edges)
+          .orderBy(col("node"))
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT CAST(o_custkey % 80 AS BIGINT) AS src,
+                 CAST(o_orderkey % 97 AS BIGINT) AS dst
+          FROM orders),
+        und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM raw WHERE src <> dst),
+        tri AS MATERIALIZED (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM und e1
+          JOIN und e2 ON e2.u = e1.v
+          JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY node ORDER BY node""")),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>
