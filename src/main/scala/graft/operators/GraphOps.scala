@@ -117,16 +117,28 @@ object GraphOps {
     * spread across ordinary equi-join shuffles. No driver-side state: two
     * self-joins and one aggregation, all on (long, long) pairs.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges.select(
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsFromUnd(canonicalUndirected(edges))
+
+  /** Canonical undirected edge set: (min, max) pairs, self-loops dropped,
+    * parallel/reversed duplicates collapsed. Checkpointed — every consumer
+    * scans it more than once.
+    */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges.select(
         least(col("src").cast("long"), col("dst").cast("long")).as("u"),
         greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint() // reused three times: degrees, wedge build, closing probe
-    val deg = und.select(col("u").as("node"))
+      .localCheckpoint()
+
+  private def undirectedDegrees(und: DataFrame): DataFrame =
+    und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  private def triangleCountsFromUnd(und: DataFrame): DataFrame = {
+    val deg = undirectedDegrees(und)
     val lowerFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = und
@@ -145,6 +157,31 @@ object GraphOps {
       .select(col("a"), col("n1").as("b"), col("n2").as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Local clustering coefficient per node: cc(v) = 2·T(v) / (d(v)·(d(v)−1))
+    * over the undirected view — closed-wedge fraction, the per-node
+    * community-density companion to [[triangleCounts]] (0 for degree < 2,
+    * the standard convention). Output: (node, degree, triangles, clustering)
+    * for EVERY node of the graph, triangle-free nodes included.
+    *
+    * Same cost shape as triangleCounts plus one left join of the (node,
+    * degree) table against the triangle counts. Double arithmetic is a
+    * single fixed-shape expression over exact integers (2·T first, one
+    * divide), so both engines walk identical IEEE doubles.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val tri = triangleCountsFromUnd(und)
+    val degD = col("degree").cast("double")
+    undirectedDegrees(und).select(col("node"), col("deg").as("degree"))
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          lit(2.0) * col("triangles").cast("double") / (degD * (degD - lit(1.0))))
+          .otherwise(lit(0.0)))
   }
 
   private def pageRankImpl(

@@ -663,6 +663,54 @@ object RelationalQueries {
               UNION ALL SELECT c FROM tri)
         GROUP BY node ORDER BY node""")),
 
+    // Local clustering coefficient over the same undirected graph:
+    // cc(v) = 2·T(v)/(d(v)·(d(v)−1)), every node emitted (0 when no
+    // triangle or degree < 2). The double expression is one fixed shape
+    // over exact integers — 2·T first, a single divide — so both engines
+    // produce bit-identical IEEE results; ROUND(...,6) on both sides.
+    "q4h_clustering_coefficient" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 80).cast("long").as("src"),
+          (col("o_orderkey") % 97).cast("long").as("dst"))
+        graft.operators.GraphOps.clusteringCoefficients(edges)
+          .withColumn("clustering", round(col("clustering"), 6))
+          .orderBy(col("node"))
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT CAST(o_custkey % 80 AS BIGINT) AS src,
+                 CAST(o_orderkey % 97 AS BIGINT) AS dst
+          FROM orders),
+        und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM raw WHERE src <> dst),
+        deg AS MATERIALIZED (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+          GROUP BY node),
+        tri AS MATERIALIZED (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM und e1
+          JOIN und e2 ON e2.u = e1.v
+          JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        tcount AS MATERIALIZED (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+          FROM (SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+          GROUP BY node)
+        SELECT d.node, d.degree,
+               COALESCE(t.triangles, CAST(0 AS BIGINT)) AS triangles,
+               ROUND(CASE WHEN d.degree >= 2
+                 THEN CAST(2 AS DOUBLE) *
+                      CAST(COALESCE(t.triangles, 0) AS DOUBLE) /
+                      (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE)
+                        - CAST(1 AS DOUBLE)))
+                 ELSE CAST(0 AS DOUBLE) END, 6) AS clustering
+        FROM deg d LEFT JOIN tcount t ON t.node = d.node
+        ORDER BY d.node""")),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>

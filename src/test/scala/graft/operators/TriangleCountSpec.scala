@@ -59,6 +59,35 @@ class TriangleCountSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  private def ccs(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+    GraphOps.clusteringCoefficients(edges.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("clustering: K4 is fully clustered, every node cc = 1") {
+    val k4 = for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j)
+    val c = ccs(k4)
+    assert(c.keySet == Set(1L, 2L, 3L, 4L))
+    assert(c.values.forall { case (d, t, cc) => d == 3L && t == 3L && cc == 1.0 })
+  }
+
+  test("clustering: triangle + pendant covers all the regimes") {
+    val c = ccs(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    assert(c(1L) == ((2L, 1L, 1.0)))
+    assert(c(2L) == ((2L, 1L, 1.0)))
+    assert(c(3L)._1 == 3L && c(3L)._2 == 1L)
+    assert(math.abs(c(3L)._3 - 1.0 / 3.0) < 1e-12) // 2·1/(3·2)
+    assert(c(4L) == ((1L, 0L, 0.0))) // degree < 2 ⇒ 0 by convention
+  }
+
+  test("clustering: triangle-free nodes are emitted with cc = 0") {
+    val c = ccs(Seq((1L, 2L), (1L, 3L), (1L, 4L))) // star
+    assert(c.keySet == Set(1L, 2L, 3L, 4L))
+    assert(c(1L) == ((3L, 0L, 0.0))) // open wedges only
+    assert(c(2L) == ((1L, 0L, 0.0)))
+  }
+
   test("hub-heavy graph: counts match the naive all-triples reference") {
     // one high-degree hub plus random chords — the degree-ordering path
     // (hub ranked last) must agree with a brute-force triple check
