@@ -184,6 +184,70 @@ object GraphOps {
           .otherwise(lit(0.0)))
   }
 
+  /** HITS hubs-and-authorities over a directed edge list (Kleinberg's
+    * mutual-reinforcement pair): auth(v) = Σ_{u→v} hub(u) then hub(u) =
+    * Σ_{u→v} auth(v), each half-step L1-normalized so scores stay a
+    * probability distribution. The link-graph complement to [[pageRank]]:
+    * authorities are heavily-cited pages, hubs are good citation lists —
+    * in crawl curation, seed-list quality vs destination quality.
+    *
+    * Scale shape: per iteration two contribution shuffles (groupBy(dst),
+    * then groupBy(src)) against the static edge list, plus two scalar L1
+    * totals (cheap aggregate jobs, never a collect of score rows); scores
+    * `localCheckpoint`ed per half-step so lineage never compounds. Edges
+    * are checkpointed once.
+    *
+    * Determinism/oracle contract (the q4b recipe): hub₀ = auth₀ = 1
+    * exactly; contributions and L1 totals sum through exact DECIMAL(28,12)
+    * (order-free), every double expression shares the DuckDB twin's
+    * operation order, and each half-step's normalized scores snap to a
+    * 9-decimal grid.
+    */
+  def hits(edges: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    require(nodes.count() > 0, "hits needs a non-empty graph")
+
+    // one normalized half-step: sum the opposite score over the edges into
+    // `outCol`-keyed groups, L1-normalize, snap to the 9-decimal grid
+    def halfStep(scores: DataFrame, inCol: String,
+        joinKey: String, outKey: String, outCol: String): DataFrame = {
+      val raw = e
+        .join(scores.select(col("node"), col(inCol).as("__s")),
+          e(joinKey) === col("node"))
+        .select(col(outKey),
+          col("__s").cast("decimal(28,12)").as("__c"))
+        .groupBy(outKey).agg(sum(col("__c")).as("__sum"))
+        .localCheckpoint()
+      val total = raw.agg(sum(col("__sum")).as("t")).head().getDecimal(0) match {
+        case null => 0.0
+        case d    => d.doubleValue()
+      }
+      require(total > 0, "hits: a half-step summed to zero (degenerate graph)")
+      nodes.join(raw, nodes("node") === raw(outKey), "left")
+        .select(col("node"),
+          round(coalesce(col("__sum").cast("double"), lit(0.0)) / lit(total), 9)
+            .as(outCol))
+        .localCheckpoint()
+    }
+
+    var hub = nodes.withColumn("hub", lit(1.0))
+    var auth = nodes.withColumn("auth", lit(1.0))
+    for (_ <- 1 to iterations) {
+      auth = halfStep(hub, "hub", "src", "dst", "auth")
+      hub = halfStep(auth, "auth", "dst", "src", "hub")
+    }
+    hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
+  }
+
   private def pageRankImpl(
       edges: DataFrame, iterations: Int, damping: Double,
       seeds: Option[DataFrame]): DataFrame = {

@@ -711,6 +711,67 @@ object RelationalQueries {
         FROM deg d LEFT JOIN tcount t ON t.node = d.node
         ORDER BY d.node""")),
 
+    // HITS hubs-and-authorities (2 iterations) over q4b's directed graph:
+    // auth(v) = Σ hub(in-neighbors), hub(u) = Σ auth(out-neighbors), each
+    // half-step L1-normalized. Same iterative-oracle recipe as q4b/q4f —
+    // hub₀ = 1 exactly, DECIMAL(28,12) contribution + total sums, one
+    // double divide per half-step, scores snapped to the 9-decimal grid.
+    "q4i_hits" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 80).cast("long").as("src"),
+          (col("o_orderkey") % 97).cast("long").as("dst"))
+        graft.operators.GraphOps.hits(edges, iterations = 2)
+          .select(col("node"),
+            round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
+          .orderBy(col("node"))
+      },
+      oracle = Some("""
+        WITH edges AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey % 80 AS BIGINT) AS src,
+                          CAST(o_orderkey % 97 AS BIGINT) AS dst
+          FROM orders
+          WHERE o_custkey % 80 <> o_orderkey % 97),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        h0 AS MATERIALIZED (
+          SELECT node, CAST(1 AS DOUBLE) AS s FROM nodes),
+        a1r AS MATERIALIZED (
+          SELECT e.dst, SUM(CAST(h.s AS DECIMAL(28,12))) AS s
+          FROM edges e JOIN h0 h ON h.node = e.src GROUP BY e.dst),
+        a1 AS MATERIALIZED (
+          SELECT n.node,
+                 ROUND(COALESCE(CAST(r.s AS DOUBLE), CAST(0 AS DOUBLE))
+                   / (SELECT CAST(SUM(s) AS DOUBLE) FROM a1r), 9) AS s
+          FROM nodes n LEFT JOIN a1r r ON r.dst = n.node),
+        h1r AS MATERIALIZED (
+          SELECT e.src, SUM(CAST(a.s AS DECIMAL(28,12))) AS s
+          FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+        h1 AS MATERIALIZED (
+          SELECT n.node,
+                 ROUND(COALESCE(CAST(r.s AS DOUBLE), CAST(0 AS DOUBLE))
+                   / (SELECT CAST(SUM(s) AS DOUBLE) FROM h1r), 9) AS s
+          FROM nodes n LEFT JOIN h1r r ON r.src = n.node),
+        a2r AS MATERIALIZED (
+          SELECT e.dst, SUM(CAST(h.s AS DECIMAL(28,12))) AS s
+          FROM edges e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+        a2 AS MATERIALIZED (
+          SELECT n.node,
+                 ROUND(COALESCE(CAST(r.s AS DOUBLE), CAST(0 AS DOUBLE))
+                   / (SELECT CAST(SUM(s) AS DOUBLE) FROM a2r), 9) AS s
+          FROM nodes n LEFT JOIN a2r r ON r.dst = n.node),
+        h2r AS MATERIALIZED (
+          SELECT e.src, SUM(CAST(a.s AS DECIMAL(28,12))) AS s
+          FROM edges e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+        h2 AS MATERIALIZED (
+          SELECT n.node,
+                 ROUND(COALESCE(CAST(r.s AS DOUBLE), CAST(0 AS DOUBLE))
+                   / (SELECT CAST(SUM(s) AS DOUBLE) FROM h2r), 9) AS s
+          FROM nodes n LEFT JOIN h2r r ON r.src = n.node)
+        SELECT n.node, ROUND(h2.s, 6) AS hub, ROUND(a2.s, 6) AS auth
+        FROM nodes n JOIN h2 ON h2.node = n.node JOIN a2 ON a2.node = n.node
+        ORDER BY n.node""")),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>
