@@ -661,7 +661,8 @@ object RelationalQueries {
         FROM (SELECT a AS node FROM tri
               UNION ALL SELECT b FROM tri
               UNION ALL SELECT c FROM tri)
-        GROUP BY node ORDER BY node""")),
+        GROUP BY node ORDER BY node"""),
+      headline = true),
 
     // Local clustering coefficient over the same undirected graph:
     // cc(v) = 2·T(v)/(d(v)·(d(v)−1)), every node emitted (0 when no
