@@ -248,6 +248,45 @@ object GraphOps {
     hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
   }
 
+  /** Synchronous label-propagation community detection over the undirected
+    * view: label₀(v) = v; each round every node adopts the most frequent
+    * label among its neighbors, ties broken by smallest label (fully
+    * deterministic — no random order, so a fixed iteration count is
+    * reproducible and oracle-able; classic LPA oscillation on bipartite
+    * structures is bounded by the iteration cap, which callers choose).
+    * Communities are the label groups after `iterations` rounds — the
+    * coarse mirror-site/content-farm grouping signal next to
+    * [[Dedup.connectedComponents]]'s exact reachability clusters.
+    *
+    * Scale shape: per round ONE aggregation shuffle for the neighbor votes
+    * (`groupBy(node, label)`, partial-aggregated map-side) and one
+    * node-partitioned window to pick the winner (state bounded by the
+    * node's distinct neighbor-label count); labels localCheckpointed per
+    * round. The adjacency list is built and checkpointed once. Exact
+    * integers end to end.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val und = canonicalUndirected(edges)
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
+    for (_ <- 1 to iterations) {
+      labels = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy("node", "label").agg(count(lit(1)).as("n"))
+        .withColumn("mx", max(col("n")).over(w))
+        .filter(col("n") === col("mx"))
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   private def pageRankImpl(
       edges: DataFrame, iterations: Int, damping: Double,
       seeds: Option[DataFrame]): DataFrame = {

@@ -773,6 +773,62 @@ object RelationalQueries {
         FROM nodes n JOIN h2 ON h2.node = n.node JOIN a2 ON a2.node = n.node
         ORDER BY n.node""")),
 
+    // Label-propagation communities (3 synchronous rounds, min-label
+    // tie-break) over a block-structured graph: both endpoints derive from
+    // the same 40-node block (node c pairs with block_base + orderkey%40),
+    // so the graph is a disjoint union of blocks and LPA finds real
+    // community structure instead of one giant label. Exact integers;
+    // DuckDB unrolls the three vote/argmax rounds.
+    "q4j_label_propagation" -> Q(
+      fn = (s, dir) => {
+        val c = (col("o_custkey") % 1200).cast("long")
+        val edges = t(s, dir, "orders").select(
+          c.as("src"),
+          (c - (c % 40) + (col("o_orderkey") % 40).cast("long")).as("dst"))
+        graft.operators.GraphOps.labelPropagation(edges, iterations = 3)
+          .select(col("node"), col("label").as("community"))
+          .orderBy(col("node"))
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT CAST(o_custkey % 1200 AS BIGINT) AS c,
+                 CAST(o_orderkey % 40 AS BIGINT) AS o
+          FROM orders),
+        e0 AS (SELECT c AS src, c - (c % 40) + o AS dst FROM raw),
+        und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM e0 WHERE src <> dst),
+        adj AS MATERIALIZED (
+          SELECT u AS node, v AS nbr FROM und
+          UNION ALL SELECT v AS node, u AS nbr FROM und),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT node, node AS label FROM adj),
+        v1 AS MATERIALIZED (
+          SELECT a.node, l.label, COUNT(*) AS n
+          FROM adj a JOIN l0 l ON l.node = a.nbr GROUP BY a.node, l.label),
+        l1 AS MATERIALIZED (
+          SELECT node, MIN(label) AS label
+          FROM (SELECT node, label, n, MAX(n) OVER (PARTITION BY node) AS mx
+                FROM v1) t
+          WHERE n = mx GROUP BY node),
+        v2 AS MATERIALIZED (
+          SELECT a.node, l.label, COUNT(*) AS n
+          FROM adj a JOIN l1 l ON l.node = a.nbr GROUP BY a.node, l.label),
+        l2 AS MATERIALIZED (
+          SELECT node, MIN(label) AS label
+          FROM (SELECT node, label, n, MAX(n) OVER (PARTITION BY node) AS mx
+                FROM v2) t
+          WHERE n = mx GROUP BY node),
+        v3 AS MATERIALIZED (
+          SELECT a.node, l.label, COUNT(*) AS n
+          FROM adj a JOIN l2 l ON l.node = a.nbr GROUP BY a.node, l.label),
+        l3 AS MATERIALIZED (
+          SELECT node, MIN(label) AS label
+          FROM (SELECT node, label, n, MAX(n) OVER (PARTITION BY node) AS mx
+                FROM v3) t
+          WHERE n = mx GROUP BY node)
+        SELECT node, label AS community FROM l3 ORDER BY node""")),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>
