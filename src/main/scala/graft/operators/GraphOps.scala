@@ -287,6 +287,41 @@ object GraphOps {
     labels
   }
 
+  /** Directed BFS hop distance from a seed set, capped at `maxHops` — the
+    * crawl-depth signal (how many link hops from the trusted seed list a
+    * page sits; Common-Crawl-style frontier policies cap exactly this).
+    * Output: (node, dist) for every node reachable within the cap, seeds
+    * at distance 0. Unreached nodes are absent (callers treat missing as
+    * infinity).
+    *
+    * Scale shape: per hop ONE equi-join of the current distance table
+    * against the static edge list plus a min-aggregation — the Pregel
+    * frontier pattern with the same per-round localCheckpoint lineage
+    * discipline as [[pageRank]]. The distance table is keyed by node and
+    * never collected; maxHops bounds the serial factor. Exact integers.
+    */
+  def seedDistances(
+      edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds.select(col("node").cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val next = e.join(dist, e("src") === dist("node"))
+        .select(e("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.union(next)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   private def pageRankImpl(
       edges: DataFrame, iterations: Int, damping: Double,
       seeds: Option[DataFrame]): DataFrame = {

@@ -829,6 +829,36 @@ object RelationalQueries {
           WHERE n = mx GROUP BY node)
         SELECT node, label AS community FROM l3 ORDER BY node""")),
 
+    // BFS crawl depth: directed hop distance from seed nodes 0-4, capped
+    // at 4 hops, over a %400 link graph (only custkey-derived nodes have
+    // out-edges, so real multi-hop frontiers exist at every SF). Exact
+    // integers; DuckDB walks the same frontier as a depth-bounded
+    // recursive CTE with UNION dedup on (node, dist) states.
+    "q4k_seed_distances" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 400).cast("long").as("src"),
+          (col("o_orderkey") % 400).cast("long").as("dst"))
+        val seeds = s.range(0, 5).select(col("id").as("node"))
+        graft.operators.GraphOps.seedDistances(edges, seeds, maxHops = 4)
+          .orderBy(col("node"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE edges AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey % 400 AS BIGINT) AS src,
+                          CAST(o_orderkey % 400 AS BIGINT) AS dst
+          FROM orders
+          WHERE o_custkey % 400 <> o_orderkey % 400),
+        walk(node, dist) AS (
+          SELECT CAST(range AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+          FROM range(0, 5)
+          UNION
+          SELECT e.dst, w.dist + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.dist < 4)
+        SELECT node, MIN(dist) AS dist FROM walk
+        GROUP BY node ORDER BY node""")),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>
