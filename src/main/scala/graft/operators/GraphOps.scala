@@ -117,8 +117,10 @@ object GraphOps {
     * spread across ordinary equi-join shuffles. No driver-side state: two
     * self-joins and one aggregation, all on (long, long) pairs.
     */
-  def triangleCounts(edges: DataFrame): DataFrame =
-    triangleCountsFromUnd(canonicalUndirected(edges))
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
+    triangleCountsFromUnd(und, undirectedDegrees(und))
+  }
 
   /** Canonical undirected edge set: (min, max) pairs, self-loops dropped,
     * parallel/reversed duplicates collapsed. Checkpointed — every consumer
@@ -137,8 +139,7 @@ object GraphOps {
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
-  private def triangleCountsFromUnd(und: DataFrame): DataFrame = {
-    val deg = undirectedDegrees(und)
+  private def triangleCountsFromUnd(und: DataFrame, deg: DataFrame): DataFrame = {
     val lowerFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = und
@@ -147,6 +148,7 @@ object GraphOps {
       .select(
         when(lowerFirst, col("u")).otherwise(col("v")).as("a"),
         when(lowerFirst, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint() // self-joined below — don't recompute the degree join twice
     // wedge (a, n1, n2): two out-neighbors of the apex, canonicalized by id
     // so the closing probe hits the canonical undirected edge form
     val wedges = oriented.select(col("a"), col("b").as("n1"))
@@ -172,9 +174,10 @@ object GraphOps {
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
     val und = canonicalUndirected(edges)
-    val tri = triangleCountsFromUnd(und)
+    val deg = undirectedDegrees(und).localCheckpoint() // feeds both the
+    val tri = triangleCountsFromUnd(und, deg)          // orientation and the cc join
     val degD = col("degree").cast("double")
-    undirectedDegrees(und).select(col("node"), col("deg").as("degree"))
+    deg.select(col("node"), col("deg").as("degree"))
       .join(tri, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
