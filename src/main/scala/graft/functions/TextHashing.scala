@@ -14,8 +14,11 @@ object TextHashing {
 
   private val Mersenne61 = (1L << 61) - 1
 
-  /** splitmix64 finalizer — a cheap, well-mixed 64-bit bijection. */
-  @inline private def mix64(v: Long): Long = {
+  /** splitmix64 finalizer — a cheap, well-mixed 64-bit bijection.
+    * Package-private: CmSketch reuses it so its buckets replay through the
+    * same OracleSql.mix64Nested SQL stages.
+    */
+  @inline private[graft] def mix64(v: Long): Long = {
     var z = v + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

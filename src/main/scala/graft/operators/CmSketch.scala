@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over a key column — one-pass, fixed-memory frequency
+  * estimation (Cormode & Muthukrishnan 2005). The 100 TB use: heavy-hitter
+  * and frequency questions ("how often does this host / shingle / token
+  * appear?") answered with a shuffle whose volume is bounded by the SKETCH
+  * size (depth × width cells per partition), not by key cardinality — a
+  * `groupBy(key)` over 10¹⁰ distinct crawl keys shuffles the whole key
+  * space; this shuffles ≤ depth·width·partitions bounded cells.
+  *
+  * Estimates are biased up only (est ≥ true count, classic CMS guarantee);
+  * width is a power of two so the bucket is the low bits of a splitmix64
+  * mix — the same [[graft.functions.TextHashing.mix64]] the minhash family
+  * uses, so DuckDB replays buckets exactly via `OracleSql.mix64Nested`.
+  * Depth-d seeds are mix64(GOLDEN·(d+1)), the TextHashing seed recipe.
+  */
+object CmSketch {
+
+  private val Golden = 0x9e3779b97f4a7c15L
+
+  /** Per-depth xor seeds, exposed for the oracle to inline as literals. */
+  private[graft] def seeds(depth: Int): Array[Long] =
+    Array.tabulate(depth)(d => graft.functions.TextHashing.mix64(Golden * (d + 1)))
+
+  /** Bucket of `key` at one depth: low bits of mix64(key ^ seed). */
+  @inline private[graft] def bucket(key: Long, seed: Long, width: Int): Int =
+    (graft.functions.TextHashing.mix64(key ^ seed) & (width - 1)).toInt
+
+  private def validate(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two >= 2, got $width")
+  }
+
+  /** Build the sketch table (d, bucket, cnt) from `df`'s long-castable
+    * `keyCol` (null keys are skipped). Each partition accumulates a local
+    * depth×width array (mapPartitions, zero per-row allocation) and emits
+    * only its non-zero cells; one bounded aggregation merges partitions.
+    */
+  def sketch(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    validate(depth, width)
+    val sds = seeds(depth)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys: Dataset[Long] =
+      df.select(col(keyCol).cast("long")).filter(col(keyCol).isNotNull).as[Long]
+    keys.mapPartitions { it =>
+      val acc = Array.ofDim[Long](depth, width)
+      it.foreach { k =>
+        var d = 0
+        while (d < depth) { acc(d)(bucket(k, sds(d), width)) += 1; d += 1 }
+      }
+      for {
+        d <- (0 until depth).iterator
+        b <- (0 until width).iterator if acc(d)(b) > 0
+      } yield (d, b, acc(d)(b))
+    }.toDF("d", "bucket", "cnt")
+      .groupBy("d", "bucket").agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point estimates for `probes` against a sketch built with the same
+    * (depth, width): min over depths of the probed cell, 0 when a cell is
+    * empty (the key was never seen and nothing collided into it). Probe
+    * buckets are computed driver-side (probes are a parameter, not data)
+    * and resolved with one left join against the sketch.
+    */
+  def estimates(sketchDf: DataFrame, probes: Seq[Long],
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    validate(depth, width)
+    require(probes.nonEmpty, "estimates needs at least one probe key")
+    val sds = seeds(depth)
+    val spark = sketchDf.sparkSession
+    import spark.implicits._
+    val probeRows = probes.distinct.flatMap(k =>
+      (0 until depth).map(d => (k, d, bucket(k, sds(d), width))))
+    probeRows.toDF("k", "d", "bucket")
+      .join(sketchDf, Seq("d", "bucket"), "left")
+      .groupBy("k")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

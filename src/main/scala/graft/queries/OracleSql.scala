@@ -85,6 +85,22 @@ object OracleSql {
       s"WHEN c < 65536 THEN $three ELSE $four END)"
   }
 
+  /** Count-min-sketch bucket replay: wraps `inner` (producing a
+    * NON-NEGATIVE BIGINT key column `keyCol`) in the splitmix64 stages of
+    * `mix64(key ^ seed)` and emits `(keyCol, bucket)` with bucket = the
+    * mix's low bits (`width` a power of two). Matches
+    * `CmSketch.bucket` exactly; negative keys would diverge (HUGEINT cast
+    * is not a two's-complement reinterpret), hence the contract.
+    */
+  def cmsBucket(inner: String, keyCol: String, seed: Long, width: Int,
+      prefix: String): String = {
+    val seedLit = s"CAST(${java.lang.Long.toUnsignedString(seed)} AS HUGEINT)"
+    val x = xor64(s"CAST($keyCol AS HUGEINT)", seedLit)
+    val step0 = s"SELECT $keyCol, $x AS ${prefix}_x FROM ($inner)"
+    val (mixed, c) = mix64Nested(step0, s"${prefix}_x", prefix, keep = keyCol)
+    s"SELECT $keyCol, CAST(($c) % $width AS INT) AS bucket FROM ($mixed)"
+  }
+
   /** u64-in-HUGEINT → signed BIGINT (two's-complement reinterpretation). */
   def toSigned(v: String): String =
     s"CASE WHEN $v >= 9223372036854775808 THEN CAST($v - $M64 AS BIGINT) ELSE CAST($v AS BIGINT) END"

@@ -859,6 +859,57 @@ object RelationalQueries {
         SELECT node, MIN(dist) AS dist FROM walk
         GROUP BY node ORDER BY node""")),
 
+    // Count-min sketch (depth 4 × width 1024) over lineitem part keys:
+    // probes 1-50 answered from the sketch (min over depths, upward-biased)
+    // next to their exact counts. The sketch shuffle is bounded by
+    // depth·width cells per partition, never by key cardinality; DuckDB
+    // replays the splitmix64 bucket chain per depth via OracleSql.cmsBucket
+    // and takes the same LEAST over depth cells — exact integers.
+    "q4l_cms_frequency" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey").cast("long").as("k"))
+        val sk = graft.operators.CmSketch.sketch(li, "k", depth = 4, width = 1024)
+        val est = graft.operators.CmSketch.estimates(sk, 1L to 50L, depth = 4, width = 1024)
+        val actual = li.filter(col("k").between(1, 50))
+          .groupBy("k").agg(count(lit(1)).as("actual"))
+        est.join(actual, Seq("k"), "left")
+          .select(col("k"), col("est"),
+            coalesce(col("actual"), lit(0L)).as("actual"))
+          .orderBy(col("k"))
+      },
+      oracle = Some {
+        val sds = graft.operators.CmSketch.seeds(4)
+        val sketchCtes = sds.zipWithIndex.map { case (seed, d) =>
+          val b = OracleSql.cmsBucket("SELECT k FROM keys", "k", seed, 1024, s"s$d")
+          s"""b$d AS MATERIALIZED ($b),
+        sk$d AS MATERIALIZED (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b$d GROUP BY bucket)"""
+        }.mkString(",\n        ")
+        val probeCtes = sds.zipWithIndex.map { case (seed, d) =>
+          val b = OracleSql.cmsBucket("SELECT k FROM probes", "k", seed, 1024, s"p$d")
+          s"""pb$d AS ($b),
+        e$d AS (
+          SELECT p.k, COALESCE(s.cnt, CAST(0 AS BIGINT)) AS c
+          FROM pb$d p LEFT JOIN sk$d s USING (bucket))"""
+        }.mkString(",\n        ")
+        s"""
+        WITH keys AS MATERIALIZED (
+          SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
+        probes AS MATERIALIZED (
+          SELECT CAST(range AS BIGINT) AS k FROM range(1, 51)),
+        $sketchCtes,
+        $probeCtes,
+        est AS (
+          SELECT e0.k, LEAST(e0.c, e1.c, e2.c, e3.c) AS est
+          FROM e0 JOIN e1 USING (k) JOIN e2 USING (k) JOIN e3 USING (k)),
+        actual AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS actual
+          FROM keys WHERE k BETWEEN 1 AND 50 GROUP BY k)
+        SELECT est.k, est.est, COALESCE(a.actual, CAST(0 AS BIGINT)) AS actual
+        FROM est LEFT JOIN actual a ON a.k = est.k ORDER BY est.k"""
+      }),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>
