@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct counting (Flajolet et al. 2007), built from scratch
+  * on the splitmix64 family so every register — and therefore the estimate —
+  * replays exactly in the DuckDB oracle (Spark's own approx_count_distinct
+  * is HLL++ with an opaque hash; this one is deterministic and auditable).
+  *
+  * The 100 TB shape is the same bounded-shuffle story as [[CmSketch]]: the
+  * register table is ≤ m rows per partition after map-side max-combine
+  * (`groupBy(bucket).max` — partial aggregation collapses a partition's
+  * rows to its register image before the wire), so cardinality questions
+  * over 10¹⁰-key spaces shuffle kilobytes. Registers are mergeable across
+  * corpora by the same max.
+  *
+  * Determinism contract: rho is an exact integer (bit length of the
+  * post-bucket hash remainder); Z sums the dyadic register terms as the
+  * exact scaled integer Σ 2^(55−rho) (DECIMAL(38,0) — never a float sum),
+  * and the estimate is a fixed literal-for-literal double expression with
+  * the small-range ln correction (ln parity per q3y/q38).
+  */
+object HllSketch {
+
+  val P = 10
+  val M: Int = 1 << P                   // 1024 registers
+  private val WBits = 64 - P            // hash bits left after the bucket
+  private[graft] val RhoEmpty = WBits + 1 // rho when the remainder is 0
+
+  private[graft] val Seed: Long =
+    graft.functions.TextHashing.mix64(0x9e3779b97f4a7c15L * 7)
+
+  /** alpha_m · m² for m = 1024 — spelled in the exact operation order the
+    * oracle uses, so both engines hold the same double.
+    */
+  private[graft] val AlphaM2: Double =
+    0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+
+  private[graft] def bucketRho(key: Long): (Int, Int) = {
+    val h = graft.functions.TextHashing.mix64(key ^ Seed)
+    val bucket = (h & (M - 1)).toInt
+    val w = h >>> P
+    val rho = if (w == 0) RhoEmpty else WBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+    (bucket, rho)
+  }
+
+  /** Register table (bucket, rho = max rank) over `df`'s long-castable
+    * `keyCol`; null keys skipped, empty buckets absent (readers treat
+    * missing as 0).
+    */
+  def registers(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long")).filter(col(keyCol).isNotNull).as[Long]
+      .map(bucketRho)
+      .toDF("bucket", "rho")
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+  }
+
+  /** One-row estimate from a register table: (z_scaled, v, est_distinct).
+    * z_scaled = Σ 2^(55−rho) over all m registers (empty ⇒ 2^55) as an
+    * exact integer; v = empty-register count; est = alpha·m²·2^55/Z with
+    * the small-range correction m·ln(m/v) when v > 0 and the raw estimate
+    * is ≤ 2.5m. All arithmetic shapes mirror the oracle literal-for-literal.
+    */
+  def estimate(regs: DataFrame): DataFrame = {
+    val two55 = 36028797018963968L // 2^55
+    regs
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${RhoEmpty} - rho)")
+          .cast("decimal(38,0)")).as("zn"),
+        count(lit(1)).as("nonempty"))
+      .select(
+        (coalesce(col("zn"), lit(0L).cast("decimal(38,0)")) +
+          (lit(M.toLong) - col("nonempty")).cast("decimal(38,0)") *
+            lit(two55).cast("decimal(38,0)")).as("zs"),
+        (lit(M.toLong) - col("nonempty")).as("v"))
+      .select(
+        col("zs").cast("double").as("z_scaled"),
+        col("v"),
+        round(
+          when(col("v") > 0 &&
+              lit(AlphaM2) * lit(two55.toDouble) / col("zs").cast("double")
+                <= lit(2.5 * M),
+            lit(M.toDouble) * log(lit(M.toDouble) / col("v").cast("double")))
+            .otherwise(
+              lit(AlphaM2) * lit(two55.toDouble) / col("zs").cast("double")),
+          6).as("est_distinct"))
+  }
+}

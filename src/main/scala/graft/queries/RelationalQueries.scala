@@ -910,6 +910,61 @@ object RelationalQueries {
         FROM est LEFT JOIN actual a ON a.k = est.k ORDER BY est.k"""
       }),
 
+    // HyperLogLog distinct count of lineitem part keys (from-scratch HLL,
+    // p=10): registers, the exact scaled-integer Z, the empty-register
+    // count and the corrected estimate all replay in DuckDB — buckets via
+    // the staged splitmix64 chain, rho as a binary-string length, Z as a
+    // HUGEINT/DECIMAL(38,0) dyadic sum, the estimate literal-for-literal
+    // (small-range ln branch active at sf0.001/0.01, raw branch at sf0.1).
+    "q4m_hll_distinct" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_partkey").cast("long").as("k"))
+        val est = graft.operators.HllSketch.estimate(
+          graft.operators.HllSketch.registers(li, "k"))
+        val actual = li.agg(count_distinct(col("k")).as("actual_distinct"))
+        est.crossJoin(actual)
+      },
+      oracle = Some {
+        val seedLit =
+          s"CAST(${java.lang.Long.toUnsignedString(graft.operators.HllSketch.Seed)} AS HUGEINT)"
+        val inner = s"SELECT k, ${OracleSql.xor64("CAST(k AS HUGEINT)", seedLit)} AS hx FROM keys"
+        val (mixed, h) = OracleSql.mix64Nested(inner, "hx", "hh", keep = "k")
+        val alpha = "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+          "CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))) * " +
+          "CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE)"
+        val raw = s"$alpha * CAST(36028797018963968 AS DOUBLE) / CAST(zs AS DOUBLE)"
+        s"""
+        WITH keys AS MATERIALIZED (
+          SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
+        hx AS ($mixed),
+        br AS (
+          SELECT CAST(($h) % 1024 AS INT) AS bucket,
+                 CASE WHEN (($h) // 1024) = 0 THEN 55
+                      ELSE 55 - LENGTH(format('{:b}', CAST(($h) // 1024 AS BIGINT)))
+                 END AS rho
+          FROM hx),
+        regs AS MATERIALIZED (
+          SELECT bucket, MAX(rho) AS rho FROM br GROUP BY bucket),
+        aggr AS (
+          SELECT SUM(CAST(CAST(1 AS BIGINT) << (55 - rho) AS HUGEINT)) AS zn,
+                 COUNT(*) AS ne
+          FROM regs),
+        zv AS (
+          SELECT COALESCE(zn, CAST(0 AS HUGEINT))
+                   + (1024 - ne) * CAST(36028797018963968 AS HUGEINT) AS zs,
+                 CAST(1024 - ne AS BIGINT) AS v
+          FROM aggr),
+        est AS (
+          SELECT CAST(zs AS DOUBLE) AS z_scaled, v,
+                 ROUND(CASE WHEN v > 0 AND $raw <= CAST(2560.0 AS DOUBLE)
+                   THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / CAST(v AS DOUBLE))
+                   ELSE $raw END, 6) AS est_distinct
+          FROM zv)
+        SELECT e.z_scaled, e.v, e.est_distinct, a.actual_distinct
+        FROM est e CROSS JOIN (
+          SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS actual_distinct FROM keys) a"""
+      }),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>
