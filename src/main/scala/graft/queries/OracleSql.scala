@@ -101,6 +101,42 @@ object OracleSql {
     s"SELECT $keyCol, CAST(($c) % $width AS INT) AS bucket FROM ($mixed)"
   }
 
+  /** HyperLogLog estimate replay (p=10, the HllSketch recipe): CTE chain
+    * over `keysCte` (a table of NON-NEGATIVE BIGINT column k) ending in
+    * `est_<prefix>` with one double column `est` — buckets via the staged
+    * splitmix64 chain, rho as binary-string length, Z as the exact HUGEINT
+    * dyadic sum, the alpha/raw/small-range-ln expression
+    * literal-for-literal with `HllSketch.estimate`.
+    */
+  def hllEstimate(keysCte: String, prefix: String, seed: Long): String = {
+    val seedLit = s"CAST(${java.lang.Long.toUnsignedString(seed)} AS HUGEINT)"
+    val inner = s"SELECT k, ${xor64("CAST(k AS HUGEINT)", seedLit)} AS hx FROM $keysCte"
+    val (mixed, h) = mix64Nested(inner, "hx", s"hh_$prefix", keep = "k")
+    val alpha = "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+      "CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))) * " +
+      "CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE)"
+    val raw = s"$alpha * CAST(36028797018963968 AS DOUBLE) / CAST(zs AS DOUBLE)"
+    s"""br_$prefix AS (
+          SELECT CAST(($h) % 1024 AS INT) AS bucket,
+                 CASE WHEN (($h) // 1024) = 0 THEN 55
+                      ELSE 55 - LENGTH(format('{:b}', CAST(($h) // 1024 AS BIGINT)))
+                 END AS rho
+          FROM ($mixed)),
+        regs_$prefix AS MATERIALIZED (
+          SELECT bucket, MAX(rho) AS rho FROM br_$prefix GROUP BY bucket),
+        zv_$prefix AS (
+          SELECT COALESCE(SUM(CAST(CAST(1 AS BIGINT) << (55 - rho) AS HUGEINT)),
+                   CAST(0 AS HUGEINT))
+                   + (1024 - COUNT(*)) * CAST(36028797018963968 AS HUGEINT) AS zs,
+                 CAST(1024 - COUNT(*) AS BIGINT) AS v
+          FROM regs_$prefix),
+        est_$prefix AS (
+          SELECT ROUND(CASE WHEN v > 0 AND $raw <= CAST(2560.0 AS DOUBLE)
+            THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / CAST(v AS DOUBLE))
+            ELSE $raw END, 6) AS est
+          FROM zv_$prefix)"""
+  }
+
   /** u64-in-HUGEINT → signed BIGINT (two's-complement reinterpretation). */
   def toSigned(v: String): String =
     s"CASE WHEN $v >= 9223372036854775808 THEN CAST($v - $M64 AS BIGINT) ELSE CAST($v AS BIGINT) END"

@@ -965,6 +965,68 @@ object RelationalQueries {
           SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS actual_distinct FROM keys) a"""
       }),
 
+    // HLL set algebra: |A|, |B|, |A∪B| from three sketches (the union via
+    // the max-merge property q4m's spec proves) and |A∩B| by
+    // inclusion-exclusion — union/intersection cardinality over two key
+    // sets without a join between them. Keys are unique per line
+    // (orderkey·8 + linenumber), split by supplier parity: A ≈ 1/2 of
+    // keys, B ≈ 1/3, A∩B ≈ 1/6 — the textbook overlap shape, with exact
+    // counts alongside.
+    "q4n_hll_set_algebra" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          (col("l_orderkey").cast("long") * 8 +
+            col("l_linenumber").cast("long")).as("k"),
+          col("l_suppkey").cast("long").as("sk"))
+        val a = li.filter(col("sk") % 2 === 0).select("k")
+        val b = li.filter(col("sk") % 3 === 0).select("k")
+        val ra = graft.operators.HllSketch.registers(a, "k")
+        val rb = graft.operators.HllSketch.registers(b, "k")
+        val ru = ra.unionByName(rb)
+          .groupBy("bucket").agg(max(col("rho")).as("rho"))
+        def e(r: org.apache.spark.sql.DataFrame, as: String) =
+          graft.operators.HllSketch.estimate(r).select(col("est_distinct").as(as))
+        val flags = li.groupBy("k").agg(
+          max(when(col("sk") % 2 === 0, 1).otherwise(0)).as("fa"),
+          max(when(col("sk") % 3 === 0, 1).otherwise(0)).as("fb"))
+        val exact = flags.agg(
+          sum(col("fa")).cast("long").as("actual_a"),
+          sum(col("fb")).cast("long").as("actual_b"),
+          sum(col("fa") * col("fb")).cast("long").as("actual_inter"))
+        e(ra, "est_a").crossJoin(e(rb, "est_b")).crossJoin(e(ru, "est_union"))
+          .select(col("est_a"), col("est_b"), col("est_union"),
+            round(col("est_a") + col("est_b") - col("est_union"), 6)
+              .as("est_inter"))
+          .crossJoin(exact)
+      },
+      oracle = Some {
+        val seed = graft.operators.HllSketch.Seed
+        s"""
+        WITH li2 AS MATERIALIZED (
+          SELECT CAST(l_orderkey AS BIGINT) * 8 + CAST(l_linenumber AS BIGINT) AS k,
+                 CAST(l_suppkey AS BIGINT) AS sk
+          FROM lineitem),
+        ka AS MATERIALIZED (SELECT k FROM li2 WHERE sk % 2 = 0),
+        kb AS MATERIALIZED (SELECT k FROM li2 WHERE sk % 3 = 0),
+        ku AS MATERIALIZED (SELECT k FROM li2 WHERE sk % 2 = 0 OR sk % 3 = 0),
+        ${OracleSql.hllEstimate("ka", "a", seed)},
+        ${OracleSql.hllEstimate("kb", "b", seed)},
+        ${OracleSql.hllEstimate("ku", "u", seed)},
+        flags AS (
+          SELECT k, MAX(CASE WHEN sk % 2 = 0 THEN 1 ELSE 0 END) AS fa,
+                 MAX(CASE WHEN sk % 3 = 0 THEN 1 ELSE 0 END) AS fb
+          FROM li2 GROUP BY k),
+        ex AS (
+          SELECT CAST(SUM(fa) AS BIGINT) AS actual_a,
+                 CAST(SUM(fb) AS BIGINT) AS actual_b,
+                 CAST(SUM(fa * fb) AS BIGINT) AS actual_inter
+          FROM flags)
+        SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+               ROUND(ea.est + eb.est - eu.est, 6) AS est_inter,
+               ex.actual_a, ex.actual_b, ex.actual_inter
+        FROM est_a ea CROSS JOIN est_b eb CROSS JOIN est_u eu CROSS JOIN ex"""
+      }),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>

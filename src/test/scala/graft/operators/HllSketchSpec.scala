@@ -57,4 +57,20 @@ class HllSketchSpec extends AnyFunSuite {
   test("the empty sketch estimates exactly zero") {
     assert(est(Seq.empty) == 0.0)
   }
+
+  test("inclusion-exclusion over merged sketches tracks the true overlap") {
+    val a = (1L to 4000L).toSeq
+    val b = (3001L to 8000L).toSeq
+    val ra = HllSketch.registers(a.toDF("k"), "k")
+    val rb = HllSketch.registers(b.toDF("k"), "k")
+    val ru = ra.unionByName(rb)
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+    def e(r: org.apache.spark.sql.DataFrame): Double =
+      HllSketch.estimate(r).collect()(0).getAs[Double]("est_distinct")
+    val inter = e(ra) + e(rb) - e(ru)
+    // true intersection 1000; the union's ~3.25% sigma amplifies through
+    // the three-term difference — assert a wide but meaningful band
+    assert(math.abs(inter - 1000.0) < 900.0, s"est_inter=$inter")
+    assert(math.abs(e(ru) - 8000.0) < 8000 * 0.13)
+  }
 }
