@@ -58,6 +58,30 @@ object HllSketch {
       .groupBy("bucket").agg(max(col("rho")).as("rho"))
   }
 
+  /** Streaming twin: fold one micro-batch's register table into an
+    * accumulated register image (max per bucket). The collect is bounded
+    * by M = 1024 rows BY CONSTRUCTION (the IvfIndex-centroid class of
+    * driver state, not a data-sized collect), so incremental cardinality
+    * over an unbounded stream carries ≤ M integers of state per sketch —
+    * use from `foreachBatch`, then [[imageToRegisters]] + [[estimate]]
+    * for the same arithmetic path as the batch twin.
+    */
+  def mergeRegisters(acc: scala.collection.mutable.Map[Int, Int],
+      regs: DataFrame): Unit =
+    regs.collect().foreach { r =>
+      val b = r.getInt(0); val rho = r.getInt(1)
+      if (rho > acc.getOrElse(b, 0)) acc(b) = rho
+    }
+
+  /** An accumulated image back as a register DataFrame (feeds [[estimate]]
+    * so streaming and batch share every arithmetic step).
+    */
+  def imageToRegisters(spark: org.apache.spark.sql.SparkSession,
+      acc: scala.collection.Map[Int, Int]): DataFrame = {
+    import spark.implicits._
+    acc.toSeq.toDF("bucket", "rho")
+  }
+
   /** One-row estimate from a register table: (z_scaled, v, est_distinct).
     * z_scaled = Σ 2^(55−rho) over all m registers (empty ⇒ 2^55) as an
     * exact integer; v = empty-register count; est = alpha·m²·2^55/Z with
