@@ -62,6 +62,42 @@ object CmSketch {
       .groupBy("d", "bucket").agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** EXACT heavy hitters with a sketch pre-filter: keys whose true count
+    * ≥ `threshold`, computed by (1) sketching, (2) keeping only rows whose
+    * key's CMS estimate reaches the threshold — upward bias means NO false
+    * negatives, so no heavy key can be lost — and (3) exact-counting the
+    * surviving candidate rows. At 100 TB the exact `groupBy` touches only
+    * the candidate slice (heavy keys + collision false positives, pruned
+    * again by the final HAVING) instead of shuffling the whole key space.
+    * The sketch is collected and broadcast — bounded by depth·width cells
+    * (32 KB at 4×1024), never by data.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    validate(depth, width)
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val sds = seeds(depth)
+    val cells: Map[(Int, Int), Long] = sketch(df, keyCol, depth, width)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(cells)
+    val estU = udf { (k: Long) =>
+      var m = Long.MaxValue
+      var d = 0
+      while (d < depth) {
+        val c = bc.value.getOrElse((d, bucket(k, sds(d), width)), 0L)
+        if (c < m) m = c
+        d += 1
+      }
+      m
+    }
+    df.select(col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .filter(estU(col("k")) >= threshold)
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
   /** Point estimates for `probes` against a sketch built with the same
     * (depth, width): min over depths of the probed cell, 0 when a cell is
     * empty (the key was never seen and nothing collided into it). Probe

@@ -1027,6 +1027,20 @@ object RelationalQueries {
         FROM est_a ea CROSS JOIN est_b eb CROSS JOIN est_u eu CROSS JOIN ex"""
       }),
 
+    // Exact heavy hitters through the CMS pre-filter: part keys appearing
+    // ≥ 45 times. The sketch's upward bias guarantees no false negatives,
+    // so the result EQUALS the plain GROUP BY ... HAVING — which is the
+    // whole oracle. The Spark side only exact-counts the candidate slice.
+    "q4o_heavy_hitters" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_partkey").cast("long").as("k"))
+        graft.operators.CmSketch.heavyHitters(li, "k", threshold = 45L)
+          .orderBy(col("k"))
+      },
+      oracle = Some("""
+        SELECT CAST(l_partkey AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY k HAVING COUNT(*) >= 45 ORDER BY k""")),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>

@@ -58,6 +58,17 @@ class CmSketchSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("heavy hitters equal brute force even under heavy collisions") {
+    // width 8 forces the candidate set to inflate with false positives;
+    // the exact-count pass must prune them all
+    for (t <- Seq(1L, 3L, 6L, 8L)) {
+      val hh = CmSketch.heavyHitters(df, "k", threshold = t, depth = 4, width = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = exact.filter(_._2 >= t).toSet
+      assert(hh == brute, s"threshold $t")
+    }
+  }
+
   test("validation: bad depth, width, and empty probes refuse") {
     intercept[IllegalArgumentException](CmSketch.sketch(df, "k", depth = 0))
     intercept[IllegalArgumentException](CmSketch.sketch(df, "k", width = 1000))
