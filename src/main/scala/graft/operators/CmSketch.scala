@@ -62,6 +62,28 @@ object CmSketch {
       .groupBy("d", "bucket").agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Streaming twin: fold one micro-batch's sketch table into an
+    * accumulated cell image — cells ADD (counts are sums), unlike HLL's
+    * idempotent max-merge, so a REPLAYED batch double-counts: feed this
+    * from an exactly-once source (foreachBatch with idempotent upstream,
+    * or dedup batch ids first). State is bounded by depth·width cells for
+    * any stream length. [[cellsToSketch]] feeds the image back through
+    * [[estimates]] for the batch twin's arithmetic.
+    */
+  def mergeCells(acc: scala.collection.mutable.Map[(Int, Int), Long],
+      sk: DataFrame): Unit =
+    sk.collect().foreach { r =>
+      val key = (r.getInt(0), r.getInt(1))
+      acc(key) = acc.getOrElse(key, 0L) + r.getLong(2)
+    }
+
+  /** An accumulated cell image back as a sketch DataFrame. */
+  def cellsToSketch(spark: org.apache.spark.sql.SparkSession,
+      acc: scala.collection.Map[(Int, Int), Long]): DataFrame = {
+    import spark.implicits._
+    acc.toSeq.map { case ((d, b), c) => (d, b, c) }.toDF("d", "bucket", "cnt")
+  }
+
   /** EXACT heavy hitters with a sketch pre-filter: keys whose true count
     * ≥ `threshold`, computed by (1) sketching, (2) keeping only rows whose
     * key's CMS estimate reaches the threshold — upward bias means NO false

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.HllSketch
+import graft.operators.{CmSketch, HllSketch}
 
 /** Sketches are the streaming-native aggregate: HLL registers merge by
   * max, so incremental cardinality over micro-batches carries bounded
@@ -47,5 +47,43 @@ class StreamingSketchSpec extends AnyFunSuite {
       .collect()(0).getAs[Double]("est_distinct")
     assert(eS == eB) // bit-identical estimate
     assert(math.abs(eS - 2000.0) < 2000 * 0.13) // and it is a good estimate
+  }
+
+  test("foreachBatch CMS accumulation equals the batch sketch exactly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // CMS cells ADD (not idempotent like HLL's max) — these chunks are
+    // DISJOINT slices of one logical pass, the exactly-once contract the
+    // operator documents
+    val chunks = Seq(
+      (1L to 30L).flatMap(k => Seq.fill(3)(k)),
+      (10L to 60L).flatMap(k => Seq.fill(2)(k)),
+      (50L to 90L))
+    val allKeys = chunks.flatten
+
+    val acc = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    val input = MemoryStream[Long]
+    val query = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        CmSketch.mergeCells(acc,
+          CmSketch.sketch(batch.toDF("k"), "k", depth = 4, width = 64))
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+
+    val streamed = acc.toMap
+    val batch = CmSketch.sketch(allKeys.toDF("k"), "k", depth = 4, width = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch) // cell-image identity
+
+    val probes = 1L to 90L
+    val eS = CmSketch.estimates(
+        CmSketch.cellsToSketch(spark, streamed), probes, depth = 4, width = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = allKeys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(probes.forall(k => eS(k) >= exact.getOrElse(k, 0L))) // CMS bound holds
   }
 }
