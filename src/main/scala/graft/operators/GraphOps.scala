@@ -100,6 +100,20 @@ object GraphOps {
       damping: Double = 0.85): DataFrame =
     pageRankImpl(edges, iterations, damping, seeds = Some(seeds))
 
+  /** WEIGHTED PageRank: `edges` carries (src, dst, w); a node's rank flows
+    * to its out-neighbors proportionally to edge weight (w / Σ_out w)
+    * instead of uniformly — the crawl-graph reality where link
+    * multiplicity matters. Parallel (src, dst) rows collapse by SUMMING
+    * weights (feed w = 1.0 per raw link and multiplicities emerge);
+    * non-positive weights are dropped. Weight and weight-sum aggregation
+    * run through DECIMAL(28,12) so integral weights stay exact and
+    * order-free; otherwise the iteration cost and determinism contract
+    * are [[pageRank]]'s.
+    */
+  def weightedPageRank(
+      edges: DataFrame, iterations: Int = 3, damping: Double = 0.85): DataFrame =
+    pageRankImpl(edges, iterations, damping, seeds = None, weighted = true)
+
   /** Per-node triangle counts over the undirected view of a directed edge
     * list — the local graph-density signal (clustering/community structure;
     * spam-farm detection in crawl curation ranks by triangle participation;
@@ -327,10 +341,18 @@ object GraphOps {
 
   private def pageRankImpl(
       edges: DataFrame, iterations: Int, damping: Double,
-      seeds: Option[DataFrame]): DataFrame = {
+      seeds: Option[DataFrame], weighted: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val e = edges
+    val e = if (weighted)
+      edges
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
+        .filter(col("src") =!= col("dst") && col("w") > 0)
+        .groupBy("src", "dst")
+        .agg(sum(col("w").cast("decimal(28,12)")).cast("double").as("w"))
+        .localCheckpoint()
+    else edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
@@ -344,7 +366,11 @@ object GraphOps {
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val outdeg = if (weighted)
+      e.groupBy("src")
+        .agg(sum(col("w").cast("decimal(28,12)")).cast("double").as("outdeg"))
+        .localCheckpoint()
+    else e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
 
     // restart vector: uniform over all nodes, or uniform over the seeds
     val nodesR = seedNodes match {
@@ -369,11 +395,13 @@ object GraphOps {
           case null => 0.0
           case d    => d.doubleValue()
         }
+      val contribVal =
+        if (weighted) col("pr") * (col("w") / col("outdeg"))
+        else col("pr") / col("outdeg")
       val contrib = e
         .join(ranked.filter(col("outdeg").isNotNull),
           e("src") === col("node"))
-        .select(col("dst"),
-          (col("pr") / col("outdeg")).cast("decimal(28,12)").as("c"))
+        .select(col("dst"), contribVal.cast("decimal(28,12)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("csum"))
       // uniform keeps the exact q4b expression tree; personalized swaps the
       // constant restart for (1−d)·rv and sends dangling mass through rv too

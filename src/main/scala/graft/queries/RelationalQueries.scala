@@ -1041,6 +1041,71 @@ object RelationalQueries {
         SELECT CAST(l_partkey AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM lineitem GROUP BY k HAVING COUNT(*) >= 45 ORDER BY k""")),
 
+    // Weighted PageRank over the q4b graph with LINK MULTIPLICITY as the
+    // edge weight (each raw (custkey,orderkey) pair contributes w = 1.0;
+    // duplicates collapse by summing, so repeated links pull more rank).
+    // Same unrolled-CTE recipe as q4b; contributions flow as
+    // pr·(w/wsum) with weight sums through DECIMAL(28,12).
+    "q4p_weighted_pagerank" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 80).cast("long").as("src"),
+          (col("o_orderkey") % 97).cast("long").as("dst"))
+          .withColumn("w", lit(1.0))
+        graft.operators.GraphOps.weightedPageRank(edges, iterations = 3, damping = 0.85)
+          .select(col("node"), round(col("pr"), 6).as("pagerank"))
+          .orderBy(col("node"))
+      },
+      oracle = Some {
+        def d(i: Int, prev: String) = s"""
+        d$i AS MATERIALIZED (
+          SELECT COALESCE(CAST(SUM(CAST(p.pr AS DECIMAL(28,12))) AS DOUBLE),
+                          CAST(0 AS DOUBLE)) AS dm
+          FROM $prev p LEFT JOIN wdeg o ON o.src = p.node WHERE o.src IS NULL)"""
+        def c(i: Int, prev: String) = s"""
+        c$i AS MATERIALIZED (
+          SELECT e.dst,
+                 SUM(CAST(p.pr * (e.w / o.wsum) AS DECIMAL(28,12))) AS csum
+          FROM edges e JOIN $prev p ON p.node = e.src JOIN wdeg o ON o.src = e.src
+          GROUP BY e.dst)"""
+        def pr(i: Int) = s"""
+        pr$i AS MATERIALIZED (
+          SELECT n.node,
+                 ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nn.n FROM nn)
+                   + CAST(0.85 AS DOUBLE) *
+                     (COALESCE(CAST(c.csum AS DOUBLE), CAST(0 AS DOUBLE))
+                      + (SELECT dm FROM d$i) / (SELECT nn.n FROM nn)), 9) AS pr
+          FROM nodes n LEFT JOIN c$i c ON c.dst = n.node)"""
+        s"""
+        WITH raw AS (
+          SELECT CAST(o_custkey % 80 AS BIGINT) AS src,
+                 CAST(o_orderkey % 97 AS BIGINT) AS dst
+          FROM orders
+          WHERE o_custkey % 80 <> o_orderkey % 97),
+        edges AS MATERIALIZED (
+          SELECT src, dst,
+                 CAST(SUM(CAST(1.0 AS DECIMAL(28,12))) AS DOUBLE) AS w
+          FROM raw GROUP BY src, dst),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        wdeg AS MATERIALIZED (
+          SELECT src, CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS wsum
+          FROM edges GROUP BY src),
+        pr0 AS MATERIALIZED (
+          SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes),
+        ${d(1, "pr0")},
+        ${c(1, "pr0")},
+        ${pr(1)},
+        ${d(2, "pr1")},
+        ${c(2, "pr1")},
+        ${pr(2)},
+        ${d(3, "pr2")},
+        ${c(3, "pr2")},
+        ${pr(3)}
+        SELECT node, ROUND(pr, 6) AS pagerank FROM pr3 ORDER BY node"""
+      }),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>

@@ -88,6 +88,41 @@ class PageRankSpec extends AnyFunSuite {
       GraphOps.personalizedPageRank(edges, Seq.empty[Long].toDF("node")))
   }
 
+  private def wranks(edges: Seq[(Long, Long, Double)], iters: Int): Map[Long, Double] =
+    GraphOps.weightedPageRank(edges.toDF("src", "dst", "w"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("weighted: equal weights reproduce the unweighted ranks") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val u = ranks(base, iters = 3)
+    val w = wranks(base.map { case (a, b) => (a, b, 1.0) }, iters = 3)
+    // pr·(w/wsum) vs pr/outdeg differ by one double rounding step; the
+    // 9-decimal grid keeps them within an ulp of the grid
+    assert(u.keySet == w.keySet)
+    assert(u.keySet.forall(k => math.abs(u(k) - w(k)) < 1e-8))
+  }
+
+  test("weighted: the heavier edge pulls more rank") {
+    val w = wranks(Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0)),
+      iters = 3)
+    assert(w(2L) > w(3L))
+    assert(math.abs(w.values.sum - 1.0) < 1e-6) // still a distribution
+  }
+
+  test("weighted: parallel edges collapse by summing weights") {
+    val split = wranks(Seq((1L, 2L, 1.0), (1L, 2L, 1.0), (1L, 2L, 1.0),
+      (1L, 3L, 1.0), (3L, 1L, 1.0)), iters = 3)
+    val merged = wranks(Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (3L, 1L, 1.0)), iters = 3)
+    assert(split == merged)
+  }
+
+  test("weighted: non-positive weights are dropped") {
+    val clean = wranks(Seq((1L, 2L, 2.0), (2L, 1L, 1.0)), iters = 2)
+    val noisy = wranks(Seq((1L, 2L, 2.0), (2L, 1L, 1.0),
+      (1L, 3L, 0.0), (2L, 3L, -5.0)), iters = 2)
+    assert(clean == noisy)
+  }
+
   test("validation: empty graph, bad damping, bad iterations refuse") {
     intercept[IllegalArgumentException](
       GraphOps.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst")))
