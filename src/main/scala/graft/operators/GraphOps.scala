@@ -339,6 +339,50 @@ object GraphOps {
     dist
   }
 
+  /** Deterministic "random" walks — one walker per node, `steps` hops,
+    * each hop choosing the out-neighbor with the maximal md5 draw over
+    * (walker, step, neighbor) — the q4d/q4e hash-draw idiom lifted to
+    * graph traversal. The walk corpus a node2vec-style embedding trainer
+    * consumes, but REPRODUCIBLE: same graph in, same walks out, on any
+    * cluster, any partitioning, any retry (a seeded RNG walk is
+    * partition-order-dependent; a hash draw is not). Walkers stop at
+    * dangling nodes (columns stay NULL after).
+    *
+    * Scale shape: per hop one equi-join of positions against the static
+    * edge list and one per-walker top-1 (row_number over the draw —
+    * Spark plants WindowGroupLimit, so the per-walker state is the
+    * candidate heap, bounded by out-degree); positions localCheckpointed
+    * per hop. Output: (walker, s1..sN).
+    */
+  def deterministicWalks(edges: DataFrame, steps: Int = 3): DataFrame = {
+    require(steps >= 1 && steps <= 8, s"steps must be in [1,8], got $steps")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("walker").orderBy(col("draw").desc, col("nxt").asc)
+    var walks = e.select(col("src").as("walker"))
+      .union(e.select(col("dst").as("walker")))
+      .distinct()
+      .withColumn("cur", col("walker"))
+      .localCheckpoint()
+    for (i <- 1 to steps) {
+      val next = e.join(walks.select(col("walker"), col("cur")), e("src") === col("cur"))
+        .select(col("walker"), e("dst").as("nxt"))
+        .withColumn("draw", conv(substring(md5(concat_ws("|",
+          col("walker"), lit(i), col("nxt"))), 1, 15), 16, 10).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("walker"), col("nxt").as(s"s$i"))
+      walks = walks.join(next, Seq("walker"), "left")
+        .drop("cur").withColumn("cur", col(s"s$i"))
+        .localCheckpoint()
+    }
+    walks.drop("cur")
+  }
+
   private def pageRankImpl(
       edges: DataFrame, iterations: Int, damping: Double,
       seeds: Option[DataFrame], weighted: Boolean = false): DataFrame = {

@@ -1106,6 +1106,54 @@ object RelationalQueries {
         SELECT node, ROUND(pr, 6) AS pagerank FROM pr3 ORDER BY node"""
       }),
 
+    // Deterministic random walks (3 hops) over the q4k %400 graph: each
+    // hop takes the out-neighbor with the maximal md5 draw over
+    // (walker, step, neighbor); walkers at dangling nodes stop (NULL
+    // tail). Reproducible walk corpus for embedding training; DuckDB
+    // replays the draws via the proven CAST('0x'||md5-prefix) idiom and
+    // the same ROW_NUMBER argmax.
+    "q4q_deterministic_walks" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 400).cast("long").as("src"),
+          (col("o_orderkey") % 400).cast("long").as("dst"))
+        graft.operators.GraphOps.deterministicWalks(edges, steps = 3)
+          .orderBy(col("walker"))
+      },
+      oracle = Some {
+        def step(i: Int, prev: String) = s"""
+        cand$i AS (
+          SELECT w.walker, e.dst AS nxt,
+                 CAST('0x' || SUBSTRING(md5(CAST(w.walker AS VARCHAR) || '|' ||
+                   '$i' || '|' || CAST(e.dst AS VARCHAR)), 1, 15) AS BIGINT) AS draw
+          FROM $prev w JOIN edges e ON e.src = w.cur),
+        step$i AS (
+          SELECT walker, nxt FROM (
+            SELECT walker, nxt,
+                   ROW_NUMBER() OVER (PARTITION BY walker
+                     ORDER BY draw DESC, nxt) AS rn
+            FROM cand$i) t
+          WHERE rn = 1),
+        w$i AS MATERIALIZED (
+          SELECT p.*, s.nxt AS s$i, s.nxt AS cur$i
+          FROM $prev p LEFT JOIN step$i s USING (walker))"""
+        s"""
+        WITH edges AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey % 400 AS BIGINT) AS src,
+                          CAST(o_orderkey % 400 AS BIGINT) AS dst
+          FROM orders
+          WHERE o_custkey % 400 <> o_orderkey % 400),
+        w0 AS MATERIALIZED (
+          SELECT node AS walker, node AS cur
+          FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+        ${step(1, "w0")},
+        w1c AS (SELECT walker, s1, cur1 AS cur FROM w1),
+        ${step(2, "w1c")},
+        w2c AS (SELECT walker, s1, s2, cur2 AS cur FROM w2),
+        ${step(3, "w2c")}
+        SELECT walker, s1, s2, s3 FROM w3 ORDER BY walker"""
+      }),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>
