@@ -88,28 +88,55 @@ object HllSketch {
     * the small-range correction m·ln(m/v) when v > 0 and the raw estimate
     * is ≤ 2.5m. All arithmetic shapes mirror the oracle literal-for-literal.
     */
-  def estimate(regs: DataFrame): DataFrame = {
-    val two55 = 36028797018963968L // 2^55
-    regs
-      .agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${RhoEmpty} - rho)")
-          .cast("decimal(38,0)")).as("zn"),
-        count(lit(1)).as("nonempty"))
-      .select(
-        (coalesce(col("zn"), lit(0L).cast("decimal(38,0)")) +
-          (lit(M.toLong) - col("nonempty")).cast("decimal(38,0)") *
-            lit(two55).cast("decimal(38,0)")).as("zs"),
-        (lit(M.toLong) - col("nonempty")).as("v"))
+  def estimate(regs: DataFrame): DataFrame =
+    zsAndV(regs.agg(znAndNonempty.head, znAndNonempty.tail: _*))
       .select(
         col("zs").cast("double").as("z_scaled"),
         col("v"),
-        round(
-          when(col("v") > 0 &&
-              lit(AlphaM2) * lit(two55.toDouble) / col("zs").cast("double")
-                <= lit(2.5 * M),
-            lit(M.toDouble) * log(lit(M.toDouble) / col("v").cast("double")))
-            .otherwise(
-              lit(AlphaM2) * lit(two55.toDouble) / col("zs").cast("double")),
-          6).as("est_distinct"))
+        estExpr.as("est_distinct"))
+
+  /** Per-group register table (g, bucket, rho) — the auditable
+    * `approx_count_distinct ... GROUP BY` shape. Same bounded-shuffle
+    * economics per group; registers of a group merge by max like the
+    * ungrouped sketch.
+    */
+  def groupedRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val br = udf((k: Long) => bucketRho(k))
+    df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"), br(col(keyCol).cast("long")).as("br"))
+      .select(col("g"), col("br._1").as("bucket"), col("br._2").as("rho"))
+      .groupBy("g", "bucket").agg(max(col("rho")).as("rho"))
+  }
+
+  /** Per-group estimates (g, est_distinct) — [[estimate]]'s arithmetic,
+    * grouped.
+    */
+  def groupedEstimate(regs: DataFrame): DataFrame =
+    zsAndV(regs.groupBy("g").agg(znAndNonempty.head, znAndNonempty.tail: _*),
+      keep = Seq(col("g")))
+      .select(col("g"), estExpr.as("est_distinct"))
+
+  private val Two55 = 36028797018963968L // 2^55
+
+  private def znAndNonempty = Seq(
+    sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${RhoEmpty} - rho)")
+      .cast("decimal(38,0)")).as("zn"),
+    count(lit(1)).as("nonempty"))
+
+  private def zsAndV(agged: DataFrame,
+      keep: Seq[org.apache.spark.sql.Column] = Seq.empty): DataFrame =
+    agged.select(keep ++ Seq(
+      (coalesce(col("zn"), lit(0L).cast("decimal(38,0)")) +
+        (lit(M.toLong) - col("nonempty")).cast("decimal(38,0)") *
+          lit(Two55).cast("decimal(38,0)")).as("zs"),
+      (lit(M.toLong) - col("nonempty")).as("v")): _*)
+
+  private def estExpr: org.apache.spark.sql.Column = {
+    val raw = lit(AlphaM2) * lit(Two55.toDouble) / col("zs").cast("double")
+    round(
+      when(col("v") > 0 && raw <= lit(2.5 * M),
+        lit(M.toDouble) * log(lit(M.toDouble) / col("v").cast("double")))
+        .otherwise(raw),
+      6)
   }
 }

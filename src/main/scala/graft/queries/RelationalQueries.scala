@@ -1154,6 +1154,63 @@ object RelationalQueries {
         SELECT walker, s1, s2, s3 FROM w3 ORDER BY walker"""
       }),
 
+    // Grouped HLL: distinct customers PER NATION — the auditable
+    // approx_count_distinct GROUP BY. Same register/Z/estimate replay as
+    // q4m, carried through a group column; exact per-nation counts
+    // alongside (small-range branch active in every group at these SFs).
+    "q4r_hll_grouped" -> Q(
+      fn = (s, dir) => {
+        val c = t(s, dir, "customer").select(
+          col("c_nationkey").cast("long").as("g"),
+          col("c_custkey").cast("long").as("k"))
+        val est = graft.operators.HllSketch.groupedEstimate(
+          graft.operators.HllSketch.groupedRegisters(c, "g", "k"))
+        val actual = c.groupBy("g").agg(count_distinct(col("k")).as("actual_distinct"))
+        est.join(actual, Seq("g"), "inner")
+          .select(col("g").as("nation"), col("est_distinct"), col("actual_distinct"))
+          .orderBy(col("nation"))
+      },
+      oracle = Some {
+        val seedLit =
+          s"CAST(${java.lang.Long.toUnsignedString(graft.operators.HllSketch.Seed)} AS HUGEINT)"
+        val inner = s"SELECT g, k, ${OracleSql.xor64("CAST(k AS HUGEINT)", seedLit)} AS hx FROM keys"
+        val (mixed, h) = OracleSql.mix64Nested(inner, "hx", "hh", keep = "g, k")
+        val alpha = "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+          "CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))) * " +
+          "CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE)"
+        val raw = s"$alpha * CAST(36028797018963968 AS DOUBLE) / CAST(zs AS DOUBLE)"
+        s"""
+        WITH keys AS MATERIALIZED (
+          SELECT CAST(c_nationkey AS BIGINT) AS g, CAST(c_custkey AS BIGINT) AS k
+          FROM customer),
+        br AS (
+          SELECT g, CAST(($h) % 1024 AS INT) AS bucket,
+                 CASE WHEN (($h) // 1024) = 0 THEN 55
+                      ELSE 55 - LENGTH(format('{:b}', CAST(($h) // 1024 AS BIGINT)))
+                 END AS rho
+          FROM ($mixed)),
+        regs AS MATERIALIZED (
+          SELECT g, bucket, MAX(rho) AS rho FROM br GROUP BY g, bucket),
+        zv AS (
+          SELECT g,
+                 COALESCE(SUM(CAST(CAST(1 AS BIGINT) << (55 - rho) AS HUGEINT)),
+                   CAST(0 AS HUGEINT))
+                   + (1024 - COUNT(*)) * CAST(36028797018963968 AS HUGEINT) AS zs,
+                 CAST(1024 - COUNT(*) AS BIGINT) AS v
+          FROM regs GROUP BY g),
+        est AS (
+          SELECT g,
+                 ROUND(CASE WHEN v > 0 AND $raw <= CAST(2560.0 AS DOUBLE)
+                   THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / CAST(v AS DOUBLE))
+                   ELSE $raw END, 6) AS est_distinct
+          FROM zv),
+        actual AS (
+          SELECT g, CAST(COUNT(DISTINCT k) AS BIGINT) AS actual_distinct
+          FROM keys GROUP BY g)
+        SELECT e.g AS nation, e.est_distinct, a.actual_distinct
+        FROM est e JOIN actual a ON a.g = e.g ORDER BY nation"""
+      }),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>

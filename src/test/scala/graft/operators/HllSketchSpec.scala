@@ -58,6 +58,22 @@ class HllSketchSpec extends AnyFunSuite {
     assert(est(Seq.empty) == 0.0)
   }
 
+  test("grouped sketch: each group equals its own ungrouped sketch") {
+    val rows = (1L to 500L).map(("a", _)) ++ (1L to 80L).map(("b", _)) ++
+      (400L to 900L).map(("c", _))
+    val df = rows.toDF("grp", "k")
+    val grouped = HllSketch.groupedEstimate(
+        HllSketch.groupedRegisters(df, "grp", "k"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+    for ((g, n) <- Seq(("a", 500), ("b", 80), ("c", 501))) {
+      val solo = HllSketch.estimate(
+          HllSketch.registers(df.filter(col("grp") === g).select("k"), "k"))
+        .collect()(0).getAs[Double]("est_distinct")
+      assert(grouped(g) == solo, s"group $g") // bit-identical to the solo sketch
+      assert(math.abs(grouped(g) - n) < n * 0.13)
+    }
+  }
+
   test("inclusion-exclusion over merged sketches tracks the true overlap") {
     val a = (1L to 4000L).toSeq
     val b = (3001L to 8000L).toSeq
