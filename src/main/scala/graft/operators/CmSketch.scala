@@ -92,7 +92,9 @@ object CmSketch {
     * the candidate slice (heavy keys + collision false positives, pruned
     * again by the final HAVING) instead of shuffling the whole key space.
     * The sketch is collected and broadcast — bounded by depth·width cells
-    * (32 KB at 4×1024), never by data.
+    * (32 KB at 4×1024), never by data. Note: `df` is scanned TWICE (sketch
+    * pass + candidate pass) — cache or checkpoint expensive upstreams
+    * before calling.
     */
   def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
       depth: Int = 4, width: Int = 1024): DataFrame = {
