@@ -73,10 +73,22 @@ object DataMix {
   private def usableWeight(weightCol: String): Column =
     col(weightCol) > 0 && !isnan(col(weightCol).cast("double"))
 
+  /** Refuse inputs whose columns collide with the operator's scratch
+    * columns — withColumn would silently OVERWRITE the user's data and the
+    * trailing drop would lose it (same guard shape as SkewJoin.salted's
+    * __salt/__n/__i reservation).
+    */
+  private def requireNoScratchClash(df: DataFrame, reserved: String*): Unit = {
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input columns collide with sampling internals: ${clash.mkString(", ")}")
+  }
+
   def weightedSampleTopK(
       df: DataFrame, keyCol: String, weightCol: String, k: Int,
       salt: String): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    requireNoScratchClash(df, "__wkey")
     df.filter(usableWeight(weightCol))
       .withColumn("__wkey", expKey(keyCol, weightCol, salt))
       .orderBy(col("__wkey").desc, col(keyCol))
@@ -127,6 +139,7 @@ object DataMix {
   def mixBySource(
       df: DataFrame, sourceCol: String, keyCol: String,
       rates: Map[String, Double], salt: String): DataFrame = {
+    requireNoScratchClash(df, "__draw")
     val withDraw = df.withColumn("__draw", hashDraw(col(keyCol), salt))
     val keep = rates.foldLeft(lit(false)) { case (acc, (src, rate)) =>
       acc || (col(sourceCol) === src && keepAtRate(col("__draw"), rate))
@@ -150,6 +163,7 @@ object DataMix {
       df: DataFrame, groupCol: String, keyCol: String, n: Int,
       salt: String): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    requireNoScratchClash(df, "__draw", "__rn")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__draw"), col(keyCol))
     df.withColumn("__draw", hashDraw(col(keyCol), salt))
@@ -170,6 +184,7 @@ object DataMix {
       df: DataFrame, groupCol: String, keyCol: String, weightCol: String,
       n: Int, salt: String): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    requireNoScratchClash(df, "__wkey", "__rn")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__wkey").desc, col(keyCol))
     df.filter(usableWeight(weightCol))
@@ -195,6 +210,7 @@ object DataMix {
       df: DataFrame, groupCol: String, orderCol: String,
       tokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    requireNoScratchClash(df, "__cum", "__start")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // exclusive prefix = __cum - tokens, staged as its own column so the

@@ -140,7 +140,7 @@ object GraphOps {
     * parallel/reversed duplicates collapsed. Checkpointed — every consumer
     * scans it more than once.
     */
-  private def canonicalUndirected(edges: DataFrame): DataFrame =
+  private[graft] def canonicalUndirected(edges: DataFrame): DataFrame =
     edges.select(
         least(col("src").cast("long"), col("dst").cast("long")).as("u"),
         greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
@@ -275,12 +275,20 @@ object GraphOps {
     * coarse mirror-site/content-farm grouping signal next to
     * [[Dedup.connectedComponents]]'s exact reachability clusters.
     *
-    * Scale shape: per round ONE aggregation shuffle for the neighbor votes
-    * (`groupBy(node, label)`, partial-aggregated map-side) and one
-    * node-partitioned window to pick the winner (state bounded by the
-    * node's distinct neighbor-label count); labels localCheckpointed per
-    * round. The adjacency list is built and checkpointed once. Exact
-    * integers end to end.
+    * Scale shape: per round TWO map-side-combinable aggregation shuffles and
+    * nothing else — `groupBy(node, label)` counts the votes (partial-
+    * aggregated map-side), then `groupBy(node).agg(min(struct(-n, label)))`
+    * picks the winner: struct comparison is lexicographic, so the minimum of
+    * (-count, label) IS the (count desc, label asc) winner, computed with
+    * bounded per-task state. The earlier window formulation
+    * (`max(n).over(Window.partitionBy(node))`) had to materialize ALL of one
+    * node's vote rows in a single window partition — and in early rounds a
+    * web-graph hub has distinct-labels ≈ degree (label₀ = node id), so a
+    * 10⁷-degree supernode became one straggler partition; `max(...).over`
+    * is not rank-like, so WindowGroupLimit pushdown never applied. The
+    * struct-min aggregate pre-combines a supernode's votes inside every map
+    * task instead. Labels localCheckpointed per round; the adjacency list is
+    * built and checkpointed once. Exact integers end to end.
     */
   def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
@@ -291,18 +299,23 @@ object GraphOps {
     var labels = adj.select(col("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
     for (_ <- 1 to iterations) {
-      labels = adj
-        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
-        .groupBy("node", "label").agg(count(lit(1)).as("n"))
-        .withColumn("mx", max(col("n")).over(w))
-        .filter(col("n") === col("mx"))
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      labels = lpaRound(adj, labels).localCheckpoint()
     }
     labels
   }
+
+  /** One synchronous LPA round (un-checkpointed) — exposed so the plan-shape
+    * spec can assert the winner selection stays a map-side-combinable
+    * aggregate (no Window node) without re-deriving the pipeline.
+    */
+  private[graft] def lpaRound(adj: DataFrame, labels: DataFrame): DataFrame =
+    adj
+      .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+      .groupBy("node", "label").agg(count(lit(1)).as("n"))
+      .groupBy("node")
+      .agg(min(struct((-col("n")).as("neg_n"), col("label"))).as("win"))
+      .select(col("node"), col("win.label").as("label"))
 
   /** Directed BFS hop distance from a seed set, capped at `maxHops` — the
     * crawl-depth signal (how many link hops from the trusted seed list a

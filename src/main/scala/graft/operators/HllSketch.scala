@@ -102,8 +102,12 @@ object HllSketch {
     */
   def groupedRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val br = udf((k: Long) => bucketRho(k))
-    df.filter(col(keyCol).isNotNull)
-      .select(col(groupCol).as("g"), br(col(keyCol).cast("long")).as("br"))
+    // filter on the CAST value (like registers()): a non-long-castable key
+    // casts to null, and a null UDF input would emit a (g, null, null)
+    // register row that inflates the group's nonempty count
+    df.withColumn("__k", col(keyCol).cast("long"))
+      .filter(col("__k").isNotNull)
+      .select(col(groupCol).as("g"), br(col("__k")).as("br"))
       .select(col("g"), col("br._1").as("bucket"), col("br._2").as("rho"))
       .groupBy("g", "bucket").agg(max(col("rho")).as("rho"))
   }

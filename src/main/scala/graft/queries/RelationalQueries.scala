@@ -789,6 +789,7 @@ object RelationalQueries {
           .select(col("node"), col("label").as("community"))
           .orderBy(col("node"))
       },
+      headline = true,
       oracle = Some("""
         WITH raw AS (
           SELECT CAST(o_custkey % 1200 AS BIGINT) AS c,

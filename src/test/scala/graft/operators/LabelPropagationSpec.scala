@@ -58,4 +58,34 @@ class LabelPropagationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       GraphOps.labelPropagation(Seq((1L, 2L)).toDF("src", "dst"), iterations = 0))
   }
+
+  test("per-round plan picks winners with aggregates, not a per-node window") {
+    // A supernode's distinct neighbor labels ≈ its degree in early rounds,
+    // so a Window.partitionBy(node) would serialize a 10^7-degree hub's
+    // votes into one partition. The winner must come from map-side-
+    // combinable HashAggregates (min over struct(-n, label)) only.
+    import org.apache.spark.sql.functions.col
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val und = GraphOps.canonicalUndirected(edges)
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    val labels = adj.select(col("node")).distinct().withColumn("label", col("node"))
+    val round = GraphOps.lpaRound(adj, labels)
+    val plan = round.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"winner selection regressed to a window:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+    // and the de-windowed round still computes the same labels: hub node 3
+    // sees {1, 2, 4} once each -> tie -> min label 1
+    val out = round.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(3L) == 1L)
+  }
+
+  test("supernode star: hub adopts min leaf label, leaves adopt hub") {
+    // star with hub 100 and 40 leaves — every leaf label is distinct, the
+    // exact shape whose votes the old window serialized into one partition
+    val edges = (1L to 40L).map(l => (100L, l))
+    val l = labels(edges, iters = 1)
+    assert(l(100L) == 1L)
+    assert((1L to 40L).forall(leaf => l(leaf) == 100L))
+  }
 }
