@@ -236,6 +236,18 @@ object PqIndex {
       cellCol: String = "cell", codesCol: String = "pq"): DataFrame =
     encode(IvfIndex.assign(corpus, vecCol, ivf, cellCol), vecCol, cb, codesCol)
 
+  /** Per-cell row counts of an IVF(-PQ) store, materialized ONCE at build
+    * time: the map is bounded by nCells (index metadata scale, like the
+    * centroids themselves), and lets every subsequent query size its
+    * adaptive shortlist by summing the probed cells' counts instead of
+    * running a per-query `count()` job over the pruned partitions.
+    */
+  def cellCounts(store: DataFrame, cellCol: String = "cell"): Map[Int, Long] =
+    store.groupBy(col(cellCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(row => row.get(0).asInstanceOf[Number].intValue -> row.getLong(1))
+      .toMap
+
   /** Full IVF-PQ search: probe nProbe cells (partition pruning), ADC over
     * the probed cells' codes, exact re-rank of the r-shortlist — the
     * three-tier cost shape (nProbe/nCells of the data → m-byte codes →
@@ -244,17 +256,29 @@ object PqIndex {
     * `r ≤ 0` (the default) sizes the shortlist adaptively via
     * [[adaptiveShortlist]] over the PROBED row count — recall then tracks
     * the sf0.01-gated r/N operating point at any scale instead of decaying
-    * as the pool outgrows a fixed r. The sizing count is one extra
-    * codes-column-free job over the pruned partitions; pass an explicit r
-    * to skip it (oracle-pinned queries like q3q do).
+    * as the pool outgrows a fixed r. Pass `counts` (the [[cellCounts]] map
+    * materialized at store-build time) and the probed size is the sum of
+    * the probed cells' entries — zero extra jobs at query time; without it
+    * the sizing falls back to one codes-column-free count job over the
+    * pruned partitions. An explicit `r > 0` skips sizing entirely
+    * (oracle-pinned queries like q3q do).
     */
   def searchIvfPq(
       store: DataFrame, idCol: String, vecCol: String, queryVec: Array[Float],
       ivf: IvfIndex.Index, cb: Codebook, nProbe: Int, r: Int = -1, k: Int,
-      cellCol: String = "cell", codesCol: String = "pq"): DataFrame = {
+      cellCol: String = "cell", codesCol: String = "pq",
+      counts: Option[Map[Int, Long]] = None): DataFrame = {
     val cells = IvfIndex.probeCells(ivf, queryVec, nProbe)
     val probed = store.where(col(cellCol).isin(cells: _*))
-    val rr = if (r > 0) r else adaptiveShortlist(probed.count(), k)
+    val rr =
+      if (r > 0) r
+      else {
+        val pool = counts match {
+          case Some(m) => cells.map(c => m.getOrElse(c, 0L)).sum
+          case None => probed.count()
+        }
+        adaptiveShortlist(pool, k)
+      }
     searchRerank(probed, idCol, vecCol, codesCol, queryVec, cb, rr, k)
   }
 }

@@ -145,6 +145,43 @@ class PqSpec extends AnyFunSuite {
     assert(adaptive === explicit)
   }
 
+  test("build-time cellCounts sizes the shortlist with zero query-time jobs " +
+      "and reproduces the count-job result") {
+    val book = cb
+    val ivf = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val store = PqIndex.ivfPqStore(emb, "embedding", ivf, book).localCheckpoint()
+    val counts = PqIndex.cellCounts(store)
+    assert(counts.values.sum === emb.count())
+    val qv = collected.find(_._1 == 0L).get._2
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val spark = graft.SparkTestBase.spark
+    // the amortized path must launch strictly fewer jobs than the
+    // per-query-count path: count the jobs each sizing mode runs
+    def jobsDuring(f: => Seq[(Long, Double)]): (Int, Seq[(Long, Double)]) = {
+      val sc = spark.sparkContext
+      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      val out = f
+      (sc.statusTracker.getJobIdsForGroup(null).length - before, out)
+    }
+    val (jobsAmortized, amortized) = jobsDuring(rows(
+      PqIndex.searchIvfPq(store, "vec_id", "embedding", qv, ivf, book,
+        nProbe = 4, k = 10, counts = Some(counts))))
+    val (jobsCounting, counting) = jobsDuring(rows(
+      PqIndex.searchIvfPq(store, "vec_id", "embedding", qv, ivf, book,
+        nProbe = 4, k = 10)))
+    assert(amortized === counting)
+    assert(jobsAmortized < jobsCounting,
+      s"expected fewer jobs with precomputed counts: $jobsAmortized vs $jobsCounting")
+    // a probed cell absent from the counts map contributes 0 (e.g. an
+    // empty cell never written) — sizing then floors at r0, never throws
+    val sparse = counts -- IvfIndex.probeCells(ivf, qv, nProbe = 4)
+    val floored = rows(PqIndex.searchIvfPq(store, "vec_id", "embedding", qv,
+      ivf, book, nProbe = 4, k = 10, counts = Some(sparse)))
+    assert(floored === counting)
+  }
+
   test("k-means refinement preserves shape; zero iters is the identity") {
     val book = cb
     val same = PqIndex.refineCodebook(emb, "embedding", book, iters = 0)
