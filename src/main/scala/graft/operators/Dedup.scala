@@ -198,11 +198,27 @@ object Dedup {
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val hashed = docs.select(col(idCol),
       GraftFunctions.simhashUdf(TextAnalysis.tokens(col(textCol))).as("simhash"))
-    val allExploded = hashed.select(col(idCol), col("simhash"),
-      explode(GraftFunctions.simhashChunksUdf(col("simhash"))).as("chunk_key"))
+    hammingBandedPairs(hashed, idCol, "simhash", maxHamming, maxBucketSize)
+  }
+
+  /** Hamming-banded candidate pairs over ANY precomputed 64-bit hash column
+    * (idCol, hashCol): 4×16-bit chunk keys, bucket-capped equality
+    * self-join, exact hamming refine — the pigeonhole guarantee (any pair
+    * within hamming ≤ 3 shares at least one intact 16-bit chunk) and the
+    * shuffle shape (O(rows × 4) band rows, quadratic only inside one capped
+    * bucket) are properties of the HASH, not of what it hashed, so text
+    * SimHash ([[simhashPairs]]) and image perceptual hashes
+    * (multimodal.PerceptualHash.dhashPairs) share this one implementation.
+    */
+  def hammingBandedPairs(
+      hashed: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val allExploded = hashed.select(col(idCol), col(hashCol),
+      explode(GraftFunctions.simhashChunksUdf(col(hashCol))).as("chunk_key"))
     // same skew control as the MinHash path: a 16-bit chunk bucket with
-    // >maxBucketSize members (boilerplate-heavy corpora) would go quadratic
-    // in one task; cap it before the self-join
+    // >maxBucketSize members (boilerplate-heavy corpora, or solid-color
+    // thumbnails on the image side) would go quadratic in one task; cap it
+    // before the self-join
     val keptKeys = allExploded.groupBy(col("chunk_key"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
@@ -211,7 +227,7 @@ object Dedup {
     exploded.as("a").join(exploded.as("b"), Seq("chunk_key"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+        col(s"a.$hashCol").as("sim_a"), col(s"b.$hashCol").as("sim_b"))
       .distinct()
       .withColumn("hamming", GraftFunctions.hammingUdf(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
