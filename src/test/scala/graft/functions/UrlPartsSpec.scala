@@ -98,6 +98,50 @@ class UrlPartsSpec extends AnyFunSuite {
       Seq("co.uk", "github.io"))
   }
 
+  test("shipped snapshot is the FULL Mozilla list (real-list oddities hold)") {
+    val psl = PublicSuffixList.snapshot
+    assert(psl.exact.size > 9000, s"snapshot looks curated: ${psl.exact.size} rules")
+    assert(runPsl(Seq(
+      // *.kawasaki.jp wildcard with the !city.kawasaki.jp exception
+      "https://a.b.kawasaki.jp/x",      // *.kawasaki.jp -> b.kawasaki.jp is a suffix
+      "https://sub.city.kawasaki.jp/x", // exception -> city.kawasaki.jp registers
+      // depth-5 exact rule
+      "https://bucket.s3.cn-north-1.amazonaws.com.cn/key",
+      // IDN rule in punycode form (公司.cn is a U-label rule in the file)
+      "http://foo.xn--55qx5d.cn/x")) == Seq(
+      "a.b.kawasaki.jp",
+      "city.kawasaki.jp",
+      "bucket.s3.cn-north-1.amazonaws.com.cn",
+      "foo.xn--55qx5d.cn"))
+  }
+
+  test("PSL tiers agree: codegen literal-map vs hash-set UDF on one battery") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // small enough for the codegen tier; padding clones push the SAME rules
+    // past LiteralMapMaxRules to force the UDF tier
+    val rules = Seq("com", "co.uk", "*.ck", "!www.ck", "github.io",
+      "s3.cn-north-1.amazonaws.com.cn")
+    val small = PublicSuffixList.fromLines(rules.iterator)
+    val padded = PublicSuffixList.fromLines(
+      (rules ++ (1 to PublicSuffixList.LiteralMapMaxRules).map(i => s"pad$i.zz")).iterator)
+    assert(rules.map(_.stripPrefix("!").stripPrefix("*.")).forall(r =>
+      small.exact(r) || small.wildcardParents(r) || small.exceptions(r)))
+    val hosts = Seq(
+      "www.example.com", "bbc.co.uk", "a.b.c.co.uk", "shop.a.ck", "www.ck",
+      "sub.www.ck", "alice.github.io", "github.io", "co.uk", "localhost",
+      "bare", "x.y.unknown", "192.168.0.1", "bucket.s3.cn-north-1.amazonaws.com.cn",
+      "example.com.", "a..b")
+    def run(psl: PublicSuffixList.Psl) = hosts.toDF("h")
+      .select(PublicSuffixList.registeredDomainExpr(col("h"), psl).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    val codegen = run(small)
+    val viaUdf = run(padded)
+    val scalaTwin = hosts.map(PublicSuffixList.registeredDomainOf(_, small))
+    assert(codegen == scalaTwin)
+    assert(viaUdf == codegen)
+  }
+
   test("PSL parser: comments, blanks, wildcards, exceptions, case folding") {
     val psl = PublicSuffixList.fromLines(Iterator(
       "// comment", "", "  ", "COM", "*.CK", "!www.ck", "co.uk  // trailing"))
