@@ -477,4 +477,56 @@ object GraphOps {
     }
     pr.select(col("node"), col("pr"))
   }
+
+  /** k-core decomposition by iterative peeling over the undirected view:
+    * repeatedly drop nodes with degree < k (degree recomputed within the
+    * surviving subgraph) until a round removes nothing or `maxRounds` is
+    * hit. Output: (node, degree) for the surviving core, degree measured
+    * inside it — the link-graph "dense center" signal (spam farms and
+    * boilerplate interlinks concentrate in high cores; low-core pages are
+    * the periphery a crawl frontier trims first).
+    *
+    * Peeling is confluent: the fixed point is unique regardless of removal
+    * order (Matula–Beck), so a fixed unrolled round count is oracle-able —
+    * after convergence extra rounds are identities, which is what lets the
+    * DuckDB twin unroll a constant number of rounds while the operator
+    * early-stops.
+    *
+    * Scale shape: per round one map-side-combinable degree aggregation
+    * over the live edge list plus two semi-joins to drop edges touching
+    * peeled nodes; the convergence check is a scalar count comparison
+    * (never a node collect). Live edges localCheckpointed per round (the
+    * [[pageRank]] lineage discipline); `maxRounds` bounds the serial
+    * factor. Exact integers end to end.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var live = canonicalUndirected(edges)
+    var degrees = kCoreDegrees(live)
+    var nLive = degrees.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val keep = degrees.filter(col("degree") >= k).select(col("node"))
+      val nKeep = keep.count()
+      if (nKeep == nLive) converged = true
+      else {
+        live = live
+          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .localCheckpoint()
+        degrees = kCoreDegrees(live)
+        nLive = degrees.count()
+      }
+      round += 1
+    }
+    degrees.filter(col("degree") >= k)
+  }
+
+  /** Undirected degree table (node, degree) of a (u, v) edge list. */
+  private def kCoreDegrees(und: DataFrame): DataFrame =
+    und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
 }

@@ -830,6 +830,68 @@ object RelationalQueries {
           WHERE n = mx GROUP BY node)
         SELECT node, label AS community FROM l3 ORDER BY node""")),
 
+    // k-core decomposition (k=3, 4 peel rounds) over the q4j block graph:
+    // iteratively drop nodes with degree < 3, degree recomputed inside the
+    // survivors. Peeling is confluent (Matula-Beck), so extra rounds after
+    // the fixed point are identities — the operator early-stops while
+    // DuckDB unrolls a constant 4 rounds; equal results either way. Exact
+    // integers end to end.
+    "q4s_kcore" -> Q(
+      fn = (s, dir) => {
+        val c = (col("o_custkey") % 1200).cast("long")
+        val edges = t(s, dir, "orders").select(
+          c.as("src"),
+          (c - (c % 40) + (col("o_orderkey") % 40).cast("long")).as("dst"))
+        graft.operators.GraphOps.kCore(edges, k = 3, maxRounds = 4)
+          .orderBy(col("node"))
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT CAST(o_custkey % 1200 AS BIGINT) AS c,
+                 CAST(o_orderkey % 40 AS BIGINT) AS o
+          FROM orders),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM (SELECT c AS src, c - (c % 40) + o AS dst FROM raw)
+          WHERE src <> dst),
+        d0 AS MATERIALIZED (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+          GROUP BY node),
+        e1 AS MATERIALIZED (
+          SELECT u, v FROM e0
+          WHERE u IN (SELECT node FROM d0 WHERE degree >= 3)
+            AND v IN (SELECT node FROM d0 WHERE degree >= 3)),
+        d1 AS MATERIALIZED (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+          GROUP BY node),
+        e2 AS MATERIALIZED (
+          SELECT u, v FROM e1
+          WHERE u IN (SELECT node FROM d1 WHERE degree >= 3)
+            AND v IN (SELECT node FROM d1 WHERE degree >= 3)),
+        d2 AS MATERIALIZED (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+          GROUP BY node),
+        e3 AS MATERIALIZED (
+          SELECT u, v FROM e2
+          WHERE u IN (SELECT node FROM d2 WHERE degree >= 3)
+            AND v IN (SELECT node FROM d2 WHERE degree >= 3)),
+        d3 AS MATERIALIZED (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+          GROUP BY node),
+        e4 AS MATERIALIZED (
+          SELECT u, v FROM e3
+          WHERE u IN (SELECT node FROM d3 WHERE degree >= 3)
+            AND v IN (SELECT node FROM d3 WHERE degree >= 3)),
+        d4 AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
+          GROUP BY node)
+        SELECT node, degree FROM d4 WHERE degree >= 3 ORDER BY node""")),
+
     // BFS crawl depth: directed hop distance from seed nodes 0-4, capped
     // at 4 hops, over a %400 link graph (only custkey-derived nodes have
     // out-edges, so real multi-hop frontiers exist at every SF). Exact

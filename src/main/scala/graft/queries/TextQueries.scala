@@ -1280,6 +1280,48 @@ object TextQueries {
           SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rn) AS contrib FROM qr)
         SELECT doc_id,
                CAST(ROUND(SUM(CAST(contrib AS DECIMAL(28,12))), 6) AS DOUBLE) AS rrf_score
-        FROM unioned GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10"""))
+        FROM unioned GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10""")),
+
+    // Per-source token-length quantiles (p50/p95) via the fixed-grid
+    // histogram sketch — the auditable data-card length distribution:
+    // 64 bins over [0,128) (width 2.0, an exact double), rank threshold
+    // ceil(n·q) in pure integers, estimate = the winning bin's lower
+    // edge. Both engines walk identical integer arithmetic; the single
+    // terminal multiply-by-2.0 is exact.
+    "q4t_length_quantiles" -> Q(
+      fn = (s, dir) => {
+        val d = docs(s, dir).select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("v"))
+        val hist = graft.operators.HistogramSketch
+          .histogram(d, "source", col("v"), bins = 64, lo = 0L, hi = 128L)
+        graft.operators.HistogramSketch
+          .quantiles(hist, Seq(500, 950), bins = 64, lo = 0L, hi = 128L)
+          .select(col("g").as("source"), col("qpm"), col("est"))
+          .orderBy(col("source"), col("qpm"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT source AS g,
+                 CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS v
+          FROM documents),
+        h AS MATERIALIZED (
+          SELECT g, LEAST(GREATEST(v * 64 // 128, 0), 63) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM t GROUP BY 1, 2),
+        c AS (
+          SELECT g, bin, n,
+                 SUM(n) OVER (PARTITION BY g ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(n) OVER (PARTITION BY g) AS total
+          FROM h),
+        q AS (
+          SELECT c.g, qs.qpm, MIN(c.bin) AS qbin
+          FROM c CROSS JOIN (VALUES (500), (950)) qs(qpm)
+          WHERE c.cum >= (c.total * qs.qpm + 999) // 1000
+          GROUP BY c.g, qs.qpm)
+        SELECT g AS source, CAST(qpm AS BIGINT) AS qpm,
+               CAST(qbin * 2.0 AS DOUBLE) AS est
+        FROM q ORDER BY source, qpm"""))
   )
 }
