@@ -232,6 +232,41 @@ object EventQueries {
                quantile_cont(l_quantity, 0.5) AS p50,
                quantile_cont(l_quantity, 0.9) AS p90,
                MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Bounded interval-join attribution: per purchase, ALL views in the
+    // preceding hour (q40's as-of gives the latest ONE; this is the
+    // bounded-window ALL-matches correlate). RangeJoin buckets both sides
+    // by floor(ts/window) so the join is a pure equi-join on
+    // (user, bucket) — DuckDB replays the naive inequality join, which is
+    // definitionally equivalent (RangeJoinSpec proves it on the Spark
+    // side too).
+    "q4u_attribution_window" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_ms"), col("event_id").as("view_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"), col("event_id").as("purchase_id"))
+        graft.operators.RangeJoin
+          .within(views, purchases, Seq("user_id"), "ts_ms", "ts_ms", 3600000L)
+          .groupBy(col("r_purchase_id").as("purchase_id"), col("user_id"),
+            col("r_ts_ms").as("purchase_ts"))
+          .agg(count(lit(1)).as("n_views"), min(col("view_id")).as("first_view_id"))
+          .orderBy(col("purchase_id"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+                   FROM events),
+        v AS (SELECT user_id, event_id AS view_id, ts_ms FROM e
+              WHERE event_type = 'view'),
+        p AS (SELECT user_id, event_id AS purchase_id, ts_ms AS purchase_ts
+              FROM e WHERE event_type = 'purchase')
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_views,
+               MIN(v.view_id) AS first_view_id
+        FROM p JOIN v ON v.user_id = p.user_id
+          AND p.purchase_ts >= v.ts_ms AND p.purchase_ts <= v.ts_ms + 3600000
+        GROUP BY 1, 2, 3 ORDER BY purchase_id"""))
   )
 }
