@@ -267,6 +267,54 @@ object EventQueries {
                MIN(v.view_id) AS first_view_id
         FROM p JOIN v ON v.user_id = p.user_id
           AND p.purchase_ts >= v.ts_ms AND p.purchase_ts <= v.ts_ms + 3600000
-        GROUP BY 1, 2, 3 ORDER BY purchase_id"""))
+        GROUP BY 1, 2, 3 ORDER BY purchase_id""")),
+
+    // Event-rate spike detection over 6-hour tumbling windows, per type:
+    // a window is a spike when its count exceeds the type's mean by more
+    // than two standard deviations — computed ENTIRELY in integers, no
+    // float ever: with W windows, sum S1 and sum-of-squares S2,
+    // n − μ > 2σ  ⇔  n·W − S1 > 0  ∧  (n·W − S1)² > 4·(W·S2 − S1²)
+    // (multiply through by W²; every quantity is an exact BIGINT). The
+    // alert-stream "is this hour anomalous" signal with zero cross-engine
+    // float risk.
+    "q4w_event_spikes" -> Q(
+      fn = (s, dir) => {
+        val winMs = 21600000L // 6 h
+        val e = ev(s, dir).select(col("event_type"),
+          (col("ts_ms") - pmod(col("ts_ms"), lit(winMs))).as("window_start_ms"))
+        val counts = e.groupBy("event_type", "window_start_ms")
+          .agg(count(lit(1)).as("n"))
+        val stats = counts.groupBy("event_type").agg(
+          count(lit(1)).as("w"),
+          sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+        val dev = col("n") * col("w") - col("s1")
+        counts.join(stats, "event_type")
+          .select(col("event_type"), col("window_start_ms"), col("n"),
+            when(dev > 0 &&
+                dev * dev > lit(4L) * (col("w") * col("s2") - col("s1") * col("s1")),
+              lit(1)).otherwise(lit(0)).as("is_spike"))
+          .orderBy(col("event_type"), col("window_start_ms"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type,
+                 epoch_ms(ts) - epoch_ms(ts) % 21600000 AS window_start_ms
+          FROM events),
+        counts AS MATERIALIZED (
+          SELECT event_type, window_start_ms, CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2),
+        stats AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS w,
+                 CAST(SUM(n) AS BIGINT) AS s1,
+                 CAST(SUM(n * n) AS BIGINT) AS s2
+          FROM counts GROUP BY 1)
+        SELECT c.event_type, c.window_start_ms, c.n,
+               CASE WHEN c.n * s.w - s.s1 > 0
+                     AND (c.n * s.w - s.s1) * (c.n * s.w - s.s1)
+                         > 4 * (s.w * s.s2 - s.s1 * s.s1)
+                    THEN 1 ELSE 0 END AS is_spike
+        FROM counts c JOIN stats s USING (event_type)
+        ORDER BY event_type, window_start_ms"""))
   )
 }

@@ -1274,6 +1274,65 @@ object RelationalQueries {
         FROM est e JOIN actual a ON a.g = e.g ORDER BY nation"""
       }),
 
+    // Sketch-over-graph composition: the undirected degree DISTRIBUTION of
+    // the q4j block graph through the fixed-grid histogram sketch (the
+    // heavy-tail profile a crawl-health dashboard reads) plus its p50/p99
+    // — same [0,64)x32 grid in both engines, width 2.0 exact. (The q4j
+    // graph, not q4b's: block degrees spread across bins where the dense
+    // 80x97 graph clamps everything into the top bin.)
+    "q4v_degree_histogram" -> Q(
+      fn = (s, dir) => {
+        val c = (col("o_custkey") % 1200).cast("long")
+        val edges = t(s, dir, "orders").select(
+          c.as("src"),
+          (c - (c % 40) + (col("o_orderkey") % 40).cast("long")).as("dst"))
+        // degrees of the canonical undirected view = the 1-core degrees
+        val degrees = graft.operators.GraphOps.kCore(edges, k = 1, maxRounds = 1)
+          .withColumn("g", lit("graph"))
+        val hist = graft.operators.HistogramSketch
+          .histogram(degrees, "g", col("degree"), bins = 32, lo = 0L, hi = 64L)
+        val qs = graft.operators.HistogramSketch
+          .quantiles(hist, Seq(500, 990), bins = 32, lo = 0L, hi = 64L)
+          .select(lit(-1L).as("bin"), (col("qpm") * -1).as("n"),
+            col("est"))
+        hist.select(col("bin"), col("n"), lit(null).cast("double").as("est"))
+          .unionByName(qs)
+          .orderBy(col("bin"), col("n"))
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT CAST(o_custkey % 1200 AS BIGINT) AS c,
+                 CAST(o_orderkey % 40 AS BIGINT) AS o
+          FROM orders),
+        e0 AS (
+          SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM (SELECT c AS src, c - (c % 40) + o AS dst FROM raw)
+          WHERE src <> dst),
+        deg AS MATERIALIZED (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+          GROUP BY node),
+        h AS MATERIALIZED (
+          SELECT LEAST(LEAST(GREATEST(degree, 0), 64) * 32 // 64, 31) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM deg GROUP BY 1),
+        c AS (
+          SELECT bin, n,
+                 SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(n) OVER () AS total
+          FROM h),
+        q AS (
+          SELECT qs.qpm, MIN(c.bin) AS qbin
+          FROM c CROSS JOIN (VALUES (500), (990)) qs(qpm)
+          WHERE c.cum >= (c.total * qs.qpm + 999) // 1000
+          GROUP BY qs.qpm)
+        SELECT bin, n, CAST(NULL AS DOUBLE) AS est FROM h
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS bin, CAST(-qpm AS BIGINT) AS n,
+               CAST(qbin * 2.0 AS DOUBLE) AS est
+        FROM q
+        ORDER BY bin, n""")),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>
