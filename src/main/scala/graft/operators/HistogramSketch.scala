@@ -65,6 +65,30 @@ object HistogramSketch {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("g", "bin").agg(sum(col("n")).as("n"))
 
+  /** Streaming accumulation (the HllSketch.mergeRegisters /
+    * CmSketch.mergeCells pattern): fold one micro-batch's histogram into a
+    * driver-side image from `foreachBatch`. Counts ADD, so the stream
+    * needs the exactly-once batch contract (CmSketch's, not HLL's
+    * idempotent max) — foreachBatch re-delivery would double-count. The
+    * image is bounded by groups × bins — sketch metadata scale, same as
+    * collecting CMS cells.
+    */
+  def mergeBins(acc: scala.collection.mutable.Map[(String, Long), Long],
+      hist: DataFrame): Unit =
+    hist.collect().foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      acc(key) = acc.getOrElse(key, 0L) + r.getLong(2)
+    }
+
+  /** An accumulated image back as a histogram DataFrame (feeds
+    * [[quantiles]] so streaming and batch share every arithmetic step).
+    */
+  def imageToHistogram(spark: org.apache.spark.sql.SparkSession,
+      acc: scala.collection.Map[(String, Long), Long]): DataFrame = {
+    import spark.implicits._
+    acc.toSeq.map { case ((g, bin), n) => (g, bin, n) }.toDF("g", "bin", "n")
+  }
+
   /** Quantiles from a histogram: for each q (in PER-MILLE integers, e.g.
     * 500 = p50, 950 = p95 — kept integral so the rank threshold
     * ceil(n·q) is exact in both engines), the lower edge of the first

@@ -86,4 +86,43 @@ class StreamingSketchSpec extends AnyFunSuite {
     val exact = allKeys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     assert(probes.forall(k => eS(k) >= exact.getOrElse(k, 0L))) // CMS bound holds
   }
+
+  test("foreachBatch histogram accumulation equals the batch sketch exactly") {
+    import graft.operators.HistogramSketch
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // bins ADD like CMS cells (exactly-once contract) — disjoint slices
+    val chunks = Seq(
+      (1 to 120).map(i => ("a", (i % 90).toLong)),
+      (1 to 80).map(i => ("b", (i * 3 % 90).toLong)),
+      (1 to 60).map(i => ("a", (i * 7 % 90).toLong)))
+    val all = chunks.flatten
+    val (bins, lo, hi) = (10, 0L, 100L)
+
+    val acc = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val input = MemoryStream[(String, Long)]
+    val query = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+        HistogramSketch.mergeBins(acc,
+          HistogramSketch.histogram(batch.toDF("g", "v"), "g", col("v"), bins, lo, hi))
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+
+    val batchHist = HistogramSketch
+      .histogram(all.toDF("g", "v"), "g", col("v"), bins, lo, hi)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(acc.toMap == batchHist) // bin-image identity
+
+    def quants(h: org.apache.spark.sql.DataFrame) = HistogramSketch
+      .quantiles(h, Seq(500, 950), bins, lo, hi)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val qS = quants(HistogramSketch.imageToHistogram(spark, acc))
+    val qB = quants(HistogramSketch.histogram(all.toDF("g", "v"), "g", col("v"), bins, lo, hi))
+    assert(qS == qB && qS.nonEmpty) // bit-identical quantiles
+  }
 }
