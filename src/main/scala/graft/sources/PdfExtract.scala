@@ -711,6 +711,51 @@ private[graft] object PdfExtract {
       aesDecryptStream(key, data)
   }
 
+  /** Parse a PDF array of strings after /key (`[(…) <…> …]`), literal
+    * escapes and BALANCED unescaped parens handled (binary DER blobs in
+    * /Recipients routinely contain both). Order is preserved — the
+    * public-key file-key digest walks the array in order.
+    */
+  private def dictStringArray(dict: String, key: String): Option[Seq[Array[Byte]]] = {
+    val start = (s"""/$key\\s*\\[""").r.findFirstMatchIn(dict).map(_.end)
+    start.map { p0 =>
+      val out = Seq.newBuilder[Array[Byte]]
+      var p = p0
+      var done = false
+      while (!done && p < dict.length) {
+        dict.charAt(p) match {
+          case ']' => done = true
+          case '(' =>
+            // literal string: track escape + paren balance
+            val sb = new StringBuilder
+            var depth = 1
+            p += 1
+            while (depth > 0 && p < dict.length) {
+              val c = dict.charAt(p)
+              if (c == '\\' && p + 1 < dict.length) {
+                sb.append(c).append(dict.charAt(p + 1)); p += 2
+              } else {
+                if (c == '(') depth += 1
+                else if (c == ')') depth -= 1
+                if (depth > 0) sb.append(c)
+                p += 1
+              }
+            }
+            out += decodeLiteral(sb.toString)
+          case '<' =>
+            val end = dict.indexOf('>', p)
+            require(end > 0, s"unterminated hex string in /$key")
+            out += dict.substring(p + 1, end).replaceAll("\\s", "")
+              .grouped(2).filter(_.length == 2)
+              .map(h => java.lang.Integer.parseInt(h, 16).toByte).toArray
+            p = end + 1
+          case _ => p += 1
+        }
+      }
+      out.result()
+    }
+  }
+
   /** Parse a PDF string value (`(…)` literal or `<…>` hex) after /key. */
   private def dictStringBytes(dict: String, key: String): Option[Array[Byte]] = {
     val m = (s"""/$key\\s*(\\((?:\\\\.|[^\\\\)])*\\)|<[0-9A-Fa-f\\s]*>)""").r
@@ -735,12 +780,15 @@ private[graft] object PdfExtract {
     */
   private def buildDecryptor(
       s: String, objs: Map[Int, PdfObj],
-      password: String): Option[(Int, Decryptor)] = {
+      password: String,
+      recipientKey: Option[java.security.PrivateKey] = None): Option[(Int, Decryptor)] = {
     val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s)
       .map(_.group(1).toInt)
     encRef.flatMap { num =>
       val dict = objs.get(num).map(_.dict)
         .getOrElse(throw new IllegalArgumentException("missing /Encrypt object"))
+      if (dict.contains("/Adobe.PubSec"))
+        return encRef.flatMap(n => buildPubSecDecryptor(n, dict, recipientKey))
       if (!dict.contains("/Standard"))
         throw new IllegalArgumentException("unsupported PDF security handler")
       // the 32 raw bytes inside the /O and /U literal strings can spell
@@ -900,6 +948,67 @@ private[graft] object PdfExtract {
     }
   }
 
+  /** Public-key (/Adobe.PubSec) handler, ISO 32000-1 §7.6.4: recover the
+    * seed from /Recipients with the supplied RSA private key (PdfPubSec),
+    * derive the file key as digest(seed ‖ blobs [‖ FFFFFFFF]), then reuse
+    * the standard handler's per-object decryptors — the cipher families
+    * are identical downstream of key derivation.
+    *
+    * SubFilters: adbe.pkcs7.s3/s4 (/V 1–2, RC4, SHA-1 key) and
+    * adbe.pkcs7.s5 (/V 4 crypt filters with SHA-1, /V 5 AES-256 with
+    * SHA-256). /Recipients lives top-level for s3/s4 and inside the crypt
+    * filter dict for s5 — a plain whole-dict search finds both layouts.
+    * No /U//O/P entries exist here; authentication IS the RSA unwrap (a
+    * wrong key matches no recipient and refuses loudly).
+    */
+  private def buildPubSecDecryptor(
+      num: Int, dict: String,
+      recipientKey: Option[java.security.PrivateKey]): Option[(Int, Decryptor)] = {
+    val key = recipientKey.getOrElse(throw new IllegalArgumentException(
+      "public-key encrypted PDF requires a recipient private key"))
+    val cleanDict = dict.replaceAll("""\((?:\\.|[^\\)])*\)""", " ")
+    val topDict = stripNestedDicts(cleanDict)
+    val v = dictInt(topDict, "/V").getOrElse(0)
+    val blobs = dictStringArray(dict, "Recipients")
+      .getOrElse(throw new IllegalArgumentException(
+        "public-key encrypted PDF without /Recipients"))
+    val (seed, _) = PdfPubSec.openSeed(blobs, key)
+    val encMeta = !"""/EncryptMetadata\s+false""".r.findFirstIn(cleanDict).isDefined
+    v match {
+      case 1 | 2 =>
+        val keyLen = if (v == 1) 5 else dictInt(topDict, "/Length").map(_ / 8).getOrElse(5)
+        val fk = PdfPubSec.fileKey(seed, blobs, keyLen, sha256 = false,
+          encryptMetadata = true) // the FFFFFFFF step is V≥4 only
+        Some((num, new Rc4Decryptor(fk)))
+      case 4 =>
+        val stmF = """/StmF\s*/(\w+)""".r.findFirstMatchIn(topDict).map(_.group(1))
+        if (stmF.forall(_ == "Identity")) None
+        else {
+          val cfm = """/CFM\s*/(\w+)""".r.findFirstMatchIn(cleanDict).map(_.group(1))
+            .getOrElse(throw new IllegalArgumentException(
+              "V4 encryption without a /CFM crypt filter method"))
+          val keyLen = dictInt(topDict, "/Length").map(_ / 8).getOrElse(16)
+          val fk = PdfPubSec.fileKey(seed, blobs, keyLen, sha256 = false, encMeta)
+          cfm match {
+            case "AESV2" => Some((num, new AesV2Decryptor(fk)))
+            case "V2" => Some((num, new Rc4Decryptor(fk)))
+            case other => throw new IllegalArgumentException(
+              s"unsupported crypt filter method /$other")
+          }
+        }
+      case 5 =>
+        val stmF = """/StmF\s*/(\w+)""".r.findFirstMatchIn(topDict).map(_.group(1))
+        if (stmF.forall(_ == "Identity")) None
+        else {
+          val fk = PdfPubSec.fileKey(seed, blobs, 32, sha256 = true, encMeta)
+          Some((num, new AesV3Decryptor(fk)))
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported public-key PDF encryption (V=$other)")
+    }
+  }
+
   /** SHA-256(pw ‖ salt ‖ udata) — the /R 5 password hash (Adobe ext.
     * level 3); `udata` is empty for /U, the 48-byte /U for /O.
     */
@@ -915,17 +1024,30 @@ private[graft] object PdfExtract {
 
   def text(bytes: Array[Byte]): String = text(bytes, password = "")
 
+  /** [[text]] for a public-key (/Adobe.PubSec) protected file: the RSA
+    * private key of any listed recipient opens it (PKCS#1 unwrap decides —
+    * no certificate matching needed, the poppler behavior).
+    */
+  def text(bytes: Array[Byte], recipientKey: java.security.PrivateKey): String =
+    textImpl(bytes, password = "", recipientKey = Some(recipientKey))
+
   /** [[text]] for a password-protected file: `password` authenticates as
     * the user password first, then as the owner password (see the handler
     * notes in the object scaladoc). "" = the empty user password.
     */
-  def text(bytes: Array[Byte], password: String): String = {
+  def text(bytes: Array[Byte], password: String): String =
+    textImpl(bytes, password, recipientKey = None)
+
+  private def textImpl(
+      bytes: Array[Byte], password: String,
+      recipientKey: Option[java.security.PrivateKey]): String = {
     val topObjs0 = parseObjects(bytes)
     if (topObjs0.isEmpty) throw new IllegalArgumentException("failed to open PDF: no objects")
     // standard security handler: RC4-decrypt every object stream (strings
     // inside content streams decrypt with their stream; XRef streams and
     // the encrypt dict are never encrypted per spec)
-    val topObjs = buildDecryptor(new String(bytes, Latin1), topObjs0, password) match {
+    val topObjs = buildDecryptor(new String(bytes, Latin1), topObjs0, password,
+      recipientKey) match {
       case None => topObjs0
       case Some((encNum, d)) =>
         val xref = """/Type\s*/XRef""".r
