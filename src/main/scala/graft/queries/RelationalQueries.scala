@@ -1333,6 +1333,79 @@ object RelationalQueries {
         FROM q
         ORDER BY bin, n""")),
 
+    // Bloom-filter membership (the cross-snapshot dedup pre-filter): build
+    // the bit image over 'F'-status orderkeys, probe EVERY distinct
+    // orderkey, and tally the verdict classes. The no-false-negative
+    // guarantee is IN the data (fn_violations must be 0); false positives
+    // appear at the m/k-controlled rate. Bits ride the same splitmix64
+    // chains as the CMS buckets, so DuckDB replays image and verdicts
+    // bit-for-bit.
+    "q4x_bloom_membership" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+        val members = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").cast("long").as("k")).distinct()
+        val probes = o.select(col("o_orderkey").cast("long").as("k")).distinct()
+        val image = graft.operators.BloomFilter.bits(members, "k", k = 4, m = 131072)
+        val verdicts = graft.operators.BloomFilter
+          .mightContain(probes, "k", image, k = 4, m = 131072)
+        val flagged = verdicts.join(
+          members.withColumn("is_member", lit(1)), Seq("k"), "left")
+          .withColumn("is_member", coalesce(col("is_member"), lit(0)))
+        flagged.agg(
+          count(lit(1)).as("n_probes"),
+          sum(col("is_member")).cast("bigint").as("n_members"),
+          sum(col("might_contain")).cast("bigint").as("n_maybe"),
+          sum(when(col("might_contain") === 1 && col("is_member") === 0, 1)
+            .otherwise(0)).cast("bigint").as("n_false_pos"),
+          sum(when(col("might_contain") === 0 && col("is_member") === 1, 1)
+            .otherwise(0)).cast("bigint").as("fn_violations"))
+      },
+      oracle = Some {
+        val sds = graft.operators.CmSketch.seeds(4)
+        val bitCtes = sds.zipWithIndex.map { case (seed, d) =>
+          val b = OracleSql.cmsBucket("SELECT k FROM members", "k", seed, 131072, s"m$d")
+          s"mb$d AS ($b)"
+        }.mkString(",\n        ")
+        val probeCtes = sds.zipWithIndex.map { case (seed, d) =>
+          val b = OracleSql.cmsBucket("SELECT k FROM probes", "k", seed, 131072, s"p$d")
+          s"pb$d AS ($b)"
+        }.mkString(",\n        ")
+        s"""
+        WITH members AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders
+          WHERE o_orderstatus = 'F'),
+        probes AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        $bitCtes,
+        image AS MATERIALIZED (
+          SELECT DISTINCT bucket AS bit FROM (
+            SELECT bucket FROM mb0 UNION ALL SELECT bucket FROM mb1
+            UNION ALL SELECT bucket FROM mb2 UNION ALL SELECT bucket FROM mb3)),
+        $probeCtes,
+        positions AS MATERIALIZED (
+          SELECT DISTINCT k, bucket AS bit FROM (
+            SELECT k, bucket FROM pb0 UNION ALL SELECT k, bucket FROM pb1
+            UNION ALL SELECT k, bucket FROM pb2 UNION ALL SELECT k, bucket FROM pb3)),
+        verdicts AS (
+          SELECT p.k,
+                 CAST(COUNT(*) AS BIGINT) AS n_positions,
+                 CAST(SUM(CASE WHEN i.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          FROM positions p LEFT JOIN image i ON i.bit = p.bit
+          GROUP BY p.k),
+        flagged AS (
+          SELECT v.k,
+                 CASE WHEN v.n_hit = v.n_positions THEN 1 ELSE 0 END AS might_contain,
+                 CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
+          FROM verdicts v LEFT JOIN members m ON m.k = v.k)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(is_member) AS BIGINT) AS n_members,
+               CAST(SUM(might_contain) AS BIGINT) AS n_maybe,
+               CAST(SUM(CASE WHEN might_contain = 1 AND is_member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+               CAST(SUM(CASE WHEN might_contain = 0 AND is_member = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn_violations
+        FROM flagged"""
+      }),
+
     // F4: tenant predicate (partition-prunable filter in every query).
     "q18_tenant_slice" -> Q(
       fn = (s, dir) =>

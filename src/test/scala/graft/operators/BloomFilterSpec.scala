@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bloom membership: the no-false-negative guarantee (incl. under a
+  * deliberately saturated filter), definitive absence, per-key distinct-bit
+  * semantics, bounded image, partition invariance, validation.
+  */
+class BloomFilterSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  private def verdicts(members: Seq[Long], probes: Seq[Long], k: Int, m: Int)
+      : Map[Long, (Long, Long, Int)] = {
+    val image = BloomFilter.bits(members.toDF("k"), "k", k, m)
+    BloomFilter.mightContain(probes.toDF("k"), "k", image, k, m)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+  }
+
+  test("no false negatives, definitive absence on a roomy filter") {
+    val members = (1L to 100L).toSeq
+    val out = verdicts(members, 1L to 400L, k = 4, m = 65536)
+    members.foreach(k => assert(out(k)._3 == 1, s"false negative on $k"))
+    // with 400 bits set of 65536, most non-members must come back definite-no
+    val absent = (101L to 400L).count(k => out(k)._3 == 0)
+    assert(absent > 250, s"only $absent definitive-absent of 300")
+  }
+
+  test("no false negatives even on a saturated filter (tiny m)") {
+    val members = (1L to 500L).toSeq
+    val out = verdicts(members, members, k = 4, m = 64)
+    members.foreach(k => assert(out(k)._3 == 1, s"false negative on $k"))
+  }
+
+  test("per-key positions are DISTINCT bits; image is bounded by m") {
+    val image = BloomFilter.bits((1L to 2000L).toDF("k"), "k", k = 8, m = 256)
+    val bitsSet = image.collect().map(_.getInt(0))
+    assert(bitsSet.length == bitsSet.distinct.length)
+    assert(bitsSet.forall(b => b >= 0 && b < 256))
+    assert(bitsSet.length <= 256)
+    // n_hit can never exceed n_positions, and n_positions <= k
+    val out = verdicts((1L to 50L).toSeq, 1L to 80L, k = 8, m = 256)
+    out.values.foreach { case (np, nh, _) =>
+      assert(np >= 1 && np <= 8 && nh <= np)
+    }
+  }
+
+  test("nulls are skipped on both sides") {
+    val members = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val image = BloomFilter.bits(members, "k", 4, 1024)
+    val probes = Seq(Some(1L), None, Some(9L)).toDF("k")
+    val out = BloomFilter.mightContain(probes, "k", image, 4, 1024)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out.keySet == Set(1L, 9L))
+    assert(out(1L) == 1)
+  }
+
+  test("partition invariance") {
+    val members = (1L to 300L).toDF("k")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      BloomFilter.bits(df, "k", 4, 2048).collect().map(_.getInt(0)).toSet
+    assert(run(members) == run(members.repartition(17)) && run(members).nonEmpty)
+  }
+
+  test("validation") {
+    val df = Seq(1L).toDF("k")
+    intercept[IllegalArgumentException](BloomFilter.bits(df, "k", k = 0, m = 64))
+    intercept[IllegalArgumentException](BloomFilter.bits(df, "k", k = 4, m = 100))
+    intercept[IllegalArgumentException](
+      BloomFilter.mightContain(df, "k", df.toDF("bit"), k = 4, m = 100))
+  }
+}
