@@ -52,6 +52,24 @@ object BloomFilter {
     }.toDF("bit").distinct()
   }
 
+  /** Streaming accumulation: OR-merge one micro-batch's bit image into a
+    * driver-side BitSet from `foreachBatch`. Setting bits is IDEMPOTENT,
+    * so replayed/overlapping batches are harmless — the HLL max-merge
+    * contract, not CMS's exactly-once. State is ≤ m bits for any stream
+    * length.
+    */
+  def mergeBits(acc: java.util.BitSet, bitsDf: DataFrame): Unit =
+    bitsDf.collect().foreach(r => acc.set(r.getInt(0)))
+
+  /** An accumulated image back as a bit DataFrame (feeds [[mightContain]]
+    * so streaming and batch share the probe path).
+    */
+  def imageToBits(spark: org.apache.spark.sql.SparkSession,
+      acc: java.util.BitSet): DataFrame = {
+    import spark.implicits._
+    acc.stream().toArray.toSeq.toDF("bit")
+  }
+
   /** Probe verdicts: one row per distinct probe key with `n_positions`
     * (its DISTINCT bit positions — k hashes can collide on one bit),
     * `n_hit` (how many are set in the image) and `might_contain`

@@ -38,6 +38,12 @@ object RangeJoin {
     require(windowMs > 0, s"windowMs must be positive, got $windowMs")
     require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
       "input columns collide with range-join internals: __bucket")
+    // left keeps its names and right comes back r_-prefixed — a left column
+    // already spelled r_<right column> would produce an ambiguous output
+    val prefixClash = right.columns.filterNot(keyCols.contains)
+      .map("r_" + _).filter(left.columns.contains)
+    require(prefixClash.isEmpty,
+      s"left columns collide with prefixed right columns: ${prefixClash.mkString(", ")}")
     // exact floorDiv (negative-epoch safe): subtract the positive pmod so
     // the division is over an exact multiple — no double-rounding at any
     // bucket boundary (the StreamingFunnel floorDiv convention)

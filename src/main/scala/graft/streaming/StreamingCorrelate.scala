@@ -44,6 +44,12 @@ object StreamingCorrelate {
     val clash = (left.columns ++ right.columns).filter(reserved.contains)
     require(clash.isEmpty,
       s"input columns collide with correlate internals: ${clash.distinct.mkString(", ")}")
+    // the RangeJoin output contract: left names kept, right r_-prefixed —
+    // refuse ambiguous spellings instead of emitting duplicate columns
+    val prefixClash = right.columns.filterNot(keyCols.contains)
+      .map("r_" + _).filter(left.columns.contains)
+    require(prefixClash.isEmpty,
+      s"left columns collide with prefixed right columns: ${prefixClash.mkString(", ")}")
     val l = left
       .withColumn("__l_event_time", timestamp_millis(col(tsLeft).cast("long")))
       .withWatermark("__l_event_time", watermarkDelay)

@@ -87,6 +87,41 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(probes.forall(k => eS(k) >= exact.getOrElse(k, 0L))) // CMS bound holds
   }
 
+  test("foreachBatch bloom accumulation equals the batch image exactly") {
+    import graft.operators.BloomFilter
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // bit OR is idempotent — overlapping/replayed chunks are harmless,
+    // the HLL contract
+    val chunks = Seq((1L to 300L), (200L to 600L), (1L to 100L) ++ (550L to 800L))
+    val allKeys = chunks.flatten
+    val (k, m) = (4, 4096)
+
+    val acc = new java.util.BitSet(m)
+    val input = MemoryStream[Long]
+    val query = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        BloomFilter.mergeBits(acc, BloomFilter.bits(batch.toDF("key"), "key", k, m))
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+
+    val streamed = acc.stream().toArray.toSet
+    val batchImage = BloomFilter.bits(allKeys.toDF("key"), "key", k, m)
+      .collect().map(_.getInt(0)).toSet
+    assert(streamed == batchImage) // bit-image identity
+
+    // and the accumulated image carries the guarantee: no false negatives
+    val verdicts = BloomFilter.mightContain(
+        allKeys.distinct.toDF("key"), "key",
+        BloomFilter.imageToBits(spark, acc), k, m)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(allKeys.distinct.forall(verdicts(_) == 1))
+  }
+
   test("foreachBatch histogram accumulation equals the batch sketch exactly") {
     import graft.operators.HistogramSketch
     import org.apache.spark.sql.functions.col
