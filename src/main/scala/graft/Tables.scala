@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -17,14 +17,20 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by default;
-      // read nanos as long and truncate to micros with integer division
-      // (double division would lose precision on ~1.7e18 ns epoch values).
+      // events.ts has shipped as TIMESTAMP(NANOS) (which Spark rejects by
+      // default — read nanos as long, truncate to micros with integer
+      // division; double division would lose precision on ~1.7e18 ns epoch
+      // values) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark
+      // reads as TIMESTAMP_NTZ — cast to the session-zone TIMESTAMP; sessions
+      // here pin spark.sql.session.timeZone=UTC, so the naive wall clock is
+      // interpreted exactly like DuckDB's epoch_ms over the same file).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

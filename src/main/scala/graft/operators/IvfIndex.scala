@@ -69,6 +69,22 @@ object IvfIndex {
     (-array_max(array(scored.toIndexedSeq: _*)).getField("negc")).as("cell")
   }
 
+  /** `(cell, score)` struct for the nearest centroid — the cell exactly as
+    * [[assignCell]] picks it, plus the winning `round(cosine, scoreScale)`
+    * (the member→centroid similarity, e.g. for cluster-quality aggregates
+    * or SemDeDup-style thresholds). Same single codegen expression, zero
+    * shuffle.
+    */
+  def assignCellScore(vec: Column, index: Index, scoreScale: Int = 6): Column = {
+    val scored = index.centroids.map { case (cell, cv) =>
+      struct(
+        round(VectorFunctions.cosine(vec, typedLit(cv)), scoreScale).as("s"),
+        lit(-cell).as("negc"))
+    }
+    val best = array_max(array(scored.toIndexedSeq: _*))
+    struct((-best.getField("negc")).as("cell"), best.getField("s").as("score"))
+  }
+
   /** Corpus with a `cellCol` nearest-centroid column appended (the index
     * build's data pass). Persist partitioned/bucketed by this column so
     * probes prune at the source.
@@ -180,6 +196,53 @@ object IvfIndex {
       }
       cents = Index(next)
       round += 1
+    }
+    cents
+  }
+
+  /** Grid-snapped Lloyd refinement — the oracle-able twin of [[refine]].
+    * Each round reassigns (the [[assignCell]] ranking contract) and recomputes
+    * every centroid component as an ORDER-FREE exact mean: components sum
+    * through DECIMAL(28,12) (float inputs are exact at scale 12 in unit
+    * range), divide by the exact member count in double, snap to the
+    * 9-decimal grid, and store as FLOAT — the same DECIMAL-sum /
+    * 9-decimal-grid / float-cast recipe that keeps PageRank (q4b) and the
+    * quantized store (q3n) hash-exact across engines. Unlike [[refine]]
+    * (double `avg`, float-addition order leaks in), the refined centroids
+    * here are bit-identical on any partitioning, so a DuckDB twin can unroll
+    * the rounds as chained CTEs.
+    *
+    * Scale shape per round: one narrow assignment pass (centroids are inlined
+    * literals), one partial-aggregated shuffle keyed on (cell, dim) — at most
+    * nCells × dim × partitions combiner rows — and a driver collect bounded
+    * by nCells × dim (index metadata). Empty cells keep their previous
+    * centroid, mirroring [[refine]].
+    */
+  def refineExact(
+      corpus: DataFrame, vecCol: String, index: Index, iters: Int): Index = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    var cents = index
+    for (_ <- 1 to iters) {
+      val rows = assign(corpus, vecCol, cents, cellCol = "__cell")
+        .select(col("__cell"),
+          posexplode(VectorFunctions.asFloatArray(col(vecCol))).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos")
+        .agg(sum(col("__x").cast("double").cast("decimal(28,12)")).as("__s"),
+          count(lit(1)).as("__n"))
+        .select(col("__cell"), col("__pos"),
+          round(col("__s").cast("double") / col("__n").cast("double"), 9)
+            .cast("float").as("__m"))
+        .collect()
+      val byCell = rows.groupBy(_.getInt(0))
+      cents = Index(cents.centroids.map { case (cell, old) =>
+        byCell.get(cell) match {
+          case Some(rs) =>
+            val v = old.clone()
+            rs.foreach(r => v(r.getInt(1)) = r.getFloat(2))
+            cell -> v
+          case None => cell -> old
+        }
+      })
     }
     cents
   }

@@ -194,6 +194,36 @@ object VectorSearch {
       .select(col("vec_a"), col("vec_b"), col("score"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * restrict near-duplicate detection to coarse-cluster cells (an
+    * [[IvfIndex]] `assign` output), then inside each cell drop every vector
+    * that has a smaller-id neighbor at `round(cosine, scoreScale) >=
+    * threshold`. Keep-the-min-id is the deterministic, partitioning-free
+    * survivor rule (no transitive closure: a survivor is a vector with NO
+    * smaller-id near-dup in its cell, which both engines can evaluate
+    * independently per pair).
+    *
+    * Scale shape: the self-join is a plain equality join on the cell id —
+    * linear shuffle, quadratic only inside a cell, which is exactly the
+    * bound the coarse quantizer exists to enforce (nCells scales with the
+    * corpus; cells stay ~corpus/nCells). The dropped-id set is (id)-only;
+    * survivors come from one left-anti join against it.
+    */
+  def semanticDedup(
+      assigned: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      cellCol: String = "cell", scoreScale: Int = 6): DataFrame = {
+    val a = assigned.select(col(cellCol).as("__cell"), col(idCol).as("__ida"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col(cellCol).as("__cell"), col(idCol).as("__idb"),
+      col(vecCol).as("__vb"))
+    val dropped = a.join(b, "__cell")
+      .filter(col("__ida") < col("__idb") &&
+        round(VectorFunctions.cosine(col("__va"), col("__vb")), scoreScale) >= threshold)
+      .select(col("__idb").as(idCol))
+      .distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Sign-bit bucket id from `nBits` fixed pseudo-random hyperplanes. The
     * hyperplanes are generated per-element from a splitmix-style integer mix,
     * so the bucketing is deterministic with no side data to ship. `seedBase`

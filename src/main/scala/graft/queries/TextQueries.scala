@@ -1322,6 +1322,97 @@ object TextQueries {
           GROUP BY c.g, qs.qpm)
         SELECT g AS source, CAST(qpm AS BIGINT) AS qpm,
                CAST(qbin * 2.0 AS DOUBLE) AS est
-        FROM q ORDER BY source, qpm"""))
+        FROM q ORDER BY source, qpm""")),
+
+    // Trainable quality classifier (CCNet/fastText-style distillation),
+    // hash-exact INCLUDING the training loop: hashed bag-of-token features
+    // (poly-31 codepoint fold mod 1e9+7 mod 32 + bias), algebraic fast
+    // sigmoid p = 0.5 + 0.5·m/(1+|m|) (no transcendental — cross-engine
+    // parity by construction), 2 full-batch GD iterations with
+    // DECIMAL(28,12) margin/gradient sums and 9-decimal weight/probability
+    // grids (the q4b iterative recipe applied to model training). The label
+    // is a deterministic length gate (n_chars >= 250, a 60/40 split at
+    // every SF) standing in for the labeled slice a real pipeline distills
+    // from. DuckDB replays feature hashing, both GD rounds and the final
+    // scoring pass; TextClassifierSpec gates learning (loss decreases) and
+    // partition invariance.
+    "q5a_quality_classifier" -> Q(
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("y", (col("n_chars") >= 250).cast("int"))
+        val feats = graft.operators.TextClassifier.hashedFeatures(
+          d, "doc_id", "text", "y", dim = 32)
+        val model = graft.operators.TextClassifier.train(
+          feats, dim = 32, iters = 2, lr = 0.5)
+        graft.operators.TextClassifier.score(feats, model)
+          .select(col("id").as("doc_id"), col("y"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(100)
+      },
+      oracle = Some("""
+        WITH docs AS MATERIALIZED (
+          SELECT doc_id, text, CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS y
+          FROM documents),
+        tok AS (
+          SELECT doc_id, y,
+                 unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+          FROM docs),
+        feat AS (
+          SELECT doc_id, y,
+                 CAST((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(string_split(tok, ''), ch -> ch <> ''),
+                     ch -> CAST(unicode(ch) AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % 1000000007)) % 32 AS INT) AS j
+          FROM tok),
+        cnt AS (SELECT doc_id, y, j, COUNT(*) AS c FROM feat GROUP BY doc_id, y, j),
+        ntok AS (SELECT doc_id, COUNT(*) AS nt FROM feat GROUP BY doc_id),
+        x AS MATERIALIZED (
+          SELECT c.doc_id, c.y, c.j, CAST(c.c AS DOUBLE) / CAST(n.nt AS DOUBLE) AS x
+          FROM cnt c JOIN ntok n ON n.doc_id = c.doc_id
+          UNION ALL
+          SELECT doc_id, y, 32 AS j, CAST(1.0 AS DOUBLE) AS x FROM docs),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM docs),
+        w0 AS (SELECT CAST(UNNEST(range(33)) AS INT) AS j, CAST(0.0 AS DOUBLE) AS w),
+        m1 AS (
+          SELECT x.doc_id, x.y,
+                 CAST(SUM(CAST(w.w * x.x AS DECIMAL(28,12))) AS DOUBLE) AS m
+          FROM x JOIN w0 w ON w.j = x.j GROUP BY x.doc_id, x.y),
+        p1 AS MATERIALIZED (
+          SELECT doc_id, y,
+                 ROUND(0.5 + (0.5 * m) / (1.0 + abs(m)), 9) AS p FROM m1),
+        g1 AS (
+          SELECT x.j,
+                 CAST(SUM(CAST((p.p - CAST(x.y AS DOUBLE)) * x.x
+                   AS DECIMAL(28,12))) AS DOUBLE) AS g
+          FROM x JOIN p1 p ON p.doc_id = x.doc_id GROUP BY x.j),
+        w1 AS MATERIALIZED (
+          SELECT w0.j,
+                 ROUND(w0.w - 0.5 * (COALESCE(g.g, 0.0) / (SELECT n FROM nn)), 9) AS w
+          FROM w0 LEFT JOIN g1 g ON g.j = w0.j),
+        m2 AS (
+          SELECT x.doc_id, x.y,
+                 CAST(SUM(CAST(w.w * x.x AS DECIMAL(28,12))) AS DOUBLE) AS m
+          FROM x JOIN w1 w ON w.j = x.j GROUP BY x.doc_id, x.y),
+        p2 AS MATERIALIZED (
+          SELECT doc_id, y,
+                 ROUND(0.5 + (0.5 * m) / (1.0 + abs(m)), 9) AS p FROM m2),
+        g2 AS (
+          SELECT x.j,
+                 CAST(SUM(CAST((p.p - CAST(x.y AS DOUBLE)) * x.x
+                   AS DECIMAL(28,12))) AS DOUBLE) AS g
+          FROM x JOIN p2 p ON p.doc_id = x.doc_id GROUP BY x.j),
+        w2 AS MATERIALIZED (
+          SELECT w1.j,
+                 ROUND(w1.w - 0.5 * (COALESCE(g.g, 0.0) / (SELECT n FROM nn)), 9) AS w
+          FROM w1 LEFT JOIN g2 g ON g.j = w1.j),
+        m3 AS (
+          SELECT x.doc_id, x.y,
+                 CAST(SUM(CAST(w.w * x.x AS DECIMAL(28,12))) AS DOUBLE) AS m
+          FROM x JOIN w2 w ON w.j = x.j GROUP BY x.doc_id, x.y),
+        p3 AS (
+          SELECT doc_id, y,
+                 ROUND(0.5 + (0.5 * m) / (1.0 + abs(m)), 9) AS p FROM m3)
+        SELECT doc_id, y, ROUND(p, 6) AS score FROM p3
+        ORDER BY score DESC, doc_id LIMIT 100"""))
   )
 }

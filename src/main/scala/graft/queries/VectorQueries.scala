@@ -47,6 +47,47 @@ object VectorQueries {
           WHERE score >= $threshold)"""
   }
 
+  /** Oracle CTE chain replaying [[graft.operators.IvfIndex.refineExact]]:
+    * `cent0` is the (md5(id), id) centroid draw, then each round r assigns by
+    * the (round(cosine,6) DESC, cell ASC) contract, recomputes every centroid
+    * component as an exact DECIMAL(28,12) mean snapped to the 9-decimal grid
+    * and stored through FLOAT (the q4b/q3n parity recipe), with empty cells
+    * inheriting the previous centroid. Ends with `cent$iters(cell, cv)` and
+    * an `e(vec_id, v DOUBLE[])` base CTE in scope.
+    */
+  private def kmeansCtes(nCells: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent0 AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT) AS cell, v AS cv
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS d, vec_id, v FROM e
+                ORDER BY d, vec_id LIMIT $nCells))""")
+    for (r <- 1 to iters) {
+      val prev = s"cent${r - 1}"
+      sb.append(s""",
+        a$r AS MATERIALIZED (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(e.v, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM e CROSS JOIN $prev c) WHERE rn = 1),
+        m$r AS (
+          SELECT cell, pos,
+                 CAST(ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE), 9) AS FLOAT) AS mf
+          FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a$r)
+          GROUP BY cell, pos),
+        cent$r AS MATERIALIZED (
+          SELECT c.cell, COALESCE(m.cv, c.cv) AS cv
+          FROM $prev c LEFT JOIN
+            (SELECT cell, list(CAST(mf AS DOUBLE) ORDER BY pos) AS cv
+             FROM m$r GROUP BY cell) m USING (cell))""")
+    }
+    sb.toString
+  }
+
   /** Shared oracle CTE block for the PQ pipeline (q3p, q3q): assumes an
     * `e(vec_id, label, v DOUBLE[])` CTE is already defined; emits
     * `js/draw/cb/sub/enc/q/lutt/adc` — codebook draw by (md5(id), id),
@@ -577,6 +618,87 @@ object VectorQueries {
             GraftFunctions.uuid5(concat(col("doc_id"), lit("-"), col("chunk_index"))))
           .orderBy(col("doc_id"), col("chunk_index"))
       },
-      oracle = Some(OracleSql.chunkExplodeOracle(size = 120, overlap = 30)))
+      oracle = Some(OracleSql.chunkExplodeOracle(size = 120, overlap = 30))),
+
+    // Grid-snapped k-means (2 Lloyd rounds over the 8-cell draw index),
+    // hash-exact: refineExact recomputes every centroid component as an
+    // exact DECIMAL(28,12) mean snapped to the 9-decimal grid and stored
+    // through FLOAT, so the refined centroids — and therefore the final
+    // assignment and per-cluster quality aggregates — are bit-identical on
+    // any partitioning and replayable in DuckDB as chained CTEs (the q4b
+    // iterative recipe lifted from scalars to 64-dim arrays). Output pins
+    // the full assignment (sum of member ids) and the mean member→centroid
+    // cosine per cluster. Cluster-recall lift of refinement is RecallSpec's
+    // gate; this query gates the arithmetic.
+    "q4y_kmeans_clusters" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val idx0 = graft.operators.IvfIndex.centroidsByDraw(
+          e, "vec_id", "embedding", nCells = 8)
+        val idx = graft.operators.IvfIndex.refineExact(e, "embedding", idx0, iters = 2)
+        val best = graft.operators.IvfIndex.assignCellScore(col("embedding"), idx)
+        e.select(col("vec_id"), best.getField("cell").as("cell"),
+            best.getField("score").as("sc"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("vec_id")).as("sum_vec"),
+            round(sum(col("sc").cast("decimal(18,6)")).cast("double")
+              / count(lit(1)).cast("double"), 6).as("mean_sim"))
+          .orderBy(col("cell"))
+      },
+      oracle = Some(s"""
+        ${kmeansCtes(nCells = 8, iters = 2)},
+        fin AS (
+          SELECT vec_id, cell, sc FROM (
+            SELECT e.vec_id, c.cell,
+                   ROUND(CAST(list_cosine_similarity(e.v, c.cv) AS DOUBLE), 6) AS sc,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(e.v, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM e CROSS JOIN cent2 c) WHERE rn = 1)
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_vec,
+               ROUND(CAST(SUM(CAST(sc AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sim
+        FROM fin GROUP BY cell ORDER BY cell"""),
+      headline = true),
+
+    // SemDeDup (cluster-then-dedup, arXiv:2303.09540), hash-exact: coarse
+    // 16-cell assignment (the q3g draw/assign contract), then inside each
+    // cell drop every vector with a smaller-id neighbor at
+    // round(cosine,6) >= 0.38 — the quadratic term is confined to cells by
+    // construction, the dropped-id set is id-only, survivors are one
+    // left-anti join. Keep-the-min-id needs no transitive closure, so both
+    // engines evaluate pairs independently. 23/30/297 drops at
+    // sf0.001/0.01/0.1 — non-vacuous at every scale.
+    "q4z_semantic_dedup" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val index = graft.operators.IvfIndex.centroidsByDraw(
+          e, "vec_id", "embedding", nCells = 16)
+        val assigned = graft.operators.IvfIndex.assign(e, "embedding", index)
+        graft.operators.VectorSearch.semanticDedup(
+            assigned, "vec_id", "embedding", threshold = 0.38)
+          .select(col("vec_id"), col("label"), col("cell"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT) AS cell, v AS cv
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS d, vec_id, v FROM e
+                ORDER BY d, vec_id LIMIT 16)),
+        assign AS MATERIALIZED (
+          SELECT vec_id, label, v, cell FROM (
+            SELECT e.vec_id, e.label, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(e.v, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6) >= 0.38)
+        SELECT vec_id, label, cell FROM assign
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        ORDER BY vec_id"""))
   )
 }

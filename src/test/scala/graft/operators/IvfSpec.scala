@@ -161,4 +161,59 @@ class IvfSpec extends AnyFunSuite {
       .select("cell").collect().map(_.getInt(0)).toSet
     assert(assigned.subsetOf(refined.centroids.map(_._1).toSet))
   }
+
+  test("refineExact: snapped means, empty-cell inheritance, grid membership") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.2f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val idx = IvfIndex.Index(Array(
+      0 -> Array(1.0f, 0.0f), 1 -> Array(0.0f, 1.0f), 2 -> Array(-1.0f, 0.0f)))
+    val refined = IvfIndex.refineExact(vecs, "embedding", idx, iters = 1)
+    // occupied cells: components sum through DECIMAL(28,12), divide in
+    // double, snap to 9 decimals, store as float — replicated exactly here
+    def mean12(xs: Double*): Float = {
+      val s = xs.map(x => BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+      IvfIndex.roundHalfUp(s.toDouble / xs.size, 9).toFloat
+    }
+    assert(refined.centroids(0)._2.toSeq ===
+      Seq(mean12(1.0f.toDouble, 0.8f.toDouble), mean12(0.0f.toDouble, 0.2f.toDouble)))
+    assert(refined.centroids(1)._2.toSeq ===
+      Seq(mean12(0.0f.toDouble, 0.2f.toDouble), mean12(1.0f.toDouble, 0.8f.toDouble)))
+    // the empty cell inherits its previous centroid bit-identically
+    assert(refined.centroids(2)._2.toSeq === idx.centroids(2)._2.toSeq)
+  }
+
+  test("refineExact is bit-identical across partitionings (refine is not contracted to be)") {
+    val e = emb
+    val idx0 = IvfIndex.centroidsByDraw(e, "vec_id", "embedding", nCells = 8)
+    val r1 = IvfIndex.refineExact(e.repartition(1), "embedding", idx0, iters = 2)
+    val r13 = IvfIndex.refineExact(e.repartition(13), "embedding", idx0, iters = 2)
+    for (((c1, v1), (c2, v2)) <- r1.centroids.zip(r13.centroids)) {
+      assert(c1 === c2)
+      assert(v1.toSeq === v2.toSeq, s"cell $c1 centroids diverge across partitionings")
+    }
+    // and every refined component sits on the 9-decimal grid (as a float)
+    for ((_, v) <- r1.centroids; x <- v)
+      assert(x === IvfIndex.roundHalfUp(x.toDouble, 9).toFloat)
+  }
+
+  test("assignCellScore agrees with assignCell and carries the winning score") {
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val both = emb.withColumn("cs", IvfIndex.assignCellScore(col("embedding"), idx))
+      .withColumn("cell2", IvfIndex.assignCell(col("embedding"), idx))
+      .select(col("vec_id"), col("cs.cell").as("cell"), col("cs.score").as("sc"),
+        col("cell2"))
+      .collect()
+    for ((id, v) <- collected) {
+      val r = both.find(_.getLong(0) == id).get
+      assert(r.getInt(1) === r.getInt(3))
+      val best = idx.centroids.map { case (cell, cv) =>
+        (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, cv), 6), cell)
+      }.minBy { case (s, cell) => (-s, cell) }
+      assert(r.getDouble(2) === best._1, s"vec $id score")
+    }
+  }
 }

@@ -217,4 +217,56 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Long]("vec_a") == 1L)
     assert(pairs.head.getAs[Long]("vec_b") == 2L)
   }
+
+  test("semanticDedup: survivors have no smaller-id near-dup in their cell") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = IvfIndex.centroidsByDraw(e, "vec_id", "embedding", nCells = 16)
+    val assigned = IvfIndex.assign(e, "embedding", idx)
+    val survivors = VectorSearch.semanticDedup(
+      assigned, "vec_id", "embedding", threshold = 0.38)
+    // brute-force replica of the survivor rule
+    val all = assigned.select(col("vec_id"), col("cell"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]](2).toArray))
+    val expect = all.filter { case (id, cell, v) =>
+      !all.exists { case (id2, cell2, v2) =>
+        id2 < id && cell2 == cell &&
+          IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v2, v), 6) >= 0.38
+      }
+    }.map(_._1).toSet
+    val got = survivors.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    assert(got.size < all.length, "threshold 0.38 must actually drop something")
+    // schema passes through unchanged (dedup is an anti-join, not a reshape)
+    assert(survivors.columns.toSeq === assigned.columns.toSeq)
+  }
+
+  test("semanticDedup threshold extremes: keep-all above max, one-per-cell at zero") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = IvfIndex.centroidsByDraw(e, "vec_id", "embedding", nCells = 16)
+    val assigned = IvfIndex.assign(e, "embedding", idx).cache()
+    try {
+      val n = assigned.count()
+      // above any attainable cosine: nothing drops
+      assert(VectorSearch.semanticDedup(assigned, "vec_id", "embedding",
+        threshold = 1.1).count() === n)
+      // at -1.1 every pair qualifies: exactly the min id of each cell survives
+      val minPerCell = assigned.groupBy("cell")
+        .agg(org.apache.spark.sql.functions.min("vec_id").as("m"))
+        .collect().map(_.getLong(1)).toSet
+      val got = VectorSearch.semanticDedup(assigned, "vec_id", "embedding",
+        threshold = -1.1).select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got === minPerCell)
+    } finally assigned.unpersist()
+  }
+
+  test("semanticDedup is partition-invariant") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = IvfIndex.centroidsByDraw(e, "vec_id", "embedding", nCells = 16)
+    def run(parts: Int) = VectorSearch.semanticDedup(
+      IvfIndex.assign(e.repartition(parts), "embedding", idx),
+      "vec_id", "embedding", threshold = 0.38)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(run(1) === run(13))
+  }
 }
