@@ -30,6 +30,60 @@ object Dedup {
     docs.groupBy(TextAnalysis.exactDupKey(textCol).as("text_hash"))
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Corpus-wide exact SEGMENT dedup — the sub-document tier between
+    * [[exactGroups]] (whole docs) and [[passageOverlapPairs]] (fuzzy
+    * passages): split every document into consecutive `segTokens`-token
+    * segments, keep only the FIRST occurrence of each distinct segment text
+    * corpus-wide (first = smallest (doc id, segment index)), and reassemble
+    * the surviving segments in order. This is the repeated-span removal of
+    * C4/RefinedWeb-style pipelines (boilerplate paragraphs, licence blocks,
+    * navigation chrome) where the duplicated unit is smaller than the doc.
+    *
+    * Output: one row per input doc — (id, clean_text, n_kept, n_removed),
+    * empty string when every segment was seen earlier.
+    *
+    * Scale shape: tokenize + segment is narrow; the first-occurrence pick is
+    * a map-side-combinable `min(struct(id, seg))` aggregate keyed on the
+    * segment text — NOT a window, so a boilerplate segment repeated across
+    * the whole corpus partial-aggregates to one row per map task instead of
+    * serializing into one window partition (the LPA de-skew lesson). Two
+    * string-keyed shuffles total (group + join-back), one id-keyed rebuild.
+    */
+  def dedupSegments(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      segTokens: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val base = docs.select(idCol.as("id"), textCol.as("__text"))
+    val toks = base.select(col("id"),
+      posexplode(filter(split(col("__text"), " "), t => t =!= lit("")))
+        .as(Seq("pos", "tok")))
+    val segs = toks
+      .withColumn("seg", floor(col("pos") / lit(segTokens)).cast("int"))
+      .groupBy(col("id"), col("seg"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("seg_text"))
+    val firsts = segs.groupBy("seg_text")
+      .agg(min(struct(col("id"), col("seg"))).as("__f"))
+    val kept = segs.join(firsts, "seg_text")
+      .filter(col("id") === col("__f.id") && col("seg") === col("__f.seg"))
+      .select(col("id"), col("seg"), col("seg_text"))
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seg"), col("seg_text")))),
+          x => x.getField("seg_text")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = segs.groupBy("id").agg(count(lit(1)).as("__n_seg"))
+    base.select(col("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .join(totals, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("__n_seg"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   /** Exact n-gram Jaccard for all pairs sharing a blocking key. Quadratic in
     * block size — callers bound blocks (e.g. language × source, or an LSH
     * band from tier 3) so the crossproduct never exceeds executor memory.

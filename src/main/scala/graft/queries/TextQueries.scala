@@ -1413,6 +1413,51 @@ object TextQueries {
           SELECT doc_id, y,
                  ROUND(0.5 + (0.5 * m) / (1.0 + abs(m)), 9) AS p FROM m3)
         SELECT doc_id, y, ROUND(p, 6) AS score FROM p3
-        ORDER BY score DESC, doc_id LIMIT 100"""))
+        ORDER BY score DESC, doc_id LIMIT 100""")),
+
+    // Corpus-wide exact segment dedup (C4/RefinedWeb repeated-span removal),
+    // hash-exact: every doc splits into consecutive 3-token segments, only
+    // the corpus-wide FIRST occurrence of each distinct segment survives
+    // (first = min (doc_id, seg index), a map-side-combinable min(struct)
+    // aggregate — never a window, so boilerplate segments repeated across
+    // the whole corpus cannot serialize into one partition), and docs are
+    // reassembled from their surviving segments. The word-salad fixture
+    // repeats 3-grams heavily, so removal counts are large and
+    // discriminative at every SF.
+    "q5b_segment_dedup" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Dedup.dedupSegments(
+            docs(s, dir), col("doc_id"), col("text"), segTokens = 3)
+          .select(col("id").as("doc_id"), col("clean_text"),
+            col("n_kept"), col("n_removed"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS pos
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM d)),
+        segs AS MATERIALIZED (
+          SELECT doc_id, seg, string_agg(tok, ' ' ORDER BY pos) AS seg_text
+          FROM (SELECT doc_id, tok, pos, CAST(pos // 3 AS INT) AS seg FROM tok)
+          GROUP BY doc_id, seg),
+        kept AS (
+          SELECT doc_id, seg, seg_text FROM (
+            SELECT doc_id, seg, seg_text,
+                   ROW_NUMBER() OVER (PARTITION BY seg_text
+                                      ORDER BY doc_id, seg) AS rn
+            FROM segs) WHERE rn = 1),
+        agg AS (
+          SELECT doc_id, string_agg(seg_text, ' ' ORDER BY seg) AS clean_text,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, COUNT(*) AS n_seg FROM segs GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(COALESCE(t.n_seg, 0) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+               LEFT JOIN tot t ON t.doc_id = d.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

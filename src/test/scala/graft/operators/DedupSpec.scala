@@ -149,6 +149,53 @@ class DedupSpec extends AnyFunSuite {
       minShared = 1, maxDocsPerFp = 4).count() == 0)
   }
 
+  test("dedupSegments: first occurrence survives corpus-wide, docs reassemble in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),        // segments: "a b c", "d e f"
+      (2L, "d e f g h i"),        // "d e f" dups doc 1's second segment
+      (3L, "a b c"),              // fully duplicated -> empty
+      (4L, "x y"),                // short tail segment, unique
+      (5L, "")                    // no tokens at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs, col("doc_id"), col("text"), segTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b c d e f", 2L, 0L)))
+    assert(out(2L) === (("g h i", 1L, 1L)))
+    assert(out(3L) === (("", 0L, 1L)))
+    assert(out(4L) === (("x y", 1L, 0L)))
+    assert(out(5L) === (("", 0L, 0L)))
+  }
+
+  test("dedupSegments: intra-doc repeats collapse too, and order is positional") {
+    import spark.implicits._
+    // same segment twice inside one doc: the earlier index wins
+    val docs = Seq((7L, "p q r p q r s t u")).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs, col("doc_id"), col("text"), segTokens = 3)
+      .collect().head
+    assert(out.getString(1) === "p q r s t u")
+    assert(out.getLong(2) === 2L)
+    assert(out.getLong(3) === 1L)
+  }
+
+  test("dedupSegments is partition-invariant and window-free") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"tok${i % 7} alpha beta gamma tok${i % 5}"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = Dedup.dedupSegments(
+      docs.repartition(parts), col("doc_id"), col("text"), segTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(run(1) === run(13))
+    // the first-occurrence pick must stay a map-side-combinable aggregate:
+    // a Window over the segment text would serialize corpus-wide boilerplate
+    // into one partition (the label-propagation de-skew lesson)
+    val plan = Dedup.dedupSegments(docs, col("doc_id"), col("text"), segTokens = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
+  }
+
   test("simhash pairs find exact and near dups within hamming budget") {
     val pairs = Dedup.simhashPairs(fixture, "doc_id", "text", maxHamming = 16)
       .collect()
