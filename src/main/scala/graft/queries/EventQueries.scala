@@ -279,21 +279,11 @@ object EventQueries {
     // float risk.
     "q4w_event_spikes" -> Q(
       fn = (s, dir) => {
-        val winMs = 21600000L // 6 h
-        val e = ev(s, dir).select(col("event_type"),
-          (col("ts_ms") - pmod(col("ts_ms"), lit(winMs))).as("window_start_ms"))
-        val counts = e.groupBy("event_type", "window_start_ms")
-          .agg(count(lit(1)).as("n"))
-        val stats = counts.groupBy("event_type").agg(
-          count(lit(1)).as("w"),
-          sum(col("n")).as("s1"),
-          sum(col("n") * col("n")).as("s2"))
-        val dev = col("n") * col("w") - col("s1")
-        counts.join(stats, "event_type")
-          .select(col("event_type"), col("window_start_ms"), col("n"),
-            when(dev > 0 &&
-                dev * dev > lit(4L) * (col("w") * col("s2") - col("s1") * col("s1")),
-              lit(1)).otherwise(lit(0)).as("is_spike"))
+        val counts = graft.operators.SpikeDetect.windowCounts(
+          ev(s, dir), "event_type", "ts_ms", windowMs = 21600000L) // 6 h
+        graft.operators.SpikeDetect.flags(counts)
+          .select(col("g").as("event_type"), col("window_start_ms"),
+            col("n"), col("is_spike"))
           .orderBy(col("event_type"), col("window_start_ms"))
       },
       oracle = Some("""

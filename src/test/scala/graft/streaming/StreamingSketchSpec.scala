@@ -160,4 +160,56 @@ class StreamingSketchSpec extends AnyFunSuite {
     val qB = quants(HistogramSketch.histogram(all.toDF("g", "v"), "g", col("v"), bins, lo, hi))
     assert(qS == qB && qS.nonEmpty) // bit-identical quantiles
   }
+
+  test("foreachBatch spike-count accumulation flags exactly like the batch twin") {
+    import graft.operators.SpikeDetect
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // counts ADD (exactly-once contract) — disjoint event slices; one
+    // window per group gets a heavy burst so a real spike exists
+    val winMs = 1000L
+    def evs(g: String, window: Int, k: Int) =
+      (1 to k).map(i => (g, window * winMs + (i % 1000)))
+    // click windows 0-5: 10, 7+5 (split across triggers), 11, 80 (burst),
+    // 9, 10; view windows 0-5: 5, 6, 40 (burst), 7, 5, 6 — six windows per
+    // group because a single outlier among W uniform windows exceeds 2σ
+    // strictly only for W >= 6 ((W-1)² > 4(W-1))
+    val chunks = Seq(
+      evs("click", 0, 10) ++ evs("click", 1, 7) ++
+        evs("view", 0, 5) ++ evs("view", 1, 6),
+      evs("click", 1, 5) ++ evs("click", 2, 11) ++ evs("click", 3, 80) ++
+        evs("view", 2, 40) ++ evs("view", 3, 7),
+      evs("click", 4, 9) ++ evs("click", 5, 10) ++
+        evs("view", 4, 5) ++ evs("view", 5, 6))
+    val all = chunks.flatten
+
+    val acc = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val input = MemoryStream[(String, Long)]
+    val query = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+        SpikeDetect.mergeCounts(acc,
+          SpikeDetect.windowCounts(batch.toDF("g", "ts_ms"), "g", "ts_ms", winMs))
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+
+    def verdicts(counts: org.apache.spark.sql.DataFrame) =
+      SpikeDetect.flags(counts).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3))))
+        .toMap
+    val batchCounts = SpikeDetect.windowCounts(
+      all.toDF("g", "ts_ms"), "g", "ts_ms", winMs)
+    val vS = verdicts(SpikeDetect.imageToCounts(spark, acc))
+    val vB = verdicts(batchCounts)
+    assert(vS == vB) // count-image identity => bit-identical verdicts
+    // the bursts are flagged, the baseline windows are not
+    assert(vS(("click", 3000L))._2 == 1)
+    assert(vS(("view", 2000L))._2 == 1)
+    assert(vS(("click", 0L))._2 == 0)
+    // a window split ACROSS micro-batches accumulates to one count row
+    assert(vS(("click", 1000L))._1 == 12L)
+  }
 }
