@@ -28,6 +28,42 @@ object KeywordSearch {
       .select(col(idCol).as("doc_id"),
         size(graft.functions.TextAnalysis.lowerTokens(col(textCol))).cast("long").as("dl"))
 
+  /** Positional inverted-index postings (term, doc_id, pos) — the exact
+    * complement to [[bm25]]'s bag-of-words ranking: phrase and proximity
+    * queries need token POSITIONS, which the bag representation discards.
+    * At scale, materialize once per corpus snapshot partitioned/bucketed by
+    * term; every phrase query then prunes to its terms' postings instead of
+    * re-tokenizing the corpus.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextAnalysis.lowerTokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .select(col("term"), col("doc_id"), col("pos"))
+
+  /** Exact-phrase occurrence counts per doc: (doc_id, n_matches) for docs
+    * containing the consecutive token sequence `phrase` at least once.
+    * Each phrase term i joins its postings back to the anchor at
+    * (doc_id, pos − i) — a chain of EQUI-joins on term-filtered slices
+    * (each side is one term's postings, not the corpus), never a regex scan
+    * over text. Docs without a match are absent (join semantics; LEFT-join
+    * against the corpus at the call site if zeros are wanted).
+    */
+  def phraseCount(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val anchor = postings.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        acc.join(postings.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Okapi BM25 top-k for a bag of query terms.
     *
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),

@@ -1458,6 +1458,52 @@ object TextQueries {
                CAST(COALESCE(t.n_seg, 0) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
         FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
                LEFT JOIN tot t ON t.doc_id = d.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // Exact-phrase search over a positional inverted index, hash-exact: the
+    // query phrase is the corpus's most frequent bigram (count desc, then
+    // lexicographic — fully data-derived, so the query is non-vacuous at
+    // every SF by construction), and matches are counted per doc via
+    // positional equi-joins on term-filtered postings slices — the exact
+    // complement of q38's bag-of-words BM25 (positions, not frequencies).
+    "q5c_phrase_search" -> Q(
+      fn = (s, dir) => {
+        val posts = graft.operators.KeywordSearch.postings(
+          docs(s, dir), "doc_id", "text").localCheckpoint()
+        val big = posts.select(col("doc_id"), col("pos"), col("term").as("t1"))
+          .join(posts.select(col("doc_id"), (col("pos") - 1).as("pos"),
+            col("term").as("t2")), Seq("doc_id", "pos"))
+          .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t1"), col("t2"))
+          .limit(1).head()
+        val (ta, tb) = (big.getString(0), big.getString(1))
+        graft.operators.KeywordSearch.phraseCount(posts, Seq(ta, tb))
+          .select(col("doc_id"), lit(ta).as("term_a"), lit(tb).as("term_b"),
+            col("n_matches"))
+          .orderBy(col("n_matches").desc, col("doc_id"))
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS l
+                FROM documents)),
+        p AS MATERIALIZED (
+          SELECT term, doc_id, pos FROM toks WHERE term <> ''),
+        big AS MATERIALIZED (
+          SELECT t1, t2 FROM (
+            SELECT a.term AS t1, b.term AS t2, COUNT(*) AS n
+            FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            GROUP BY 1, 2 ORDER BY n DESC, t1, t2 LIMIT 1)),
+        m AS (
+          SELECT a.doc_id, COUNT(*) AS n_matches
+          FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN big ON a.term = big.t1 AND b.term = big.t2
+          GROUP BY a.doc_id)
+        SELECT doc_id, (SELECT t1 FROM big) AS term_a,
+               (SELECT t2 FROM big) AS term_b,
+               CAST(n_matches AS BIGINT) AS n_matches
+        FROM m ORDER BY n_matches DESC, doc_id LIMIT 50"""))
   )
 }

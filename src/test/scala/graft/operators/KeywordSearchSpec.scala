@@ -134,4 +134,43 @@ class KeywordSearchSpec extends AnyFunSuite {
     assert(out((3L, 1))._1 == "other")
     assert(out((3L, 2)) == ("shared", 0.0))
   }
+
+  test("postings: lowercased terms with 0-based positions, empty docs drop out") {
+    import spark.implicits._
+    val docs = Seq((1L, "Alpha beta  ALPHA"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val p = KeywordSearch.postings(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(p === Set(("alpha", 1L, 0), ("beta", 1L, 1), ("alpha", 1L, 2)))
+  }
+
+  test("phraseCount: consecutive positions only, overlaps count, order matters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick fox saw the quick fox"), // phrase twice
+      (2L, "quick the fox"),                   // right words, wrong order
+      (3L, "the slow quick fox"),              // not consecutive
+      (4L, "a a a")                            // overlapping "a a" twice
+    ).toDF("doc_id", "text")
+    val posts = KeywordSearch.postings(docs, "doc_id", "text")
+    def counts(phrase: Seq[String]) =
+      KeywordSearch.phraseCount(posts, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(Seq("the", "quick")) === Map(1L -> 2L))
+    assert(counts(Seq("the", "quick", "fox")) === Map(1L -> 2L))
+    assert(counts(Seq("a", "a")) === Map(4L -> 2L))
+    assert(counts(Seq("fox", "saw", "the")) === Map(1L -> 1L))
+    assert(counts(Seq("missing", "term")).isEmpty)
+  }
+
+  test("phraseCount is partition-invariant") {
+    import spark.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, s"w${i % 3} w${(i + 1) % 3} w${i % 3} w${(i + 1) % 3}"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = KeywordSearch.phraseCount(
+      KeywordSearch.postings(docs.repartition(parts), "doc_id", "text"),
+      Seq("w0", "w1"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) === run(13) && run(1).nonEmpty)
+  }
 }
