@@ -38,7 +38,8 @@ object Curate {
       canonicalize: Boolean = false,
       c4PageRules: Boolean = false,
       lmMinTokenCount: Long = 1L,
-      urlCol: Option[String] = None)
+      urlCol: Option[String] = None,
+      classifierGate: Option[(TextClassifier.Model, Double)] = None)
 
   /** Ordered (stageName, DataFrame-after-stage) — the last entry is the
     * curated output: original columns plus `surprisal` (when banded) and
@@ -152,6 +153,21 @@ object Curate {
       cur = cur.join(scores, Seq(idCol), "left")
         .filter(col("surprisal").between(lo, hi) || col("surprisal").isNull)
       out += ("quality_band" -> cur)
+    }
+
+    // 4b. trained-classifier gate (adds `clf_score`; the CCNet/fastText
+    // distilled filter, [[TextClassifier]]) — the model is dim+1 doubles
+    // broadcast by construction, scoring is one margin shuffle. Every doc
+    // gets a score (the bias feature guarantees a margin even for empty
+    // text), so unlike the LM band there is no could-not-score exemption.
+    cfg.classifierGate.foreach { case (model, minScore) =>
+      val feats = TextClassifier.hashedFeatures(
+        cur.withColumn("__clfy", lit(0)), idCol, textCol, "__clfy", model.dim)
+      val scores = TextClassifier.score(feats, model)
+        .select(col("id").as(idCol), col("score").as("clf_score"))
+      cur = cur.join(scores, Seq(idCol), "left")
+        .filter(col("clf_score") >= minScore)
+      out += ("classifier_gate" -> cur)
     }
 
     // 5. PII scrub (adds `redacted`; original text kept for provenance)

@@ -1413,7 +1413,8 @@ object TextQueries {
           SELECT doc_id, y,
                  ROUND(0.5 + (0.5 * m) / (1.0 + abs(m)), 9) AS p FROM m3)
         SELECT doc_id, y, ROUND(p, 6) AS score FROM p3
-        ORDER BY score DESC, doc_id LIMIT 100""")),
+        ORDER BY score DESC, doc_id LIMIT 100"""),
+      headline = true),
 
     // Corpus-wide exact segment dedup (C4/RefinedWeb repeated-span removal),
     // hash-exact: every doc splits into consecutive 3-token segments, only
@@ -1458,7 +1459,8 @@ object TextQueries {
                CAST(COALESCE(t.n_seg, 0) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
         FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
                LEFT JOIN tot t ON t.doc_id = d.doc_id
-        ORDER BY d.doc_id""")),
+        ORDER BY d.doc_id"""),
+      headline = true),
 
     // Exact-phrase search over a positional inverted index, hash-exact: the
     // query phrase is the corpus's most frequent bigram (count desc, then

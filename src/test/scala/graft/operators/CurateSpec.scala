@@ -197,4 +197,37 @@ class CurateSpec extends AnyFunSuite {
     assert(!st.last._2.columns.contains("surprisal"))
     assert(st.last._2.columns.contains("redacted"))
   }
+
+  test("classifier gate filters on the distilled model's scores, e2e") {
+    import spark.implicits._
+    // train on a labeled slice: "alpha"-speak is quality 1, "junk"-speak 0
+    val labeled = (0 until 30).map { i =>
+      if (i % 2 == 0) (100L + i, "alpha beta alpha beta", 1)
+      else (100L + i, "junk junkier junkiest", 0)
+    }.toDF("doc_id", "text", "y")
+    val feats = TextClassifier.hashedFeatures(labeled, "doc_id", "text", "y", dim = 32)
+    val model = TextClassifier.train(feats, dim = 32, iters = 8, lr = 2.0)
+
+    // gate a fresh corpus with the trained model inside the curation run
+    val corpus = Seq(
+      (1L, "alpha beta alpha", "s1"),
+      (2L, "junk junkier junk", "s1"),
+      (3L, "alpha beta beta alpha", "s2"),
+      (4L, "junkiest junk junkier", "s2"),
+      (5L, "", "s2") // empty text: bias-only margin, still scored
+    ).toDF("doc_id", "text", "source")
+    val st = Curate.stages(corpus, "doc_id", "text", "source",
+      benchmarks = None,
+      cfg = Curate.Config(nearDupMinJaccard = None,
+        classifierGate = Some((model, 0.5))))
+    val gate = st.find(_._1 == "classifier_gate").get._2
+    assert(gate.columns.contains("clf_score"))
+    val kept = gate.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(Set(1L, 3L)) === Set(1L, 3L), "quality docs pass")
+    assert(kept.intersect(Set(2L, 4L)).isEmpty, "junk docs are gated out")
+    // the empty doc got a real (bias-only) score — present in the scored
+    // frame, kept or dropped by the threshold, never silently missing
+    val scored = st.last._2
+    assert(scored.columns.contains("clf_score"))
+  }
 }
