@@ -699,6 +699,60 @@ object VectorQueries {
           WHERE ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6) >= 0.38)
         SELECT vec_id, label, cell FROM assign
         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // Cluster labeling (the data-map step that makes embedding clusters
+    // human-readable): k-means cells (1 grid-snapped Lloyd round over the
+    // 8-cell draw) joined to the documents corpus on the embedding id, then
+    // each cluster labeled with its 3 most frequent terms. The top-terms
+    // pick is row_number over (cell) — bounded by the per-cell VOCABULARY
+    // (WindowGroupLimit keeps per-group state at k), never the corpus.
+    // Composition: q4y's training arithmetic × q38's tokenization, both
+    // already oracle-proven.
+    "q5d_cluster_labels" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val idx0 = graft.operators.IvfIndex.centroidsByDraw(
+          e, "vec_id", "embedding", nCells = 8)
+        val idx = graft.operators.IvfIndex.refineExact(e, "embedding", idx0, iters = 1)
+        val assigned = graft.operators.IvfIndex.assign(e, "embedding", idx)
+          .select(col("vec_id"), col("cell"))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val toks = assigned
+          .join(docs, assigned("vec_id") === docs("doc_id"))
+          .select(col("cell"),
+            explode(graft.functions.TextAnalysis.lowerTokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val counts = toks.groupBy("cell", "term").agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell")).orderBy(col("n").desc, col("term"))
+        counts.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("cell"), col("rank"), col("term"), col("n"))
+          .orderBy(col("cell"), col("rank"))
+      },
+      oracle = Some(s"""
+        ${kmeansCtes(nCells = 8, iters = 1)},
+        fin AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(e.v, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM e CROSS JOIN cent1 c) WHERE rn = 1),
+        toks AS (
+          SELECT f.cell,
+                 unnest(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS term
+          FROM fin f JOIN documents d ON d.doc_id = f.vec_id),
+        counts AS (
+          SELECT cell, term, CAST(COUNT(*) AS BIGINT) AS n
+          FROM toks WHERE term <> '' GROUP BY cell, term),
+        ranked AS (
+          SELECT cell, term, n,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cell
+                   ORDER BY n DESC, term) AS INT) AS rank
+          FROM counts)
+        SELECT cell, rank, term, n FROM ranked WHERE rank <= 3
+        ORDER BY cell, rank"""))
   )
 }
