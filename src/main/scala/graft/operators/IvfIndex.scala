@@ -223,29 +223,72 @@ object IvfIndex {
     require(iters >= 0, s"iters must be non-negative, got $iters")
     var cents = index
     for (_ <- 1 to iters) {
-      val rows = assign(corpus, vecCol, cents, cellCol = "__cell")
-        .select(col("__cell"),
-          posexplode(VectorFunctions.asFloatArray(col(vecCol))).as(Seq("__pos", "__x")))
-        .groupBy("__cell", "__pos")
-        .agg(sum(col("__x").cast("double").cast("decimal(28,12)")).as("__s"),
-          count(lit(1)).as("__n"))
-        .select(col("__cell"), col("__pos"),
-          round(col("__s").cast("double") / col("__n").cast("double"), 9)
-            .cast("float").as("__m"))
-        .collect()
-      val byCell = rows.groupBy(_.getInt(0))
-      cents = Index(cents.centroids.map { case (cell, old) =>
-        byCell.get(cell) match {
-          case Some(rs) =>
-            val v = old.clone()
-            rs.foreach(r => v(r.getInt(1)) = r.getFloat(2))
-            cell -> v
-          case None => cell -> old
-        }
-      })
+      // one round = one sums image + the shared finalize arithmetic, the
+      // exact same two steps the streaming path runs (assignSums add-merged
+      // across micro-batches, finalizeCentroids at trigger end) — a single
+      // source of truth for the mean arithmetic
+      val acc = scala.collection.mutable
+        .Map.empty[(Int, Int), (java.math.BigDecimal, Long)]
+      mergeAssignSums(acc, assignSums(corpus, vecCol, cents))
+      cents = finalizeCentroids(acc, cents)
     }
     cents
   }
+
+  /** Per-batch component sums for ONE distributed Lloyd round: each row is
+    * assigned to its nearest centroid of the FIXED `index` and contributes
+    * its components as DECIMAL(28,12)-exact sums — (cell, pos, sum, n) rows,
+    * at most nCells × dim of them per batch. The streaming complement of
+    * [[refineExact]]: sums ADD across micro-batches (the CMS exactly-once
+    * contract), so accumulating batch images and finalizing with
+    * [[finalizeCentroids]] yields BIT-IDENTICAL centroids to one
+    * refineExact round over the union of the batches — the order-free
+    * DECIMAL arithmetic is what makes the split irrelevant.
+    */
+  def assignSums(
+      batch: DataFrame, vecCol: String, index: Index): DataFrame =
+    assign(batch, vecCol, index, cellCol = "__cell")
+      .select(col("__cell"),
+        posexplode(VectorFunctions.asFloatArray(col(vecCol))).as(Seq("__pos", "__x")))
+      .groupBy("__cell", "__pos")
+      .agg(sum(col("__x").cast("double").cast("decimal(28,12)")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("__cell").as("cell"), col("__pos").as("pos"),
+        col("__s").as("s"), col("__n").as("n"))
+
+  /** Add-merge a batch's [[assignSums]] image into the streaming
+    * accumulator (driver state ≤ nCells × dim entries — index metadata).
+    */
+  def mergeAssignSums(
+      acc: scala.collection.mutable.Map[(Int, Int), (java.math.BigDecimal, Long)],
+      batchSums: DataFrame): Unit =
+    batchSums.collect().foreach { r =>
+      val k = (r.getInt(0), r.getInt(1))
+      val s = r.getDecimal(2)
+      val n = r.getLong(3)
+      val (s0, n0) = acc.getOrElse(k,
+        (java.math.BigDecimal.ZERO.setScale(s.scale), 0L))
+      acc(k) = (s0.add(s), n0 + n)
+    }
+
+  /** Finalize an accumulated sums image into the next centroid set with
+    * refineExact's exact arithmetic: mean = round(sumDouble / n, 9) stored
+    * as float; empty cells keep their previous centroid.
+    */
+  def finalizeCentroids(
+      acc: scala.collection.Map[(Int, Int), (java.math.BigDecimal, Long)],
+      prev: Index): Index =
+    Index(prev.centroids.map { case (cell, old) =>
+      val v = old.clone()
+      var touched = false
+      acc.foreach { case ((c, pos), (s, n)) =>
+        if (c == cell) {
+          v(pos) = roundHalfUp(s.doubleValue() / n, 9).toFloat
+          touched = true
+        }
+      }
+      cell -> (if (touched) v else old)
+    })
 
   /** Double cosine, left-to-right accumulation over float inputs — the exact
     * arithmetic of the codegen [[graft.functions.CosineSimilarity]] and of

@@ -140,6 +140,33 @@ object TextClassifier {
     Model(w)
   }
 
+  /** Persist a model as a (j, w) parquet table — dim+1 rows of metadata, so
+    * a filter trained once ships to every downstream curation job (the
+    * train-once / score-everywhere split that matters when scoring is a
+    * 100 TB pass and training was a labeled slice).
+    */
+  def saveModel(model: Model, path: String, spark: SparkSession): Unit = {
+    import spark.implicits._
+    model.weights.zipWithIndex.map { case (w, j) => (j, w) }
+      .toSeq.toDF("j", "w")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveModel]] table. Weights must be a dense 0..dim index
+    * range — a gap means the table is not a classifier model.
+    */
+  def loadModel(path: String, spark: SparkSession): Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("j").cast("int"), col("w").cast("double"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+      .sortBy(_._1)
+    require(rows.nonEmpty && rows.map(_._1).toSeq == (0 until rows.length),
+      s"model table at $path is not a dense 0..${rows.length - 1} weight range")
+    Model(rows.map(_._2))
+  }
+
   /** Corpus scores under a model: (id, y, score) with
     * score = round(p, 6) — the filter column a curation pipeline thresholds
     * on. Inference is the margin pass only (one shuffle, model broadcast).

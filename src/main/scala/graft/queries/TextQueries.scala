@@ -1506,6 +1506,56 @@ object TextQueries {
         SELECT doc_id, (SELECT t1 FROM big) AS term_a,
                (SELECT t2 FROM big) AS term_b,
                CAST(n_matches AS BIGINT) AS n_matches
-        FROM m ORDER BY n_matches DESC, doc_id LIMIT 50"""))
+        FROM m ORDER BY n_matches DESC, doc_id LIMIT 50""")),
+
+    // Proximity search (term B within 5 tokens after term A), hash-exact:
+    // composes the positional postings with the RangeJoin interval-join
+    // operator — positions bucketed by floor(pos/w) with the two-bucket
+    // anchor expansion, so the proximity pairing is a PURE equi-join (the
+    // q4u machinery applied to token positions instead of timestamps; no
+    // per-doc quadratic blowup, no inequality join in the plan). Query
+    // terms are the corpus's two most frequent (data-derived, non-vacuous
+    // at every SF).
+    "q5e_proximity_search" -> Q(
+      fn = (s, dir) => {
+        val posts = graft.operators.KeywordSearch.postings(
+          docs(s, dir), "doc_id", "text").localCheckpoint()
+        val top2 = posts.groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term")).limit(2).collect()
+        val (ta, tb) = (top2(0).getString(0), top2(1).getString(0))
+        val a = posts.filter(col("term") === ta).select(col("doc_id"), col("pos"))
+        val b = posts.filter(col("term") === tb).select(col("doc_id"), col("pos"))
+        graft.operators.RangeJoin.within(a, b, Seq("doc_id"), "pos", "pos",
+            windowMs = 5L)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
+          .select(col("doc_id"), lit(ta).as("term_a"), lit(tb).as("term_b"),
+            col("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("doc_id"))
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS l
+                FROM documents)),
+        p AS MATERIALIZED (
+          SELECT term, doc_id, pos FROM toks WHERE term <> ''),
+        t12 AS MATERIALIZED (
+          SELECT MAX(CASE WHEN rnk = 1 THEN term END) AS t1,
+                 MAX(CASE WHEN rnk = 2 THEN term END) AS t2
+          FROM (SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rnk
+                FROM (SELECT term, COUNT(*) AS n FROM p GROUP BY term))
+          WHERE rnk <= 2),
+        m AS (
+          SELECT a.doc_id, COUNT(*) AS n_pairs
+          FROM p a JOIN t12 ON a.term = t12.t1
+          JOIN p b ON b.doc_id = a.doc_id AND b.term = t12.t2
+           AND b.pos >= a.pos AND b.pos <= a.pos + 5
+          GROUP BY a.doc_id)
+        SELECT doc_id, (SELECT t1 FROM t12) AS term_a,
+               (SELECT t2 FROM t12) AS term_b,
+               CAST(n_pairs AS BIGINT) AS n_pairs
+        FROM m ORDER BY n_pairs DESC, doc_id LIMIT 50"""))
   )
 }

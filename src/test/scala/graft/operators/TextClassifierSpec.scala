@@ -91,6 +91,29 @@ class TextClassifierSpec extends AnyFunSuite {
     assert(weights(1) === weights(13))
   }
 
+  test("saveModel/loadModel round-trips weights bit-exactly; junk tables refuse") {
+    val feats = TextClassifier.hashedFeatures(fixture, "doc_id", "text", "y", dim = 32)
+    val m = TextClassifier.train(feats, dim = 32, iters = 3, lr = 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("clf-model")
+      .resolve("m").toString
+    TextClassifier.saveModel(m, dir, spark)
+    val back = TextClassifier.loadModel(dir, spark)
+    assert(back.weights.toSeq === m.weights.toSeq)
+    assert(back.dim === m.dim)
+    // and scoring under the reloaded model is bit-identical
+    val a = TextClassifier.score(feats, m).collect().map(_.getDouble(2)).toSeq
+    val b = TextClassifier.score(feats, back).collect().map(_.getDouble(2)).toSeq
+    assert(a === b)
+    // a table with an index gap is not a model
+    import spark.implicits._
+    val junkDir = java.nio.file.Files.createTempDirectory("clf-junk")
+      .resolve("m").toString
+    Seq((0, 0.1), (2, 0.2)).toDF("j", "w").write.parquet(junkDir)
+    assertThrows[IllegalArgumentException] {
+      TextClassifier.loadModel(junkDir, spark)
+    }
+  }
+
   test("scores lie on the (0,1) fast-sigmoid range and the 6-decimal grid") {
     val feats = TextClassifier.hashedFeatures(fixture, "doc_id", "text", "y", dim = 32)
     val m = TextClassifier.train(feats, dim = 32, iters = 2, lr = 0.5)

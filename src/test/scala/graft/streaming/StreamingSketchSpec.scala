@@ -212,4 +212,44 @@ class StreamingSketchSpec extends AnyFunSuite {
     // a window split ACROSS micro-batches accumulates to one count row
     assert(vS(("click", 1000L))._1 == 12L)
   }
+
+  test("foreachBatch k-means sums accumulate to refineExact's exact centroids") {
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // sums ADD (exactly-once contract) — disjoint slices of one corpus;
+    // centroids stay FIXED during the round, exactly like refineExact's
+    val all = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx0 = IvfIndex.centroidsByDraw(all, "vec_id", "embedding", nCells = 8)
+    val chunks = Seq(0, 1, 2).map(m =>
+      all.filter(org.apache.spark.sql.functions.col("vec_id") % 3 === m)
+        .select("vec_id", "embedding")
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Float]](1).toArray.toSeq)))
+
+    val acc = scala.collection.mutable
+      .Map.empty[(Int, Int), (java.math.BigDecimal, Long)]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Seq[Float])], _: Long) =>
+        IvfIndex.mergeAssignSums(acc,
+          IvfIndex.assignSums(batch.toDF("vec_id", "embedding"), "embedding", idx0))
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c.toIndexedSeq); query.processAllAvailable() }
+    } finally query.stop()
+
+    val streamed = IvfIndex.finalizeCentroids(acc, idx0)
+    val batch = IvfIndex.refineExact(all, "embedding", idx0, iters = 1)
+    for (((c1, v1), (c2, v2)) <- streamed.centroids.zip(batch.centroids)) {
+      assert(c1 === c2)
+      assert(v1.toSeq === v2.toSeq,
+        s"cell $c1: streamed round != batch refineExact round")
+    }
+    // and the refined set actually moved (the round did something)
+    assert(streamed.centroids.map(_._2.toSeq) !== idx0.centroids.map(_._2.toSeq))
+  }
 }
