@@ -1415,6 +1415,40 @@ object RelationalQueries {
           .orderBy(col("ts_ms"), col("event_id")),
       oracle = Some("""
         SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, value
-        FROM events WHERE user_id = 7 ORDER BY ts_ms, event_id"""))
+        FROM events WHERE user_id = 7 ORDER BY ts_ms, event_id""")),
+
+    // Per-column data-quality profile (the Deequ-style data card a pipeline
+    // runs before trusting a new corpus snapshot), hash-exact: row/null/
+    // exact-distinct counts + min/max per column in ONE aggregation pass.
+    // Numeric extremes travel as the stored DOUBLE values (no formatting —
+    // float→string rendering is not cross-engine replayable, the q36
+    // lesson); string extremes as UTF-8/binary-collation min/max.
+    "q5f_table_profile" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Profile.tableProfile(
+          t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_linestatus"))
+          .orderBy(col("column")),
+      oracle = Some {
+        def num(c: String) = s"""
+          SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                 CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+                 CAST(MIN($c) AS DOUBLE) AS min_num,
+                 CAST(MAX($c) AS DOUBLE) AS max_num,
+                 CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+          FROM lineitem"""
+        def str(c: String) = s"""
+          SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                 CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+                 CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+                 MIN($c) AS min_str, MAX($c) AS max_str
+          FROM lineitem"""
+        Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+          str("l_returnflag"), str("l_linestatus"))
+          .mkString("", "\nUNION ALL", "\nORDER BY \"column\"")
+      })
   )
 }

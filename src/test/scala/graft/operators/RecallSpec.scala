@@ -101,14 +101,19 @@ class RecallSpec extends AnyFunSuite {
     val r8 = meanRecall(draw, nProbe = 8)
     val refined = IvfIndex.refine(emb, "embedding", draw, iters = 3)
     val k4 = meanRecall(refined, nProbe = 4)
+    // the oracle-exact twin must deliver the same refinement lift — its
+    // grid snap perturbs each component by < 5e-10, recall-invisible
+    val exact = IvfIndex.refineExact(emb, "embedding", draw, iters = 3)
+    val x4 = meanRecall(exact, nProbe = 4)
     info(f"ivf recall@10 (K=16): draw nprobe4 $r4%.4f, nprobe8 $r8%.4f; " +
-      f"kmeans3 nprobe4 $k4%.4f")
+      f"kmeans3 nprobe4 $k4%.4f; kmeans3-exact nprobe4 $x4%.4f")
     // gates pinned below deterministic measured values (0.473/0.697/0.547 at
     // sf0.01; refined has float-mean jitter, hence the wider margin)
     assert(r4 >= 0.40, f"ivf draw nprobe4 recall $r4%.4f below gate")
     assert(r8 >= 0.60, f"ivf draw nprobe8 recall $r8%.4f below gate")
     assert(r8 >= r4, "more probes must not lose recall")
     assert(k4 >= 0.50, f"ivf kmeans nprobe4 recall $k4%.4f below gate")
+    assert(x4 >= 0.50, f"ivf refineExact nprobe4 recall $x4%.4f below gate")
   }
 
   test("quantized IVF matches float IVF ranking (int8 fidelity gate)") {
