@@ -179,6 +179,16 @@ class DedupSpec extends AnyFunSuite {
     assert(out.getLong(3) === 1L)
   }
 
+  test("dedupSegments: segTokens beyond every doc length degrades to whole-doc dedup") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs, col("doc_id"), col("text"), segTokens = 100)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b c", 0L)))
+    assert(out(2L) === (("", 1L))) // whole doc was one segment, seen at doc 1
+    assert(out(3L) === (("x y", 0L)))
+  }
+
   test("dedupSegments is partition-invariant and window-free") {
     import spark.implicits._
     val docs = (0L until 60L).map(i => (i, s"tok${i % 7} alpha beta gamma tok${i % 5}"))

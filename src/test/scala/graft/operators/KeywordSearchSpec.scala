@@ -162,6 +162,15 @@ class KeywordSearchSpec extends AnyFunSuite {
     assert(counts(Seq("missing", "term")).isEmpty)
   }
 
+  test("phraseCount: a single-term phrase is plain term frequency") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b b")).toDF("doc_id", "text")
+    val posts = KeywordSearch.postings(docs, "doc_id", "text")
+    val got = KeywordSearch.phraseCount(posts, Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L))
+  }
+
   test("phraseCount is partition-invariant") {
     import spark.implicits._
     val docs = (0L until 50L)

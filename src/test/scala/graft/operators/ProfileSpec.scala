@@ -47,6 +47,14 @@ class ProfileSpec extends AnyFunSuite {
     assert(p("v") === ((2L, 2L, 0L, None, None, None, None)))
   }
 
+  test("empty table: zero counts, absent extremes") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("k", "s").filter("k < 0")
+    val p = rowsByCol(Profile.tableProfile(df, Seq("k", "s")))
+    assert(p("k") === ((0L, 0L, 0L, None, None, None, None)))
+    assert(p("s") === ((0L, 0L, 0L, None, None, None, None)))
+  }
+
   test("unknown columns refuse loudly; empty column list refuses") {
     import spark.implicits._
     val df = Seq((1, "x")).toDF("a", "b")

@@ -91,6 +91,25 @@ class TextClassifierSpec extends AnyFunSuite {
     assert(weights(1) === weights(13))
   }
 
+  test("zero iterations yields the zero model; every score is exactly 0.5") {
+    val feats = TextClassifier.hashedFeatures(fixture, "doc_id", "text", "y", dim = 16)
+    val m = TextClassifier.train(feats, dim = 16, iters = 0, lr = 0.5)
+    assert(m.weights.forall(_ === 0.0))
+    val scores = TextClassifier.score(feats, m).collect().map(_.getDouble(2))
+    assert(scores.nonEmpty && scores.forall(_ === 0.5))
+  }
+
+  test("uniform labels push every touched weight the same direction") {
+    import spark.implicits._
+    // all-positive corpus: gradient (p − 1)·x is negative everywhere, so
+    // weights only grow — scores must end strictly above the 0.5 start
+    val docs = (0L until 20L).map(i => (i, "tok other", 1)).toDF("doc_id", "text", "y")
+    val feats = TextClassifier.hashedFeatures(docs, "doc_id", "text", "y", dim = 16)
+    val m = TextClassifier.train(feats, dim = 16, iters = 3, lr = 1.0)
+    val scores = TextClassifier.score(feats, m).collect().map(_.getDouble(2))
+    assert(scores.forall(_ > 0.5))
+  }
+
   test("saveModel/loadModel round-trips weights bit-exactly; junk tables refuse") {
     val feats = TextClassifier.hashedFeatures(fixture, "doc_id", "text", "y", dim = 32)
     val m = TextClassifier.train(feats, dim = 32, iters = 3, lr = 0.5)
