@@ -134,6 +134,11 @@ object Bench {
       // LM surprisal band) so the complete curation cost moves per round
       "q3m_full_curation" -> (() => curateFull(spark, sfDir)),
       "q38_bm25_precomputed" -> (() => bm25Precomputed(spark, sfDir, lensPath)),
+      // the classifier's serving split: q5a times featurize+train+score;
+      // this times the SCORE-ONLY pass under a model trained once outside
+      // the timed region — the per-corpus-pass cost a 100 TB pipeline
+      // actually pays after training on its labeled slice
+      "q5a_score_precomputed" -> (() => classifierScoreOnly(spark, sfDir)),
       // same q03-shaped fact-fact revenue join twice: over plain parquet
       // (shuffles both sides) and over the bucketed layout (exchange-free
       // below the SMJ) — the measured delta IS the bucketing win
@@ -330,6 +335,29 @@ object Bench {
         // stage would empty the corpus and zero out every later stage's
         // cost, making the bench line meaningless
         canonicalize = true)).count()
+    ()
+  }
+
+  /** Score-only classifier pass under a model trained once (lazily, outside
+    * the timed runs): featurize + one margin shuffle — the amortized
+    * inference cost, vs q5a's full featurize+train+score.
+    */
+  private var cachedClfModel: Option[graft.operators.TextClassifier.Model] = None
+
+  private def classifierScoreOnly(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val d = Tables(spark, sfDir, "documents")
+      .withColumn("y", (col("n_chars") >= 250).cast("int"))
+    val model = cachedClfModel.getOrElse {
+      val m = graft.operators.TextClassifier.train(
+        graft.operators.TextClassifier.hashedFeatures(d, "doc_id", "text", "y", dim = 32),
+        dim = 32, iters = 2, lr = 0.5)
+      cachedClfModel = Some(m)
+      m
+    }
+    graft.operators.TextClassifier.score(
+      graft.operators.TextClassifier.hashedFeatures(d, "doc_id", "text", "y", dim = 32),
+      model).count()
     ()
   }
 
