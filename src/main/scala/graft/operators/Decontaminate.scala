@@ -91,4 +91,27 @@ object Decontaminate {
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
       .filter(col("n_shared_grams") >= minShared)
   }
+
+  /** Corpus-wide repeated-span DISCOVERY — the inverse direction of
+    * [[sharedNgrams]]: instead of checking the corpus against a known
+    * droplist, find the spans that SHOULD be on one. Output: every word
+    * n-gram appearing in at least `minDocs` distinct docs, with its doc
+    * frequency and first (minimum-id) carrier — exactly the evidence a
+    * curation run reviews before feeding a boilerplate droplist to
+    * [[sharedNgrams]] or a cap to [[Dedup.passageOverlapPairs]].
+    *
+    * Scale shape: distinct (doc, gram) pairs then one map-side-combinable
+    * aggregate keyed on the gram — a ubiquitous span partial-aggregates
+    * inside every map task (no window, no skew serialization; the q5b
+    * discipline). Callers bound output with `minDocs` and a top-k.
+    */
+  def repeatedSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      minDocs: Long = 2L): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    ngrams(df, idCol, textCol, n)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

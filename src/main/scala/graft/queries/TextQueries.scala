@@ -1556,6 +1556,33 @@ object TextQueries {
         SELECT doc_id, (SELECT t1 FROM t12) AS term_a,
                (SELECT t2 FROM t12) AS term_b,
                CAST(n_pairs AS BIGINT) AS n_pairs
-        FROM m ORDER BY n_pairs DESC, doc_id LIMIT 50"""))
+        FROM m ORDER BY n_pairs DESC, doc_id LIMIT 50""")),
+
+    // Boilerplate-span discovery (the droplist BUILDER — q3f checks the
+    // corpus against a known list, this finds what belongs on one),
+    // hash-exact: every word 4-gram carried by >= 2 distinct docs, with
+    // doc frequency and first carrier, top-100 by (n_docs desc, gram).
+    // The doc-frequency pick is a map-side-combinable aggregate keyed on
+    // the gram — ubiquitous spans partial-aggregate in every map task,
+    // never a window partition (the q5b discipline).
+    "q5g_repeated_spans" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Decontaminate.repeatedSpans(
+            docs(s, dir), "doc_id", "text", n = 4, minDocs = 2L)
+          .orderBy(col("n_docs").desc, col("gram"))
+          .limit(100),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t) - 2),
+                   i -> array_to_string(t[i : i + 3], ' '))) AS gram
+          FROM toks WHERE len(t) >= 4)
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS first_doc
+        FROM g GROUP BY gram HAVING COUNT(*) >= 2
+        ORDER BY n_docs DESC, gram LIMIT 100"""))
   )
 }

@@ -78,4 +78,34 @@ class ScrubSpec extends AnyFunSuite {
       assert(bloom == exact, s"fpp=$fpp diverged")
     }
   }
+
+  test("repeatedSpans discovers the droplist sharedNgrams then enforces") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact us for details"
+    val corpus = Seq(
+      (1L, s"first unique article body text $boiler"),
+      (2L, s"second unique piece of writing $boiler"),
+      (3L, s"third totally different content $boiler"),
+      (4L, "clean document with no shared span inside")
+    ).toDF("doc_id", "text")
+    // discovery: the boilerplate 7-gram shows up with doc frequency 3
+    val spans = Decontaminate.repeatedSpans(corpus, "doc_id", "text", n = 7,
+      minDocs = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq === Seq((boiler, 3L, 1L)))
+    // intra-doc repeats do not inflate the doc frequency
+    val rep = Seq((9L, s"$boiler $boiler"), (10L, "x y")).toDF("doc_id", "text")
+    val repSpans = Decontaminate.repeatedSpans(rep, "doc_id", "text", 7, 1L)
+      .filter(col("gram") === boiler).head()
+    assert(repSpans.getLong(1) === 1L)
+    // the discover→enforce loop: feed the found span back as the droplist
+    val droplist = Seq((0L, boiler)).toDF("doc_id", "text")
+    val flagged = Decontaminate.sharedNgrams(corpus, droplist, "doc_id", "text", 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(1L, 2L, 3L))
+    // map-side-combinable pick, never a window
+    val plan = Decontaminate.repeatedSpans(corpus, "doc_id", "text", 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window:\n$plan")
+  }
 }
