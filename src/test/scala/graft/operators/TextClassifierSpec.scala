@@ -33,6 +33,14 @@ class TextClassifierSpec extends AnyFunSuite {
     assert(TextClassifier.featureBuckets("", 32).isEmpty)
     assert(TextClassifier.featureBuckets("   ", 32).isEmpty)
     assert(TextClassifier.featureBuckets(null, 32).isEmpty)
+    // non-ASCII and supplementary-plane tokens fold by CODEPOINT (one
+    // step per character, surrogate pairs consumed whole) — the contract
+    // DuckDB's unicode(ch) fold shares
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(TextClassifier.featureBuckets(s"$emoji a", 32).toSeq ===
+      Seq((0x1F600 % 1000000007L % 32).toInt, ('a'.toLong % 32).toInt))
+    assert(TextClassifier.featureBuckets("héllo 漢字", 32).toSeq ===
+      Seq("héllo", "漢字").map(t => (poly(t) % 32).toInt))
   }
 
   test("hashedFeatures: normalized counts plus a bias row for every doc") {
