@@ -224,6 +224,32 @@ object VectorSearch {
     assigned.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Semantic decontamination — [[semanticDedup]]'s cross-corpus sibling
+    * and the embedding-space complement of [[Decontaminate.sharedNgrams]]:
+    * drop every corpus row whose cell contains a BENCHMARK vector at
+    * `round(cosine, scoreScale) >= threshold` (n-gram overlap catches
+    * verbatim leakage; this catches paraphrased/near-verbatim leakage the
+    * lexical check misses). Both sides must carry the same coarse `cellCol`
+    * assignment (one [[IvfIndex.assign]] pass each), so the comparison is
+    * an equality join on the cell id — benchmark sets are small, the
+    * per-cell benchmark slice is tiny, and the corpus is never
+    * self-joined. Survivors = one left-anti join on the id.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, cellCol: String = "cell",
+      scoreScale: Int = 6): DataFrame = {
+    val c = corpus.select(col(cellCol).as("__cell"), col(idCol).as("__idc"),
+      col(vecCol).as("__vc"))
+    val b = benchmark.select(col(cellCol).as("__cell"), col(vecCol).as("__vb"))
+    val contaminated = c.join(b, "__cell")
+      .filter(round(VectorFunctions.cosine(col("__vc"), col("__vb")), scoreScale)
+        >= threshold)
+      .select(col("__idc").as(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Sign-bit bucket id from `nBits` fixed pseudo-random hyperplanes. The
     * hyperplanes are generated per-element from a splitmix-style integer mix,
     * so the bucketing is deterministic with no side data to ship. `seedBase`

@@ -753,6 +753,48 @@ object VectorQueries {
                    ORDER BY n DESC, term) AS INT) AS rank
           FROM counts)
         SELECT cell, rank, term, n FROM ranked WHERE rank <= 3
-        ORDER BY cell, rank"""))
+        ORDER BY cell, rank""")),
+
+    // Semantic decontamination (q3f's embedding-space complement —
+    // paraphrased/near-verbatim eval leakage that n-gram overlap misses),
+    // hash-exact: vec_ids < 20 play the benchmark set, the rest the
+    // corpus; both sides share the q3g 16-cell assignment, contamination
+    // is an equality join on the cell id against the tiny per-cell
+    // benchmark slice at round(cosine,6) >= 0.35, survivors one left-anti
+    // join. 6/7/23 drops at sf0.001/0.01/0.1 — non-vacuous everywhere.
+    "q5h_semantic_decontamination" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val index = graft.operators.IvfIndex.centroidsByDraw(
+          e, "vec_id", "embedding", nCells = 16)
+        val assigned = graft.operators.IvfIndex.assign(e, "embedding", index)
+        graft.operators.VectorSearch.semanticDecontaminate(
+            assigned.filter(col("vec_id") >= 20),
+            assigned.filter(col("vec_id") < 20),
+            "vec_id", "embedding", threshold = 0.35)
+          .select(col("vec_id"), col("label"), col("cell"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) - 1 AS INT) AS cell, v AS cv
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS d, vec_id, v FROM e
+                ORDER BY d, vec_id LIMIT 16)),
+        assign AS MATERIALIZED (
+          SELECT vec_id, label, v, cell FROM (
+            SELECT e.vec_id, e.label, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(e.v, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        contaminated AS (
+          SELECT DISTINCT c.vec_id
+          FROM assign c JOIN assign b ON c.cell = b.cell
+           AND b.vec_id < 20 AND c.vec_id >= 20
+          WHERE ROUND(CAST(list_cosine_similarity(c.v, b.v) AS DOUBLE), 6) >= 0.35)
+        SELECT vec_id, label, cell FROM assign
+        WHERE vec_id >= 20
+          AND vec_id NOT IN (SELECT vec_id FROM contaminated)
+        ORDER BY vec_id"""))
   )
 }

@@ -260,6 +260,41 @@ class VectorSearchSpec extends AnyFunSuite {
     } finally assigned.unpersist()
   }
 
+  test("semanticDecontaminate: drops exactly the corpus docs near a benchmark vector") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = IvfIndex.centroidsByDraw(e, "vec_id", "embedding", nCells = 16)
+    val assigned = IvfIndex.assign(e, "embedding", idx).cache()
+    try {
+      val corpus = assigned.filter(col("vec_id") >= 20)
+      val bench = assigned.filter(col("vec_id") < 20)
+      val got = VectorSearch.semanticDecontaminate(
+        corpus, bench, "vec_id", "embedding", threshold = 0.35)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      // brute-force replica
+      val all = assigned.select(col("vec_id"), col("cell"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getAs[scala.collection.Seq[Float]](2).toArray))
+      val expect = all.filter(_._1 >= 20).filter { case (_, cell, v) =>
+        !all.exists { case (id2, cell2, v2) =>
+          id2 < 20 && cell2 == cell &&
+            IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v2, v), 6) >= 0.35
+        }
+      }.map(_._1).toSet
+      assert(got === expect)
+      assert(got.size < all.count(_._1 >= 20), "threshold 0.35 must drop something")
+      // above any attainable cosine nothing drops; at -2 every corpus doc
+      // sharing a cell with ANY benchmark vector falls
+      assert(VectorSearch.semanticDecontaminate(corpus, bench, "vec_id",
+        "embedding", 1.1).count() === corpus.count())
+      val benchCells = bench.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val survivors = VectorSearch.semanticDecontaminate(corpus, bench,
+        "vec_id", "embedding", -2.0)
+        .select("cell").collect().map(_.getInt(0)).toSet
+      assert(survivors.intersect(benchCells).isEmpty)
+    } finally assigned.unpersist()
+  }
+
   test("semanticDedup is partition-invariant") {
     val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val idx = IvfIndex.centroidsByDraw(e, "vec_id", "embedding", nCells = 16)
