@@ -28,15 +28,15 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val schema = df.schema
     cols.foreach(c => require(schema.fieldNames.contains(c), s"no such column: $c"))
-
-    def isNumeric(dt: DataType): Boolean = dt match {
-      case _: NumericType => true
-      case _ => false
-    }
 
     val aggs = cols.flatMap { c =>
       val dt = schema(c).dataType
@@ -70,6 +70,92 @@ object Profile {
           Option(row.getAs[String](s"__min_$c")),
           Option(row.getAs[String](s"__max_$c")))
     }.toDF("column", "n", "n_null", "n_distinct",
+      "min_num", "max_num", "min_str", "max_str")
+  }
+
+  /** Mergeable per-column state for the STREAMING data card: counts ADD
+    * (the CMS exactly-once contract), extremes MERGE (idempotent), and
+    * distinct tracking rides [[HllSketch]] register max-merge (idempotent,
+    * ≤ 1024 ints per column) — exact distinct is the one [[tableProfile]]
+    * statistic with no bounded-state merge, so the streaming card reports
+    * the auditable HLL estimate instead.
+    */
+  final class ColumnState {
+    var n: Long = 0L
+    var nNull: Long = 0L
+    var minNum: Option[Double] = None
+    var maxNum: Option[Double] = None
+    var minStr: Option[String] = None
+    var maxStr: Option[String] = None
+    val hll: scala.collection.mutable.Map[Int, Int] =
+      scala.collection.mutable.Map.empty
+  }
+
+  /** Fold one micro-batch into the accumulated card: one aggregation pass
+    * for counts/extremes plus one HLL register pass per column (keys =
+    * xxhash64 of the non-null values, so every type funnels through one
+    * sketch contract). Driver state per column: 6 scalars + ≤ 1024 ints.
+    */
+  def mergeBatchProfile(
+      acc: scala.collection.mutable.Map[String, ColumnState],
+      df: DataFrame, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val schema = df.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c), s"no such column: $c"))
+    val aggs = cols.flatMap { c =>
+      val dt = schema(c).dataType
+      val base = Seq(
+        count(lit(1)).as(s"__n_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"__nn_$c"))
+      if (isNumeric(dt))
+        base ++ Seq(min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c"))
+      else
+        base ++ Seq(min(col(c).cast("string")).as(s"__min_$c"),
+          max(col(c).cast("string")).as(s"__max_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.foreach { c =>
+      val st = acc.getOrElseUpdate(c, new ColumnState)
+      st.n += row.getAs[Long](s"__n_$c")
+      st.nNull += row.getAs[Long](s"__nn_$c")
+      def mergeOpt[T](cur: Option[T], v: Option[T], pick: (T, T) => T): Option[T] =
+        (cur, v) match {
+          case (Some(a), Some(b)) => Some(pick(a, b))
+          case (a, b) => a.orElse(b)
+        }
+      if (isNumeric(schema(c).dataType)) {
+        val mn = Option(row.getAs[java.lang.Double](s"__min_$c")).map(_.doubleValue)
+        val mx = Option(row.getAs[java.lang.Double](s"__max_$c")).map(_.doubleValue)
+        st.minNum = mergeOpt[Double](st.minNum, mn, math.min(_, _))
+        st.maxNum = mergeOpt[Double](st.maxNum, mx, math.max(_, _))
+      } else {
+        val mn = Option(row.getAs[String](s"__min_$c"))
+        val mx = Option(row.getAs[String](s"__max_$c"))
+        st.minStr = mergeOpt[String](st.minStr, mn, (a, b) => if (a <= b) a else b)
+        st.maxStr = mergeOpt[String](st.maxStr, mx, (a, b) => if (a >= b) a else b)
+      }
+      // nulls filtered BEFORE hashing: xxhash64(null) is the seed, not null
+      HllSketch.mergeRegisters(st.hll,
+        HllSketch.registers(
+          df.filter(col(c).isNotNull).select(xxhash64(col(c)).as("__k")), "__k"))
+    }
+  }
+
+  /** The accumulated card as a DataFrame — [[tableProfile]]'s shape with
+    * `est_distinct` (the HLL estimate, a double) in place of the exact
+    * `n_distinct`. Streaming and batch share the estimate arithmetic via
+    * [[HllSketch.estimate]].
+    */
+  def imageToProfile(
+      spark: SparkSession,
+      acc: scala.collection.Map[String, ColumnState]): DataFrame = {
+    import spark.implicits._
+    acc.toSeq.sortBy(_._1).map { case (c, st) =>
+      val est = HllSketch.estimate(HllSketch.imageToRegisters(spark, st.hll))
+        .collect()(0).getAs[Double]("est_distinct")
+      (c, st.n, st.nNull, est, st.minNum, st.maxNum, st.minStr, st.maxStr)
+    }.toDF("column", "n", "n_null", "est_distinct",
       "min_num", "max_num", "min_str", "max_str")
   }
 }

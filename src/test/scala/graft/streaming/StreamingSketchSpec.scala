@@ -213,6 +213,51 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(vS(("click", 1000L))._1 == 12L)
   }
 
+  test("foreachBatch profile card equals a single merge over the union") {
+    import graft.operators.Profile
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // counts add (exactly-once) — disjoint slices; extremes and HLL
+    // registers are idempotent merges
+    val chunks = Seq(
+      (1 to 400).map(i => (i.toLong, s"u${i % 37}")),
+      (300 to 700).map(i => (i.toLong * 2, s"u${i % 53}")),
+      Seq((-5L, null.asInstanceOf[String]), (9999L, "zzz")))
+    val all = chunks.flatten
+
+    val acc = scala.collection.mutable.Map.empty[String, Profile.ColumnState]
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, String)], _: Long) =>
+        Profile.mergeBatchProfile(acc, batch.toDF("num", "s"), Seq("num", "s"))
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+
+    val accB = scala.collection.mutable.Map.empty[String, Profile.ColumnState]
+    Profile.mergeBatchProfile(accB, all.toDF("num", "s"), Seq("num", "s"))
+    for (c <- Seq("num", "s")) {
+      val (x, y) = (acc(c), accB(c))
+      assert(x.n === y.n); assert(x.nNull === y.nNull)
+      assert(x.minNum === y.minNum); assert(x.maxNum === y.maxNum)
+      assert(x.minStr === y.minStr); assert(x.maxStr === y.maxStr)
+      assert(x.hll.toMap === y.hll.toMap, s"$c register image diverges")
+    }
+    // the rendered card: exact counts/extremes, HLL distinct in envelope
+    val card = Profile.imageToProfile(spark, acc)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(card("num").getLong(1) === all.size.toLong)
+    assert(card("s").getLong(2) === 1L) // one null string
+    assert(card("num").getDouble(4) === -5.0) // min_num (getAs Option unwrapped)
+    val exactDistinct = all.map(_._1).distinct.size
+    val est = card("num").getDouble(3)
+    assert(math.abs(est - exactDistinct) < exactDistinct * 0.15,
+      s"est $est vs exact $exactDistinct")
+  }
+
   test("foreachBatch k-means sums accumulate to refineExact's exact centroids") {
     import graft.operators.IvfIndex
     import spark.implicits._
