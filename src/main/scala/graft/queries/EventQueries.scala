@@ -147,6 +147,37 @@ object EventQueries {
         FROM events ORDER BY user_id, ts_ms, event_id""")),
 
     // Tumbling 1-hour windows (batch twin of the streaming windowed agg).
+    "q5i_ema_features" -> Q(
+      // Per-user exponential moving average of event values (α = 0.2, zero
+      // seed) — the classic sequential feature-engineering fold, hash-exact
+      // across engines because BOTH walk the identical ordered fold with a
+      // per-step 9-decimal snap (the q4b grid recipe applied inside an
+      // aggregate HOF / list_reduce): y ← round(0.2·x + 0.8·y, 9) over
+      // events ordered by (ts, event_id). Per-user state is the ordered
+      // value list — bounded by user activity, grouped not windowed.
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            col("value").cast("double").as("v"))
+        e.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            array_sort(collect_list(struct(col("ts_ms"), col("event_id"),
+              col("v")))).as("__seq"))
+          .withColumn("ema", round(aggregate(col("__seq"), lit(0.0),
+            (acc, x) => round(lit(0.2) * x.getField("v") + lit(0.8) * acc, 9)), 6))
+          .select(col("user_id"), col("n_events"), col("ema"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(CAST(value AS DOUBLE) ORDER BY epoch_ms(ts), event_id)),
+                 (acc, x) -> ROUND(CAST(0.2 AS DOUBLE) * x
+                             + CAST(0.8 AS DOUBLE) * acc, 9)), 6) AS ema
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id ORDER BY user_id""")),
+
     "q43_hourly_windows" -> Q(
       fn = (s, dir) =>
         Tables(s, dir, "events")
