@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{Curate, DataMix, Decontaminate, Dedup, KeywordSearch, LmScore, RuleEngine, Scrub}
+import graft.operators.{Curate, DataMix, Decontaminate, Dedup, FuzzyJoin, KeywordSearch, LmScore, RuleEngine, Scrub}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1583,6 +1583,38 @@ object TextQueries {
         SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs,
                MIN(doc_id) AS first_doc
         FROM g GROUP BY gram HAVING COUNT(*) >= 2
-        ORDER BY n_docs DESC, gram LIMIT 100"""))
+        ORDER BY n_docs DESC, gram LIMIT 100""")),
+
+    // Edit-distance fuzzy self-join (PassJoin segment filter + codegen
+    // levenshtein verify): all catalog-name pairs within 2 typos, with each
+    // name's row multiplicity re-attached by equality join afterwards —
+    // the collapse/re-expand discipline (never square the duplication).
+    // The oracle is the definition: brute-force levenshtein over the
+    // distinct names (64 at this SF; the Spark side never does all-pairs).
+    "q5j_fuzzy_pairs" -> Q(
+      fn = (s, dir) => {
+        val part = Tables(s, dir, "part")
+        val counts = part.groupBy(col("p_name")).count()
+        FuzzyJoin.editDistancePairs(part, "p_name", maxDist = 2)
+          .join(counts.select(col("p_name").as("str_a"), col("count").as("n_a")),
+            Seq("str_a"))
+          .join(counts.select(col("p_name").as("str_b"), col("count").as("n_b")),
+            Seq("str_b"))
+          .select(col("str_a"), col("str_b"), col("edit_distance"),
+            col("n_a"), col("n_b"))
+          .orderBy(col("str_a"), col("str_b"))
+      },
+      oracle = Some("""
+        WITH n AS (
+          SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM part GROUP BY 1),
+        p AS (
+          SELECT a.p_name AS str_a, b.p_name AS str_b,
+                 CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance,
+                 a.cnt AS n_a, b.cnt AS n_b
+          FROM n a JOIN n b ON a.p_name < b.p_name)
+        SELECT str_a, str_b, edit_distance, n_a, n_b
+        FROM p WHERE edit_distance BETWEEN 1 AND 2
+        ORDER BY str_a, str_b"""))
   )
 }
