@@ -64,25 +64,64 @@ object VectorSearch {
     * (tiebreak: lexicographic asc, matching [[knnJoin]]'s `orderBy(cId)` on
     * the same type).
     */
-  def knnJoinViaAggregator(
-      queries: DataFrame, corpus: DataFrame,
-      qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, scoreScale: Int = 6): DataFrame = {
+  /** The map-side top-k heap aggregator for `cId`'s type. Integral OR
+    * string only: a fractional id would be silently truncated by the
+    * aggregator's long buffer and merge distinct candidates.
+    */
+  private def topAggFor(corpus: DataFrame, cId: String, k: Int) = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col(qId) =!= col(cId))
-      .withColumn("score", round(VectorFunctions.cosine(col(cVec), col(qVec)), scoreScale))
-    // integral OR string only: a fractional id would be silently truncated
-    // by the aggregator's long buffer and merge distinct candidates
-    val topAgg = corpus.schema(cId).dataType match {
+    corpus.schema(cId).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         graft.functions.TopKAggregator.topK(k)(col("score"), col(cId))
       case StringType =>
         graft.functions.TopKAggregator.topKString(k)(col("score"), col(cId))
       case other => throw new IllegalArgumentException(
-        s"knnJoinViaAggregator: unsupported id type $other for column $cId " +
+        s"top-k aggregation: unsupported id type $other for column $cId " +
           "(use integral or string ids, or knnJoin)")
     }
+  }
+
+  def knnJoinViaAggregator(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, scoreScale: Int = 6): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("score", round(VectorFunctions.cosine(col(cVec), col(qVec)), scoreScale))
+    val topAgg = topAggFor(corpus, cId, k)
+    scored.groupBy(col(qId).as("query_id"))
+      .agg(topAgg.as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"),
+        col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  /** Contrastive hard-negative mining for embedding training: per anchor,
+    * the top-k corpus neighbors whose cosine lands in [floor, ceiling) —
+    * high enough to be confusable (the negatives that actually move a
+    * contrastive loss), but BELOW the near-duplicate band, which would be
+    * false negatives / label leakage (those belong to
+    * [[semanticDedup]] / [[semanticDecontaminate]], not here).
+    *
+    * Scale shape: anchors (an eval set, a training-batch sample) broadcast;
+    * the band filter runs BEFORE the top-k heap aggregation, so selection
+    * happens among eligible candidates only, and each map task ships ≤ k
+    * survivors per anchor (the [[knnJoinViaAggregator]] discipline). For
+    * anchor sets too large to broadcast, pre-restrict candidates with an
+    * IVF probe ([[graft.operators.IvfIndex]]) and feed the probed pool in
+    * as `corpus`.
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, ceiling: Double, floor: Double = -1.0,
+      scoreScale: Int = 6): DataFrame = {
+    require(floor < ceiling, s"floor $floor must be < ceiling $ceiling")
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("score", round(VectorFunctions.cosine(col(cVec), col(qVec)), scoreScale))
+      .filter(col("score") < ceiling && col("score") >= floor)
+    val topAgg = topAggFor(corpus, cId, k)
     scored.groupBy(col(qId).as("query_id"))
       .agg(topAgg.as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "hit")))

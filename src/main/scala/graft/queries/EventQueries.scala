@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Funnel, Sessionize}
+import graft.operators.{AsOfJoin, Drift, Funnel, Sessionize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -336,6 +336,98 @@ object EventQueries {
                          > 4 * (s.w * s.s2 - s.s1 * s.s1)
                     THEN 1 ELSE 0 END AS is_spike
         FROM counts c JOIN stats s USING (event_type)
-        ORDER BY event_type, window_start_ms"""))
+        ORDER BY event_type, window_start_ms""")),
+
+    // Distribution drift (PSI) on event_type between two corpus slices
+    // (even/odd event ids — a deterministic stand-in for week-over-week
+    // snapshots). Smoothed proportions and the psi term run in DOUBLE on
+    // both engines (ln/division parity per q3y/q38), snapped to 6 decimals.
+    "q5l_drift_categorical" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        Drift.categoricalDrift(
+            e.filter(pmod(col("event_id"), lit(2)) === 0),
+            e.filter(pmod(col("event_id"), lit(2)) === 1),
+            "event_type")
+          .select(col("value"), col("n_ref"), col("n_cur"),
+            round(col("p_ref"), 6).as("p_ref"),
+            round(col("p_cur"), 6).as("p_cur"),
+            round(col("psi_term"), 6).as("psi_term"))
+          .orderBy(col("value"))
+      },
+      oracle = Some("""
+        WITH rc AS (
+          SELECT event_type AS value, CAST(COUNT(*) AS BIGINT) AS n_ref
+          FROM events WHERE event_id % 2 = 0 AND event_type IS NOT NULL
+          GROUP BY 1),
+        cc AS (
+          SELECT event_type AS value, CAST(COUNT(*) AS BIGINT) AS n_cur
+          FROM events WHERE event_id % 2 = 1 AND event_type IS NOT NULL
+          GROUP BY 1),
+        j AS (
+          SELECT COALESCE(rc.value, cc.value) AS value,
+                 CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+                 CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+          FROM rc FULL OUTER JOIN cc ON rc.value = cc.value),
+        t AS (
+          SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr,
+                 CAST(SUM(n_cur) AS DOUBLE) AS tc,
+                 CAST(COUNT(*) AS DOUBLE) AS k FROM j),
+        p AS (
+          SELECT value, n_ref, n_cur,
+                 (CAST(n_ref AS DOUBLE) + 0.5) / (tr + 0.5 * k) AS p_ref,
+                 (CAST(n_cur AS DOUBLE) + 0.5) / (tc + 0.5 * k) AS p_cur
+          FROM j, t)
+        SELECT value, n_ref, n_cur,
+               ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+               ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+        FROM p ORDER BY value""")),
+
+    // Numeric drift: event values through fixed-width bins
+    // (lo=0, width=50, 10 bins; outliers clamp into the edge bins), same
+    // PSI machinery keyed by bin index.
+    "q5m_drift_binned" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        Drift.binnedDrift(
+            e.filter(pmod(col("event_id"), lit(2)) === 0),
+            e.filter(pmod(col("event_id"), lit(2)) === 1),
+            "value", lo = 0.0, width = 50.0, nBins = 10)
+          .select(col("value"), col("n_ref"), col("n_cur"),
+            round(col("p_ref"), 6).as("p_ref"),
+            round(col("p_cur"), 6).as("p_cur"),
+            round(col("psi_term"), 6).as("psi_term"))
+          .orderBy(col("value"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT event_id,
+                 LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 50.0)
+                   AS BIGINT), 0), 9) AS value
+          FROM events WHERE value IS NOT NULL),
+        rc AS (
+          SELECT value, CAST(COUNT(*) AS BIGINT) AS n_ref
+          FROM b WHERE event_id % 2 = 0 GROUP BY 1),
+        cc AS (
+          SELECT value, CAST(COUNT(*) AS BIGINT) AS n_cur
+          FROM b WHERE event_id % 2 = 1 GROUP BY 1),
+        j AS (
+          SELECT COALESCE(rc.value, cc.value) AS value,
+                 CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+                 CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+          FROM rc FULL OUTER JOIN cc ON rc.value = cc.value),
+        t AS (
+          SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr,
+                 CAST(SUM(n_cur) AS DOUBLE) AS tc,
+                 CAST(COUNT(*) AS DOUBLE) AS k FROM j),
+        p AS (
+          SELECT value, n_ref, n_cur,
+                 (CAST(n_ref AS DOUBLE) + 0.5) / (tr + 0.5 * k) AS p_ref,
+                 (CAST(n_cur AS DOUBLE) + 0.5) / (tc + 0.5 * k) AS p_cur
+          FROM j, t)
+        SELECT value, n_ref, n_cur,
+               ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+               ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+        FROM p ORDER BY value"""))
   )
 }

@@ -1449,6 +1449,86 @@ object RelationalQueries {
         Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
           str("l_returnflag"), str("l_linestatus"))
           .mkString("", "\nUNION ALL", "\nORDER BY \"column\"")
-      })
+      }),
+
+    // Association rules over order baskets (parts bought together):
+    // support / confidence / lift per co-occurring part pair, top-100 by
+    // lift. Divisions and the lift product run in DOUBLE on both engines
+    // (parity per q3y/q38), snapped to 6 decimals like the cosine scores;
+    // counts land as BIGINT. The Spark side never does all-pairs — the
+    // basket-keyed self-join bounds fan-out by basket size.
+    "q5k_basket_rules" -> Q(
+      fn = (s, dir) =>
+        graft.operators.AssocRules.pairStats(
+            t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+            minPairCount = 2L)
+          .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+            col("n_b"), col("n_baskets"),
+            round(col("support"), 6).as("support"),
+            round(col("conf_a_b"), 6).as("conf_a_b"),
+            round(col("conf_b_a"), 6).as("conf_b_a"),
+            round(col("lift"), 6).as("lift"))
+          .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+          .limit(100),
+      oracle = Some("""
+        WITH bi AS (
+          SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+          FROM lineitem),
+        nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM bi),
+        ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_i FROM bi GROUP BY 1),
+        pr AS (
+          SELECT a.item AS item_a, b.item AS item_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2),
+        j AS (
+          SELECT p.item_a, p.item_b, p.n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+                 nb.n AS n_baskets
+          FROM pr p JOIN ic ia ON p.item_a = ia.item
+                    JOIN ic ib ON p.item_b = ib.item, nb
+          WHERE p.n_ab >= 2)
+        SELECT item_a, item_b, n_ab, n_a, n_b, n_baskets,
+               ROUND(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) AS support,
+               ROUND(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS conf_a_b,
+               ROUND(CAST(n_ab AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS conf_b_a,
+               ROUND(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE) /
+                     (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS lift
+        FROM j
+        ORDER BY lift DESC, item_a, item_b LIMIT 100""")),
+
+    // Wide→long reshaping via Spark's native unpivot (melt) operator —
+    // the §2.11 relational surface's inverse of q52's pivot. Values are
+    // raw parquet numerics cast to a common DOUBLE (no arithmetic, so no
+    // float contract to negotiate); the oracle is the UNION ALL that
+    // unpivot is defined as.
+    "q5o_unpivot_charges" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("double").as("quantity"),
+            col("l_extendedprice").cast("double").as("extendedprice"),
+            col("l_discount").cast("double").as("discount"),
+            col("l_tax").cast("double").as("tax"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("quantity"), col("extendedprice"),
+              col("discount"), col("tax")),
+            "metric", "amount")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+      oracle = Some("""
+        WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 100)
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+               CAST(l_quantity AS DOUBLE) AS amount FROM li
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM li
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount',
+               CAST(l_discount AS DOUBLE) FROM li
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax',
+               CAST(l_tax AS DOUBLE) FROM li
+        ORDER BY l_orderkey, l_linenumber, metric"""))
   )
 }

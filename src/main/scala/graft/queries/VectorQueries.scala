@@ -795,6 +795,38 @@ object VectorQueries {
         SELECT vec_id, label, cell FROM assign
         WHERE vec_id >= 20
           AND vec_id NOT IN (SELECT vec_id FROM contaminated)
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // Contrastive hard-negative mining: per anchor (the first 20 vectors),
+    // top-5 corpus neighbors in the confusable band [0, 0.3) — similar
+    // enough to move a contrastive loss, below the near-duplicate band
+    // (false negatives / leakage; q4z/q5h territory). Band filter runs
+    // BEFORE the map-side top-k heap, so each partition ships ≤ k eligible
+    // survivors per anchor.
+    "q5n_hard_negatives" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val anchors = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val corpus = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+        VectorSearch.hardNegatives(anchors, corpus, "q_id", "qv", "c_id", "cv",
+            k = 5, ceiling = 0.3, floor = 0.0)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      oracle = Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6) AS score
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id >= 20 AND e.vec_id <> q.query_id),
+        banded AS (
+          SELECT * FROM scored WHERE score < 0.3 AND score >= 0.0)
+        SELECT query_id, neighbor_id, score, rn FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS INT) AS rn FROM banded)
+        WHERE rn <= 5 ORDER BY query_id, rn"""))
   )
 }

@@ -85,6 +85,42 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("hardNegatives: band-filtered top-k, matches filtered brute force") {
+    import spark.implicits._
+    val e = (0 until 60).map(i => (i.toLong, MockEmbedder.embed(s"hn$i", 24))).toDF("id", "v")
+    val queries = e.filter(col("id") < 4).select(col("id").as("q_id"), col("v").as("qv"))
+    val corpus = e.filter(col("id") >= 4).select(col("id").as("c_id"), col("v").as("cv"))
+    val ceiling = 0.3
+    val got = VectorSearch.hardNegatives(queries, corpus,
+        "q_id", "qv", "c_id", "cv", k = 3, ceiling = ceiling, floor = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    // brute force: score every pair, filter band, window top-3
+    val want = VectorSearch.knnJoin(queries, corpus, "q_id", "qv", "c_id", "cv",
+        k = Int.MaxValue - 1)
+      .filter(col("score") < ceiling && col("score") >= 0.0)
+      .withColumn("rn2", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rn2") <= 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rn2")))
+      .sortBy(t => (t._1, t._4)).toSeq
+    assert(got == want && got.nonEmpty)
+    assert(got.forall(t => t._3 < ceiling && t._3 >= 0.0))
+  }
+
+  test("hardNegatives rejects an inverted band") {
+    import spark.implicits._
+    val e = Seq((1L, MockEmbedder.embed("x", 8))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      VectorSearch.hardNegatives(
+        e.select(col("id").as("q_id"), col("v").as("qv")),
+        e.select(col("id").as("c_id"), col("v").as("cv")),
+        "q_id", "qv", "c_id", "cv", k = 1, ceiling = 0.1, floor = 0.5)
+    }
+  }
+
   test("knnJoinViaAggregator handles uuid string ids like the window path") {
     import spark.implicits._
     // uuid-style string keys, including score ties (duplicate vectors) so the
