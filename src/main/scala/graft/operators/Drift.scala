@@ -35,14 +35,32 @@ object Drift {
     */
   def categoricalDrift(
       ref: DataFrame, cur: DataFrame, valueCol: String,
+      smoothing: Double = 0.5): DataFrame =
+    driftFromCounts(valueCounts(ref, valueCol), valueCounts(cur, valueCol),
+      smoothing)
+
+  /** Per-category counts (`value`, `n`) of one slice — the unit
+    * [[driftFromCounts]] consumes and the streaming image add-merges.
+    * Nulls excluded (see [[categoricalDrift]]).
+    */
+  def valueCounts(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("n"))
+
+  /** PSI drift between two pre-aggregated (`value`, `n`) counts frames —
+    * the arithmetic core [[categoricalDrift]] and the streaming path
+    * share, so batch and stream verdicts are bit-identical over equal
+    * counts.
+    */
+  def driftFromCounts(
+      refCounts: DataFrame, curCounts: DataFrame,
       smoothing: Double = 0.5): DataFrame = {
     require(smoothing > 0.0, s"smoothing must be > 0 (ln pole), got $smoothing")
-    def counts(df: DataFrame, as: String): DataFrame =
-      df.select(col(valueCol).as("value"))
-        .filter(col("value").isNotNull)
-        .groupBy(col("value"))
-        .agg(count(lit(1)).as(as))
-    val joined = counts(ref, "__nr").join(counts(cur, "__nc"), Seq("value"), "full_outer")
+    val joined = refCounts.select(col("value"), col("n").as("__nr"))
+      .join(curCounts.select(col("value"), col("n").as("__nc")),
+        Seq("value"), "full_outer")
       .select(col("value"),
         coalesce(col("__nr"), lit(0L)).as("n_ref"),
         coalesce(col("__nc"), lit(0L)).as("n_cur"))
@@ -61,6 +79,34 @@ object Drift {
         (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
       .select(col("value"), col("n_ref"), col("n_cur"),
         col("p_ref"), col("p_cur"), col("psi_term"))
+  }
+
+  /** Add-merge a batch's (`value`, `n`) counts into the streaming drift
+    * image (keys stringified — one image contract for every monitored
+    * type, the xxhash64-funnel idea from the streaming data card). Counts
+    * ADD — the exactly-once contract (a replayed batch double-counts;
+    * dedupe upstream or key batches like StreamingDedup). The image is
+    * bounded by the column's category domain — the same boundedness that
+    * makes the column worth monitoring categorically at all.
+    */
+  def mergeCounts(
+      acc: scala.collection.mutable.Map[String, Long],
+      batchCounts: DataFrame): Unit =
+    batchCounts.select(col("value").cast("string"), col("n")).collect()
+      .foreach { r =>
+        val k = r.getString(0)
+        acc(k) = acc.getOrElse(k, 0L) + r.getLong(1)
+      }
+
+  /** Rehydrate the accumulated image as a (`value`, `n`) counts frame for
+    * [[driftFromCounts]] — streaming and batch share every arithmetic step
+    * downstream of the counts.
+    */
+  def imageToCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      acc: scala.collection.Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    acc.toSeq.toDF("value", "n")
   }
 
   /** Numeric drift via fixed-width bins: values land in

@@ -297,4 +297,46 @@ class StreamingSketchSpec extends AnyFunSuite {
     // and the refined set actually moved (the round did something)
     assert(streamed.centroids.map(_._2.toSeq) !== idx0.centroids.map(_._2.toSeq))
   }
+
+  test("foreachBatch PSI drift equals the batch drift over the union") {
+    import graft.operators.Drift
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val ref = (1 to 300).map(i => s"c${i % 4}") // reference snapshot
+    // live stream shifts the distribution across micro-batches
+    val chunks = Seq(
+      (1 to 150).map(i => s"c${i % 3}"),
+      (1 to 120).map(i => s"c${i % 5}"),
+      Seq("c9", "c9", "c0"))
+    val all = chunks.flatten
+
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    val input = MemoryStream[String]
+    val query = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+        Drift.mergeCounts(acc, Drift.valueCounts(batch.toDF("v"), "v"))
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+
+    // streaming path: accumulated image vs the static reference counts
+    val streamed = canon(Drift.driftFromCounts(
+      Drift.valueCounts(ref.toDF("v"), "v"),
+      Drift.imageToCounts(spark, acc)))
+    // batch path: one-shot drift over the union of all micro-batches
+    val batch = canon(Drift.categoricalDrift(
+      ref.toDF("v"), all.toDF("v"), "v"))
+    assert(streamed == batch) // bit-identical, doubles included
+    // the novel category (c9) shows up and contributes positive PSI
+    assert(streamed.contains("c9") && streamed("c9")._1 == 0L &&
+      streamed("c9")._2 == 2L && streamed("c9")._5 > 0.0)
+  }
 }
