@@ -178,6 +178,94 @@ object EventQueries {
         FROM events WHERE value IS NOT NULL
         GROUP BY user_id ORDER BY user_id""")),
 
+    // SCD2 history build: each user's event_type stream collapsed into
+    // validity intervals [valid_from, valid_to) — one row per distinct
+    // consecutive state, lead() closing each interval, open interval =
+    // current row. Two windows over one partitioning (single Exchange).
+    "q5q_scd2_history" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            col("event_type"))
+        graft.operators.Scd.scd2(e, "user_id", "ts_ms", "event_id",
+            Seq("event_type"))
+          .select(col("user_id"), col("event_type").as("state"),
+            col("valid_from").as("valid_from_ms"),
+            col("valid_to").as("valid_to_ms"),
+            col("is_current"), col("event_id"))
+          .orderBy(col("user_id"), col("valid_from_ms"), col("event_id"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+                 lag(event_type) OVER w AS prev_type,
+                 lag(event_id) OVER w AS prev_id
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        o AS (
+          SELECT user_id, ts_ms, event_id, event_type FROM e
+          WHERE prev_id IS NULL OR prev_type IS DISTINCT FROM event_type),
+        f AS (
+          SELECT user_id, event_type AS state, ts_ms AS valid_from_ms,
+                 lead(ts_ms) OVER (PARTITION BY user_id
+                   ORDER BY ts_ms, event_id) AS valid_to_ms,
+                 event_id
+          FROM o)
+        SELECT user_id, state, valid_from_ms, valid_to_ms,
+               valid_to_ms IS NULL AS is_current, event_id
+        FROM f ORDER BY user_id, valid_from_ms, event_id""")),
+
+    // Gap-fill + linear interpolation: each user's hourly value series
+    // densified onto its full [first, last] hour grid, missing hours
+    // interpolated between bracketing observations. Observed values are
+    // exact DECIMAL sums; interpolated values are the identical double
+    // expression on both engines, snapped to 6 decimals.
+    "q5t_gap_fill" -> Q(
+      fn = (s, dir) => {
+        val hourly = ev(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("hb", expr("ts_ms div 3600000"))
+          .groupBy(col("user_id"), col("hb"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+        graft.operators.Resample.gapFillLinear(hourly, "user_id", "hb", "v")
+          .select(col("user_id"), col("hb"), col("value"), col("filled"))
+          .orderBy(col("user_id"), col("hb"))
+      },
+      oracle = Some("""
+        WITH obs AS (
+          SELECT user_id, epoch_ms(ts) // 3600000 AS hb,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2),
+        span AS (
+          SELECT user_id, MIN(hb) AS lo, MAX(hb) AS hi FROM obs GROUP BY 1),
+        grid AS (
+          SELECT user_id, unnest(generate_series(lo, hi)) AS hb FROM span),
+        j AS (
+          SELECT g.user_id, g.hb, o.v FROM grid g
+          LEFT JOIN obs o ON g.user_id = o.user_id AND g.hb = o.hb),
+        w AS (
+          SELECT user_id, hb, v,
+                 last_value(v IGNORE NULLS) OVER wb AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN hb END IGNORE NULLS)
+                   OVER wb AS pb,
+                 first_value(v IGNORE NULLS) OVER wa AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN hb END IGNORE NULLS)
+                   OVER wa AS nb
+          FROM j
+          WINDOW wb AS (PARTITION BY user_id ORDER BY hb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wa AS (PARTITION BY user_id ORDER BY hb
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, hb,
+               CASE WHEN v IS NOT NULL THEN v
+                    ELSE FLOOR((pv + (nv - pv) *
+                      (CAST(hb - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)))
+                      * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
+               END AS value,
+               v IS NULL AS filled
+        FROM w ORDER BY user_id, hb""")),
+
     "q43_hourly_windows" -> Q(
       fn = (s, dir) =>
         Tables(s, dir, "events")

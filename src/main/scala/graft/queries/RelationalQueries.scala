@@ -1529,6 +1529,138 @@ object RelationalQueries {
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'tax',
                CAST(l_tax AS DOUBLE) FROM li
-        ORDER BY l_orderkey, l_linenumber, metric"""))
+        ORDER BY l_orderkey, l_linenumber, metric""")),
+
+    // Snapshot diff (CDC primitive): two deterministic versions of the
+    // orders table — rows keyed out by modulo simulate deletes/inserts, a
+    // rewritten priority simulates updates — diffed into
+    // added/removed/changed rows with per-column change attribution. One
+    // full-outer shuffle join; all comparisons codegen null-safe equality.
+    "q5p_snapshot_diff" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderpriority"))
+        val base = o.filter(col("o_orderkey") % 11 =!= 0)
+        val next = o.filter(col("o_orderkey") % 13 =!= 0)
+          .withColumn("o_orderpriority",
+            when(col("o_orderkey") % 7 === 0, lit("9-SYNTH"))
+              .otherwise(col("o_orderpriority")))
+        graft.operators.TableDiff.diff(base, next,
+            keys = Seq("o_orderkey"),
+            compareCols = Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+          FROM orders),
+        base AS (SELECT * FROM o WHERE o_orderkey % 11 <> 0),
+        nxt AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 7 = 0 THEN '9-SYNTH'
+                      ELSE o_orderpriority END AS o_orderpriority
+          FROM o WHERE o_orderkey % 13 <> 0)
+        SELECT COALESCE(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change,
+               CASE WHEN b.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN ''
+                    ELSE concat_ws(',',
+                      CASE WHEN b.o_custkey IS DISTINCT FROM n.o_custkey
+                           THEN 'o_custkey' END,
+                      CASE WHEN b.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                           THEN 'o_orderpriority' END,
+                      CASE WHEN b.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                           THEN 'o_orderstatus' END)
+               END AS changed_columns
+        FROM base b FULL OUTER JOIN nxt n ON b.o_orderkey = n.o_orderkey
+        WHERE b.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR b.o_custkey IS DISTINCT FROM n.o_custkey
+           OR b.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+           OR b.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        ORDER BY o_orderkey""")),
+
+    // CDC merge (batch MERGE INTO): a base snapshot plus two deterministic
+    // versioned changesets (v1 rewrites even keys, v2 rewrites %4 keys and
+    // tombstones %10 keys) folded latest-wins. Union + one row_number
+    // window (WindowGroupLimit pushes the rank-1 filter map-side).
+    "q5r_merge_upsert" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        val base = o.filter(col("o_orderkey") % 3 =!= 0)
+        val c1 = o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("U1"))
+          .withColumn("version", lit(1L))
+          .withColumn("op", lit("upsert"))
+        val c2 = o.filter(col("o_orderkey") % 4 === 0)
+          .withColumn("o_orderstatus", lit("U2"))
+          .withColumn("version", lit(2L))
+          .withColumn("op",
+            when(col("o_orderkey") % 10 === 0, lit("delete"))
+              .otherwise(lit("upsert")))
+        graft.operators.Merge.applyChanges(base, c1.unionByName(c2),
+            keys = Seq("o_orderkey"), versionCol = "version", opCol = "op")
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some("""
+        WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+        u AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(-1 AS BIGINT) AS version, 'upsert' AS op
+          FROM o WHERE o_orderkey % 3 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, 'U1', 1, 'upsert'
+          FROM o WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, 'U2', 2,
+                 CASE WHEN o_orderkey % 10 = 0 THEN 'delete' ELSE 'upsert' END
+          FROM o WHERE o_orderkey % 4 = 0),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                   ORDER BY version DESC, op ASC) AS rn
+          FROM u)
+        SELECT o_orderkey, o_custkey, o_orderstatus FROM r
+        WHERE rn = 1 AND op = 'upsert' ORDER BY o_orderkey""")),
+
+    // Classifier-score calibration: reliability table + expected
+    // calibration error over a deterministic score (l_discount rescaled
+    // to [0,1]) against a deterministic label (returnflag = 'R'). Per-bin
+    // means are DECIMAL-sum / BIGINT-count in DOUBLE snapped to 6
+    // decimals; the ECE weighted sum multiplies the 6-decimal gap as
+    // DECIMAL(18,6) by the bin count exactly, so it is order-free.
+    "q5s_calibration" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumn("score", col("l_discount").cast("double") * 10.0)
+          .withColumn("is_r", col("l_returnflag") === "R")
+        graft.operators.Calibration.reliabilityTable(li, "score", "is_r", 10)
+          .orderBy(col("bin"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT CAST(LEAST(CAST(FLOOR(CAST(l_discount AS DOUBLE) * 10.0 * 10) AS INT), 9) AS INT) AS bin,
+                 CAST(l_discount AS DOUBLE) * 10.0 AS score,
+                 (l_returnflag = 'R') AS is_r
+          FROM lineitem
+          WHERE l_discount IS NOT NULL
+            AND CAST(l_discount AS DOUBLE) * 10.0 BETWEEN 0.0 AND 1.0),
+        a AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(score AS DECIMAL(28,12))) AS ssum,
+                 CAST(SUM(CASE WHEN is_r THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+          FROM b GROUP BY bin),
+        r AS (
+          SELECT bin, n, n_pos,
+                 ROUND(CAST(ssum AS DOUBLE) / n, 6) AS conf,
+                 ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS acc
+          FROM a),
+        g AS (
+          SELECT *, ROUND(ABS(acc - conf), 6) AS gap FROM r)
+        SELECT bin, n, n_pos, conf, acc, gap,
+               ROUND(CAST(SUM(CAST(gap AS DECIMAL(18,6)) * n) OVER () AS DOUBLE)
+                     / SUM(n) OVER (), 6) AS ece
+        FROM g ORDER BY bin"""))
   )
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reliability table: bin edges (including score exactly 1.0), per-bin
+  * conf/acc arithmetic, ECE as the count-weighted gap mean, domain
+  * filtering, and partition invariance.
+  */
+class CalibrationSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  private def df = Seq(
+    (0.05, true), (0.05, false),          // bin 0: conf .05, acc .5
+    (0.55, true), (0.65, true),           // bin 5/6
+    (1.0, true),                          // top edge -> bin 9, not bin 10
+    (0.95, false)                         // bin 9
+  ).toDF("score", "label")
+
+  private def run(d: org.apache.spark.sql.DataFrame) =
+    Calibration.reliabilityTable(d, "score", "label", 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+
+  test("bins, counts and means are exact; 1.0 lands in the top bin") {
+    val out = run(df)
+    assert(out.map(_._1).toSeq == Seq(0, 5, 6, 9))
+    val bin0 = out.head
+    assert(bin0._2 == 2 && bin0._3 == 1)
+    assert(bin0._4 == 0.05 && bin0._5 == 0.5 && bin0._6 == 0.45)
+    val bin9 = out.last
+    assert(bin9._2 == 2 && bin9._3 == 1) // {1.0 true, 0.95 false}
+    assert(bin9._4 == 0.975 && bin9._5 == 0.5 && bin9._6 == 0.475)
+  }
+
+  test("ece is the count-weighted mean gap, identical on every row") {
+    val out = run(df)
+    val n = out.map(_._2).sum.toDouble
+    val expected = out.map(r => r._2 * r._6).sum / n
+    out.foreach(r => assert(math.abs(r._7 - expected) < 1e-6))
+    assert(out.map(_._7).distinct.length == 1)
+  }
+
+  test("perfectly calibrated bins give ece 0") {
+    val d = Seq((0.5, true), (0.5, false)).toDF("score", "label")
+    val out = run(d)
+    assert(out.length == 1 && out.head._7 == 0.0)
+  }
+
+  test("out-of-domain and null scores are dropped") {
+    val d = Seq(
+      (Some(-0.1), true), (Some(1.5), true), (Option.empty[Double], true),
+      (Some(0.5), true)
+    ).toDF("score", "label")
+    val out = run(d)
+    assert(out.length == 1 && out.head._2 == 1)
+  }
+
+  test("partition invariance") {
+    val a = run(df).toSeq
+    assert(run(df.repartition(7, col("label"))).toSeq == a)
+  }
+
+  test("refuses bad inputs") {
+    intercept[IllegalArgumentException] {
+      Calibration.reliabilityTable(df, "score", "label", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Calibration.reliabilityTable(df, "nope", "label", 10)
+    }
+  }
+}
