@@ -827,6 +827,61 @@ object VectorQueries {
         SELECT query_id, neighbor_id, score, rn FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY score DESC, neighbor_id) AS INT) AS rn FROM banded)
-        WHERE rn <= 5 ORDER BY query_id, rn"""))
+        WHERE rn <= 5 ORDER BY query_id, rn""")),
+
+    // Top principal direction of the embedding matrix by 2 power-iteration
+    // rounds (PCA-lite: the dominant-direction estimate used for
+    // anisotropy diagnostics / whitening before cosine dedup), hash-exact
+    // by the q4b/q4y iterative recipe lifted to vectors: order-free
+    // DECIMAL(28,12) sums, 9-decimal grid snaps per step, max-then-L2
+    // normalization keeping every squared term inside the double↔decimal
+    // agreement bound, sqrt as the only transcendental. sigma = ‖XᵀXv‖
+    // rides along as the spectral estimate.
+    "q5u_pca_power_iteration" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Pca.topComponent(
+            emb(s, dir), "vec_id", "embedding", dim = 64, iters = 2)
+          .orderBy(col("dim")),
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        ex AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+          FROM e),
+        c1 AS MATERIALIZED (
+          SELECT vec_id,
+                 ROUND(CAST(SUM(CAST(x * CAST(0.125 AS DOUBLE)
+                   AS DECIMAL(28,12))) AS DOUBLE), 9) AS c
+          FROM ex GROUP BY vec_id),
+        s1 AS MATERIALIZED (
+          SELECT pos,
+                 ROUND(CAST(SUM(CAST(ex.x * c1.c AS DECIMAL(28,12)))
+                   AS DOUBLE), 9) AS s
+          FROM ex JOIN c1 USING (vec_id) GROUP BY pos),
+        m1 AS (SELECT MAX(ABS(s)) AS m FROM s1),
+        u1 AS MATERIALIZED (SELECT pos, ROUND(s / m, 9) AS u FROM s1, m1),
+        n1 AS (SELECT ROUND(SQRT(CAST(SUM(CAST(u * u AS DECIMAL(28,12)))
+                 AS DOUBLE)), 9) AS nrm FROM u1),
+        v1 AS MATERIALIZED (SELECT pos, ROUND(u / nrm, 9) AS val
+                            FROM u1, n1),
+        c2 AS MATERIALIZED (
+          SELECT ex.vec_id,
+                 ROUND(CAST(SUM(CAST(ex.x * v1.val AS DECIMAL(28,12)))
+                   AS DOUBLE), 9) AS c
+          FROM ex JOIN v1 USING (pos) GROUP BY ex.vec_id),
+        s2 AS MATERIALIZED (
+          SELECT pos,
+                 ROUND(CAST(SUM(CAST(ex.x * c2.c AS DECIMAL(28,12)))
+                   AS DOUBLE), 9) AS s
+          FROM ex JOIN c2 USING (vec_id) GROUP BY pos),
+        m2 AS (SELECT MAX(ABS(s)) AS m FROM s2),
+        u2 AS MATERIALIZED (SELECT pos, ROUND(s / m, 9) AS u FROM s2, m2),
+        n2 AS (SELECT ROUND(SQRT(CAST(SUM(CAST(u * u AS DECIMAL(28,12)))
+                 AS DOUBLE)), 9) AS nrm FROM u2),
+        v2 AS (SELECT pos, ROUND(u / nrm, 9) AS val FROM u2, n2)
+        SELECT CAST(v2.pos AS INT) AS dim, v2.val AS component,
+               ROUND(m2.m * n2.nrm, 6) AS sigma
+        FROM v2, m2, n2 ORDER BY dim"""))
   )
 }
