@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.operators.Merge
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming CDC materialization — the stream twin of
+  * [[graft.operators.Merge.applyChanges]]: a change stream (versioned
+  * upserts/deletes) continuously materialized as a queryable latest-wins
+  * table.
+  *
+  * Storage is a merge-on-read lakehouse miniature in plain parquet:
+  *
+  *   store/changelog/batch_id=N/   one partition per micro-batch,
+  *                                 dynamic-overwrite (replay idempotent)
+  *   store/base/                   optional compacted snapshot
+  *
+  * Reads resolve base ∪ changelog with latest-wins at query time;
+  * [[compact]] folds the changelog into the base with the Warehouse
+  * stage/retire/promote rename discipline. Winners are decided by the
+  * VERSION column, not arrival order, so the resolved state is
+  * independent of micro-batch boundaries — the property the spec pins
+  * (any split of the same changes ≡ one-shot batch apply).
+  *
+  * Scale shape: each micro-batch does ONE append-only write (no read, no
+  * shuffle of the store); merge cost is paid on read/compaction as one
+  * row_number window per key — WindowGroupLimit keeps per-key state at
+  * the current winner. Compaction replay is idempotent (re-folding an
+  * already-folded changelog reproduces the same winners), so a crash
+  * between base promote and changelog cleanup loses nothing.
+  */
+object StreamingMerge {
+
+  private def fs(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readIfExists(spark: SparkSession, p: String): Option[DataFrame] = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    if (fs(spark, p).exists(hp)) Some(spark.read.parquet(p)) else None
+  }
+
+  /** Append one micro-batch of changes (data cols + version + op) to the
+    * changelog. Dynamic partition overwrite: a replayed batch rewrites its
+    * own `batch_id` partition instead of duplicating it.
+    */
+  def appendBatch(batch: DataFrame, storePath: String, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$storePath/changelog")
+
+  /** The resolved latest-wins state: base ∪ changelog folded by version.
+    * Missing base = empty bootstrap; missing changelog = just the base;
+    * both missing is an error (reading an unwritten store is a bug, not
+    * an empty table — the StreamingDedup loud-failure rule).
+    */
+  def currentState(
+      spark: SparkSession, storePath: String, keys: Seq[String],
+      versionCol: String, opCol: String): DataFrame = {
+    val base = readIfExists(spark, s"$storePath/base")
+    val log = readIfExists(spark, s"$storePath/changelog")
+      .map(_.drop("batch_id"))
+    (base, log) match {
+      case (Some(b), Some(l)) =>
+        Merge.applyChanges(b, l, keys, versionCol, opCol)
+      case (Some(b), None) => b
+      case (None, Some(l)) =>
+        // bootstrap: empty base with the changelog's data schema
+        val data = l.drop(versionCol, opCol)
+        Merge.applyChanges(data.limit(0), l, keys, versionCol, opCol)
+      case (None, None) =>
+        throw new java.io.IOException(
+          s"merge store $storePath has neither base nor changelog")
+    }
+  }
+
+  /** Fold the changelog into the base snapshot and clear it. Crash-safe:
+    * the new base is staged and promoted by rename (stage/retire/promote);
+    * the changelog is deleted only after the promote, and a crash before
+    * the delete merely re-folds an already-folded changelog (idempotent —
+    * winners are version-decided). Caller must be the store's only writer
+    * for the duration (pause the stream), same contract as
+    * `Warehouse.compactOrganization`.
+    */
+  def compact(
+      spark: SparkSession, storePath: String, keys: Seq[String],
+      versionCol: String, opCol: String): Unit = {
+    val f = fs(spark, storePath)
+    val basePath = new org.apache.hadoop.fs.Path(s"$storePath/base")
+    val logPath = new org.apache.hadoop.fs.Path(s"$storePath/changelog")
+    val staging = new org.apache.hadoop.fs.Path(s"$storePath/.base-staging")
+    val retired = new org.apache.hadoop.fs.Path(s"$storePath/.base-retired")
+    if (!f.exists(logPath)) return // nothing to fold
+    val resolved = currentState(spark, storePath, keys, versionCol, opCol)
+    if (f.exists(staging)) f.delete(staging, true)
+    resolved.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (f.exists(retired)) f.delete(retired, true)
+    if (f.exists(basePath) && !f.rename(basePath, retired))
+      throw new java.io.IOException(s"failed to retire $basePath")
+    if (!f.rename(staging, basePath)) {
+      if (f.exists(retired)) f.rename(retired, basePath) // roll back
+      throw new java.io.IOException(s"failed to promote $staging")
+    }
+    f.delete(retired, true)
+    f.delete(logPath, true)
+  }
+
+  /** Streaming wiring: each micro-batch appends to the changelog. The
+    * store stays queryable throughout via [[currentState]].
+    */
+  def run(
+      changes: DataFrame, storePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, storePath, batchId)
+      }
+      .start()
+}
