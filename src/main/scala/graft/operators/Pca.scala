@@ -100,4 +100,52 @@ object Pca {
       .map { case (p, x) => (p, x, sigma) }
       .toDF("dim", "component", "sigma")
   }
+
+  /** Per-row projection diagnostics against a fixed unit `direction`
+    * (1-based dim → component, e.g. [[topComponent]]'s output): the
+    * projection coefficient ⟨x, v⟩ and the L2 norms before and after
+    * removing the component (w = x − ⟨x,v⟩·v) — the whitening /
+    * anisotropy numbers (how much of each embedding the dominant
+    * direction explains).
+    *
+    * Same decimal-grid arithmetic as the iteration: coefficient snapped
+    * to 9 decimals (emitted as-is — re-rounding a 9-grid value to 6
+    * decimals can land on an exact tie where engines' double ROUND rules
+    * diverge), norms through order-free DECIMAL(28,12) square sums with
+    * sqrt-snap to 6. Two shuffles by row id, d-row broadcast, no collect.
+    */
+  def projectionStats(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      direction: Map[Int, Double]): DataFrame = {
+    require(direction.size == dim, s"direction must have $dim components")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val ex = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("pos0", "xf")))
+      .select(col("id"), (col("pos0") + 1).as("pos"),
+        col("xf").cast("double").as("x"))
+
+    val vdf = broadcast(direction.toSeq.sortBy(_._1).toDF("pos", "val"))
+    val withV = ex.join(vdf, "pos")
+    val head = withV.groupBy("id")
+      .agg(
+        round(sum((col("x") * col("val")).cast("decimal(28,12)"))
+          .cast("double"), 9).as("coef"),
+        round(sqrt(sum((col("x") * col("x")).cast("decimal(28,12)"))
+          .cast("double")), 6).as("norm_before"))
+    val w = col("x") - col("coef") * col("val")
+    val after = withV.join(head.select("id", "coef"), "id")
+      .groupBy("id")
+      .agg(round(sqrt(sum((w * w).cast("decimal(28,12)"))
+        .cast("double")), 6).as("norm_after"))
+    head.join(after, "id")
+      .select(col("id").as(idCol), col("coef"),
+        col("norm_before"), col("norm_after"))
+  }
 }

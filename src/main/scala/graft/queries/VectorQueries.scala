@@ -842,7 +842,57 @@ object VectorQueries {
         graft.operators.Pca.topComponent(
             emb(s, dir), "vec_id", "embedding", dim = 64, iters = 2)
           .orderBy(col("dim")),
-      oracle = Some("""
+      oracle = Some(s"""
+        $powerIterationCtes
+        SELECT CAST(v2.pos AS INT) AS dim, v2.val AS component,
+               ROUND(m2.m * n2.nrm, 6) AS sigma
+        FROM v2, m2, n2 ORDER BY dim""")),
+
+    // Dominant-direction removal (whitening diagnostics): each embedding's
+    // projection coefficient onto the q5u power-iteration direction and
+    // its L2 norm before/after removing that component — the per-vector
+    // anisotropy numbers. coef stays on the 9-decimal grid (re-rounding a
+    // grid value to 6 can land exactly on a tie where engines' double
+    // ROUND rules diverge); norms are order-free decimal square sums with
+    // a 6-decimal sqrt snap.
+    "q5v_remove_top_component" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val comp = graft.operators.Pca.topComponent(
+            e, "vec_id", "embedding", dim = 64, iters = 2)
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        graft.operators.Pca.projectionStats(
+            e, "vec_id", "embedding", dim = 64, direction = comp)
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(s"""
+        $powerIterationCtes,
+        pc AS MATERIALIZED (
+          SELECT ex.vec_id,
+                 ROUND(CAST(SUM(CAST(ex.x * v2.val AS DECIMAL(28,12)))
+                   AS DOUBLE), 9) AS coef,
+                 ROUND(SQRT(CAST(SUM(CAST(ex.x * ex.x AS DECIMAL(28,12)))
+                   AS DOUBLE)), 6) AS norm_before
+          FROM ex JOIN v2 USING (pos) GROUP BY ex.vec_id),
+        wa AS (
+          SELECT ex.vec_id,
+                 ROUND(SQRT(CAST(SUM(CAST(
+                   (ex.x - pc.coef * v2.val) * (ex.x - pc.coef * v2.val)
+                   AS DECIMAL(28,12))) AS DOUBLE)), 6) AS norm_after
+          FROM ex JOIN v2 USING (pos) JOIN pc USING (vec_id)
+          GROUP BY ex.vec_id)
+        SELECT pc.vec_id, pc.coef, pc.norm_before, wa.norm_after
+        FROM pc JOIN wa USING (vec_id) ORDER BY pc.vec_id"""))
+  )
+
+  /** Shared oracle CTE chain for the power-iteration family (q5u, q5v):
+    * 2 unrolled rounds over the 64-dim embeddings, ending at `v2`
+    * (pos, val — the unit direction), `m2`/`n2` (the normalization
+    * scalars) with `ex` (vec_id, pos, x) still in scope.
+    */
+  // a def, not a val: `defs` above interpolates this during its own
+  // initialization, and a val declared later would still be null then
+  private def powerIterationCtes: String = """
         WITH e AS MATERIALIZED (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
           WHERE embedding IS NOT NULL AND len(embedding) = 64),
@@ -879,9 +929,6 @@ object VectorQueries {
         u2 AS MATERIALIZED (SELECT pos, ROUND(s / m, 9) AS u FROM s2, m2),
         n2 AS (SELECT ROUND(SQRT(CAST(SUM(CAST(u * u AS DECIMAL(28,12)))
                  AS DOUBLE)), 9) AS nrm FROM u2),
-        v2 AS (SELECT pos, ROUND(u / nrm, 9) AS val FROM u2, n2)
-        SELECT CAST(v2.pos AS INT) AS dim, v2.val AS component,
-               ROUND(m2.m * n2.nrm, 6) AS sigma
-        FROM v2, m2, n2 ORDER BY dim"""))
-  )
+        v2 AS MATERIALIZED (SELECT pos, ROUND(u / nrm, 9) AS val
+                            FROM u2, n2)"""
 }

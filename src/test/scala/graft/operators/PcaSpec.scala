@@ -58,6 +58,24 @@ class PcaSpec extends AnyFunSuite {
     assert(run(planted.coalesce(1)).toSeq == a)
   }
 
+  test("projectionStats: removing the dominant direction kills most norm") {
+    val comp = run(planted).map(t => t._1 -> t._2).toMap
+    val out = Pca.projectionStats(planted, "id", "vec", 4, comp)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 200)
+    out.foreach { case (_, coef, before, after) =>
+      // planted rows are nearly parallel to the direction: the residual
+      // is the 0.01-scale wiggle, and |coef| ≈ the row norm
+      assert(after < 0.05, s"residual norm $after")
+      assert(before > 0.9 && math.abs(math.abs(coef) - before) < 0.01)
+    }
+    // Pythagoras on the snap grid: coef² + after² ≈ before²
+    out.foreach { case (_, c, b, a) =>
+      assert(math.abs(c * c + a * a - b * b) < 1e-4)
+    }
+  }
+
   test("zero matrix fails loudly instead of emitting NaNs") {
     val z = Seq((1L, Seq(0f, 0f, 0f, 0f))).toDF("id", "vec")
     intercept[IllegalArgumentException] { run(z) }
