@@ -66,4 +66,77 @@ object Calibration {
       .select(col("bin"), col("n"), col("n_pos"), col("conf"), col("acc"),
         col("gap"), col("ece"))
   }
+
+  /** One-row binary-classifier evaluation: confusion counts at
+    * `threshold` (predicted positive ⇔ score ≥ threshold) plus
+    * precision / recall / F1 / accuracy, and the EXACT ROC AUC.
+    *
+    * AUC is the Mann–Whitney rank-sum in its tie-aware grouped form:
+    * group by distinct score, order ascending, and accumulate
+    * 2·p_s·cumNeg_below + p_s·n_s — every term an INTEGER, so
+    * AUC = Σ / (2·P·N) needs exactly one double division (no rank
+    * windows over raw rows, no per-row state). F1 is computed as
+    * 2tp/(2tp+fp+fn) — one division over integers — rather than from
+    * rounded precision/recall.
+    *
+    * Shape at scale: confusion counts are one map-side-combinable
+    * aggregate; the AUC pass pre-aggregates to one row per DISTINCT
+    * score before its ordered prefix window, so window input is bounded
+    * by score-grid resolution, not corpus size (snap scores to a grid
+    * upstream if they are raw doubles). Null scores/labels are dropped.
+    */
+  def binaryMetrics(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      threshold: Double): DataFrame = {
+    for (c <- Seq(scoreCol, labelCol))
+      require(df.columns.contains(c), s"column $c missing from input schema")
+
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val base = df.filter(s.isNotNull && y.isNotNull)
+      .select(s.as("__s"), y.as("__y"))
+
+    val conf = base.agg(
+      sum(when(col("__y") && col("__s") >= threshold, 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("__y") && col("__s") >= threshold, 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("__y") && col("__s") < threshold, 1L).otherwise(0L)).as("tn"),
+      sum(when(col("__y") && col("__s") < threshold, 1L).otherwise(0L)).as("fn"))
+
+    // per-distinct-score positive/negative counts, ordered prefix of
+    // negatives below, integer AUC numerator
+    val byScore = base.groupBy(col("__s"))
+      .agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__n"))
+    val wAsc = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val auc = byScore
+      .withColumn("__cumneg", coalesce(sum(col("__n")).over(wAsc), lit(0L)))
+      .agg(
+        sum(lit(2L) * col("__p") * col("__cumneg") + col("__p") * col("__n"))
+          .as("__num"),
+        sum(col("__p")).as("__P"),
+        sum(col("__n")).as("__N"))
+      .select(
+        when(col("__P") > 0 && col("__N") > 0,
+          round(col("__num").cast("double") /
+            (lit(2.0) * col("__P") * col("__N")), 6)).as("auc"))
+
+    // every ratio is null (not NaN/error) when its denominator is empty —
+    // ANSI mode makes the unguarded division a hard failure
+    def ratio(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =
+      when(den > 0, round(num.cast("double") / den, 6))
+    conf.crossJoin(auc)
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"),
+        ratio(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("tn") + col("fn")).as("accuracy"),
+        col("auc"))
+  }
 }

@@ -115,4 +115,57 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  /** First/last-touch attribution: each conversion joined to the touch
+    * events of the same key within `lookbackMs` BEFORE it, reduced to the
+    * earliest and latest touch plus the touch count. Conversions with no
+    * in-window touch survive with null attribution (left join, not a
+    * silent drop).
+    *
+    * Shape at scale: [[RangeJoin.within]] buckets time so the
+    * touch×conversion pairing is an equi-join bounded by the lookback
+    * window (never a time-cross-product), and the first/last pick is a
+    * map-side-combinable `min/max(struct(ts, id, type))` aggregate — not
+    * a per-conversion window — so a viral conversion with millions of
+    * in-window touches partial-aggregates in every map task (the q4j
+    * de-skew rule applied at birth).
+    *
+    * @param touches     (keyCols, touchTs epoch-ms, touchId unique,
+    *                    touchType) candidate attribution events
+    * @param conversions (keyCols, convTs epoch-ms, convId unique)
+    */
+  def touchAttribution(
+      touches: DataFrame, conversions: DataFrame, keyCols: Seq[String],
+      touchTs: String, touchId: String, touchType: String,
+      convTs: String, convId: String, lookbackMs: Long): DataFrame = {
+    val t = touches.select(
+      (keyCols.map(col) :+ col(touchTs).as("__tt") :+
+        col(touchId).as("__tid") :+ col(touchType).as("__ttype")): _*)
+    val c = conversions.select(
+      (keyCols.map(col) :+ col(convTs).as("__ct") :+
+        col(convId).as("__cid")): _*)
+    // touch.ts ∈ [conv.ts − lookback, conv.ts]  ⇔  conv.ts ∈ [touch.ts,
+    // touch.ts + lookback] — the within() orientation with touches left
+    val joined = RangeJoin.within(t, c, keyCols, "__tt", "__ct", lookbackMs)
+    val att = joined
+      .groupBy((keyCols :+ "r___cid").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_touches"),
+        min(struct(col("__tt"), col("__tid"), col("__ttype"))).as("__f"),
+        max(struct(col("__tt"), col("__tid"), col("__ttype"))).as("__l"))
+      .select(
+        (keyCols.map(col) :+ col("r___cid").as("__cid") :+
+          col("n_touches") :+
+          col("__f.__ttype").as("first_touch_type") :+
+          col("__f.__tt").as("first_touch_ms") :+
+          col("__l.__ttype").as("last_touch_type") :+
+          col("__l.__tt").as("last_touch_ms")): _*)
+    c.join(att, keyCols :+ "__cid", "left")
+      .select(
+        (keyCols.map(col) :+ col("__cid").as(convId) :+
+          col("__ct").as(convTs) :+
+          coalesce(col("n_touches"), lit(0L)).as("n_touches") :+
+          col("first_touch_type") :+ col("first_touch_ms") :+
+          col("last_touch_type") :+ col("last_touch_ms")): _*)
+  }
 }

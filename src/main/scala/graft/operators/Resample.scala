@@ -84,4 +84,40 @@ object Resample {
       .select(col("key").as(keyCol), col("bucket").as(bucketCol),
         col("value"), col("filled"))
   }
+
+  /** Rolling features over a DENSE per-key bucket series (pair with
+    * [[gapFillLinear]] — on a dense grid a ROWS frame equals a RANGE
+    * frame, so "last `nBuckets` rows" means "last `nBuckets` time
+    * buckets" with no silent gap-skipping): per row the trailing
+    * mean/min/max and the actual window row count (`roll_n` < nBuckets
+    * during each key's warm-up prefix).
+    *
+    * One window partitioning (key → bucket), bounded running frame —
+    * per-key window state is ≤ nBuckets rows by construction. The mean
+    * sums through DECIMAL(18,6) (exact for 6-decimal inputs, order-free)
+    * and snaps via the same floor-based half-up used by the
+    * interpolator, because trailing means of decimal-ish values land on
+    * exact decimal midpoints where engines' ROUND tie rules diverge.
+    */
+  def rollingStats(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    for (c <- Seq(keyCol, bucketCol, valueCol))
+      require(df.columns.contains(c), s"column $c missing from input schema")
+
+    val w = Window.partitionBy(keyCol).orderBy(bucketCol)
+      .rowsBetween(-(nBuckets - 1).toLong, 0)
+    val v = col(valueCol).cast("double")
+    val n = count(lit(1)).over(w)
+    val meanRaw = sum(v.cast("decimal(18,6)")).over(w).cast("double") /
+      n.cast("double")
+    df.withColumn("roll_n", n)
+      .withColumn("roll_mean", floor(meanRaw * lit(1e6) + lit(0.5)) / lit(1e6))
+      .withColumn("roll_min", min(v).over(w))
+      .withColumn("roll_max", max(v).over(w))
+  }
 }

@@ -266,6 +266,129 @@ object EventQueries {
                v IS NULL AS filled
         FROM w ORDER BY user_id, hb""")),
 
+    // Rolling features over the gap-filled hourly grid (q5t composed with
+    // a 24-bucket trailing window): on a dense grid a ROWS frame equals a
+    // RANGE frame, so "trailing 24 rows" genuinely means "trailing 24
+    // hours". Mean sums through DECIMAL(18,6) (exact for the grid's
+    // 6-decimal values) with the floor-based half-up snap — trailing
+    // means of decimal values land on exact midpoints where engines'
+    // ROUND tie rules diverge.
+    "q5w_rolling_features" -> Q(
+      fn = (s, dir) => {
+        val hourly = ev(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("hb", expr("ts_ms div 3600000"))
+          .groupBy(col("user_id"), col("hb"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+        val dense = graft.operators.Resample.gapFillLinear(
+          hourly, "user_id", "hb", "v")
+        graft.operators.Resample.rollingStats(
+            dense, "user_id", "hb", "value", nBuckets = 24)
+          .select(col("user_id"), col("hb"), col("value"), col("roll_n"),
+            col("roll_mean"), col("roll_min"), col("roll_max"))
+          .orderBy(col("user_id"), col("hb"))
+      },
+      oracle = Some("""
+        WITH obs AS (
+          SELECT user_id, epoch_ms(ts) // 3600000 AS hb,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2),
+        span AS (
+          SELECT user_id, MIN(hb) AS lo, MAX(hb) AS hi FROM obs GROUP BY 1),
+        grid AS (
+          SELECT user_id, unnest(generate_series(lo, hi)) AS hb FROM span),
+        j AS (
+          SELECT g.user_id, g.hb, o.v FROM grid g
+          LEFT JOIN obs o ON g.user_id = o.user_id AND g.hb = o.hb),
+        w AS (
+          SELECT user_id, hb, v,
+                 last_value(v IGNORE NULLS) OVER wb AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN hb END IGNORE NULLS)
+                   OVER wb AS pb,
+                 first_value(v IGNORE NULLS) OVER wa AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN hb END IGNORE NULLS)
+                   OVER wa AS nb
+          FROM j
+          WINDOW wb AS (PARTITION BY user_id ORDER BY hb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wa AS (PARTITION BY user_id ORDER BY hb
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        filled AS (
+          SELECT user_id, hb,
+                 CASE WHEN v IS NOT NULL THEN v
+                      ELSE FLOOR((pv + (nv - pv) *
+                        (CAST(hb - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)))
+                        * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
+                 END AS value
+          FROM w)
+        SELECT user_id, hb, value,
+               COUNT(*) OVER r AS roll_n,
+               FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER r AS DOUBLE)
+                      / COUNT(*) OVER r) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
+                 AS roll_mean,
+               MIN(value) OVER r AS roll_min,
+               MAX(value) OVER r AS roll_max
+        FROM filled
+        WINDOW r AS (PARTITION BY user_id ORDER BY hb
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, hb""")),
+
+    // First/last-touch attribution: each purchase attributed to the
+    // earliest and latest view/click of the same user in the trailing 24 h.
+    // The touch×purchase pairing is the bucketed interval join (q4u's
+    // RangeJoin — equi-join on (user, time-bucket), never a cross
+    // product); the first/last pick is a map-side-combinable
+    // min/max(struct) aggregate, not a per-conversion window.
+    "q5x_touch_attribution" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        val touches = e
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            col("event_type"))
+        val conv = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"), col("event_id"))
+        graft.operators.Funnel.touchAttribution(
+            touches, conv, Seq("user_id"),
+            touchTs = "ts_ms", touchId = "event_id", touchType = "event_type",
+            convTs = "ts_ms", convId = "event_id", lookbackMs = 86400000L)
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT user_id, epoch_ms(ts) AS tt, event_id AS tid,
+                 event_type AS ttype
+          FROM events WHERE event_type IN ('view', 'click')),
+        p AS (
+          SELECT user_id, epoch_ms(ts) AS ct, event_id AS cid
+          FROM events WHERE event_type = 'purchase'),
+        j AS (
+          SELECT p.user_id, p.cid, t.tt, t.tid, t.ttype
+          FROM p JOIN t ON p.user_id = t.user_id
+                       AND t.tt >= p.ct - 86400000 AND t.tt <= p.ct),
+        r AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, cid
+                   ORDER BY tt, tid) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, cid
+                   ORDER BY tt DESC, tid DESC) AS rl,
+                 COUNT(*) OVER (PARTITION BY user_id, cid) AS nt
+          FROM j),
+        f AS (SELECT user_id, cid, ttype AS first_touch_type,
+                     tt AS first_touch_ms, nt
+              FROM r WHERE rf = 1),
+        l AS (SELECT user_id, cid, ttype AS last_touch_type,
+                     tt AS last_touch_ms
+              FROM r WHERE rl = 1)
+        SELECT p.user_id, p.cid AS event_id, p.ct AS ts_ms,
+               CAST(COALESCE(f.nt, 0) AS BIGINT) AS n_touches,
+               f.first_touch_type, f.first_touch_ms,
+               l.last_touch_type, l.last_touch_ms
+        FROM p LEFT JOIN f USING (user_id, cid)
+               LEFT JOIN l USING (user_id, cid)
+        ORDER BY event_id""")),
+
     "q43_hourly_windows" -> Q(
       fn = (s, dir) =>
         Tables(s, dir, "events")

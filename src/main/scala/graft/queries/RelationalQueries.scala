@@ -1579,7 +1579,8 @@ object RelationalQueries {
            OR b.o_custkey IS DISTINCT FROM n.o_custkey
            OR b.o_orderstatus IS DISTINCT FROM n.o_orderstatus
            OR b.o_orderpriority IS DISTINCT FROM n.o_orderpriority
-        ORDER BY o_orderkey""")),
+        ORDER BY o_orderkey"""),
+      headline = true),
 
     // CDC merge (batch MERGE INTO): a base snapshot plus two deterministic
     // versioned changesets (v1 rewrites even keys, v2 rewrites %4 keys and
@@ -1661,6 +1662,75 @@ object RelationalQueries {
         SELECT bin, n, n_pos, conf, acc, gap,
                ROUND(CAST(SUM(CAST(gap AS DECIMAL(18,6)) * n) OVER () AS DOUBLE)
                      / SUM(n) OVER (), 6) AS ece
-        FROM g ORDER BY bin"""))
+        FROM g ORDER BY bin""")),
+
+    // Jaro–Winkler entity matching over the distinct part-name vocabulary
+    // — the phonetic/typo tier where edit distance is too rigid. The
+    // canonical-order arithmetic is bit-identical to DuckDB's
+    // jaro_winkler_similarity (FuzzyJoin scaladoc), so raw-score
+    // threshold and 6-decimal emission both hash-match.
+    "q5y_jw_pairs" -> Q(
+      fn = (s, dir) =>
+        graft.operators.FuzzyJoin.jaroWinklerPairs(
+            t(s, dir, "part"), "p_name", minSim = 0.85)
+          .orderBy(col("sim").desc, col("str_a"), col("str_b")),
+      oracle = Some("""
+        WITH d AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        SELECT a.p_name AS str_a, b.p_name AS str_b,
+               ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+        FROM d a JOIN d b ON a.p_name < b.p_name
+        WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+        ORDER BY sim DESC, str_a, str_b""")),
+
+    // Binary-classifier evaluation (q5s's score/label pair): confusion
+    // counts at threshold 0.5, precision/recall/F1/accuracy as single
+    // integer divisions, and EXACT ROC AUC via the tie-aware Mann–Whitney
+    // rank-sum — the numerator 2·p·cumNeg + p·n is all-integer per
+    // distinct score, so the only float op is one final division.
+    "q5z_classifier_eval" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumn("score", col("l_discount").cast("double") * 10.0)
+          .withColumn("is_r", col("l_returnflag") === "R")
+        graft.operators.Calibration.binaryMetrics(li, "score", "is_r", 0.5)
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT CAST(l_discount AS DOUBLE) * 10.0 AS s,
+                 (l_returnflag = 'R') AS y
+          FROM lineitem
+          WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+        conf AS (
+          SELECT CAST(SUM(CASE WHEN y AND s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN NOT y AND s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN NOT y AND s < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                 CAST(SUM(CASE WHEN y AND s < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM b),
+        bs AS (
+          SELECT s, CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                 CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n
+          FROM b GROUP BY s),
+        cn AS (
+          SELECT *, COALESCE(CAST(SUM(n) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS cumneg
+          FROM bs),
+        a AS (
+          SELECT CAST(SUM(2*p*cumneg + p*n) AS BIGINT) AS num,
+                 CAST(SUM(p) AS BIGINT) AS pp, CAST(SUM(n) AS BIGINT) AS nn
+          FROM cn)
+        SELECT conf.tp, conf.fp, conf.tn, conf.fn,
+               CASE WHEN tp + fp > 0
+                    THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS "precision",
+               CASE WHEN tp + fn > 0
+                    THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+               CASE WHEN 2*tp + fp + fn > 0
+                    THEN ROUND(CAST(2*tp AS DOUBLE) / (2*tp + fp + fn), 6) END AS f1,
+               CASE WHEN tp + fp + tn + fn > 0
+                    THEN ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) END AS accuracy,
+               CASE WHEN pp > 0 AND nn > 0
+                    THEN ROUND(CAST(num AS DOUBLE) /
+                           (CAST(2 AS DOUBLE) * pp * nn), 6) END AS auc
+        FROM conf, a"""))
   )
 }

@@ -846,7 +846,8 @@ object VectorQueries {
         $powerIterationCtes
         SELECT CAST(v2.pos AS INT) AS dim, v2.val AS component,
                ROUND(m2.m * n2.nrm, 6) AS sigma
-        FROM v2, m2, n2 ORDER BY dim""")),
+        FROM v2, m2, n2 ORDER BY dim"""),
+      headline = true),
 
     // Dominant-direction removal (whitening diagnostics): each embedding's
     // projection coefficient onto the q5u power-iteration direction and

@@ -63,6 +63,42 @@ class CalibrationSpec extends AnyFunSuite {
     assert(run(df.repartition(7, col("label"))).toSeq == a)
   }
 
+  test("binaryMetrics: hand-computed confusion, F1 and rank-sum AUC") {
+    val d = Seq((0.9, true), (0.8, false), (0.7, true), (0.4, true),
+      (0.2, false)).toDF("score", "label")
+    val r = Calibration.binaryMetrics(d, "score", "label", 0.5).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 1L)))
+    assert(r.getAs[Double]("precision") == 0.666667)
+    assert(r.getAs[Double]("recall") == 0.666667)
+    assert(r.getAs[Double]("f1") == 0.666667)
+    assert(r.getAs[Double]("accuracy") == 0.6)
+    // pairs: (0.4,0.2)w (0.7,0.2)w (0.9,0.2)w (0.4,0.8)l (0.7,0.8)l (0.9,0.8)w
+    // -> 4 wins / 6 pairs = 0.666667
+    assert(r.getAs[Double]("auc") == 0.666667)
+  }
+
+  test("binaryMetrics: tied scores contribute half-wins to AUC") {
+    val d = Seq((0.5, true), (0.5, false)).toDF("score", "label")
+    val r = Calibration.binaryMetrics(d, "score", "label", 0.9).collect().head
+    assert(r.getAs[Double]("auc") == 0.5)
+  }
+
+  test("binaryMetrics: single-class input yields null AUC, not NaN") {
+    val d = Seq((0.9, true), (0.1, true)).toDF("score", "label")
+    val r = Calibration.binaryMetrics(d, "score", "label", 0.5).collect().head
+    assert(r.isNullAt(r.fieldIndex("auc")))
+  }
+
+  test("binaryMetrics: partition invariance") {
+    val d = (1 to 500).map(i => ((i % 97) / 97.0, i % 3 == 0))
+      .toDF("score", "label")
+    val a = Calibration.binaryMetrics(d, "score", "label", 0.4).collect().head
+    val b = Calibration.binaryMetrics(d.repartition(11, col("label")),
+      "score", "label", 0.4).collect().head
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("refuses bad inputs") {
     intercept[IllegalArgumentException] {
       Calibration.reliabilityTable(df, "score", "label", 0)

@@ -87,4 +87,46 @@ class FunnelSpec extends AnyFunSuite {
     assert(a == a.sorted.reverse, "conversion counts must not increase")
     assert(run(events.repartition(7)) == a)
   }
+
+  test("touchAttribution: first/last picks, window bounds, no-touch nulls") {
+    import spark.implicits._
+    val touches = Seq(
+      (1L, 100L, 11L, "view"),   // in window of conv at 150 (lookback 100)
+      (1L, 120L, 12L, "click"),  // in window — last touch
+      (1L, 40L, 13L, "view"),    // OUTSIDE the 100ms lookback of conv@150
+      (2L, 500L, 21L, "view"),   // after user 2's conversion: excluded
+      (1L, 150L, 14L, "click")   // exactly at conv ts: inclusive
+    ).toDF("user_id", "ts_ms", "event_id", "event_type")
+    val convs = Seq(
+      (1L, 150L, 91L),
+      (2L, 400L, 92L), // no prior touch in window
+      (3L, 100L, 93L)  // user with no touches at all
+    ).toDF("user_id", "ts_ms", "event_id")
+    val out = Funnel.touchAttribution(touches, convs, Seq("user_id"),
+        "ts_ms", "event_id", "event_type", "ts_ms", "event_id", 100L)
+      .orderBy("event_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("event_id") == 91L)
+    assert(r1.getAs[Long]("n_touches") == 3L)
+    assert(r1.getAs[String]("first_touch_type") == "view" &&
+      r1.getAs[Long]("first_touch_ms") == 100L) // 40L is out of window
+    assert(r1.getAs[String]("last_touch_type") == "click" &&
+      r1.getAs[Long]("last_touch_ms") == 150L) // inclusive upper bound
+    for (i <- 1 to 2) {
+      assert(out(i).getAs[Long]("n_touches") == 0L)
+      assert(out(i).isNullAt(out(i).fieldIndex("first_touch_type")))
+    }
+  }
+
+  test("touchAttribution: equal-timestamp touches tiebreak on id") {
+    import spark.implicits._
+    val touches = Seq(
+      (1L, 100L, 2L, "b"), (1L, 100L, 1L, "a"), (1L, 100L, 3L, "c")
+    ).toDF("user_id", "ts_ms", "event_id", "event_type")
+    val convs = Seq((1L, 100L, 9L)).toDF("user_id", "ts_ms", "event_id")
+    val out = Funnel.touchAttribution(touches, convs, Seq("user_id"),
+      "ts_ms", "event_id", "event_type", "ts_ms", "event_id", 50L).collect()
+    assert(out.head.getAs[String]("first_touch_type") == "a")
+    assert(out.head.getAs[String]("last_touch_type") == "c")
+  }
 }

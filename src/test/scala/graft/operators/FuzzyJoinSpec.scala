@@ -41,6 +41,40 @@ class FuzzyJoinSpec extends AnyFunSuite {
     FuzzyJoin.editDistancePairs(strs.toDF("s"), "s", d)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
 
+  test("jaroWinkler reproduces the textbook values bit-for-bit") {
+    // expected doubles pinned against DuckDB's jaro_winkler_similarity
+    assert(FuzzyJoin.jaroWinkler("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(FuzzyJoin.jaroWinkler("DIXON", "DICKSONX") == 0.8133333333333332)
+    assert(FuzzyJoin.jaroWinkler("DWAYNE", "DUANE") == 0.8400000000000001)
+    assert(FuzzyJoin.jaroWinkler("ABCVWXYZ", "CABVWXYZ") == 0.9583333333333334)
+    assert(FuzzyJoin.jaroWinkler("A", "B") == 0.0)
+    assert(FuzzyJoin.jaroWinkler("AB", "BA") == 0.0) // window excludes both
+    assert(FuzzyJoin.jaroWinkler("same", "same") == 1.0)
+    assert(FuzzyJoin.jaroWinkler("", "x") == 0.0)
+  }
+
+  test("jaroWinkler is symmetric and bounded") {
+    val ws = Seq("kitten", "sitting", "a", "", "abcd", "dcba", "aabbcc")
+    for (a <- ws; b <- ws) {
+      val s = FuzzyJoin.jaroWinkler(a, b)
+      assert(s >= 0.0 && s <= 1.0)
+      assert(s == FuzzyJoin.jaroWinkler(b, a))
+    }
+  }
+
+  test("jaroWinklerPairs: distinct-first, threshold, vocabulary guard") {
+    import spark.implicits._
+    val df = (Seq.fill(50)("martha") ++ Seq.fill(30)("marhta") ++
+      Seq("zzzz")).toDF("s")
+    val out = FuzzyJoin.jaroWinklerPairs(df, "s", 0.9).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "marhta" && out.head.getString(1) == "martha")
+    assert(out.head.getDouble(2) == 0.961111)
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.jaroWinklerPairs(df, "s", 0.9, maxVocab = 2).collect()
+    }
+  }
+
   test("segmentation covers the string in k contiguous non-empty pieces") {
     for (l <- 1 to 20; k <- 1 to math.min(l, 5)) {
       val segs = FuzzyJoin.segmentation(l, k)

@@ -58,6 +58,31 @@ class ResampleSpec extends AnyFunSuite {
     assert(run(series.repartition(5, col("v"))).toSeq == a)
   }
 
+  test("rollingStats: trailing window over the dense grid") {
+    val dense = Resample.gapFillLinear(series, "k", "b", "v")
+    val out = Resample.rollingStats(dense, "k", "b", "value", nBuckets = 3)
+      .orderBy("k", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("roll_n"), r.getAs[Double]("roll_mean"),
+        r.getAs[Double]("roll_min"), r.getAs[Double]("roll_max")))
+    // key 1 values: 10,15,20,25,30,15,0 on buckets 0..6
+    val k1 = out.filter(_._1 == 1L)
+    assert(k1.map(_._3).toSeq == Seq(1L, 2L, 3L, 3L, 3L, 3L, 3L))
+    assert(k1(0)._4 == 10.0 && k1(1)._4 == 12.5 && k1(2)._4 == 15.0)
+    assert(k1(6)._4 == 15.0) // (30+15+0)/3
+    assert(k1(6)._5 == 0.0 && k1(6)._6 == 30.0)
+    // single-point key: window of itself
+    val k2 = out.filter(_._1 == 2L)
+    assert(k2.toSeq == Seq((2L, 100L, 1L, 7.5, 7.5, 7.5)))
+  }
+
+  test("rollingStats: exact decimal midpoint means snap half-up") {
+    val d = Seq((1L, 0L, 0.000001), (1L, 1L, 0.0)).toDF("k", "b", "v")
+    val out = Resample.rollingStats(d, "k", "b", "v", nBuckets = 2)
+      .orderBy("b").collect().map(_.getAs[Double]("roll_mean"))
+    assert(out.toSeq == Seq(0.000001, 0.000001)) // 5e-7 rounds up
+  }
+
   test("refuses missing and reserved columns") {
     intercept[IllegalArgumentException] {
       Resample.gapFillLinear(series, "k", "nope", "v")
