@@ -1615,6 +1615,62 @@ object TextQueries {
           FROM n a JOIN n b ON a.p_name < b.p_name)
         SELECT str_a, str_b, edit_distance, n_a, n_b
         FROM p WHERE edit_distance BETWEEN 1 AND 2
-        ORDER BY str_a, str_b"""))
-  )
+        ORDER BY str_a, str_b""")),
+
+    // SIF document embeddings (Arora et al., ICLR 2017): smooth-inverse-
+    // frequency weighted mean of hash token vectors — w = a/(a+p) snapped
+    // to the 9-grid, token vectors as hash64 byte slices scaled to [−1,1],
+    // per-(doc,dim) pooling through DECIMAL(28,12). The oracle replays
+    // the FNV-1a/splitmix64 fold over the DISTINCT vocabulary (q29
+    // machinery) and slices the same bytes in HUGEINT arithmetic.
+    "q6a_sif_embeddings" -> Q(
+      fn = (s, dir) =>
+        graft.operators.SifEmbed.sifEmbeddings(
+            docs(s, dir), "doc_id", "text", dim = 8, a = 0.001)
+          .orderBy(col("doc_id"), col("dim")),
+      oracle = Some(sifOracle(dim = 8))
+  ))
+
+  /** DuckDB replay of [[graft.operators.SifEmbed.sifEmbeddings]]: the
+    * hash64 fold runs once per DISTINCT token (mix64Nested's staged
+    * projections), bytes are sliced with integer division in HUGEINT,
+    * and the pooled sum rides DECIMAL(28,12) like the Spark side.
+    */
+  private def sifOracle(dim: Int): String = {
+    val fnv = s"SELECT token, ${OracleSql.fnv64CodepointFold("token")} AS fnv_raw " +
+      "FROM cnt"
+    val (mixed, hCol) = OracleSql.mix64Nested(fnv, "fnv_raw", "th", keep = "token")
+    val tv = (0 until dim).map { d =>
+      val div = java.math.BigInteger.valueOf(256L).pow(d)
+      s"""SELECT token, $d AS dim,
+         (CAST(CAST(($hCol // $div) % 256 AS BIGINT) AS DOUBLE)
+          - CAST(127.5 AS DOUBLE)) / CAST(127.5 AS DOUBLE) AS v
+         FROM hb"""
+    }.mkString("\nUNION ALL\n")
+    s"""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents),
+      cnt AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+      tot AS (SELECT SUM(c) AS t FROM cnt),
+      w AS MATERIALIZED (
+        SELECT token,
+               ROUND(CAST(0.001 AS DOUBLE) /
+                 (CAST(0.001 AS DOUBLE)
+                  + CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 9) AS wt
+        FROM cnt CROSS JOIN tot),
+      hb AS MATERIALIZED ($mixed),
+      tv AS MATERIALIZED ($tv),
+      agg AS (
+        SELECT t.doc_id, v.dim,
+               SUM(CAST(w.wt * v.v AS DECIMAL(28,12))) AS s,
+               COUNT(*) AS n
+        FROM tok t JOIN w USING (token) JOIN tv v USING (token)
+        GROUP BY 1, 2)
+      SELECT doc_id, CAST(dim AS INT) AS dim,
+             ROUND(CAST(s AS DOUBLE) / n, 6) + CAST(0 AS DOUBLE) AS component,
+             CAST(n AS BIGINT) AS n_tokens
+      FROM agg ORDER BY doc_id, dim"""
+  }
 }
