@@ -158,4 +158,42 @@ object Profile {
     }.toDF("column", "n", "n_null", "est_distinct",
       "min_num", "max_num", "min_str", "max_str")
   }
+
+  /** Join-key skew diagnostic — the data-ops question behind every slow
+    * shuffle: how concentrated is this key? Emits the `topK` heaviest
+    * keys (count + corpus share) with three distribution-wide summary
+    * columns repeated per row: `n_keys`, `total`, and the Shannon
+    * `entropy` of the key distribution in nats (ln parity is
+    * cross-engine-proven; each −p·ln p term snaps to the 9-grid and
+    * accumulates in DECIMAL(28,9), the q3j surprisal recipe, so the sum
+    * is order-free).
+    *
+    * Shape at scale: one map-side-combinable count per key, then (a) a
+    * TakeOrderedAndProject top-k heap and (b) a second linear aggregate
+    * over the key-count table for the summary — never a window over raw
+    * rows, never a collect. Null keys count as a key (skew diagnosis
+    * must see the null bucket — it is usually the problem).
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(df.columns.contains(keyCol), s"column $keyCol missing")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__t"))
+    val p = col("cnt").cast("double") / col("__t").cast("double")
+    val summary = counts.crossJoin(broadcast(tot))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        max(col("__t")).as("total"),
+        sum(round(-p * log(p), 9).cast("decimal(28,9)")).as("__h"))
+      .select(col("n_keys"), col("total"),
+        round(col("__h").cast("double"), 6).as("entropy"))
+    counts
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+      .crossJoin(broadcast(summary))
+      .select(col("key").as(keyCol), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share"),
+        col("n_keys"), col("total"), col("entropy"))
+  }
 }

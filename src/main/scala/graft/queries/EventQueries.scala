@@ -389,6 +389,71 @@ object EventQueries {
                LEFT JOIN l USING (user_id, cid)
         ORDER BY event_id""")),
 
+    // Markov next-event transition matrix: per-user ordered event pairs
+    // via lead(), counts per (from, to), row-normalized probabilities.
+    // The probability window runs over the AGGREGATED 5×5 matrix, not
+    // raw events.
+    "q6b_markov_transitions" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+        val tr = ev(s, dir)
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+        val counts = tr
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val wf = Window.partitionBy("from_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        counts
+          .withColumn("p",
+            round(col("n").cast("double") / sum(col("n")).over(wf), 6))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS next_type
+          FROM events),
+        c AS (
+          SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               ROUND(CAST(n AS DOUBLE) /
+                 SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM c ORDER BY from_type, to_type""")),
+
+    // Join-key skew diagnostic: the 10 heaviest user_ids with corpus
+    // share plus distribution-wide n_keys/total/Shannon-entropy summary
+    // columns (−p·ln p terms on the 9-grid, DECIMAL(28,9) accumulation —
+    // the q3j surprisal recipe, order-free).
+    "q6d_key_skew" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Profile.keySkew(ev(s, dir), "user_id", topK = 10)
+          .orderBy(col("cnt").desc, col("user_id")),
+      oracle = Some("""
+        WITH c AS (
+          SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM c),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(tt) AS BIGINT) AS total,
+                 ROUND(CAST(SUM(CAST(ROUND(
+                   (-(CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE)))
+                   * ln(CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE)), 9)
+                   AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+          FROM c CROSS JOIN t)
+        SELECT c.key AS user_id, c.cnt,
+               ROUND(CAST(c.cnt AS DOUBLE) / s.total, 6) AS share,
+               s.n_keys, s.total, s.entropy
+        FROM c CROSS JOIN s
+        ORDER BY c.cnt DESC, user_id LIMIT 10""")),
+
     "q43_hourly_windows" -> Q(
       fn = (s, dir) =>
         Tables(s, dir, "events")

@@ -1731,6 +1731,61 @@ object RelationalQueries {
                CASE WHEN pp > 0 AND nn > 0
                     THEN ROUND(CAST(num AS DOUBLE) /
                            (CAST(2 AS DOUBLE) * pp * nn), 6) END AS auc
-        FROM conf, a"""))
+        FROM conf, a""")),
+
+    // Winsorized robust stats per group: p05/p95 bounds via the proven
+    // percentile-interpolation parity (q45), then a clipped mean whose
+    // in-range mass sums in exact DECIMAL(18,2) and whose clipped tails
+    // re-enter as count×bound in double — the interpolated bounds are
+    // NEVER cast to DECIMAL (a 100k-scale double at scale 12 violates
+    // the 2^53 agreement bound).
+    "q6c_winsorized_stats" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice").isNotNull)
+          .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        val bounds = li.groupBy("l_returnflag")
+          .agg(expr("percentile(v, 0.05)").as("lo"),
+            expr("percentile(v, 0.95)").as("hi"))
+        li.join(broadcast(bounds), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+            sum(when(col("v") >= col("lo") && col("v") <= col("hi"),
+              col("v").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)"))).as("__s"),
+            max(col("lo")).as("__lo"), max(col("hi")).as("__hi"))
+          .select(col("l_returnflag"), col("n"), col("n_lo"), col("n_hi"),
+            round(col("__lo"), 6).as("lo"),
+            round(col("__hi"), 6).as("hi"),
+            round((col("__s").cast("double")
+              + col("n_lo").cast("double") * col("__lo")
+              + col("n_hi").cast("double") * col("__hi"))
+              / col("n").cast("double"), 6).as("mean_winsorized"))
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_returnflag, l_extendedprice AS v FROM lineitem
+          WHERE l_extendedprice IS NOT NULL),
+        b AS (
+          SELECT l_returnflag, quantile_cont(v, 0.05) AS lo,
+                 quantile_cont(v, 0.95) AS hi
+          FROM li GROUP BY 1),
+        j AS (SELECT li.l_returnflag, li.v, b.lo, b.hi
+              FROM li JOIN b USING (l_returnflag))
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+               CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+               ROUND(MAX(lo), 6) AS lo, ROUND(MAX(hi), 6) AS hi,
+               ROUND((CAST(SUM(CASE WHEN v >= lo AND v <= hi
+                        THEN CAST(v AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 + CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS DOUBLE) * MAX(lo)
+                 + CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS DOUBLE) * MAX(hi))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_winsorized
+        FROM j GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -65,4 +65,28 @@ class ProfileSpec extends AnyFunSuite {
       Profile.tableProfile(df, Seq.empty)
     }
   }
+
+  test("keySkew: heavy keys, shares, uniform vs skewed entropy, null bucket") {
+    import spark.implicits._
+    // 8 'a', 1 'b', 1 null -> total 10
+    val df = (Seq.fill(8)(Some("a")) ++ Seq(Some("b"), None)).toDF("k")
+    val out = Profile.keySkew(df, "k", topK = 2)
+      .orderBy(org.apache.spark.sql.functions.col("cnt").desc).collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "a" && out(0).getLong(1) == 8L)
+    assert(out(0).getAs[Double]("share") == 0.8)
+    assert(out(0).getAs[Long]("n_keys") == 3L) // null IS a key
+    assert(out(0).getAs[Long]("total") == 10L)
+    // entropy: -(0.8 ln 0.8 + 0.1 ln 0.1 + 0.1 ln 0.1), 9-grid terms
+    val expected = Seq(0.8, 0.1, 0.1)
+      .map(p => BigDecimal(-p * math.log(p))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(out(0).getAs[Double]("entropy") ==
+      expected.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // uniform distribution has strictly higher entropy
+    val uni = (1 to 10).map(i => s"k$i").toDF("k")
+    val uniH = Profile.keySkew(uni, "k", 1).collect()(0).getAs[Double]("entropy")
+    assert(uniH > out(0).getAs[Double]("entropy"))
+    assert(math.abs(uniH - math.log(10)) < 1e-6)
+  }
 }
