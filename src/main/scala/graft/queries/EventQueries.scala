@@ -454,6 +454,59 @@ object EventQueries {
         FROM c CROSS JOIN s
         ORDER BY c.cnt DESC, user_id LIMIT 10""")),
 
+    // SCD2 consumption (q5q composed with q40's as-of machinery): the
+    // state each probe event's user was in AT THAT MOMENT — the
+    // effective-dated dimension lookup every warehouse join against SCD2
+    // history performs. Change-open rows sort before probes at equal
+    // (ts, id), so a probe that IS the change event sees its own new
+    // state — the half-open interval contract.
+    "q6e_state_at_event" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        val hist = graft.operators.Scd.scd2(
+          e.select(col("user_id"), col("ts_ms"), col("event_id"),
+            col("event_type")),
+          "user_id", "ts_ms", "event_id", Seq("event_type"))
+        val opens = hist.select(col("user_id"),
+          col("valid_from").as("ts_ms"), col("event_id"),
+          col("event_type").as("state"),
+          col("valid_from").as("state_since"))
+        val probes = e.filter(col("event_id") % 7 === 0)
+          .select(col("user_id"), col("ts_ms"), col("event_id"))
+        graft.operators.AsOfJoin.asOf(probes, opens, Seq("user_id"),
+            "ts_ms", "event_id", payload = Seq("state", "state_since"))
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("__asof.state").as("state"),
+            col("__asof.state_since").as("state_since_ms"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+                 lag(event_type) OVER w AS prev_type,
+                 lag(event_id) OVER w AS prev_id
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        o AS (
+          SELECT user_id, ts_ms, event_id, event_type FROM e
+          WHERE prev_id IS NULL OR prev_type IS DISTINCT FROM event_type),
+        u AS (
+          SELECT user_id, ts_ms, event_id, 0 AS side,
+                 event_type AS state, ts_ms AS since
+          FROM o
+          UNION ALL
+          SELECT user_id, epoch_ms(ts), event_id, 1,
+                 CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+          FROM events WHERE event_id % 7 = 0),
+        w AS (
+          SELECT *, last_value(state IGNORE NULLS) OVER win AS st,
+                 last_value(since IGNORE NULLS) OVER win AS ss
+          FROM u
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, ts_ms, st AS state, ss AS state_since_ms
+        FROM w WHERE side = 1 ORDER BY event_id""")),
+
     "q43_hourly_windows" -> Q(
       fn = (s, dir) =>
         Tables(s, dir, "events")

@@ -1682,6 +1682,37 @@ object RelationalQueries {
         WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
         ORDER BY sim DESC, str_a, str_b""")),
 
+    // End-to-end entity resolution (q5y composed with q37's machinery):
+    // Jaro–Winkler similarity pairs fed into transitive connected
+    // components — each name labeled with its cluster's min member. The
+    // oracle replays CC as the recursive reachability CTE.
+    "q6f_entity_clusters" -> Q(
+      fn = (s, dir) => {
+        val pairs = graft.operators.FuzzyJoin.jaroWinklerPairs(
+            t(s, dir, "part"), "p_name", minSim = 0.85)
+          .select(col("str_a").as("doc_a"), col("str_b").as("doc_b"))
+        graft.operators.Dedup.connectedComponents(pairs)
+          .select(col("doc_id").as("name"),
+            col("component_id").as("cluster"))
+          .orderBy(col("name"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE d AS (
+          SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+        p AS (
+          SELECT a.p_name AS a, b.p_name AS b
+          FROM d a JOIN d b ON a.p_name < b.p_name
+          WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85),
+        edges AS (
+          SELECT a AS src, b AS dst FROM p
+          UNION SELECT b, a FROM p),
+        reach(node, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS name, MIN(comp) AS cluster
+        FROM reach GROUP BY node ORDER BY name""")),
+
     // Binary-classifier evaluation (q5s's score/label pair): confusion
     // counts at threshold 0.5, precision/recall/F1/accuracy as single
     // integer divisions, and EXACT ROC AUC via the tie-aware Mann–Whitney
