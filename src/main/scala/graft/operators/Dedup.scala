@@ -128,6 +128,47 @@ object Dedup {
       .select((Seq(col("doc_a"), col("doc_b"), col("jaccard")) ++ blockCols.map(col)): _*)
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — C(A,B) = |A∩B| / |A| — the
+    * subset-duplication detector symmetric Jaccard is blind to: a
+    * boilerplate page embedded verbatim inside a much larger document has
+    * near-zero Jaccard (the union is dominated by the big doc) but
+    * containment ≈ 1 for the small side. Broder's resemblance-vs-
+    * containment distinction (SEQUENCES 1997), the crawl-dedup classic.
+    *
+    * Same prep and block-join shape as [[ngramJaccardPairs]] (one UDF
+    * shingle-hash pass, block-key co-partitioned equi-join, codegen merge
+    * scan for |A∩B|); a pair survives if EITHER direction's containment
+    * reaches `minContainment`.
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int = 3,
+      minContainment: Double = 0.8): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0,1], got $minContainment")
+    val nonBlank = docs.filter(
+      length(regexp_replace(col(textCol), "\\s+", "")) > 0)
+    val prepared = nonBlank.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        GraftFunctions.shingleHashesUdf(col(textCol), lit(n)).as("grams"): _*)
+      .repartition(blockCols.map(col): _*)
+    val a = prepared.select(
+      Seq(col(idCol).as("doc_a"), col("grams").as("grams_a")) ++ blockCols.map(col): _*)
+    val b = prepared.select(
+      Seq(col(idCol).as("doc_b"), col("grams").as("grams_b")) ++ blockCols.map(col): _*)
+    val inter = graft.functions.VectorFunctions.sortedIntersectCount(
+      col("grams_a"), col("grams_b"))
+    a.join(b, blockCols).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", inter)
+      .withColumn("cont_a_in_b",
+        col("inter").cast("double") / size(col("grams_a")))
+      .withColumn("cont_b_in_a",
+        col("inter").cast("double") / size(col("grams_b")))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
+      .select((Seq(col("doc_a"), col("doc_b"), col("cont_a_in_b"),
+        col("cont_b_in_a")) ++ blockCols.map(col)): _*)
+  }
+
   /** MinHash signatures + LSH band keys for each document (one-pass UDF —
     * no materialized shingle arrays).
     */

@@ -507,6 +507,70 @@ object EventQueries {
         SELECT event_id, user_id, ts_ms, st AS state, ss AS state_since_ms
         FROM w WHERE side = 1 ORDER BY event_id""")),
 
+    // Hour-of-day latency-curve percentiles per event type (the ops
+    // dashboard classic): exact interpolated p50/p95 (q45 parity) over
+    // engine-neutral integer hour buckets.
+    "q6h_hourly_percentiles" -> Q(
+      fn = (s, dir) =>
+        ev(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("hod", (expr("ts_ms div 3600000") % 24).cast("int"))
+          .groupBy(col("event_type"), col("hod"))
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.95)").as("p95"))
+          .orderBy(col("event_type"), col("hod")),
+      oracle = Some("""
+        SELECT event_type,
+               CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2 ORDER BY event_type, hod""")),
+
+    // MAD-based robust outlier profile per event type: median and median
+    // absolute deviation (both exact interpolated percentiles — q45
+    // parity), outliers = |v − med| > 3·MAD. Three linear passes, 5-row
+    // broadcast stats between them; no window over raw events.
+    "q6i_mad_outliers" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), col("value").cast("double").as("v"))
+        val med = e.groupBy("event_type")
+          .agg(expr("percentile(v, 0.5)").as("med"))
+        val withMed = e.join(broadcast(med), "event_type")
+        val mad = withMed.groupBy("event_type")
+          .agg(expr("percentile(abs(v - med), 0.5)").as("mad"))
+        withMed.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            max(col("med")).as("med"),
+            max(col("mad")).as("mad"),
+            sum(when(abs(col("v") - col("med")) > lit(3.0) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+          WHERE value IS NOT NULL),
+        m AS (
+          SELECT event_type, quantile_cont(v, 0.5) AS med
+          FROM e GROUP BY 1),
+        d AS (
+          SELECT e.event_type, e.v, m.med FROM e JOIN m USING (event_type)),
+        md AS (
+          SELECT event_type, quantile_cont(abs(v - med), 0.5) AS mad
+          FROM d GROUP BY 1)
+        SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(d.med) AS med, MAX(md.mad) AS mad,
+               CAST(SUM(CASE WHEN abs(d.v - d.med) >
+                 CAST(3 AS DOUBLE) * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers
+        FROM d JOIN md USING (event_type)
+        GROUP BY 1 ORDER BY event_type""")),
+
     "q43_hourly_windows" -> Q(
       fn = (s, dir) =>
         Tables(s, dir, "events")

@@ -106,6 +106,42 @@ object TextQueries {
         ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""),
       headline = true),
 
+    // Asymmetric n-gram containment (Broder's resemblance-vs-containment):
+    // the subset-duplication detector Jaccard is blind to — a small doc
+    // embedded in a large one. Raw double divisions of integer counts,
+    // identical on both engines (the q24 contract).
+    "q6g_containment_pairs" -> Q(
+      fn = (s, dir) =>
+        Dedup.ngramContainmentPairs(docs(s, dir), "doc_id", "text",
+            blockCols = Seq("lang", "source"), n = 3, minContainment = 0.5)
+          .select(col("doc_a"), col("doc_b"), col("cont_a_in_b"),
+            col("cont_b_in_a"))
+          .orderBy(greatest(col("cont_a_in_b"), col("cont_b_in_a")).desc,
+            col("doc_a"), col("doc_b"))
+          .limit(50),
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [trim(text)] END) AS grams
+          FROM (SELECT doc_id, lang, source, text,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents WHERE len(regexp_replace(text, '\s', '', 'g')) > 0)),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(a.grams) AS cont_a_in_b,
+                 CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(b.grams) AS cont_b_in_a
+          FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+                           AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM p
+        WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
+        ORDER BY greatest(cont_a_in_b, cont_b_in_a) DESC, doc_a, doc_b
+        LIMIT 50""")),
+
     // F6: keyword predicate (the reference's CONFIDENTIAL alert filter shape).
     "q25_keyword_filter" -> Q(
       fn = (s, dir) =>

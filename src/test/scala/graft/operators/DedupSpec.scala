@@ -217,4 +217,26 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.getAs[Int]("hamming") == 0)
     assert(!pairSet.exists(s => s.contains(4L) && s.contains(5L)))
   }
+
+  test("containment catches a small doc embedded in a big one that Jaccard misses") {
+    import spark.implicits._
+    val big = (1 to 300).map(i => s"word$i next$i").mkString(" ")
+    val small = big.split(" ").take(30).mkString(" ") // 5% of big, verbatim
+    val other = (1 to 300).map(i => s"alt$i other$i").mkString(" ")
+    val df = Seq((1L, big), (2L, small), (3L, other)).toDF("doc_id", "text")
+      .withColumn("blk", lit(1))
+    val cont = Dedup.ngramContainmentPairs(df, "doc_id", "text",
+      Seq("blk"), minContainment = 0.8).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == ((1L, 2L)))
+    // containment of the SMALL doc (b) in the big one is ~1; reverse tiny
+    assert(r.getAs[Double]("cont_b_in_a") > 0.9)
+    assert(r.getAs[Double]("cont_a_in_b") < 0.1)
+    // and symmetric Jaccard would never have flagged the pair
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq("blk"))
+      .filter(col("jaccard") >= 0.5).collect()
+    assert(!jac.exists(r2 => r2.getAs[Long]("doc_a") == 1L &&
+      r2.getAs[Long]("doc_b") == 2L))
+  }
 }
