@@ -139,4 +139,77 @@ object Calibration {
           col("tp") + col("fp") + col("tn") + col("fn")).as("accuracy"),
         col("auc"))
   }
+
+  /** Mergeable per-bin state for the streaming reliability card: counts
+    * are longs, the score mass is an EXACT DECIMAL(28,12) BigDecimal —
+    * merging is plain addition, so any micro-batch split of the stream
+    * folds to the identical table (the Profile.ColumnState discipline).
+    */
+  final case class BinState(n: Long, ssum: java.math.BigDecimal, nPos: Long) {
+    def merge(o: BinState): BinState =
+      BinState(n + o.n, ssum.add(o.ssum), nPos + o.nPos)
+  }
+
+  /** One micro-batch folded to its per-bin image (driver state: ≤ bins
+    * entries of three scalars). Same binning/filters as
+    * [[reliabilityTable]].
+    */
+  def batchImage(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int): Map[Int, BinState] = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val s = col(scoreCol).cast("double")
+    df.filter(s.isNotNull && s >= 0.0 && s <= 1.0)
+      .withColumn("__bin", least(floor(s * bins), lit(bins - 1)).cast("int"))
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("n"),
+        sum(s.cast("decimal(28,12)")).as("ssum"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("np"))
+      .collect()
+      .map(r => r.getInt(0) -> BinState(r.getLong(1),
+        r.getDecimal(2), r.getLong(3)))
+      .toMap
+  }
+
+  /** Pointwise image merge. */
+  def mergeImages(
+      a: Map[Int, BinState], b: Map[Int, BinState]): Map[Int, BinState] =
+    (a.keySet ++ b.keySet).map { k =>
+      k -> ((a.get(k), b.get(k)) match {
+        case (Some(x), Some(y)) => x.merge(y)
+        case (x, y) => x.orElse(y).get
+      })
+    }.toMap
+
+  /** The accumulated image as the [[reliabilityTable]] output — identical
+    * arithmetic (double division of the exact decimal mass, 6-decimal
+    * snaps, count-weighted ECE), so streamed ≡ batch bit-for-bit.
+    */
+  def imageToTable(
+      spark: org.apache.spark.sql.SparkSession,
+      img: Map[Int, BinState]): DataFrame = {
+    import spark.implicits._
+    val rated = img.toSeq.sortBy(_._1).map { case (bin, st) =>
+      val conf = BigDecimal(st.ssum).toDouble / st.n
+      val acc = st.nPos.toDouble / st.n
+      def r6(x: Double) =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (bin, st.n, st.nPos, r6(conf), r6(acc))
+    }.map { case (bin, n, np, conf, acc) =>
+      (bin, n, np, conf, acc,
+        java.math.BigDecimal.valueOf(math.abs(acc - conf))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    val totN = rated.map(_._2).sum
+    val eceNum = rated.foldLeft(java.math.BigDecimal.ZERO) { (z, r) =>
+      z.add(java.math.BigDecimal.valueOf(r._6)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .multiply(java.math.BigDecimal.valueOf(r._2)))
+    }
+    val ece = java.math.BigDecimal.valueOf(eceNum.doubleValue() / totN)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    rated.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, ece))
+      .toDF("bin", "n", "n_pos", "conf", "acc", "gap", "ece")
+  }
 }

@@ -571,6 +571,82 @@ object EventQueries {
         FROM d JOIN md USING (event_type)
         GROUP BY 1 ORDER BY event_type""")),
 
+    // Sequential pattern mining (lightweight): the 20 most common 3-step
+    // event paths across users — lead(1)/lead(2) over one per-user
+    // ordering, then a plain count. String keys, integer counts: parity
+    // is structural.
+    "q6j_top_paths" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+        ev(s, dir)
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            col("event_type"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+            .as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 lead(event_type, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+        SELECT concat_ws('>', event_type, t2, t3) AS path,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM e WHERE t3 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
+
+    // Time-to-convert distribution: per user, first signup → first
+    // subsequent purchase; one-row summary with exact interpolated delay
+    // percentiles (q45 parity) and the unconverted count.
+    "q6k_conversion_latency" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts_ms")).as("s"))
+        val delays = e.filter(col("event_type") === "purchase")
+          .join(broadcast(su), "user_id")
+          .filter(col("ts_ms") >= col("s"))
+          .groupBy(col("user_id"), col("s"))
+          .agg(min(col("ts_ms")).as("p"))
+          .select((col("p") - col("s")).as("delay_ms"))
+        val converted = delays.agg(
+          count(lit(1)).as("n_converted"),
+          expr("percentile(delay_ms, 0.5)").as("p50_ms"),
+          expr("percentile(delay_ms, 0.9)").as("p90_ms"),
+          max(col("delay_ms")).as("max_ms"))
+        su.agg(count(lit(1)).as("n_signups")).crossJoin(converted)
+          .select(col("n_signups"), col("n_converted"),
+            (col("n_signups") - col("n_converted")).as("n_unconverted"),
+            col("p50_ms"), col("p90_ms"), col("max_ms"))
+      },
+      oracle = Some("""
+        WITH su AS (
+          SELECT user_id, MIN(epoch_ms(ts)) AS s FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        d AS (
+          SELECT e.user_id, MIN(epoch_ms(e.ts)) - MAX(su.s) AS delay_ms
+          FROM events e JOIN su ON e.user_id = su.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= su.s
+          GROUP BY e.user_id),
+        c AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+                 quantile_cont(delay_ms, 0.5) AS p50_ms,
+                 quantile_cont(delay_ms, 0.9) AS p90_ms,
+                 CAST(MAX(delay_ms) AS BIGINT) AS max_ms
+          FROM d),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signups FROM su)
+        SELECT t.n_signups, c.n_converted,
+               t.n_signups - c.n_converted AS n_unconverted,
+               c.p50_ms, c.p90_ms, c.max_ms
+        FROM t, c""")),
+
     "q43_hourly_windows" -> Q(
       fn = (s, dir) =>
         Tables(s, dir, "events")

@@ -99,6 +99,33 @@ class CalibrationSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("streaming image: any micro-batch split folds to the exact batch table") {
+    val d = (1 to 400).map(i => ((i % 89) / 89.0, i % 3 == 0))
+      .toDF("score", "label")
+    val batch = Calibration.reliabilityTable(d, "score", "label", 10)
+      .orderBy("bin").collect().map(_.toSeq)
+    // three uneven micro-batches, merged in stream order
+    val splits = Seq(d.limit(50), d.offset(50).limit(123), d.offset(173))
+    val img = splits
+      .map(b => Calibration.batchImage(b, "score", "label", 10))
+      .reduce(Calibration.mergeImages)
+    val streamed = Calibration.imageToTable(spark, img)
+      .orderBy("bin").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming image: merge is commutative") {
+    val d1 = Seq((0.2, true), (0.9, false)).toDF("score", "label")
+    val d2 = Seq((0.25, false), (0.9, true), (0.1, true)).toDF("score", "label")
+    val a = Calibration.batchImage(d1, "score", "label", 4)
+    val b = Calibration.batchImage(d2, "score", "label", 4)
+    val ab = Calibration.imageToTable(spark, Calibration.mergeImages(a, b))
+      .collect().map(_.toSeq)
+    val ba = Calibration.imageToTable(spark, Calibration.mergeImages(b, a))
+      .collect().map(_.toSeq)
+    assert(ab.toSeq == ba.toSeq)
+  }
+
   test("refuses bad inputs") {
     intercept[IllegalArgumentException] {
       Calibration.reliabilityTable(df, "score", "label", 0)
