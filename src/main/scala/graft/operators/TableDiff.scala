@@ -50,7 +50,12 @@ object TableDiff {
 
     val b = base.select(needed.map(col) :+ lit(1).as("__b"): _*).alias("b")
     val n = next.select(needed.map(col) :+ lit(1).as("__n"): _*).alias("n")
-    val cond = keys.map(k => col(s"b.$k") <=> col(s"n.$k")).reduce(_ && _)
+    // PLAIN equality on keys, not <=>: null-safe key equality compiles to
+    // coalesce/isnull composite join keys, which the planner cannot match
+    // to a bucketBy(key) layout — the zero-Exchange bucketed diff would
+    // silently re-shuffle. Keys are non-null by CDC contract; a null-keyed
+    // row classifies as removed+added (never matches), not changed.
+    val cond = keys.map(k => col(s"b.$k") === col(s"n.$k")).reduce(_ && _)
     val joined = b.join(n, cond, "full_outer")
 
     val change = when(col("b.__b").isNull, lit("added"))

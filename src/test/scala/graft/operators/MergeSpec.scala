@@ -80,4 +80,11 @@ class MergeSpec extends AnyFunSuite {
       changes.repartition(3, col("op")), Seq("k"), "version", "op"))
     assert(a == b)
   }
+
+  test("plan: winner selection rides WindowGroupLimit (map-side rank-1)") {
+    val out = Merge.applyChanges(base, changes, Seq("k"), "version", "op")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-1 filter not pushed map-side:\n$plan")
+  }
 }

@@ -80,6 +80,37 @@ class TableDiffSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed snapshots diff with zero Exchange below the join") {
+    spark.sql("DROP TABLE IF EXISTS diff_base_b")
+    spark.sql("DROP TABLE IF EXISTS diff_next_b")
+    base.write.bucketBy(4, "k").sortBy("k").mode("overwrite")
+      .saveAsTable("diff_base_b")
+    next.write.bucketBy(4, "k").sortBy("k").mode("overwrite")
+      .saveAsTable("diff_next_b")
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val d = TableDiff.diff(spark.table("diff_base_b"),
+        spark.table("diff_next_b"), Seq("k"), Seq("s", "v"))
+      val plan = d.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      val sub = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!sub.contains("Exchange"),
+        s"bucketed snapshot diff still shuffles:\n$plan")
+      // and the result is the same diff
+      val got = d.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(got.toSeq == run().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS diff_base_b")
+      spark.sql("DROP TABLE IF EXISTS diff_next_b")
+    }
+  }
+
   test("partition invariance: layout does not change the diff") {
     val a = run().toSeq
     val shuffled = TableDiff.diff(
