@@ -80,4 +80,49 @@ object SkewJoin {
         .drop("__n", "__i")
     }
   }
+
+  /** SELECTIVE salting: only the listed hot keys pay the salt/replication
+    * tax; everything else joins plain. This is the production shape —
+    * blanket salting replicates the ENTIRE other side nSalts×, but skew is
+    * by definition a handful of keys, so the replicated slice should be
+    * just those keys' rows. Branches are disjoint by key, so the union of
+    * the two joins is exactly the plain join's result (null keys fall to
+    * the cold branch, whose plain join already handles them).
+    */
+  def selectiveSalted(
+      skewed: DataFrame, other: DataFrame, key: String, hotKeys: Seq[Any],
+      nSalts: Int, joinType: String = "inner",
+      collapseDuplicates: Boolean = false): DataFrame = {
+    require(hotKeys.nonEmpty, "selectiveSalted needs at least one hot key " +
+      "(use a plain join when nothing is hot)")
+    require(!hotKeys.contains(null),
+      "null is never a join-hot key (equi-joins drop null keys to the cold branch)")
+    val isHot = col(key).isin(hotKeys: _*)
+    val hot = saltedEquiJoin(
+      skewed.filter(isHot), other.filter(isHot), key, nSalts, joinType,
+      collapseDuplicates)
+    val cold = skewed.filter(!isHot || col(key).isNull)
+      .join(other, Seq(key), joinType)
+    hot.unionByName(cold)
+  }
+
+  /** Skew handling end-to-end: detect hot keys with the count-min sketch
+    * (one cheap pass + an exact confirmation confined to the CMS candidate
+    * slice — [[CmSketch.heavyHitters]]'s contract), then
+    * [[selectiveSalted]]. The driver-side hot-key list is bounded by
+    * construction: at most total/threshold keys can exceed `threshold`.
+    * Returns the joined frame and the detected hot keys (for logging /
+    * plan capture). Long-castable keys only (the CMS contract); falls
+    * back to a plain join when nothing is hot.
+    */
+  def autoSalted(
+      skewed: DataFrame, other: DataFrame, key: String, threshold: Long,
+      nSalts: Int, joinType: String = "inner",
+      collapseDuplicates: Boolean = false): (DataFrame, Seq[Long]) = {
+    val hot = CmSketch.heavyHitters(skewed, key, threshold)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (hot.isEmpty) (skewed.join(other, Seq(key), joinType), hot)
+    else (selectiveSalted(skewed, other, key, hot, nSalts, joinType,
+      collapseDuplicates), hot)
+  }
 }

@@ -92,6 +92,50 @@ class SkewJoinSpec extends AnyFunSuite {
       SkewJoin.saltedEquiJoin(skewed, other, "k", 4, collapseDuplicates = true))
   }
 
+  test("selectiveSalted equals the plain join; nulls ride the cold branch") {
+    val (skewed, other) = fixtures
+    for (jt <- Seq("inner", "left", "left_anti")) {
+      val plain = skewed.join(other, Seq("k"), jt)
+      val sel = SkewJoin.selectiveSalted(skewed, other, "k", Seq("h"),
+        nSalts = 8, jt)
+      assert(sortedRows(sel) == sortedRows(plain), s"join type $jt")
+    }
+  }
+
+  test("autoSalted: CMS finds the hot key, result matches the plain join") {
+    import spark.implicits._
+    val skewed = (((1 to 1000).map(_ => 7L) ++ (101L to 150L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }).toDF("k", "v")
+    val other = (Seq(7L) ++ (101L to 150L)).map(k => (k, s"t$k"))
+      .toDF("k", "tag")
+    val (joined, hot) = SkewJoin.autoSalted(skewed, other, "k",
+      threshold = 500L, nSalts = 8)
+    assert(hot == Seq(7L))
+    val plain = skewed.join(other, Seq("k"), "inner")
+    assert(sortedRows(joined.select("k", "v", "tag"))
+      == sortedRows(plain.select("k", "v", "tag")))
+  }
+
+  test("autoSalted with nothing hot falls back to one plain join") {
+    import spark.implicits._
+    val skewed = (1L to 100L).map(k => (k, k)).toDF("k", "v")
+    val other = (1L to 100L).map(k => (k, s"t$k")).toDF("k", "tag")
+    val (joined, hot) = SkewJoin.autoSalted(skewed, other, "k",
+      threshold = 50L, nSalts = 8)
+    assert(hot.isEmpty)
+    assert(joined.count() == 100)
+  }
+
+  test("selectiveSalted refuses empty and null hot-key lists") {
+    val (skewed, other) = fixtures
+    intercept[IllegalArgumentException] {
+      SkewJoin.selectiveSalted(skewed, other, "k", Seq.empty, 4)
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.selectiveSalted(skewed, other, "k", Seq("h", null), 4)
+    }
+  }
+
   test("right/full outer are rejected loudly") {
     val (skewed, other) = fixtures
     intercept[IllegalArgumentException](
