@@ -94,4 +94,45 @@ object TrainingExport {
     */
   def readJsonlShards(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+
+  /** Schema-enforced PERMISSIVE JSONL read — the ingest side of the shard
+    * format (and of any external JSONL corpus): well-formed lines parse
+    * against `schema`, malformed or schema-violating lines survive in
+    * `_corrupt_record` with their raw text (the WARC error-column
+    * convention: at 100 TB a bad shard must neither kill the job nor
+    * silently vanish — both engines of data loss). `source_file` rides
+    * along for provenance/debugging.
+    *
+    * Deliberately `text` + `from_json` rather than `spark.read.json`:
+    * the scan-level corrupt column is an INTERNAL column Spark refuses to
+    * query on its own (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    * COLUMN — the documented workaround is caching, a non-starter at
+    * corpus scale), while the expression form is an ordinary column with
+    * identical permissive semantics and remains one narrow codegen pass.
+    */
+  def readJsonlPermissive(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "_corrupt_record is reserved for the permissive-read error column")
+    val withErr = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    spark.read
+      .option("recursiveFileLookup", "true")
+      .text(path)
+      .select(
+        from_json(col("value"), withErr,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("__p"),
+        input_file_name().as("source_file"))
+      .select(col("__p.*"), col("source_file"))
+  }
+
+  /** The quarantine view: raw text + provenance of every line that failed
+    * the schema. Feed it to a dead-letter sink; COUNT it as the ingest
+    * health metric.
+    */
+  def corruptLines(parsed: DataFrame): DataFrame =
+    parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("source_file"), col("_corrupt_record").as("raw_line"))
 }

@@ -128,4 +128,56 @@ class TrainingExportSpec extends AnyFunSuite {
       assert(!new java.io.File(dir, "_temporary").exists)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("permissive JSONL: malformed and schema-violating lines quarantine") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("part-0.jsonl")
+    Files.write(f, java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "good one"}""",
+      """{"doc_id": 2, "text": "also fine"}""",
+      """{"doc_id": "NOT A NUMBER", "text": "type violation"}""",
+      """{broken json!!""",
+      """{"doc_id": 5, "text": "trailing good"}"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val parsed = TrainingExport.readJsonlPermissive(
+      spark, dir.toString, schema)
+    val good = parsed.filter(col("_corrupt_record").isNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(good.toSeq == Seq((1L, "good one"), (2L, "also fine"),
+      (5L, "trailing good")))
+    val bad = TrainingExport.corruptLines(parsed).collect()
+    assert(bad.length == 2)
+    val raws = bad.map(_.getString(1)).toSet
+    assert(raws.exists(_.contains("NOT A NUMBER")))
+    assert(raws.exists(_.contains("broken json")))
+    assert(bad.forall(_.getString(0).endsWith("part-0.jsonl")))
+  }
+
+  test("permissive JSONL round-trips the export shards") {
+    val dir = Files.createTempDirectory("graft-jsonl-rt").toFile
+    try {
+      val path = dir.getAbsolutePath
+      TrainingExport.exportCorpus(corpus, "doc_id", "text", "source", 10L, path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val back = TrainingExport.readJsonlPermissive(spark, path, schema)
+      assert(TrainingExport.corruptLines(back).count() == 0)
+      assert(back.filter(col("_corrupt_record").isNull).count() == 40)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("permissive JSONL refuses a schema that claims the error column") {
+    intercept[IllegalArgumentException] {
+      TrainingExport.readJsonlPermissive(spark, "/tmp/x",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_corrupt_record",
+            org.apache.spark.sql.types.StringType))))
+    }
+  }
 }
