@@ -647,6 +647,68 @@ object EventQueries {
                c.p50_ms, c.p90_ms, c.max_ms
         FROM t, c""")),
 
+    // Gini concentration of per-user event mass: integer-exact sorted-rank
+    // numerator over the aggregated key-count table, one final double
+    // expression — the companion number to q6d's entropy.
+    "q6m_gini" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Stats.giniOfCounts(ev(s, dir), "user_id"),
+      oracle = Some("""
+        WITH c AS (
+          SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1),
+        r AS (SELECT key, cnt,
+                     CAST(ROW_NUMBER() OVER (ORDER BY cnt, key) AS BIGINT) AS i
+              FROM c)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS total,
+               ROUND(CAST(2 AS DOUBLE) * SUM(i * cnt)
+                       / (COUNT(*) * SUM(cnt))
+                     - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+        FROM r""")),
+
+    // Series autocorrelation at lags 1-3 over the global hourly value
+    // series: standardize with 9-snapped mean/sd (z stays O(1), products
+    // inside the decimal agreement bound), ACF = Σz·z₊ₖ / Σz². The lead
+    // window runs over the aggregated hourly table, not raw events.
+    "q6o_autocorrelation" -> Q(
+      fn = (s, dir) => {
+        val hourly = ev(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("hb", expr("ts_ms div 3600000"))
+          .groupBy("hb")
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+        graft.operators.Stats.autocorrelation(hourly, "hb", "v", maxLag = 3)
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT epoch_ms(ts) // 3600000 AS hb,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+        st AS (
+          SELECT ROUND(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*), 9) AS m,
+                 ROUND(SQRT(CAST(SUM(CAST(v*v AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*)
+                   - (CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*))
+                   * (CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*))),
+                   9) AS sd
+          FROM h),
+        z AS (SELECT hb, ROUND((v - st.m) / st.sd, 9) AS z FROM h, st),
+        l AS (SELECT z,
+                     lead(z, 1) OVER (ORDER BY hb) AS z1,
+                     lead(z, 2) OVER (ORDER BY hb) AS z2,
+                     lead(z, 3) OVER (ORDER BY hb) AS z3
+              FROM z)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(z*z1 AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(SUM(CAST(z*z AS DECIMAL(28,12))) AS DOUBLE), 6) AS acf_1,
+               ROUND(CAST(SUM(CAST(z*z2 AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(SUM(CAST(z*z AS DECIMAL(28,12))) AS DOUBLE), 6) AS acf_2,
+               ROUND(CAST(SUM(CAST(z*z3 AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(SUM(CAST(z*z AS DECIMAL(28,12))) AS DOUBLE), 6) AS acf_3
+        FROM l""")),
+
     "q43_hourly_windows" -> Q(
       fn = (s, dir) =>
         Tables(s, dir, "events")

@@ -1817,6 +1817,75 @@ object RelationalQueries {
                  + CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS DOUBLE) * MAX(lo)
                  + CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS DOUBLE) * MAX(hi))
                  / CAST(COUNT(*) AS DOUBLE), 6) AS mean_winsorized
-        FROM j GROUP BY 1 ORDER BY 1"""))
+        FROM j GROUP BY 1 ORDER BY 1""")),
+
+    // Higher moments from exact decimal power sums (Spark's native
+    // skewness/kurtosis stream order-dependent float accumulators; these
+    // are bit-reproducible on any layout). Quantities are small integers,
+    // so x^4 stays inside the double-decimal agreement bound.
+    "q6l_moments" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Stats.groupedMoments(
+            t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+          .orderBy(col("l_returnflag")),
+      oracle = Some("""
+        WITH a AS (
+          SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS DECIMAL(38,6))) AS s1,
+                 SUM(CAST(x*x AS DECIMAL(38,6))) AS s2,
+                 SUM(CAST(x*x*x AS DECIMAL(38,6))) AS s3,
+                 SUM(CAST(x*x*x*x AS DECIMAL(38,6))) AS s4
+          FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x
+                FROM lineitem WHERE l_quantity IS NOT NULL)
+          GROUP BY 1),
+        m AS (
+          SELECT l_returnflag, n,
+                 CAST(s1 AS DOUBLE)/n AS mean,
+                 CAST(s2 AS DOUBLE)/n
+                   - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n) AS m2,
+                 CAST(s3 AS DOUBLE)/n
+                   - CAST(3 AS DOUBLE)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+                   + CAST(2 AS DOUBLE)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n) AS m3,
+                 CAST(s4 AS DOUBLE)/n
+                   - CAST(4 AS DOUBLE)*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+                   + CAST(6 AS DOUBLE)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+                   - CAST(3 AS DOUBLE)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n) AS m4
+          FROM a)
+        SELECT l_returnflag, n, ROUND(mean, 6) AS mean,
+               ROUND(m2, 6) AS variance,
+               CASE WHEN m2 > 0 THEN ROUND(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+               CASE WHEN m2 > 0 THEN ROUND(m4 / (m2 * m2) - CAST(3 AS DOUBLE), 6) END AS kurtosis
+        FROM m ORDER BY l_returnflag""")),
+
+    // Benford first-digit law over prices: digits derive from the EXACT
+    // cents integer (no log/formatting in the digit path); expectations
+    // via ln ratios (parity-proven), chi-square via 9-grid terms in
+    // DECIMAL(28,9) (order-free).
+    "q6n_benford" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Stats.benfordProfile(
+            t(s, dir, "lineitem"), "l_extendedprice")
+          .orderBy(col("digit")),
+      oracle = Some("""
+        WITH b AS (
+          SELECT CAST(SUBSTR(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        e AS (SELECT digit, n, SUM(n) OVER () AS total FROM c),
+        x AS (
+          SELECT digit, n,
+                 CAST(total AS DOUBLE) *
+                   (ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
+                    / ln(CAST(10 AS DOUBLE))) AS expected
+          FROM e),
+        t AS (
+          SELECT *, ROUND((CAST(n AS DOUBLE) - expected)
+                   * (CAST(n AS DOUBLE) - expected) / expected, 9) AS term
+          FROM x)
+        SELECT digit, n, ROUND(expected, 6) AS expected,
+               ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) OVER ()
+                 AS DOUBLE), 6) AS chi2
+        FROM t ORDER BY digit"""))
   )
 }

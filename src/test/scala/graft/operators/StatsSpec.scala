@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Statistical diagnostics against closed-form ground truths: moment
+  * identities, Gini extremes, Benford digit extraction, ACF of a pure
+  * alternating series — plus the degenerate-input contracts.
+  */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  test("moments: symmetric data has zero skew; constants null out") {
+    val sym = Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("g", _)) ++
+      Seq(7.0, 7.0, 7.0).map(("c", _))
+    val out = Stats.groupedMoments(sym.toDF("g", "x"), "g", "x")
+      .orderBy("g").collect()
+    val c = out(0)
+    assert(c.getAs[Double]("variance") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("skewness")))
+    assert(c.isNullAt(c.fieldIndex("kurtosis")))
+    val g = out(1)
+    assert(g.getAs[Double]("mean") == 3.0)
+    assert(g.getAs[Double]("variance") == 2.0)
+    assert(g.getAs[Double]("skewness") == 0.0)
+    // discrete uniform over 5 points: excess kurtosis = -1.3
+    assert(math.abs(g.getAs[Double]("kurtosis") - (-1.3)) < 1e-9)
+  }
+
+  test("moments: a planted right tail is positively skewed") {
+    val skewed = (Seq.fill(50)(1.0) ++ Seq(100.0)).map(("g", _))
+    val out = Stats.groupedMoments(skewed.toDF("g", "x"), "g", "x").collect()
+    assert(out.head.getAs[Double]("skewness") > 3.0)
+  }
+
+  test("gini: uniform is 0, total concentration approaches 1") {
+    val uniform = (1 to 10).flatMap(k => Seq.fill(5)(k.toLong)).toDF("k")
+    val g0 = Stats.giniOfCounts(uniform, "k").collect().head
+    assert(g0.getAs[Double]("gini") == 0.0)
+    val concentrated = (Seq.fill(991)(1L) ++ (2L to 10L)).toDF("k")
+    val g1 = Stats.giniOfCounts(concentrated, "k").collect().head
+    assert(g1.getAs[Double]("gini") > 0.85)
+    assert(g1.getAs[Long]("n_keys") == 10L && g1.getAs[Long]("total") == 1000L)
+  }
+
+  test("benford: digits come from exact cents; expectations sum to N") {
+    val vals = Seq(1.23, 19.99, 100.0, 0.07, 923.45, 2.50, 30.01, 455.0, 6.66)
+    val out = Stats.benfordProfile(vals.map(("r", _)).toDF("r", "v"), "v")
+      .orderBy("digit").collect()
+    val byDigit = out.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // leading digits: 1(1.23), 1(19.99), 1(100.0), 7(0.07=7 cents), 9, 2, 3, 4, 6
+    assert(byDigit == Map(1 -> 3L, 2 -> 1L, 3 -> 1L, 4 -> 1L, 6 -> 1L,
+      7 -> 1L, 9 -> 1L))
+    val expSum = out.map(_.getAs[Double]("expected")).sum
+    // expectations over PRESENT digits only; full 1..9 would sum to N=9.
+    assert(expSum < 9.0 + 1e-6)
+    assert(out.map(_.getAs[Double]("chi2")).distinct.length == 1)
+  }
+
+  test("benford: a benford-ish sample scores lower chi2 than uniform digits") {
+    // geometric spread -> benford-like; linear spread -> uniform-ish digits
+    val benford = (1 to 400).map(i => ("b", math.pow(1.02, i)))
+    val uniformD = (1 to 400).map(i => ("u", 100.0 + i)) // digits 1-4 heavy
+    val cb = Stats.benfordProfile(benford.toDF("g", "v"), "v")
+      .collect().head.getAs[Double]("chi2")
+    val cu = Stats.benfordProfile(uniformD.toDF("g", "v"), "v")
+      .collect().head.getAs[Double]("chi2")
+    assert(cb < cu, s"benford-ish chi2 $cb should beat uniform $cu")
+  }
+
+  test("autocorrelation: pure alternation gives acf_1 near -1, acf_2 near +1") {
+    val series = (1 to 200).map(i => (i.toLong, if (i % 2 == 0) 10.0 else 20.0))
+      .toDF("t", "v")
+    val r = Stats.autocorrelation(series, "t", "v", maxLag = 2).collect().head
+    assert(math.abs(r.getAs[Double]("acf_1") - (-1.0)) < 0.02)
+    assert(math.abs(r.getAs[Double]("acf_2") - 1.0) < 0.02)
+    assert(r.getAs[Long]("n") == 200L)
+  }
+
+  test("autocorrelation: partition invariance (decimal sums are order-free)") {
+    val series = (1 to 300).map(i => (i.toLong, (i % 7).toDouble + i * 0.01))
+      .toDF("t", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Stats.autocorrelation(df, "t", "v", 3).collect().head.toSeq
+    assert(run(series) == run(series.repartition(13, col("v"))))
+  }
+}
