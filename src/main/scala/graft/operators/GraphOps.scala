@@ -352,6 +352,40 @@ object GraphOps {
     dist
   }
 
+  /** Weighted single-source(-set) shortest paths — [[seedDistances]]'s
+    * weighted upgrade: `maxHops` Bellman–Ford relaxation rounds, so the
+    * result is exactly "minimum total weight over walks of ≤ maxHops
+    * edges from any seed" (the hop bound is the semantics, not an
+    * approximation — and what makes the operator replayable and safe
+    * under arbitrary weights: no negative-cycle divergence).
+    *
+    * Shape per round: one shuffle join + one map-side-combinable min
+    * aggregation; per-round localCheckpoint cuts the lineage (the q4b
+    * iterative discipline); integer weights keep every distance exact.
+    */
+  def weightedSeedDistances(
+      edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds.select(col("node").cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relaxed = e.join(dist, e("src") === dist("node"))
+        .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Deterministic "random" walks — one walker per node, `steps` hops,
     * each hop choosing the out-neighbor with the maximal md5 draw over
     * (walker, step, neighbor) — the q4d/q4e hash-draw idiom lifted to

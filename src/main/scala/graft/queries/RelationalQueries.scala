@@ -922,6 +922,40 @@ object RelationalQueries {
         SELECT node, MIN(dist) AS dist FROM walk
         GROUP BY node ORDER BY node""")),
 
+    // Weighted shortest paths (q4k's weighted upgrade): 4 Bellman-Ford
+    // relaxation rounds over the %400 graph with deterministic integer
+    // weights — exactly "min total weight over ≤4-edge walks from the
+    // seeds". Integer arithmetic end to end.
+    "q6p_weighted_paths" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 400).cast("long").as("src"),
+          (col("o_orderkey") % 400).cast("long").as("dst"),
+          ((col("o_custkey") % 400 + col("o_orderkey") % 400) % 7 + 1)
+            .cast("long").as("w"))
+        val seeds = s.range(0, 5).select(col("id").as("node"))
+        graft.operators.GraphOps.weightedSeedDistances(edges, seeds, maxHops = 4)
+          .orderBy(col("node"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE edges AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey % 400 AS BIGINT) AS src,
+                          CAST(o_orderkey % 400 AS BIGINT) AS dst,
+                          CAST((o_custkey % 400 + o_orderkey % 400) % 7 + 1
+                            AS BIGINT) AS w
+          FROM orders
+          WHERE o_custkey % 400 <> o_orderkey % 400),
+        walk(node, dist, hops) AS (
+          SELECT CAST(range AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
+                 0 AS hops
+          FROM range(0, 5)
+          UNION
+          SELECT e.dst, w.dist + e.w, w.hops + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.hops < 4)
+        SELECT node, MIN(dist) AS dist FROM walk
+        GROUP BY node ORDER BY node""")),
+
     // Count-min sketch (depth 4 × width 1024) over lineitem part keys:
     // probes 1-50 answered from the sketch (min over depths, upward-biased)
     // next to their exact counts. The sketch shuffle is bounded by

@@ -45,6 +45,34 @@ class SeedDistanceSpec extends AnyFunSuite {
     assert(d == Map(1L -> 0L, 2L -> 1L, 99L -> 0L))
   }
 
+  private def wdists(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      hops: Int): Map[Long, Long] =
+    GraphOps.weightedSeedDistances(
+        edges.toDF("src", "dst", "w"), seeds.toDF("node"), maxHops = hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("weighted: a longer-hop cheap detour beats the direct heavy edge") {
+    // 1→4 costs 10; 1→2→3→4 costs 1+1+1 = 3
+    val g = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    val d = wdists(g, Seq(1L), hops = 4)
+    assert(d(4L) == 3L)
+    // with only 1 relaxation round the heavy direct edge is the best ≤1-hop walk
+    assert(wdists(g, Seq(1L), hops = 1)(4L) == 10L)
+  }
+
+  test("weighted: multi-seed min and unreachable absence") {
+    val g = Seq((1L, 2L, 5L), (10L, 2L, 1L), (20L, 21L, 1L))
+    val d = wdists(g, Seq(1L, 10L), hops = 3)
+    assert(d(2L) == 1L) // seed 10's cheaper edge wins
+    assert(!d.contains(21L) && !d.contains(20L))
+  }
+
+  test("weighted equals unweighted BFS when every weight is 1") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val w1 = chain.map { case (a, b) => (a, b, 1L) }
+    assert(wdists(w1, Seq(1L), 3) == dists(chain, Seq(1L), 3))
+  }
+
   test("validation: a non-positive hop cap refuses") {
     intercept[IllegalArgumentException](
       GraphOps.seedDistances(
