@@ -29,6 +29,11 @@ object Graft {
     spark.udf.register("rolling_fingerprint", GraftFunctions.rollingFingerprintUdf)
     spark.udf.register("winnowing", GraftFunctions.winnowingUdf)
     spark.udf.register("lang_id", GraftFunctions.langIdUdf)
+    // bit-identical to DuckDB's jaro_winkler_similarity (FuzzyJoin scaladoc)
+    spark.udf.register("jaro_winkler",
+      org.apache.spark.sql.functions.udf((a: String, b: String) =>
+        if (a == null || b == null) None
+        else Some(graft.operators.FuzzyJoin.jaroWinkler(a, b))))
     spark.udf.register("repetition_stats", GraftFunctions.repetitionStatsUdf)
     // the FULL pipeline (strip zero-width/controls BEFORE NFC) — the bare
     // NFC step alone would let a zero-width char block mark composition

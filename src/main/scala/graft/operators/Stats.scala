@@ -106,6 +106,43 @@ object Stats {
         col("chi2"))
   }
 
+  /** Per-group OLS trend line from exact decimal cross-sums: slope,
+    * intercept (at the group's own x-origin — x is re-based to
+    * x − min(x) per group, which both conditions the normal equations
+    * and keeps every cross-product inside the double↔decimal agreement
+    * bound), and r². Groups with zero x-variance yield nulls. One
+    * min-agg + broadcast join + one map-side-combinable sum pass.
+    */
+  def groupedTrend(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val xr = col(xCol).cast("double")
+    val yr = col(yCol).cast("double")
+    val base = df.filter(xr.isNotNull && yr.isNotNull)
+      .select(col(groupCol).as("__g"), xr.as("__xr"), yr.as("__y"))
+    val mins = base.groupBy("__g").agg(min(col("__xr")).as("__x0"))
+    val rebased = base.join(broadcast(mins), "__g")
+      .select(col("__g"), (col("__xr") - col("__x0")).as("__x"), col("__y"))
+    val agg = rebased.groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,6)")).as("__sx"),
+        sum(col("__y").cast("decimal(38,6)")).as("__sy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,6)")).as("__sxy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,6)")).as("__sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,6)")).as("__syy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val mx = d("__sx") / n
+    val my = d("__sy") / n
+    val cov = d("__sxy") / n - mx * my
+    val varx = d("__sxx") / n - mx * mx
+    val vary = d("__syy") / n - my * my
+    agg.select(col("__g").as(groupCol), col("n"),
+      when(varx > 0, round(cov / varx, 6)).as("slope"),
+      when(varx > 0, round(my - (cov / varx) * mx, 6)).as("intercept"),
+      when(varx > 0 && vary > 0,
+        round((cov * cov) / (varx * vary), 6)).as("r2"))
+  }
+
   /** Autocorrelation of an ordered numeric series at lags 1..`maxLag`:
     * standardize with snapped mean/sd (z stays O(1), keeping products
     * inside the decimal agreement bound), then

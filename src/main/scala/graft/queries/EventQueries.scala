@@ -709,6 +709,55 @@ object EventQueries {
                  / CAST(SUM(CAST(z*z AS DECIMAL(28,12))) AS DOUBLE), 6) AS acf_3
         FROM l""")),
 
+    // Per-type OLS trend of hourly value mass: exact decimal cross-sums,
+    // x re-based per group (conditioning + decimal agreement bound),
+    // slope/intercept/r² in one algebraic expression.
+    "q6q_trend_lines" -> Q(
+      fn = (s, dir) => {
+        val hourly = ev(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("hb", expr("ts_ms div 3600000"))
+          .groupBy(col("event_type"), col("hb"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+        graft.operators.Stats.groupedTrend(hourly, "event_type", "hb", "v")
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT event_type, epoch_ms(ts) // 3600000 AS hb,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        r AS (
+          SELECT h.event_type,
+                 CAST(h.hb AS DOUBLE) - m.x0 AS x, h.v AS y
+          FROM h JOIN (SELECT event_type, CAST(MIN(hb) AS DOUBLE) AS x0
+                       FROM h GROUP BY 1) m USING (event_type)),
+        a AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+                 SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+                 SUM(CAST(x*y AS DECIMAL(38,6))) AS sxy,
+                 SUM(CAST(x*x AS DECIMAL(38,6))) AS sxx,
+                 SUM(CAST(y*y AS DECIMAL(38,6))) AS syy
+          FROM r GROUP BY 1),
+        t AS (
+          SELECT event_type, n,
+                 CAST(sxy AS DOUBLE)/n
+                   - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n) AS cov,
+                 CAST(sxx AS DOUBLE)/n
+                   - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n) AS varx,
+                 CAST(syy AS DOUBLE)/n
+                   - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n) AS vary,
+                 CAST(sx AS DOUBLE)/n AS mx, CAST(sy AS DOUBLE)/n AS my
+          FROM a)
+        SELECT event_type, n,
+               CASE WHEN varx > 0 THEN ROUND(cov/varx, 6) END AS slope,
+               CASE WHEN varx > 0
+                    THEN ROUND(my - (cov/varx)*mx, 6) END AS intercept,
+               CASE WHEN varx > 0 AND vary > 0
+                    THEN ROUND((cov*cov)/(varx*vary), 6) END AS r2
+        FROM t ORDER BY event_type""")),
+
     "q43_hourly_windows" -> Q(
       fn = (s, dir) =>
         Tables(s, dir, "events")

@@ -69,6 +69,28 @@ class StatsSpec extends AnyFunSuite {
     assert(cb < cu, s"benford-ish chi2 $cb should beat uniform $cu")
   }
 
+  test("trend: an exact line recovers slope/intercept with r2 = 1") {
+    val line = (0 to 99).map(i => ("g", (i + 1000).toLong, 3.0 + 2.0 * i))
+    val out = Stats.groupedTrend(line.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    assert(out.getAs[Double]("slope") == 2.0)
+    assert(out.getAs[Double]("intercept") == 3.0) // at the re-based origin
+    assert(out.getAs[Double]("r2") == 1.0)
+  }
+
+  test("trend: zero x-variance nulls out; noise lowers r2 but not the sign") {
+    val flat = Seq(("f", 5L, 1.0), ("f", 5L, 2.0))
+    val noisy = (0 to 199).map(i =>
+      ("n", i.toLong, 1.0 * i + (if (i % 2 == 0) 40.0 else -40.0)))
+    val out = Stats.groupedTrend((flat ++ noisy).toDF("g", "x", "y"),
+      "g", "x", "y").orderBy("g").collect()
+    val f = out(0)
+    assert(f.isNullAt(f.fieldIndex("slope")))
+    val n = out(1)
+    assert(n.getAs[Double]("slope") > 0.9 && n.getAs[Double]("slope") < 1.1)
+    assert(n.getAs[Double]("r2") < 0.9)
+  }
+
   test("autocorrelation: pure alternation gives acf_1 near -1, acf_2 near +1") {
     val series = (1 to 200).map(i => (i.toLong, if (i % 2 == 0) 10.0 else 20.0))
       .toDF("t", "v")
