@@ -49,6 +49,78 @@ object Stats {
       when(m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis"))
   }
 
+  /** Mergeable per-group moment state: exact decimal power sums — the
+    * reason the whole moments pipeline is streaming-ready: merging is
+    * plain BigDecimal addition, so any micro-batch split folds to the
+    * bit-identical batch table (the Calibration.BinState discipline).
+    */
+  final case class MomentState(
+      n: Long,
+      s1: java.math.BigDecimal, s2: java.math.BigDecimal,
+      s3: java.math.BigDecimal, s4: java.math.BigDecimal) {
+    def merge(o: MomentState): MomentState =
+      MomentState(n + o.n, s1.add(o.s1), s2.add(o.s2),
+        s3.add(o.s3), s4.add(o.s4))
+  }
+
+  /** One micro-batch folded to its per-group moment image (driver state:
+    * one 5-scalar record per group). Same filters/casts as
+    * [[groupedMoments]].
+    */
+  def momentsImage(
+      df: DataFrame, groupCol: String,
+      valueCol: String): Map[String, MomentState] = {
+    val x = col(valueCol).cast("double")
+    def psum(k: Int) = {
+      val p = Seq.fill(k)(x).reduce(_ * _)
+      sum(p.cast("decimal(38,6)")).as(s"s$k")
+    }
+    df.filter(x.isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"), psum(1), psum(2), psum(3), psum(4))
+      .collect()
+      .map(r => r.getString(0) -> MomentState(r.getLong(1),
+        r.getDecimal(2), r.getDecimal(3), r.getDecimal(4), r.getDecimal(5)))
+      .toMap
+  }
+
+  /** Pointwise image merge. */
+  def mergeMoments(
+      a: Map[String, MomentState],
+      b: Map[String, MomentState]): Map[String, MomentState] =
+    (a.keySet ++ b.keySet).map { k =>
+      k -> ((a.get(k), b.get(k)) match {
+        case (Some(x), Some(y)) => x.merge(y)
+        case (x, y) => x.orElse(y).get
+      })
+    }.toMap
+
+  /** The accumulated image as [[groupedMoments]]'s output — identical
+    * double arithmetic on the exact sums, so streamed ≡ batch
+    * bit-for-bit.
+    */
+  def imageToMoments(
+      spark: org.apache.spark.sql.SparkSession,
+      img: Map[String, MomentState]): DataFrame = {
+    import spark.implicits._
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    img.toSeq.sortBy(_._1).map { case (g, st) =>
+      val n = st.n.toDouble
+      val mean = st.s1.doubleValue() / n
+      val m2 = st.s2.doubleValue() / n - mean * mean
+      val m3 = st.s3.doubleValue() / n -
+        3.0 * mean * (st.s2.doubleValue() / n) + 2.0 * mean * mean * mean
+      val m4 = st.s4.doubleValue() / n -
+        4.0 * mean * (st.s3.doubleValue() / n) +
+        6.0 * mean * mean * (st.s2.doubleValue() / n) -
+        3.0 * mean * mean * mean * mean
+      (g, st.n, r6(mean), r6(m2),
+        if (m2 > 0) Some(r6(m3 / (m2 * math.sqrt(m2)))) else None,
+        if (m2 > 0) Some(r6(m4 / (m2 * m2) - 3.0)) else None)
+    }.toDF("g", "n", "mean", "variance", "skewness", "kurtosis")
+  }
+
   /** Gini coefficient of the per-key mass distribution (0 = uniform,
     * →1 = one key owns everything): the sorted-rank formula
     * G = 2·Σ i·cᵢ / (n·Σc) − (n+1)/n over counts sorted ascending.

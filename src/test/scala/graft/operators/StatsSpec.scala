@@ -69,6 +69,24 @@ class StatsSpec extends AnyFunSuite {
     assert(cb < cu, s"benford-ish chi2 $cb should beat uniform $cu")
   }
 
+  test("streaming moments: any micro-batch split folds to the batch table") {
+    val d = (1 to 500).map(i => (s"g${i % 3}", (i % 47).toDouble))
+      .toDF("g", "x")
+    val batch = Stats.groupedMoments(d, "g", "x")
+      .orderBy("g").collect().map(_.toSeq)
+    val splits = Seq(d.limit(77), d.offset(77).limit(200), d.offset(277))
+    val img = splits.map(b => Stats.momentsImage(b, "g", "x"))
+      .reduce(Stats.mergeMoments)
+    val streamed = Stats.imageToMoments(spark, img)
+      .orderBy("g").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+    // merge order does not matter
+    val img2 = splits.reverse.map(b => Stats.momentsImage(b, "g", "x"))
+      .reduce(Stats.mergeMoments)
+    assert(Stats.imageToMoments(spark, img2).orderBy("g")
+      .collect().map(_.toSeq).toSeq == batch.toSeq)
+  }
+
   test("trend: an exact line recovers slope/intercept with r2 = 1") {
     val line = (0 to 99).map(i => ("g", (i + 1000).toLong, 3.0 + 2.0 * i))
     val out = Stats.groupedTrend(line.toDF("g", "x", "y"), "g", "x", "y")
