@@ -85,6 +85,41 @@ object Resample {
         col("value"), col("filled"))
   }
 
+  /** Last-observation-carried-forward densification — [[gapFillLinear]]'s
+    * causal sibling: fills each missing bucket with the most recent
+    * observed value. Unlike interpolation (which needs the FUTURE
+    * bracket and is therefore inherently offline), LOCF is causal, so it
+    * is the variant a streaming pipeline can maintain incrementally.
+    * Carried values are exact copies — no float contract at all. One
+    * backward-looking window over the same single-Exchange shape.
+    */
+  def gapFillLocf(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    for (c <- Seq(keyCol, bucketCol, valueCol))
+      require(df.columns.contains(c), s"column $c missing from input schema")
+    require(!df.columns.contains("__v"),
+      "input already has a column named __v (reserved scratch name)")
+    val obs = df.select(
+      col(keyCol).as("key"),
+      col(bucketCol).cast("long").as("bucket"),
+      col(valueCol).cast("double").as("__v"))
+    val grid = obs.groupBy("key")
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+      .select(col("key"),
+        explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val before = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(obs, Seq("key", "bucket"), "left")
+      .withColumn("value",
+        last(col("__v"), ignoreNulls = true).over(before))
+      .withColumn("filled", col("__v").isNull)
+      .select(col("key").as(keyCol), col("bucket").as(bucketCol),
+        col("value"), col("filled"))
+  }
+
   /** Rolling features over a DENSE per-key bucket series (pair with
     * [[gapFillLinear]] — on a dense grid a ROWS frame equals a RANGE
     * frame, so "last `nBuckets` rows" means "last `nBuckets` time

@@ -266,6 +266,40 @@ object EventQueries {
                v IS NULL AS filled
         FROM w ORDER BY user_id, hb""")),
 
+    // LOCF densification (q5t's causal sibling): missing hours carry the
+    // last observed value forward — exact copies, no float contract; the
+    // variant a streaming pipeline can maintain incrementally.
+    "q6r_gap_fill_locf" -> Q(
+      fn = (s, dir) => {
+        val hourly = ev(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("hb", expr("ts_ms div 3600000"))
+          .groupBy(col("user_id"), col("hb"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+        graft.operators.Resample.gapFillLocf(hourly, "user_id", "hb", "v")
+          .select(col("user_id"), col("hb"), col("value"), col("filled"))
+          .orderBy(col("user_id"), col("hb"))
+      },
+      oracle = Some("""
+        WITH obs AS (
+          SELECT user_id, epoch_ms(ts) // 3600000 AS hb,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2),
+        span AS (
+          SELECT user_id, MIN(hb) AS lo, MAX(hb) AS hi FROM obs GROUP BY 1),
+        grid AS (
+          SELECT user_id, unnest(generate_series(lo, hi)) AS hb FROM span),
+        j AS (
+          SELECT g.user_id, g.hb, o.v FROM grid g
+          LEFT JOIN obs o ON g.user_id = o.user_id AND g.hb = o.hb)
+        SELECT user_id, hb,
+               last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS value,
+               v IS NULL AS filled
+        FROM j ORDER BY user_id, hb""")),
+
     // Rolling features over the gap-filled hourly grid (q5t composed with
     // a 24-bucket trailing window): on a dense grid a ROWS frame equals a
     // RANGE frame, so "trailing 24 rows" genuinely means "trailing 24

@@ -58,6 +58,21 @@ class ResampleSpec extends AnyFunSuite {
     assert(run(series.repartition(5, col("v"))).toSeq == a)
   }
 
+  test("gapFillLocf: carries the last observation, exact copies") {
+    val out = Resample.gapFillLocf(series, "k", "b", "v")
+      .orderBy("k", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 10.0, false),
+      (1L, 1L, 10.0, true), // carried, not interpolated
+      (1L, 2L, 10.0, true),
+      (1L, 3L, 10.0, true),
+      (1L, 4L, 30.0, false),
+      (1L, 5L, 30.0, true),
+      (1L, 6L, 0.0, false),
+      (2L, 100L, 7.5, false)))
+  }
+
   test("rollingStats: trailing window over the dense grid") {
     val dense = Resample.gapFillLinear(series, "k", "b", "v")
     val out = Resample.rollingStats(dense, "k", "b", "value", nBuckets = 3)
