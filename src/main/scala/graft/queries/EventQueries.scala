@@ -792,6 +792,154 @@ object EventQueries {
                     THEN ROUND((cov*cov)/(varx*vary), 6) END AS r2
         FROM t ORDER BY event_type""")),
 
+    // Chi-square independence test on the event_type × hour-of-day
+    // contingency table: expectations e = rowTot·colTot/N (integer-derived
+    // doubles), chi² via 9-grid terms in DECIMAL(28,9) — q6n's
+    // goodness-of-fit cousin, against independence instead of Benford.
+    "q6s_chi2_independence" -> Q(
+      fn = (s, dir) => {
+        val cells = ev(s, dir)
+          .withColumn("hod", (expr("ts_ms div 3600000") % 24).cast("int"))
+          .groupBy(col("event_type"), col("hod"))
+          .agg(count(lit(1)).as("n"))
+        val tot = Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val rowW = Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val colW = Window.partitionBy("hod")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val e = sum(col("n")).over(rowW).cast("double") *
+          sum(col("n")).over(colW) / sum(col("n")).over(tot)
+        val diff = col("n").cast("double") - col("e")
+        cells
+          .withColumn("e", e)
+          .withColumn("__t", round(diff * diff / col("e"), 9))
+          .withColumn("chi2",
+            round(sum(col("__t").cast("decimal(28,9)")).over(tot)
+              .cast("double"), 6))
+          .select(col("event_type"), col("hod"), col("n"),
+            round(col("e"), 6).as("expected"), col("chi2"))
+          .orderBy(col("event_type"), col("hod"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT event_type,
+                 CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hod,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        x AS (
+          SELECT event_type, hod, n,
+                 CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                   * SUM(n) OVER (PARTITION BY hod)
+                   / SUM(n) OVER () AS e
+          FROM c),
+        t AS (
+          SELECT *, ROUND((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e)
+                   / e, 9) AS term
+          FROM x)
+        SELECT event_type, hod, n, ROUND(e, 6) AS expected,
+               ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) OVER ()
+                 AS DOUBLE), 6) AS chi2
+        FROM t ORDER BY event_type, hod""")),
+
+    // Conditional entropy of the next event given the current one — the
+    // sequence-predictability number over q6b's transition counts:
+    // H(next|cur) = −Σ (n_ij/N)·ln(n_ij/n_i·), 9-grid terms, order-free
+    // accumulation. One row.
+    "q6t_entropy_rate" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+        val tr = ev(s, dir)
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("nij"))
+        val rowW = Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val term = round(
+          -(col("nij").cast("double") / col("total")) *
+            log(col("nij").cast("double") / sum(col("nij")).over(rowW)), 9)
+        val tot = tr.agg(sum(col("nij")).as("total"))
+        tr.crossJoin(broadcast(tot))
+          .withColumn("__t", term)
+          .agg(
+            sum(col("nij")).as("n_transitions"),
+            round(sum(col("__t").cast("decimal(28,9)")).cast("double"), 6)
+              .as("entropy_rate"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS next_type
+          FROM events),
+        c AS (
+          SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS nij
+          FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS total FROM c),
+        t AS (
+          SELECT nij,
+                 ROUND((-(CAST(nij AS DOUBLE) / tot.total))
+                   * ln(CAST(nij AS DOUBLE)
+                        / SUM(nij) OVER (PARTITION BY event_type)), 9) AS term
+          FROM c, tot)
+        SELECT CAST(SUM(nij) AS BIGINT) AS n_transitions,
+               ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+                 AS entropy_rate
+        FROM t""")),
+
+    // Exact two-sample Kolmogorov–Smirnov distance between the even- and
+    // odd-event-id value distributions: ECDFs over the aggregated
+    // distinct-value table (domain-bounded windows, the q5z AUC
+    // discipline), D = max |F₁ − F₂|. PSI (q5l/q5m) is the binned drift
+    // detector; KS is its exact unbinned sibling.
+    "q6u_ks_distance" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+          .filter(col("value").isNotNull)
+          .select((col("event_id") % 2 === 0).as("is_even"),
+            col("value").cast("double").as("v"))
+        val byV = e.groupBy("v").agg(
+          sum(when(col("is_even"), 1L).otherwise(0L)).as("ne"),
+          sum(when(!col("is_even"), 1L).otherwise(0L)).as("no"))
+        val cum = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val diff = abs(
+          sum(col("ne")).over(cum).cast("double") / sum(col("ne")).over(tot) -
+            sum(col("no")).over(cum).cast("double") / sum(col("no")).over(tot))
+        byV.withColumn("__d", diff)
+          .agg(
+            sum(col("ne")).as("n_even"),
+            sum(col("no")).as("n_odd"),
+            count(lit(1)).as("n_values"),
+            round(max(col("__d")), 6).as("ks"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT (event_id % 2 = 0) AS is_even, CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL),
+        b AS (
+          SELECT v,
+                 CAST(SUM(CASE WHEN is_even THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+                 CAST(SUM(CASE WHEN NOT is_even THEN 1 ELSE 0 END) AS BIGINT) AS no
+          FROM e GROUP BY v),
+        d AS (
+          SELECT ne, no,
+                 abs(CAST(SUM(ne) OVER w AS DOUBLE) / SUM(ne) OVER ()
+                   - CAST(SUM(no) OVER w AS DOUBLE) / SUM(no) OVER ()) AS dd
+          FROM b
+          WINDOW w AS (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT CAST(SUM(ne) AS BIGINT) AS n_even,
+               CAST(SUM(no) AS BIGINT) AS n_odd,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               ROUND(MAX(dd), 6) AS ks
+        FROM d""")),
+
     "q43_hourly_windows" -> Q(
       fn = (s, dir) =>
         Tables(s, dir, "events")
