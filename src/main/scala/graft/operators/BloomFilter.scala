@@ -70,6 +70,50 @@ object BloomFilter {
     acc.stream().toArray.toSeq.toDF("bit")
   }
 
+  /** Bloom semi-join pushdown: drop the BIG side's rows whose key cannot
+    * be in `bitsDf` BEFORE any shuffle — a map-side codegen-adjacent
+    * filter against a broadcast ≤m-bit image. False positives only cost
+    * shuffle rows the join then discards; false NEGATIVES are impossible,
+    * so downstream results are exactly the unfiltered ones. Null keys are
+    * dropped (inner-equi-join semantics — they can never match).
+    *
+    * This is the explicit form of runtime row-level filtering: at 100 TB
+    * the win is shuffle VOLUME — the big side ships only rows that might
+    * join, bounded by |matches| + fp·|big| with fp set by m/k.
+    */
+  def prefilter(
+      big: DataFrame, keyCol: String, bitsDf: DataFrame,
+      k: Int = 4, m: Int = 4096): DataFrame = {
+    validate(k, m)
+    val sds = CmSketch.seeds(k)
+    val bs = new java.util.BitSet(m)
+    bitsDf.collect().foreach(r => bs.set(r.getInt(0)))
+    val spark = big.sparkSession
+    val bc = spark.sparkContext.broadcast(bs)
+    val pass = udf { (key: java.lang.Long) =>
+      key != null && {
+        var i = 0
+        var ok = true
+        while (ok && i < k) {
+          ok = bc.value.get(CmSketch.bucket(key.longValue(), sds(i), m))
+          i += 1
+        }
+        ok
+      }
+    }
+    big.filter(col(keyCol).isNotNull && pass(col(keyCol).cast("long")))
+  }
+
+  /** [[prefilter]] composed with the inner equi-join itself: result is
+    * EXACTLY `big ⋈ small` (the bloom is an optimization, never the
+    * filter of record).
+    */
+  def prefilterJoin(
+      big: DataFrame, small: DataFrame, keyCol: String,
+      k: Int = 4, m: Int = 4096): DataFrame =
+    prefilter(big, keyCol, bits(small, keyCol, k, m), k, m)
+      .join(small, Seq(keyCol), "inner")
+
   /** Probe verdicts: one row per distinct probe key with `n_positions`
     * (its DISTINCT bit positions — k hashes can collide on one bit),
     * `n_hit` (how many are set in the image) and `might_contain`

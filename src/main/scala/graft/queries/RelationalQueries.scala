@@ -956,6 +956,85 @@ object RelationalQueries {
         SELECT node, MIN(dist) AS dist FROM walk
         GROUP BY node ORDER BY node""")),
 
+    // Bloom semi-join pushdown: the fact side pruned map-side against the
+    // dimension slice's bloom BEFORE the shuffle; false positives are
+    // discarded by the join, so the result — and the oracle — is exactly
+    // the plain join. The bloom is invisible to correctness by design.
+    "q6v_bloom_join" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val sel = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        graft.operators.BloomFilter.prefilterJoin(li, sel, "l_orderkey")
+          .groupBy(col("l_orderkey"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .orderBy(col("l_orderkey"))
+      },
+      oracle = Some("""
+        SELECT l.l_orderkey, o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem l
+        JOIN (SELECT o_orderkey, o_orderstatus FROM orders
+              WHERE o_orderkey % 97 = 0) o
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2 ORDER BY l_orderkey""")),
+
+    // Rank-movers report: part revenue ranks in the pre-/post-1998 halves
+    // full-outer-joined, top movers by |rank delta| (new/vanished parts
+    // carry null deltas and sort by the present rank). Rank windows run
+    // over the aggregated per-part totals.
+    "q6w_rank_movers" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"), col("l_extendedprice"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          (unix_millis(col("o_orderdate").cast("timestamp")) >=
+            lit(883612800000L)).as("is_late"))
+        val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_partkey"), col("is_late"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .as("__rev"))
+        val w = Window.partitionBy("is_late")
+          .orderBy(col("__rev").desc, col("l_partkey"))
+        val ranked = rev.withColumn("rnk", row_number().over(w))
+        val early = ranked.filter(!col("is_late"))
+          .select(col("l_partkey"), col("rnk").as("rank_early"))
+        val late = ranked.filter(col("is_late"))
+          .select(col("l_partkey"), col("rnk").as("rank_late"))
+        early.join(late, Seq("l_partkey"), "full_outer")
+          .withColumn("rank_delta", col("rank_early") - col("rank_late"))
+          .orderBy(abs(col("rank_delta")).desc_nulls_last,
+            col("l_partkey"))
+          .limit(25)
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT l.l_partkey,
+                 (epoch_ms(o.o_orderdate) >= 883612800000) AS is_late,
+                 SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2),
+        rk AS (
+          SELECT l_partkey, is_late,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY is_late
+                   ORDER BY rev DESC, l_partkey) AS INT) AS rnk
+          FROM rev),
+        e AS (SELECT l_partkey, rnk AS rank_early FROM rk WHERE NOT is_late),
+        l AS (SELECT l_partkey, rnk AS rank_late FROM rk WHERE is_late)
+        SELECT COALESCE(e.l_partkey, l.l_partkey) AS l_partkey,
+               e.rank_early, l.rank_late,
+               e.rank_early - l.rank_late AS rank_delta
+        FROM e FULL OUTER JOIN l ON e.l_partkey = l.l_partkey
+        ORDER BY abs(e.rank_early - l.rank_late) DESC NULLS LAST,
+                 COALESCE(e.l_partkey, l.l_partkey)
+        LIMIT 25""")),
+
     // Count-min sketch (depth 4 × width 1024) over lineitem part keys:
     // probes 1-50 answered from the sketch (min over depths, upward-biased)
     // next to their exact counts. The sketch shuffle is bounded by

@@ -65,6 +65,31 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(run(members) == run(members.repartition(17)) && run(members).nonEmpty)
   }
 
+  test("prefilterJoin: result equals the plain join and rows were pruned") {
+    val big = (1L to 10000L).map(k => (k, s"row$k")).toDF("k", "payload")
+    val small = (1L to 10000L).filter(_ % 211 == 0).map(k => (k, s"dim$k"))
+      .toDF("k", "tag")
+    val plain = big.join(small, Seq("k"), "inner")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val viaBloom = BloomFilter.prefilterJoin(big, small, "k", k = 4, m = 65536)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(viaBloom == plain)
+    // pruning is real: a roomy filter keeps ~matches + tiny fp tail,
+    // far below the 10k input
+    val kept = BloomFilter.prefilter(big, "k",
+      BloomFilter.bits(small, "k", 4, 65536), 4, 65536).count()
+    assert(kept >= small.count() && kept < 1000,
+      s"prefilter kept $kept of 10000")
+  }
+
+  test("prefilter drops null keys (inner-equi-join semantics)") {
+    val big = Seq(Some(5L), None, Some(7L)).toDF("k")
+    val bitsDf = BloomFilter.bits(Seq(5L).toDF("k"), "k")
+    val kept = BloomFilter.prefilter(big, "k", bitsDf).collect()
+    assert(kept.forall(!_.isNullAt(0)), "a null key survived the prefilter")
+    assert(kept.map(_.getLong(0)).contains(5L))
+  }
+
   test("validation") {
     val df = Seq(1L).toDF("k")
     intercept[IllegalArgumentException](BloomFilter.bits(df, "k", k = 0, m = 64))
