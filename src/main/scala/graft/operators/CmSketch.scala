@@ -62,6 +62,23 @@ object CmSketch {
       .groupBy("d", "bucket").agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** AMS-style equi-join size estimate from two sketches built with the
+    * SAME (depth, width, seeds): per depth the cell inner product
+    * Σ_w a_dw·b_dw, estimate = min over depths — an upper-biased
+    * estimate of the exact join output cardinality Σ_k a_k·b_k (hash
+    * collisions only ADD cross-mass, never subtract). This is the
+    * sketch a cost-based planner consults to size a join BEFORE running
+    * it; the arithmetic is one (d, bucket)-keyed join over ≤ depth·width
+    * cells per side — index-sized, independent of data volume.
+    */
+  def innerProductEstimate(skA: DataFrame, skB: DataFrame): DataFrame =
+    skA.select(col("d"), col("bucket"), col("cnt").as("__ca"))
+      .join(skB.select(col("d"), col("bucket"), col("cnt").as("__cb")),
+        Seq("d", "bucket"))
+      .groupBy(col("d"))
+      .agg(sum(col("__ca") * col("__cb")).as("__ip"))
+      .agg(min(col("__ip")).as("est_join_size"))
+
   /** Streaming twin: fold one micro-batch's sketch table into an
     * accumulated cell image — cells ADD (counts are sums), unlike HLL's
     * idempotent max-merge, so a REPLAYED batch double-counts: feed this

@@ -1041,6 +1041,61 @@ object RelationalQueries {
     // depth·width cells per partition, never by key cardinality; DuckDB
     // replays the splitmix64 bucket chain per depth via OracleSql.cmsBucket
     // and takes the same LEAST over depth cells — exact integers.
+    // AMS join-size estimation: the sketch inner product Σ_w a·b per
+    // depth, min over depths — the number a cost-based planner consults
+    // before running a join. Reported next to the exact Σ_k a_k·b_k so
+    // the upward bias is visible; all-integer until the final ratio.
+    "q6x_join_size_estimate" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val a = li.select(col("l_partkey").cast("long").as("k"))
+        val b = li.filter(col("l_orderkey") % 3 === 0)
+          .select(col("l_partkey").cast("long").as("k"))
+        val est = graft.operators.CmSketch.innerProductEstimate(
+          graft.operators.CmSketch.sketch(a, "k", depth = 4, width = 1024),
+          graft.operators.CmSketch.sketch(b, "k", depth = 4, width = 1024))
+        val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
+          .join(b.groupBy("k").agg(count(lit(1)).as("cb")), Seq("k"))
+          .agg(sum(col("ca") * col("cb")).as("exact_join_size"))
+        exact.crossJoin(est)
+          .select(col("exact_join_size"), col("est_join_size"),
+            round(col("est_join_size").cast("double") /
+              col("exact_join_size"), 6).as("overestimate_ratio"))
+      },
+      oracle = Some {
+        val sds = graft.operators.CmSketch.seeds(4)
+        val cellCtes = sds.zipWithIndex.map { case (seed, d) =>
+          val ba = OracleSql.cmsBucket("SELECT k FROM ka", "k", seed, 1024, s"xa$d")
+          val bb = OracleSql.cmsBucket("SELECT k FROM kb", "k", seed, 1024, s"xb$d")
+          s"""ca$d AS MATERIALIZED (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM ($ba) GROUP BY bucket),
+        cb$d AS MATERIALIZED (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM ($bb) GROUP BY bucket),
+        ip$d AS (
+          SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+          FROM ca$d a JOIN cb$d b USING (bucket))"""
+        }.mkString(",\n        ")
+        s"""
+        WITH ka AS MATERIALIZED (
+          SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
+        kb AS MATERIALIZED (
+          SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem
+          WHERE l_orderkey % 3 = 0),
+        $cellCtes,
+        est AS (
+          SELECT LEAST(ip0.ip, ip1.ip, ip2.ip, ip3.ip) AS est_join_size
+          FROM ip0, ip1, ip2, ip3),
+        exact AS (
+          SELECT CAST(SUM(a.ca * b.cb) AS BIGINT) AS exact_join_size
+          FROM (SELECT k, CAST(COUNT(*) AS BIGINT) AS ca FROM ka GROUP BY k) a
+          JOIN (SELECT k, CAST(COUNT(*) AS BIGINT) AS cb FROM kb GROUP BY k) b
+            USING (k))
+        SELECT exact.exact_join_size, est.est_join_size,
+               ROUND(CAST(est.est_join_size AS DOUBLE)
+                 / exact.exact_join_size, 6) AS overestimate_ratio
+        FROM exact, est"""
+      }),
+
     "q4l_cms_frequency" -> Q(
       fn = (s, dir) => {
         val li = t(s, dir, "lineitem")

@@ -75,4 +75,22 @@ class CmSketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       CmSketch.estimates(CmSketch.sketch(df, "k"), Seq.empty))
   }
+
+  test("innerProductEstimate upper-bounds the exact join size, tight when roomy") {
+    import spark.implicits._
+    val a = (1 to 2000).map(i => (i % 50).toLong).toDF("k")
+    val b = (1 to 900).map(i => (i % 30).toLong).toDF("k")
+    val exact = a.groupBy("k").count().withColumnRenamed("count", "ca")
+      .join(b.groupBy("k").count().withColumnRenamed("count", "cb"), Seq("k"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("ca") *
+          org.apache.spark.sql.functions.col("cb")))
+      .collect().head.getLong(0)
+    val est = CmSketch.innerProductEstimate(
+      CmSketch.sketch(a, "k", 4, 4096), CmSketch.sketch(b, "k", 4, 4096))
+      .collect().head.getLong(0)
+    assert(est >= exact, s"AMS estimate $est below exact $exact")
+    // 80 distinct keys in 4096 buckets: collisions are rare, the bound tight
+    assert(est <= (exact * 1.2).toLong, s"estimate $est too loose vs $exact")
+  }
 }
