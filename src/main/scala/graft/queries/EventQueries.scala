@@ -940,6 +940,133 @@ object EventQueries {
                ROUND(MAX(dd), 6) AS ks
         FROM d""")),
 
+    // Funnel conversion rates with Wilson 95% confidence intervals — the
+    // statistical-rigor layer over q48's raw counts: p̂ plus the interval
+    // a small denominator honestly widens. Pure algebra + sqrt on
+    // integer-derived doubles; z = 1.96 as an explicit literal.
+    "q6y_funnel_confidence" -> Q(
+      fn = (s, dir) => {
+        val counts = graft.operators.Funnel.stepCounts(
+          ev(s, dir), "user_id", "event_type", "ts_ms",
+          Seq("signup", "view", "purchase"))
+        val w = Window.orderBy("step_idx")
+        val prev = lag(col("n_users"), 1).over(w)
+        val z = lit(1.96)
+        val p = col("n_users").cast("double") / col("__prev")
+        val nn = col("__prev").cast("double")
+        val center = p + z * z / (lit(2.0) * nn)
+        val half = z * sqrt(p * (lit(1.0) - p) / nn +
+          z * z / (lit(4.0) * nn * nn))
+        val denom = lit(1.0) + z * z / nn
+        counts
+          .withColumn("__prev", prev)
+          .withColumn("conv_rate",
+            when(col("__prev").isNotNull && col("__prev") > 0, round(p, 6)))
+          .withColumn("ci_low",
+            when(col("__prev").isNotNull && col("__prev") > 0,
+              round((center - half) / denom, 6)))
+          .withColumn("ci_high",
+            when(col("__prev").isNotNull && col("__prev") > 0,
+              round((center + half) / denom, 6)))
+          .select(col("step_idx"), col("step"), col("n_users"),
+            col("conv_rate"), col("ci_low"), col("ci_high"))
+          .orderBy(col("step_idx"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        s1 AS (
+          SELECT user_id, MIN(ts_ms) AS t FROM e
+          WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts_ms) AS t
+          FROM e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'view' AND e.ts_ms > s1.t GROUP BY 1),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts_ms) AS t
+          FROM e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t GROUP BY 1),
+        c AS (
+          SELECT 1 AS step_idx, 'signup' AS step,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+          UNION ALL
+          SELECT 2, 'view', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+          UNION ALL
+          SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)),
+        l AS (
+          SELECT *, lag(n_users) OVER (ORDER BY step_idx) AS prev FROM c),
+        m AS (
+          SELECT *, CAST(n_users AS DOUBLE) / prev AS p,
+                 CAST(prev AS DOUBLE) AS nn,
+                 CAST(1.96 AS DOUBLE) AS z
+          FROM l)
+        SELECT step_idx, step, n_users,
+               CASE WHEN prev IS NOT NULL AND prev > 0
+                    THEN ROUND(p, 6) END AS conv_rate,
+               CASE WHEN prev IS NOT NULL AND prev > 0 THEN
+                 ROUND(((p + z*z / (CAST(2 AS DOUBLE) * nn))
+                   - z * sqrt(p * (CAST(1 AS DOUBLE) - p) / nn
+                       + z*z / (CAST(4 AS DOUBLE) * nn * nn)))
+                   / (CAST(1 AS DOUBLE) + z*z / nn), 6) END AS ci_low,
+               CASE WHEN prev IS NOT NULL AND prev > 0 THEN
+                 ROUND(((p + z*z / (CAST(2 AS DOUBLE) * nn))
+                   + z * sqrt(p * (CAST(1 AS DOUBLE) - p) / nn
+                       + z*z / (CAST(4 AS DOUBLE) * nn * nn)))
+                   / (CAST(1 AS DOUBLE) + z*z / nn), 6) END AS ci_high
+        FROM m ORDER BY step_idx""")),
+
+    // Session-duration rollup over q41's sessionization: bounce rate
+    // (single-event sessions), exact duration percentiles, per-session
+    // value stats — one row.
+    "q6z_session_rollup" -> Q(
+      fn = (s, dir) => {
+        val sessionized = Sessionize.byGap(
+          ev(s, dir).select(col("user_id"), col("event_id"), col("ts_ms"),
+            col("value")),
+          Seq("user_id"), col("ts_ms"), col("event_id"), gapMs = 1800000L)
+        val st = Sessionize.sessionStats(sessionized, Seq("user_id"),
+          col("ts_ms"), col("value"))
+        st.agg(
+          count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+          round(sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("bounce_rate"),
+          expr("percentile(session_end - session_start, 0.5)").as("p50_dur_ms"),
+          expr("percentile(session_end - session_start, 0.9)").as("p90_dur_ms"),
+          max(col("session_end") - col("session_start")).as("max_dur_ms"),
+          round(sum(col("session_value").cast("decimal(18,2)"))
+            .cast("double") / count(lit(1)), 6).as("mean_session_value"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value
+                   FROM events),
+        s AS (
+          SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > 1800000
+                    THEN 1 ELSE 0 END AS st
+          FROM (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id
+                  ORDER BY ts_ms, event_id) AS prev FROM e)),
+        g AS (
+          SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM s),
+        sess AS (
+          SELECT user_id, session_seq,
+                 MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS session_value
+          FROM g GROUP BY 1, 2)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounce,
+               ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS bounce_rate,
+               quantile_cont(session_end - session_start, 0.5) AS p50_dur_ms,
+               quantile_cont(session_end - session_start, 0.9) AS p90_dur_ms,
+               CAST(MAX(session_end - session_start) AS BIGINT) AS max_dur_ms,
+               ROUND(CAST(SUM(session_value) AS DOUBLE) / COUNT(*), 6)
+                 AS mean_session_value
+        FROM sess""")),
+
     "q43_hourly_windows" -> Q(
       fn = (s, dir) =>
         Tables(s, dir, "events")
