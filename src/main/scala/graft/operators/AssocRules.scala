@@ -95,4 +95,41 @@ object AssocRules {
         (col("n_ab").cast("double") * col("__nb").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
   }
+
+  /** Item-item top-k neighbor lists — the classic co-occurrence
+    * collaborative-filtering recommender (Sarwar et al. 2001, public
+    * literature): neighbors ranked by cosine over basket memberships,
+    * cos(a,b) = n_ab / √(n_a·n_b), computed from [[pairStats]]'s counts
+    * (sqrt/division parity is proven engine-wide, 6-rounded).
+    *
+    * Output, k rows per item: `item`, `neighbor`, `n_ab`, `cosine`,
+    * `rank` — ties broken (cosine desc, n_ab desc, neighbor asc), fully
+    * deterministic.
+    *
+    * Scale shape: the pair table symmetrizes (each unordered pair feeds
+    * both items' lists) and ONE row_number window keyed on `item` picks
+    * the top k — a rank-like function with a constant limit, so Spark
+    * plants WindowGroupLimit and per-task state is a k-element heap, not
+    * the item's full neighbor list (the deterministicWalks discipline).
+    */
+  def topNeighbors(
+      df: DataFrame, basketCol: String, itemCol: String, k: Int,
+      minPairCount: Long = 1L, maxBasketSize: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = pairStats(df, basketCol, itemCol, minPairCount, maxBasketSize)
+    val sym = pairs.select(col("item_a").as("item"),
+        col("item_b").as("neighbor"), col("n_ab"),
+        col("n_a").as("__ni"), col("n_b").as("__nn"))
+      .union(pairs.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("n_ab"),
+        col("n_b").as("__ni"), col("n_a").as("__nn")))
+      .withColumn("cosine", round(col("n_ab").cast("double") /
+        sqrt(col("__ni").cast("double") * col("__nn").cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("n_ab").desc, col("neighbor"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("neighbor"), col("n_ab"), col("cosine"),
+        col("rank"))
+  }
 }

@@ -275,4 +275,37 @@ object DataMix {
           .cast("int"))
       .drop("__cuts", "__grp")
   }
+
+  /** Proportional stratified sample: within each stratum, keep EXACTLY
+    * ⌈n_g·num/den⌉ rows (so every non-empty stratum survives — the
+    * "don't silently drop rare languages/domains" guarantee a plain
+    * Bernoulli `deterministicSample` cannot give), chosen by the salted
+    * hash order over `keyCol`. The per-stratum target is computed in
+    * INTEGER arithmetic (⌈a/b⌉ = (a+b−1) div b) — no float boundary can
+    * disagree across engines or machines.
+    *
+    * Scale shape: one map-side-combinable groupBy for stratum sizes,
+    * broadcast-joined back (stratum domains are bounded — language ×
+    * source, not document ids), then ONE row_number window keyed on the
+    * stratum. The variable per-stratum limit rules out WindowGroupLimit
+    * pushdown, so per-task state is bounded by stratum size, same
+    * contract as [[capPerGroup]] — for pathological mega-strata,
+    * pre-thin with [[deterministicSample]] overshooting the rate first.
+    */
+  def stratifiedSample(
+      df: DataFrame, stratumCol: String, keyCol: String,
+      num: Int, den: Int, salt: String): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"need 0 < num <= den, got $num/$den")
+    requireNoScratchClash(df, "__draw", "__rn", "__target", "__strat")
+    val sizes = df.groupBy(col(stratumCol).as("__strat"))
+      .agg(expr(s"(COUNT(1) * $num + ${den - 1}) DIV $den").as("__target"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__draw"), col(keyCol))
+    df.join(broadcast(sizes), col(stratumCol) <=> col("__strat"))
+      .withColumn("__draw", hashDraw(col(keyCol), salt))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__target"))
+      .drop("__draw", "__rn", "__target", "__strat")
+  }
 }

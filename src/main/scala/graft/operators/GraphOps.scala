@@ -563,4 +563,99 @@ object GraphOps {
     und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
+
+  /** Degree assortativity coefficient (Newman 2002, public literature):
+    * the Pearson correlation of endpoint degrees over the undirected edge
+    * set, each edge counted in BOTH orientations (the standard undirected
+    * convention — and what makes the two marginals identical, so
+    * r = cov/var of one marginal). Positive = hubs link to hubs (social
+    * graphs), negative = hubs link to leaves (the web / infrastructure) —
+    * the one-number structural fingerprint a crawl-graph audit starts
+    * with.
+    *
+    * Output: one row — `m2` (directed half-edge count = 2·edges),
+    * `mean_degree` (over edge endpoints, i.e. degree-weighted),
+    * `assortativity` (6-rounded; null for degree-regular graphs, where
+    * the variance is 0).
+    *
+    * Scale shape: degree join onto the canonical edge list (two equality
+    * joins, the triangleCounts pattern) then ONE map-side-combinable
+    * global aggregate over exact integer decimal sums — degrees are
+    * integers, so every power sum is exact and order-free. No windows,
+    * no collect.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val deg = undirectedDegrees(und)
+    val joined = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val pairs = joined.select(col("du").as("x"), col("dv").as("y"))
+      .union(joined.select(col("dv").as("x"), col("du").as("y")))
+    val agg = pairs.agg(
+      count(lit(1)).as("m2"),
+      sum(col("x").cast("decimal(38,0)")).as("__sx"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("__sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("__sxx"))
+    val n = col("m2").cast("double")
+    val mx = col("__sx").cast("double") / n
+    val cov = col("__sxy").cast("double") / n - mx * mx
+    val varx = col("__sxx").cast("double") / n - mx * mx
+    agg.select(col("m2"), round(mx, 6).as("mean_degree"),
+      when(varx > 0, round(cov / varx, 6)).as("assortativity"))
+  }
+
+  /** Newman–Girvan modularity of a community assignment over the
+    * undirected view: Q = Σ_c [ e_c/m − (d_c/2m)² ] where e_c = edges
+    * internal to community c, d_c = summed degree of its nodes, m = total
+    * undirected edges — THE objective community detection optimizes, and
+    * the quality gate on [[labelPropagation]]'s output (Q near 0 says the
+    * "communities" are no better than random wiring).
+    *
+    * Input `labels`: (node, label). Output, one row per community:
+    * `community`, `n_nodes`, `degree_sum`, `internal_edges`, `q_term`
+    * (9-snapped per-community contribution) and the repeated global
+    * `modularity` (6-rounded) — the q6s contingency-table shape.
+    *
+    * Scale shape: two label equality joins onto the canonical edge list
+    * (community of each endpoint), map-side-combinable per-community
+    * aggregates, and ONE window over the AGGREGATED community table
+    * (domain-bounded — communities, not nodes; the q6d contract). m joins
+    * back as a broadcast 1-row aggregate.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val deg = undirectedDegrees(und)
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label")).localCheckpoint()
+
+    val mTotal = und.agg(count(lit(1)).as("__m"))
+    val internal = und
+      .join(lab.select(col("node").as("u"), col("label").as("__lu")), "u")
+      .join(lab.select(col("node").as("v"), col("label").as("__lv")), "v")
+      .filter(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val perComm = deg.join(lab, "node")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val m = col("__m").cast("double")
+    val half = col("degree_sum").cast("double") / (lit(2.0) * m)
+    val qTerm = round(
+      col("internal_edges").cast("double") / m - half * half, 9)
+    perComm
+      .join(internal, Seq("community"), "left")
+      .na.fill(0L, Seq("internal_edges"))
+      .crossJoin(broadcast(mTotal))
+      .withColumn("q_term", qTerm)
+      .withColumn("modularity",
+        round(sum(col("q_term").cast("decimal(28,9)")).over(all)
+          .cast("double"), 6))
+      .select(col("community"), col("n_nodes"), col("degree_sum"),
+        col("internal_edges"), col("q_term"), col("modularity"))
+  }
 }

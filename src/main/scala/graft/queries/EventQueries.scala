@@ -1317,6 +1317,469 @@ object EventQueries {
         SELECT value, n_ref, n_cur,
                ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
                ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
-        FROM p ORDER BY value"""))
+        FROM p ORDER BY value""")),
+
+    // Kaplan-Meier / Nelson-Aalen life table over days-to-conversion
+    // (first view → first subsequent purchase), users without a purchase
+    // right-censored at the corpus horizon. Hazards are proven-parity
+    // divisions snapped to the 9-grid and SUMMED through DECIMAL(28,9)
+    // (Nelson-Aalen directly; KM in log space — ln parity is proven, exp
+    // is not), so the whole censored estimator replays exactly.
+    "q7a_survival" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        val v0 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_ms")).as("t0"))
+        val te = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"))
+          .join(v0, "user_id")
+          .filter(col("ts_ms") >= col("t0"))
+          .groupBy("user_id").agg(min(col("ts_ms")).as("te"))
+        val horizon = e.agg(max(col("ts_ms")).as("__tmax"))
+        val subjects = v0.join(te, Seq("user_id"), "left")
+          .crossJoin(broadcast(horizon))
+          .select(
+            when(col("te").isNotNull, expr("(te - t0) div 86400000"))
+              .otherwise(expr("(__tmax - t0) div 86400000")).as("duration"),
+            when(col("te").isNotNull, 1).otherwise(0).as("event"))
+        graft.operators.Survival.lifeTable(subjects, "duration", "event")
+          .orderBy(col("t"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        v0 AS (SELECT user_id, MIN(ts_ms) AS t0 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        te AS (SELECT e.user_id, MIN(e.ts_ms) AS te FROM e JOIN v0 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts_ms >= v0.t0 GROUP BY 1),
+        gm AS (SELECT MAX(ts_ms) AS tmax FROM e),
+        subj AS (
+          SELECT CASE WHEN te.te IS NOT NULL THEN (te.te - v0.t0) // 86400000
+                      ELSE ((SELECT tmax FROM gm) - v0.t0) // 86400000 END AS t,
+                 CASE WHEN te.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM v0 LEFT JOIN te USING (user_id)),
+        byt AS (
+          SELECT t, CAST(SUM(ev) AS BIGINT) AS d_events,
+                 CAST(SUM(1 - ev) AS BIGINT) AS c_censored
+          FROM subj GROUP BY 1),
+        lt AS (
+          SELECT *, CAST(SUM(d_events + c_censored) OVER ()
+                 - COALESCE(SUM(d_events + c_censored) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_risk
+          FROM byt),
+        h AS (
+          SELECT *, ROUND(CAST(d_events AS DOUBLE) / n_risk, 9) AS hazard,
+                 CASE WHEN d_events < n_risk THEN
+                   ROUND(LN(CAST(1 AS DOUBLE)
+                     - CAST(d_events AS DOUBLE) / n_risk), 9) END AS lnterm,
+                 CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END AS exh
+          FROM lt)
+        SELECT t, n_risk, d_events, c_censored, hazard,
+               ROUND(CAST(SUM(CAST(hazard AS DECIMAL(28,9))) OVER (ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS na_cum_hazard,
+               CASE WHEN SUM(exh) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 0
+                    THEN ROUND(CAST(SUM(CAST(lnterm AS DECIMAL(28,9)))
+                      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+                      + CAST(0 AS DOUBLE) END AS km_log_survival
+        FROM h ORDER BY t""")),
+
+    // CUPED variance-reduced experiment readout: arms by user-id parity,
+    // pre = view-value mass, post = purchase-value mass per user; pooled
+    // theta and pre-mean snap to the 9-grid, per-unit adjusted metrics
+    // aggregate through exact decimal power sums. The q6q cross-sum
+    // algebra applied to the Deng-Xu-Kohavi-Walker estimator.
+    "q7b_cuped" -> Q(
+      fn = (s, dir) => {
+        val per = ev(s, dir).groupBy("user_id").agg(
+          coalesce(sum(when(col("event_type") === "view", col("value"))
+            .cast("decimal(18,2)")).cast("double"), lit(0.0)).as("pre"),
+          coalesce(sum(when(col("event_type") === "purchase", col("value"))
+            .cast("decimal(18,2)")).cast("double"), lit(0.0)).as("post"))
+          .select((col("user_id") % 2).cast("int").as("arm"),
+            col("pre"), col("post"))
+        graft.operators.Experiment.cuped(per, "arm", "pre", "post")
+          .orderBy(col("arm"))
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT CAST(user_id % 2 AS INT) AS arm,
+                 COALESCE(CAST(SUM(CASE WHEN event_type = 'view'
+                   THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE),
+                   CAST(0 AS DOUBLE)) AS pre,
+                 COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE),
+                   CAST(0 AS DOUBLE)) AS post
+          FROM events GROUP BY user_id),
+        pool AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(pre AS DECIMAL(38,6))) AS sx,
+                 SUM(CAST(post AS DECIMAL(38,6))) AS sy,
+                 SUM(CAST(pre * post AS DECIMAL(38,6))) AS sxy,
+                 SUM(CAST(pre * pre AS DECIMAL(38,6))) AS sxx
+          FROM per),
+        th AS (
+          SELECT ROUND(CAST(sx AS DOUBLE) / n, 9) AS mean_pre,
+                 ROUND((CAST(sxy AS DOUBLE) / n
+                     - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                   / (CAST(sxx AS DOUBLE) / n
+                     - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)),
+                   9) AS theta
+          FROM pool),
+        adj AS (
+          SELECT arm, post,
+                 ROUND(post - th.theta * (pre - th.mean_pre), 9) AS a
+          FROM per, th),
+        g AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(post AS DECIMAL(38,6))) AS sp,
+                 SUM(CAST(post * post AS DECIMAL(38,6))) AS spp,
+                 SUM(CAST(a AS DECIMAL(38,9))) AS sa,
+                 SUM(CAST(a * a AS DECIMAL(38,9))) AS saa
+          FROM adj GROUP BY 1)
+        SELECT arm, n,
+               ROUND(CAST(sp AS DOUBLE) / n, 6) AS mean_post,
+               ROUND(CAST(sa AS DOUBLE) / n, 6) + CAST(0 AS DOUBLE)
+                 AS mean_adjusted,
+               ROUND(CAST(spp AS DOUBLE) / n
+                 - (CAST(sp AS DOUBLE) / n) * (CAST(sp AS DOUBLE) / n), 6)
+                 AS var_post,
+               ROUND(CAST(saa AS DOUBLE) / n
+                 - (CAST(sa AS DOUBLE) / n) * (CAST(sa AS DOUBLE) / n), 6)
+                 AS var_adjusted,
+               CASE WHEN (CAST(spp AS DOUBLE) / n
+                   - (CAST(sp AS DOUBLE) / n) * (CAST(sp AS DOUBLE) / n)) > 0
+                 THEN ROUND(CAST(1 AS DOUBLE)
+                   - (CAST(saa AS DOUBLE) / n
+                      - (CAST(sa AS DOUBLE) / n) * (CAST(sa AS DOUBLE) / n))
+                     / (CAST(spp AS DOUBLE) / n
+                      - (CAST(sp AS DOUBLE) / n) * (CAST(sp AS DOUBLE) / n)),
+                   6) + CAST(0 AS DOUBLE) END AS var_reduction
+        FROM g ORDER BY arm""")),
+
+    // Pooled two-proportion z-test on 1-day view→purchase conversion by
+    // user-id-parity arm (the unbounded "ever purchased" flag converts the
+    // whole dense fixture — a degenerate pool; the window makes the rate
+    // discriminate, the q48 lesson): exact integer counts, one sqrt
+    // (proven parity), the 5% significance flag decided on the ROUNDED
+    // statistic so both engines compare identical doubles.
+    "q7c_ab_conversion" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        val v0 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_ms")).as("t0"))
+        val converted = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"))
+          .join(v0, "user_id")
+          .filter(col("ts_ms") > col("t0") &&
+            col("ts_ms") <= col("t0") + lit(86400000L))
+          .select(col("user_id")).distinct()
+          .withColumn("__c", lit(1))
+        val per = v0.join(converted, Seq("user_id"), "left")
+          .select((col("user_id") % 2).cast("int").as("arm"),
+            coalesce(col("__c"), lit(0)).as("conv"))
+        graft.operators.Experiment.twoProportionZ(per, "arm", "conv")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        v0 AS (SELECT user_id, MIN(ts_ms) AS t0 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        cv AS (SELECT DISTINCT e.user_id FROM e JOIN v0 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts_ms > v0.t0
+                 AND e.ts_ms <= v0.t0 + 86400000),
+        per AS (
+          SELECT CAST(v0.user_id % 2 AS INT) AS arm,
+                 CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+          FROM v0 LEFT JOIN cv ON cv.user_id = v0.user_id),
+        g AS (
+          SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+          FROM per),
+        z AS (
+          SELECT CAST(0 AS INT) AS arm_a, n_a, x_a,
+                 CAST(1 AS INT) AS arm_b, n_b, x_b,
+                 CAST(x_a AS DOUBLE) / n_a AS pa,
+                 CAST(x_b AS DOUBLE) / n_b AS pb,
+                 CAST(x_a + x_b AS DOUBLE) / (CAST(n_a AS DOUBLE) + n_b) AS pp
+          FROM g)
+        SELECT arm_a, n_a, x_a, arm_b, n_b, x_b,
+               ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+               ROUND((pa - pb) / SQRT(pp * (CAST(1 AS DOUBLE) - pp)
+                 * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 6)
+                 + CAST(0 AS DOUBLE) AS z,
+               ABS(ROUND((pa - pb) / SQRT(pp * (CAST(1 AS DOUBLE) - pp)
+                 * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 6))
+                 > CAST(1.96 AS DOUBLE) AS significant_5pct
+        FROM z""")),
+
+    // Holt linear-trend forecast of daily event volume per type
+    // (alpha = 0.5, beta = 0.25 — dyadic rationals, so 1-alpha/1-beta are
+    // exact in binary on both engines): the q5i ordered-fold recipe with a
+    // TWO-field struct accumulator, per-step 9-snapped level AND trend,
+    // replayed by DuckDB's list_reduce over struct elements (q3s idiom).
+    "q7d_holt_forecast" -> Q(
+      fn = (s, dir) => {
+        val daily = ev(s, dir)
+          .withColumn("day", expr("ts_ms div 86400000"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        graft.operators.Forecast.holtLinear(daily, "event_type", "day", "y",
+            alpha = 0.5, beta = 0.25, horizon = 7)
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                 CAST(COUNT(*) AS DOUBLE) AS y
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 list(y ORDER BY day) AS ys
+          FROM d GROUP BY 1),
+        f AS (
+          -- accumulator is a 2-element LIST [level, trend], NOT a struct:
+          -- DuckDB's list_reduce mutates a struct accumulator in place
+          -- field-by-field (the second field's expression sees the
+          -- freshly-written first field), while the list accumulator is
+          -- pure — probed directly, see CLAUDE.md
+          SELECT event_type, n_obs,
+                 list_reduce(
+                   list_prepend([ys[1], CAST(0 AS DOUBLE)],
+                     list_transform(ys[2:], x -> [x, CAST(0 AS DOUBLE)])),
+                   (acc, e) -> [
+                     ROUND(CAST(0.5 AS DOUBLE) * e[1]
+                       + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9),
+                     ROUND(CAST(0.25 AS DOUBLE)
+                       * (ROUND(CAST(0.5 AS DOUBLE) * e[1]
+                           + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9)
+                          - acc[1])
+                       + CAST(0.75 AS DOUBLE) * acc[2], 9)]) AS st
+          FROM s)
+        SELECT event_type, n_obs,
+               ROUND(st[1], 6) AS level,
+               ROUND(st[2], 6) + CAST(0 AS DOUBLE) AS trend,
+               ROUND(st[1] + CAST(7 AS DOUBLE) * st[2], 6)
+                 + CAST(0 AS DOUBLE) AS forecast_7
+        FROM f ORDER BY event_type""")),
+
+    // Cohort LTV curves: users bucketed by first-activity day (the q4a
+    // cohort key), purchase value accumulated per day offset — cumulative
+    // DECIMAL sums over the cohort x offset table (bounded domain), LTV
+    // per user one proven-parity division. The revenue-weighted upgrade
+    // of the retention matrix.
+    "q7i_cohort_ltv" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        val first = e.groupBy("user_id")
+          .agg(min(expr("ts_ms div 86400000")).as("cohort_day"))
+        val sizes = first.groupBy("cohort_day")
+          .agg(count(lit(1)).as("n_users"))
+        val pv = e.filter(col("event_type") === "purchase" &&
+            col("value").isNotNull)
+          .withColumn("day", expr("ts_ms div 86400000"))
+          .join(first, "user_id")
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("__pv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cohort_day").orderBy("day_offset")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        pv.join(sizes, "cohort_day")
+          .withColumn("__cum", sum(col("__pv")).over(w))
+          .select(col("cohort_day"), col("day_offset"), col("n_users"),
+            col("__pv").cast("double").as("period_value"),
+            col("__cum").cast("double").as("cum_value"),
+            round(col("__cum").cast("double") / col("n_users"), 6)
+              .as("ltv_per_user"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, value,
+                          epoch_ms(ts) // 86400000 AS day FROM events),
+        f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+        sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users
+               FROM f GROUP BY 1),
+        pv AS (
+          SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+                 SUM(CAST(e.value AS DECIMAL(18,2))) AS pv
+          FROM e JOIN f USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+          GROUP BY 1, 2),
+        c AS (
+          SELECT cohort_day, day_offset, pv,
+                 SUM(pv) OVER (PARTITION BY cohort_day ORDER BY day_offset
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM pv)
+        SELECT c.cohort_day, c.day_offset, sz.n_users,
+               CAST(pv AS DOUBLE) AS period_value,
+               CAST(cum AS DOUBLE) AS cum_value,
+               ROUND(CAST(cum AS DOUBLE) / sz.n_users, 6) AS ltv_per_user
+        FROM c JOIN sz USING (cohort_day)
+        ORDER BY cohort_day, day_offset""")),
+
+    // RFM segmentation: per-user recency/frequency/monetary quintiles via
+    // the exact ntile operator (constant group — the q3t exact twin;
+    // perGroupQuantileBandsApprox is the documented 100 TB path), R
+    // inverted so 5 = most recent, deterministic (metric, user_id)
+    // tiebreaks, composite segment code as pure int arithmetic.
+    "q7j_rfm_segments" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        val dmax = e.agg(max(expr("ts_ms div 86400000")).as("__dmax"))
+        val per = e.groupBy("user_id").agg(
+          max(expr("ts_ms div 86400000")).as("__last"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .cast("long").as("frequency"),
+          coalesce(sum(when(col("event_type") === "purchase", col("value"))
+            .cast("decimal(18,2)")).cast("double"), lit(0.0)).as("monetary"))
+          .crossJoin(broadcast(dmax))
+          .withColumn("recency_days", col("__dmax") - col("__last"))
+          .withColumn("__g", lit(1))
+        val banded = Seq(("recency_days", "__rb"), ("frequency", "__fb"),
+          ("monetary", "__mb")).foldLeft(per) { case (df, (c, out)) =>
+          graft.operators.DataMix.perGroupQuantileBands(df, "__g", c, "user_id", 5)
+            .withColumnRenamed("band", out)
+        }
+        banded.select(col("user_id"), col("recency_days"), col("frequency"),
+            col("monetary"),
+            (lit(6) - col("__rb")).as("r"), col("__fb").as("f"),
+            col("__mb").as("m"),
+            ((lit(6) - col("__rb")) * 100 + col("__fb") * 10 + col("__mb"))
+              .as("rfm"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, value,
+                          epoch_ms(ts) // 86400000 AS day FROM events),
+        per AS (
+          SELECT user_id, MAX(day) AS last_day,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS frequency,
+                 COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE),
+                   CAST(0 AS DOUBLE)) AS monetary
+          FROM e GROUP BY 1),
+        r AS (
+          SELECT user_id,
+                 (SELECT MAX(day) FROM e) - last_day AS recency_days,
+                 frequency, monetary
+          FROM per),
+        b AS (
+          SELECT *,
+                 CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS INT) AS rb,
+                 CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS INT) AS fb,
+                 CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS INT) AS mb
+          FROM r)
+        SELECT user_id, recency_days, frequency, monetary,
+               6 - rb AS r, fb AS f, mb AS m,
+               (6 - rb) * 100 + fb * 10 + mb AS rfm
+        FROM b ORDER BY user_id""")),
+
+    // Minimum detectable effect for the q7c experiment: the planning
+    // number next to the readout. Explicit z literals (1.959964 + 0.841621
+    // — 5% two-sided / 80% power), one sqrt; null-guarded like the z-test.
+    "q7k_experiment_mde" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        val v0 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_ms")).as("t0"))
+        val converted = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"))
+          .join(v0, "user_id")
+          .filter(col("ts_ms") > col("t0") &&
+            col("ts_ms") <= col("t0") + lit(86400000L))
+          .select(col("user_id")).distinct()
+          .withColumn("__c", lit(1))
+        val per = v0.join(converted, Seq("user_id"), "left")
+          .select((col("user_id") % 2).cast("int").as("arm"),
+            coalesce(col("__c"), lit(0)).as("conv"))
+        graft.operators.Experiment.minDetectableEffect(per, "arm", "conv")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        v0 AS (SELECT user_id, MIN(ts_ms) AS t0 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        cv AS (SELECT DISTINCT e.user_id FROM e JOIN v0 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts_ms > v0.t0
+                 AND e.ts_ms <= v0.t0 + 86400000),
+        per AS (
+          SELECT CAST(v0.user_id % 2 AS INT) AS arm,
+                 CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+          FROM v0 LEFT JOIN cv ON cv.user_id = v0.user_id),
+        g AS (
+          SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(SUM(conv) AS BIGINT) AS x_pooled
+          FROM per),
+        m AS (
+          SELECT n_a, n_b, LEAST(n_a, n_b) AS n_eff, x_pooled,
+                 CAST(x_pooled AS DOUBLE) / (CAST(n_a AS DOUBLE) + n_b) AS p,
+                 (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                   * SQRT(CAST(2 AS DOUBLE)
+                     * (CAST(x_pooled AS DOUBLE) / (CAST(n_a AS DOUBLE) + n_b))
+                     * (CAST(1 AS DOUBLE)
+                        - CAST(x_pooled AS DOUBLE) / (CAST(n_a AS DOUBLE) + n_b))
+                     / LEAST(n_a, n_b)) AS mde
+          FROM g)
+        SELECT n_a, n_b, n_eff, x_pooled,
+               ROUND(p, 6) AS p_base,
+               CASE WHEN p > 0 AND p < 1 THEN ROUND(mde, 6) END AS mde_abs,
+               CASE WHEN p > 0 AND p < 1 THEN ROUND(mde / p, 6) END AS mde_rel
+        FROM m""")),
+
+    // Holt backtest: q7d's fit with one-step-ahead in-sample MAE/RMSE
+    // accumulated INSIDE the fold (4-state accumulator — level, trend,
+    // sum|e|, sum e²; the oracle must carry it as a LIST, the q7d
+    // struct-mutation finding). The forecast-honesty number.
+    "q7l_holt_backtest" -> Q(
+      fn = (s, dir) => {
+        val daily = ev(s, dir)
+          .withColumn("day", expr("ts_ms div 86400000"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        graft.operators.Forecast.holtBacktest(daily, "event_type", "day", "y",
+            alpha = 0.5, beta = 0.25, horizon = 7)
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                 CAST(COUNT(*) AS DOUBLE) AS y
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 list(y ORDER BY day) AS ys
+          FROM d GROUP BY 1),
+        f AS (
+          SELECT event_type, n_obs,
+                 list_reduce(
+                   list_prepend([ys[1], CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                                 CAST(0 AS DOUBLE)],
+                     list_transform(ys[2:], x -> [x, CAST(0 AS DOUBLE),
+                                 CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+                   (acc, e) -> [
+                     ROUND(CAST(0.5 AS DOUBLE) * e[1]
+                       + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9),
+                     ROUND(CAST(0.25 AS DOUBLE)
+                       * (ROUND(CAST(0.5 AS DOUBLE) * e[1]
+                           + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9)
+                          - acc[1])
+                       + CAST(0.75 AS DOUBLE) * acc[2], 9),
+                     ROUND(acc[3]
+                       + ROUND(ABS(e[1] - (acc[1] + acc[2])), 9), 9),
+                     ROUND(acc[4]
+                       + ROUND((e[1] - (acc[1] + acc[2]))
+                           * (e[1] - (acc[1] + acc[2])), 9), 9)]) AS st
+          FROM s)
+        SELECT event_type, n_obs,
+               ROUND(st[1], 6) AS level,
+               ROUND(st[2], 6) + CAST(0 AS DOUBLE) AS trend,
+               ROUND(st[1] + CAST(7 AS DOUBLE) * st[2], 6)
+                 + CAST(0 AS DOUBLE) AS forecast_7,
+               CASE WHEN n_obs > 1
+                    THEN ROUND(st[3] / (n_obs - 1), 6) END AS mae,
+               CASE WHEN n_obs > 1
+                    THEN ROUND(SQRT(st[4] / (n_obs - 1)), 6) END AS rmse
+        FROM f ORDER BY event_type"""))
   )
 }

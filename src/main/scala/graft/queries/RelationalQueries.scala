@@ -2054,6 +2054,194 @@ object RelationalQueries {
         SELECT digit, n, ROUND(expected, 6) AS expected,
                ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) OVER ()
                  AS DOUBLE), 6) AS chi2
-        FROM t ORDER BY digit"""))
+        FROM t ORDER BY digit""")),
+
+    // Item-item collaborative filtering: parts' top-5 "bought together"
+    // neighbors by basket-membership cosine (n_ab/sqrt(n_a*n_b)) over
+    // order baskets — AssocRules counts + a rank-k window that rides
+    // WindowGroupLimit. sqrt/division parity proven; ranks INT both sides.
+    "q7e_item_neighbors" -> Q(
+      fn = (s, dir) =>
+        graft.operators.AssocRules.topNeighbors(
+            t(s, dir, "lineitem")
+              .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+            "basket", "item", k = 5, minPairCount = 2L)
+          .orderBy(col("item"), col("rank")),
+      oracle = Some("""
+        WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM bi GROUP BY 1),
+        p AS (
+          SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        pj AS (
+          SELECT p.item_a, p.item_b, p.n_ab, ia.n_i AS na, ib.n_i AS nb
+          FROM p JOIN ic ia ON ia.i = p.item_a JOIN ic ib ON ib.i = p.item_b),
+        sym AS (
+          SELECT item_a AS item, item_b AS neighbor, n_ab, na AS ni, nb AS nn FROM pj
+          UNION ALL
+          SELECT item_b AS item, item_a AS neighbor, n_ab, nb AS ni, na AS nn FROM pj),
+        c AS (
+          SELECT item, neighbor, n_ab,
+                 ROUND(CAST(n_ab AS DOUBLE)
+                   / SQRT(CAST(ni AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS cosine
+          FROM sym),
+        r AS (
+          SELECT item, neighbor, n_ab, cosine,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY item
+                   ORDER BY cosine DESC, n_ab DESC, neighbor) AS INT) AS rank
+          FROM c)
+        SELECT item, neighbor, n_ab, cosine, rank
+        FROM r WHERE rank <= 5 ORDER BY item, rank""")),
+
+    // Degree assortativity of the q4j block graph: Pearson correlation of
+    // endpoint degrees over both edge orientations — exact integer decimal
+    // sums, one final double expression (the one-number structural
+    // fingerprint: hubs-to-hubs vs hubs-to-leaves).
+    "q7f_assortativity" -> Q(
+      fn = (s, dir) => {
+        val c = (col("o_custkey") % 1200).cast("long")
+        val edges = t(s, dir, "orders").select(
+          c.as("src"),
+          (c - (c % 40) + (col("o_orderkey") % 40).cast("long")).as("dst"))
+        graft.operators.GraphOps.degreeAssortativity(edges)
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT CAST(o_custkey % 1200 AS BIGINT) AS c,
+                 CAST(o_orderkey % 40 AS BIGINT) AS o
+          FROM orders),
+        und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM (SELECT c AS src, c - (c % 40) + o AS dst FROM raw)
+          WHERE src <> dst),
+        deg AS MATERIALIZED (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+          GROUP BY 1),
+        j AS (
+          SELECT du.deg AS x, dv.deg AS y
+          FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v),
+        p AS (SELECT x, y FROM j UNION ALL SELECT y AS x, x AS y FROM j),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                 SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx
+          FROM p)
+        SELECT m2, ROUND(CAST(sx AS DOUBLE) / m2, 6) AS mean_degree,
+               CASE WHEN (CAST(sxx AS DOUBLE)/m2
+                   - (CAST(sx AS DOUBLE)/m2)*(CAST(sx AS DOUBLE)/m2)) > 0
+                 THEN ROUND((CAST(sxy AS DOUBLE)/m2
+                     - (CAST(sx AS DOUBLE)/m2)*(CAST(sx AS DOUBLE)/m2))
+                   / (CAST(sxx AS DOUBLE)/m2
+                     - (CAST(sx AS DOUBLE)/m2)*(CAST(sx AS DOUBLE)/m2)), 6)
+                   + CAST(0 AS DOUBLE) END AS assortativity
+        FROM a""")),
+
+    // Newman-Girvan modularity of the q4j LPA communities: per-community
+    // internal-edge and degree mass vs the random-wiring expectation,
+    // Q summed from 9-snapped per-community terms through DECIMAL(28,9) —
+    // the quality gate on community detection. Oracle extends the q4j
+    // unrolled-LPA CTE chain with the modularity aggregation.
+    "q7g_modularity" -> Q(
+      fn = (s, dir) => {
+        val c = (col("o_custkey") % 1200).cast("long")
+        val edges = t(s, dir, "orders").select(
+          c.as("src"),
+          (c - (c % 40) + (col("o_orderkey") % 40).cast("long")).as("dst"))
+        val labels = graft.operators.GraphOps.labelPropagation(edges, iterations = 3)
+        graft.operators.GraphOps.modularity(edges, labels)
+          .orderBy(col("community"))
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT CAST(o_custkey % 1200 AS BIGINT) AS c,
+                 CAST(o_orderkey % 40 AS BIGINT) AS o
+          FROM orders),
+        e0 AS (SELECT c AS src, c - (c % 40) + o AS dst FROM raw),
+        und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM e0 WHERE src <> dst),
+        adj AS MATERIALIZED (
+          SELECT u AS node, v AS nbr FROM und
+          UNION ALL SELECT v AS node, u AS nbr FROM und),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT node, node AS label FROM adj),
+        v1 AS MATERIALIZED (
+          SELECT a.node, l.label, COUNT(*) AS n
+          FROM adj a JOIN l0 l ON l.node = a.nbr GROUP BY a.node, l.label),
+        l1 AS MATERIALIZED (
+          SELECT node, MIN(label) AS label
+          FROM (SELECT node, label, n, MAX(n) OVER (PARTITION BY node) AS mx
+                FROM v1) t
+          WHERE n = mx GROUP BY node),
+        v2 AS MATERIALIZED (
+          SELECT a.node, l.label, COUNT(*) AS n
+          FROM adj a JOIN l1 l ON l.node = a.nbr GROUP BY a.node, l.label),
+        l2 AS MATERIALIZED (
+          SELECT node, MIN(label) AS label
+          FROM (SELECT node, label, n, MAX(n) OVER (PARTITION BY node) AS mx
+                FROM v2) t
+          WHERE n = mx GROUP BY node),
+        v3 AS MATERIALIZED (
+          SELECT a.node, l.label, COUNT(*) AS n
+          FROM adj a JOIN l2 l ON l.node = a.nbr GROUP BY a.node, l.label),
+        l3 AS MATERIALIZED (
+          SELECT node, MIN(label) AS label
+          FROM (SELECT node, label, n, MAX(n) OVER (PARTITION BY node) AS mx
+                FROM v3) t
+          WHERE n = mx GROUP BY node),
+        deg AS MATERIALIZED (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        mm AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+        intr AS (
+          SELECT lu.label AS community, CAST(COUNT(*) AS BIGINT) AS internal_edges
+          FROM und JOIN l3 lu ON lu.node = und.u JOIN l3 lv ON lv.node = und.v
+          WHERE lu.label = lv.label GROUP BY 1),
+        pc AS (
+          SELECT l3.label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(deg.deg) AS BIGINT) AS degree_sum
+          FROM l3 JOIN deg USING (node) GROUP BY 1),
+        tt AS (
+          SELECT pc.community, pc.n_nodes, pc.degree_sum,
+                 CAST(COALESCE(intr.internal_edges, 0) AS BIGINT) AS internal_edges,
+                 ROUND(CAST(COALESCE(intr.internal_edges, 0) AS DOUBLE)
+                     / (SELECT m FROM mm)
+                   - (CAST(pc.degree_sum AS DOUBLE)
+                      / (CAST(2 AS DOUBLE) * (SELECT m FROM mm)))
+                     * (CAST(pc.degree_sum AS DOUBLE)
+                      / (CAST(2 AS DOUBLE) * (SELECT m FROM mm))), 9)
+                   + CAST(0 AS DOUBLE) AS q_term
+          FROM pc LEFT JOIN intr USING (community))
+        SELECT community, n_nodes, degree_sum, internal_edges, q_term,
+               ROUND(CAST(SUM(CAST(q_term AS DECIMAL(28,9))) OVER ()
+                 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS modularity
+        FROM tt ORDER BY community""")),
+
+    // Proportional stratified sample: exactly ceil(n_g/10) orders per
+    // priority stratum, chosen by the salted md5 order — integer-exact
+    // targets (no float boundary), every stratum represented.
+    "q7h_stratified_sample" -> Q(
+      fn = (s, dir) =>
+        graft.operators.DataMix.stratifiedSample(
+            t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+            stratumCol = "o_orderpriority", keyCol = "o_orderkey",
+            num = 1, den = 10, salt = "strat1")
+          .orderBy(col("o_orderkey")),
+      oracle = Some("""
+        WITH tgt AS (
+          SELECT o_orderpriority AS strat,
+                 (COUNT(*) * 1 + 9) // 10 AS target
+          FROM orders GROUP BY 1),
+        r AS (
+          SELECT o_orderkey, o_orderpriority,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY
+                   substring(md5(CAST(o_orderkey AS VARCHAR) || 'strat1'), 1, 8),
+                   o_orderkey) AS rn
+          FROM orders)
+        SELECT o_orderkey, o_orderpriority
+        FROM r JOIN tgt ON tgt.strat = r.o_orderpriority
+        WHERE r.rn <= tgt.target ORDER BY o_orderkey"""))
   )
 }

@@ -89,4 +89,33 @@ class AssocRulesSpec extends AnyFunSuite {
     val b = statsMap(AssocRules.pairStats(fixture.repartition(7), "basket", "item"))
     assert(a == b)
   }
+
+  test("topNeighbors: cosine ranking and symmetry on the fixture") {
+    // n_milk=3, n_bread=3, n_eggs=2; n(b,m)=2, n(b,e)=1, n(e,m)=2
+    val got = AssocRules.topNeighbors(fixture, "basket", "item", k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    // each unordered pair appears in BOTH items' lists
+    assert(got.keySet == Set(
+      ("bread", "milk"), ("milk", "bread"),
+      ("bread", "eggs"), ("eggs", "bread"),
+      ("eggs", "milk"), ("milk", "eggs")))
+    val r6 = (x: Double) => java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got(("bread", "milk"))._2 == r6(2.0 / math.sqrt(9.0)))
+    assert(got(("eggs", "milk"))._2 == r6(2.0 / math.sqrt(6.0)))
+    assert(got(("bread", "eggs"))._2 == r6(1.0 / math.sqrt(6.0)))
+    // milk's list: eggs (0.816) before bread (0.666)
+    assert(got(("milk", "eggs"))._3 == 1 && got(("milk", "bread"))._3 == 2)
+  }
+
+  test("topNeighbors: k truncates per item, rank-like window plan") {
+    val out = AssocRules.topNeighbors(fixture, "basket", "item", k = 1)
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length) // 1 per item
+    assert(rows.forall(_.getInt(4) == 1))
+    // row_number + constant limit => WindowGroupLimit in the physical plan
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
 }

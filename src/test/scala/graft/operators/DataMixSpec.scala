@@ -219,4 +219,41 @@ class DataMixSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("band")).toMap
     assert(nullBands == Map(3L -> 1, 4L -> 2)) // banded within their own group
   }
+
+  test("stratified sample: exact ceil targets, every stratum represented") {
+    import spark.implicits._
+    // strata sizes 25, 4, 1 at 1/10 => ceil targets 3, 1, 1
+    val rows = (1 to 25).map(i => ("big", i.toLong)) ++
+      (26 to 29).map(i => ("mid", i.toLong)) ++ Seq(("tiny", 30L))
+    val out = DataMix.stratifiedSample(rows.toDF("strat", "id"),
+      "strat", "id", num = 1, den = 10, salt = "s")
+    val bySize = out.collect().groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(bySize.toMap == Map("big" -> 3, "mid" -> 1, "tiny" -> 1))
+  }
+
+  test("stratified sample: deterministic across partitionings and salts redraw") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (s"s${i % 5}", i.toLong))
+    val a = DataMix.stratifiedSample(rows.toDF("strat", "id").repartition(1),
+      "strat", "id", 1, 4, "x").collect().map(_.getLong(1)).toSet
+    val b = DataMix.stratifiedSample(rows.toDF("strat", "id").repartition(9),
+      "strat", "id", 1, 4, "x").collect().map(_.getLong(1)).toSet
+    assert(a == b && a.size == 50) // 5 strata of 40 => 10 each
+    val c = DataMix.stratifiedSample(rows.toDF("strat", "id"),
+      "strat", "id", 1, 4, "y").collect().map(_.getLong(1)).toSet
+    assert(c != a) // different salt, different draw
+  }
+
+  test("stratified sample: null stratum kept as its own group; guards") {
+    import spark.implicits._
+    val df = Seq((null.asInstanceOf[String], 1L),
+      (null.asInstanceOf[String], 2L), ("g", 3L)).toDF("strat", "id")
+    val out = DataMix.stratifiedSample(df, "strat", "id", 1, 2, "s")
+    assert(out.count() == 2) // ceil(2/2)=1 null-stratum row + ceil(1/2)=1
+    intercept[IllegalArgumentException](
+      DataMix.stratifiedSample(df, "strat", "id", 3, 2, "s"))
+    intercept[IllegalArgumentException](
+      DataMix.stratifiedSample(df.withColumn("__rn", lit(1)),
+        "strat", "id", 1, 2, "s"))
+  }
 }

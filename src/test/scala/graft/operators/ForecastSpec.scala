@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Holt linear-trend ground truths: a hand-walked two-point series, trend
+  * recovery on a clean ramp, the single-observation degenerate case, the
+  * dyadic-parameter guard, and partition invariance of the ordered fold.
+  */
+class ForecastSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  test("two-point series walks the exact recursion by hand") {
+    // seed l=1, b=0; step y=3: l' = .5*3+.5*1 = 2; b' = .25*(2-1) = 0.25
+    val out = Forecast.holtLinear(
+      Seq(("k", 1L, 1.0), ("k", 2L, 3.0)).toDF("k", "t", "y"),
+      "k", "t", "y").collect().head
+    assert(out.getAs[Long]("n_obs") == 2L)
+    assert(out.getAs[Double]("level") == 2.0)
+    assert(out.getAs[Double]("trend") == 0.25)
+    assert(out.getAs[Double]("forecast_7") == 2.0 + 7 * 0.25)
+  }
+
+  test("clean ramp recovers slope ~1 and forecasts ahead") {
+    val ramp = (1 to 40).map(t => ("k", t.toLong, t.toDouble))
+    val out = Forecast.holtLinear(ramp.toDF("k", "t", "y"), "k", "t", "y")
+      .collect().head
+    val level = out.getAs[Double]("level")
+    val trend = out.getAs[Double]("trend")
+    assert(math.abs(trend - 1.0) < 0.05)
+    assert(math.abs(level - 40.0) < 2.0)
+    assert(math.abs(out.getAs[Double]("forecast_7") - (level + 7 * trend))
+      < 1e-9)
+  }
+
+  test("single observation: level = y, zero trend") {
+    val out = Forecast.holtLinear(
+      Seq(("k", 1L, 5.5)).toDF("k", "t", "y"), "k", "t", "y")
+      .collect().head
+    assert(out.getAs[Long]("n_obs") == 1L)
+    assert(out.getAs[Double]("level") == 5.5)
+    assert(out.getAs[Double]("trend") == 0.0)
+    assert(out.getAs[Double]("forecast_7") == 5.5)
+  }
+
+  test("order column, not input order, drives the fold") {
+    val shuffled = Seq(("k", 2L, 3.0), ("k", 1L, 1.0)).toDF("k", "t", "y")
+    val out = Forecast.holtLinear(shuffled, "k", "t", "y").collect().head
+    assert(out.getAs[Double]("level") == 2.0) // same as the ordered fixture
+  }
+
+  test("non-dyadic smoothing parameters are refused") {
+    val df = Seq(("k", 1L, 1.0)).toDF("k", "t", "y")
+    intercept[IllegalArgumentException](
+      Forecast.holtLinear(df, "k", "t", "y", alpha = 0.3))
+    intercept[IllegalArgumentException](
+      Forecast.holtLinear(df, "k", "t", "y", beta = 0.1))
+    intercept[IllegalArgumentException](
+      Forecast.holtLinear(df, "k", "t", "y", horizon = 0))
+  }
+
+  test("backtest: one-step errors accumulate before each update") {
+    // [1,3]: prediction for the 2nd point is 1+0=1, error 2 => mae=2, rmse=2
+    val out = Forecast.holtBacktest(
+      Seq(("k", 1L, 1.0), ("k", 2L, 3.0)).toDF("k", "t", "y"),
+      "k", "t", "y").collect().head
+    assert(out.getAs[Double]("mae") == 2.0)
+    assert(out.getAs[Double]("rmse") == 2.0)
+    assert(out.getAs[Double]("level") == 2.0) // fit identical to holtLinear
+    assert(out.getAs[Double]("trend") == 0.25)
+    // [1,3,5]: step2 pred = 2+0.25 = 2.25, err 2.75
+    val out3 = Forecast.holtBacktest(
+      Seq(("k", 1L, 1.0), ("k", 2L, 3.0), ("k", 3L, 5.0)).toDF("k", "t", "y"),
+      "k", "t", "y").collect().head
+    assert(out3.getAs[Double]("mae") == (2.0 + 2.75) / 2)
+    assert(math.abs(out3.getAs[Double]("rmse")
+      - math.sqrt((4.0 + 2.75 * 2.75) / 2)) < 1e-6)
+  }
+
+  test("backtest: single observation yields null errors") {
+    val out = Forecast.holtBacktest(
+      Seq(("k", 1L, 5.5)).toDF("k", "t", "y"), "k", "t", "y").collect().head
+    assert(out.isNullAt(out.fieldIndex("mae")))
+    assert(out.isNullAt(out.fieldIndex("rmse")))
+    assert(out.getAs[Double]("level") == 5.5)
+  }
+
+  test("backtest: a clean ramp backtests near its own trend error floor") {
+    val ramp = (1 to 40).map(t => ("k", t.toLong, t.toDouble))
+    val out = Forecast.holtBacktest(ramp.toDF("k", "t", "y"), "k", "t", "y")
+      .collect().head
+    // after warmup the one-step error shrinks; average stays below 1
+    assert(out.getAs[Double]("mae") < 1.0)
+    assert(out.getAs[Double]("rmse") >= out.getAs[Double]("mae"))
+  }
+
+  test("partition invariance and per-key independence") {
+    val series = (1 to 100).map(i =>
+      (s"k${i % 5}", (i / 5).toLong, (i % 13).toDouble))
+    val a = Forecast.holtLinear(series.toDF("k", "t", "y").repartition(1),
+      "k", "t", "y").orderBy("k").collect().toSeq
+    val b = Forecast.holtLinear(series.toDF("k", "t", "y").repartition(11),
+      "k", "t", "y").orderBy("k").collect().toSeq
+    assert(a == b)
+    assert(a.size == 5)
+  }
+}
