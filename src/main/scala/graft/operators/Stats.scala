@@ -215,6 +215,182 @@ object Stats {
         round((cov * cov) / (varx * vary), 6)).as("r2"))
   }
 
+  /** Lorenz curve of a per-key value distribution — [[giniOfCounts]]'s
+    * pointwise companion (WHERE the concentration sits, not just how
+    * much): keys sorted ascending by value, bucketed into `k` equal-rank
+    * bins (ntile), each bin reporting its value mass and the cumulative
+    * value share at its upper edge. Exact decimal value sums; the shares
+    * are single proven-parity divisions, 6-rounded.
+    *
+    * The rank window runs over the per-KEY aggregated table (the q6d
+    * contract) — callers pre-aggregate raw rows to (key, value) first.
+    * Ties break by key, fully deterministic.
+    */
+  def lorenzCurve(
+      df: DataFrame, keyCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = Window.orderBy(col("__v"), col("__k"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val binned = df
+      .select(col(keyCol).as("__k"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("bin", ntile(k).over(w).cast("int"))
+    binned
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("__v")).as("__bv"))
+      .withColumn("__cum", sum(col("__bv"))
+        .over(Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__tot", sum(col("__bv")).over(all))
+      .select(col("bin"), col("n_keys"),
+        col("__bv").cast("double").as("bin_value"),
+        round(col("__cum").cast("double") / col("__tot").cast("double"), 6)
+          .as("cum_value_share"))
+  }
+
+  /** Welch's unequal-variance t-test between two groups of a continuous
+    * metric — the means-comparison companion to
+    * [[Experiment.twoProportionZ]]: t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂) with
+    * the Welch–Satterthwaite degrees of freedom, from exact decimal
+    * power sums (SAMPLE variances, n−1). Groups are ordered min/max by
+    * label (the struct-fold idiom); output is ONE row with per-group
+    * n/mean/var, `t` (6-rounded), `dof` (3-rounded) — null when either
+    * group is degenerate (n < 2 or zero variance on both sides).
+    * Intended for bounded-magnitude metrics (the [[groupedMoments]]
+    * contract).
+    */
+  def welchTTest(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val g = df.filter(v.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), v.as("__v"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(38,6)")).as("__s1"),
+        sum((col("__v") * col("__v")).cast("decimal(38,6)")).as("__s2"))
+    val folded = g
+      .agg(min(struct(col("grp"), col("__n"), col("__s1"), col("__s2")))
+          .as("__a"),
+        max(struct(col("grp"), col("__n"), col("__s1"), col("__s2")))
+          .as("__b"))
+    def side(p: String, n: Column, s1: Column, s2: Column) = Seq(
+      n.as(s"n_$p"),
+      round(s1.cast("double") / n, 9).as(s"mean_$p"),
+      // sample variance is undefined for singletons — null, and the ANSI
+      // (n-1) division must sit INSIDE the guard
+      when(n > 1, round((s2.cast("double") -
+        s1.cast("double") * s1.cast("double") / n) / (n - lit(1)), 9))
+        .as(s"var_$p"))
+    val wide = folded.select(
+      col("__a.grp").as("group_a") +: col("__b.grp").as("group_b") +:
+        (side("a", col("__a.__n").cast("double"), col("__a.__s1"),
+          col("__a.__s2")) ++
+          side("b", col("__b.__n").cast("double"), col("__b.__s1"),
+            col("__b.__s2"))): _*)
+    val sa = col("var_a") / col("n_a")
+    val sb = col("var_b") / col("n_b")
+    val ok = col("n_a") > 1 && col("n_b") > 1 && (sa + sb) > 0
+    val t = (col("mean_a") - col("mean_b")) / sqrt(sa + sb)
+    val dof = (sa + sb) * (sa + sb) /
+      (sa * sa / (col("n_a") - 1) + sb * sb / (col("n_b") - 1))
+    wide.select(col("group_a"), col("n_a").cast("long").as("n_a"),
+      col("mean_a"), col("var_a"),
+      col("group_b"), col("n_b").cast("long").as("n_b"),
+      col("mean_b"), col("var_b"),
+      when(ok, round(t, 6)).as("t"),
+      when(ok, round(dof, 3)).as("dof"))
+  }
+
+  /** Mann–Whitney U test (two-sided normal approximation with tie
+    * correction) — the rank-based, outlier-proof alternative to
+    * [[welchTTest]]: ranks computed over the AGGREGATED distinct-value
+    * table (average ranks for ties derive from prefix counts — no
+    * per-row rank window, the q5z exact-rank-sum discipline), U₁ from
+    * the group-1 rank sum, z = (U₁ − μ)/σ with
+    * σ² = n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))). All inputs to the final
+    * expression are exact integer-derived decimals.
+    */
+  def mannWhitneyU(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), v.as("__v"))
+    val labels = base.groupBy("grp").agg(count(lit(1)).as("__n"))
+      .agg(min(struct(col("grp"), col("__n"))).as("__a"),
+        max(struct(col("grp"), col("__n"))).as("__b"))
+      .select(col("__a.grp").as("group_a"), col("__a.__n").as("n_a"),
+        col("__b.grp").as("group_b"), col("__b.__n").as("n_b"))
+    val byValue = base.crossJoin(broadcast(labels))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("grp") === col("group_a"), 1).otherwise(0))
+          .cast("long").as("__ca"),
+        count(lit(1)).cast("long").as("__c"))
+    val prior = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byValue
+      .withColumn("__prior", coalesce(sum(col("__c")).over(prior), lit(0L)))
+      // average rank of a tie block: prior + (c+1)/2 — exact in doubles
+      .withColumn("__avgrank",
+        col("__prior").cast("double") +
+          (col("__c") + lit(1L)).cast("double") / lit(2.0))
+    val agg = ranked.agg(
+      sum((col("__ca").cast("double") * col("__avgrank"))
+        .cast("decimal(38,6)")).as("__r1"),
+      sum((col("__c") * col("__c") * col("__c") - col("__c"))
+        .cast("decimal(38,0)")).as("__ties"))
+    val out = agg.crossJoin(broadcast(labels))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val bigN = na + nb
+    val u1 = col("__r1").cast("double") - na * (na + lit(1.0)) / lit(2.0)
+    val mu = na * nb / lit(2.0)
+    val sigma2 = na * nb / lit(12.0) *
+      ((bigN + lit(1.0)) -
+        col("__ties").cast("double") / (bigN * (bigN - lit(1.0))))
+    val ok = sigma2 > 0 && col("group_a") =!= col("group_b")
+    out.select(col("group_a"), col("n_a"), col("group_b"), col("n_b"),
+      round(u1, 3).as("u1"),
+      round(na * nb - u1, 3).as("u2"),
+      when(ok, round((u1 - mu) / sqrt(sigma2), 6)).as("z"))
+  }
+
+  /** CUSUM changepoint scan of an ordered series: cumulative sum of
+    * 9-snapped deviations from the (9-snapped) global mean, with the
+    * |CUSUM|-argmax flagged — the classic "where did the level shift"
+    * monitor (Page 1954). Windows run over the aggregated series table
+    * only (caller pre-aggregates, the q6o contract); deviations
+    * accumulate through DECIMAL(28,9), flags compare 6-rounded doubles —
+    * identical in both engines.
+    *
+    * Output per point: order, value, `cusum` (6-rounded),
+    * `is_changepoint` (true on the max-|CUSUM| row(s)).
+    */
+  def cusum(
+      series: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = series.filter(v.isNotNull)
+      .select(col(orderCol).as("__o"), v.as("__v"))
+    val m = base.agg(
+        count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(28,6)")).as("__s"))
+      .select(round(col("__s").cast("double") / col("__n"), 9).as("__mean"))
+    val upTo = Window.orderBy("__o")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base.crossJoin(broadcast(m))
+      .withColumn("__d", round(col("__v") - col("__mean"), 9))
+      .withColumn("cusum",
+        round(sum(col("__d").cast("decimal(28,9)")).over(upTo)
+          .cast("double"), 6))
+      .withColumn("is_changepoint",
+        abs(col("cusum")) === max(abs(col("cusum"))).over(all))
+      .select(col("__o").as(orderCol), col("__v").as(valueCol),
+        col("cusum"), col("is_changepoint"))
+  }
+
   /** Autocorrelation of an ordered numeric series at lags 1..`maxLag`:
     * standardize with snapped mean/sd (z stays O(1), keeping products
     * inside the decimal agreement bound), then

@@ -1780,6 +1780,203 @@ object EventQueries {
                     THEN ROUND(st[3] / (n_obs - 1), 6) END AS mae,
                CASE WHEN n_obs > 1
                     THEN ROUND(SQRT(st[4] / (n_obs - 1)), 6) END AS rmse
-        FROM f ORDER BY event_type"""))
+        FROM f ORDER BY event_type""")),
+
+    // Welch's unequal-variance t-test on per-user purchase mass across
+    // the parity arms — the continuous-metric companion to q7c's
+    // proportion test: exact decimal power sums, 9-snapped means and
+    // sample variances, Welch-Satterthwaite dof. One row.
+    "q7n_welch_ttest" -> Q(
+      fn = (s, dir) => {
+        val per = ev(s, dir).groupBy("user_id").agg(
+          coalesce(sum(when(col("event_type") === "purchase", col("value"))
+            .cast("decimal(18,2)")).cast("double"), lit(0.0)).as("post"))
+          .select((col("user_id") % 2).cast("int").as("arm"), col("post"))
+        graft.operators.Stats.welchTTest(per, "arm", "post")
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT CAST(user_id % 2 AS INT) AS arm,
+                 COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE),
+                   CAST(0 AS DOUBLE)) AS post
+          FROM events GROUP BY user_id),
+        g AS (
+          SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(CAST(post AS DECIMAL(38,6))) AS s1,
+                 SUM(CAST(post * post AS DECIMAL(38,6))) AS s2
+          FROM per GROUP BY 1),
+        w AS (
+          SELECT
+            MAX(CASE WHEN arm = 0 THEN n END) AS na,
+            MAX(CASE WHEN arm = 0 THEN ROUND(CAST(s1 AS DOUBLE) / n, 9) END)
+              AS mean_a,
+            MAX(CASE WHEN arm = 0 THEN ROUND((CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 9) END)
+              AS var_a,
+            MAX(CASE WHEN arm = 1 THEN n END) AS nb,
+            MAX(CASE WHEN arm = 1 THEN ROUND(CAST(s1 AS DOUBLE) / n, 9) END)
+              AS mean_b,
+            MAX(CASE WHEN arm = 1 THEN ROUND((CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 9) END)
+              AS var_b
+          FROM g)
+        SELECT CAST(0 AS INT) AS group_a, CAST(na AS BIGINT) AS n_a,
+               mean_a, var_a,
+               CAST(1 AS INT) AS group_b, CAST(nb AS BIGINT) AS n_b,
+               mean_b, var_b,
+               CASE WHEN na > 1 AND nb > 1 AND (var_a/na + var_b/nb) > 0
+                 THEN ROUND((mean_a - mean_b) / SQRT(var_a/na + var_b/nb), 6)
+                   + CAST(0 AS DOUBLE) END AS t,
+               CASE WHEN na > 1 AND nb > 1 AND (var_a/na + var_b/nb) > 0
+                 THEN ROUND((var_a/na + var_b/nb) * (var_a/na + var_b/nb)
+                   / ((var_a/na) * (var_a/na) / (na - 1)
+                      + (var_b/nb) * (var_b/nb) / (nb - 1)), 3) END AS dof
+        FROM w""")),
+
+    // Mann-Whitney U on raw view-event values across the parity arms:
+    // rank-based and outlier-proof, average ranks from prefix counts over
+    // the aggregated distinct-value table (never a per-row rank window),
+    // normal approximation with the tie correction. One row.
+    "q7o_mann_whitney" -> Q(
+      fn = (s, dir) => {
+        val base = ev(s, dir)
+          .filter(col("event_type") === "view" && col("value").isNotNull)
+          .select((col("user_id") % 2).cast("int").as("arm"),
+            col("value").cast("double").as("v"))
+        graft.operators.Stats.mannWhitneyU(base, "arm", "v")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT CAST(user_id % 2 AS INT) AS grp, CAST(value AS DOUBLE) AS v
+          FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+        lab AS (
+          SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM base),
+        bv AS (
+          SELECT v, CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM base GROUP BY 1),
+        r AS (
+          SELECT *, COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prior
+          FROM bv),
+        a AS (
+          SELECT SUM(CAST(CAST(ca AS DOUBLE)
+                   * (CAST(prior AS DOUBLE)
+                      + CAST(c + 1 AS DOUBLE) / CAST(2 AS DOUBLE))
+                 AS DECIMAL(38,6))) AS r1,
+                 SUM(CAST(c*c*c - c AS DECIMAL(38,0))) AS tsum
+          FROM r)
+        SELECT CAST(0 AS INT) AS group_a, lab.n_a,
+               CAST(1 AS INT) AS group_b, lab.n_b,
+               ROUND(CAST(r1 AS DOUBLE)
+                 - CAST(lab.n_a AS DOUBLE) * (CAST(lab.n_a AS DOUBLE) + 1)
+                   / CAST(2 AS DOUBLE), 3) AS u1,
+               ROUND(CAST(lab.n_a AS DOUBLE) * CAST(lab.n_b AS DOUBLE)
+                 - (CAST(r1 AS DOUBLE)
+                    - CAST(lab.n_a AS DOUBLE) * (CAST(lab.n_a AS DOUBLE) + 1)
+                      / CAST(2 AS DOUBLE)), 3) AS u2,
+               CASE WHEN CAST(lab.n_a AS DOUBLE) * lab.n_b / 12
+                   * ((CAST(lab.n_a AS DOUBLE) + lab.n_b + 1)
+                      - CAST(tsum AS DOUBLE)
+                        / ((CAST(lab.n_a AS DOUBLE) + lab.n_b)
+                           * (CAST(lab.n_a AS DOUBLE) + lab.n_b - 1))) > 0
+                 THEN ROUND(((CAST(r1 AS DOUBLE)
+                     - CAST(lab.n_a AS DOUBLE) * (CAST(lab.n_a AS DOUBLE) + 1)
+                       / CAST(2 AS DOUBLE))
+                   - CAST(lab.n_a AS DOUBLE) * lab.n_b / CAST(2 AS DOUBLE))
+                   / SQRT(CAST(lab.n_a AS DOUBLE) * lab.n_b / CAST(12 AS DOUBLE)
+                     * ((CAST(lab.n_a AS DOUBLE) + lab.n_b + 1)
+                        - CAST(tsum AS DOUBLE)
+                          / ((CAST(lab.n_a AS DOUBLE) + lab.n_b)
+                             * (CAST(lab.n_a AS DOUBLE) + lab.n_b - 1)))), 6)
+                   + CAST(0 AS DOUBLE) END AS z
+        FROM a, lab""")),
+
+    // Weekly seasonality profile: per event type, day-of-week mean daily
+    // volume and the seasonal index vs the type's own mean — exact
+    // integer count sums, two proven-parity divisions, windows over the
+    // (type x dow) aggregated table.
+    "q7p_weekly_seasonality" -> Q(
+      fn = (s, dir) => {
+        val daily = ev(s, dir)
+          .withColumn("day", expr("ts_ms div 86400000"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("y"))
+        val byDow = daily
+          .withColumn("dow", pmod(col("day"), lit(7)).cast("int"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n_days"), sum(col("y")).as("__sy"))
+        val tw = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        byDow
+          .withColumn("__dm",
+            round(col("__sy").cast("double") / col("n_days"), 9))
+          .withColumn("__tm",
+            round(sum(col("__sy")).over(tw).cast("double") /
+              sum(col("n_days")).over(tw), 9))
+          .select(col("event_type"), col("dow"), col("n_days"),
+            round(col("__dm"), 6).as("dow_mean"),
+            round(col("__dm") / col("__tm"), 6).as("seasonal_index"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT event_type, CAST(day % 7 AS INT) AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(y) AS BIGINT) AS sy
+          FROM d GROUP BY 1, 2),
+        w AS (
+          SELECT *, ROUND(CAST(sy AS DOUBLE) / n_days, 9) AS dm,
+                 ROUND(CAST(SUM(sy) OVER (PARTITION BY event_type) AS DOUBLE)
+                   / SUM(n_days) OVER (PARTITION BY event_type), 9) AS tm
+          FROM g)
+        SELECT event_type, dow, n_days,
+               ROUND(dm, 6) AS dow_mean,
+               ROUND(dm / tm, 6) AS seasonal_index
+        FROM w ORDER BY event_type, dow""")),
+
+    // CUSUM changepoint scan of total daily volume: cumulative 9-snapped
+    // deviations from the snapped mean through DECIMAL(28,9), the
+    // |CUSUM|-argmax day flagged — the classic level-shift monitor over
+    // the aggregated series table.
+    "q7q_cusum_changepoint" -> Q(
+      fn = (s, dir) => {
+        val daily = ev(s, dir)
+          .withColumn("day", expr("ts_ms div 86400000"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        graft.operators.Stats.cusum(daily, "day", "y")
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 CAST(COUNT(*) AS DOUBLE) AS y
+          FROM events GROUP BY 1),
+        m AS (
+          SELECT ROUND(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*), 9) AS mean
+          FROM d),
+        c AS (
+          SELECT day, y, ROUND(y - m.mean, 9) AS dev FROM d, m),
+        s AS (
+          SELECT day, y,
+                 ROUND(CAST(SUM(CAST(dev AS DECIMAL(28,9))) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+                   + CAST(0 AS DOUBLE) AS cusum
+          FROM c)
+        SELECT day, y, cusum,
+               ABS(cusum) = MAX(ABS(cusum)) OVER () AS is_changepoint
+        FROM s ORDER BY day"""))
   )
 }

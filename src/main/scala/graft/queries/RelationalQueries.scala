@@ -2219,6 +2219,37 @@ object RelationalQueries {
                  AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS modularity
         FROM tt ORDER BY community""")),
 
+    // Lorenz curve of customer order-value concentration: decile bins
+    // over per-customer totals (exact DECIMAL sums), cumulative value
+    // share per bin — q6m's Gini pointwise companion (WHERE the mass
+    // concentrates, not just how much).
+    "q7m_lorenz_curve" -> Q(
+      fn = (s, dir) => {
+        val per = t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("v"))
+        graft.operators.Stats.lorenzCurve(per, "o_custkey", "v", k = 10)
+          .orderBy(col("bin"))
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT o_custkey AS k,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+          FROM orders GROUP BY 1),
+        b AS (
+          SELECT k, v, CAST(NTILE(10) OVER (ORDER BY v, k) AS INT) AS bin
+          FROM per),
+        g AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_keys, SUM(v) AS bv
+          FROM b GROUP BY 1),
+        c AS (
+          SELECT *, SUM(bv) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(bv) OVER () AS tot
+          FROM g)
+        SELECT bin, n_keys, CAST(bv AS DOUBLE) AS bin_value,
+               ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                 AS cum_value_share
+        FROM c ORDER BY bin""")),
+
     // Proportional stratified sample: exactly ceil(n_g/10) orders per
     // priority stratum, chosen by the salted md5 order — integer-exact
     // targets (no float boundary), every stratum represented.

@@ -125,4 +125,71 @@ class StatsSpec extends AnyFunSuite {
       Stats.autocorrelation(df, "t", "v", 3).collect().head.toSeq
     assert(run(series) == run(series.repartition(13, col("v"))))
   }
+
+  private def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  test("lorenz: quintiles of 1..10 walk the exact cumulative shares") {
+    val per = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+    val rows = Stats.lorenzCurve(per, "k", "v", k = 5).orderBy("bin").collect()
+    assert(rows.map(_.getAs[Double]("bin_value")).toSeq ==
+      Seq(3.0, 7.0, 11.0, 15.0, 19.0))
+    assert(rows.map(_.getAs[Long]("n_keys")).toSeq == Seq.fill(5)(2L))
+    val shares = rows.map(_.getAs[Double]("cum_value_share")).toSeq
+    assert(shares == Seq(3.0 / 55, 10.0 / 55, 21.0 / 55, 36.0 / 55, 1.0)
+      .map(r6))
+  }
+
+  test("welch: textbook groups recover t and Satterthwaite dof") {
+    val df = (Seq(1, 2, 3, 4, 5).map(("a", _)) ++
+      Seq(2, 4, 6, 8, 10).map(("b", _))).map { case (g, v) => (g, v.toDouble) }
+      .toDF("g", "v")
+    val out = Stats.welchTTest(df, "g", "v").collect().head
+    assert(out.getAs[String]("group_a") == "a")
+    assert(out.getAs[Double]("mean_a") == 3.0)
+    assert(out.getAs[Double]("var_a") == 2.5)
+    assert(out.getAs[Double]("var_b") == 10.0)
+    assert(math.abs(out.getAs[Double]("t") - (-3.0 / math.sqrt(2.5))) < 1e-6)
+    assert(math.abs(out.getAs[Double]("dof")
+      - 6.25 / (0.0625 + 1.0)) < 1e-3)
+  }
+
+  test("welch: singleton group nulls the statistic") {
+    val df = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val out = Stats.welchTTest(df, "g", "v").collect().head
+    assert(out.isNullAt(out.fieldIndex("t")))
+  }
+
+  test("mann-whitney: separated samples and tie correction by hand") {
+    val sep = (Seq(1, 2, 3).map((0, _)) ++ Seq(4, 5, 6).map((1, _)))
+      .map { case (g, v) => (g, v.toDouble) }.toDF("g", "v")
+    val out = Stats.mannWhitneyU(sep, "g", "v").collect().head
+    assert(out.getAs[Double]("u1") == 0.0)
+    assert(out.getAs[Double]("u2") == 9.0)
+    assert(math.abs(out.getAs[Double]("z")
+      - (-4.5 / math.sqrt(5.25))) < 1e-6)
+    // ties: a={1,1}, b={1,2} -> U1=1, sigma=1, z=-1 exactly
+    val tied = Seq((0, 1.0), (0, 1.0), (1, 1.0), (1, 2.0)).toDF("g", "v")
+    val out2 = Stats.mannWhitneyU(tied, "g", "v").collect().head
+    assert(out2.getAs[Double]("u1") == 1.0)
+    assert(out2.getAs[Double]("z") == -1.0)
+  }
+
+  test("cusum: level shift flags the pre-shift trough exactly") {
+    val series = Seq((1L, 1.0), (2L, 1.0), (3L, 5.0), (4L, 5.0)).toDF("t", "v")
+    val rows = Stats.cusum(series, "t", "v").orderBy("t").collect()
+    assert(rows.map(_.getAs[Double]("cusum")).toSeq ==
+      Seq(-2.0, -4.0, -2.0, 0.0))
+    assert(rows.map(_.getAs[Boolean]("is_changepoint")).toSeq ==
+      Seq(false, true, false, false))
+  }
+
+  test("new stats: partition invariance") {
+    val df = (0 until 400).map(i => (i % 2, (i % 23).toDouble + i % 5))
+      .toDF("g", "v")
+    assert(Stats.welchTTest(df.repartition(1), "g", "v").collect().toSeq ==
+      Stats.welchTTest(df.repartition(9), "g", "v").collect().toSeq)
+    assert(Stats.mannWhitneyU(df.repartition(1), "g", "v").collect().toSeq ==
+      Stats.mannWhitneyU(df.repartition(9), "g", "v").collect().toSeq)
+  }
 }
