@@ -139,4 +139,75 @@ object Forecast {
         when(col("n_obs") > 1,
           round(sqrt(col("__st.sse") / m), 6)).as("rmse"))
   }
+
+  /** Additive Holt–Winters triple exponential smoothing (Winters 1960):
+    * [[holtLinear]] plus a `period`-slot seasonal component —
+    *
+    *   l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(y_t − l_t) + (1−γ)·s_{t−m}
+    *
+    * seeded l₁ = y₁, b₁ = 0, seasonals 0 (the components converge within
+    * a few cycles; zero seed keeps the fold replayable with no lookahead
+    * pass). Forecast: l + h·b + s_{matching slot}.
+    *
+    * The accumulator is the (2+period)-element vector
+    * [l, b, ring…] with the ring ROTATED each step so its head is always
+    * the CURRENT step's seasonal — a fixed-shape array rebuild, which is
+    * what lets the DuckDB oracle replay it as a pure LIST fold (the q7d
+    * struct-mutation finding; a keyed map accumulator would not be
+    * replayable). Same 9-snap-per-step, dyadic-parameter, one-row-fold
+    * contract and scale shape as [[holtLinear]].
+    */
+  def holtWinters(
+      series: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      alpha: Double = 0.5, beta: Double = 0.25, gamma: Double = 0.25,
+      period: Int = 7, horizon: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1), got $beta")
+    require(gamma > 0 && gamma < 1, s"gamma must be in (0,1), got $gamma")
+    require(period >= 2 && period <= 24,
+      s"period must be in [2,24], got $period")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    exactBinary(alpha, "alpha")
+    exactBinary(beta, "beta")
+    exactBinary(gamma, "gamma")
+
+    val collected = series
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        array_sort(collect_list(struct(col(orderCol).as("o"),
+          col(valueCol).cast("double").as("y")))).as("__seq"))
+      .withColumn("__ys", transform(col("__seq"), x => x.getField("y")))
+
+    // acc layout (1-based): [l, b, s_cur, s_next, …, s_cur+period−1]
+    def step(acc: Column, x: Column): Column = {
+      val l = element_at(acc, 1)
+      val b = element_at(acc, 2)
+      val sCur = element_at(acc, 3)
+      val lNew = round(lit(alpha) * (x - sCur) + lit(1 - alpha) * (l + b), 9)
+      val bNew = round(lit(beta) * (lNew - l) + lit(1 - beta) * b, 9)
+      val sNew = round(lit(gamma) * (x - lNew) + lit(1 - gamma) * sCur, 9)
+      val rotated = (4 to period + 2).map(i => element_at(acc, i))
+      array(lNew +: bNew +: rotated :+ sNew: _*)
+    }
+
+    val seed = array(element_at(col("__ys"), 1) +:
+      Seq.fill(period + 1)(lit(0.0)): _*)
+    val rest = slice(col("__ys"), lit(2),
+      greatest(size(col("__ys")) - 1, lit(0)))
+    // after the last step the ring head is the NEXT step's slot, so the
+    // h-step forecast reads ring position (h−1) mod period
+    val slot = 3 + ((horizon - 1) % period)
+    collected
+      .withColumn("__st", aggregate(rest, seed, step))
+      .select(col(keyCol), col("n_obs"),
+        round(element_at(col("__st"), 1), 6).as("level"),
+        round(element_at(col("__st"), 2), 6).as("trend"),
+        round(element_at(col("__st"), 3), 6).as("s_next"),
+        round(element_at(col("__st"), 1) +
+          lit(horizon.toDouble) * element_at(col("__st"), 2) +
+          element_at(col("__st"), slot), 6).as(s"forecast_$horizon"))
+  }
 }

@@ -1977,6 +1977,62 @@ object EventQueries {
           FROM c)
         SELECT day, y, cusum,
                ABS(cusum) = MAX(ABS(cusum)) OVER () AS is_changepoint
-        FROM s ORDER BY day"""))
+        FROM s ORDER BY day""")),
+
+    // Additive Holt-Winters (weekly seasonality) on daily volume per
+    // type: the 9-element rotating-ring fold — [level, trend, s_cur..s+6]
+    // — with per-step 9-snaps on all three updated states; the oracle
+    // replays the identical ring as a pure LIST accumulator. Forecast
+    // adds the matching seasonal slot.
+    "q7r_holt_winters" -> Q(
+      fn = (s, dir) => {
+        val daily = ev(s, dir)
+          .withColumn("day", expr("ts_ms div 86400000"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        graft.operators.Forecast.holtWinters(daily, "event_type", "day", "y",
+            alpha = 0.5, beta = 0.25, gamma = 0.25, period = 7, horizon = 7)
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                 CAST(COUNT(*) AS DOUBLE) AS y
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 list(y ORDER BY day) AS ys
+          FROM d GROUP BY 1),
+        f AS (
+          SELECT event_type, n_obs,
+                 list_reduce(
+                   list_prepend([ys[1], CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                       CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                       CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                     list_transform(ys[2:], x -> [x, CAST(0 AS DOUBLE),
+                       CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                       CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                       CAST(0 AS DOUBLE)])),
+                   (acc, e) -> [
+                     ROUND(CAST(0.5 AS DOUBLE) * (e[1] - acc[3])
+                       + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9),
+                     ROUND(CAST(0.25 AS DOUBLE)
+                       * (ROUND(CAST(0.5 AS DOUBLE) * (e[1] - acc[3])
+                           + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9)
+                          - acc[1])
+                       + CAST(0.75 AS DOUBLE) * acc[2], 9),
+                     acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+                     ROUND(CAST(0.25 AS DOUBLE)
+                       * (e[1] - ROUND(CAST(0.5 AS DOUBLE) * (e[1] - acc[3])
+                           + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9))
+                       + CAST(0.75 AS DOUBLE) * acc[3], 9)]) AS st
+          FROM s)
+        SELECT event_type, n_obs,
+               ROUND(st[1], 6) AS level,
+               ROUND(st[2], 6) + CAST(0 AS DOUBLE) AS trend,
+               ROUND(st[3], 6) + CAST(0 AS DOUBLE) AS s_next,
+               ROUND(st[1] + CAST(7 AS DOUBLE) * st[2] + st[9], 6)
+                 + CAST(0 AS DOUBLE) AS forecast_7
+        FROM f ORDER BY event_type"""))
   )
 }

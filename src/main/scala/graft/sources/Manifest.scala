@@ -49,15 +49,43 @@ object Manifest {
 
   /** (Re)build the manifest for the CURRENT set of data files — call
     * after compaction or out-of-band writes.
+    *
+    * `bloomCols` adds a per-file Bloom image (`bloom_<col>`: the sorted
+    * set-bit positions, ≤ bloomM ints per file) for EQUALITY skipping on
+    * high-cardinality columns where a min/max envelope is useless unless
+    * the layout is sorted by that very column — the Parquet-footer
+    * bloom idea lifted to the manifest tier, so point-lookup files prune
+    * BEFORE any task launches. Bits use the engine-wide splitmix64
+    * bucket ([[graft.operators.CmSketch.bucket]], the BloomFilter
+    * operator's layout): no false negatives ever, false positives just
+    * read an extra file. Bloom columns cost one extra aggregation pass
+    * over the data (the distinct (file, bit) set is bounded by
+    * files × bloomM, never row count).
     */
   def refreshManifest(
-      spark: SparkSession, path: String, statsCols: Seq[String]): Unit = {
+      spark: SparkSession, path: String, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomK: Int = 4,
+      bloomM: Int = 4096): Unit = {
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
-    spark.read.parquet(path)
+    val base = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+    val withBlooms = bloomCols.foldLeft(base) { (acc, c) =>
+      val sds = graft.operators.CmSketch.seeds(bloomK)
+      val positions = udf((key: Long) =>
+        sds.map(s => graft.operators.CmSketch.bucket(key, s, bloomM)))
+      val blooms = spark.read.parquet(path)
+        .select(input_file_name().as("file"), col(c).cast("long").as("__k"))
+        .filter(col("__k").isNotNull)
+        .select(col("file"), explode(positions(col("__k"))).as("__pos"))
+        .distinct()
+        .groupBy("file")
+        .agg(sort_array(collect_list(col("__pos"))).as(s"bloom_$c"))
+      acc.join(blooms, Seq("file"), "left")
+    }
+    withBlooms
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(manifestPath(path))
   }
@@ -121,6 +149,58 @@ object Manifest {
     val keep = manifest.filter { r =>
       val (mn, mx) = (r.get(1), r.get(2))
       mn == null || mx == null || !(lt(mx, lo) || lt(hi, mn))
+    }.map(r => name(r.getString(0))).toSet
+    val files = dataFiles.filter(f => keep.contains(name(f)))
+    val df =
+      if (files.isEmpty) spark.read.parquet(path).filter(pred).limit(0)
+      else spark.read.parquet(files: _*).filter(pred)
+    (df, SkipReport(dataFiles.length, files.length, stale = false))
+  }
+
+  /** Point-lookup skipping: read rows with `eqCol = key`, scanning only
+    * the files whose manifest Bloom image (`bloom_<eqCol>`, built by
+    * [[refreshManifest]] with `bloomCols`) contains ALL of the key's bit
+    * positions. The same safety ladder as [[readSkipping]]: missing
+    * manifest, missing bloom column, stale file list, or a null-stats
+    * file ⇒ that file (or the whole scan) is read rather than skipped —
+    * a wrong skip is silent data loss, a useless bloom is one extra
+    * file. The equality predicate is still applied to survivors.
+    *
+    * `bloomK`/`bloomM` must match the refresh call — position layout is
+    * part of the manifest contract (the StreamingDedup bucket=f(key)
+    * lesson).
+    */
+  def readSkippingEquals(
+      spark: SparkSession, path: String, eqCol: String, key: Long,
+      bloomK: Int = 4, bloomM: Int = 4096): (DataFrame, SkipReport) = {
+    val pred = col(eqCol) === lit(key)
+    val dataFiles = listDataFiles(spark, path)
+    val mPath = new org.apache.hadoop.fs.Path(manifestPath(path))
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fullScan(stale: Boolean) =
+      (spark.read.parquet(path).filter(pred),
+        SkipReport(dataFiles.length, dataFiles.length, stale))
+    if (!fs.exists(mPath)) return fullScan(stale = true)
+
+    val manifestDf = spark.read.parquet(manifestPath(path))
+    if (!manifestDf.columns.contains(s"bloom_$eqCol"))
+      return fullScan(stale = true)
+    val manifest = manifestDf
+      .select(col("file"), col(s"bloom_$eqCol").as("bloom"))
+      .collect()
+    def name(f: String) = f.substring(f.lastIndexOf('/') + 1)
+    if (manifest.map(r => name(r.getString(0))).toSet !=
+        dataFiles.map(name).toSet)
+      return fullScan(stale = true)
+
+    val sds = graft.operators.CmSketch.seeds(bloomK)
+    val want = sds.map(s => graft.operators.CmSketch.bucket(key, s, bloomM))
+    val keep = manifest.filter { r =>
+      if (r.isNullAt(1)) true // no bloom recorded (all-null column): keep
+      else {
+        val bits = r.getAs[scala.collection.Seq[Int]](1).toSet
+        want.forall(bits.contains)
+      }
     }.map(r => name(r.getString(0))).toSet
     val files = dataFiles.filter(f => keep.contains(name(f)))
     val df =

@@ -94,6 +94,41 @@ class ForecastSpec extends AnyFunSuite {
     assert(out.getAs[Double]("rmse") >= out.getAs[Double]("mae"))
   }
 
+  test("holt-winters: two-point series walks the ring by hand") {
+    // seed [1, 0, ring 0s]; x=3: l'=2, b'=.25, s'=.25 lands at ring tail
+    val out = Forecast.holtWinters(
+      Seq(("k", 1L, 1.0), ("k", 2L, 3.0)).toDF("k", "t", "y"),
+      "k", "t", "y").collect().head
+    assert(out.getAs[Double]("level") == 2.0)
+    assert(out.getAs[Double]("trend") == 0.25)
+    assert(out.getAs[Double]("s_next") == 0.0) // ring rotated, tail updated
+    // forecast_7 reads the updated tail slot: 2 + 7*0.25 + 0.25
+    assert(out.getAs[Double]("forecast_7") == 4.0)
+  }
+
+  test("holt-winters: an exact weekly pattern forecasts its own slot") {
+    val pattern = Seq(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 19.0)
+    val series = (0 until 70).map(t => ("k", t.toLong, pattern(t % 7)))
+    val out = Forecast.holtWinters(series.toDF("k", "t", "y"), "k", "t", "y")
+      .collect().head
+    // t=70..76 repeats the pattern; forecast_7 predicts slot (70+6)%7 = 6
+    val expected = pattern((70 + 7 - 1) % 7)
+    assert(math.abs(out.getAs[Double]("forecast_7") - expected) < 1.5)
+    // residual convergence drift from the zero seasonal seed, not a trend
+    assert(math.abs(out.getAs[Double]("trend")) < 0.2)
+  }
+
+  test("holt-winters: guards and single observation") {
+    val df = Seq(("k", 1L, 5.5)).toDF("k", "t", "y")
+    intercept[IllegalArgumentException](
+      Forecast.holtWinters(df, "k", "t", "y", gamma = 0.3))
+    intercept[IllegalArgumentException](
+      Forecast.holtWinters(df, "k", "t", "y", period = 1))
+    val out = Forecast.holtWinters(df, "k", "t", "y").collect().head
+    assert(out.getAs[Double]("level") == 5.5)
+    assert(out.getAs[Double]("forecast_7") == 5.5)
+  }
+
   test("partition invariance and per-key independence") {
     val series = (1 to 100).map(i =>
       (s"k${i % 5}", (i / 5).toLong, (i % 13).toDouble))

@@ -97,4 +97,46 @@ class ManifestSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).sorted.toSeq
     assert(df.collect().map(_.getString(0)).sorted.toSeq == expect)
   }
+
+  test("bloom skipping: point lookup on an UNSORTED column prunes files") {
+    val path = tmp()
+    // layout sorted by k; lookups go by g-ish high-cardinality id that the
+    // min/max envelope cannot prune (every file spans the id space)
+    val wide = (1 to 8000).map(i => (i.toLong, (i * 7919L) % 100000L))
+      .toDF("k", "id")
+    Manifest.writeWithManifest(wide, path, Seq("k"), nFiles = 8)
+    Manifest.refreshManifest(spark, path, Seq("k"), bloomCols = Seq("id"))
+    val key = (42L * 7919L) % 100000L // present in exactly one file region
+    val (df, rep) = Manifest.readSkippingEquals(spark, path, "id", key)
+    assert(!rep.stale)
+    assert(rep.filesRead < rep.filesTotal) // real pruning happened
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(42L)) // result exact
+    // absent key: typically zero files, never a wrong row
+    val (df2, rep2) = Manifest.readSkippingEquals(spark, path, "id", 99999999L)
+    assert(df2.count() == 0 && rep2.filesRead <= rep2.filesTotal)
+  }
+
+  test("bloom skipping: no false negatives across every present key") {
+    val path = tmp()
+    val rows = (1 to 2000).map(i => (i.toLong, (i * 104729L) % 65536L))
+      .toDF("k", "id")
+    Manifest.writeWithManifest(rows, path, Seq("k"), nFiles = 5)
+    Manifest.refreshManifest(spark, path, Seq("k"), bloomCols = Seq("id"))
+    // every 83rd present key must be found despite pruning
+    (1 to 2000 by 83).foreach { i =>
+      val key = (i * 104729L) % 65536L
+      val (df, _) = Manifest.readSkippingEquals(spark, path, "id", key)
+      assert(df.filter(col("k") === i.toLong).count() == 1,
+        s"lost row $i for key $key")
+    }
+  }
+
+  test("bloom skipping: missing bloom column or manifest falls back whole") {
+    val path = tmp()
+    Manifest.writeWithManifest(table, path, Seq("k"), nFiles = 4)
+    // manifest exists but has no bloom for "g"
+    val (df, rep) = Manifest.readSkippingEquals(spark, path, "g", 7L)
+    assert(rep.stale && rep.filesRead == rep.filesTotal)
+    assert(df.count() == table.filter(col("g") === 7).count())
+  }
 }
