@@ -2033,6 +2033,73 @@ object EventQueries {
                ROUND(st[3], 6) + CAST(0 AS DOUBLE) AS s_next,
                ROUND(st[1] + CAST(7 AS DOUBLE) * st[2] + st[9], 6)
                  + CAST(0 AS DOUBLE) AS forecast_7
-        FROM f ORDER BY event_type"""))
+        FROM f ORDER BY event_type""")),
+
+    // k-anonymity profile of the (event_type, hour-of-day, value-band)
+    // quasi-identifier: equivalence-class sizes, the achieved k, and the
+    // suppression rate a k=20 release would pay — the disclosure-risk
+    // audit before any data release. Exact integers + one division.
+    "q7s_k_anonymity" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+          .withColumn("hod", (expr("ts_ms div 3600000") % 24).cast("int"))
+          .withColumn("vband",
+            coalesce(floor(col("value") / lit(100.0)).cast("long"), lit(-1L)))
+        graft.operators.Privacy.kAnonymityProfile(
+            e.select(col("event_type"), col("hod"), col("vband")),
+            Seq("event_type", "hod", "vband"), k = 20L)
+          .orderBy(col("event_type"), col("hod"), col("vband"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT event_type,
+                 CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hod,
+                 CAST(COALESCE(FLOOR(CAST(value AS DOUBLE) / 100), -1)
+                   AS BIGINT) AS vband,
+                 CAST(COUNT(*) AS BIGINT) AS class_size
+          FROM events GROUP BY 1, 2, 3)
+        SELECT event_type, hod, vband, class_size,
+               class_size < 20 AS violates,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_classes,
+               CAST(SUM(class_size) OVER () AS BIGINT) AS n_rows,
+               CAST(MIN(class_size) OVER () AS BIGINT) AS k_achieved,
+               ROUND(CAST(SUM(CASE WHEN class_size < 20 THEN class_size
+                   ELSE 0 END) OVER () AS DOUBLE)
+                 / SUM(class_size) OVER (), 6) AS suppression_rate
+        FROM c ORDER BY event_type, hod, vband""")),
+
+    // eps-DP noisy counts per event type (eps = 0.5): DETERMINISTIC
+    // Laplace noise from the salted md5 uniform through the inverse CDF —
+    // hex-parse + ln parity (the q4d recipe), so the release replays
+    // exactly; rotating the salt rotates the noise. n_true kept for the
+    // audit (a real release drops it).
+    "q7t_dp_counts" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Privacy.dpCounts(ev(s, dir), "event_type",
+            eps = 0.5, salt = "dp1")
+          .orderBy(col("event_type")),
+      oracle = Some("""
+        WITH g AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+          FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        n AS (
+          SELECT *,
+                 (CAST(CAST('0x' || substring(md5(event_type || 'dp1'), 1, 8)
+                     AS BIGINT) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / CAST(4294967296 AS DOUBLE) AS u
+          FROM g),
+        z AS (
+          SELECT event_type, n_true,
+                 ROUND((CAST(-1 AS DOUBLE) / CAST(0.5 AS DOUBLE))
+                   * (CASE WHEN (u - CAST(0.5 AS DOUBLE)) < 0
+                           THEN CAST(-1 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END)
+                   * LN(CAST(1 AS DOUBLE)
+                       - CAST(2 AS DOUBLE) * ABS(u - CAST(0.5 AS DOUBLE))), 6)
+                   + CAST(0 AS DOUBLE) AS noise
+          FROM n)
+        SELECT event_type, n_true, noise,
+               ROUND(GREATEST(ROUND(n_true + noise, 6), CAST(0 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS n_released
+        FROM z ORDER BY event_type"""))
   )
 }

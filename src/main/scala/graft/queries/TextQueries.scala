@@ -1664,8 +1664,59 @@ object TextQueries {
         graft.operators.SifEmbed.sifEmbeddings(
             docs(s, dir), "doc_id", "text", dim = 8, a = 0.001)
           .orderBy(col("doc_id"), col("dim")),
-      oracle = Some(sifOracle(dim = 8))
-  ))
+      oracle = Some(sifOracle(dim = 8))),
+
+    // Flesch reading ease + Flesch-Kincaid grade per document: whitespace
+    // words (the q3d tokenizer), vowel-group syllable proxy, [.!?]+
+    // sentence runs floored at 1 (the fixture has no punctuation — both
+    // engines derive the same structure deterministically, the q3u
+    // vacuity rule). Explicit DOUBLE casts on every decimal literal.
+    "q7u_readability" -> Q(
+      fn = (s, dir) => {
+        val base = docs(s, dir).select(col("doc_id"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).as("n_words"),
+          regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long")
+            .as("n_syllables"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"),
+            lit(1L)).as("n_sentences"))
+        val ws = col("n_words").cast("double") / col("n_sentences").cast("double")
+        val sw = col("n_syllables").cast("double") / col("n_words").cast("double")
+        base.select(col("doc_id"), col("n_words"), col("n_syllables"),
+            col("n_sentences"),
+            when(col("n_words") > 0, round(
+              lit(206.835) - lit(1.015) * ws - lit(84.6) * sw, 6)).as("flesch"),
+            when(col("n_words") > 0, round(
+              lit(0.39) * ws + lit(11.8) * sw - lit(15.59), 6)).as("fk_grade"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END AS BIGINT) AS n_words,
+                 CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                   AS BIGINT) AS n_syllables,
+                 GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                   AS BIGINT), 1) AS n_sentences
+          FROM documents)
+        SELECT doc_id, n_words, n_syllables, n_sentences,
+               CASE WHEN n_words > 0 THEN
+                 ROUND(CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE)
+                     * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                   - CAST(84.6 AS DOUBLE)
+                     * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                   6) + CAST(0 AS DOUBLE) END AS flesch,
+               CASE WHEN n_words > 0 THEN
+                 ROUND(CAST(0.39 AS DOUBLE)
+                     * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                   + CAST(11.8 AS DOUBLE)
+                     * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                   - CAST(15.59 AS DOUBLE), 6) + CAST(0 AS DOUBLE) END
+                 AS fk_grade
+        FROM b ORDER BY doc_id"""))
+  )
 
   /** DuckDB replay of [[graft.operators.SifEmbed.sifEmbeddings]]: the
     * hash64 fold runs once per DISTINCT token (mix64Nested's staged
