@@ -234,4 +234,31 @@ object FuzzyJoin {
       .filter(col("__jw") >= minSim)
       .select(col("str_a"), col("str_b"), round(col("__jw"), 6).as("sim"))
   }
+
+  /** Sorted-neighborhood blocking — the scale path [[jaroWinklerPairs]]'s
+    * vocabulary cap points at: distinct strings get a GLOBAL lexicographic
+    * rank ([[ScaleOps.globalRowNumber]] — range-partitioned, no
+    * one-partition window), each string pairs only with the `windowSize`
+    * strings ranked just above it (offset-explode + equi-join on rank, no
+    * non-equi join), and Jaro–Winkler prunes the survivors. Candidate
+    * volume is `windowSize · |vocab|` however large the vocabulary;
+    * `str_a < str_b` holds by construction (rank order is string order).
+    */
+  def sortedNeighborhoodPairs(
+      df: DataFrame, strCol: String, windowSize: Int, minSim: Double): DataFrame = {
+    require(windowSize > 0, s"windowSize must be positive, got $windowSize")
+    require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0,1], got $minSim")
+    val strs = df.select(col(strCol).cast("string").as("__s"))
+      .filter(col("__s").isNotNull)
+      .distinct()
+    val ranked = ScaleOps.globalRowNumber(strs, Seq(col("__s")), "__rn")
+    val probes = ranked
+      .withColumn("__off", explode(array((1 to windowSize).map(lit): _*)))
+      .select((col("__rn") + col("__off")).as("__rn_b"), col("__s").as("str_a"))
+    probes
+      .join(ranked.select(col("__rn").as("__rn_b"), col("__s").as("str_b")), "__rn_b")
+      .withColumn("__jw", jaroWinklerUdf(col("str_a"), col("str_b")))
+      .filter(col("__jw") >= minSim)
+      .select(col("str_a"), col("str_b"), round(col("__jw"), 6).as("sim"))
+  }
 }

@@ -431,4 +431,33 @@ object Stats {
     }
     withLeads.agg(count(lit(1)).as("n"), acfs: _*)
   }
+
+  /** Exact weighted quantiles per group: the smallest value whose
+    * cumulative weight reaches q/1000 of the group total, one output
+    * column per requested per-mille point. The ordered scan rides
+    * [[ScaleOps.groupedGlobalRunningSum]] (range-partitioned, balanced
+    * regardless of group sizes — a `Window.partitionBy(group)` running
+    * sum would serialize a huge group into one reducer), totals come from
+    * a map-side-combinable groupBy, and the crossing test is exact
+    * DECIMAL arithmetic (`cumw·1000 ≥ q·totw`). `weightCol` must be
+    * DECIMAL and non-negative; group values non-null; `tiebreaks` make
+    * the within-group order total.
+    */
+  def weightedQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, weightCol: Column, qsPerMille: Seq[Int],
+      tiebreaks: Seq[Column]): DataFrame = {
+    require(qsPerMille.nonEmpty && qsPerMille.forall(q => q >= 1 && q <= 1000),
+      s"per-mille quantiles must be in [1,1000], got $qsPerMille")
+    val cum = ScaleOps.groupedGlobalRunningSum(df, groupCols,
+      valueCol +: tiebreaks, weightCol, "__cumw")
+    val tot = df.groupBy(groupCols.map(col): _*)
+      .agg(sum(weightCol).as("__totw"))
+    val picks = qsPerMille.map { q =>
+      min(when(col("__cumw") * 1000 >= col("__totw") * q, valueCol))
+        .as(s"wq_$q")
+    }
+    cum.join(tot, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(picks.head, picks.tail: _*)
+  }
 }

@@ -1,0 +1,367 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Expectations, FeatureEncode, FuzzyJoin, Intervals, Segment, Stats, VectorSearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 analytics families (SURVEY.md §2.12 north star): RFM / ABC
+  * segmentation on the distributed global-rank primitives, WOE-IV and
+  * target encoding, gaps-and-islands coverage, sequential trigram mining,
+  * mutual-nearest-neighbor matching, and the declarative data-quality
+  * expectations suite. All hash-exact against DuckDB oracles.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+
+  val defs: Map[String, Q] = Map(
+
+    // RFM segmentation: per-customer recency/frequency/monetary quintiles
+    // via the distributed global NTILE (range-repartition + bounded offset
+    // image — no one-partition window anywhere in the plan).
+    "q7v_rfm" -> Q(
+      fn = (s, dir) => {
+        // o_orderdate ships as TIMESTAMP_NTZ; the session zone is pinned
+        // UTC, so the cast lands on the instant DuckDB's epoch_ms reads.
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("ts_ms"),
+            col("o_totalprice"))
+        Segment.rfm(o, "o_custkey", col("ts_ms"),
+            col("o_totalprice").cast("decimal(18,2)"), k = 5)
+          .select(col("o_custkey").as("custkey"), col("recency_ms"),
+            col("frequency"), col("monetary"), col("r_score"), col("f_score"),
+            col("m_score"), col("segment"))
+          .orderBy(col("custkey"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT o_custkey AS custkey, MAX(epoch_ms(o_orderdate)) AS recency_ms,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+          FROM orders GROUP BY 1),
+        s AS (
+          SELECT custkey, recency_ms, frequency, mon,
+                 CAST(NTILE(5) OVER (ORDER BY recency_ms DESC, custkey) AS INT) AS r_score,
+                 CAST(NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS INT) AS f_score,
+                 CAST(NTILE(5) OVER (ORDER BY mon DESC, custkey) AS INT) AS m_score
+          FROM c)
+        SELECT custkey, recency_ms, frequency, CAST(mon AS DOUBLE) AS monetary,
+               r_score, f_score, m_score,
+               CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+        FROM s ORDER BY custkey"""),
+      headline = true),
+
+    // ABC / Pareto classification of parts by revenue: exact DECIMAL
+    // cumulative revenue through the distributed running sum, share and
+    // class from the same rounded doubles in both engines.
+    "q7w_abc" -> Q(
+      fn = (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,6)"))
+            .cast("decimal(18,2)").as("rev"))
+        Segment.abcClassify(rev, Seq("l_partkey"), col("rev"))
+          .select(col("l_partkey").as("partkey"),
+            col("rev").cast("double").as("revenue"),
+            col("cum_value").as("cum_revenue"), col("value_share").as("rev_share"),
+            col("abc_class"))
+          .orderBy(col("revenue").desc, col("partkey"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT l_partkey AS partkey,
+                 CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS rev
+          FROM lineitem GROUP BY 1),
+        c AS (
+          SELECT partkey, rev,
+                 SUM(rev) OVER (ORDER BY rev DESC, partkey
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 (SELECT SUM(rev) FROM r) AS tot
+          FROM r)
+        SELECT partkey, CAST(rev AS DOUBLE) AS revenue,
+               CAST(cum AS DOUBLE) AS cum_revenue,
+               ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rev_share,
+               CASE WHEN ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                         <= CAST(0.8 AS DOUBLE) THEN 'A'
+                    WHEN ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                         <= CAST(0.95 AS DOUBLE) THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c ORDER BY revenue DESC, partkey"""),
+      headline = true),
+
+    // WOE / Information Value binning of order value against the
+    // finished-order label: Laplace-smoothed per-bin weight of evidence,
+    // IV terms, and the DECIMAL-summed total IV.
+    "q7x_woe_iv" -> Q(
+      fn = (s, dir) =>
+        FeatureEncode.woeIv(t(s, dir, "orders"), col("o_totalprice"),
+            (col("o_orderstatus") === "F").cast("int"),
+            bins = 10, lo = 0.0, hi = 600000.0)
+          .orderBy(col("bin")),
+      oracle = Some("""
+        WITH b AS (
+          SELECT CAST(LEAST(GREATEST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE)
+                   - CAST(0 AS DOUBLE)) / CAST(60000 AS DOUBLE)) AS INT), 0), 9)
+                 AS INT) AS bin,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders),
+        g AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos,
+                 CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+          FROM b GROUP BY 1),
+        w AS (
+          SELECT *,
+                 (CAST(pos AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / CAST(SUM(pos) OVER () AS DOUBLE) AS dpos,
+                 (CAST(neg AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / CAST(SUM(neg) OVER () AS DOUBLE) AS dneg
+          FROM g),
+        i AS (
+          SELECT bin, n, pos, neg,
+                 ROUND(LN(dpos / dneg), 6) + CAST(0 AS DOUBLE) AS woe,
+                 ROUND((dpos - dneg) * LN(dpos / dneg), 6)
+                   + CAST(0 AS DOUBLE) AS iv_term
+          FROM w)
+        SELECT bin, n, pos, neg, woe, iv_term,
+               CAST(SUM(CAST(iv_term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS iv_total
+        FROM i ORDER BY bin"""),
+      headline = false),
+
+    // Smoothed target encoding of order priority against the finished
+    // label: the global prior rides in as one scalar literal, the
+    // per-category encoding is a pure map-side groupBy.
+    "q7y_target_encoding" -> Q(
+      fn = (s, dir) =>
+        FeatureEncode.targetEncode(t(s, dir, "orders"), col("o_orderpriority"),
+            (col("o_orderstatus") === "F").cast("int"), m = 20.0)
+          .orderBy(col("category")),
+      oracle = Some("""
+        WITH t AS (
+          SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS prior
+          FROM orders),
+        g AS (
+          SELECT o_orderpriority AS category, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS sum_y
+          FROM orders GROUP BY 1)
+        SELECT category, n, sum_y,
+               ROUND((SELECT prior FROM t), 6) AS prior,
+               ROUND((CAST(sum_y AS DOUBLE)
+                   + CAST(20 AS DOUBLE) * (SELECT prior FROM t))
+                 / (CAST(n AS DOUBLE) + CAST(20 AS DOUBLE)), 6) AS enc
+        FROM g ORDER BY category""")),
+
+    // Gaps-and-islands: each event opens a 30-minute activity interval;
+    // overlapping-or-touching intervals merge into per-user coverage
+    // islands (uptime-stitching shape).
+    "q7z_islands" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_ms"),
+            (col("ts_ms") + 1800000L).as("end_ms"))
+        Intervals.mergeIntervals(e, Seq("user_id"), col("ts_ms"), col("end_ms"),
+            col("event_id"))
+          .orderBy(col("user_id"), col("island_seq"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS s,
+                 epoch_ms(ts) + 1800000 AS en
+          FROM events),
+        m AS (
+          SELECT *, MAX(en) OVER (PARTITION BY user_id ORDER BY s, en, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM e),
+        f AS (
+          SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS st
+          FROM m),
+        g AS (
+          SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY s, en, event_id
+                 ROWS UNBOUNDED PRECEDING) AS island_seq
+          FROM f)
+        SELECT user_id, CAST(island_seq AS BIGINT) AS island_seq,
+               MIN(s) AS island_start, MAX(en) AS island_end,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               MAX(en) - MIN(s) AS covered_ms
+        FROM g GROUP BY 1, 2 ORDER BY user_id, island_seq"""),
+      headline = true),
+
+    // Sequential pattern mining: per-user ordered event-type trigrams
+    // (window leads — per-user state only), support by occurrence and by
+    // distinct user.
+    "q80_seq_trigrams" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        ev(s, dir)
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t2").isNotNull && col("t3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+            .as("pattern"), col("user_id"))
+          .groupBy(col("pattern"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("n").desc, col("pattern"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        l AS (
+          SELECT user_id, event_type AS t1,
+                 LEAD(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts_ms, event_id) AS t2,
+                 LEAD(event_type, 2) OVER (PARTITION BY user_id
+                   ORDER BY ts_ms, event_id) AS t3
+          FROM e)
+        SELECT t1 || '>' || t2 || '>' || t3 AS pattern,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM l WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, pattern""")),
+
+    // Mutual nearest neighbors: exact top-1 cosine neighbor each way (the
+    // map-side partial top-k aggregator), pairs kept only when the match
+    // is reciprocal — the high-precision entity-match filter.
+    "q81_mutual_nn" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val top1 = VectorSearch.knnJoinViaAggregator(
+          e.select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+          e.select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+          "q_id", "qv", "c_id", "cv", k = 1)
+        val fwd = top1.select(col("query_id").as("vec_a"),
+          col("neighbor_id").as("vec_b"), col("score"))
+        val rev = top1.select(col("query_id").as("r_q"), col("neighbor_id").as("r_n"))
+        fwd.join(rev, fwd("vec_a") === rev("r_n") && fwd("vec_b") === rev("r_q"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"), col("score"))
+          .orderBy(col("vec_a"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6) AS score
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        t AS (
+          SELECT qid, nid, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY score DESC, nid) AS rn FROM s)
+          WHERE rn = 1)
+        SELECT x.qid AS vec_a, x.nid AS vec_b, x.score
+        FROM t x JOIN t y ON x.qid = y.nid AND x.nid = y.qid
+        WHERE x.qid < x.nid ORDER BY vec_a""")),
+
+    // Declarative data-quality expectations: row-local checks in one
+    // shared aggregate pass, uniqueness via two-phase distinct, referential
+    // integrity via anti join — the ingest gate report.
+    "q82_expectations" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        Expectations.suite(Seq(
+          Expectations.rowChecks(o, Seq(
+            "orders_custkey_not_null" -> col("o_custkey").isNotNull,
+            "orders_status_accepted" -> col("o_orderstatus").isin("F", "O", "P"),
+            "orders_totalprice_nonneg" -> (col("o_totalprice") >= 0))),
+          Expectations.uniqueCheck(o, "orders_orderkey_unique", Seq("o_orderkey")),
+          Expectations.refCheck(li, o, "lineitem_orderkey_ref",
+            Seq("l_orderkey"), Seq("o_orderkey"))))
+          .orderBy(col("check_name"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT 'orders_custkey_not_null' AS check_name, 'row' AS kind,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+                 (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM orders) AS n_violations
+          UNION ALL
+          SELECT 'orders_status_accepted', 'row',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+                 (SELECT CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P')
+                      THEN 0 ELSE 1 END) AS BIGINT) FROM orders)
+          UNION ALL
+          SELECT 'orders_totalprice_nonneg', 'row',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+                 (SELECT CAST(SUM(CASE WHEN o_totalprice >= 0 THEN 0 ELSE 1 END)
+                    AS BIGINT) FROM orders)
+          UNION ALL
+          SELECT 'orders_orderkey_unique', 'unique',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+                 (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                  FROM orders)
+          UNION ALL
+          SELECT 'lineitem_orderkey_ref', 'ref',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                    ON l.l_orderkey = o.o_orderkey
+                  WHERE o.o_orderkey IS NULL))
+        SELECT check_name, kind, n_rows, n_violations,
+               n_violations = 0 AS passed
+        FROM u ORDER BY check_name""")),
+
+    // Exact weighted quantiles (median + p90 of price weighted by
+    // quantity) per return flag: the ordered scan rides the grouped
+    // global running sum — no per-group one-reducer window — and the
+    // crossing test is exact DECIMAL arithmetic.
+    "q83_weighted_quantiles" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_quantity").cast("decimal(18,2)").as("w"),
+            col("l_orderkey"), col("l_linenumber"))
+        Stats.weightedQuantiles(li, Seq("l_returnflag"),
+            col("l_extendedprice"), col("w"), Seq(500, 900),
+            Seq(col("l_orderkey"), col("l_linenumber")))
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some("""
+        WITH l AS (
+          SELECT l_returnflag, l_extendedprice AS v,
+                 CAST(l_quantity AS DECIMAL(18,2)) AS w,
+                 l_orderkey, l_linenumber
+          FROM lineitem),
+        c AS (
+          SELECT *,
+                 SUM(w) OVER (PARTITION BY l_returnflag
+                   ORDER BY v, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cumw,
+                 SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+          FROM l)
+        SELECT l_returnflag,
+               MIN(CASE WHEN cumw * 1000 >= totw * 500 THEN v END) AS wq_500,
+               MIN(CASE WHEN cumw * 1000 >= totw * 900 THEN v END) AS wq_900
+        FROM c GROUP BY 1 ORDER BY 1"""),
+      headline = true),
+
+    // Sorted-neighborhood entity blocking: global lexicographic rank via
+    // the distributed row-number primitive, candidates limited to the 3
+    // next-ranked names, Jaro-Winkler pruning — the bounded-candidate ER
+    // shape jaroWinklerPairs' vocabulary cap points at.
+    "q84_sorted_neighborhood" -> Q(
+      fn = (s, dir) =>
+        FuzzyJoin.sortedNeighborhoodPairs(t(s, dir, "part"), "p_name",
+            windowSize = 3, minSim = 0.85)
+          .orderBy(col("str_a"), col("str_b")),
+      oracle = Some("""
+        WITH d AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL),
+        r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM d),
+        p AS (
+          SELECT a.s AS str_a, b.s AS str_b,
+                 jaro_winkler_similarity(a.s, b.s) AS jw
+          FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3)
+        SELECT str_a, str_b, ROUND(jw, 6) AS sim
+        FROM p WHERE jw >= 0.85 ORDER BY str_a, str_b"""))
+  )
+}

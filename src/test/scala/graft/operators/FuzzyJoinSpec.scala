@@ -158,4 +158,32 @@ class FuzzyJoinSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("sortedNeighborhoodPairs equals the brute-force rank-window pairing") {
+    import spark.implicits._
+    val strs = Seq("alpha", "alphb", "alpha", "beta", "betas", "betaz",
+      "gamma", "gamme", "zeta")
+    val df = strs.toDF("s")
+    val got = FuzzyJoin.sortedNeighborhoodPairs(df, "s", windowSize = 2,
+      minSim = 0.85).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val vocab = strs.distinct.sorted
+    val expected = (for {
+      i <- vocab.indices; j <- (i + 1) to math.min(i + 2, vocab.size - 1)
+      jw = FuzzyJoin.jaroWinkler(vocab(i), vocab(j)) if jw >= 0.85
+    } yield (vocab(i), vocab(j),
+      BigDecimal(jw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("sortedNeighborhoodPairs is partition-invariant") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => f"name$i%04d").toDF("s")
+    val a = FuzzyJoin.sortedNeighborhoodPairs(df.repartition(1), "s", 3, 0.9)
+      .collect().map(_.toSeq).toSet
+    val b = FuzzyJoin.sortedNeighborhoodPairs(df.repartition(11), "s", 3, 0.9)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

@@ -29,6 +29,83 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRowNumber equals one-partition window row_number") {
+    import spark.implicits._
+    val df = (1 to 4003).map(i => ((i * 7919) % 4003, i.toLong))
+      .toDF("k", "id").repartition(13)
+    val expected = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id"))).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (parts <- Seq(1, 5, 32)) {
+      val got = ScaleOps.globalRowNumber(df, Seq(col("k"), col("id")),
+        "rn", numPartitions = parts)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("globalNtile equals SQL NTILE, including n<k, and plans no single-partition exchange") {
+    import spark.implicits._
+    for ((n, k) <- Seq((4003, 5), (4003, 7), (3, 5))) {
+      val df = (1 to n).map(i => ((i * 7919) % n, i.toLong)).toDF("k", "id")
+        .repartition(7)
+      val expected = df
+        .withColumn("b", ntile(k).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("k").desc, col("id"))))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val res = ScaleOps.globalNtile(df, Seq(col("k").desc, col("id")), k, "b",
+        numPartitions = 8)
+      val got = res.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got == expected, s"n=$n k=$k")
+      val plan = res.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"global-rank scale-killer in plan:\n$plan")
+    }
+  }
+
+  test("globalRunningSum equals one-partition window sum exactly (DECIMAL)") {
+    import spark.implicits._
+    val df = (1 to 2500)
+      .map(i => (i.toLong, BigDecimal((i * 31 % 997) + 0.25).setScale(2)))
+      .toDF("id", "v")
+      .withColumn("v", col("v").cast("decimal(18,2)"))
+      .repartition(11)
+    val expected = df
+      .withColumn("c", sum(col("v")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v").desc, col("id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)).cast("string"))
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getString(2))).toMap
+    val got = ScaleOps.globalRunningSum(df, Seq(col("v").desc, col("id")),
+      col("v"), "c", numPartitions = 6)
+      .withColumn("c", col("c").cast("string"))
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getString(2))).toMap
+    assert(got == expected)
+  }
+
+  test("groupedGlobalRunningSum equals per-group window sum under group skew") {
+    import spark.implicits._
+    // one huge group, two small ones
+    val rows = (1 to 3000).map { i =>
+      val g = if (i % 100 == 0) s"small${i % 2}" else "huge"
+      (g, i.toLong, BigDecimal((i * 13 % 500) + 0.75).setScale(2))
+    }
+    val df = rows.toDF("g", "id", "v")
+      .withColumn("v", col("v").cast("decimal(18,2)")).repartition(9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val expected = df.withColumn("c", sum(col("v")).over(w).cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> BigDecimal(r.getString(3))).toMap
+    val got = ScaleOps.groupedGlobalRunningSum(df, Seq("g"),
+      Seq(col("v"), col("id")), col("v"), "c", numPartitions = 7)
+      .withColumn("c", col("c").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> BigDecimal(r.getString(3))).toMap
+    assert(got == expected)
+  }
+
   test("minhash bucket cap drops pathological buckets but keeps near-dups") {
     import spark.implicits._
     // 30 identical docs (one giant bucket) + one genuine near-dup pair

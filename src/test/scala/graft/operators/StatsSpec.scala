@@ -192,4 +192,34 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.mannWhitneyU(df.repartition(1), "g", "v").collect().toSeq ==
       Stats.mannWhitneyU(df.repartition(9), "g", "v").collect().toSeq)
   }
+
+  test("weightedQuantiles picks the exact cumulative-weight crossing") {
+    import spark.implicits._
+    // group a: values 1..4 with weights 1,1,2,4 (total 8):
+    //   median target 4.0 -> first value with cumw>=4 is 3; p90 target 7.2 -> 4
+    // group b: single row
+    val df = Seq(
+      ("a", 1.0, "1.00", 1L), ("a", 2.0, "1.00", 2L), ("a", 3.0, "2.00", 3L),
+      ("a", 4.0, "4.00", 4L), ("b", 9.0, "5.00", 5L))
+      .toDF("g", "v", "w", "id")
+      .withColumn("w", col("w").cast("decimal(18,2)"))
+    val got = Stats.weightedQuantiles(df, Seq("g"), col("v"), col("w"),
+      Seq(500, 900), Seq(col("id")))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 3.0, 4.0), ("b", 9.0, 9.0)))
+  }
+
+  test("weightedQuantiles is partition-invariant") {
+    import spark.implicits._
+    val df = (1 to 1200).map(i =>
+      (s"g${i % 3}", (i * 7 % 100).toDouble, BigDecimal((i % 9) + 1).setScale(2), i.toLong))
+      .toDF("g", "v", "w", "id")
+      .withColumn("w", col("w").cast("decimal(18,2)"))
+    val a = Stats.weightedQuantiles(df.repartition(1), Seq("g"), col("v"),
+      col("w"), Seq(250, 500, 750), Seq(col("id"))).orderBy("g").collect().map(_.toSeq).toSeq
+    val b = Stats.weightedQuantiles(df.repartition(13), Seq("g"), col("v"),
+      col("w"), Seq(250, 500, 750), Seq(col("id"))).orderBy("g").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
