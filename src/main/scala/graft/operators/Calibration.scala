@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,34 @@ import org.apache.spark.sql.functions._
   * count exactly, so the weighted sum is order-free.
   */
 object Calibration {
+
+  /** Decile gains/lift table — the ranking-model acceptance report: rows
+    * bucketed by score rank via [[ScaleOps.globalNtile]] (range-
+    * partitioned — no one-partition window however many rows are
+    * scored), then per-bucket response rate, cumulative capture of all
+    * positives, and cumulative lift over the base rate. The cumulative
+    * windows run over the ≤`buckets`-row aggregate, never the data.
+    * `labelCol` must be 0/1; `tiebreaks` make (score desc, tiebreaks) a
+    * total order.
+    */
+  def liftTable(df: DataFrame, scoreCol: Column, labelCol: Column,
+      buckets: Int, tiebreaks: Seq[Column]): DataFrame = {
+    val ranked = ScaleOps.globalNtile(df, scoreCol.desc +: tiebreaks,
+      buckets, "bucket")
+    val per = ranked.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(labelCol.cast("long")).as("pos"))
+    val all = Window.orderBy(col("bucket")) // ≤buckets rows — bounded
+    val cum = all.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = all.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def d(c: Column) = c.cast("double")
+    per
+      .withColumn("response_rate", round(d(col("pos")) / d(col("n")), 6))
+      .withColumn("cum_capture",
+        round(d(sum(col("pos")).over(cum)) / d(sum(col("pos")).over(tot)), 6))
+      .withColumn("cum_lift",
+        round((d(sum(col("pos")).over(cum)) / d(sum(col("n")).over(cum)))
+          / (d(sum(col("pos")).over(tot)) / d(sum(col("n")).over(tot))), 6))
+  }
 
   /** Equal-width reliability table over scores in [0, 1].
     *

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Expectations, FeatureEncode, FuzzyJoin, Intervals, Segment, Stats, VectorSearch}
+import graft.functions.TextAnalysis
+import graft.operators.{Calibration, Drift, Expectations, FeatureEncode, FuzzyJoin, Intervals, Segment, Stats, VectorSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -362,6 +363,133 @@ object AnalyticsQueries {
                  jaro_winkler_similarity(a.s, b.s) AS jw
           FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3)
         SELECT str_a, str_b, ROUND(jw, 6) AS sim
-        FROM p WHERE jw >= 0.85 ORDER BY str_a, str_b"""))
+        FROM p WHERE jw >= 0.85 ORDER BY str_a, str_b""")),
+
+    // Decile gains/lift chart: orders ranked by value (the mock
+    // propensity score), finished-order rate per decile, cumulative
+    // capture and lift — the ranking-model acceptance report, bucketed by
+    // the distributed global NTILE.
+    "q85_lift_chart" -> Q(
+      fn = (s, dir) =>
+        Calibration.liftTable(t(s, dir, "orders"),
+            col("o_totalprice"), (col("o_orderstatus") === "F").cast("int"),
+            buckets = 10, tiebreaks = Seq(col("o_orderkey")))
+          .orderBy(col("bucket")),
+      oracle = Some("""
+        WITH s AS (
+          SELECT CAST(NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS INT) AS bucket,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders),
+        g AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos
+          FROM s GROUP BY 1),
+        w AS (
+          SELECT *,
+                 SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cn,
+                 SUM(pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cp,
+                 SUM(n) OVER () AS tn, SUM(pos) OVER () AS tp
+          FROM g)
+        SELECT bucket, n, pos,
+               ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS response_rate,
+               ROUND(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS cum_capture,
+               ROUND((CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+                 / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS cum_lift
+        FROM w ORDER BY bucket""")),
+
+    // Audience overlap: pairwise event-type co-user counts and Jaccard —
+    // the segment-intersection report. Distinct (type, user) first (two-
+    // phase distinct discipline), then a user-keyed self-join that
+    // shuffles (type, type) pairs only.
+    "q86_audience_overlap" -> Q(
+      fn = (s, dir) => {
+        val ut = ev(s, dir)
+          .select(col("event_type"), col("user_id"))
+          .filter(col("event_type").isNotNull)
+          .distinct()
+        val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val a = ut.select(col("event_type").as("type_a"), col("user_id"))
+        val b = ut.select(col("event_type").as("type_b"), col("user_id"))
+        a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+          .join(broadcast(sizes.select(col("event_type").as("type_a"),
+            col("n").as("n_a"))), Seq("type_a"))
+          .join(broadcast(sizes.select(col("event_type").as("type_b"),
+            col("n").as("n_b"))), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("n_both"),
+            round(col("n_both").cast("double")
+              / (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+              .as("jaccard"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      oracle = Some("""
+        WITH ut AS (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE event_type IS NOT NULL),
+        sz AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ut GROUP BY 1),
+        p AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM ut a JOIN ut b ON a.user_id = b.user_id
+            AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+               ROUND(CAST(n_both AS DOUBLE)
+                 / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+        FROM p JOIN sz sa ON p.type_a = sa.event_type
+               JOIN sz sb ON p.type_b = sb.event_type
+        ORDER BY type_a, type_b""")),
+
+    // Vocabulary drift: token-distribution PSI between the even- and
+    // odd-doc halves of the corpus — the text twin of q5l's categorical
+    // drift, token counts through the same smoothed-PSI core.
+    "q87_vocab_drift" -> Q(
+      fn = (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        Drift.categoricalDrift(
+            toks.filter(pmod(col("doc_id"), lit(2)) === 0),
+            toks.filter(pmod(col("doc_id"), lit(2)) === 1), "tok")
+          .select(col("value"), col("n_ref"), col("n_cur"),
+            round(col("p_ref"), 6).as("p_ref"),
+            round(col("p_cur"), 6).as("p_cur"),
+            round(col("psi_term"), 6).as("psi_term"))
+          .orderBy(col("value"))
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS value
+          FROM documents),
+        rc AS (
+          SELECT value, CAST(COUNT(*) AS BIGINT) AS n_ref
+          FROM tk WHERE doc_id % 2 = 0 GROUP BY 1),
+        cc AS (
+          SELECT value, CAST(COUNT(*) AS BIGINT) AS n_cur
+          FROM tk WHERE doc_id % 2 = 1 GROUP BY 1),
+        j AS (
+          SELECT COALESCE(rc.value, cc.value) AS value,
+                 CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+                 CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+          FROM rc FULL OUTER JOIN cc ON rc.value = cc.value),
+        t AS (
+          SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr,
+                 CAST(SUM(n_cur) AS DOUBLE) AS tc,
+                 CAST(COUNT(*) AS DOUBLE) AS k FROM j),
+        p AS (
+          SELECT value, n_ref, n_cur,
+                 (CAST(n_ref AS DOUBLE) + 0.5) / (tr + 0.5 * k) AS p_ref,
+                 (CAST(n_cur AS DOUBLE) + 0.5) / (tc + 0.5 * k) AS p_cur
+          FROM j, t)
+        SELECT value, n_ref, n_cur,
+               ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+               ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+        FROM p ORDER BY value"""))
   )
 }

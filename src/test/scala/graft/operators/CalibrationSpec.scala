@@ -134,4 +134,30 @@ class CalibrationSpec extends AnyFunSuite {
       Calibration.reliabilityTable(df, "nope", "label", 10)
     }
   }
+
+  test("liftTable: hand-computed deciles, capture and lift") {
+    import spark.implicits._
+    // scores 10..1 rank in order; labels put 3 of 4 positives in the top half
+    val labels = Seq(1, 1, 0, 1, 0, 0, 0, 0, 0, 1)
+    val df = labels.zipWithIndex.map { case (y, i) => (10 - i, y, i.toLong) }
+      .toDF("score", "y", "id")
+    val got = Calibration.liftTable(df, col("score"), col("y"), buckets = 2,
+      tiebreaks = Seq(col("id")))
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n"), r.getAs[Long]("pos"),
+        r.getAs[Double]("response_rate"), r.getAs[Double]("cum_capture"),
+        r.getAs[Double]("cum_lift"))).toSeq
+    assert(got == Seq((1, 5L, 3L, 0.6, 0.75, 1.5), (2, 5L, 1L, 0.2, 1.0, 1.0)))
+  }
+
+  test("liftTable is partition-invariant") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ((i * 37) % 500, (i % 3).min(1), i.toLong))
+      .toDF("score", "y", "id")
+    val a = Calibration.liftTable(df.repartition(1), col("score"), col("y"), 10,
+      Seq(col("id"))).orderBy("bucket").collect().map(_.toSeq).toSeq
+    val b = Calibration.liftTable(df.repartition(17), col("score"), col("y"), 10,
+      Seq(col("id"))).orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
