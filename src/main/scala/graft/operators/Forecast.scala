@@ -210,4 +210,60 @@ object Forecast {
           lit(horizon.toDouble) * element_at(col("__st"), 2) +
           element_at(col("__st"), slot), 6).as(s"forecast_$horizon"))
   }
+
+  /** Holt one-step-ahead residual anomalies — the monitor the forecast
+    * family exists to feed: the [[holtBacktest]] fold additionally carries
+    * every step's 9-snapped residual (the accumulator struct grows an
+    * array — per-key state is the series, which the collect_list fold
+    * already holds), residual sigma is the backtest RMSE, and a step flags
+    * when |resid| > z·sigma. One row per (key, step ≥ 2); keys with a
+    * single observation have no one-step-ahead residual and drop out.
+    */
+  def holtResidualAnomalies(
+      series: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      alpha: Double = 0.5, beta: Double = 0.25, z: Double = 3.0): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1), got $beta")
+    require(z > 0, s"z must be positive, got $z")
+    exactBinary(alpha, "alpha")
+    exactBinary(beta, "beta")
+    exactBinary(z, "z")
+
+    val collected = series
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        array_sort(collect_list(struct(col(orderCol).as("o"),
+          col(valueCol).cast("double").as("y")))).as("__seq"))
+      .withColumn("__ys", transform(col("__seq"), x => x.getField("y")))
+      .withColumn("__os", transform(col("__seq"), x => x.getField("o")))
+
+    def step(acc: Column, x: Column): Column = {
+      val lPrev = acc.getField("l")
+      val bPrev = acc.getField("b")
+      val err = x - (lPrev + bPrev)
+      val lNew = round(lit(alpha) * x + lit(1 - alpha) * (lPrev + bPrev), 9)
+      struct(
+        lNew.as("l"),
+        round(lit(beta) * (lNew - lPrev) + lit(1 - beta) * bPrev, 9).as("b"),
+        round(acc.getField("sse") + round(err * err, 9), 9).as("sse"),
+        concat(acc.getField("rs"), array(round(err, 9))).as("rs"))
+    }
+
+    val seed = struct(element_at(col("__ys"), 1).as("l"), lit(0.0).as("b"),
+      lit(0.0).as("sse"), array().cast("array<double>").as("rs"))
+    val rest = slice(col("__ys"), lit(2),
+      greatest(size(col("__ys")) - 1, lit(0)))
+    collected
+      .filter(col("n_obs") > 1)
+      .withColumn("__st", aggregate(rest, seed, step))
+      .withColumn("sigma",
+        round(sqrt(col("__st.sse") / (col("n_obs") - 1).cast("double")), 6))
+      .select(col(keyCol), col("n_obs"), col("sigma"), col("__os"), col("__ys"),
+        posexplode(col("__st.rs")).as(Seq("__pos", "__r")))
+      .select(col(keyCol), col("__os").getItem(col("__pos") + 1).as("o"),
+        col("__ys").getItem(col("__pos") + 1).as("y"),
+        round(col("__r"), 6).as("resid"), col("sigma"),
+        (abs(col("__r")) > lit(z) * col("sigma")).as("is_anomaly"))
+  }
 }

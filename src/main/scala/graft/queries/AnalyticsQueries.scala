@@ -490,6 +490,68 @@ object AnalyticsQueries {
         SELECT value, n_ref, n_cur,
                ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
                ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
-        FROM p ORDER BY value"""))
+        FROM p ORDER BY value""")),
+
+    // Forecast-residual anomaly monitor: Holt one-step-ahead residuals on
+    // daily per-type volume, flagged beyond 2 sigma (backtest RMSE). The
+    // fold carries every step's 9-snapped residual in the q7d LIST-
+    // accumulator discipline; the oracle replays it with a growing list.
+    "q88_holt_residual_anomalies" -> Q(
+      fn = (s, dir) => {
+        val daily = ev(s, dir)
+          .withColumn("day", expr("ts_ms div 86400000"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        graft.operators.Forecast.holtResidualAnomalies(daily, "event_type",
+            "day", "y", alpha = 0.5, beta = 0.25, z = 2.0)
+          .select(col("event_type"), col("o").as("day"), col("y"),
+            col("resid"), col("sigma"), col("is_anomaly"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                 CAST(COUNT(*) AS DOUBLE) AS y
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 list(y ORDER BY day) AS ys,
+                 list(day ORDER BY day) AS ds
+          FROM d GROUP BY 1),
+        f AS (
+          -- LIST accumulator [l, b, sse, r_1, r_2, ...] (struct accs
+          -- mutate in place — CLAUDE.md); each step appends its 9-snapped
+          -- one-step-ahead residual
+          SELECT event_type, n_obs, ys, ds,
+                 list_reduce(
+                   list_prepend([ys[1], CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                     list_transform(ys[2:], x -> [x])),
+                   (acc, e) -> list_concat(list_concat([
+                     ROUND(CAST(0.5 AS DOUBLE) * e[1]
+                       + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9),
+                     ROUND(CAST(0.25 AS DOUBLE)
+                       * (ROUND(CAST(0.5 AS DOUBLE) * e[1]
+                           + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9)
+                          - acc[1])
+                       + CAST(0.75 AS DOUBLE) * acc[2], 9),
+                     ROUND(acc[3] + ROUND((e[1] - (acc[1] + acc[2]))
+                       * (e[1] - (acc[1] + acc[2])), 9), 9)],
+                     acc[4:]),
+                     [ROUND(e[1] - (acc[1] + acc[2]), 9)])) AS st
+          FROM s WHERE n_obs > 1),
+        g AS (
+          SELECT event_type,
+                 ROUND(SQRT(st[3] / CAST(n_obs - 1 AS DOUBLE)), 6) AS sigma,
+                 st[4:] AS rs, ys, ds
+          FROM f),
+        x AS (
+          SELECT event_type, sigma,
+                 unnest(list_transform(range(1, len(rs) + 1),
+                   i -> {'d': ds[i + 1], 'y': ys[i + 1], 'r': rs[i]})) AS u
+          FROM g)
+        SELECT event_type, u['d'] AS day, u['y'] AS y,
+               ROUND(u['r'], 6) + CAST(0 AS DOUBLE) AS resid, sigma,
+               ABS(u['r']) > CAST(2 AS DOUBLE) * sigma AS is_anomaly
+        FROM x ORDER BY event_type, day"""))
   )
 }

@@ -139,4 +139,29 @@ class ForecastSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.size == 5)
   }
+
+  test("holtResidualAnomalies: hand-walked residuals, sigma and flags") {
+    import spark.implicits._
+    // key a: steady 10s then a spike to 30 — the spike step must flag
+    val rows = Seq(("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0),
+      ("a", 4L, 30.0), ("a", 5L, 10.0), ("b", 1L, 5.0))
+    val df = rows.toDF("k", "o", "y")
+    val got = Forecast.holtResidualAnomalies(df, "k", "o", "y",
+      alpha = 0.5, beta = 0.25, z = 1.5)
+      .orderBy("k", "o").collect()
+    // key b has a single observation -> no residual rows
+    assert(got.forall(_.getString(0) == "a") && got.length == 4)
+    // hand walk: l1=10,b1=0; step2: err=0 -> l=10,b=0; step3 same;
+    // step4: err=20; step5 forecast l+b after spike
+    val r = got.map(x => (x.getAs[Long]("o"), x.getAs[Double]("resid"),
+      x.getAs[Boolean]("is_anomaly")))
+    assert(r(0) == ((2L, 0.0, false)))
+    assert(r(1) == ((3L, 0.0, false)))
+    assert(r(2)._1 == 4L && r(2)._2 == 20.0 && r(2)._3)
+    // sigma = sqrt((0+0+400+r5^2)/4), identical on every row
+    val sigmas = got.map(_.getAs[Double]("sigma")).distinct
+    assert(sigmas.length == 1 && sigmas.head > 10.0)
+    // only the spike step flags at z=1.5 (sigma≈11.79: 20 > 17.7, 12.5 < 17.7)
+    assert(got.count(_.getAs[Boolean]("is_anomaly")) == 1)
+  }
 }
