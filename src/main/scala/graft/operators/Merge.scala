@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,5 +69,43 @@ object Merge {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) === "upsert")
       .select(dataCols.map(col): _*)
+  }
+
+  /** Incremental AGGREGATE maintenance — update a (count, DECIMAL sums)
+    * aggregate snapshot from a row-level delta without recomputing the
+    * base: the delta aggregates map-side with each row weighted by `op`
+    * (+1 insert, −1 delete), then one full-outer join per key adds the
+    * images. Decrementable aggregates only (count/sum — min/max cannot
+    * retract); groups whose count reaches zero drop out; a count driven
+    * NEGATIVE means the delta deleted rows the base never had — that is
+    * a data bug, surfaced loudly (one bounded scalar probe, not a silent
+    * wrong snapshot). `baseAgg` columns: keys, `n`, then `sumCols` names.
+    */
+  def incrementalSumAgg(
+      baseAgg: DataFrame, delta: DataFrame, keys: Seq[String],
+      opCol: Column, sumCols: Seq[(String, Column)]): DataFrame = {
+    require(keys.nonEmpty, "incrementalSumAgg needs at least one key column")
+    require(baseAgg.columns.contains("n"), "baseAgg must carry count column n")
+    for ((name, _) <- sumCols)
+      require(baseAgg.columns.contains(name), s"baseAgg lacks sum column $name")
+    val dAggs = sum(opCol.cast("long")).as("__dn") +:
+      sumCols.map { case (name, c) => sum(opCol * c).as(s"__d_$name") }
+    val dAgg = delta.groupBy(keys.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
+    val joined = baseAgg.join(dAgg, keys, "full_outer")
+      .withColumn("__n_new",
+        coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+    val negatives = joined.filter(col("__n_new") < 0).limit(1).count()
+    require(negatives == 0L,
+      "delta retracts rows absent from the base aggregate — refusing to " +
+        "publish a corrupt snapshot")
+    val merged = sumCols.foldLeft(joined) { case (df, (name, _)) =>
+      df.withColumn(name,
+        when(col(name).isNull, col(s"__d_$name"))
+          .when(col(s"__d_$name").isNull, col(name))
+          .otherwise(col(name) + col(s"__d_$name")))
+    }
+    merged.filter(col("__n_new") > 0)
+      .withColumn("n", col("__n_new"))
+      .drop(("__n_new" +: "__dn" +: sumCols.map(c => s"__d_${c._1}")): _*)
   }
 }

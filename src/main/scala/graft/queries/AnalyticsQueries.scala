@@ -552,6 +552,124 @@ object AnalyticsQueries {
         SELECT event_type, u['d'] AS day, u['y'] AS y,
                ROUND(u['r'], 6) + CAST(0 AS DOUBLE) AS resid, sigma,
                ABS(u['r']) > CAST(2 AS DOUBLE) * sigma AS is_anomaly
-        FROM x ORDER BY event_type, day"""))
+        FROM x ORDER BY event_type, day""")),
+
+    // Incremental aggregate maintenance, proven by construction: the
+    // Spark side builds yesterday's per-priority aggregate (orderkey % 7
+    // != 0), applies an op-weighted delta (inserts: % 7 = 0; deletes:
+    // % 5 = 0 among the base), and the ORACLE recomputes the final set
+    // from scratch — hash equality IS the incremental-correctness proof.
+    "q89_incremental_agg" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+        val price = col("o_totalprice").cast("decimal(18,2)")
+        val base = o.filter(col("o_orderkey") % 7 =!= 0)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(price).as("total"))
+        val inserts = o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("__op", lit(1L))
+        val deletes = o.filter(col("o_orderkey") % 7 =!= 0
+            && col("o_orderkey") % 5 === 0)
+          .withColumn("__op", lit(-1L))
+        graft.operators.Merge.incrementalSumAgg(
+            base, inserts.unionByName(deletes), Seq("o_orderpriority"),
+            col("__op"), Seq("total" -> price))
+          .select(col("o_orderpriority"), col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 <> 0
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Recommender evaluation: global top-10 popular parts as the static
+    // recommendation list, hit rate and MRR over per-order relevant sets.
+    // 1/rank rides DECIMAL(18,9) so the cross-order mean is order-free.
+    "q8a_recsys_eval" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val top = li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("l_partkey"))
+          .limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("cnt").desc, col("l_partkey"))))
+          .select(col("l_partkey"), col("rank"))
+        val perOrder = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+          .join(broadcast(top), Seq("l_partkey"), "left")
+          .groupBy(col("l_orderkey"))
+          .agg(min(col("rank")).as("best_rank"))
+        perOrder.agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("best_rank").isNotNull, 1L).otherwise(0L)).as("hits"),
+          round(sum(when(col("best_rank").isNotNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"), 6).as("hit_rate"),
+          round(sum(coalesce(
+              round(lit(1.0) / col("best_rank").cast("double"), 9), lit(0.0))
+              .cast("decimal(18,9)")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mrr"))
+      },
+      oracle = Some("""
+        WITH top AS (
+          SELECT l_partkey, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC,
+                   l_partkey) AS INT) AS rank
+          FROM (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+          ORDER BY cnt DESC, l_partkey LIMIT 10),
+        o AS (
+          SELECT d.l_orderkey, MIN(top.rank) AS best_rank
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) d
+          LEFT JOIN top ON d.l_partkey = top.l_partkey
+          GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN best_rank IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hits,
+               ROUND(CAST(SUM(CASE WHEN best_rank IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS hit_rate,
+               ROUND(CAST(SUM(CAST(COALESCE(
+                     ROUND(CAST(1 AS DOUBLE) / best_rank, 9), 0)
+                   AS DECIMAL(18,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mrr
+        FROM o""")),
+
+    // Per-user coverage rollup over the q7z islands: island count, total
+    // covered time and interior gap time — the uptime report.
+    "q8b_coverage" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_ms"),
+            (col("ts_ms") + 1800000L).as("end_ms"))
+        Intervals.coverageStats(
+            Intervals.mergeIntervals(e, Seq("user_id"), col("ts_ms"),
+              col("end_ms"), col("event_id")), Seq("user_id"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS s,
+                 epoch_ms(ts) + 1800000 AS en
+          FROM events),
+        m AS (
+          SELECT *, MAX(en) OVER (PARTITION BY user_id ORDER BY s, en, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM e),
+        f AS (
+          SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS st
+          FROM m),
+        g AS (
+          SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY s, en, event_id
+                 ROWS UNBOUNDED PRECEDING) AS island_seq
+          FROM f),
+        i AS (
+          SELECT user_id, island_seq, MIN(s) AS island_start,
+                 MAX(en) AS island_end, MAX(en) - MIN(s) AS covered_ms
+          FROM g GROUP BY 1, 2)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(covered_ms) AS BIGINT) AS covered_ms,
+               CAST(MAX(island_end) - MIN(island_start) - SUM(covered_ms)
+                 AS BIGINT) AS gap_ms
+        FROM i GROUP BY 1 ORDER BY user_id"""))
   )
 }

@@ -87,4 +87,47 @@ class MergeSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"rank-1 filter not pushed map-side:\n$plan")
   }
+
+  test("incrementalSumAgg equals a from-scratch recompute") {
+    import spark.implicits._
+    val base0 = (1 to 200).map(i => (s"g${i % 4}", i.toLong,
+      BigDecimal((i % 37) + 0.5).setScale(2)))
+    val df0 = base0.toDF("g", "id", "v").withColumn("v", col("v").cast("decimal(18,2)"))
+    val baseAgg = df0.groupBy("g").agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    // delta: insert 50 new rows, delete every base row with id % 10 == 0
+    val ins = (201 to 250).map(i => (s"g${i % 5}", i.toLong,
+      BigDecimal((i % 37) + 0.5).setScale(2), 1L))
+    val del = base0.filter(_._2 % 10 == 0).map { case (g, id, v) => (g, id, v, -1L) }
+    val delta = (ins ++ del).toDF("g", "id", "v", "__op")
+      .withColumn("v", col("v").cast("decimal(18,2)"))
+    val got = Merge.incrementalSumAgg(baseAgg, delta, Seq("g"), col("__op"),
+      Seq("total" -> col("v")))
+      .select(col("g"), col("n"), col("total").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val finalRows = base0.filterNot(_._2 % 10 == 0) ++ ins.map(t => (t._1, t._2, t._3))
+    val expected = finalRows.toDF("g", "id", "v")
+      .withColumn("v", col("v").cast("decimal(18,2)"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .select(col("g"), col("n"), col("total").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expected)
+  }
+
+  test("incrementalSumAgg: fully deleted groups vanish, phantom deletes refuse") {
+    import spark.implicits._
+    val baseAgg = Seq(("a", 1L, "5.00"), ("b", 2L, "7.00")).toDF("g", "n", "total")
+      .withColumn("total", col("total").cast("decimal(18,2)"))
+    val wipeA = Seq(("a", BigDecimal(5.00).setScale(2), -1L)).toDF("g", "v", "__op")
+      .withColumn("v", col("v").cast("decimal(18,2)"))
+    val left = Merge.incrementalSumAgg(baseAgg, wipeA, Seq("g"), col("__op"),
+      Seq("total" -> col("v"))).select("g").collect().map(_.getString(0)).toSeq
+    assert(left == Seq("b"))
+    val phantom = Seq(("zzz", BigDecimal(1.00).setScale(2), -1L)).toDF("g", "v", "__op")
+      .withColumn("v", col("v").cast("decimal(18,2)"))
+    val err = intercept[IllegalArgumentException] {
+      Merge.incrementalSumAgg(baseAgg, phantom, Seq("g"), col("__op"),
+        Seq("total" -> col("v")))
+    }
+    assert(err.getMessage.contains("retracts"))
+  }
 }
