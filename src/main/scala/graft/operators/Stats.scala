@@ -432,6 +432,69 @@ object Stats {
     withLeads.agg(count(lit(1)).as("n"), acfs: _*)
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns in ONE
+    * aggregate pass: per-column sums/squares and per-pair product sums
+    * ride exact DECIMAL(38,6) (the [[groupedTrend]] recipe), then each
+    * pair's r is a fixed double chain over the cast sums — identical in
+    * both engines. Long-format output (col_a < col_b), r null when a
+    * variance is zero. Rows with ANY null among `cols` are dropped so
+    * every pair sees the same n (listwise deletion — the matrix stays
+    * positive-semidefinite-consistent).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns, got $cols")
+    val vs = cols.map(c => col(c).cast("double"))
+    val base = df.filter(vs.map(_.isNotNull).reduce(_ && _))
+      .select(cols.zip(vs).map { case (n, v) => v.as(n) }: _*)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = count(lit(1)).as("n") +:
+      (cols.flatMap { c =>
+        Seq(sum(col(c).cast("decimal(38,6)")).as(s"__s_$c"),
+          sum((col(c) * col(c)).cast("decimal(38,6)")).as(s"__ss_$c"))
+      } ++ pairs.map { case (a, b) =>
+        sum((col(a) * col(b)).cast("decimal(38,6)")).as(s"__sp_${a}_$b")
+      })
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val n = col("n").cast("double")
+    def d(name: String) = col(name).cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val cov = d(s"__sp_${a}_$b") / n - (d(s"__s_$a") / n) * (d(s"__s_$b") / n)
+      val va = d(s"__ss_$a") / n - (d(s"__s_$a") / n) * (d(s"__s_$a") / n)
+      val vb = d(s"__ss_$b") / n - (d(s"__s_$b") / n) * (d(s"__s_$b") / n)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("r"))
+    }
+    one.select(col("n"), explode(array(rows: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("n"), col("p.r"))
+  }
+
+  /** Mutual information between two categorical columns (nats), with the
+    * joint and marginal distributions taken over the non-null-pair rows:
+    * one map-side groupBy to the (x, y) cell table, marginals and the
+    * 6-rounded MI terms via windows over that bounded table, total MI
+    * summed through DECIMAL so cross-cell order can't perturb bits.
+    */
+  def mutualInformation(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df.select(xCol.as("x"), yCol.as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val wx = Window.partitionBy(col("x"))
+    val wy = Window.partitionBy(col("y"))
+    val all = Window.partitionBy()
+    def d(c: Column) = c.cast("double")
+    val pxy = d(col("n_xy")) / d(sum(col("n_xy")).over(all))
+    val px = d(sum(col("n_xy")).over(wx)) / d(sum(col("n_xy")).over(all))
+    val py = d(sum(col("n_xy")).over(wy)) / d(sum(col("n_xy")).over(all))
+    val term = round(pxy * log(pxy / (px * py)), 6)
+    cells
+      .withColumn("p_xy", round(pxy, 6))
+      .withColumn("mi_term", term)
+      .withColumn("mi_total",
+        sum(term.cast("decimal(18,6)")).over(all).cast("double"))
+  }
+
   /** Exact weighted quantiles per group: the smallest value whose
     * cumulative weight reaches q/1000 of the group total, one output
     * column per requested per-mille point. The ordered scan rides

@@ -670,6 +670,163 @@ object AnalyticsQueries {
                CAST(SUM(covered_ms) AS BIGINT) AS covered_ms,
                CAST(MAX(island_end) - MIN(island_start) - SUM(covered_ms)
                  AS BIGINT) AS gap_ms
-        FROM i GROUP BY 1 ORDER BY user_id"""))
+        FROM i GROUP BY 1 ORDER BY user_id""")),
+
+    // Pairwise Pearson correlation matrix over the lineitem numeric
+    // columns: ONE aggregate pass carries all sums/squares/products
+    // through exact DECIMAL(38,6); each r is a fixed double chain.
+    "q8c_correlation_matrix" -> Q(
+      fn = (s, dir) =>
+        Stats.correlationMatrix(t(s, dir, "lineitem"),
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .orderBy(col("col_a"), col("col_b")),
+      oracle = Some("""
+        WITH b AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS c1,
+                 CAST(l_extendedprice AS DOUBLE) AS c2,
+                 CAST(l_discount AS DOUBLE) AS c3,
+                 CAST(l_tax AS DOUBLE) AS c4
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(c1, 6) AS DECIMAL(38,6))) AS s1,
+                 SUM(CAST(ROUND(c1*c1, 6) AS DECIMAL(38,6))) AS ss1,
+                 SUM(CAST(ROUND(c2, 6) AS DECIMAL(38,6))) AS s2,
+                 SUM(CAST(ROUND(c2*c2, 6) AS DECIMAL(38,6))) AS ss2,
+                 SUM(CAST(ROUND(c3, 6) AS DECIMAL(38,6))) AS s3,
+                 SUM(CAST(ROUND(c3*c3, 6) AS DECIMAL(38,6))) AS ss3,
+                 SUM(CAST(ROUND(c4, 6) AS DECIMAL(38,6))) AS s4,
+                 SUM(CAST(ROUND(c4*c4, 6) AS DECIMAL(38,6))) AS ss4,
+                 SUM(CAST(ROUND(c1*c2, 6) AS DECIMAL(38,6))) AS p12,
+                 SUM(CAST(ROUND(c1*c3, 6) AS DECIMAL(38,6))) AS p13,
+                 SUM(CAST(ROUND(c1*c4, 6) AS DECIMAL(38,6))) AS p14,
+                 SUM(CAST(ROUND(c2*c3, 6) AS DECIMAL(38,6))) AS p23,
+                 SUM(CAST(ROUND(c2*c4, 6) AS DECIMAL(38,6))) AS p24,
+                 SUM(CAST(ROUND(c3*c4, 6) AS DECIMAL(38,6))) AS p34
+          FROM b),
+        m AS (
+          SELECT n, CAST(n AS DOUBLE) AS nd,
+                 CAST(s1 AS DOUBLE) AS d1, CAST(ss1 AS DOUBLE) AS e1,
+                 CAST(s2 AS DOUBLE) AS d2, CAST(ss2 AS DOUBLE) AS e2,
+                 CAST(s3 AS DOUBLE) AS d3, CAST(ss3 AS DOUBLE) AS e3,
+                 CAST(s4 AS DOUBLE) AS d4, CAST(ss4 AS DOUBLE) AS e4,
+                 CAST(p12 AS DOUBLE) AS q12, CAST(p13 AS DOUBLE) AS q13,
+                 CAST(p14 AS DOUBLE) AS q14, CAST(p23 AS DOUBLE) AS q23,
+                 CAST(p24 AS DOUBLE) AS q24, CAST(p34 AS DOUBLE) AS q34
+          FROM a)
+        SELECT col_a, col_b, n,
+               CASE WHEN (ea/nd - (sa/nd)*(sa/nd)) > 0
+                     AND (eb/nd - (sb/nd)*(sb/nd)) > 0
+                    THEN ROUND((sp/nd - (sa/nd)*(sb/nd))
+                      / SQRT((ea/nd - (sa/nd)*(sa/nd))
+                           * (eb/nd - (sb/nd)*(sb/nd))), 6) END AS r
+        FROM (
+          SELECT n, nd, 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+                 d2 AS sa, e2 AS ea, d3 AS sb, e3 AS eb, q23 AS sp FROM m
+          UNION ALL
+          SELECT n, nd, 'l_discount', 'l_tax', d3, e3, d4, e4, q34 FROM m
+          UNION ALL
+          SELECT n, nd, 'l_extendedprice', 'l_tax', d2, e2, d4, e4, q24 FROM m
+          UNION ALL
+          SELECT n, nd, 'l_quantity', 'l_discount', d1, e1, d3, e3, q13 FROM m
+          UNION ALL
+          SELECT n, nd, 'l_quantity', 'l_extendedprice', d1, e1, d2, e2, q12 FROM m
+          UNION ALL
+          SELECT n, nd, 'l_quantity', 'l_tax', d1, e1, d4, e4, q14 FROM m)
+        ORDER BY col_a, col_b""")),
+
+    // Mutual information between event type and day-of-week (nats):
+    // joint cells from one map-side groupBy, marginals over the bounded
+    // cell table, total MI through DECIMAL.
+    "q8d_mutual_info" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+          .withColumn("dow", (expr("ts_ms div 86400000") % 7).cast("int"))
+        Stats.mutualInformation(e, col("event_type"), col("dow"))
+          .orderBy(col("x"), col("y"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT event_type AS x,
+                 CAST((epoch_ms(ts) // 86400000) % 7 AS INT) AS y,
+                 CAST(COUNT(*) AS BIGINT) AS n_xy
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY 1, 2),
+        w AS (
+          SELECT *,
+                 CAST(n_xy AS DOUBLE)
+                   / CAST(SUM(n_xy) OVER () AS DOUBLE) AS pxy,
+                 CAST(SUM(n_xy) OVER (PARTITION BY x) AS DOUBLE)
+                   / CAST(SUM(n_xy) OVER () AS DOUBLE) AS px,
+                 CAST(SUM(n_xy) OVER (PARTITION BY y) AS DOUBLE)
+                   / CAST(SUM(n_xy) OVER () AS DOUBLE) AS py
+          FROM c),
+        i AS (
+          SELECT x, y, n_xy, ROUND(pxy, 6) AS p_xy,
+                 ROUND(pxy * LN(pxy / (px * py)), 6)
+                   + CAST(0 AS DOUBLE) AS mi_term
+          FROM w)
+        SELECT x, y, n_xy, p_xy, mi_term,
+               CAST(SUM(CAST(mi_term AS DECIMAL(18,6))) OVER () AS DOUBLE)
+                 AS mi_total
+        FROM i ORDER BY x, y""")),
+
+    // Bigram collocations by pointwise mutual information: adjacent-token
+    // pair counts vs unigram marginals (min pair count 5), top 20 —
+    // the phrase-discovery op of the text pipeline.
+    "q8e_collocations" -> Q(
+      fn = (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val pairs = toks
+          .withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("tok").as("tok_a"), col("nxt").as("tok_b"))
+          .agg(count(lit(1)).as("n_xy"))
+        val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val totals = pairs.agg(sum(col("n_xy")).cast("double").as("np"))
+          .crossJoin(uni.agg(sum(col("c")).cast("double").as("nu")))
+        pairs
+          .join(uni.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
+          .join(uni.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+          .crossJoin(broadcast(totals))
+          .filter(col("n_xy") >= 5)
+          .select(col("tok_a"), col("tok_b"), col("n_xy"),
+            round(log((col("n_xy").cast("double") / col("np"))
+              / ((col("c_a").cast("double") / col("nu"))
+                * (col("c_b").cast("double") / col("nu")))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+          FROM documents),
+        u AS (SELECT unnest(ts) AS tok FROM t),
+        cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        bg AS (
+          SELECT unnest(list_transform(range(1, len(ts)),
+                   i -> {'a': ts[i], 'b': ts[i + 1]})) AS p
+          FROM t),
+        cb AS (
+          SELECT p['a'] AS tok_a, p['b'] AS tok_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_xy
+          FROM bg GROUP BY 1, 2),
+        tot AS (
+          SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM cu) AS nu,
+                 (SELECT CAST(SUM(n_xy) AS DOUBLE) FROM cb) AS np)
+        SELECT tok_a, tok_b, n_xy,
+               ROUND(LN((CAST(n_xy AS DOUBLE) / np)
+                 / ((CAST(ca.c AS DOUBLE) / nu)
+                   * (CAST(cbu.c AS DOUBLE) / nu))), 6) AS pmi
+        FROM cb
+        JOIN cu ca ON cb.tok_a = ca.tok
+        JOIN cu cbu ON cb.tok_b = cbu.tok, tot
+        WHERE n_xy >= 5
+        ORDER BY pmi DESC, tok_a, tok_b LIMIT 20"""))
   )
 }

@@ -222,4 +222,31 @@ class StatsSpec extends AnyFunSuite {
       col("w"), Seq(250, 500, 750), Seq(col("id"))).orderBy("g").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("correlationMatrix: perfect, inverse and zero-variance pairs") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, 2.0 * i + 3, -1.0 * i, 7.0))
+      .toDF("a", "b", "c", "k")
+    val got = Stats.correlationMatrix(df, Seq("a", "b", "c", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(got(("a", "b")).get == 1.0)
+    assert(got(("a", "c")).get == -1.0)
+    assert(got(("a", "k")).isEmpty)   // zero variance -> null, not NaN
+    assert(got.size == 6)
+  }
+
+  test("mutualInformation: independent columns give ~zero, copies give H(X)") {
+    import spark.implicits._
+    // X uniform over 2 values, Y = X: MI = ln 2
+    val dep = (1 to 400).map(i => (s"x${i % 2}", s"y${i % 2}")).toDF("a", "b")
+    val miDep = Stats.mutualInformation(dep, col("a"), col("b"))
+      .select("mi_total").distinct().collect()(0).getDouble(0)
+    assert(math.abs(miDep - math.log(2)) < 1e-5)
+    // independent: MI exactly 0 on a balanced grid
+    val ind = (0 until 400).map(i => (s"x${i % 2}", s"y${(i / 2) % 2}")).toDF("a", "b")
+    val miInd = Stats.mutualInformation(ind, col("a"), col("b"))
+      .select("mi_total").distinct().collect()(0).getDouble(0)
+    assert(math.abs(miInd) < 1e-9)
+  }
 }
