@@ -495,6 +495,32 @@ object Stats {
         sum(term.cast("decimal(18,6)")).over(all).cast("double"))
   }
 
+  /** One-row log–log OLS fit (slope/intercept of ln y on ln x) for
+    * power-law diagnostics (Heaps, Zipf): both logs and their products
+    * snap to the 9-decimal grid and sum through DECIMAL(28,12), so the
+    * distributed addition order can't perturb the fit. Rows with x ≤ 0 or
+    * y ≤ 0 are dropped (ln pole).
+    */
+  def loglogFit(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val lx = round(log(xCol.cast("double")), 9)
+    val ly = round(log(yCol.cast("double")), 9)
+    val base = df.filter(xCol > 0 && yCol > 0)
+      .select(lx.as("__x"), ly.as("__y"))
+    def dec(c: Column) = sum(c.cast("decimal(28,12)"))
+    val agg = base.agg(count(lit(1)).as("n_points"),
+      dec(col("__x")).as("__sx"), dec(col("__y")).as("__sy"),
+      dec(round(col("__x") * col("__y"), 9)).as("__sxy"),
+      dec(round(col("__x") * col("__x"), 9)).as("__sxx"))
+    val n = col("n_points").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val varx = d("__sxx") / n - (d("__sx") / n) * (d("__sx") / n)
+    val cov = d("__sxy") / n - (d("__sx") / n) * (d("__sy") / n)
+    agg.select(col("n_points"),
+      when(varx > 0, round(cov / varx, 6)).as("slope"),
+      when(varx > 0,
+        round(d("__sy") / n - (cov / varx) * (d("__sx") / n), 6)).as("intercept"))
+  }
+
   /** Exact weighted quantiles per group: the smallest value whose
     * cumulative weight reaches q/1000 of the group total, one output
     * column per requested per-mille point. The ordered scan rides

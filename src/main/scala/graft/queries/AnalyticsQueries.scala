@@ -827,6 +827,197 @@ object AnalyticsQueries {
         JOIN cu ca ON cb.tok_a = ca.tok
         JOIN cu cbu ON cb.tok_b = cbu.tok, tot
         WHERE n_xy >= 5
-        ORDER BY pmi DESC, tok_a, tok_b LIMIT 20"""))
+        ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""")),
+
+    // Vocabulary growth (Heaps-law diagnostic) over bigram types: distinct
+    // bigrams first seen by geometric document checkpoints (1/2/5/10/20/
+    // 100% of the corpus), with the log-log Heaps exponent fitted over the
+    // checkpoint curve. First-occurrence via min-doc aggregation — no
+    // quadratic prefix-distinct anywhere.
+    "q8f_vocab_growth" -> Q(
+      fn = (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val big = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("b"))
+        val first = big.groupBy(col("b")).agg(min(col("doc_id")).as("fst"))
+        val perDoc = big.groupBy(col("doc_id")).agg(count(lit(1)).as("occ"))
+        val cps = Tables(s, dir, "documents").agg(max(col("doc_id")).as("mx"))
+          .select(explode(array(Seq(1, 2, 5, 10, 20, 100).map(lit): _*)).as("pct"),
+            col("mx"))
+          .select(expr("(mx + 1) * pct div 100 - 1").as("c"))
+        val vocab = first.join(broadcast(cps), col("fst") <= col("c"))
+          .groupBy(col("c")).agg(count(lit(1)).as("vocab"))
+        val occ = perDoc.join(broadcast(cps), col("doc_id") <= col("c"))
+          .groupBy(col("c"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"))
+        val curve = occ.join(vocab, Seq("c"))
+        val beta = Stats.loglogFit(curve, col("n_occurrences"), col("vocab"))
+          .select(col("slope").as("heaps_beta"))
+        curve.crossJoin(broadcast(beta))
+          .select(col("c"), col("n_docs"), col("n_occurrences"), col("vocab"),
+            col("heaps_beta"))
+          .orderBy(col("c"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+          FROM documents),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                   i -> ts[i] || ' ' || ts[i + 1])) AS b
+          FROM t),
+        f AS (SELECT b, MIN(doc_id) AS fst FROM bg GROUP BY 1),
+        pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS occ FROM bg GROUP BY 1),
+        cp AS (
+          SELECT (mx + 1) * pct // 100 - 1 AS c
+          FROM (SELECT MAX(doc_id) AS mx FROM documents),
+               (VALUES (1), (2), (5), (10), (20), (100)) p(pct)),
+        curve AS (
+          SELECT cp.c,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM pd WHERE doc_id <= cp.c)
+                   AS n_docs,
+                 (SELECT CAST(SUM(occ) AS BIGINT) FROM pd WHERE doc_id <= cp.c)
+                   AS n_occurrences,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM f WHERE fst <= cp.c)
+                   AS vocab
+          FROM cp),
+        pts AS (
+          SELECT ROUND(LN(CAST(n_occurrences AS DOUBLE)), 9) AS x,
+                 ROUND(LN(CAST(vocab AS DOUBLE)), 9) AS y
+          FROM curve WHERE n_occurrences > 0 AND vocab > 0),
+        fit AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                 CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+          FROM pts),
+        b AS (
+          SELECT CASE WHEN (sxx/nd - (sx/nd)*(sx/nd)) > 0
+                      THEN ROUND((sxy/nd - (sx/nd)*(sy/nd))
+                        / (sxx/nd - (sx/nd)*(sx/nd)), 6) END AS heaps_beta
+          FROM fit)
+        SELECT c, n_docs, n_occurrences, vocab, (SELECT heaps_beta FROM b)
+                 AS heaps_beta
+        FROM curve ORDER BY c""")),
+
+    // Zipf rank-frequency fit over bigram types: global frequency rank
+    // via the distributed row number, log-log slope over the top 500
+    // ranks — the corpus-shape diagnostic next to q8f.
+    "q8g_zipf_fit" -> Q(
+      fn = (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val freq = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(concat_ws(" ", col("tok"), col("nxt")).as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("freq"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          freq, Seq(col("freq").desc, col("b")), "rank")
+        Stats.loglogFit(ranked.filter(col("rank") <= 500),
+          col("rank"), col("freq"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+          FROM documents),
+        bg AS (
+          SELECT unnest(list_transform(range(1, len(ts)),
+                   i -> ts[i] || ' ' || ts[i + 1])) AS b
+          FROM t),
+        fr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS freq FROM bg GROUP BY 1),
+        rk AS (
+          SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, b) AS rank
+          FROM fr),
+        pts AS (
+          SELECT ROUND(LN(CAST(rank AS DOUBLE)), 9) AS x,
+                 ROUND(LN(CAST(freq AS DOUBLE)), 9) AS y
+          FROM rk WHERE rank <= 500),
+        fit AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+                 CAST(COUNT(*) AS DOUBLE) AS nd,
+                 CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+          FROM pts)
+        SELECT n_points,
+               CASE WHEN (sxx/nd - (sx/nd)*(sx/nd)) > 0
+                    THEN ROUND((sxy/nd - (sx/nd)*(sy/nd))
+                      / (sxx/nd - (sx/nd)*(sx/nd)), 6) END AS slope,
+               CASE WHEN (sxx/nd - (sx/nd)*(sx/nd)) > 0
+                    THEN ROUND(sy/nd - ((sxy/nd - (sx/nd)*(sy/nd))
+                        / (sxx/nd - (sx/nd)*(sx/nd))) * (sx/nd), 6) END
+                 AS intercept
+        FROM fit""")),
+
+    // Lagged cross-correlation between daily view and purchase volume
+    // (calendar lags -3..+3): integer day-count products ride exact
+    // DECIMAL sums, one bounded self-join per lag on the daily table.
+    "q8h_cross_correlation" -> Q(
+      fn = (s, dir) => {
+        val daily = ev(s, dir)
+          .withColumn("day", expr("ts_ms div 86400000"))
+          .groupBy(col("day"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+        val lagDf = daily.sparkSession.range(0, 1)
+          .select(explode(array((-3 to 3).map(l => lit(l)): _*)).as("lag"))
+        val pairs = daily.select(col("day"), col("v"))
+          .crossJoin(broadcast(lagDf))
+          .join(daily.select(col("day").as("d2"), col("p").as("p2")),
+            col("d2") === col("day") + col("lag"))
+        def dec(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,6)"))
+        val agg = pairs.groupBy(col("lag"))
+          .agg(count(lit(1)).as("n_days"),
+            dec(col("v")).as("__sv"), dec(col("p2")).as("__sp"),
+            dec(col("v") * col("p2")).as("__svp"),
+            dec(col("v") * col("v")).as("__svv"),
+            dec(col("p2") * col("p2")).as("__spp"))
+        val n = col("n_days").cast("double")
+        def d(c: String) = col(c).cast("double")
+        val cov = d("__svp") / n - (d("__sv") / n) * (d("__sp") / n)
+        val va = d("__svv") / n - (d("__sv") / n) * (d("__sv") / n)
+        val vb = d("__spp") / n - (d("__sp") / n) * (d("__sp") / n)
+        agg.select(col("lag"), col("n_days"),
+          when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("r"))
+          .orderBy(col("lag"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS v,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS p
+          FROM events GROUP BY 1),
+        l AS (SELECT CAST(lag AS INT) AS lag
+              FROM (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) t(lag)),
+        j AS (
+          SELECT l.lag, a.v, b.p AS p2
+          FROM l JOIN daily a ON TRUE
+          JOIN daily b ON b.day = a.day + l.lag),
+        agg AS (
+          SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(COUNT(*) AS DOUBLE) AS nd,
+                 CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+                 CAST(SUM(CAST(p2 AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+                 CAST(SUM(CAST(v * p2 AS DECIMAL(38,6))) AS DOUBLE) AS svp,
+                 CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS svv,
+                 CAST(SUM(CAST(p2 * p2 AS DECIMAL(38,6))) AS DOUBLE) AS spp
+          FROM j GROUP BY 1)
+        SELECT lag, n_days,
+               CASE WHEN (svv/nd - (sv/nd)*(sv/nd)) > 0
+                     AND (spp/nd - (sp/nd)*(sp/nd)) > 0
+                    THEN ROUND((svp/nd - (sv/nd)*(sp/nd))
+                      / SQRT((svv/nd - (sv/nd)*(sv/nd))
+                           * (spp/nd - (sp/nd)*(sp/nd))), 6) END AS r
+        FROM agg ORDER BY lag"""))
   )
 }

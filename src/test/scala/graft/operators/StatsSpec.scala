@@ -249,4 +249,20 @@ class StatsSpec extends AnyFunSuite {
       .select("mi_total").distinct().collect()(0).getDouble(0)
     assert(math.abs(miInd) < 1e-9)
   }
+
+  test("loglogFit recovers a known power-law exponent") {
+    import spark.implicits._
+    // y = 10 * x^(-0.7), exact on the 9-grid within rounding
+    val df = (1 to 200).map { i =>
+      (i.toDouble, 10.0 * math.pow(i.toDouble, -0.7))
+    }.toDF("x", "y")
+    val r = Stats.loglogFit(df, col("x"), col("y")).collect()(0)
+    assert(r.getAs[Long]("n_points") == 200L)
+    assert(math.abs(r.getAs[Double]("slope") - (-0.7)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(10.0)) < 1e-4)
+    // non-positive rows are dropped, not ln-poled
+    val withZero = df.union(Seq((0.0, 5.0), (3.0, -1.0)).toDF("x", "y"))
+    assert(Stats.loglogFit(withZero, col("x"), col("y"))
+      .collect()(0).getAs[Long]("n_points") == 200L)
+  }
 }
