@@ -1018,6 +1018,95 @@ object AnalyticsQueries {
                     THEN ROUND((svp/nd - (sv/nd)*(sp/nd))
                       / SQRT((svv/nd - (sv/nd)*(sv/nd))
                            * (spp/nd - (sp/nd)*(sp/nd))), 6) END AS r
-        FROM agg ORDER BY lag"""))
+        FROM agg ORDER BY lag""")),
+
+    // Embedding-corpus diagnostics: norm envelope and isotropy proxy
+    // (mean cosine to the corpus centroid). The centroid is a bounded
+    // per-dimension DECIMAL mean (64 rows) collected once and re-entered
+    // as a literal float vector; every cosine then rides the proven
+    // codegen/DOUBLE[] parity path, and cross-vector means sum through
+    // DECIMAL so nothing depends on addition order.
+    "q8i_embedding_diagnostics" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val n = e.count()
+        val cent = e
+          .select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("i"))
+          .agg(round(sum(col("x").cast("double").cast("decimal(28,12)"))
+            .cast("double") / lit(n.toDouble), 9).as("c"))
+          .orderBy(col("i"))
+          .collect().map(_.getDouble(1))
+        val centLit = array(cent.map(v => lit(v)): _*)
+        val scored = e.select(
+          graft.functions.VectorFunctions.l2Norm(col("embedding")).as("nrm"),
+          round(graft.functions.VectorFunctions.cosine(col("embedding"), centLit), 6)
+            .as("cos"))
+        scored.agg(
+          count(lit(1)).as("n_vecs"),
+          round(sum(round(col("nrm"), 9).cast("decimal(28,12)")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mean_norm"),
+          min(round(col("nrm"), 6)).as("min_norm"),
+          max(round(col("nrm"), 6)).as("max_norm"),
+          round(sum(col("cos").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mean_cos_centroid"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM e),
+        pairs AS (
+          SELECT u['i'] AS i, u['x'] AS x FROM (
+            SELECT unnest(list_transform(range(1, len(v) + 1),
+                     i -> {'i': i, 'x': v[i]})) AS u
+            FROM e)),
+        dims AS (
+          SELECT i, ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                   / (SELECT nd FROM nn), 9) AS c
+          FROM pairs GROUP BY i),
+        cent AS (
+          SELECT CAST(CAST(list(c ORDER BY i) AS REAL[]) AS DOUBLE[]) AS cv
+          FROM dims),
+        per AS (
+          SELECT sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                 ROUND(CAST(list_cosine_similarity(v, cv) AS DOUBLE), 6) AS cos
+          FROM e, cent)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(CAST(SUM(CAST(ROUND(nrm, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_norm,
+               MIN(ROUND(nrm, 6)) AS min_norm,
+               MAX(ROUND(nrm, 6)) AS max_norm,
+               ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_cos_centroid
+        FROM per""")),
+
+    // Pivot (wide) heatmap: event volume by type x day-of-week through
+    // Spark's relational pivot — the wide twin of q5o's unpivot. Fixed
+    // pivot value list, so the plan is a single aggregate (no distinct-
+    // values pre-pass).
+    "q8j_pivot_heatmap" -> Q(
+      fn = (s, dir) =>
+        ev(s, dir)
+          .withColumn("dow", (expr("ts_ms div 86400000") % 7).cast("int"))
+          .groupBy(col("event_type"))
+          .pivot("dow", 0 to 6)
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("event_type") +: (0 to 6).map(d =>
+            col(d.toString).as(s"d$d")): _*)
+          .orderBy(col("event_type")),
+      oracle = Some("""
+        SELECT event_type,
+               CAST(SUM(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+               CAST(SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+               CAST(SUM(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+               CAST(SUM(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+               CAST(SUM(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+               CAST(SUM(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS BIGINT) AS d6
+        FROM (SELECT event_type,
+                CAST((epoch_ms(ts) // 86400000) % 7 AS INT) AS dow
+              FROM events)
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }
