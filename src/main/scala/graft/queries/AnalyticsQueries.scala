@@ -1107,6 +1107,144 @@ object AnalyticsQueries {
         FROM (SELECT event_type,
                 CAST((epoch_ms(ts) // 86400000) % 7 AS INT) AS dow
               FROM events)
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // CUBE with grouping_id: all four aggregation lattices (type x dow,
+    // type, dow, grand total) in one pass — completes the rollup (q11)
+    // corner of the grouping-sets surface.
+    "q8k_cube" -> Q(
+      fn = (s, dir) =>
+        ev(s, dir)
+          .withColumn("dow", (expr("ts_ms div 86400000") % 7).cast("int"))
+          .cube(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n"),
+            grouping_id().cast("int").as("gid"))
+          .orderBy(col("gid"), col("event_type"), col("dow")),
+      oracle = Some("""
+        SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS INT) AS gid
+        FROM (SELECT event_type,
+                CAST((epoch_ms(ts) // 86400000) % 7 AS INT) AS dow
+              FROM events)
+        GROUP BY CUBE (event_type, dow)
+        ORDER BY gid, event_type, dow""")),
+
+    // New-vs-returning daily actives: each user's first-seen day splits
+    // every day's actives — the product-analytics acquisition report.
+    // First-seen via min-aggregation (no ordered scan), one distinct
+    // (day, user) pass.
+    "q8m_new_vs_returning" -> Q(
+      fn = (s, dir) => {
+        val du = ev(s, dir)
+          .select(expr("ts_ms div 86400000").as("day"), col("user_id"))
+          .distinct()
+        val first = du.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+        du.join(first, Seq("user_id"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("day") === col("fday"), 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("day") =!= col("fday"), 1L).otherwise(0L))
+              .as("n_returning"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH du AS (
+          SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+        f AS (SELECT user_id, MIN(day) AS fday FROM du GROUP BY 1)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_new,
+               CAST(SUM(CASE WHEN day <> fday THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_returning
+        FROM du JOIN f USING (user_id)
+        GROUP BY day ORDER BY day""")),
+
+    // Reconciliation report: header total vs recomputed lineitem total per
+    // order, exact DECIMAL diffs, mismatches beyond a cent tolerance —
+    // the warehouse consistency audit in one pass + one key join.
+    "q8n_reconciliation" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax"))).cast("decimal(18,6)"))
+            .cast("decimal(18,2)").as("computed"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)")
+            .as("header"))
+        val d = o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            (coalesce(col("computed"), lit(0).cast("decimal(18,2)"))
+              - col("header")).as("diff"))
+        d.agg(count(lit(1)).as("n_orders"),
+          sum(when(abs(col("diff")) <= lit("0.01").cast("decimal(18,2)"), 1L).otherwise(0L))
+            .as("n_matched"),
+          sum(when(abs(col("diff")) > lit("0.01").cast("decimal(18,2)"), 1L).otherwise(0L))
+            .as("n_mismatched"),
+          max(abs(col("diff"))).cast("double").as("max_abs_diff"),
+          sum(abs(col("diff"))).cast("double").as("total_abs_diff"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey,
+                 CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2))
+                   AS computed
+          FROM lineitem GROUP BY 1),
+        d AS (
+          SELECT o_orderkey,
+                 COALESCE(computed, CAST(0 AS DECIMAL(18,2)))
+                   - CAST(o_totalprice AS DECIMAL(18,2)) AS diff
+          FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN ABS(diff) <= 0.01 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN ABS(diff) > 0.01 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_mismatched,
+               CAST(MAX(ABS(diff)) AS DOUBLE) AS max_abs_diff,
+               CAST(SUM(ABS(diff)) AS DOUBLE) AS total_abs_diff
+        FROM d""")),
+
+    // Share-of-parent: each nation's revenue share within its region —
+    // the hierarchical percent-of-total report; totals join back on the
+    // bounded region grain.
+    "q8o_share_of_region" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        val rev = li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,6)"))
+            .cast("decimal(18,2)").as("rev"))
+        val tot = rev.groupBy(col("r_name")).agg(sum(col("rev")).as("rtot"))
+        rev.join(broadcast(tot), Seq("r_name"))
+          .select(col("r_name"), col("n_name"),
+            col("rev").cast("double").as("revenue"),
+            col("rtot").cast("double").as("region_revenue"),
+            round(col("rev").cast("double") / col("rtot").cast("double"), 6)
+              .as("share"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT r_name, n_name,
+                 CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS rev
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2),
+        tot AS (SELECT r_name, SUM(rev) AS rtot FROM rev GROUP BY 1)
+        SELECT rev.r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+               CAST(rtot AS DOUBLE) AS region_revenue,
+               ROUND(CAST(rev AS DOUBLE) / CAST(rtot AS DOUBLE), 6) AS share
+        FROM rev JOIN tot ON rev.r_name = tot.r_name
+        ORDER BY rev.r_name, n_name"""))
   )
 }
