@@ -1245,6 +1245,70 @@ object AnalyticsQueries {
                CAST(rtot AS DOUBLE) AS region_revenue,
                ROUND(CAST(rev AS DOUBLE) / CAST(rtot AS DOUBLE), 6) AS share
         FROM rev JOIN tot ON rev.r_name = tot.r_name
-        ORDER BY rev.r_name, n_name"""))
+        ORDER BY rev.r_name, n_name""")),
+
+    // Dataset content fingerprint — the dataset-versioning primitive: each
+    // row canonicalizes to a pipe-joined string (floats through DECIMAL
+    // images — raw float formatting is not replayable, rule 10), hashes to
+    // a 32-bit md5 prefix integer (the proven hex-parse recipe), and the
+    // order-FREE exact DECIMAL sum of row hashes is the table fingerprint.
+    // Equal fingerprints across runs/versions ⇒ byte-identical content,
+    // any row change moves the sum.
+    "q8p_dataset_fingerprint" -> Q(
+      fn = (s, dir) => {
+        def fp(df: DataFrame, name: String, key: org.apache.spark.sql.Column) =
+          df.select(conv(substring(md5(key), 1, 8), 16, 10)
+              .cast("long").as("__h"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("__h").cast("decimal(38,0)")).cast("string")
+                .as("fingerprint"))
+            .select(lit(name).as("table_name"), col("n_rows"),
+              col("fingerprint"))
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val e = ev(s, dir)
+        fp(o, "orders", concat_ws("|", col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_orderpriority"),
+            unix_millis(col("o_orderdate").cast("timestamp"))))
+          .unionByName(fp(c, "customer", concat_ws("|", col("c_custkey"),
+            col("c_name"), col("c_nationkey"),
+            col("c_acctbal").cast("decimal(18,2)").cast("string"),
+            col("c_mktsegment"))))
+          .unionByName(fp(e, "events", concat_ws("|", col("event_id"),
+            col("ts_ms"), col("user_id"), col("event_type"),
+            coalesce(col("value").cast("decimal(18,2)").cast("string"),
+              lit("null")))))
+          .orderBy(col("table_name"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CAST('0x' || substring(md5(concat_ws('|', o_orderkey,
+                   o_custkey, o_orderstatus, o_orderpriority,
+                   epoch_ms(o_orderdate))), 1, 8) AS BIGINT) AS h
+          FROM orders),
+        c AS (
+          SELECT CAST('0x' || substring(md5(concat_ws('|', c_custkey, c_name,
+                   c_nationkey, CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                     AS VARCHAR), c_mktsegment)), 1, 8) AS BIGINT) AS h
+          FROM customer),
+        e AS (
+          SELECT CAST('0x' || substring(md5(concat_ws('|', event_id,
+                   epoch_ms(ts), user_id, event_type,
+                   COALESCE(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+                     'null'))), 1, 8) AS BIGINT) AS h
+          FROM events)
+        SELECT * FROM (
+          SELECT 'customer' AS table_name,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_rows,
+                 (SELECT CAST(SUM(h) AS VARCHAR) FROM c) AS fingerprint
+          UNION ALL
+          SELECT 'events',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM e),
+                 (SELECT CAST(SUM(h) AS VARCHAR) FROM e)
+          UNION ALL
+          SELECT 'orders',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM o),
+                 (SELECT CAST(SUM(h) AS VARCHAR) FROM o))
+        ORDER BY table_name"""))
   )
 }

@@ -72,4 +72,30 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(replay == batch)
     assert(merged.n == 300L)
   }
+
+  test("foreachBatch image stream equals the batch report over the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = (1 to 240).map(i => (if (i % 11 == 0) null else s"v$i", i % 7))
+    val checks = Seq(
+      "s_not_null" -> col("s").isNotNull,
+      "k_small" -> (col("k") < 4))
+    var acc: Option[Expectations.RowCheckImage] = None
+    val input = MemoryStream[(String, Int)]
+    val query = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Int)], _: Long) =>
+        val img = Expectations.rowCheckImage(batch.toDF("s", "k"), checks)
+        acc = Some(acc.fold(img)(_ merge img))
+      }
+      .start()
+    try {
+      rows.grouped(70).foreach { c => input.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+    val streamed = Expectations.imageToReport(spark, acc.get).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val batch = Expectations.rowChecks(rows.toDF("s", "k"), checks).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(streamed == batch)
+  }
 }
