@@ -46,7 +46,7 @@ object SkewJoin {
     val clash = (skewed.columns ++ other.columns).filter(reserved.contains)
     require(clash.isEmpty,
       s"input columns collide with salted-join internals: ${clash.distinct.mkString(", ")}")
-    val skewedCols = skewed.columns
+    val skewedCols = skewed.columns.toIndexedSeq
     // the salt hashes only HASHABLE columns — xxhash64 rejects MapType at
     // analysis (map equality is undefined); skipping maps keeps the salt
     // deterministic, it just can't draw spread from map-only differences

@@ -1037,7 +1037,7 @@ object AnalyticsQueries {
             .cast("double") / lit(n.toDouble), 9).as("c"))
           .orderBy(col("i"))
           .collect().map(_.getDouble(1))
-        val centLit = array(cent.map(v => lit(v)): _*)
+        val centLit = array(cent.toIndexedSeq.map(v => lit(v)): _*)
         val scored = e.select(
           graft.functions.VectorFunctions.l2Norm(col("embedding")).as("nrm"),
           round(graft.functions.VectorFunctions.cosine(col("embedding"), centLit), 6)
