@@ -162,8 +162,17 @@ object ScaleOps {
     val sortAll = groupCols.map(col) ++ innerSort
     val part = rangeWithPid(df, sortAll, numPartitions)
     val sumType: DataType = part.select(sum(valueCol).as("__s")).schema.head.dataType
-    val img = part.groupBy((col("__pid") +: groupCols.map(col)): _*)
-      .agg(sum(valueCol).as("__s")).collect()
+    val imgDf = part.groupBy((col("__pid") +: groupCols.map(col)): _*)
+      .agg(sum(valueCol).as("__s"))
+    // the image is one row per (partition, group-slice): right for FEW huge
+    // groups (the regime that kills Window.partitionBy(group)); with MANY
+    // small groups use the plain per-group window instead — no group is big
+    // enough to skew, and this driver image would approach the group count.
+    val imgRows = imgDf.count()
+    require(imgRows <= 1000000L,
+      s"offset image has $imgRows rows — group cardinality is high, so " +
+        "per-group windows are already skew-free; use those instead")
+    val img = imgDf.collect()
     // exclusive prefix per group across partitions, pid-ascending
     val byGroup = img.map { r =>
       val gk = groupCols.indices.map(i => r.get(i + 1))
