@@ -1309,6 +1309,106 @@ object AnalyticsQueries {
           SELECT 'orders',
                  (SELECT CAST(COUNT(*) AS BIGINT) FROM o),
                  (SELECT CAST(SUM(h) AS VARCHAR) FROM o))
-        ORDER BY table_name"""))
+        ORDER BY table_name""")),
+
+    // IOC extraction — the observable harvest of the reference's
+    // security-incident domain (TheHive observables): IPv4 / CVE / hash
+    // indicators pulled from document text by anchored regex and rolled
+    // up per indicator. The fixture corpus carries no IOCs, so both
+    // engines derive the same structure deterministically (the q3u
+    // vacuity rule): indicators are appended from doc_id arithmetic.
+    "q8q_ioc_extraction" -> Q(
+      fn = (s, dir) => {
+        val enriched = Tables(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" src=10.0."), (col("doc_id") % 50).cast("string"), lit(".1"),
+            lit(" threat=CVE-2024-"),
+            lpad((col("doc_id") % 30).cast("string"), 4, "0"),
+            lit(" hash="), substring(md5(col("doc_id").cast("string")), 1, 16))
+            .as("t"))
+        val iocs = Seq(
+          ("ipv4", "src=([0-9.]+)"),
+          ("cve", "threat=(CVE-[0-9-]+)"),
+          ("hash", "hash=([0-9a-f]{16})"))
+        iocs.map { case (kind, pat) =>
+          enriched.select(col("doc_id"), lit(kind).as("ioc_type"),
+            regexp_extract(col("t"), pat, 1).as("ioc_value"))
+        }.reduce(_ unionByName _)
+          .filter(col("ioc_value") =!= "")
+          .groupBy(col("ioc_type"), col("ioc_value"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("ioc_type"), col("ioc_value"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 text || ' src=10.0.' || CAST(doc_id % 50 AS VARCHAR) || '.1'
+                   || ' threat=CVE-2024-'
+                   || lpad(CAST(doc_id % 30 AS VARCHAR), 4, '0')
+                   || ' hash=' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                   AS t
+          FROM documents),
+        x AS (
+          SELECT doc_id, 'ipv4' AS ioc_type,
+                 regexp_extract(t, 'src=([0-9.]+)', 1) AS ioc_value FROM d
+          UNION ALL
+          SELECT doc_id, 'cve', regexp_extract(t, 'threat=(CVE-[0-9-]+)', 1)
+          FROM d
+          UNION ALL
+          SELECT doc_id, 'hash', regexp_extract(t, 'hash=([0-9a-f]{16})', 1)
+          FROM d)
+        SELECT ioc_type, ioc_value, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                 AS n_docs
+        FROM x WHERE ioc_value <> ''
+        GROUP BY 1, 2 ORDER BY ioc_type, ioc_value""")),
+
+    // Shared-IOC document linking: documents co-mentioning ≥ 2 distinct
+    // indicators become correlation edges — the observable-correlation
+    // join of an incident-response pipeline. The self-join shuffles
+    // (indicator → doc pair) only; edges keyed and counted exactly.
+    "q8r_ioc_colink" -> Q(
+      fn = (s, dir) => {
+        val enriched = Tables(s, dir, "documents").select(col("doc_id"),
+          concat(lit("src=10.0."), (col("doc_id") % 50).cast("string"),
+            lit(".1 threat=CVE-2024-"),
+            lpad((col("doc_id") % 30).cast("string"), 4, "0")).as("t"))
+        val iocs = Seq(("ipv4", "src=([0-9.]+)"), ("cve", "threat=(CVE-[0-9-]+)"))
+          .map { case (kind, pat) =>
+            enriched.select(col("doc_id"), lit(kind).as("ioc_type"),
+              regexp_extract(col("t"), pat, 1).as("ioc_value"))
+          }.reduce(_ unionByName _)
+          .filter(col("ioc_value") =!= "").distinct()
+        val a = iocs.select(col("ioc_type"), col("ioc_value"),
+          col("doc_id").as("doc_a"))
+        val b = iocs.select(col("ioc_type"), col("ioc_value"),
+          col("doc_id").as("doc_b"))
+        a.join(b, Seq("ioc_type", "ioc_value"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("shared_iocs"))
+          .filter(col("shared_iocs") >= 2)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 'src=10.0.' || CAST(doc_id % 50 AS VARCHAR) || '.1'
+                   || ' threat=CVE-2024-'
+                   || lpad(CAST(doc_id % 30 AS VARCHAR), 4, '0') AS t
+          FROM documents),
+        x AS (
+          SELECT DISTINCT doc_id, ioc_type, ioc_value FROM (
+            SELECT doc_id, 'ipv4' AS ioc_type,
+                   regexp_extract(t, 'src=([0-9.]+)', 1) AS ioc_value FROM d
+            UNION ALL
+            SELECT doc_id, 'cve', regexp_extract(t, 'threat=(CVE-[0-9-]+)', 1)
+            FROM d)
+          WHERE ioc_value <> '')
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_iocs
+        FROM x a JOIN x b ON a.ioc_type = b.ioc_type
+          AND a.ioc_value = b.ioc_value AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ORDER BY doc_a, doc_b"""))
   )
 }
