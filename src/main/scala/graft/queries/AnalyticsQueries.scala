@@ -1409,6 +1409,42 @@ object AnalyticsQueries {
         FROM x a JOIN x b ON a.ioc_type = b.ioc_type
           AND a.ioc_value = b.ioc_value AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // Golden-record survivorship (MDM merge): per entity, each field
+    // keeps its LATEST NON-NULL value independently — null-field rows
+    // become null structs so the max aggregate skips them, and the
+    // (ts, event_id) prefix makes the lexicographic struct max the
+    // deterministic recency winner. One map-side-combinable aggregate.
+    "q8s_golden_record" -> Q(
+      fn = (s, dir) => {
+        def latest(c: org.apache.spark.sql.Column, out: String) =
+          max(when(c.isNotNull,
+            struct(col("ts_ms").as("t"), col("event_id").as("e"), c.as("v"))))
+            .getField("v").as(out)
+        ev(s, dir).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), max(col("ts_ms")).as("last_seen"),
+            latest(col("value"), "last_value"),
+            latest(col("event_type"), "last_type"),
+            latest(col("props"), "last_props"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS t, value, event_type,
+                 props
+          FROM events)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(t) AS last_seen,
+               MAX(CASE WHEN value IS NOT NULL
+                   THEN {'t': t, 'e': event_id, 'v': value} END)['v']
+                 AS last_value,
+               MAX(CASE WHEN event_type IS NOT NULL
+                   THEN {'t': t, 'e': event_id, 'v': event_type} END)['v']
+                 AS last_type,
+               MAX(CASE WHEN props IS NOT NULL
+                   THEN {'t': t, 'e': event_id, 'v': props} END)['v']
+                 AS last_props
+        FROM e GROUP BY user_id ORDER BY user_id"""))
   )
 }
