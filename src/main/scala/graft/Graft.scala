@@ -48,6 +48,15 @@ object Graft {
       org.apache.spark.sql.functions.udf((bytes: Array[Byte], dim: Int) =>
         if (bytes == null) null
         else graft.multimodal.Multimodal.decodeFeatures(bytes, dim)))
+    // production-truthful eTLD+1 over the bundled full Mozilla snapshot
+    spark.udf.register("registered_domain",
+      org.apache.spark.sql.functions.udf((host: String) =>
+        Option(graft.functions.PublicSuffixList
+          .registeredDomainOf(host, graft.functions.PublicSuffixList.snapshot))))
+    // image near-dup keys: (dHash64, aHash64) over the decoded luma grid
+    spark.udf.register("perceptual_hashes",
+      org.apache.spark.sql.functions.udf((bytes: Array[Byte]) =>
+        if (bytes == null) None else graft.multimodal.PerceptualHash.hashes(bytes)))
     spark
   }
 

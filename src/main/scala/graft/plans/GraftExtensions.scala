@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, L2SquaredDistance, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDesc)
     ext.injectFunction(GraftExtensions.dotDesc)
+    ext.injectFunction(GraftExtensions.l2Desc)
+    ext.injectFunction(GraftExtensions.intersectDesc)
   }
 }
 
@@ -47,6 +49,18 @@ object GraftExtensions {
       "dot_product(a, b) - dot product of two numeric-array vectors (double)"),
     (args: Seq[Expression]) => DotProduct(asFloats(args(0)), asFloats(args(1))))
 
+  private[plans] val l2Desc: (FunctionIdentifier, ExpressionInfo, Builder) = (
+    FunctionIdentifier("l2_squared"),
+    info("l2_squared",
+      "l2_squared(a, b) - squared L2 distance of two numeric-array vectors (double)"),
+    (args: Seq[Expression]) => L2SquaredDistance(asFloats(args(0)), asFloats(args(1))))
+
+  private[plans] val intersectDesc: (FunctionIdentifier, ExpressionInfo, Builder) = (
+    FunctionIdentifier("sorted_intersect_count"),
+    info("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - |A ∩ B| of two SORTED DISTINCT BIGINT arrays"),
+    (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1)))
+
   /** Register on an already-built session (what Verify/Bench use). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -55,5 +69,11 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product",
       exprs => DotProduct(asFloats(exprs(0)), asFloats(exprs(1))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_squared",
+      exprs => L2SquaredDistance(asFloats(exprs(0)), asFloats(exprs(1))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -104,4 +104,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
       GROUP BY event_type ORDER BY event_type""").collect()
     assert(r.nonEmpty)
   }
+
+  test("l2_squared, sorted_intersect_count, registered_domain, perceptual_hashes from SQL") {
+    val l2 = spark.sql(
+      "SELECT l2_squared(array(1.0, 2.0), array(4.0, 6.0)) AS d")
+      .collect().head.getDouble(0)
+    assert(l2 == 25.0)
+    val n = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS n")
+      .collect().head.getLong(0)
+    assert(n == 2L)
+    val rd = spark.sql(
+      "SELECT registered_domain('a.b.example.co.uk') AS d").collect().head.getString(0)
+    assert(rd == "example.co.uk")
+    // a real PNG via the engine's own encoder-side fixture path is overkill
+    // here; undecodable bytes must yield NULL, not throw
+    val ph = spark.sql(
+      "SELECT perceptual_hashes(CAST('nonsense' AS BINARY)) AS h").collect().head
+    assert(ph.isNullAt(0))
+  }
 }
