@@ -1445,6 +1445,121 @@ object AnalyticsQueries {
                MAX(CASE WHEN props IS NOT NULL
                    THEN {'t': t, 'e': event_id, 'v': props} END)['v']
                  AS last_props
-        FROM e GROUP BY user_id ORDER BY user_id"""))
+        FROM e GROUP BY user_id ORDER BY user_id""")),
+
+    // Temperature-scaled source mixing (α = 0.5 via the proven-parity
+    // SQRT): per-source weights ∝ n^α, integer doc targets for a fixed
+    // budget by largest-remainder allocation — the multi-source corpus
+    // mixing recipe. Bounded source table; windows touch only it.
+    "q8t_temperature_mix" -> Q(
+      fn = (s, dir) => {
+        val budget = 10000L
+        val sizes = Tables(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val all = Window.partitionBy() // one row per source — bounded
+        val w = sqrt(col("n_docs").cast("double")) /
+          sum(sqrt(col("n_docs").cast("double"))).over(all)
+        val exact = lit(budget.toDouble) * w
+        val base = floor(exact).cast("long")
+        val rem = (lit(budget) - sum(base).over(all)).cast("long")
+        val rk = row_number().over(
+          Window.orderBy((exact - base).desc, col("source")))
+        sizes
+          .withColumn("weight", round(w, 6))
+          .withColumn("__base", base)
+          .withColumn("__rk", rk)
+          .withColumn("target_docs",
+            (col("__base") + when(col("__rk") <= rem, 1L).otherwise(0L))
+              .cast("long"))
+          .select(col("source"), col("n_docs"), col("weight"),
+            col("target_docs"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH sz AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1),
+        wts AS (
+          SELECT *,
+                 SQRT(CAST(n_docs AS DOUBLE))
+                   / SUM(SQRT(CAST(n_docs AS DOUBLE))) OVER () AS w
+          FROM sz),
+        a AS (
+          SELECT *, CAST(10000 AS DOUBLE) * w AS exact_t,
+                 CAST(FLOOR(CAST(10000 AS DOUBLE) * w) AS BIGINT) AS base
+          FROM wts),
+        r AS (
+          SELECT *, 10000 - SUM(base) OVER () AS rem,
+                 ROW_NUMBER() OVER (ORDER BY exact_t - base DESC, source) AS rk
+          FROM a)
+        SELECT source, n_docs, ROUND(w, 6) AS weight,
+               CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+                 AS target_docs
+        FROM r ORDER BY source""")),
+
+    // Cohen's kappa inter-rater agreement: the embeddings label vs a
+    // deterministically perturbed second rater (vec_id arithmetic — the
+    // q3u vacuity rule), observed vs chance agreement from one joint
+    // cell aggregate.
+    "q8u_cohens_kappa" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("label").cast("int").as("r1"),
+            when(col("vec_id") % 7 === 0, (col("label") + 1) % 3)
+              .otherwise(col("label")).cast("int").as("r2"))
+        val cells = e.groupBy(col("r1"), col("r2")).agg(count(lit(1)).as("n"))
+        val all = Window.partitionBy() // label-domain cells — bounded
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val tot = d(sum(col("n")).over(all))
+        val po = d(sum(when(col("r1") === col("r2"), col("n"))
+          .otherwise(0L)).over(all)) / tot
+        val p1 = d(sum(col("n")).over(Window.partitionBy(col("r1")))) / tot
+        val p2 = d(sum(col("n")).over(Window.partitionBy(col("r2")))) / tot
+        // pe = Σ_k p1(k)·p2(k): per-cell p1·p2 counted once per (k,k) pair
+        val diag = cells
+          .withColumn("__po", po)
+          .withColumn("__pe_term",
+            when(col("r1") === col("r2"), round(p1 * p2, 9)).otherwise(0.0))
+        diag.agg(
+          sum(col("n")).as("n_items"),
+          round(min(col("__po")), 6).as("p_observed"),
+          round(sum(col("__pe_term").cast("decimal(18,9)")).cast("double"), 6)
+            .as("p_expected"),
+          round((min(col("__po"))
+              - sum(col("__pe_term").cast("decimal(18,9)")).cast("double"))
+            / (lit(1.0)
+              - sum(col("__pe_term").cast("decimal(18,9)")).cast("double")), 6)
+            .as("kappa"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(label AS INT) AS r1,
+                 CAST(CASE WHEN vec_id % 7 = 0 THEN (label + 1) % 3
+                      ELSE label END AS INT) AS r2
+          FROM embeddings),
+        c AS (SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        w AS (
+          SELECT *,
+                 CAST(SUM(n) OVER () AS DOUBLE) AS tot,
+                 CAST(SUM(CASE WHEN r1 = r2 THEN n ELSE 0 END) OVER ()
+                   AS DOUBLE) AS agree,
+                 CAST(SUM(n) OVER (PARTITION BY r1) AS DOUBLE) AS n1,
+                 CAST(SUM(n) OVER (PARTITION BY r2) AS DOUBLE) AS n2
+          FROM c),
+        t AS (
+          SELECT n, agree / tot AS po,
+                 CASE WHEN r1 = r2 THEN ROUND((n1 / tot) * (n2 / tot), 9)
+                      ELSE CAST(0 AS DOUBLE) END AS pe_term
+          FROM w)
+        SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+               ROUND(MIN(po), 6) AS p_observed,
+               ROUND(CAST(SUM(CAST(pe_term AS DECIMAL(18,9))) AS DOUBLE), 6)
+                 AS p_expected,
+               ROUND((MIN(po)
+                   - CAST(SUM(CAST(pe_term AS DECIMAL(18,9))) AS DOUBLE))
+                 / (CAST(1 AS DOUBLE)
+                   - CAST(SUM(CAST(pe_term AS DECIMAL(18,9))) AS DOUBLE)), 6)
+                 AS kappa
+        FROM t"""))
   )
 }
