@@ -1560,6 +1560,111 @@ object AnalyticsQueries {
                  / (CAST(1 AS DOUBLE)
                    - CAST(SUM(CAST(pe_term AS DECIMAL(18,9))) AS DOUBLE)), 6)
                  AS kappa
-        FROM t"""))
+        FROM t""")),
+
+    // Quantile-transform feature scaling: percent rank of order value
+    // through the distributed global row number ((rn-1)/(n-1) with a
+    // unique tiebreak ≡ SQL PERCENT_RANK) — rank normalization that
+    // never plans a one-partition window.
+    "q8v_percent_rank" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val n = o.count()
+        graft.operators.ScaleOps.globalRowNumber(o,
+            Seq(col("o_totalprice"), col("o_orderkey")), "__rn")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            round((col("__rn") - 1).cast("double") / lit((n - 1).toDouble), 6)
+              .as("pr"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM orders)
+        SELECT o_orderkey, o_totalprice,
+               ROUND(CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS pr
+        FROM r ORDER BY o_orderkey""")),
+
+    // Deterministic subsample bootstrap: 20 half-sample replicates keyed
+    // by salted md5 draws (integer parity test — no float threshold), the
+    // replicate-mean RANGE as the dispersion envelope of the corpus mean.
+    // Replicate expansion is map-side combinable (20 aggregate cells).
+    "q8w_bootstrap_ci" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+        val full = o.agg(count(lit(1)).as("n_total"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mean_full"))
+        val reps = o
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"))
+          .withColumn("b", explode(sequence(lit(1), lit(20))))
+          .withColumn("__draw",
+            conv(substring(md5(concat_ws("|", col("o_orderkey"), col("b"))),
+              1, 8), 16, 10).cast("long"))
+          .filter(col("__draw") % 2 === 0)
+          .groupBy(col("b"))
+          .agg(round(sum(col("v")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("m"))
+        val env = reps.agg(min(col("m")).as("rep_mean_lo"),
+          max(col("m")).as("rep_mean_hi"),
+          count(lit(1)).as("n_replicates"))
+        full.crossJoin(env)
+          .select(col("n_total"), col("mean_full"), col("n_replicates"),
+            col("rep_mean_lo"), col("rep_mean_hi"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_full
+          FROM orders),
+        reps AS (
+          SELECT b, ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS m
+          FROM (
+            SELECT r.b, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                   CAST('0x' || substring(md5(concat_ws('|', o_orderkey, r.b)),
+                     1, 8) AS BIGINT) AS draw
+            FROM orders, range(1, 21) r(b))
+          WHERE draw % 2 = 0 GROUP BY b),
+        env AS (
+          SELECT MIN(m) AS rep_mean_lo, MAX(m) AS rep_mean_hi,
+                 CAST(COUNT(*) AS BIGINT) AS n_replicates
+          FROM reps)
+        SELECT n_total, mean_full, n_replicates, rep_mean_lo, rep_mean_hi
+        FROM f, env""")),
+
+    // Hourly trending top-3 event types: tumbling-window counts ranked
+    // within each hour — row_number ≤ k lowers to WindowGroupLimit, so
+    // per-hour state is bounded map-side.
+    "q8x_trending_topk" -> Q(
+      fn = (s, dir) => {
+        val hourly = ev(s, dir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_millis(col("w.start")).as("hour_start_ms"),
+            col("event_type"), col("n"))
+        val rk = Window.partitionBy(col("hour_start_ms"))
+          .orderBy(col("n").desc, col("event_type"))
+        hourly.withColumn("rank", row_number().over(rk).cast("int"))
+          .filter(col("rank") <= 3)
+          .orderBy(col("hour_start_ms"), col("rank"))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_start_ms,
+                 event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY hour_start_ms
+                   ORDER BY n DESC, event_type) AS INT) AS rank
+          FROM h)
+        SELECT hour_start_ms, event_type, n, rank
+        FROM r WHERE rank <= 3
+        ORDER BY hour_start_ms, rank"""))
   )
 }
