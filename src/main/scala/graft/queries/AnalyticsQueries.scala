@@ -1665,6 +1665,46 @@ object AnalyticsQueries {
           FROM h)
         SELECT hour_start_ms, event_type, n, rank
         FROM r WHERE rank <= 3
-        ORDER BY hour_start_ms, rank"""))
+        ORDER BY hour_start_ms, rank""")),
+
+    // Window-function gallery — the remaining ranking/navigation surface
+    // in one per-user pass: dense_rank, cume_dist, nth_value, lag with an
+    // explicit default. Unique (ts, event_id) ordering keeps every
+    // function tie-free and hash-exact.
+    "q8y_window_gallery" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_ms"),
+            col("event_type"))
+          .withColumn("seq", row_number().over(w).cast("int"))
+          .withColumn("type_rank", dense_rank().over(
+            Window.partitionBy(col("user_id")).orderBy(col("event_type")))
+            .cast("int"))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("second_type", nth_value(col("event_type"), 2).over(wf))
+          .withColumn("prev_type",
+            lag(col("event_type"), 1, "none").over(w))
+          .orderBy(col("user_id"), col("seq"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+          FROM events)
+        SELECT user_id, event_id, ts_ms, event_type,
+               CAST(ROW_NUMBER() OVER w AS INT) AS seq,
+               CAST(DENSE_RANK() OVER (PARTITION BY user_id
+                 ORDER BY event_type) AS INT) AS type_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cd,
+               NTH_VALUE(event_type, 2) OVER (PARTITION BY user_id
+                 ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS second_type,
+               COALESCE(LAG(event_type, 1) OVER w, 'none') AS prev_type
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        ORDER BY user_id, seq"""))
   )
 }
