@@ -1705,6 +1705,78 @@ object AnalyticsQueries {
                COALESCE(LAG(event_type, 1) OVER w, 'none') AS prev_type
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-        ORDER BY user_id, seq"""))
+        ORDER BY user_id, seq""")),
+
+    // ANN quality measurement as a first-class query: recall@5 of the
+    // LSH-bucketed search against the exact top-5, per-query hit counts
+    // rolled to mean/full/zero recall shares — the acceptance gate a
+    // recall-sensitive deployment runs before trusting the approximate
+    // path (RecallSpec's assertion, now oracle-replayed end to end).
+    "q8z_ann_recall" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+        val exact = VectorSearch.knnJoinViaAggregator(queries, corpus,
+          "q_id", "qv", "c_id", "cv", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = VectorSearch.lshBucketJoin(queries, corpus,
+          "q_id", "qv", "c_id", "cv", k = 5, nBits = 4)
+          .select(col("query_id").as("a_q"), col("neighbor_id").as("a_n"))
+        val hits = exact
+          .join(approx, exact("query_id") === approx("a_q")
+            && exact("neighbor_id") === approx("a_n"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+        val per = exact.select(col("query_id")).distinct()
+          .join(hits, Seq("query_id"), "left")
+          .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        per.agg(
+          count(lit(1)).as("n_queries"),
+          round(sum(col("hits")).cast("double")
+            / (count(lit(1)) * 5).cast("double"), 6).as("mean_recall"),
+          sum(when(col("hits") === 5L, 1L).otherwise(0L)).as("n_full"),
+          sum(when(col("hits") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      },
+      oracle = {
+        val bucketExpr = (0 until 4).map { b =>
+          val lit = VectorSearch.hyperplane(b, 64).mkString("[", ",", "]")
+          s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+        Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 100),
+        exact AS (
+          SELECT q_id, c_id FROM (
+            SELECT q.q_id, e.vec_id AS c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(e.v, q.qv) AS DOUBLE), 6)
+                       DESC, e.vec_id) AS rn
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+          WHERE rn <= 5),
+        b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+        qb AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 100),
+        approx AS (
+          SELECT q_id, c_id FROM (
+            SELECT qb.q_id, c.vec_id AS c_id,
+                   ROW_NUMBER() OVER (PARTITION BY qb.q_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(c.v, qb.qv) AS DOUBLE), 6)
+                       DESC, c.vec_id) AS rn
+            FROM b c JOIN qb ON c.bucket = qb.bucket AND c.vec_id <> qb.q_id)
+          WHERE rn <= 5),
+        h AS (
+          SELECT exact.q_id, CAST(COUNT(approx.c_id) AS BIGINT) AS hits
+          FROM exact LEFT JOIN approx
+            ON exact.q_id = approx.q_id AND exact.c_id = approx.c_id
+          GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               ROUND(CAST(SUM(hits) AS DOUBLE)
+                 / CAST(COUNT(*) * 5 AS DOUBLE), 6) AS mean_recall,
+               CAST(SUM(CASE WHEN hits = 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_full,
+               CAST(SUM(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zero
+        FROM h""")
+      })
   )
 }
