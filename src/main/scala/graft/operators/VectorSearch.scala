@@ -233,6 +233,38 @@ object VectorSearch {
       .select(col("vec_a"), col("vec_b"), col("score"))
   }
 
+  /** Mutual nearest neighbors at corpus scale: reciprocal top-1 over the
+    * LSH-bucketed candidate pairs (no broadcast of an unbounded query
+    * side — the scale-killer the brute-force mutual-NN of q81 accepts
+    * only at fixture scale). Each id's best candidate comes from a
+    * map-side-combinable max over the symmetric pair list (struct-max on
+    * (score, −other) — deterministic (score desc, other asc) winner, no
+    * per-id window), and a pair survives when each side is the other's
+    * best. Contract: "nearest" means nearest among LSH COLLISIONS —
+    * recall follows the (nBits, nTables) working point the recall specs
+    * gate; with saturating tables it converges to the exact reciprocal
+    * pairs (MutualNnSpec).
+    */
+  def mutualNearestLsh(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 2, dim: Int = 64, nTables: Int = 4,
+      scoreScale: Int = 6): DataFrame = {
+    val pairs = cosinePairsLsh(emb, idCol, vecCol, threshold = -1.0,
+      nBits, dim, nTables, scoreScale)
+    val sym = pairs.select(col("vec_a").as("id"), col("vec_b").as("other"),
+        col("score"))
+      .unionByName(pairs.select(col("vec_b").as("id"),
+        col("vec_a").as("other"), col("score")))
+    val best = sym.groupBy(col("id"))
+      .agg(max(struct(col("score"), (-col("other")).as("neg"),
+        col("other"))).as("w"))
+      .select(col("id"), col("w.other").as("best"), col("w.score").as("score"))
+    best.join(best.select(col("id").as("r_id"), col("best").as("r_best")),
+        col("best") === col("r_id") && col("id") === col("r_best"))
+      .filter(col("id") < col("best"))
+      .select(col("id").as("vec_a"), col("best").as("vec_b"), col("score"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * restrict near-duplicate detection to coarse-cluster cells (an
     * [[IvfIndex]] `assign` output), then inside each cell drop every vector

@@ -1777,6 +1777,31 @@ object AnalyticsQueries {
                CAST(SUM(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_zero
         FROM h""")
-      })
+      }),
+
+    // Mutual-NN through the SCALE path: reciprocal top-1 over LSH
+    // candidate pairs — no unbounded broadcast anywhere — run at a
+    // saturating table count so the result must equal the EXACT
+    // reciprocal pairs the q81 oracle computes. The approximate machinery
+    // is thus gated against the exact semantics, hash-for-hash.
+    "q90_mutual_nn_lsh" -> Q(
+      fn = (s, dir) =>
+        VectorSearch.mutualNearestLsh(t(s, dir, "embeddings"),
+            "vec_id", "embedding", nBits = 1, nTables = 16)
+          .orderBy(col("vec_a")),
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6) AS score
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        t AS (
+          SELECT qid, nid, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY score DESC, nid) AS rn FROM s)
+          WHERE rn = 1)
+        SELECT x.qid AS vec_a, x.nid AS vec_b, x.score
+        FROM t x JOIN t y ON x.qid = y.nid AND x.nid = y.qid
+        WHERE x.qid < x.nid ORDER BY vec_a"""))
   )
 }
