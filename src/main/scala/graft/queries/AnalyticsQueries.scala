@@ -1802,6 +1802,56 @@ object AnalyticsQueries {
           WHERE rn = 1)
         SELECT x.qid AS vec_a, x.nid AS vec_b, x.score
         FROM t x JOIN t y ON x.qid = y.nid AND x.nid = y.qid
-        WHERE x.qid < x.nid ORDER BY vec_a"""))
+        WHERE x.qid < x.nid ORDER BY vec_a""")),
+
+    // Corpus diversity (self-similarity audit): mean pairwise trigram
+    // Jaccard over a deterministic ~10% document sample (salted-hash
+    // pick), 1 − mean as the diversity score — the cheap
+    // repetitiveness probe run before training on a new source. Pairs
+    // ride the proven q24 machinery under one constant block.
+    "q91_corpus_diversity" -> Q(
+      fn = (s, dir) => {
+        val sampled = Tables(s, dir, "documents")
+          .filter(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("|div"))), 1, 8), 16, 10).cast("long") % 10 === 0)
+          .withColumn("__blk", lit(1))
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(sampled,
+          "doc_id", "text", blockCols = Seq("__blk"), n = 3)
+        val nDocs = sampled.count()
+        pairs.agg(
+          lit(nDocs).as("n_docs_sampled"),
+          count(lit(1)).as("n_pairs"),
+          round(sum(round(col("jaccard"), 9).cast("decimal(28,12)"))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_jaccard"))
+          .withColumn("diversity", round(lit(1.0) - col("mean_jaccard"), 6))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|div'),
+                  1, 8) AS BIGINT) % 10 = 0),
+        t AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [trim(text)] END) AS grams
+          FROM (SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM d WHERE len(regexp_replace(text, '\s', '', 'g')) > 0)),
+        p AS (
+          SELECT ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(list_distinct(a.grams || b.grams)), 9) AS j
+          FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        agg AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs_sampled,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 ROUND(CAST(SUM(CAST(j AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS mean_jaccard
+          FROM p)
+        SELECT n_docs_sampled, n_pairs, mean_jaccard,
+               ROUND(CAST(1 AS DOUBLE) - mean_jaccard, 6) AS diversity
+        FROM agg"""))
   )
 }
