@@ -1852,6 +1852,31 @@ object AnalyticsQueries {
           FROM p)
         SELECT n_docs_sampled, n_pairs, mean_jaccard,
                ROUND(CAST(1 AS DOUBLE) - mean_jaccard, 6) AS diversity
-        FROM agg"""))
+        FROM agg""")),
+
+    // Salted skew join, oracle-proven result-identical: the hot-key
+    // spreading machinery (8-way salt replication) must aggregate to
+    // exactly what the plain join produces — the DuckDB side IS the
+    // plain join, so hash equality proves salting never loses or
+    // duplicates a row.
+    "q92_salted_join" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("key"), col("l_quantity"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("key"), col("o_orderstatus"))
+        graft.operators.SkewJoin.saltedEquiJoin(li, o, "key", nSalts = 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("total_qty"))
+          .orderBy(col("o_orderstatus"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
