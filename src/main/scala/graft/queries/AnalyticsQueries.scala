@@ -7,11 +7,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-7 analytics families (SURVEY.md §2.12 north star): RFM / ABC
-  * segmentation on the distributed global-rank primitives, WOE-IV and
-  * target encoding, gaps-and-islands coverage, sequential trigram mining,
-  * mutual-nearest-neighbor matching, and the declarative data-quality
-  * expectations suite. All hash-exact against DuckDB oracles.
+/** Round-7 analytics families (SURVEY.md §2.12 north star), q7v–q92:
+  * segmentation and ranking on the distributed global-rank primitives
+  * (RFM, ABC, weighted quantiles, lift table, percent rank, Zipf),
+  * feature encoding (WOE-IV, target encoding), interval analytics
+  * (islands, coverage), sequence/text mining (trigrams, PMI, Heaps,
+  * diversity), matching (mutual-NN exact + LSH scale path,
+  * sorted-neighborhood blocking), data quality (expectations suite,
+  * reconciliation, fingerprint, golden record), statistics (correlation
+  * matrix, mutual information, kappa, bootstrap envelope,
+  * cross-correlation, residual anomalies), pipeline ops (incremental
+  * aggregates, temperature mixing, IOC extraction/correlation), and
+  * relational-surface completions (pivot, cube, window gallery, salted
+  * join equivalence). All hash-exact against DuckDB oracles at
+  * sf0.001/0.01/0.1.
   */
 object AnalyticsQueries {
 
