@@ -521,6 +521,31 @@ object Stats {
         round(d("__sy") / n - (cov / varx) * (d("__sx") / n), 6)).as("intercept"))
   }
 
+  /** One-row semi-log OLS fit (slope/intercept of ln y on RAW x) — the
+    * exponential-decay estimator (retention half-life, failure rates).
+    * Same order-free DECIMAL discipline as [[loglogFit]]; rows with
+    * y ≤ 0 or null x are dropped.
+    */
+  def semiLogFit(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val lx = round(xCol.cast("double"), 9)
+    val ly = round(log(yCol.cast("double")), 9)
+    val base = df.filter(yCol > 0 && xCol.isNotNull)
+      .select(lx.as("__x"), ly.as("__y"))
+    def dec(c: Column) = sum(c.cast("decimal(28,12)"))
+    val agg = base.agg(count(lit(1)).as("n_points"),
+      dec(col("__x")).as("__sx"), dec(col("__y")).as("__sy"),
+      dec(round(col("__x") * col("__y"), 9)).as("__sxy"),
+      dec(round(col("__x") * col("__x"), 9)).as("__sxx"))
+    val n = col("n_points").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val varx = d("__sxx") / n - (d("__sx") / n) * (d("__sx") / n)
+    val cov = d("__sxy") / n - (d("__sx") / n) * (d("__sy") / n)
+    agg.select(col("n_points"),
+      when(varx > 0, round(cov / varx, 6)).as("slope"),
+      when(varx > 0,
+        round(d("__sy") / n - (cov / varx) * (d("__sx") / n), 6)).as("intercept"))
+  }
+
   /** Exact weighted quantiles per group: the smallest value whose
     * cumulative weight reaches q/1000 of the group total, one output
     * column per requested per-mille point. The ordered scan rides

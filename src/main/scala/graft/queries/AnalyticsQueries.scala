@@ -1886,6 +1886,138 @@ object AnalyticsQueries {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                  AS total_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Retention decay fit: observable-window-corrected retention rate per
+    // day offset, exponential decay rate from the semi-log fit, half-life
+    // in days — the summary number cohort curves exist to produce.
+    "q93_retention_decay" -> Q(
+      fn = (s, dir) => {
+        val du = ev(s, dir)
+          .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+          .distinct()
+        val cohort = du.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+        val maxd = du.agg(max(col("day")).as("maxd"))
+        val ret = du.join(cohort, Seq("user_id"))
+          .groupBy((col("day") - col("cohort")).as("day_offset"))
+          .agg(count(lit(1)).as("n_retained"))
+        val elig = cohort.crossJoin(broadcast(maxd))
+          .join(broadcast(ret.select(col("day_offset"))),
+            col("cohort") <= col("maxd") - col("day_offset"))
+          .groupBy(col("day_offset")).agg(count(lit(1)).as("n_eligible"))
+        val curve = ret.join(elig, Seq("day_offset"))
+          .withColumn("rate", round(col("n_retained").cast("double")
+            / col("n_eligible").cast("double"), 6))
+        val fit = Stats.semiLogFit(curve.filter(col("day_offset") >= 1),
+            col("day_offset"), col("rate"))
+          .select(col("slope").as("decay_rate"),
+            when(col("slope") < 0,
+              round(log(lit(2.0)) / -col("slope"), 6)).as("half_life_days"))
+        curve.crossJoin(broadcast(fit))
+          .select(col("day_offset"), col("n_retained"), col("n_eligible"),
+            col("rate"), col("decay_rate"), col("half_life_days"))
+          .orderBy(col("day_offset"))
+      },
+      oracle = Some("""
+        WITH du AS (
+          SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        c AS (SELECT user_id, MIN(day) AS cohort FROM du GROUP BY 1),
+        m AS (SELECT MAX(day) AS maxd FROM du),
+        ret AS (
+          SELECT du.day - c.cohort AS day_offset,
+                 CAST(COUNT(*) AS BIGINT) AS n_retained
+          FROM du JOIN c USING (user_id) GROUP BY 1),
+        elig AS (
+          SELECT r.day_offset, CAST(COUNT(*) AS BIGINT) AS n_eligible
+          FROM (SELECT DISTINCT day_offset FROM ret) r, c, m
+          WHERE c.cohort <= m.maxd - r.day_offset
+          GROUP BY 1),
+        curve AS (
+          SELECT ret.day_offset, n_retained, n_eligible,
+                 ROUND(CAST(n_retained AS DOUBLE)
+                   / CAST(n_eligible AS DOUBLE), 6) AS rate
+          FROM ret JOIN elig USING (day_offset)),
+        pts AS (
+          SELECT ROUND(CAST(day_offset AS DOUBLE), 9) AS x,
+                 ROUND(LN(rate), 9) AS y
+          FROM curve WHERE day_offset >= 1 AND rate > 0),
+        f AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                 CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                   AS sxy,
+                 CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                   AS sxx
+          FROM pts),
+        fit AS (
+          SELECT CASE WHEN (sxx/nd - (sx/nd)*(sx/nd)) > 0
+                      THEN ROUND((sxy/nd - (sx/nd)*(sy/nd))
+                        / (sxx/nd - (sx/nd)*(sx/nd)), 6) END AS decay_rate
+          FROM f)
+        SELECT day_offset, n_retained, n_eligible, rate,
+               (SELECT decay_rate FROM fit) AS decay_rate,
+               (SELECT CASE WHEN decay_rate < 0
+                       THEN ROUND(LN(CAST(2 AS DOUBLE)) / -decay_rate, 6) END
+                FROM fit) AS half_life_days
+        FROM curve ORDER BY day_offset""")),
+
+    // Partial correlation: price-discount association with quantity
+    // controlled out, composed from the 6-rounded pairwise r's (both
+    // engines start from identical rounded inputs, so the closed-form
+    // partial is bit-identical).
+    "q94_partial_correlation" -> Q(
+      fn = (s, dir) => {
+        val m = Stats.correlationMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        def r(a: String, b: String) =
+          max(when(col("col_a") === a && col("col_b") === b, col("r")))
+        val one = m.agg(
+          r("l_quantity", "l_extendedprice").as("r_qp"),
+          r("l_quantity", "l_discount").as("r_qd"),
+          r("l_extendedprice", "l_discount").as("r_pd"))
+        one.select(col("r_qp"), col("r_qd"), col("r_pd"),
+          round((col("r_pd") - col("r_qp") * col("r_qd"))
+            / sqrt((lit(1.0) - col("r_qp") * col("r_qp"))
+              * (lit(1.0) - col("r_qd") * col("r_qd"))), 6)
+            .as("r_pd_given_q"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS c1,
+                 CAST(l_extendedprice AS DOUBLE) AS c2,
+                 CAST(l_discount AS DOUBLE) AS c3
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL),
+        a AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                 CAST(SUM(CAST(ROUND(c1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(ROUND(c1*c1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS e1,
+                 CAST(SUM(CAST(ROUND(c2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+                 CAST(SUM(CAST(ROUND(c2*c2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS e2,
+                 CAST(SUM(CAST(ROUND(c3, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+                 CAST(SUM(CAST(ROUND(c3*c3, 6) AS DECIMAL(38,6))) AS DOUBLE) AS e3,
+                 CAST(SUM(CAST(ROUND(c1*c2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS p12,
+                 CAST(SUM(CAST(ROUND(c1*c3, 6) AS DECIMAL(38,6))) AS DOUBLE) AS p13,
+                 CAST(SUM(CAST(ROUND(c2*c3, 6) AS DECIMAL(38,6))) AS DOUBLE) AS p23
+          FROM b),
+        rr AS (
+          SELECT
+            ROUND((p12/nd - (s1/nd)*(s2/nd))
+              / SQRT((e1/nd - (s1/nd)*(s1/nd)) * (e2/nd - (s2/nd)*(s2/nd))), 6)
+              AS r_qp,
+            ROUND((p13/nd - (s1/nd)*(s3/nd))
+              / SQRT((e1/nd - (s1/nd)*(s1/nd)) * (e3/nd - (s3/nd)*(s3/nd))), 6)
+              AS r_qd,
+            ROUND((p23/nd - (s2/nd)*(s3/nd))
+              / SQRT((e2/nd - (s2/nd)*(s2/nd)) * (e3/nd - (s3/nd)*(s3/nd))), 6)
+              AS r_pd
+          FROM a)
+        SELECT r_qp, r_qd, r_pd,
+               ROUND((r_pd - r_qp * r_qd)
+                 / SQRT((CAST(1 AS DOUBLE) - r_qp * r_qp)
+                      * (CAST(1 AS DOUBLE) - r_qd * r_qd)), 6) AS r_pd_given_q
+        FROM rr"""))
   )
 }

@@ -265,4 +265,18 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.loglogFit(withZero, col("x"), col("y"))
       .collect()(0).getAs[Long]("n_points") == 200L)
   }
+
+  test("semiLogFit recovers a known exponential decay rate") {
+    import spark.implicits._
+    // y = 0.9 * exp(-0.35 x)
+    val df = (1 to 60).map(i => (i.toDouble, 0.9 * math.exp(-0.35 * i)))
+      .toDF("x", "y")
+    val r = Stats.semiLogFit(df, col("x"), col("y")).collect()(0)
+    assert(math.abs(r.getAs[Double]("slope") - (-0.35)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(0.9)) < 1e-3)
+    // zero/negative y rows are dropped, not ln-poled
+    val dirty = df.union(Seq((99.0, 0.0), (100.0, -1.0)).toDF("x", "y"))
+    assert(Stats.semiLogFit(dirty, col("x"), col("y"))
+      .collect()(0).getAs[Long]("n_points") == 60L)
+  }
 }
