@@ -2018,6 +2018,57 @@ object AnalyticsQueries {
                ROUND((r_pd - r_qp * r_qd)
                  / SQRT((CAST(1 AS DOUBLE) - r_qp * r_qp)
                       * (CAST(1 AS DOUBLE) - r_qd * r_qd)), 6) AS r_pd_given_q
-        FROM rr"""))
+        FROM rr""")),
+
+    // Process conformance (process-mining check): clicks require a PRIOR
+    // view, purchases a PRIOR click — events arriving before their
+    // required predecessor's first occurrence are violations. Per-user
+    // first-occurrence times from one min-aggregate; no ordered scan.
+    "q95_conformance" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        val firsts = e.groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "view", col("ts_ms"))).as("f_view"),
+          min(when(col("event_type") === "click", col("ts_ms"))).as("f_click"))
+        val checked = e.join(firsts, Seq("user_id"))
+          .withColumn("violates",
+            when(col("event_type") === "click",
+              col("f_view").isNull || col("f_view") > col("ts_ms"))
+            .when(col("event_type") === "purchase",
+              col("f_click").isNull || col("f_click") > col("ts_ms")))
+          .filter(col("event_type").isin("click", "purchase"))
+        checked.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("violates"), 1L).otherwise(0L)).as("n_violations"))
+          .withColumn("violation_rate",
+            round(col("n_violations").cast("double")
+              / col("n_events").cast("double"), 6))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        f AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts_ms END) AS f_view,
+                 MIN(CASE WHEN event_type = 'click' THEN ts_ms END) AS f_click
+          FROM e GROUP BY 1)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE
+                 WHEN event_type = 'click'
+                      AND (f_view IS NULL OR f_view > ts_ms) THEN 1
+                 WHEN event_type = 'purchase'
+                      AND (f_click IS NULL OR f_click > ts_ms) THEN 1
+                 ELSE 0 END) AS BIGINT) AS n_violations,
+               ROUND(CAST(SUM(CASE
+                 WHEN event_type = 'click'
+                      AND (f_view IS NULL OR f_view > ts_ms) THEN 1
+                 WHEN event_type = 'purchase'
+                      AND (f_click IS NULL OR f_click > ts_ms) THEN 1
+                 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                 AS violation_rate
+        FROM e JOIN f USING (user_id)
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
