@@ -2069,6 +2069,69 @@ object AnalyticsQueries {
                  AS violation_rate
         FROM e JOIN f USING (user_id)
         WHERE event_type IN ('click', 'purchase')
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Dataset-version profile diff: the q5f data card computed for two
+    // slices (the q8p fingerprint's companion — WHAT changed, not just
+    // THAT it changed): per-column row/null/distinct deltas and numeric
+    // range drift between the even- and odd-key halves.
+    "q96_profile_diff" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+        val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus",
+          "o_orderpriority")
+        def card(df: DataFrame, side: String) =
+          graft.operators.Profile.tableProfile(df, cols)
+            .select(col("column"), col("n").as(s"n_$side"),
+              col("n_null").as(s"null_$side"),
+              col("n_distinct").as(s"distinct_$side"),
+              col("min_num").as(s"min_$side"), col("max_num").as(s"max_$side"))
+        card(o.filter(col("o_orderkey") % 2 === 0), "a")
+          .join(card(o.filter(col("o_orderkey") % 2 =!= 0), "b"), Seq("column"))
+          .select(col("column"), col("n_a"), col("n_b"),
+            round(col("null_a").cast("double") / col("n_a").cast("double"), 6)
+              .as("null_rate_a"),
+            round(col("null_b").cast("double") / col("n_b").cast("double"), 6)
+              .as("null_rate_b"),
+            (col("distinct_b") - col("distinct_a")).as("d_distinct"),
+            round(col("min_b") - col("min_a"), 6).as("d_min_num"),
+            round(col("max_b") - col("max_a"), 6).as("d_max_num"))
+          .orderBy(col("column"))
+      },
+      oracle = Some {
+        def num(c: String, pred: String, side: String) = s"""
+          SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_$side,
+                 CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS null_$side,
+                 CAST(COUNT(DISTINCT $c) AS BIGINT) AS distinct_$side,
+                 CAST(MIN($c) AS DOUBLE) AS min_$side,
+                 CAST(MAX($c) AS DOUBLE) AS max_$side
+          FROM orders WHERE $pred"""
+        def str(c: String, pred: String, side: String) = s"""
+          SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_$side,
+                 CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS null_$side,
+                 CAST(COUNT(DISTINCT $c) AS BIGINT) AS distinct_$side,
+                 CAST(NULL AS DOUBLE) AS min_$side,
+                 CAST(NULL AS DOUBLE) AS max_$side
+          FROM orders WHERE $pred"""
+        def side(pred: String, s0: String) =
+          Seq(num("o_orderkey", pred, s0), num("o_totalprice", pred, s0),
+            str("o_orderstatus", pred, s0), str("o_orderpriority", pred, s0))
+            .mkString("(", " UNION ALL ", ")")
+        s"""
+        WITH a AS ${side("o_orderkey % 2 = 0", "a")},
+        b AS ${side("o_orderkey % 2 <> 0", "b")}
+        SELECT a."column", n_a, n_b,
+               ROUND(CAST(null_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+                 AS null_rate_a,
+               ROUND(CAST(null_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+                 AS null_rate_b,
+               CAST(distinct_b - distinct_a AS BIGINT) AS d_distinct,
+               ROUND(min_b - min_a, 6) AS d_min_num,
+               ROUND(max_b - max_a, 6) AS d_max_num
+        FROM a JOIN b ON a."column" = b."column"
+        ORDER BY a."column""""
+      })
   )
 }
