@@ -2132,6 +2132,50 @@ object AnalyticsQueries {
                ROUND(max_b - max_a, 6) AS d_max_num
         FROM a JOIN b ON a."column" = b."column"
         ORDER BY a."column""""
-      })
+      }),
+
+    // Quantile normalization across slices (batch-effect correction):
+    // each even-half order's value maps to the odd-half value at the
+    // proportional rank — two distributed global row numbers and one
+    // exact BIGINT rank-mapping join, no floats anywhere in the mapping.
+    "q97_quantile_normalization" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        val aSide = o.filter(col("o_orderkey") % 2 === 0)
+        val bSide = o.filter(col("o_orderkey") % 2 =!= 0)
+        val na = aSide.count()
+        val nb = bSide.count()
+        val ra = graft.operators.ScaleOps.globalRowNumber(aSide,
+          Seq(col("o_totalprice"), col("o_orderkey")), "__ra")
+        val rb = graft.operators.ScaleOps.globalRowNumber(
+          bSide.select(col("o_totalprice").as("norm_price"), col("o_orderkey")
+            .as("__bk")),
+          Seq(col("norm_price"), col("__bk")), "__rb")
+          .select(col("__rb"), col("norm_price"))
+        ra.withColumn("__target",
+            expr(s"(__ra - 1) * ${nb - 1} div ${na - 1} + 1"))
+          .join(rb, col("__target") === col("__rb"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("norm_price"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some("""
+        WITH a0 AS (
+          SELECT o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS ra,
+                 COUNT(*) OVER () AS na
+          FROM orders WHERE o_orderkey % 2 = 0),
+        b AS (
+          SELECT o_totalprice AS norm_price,
+                 ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rb,
+                 COUNT(*) OVER () AS nb
+          FROM orders WHERE o_orderkey % 2 <> 0),
+        a AS (
+          SELECT o_orderkey, o_totalprice,
+                 (ra - 1) * ((SELECT MAX(nb) FROM b) - 1) // (na - 1) + 1
+                   AS target
+          FROM a0)
+        SELECT o_orderkey, o_totalprice, norm_price
+        FROM a JOIN b ON a.target = b.rb
+        ORDER BY o_orderkey"""))
   )
 }
