@@ -2176,6 +2176,60 @@ object AnalyticsQueries {
           FROM a0)
         SELECT o_orderkey, o_totalprice, norm_price
         FROM a JOIN b ON a.target = b.rb
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // Time-decay multi-touch attribution: every click in the 7 days
+    // before a purchase earns weight 2^-days — EXACT dyadic doubles, so
+    // per-purchase totals are addition-order-free without DECIMAL; only
+    // the cross-purchase credit mean rides the 9-snap/DECIMAL rail.
+    // Channel is derived from the props payload (k mod 4, vacuity rule).
+    "q98_decay_attribution" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_ms").as("tc"),
+            (get_json_object(col("props"), "$.k").cast("long") % 4)
+              .as("channel"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms").as("tp"),
+            col("event_id").as("pid"))
+        val touches = purchases.join(clicks, Seq("user_id"))
+          .filter(col("tc") <= col("tp")
+            && col("tp") - col("tc") <= lit(7L * 86400000L))
+          .withColumn("d", expr("(tp - tc) div 86400000").cast("int"))
+          .withColumn("w", lit(1.0) / expr("shiftleft(1L, d)").cast("double"))
+        val tot = touches.groupBy(col("pid")).agg(sum(col("w")).as("totw"))
+        touches.join(tot, Seq("pid"))
+          .withColumn("share", round(col("w") / col("totw"), 9))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_touches"),
+            round(sum(col("share").cast("decimal(28,12)")).cast("double"), 6)
+              .as("credit"))
+          .orderBy(col("channel"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT user_id, epoch_ms(ts) AS tc,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+                   AS channel
+          FROM events WHERE event_type = 'click'),
+        p AS (
+          SELECT user_id, epoch_ms(ts) AS tp, event_id AS pid
+          FROM events WHERE event_type = 'purchase'),
+        t AS (
+          SELECT pid, channel,
+                 CAST(1 AS DOUBLE)
+                   / CAST(1 << CAST((tp - tc) // 86400000 AS INT) AS DOUBLE)
+                   AS w
+          FROM p JOIN c USING (user_id)
+          WHERE tc <= tp AND tp - tc <= 7 * 86400000),
+        tw AS (SELECT pid, SUM(w) AS totw FROM t GROUP BY 1),
+        sh AS (
+          SELECT channel, ROUND(w / totw, 9) AS share
+          FROM t JOIN tw USING (pid))
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+               ROUND(CAST(SUM(CAST(share AS DECIMAL(28,12))) AS DOUBLE), 6)
+                 AS credit
+        FROM sh GROUP BY 1 ORDER BY channel"""))
   )
 }
