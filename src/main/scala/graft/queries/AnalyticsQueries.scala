@@ -2230,6 +2230,72 @@ object AnalyticsQueries {
         SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
                ROUND(CAST(SUM(CAST(share AS DECIMAL(28,12))) AS DOUBLE), 6)
                  AS credit
-        FROM sh GROUP BY 1 ORDER BY channel"""))
+        FROM sh GROUP BY 1 ORDER BY channel""")),
+
+    // Executive summary: the cross-table north-star metrics in ONE long-
+    // format result — each metric a bounded scalar aggregate, unioned.
+    // The dashboard query a reference user runs first.
+    "q99_summary_dashboard" -> Q(
+      fn = (s, dir) => {
+        def metric(name: String, df: DataFrame) =
+          df.select(lit(name).as("metric"), col("value"))
+        val e = ev(s, dir)
+        val li = t(s, dir, "lineitem")
+        val docs = Tables(s, dir, "documents")
+        Seq(
+          metric("documents", docs.agg(count(lit(1)).cast("double").as("value"))),
+          metric("doc_tokens", docs.select(
+            size(TextAnalysis.tokens(col("text"))).as("n"))
+            .agg(sum(col("n")).cast("double").as("value"))),
+          metric("events", e.agg(count(lit(1)).cast("double").as("value"))),
+          metric("active_users", e.agg(countDistinct(col("user_id"))
+            .cast("double").as("value"))),
+          metric("purchase_rate", e.agg(round(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double"), 6).as("value"))),
+          metric("orders", t(s, dir, "orders")
+            .agg(count(lit(1)).cast("double").as("value"))),
+          metric("gross_revenue", li.agg(
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,6)")).cast("decimal(18,2)").cast("double")
+              .as("value"))),
+          metric("avg_order_lines", li.agg(round(
+            count(lit(1)).cast("double")
+              / countDistinct(col("l_orderkey")).cast("double"), 6)
+            .as("value"))))
+          .reduce(_ unionByName _)
+          .orderBy(col("metric"))
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT 'documents' AS metric,
+                 (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS value
+          UNION ALL
+          SELECT 'doc_tokens',
+                 (SELECT CAST(SUM(len(regexp_split_to_array(trim(text),
+                    '\s+'))) AS DOUBLE) FROM documents)
+          UNION ALL
+          SELECT 'events', (SELECT CAST(COUNT(*) AS DOUBLE) FROM events)
+          UNION ALL
+          SELECT 'active_users',
+                 (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) FROM events)
+          UNION ALL
+          SELECT 'purchase_rate',
+                 (SELECT ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE), 6) FROM events)
+          UNION ALL
+          SELECT 'orders', (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders)
+          UNION ALL
+          SELECT 'gross_revenue',
+                 (SELECT CAST(CAST(ROUND(SUM(CAST(l_extendedprice
+                      * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                    AS DECIMAL(18,2)) AS DOUBLE) FROM lineitem)
+          UNION ALL
+          SELECT 'avg_order_lines',
+                 (SELECT ROUND(CAST(COUNT(*) AS DOUBLE)
+                    / CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE), 6)
+                  FROM lineitem))
+        ORDER BY metric"""))
   )
 }
