@@ -2296,6 +2296,83 @@ object AnalyticsQueries {
                  (SELECT ROUND(CAST(COUNT(*) AS DOUBLE)
                     / CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE), 6)
                   FROM lineitem))
-        ORDER BY metric"""))
+        ORDER BY metric""")),
+
+    // Grouped anti-join rate: parts never sold, per brand — the
+    // assortment dead-stock report (two-phase distinct sold set, left
+    // anti against it, rates per bounded brand grain).
+    "q9a_dead_stock" -> Q(
+      fn = (s, dir) => {
+        val p = t(s, dir, "part")
+        val sold = t(s, dir, "lineitem").select(col("l_partkey")).distinct()
+        val dead = p.join(sold, p("p_partkey") === sold("l_partkey"),
+            "left_anti")
+          .groupBy(col("p_brand")).agg(count(lit(1)).as("n_dead"))
+        p.groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
+          .join(dead, Seq("p_brand"), "left")
+          .withColumn("n_dead", coalesce(col("n_dead"), lit(0L)))
+          .withColumn("dead_rate", round(col("n_dead").cast("double")
+            / col("n_parts").cast("double"), 6))
+          .orderBy(col("p_brand"))
+      },
+      oracle = Some("""
+        WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem),
+        d AS (
+          SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_dead
+          FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM sold)
+          GROUP BY 1),
+        a AS (
+          SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+          FROM part GROUP BY 1)
+        SELECT a.p_brand, n_parts,
+               CAST(COALESCE(n_dead, 0) AS BIGINT) AS n_dead,
+               ROUND(CAST(COALESCE(n_dead, 0) AS DOUBLE)
+                 / CAST(n_parts AS DOUBLE), 6) AS dead_rate
+        FROM a LEFT JOIN d ON a.p_brand = d.p_brand
+        ORDER BY a.p_brand""")),
+
+    // Order-size histogram: lines-per-order distribution — two cheap
+    // grouped aggregates, the fact-table shape profile.
+    "q9b_order_size_histogram" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+          .groupBy(col("n_lines")).agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_lines")),
+      oracle = Some("""
+        SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM lineitem GROUP BY 1)
+        GROUP BY 1 ORDER BY n_lines""")),
+
+    // Peak hour per event type: deterministic argmax over the bounded
+    // (type, hour) cell table via lexicographic struct-max — no window.
+    "q9c_peak_hour" -> Q(
+      fn = (s, dir) =>
+        ev(s, dir)
+          .withColumn("hod", (expr("ts_ms div 3600000") % 24).cast("int"))
+          .groupBy(col("event_type"), col("hod"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("event_type"))
+          .agg(max(struct(col("n"), (-col("hod")).as("neg"), col("hod")))
+            .as("w"), sum(col("n")).as("n_total"))
+          .select(col("event_type"), col("w.hod").as("peak_hour"),
+            col("w.n").as("peak_n"), col("n_total"),
+            round(col("w.n").cast("double") / col("n_total").cast("double"), 6)
+              .as("peak_share"))
+          .orderBy(col("event_type")),
+      oracle = Some("""
+        WITH c AS (
+          SELECT event_type,
+                 CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hod,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT event_type,
+               MAX({'n': n, 'neg': -hod, 'hod': hod})['hod'] AS peak_hour,
+               MAX({'n': n, 'neg': -hod, 'hod': hod})['n'] AS peak_n,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               ROUND(CAST(MAX({'n': n, 'neg': -hod, 'hod': hod})['n']
+                   AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS peak_share
+        FROM c GROUP BY event_type ORDER BY event_type"""))
   )
 }
