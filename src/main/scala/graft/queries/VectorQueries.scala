@@ -883,7 +883,35 @@ object VectorQueries {
           FROM ex JOIN v2 USING (pos) JOIN pc USING (vec_id)
           GROUP BY ex.vec_id)
         SELECT pc.vec_id, pc.coef, pc.norm_before, wa.norm_after
-        FROM pc JOIN wa USING (vec_id) ORDER BY pc.vec_id"""))
+        FROM pc JOIN wa USING (vec_id) ORDER BY pc.vec_id""")),
+
+    // Near-dup cluster size histogram: how duplication mass distributes —
+    // the q3l components rolled to (cluster size → cluster count), the
+    // shape number a dedup budget is planned from.
+    "q9d_cluster_size_histogram" -> Q(
+      fn = (s, dir) => {
+        val pairs = VectorSearch.cosinePairsLsh(emb(s, dir), "vec_id", "embedding",
+          threshold = 0.4, nBits = 2, nTables = 4)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        graft.operators.Dedup.connectedComponents(pairs)
+          .groupBy(col("component_id")).agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+          .orderBy(col("cluster_size"))
+      },
+      oracle = Some(s"""
+        ${lshPairsCtes(threshold = 0.4, nBits = 2, nTables = 4)},
+        edges AS (
+          SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+        reach(node, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+        cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+        sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+               FROM cc GROUP BY comp)
+        SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sz GROUP BY 1 ORDER BY cluster_size"""))
   )
 
   /** Shared oracle CTE chain for the power-iteration family (q5u, q5v):
