@@ -2373,6 +2373,78 @@ object AnalyticsQueries {
                CAST(SUM(n) AS BIGINT) AS n_total,
                ROUND(CAST(MAX({'n': n, 'neg': -hod, 'hod': hod})['n']
                    AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS peak_share
-        FROM c GROUP BY event_type ORDER BY event_type"""))
+        FROM c GROUP BY event_type ORDER BY event_type""")),
+
+    // Shipping-lag quantiles per priority: exact median/p90 of the
+    // ship-minus-order day gap through the grouped global running sum
+    // (unit weights — the weighted-quantile machinery doubles as the
+    // exact unweighted one). Negative lags are reported honestly — the
+    // synthetic fixture ships before ordering half the time.
+    "q9e_ship_lag" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val lag = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(col("o_orderpriority"),
+            ((unix_millis(col("l_shipdate").cast("timestamp"))
+              - unix_millis(col("o_orderdate").cast("timestamp")))
+              / lit(86400000L)).cast("long").as("lag_days"),
+            col("l_orderkey"), col("l_linenumber"),
+            lit(java.math.BigDecimal.ONE).cast("decimal(18,2)").as("w"))
+        Stats.weightedQuantiles(lag, Seq("o_orderpriority"),
+            col("lag_days"), col("w"), Seq(500, 900),
+            Seq(col("l_orderkey"), col("l_linenumber")))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some("""
+        WITH l AS (
+          SELECT o_orderpriority,
+                 CAST((epoch_ms(l_shipdate) - epoch_ms(o_orderdate))
+                   / 86400000 AS BIGINT) AS v,
+                 CAST(1 AS DECIMAL(18,2)) AS w, l_orderkey, l_linenumber
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        c AS (
+          SELECT *,
+                 SUM(w) OVER (PARTITION BY o_orderpriority
+                   ORDER BY v, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cumw,
+                 SUM(w) OVER (PARTITION BY o_orderpriority) AS totw
+          FROM l)
+        SELECT o_orderpriority,
+               MIN(CASE WHEN cumw * 1000 >= totw * 500 THEN v END) AS wq_500,
+               MIN(CASE WHEN cumw * 1000 >= totw * 900 THEN v END) AS wq_900
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // Year-over-year growth per calendar month: the bounded monthly
+    // revenue table self-joined at month − 12 (no global window), growth
+    // as one rounded division.
+    "q9f_yoy_growth" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .withColumn("ym", (year(col("o_orderdate")) * 12
+            + month(col("o_orderdate")) - 1).cast("long"))
+        val monthly = o.groupBy(col("ym"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        monthly
+          .join(monthly.select((col("ym") + 12).as("ym"),
+            col("rev").as("prev_rev")), Seq("ym"), "left")
+          .select(col("ym"), col("rev").cast("double").as("revenue"),
+            col("prev_rev").cast("double").as("revenue_prev_year"),
+            round(col("rev").cast("double") / col("prev_rev").cast("double")
+              - 1.0, 6).as("yoy_growth"))
+          .orderBy(col("ym"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT CAST(date_part('year', o_orderdate) * 12
+                   + date_part('month', o_orderdate) - 1 AS BIGINT) AS ym,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1)
+        SELECT a.ym, CAST(a.rev AS DOUBLE) AS revenue,
+               CAST(b.rev AS DOUBLE) AS revenue_prev_year,
+               ROUND(CAST(a.rev AS DOUBLE) / CAST(b.rev AS DOUBLE)
+                 - CAST(1 AS DOUBLE), 6) AS yoy_growth
+        FROM m a LEFT JOIN m b ON a.ym = b.ym + 12
+        ORDER BY a.ym"""))
   )
 }
