@@ -1,0 +1,332 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{NaiveBayesText, Regress}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 session-3 families: closed-form model fitting (multi-feature
+  * OLS by normal equations, exact decision stumps, isotonic calibration
+  * via the PAVA max-min closed form), rank statistics (Spearman ρ with
+  * average ranks, Kendall τ-b from exact pair counts), and a multinomial
+  * Naive Bayes text classifier trained and scored as pure relational
+  * algebra. Every query carries an exact DuckDB oracle under the
+  * CLAUDE.md parity rules (DECIMAL moment sums, ln/÷/sqrt-only float
+  * links, 9-decimal grid snaps, struct argmax).
+  */
+object SciQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val defs: Map[String, Q] = Map(
+
+    // Multi-feature OLS by the normal equations: o_totalprice regressed
+    // on (line count, total quantity) per order. One DECIMAL moment
+    // aggregate, Cramer's rule in fixed-shape doubles, R² algebraic from
+    // the same moments — no per-row residual pass anywhere.
+    "qa0_ols_regression" -> Q(
+      fn = (s, dir) => {
+        val feats = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("x1"), sum(col("l_quantity")).as("x2"))
+        val joined = t(s, dir, "orders")
+          .join(feats, col("o_orderkey") === col("l_orderkey"))
+        Regress.ols2(joined, col("o_totalprice"), col("x1"), col("x2"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS y,
+                 CAST(x1 AS DOUBLE) AS x1, CAST(x2 AS DOUBLE) AS x2
+          FROM orders JOIN (
+            SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x1,
+                   SUM(l_quantity) AS x2
+            FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey),
+        a AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(ROUND(x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(ROUND(x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+                 CAST(SUM(CAST(ROUND(x1*x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+                 CAST(SUM(CAST(ROUND(x1*x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+                 CAST(SUM(CAST(ROUND(x2*x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+                 CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(ROUND(x1*y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+                 CAST(SUM(CAST(ROUND(x2*y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2y,
+                 CAST(SUM(CAST(ROUND(y*y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+          FROM f),
+        d AS (
+          SELECT *,
+                 n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s12 - s11 * s2) AS det,
+                 sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+                   + s2 * (s1y * s12 - s11 * s2y) AS det0,
+                 n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s2y - s1y * s2) AS det1,
+                 n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+                   + sy * (s1 * s12 - s11 * s2) AS det2
+          FROM a),
+        b AS (
+          SELECT *, ROUND(det0 / det, 9) AS b0, ROUND(det1 / det, 9) AS b1,
+                 ROUND(det2 / det, 9) AS b2
+          FROM d),
+        e AS (
+          SELECT *,
+                 syy - CAST(2 AS DOUBLE) * (b0 * sy + b1 * s1y + b2 * s2y)
+                     + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22
+                        + CAST(2 AS DOUBLE) * b0 * b1 * s1
+                        + CAST(2 AS DOUBLE) * b0 * b2 * s2
+                        + CAST(2 AS DOUBLE) * b1 * b2 * s12) AS sse,
+                 syy - sy * sy / n AS sst
+          FROM b)
+        SELECT CAST(n AS BIGINT) AS n, ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1,
+               ROUND(b2, 6) AS b2,
+               ROUND(CAST(1 AS DOUBLE) - sse / sst, 6) AS r2
+        FROM e""")),
+
+    // Multinomial Naive Bayes language classifier: add-one smoothing,
+    // trained on doc_id % 5 <> 0, scored on the held-out fifth. The model
+    // IS the bounded (class, token) count table — broadcast into the
+    // scoring join; log terms ride DECIMAL(28,12) so token addition order
+    // cannot perturb bits.
+    "qa1_naive_bayes" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        NaiveBayesText.classify(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", "lang")
+          .orderBy(col("doc_id"))
+      },
+      headline = true,
+      oracle = Some("""
+        WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        ttok AS (
+          SELECT lang AS cls, tok FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS tok FROM train)
+          WHERE tok <> ''),
+        ct AS MATERIALIZED (
+          SELECT cls, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM ttok GROUP BY 1, 2),
+        tot AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot FROM ct GROUP BY 1),
+        voc AS (SELECT DISTINCT tok FROM ct),
+        vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM voc),
+        pri AS (
+          SELECT lang AS cls,
+                 ln(CAST(COUNT(*) AS DOUBLE) /
+                    CAST((SELECT COUNT(*) FROM train) AS DOUBLE)) AS prior_ln
+          FROM train GROUP BY 1),
+        tt AS (
+          SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM test)
+          WHERE tok <> '' GROUP BY 1, 2, 3),
+        ttv AS (SELECT tt.* FROM tt JOIN voc USING (tok)),
+        sc AS MATERIALIZED (
+          SELECT t.doc_id, t.lang, c.cls,
+                 CAST(p.prior_ln AS DECIMAL(28,12)) +
+                 SUM(CAST(CAST(t.tf AS DOUBLE) *
+                     ln(CAST(COALESCE(ct.cnt, 0) + 1 AS DOUBLE) /
+                        CAST(c.tot + vs.v AS DOUBLE)) AS DECIMAL(28,12)))
+                   AS score
+          FROM ttv t CROSS JOIN tot c CROSS JOIN vs
+          LEFT JOIN ct ON ct.cls = c.cls AND ct.tok = t.tok
+          JOIN pri p ON p.cls = c.cls
+          GROUP BY t.doc_id, t.lang, c.cls, p.prior_ln),
+        best AS (
+          SELECT doc_id, lang, MAX(score) AS best FROM sc GROUP BY 1, 2)
+        SELECT s.doc_id, s.lang AS actual, MIN(s.cls) AS predicted,
+               ROUND(CAST(b.best AS DOUBLE), 6) AS score
+        FROM sc s JOIN best b
+          ON b.doc_id = s.doc_id AND b.lang = s.lang AND s.score = b.best
+        GROUP BY s.doc_id, s.lang, b.best
+        ORDER BY s.doc_id""")),
+
+    // Exact decision stumps: per candidate feature, the best binary split
+    // by weighted Gini scanned over EVERY distinct (binned) value — one
+    // bounded profile per feature, cumulative class counts, argmin via
+    // the map-side-combinable min(struct(...)).
+    "qa2_decision_stump" -> Q(
+      fn = (s, dir) =>
+        Regress.decisionStump(t(s, dir, "lineitem"),
+            Seq(
+              "discount_pct" -> round(col("l_discount") * 100, 0),
+              "price_k" -> floor(col("l_extendedprice") / 1000),
+              "quantity" -> col("l_quantity")),
+            (col("l_returnflag") === "R").cast("long"))
+          .orderBy(col("feature")),
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_returnflag,
+                 ROUND(CAST(l_discount AS DOUBLE) * 100, 0) AS f1,
+                 FLOOR(CAST(l_extendedprice AS DOUBLE) / 1000) AS f2,
+                 CAST(l_quantity AS DOUBLE) AS f3
+          FROM lineitem),
+        raw AS (
+          SELECT 'discount_pct' AS feature, f1 AS v FROM li
+          UNION ALL SELECT 'price_k', f2 FROM li
+          UNION ALL SELECT 'quantity', f3 FROM li),
+        lab AS (
+          SELECT 'discount_pct' AS feature, f1 AS v,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM li
+          UNION ALL SELECT 'price_k', f2,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM li
+          UNION ALL SELECT 'quantity', f3,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM li),
+        prof AS (
+          SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos
+          FROM lab GROUP BY 1, 2),
+        scan AS (
+          SELECT feature, v,
+                 CAST(SUM(n) OVER (PARTITION BY feature ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS nl,
+                 CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS pl,
+                 CAST(SUM(n) OVER (PARTITION BY feature) AS DOUBLE) AS nt,
+                 CAST(SUM(pos) OVER (PARTITION BY feature) AS DOUBLE) AS pt
+          FROM prof),
+        g AS (
+          SELECT feature, v, nl, nt,
+                 ROUND((nl / nt) *
+                   (CAST(1 AS DOUBLE) - (pl / nl) * (pl / nl)
+                     - ((nl - pl) / nl) * ((nl - pl) / nl))
+                   + ((nt - nl) / nt) *
+                   (CAST(1 AS DOUBLE)
+                     - ((pt - pl) / (nt - nl)) * ((pt - pl) / (nt - nl))
+                     - (((nt - nl) - (pt - pl)) / (nt - nl))
+                       * (((nt - nl) - (pt - pl)) / (nt - nl))), 12) AS gini
+          FROM scan WHERE nl < nt)
+        SELECT feature,
+               MIN({'gini': gini, 'v': v, 'nl': nl, 'nt': nt})['v'] AS threshold,
+               ROUND(MIN({'gini': gini, 'v': v, 'nl': nl, 'nt': nt})['gini'], 6)
+                 AS gini,
+               CAST(MIN({'gini': gini, 'v': v, 'nl': nl, 'nt': nt})['nl']
+                 AS BIGINT) AS n_left,
+               CAST(MIN({'gini': gini, 'v': v, 'nl': nl, 'nt': nt})['nt']
+                 - MIN({'gini': gini, 'v': v, 'nl': nl, 'nt': nt})['nl']
+                 AS BIGINT) AS n_right
+        FROM g GROUP BY feature
+        ORDER BY feature""")),
+
+    // Isotonic calibration by the PAVA closed form over the bounded
+    // discount-bin profile: iso(i) = max_{j≤i} min_{k≥j} pooled mean.
+    // The O(B²) pool lattice is a constant-size self-join over 11 bins.
+    "qa3_isotonic" -> Q(
+      fn = (s, dir) => {
+        val bins = t(s, dir, "lineitem")
+          .groupBy(round(col("l_discount") * 100, 0).cast("long").as("bin"))
+          .agg(sum((col("l_returnflag") === "R").cast("long"))
+              .cast("decimal(18,2)").as("sum_y"),
+            count(lit(1)).as("n"))
+        Regress.isotonicBins(bins).orderBy(col("bin"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT CAST(ROUND(CAST(l_discount AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS bin,
+                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS DECIMAL(18,2)) AS sum_y,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1),
+        pre AS (
+          SELECT bin, sum_y, n,
+                 SUM(sum_y) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cs,
+                 SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn
+          FROM b),
+        pooled AS (
+          SELECT j.jb AS jb,
+                 ROUND(CAST(k.cs_hi - j.cs_lo AS DOUBLE) /
+                       CAST(k.cn_hi - j.cn_lo AS DOUBLE), 9) AS mean_jk
+          FROM (SELECT bin AS jb, cs - sum_y AS cs_lo, cn - n AS cn_lo
+                FROM pre) j
+          JOIN (SELECT bin AS kb, cs AS cs_hi, cn AS cn_hi FROM pre) k
+            ON k.kb >= j.jb),
+        mk AS (SELECT jb, MIN(mean_jk) AS min_j FROM pooled GROUP BY 1),
+        iso AS (
+          SELECT b.bin, MAX(mk.min_j) AS iso_rate
+          FROM b JOIN mk ON mk.jb <= b.bin GROUP BY 1)
+        SELECT b.bin,
+               ROUND(ROUND(CAST(b.sum_y AS DOUBLE) / CAST(b.n AS DOUBLE), 9), 6)
+                 AS rate,
+               ROUND(iso.iso_rate, 6) AS iso_rate
+        FROM b JOIN iso ON iso.bin = b.bin
+        ORDER BY b.bin""")),
+
+    // Rank statistics per nation over the customer (acctbal, total spend)
+    // panel: Spearman ρ on average ranks (ties exact) — scale-safe — and
+    // Kendall τ-b from exact pair counts over the bounded per-nation
+    // panels (the q91 bounded-slice contract for O(n²) enumeration).
+    "qa4_rank_corr" -> Q(
+      fn = (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        val pan = t(s, dir, "customer")
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_nationkey").as("nation"), col("c_acctbal"),
+            col("spend"), col("c_custkey"))
+        Regress.rankCorrelation(pan, Seq("nation"),
+            col("c_acctbal"), col("spend"), col("c_custkey"))
+          .orderBy(col("nation"))
+      },
+      oracle = Some("""
+        WITH pan AS (
+          SELECT c_nationkey AS nation, CAST(c_acctbal AS DOUBLE) AS x,
+                 CAST(spend AS DOUBLE) AS y, c_custkey AS id
+          FROM customer JOIN (
+            SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+            FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+        ranked AS (
+          SELECT nation, x, y, id,
+                 CAST(RANK() OVER (PARTITION BY nation ORDER BY x) AS DOUBLE)
+                   + (CAST(COUNT(*) OVER (PARTITION BY nation, x) AS DOUBLE)
+                      - CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE) AS rx,
+                 CAST(RANK() OVER (PARTITION BY nation ORDER BY y) AS DOUBLE)
+                   + (CAST(COUNT(*) OVER (PARTITION BY nation, y) AS DOUBLE)
+                      - CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE) AS ry
+          FROM pan),
+        sp AS (
+          SELECT nation, CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(ROUND(rx, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(ROUND(ry, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(ROUND(rx*rx, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(ROUND(ry*ry, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(ROUND(rx*ry, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+          FROM ranked GROUP BY 1),
+        spr AS (
+          SELECT nation, CAST(n AS BIGINT) AS n,
+                 CASE WHEN (sxx/n - (sx/n)*(sx/n)) > 0
+                       AND (syy/n - (sy/n)*(sy/n)) > 0
+                      THEN ROUND((sxy/n - (sx/n)*(sy/n)) /
+                        SQRT((sxx/n - (sx/n)*(sx/n))
+                           * (syy/n - (sy/n)*(sy/n))), 6) END AS spearman_rho
+          FROM sp),
+        kt AS (
+          SELECT a.nation,
+                 CAST(COUNT(*) AS BIGINT) AS n0,
+                 CAST(SUM(CASE WHEN (CASE WHEN a.x < b.x THEN 1
+                     WHEN a.x > b.x THEN -1 ELSE 0 END)
+                   * (CASE WHEN a.y < b.y THEN 1
+                     WHEN a.y > b.y THEN -1 ELSE 0 END) = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                 CAST(SUM(CASE WHEN (CASE WHEN a.x < b.x THEN 1
+                     WHEN a.x > b.x THEN -1 ELSE 0 END)
+                   * (CASE WHEN a.y < b.y THEN 1
+                     WHEN a.y > b.y THEN -1 ELSE 0 END) = -1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+                 CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM pan a JOIN pan b ON a.nation = b.nation AND a.id < b.id
+          GROUP BY 1),
+        ktau AS (
+          SELECT nation,
+                 CASE WHEN (n0 - n1) > 0 AND (n0 - n2) > 0
+                      THEN ROUND(CAST(nc - nd AS DOUBLE) /
+                        SQRT(CAST(n0 - n1 AS DOUBLE)
+                           * CAST(n0 - n2 AS DOUBLE)), 6) END AS kendall_tau
+          FROM kt)
+        SELECT spr.nation, spr.n, spr.spearman_rho, ktau.kendall_tau
+        FROM spr LEFT JOIN ktau ON ktau.nation = spr.nation
+        ORDER BY spr.nation"""))
+  )
+}
