@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{NaiveBayesText, Regress}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Geo, NaiveBayesText, Regress}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-7 session-3 families: closed-form model fitting (multi-feature
@@ -17,6 +17,22 @@ import org.apache.spark.sql.functions._
 object SciQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Deterministic pseudo-random coordinate from a key: an md5 hex draw
+    * (the q4d pattern — replayable in DuckDB via CAST('0x'||…)) scaled to
+    * a 3-decimal degree grid. Lattice-free, so radius joins are
+    * non-vacuous at every SF.
+    */
+  private def hashCoord(key: Column, salt: String, mod: Long,
+      shift: Double): Column =
+    (conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 12),
+      16, 10).cast("long") % mod).cast("double") / lit(1000.0) - lit(shift)
+
+  private def coordSql(key: String, salt: String, mod: Long,
+      shift: Int): String =
+    s"CAST(CAST('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 1, 12) " +
+      s"AS BIGINT) % $mod AS DOUBLE) / CAST(1000 AS DOUBLE) - " +
+      s"CAST($shift AS DOUBLE)"
 
   val defs: Map[String, Q] = Map(
 
@@ -327,6 +343,92 @@ object SciQueries {
           FROM kt)
         SELECT spr.nation, spr.n, spr.spearman_rho, ktau.kendall_tau
         FROM spr LEFT JOIN ktau ON ktau.nation = spr.nation
-        ORDER BY spr.nation"""))
+        ORDER BY spr.nation""")),
+
+    // Geohash cell profile: standard 5-char geohash (pure codegen bit
+    // interleave, no UDF) over md5-derived customer coordinates, rolled
+    // up by 2-char prefix cell. The oracle replays the same 25-bit
+    // interleave and base-32 rendering via generated SQL (the q3k
+    // Z-order precedent).
+    "qa5_geohash_cells" -> Q(
+      fn = (s, dir) => {
+        val pts = t(s, dir, "customer").select(col("c_custkey"),
+          hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("lat"),
+          hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lon"))
+        pts.withColumn("gh", Geo.geohash5(col("lat"), col("lon")))
+          .groupBy(substring(col("gh"), 1, 2).as("cell"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("gh")).as("n_gh5"),
+            min(col("c_custkey")).as("min_key"),
+            max(col("c_custkey")).as("max_key"))
+          .orderBy(col("cell"))
+      },
+      oracle = Some(s"""
+        WITH pts AS (
+          SELECT c_custkey,
+                 ${coordSql("c_custkey", "lat", 180000L, 90)} AS lat,
+                 ${coordSql("c_custkey", "lon", 360000L, 180)} AS lon
+          FROM customer),
+        idx AS (
+          SELECT c_custkey,
+                 CAST(FLOOR((lon + CAST(180 AS DOUBLE)) / CAST(360 AS DOUBLE)
+                   * CAST(8192 AS DOUBLE)) AS BIGINT) AS lonidx,
+                 CAST(FLOOR((lat + CAST(90 AS DOUBLE)) / CAST(180 AS DOUBLE)
+                   * CAST(4096 AS DOUBLE)) AS BIGINT) AS latidx
+          FROM pts),
+        v AS (
+          SELECT c_custkey,
+                 ${Geo.interleave25Sql("lonidx", "latidx")} AS vv
+          FROM idx),
+        gh AS (
+          SELECT c_custkey, ${Geo.base32Sql("vv")} AS gh FROM v)
+        SELECT substr(gh, 1, 2) AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_gh5,
+               MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        FROM gh GROUP BY 1 ORDER BY 1""")),
+
+    // Radius join by grid cells: customer pairs within 800 km inside the
+    // |lat| ≤ 70 band. Spark runs the cell-bucketed equality join (wrap-
+    // safe longitude ring, 5°×(2·2+1)×(2·5+1) neighbor window) — the
+    // O(n²) cross product never materializes; the oracle replays the
+    // NAIVE all-pairs filter, proving the bucketed plan loses no pair
+    // (antimeridian included).
+    "qa6_radius_join" -> Q(
+      fn = (s, dir) => {
+        val pts = t(s, dir, "customer").select(col("c_custkey"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("lat"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lon"))
+          .filter(abs(col("lat")) <= lit(70.0))
+        val a = pts.select(col("c_custkey").as("a_id"),
+          col("lat").as("a_lat"), col("lon").as("a_lon"))
+        val b = pts.select(col("c_custkey").as("b_id"),
+          col("lat").as("b_lat"), col("lon").as("b_lon"))
+        Geo.radiusJoinCells(a, "a_lat", "a_lon", b, "b_lat", "b_lon",
+            radiusKm = 800.0, cellDeg = 5.0, kLat = 2, kLon = 5)
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), col("dist_km"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      oracle = Some(s"""
+        WITH pts AS (
+          SELECT * FROM (
+            SELECT c_custkey AS id,
+                   ${coordSql("c_custkey", "lat", 180000L, 90)} AS lat,
+                   ${coordSql("c_custkey", "lon", 360000L, 180)} AS lon
+            FROM customer)
+          WHERE ABS(lat) <= CAST(70 AS DOUBLE)),
+        p AS (
+          SELECT a.id AS a_id, b.id AS b_id,
+                 ROUND(CAST(12742 AS DOUBLE) * ASIN(SQRT(
+                   SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                     * SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                   + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                     * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE))
+                     * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE)))), 6)
+                   AS dist_km
+          FROM pts a JOIN pts b ON a.id < b.id)
+        SELECT a_id, b_id, dist_km FROM p
+        WHERE dist_km <= CAST(800 AS DOUBLE)
+        ORDER BY a_id, b_id"""))
   )
 }
