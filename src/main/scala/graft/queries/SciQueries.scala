@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Geo, NaiveBayesText, Regress}
+import graft.functions.TimeWarp
+import graft.operators.{Geo, LinkPredict, NaiveBayesText, Outliers, Regress}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -429,6 +430,163 @@ object SciQueries {
           FROM pts a JOIN pts b ON a.id < b.id)
         SELECT a_id, b_id, dist_km FROM p
         WHERE dist_km <= CAST(800 AS DOUBLE)
-        ORDER BY a_id, b_id"""))
+        ORDER BY a_id, b_id""")),
+
+    // Link prediction on the q4b order graph: common neighbors, Jaccard,
+    // Adamic–Adar and preferential attachment for every open wedge, top
+    // 100 by AA. Candidates come from the wedge join (Σ deg² bound),
+    // never a node cross product; AA terms ride DECIMAL(28,12).
+    "qa7_link_prediction" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 80).cast("long").as("src"),
+          (col("o_orderkey") % 97).cast("long").as("dst"))
+        LinkPredict.wedgeScores(edges)
+          .orderBy(col("aa").desc, col("u"), col("w"))
+          .limit(100)
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT DISTINCT CAST(o_custkey % 80 AS BIGINT) AS s,
+                          CAST(o_orderkey % 97 AS BIGINT) AS d
+          FROM orders WHERE o_custkey % 80 <> o_orderkey % 97),
+        und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM e0),
+        adj AS MATERIALIZED (
+          SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+        deg AS MATERIALIZED (
+          SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        wedge AS (
+          SELECT x.b AS wu, y.b AS ww, x.a AS z
+          FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b),
+        open AS (
+          SELECT wedge.* FROM wedge
+          LEFT JOIN und ON und.u = wedge.wu AND und.v = wedge.ww
+          WHERE und.u IS NULL),
+        sc AS (
+          SELECT wu AS u, ww AS w, CAST(COUNT(*) AS BIGINT) AS cn,
+                 CAST(SUM(CAST(CAST(1 AS DOUBLE) /
+                   ln(CAST(dz.deg AS DOUBLE)) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS aa_sum
+          FROM open JOIN deg dz ON dz.a = open.z GROUP BY 1, 2)
+        SELECT sc.u, sc.w, sc.cn,
+               ROUND(CAST(sc.cn AS DOUBLE) /
+                 CAST(du.deg + dw.deg - sc.cn AS DOUBLE), 6) AS jaccard,
+               ROUND(aa_sum, 6) AS aa, du.deg * dw.deg AS pa
+        FROM sc JOIN deg du ON du.a = sc.u JOIN deg dw ON dw.a = sc.w
+        ORDER BY aa DESC, sc.u, sc.w LIMIT 100""")),
+
+    // Local Outlier Factor (Breunig et al.) over a bounded embedding
+    // panel: exact all-pairs kNN (the q31 bounded-slice contract; the
+    // 100 TB path feeds LSH candidate pairs instead), k-distance,
+    // reachability, lrd and LOF — distances on the 9-decimal grid,
+    // neighborhood sums through DECIMAL(28,12).
+    "qa8_lof_outliers" -> Q(
+      fn = (s, dir) =>
+        Outliers.lof(t(s, dir, "embeddings").filter(col("vec_id") < 200)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 5)
+          .orderBy(col("id")),
+      headline = true,
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 200),
+        pairs AS MATERIALIZED (
+          SELECT a.id AS a_id, b.id AS b_id,
+                 ROUND(SQRT(list_sum(list_transform(list_zip(a.v, b.v),
+                   p -> (p[1]-p[2])*(p[1]-p[2])))), 9) AS d
+          FROM e a JOIN e b ON a.id <> b.id),
+        knn AS MATERIALIZED (
+          SELECT a_id, b_id, d FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+              ORDER BY d, b_id) AS rn FROM pairs)
+          WHERE rn <= 5),
+        kd AS MATERIALIZED (
+          SELECT a_id, MAX(d) AS kdist FROM knn GROUP BY 1),
+        lrd AS MATERIALIZED (
+          SELECT k.a_id,
+                 ROUND(CAST(5 AS DOUBLE) /
+                   CAST(SUM(CAST(GREATEST(kb.kdist, k.d) AS DECIMAL(28,12)))
+                     AS DOUBLE), 9) AS lrd
+          FROM knn k JOIN kd kb ON kb.a_id = k.b_id
+          GROUP BY 1),
+        lofs AS (
+          SELECT k.a_id,
+                 ROUND(CAST(SUM(CAST(lb.lrd AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(5 AS DOUBLE) / la.lrd, 6) AS lof
+          FROM knn k JOIN lrd lb ON lb.a_id = k.b_id
+          JOIN lrd la ON la.a_id = k.a_id
+          GROUP BY k.a_id, la.lrd)
+        SELECT kd.a_id AS id, kd.kdist, lrd.lrd, lofs.lof
+        FROM kd JOIN lrd ON lrd.a_id = kd.a_id
+        JOIN lofs ON lofs.a_id = kd.a_id
+        ORDER BY id""")),
+
+    // Dynamic time warping between hourly event-type profiles: the DP is
+    // exact Long arithmetic end-to-end (integer counts, |a−b| costs), so
+    // the oracle's recursive-CTE replay — row-major cells with a sliding
+    // 25-value window — matches bit-for-bit with zero float reasoning.
+    "qa9_dtw_profiles" -> Q(
+      fn = (s, dir) => {
+        val cnt = Tables(s, dir, "events")
+          .withColumn("ts_ms", unix_millis(col("ts")))
+          .withColumn("hod", (expr("ts_ms div 3600000") % 24).cast("long"))
+          .groupBy(col("event_type"), col("hod"))
+          .agg(count(lit(1)).as("n"))
+        val types = cnt.select(col("event_type")).distinct()
+        val hours = types.sparkSession.range(24).select(col("id").as("hod"))
+        val prof = types.crossJoin(hours)
+          .join(cnt, Seq("event_type", "hod"), "left")
+          .withColumn("n0", coalesce(col("n"), lit(0L)))
+          .groupBy(col("event_type"))
+          .agg(transform(sort_array(collect_list(struct(col("hod"), col("n0")))),
+            x => x.getField("n0")).as("arr"))
+        prof.select(col("event_type").as("et_a"), col("arr").as("av"))
+          .join(prof.select(col("event_type").as("et_b"), col("arr").as("bv")),
+            col("et_a") < col("et_b"))
+          .select(col("et_a"), col("et_b"),
+            TimeWarp.dtwUdf(col("av"), col("bv")).as("dtw"))
+          .orderBy(col("et_a"), col("et_b"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE hours AS (
+          SELECT CAST(UNNEST(range(24)) AS BIGINT) AS hod),
+        cnt AS (
+          SELECT event_type,
+                 CAST((epoch_ms(ts) // 3600000) % 24 AS BIGINT) AS hod,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        et AS (SELECT DISTINCT event_type FROM cnt),
+        prof AS MATERIALIZED (
+          SELECT e.event_type,
+                 list(COALESCE(c.n, CAST(0 AS BIGINT)) ORDER BY h.hod) AS arr
+          FROM et e CROSS JOIN hours h
+          LEFT JOIN cnt c ON c.event_type = e.event_type AND c.hod = h.hod
+          GROUP BY 1),
+        pairs AS MATERIALIZED (
+          SELECT x.event_type AS et_a, y.event_type AS et_b,
+                 x.arr AS av, y.arr AS bv
+          FROM prof x JOIN prof y ON x.event_type < y.event_type),
+        dp AS (
+          SELECT et_a, et_b, av, bv, 0 AS t,
+                 list_transform(range(25),
+                   x -> CAST(1099511627776 AS BIGINT)) AS acc
+          FROM pairs
+          UNION ALL
+          SELECT et_a, et_b, av, bv, t + 1,
+                 list_append(list_slice(acc, 2, 25),
+                   ABS(av[(t // 24) + 1] - bv[(t % 24) + 1]) +
+                   CASE WHEN t = 0 THEN CAST(0 AS BIGINT)
+                        ELSE LEAST(
+                          CASE WHEN t >= 24 THEN acc[2]
+                               ELSE CAST(1099511627776 AS BIGINT) END,
+                          CASE WHEN (t % 24) <> 0 THEN acc[25]
+                               ELSE CAST(1099511627776 AS BIGINT) END,
+                          CASE WHEN t >= 24 AND (t % 24) <> 0 THEN acc[1]
+                               ELSE CAST(1099511627776 AS BIGINT) END) END)
+          FROM dp WHERE t < 576)
+        SELECT et_a, et_b, acc[25] AS dtw FROM dp WHERE t = 576
+        ORDER BY et_a, et_b"""))
   )
 }
