@@ -49,8 +49,23 @@ object Regress {
       sum(dec6(col("x1") * col("y"))).cast("double").as("s1y"),
       sum(dec6(col("x2") * col("y"))).cast("double").as("s2y"),
       sum(dec6(col("y") * col("y"))).cast("double").as("syy"))
-    one
-      .withColumn("det",
+    cramer3(one)
+      .withColumn("sse", sseExpr("n", "s1", "s2", "s11", "s12", "s22",
+        "sy", "s1y", "s2y", "syy"))
+      .withColumn("sst", col("syy") - col("sy") * col("sy") / col("n"))
+      .select(col("n").cast("long").as("n"),
+        round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+        round(col("b2"), 6).as("b2"),
+        round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
+  }
+
+  /** Cramer's rule on moment columns (n, s1, s2, s11, s12, s22, sy, s1y,
+    * s2y): adds det/det0/det1/det2 and the 9-snapped b0/b1/b2. The
+    * expression shapes are the oracle contract — every DuckDB twin
+    * mirrors them operation for operation.
+    */
+  private def cramer3(m: DataFrame): DataFrame =
+    m.withColumn("det",
         col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
           col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
           col("s2") * (col("s1") * col("s12") - col("s11") * col("s2")))
@@ -69,21 +84,77 @@ object Regress {
       .withColumn("b0", round(col("det0") / col("det"), 9))
       .withColumn("b1", round(col("det1") / col("det"), 9))
       .withColumn("b2", round(col("det2") / col("det"), 9))
-      .withColumn("sse",
-        col("syy") -
-          lit(2.0) * (col("b0") * col("sy") + col("b1") * col("s1y") +
-            col("b2") * col("s2y")) +
-          (col("b0") * col("b0") * col("n") +
-            col("b1") * col("b1") * col("s11") +
-            col("b2") * col("b2") * col("s22") +
-            lit(2.0) * col("b0") * col("b1") * col("s1") +
-            lit(2.0) * col("b0") * col("b2") * col("s2") +
-            lit(2.0) * col("b1") * col("b2") * col("s12")))
-      .withColumn("sst", col("syy") - col("sy") * col("sy") / col("n"))
-      .select(col("n").cast("long").as("n"),
+
+  /** SSE = Syy − 2βᵀSxy + βᵀSxxβ over the named moment columns, using
+    * the b0/b1/b2 added by [[cramer3]].
+    */
+  private def sseExpr(n: String, s1: String, s2: String, s11: String,
+      s12: String, s22: String, sy: String, s1y: String, s2y: String,
+      syy: String) =
+    col(syy) -
+      lit(2.0) * (col("b0") * col(sy) + col("b1") * col(s1y) +
+        col("b2") * col(s2y)) +
+      (col("b0") * col("b0") * col(n) +
+        col("b1") * col("b1") * col(s11) +
+        col("b2") * col("b2") * col(s22) +
+        lit(2.0) * col("b0") * col("b1") * col(s1) +
+        lit(2.0) * col("b0") * col("b2") * col(s2) +
+        lit(2.0) * col("b1") * col("b2") * col(s12))
+
+  /** K-fold cross-validation of the two-feature OLS in ONE pass over the
+    * data: per-fold DECIMAL moments aggregate once, each fold's TRAIN
+    * moments are the exact decimal subtraction total − fold (no second
+    * scan, no per-fold jobs), the fit is [[cramer3]] per fold-row, and
+    * the held-out error is algebraic from the fold's own moments — so
+    * the whole CV costs one aggregation regardless of K.
+    *
+    * `fold` must be a non-null integer column. Returns per fold:
+    * (fold, n_train, n_test, b0, b1, b2, rmse, r2_test).
+    */
+  def ols2CvFolds(df: DataFrame, y: Column, x1: Column, x2: Column,
+      fold: Column): DataFrame = {
+    val base = df.select(fold.cast("long").as("fold"),
+        y.cast("double").as("y"), x1.cast("double").as("x1"),
+        x2.cast("double").as("x2"))
+      .filter(col("fold").isNotNull && col("y").isNotNull &&
+        col("x1").isNotNull && col("x2").isNotNull)
+    val moms: Seq[(String, Column)] = Seq(
+      "s1" -> col("x1"), "s2" -> col("x2"),
+      "s11" -> col("x1") * col("x1"), "s12" -> col("x1") * col("x2"),
+      "s22" -> col("x2") * col("x2"), "sy" -> col("y"),
+      "s1y" -> col("x1") * col("y"), "s2y" -> col("x2") * col("y"),
+      "syy" -> col("y") * col("y"))
+    val perFold = base.groupBy(col("fold")).agg(
+      count(lit(1)).as("fn"),
+      moms.map { case (nm, c) => sum(dec6(c)).as("f" + nm) }: _*)
+    val tot = base.agg(
+      count(lit(1)).as("tn"),
+      moms.map { case (nm, c) => sum(dec6(c)).as("t" + nm) }: _*)
+    val trainCols = Seq("n" -> (col("tn") - col("fn")).cast("double")) ++
+      moms.map { case (nm, _) =>
+        nm -> (col("t" + nm) - col("f" + nm)).cast("double")
+      }
+    val fitted = cramer3(trainCols.foldLeft(
+      perFold.crossJoin(broadcast(tot))) { case (d, (nm, c)) =>
+      d.withColumn(nm, c)
+    })
+    val testD = (Seq("n" -> "fn") ++ moms.map { case (nm, _) =>
+      nm -> ("f" + nm)
+    }).foldLeft(fitted) { case (d, (nm, src)) =>
+      d.withColumn("e_" + nm, col(src).cast("double"))
+    }
+    testD
+      .withColumn("sse_t", sseExpr("e_n", "e_s1", "e_s2", "e_s11", "e_s12",
+        "e_s22", "e_sy", "e_s1y", "e_s2y", "e_syy"))
+      .withColumn("sst_t",
+        col("e_syy") - col("e_sy") * col("e_sy") / col("e_n"))
+      .select(col("fold"), (col("tn") - col("fn")).as("n_train"),
+        col("fn").as("n_test"),
         round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
         round(col("b2"), 6).as("b2"),
-        round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
+        round(sqrt(greatest(col("sse_t"), lit(0.0)) / col("e_n")), 6)
+          .as("rmse"),
+        round(lit(1.0) - col("sse_t") / col("sst_t"), 6).as("r2_test"))
   }
 
   /** Best single binary split per candidate feature by weighted Gini

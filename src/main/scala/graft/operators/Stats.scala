@@ -574,4 +574,34 @@ object Stats {
       .groupBy(groupCols.map(col): _*)
       .agg(picks.head, picks.tail: _*)
   }
+
+  /** Exact ROC-AUC by the rank identity AUC = (Σ_pos avgrank −
+    * n₁(n₁+1)/2) / (n₁·n₀), with ties at half credit (the Mann–Whitney
+    * convention) — and WITHOUT a global window: ranks come from the
+    * distinct-score profile and [[ScaleOps.globalRunningSum]]'s
+    * range-partitioned prefix image, so no single reducer ever holds the
+    * score column. The whole statistic reduces to integer sums — one
+    * double division at the end — so it replays bit-exact.
+    *
+    * Returns one row: (n_pos, n_neg, auc, gini) with gini = 2·AUC − 1.
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val base = df.select(score.cast("double").as("s"),
+        label.cast("long").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val prof = base.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+    // inclusive running count over distinct scores ascending; a tied
+    // block's average rank is cum_before + (n+1)/2 — kept ×2 in integers
+    val run = ScaleOps.globalRunningSum(prof, Seq(col("s")), col("n"), "cum")
+    val agg = run.agg(
+      sum(col("npos") * (lit(2L) * (col("cum") - col("n")) + col("n") + lit(1L)))
+        .as("s2"),
+      sum(col("npos")).as("n1"), sum(col("n")).as("nt"))
+    val aucRaw = (col("s2") - col("n1") * (col("n1") + lit(1L))).cast("double") /
+      (lit(2L) * col("n1") * (col("nt") - col("n1"))).cast("double")
+    agg.select(col("n1").as("n_pos"), (col("nt") - col("n1")).as("n_neg"),
+      round(aucRaw, 6).as("auc"),
+      round(lit(2.0) * aucRaw - lit(1.0), 6).as("gini"))
+  }
 }

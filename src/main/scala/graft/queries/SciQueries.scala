@@ -587,6 +587,142 @@ object SciQueries {
                                ELSE CAST(1099511627776 AS BIGINT) END) END)
           FROM dp WHERE t < 576)
         SELECT et_a, et_b, acc[25] AS dtw FROM dp WHERE t = 576
-        ORDER BY et_a, et_b"""))
+        ORDER BY et_a, et_b""")),
+
+    // Exact ROC-AUC of event value predicting the purchase class, by the
+    // rank identity with half-credit ties — computed WITHOUT any global
+    // window (distinct-score profile + the range-partitioned running-sum
+    // image), reduced to integer sums and one double division.
+    "qaa_auc_exact" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Stats.rocAuc(
+          Tables(s, dir, "events").filter(col("value").isNotNull),
+          col("value"), (col("event_type") === "purchase").cast("long")),
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(value AS DOUBLE) AS s,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events WHERE value IS NOT NULL),
+        prof AS (
+          SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS npos
+          FROM e GROUP BY 1),
+        r AS (
+          SELECT *, SUM(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum
+          FROM prof),
+        agg AS (
+          SELECT CAST(SUM(npos * (2 * (cum - n) + n + 1)) AS BIGINT) AS s2,
+                 CAST(SUM(npos) AS BIGINT) AS n1,
+                 CAST(SUM(n) AS BIGINT) AS nt
+          FROM r)
+        SELECT n1 AS n_pos, nt - n1 AS n_neg,
+               ROUND(CAST(s2 - n1 * (n1 + 1) AS DOUBLE) /
+                 CAST(2 * n1 * (nt - n1) AS DOUBLE), 6) AS auc,
+               ROUND(CAST(2 AS DOUBLE) *
+                 (CAST(s2 - n1 * (n1 + 1) AS DOUBLE) /
+                  CAST(2 * n1 * (nt - n1) AS DOUBLE))
+                 - CAST(1 AS DOUBLE), 6) AS gini
+        FROM agg""")),
+
+    // 5-fold cross-validation of the qa0 OLS in ONE aggregation pass:
+    // per-fold DECIMAL moments, train moments by exact decimal
+    // subtraction (total − fold), per-fold Cramer fit, held-out RMSE/R²
+    // algebraic from the fold's own moments — CV cost independent of K.
+    "qab_ols_cv" -> Q(
+      fn = (s, dir) => {
+        val feats = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("x1"), sum(col("l_quantity")).as("x2"))
+        val joined = t(s, dir, "orders")
+          .join(feats, col("o_orderkey") === col("l_orderkey"))
+        Regress.ols2CvFolds(joined, col("o_totalprice"), col("x1"),
+            col("x2"), col("o_orderkey") % 5)
+          .orderBy(col("fold"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT CAST(o_orderkey % 5 AS BIGINT) AS fold,
+                 CAST(o_totalprice AS DOUBLE) AS y,
+                 CAST(x1 AS DOUBLE) AS x1, CAST(x2 AS DOUBLE) AS x2
+          FROM orders JOIN (
+            SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x1,
+                   SUM(l_quantity) AS x2
+            FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey),
+        pf AS (
+          SELECT fold, CAST(COUNT(*) AS BIGINT) AS fn,
+                 SUM(CAST(ROUND(x1, 6) AS DECIMAL(38,6))) AS fs1,
+                 SUM(CAST(ROUND(x2, 6) AS DECIMAL(38,6))) AS fs2,
+                 SUM(CAST(ROUND(x1*x1, 6) AS DECIMAL(38,6))) AS fs11,
+                 SUM(CAST(ROUND(x1*x2, 6) AS DECIMAL(38,6))) AS fs12,
+                 SUM(CAST(ROUND(x2*x2, 6) AS DECIMAL(38,6))) AS fs22,
+                 SUM(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS fsy,
+                 SUM(CAST(ROUND(x1*y, 6) AS DECIMAL(38,6))) AS fs1y,
+                 SUM(CAST(ROUND(x2*y, 6) AS DECIMAL(38,6))) AS fs2y,
+                 SUM(CAST(ROUND(y*y, 6) AS DECIMAL(38,6))) AS fsyy
+          FROM f GROUP BY 1),
+        tt AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+                 SUM(CAST(ROUND(x1, 6) AS DECIMAL(38,6))) AS ts1,
+                 SUM(CAST(ROUND(x2, 6) AS DECIMAL(38,6))) AS ts2,
+                 SUM(CAST(ROUND(x1*x1, 6) AS DECIMAL(38,6))) AS ts11,
+                 SUM(CAST(ROUND(x1*x2, 6) AS DECIMAL(38,6))) AS ts12,
+                 SUM(CAST(ROUND(x2*x2, 6) AS DECIMAL(38,6))) AS ts22,
+                 SUM(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS tsy,
+                 SUM(CAST(ROUND(x1*y, 6) AS DECIMAL(38,6))) AS ts1y,
+                 SUM(CAST(ROUND(x2*y, 6) AS DECIMAL(38,6))) AS ts2y,
+                 SUM(CAST(ROUND(y*y, 6) AS DECIMAL(38,6))) AS tsyy
+          FROM f),
+        m AS (
+          SELECT fold, fn, tn,
+                 CAST(tn - fn AS DOUBLE) AS n,
+                 CAST(ts1 - fs1 AS DOUBLE) AS s1,
+                 CAST(ts2 - fs2 AS DOUBLE) AS s2,
+                 CAST(ts11 - fs11 AS DOUBLE) AS s11,
+                 CAST(ts12 - fs12 AS DOUBLE) AS s12,
+                 CAST(ts22 - fs22 AS DOUBLE) AS s22,
+                 CAST(tsy - fsy AS DOUBLE) AS sy,
+                 CAST(ts1y - fs1y AS DOUBLE) AS s1y,
+                 CAST(ts2y - fs2y AS DOUBLE) AS s2y,
+                 CAST(fn AS DOUBLE) AS e_n,
+                 CAST(fs1 AS DOUBLE) AS e_s1, CAST(fs2 AS DOUBLE) AS e_s2,
+                 CAST(fs11 AS DOUBLE) AS e_s11,
+                 CAST(fs12 AS DOUBLE) AS e_s12,
+                 CAST(fs22 AS DOUBLE) AS e_s22,
+                 CAST(fsy AS DOUBLE) AS e_sy,
+                 CAST(fs1y AS DOUBLE) AS e_s1y,
+                 CAST(fs2y AS DOUBLE) AS e_s2y,
+                 CAST(fsyy AS DOUBLE) AS e_syy
+          FROM pf CROSS JOIN tt),
+        d AS (
+          SELECT *,
+                 n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s12 - s11 * s2) AS det,
+                 sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+                   + s2 * (s1y * s12 - s11 * s2y) AS det0,
+                 n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s2y - s1y * s2) AS det1,
+                 n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+                   + sy * (s1 * s12 - s11 * s2) AS det2
+          FROM m),
+        b AS (
+          SELECT *, ROUND(det0 / det, 9) AS b0, ROUND(det1 / det, 9) AS b1,
+                 ROUND(det2 / det, 9) AS b2
+          FROM d),
+        e AS (
+          SELECT *,
+                 e_syy - CAST(2 AS DOUBLE) *
+                     (b0 * e_sy + b1 * e_s1y + b2 * e_s2y)
+                   + (b0 * b0 * e_n + b1 * b1 * e_s11 + b2 * b2 * e_s22
+                      + CAST(2 AS DOUBLE) * b0 * b1 * e_s1
+                      + CAST(2 AS DOUBLE) * b0 * b2 * e_s2
+                      + CAST(2 AS DOUBLE) * b1 * b2 * e_s12) AS sse_t,
+                 e_syy - e_sy * e_sy / e_n AS sst_t
+          FROM b)
+        SELECT fold, tn - fn AS n_train, fn AS n_test,
+               ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+               ROUND(SQRT(GREATEST(sse_t, CAST(0 AS DOUBLE)) / e_n), 6)
+                 AS rmse,
+               ROUND(CAST(1 AS DOUBLE) - sse_t / sst_t, 6) AS r2_test
+        FROM e ORDER BY fold"""))
   )
 }
