@@ -658,4 +658,41 @@ object GraphOps {
       .select(col("community"), col("n_nodes"), col("degree_sum"),
         col("internal_edges"), col("q_term"), col("modularity"))
   }
+
+  /** Katz centrality by the truncated power series x ← 1 + α·Aᵀx (every
+    * walk into a node, geometrically damped by length). Same iteration
+    * discipline as [[pageRank]]: one in-edge contribution shuffle per
+    * round, per-round DECIMAL(28,12) contribution sums snapped to the
+    * 9-decimal grid, per-round localCheckpoint to pin lineage — so the
+    * unrolled-CTE oracle walks identical doubles. α must stay below
+    * 1/λ_max for the series to converge; the truncated form is defined
+    * for any α, the caller owns the spectral bound.
+    */
+  def katz(edges: DataFrame, alpha: Double, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    var x = nodes.withColumn("katz", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(x.select(col("node"), col("katz")),
+          e("src") === col("node"))
+        .groupBy(e("dst").as("node"))
+        .agg(sum(col("katz").cast("decimal(28,12)")).cast("double").as("csum"))
+      x = nodes.join(contrib, Seq("node"), "left")
+        .withColumn("katz",
+          round(lit(1.0) + lit(alpha) *
+            coalesce(col("csum"), lit(0.0)), 9))
+        .drop("csum")
+        .localCheckpoint()
+    }
+    x
+  }
 }

@@ -243,6 +243,53 @@ object Regress {
         round(col("iso_rate"), 6).as("iso_rate"))
   }
 
+  /** Theil–Sen robust regression per group: slope = lower median of all
+    * pairwise slopes (x_i ≠ x_j), intercept = lower median of
+    * y − slope·x. The lower median (rank ⌈m/2⌉ with (slope, i, j)
+    * tie-break) replaces the classical midpoint average so the estimate
+    * is an order statistic — exact in both engines with no float
+    * averaging. The O(n²) pair enumeration REQUIRES bounded groups (the
+    * q91 contract); slopes ride the 9-decimal grid.
+    *
+    * `idCol` must be unique inside each group. Returns per group:
+    * (n, n_pairs, sen_slope, sen_intercept).
+    */
+  def theilSen(df: DataFrame, groupCols: Seq[String], x: Column, y: Column,
+      idCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val base = df.select(g :+ x.cast("double").as("x") :+
+        y.cast("double").as("y") :+ idCol.as("id"): _*)
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val l = base.select(g :+ col("x").as("ax") :+ col("y").as("ay") :+
+      col("id").as("ai"): _*)
+    val r = base.select(g :+ col("x").as("bx") :+ col("y").as("by") :+
+      col("id").as("bi"): _*)
+    val slopes = l.join(r, groupCols)
+      .filter(col("ai") < col("bi") && col("ax") =!= col("bx"))
+      .withColumn("slope",
+        round((col("by") - col("ay")) / (col("bx") - col("ax")), 9))
+    val wS = Window.partitionBy(g: _*)
+      .orderBy(col("slope"), col("ai"), col("bi"))
+    val mPairs = slopes.groupBy(g: _*).agg(count(lit(1)).as("n_pairs"))
+    val sen = slopes.withColumn("rn", row_number().over(wS))
+      .join(mPairs, groupCols)
+      .filter(col("rn") === ((col("n_pairs") + 1) / 2).cast("int"))
+      .select(g :+ col("n_pairs") :+ col("slope").as("sen_slope"): _*)
+    val resid = base.join(sen, groupCols)
+      .withColumn("r0", round(col("y") - col("sen_slope") * col("x"), 9))
+    val wR = Window.partitionBy(g: _*).orderBy(col("r0"), col("id"))
+    val nPts = base.groupBy(g: _*).agg(count(lit(1)).as("n"))
+    val intercept = resid.withColumn("rn", row_number().over(wR))
+      .join(nPts, groupCols)
+      .filter(col("rn") === ((col("n") + 1) / 2).cast("int"))
+      .select(g :+ col("n") :+ col("r0").as("sen_intercept"): _*)
+    nPts.join(sen, groupCols).join(
+        intercept.select(g :+ col("sen_intercept"): _*), groupCols)
+      .select(g :+ col("n") :+ col("n_pairs") :+
+        round(col("sen_slope"), 6).as("sen_slope") :+
+        round(col("sen_intercept"), 6).as("sen_intercept"): _*)
+  }
+
   /** Spearman ρ (average ranks, so ties are exact) and Kendall τ-b per
     * group. Spearman is scale-safe (two in-group rank windows + one
     * moment aggregate); the τ-b pair enumeration is O(n²) per group by

@@ -723,6 +723,108 @@ object SciQueries {
                ROUND(SQRT(GREATEST(sse_t, CAST(0 AS DOUBLE)) / e_n), 6)
                  AS rmse,
                ROUND(CAST(1 AS DOUBLE) - sse_t / sst_t, 6) AS r2_test
-        FROM e ORDER BY fold"""))
+        FROM e ORDER BY fold""")),
+
+    // Theil–Sen robust regression per nation: lower-median pairwise
+    // slope and lower-median residual intercept — order statistics, not
+    // averages, so the estimate is exact. O(n²) pair enumeration over
+    // the bounded per-nation panels (q91 contract). The oracle appends
+    // + CAST(0 AS DOUBLE) to every ROUND whose argument can be a tiny
+    // negative (the −0.0 gotcha: zero-numerator slopes take the sign of
+    // the denominator in DuckDB, Spark normalizes).
+    "qac_theil_sen" -> Q(
+      fn = (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        val pan = t(s, dir, "customer")
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_nationkey").as("nation"), col("c_acctbal"),
+            col("spend"), col("c_custkey"))
+        Regress.theilSen(pan, Seq("nation"), col("c_acctbal"), col("spend"),
+            col("c_custkey"))
+          .orderBy(col("nation"))
+      },
+      oracle = Some("""
+        WITH pan AS (
+          SELECT c_nationkey AS nation, CAST(c_acctbal AS DOUBLE) AS x,
+                 CAST(spend AS DOUBLE) AS y, c_custkey AS id
+          FROM customer JOIN (
+            SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+            FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+        sl AS (
+          SELECT a.nation, a.id AS ai, b.id AS bi,
+                 ROUND((b.y - a.y) / (b.x - a.x), 9) + CAST(0 AS DOUBLE)
+                   AS slope
+          FROM pan a JOIN pan b
+            ON a.nation = b.nation AND a.id < b.id AND a.x <> b.x),
+        np AS (
+          SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM sl GROUP BY 1),
+        sen AS (
+          SELECT nation, n_pairs, slope AS sen_slope FROM (
+            SELECT s.nation, s.slope, np.n_pairs,
+                   ROW_NUMBER() OVER (PARTITION BY s.nation
+                     ORDER BY s.slope, s.ai, s.bi) AS rn
+            FROM sl s JOIN np USING (nation))
+          WHERE rn = (n_pairs + 1) // 2),
+        nn AS (
+          SELECT nation, CAST(COUNT(*) AS BIGINT) AS n FROM pan GROUP BY 1),
+        res AS (
+          SELECT p.nation, p.id,
+                 ROUND(p.y - sen.sen_slope * p.x, 9) + CAST(0 AS DOUBLE)
+                   AS r0
+          FROM pan p JOIN sen USING (nation)),
+        ic AS (
+          SELECT nation, r0 AS sen_intercept FROM (
+            SELECT r.nation, r.r0, r.id, nn.n,
+                   ROW_NUMBER() OVER (PARTITION BY r.nation
+                     ORDER BY r.r0, r.id) AS rn
+            FROM res r JOIN nn USING (nation))
+          WHERE rn = (n + 1) // 2)
+        SELECT nn.nation, nn.n, sen.n_pairs,
+               ROUND(sen.sen_slope, 6) + CAST(0 AS DOUBLE) AS sen_slope,
+               ROUND(ic.sen_intercept, 6) + CAST(0 AS DOUBLE)
+                 AS sen_intercept
+        FROM nn JOIN sen USING (nation) JOIN ic USING (nation)
+        ORDER BY nation""")),
+
+    // Katz centrality on the q4b order graph: 3 rounds of x ← 1 + α·Aᵀx
+    // (α = 0.1), per-round DECIMAL contribution sums snapped to the
+    // 9-decimal grid — the q4b unrolled-CTE recipe without the
+    // dangling-mass machinery.
+    "qad_katz" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 80).cast("long").as("src"),
+          (col("o_orderkey") % 97).cast("long").as("dst"))
+        graft.operators.GraphOps.katz(edges, alpha = 0.1, iterations = 3)
+          .select(col("node"), round(col("katz"), 6).as("katz"))
+          .orderBy(col("node"))
+      },
+      oracle = Some {
+        val iters = (1 to 3).map { i =>
+          val prev = s"x${i - 1}"
+          s""",
+        c$i AS (
+          SELECT e.d AS node, SUM(CAST(x.katz AS DECIMAL(28,12))) AS csum
+          FROM edges e JOIN $prev x ON x.node = e.s GROUP BY 1),
+        x$i AS MATERIALIZED (
+          SELECT n.node,
+                 ROUND(CAST(1 AS DOUBLE) + CAST(0.1 AS DOUBLE) *
+                   COALESCE(CAST(c.csum AS DOUBLE), CAST(0 AS DOUBLE)), 9)
+                   AS katz
+          FROM nodes n LEFT JOIN c$i c ON c.node = n.node)"""
+        }.mkString
+        s"""
+        WITH edges AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey % 80 AS BIGINT) AS s,
+                          CAST(o_orderkey % 97 AS BIGINT) AS d
+          FROM orders WHERE o_custkey % 80 <> o_orderkey % 97),
+        nodes AS MATERIALIZED (
+          SELECT s AS node FROM edges UNION SELECT d FROM edges),
+        x0 AS (SELECT node, CAST(1 AS DOUBLE) AS katz FROM nodes)$iters
+        SELECT node, ROUND(katz, 6) AS katz FROM x3 ORDER BY node"""
+      })
   )
 }
