@@ -825,6 +825,184 @@ object SciQueries {
           SELECT s AS node FROM edges UNION SELECT d FROM edges),
         x0 AS (SELECT node, CAST(1 AS DOUBLE) AS katz FROM nodes)$iters
         SELECT node, ROUND(katz, 6) AS katz FROM x3 ORDER BY node"""
-      })
+      }),
+
+    // Gradient-boosted stumps (2 rounds, squared loss, lr 0.5) on
+    // l_extendedprice ~ (quantity, discount): residual moments are
+    // ALGEBRAIC from exact DECIMAL profile cumulants (never per-row), the
+    // round-2 side joins the broadcast winner row, and every stage is a
+    // fixed-shape double expression — the q5a/q4y training-oracle recipe
+    // extended to ensembles.
+    "qae_boosted_stumps" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Boost.boostedStumps2(t(s, dir, "lineitem"),
+            col("l_extendedprice"), "quantity", col("l_quantity"),
+            "discount_pct", round(col("l_discount") * 100, 0), lr = 0.5)
+          .orderBy(col("round")),
+      headline = true,
+      oracle = Some("""
+        WITH li AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+                 CAST(l_quantity AS DOUBLE) AS f1,
+                 ROUND(CAST(l_discount AS DOUBLE) * 100, 0) AS f2
+          FROM lineitem),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(y AS DECIMAL(18,2))) AS sy,
+                 SUM(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS syy
+          FROM li),
+        f0r AS MATERIALIZED (
+          SELECT ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 9) AS f0,
+                 ROUND(CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                     / CAST(n AS DOUBLE), 6) AS sst
+          FROM g),
+        p1 AS (
+          SELECT 'quantity' AS feature, f1 AS v, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(y AS DECIMAL(18,2))) AS sy,
+                 SUM(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS syy
+          FROM li GROUP BY 2
+          UNION ALL
+          SELECT 'discount_pct', f2, CAST(COUNT(*) AS BIGINT),
+                 SUM(CAST(y AS DECIMAL(18,2))),
+                 SUM(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)))
+          FROM li GROUP BY 2),
+        scan1 AS (
+          SELECT feature, v,
+                 SUM(n) OVER wv AS nl, SUM(sy) OVER wv AS syl,
+                 SUM(syy) OVER wv AS syyl,
+                 SUM(n) OVER wf AS nt, SUM(sy) OVER wf AS syt,
+                 SUM(syy) OVER wf AS syyt
+          FROM p1
+          WINDOW wv AS (PARTITION BY feature ORDER BY v
+                        ROWS UNBOUNDED PRECEDING),
+                 wf AS (PARTITION BY feature)),
+        s1 AS (
+          SELECT feature, v, CAST(nl AS DOUBLE) AS nld,
+                 CAST(nt - nl AS DOUBLE) AS nrd,
+                 CAST(syl AS DOUBLE) - CAST(nl AS DOUBLE) * f0 AS sl,
+                 CAST(syt - syl AS DOUBLE)
+                   - CAST(nt - nl AS DOUBLE) * f0 AS sr,
+                 CAST(CAST(syyl AS VARCHAR) AS DOUBLE)
+                   - CAST(2 AS DOUBLE) * f0 * CAST(syl AS DOUBLE)
+                   + CAST(nl AS DOUBLE) * f0 * f0 AS ssl,
+                 CAST(CAST(syyt - syyl AS VARCHAR) AS DOUBLE)
+                   - CAST(2 AS DOUBLE) * f0 * CAST(syt - syl AS DOUBLE)
+                   + CAST(nt - nl AS DOUBLE) * f0 * f0 AS ssr
+          FROM scan1 CROSS JOIN f0r WHERE nl < nt),
+        sse1c AS (
+          SELECT feature, v, nld, nrd, sl, sr,
+                 ROUND((ssl - sl*sl/nld) + (ssr - sr*sr/nrd), 6) AS sse
+          FROM s1),
+        w1r AS (
+          SELECT MIN({'sse': sse, 'feature': feature, 'v': v, 'sl': sl,
+                      'sr': sr, 'nld': nld, 'nrd': nrd}) AS w
+          FROM sse1c),
+        win1 AS MATERIALIZED (
+          SELECT w['sse'] AS sse1, w['feature'] AS feat1, w['v'] AS t1,
+                 ROUND(w['sl'] / w['nld'], 9) AS wl1,
+                 ROUND(w['sr'] / w['nrd'], 9) AS wr1,
+                 f0, sst,
+                 f0 + CAST(0.5 AS DOUBLE) * ROUND(w['sl'] / w['nld'], 9) AS cl1,
+                 f0 + CAST(0.5 AS DOUBLE) * ROUND(w['sr'] / w['nrd'], 9) AS cr1
+          FROM w1r CROSS JOIN f0r),
+        sided AS (
+          SELECT li.y, li.f1, li.f2,
+                 CASE WHEN w.feat1 = 'quantity' THEN li.f1 <= w.t1
+                      ELSE li.f2 <= w.t1 END AS side1
+          FROM li CROSS JOIN win1 w),
+        p2 AS (
+          SELECT 'quantity' AS feature, f1 AS v,
+                 CAST(SUM(CASE WHEN NOT side1 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                 COALESCE(SUM(CASE WHEN NOT side1
+                   THEN CAST(y AS DECIMAL(18,2)) END),
+                   CAST(0 AS DECIMAL(18,2))) AS sy0,
+                 COALESCE(SUM(CASE WHEN NOT side1
+                   THEN CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)) END),
+                   CAST(0 AS DECIMAL(18,4))) AS syy0,
+                 CAST(SUM(CASE WHEN side1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 COALESCE(SUM(CASE WHEN side1
+                   THEN CAST(y AS DECIMAL(18,2)) END),
+                   CAST(0 AS DECIMAL(18,2))) AS sy1,
+                 COALESCE(SUM(CASE WHEN side1
+                   THEN CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)) END),
+                   CAST(0 AS DECIMAL(18,4))) AS syy1
+          FROM sided GROUP BY 2
+          UNION ALL
+          SELECT 'discount_pct', f2,
+                 CAST(SUM(CASE WHEN NOT side1 THEN 1 ELSE 0 END) AS BIGINT),
+                 COALESCE(SUM(CASE WHEN NOT side1
+                   THEN CAST(y AS DECIMAL(18,2)) END),
+                   CAST(0 AS DECIMAL(18,2))),
+                 COALESCE(SUM(CASE WHEN NOT side1
+                   THEN CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)) END),
+                   CAST(0 AS DECIMAL(18,4))),
+                 CAST(SUM(CASE WHEN side1 THEN 1 ELSE 0 END) AS BIGINT),
+                 COALESCE(SUM(CASE WHEN side1
+                   THEN CAST(y AS DECIMAL(18,2)) END),
+                   CAST(0 AS DECIMAL(18,2))),
+                 COALESCE(SUM(CASE WHEN side1
+                   THEN CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)) END),
+                   CAST(0 AS DECIMAL(18,4)))
+          FROM sided GROUP BY 2),
+        scan2 AS (
+          SELECT feature, v,
+                 SUM(n0) OVER wv AS nl0, SUM(sy0) OVER wv AS syl0,
+                 SUM(syy0) OVER wv AS syyl0,
+                 SUM(n1) OVER wv AS nl1, SUM(sy1) OVER wv AS syl1,
+                 SUM(syy1) OVER wv AS syyl1,
+                 SUM(n0) OVER wf AS nt0, SUM(sy0) OVER wf AS syt0,
+                 SUM(syy0) OVER wf AS syyt0,
+                 SUM(n1) OVER wf AS nt1, SUM(sy1) OVER wf AS syt1,
+                 SUM(syy1) OVER wf AS syyt1
+          FROM p2
+          WINDOW wv AS (PARTITION BY feature ORDER BY v
+                        ROWS UNBOUNDED PRECEDING),
+                 wf AS (PARTITION BY feature)),
+        s2 AS (
+          SELECT feature, v,
+                 CAST(nl0 + nl1 AS DOUBLE) AS nld,
+                 CAST((nt0 - nl0) + (nt1 - nl1) AS DOUBLE) AS nrd,
+                 (CAST(syl0 AS DOUBLE) - CAST(nl0 AS DOUBLE) * cr1)
+                   + (CAST(syl1 AS DOUBLE) - CAST(nl1 AS DOUBLE) * cl1) AS sl,
+                 (CAST(syt0 - syl0 AS DOUBLE)
+                    - CAST(nt0 - nl0 AS DOUBLE) * cr1)
+                   + (CAST(syt1 - syl1 AS DOUBLE)
+                    - CAST(nt1 - nl1 AS DOUBLE) * cl1) AS sr,
+                 (CAST(CAST(syyl0 AS VARCHAR) AS DOUBLE)
+                    - CAST(2 AS DOUBLE) * cr1 * CAST(syl0 AS DOUBLE)
+                    + CAST(nl0 AS DOUBLE) * cr1 * cr1)
+                   + (CAST(CAST(syyl1 AS VARCHAR) AS DOUBLE)
+                    - CAST(2 AS DOUBLE) * cl1 * CAST(syl1 AS DOUBLE)
+                    + CAST(nl1 AS DOUBLE) * cl1 * cl1) AS ssl,
+                 (CAST(CAST(syyt0 - syyl0 AS VARCHAR) AS DOUBLE)
+                    - CAST(2 AS DOUBLE) * cr1 * CAST(syt0 - syl0 AS DOUBLE)
+                    + CAST(nt0 - nl0 AS DOUBLE) * cr1 * cr1)
+                   + (CAST(CAST(syyt1 - syyl1 AS VARCHAR) AS DOUBLE)
+                    - CAST(2 AS DOUBLE) * cl1 * CAST(syt1 - syl1 AS DOUBLE)
+                    + CAST(nt1 - nl1 AS DOUBLE) * cl1 * cl1) AS ssr
+          FROM scan2 CROSS JOIN win1
+          WHERE (nl0 + nl1) < (nt0 + nt1)),
+        sse2c AS (
+          SELECT feature, v, nld, nrd, sl, sr,
+                 ROUND((ssl - sl*sl/nld) + (ssr - sr*sr/nrd), 6) AS sse
+          FROM s2),
+        win2 AS (
+          SELECT w['sse'] AS sse2, w['feature'] AS feat2, w['v'] AS t2,
+                 ROUND(w['sl'] / w['nld'], 9) AS wl2,
+                 ROUND(w['sr'] / w['nrd'], 9) AS wr2
+          FROM (SELECT MIN({'sse': sse, 'feature': feature, 'v': v,
+                            'sl': sl, 'sr': sr, 'nld': nld,
+                            'nrd': nrd}) AS w
+                FROM sse2c))
+        SELECT CAST(0 AS INT) AS round, '(const)' AS feature,
+               CAST(NULL AS DOUBLE) AS threshold, f0 AS w_left,
+               f0 AS w_right, sst AS sse
+        FROM f0r
+        UNION ALL
+        SELECT CAST(1 AS INT), feat1, t1, wl1, wr1, sse1 FROM win1
+        UNION ALL
+        SELECT CAST(2 AS INT), feat2, t2, wl2, wr2, sse2 FROM win2
+        ORDER BY round"""))
   )
 }
