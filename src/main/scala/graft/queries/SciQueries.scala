@@ -1003,6 +1003,78 @@ object SciQueries {
         SELECT CAST(1 AS INT), feat1, t1, wl1, wr1, sse1 FROM win1
         UNION ALL
         SELECT CAST(2 AS INT), feat2, t2, wl2, wr2, sse2 FROM win2
-        ORDER BY round"""))
+        ORDER BY round""")),
+
+    // Exact Shapley-value channel attribution: user exposure sets before
+    // the first HIGH-VALUE purchase (value > 180, so conversion actually
+    // varies — every user eventually sees every event type) reduce to a
+    // 16-row coalition table (one groupBy
+    // chain), and each channel's credit is the exact Shapley enumeration
+    // over that bounded table — factorial weights in fixed-shape double
+    // divisions, terms through DECIMAL(28,12).
+    "qaf_shapley_attribution" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Shapley.attribution(
+            Tables(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts"))),
+            "user_id", "ts_ms", "event_type",
+            col("event_type") === "purchase" && col("value") > 180.0,
+            Seq("click", "error", "signup", "view"))
+          .orderBy(col("channel")),
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id AS u, epoch_ms(ts) AS ts, event_type AS ch,
+                 CAST(value AS DOUBLE) AS v
+          FROM events),
+        fp AS (
+          SELECT u, MIN(ts) AS fp FROM ev
+          WHERE ch = 'purchase' AND v > CAST(180 AS DOUBLE) GROUP BY 1),
+        expo AS (
+          SELECT e.u, e.ch FROM ev e LEFT JOIN fp ON fp.u = e.u
+          WHERE NOT (e.ch = 'purchase' AND e.v > CAST(180 AS DOUBLE))
+            AND (fp.fp IS NULL OR e.ts < fp.fp)),
+        em AS (
+          SELECT u,
+                 MAX(CASE WHEN ch = 'click' THEN 1 ELSE 0 END)
+               + MAX(CASE WHEN ch = 'error' THEN 2 ELSE 0 END)
+               + MAX(CASE WHEN ch = 'signup' THEN 4 ELSE 0 END)
+               + MAX(CASE WHEN ch = 'view' THEN 8 ELSE 0 END) AS mask
+          FROM expo GROUP BY 1),
+        um AS (
+          SELECT d.u, CAST(COALESCE(em.mask, 0) AS BIGINT) AS mask,
+                 CASE WHEN fp.u IS NULL THEN 0 ELSE 1 END AS conv
+          FROM (SELECT DISTINCT u FROM ev) d
+          LEFT JOIN em ON em.u = d.u LEFT JOIN fp ON fp.u = d.u),
+        coal AS (
+          SELECT mask, CAST(COUNT(*) AS BIGINT) AS users,
+                 CAST(SUM(conv) AS BIGINT) AS converted
+          FROM um GROUP BY 1),
+        allm AS (SELECT CAST(UNNEST(range(16)) AS BIGINT) AS mask),
+        vt AS MATERIALIZED (
+          SELECT a.mask,
+                 COALESCE(ROUND(CAST(c.converted AS DOUBLE) /
+                   CAST(c.users AS DOUBLE), 12), CAST(0 AS DOUBLE)) AS v
+          FROM allm a LEFT JOIN coal c ON c.mask = a.mask),
+        ch AS (SELECT * FROM (VALUES ('click', 0), ('error', 1),
+               ('signup', 2), ('view', 3)) AS t(channel, bit)),
+        pairs AS (
+          SELECT ch.channel,
+                 ((a.mask >> 0) & 1) + ((a.mask >> 1) & 1)
+               + ((a.mask >> 2) & 1) + ((a.mask >> 3) & 1) AS s,
+                 a.v AS v_s, b.v AS v_si
+          FROM ch CROSS JOIN vt a
+          JOIN vt b ON b.mask = a.mask + (1 << ch.bit)
+          WHERE ((a.mask >> ch.bit) & 1) = 0),
+        terms AS (
+          SELECT channel,
+                 CAST(ROUND(
+                   ([CAST(1 AS DOUBLE), CAST(1 AS DOUBLE), CAST(2 AS DOUBLE),
+                     CAST(6 AS DOUBLE), CAST(24 AS DOUBLE)][CAST(s + 1 AS INT)]
+                    * [CAST(1 AS DOUBLE), CAST(1 AS DOUBLE), CAST(2 AS DOUBLE),
+                       CAST(6 AS DOUBLE), CAST(24 AS DOUBLE)][CAST(4 - s AS INT)]
+                    / CAST(24 AS DOUBLE)) * (v_si - v_s), 12)
+                   AS DECIMAL(28,12)) AS term
+          FROM pairs)
+        SELECT channel, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS phi
+        FROM terms GROUP BY 1 ORDER BY 1"""))
   )
 }
