@@ -1075,6 +1075,85 @@ object SciQueries {
                    AS DECIMAL(28,12)) AS term
           FROM pairs)
         SELECT channel, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS phi
-        FROM terms GROUP BY 1 ORDER BY 1"""))
+        FROM terms GROUP BY 1 ORDER BY 1""")),
+
+    // Blocking-quality report for entity resolution: sorted-neighborhood
+    // candidates evaluated against the q5j edit-distance ground truth —
+    // reduction ratio, pair completeness (recall) and pair quality
+    // (precision), the standard Christen blocking metrics. The sort key
+    // is the REVERSED token order (noun first): the fixture's matches
+    // differ in the leading adjective, so raw-order neighborhoods catch
+    // none of them — the key choice IS the finding this report exists to
+    // surface. Candidates come from k = 1..3 rank-shift EQUI joins on
+    // the distributed global row number (no non-equi join, no global
+    // window).
+    "qag_blocking_metrics" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "part")
+          .select(col("p_name").cast("string").as("name"))
+          .filter(col("name").isNotNull).distinct()
+          .withColumn("key",
+            concat_ws(" ", reverse(split(col("name"), " "))))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          d, Seq(col("key"), col("name")), "ra")
+        val cand = ranked
+          .withColumn("k", explode(array(lit(1), lit(2), lit(3))))
+          .withColumn("rb", col("ra") + col("k"))
+          .join(ranked.select(col("name").as("nb"), col("ra").as("rb")),
+            Seq("rb"))
+          .select(least(col("name"), col("nb")).as("sa"),
+            greatest(col("name"), col("nb")).as("sb"))
+        val truth = graft.operators.FuzzyJoin
+          .editDistancePairs(t(s, dir, "part"), "p_name", maxDist = 2)
+          .select(col("str_a").as("sa"), col("str_b").as("sb"))
+        val found = cand.join(truth, Seq("sa", "sb"))
+        d.agg(count(lit(1)).as("n_names"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .select(col("n_names"), col("n_cand"), col("n_true"),
+            col("n_found"),
+            round(lit(1.0) - col("n_cand").cast("double") /
+              (col("n_names").cast("double") *
+                (col("n_names") - 1).cast("double") / lit(2.0)), 6)
+              .as("reduction_ratio"),
+            round(col("n_found").cast("double") /
+              col("n_true").cast("double"), 6).as("pair_completeness"),
+            round(col("n_found").cast("double") /
+              col("n_cand").cast("double"), 6).as("pair_quality"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL),
+        dk AS (
+          SELECT s, array_to_string(list_reverse(string_split(s, ' ')), ' ')
+                   AS k
+          FROM d),
+        r AS (
+          SELECT s, ROW_NUMBER() OVER (ORDER BY k, s) AS rn FROM dk),
+        cand AS (
+          SELECT LEAST(a.s, b.s) AS sa, GREATEST(a.s, b.s) AS sb
+          FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3),
+        truth AS (
+          SELECT a.s AS sa, b.s AS sb
+          FROM d a JOIN d b ON a.s < b.s
+          WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 2),
+        counts AS (
+          SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM dk) AS n_names,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cand
+             JOIN truth ON truth.sa = cand.sa AND truth.sb = cand.sb)
+              AS n_found)
+        SELECT n_names, n_cand, n_true, n_found,
+               ROUND(CAST(1 AS DOUBLE) - CAST(n_cand AS DOUBLE) /
+                 (CAST(n_names AS DOUBLE) * CAST(n_names - 1 AS DOUBLE)
+                  / CAST(2 AS DOUBLE)), 6) AS reduction_ratio,
+               ROUND(CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+                 AS pair_completeness,
+               ROUND(CAST(n_found AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
+                 AS pair_quality
+        FROM counts"""))
   )
 }
