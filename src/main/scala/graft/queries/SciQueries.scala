@@ -1154,6 +1154,86 @@ object SciQueries {
                  AS pair_completeness,
                ROUND(CAST(n_found AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
                  AS pair_quality
-        FROM counts"""))
+        FROM counts""")),
+
+    // Absorbing Markov chain solve: transition rates from consecutive
+    // per-user events, then the EXACT fundamental-matrix answer
+    // (I − Q)⁻¹R via the 3×3 Cramer chain — "starting from click /
+    // signup / view, does the user end in purchase or error?". Rates on
+    // the 12-grid, solution on the 9-grid, fixed-shape doubles.
+    "qah_absorption" -> Q(
+      fn = (s, dir) =>
+        graft.operators.AbsorbingChain.absorption(
+            Tables(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts"))),
+            "user_id", "ts_ms", "event_id", "event_type",
+            transient = Seq("click", "signup", "view"),
+            absorbing = Seq("purchase", "error"))
+          .orderBy(col("state")),
+      oracle = Some {
+        val transient = Seq("click", "signup", "view")
+        val states = transient ++ Seq("purchase", "error")
+        val cells = (for {
+          (fi, i) <- transient.zipWithIndex
+          (tj, j) <- states.zipWithIndex
+        } yield {
+          val nm = if (j < 3) s"q${i + 1}${j + 1}" else s"r${i + 1}${j - 2}"
+          s"COALESCE(MAX(CASE WHEN st = '$fi' AND nxt = '$tj' THEN p END), " +
+            s"CAST(0 AS DOUBLE)) AS $nm"
+        }).mkString(",\n                 ")
+        def solveSql(rc: String, out: String): String = s"""
+                 ROUND((${rc}1 * (m22 * m33 - m23 * m32)
+                   - m12 * (${rc}2 * m33 - m23 * ${rc}3)
+                   + m13 * (${rc}2 * m32 - m22 * ${rc}3)) / det, 9) AS ${out}1,
+                 ROUND((m11 * (${rc}2 * m33 - m23 * ${rc}3)
+                   - ${rc}1 * (m21 * m33 - m23 * m31)
+                   + m13 * (m21 * ${rc}3 - ${rc}2 * m31)) / det, 9) AS ${out}2,
+                 ROUND((m11 * (m22 * ${rc}3 - ${rc}2 * m32)
+                   - m12 * (m21 * ${rc}3 - ${rc}2 * m31)
+                   + ${rc}1 * (m21 * m32 - m22 * m31)) / det, 9) AS ${out}3"""
+        s"""
+        WITH e AS (
+          SELECT event_type AS st,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS nxt
+          FROM events),
+        tr AS (
+          SELECT st, nxt FROM e
+          WHERE nxt IS NOT NULL AND st IN ('click', 'signup', 'view')),
+        tot AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS ntot FROM tr GROUP BY 1),
+        rates AS (
+          SELECT c.st, c.nxt,
+                 ROUND(CAST(c.n AS DOUBLE) / CAST(tot.ntot AS DOUBLE), 12) AS p
+          FROM (SELECT st, nxt, CAST(COUNT(*) AS BIGINT) AS n
+                FROM tr GROUP BY 1, 2) c
+          JOIN tot ON tot.st = c.st),
+        cells AS (
+          SELECT $cells
+          FROM rates),
+        m AS (
+          SELECT *,
+                 CAST(1 AS DOUBLE) - q11 AS m11, CAST(0 AS DOUBLE) - q12 AS m12,
+                 CAST(0 AS DOUBLE) - q13 AS m13, CAST(0 AS DOUBLE) - q21 AS m21,
+                 CAST(1 AS DOUBLE) - q22 AS m22, CAST(0 AS DOUBLE) - q23 AS m23,
+                 CAST(0 AS DOUBLE) - q31 AS m31, CAST(0 AS DOUBLE) - q32 AS m32,
+                 CAST(1 AS DOUBLE) - q33 AS m33,
+                 r11 AS ra1, r21 AS ra2, r31 AS ra3,
+                 r12 AS rb1, r22 AS rb2, r32 AS rb3
+          FROM cells),
+        d AS (
+          SELECT *,
+                 m11 * (m22 * m33 - m23 * m32) - m12 * (m21 * m33 - m23 * m31)
+                   + m13 * (m21 * m32 - m22 * m31) AS det
+          FROM m),
+        sv AS (
+          SELECT *,${solveSql("ra", "pa")},${solveSql("rb", "pb")}
+          FROM d)
+        SELECT 'click' AS state, ROUND(pa1, 6) AS p_purchase,
+               ROUND(pb1, 6) AS p_error FROM sv
+        UNION ALL
+        SELECT 'signup', ROUND(pa2, 6), ROUND(pb2, 6) FROM sv
+        UNION ALL
+        SELECT 'view', ROUND(pa3, 6), ROUND(pb3, 6) FROM sv
+        ORDER BY state"""
+      })
   )
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Absorption probabilities against hand-solved chains. */
+class AbsorbingChainSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  private def run(events: Seq[(Long, Long, String)]) =
+    AbsorbingChain.absorption(
+        events.map { case (u, t, st) => (u, t, t, st) }
+          .toDF("u", "ts", "tie", "st"),
+        "u", "ts", "tie", "st",
+        transient = Seq("t1", "t2", "t3"), absorbing = Seq("A", "B"))
+      .collect().map(r => r.getAs[String]("state") ->
+        (r.getAs[Double]("p_A"), r.getAs[Double]("p_B"))).toMap
+
+  test("direct, chained and split absorption solve exactly") {
+    val ev = Seq(
+      (1L, 1L, "t1"), (1L, 2L, "A"),            // t1 → A
+      (2L, 1L, "t2"), (2L, 2L, "t1"), (2L, 3L, "A"), // t2 → t1 (→ A)
+      (3L, 1L, "t3"), (3L, 2L, "A"),            // t3 → A
+      (4L, 1L, "t3"), (4L, 2L, "B"))            // t3 → B
+    val m = run(ev)
+    assert(m("t1") == (1.0, 0.0))
+    assert(m("t2") == (1.0, 0.0))
+    assert(m("t3") == (0.5, 0.5))
+  }
+
+  test("a self-loop still absorbs with probability 1 (geometric series)") {
+    val ev = Seq(
+      (1L, 1L, "t1"), (1L, 2L, "t1"), (1L, 3L, "A"), // q11 = r1A = 0.5
+      (2L, 1L, "t2"), (2L, 2L, "B"),
+      (3L, 1L, "t3"), (3L, 2L, "B"))
+    val m = run(ev)
+    assert(m("t1") == (1.0, 0.0))
+    assert(m("t2") == (0.0, 1.0))
+    assert(m("t3") == (0.0, 1.0))
+  }
+
+  test("absorbing-state successors are ignored, unknown-state rows rejected by filter") {
+    // a user continuing AFTER absorption must not pollute the rates
+    val ev = Seq(
+      (1L, 1L, "t1"), (1L, 2L, "A"), (1L, 3L, "B"), // A→B ignored
+      (2L, 1L, "t2"), (2L, 2L, "B"),
+      (3L, 1L, "t3"), (3L, 2L, "B"))
+    val m = run(ev)
+    assert(m("t1") == (1.0, 0.0))
+  }
+}
