@@ -1234,6 +1234,44 @@ object SciQueries {
         UNION ALL
         SELECT 'view', ROUND(pa3, 6), ROUND(pb3, 6) FROM sv
         ORDER BY state"""
-      })
+      }),
+
+    // Native session_window surface: Spark's built-in session windows
+    // (batch mode, 10-minute gap) proven value-exact against the
+    // hand-rolled gaps-and-islands construction — merge iff the gap is
+    // STRICTLY under 10 min (window ends are exclusive), session end =
+    // last event + gap.
+    "qai_session_window" -> Q(
+      fn = (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"),
+            col("value").cast("decimal(18,2)").as("v"))
+          .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n_events"), sum(col("v")).as("vsum"))
+          .select(col("user_id"),
+            unix_millis(col("session_window.start")).as("start_ms"),
+            unix_millis(col("session_window.end")).as("end_ms"),
+            col("n_events"), col("vsum").cast("double").as("value_sum"))
+          .orderBy(col("user_id"), col("start_ms")),
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ts_ms,
+                 CAST(value AS DECIMAL(18,2)) AS v,
+                 CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                        >= 600000 THEN 1
+                      WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+                      ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))),
+        s AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                      ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e)
+        SELECT user_id, MIN(ts_ms) AS start_ms,
+               MAX(ts_ms) + 600000 AS end_ms,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(v) AS DOUBLE) AS value_sum
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, start_ms"""))
   )
 }
