@@ -1272,6 +1272,90 @@ object SciQueries {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(v) AS DOUBLE) AS value_sum
         FROM s GROUP BY user_id, sid
-        ORDER BY user_id, start_ms"""))
+        ORDER BY user_id, start_ms""")),
+
+    // Jenks natural breaks: the exact optimal 4-segmentation of the
+    // quantity distribution by DP over the bounded (value, weight)
+    // profile — integer prefix sums, 9-grid segment SSEs, struct-argmin
+    // per level, k unrolled so the oracle chains the same 4 CTE levels.
+    "qaj_natural_breaks" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Jenks.naturalBreaks(t(s, dir, "lineitem"),
+          col("l_quantity"), k = 4),
+      oracle = Some("""
+        WITH prof AS (
+          SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1),
+        pre AS (
+          SELECT v, n, CAST(ROW_NUMBER() OVER (ORDER BY v) AS INT) AS i,
+                 SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cn,
+                 SUM(n*v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cs,
+                 SUM(n*v*v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS css
+          FROM prof),
+        lo AS (
+          SELECT i - 1 AS j, cn - n AS cn_lo, cs - n*v AS cs_lo,
+                 css - n*v*v AS css_lo
+          FROM pre),
+        hi AS (
+          SELECT i AS ii, cn AS cn_hi, cs AS cs_hi, css AS css_hi FROM pre),
+        segs AS MATERIALIZED (
+          SELECT j, ii,
+                 ROUND(CAST(css_hi - css_lo AS DOUBLE)
+                   - CAST(cs_hi - cs_lo AS DOUBLE)
+                     * CAST(cs_hi - cs_lo AS DOUBLE)
+                     / CAST(cn_hi - cn_lo AS DOUBLE), 9) AS sse
+          FROM lo JOIN hi ON ii >= j + 1),
+        d1 AS MATERIALIZED (
+          SELECT ii AS i, sse AS cost, 0 AS argj FROM segs WHERE j = 0),
+        d2 AS MATERIALIZED (
+          SELECT i, w['tot'] AS cost, w['j'] AS argj FROM (
+            SELECT s.ii AS i,
+                   MIN({'tot': ROUND(p.cost + s.sse, 9), 'j': s.j}) AS w
+            FROM d1 p JOIN segs s ON s.j = p.i GROUP BY 1)),
+        d3 AS MATERIALIZED (
+          SELECT i, w['tot'] AS cost, w['j'] AS argj FROM (
+            SELECT s.ii AS i,
+                   MIN({'tot': ROUND(p.cost + s.sse, 9), 'j': s.j}) AS w
+            FROM d2 p JOIN segs s ON s.j = p.i GROUP BY 1)),
+        d4 AS MATERIALIZED (
+          SELECT i, w['tot'] AS cost, w['j'] AS argj FROM (
+            SELECT s.ii AS i,
+                   MIN({'tot': ROUND(p.cost + s.sse, 9), 'j': s.j}) AS w
+            FROM d3 p JOIN segs s ON s.j = p.i GROUP BY 1)),
+        c4 AS (
+          SELECT i AS ck4, argj AS ck3 FROM d4
+          WHERE i = (SELECT MAX(i) FROM pre)),
+        c2 AS (
+          SELECT c4.ck4, c4.ck3, d3.argj AS ck2, d2.argj AS ck1
+          FROM c4 JOIN d3 ON d3.i = c4.ck3
+          JOIN d2 ON d2.i = d3.argj),
+        ranges AS (
+          SELECT 1 AS segment, 0 AS jlo, ck1 AS jhi FROM c2
+          UNION ALL SELECT 2, ck1, ck2 FROM c2
+          UNION ALL SELECT 3, ck2, ck3 FROM c2
+          UNION ALL SELECT 4, ck3, ck4 FROM c2),
+        loJ AS (
+          SELECT i AS jlo, cn AS cn_lo, cs AS cs_lo, css AS css_lo FROM pre
+          UNION ALL
+          SELECT 0, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT),
+                 CAST(0 AS HUGEINT)),
+        hiJ AS (
+          SELECT i AS jhi, v AS hi_v, cn AS cn_hi, cs AS cs_hi,
+                 css AS css_hi
+          FROM pre),
+        loV AS (SELECT i - 1 AS jlo2, v AS lo_v FROM pre)
+        SELECT r.segment, loV.lo_v, hiJ.hi_v,
+               CAST(cn_hi - cn_lo AS BIGINT) AS n,
+               ROUND(CAST(cs_hi - cs_lo AS DOUBLE)
+                 / CAST(cn_hi - cn_lo AS DOUBLE), 6) AS mean,
+               ROUND(ROUND(CAST(css_hi - css_lo AS DOUBLE)
+                 - CAST(cs_hi - cs_lo AS DOUBLE)
+                   * CAST(cs_hi - cs_lo AS DOUBLE)
+                   / CAST(cn_hi - cn_lo AS DOUBLE), 9), 6) AS sse
+        FROM ranges r
+        JOIN loJ ON loJ.jlo = r.jlo
+        JOIN hiJ ON hiJ.jhi = r.jhi
+        JOIN loV ON loV.jlo2 = r.jlo
+        ORDER BY r.segment"""))
   )
 }
