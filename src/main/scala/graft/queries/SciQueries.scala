@@ -1356,6 +1356,74 @@ object SciQueries {
         JOIN loJ ON loJ.jlo = r.jlo
         JOIN hiJ ON hiJ.jhi = r.jhi
         JOIN loV ON loV.jlo2 = r.jlo
-        ORDER BY r.segment"""))
+        ORDER BY r.segment""")),
+
+    // Silhouette acceptance report for the q4y k-means clustering:
+    // assignments from the full corpus, the O(n²) silhouette on the
+    // bounded audit panel (vec_id < 500) — cosine distances on the
+    // 6-grid, per-point sums through DECIMAL, singletons 0 by
+    // convention. The clustering-quality number SemDeDup/k-means
+    // deployments gate on.
+    "qam_silhouette" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val idx0 = graft.operators.IvfIndex.centroidsByDraw(
+          e, "vec_id", "embedding", nCells = 8)
+        val idx = graft.operators.IvfIndex.refineExact(
+          e, "embedding", idx0, iters = 2)
+        val best = graft.operators.IvfIndex.assignCellScore(
+          col("embedding"), idx)
+        val assigned = e.select(col("vec_id"), col("embedding"),
+          best.getField("cell").as("cell"))
+        graft.operators.Silhouette.cosineSilhouette(
+            assigned.filter(col("vec_id") < 500),
+            "vec_id", "embedding", "cell")
+          .orderBy(col("cell"))
+      },
+      oracle = Some(s"""
+        ${VectorQueries.kmeansCtes(nCells = 8, iters = 2)},
+        fin AS MATERIALIZED (
+          SELECT vec_id, cell, v FROM (
+            SELECT e.vec_id, c.cell, e.v,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(e.v, c.cv) AS DOUBLE),
+                       6) DESC, c.cell) AS rn
+            FROM e CROSS JOIN cent2 c) WHERE rn = 1),
+        pan AS MATERIALIZED (
+          SELECT vec_id AS ai, cell AS ac, v FROM fin WHERE vec_id < 500),
+        pr AS MATERIALIZED (
+          SELECT a.ai, a.ac, b.ac AS bc,
+                 CAST(1 AS DOUBLE) -
+                   ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6)
+                   AS d
+          FROM pan a JOIN pan b ON a.ai <> b.ai),
+        sz AS (SELECT ac, CAST(COUNT(*) AS BIGINT) AS n_c FROM pan GROUP BY 1),
+        own AS (
+          SELECT ai, ac,
+                 ROUND(CAST(SUM(CAST(d AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS a_mean
+          FROM pr WHERE ac = bc GROUP BY 1, 2),
+        oth AS (
+          SELECT ai, ac, MIN(o_mean) AS b_mean FROM (
+            SELECT ai, ac, bc,
+                   ROUND(CAST(SUM(CAST(d AS DECIMAL(28,12))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS o_mean
+            FROM pr WHERE ac <> bc GROUP BY 1, 2, 3)
+          GROUP BY 1, 2),
+        sc AS (
+          SELECT p.ai, p.ac,
+                 CASE WHEN sz.n_c = 1 THEN CAST(0 AS DOUBLE)
+                      WHEN GREATEST(own.a_mean, oth.b_mean) > 0
+                      THEN ROUND((oth.b_mean - own.a_mean)
+                        / GREATEST(own.a_mean, oth.b_mean), 6)
+                      ELSE CAST(0 AS DOUBLE) END AS s
+          FROM pan p
+          JOIN sz ON sz.ac = p.ac
+          LEFT JOIN own ON own.ai = p.ai AND own.ac = p.ac
+          LEFT JOIN oth ON oth.ai = p.ai AND oth.ac = p.ac)
+        SELECT ac AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette
+        FROM sc GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -55,7 +55,7 @@ object VectorQueries {
     * inheriting the previous centroid. Ends with `cent$iters(cell, cv)` and
     * an `e(vec_id, v DOUBLE[])` base CTE in scope.
     */
-  private def kmeansCtes(nCells: Int, iters: Int): String = {
+  private[queries] def kmeansCtes(nCells: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(s"""
         WITH e AS MATERIALIZED (

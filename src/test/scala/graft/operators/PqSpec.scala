@@ -159,11 +159,17 @@ class PqSpec extends AnyFunSuite {
     val spark = graft.SparkTestBase.spark
     // the amortized path must launch strictly fewer jobs than the
     // per-query-count path: count the jobs each sizing mode runs
+    // measure inside a DEDICATED job group: counting the default group
+    // races with stray async jobs from earlier suites in the shared
+    // session (observed as a full-suite-only flake)
+    var groupSeq = 0
     def jobsDuring(f: => Seq[(Long, Double)]): (Int, Seq[(Long, Double)]) = {
       val sc = spark.sparkContext
-      val before = sc.statusTracker.getJobIdsForGroup(null).length
-      val out = f
-      (sc.statusTracker.getJobIdsForGroup(null).length - before, out)
+      groupSeq += 1
+      val group = s"pqspec-jobcount-$groupSeq"
+      sc.setJobGroup(group, "PqSpec job-count window")
+      val out = try f finally sc.clearJobGroup()
+      (sc.statusTracker.getJobIdsForGroup(group).length, out)
     }
     val (jobsAmortized, amortized) = jobsDuring(rows(
       PqIndex.searchIvfPq(store, "vec_id", "embedding", qv, ivf, book,
