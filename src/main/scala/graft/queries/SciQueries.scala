@@ -1424,6 +1424,46 @@ object SciQueries {
         SELECT ac AS cell, CAST(COUNT(*) AS BIGINT) AS n,
                ROUND(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette
-        FROM sc GROUP BY 1 ORDER BY 1"""))
+        FROM sc GROUP BY 1 ORDER BY 1""")),
+
+    // MATCH_RECOGNIZE-style sequence patterns, which Spark SQL lacks as
+    // a native operator: encode each user's ordered event history as an
+    // initials string (one map-side collect per user, bounded by the
+    // per-user history), then count non-overlapping
+    // view→click→purchase-with-no-error-between journeys as a plain
+    // regex over that string — leftmost-first greedy semantics agree
+    // between Java and RE2 on this custom alphabet (no \\s, no Unicode
+    // classes, per the CLAUDE.md regex-parity rules).
+    "qan_event_patterns" -> Q(
+      fn = (s, dir) => {
+        val seqs = Tables(s, dir, "events")
+          .withColumn("ts_ms", unix_millis(col("ts")))
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c"))
+          .groupBy(col("user_id"))
+          .agg(concat_ws("", transform(
+            sort_array(collect_list(struct(col("ts_ms"), col("event_id"),
+              col("c")))), x => x.getField("c"))).as("seq"))
+        seqs.select(col("user_id"), length(col("seq")).as("seq_len"),
+            regexp_count(col("seq"), lit("v[^e]*c[^e]*p")).as("n_journeys"),
+            regexp_count(col("seq"), lit("e+")).as("n_error_runs"))
+          .filter(col("n_journeys") >= 1)
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT user_id,
+                 string_agg(substr(event_type, 1, 1), ''
+                   ORDER BY epoch_ms(ts), event_id) AS seq
+          FROM events GROUP BY 1),
+        m AS (
+          SELECT user_id, CAST(len(seq) AS INT) AS seq_len,
+                 CAST(len(regexp_extract_all(seq, 'v[^e]*c[^e]*p')) AS INT)
+                   AS n_journeys,
+                 CAST(len(regexp_extract_all(seq, 'e+')) AS INT)
+                   AS n_error_runs
+          FROM s)
+        SELECT user_id, seq_len, n_journeys, n_error_runs
+        FROM m WHERE n_journeys >= 1 ORDER BY user_id"""))
   )
 }
