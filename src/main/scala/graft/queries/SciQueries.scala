@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TimeWarp
 import graft.operators.{Geo, LinkPredict, NaiveBayesText, Outliers, Regress}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 session-3 families: closed-form model fitting (multi-feature
@@ -1464,6 +1465,74 @@ object SciQueries {
                    AS n_error_runs
           FROM s)
         SELECT user_id, seq_len, n_journeys, n_error_runs
-        FROM m WHERE n_journeys >= 1 ORDER BY user_id"""))
+        FROM m WHERE n_journeys >= 1 ORDER BY user_id""")),
+
+    // Good–Turing / Chao1 unseen-mass diagnostics over word trigrams:
+    // counts-of-counts from one grouped profile, the unseen-probability
+    // mass n1/N, sample coverage, the Chao1 richness estimate
+    // V + n1²/(2·n2) and the Good–Turing adjusted hapax count 2·n2/n1 —
+    // the "how much tail have we not seen yet" number a dedup/LM
+    // pipeline budgets by. Trigram hapaxes are non-vacuous at every SF
+    // (probed: n1 = 9402/9424/207).
+    "qao_unseen_mass" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .filter(col("tok") =!= "")
+        val tri = toks
+          .withColumn("t2", lead(col("tok"), 1).over(w))
+          .withColumn("t3", lead(col("tok"), 2).over(w))
+          .filter(col("t2").isNotNull && col("t3").isNotNull)
+          .select(concat_ws(" ", col("tok"), col("t2"), col("t3")).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        tri.agg(count(lit(1)).as("v"), sum(col("n")).as("ntot"),
+            sum(when(col("n") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("n") === 2, 1L).otherwise(0L)).as("n2"))
+          .select(col("v"), col("ntot"), col("n1"), col("n2"),
+            round(col("n1").cast("double") / col("ntot").cast("double"), 6)
+              .as("p0_unseen"),
+            round(lit(1.0) - col("n1").cast("double") /
+              col("ntot").cast("double"), 6).as("coverage"),
+            when(col("n2") > 0, round(col("v").cast("double") +
+              col("n1").cast("double") * col("n1").cast("double") /
+                (lit(2.0) * col("n2").cast("double")), 6)).as("chao1"),
+            when(col("n1") > 0, round(lit(2.0) * col("n2").cast("double") /
+              col("n1").cast("double"), 6)).as("gt_hapax_adjusted"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        tt AS (SELECT * FROM t WHERE tok <> ''),
+        l AS (
+          SELECT tok AS t1,
+                 LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+                 LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+          FROM tt),
+        c AS (
+          SELECT t1 || ' ' || t2 || ' ' || t3 AS g,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM l WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(n) AS BIGINT) AS ntot,
+                 CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM c)
+        SELECT v, ntot, n1, n2,
+               ROUND(CAST(n1 AS DOUBLE) / CAST(ntot AS DOUBLE), 6)
+                 AS p0_unseen,
+               ROUND(CAST(1 AS DOUBLE) - CAST(n1 AS DOUBLE)
+                 / CAST(ntot AS DOUBLE), 6) AS coverage,
+               CASE WHEN n2 > 0 THEN ROUND(CAST(v AS DOUBLE)
+                 + CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   / (CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) END
+                 AS chao1,
+               CASE WHEN n1 > 0 THEN ROUND(CAST(2 AS DOUBLE)
+                 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END
+                 AS gt_hapax_adjusted
+        FROM a"""))
   )
 }
