@@ -1533,6 +1533,194 @@ object SciQueries {
                CASE WHEN n1 > 0 THEN ROUND(CAST(2 AS DOUBLE)
                  * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END
                  AS gt_hapax_adjusted
-        FROM a"""))
+        FROM a""")),
+
+    // Murphy's Brier-score decomposition (reliability − resolution +
+    // uncertainty) over the discount-as-forecast profile: one bounded
+    // forecast-bin table, every term an exact count ratio, and the
+    // decomposition identity emitted as its own column — the calibration
+    // audit that says WHY a forecast's Brier score is what it is.
+    "qap_brier" -> Q(
+      fn = (s, dir) => {
+        val base = t(s, dir, "lineitem").select(
+          round(col("l_discount") * 10, 6).as("p"),
+          (col("l_returnflag") === "R").cast("long").as("y"))
+        val bins = base.groupBy(col("p"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        val tot = bins.agg(sum(col("n")).as("nt"), sum(col("pos")).as("post"))
+          .select(col("nt"), col("post"),
+            round(col("post").cast("double") / col("nt").cast("double"), 12)
+              .as("ybar"))
+        val terms = bins.crossJoin(broadcast(tot))
+          .withColumn("yb",
+            round(col("pos").cast("double") / col("n").cast("double"), 12))
+          .withColumn("rel_t",
+            (col("n").cast("double") * (col("p") - col("yb")) *
+              (col("p") - col("yb"))).cast("decimal(28,12)"))
+          .withColumn("res_t",
+            (col("n").cast("double") * (col("yb") - col("ybar")) *
+              (col("yb") - col("ybar"))).cast("decimal(28,12)"))
+          .withColumn("brier_t",
+            (col("pos").cast("double") * (lit(1.0) - col("p")) *
+              (lit(1.0) - col("p")) +
+              (col("n") - col("pos")).cast("double") * col("p") * col("p"))
+              .cast("decimal(28,12)"))
+        terms.groupBy(col("nt"), col("ybar"))
+          .agg(sum(col("rel_t")).as("rel_s"), sum(col("res_t")).as("res_s"),
+            sum(col("brier_t")).as("brier_s"))
+          .select(col("nt").as("n"),
+            round(col("brier_s").cast("double") / col("nt").cast("double"), 6)
+              .as("brier"),
+            round(col("rel_s").cast("double") / col("nt").cast("double"), 6)
+              .as("reliability"),
+            round(col("res_s").cast("double") / col("nt").cast("double"), 6)
+              .as("resolution"),
+            round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("uncertainty"),
+            round((col("brier_s").cast("double") / col("nt").cast("double")) -
+              ((col("rel_s").cast("double") / col("nt").cast("double")) -
+                (col("res_s").cast("double") / col("nt").cast("double")) +
+                col("ybar") * (lit(1.0) - col("ybar"))), 6)
+              .as("identity_residual"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT ROUND(CAST(l_discount AS DOUBLE) * 10, 6) AS p,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+          FROM lineitem),
+        bins AS (
+          SELECT p, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos
+          FROM base GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS post,
+                 ROUND(CAST(SUM(pos) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 12)
+                   AS ybar
+          FROM bins),
+        terms AS (
+          SELECT b.*, t.nt, t.ybar,
+                 ROUND(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 12) AS yb
+          FROM bins b CROSS JOIN tot t),
+        s AS (
+          SELECT nt, ybar,
+                 SUM(CAST(CAST(n AS DOUBLE) * (p - yb) * (p - yb)
+                   AS DECIMAL(28,12))) AS rel_s,
+                 SUM(CAST(CAST(n AS DOUBLE) * (yb - ybar) * (yb - ybar)
+                   AS DECIMAL(28,12))) AS res_s,
+                 SUM(CAST(CAST(pos AS DOUBLE) * (CAST(1 AS DOUBLE) - p)
+                     * (CAST(1 AS DOUBLE) - p)
+                   + CAST(n - pos AS DOUBLE) * p * p
+                   AS DECIMAL(28,12))) AS brier_s
+          FROM terms GROUP BY 1, 2)
+        SELECT nt AS n,
+               ROUND(CAST(brier_s AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS brier,
+               ROUND(CAST(rel_s AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+                 AS reliability,
+               ROUND(CAST(res_s AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+                 AS resolution,
+               ROUND(ybar * (CAST(1 AS DOUBLE) - ybar), 6) AS uncertainty,
+               ROUND((CAST(brier_s AS DOUBLE) / CAST(nt AS DOUBLE))
+                 - ((CAST(rel_s AS DOUBLE) / CAST(nt AS DOUBLE))
+                    - (CAST(res_s AS DOUBLE) / CAST(nt AS DOUBLE))
+                    + ybar * (CAST(1 AS DOUBLE) - ybar)), 6)
+                 + CAST(0 AS DOUBLE) AS identity_residual
+        FROM s""")),
+
+    // Cochran–Mantel–Haenszel stratified association: does a deep
+    // discount associate with returns CONSISTENTLY across nation strata?
+    // One bounded 2×2-per-stratum table, the CMH statistic
+    // (Σ(a−E))²/ΣV and the MH common odds ratio — exact count arithmetic
+    // with DECIMAL cross-stratum sums.
+    "qaq_cmh" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("stratum"),
+            (col("l_discount") >= 0.05).cast("long").as("x"),
+            (col("l_returnflag") === "R").cast("long").as("y"))
+        val cells = li.groupBy(col("stratum"))
+          .agg(sum(col("x") * col("y")).as("a"),
+            sum(col("x") * (lit(1L) - col("y"))).as("b"),
+            sum((lit(1L) - col("x")) * col("y")).as("c"),
+            sum((lit(1L) - col("x")) * (lit(1L) - col("y"))).as("d"))
+          .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+          .withColumn("e_a",
+            round((col("a") + col("b")).cast("double") *
+              (col("a") + col("c")).cast("double") /
+              col("n").cast("double"), 12))
+          .withColumn("v_a",
+            round((col("a") + col("b")).cast("double") *
+              (col("c") + col("d")).cast("double") *
+              (col("a") + col("c")).cast("double") *
+              (col("b") + col("d")).cast("double") /
+              (col("n").cast("double") * col("n").cast("double") *
+                (col("n") - 1).cast("double")), 12))
+          .withColumn("rr_t",
+            round(col("a").cast("double") * col("d").cast("double") /
+              col("n").cast("double"), 12).cast("decimal(28,12)"))
+          .withColumn("ss_t",
+            round(col("b").cast("double") * col("c").cast("double") /
+              col("n").cast("double"), 12).cast("decimal(28,12)"))
+        cells.agg(
+            count(lit(1)).as("n_strata"),
+            sum(col("a")).as("sum_a"),
+            sum(col("e_a").cast("decimal(28,12)")).as("sum_e"),
+            sum(col("v_a").cast("decimal(28,12)")).as("sum_v"),
+            sum(col("rr_t")).as("sum_rr"), sum(col("ss_t")).as("sum_ss"))
+          .select(col("n_strata"), col("sum_a"),
+            round(col("sum_e").cast("double"), 6).as("sum_expected"),
+            round((col("sum_a").cast("double") - col("sum_e").cast("double")) *
+              (col("sum_a").cast("double") - col("sum_e").cast("double")) /
+              col("sum_v").cast("double"), 6).as("cmh_statistic"),
+            round(col("sum_rr").cast("double") /
+              col("sum_ss").cast("double"), 6).as("mh_odds_ratio"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT c_nationkey AS stratum,
+                 CASE WHEN CAST(l_discount AS DOUBLE)
+                   >= CAST(0.05 AS DOUBLE) THEN 1 ELSE 0 END AS x,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey),
+        cells AS (
+          SELECT stratum,
+                 CAST(SUM(x * y) AS BIGINT) AS a,
+                 CAST(SUM(x * (1 - y)) AS BIGINT) AS b,
+                 CAST(SUM((1 - x) * y) AS BIGINT) AS c,
+                 CAST(SUM((1 - x) * (1 - y)) AS BIGINT) AS d
+          FROM li GROUP BY 1),
+        k AS (
+          SELECT *, a + b + c + d AS n,
+                 ROUND(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE), 12) AS e_a,
+                 ROUND(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                   * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                   / (CAST(a + b + c + d AS DOUBLE)
+                      * CAST(a + b + c + d AS DOUBLE)
+                      * CAST(a + b + c + d - 1 AS DOUBLE)), 12) AS v_a,
+                 CAST(ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE), 12) AS DECIMAL(28,12))
+                   AS rr_t,
+                 CAST(ROUND(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE), 12) AS DECIMAL(28,12))
+                   AS ss_t
+          FROM cells),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                 CAST(SUM(a) AS BIGINT) AS sum_a,
+                 SUM(CAST(e_a AS DECIMAL(28,12))) AS sum_e,
+                 SUM(CAST(v_a AS DECIMAL(28,12))) AS sum_v,
+                 SUM(rr_t) AS sum_rr, SUM(ss_t) AS sum_ss
+          FROM k)
+        SELECT n_strata, sum_a,
+               ROUND(CAST(sum_e AS DOUBLE), 6) AS sum_expected,
+               ROUND((CAST(sum_a AS DOUBLE) - CAST(sum_e AS DOUBLE))
+                 * (CAST(sum_a AS DOUBLE) - CAST(sum_e AS DOUBLE))
+                 / CAST(sum_v AS DOUBLE), 6) AS cmh_statistic,
+               ROUND(CAST(sum_rr AS DOUBLE) / CAST(sum_ss AS DOUBLE), 6)
+                 AS mh_odds_ratio
+        FROM agg"""))
   )
 }
