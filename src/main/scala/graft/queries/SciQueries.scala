@@ -1721,6 +1721,94 @@ object SciQueries {
                  / CAST(sum_v AS DOUBLE), 6) AS cmh_statistic,
                ROUND(CAST(sum_rr AS DOUBLE) / CAST(sum_ss AS DOUBLE), 6)
                  AS mh_odds_ratio
-        FROM agg"""))
+        FROM agg""")),
+
+    // Little's law from the raw event log: sessions (the qai 10-min
+    // session windows) as jobs, concurrency by an interval-sweep
+    // integral over ±1 boundary points — the global cumsum rides
+    // ScaleOps.globalRunningSum and the "next point" is a row-number
+    // shift EQUI join, so there is no single-partition window anywhere.
+    // The sweep integral equals Σ durations EXACTLY (both BIGINTs are
+    // emitted — the hash proves the interval machinery), and therefore
+    // L = λ·W holds by construction; λ, W, L are the operational
+    // throughput/latency/occupancy numbers.
+    "qar_littles_law" -> Q(
+      fn = (s, dir) => {
+        val sess = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"))
+          .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n_ev"))
+          .select(col("user_id"),
+            unix_millis(col("session_window.start")).as("st"),
+            unix_millis(col("session_window.end")).as("en"))
+        val pts = sess.select(col("st").as("t"), lit(1L).as("delta"),
+            col("user_id"))
+          .unionByName(sess.select(col("en").as("t"), lit(-1L).as("delta"),
+            col("user_id")))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(pts,
+          Seq(col("t"), col("delta"), col("user_id")), "rn")
+        val cum = graft.operators.ScaleOps.globalRunningSum(ranked,
+          Seq(col("t"), col("delta"), col("user_id")), col("delta"), "c")
+        val seg = cum
+          .join(ranked.select((col("rn") - 1).as("rn"), col("t").as("t_next")),
+            Seq("rn"))
+          .select((col("c") * (col("t_next") - col("t"))).as("area"))
+        val sweep = seg.agg(sum(col("area")).as("active_ms"))
+        val stats = sess.agg(count(lit(1)).as("n_sessions"),
+          min(col("st")).as("t0"), max(col("en")).as("t1"),
+          sum(col("en") - col("st")).as("dur_ms"))
+        stats.crossJoin(sweep)
+          .select(col("n_sessions"), (col("t1") - col("t0")).as("span_ms"),
+            col("active_ms"), col("dur_ms"),
+            round(col("n_sessions").cast("double") * lit(3600000.0) /
+              (col("t1") - col("t0")).cast("double"), 6)
+              .as("lambda_per_hour"),
+            round(col("dur_ms").cast("double") /
+              col("n_sessions").cast("double"), 6).as("w_mean_ms"),
+            round(col("active_ms").cast("double") /
+              (col("t1") - col("t0")).cast("double"), 6).as("l_avg"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ts_ms,
+                 CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                        >= 600000 THEN 1
+                      WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+                      ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))),
+        s0 AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                      ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e),
+        sess AS (
+          SELECT user_id, MIN(ts_ms) AS st, MAX(ts_ms) + 600000 AS en
+          FROM s0 GROUP BY user_id, sid),
+        pts AS (
+          SELECT st AS t, CAST(1 AS BIGINT) AS delta, user_id FROM sess
+          UNION ALL
+          SELECT en, CAST(-1 AS BIGINT), user_id FROM sess),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY t, delta, user_id) AS rn,
+                 SUM(delta) OVER (ORDER BY t, delta, user_id
+                   ROWS UNBOUNDED PRECEDING) AS c
+          FROM pts),
+        seg AS (
+          SELECT a.c * (b.t - a.t) AS area
+          FROM r a JOIN r b ON b.rn = a.rn + 1),
+        sweep AS (SELECT CAST(SUM(area) AS BIGINT) AS active_ms FROM seg),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                 MIN(st) AS t0, MAX(en) AS t1,
+                 CAST(SUM(en - st) AS BIGINT) AS dur_ms
+          FROM sess)
+        SELECT n_sessions, t1 - t0 AS span_ms, active_ms, dur_ms,
+               ROUND(CAST(n_sessions AS DOUBLE) * CAST(3600000 AS DOUBLE)
+                 / CAST(t1 - t0 AS DOUBLE), 6) AS lambda_per_hour,
+               ROUND(CAST(dur_ms AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+                 AS w_mean_ms,
+               ROUND(CAST(active_ms AS DOUBLE) / CAST(t1 - t0 AS DOUBLE), 6)
+                 AS l_avg
+        FROM stats CROSS JOIN sweep"""))
   )
 }
