@@ -1809,6 +1809,70 @@ object SciQueries {
                  AS w_mean_ms,
                ROUND(CAST(active_ms AS DOUBLE) / CAST(t1 - t0 AS DOUBLE), 6)
                  AS l_avg
-        FROM stats CROSS JOIN sweep"""))
+        FROM stats CROSS JOIN sweep""")),
+
+    // Market concentration per supplier nation: Herfindahl–Hirschman
+    // index over supplier revenue shares, the effective number of
+    // suppliers 1/HHI, and the CR4 top-4 concentration ratio — shares on
+    // the 12-grid, HHI/CR4 through DECIMAL, the top-4 rank lowering to
+    // WindowGroupLimit (bounded per-group map-side state).
+    "qas_concentration" -> Q(
+      fn = (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey").as("nation"), col("s_suppkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+        val tot = rev.groupBy(col("nation"))
+          .agg(sum(col("rev")).as("tot"), count(lit(1)).as("n_suppliers"))
+        val shares = rev.join(tot, Seq("nation"))
+          .withColumn("share",
+            round(col("rev").cast("double") / col("tot").cast("double"), 12))
+        val hhi = shares
+          .withColumn("sq", (col("share") * col("share")).cast("decimal(28,12)"))
+          .groupBy(col("nation"))
+          .agg(sum(col("sq")).as("hhi_d"))
+        val w = Window.partitionBy(col("nation"))
+          .orderBy(col("rev").desc, col("s_suppkey"))
+        val cr4 = shares.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4)
+          .groupBy(col("nation"))
+          .agg(sum(col("share").cast("decimal(28,12)")).as("cr4_d"))
+        tot.join(hhi, Seq("nation")).join(cr4, Seq("nation"))
+          .select(col("nation"), col("n_suppliers"),
+            round(col("hhi_d").cast("double"), 6).as("hhi"),
+            round(lit(1.0) / col("hhi_d").cast("double"), 6).as("eff_n"),
+            round(col("cr4_d").cast("double"), 6).as("cr4"))
+          .orderBy(col("nation"))
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT s_nationkey AS nation, s_suppkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT nation, SUM(rev) AS tot, CAST(COUNT(*) AS BIGINT)
+                   AS n_suppliers
+          FROM rev GROUP BY 1),
+        sh AS (
+          SELECT r.nation, r.s_suppkey, r.rev,
+                 ROUND(CAST(r.rev AS DOUBLE) / CAST(t.tot AS DOUBLE), 12)
+                   AS share
+          FROM rev r JOIN tot t ON t.nation = r.nation),
+        hhi AS (
+          SELECT nation, SUM(CAST(share * share AS DECIMAL(28,12))) AS hhi_d
+          FROM sh GROUP BY 1),
+        cr4 AS (
+          SELECT nation, SUM(CAST(share AS DECIMAL(28,12))) AS cr4_d FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY nation
+              ORDER BY rev DESC, s_suppkey) AS rn FROM sh)
+          WHERE rn <= 4 GROUP BY 1)
+        SELECT t.nation, t.n_suppliers,
+               ROUND(CAST(h.hhi_d AS DOUBLE), 6) AS hhi,
+               ROUND(CAST(1 AS DOUBLE) / CAST(h.hhi_d AS DOUBLE), 6) AS eff_n,
+               ROUND(CAST(c.cr4_d AS DOUBLE), 6) AS cr4
+        FROM tot t JOIN hhi h ON h.nation = t.nation
+        JOIN cr4 c ON c.nation = t.nation
+        ORDER BY t.nation"""))
   )
 }
