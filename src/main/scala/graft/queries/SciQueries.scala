@@ -1873,6 +1873,107 @@ object SciQueries {
                ROUND(CAST(c.cr4_d AS DOUBLE), 6) AS cr4
         FROM tot t JOIN hhi h ON h.nation = t.nation
         JOIN cr4 c ON c.nation = t.nation
-        ORDER BY t.nation"""))
+        ORDER BY t.nation""")),
+
+    // ABC–XYZ inventory matrix over brand×type demand keys: revenue
+    // Pareto class (the q7w abcClassify machinery — distributed
+    // cumulative share, no global window) × demand-variability TERTILES
+    // of the weekly-demand coefficient of variation over the DENSE
+    // key × week grid (zero weeks count). Tertiles via the distributed
+    // global NTILE keep the XYZ axis populated at EVERY scale — fixed
+    // 0.5/1.0 cv cuts degenerate to one class as volume shifts (probed:
+    // all-Z at sf0.001, all-X at sf0.1). CV on the 9-grid with a
+    // GREATEST(var, 0) cancellation guard.
+    "qat_abc_xyz" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(concat(col("p_brand"), lit("/"), col("p_type")).as("k"),
+            expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 604800000")
+              .as("week"),
+            col("l_quantity").cast("long").as("q"),
+            col("l_extendedprice").cast("decimal(18,2)").as("rev"))
+        val wk = li.groupBy(col("k"), col("week")).agg(sum(col("q")).as("qty"))
+        val weeks = li.select(col("week")).distinct()
+        val keys = li.groupBy(col("k")).agg(sum(col("rev")).as("rev"))
+        val grid = keys.select(col("k")).crossJoin(broadcast(weeks))
+          .join(wk, Seq("k", "week"), "left")
+          .withColumn("q0", coalesce(col("qty"), lit(0L)))
+        val mean = col("cs").cast("double") / col("n").cast("double")
+        val variance = col("css").cast("double") / col("n").cast("double") -
+          (col("cs").cast("double") / col("n").cast("double")) *
+          (col("cs").cast("double") / col("n").cast("double"))
+        val cv = grid.groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("q0")).as("cs"),
+            sum(col("q0") * col("q0")).as("css"))
+          .withColumn("cv",
+            round(sqrt(greatest(variance, lit(0.0))) / mean, 9))
+        val xyz = graft.operators.ScaleOps.globalNtile(
+            cv.select(col("k"), col("cv")), Seq(col("cv"), col("k")), 3,
+            "tert")
+          .withColumn("xyz_class",
+            when(col("tert") === 1, "X").when(col("tert") === 2, "Y")
+              .otherwise("Z"))
+          .select(col("k"), col("xyz_class"))
+        val abc = graft.operators.Segment.abcClassify(keys,
+          Seq("k"), col("rev"))
+        abc.join(xyz, Seq("k"))
+          .groupBy(col("abc_class"), col("xyz_class"))
+          .agg(count(lit(1)).as("n_keys"),
+            round(sum(col("rev")).cast("double"), 2).as("revenue"))
+          .orderBy(col("abc_class"), col("xyz_class"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT p_brand || '/' || p_type AS k,
+                 CAST(epoch_ms(l_shipdate) // 604800000 AS BIGINT) AS week,
+                 CAST(l_quantity AS BIGINT) AS q,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        wk AS (
+          SELECT k, week, CAST(SUM(q) AS BIGINT) AS qty
+          FROM li GROUP BY 1, 2),
+        weeks AS (SELECT DISTINCT week FROM li),
+        keys AS (SELECT k, SUM(rev) AS rev FROM li GROUP BY 1),
+        grid AS (
+          SELECT ks.k, w.week, COALESCE(wk.qty, CAST(0 AS BIGINT)) AS q0
+          FROM (SELECT k FROM keys) ks CROSS JOIN weeks w
+          LEFT JOIN wk ON wk.k = ks.k AND wk.week = w.week),
+        cvw AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q0) AS BIGINT) AS cs,
+                 CAST(SUM(q0 * q0) AS BIGINT) AS css
+          FROM grid GROUP BY 1),
+        cvc AS (
+          SELECT k,
+                 ROUND(SQRT(GREATEST(
+                     CAST(css AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(cs AS DOUBLE) / CAST(n AS DOUBLE)),
+                     CAST(0 AS DOUBLE)))
+                   / (CAST(cs AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS cv
+          FROM cvw),
+        xyz AS (
+          SELECT k, CASE WHEN tert = 1 THEN 'X' WHEN tert = 2 THEN 'Y'
+                 ELSE 'Z' END AS xyz_class
+          FROM (SELECT k, CAST(NTILE(3) OVER (ORDER BY cv, k) AS INT)
+                  AS tert FROM cvc)),
+        tot AS (SELECT SUM(rev) AS t FROM keys),
+        abc AS (
+          SELECT k, rev,
+                 CASE WHEN share <= CAST(0.8 AS DOUBLE) THEN 'A'
+                      WHEN share <= CAST(0.95 AS DOUBLE) THEN 'B'
+                      ELSE 'C' END AS abc_class
+          FROM (
+            SELECT p.k, p.rev,
+                   ROUND(CAST(SUM(p.rev) OVER (ORDER BY p.rev DESC,
+                       p.k ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / CAST(t.t AS DOUBLE), 6) AS share
+            FROM keys p CROSS JOIN tot t))
+        SELECT abc.abc_class, xyz.xyz_class,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               ROUND(CAST(SUM(abc.rev) AS DOUBLE), 2) AS revenue
+        FROM abc JOIN xyz ON xyz.k = abc.k
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
