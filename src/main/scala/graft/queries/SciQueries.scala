@@ -1974,6 +1974,105 @@ object SciQueries {
                CAST(COUNT(*) AS BIGINT) AS n_keys,
                ROUND(CAST(SUM(abc.rev) AS DOUBLE), 2) AS revenue
         FROM abc JOIN xyz ON xyz.k = abc.k
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Erlang-C staffing from the measured event log: offered load
+    // a = Σ session time / span (the qar occupancy, snapped to the
+    // 9-grid), then the wait probability and average speed of answer for
+    // candidate agent counts s = 3..7. The Erlang-C series is pure
+    // powers/factorials/divisions — NO exp/pow anywhere (powers are
+    // chained multiplications, libm pow parity is unproven), so the
+    // whole staffing table replays hash-exact.
+    "qau_erlang_staffing" -> Q(
+      fn = (s, dir) => {
+        val sess = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"))
+          .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n_ev"))
+          .select(unix_millis(col("session_window.start")).as("st"),
+            unix_millis(col("session_window.end")).as("en"))
+        val base = sess.agg(count(lit(1)).as("n"), min(col("st")).as("t0"),
+            max(col("en")).as("t1"), sum(col("en") - col("st")).as("dur"))
+          .select(
+            round(col("dur").cast("double") /
+              (col("t1") - col("t0")).cast("double"), 9).as("a"),
+            round(col("dur").cast("double") / col("n").cast("double"), 6)
+              .as("w_ms"))
+        val fact = Seq(1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0)
+        val withPows = (1 to 7).foldLeft(base.withColumn("p0", lit(1.0))) {
+          case (d, k) => d.withColumn(s"p$k", col(s"p${k - 1}") * col("a"))
+        }
+        val rows = Seq(3, 4, 5, 6, 7).map { sAgents =>
+          val rho = col("a") / lit(sAgents.toDouble)
+          val num = col(s"p$sAgents") /
+            (lit(fact(sAgents)) * (lit(1.0) - rho))
+          val den = (0 until sAgents)
+            .map(k => col(s"p$k") / lit(fact(k)))
+            .reduce(_ + _) + num
+          val pw = num / den
+          struct(lit(sAgents).as("s_agents"),
+            round(rho, 6).as("rho"),
+            when(lit(sAgents.toDouble) > col("a"),
+              round(pw, 6)).as("p_wait"),
+            when(lit(sAgents.toDouble) > col("a"),
+              round(pw * col("w_ms") /
+                (lit(sAgents.toDouble) - col("a")), 3)).as("asa_ms"))
+        }
+        withPows.select(col("a"), col("w_ms"),
+            explode(array(rows: _*)).as("r"))
+          .select(round(col("a"), 6).as("offered_load"), col("w_ms"),
+            col("r.s_agents"), col("r.rho"), col("r.p_wait"), col("r.asa_ms"))
+          .orderBy(col("s_agents"))
+      },
+      oracle = Some {
+        val fact = Seq(1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0)
+        def f(i: Int) = s"CAST(${fact(i).toInt} AS DOUBLE)"
+        val rows = Seq(3, 4, 5, 6, 7).map { sA =>
+          val rho = s"(a / CAST($sA AS DOUBLE))"
+          val numE = s"(p$sA / (${f(sA)} * (CAST(1 AS DOUBLE) - $rho)))"
+          val denE = (0 until sA).map(k => s"p$k / ${f(k)}")
+            .mkString(" + ") + s" + $numE"
+          s"""
+          SELECT ROUND(a, 6) AS offered_load, w_ms,
+                 CAST($sA AS INT) AS s_agents,
+                 ROUND($rho, 6) AS rho,
+                 CASE WHEN CAST($sA AS DOUBLE) > a
+                      THEN ROUND($numE / ($denE), 6) END AS p_wait,
+                 CASE WHEN CAST($sA AS DOUBLE) > a
+                      THEN ROUND(($numE / ($denE)) * w_ms
+                        / (CAST($sA AS DOUBLE) - a), 3) END AS asa_ms
+          FROM pows"""
+        }.mkString("\n          UNION ALL")
+        s"""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ts_ms,
+                 CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                        >= 600000 THEN 1
+                      WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+                      ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))),
+        s0 AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                      ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e),
+        sess AS (
+          SELECT MIN(ts_ms) AS st, MAX(ts_ms) + 600000 AS en
+          FROM s0 GROUP BY user_id, sid),
+        base AS (
+          SELECT ROUND(CAST(SUM(en - st) AS DOUBLE)
+                   / CAST(MAX(en) - MIN(st) AS DOUBLE), 9) AS a,
+                 ROUND(CAST(SUM(en - st) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS w_ms
+          FROM sess),
+        pows AS (
+          SELECT a, w_ms, CAST(1 AS DOUBLE) AS p0,
+                 a AS p1, a*a AS p2, a*a*a AS p3, a*a*a*a AS p4,
+                 a*a*a*a*a AS p5, a*a*a*a*a*a AS p6,
+                 a*a*a*a*a*a*a AS p7
+          FROM base)
+        $rows
+        ORDER BY s_agents"""
+      })
   )
 }
