@@ -2073,6 +2073,147 @@ object SciQueries {
           FROM base)
         $rows
         ORDER BY s_agents"""
-      })
+      }),
+
+    // Exact 1-D Wasserstein-1 (earth mover's) distance between the
+    // urgent- and low-priority quantity distributions: in one dimension
+    // W1 = ∫|F_a − F_b| — a sum of |cdf gap|·(value gap) terms over the
+    // merged bounded value profile. Integer counts, 12-grid cdf ratios,
+    // DECIMAL term sums; completes the q6u KS distance with the metric
+    // that weighs HOW FAR mass must move, not just the max gap.
+    "qav_wasserstein" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_quantity").cast("long").as("v"),
+            col("o_orderpriority").as("pr"))
+          .filter(col("pr").isin("1-URGENT", "5-LOW"))
+        val prof = li.groupBy(col("v"))
+          .agg(sum((col("pr") === "1-URGENT").cast("long")).as("na"),
+            sum((col("pr") === "5-LOW").cast("long")).as("nb"))
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = prof.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+        val steps = prof
+          .withColumn("ca", sum(col("na")).over(w))
+          .withColumn("cb", sum(col("nb")).over(w))
+          .withColumn("vn", lead(col("v"), 1).over(Window.orderBy(col("v"))))
+          .filter(col("vn").isNotNull)
+          .crossJoin(broadcast(tot))
+          .withColumn("gap",
+            (abs(round(col("ca").cast("double") / col("ta").cast("double"), 12)
+              - round(col("cb").cast("double") / col("tb").cast("double"), 12))
+              * (col("vn") - col("v")).cast("double")).cast("decimal(28,12)"))
+        steps.groupBy(col("ta"), col("tb"))
+          .agg(sum(col("gap")).as("w1_d"))
+          .select(col("ta").as("n_urgent"), col("tb").as("n_low"),
+            round(col("w1_d").cast("double"), 6).as("wasserstein_1"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT CAST(l_quantity AS BIGINT) AS v, o_orderpriority AS pr
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        prof AS (
+          SELECT v,
+                 CAST(SUM(CASE WHEN pr = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS na,
+                 CAST(SUM(CASE WHEN pr = '5-LOW' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nb
+          FROM li GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+          FROM prof),
+        steps AS (
+          SELECT v,
+                 SUM(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+                 SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+                 LEAD(v) OVER (ORDER BY v) AS vn
+          FROM prof),
+        terms AS (
+          SELECT t.ta, t.tb,
+                 CAST(ABS(ROUND(CAST(s.ca AS DOUBLE) / CAST(t.ta AS DOUBLE), 12)
+                   - ROUND(CAST(s.cb AS DOUBLE) / CAST(t.tb AS DOUBLE), 12))
+                   * CAST(s.vn - s.v AS DOUBLE) AS DECIMAL(28,12)) AS gap
+          FROM steps s CROSS JOIN tot t WHERE s.vn IS NOT NULL)
+        SELECT ta AS n_urgent, tb AS n_low,
+               ROUND(CAST(SUM(gap) AS DOUBLE), 6) AS wasserstein_1
+        FROM terms GROUP BY 1, 2""")),
+
+    // Laspeyres / Paasche / Fisher price indices, 1995 → 1996, over the
+    // parts traded in both years: per-period unit prices on the 9-grid
+    // from exact DECIMAL value / integer quantity, index terms p·q on
+    // the 12-grid summed through DECIMAL, Fisher by proven-parity SQRT —
+    // the economics index-number family.
+    "qax_price_index" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey"), year(col("o_orderdate")).as("yr"),
+            col("l_quantity").cast("long").as("q"),
+            col("l_extendedprice").cast("decimal(18,2)").as("val"))
+          .filter(col("yr").isin(1995, 1996))
+        val per = li.groupBy(col("l_partkey"), col("yr"))
+          .agg(sum(col("q")).as("qty"), sum(col("val")).as("value"))
+          .withColumn("p",
+            round(col("value").cast("double") / col("qty").cast("double"), 9))
+        val both = per.filter(col("yr") === 1995)
+          .select(col("l_partkey"), col("p").as("p0"), col("qty").as("q0"))
+          .join(per.filter(col("yr") === 1996)
+            .select(col("l_partkey"), col("p").as("p1"), col("qty").as("q1")),
+            Seq("l_partkey"))
+        def term(p: String, q: String) =
+          round(col(p) * col(q).cast("double"), 12).cast("decimal(28,12)")
+        both.agg(count(lit(1)).as("n_parts"),
+            sum(term("p1", "q0")).as("l_num"), sum(term("p0", "q0")).as("l_den"),
+            sum(term("p1", "q1")).as("p_num"), sum(term("p0", "q1")).as("p_den"))
+          .select(col("n_parts"),
+            round(col("l_num").cast("double") / col("l_den").cast("double"), 6)
+              .as("laspeyres"),
+            round(col("p_num").cast("double") / col("p_den").cast("double"), 6)
+              .as("paasche"),
+            round(sqrt(
+              (col("l_num").cast("double") / col("l_den").cast("double")) *
+                (col("p_num").cast("double") / col("p_den").cast("double"))), 6)
+              .as("fisher"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_partkey, CAST(date_part('year', o_orderdate) AS INT) AS yr,
+                 CAST(l_quantity AS BIGINT) AS q,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS val
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE CAST(date_part('year', o_orderdate) AS INT) IN (1995, 1996)),
+        per AS (
+          SELECT l_partkey, yr, CAST(SUM(q) AS BIGINT) AS qty,
+                 SUM(val) AS value,
+                 ROUND(CAST(SUM(val) AS DOUBLE) / CAST(SUM(q) AS DOUBLE), 9)
+                   AS p
+          FROM li GROUP BY 1, 2),
+        bp AS (
+          SELECT a.l_partkey, a.p AS p0, a.qty AS q0, b.p AS p1, b.qty AS q1
+          FROM (SELECT * FROM per WHERE yr = 1995) a
+          JOIN (SELECT * FROM per WHERE yr = 1996) b
+            ON b.l_partkey = a.l_partkey),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+                 SUM(CAST(ROUND(p1 * CAST(q0 AS DOUBLE), 12)
+                   AS DECIMAL(28,12))) AS l_num,
+                 SUM(CAST(ROUND(p0 * CAST(q0 AS DOUBLE), 12)
+                   AS DECIMAL(28,12))) AS l_den,
+                 SUM(CAST(ROUND(p1 * CAST(q1 AS DOUBLE), 12)
+                   AS DECIMAL(28,12))) AS p_num,
+                 SUM(CAST(ROUND(p0 * CAST(q1 AS DOUBLE), 12)
+                   AS DECIMAL(28,12))) AS p_den
+          FROM bp)
+        SELECT n_parts,
+               ROUND(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 6)
+                 AS laspeyres,
+               ROUND(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 6)
+                 AS paasche,
+               ROUND(SQRT((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                 * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))), 6)
+                 AS fisher
+        FROM agg"""))
   )
 }
