@@ -2214,6 +2214,118 @@ object SciQueries {
                ROUND(SQRT((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
                  * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))), 6)
                  AS fisher
-        FROM agg"""))
+        FROM agg""")),
+
+    // Classical seasonal decomposition (STL-lite) of the daily revenue
+    // series: centered MA-7 trend over the bounded day series (exact
+    // DECIMAL window sums, full windows only), centered day-of-week
+    // seasonal indices, and the decomposition R² = 1 − var(remainder)/
+    // var(y). Big squared-sum casts ride the VARCHAR bridge (rule 13).
+    "qaw_seasonal_decomposition" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+        val full = daily
+          .withColumn("s7", sum(col("rev")).over(w7))
+          .withColumn("c7", count(lit(1)).over(w7))
+          .filter(col("c7") === 7)
+          .withColumn("y", col("rev").cast("double"))
+          .withColumn("trend", round(col("s7").cast("double") / lit(7.0), 9))
+          .withColumn("det", col("y") - col("trend"))
+          .withColumn("dow", pmod(col("day"), lit(7L)))
+          .localCheckpoint(eager = false)
+        val sRaw = full.groupBy(col("dow"))
+          .agg(round(sum(col("det").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)).cast("double"), 9).as("s_raw"))
+        val sMean = sRaw.agg(
+          round(sum(col("s_raw").cast("decimal(28,12)")).cast("double") /
+            lit(7.0), 9).as("sm"))
+        val seasonal = sRaw.crossJoin(broadcast(sMean))
+          .withColumn("seasonal", round(col("s_raw") - col("sm"), 9))
+          .select(col("dow"), col("seasonal"))
+        val withS = full.join(broadcast(seasonal), Seq("dow"))
+          .withColumn("rem", col("det") - col("seasonal"))
+        val ms = withS.agg(
+          count(lit(1)).as("n"),
+          sum(col("rev")).as("sy"),
+          sum(col("rev") * col("rev")).as("syy"),
+          sum(round(col("rem"), 4).cast("decimal(19,4)")).as("sr"),
+          sum(round(col("rem"), 4).cast("decimal(19,4)") *
+            round(col("rem"), 4).cast("decimal(19,4)")).as("srr"))
+        val nD = col("n").cast("double")
+        val r2row = ms.select(col("n"),
+          (col("syy").cast("double") / nD -
+            (col("sy").cast("double") / nD) * (col("sy").cast("double") / nD))
+            .as("var_y"),
+          (col("srr").cast("double") / nD -
+            (col("sr").cast("double") / nD) * (col("sr").cast("double") / nD))
+            .as("var_r"))
+          .select(col("n").as("n_days"),
+            round(lit(1.0) - col("var_r") / col("var_y"), 6).as("r2"))
+        seasonal.crossJoin(broadcast(r2row))
+          .select(col("dow"), round(col("seasonal"), 2).as("seasonal_index"),
+            col("n_days"), col("r2"))
+          .orderBy(col("dow"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1),
+        full7 AS (
+          SELECT * FROM (
+            SELECT day, rev,
+                   SUM(rev) OVER (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+                   COUNT(*) OVER (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+            FROM daily)
+          WHERE c7 = 7),
+        f AS (
+          SELECT day, rev, CAST(rev AS DOUBLE) AS y,
+                 ROUND(CAST(s7 AS DOUBLE) / CAST(7 AS DOUBLE), 9) AS trend,
+                 CAST(rev AS DOUBLE)
+                   - ROUND(CAST(s7 AS DOUBLE) / CAST(7 AS DOUBLE), 9) AS det,
+                 day % 7 AS dow
+          FROM full7),
+        sraw AS (
+          SELECT dow,
+                 ROUND(CAST(SUM(CAST(det AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS s_raw
+          FROM f GROUP BY 1),
+        sm AS (
+          SELECT ROUND(CAST(SUM(CAST(s_raw AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(7 AS DOUBLE), 9) AS sm
+          FROM sraw),
+        seas AS (
+          SELECT dow, ROUND(s_raw - sm, 9) AS seasonal
+          FROM sraw CROSS JOIN sm),
+        withs AS (
+          SELECT f.*, seas.seasonal, f.det - seas.seasonal AS rem
+          FROM f JOIN seas ON seas.dow = f.dow),
+        ms AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(rev) AS sy, SUM(rev * rev) AS syy,
+                 SUM(CAST(ROUND(rem, 4) AS DECIMAL(19,4))) AS sr,
+                 SUM(CAST(ROUND(rem, 4) AS DECIMAL(19,4))
+                   * CAST(ROUND(rem, 4) AS DECIMAL(19,4))) AS srr
+          FROM withs),
+        r2 AS (
+          SELECT n AS n_days,
+                 ROUND(CAST(1 AS DOUBLE) -
+                   (CAST(CAST(srr AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / (CAST(CAST(syy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS r2
+          FROM ms)
+        SELECT seas.dow, ROUND(seas.seasonal, 2) AS seasonal_index,
+               r2.n_days, r2.r2
+        FROM seas CROSS JOIN r2
+        ORDER BY seas.dow"""))
   )
 }
