@@ -2216,6 +2216,108 @@ object SciQueries {
                  AS fisher
         FROM agg""")),
 
+    // Split conformal prediction (Vovk; the distribution-free interval
+    // recipe): fit the qa0 OLS on the train split, take the
+    // ⌈0.9·(n+1)⌉-th smallest absolute calibration residual as q̂ — an
+    // exact order statistic selected by the distributed global row
+    // number, no quantile approximation — and report empirical coverage
+    // of ŷ ± q̂ on the held-out test split. Residuals come from the
+    // 6-snapped published coefficients, so every stage replays exactly.
+    "qay_conformal" -> Q(
+      fn = (s, dir) => {
+        val feats = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("x1"), sum(col("l_quantity")).as("x2"))
+        val joined = t(s, dir, "orders")
+          .join(feats, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey").as("okey"),
+            col("o_totalprice").cast("double").as("y"),
+            col("x1").cast("double").as("x1"), col("x2").cast("double").as("x2"))
+          .localCheckpoint(eager = false)
+        val model = Regress.ols2(joined.filter(col("okey") % 4 === 0 ||
+            col("okey") % 4 === 2), col("y"), col("x1"), col("x2"))
+          .select(col("b0"), col("b1"), col("b2"))
+        def absr = abs(col("y") - (col("b0") + col("b1") * col("x1") +
+          col("b2") * col("x2")))
+        val cal = joined.filter(col("okey") % 4 === 1)
+          .crossJoin(broadcast(model))
+          .select(col("okey"), round(absr, 6).as("r"))
+        val nCal = cal.agg(count(lit(1)).as("n_cal"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(cal,
+          Seq(col("r"), col("okey")), "rn")
+        val qhat = ranked.crossJoin(broadcast(nCal))
+          .filter(col("rn") ===
+            ceil(lit(0.9) * (col("n_cal") + 1).cast("double")).cast("long"))
+          .select(col("r").as("q_hat"), col("n_cal"))
+        val test = joined.filter(col("okey") % 4 === 3)
+          .crossJoin(broadcast(model))
+          .select(round(absr, 6).as("r"))
+          .crossJoin(broadcast(qhat))
+        test.groupBy(col("n_cal"), col("q_hat"))
+          .agg(count(lit(1)).as("n_test"),
+            sum((col("r") <= col("q_hat")).cast("long")).as("covered"))
+          .select(col("n_cal"), col("n_test"), col("q_hat"),
+            round(col("covered").cast("double") /
+              col("n_test").cast("double"), 6).as("coverage"))
+      },
+      oracle = Some("""
+        WITH j AS (
+          SELECT o_orderkey AS okey, CAST(o_totalprice AS DOUBLE) AS y,
+                 CAST(x1 AS DOUBLE) AS x1, CAST(x2 AS DOUBLE) AS x2
+          FROM orders JOIN (
+            SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x1,
+                   SUM(l_quantity) AS x2
+            FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey),
+        f AS (SELECT * FROM j WHERE okey % 4 = 0 OR okey % 4 = 2),
+        a AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(ROUND(x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(ROUND(x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+                 CAST(SUM(CAST(ROUND(x1*x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+                 CAST(SUM(CAST(ROUND(x1*x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+                 CAST(SUM(CAST(ROUND(x2*x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+                 CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(ROUND(x1*y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+                 CAST(SUM(CAST(ROUND(x2*y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2y
+          FROM f),
+        d AS (
+          SELECT *,
+                 n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s12 - s11 * s2) AS det,
+                 sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+                   + s2 * (s1y * s12 - s11 * s2y) AS det0,
+                 n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s2y - s1y * s2) AS det1,
+                 n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+                   + sy * (s1 * s12 - s11 * s2) AS det2
+          FROM a),
+        m AS (
+          SELECT ROUND(ROUND(det0 / det, 9), 6) AS b0,
+                 ROUND(ROUND(det1 / det, 9), 6) AS b1,
+                 ROUND(ROUND(det2 / det, 9), 6) AS b2
+          FROM d),
+        cal AS (
+          SELECT j.okey,
+                 ROUND(ABS(j.y - (m.b0 + m.b1 * j.x1 + m.b2 * j.x2)), 6) AS r
+          FROM j CROSS JOIN m WHERE j.okey % 4 = 1),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+        qh AS (
+          SELECT r AS q_hat, n_cal FROM (
+            SELECT cal.r, nc.n_cal,
+                   ROW_NUMBER() OVER (ORDER BY cal.r, cal.okey) AS rn
+            FROM cal CROSS JOIN nc)
+          WHERE rn = CAST(CEIL(CAST(0.9 AS DOUBLE)
+            * CAST(n_cal + 1 AS DOUBLE)) AS BIGINT)),
+        tst AS (
+          SELECT ROUND(ABS(j.y - (m.b0 + m.b1 * j.x1 + m.b2 * j.x2)), 6) AS r
+          FROM j CROSS JOIN m WHERE j.okey % 4 = 3)
+        SELECT qh.n_cal, CAST(COUNT(*) AS BIGINT) AS n_test, qh.q_hat,
+               ROUND(CAST(SUM(CASE WHEN tst.r <= qh.q_hat THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+        FROM tst CROSS JOIN qh
+        GROUP BY qh.n_cal, qh.q_hat"""))
+,
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
