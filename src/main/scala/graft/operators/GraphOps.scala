@@ -659,6 +659,56 @@ object GraphOps {
         col("internal_edges"), col("q_term"), col("modularity"))
   }
 
+  /** Spectral bisection sketch: a deflated power iteration toward the
+    * Fiedler direction of the random-walk matrix P = D⁻¹A. Start from a
+    * deterministic ±1 vector (node parity), repeat: x ← P·x (neighbor
+    * mean — one join + DECIMAL-summed groupBy per round), subtract the
+    * degree-weighted mean (projects out the trivial all-ones
+    * eigendirection — a scalar aggregate), rescale by max|x| (scalar),
+    * snap to the 9-grid, localCheckpoint. The sign of the result is the
+    * 2-way cut. Same per-round shape and cost as [[pageRank]], so the
+    * unrolled-CTE oracle walks identical doubles.
+    *
+    * Returns (node, x, side) — side ∈ {0, 1}, sign(x) with zero → 0.
+    */
+  def spectralSplit(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val und = canonicalUndirected(edges)
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    val deg = adj.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var x = deg.withColumn("x",
+      when(pmod(col("node"), lit(2L)) === 0, lit(1.0)).otherwise(lit(-1.0)))
+    for (_ <- 1 to iterations) {
+      val nbr = adj.join(x.select(col("node"), col("x")),
+          adj("b") === col("node"))
+        .groupBy(adj("a").as("node"))
+        .agg(sum(col("x").cast("decimal(28,12)")).as("sx"))
+      val stepped = deg.join(nbr, Seq("node"), "left")
+        .withColumn("px",
+          coalesce(col("sx").cast("double"), lit(0.0)) /
+            col("deg").cast("double"))
+      val mean = stepped.agg(
+        (sum((col("px") * col("deg").cast("double")).cast("decimal(28,12)"))
+          .cast("double") /
+          sum(col("deg")).cast("double")).as("mu"))
+      val centered = stepped.crossJoin(broadcast(mean))
+        .withColumn("cx", col("px") - col("mu"))
+      val scale = centered.agg(max(abs(round(col("cx"), 9))).as("mx"))
+      x = centered.crossJoin(broadcast(scale))
+        .withColumn("x",
+          when(col("mx") > 0, round(round(col("cx"), 9) / col("mx"), 9))
+            .otherwise(lit(0.0)))
+        .select(col("node"), col("deg"), col("x"))
+        .localCheckpoint()
+    }
+    x.select(col("node"), col("x"),
+      when(col("x") > 0, lit(1)).otherwise(lit(0)).as("side"))
+  }
+
   /** Katz centrality by the truncated power series x ← 1 + α·Aᵀx (every
     * walk into a node, geometrically damped by length). Same iteration
     * discipline as [[pageRank]]: one in-edge contribution shuffle per

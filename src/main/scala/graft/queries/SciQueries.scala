@@ -2315,8 +2315,105 @@ object SciQueries {
                ROUND(CAST(SUM(CASE WHEN tst.r <= qh.q_hat THEN 1 ELSE 0 END)
                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
         FROM tst CROSS JOIN qh
-        GROUP BY qh.n_cal, qh.q_hat"""))
-,
+        GROUP BY qh.n_cal, qh.q_hat""")),
+
+    // Spectral bisection of the q4b order graph: 3 deflated power-
+    // iteration rounds toward the Fiedler direction of D⁻¹A (the q4b
+    // per-round discipline — DECIMAL neighbor sums, scalar mean/scale
+    // aggregates, 9-grid snaps), sign split, and the cut's conductance
+    // cut/min(vol) — the spectral-partitioning quality number.
+    "qaz_spectral_cut" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 80).cast("long").as("src"),
+          (col("o_orderkey") % 97).cast("long").as("dst"))
+        val split = graft.operators.GraphOps.spectralSplit(edges, 3)
+          .select(col("node"), col("side"))
+        val und = edges
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+        val deg = und.select(col("u").as("node"))
+          .union(und.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val cut = und
+          .join(split.select(col("node").as("u"), col("side").as("su")),
+            Seq("u"))
+          .join(split.select(col("node").as("v"), col("side").as("sv")),
+            Seq("v"))
+          .agg(sum((col("su") =!= col("sv")).cast("long")).as("cut_edges"))
+        val sides = split.join(deg, Seq("node"))
+          .groupBy(col("side"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("volume"))
+        val minVol = sides.agg(min(col("volume")).as("min_vol"))
+        sides.crossJoin(broadcast(cut)).crossJoin(broadcast(minVol))
+          .select(col("side"), col("n_nodes"), col("volume"),
+            col("cut_edges"),
+            round(col("cut_edges").cast("double") /
+              col("min_vol").cast("double"), 6).as("conductance"))
+          .orderBy(col("side"))
+      },
+      oracle = Some {
+        val iters = (1 to 3).map { k =>
+          val prev = s"x${k - 1}"
+          s""",
+        nbr$k AS (
+          SELECT adj.a AS node, SUM(CAST(x.x AS DECIMAL(28,12))) AS sx
+          FROM adj JOIN $prev x ON x.node = adj.b GROUP BY 1),
+        st$k AS (
+          SELECT d.node, d.deg,
+                 COALESCE(CAST(n.sx AS DOUBLE), CAST(0 AS DOUBLE))
+                   / CAST(d.deg AS DOUBLE) AS px
+          FROM deg d LEFT JOIN nbr$k n ON n.node = d.node),
+        mu$k AS (
+          SELECT CAST(SUM(CAST(px * CAST(deg AS DOUBLE) AS DECIMAL(28,12)))
+                   AS DOUBLE) / CAST(SUM(deg) AS DOUBLE) AS mu
+          FROM st$k),
+        ce$k AS (
+          SELECT node, deg, px - (SELECT mu FROM mu$k) AS cx FROM st$k),
+        mx$k AS (SELECT MAX(ABS(ROUND(cx, 9))) AS mx FROM ce$k),
+        x$k AS MATERIALIZED (
+          SELECT node, deg,
+                 CASE WHEN (SELECT mx FROM mx$k) > 0
+                      THEN ROUND(ROUND(cx, 9) / (SELECT mx FROM mx$k), 9)
+                      ELSE CAST(0 AS DOUBLE) END AS x
+          FROM ce$k)"""
+        }.mkString
+        s"""
+        WITH e0 AS (
+          SELECT DISTINCT CAST(o_custkey % 80 AS BIGINT) AS s,
+                          CAST(o_orderkey % 97 AS BIGINT) AS d
+          FROM orders WHERE o_custkey % 80 <> o_orderkey % 97),
+        und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM e0),
+        adj AS MATERIALIZED (
+          SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+        deg AS MATERIALIZED (
+          SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM adj GROUP BY 1),
+        x0 AS (
+          SELECT node, deg,
+                 CASE WHEN node % 2 = 0 THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(-1 AS DOUBLE) END AS x
+          FROM deg)$iters,
+        split AS MATERIALIZED (
+          SELECT node, CASE WHEN x > 0 THEN 1 ELSE 0 END AS side FROM x3),
+        cut AS (
+          SELECT CAST(SUM(CASE WHEN a.side <> b.side THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cut_edges
+          FROM und JOIN split a ON a.node = und.u
+          JOIN split b ON b.node = und.v),
+        sides AS (
+          SELECT s.side, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(d.deg) AS BIGINT) AS volume
+          FROM split s JOIN deg d ON d.node = s.node GROUP BY 1),
+        mv AS (SELECT MIN(volume) AS min_vol FROM sides)
+        SELECT sides.side, sides.n_nodes, sides.volume, cut.cut_edges,
+               ROUND(CAST(cut.cut_edges AS DOUBLE)
+                 / CAST(mv.min_vol AS DOUBLE), 6) AS conductance
+        FROM sides CROSS JOIN cut CROSS JOIN mv
+        ORDER BY sides.side"""
+      }),
 
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
