@@ -2415,6 +2415,151 @@ object SciQueries {
         ORDER BY sides.side"""
       }),
 
+    // Canonical correlation analysis, closed form for 2+2 variables:
+    // the canonical correlations between (quantity, discount) and
+    // (extendedprice, tax) are the square roots of the eigenvalues of
+    // Sxx⁻¹SxySyy⁻¹Syx — one DECIMAL moment aggregate, explicit 2×2
+    // inverses/products on the 12-grid, the quadratic formula with
+    // proven-parity SQRT. The multivariate completion of the q8c
+    // correlation matrix.
+    "qb0_cca" -> Q(
+      fn = (s, dir) => {
+        val base = t(s, dir, "lineitem").select(
+          col("l_quantity").cast("double").as("a1"),
+          col("l_discount").cast("double").as("a2"),
+          col("l_extendedprice").cast("double").as("b1"),
+          col("l_tax").cast("double").as("b2"))
+        // every variable is an exact <=2-decimal value: products in
+        // DECIMAL(18,2)x(18,2) are exact, dodging the rule-13 trap on
+        // the 1e10-magnitude price squares
+        def dec(c: Column) = c.cast("decimal(18,2)")
+        val cols = Seq("a1", "a2", "b1", "b2")
+        val sums = cols.map(c => sum(dec(col(c))).as(s"s_$c")) ++
+          (for { i <- cols.indices; j <- i until cols.size }
+            yield sum(dec(col(cols(i))) * dec(col(cols(j))))
+              .as(s"s_${cols(i)}${cols(j)}"))
+        val aggExprs = count(lit(1)).cast("double").as("n") +: sums
+        val m = base.agg(aggExprs.head, aggExprs.tail: _*)
+        def cov(x: String, y: String): Column = {
+          val key = if (cols.indexOf(x) <= cols.indexOf(y)) s"$x$y" else s"$y$x"
+          round(col(s"s_$key").cast("double") / col("n") -
+            (col(s"s_$x").cast("double") / col("n")) *
+              (col(s"s_$y").cast("double") / col("n")), 12)
+        }
+        val withCov = m
+          .withColumn("xx11", cov("a1", "a1")).withColumn("xx12", cov("a1", "a2"))
+          .withColumn("xx22", cov("a2", "a2"))
+          .withColumn("yy11", cov("b1", "b1")).withColumn("yy12", cov("b1", "b2"))
+          .withColumn("yy22", cov("b2", "b2"))
+          .withColumn("xy11", cov("a1", "b1")).withColumn("xy12", cov("a1", "b2"))
+          .withColumn("xy21", cov("a2", "b1")).withColumn("xy22", cov("a2", "b2"))
+          .withColumn("dy", col("yy11") * col("yy22") - col("yy12") * col("yy12"))
+          .withColumn("t11", round((col("xy11") * col("yy22") -
+            col("xy12") * col("yy12")) / col("dy"), 12))
+          .withColumn("t12", round((col("xy12") * col("yy11") -
+            col("xy11") * col("yy12")) / col("dy"), 12))
+          .withColumn("t21", round((col("xy21") * col("yy22") -
+            col("xy22") * col("yy12")) / col("dy"), 12))
+          .withColumn("t22", round((col("xy22") * col("yy11") -
+            col("xy21") * col("yy12")) / col("dy"), 12))
+          .withColumn("p11", col("t11") * col("xy11") + col("t12") * col("xy12"))
+          .withColumn("p12", col("t11") * col("xy21") + col("t12") * col("xy22"))
+          .withColumn("p21", col("t21") * col("xy11") + col("t22") * col("xy12"))
+          .withColumn("p22", col("t21") * col("xy21") + col("t22") * col("xy22"))
+          .withColumn("dx", col("xx11") * col("xx22") - col("xx12") * col("xx12"))
+          .withColumn("m11", round((col("xx22") * col("p11") -
+            col("xx12") * col("p21")) / col("dx"), 12))
+          .withColumn("m12", round((col("xx22") * col("p12") -
+            col("xx12") * col("p22")) / col("dx"), 12))
+          .withColumn("m21", round((col("xx11") * col("p21") -
+            col("xx12") * col("p11")) / col("dx"), 12))
+          .withColumn("m22", round((col("xx11") * col("p22") -
+            col("xx12") * col("p12")) / col("dx"), 12))
+          .withColumn("tr", col("m11") + col("m22"))
+          .withColumn("dd", col("m11") * col("m22") - col("m12") * col("m21"))
+          .withColumn("disc",
+            greatest(col("tr") * col("tr") - lit(4.0) * col("dd"), lit(0.0)))
+        withCov.select(col("n").cast("long").as("n"),
+          round(sqrt(greatest((col("tr") + sqrt(col("disc"))) / lit(2.0),
+            lit(0.0))), 6).as("rho1"),
+          round(sqrt(greatest((col("tr") - sqrt(col("disc"))) / lit(2.0),
+            lit(0.0))), 6).as("rho2"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS a1,
+                 CAST(l_discount AS DOUBLE) AS a2,
+                 CAST(l_extendedprice AS DOUBLE) AS b1,
+                 CAST(l_tax AS DOUBLE) AS b2
+          FROM lineitem),
+        m AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(a1 AS DECIMAL(18,2))) AS DOUBLE) AS s_a1,
+                 CAST(SUM(CAST(a2 AS DECIMAL(18,2))) AS DOUBLE) AS s_a2,
+                 CAST(SUM(CAST(b1 AS DECIMAL(18,2))) AS DOUBLE) AS s_b1,
+                 CAST(SUM(CAST(b2 AS DECIMAL(18,2))) AS DOUBLE) AS s_b2,
+                 CAST(SUM(CAST(a1 AS DECIMAL(18,2)) * CAST(a1 AS DECIMAL(18,2))) AS DOUBLE) AS s_a1a1,
+                 CAST(SUM(CAST(a1 AS DECIMAL(18,2)) * CAST(a2 AS DECIMAL(18,2))) AS DOUBLE) AS s_a1a2,
+                 CAST(CAST(SUM(CAST(a1 AS DECIMAL(18,2)) * CAST(b1 AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s_a1b1,
+                 CAST(SUM(CAST(a1 AS DECIMAL(18,2)) * CAST(b2 AS DECIMAL(18,2))) AS DOUBLE) AS s_a1b2,
+                 CAST(SUM(CAST(a2 AS DECIMAL(18,2)) * CAST(a2 AS DECIMAL(18,2))) AS DOUBLE) AS s_a2a2,
+                 CAST(SUM(CAST(a2 AS DECIMAL(18,2)) * CAST(b1 AS DECIMAL(18,2))) AS DOUBLE) AS s_a2b1,
+                 CAST(SUM(CAST(a2 AS DECIMAL(18,2)) * CAST(b2 AS DECIMAL(18,2))) AS DOUBLE) AS s_a2b2,
+                 CAST(CAST(SUM(CAST(b1 AS DECIMAL(18,2)) * CAST(b1 AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s_b1b1,
+                 CAST(SUM(CAST(b1 AS DECIMAL(18,2)) * CAST(b2 AS DECIMAL(18,2))) AS DOUBLE) AS s_b1b2,
+                 CAST(SUM(CAST(b2 AS DECIMAL(18,2)) * CAST(b2 AS DECIMAL(18,2))) AS DOUBLE) AS s_b2b2
+          FROM base),
+        cv AS (
+          SELECT n,
+            ROUND(s_a1a1/n - (s_a1/n)*(s_a1/n), 12) AS xx11,
+            ROUND(s_a1a2/n - (s_a1/n)*(s_a2/n), 12) AS xx12,
+            ROUND(s_a2a2/n - (s_a2/n)*(s_a2/n), 12) AS xx22,
+            ROUND(s_b1b1/n - (s_b1/n)*(s_b1/n), 12) AS yy11,
+            ROUND(s_b1b2/n - (s_b1/n)*(s_b2/n), 12) AS yy12,
+            ROUND(s_b2b2/n - (s_b2/n)*(s_b2/n), 12) AS yy22,
+            ROUND(s_a1b1/n - (s_a1/n)*(s_b1/n), 12) AS xy11,
+            ROUND(s_a1b2/n - (s_a1/n)*(s_b2/n), 12) AS xy12,
+            ROUND(s_a2b1/n - (s_a2/n)*(s_b1/n), 12) AS xy21,
+            ROUND(s_a2b2/n - (s_a2/n)*(s_b2/n), 12) AS xy22
+          FROM m),
+        tt AS (
+          SELECT *, yy11*yy22 - yy12*yy12 AS dy FROM cv),
+        t2 AS (
+          SELECT *,
+            ROUND((xy11*yy22 - xy12*yy12) / dy, 12) AS t11,
+            ROUND((xy12*yy11 - xy11*yy12) / dy, 12) AS t12,
+            ROUND((xy21*yy22 - xy22*yy12) / dy, 12) AS t21,
+            ROUND((xy22*yy11 - xy21*yy12) / dy, 12) AS t22
+          FROM tt),
+        p2 AS (
+          SELECT *,
+            t11*xy11 + t12*xy12 AS p11, t11*xy21 + t12*xy22 AS p12,
+            t21*xy11 + t22*xy12 AS p21, t21*xy21 + t22*xy22 AS p22,
+            xx11*xx22 - xx12*xx12 AS dx
+          FROM t2),
+        m2 AS (
+          SELECT *,
+            ROUND((xx22*p11 - xx12*p21) / dx, 12) AS m11,
+            ROUND((xx22*p12 - xx12*p22) / dx, 12) AS m12,
+            ROUND((xx11*p21 - xx12*p11) / dx, 12) AS m21,
+            ROUND((xx11*p22 - xx12*p12) / dx, 12) AS m22
+          FROM p2),
+        ev AS (
+          SELECT *, m11 + m22 AS tr,
+                 m11*m22 - m12*m21 AS dd
+          FROM m2),
+        fin AS (
+          SELECT *, GREATEST(tr*tr - CAST(4 AS DOUBLE)*dd, CAST(0 AS DOUBLE))
+                   AS disc
+          FROM ev)
+        SELECT CAST(n AS BIGINT) AS n,
+               ROUND(SQRT(GREATEST((tr + SQRT(disc)) / CAST(2 AS DOUBLE),
+                 CAST(0 AS DOUBLE))), 6) AS rho1,
+               ROUND(SQRT(GREATEST((tr - SQRT(disc)) / CAST(2 AS DOUBLE),
+                 CAST(0 AS DOUBLE))), 6) AS rho2
+        FROM fin"""))
+,
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
