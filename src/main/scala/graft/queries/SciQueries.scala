@@ -2557,7 +2557,94 @@ object SciQueries {
                  CAST(0 AS DOUBLE))), 6) AS rho1,
                ROUND(SQRT(GREATEST((tr - SQRT(disc)) / CAST(2 AS DOUBLE),
                  CAST(0 AS DOUBLE))), 6) AS rho2
-        FROM fin"""))
+        FROM fin""")),
+
+    // Inventory policy per brand: EOQ = sqrt(2·D·S/H) on the measured
+    // annualized demand rate, safety stock z·σ_w·sqrt(L) from the
+    // weekly-demand deviation (the qat dense-grid moments), reorder
+    // point = d_w·L + safety — the classical (Q, r) policy, every link
+    // sqrt/÷/× with fixed literals (z = 1.645, L = 2 weeks, S = 100,
+    // H = 0.2), completing the ops family (Little qar, Erlang-C qau).
+    "qb1_inventory_policy" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand").as("brand"),
+            expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 604800000")
+              .as("week"),
+            col("l_quantity").cast("long").as("q"))
+        val wk = li.groupBy(col("brand"), col("week")).agg(sum(col("q")).as("qty"))
+        val weeks = li.select(col("week")).distinct()
+        val brands = li.select(col("brand")).distinct()
+        val grid = brands.crossJoin(broadcast(weeks))
+          .join(wk, Seq("brand", "week"), "left")
+          .withColumn("q0", coalesce(col("qty"), lit(0L)))
+        val nD = col("n").cast("double")
+        val mean = col("cs").cast("double") / nD
+        val variance = col("css").cast("double") / nD -
+          (col("cs").cast("double") / nD) * (col("cs").cast("double") / nD)
+        grid.groupBy(col("brand"))
+          .agg(count(lit(1)).as("n"), sum(col("q0")).as("cs"),
+            sum(col("q0") * col("q0")).as("css"))
+          .withColumn("d_week", round(mean, 9))
+          .withColumn("sigma_week",
+            round(sqrt(greatest(variance, lit(0.0))), 9))
+          .withColumn("d_annual", round(col("d_week") * lit(52.0), 6))
+          .select(col("brand"), col("n").as("n_weeks"),
+            round(col("d_week"), 6).as("demand_week"),
+            round(col("sigma_week"), 6).as("sigma_week"),
+            round(sqrt(lit(2.0) * col("d_annual") * lit(100.0) / lit(0.2)), 6)
+              .as("eoq"),
+            round(lit(1.645) * col("sigma_week") * sqrt(lit(2.0)), 6)
+              .as("safety_stock"),
+            round(col("d_week") * lit(2.0) +
+              lit(1.645) * col("sigma_week") * sqrt(lit(2.0)), 6)
+              .as("reorder_point"))
+          .orderBy(col("brand"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT p_brand AS brand,
+                 CAST(epoch_ms(l_shipdate) // 604800000 AS BIGINT) AS week,
+                 CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        wk AS (
+          SELECT brand, week, CAST(SUM(q) AS BIGINT) AS qty
+          FROM li GROUP BY 1, 2),
+        weeks AS (SELECT DISTINCT week FROM li),
+        brands AS (SELECT DISTINCT brand FROM li),
+        grid AS (
+          SELECT b.brand, w.week, COALESCE(wk.qty, CAST(0 AS BIGINT)) AS q0
+          FROM brands b CROSS JOIN weeks w
+          LEFT JOIN wk ON wk.brand = b.brand AND wk.week = w.week),
+        m AS (
+          SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q0) AS BIGINT) AS cs,
+                 CAST(SUM(q0 * q0) AS BIGINT) AS css
+          FROM grid GROUP BY 1),
+        c AS (
+          SELECT brand, n,
+                 ROUND(CAST(cs AS DOUBLE) / CAST(n AS DOUBLE), 9) AS d_week,
+                 ROUND(SQRT(GREATEST(
+                     CAST(css AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(cs AS DOUBLE) / CAST(n AS DOUBLE)),
+                     CAST(0 AS DOUBLE))), 9) AS sigma_week
+          FROM m),
+        f AS (
+          SELECT *, ROUND(d_week * CAST(52 AS DOUBLE), 6) AS d_annual
+          FROM c)
+        SELECT brand, n AS n_weeks,
+               ROUND(d_week, 6) AS demand_week,
+               ROUND(sigma_week, 6) AS sigma_week,
+               ROUND(SQRT(CAST(2 AS DOUBLE) * d_annual * CAST(100 AS DOUBLE)
+                 / CAST(0.2 AS DOUBLE)), 6) AS eoq,
+               ROUND(CAST(1.645 AS DOUBLE) * sigma_week
+                 * SQRT(CAST(2 AS DOUBLE)), 6) AS safety_stock,
+               ROUND(d_week * CAST(2 AS DOUBLE)
+                 + CAST(1.645 AS DOUBLE) * sigma_week
+                   * SQRT(CAST(2 AS DOUBLE)), 6) AS reorder_point
+        FROM f ORDER BY brand"""))
 ,
 
     // Classical seasonal decomposition (STL-lite) of the daily revenue
