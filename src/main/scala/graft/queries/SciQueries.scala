@@ -2644,7 +2644,86 @@ object SciQueries {
                ROUND(d_week * CAST(2 AS DOUBLE)
                  + CAST(1.645 AS DOUBLE) * sigma_week
                    * SQRT(CAST(2 AS DOUBLE)), 6) AS reorder_point
-        FROM f ORDER BY brand"""))
+        FROM f ORDER BY brand""")),
+
+    // MinHash-LSH acceptance report: the q29 candidate pairs evaluated
+    // against the EXACT trigram-Jaccard ≥ 0.2 truth (inverted-index
+    // pair generation — docs sharing ≥ 1 trigram — never an O(n²)
+    // cross). Precision/recall as exact count ratios; the oracle embeds
+    // the full proven q29 minhash pipeline as a nested-WITH subquery.
+    "qb2_lsh_quality" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "documents")
+        val lsh = graft.operators.Dedup.minhashCandidatePairs(
+          d, "doc_id", "text", minEstJaccard = 0.2)
+          .select(col("doc_a"), col("doc_b"))
+        val tg = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), array_distinct(expr(
+            "transform(sequence(1, size(toks) - 2), " +
+              "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+            .as("grams"))
+        val sz = tg.select(col("doc_id"), size(col("grams")).as("n"))
+        val inv = tg.select(col("doc_id"), explode(col("grams")).as("g"))
+        val inter = inv.select(col("doc_id").as("da"), col("g"))
+          .join(inv.select(col("doc_id").as("db"), col("g")), Seq("g"))
+          .filter(col("da") < col("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ni"))
+        val truth = inter
+          .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+          .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .filter(col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")).cast("double") >= 0.2)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"))
+        val found = lsh.join(truth, Seq("doc_a", "doc_b"))
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .select(col("n_truth"), col("n_cand"), col("n_found"),
+            round(col("n_found").cast("double") /
+              col("n_cand").cast("double"), 6).as("precision"),
+            round(col("n_found").cast("double") /
+              col("n_truth").cast("double"), 6).as("recall"))
+      },
+      oracle = Some(s"""
+        WITH lsh AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM (
+            ${OracleSql.minhashPairsOracle(minEstJaccard = 0.2,
+              maxBucketSize = 1000)}) z),
+        tt AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        tg AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS grams
+          FROM tt WHERE len(toks) >= 3),
+        sz AS (SELECT doc_id, len(grams) AS n FROM tg),
+        inv AS (SELECT doc_id, unnest(grams) AS g FROM tg),
+        inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT)
+                   AS ni
+          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truthp AS (
+          SELECT i.da AS doc_a, i.db AS doc_b
+          FROM inter i JOIN sz sa ON sa.doc_id = i.da
+          JOIN sz sb ON sb.doc_id = i.db
+          WHERE CAST(i.ni AS DOUBLE)
+            / CAST(sa.n + sb.n - i.ni AS DOUBLE) >= CAST(0.2 AS DOUBLE)),
+        counts AS (
+          SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truthp) AS n_truth,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh) AS n_cand,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh
+             JOIN truthp ON truthp.doc_a = lsh.doc_a
+               AND truthp.doc_b = lsh.doc_b) AS n_found)
+        SELECT n_truth, n_cand, n_found,
+               ROUND(CAST(n_found AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
+                 AS precision,
+               ROUND(CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+                 AS recall
+        FROM counts"""))
 ,
 
     // Classical seasonal decomposition (STL-lite) of the daily revenue
