@@ -2723,7 +2723,224 @@ object SciQueries {
                  AS precision,
                ROUND(CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
                  AS recall
-        FROM counts"""))
+        FROM counts""")),
+
+    // Ljung–Box portmanteau over the daily revenue series: exact
+    // autocorrelations at lags 1..7 (revenue scaled to thousands so the
+    // 6-grid centered products stay within 15 significant digits — the
+    // rule-13 budget), lag alignment by row-number-shift EQUI joins, and
+    // the Q statistic n(n+2)Σr²/(n−k). The serial-dependence audit for
+    // any forecast residual.
+    "qb3_ljung_box" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000)).cast("decimal(18,5)").as("yk"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val stats = ranked.agg(count(lit(1)).as("n"), sum(col("yk")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val centered = ranked.crossJoin(broadcast(stats))
+          .select(col("rn"), (col("yk").cast("double") - col("mu")).as("c"),
+            col("n"))
+          .localCheckpoint(eager = false)
+        val denom = centered.agg(
+          sum(round(col("c") * col("c"), 6).cast("decimal(28,6)")).as("d0"),
+          first(col("n")).as("n"))
+        val lags = (1 to 7).map { k =>
+          centered.select(col("rn"), col("c").as("ca"))
+            .join(centered.select((col("rn") - k).as("rn"), col("c").as("cb")),
+              Seq("rn"))
+            .agg(sum(round(col("ca") * col("cb"), 6).cast("decimal(28,6)"))
+              .as("num"))
+            .select(lit(k).as("lag"), col("num"))
+        }.reduce(_ unionByName _)
+        val rks = lags.crossJoin(broadcast(denom))
+          .select(col("lag"), col("n"),
+            round(col("num").cast("double") / col("d0").cast("double"), 9)
+              .as("rk"))
+          .localCheckpoint(eager = false)
+        val q = rks.agg(first(col("n")).as("n"),
+            sum(round(col("rk") * col("rk") /
+              (col("n") - col("lag")).cast("double"), 12)
+              .cast("decimal(28,12)")).as("qsum"))
+          .select((col("n").cast("double") * (col("n") + 2).cast("double") *
+            col("qsum").cast("double")).as("q_raw"))
+          .select(round(col("q_raw"), 6).as("q_stat"))
+        rks.crossJoin(broadcast(q))
+          .select(col("lag"), round(col("rk"), 6).as("acf"), col("q_stat"))
+          .orderBy(col("lag"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   / 1000 AS DECIMAL(18,5)) AS yk
+          FROM orders GROUP BY 1),
+        r AS (
+          SELECT yk, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(yk) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu
+          FROM r),
+        c AS (
+          SELECT rn, CAST(yk AS DOUBLE) - st.mu AS c, st.n
+          FROM r CROSS JOIN st),
+        d0 AS (
+          SELECT SUM(CAST(ROUND(c * c, 6) AS DECIMAL(28,6))) AS d0,
+                 MAX(n) AS n
+          FROM c),
+        lagt AS (SELECT CAST(UNNEST(range(1, 8)) AS BIGINT) AS lag),
+        nums AS (
+          SELECT l.lag,
+                 SUM(CAST(ROUND(a.c * b.c, 6) AS DECIMAL(28,6))) AS num
+          FROM lagt l
+          JOIN c a ON TRUE
+          JOIN c b ON b.rn = a.rn + l.lag
+          GROUP BY 1),
+        rks AS (
+          SELECT nums.lag, d0.n,
+                 ROUND(CAST(num AS DOUBLE) / CAST(d0.d0 AS DOUBLE), 9) AS rk
+          FROM nums CROSS JOIN d0),
+        q AS (
+          SELECT ROUND(CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) + 2 AS DOUBLE)
+                   * CAST(SUM(CAST(ROUND(rk * rk
+                       / CAST(n - lag AS DOUBLE), 12)
+                     AS DECIMAL(28,12))) AS DOUBLE), 6) AS q_stat
+          FROM rks)
+        SELECT rks.lag, ROUND(rks.rk, 6) AS acf, q.q_stat
+        FROM rks CROSS JOIN q
+        ORDER BY rks.lag""")),
+
+    // Wald–Wolfowitz runs test on the daily revenue series: runs of
+    // above/below-mean days counted by a row-number-shift equi-join,
+    // then the exact closed-form z = (R − μ_R)/σ_R — integer counts all
+    // the way to two divisions and one sqrt.
+    "qb4_runs_test" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val mu = ranked.agg(count(lit(1)).as("n"), sum(col("rev")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val signed = ranked.crossJoin(broadcast(mu))
+          .select(col("rn"),
+            (col("rev").cast("double") > col("mu")).cast("long").as("x"))
+          .localCheckpoint(eager = false)
+        val flips = signed.select(col("rn"), col("x").as("xa"))
+          .join(signed.select((col("rn") - 1).as("rn"), col("x").as("xb")),
+            Seq("rn"))
+          .agg(sum((col("xa") =!= col("xb")).cast("long")).as("n_flips"))
+        val cnt = signed.agg(sum(col("x")).as("n1"),
+          sum(lit(1L) - col("x")).as("n2"))
+        val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+        val nD = (col("n1") + col("n2")).cast("double")
+        val muR = lit(2.0) * n1d * n2d / nD + lit(1.0)
+        val varR = lit(2.0) * n1d * n2d *
+          (lit(2.0) * n1d * n2d - nD) / (nD * nD * (nD - lit(1.0)))
+        cnt.crossJoin(flips)
+          .withColumn("runs", col("n_flips") + 1)
+          .select(col("n1"), col("n2"), col("runs"),
+            round(muR, 6).as("expected_runs"),
+            round((col("runs").cast("double") - muR) /
+              sqrt(varR), 6).as("z"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1),
+        r AS (
+          SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu
+          FROM r),
+        sgn AS (
+          SELECT rn,
+                 CASE WHEN CAST(rev AS DOUBLE) > st.mu THEN 1 ELSE 0 END AS x
+          FROM r CROSS JOIN st),
+        fl AS (
+          SELECT CAST(SUM(CASE WHEN a.x <> b.x THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flips
+          FROM sgn a JOIN sgn b ON b.rn = a.rn - 1),
+        cnt AS (
+          SELECT CAST(SUM(x) AS BIGINT) AS n1,
+                 CAST(SUM(1 - x) AS BIGINT) AS n2
+          FROM sgn)
+        SELECT cnt.n1, cnt.n2, fl.n_flips + 1 AS runs,
+               ROUND(CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                 + CAST(1 AS DOUBLE), 6) AS expected_runs,
+               ROUND((CAST(fl.n_flips + 1 AS DOUBLE)
+                 - (CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                    * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                    + CAST(1 AS DOUBLE)))
+                 / SQRT(CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                     * CAST(n2 AS DOUBLE)
+                     * (CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                        * CAST(n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE))
+                     / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                        * (CAST(n1 + n2 AS DOUBLE) - CAST(1 AS DOUBLE)))),
+                 6) AS z
+        FROM cnt CROSS JOIN fl""")),
+
+    // Hill tail-index estimator for order values: the top-100 order
+    // statistics by the distributed global row number (no sort-limit on
+    // a single partition), ξ̂ = mean ln(x_i / x_(k+1)) with ln terms on
+    // the 12-grid through DECIMAL — the heavy-tail exponent that decides
+    // whether mean-based capacity planning is even valid.
+    "qb5_hill_tail" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          t(s, dir, "orders").select(
+            col("o_totalprice").cast("double").as("x"), col("o_orderkey")),
+          Seq(col("x").desc, col("o_orderkey")), "rn")
+          .filter(col("rn") <= 101)
+          .localCheckpoint(eager = false)
+        val xk = ranked.filter(col("rn") === 101)
+          .select(col("x").as("x_threshold"))
+        val hill = ranked.filter(col("rn") <= 100)
+          .crossJoin(broadcast(xk))
+          .select(round(log(col("x") / col("x_threshold")), 12)
+            .cast("decimal(28,12)").as("t"), col("x_threshold"))
+          .groupBy(col("x_threshold"))
+          .agg(count(lit(1)).as("k"), sum(col("t")).as("tsum"))
+        hill.select(col("k"), round(col("x_threshold"), 2).as("x_threshold"),
+          round(col("tsum").cast("double") / col("k").cast("double"), 6)
+            .as("xi_hat"),
+          round(col("k").cast("double") / col("tsum").cast("double"), 6)
+            .as("alpha_hat"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS x,
+                 ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DOUBLE)
+                   DESC, o_orderkey) AS rn
+          FROM orders),
+        xk AS (SELECT x AS x_threshold FROM r WHERE rn = 101),
+        h AS (
+          SELECT xk.x_threshold, CAST(COUNT(*) AS BIGINT) AS k,
+                 SUM(CAST(ROUND(ln(r.x / xk.x_threshold), 12)
+                   AS DECIMAL(28,12))) AS tsum
+          FROM r CROSS JOIN xk WHERE r.rn <= 100
+          GROUP BY 1)
+        SELECT k, ROUND(x_threshold, 2) AS x_threshold,
+               ROUND(CAST(tsum AS DOUBLE) / CAST(k AS DOUBLE), 6) AS xi_hat,
+               ROUND(CAST(k AS DOUBLE) / CAST(tsum AS DOUBLE), 6)
+                 AS alpha_hat
+        FROM h"""))
 ,
 
     // Classical seasonal decomposition (STL-lite) of the daily revenue
