@@ -2940,7 +2940,81 @@ object SciQueries {
                ROUND(CAST(tsum AS DOUBLE) / CAST(k AS DOUBLE), 6) AS xi_hat,
                ROUND(CAST(k AS DOUBLE) / CAST(tsum AS DOUBLE), 6)
                  AS alpha_hat
-        FROM h"""))
+        FROM h""")),
+
+    // Haar wavelet energy decomposition of the first 1024 revenue days
+    // (rank-indexed, revenue in millions so squared details stay inside
+    // the rule-13 digit budget): 5 dyadic levels of pairwise
+    // average/difference — division by 2 is EXACT in binary, so the
+    // cascade is pure deterministic IEEE — with per-level detail energy
+    // summed through DECIMAL. Which timescale carries the variance.
+    "qb6_haar_energy" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(18,8)").as("ym"))
+        var x = graft.operators.ScaleOps.globalRowNumber(daily,
+            Seq(col("day")), "rn")
+          .filter(col("rn") <= 1024)
+          .select(col("rn"), col("ym").cast("double").as("x"))
+          .localCheckpoint(eager = false)
+        val levels = (1 to 5).map { lvl =>
+          val odd = x.filter(pmod(col("rn"), lit(2L)) === 1)
+            .select(((col("rn") + 1) / 2).cast("long").as("p"),
+              col("x").as("xo"))
+          val even = x.filter(pmod(col("rn"), lit(2L)) === 0)
+            .select((col("rn") / 2).cast("long").as("p"), col("x").as("xe"))
+          val paired = odd.join(even, Seq("p"))
+            .select(col("p"), ((col("xo") + col("xe")) / lit(2.0)).as("a"),
+              ((col("xo") - col("xe")) / lit(2.0)).as("d"))
+            .localCheckpoint(eager = false)
+          x = paired.select(col("p").as("rn"), col("a").as("x"))
+            .localCheckpoint(eager = false)
+          paired.agg(count(lit(1)).as("n_coeffs"),
+              sum(round(col("d") * col("d"), 6).cast("decimal(28,6)"))
+                .as("e"))
+            .select(lit(lvl).as("level"), col("n_coeffs"),
+              round(col("e").cast("double"), 6).as("detail_energy"))
+        }
+        levels.reduce(_ unionByName _).orderBy(col("level"))
+      },
+      oracle = Some {
+        val lvls = (1 to 5).map { l =>
+          val prev = s"x${l - 1}"
+          s""",
+        pr$l AS (
+          SELECT o.p, (o.xo + e.xe) / CAST(2 AS DOUBLE) AS a,
+                 (o.xo - e.xe) / CAST(2 AS DOUBLE) AS d
+          FROM (SELECT CAST((rn + 1) / 2 AS BIGINT) AS p, x AS xo
+                FROM $prev WHERE rn % 2 = 1) o
+          JOIN (SELECT CAST(rn / 2 AS BIGINT) AS p, x AS xe
+                FROM $prev WHERE rn % 2 = 0) e ON e.p = o.p),
+        x$l AS MATERIALIZED (SELECT p AS rn, a AS x FROM pr$l),
+        en$l AS (
+          SELECT CAST($l AS INT) AS level, CAST(COUNT(*) AS BIGINT)
+                   AS n_coeffs,
+                 ROUND(CAST(SUM(CAST(ROUND(d * d, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE), 6) AS detail_energy
+          FROM pr$l)"""
+        }.mkString
+        s"""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   / 1000000 AS DECIMAL(18,8)) AS ym
+          FROM orders GROUP BY 1),
+        x0 AS (
+          SELECT rn, CAST(ym AS DOUBLE) AS x FROM (
+            SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily)
+          WHERE rn <= 1024)$lvls
+        SELECT level, n_coeffs, detail_energy
+        FROM (SELECT * FROM en1 UNION ALL SELECT * FROM en2
+              UNION ALL SELECT * FROM en3 UNION ALL SELECT * FROM en4
+              UNION ALL SELECT * FROM en5)
+        ORDER BY level"""
+      })
 ,
 
     // Classical seasonal decomposition (STL-lite) of the daily revenue
