@@ -745,4 +745,141 @@ object GraphOps {
     }
     x
   }
+
+  /** Harmonic centrality of a bounded seed set: H(s) = Σ_{v≠s reachable
+    * within maxHops} 1/d(s,v) — the closeness variant that is defined on
+    * disconnected graphs (unreachable nodes contribute 0 instead of
+    * poisoning the mean; Boldi–Vigna's axiomatic pick). All-pairs
+    * closeness is not a 100 TB operation; centrality OF a bounded seed
+    * set (top-k hubs, the trusted crawl list) is — so seeds are an
+    * explicit input and the state is (source, node) distance pairs,
+    * bounded by |seeds| × reach.
+    *
+    * Shape: [[seedDistances]] with a source tag — per hop ONE equi-join
+    * of the tagged frontier against the static edge list plus a
+    * map-side-combinable min, per-hop localCheckpoint. The 1/d terms sum
+    * through DECIMAL(28,12) on the 12-grid so the recursive-CTE oracle
+    * replays the exact doubles.
+    *
+    * Output: (node, reached, total_dist, harmonic) — one row per seed
+    * that reaches at least one other node (a sink seed is absent =
+    * centrality 0, the [[seedDistances]] absent-is-infinity convention);
+    * `total_dist` is the exact integer distance sum (closeness'
+    * denominator over the reached set), `harmonic` rounded to 6.
+    */
+  def harmonicCentrality(
+      edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds.select(col("node").cast("long").as("source"))
+      .distinct()
+      .select(col("source"), col("source").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val next = e.join(dist, e("src") === dist("node"))
+        .select(col("source"), e("dst").as("node"),
+          (col("dist") + 1).as("dist"))
+      dist = dist.select(col("source"), col("node"), col("dist")).union(next)
+        .groupBy("source", "node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy(col("source").as("node"))
+      .agg(
+        count(lit(1)).as("reached"),
+        sum(col("dist")).as("total_dist"),
+        sum(round(lit(1.0) / col("dist").cast("double"), 12)
+          .cast("decimal(28,12)")).as("hsum"))
+      .select(col("node"), col("reached"), col("total_dist"),
+        round(col("hsum").cast("double"), 6).as("harmonic"))
+  }
+
+  /** Bounded-radius Brandes betweenness from a source set: for each
+    * source s, a BFS shortest-path DAG truncated at `maxDepth`, path
+    * counts σ accumulated level by level, then the backward dependency
+    * sweep δ(v) = Σ_{w ∈ succ(v)} (σ_v/σ_w)·(1+δ_w) — exactly Brandes'
+    * accumulation, with the DAG-successor relation being "edge into the
+    * next BFS level" (tight edges). Betweenness(v) = Σ_s δ_s(v) over
+    * interior nodes (sources excluded per Brandes; frontier nodes at
+    * `maxDepth` carry δ=0 under truncation and are excluded from the
+    * output as not-fully-accumulated).
+    *
+    * Exact Brandes needs full BFS per source — all-pairs is off the
+    * table at 100 TB. Source-sampled, radius-bounded betweenness is the
+    * published scalable estimator family (k-path / bounded-distance
+    * betweenness); sources and radius are explicit inputs.
+    *
+    * Shape: forward, per level ONE frontier⋈edges shuffle + σ-sum + one
+    * anti-join against the visited set; backward, per level ONE
+    * successor⋈edges shuffle + a map-side-combinable DECIMAL(28,12) sum
+    * of 12-grid δ terms snapped to the 9-grid (the q4b discipline, so an
+    * unrolled-CTE oracle walks identical doubles). Every table is keyed
+    * (source, node) — bounded by |sources| × reach; per-level
+    * localCheckpoint pins lineage. σ stays exact in BIGINT (≤ degreeᵈ).
+    */
+  def betweennessFromSources(
+      edges: DataFrame, sources: DataFrame, maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 2, s"maxDepth must be >= 2, got $maxDepth")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val l0 = sources.select(col("node").cast("long").as("source"))
+      .distinct()
+      .select(col("source"), col("source").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    val levels = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    levels += l0
+    var visited = l0.select(col("source"), col("node")).localCheckpoint()
+    for (_ <- 1 to maxDepth) {
+      val frontier = levels.last
+      val nxt = e.join(frontier, e("src") === frontier("node"))
+        .select(col("source"), e("dst").as("node"), col("sigma"))
+        .groupBy("source", "node").agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("source", "node"), "left_anti")
+        .localCheckpoint()
+      levels += nxt
+      visited = visited.union(nxt.select(col("source"), col("node")))
+        .localCheckpoint()
+    }
+    // Backward: δ at the truncation frontier is 0; each shallower level
+    // pulls (σv/σw)(1+δw) from its tight successors.
+    var cur = levels(maxDepth).withColumn("delta", lit(0.0))
+    var acc: DataFrame = null
+    for (l <- maxDepth - 1 to 1 by -1) {
+      cur = accumulateDelta(e, levels(l), cur)
+      acc = if (acc == null) cur else acc.union(cur)
+    }
+    acc
+      .groupBy(col("node"))
+      .agg(sum(col("delta").cast("decimal(28,9)")).as("b"))
+      .select(col("node"), round(col("b").cast("double"), 6).as("betweenness"))
+  }
+
+  /** One backward Brandes level: δ(v) for nodes of `level` from the δ/σ
+    * of the next level `succ` (same source). Tight edges only — an edge
+    * v→w with level(w) = level(v)+1 is by BFS construction a
+    * shortest-path DAG edge.
+    */
+  private def accumulateDelta(
+      e: DataFrame, level: DataFrame, succ: DataFrame): DataFrame = {
+    val s = succ.select(col("source").as("s_source"), col("node").as("w"),
+      col("sigma").as("sw"), col("delta").as("dw"))
+    val contrib = e.join(s, e("dst") === s("w"))
+      .select(col("s_source").as("source"), e("src").as("node"),
+        col("sw"), col("dw"))
+    level.join(contrib, Seq("source", "node"), "left")
+      .groupBy(col("source"), col("node"), col("sigma"))
+      .agg(sum(when(col("sw").isNotNull,
+        round(col("sigma").cast("double") / col("sw").cast("double") *
+          (lit(1.0) + col("dw")), 12)).cast("decimal(28,12)")).as("ds"))
+      .select(col("source"), col("node"), col("sigma"),
+        round(coalesce(col("ds").cast("double"), lit(0.0)), 9).as("delta"))
+      .localCheckpoint()
+  }
 }

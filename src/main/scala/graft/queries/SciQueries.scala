@@ -3014,7 +3014,329 @@ object SciQueries {
               UNION ALL SELECT * FROM en3 UNION ALL SELECT * FROM en4
               UNION ALL SELECT * FROM en5)
         ORDER BY level"""
-      })
+      }),
+
+    // Theil-T inequality of customer spend with the exact between/within
+    // nation decomposition — T = T_between + Σ s_g·T_g, the additive
+    // property that makes Theil the panel inequality measure (Gini q6m
+    // doesn't decompose). ln terms on the 12-grid through DECIMAL; the
+    // identity residual is emitted and hash-proven ≡ 0 (the qap
+    // discipline).
+    "qb7_theil_decomposition" -> Q(
+      fn = (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("g"), col("o_custkey").as("id"),
+            col("y"))
+          .localCheckpoint(eager = false)
+        val tot = spend.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+          .select(col("n"), col("sy"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val terms = spend.crossJoin(broadcast(tot))
+          .withColumn("yd", col("y").cast("double"))
+          .withColumn("t_i",
+            round((col("yd") / col("sy").cast("double")) *
+              log(col("yd") / col("mu")), 12).cast("decimal(28,12)"))
+        val total = terms.agg(sum(col("t_i")).as("t_all"))
+          .select(round(col("t_all").cast("double"), 9).as("theil_total"))
+        val grp = spend.groupBy(col("g"))
+          .agg(count(lit(1)).as("ng"), sum(col("y")).as("syg"))
+          .crossJoin(broadcast(tot))
+          .select(col("g"), col("ng"), col("syg"),
+            round(col("syg").cast("double") / col("ng").cast("double"), 9)
+              .as("mug"),
+            round(col("syg").cast("double") / col("sy").cast("double"), 12)
+              .as("sg"),
+            col("mu"))
+        val between = grp
+          .withColumn("tb",
+            round(col("sg") * log(col("mug") / col("mu")), 12)
+              .cast("decimal(28,12)"))
+          .agg(sum(col("tb")).as("b"))
+          .select(round(col("b").cast("double"), 9).as("theil_between"))
+        val within = spend.join(broadcast(grp.select(col("g"), col("syg"),
+            col("mug"), col("sg"))), Seq("g"))
+          .withColumn("yd", col("y").cast("double"))
+          .withColumn("tw",
+            round(col("sg") * ((col("yd") / col("syg").cast("double")) *
+              log(col("yd") / col("mug"))), 12).cast("decimal(28,12)"))
+          .agg(sum(col("tw")).as("w"))
+          .select(round(col("w").cast("double"), 9).as("theil_within"))
+        total.crossJoin(between).crossJoin(within)
+          .select(round(col("theil_total"), 6).as("theil_total"),
+            round(col("theil_between"), 6).as("theil_between"),
+            round(col("theil_within"), 6).as("theil_within"),
+            (round(col("theil_total") -
+              (col("theil_between") + col("theil_within")), 6) +
+              lit(0.0)).as("identity_residual"))
+      },
+      oracle = Some("""
+        WITH spend AS (
+          SELECT c_nationkey AS g, o_custkey AS id, y
+          FROM (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS y
+                FROM orders GROUP BY 1) s
+          JOIN customer ON o_custkey = c_custkey),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS sy,
+                 ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu
+          FROM spend),
+        tt AS (
+          SELECT ROUND(CAST(SUM(CAST(ROUND(
+                   (CAST(y AS DOUBLE) / CAST(t.sy AS DOUBLE))
+                     * ln(CAST(y AS DOUBLE) / t.mu), 12)
+                 AS DECIMAL(28,12))) AS DOUBLE), 9) AS theil_total
+          FROM spend CROSS JOIN tot t),
+        grp AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS ng, SUM(y) AS syg,
+                 ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mug,
+                 ROUND(CAST(SUM(y) AS DOUBLE) /
+                   (SELECT CAST(sy AS DOUBLE) FROM tot), 12) AS sg
+          FROM spend GROUP BY 1),
+        bt AS (
+          SELECT ROUND(CAST(SUM(CAST(ROUND(
+                   sg * ln(mug / (SELECT mu FROM tot)), 12)
+                 AS DECIMAL(28,12))) AS DOUBLE), 9) AS theil_between
+          FROM grp),
+        wt AS (
+          SELECT ROUND(CAST(SUM(CAST(ROUND(
+                   grp.sg * ((CAST(spend.y AS DOUBLE)
+                     / CAST(grp.syg AS DOUBLE))
+                     * ln(CAST(spend.y AS DOUBLE) / grp.mug)), 12)
+                 AS DECIMAL(28,12))) AS DOUBLE), 9) AS theil_within
+          FROM spend JOIN grp ON grp.g = spend.g)
+        SELECT ROUND(tt.theil_total, 6) AS theil_total,
+               ROUND(bt.theil_between, 6) AS theil_between,
+               ROUND(wt.theil_within, 6) AS theil_within,
+               ROUND(tt.theil_total
+                 - (bt.theil_between + wt.theil_within), 6)
+                 + CAST(0 AS DOUBLE) AS identity_residual
+        FROM tt CROSS JOIN bt CROSS JOIN wt""")),
+
+    // Gumbel block-maxima return levels for daily revenue: weekly maxima
+    // → method-of-moments fit (β̂ = s√6/π, μ̂ = m − γβ̂ with the Euler
+    // constant as an exact literal) → 52- and 104-week return levels
+    // x_T = μ̂ − β̂·ln(−ln(1 − 1/T)) — every link √/÷/ln, no exp, no
+    // CDF inversion. The extreme-value twin of qb5's Hill tail.
+    "qb8_gumbel_return_levels" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("ym"))
+        val weekly = daily
+          .groupBy((col("day") / 7).cast("long").as("wk"))
+          .agg(max(col("ym")).as("m"))
+        // m*m stays pure decimal in BOTH engines: Spark widens (14,8)^2 to
+        // DECIMAL(29,16) automatically; DuckDB multiplies in the operand's
+        // INT64 storage width and overflows at sf0.1 unless the oracle
+        // pre-casts each factor to DECIMAL(19,8) (→ INT128, DECIMAL(38,16)).
+        // Same exact value either way; crosses to double via VARCHAR bridge.
+        val mom = weekly.agg(count(lit(1)).as("n"),
+            sum(col("m")).as("sm"),
+            sum(col("m") * col("m")).as("smm"))
+          .select(col("n"),
+            round(col("sm").cast("double") / col("n").cast("double"), 9)
+              .as("mean"),
+            round(sqrt(greatest(
+              col("smm").cast("double") / col("n").cast("double") -
+                (col("sm").cast("double") / col("n").cast("double")) *
+                (col("sm").cast("double") / col("n").cast("double")),
+              lit(0.0))), 9).as("sd"))
+        val gamma = 0.5772156649015329
+        val pi = math.Pi
+        val fitted = mom
+          .withColumn("beta", round(col("sd") * sqrt(lit(6.0)) / lit(pi), 9))
+          .withColumn("mu", round(col("mean") - lit(gamma) * col("beta"), 9))
+        def rl(t: Int) = round(col("mu") - col("beta") *
+          log(-log(lit(1.0) - lit(1.0) / lit(t.toDouble))), 6)
+        fitted.select(col("n").as("n_weeks"),
+          round(col("mu"), 6).as("gumbel_mu"),
+          round(col("beta"), 6).as("gumbel_beta"),
+          rl(52).as("rl_52w"), rl(104).as("rl_104w"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   / 1000000 AS DECIMAL(14,8)) AS ym
+          FROM orders GROUP BY 1),
+        weekly AS (
+          SELECT CAST(day // 7 AS BIGINT) AS wk, MAX(ym) AS m
+          FROM daily GROUP BY 1),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mean,
+                 ROUND(SQRT(GREATEST(
+                   CAST(CAST(SUM(CAST(m AS DECIMAL(19,8))
+                     * CAST(m AS DECIMAL(19,8))) AS VARCHAR) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE)
+                     - (CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                       * (CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+                   CAST(0 AS DOUBLE))), 9) AS sd
+          FROM weekly),
+        fit AS (
+          SELECT *,
+                 ROUND(sd * SQRT(CAST(6 AS DOUBLE))
+                   / ${math.Pi}, 9) AS beta
+          FROM mom),
+        fit2 AS (
+          SELECT *, ROUND(mean - CAST(0.5772156649015329 AS DOUBLE) * beta, 9) AS mu
+          FROM fit)
+        SELECT n AS n_weeks, ROUND(mu, 6) AS gumbel_mu,
+               ROUND(beta, 6) AS gumbel_beta,
+               ROUND(mu - beta * ln(-ln(CAST(1 AS DOUBLE)
+                 - CAST(1 AS DOUBLE) / CAST(52 AS DOUBLE))), 6) AS rl_52w,
+               ROUND(mu - beta * ln(-ln(CAST(1 AS DOUBLE)
+                 - CAST(1 AS DOUBLE) / CAST(104 AS DOUBLE))), 6) AS rl_104w
+        FROM fit2""")),
+
+    // Yule-Walker AR(2) fit of the daily revenue series (thousands, the
+    // qb3 scaling) from the EXACT lag-1/lag-2 autocorrelations:
+    // phi1 = r1(1-r2)/(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2), the innovation
+    // variance ratio 1 - phi1*r1 - phi2*r2, and 3-step-ahead forecasts
+    // recursed from the last two centered observations — every link
+    // *,-,/ on the 9-grid, the algebraic-only contract. The model-fitting
+    // closure of the qb3 diagnostic (Ljung-Box tells you there IS serial
+    // structure; this fits it).
+    "qb9_yule_walker_ar2" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000)).cast("decimal(18,5)").as("yk"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val stats = ranked.agg(count(lit(1)).as("n"), sum(col("yk")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val centered = ranked.crossJoin(broadcast(stats))
+          .select(col("rn"), (col("yk").cast("double") - col("mu")).as("c"),
+            col("n"), col("mu"))
+          .localCheckpoint(eager = false)
+        val denom = centered.agg(
+          sum(round(col("c") * col("c"), 6).cast("decimal(28,6)")).as("d0"))
+        val nums = Seq(1, 2).map { k =>
+          centered.select(col("rn"), col("c").as("ca"))
+            .join(centered.select((col("rn") - k).as("rn"), col("c").as("cb")),
+              Seq("rn"))
+            .agg(sum(round(col("ca") * col("cb"), 6).cast("decimal(28,6)"))
+              .as("num"))
+            .select(lit(k).as("lag"), col("num"))
+        }.reduce(_ unionByName _)
+        val rs = nums.crossJoin(broadcast(denom))
+          .groupBy()
+          .agg(
+            max(when(col("lag") === 1,
+              round(col("num").cast("double") / col("d0").cast("double"), 9)))
+              .as("r1"),
+            max(when(col("lag") === 2,
+              round(col("num").cast("double") / col("d0").cast("double"), 9)))
+              .as("r2"))
+        val fit = rs
+          .withColumn("den", round(lit(1.0) - col("r1") * col("r1"), 9))
+          .withColumn("phi1",
+            round(col("r1") * (lit(1.0) - col("r2")) / col("den"), 9))
+          .withColumn("phi2",
+            round((col("r2") - col("r1") * col("r1")) / col("den"), 9))
+          .withColumn("ivr",
+            round(lit(1.0) - col("phi1") * col("r1") -
+              col("phi2") * col("r2"), 9))
+        val last = centered.agg(
+          max(when(col("rn") === col("n"), col("c"))).as("cn"),
+          max(when(col("rn") === col("n") - 1, col("c"))).as("cn1"),
+          first(col("n")).as("n"), first(col("mu")).as("mu"))
+        fit.crossJoin(broadcast(last))
+          .withColumn("f1",
+            round(col("phi1") * col("cn") + col("phi2") * col("cn1"), 9))
+          .withColumn("f2",
+            round(col("phi1") * col("f1") + col("phi2") * col("cn"), 9))
+          .withColumn("f3",
+            round(col("phi1") * col("f2") + col("phi2") * col("f1"), 9))
+          .select(col("n"),
+            round(col("r1"), 6).as("acf1"), round(col("r2"), 6).as("acf2"),
+            round(col("phi1"), 6).as("phi1"), round(col("phi2"), 6).as("phi2"),
+            round(col("ivr"), 6).as("innovation_ratio"),
+            round(col("mu") + col("f1"), 6).as("fc_1"),
+            round(col("mu") + col("f2"), 6).as("fc_2"),
+            round(col("mu") + col("f3"), 6).as("fc_3"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   / 1000 AS DECIMAL(18,5)) AS yk
+          FROM orders GROUP BY 1),
+        r AS (
+          SELECT yk, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(yk) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu
+          FROM r),
+        c AS (
+          SELECT rn, CAST(yk AS DOUBLE) - st.mu AS c, st.n, st.mu
+          FROM r CROSS JOIN st),
+        d0 AS (
+          SELECT SUM(CAST(ROUND(c * c, 6) AS DECIMAL(28,6))) AS d0 FROM c),
+        lagt AS (SELECT CAST(UNNEST(range(1, 3)) AS BIGINT) AS lag),
+        nums AS (
+          SELECT l.lag,
+                 SUM(CAST(ROUND(a.c * b.c, 6) AS DECIMAL(28,6))) AS num
+          FROM lagt l
+          JOIN c a ON TRUE
+          JOIN c b ON b.rn = a.rn + l.lag
+          GROUP BY 1),
+        rs AS (
+          SELECT
+            MAX(CASE WHEN lag = 1 THEN ROUND(CAST(num AS DOUBLE)
+              / CAST(d0.d0 AS DOUBLE), 9) END) AS r1,
+            MAX(CASE WHEN lag = 2 THEN ROUND(CAST(num AS DOUBLE)
+              / CAST(d0.d0 AS DOUBLE), 9) END) AS r2
+          FROM nums CROSS JOIN d0),
+        fit AS (
+          SELECT r1, r2,
+                 ROUND(CAST(1 AS DOUBLE) - r1 * r1, 9) AS den
+          FROM rs),
+        fit2 AS (
+          SELECT *,
+                 ROUND(r1 * (CAST(1 AS DOUBLE) - r2) / den, 9) AS phi1,
+                 ROUND((r2 - r1 * r1) / den, 9) AS phi2
+          FROM fit),
+        fit3 AS (
+          SELECT *,
+                 ROUND(CAST(1 AS DOUBLE) - phi1 * r1 - phi2 * r2, 9) AS ivr
+          FROM fit2),
+        lastv AS (
+          SELECT MAX(CASE WHEN rn = n THEN c END) AS cn,
+                 MAX(CASE WHEN rn = n - 1 THEN c END) AS cn1,
+                 MAX(n) AS n, MAX(mu) AS mu
+          FROM c),
+        f1t AS (
+          SELECT *, ROUND(phi1 * cn + phi2 * cn1, 9) AS f1
+          FROM fit3 CROSS JOIN lastv),
+        f2t AS (SELECT *, ROUND(phi1 * f1 + phi2 * cn, 9) AS f2 FROM f1t),
+        f3t AS (SELECT *, ROUND(phi1 * f2 + phi2 * f1, 9) AS f3 FROM f2t)
+        SELECT n,
+               ROUND(r1, 6) + CAST(0 AS DOUBLE) AS acf1,
+               ROUND(r2, 6) + CAST(0 AS DOUBLE) AS acf2,
+               ROUND(phi1, 6) + CAST(0 AS DOUBLE) AS phi1,
+               ROUND(phi2, 6) + CAST(0 AS DOUBLE) AS phi2,
+               ROUND(ivr, 6) + CAST(0 AS DOUBLE) AS innovation_ratio,
+               ROUND(mu + f1, 6) + CAST(0 AS DOUBLE) AS fc_1,
+               ROUND(mu + f2, 6) + CAST(0 AS DOUBLE) AS fc_2,
+               ROUND(mu + f3, 6) + CAST(0 AS DOUBLE) AS fc_3
+        FROM f3t"""))
 ,
 
     // Classical seasonal decomposition (STL-lite) of the daily revenue
