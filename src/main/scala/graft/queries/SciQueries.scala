@@ -3339,6 +3339,335 @@ object SciQueries {
         FROM f3t"""))
 ,
 
+    // Harmonic centrality of a bounded seed set over the %400 link graph
+    // (the closeness variant defined on disconnected graphs) — the
+    // source-tagged multi-source BFS of GraphOps.harmonicCentrality, 1/d
+    // terms summed through DECIMAL(28,12) on the 12-grid so the
+    // recursive-CTE oracle walks identical doubles. total_dist stays an
+    // exact integer (closeness' denominator over the reached set).
+    "qba_harmonic_centrality" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 400).cast("long").as("src"),
+          (col("o_orderkey") % 400).cast("long").as("dst"))
+        val seeds = s.range(0, 10).select(col("id").as("node"))
+        graft.operators.GraphOps.harmonicCentrality(edges, seeds, maxHops = 4)
+          .orderBy(col("node"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE edges AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey % 400 AS BIGINT) AS src,
+                          CAST(o_orderkey % 400 AS BIGINT) AS dst
+          FROM orders WHERE o_custkey % 400 <> o_orderkey % 400),
+        walk(source, node, dist) AS (
+          SELECT CAST(range AS BIGINT), CAST(range AS BIGINT),
+                 CAST(0 AS BIGINT)
+          FROM range(0, 10)
+          UNION
+          SELECT w.source, e.dst, w.dist + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.dist < 4),
+        md AS (SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2)
+        SELECT source AS node,
+               CAST(COUNT(*) AS BIGINT) AS reached,
+               CAST(SUM(dist) AS BIGINT) AS total_dist,
+               ROUND(CAST(SUM(CAST(ROUND(
+                 CAST(1 AS DOUBLE) / CAST(dist AS DOUBLE), 12)
+                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS harmonic
+        FROM md WHERE dist > 0
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Bounded-radius Brandes betweenness from 8 sources over the %400
+    // graph: forward BFS levels carry exact BIGINT path counts σ, the
+    // backward sweep δ(v) = Σ (σv/σw)(1+δw) over tight edges rides
+    // 12-grid terms through DECIMAL(28,12) snapped to the 9-grid per
+    // level — so the 3-level unrolled oracle replays identical doubles.
+    // Sources excluded per Brandes; the depth-3 truncation frontier is
+    // excluded as not-fully-accumulated.
+    "qbb_betweenness" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 400).cast("long").as("src"),
+          (col("o_orderkey") % 400).cast("long").as("dst"))
+        val sources = s.range(0, 8).select(col("id").as("node"))
+        graft.operators.GraphOps.betweennessFromSources(edges, sources,
+            maxDepth = 3)
+          .orderBy(col("node"))
+      },
+      oracle = Some("""
+        WITH edges AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey % 400 AS BIGINT) AS src,
+                          CAST(o_orderkey % 400 AS BIGINT) AS dst
+          FROM orders WHERE o_custkey % 400 <> o_orderkey % 400),
+        l0 AS MATERIALIZED (
+          SELECT CAST(range AS BIGINT) AS source, CAST(range AS BIGINT) AS node,
+                 CAST(1 AS BIGINT) AS sigma
+          FROM range(0, 8)),
+        l1 AS MATERIALIZED (
+          SELECT l0.source, e.dst AS node, CAST(SUM(l0.sigma) AS BIGINT) AS sigma
+          FROM l0 JOIN edges e ON e.src = l0.node
+          WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                            WHERE v.source = l0.source AND v.node = e.dst)
+          GROUP BY 1, 2),
+        l2 AS MATERIALIZED (
+          SELECT l1.source, e.dst AS node, CAST(SUM(l1.sigma) AS BIGINT) AS sigma
+          FROM l1 JOIN edges e ON e.src = l1.node
+          WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                            WHERE v.source = l1.source AND v.node = e.dst)
+            AND NOT EXISTS (SELECT 1 FROM l1 v
+                            WHERE v.source = l1.source AND v.node = e.dst)
+          GROUP BY 1, 2),
+        l3 AS MATERIALIZED (
+          SELECT l2.source, e.dst AS node, CAST(SUM(l2.sigma) AS BIGINT) AS sigma
+          FROM l2 JOIN edges e ON e.src = l2.node
+          WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                            WHERE v.source = l2.source AND v.node = e.dst)
+            AND NOT EXISTS (SELECT 1 FROM l1 v
+                            WHERE v.source = l2.source AND v.node = e.dst)
+            AND NOT EXISTS (SELECT 1 FROM l2 v
+                            WHERE v.source = l2.source AND v.node = e.dst)
+          GROUP BY 1, 2),
+        d3 AS MATERIALIZED (
+          SELECT source, node, sigma, CAST(0 AS DOUBLE) AS delta FROM l3),
+        d2 AS MATERIALIZED (
+          SELECT l2.source, l2.node, l2.sigma,
+                 ROUND(COALESCE(CAST(SUM(CAST(ROUND(
+                   CAST(l2.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+                     * (CAST(1 AS DOUBLE) + w.delta), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE), CAST(0 AS DOUBLE)), 9)
+                   AS delta
+          FROM l2
+          LEFT JOIN edges e ON e.src = l2.node
+          LEFT JOIN d3 w ON w.source = l2.source AND w.node = e.dst
+          GROUP BY 1, 2, 3),
+        d1 AS MATERIALIZED (
+          SELECT l1.source, l1.node, l1.sigma,
+                 ROUND(COALESCE(CAST(SUM(CAST(ROUND(
+                   CAST(l1.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+                     * (CAST(1 AS DOUBLE) + w.delta), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE), CAST(0 AS DOUBLE)), 9)
+                   AS delta
+          FROM l1
+          LEFT JOIN edges e ON e.src = l1.node
+          LEFT JOIN d2 w ON w.source = l1.source AND w.node = e.dst
+          GROUP BY 1, 2, 3)
+        SELECT node,
+               ROUND(CAST(SUM(CAST(delta AS DECIMAL(28,9))) AS DOUBLE), 6)
+                 AS betweenness
+        FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2) u
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Permutation entropy (Bandt-Pompe, order 3) of the daily revenue
+    // series: each consecutive triple maps to its ordinal pattern (ranks
+    // with the stable earlier-index tie-break — pure DECIMAL comparisons,
+    // exact in both engines), pattern frequencies feed H = -Σ p·ln p on
+    // the 12-grid, normalized by ln 6. The complexity measure that is
+    // invariant to monotone transforms of the series.
+    "qbc_permutation_entropy" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("yk"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val t0 = ranked.select(col("rn"), col("yk").as("y0"))
+        val t1 = ranked.select((col("rn") - 1).as("rn"), col("yk").as("y1"))
+        val t2 = ranked.select((col("rn") - 2).as("rn"), col("yk").as("y2"))
+        val coded = t0.join(t1, Seq("rn")).join(t2, Seq("rn"))
+          .select((
+            ((col("y1") < col("y0")).cast("int") +
+             (col("y2") < col("y0")).cast("int")) * 9 +
+            ((col("y0") <= col("y1")).cast("int") +
+             (col("y2") < col("y1")).cast("int")) * 3 +
+            ((col("y0") <= col("y2")).cast("int") +
+             (col("y1") <= col("y2")).cast("int"))).as("code"))
+        val hist = coded.groupBy(col("code")).agg(count(lit(1)).as("cnt"))
+        val tot = hist.agg(sum(col("cnt")).as("n"), count(lit(1)).as("k"))
+        hist.crossJoin(broadcast(tot))
+          .select(col("code"), col("cnt"), col("n"), col("k"),
+            round(col("cnt").cast("double") / col("n").cast("double") *
+              log(col("cnt").cast("double") / col("n").cast("double")), 12)
+              .cast("decimal(28,12)").as("term"))
+          .groupBy(col("n"), col("k"))
+          .agg(sum(col("term")).as("hsum"),
+            min(struct((-col("cnt")).as("nc"), col("code").as("c"))).as("w"),
+            max(col("cnt")).as("maxc"))
+          .select(col("n").as("n_triples"), col("k").as("distinct_patterns"),
+            round(-col("hsum").cast("double"), 6).as("h_nats"),
+            round(-col("hsum").cast("double") / log(lit(6.0)), 6).as("h_norm"),
+            col("w.c").as("modal_code"),
+            round(col("maxc").cast("double") / col("n").cast("double"), 6)
+              .as("modal_share"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS yk
+          FROM orders GROUP BY 1),
+        r AS (SELECT yk, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        tri AS (
+          SELECT a.yk AS y0, b.yk AS y1, c.yk AS y2
+          FROM r a JOIN r b ON b.rn = a.rn + 1 JOIN r c ON c.rn = a.rn + 2),
+        coded AS (
+          SELECT (CAST(y1 < y0 AS INT) + CAST(y2 < y0 AS INT)) * 9
+               + (CAST(y0 <= y1 AS INT) + CAST(y2 < y1 AS INT)) * 3
+               + (CAST(y0 <= y2 AS INT) + CAST(y1 <= y2 AS INT)) AS code
+          FROM tri),
+        hist AS (SELECT code, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM coded GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS k FROM hist),
+        terms AS (
+          SELECT hist.code, hist.cnt, t.n, t.k,
+                 CAST(ROUND(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)
+                   * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+                   AS DECIMAL(28,12)) AS term
+          FROM hist CROSS JOIN tot t)
+        SELECT n AS n_triples, k AS distinct_patterns,
+               ROUND(-CAST(SUM(term) AS DOUBLE), 6) AS h_nats,
+               ROUND(-CAST(SUM(term) AS DOUBLE) / ln(CAST(6 AS DOUBLE)), 6)
+                 AS h_norm,
+               MIN({'nc': -cnt, 'c': code})['c'] AS modal_code,
+               ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS modal_share
+        FROM terms GROUP BY 1, 2""")),
+
+    // Engle-Granger cointegration of region-0 vs region-1 monthly revenue
+    // (millions): step-1 OLS in closed form from DECIMAL moments, step-2
+    // Dickey-Fuller on the 9-grid residuals — γ̂ from exact 6-grid
+    // cross-products, the t-statistic through one sqrt. Every float link
+    // algebraic; the verdict is a fixed-threshold comparison on the
+    // shared double.
+    "qbd_engle_granger" -> Q(
+      fn = (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey").as("rg"),
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000 div 30").as("mo"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("v"))
+        val pair = rev.filter(col("rg") === 0).select(col("mo"), col("v").as("x"))
+          .join(rev.filter(col("rg") === 1).select(col("mo"), col("v").as("y")),
+            Seq("mo"))
+          .localCheckpoint(eager = false)
+        val mom = pair.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(round(col("x") * col("x"), 6).cast("decimal(28,6)")).as("sxx"),
+          sum(round(col("x") * col("y"), 6).cast("decimal(28,6)")).as("sxy"))
+        val fit = mom
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("beta", round(
+            (col("nd") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (col("nd") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 9))
+          .withColumn("alpha", round((col("sy").cast("double") -
+            col("beta") * col("sx").cast("double")) / col("nd"), 9))
+        val resid = pair.crossJoin(broadcast(
+            fit.select(col("n"), col("beta"), col("alpha"))))
+          .select(col("mo"),
+            round(col("y").cast("double") - col("alpha") -
+              col("beta") * col("x").cast("double"), 9).as("e"),
+            col("n"), col("beta"), col("alpha"))
+        val rr = graft.operators.ScaleOps.globalRowNumber(resid,
+          Seq(col("mo")), "rn").localCheckpoint(eager = false)
+        val dif = rr.select(col("rn"), col("e").as("e1"), col("n"),
+            col("beta"), col("alpha"))
+          .join(rr.select((col("rn") - 1).as("rn"), col("e").as("e0")),
+            Seq("rn"))
+          .withColumn("de", round(col("e0") - col("e1"), 9))
+        val g = dif.agg(first(col("n")).as("n"), first(col("beta")).as("beta"),
+            first(col("alpha")).as("alpha"), count(lit(1)).as("m"),
+            sum(round(col("e1") * col("de"), 6).cast("decimal(28,6)"))
+              .as("sed"),
+            sum(round(col("e1") * col("e1"), 6).cast("decimal(28,6)"))
+              .as("see"))
+          .withColumn("gamma",
+            round(col("sed").cast("double") / col("see").cast("double"), 9))
+        val ssu = dif.crossJoin(broadcast(g.select(col("gamma").as("gm"))))
+          .agg(sum(round((col("de") - col("gm") * col("e1")) *
+            (col("de") - col("gm") * col("e1")), 6).cast("decimal(28,6)"))
+            .as("ssu"))
+        g.crossJoin(broadcast(ssu))
+          .withColumn("sev", round(sqrt(
+            (col("ssu").cast("double") /
+              (col("m").cast("double") - lit(1.0))) /
+            col("see").cast("double")), 9))
+          .select(col("n").as("n_months"), col("m").as("n_diffs"),
+            round(col("beta"), 6).as("beta"),
+            round(col("alpha"), 6).as("alpha"),
+            round(col("gamma"), 6).as("gamma"),
+            round(col("gamma") / col("sev"), 6).as("df_stat"),
+            when(col("gamma") / col("sev") < lit(-2.86), lit(1))
+              .otherwise(lit(0)).as("cointegrated"))
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT n_regionkey AS rg,
+                 CAST(epoch_ms(o_orderdate) // 86400000 // 30 AS BIGINT) AS mo,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(14,8)) AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        pair AS MATERIALIZED (
+          SELECT a.mo, a.v AS x, b.v AS y
+          FROM rev a JOIN rev b ON a.mo = b.mo AND a.rg = 0 AND b.rg = 1),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(ROUND(CAST(x AS DECIMAL(19,8))
+                   * CAST(x AS DECIMAL(19,8)), 6) AS DECIMAL(28,6))) AS sxx,
+                 SUM(CAST(ROUND(CAST(x AS DECIMAL(19,8))
+                   * CAST(y AS DECIMAL(19,8)), 6) AS DECIMAL(28,6))) AS sxy
+          FROM pair),
+        f1 AS (
+          SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+                 CAST(sxy AS DOUBLE) AS sxyd
+          FROM mom),
+        f2 AS (SELECT *, ROUND((nd * sxyd - sxd * syd)
+                 / (nd * sxxd - sxd * sxd), 9) AS beta FROM f1),
+        f3 AS (SELECT *, ROUND((syd - beta * sxd) / nd, 9) AS alpha FROM f2),
+        resid AS MATERIALIZED (
+          SELECT p.mo,
+                 ROUND(CAST(p.y AS DOUBLE) - f3.alpha
+                   - f3.beta * CAST(p.x AS DOUBLE), 9) AS e,
+                 f3.n, f3.beta, f3.alpha
+          FROM pair p CROSS JOIN f3),
+        rr AS (SELECT *, ROW_NUMBER() OVER (ORDER BY mo) AS rn FROM resid),
+        dif AS MATERIALIZED (
+          SELECT a.e AS e1, ROUND(b.e - a.e, 9) AS de, a.n, a.beta, a.alpha
+          FROM rr a JOIN rr b ON b.rn = a.rn + 1),
+        g AS (
+          SELECT MAX(n) AS n, MAX(beta) AS beta, MAX(alpha) AS alpha,
+                 CAST(COUNT(*) AS BIGINT) AS m,
+                 SUM(CAST(ROUND(e1 * de, 6) AS DECIMAL(28,6))) AS sed,
+                 SUM(CAST(ROUND(e1 * e1, 6) AS DECIMAL(28,6))) AS see
+          FROM dif),
+        g2 AS (SELECT *, ROUND(CAST(sed AS DOUBLE) / CAST(see AS DOUBLE), 9)
+                 AS gamma FROM g),
+        uu AS (
+          SELECT SUM(CAST(ROUND((de - g2.gamma * e1) * (de - g2.gamma * e1),
+                   6) AS DECIMAL(28,6))) AS ssu
+          FROM dif CROSS JOIN g2),
+        se AS (
+          SELECT g2.*, uu.ssu,
+                 ROUND(SQRT((CAST(uu.ssu AS DOUBLE)
+                   / (CAST(g2.m AS DOUBLE) - CAST(1 AS DOUBLE)))
+                   / CAST(g2.see AS DOUBLE)), 9) AS sev
+          FROM g2 CROSS JOIN uu)
+        SELECT n AS n_months, m AS n_diffs,
+               ROUND(beta, 6) + CAST(0 AS DOUBLE) AS beta,
+               ROUND(alpha, 6) + CAST(0 AS DOUBLE) AS alpha,
+               ROUND(gamma, 6) + CAST(0 AS DOUBLE) AS gamma,
+               ROUND(gamma / sev, 6) + CAST(0 AS DOUBLE) AS df_stat,
+               CASE WHEN gamma / sev < CAST(-2.86 AS DOUBLE) THEN 1 ELSE 0 END
+                 AS cointegrated
+        FROM se""")),
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
