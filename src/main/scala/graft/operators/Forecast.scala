@@ -266,4 +266,64 @@ object Forecast {
         round(col("__r"), 6).as("resid"), col("sigma"),
         (abs(col("__r")) > lit(z) * col("sigma")).as("is_anomaly"))
   }
+
+  /** Croston's method (Croston 1972) for INTERMITTENT demand — series
+    * that are mostly zero with occasional positive spikes, where plain
+    * exponential smoothing decays toward zero between spikes and
+    * systematically under-forecasts. Croston smooths two series over the
+    * NONZERO demand points only: demand size z and inter-demand interval
+    * p, forecasting z/p demand per period; the Syntetos–Boylan
+    * approximation (1−α/2)·z/p corrects Croston's positive bias.
+    *
+    * Convention (pinned for reproducibility): seed z₁ = first size,
+    * p seeded with the SECOND point's interval i₂, then fold points
+    * 2..n updating z ← α·x + (1−α)z and p ← α·i + (1−α)p — the k=2 step's
+    * p-update is idempotent by construction (p₂ = i₂ either way). Keys
+    * with fewer than 2 nonzero points have no interval and are omitted.
+    *
+    * Same q5i/holt ordered-fold recipe: per-key sorted lists, 9-snap per
+    * state component per step, dyadic α enforced so the DuckDB
+    * list_reduce oracle (LIST accumulator — the q7d finding) walks
+    * identical doubles. Scale shape: one groupBy to per-key nonzero-point
+    * lists (bounded by the demand-bucket domain per key), fold inside the
+    * row, parallel across keys.
+    */
+  def croston(
+      series: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    exactBinary(alpha, "alpha")
+    val collected = series
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull &&
+        col(valueCol) > 0)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_points"),
+        array_sort(collect_list(struct(col(orderCol).cast("long").as("o"),
+          col(valueCol).cast("double").as("y")))).as("__seq"))
+      .withColumn("__ds", transform(col("__seq"), x => x.getField("o")))
+      .withColumn("__zs", transform(col("__seq"), x => x.getField("y")))
+
+    def step(acc: Column, k: Column): Column = {
+      val ki = k.cast("int")
+      val z = round(lit(alpha) * element_at(col("__zs"), ki) +
+        lit(1 - alpha) * acc.getField("z"), 9)
+      val iv = (element_at(col("__ds"), ki) -
+        element_at(col("__ds"), ki - 1)).cast("double")
+      struct(z.as("z"),
+        round(lit(alpha) * iv + lit(1 - alpha) * acc.getField("p"), 9).as("p"))
+    }
+
+    val seed = struct(element_at(col("__zs"), 1).as("z"),
+      (element_at(col("__ds"), 2) - element_at(col("__ds"), 1))
+        .cast("double").as("p"))
+    collected
+      .filter(col("n_points") >= 2)
+      .withColumn("__st",
+        aggregate(sequence(lit(2), col("n_points").cast("int")), seed, step))
+      .select(col(keyCol), col("n_points"),
+        round(col("__st.z"), 6).as("z_level"),
+        round(col("__st.p"), 6).as("p_interval"),
+        round(col("__st.z") / col("__st.p"), 6).as("croston"),
+        round(lit(1 - alpha / 2) * col("__st.z") / col("__st.p"), 6).as("sba"))
+  }
 }

@@ -91,4 +91,80 @@ object Survival {
       .select(col("t"), col("n_risk"), col("d_events"), col("c_censored"),
         col("hazard"), col("na_cum_hazard"), col("km_log_survival"))
   }
+
+  /** Two-group log-rank test (Mantel 1966) — "do these two cohorts have
+    * the same survival curve?", the censoring-correct alternative to a
+    * t-test on observed durations. At each distinct event time t the
+    * observed group-A deaths d_A are compared to the hypergeometric
+    * expectation E_A = d·n_A/n given the at-risk split, with variance
+    * V_t = d·(n_A/n)·(n_B/n)·(n−d)/(n−1); the statistic is
+    * z = Σ(d_A−E_A)/√ΣV_t (χ² = z²). Group A is the MIN group label
+    * (deterministic, no caller ordering contract).
+    *
+    * Reproducibility: E and (d_A−E_A) terms are 9-snapped doubles summed
+    * through DECIMAL(28,9); V terms 12-snapped through DECIMAL(28,12) —
+    * division/sqrt-only links. Scale shape: ONE groupBy collapses
+    * subjects to the per-time two-group life table, prefix-identity
+    * windows run over that aggregated (duration-domain-bounded) table
+    * only; the final reduction is a scalar aggregate.
+    */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+      groupCol: String): DataFrame = {
+    val base = df
+      .select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("int").as("__e"), col(groupCol).as("__g"))
+      .filter(col("t").isNotNull && col("t") >= 0 &&
+        col("__e").isNotNull && col("__g").isNotNull)
+    val gA = base.agg(min(col("__g")).as("__gA"))
+    val byT = base.crossJoin(broadcast(gA))
+      .groupBy("t")
+      .agg(
+        sum(when(col("__g") === col("__gA"), col("__e")).otherwise(lit(0)))
+          .cast("long").as("d1"),
+        sum(when(col("__g") === col("__gA"), lit(1)).otherwise(lit(0)))
+          .cast("long").as("x1"),
+        sum(col("__e")).cast("long").as("d"),
+        count(lit(1)).as("x"))
+
+    val prior = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val n1 = sum(col("x1")).over(all) -
+      coalesce(sum(col("x1")).over(prior), lit(0L))
+    val n = sum(col("x")).over(all) -
+      coalesce(sum(col("x")).over(prior), lit(0L))
+
+    val terms = byT
+      .withColumn("n1", n1)
+      .withColumn("n", n)
+      .withColumn("e1",
+        round(col("d").cast("double") * col("n1").cast("double") /
+          col("n").cast("double"), 9))
+      .withColumn("oe",
+        round(col("d1").cast("double") - col("e1"), 9)
+          .cast("decimal(28,9)"))
+      .withColumn("vt",
+        when(col("n") > 1,
+          round(col("d").cast("double") *
+            (col("n1").cast("double") / col("n").cast("double")) *
+            ((col("n") - col("n1")).cast("double") / col("n").cast("double")) *
+            ((col("n") - col("d")).cast("double") /
+              (col("n") - 1).cast("double")), 12))
+          .cast("decimal(28,12)"))
+
+    terms.agg(
+        count(lit(1)).as("n_times"),
+        sum(col("d1")).as("deaths_a"),
+        sum(col("d") - col("d1")).as("deaths_b"),
+        sum(col("oe")).as("oe_sum"),
+        sum(col("vt")).as("v_sum"))
+      .select(col("n_times"), col("deaths_a"), col("deaths_b"),
+        round(col("oe_sum").cast("double"), 6).as("o_minus_e"),
+        round(col("v_sum").cast("double"), 6).as("variance"),
+        round(col("oe_sum").cast("double") /
+          sqrt(col("v_sum").cast("double")), 6).as("z"),
+        round(col("oe_sum").cast("double") * col("oe_sum").cast("double") /
+          col("v_sum").cast("double"), 6).as("chi2"))
+  }
 }

@@ -3668,6 +3668,431 @@ object SciQueries {
                  AS cointegrated
         FROM se""")),
 
+    // Croston's method for intermittent per-brand demand: smooth demand
+    // SIZE and inter-demand INTERVAL separately over the nonzero points
+    // (plain smoothing decays to zero between spikes and under-forecasts)
+    // — Forecast.croston's pinned seed convention, 9-snap-per-step fold,
+    // Syntetos-Boylan 0.75·z/p bias correction. Oracle mirrors the fold
+    // with a LIST accumulator (the q7d list_reduce finding).
+    "qbe_croston_demand" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"),
+            expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))" +
+              " div 86400000").as("day"))
+          .agg(sum(col("l_quantity")).as("q"))
+        graft.operators.Forecast.croston(d, "brand", "day", "q")
+          .orderBy(col("brand"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT p_brand AS brand,
+                 CAST(epoch_ms(l_shipdate) // 86400000 AS BIGINT) AS day,
+                 SUM(l_quantity) AS q
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+        s AS (
+          SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_points,
+                 list(day ORDER BY day) AS ds,
+                 list(CAST(q AS DOUBLE) ORDER BY day) AS zs
+          FROM d WHERE q > 0 GROUP BY 1),
+        f AS (
+          SELECT brand, n_points,
+                 list_reduce(
+                   list_prepend([zs[1], CAST(ds[2] - ds[1] AS DOUBLE)],
+                     list_transform(range(2, n_points + 1),
+                       i -> [zs[i], CAST(ds[i] - ds[i-1] AS DOUBLE)])),
+                   (acc, e) -> [
+                     ROUND(CAST(0.5 AS DOUBLE) * e[1]
+                       + CAST(0.5 AS DOUBLE) * acc[1], 9),
+                     ROUND(CAST(0.5 AS DOUBLE) * e[2]
+                       + CAST(0.5 AS DOUBLE) * acc[2], 9)]) AS st
+          FROM s WHERE n_points >= 2)
+        SELECT brand, n_points,
+               ROUND(st[1], 6) AS z_level,
+               ROUND(st[2], 6) AS p_interval,
+               ROUND(st[1] / st[2], 6) AS croston,
+               ROUND(CAST(0.75 AS DOUBLE) * st[1] / st[2], 6) AS sba
+        FROM f ORDER BY brand""")),
+
+    // Two-cohort log-rank test on conversion survival (q7a's subjects,
+    // arms split by user-id parity — the q7c assignment): per event time
+    // the hypergeometric O−E and variance, censoring handled properly —
+    // the test a t-test on observed durations gets wrong the moment
+    // anyone is still alive at the boundary. Survival.logRank's
+    // aggregated-life-table windows; algebraic links only.
+    "qbf_logrank" -> Q(
+      fn = (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .withColumn("ts_ms", unix_millis(col("ts")))
+        val v0 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_ms")).as("t0"))
+        val te = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"))
+          .join(v0, "user_id")
+          .filter(col("ts_ms") >= col("t0"))
+          .groupBy("user_id").agg(min(col("ts_ms")).as("te"))
+        val horizon = e.agg(max(col("ts_ms")).as("__tmax"))
+        val subjects = v0.join(te, Seq("user_id"), "left")
+          .crossJoin(broadcast(horizon))
+          .select((col("user_id") % 2).cast("int").as("arm"),
+            when(col("te").isNotNull, expr("(te - t0) div 86400000"))
+              .otherwise(expr("(__tmax - t0) div 86400000")).as("duration"),
+            when(col("te").isNotNull, 1).otherwise(0).as("event"))
+        graft.operators.Survival.logRank(subjects, "duration", "event", "arm")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+                   FROM events),
+        v0 AS (SELECT user_id, MIN(ts_ms) AS t0 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        te AS (SELECT e.user_id, MIN(e.ts_ms) AS te
+               FROM e JOIN v0 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts_ms >= v0.t0
+               GROUP BY 1),
+        hz AS (SELECT MAX(ts_ms) AS tmax FROM e),
+        subj AS (
+          SELECT CAST(v0.user_id % 2 AS INT) AS arm,
+                 CASE WHEN te.te IS NOT NULL
+                      THEN (te.te - v0.t0) // 86400000
+                      ELSE (hz.tmax - v0.t0) // 86400000 END AS dur,
+                 CASE WHEN te.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM v0 LEFT JOIN te ON v0.user_id = te.user_id CROSS JOIN hz),
+        byt AS (
+          SELECT dur AS t,
+                 CAST(SUM(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT)
+                   AS d1,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS x1,
+                 CAST(SUM(ev) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM subj GROUP BY 1),
+        w AS (
+          SELECT t, d1, d,
+                 CAST(SUM(x1) OVER ()
+                   - COALESCE(SUM(x1) OVER (ORDER BY t ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS n1,
+                 CAST(SUM(x) OVER ()
+                   - COALESCE(SUM(x) OVER (ORDER BY t ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS n
+          FROM byt),
+        terms AS (
+          SELECT t, d1, d,
+                 CAST(ROUND(CAST(d1 AS DOUBLE)
+                   - ROUND(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                       / CAST(n AS DOUBLE), 9), 9) AS DECIMAL(28,9)) AS oe,
+                 CASE WHEN n > 1 THEN
+                   CAST(ROUND(CAST(d AS DOUBLE)
+                     * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)), 12)
+                   AS DECIMAL(28,12)) END AS vt
+          FROM w)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+               CAST(SUM(d1) AS BIGINT) AS deaths_a,
+               CAST(SUM(d - d1) AS BIGINT) AS deaths_b,
+               ROUND(CAST(SUM(oe) AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS o_minus_e,
+               ROUND(CAST(SUM(vt) AS DOUBLE), 6) AS variance,
+               ROUND(CAST(SUM(oe) AS DOUBLE)
+                 / SQRT(CAST(SUM(vt) AS DOUBLE)), 6) + CAST(0 AS DOUBLE) AS z,
+               ROUND(CAST(SUM(oe) AS DOUBLE) * CAST(SUM(oe) AS DOUBLE)
+                 / CAST(SUM(vt) AS DOUBLE), 6) AS chi2
+        FROM terms""")),
+
+    // Benjamini-Hochberg FDR over per-nation mean-price screens with
+    // DISTRIBUTION-FREE Chebyshev p-bounds: p_i = min(1, 1/z_i²) is a
+    // valid (conservative) p-value bound requiring no normality — the
+    // honest way to BH-correct when the test statistic's null law is
+    // unknown (erf/Φ is also not cross-engine-reproducible). Step-up:
+    // reject ranks 1..k* where k* = max{k : p_(k) ≤ k·α/m}, α = 0.5.
+    // Moments in exact DECIMAL; the price-square sum crosses to double
+    // over the VARCHAR bridge (rule 13).
+    "qbg_bh_fdr" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nation"),
+            col("o_totalprice").cast("decimal(18,2)").as("p"))
+        val g = o.agg(count(lit(1)).as("n"), sum(col("p")).as("sy"),
+            sum(col("p") * col("p")).as("syy"))
+          .select(col("n"), col("syy"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("m0"))
+          .select(col("n"), col("m0"),
+            ((col("syy").cast("double") -
+              col("n").cast("double") * col("m0") * col("m0")) /
+              (col("n") - 1).cast("double")).as("s2"))
+        val per = o.groupBy(col("nation"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("syi"))
+          .crossJoin(broadcast(g))
+          .withColumn("mi",
+            round(col("syi").cast("double") / col("n_orders").cast("double"),
+              9))
+          .withColumn("zf", (col("mi") - col("m0")) /
+            sqrt(col("s2") / col("n_orders").cast("double")))
+          .withColumn("p_cheb",
+            least(lit(1.0), lit(1.0) / (col("zf") * col("zf"))))
+        val m = lit(25.0)
+        val ranked = per.withColumn("rnk",
+          row_number().over(Window.orderBy(col("p_cheb"), col("nation"))))
+          .withColumn("thr",
+            col("rnk").cast("double") * lit(0.5) / m)
+        val kstar = ranked.agg(
+          max(when(col("p_cheb") <= col("thr"), col("rnk"))).as("k"))
+        ranked.crossJoin(broadcast(kstar))
+          .select(col("nation"), col("n_orders"),
+            round(col("mi"), 6).as("mean_price"),
+            round(col("zf"), 6).as("z"),
+            round(col("p_cheb"), 6).as("p_cheb"),
+            col("rnk"), round(col("thr"), 6).as("bh_thr"),
+            when(col("rnk") <= coalesce(col("k"), lit(0)), lit(1))
+              .otherwise(lit(0)).as("rejected"))
+          .orderBy(col("rnk"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT c_nationkey AS nation,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS p
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        g0 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(p) AS sy,
+                 SUM(CAST(p AS DECIMAL(19,2)) * CAST(p AS DECIMAL(19,2)))
+                   AS syy
+          FROM o),
+        g1 AS (
+          SELECT n, ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 9) AS m0,
+                 syy
+          FROM g0),
+        g AS (
+          SELECT n, m0,
+                 (CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                   - CAST(n AS DOUBLE) * m0 * m0)
+                   / CAST(n - 1 AS DOUBLE) AS s2
+          FROM g1),
+        per AS (
+          SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 SUM(p) AS syi
+          FROM o GROUP BY 1),
+        zt AS (
+          SELECT per.nation, per.n_orders,
+                 ROUND(CAST(syi AS DOUBLE) / CAST(n_orders AS DOUBLE), 9)
+                   AS mi,
+                 g.m0, g.s2
+          FROM per CROSS JOIN g),
+        z2 AS (
+          SELECT *, (mi - m0) / SQRT(s2 / CAST(n_orders AS DOUBLE)) AS zf
+          FROM zt),
+        z3 AS (
+          SELECT *, LEAST(CAST(1 AS DOUBLE),
+                          CAST(1 AS DOUBLE) / (zf * zf)) AS p_cheb
+          FROM z2),
+        rk AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_cheb, nation) AS INT)
+                   AS rnk
+          FROM z3),
+        rk2 AS MATERIALIZED (
+          SELECT *, CAST(rnk AS DOUBLE) * CAST(0.5 AS DOUBLE)
+                   / CAST(25 AS DOUBLE) AS thr
+          FROM rk),
+        ks AS (SELECT MAX(CASE WHEN p_cheb <= thr THEN rnk END) AS k
+               FROM rk2)
+        SELECT nation, n_orders,
+               ROUND(mi, 6) AS mean_price,
+               ROUND(zf, 6) + CAST(0 AS DOUBLE) AS z,
+               ROUND(p_cheb, 6) AS p_cheb,
+               rnk, ROUND(thr, 6) AS bh_thr,
+               CASE WHEN rnk <= COALESCE(ks.k, 0) THEN 1 ELSE 0 END
+                 AS rejected
+        FROM rk2 CROSS JOIN ks ORDER BY rnk""")),
+
+    // Per-brand price elasticity of demand: the log-log OLS slope
+    // d ln q / d ln p per brand, in closed form from one grouped DECIMAL
+    // moment pass — fully distributed (one groupBy, no per-row residual
+    // pass), ln/÷-only links on the 9-grid.
+    "qbh_price_elasticity" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand").as("brand"),
+            round(log(col("l_extendedprice") / col("l_quantity")), 9).as("u"),
+            round(log(col("l_quantity")), 9).as("v"))
+        li.groupBy(col("brand"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("u").cast("decimal(28,9)")).as("su"),
+            sum(col("v").cast("decimal(28,9)")).as("sv"),
+            sum(round(col("u") * col("v"), 6).cast("decimal(28,6)"))
+              .as("suv"),
+            sum(round(col("u") * col("u"), 6).cast("decimal(28,6)"))
+              .as("suu"))
+          .withColumn("nd", col("n_lines").cast("double"))
+          .withColumn("slope", round(
+            (col("nd") * col("suv").cast("double") -
+              col("su").cast("double") * col("sv").cast("double")) /
+            (col("nd") * col("suu").cast("double") -
+              col("su").cast("double") * col("su").cast("double")), 9))
+          .select(col("brand"), col("n_lines"),
+            round(col("slope"), 6).as("elasticity"),
+            round((col("sv").cast("double") -
+              col("slope") * col("su").cast("double")) / col("nd"), 6)
+              .as("intercept"))
+          .orderBy(col("brand"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT p_brand AS brand,
+                 ROUND(ln(l_extendedprice / l_quantity), 9) AS u,
+                 ROUND(ln(l_quantity), 9) AS v
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        g AS (
+          SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 SUM(CAST(u AS DECIMAL(28,9))) AS su,
+                 SUM(CAST(v AS DECIMAL(28,9))) AS sv,
+                 SUM(CAST(ROUND(u * v, 6) AS DECIMAL(28,6))) AS suv,
+                 SUM(CAST(ROUND(u * u, 6) AS DECIMAL(28,6))) AS suu
+          FROM li GROUP BY 1),
+        f AS (
+          SELECT brand, n_lines, CAST(n_lines AS DOUBLE) AS nd,
+                 CAST(su AS DOUBLE) AS sud, CAST(sv AS DOUBLE) AS svd,
+                 CAST(suv AS DOUBLE) AS suvd, CAST(suu AS DOUBLE) AS suud
+          FROM g),
+        f2 AS (
+          SELECT *, ROUND((nd * suvd - sud * svd)
+                   / (nd * suud - sud * sud), 9) AS slope
+          FROM f)
+        SELECT brand, n_lines,
+               ROUND(slope, 6) + CAST(0 AS DOUBLE) AS elasticity,
+               ROUND((svd - slope * sud) / nd, 6) + CAST(0 AS DOUBLE)
+                 AS intercept
+        FROM f2 ORDER BY brand""")),
+
+    // Rank-1 ALS matrix factorization of the customer × brand quantity
+    // matrix: two alternating closed-form least-squares rounds over the
+    // OBSERVED entries (u_i = Σrv/Σv², v_j = Σru/Σu²), exactly the
+    // textbook ALS update truncated at rank 1 — each half-step is one
+    // join + one grouped DECIMAL moment aggregate, the u table stays
+    // keyed by customer (never broadcast: unbounded at scale), brand
+    // factors broadcast (bounded dim). Final reconstruction SSE over
+    // observed entries on the 9/6 grids.
+    "qbi_als_rank1" -> Q(
+      fn = (s, dir) => {
+        val r = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+          .agg(sum(col("l_quantity")).as("r"))
+          .localCheckpoint(eager = false)
+        // Every r·factor / factor² term is squared/multiplied IN DECIMAL:
+        // a 9-grid factor times an integer r lands its exact product's
+        // 7th-9th decimals on "500" about once per thousand terms, and a
+        // double's representation error then decides the 6-round
+        // direction differently per engine (the qae boundary class).
+        // Exact decimal products half-up-round identically everywhere.
+        def uStep(v: DataFrame): DataFrame =
+          r.join(broadcast(v), Seq("brand"))
+            .withColumn("rd", col("r").cast("decimal(18,3)"))
+            .withColumn("vd", col("v").cast("decimal(18,9)"))
+            .groupBy(col("cust"))
+            .agg(
+              sum(round(col("rd") * col("vd"), 6).cast("decimal(28,6)"))
+                .as("num"),
+              sum(round(col("vd") * col("vd"), 6).cast("decimal(28,6)"))
+                .as("den"))
+            .select(col("cust"),
+              round(col("num").cast("double") / col("den").cast("double"), 9)
+                .as("u"))
+        def vStep(u: DataFrame): DataFrame =
+          r.join(u, Seq("cust"))
+            .withColumn("rd", col("r").cast("decimal(18,3)"))
+            .withColumn("ud", col("u").cast("decimal(18,9)"))
+            .groupBy(col("brand"))
+            .agg(count(lit(1)).as("n_ratings"),
+              sum(round(col("rd") * col("ud"), 6).cast("decimal(28,6)"))
+                .as("num"),
+              sum(round(col("ud") * col("ud"), 6).cast("decimal(28,6)"))
+                .as("den"))
+            .select(col("brand"), col("n_ratings"),
+              round(col("num").cast("double") / col("den").cast("double"), 9)
+                .as("v"))
+        val v0 = r.select(col("brand")).distinct().withColumn("v", lit(1.0))
+        val u1 = uStep(v0).localCheckpoint(eager = false)
+        val v1 = vStep(u1).localCheckpoint(eager = false)
+        val u2 = uStep(v1.select(col("brand"), col("v")))
+          .localCheckpoint(eager = false)
+        val v2 = vStep(u2).localCheckpoint(eager = false)
+        // err is EXACTLY a 9-grid value (integer r minus a 9-snapped
+        // product) but err² needs up to 18 decimals at magnitude 1e6 —
+        // beyond what a double determines at the 6th decimal (the qae
+        // trap). Square IN DECIMAL: the (18,9)² product is exact and
+        // both engines half-up-round it identically. (DuckDB side
+        // pre-casts to (19,9) to force INT128 — the qb8 overflow lesson.)
+        val sse = r.join(u2, Seq("cust"))
+          .join(broadcast(v2.select(col("brand"), col("v"))), Seq("brand"))
+          .withColumn("err",
+            (col("r") - round(col("u") * col("v"), 9)).cast("decimal(18,9)"))
+          .agg(sum(round(col("err") * col("err"), 6).cast("decimal(28,6)"))
+            .as("sse"))
+          .select(round(col("sse").cast("double"), 6).as("sse"))
+        v2.crossJoin(broadcast(sse))
+          .select(col("brand"), col("n_ratings"),
+            round(col("v"), 6).as("factor"), col("sse"))
+          .orderBy(col("brand"))
+      },
+      oracle = Some("""
+        WITH r AS MATERIALIZED (
+          SELECT o_custkey AS cust, p_brand AS brand, SUM(l_quantity) AS r
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+        u1 AS MATERIALIZED (
+          SELECT cust,
+                 ROUND(CAST(SUM(CAST(ROUND(CAST(r AS DECIMAL(18,3))
+                     * CAST(1 AS DECIMAL(19,9)), 6)
+                     AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(ROUND(CAST(1 AS DECIMAL(19,9))
+                     * CAST(1 AS DECIMAL(19,9)), 6)
+                     AS DECIMAL(28,6))) AS DOUBLE), 9) AS u
+          FROM r GROUP BY 1),
+        v1 AS MATERIALIZED (
+          SELECT brand,
+                 ROUND(CAST(SUM(CAST(ROUND(CAST(r.r AS DECIMAL(18,3))
+                     * CAST(u1.u AS DECIMAL(19,9)), 6)
+                     AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(ROUND(CAST(u1.u AS DECIMAL(19,9))
+                     * CAST(u1.u AS DECIMAL(19,9)), 6)
+                     AS DECIMAL(28,6))) AS DOUBLE), 9) AS v
+          FROM r JOIN u1 USING (cust) GROUP BY 1),
+        u2 AS MATERIALIZED (
+          SELECT cust,
+                 ROUND(CAST(SUM(CAST(ROUND(CAST(r.r AS DECIMAL(18,3))
+                     * CAST(v1.v AS DECIMAL(19,9)), 6)
+                     AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(ROUND(CAST(v1.v AS DECIMAL(19,9))
+                     * CAST(v1.v AS DECIMAL(19,9)), 6)
+                     AS DECIMAL(28,6))) AS DOUBLE), 9) AS u
+          FROM r JOIN v1 USING (brand) GROUP BY 1),
+        v2 AS MATERIALIZED (
+          SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_ratings,
+                 ROUND(CAST(SUM(CAST(ROUND(CAST(r.r AS DECIMAL(18,3))
+                     * CAST(u2.u AS DECIMAL(19,9)), 6)
+                     AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(ROUND(CAST(u2.u AS DECIMAL(19,9))
+                     * CAST(u2.u AS DECIMAL(19,9)), 6)
+                     AS DECIMAL(28,6))) AS DOUBLE), 9) AS v
+          FROM r JOIN u2 USING (cust) GROUP BY 1),
+        sse AS (
+          SELECT ROUND(CAST(SUM(CAST(ROUND(
+                   CAST(r.r - ROUND(u2.u * v2.v, 9) AS DECIMAL(19,9))
+                     * CAST(r.r - ROUND(u2.u * v2.v, 9) AS DECIMAL(19,9)), 6)
+                 AS DECIMAL(28,6))) AS DOUBLE), 6) AS sse
+          FROM r JOIN u2 USING (cust) JOIN v2 USING (brand))
+        SELECT brand, n_ratings,
+               ROUND(v, 6) AS factor, sse.sse
+        FROM v2 CROSS JOIN sse ORDER BY brand""")),
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week

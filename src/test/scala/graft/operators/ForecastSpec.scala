@@ -164,4 +164,29 @@ class ForecastSpec extends AnyFunSuite {
     // only the spike step flags at z=1.5 (sigma≈11.79: 20 > 17.7, 12.5 < 17.7)
     assert(got.count(_.getAs[Boolean]("is_anomaly")) == 1)
   }
+
+  test("croston walks the two-series recursion by hand; zeros drop") {
+    // nonzero points (day, qty): (1,4), (3,2), (6,6); the (2,0) row drops.
+    // seed z=4, p=d2-d1=2; k=2: z=.5*2+.5*4=3, p=.5*2+.5*2=2;
+    // k=3 (i=3): z=.5*6+.5*3=4.5, p=.5*3+.5*2=2.5 -> forecast 1.8, SBA 1.35
+    val df = Seq(("k", 1L, 4.0), ("k", 2L, 0.0), ("k", 3L, 2.0),
+      ("k", 6L, 6.0)).toDF("k", "t", "y")
+    val out = Forecast.croston(df, "k", "t", "y").collect().head
+    assert(out.getAs[Long]("n_points") == 3L)
+    assert(out.getAs[Double]("z_level") == 4.5)
+    assert(out.getAs[Double]("p_interval") == 2.5)
+    assert(out.getAs[Double]("croston") == 1.8)
+    assert(out.getAs[Double]("sba") == 1.35)
+  }
+
+  test("croston: single-point keys omitted; steady demand -> interval 1") {
+    val df = Seq(("solo", 5L, 9.0)) ++ (1L to 30L).map(d => ("dense", d, 2.0))
+    val out = Forecast.croston(df.toDF("k", "t", "y"), "k", "t", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("solo"))
+    val dense = out("dense")
+    assert(dense.getAs[Double]("z_level") == 2.0)      // constant size
+    assert(dense.getAs[Double]("p_interval") == 1.0)   // every day
+    assert(dense.getAs[Double]("croston") == 2.0)
+  }
 }

@@ -70,4 +70,38 @@ class SurvivalSpec extends AnyFunSuite {
       .orderBy("t").collect().toSeq
     assert(a == b)
   }
+
+  test("log-rank hand walk: O-E and hypergeometric variance per time") {
+    // A: (1,1),(2,0); B: (1,0),(2,1),(3,1)
+    // t=1: n=5,nA=2,d=1,dA=1 -> E=0.4, oe=0.6, v=(2/5)(3/5)(4/4)=0.24
+    // t=2: n=3,nA=1,d=1,dA=0 -> E=1/3, oe=-1/3, v=(1/3)(2/3)=0.222222222222
+    // t=3: n=1 -> v skipped, oe=0
+    val df = Seq(("a", 1L, 1), ("a", 2L, 0), ("b", 1L, 0), ("b", 2L, 1),
+      ("b", 3L, 1)).toDF("g", "dur", "ev")
+    val r = Survival.logRank(df, "dur", "ev", "g").collect().head
+    assert(r.getAs[Long]("n_times") == 3L)
+    assert(r.getAs[Long]("deaths_a") == 1L)
+    assert(r.getAs[Long]("deaths_b") == 2L)
+    assert(r.getAs[Double]("o_minus_e") == 0.266667)
+    assert(r.getAs[Double]("variance") == 0.462222)
+    assert(math.abs(r.getAs[Double]("z") - 0.392232) < 1e-6)
+  }
+
+  test("log-rank: identical cohorts give z = 0; group A is the MIN label") {
+    val df = Seq(("x", 1L, 1), ("x", 2L, 1), ("w", 1L, 1), ("w", 2L, 1))
+      .toDF("g", "dur", "ev")
+    val r = Survival.logRank(df, "dur", "ev", "g").collect().head
+    assert(r.getAs[Double]("z") == 0.0)
+    // deaths_a counts the MIN label ('w') deterministically
+    assert(r.getAs[Long]("deaths_a") == 2L)
+  }
+
+  test("log-rank partition invariance") {
+    val big = (1 to 400).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i % 19).toLong, i % 3 min 1))
+      .toDF("g", "dur", "ev")
+    val a = Survival.logRank(big.repartition(1), "dur", "ev", "g").collect()
+    val b = Survival.logRank(big.repartition(13), "dur", "ev", "g").collect()
+    assert(a.toSeq == b.toSeq)
+  }
 }
