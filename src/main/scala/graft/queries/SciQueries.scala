@@ -3394,6 +3394,7 @@ object SciQueries {
             maxDepth = 3)
           .orderBy(col("node"))
       },
+      headline = true,
       oracle = Some("""
         WITH edges AS MATERIALIZED (
           SELECT DISTINCT CAST(o_custkey % 400 AS BIGINT) AS src,
@@ -4041,6 +4042,7 @@ object SciQueries {
             round(col("v"), 6).as("factor"), col("sse"))
           .orderBy(col("brand"))
       },
+      headline = true,
       oracle = Some("""
         WITH r AS MATERIALIZED (
           SELECT o_custkey AS cust, p_brand AS brand, SUM(l_quantity) AS r
@@ -4092,6 +4094,388 @@ object SciQueries {
         SELECT brand, n_ratings,
                ROUND(v, 6) AS factor, sse.sse
         FROM v2 CROSS JOIN sse ORDER BY brand""")),
+
+    // DBSCAN over the deterministic customer geo panel (the qa5/qa6
+    // hash-coordinates, custkey-bounded so density is comparable across
+    // SFs): eps-pairs from the cell-bucketed radius join (never
+    // all-pairs), cores by neighbor count, clusters = CC over core-core
+    // edges, borders attach to the MIN core-neighbor cluster (plain
+    // DBSCAN's border rule is scan-order-dependent — not reproducible on
+    // a cluster; min is the pinned convention). The naive all-pairs
+    // oracle doubles as the zero-candidate-loss proof (qa6 discipline).
+    "qbj_dbscan_geo" -> Q(
+      fn = (s, dir) => {
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 1500)
+          .select(col("c_custkey").as("pid"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("lat"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lon"))
+          .filter(abs(col("lat")) <= lit(70.0))
+        graft.operators.Dbscan.geo(pts, "pid", "lat", "lon",
+            epsKm = 400.0, minNeighbors = 2, cellDeg = 5.0, kLat = 1, kLon = 3)
+          .orderBy(col("id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pts AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT c_custkey AS id,
+                   ${coordSql("c_custkey", "lat", 180000L, 90)} AS lat,
+                   ${coordSql("c_custkey", "lon", 360000L, 180)} AS lon
+            FROM customer WHERE c_custkey <= 1500)
+          WHERE ABS(lat) <= CAST(70 AS DOUBLE)),
+        pairs AS MATERIALIZED (
+          SELECT a.id AS a_id, b.id AS b_id
+          FROM pts a JOIN pts b ON a.id < b.id
+          WHERE ROUND(CAST(12742 AS DOUBLE) * ASIN(SQRT(
+                  SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                  + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE)))), 6)
+                <= CAST(400 AS DOUBLE)),
+        deg AS (
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS nn
+          FROM (SELECT a_id AS id FROM pairs
+                UNION ALL SELECT b_id FROM pairs)
+          GROUP BY 1),
+        core AS MATERIALIZED (SELECT id FROM deg WHERE nn >= 2),
+        ce AS MATERIALIZED (
+          SELECT a_id, b_id FROM pairs
+          JOIN core ca ON ca.id = a_id JOIN core cb ON cb.id = b_id),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM ce
+                  UNION SELECT b_id, a_id FROM ce),
+        reach(node, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+        cc AS (SELECT node AS id, MIN(comp) AS comp FROM reach GROUP BY 1),
+        corelab AS MATERIALIZED (
+          SELECT core.id, COALESCE(cc.comp, core.id) AS cluster
+          FROM core LEFT JOIN cc ON core.id = cc.id),
+        nbr AS (
+          SELECT x.id, MIN(cl.cluster) AS bcluster
+          FROM (SELECT a_id AS id, b_id AS nbr FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs) x
+          JOIN corelab cl ON cl.id = x.nbr
+          GROUP BY 1)
+        SELECT p.id,
+               CASE WHEN corelab.id IS NOT NULL THEN 'core'
+                    WHEN nbr.id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               CASE WHEN corelab.id IS NOT NULL THEN corelab.cluster
+                    ELSE nbr.bcluster END AS cluster
+        FROM pts p
+        LEFT JOIN corelab ON corelab.id = p.id
+        LEFT JOIN nbr ON nbr.id = p.id
+        ORDER BY p.id""")),
+
+    // Difference-in-differences: region-0 (treated) vs region-1 (control)
+    // order values, pre/post the 1996-01-01 cut — the 2×2 cell-mean
+    // estimator with the unpooled SE from exact DECIMAL cell moments
+    // (price squares in DECIMAL, the syy→double cast over the VARCHAR
+    // bridge per rule 13). The causal-inference staple the engine's A/B
+    // family (q7b CUPED, q7c two-proportion) was missing.
+    "qbk_diff_in_diff" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_regionkey") <= 1)
+          .select(
+            when(col("n_regionkey") === 0, 1).otherwise(0).as("treat"),
+            when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"), 1)
+              .otherwise(0).as("post"),
+            col("o_totalprice").cast("decimal(18,2)").as("y"))
+        val cells = o.groupBy(col("treat"), col("post"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("treat"), col("post"), col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("m"),
+            col("syy"))
+          .withColumn("s2",
+            (col("syy").cast("double") -
+              col("n").cast("double") * col("m") * col("m")) /
+            (col("n") - 1).cast("double"))
+        def cell(t: Int, p: Int, c: String) =
+          max(when(col("treat") === t && col("post") === p, col(c)))
+        cells.agg(
+            sum(col("n")).as("n_total"),
+            cell(1, 0, "m").as("m_t_pre"), cell(1, 1, "m").as("m_t_post"),
+            cell(0, 0, "m").as("m_c_pre"), cell(0, 1, "m").as("m_c_post"),
+            cell(1, 0, "s2").as("v10"), cell(1, 1, "s2").as("v11"),
+            cell(0, 0, "s2").as("v00"), cell(0, 1, "s2").as("v01"),
+            cell(1, 0, "n").as("n10"), cell(1, 1, "n").as("n11"),
+            cell(0, 0, "n").as("n00"), cell(0, 1, "n").as("n01"))
+          .withColumn("did",
+            (col("m_t_post") - col("m_t_pre")) -
+            (col("m_c_post") - col("m_c_pre")))
+          .withColumn("se", sqrt(
+            col("v11") / col("n11").cast("double") +
+            col("v10") / col("n10").cast("double") +
+            col("v01") / col("n01").cast("double") +
+            col("v00") / col("n00").cast("double")))
+          .select(col("n_total"),
+            round(col("m_t_pre"), 6).as("m_t_pre"),
+            round(col("m_t_post"), 6).as("m_t_post"),
+            round(col("m_c_pre"), 6).as("m_c_pre"),
+            round(col("m_c_post"), 6).as("m_c_post"),
+            round(col("did"), 6).as("did"),
+            round(col("se"), 6).as("se"),
+            round(col("did") / col("se"), 6).as("t_stat"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS treat,
+                 CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                      THEN 1 ELSE 0 END AS post,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_regionkey <= 1),
+        cells AS (
+          SELECT treat, post, CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS m,
+                 SUM(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2)))
+                   AS syy
+          FROM o GROUP BY 1, 2),
+        cv AS (
+          SELECT treat, post, n, m,
+                 (CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                   - CAST(n AS DOUBLE) * m * m) / CAST(n - 1 AS DOUBLE) AS s2
+          FROM cells),
+        w AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                 MAX(CASE WHEN treat = 1 AND post = 0 THEN m END) AS m_t_pre,
+                 MAX(CASE WHEN treat = 1 AND post = 1 THEN m END) AS m_t_post,
+                 MAX(CASE WHEN treat = 0 AND post = 0 THEN m END) AS m_c_pre,
+                 MAX(CASE WHEN treat = 0 AND post = 1 THEN m END) AS m_c_post,
+                 MAX(CASE WHEN treat = 1 AND post = 0 THEN s2 END) AS v10,
+                 MAX(CASE WHEN treat = 1 AND post = 1 THEN s2 END) AS v11,
+                 MAX(CASE WHEN treat = 0 AND post = 0 THEN s2 END) AS v00,
+                 MAX(CASE WHEN treat = 0 AND post = 1 THEN s2 END) AS v01,
+                 MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n10,
+                 MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n11,
+                 MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n00,
+                 MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n01
+          FROM cv),
+        w2 AS (
+          SELECT *, (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did,
+                 SQRT(v11 / CAST(n11 AS DOUBLE) + v10 / CAST(n10 AS DOUBLE)
+                   + v01 / CAST(n01 AS DOUBLE) + v00 / CAST(n00 AS DOUBLE))
+                   AS se
+          FROM w)
+        SELECT n_total,
+               ROUND(m_t_pre, 6) AS m_t_pre, ROUND(m_t_post, 6) AS m_t_post,
+               ROUND(m_c_pre, 6) AS m_c_pre, ROUND(m_c_post, 6) AS m_c_post,
+               ROUND(did, 6) + CAST(0 AS DOUBLE) AS did,
+               ROUND(se, 6) AS se,
+               ROUND(did / se, 6) + CAST(0 AS DOUBLE) AS t_stat
+        FROM w2""")),
+
+    // Iterative proportional fitting (raking): rake the region × priority
+    // ORDER-COUNT table onto revenue margins — 3 unrolled row/column
+    // scaling rounds, each a margin sum through DECIMAL(28,9) and one
+    // 9-snapped multiplicative update, over the bounded 25-cell table.
+    // The survey-weighting / dataset-rebalancing primitive; margins from
+    // a DIFFERENT measure than the seed keep the fixpoint non-trivial.
+    "qbl_ipf_raking" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_regionkey").as("rg"), col("o_orderpriority").as("pr"),
+            col("o_totalprice").cast("decimal(18,2)").as("y"))
+        val seed = o.groupBy(col("rg"), col("pr"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("w", col("n").cast("double"))
+          .localCheckpoint(eager = false)
+        // targets as unit-scale revenue SHARES, not absolute revenue:
+        // absolute targets would push w to 1e9-scale, whose DECIMAL(28,9)
+        // margin sums exceed the 2^53 exact-cast budget at sf0.1
+        val tot = o.agg(sum(col("y")).as("ty"))
+        val rowT = o.groupBy(col("rg")).agg(sum(col("y")).as("syr"))
+          .crossJoin(broadcast(tot))
+          .select(col("rg"), round(col("syr").cast("double") /
+            col("ty").cast("double"), 9).as("rt"))
+        val colT = o.groupBy(col("pr")).agg(sum(col("y")).as("syc"))
+          .crossJoin(broadcast(tot))
+          .select(col("pr"), round(col("syc").cast("double") /
+            col("ty").cast("double"), 9).as("ct"))
+        var w = seed
+        for (_ <- 1 to 3) {
+          val rs = w.groupBy(col("rg"))
+            .agg(sum(col("w").cast("decimal(28,9)")).cast("double").as("rsum"))
+          w = w.join(rs, Seq("rg")).join(broadcast(rowT), Seq("rg"))
+            .withColumn("w", round(col("w") * col("rt") / col("rsum"), 9))
+            .select(col("rg"), col("pr"), col("n"), col("w"))
+          val cs = w.groupBy(col("pr"))
+            .agg(sum(col("w").cast("decimal(28,9)")).cast("double").as("csum"))
+          w = w.join(cs, Seq("pr")).join(broadcast(colT), Seq("pr"))
+            .withColumn("w", round(col("w") * col("ct") / col("csum"), 9))
+            .select(col("rg"), col("pr"), col("n"), col("w"))
+            .localCheckpoint(eager = false)
+        }
+        // output at the grid's own precision: re-rounding a 9-grid value
+        // at a COARSER scale puts ~1/10 of values exactly on the half
+        // boundary (rule 15's trap in another guise)
+        w.select(col("rg"), col("pr"), col("n"), round(col("w"), 9).as("w"))
+          .orderBy(col("rg"), col("pr"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT n_regionkey AS rg, o_orderpriority AS pr,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey),
+        seed AS (
+          SELECT rg, pr, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS DOUBLE) AS w
+          FROM o GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(y) AS DOUBLE) AS ty FROM o),
+        rowt AS (SELECT rg, ROUND(CAST(SUM(y) AS DOUBLE)
+                   / (SELECT ty FROM tot), 9) AS rt
+                 FROM o GROUP BY 1),
+        colt AS (SELECT pr, ROUND(CAST(SUM(y) AS DOUBLE)
+                   / (SELECT ty FROM tot), 9) AS ct
+                 FROM o GROUP BY 1),
+        r1 AS MATERIALIZED (
+          SELECT s.rg, s.pr, s.n,
+                 ROUND(s.w * rowt.rt / rs.rsum, 9) AS w
+          FROM seed s
+          JOIN (SELECT rg, CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE)
+                  AS rsum FROM seed GROUP BY 1) rs ON rs.rg = s.rg
+          JOIN rowt ON rowt.rg = s.rg),
+        c1 AS MATERIALIZED (
+          SELECT s.rg, s.pr, s.n,
+                 ROUND(s.w * colt.ct / cs.csum, 9) AS w
+          FROM r1 s
+          JOIN (SELECT pr, CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE)
+                  AS csum FROM r1 GROUP BY 1) cs ON cs.pr = s.pr
+          JOIN colt ON colt.pr = s.pr),
+        r2 AS MATERIALIZED (
+          SELECT s.rg, s.pr, s.n,
+                 ROUND(s.w * rowt.rt / rs.rsum, 9) AS w
+          FROM c1 s
+          JOIN (SELECT rg, CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE)
+                  AS rsum FROM c1 GROUP BY 1) rs ON rs.rg = s.rg
+          JOIN rowt ON rowt.rg = s.rg),
+        c2 AS MATERIALIZED (
+          SELECT s.rg, s.pr, s.n,
+                 ROUND(s.w * colt.ct / cs.csum, 9) AS w
+          FROM r2 s
+          JOIN (SELECT pr, CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE)
+                  AS csum FROM r2 GROUP BY 1) cs ON cs.pr = s.pr
+          JOIN colt ON colt.pr = s.pr),
+        r3 AS MATERIALIZED (
+          SELECT s.rg, s.pr, s.n,
+                 ROUND(s.w * rowt.rt / rs.rsum, 9) AS w
+          FROM c2 s
+          JOIN (SELECT rg, CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE)
+                  AS rsum FROM c2 GROUP BY 1) rs ON rs.rg = s.rg
+          JOIN rowt ON rowt.rg = s.rg),
+        c3 AS MATERIALIZED (
+          SELECT s.rg, s.pr, s.n,
+                 ROUND(s.w * colt.ct / cs.csum, 9) AS w
+          FROM r3 s
+          JOIN (SELECT pr, CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE)
+                  AS csum FROM r3 GROUP BY 1) cs ON cs.pr = s.pr
+          JOIN colt ON colt.pr = s.pr)
+        SELECT rg, pr, n, ROUND(w, 9) AS w
+        FROM c3 ORDER BY rg, pr""")),
+
+    // Two-model uplift by engagement segment: arms by the q7c user-parity
+    // assignment, conversion = purchase within 1 day of first view,
+    // segments by fixed per-user event-count thresholds — uplift
+    // p₁ − p₀ per segment with the two-proportion unpooled SE and a
+    // null-guarded z (se = 0 in a degenerate cell → null, loudly absent
+    // rather than a non-replayable NaN).
+    "qbm_uplift_segments" -> Q(
+      fn = (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .withColumn("ts_ms", unix_millis(col("ts")))
+        val v0 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_ms")).as("t0"))
+        val conv = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"))
+          .join(v0, "user_id")
+          .filter(col("ts_ms") > col("t0") &&
+            col("ts_ms") <= col("t0") + lit(86400000L))
+          .select(col("user_id")).distinct()
+          .withColumn("__c", lit(1))
+        val cnt = e.join(v0.select(col("user_id")), Seq("user_id"))
+          .groupBy("user_id").agg(count(lit(1)).as("nev"))
+        val per = v0.join(conv, Seq("user_id"), "left")
+          .join(cnt, Seq("user_id"))
+          .select(
+            when(col("nev") <= 62, "low").when(col("nev") <= 71, "mid")
+              .otherwise("high").as("segment"),
+            (col("user_id") % 2).cast("int").as("arm"),
+            coalesce(col("__c"), lit(0)).as("conv"))
+        val cells = per.groupBy(col("segment"), col("arm"))
+          .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("k"))
+          .withColumn("p",
+            round(col("k").cast("double") / col("n").cast("double"), 9))
+        def arm(a: Int, c: String) = max(when(col("arm") === a, col(c)))
+        cells.groupBy(col("segment"))
+          .agg(arm(0, "n").as("n0"), arm(1, "n").as("n1"),
+            arm(0, "p").as("p0"), arm(1, "p").as("p1"))
+          .withColumn("se", sqrt(
+            col("p1") * (lit(1.0) - col("p1")) / col("n1").cast("double") +
+            col("p0") * (lit(1.0) - col("p0")) / col("n0").cast("double")))
+          .select(col("segment"), col("n0"), col("n1"),
+            round(col("p0"), 6).as("p0"), round(col("p1"), 6).as("p1"),
+            round(col("p1") - col("p0"), 6).as("uplift"),
+            when(col("se") > 0,
+              round((col("p1") - col("p0")) / col("se"), 6)).as("z"))
+          .orderBy(col("segment"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+                   FROM events),
+        v0 AS (SELECT user_id, MIN(ts_ms) AS t0 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        conv AS (
+          SELECT DISTINCT e.user_id
+          FROM e JOIN v0 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts_ms > v0.t0
+            AND e.ts_ms <= v0.t0 + 86400000),
+        cnt AS (SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS nev
+                FROM e JOIN v0 USING (user_id) GROUP BY 1),
+        per AS (
+          SELECT CASE WHEN nev <= 62 THEN 'low'
+                      WHEN nev <= 71 THEN 'mid' ELSE 'high' END AS segment,
+                 CAST(v0.user_id % 2 AS INT) AS arm,
+                 CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+          FROM v0 LEFT JOIN conv ON v0.user_id = conv.user_id
+          JOIN cnt ON cnt.user_id = v0.user_id),
+        cells AS (
+          SELECT segment, arm, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(conv) AS BIGINT) AS k
+          FROM per GROUP BY 1, 2),
+        cp AS (
+          SELECT *, ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p
+          FROM cells),
+        wide AS (
+          SELECT segment,
+                 MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                 MAX(CASE WHEN arm = 0 THEN p END) AS p0,
+                 MAX(CASE WHEN arm = 1 THEN p END) AS p1
+          FROM cp GROUP BY 1),
+        w2 AS (
+          SELECT *, SQRT(p1 * (CAST(1 AS DOUBLE) - p1) / CAST(n1 AS DOUBLE)
+                   + p0 * (CAST(1 AS DOUBLE) - p0) / CAST(n0 AS DOUBLE))
+                   AS se
+          FROM wide)
+        SELECT segment, n0, n1,
+               ROUND(p0, 6) AS p0, ROUND(p1, 6) AS p1,
+               ROUND(p1 - p0, 6) + CAST(0 AS DOUBLE) AS uplift,
+               CASE WHEN se > 0
+                    THEN ROUND((p1 - p0) / se, 6) + CAST(0 AS DOUBLE) END
+                 AS z
+        FROM w2 ORDER BY segment""")),
 
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
