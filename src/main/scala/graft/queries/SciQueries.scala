@@ -4477,6 +4477,355 @@ object SciQueries {
                  AS z
         FROM w2 ORDER BY segment""")),
 
+    // One-way ANOVA F across regions on order value: SSB/SSW in closed
+    // form from per-group DECIMAL moments (price squares in DECIMAL, the
+    // rule-13 VARCHAR bridge), plus η² effect size. The k-group
+    // parametric sibling of qbo's Kruskal-Wallis; q7n's Welch t is the
+    // 2-group special case.
+    "qbn_anova_oneway" -> Q(
+      fn = (s, dir) => {
+        // order values in MILLIONS: SSW at raw scale is ~1e14 at sf0.1,
+        // beyond the 15-significant-digit budget a 6-round of a double
+        // determines (rule 13); unit-range values keep every rounded
+        // term well inside it
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_regionkey").as("rg"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(14,8)").as("y"))
+        val g = o.groupBy(col("rg"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("syy"))
+          .withColumn("m",
+            round(col("sy").cast("double") / col("n").cast("double"), 9))
+        val tot = g.agg(sum(col("n")).as("nt"), sum(col("sy")).as("syt"),
+            count(lit(1)).as("k"))
+          .withColumn("mt",
+            round(col("syt").cast("double") / col("nt").cast("double"), 9))
+        g.crossJoin(broadcast(tot))
+          .withColumn("ssb_i", col("n").cast("double") *
+            (col("m") - col("mt")) * (col("m") - col("mt")))
+          .withColumn("ssw_i",
+            col("syy").cast("double") -
+              col("n").cast("double") * col("m") * col("m"))
+          .groupBy(col("nt"), col("k"))
+          .agg(
+            sum(round(col("ssb_i"), 6).cast("decimal(28,6)")).as("ssb"),
+            sum(round(col("ssw_i"), 6).cast("decimal(28,6)")).as("ssw"))
+          .select(col("nt").as("n"), col("k"),
+            round((col("ssb").cast("double") / (col("k") - 1).cast("double")) /
+              (col("ssw").cast("double") /
+                (col("nt") - col("k")).cast("double")), 6).as("f_stat"),
+            round(col("ssb").cast("double") /
+              (col("ssb").cast("double") + col("ssw").cast("double")), 6)
+              .as("eta_sq"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT n_regionkey AS rg,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(14,8)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey),
+        g AS (
+          SELECT rg, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS sy,
+                 SUM(CAST(y AS DECIMAL(19,8)) * CAST(y AS DECIMAL(19,8)))
+                   AS syy,
+                 ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS m
+          FROM o GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS k,
+                 ROUND(CAST(SUM(sy) AS DOUBLE)
+                   / CAST(SUM(n) AS DOUBLE), 9) AS mt
+          FROM g),
+        terms AS (
+          SELECT tot.nt, tot.k,
+                 CAST(ROUND(CAST(n AS DOUBLE) * (m - mt) * (m - mt), 6)
+                   AS DECIMAL(28,6)) AS ssb_i,
+                 CAST(ROUND(CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                   - CAST(n AS DOUBLE) * m * m, 6) AS DECIMAL(28,6)) AS ssw_i
+          FROM g CROSS JOIN tot)
+        SELECT nt AS n, k,
+               ROUND((CAST(SUM(ssb_i) AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                 / (CAST(SUM(ssw_i) AS DOUBLE) / CAST(nt - k AS DOUBLE)), 6)
+                 AS f_stat,
+               ROUND(CAST(SUM(ssb_i) AS DOUBLE)
+                 / (CAST(SUM(ssb_i) AS DOUBLE) + CAST(SUM(ssw_i) AS DOUBLE)),
+                 6) AS eta_sq
+        FROM terms GROUP BY 1, 2""")),
+
+    // Kruskal-Wallis k-group rank test (q7o Mann-Whitney's k-group
+    // extension): GLOBAL average ranks carried as the exact INTEGER 2R
+    // (2·count-smaller + t + 1) from the range-partitioned running count
+    // over distinct values — no unpartitioned window over raw rows — with
+    // the tie-corrected H from Σ(t³−t). Everything integer until the
+    // final fixed-shape double formula.
+    "qbo_kruskal_wallis" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_regionkey").as("rg"),
+            col("o_totalprice").cast("decimal(18,2)").as("y"))
+        val vc = o.groupBy(col("y")).agg(count(lit(1)).as("t"))
+        val ranked = graft.operators.ScaleOps.globalRunningSum(vc,
+            Seq(col("y")), col("t"), "cum")
+          .select(col("y"), col("t"),
+            (lit(2L) * (col("cum") - col("t")) + col("t") + 1).as("r2"))
+          .localCheckpoint(eager = false)
+        val gv = o.groupBy(col("rg"), col("y")).agg(count(lit(1)).as("c"))
+          .join(ranked.select(col("y"), col("r2")), Seq("y"))
+          .groupBy(col("rg"))
+          .agg(sum(col("c")).as("ng"), sum(col("c") * col("r2")).as("s2g"))
+        val ties = ranked.agg(
+          sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+        val tot = gv.agg(sum(col("ng")).as("nt"), count(lit(1)).as("k"))
+        // unit-scale mean ranks ū_g = S_g/(N·n_g): the raw Σ(S_g²/n_g)
+        // form carries ~1e15 terms at sf0.1 — past the 6-round digit
+        // budget (rule 13). H = 12N/(N+1)·Σ n_g(ū_g − ū)², ū = (N+1)/2N.
+        gv.crossJoin(broadcast(tot))
+          .withColumn("ntd", col("nt").cast("double"))
+          .withColumn("ug", round(col("s2g").cast("double") /
+            (lit(2.0) * col("ntd") * col("ng").cast("double")), 9))
+          .withColumn("ubar",
+            (col("ntd") + lit(1.0)) / (lit(2.0) * col("ntd")))
+          .withColumn("hterm", col("ng").cast("double") *
+            (col("ug") - col("ubar")) * (col("ug") - col("ubar")))
+          .groupBy(col("nt"), col("k"), col("ntd"))
+          .agg(sum(round(col("hterm"), 9).cast("decimal(28,9)")).as("sh"))
+          .crossJoin(broadcast(ties))
+          .withColumn("h",
+            lit(12.0) * col("ntd") / (col("ntd") + lit(1.0)) *
+              col("sh").cast("double"))
+          .withColumn("corr",
+            lit(1.0) - col("tt").cast("double") /
+              (col("ntd") * col("ntd") * col("ntd") - col("ntd")))
+          .select(col("nt").as("n"), col("k"),
+            round(col("h"), 6).as("h_stat"),
+            round(col("h") / col("corr"), 6).as("h_tie_corrected"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT n_regionkey AS rg, CAST(o_totalprice AS DECIMAL(18,2)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey),
+        vc AS (
+          SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM o GROUP BY 1),
+        ranked AS (
+          SELECT y, t,
+                 2 * (CAST(SUM(t) OVER (ORDER BY y
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) - t) + t + 1
+                   AS r2
+          FROM vc),
+        gv AS (
+          SELECT o.rg, CAST(COUNT(*) AS BIGINT) AS c, r.r2
+          FROM o JOIN ranked r ON o.y = r.y
+          GROUP BY 1, 3),
+        gs AS (
+          SELECT rg, CAST(SUM(c) AS BIGINT) AS ng,
+                 CAST(SUM(c * r2) AS BIGINT) AS s2g
+          FROM gv GROUP BY 1),
+        ties AS (
+          SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tt FROM ranked),
+        tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS nt,
+                       CAST(COUNT(*) AS BIGINT) AS k FROM gs),
+        ht AS (
+          SELECT tot.nt, tot.k, CAST(tot.nt AS DOUBLE) AS ntd,
+                 CAST(ROUND(CAST(ng AS DOUBLE)
+                   * (ROUND(CAST(s2g AS DOUBLE)
+                        / (CAST(2 AS DOUBLE) * CAST(tot.nt AS DOUBLE)
+                           * CAST(ng AS DOUBLE)), 9)
+                      - (CAST(tot.nt AS DOUBLE) + CAST(1 AS DOUBLE))
+                        / (CAST(2 AS DOUBLE) * CAST(tot.nt AS DOUBLE)))
+                   * (ROUND(CAST(s2g AS DOUBLE)
+                        / (CAST(2 AS DOUBLE) * CAST(tot.nt AS DOUBLE)
+                           * CAST(ng AS DOUBLE)), 9)
+                      - (CAST(tot.nt AS DOUBLE) + CAST(1 AS DOUBLE))
+                        / (CAST(2 AS DOUBLE) * CAST(tot.nt AS DOUBLE))), 9)
+                   AS DECIMAL(28,9)) AS hterm
+          FROM gs CROSS JOIN tot),
+        agg1 AS (
+          SELECT nt, k, ntd, CAST(SUM(hterm) AS DOUBLE) AS sh FROM ht
+          GROUP BY 1, 2, 3),
+        f AS (
+          SELECT nt, k, ntd, sh,
+                 (SELECT CAST(tt AS DOUBLE) FROM ties) AS ttd
+          FROM agg1),
+        f2 AS (
+          SELECT nt, k,
+                 CAST(12 AS DOUBLE) * ntd / (ntd + CAST(1 AS DOUBLE)) * sh
+                   AS h,
+                 CAST(1 AS DOUBLE) - ttd / (ntd * ntd * ntd - ntd) AS corr
+          FROM f)
+        SELECT nt AS n, k,
+               ROUND(h, 6) AS h_stat,
+               ROUND(h / corr, 6) AS h_tie_corrected
+        FROM f2""")),
+
+    // Cochran-Armitage trend test: does the URGENT-order share trend
+    // across order YEARS (scores 0..6)? The ordered-category test a
+    // plain chi-square (q6s) throws power away on — all integer sums to
+    // one fixed-shape z. Oracle replays the identical closed form.
+    "qbp_cochran_armitage" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select((year(col("o_orderdate")) - 1992).cast("long").as("s"),
+            when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+              .as("x"))
+        val g = o.groupBy(col("s"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("r"))
+        val m = g.agg(sum(col("n")).as("nt"), sum(col("r")).as("rt"),
+          sum(col("s") * col("n")).as("sn"),
+          sum(col("s") * col("s") * col("n")).as("ssn"),
+          sum(col("s") * col("r")).as("sr"))
+        m.withColumn("pbar",
+            round(col("rt").cast("double") / col("nt").cast("double"), 9))
+          .withColumn("tnum",
+            col("sr").cast("double") -
+              col("pbar") * col("sn").cast("double"))
+          .withColumn("tden", sqrt(
+            col("pbar") * (lit(1.0) - col("pbar")) *
+              (col("ssn").cast("double") -
+                col("sn").cast("double") * col("sn").cast("double") /
+                  col("nt").cast("double"))))
+          .select(col("nt").as("n"), col("rt").as("n_urgent"),
+            round(col("pbar"), 6).as("p_urgent"),
+            round(col("tnum"), 6).as("trend_num"),
+            round(col("tnum") / col("tden"), 6).as("z"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CAST(year(o_orderdate) - 1992 AS BIGINT) AS s,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS x
+          FROM orders),
+        g AS (
+          SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS r
+          FROM o GROUP BY 1),
+        m AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt,
+                 CAST(SUM(s * n) AS BIGINT) AS sn,
+                 CAST(SUM(s * s * n) AS BIGINT) AS ssn,
+                 CAST(SUM(s * r) AS BIGINT) AS sr
+          FROM g),
+        f AS (
+          SELECT *, ROUND(CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE), 9)
+                   AS pbar
+          FROM m),
+        f2 AS (
+          SELECT *,
+                 CAST(sr AS DOUBLE) - pbar * CAST(sn AS DOUBLE) AS tnum,
+                 SQRT(pbar * (CAST(1 AS DOUBLE) - pbar)
+                   * (CAST(ssn AS DOUBLE)
+                      - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                        / CAST(nt AS DOUBLE))) AS tden
+          FROM f)
+        SELECT nt AS n, rt AS n_urgent,
+               ROUND(pbar, 6) AS p_urgent,
+               ROUND(tnum, 6) + CAST(0 AS DOUBLE) AS trend_num,
+               ROUND(tnum / tden, 6) + CAST(0 AS DOUBLE) AS z
+        FROM f2""")),
+
+    // Wald's SPRT on the conversion stream: users ordered by first-view
+    // time, cumulative log-likelihood ratio for H1: p=0.08 vs H0: p=0.04
+    // (ln-only links), first crossing of the ±ln 19 bounds (α=β=0.05)
+    // found by a struct-argmin — the sequential test that stops reading
+    // the stream as soon as the evidence suffices, vs q7k's fixed-horizon
+    // MDE. Running conversion counts ride the range-partitioned prefix
+    // image, never an unpartitioned window.
+    "qbq_sprt" -> Q(
+      fn = (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .withColumn("ts_ms", unix_millis(col("ts")))
+        val v0 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_ms")).as("t0"))
+        val conv = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"))
+          .join(v0, "user_id")
+          .filter(col("ts_ms") > col("t0") &&
+            col("ts_ms") <= col("t0") + lit(86400000L))
+          .select(col("user_id")).distinct()
+          .withColumn("__c", lit(1L))
+        val subj = v0.join(conv, Seq("user_id"), "left")
+          .select(col("user_id"), col("t0"),
+            coalesce(col("__c"), lit(0L)).as("x"))
+        val cum = graft.operators.ScaleOps.globalRunningSum(subj,
+            Seq(col("t0"), col("user_id")), col("x"), "sconv")
+        val rn = graft.operators.ScaleOps.globalRowNumber(cum,
+          Seq(col("t0"), col("user_id")), "k")
+        val l1 = log(lit(0.08) / lit(0.04))
+        val l0 = log(lit(0.92) / lit(0.96))
+        val bound = log(lit(19.0))
+        val walk = rn.withColumn("llr",
+            round(col("sconv").cast("double") * l1 +
+              (col("k") - col("sconv")).cast("double") * l0, 9))
+          .withColumn("cross",
+            when(col("llr") >= bound, lit(1))
+              .when(col("llr") <= -bound, lit(-1)))
+          .localCheckpoint(eager = false)
+        val first = walk.filter(col("cross").isNotNull)
+          .agg(min(struct(col("k").as("k"), col("cross").as("d")))
+            .as("w"))
+          .select(col("w.k").as("stop_k"), col("w.d").as("decision"))
+        val fin = walk.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("conversions"),
+          max(struct(col("k"), col("llr"))).as("last"))
+        fin.crossJoin(broadcast(first))
+          .select(col("n"), col("conversions"),
+            round(col("last.llr"), 6).as("llr_final"),
+            col("stop_k"), col("decision"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+                   FROM events),
+        v0 AS (SELECT user_id, MIN(ts_ms) AS t0 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        conv AS (
+          SELECT DISTINCT e.user_id
+          FROM e JOIN v0 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts_ms > v0.t0
+            AND e.ts_ms <= v0.t0 + 86400000),
+        subj AS (
+          SELECT v0.user_id, v0.t0,
+                 CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END AS x
+          FROM v0 LEFT JOIN conv ON v0.user_id = conv.user_id),
+        walk AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY t0, user_id) AS BIGINT)
+                   AS k,
+                 CAST(SUM(x) OVER (ORDER BY t0, user_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sconv,
+                 x
+          FROM subj),
+        w2 AS (
+          SELECT k, sconv, x,
+                 ROUND(CAST(sconv AS DOUBLE)
+                     * ln(CAST(0.08 AS DOUBLE) / CAST(0.04 AS DOUBLE))
+                   + CAST(k - sconv AS DOUBLE)
+                     * ln(CAST(0.92 AS DOUBLE) / CAST(0.96 AS DOUBLE)), 9)
+                   AS llr
+          FROM walk),
+        w3 AS (
+          SELECT *,
+                 CASE WHEN llr >= ln(CAST(19 AS DOUBLE)) THEN 1
+                      WHEN llr <= -ln(CAST(19 AS DOUBLE)) THEN -1 END
+                   AS crs
+          FROM w2),
+        first AS (
+          SELECT MIN({'k': k, 'd': crs}) AS w FROM w3 WHERE crs IS NOT NULL),
+        fin AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS conversions,
+                 MAX({'k': k, 'llr': llr}) AS last
+          FROM w3)
+        SELECT fin.n, fin.conversions,
+               ROUND(fin.last['llr'], 6) + CAST(0 AS DOUBLE) AS llr_final,
+               first.w['k'] AS stop_k,
+               first.w['d'] AS decision
+        FROM fin CROSS JOIN first""")),
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
