@@ -861,6 +861,48 @@ object GraphOps {
       .select(col("node"), round(col("b").cast("double"), 6).as("betweenness"))
   }
 
+  /** Per-edge triangle support within an undirected (u < v) edge set:
+    * triangles (a<b<c) from the two-hop join, each crediting its three
+    * edges. One wedge-join shuffle + one map-side-combinable count.
+    */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val tri = und.select(col("u").as("a"), col("v").as("b"))
+      .join(und.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+      .join(und.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+    tri.select(col("a").as("u"), col("b").as("v"))
+      .union(tri.select(col("b").as("u"), col("c").as("v")))
+      .union(tri.select(col("a").as("u"), col("c").as("v")))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+  }
+
+  /** k-truss by bounded support peeling — the EDGE-cohesion sibling of
+    * [[kCore]]: keep edges lying in ≥ k−2 triangles, recompute support
+    * inside the survivors, repeat. `maxRounds` bounds the serial factor
+    * exactly like kCore's (the bounded peel IS the semantics — callers
+    * wanting the fixpoint raise it and assert convergence, as
+    * KTrussSpec does). Output: surviving (u, v) edges with their
+    * support RECOMPUTED within the final survivor set (0 when a
+    * not-yet-peeled edge lost all its triangles in the last round).
+    *
+    * Scale shape per round: one wedge-join shuffle (Σ deg² bound over
+    * the current survivor set, shrinking monotonically) + one count +
+    * one filter join; per-round localCheckpoint pins lineage.
+    */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 3): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var und = canonicalUndirected(edges)
+    for (_ <- 1 to maxRounds) {
+      und = und.join(edgeSupport(und), Seq("u", "v"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    und.join(edgeSupport(und), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** One backward Brandes level: δ(v) for nodes of `level` from the δ/σ
     * of the next level `succ` (same source). Tight edges only — an edge
     * v→w with level(w) = level(v)+1 is by BFS construction a

@@ -4826,6 +4826,267 @@ object SciQueries {
                first.w['d'] AS decision
         FROM fin CROSS JOIN first""")),
 
+    // k-truss of the q4g graph (k=4, 3 bounded peel rounds): keep edges
+    // in ≥ 2 triangles, recompute support inside survivors, repeat — the
+    // EDGE-cohesion sibling of q4s's k-core, finding communities k-core
+    // misses (a hub star has high core number but zero truss). Exact
+    // integer supports; final support recomputed within the survivor
+    // set. Bounded peeling IS the semantics (the q6p Bellman-Ford
+    // contract); KTrussSpec proves fixpoint on hand graphs.
+    "qbr_ktruss" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_custkey") % 80).cast("long").as("src"),
+          (col("o_orderkey") % 97).cast("long").as("dst"))
+        graft.operators.GraphOps.kTruss(edges, k = 4, maxRounds = 3)
+          .orderBy(col("u"), col("v"))
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT CAST(o_custkey % 80 AS BIGINT) AS src,
+                 CAST(o_orderkey % 97 AS BIGINT) AS dst
+          FROM orders),
+        u0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM raw WHERE src <> dst),
+        t0 AS MATERIALIZED (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM u0 e1 JOIN u0 e2 ON e2.u = e1.v
+          JOIN u0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        s0 AS (
+          SELECT u, v, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+            SELECT a AS u, b AS v FROM t0
+            UNION ALL SELECT b, c FROM t0
+            UNION ALL SELECT a, c FROM t0) GROUP BY 1, 2),
+        u1 AS MATERIALIZED (
+          SELECT u0.u, u0.v FROM u0 JOIN s0 USING (u, v) WHERE s0.sup >= 2),
+        t1 AS MATERIALIZED (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM u1 e1 JOIN u1 e2 ON e2.u = e1.v
+          JOIN u1 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        s1 AS (
+          SELECT u, v, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+            SELECT a AS u, b AS v FROM t1
+            UNION ALL SELECT b, c FROM t1
+            UNION ALL SELECT a, c FROM t1) GROUP BY 1, 2),
+        u2 AS MATERIALIZED (
+          SELECT u1.u, u1.v FROM u1 JOIN s1 USING (u, v) WHERE s1.sup >= 2),
+        t2 AS MATERIALIZED (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM u2 e1 JOIN u2 e2 ON e2.u = e1.v
+          JOIN u2 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        s2 AS (
+          SELECT u, v, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+            SELECT a AS u, b AS v FROM t2
+            UNION ALL SELECT b, c FROM t2
+            UNION ALL SELECT a, c FROM t2) GROUP BY 1, 2),
+        u3 AS MATERIALIZED (
+          SELECT u2.u, u2.v FROM u2 JOIN s2 USING (u, v) WHERE s2.sup >= 2),
+        t3 AS MATERIALIZED (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM u3 e1 JOIN u3 e2 ON e2.u = e1.v
+          JOIN u3 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        s3 AS (
+          SELECT u, v, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+            SELECT a AS u, b AS v FROM t3
+            UNION ALL SELECT b, c FROM t3
+            UNION ALL SELECT a, c FROM t3) GROUP BY 1, 2)
+        SELECT u3.u, u3.v, COALESCE(s3.sup, 0) AS support
+        FROM u3 LEFT JOIN s3 USING (u, v)
+        ORDER BY u, v""")),
+
+    // Negative-binomial overdispersion fit of weekly per-brand demand by
+    // method of moments: r̂ = m²/(v−m), p̂ = m/v — the count model that
+    // captures what a Poisson assumption (variance = mean) misses.
+    // Counts are exact integers end to end; brands that are NOT
+    // overdispersed (v ≤ m) emit null fit parameters, loudly.
+    "qbs_negbin_fit" -> Q(
+      fn = (s, dir) => {
+        val wk = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"),
+            expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))" +
+              " div 86400000 div 7").as("w"))
+          .agg(count(lit(1)).as("x"))
+        val g = wk.groupBy(col("brand"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("m",
+            round(col("sx").cast("double") / col("nd"), 9))
+          .withColumn("v", round(
+            (col("sxx").cast("double") -
+              col("nd") * col("m") * col("m")) /
+            (col("nd") - lit(1.0)), 9))
+        g.select(col("brand"), col("n").as("n_weeks"),
+            round(col("m"), 6).as("mean"),
+            round(col("v"), 6).as("variance"),
+            round(col("v") / col("m"), 6).as("dispersion"),
+            when(col("v") > col("m"),
+              round(col("m") * col("m") / (col("v") - col("m")), 6))
+              .as("r_hat"),
+            when(col("v") > col("m"),
+              round(col("m") / col("v"), 6)).as("p_hat"))
+          .orderBy(col("brand"))
+      },
+      oracle = Some("""
+        WITH wk AS (
+          SELECT p_brand AS brand,
+                 CAST(epoch_ms(l_shipdate) // 86400000 // 7 AS BIGINT) AS w,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+        g AS (
+          SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM wk GROUP BY 1),
+        f AS (
+          SELECT brand, n, CAST(n AS DOUBLE) AS nd,
+                 ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9) AS m,
+                 sxx
+          FROM g),
+        f2 AS (
+          SELECT *, ROUND((CAST(sxx AS DOUBLE) - nd * m * m)
+                   / (nd - CAST(1 AS DOUBLE)), 9) AS v
+          FROM f)
+        SELECT brand, n AS n_weeks,
+               ROUND(m, 6) AS mean,
+               ROUND(v, 6) AS variance,
+               ROUND(v / m, 6) AS dispersion,
+               CASE WHEN v > m
+                    THEN ROUND(m * m / (v - m), 6) END AS r_hat,
+               CASE WHEN v > m THEN ROUND(m / v, 6) END AS p_hat
+        FROM f2 ORDER BY brand""")),
+
+    // Adstock carryover regression: weekly purchase counts regressed on
+    // the geometric adstock of weekly view counts (a_t = x_t + λ·a_{t−1},
+    // λ = 0.5) — the marketing-mix transform that captures delayed ad
+    // effect a plain same-week regression misses. Adstock is an ordered
+    // fold on the 9-grid (the uuid5 flat-LIST-accumulator idiom carries
+    // [current ∥ emitted] through DuckDB's list_reduce); OLS in closed
+    // form from 6-grid DECIMAL moments.
+    "qbt_adstock_regression" -> Q(
+      fn = (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .withColumn("w", expr("unix_millis(ts) div 86400000 div 7"))
+        val wk = e.groupBy(col("w"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("yy"))
+        val packed = wk
+          .agg(count(lit(1)).as("n"),
+            array_sort(collect_list(struct(col("w").as("o"),
+              col("x").cast("double").as("x"),
+              col("yy").cast("double").as("y")))).as("seq"))
+          .withColumn("xs", transform(col("seq"), s0 => s0.getField("x")))
+          .withColumn("ys", transform(col("seq"), s0 => s0.getField("y")))
+        def stepAd(acc: Column, x: Column): Column = {
+          val nw = round(x + lit(0.5) * element_at(acc, 1), 9)
+          concat(array(nw), slice(acc, 2, 100000), array(nw))
+        }
+        val withAd = packed.withColumn("fold",
+            aggregate(slice(col("xs"), lit(2),
+              greatest(size(col("xs")) - 1, lit(0))),
+              array(element_at(col("xs"), 1), element_at(col("xs"), 1)),
+              stepAd))
+          .withColumn("ad", slice(col("fold"), 2, 1000000))
+        val rows = withAd.select(col("n"),
+            posexplode(col("ad")).as(Seq("i", "a")))
+          .join(withAd.select(posexplode(col("ys")).as(Seq("i", "y"))),
+            Seq("i"))
+        rows.groupBy(col("n"))
+          .agg(count(lit(1)).as("nw"),
+            sum(round(col("a"), 6).cast("decimal(28,6)")).as("sa"),
+            sum(round(col("y"), 6).cast("decimal(28,6)")).as("sy"),
+            sum(round(col("a") * col("y"), 6).cast("decimal(28,6)"))
+              .as("say"),
+            sum(round(col("a") * col("a"), 6).cast("decimal(28,6)"))
+              .as("saa"),
+            sum(round(col("y") * col("y"), 6).cast("decimal(28,6)"))
+              .as("syy"))
+          .withColumn("nd", col("nw").cast("double"))
+          .withColumn("beta", round(
+            (col("nd") * col("say").cast("double") -
+              col("sa").cast("double") * col("sy").cast("double")) /
+            (col("nd") * col("saa").cast("double") -
+              col("sa").cast("double") * col("sa").cast("double")), 9))
+          .withColumn("alpha", round(
+            (col("sy").cast("double") - col("beta") *
+              col("sa").cast("double")) / col("nd"), 9))
+          .withColumn("r2num",
+            (col("nd") * col("say").cast("double") -
+              col("sa").cast("double") * col("sy").cast("double")))
+          .select(col("nw").as("n_weeks"),
+            round(col("beta"), 6).as("beta"),
+            round(col("alpha"), 6).as("alpha"),
+            round(col("r2num") * col("r2num") /
+              ((col("nd") * col("saa").cast("double") -
+                col("sa").cast("double") * col("sa").cast("double")) *
+               (col("nd") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+              .as("r2"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT epoch_ms(ts) // 86400000 // 7 AS w, event_type
+          FROM events),
+        wk AS (
+          SELECT w,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS yy
+          FROM e GROUP BY 1),
+        packed AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 list(CAST(x AS DOUBLE) ORDER BY w) AS xs,
+                 list(CAST(yy AS DOUBLE) ORDER BY w) AS ys
+          FROM wk),
+        folded AS (
+          SELECT n, ys,
+                 list_reduce(
+                   list_prepend([xs[1], xs[1]],
+                     list_transform(xs[2:], x -> [x])),
+                   (acc, e) -> list_prepend(
+                     ROUND(e[1] + CAST(0.5 AS DOUBLE) * acc[1], 9),
+                     acc[2:] ||
+                       [ROUND(e[1] + CAST(0.5 AS DOUBLE) * acc[1], 9)]))
+                   AS fold
+          FROM packed),
+        rows_ AS (
+          SELECT n, i, fold[2:][i] AS a, ys[i] AS y
+          FROM (SELECT n, ys, fold,
+                       unnest(range(1, CAST(n AS INT) + 1)) AS i
+                FROM folded)),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nw,
+                 SUM(CAST(ROUND(a, 6) AS DECIMAL(28,6))) AS sa,
+                 SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS sy,
+                 SUM(CAST(ROUND(a * y, 6) AS DECIMAL(28,6))) AS say,
+                 SUM(CAST(ROUND(a * a, 6) AS DECIMAL(28,6))) AS saa,
+                 SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS syy
+          FROM rows_),
+        f AS (
+          SELECT nw, CAST(nw AS DOUBLE) AS nd,
+                 CAST(sa AS DOUBLE) AS sad, CAST(sy AS DOUBLE) AS syd,
+                 CAST(say AS DOUBLE) AS sayd, CAST(saa AS DOUBLE) AS saad,
+                 CAST(syy AS DOUBLE) AS syyd
+          FROM mom),
+        f2 AS (
+          SELECT *, ROUND((nd * sayd - sad * syd)
+                   / (nd * saad - sad * sad), 9) AS beta
+          FROM f)
+        SELECT nw AS n_weeks,
+               ROUND(beta, 6) + CAST(0 AS DOUBLE) AS beta,
+               ROUND((syd - beta * sad) / nd, 6) + CAST(0 AS DOUBLE)
+                 AS alpha,
+               ROUND((nd * sayd - sad * syd) * (nd * sayd - sad * syd)
+                 / ((nd * saad - sad * sad) * (nd * syyd - syd * syd)), 6)
+                 AS r2
+        FROM f2""")),
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
