@@ -5087,6 +5087,552 @@ object SciQueries {
                  AS r2
         FROM f2""")),
 
+    // Weibull fit of conversion times by median-rank regression (the
+    // reliability-engineering "Weibull plot"): uncensored durations
+    // sorted, Bernard's approximation F_i = (i−0.3)/(n+0.4), OLS of
+    // ln(−ln(1−F)) on ln t — slope = shape k̂, and the scale is emitted
+    // in LOG form (ln λ̂ = −intercept/k̂; exponentiating is display-side,
+    // exp being the one non-replayable link). Ranks off the
+    // range-partitioned global row number; tied durations are
+    // order-invariant (same t, the (ln t, y_i) pair multiset is
+    // identical whichever tied row takes which rank).
+    "qbu_weibull_fit" -> Q(
+      fn = (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .withColumn("ts_ms", unix_millis(col("ts")))
+        val v0 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_ms")).as("t0"))
+        val te = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"))
+          .join(v0, "user_id")
+          .filter(col("ts_ms") >= col("t0"))
+          .groupBy("user_id").agg(min(col("ts_ms")).as("te"))
+        val durs = v0.join(te, Seq("user_id"))
+          .select(col("user_id"), ((col("te") - col("t0")) / lit(3600000.0))
+            .as("t"))
+          .filter(col("t") > 0)
+        val ranked = graft.operators.ScaleOps.globalRowNumber(durs,
+          Seq(col("t"), col("user_id")), "i")
+        val n = ranked.agg(count(lit(1)).as("n"))
+        val pts = ranked.crossJoin(broadcast(n))
+          .select(
+            round(log(col("t")), 9).as("x"),
+            round(log(-log(lit(1.0) -
+              (col("i").cast("double") - lit(0.3)) /
+              (col("n").cast("double") + lit(0.4)))), 9).as("y"),
+            col("n"))
+        pts.groupBy(col("n"))
+          .agg(
+            sum(col("x").cast("decimal(28,9)")).as("sx"),
+            sum(col("y").cast("decimal(28,9)")).as("sy"),
+            sum(round(col("x") * col("y"), 6).cast("decimal(28,6)"))
+              .as("sxy"),
+            sum(round(col("x") * col("x"), 6).cast("decimal(28,6)"))
+              .as("sxx"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("shape", round(
+            (col("nd") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (col("nd") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 9))
+          .withColumn("icept", round(
+            (col("sy").cast("double") - col("shape") *
+              col("sx").cast("double")) / col("nd"), 9))
+          .select(col("n").as("n_conversions"),
+            round(col("shape"), 6).as("weibull_shape"),
+            round(-col("icept") / col("shape"), 6).as("ln_scale_hours"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+                   FROM events),
+        v0 AS (SELECT user_id, MIN(ts_ms) AS t0 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        te AS (SELECT e.user_id, MIN(e.ts_ms) AS te
+               FROM e JOIN v0 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts_ms >= v0.t0
+               GROUP BY 1),
+        durs AS (
+          SELECT v0.user_id,
+                 CAST(te.te - v0.t0 AS DOUBLE) / CAST(3600000 AS DOUBLE)
+                   AS t
+          FROM v0 JOIN te ON v0.user_id = te.user_id
+          WHERE CAST(te.te - v0.t0 AS DOUBLE) > 0),
+        ranked AS (
+          SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY t, user_id) AS BIGINT)
+                   AS i,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n
+          FROM durs),
+        pts AS (
+          SELECT n, ROUND(ln(t), 9) AS x,
+                 ROUND(ln(-ln(CAST(1 AS DOUBLE)
+                   - (CAST(i AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) + CAST(0.4 AS DOUBLE)))), 9) AS y
+          FROM ranked),
+        mom AS (
+          SELECT n,
+                 SUM(CAST(x AS DECIMAL(28,9))) AS sx,
+                 SUM(CAST(y AS DECIMAL(28,9))) AS sy,
+                 SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS sxy,
+                 SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS sxx
+          FROM pts GROUP BY 1),
+        f AS (
+          SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(sxx AS DOUBLE) AS sxxd
+          FROM mom),
+        f2 AS (
+          SELECT *, ROUND((nd * sxyd - sxd * syd)
+                   / (nd * sxxd - sxd * sxd), 9) AS shape
+          FROM f),
+        f3 AS (
+          SELECT *, ROUND((syd - shape * sxd) / nd, 9) AS icept
+          FROM f2)
+        SELECT n AS n_conversions,
+               ROUND(shape, 6) AS weibull_shape,
+               ROUND(-icept / shape, 6) + CAST(0 AS DOUBLE)
+                 AS ln_scale_hours
+        FROM f3""")),
+
+    // Chapman capture-recapture: estimate the total customer population
+    // from two observation windows (orders in 1996 vs 1999) — the
+    // nearly-unbiased (n1+1)(n2+1)/(m+1) − 1 estimator with its closed-
+    // form variance, next to the naive Lincoln-Petersen and the actually
+    // observed distinct count for calibration. The coverage-estimation
+    // primitive ("how much of the population has our pipeline seen").
+    "qbv_capture_recapture" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+        def inYear(y: Int) = o
+          .filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey")).distinct()
+        val s1 = inYear(1996)
+        val s2 = inYear(1999)
+        val stats = s1.agg(count(lit(1)).as("n1"))
+          .crossJoin(s2.agg(count(lit(1)).as("n2")))
+          .crossJoin(s1.join(s2, Seq("o_custkey"))
+            .agg(count(lit(1)).as("m")))
+          .crossJoin(o.select(col("o_custkey")).distinct()
+            .agg(count(lit(1)).as("observed_ever")))
+        stats
+          .withColumn("chap",
+            round((col("n1") + 1).cast("double") *
+              (col("n2") + 1).cast("double") /
+              (col("m") + 1).cast("double") - lit(1.0), 9))
+          .withColumn("varc",
+            (col("n1") + 1).cast("double") * (col("n2") + 1).cast("double") *
+              (col("n1") - col("m")).cast("double") *
+              (col("n2") - col("m")).cast("double") /
+              ((col("m") + 1).cast("double") * (col("m") + 1).cast("double") *
+               (col("m") + 2).cast("double")))
+          .select(col("n1"), col("n2"), col("m"), col("observed_ever"),
+            round(col("chap"), 6).as("chapman_n"),
+            round(sqrt(col("varc")), 6).as("chapman_se"),
+            when(col("m") > 0,
+              round(col("n1").cast("double") * col("n2").cast("double") /
+                col("m").cast("double"), 6)).as("lincoln_petersen"))
+      },
+      oracle = Some("""
+        WITH s1 AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE year(o_orderdate) = 1996),
+        s2 AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1999),
+        st AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+                 (SELECT CAST(COUNT(*) AS BIGINT)
+                  FROM s1 JOIN s2 USING (o_custkey)) AS m,
+                 (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                  FROM orders) AS observed_ever),
+        f AS (
+          SELECT *,
+                 ROUND(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+                   / CAST(m + 1 AS DOUBLE) - CAST(1 AS DOUBLE), 9) AS chap,
+                 CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+                   * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE)
+                   / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+                      * CAST(m + 2 AS DOUBLE)) AS varc
+          FROM st)
+        SELECT n1, n2, m, observed_ever,
+               ROUND(chap, 6) AS chapman_n,
+               ROUND(SQRT(varc), 6) AS chapman_se,
+               CASE WHEN m > 0 THEN
+                 ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   / CAST(m AS DOUBLE), 6) END AS lincoln_petersen
+        FROM f""")),
+
+    // Bivariate Mahalanobis outliers over (ln spend, ln order count) per
+    // customer: means and the 2×2 covariance from one DECIMAL moment
+    // pass, the closed-form inverse inside a fixed-shape d² expression,
+    // top 20 by distance (total tiebreak) with the χ²₂ 99.9% flag —
+    // the CORRELATION-AWARE outlier score q6i's per-axis MAD cannot
+    // express (a point can be 3σ-normal on each axis yet wildly off the
+    // correlation ridge).
+    "qbw_mahalanobis_outliers" -> Q(
+      fn = (s, dir) => {
+        val per = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"),
+            count(lit(1)).as("cnt"))
+          .select(col("o_custkey").as("cust"),
+            round(log(col("spend").cast("double")), 9).as("a"),
+            round(log(col("cnt").cast("double")), 9).as("b"))
+          .localCheckpoint(eager = false)
+        val mom = per.agg(count(lit(1)).as("n"),
+          sum(col("a").cast("decimal(28,9)")).as("sa"),
+          sum(col("b").cast("decimal(28,9)")).as("sb"),
+          sum(round(col("a") * col("a"), 6).cast("decimal(28,6)")).as("saa"),
+          sum(round(col("b") * col("b"), 6).cast("decimal(28,6)")).as("sbb"),
+          sum(round(col("a") * col("b"), 6).cast("decimal(28,6)")).as("sab"))
+        val cov = mom
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("ma", round(col("sa").cast("double") / col("nd"), 9))
+          .withColumn("mb", round(col("sb").cast("double") / col("nd"), 9))
+          .withColumn("s11",
+            round((col("saa").cast("double") -
+              col("nd") * col("ma") * col("ma")) /
+              (col("nd") - lit(1.0)), 9))
+          .withColumn("s22",
+            round((col("sbb").cast("double") -
+              col("nd") * col("mb") * col("mb")) /
+              (col("nd") - lit(1.0)), 9))
+          .withColumn("s12",
+            round((col("sab").cast("double") -
+              col("nd") * col("ma") * col("mb")) /
+              (col("nd") - lit(1.0)), 9))
+          .select(col("ma"), col("mb"), col("s11"), col("s22"), col("s12"))
+        per.crossJoin(broadcast(cov))
+          .withColumn("da", col("a") - col("ma"))
+          .withColumn("db", col("b") - col("mb"))
+          .withColumn("det",
+            col("s11") * col("s22") - col("s12") * col("s12"))
+          .withColumn("d2", round(
+            (col("s22") * col("da") * col("da") -
+              lit(2.0) * col("s12") * col("da") * col("db") +
+              col("s11") * col("db") * col("db")) / col("det"), 9))
+          .orderBy(col("d2").desc, col("cust"))
+          .limit(20)
+          .select(col("cust"), round(col("a"), 6).as("ln_spend"),
+            round(col("b"), 6).as("ln_orders"),
+            round(col("d2"), 6).as("mahalanobis_d2"),
+            when(col("d2") > lit(13.816), 1).otherwise(0).as("extreme"))
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT o_custkey AS cust,
+                 ROUND(ln(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE)), 9) AS a,
+                 ROUND(ln(CAST(COUNT(*) AS DOUBLE)), 9) AS b
+          FROM orders GROUP BY 1),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(a AS DECIMAL(28,9))) AS sa,
+                 SUM(CAST(b AS DECIMAL(28,9))) AS sb,
+                 SUM(CAST(ROUND(a * a, 6) AS DECIMAL(28,6))) AS saa,
+                 SUM(CAST(ROUND(b * b, 6) AS DECIMAL(28,6))) AS sbb,
+                 SUM(CAST(ROUND(a * b, 6) AS DECIMAL(28,6))) AS sab
+          FROM per),
+        c1 AS (
+          SELECT CAST(n AS DOUBLE) AS nd,
+                 ROUND(CAST(sa AS DOUBLE) / CAST(n AS DOUBLE), 9) AS ma,
+                 ROUND(CAST(sb AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mb,
+                 CAST(saa AS DOUBLE) AS saad, CAST(sbb AS DOUBLE) AS sbbd,
+                 CAST(sab AS DOUBLE) AS sabd
+          FROM mom),
+        cov AS (
+          SELECT ma, mb,
+                 ROUND((saad - nd * ma * ma) / (nd - CAST(1 AS DOUBLE)), 9)
+                   AS s11,
+                 ROUND((sbbd - nd * mb * mb) / (nd - CAST(1 AS DOUBLE)), 9)
+                   AS s22,
+                 ROUND((sabd - nd * ma * mb) / (nd - CAST(1 AS DOUBLE)), 9)
+                   AS s12
+          FROM c1),
+        d AS (
+          SELECT per.cust, per.a, per.b,
+                 ROUND((cov.s22 * (per.a - cov.ma) * (per.a - cov.ma)
+                   - CAST(2 AS DOUBLE) * cov.s12 * (per.a - cov.ma)
+                     * (per.b - cov.mb)
+                   + cov.s11 * (per.b - cov.mb) * (per.b - cov.mb))
+                   / (cov.s11 * cov.s22 - cov.s12 * cov.s12), 9) AS d2
+          FROM per CROSS JOIN cov)
+        SELECT cust, ROUND(a, 6) AS ln_spend, ROUND(b, 6) AS ln_orders,
+               ROUND(d2, 6) AS mahalanobis_d2,
+               CASE WHEN d2 > CAST(13.816 AS DOUBLE) THEN 1 ELSE 0 END
+                 AS extreme
+        FROM d ORDER BY d2 DESC, cust LIMIT 20""")),
+
+    // Hurst exponent by rescaled-range (R/S) analysis of daily revenue:
+    // dyadic block sizes 8..64, per-block cumulative-deviation range over
+    // EXACT DECIMAL prefixes (a windowed double sum is not order-safe —
+    // DuckDB's segment-tree accumulation adds in a different order than
+    // Spark's incremental frame), H = slope of mean ln(R/S) on ln(n).
+    // H≈0.5 is a random walk; the long-memory diagnostic next to qb5's
+    // tail index and qb6's Haar cascade. Windows run only over ≤64-row
+    // blocks.
+    "qbx_hurst_rs" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("ym"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val n = ranked.agg(count(lit(1)).as("n"))
+        val sizes = s.createDataFrame(Seq(Tuple1(8L), Tuple1(16L),
+          Tuple1(32L), Tuple1(64L))).toDF("bs")
+        val blocks = ranked.crossJoin(broadcast(sizes))
+          .crossJoin(broadcast(n))
+          .withColumn("blk", ((col("rn") - 1) / col("bs")).cast("long"))
+          .filter(col("blk") < (col("n") / col("bs")).cast("long"))
+        val bm = blocks.groupBy(col("bs"), col("blk"))
+          .agg(sum(col("ym")).as("sym"))
+          .select(col("bs"), col("blk"),
+            round(col("sym").cast("double") / col("bs").cast("double"), 9)
+              .as("m"))
+        val withMean = blocks
+          .join(bm, Seq("bs", "blk"))
+          .withColumn("dev",
+            (col("ym") - col("m").cast("decimal(18,9)"))
+              .cast("decimal(15,9)"))
+        val w = Window.partitionBy(col("bs"), col("blk")).orderBy(col("rn"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val perBlock = withMean
+          .withColumn("pref", sum(col("dev")).over(w))
+          .groupBy(col("bs"), col("blk"))
+          .agg(
+            max(col("pref")).as("mx"), min(col("pref")).as("mn"),
+            sum(round(col("dev") * col("dev"), 12).cast("decimal(28,12)"))
+              .as("ss"),
+            count(lit(1)).as("cnt"))
+          .withColumn("r", round(
+            greatest(col("mx").cast("double"), lit(0.0)) -
+            least(col("mn").cast("double"), lit(0.0)), 9))
+          .withColumn("sdev", round(sqrt(col("ss").cast("double") /
+            col("cnt").cast("double")), 9))
+          .filter(col("sdev") > 0)
+          .withColumn("lrs", round(log(col("r") / col("sdev")), 9))
+        val perSize = perBlock.groupBy(col("bs"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(col("lrs").cast("decimal(28,9)")).as("sl"))
+          .withColumn("mlrs", round(col("sl").cast("double") /
+            col("n_blocks").cast("double"), 9))
+          .withColumn("lx", round(log(col("bs").cast("double")), 9))
+          .localCheckpoint(eager = false)
+        val slope = perSize.agg(count(lit(1)).as("k"),
+            sum(col("lx").cast("decimal(28,9)")).as("sx"),
+            sum(col("mlrs").cast("decimal(28,9)")).as("sy"),
+            sum(round(col("lx") * col("mlrs"), 12).cast("decimal(28,12)"))
+              .as("sxy"),
+            sum(round(col("lx") * col("lx"), 12).cast("decimal(28,12)"))
+              .as("sxx"))
+          .select(round(
+            (col("k").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (col("k").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("hurst"))
+        perSize.crossJoin(broadcast(slope))
+          .select(col("bs"), col("n_blocks"),
+            round(col("mlrs"), 6).as("mean_log_rs"), col("hurst"))
+          .orderBy(col("bs"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(14,8)) AS ym
+          FROM orders GROUP BY 1),
+        ranked AS (
+          SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n
+          FROM daily),
+        sizes AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS bs),
+        blocks AS (
+          SELECT r.ym, r.rn, s.bs, CAST((r.rn - 1) // s.bs AS BIGINT) AS blk
+          FROM ranked r CROSS JOIN sizes s
+          WHERE CAST((r.rn - 1) // s.bs AS BIGINT) < r.n // s.bs),
+        means AS (
+          SELECT bs, blk,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(bs AS DOUBLE), 9) AS m
+          FROM blocks GROUP BY 1, 2),
+        dev AS (
+          SELECT b.bs, b.blk, b.rn,
+                 CAST(b.ym - CAST(m.m AS DECIMAL(18,9)) AS DECIMAL(15,9))
+                   AS dev
+          FROM blocks b JOIN means m ON b.bs = m.bs AND b.blk = m.blk),
+        pref AS (
+          SELECT bs, blk, dev,
+                 SUM(dev) OVER (PARTITION BY bs, blk ORDER BY rn
+                   ROWS UNBOUNDED PRECEDING) AS pref
+          FROM dev),
+        pb AS (
+          SELECT bs, blk,
+                 ROUND(GREATEST(CAST(MAX(pref) AS DOUBLE), CAST(0 AS DOUBLE))
+                   - LEAST(CAST(MIN(pref) AS DOUBLE), CAST(0 AS DOUBLE)), 9)
+                   AS r,
+                 ROUND(SQRT(CAST(SUM(CAST(ROUND(
+                     CAST(dev AS DECIMAL(19,9)) * CAST(dev AS DECIMAL(19,9)),
+                     12) AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE)), 9) AS sdev
+          FROM pref GROUP BY 1, 2),
+        lrs AS (
+          SELECT bs, ROUND(ln(r / sdev), 9) AS lrs
+          FROM pb WHERE sdev > 0),
+        ps AS MATERIALIZED (
+          SELECT bs, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 ROUND(CAST(SUM(CAST(lrs AS DECIMAL(28,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS mlrs,
+                 ROUND(ln(CAST(bs AS DOUBLE)), 9) AS lx
+          FROM lrs GROUP BY 1),
+        sl AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+                 CAST(SUM(CAST(lx AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(mlrs AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(ROUND(lx * mlrs, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(ROUND(lx * lx, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS sxx
+          FROM ps),
+        h AS (
+          SELECT ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                   AS hurst
+          FROM sl)
+        SELECT ps.bs, ps.n_blocks, ROUND(ps.mlrs, 6) AS mean_log_rs,
+               h.hurst
+        FROM ps CROSS JOIN h ORDER BY ps.bs""")),
+
+    // Two-way fixed-effects (within) regression of ln monthly nation
+    // revenue on ln order count: ÿ = y − ȳ_i − ȳ_t + ȳ strips every
+    // nation-level and month-level confounder before the slope — the
+    // panel-econometrics workhorse between pooled OLS (qa0) and DiD
+    // (qbk). Cells are the bounded nation × month table; all demeaning
+    // means ride DECIMAL(28,9) sums.
+    "qby_panel_fixed_effects" -> Q(
+      fn = (s, dir) => {
+        val cell = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("i"),
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000 div 30").as("tt"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+            count(lit(1)).as("cnt"))
+          .select(col("i"), col("tt"),
+            round(log(col("rev").cast("double")), 9).as("y"),
+            round(log(col("cnt").cast("double")), 9).as("x"))
+          .localCheckpoint(eager = false)
+        def meansBy(keys: Seq[String], ya: String, xa: String) = {
+          val grouped = if (keys.isEmpty) cell.groupBy()
+                        else cell.groupBy(keys.map(col): _*)
+          grouped.agg(count(lit(1)).as("__c"),
+              sum(col("y").cast("decimal(28,9)")).as("__sy"),
+              sum(col("x").cast("decimal(28,9)")).as("__sx"))
+            .select((keys.map(col) ++ Seq(
+              round(col("__sy").cast("double") / col("__c").cast("double"),
+                9).as(ya),
+              round(col("__sx").cast("double") / col("__c").cast("double"),
+                9).as(xa))): _*)
+        }
+        val mi = meansBy(Seq("i"), "yi", "xi")
+        val mt = meansBy(Seq("tt"), "yt", "xt")
+        val mg = meansBy(Seq.empty, "yg", "xg")
+        val within = cell.join(mi, Seq("i")).join(mt, Seq("tt"))
+          .crossJoin(broadcast(mg))
+          .withColumn("yd",
+            col("y") - col("yi") - col("yt") + col("yg"))
+          .withColumn("xd",
+            col("x") - col("xi") - col("xt") + col("xg"))
+        val counts = cell.agg(count(lit(1)).as("n"),
+          countDistinct(col("i")).as("ni"),
+          countDistinct(col("tt")).as("nt"))
+        val mom = within.agg(
+          sum(round(col("xd") * col("yd"), 12).cast("decimal(28,12)"))
+            .as("sxy"),
+          sum(round(col("xd") * col("xd"), 12).cast("decimal(28,12)"))
+            .as("sxx"))
+          .withColumn("beta", round(col("sxy").cast("double") /
+            col("sxx").cast("double"), 9))
+        val sse = within.crossJoin(broadcast(mom.select(col("beta"))))
+          .agg(sum(round(
+            (col("yd") - col("beta") * col("xd")) *
+            (col("yd") - col("beta") * col("xd")), 12)
+            .cast("decimal(28,12)")).as("ssr"))
+        mom.crossJoin(broadcast(sse)).crossJoin(broadcast(counts))
+          .withColumn("df",
+            (col("n") - col("ni") - col("nt") + 1).cast("double"))
+          .withColumn("se", round(sqrt(
+            (col("ssr").cast("double") / col("df")) /
+            col("sxx").cast("double")), 9))
+          .select(col("n").as("n_cells"), col("ni").as("n_nations"),
+            col("nt").as("n_months"),
+            round(col("beta"), 6).as("beta_within"),
+            round(col("se"), 6).as("se"),
+            round(col("beta") / col("se"), 6).as("t_stat"))
+      },
+      oracle = Some("""
+        WITH cell AS (
+          SELECT c_nationkey AS i,
+                 CAST(epoch_ms(o_orderdate) // 86400000 // 30 AS BIGINT)
+                   AS tt,
+                 ROUND(ln(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE)), 9) AS y,
+                 ROUND(ln(CAST(COUNT(*) AS DOUBLE)), 9) AS x
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        mi AS (
+          SELECT i,
+                 ROUND(CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS yi,
+                 ROUND(CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS xi
+          FROM cell GROUP BY 1),
+        mt AS (
+          SELECT tt,
+                 ROUND(CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS yt,
+                 ROUND(CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS xt
+          FROM cell GROUP BY 1),
+        mg AS (
+          SELECT ROUND(CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS yg,
+                 ROUND(CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS xg
+          FROM cell),
+        within AS MATERIALIZED (
+          SELECT cell.y - mi.yi - mt.yt + mg.yg AS yd,
+                 cell.x - mi.xi - mt.xt + mg.xg AS xd
+          FROM cell JOIN mi USING (i) JOIN mt USING (tt) CROSS JOIN mg),
+        counts AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT i) AS BIGINT) AS ni,
+                 CAST(COUNT(DISTINCT tt) AS BIGINT) AS nt
+          FROM cell),
+        mom AS (
+          SELECT CAST(SUM(CAST(ROUND(xd * yd, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(ROUND(xd * xd, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS sxx
+          FROM within),
+        b AS (SELECT *, ROUND(sxy / sxx, 9) AS beta FROM mom),
+        sse AS (
+          SELECT CAST(SUM(CAST(ROUND((yd - b.beta * xd)
+                   * (yd - b.beta * xd), 12) AS DECIMAL(28,12))) AS DOUBLE)
+                   AS ssr
+          FROM within CROSS JOIN b),
+        f AS (
+          SELECT counts.n, counts.ni, counts.nt, b.beta, b.sxx, sse.ssr,
+                 CAST(counts.n - counts.ni - counts.nt + 1 AS DOUBLE) AS df
+          FROM counts CROSS JOIN b CROSS JOIN sse),
+        f2 AS (
+          SELECT *, ROUND(SQRT((ssr / df) / sxx), 9) AS se
+          FROM f)
+        SELECT n AS n_cells, ni AS n_nations, nt AS n_months,
+               ROUND(beta, 6) + CAST(0 AS DOUBLE) AS beta_within,
+               ROUND(se, 6) AS se,
+               ROUND(beta / se, 6) + CAST(0 AS DOUBLE) AS t_stat
+        FROM f2""")),
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
