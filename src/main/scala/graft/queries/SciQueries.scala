@@ -4959,8 +4959,8 @@ object SciQueries {
                CASE WHEN v > m THEN ROUND(m / v, 6) END AS p_hat
         FROM f2 ORDER BY brand""")),
 
-    // Adstock carryover regression: weekly purchase counts regressed on
-    // the geometric adstock of weekly view counts (a_t = x_t + λ·a_{t−1},
+    // Adstock carryover regression: daily purchase counts regressed on
+    // the geometric adstock of daily view counts (a_t = x_t + λ·a_{t−1},
     // λ = 0.5) — the marketing-mix transform that captures delayed ad
     // effect a plain same-week regression misses. Adstock is an ordered
     // fold on the 9-grid (the uuid5 flat-LIST-accumulator idiom carries
@@ -4969,7 +4969,7 @@ object SciQueries {
     "qbt_adstock_regression" -> Q(
       fn = (s, dir) => {
         val e = Tables(s, dir, "events")
-          .withColumn("w", expr("unix_millis(ts) div 86400000 div 7"))
+          .withColumn("w", expr("unix_millis(ts) div 86400000"))
         val wk = e.groupBy(col("w"))
           .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
             .as("x"),
@@ -5018,7 +5018,7 @@ object SciQueries {
           .withColumn("r2num",
             (col("nd") * col("say").cast("double") -
               col("sa").cast("double") * col("sy").cast("double")))
-          .select(col("nw").as("n_weeks"),
+          .select(col("nw").as("n_days"),
             round(col("beta"), 6).as("beta"),
             round(col("alpha"), 6).as("alpha"),
             round(col("r2num") * col("r2num") /
@@ -5030,7 +5030,7 @@ object SciQueries {
       },
       oracle = Some("""
         WITH e AS (
-          SELECT epoch_ms(ts) // 86400000 // 7 AS w, event_type
+          SELECT epoch_ms(ts) // 86400000 AS w, event_type
           FROM events),
         wk AS (
           SELECT w,
@@ -5078,7 +5078,7 @@ object SciQueries {
           SELECT *, ROUND((nd * sayd - sad * syd)
                    / (nd * saad - sad * sad), 9) AS beta
           FROM f)
-        SELECT nw AS n_weeks,
+        SELECT nw AS n_days,
                ROUND(beta, 6) + CAST(0 AS DOUBLE) AS beta,
                ROUND((syd - beta * sad) / nd, 6) + CAST(0 AS DOUBLE)
                  AS alpha,
@@ -5632,6 +5632,321 @@ object SciQueries {
                ROUND(se, 6) AS se,
                ROUND(beta / se, 6) + CAST(0 AS DOUBLE) AS t_stat
         FROM f2""")),
+
+    // Bass diffusion fit of customer adoption: monthly NEW adopters
+    // regressed on cumulative adopters and its square (the discrete Bass
+    // form n_t = pM + (q−p)C − (q/M)C²), solved by Cramer's rule over a
+    // 3×3 normal-equation system whose power moments stay EXACT 64-bit
+    // integers (C ≤ 15 k ⇒ ΣC⁴ < 2⁶³), then (M̂, p̂, q̂) recovered from
+    // the quadratic root — innovation vs imitation coefficients for the
+    // adoption curve, the diffusion twin of qb8's extreme-value fit.
+    "qbz_bass_diffusion" -> Q(
+      fn = (s, dir) => {
+        val first = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(min(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000 div 30")).as("mo"))
+        val adopt = first.groupBy(col("mo"))
+          .agg(count(lit(1)).as("nn"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(adopt,
+            Seq(col("mo")), "rn")
+          .localCheckpoint(eager = false)
+        val cum = graft.operators.ScaleOps.globalRunningSum(ranked,
+            Seq(col("rn")), col("nn"), "ctot")
+          .withColumn("c", col("ctot") - col("nn"))
+        val mom = cum
+          .withColumn("c2", col("c") * col("c"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c")).as("s1"), sum(col("c2")).as("s2"),
+            sum(col("c2") * col("c")).as("s3"),
+            sum(col("c2") * col("c2")).as("s4"),
+            sum(col("nn")).as("t0"), sum(col("nn") * col("c")).as("t1"),
+            sum(col("nn") * col("c2")).as("t2"))
+        val d = mom.select(
+          col("n").cast("double").as("s0"), col("s1").cast("double").as("s1"),
+          col("s2").cast("double").as("s2"), col("s3").cast("double").as("s3"),
+          col("s4").cast("double").as("s4"), col("t0").cast("double").as("t0"),
+          col("t1").cast("double").as("t1"), col("t2").cast("double").as("t2"),
+          col("n"))
+        val solved = d
+          .withColumn("det",
+            col("s0") * (col("s2") * col("s4") - col("s3") * col("s3")) -
+            col("s1") * (col("s1") * col("s4") - col("s2") * col("s3")) +
+            col("s2") * (col("s1") * col("s3") - col("s2") * col("s2")))
+          .withColumn("a", round((
+            col("t0") * (col("s2") * col("s4") - col("s3") * col("s3")) -
+            col("s1") * (col("t1") * col("s4") - col("t2") * col("s3")) +
+            col("s2") * (col("t1") * col("s3") - col("t2") * col("s2"))) /
+            col("det"), 9))
+          .withColumn("b", round((
+            col("s0") * (col("t1") * col("s4") - col("t2") * col("s3")) -
+            col("t0") * (col("s1") * col("s4") - col("s2") * col("s3")) +
+            col("s2") * (col("s1") * col("t2") - col("s2") * col("t1"))) /
+            col("det"), 9))
+          .withColumn("cc", round((
+            col("s0") * (col("s2") * col("t2") - col("s3") * col("t1")) -
+            col("s1") * (col("s1") * col("t2") - col("s3") * col("t0")) +
+            col("s2") * (col("s1") * col("t1") - col("s2") * col("t0"))) /
+            col("det"), 9))
+        solved
+          .withColumn("disc", col("b") * col("b") - lit(4.0) * col("a") *
+            col("cc"))
+          .withColumn("mhat",
+            when(col("cc") < 0 && col("disc") > 0,
+              round((-col("b") - sqrt(col("disc"))) / (lit(2.0) * col("cc")),
+                9)))
+          .withColumn("p", when(col("mhat").isNotNull,
+            round(col("a") / col("mhat"), 9)))
+          .select(col("n").as("n_months"),
+            round(col("a"), 6).as("coef_const"),
+            round(col("b"), 6).as("coef_c"),
+            round(col("cc"), 6).as("coef_c2"),
+            round(col("mhat"), 2).as("market_size"),
+            round(col("p"), 6).as("p_innovation"),
+            when(col("p").isNotNull, round(col("b") + col("p"), 6))
+              .as("q_imitation"))
+      },
+      oracle = Some("""
+        WITH first_o AS (
+          SELECT o_custkey,
+                 MIN(CAST(epoch_ms(o_orderdate) // 86400000 // 30
+                   AS BIGINT)) AS mo
+          FROM orders GROUP BY 1),
+        adopt AS (
+          SELECT mo, CAST(COUNT(*) AS BIGINT) AS nn
+          FROM first_o GROUP BY 1),
+        cum AS (
+          SELECT nn,
+                 CAST(SUM(nn) OVER (ORDER BY mo ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) - nn AS c
+          FROM adopt),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS s1,
+                 CAST(SUM(c * c) AS BIGINT) AS s2,
+                 CAST(SUM(c * c * c) AS BIGINT) AS s3,
+                 CAST(SUM(c * c * c * c) AS BIGINT) AS s4,
+                 CAST(SUM(nn) AS BIGINT) AS t0,
+                 CAST(SUM(nn * c) AS BIGINT) AS t1,
+                 CAST(SUM(nn * c * c) AS BIGINT) AS t2
+          FROM cum),
+        d AS (
+          SELECT CAST(n AS DOUBLE) AS s0, CAST(s1 AS DOUBLE) AS s1,
+                 CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+                 CAST(s4 AS DOUBLE) AS s4, CAST(t0 AS DOUBLE) AS t0,
+                 CAST(t1 AS DOUBLE) AS t1, CAST(t2 AS DOUBLE) AS t2,
+                 n
+          FROM mom),
+        dt AS (
+          SELECT *, s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+                   + s2 * (s1 * s3 - s2 * s2) AS det
+          FROM d),
+        sv AS (
+          SELECT *,
+            ROUND((t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - t2 * s3)
+              + s2 * (t1 * s3 - t2 * s2)) / det, 9) AS a,
+            ROUND((s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3)
+              + s2 * (s1 * t2 - s2 * t1)) / det, 9) AS b,
+            ROUND((s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s3 * t0)
+              + s2 * (s1 * t1 - s2 * t0)) / det, 9) AS cc
+          FROM dt),
+        sv2 AS (
+          SELECT *, b * b - CAST(4 AS DOUBLE) * a * cc AS disc
+          FROM sv),
+        sv3 AS (
+          SELECT *,
+            CASE WHEN cc < 0 AND disc > 0
+                 THEN ROUND((-b - SQRT(disc)) / (CAST(2 AS DOUBLE) * cc), 9)
+            END AS mhat
+          FROM sv2),
+        sv4 AS (
+          SELECT *, CASE WHEN mhat IS NOT NULL
+                         THEN ROUND(a / mhat, 9) END AS p
+          FROM sv3)
+        SELECT n AS n_months,
+               ROUND(a, 6) + CAST(0 AS DOUBLE) AS coef_const,
+               ROUND(b, 6) + CAST(0 AS DOUBLE) AS coef_c,
+               ROUND(cc, 6) + CAST(0 AS DOUBLE) AS coef_c2,
+               ROUND(mhat, 2) AS market_size,
+               ROUND(p, 6) AS p_innovation,
+               CASE WHEN p IS NOT NULL
+                    THEN ROUND(b + p, 6) + CAST(0 AS DOUBLE) END
+                 AS q_imitation
+        FROM sv4""")),
+
+    // Granger causality, DAILY view volume → purchase volume: does
+    // adding lagged views to the purchase AR(1) model cut SSE? Restricted
+    // (y ~ y₋₁) vs unrestricted (y ~ y₋₁ + x₋₁) closed-form OLS —
+    // the unrestricted solve is qbz's 3×3 Cramer on 6-grid DECIMAL
+    // moments — and the incremental-F statistic on exact SSE sums.
+    "qc0_granger_causality" -> Q(
+      fn = (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .withColumn("w", expr("unix_millis(ts) div 86400000"))
+        val wk = e.groupBy(col("w"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("xv"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("yv"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(wk,
+          Seq(col("w")), "rn").localCheckpoint(eager = false)
+        val pair = ranked
+          .select((col("rn") - 1).as("rn"), col("yv").cast("double").as("y"))
+          .join(ranked.select(col("rn"),
+            col("yv").cast("double").as("yl"),
+            col("xv").cast("double").as("xl")), Seq("rn"))
+          .localCheckpoint(eager = false)
+        val mom = pair.agg(count(lit(1)).as("n"),
+          sum(col("yl").cast("decimal(28,6)")).as("s1"),
+          sum(col("xl").cast("decimal(28,6)")).as("sx"),
+          sum(round(col("yl") * col("yl"), 6).cast("decimal(28,6)"))
+            .as("s11"),
+          sum(round(col("xl") * col("xl"), 6).cast("decimal(28,6)"))
+            .as("sxx"),
+          sum(round(col("yl") * col("xl"), 6).cast("decimal(28,6)"))
+            .as("s1x"),
+          sum(col("y").cast("decimal(28,6)")).as("t0"),
+          sum(round(col("y") * col("yl"), 6).cast("decimal(28,6)"))
+            .as("t1"),
+          sum(round(col("y") * col("xl"), 6).cast("decimal(28,6)"))
+            .as("tx"),
+          sum(round(col("y") * col("y"), 6).cast("decimal(28,6)"))
+            .as("tyy"))
+        val d = mom.select(col("n"),
+          col("n").cast("double").as("s0"),
+          col("s1").cast("double").as("s1"),
+          col("sx").cast("double").as("sx"),
+          col("s11").cast("double").as("s11"),
+          col("sxx").cast("double").as("sxx"),
+          col("s1x").cast("double").as("s1x"),
+          col("t0").cast("double").as("t0"),
+          col("t1").cast("double").as("t1"),
+          col("tx").cast("double").as("tx"))
+        // restricted y ~ 1 + y₋₁ (2×2), unrestricted adds x₋₁ (3×3 Cramer)
+        val coefs = d
+          .withColumn("br", round(
+            (col("s0") * col("t1") - col("s1") * col("t0")) /
+            (col("s0") * col("s11") - col("s1") * col("s1")), 9))
+          .withColumn("ar", round(
+            (col("t0") - col("br") * col("s1")) / col("s0"), 9))
+          .withColumn("det",
+            col("s0") * (col("s11") * col("sxx") - col("s1x") * col("s1x")) -
+            col("s1") * (col("s1") * col("sxx") - col("s1x") * col("sx")) +
+            col("sx") * (col("s1") * col("s1x") - col("s11") * col("sx")))
+          .withColumn("au", round((
+            col("t0") * (col("s11") * col("sxx") - col("s1x") * col("s1x")) -
+            col("s1") * (col("t1") * col("sxx") - col("tx") * col("s1x")) +
+            col("sx") * (col("t1") * col("s1x") - col("tx") * col("s11"))) /
+            col("det"), 9))
+          .withColumn("bu", round((
+            col("s0") * (col("t1") * col("sxx") - col("tx") * col("s1x")) -
+            col("t0") * (col("s1") * col("sxx") - col("sx") * col("s1x")) +
+            col("sx") * (col("s1") * col("tx") - col("sx") * col("t1"))) /
+            col("det"), 9))
+          .withColumn("cu", round((
+            col("s0") * (col("s11") * col("tx") - col("s1x") * col("t1")) -
+            col("s1") * (col("s1") * col("tx") - col("sx") * col("t1")) +
+            col("t0") * (col("s1") * col("s1x") - col("s11") * col("sx"))) /
+            col("det"), 9))
+          .select(col("n"), col("ar"), col("br"), col("au"), col("bu"),
+            col("cu"))
+        val sses = pair.crossJoin(broadcast(coefs))
+          .agg(first(col("n")).as("n"),
+            sum(round((col("y") - col("ar") - col("br") * col("yl")) *
+              (col("y") - col("ar") - col("br") * col("yl")), 6)
+              .cast("decimal(28,6)")).as("sser"),
+            sum(round((col("y") - col("au") - col("bu") * col("yl") -
+              col("cu") * col("xl")) *
+              (col("y") - col("au") - col("bu") * col("yl") -
+               col("cu") * col("xl")), 6)
+              .cast("decimal(28,6)")).as("sseu"),
+            first(col("bu")).as("bu"), first(col("cu")).as("cu"))
+        sses
+          .withColumn("f", round(
+            (col("sser").cast("double") - col("sseu").cast("double")) /
+            (col("sseu").cast("double") /
+              (col("n") - 3).cast("double")), 6))
+          .select(col("n").as("n_days"),
+            round(col("sser").cast("double"), 6).as("sse_restricted"),
+            round(col("sseu").cast("double"), 6).as("sse_unrestricted"),
+            round(col("bu"), 6).as("ar_coef"),
+            round(col("cu"), 6).as("lag_views_coef"),
+            col("f").as("granger_f"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT epoch_ms(ts) // 86400000 AS w, event_type
+          FROM events),
+        wk AS (
+          SELECT w,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS xv,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS yv
+          FROM e GROUP BY 1),
+        ranked AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY w) AS BIGINT) AS rn,
+                 CAST(xv AS DOUBLE) AS xv, CAST(yv AS DOUBLE) AS yv
+          FROM wk),
+        pair AS MATERIALIZED (
+          SELECT a.yv AS y, b.yv AS yl, b.xv AS xl
+          FROM ranked a JOIN ranked b ON a.rn = b.rn + 1),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(yl AS DECIMAL(28,6))) AS s1,
+                 SUM(CAST(xl AS DECIMAL(28,6))) AS sx,
+                 SUM(CAST(ROUND(yl * yl, 6) AS DECIMAL(28,6))) AS s11,
+                 SUM(CAST(ROUND(xl * xl, 6) AS DECIMAL(28,6))) AS sxx,
+                 SUM(CAST(ROUND(yl * xl, 6) AS DECIMAL(28,6))) AS s1x,
+                 SUM(CAST(y AS DECIMAL(28,6))) AS t0,
+                 SUM(CAST(ROUND(y * yl, 6) AS DECIMAL(28,6))) AS t1,
+                 SUM(CAST(ROUND(y * xl, 6) AS DECIMAL(28,6))) AS tx
+          FROM pair),
+        d AS (
+          SELECT n, CAST(n AS DOUBLE) AS s0, CAST(s1 AS DOUBLE) AS s1,
+                 CAST(sx AS DOUBLE) AS sx, CAST(s11 AS DOUBLE) AS s11,
+                 CAST(sxx AS DOUBLE) AS sxx, CAST(s1x AS DOUBLE) AS s1x,
+                 CAST(t0 AS DOUBLE) AS t0, CAST(t1 AS DOUBLE) AS t1,
+                 CAST(tx AS DOUBLE) AS tx
+          FROM mom),
+        cf0 AS (
+          SELECT *, ROUND((s0 * t1 - s1 * t0) / (s0 * s11 - s1 * s1), 9)
+                   AS br
+          FROM d),
+        cf1 AS (SELECT *, ROUND((t0 - br * s1) / s0, 9) AS ar FROM cf0),
+        cf2 AS (
+          SELECT *, s0 * (s11 * sxx - s1x * s1x)
+                   - s1 * (s1 * sxx - s1x * sx)
+                   + sx * (s1 * s1x - s11 * sx) AS det
+          FROM cf1),
+        cf AS (
+          SELECT *,
+            ROUND((t0 * (s11 * sxx - s1x * s1x) - s1 * (t1 * sxx - tx * s1x)
+              + sx * (t1 * s1x - tx * s11)) / det, 9) AS au,
+            ROUND((s0 * (t1 * sxx - tx * s1x) - t0 * (s1 * sxx - sx * s1x)
+              + sx * (s1 * tx - sx * t1)) / det, 9) AS bu,
+            ROUND((s0 * (s11 * tx - s1x * t1) - s1 * (s1 * tx - sx * t1)
+              + t0 * (s1 * s1x - s11 * sx)) / det, 9) AS cu
+          FROM cf2),
+        sses AS (
+          SELECT cf.n, cf.bu, cf.cu,
+                 SUM(CAST(ROUND((p.y - cf.ar - cf.br * p.yl)
+                   * (p.y - cf.ar - cf.br * p.yl), 6)
+                   AS DECIMAL(28,6))) AS sser,
+                 SUM(CAST(ROUND((p.y - cf.au - cf.bu * p.yl - cf.cu * p.xl)
+                   * (p.y - cf.au - cf.bu * p.yl - cf.cu * p.xl), 6)
+                   AS DECIMAL(28,6))) AS sseu
+          FROM pair p CROSS JOIN cf
+          GROUP BY 1, 2, 3)
+        SELECT n AS n_days,
+               ROUND(CAST(sser AS DOUBLE), 6) AS sse_restricted,
+               ROUND(CAST(sseu AS DOUBLE), 6) AS sse_unrestricted,
+               ROUND(bu, 6) + CAST(0 AS DOUBLE) AS ar_coef,
+               ROUND(cu, 6) + CAST(0 AS DOUBLE) AS lag_views_coef,
+               ROUND((CAST(sser AS DOUBLE) - CAST(sseu AS DOUBLE))
+                 / (CAST(sseu AS DOUBLE) / CAST(n - 3 AS DOUBLE)), 6)
+                 AS granger_f
+        FROM sses""")),
 
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
