@@ -5948,6 +5948,488 @@ object SciQueries {
                  AS granger_f
         FROM sses""")),
 
+    // EWMA control chart of daily revenue (λ = 0.25, asymptotic ±3σ√(λ/
+    // (2−λ)) = 3σ/√7 limits — the time-varying (1−λ)^2t factor needs pow,
+    // which is not cross-engine-replayable; asymptotic limits are the
+    // standard steady-state chart): the small-persistent-shift detector
+    // complementing q7q's CUSUM. Fold on the 9-grid via the qbt flat-LIST
+    // accumulator; one row per day with the breach flag.
+    "qc1_ewma_chart" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("ym"))
+        val stats = daily.agg(count(lit(1)).as("n"),
+            sum(col("ym")).as("sy"),
+            sum(round(col("ym") * col("ym"), 6).cast("decimal(28,6)"))
+              .as("syy"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("mu", round(col("sy").cast("double") / col("nd"), 9))
+          .withColumn("sig", round(sqrt(
+            (col("syy").cast("double") - col("nd") * col("mu") * col("mu")) /
+            (col("nd") - lit(1.0))), 9))
+          .withColumn("lim", round(lit(3.0) * col("sig") *
+            sqrt(lit(1.0) / lit(7.0)), 9))
+          .select(col("mu"), col("lim"))
+        val packed = daily
+          .agg(array_sort(collect_list(struct(col("day").as("o"),
+            col("ym").cast("double").as("y")))).as("seq"))
+          .withColumn("ds", transform(col("seq"), x => x.getField("o")))
+          .withColumn("ys", transform(col("seq"), x => x.getField("y")))
+        def stepZ(acc: Column, x: Column): Column = {
+          val nw = round(lit(0.25) * x + lit(0.75) * element_at(acc, 1), 9)
+          concat(array(nw), slice(acc, lit(2), lit(1000000)), array(nw))
+        }
+        val folded = packed.withColumn("fold",
+            aggregate(slice(col("ys"), lit(2),
+              greatest(size(col("ys")) - 1, lit(0))),
+              array(element_at(col("ys"), 1), element_at(col("ys"), 1)),
+              stepZ))
+          .withColumn("zs", slice(col("fold"), lit(2), lit(1000000)))
+        folded.select(posexplode(col("zs")).as(Seq("i", "z")),
+            col("ds"))
+          .select(element_at(col("ds"), col("i") + 1).as("day"), col("z"))
+          .crossJoin(broadcast(stats))
+          .select(col("day"), round(col("z"), 6).as("ewma"),
+            round(col("mu") - col("lim"), 6).as("lcl"),
+            round(col("mu") + col("lim"), 6).as("ucl"),
+            when(col("z") > col("mu") + col("lim"), 1)
+              .when(col("z") < col("mu") - col("lim"), -1)
+              .otherwise(0).as("breach"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(14,8)) AS ym
+          FROM orders GROUP BY 1),
+        st AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS mu,
+                 SUM(CAST(ROUND(CAST(ym AS DECIMAL(19,8))
+                   * CAST(ym AS DECIMAL(19,8)), 6) AS DECIMAL(28,6)))
+                   AS syy
+          FROM daily),
+        st2 AS (
+          SELECT mu,
+                 ROUND(CAST(3 AS DOUBLE) * ROUND(SQRT(
+                   (CAST(syy AS DOUBLE) - nd * mu * mu)
+                     / (nd - CAST(1 AS DOUBLE))), 9)
+                   * SQRT(CAST(1 AS DOUBLE) / CAST(7 AS DOUBLE)), 9)
+                   AS lim
+          FROM st),
+        packed AS (
+          SELECT list(day ORDER BY day) AS ds,
+                 list(CAST(ym AS DOUBLE) ORDER BY day) AS ys,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM daily),
+        folded AS (
+          SELECT ds, n,
+                 list_reduce(
+                   list_prepend([ys[1], ys[1]],
+                     list_transform(ys[2:], x -> [x])),
+                   (acc, e) -> list_prepend(
+                     ROUND(CAST(0.25 AS DOUBLE) * e[1]
+                       + CAST(0.75 AS DOUBLE) * acc[1], 9),
+                     acc[2:] || [ROUND(CAST(0.25 AS DOUBLE) * e[1]
+                       + CAST(0.75 AS DOUBLE) * acc[1], 9)])) AS fold
+          FROM packed),
+        rows_ AS (
+          SELECT ds[i] AS day, fold[2:][i] AS z
+          FROM (SELECT ds, fold, unnest(range(1, CAST(n AS INT) + 1)) AS i
+                FROM folded))
+        SELECT day, ROUND(z, 6) AS ewma,
+               ROUND(st2.mu - st2.lim, 6) AS lcl,
+               ROUND(st2.mu + st2.lim, 6) AS ucl,
+               CASE WHEN z > st2.mu + st2.lim THEN 1
+                    WHEN z < st2.mu - st2.lim THEN -1 ELSE 0 END AS breach
+        FROM rows_ CROSS JOIN st2
+        ORDER BY day""")),
+
+    // Youden-J optimal threshold from the exact ROC sweep (qaa's
+    // setting): per distinct score, TPR/FPR from descending cumulative
+    // counts off the range-partitioned running sum — never an
+    // unpartitioned window over the data-sized score domain — and the
+    // argmax by struct (ties pin to the HIGHEST threshold). The
+    // operating-point selector that turns qaa's AUC into a deployable
+    // cutoff.
+    "qc2_youden_threshold" -> Q(
+      fn = (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(col("value").cast("double").as("s0"),
+            (col("event_type") === "purchase").cast("long").as("y"))
+        val prof = e.groupBy(col("s0"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+          .withColumn("negs", -col("s0"))
+        val cum = graft.operators.ScaleOps.globalRunningSum(
+            graft.operators.ScaleOps.globalRunningSum(prof,
+              Seq(col("negs")), col("npos"), "cpos"),
+            Seq(col("negs")), col("n"), "ctot")
+        val tot = prof.agg(sum(col("npos")).as("p"),
+          (sum(col("n")) - sum(col("npos"))).as("q"))
+        val j = cum.crossJoin(broadcast(tot))
+          .withColumn("tpr",
+            round(col("cpos").cast("double") / col("p").cast("double"), 9))
+          .withColumn("fpr",
+            round((col("ctot") - col("cpos")).cast("double") /
+              col("q").cast("double"), 9))
+          .withColumn("jv", round(col("tpr") - col("fpr"), 9))
+        j.agg(first(col("p")).as("n_pos"), first(col("q")).as("n_neg"),
+            max(struct(col("jv").as("j"), col("s0").as("thr"),
+              col("tpr").as("tpr"), col("fpr").as("fpr"))).as("w"))
+          .select(col("n_pos"), col("n_neg"),
+            round(col("w.j"), 6).as("youden_j"),
+            round(col("w.thr"), 6).as("best_threshold"),
+            round(col("w.tpr"), 6).as("tpr"),
+            round(col("w.fpr"), 6).as("fpr"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(value AS DOUBLE) AS s,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events WHERE value IS NOT NULL),
+        prof AS (
+          SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS npos
+          FROM e GROUP BY 1),
+        cum AS (
+          SELECT s,
+                 CAST(SUM(npos) OVER (ORDER BY s DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpos,
+                 CAST(SUM(n) OVER (ORDER BY s DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctot
+          FROM prof),
+        tot AS (
+          SELECT CAST(SUM(npos) AS BIGINT) AS p,
+                 CAST(SUM(n) - SUM(npos) AS BIGINT) AS q
+          FROM prof),
+        j AS (
+          SELECT s,
+                 ROUND(CAST(cpos AS DOUBLE) / CAST(tot.p AS DOUBLE), 9)
+                   AS tpr,
+                 ROUND(CAST(ctot - cpos AS DOUBLE)
+                   / CAST(tot.q AS DOUBLE), 9) AS fpr
+          FROM cum CROSS JOIN tot),
+        j2 AS (
+          SELECT s, tpr, fpr, ROUND(tpr - fpr, 9) AS jv FROM j),
+        best AS (
+          SELECT MAX({'j': jv, 'thr': s, 'tpr': tpr, 'fpr': fpr}) AS w
+          FROM j2)
+        SELECT tot.p AS n_pos, tot.q AS n_neg,
+               ROUND(best.w['j'], 6) AS youden_j,
+               ROUND(best.w['thr'], 6) AS best_threshold,
+               ROUND(best.w['tpr'], 6) AS tpr,
+               ROUND(best.w['fpr'], 6) AS fpr
+        FROM best CROSS JOIN tot""")),
+
+    // Hierarchical forecast reconciliation: per-region Holt forecasts
+    // (bottom-up leaves) vs the total-series Holt forecast allocated
+    // top-down by historical revenue shares — the coherence gap between
+    // the two is exactly what reconciliation methods minimize. Reuses
+    // Forecast.holtLinear verbatim on the 5 leaf series and the root.
+    "qc3_forecast_reconciliation" -> Q(
+      fn = (s, dir) => {
+        val cell = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey").as("rg"),
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000 div 30").as("mo"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("v"))
+          .localCheckpoint(eager = false)
+        val leaf = graft.operators.Forecast.holtLinear(cell, "rg", "mo", "v",
+          horizon = 3)
+        val total = graft.operators.Forecast.holtLinear(
+          cell.groupBy(col("mo")).agg(sum(col("v")).as("v"))
+            .withColumn("k", lit(0)),
+          "k", "mo", "v", horizon = 3)
+        val shares = cell.groupBy(col("rg")).agg(sum(col("v")).as("sv"))
+          .crossJoin(broadcast(cell.agg(sum(col("v")).as("tv"))))
+          .select(col("rg"), round(col("sv").cast("double") /
+            col("tv").cast("double"), 9).as("share"))
+        val bu = leaf.agg(
+          sum(col("forecast_3").cast("decimal(28,6)")).as("bus"))
+        leaf.join(shares, Seq("rg"))
+          .crossJoin(broadcast(total.select(
+            col("forecast_3").as("fc_total"))))
+          .crossJoin(broadcast(bu))
+          .select(col("rg"), col("n_obs"),
+            col("forecast_3").as("fc_leaf"),
+            round(col("share"), 6).as("share"),
+            round(col("fc_total") * col("share"), 6).as("fc_topdown"),
+            round(col("forecast_3") - col("fc_total") * col("share"), 6)
+              .as("recon_gap"),
+            col("fc_total"),
+            round(col("bus").cast("double"), 6).as("bu_total"))
+          .orderBy(col("rg"))
+      },
+      oracle = Some("""
+        WITH cell AS (
+          SELECT n_regionkey AS rg,
+                 CAST(epoch_ms(o_orderdate) // 86400000 // 30 AS BIGINT)
+                   AS mo,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(14,8)) AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        leafs AS (
+          SELECT rg, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 list(CAST(v AS DOUBLE) ORDER BY mo) AS ys
+          FROM cell GROUP BY 1),
+        leaff AS (
+          SELECT rg, n_obs,
+                 list_reduce(
+                   list_prepend([ys[1], CAST(0 AS DOUBLE)],
+                     list_transform(ys[2:], x -> [x, CAST(0 AS DOUBLE)])),
+                   (acc, e) -> [
+                     ROUND(CAST(0.5 AS DOUBLE) * e[1]
+                       + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9),
+                     ROUND(CAST(0.25 AS DOUBLE)
+                       * (ROUND(CAST(0.5 AS DOUBLE) * e[1]
+                           + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9)
+                          - acc[1])
+                       + CAST(0.75 AS DOUBLE) * acc[2], 9)]) AS st
+          FROM leafs),
+        leaf AS MATERIALIZED (
+          SELECT rg, n_obs,
+                 ROUND(st[1] + CAST(3 AS DOUBLE) * st[2], 6) AS fc
+          FROM leaff),
+        tots AS (
+          SELECT list(CAST(v AS DOUBLE) ORDER BY mo) AS ys
+          FROM (SELECT mo, SUM(v) AS v FROM cell GROUP BY 1)),
+        totf AS (
+          SELECT list_reduce(
+                   list_prepend([ys[1], CAST(0 AS DOUBLE)],
+                     list_transform(ys[2:], x -> [x, CAST(0 AS DOUBLE)])),
+                   (acc, e) -> [
+                     ROUND(CAST(0.5 AS DOUBLE) * e[1]
+                       + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9),
+                     ROUND(CAST(0.25 AS DOUBLE)
+                       * (ROUND(CAST(0.5 AS DOUBLE) * e[1]
+                           + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9)
+                          - acc[1])
+                       + CAST(0.75 AS DOUBLE) * acc[2], 9)]) AS st
+          FROM tots),
+        tfc AS (SELECT ROUND(st[1] + CAST(3 AS DOUBLE) * st[2], 6) AS fc
+                FROM totf),
+        shares AS (
+          SELECT rg, ROUND(CAST(SUM(v) AS DOUBLE)
+                   / (SELECT CAST(SUM(v) AS DOUBLE) FROM cell), 9) AS share
+          FROM cell GROUP BY 1),
+        bu AS (
+          SELECT ROUND(CAST(SUM(CAST(fc AS DECIMAL(28,6))) AS DOUBLE), 6)
+                   AS bu_total
+          FROM leaf)
+        SELECT leaf.rg, leaf.n_obs, leaf.fc AS fc_leaf,
+               ROUND(shares.share, 6) AS share,
+               ROUND(tfc.fc * shares.share, 6) AS fc_topdown,
+               ROUND(leaf.fc - tfc.fc * shares.share, 6) + CAST(0 AS DOUBLE)
+                 AS recon_gap,
+               tfc.fc AS fc_total,
+               bu.bu_total
+        FROM leaf JOIN shares ON leaf.rg = shares.rg
+        CROSS JOIN tfc CROSS JOIN bu
+        ORDER BY leaf.rg""")),
+
+    // Cronbach's alpha of the 5 order-priority spend "items" per
+    // customer: α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total) — internal-consistency
+    // reliability, computed WITHOUT densifying the customer × item
+    // matrix (absent cells are zeros and contribute nothing to any
+    // moment sum). Item squares multiply in DECIMAL (rule 15 hygiene).
+    "qc4_cronbach_alpha" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("cust"),
+            col("o_orderpriority").as("item"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("x"))
+          .localCheckpoint(eager = false)
+        val nc = o.select(col("cust")).distinct().count()
+        val items = o.groupBy(col("item"))
+          .agg(sum(col("x")).as("sx"),
+            sum(round(col("x") * col("x"), 6).cast("decimal(28,6)"))
+              .as("sxx"))
+          .withColumn("nd", lit(nc).cast("double"))
+          .withColumn("m", round(col("sx").cast("double") / col("nd"), 9))
+          .withColumn("vi", round(
+            (col("sxx").cast("double") - col("nd") * col("m") * col("m")) /
+            (col("nd") - lit(1.0)), 9))
+        val tv = o.groupBy(col("cust")).agg(sum(col("x")).as("tx"))
+          .agg(sum(col("tx")).as("st"),
+            sum(round(col("tx") * col("tx"), 6).cast("decimal(28,6)"))
+              .as("stt"))
+          .withColumn("nd", lit(nc).cast("double"))
+          .withColumn("mt", round(col("st").cast("double") / col("nd"), 9))
+          .withColumn("vt", round(
+            (col("stt").cast("double") - col("nd") * col("mt") * col("mt")) /
+            (col("nd") - lit(1.0)), 9))
+        items.agg(count(lit(1)).as("k"),
+            sum(col("vi").cast("decimal(28,9)")).as("svi"))
+          .crossJoin(broadcast(tv.select(col("vt"))))
+          .select(lit(nc).as("n_customers"), col("k").as("k_items"),
+            round(col("svi").cast("double"), 6).as("sum_item_var"),
+            round(col("vt"), 6).as("total_var"),
+            round((col("k").cast("double") /
+              (col("k").cast("double") - lit(1.0))) *
+              (lit(1.0) - col("svi").cast("double") / col("vt")), 6)
+              .as("alpha"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_custkey AS cust, o_orderpriority AS item,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(14,8)) AS x
+          FROM orders GROUP BY 1, 2),
+        nc AS (SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS n FROM o),
+        items AS (
+          SELECT item, SUM(x) AS sx,
+                 SUM(CAST(ROUND(CAST(x AS DECIMAL(19,8))
+                   * CAST(x AS DECIMAL(19,8)), 6) AS DECIMAL(28,6))) AS sxx
+          FROM o GROUP BY 1),
+        iv AS (
+          SELECT item,
+                 ROUND((CAST(sxx AS DOUBLE)
+                   - CAST(nc.n AS DOUBLE)
+                     * ROUND(CAST(sx AS DOUBLE) / CAST(nc.n AS DOUBLE), 9)
+                     * ROUND(CAST(sx AS DOUBLE) / CAST(nc.n AS DOUBLE), 9))
+                   / (CAST(nc.n AS DOUBLE) - CAST(1 AS DOUBLE)), 9) AS vi
+          FROM items CROSS JOIN nc),
+        tvs AS (
+          SELECT SUM(tx) AS st,
+                 SUM(CAST(ROUND(CAST(tx AS DECIMAL(19,8))
+                   * CAST(tx AS DECIMAL(19,8)), 6) AS DECIMAL(28,6)))
+                   AS stt
+          FROM (SELECT cust, SUM(x) AS tx FROM o GROUP BY 1)),
+        tv AS (
+          SELECT ROUND((CAST(stt AS DOUBLE)
+                   - CAST(nc.n AS DOUBLE)
+                     * ROUND(CAST(st AS DOUBLE) / CAST(nc.n AS DOUBLE), 9)
+                     * ROUND(CAST(st AS DOUBLE) / CAST(nc.n AS DOUBLE), 9))
+                   / (CAST(nc.n AS DOUBLE) - CAST(1 AS DOUBLE)), 9) AS vt
+          FROM tvs CROSS JOIN nc),
+        agg1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(CAST(vi AS DECIMAL(28,9))) AS DOUBLE) AS svi
+          FROM iv)
+        SELECT nc.n AS n_customers, agg1.k AS k_items,
+               ROUND(agg1.svi, 6) AS sum_item_var,
+               ROUND(tv.vt, 6) AS total_var,
+               ROUND((CAST(agg1.k AS DOUBLE)
+                 / (CAST(agg1.k AS DOUBLE) - CAST(1 AS DOUBLE)))
+                 * (CAST(1 AS DOUBLE) - agg1.svi / tv.vt), 6) AS alpha
+        FROM agg1 CROSS JOIN tv CROSS JOIN nc""")),
+
+    // Taylor's power law across brands: ln(variance) of daily demand
+    // against ln(mean) — the variance-scaling exponent b (b≈1 Poisson,
+    // b→2 clumped) from 25 brand points, all brand moments exact 64-bit
+    // integers. The aggregation-level diagnostic that tells you how
+    // demand noise scales before you pick a forecast model.
+    "qc5_taylor_law" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"),
+            expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))" +
+              " div 86400000").as("day"))
+          .agg(sum(col("l_quantity")).cast("long").as("x"))
+        val g = d.groupBy(col("brand"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("m", round(col("sx").cast("double") / col("nd"), 9))
+          .withColumn("v", round(
+            (col("sxx").cast("double") - col("nd") * col("m") * col("m")) /
+            (col("nd") - lit(1.0)), 9))
+          .filter(col("v") > 0)
+          .select(col("brand"), round(log(col("m")), 9).as("lm"),
+            round(log(col("v")), 9).as("lv"))
+        g.agg(count(lit(1)).as("k"),
+            sum(col("lm").cast("decimal(28,9)")).as("sx"),
+            sum(col("lv").cast("decimal(28,9)")).as("sy"),
+            sum(round(col("lm") * col("lv"), 6).cast("decimal(28,6)"))
+              .as("sxy"),
+            sum(round(col("lm") * col("lm"), 6).cast("decimal(28,6)"))
+              .as("sxx"),
+            sum(round(col("lv") * col("lv"), 6).cast("decimal(28,6)"))
+              .as("syy"))
+          .withColumn("kd", col("k").cast("double"))
+          .withColumn("b", round(
+            (col("kd") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (col("kd") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 9))
+          .select(col("k").as("n_brands"),
+            round(col("b"), 6).as("taylor_b"),
+            round((col("sy").cast("double") - col("b") *
+              col("sx").cast("double")) / col("kd"), 6).as("ln_a"),
+            round(
+              (col("kd") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) *
+              (col("kd") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+              ((col("kd") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+               (col("kd") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+              .as("r2"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT p_brand AS brand,
+                 CAST(epoch_ms(l_shipdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(l_quantity) AS BIGINT) AS x
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+        g AS (
+          SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM d GROUP BY 1),
+        mv AS (
+          SELECT brand, CAST(n AS DOUBLE) AS nd,
+                 ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9) AS m,
+                 sxx
+          FROM g),
+        mv2 AS (
+          SELECT brand, m,
+                 ROUND((CAST(sxx AS DOUBLE) - nd * m * m)
+                   / (nd - CAST(1 AS DOUBLE)), 9) AS v
+          FROM mv),
+        pts AS (
+          SELECT ROUND(ln(m), 9) AS lm, ROUND(ln(v), 9) AS lv
+          FROM mv2 WHERE v > 0),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(CAST(lm AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(lv AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(ROUND(lm * lv, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(ROUND(lm * lm, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(ROUND(lv * lv, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS syy
+          FROM pts),
+        f AS (
+          SELECT k, CAST(k AS DOUBLE) AS kd, sx, sy, sxy, sxx, syy
+          FROM mom),
+        f2 AS (
+          SELECT *, ROUND((kd * sxy - sx * sy) / (kd * sxx - sx * sx), 9)
+                   AS b
+          FROM f)
+        SELECT k AS n_brands,
+               ROUND(b, 6) + CAST(0 AS DOUBLE) AS taylor_b,
+               ROUND((sy - b * sx) / kd, 6) + CAST(0 AS DOUBLE) AS ln_a,
+               ROUND((kd * sxy - sx * sy) * (kd * sxy - sx * sy)
+                 / ((kd * sxx - sx * sx) * (kd * syy - sy * sy)), 6) AS r2
+        FROM f2""")),
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
