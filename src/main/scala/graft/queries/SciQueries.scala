@@ -6430,6 +6430,282 @@ object SciQueries {
                  / ((kd * sxx - sx * sx) * (kd * syy - sy * sy)), 6) AS r2
         FROM f2""")),
 
+    // Post-stratified mean order value: strata weights from the CUSTOMER
+    // population (region shares — including never-ordering customers,
+    // which is the point of post-stratification), strata means/variances
+    // from order moments, the Σ W²s²/n SE and the design effect vs the
+    // simple-random mean. The survey-estimation sibling of qbl's raking.
+    "qc6_post_stratified" -> Q(
+      fn = (s, dir) => {
+        val popw = t(s, dir, "customer")
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey").as("rg"))
+          .agg(count(lit(1)).as("pop"))
+        val wts = popw.crossJoin(broadcast(
+            popw.agg(sum(col("pop")).as("ptot"))))
+          .select(col("rg"), round(col("pop").cast("double") /
+            col("ptot").cast("double"), 9).as("wh"))
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_regionkey").as("rg"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(14,8)").as("y"))
+        val strata = o.groupBy(col("rg"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+            sum(round(col("y") * col("y"), 6).cast("decimal(28,6)"))
+              .as("syy"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("m", round(col("sy").cast("double") / col("nd"), 9))
+          .withColumn("s2", round(
+            (col("syy").cast("double") - col("nd") * col("m") * col("m")) /
+            (col("nd") - lit(1.0)), 12))
+        val tot = o.agg(count(lit(1)).as("nt"), sum(col("y")).as("syt"),
+            sum(round(col("y") * col("y"), 6).cast("decimal(28,6)"))
+              .as("syyt"))
+          .withColumn("ntd", col("nt").cast("double"))
+          .withColumn("mt", round(col("syt").cast("double") / col("ntd"), 9))
+          .withColumn("s2t", round(
+            (col("syyt").cast("double") -
+              col("ntd") * col("mt") * col("mt")) /
+            (col("ntd") - lit(1.0)), 12))
+        strata.join(wts, Seq("rg"))
+          .agg(
+            sum(round(col("wh") * col("m"), 12).cast("decimal(28,12)"))
+              .as("pm"),
+            sum(round(col("wh") * col("wh") * col("s2") / col("nd"), 12)
+              .cast("decimal(28,12)")).as("pv"))
+          .crossJoin(broadcast(tot.select(col("nt"), col("ntd"), col("mt"),
+            col("s2t"))))
+          .select(col("nt").as("n_orders"),
+            round(col("pm").cast("double"), 6).as("post_strat_mean"),
+            round(sqrt(col("pv").cast("double")), 6).as("post_strat_se"),
+            round(col("mt"), 6).as("srs_mean"),
+            round(sqrt(col("s2t") / col("ntd")), 6).as("srs_se"),
+            round(col("pv").cast("double") /
+              (col("s2t") / col("ntd")), 6).as("design_effect"))
+      },
+      oracle = Some("""
+        WITH popw AS (
+          SELECT n_regionkey AS rg, CAST(COUNT(*) AS BIGINT) AS pop
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1),
+        wts AS (
+          SELECT rg, ROUND(CAST(pop AS DOUBLE)
+                   / (SELECT CAST(SUM(pop) AS DOUBLE) FROM popw), 9) AS wh
+          FROM popw),
+        o AS (
+          SELECT n_regionkey AS rg,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(14,8)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey),
+        strata AS (
+          SELECT rg, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS DOUBLE) AS nd,
+                 ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS m,
+                 SUM(CAST(ROUND(CAST(y AS DECIMAL(19,8))
+                   * CAST(y AS DECIMAL(19,8)), 6) AS DECIMAL(28,6))) AS syy
+          FROM o GROUP BY 1),
+        sv AS (
+          SELECT rg, n, nd, m,
+                 ROUND((CAST(syy AS DOUBLE) - nd * m * m)
+                   / (nd - CAST(1 AS DOUBLE)), 12) AS s2
+          FROM strata),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+                 CAST(COUNT(*) AS DOUBLE) AS ntd,
+                 ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mt,
+                 SUM(CAST(ROUND(CAST(y AS DECIMAL(19,8))
+                   * CAST(y AS DECIMAL(19,8)), 6) AS DECIMAL(28,6)))
+                   AS syyt
+          FROM o),
+        tv AS (
+          SELECT nt, ntd, mt,
+                 ROUND((CAST(syyt AS DOUBLE) - ntd * mt * mt)
+                   / (ntd - CAST(1 AS DOUBLE)), 12) AS s2t
+          FROM tot),
+        agg1 AS (
+          SELECT CAST(SUM(CAST(ROUND(wts.wh * sv.m, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS pm,
+                 CAST(SUM(CAST(ROUND(wts.wh * wts.wh * sv.s2 / sv.nd, 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS pv
+          FROM sv JOIN wts ON sv.rg = wts.rg)
+        SELECT tv.nt AS n_orders,
+               ROUND(agg1.pm, 6) AS post_strat_mean,
+               ROUND(SQRT(agg1.pv), 6) AS post_strat_se,
+               ROUND(tv.mt, 6) AS srs_mean,
+               ROUND(SQRT(tv.s2t / tv.ntd), 6) AS srs_se,
+               ROUND(agg1.pv / (tv.s2t / tv.ntd), 6) AS design_effect
+        FROM agg1 CROSS JOIN tv""")),
+
+    // Mann-Kendall trend test on the daily revenue series: S from the
+    // exact sign-pair enumeration over the bounded day-domain panel (the
+    // qa8/qam audit contract — ~2400 rows, 2.9M pairs), tie-corrected
+    // Var(S), continuity-corrected z. The distribution-free trend test
+    // beside qac's Theil-Sen slope (which estimates WHAT the trend is;
+    // this tests WHETHER it exists).
+    "qc7_mann_kendall" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("yk"))
+          .localCheckpoint(eager = false)
+        val a = daily.select(col("day").as("da"), col("yk").as("ya"))
+        val b = daily.select(col("day").as("db"), col("yk").as("yb"))
+        val sgn = a.crossJoin(broadcast(b)).filter(col("da") < col("db"))
+          .agg(
+            sum(when(col("yb") > col("ya"), 1L)
+              .when(col("yb") < col("ya"), -1L).otherwise(0L)).as("sstat"))
+        val n = daily.agg(count(lit(1)).as("n"))
+        val ties = daily.groupBy(col("yk")).agg(count(lit(1)).as("t"))
+          .filter(col("t") > 1)
+          .agg(coalesce(sum(col("t") * (col("t") - 1) *
+            (lit(2) * col("t") + 5)), lit(0L)).as("tc"))
+        sgn.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+          .withColumn("vs",
+            ((col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+              col("tc")).cast("double")) / lit(18.0))
+          .select(col("n"), col("sstat"),
+            round(col("vs"), 6).as("var_s"),
+            round(
+              when(col("sstat") > 0,
+                (col("sstat") - 1).cast("double") / sqrt(col("vs")))
+              .when(col("sstat") < 0,
+                (col("sstat") + 1).cast("double") / sqrt(col("vs")))
+              .otherwise(lit(0.0)), 6).as("z"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS yk
+          FROM orders GROUP BY 1),
+        sg AS (
+          SELECT CAST(SUM(CASE WHEN b.yk > a.yk THEN 1
+                               WHEN b.yk < a.yk THEN -1 ELSE 0 END)
+                   AS BIGINT) AS sstat
+          FROM daily a JOIN daily b ON a.day < b.day),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+        ties AS (
+          SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                   AS BIGINT) AS tc
+          FROM (SELECT yk, CAST(COUNT(*) AS BIGINT) AS t
+                FROM daily GROUP BY 1) x
+          WHERE t > 1),
+        f AS (
+          SELECT sg.sstat, nn.n, ties.tc,
+                 CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tc
+                   AS DOUBLE) / CAST(18 AS DOUBLE) AS vs
+          FROM sg CROSS JOIN nn CROSS JOIN ties)
+        SELECT n, sstat,
+               ROUND(vs, 6) AS var_s,
+               ROUND(CASE WHEN sstat > 0
+                          THEN CAST(sstat - 1 AS DOUBLE) / SQRT(vs)
+                          WHEN sstat < 0
+                          THEN CAST(sstat + 1 AS DOUBLE) / SQRT(vs)
+                          ELSE CAST(0 AS DOUBLE) END, 6)
+                 + CAST(0 AS DOUBLE) AS z
+        FROM f""")),
+
+    // Kendall's W: do the 5 regions RANK the 25 brands the same way by
+    // revenue? Rankings by row_number over the dense region × brand grid
+    // (absent cells are zero revenue; total (rev desc, brand) order makes
+    // every rank deterministic, so the no-ties W formula is exact),
+    // W = 12S/(m²(n³−n)) with the χ² transform — the k-ranker
+    // concordance statistic beside q8u's two-rater kappa.
+    "qc8_kendalls_w" -> Q(
+      fn = (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey").as("rg"), col("p_brand").as("brand"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+        val grid = t(s, dir, "nation").select(col("n_regionkey").as("rg"))
+          .distinct()
+          .crossJoin(t(s, dir, "part").select(col("p_brand").as("brand"))
+            .distinct())
+          .join(rev, Seq("rg", "brand"), "left")
+          .withColumn("rev",
+            coalesce(col("rev"), lit(0).cast("decimal(18,2)")))
+        val ranked = grid.withColumn("rk",
+          row_number().over(Window.partitionBy(col("rg"))
+            .orderBy(col("rev").desc, col("brand"))))
+        val sums = ranked.groupBy(col("brand"))
+          .agg(sum(col("rk")).cast("long").as("rsum"))
+        val dims = ranked.agg(countDistinct(col("rg")).as("m"),
+          countDistinct(col("brand")).as("nb"))
+        sums.crossJoin(broadcast(dims))
+          .withColumn("dev2", (lit(2L) * col("rsum") -
+            col("m") * (col("nb") + 1)) *
+            (lit(2L) * col("rsum") - col("m") * (col("nb") + 1)))
+          .groupBy(col("m"), col("nb"))
+          .agg(sum(col("dev2")).as("s4"))
+          .select(col("nb").as("n_brands"), col("m").as("m_raters"),
+            round(col("s4").cast("double") * lit(3.0) /
+              (col("m").cast("double") * col("m").cast("double") *
+               (col("nb").cast("double") * col("nb").cast("double") *
+                col("nb").cast("double") - col("nb").cast("double"))), 6)
+              .as("w"),
+            round(col("m").cast("double") *
+              (col("nb").cast("double") - lit(1.0)) *
+              (col("s4").cast("double") * lit(3.0) /
+               (col("m").cast("double") * col("m").cast("double") *
+                (col("nb").cast("double") * col("nb").cast("double") *
+                 col("nb").cast("double") - col("nb").cast("double")))), 6)
+              .as("chi2"))
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT n_regionkey AS rg, p_brand AS brand,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        grid AS (
+          SELECT r.rg, b.brand,
+                 COALESCE(rev.rev, CAST(0 AS DECIMAL(18,2))) AS rev
+          FROM (SELECT DISTINCT n_regionkey AS rg FROM nation) r
+          CROSS JOIN (SELECT DISTINCT p_brand AS brand FROM part) b
+          LEFT JOIN rev ON rev.rg = r.rg AND rev.brand = b.brand),
+        ranked AS (
+          SELECT rg, brand,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY rg
+                   ORDER BY rev DESC, brand) AS BIGINT) AS rk
+          FROM grid),
+        sums AS (
+          SELECT brand, CAST(SUM(rk) AS BIGINT) AS rsum
+          FROM ranked GROUP BY 1),
+        dims AS (
+          SELECT CAST(COUNT(DISTINCT rg) AS BIGINT) AS m,
+                 CAST(COUNT(DISTINCT brand) AS BIGINT) AS nb
+          FROM ranked),
+        dv AS (
+          SELECT dims.m, dims.nb,
+                 CAST(SUM((2 * rsum - dims.m * (dims.nb + 1))
+                   * (2 * rsum - dims.m * (dims.nb + 1))) AS BIGINT) AS s4
+          FROM sums CROSS JOIN dims
+          GROUP BY 1, 2)
+        SELECT nb AS n_brands, m AS m_raters,
+               ROUND(CAST(s4 AS DOUBLE) * CAST(3 AS DOUBLE)
+                 / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                    * (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                       * CAST(nb AS DOUBLE) - CAST(nb AS DOUBLE))), 6) AS w,
+               ROUND(CAST(m AS DOUBLE) * (CAST(nb AS DOUBLE)
+                   - CAST(1 AS DOUBLE))
+                 * (CAST(s4 AS DOUBLE) * CAST(3 AS DOUBLE)
+                    / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                       * (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                          * CAST(nb AS DOUBLE) - CAST(nb AS DOUBLE)))), 6)
+                 AS chi2
+        FROM dv""")),
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
