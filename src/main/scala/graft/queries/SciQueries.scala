@@ -6706,6 +6706,375 @@ object SciQueries {
                  AS chi2
         FROM dv""")),
 
+    // Single-changepoint location by binary segmentation: the split k
+    // minimizing SSE_left + SSE_right, every candidate's SSE in closed
+    // form from EXACT DECIMAL prefix sums (the range-partitioned running
+    // sum — no O(n²) residual scan, no raw-row window), argmin by struct
+    // with the earliest-day tiebreak, and the F-like variance-ratio
+    // statistic. q7q's CUSUM detects THAT the level shifted; this
+    // LOCATES the best single break and sizes it.
+    "qc9_changepoint_binseg" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("ym"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val pre = graft.operators.ScaleOps.globalRunningSum(
+            ranked.withColumn("yy",
+              round(col("ym") * col("ym"), 6).cast("decimal(28,6)")),
+            Seq(col("rn")), col("ym"), "cy")
+        val pre2 = graft.operators.ScaleOps.globalRunningSum(pre,
+            Seq(col("rn")), col("yy"), "cyy")
+          .localCheckpoint(eager = false)
+        val tot = pre2.agg(max(col("rn")).as("n"),
+          max(col("cy")).as("ty"), max(col("cyy")).as("tyy"))
+        val cand = pre2.crossJoin(broadcast(tot))
+          .filter(col("rn") >= 7 && col("rn") <= col("n") - 7)
+          .withColumn("kd", col("rn").cast("double"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("sseL",
+            col("cyy").cast("double") -
+              col("cy").cast("double") * col("cy").cast("double") /
+              col("kd"))
+          .withColumn("sseR",
+            (col("tyy") - col("cyy")).cast("double") -
+              (col("ty") - col("cy")).cast("double") *
+              (col("ty") - col("cy")).cast("double") /
+              (col("nd") - col("kd")))
+          .withColumn("sse", round(col("sseL") + col("sseR"), 9))
+        val best = cand.agg(
+          min(struct(col("sse").as("s"), col("rn").as("k"),
+            col("day").as("d"))).as("w"),
+          first(col("n")).as("n"),
+          first(round(col("tyy").cast("double") -
+            col("ty").cast("double") * col("ty").cast("double") /
+            col("nd"), 9)).as("sst"))
+        best.select(col("n"),
+          col("w.k").as("split_rn"), col("w.d").as("split_day"),
+          round(col("w.s"), 6).as("sse_split"),
+          round(col("sst"), 6).as("sse_total"),
+          round((col("sst") - col("w.s")) /
+            (col("w.s") / (col("n") - 2).cast("double")), 6).as("f_stat"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(14,8)) AS ym
+          FROM orders GROUP BY 1),
+        ranked AS (
+          SELECT day, ym, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                 CAST(ROUND(CAST(ym AS DECIMAL(19,8))
+                   * CAST(ym AS DECIMAL(19,8)), 6) AS DECIMAL(28,6)) AS yy
+          FROM daily),
+        pre AS (
+          SELECT day, rn,
+                 SUM(ym) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS cy,
+                 SUM(yy) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS cyy
+          FROM ranked),
+        tot AS (
+          SELECT CAST(MAX(rn) AS BIGINT) AS n, MAX(cy) AS ty,
+                 MAX(cyy) AS tyy
+          FROM pre),
+        cand AS (
+          SELECT pre.day, pre.rn, tot.n,
+                 CAST(pre.rn AS DOUBLE) AS kd, CAST(tot.n AS DOUBLE) AS nd,
+                 CAST(pre.cy AS DOUBLE) AS cyd,
+                 CAST(pre.cyy AS DOUBLE) AS cyyd,
+                 CAST(tot.ty AS DOUBLE) AS tyd,
+                 CAST(tot.tyy AS DOUBLE) AS tyyd,
+                 CAST(tot.ty - pre.cy AS DOUBLE) AS ryd,
+                 CAST(tot.tyy - pre.cyy AS DOUBLE) AS ryyd
+          FROM pre CROSS JOIN tot
+          WHERE pre.rn >= 7 AND pre.rn <= tot.n - 7),
+        sse AS (
+          SELECT day, rn, n, nd, tyd, tyyd,
+                 ROUND((cyyd - cyd * cyd / kd)
+                   + (ryyd - ryd * ryd / (nd - kd)), 9) AS sse
+          FROM cand),
+        best AS (
+          SELECT MIN({'s': sse, 'k': rn, 'd': day}) AS w,
+                 MAX(n) AS n,
+                 ROUND(MAX(tyyd) - MAX(tyd) * MAX(tyd) / MAX(nd), 9)
+                   AS sst
+          FROM sse)
+        SELECT n, w['k'] AS split_rn, w['d'] AS split_day,
+               ROUND(w['s'], 6) AS sse_split,
+               ROUND(sst, 6) AS sse_total,
+               ROUND((sst - w['s']) / (w['s'] / CAST(n - 2 AS DOUBLE)), 6)
+                 AS f_stat
+        FROM best""")),
+
+    // Periodogram of daily revenue at candidate periods 7/14/30/91/365:
+    // spectral power (Σy·cos)² + (Σy·sin)² with phases reduced mod the
+    // period BEFORE the trig call (t mod P keeps arguments in [0, 2π),
+    // where sin/cos parity is qa6-proven; large-argument reduction is
+    // libm-divergent) and every trig term 9-snapped through DECIMAL so
+    // last-ulp noise never reaches the sum. Dominant period by struct
+    // argmax. The frequency-domain twin of q7p's day-of-week profile.
+    "qca_periodogram" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("ym"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val mu = ranked.agg(count(lit(1)).as("n"), sum(col("ym")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val periods = s.createDataFrame(Seq(Tuple1(7L), Tuple1(14L),
+          Tuple1(30L), Tuple1(91L), Tuple1(365L))).toDF("p")
+        val terms = ranked.crossJoin(broadcast(periods))
+          .crossJoin(broadcast(mu))
+          .withColumn("ang", lit(2.0 * math.Pi) *
+            pmod(col("rn"), col("p")).cast("double") /
+            col("p").cast("double"))
+          .withColumn("yc", col("ym").cast("double") - col("mu"))
+          .groupBy(col("p"))
+          .agg(first(col("n")).as("n"),
+            sum(round(col("yc") * cos(col("ang")), 9)
+              .cast("decimal(28,9)")).as("ct"),
+            sum(round(col("yc") * sin(col("ang")), 9)
+              .cast("decimal(28,9)")).as("st"))
+          .withColumn("power", round(
+            (col("ct").cast("double") * col("ct").cast("double") +
+             col("st").cast("double") * col("st").cast("double")) *
+            lit(2.0) / col("n").cast("double"), 9))
+        val dom = terms.agg(
+          max(struct(col("power").as("pw"), (-col("p")).as("np"))).as("w"))
+          .select((-col("w.np")).as("dominant_period"))
+        terms.crossJoin(broadcast(dom))
+          .select(col("p").as("period"), col("n").as("n_days"),
+            round(col("ct").cast("double"), 6).as("cos_sum"),
+            round(col("st").cast("double"), 6).as("sin_sum"),
+            round(col("power"), 6).as("power"),
+            col("dominant_period"))
+          .orderBy(col("period"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(14,8)) AS ym
+          FROM orders GROUP BY 1),
+        ranked AS (
+          SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        mu AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS mu
+          FROM ranked),
+        periods AS (SELECT CAST(unnest([7, 14, 30, 91, 365]) AS BIGINT)
+                      AS p),
+        terms AS (
+          SELECT p, MAX(mu.n) AS n,
+                 SUM(CAST(ROUND((CAST(ym AS DOUBLE) - mu.mu)
+                   * COS(CAST(2 AS DOUBLE) * pi()
+                     * CAST(rn % p AS DOUBLE) / CAST(p AS DOUBLE)), 9)
+                   AS DECIMAL(28,9))) AS ct,
+                 SUM(CAST(ROUND((CAST(ym AS DOUBLE) - mu.mu)
+                   * SIN(CAST(2 AS DOUBLE) * pi()
+                     * CAST(rn % p AS DOUBLE) / CAST(p AS DOUBLE)), 9)
+                   AS DECIMAL(28,9))) AS st
+          FROM ranked CROSS JOIN periods CROSS JOIN mu
+          GROUP BY 1),
+        pw AS (
+          SELECT p, n, ct, st,
+                 ROUND((CAST(ct AS DOUBLE) * CAST(ct AS DOUBLE)
+                   + CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                   * CAST(2 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS power
+          FROM terms),
+        dom AS (
+          SELECT -(MAX({'pw': power, 'np': -p})['np']) AS dominant_period
+          FROM pw)
+        SELECT p AS period, n AS n_days,
+               ROUND(CAST(ct AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS cos_sum,
+               ROUND(CAST(st AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sin_sum,
+               ROUND(power, 6) AS power,
+               dom.dominant_period
+        FROM pw CROSS JOIN dom
+        ORDER BY period""")),
+
+    // James-Stein shrinkage of the 25 nation mean order values toward
+    // the grand mean: B = 1 − (k−3)·σ̄²/Σ(m_i−m̄)² with the positive-part
+    // rule, σ̄² the average squared standard error — the estimator that
+    // dominates the raw means whenever k ≥ 4, and the simplest empirical
+    // Bayes result worth shipping next to q7y's target encoding.
+    "qcb_james_stein" -> Q(
+      fn = (s, dir) => {
+        val g = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nation"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(14,8)")).as("sy"),
+            sum(round((col("o_totalprice").cast("decimal(18,2)") /
+              lit(1000000)).cast("decimal(14,8)") *
+              (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+                .cast("decimal(14,8)"), 6).cast("decimal(28,6)")).as("syy"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("m", round(col("sy").cast("double") / col("nd"), 9))
+          .withColumn("se2", round(
+            ((col("syy").cast("double") - col("nd") * col("m") * col("m")) /
+              (col("nd") - lit(1.0))) / col("nd"), 12))
+          .localCheckpoint(eager = false)
+        val gm = g.agg(count(lit(1)).as("k"),
+            sum(col("m").cast("decimal(28,9)")).as("sm"),
+            sum(col("se2").cast("decimal(28,12)")).as("sse2"))
+          .withColumn("kd", col("k").cast("double"))
+          .withColumn("mbar", round(col("sm").cast("double") / col("kd"), 9))
+          .withColumn("s2bar",
+            round(col("sse2").cast("double") / col("kd"), 12))
+        val dev = g.crossJoin(broadcast(gm.select(col("mbar"))))
+          .agg(sum(round((col("m") - col("mbar")) * (col("m") - col("mbar")),
+            12).cast("decimal(28,12)")).as("ssd"))
+        val shrink = gm.crossJoin(broadcast(dev))
+          .withColumn("b", round(greatest(lit(0.0),
+            lit(1.0) - (col("kd") - lit(3.0)) * col("s2bar") /
+              col("ssd").cast("double")), 9))
+          .select(col("mbar"), col("b"), col("k"))
+        g.crossJoin(broadcast(shrink))
+          .select(col("nation"), col("n"),
+            round(col("m"), 6).as("raw_mean"),
+            round(col("mbar") + col("b") * (col("m") - col("mbar")), 6)
+              .as("js_mean"),
+            round(col("b"), 6).as("shrink_factor"))
+          .orderBy(col("nation"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT c_nationkey AS nation,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(14,8)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        g AS (
+          SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS DOUBLE) AS nd,
+                 ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS m,
+                 SUM(CAST(ROUND(CAST(y AS DECIMAL(19,8))
+                   * CAST(y AS DECIMAL(19,8)), 6) AS DECIMAL(28,6))) AS syy
+          FROM o GROUP BY 1),
+        g2 AS MATERIALIZED (
+          SELECT nation, n, m,
+                 ROUND(((CAST(syy AS DOUBLE) - nd * m * m)
+                   / (nd - CAST(1 AS DOUBLE))) / nd, 12) AS se2
+          FROM g),
+        gm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(COUNT(*) AS DOUBLE) AS kd,
+                 ROUND(CAST(SUM(CAST(m AS DECIMAL(28,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS mbar,
+                 ROUND(CAST(SUM(CAST(se2 AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 12) AS s2bar
+          FROM g2),
+        dev AS (
+          SELECT CAST(SUM(CAST(ROUND((g2.m - gm.mbar) * (g2.m - gm.mbar),
+                   12) AS DECIMAL(28,12))) AS DOUBLE) AS ssd
+          FROM g2 CROSS JOIN gm),
+        sh AS (
+          SELECT gm.mbar,
+                 ROUND(GREATEST(CAST(0 AS DOUBLE),
+                   CAST(1 AS DOUBLE) - (gm.kd - CAST(3 AS DOUBLE))
+                     * gm.s2bar / dev.ssd), 9) AS b
+          FROM gm CROSS JOIN dev)
+        SELECT g2.nation, g2.n,
+               ROUND(g2.m, 6) AS raw_mean,
+               ROUND(sh.mbar + sh.b * (g2.m - sh.mbar), 6) AS js_mean,
+               ROUND(sh.b, 6) AS shrink_factor
+        FROM g2 CROSS JOIN sh ORDER BY g2.nation""")),
+
+    // Peaks-over-threshold GPD fit of daily revenue exceedances: the
+    // 90th-percentile threshold is the exact ⌈0.9n⌉-th order statistic
+    // (global row number, pinned definition), exceedances stay EXACT
+    // DECIMALS, and the generalized-Pareto fit comes from method of
+    // moments — ξ̂ = ½(1 − m²/s²), σ̂ = m(1−ξ̂) = ½m(m²/s² + 1). The
+    // POT complement of qb8's block-maxima Gumbel.
+    "qcc_gpd_pot" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("ym"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("ym"), col("day")), "rn").localCheckpoint(eager = false)
+        val n = ranked.agg(count(lit(1)).as("n"))
+        val thr = ranked.crossJoin(broadcast(n))
+          .filter(col("rn") === ceil(col("n") * lit(0.9)).cast("long"))
+          .select(col("ym").as("u"))
+        val exc = ranked.crossJoin(broadcast(thr))
+          .filter(col("ym") > col("u"))
+          .select((col("ym") - col("u")).as("e"), col("u"))
+        val mom = exc.agg(count(lit(1)).as("ne"), first(col("u")).as("u"),
+            sum(col("e")).as("se"),
+            sum(round(col("e") * col("e"), 6).cast("decimal(28,6)"))
+              .as("see"))
+          .withColumn("ned", col("ne").cast("double"))
+          .withColumn("m", round(col("se").cast("double") / col("ned"), 9))
+          .withColumn("s2", round(
+            (col("see").cast("double") - col("ned") * col("m") * col("m")) /
+            (col("ned") - lit(1.0)), 12))
+        mom
+          .withColumn("r", col("m") * col("m") / col("s2"))
+          .select(col("ne").as("n_exceedances"),
+            round(col("u").cast("double"), 6).as("threshold"),
+            round(col("m"), 6).as("mean_excess"),
+            round(lit(0.5) * (lit(1.0) - col("r")), 6).as("gpd_xi"),
+            round(lit(0.5) * col("m") * (col("r") + lit(1.0)), 6)
+              .as("gpd_sigma"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(14,8)) AS ym
+          FROM orders GROUP BY 1),
+        ranked AS (
+          SELECT ym, ROW_NUMBER() OVER (ORDER BY ym, day) AS rn,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n
+          FROM daily),
+        thr AS (
+          SELECT ym AS u FROM ranked
+          WHERE rn = CAST(CEIL(CAST(n AS DOUBLE) * CAST(0.9 AS DOUBLE))
+                     AS BIGINT)),
+        exc AS (
+          SELECT ranked.ym - thr.u AS e, thr.u
+          FROM ranked CROSS JOIN thr
+          WHERE ranked.ym > thr.u),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+                 CAST(COUNT(*) AS DOUBLE) AS ned,
+                 MAX(u) AS u, SUM(e) AS se,
+                 SUM(CAST(ROUND(CAST(e AS DECIMAL(19,8))
+                   * CAST(e AS DECIMAL(19,8)), 6) AS DECIMAL(28,6)))
+                   AS see
+          FROM exc),
+        f AS (
+          SELECT ne, u,
+                 ROUND(CAST(se AS DOUBLE) / ned, 9) AS m,
+                 ned, see
+          FROM mom),
+        f2 AS (
+          SELECT *, ROUND((CAST(see AS DOUBLE) - ned * m * m)
+                   / (ned - CAST(1 AS DOUBLE)), 12) AS s2
+          FROM f),
+        f3 AS (SELECT *, m * m / s2 AS r FROM f2)
+        SELECT ne AS n_exceedances,
+               ROUND(CAST(u AS DOUBLE), 6) AS threshold,
+               ROUND(m, 6) AS mean_excess,
+               ROUND(CAST(0.5 AS DOUBLE) * (CAST(1 AS DOUBLE) - r), 6)
+                 + CAST(0 AS DOUBLE) AS gpd_xi,
+               ROUND(CAST(0.5 AS DOUBLE) * m * (r + CAST(1 AS DOUBLE)), 6)
+                 AS gpd_sigma
+        FROM f3""")),
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
