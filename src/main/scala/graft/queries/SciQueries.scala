@@ -7075,6 +7075,302 @@ object SciQueries {
                  AS gpd_sigma
         FROM f3""")),
 
+    // Cosinor (harmonic) regression: daily revenue on the annual
+    // cos/sin pair — the 3×3 Cramer solve over 9-snapped trig-product
+    // moments (qca's mod-the-period phase discipline), annual amplitude
+    // √(b²+c²), and R² from the algebraic SSE identity
+    // SSE = Σy² − θᵀXᵀy (exact at the LS solution — no residual pass).
+    // Fits WHAT qca's periodogram only scores.
+    "qcd_cosinor_regression" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("ym"))
+        val terms = daily
+          .withColumn("ang", lit(2.0 * math.Pi) *
+            pmod(col("day"), lit(365L)).cast("double") / lit(365.0))
+          .select(col("ym").cast("double").as("y"),
+            round(cos(col("ang")), 9).as("cc"),
+            round(sin(col("ang")), 9).as("ss"))
+        val mom = terms.agg(count(lit(1)).as("n"),
+          sum(round(col("cc"), 9).cast("decimal(28,9)")).as("s1"),
+          sum(round(col("ss"), 9).cast("decimal(28,9)")).as("s2"),
+          sum(round(col("cc") * col("cc"), 9).cast("decimal(28,9)"))
+            .as("s11"),
+          sum(round(col("ss") * col("ss"), 9).cast("decimal(28,9)"))
+            .as("s22"),
+          sum(round(col("cc") * col("ss"), 9).cast("decimal(28,9)"))
+            .as("s12"),
+          sum(round(col("y"), 9).cast("decimal(28,9)")).as("t0"),
+          sum(round(col("y") * col("cc"), 9).cast("decimal(28,9)"))
+            .as("t1"),
+          sum(round(col("y") * col("ss"), 9).cast("decimal(28,9)"))
+            .as("t2"),
+          sum(round(col("y") * col("y"), 6).cast("decimal(28,6)"))
+            .as("tyy"))
+        val d = mom.select(col("n"),
+          col("n").cast("double").as("s0"),
+          col("s1").cast("double").as("s1"), col("s2").cast("double").as("s2"),
+          col("s11").cast("double").as("s11"),
+          col("s22").cast("double").as("s22"),
+          col("s12").cast("double").as("s12"),
+          col("t0").cast("double").as("t0"), col("t1").cast("double").as("t1"),
+          col("t2").cast("double").as("t2"),
+          col("tyy").cast("double").as("tyy"))
+        d.withColumn("det",
+            col("s0") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+            col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+            col("s2") * (col("s1") * col("s12") - col("s11") * col("s2")))
+          .withColumn("a", round((
+            col("t0") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+            col("s1") * (col("t1") * col("s22") - col("t2") * col("s12")) +
+            col("s2") * (col("t1") * col("s12") - col("t2") * col("s11"))) /
+            col("det"), 9))
+          .withColumn("b", round((
+            col("s0") * (col("t1") * col("s22") - col("t2") * col("s12")) -
+            col("t0") * (col("s1") * col("s22") - col("s2") * col("s12")) +
+            col("s2") * (col("s1") * col("t2") - col("s2") * col("t1"))) /
+            col("det"), 9))
+          .withColumn("c", round((
+            col("s0") * (col("s11") * col("t2") - col("s12") * col("t1")) -
+            col("s1") * (col("s1") * col("t2") - col("s12") * col("t0")) +
+            col("t0") * (col("s1") * col("s12") - col("s11") * col("s2"))) /
+            col("det"), 9))
+          .withColumn("sse", round(col("tyy") - col("a") * col("t0") -
+            col("b") * col("t1") - col("c") * col("t2"), 9))
+          .withColumn("sst", round(col("tyy") -
+            col("t0") * col("t0") / col("s0"), 9))
+          .select(col("n").as("n_days"),
+            round(col("a"), 6).as("mesor"),
+            round(col("b"), 6).as("cos_coef"),
+            round(col("c"), 6).as("sin_coef"),
+            round(sqrt(col("b") * col("b") + col("c") * col("c")), 6)
+              .as("amplitude"),
+            round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(14,8)) AS ym
+          FROM orders GROUP BY 1),
+        terms AS (
+          SELECT CAST(ym AS DOUBLE) AS y,
+                 ROUND(COS(CAST(2 AS DOUBLE) * pi()
+                   * CAST(day % 365 AS DOUBLE) / CAST(365 AS DOUBLE)), 9)
+                   AS cc,
+                 ROUND(SIN(CAST(2 AS DOUBLE) * pi()
+                   * CAST(day % 365 AS DOUBLE) / CAST(365 AS DOUBLE)), 9)
+                   AS ss
+          FROM daily),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(cc, 9) AS DECIMAL(28,9))) AS s1,
+                 SUM(CAST(ROUND(ss, 9) AS DECIMAL(28,9))) AS s2,
+                 SUM(CAST(ROUND(cc * cc, 9) AS DECIMAL(28,9))) AS s11,
+                 SUM(CAST(ROUND(ss * ss, 9) AS DECIMAL(28,9))) AS s22,
+                 SUM(CAST(ROUND(cc * ss, 9) AS DECIMAL(28,9))) AS s12,
+                 SUM(CAST(ROUND(y, 9) AS DECIMAL(28,9))) AS t0,
+                 SUM(CAST(ROUND(y * cc, 9) AS DECIMAL(28,9))) AS t1,
+                 SUM(CAST(ROUND(y * ss, 9) AS DECIMAL(28,9))) AS t2,
+                 SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS tyy
+          FROM terms),
+        d AS (
+          SELECT n, CAST(n AS DOUBLE) AS s0,
+                 CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+                 CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22,
+                 CAST(s12 AS DOUBLE) AS s12,
+                 CAST(t0 AS DOUBLE) AS t0, CAST(t1 AS DOUBLE) AS t1,
+                 CAST(t2 AS DOUBLE) AS t2, CAST(tyy AS DOUBLE) AS tyy
+          FROM mom),
+        dt AS (
+          SELECT *, s0 * (s11 * s22 - s12 * s12)
+                   - s1 * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s12 - s11 * s2) AS det
+          FROM d),
+        cf AS (
+          SELECT *,
+            ROUND((t0 * (s11 * s22 - s12 * s12) - s1 * (t1 * s22 - t2 * s12)
+              + s2 * (t1 * s12 - t2 * s11)) / det, 9) AS a,
+            ROUND((s0 * (t1 * s22 - t2 * s12) - t0 * (s1 * s22 - s2 * s12)
+              + s2 * (s1 * t2 - s2 * t1)) / det, 9) AS b,
+            ROUND((s0 * (s11 * t2 - s12 * t1) - s1 * (s1 * t2 - s12 * t0)
+              + t0 * (s1 * s12 - s11 * s2)) / det, 9) AS c
+          FROM dt),
+        fin AS (
+          SELECT *, ROUND(tyy - a * t0 - b * t1 - c * t2, 9) AS sse,
+                 ROUND(tyy - t0 * t0 / s0, 9) AS sst
+          FROM cf)
+        SELECT n AS n_days,
+               ROUND(a, 6) AS mesor,
+               ROUND(b, 6) + CAST(0 AS DOUBLE) AS cos_coef,
+               ROUND(c, 6) + CAST(0 AS DOUBLE) AS sin_coef,
+               ROUND(SQRT(b * b + c * c), 6) AS amplitude,
+               ROUND(CAST(1 AS DOUBLE) - sse / sst, 6) AS r2
+        FROM fin""")),
+
+    // Circular statistics of the order day-of-week: mean resultant
+    // length R̄ from the 7-cell count profile (θ takes 7 values — the
+    // trig runs over the bounded profile, one cos/sin per cell),
+    // circular variance 1 − R̄, and the Rayleigh uniformity statistic
+    // z = nR̄² — "is ordering uniform over the week?" asked the
+    // direction-aware way (q7p's day-of-week profile can't distinguish
+    // concentration from its phase).
+    "qce_circular_dow" -> Q(
+      fn = (s, dir) => {
+        val cells = t(s, dir, "orders")
+          .groupBy(pmod(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000"), lit(7L)).as("dow"))
+          .agg(count(lit(1)).as("nd"))
+          .withColumn("ang", lit(2.0 * math.Pi) *
+            col("dow").cast("double") / lit(7.0))
+        val agg1 = cells.agg(sum(col("nd")).as("n"),
+          sum(round(col("nd").cast("double") * cos(col("ang")), 9)
+            .cast("decimal(28,9)")).as("cs"),
+          sum(round(col("nd").cast("double") * sin(col("ang")), 9)
+            .cast("decimal(28,9)")).as("sn"))
+        agg1
+          .withColumn("rbar", round(sqrt(
+            col("cs").cast("double") * col("cs").cast("double") +
+            col("sn").cast("double") * col("sn").cast("double")) /
+            col("n").cast("double"), 9))
+          .select(col("n").as("n_orders"),
+            round(col("cs").cast("double"), 6).as("cos_sum"),
+            round(col("sn").cast("double"), 6).as("sin_sum"),
+            round(col("rbar"), 6).as("mean_resultant"),
+            round(lit(1.0) - col("rbar"), 6).as("circular_variance"),
+            round(col("n").cast("double") * col("rbar") * col("rbar"), 6)
+              .as("rayleigh_z"))
+      },
+      oracle = Some("""
+        WITH cells AS (
+          SELECT CAST((epoch_ms(o_orderdate) // 86400000) % 7 AS BIGINT)
+                   AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS nd
+          FROM orders GROUP BY 1),
+        agg1 AS (
+          SELECT CAST(SUM(nd) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(CAST(nd AS DOUBLE)
+                   * COS(CAST(2 AS DOUBLE) * pi() * CAST(dow AS DOUBLE)
+                     / CAST(7 AS DOUBLE)), 9) AS DECIMAL(28,9))) AS cs,
+                 SUM(CAST(ROUND(CAST(nd AS DOUBLE)
+                   * SIN(CAST(2 AS DOUBLE) * pi() * CAST(dow AS DOUBLE)
+                     / CAST(7 AS DOUBLE)), 9) AS DECIMAL(28,9))) AS sn
+          FROM cells),
+        f AS (
+          SELECT n,
+                 CAST(cs AS DOUBLE) AS csd, CAST(sn AS DOUBLE) AS snd,
+                 ROUND(SQRT(CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                   + CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+                   / CAST(n AS DOUBLE), 9) AS rbar
+          FROM agg1)
+        SELECT n AS n_orders,
+               ROUND(csd, 6) + CAST(0 AS DOUBLE) AS cos_sum,
+               ROUND(snd, 6) + CAST(0 AS DOUBLE) AS sin_sum,
+               ROUND(rbar, 6) AS mean_resultant,
+               ROUND(CAST(1 AS DOUBLE) - rbar, 6) AS circular_variance,
+               ROUND(CAST(n AS DOUBLE) * rbar * rbar, 6) AS rayleigh_z
+        FROM f""")),
+
+    // Hutcheson's t-test for Shannon diversity: brand-mix entropy of
+    // region 0 vs region 1 lineitems, each with its estimator variance
+    // (Σp·ln²p − H²)/N and the Welch-style df — the significance test
+    // behind "is this region's assortment more diverse", which a point
+    // estimate of H (q91's corpus diversity) cannot answer.
+    "qcf_diversity_ttest" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_regionkey") <= 1)
+          .select(col("n_regionkey").as("rg"), col("p_brand").as("brand"))
+        val cnt = li.groupBy(col("rg"), col("brand"))
+          .agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy(col("rg")).agg(sum(col("c")).as("nt"))
+        val ent = cnt.join(tot, Seq("rg"))
+          .withColumn("p", col("c").cast("double") /
+            col("nt").cast("double"))
+          .withColumn("lp", log(col("p")))
+          .groupBy(col("rg"))
+          .agg(first(col("nt")).as("nt"),
+            sum(round(-col("p") * col("lp"), 12).cast("decimal(28,12)"))
+              .as("h"),
+            sum(round(col("p") * col("lp") * col("lp"), 12)
+              .cast("decimal(28,12)")).as("hl2"))
+          .withColumn("hd", round(col("h").cast("double"), 9))
+          .withColumn("vh", round(
+            (col("hl2").cast("double") - col("hd") * col("hd")) /
+            col("nt").cast("double"), 12))
+        def side(r: Int, c: String) = max(when(col("rg") === r, col(c)))
+        ent.agg(
+            side(0, "nt").as("n0"), side(1, "nt").as("n1"),
+            side(0, "hd").as("h0"), side(1, "hd").as("h1"),
+            side(0, "vh").as("v0"), side(1, "vh").as("v1"))
+          .withColumn("se", sqrt(col("v0") + col("v1")))
+          .select(col("n0"), col("n1"),
+            round(col("h0"), 6).as("h_region0"),
+            round(col("h1"), 6).as("h_region1"),
+            round((col("h0") - col("h1")) / col("se"), 6).as("t_stat"),
+            round((col("v0") + col("v1")) * (col("v0") + col("v1")) /
+              (col("v0") * col("v0") / col("n0").cast("double") +
+               col("v1") * col("v1") / col("n1").cast("double")), 2)
+              .as("welch_df"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT n_regionkey AS rg, p_brand AS brand
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_regionkey <= 1),
+        cnt AS (
+          SELECT rg, brand, CAST(COUNT(*) AS BIGINT) AS c
+          FROM li GROUP BY 1, 2),
+        tot AS (SELECT rg, CAST(SUM(c) AS BIGINT) AS nt
+                FROM cnt GROUP BY 1),
+        ent AS (
+          SELECT cnt.rg, MAX(tot.nt) AS nt,
+                 SUM(CAST(ROUND(-(CAST(c AS DOUBLE)
+                     / CAST(tot.nt AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(tot.nt AS DOUBLE)), 12)
+                   AS DECIMAL(28,12))) AS h,
+                 SUM(CAST(ROUND((CAST(c AS DOUBLE)
+                     / CAST(tot.nt AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(tot.nt AS DOUBLE)), 12)
+                   AS DECIMAL(28,12))) AS hl2
+          FROM cnt JOIN tot ON cnt.rg = tot.rg
+          GROUP BY 1),
+        ev AS (
+          SELECT rg, nt, ROUND(CAST(h AS DOUBLE), 9) AS hd,
+                 ROUND((CAST(hl2 AS DOUBLE)
+                   - ROUND(CAST(h AS DOUBLE), 9)
+                     * ROUND(CAST(h AS DOUBLE), 9))
+                   / CAST(nt AS DOUBLE), 12) AS vh
+          FROM ent),
+        w AS (
+          SELECT MAX(CASE WHEN rg = 0 THEN nt END) AS n0,
+                 MAX(CASE WHEN rg = 1 THEN nt END) AS n1,
+                 MAX(CASE WHEN rg = 0 THEN hd END) AS h0,
+                 MAX(CASE WHEN rg = 1 THEN hd END) AS h1,
+                 MAX(CASE WHEN rg = 0 THEN vh END) AS v0,
+                 MAX(CASE WHEN rg = 1 THEN vh END) AS v1
+          FROM ev)
+        SELECT n0, n1,
+               ROUND(h0, 6) AS h_region0,
+               ROUND(h1, 6) AS h_region1,
+               ROUND((h0 - h1) / SQRT(v0 + v1), 6) + CAST(0 AS DOUBLE)
+                 AS t_stat,
+               ROUND((v0 + v1) * (v0 + v1)
+                 / (v0 * v0 / CAST(n0 AS DOUBLE)
+                    + v1 * v1 / CAST(n1 AS DOUBLE)), 2) AS welch_df
+        FROM w""")),
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
