@@ -7371,6 +7371,239 @@ object SciQueries {
                     + v1 * v1 / CAST(n1 AS DOUBLE)), 2) AS welch_df
         FROM w""")),
 
+    // Two-sample Cramér-von Mises: region-0 vs region-1 order values,
+    // T = nm/N² · Σ over the POOLED sample of (F₁−F₂)² — integrates the
+    // whole ECDF gap where q6u's KS takes only its supremum, so it sees
+    // distributed shape differences KS misses. Cumulative counts off the
+    // range-partitioned running sum over the distinct-value profile;
+    // each distinct value contributes its multiplicity times the exact
+    // squared gap on the 12-grid.
+    "qcg_cramer_von_mises" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_regionkey") <= 1)
+          .select(col("n_regionkey").as("rg"),
+            col("o_totalprice").cast("decimal(18,2)").as("y"))
+        val prof = o.groupBy(col("y"))
+          .agg(sum(when(col("rg") === 0, 1L).otherwise(0L)).as("c1"),
+            sum(when(col("rg") === 1, 1L).otherwise(0L)).as("c2"))
+        val cum = graft.operators.ScaleOps.globalRunningSum(
+            graft.operators.ScaleOps.globalRunningSum(prof,
+              Seq(col("y")), col("c1"), "k1"),
+            Seq(col("y")), col("c2"), "k2")
+        val tot = prof.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        val stat = cum.crossJoin(broadcast(tot))
+          .withColumn("gap",
+            round(col("k1").cast("double") / col("n1").cast("double") -
+              col("k2").cast("double") / col("n2").cast("double"), 9))
+          .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+            sum(round((col("c1") + col("c2")).cast("double") *
+              col("gap") * col("gap"), 12).cast("decimal(28,12)"))
+              .as("sg"))
+        stat.select(col("n1"), col("n2"),
+          round(col("n1").cast("double") * col("n2").cast("double") /
+            ((col("n1") + col("n2")).cast("double") *
+             (col("n1") + col("n2")).cast("double")) *
+            col("sg").cast("double"), 6).as("cvm_t"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT n_regionkey AS rg, CAST(o_totalprice AS DECIMAL(18,2)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_regionkey <= 1),
+        prof AS (
+          SELECT y,
+                 CAST(SUM(CASE WHEN rg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+                 CAST(SUM(CASE WHEN rg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+          FROM o GROUP BY 1),
+        cum AS (
+          SELECT y, c1, c2,
+                 CAST(SUM(c1) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS k1,
+                 CAST(SUM(c2) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS k2
+          FROM prof),
+        tot AS (
+          SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2
+          FROM prof),
+        stat AS (
+          SELECT tot.n1, tot.n2,
+                 SUM(CAST(ROUND(CAST(c1 + c2 AS DOUBLE)
+                   * ROUND(CAST(k1 AS DOUBLE) / CAST(tot.n1 AS DOUBLE)
+                       - CAST(k2 AS DOUBLE) / CAST(tot.n2 AS DOUBLE), 9)
+                   * ROUND(CAST(k1 AS DOUBLE) / CAST(tot.n1 AS DOUBLE)
+                       - CAST(k2 AS DOUBLE) / CAST(tot.n2 AS DOUBLE), 9),
+                   12) AS DECIMAL(28,12))) AS sg
+          FROM cum CROSS JOIN tot
+          GROUP BY 1, 2)
+        SELECT n1, n2,
+               ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
+                 * CAST(sg AS DOUBLE), 6) AS cvm_t
+        FROM stat""")),
+
+    // Wilcoxon signed-rank on PAIRED region-0/region-1 monthly revenue:
+    // exact decimal differences, average ranks of |d| over the bounded
+    // month table (the qa4 tie idiom), W⁺ and the tie-corrected normal
+    // approximation — the paired-sample slot between q7o's unpaired
+    // Mann-Whitney and q7n's parametric t.
+    "qch_wilcoxon_signed_rank" -> Q(
+      fn = (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_regionkey") <= 1)
+          .groupBy(col("n_regionkey").as("rg"),
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000 div 30").as("mo"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("v"))
+        val pair = rev.filter(col("rg") === 0)
+          .select(col("mo"), col("v").as("x"))
+          .join(rev.filter(col("rg") === 1)
+            .select(col("mo"), col("v").as("yv")), Seq("mo"))
+          .withColumn("d", col("yv") - col("x"))
+          .filter(col("d") =!= lit(0).cast("decimal(15,8)"))
+          .withColumn("ad", abs(col("d")))
+        val wr = Window.orderBy(col("ad"))
+        val wt = Window.partitionBy(col("ad"))
+        val ranked = pair
+          .withColumn("rk", rank().over(wr).cast("double") +
+            (count(lit(1)).over(wt).cast("double") - lit(1.0)) / lit(2.0))
+        val ties = pair.groupBy(col("ad")).agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+            lit(0L)).as("tc"))
+        val agg1 = ranked.agg(count(lit(1)).as("n"),
+          sum(when(col("d") > 0, round(col("rk"), 6)).otherwise(lit(0.0))
+            .cast("decimal(28,6)")).as("wplus"))
+        agg1.crossJoin(broadcast(ties))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("mu", col("nd") * (col("nd") + lit(1.0)) / lit(4.0))
+          .withColumn("v",
+            col("nd") * (col("nd") + lit(1.0)) *
+              (lit(2.0) * col("nd") + lit(1.0)) / lit(24.0) -
+            col("tc").cast("double") / lit(48.0))
+          .select(col("n").as("n_pairs"),
+            round(col("wplus").cast("double"), 6).as("w_plus"),
+            round(col("mu"), 6).as("expected"),
+            round((col("wplus").cast("double") - col("mu")) /
+              sqrt(col("v")), 6).as("z"))
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT n_regionkey AS rg,
+                 CAST(epoch_ms(o_orderdate) // 86400000 // 30 AS BIGINT)
+                   AS mo,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(14,8)) AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_regionkey <= 1
+          GROUP BY 1, 2),
+        pair AS MATERIALIZED (
+          SELECT a.mo, b.v - a.v AS d, ABS(b.v - a.v) AS ad
+          FROM rev a JOIN rev b ON a.mo = b.mo AND a.rg = 0 AND b.rg = 1
+          WHERE b.v - a.v <> 0),
+        ranked AS (
+          SELECT d,
+                 CAST(RANK() OVER (ORDER BY ad) AS DOUBLE)
+                   + (CAST(COUNT(*) OVER (PARTITION BY ad) AS DOUBLE)
+                      - CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE) AS rk
+          FROM pair),
+        ties AS (
+          SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tc
+          FROM (SELECT ad, CAST(COUNT(*) AS BIGINT) AS t
+                FROM pair GROUP BY 1)),
+        agg1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(CASE WHEN d > 0 THEN ROUND(rk, 6)
+                          ELSE CAST(0 AS DOUBLE) END AS DECIMAL(28,6)))
+                   AS wplus
+          FROM ranked),
+        f AS (
+          SELECT n, CAST(n AS DOUBLE) AS nd,
+                 CAST(wplus AS DOUBLE) AS wp, ties.tc
+          FROM agg1 CROSS JOIN ties),
+        f2 AS (
+          SELECT *,
+                 nd * (nd + CAST(1 AS DOUBLE)) / CAST(4 AS DOUBLE) AS mu,
+                 nd * (nd + CAST(1 AS DOUBLE))
+                   * (CAST(2 AS DOUBLE) * nd + CAST(1 AS DOUBLE))
+                   / CAST(24 AS DOUBLE)
+                   - CAST(tc AS DOUBLE) / CAST(48 AS DOUBLE) AS v
+          FROM f)
+        SELECT n AS n_pairs,
+               ROUND(wp, 6) AS w_plus,
+               ROUND(mu, 6) AS expected,
+               ROUND((wp - mu) / SQRT(v), 6) + CAST(0 AS DOUBLE) AS z
+        FROM f2""")),
+
+    // Turning-point test for serial randomness of the daily series:
+    // count strict local extrema via the qbc triple joins, z against
+    // E[T] = 2(n−2)/3, Var = (16n−29)/90 — the randomness check that
+    // complements qb4's runs test (runs see level persistence, turning
+    // points see local oscillation).
+    "qci_turning_points" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("yk"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val t0 = ranked.select(col("rn"), col("yk").as("y0"))
+        val t1 = ranked.select((col("rn") - 1).as("rn"), col("yk").as("y1"))
+        val t2 = ranked.select((col("rn") - 2).as("rn"), col("yk").as("y2"))
+        val tp = t0.join(t1, Seq("rn")).join(t2, Seq("rn"))
+          .agg(sum(when(
+            (col("y1") > col("y0") && col("y1") > col("y2")) ||
+            (col("y1") < col("y0") && col("y1") < col("y2")), 1L)
+            .otherwise(0L)).as("tp"))
+        val n = ranked.agg(count(lit(1)).as("n"))
+        tp.crossJoin(broadcast(n))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("e", lit(2.0) * (col("nd") - lit(2.0)) / lit(3.0))
+          .withColumn("v",
+            (lit(16.0) * col("nd") - lit(29.0)) / lit(90.0))
+          .select(col("n"), col("tp").as("turning_points"),
+            round(col("e"), 6).as("expected"),
+            round((col("tp").cast("double") - col("e")) / sqrt(col("v")), 6)
+              .as("z"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS yk
+          FROM orders GROUP BY 1),
+        r AS (SELECT yk, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        tp AS (
+          SELECT CAST(SUM(CASE WHEN (b.yk > a.yk AND b.yk > c.yk)
+                                 OR (b.yk < a.yk AND b.yk < c.yk)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS tp
+          FROM r a JOIN r b ON b.rn = a.rn + 1 JOIN r c ON c.rn = a.rn + 2),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+        f AS (
+          SELECT tp.tp, nn.n, CAST(nn.n AS DOUBLE) AS nd
+          FROM tp CROSS JOIN nn),
+        f2 AS (
+          SELECT *,
+                 CAST(2 AS DOUBLE) * (nd - CAST(2 AS DOUBLE))
+                   / CAST(3 AS DOUBLE) AS e,
+                 (CAST(16 AS DOUBLE) * nd - CAST(29 AS DOUBLE))
+                   / CAST(90 AS DOUBLE) AS v
+          FROM f)
+        SELECT n, tp AS turning_points,
+               ROUND(e, 6) AS expected,
+               ROUND((CAST(tp AS DOUBLE) - e) / SQRT(v), 6)
+                 + CAST(0 AS DOUBLE) AS z
+        FROM f2""")),
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
