@@ -7604,6 +7604,366 @@ object SciQueries {
                  + CAST(0 AS DOUBLE) AS z
         FROM f2""")),
 
+    // Partial autocorrelations at lags 1..5 by the Durbin-Levinson
+    // recursion, unrolled over qb3's EXACT lag ACFs — every φ level
+    // 9-snapped, staged CTEs in the oracle (rule 9: lateral aliases
+    // inline). PACF is THE AR-order selector: qb9 fits AR(2) on faith,
+    // this shows where the partial correlations actually cut off.
+    "qcj_pacf_durbin_levinson" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000)).cast("decimal(18,5)").as("yk"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val stats = ranked.agg(count(lit(1)).as("n"), sum(col("yk")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val centered = ranked.crossJoin(broadcast(stats))
+          .select(col("rn"), (col("yk").cast("double") - col("mu")).as("c"),
+            col("n"))
+          .localCheckpoint(eager = false)
+        val denom = centered.agg(
+          sum(round(col("c") * col("c"), 6).cast("decimal(28,6)")).as("d0"),
+          first(col("n")).as("n"))
+        val lags = (1 to 5).map { k =>
+          centered.select(col("rn"), col("c").as("ca"))
+            .join(centered.select((col("rn") - k).as("rn"),
+              col("c").as("cb")), Seq("rn"))
+            .agg(sum(round(col("ca") * col("cb"), 6).cast("decimal(28,6)"))
+              .as("num"))
+            .select(lit(k).as("lag"), col("num"))
+        }.reduce(_ unionByName _)
+        def rk(k: Int) = max(when(col("lag") === k,
+          round(col("num").cast("double") / col("d0").cast("double"), 9)))
+        val rs = lags.crossJoin(broadcast(denom))
+          .agg(first(col("n")).as("n"), rk(1).as("r1"), rk(2).as("r2"),
+            rk(3).as("r3"), rk(4).as("r4"), rk(5).as("r5"))
+        rs
+          .withColumn("p11", col("r1"))
+          .withColumn("p22", round((col("r2") - col("p11") * col("r1")) /
+            (lit(1.0) - col("p11") * col("r1")), 9))
+          .withColumn("p21", round(col("p11") - col("p22") * col("p11"), 9))
+          .withColumn("p33", round(
+            (col("r3") - (col("p21") * col("r2") + col("p22") * col("r1"))) /
+            (lit(1.0) - (col("p21") * col("r1") + col("p22") * col("r2"))),
+            9))
+          .withColumn("p31", round(col("p21") - col("p33") * col("p22"), 9))
+          .withColumn("p32", round(col("p22") - col("p33") * col("p21"), 9))
+          .withColumn("p44", round(
+            (col("r4") - (col("p31") * col("r3") + col("p32") * col("r2") +
+              col("p33") * col("r1"))) /
+            (lit(1.0) - (col("p31") * col("r1") + col("p32") * col("r2") +
+              col("p33") * col("r3"))), 9))
+          .withColumn("p41", round(col("p31") - col("p44") * col("p33"), 9))
+          .withColumn("p42", round(col("p32") - col("p44") * col("p32"), 9))
+          .withColumn("p43", round(col("p33") - col("p44") * col("p31"), 9))
+          .withColumn("p55", round(
+            (col("r5") - (col("p41") * col("r4") + col("p42") * col("r3") +
+              col("p43") * col("r2") + col("p44") * col("r1"))) /
+            (lit(1.0) - (col("p41") * col("r1") + col("p42") * col("r2") +
+              col("p43") * col("r3") + col("p44") * col("r4"))), 9))
+          .select(col("n"),
+            round(col("p11"), 6).as("pacf1"),
+            round(col("p22"), 6).as("pacf2"),
+            round(col("p33"), 6).as("pacf3"),
+            round(col("p44"), 6).as("pacf4"),
+            round(col("p55"), 6).as("pacf5"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000
+                   AS DECIMAL(18,5)) AS yk
+          FROM orders GROUP BY 1),
+        r AS (SELECT yk, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(yk) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS mu
+          FROM r),
+        c AS (SELECT rn, CAST(yk AS DOUBLE) - st.mu AS c, st.n
+              FROM r CROSS JOIN st),
+        d0 AS (SELECT SUM(CAST(ROUND(c * c, 6) AS DECIMAL(28,6))) AS d0,
+                      MAX(n) AS n
+               FROM c),
+        lagt AS (SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS lag),
+        nums AS (
+          SELECT l.lag,
+                 SUM(CAST(ROUND(a.c * b.c, 6) AS DECIMAL(28,6))) AS num
+          FROM lagt l
+          JOIN c a ON TRUE
+          JOIN c b ON b.rn = a.rn + l.lag
+          GROUP BY 1),
+        rs AS (
+          SELECT MAX(d0.n) AS n,
+            MAX(CASE WHEN lag = 1 THEN ROUND(CAST(num AS DOUBLE)
+              / CAST(d0.d0 AS DOUBLE), 9) END) AS r1,
+            MAX(CASE WHEN lag = 2 THEN ROUND(CAST(num AS DOUBLE)
+              / CAST(d0.d0 AS DOUBLE), 9) END) AS r2,
+            MAX(CASE WHEN lag = 3 THEN ROUND(CAST(num AS DOUBLE)
+              / CAST(d0.d0 AS DOUBLE), 9) END) AS r3,
+            MAX(CASE WHEN lag = 4 THEN ROUND(CAST(num AS DOUBLE)
+              / CAST(d0.d0 AS DOUBLE), 9) END) AS r4,
+            MAX(CASE WHEN lag = 5 THEN ROUND(CAST(num AS DOUBLE)
+              / CAST(d0.d0 AS DOUBLE), 9) END) AS r5
+          FROM nums CROSS JOIN d0),
+        l1 AS (SELECT *, r1 AS p11 FROM rs),
+        l2 AS (
+          SELECT *, ROUND((r2 - p11 * r1)
+                   / (CAST(1 AS DOUBLE) - p11 * r1), 9) AS p22
+          FROM l1),
+        l2b AS (SELECT *, ROUND(p11 - p22 * p11, 9) AS p21 FROM l2),
+        l3 AS (
+          SELECT *, ROUND((r3 - (p21 * r2 + p22 * r1))
+                   / (CAST(1 AS DOUBLE) - (p21 * r1 + p22 * r2)), 9) AS p33
+          FROM l2b),
+        l3b AS (
+          SELECT *, ROUND(p21 - p33 * p22, 9) AS p31,
+                 ROUND(p22 - p33 * p21, 9) AS p32
+          FROM l3),
+        l4 AS (
+          SELECT *, ROUND((r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+                   / (CAST(1 AS DOUBLE)
+                      - (p31 * r1 + p32 * r2 + p33 * r3)), 9) AS p44
+          FROM l3b),
+        l4b AS (
+          SELECT *, ROUND(p31 - p44 * p33, 9) AS p41,
+                 ROUND(p32 - p44 * p32, 9) AS p42,
+                 ROUND(p33 - p44 * p31, 9) AS p43
+          FROM l4),
+        l5 AS (
+          SELECT *, ROUND((r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1))
+                   / (CAST(1 AS DOUBLE)
+                      - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4)), 9)
+                   AS p55
+          FROM l4b)
+        SELECT n,
+               ROUND(p11, 6) + CAST(0 AS DOUBLE) AS pacf1,
+               ROUND(p22, 6) + CAST(0 AS DOUBLE) AS pacf2,
+               ROUND(p33, 6) + CAST(0 AS DOUBLE) AS pacf3,
+               ROUND(p44, 6) + CAST(0 AS DOUBLE) AS pacf4,
+               ROUND(p55, 6) + CAST(0 AS DOUBLE) AS pacf5
+        FROM l5""")),
+
+    // Hodges-Lehmann estimator of the paired region revenue shift: the
+    // exact median of all Walsh averages (dᵢ+dⱼ)/2 over the bounded
+    // month panel — the robust location estimate dual to qch's
+    // signed-rank test (HL is what the test actually localizes). Walsh
+    // SUMS stay exact DECIMALS; the median halves at the very end in
+    // doubles.
+    "qck_hodges_lehmann" -> Q(
+      fn = (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_regionkey") <= 1)
+          .groupBy(col("n_regionkey").as("rg"),
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000 div 30").as("mo"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("v"))
+        val d = rev.filter(col("rg") === 0).select(col("mo"), col("v").as("x"))
+          .join(rev.filter(col("rg") === 1)
+            .select(col("mo"), col("v").as("yv")), Seq("mo"))
+          .select(col("mo"), (col("yv") - col("x")).as("d"))
+          .localCheckpoint(eager = false)
+        val walsh = d.select(col("mo").as("ma"), col("d").as("da"))
+          .join(d.select(col("mo").as("mb"), col("d").as("db")),
+            col("ma") <= col("mb"))
+          .select((col("da") + col("db")).as("s2"), col("ma"), col("mb"))
+        val ranked = walsh
+          .withColumn("rw", row_number().over(
+            Window.orderBy(col("s2"), col("ma"), col("mb"))))
+        val cnt = walsh.agg(count(lit(1)).as("nw"))
+        val med = ranked.crossJoin(broadcast(cnt))
+          .filter(col("rw") === ((col("nw") + 1) / lit(2)).cast("long") ||
+            col("rw") === (col("nw") / lit(2) + 1).cast("long"))
+          .agg(sum(col("s2")).as("ssel"), count(lit(1)).as("npick"),
+            first(col("nw")).as("nw"))
+        val mean = d.agg(count(lit(1)).as("nm"), sum(col("d")).as("sd"))
+        med.crossJoin(broadcast(mean))
+          .select(col("nm").as("n_months"), col("nw").as("n_walsh"),
+            round(col("ssel").cast("double") /
+              (lit(2.0) * col("npick").cast("double")), 6)
+              .as("hodges_lehmann"),
+            round(col("sd").cast("double") / col("nm").cast("double"), 6)
+              .as("mean_diff"))
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT n_regionkey AS rg,
+                 CAST(epoch_ms(o_orderdate) // 86400000 // 30 AS BIGINT)
+                   AS mo,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(14,8)) AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_regionkey <= 1
+          GROUP BY 1, 2),
+        d AS MATERIALIZED (
+          SELECT a.mo, b.v - a.v AS d
+          FROM rev a JOIN rev b ON a.mo = b.mo AND a.rg = 0 AND b.rg = 1),
+        walsh AS MATERIALIZED (
+          SELECT a.d + b.d AS s2, a.mo AS ma, b.mo AS mb
+          FROM d a JOIN d b ON a.mo <= b.mo),
+        ranked AS (
+          SELECT s2, CAST(ROW_NUMBER() OVER (ORDER BY s2, ma, mb)
+                   AS BIGINT) AS rw
+          FROM walsh),
+        cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nw FROM walsh),
+        med AS (
+          SELECT SUM(s2) AS ssel, CAST(COUNT(*) AS BIGINT) AS npick,
+                 MAX(cnt.nw) AS nw
+          FROM ranked CROSS JOIN cnt
+          WHERE rw = (cnt.nw + 1) // 2 OR rw = cnt.nw // 2 + 1),
+        mn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm, SUM(d) AS sd FROM d)
+        SELECT mn.nm AS n_months, med.nw AS n_walsh,
+               ROUND(CAST(med.ssel AS DOUBLE)
+                 / (CAST(2 AS DOUBLE) * CAST(med.npick AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS hodges_lehmann,
+               ROUND(CAST(mn.sd AS DOUBLE) / CAST(mn.nm AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS mean_diff
+        FROM med CROSS JOIN mn""")),
+
+    // Moran's I spatial autocorrelation of ln customer spend over the
+    // qbj geo panel with binary 400 km contiguity weights (the same
+    // cell-bucketed radius join — never all-pairs on the Spark side;
+    // the naive oracle doubles as the candidate-loss proof): I, its
+    // randomization expectation −1/(n−1), and the normal-approximation
+    // z from the closed-form S₀/S₁/S₂ variance. The spatial family's
+    // missing inferential piece next to qa5/qa6/qbj.
+    "qcl_morans_i" -> Q(
+      fn = (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 1500)
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey").as("pid"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("lat"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lon"),
+            round(log(col("sp").cast("double")), 9).as("a"))
+          .filter(abs(col("lat")) <= lit(70.0))
+          .localCheckpoint(eager = false)
+        val mu = pts.agg(count(lit(1)).as("n"),
+            sum(col("a").cast("decimal(28,9)")).as("sa"))
+          .select(col("n"),
+            round(col("sa").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val aa = pts.select(col("pid").as("a_id"), col("lat").as("a_lat"),
+          col("lon").as("a_lon"), col("a").as("va"))
+        val bb = pts.select(col("pid").as("b_id"), col("lat").as("b_lat"),
+          col("lon").as("b_lon"), col("a").as("vb"))
+        val pairs = Geo.radiusJoinCells(aa, "a_lat", "a_lon",
+            bb, "b_lat", "b_lon", 400.0, 5.0, 1, 3)
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), col("va"), col("vb"))
+          .localCheckpoint(eager = false)
+        val num = pairs.crossJoin(broadcast(mu))
+          .agg(count(lit(1)).as("p"),
+            sum(round((col("va") - col("mu")) * (col("vb") - col("mu")), 12)
+              .cast("decimal(28,12)")).as("cross"))
+        val den = pts.crossJoin(broadcast(mu))
+          .agg(sum(round((col("a") - col("mu")) * (col("a") - col("mu")), 12)
+            .cast("decimal(28,12)")).as("ss"))
+        val degs = pairs.select(col("a_id").as("id"))
+          .union(pairs.select(col("b_id")))
+          .groupBy("id").agg(count(lit(1)).as("dg"))
+          .agg(coalesce(sum(col("dg") * col("dg")), lit(0L)).as("sdeg2"))
+        num.crossJoin(broadcast(den)).crossJoin(broadcast(degs))
+          .crossJoin(broadcast(mu.select(col("n"))))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("s0", lit(2.0) * col("p").cast("double"))
+          .withColumn("s1", lit(4.0) * col("p").cast("double"))
+          .withColumn("s2v", lit(4.0) * col("sdeg2").cast("double"))
+          .withColumn("i", round(
+            (col("nd") / col("s0")) *
+            (lit(2.0) * col("cross").cast("double") /
+              col("ss").cast("double")), 9))
+          .withColumn("ei", -lit(1.0) / (col("nd") - lit(1.0)))
+          .withColumn("vi",
+            (col("nd") * col("nd") * col("s1") - col("nd") * col("s2v") +
+              lit(3.0) * col("s0") * col("s0")) /
+            ((col("nd") * col("nd") - lit(1.0)) * col("s0") * col("s0")) -
+            col("ei") * col("ei"))
+          .select(col("n").as("n_points"), col("p").as("n_edges"),
+            round(col("i"), 6).as("morans_i"),
+            round(col("ei"), 6).as("expected_i"),
+            round((col("i") - col("ei")) / sqrt(col("vi")), 6).as("z"))
+      },
+      oracle = Some(s"""
+        WITH spend AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+          FROM orders GROUP BY 1),
+        pts AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT c_custkey AS id,
+                   ${coordSql("c_custkey", "lat", 180000L, 90)} AS lat,
+                   ${coordSql("c_custkey", "lon", 360000L, 180)} AS lon,
+                   ROUND(ln(CAST(sp AS DOUBLE)), 9) AS a
+            FROM customer JOIN spend ON c_custkey = o_custkey
+            WHERE c_custkey <= 1500)
+          WHERE ABS(lat) <= CAST(70 AS DOUBLE)),
+        mu AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(CAST(a AS DECIMAL(28,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS mu
+          FROM pts),
+        pairs AS MATERIALIZED (
+          SELECT a.id AS a_id, b.id AS b_id, a.a AS va, b.a AS vb
+          FROM pts a JOIN pts b ON a.id < b.id
+          WHERE ROUND(CAST(12742 AS DOUBLE) * ASIN(SQRT(
+                  SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                  + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE)))), 6)
+                <= CAST(400 AS DOUBLE)),
+        num AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS p,
+                 SUM(CAST(ROUND((va - mu.mu) * (vb - mu.mu), 12)
+                   AS DECIMAL(28,12))) AS crs
+          FROM pairs CROSS JOIN mu),
+        den AS (
+          SELECT SUM(CAST(ROUND((a - mu.mu) * (a - mu.mu), 12)
+                   AS DECIMAL(28,12))) AS ss
+          FROM pts CROSS JOIN mu),
+        degs AS (
+          SELECT CAST(COALESCE(SUM(dg * dg), 0) AS BIGINT) AS sdeg2
+          FROM (SELECT id, CAST(COUNT(*) AS BIGINT) AS dg
+                FROM (SELECT a_id AS id FROM pairs
+                      UNION ALL SELECT b_id FROM pairs)
+                GROUP BY 1)),
+        f AS (
+          SELECT mu.n, num.p, CAST(mu.n AS DOUBLE) AS nd,
+                 CAST(2 AS DOUBLE) * CAST(num.p AS DOUBLE) AS s0,
+                 CAST(4 AS DOUBLE) * CAST(num.p AS DOUBLE) AS s1,
+                 CAST(4 AS DOUBLE) * CAST(degs.sdeg2 AS DOUBLE) AS s2v,
+                 CAST(num.crs AS DOUBLE) AS crsd,
+                 CAST(den.ss AS DOUBLE) AS ssd
+          FROM num CROSS JOIN den CROSS JOIN degs CROSS JOIN mu),
+        f2 AS (
+          SELECT *, ROUND((nd / s0) * (CAST(2 AS DOUBLE) * crsd / ssd), 9)
+                   AS i,
+                 -CAST(1 AS DOUBLE) / (nd - CAST(1 AS DOUBLE)) AS ei
+          FROM f),
+        f3 AS (
+          SELECT *, (nd * nd * s1 - nd * s2v
+                   + CAST(3 AS DOUBLE) * s0 * s0)
+                   / ((nd * nd - CAST(1 AS DOUBLE)) * s0 * s0)
+                   - ei * ei AS vi
+          FROM f2)
+        SELECT n AS n_points, p AS n_edges,
+               ROUND(i, 6) + CAST(0 AS DOUBLE) AS morans_i,
+               ROUND(ei, 6) AS expected_i,
+               ROUND((i - ei) / SQRT(vi), 6) + CAST(0 AS DOUBLE) AS z
+        FROM f3""")),
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
