@@ -7964,6 +7964,207 @@ object SciQueries {
                ROUND((i - ei) / SQRT(vi), 6) + CAST(0 AS DOUBLE) AS z
         FROM f3""")),
 
+    // Geary's C over the same contiguity graph: the squared-DIFFERENCE
+    // complement of qcl's cross-product Moran (C is sensitive to local
+    // gradients where I measures global clustering; E[C] = 1, C < 1 =
+    // positive autocorrelation). Differences of exact 9-grid values
+    // square on the 12-grid; one pair pass + one point pass.
+    "qcm_gearys_c" -> Q(
+      fn = (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 1500)
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey").as("pid"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("lat"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lon"),
+            round(log(col("sp").cast("double")), 9).as("a"))
+          .filter(abs(col("lat")) <= lit(70.0))
+          .localCheckpoint(eager = false)
+        val mu = pts.agg(count(lit(1)).as("n"),
+            sum(col("a").cast("decimal(28,9)")).as("sa"))
+          .select(col("n"),
+            round(col("sa").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val aa = pts.select(col("pid").as("a_id"), col("lat").as("a_lat"),
+          col("lon").as("a_lon"), col("a").as("va"))
+        val bb = pts.select(col("pid").as("b_id"), col("lat").as("b_lat"),
+          col("lon").as("b_lon"), col("a").as("vb"))
+        val pairs = Geo.radiusJoinCells(aa, "a_lat", "a_lon",
+            bb, "b_lat", "b_lon", 400.0, 5.0, 1, 3)
+          .filter(col("a_id") < col("b_id"))
+          .agg(count(lit(1)).as("p"),
+            sum(round((col("va") - col("vb")) * (col("va") - col("vb")), 12)
+              .cast("decimal(28,12)")).as("sqd"))
+        val den = pts.crossJoin(broadcast(mu))
+          .agg(first(col("n")).as("n"),
+            sum(round((col("a") - col("mu")) * (col("a") - col("mu")), 12)
+              .cast("decimal(28,12)")).as("ss"))
+        pairs.crossJoin(broadcast(den))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("s0", lit(2.0) * col("p").cast("double"))
+          .withColumn("c", round(
+            ((col("nd") - lit(1.0)) / (lit(2.0) * col("s0"))) *
+            (lit(2.0) * col("sqd").cast("double") /
+              col("ss").cast("double")), 9))
+          .select(col("n").as("n_points"), col("p").as("n_edges"),
+            round(col("c"), 6).as("gearys_c"),
+            round(col("c") - lit(1.0), 6).as("c_minus_1"))
+      },
+      oracle = Some(s"""
+        WITH spend AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+          FROM orders GROUP BY 1),
+        pts AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT c_custkey AS id,
+                   ${coordSql("c_custkey", "lat", 180000L, 90)} AS lat,
+                   ${coordSql("c_custkey", "lon", 360000L, 180)} AS lon,
+                   ROUND(ln(CAST(sp AS DOUBLE)), 9) AS a
+            FROM customer JOIN spend ON c_custkey = o_custkey
+            WHERE c_custkey <= 1500)
+          WHERE ABS(lat) <= CAST(70 AS DOUBLE)),
+        mu AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(CAST(a AS DECIMAL(28,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS mu
+          FROM pts),
+        pairs AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS p,
+                 SUM(CAST(ROUND((a.a - b.a) * (a.a - b.a), 12)
+                   AS DECIMAL(28,12))) AS sqd
+          FROM pts a JOIN pts b ON a.id < b.id
+          WHERE ROUND(CAST(12742 AS DOUBLE) * ASIN(SQRT(
+                  SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                  + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE)))), 6)
+                <= CAST(400 AS DOUBLE)),
+        den AS (
+          SELECT MAX(mu.n) AS n,
+                 SUM(CAST(ROUND((a - mu.mu) * (a - mu.mu), 12)
+                   AS DECIMAL(28,12))) AS ss
+          FROM pts CROSS JOIN mu),
+        f AS (
+          SELECT den.n, pairs.p, CAST(den.n AS DOUBLE) AS nd,
+                 CAST(2 AS DOUBLE) * CAST(pairs.p AS DOUBLE) AS s0,
+                 CAST(pairs.sqd AS DOUBLE) AS sqdd,
+                 CAST(den.ss AS DOUBLE) AS ssd
+          FROM pairs CROSS JOIN den),
+        f2 AS (
+          SELECT *, ROUND(((nd - CAST(1 AS DOUBLE))
+                   / (CAST(2 AS DOUBLE) * s0))
+                   * (CAST(2 AS DOUBLE) * sqdd / ssd), 9) AS c
+          FROM f)
+        SELECT n AS n_points, p AS n_edges,
+               ROUND(c, 6) AS gearys_c,
+               ROUND(c - CAST(1 AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS c_minus_1
+        FROM f2""")),
+
+    // Getis-Ord General G of raw customer spend on the same graph:
+    // G = Σ_w x_i x_j / Σ_{i≠j} x_i x_j — high-value CLUSTERING
+    // specifically (Moran can't tell hot spots from cold spots; G > E[G]
+    // = S0/(n(n−1)) means high values neighbor high values). The
+    // denominator needs no pair join at all: Σ_{i≠j} x_i x_j =
+    // (Σx)² − Σx², exact algebra over spends in millions.
+    "qcn_getis_ord_g" -> Q(
+      fn = (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("sp"))
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 1500)
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey").as("pid"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("lat"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lon"),
+            col("sp"))
+          .filter(abs(col("lat")) <= lit(70.0))
+          .localCheckpoint(eager = false)
+        val aa = pts.select(col("pid").as("a_id"), col("lat").as("a_lat"),
+          col("lon").as("a_lon"), col("sp").as("xa"))
+        val bb = pts.select(col("pid").as("b_id"), col("lat").as("b_lat"),
+          col("lon").as("b_lon"), col("sp").as("xb"))
+        val num = Geo.radiusJoinCells(aa, "a_lat", "a_lon",
+            bb, "b_lat", "b_lon", 400.0, 5.0, 1, 3)
+          .filter(col("a_id") < col("b_id"))
+          .agg(count(lit(1)).as("p"),
+            sum(round(col("xa") * col("xb"), 6).cast("decimal(28,6)"))
+              .as("wxx"))
+        val tot = pts.agg(count(lit(1)).as("n"), sum(col("sp")).as("sx"),
+          sum(round(col("sp") * col("sp"), 6).cast("decimal(28,6)"))
+            .as("sxx"))
+        num.crossJoin(broadcast(tot))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("allxx",
+            col("sx").cast("double") * col("sx").cast("double") -
+            col("sxx").cast("double"))
+          .withColumn("g", round(
+            lit(2.0) * col("wxx").cast("double") / col("allxx"), 9))
+          .withColumn("eg",
+            lit(2.0) * col("p").cast("double") /
+            (col("nd") * (col("nd") - lit(1.0))))
+          .select(col("n").as("n_points"), col("p").as("n_edges"),
+            round(col("g"), 6).as("general_g"),
+            round(col("eg"), 6).as("expected_g"),
+            round(col("g") / col("eg"), 6).as("g_ratio"))
+      },
+      oracle = Some(s"""
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(14,8)) AS sp
+          FROM orders GROUP BY 1),
+        pts AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT c_custkey AS id,
+                   ${coordSql("c_custkey", "lat", 180000L, 90)} AS lat,
+                   ${coordSql("c_custkey", "lon", 360000L, 180)} AS lon,
+                   sp
+            FROM customer JOIN spend ON c_custkey = o_custkey
+            WHERE c_custkey <= 1500)
+          WHERE ABS(lat) <= CAST(70 AS DOUBLE)),
+        num AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS p,
+                 SUM(CAST(ROUND(CAST(a.sp AS DECIMAL(19,8))
+                   * CAST(b.sp AS DECIMAL(19,8)), 6) AS DECIMAL(28,6)))
+                   AS wxx
+          FROM pts a JOIN pts b ON a.id < b.id
+          WHERE ROUND(CAST(12742 AS DOUBLE) * ASIN(SQRT(
+                  SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                  + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE)))), 6)
+                <= CAST(400 AS DOUBLE)),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(sp) AS sx,
+                 SUM(CAST(ROUND(CAST(sp AS DECIMAL(19,8))
+                   * CAST(sp AS DECIMAL(19,8)), 6) AS DECIMAL(28,6)))
+                   AS sxx
+          FROM pts),
+        f AS (
+          SELECT tot.n, num.p, CAST(tot.n AS DOUBLE) AS nd,
+                 CAST(tot.sx AS DOUBLE) * CAST(tot.sx AS DOUBLE)
+                   - CAST(tot.sxx AS DOUBLE) AS allxx,
+                 CAST(num.wxx AS DOUBLE) AS wxxd
+          FROM num CROSS JOIN tot),
+        f2 AS (
+          SELECT *, ROUND(CAST(2 AS DOUBLE) * wxxd / allxx, 9) AS g,
+                 CAST(2 AS DOUBLE) * CAST(p AS DOUBLE)
+                   / (nd * (nd - CAST(1 AS DOUBLE))) AS eg
+          FROM f)
+        SELECT n AS n_points, p AS n_edges,
+               ROUND(g, 6) AS general_g,
+               ROUND(eg, 6) AS expected_g,
+               ROUND(g / eg, 6) AS g_ratio
+        FROM f2""")),
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
