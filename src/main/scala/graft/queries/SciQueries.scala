@@ -8165,6 +8165,131 @@ object SciQueries {
                ROUND(g / eg, 6) AS g_ratio
         FROM f2""")),
 
+    // Local Getis-Ord G*ᵢ hot spots: per-point star sums (self + 400 km
+    // neighbors) standardized by the closed-form permutation moments —
+    // z_i = (S_i − W_i·x̄) / (s·√((n·W_i − W_i²)/(n−1))) — top 20 by z
+    // with total tiebreak, flagged at 2.58. The LOCAL indicator qcn's
+    // single global G cannot give: WHERE the high-spend clusters are.
+    "qco_local_gstar_hotspots" -> Q(
+      fn = (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(14,8)").as("sp"))
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 1500)
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey").as("pid"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("lat"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lon"),
+            col("sp"))
+          .filter(abs(col("lat")) <= lit(70.0))
+          .localCheckpoint(eager = false)
+        val aa = pts.select(col("pid").as("a_id"), col("lat").as("a_lat"),
+          col("lon").as("a_lon"), col("sp").as("xa"))
+        val bb = pts.select(col("pid").as("b_id"), col("lat").as("b_lat"),
+          col("lon").as("b_lon"), col("sp").as("xb"))
+        val pairs = Geo.radiusJoinCells(aa, "a_lat", "a_lon",
+            bb, "b_lat", "b_lon", 400.0, 5.0, 1, 3)
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), col("xa"), col("xb"))
+          .localCheckpoint(eager = false)
+        val nbr = pairs.select(col("a_id").as("pid"), col("xb").as("xn"))
+          .union(pairs.select(col("b_id").as("pid"), col("xa").as("xn")))
+          .groupBy("pid")
+          .agg(count(lit(1)).as("k"), sum(col("xn")).as("nsum"))
+        val mom = pts.agg(count(lit(1)).as("n"), sum(col("sp")).as("sx"),
+            sum(round(col("sp") * col("sp"), 6).cast("decimal(28,6)"))
+              .as("sxx"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("xbar", round(col("sx").cast("double") / col("nd"), 9))
+          .withColumn("sdev", round(sqrt(
+            (col("sxx").cast("double") -
+              col("nd") * col("xbar") * col("xbar")) /
+            (col("nd") - lit(1.0))), 9))
+          .select(col("n"), col("nd"), col("xbar"), col("sdev"))
+        pts.join(nbr, Seq("pid"), "left")
+          .crossJoin(broadcast(mom))
+          .withColumn("wi", (coalesce(col("k"), lit(0L)) + 1).cast("double"))
+          .withColumn("si",
+            (coalesce(col("nsum"), lit(0).cast("decimal(24,8)")) +
+              col("sp")).cast("double"))
+          .withColumn("z", round(
+            (col("si") - col("wi") * col("xbar")) /
+            (col("sdev") * sqrt(
+              (col("nd") * col("wi") - col("wi") * col("wi")) /
+              (col("nd") - lit(1.0)))), 9))
+          .orderBy(col("z").desc, col("pid"))
+          .limit(20)
+          .select(col("pid"), coalesce(col("k"), lit(0L)).as("n_neighbors"),
+            round(col("si"), 6).as("star_sum"),
+            round(col("z"), 6).as("gstar_z"),
+            when(col("z") > lit(2.58), 1).otherwise(0).as("hot"))
+      },
+      oracle = Some(s"""
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(14,8)) AS sp
+          FROM orders GROUP BY 1),
+        pts AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT c_custkey AS id,
+                   ${coordSql("c_custkey", "lat", 180000L, 90)} AS lat,
+                   ${coordSql("c_custkey", "lon", 360000L, 180)} AS lon,
+                   sp
+            FROM customer JOIN spend ON c_custkey = o_custkey
+            WHERE c_custkey <= 1500)
+          WHERE ABS(lat) <= CAST(70 AS DOUBLE)),
+        pairs AS MATERIALIZED (
+          SELECT a.id AS a_id, b.id AS b_id, a.sp AS xa, b.sp AS xb
+          FROM pts a JOIN pts b ON a.id < b.id
+          WHERE ROUND(CAST(12742 AS DOUBLE) * ASIN(SQRT(
+                  SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                  + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE)))), 6)
+                <= CAST(400 AS DOUBLE)),
+        nbr AS (
+          SELECT pid, CAST(COUNT(*) AS BIGINT) AS k, SUM(xn) AS nsum
+          FROM (SELECT a_id AS pid, xb AS xn FROM pairs
+                UNION ALL SELECT b_id, xa FROM pairs)
+          GROUP BY 1),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS DOUBLE) AS nd,
+                 ROUND(CAST(SUM(sp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS xbar,
+                 SUM(CAST(ROUND(CAST(sp AS DECIMAL(19,8))
+                   * CAST(sp AS DECIMAL(19,8)), 6) AS DECIMAL(28,6)))
+                   AS sxx
+          FROM pts),
+        m2 AS (
+          SELECT n, nd, xbar,
+                 ROUND(SQRT((CAST(sxx AS DOUBLE) - nd * xbar * xbar)
+                   / (nd - CAST(1 AS DOUBLE))), 9) AS sdev
+          FROM mom),
+        zt AS (
+          SELECT pts.id,
+                 COALESCE(nbr.k, 0) AS k,
+                 CAST(COALESCE(nbr.k, 0) + 1 AS DOUBLE) AS wi,
+                 CAST(COALESCE(nbr.nsum, CAST(0 AS DECIMAL(24,8))) + pts.sp
+                   AS DOUBLE) AS si,
+                 m2.nd, m2.xbar, m2.sdev
+          FROM pts LEFT JOIN nbr ON pts.id = nbr.pid CROSS JOIN m2),
+        z2 AS (
+          SELECT id, k, si,
+                 ROUND((si - wi * xbar)
+                   / (sdev * SQRT((nd * wi - wi * wi)
+                       / (nd - CAST(1 AS DOUBLE)))), 9) AS z
+          FROM zt)
+        SELECT id AS pid, CAST(k AS BIGINT) AS n_neighbors,
+               ROUND(si, 6) AS star_sum,
+               ROUND(z, 6) + CAST(0 AS DOUBLE) AS gstar_z,
+               CASE WHEN z > CAST(2.58 AS DOUBLE) THEN 1 ELSE 0 END AS hot
+        FROM z2 ORDER BY z DESC, pid LIMIT 20""")),
+
     // Classical seasonal decomposition (STL-lite) of the daily revenue
     // series: centered MA-7 trend over the bounded day series (exact
     // DECIMAL window sums, full windows only), centered day-of-week
