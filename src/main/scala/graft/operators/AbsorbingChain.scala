@@ -33,6 +33,16 @@ object AbsorbingChain {
     require(absorbing.size == 2, s"exactly 2 absorbing states, got $absorbing")
     val states = transient ++ absorbing
     require(states.distinct == states, "states must be distinct")
+    // "rejected loudly": a state outside the declared 5-state universe
+    // would silently deflate absorption mass (its inbound transitions
+    // stay in the denominator while feeding no q/r cell) — probe with one
+    // bounded count aggregate (the Merge.incrementalSumAgg negatives-check
+    // pattern) and refuse the whole input instead.
+    val unknown = events
+      .filter(!col(stateCol).isin(states: _*) || col(stateCol).isNull)
+      .limit(1).count()
+    require(unknown == 0L,
+      s"events contain states outside the declared universe $states")
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
     val tr = events
       .select(col(userCol), col(tsCol), col(tieCol), col(stateCol).as("st"))

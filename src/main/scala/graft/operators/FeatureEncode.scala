@@ -31,7 +31,12 @@ object FeatureEncode {
     val width = (hi - lo) / bins
     val rawBin = floor((featureCol.cast("double") - lo) / width).cast("int")
     val bin = least(greatest(rawBin, lit(0)), lit(bins - 1))
+    // Spark greatest/least SKIP null operands, so a NULL feature would be
+    // clamped straight into bin 0 and contaminate its counts/WOE — filter
+    // null feature AND null label rows out before binning (a null label
+    // can't contribute to either side of the evidence ratio).
     val perBin = df
+      .filter(featureCol.isNotNull && labelCol.isNotNull)
       .withColumn("__bin", bin)
       .groupBy(col("__bin").as("bin"))
       .agg(count(lit(1)).as("n"), sum(labelCol.cast("long")).as("pos"))

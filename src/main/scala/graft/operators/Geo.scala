@@ -108,6 +108,16 @@ object Geo {
     val clash = (left.columns ++ right.columns).toSet intersect scratch.toSet
     require(clash.isEmpty, s"reserved scratch columns in input: $clash")
     val ring = math.round(360.0 / cellDeg)
+    // the neighbor window must fit the ring: with 2·kLon+1 > ring, pmod
+    // maps distinct longitude offsets onto the SAME cell and every
+    // candidate pair is emitted once per aliased offset — duplicate output
+    // rows (and double-counted neighbor degrees downstream in Dbscan.geo)
+    require(2L * kLon + 1 <= ring,
+      s"longitude window 2*$kLon+1 exceeds the $ring-cell ring")
+    // latitude never wraps, so over-wide kLat can't alias cells — but a
+    // window wider than the pole-to-pole cell count is a sizing bug
+    require(2L * kLat + 1 <= math.max(1L, math.round(180.0 / cellDeg)),
+      s"latitude window 2*$kLat+1 exceeds the pole-to-pole cell count")
     val l = left
       .withColumn("__cr", floor(col(latL) / lit(cellDeg)))
       .withColumn("__cc", pmod(floor(col(lonL) / lit(cellDeg)), lit(ring)))

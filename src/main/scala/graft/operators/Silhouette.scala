@@ -59,6 +59,12 @@ object Silhouette {
       .join(other, Seq("ai", "ac"), "left")
       .withColumn("s",
         when(col("n_c") === 1, lit(0.0))
+          // single-cluster panel: b_mean is null for every non-singleton
+          // point (no other cluster exists). greatest() SKIPS null
+          // operands, so without this branch s would go null and the
+          // cluster mean would silently divide by the wrong denominator —
+          // score 0 explicitly (no between-cluster evidence).
+          .when(col("b_mean").isNull, lit(0.0))
           .when(greatest(col("a_mean"), col("b_mean")) > 0,
             round((col("b_mean") - col("a_mean")) /
               greatest(col("a_mean"), col("b_mean")), 6))

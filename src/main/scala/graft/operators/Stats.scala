@@ -448,20 +448,25 @@ object Stats {
       .select(cols.zip(vs).map { case (n, v) => v.as(n) }: _*)
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
       yield (cols(i), cols(j))
+    // scratch aliases are keyed by COLUMN INDEX / PAIR INDEX, never by
+    // concatenated names: "__sp_${a}_$b" collides for underscore-bearing
+    // columns (("x","y_z") and ("x_y","z") both alias __sp_x_y_z)
     val aggs = count(lit(1)).as("n") +:
-      (cols.flatMap { c =>
-        Seq(sum(col(c).cast("decimal(38,6)")).as(s"__s_$c"),
-          sum((col(c) * col(c)).cast("decimal(38,6)")).as(s"__ss_$c"))
-      } ++ pairs.map { case (a, b) =>
-        sum((col(a) * col(b)).cast("decimal(38,6)")).as(s"__sp_${a}_$b")
+      (cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(sum(col(c).cast("decimal(38,6)")).as(s"__s_$i"),
+          sum((col(c) * col(c)).cast("decimal(38,6)")).as(s"__ss_$i"))
+      } ++ pairs.zipWithIndex.map { case ((a, b), pi) =>
+        sum((col(a) * col(b)).cast("decimal(38,6)")).as(s"__sp_$pi")
       })
     val one = base.agg(aggs.head, aggs.tail: _*)
     val n = col("n").cast("double")
     def d(name: String) = col(name).cast("double")
-    val rows = pairs.map { case (a, b) =>
-      val cov = d(s"__sp_${a}_$b") / n - (d(s"__s_$a") / n) * (d(s"__s_$b") / n)
-      val va = d(s"__ss_$a") / n - (d(s"__s_$a") / n) * (d(s"__s_$a") / n)
-      val vb = d(s"__ss_$b") / n - (d(s"__s_$b") / n) * (d(s"__s_$b") / n)
+    val idx = cols.zipWithIndex.toMap
+    val rows = pairs.zipWithIndex.map { case ((a, b), pi) =>
+      val (ia, ib) = (idx(a), idx(b))
+      val cov = d(s"__sp_$pi") / n - (d(s"__s_$ia") / n) * (d(s"__s_$ib") / n)
+      val va = d(s"__ss_$ia") / n - (d(s"__s_$ia") / n) * (d(s"__s_$ia") / n)
+      val vb = d(s"__ss_$ib") / n - (d(s"__s_$ib") / n) * (d(s"__s_$ib") / n)
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
         when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("r"))
     }

@@ -39,6 +39,17 @@ class AbsorbingChainSpec extends AnyFunSuite {
     assert(m("t3") == (0.0, 1.0))
   }
 
+  test("a state outside the declared universe is rejected loudly") {
+    // silent dropping would deflate absorption mass (p_A + p_B < 1);
+    // the contract is an up-front refusal instead
+    val ev = Seq(
+      (1L, 1L, "t1"), (1L, 2L, "mystery"), (1L, 3L, "A"),
+      (2L, 1L, "t2"), (2L, 2L, "B"),
+      (3L, 1L, "t3"), (3L, 2L, "B"))
+    val e = intercept[IllegalArgumentException](run(ev))
+    assert(e.getMessage.contains("outside the declared universe"))
+  }
+
   test("absorbing-state successors are ignored, unknown-state rows rejected by filter") {
     // a user continuing AFTER absorption must not pollute the rates
     val ev = Seq(

@@ -31,6 +31,25 @@ class FeatureEncodeSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Double]("iv_total")).distinct.toSeq == Seq(tot))
   }
 
+  test("woeIv ignores null-feature and null-label rows instead of binning them") {
+    import spark.implicits._
+    // greatest/least skip nulls, so an unfiltered null feature would land
+    // in bin 0 and contaminate its counts (the HistogramSketch trap)
+    val clean = Seq((0.5, 1), (0.5, 0), (1.5, 1), (1.5, 1))
+      .toDF("x", "y").select(col("x").as("x"), col("y").as("y"))
+    val dirty = clean.unionByName(
+      Seq((Option.empty[Double], Option(1)), (Option(0.5), Option.empty[Int]))
+        .toDF("x", "y"))
+    val a = FeatureEncode.woeIv(clean, col("x"), col("y"), bins = 2, lo = 0.0, hi = 2.0)
+      .orderBy("bin").collect().map(r =>
+        (r.getAs[Int]("bin"), r.getAs[Long]("n"), r.getAs[Double]("woe"))).toSeq
+    val b = FeatureEncode.woeIv(dirty, col("x"), col("y"), bins = 2, lo = 0.0, hi = 2.0)
+      .orderBy("bin").collect().map(r =>
+        (r.getAs[Int]("bin"), r.getAs[Long]("n"), r.getAs[Double]("woe"))).toSeq
+    assert(a == b)
+    assert(a.map(_._2).sum == 4L) // only the clean rows are counted
+  }
+
   test("targetEncode shrinks small categories toward the prior") {
     import spark.implicits._
     val df = (Seq.fill(100)(("big", 1)) ++ Seq.fill(100)(("big", 0)) ++

@@ -95,5 +95,25 @@ class GeoSpec extends AnyFunSuite {
         a.withColumnRenamed("a_id", "x_id"), "a_lat", "a_lon",
         radiusKm = 10.0, cellDeg = 5.0, kLat = 1, kLon = 1) // shared names
     }
+    // neighbor window wider than the ring: pmod would alias distinct
+    // longitude offsets onto the same cell → duplicate candidate pairs
+    intercept[IllegalArgumentException] {
+      Geo.radiusJoinCells(a, "a_lat", "a_lon", b, "b_lat", "b_lon",
+        radiusKm = 10.0, cellDeg = 90.0, kLat = 0, kLon = 2) // 5 > ring of 4
+    }
+    intercept[IllegalArgumentException] {
+      Geo.radiusJoinCells(a, "a_lat", "a_lon", b, "b_lat", "b_lon",
+        radiusKm = 10.0, cellDeg = 90.0, kLat = 1, kLon = 1) // 3 > 2 lat cells
+    }
+  }
+
+  test("widest legal longitude window emits each pair exactly once") {
+    val a = Seq((1L, 0.0, 10.0)).toDF("a_id", "a_lat", "a_lon")
+    val b = Seq((2L, 0.0, 11.0)).toDF("b_id", "b_lat", "b_lon")
+    // ring = 4 cells of 90°, window 2*1+1 = 3 ≤ 4: legal, and the pair
+    // must appear once, not once per offset
+    val got = Geo.radiusJoinCells(a, "a_lat", "a_lon", b, "b_lat", "b_lon",
+      radiusKm = 500.0, cellDeg = 90.0, kLat = 0, kLon = 1)
+    assert(got.count() == 1L)
   }
 }

@@ -27,6 +27,15 @@ class SilhouetteSpec extends AnyFunSuite {
     assert(m(1)._2 > 0.9)
   }
 
+  test("a single-cluster panel scores 0 with the full denominator, not null debris") {
+    // b_mean is null everywhere (no other cluster); greatest() skips the
+    // null, so without the explicit isNull branch s would go null and the
+    // mean would sum over fewer rows than it counts
+    val m = score(Seq.tabulate(4)(i =>
+      (i.toLong, Array(1f, 0.01f * i, 0f, 0f), 7)))
+    assert(m(7) == ((4L, 0.0)))
+  }
+
   test("a point assigned to the wrong cluster drags its mean negative") {
     val a = Seq.tabulate(3)(i => (i.toLong, Array(1f, 0.01f * i, 0f, 0f), 0))
     val b = Seq.tabulate(3)(i => (10L + i, Array(0f, 0.01f * i, 1f, 0f), 1))

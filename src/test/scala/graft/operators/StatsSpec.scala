@@ -236,6 +236,19 @@ class StatsSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("correlationMatrix: underscore-bearing names cannot collide scratch aliases") {
+    import spark.implicits._
+    // name-concatenated aliases would make ("x","y_z") and ("x_y","z")
+    // both scratch as __sp_x_y_z; index-keyed aliases stay unique
+    val df = (1 to 50).map(i =>
+      (i.toDouble, 2.0 * i, 3.0 * i + 1, -1.0 * i)).toDF("x", "y_z", "x_y", "z")
+    val got = Stats.correlationMatrix(df, Seq("x", "y_z", "x_y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("r")).toMap
+    assert(got.size == 6)
+    assert(got(("x", "y_z")) == 1.0 && got(("x_y", "z")) == -1.0)
+  }
+
   test("mutualInformation: independent columns give ~zero, copies give H(X)") {
     import spark.implicits._
     // X uniform over 2 values, Y = X: MI = ln 2
