@@ -7962,7 +7962,10 @@ object SciQueries {
                ROUND(i, 6) + CAST(0 AS DOUBLE) AS morans_i,
                ROUND(ei, 6) AS expected_i,
                ROUND((i - ei) / SQRT(vi), 6) + CAST(0 AS DOUBLE) AS z
-        FROM f3""")),
+        FROM f3"""),
+      // bench headline: the spatial family's cell-bucketed radius join is
+      // the one join shape with no other bench presence (VERDICT r7 §8)
+      headline = true),
 
     // Geary's C over the same contiguity graph: the squared-DIFFERENCE
     // complement of qcl's cross-product Moran (C is sensitive to local
