@@ -248,6 +248,67 @@ object PqIndex {
       .map(row => row.get(0).asInstanceOf[Number].intValue -> row.getLong(1))
       .toMap
 
+  /** One measured point of the rerank-shortlist trade-off: recall@k of the
+    * two-stage search at shortlist `r`, and the rerank cost as r over the
+    * candidate pool (the fraction of the pool whose FLOAT vectors are
+    * fetched — the stage the shortlist exists to bound).
+    */
+  final case class ShortlistPoint(r: Int, recall: Double, rerankFrac: Double)
+
+  /** [[tuneShortlistForRecall]] output: the measured curve and the cheapest
+    * (smallest r) point meeting the target, None when even the widest grid
+    * point misses it.
+    */
+  final case class ShortlistTune(
+      best: Option[ShortlistPoint], curve: Seq[ShortlistPoint])
+
+  /** The shortlist leg of the recall auto-tuner (VERDICT r7 task 2): sweep
+    * the two-stage rerank shortlist `r` over a fraction ladder of the pool
+    * and return the smallest r meeting `targetRecall` at k. Runs the REAL
+    * distributed [[searchRerank]] path per (query, r) against the exact
+    * local cosine ranking (the RecallHarness arithmetic). Same audit-sample
+    * contract as `IvfIndex.tuneForRecall`; the chosen r transfers to the
+    * full corpus as the ratio r/N via [[adaptiveShortlist]]'s `frac` knob
+    * (r/N is the real operating point — the measured r=50 recall cliff).
+    */
+  def tuneShortlistForRecall(
+      corpus: DataFrame, idCol: String, vecCol: String, cb: Codebook,
+      targetRecall: Double, k: Int,
+      fracGrid: Seq[Double] = Seq(0.02, 0.05, 0.10, 0.20, 0.40),
+      nQueries: Int = 10): ShortlistTune = {
+    require(targetRecall > 0 && targetRecall <= 1, s"bad target $targetRecall")
+    require(fracGrid.nonEmpty && fracGrid.forall(f => f > 0 && f <= 1),
+      s"bad shortlist fraction grid $fracGrid")
+    val encoded = encode(corpus, vecCol, cb).localCheckpoint()
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("id"),
+        VectorFunctions.asFloatArray(col(vecCol)).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+      .sortBy(_._1)
+    require(vecs.length > k, s"audit sample smaller than k=$k")
+    val queries = vecs.take(nQueries)
+    val exactByQ = queries.map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid).map { case (id, v) =>
+        (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
+      }.sortBy { case (s, id) => (-s, id) }.take(k).map(_._2).toSet
+    }.toMap
+    val pool = vecs.length - 1 // each query excludes itself
+    val rLadder = fracGrid.map(f =>
+      math.max(k, math.ceil(f * pool).toInt)).distinct.sorted
+    val curve = rLadder.map { r =>
+      val per = queries.map { case (qid, qv) =>
+        val got = searchRerank(
+          encoded.filter(col(idCol).cast("long") =!= qid),
+          idCol, vecCol, "pq", qv, cb, r, k)
+          .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+        (exactByQ(qid) intersect got).size.toDouble / k
+      }
+      ShortlistPoint(r, per.sum / per.length, r.toDouble / pool)
+    }
+    ShortlistTune(curve.filter(_.recall >= targetRecall).headOption, curve)
+  }
+
   /** Full IVF-PQ search: probe nProbe cells (partition pruning), ADC over
     * the probed cells' codes, exact re-rank of the r-shortlist — the
     * three-tier cost shape (nProbe/nCells of the data → m-byte codes →

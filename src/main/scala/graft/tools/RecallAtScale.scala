@@ -97,6 +97,24 @@ object RecallAtScale {
     val rMrl32 = RecallHarness.knnRecall(
       RecallHarness.matryoshkaRerank(q20, corpus, prefix = 32, shortlist = rAdapt, k = 10), exact20)
 
+    // Recall auto-tuner (round 8): the full measured (nCells, nProbe) curve
+    // plus the cheapest config at target 0.90 — the SCALE.md trade-off table
+    val tune = IvfIndex.tuneForRecall(
+      emb, "vec_id", "embedding", targetRecall = 0.90, k = 10)
+    val curveJson = tune.curve.map(p =>
+      f"""{"n_cells":${p.nCells},"n_probe":${p.nProbe},""" +
+        f""""recall":${p.recall}%.4f,"scan_frac":${p.scanFrac}%.4f}""")
+      .mkString("[", ",", "]")
+    val bestJson = tune.best.map(p =>
+      f"""{"n_cells":${p.nCells},"n_probe":${p.nProbe},""" +
+        f""""recall":${p.recall}%.4f,"scan_frac":${p.scanFrac}%.4f}""")
+      .getOrElse("null")
+    val slTune = graft.operators.PqIndex.tuneShortlistForRecall(
+      emb, "vec_id", "embedding", pqTrained, targetRecall = 0.90, k = 10)
+    val slJson = slTune.curve.map(p =>
+      f"""{"r":${p.r},"recall":${p.recall}%.4f,"rerank_frac":${p.rerankFrac}%.4f}""")
+      .mkString("[", ",", "]")
+
     spark.stop()
     println(f"""{"sf":"$sfDir","lsh_single":$rSingle%.4f,"lsh_multiprobe":$rMulti%.4f,""" +
       f""""lsh_8table":$rTables%.4f,"minhash_banding":$rMinhash%.4f,""" +
@@ -108,6 +126,8 @@ object RecallAtScale {
       f""""pq_draw_adc":$rPqDrawAdc%.4f,"pq_draw_rerank":$rPqDrawRr%.4f,""" +
       f""""pq_kmeans_adc":$rPqAdc%.4f,"pq_kmeans_rerank":$rPqRr%.4f,""" +
       f""""matryoshka16_rerank":$rMrl16%.4f,"matryoshka32_rerank":$rMrl32%.4f,""" +
-      f""""neardup_lsh_pairs":$rNearDup%.4f,"neardup_true_pairs":${exactCos.size}}""")
+      f""""neardup_lsh_pairs":$rNearDup%.4f,"neardup_true_pairs":${exactCos.size},""" +
+      s""""ivf_tuner_best":$bestJson,"ivf_tuner_curve":$curveJson,""" +
+      s""""pq_shortlist_curve":$slJson}""")
   }
 }
