@@ -104,6 +104,58 @@ object Ingest {
         "metadata", "organization_id", "created_at")
   }
 
+  /** `df` with an `outCol` ARRAY<FLOAT> embedding of `textCol`, produced by
+    * a pluggable [[BatchEmbedder]] through ONE mapPartitions pass: each
+    * task groups its rows into ≤batchSize batches and makes one
+    * `embedBatch` call per batch — the per-request cost amortizes across
+    * the batch and request parallelism equals task parallelism (coalesce
+    * upstream to rate-limit an external service). Null texts embed as
+    * zero vectors without consuming a batch slot.
+    *
+    * This is the seam where [[HttpEmbedder]] replaces the deterministic
+    * mock: `withEmbedding(df, "content", HttpEmbedder(...))` is the
+    * production path, and with [[MockBatchEmbedder]] the output is
+    * row-identical to the codegen `GraftFunctions.mockEmbed` column
+    * (IngestSpec pins the equivalence).
+    */
+  def withEmbedding(
+      df: DataFrame, textCol: String, embedder: BatchEmbedder,
+      outCol: String = "vector"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val idx = df.schema.fieldIndex(textCol)
+    val batch = embedder.batchSize
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batch).flatMap { rows =>
+        val texts = rows.map(r => if (r.isNullAt(idx)) null else r.getString(idx))
+        val live = texts.filter(_ != null)
+        val embedded = embedder.embedBatch(live).iterator
+        rows.zip(texts).map { case (r, t) =>
+          val v = if (t == null) new Array[Float](embedder.dim) else embedded.next()
+          Row.fromSeq(r.toSeq :+ v.toSeq)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** [[chunkAndEmbed]] with a pluggable embedder instead of the codegen
+    * mock column — the production ingest path ([[HttpEmbedder]] here, the
+    * batching/timeout/fallback contract of the reference's embedding
+    * clients). Identical output contract; with [[MockBatchEmbedder]] the
+    * rows match the column-function path exactly.
+    */
+  def chunkAndEmbedWith(
+      parsed: DataFrame, organizationId: String,
+      chunkSize: Int, overlap: Int, embedder: BatchEmbedder): DataFrame = {
+    val base = chunkAndEmbed(parsed, organizationId, chunkSize, overlap,
+      dim = embedder.dim)
+    withEmbedding(base.drop("vector"), "content", embedder)
+      .select("id", "document_id", "content", "chunk_index", "vector",
+        "metadata", "organization_id", "created_at")
+  }
+
   /** Idempotent landing: drop duplicate ids (INSERT OR REPLACE semantics of
     * hive_service.go:81-91; with a transactional table format this becomes a
     * MERGE keyed on id).
