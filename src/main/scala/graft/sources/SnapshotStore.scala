@@ -1,0 +1,182 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-versioned warehouse reads (VERDICT r7 task 5): a tiny
+  * manifest-pointer protocol over plain parquet that gives readers
+  * isolation from in-flight compaction plus crude time travel — the two
+  * properties [[Warehouse]]'s rename swap cannot provide (its readers may
+  * catch the partition mid-swap, and old data is gone the moment the swap
+  * completes). The design is the public snapshot-table idea (Iceberg-style
+  * version pointers) shrunk to the minimum that plain files support:
+  *
+  * {{{
+  *   root/
+  *     _manifests/v00000001.manifest   one committed version per file:
+  *     _manifests/v00000002.manifest   the list of live data dirs
+  *     data/s1-<token>/ ...parquet     immutable once written, never
+  *     data/s2-<token>/ ...parquet     mutated — only ADDED and (much
+  *                                     later) garbage-collected
+  * }}}
+  *
+  * Rules:
+  *   - data dirs are IMMUTABLE: every commit writes a brand-new dir and
+  *     publishes a new manifest naming the dirs that make up the snapshot
+  *     (append = previous list + new dir; compact = the rewritten dir
+  *     alone). Nothing a committed manifest references is ever rewritten.
+  *   - a manifest commit is `create(path, overwrite = false)` of
+  *     `v<N+1>.manifest`: two writers racing from the same base version
+  *     collide on the same file name and the loser FAILS LOUDLY
+  *     (optimistic concurrency — re-read and retry). Plain-parquet
+  *     honesty: local/HDFS create-no-overwrite is the strongest primitive
+  *     available; object stores want a conditional PUT here.
+  *   - readers resolve the highest committed manifest ONCE at open and
+  *     read only dirs it names — a compaction committing v+1 mid-read
+  *     changes nothing the reader references, because the old dirs stay
+  *     on disk until [[expireSnapshots]] garbage-collects versions older
+  *     than the retention set. Time travel = resolving an explicit
+  *     version that is still retained.
+  */
+object SnapshotStore {
+
+  private val ManifestDir = "_manifests"
+  private val DataDir = "data"
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, v: Int): Path =
+    new Path(new Path(root, ManifestDir), f"v$v%08d.manifest")
+
+  private def versionOf(p: Path): Option[Int] = {
+    val n = p.getName
+    if (n.startsWith("v") && n.endsWith(".manifest"))
+      n.stripPrefix("v").stripSuffix(".manifest").toIntOption
+    else None
+  }
+
+  /** All committed versions, ascending; empty for a fresh root. */
+  def versions(spark: SparkSession, root: String): Seq[Int] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap(s => versionOf(s.getPath)).sorted
+  }
+
+  /** Highest committed version, or None for a fresh root. */
+  def currentVersion(spark: SparkSession, root: String): Option[Int] =
+    versions(spark, root).lastOption
+
+  /** The data dirs a committed version names (relative to root). */
+  private def readManifest(fs: FileSystem, root: String, v: Int): Seq[String] = {
+    val in = fs.open(manifestPath(root, v))
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Publish `dirs` as version `v` — create-no-overwrite, so a racing
+    * writer targeting the same version fails loudly instead of clobbering.
+    */
+  private def commitManifest(
+      fs: FileSystem, root: String, v: Int, dirs: Seq[String]): Unit = {
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val out =
+      try fs.create(manifestPath(root, v), false)
+      catch { case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"concurrent writer already committed v$v of $root — " +
+            "re-read the current version and retry", e)
+      }
+    try out.write(
+      (dirs.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Append `df` as a new snapshot: one new immutable data dir + a manifest
+    * listing the previous snapshot's dirs plus the new one. Returns the
+    * committed version. Fails loudly if another writer commits the same
+    * next version first (nothing is lost — the orphaned data dir is
+    * unreferenced and [[expireSnapshots]] sweeps it).
+    *
+    * `expectedBase` is the optimistic-concurrency handle: pass the version
+    * this write was planned against (e.g. the one a validation read used)
+    * and the commit targets exactly expectedBase+1 — if anyone committed
+    * in between, the create-no-overwrite collides and this call throws
+    * instead of silently rebasing onto data it never saw. The default
+    * (None) rebases onto whatever is current at call time, which is fine
+    * for blind appends.
+    */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      expectedBase: Option[Int] = None): Int = {
+    val fs = fsOf(spark, root)
+    val base = expectedBase.orElse(currentVersion(spark, root)).filter(_ > 0)
+    val prevDirs = base.map(v => readManifest(fs, root, v)).getOrElse(Seq.empty)
+    val next = base.getOrElse(0) + 1
+    val newDir = s"$DataDir/s$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").parquet(new Path(root, newDir).toString)
+    commitManifest(fs, root, next, prevDirs :+ newDir)
+    next
+  }
+
+  /** Rewrite the CURRENT snapshot into ≈`nFiles` compacted files as a new
+    * snapshot that references only the rewritten dir. The old snapshot's
+    * dirs are untouched — readers that resolved before this commit keep
+    * reading them, and explicit-version reads keep working until
+    * [[expireSnapshots]]. Same loud-failure contract as [[append]] on a
+    * concurrent commit.
+    */
+  def compact(spark: SparkSession, root: String, nFiles: Int = 1): Int = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val fs = fsOf(spark, root)
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"nothing to compact at $root"))
+    val next = base + 1
+    val newDir = s"$DataDir/s$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    read(spark, root, Some(base)).repartition(nFiles)
+      .write.mode("errorifexists").parquet(new Path(root, newDir).toString)
+    commitManifest(fs, root, next, Seq(newDir))
+    next
+  }
+
+  /** Open a snapshot: the given version, or the highest committed one.
+    * Resolution happens HERE, once — the returned DataFrame reads exactly
+    * the resolved dirs regardless of later commits.
+    */
+  def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
+    val fs = fsOf(spark, root)
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    require(fs.exists(manifestPath(root, v)),
+      s"version $v of $root does not exist or was expired")
+    val dirs = readManifest(fs, root, v)
+      .map(d => new Path(root, d).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Retire history: keep the newest `keepLast` manifests, delete older
+    * ones, then delete every data dir no RETAINED manifest references
+    * (including orphans from lost commit races). Run it after a grace
+    * period covering the longest reader, like any snapshot-table
+    * maintenance. Returns (manifestsDeleted, dataDirsDeleted).
+    */
+  def expireSnapshots(
+      spark: SparkSession, root: String, keepLast: Int = 2): (Int, Int) = {
+    require(keepLast >= 1, s"must keep at least one snapshot, got $keepLast")
+    val fs = fsOf(spark, root)
+    val all = versions(spark, root)
+    val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    val referenced = keep.flatMap(v => readManifest(fs, root, v)).toSet
+    drop.foreach(v => fs.delete(manifestPath(root, v), false))
+    val dataRoot = new Path(root, DataDir)
+    val doomed =
+      if (!fs.exists(dataRoot)) Seq.empty
+      else fs.listStatus(dataRoot).toSeq
+        .filter(s => s.isDirectory && !referenced.contains(s"$DataDir/${s.getPath.getName}"))
+    doomed.foreach(s => fs.delete(s.getPath, true))
+    (drop.size, doomed.size)
+  }
+}
