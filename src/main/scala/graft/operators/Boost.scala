@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import IterCheckpoint.Pinnable
 
 /** Gradient boosting with depth-1 regression trees (stumps) on squared
   * loss — Friedman's classic algorithm, two rounds, fully distributed
@@ -48,7 +49,7 @@ object Boost {
     val base = df.select(y.cast("double").as("y"),
         f1.cast("double").as("f1"), f2.cast("double").as("f2"))
       .filter(col("y").isNotNull && col("f1").isNotNull && col("f2").isNotNull)
-      .localCheckpoint(eager = false)
+      .iterCheckpoint(eager = false)
 
     // ---- round 0: global mean and total SST ----
     val g = base.agg(count(lit(1)).as("n"),
@@ -59,7 +60,7 @@ object Boost {
       .withColumn("sst",
         round(col("syyd") - col("syd") * col("syd") / col("n").cast("double"), 6))
       .select(col("f0"), col("sst"))
-      .localCheckpoint(eager = false)
+      .iterCheckpoint(eager = false)
 
     // ---- round 1: stump on r = y − F0 ----
     // profile of RAW y moments per (feature, value); residual conversion
@@ -111,7 +112,7 @@ object Boost {
       .crossJoin(broadcast(f0row))
       .withColumn("cl1", col("f0") + lit(lr) * col("wl1"))
       .withColumn("cr1", col("f0") + lit(lr) * col("wr1"))
-      .localCheckpoint(eager = false)
+      .iterCheckpoint(eager = false)
 
     // ---- round 2: stump on r2 = y − F1(x), F1 side from the broadcast
     // winner (no driver collect) ----

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import IterCheckpoint.Pinnable
 
 /** DBSCAN (Ester et al. 1996) — density-based clustering with the
   * core / border / noise trichotomy that centroid methods (q4y k-means)
@@ -43,12 +44,12 @@ object Dbscan {
         epsKm, cellDeg, kLat, kLon)
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint()
+      .iterCheckpoint()
     val deg = pairs.select(col("a_id").as("id"))
       .union(pairs.select(col("b_id").as("id")))
       .groupBy("id").agg(count(lit(1)).as("nn"))
     val core = deg.filter(col("nn") >= minNeighbors).select(col("id"))
-      .localCheckpoint()
+      .iterCheckpoint()
     val coreEdges = pairs
       .join(core.select(col("id").as("a_id")), Seq("a_id"))
       .join(core.select(col("id").as("b_id")), Seq("b_id"))
@@ -59,7 +60,7 @@ object Dbscan {
     val coreLabeled = core
       .join(cc.withColumnRenamed("doc_id", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("component_id"), col("id")).as("cluster"))
-      .localCheckpoint()
+      .iterCheckpoint()
     val borderLabel = pairs.select(col("a_id").as("id"), col("b_id").as("nbr"))
       .union(pairs.select(col("b_id").as("id"), col("a_id").as("nbr")))
       .join(coreLabeled.select(col("id").as("nbr"), col("cluster")), Seq("nbr"))

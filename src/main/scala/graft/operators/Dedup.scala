@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{GraftFunctions, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import IterCheckpoint.Pinnable
 
 /** Document deduplication for training-data pipelines, four tiers:
   *
@@ -189,7 +190,7 @@ object Dedup {
     // localCheckpoint (not cache): blocks are freed by the ContextCleaner
     // once this call's results are consumed — no permanent cache pinning
     minhashCandidatePairsFromSigs(
-      minhashSignatures(docs, idCol, textCol, n).localCheckpoint(),
+      minhashSignatures(docs, idCol, textCol, n).iterCheckpoint(),
       idCol, minEstJaccard, maxBucketSize)
 
   /** The banding + refine phase over PRECOMPUTED signatures (columns: idCol,
@@ -242,10 +243,10 @@ object Dedup {
       pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().iterCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component_id", col("doc_id"))
-      .localCheckpoint()
+      .iterCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -263,7 +264,7 @@ object Dedup {
       val updated = hopped
         .join(parents, hopped("component_id") === parents("__cid"))
         .select(hopped("doc_id"), col("__parent").as("component_id"))
-        .localCheckpoint()
+        .iterCheckpoint()
       changed = updated.join(labels.withColumnRenamed("component_id", "__old"), Seq("doc_id"))
         .filter(col("component_id") =!= col("__old"))
         .count()

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import IterCheckpoint.Pinnable
 
 /** Document-relationship graph over an edge-list DataFrame
   * (SURVEY.md §1.1 Graph, §2.3 J5/J6 — graph.go:35-142). Plain DataFrames
@@ -146,7 +147,7 @@ object GraphOps {
         greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .iterCheckpoint()
 
   private def undirectedDegrees(und: DataFrame): DataFrame =
     und.select(col("u").as("node"))
@@ -162,7 +163,7 @@ object GraphOps {
       .select(
         when(lowerFirst, col("u")).otherwise(col("v")).as("a"),
         when(lowerFirst, col("v")).otherwise(col("u")).as("b"))
-      .localCheckpoint() // self-joined below — don't recompute the degree join twice
+      .iterCheckpoint() // self-joined below — don't recompute the degree join twice
     // wedge (a, n1, n2): two out-neighbors of the apex, canonicalized by id
     // so the closing probe hits the canonical undirected edge form
     val wedges = oriented.select(col("a"), col("b").as("n1"))
@@ -188,7 +189,7 @@ object GraphOps {
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
     val und = canonicalUndirected(edges)
-    val deg = undirectedDegrees(und).localCheckpoint() // feeds both the
+    val deg = undirectedDegrees(und).iterCheckpoint() // feeds both the
     val tri = triangleCountsFromUnd(und, deg)          // orientation and the cc join
     val degD = col("degree").cast("double")
     deg.select(col("node"), col("deg").as("degree"))
@@ -226,11 +227,11 @@ object GraphOps {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .iterCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .iterCheckpoint()
     require(nodes.count() > 0, "hits needs a non-empty graph")
 
     // one normalized half-step: sum the opposite score over the edges into
@@ -243,7 +244,7 @@ object GraphOps {
         .select(col(outKey),
           col("__s").cast("decimal(28,12)").as("__c"))
         .groupBy(outKey).agg(sum(col("__c")).as("__sum"))
-        .localCheckpoint()
+        .iterCheckpoint()
       val total = raw.agg(sum(col("__sum")).as("t")).head().getDecimal(0) match {
         case null => 0.0
         case d    => d.doubleValue()
@@ -253,7 +254,7 @@ object GraphOps {
         .select(col("node"),
           round(coalesce(col("__sum").cast("double"), lit(0.0)) / lit(total), 9)
             .as(outCol))
-        .localCheckpoint()
+        .iterCheckpoint()
     }
 
     var hub = nodes.withColumn("hub", lit(1.0))
@@ -295,12 +296,12 @@ object GraphOps {
     val und = canonicalUndirected(edges)
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
-      .localCheckpoint()
+      .iterCheckpoint()
     var labels = adj.select(col("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .iterCheckpoint()
     for (_ <- 1 to iterations) {
-      labels = lpaRound(adj, labels).localCheckpoint()
+      labels = lpaRound(adj, labels).iterCheckpoint()
     }
     labels
   }
@@ -337,17 +338,17 @@ object GraphOps {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .iterCheckpoint()
     var dist = seeds.select(col("node").cast("long").as("node"))
       .distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint()
+      .iterCheckpoint()
     for (_ <- 1 to maxHops) {
       val next = e.join(dist, e("src") === dist("node"))
         .select(e("dst").as("node"), (col("dist") + 1).as("dist"))
       dist = dist.union(next)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .iterCheckpoint()
     }
     dist
   }
@@ -371,17 +372,17 @@ object GraphOps {
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .iterCheckpoint()
     var dist = seeds.select(col("node").cast("long").as("node"))
       .distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint()
+      .iterCheckpoint()
     for (_ <- 1 to maxHops) {
       val relaxed = e.join(dist, e("src") === dist("node"))
         .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .iterCheckpoint()
     }
     dist
   }
@@ -407,14 +408,14 @@ object GraphOps {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .iterCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("walker").orderBy(col("draw").desc, col("nxt").asc)
     var walks = e.select(col("src").as("walker"))
       .union(e.select(col("dst").as("walker")))
       .distinct()
       .withColumn("cur", col("walker"))
-      .localCheckpoint()
+      .iterCheckpoint()
     for (i <- 1 to steps) {
       val next = e.join(walks.select(col("walker"), col("cur")), e("src") === col("cur"))
         .select(col("walker"), e("dst").as("nxt"))
@@ -425,7 +426,7 @@ object GraphOps {
         .select(col("walker"), col("nxt").as(s"s$i"))
       walks = walks.join(next, Seq("walker"), "left")
         .drop("cur").withColumn("cur", col(s"s$i"))
-        .localCheckpoint()
+        .iterCheckpoint()
     }
     walks.drop("cur")
   }
@@ -442,26 +443,26 @@ object GraphOps {
         .filter(col("src") =!= col("dst") && col("w") > 0)
         .groupBy("src", "dst")
         .agg(sum(col("w").cast("decimal(28,12)")).cast("double").as("w"))
-        .localCheckpoint()
+        .iterCheckpoint()
     else edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .iterCheckpoint()
     val seedNodes = seeds.map(_.select(col("node").cast("long").as("node"))
-      .distinct().localCheckpoint())
+      .distinct().iterCheckpoint())
     val graphNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
     val nodes = seedNodes.fold(graphNodes)(graphNodes.union(_))
       .distinct()
-      .localCheckpoint()
+      .iterCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
     val outdeg = if (weighted)
       e.groupBy("src")
         .agg(sum(col("w").cast("decimal(28,12)")).cast("double").as("outdeg"))
-        .localCheckpoint()
-    else e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+        .iterCheckpoint()
+    else e.groupBy("src").agg(count(lit(1)).as("outdeg")).iterCheckpoint()
 
     // restart vector: uniform over all nodes, or uniform over the seeds
     val nodesR = seedNodes match {
@@ -473,7 +474,7 @@ object GraphOps {
           .select(col("node"),
             when(col("__seed").isNotNull, lit(1.0 / sCount))
               .otherwise(lit(0.0)).as("rv"))
-          .localCheckpoint()
+          .iterCheckpoint()
     }
 
     var pr = nodesR.withColumn("pr", col("rv"))
@@ -507,7 +508,7 @@ object GraphOps {
       }
       pr = nodesR.join(contrib, nodesR("node") === contrib("dst"), "left")
         .select(col("node"), col("rv"), round(newPr, 9).as("pr"))
-        .localCheckpoint()
+        .iterCheckpoint()
     }
     pr.select(col("node"), col("pr"))
   }
@@ -549,7 +550,7 @@ object GraphOps {
         live = live
           .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-          .localCheckpoint()
+          .iterCheckpoint()
         degrees = kCoreDegrees(live)
         nLive = degrees.count()
       }
@@ -627,7 +628,7 @@ object GraphOps {
     val und = canonicalUndirected(edges)
     val deg = undirectedDegrees(und)
     val lab = labels.select(col("node").cast("long").as("node"),
-      col("label").cast("long").as("label")).localCheckpoint()
+      col("label").cast("long").as("label")).iterCheckpoint()
 
     val mTotal = und.agg(count(lit(1)).as("__m"))
     val internal = und
@@ -676,10 +677,10 @@ object GraphOps {
     val und = canonicalUndirected(edges)
     val adj = und.select(col("u").as("a"), col("v").as("b"))
       .union(und.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint()
+      .iterCheckpoint()
     val deg = adj.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .iterCheckpoint()
     var x = deg.withColumn("x",
       when(pmod(col("node"), lit(2L)) === 0, lit(1.0)).otherwise(lit(-1.0)))
     for (_ <- 1 to iterations) {
@@ -703,7 +704,7 @@ object GraphOps {
           when(col("mx") > 0, round(round(col("cx"), 9) / col("mx"), 9))
             .otherwise(lit(0.0)))
         .select(col("node"), col("deg"), col("x"))
-        .localCheckpoint()
+        .iterCheckpoint()
     }
     x.select(col("node"), col("x"),
       when(col("x") > 0, lit(1)).otherwise(lit(0)).as("side"))
@@ -725,11 +726,11 @@ object GraphOps {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .iterCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .iterCheckpoint()
     var x = nodes.withColumn("katz", lit(1.0))
     for (_ <- 1 to iterations) {
       val contrib = e.join(x.select(col("node"), col("katz")),
@@ -741,7 +742,7 @@ object GraphOps {
           round(lit(1.0) + lit(alpha) *
             coalesce(col("csum"), lit(0.0)), 9))
         .drop("csum")
-        .localCheckpoint()
+        .iterCheckpoint()
     }
     x
   }
@@ -774,18 +775,18 @@ object GraphOps {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .iterCheckpoint()
     var dist = seeds.select(col("node").cast("long").as("source"))
       .distinct()
       .select(col("source"), col("source").as("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .iterCheckpoint()
     for (_ <- 1 to maxHops) {
       val next = e.join(dist, e("src") === dist("node"))
         .select(col("source"), e("dst").as("node"),
           (col("dist") + 1).as("dist"))
       dist = dist.select(col("source"), col("node"), col("dist")).union(next)
         .groupBy("source", "node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .iterCheckpoint()
     }
     dist.filter(col("dist") > 0)
       .groupBy(col("source").as("node"))
@@ -828,24 +829,24 @@ object GraphOps {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .iterCheckpoint()
     val l0 = sources.select(col("node").cast("long").as("source"))
       .distinct()
       .select(col("source"), col("source").as("node"), lit(1L).as("sigma"))
-      .localCheckpoint()
+      .iterCheckpoint()
     val levels = new scala.collection.mutable.ArrayBuffer[DataFrame]
     levels += l0
-    var visited = l0.select(col("source"), col("node")).localCheckpoint()
+    var visited = l0.select(col("source"), col("node")).iterCheckpoint()
     for (_ <- 1 to maxDepth) {
       val frontier = levels.last
       val nxt = e.join(frontier, e("src") === frontier("node"))
         .select(col("source"), e("dst").as("node"), col("sigma"))
         .groupBy("source", "node").agg(sum(col("sigma")).as("sigma"))
         .join(visited, Seq("source", "node"), "left_anti")
-        .localCheckpoint()
+        .iterCheckpoint()
       levels += nxt
       visited = visited.union(nxt.select(col("source"), col("node")))
-        .localCheckpoint()
+        .iterCheckpoint()
     }
     // Backward: δ at the truncation frontier is 0; each shallower level
     // pulls (σv/σw)(1+δw) from its tight successors.
@@ -896,7 +897,7 @@ object GraphOps {
       und = und.join(edgeSupport(und), Seq("u", "v"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= k - 2)
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .iterCheckpoint()
     }
     und.join(edgeSupport(und), Seq("u", "v"), "left")
       .select(col("u"), col("v"),
@@ -922,6 +923,6 @@ object GraphOps {
           (lit(1.0) + col("dw")), 12)).cast("decimal(28,12)")).as("ds"))
       .select(col("source"), col("node"), col("sigma"),
         round(coalesce(col("ds").cast("double"), lit(0.0)), 9).as("delta"))
-      .localCheckpoint()
+      .iterCheckpoint()
   }
 }

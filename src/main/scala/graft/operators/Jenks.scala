@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import IterCheckpoint.Pinnable
 
 /** Jenks natural breaks (Fisher's exact 1-D k-segmentation): partition a
   * weighted value profile into k contiguous segments minimizing total
@@ -36,7 +37,7 @@ object Jenks {
       .withColumn("cn", sum(col("n")).over(wCum))
       .withColumn("cs", sum(col("n") * col("v")).over(wCum))
       .withColumn("css", sum(col("n") * col("v") * col("v")).over(wCum))
-      .localCheckpoint(eager = false)
+      .iterCheckpoint(eager = false)
     val b = pre.count().toInt
     require(b >= k, s"need at least $k distinct values, got $b")
     // prefix-at-j rows keyed by j = i − 1, so j ranges 0..B−1 and
@@ -55,7 +56,7 @@ object Jenks {
         (col("cn_hi") - col("cn_lo")).cast("double"), 9)
     val segs = lo.join(hi, col("ii") >= col("j") + 1)
       .select(col("j"), col("ii"), sseCol.as("sse"))
-      .localCheckpoint(eager = false) // bounded B·(B+1)/2 rows
+      .iterCheckpoint(eager = false) // bounded B·(B+1)/2 rows
     // DP levels: D1 = SSE(1..i); Dk[i] = min_j Dk-1[j] + SSE(j+1..i)
     var d = segs.filter(col("j") === 0)
       .select(col("ii").as("i"), col("sse").as("cost"),

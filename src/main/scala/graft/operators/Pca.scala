@@ -4,6 +4,7 @@ import java.math.{MathContext, RoundingMode}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import IterCheckpoint.Pinnable
 
 /** Top principal direction of an embedding matrix by deterministic power
   * iteration — the PCA-lite every embedding-space curation step leans on
@@ -63,7 +64,7 @@ object Pca {
         posexplode(col(vecCol)).as(Seq("pos0", "xf")))
       .select(col("id"), (col("pos0") + 1).as("pos"),
         col("xf").cast("double").as("x"))
-      .localCheckpoint()
+      .iterCheckpoint()
 
     var v: Map[Int, Double] =
       (1 to dim).map(p => p -> snap(1.0 / math.sqrt(dim.toDouble), 9)).toMap

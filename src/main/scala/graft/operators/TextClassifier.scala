@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import IterCheckpoint.Pinnable
 
 /** Trainable linear quality classifier over hashed bag-of-token features —
   * the CCNet/fastText-style filter a training-data pipeline distills from a
@@ -117,7 +118,7 @@ object TextClassifier {
   def train(
       features: DataFrame, dim: Int, iters: Int, lr: Double): Model = {
     require(iters >= 0, s"iters must be non-negative, got $iters")
-    val feats = features.localCheckpoint()
+    val feats = features.iterCheckpoint()
     val n = feats.filter(col("j") === dim).count()
     require(n > 0, "train needs at least one document")
     var w = Array.fill(dim + 1)(0.0)
