@@ -16,6 +16,35 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Three REAL dHash64 values through the actual decode path, computed
+    * once at query-build time (pure JVM, deterministic): a 32×24 RGB
+    * gradient encoded as PNG and as BMP (both lossless — identical pixels,
+    * so the two hashes are an exact near-dup pair), and a checkerboard of
+    * distinct content. Inlined as literals into qcp's Spark plan AND its
+    * DuckDB oracle — the decode itself stays spec-gated, these literals
+    * are its signed evidence inside the driver gate.
+    */
+  private lazy val phashGoldens: (Long, Long, Long) = {
+    import java.awt.image.BufferedImage
+    def img(f: (Int, Int) => Int): BufferedImage = {
+      val im = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) im.setRGB(x, y, f(x, y))
+      im
+    }
+    def enc(im: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    val grad = img((x, y) => ((x * 7 & 0xff) << 16) | ((y * 9 & 0xff) << 8) | 64)
+    val board = img((x, y) =>
+      if (((x / 4) + (y / 4)) % 2 == 0) 0xffffff else 0x000000)
+    def dhash(bytes: Array[Byte]): Long =
+      graft.multimodal.PerceptualHash.hashes(bytes)
+        .getOrElse(throw new IllegalStateException("golden image undecodable"))._1
+    (dhash(enc(grad, "png")), dhash(enc(grad, "bmp")), dhash(enc(board, "png")))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Token counting: whitespace + BPE-ish regex tokens.
@@ -312,6 +341,93 @@ object TextQueries {
         Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
           .orderBy(col("doc_a"), col("doc_b")),
       oracle = Some(OracleSql.simhashPairsOracle(maxHamming = 3, maxBucketSize = 1000))),
+
+    // Perceptual-hash image near-dup SEMANTICS, driver-gated (VERDICT r7
+    // task 6): the decode stays spec-gated (not SQL-replayable), but
+    // everything downstream of the hash — 16-bit-chunk banding, bucket
+    // cap, Hamming verify — is pure integer SQL (the q2a machinery). The
+    // corpus is a deterministic dHash table: mix64(doc_id) per document
+    // plus planted re-encode twins at Hamming 1 / 3 (must pair) and 8
+    // (candidate-able but must be filtered), plus THREE REAL dHashes from
+    // the golden decode path (a gradient image encoded as PNG and BMP —
+    // same pixels, so they pair at Hamming 0 — and a distinct checkerboard
+    // that must stay unpaired), computed at query-build time with the
+    // actual PNG/BMP decoders and inlined as literals on both sides.
+    "qcp_phash_neardup" -> Q(
+      fn = (s, dir) => {
+        val mixUdf = udf((k: Long) => graft.functions.TextHashing.mix64(k))
+        def maskExpr(offsets: Seq[Int]): String = offsets
+          .map(o => s"shiftleft(CAST(1 AS BIGINT), CAST((media_id + $o) % 61 AS INT))")
+          .mkString("(", " ^ ", ")")
+        val base = docs(s, dir)
+          .select(col("doc_id").cast("long").as("media_id"))
+          .withColumn("dhash", mixUdf(col("media_id")))
+        def twin(mod: Int, idOffset: Long, bits: Seq[Int]): DataFrame = base
+          .filter(col("media_id") % mod === 0)
+          .select((col("media_id") + idOffset).as("media_id"),
+            expr(s"dhash ^ ${maskExpr(bits)}").as("dhash"))
+        val (gA, gA2, gB) = phashGoldens
+        import s.implicits._
+        val goldens = Seq((900001L, gA), (900002L, gA2), (900003L, gB))
+          .toDF("media_id", "dhash")
+        val all = base
+          .unionByName(twin(5, 100000L, Seq(0)))
+          .unionByName(twin(7, 200000L, Seq(0, 13, 29)))
+          .unionByName(twin(11, 300000L, Seq(0, 7, 14, 21, 28, 35, 42, 49)))
+          .unionByName(goldens)
+        Dedup.hammingBandedPairs(all, "media_id", "dhash", maxHamming = 3)
+          .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+            col("hamming"))
+          .orderBy(col("media_a"), col("media_b"))
+      },
+      oracle = Some {
+        val (gA, gA2, gB) = phashGoldens
+        def maskSql(offsets: Seq[Int]): String = offsets
+          .map(o => s"(CAST(1 AS BIGINT) << CAST((media_id + $o) % 61 AS INT))")
+          .reduce((a, b) => s"xor($a, $b)")
+        def twinSql(mod: Int, idOffset: Long, bits: Seq[Int]): String =
+          s"""SELECT media_id + $idOffset AS media_id, xor(dh, ${maskSql(bits)}) AS dh
+              FROM base WHERE media_id % $mod = 0"""
+        val (mixed, m) = OracleSql.mix64Nested(
+          "SELECT media_id, CAST(media_id AS HUGEINT) AS hx FROM ids",
+          "hx", "ph", keep = "media_id")
+        val unsign = "CAST(dh AS HUGEINT) + CASE WHEN dh < 0 THEN " +
+          s"CAST(${OracleSql.M64} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+        s"""
+        WITH ids AS MATERIALIZED (
+          SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
+        base AS MATERIALIZED (
+          SELECT media_id, ${OracleSql.toSigned(s"($m)")} AS dh FROM ($mixed)),
+        allh AS MATERIALIZED (
+          SELECT * FROM base
+          UNION ALL ${twinSql(5, 100000L, Seq(0))}
+          UNION ALL ${twinSql(7, 200000L, Seq(0, 13, 29))}
+          UNION ALL ${twinSql(11, 300000L, Seq(0, 7, 14, 21, 28, 35, 42, 49))}
+          UNION ALL SELECT * FROM (VALUES
+            (CAST(900001 AS BIGINT), CAST($gA AS BIGINT)),
+            (CAST(900002 AS BIGINT), CAST($gA2 AS BIGINT)),
+            (CAST(900003 AS BIGINT), CAST($gB AS BIGINT))) g(media_id, dh)),
+        hu AS (
+          SELECT media_id, dh, $unsign AS h FROM allh),
+        chunks AS MATERIALIZED (
+          SELECT media_id, dh, CAST(c AS INT) AS c,
+                 CAST((h // (CAST(1 AS HUGEINT) << (16 * CAST(c AS INT)))) % 65536 AS BIGINT) AS chunk_val
+          FROM hu, UNNEST(range(0, 4)) AS u(c)),
+        kept AS MATERIALIZED (
+          SELECT c, chunk_val FROM chunks GROUP BY c, chunk_val
+          HAVING count(*) > 1 AND count(*) <= 1000),
+        pruned AS MATERIALIZED (
+          SELECT ch.* FROM chunks ch SEMI JOIN kept k
+          ON ch.c = k.c AND ch.chunk_val = k.chunk_val),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                 a.dh AS dha, b.dh AS dhb
+          FROM pruned a JOIN pruned b
+          ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.media_id < b.media_id)
+        SELECT media_a, media_b, CAST(bit_count(xor(dha, dhb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(dha, dhb)) <= 3
+        ORDER BY media_a, media_b"""
+      }),
 
     // Language-ID heuristic, hash-exact: the stopword scoring + CJK ratio +
     // fixed tiebreak order of LangId.detect re-expressed in DuckDB SQL
