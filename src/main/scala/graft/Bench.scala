@@ -191,6 +191,19 @@ object Bench {
     deleteRecursively(sdedupRoot)
     deleteRecursively(bucketRoot)
     val results = headlineResults ++ extraResults
+    // Measured scaling curvature (round 8, VERDICT r7 task 4): answer
+    // "survives 100×?" with data. Six representative kernels timed at
+    // 1×/2×/4×/8× of sf0.1 (synthetic replication with key-space
+    // remapping, built untimed), per-entry log-log exponent fitted over
+    // the four points. SPARK_GRAFT_SCALING=0 skips while iterating.
+    val scalingJson =
+      if (sys.env.get("SPARK_GRAFT_SCALING").contains("0")) "{}"
+      else
+        try scalingPhase(spark, sfDir, settle _)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] scaling phase failed: ${e.getMessage}")
+          "{}"
+        }
     val loadAvgEnd = systemLoadAverage()
     // "queries" stays the driver-contract map name→seconds (now the median);
     // min/max and the load sentinel are appended keys so any round-over-round
@@ -230,6 +243,7 @@ object Bench {
         s""""queries_max":${statMap(_.max)},"errors":$errs,""" +
         s""""external_cpu_share":$extShares,"untrusted":$untrusted,""" +
         s""""max_external_share":$MaxExternalShare,""" +
+        s""""scaling":$scalingJson,""" +
         s""""load_avg_start":$loadAvgStart,""" +
         s""""load_avg_end":$loadAvgEnd,"cpus":"$cpus","sf":"$sfDir"}"""
     // Also write the JSON to a file so the driver gets a machine-parseable
@@ -328,6 +342,145 @@ object Bench {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+  }
+
+  /** The measured-scaling phase: replicate lineitem/orders/events/documents
+    * ×{2,4,8} with key-space remapping (replica r offsets every join/group
+    * key, and perturbs document text, so result sizes scale linearly —
+    * byte-identical replicas would near-dup quadratically and measure the
+    * data, not the operator), write each scale to temp parquet UNTIMED so
+    * scans are real file scans, then time six representative kernels per
+    * scale: columnar scan+agg, SMJ fact join, per-user session window, the
+    * two-pass global row number, MinHash banding, and iterative
+    * connected components. Per entry: warm + 2 timed runs, min (exponent
+    * fits want the noise floor), and the least-squares slope of
+    * ln(time) over ln(scale) — ~1.0 = linear, >1.3 flags a plan for
+    * investigation (SCALE.md carries the table).
+    */
+  private def scalingPhase(
+      spark: SparkSession, sfDir: String, settle: () => Unit): String = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val scales = Seq(1, 2, 4, 8)
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-scaling")
+    try {
+      def replicate(df: DataFrame, k: Int, remap: (DataFrame, org.apache.spark.sql.Column) => DataFrame): DataFrame = {
+        val reps = df.sparkSession.range(k).select(col("id").cast("int").as("__rep"))
+        remap(df.crossJoin(reps), col("__rep")).drop("__rep")
+      }
+      val off = 100000000L
+      def store(name: String, k: Int, df: DataFrame): String = {
+        val p = root.resolve(s"$name-x$k").toString
+        df.write.mode("overwrite").parquet(p)
+        p
+      }
+      val li0 = Tables(spark, sfDir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice",
+        "l_discount", "l_returnflag", "l_linestatus", "l_quantity")
+      val o0 = Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val ev0 = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      val d0 = Tables(spark, sfDir, "documents").select("doc_id", "text")
+      val paths: Map[(String, Int), String] = scales.flatMap { k =>
+        val li = replicate(li0, k, (df, r) => df
+          .withColumn("l_orderkey", col("l_orderkey") + r.cast("long") * off))
+        val o = replicate(o0, k, (df, r) => df
+          .withColumn("o_orderkey", col("o_orderkey") + r.cast("long") * off)
+          .withColumn("o_custkey", col("o_custkey") + r.cast("long") * off))
+        val ev = replicate(ev0, k, (df, r) => df
+          .withColumn("user_id", col("user_id") + r.cast("long") * off)
+          .withColumn("event_id", col("event_id") + r.cast("long") * off))
+        val d = replicate(d0, k, (df, r) => df
+          .withColumn("doc_id", col("doc_id") + r.cast("long") * off)
+          // per-replica text perturbation: replica 0 stays original, others
+          // get a distinct suffix so shingles differ across replicas
+          .withColumn("text",
+            when(r === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" zz"), r.cast("string")))))
+        Seq(("li", k) -> store("li", k, li), ("o", k) -> store("o", k, o),
+          ("ev", k) -> store("ev", k, ev), ("d", k) -> store("d", k, d))
+      }.toMap
+      def rd(name: String, k: Int): DataFrame = spark.read.parquet(paths((name, k)))
+
+      val kernels: Seq[(String, Int => Unit)] = Seq(
+        "scan_agg" -> { k =>
+          rd("li", k).groupBy("l_returnflag", "l_linestatus")
+            .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+              avg(col("l_extendedprice")).as("ap"), count(lit(1)).as("n"))
+            .count(): Unit
+        },
+        "fact_join" -> { k =>
+          factJoinRevenue(spark,
+            rd("li", k).select("l_orderkey", "l_extendedprice", "l_discount"),
+            rd("o", k))
+        },
+        "session_window" -> { k =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("ts_ms", "event_id")
+          rd("ev", k)
+            .withColumn("gap", col("ts_ms") - lag("ts_ms", 1).over(w))
+            .withColumn("new_s",
+              when(col("gap").isNull || col("gap") > 1800000L, 1).otherwise(0))
+            .withColumn("sid", sum("new_s").over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+            .groupBy("user_id", "sid").agg(count(lit(1)).as("n"))
+            .count(): Unit
+        },
+        "global_rownum" -> { k =>
+          graft.operators.ScaleOps.globalRowNumber(
+            rd("li", k),
+            Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")))
+            .filter(col("rn") <= 100).count(): Unit
+        },
+        "minhash_pairs" -> { k =>
+          graft.operators.Dedup.minhashCandidatePairs(
+            rd("d", k), "doc_id", "text", minEstJaccard = 0.4).count(): Unit
+        },
+        "dedup_cc" -> { k =>
+          graft.operators.Dedup.connectedComponents(
+            graft.operators.Dedup.minhashCandidatePairs(
+              rd("d", k), "doc_id", "text", minEstJaccard = 0.4)).count(): Unit
+        })
+
+      def lite(run: => Unit): Double = {
+        try run catch { case _: Throwable => () } // warm
+        var best = Double.MaxValue
+        var attempt = 0
+        var tries = 0
+        while (attempt < 2 && tries < 4) {
+          val t0p = procStatTicks(); val o0p = processCpuNs()
+          val t0 = System.nanoTime()
+          run
+          val dt = (System.nanoTime() - t0) / 1e9
+          val ext = externalCpuShare(t0p, procStatTicks(), o0p, processCpuNs())
+          tries += 1
+          if (ext <= MaxExternalShare || ext < 0) { best = math.min(best, dt); attempt += 1 }
+          else settle() // contaminated window: don't count it
+        }
+        if (best == Double.MaxValue) -1.0 else best
+      }
+
+      val entries = kernels.map { case (name, fn) =>
+        settle()
+        val times = scales.map(k => lite(fn(k)))
+        val pts = scales.zip(times).filter(_._2 > 0)
+          .map { case (k, t) => (math.log(k.toDouble), math.log(t)) }
+        val exponent =
+          if (pts.size < 2) Double.NaN
+          else {
+            val mx = pts.map(_._1).sum / pts.size
+            val my = pts.map(_._2).sum / pts.size
+            pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+              pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+          }
+        val ts = times.map(t => f"$t%.3f").mkString("[", ",", "]")
+        val e = if (exponent.isNaN) "null" else f"$exponent%.3f"
+        s""""$name":{"times":$ts,"exponent":$e}"""
+      }
+      s"""{"scales":[1,2,4,8],"entries":{${entries.mkString(",")}}}"""
+    } finally deleteRecursively(root)
   }
 
   /** OS 1-minute load average, or -1.0 where the platform doesn't report one
