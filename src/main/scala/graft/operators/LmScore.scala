@@ -137,4 +137,59 @@ object LmScore {
       .select(col(idCol),
         round(col("__ssum").cast("double") / col("n_tokens"), 6).as("surprisal"),
         col("n_tokens"))
+
+  /** Per-document mean KNESER–NEY bigram surprisal — the standard smoothed
+    * LM for curation filters, a strict upgrade over the fixed-λ
+    * interpolation of [[interpolatedSurprisalScores]]: absolute
+    * discounting (D) moves mass from SEEN bigrams to a learned per-context
+    * back-off weight, and the back-off distribution is the CONTINUATION
+    * probability (how many distinct contexts a word follows — "Francisco"
+    * is frequent but follows only "San", so KN correctly scores it
+    * surprising in fresh contexts, which raw unigram frequency cannot).
+    *
+    *   P(w|v) = max(c(v,w) − D, 0)/c(v) + (D·N1+(v,·)/c(v)) · P_cont(w),
+    *   P_cont(w) = N1+(·,w) / |bigram types|
+    *
+    * Position 1 and unseen contexts score with P_cont alone. All inputs
+    * are integer count tables (corpus-linear groupBys; windows only over
+    * the vocabulary-sized bigram table) and the per-position surprisal
+    * rides the q3s discipline — round(−ln p, 9) into DECIMAL(28,9) — so
+    * the whole model replays hash-exact in SQL.
+    */
+  def kneserNeySurprisalScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val pos = positions(docs, idCol, textCol)
+    val big = pos.filter(col("prev").isNotNull)
+      .groupBy("prev", "token").agg(count(lit(1)).as("c"))
+    // per-context totals + distinct-successor counts (vocabulary-sized)
+    val prevStats = big.groupBy("prev")
+      .agg(sum("c").as("cv"), count(lit(1)).as("n1pv"))
+    // continuation counts: distinct predecessors per token, over total types
+    val types = big.agg(count(lit(1)).as("t_types"))
+    val contP = big.groupBy("token").agg(count(lit(1)).as("n1pw"))
+      .crossJoin(broadcast(types))
+      .select(col("token"),
+        (col("n1pw").cast("double") / col("t_types").cast("double")).as("p_cont"))
+    val d = lit(discount)
+    pos
+      .join(contP, Seq("token")) // in-corpus model: every token continues
+      .join(big.select(col("prev"), col("token"), col("c")),
+        Seq("prev", "token"), "left_outer")
+      .join(prevStats, Seq("prev"), "left_outer")
+      .withColumn("p",
+        when(col("prev").isNull || col("cv").isNull, col("p_cont"))
+          .otherwise(
+            greatest(coalesce(col("c"), lit(0L)).cast("double") - d, lit(0.0)) /
+              col("cv").cast("double") +
+              (d * col("n1pv").cast("double") / col("cv").cast("double")) *
+                col("p_cont")))
+      .withColumn("s", round(-log(col("p")), 9).cast("decimal(28,9)"))
+      .groupBy(col(idCol))
+      .agg(sum("s").as("__ssum"), count(lit(1)).as("n_tokens"))
+      .select(col(idCol),
+        round(col("__ssum").cast("double") / col("n_tokens"), 6).as("surprisal"),
+        col("n_tokens"))
+  }
 }

@@ -2100,6 +2100,104 @@ object EventQueries {
         SELECT event_type, n_true, noise,
                ROUND(GREATEST(ROUND(n_true + noise, 6), CAST(0 AS DOUBLE)), 6)
                  + CAST(0 AS DOUBLE) AS n_released
-        FROM z ORDER BY event_type"""))
+        FROM z ORDER BY event_type""")),
+
+    // Sliding 7-day HLL union — the mergeable-sketch WINDOW pattern that
+    // makes rolling distinct counts affordable at 100 TB: per-day register
+    // partials are built ONCE (one corpus-linear pass), then every day's
+    // trailing-7-day WAU is a max-merge over ≤7×1024 register rows —
+    // sketch-sized work per window, the raw events are never rescanned.
+    // Exact DAU/WAU computed alongside (affordable at fixture scale) so
+    // the estimate's error is visible in the output; stickiness =
+    // dau_est/wau_est. Registers, the dyadic Z sum, and the small-range
+    // correction replay in DuckDB via the q4m machinery, grouped by day.
+    "qcs_sliding_hll_wau" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.HllSketch
+        val e = ev(s, dir)
+          .select(expr("unix_millis(ts) div 86400000").as("day"),
+            col("user_id"))
+        val regs = HllSketch.groupedRegisters(
+          e.select(col("day").as("g"), col("user_id")), "g", "user_id")
+          .localCheckpoint(eager = false)
+        val days = regs.select(col("g").as("d")).distinct()
+        val slid = regs.join(days,
+            col("g") <= col("d") && col("g") > col("d") - lit(7L))
+          .select(col("d").as("g"), col("bucket"), col("rho"))
+          .groupBy("g", "bucket").agg(max("rho").as("rho"))
+        val dauEst = HllSketch.groupedEstimate(regs)
+          .select(col("g").as("day"), col("est_distinct").as("dau_est"))
+        val wauEst = HllSketch.groupedEstimate(slid)
+          .select(col("g").as("day"), col("est_distinct").as("wau_est"))
+        val dauExact = e.groupBy("day")
+          .agg(count_distinct(col("user_id")).as("dau_exact"))
+        val wauExact = e.select(col("day").as("g"), col("user_id"))
+          .join(days, col("g") <= col("d") && col("g") > col("d") - lit(7L))
+          .groupBy(col("d").as("day"))
+          .agg(count_distinct(col("user_id")).as("wau_exact"))
+        dauExact.join(wauExact, Seq("day")).join(dauEst, Seq("day"))
+          .join(wauEst, Seq("day"))
+          .withColumn("stickiness", round(col("dau_est") / col("wau_est"), 6))
+          .orderBy(col("day"))
+      },
+      oracle = Some {
+        val seedLit =
+          s"CAST(${java.lang.Long.toUnsignedString(graft.operators.HllSketch.Seed)} AS HUGEINT)"
+        val inner = "SELECT day, " +
+          OracleSql.xor64("CAST(k AS HUGEINT)", seedLit) + " AS hx FROM e"
+        val (mixed, h) = OracleSql.mix64Nested(inner, "hx", "hh", keep = "day")
+        val alpha = "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+          "CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))) * " +
+          "CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE)"
+        def estCtes(regsCte: String, p: String): String = {
+          val raw = s"$alpha * CAST(36028797018963968 AS DOUBLE) / CAST(zs AS DOUBLE)"
+          s"""aggr_$p AS (
+            SELECT day, SUM(CAST(CAST(1 AS BIGINT) << (55 - rho) AS HUGEINT)) AS zn,
+                   COUNT(*) AS ne
+            FROM $regsCte GROUP BY day),
+          zv_$p AS (
+            SELECT day, COALESCE(zn, CAST(0 AS HUGEINT))
+                     + (1024 - ne) * CAST(36028797018963968 AS HUGEINT) AS zs,
+                   CAST(1024 - ne AS BIGINT) AS v
+            FROM aggr_$p),
+          est_$p AS (
+            SELECT day, ROUND(CASE WHEN v > 0 AND $raw <= CAST(2560.0 AS DOUBLE)
+              THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / CAST(v AS DOUBLE))
+              ELSE $raw END, 6) AS est
+            FROM zv_$p)"""
+        }
+        s"""
+        WITH e AS MATERIALIZED (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(user_id AS BIGINT) AS k
+          FROM events WHERE user_id IS NOT NULL),
+        br AS (
+          SELECT day, CAST(($h) % 1024 AS INT) AS bucket,
+                 CASE WHEN (($h) // 1024) = 0 THEN 55
+                      ELSE 55 - LENGTH(format('{:b}', CAST(($h) // 1024 AS BIGINT)))
+                 END AS rho
+          FROM ($mixed)),
+        regs AS MATERIALIZED (
+          SELECT day, bucket, MAX(rho) AS rho FROM br GROUP BY day, bucket),
+        days AS (SELECT DISTINCT day AS d FROM regs),
+        slid AS MATERIALIZED (
+          SELECT d.d AS day, bucket, MAX(rho) AS rho
+          FROM regs r JOIN days d ON r.day <= d.d AND r.day > d.d - 7
+          GROUP BY d.d, bucket),
+        ${estCtes("regs", "dau")},
+        ${estCtes("slid", "wau")},
+        dx AS (SELECT day, CAST(COUNT(DISTINCT k) AS BIGINT) AS dau_exact
+               FROM e GROUP BY day),
+        wx AS (SELECT d.d AS day, CAST(COUNT(DISTINCT k) AS BIGINT) AS wau_exact
+               FROM e JOIN days d ON e.day <= d.d AND e.day > d.d - 7
+               GROUP BY d.d)
+        SELECT dx.day, dx.dau_exact, wx.wau_exact,
+               est_dau.est AS dau_est, est_wau.est AS wau_est,
+               ROUND(est_dau.est / est_wau.est, 6) AS stickiness
+        FROM dx JOIN wx USING (day)
+        JOIN est_dau ON est_dau.day = dx.day
+        JOIN est_wau ON est_wau.day = dx.day
+        ORDER BY dx.day"""
+      })
   )
 }

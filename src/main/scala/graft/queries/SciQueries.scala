@@ -8403,6 +8403,89 @@ object SciQueries {
         SELECT seas.dow, ROUND(seas.seasonal, 2) AS seasonal_index,
                r2.n_days, r2.r2
         FROM seas CROSS JOIN r2
-        ORDER BY seas.dow"""))
+        ORDER BY seas.dow""")),
+
+    // Ripley's K point-pattern statistic over the geo panel — the spatial
+    // family's MISSING half: qcl/qcm/qcn test autocorrelation of VALUES at
+    // points; K(r) tests clustering of the POINT LOCATIONS themselves
+    // (K̂(r) = A·2·P(r)/(n(n−1)) vs πr² under CSR, L(r)−r > 0 =
+    // clustered). ONE cell-bucketed radius join at the largest radius
+    // (never all-pairs on the Spark side), conditional counts per radius,
+    // area of the |lat|≤70 band inlined as a literal computed once
+    // driver-side so both engines use the identical double. The naive
+    // all-pairs oracle doubles as the candidate-loss proof (qa6 pattern).
+    "qcq_ripleys_k" -> Q(
+      fn = (s, dir) => {
+        val radii = Seq(200, 400, 600)
+        val areaKm2 = 4.0 * math.Pi * 6371.0 * 6371.0 *
+          math.sin(math.toRadians(70.0))
+        val pts = t(s, dir, "customer").filter(col("c_custkey") <= 3000)
+          .select(col("c_custkey"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("lat"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lon"))
+          .filter(abs(col("lat")) <= lit(70.0))
+          .localCheckpoint(eager = false)
+        val a = pts.select(col("c_custkey").as("a_id"),
+          col("lat").as("a_lat"), col("lon").as("a_lon"))
+        val b = pts.select(col("c_custkey").as("b_id"),
+          col("lat").as("b_lat"), col("lon").as("b_lon"))
+        val n = pts.agg(count(lit(1)).as("n_pts"))
+        val counts = Geo.radiusJoinCells(a, "a_lat", "a_lon",
+            b, "b_lat", "b_lon", radii.max.toDouble, 5.0, 2, 5)
+          .filter(col("a_id") < col("b_id"))
+          .agg(coalesce(sum(when(col("dist_km") <= radii.head, 1L)), lit(0L))
+              .as(s"p${radii.head}"),
+            radii.tail.map(r => coalesce(
+              sum(when(col("dist_km") <= r, 1L)), lit(0L)).as(s"p$r")): _*)
+        val rows = radii.map { r =>
+          val k = round(lit(areaKm2) * lit(2.0) * col(s"p$r").cast("double") /
+            (col("n_pts").cast("double") * (col("n_pts").cast("double") - lit(1.0))), 6)
+          struct(lit(r).as("r_km"), col("n_pts"), col(s"p$r").as("n_pairs"),
+            k.as("k_hat"),
+            round(sqrt(k / lit(math.Pi)) - lit(r.toDouble), 6).as("l_minus_r"))
+        }
+        counts.crossJoin(broadcast(n))
+          .select(explode(array(rows: _*)).as("z")).select(col("z.*"))
+          .orderBy(col("r_km"))
+      },
+      oracle = Some {
+        val areaKm2 = 4.0 * math.Pi * 6371.0 * 6371.0 *
+          math.sin(math.toRadians(70.0))
+        val radii = Seq(200, 400, 600)
+        val branches = radii.map { r =>
+          val k = s"ROUND(CAST($areaKm2 AS DOUBLE) * CAST(2 AS DOUBLE) " +
+            s"* CAST(p$r AS DOUBLE) / (CAST(n_pts AS DOUBLE) " +
+            s"* (CAST(n_pts AS DOUBLE) - CAST(1 AS DOUBLE))), 6)"
+          s"""SELECT $r AS r_km, n_pts, p$r AS n_pairs, $k AS k_hat,
+               ROUND(SQRT($k / CAST(${math.Pi} AS DOUBLE))
+                 - CAST($r AS DOUBLE), 6) AS l_minus_r
+             FROM counts CROSS JOIN n"""
+        }
+        s"""
+        WITH pts AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT c_custkey AS id,
+                   ${coordSql("c_custkey", "lat", 180000L, 90)} AS lat,
+                   ${coordSql("c_custkey", "lon", 360000L, 180)} AS lon
+            FROM customer WHERE c_custkey <= 3000)
+          WHERE ABS(lat) <= CAST(70 AS DOUBLE)),
+        d AS (
+          SELECT ROUND(CAST(12742 AS DOUBLE) * ASIN(SQRT(
+                   SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                     * SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                   + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                     * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE))
+                     * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE)))), 6)
+                   AS dist_km
+          FROM pts a JOIN pts b ON a.id < b.id),
+        counts AS (
+          SELECT ${radii.map(r =>
+            s"COALESCE(SUM(CASE WHEN dist_km <= $r THEN 1 END), 0)" +
+              s"::BIGINT AS p$r").mkString(", ")}
+          FROM d),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pts FROM pts)
+        ${branches.mkString(" UNION ALL ")}
+        ORDER BY r_km"""
+      })
   )
 }

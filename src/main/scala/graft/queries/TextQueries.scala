@@ -429,6 +429,56 @@ object TextQueries {
         ORDER BY media_a, media_b"""
       }),
 
+    // Kneser–Ney smoothed bigram surprisal — the standard curation LM,
+    // hash-exact: absolute discounting D=0.75, per-context back-off weight
+    // D·N1+(v,·)/c(v), continuation-probability base distribution
+    // N1+(·,w)/|bigram types| (position 1 and unseen contexts score with
+    // continuation alone). Integer count tables + the q3s
+    // round(−ln p, 9)/DECIMAL(28,9) accumulation discipline.
+    "qcr_kneser_ney_surprisal" -> Q(
+      fn = (s, dir) =>
+        graft.operators.LmScore.kneserNeySurprisalScores(
+          docs(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        pos AS MATERIALIZED (
+          SELECT doc_id, p['token'] AS token, p['prev'] AS prev FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+              i -> {'token': t[i],
+                    'prev': CASE WHEN i = 1 THEN NULL ELSE t[i-1] END})) AS p
+            FROM toks)),
+        bi AS MATERIALIZED (
+          SELECT prev, token, COUNT(*) AS c FROM pos
+          WHERE prev IS NOT NULL GROUP BY prev, token),
+        prevstats AS MATERIALIZED (
+          SELECT prev, SUM(c) AS cv, COUNT(*) AS n1pv FROM bi GROUP BY prev),
+        types AS (SELECT COUNT(*) AS t_types FROM bi),
+        contp AS MATERIALIZED (
+          SELECT token, CAST(COUNT(*) AS DOUBLE) / CAST(t_types AS DOUBLE) AS p_cont
+          FROM bi CROSS JOIN types GROUP BY token, t_types),
+        scored AS (
+          SELECT doc_id,
+            CAST(ROUND(-ln(
+              CASE WHEN pos.prev IS NULL OR ps.cv IS NULL THEN p_cont
+                   ELSE GREATEST(CAST(COALESCE(bi.c, 0) AS DOUBLE)
+                          - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+                        / CAST(ps.cv AS DOUBLE)
+                      + (CAST(0.75 AS DOUBLE) * CAST(ps.n1pv AS DOUBLE)
+                          / CAST(ps.cv AS DOUBLE)) * p_cont END), 9)
+              AS DECIMAL(28,9)) AS s
+          FROM pos
+          JOIN contp USING (token)
+          LEFT JOIN bi ON pos.prev = bi.prev AND pos.token = bi.token
+          LEFT JOIN prevstats ps ON pos.prev = ps.prev),
+        agg AS (SELECT doc_id, SUM(s) AS ssum, COUNT(*) AS n
+                FROM scored GROUP BY doc_id)
+        SELECT doc_id, ROUND(CAST(ssum AS DOUBLE) / n, 6) AS surprisal,
+               CAST(n AS BIGINT) AS n_tokens
+        FROM agg ORDER BY doc_id""")),
+
     // Language-ID heuristic, hash-exact: the stopword scoring + CJK ratio +
     // fixed tiebreak order of LangId.detect re-expressed in DuckDB SQL
     // (list_filter hit counts, CASE ladder encoding "first language with a
