@@ -115,4 +115,49 @@ class LmScoreSpec extends AnyFunSuite {
     val uu = LmScore.surprisalScores(salad, "doc_id", "text", uLm).collect().head.getDouble(1)
     assert(us == uu)
   }
+
+  test("kneser-ney: hand-computed smoothing, continuation beats raw frequency") {
+    import spark.implicits._
+    // corpus "a b a b" + "a c": bigrams (a,b)x2, (b,a)x1, (a,c)x1
+    // types T=3; c(a)=3, N1+(a,.)=2; c(b)=1, N1+(b,.)=1
+    // P_cont: b follows {a} -> 1/3; a follows {b} -> 1/3; c follows {a} -> 1/3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val D = 0.75
+    val pcont = 1.0 / 3
+    // doc1: pos1 a -> p_cont(a)=1/3
+    //       b|a -> (2-D)/3 + (D*2/3)*1/3
+    //       a|b -> (1-D)/1 + (D*1/1)*1/3
+    val pb_a = (2 - D) / 3 + (D * 2 / 3) * pcont
+    val pa_b = (1 - D) / 1 + D * 1 * pcont
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val d1 = BigDecimal(r9(-math.log(pcont))) +
+      BigDecimal(r9(-math.log(pb_a))) * 2 + BigDecimal(r9(-math.log(pa_b)))
+    val exp1 = (d1 / 4).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    def run(d: org.apache.spark.sql.DataFrame) =
+      LmScore.kneserNeySurprisalScores(d, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val got = run(docs)
+    assert(got.head == ((1L, exp1, 4L)))
+    assert(run(docs.repartition(5)) == got, "partition-invariant")
+    // every probability is a proper sub-distribution value in (0, 1]
+    assert(got.forall(_._2 > 0))
+
+    // The KN signature: a frequent token locked to ONE context ("francisco"
+    // only ever follows "san") gets LOW continuation probability — in a
+    // fresh context it scores MORE surprising than an equally frequent
+    // token seen after many contexts, which raw bigram interpolation
+    // under-penalizes.
+    val kn = Seq(
+      (1L, "san francisco san francisco san francisco san francisco"),
+      (2L, "a milk b milk c milk d milk"),
+      (3L, "x francisco"), (4L, "x milk")) // fresh context 'x' for both
+      .toDF("doc_id", "text")
+    val scores = LmScore.kneserNeySurprisalScores(kn, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // same shape (2 tokens, unseen-context backoff at position 2), so the
+    // difference is exactly the continuation probability
+    assert(scores(3L) > scores(4L),
+      s"francisco (1 context) must out-surprise milk (4 contexts): $scores")
+  }
 }
