@@ -925,4 +925,56 @@ object GraphOps {
         round(coalesce(col("ds").cast("double"), lit(0.0)), 9).as("delta"))
       .iterCheckpoint()
   }
+
+  /** Sketch-based neighborhood function (the HyperANF idea, Boldi et al.
+    * 2011): estimate |B(v,h)| — how many nodes each vertex reaches within
+    * h hops — for ALL vertices simultaneously by giving every node an HLL
+    * sketch of its ball and max-merging each node's sketch with its
+    * out-neighbors' sketches per hop. Exact all-pairs reachability is
+    * O(n·m) per hop and n² state; the sketch pass is one edge join over
+    * ≤ n × m register rows per hop with O(n · 1024) state — THE way to
+    * get distance distributions / effective diameter on a 10⁹-node crawl
+    * graph. Registers, per-node estimates and the dyadic Z arithmetic are
+    * the [[HllSketch]] machinery, so every number replays in DuckDB.
+    *
+    * Returns one row per hop h = 0..maxHops: (h, n_nodes, total_reach,
+    * mean_reach) where total/mean are the DECIMAL-summed per-node
+    * estimates (order-free — the oracle contract). Effective diameter at
+    * q: the smallest h with total_reach(h) ≥ q · total_reach(maxHops).
+    */
+  def neighborhoodFunction(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 8, s"maxHops out of range: $maxHops")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().iterCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    val br = udf((k: Long) => HllSketch.bucketRho(k))
+    var regs = nodes
+      .select(col("node"), br(col("node")).as("__br"))
+      .select(col("node"), col("__br._1").as("bucket"), col("__br._2").as("rho"))
+      .iterCheckpoint()
+    def hopAgg(h: Int, r: DataFrame): DataFrame =
+      HllSketch.groupedEstimate(
+        r.select(col("node").as("g"), col("bucket"), col("rho")))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("est_distinct").cast("decimal(18,6)")).as("__tot"))
+        .select(lit(h).as("h"), col("n_nodes"),
+          col("__tot").cast("double").as("total_reach"),
+          round(col("__tot").cast("double") / col("n_nodes").cast("double"), 6)
+            .as("mean_reach"))
+    var frames = Vector(hopAgg(0, regs))
+    var h = 1
+    while (h <= maxHops) {
+      val recv = e.join(regs, col("dst") === col("node"))
+        .select(col("src").as("node"), col("bucket"), col("rho"))
+      regs = regs.union(recv)
+        .groupBy("node", "bucket").agg(max("rho").as("rho"))
+        .iterCheckpoint()
+      frames = frames :+ hopAgg(h, regs)
+      h += 1
+    }
+    frames.reduce(_ unionByName _)
+  }
 }

@@ -8486,6 +8486,91 @@ object SciQueries {
         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pts FROM pts)
         ${branches.mkString(" UNION ALL ")}
         ORDER BY r_km"""
+      }),
+
+    // HyperANF neighborhood function: per-node HLL sketches of the h-hop
+    // ball, max-merged along edges per hop — distance distributions /
+    // effective diameter at sketch cost (O(n·1024) state, one edge join
+    // per hop) where exact all-pairs reachability is O(n²). Graph: a
+    // deterministic out-degree-2 functional graph on the order-key
+    // residues mod 997 (balls grow ≈2^h — the curve is informative, not
+    // saturated). Registers, per-node estimates and the DECIMAL-summed
+    // totals all replay via the q4m HLL machinery, hop CTEs unrolled.
+    "qct_hyperanf_reach" -> Q(
+      fn = (s, dir) => {
+        val sres = t(s, dir, "orders")
+          .select((col("o_orderkey") % 997).cast("long").as("s")).distinct()
+        val edges = sres.select(col("s").as("src"),
+            ((col("s") * 31 + 7) % 997).as("dst"))
+          .unionByName(sres.select(col("s").as("src"),
+            ((col("s") * 17 + 3) % 997).as("dst")))
+          .filter(col("src") =!= col("dst"))
+        graft.operators.GraphOps.neighborhoodFunction(edges, maxHops = 3)
+          .orderBy(col("h"))
+      },
+      oracle = Some {
+        val seedLit =
+          s"CAST(${java.lang.Long.toUnsignedString(graft.operators.HllSketch.Seed)} AS HUGEINT)"
+        val inner = "SELECT node, " +
+          OracleSql.xor64("CAST(node AS HUGEINT)", seedLit) + " AS hx FROM nodes"
+        val (mixed, h) = OracleSql.mix64Nested(inner, "hx", "hh", keep = "node")
+        val alpha = "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+          "CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))) * " +
+          "CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE)"
+        def hop(prev: String, cur: String): String =
+          s"""$cur AS MATERIALIZED (
+            SELECT node, bucket, MAX(rho) AS rho FROM (
+              SELECT node, bucket, rho FROM $prev
+              UNION ALL
+              SELECT e.src AS node, p.bucket, p.rho
+              FROM e JOIN $prev p ON p.node = e.dst)
+            GROUP BY node, bucket)"""
+        def hopRow(hh: Int, regs: String): String = {
+          val raw = s"$alpha * CAST(36028797018963968 AS DOUBLE) / CAST(zs AS DOUBLE)"
+          s"""SELECT $hh AS h, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(CAST(ROUND(est, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_reach,
+               ROUND(CAST(SUM(CAST(ROUND(est, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_reach
+             FROM (
+               SELECT node, ROUND(CASE WHEN v > 0 AND $raw <= CAST(2560.0 AS DOUBLE)
+                 THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / CAST(v AS DOUBLE))
+                 ELSE $raw END, 6) AS est
+               FROM (
+                 SELECT node, COALESCE(zn, CAST(0 AS HUGEINT))
+                          + (1024 - ne) * CAST(36028797018963968 AS HUGEINT) AS zs,
+                        CAST(1024 - ne AS BIGINT) AS v
+                 FROM (
+                   SELECT node,
+                          SUM(CAST(CAST(1 AS BIGINT) << (55 - rho) AS HUGEINT)) AS zn,
+                          COUNT(*) AS ne
+                   FROM $regs GROUP BY node)))"""
+        }
+        s"""
+        WITH sres AS (
+          SELECT DISTINCT CAST(o_orderkey % 997 AS BIGINT) AS s FROM orders),
+        e AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT s AS src, (s * 31 + 7) % 997 AS dst FROM sres
+            UNION ALL SELECT s, (s * 17 + 3) % 997 FROM sres)
+          WHERE src <> dst),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        br AS (
+          SELECT node, CAST(($h) % 1024 AS INT) AS bucket,
+                 CASE WHEN (($h) // 1024) = 0 THEN 55
+                      ELSE 55 - LENGTH(format('{:b}', CAST(($h) // 1024 AS BIGINT)))
+                 END AS rho
+          FROM ($mixed)),
+        r0 AS MATERIALIZED (
+          SELECT node, bucket, MAX(rho) AS rho FROM br GROUP BY node, bucket),
+        ${hop("r0", "r1")},
+        ${hop("r1", "r2")},
+        ${hop("r2", "r3")}
+        ${Seq(hopRow(0, "r0"), hopRow(1, "r1"), hopRow(2, "r2"),
+          hopRow(3, "r3")).mkString(" UNION ALL ")}
+        ORDER BY h"""
       })
   )
 }

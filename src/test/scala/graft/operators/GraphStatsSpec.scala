@@ -86,4 +86,36 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(GraphOps.degreeAssortativity(df1).collect().toSeq ==
       GraphOps.degreeAssortativity(df9).collect().toSeq)
   }
+
+  test("neighborhood function: sketch balls track the exact BFS balls") {
+    // path 1→2→3→4 plus isolated-ish 5→4: exact ball sizes
+    //   h=0: all 1 (n=5, total 5)
+    //   h=1: 1:{1,2} 2:{2,3} 3:{3,4} 4:{4} 5:{5,4} -> total 9
+    //   h=2: 1:{1,2,3} 2:{2,3,4} 3:{3,4} 4:{4} 5:{5,4} -> total 11
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (5L, 4L))
+    val nf = GraphOps.neighborhoodFunction(e, maxHops = 2)
+      .collect().map(r => r.getAs[Int]("h") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Double]("total_reach"),
+          r.getAs[Double]("mean_reach"))).toMap
+    assert(nf.keySet == Set(0, 1, 2))
+    val exact = Map(0 -> 5.0, 1 -> 9.0, 2 -> 11.0)
+    exact.foreach { case (h, tot) =>
+      val (n, got, mean) = nf(h)
+      assert(n == 5L)
+      // at these cardinalities the small-range linear-counting branch is
+      // active: estimates sit within ~1% of exact ball sizes
+      assert(math.abs(got - tot) / tot < 0.01, s"h=$h est $got vs exact $tot")
+      assert(math.abs(mean - tot / 5) < 0.01)
+    }
+    // monotone: balls only grow with h
+    assert(nf(0)._2 <= nf(1)._2 && nf(1)._2 <= nf(2)._2)
+  }
+
+  test("neighborhood function is partition-invariant (decimal-summed estimates)") {
+    val es = (0 until 300).map(i => ((i % 41).toLong, ((i * 7 + 3) % 41).toLong))
+    def run(parts: Int) = GraphOps.neighborhoodFunction(
+      es.toDF("src", "dst").repartition(parts), maxHops = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(run(1) == run(8))
+  }
 }
