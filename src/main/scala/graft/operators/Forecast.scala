@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic time-series forecasting — Holt's linear-trend double
@@ -265,6 +266,55 @@ object Forecast {
         col("__ys").getItem(col("__pos") + 1).as("y"),
         round(col("__r"), 6).as("resid"), col("sigma"),
         (abs(col("__r")) > lit(z) * col("sigma")).as("is_anomaly"))
+  }
+
+  /** Split-conformal prediction interval for the Holt one-step forecaster
+    * (Vovk et al.; the distribution-free way to put HONEST bands on any
+    * point forecaster): the first `calN` one-step-ahead absolute residuals
+    * per key are the calibration scores, q̂ = the ⌈(calN+1)·(1−miscoverage)⌉-th
+    * smallest of them, and the interval ŷ ± q̂ then covers future points
+    * with probability ≥ 1−miscoverage under exchangeability — no
+    * distributional assumption, unlike the q88 z·σ gaussian band. The
+    * remaining points are the holdout on which the EMPIRICAL coverage is
+    * reported, so a broken exchangeability assumption (drift) is visible
+    * in the output rather than silently miscovering.
+    *
+    * Determinism: residuals come from [[holtResidualAnomalies]]'s
+    * 9-snapped fold; q̂ is an exact order statistic (rank k computed
+    * driver-side in BigDecimal so ceil can't wobble on float
+    * representation); coverage is an integer ratio. Scale shape: per-key
+    * windows over series-length rows — bounded, parallel across keys.
+    */
+  def conformalHoltInterval(
+      series: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      alpha: Double = 0.5, beta: Double = 0.25,
+      calN: Int, miscoverage: Double = 0.2): DataFrame = {
+    require(calN >= 1, s"calN must be positive, got $calN")
+    require(miscoverage > 0 && miscoverage < 1, s"bad miscoverage $miscoverage")
+    val k = (BigDecimal(calN + 1) * (BigDecimal(1) - BigDecimal(miscoverage)))
+      .setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+    require(k <= calN,
+      s"miscoverage $miscoverage too small for calN=$calN (needs rank $k)")
+    val r = holtResidualAnomalies(series, keyCol, orderCol, valueCol, alpha, beta)
+      .select(col(keyCol), col("o"), abs(col("resid")).as("__ar"))
+    val byOrder = Window.partitionBy(keyCol).orderBy(col("o"))
+    val pos = r.withColumn("__pos", row_number().over(byOrder))
+    val byScore = Window.partitionBy(keyCol).orderBy(col("__ar"), col("o"))
+    val qhat = pos.filter(col("__pos") <= calN)
+      .withColumn("__rk", row_number().over(byScore))
+      .filter(col("__rk") === k)
+      .select(col(keyCol), col("__ar").as("q_hat"))
+    pos.filter(col("__pos") > calN)
+      .join(qhat, Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__ar") <= col("q_hat"), 1L).otherwise(0L)).as("n_covered"),
+        max(col("q_hat")).as("q_hat"))
+      .select(col(keyCol), lit(calN).as("n_cal"), col("n_test"),
+        col("q_hat"),
+        round(col("n_covered").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"),
+        round(lit(2.0) * col("q_hat"), 6).as("width"))
   }
 
   /** Croston's method (Croston 1972) for INTERMITTENT demand — series

@@ -609,4 +609,52 @@ object Stats {
       round(aucRaw, 6).as("auc"),
       round(lit(2.0) * aucRaw - lit(1.0), 6).as("gini"))
   }
+
+  /** Energy-distance two-sample test (Székely & Rizzo): for samples
+    * X (n) and Y (m),
+    *
+    *   E = 2·Σ|x−y|/(n·m) − Σ|x−x'|/n² − Σ|y−y'|/m²,
+    *   T = (n·m/(n+m))·E
+    *
+    * — zero iff the distributions match, consistent against EVERY
+    * alternative (location, scale, shape), where KS (q6u) keys on the
+    * single largest CDF gap and rank tests (q7o) see location only. No
+    * distributional assumption, no kernel bandwidth: |·| distances on
+    * 2-decimal values stay in EXACT DECIMAL arithmetic end to end, so the
+    * pair sums are integers-in-decimal and the statistic replays
+    * hash-exact (an RBF-kernel MMD would need exp — not oracle-safe).
+    *
+    * Contract: `a`/`b` are bounded AUDIT PANELS (the qa8 discipline —
+    * the pair joins are quadratic in the panel, thin deterministically
+    * upstream); `idCol` is the unique within-sample tiebreak. One row:
+    * (n_a, n_b, e_dist, t_stat).
+    */
+  def energyDistance(a: DataFrame, b: DataFrame,
+      idCol: String, valueCol: String): DataFrame = {
+    def panel(df: DataFrame, p: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(idCol).as(s"${p}_id"),
+        col(valueCol).cast("decimal(18,2)").as(s"${p}_v"))
+    val ax = panel(a, "ax"); val ay = panel(a, "ay")
+    val bx = panel(b, "bx"); val by = panel(b, "by")
+    val cross = ax.crossJoin(bx)
+      .agg(sum(abs(col("ax_v") - col("bx_v"))).as("sab"))
+    val within = (p: DataFrame, q: DataFrame, pi: String, qi: String,
+        pv: String, qv: String, out: String) =>
+      p.join(q, col(pi) < col(qi))
+        .agg((sum(abs(col(pv) - col(qv))) * lit(2)).as(out))
+    val saa = within(ax, ay, "ax_id", "ay_id", "ax_v", "ay_v", "saa")
+    val sbb = within(bx, by, "bx_id", "by_id", "bx_v", "by_v", "sbb")
+    val counts = ax.agg(count(lit(1)).as("n_a"))
+      .crossJoin(bx.agg(count(lit(1)).as("n_b")))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val e = lit(2.0) * col("sab").cast("double") / (na * nb) -
+      coalesce(col("saa").cast("double"), lit(0.0)) / (na * na) -
+      coalesce(col("sbb").cast("double"), lit(0.0)) / (nb * nb)
+    counts.crossJoin(broadcast(cross))
+      .crossJoin(broadcast(saa)).crossJoin(broadcast(sbb))
+      .select(col("n_a"), col("n_b"),
+        round(e, 6).as("e_dist"),
+        round(na * nb / (na + nb) * e, 6).as("t_stat"))
+  }
 }

@@ -563,6 +563,84 @@ object AnalyticsQueries {
                ABS(u['r']) > CAST(2 AS DOUBLE) * sigma AS is_anomaly
         FROM x ORDER BY event_type, day""")),
 
+    // Split-conformal interval on the q88 forecaster: calibration = the
+    // first 14 one-step residuals per type, q̂ = the ⌈15·0.8⌉ = 12th
+    // smallest |residual| (exact order statistic, rank computed in
+    // BigDecimal driver-side), empirical holdout coverage reported — the
+    // distribution-free honest band next to q88's gaussian z·σ. The
+    // oracle replays the q88 fold verbatim, then pure window ranks.
+    "qcu_conformal_interval" -> Q(
+      fn = (s, dir) => {
+        val daily = ev(s, dir)
+          .withColumn("day", expr("ts_ms div 86400000"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        graft.operators.Forecast.conformalHoltInterval(daily, "event_type",
+            "day", "y", alpha = 0.5, beta = 0.25, calN = 14, miscoverage = 0.2)
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                 CAST(COUNT(*) AS DOUBLE) AS y
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 list(y ORDER BY day) AS ys,
+                 list(day ORDER BY day) AS ds
+          FROM d GROUP BY 1),
+        f AS (
+          SELECT event_type, n_obs, ys, ds,
+                 list_reduce(
+                   list_prepend([ys[1], CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                     list_transform(ys[2:], x -> [x])),
+                   (acc, e) -> list_concat(list_concat([
+                     ROUND(CAST(0.5 AS DOUBLE) * e[1]
+                       + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9),
+                     ROUND(CAST(0.25 AS DOUBLE)
+                       * (ROUND(CAST(0.5 AS DOUBLE) * e[1]
+                           + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9)
+                          - acc[1])
+                       + CAST(0.75 AS DOUBLE) * acc[2], 9),
+                     ROUND(acc[3] + ROUND((e[1] - (acc[1] + acc[2]))
+                       * (e[1] - (acc[1] + acc[2])), 9), 9)],
+                     acc[4:]),
+                     [ROUND(e[1] - (acc[1] + acc[2]), 9)])) AS st
+          FROM s WHERE n_obs > 1),
+        x AS (
+          SELECT event_type,
+                 unnest(list_transform(range(1, len(st[4:]) + 1),
+                   i -> {'d': ds[i + 1], 'r': st[4:][i]})) AS u
+          FROM f),
+        rr AS (
+          SELECT event_type, u['d'] AS day, ABS(ROUND(u['r'], 6)) AS ar
+          FROM x),
+        pos AS (
+          SELECT event_type, day, ar,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS pos
+          FROM rr),
+        qh AS (
+          SELECT event_type, ar AS q_hat FROM (
+            SELECT event_type, ar,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY ar, day) AS rk
+            FROM pos WHERE pos <= 14)
+          WHERE rk = 12),
+        t AS (
+          SELECT pos.event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_test,
+                 CAST(SUM(CASE WHEN ar <= q_hat THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_covered,
+                 MAX(q_hat) AS q_hat
+          FROM pos JOIN qh ON qh.event_type = pos.event_type
+          WHERE pos.pos > 14
+          GROUP BY pos.event_type)
+        SELECT event_type, CAST(14 AS INT) AS n_cal, n_test, q_hat,
+               ROUND(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+                 AS coverage,
+               ROUND(CAST(2 AS DOUBLE) * q_hat, 6) AS width
+        FROM t ORDER BY event_type""")),
+
     // Incremental aggregate maintenance, proven by construction: the
     // Spark side builds yesterday's per-priority aggregate (orderkey % 7
     // != 0), applies an op-weighted delta (inserts: % 7 = 0; deletes:

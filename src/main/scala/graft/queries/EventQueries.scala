@@ -2198,6 +2198,59 @@ object EventQueries {
         JOIN est_dau ON est_dau.day = dx.day
         JOIN est_wau ON est_wau.day = dx.day
         ORDER BY dx.day"""
-      })
+      }),
+
+    // Energy-distance two-sample test (Székely–Rizzo) between the
+    // purchase and click value distributions — consistent against EVERY
+    // distributional difference where KS (q6u) keys on one CDF gap and
+    // rank tests see location only. Panels thinned deterministically
+    // (event_id % 17 = 0) so the quadratic pair sums stay bounded at any
+    // SF (the qa8 audit-panel contract); |·| distances ride EXACT
+    // DECIMAL(18,2) end to end, so the pair sums are exact and the
+    // statistic replays hash-exact (an RBF MMD would need exp — not
+    // oracle-safe, per the q5a sigmoid lesson).
+    "qcv_energy_distance" -> Q(
+      fn = (s, dir) => {
+        val e = ev(s, dir).filter(col("event_id") % 17 === 0)
+        graft.operators.Stats.energyDistance(
+          e.filter(col("event_type") === "purchase"),
+          e.filter(col("event_type") === "click"),
+          "event_id", "value")
+      },
+      oracle = Some("""
+        WITH a AS MATERIALIZED (
+          SELECT event_id AS id, CAST(value AS DECIMAL(18,2)) AS v
+          FROM events
+          WHERE event_id % 17 = 0 AND event_type = 'purchase'
+            AND value IS NOT NULL),
+        b AS MATERIALIZED (
+          SELECT event_id AS id, CAST(value AS DECIMAL(18,2)) AS v
+          FROM events
+          WHERE event_id % 17 = 0 AND event_type = 'click'
+            AND value IS NOT NULL),
+        sab AS (SELECT SUM(ABS(a.v - b.v)) AS sab FROM a CROSS JOIN b),
+        saa AS (SELECT SUM(ABS(x.v - y.v)) * 2 AS saa
+                FROM a x JOIN a y ON x.id < y.id),
+        sbb AS (SELECT SUM(ABS(x.v - y.v)) * 2 AS sbb
+                FROM b x JOIN b y ON x.id < y.id),
+        n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b)
+        SELECT n_a, n_b,
+               ROUND(CAST(2 AS DOUBLE) * CAST(sab AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 - COALESCE(CAST(saa AS DOUBLE), CAST(0 AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+                 - COALESCE(CAST(sbb AS DOUBLE), CAST(0 AS DOUBLE))
+                   / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS e_dist,
+               ROUND(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                 * (CAST(2 AS DOUBLE) * CAST(sab AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                   - COALESCE(CAST(saa AS DOUBLE), CAST(0 AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+                   - COALESCE(CAST(sbb AS DOUBLE), CAST(0 AS DOUBLE))
+                     / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+                 AS t_stat
+        FROM n CROSS JOIN sab CROSS JOIN saa CROSS JOIN sbb"""))
   )
 }
