@@ -1,0 +1,466 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 session-2 families: regression diagnostics (Durbin-Watson
+  * serial correlation, Breusch-Pagan heteroskedasticity, Chow structural
+  * break), complexity / information measures (sample entropy,
+  * Jensen-Shannon divergence), and their relatives. Every query carries
+  * an exact DuckDB oracle under the CLAUDE.md parity rules: DECIMAL
+  * moment sums, ln/÷/sqrt-only float links, 9-decimal grid snaps, and
+  * DECIMAL multiplies wherever an exact grid product could land on a
+  * rounding half-boundary (rule 15).
+  *
+  * Reference anchor: the-hive's analytics surface stops at counts and
+  * rollups (internal/store/search.go, internal/server/stats.go); this
+  * file extends the engine's inference battery the same way the qa0-qcv
+  * families do — declaratively, over the driver fixtures, oracle-exact.
+  */
+object StatQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Daily order revenue in millions: DECIMAL(18,8) — /1e6 of a 2-decimal
+    * sum has exactly 8 decimals, so the cast is exact in both engines and
+    * centered values stay O(1..10) at every test SF (keeps every ROUND(x,6)
+    * term within the 15-significant-digit oracle-safe envelope).
+    */
+  private def dailyRevenueM(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
+        .as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) / lit(1000000))
+        .cast("decimal(18,8)").as("ym"))
+
+  private val dailyRevenueMSql: String =
+    """SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+      |         AS DECIMAL(18,8)) AS ym
+      |FROM orders GROUP BY 1""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+
+    // Durbin-Watson + Breusch-Pagan over the OLS time trend of the daily
+    // revenue series: the two canonical residual diagnostics (is there
+    // serial correlation left? does the error variance drift with time?)
+    // that q6q's grouped trend fits never ask. x = the row index, so
+    // xbar = (n+1)/2 and every dx is an exact half-integer; residuals
+    // snap to the 9-grid; the BP cross-moment Σ dx·(u-ubar) is an exact
+    // half-integer × 9-grid product — multiplied in DECIMAL per rule 15
+    // (rounded at any width it lands exactly on the half-boundary for
+    // ~half the rows). BP is the Koenker studentized LM = n·R²_aux.
+    "qcw_ols_residual_diagnostics" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val st = ranked.agg(count(lit(1)).as("n"), sum(col("ym")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"),
+            ((col("n") + 1).cast("double") / lit(2.0)).as("xbar"))
+        val cen = ranked.crossJoin(broadcast(st))
+          .select(col("rn"),
+            (col("ym").cast("double") - col("mu")).as("c"),
+            (col("rn").cast("double") - col("xbar")).as("dx"))
+          .localCheckpoint(eager = false)
+        val mom = cen.agg(
+          sum(round(col("dx") * col("dx"), 6).cast("decimal(28,6)")).as("sxxd"),
+          sum(round(col("dx") * col("c"), 6).cast("decimal(28,6)")).as("sxyd"))
+          .select(col("sxxd").cast("double").as("sxx"),
+            col("sxyd").cast("double").as("sxy"))
+          .withColumn("b", round(col("sxy") / col("sxx"), 9))
+        val res = cen.crossJoin(broadcast(mom))
+          .select(col("rn"), col("dx"), col("sxx"), col("b"),
+            round(col("c") - col("b") * col("dx"), 9).as("e"))
+          .localCheckpoint(eager = false)
+        val dwn = res.select(col("rn"), col("e").as("ea"))
+          .join(res.select((col("rn") - 1).as("rn"), col("e").as("eb")),
+            Seq("rn"))
+          .agg(sum(round((col("eb") - col("ea")) * (col("eb") - col("ea")), 9)
+            .cast("decimal(28,9)")).as("dwnum"))
+        val see = res.agg(
+          sum(round(col("e") * col("e"), 9).cast("decimal(28,9)")).as("seed"),
+          count(lit(1)).as("nn"))
+          .select(col("seed").cast("double").as("see"),
+            round(col("seed").cast("double") / col("nn").cast("double"), 9)
+              .as("ubar"),
+            col("nn"))
+        val aux = res.crossJoin(broadcast(see.select(col("ubar"))))
+          .select(col("dx"),
+            (round(col("e") * col("e"), 9) - col("ubar")).as("uc"))
+          .agg(
+            sum(col("dx").cast("decimal(7,1)") * col("uc").cast("decimal(20,9)"))
+              .as("sxud"),
+            sum(round(col("uc") * col("uc"), 9).cast("decimal(38,9)"))
+              .as("suud"))
+          .select(col("sxud").cast("double").as("sxu"),
+            col("suud").cast("double").as("suu"))
+        st.crossJoin(broadcast(mom)).crossJoin(broadcast(dwn))
+          .crossJoin(broadcast(see.select(col("see"))))
+          .crossJoin(broadcast(aux))
+          .select(col("n"),
+            round(col("b"), 6).as("slope"),
+            round(col("mu").cast("decimal(20,9)") -
+              col("b").cast("decimal(12,9)") * col("xbar").cast("decimal(7,1)"),
+              6).cast("double").as("intercept"),
+            round(col("dwnum").cast("double") / col("see"), 6).as("dw"),
+            round(col("n").cast("double") *
+              (col("sxu") * col("sxu") / (col("sxx") * col("suu"))), 6)
+              .as("bp_lm"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu,
+                 CAST(COUNT(*) + 1 AS DOUBLE) / CAST(2 AS DOUBLE) AS xbar
+          FROM r),
+        cen AS MATERIALIZED (
+          SELECT rn, CAST(ym AS DOUBLE) - st.mu AS c,
+                 CAST(rn AS DOUBLE) - st.xbar AS dx
+          FROM r CROSS JOIN st),
+        mom AS (
+          SELECT CAST(SUM(CAST(ROUND(dx * dx, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sxx,
+                 CAST(SUM(CAST(ROUND(dx * c, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sxy
+          FROM cen),
+        mom2 AS (SELECT *, ROUND(sxy / sxx, 9) AS b FROM mom),
+        res AS MATERIALIZED (
+          SELECT rn, dx, ROUND(c - m.b * dx, 9) AS e
+          FROM cen CROSS JOIN mom2 m),
+        dwn AS (
+          SELECT SUM(CAST(ROUND((b.e - a.e) * (b.e - a.e), 9)
+                   AS DECIMAL(28,9))) AS dwnum
+          FROM res a JOIN res b ON b.rn = a.rn + 1),
+        see AS (
+          SELECT CAST(SUM(CAST(ROUND(e * e, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                   AS see,
+                 ROUND(CAST(SUM(CAST(ROUND(e * e, 9) AS DECIMAL(28,9)))
+                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS ubar
+          FROM res),
+        aux AS (
+          SELECT CAST(SUM(CAST(dx AS DECIMAL(7,1)) *
+                   CAST(ROUND(e * e, 9) - see.ubar AS DECIMAL(20,9)))
+                   AS DOUBLE) AS sxu,
+                 CAST(SUM(CAST(ROUND((ROUND(e * e, 9) - see.ubar) *
+                   (ROUND(e * e, 9) - see.ubar), 9) AS DECIMAL(38,9)))
+                   AS DOUBLE) AS suu
+          FROM res CROSS JOIN see)
+        SELECT st.n,
+               ROUND(m.b, 6) + CAST(0 AS DOUBLE) AS slope,
+               CAST(ROUND(CAST(st.mu AS DECIMAL(20,9)) -
+                 CAST(m.b AS DECIMAL(12,9)) * CAST(st.xbar AS DECIMAL(7,1)), 6)
+                 AS DOUBLE) AS intercept,
+               ROUND(CAST(dwn.dwnum AS DOUBLE) / see.see, 6)
+                 + CAST(0 AS DOUBLE) AS dw,
+               ROUND(CAST(st.n AS DOUBLE) *
+                 (aux.sxu * aux.sxu / (m.sxx * aux.suu)), 6)
+                 + CAST(0 AS DOUBLE) AS bp_lm
+        FROM st CROSS JOIN mom2 m CROSS JOIN dwn CROSS JOIN see
+        CROSS JOIN aux""")),
+
+    // Chow structural-break F test at the sample midpoint: fit the time
+    // trend pooled and per half, F = ((SSEp - SSE1 - SSE2)/k) /
+    // ((SSE1 + SSE2)/(n - 2k)), k = 2. Pooled is just seg 0 of the same
+    // UNION ALL pipeline, so one grouped moment pass serves all three
+    // fits; each segment's x-mean is an exact half-integer (contiguous
+    // row indexes), SSE = Syy - Sxy²/Sxx with every link on the 9-grid.
+    "qcx_chow_break_test" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val n0 = ranked.agg(count(lit(1)).as("n"))
+          .select(col("n"), (col("n").cast("double") / lit(2.0)).cast("long")
+            .as("h"))
+        val seg = ranked.crossJoin(broadcast(n0))
+          .select(col("rn"), col("ym"), col("n"), col("h"),
+            when(col("rn") <= col("h"), lit(1)).otherwise(lit(2)).as("seg"))
+        val grps = seg.select(col("rn"), col("ym"), lit(0).as("seg"))
+          .unionByName(seg.select(col("rn"), col("ym"), col("seg")))
+          .localCheckpoint(eager = false)
+        val gst = grps.groupBy(col("seg"))
+          .agg(count(lit(1)).as("cnt"), sum(col("ym")).as("sy"),
+            sum(col("rn")).as("srn"))
+          .select(col("seg"),
+            round(col("sy").cast("double") / col("cnt").cast("double"), 9)
+              .as("mu"),
+            (col("srn").cast("double") / col("cnt").cast("double")).as("xbar"))
+        val mom = grps.join(gst, Seq("seg"))
+          .select(col("seg"),
+            (col("ym").cast("double") - col("mu")).as("c"),
+            (col("rn").cast("double") - col("xbar")).as("dx"))
+          .groupBy(col("seg"))
+          .agg(
+            sum(round(col("dx") * col("dx"), 6).cast("decimal(28,6)"))
+              .as("sxxd"),
+            sum(round(col("dx") * col("c"), 6).cast("decimal(28,6)"))
+              .as("sxyd"),
+            sum(round(col("c") * col("c"), 6).cast("decimal(28,6)"))
+              .as("syyd"))
+          .select(col("seg"),
+            round(
+              round(col("sxyd").cast("double") * col("sxyd").cast("double") /
+                col("sxxd").cast("double"), 9)
+                .unary_-.+(col("syyd").cast("double")), 9).as("sse"))
+        val wide = mom.groupBy()
+          .agg(max(when(col("seg") === 0, col("sse"))).as("sse_pooled"),
+            max(when(col("seg") === 1, col("sse"))).as("sse_seg1"),
+            max(when(col("seg") === 2, col("sse"))).as("sse_seg2"))
+        n0.crossJoin(broadcast(wide))
+          .select(col("n"), col("h"),
+            round(col("sse_pooled"), 6).as("sse_pooled"),
+            round(col("sse_seg1"), 6).as("sse_seg1"),
+            round(col("sse_seg2"), 6).as("sse_seg2"),
+            round(((col("sse_pooled") - col("sse_seg1") - col("sse_seg2")) /
+              lit(2.0)) /
+              ((col("sse_seg1") + col("sse_seg2")) /
+                (col("n") - 4).cast("double")), 6).as("f_stat"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(COUNT(*) // 2 AS BIGINT) AS h FROM r),
+        grps AS MATERIALIZED (
+          SELECT rn, ym, 0 AS seg FROM r
+          UNION ALL
+          SELECT rn, ym,
+                 CASE WHEN rn <= n0.h THEN 1 ELSE 2 END AS seg
+          FROM r CROSS JOIN n0),
+        gst AS (
+          SELECT seg,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu,
+                 CAST(SUM(rn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS xbar
+          FROM grps GROUP BY 1),
+        mom AS (
+          SELECT g.seg,
+                 CAST(SUM(CAST(ROUND((CAST(rn AS DOUBLE) - gst.xbar) *
+                   (CAST(rn AS DOUBLE) - gst.xbar), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(ROUND((CAST(rn AS DOUBLE) - gst.xbar) *
+                   (CAST(ym AS DOUBLE) - gst.mu), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(ROUND((CAST(ym AS DOUBLE) - gst.mu) *
+                   (CAST(ym AS DOUBLE) - gst.mu), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS syy
+          FROM grps g JOIN gst ON g.seg = gst.seg
+          GROUP BY 1),
+        sse AS (
+          SELECT seg, ROUND(syy - ROUND(sxy * sxy / sxx, 9), 9) AS sse
+          FROM mom),
+        wide AS (
+          SELECT MAX(CASE WHEN seg = 0 THEN sse END) AS sse_pooled,
+                 MAX(CASE WHEN seg = 1 THEN sse END) AS sse_seg1,
+                 MAX(CASE WHEN seg = 2 THEN sse END) AS sse_seg2
+          FROM sse)
+        SELECT n, h,
+               ROUND(sse_pooled, 6) + CAST(0 AS DOUBLE) AS sse_pooled,
+               ROUND(sse_seg1, 6) + CAST(0 AS DOUBLE) AS sse_seg1,
+               ROUND(sse_seg2, 6) + CAST(0 AS DOUBLE) AS sse_seg2,
+               ROUND(((sse_pooled - sse_seg1 - sse_seg2) / CAST(2 AS DOUBLE)) /
+                 ((sse_seg1 + sse_seg2) / CAST(n - 4 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS f_stat
+        FROM n0 CROSS JOIN wide""")),
+
+    // Sample entropy (Richman-Moorman, m = 2, r = sd/5) of the daily
+    // event-count series: the regularity measure behind physiological
+    // and load-pattern monitoring — counts template matches of length m
+    // and m+1 under a Chebyshev tolerance, SampEn = ln(B) - ln(A).
+    // Daily counts are integers, so every distance comparison is an exact
+    // integer against a non-grid tolerance; r = sd/5 divides the 9-grid
+    // sd by 5 (last digit ∈ {0,2,4,6,8} — never a rounding boundary).
+    // The 30-point daily panel (events span exactly 30 days) bounds the
+    // pair join at ~400 rows at any SF.
+    "qcy_sample_entropy" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(count(lit(1)).as("x"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val st = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+          .select(col("n"),
+            round(col("sx").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val varr = ranked.crossJoin(broadcast(st))
+          .select((col("x").cast("double") - col("mu")).as("cx"), col("n"))
+          .agg(sum(round(col("cx") * col("cx"), 6).cast("decimal(28,6)"))
+            .as("ss"), first(col("n")).as("n"))
+          .select(col("n"),
+            round(sqrt(col("ss").cast("double") /
+              (col("n") - 1).cast("double")), 9).as("sd"))
+          .withColumn("rtol", col("sd") / lit(5.0))
+        val vecs = ranked.select(col("rn"), col("x").as("x0"))
+          .join(ranked.select((col("rn") - 1).as("rn"), col("x").as("x1")),
+            Seq("rn"))
+          .join(ranked.select((col("rn") - 2).as("rn"), col("x").as("x2")),
+            Seq("rn"))
+          .localCheckpoint(eager = false)
+        val pairs = vecs.select(col("rn").as("ri"), col("x0").as("i0"),
+          col("x1").as("i1"), col("x2").as("i2"))
+          .join(vecs.select(col("rn").as("rj"), col("x0").as("j0"),
+            col("x1").as("j1"), col("x2").as("j2")), col("ri") < col("rj"))
+          .crossJoin(broadcast(varr))
+          .select(
+            greatest(abs(col("i0") - col("j0")), abs(col("i1") - col("j1")))
+              .cast("double").as("d2"),
+            greatest(abs(col("i0") - col("j0")), abs(col("i1") - col("j1")),
+              abs(col("i2") - col("j2"))).cast("double").as("d3"),
+            col("rtol"))
+        val cnts = pairs.agg(
+          sum(when(col("d2") <= col("rtol"), 1L).otherwise(0L)).as("b_count"),
+          sum(when(col("d3") <= col("rtol"), 1L).otherwise(0L)).as("a_count"))
+        varr.crossJoin(broadcast(cnts))
+          .select(col("n"), round(col("sd"), 6).as("sd"),
+            round(col("rtol"), 6).as("r_tol"),
+            col("b_count"), col("a_count"),
+            when(col("a_count") > 0,
+              round(log(col("b_count").cast("double")) -
+                log(col("a_count").cast("double")), 6)).as("sampen"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu
+          FROM r),
+        varr AS (
+          SELECT st.n,
+                 ROUND(sqrt(CAST(SUM(CAST(ROUND(
+                     (CAST(x AS DOUBLE) - st.mu) * (CAST(x AS DOUBLE) - st.mu),
+                     6) AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(st.n - 1 AS DOUBLE)), 9) AS sd
+          FROM r CROSS JOIN st GROUP BY st.n),
+        varr2 AS (SELECT *, sd / CAST(5 AS DOUBLE) AS rtol FROM varr),
+        vecs AS MATERIALIZED (
+          SELECT a.rn, a.x AS x0, b.x AS x1, c.x AS x2
+          FROM r a JOIN r b ON b.rn = a.rn + 1 JOIN r c ON c.rn = a.rn + 2),
+        pairs AS (
+          SELECT GREATEST(ABS(i.x0 - j.x0), ABS(i.x1 - j.x1)) AS d2,
+                 GREATEST(ABS(i.x0 - j.x0), ABS(i.x1 - j.x1),
+                   ABS(i.x2 - j.x2)) AS d3,
+                 v.rtol
+          FROM vecs i JOIN vecs j ON i.rn < j.rn CROSS JOIN varr2 v),
+        cnts AS (
+          SELECT CAST(SUM(CASE WHEN CAST(d2 AS DOUBLE) <= rtol
+                   THEN 1 ELSE 0 END) AS BIGINT) AS b_count,
+                 CAST(SUM(CASE WHEN CAST(d3 AS DOUBLE) <= rtol
+                   THEN 1 ELSE 0 END) AS BIGINT) AS a_count
+          FROM pairs)
+        SELECT n, ROUND(sd, 6) + CAST(0 AS DOUBLE) AS sd,
+               ROUND(rtol, 6) + CAST(0 AS DOUBLE) AS r_tol,
+               b_count, a_count,
+               CASE WHEN a_count > 0 THEN
+                 ROUND(ln(CAST(b_count AS DOUBLE)) -
+                   ln(CAST(a_count AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+               END AS sampen
+        FROM varr2 CROSS JOIN cnts""")),
+
+    // Jensen-Shannon divergence (plus both KL directions) between the
+    // event-type mixes of the first and second halves of the observed
+    // month — the symmetric, bounded drift measure next to q87's PSI
+    // (which buckets by token and clips; JSD is the proper
+    // information-theoretic distance). Every probability is a raw double
+    // ratio of exact BIGINT counts computed with the identical expression
+    // shape in both engines (no grid products anywhere), terms snap to
+    // the 9-grid per type, and only ln carries the float link (parity
+    // proven q3y/q38).
+    "qcz_jensen_shannon_drift" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .withColumn("day", (unix_millis(col("ts")) / lit(86400000L))
+            .cast("long"))
+        val half = e.crossJoin(broadcast(e.agg(min(col("day")).as("d0"))))
+          .select(col("event_type"),
+            when(col("day") - col("d0") < 15, lit("a")).otherwise(lit("b"))
+              .as("half"))
+        val cnt = half.groupBy(col("event_type"))
+          .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("half") === "b", 1L).otherwise(0L)).as("cb"))
+          .filter(col("ca") > 0 && col("cb") > 0)
+        val tot = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+        val terms = cnt.crossJoin(broadcast(tot))
+          .select(
+            (col("ca").cast("double") / col("na").cast("double")).as("p"),
+            (col("cb").cast("double") / col("nb").cast("double")).as("q"),
+            ((col("ca") * col("nb") + col("cb") * col("na")).cast("double") /
+              (lit(2L) * col("na") * col("nb")).cast("double")).as("m"),
+            col("na"), col("nb"))
+        val agg = terms.agg(
+          sum(round(col("p") * log(col("p") / col("q")), 9)
+            .cast("decimal(18,9)")).as("klab"),
+          sum(round(col("q") * log(col("q") / col("p")), 9)
+            .cast("decimal(18,9)")).as("klba"),
+          sum(round(col("p") * log(col("p") / col("m")), 9)
+            .cast("decimal(18,9)")).as("jpa"),
+          sum(round(col("q") * log(col("q") / col("m")), 9)
+            .cast("decimal(18,9)")).as("jqb"),
+          first(col("na")).as("na"), first(col("nb")).as("nb"))
+        agg.select(col("na"), col("nb"),
+          round(col("klab").cast("double"), 6).as("kl_ab"),
+          round(col("klba").cast("double"), 6).as("kl_ba"),
+          round(lit(0.5) * (col("jpa").cast("double") +
+            col("jqb").cast("double")), 6).as("jsd"),
+          round(lit(0.5) * (col("jpa").cast("double") +
+            col("jqb").cast("double")) / log(lit(2.0)), 6).as("jsd_bits"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type,
+                 CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day
+          FROM events),
+        d0 AS (SELECT MIN(day) AS d0 FROM e),
+        half AS (
+          SELECT event_type,
+                 CASE WHEN day - d0.d0 < 15 THEN 'a' ELSE 'b' END AS half
+          FROM e CROSS JOIN d0),
+        cnt AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+          FROM half GROUP BY 1
+          HAVING SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) > 0
+             AND SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) > 0),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                       CAST(SUM(cb) AS BIGINT) AS nb FROM cnt),
+        terms AS (
+          SELECT CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+                 CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS q,
+                 CAST(ca * nb + cb * na AS DOUBLE) /
+                   CAST(2 * na * nb AS DOUBLE) AS m,
+                 na, nb
+          FROM cnt CROSS JOIN tot),
+        agg AS (
+          SELECT MAX(na) AS na, MAX(nb) AS nb,
+                 SUM(CAST(ROUND(p * ln(p / q), 9) AS DECIMAL(18,9))) AS klab,
+                 SUM(CAST(ROUND(q * ln(q / p), 9) AS DECIMAL(18,9))) AS klba,
+                 SUM(CAST(ROUND(p * ln(p / m), 9) AS DECIMAL(18,9))) AS jpa,
+                 SUM(CAST(ROUND(q * ln(q / m), 9) AS DECIMAL(18,9))) AS jqb
+          FROM terms)
+        SELECT na, nb,
+               ROUND(CAST(klab AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS kl_ab,
+               ROUND(CAST(klba AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS kl_ba,
+               ROUND(CAST(0.5 AS DOUBLE) * (CAST(jpa AS DOUBLE) +
+                 CAST(jqb AS DOUBLE)), 6) + CAST(0 AS DOUBLE) AS jsd,
+               ROUND(CAST(0.5 AS DOUBLE) * (CAST(jpa AS DOUBLE) +
+                 CAST(jqb AS DOUBLE)) / ln(CAST(2 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS jsd_bits
+        FROM agg"""))
+  )
+}
