@@ -461,6 +461,314 @@ object StatQueries {
                ROUND(CAST(0.5 AS DOUBLE) * (CAST(jpa AS DOUBLE) +
                  CAST(jqb AS DOUBLE)) / ln(CAST(2 AS DOUBLE)), 6)
                  + CAST(0 AS DOUBLE) AS jsd_bits
-        FROM agg"""))
+        FROM agg""")),
+
+    // Lexical-richness battery over the whole document corpus: Yule's K
+    // (repeat-rate characteristic, scale-free in N), Simpson's D, the
+    // Good-Turing unseen-mass estimate V1/N (the singleton-probability
+    // bound behind smoothing), Herdan's C, and Honoré's R — the
+    // vocabulary-shape summary next to q8f's Heaps-law growth exponent
+    // (which tracks HOW vocabulary grows; this is the equilibrium shape).
+    // Every statistic is a ratio of exact BIGINT count-of-counts; ln is
+    // the only float link.
+    "qd1_lexical_richness" -> Q(
+      fn = (s, dir) => {
+        val tf = t(s, dir, "documents")
+          .select(explode(split(lower(col("text")), "[\t\n\f\r ]+"))
+            .as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        val voc = tf.groupBy(col("tf")).agg(count(lit(1)).as("vm"))
+        val agg = voc.agg(
+          sum(col("tf") * col("vm")).as("ntok"),
+          sum(col("vm")).as("vocab"),
+          sum(col("tf") * col("tf") * col("vm")).as("sm2"),
+          sum(col("tf") * (col("tf") - 1) * col("vm")).as("sp2"),
+          sum(when(col("tf") === 1, col("vm")).otherwise(0L)).as("v1"),
+          sum(when(col("tf") === 2, col("vm")).otherwise(0L)).as("v2"))
+        agg.select(col("ntok"), col("vocab"), col("v1"), col("v2"),
+          round(lit(10000.0) * (col("sm2") - col("ntok")).cast("double") /
+            (col("ntok").cast("double") * col("ntok").cast("double")), 6)
+            .as("yule_k"),
+          round(col("sp2").cast("double") /
+            (col("ntok").cast("double") * (col("ntok") - 1).cast("double")), 9)
+            .as("simpson_d"),
+          round(col("v1").cast("double") / col("ntok").cast("double"), 6)
+            .as("gt_unseen"),
+          round(log(col("vocab").cast("double")) /
+            log(col("ntok").cast("double")), 6).as("herdan_c"),
+          when(col("v1") < col("vocab"),
+            round(lit(100.0) * log(col("ntok").cast("double")) /
+              (lit(1.0) - col("v1").cast("double") /
+                col("vocab").cast("double")), 6)).as("honore_r"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT UNNEST(string_split_regex(lower(text),
+                   '[\t\n\x0B\f\r ]+')) AS tok
+          FROM documents),
+        tf AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks WHERE tok <> '' GROUP BY 1),
+        voc AS (
+          SELECT tf, CAST(COUNT(*) AS BIGINT) AS vm FROM tf GROUP BY 1),
+        agg AS (
+          SELECT CAST(SUM(tf * vm) AS BIGINT) AS ntok,
+                 CAST(SUM(vm) AS BIGINT) AS vocab,
+                 CAST(SUM(tf * tf * vm) AS BIGINT) AS sm2,
+                 CAST(SUM(tf * (tf - 1) * vm) AS BIGINT) AS sp2,
+                 CAST(SUM(CASE WHEN tf = 1 THEN vm ELSE 0 END) AS BIGINT)
+                   AS v1,
+                 CAST(SUM(CASE WHEN tf = 2 THEN vm ELSE 0 END) AS BIGINT)
+                   AS v2
+          FROM voc)
+        SELECT ntok, vocab, v1, v2,
+               ROUND(CAST(10000 AS DOUBLE) * CAST(sm2 - ntok AS DOUBLE) /
+                 (CAST(ntok AS DOUBLE) * CAST(ntok AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS yule_k,
+               ROUND(CAST(sp2 AS DOUBLE) /
+                 (CAST(ntok AS DOUBLE) * CAST(ntok - 1 AS DOUBLE)), 9)
+                 + CAST(0 AS DOUBLE) AS simpson_d,
+               ROUND(CAST(v1 AS DOUBLE) / CAST(ntok AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS gt_unseen,
+               ROUND(ln(CAST(vocab AS DOUBLE)) / ln(CAST(ntok AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS herdan_c,
+               CASE WHEN v1 < vocab THEN
+                 ROUND(CAST(100 AS DOUBLE) * ln(CAST(ntok AS DOUBLE)) /
+                   (CAST(1 AS DOUBLE) - CAST(v1 AS DOUBLE) /
+                     CAST(vocab AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+               END AS honore_r
+        FROM agg""")),
+
+    // Paired categorical tests: McNemar's chi-square (continuity-
+    // corrected) on each user's purchase behavior flipping between the
+    // month halves — the within-subject twin of q7c's two-proportion
+    // z-test (which assumes independent samples; the same users appear in
+    // both halves here, so only the discordant pairs carry information —
+    // and Cochran's Q across the three 10-day purchase windows (the
+    // k-repeated-measures generalization; any-event-in-month flags would
+    // make every row all-ones and zero the denominator), computed from
+    // the all-integer identity Q = ((k-1)(kΣCj² - T²)) / (kT - ΣRi²),
+    // guarded when no mixed rows exist.
+    "qd2_mcnemar_cochran_q" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .withColumn("day", (unix_millis(col("ts")) / lit(86400000L))
+            .cast("long"))
+        val rel = e.crossJoin(broadcast(e.agg(min(col("day")).as("d0"))))
+          .select(col("user_id"), col("event_type"),
+            (col("day") - col("d0")).as("rel"))
+        val flags = rel.groupBy(col("user_id")).agg(
+          max(when(col("event_type") === "purchase" && col("rel") < 15, 1L)
+            .otherwise(0L)).as("pa"),
+          max(when(col("event_type") === "purchase" && col("rel") >= 15, 1L)
+            .otherwise(0L)).as("pb"),
+          max(when(col("event_type") === "purchase" && col("rel") < 10, 1L)
+            .otherwise(0L)).as("f1"),
+          max(when(col("event_type") === "purchase" && col("rel") >= 10 &&
+            col("rel") < 20, 1L).otherwise(0L)).as("f2"),
+          max(when(col("event_type") === "purchase" && col("rel") >= 20, 1L)
+            .otherwise(0L)).as("f3"))
+        val agg = flags.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("pa") === 1 && col("pb") === 0, 1L).otherwise(0L))
+            .as("mcn_b"),
+          sum(when(col("pa") === 0 && col("pb") === 1, 1L).otherwise(0L))
+            .as("mcn_c"),
+          sum(col("f1")).as("c1"), sum(col("f2")).as("c2"),
+          sum(col("f3")).as("c3"),
+          sum((col("f1") + col("f2") + col("f3")) *
+            (col("f1") + col("f2") + col("f3"))).as("sr2"))
+        agg.select(col("n_users"), col("mcn_b"), col("mcn_c"),
+          when(col("mcn_b") + col("mcn_c") > 0,
+            round((abs(col("mcn_b") - col("mcn_c")) - 1).cast("double") *
+              (abs(col("mcn_b") - col("mcn_c")) - 1).cast("double") /
+              (col("mcn_b") + col("mcn_c")).cast("double"), 6))
+            .as("mcnemar_chi2"),
+          when(lit(3L) * (col("c1") + col("c2") + col("c3")) =!= col("sr2"),
+            round((lit(2L) * (lit(3L) * (col("c1") * col("c1") +
+              col("c2") * col("c2") + col("c3") * col("c3")) -
+              (col("c1") + col("c2") + col("c3")) *
+                (col("c1") + col("c2") + col("c3")))).cast("double") /
+              (lit(3L) * (col("c1") + col("c2") + col("c3")) - col("sr2"))
+                .cast("double"), 6)).as("cochran_q"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day
+          FROM events),
+        d0 AS (SELECT MIN(day) AS d0 FROM e),
+        rel AS (
+          SELECT user_id, event_type, day - d0.d0 AS rel
+          FROM e CROSS JOIN d0),
+        flags AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'purchase' AND rel < 15
+                   THEN 1 ELSE 0 END) AS pa,
+                 MAX(CASE WHEN event_type = 'purchase' AND rel >= 15
+                   THEN 1 ELSE 0 END) AS pb,
+                 MAX(CASE WHEN event_type = 'purchase' AND rel < 10
+                   THEN 1 ELSE 0 END) AS f1,
+                 MAX(CASE WHEN event_type = 'purchase' AND rel >= 10
+                   AND rel < 20 THEN 1 ELSE 0 END) AS f2,
+                 MAX(CASE WHEN event_type = 'purchase' AND rel >= 20
+                   THEN 1 ELSE 0 END) AS f3
+          FROM rel GROUP BY 1),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(CASE WHEN pa = 1 AND pb = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS mcn_b,
+                 CAST(SUM(CASE WHEN pa = 0 AND pb = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS mcn_c,
+                 CAST(SUM(f1) AS BIGINT) AS c1,
+                 CAST(SUM(f2) AS BIGINT) AS c2,
+                 CAST(SUM(f3) AS BIGINT) AS c3,
+                 CAST(SUM((f1 + f2 + f3) * (f1 + f2 + f3)) AS BIGINT) AS sr2
+          FROM flags)
+        SELECT n_users, mcn_b, mcn_c,
+               CASE WHEN mcn_b + mcn_c > 0 THEN
+                 ROUND(CAST(ABS(mcn_b - mcn_c) - 1 AS DOUBLE) *
+                   CAST(ABS(mcn_b - mcn_c) - 1 AS DOUBLE) /
+                   CAST(mcn_b + mcn_c AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+               END AS mcnemar_chi2,
+               CASE WHEN 3 * (c1 + c2 + c3) <> sr2 THEN
+                 ROUND(CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) -
+                     (c1 + c2 + c3) * (c1 + c2 + c3)) AS DOUBLE) /
+                   CAST(3 * (c1 + c2 + c3) - sr2 AS DOUBLE), 6)
+                   + CAST(0 AS DOUBLE)
+               END AS cochran_q
+        FROM agg""")),
+
+    // Hotelling's T² two-sample test on per-user 2-D activity vectors
+    // (event count, purchase count) between the even/odd user-id cohorts
+    // — the multivariate mean-difference test q7n's Welch t can't express
+    // (it ignores the correlation between the coordinates; T² whitens by
+    // the pooled covariance). The 2×2 inverse is closed-form; centered
+    // values are exact 9-grid, cross-moments ride round-6 DECIMAL sums,
+    // and the final quadratic form is raw-double algebra with ln-free
+    // links. Also emits the exact F transform (n1+n2-p-1 scaling).
+    "qd3_hotelling_t2" -> Q(
+      fn = (s, dir) => {
+        val u = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("x1"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("x2"))
+          .select((col("user_id") % 2).as("g"), col("x1"), col("x2"))
+        val gs = u.groupBy(col("g"))
+          .agg(count(lit(1)).as("cnt"), sum(col("x1")).as("s1"),
+            sum(col("x2")).as("s2"))
+          .select(col("g"), col("cnt"),
+            round(col("s1").cast("double") / col("cnt").cast("double"), 9)
+              .as("m1"),
+            round(col("s2").cast("double") / col("cnt").cast("double"), 9)
+              .as("m2"))
+        val mom = u.join(gs, Seq("g"))
+          .select(col("g"),
+            (col("x1").cast("double") - col("m1")).as("c1"),
+            (col("x2").cast("double") - col("m2")).as("c2"))
+          .agg(
+            sum(round(col("c1") * col("c1"), 6).cast("decimal(28,6)"))
+              .as("w11"),
+            sum(round(col("c1") * col("c2"), 6).cast("decimal(28,6)"))
+              .as("w12"),
+            sum(round(col("c2") * col("c2"), 6).cast("decimal(28,6)"))
+              .as("w22"))
+        val wide = gs.groupBy().agg(
+          max(when(col("g") === 0, col("cnt"))).as("n1"),
+          max(when(col("g") === 1, col("cnt"))).as("n2"),
+          max(when(col("g") === 0, col("m1"))).as("a1"),
+          max(when(col("g") === 0, col("m2"))).as("a2"),
+          max(when(col("g") === 1, col("m1"))).as("b1"),
+          max(when(col("g") === 1, col("m2"))).as("b2"))
+        wide.crossJoin(broadcast(mom))
+          .select(col("n1"), col("n2"),
+            col("w11").cast("double").as("w11"),
+            col("w12").cast("double").as("w12"),
+            col("w22").cast("double").as("w22"),
+            (col("a1") - col("b1")).as("d1"),
+            (col("a2") - col("b2")).as("d2"),
+            ((col("n1") + col("n2") - 2)).cast("double").as("df"))
+          .select(col("n1"), col("n2"),
+            round(col("d1"), 6).as("d1"), round(col("d2"), 6).as("d2"),
+            round(
+              (col("n1") * col("n2")).cast("double") /
+                (col("n1") + col("n2")).cast("double") *
+                (col("d1") * col("d1") * (col("w22") / col("df")) -
+                  lit(2.0) * col("d1") * col("d2") * (col("w12") / col("df")) +
+                  col("d2") * col("d2") * (col("w11") / col("df"))) /
+                ((col("w11") / col("df")) * (col("w22") / col("df")) -
+                  (col("w12") / col("df")) * (col("w12") / col("df"))), 6)
+              .as("t2"),
+            round(
+              ((col("n1") + col("n2") - 3)).cast("double") /
+                (lit(2.0) * ((col("n1") + col("n2") - 2)).cast("double")) *
+                ((col("n1") * col("n2")).cast("double") /
+                  (col("n1") + col("n2")).cast("double") *
+                  (col("d1") * col("d1") * (col("w22") / col("df")) -
+                    lit(2.0) * col("d1") * col("d2") *
+                      (col("w12") / col("df")) +
+                    col("d2") * col("d2") * (col("w11") / col("df"))) /
+                  ((col("w11") / col("df")) * (col("w22") / col("df")) -
+                    (col("w12") / col("df")) * (col("w12") / col("df")))), 6)
+              .as("f_stat"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id % 2 AS g, CAST(COUNT(*) AS BIGINT) AS x1,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS x2
+          FROM events GROUP BY user_id),
+        gs AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 ROUND(CAST(SUM(x1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS m1,
+                 ROUND(CAST(SUM(x2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS m2
+          FROM u GROUP BY 1),
+        mom AS (
+          SELECT
+            CAST(SUM(CAST(ROUND((CAST(x1 AS DOUBLE) - gs.m1) *
+              (CAST(x1 AS DOUBLE) - gs.m1), 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS w11,
+            CAST(SUM(CAST(ROUND((CAST(x1 AS DOUBLE) - gs.m1) *
+              (CAST(x2 AS DOUBLE) - gs.m2), 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS w12,
+            CAST(SUM(CAST(ROUND((CAST(x2 AS DOUBLE) - gs.m2) *
+              (CAST(x2 AS DOUBLE) - gs.m2), 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS w22
+          FROM u JOIN gs USING (g)),
+        wide AS (
+          SELECT MAX(CASE WHEN g = 0 THEN cnt END) AS n1,
+                 MAX(CASE WHEN g = 1 THEN cnt END) AS n2,
+                 MAX(CASE WHEN g = 0 THEN m1 END) AS a1,
+                 MAX(CASE WHEN g = 0 THEN m2 END) AS a2,
+                 MAX(CASE WHEN g = 1 THEN m1 END) AS b1,
+                 MAX(CASE WHEN g = 1 THEN m2 END) AS b2
+          FROM gs),
+        pre AS (
+          SELECT n1, n2, w11, w12, w22,
+                 a1 - b1 AS d1, a2 - b2 AS d2,
+                 CAST(n1 + n2 - 2 AS DOUBLE) AS df
+          FROM wide CROSS JOIN mom)
+        SELECT n1, n2,
+               ROUND(d1, 6) + CAST(0 AS DOUBLE) AS d1,
+               ROUND(d2, 6) + CAST(0 AS DOUBLE) AS d2,
+               ROUND(CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) *
+                 (d1 * d1 * (w22 / df) -
+                   CAST(2 AS DOUBLE) * d1 * d2 * (w12 / df) +
+                   d2 * d2 * (w11 / df)) /
+                 ((w11 / df) * (w22 / df) - (w12 / df) * (w12 / df)), 6)
+                 + CAST(0 AS DOUBLE) AS t2,
+               ROUND(CAST(n1 + n2 - 3 AS DOUBLE) /
+                 (CAST(2 AS DOUBLE) * CAST(n1 + n2 - 2 AS DOUBLE)) *
+                 (CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) *
+                   (d1 * d1 * (w22 / df) -
+                     CAST(2 AS DOUBLE) * d1 * d2 * (w12 / df) +
+                     d2 * d2 * (w11 / df)) /
+                   ((w11 / df) * (w22 / df) - (w12 / df) * (w12 / df))), 6)
+                 + CAST(0 AS DOUBLE) AS f_stat
+        FROM pre"""))
   )
 }
