@@ -769,6 +769,207 @@ object StatQueries {
                      d2 * d2 * (w11 / df)) /
                    ((w11 / df) * (w22 / df) - (w12 / df) * (w12 / df))), 6)
                  + CAST(0 AS DOUBLE) AS f_stat
-        FROM pre"""))
+        FROM pre""")),
+
+    // LZ76 sequence complexity of the daily event-count series binarized
+    // at its median: the model-free randomness measure next to qbc's
+    // permutation entropy and qcy's sample entropy. The Kaspar-Schuster
+    // parser is a deterministic integer state machine
+    // (operators/Complexity.scala, hand-derived goldens in
+    // ComplexitySpec); the oracle replays the identical (i,k,l,kmax,c)
+    // transitions as a recursive CTE over the same bit string. Median =
+    // the exact ((n+1) div 2)-th order statistic with the day tiebreak;
+    // the parse is O(n²) driver-free steps on the 30-point daily panel.
+    "qd0_lz76_complexity" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(count(lit(1)).as("x"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn")
+        val byVal = graft.operators.ScaleOps.globalRowNumber(ranked,
+          Seq(col("x"), col("day")), "vr").localCheckpoint(eager = false)
+        val st = byVal.agg(count(lit(1)).as("n"))
+        val med = byVal.crossJoin(broadcast(st))
+          .filter(col("vr") ===
+            floor((col("n") + 1).cast("double") / lit(2.0)).cast("long"))
+          .select(col("x").as("med"))
+        val lzUdf = udf((bits: String) => graft.operators.Complexity.lz76(bits))
+        val sdf = byVal.crossJoin(broadcast(med))
+          .select(col("rn"),
+            when(col("x") >= col("med"), lit("1")).otherwise(lit("0"))
+              .as("b"), col("med"))
+          .agg(
+            array_join(transform(
+              array_sort(collect_list(struct(col("rn"), col("b")))),
+              x => x.getField("b")), "").as("bits"),
+            count(lit(1)).as("n"), first(col("med")).as("med"))
+        sdf.select(col("n"), col("med"), col("bits"),
+          lzUdf(col("bits")).as("c_lz"))
+          .withColumn("c_norm",
+            round(col("c_lz").cast("double") * log(col("n").cast("double")) /
+              (col("n").cast("double") * log(lit(2.0))), 6))
+      },
+      oracle = Some("""
+        WITH RECURSIVE daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        r AS (
+          SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                 ROW_NUMBER() OVER (ORDER BY x, day) AS vr
+          FROM daily),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        med AS (
+          SELECT x AS med FROM r CROSS JOIN st WHERE vr = (n + 1) // 2),
+        bits AS (
+          SELECT string_agg(CASE WHEN x >= med THEN '1' ELSE '0' END, ''
+                   ORDER BY rn) AS s,
+                 MAX(med) AS med, CAST(COUNT(*) AS BIGINT) AS n
+          FROM r CROSS JOIN med),
+        parse AS (
+          SELECT 0 AS i, 1 AS k, 1 AS l, 1 AS kmax, 1 AS c,
+                 false AS done, s, n
+          FROM bits
+          UNION ALL
+          SELECT
+            CASE WHEN m THEN i WHEN i + 1 = l THEN 0 ELSE i + 1 END AS i,
+            CASE WHEN m THEN k + 1 ELSE 1 END AS k,
+            CASE WHEN m THEN l
+                 WHEN i + 1 = l THEN l + GREATEST(k, kmax)
+                 ELSE l END AS l,
+            CASE WHEN m THEN kmax
+                 WHEN i + 1 = l THEN 1
+                 ELSE GREATEST(k, kmax) END AS kmax,
+            CASE WHEN m AND l + k + 1 > n THEN c + 1
+                 WHEN m THEN c
+                 WHEN i + 1 = l THEN c + 1
+                 ELSE c END AS c,
+            CASE WHEN m THEN l + k + 1 > n
+                 WHEN i + 1 = l THEN l + GREATEST(k, kmax) + 1 > n
+                 ELSE false END AS done,
+            s, n
+          FROM (SELECT p.*,
+                  substr(s, i + k, 1) = substr(s, l + k, 1) AS m
+                FROM parse p WHERE NOT done) q)
+        SELECT b.n, b.med, b.s AS bits, CAST(p.c AS INT) AS c_lz,
+               ROUND(CAST(p.c AS DOUBLE) * ln(CAST(b.n AS DOUBLE)) /
+                 (CAST(b.n AS DOUBLE) * ln(CAST(2 AS DOUBLE))), 6)
+                 + CAST(0 AS DOUBLE) AS c_norm
+        FROM parse p CROSS JOIN bits b WHERE p.done""")),
+
+    // KPSS level-stationarity test of the daily revenue series: partial
+    // sums of the demeaned series against the Newey-West long-run
+    // variance (Bartlett kernel, bandwidth 4·(n/100)^(1/4) via two
+    // sqrts — pow is not oracle-safe, nested sqrt is). The unit-root
+    // complement of qbd's Engle-Granger residual test: KPSS takes
+    // stationarity as the NULL, so the two tests bracket the
+    // trend-vs-drift question. Partial sums ride an exact DECIMAL(20,9)
+    // running sum (the q83 skew-proof scan); autocovariance products are
+    // round-6 DECIMAL sums; every link is *,/,sqrt on the 9-grid.
+    "qd4_kpss_level" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val st = ranked.agg(count(lit(1)).as("n"), sum(col("ym")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"),
+            floor(lit(4.0) * sqrt(sqrt(col("n").cast("double") / lit(100.0))))
+              .cast("long").as("bw"))
+        val cen = ranked.crossJoin(broadcast(st))
+          .select(col("rn"), col("n"), col("bw"),
+            (col("ym").cast("double") - col("mu")).cast("decimal(20,9)")
+              .as("e"))
+          .localCheckpoint(eager = false)
+        val cum = graft.operators.ScaleOps.globalRunningSum(cen,
+          Seq(col("rn")), col("e"), "s_t")
+        val ssq = cum.agg(
+          sum(round(col("s_t").cast("double") * col("s_t").cast("double"), 6)
+            .cast("decimal(28,6)")).as("ss2d"))
+          .select(col("ss2d").cast("double").as("ss2"))
+        // lag-j autocovariances for j = 0..bw via a bounded lag join
+        // (the daily panel is date-grain bounded at any SF)
+        val lagged = cen.select(col("rn"), col("e").cast("double").as("ea"),
+          col("n"), col("bw"))
+          .join(cen.select(col("rn").as("rn2"),
+            col("e").cast("double").as("eb")),
+            col("rn2").between(col("rn") - col("bw"), col("rn")))
+          .select(col("n"), col("bw"), (col("rn") - col("rn2")).as("j"),
+            col("ea"), col("eb"))
+          .groupBy(col("n"), col("bw"), col("j"))
+          .agg(sum(round(col("ea") * col("eb"), 6).cast("decimal(28,6)"))
+            .as("sprod"))
+          .select(col("n"), col("bw"), col("j"),
+            round(col("sprod").cast("double") / col("n").cast("double"), 9)
+              .as("gamma"))
+        val lrv = lagged.groupBy(col("n"), col("bw"))
+          .agg(sum(round(
+            when(col("j") === 0, col("gamma")).otherwise(
+              lit(2.0) * (lit(1.0) - col("j").cast("double") /
+                (col("bw") + 1).cast("double")) * col("gamma")), 9)
+            .cast("decimal(18,9)")).as("lrvd"),
+            max(when(col("j") === 0, col("gamma"))).as("gamma0"))
+          .select(col("n"), col("bw"), col("gamma0"),
+            col("lrvd").cast("double").as("lrv"))
+        lrv.crossJoin(broadcast(ssq))
+          .select(col("n"), col("bw"),
+            round(col("gamma0"), 6).as("gamma0"),
+            round(col("lrv"), 6).as("lrv"),
+            round(col("ss2") /
+              (col("n").cast("double") * col("n").cast("double") *
+                col("lrv")), 6).as("kpss_eta"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu,
+                 CAST(FLOOR(CAST(4 AS DOUBLE) *
+                   sqrt(sqrt(CAST(COUNT(*) AS DOUBLE) / CAST(100 AS DOUBLE))))
+                   AS BIGINT) AS bw
+          FROM r),
+        cen AS MATERIALIZED (
+          SELECT rn, st.n, st.bw,
+                 CAST(CAST(ym AS DOUBLE) - st.mu AS DECIMAL(20,9)) AS e
+          FROM r CROSS JOIN st),
+        cum AS (
+          SELECT SUM(e) OVER (ORDER BY rn
+                   ROWS UNBOUNDED PRECEDING) AS s_t
+          FROM cen),
+        ssq AS (
+          SELECT CAST(SUM(CAST(ROUND(CAST(s_t AS DOUBLE) *
+                   CAST(s_t AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS ss2
+          FROM cum),
+        lagged AS (
+          SELECT a.n, a.bw, a.rn - b.rn AS j,
+                 CAST(a.e AS DOUBLE) AS ea, CAST(b.e AS DOUBLE) AS eb
+          FROM cen a JOIN cen b
+            ON b.rn BETWEEN a.rn - a.bw AND a.rn),
+        gam AS (
+          SELECT n, bw, j,
+                 ROUND(CAST(SUM(CAST(ROUND(ea * eb, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) / CAST(n AS DOUBLE), 9) AS gamma
+          FROM lagged GROUP BY 1, 2, 3),
+        lrv AS (
+          SELECT n, bw,
+                 MAX(CASE WHEN j = 0 THEN gamma END) AS gamma0,
+                 CAST(SUM(CAST(ROUND(CASE WHEN j = 0 THEN gamma
+                   ELSE CAST(2 AS DOUBLE) *
+                     (CAST(1 AS DOUBLE) - CAST(j AS DOUBLE) /
+                       CAST(bw + 1 AS DOUBLE)) * gamma END, 9)
+                   AS DECIMAL(18,9))) AS DOUBLE) AS lrv
+          FROM gam GROUP BY 1, 2)
+        SELECT n, bw,
+               ROUND(gamma0, 6) + CAST(0 AS DOUBLE) AS gamma0,
+               ROUND(lrv, 6) + CAST(0 AS DOUBLE) AS lrv,
+               ROUND(ssq.ss2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * lrv),
+                 6) + CAST(0 AS DOUBLE) AS kpss_eta
+        FROM lrv CROSS JOIN ssq"""))
   )
 }
