@@ -970,6 +970,234 @@ object StatQueries {
                ROUND(lrv, 6) + CAST(0 AS DOUBLE) AS lrv,
                ROUND(ssq.ss2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * lrv),
                  6) + CAST(0 AS DOUBLE) AS kpss_eta
-        FROM lrv CROSS JOIN ssq"""))
+        FROM lrv CROSS JOIN ssq""")),
+
+    // Lo-MacKinlay variance-ratio test (q = 5) on daily log revenue
+    // returns: VR(q) = unbiased q-period variance over q x 1-period
+    // variance, with the homoskedastic z — the random-walk diagnostic
+    // beside qby's Hurst R/S exponent (Hurst measures long-memory
+    // curvature; VR tests a specific horizon). Log returns snap to the
+    // 9-grid (ln of ratios of exact DECIMAL(18,8) daily values), the
+    // q-period sums are differences of an exact DECIMAL(18,9) running
+    // scan, and deviations from q·mu stay on the grid end to end.
+    "qd5_variance_ratio" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val ret = ranked.select(col("rn").as("rr"),
+          col("ym").cast("double").as("ya"))
+          .join(ranked.select((col("rn") - 1).as("rr"),
+            col("ym").cast("double").as("yb")), Seq("rr"))
+          .select(col("rr"),
+            round(log(col("yb") / col("ya")), 9).cast("decimal(18,9)")
+              .as("rt"))
+          .localCheckpoint(eager = false)
+        val st = ret.agg(count(lit(1)).as("nq"), sum(col("rt")).as("sr"))
+          .select(col("nq"),
+            round(col("sr").cast("double") / col("nq").cast("double"), 9)
+              .as("mu"))
+        val s1 = ret.crossJoin(broadcast(st))
+          .select((col("rt").cast("double") - col("mu")).as("d"), col("nq"))
+          .agg(sum(round(col("d") * col("d"), 6).cast("decimal(28,6)"))
+            .as("sdd"), first(col("nq")).as("nq"))
+          .select(round(col("sdd").cast("double") /
+            (col("nq") - 1).cast("double"), 9).as("s1"))
+        val cum = graft.operators.ScaleOps.globalRunningSum(ret,
+          Seq(col("rr")), col("rt"), "ct")
+        val win = cum.select(col("rr"), col("ct"))
+          .join(cum.select((col("rr") + 5).as("rr"), col("ct").as("cp")),
+            Seq("rr"), "left")
+          .filter(col("rr") >= 5)
+          .crossJoin(broadcast(st))
+          .select((col("ct").cast("double") -
+            coalesce(col("cp"), lit(0).cast("decimal(18,9)")).cast("double") -
+            lit(5.0) * col("mu")).as("dq"), col("nq"))
+        val sq = win.agg(
+          sum(round(col("dq") * col("dq"), 6).cast("decimal(28,6)"))
+            .as("sqq"), first(col("nq")).as("nq"))
+          .select(col("nq"),
+            round(col("sqq").cast("double") /
+              (lit(5.0) * (col("nq") - 4).cast("double") *
+                (lit(1.0) - lit(5.0) / col("nq").cast("double"))), 9)
+              .as("sq"))
+        sq.crossJoin(broadcast(s1))
+          .select(col("nq"), lit(5).as("q"),
+            round(col("s1"), 6).as("sigma1_sq"),
+            round(col("sq"), 6).as("sigmaq_sq"),
+            round(col("sq") / col("s1"), 6).as("vr"),
+            round((col("sq") / col("s1") - lit(1.0)) /
+              sqrt(lit(2.0) * lit(9.0) * lit(4.0) /
+                (lit(15.0) * col("nq").cast("double"))), 6).as("z_stat"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        ret AS MATERIALIZED (
+          SELECT a.rn AS rr,
+                 CAST(ROUND(ln(CAST(b.ym AS DOUBLE) / CAST(a.ym AS DOUBLE)),
+                   9) AS DECIMAL(18,9)) AS rt
+          FROM r a JOIN r b ON b.rn = a.rn + 1),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nq,
+                 ROUND(CAST(SUM(rt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu
+          FROM ret),
+        s1 AS (
+          SELECT ROUND(CAST(SUM(CAST(ROUND(
+                   (CAST(rt AS DOUBLE) - st.mu) *
+                   (CAST(rt AS DOUBLE) - st.mu), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) / CAST(st.nq - 1 AS DOUBLE), 9) AS s1
+          FROM ret CROSS JOIN st GROUP BY st.nq),
+        cum AS (
+          SELECT rr, SUM(rt) OVER (ORDER BY rr ROWS UNBOUNDED PRECEDING)
+                   AS ct
+          FROM ret),
+        win AS (
+          SELECT (CAST(a.ct AS DOUBLE) -
+                  CAST(COALESCE(b.ct, CAST(0 AS DECIMAL(18,9))) AS DOUBLE) -
+                  CAST(5 AS DOUBLE) * st.mu) AS dq, st.nq
+          FROM cum a LEFT JOIN cum b ON a.rr = b.rr + 5
+          CROSS JOIN st
+          WHERE a.rr >= 5),
+        sq AS (
+          SELECT MAX(nq) AS nq,
+                 ROUND(CAST(SUM(CAST(ROUND(dq * dq, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) /
+                   (CAST(5 AS DOUBLE) * CAST(MAX(nq) - 4 AS DOUBLE) *
+                    (CAST(1 AS DOUBLE) - CAST(5 AS DOUBLE) /
+                      CAST(MAX(nq) AS DOUBLE))), 9) AS sq
+          FROM win)
+        SELECT nq, 5 AS q,
+               ROUND(s1.s1, 6) + CAST(0 AS DOUBLE) AS sigma1_sq,
+               ROUND(sq.sq, 6) + CAST(0 AS DOUBLE) AS sigmaq_sq,
+               ROUND(sq.sq / s1.s1, 6) + CAST(0 AS DOUBLE) AS vr,
+               ROUND((sq.sq / s1.s1 - CAST(1 AS DOUBLE)) /
+                 sqrt(CAST(2 AS DOUBLE) * CAST(9 AS DOUBLE) *
+                   CAST(4 AS DOUBLE) /
+                   (CAST(15 AS DOUBLE) * CAST(nq AS DOUBLE))), 6)
+                 + CAST(0 AS DOUBLE) AS z_stat
+        FROM sq CROSS JOIN s1""")),
+
+    // Inter-event-time structure of the purchase stream: Goh-Barabási
+    // burstiness B = (σ-μ)/(σ+μ), the lag-1 memory coefficient
+    // (Pearson over consecutive gap pairs), and the daily Fano factor
+    // (dispersion of daily purchase counts) — the three standard
+    // measures separating Poisson from clustered arrival processes.
+    // Gaps are exact BIGINT millisecond differences ordered by
+    // (ts, event_id); all second moments ride exact DECIMAL products of
+    // DECIMAL(12,0) gaps, cast to DOUBLE before any ratio (every scaled
+    // value stays under 2^53, so the casts are exact in both engines).
+    "qd6_burstiness_memory" -> Q(
+      fn = (s, dir) => {
+        val p = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(p,
+          Seq(col("ts_ms"), col("event_id")), "rn")
+          .localCheckpoint(eager = false)
+        val iet = ranked.select(col("rn"), col("ts_ms").as("t0"))
+          .join(ranked.select((col("rn") - 1).as("rn"),
+            col("ts_ms").as("t1")), Seq("rn"))
+          .select(col("rn"), (col("t1") - col("t0")).as("tau"))
+          .localCheckpoint(eager = false)
+        val m1 = iet.agg(count(lit(1)).as("ni"),
+          sum(col("tau").cast("decimal(28,0)")).as("sx"),
+          sum(col("tau").cast("decimal(12,0)") *
+            col("tau").cast("decimal(12,0)")).as("sxx"))
+          .select(col("ni"), col("sx").cast("double").as("sx"),
+            col("sxx").cast("double").as("sxx"))
+        val pairs = iet.select(col("rn"), col("tau").as("ta"))
+          .join(iet.select((col("rn") - 1).as("rn"), col("tau").as("tb")),
+            Seq("rn"))
+          .agg(count(lit(1)).as("np"),
+            sum(col("ta").cast("decimal(28,0)")).as("sa"),
+            sum(col("tb").cast("decimal(28,0)")).as("sb"),
+            sum(col("ta").cast("decimal(12,0)") *
+              col("ta").cast("decimal(12,0)")).as("saa"),
+            sum(col("tb").cast("decimal(12,0)") *
+              col("tb").cast("decimal(12,0)")).as("sbb"),
+            sum(col("ta").cast("decimal(12,0)") *
+              col("tb").cast("decimal(12,0)")).as("sab"))
+          .select(col("np").cast("double").as("np"),
+            col("sa").cast("double").as("sa"),
+            col("sb").cast("double").as("sb"),
+            col("saa").cast("double").as("saa"),
+            col("sbb").cast("double").as("sbb"),
+            col("sab").cast("double").as("sab"))
+        val fano = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(count(lit(1)).as("x"))
+          .agg(count(lit(1)).as("nd"), sum(col("x")).as("sd1"),
+            sum(col("x") * col("x")).as("sd2"))
+          .select(col("nd").cast("double").as("nd"),
+            col("sd1").cast("double").as("sd1"),
+            col("sd2").cast("double").as("sd2"))
+        m1.crossJoin(broadcast(pairs)).crossJoin(broadcast(fano))
+          .select(col("ni"),
+            round((sqrt((col("sxx") - col("sx") * col("sx") /
+              col("ni").cast("double")) / (col("ni") - 1).cast("double")) -
+              col("sx") / col("ni").cast("double")) /
+              (sqrt((col("sxx") - col("sx") * col("sx") /
+                col("ni").cast("double")) / (col("ni") - 1).cast("double")) +
+                col("sx") / col("ni").cast("double")), 6).as("burstiness"),
+            round((col("np") * col("sab") - col("sa") * col("sb")) /
+              (sqrt(col("np") * col("saa") - col("sa") * col("sa")) *
+                sqrt(col("np") * col("sbb") - col("sb") * col("sb"))), 6)
+              .as("memory_coef"),
+            round(((col("sd2") - col("sd1") * col("sd1") / col("nd")) /
+              (col("nd") - lit(1.0))) / (col("sd1") / col("nd")), 6)
+              .as("fano_daily"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT epoch_ms(ts) AS ts_ms, event_id
+          FROM events WHERE event_type = 'purchase'),
+        r AS (
+          SELECT ts_ms,
+                 ROW_NUMBER() OVER (ORDER BY ts_ms, event_id) AS rn
+          FROM p),
+        iet AS MATERIALIZED (
+          SELECT a.rn, b.ts_ms - a.ts_ms AS tau
+          FROM r a JOIN r b ON b.rn = a.rn + 1),
+        m1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS ni,
+                 CAST(CAST(SUM(CAST(tau AS DECIMAL(28,0))) AS DECIMAL(38,0))
+                   AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(tau AS DECIMAL(12,0)) *
+                   CAST(tau AS DECIMAL(12,0))) AS DOUBLE) AS sxx
+          FROM iet),
+        pairs AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS np,
+                 CAST(SUM(CAST(a.tau AS DECIMAL(28,0))) AS DOUBLE) AS sa,
+                 CAST(SUM(CAST(b.tau AS DECIMAL(28,0))) AS DOUBLE) AS sb,
+                 CAST(SUM(CAST(a.tau AS DECIMAL(12,0)) *
+                   CAST(a.tau AS DECIMAL(12,0))) AS DOUBLE) AS saa,
+                 CAST(SUM(CAST(b.tau AS DECIMAL(12,0)) *
+                   CAST(b.tau AS DECIMAL(12,0))) AS DOUBLE) AS sbb,
+                 CAST(SUM(CAST(a.tau AS DECIMAL(12,0)) *
+                   CAST(b.tau AS DECIMAL(12,0))) AS DOUBLE) AS sab
+          FROM iet a JOIN iet b ON b.rn = a.rn + 1),
+        fano AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                 CAST(SUM(x) AS DOUBLE) AS sd1,
+                 CAST(SUM(x * x) AS DOUBLE) AS sd2
+          FROM (SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM events WHERE event_type = 'purchase' GROUP BY 1))
+        SELECT ni,
+               ROUND((sqrt((sxx - sx * sx / CAST(ni AS DOUBLE)) /
+                   CAST(ni - 1 AS DOUBLE)) - sx / CAST(ni AS DOUBLE)) /
+                 (sqrt((sxx - sx * sx / CAST(ni AS DOUBLE)) /
+                   CAST(ni - 1 AS DOUBLE)) + sx / CAST(ni AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS burstiness,
+               ROUND((np * sab - sa * sb) /
+                 (sqrt(np * saa - sa * sa) * sqrt(np * sbb - sb * sb)), 6)
+                 + CAST(0 AS DOUBLE) AS memory_coef,
+               ROUND(((sd2 - sd1 * sd1 / nd) / (nd - CAST(1 AS DOUBLE))) /
+                 (sd1 / nd), 6) + CAST(0 AS DOUBLE) AS fano_daily
+        FROM m1 CROSS JOIN pairs CROSS JOIN fano"""))
   )
 }
