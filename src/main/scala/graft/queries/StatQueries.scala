@@ -1198,6 +1198,243 @@ object StatQueries {
                  + CAST(0 AS DOUBLE) AS memory_coef,
                ROUND(((sd2 - sd1 * sd1 / nd) / (nd - CAST(1 AS DOUBLE))) /
                  (sd1 / nd), 6) + CAST(0 AS DOUBLE) AS fano_daily
-        FROM m1 CROSS JOIN pairs CROSS JOIN fano"""))
+        FROM m1 CROSS JOIN pairs CROSS JOIN fano""")),
+
+    // ICC(1) intraclass correlation of order value within order priority:
+    // the one-way random-effects decomposition (how much of the price
+    // variance is "between priorities"?) with the unbalanced-design k0 =
+    // (N - Σni²/N)/(a-1) — the agreement/clustering coefficient qbn's
+    // ANOVA F omits. Group squares are computed IN DECIMAL ((12,2)² per
+    // rule 13), the >2^53-scaled Σy² decimals bridge to DOUBLE through
+    // VARCHAR in DuckDB (its int128→double cast double-rounds), and the
+    // between-group terms ni·d² multiply INTEGER × 9-grid in DECIMAL
+    // (rule 15).
+    "qd8_icc_oneway" -> Q(
+      fn = (s, dir) => {
+        val g = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("ni"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("syd"),
+            sum(col("o_totalprice").cast("decimal(12,2)") *
+              col("o_totalprice").cast("decimal(12,2)")).as("syyd"))
+          .select(col("ni"), col("syd").cast("double").as("syg"),
+            col("syyd").cast("double").as("syyg"))
+          .localCheckpoint(eager = false)
+        val tot = g.agg(sum(col("ni")).as("nn"), count(lit(1)).as("a"),
+          sum(col("syg")).as("sy0"), sum(col("ni") * col("ni")).as("sni2"))
+          .select(col("nn"), col("a"), col("sni2"),
+            round(col("sy0") / col("nn").cast("double"), 9).as("ybar"))
+        val parts = g.crossJoin(broadcast(tot))
+          .select(col("ni"), col("nn"), col("a"), col("sni2"),
+            round(col("syyg") - col("syg") * col("syg") /
+              col("ni").cast("double"), 6).as("ssw_g"),
+            (round(col("syg") / col("ni").cast("double"), 9) - col("ybar"))
+              .as("dg"))
+          .select(col("ni"), col("nn"), col("a"), col("sni2"),
+            col("ssw_g"), round(col("dg") * col("dg"), 9).as("dg2"))
+          .agg(
+            sum(col("ssw_g").cast("decimal(28,6)")).as("sswd"),
+            sum(col("ni").cast("decimal(10,0)") *
+              col("dg2").cast("decimal(20,9)")).as("ssbd"),
+            first(col("nn")).as("nn"), first(col("a")).as("a"),
+            first(col("sni2")).as("sni2"))
+        parts.select(col("nn").as("n"), col("a"),
+          round((col("nn").cast("double") -
+            col("sni2").cast("double") / col("nn").cast("double")) /
+            (col("a") - 1).cast("double"), 6).as("k0"),
+          round((col("ssbd").cast("double") / (col("a") - 1).cast("double")) /
+            (col("sswd").cast("double") / (col("nn") - col("a"))
+              .cast("double")), 6).as("f_anova"),
+          round(
+            (col("ssbd").cast("double") / (col("a") - 1).cast("double") -
+              col("sswd").cast("double") / (col("nn") - col("a"))
+                .cast("double")) /
+            (col("ssbd").cast("double") / (col("a") - 1).cast("double") +
+              ((col("nn").cast("double") -
+                col("sni2").cast("double") / col("nn").cast("double")) /
+                (col("a") - 1).cast("double") - lit(1.0)) *
+                (col("sswd").cast("double") / (col("nn") - col("a"))
+                  .cast("double"))), 6).as("icc1"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS ni,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS syg,
+                 CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) *
+                   CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+                   AS DOUBLE) AS syyg
+          FROM orders GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+                 CAST(COUNT(*) AS BIGINT) AS a,
+                 CAST(SUM(ni * ni) AS BIGINT) AS sni2,
+                 ROUND(SUM(syg) / CAST(SUM(ni) AS DOUBLE), 9) AS ybar
+          FROM g),
+        parts AS (
+          SELECT
+            CAST(SUM(CAST(ROUND(syyg - syg * syg / CAST(ni AS DOUBLE), 6)
+              AS DECIMAL(28,6))) AS DOUBLE) AS ssw,
+            CAST(SUM(CAST(ni AS DECIMAL(10,0)) *
+              CAST(ROUND((ROUND(syg / CAST(ni AS DOUBLE), 9) - tot.ybar) *
+                (ROUND(syg / CAST(ni AS DOUBLE), 9) - tot.ybar), 9)
+                AS DECIMAL(20,9))) AS DOUBLE) AS ssb,
+            MAX(tot.nn) AS nn, MAX(tot.a) AS a, MAX(tot.sni2) AS sni2
+          FROM g CROSS JOIN tot)
+        SELECT nn AS n, a,
+               ROUND((CAST(nn AS DOUBLE) -
+                 CAST(sni2 AS DOUBLE) / CAST(nn AS DOUBLE)) /
+                 CAST(a - 1 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS k0,
+               ROUND((ssb / CAST(a - 1 AS DOUBLE)) /
+                 (ssw / CAST(nn - a AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS f_anova,
+               ROUND((ssb / CAST(a - 1 AS DOUBLE) -
+                   ssw / CAST(nn - a AS DOUBLE)) /
+                 (ssb / CAST(a - 1 AS DOUBLE) +
+                   ((CAST(nn AS DOUBLE) -
+                     CAST(sni2 AS DOUBLE) / CAST(nn AS DOUBLE)) /
+                     CAST(a - 1 AS DOUBLE) - CAST(1 AS DOUBLE)) *
+                   (ssw / CAST(nn - a AS DOUBLE))), 6) + CAST(0 AS DOUBLE)
+                 AS icc1
+        FROM parts""")),
+
+    // Method-comparison of the two daily "business volume" instruments —
+    // order-dated revenue (o_totalprice) vs ship-dated invoice value
+    // (Σ extprice·(1-disc)·(1+tax)) — via Bland-Altman limits of
+    // agreement and Deming errors-in-variables regression (λ = 1): the
+    // right tools when BOTH series carry noise, where q6q's OLS would
+    // attenuate the slope. Both series are exact DECIMAL in millions
+    // (the /1e6 quotients have ≤12 decimals, within double-roundtrip
+    // recovery in both engines); the ±1.96·sd band and the intercept
+    // multiply grid values in DECIMAL per rule 15.
+    "qd9_bland_altman_deming" -> Q(
+      fn = (s, dir) => {
+        val a = dailyRevenueM(s, dir)
+        val b = t(s, dir, "lineitem")
+          .groupBy(expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg((sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") -
+              col("l_discount").cast("decimal(4,2)")) *
+            (lit(1).cast("decimal(4,2)") +
+              col("l_tax").cast("decimal(4,2)"))) / lit(1000000))
+            .cast("decimal(24,12)").as("yb"))
+        val j = a.join(b, Seq("day"))
+          .select(col("ym").as("ya"), col("yb"),
+            (col("ym") - col("yb")).as("d"))
+          .localCheckpoint(eager = false)
+        val st = j.agg(count(lit(1)).as("n"), sum(col("d")).as("sdd"),
+          sum(col("ya")).as("sya"), sum(col("yb")).as("syb"))
+          .select(col("n"),
+            round(col("sdd").cast("double") / col("n").cast("double"), 9)
+              .as("md"),
+            round(col("sya").cast("double") / col("n").cast("double"), 9)
+              .as("mx"),
+            round(col("syb").cast("double") / col("n").cast("double"), 9)
+              .as("my"))
+        val mom = j.crossJoin(broadcast(st))
+          .select(col("n"), col("md"), col("mx"), col("my"),
+            (col("d").cast("double") - col("md")).as("cd"),
+            (col("ya").cast("double") - col("mx")).as("cx"),
+            (col("yb").cast("double") - col("my")).as("cy"))
+          .agg(
+            sum(round(col("cd") * col("cd"), 6).cast("decimal(28,6)"))
+              .as("sdd2"),
+            sum(round(col("cx") * col("cx"), 6).cast("decimal(28,6)"))
+              .as("sxx"),
+            sum(round(col("cy") * col("cy"), 6).cast("decimal(28,6)"))
+              .as("syy"),
+            sum(round(col("cx") * col("cy"), 6).cast("decimal(28,6)"))
+              .as("sxy"),
+            first(col("n")).as("n"), first(col("md")).as("md"),
+            first(col("mx")).as("mx"), first(col("my")).as("my"))
+        val pre = mom.select(col("n"), col("md"), col("mx"), col("my"),
+          round(sqrt(col("sdd2").cast("double") /
+            (col("n") - 1).cast("double")), 9).as("sd"),
+          col("sxx").cast("double").as("sxx"),
+          col("syy").cast("double").as("syy"),
+          col("sxy").cast("double").as("sxy"))
+          .withColumn("slope_raw",
+            (col("syy") - col("sxx") +
+              sqrt((col("syy") - col("sxx")) * (col("syy") - col("sxx")) +
+                lit(4.0) * col("sxy") * col("sxy"))) /
+              (lit(2.0) * col("sxy")))
+        pre.select(col("n"),
+          round(col("md"), 6).as("mean_diff"),
+          round(col("sd"), 6).as("sd_diff"),
+          round(col("md").cast("decimal(20,9)") -
+            lit(1.96).cast("decimal(3,2)") * col("sd").cast("decimal(12,9)"),
+            6).cast("double").as("loa_low"),
+          round(col("md").cast("decimal(20,9)") +
+            lit(1.96).cast("decimal(3,2)") * col("sd").cast("decimal(12,9)"),
+            6).cast("double").as("loa_high"),
+          round(col("slope_raw"), 6).as("deming_slope"),
+          round(col("my").cast("decimal(20,9)") -
+            round(col("slope_raw"), 9).cast("decimal(12,9)") *
+              col("mx").cast("decimal(20,9)"), 6).cast("double")
+            .as("deming_intercept"))
+      },
+      oracle = Some(s"""
+        WITH a AS ($dailyRevenueMSql),
+        b AS (
+          SELECT CAST(epoch_ms(l_shipdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                   (CAST(1 AS DECIMAL(4,2)) -
+                     CAST(l_discount AS DECIMAL(4,2))) *
+                   (CAST(1 AS DECIMAL(4,2)) +
+                     CAST(l_tax AS DECIMAL(4,2)))) / 1000000
+                   AS DECIMAL(24,12)) AS yb
+          FROM lineitem GROUP BY 1),
+        j AS MATERIALIZED (
+          SELECT a.ym AS ya, b.yb, a.ym - b.yb AS d
+          FROM a JOIN b USING (day)),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS md,
+                 ROUND(CAST(SUM(ya) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mx,
+                 ROUND(CAST(SUM(yb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS my
+          FROM j),
+        mom AS (
+          SELECT MAX(st.n) AS n, MAX(st.md) AS md, MAX(st.mx) AS mx,
+                 MAX(st.my) AS my,
+                 CAST(SUM(CAST(ROUND((CAST(d AS DOUBLE) - st.md) *
+                   (CAST(d AS DOUBLE) - st.md), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sdd2,
+                 CAST(SUM(CAST(ROUND((CAST(ya AS DOUBLE) - st.mx) *
+                   (CAST(ya AS DOUBLE) - st.mx), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(ROUND((CAST(yb AS DOUBLE) - st.my) *
+                   (CAST(yb AS DOUBLE) - st.my), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(ROUND((CAST(ya AS DOUBLE) - st.mx) *
+                   (CAST(yb AS DOUBLE) - st.my), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sxy
+          FROM j CROSS JOIN st),
+        pre AS (
+          SELECT n, md, mx, my,
+                 ROUND(sqrt(sdd2 / CAST(n - 1 AS DOUBLE)), 9) AS sd,
+                 sxx, syy, sxy,
+                 (syy - sxx + sqrt((syy - sxx) * (syy - sxx) +
+                   CAST(4 AS DOUBLE) * sxy * sxy)) /
+                   (CAST(2 AS DOUBLE) * sxy) AS slope_raw
+          FROM mom)
+        SELECT n,
+               ROUND(md, 6) + CAST(0 AS DOUBLE) AS mean_diff,
+               ROUND(sd, 6) + CAST(0 AS DOUBLE) AS sd_diff,
+               CAST(ROUND(CAST(md AS DECIMAL(20,9)) -
+                 CAST(1.96 AS DECIMAL(3,2)) * CAST(sd AS DECIMAL(12,9)), 6)
+                 AS DOUBLE) AS loa_low,
+               CAST(ROUND(CAST(md AS DECIMAL(20,9)) +
+                 CAST(1.96 AS DECIMAL(3,2)) * CAST(sd AS DECIMAL(12,9)), 6)
+                 AS DOUBLE) AS loa_high,
+               ROUND(slope_raw, 6) + CAST(0 AS DOUBLE) AS deming_slope,
+               CAST(ROUND(CAST(my AS DECIMAL(20,9)) -
+                 CAST(ROUND(slope_raw, 9) AS DECIMAL(12,9)) *
+                   CAST(mx AS DECIMAL(20,9)), 6) AS DOUBLE)
+                 AS deming_intercept
+        FROM pre"""))
   )
 }
