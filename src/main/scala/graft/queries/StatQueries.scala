@@ -1435,6 +1435,280 @@ object StatQueries {
                  CAST(ROUND(slope_raw, 9) AS DECIMAL(12,9)) *
                    CAST(mx AS DECIMAL(20,9)), 6) AS DOUBLE)
                  AS deming_intercept
-        FROM pre"""))
+        FROM pre""")),
+
+    // Detrended fluctuation analysis of the daily revenue series: box
+    // sizes 4/8/16/32, per-box linear detrend via the closed-form
+    // SSE = Syy - Sxy²/Sxx (local x is 1..s, so Sxx = s(s²-1)/12 is an
+    // exact integer and Σdx = 0 kills the centering cross-term), and the
+    // scaling exponent α as the OLS slope of ln F(s) on ln s — the
+    // long-memory measure that, unlike qby's Hurst R/S, is robust to
+    // the series' nonstationary trend. The profile rides the exact
+    // DECIMAL(20,9) running scan; the 4-point log-log fit sums 9-grid
+    // terms in DECIMAL so the tiny aggregation is order-free.
+    "qd7_dfa_exponent" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val st = ranked.agg(count(lit(1)).as("n"), sum(col("ym")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val cen = ranked.crossJoin(broadcast(st))
+          .select(col("rn"), col("n"),
+            (col("ym").cast("double") - col("mu")).cast("decimal(20,9)")
+              .as("e"))
+        val cum = graft.operators.ScaleOps.globalRunningSum(cen,
+          Seq(col("rn")), col("e"), "y").localCheckpoint(eager = false)
+        val sizes = cum.sparkSession.range(1)
+          .select(explode(array(lit(4L), lit(8L), lit(16L), lit(32L)))
+            .as("bs"))
+        val boxed = cum.crossJoin(broadcast(sizes))
+          .withColumn("b", expr("(rn - 1) div bs"))
+          .filter(expr("b < (n div bs)"))
+          .select(col("bs"), col("b"),
+            (col("rn") - col("b") * col("bs")).as("lx"),
+            col("y").cast("double").as("yd"))
+        val perBox = boxed
+          .select(col("bs"), col("b"), col("yd"),
+            (col("lx").cast("double") -
+              (col("bs") + 1).cast("double") / lit(2.0)).as("dxl"))
+          .groupBy(col("bs"), col("b"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("yd").cast("decimal(20,9)")).as("syd"),
+            sum(round(col("yd") * col("yd"), 6).cast("decimal(28,6)"))
+              .as("syyd"),
+            sum(round(col("dxl") * col("yd"), 6).cast("decimal(28,6)"))
+              .as("sxyd"))
+          .select(col("bs"), col("b"),
+            round(
+              (col("syyd").cast("double") -
+                col("bs").cast("double") *
+                  round(
+                    round(col("syd").cast("double") /
+                      col("bs").cast("double"), 9) *
+                    round(col("syd").cast("double") /
+                      col("bs").cast("double"), 9), 9)) -
+              round(col("sxyd").cast("double") * col("sxyd").cast("double") /
+                expr("bs * (bs * bs - 1) div 12").cast("double"), 9), 9)
+              .as("sse"))
+        val perS = perBox.groupBy(col("bs"))
+          .agg(count(lit(1)).as("nb"),
+            sum(col("sse").cast("decimal(28,9)")).as("ssed"))
+          .select(col("bs"), col("nb"),
+            round(sqrt(round(col("ssed").cast("double") /
+              (col("nb") * col("bs")).cast("double"), 9)), 9).as("fs"))
+          .select(col("bs"), col("fs"),
+            round(log(col("bs").cast("double")), 9).as("lxs"),
+            round(log(col("fs")), 9).as("lys"))
+          .localCheckpoint(eager = false)
+        val fit = perS.agg(count(lit(1)).as("k"),
+          sum(col("lxs").cast("decimal(18,9)")).as("slx"),
+          sum(col("lys").cast("decimal(18,9)")).as("sly"),
+          sum(round(col("lxs") * col("lys"), 9).cast("decimal(18,9)"))
+            .as("sxy"),
+          sum(round(col("lxs") * col("lxs"), 9).cast("decimal(18,9)"))
+            .as("sxx"))
+          .select(round(
+            (col("k").cast("double") * col("sxy").cast("double") -
+              col("slx").cast("double") * col("sly").cast("double")) /
+            (col("k").cast("double") * col("sxx").cast("double") -
+              col("slx").cast("double") * col("slx").cast("double")), 6)
+            .as("alpha"))
+        val wide = perS.groupBy()
+          .agg(max(when(col("bs") === 4, col("fs"))).as("f4"),
+            max(when(col("bs") === 8, col("fs"))).as("f8"),
+            max(when(col("bs") === 16, col("fs"))).as("f16"),
+            max(when(col("bs") === 32, col("fs"))).as("f32"))
+        st.select(col("n")).crossJoin(broadcast(wide))
+          .crossJoin(broadcast(fit))
+          .select(col("n"),
+            round(col("f4"), 6).as("f4"), round(col("f8"), 6).as("f8"),
+            round(col("f16"), 6).as("f16"), round(col("f32"), 6).as("f32"),
+            col("alpha"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu
+          FROM r),
+        cen AS (
+          SELECT rn, st.n,
+                 CAST(CAST(ym AS DOUBLE) - st.mu AS DECIMAL(20,9)) AS e
+          FROM r CROSS JOIN st),
+        cum AS MATERIALIZED (
+          SELECT rn, n,
+                 SUM(e) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS y
+          FROM cen),
+        sizes AS (SELECT CAST(UNNEST([4, 8, 16, 32]) AS BIGINT) AS bs),
+        boxed AS (
+          SELECT bs, (rn - 1) // bs AS b,
+                 rn - ((rn - 1) // bs) * bs AS lx,
+                 CAST(y AS DOUBLE) AS yd
+          FROM cum CROSS JOIN sizes
+          WHERE (rn - 1) // bs < n // bs),
+        perbox AS (
+          SELECT bs, b,
+                 CAST(SUM(CAST(yd AS DECIMAL(20,9))) AS DOUBLE) AS syd,
+                 CAST(SUM(CAST(ROUND(yd * yd, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(ROUND((CAST(lx AS DOUBLE) -
+                   CAST(bs + 1 AS DOUBLE) / CAST(2 AS DOUBLE)) * yd, 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+          FROM boxed GROUP BY 1, 2),
+        sse AS (
+          SELECT bs, b,
+                 ROUND((syy - CAST(bs AS DOUBLE) *
+                     ROUND(ROUND(syd / CAST(bs AS DOUBLE), 9) *
+                       ROUND(syd / CAST(bs AS DOUBLE), 9), 9)) -
+                   ROUND(sxy * sxy /
+                     CAST(bs * (bs * bs - 1) // 12 AS DOUBLE), 9), 9)
+                   AS sse
+          FROM perbox),
+        pers AS MATERIALIZED (
+          SELECT bs,
+                 ROUND(sqrt(ROUND(
+                   CAST(SUM(CAST(sse AS DECIMAL(28,9))) AS DOUBLE) /
+                   CAST(COUNT(*) * bs AS DOUBLE), 9)), 9) AS fs
+          FROM sse GROUP BY 1),
+        pers2 AS (
+          SELECT bs, fs,
+                 ROUND(ln(CAST(bs AS DOUBLE)), 9) AS lxs,
+                 ROUND(ln(fs), 9) AS lys
+          FROM pers),
+        fit AS (
+          SELECT ROUND(
+            (CAST(COUNT(*) AS DOUBLE) *
+              CAST(SUM(CAST(ROUND(lxs * lys, 9) AS DECIMAL(18,9)))
+                AS DOUBLE) -
+             CAST(SUM(CAST(lxs AS DECIMAL(18,9))) AS DOUBLE) *
+              CAST(SUM(CAST(lys AS DECIMAL(18,9))) AS DOUBLE)) /
+            (CAST(COUNT(*) AS DOUBLE) *
+              CAST(SUM(CAST(ROUND(lxs * lxs, 9) AS DECIMAL(18,9)))
+                AS DOUBLE) -
+             CAST(SUM(CAST(lxs AS DECIMAL(18,9))) AS DOUBLE) *
+              CAST(SUM(CAST(lxs AS DECIMAL(18,9))) AS DOUBLE)), 6)
+            AS alpha
+          FROM pers2),
+        wide AS (
+          SELECT MAX(CASE WHEN bs = 4 THEN fs END) AS f4,
+                 MAX(CASE WHEN bs = 8 THEN fs END) AS f8,
+                 MAX(CASE WHEN bs = 16 THEN fs END) AS f16,
+                 MAX(CASE WHEN bs = 32 THEN fs END) AS f32
+          FROM pers2)
+        SELECT st.n,
+               ROUND(f4, 6) + CAST(0 AS DOUBLE) AS f4,
+               ROUND(f8, 6) + CAST(0 AS DOUBLE) AS f8,
+               ROUND(f16, 6) + CAST(0 AS DOUBLE) AS f16,
+               ROUND(f32, 6) + CAST(0 AS DOUBLE) AS f32,
+               alpha + CAST(0 AS DOUBLE) AS alpha
+        FROM st CROSS JOIN wide CROSS JOIN fit""")),
+
+    // Kulldorff-style temporal scan statistic over the 30-day window
+    // lattice: for every contiguous day window, the Poisson LLR of the
+    // purchase count against its share-of-all-events expectation,
+    // c·ln(c/e) + (C-c)·ln((C-c)/(C-e)) when c exceeds e — the
+    // disease-surveillance "hot window" detector beside q4w's two-sigma
+    // spike flags (which test days independently; the scan finds the
+    // jointly most anomalous INTERVAL). Window sums are differences of
+    // exact integer running sums; the c > e gate compares c·N > C·n_w in
+    // exact BIGINTs; ln is the only float link. Top 10 windows by LLR
+    // with the (i, j) tiebreak.
+    "qda_temporal_scan" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c"), count(lit(1)).as("nall"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn")
+        val cum1 = graft.operators.ScaleOps.globalRunningSum(ranked,
+          Seq(col("rn")), col("c"), "cc")
+        val cum2 = graft.operators.ScaleOps.globalRunningSum(cum1,
+          Seq(col("rn")), col("nall"), "cn")
+          .select(col("rn"), col("cc"), col("cn"))
+          .localCheckpoint(eager = false)
+        val z = cum2.unionByName(
+          cum2.sparkSession.range(1).select(lit(0L).as("rn"),
+            lit(0L).as("cc"), lit(0L).as("cn")))
+        val tot = cum2.agg(max(col("cc")).as("ctot"), max(col("cn")).as("ntot"))
+        val wins = z.select(col("rn").as("i0"), col("cc").as("cci"),
+          col("cn").as("cni"))
+          .join(z.select(col("rn").as("j"), col("cc").as("ccj"),
+            col("cn").as("cnj")), col("i0") < col("j"))
+          .crossJoin(broadcast(tot))
+          .select((col("i0") + 1).as("i"), col("j"),
+            (col("ccj") - col("cci")).as("cw"),
+            (col("cnj") - col("cni")).as("nw"),
+            col("ctot"), col("ntot"))
+          .filter(col("cw") * col("ntot") > col("ctot") * col("nw"))
+          .select(col("i"), col("j"), col("cw"), col("nw"),
+            round(col("ctot").cast("double") * col("nw").cast("double") /
+              col("ntot").cast("double"), 6).as("e_w"),
+            round(
+              col("cw").cast("double") *
+                log(col("cw").cast("double") /
+                  (col("ctot").cast("double") * col("nw").cast("double") /
+                    col("ntot").cast("double"))) +
+              when(col("ctot") > col("cw"),
+                (col("ctot") - col("cw")).cast("double") *
+                  log((col("ctot") - col("cw")).cast("double") /
+                    (col("ctot").cast("double") -
+                      col("ctot").cast("double") * col("nw").cast("double") /
+                        col("ntot").cast("double")))).otherwise(lit(0.0)),
+              6).as("llr"))
+        wins.orderBy(col("llr").desc, col("i"), col("j")).limit(10)
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS c,
+                 CAST(COUNT(*) AS BIGINT) AS nall
+          FROM events GROUP BY 1),
+        r AS (
+          SELECT c, nall, ROW_NUMBER() OVER (ORDER BY day) AS rn
+          FROM daily),
+        cum AS (
+          SELECT rn,
+                 SUM(c) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS cc,
+                 SUM(nall) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS cn
+          FROM r),
+        z AS (
+          SELECT CAST(rn AS BIGINT) AS rn, CAST(cc AS BIGINT) AS cc,
+                 CAST(cn AS BIGINT) AS cn
+          FROM cum
+          UNION ALL SELECT 0, 0, 0),
+        tot AS (
+          SELECT MAX(cc) AS ctot, MAX(cn) AS ntot FROM z),
+        wins AS (
+          SELECT a.rn + 1 AS i, b.rn AS j,
+                 b.cc - a.cc AS cw, b.cn - a.cn AS nw, t.ctot, t.ntot
+          FROM z a JOIN z b ON a.rn < b.rn CROSS JOIN tot t
+          WHERE (b.cc - a.cc) * t.ntot > t.ctot * (b.cn - a.cn)),
+        scored AS (
+          SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, cw, nw,
+                 ROUND(CAST(ctot AS DOUBLE) * CAST(nw AS DOUBLE) /
+                   CAST(ntot AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS e_w,
+                 ROUND(CAST(cw AS DOUBLE) *
+                     ln(CAST(cw AS DOUBLE) /
+                       (CAST(ctot AS DOUBLE) * CAST(nw AS DOUBLE) /
+                         CAST(ntot AS DOUBLE))) +
+                   CASE WHEN ctot > cw THEN
+                     CAST(ctot - cw AS DOUBLE) *
+                       ln(CAST(ctot - cw AS DOUBLE) /
+                         (CAST(ctot AS DOUBLE) -
+                           CAST(ctot AS DOUBLE) * CAST(nw AS DOUBLE) /
+                             CAST(ntot AS DOUBLE)))
+                   ELSE CAST(0 AS DOUBLE) END, 6) + CAST(0 AS DOUBLE)
+                   AS llr
+          FROM wins)
+        SELECT * FROM scored
+        ORDER BY llr DESC, i, j LIMIT 10"""))
   )
 }
