@@ -1709,6 +1709,424 @@ object StatQueries {
                    AS llr
           FROM wins)
         SELECT * FROM scored
-        ORDER BY llr DESC, i, j LIMIT 10"""))
+        ORDER BY llr DESC, i, j LIMIT 10""")),
+
+    // G-test (likelihood-ratio chi-square) of independence between event
+    // type and week-phase (epoch-day mod 7), next to q6s's Pearson
+    // chi-square: the G statistic is additive under partitioning and is
+    // what large-count Poisson models actually maximize. Both statistics
+    // come off the same margins; cells are exact BIGINTs, expectations
+    // are raw ratios of exact integers, per-cell terms snap to the
+    // 9-grid and sum in DECIMAL; ln is the only float link.
+    "qdb_g_test_independence" -> Q(
+      fn = (s, dir) => {
+        val cells = t(s, dir, "events")
+          .select(col("event_type"),
+            pmod((unix_millis(col("ts")) / lit(86400000L)).cast("long"),
+              lit(7L)).as("dow"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("nij"))
+        val rows = cells.groupBy(col("event_type"))
+          .agg(sum(col("nij")).as("ri"))
+        val cols = cells.groupBy(col("dow")).agg(sum(col("nij")).as("cj"))
+        val tot = cells.agg(sum(col("nij")).as("nn"),
+          countDistinct(col("event_type")).as("r"),
+          countDistinct(col("dow")).as("c"))
+        val terms = cells.join(rows, Seq("event_type"))
+          .join(cols, Seq("dow")).crossJoin(broadcast(tot))
+          .select(col("nij"), col("nn"), col("r"), col("c"),
+            (col("ri").cast("double") * col("cj").cast("double") /
+              col("nn").cast("double")).as("eij"))
+        val agg = terms.agg(
+          sum(round(col("nij").cast("double") *
+            log(col("nij").cast("double") / col("eij")), 9)
+            .cast("decimal(18,9)")).as("gsum"),
+          sum(round((col("nij").cast("double") - col("eij")) *
+            (col("nij").cast("double") - col("eij")) / col("eij"), 9)
+            .cast("decimal(18,9)")).as("x2sum"),
+          first(col("nn")).as("n"),
+          first((col("r") - 1) * (col("c") - 1)).as("df"))
+        agg.select(col("n"), col("df"),
+          round(lit(2.0) * col("gsum").cast("double"), 6).as("g_stat"),
+          round(col("x2sum").cast("double"), 6).as("chi2"))
+      },
+      oracle = Some("""
+        WITH cells AS (
+          SELECT event_type,
+                 (CAST(epoch_ms(ts) // 86400000 AS BIGINT) % 7) AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS nij
+          FROM events GROUP BY 1, 2),
+        rows_m AS (
+          SELECT event_type, CAST(SUM(nij) AS BIGINT) AS ri
+          FROM cells GROUP BY 1),
+        cols_m AS (
+          SELECT dow, CAST(SUM(nij) AS BIGINT) AS cj FROM cells GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(nij) AS BIGINT) AS nn,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+                 CAST(COUNT(DISTINCT dow) AS BIGINT) AS c
+          FROM cells),
+        terms AS (
+          SELECT nij, nn, r, c,
+                 CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) /
+                   CAST(nn AS DOUBLE) AS eij
+          FROM cells JOIN rows_m USING (event_type)
+          JOIN cols_m USING (dow) CROSS JOIN tot),
+        agg AS (
+          SELECT MAX(nn) AS n, MAX((r - 1) * (c - 1)) AS df,
+                 SUM(CAST(ROUND(CAST(nij AS DOUBLE) *
+                   ln(CAST(nij AS DOUBLE) / eij), 9) AS DECIMAL(18,9)))
+                   AS gsum,
+                 SUM(CAST(ROUND((CAST(nij AS DOUBLE) - eij) *
+                   (CAST(nij AS DOUBLE) - eij) / eij, 9) AS DECIMAL(18,9)))
+                   AS x2sum
+          FROM terms)
+        SELECT n, df,
+               ROUND(CAST(2 AS DOUBLE) * CAST(gsum AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS g_stat,
+               ROUND(CAST(x2sum AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS chi2
+        FROM agg""")),
+
+    // Fisher-z inference for the daily revenue × event-count correlation:
+    // the z transform 0.5·ln((1+r)/(1-r)), its exact-n standard error,
+    // the 95% CI in z-space (the back-transform needs exp — not
+    // oracle-safe, per the q5a sigmoid lesson — so the CI is reported on
+    // the z scale, where it is exact), and the two-sample z comparison
+    // of the month-half correlations — the inference layer q8c's
+    // correlation matrix stops short of. One three-panel UNION ALL
+    // moment pass (all/first/second) serves every r.
+    "qdc_fisher_z_correlation" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(count(lit(1)).as("x"),
+            sum(coalesce(col("value"), lit(0.0)).cast("decimal(18,2)"))
+              .as("v"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val n0 = ranked.agg(count(lit(1)).as("nt"))
+        val seg = ranked.crossJoin(broadcast(n0))
+          .select(col("rn"), col("x"), col("v"),
+            when(col("rn") * 2 <= col("nt"), lit(1)).otherwise(lit(2))
+              .as("sg"))
+        val grps = seg.select(col("x"), col("v"), lit(0).as("sg"))
+          .unionByName(seg.select(col("x"), col("v"), col("sg")))
+          .localCheckpoint(eager = false)
+        val gst = grps.groupBy(col("sg"))
+          .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sx"),
+            sum(col("v")).as("sv"))
+          .select(col("sg"), col("cnt"),
+            round(col("sx").cast("double") / col("cnt").cast("double"), 9)
+              .as("mx"),
+            round(col("sv").cast("double") / col("cnt").cast("double"), 9)
+              .as("mv"))
+        val rs = grps.join(gst, Seq("sg"))
+          .select(col("sg"), col("cnt"),
+            (col("x").cast("double") - col("mx")).as("cx"),
+            (col("v").cast("double") - col("mv")).as("cv"))
+          .groupBy(col("sg"))
+          .agg(first(col("cnt")).as("cnt"),
+            sum(round(col("cx") * col("cx"), 6).cast("decimal(28,6)"))
+              .as("sxx"),
+            sum(round(col("cv") * col("cv"), 6).cast("decimal(28,6)"))
+              .as("svv"),
+            sum(round(col("cx") * col("cv"), 6).cast("decimal(28,6)"))
+              .as("sxv"))
+          .select(col("sg"), col("cnt"),
+            round(col("sxv").cast("double") /
+              (sqrt(col("sxx").cast("double")) *
+                sqrt(col("svv").cast("double"))), 9).as("r"))
+          .select(col("sg"), col("cnt"), col("r"),
+            round(lit(0.5) * log((lit(1.0) + col("r")) /
+              (lit(1.0) - col("r"))), 9).as("z"))
+        val wide = rs.groupBy().agg(
+          max(when(col("sg") === 0, col("cnt"))).as("n"),
+          max(when(col("sg") === 0, col("r"))).as("r_all"),
+          max(when(col("sg") === 0, col("z"))).as("z_all"),
+          max(when(col("sg") === 1, col("cnt"))).as("n1"),
+          max(when(col("sg") === 1, col("r"))).as("r_first"),
+          max(when(col("sg") === 1, col("z"))).as("z1"),
+          max(when(col("sg") === 2, col("cnt"))).as("n2"),
+          max(when(col("sg") === 2, col("r"))).as("r_second"),
+          max(when(col("sg") === 2, col("z"))).as("z2"))
+        wide.select(col("n"),
+          round(col("r_all"), 6).as("r"),
+          round(col("z_all"), 6).as("z"),
+          round(lit(1.0) / sqrt((col("n") - 3).cast("double")), 6).as("se"),
+          round(col("z_all") - lit(1.96) /
+            sqrt((col("n") - 3).cast("double")), 6).as("z_lo"),
+          round(col("z_all") + lit(1.96) /
+            sqrt((col("n") - 3).cast("double")), 6).as("z_hi"),
+          round(col("r_first"), 6).as("r_first"),
+          round(col("r_second"), 6).as("r_second"),
+          round((col("z1") - col("z2")) /
+            sqrt(lit(1.0) / (col("n1") - 3).cast("double") +
+              lit(1.0) / (col("n2") - 3).cast("double")), 6).as("z_diff"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x,
+                 SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,2))) AS v
+          FROM events GROUP BY 1),
+        r0 AS (
+          SELECT x, v, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM r0),
+        grps AS MATERIALIZED (
+          SELECT x, v, 0 AS sg FROM r0
+          UNION ALL
+          SELECT x, v, CASE WHEN rn * 2 <= n0.nt THEN 1 ELSE 2 END AS sg
+          FROM r0 CROSS JOIN n0),
+        gst AS (
+          SELECT sg, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mx,
+                 ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mv
+          FROM grps GROUP BY 1),
+        rs AS (
+          SELECT g.sg, MAX(gst.cnt) AS cnt,
+                 ROUND(CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) - gst.mx) *
+                     (CAST(v AS DOUBLE) - gst.mv), 6) AS DECIMAL(28,6)))
+                     AS DOUBLE) /
+                   (sqrt(CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) - gst.mx) *
+                     (CAST(x AS DOUBLE) - gst.mx), 6) AS DECIMAL(28,6)))
+                     AS DOUBLE)) *
+                    sqrt(CAST(SUM(CAST(ROUND((CAST(v AS DOUBLE) - gst.mv) *
+                     (CAST(v AS DOUBLE) - gst.mv), 6) AS DECIMAL(28,6)))
+                     AS DOUBLE))), 9) AS r
+          FROM grps g JOIN gst ON g.sg = gst.sg
+          GROUP BY g.sg),
+        rz AS (
+          SELECT sg, cnt, r,
+                 ROUND(CAST(0.5 AS DOUBLE) *
+                   ln((CAST(1 AS DOUBLE) + r) / (CAST(1 AS DOUBLE) - r)), 9)
+                   AS z
+          FROM rs),
+        wide AS (
+          SELECT MAX(CASE WHEN sg = 0 THEN cnt END) AS n,
+                 MAX(CASE WHEN sg = 0 THEN r END) AS r_all,
+                 MAX(CASE WHEN sg = 0 THEN z END) AS z_all,
+                 MAX(CASE WHEN sg = 1 THEN cnt END) AS n1,
+                 MAX(CASE WHEN sg = 1 THEN r END) AS r_first,
+                 MAX(CASE WHEN sg = 1 THEN z END) AS z1,
+                 MAX(CASE WHEN sg = 2 THEN cnt END) AS n2,
+                 MAX(CASE WHEN sg = 2 THEN r END) AS r_second,
+                 MAX(CASE WHEN sg = 2 THEN z END) AS z2
+          FROM rz)
+        SELECT n,
+               ROUND(r_all, 6) + CAST(0 AS DOUBLE) AS r,
+               ROUND(z_all, 6) + CAST(0 AS DOUBLE) AS z,
+               ROUND(CAST(1 AS DOUBLE) / sqrt(CAST(n - 3 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS se,
+               ROUND(z_all - CAST(1.96 AS DOUBLE) /
+                 sqrt(CAST(n - 3 AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS z_lo,
+               ROUND(z_all + CAST(1.96 AS DOUBLE) /
+                 sqrt(CAST(n - 3 AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS z_hi,
+               ROUND(r_first, 6) + CAST(0 AS DOUBLE) AS r_first,
+               ROUND(r_second, 6) + CAST(0 AS DOUBLE) AS r_second,
+               ROUND((z1 - z2) /
+                 sqrt(CAST(1 AS DOUBLE) / CAST(n1 - 3 AS DOUBLE) +
+                   CAST(1 AS DOUBLE) / CAST(n2 - 3 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS z_diff
+        FROM wide""")),
+
+    // Influence diagnostics for the daily-revenue time trend: leverage
+    // h_i = 1/n + dx²/Sxx and Cook's distance D_i = e²·h /
+    // (p·s²·(1-h)²) per day, top 10 — WHICH days bent the q6q-style
+    // trend line, not just whether the fit drifts (qcw tests that).
+    // Same 9-grid residual pipeline as qcw; every link is a raw ratio
+    // of exact-grid doubles with a total (D, rn) output order.
+    "qdd_cooks_distance" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val st = ranked.agg(count(lit(1)).as("n"), sum(col("ym")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"),
+            ((col("n") + 1).cast("double") / lit(2.0)).as("xbar"))
+        val cen = ranked.crossJoin(broadcast(st))
+          .select(col("rn"), col("n"),
+            (col("ym").cast("double") - col("mu")).as("c"),
+            (col("rn").cast("double") - col("xbar")).as("dx"))
+          .localCheckpoint(eager = false)
+        val mom = cen.agg(
+          sum(round(col("dx") * col("dx"), 6).cast("decimal(28,6)"))
+            .as("sxxd"),
+          sum(round(col("dx") * col("c"), 6).cast("decimal(28,6)"))
+            .as("sxyd"))
+          .select(col("sxxd").cast("double").as("sxx"),
+            round(col("sxyd").cast("double") / col("sxxd").cast("double"), 9)
+              .as("b"))
+        val res = cen.crossJoin(broadcast(mom))
+          .select(col("rn"), col("n"), col("dx"), col("sxx"),
+            round(col("c") - col("b") * col("dx"), 9).as("e"))
+          .localCheckpoint(eager = false)
+        val s2 = res.agg(
+          sum(round(col("e") * col("e"), 9).cast("decimal(28,9)")).as("seed"),
+          first(col("n")).as("nn"))
+          .select(round(col("seed").cast("double") /
+            (col("nn") - 2).cast("double"), 9).as("s2"))
+        res.crossJoin(broadcast(s2))
+          .select(col("rn").cast("long").as("rn"),
+            round(col("e"), 6).as("residual"),
+            round(lit(1.0) / col("n").cast("double") +
+              col("dx") * col("dx") / col("sxx"), 9).as("hraw"),
+            col("dx"), col("sxx"), col("n"), col("e"), col("s2"))
+          .select(col("rn"), col("residual"),
+            round(col("hraw"), 6).as("leverage"),
+            round(col("e") * col("e") * col("hraw") /
+              (lit(2.0) * col("s2") * (lit(1.0) - col("hraw")) *
+                (lit(1.0) - col("hraw"))), 6).as("cooks_d"))
+          .orderBy(col("cooks_d").desc, col("rn")).limit(10)
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu,
+                 CAST(COUNT(*) + 1 AS DOUBLE) / CAST(2 AS DOUBLE) AS xbar
+          FROM r),
+        cen AS MATERIALIZED (
+          SELECT rn, st.n, CAST(ym AS DOUBLE) - st.mu AS c,
+                 CAST(rn AS DOUBLE) - st.xbar AS dx
+          FROM r CROSS JOIN st),
+        mom AS (
+          SELECT CAST(SUM(CAST(ROUND(dx * dx, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sxx,
+                 ROUND(CAST(SUM(CAST(ROUND(dx * c, 6) AS DECIMAL(28,6)))
+                     AS DOUBLE) /
+                   CAST(SUM(CAST(ROUND(dx * dx, 6) AS DECIMAL(28,6)))
+                     AS DOUBLE), 9) AS b
+          FROM cen),
+        res AS MATERIALIZED (
+          SELECT rn, n, dx, m.sxx, ROUND(c - m.b * dx, 9) AS e
+          FROM cen CROSS JOIN mom m),
+        s2 AS (
+          SELECT ROUND(CAST(SUM(CAST(ROUND(e * e, 9) AS DECIMAL(28,9)))
+                   AS DOUBLE) / CAST(MAX(n) - 2 AS DOUBLE), 9) AS s2
+          FROM res),
+        scored AS (
+          SELECT CAST(rn AS BIGINT) AS rn,
+                 ROUND(e, 6) + CAST(0 AS DOUBLE) AS residual,
+                 ROUND(CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) +
+                   dx * dx / sxx, 9) AS hraw,
+                 e, s2.s2
+          FROM res CROSS JOIN s2)
+        SELECT rn, residual,
+               ROUND(hraw, 6) + CAST(0 AS DOUBLE) AS leverage,
+               ROUND(e * e * hraw /
+                 (CAST(2 AS DOUBLE) * s2 * (CAST(1 AS DOUBLE) - hraw) *
+                   (CAST(1 AS DOUBLE) - hraw)), 6) + CAST(0 AS DOUBLE)
+                 AS cooks_d
+        FROM scored
+        ORDER BY cooks_d DESC, rn LIMIT 10""")),
+
+    // Jarque-Bera normality test of the trend residuals: the
+    // skewness/kurtosis omnibus JB = n·(S²/6 + K²/24) closing the qcw
+    // diagnostic suite (DW asks "independent?", BP asks
+    // "homoskedastic?", JB asks "gaussian?" — the three assumptions the
+    // OLS inference rests on). Residual power sums ride round-6 DECIMAL;
+    // S and K are raw ratios with the m2·sqrt(m2) denominator (sqrt is
+    // the only irrational link).
+    "qde_jarque_bera" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val st = ranked.agg(count(lit(1)).as("n"), sum(col("ym")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"),
+            ((col("n") + 1).cast("double") / lit(2.0)).as("xbar"))
+        val cen = ranked.crossJoin(broadcast(st))
+          .select(col("rn"), col("n"),
+            (col("ym").cast("double") - col("mu")).as("c"),
+            (col("rn").cast("double") - col("xbar")).as("dx"))
+          .localCheckpoint(eager = false)
+        val mom = cen.agg(
+          sum(round(col("dx") * col("dx"), 6).cast("decimal(28,6)"))
+            .as("sxxd"),
+          sum(round(col("dx") * col("c"), 6).cast("decimal(28,6)"))
+            .as("sxyd"))
+          .select(round(col("sxyd").cast("double") /
+            col("sxxd").cast("double"), 9).as("b"))
+        val pw = cen.crossJoin(broadcast(mom))
+          .select(col("n"), round(col("c") - col("b") * col("dx"), 9).as("e"))
+          .agg(first(col("n")).as("n"),
+            sum(round(col("e") * col("e"), 6).cast("decimal(28,6)"))
+              .as("p2"),
+            sum(round(col("e") * col("e") * col("e"), 6)
+              .cast("decimal(28,6)")).as("p3"),
+            sum(round(col("e") * col("e") * col("e") * col("e"), 6)
+              .cast("decimal(28,6)")).as("p4"))
+          .select(col("n"),
+            round(col("p2").cast("double") / col("n").cast("double"), 9)
+              .as("m2"),
+            round(col("p3").cast("double") / col("n").cast("double"), 9)
+              .as("m3"),
+            round(col("p4").cast("double") / col("n").cast("double"), 9)
+              .as("m4"))
+        pw.select(col("n"),
+          round(col("m3") / (col("m2") * sqrt(col("m2"))), 6)
+            .as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
+            .as("kurt_excess"),
+          round(col("n").cast("double") *
+            ((col("m3") / (col("m2") * sqrt(col("m2")))) *
+              (col("m3") / (col("m2") * sqrt(col("m2")))) / lit(6.0) +
+             (col("m4") / (col("m2") * col("m2")) - lit(3.0)) *
+              (col("m4") / (col("m2") * col("m2")) - lit(3.0)) / lit(24.0)),
+            6).as("jb_stat"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu,
+                 CAST(COUNT(*) + 1 AS DOUBLE) / CAST(2 AS DOUBLE) AS xbar
+          FROM r),
+        cen AS MATERIALIZED (
+          SELECT rn, st.n, CAST(ym AS DOUBLE) - st.mu AS c,
+                 CAST(rn AS DOUBLE) - st.xbar AS dx
+          FROM r CROSS JOIN st),
+        mom AS (
+          SELECT ROUND(CAST(SUM(CAST(ROUND(dx * c, 6) AS DECIMAL(28,6)))
+                     AS DOUBLE) /
+                   CAST(SUM(CAST(ROUND(dx * dx, 6) AS DECIMAL(28,6)))
+                     AS DOUBLE), 9) AS b
+          FROM cen),
+        pw AS (
+          SELECT MAX(n) AS n,
+                 ROUND(CAST(SUM(CAST(ROUND(e * e, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 9) AS m2,
+                 ROUND(CAST(SUM(CAST(ROUND(e * e * e, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 9) AS m3,
+                 ROUND(CAST(SUM(CAST(ROUND(e * e * e * e, 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 9)
+                   AS m4
+          FROM (SELECT n, ROUND(c - m.b * dx, 9) AS e
+                FROM cen CROSS JOIN mom m))
+        SELECT n,
+               ROUND(m3 / (m2 * sqrt(m2)), 6) + CAST(0 AS DOUBLE)
+                 AS skewness,
+               ROUND(m4 / (m2 * m2) - CAST(3 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS kurt_excess,
+               ROUND(CAST(n AS DOUBLE) *
+                 ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2))) /
+                    CAST(6 AS DOUBLE) +
+                  (m4 / (m2 * m2) - CAST(3 AS DOUBLE)) *
+                  (m4 / (m2 * m2) - CAST(3 AS DOUBLE)) /
+                    CAST(24 AS DOUBLE)), 6) + CAST(0 AS DOUBLE) AS jb_stat
+        FROM pw"""))
   )
 }
