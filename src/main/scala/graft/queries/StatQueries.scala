@@ -2127,6 +2127,408 @@ object StatQueries {
                   (m4 / (m2 * m2) - CAST(3 AS DOUBLE)) *
                   (m4 / (m2 * m2) - CAST(3 AS DOUBLE)) /
                     CAST(24 AS DOUBLE)), 6) + CAST(0 AS DOUBLE) AS jb_stat
-        FROM pw"""))
+        FROM pw""")),
+
+    // Higuchi fractal dimension of the daily event-count series: curve
+    // lengths L_m(k) over strides k = 1..4 and phases m, FD = -slope of
+    // ln L(k) on ln k — the direct fractal measure beside qd7's DFA
+    // (DFA detrends then measures fluctuation growth; Higuchi measures
+    // raw curve-length shrinkage). Stride differences are exact integer
+    // |gaps|; phase lengths and the 4-point log-log fit ride 9-grid
+    // DECIMAL sums.
+    "qdf_higuchi_fd" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(count(lit(1)).as("x"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val n0 = ranked.agg(count(lit(1)).as("n"))
+        val ks = ranked.sparkSession.range(1)
+          .select(explode(array(lit(1L), lit(2L), lit(3L), lit(4L)))
+            .as("k"))
+        val diffs = ranked.select(col("rn"), col("x").as("x0"))
+          .crossJoin(broadcast(ks))
+          .join(ranked.select(col("rn").as("rn2"), col("x").as("x1")),
+            col("rn2") === col("rn") + col("k"))
+          .crossJoin(broadcast(n0))
+          .select(col("k"), pmod(col("rn") - 1, col("k")).as("m"),
+            abs(col("x1") - col("x0")).as("ad"), col("n"))
+        val perPhase = diffs.groupBy(col("k"), col("m"))
+          .agg(sum(col("ad")).as("sd"), count(lit(1)).as("cnt"),
+            first(col("n")).as("n"))
+          .select(col("k"), col("m"),
+            round(col("sd").cast("double") * (col("n") - 1).cast("double") /
+              (col("cnt").cast("double") * col("k").cast("double") *
+                col("k").cast("double")), 9).as("lm"))
+        val perK = perPhase.groupBy(col("k"))
+          .agg(sum(col("lm").cast("decimal(20,9)")).as("lsum"),
+            count(lit(1)).as("nm"))
+          .select(col("k"),
+            round(col("lsum").cast("double") / col("nm").cast("double"), 9)
+              .as("lk"))
+          .select(col("k"), col("lk"),
+            round(log(col("k").cast("double")), 9).as("lxs"),
+            round(log(col("lk")), 9).as("lys"))
+          .localCheckpoint(eager = false)
+        val fit = perK.agg(count(lit(1)).as("kk"),
+          sum(col("lxs").cast("decimal(18,9)")).as("slx"),
+          sum(col("lys").cast("decimal(18,9)")).as("sly"),
+          sum(round(col("lxs") * col("lys"), 9).cast("decimal(18,9)"))
+            .as("sxy"),
+          sum(round(col("lxs") * col("lxs"), 9).cast("decimal(18,9)"))
+            .as("sxx"))
+          .select(round(
+            (col("kk").cast("double") * col("sxy").cast("double") -
+              col("slx").cast("double") * col("sly").cast("double")) /
+            (col("kk").cast("double") * col("sxx").cast("double") -
+              col("slx").cast("double") * col("slx").cast("double")), 6)
+            .unary_-.as("higuchi_fd"))
+        val wide = perK.groupBy()
+          .agg(max(when(col("k") === 1, col("lk"))).as("l1"),
+            max(when(col("k") === 2, col("lk"))).as("l2"),
+            max(when(col("k") === 3, col("lk"))).as("l3"),
+            max(when(col("k") === 4, col("lk"))).as("l4"))
+        n0.crossJoin(broadcast(wide)).crossJoin(broadcast(fit))
+          .select(col("n"),
+            round(col("l1"), 6).as("l1"), round(col("l2"), 6).as("l2"),
+            round(col("l3"), 6).as("l3"), round(col("l4"), 6).as("l4"),
+            col("higuchi_fd"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        ks AS (SELECT CAST(UNNEST([1, 2, 3, 4]) AS BIGINT) AS k),
+        diffs AS (
+          SELECT k.k, (a.rn - 1) % k.k AS m, ABS(b.x - a.x) AS ad, n0.n
+          FROM r a CROSS JOIN ks k
+          JOIN r b ON b.rn = a.rn + k.k
+          CROSS JOIN n0),
+        perphase AS (
+          SELECT k, m,
+                 ROUND(CAST(SUM(ad) AS DOUBLE) * CAST(MAX(n) - 1 AS DOUBLE) /
+                   (CAST(COUNT(*) AS DOUBLE) * CAST(k AS DOUBLE) *
+                     CAST(k AS DOUBLE)), 9) AS lm
+          FROM diffs GROUP BY 1, 2),
+        perk AS MATERIALIZED (
+          SELECT k,
+                 ROUND(CAST(SUM(CAST(lm AS DECIMAL(20,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS lk
+          FROM perphase GROUP BY 1),
+        perk2 AS (
+          SELECT k, lk, ROUND(ln(CAST(k AS DOUBLE)), 9) AS lxs,
+                 ROUND(ln(lk), 9) AS lys
+          FROM perk),
+        fit AS (
+          SELECT -ROUND(
+            (CAST(COUNT(*) AS DOUBLE) *
+              CAST(SUM(CAST(ROUND(lxs * lys, 9) AS DECIMAL(18,9)))
+                AS DOUBLE) -
+             CAST(SUM(CAST(lxs AS DECIMAL(18,9))) AS DOUBLE) *
+              CAST(SUM(CAST(lys AS DECIMAL(18,9))) AS DOUBLE)) /
+            (CAST(COUNT(*) AS DOUBLE) *
+              CAST(SUM(CAST(ROUND(lxs * lxs, 9) AS DECIMAL(18,9)))
+                AS DOUBLE) -
+             CAST(SUM(CAST(lxs AS DECIMAL(18,9))) AS DOUBLE) *
+              CAST(SUM(CAST(lxs AS DECIMAL(18,9))) AS DOUBLE)), 6)
+            + CAST(0 AS DOUBLE) AS higuchi_fd
+          FROM perk2),
+        wide AS (
+          SELECT MAX(CASE WHEN k = 1 THEN lk END) AS l1,
+                 MAX(CASE WHEN k = 2 THEN lk END) AS l2,
+                 MAX(CASE WHEN k = 3 THEN lk END) AS l3,
+                 MAX(CASE WHEN k = 4 THEN lk END) AS l4
+          FROM perk2)
+        SELECT n,
+               ROUND(l1, 6) + CAST(0 AS DOUBLE) AS l1,
+               ROUND(l2, 6) + CAST(0 AS DOUBLE) AS l2,
+               ROUND(l3, 6) + CAST(0 AS DOUBLE) AS l3,
+               ROUND(l4, 6) + CAST(0 AS DOUBLE) AS l4,
+               higuchi_fd
+        FROM n0 CROSS JOIN wide CROSS JOIN fit""")),
+
+    // Grubbs max-studentized-deviate of the daily revenue series: the
+    // single-outlier screening statistic G = max|y - ybar|/s with the
+    // offending day surfaced via the struct-argmax pattern (q8s — field-
+    // order-lexicographic max is identical in both engines). The
+    // diagnostic MAD profile (q6i) flags many outliers robustly; Grubbs
+    // is the classical single-most-extreme test the audit trail expects.
+    "qdg_grubbs_deviate" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val st = ranked.agg(count(lit(1)).as("n"), sum(col("ym")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val cen = ranked.crossJoin(broadcast(st))
+          .select(col("rn").cast("long").as("rn"), col("n"), col("mu"),
+            (col("ym").cast("double") - col("mu")).as("c"))
+        val agg = cen.agg(first(col("n")).as("n"), first(col("mu")).as("mu"),
+          sum(round(col("c") * col("c"), 6).cast("decimal(28,6)")).as("ss"),
+          max(struct(round(abs(col("c")), 9).as("ad"), col("rn")))
+            .as("top"))
+        agg.select(col("n"), round(col("mu"), 6).as("mean_m"),
+          round(sqrt(col("ss").cast("double") /
+            (col("n") - 1).cast("double")), 6).as("sd_m"),
+          round(col("top.ad") /
+            sqrt(col("ss").cast("double") / (col("n") - 1).cast("double")),
+            6).as("g_stat"),
+          col("top.rn").as("argmax_rn"),
+          round(col("top.ad"), 6).as("argmax_dev"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu
+          FROM r),
+        cen AS (
+          SELECT CAST(rn AS BIGINT) AS rn, st.n, st.mu,
+                 CAST(ym AS DOUBLE) - st.mu AS c
+          FROM r CROSS JOIN st),
+        agg AS (
+          SELECT MAX(n) AS n, MAX(mu) AS mu,
+                 CAST(SUM(CAST(ROUND(c * c, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS ss,
+                 MAX({'ad': ROUND(ABS(c), 9), 'rn': rn}) AS top
+          FROM cen)
+        SELECT n,
+               ROUND(mu, 6) + CAST(0 AS DOUBLE) AS mean_m,
+               ROUND(sqrt(ss / CAST(n - 1 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS sd_m,
+               ROUND(top['ad'] / sqrt(ss / CAST(n - 1 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS g_stat,
+               top['rn'] AS argmax_rn,
+               ROUND(top['ad'], 6) + CAST(0 AS DOUBLE) AS argmax_dev
+        FROM agg""")),
+
+    // Theil's U forecast-quality decomposition for the drift
+    // extrapolation y[t-1] + (y[t-1] - y[t-2]) on daily revenue: U2 < 1
+    // iff the drift beats the naive no-change forecast, U1 normalizes by
+    // the series energy — the standard acceptance gate a forecaster
+    // (q7d Holt, q7r Holt-Winters) must clear before shipping. Daily
+    // values carry exactly 8 decimals, so every error and its DECIMAL
+    // square (12,8)² = (25,16) is EXACT with zero rounding; sums are
+    // rounded half-up at 6 in both engines before the only sqrt links.
+    "qdh_theil_u_drift" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val tri = ranked.select(col("rn"), col("ym").as("y0"))
+          .join(ranked.select((col("rn") + 1).as("rn"), col("ym").as("y1")),
+            Seq("rn"))
+          .join(ranked.select((col("rn") + 2).as("rn"), col("ym").as("y2")),
+            Seq("rn"))
+          .select(
+            (lit(2).cast("decimal(10,0)") * col("y1") - col("y2") -
+              col("y0")).cast("decimal(12,8)").as("ef"),
+            (col("y1") - col("y0")).cast("decimal(12,8)").as("en"),
+            col("y0").cast("decimal(12,8)").as("ya"),
+            (lit(2).cast("decimal(10,0)") * col("y1") - col("y2"))
+              .cast("decimal(12,8)").as("yf"))
+        val agg = tri.agg(count(lit(1)).as("n_eval"),
+          sum(col("ef") * col("ef")).as("sef"),
+          sum(col("en") * col("en")).as("sen"),
+          sum(col("ya") * col("ya")).as("sya"),
+          sum(col("yf") * col("yf")).as("syf"),
+          sum(abs(col("ef"))).as("aef"),
+          sum(abs(col("en"))).as("aen"))
+        agg.select(col("n_eval"),
+          round(sqrt(round(col("sef"), 6).cast("double") /
+            round(col("sen"), 6).cast("double")), 6).as("u2"),
+          round(sqrt(round(col("sef"), 6).cast("double") /
+            col("n_eval").cast("double")) /
+            (sqrt(round(col("syf"), 6).cast("double") /
+              col("n_eval").cast("double")) +
+             sqrt(round(col("sya"), 6).cast("double") /
+               col("n_eval").cast("double"))), 6).as("u1"),
+          round(col("aef").cast("double") / col("n_eval").cast("double"), 6)
+            .as("mae_drift"),
+          round(col("aen").cast("double") / col("n_eval").cast("double"), 6)
+            .as("mae_naive"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        tri AS (
+          SELECT
+            CAST(CAST(2 AS DECIMAL(10,0)) * b.ym - c.ym - a.ym
+              AS DECIMAL(12,8)) AS ef,
+            CAST(b.ym - a.ym AS DECIMAL(12,8)) AS en,
+            CAST(a.ym AS DECIMAL(12,8)) AS ya,
+            CAST(CAST(2 AS DECIMAL(10,0)) * b.ym - c.ym AS DECIMAL(12,8))
+              AS yf
+          FROM r a JOIN r b ON b.rn = a.rn - 1 JOIN r c ON c.rn = a.rn - 2),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+                 SUM(ef * ef) AS sef, SUM(en * en) AS sen,
+                 SUM(ya * ya) AS sya, SUM(yf * yf) AS syf,
+                 SUM(ABS(ef)) AS aef, SUM(ABS(en)) AS aen
+          FROM tri)
+        SELECT n_eval,
+               ROUND(sqrt(CAST(ROUND(sef, 6) AS DOUBLE) /
+                 CAST(ROUND(sen, 6) AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS u2,
+               ROUND(sqrt(CAST(ROUND(sef, 6) AS DOUBLE) /
+                   CAST(n_eval AS DOUBLE)) /
+                 (sqrt(CAST(ROUND(syf, 6) AS DOUBLE) /
+                    CAST(n_eval AS DOUBLE)) +
+                  sqrt(CAST(ROUND(sya, 6) AS DOUBLE) /
+                    CAST(n_eval AS DOUBLE))), 6) + CAST(0 AS DOUBLE) AS u1,
+               ROUND(CAST(aef AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS mae_drift,
+               ROUND(CAST(aen AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS mae_naive
+        FROM agg""")),
+
+    // Inter-rater agreement battery beyond Cohen's kappa (q8u): quadratic
+    // weighted kappa, Gwet's AC1 (stable when marginals are extreme —
+    // the kappa paradox), and Krippendorff's nominal alpha, all over the
+    // same two deterministic "raters" — each document's length tertile
+    // vs its token-count tertile (the q7v exact-NTILE identity on two
+    // global rank orders, bit-for-bit equal to DuckDB's NTILE). Every
+    // ingredient is an exact integer cell/margin count; the statistics
+    // are single raw ratios rounded at 6.
+    "qdi_agreement_battery" -> Q(
+      fn = (s, dir) => {
+        val feats = t(s, dir, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("lenc"),
+            size(split(col("text"), "[\t\n\f\r ]+")).cast("long").as("tokc"))
+        val ra = graft.operators.ScaleOps.globalRowNumber(feats,
+          Seq(col("lenc"), col("doc_id")), "rl")
+          .select(col("doc_id"), col("rl"))
+        val rb = graft.operators.ScaleOps.globalRowNumber(feats,
+          Seq(col("tokc"), col("doc_id")), "rt")
+          .select(col("doc_id").as("doc_id2"), col("rt"))
+        val n0 = feats.agg(count(lit(1)).as("n"))
+          .select(col("n"), expr("n div 3").as("base"),
+            pmod(col("n"), lit(3)).as("rem"))
+          .select(col("n"), col("base"), col("rem"),
+            (col("rem") * (col("base") + 1)).as("cut"))
+        val cells = ra.join(rb, col("doc_id") === col("doc_id2"))
+          .crossJoin(broadcast(n0))
+          .select(
+            when(col("rl") <= col("cut"),
+              expr("(rl - 1) div (base + 1) + 1"))
+              .otherwise(expr("rem + (rl - 1 - cut) div base + 1")).as("ta"),
+            when(col("rt") <= col("cut"),
+              expr("(rt - 1) div (base + 1) + 1"))
+              .otherwise(expr("rem + (rt - 1 - cut) div base + 1")).as("tb"),
+            col("n"))
+          .groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("nij"), first(col("n")).as("n"))
+          .localCheckpoint(eager = false)
+        val rows = cells.groupBy(col("ta")).agg(sum(col("nij")).as("ri"))
+        val colsM = cells.groupBy(col("tb")).agg(sum(col("nij")).as("cj"))
+        val base = cells.agg(first(col("n")).as("n"),
+          sum(when(col("ta") === col("tb"), col("nij")).otherwise(0L))
+            .as("diag"),
+          sum((col("ta") - col("tb")) * (col("ta") - col("tb")) * col("nij"))
+            .as("pen"))
+        val penE = rows.crossJoin(colsM)
+          .agg(sum((col("ta") - col("tb")) * (col("ta") - col("tb")) *
+            col("ri") * col("cj")).as("pen_e"))
+        val pis = rows.join(colsM, col("ta") === col("tb"))
+          .crossJoin(broadcast(base.select(col("n").as("nn"))))
+          .select(((col("ri") + col("cj")).cast("double") /
+            (lit(2L) * col("nn")).cast("double")).as("piq"),
+            (col("ri") + col("cj")).as("mq"), col("nn"))
+          .agg(
+            sum(round(col("piq") * (lit(1.0) - col("piq")), 9)
+              .cast("decimal(18,9)")).as("spi"),
+            sum(col("mq") * (lit(2L) * col("nn") - col("mq"))).as("sde"),
+            first(col("nn")).as("nn"))
+        base.crossJoin(broadcast(penE)).crossJoin(broadcast(pis))
+          .select(col("n"),
+            round(col("diag").cast("double") / col("n").cast("double"), 6)
+              .as("po"),
+            round(lit(1.0) -
+              col("n").cast("double") * col("pen").cast("double") /
+                col("pen_e").cast("double"), 6).as("kappa_w"),
+            round(
+              (col("diag").cast("double") / col("n").cast("double") -
+                col("spi").cast("double") / lit(2.0)) /
+              (lit(1.0) - col("spi").cast("double") / lit(2.0)), 6)
+              .as("gwet_ac1"),
+            round(lit(1.0) -
+              (lit(1.0) - col("diag").cast("double") /
+                col("n").cast("double")) /
+              (col("sde").cast("double") /
+                ((lit(2L) * col("nn")).cast("double") *
+                  (lit(2L) * col("nn") - 1).cast("double"))), 6)
+              .as("kripp_alpha"))
+      },
+      oracle = Some("""
+        WITH feats AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS lenc,
+                 CAST(len(string_split_regex(text, '[\t\n\x0B\f\r ]+'))
+                   AS BIGINT) AS tokc
+          FROM documents),
+        ranked AS (
+          SELECT doc_id,
+                 NTILE(3) OVER (ORDER BY lenc, doc_id) AS ta,
+                 NTILE(3) OVER (ORDER BY tokc, doc_id) AS tb
+          FROM feats),
+        cells AS MATERIALIZED (
+          SELECT CAST(ta AS BIGINT) AS ta, CAST(tb AS BIGINT) AS tb,
+                 CAST(COUNT(*) AS BIGINT) AS nij
+          FROM ranked GROUP BY 1, 2),
+        n0 AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells),
+        rows_m AS (
+          SELECT ta, CAST(SUM(nij) AS BIGINT) AS ri FROM cells GROUP BY 1),
+        cols_m AS (
+          SELECT tb, CAST(SUM(nij) AS BIGINT) AS cj FROM cells GROUP BY 1),
+        base AS (
+          SELECT MAX(n0.n) AS n,
+                 CAST(SUM(CASE WHEN ta = tb THEN nij ELSE 0 END) AS BIGINT)
+                   AS diag,
+                 CAST(SUM((ta - tb) * (ta - tb) * nij) AS BIGINT) AS pen
+          FROM cells CROSS JOIN n0),
+        pen_e AS (
+          SELECT CAST(SUM((ta - tb) * (ta - tb) * ri * cj) AS BIGINT)
+                   AS pen_e
+          FROM rows_m CROSS JOIN cols_m),
+        pis AS (
+          SELECT SUM(CAST(ROUND(
+                   (CAST(ri + cj AS DOUBLE) /
+                     CAST(2 * n0.n AS DOUBLE)) *
+                   (CAST(1 AS DOUBLE) - CAST(ri + cj AS DOUBLE) /
+                     CAST(2 * n0.n AS DOUBLE)), 9) AS DECIMAL(18,9)))
+                   AS spi,
+                 CAST(SUM((ri + cj) * (2 * n0.n - (ri + cj))) AS BIGINT)
+                   AS sde,
+                 MAX(n0.n) AS nn
+          FROM rows_m JOIN cols_m ON rows_m.ta = cols_m.tb
+          CROSS JOIN n0)
+        SELECT n,
+               ROUND(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS po,
+               ROUND(CAST(1 AS DOUBLE) -
+                 CAST(n AS DOUBLE) * CAST(pen AS DOUBLE) /
+                   CAST(pen_e AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS kappa_w,
+               ROUND((CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) -
+                   CAST(spi AS DOUBLE) / CAST(2 AS DOUBLE)) /
+                 (CAST(1 AS DOUBLE) -
+                   CAST(spi AS DOUBLE) / CAST(2 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS gwet_ac1,
+               ROUND(CAST(1 AS DOUBLE) -
+                 (CAST(1 AS DOUBLE) -
+                   CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)) /
+                 (CAST(sde AS DOUBLE) /
+                   (CAST(2 * nn AS DOUBLE) *
+                    CAST(2 * nn - 1 AS DOUBLE))), 6) + CAST(0 AS DOUBLE)
+                 AS kripp_alpha
+        FROM base CROSS JOIN pen_e CROSS JOIN pis"""))
   )
 }
