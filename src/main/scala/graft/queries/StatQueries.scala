@@ -2529,6 +2529,168 @@ object StatQueries {
                    (CAST(2 * nn AS DOUBLE) *
                     CAST(2 * nn - 1 AS DOUBLE))), 6) + CAST(0 AS DOUBLE)
                  AS kripp_alpha
-        FROM base CROSS JOIN pen_e CROSS JOIN pis"""))
+        FROM base CROSS JOIN pen_e CROSS JOIN pis""")),
+
+    // Spectral entropy of the daily event-count series over the Fourier
+    // frequencies k = 1..14: H = -Σ p·ln p of the normalized periodogram
+    // — flat spectrum (noise) → H near ln K, one dominant line → H near
+    // 0. The global frequency-domain summary where qca scores only five
+    // candidate periods. Phases reduce mod n BEFORE the trig call
+    // ((rn·k) mod n is exact integer arithmetic — the qca lesson), trig
+    // terms 9-snap through DECIMAL, powers are 9-grid, and the entropy
+    // terms p·ln p ride 9-grid DECIMAL sums.
+    "qdj_spectral_entropy" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(count(lit(1)).as("x"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val mu = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+          .select(col("n"),
+            round(col("sx").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val terms = ranked.crossJoin(broadcast(mu))
+          .select(col("rn"), col("n"),
+            (col("x").cast("double") - col("mu")).as("yc"),
+            explode(sequence(lit(1L), lit(14L))).as("k"))
+          .withColumn("ang", lit(2.0 * math.Pi) *
+            pmod(col("rn") * col("k"), col("n")).cast("double") /
+            col("n").cast("double"))
+          .groupBy(col("k"))
+          .agg(first(col("n")).as("n"),
+            sum(round(col("yc") * cos(col("ang")), 9).cast("decimal(28,9)"))
+              .as("ct"),
+            sum(round(col("yc") * sin(col("ang")), 9).cast("decimal(28,9)"))
+              .as("st"))
+          .select(col("k"), col("n"),
+            round(col("ct").cast("double") * col("ct").cast("double") +
+              col("st").cast("double") * col("st").cast("double"), 9)
+              .as("pw"))
+          .localCheckpoint(eager = false)
+        val tot = terms.agg(sum(col("pw").cast("decimal(28,9)")).as("tp"))
+        val probs = terms.crossJoin(broadcast(tot))
+          .select(col("k"), col("n"), col("pw"),
+            (col("pw") / col("tp").cast("double")).as("p"))
+        val agg = probs.agg(first(col("n")).as("n"),
+          sum(when(col("p") > 0, round(col("p") * log(col("p")), 9))
+            .otherwise(0.0).cast("decimal(18,9)")).as("hsum"),
+          max(struct(col("p").as("pv"), (-col("k")).as("nk"))).as("w"),
+          count(lit(1)).as("kk"))
+        agg.select(col("n"),
+          (-col("w.nk")).as("dominant_k"),
+          round(col("w.pv"), 6).as("p_dominant"),
+          round(-col("hsum").cast("double"), 6).as("h_spec"),
+          round(-col("hsum").cast("double") /
+            log(col("kk").cast("double")), 6).as("h_norm"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        mu AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu
+          FROM r),
+        ks AS (SELECT CAST(UNNEST(range(1, 15)) AS BIGINT) AS k),
+        terms AS (
+          SELECT k, MAX(mu.n) AS n,
+                 SUM(CAST(ROUND((CAST(x AS DOUBLE) - mu.mu) *
+                   COS(CAST(2 AS DOUBLE) * pi() *
+                     CAST((rn * k) % mu.n AS DOUBLE) /
+                     CAST(mu.n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS ct,
+                 SUM(CAST(ROUND((CAST(x AS DOUBLE) - mu.mu) *
+                   SIN(CAST(2 AS DOUBLE) * pi() *
+                     CAST((rn * k) % mu.n AS DOUBLE) /
+                     CAST(mu.n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS st
+          FROM r CROSS JOIN ks CROSS JOIN mu
+          GROUP BY 1),
+        pw AS MATERIALIZED (
+          SELECT k, n,
+                 ROUND(CAST(ct AS DOUBLE) * CAST(ct AS DOUBLE) +
+                   CAST(st AS DOUBLE) * CAST(st AS DOUBLE), 9) AS pw
+          FROM terms),
+        tot AS (SELECT SUM(CAST(pw AS DECIMAL(28,9))) AS tp FROM pw),
+        probs AS (
+          SELECT k, n, pw, pw / CAST(tot.tp AS DOUBLE) AS p
+          FROM pw CROSS JOIN tot),
+        agg AS (
+          SELECT MAX(n) AS n,
+                 SUM(CAST(CASE WHEN p > 0 THEN ROUND(p * ln(p), 9)
+                   ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,9))) AS hsum,
+                 MAX({'pv': p, 'nk': -k}) AS w,
+                 CAST(COUNT(*) AS BIGINT) AS kk
+          FROM probs)
+        SELECT n,
+               -(w['nk']) AS dominant_k,
+               ROUND(w['pv'], 6) + CAST(0 AS DOUBLE) AS p_dominant,
+               ROUND(-CAST(hsum AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS h_spec,
+               ROUND(-CAST(hsum AS DOUBLE) / ln(CAST(kk AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS h_norm
+        FROM agg""")),
+
+    // Newsvendor critical-fractile stock levels from the empirical daily
+    // purchase-demand distribution: for each (underage, overage) cost
+    // pair, the optimal stock is the demand order statistic at rank
+    // ceil(n·cu/(cu+co)) — computed entirely in integers, so the
+    // quantile is exact at any SF. The inventory-economics closure of
+    // qb1's (Q,r) policy (which assumed a gaussian demand; this is the
+    // distribution-free version).
+    "qdk_newsvendor_fractile" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(count(lit(1)).as("d"))
+        val byVal = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("d"), col("day")), "vr").localCheckpoint(eager = false)
+        val n0 = byVal.agg(count(lit(1)).as("n"),
+          sum(col("d")).as("sd"))
+        val scen = byVal.sparkSession.createDataFrame(
+          Seq((1L, 3L), (1L, 1L), (3L, 1L), (9L, 1L))).toDF("cu", "co")
+        val ranksNeeded = scen.crossJoin(broadcast(n0))
+          .select(col("cu"), col("co"), col("n"), col("sd"),
+            ((col("n") * col("cu") + col("cu") + col("co") - 1) /
+              (col("cu") + col("co"))).cast("long").as("rank"))
+        ranksNeeded.join(byVal, col("vr") === col("rank"))
+          .select(col("cu"), col("co"),
+            round(col("cu").cast("double") /
+              (col("cu") + col("co")).cast("double"), 6).as("fractile"),
+            col("rank"), col("d").as("stock_level"),
+            round(col("sd").cast("double") / col("n").cast("double"), 6)
+              .as("mean_demand"))
+          .orderBy(col("fractile"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS d
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        r AS (
+          SELECT d, ROW_NUMBER() OVER (ORDER BY d, day) AS vr FROM daily),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(d) AS BIGINT) AS sd FROM r),
+        scen AS (
+          SELECT CAST(cu AS BIGINT) AS cu, CAST(co AS BIGINT) AS co
+          FROM (VALUES (1, 3), (1, 1), (3, 1), (9, 1)) AS v(cu, co)),
+        ranks AS (
+          SELECT cu, co, n, sd,
+                 (n * cu + cu + co - 1) // (cu + co) AS rank
+          FROM scen CROSS JOIN n0)
+        SELECT cu, co,
+               ROUND(CAST(cu AS DOUBLE) / CAST(cu + co AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS fractile,
+               CAST(rank AS BIGINT) AS rank,
+               r.d AS stock_level,
+               ROUND(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS mean_demand
+        FROM ranks JOIN r ON r.vr = ranks.rank
+        ORDER BY fractile"""))
   )
 }
