@@ -2691,6 +2691,278 @@ object StatQueries {
                ROUND(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6)
                  + CAST(0 AS DOUBLE) AS mean_demand
         FROM ranks JOIN r ON r.vr = ranks.rank
-        ORDER BY fractile"""))
+        ORDER BY fractile""")),
+
+    // XYZ demand-variability classification per brand: the coefficient
+    // of variation of weekly shipped quantity over the FULL week horizon
+    // (absent weeks count as zero demand via the (W-np)·m² closed form —
+    // the intermittency that per-present-week moments would hide),
+    // classed X (<0.5) / Y (<1.0) / Z. The forecastability axis ABC
+    // (q7w) ignores: a high-value brand can still be unforecastable.
+    // Quantities are exact integers; the zero-week term multiplies
+    // INTEGER × 9-grid in DECIMAL per rule 15.
+    "qdl_xyz_variability" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))" +
+              " div 86400000 div 7").as("wk"),
+            col("l_quantity").cast("long").as("q"))
+        val horizon = li.agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+          .select((col("w1") - col("w0") + 1).as("ww"))
+        val cells = li.groupBy(col("p_brand"), col("wk"))
+          .agg(sum(col("q")).as("qw"))
+        val totals = cells.groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("np"), sum(col("qw")).as("tq"))
+          .crossJoin(broadcast(horizon))
+          .select(col("p_brand"), col("np"), col("tq"), col("ww"),
+            round(col("tq").cast("double") / col("ww").cast("double"), 9)
+              .as("m"))
+        val devs = cells.join(totals, Seq("p_brand"))
+          .select(col("p_brand"),
+            (col("qw").cast("double") - col("m")).as("d"))
+          .groupBy(col("p_brand"))
+          .agg(sum(round(col("d") * col("d"), 6).cast("decimal(28,6)"))
+            .as("ssd"))
+        val out = totals.join(devs, Seq("p_brand"))
+          .select(col("p_brand"), col("ww"), col("np"),
+            round(col("m"), 6).as("mean_weekly"),
+            round(sqrt(
+              (col("ssd").cast("double") +
+                ((col("ww") - col("np")).cast("decimal(10,0)") *
+                  round(col("m") * col("m"), 9).cast("decimal(20,9)"))
+                  .cast("double")) /
+              (col("ww") - 1).cast("double")) / col("m"), 9).as("cvr"))
+        out.select(col("p_brand"), col("ww"), col("np"), col("mean_weekly"),
+          round(col("cvr"), 6).as("cv"),
+          when(col("cvr") < 0.5, lit("X"))
+            .when(col("cvr") < 1.0, lit("Y")).otherwise(lit("Z"))
+            .as("xyz_class"))
+          .orderBy(col("p_brand"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT p_brand,
+                 (CAST(epoch_ms(l_shipdate) // 86400000 AS BIGINT)) // 7
+                   AS wk,
+                 CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        horizon AS (
+          SELECT CAST(MAX(wk) - MIN(wk) + 1 AS BIGINT) AS ww FROM li),
+        cells AS MATERIALIZED (
+          SELECT p_brand, wk, CAST(SUM(q) AS BIGINT) AS qw
+          FROM li GROUP BY 1, 2),
+        totals AS (
+          SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS np,
+                 CAST(SUM(qw) AS BIGINT) AS tq, MAX(horizon.ww) AS ww,
+                 ROUND(CAST(SUM(qw) AS DOUBLE) / CAST(MAX(horizon.ww)
+                   AS DOUBLE), 9) AS m
+          FROM cells CROSS JOIN horizon GROUP BY 1),
+        devs AS (
+          SELECT c.p_brand,
+                 CAST(SUM(CAST(ROUND((CAST(qw AS DOUBLE) - t.m) *
+                   (CAST(qw AS DOUBLE) - t.m), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS ssd
+          FROM cells c JOIN totals t ON c.p_brand = t.p_brand
+          GROUP BY 1),
+        scored AS (
+          SELECT t.p_brand, t.ww, t.np,
+                 ROUND(t.m, 6) + CAST(0 AS DOUBLE) AS mean_weekly,
+                 ROUND(sqrt((d.ssd +
+                     CAST(CAST(t.ww - t.np AS DECIMAL(10,0)) *
+                       CAST(ROUND(t.m * t.m, 9) AS DECIMAL(20,9))
+                       AS DOUBLE)) /
+                   CAST(t.ww - 1 AS DOUBLE)) / t.m, 9) AS cvr
+          FROM totals t JOIN devs d ON t.p_brand = d.p_brand)
+        SELECT p_brand, ww, np, mean_weekly,
+               ROUND(cvr, 6) + CAST(0 AS DOUBLE) AS cv,
+               CASE WHEN cvr < CAST(0.5 AS DOUBLE) THEN 'X'
+                    WHEN cvr < CAST(1.0 AS DOUBLE) THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM scored ORDER BY p_brand""")),
+
+    // Market-concentration battery of order revenue by nation within
+    // each region: Herfindahl-Hirschman index (×10000, the antitrust
+    // scale), Shannon diversity with its evenness normalization, and the
+    // CR4 top-4 concentration ratio — the cross-sectional concentration
+    // complement of q6m's Gini (which ranks one distribution; this
+    // compares five market structures side by side). Shares are raw
+    // ratios of exact DECIMAL revenue sums; the per-region top-4 rank
+    // runs over a 25-row aggregate panel.
+    "qdm_concentration_battery" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("vd"))
+          .select(col("r_name"), col("n_name"),
+            col("vd").cast("double").as("v"))
+          .localCheckpoint(eager = false)
+        val tot = rev.groupBy(col("r_name"))
+          .agg(sum(col("v").cast("decimal(28,2)")).as("tvd"),
+            count(lit(1)).as("k"))
+          .select(col("r_name"), col("tvd").cast("double").as("tv"),
+            col("k"))
+        val shares = rev.join(tot, Seq("r_name"))
+          .select(col("r_name"), col("n_name"), col("k"),
+            (col("v") / col("tv")).as("sh"),
+            row_number().over(Window.partitionBy(col("r_name"))
+              .orderBy(col("v").desc, col("n_name"))).as("rk"))
+        shares.groupBy(col("r_name"))
+          .agg(first(col("k")).as("k"),
+            sum(round(col("sh") * col("sh"), 9).cast("decimal(18,9)"))
+              .as("hhi0"),
+            sum(round(col("sh") * log(col("sh")), 9).cast("decimal(18,9)"))
+              .as("sh0"),
+            sum(when(col("rk") <= 4, round(col("sh"), 9)).otherwise(0.0)
+              .cast("decimal(18,9)")).as("cr40"))
+          .select(col("r_name"), col("k"),
+            round(lit(10000.0) * col("hhi0").cast("double"), 6).as("hhi"),
+            round(-col("sh0").cast("double"), 6).as("shannon"),
+            round(-col("sh0").cast("double") /
+              log(col("k").cast("double")), 6).as("evenness"),
+            round(col("cr40").cast("double"), 6).as("cr4"))
+          .orderBy(col("r_name"))
+      },
+      oracle = Some("""
+        WITH rev AS MATERIALIZED (
+          SELECT r_name, n_name,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS v
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT r_name,
+                 CAST(SUM(CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS tv,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM rev GROUP BY 1),
+        shares AS (
+          SELECT rev.r_name, n_name, tot.k, v / tot.tv AS sh,
+                 ROW_NUMBER() OVER (PARTITION BY rev.r_name
+                   ORDER BY v DESC, n_name) AS rk
+          FROM rev JOIN tot ON rev.r_name = tot.r_name)
+        SELECT r_name, MAX(k) AS k,
+               ROUND(CAST(10000 AS DOUBLE) *
+                 CAST(SUM(CAST(ROUND(sh * sh, 9) AS DECIMAL(18,9)))
+                   AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS hhi,
+               ROUND(-CAST(SUM(CAST(ROUND(sh * ln(sh), 9)
+                 AS DECIMAL(18,9))) AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS shannon,
+               ROUND(-CAST(SUM(CAST(ROUND(sh * ln(sh), 9)
+                   AS DECIMAL(18,9))) AS DOUBLE) /
+                 ln(CAST(MAX(k) AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS evenness,
+               ROUND(CAST(SUM(CAST(CASE WHEN rk <= 4 THEN ROUND(sh, 9)
+                 ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,9)))
+                 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS cr4
+        FROM shares GROUP BY 1 ORDER BY 1""")),
+
+    // Cochran-Mantel-Haenszel test of the weekend-uplift question
+    // "are purchases associated with the week-phase, controlling for
+    // which week it was?" — five weekly strata of 2×2 (phase-weekend ×
+    // purchase) tables, the continuity-corrected CMH chi-square and the
+    // Mantel-Haenszel pooled odds ratio. The stratified version of
+    // q6s/qdb's marginal independence tests (which a week-level trend
+    // would confound). Every E_k and V_k is a raw ratio of exact BIGINT
+    // margins, 9-snapped and summed in DECIMAL.
+    "qdn_cmh_stratified" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"), col("event_type"))
+        val rel = e.crossJoin(broadcast(e.agg(min(col("day")).as("d0"))))
+          .select(((col("day") - col("d0")) / lit(7)).cast("long").as("wk"),
+            (pmod(col("day") - col("d0"), lit(7)) >= 5).as("wknd"),
+            (col("event_type") === "purchase").as("pur"))
+        val strata = rel.groupBy(col("wk"))
+          .agg(
+            sum(when(col("wknd") && col("pur"), 1L).otherwise(0L)).as("a"),
+            sum(when(col("wknd") && !col("pur"), 1L).otherwise(0L)).as("b"),
+            sum(when(!col("wknd") && col("pur"), 1L).otherwise(0L)).as("c"),
+            sum(when(!col("wknd") && !col("pur"), 1L).otherwise(0L)).as("d"))
+          .select(col("wk"), col("a"), col("b"), col("c"), col("d"),
+            (col("a") + col("b")).as("n1"), (col("c") + col("d")).as("n0"),
+            (col("a") + col("c")).as("m1"),
+            (col("a") + col("b") + col("c") + col("d")).as("tt"))
+        val agg = strata.agg(count(lit(1)).as("n_strata"),
+          sum(col("a")).as("sa"),
+          sum(round(col("n1").cast("double") * col("m1").cast("double") /
+            col("tt").cast("double"), 9).cast("decimal(18,9)")).as("se"),
+          sum(round(col("n1").cast("double") * col("n0").cast("double") *
+            col("m1").cast("double") * (col("tt") - col("m1")).cast("double") /
+            (col("tt").cast("double") * col("tt").cast("double") *
+              (col("tt") - 1).cast("double")), 9).cast("decimal(18,9)"))
+            .as("sv"),
+          sum(round(col("a").cast("double") * col("d").cast("double") /
+            col("tt").cast("double"), 9).cast("decimal(18,9)")).as("sad"),
+          sum(round(col("b").cast("double") * col("c").cast("double") /
+            col("tt").cast("double"), 9).cast("decimal(18,9)")).as("sbc"))
+        agg.select(col("n_strata"), col("sa").as("sum_a"),
+          round(col("se").cast("double"), 6).as("sum_e"),
+          round(
+            (abs(col("sa").cast("double") - col("se").cast("double")) -
+              lit(0.5)) *
+            (abs(col("sa").cast("double") - col("se").cast("double")) -
+              lit(0.5)) / col("sv").cast("double"), 6).as("cmh_stat"),
+          round(col("sad").cast("double") / col("sbc").cast("double"), 6)
+            .as("or_mh"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 event_type
+          FROM events),
+        d0 AS (SELECT MIN(day) AS d0 FROM e),
+        rel AS (
+          SELECT (day - d0.d0) // 7 AS wk,
+                 ((day - d0.d0) % 7) >= 5 AS wknd,
+                 event_type = 'purchase' AS pur
+          FROM e CROSS JOIN d0),
+        strata AS (
+          SELECT wk,
+                 CAST(SUM(CASE WHEN wknd AND pur THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN wknd AND NOT pur THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN NOT wknd AND pur THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN NOT wknd AND NOT pur THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d
+          FROM rel GROUP BY 1),
+        m AS (
+          SELECT wk, a, b, c, d, a + b AS n1, c + d AS n0, a + c AS m1,
+                 a + b + c + d AS tt
+          FROM strata),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                 CAST(SUM(a) AS BIGINT) AS sa,
+                 SUM(CAST(ROUND(CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE) /
+                   CAST(tt AS DOUBLE), 9) AS DECIMAL(18,9))) AS se,
+                 SUM(CAST(ROUND(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) *
+                   CAST(m1 AS DOUBLE) * CAST(tt - m1 AS DOUBLE) /
+                   (CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) *
+                     CAST(tt - 1 AS DOUBLE)), 9) AS DECIMAL(18,9))) AS sv,
+                 SUM(CAST(ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) /
+                   CAST(tt AS DOUBLE), 9) AS DECIMAL(18,9))) AS sad,
+                 SUM(CAST(ROUND(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) /
+                   CAST(tt AS DOUBLE), 9) AS DECIMAL(18,9))) AS sbc
+          FROM m)
+        SELECT n_strata, sa AS sum_a,
+               ROUND(CAST(se AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_e,
+               ROUND((ABS(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE)) -
+                   CAST(0.5 AS DOUBLE)) *
+                 (ABS(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE)) -
+                   CAST(0.5 AS DOUBLE)) / CAST(sv AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS cmh_stat,
+               ROUND(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS or_mh
+        FROM agg"""))
   )
 }
