@@ -2963,6 +2963,424 @@ object StatQueries {
                  + CAST(0 AS DOUBLE) AS cmh_stat,
                ROUND(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 6)
                  + CAST(0 AS DOUBLE) AS or_mh
+        FROM agg""")),
+
+    // Classical additive decomposition of the daily event-count series —
+    // centered MA(7) trend, day-phase seasonal means of the detrended
+    // series, remainder — summarized by Hyndman's strength-of-trend
+    // F_T = max(0, 1 - Var(R)/Var(T+R)) and strength-of-seasonality
+    // F_S = max(0, 1 - Var(R)/Var(S+R)): the one-row "is this series
+    // trend-y or seasonal?" card that q7r's Holt-Winters assumes an
+    // answer to. The MA(7) is an exact integer-sum/7 ratio; every
+    // component lands on the 9-grid and the variances ride round-6
+    // DECIMAL sums.
+    "qdo_seasonal_strength" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(count(lit(1)).as("x"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val n0 = ranked.agg(count(lit(1)).as("n"))
+        val tr = ranked.select(col("rn"), col("x"))
+          .join(ranked.select(col("rn").as("rn2"), col("x").as("xw")),
+            col("rn2").between(col("rn") - 3, col("rn") + 3))
+          .groupBy(col("rn"), col("x"))
+          .agg(count(lit(1)).as("w"), sum(col("xw")).as("sw"))
+          .filter(col("w") === 7)
+          .select(col("rn"), col("x"),
+            round(col("sw").cast("double") / lit(7.0), 9).as("trend"))
+          .withColumn("detr", col("x").cast("double") - col("trend"))
+          .localCheckpoint(eager = false)
+        val seas = tr.select(pmod(col("rn") - 1, lit(7L)).as("ph"),
+          col("detr"))
+          .groupBy(col("ph"))
+          .agg(count(lit(1)).as("c"),
+            sum(col("detr").cast("decimal(20,9)")).as("sde"))
+          .select(col("ph"),
+            round(col("sde").cast("double") / col("c").cast("double"), 9)
+              .as("sph"))
+        val comp = tr.select(col("rn"), col("x"), col("trend"), col("detr"),
+          pmod(col("rn") - 1, lit(7L)).as("ph"))
+          .join(seas, Seq("ph"))
+          .select(col("rn"),
+            (col("detr") - col("sph")).as("rem"),
+            col("detr"),
+            (col("x").cast("double") - col("sph")).as("ta"))
+          .localCheckpoint(eager = false)
+        val ms = comp.agg(count(lit(1)).as("m"),
+          sum(col("rem").cast("decimal(20,9)")).as("sr"),
+          sum(col("detr").cast("decimal(20,9)")).as("sd2"),
+          sum(col("ta").cast("decimal(20,9)")).as("sta"))
+          .select(col("m"),
+            round(col("sr").cast("double") / col("m").cast("double"), 9)
+              .as("mr"),
+            round(col("sd2").cast("double") / col("m").cast("double"), 9)
+              .as("md"),
+            round(col("sta").cast("double") / col("m").cast("double"), 9)
+              .as("mta"))
+        val vs = comp.crossJoin(broadcast(ms))
+          .select(col("m"),
+            (col("rem") - col("mr")).as("cr"),
+            (col("detr") - col("md")).as("cd2"),
+            (col("ta") - col("mta")).as("cta"))
+          .agg(first(col("m")).as("m"),
+            sum(round(col("cr") * col("cr"), 6).cast("decimal(28,6)"))
+              .as("vr"),
+            sum(round(col("cd2") * col("cd2"), 6).cast("decimal(28,6)"))
+              .as("vd"),
+            sum(round(col("cta") * col("cta"), 6).cast("decimal(28,6)"))
+              .as("vta"))
+        n0.crossJoin(broadcast(vs))
+          .select(col("n"), col("m").as("n_used"),
+            round(col("vr").cast("double") / (col("m") - 1).cast("double"),
+              6).as("var_rem"),
+            round(greatest(lit(0.0),
+              lit(1.0) - col("vr").cast("double") /
+                col("vta").cast("double")), 6).as("f_trend"),
+            round(greatest(lit(0.0),
+              lit(1.0) - col("vr").cast("double") /
+                col("vd").cast("double")), 6).as("f_seasonal"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        tr AS MATERIALIZED (
+          SELECT a.rn, a.x,
+                 ROUND(CAST(SUM(b.x) AS DOUBLE) / CAST(7 AS DOUBLE), 9)
+                   AS trend,
+                 CAST(a.x AS DOUBLE) -
+                   ROUND(CAST(SUM(b.x) AS DOUBLE) / CAST(7 AS DOUBLE), 9)
+                   AS detr
+          FROM r a JOIN r b ON b.rn BETWEEN a.rn - 3 AND a.rn + 3
+          GROUP BY a.rn, a.x
+          HAVING COUNT(*) = 7),
+        seas AS (
+          SELECT (rn - 1) % 7 AS ph,
+                 ROUND(CAST(SUM(CAST(detr AS DECIMAL(20,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS sph
+          FROM tr GROUP BY 1),
+        comp AS MATERIALIZED (
+          SELECT tr.rn, tr.detr - seas.sph AS rem, tr.detr,
+                 CAST(tr.x AS DOUBLE) - seas.sph AS ta
+          FROM tr JOIN seas ON (tr.rn - 1) % 7 = seas.ph),
+        ms AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 ROUND(CAST(SUM(CAST(rem AS DECIMAL(20,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS mr,
+                 ROUND(CAST(SUM(CAST(detr AS DECIMAL(20,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS md,
+                 ROUND(CAST(SUM(CAST(ta AS DECIMAL(20,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS mta
+          FROM comp),
+        vs AS (
+          SELECT MAX(ms.m) AS m,
+                 CAST(SUM(CAST(ROUND((rem - ms.mr) * (rem - ms.mr), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS vr,
+                 CAST(SUM(CAST(ROUND((detr - ms.md) * (detr - ms.md), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS vd,
+                 CAST(SUM(CAST(ROUND((ta - ms.mta) * (ta - ms.mta), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS vta
+          FROM comp CROSS JOIN ms)
+        SELECT n, m AS n_used,
+               ROUND(vr / CAST(m - 1 AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS var_rem,
+               ROUND(GREATEST(CAST(0 AS DOUBLE),
+                 CAST(1 AS DOUBLE) - vr / vta), 6) + CAST(0 AS DOUBLE)
+                 AS f_trend,
+               ROUND(GREATEST(CAST(0 AS DOUBLE),
+                 CAST(1 AS DOUBLE) - vr / vd), 6) + CAST(0 AS DOUBLE)
+                 AS f_seasonal
+        FROM n0 CROSS JOIN vs""")),
+
+    // Fixed-effect meta-analysis pooling the five regions' mean order
+    // values: inverse-variance weights, the pooled estimate and its
+    // standard error, Cochran's Q heterogeneity and the I² share — "do
+    // the regional markets tell one story?" asked the way evidence
+    // synthesis asks it (q99's dashboard juxtaposes the means; this
+    // pools them with uncertainty). Per-region moments reuse the qd8
+    // recipe (DECIMAL squares, VARCHAR-bridged >2^53 casts); weight
+    // terms are rounded at 12 (well inside 15 significant digits at
+    // these magnitudes) and summed in DECIMAL so the 5-term aggregation
+    // is order-free.
+    "qdp_meta_analysis_pool" -> Q(
+      fn = (s, dir) => {
+        val g = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("ni"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("syd"),
+            sum(col("o_totalprice").cast("decimal(12,2)") *
+              col("o_totalprice").cast("decimal(12,2)")).as("syyd"))
+          .select(col("r_name"), col("ni"),
+            col("syd").cast("double").as("syg"),
+            col("syyd").cast("double").as("syyg"))
+          .select(col("r_name"), col("ni"),
+            round(col("syg") / col("ni").cast("double"), 9).as("mi"),
+            round((col("syyg") - col("syg") * col("syg") /
+              col("ni").cast("double")) /
+              ((col("ni") - 1).cast("double") * col("ni").cast("double")),
+              9).as("se2"))
+          .localCheckpoint(eager = false)
+        val pool = g.agg(count(lit(1)).as("k"),
+          sum(round(lit(1.0) / col("se2"), 12).cast("decimal(24,12)"))
+            .as("sw"),
+          sum(round(col("mi") / col("se2"), 12).cast("decimal(24,12)"))
+            .as("swm"))
+          .select(col("k"),
+            col("sw").cast("double").as("sw"),
+            round(col("swm").cast("double") / col("sw").cast("double"), 9)
+              .as("pooled"))
+        val het = g.crossJoin(broadcast(pool))
+          .select(col("k"), col("sw"), col("pooled"),
+            (col("mi") - col("pooled")).as("dm"), col("se2"))
+          .agg(first(col("k")).as("k"), first(col("sw")).as("sw"),
+            first(col("pooled")).as("pooled"),
+            sum(round(col("dm") * col("dm") / col("se2"), 9)
+              .cast("decimal(18,9)")).as("qd"))
+        het.select(col("k"),
+          round(col("pooled"), 6).as("pooled_mean"),
+          round(lit(1.0) / sqrt(col("sw")), 6).as("pooled_se"),
+          round(col("qd").cast("double"), 6).as("q_het"),
+          round(greatest(lit(0.0),
+            (col("qd").cast("double") - (col("k") - 1).cast("double")) /
+              col("qd").cast("double")), 6).as("i2"))
+      },
+      oracle = Some("""
+        WITH g0 AS (
+          SELECT r_name, CAST(COUNT(*) AS BIGINT) AS ni,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS syg,
+                 CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) *
+                   CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+                   AS DOUBLE) AS syyg
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1),
+        g AS MATERIALIZED (
+          SELECT r_name, ni,
+                 ROUND(syg / CAST(ni AS DOUBLE), 9) AS mi,
+                 ROUND((syyg - syg * syg / CAST(ni AS DOUBLE)) /
+                   (CAST(ni - 1 AS DOUBLE) * CAST(ni AS DOUBLE)), 9) AS se2
+          FROM g0),
+        pool AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / se2, 12)
+                   AS DECIMAL(24,12))) AS DOUBLE) AS sw,
+                 ROUND(CAST(SUM(CAST(ROUND(mi / se2, 12)
+                     AS DECIMAL(24,12))) AS DOUBLE) /
+                   CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / se2, 12)
+                     AS DECIMAL(24,12))) AS DOUBLE), 9) AS pooled
+          FROM g),
+        het AS (
+          SELECT MAX(pool.k) AS k, MAX(pool.sw) AS sw,
+                 MAX(pool.pooled) AS pooled,
+                 SUM(CAST(ROUND((mi - pool.pooled) * (mi - pool.pooled) /
+                   se2, 9) AS DECIMAL(18,9))) AS qd
+          FROM g CROSS JOIN pool)
+        SELECT k,
+               ROUND(pooled, 6) + CAST(0 AS DOUBLE) AS pooled_mean,
+               ROUND(CAST(1 AS DOUBLE) / sqrt(sw), 6) + CAST(0 AS DOUBLE)
+                 AS pooled_se,
+               ROUND(CAST(qd AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS q_het,
+               ROUND(GREATEST(CAST(0 AS DOUBLE),
+                 (CAST(qd AS DOUBLE) - CAST(k - 1 AS DOUBLE)) /
+                   CAST(qd AS DOUBLE)), 6) + CAST(0 AS DOUBLE) AS i2
+        FROM het""")),
+
+    // Index-number theory on the brand "basket": Laspeyres, Paasche,
+    // Fisher-ideal and Drobisch price indexes between the first and
+    // second halves of the ship-date range, with per-brand unit values
+    // Σ extprice / Σ qty as the price and shipped quantity as the
+    // weight. The aggregate answer to "did prices move, or did the mix
+    // move?" that q9f's YoY growth can't decompose. Unit values are
+    // 9-grid ratios of exact DECIMAL sums; every p·q cross term
+    // multiplies 9-grid × INTEGER in DECIMAL per rule 15; Fisher's only
+    // irrational link is one sqrt.
+    "qdq_price_indexes" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))" +
+              " div 86400000").as("day"),
+            col("l_quantity").cast("long").as("q"),
+            col("l_extendedprice").cast("decimal(18,2)").as("ext"))
+        val mid = li.agg(((min(col("day")) + max(col("day"))) / lit(2))
+          .cast("long").as("dmid"))
+        val per = li.crossJoin(broadcast(mid))
+          .select(col("p_brand"),
+            when(col("day") <= col("dmid"), lit(0)).otherwise(lit(1))
+              .as("h"), col("q"), col("ext"))
+          .groupBy(col("p_brand"), col("h"))
+          .agg(sum(col("q")).as("qt"), sum(col("ext")).as("et"))
+          .select(col("p_brand"), col("h"), col("qt"),
+            round(col("et").cast("double") / col("qt").cast("double"), 9)
+              .as("p"))
+        val wide = per.groupBy(col("p_brand"))
+          .agg(max(when(col("h") === 0, col("p"))).as("p0"),
+            max(when(col("h") === 0, col("qt"))).as("q0"),
+            max(when(col("h") === 1, col("p"))).as("p1"),
+            max(when(col("h") === 1, col("qt"))).as("q1"))
+          .filter(col("p0").isNotNull && col("p1").isNotNull)
+        val sums = wide.agg(count(lit(1)).as("n_brands"),
+          sum(col("p1").cast("decimal(16,9)") *
+            col("q0").cast("decimal(12,0)")).as("s10"),
+          sum(col("p0").cast("decimal(16,9)") *
+            col("q0").cast("decimal(12,0)")).as("s00"),
+          sum(col("p1").cast("decimal(16,9)") *
+            col("q1").cast("decimal(12,0)")).as("s11"),
+          sum(col("p0").cast("decimal(16,9)") *
+            col("q1").cast("decimal(12,0)")).as("s01"))
+        sums.select(col("n_brands"),
+          round(col("s10").cast("double") / col("s00").cast("double"), 6)
+            .as("laspeyres"),
+          round(col("s11").cast("double") / col("s01").cast("double"), 6)
+            .as("paasche"),
+          round(sqrt((col("s10").cast("double") / col("s00").cast("double")) *
+            (col("s11").cast("double") / col("s01").cast("double"))), 6)
+            .as("fisher"),
+          round(((col("s10").cast("double") / col("s00").cast("double")) +
+            (col("s11").cast("double") / col("s01").cast("double"))) /
+            lit(2.0), 6).as("drobisch"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT p_brand,
+                 CAST(epoch_ms(l_shipdate) // 86400000 AS BIGINT) AS day,
+                 CAST(l_quantity AS BIGINT) AS q,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS ext
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        mid AS (
+          SELECT (MIN(day) + MAX(day)) // 2 AS dmid FROM li),
+        per AS (
+          SELECT p_brand,
+                 CASE WHEN day <= mid.dmid THEN 0 ELSE 1 END AS h,
+                 CAST(SUM(q) AS BIGINT) AS qt,
+                 ROUND(CAST(SUM(ext) AS DOUBLE) /
+                   CAST(SUM(q) AS DOUBLE), 9) AS p
+          FROM li CROSS JOIN mid GROUP BY 1, 2),
+        wide AS (
+          SELECT p_brand,
+                 MAX(CASE WHEN h = 0 THEN p END) AS p0,
+                 MAX(CASE WHEN h = 0 THEN qt END) AS q0,
+                 MAX(CASE WHEN h = 1 THEN p END) AS p1,
+                 MAX(CASE WHEN h = 1 THEN qt END) AS q1
+          FROM per GROUP BY 1
+          HAVING MAX(CASE WHEN h = 0 THEN p END) IS NOT NULL
+             AND MAX(CASE WHEN h = 1 THEN p END) IS NOT NULL),
+        sums AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+                 CAST(SUM(CAST(p1 AS DECIMAL(16,9)) *
+                   CAST(q0 AS DECIMAL(12,0))) AS DOUBLE) AS s10,
+                 CAST(SUM(CAST(p0 AS DECIMAL(16,9)) *
+                   CAST(q0 AS DECIMAL(12,0))) AS DOUBLE) AS s00,
+                 CAST(SUM(CAST(p1 AS DECIMAL(16,9)) *
+                   CAST(q1 AS DECIMAL(12,0))) AS DOUBLE) AS s11,
+                 CAST(SUM(CAST(p0 AS DECIMAL(16,9)) *
+                   CAST(q1 AS DECIMAL(12,0))) AS DOUBLE) AS s01
+          FROM wide)
+        SELECT n_brands,
+               ROUND(s10 / s00, 6) + CAST(0 AS DOUBLE) AS laspeyres,
+               ROUND(s11 / s01, 6) + CAST(0 AS DOUBLE) AS paasche,
+               ROUND(sqrt((s10 / s00) * (s11 / s01)), 6)
+                 + CAST(0 AS DOUBLE) AS fisher,
+               ROUND(((s10 / s00) + (s11 / s01)) / CAST(2 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS drobisch
+        FROM sums""")),
+
+    // Friedman rank test + Page's L ordered-trend test over the weekly
+    // blocks: each full week ranks its seven daily event counts
+    // (deterministic (count, phase) tiebreak, noted in lieu of average
+    // ranks — daily totals are distinct in practice), Friedman asks "do
+    // the week-phases differ at all?", Page asks "do they INCREASE along
+    // the phase order?" — the repeated-measures complements of qbn's
+    // one-way ANOVA (independent groups) on a design where every week
+    // sees every phase. Both statistics are pure integer arithmetic
+    // until one final ratio / sqrt.
+    "qdr_friedman_page" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, dir, "events")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(count(lit(1)).as("x"))
+        val rel = daily.crossJoin(broadcast(
+          daily.agg(min(col("day")).as("d0"))))
+          .select(((col("day") - col("d0")) / lit(7)).cast("long").as("wk"),
+            pmod(col("day") - col("d0"), lit(7L)).as("ph"), col("x"))
+        val full = rel.groupBy(col("wk")).agg(count(lit(1)).as("c"))
+          .filter(col("c") === 7).select(col("wk"))
+        val ranks = rel.join(full, Seq("wk"))
+          .select(col("wk"), col("ph"), col("x"),
+            row_number().over(Window.partitionBy(col("wk"))
+              .orderBy(col("x"), col("ph"))).cast("long").as("rk"))
+        val rj = ranks.groupBy(col("ph"))
+          .agg(sum(col("rk")).as("rjs"), count(lit(1)).as("b"))
+        val agg = rj.agg(first(col("b")).as("b"), count(lit(1)).as("k"),
+          sum(col("rjs") * col("rjs")).as("sr2"),
+          sum((col("ph") + 1) * col("rjs")).as("pl"))
+        agg.select(col("b"), col("k"),
+          round((lit(12L) * col("sr2")).cast("double") /
+            (col("b") * col("k") * (col("k") + 1)).cast("double") -
+            (lit(3L) * col("b") * (col("k") + 1)).cast("double"), 6)
+            .as("friedman_chi2"),
+          col("pl").as("page_l"),
+          round((col("pl").cast("double") -
+            (col("b") * col("k") * (col("k") + 1) * (col("k") + 1))
+              .cast("double") / lit(4.0)) /
+            sqrt((col("b") * col("k") * col("k") * (col("k") + 1))
+              .cast("double") *
+              (col("k") * col("k") - 1).cast("double") / lit(144.0)), 6)
+            .as("page_z"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        rel AS (
+          SELECT (day - d0.d0) // 7 AS wk,
+                 (day - d0.d0) % 7 AS ph, x
+          FROM daily CROSS JOIN d0),
+        full_wk AS (
+          SELECT wk FROM rel GROUP BY 1 HAVING COUNT(*) = 7),
+        ranks AS (
+          SELECT wk, ph, x,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY wk ORDER BY x, ph)
+                   AS BIGINT) AS rk
+          FROM rel JOIN full_wk USING (wk)),
+        rj AS (
+          SELECT ph, CAST(SUM(rk) AS BIGINT) AS rjs,
+                 CAST(COUNT(*) AS BIGINT) AS b
+          FROM ranks GROUP BY 1),
+        agg AS (
+          SELECT MAX(b) AS b, CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(rjs * rjs) AS BIGINT) AS sr2,
+                 CAST(SUM((ph + 1) * rjs) AS BIGINT) AS pl
+          FROM rj)
+        SELECT b, k,
+               ROUND(CAST(12 * sr2 AS DOUBLE) /
+                   CAST(b * k * (k + 1) AS DOUBLE) -
+                 CAST(3 * b * (k + 1) AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS friedman_chi2,
+               pl AS page_l,
+               ROUND((CAST(pl AS DOUBLE) -
+                   CAST(b * k * (k + 1) * (k + 1) AS DOUBLE) /
+                     CAST(4 AS DOUBLE)) /
+                 sqrt(CAST(b * k * k * (k + 1) AS DOUBLE) *
+                   CAST(k * k - 1 AS DOUBLE) / CAST(144 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS page_z
         FROM agg"""))
   )
 }
