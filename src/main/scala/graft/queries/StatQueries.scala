@@ -3381,6 +3381,356 @@ object StatQueries {
                  sqrt(CAST(b * k * k * (k + 1) AS DOUBLE) *
                    CAST(k * k - 1 AS DOUBLE) / CAST(144 AS DOUBLE)), 6)
                  + CAST(0 AS DOUBLE) AS page_z
+        FROM agg""")),
+
+    // Attribute control chart (p-chart) of the daily purchase share:
+    // per-day 3-sigma binomial limits around the pooled rate — the
+    // unequal-n attribute twin of qc1's EWMA chart (which tracks a
+    // continuous level; this monitors a PROPORTION with per-day sample
+    // size in the limit width). Emits every day with its limits and
+    // flag so the output is non-vacuous whichever days are in control.
+    // All shares are raw ratios of exact BIGINTs; the flag compares
+    // identically-computed doubles in both engines.
+    "qds_p_chart" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(count(lit(1)).as("nd"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("xd"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val pbar = ranked.agg(sum(col("xd")).as("sx"), sum(col("nd")).as("sn"))
+          .select((col("sx").cast("double") / col("sn").cast("double"))
+            .as("pb"))
+        ranked.crossJoin(broadcast(pbar))
+          .select(col("rn").cast("long").as("rn"), col("nd"), col("xd"),
+            col("pb"),
+            (col("xd").cast("double") / col("nd").cast("double")).as("pd"),
+            (col("pb") - lit(3.0) * sqrt(col("pb") * (lit(1.0) - col("pb")) /
+              col("nd").cast("double"))).as("lo"),
+            (col("pb") + lit(3.0) * sqrt(col("pb") * (lit(1.0) - col("pb")) /
+              col("nd").cast("double"))).as("hi"))
+          .select(col("rn"), col("nd"), col("xd"),
+            round(col("pd"), 6).as("p_day"),
+            round(col("pb"), 6).as("p_bar"),
+            round(col("lo"), 6).as("lcl"),
+            round(col("hi"), 6).as("ucl"),
+            when(col("pd") < col("lo"), lit("low"))
+              .when(col("pd") > col("hi"), lit("high"))
+              .otherwise(lit("in")).as("flag"))
+          .orderBy(col("rn"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS xd
+          FROM events GROUP BY 1),
+        r AS (
+          SELECT nd, xd, ROW_NUMBER() OVER (ORDER BY day) AS rn
+          FROM daily),
+        pbar AS (
+          SELECT CAST(SUM(xd) AS DOUBLE) / CAST(SUM(nd) AS DOUBLE) AS pb
+          FROM r),
+        scored AS (
+          SELECT CAST(rn AS BIGINT) AS rn, nd, xd, pb,
+                 CAST(xd AS DOUBLE) / CAST(nd AS DOUBLE) AS pd,
+                 pb - CAST(3 AS DOUBLE) *
+                   sqrt(pb * (CAST(1 AS DOUBLE) - pb) /
+                     CAST(nd AS DOUBLE)) AS lo,
+                 pb + CAST(3 AS DOUBLE) *
+                   sqrt(pb * (CAST(1 AS DOUBLE) - pb) /
+                     CAST(nd AS DOUBLE)) AS hi
+          FROM r CROSS JOIN pbar)
+        SELECT rn, nd, xd,
+               ROUND(pd, 6) + CAST(0 AS DOUBLE) AS p_day,
+               ROUND(pb, 6) + CAST(0 AS DOUBLE) AS p_bar,
+               ROUND(lo, 6) + CAST(0 AS DOUBLE) AS lcl,
+               ROUND(hi, 6) + CAST(0 AS DOUBLE) AS ucl,
+               CASE WHEN pd < lo THEN 'low'
+                    WHEN pd > hi THEN 'high'
+                    ELSE 'in' END AS flag
+        FROM scored ORDER BY rn""")),
+
+    // Two-sample Anderson-Darling statistic between the purchase and
+    // click value distributions (Pettitt's rank form): A² = (1/(nm)) ·
+    // Σ_{i<N} (M_i·N - n·i)² / (i(N-i)) — weights the CDF gap by the
+    // tail variance, so it out-powers KS (q6u) exactly where drift
+    // hides: in the tails. M_i rides an exact integer running count
+    // over the pooled (value, sample, event_id) order (the explicit
+    // tiebreak makes cross-sample ties deterministic in both engines —
+    // noted in place of the tie-averaged variant); every term is an
+    // exact-integer ratio, 9-snapped and summed in DECIMAL.
+    "qdt_anderson_darling" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click") &&
+            col("value").isNotNull)
+          .select(col("value").cast("decimal(18,2)").as("v"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("g"), col("event_id"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(e,
+          Seq(col("v"), col("g"), col("event_id")), "i")
+        val cum = graft.operators.ScaleOps.globalRunningSum(ranked,
+          Seq(col("i")), col("g"), "mi").localCheckpoint(eager = false)
+        val tot = cum.agg(count(lit(1)).as("nn"), sum(col("g")).as("n1"))
+          .select(col("nn"), col("n1"), (col("nn") - col("n1")).as("n2"))
+        val terms = cum.crossJoin(broadcast(tot))
+          .filter(col("i") < col("nn"))
+          .select(
+            round(
+              ((col("mi") * col("nn") - col("n1") * col("i")) *
+                (col("mi") * col("nn") - col("n1") * col("i")))
+                .cast("double") /
+              (col("i") * (col("nn") - col("i"))).cast("double"), 9)
+              .as("term"), col("nn"), col("n1"), col("n2"))
+        terms.agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+          sum(col("term").cast("decimal(28,9)")).as("ts"))
+          .select(col("n1"), col("n2"),
+            round(col("ts").cast("double") /
+              (col("n1") * col("n2")).cast("double"), 6).as("a2_stat"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(value AS DECIMAL(18,2)) AS v,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+                 event_id
+          FROM events
+          WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        ranked AS (
+          SELECT g, ROW_NUMBER() OVER (ORDER BY v, g, event_id) AS i
+          FROM e),
+        cum AS MATERIALIZED (
+          SELECT i, SUM(g) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+                   AS mi
+          FROM ranked),
+        tot2 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                 CAST(MAX(mi) AS BIGINT) AS n1,
+                 CAST(COUNT(*) AS BIGINT) - CAST(MAX(mi) AS BIGINT) AS n2
+          FROM cum),
+        terms AS (
+          SELECT ROUND(CAST((CAST(mi AS BIGINT) * nn - n1 * i) *
+                   (CAST(mi AS BIGINT) * nn - n1 * i) AS DOUBLE) /
+                 CAST(i * (nn - i) AS DOUBLE), 9) AS term, n1, n2
+          FROM cum CROSS JOIN tot2
+          WHERE i < nn)
+        SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+               ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE) /
+                 CAST(MAX(n1) * MAX(n2) AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS a2_stat
+        FROM terms""")),
+
+    // Murphy decomposition of the Brier score for a leave-one-out
+    // week-phase forecaster of "above-median purchase day": Brier =
+    // uncertainty - resolution + reliability, conditioning on the
+    // forecast value — the forecast-verification layer q5s's calibration
+    // table (reliability only) stops short of. LOO rates are exact
+    // rationals (c_k - o_d)/(n_k - 1); forecast groups key on the exact
+    // integer 12·f (denominators 3 and 4 both divide 12), so equal
+    // forecasts merge exactly; every component is a raw ratio of exact
+    // integers with 9-snapped DECIMAL term sums.
+    "qdu_brier_murphy" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"))
+        val rel = daily.crossJoin(broadcast(
+          daily.agg(min(col("day")).as("d0"))))
+          .select(col("day"), pmod(col("day") - col("d0"), lit(7L)).as("ph"),
+            col("x"))
+        val byVal = graft.operators.ScaleOps.globalRowNumber(rel,
+          Seq(col("x"), col("day")), "vr").localCheckpoint(eager = false)
+        val n0 = byVal.agg(count(lit(1)).as("n"))
+        val med = byVal.crossJoin(broadcast(n0))
+          .filter(col("vr") ===
+            floor((col("n") + 1).cast("double") / lit(2.0)).cast("long"))
+          .select(col("x").as("med"))
+        val oc = byVal.crossJoin(broadcast(med))
+          .select(col("ph"), when(col("x") > col("med"), 1L).otherwise(0L)
+            .as("o"))
+          .localCheckpoint(eager = false)
+        val pk = oc.groupBy(col("ph"))
+          .agg(count(lit(1)).as("nk"), sum(col("o")).as("ck"))
+        val scored = oc.join(pk, Seq("ph"))
+          .select(col("o"),
+            ((col("ck") - col("o")) * (lit(12L) / (col("nk") - 1)))
+              .as("fkey"),
+            ((col("ck") - col("o")).cast("double") /
+              (col("nk") - 1).cast("double")).as("f"))
+          .localCheckpoint(eager = false)
+        val base = scored.agg(count(lit(1)).as("n"), sum(col("o")).as("so"),
+          sum(round((col("f") - col("o").cast("double")) *
+            (col("f") - col("o").cast("double")), 9)
+            .cast("decimal(18,9)")).as("bsum"))
+          .select(col("n"), col("so"),
+            (col("so").cast("double") / col("n").cast("double")).as("obar"),
+            col("bsum"))
+        val grps = scored.groupBy(col("fkey"))
+          .agg(count(lit(1)).as("ng"), sum(col("o")).as("sog"),
+            first(col("f")).as("fg"))
+        val parts = grps.crossJoin(broadcast(base))
+          .select(col("n"), col("obar"), col("bsum"),
+            round(col("ng").cast("double") *
+              (col("sog").cast("double") / col("ng").cast("double") -
+                col("obar")) *
+              (col("sog").cast("double") / col("ng").cast("double") -
+                col("obar")), 9).cast("decimal(18,9)").as("rest"),
+            round(col("ng").cast("double") *
+              (col("fg") - col("sog").cast("double") /
+                col("ng").cast("double")) *
+              (col("fg") - col("sog").cast("double") /
+                col("ng").cast("double")), 9).cast("decimal(18,9)")
+              .as("relt"))
+          .groupBy(col("n"), col("obar"), col("bsum"))
+          .agg(sum(col("rest")).as("ress"), sum(col("relt")).as("rels"))
+        parts.select(col("n"),
+          round(col("bsum").cast("double") / col("n").cast("double"), 6)
+            .as("brier"),
+          round(col("obar") * (lit(1.0) - col("obar")), 6).as("uncertainty"),
+          round(col("ress").cast("double") / col("n").cast("double"), 6)
+            .as("resolution"),
+          round(col("rels").cast("double") / col("n").cast("double"), 6)
+            .as("reliability"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        rel AS (
+          SELECT day, (day - d0.d0) % 7 AS ph, x
+          FROM daily CROSS JOIN d0),
+        r AS (
+          SELECT ph, x, ROW_NUMBER() OVER (ORDER BY x, day) AS vr
+          FROM rel),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        med AS (
+          SELECT x AS med FROM r CROSS JOIN n0 WHERE vr = (n + 1) // 2),
+        oc AS MATERIALIZED (
+          SELECT ph, CASE WHEN x > med THEN 1 ELSE 0 END AS o
+          FROM r CROSS JOIN med),
+        pk AS (
+          SELECT ph, CAST(COUNT(*) AS BIGINT) AS nk,
+                 CAST(SUM(o) AS BIGINT) AS ck
+          FROM oc GROUP BY 1),
+        scored AS MATERIALIZED (
+          SELECT o, (ck - o) * (12 // (nk - 1)) AS fkey,
+                 CAST(ck - o AS DOUBLE) / CAST(nk - 1 AS DOUBLE) AS f
+          FROM oc JOIN pk USING (ph)),
+        base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(o) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS obar,
+                 SUM(CAST(ROUND((f - CAST(o AS DOUBLE)) *
+                   (f - CAST(o AS DOUBLE)), 9) AS DECIMAL(18,9))) AS bsum
+          FROM scored),
+        grps AS (
+          SELECT fkey, CAST(COUNT(*) AS BIGINT) AS ng,
+                 CAST(SUM(o) AS BIGINT) AS sog, MAX(f) AS fg
+          FROM scored GROUP BY 1),
+        parts AS (
+          SELECT MAX(base.n) AS n, MAX(base.obar) AS obar,
+                 MAX(CAST(base.bsum AS DOUBLE)) AS bsum,
+                 SUM(CAST(ROUND(CAST(ng AS DOUBLE) *
+                   (CAST(sog AS DOUBLE) / CAST(ng AS DOUBLE) - base.obar) *
+                   (CAST(sog AS DOUBLE) / CAST(ng AS DOUBLE) - base.obar),
+                   9) AS DECIMAL(18,9))) AS ress,
+                 SUM(CAST(ROUND(CAST(ng AS DOUBLE) *
+                   (fg - CAST(sog AS DOUBLE) / CAST(ng AS DOUBLE)) *
+                   (fg - CAST(sog AS DOUBLE) / CAST(ng AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))) AS rels
+          FROM grps CROSS JOIN base)
+        SELECT n,
+               ROUND(bsum / CAST(n AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS brier,
+               ROUND(obar * (CAST(1 AS DOUBLE) - obar), 6)
+                 + CAST(0 AS DOUBLE) AS uncertainty,
+               ROUND(CAST(ress AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS resolution,
+               ROUND(CAST(rels AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS reliability
+        FROM parts""")),
+
+    // M/G/1 queueing metrics for the purchase stream by the
+    // Pollaczek-Khinchine formula: arrival rate from the exact
+    // millisecond span, a deterministic value-derived service time
+    // (100·value ms, exact integers), utilization rho, and the P-K
+    // queue length / waiting time with Little's-law companions — the
+    // operations-research "what if this stream fed one worker?" card
+    // next to qd6's descriptive arrival statistics. E[S] and E[S²] are
+    // exact integer moments; every queueing link is a raw ratio.
+    "qdv_mg1_queueing" -> Q(
+      fn = (s, dir) => {
+        val p = t(s, dir, "events")
+          .filter(col("event_type") === "purchase" && col("value").isNotNull)
+          .select(unix_millis(col("ts")).as("ts_ms"),
+            (col("value").cast("decimal(18,2)") * lit(100))
+              .cast("long").as("sv"))
+        val agg = p.agg(count(lit(1)).as("nj"),
+          min(col("ts_ms")).as("t0"), max(col("ts_ms")).as("t1"),
+          sum(col("sv")).as("ss"),
+          sum(col("sv").cast("decimal(14,0)") *
+            col("sv").cast("decimal(14,0)")).as("ss2"))
+          .select(col("nj"),
+            ((col("nj") - 1).cast("double") /
+              (col("t1") - col("t0")).cast("double")).as("lam"),
+            (col("ss").cast("double") / col("nj").cast("double")).as("es"),
+            (col("ss2").cast("double") / col("nj").cast("double")).as("es2"))
+        agg.select(col("nj").as("n_jobs"),
+          round(col("lam"), 12).as("lambda_per_ms"),
+          round(col("es"), 6).as("mean_service_ms"),
+          round(col("lam") * col("es"), 6).as("rho"),
+          round(col("lam") * col("lam") * col("es2") /
+            (lit(2.0) * (lit(1.0) - col("lam") * col("es"))), 6).as("lq"),
+          round(col("lam") * col("es2") /
+            (lit(2.0) * (lit(1.0) - col("lam") * col("es"))), 6)
+            .as("wq_ms"),
+          round(col("lam") * col("es2") /
+            (lit(2.0) * (lit(1.0) - col("lam") * col("es"))) + col("es"), 6)
+            .as("w_ms"),
+          round(col("lam") * (col("lam") * col("es2") /
+            (lit(2.0) * (lit(1.0) - col("lam") * col("es"))) + col("es")),
+            6).as("l_system"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT epoch_ms(ts) AS ts_ms,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS sv
+          FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nj,
+                 CAST(COUNT(*) - 1 AS DOUBLE) /
+                   CAST(MAX(ts_ms) - MIN(ts_ms) AS DOUBLE) AS lam,
+                 CAST(SUM(sv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS es,
+                 CAST(SUM(CAST(sv AS DECIMAL(14,0)) *
+                   CAST(sv AS DECIMAL(14,0))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE) AS es2
+          FROM p)
+        SELECT nj AS n_jobs,
+               ROUND(lam, 12) + CAST(0 AS DOUBLE) AS lambda_per_ms,
+               ROUND(es, 6) + CAST(0 AS DOUBLE) AS mean_service_ms,
+               ROUND(lam * es, 6) + CAST(0 AS DOUBLE) AS rho,
+               ROUND(lam * lam * es2 /
+                 (CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) - lam * es)), 6)
+                 + CAST(0 AS DOUBLE) AS lq,
+               ROUND(lam * es2 /
+                 (CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) - lam * es)), 6)
+                 + CAST(0 AS DOUBLE) AS wq_ms,
+               ROUND(lam * es2 /
+                 (CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) - lam * es)) + es,
+                 6) + CAST(0 AS DOUBLE) AS w_ms,
+               ROUND(lam * (lam * es2 /
+                 (CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) - lam * es)) + es),
+                 6) + CAST(0 AS DOUBLE) AS l_system
         FROM agg"""))
   )
 }
