@@ -466,9 +466,11 @@ object StatQueries {
     // Lexical-richness battery over the whole document corpus: Yule's K
     // (repeat-rate characteristic, scale-free in N), Simpson's D, the
     // Good-Turing unseen-mass estimate V1/N (the singleton-probability
-    // bound behind smoothing), Herdan's C, and Honoré's R — the
-    // vocabulary-shape summary next to q8f's Heaps-law growth exponent
-    // (which tracks HOW vocabulary grows; this is the equilibrium shape).
+    // bound behind smoothing; qao estimates the TRIGRAM unseen mass —
+    // this is the unigram vocabulary view), Herdan's C, and Honoré's R —
+    // the vocabulary-shape summary next to q8f's Heaps-law growth
+    // exponent (which tracks HOW vocabulary grows; this is the
+    // equilibrium shape).
     // Every statistic is a ratio of exact BIGINT count-of-counts; ln is
     // the only float link.
     "qd1_lexical_richness" -> Q(
@@ -2693,184 +2695,202 @@ object StatQueries {
         FROM ranks JOIN r ON r.vr = ranks.rank
         ORDER BY fractile""")),
 
-    // XYZ demand-variability classification per brand: the coefficient
-    // of variation of weekly shipped quantity over the FULL week horizon
-    // (absent weeks count as zero demand via the (W-np)·m² closed form —
-    // the intermittency that per-present-week moments would hide),
-    // classed X (<0.5) / Y (<1.0) / Z. The forecastability axis ABC
-    // (q7w) ignores: a high-value brand can still be unforecastable.
-    // Quantities are exact integers; the zero-week term multiplies
-    // INTEGER × 9-grid in DECIMAL per rule 15.
-    "qdl_xyz_variability" -> Q(
+    // Brown-Forsythe robust homogeneity-of-variance test: one-way ANOVA
+    // on |y - group median| of order value across priorities — the
+    // assumption check qbn's ANOVA F itself rests on (and the robust
+    // sibling of qdq's Bartlett: BF keeps its size under heavy tails
+    // where Bartlett inflates). Group medians are exact order statistics
+    // via global-rank offsets (no per-group window); deviations are
+    // exact DECIMAL(18,2); the ANOVA moments reuse the qd8 recipe
+    // (DECIMAL squares, VARCHAR-bridged >2^53 casts, ni·d² multiplied
+    // INTEGER × 9-grid in DECIMAL).
+    "qdl_brown_forsythe" -> Q(
       fn = (s, dir) => {
-        val li = t(s, dir, "lineitem")
-          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-          .select(col("p_brand"),
-            expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))" +
-              " div 86400000 div 7").as("wk"),
-            col("l_quantity").cast("long").as("q"))
-        val horizon = li.agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
-          .select((col("w1") - col("w0") + 1).as("ww"))
-        val cells = li.groupBy(col("p_brand"), col("wk"))
-          .agg(sum(col("q")).as("qw"))
-        val totals = cells.groupBy(col("p_brand"))
-          .agg(count(lit(1)).as("np"), sum(col("qw")).as("tq"))
-          .crossJoin(broadcast(horizon))
-          .select(col("p_brand"), col("np"), col("tq"), col("ww"),
-            round(col("tq").cast("double") / col("ww").cast("double"), 9)
-              .as("m"))
-        val devs = cells.join(totals, Seq("p_brand"))
-          .select(col("p_brand"),
-            (col("qw").cast("double") - col("m")).as("d"))
-          .groupBy(col("p_brand"))
-          .agg(sum(round(col("d") * col("d"), 6).cast("decimal(28,6)"))
-            .as("ssd"))
-        val out = totals.join(devs, Seq("p_brand"))
-          .select(col("p_brand"), col("ww"), col("np"),
-            round(col("m"), 6).as("mean_weekly"),
-            round(sqrt(
-              (col("ssd").cast("double") +
-                ((col("ww") - col("np")).cast("decimal(10,0)") *
-                  round(col("m") * col("m"), 9).cast("decimal(20,9)"))
-                  .cast("double")) /
-              (col("ww") - 1).cast("double")) / col("m"), 9).as("cvr"))
-        out.select(col("p_brand"), col("ww"), col("np"), col("mean_weekly"),
-          round(col("cvr"), 6).as("cv"),
-          when(col("cvr") < 0.5, lit("X"))
-            .when(col("cvr") < 1.0, lit("Y")).otherwise(lit("Z"))
-            .as("xyz_class"))
-          .orderBy(col("p_brand"))
-      },
-      oracle = Some("""
-        WITH li AS (
-          SELECT p_brand,
-                 (CAST(epoch_ms(l_shipdate) // 86400000 AS BIGINT)) // 7
-                   AS wk,
-                 CAST(l_quantity AS BIGINT) AS q
-          FROM lineitem JOIN part ON l_partkey = p_partkey),
-        horizon AS (
-          SELECT CAST(MAX(wk) - MIN(wk) + 1 AS BIGINT) AS ww FROM li),
-        cells AS MATERIALIZED (
-          SELECT p_brand, wk, CAST(SUM(q) AS BIGINT) AS qw
-          FROM li GROUP BY 1, 2),
-        totals AS (
-          SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS np,
-                 CAST(SUM(qw) AS BIGINT) AS tq, MAX(horizon.ww) AS ww,
-                 ROUND(CAST(SUM(qw) AS DOUBLE) / CAST(MAX(horizon.ww)
-                   AS DOUBLE), 9) AS m
-          FROM cells CROSS JOIN horizon GROUP BY 1),
-        devs AS (
-          SELECT c.p_brand,
-                 CAST(SUM(CAST(ROUND((CAST(qw AS DOUBLE) - t.m) *
-                   (CAST(qw AS DOUBLE) - t.m), 6) AS DECIMAL(28,6)))
-                   AS DOUBLE) AS ssd
-          FROM cells c JOIN totals t ON c.p_brand = t.p_brand
-          GROUP BY 1),
-        scored AS (
-          SELECT t.p_brand, t.ww, t.np,
-                 ROUND(t.m, 6) + CAST(0 AS DOUBLE) AS mean_weekly,
-                 ROUND(sqrt((d.ssd +
-                     CAST(CAST(t.ww - t.np AS DECIMAL(10,0)) *
-                       CAST(ROUND(t.m * t.m, 9) AS DECIMAL(20,9))
-                       AS DOUBLE)) /
-                   CAST(t.ww - 1 AS DOUBLE)) / t.m, 9) AS cvr
-          FROM totals t JOIN devs d ON t.p_brand = d.p_brand)
-        SELECT p_brand, ww, np, mean_weekly,
-               ROUND(cvr, 6) + CAST(0 AS DOUBLE) AS cv,
-               CASE WHEN cvr < CAST(0.5 AS DOUBLE) THEN 'X'
-                    WHEN cvr < CAST(1.0 AS DOUBLE) THEN 'Y'
-                    ELSE 'Z' END AS xyz_class
-        FROM scored ORDER BY p_brand""")),
-
-    // Market-concentration battery of order revenue by nation within
-    // each region: Herfindahl-Hirschman index (×10000, the antitrust
-    // scale), Shannon diversity with its evenness normalization, and the
-    // CR4 top-4 concentration ratio — the cross-sectional concentration
-    // complement of q6m's Gini (which ranks one distribution; this
-    // compares five market structures side by side). Shares are raw
-    // ratios of exact DECIMAL revenue sums; the per-region top-4 rank
-    // runs over a 25-row aggregate panel.
-    "qdm_concentration_battery" -> Q(
-      fn = (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val rev = t(s, dir, "orders")
-          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-          .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
-          .groupBy(col("r_name"), col("n_name"))
-          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("vd"))
-          .select(col("r_name"), col("n_name"),
-            col("vd").cast("double").as("v"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("g"),
+            col("o_totalprice").cast("decimal(18,2)").as("y"),
+            col("o_orderkey").as("k"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(o,
+          Seq(col("g"), col("y"), col("k")), "grn")
           .localCheckpoint(eager = false)
-        val tot = rev.groupBy(col("r_name"))
-          .agg(sum(col("v").cast("decimal(28,2)")).as("tvd"),
-            count(lit(1)).as("k"))
-          .select(col("r_name"), col("tvd").cast("double").as("tv"),
-            col("k"))
-        val shares = rev.join(tot, Seq("r_name"))
-          .select(col("r_name"), col("n_name"), col("k"),
-            (col("v") / col("tv")).as("sh"),
-            row_number().over(Window.partitionBy(col("r_name"))
-              .orderBy(col("v").desc, col("n_name"))).as("rk"))
-        shares.groupBy(col("r_name"))
-          .agg(first(col("k")).as("k"),
-            sum(round(col("sh") * col("sh"), 9).cast("decimal(18,9)"))
-              .as("hhi0"),
-            sum(round(col("sh") * log(col("sh")), 9).cast("decimal(18,9)"))
-              .as("sh0"),
-            sum(when(col("rk") <= 4, round(col("sh"), 9)).otherwise(0.0)
-              .cast("decimal(18,9)")).as("cr40"))
-          .select(col("r_name"), col("k"),
-            round(lit(10000.0) * col("hhi0").cast("double"), 6).as("hhi"),
-            round(-col("sh0").cast("double"), 6).as("shannon"),
-            round(-col("sh0").cast("double") /
-              log(col("k").cast("double")), 6).as("evenness"),
-            round(col("cr40").cast("double"), 6).as("cr4"))
-          .orderBy(col("r_name"))
+        val gmin = ranked.groupBy(col("g"))
+          .agg(min(col("grn")).as("g0"), count(lit(1)).as("ni"))
+        val meds = ranked.join(gmin, Seq("g"))
+          .filter(col("grn") - col("g0") + 1 ===
+            floor((col("ni") + 1).cast("double") / lit(2.0)).cast("long"))
+          .select(col("g"), col("y").as("med"))
+        val z = ranked.join(meds, Seq("g"))
+          .select(col("g"), abs(col("y") - col("med")).as("z"))
+        val gm = z.groupBy(col("g"))
+          .agg(count(lit(1)).as("ni"),
+            sum(col("z")).as("szd"),
+            sum(col("z").cast("decimal(12,2)") *
+              col("z").cast("decimal(12,2)")).as("szzd"))
+          .select(col("g"), col("ni"), col("szd").cast("double").as("sz"),
+            col("szzd").cast("double").as("szz"))
+          .localCheckpoint(eager = false)
+        val tot = gm.agg(sum(col("ni")).as("nn"), count(lit(1)).as("a"),
+          sum(col("sz")).as("sz0"))
+          .select(col("nn"), col("a"),
+            round(col("sz0") / col("nn").cast("double"), 9).as("zbar"))
+        val parts = gm.crossJoin(broadcast(tot))
+          .select(col("ni"), col("nn"), col("a"),
+            round(col("szz") - col("sz") * col("sz") /
+              col("ni").cast("double"), 6).as("ssw_g"),
+            round((round(col("sz") / col("ni").cast("double"), 9) -
+              col("zbar")) *
+              (round(col("sz") / col("ni").cast("double"), 9) -
+                col("zbar")), 9).as("dg2"))
+          .agg(first(col("nn")).as("nn"), first(col("a")).as("a"),
+            sum(col("ssw_g").cast("decimal(28,6)")).as("ssw"),
+            sum(col("ni").cast("decimal(10,0)") *
+              col("dg2").cast("decimal(20,9)")).as("ssb"))
+        parts.select(col("nn").as("n"), col("a"),
+          round((col("ssb").cast("double") / (col("a") - 1).cast("double")) /
+            (col("ssw").cast("double") / (col("nn") - col("a"))
+              .cast("double")), 6).as("f_bf"),
+          round(col("ssb").cast("double") /
+            (col("ssb").cast("double") + col("ssw").cast("double")), 6)
+            .as("eta_sq"))
       },
       oracle = Some("""
-        WITH rev AS MATERIALIZED (
-          SELECT r_name, n_name,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   AS v
-          FROM orders
-          JOIN customer ON o_custkey = c_custkey
-          JOIN nation ON c_nationkey = n_nationkey
-          JOIN region ON n_regionkey = r_regionkey
-          GROUP BY 1, 2),
+        WITH o AS (
+          SELECT o_orderpriority AS g,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+                 o_orderkey AS k
+          FROM orders),
+        ranked AS MATERIALIZED (
+          SELECT g, y, ROW_NUMBER() OVER (ORDER BY g, y, k) AS grn
+          FROM o),
+        gmin AS (
+          SELECT g, MIN(grn) AS g0, CAST(COUNT(*) AS BIGINT) AS ni
+          FROM ranked GROUP BY 1),
+        meds AS (
+          SELECT r.g, r.y AS med
+          FROM ranked r JOIN gmin USING (g)
+          WHERE r.grn - gmin.g0 + 1 = (gmin.ni + 1) // 2),
+        z AS (
+          SELECT r.g, ABS(r.y - meds.med) AS z
+          FROM ranked r JOIN meds USING (g)),
+        gm AS MATERIALIZED (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS ni,
+                 CAST(SUM(z) AS DOUBLE) AS sz,
+                 CAST(CAST(SUM(CAST(z AS DECIMAL(12,2)) *
+                   CAST(z AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS szz
+          FROM z GROUP BY 1),
         tot AS (
-          SELECT r_name,
-                 CAST(SUM(CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS tv,
-                 CAST(COUNT(*) AS BIGINT) AS k
-          FROM rev GROUP BY 1),
-        shares AS (
-          SELECT rev.r_name, n_name, tot.k, v / tot.tv AS sh,
-                 ROW_NUMBER() OVER (PARTITION BY rev.r_name
-                   ORDER BY v DESC, n_name) AS rk
-          FROM rev JOIN tot ON rev.r_name = tot.r_name)
-        SELECT r_name, MAX(k) AS k,
-               ROUND(CAST(10000 AS DOUBLE) *
-                 CAST(SUM(CAST(ROUND(sh * sh, 9) AS DECIMAL(18,9)))
-                   AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS hhi,
-               ROUND(-CAST(SUM(CAST(ROUND(sh * ln(sh), 9)
-                 AS DECIMAL(18,9))) AS DOUBLE), 6) + CAST(0 AS DOUBLE)
-                 AS shannon,
-               ROUND(-CAST(SUM(CAST(ROUND(sh * ln(sh), 9)
-                   AS DECIMAL(18,9))) AS DOUBLE) /
-                 ln(CAST(MAX(k) AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
-                 AS evenness,
-               ROUND(CAST(SUM(CAST(CASE WHEN rk <= 4 THEN ROUND(sh, 9)
-                 ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,9)))
-                 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS cr4
-        FROM shares GROUP BY 1 ORDER BY 1""")),
-
+          SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+                 CAST(COUNT(*) AS BIGINT) AS a,
+                 ROUND(SUM(sz) / CAST(SUM(ni) AS DOUBLE), 9) AS zbar
+          FROM gm),
+        parts AS (
+          SELECT MAX(tot.nn) AS nn, MAX(tot.a) AS a,
+                 CAST(SUM(CAST(ROUND(szz - sz * sz / CAST(ni AS DOUBLE), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS ssw,
+                 CAST(SUM(CAST(ni AS DECIMAL(10,0)) *
+                   CAST(ROUND((ROUND(sz / CAST(ni AS DOUBLE), 9) -
+                     tot.zbar) * (ROUND(sz / CAST(ni AS DOUBLE), 9) -
+                     tot.zbar), 9) AS DECIMAL(20,9))) AS DOUBLE) AS ssb
+          FROM gm CROSS JOIN tot)
+        SELECT nn AS n, a,
+               ROUND((ssb / CAST(a - 1 AS DOUBLE)) /
+                 (ssw / CAST(nn - a AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS f_bf,
+               ROUND(ssb / (ssb + ssw), 6) + CAST(0 AS DOUBLE) AS eta_sq
+        FROM parts""")),
+    // Siegel-Tukey rank-dispersion test between the purchase and click
+    // value distributions: ranks assigned outside-in (1 to the smallest,
+    // 2-3 to the two largest, 4-5 to the next two smallest, ...) turn
+    // the Mann-Whitney machinery (q7o tests LOCATION) into a test of
+    // SCALE — which sample's values spread wider — with no variance
+    // estimate at all. The outside-in rank has an exact closed form in
+    // the pooled order statistic (depth d = min(i, N+1-i); bottom: odd
+    // d → 2d-1, even → 2d; top: mirrored), so the whole statistic is
+    // integer arithmetic until one final z ratio.
+    "qdm_siegel_tukey" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click") &&
+            col("value").isNotNull)
+          .select(col("value").cast("decimal(18,2)").as("v"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("g"), col("event_id"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(e,
+          Seq(col("v"), col("g"), col("event_id")), "i")
+          .localCheckpoint(eager = false)
+        val tot = ranked.agg(count(lit(1)).as("nn"), sum(col("g")).as("n1"))
+          .select(col("nn"), col("n1"), (col("nn") - col("n1")).as("n2"))
+        val st = ranked.crossJoin(broadcast(tot))
+          .select(col("g"), col("nn"), col("n1"), col("n2"),
+            least(col("i"), col("nn") + 1 - col("i")).as("d"),
+            (col("i") * 2 <= col("nn") + 1).as("bottom"))
+          .select(col("g"), col("nn"), col("n1"), col("n2"),
+            when(col("bottom"),
+              when(pmod(col("d"), lit(2L)) === 1, lit(2L) * col("d") - 1)
+                .otherwise(lit(2L) * col("d")))
+              .otherwise(
+                when(pmod(col("d"), lit(2L)) === 1, lit(2L) * col("d"))
+                  .otherwise(lit(2L) * col("d") - 1)).as("str"))
+        val agg = st.agg(first(col("nn")).as("nn"),
+          first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+          sum(when(col("g") === 1, col("str")).otherwise(0L)).as("w"))
+        agg.select(col("n1"), col("n2"), col("w").as("w_stat"),
+          round((col("w").cast("double") -
+            col("n1").cast("double") * (col("nn") + 1).cast("double") /
+              lit(2.0)) /
+            sqrt(col("n1").cast("double") * col("n2").cast("double") *
+              (col("nn") + 1).cast("double") / lit(12.0)), 6).as("z_st"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(value AS DECIMAL(18,2)) AS v,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+                 event_id
+          FROM events
+          WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        ranked AS MATERIALIZED (
+          SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY v, g, event_id)
+            AS BIGINT) AS i
+          FROM e),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                 CAST(SUM(g) AS BIGINT) AS n1,
+                 CAST(COUNT(*) AS BIGINT) - CAST(SUM(g) AS BIGINT) AS n2
+          FROM ranked),
+        st AS (
+          SELECT g, nn, n1, n2,
+                 CASE WHEN i * 2 <= nn + 1 THEN
+                   CASE WHEN LEAST(i, nn + 1 - i) % 2 = 1
+                     THEN 2 * LEAST(i, nn + 1 - i) - 1
+                     ELSE 2 * LEAST(i, nn + 1 - i) END
+                 ELSE
+                   CASE WHEN LEAST(i, nn + 1 - i) % 2 = 1
+                     THEN 2 * LEAST(i, nn + 1 - i)
+                     ELSE 2 * LEAST(i, nn + 1 - i) - 1 END
+                 END AS str
+          FROM ranked CROSS JOIN tot),
+        agg AS (
+          SELECT MAX(nn) AS nn, MAX(n1) AS n1, MAX(n2) AS n2,
+                 CAST(SUM(CASE WHEN g = 1 THEN str ELSE 0 END) AS BIGINT)
+                   AS w
+          FROM st)
+        SELECT n1, n2, w AS w_stat,
+               ROUND((CAST(w AS DOUBLE) -
+                 CAST(n1 AS DOUBLE) * CAST(nn + 1 AS DOUBLE) /
+                   CAST(2 AS DOUBLE)) /
+                 sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+                   CAST(nn + 1 AS DOUBLE) / CAST(12 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS z_st
+        FROM agg""")),
     // Cochran-Mantel-Haenszel test of the weekend-uplift question
     // "are purchases associated with the week-phase, controlling for
     // which week it was?" — five weekly strata of 2×2 (phase-weekend ×
-    // purchase) tables, the continuity-corrected CMH chi-square and the
-    // Mantel-Haenszel pooled odds ratio. The stratified version of
-    // q6s/qdb's marginal independence tests (which a week-level trend
-    // would confound). Every E_k and V_k is a raw ratio of exact BIGINT
+    // purchase) tables, the CONTINUITY-CORRECTED CMH chi-square (qaq
+    // ships the uncorrected statistic on nation-stratified lineitem
+    // tables; the 0.5 correction is what epi software reports for
+    // sparse strata) and the Mantel-Haenszel pooled odds ratio. The
+    // stratified version of q6s/qdb's marginal independence tests
+    // (which a week-level trend would confound). Every E_k and V_k is a raw ratio of exact BIGINT
     // margins, 9-snapped and summed in DECIMAL.
     "qdn_cmh_stratified" -> Q(
       fn = (s, dir) => {
@@ -2965,139 +2985,96 @@ object StatQueries {
                  + CAST(0 AS DOUBLE) AS or_mh
         FROM agg""")),
 
-    // Classical additive decomposition of the daily event-count series —
-    // centered MA(7) trend, day-phase seasonal means of the detrended
-    // series, remainder — summarized by Hyndman's strength-of-trend
-    // F_T = max(0, 1 - Var(R)/Var(T+R)) and strength-of-seasonality
-    // F_S = max(0, 1 - Var(R)/Var(S+R)): the one-row "is this series
-    // trend-y or seasonal?" card that q7r's Holt-Winters assumes an
-    // answer to. The MA(7) is an exact integer-sum/7 ratio; every
-    // component lands on the 9-grid and the variances ride round-6
-    // DECIMAL sums.
-    "qdo_seasonal_strength" -> Q(
+    // Mood's median test of order value across the five priorities: the
+    // k-sample above/below-grand-median chi-square — the coarsest, most
+    // outlier-proof location test (qbo's Kruskal-Wallis uses full ranks;
+    // Mood only asks which side of the grand median each order falls,
+    // so single wild values cannot move it). The grand median is the
+    // exact ((N+1) div 2) order statistic; values equal to the median
+    // count as "not above" (noted tie policy); the chi-square is a
+    // 9-snapped DECIMAL sum of exact-integer-margin terms.
+    "qdo_mood_median" -> Q(
       fn = (s, dir) => {
-        val daily = t(s, dir, "events")
-          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
-            .as("day"))
-          .agg(count(lit(1)).as("x"))
-        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
-          Seq(col("day")), "rn").localCheckpoint(eager = false)
-        val n0 = ranked.agg(count(lit(1)).as("n"))
-        val tr = ranked.select(col("rn"), col("x"))
-          .join(ranked.select(col("rn").as("rn2"), col("x").as("xw")),
-            col("rn2").between(col("rn") - 3, col("rn") + 3))
-          .groupBy(col("rn"), col("x"))
-          .agg(count(lit(1)).as("w"), sum(col("xw")).as("sw"))
-          .filter(col("w") === 7)
-          .select(col("rn"), col("x"),
-            round(col("sw").cast("double") / lit(7.0), 9).as("trend"))
-          .withColumn("detr", col("x").cast("double") - col("trend"))
-          .localCheckpoint(eager = false)
-        val seas = tr.select(pmod(col("rn") - 1, lit(7L)).as("ph"),
-          col("detr"))
-          .groupBy(col("ph"))
-          .agg(count(lit(1)).as("c"),
-            sum(col("detr").cast("decimal(20,9)")).as("sde"))
-          .select(col("ph"),
-            round(col("sde").cast("double") / col("c").cast("double"), 9)
-              .as("sph"))
-        val comp = tr.select(col("rn"), col("x"), col("trend"), col("detr"),
-          pmod(col("rn") - 1, lit(7L)).as("ph"))
-          .join(seas, Seq("ph"))
-          .select(col("rn"),
-            (col("detr") - col("sph")).as("rem"),
-            col("detr"),
-            (col("x").cast("double") - col("sph")).as("ta"))
-          .localCheckpoint(eager = false)
-        val ms = comp.agg(count(lit(1)).as("m"),
-          sum(col("rem").cast("decimal(20,9)")).as("sr"),
-          sum(col("detr").cast("decimal(20,9)")).as("sd2"),
-          sum(col("ta").cast("decimal(20,9)")).as("sta"))
-          .select(col("m"),
-            round(col("sr").cast("double") / col("m").cast("double"), 9)
-              .as("mr"),
-            round(col("sd2").cast("double") / col("m").cast("double"), 9)
-              .as("md"),
-            round(col("sta").cast("double") / col("m").cast("double"), 9)
-              .as("mta"))
-        val vs = comp.crossJoin(broadcast(ms))
-          .select(col("m"),
-            (col("rem") - col("mr")).as("cr"),
-            (col("detr") - col("md")).as("cd2"),
-            (col("ta") - col("mta")).as("cta"))
-          .agg(first(col("m")).as("m"),
-            sum(round(col("cr") * col("cr"), 6).cast("decimal(28,6)"))
-              .as("vr"),
-            sum(round(col("cd2") * col("cd2"), 6).cast("decimal(28,6)"))
-              .as("vd"),
-            sum(round(col("cta") * col("cta"), 6).cast("decimal(28,6)"))
-              .as("vta"))
-        n0.crossJoin(broadcast(vs))
-          .select(col("n"), col("m").as("n_used"),
-            round(col("vr").cast("double") / (col("m") - 1).cast("double"),
-              6).as("var_rem"),
-            round(greatest(lit(0.0),
-              lit(1.0) - col("vr").cast("double") /
-                col("vta").cast("double")), 6).as("f_trend"),
-            round(greatest(lit(0.0),
-              lit(1.0) - col("vr").cast("double") /
-                col("vd").cast("double")), 6).as("f_seasonal"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("g"),
+            col("o_totalprice").cast("decimal(18,2)").as("y"),
+            col("o_orderkey").as("k"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(o,
+          Seq(col("y"), col("k")), "vr").localCheckpoint(eager = false)
+        val n0 = ranked.agg(count(lit(1)).as("nn"))
+        val med = ranked.crossJoin(broadcast(n0))
+          .filter(col("vr") ===
+            floor((col("nn") + 1).cast("double") / lit(2.0)).cast("long"))
+          .select(col("y").as("med"))
+        val cells = ranked.crossJoin(broadcast(med))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("ni"),
+            sum(when(col("y") > col("med"), 1L).otherwise(0L)).as("ai"))
+        val tot = cells.agg(sum(col("ni")).as("nn"), sum(col("ai")).as("aa"),
+          count(lit(1)).as("k"))
+        val terms = cells.crossJoin(broadcast(tot))
+          .select(col("nn"), col("k"), col("aa"),
+            col("ai").cast("double").as("a"),
+            (col("ni") - col("ai")).cast("double").as("b"),
+            (col("ni").cast("double") * col("aa").cast("double") /
+              col("nn").cast("double")).as("ea"),
+            (col("ni").cast("double") *
+              (col("nn") - col("aa")).cast("double") /
+              col("nn").cast("double")).as("eb"))
+          .agg(first(col("nn")).as("n"), first(col("k")).as("k"),
+            first(col("aa")).as("n_above"),
+            sum(round((col("a") - col("ea")) * (col("a") - col("ea")) /
+              col("ea") +
+              (col("b") - col("eb")) * (col("b") - col("eb")) / col("eb"),
+              9).cast("decimal(18,9)")).as("x2"))
+        terms.crossJoin(broadcast(med))
+          .select(col("n"), col("k"), col("n_above"),
+            col("med").cast("double").as("grand_median"),
+            round(col("x2").cast("double"), 6).as("chi2_mood"))
       },
       oracle = Some("""
-        WITH daily AS (
-          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
-                 CAST(COUNT(*) AS BIGINT) AS x
-          FROM events GROUP BY 1),
-        r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
-        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
-        tr AS MATERIALIZED (
-          SELECT a.rn, a.x,
-                 ROUND(CAST(SUM(b.x) AS DOUBLE) / CAST(7 AS DOUBLE), 9)
-                   AS trend,
-                 CAST(a.x AS DOUBLE) -
-                   ROUND(CAST(SUM(b.x) AS DOUBLE) / CAST(7 AS DOUBLE), 9)
-                   AS detr
-          FROM r a JOIN r b ON b.rn BETWEEN a.rn - 3 AND a.rn + 3
-          GROUP BY a.rn, a.x
-          HAVING COUNT(*) = 7),
-        seas AS (
-          SELECT (rn - 1) % 7 AS ph,
-                 ROUND(CAST(SUM(CAST(detr AS DECIMAL(20,9))) AS DOUBLE) /
-                   CAST(COUNT(*) AS DOUBLE), 9) AS sph
-          FROM tr GROUP BY 1),
-        comp AS MATERIALIZED (
-          SELECT tr.rn, tr.detr - seas.sph AS rem, tr.detr,
-                 CAST(tr.x AS DOUBLE) - seas.sph AS ta
-          FROM tr JOIN seas ON (tr.rn - 1) % 7 = seas.ph),
-        ms AS (
-          SELECT CAST(COUNT(*) AS BIGINT) AS m,
-                 ROUND(CAST(SUM(CAST(rem AS DECIMAL(20,9))) AS DOUBLE) /
-                   CAST(COUNT(*) AS DOUBLE), 9) AS mr,
-                 ROUND(CAST(SUM(CAST(detr AS DECIMAL(20,9))) AS DOUBLE) /
-                   CAST(COUNT(*) AS DOUBLE), 9) AS md,
-                 ROUND(CAST(SUM(CAST(ta AS DECIMAL(20,9))) AS DOUBLE) /
-                   CAST(COUNT(*) AS DOUBLE), 9) AS mta
-          FROM comp),
-        vs AS (
-          SELECT MAX(ms.m) AS m,
-                 CAST(SUM(CAST(ROUND((rem - ms.mr) * (rem - ms.mr), 6)
-                   AS DECIMAL(28,6))) AS DOUBLE) AS vr,
-                 CAST(SUM(CAST(ROUND((detr - ms.md) * (detr - ms.md), 6)
-                   AS DECIMAL(28,6))) AS DOUBLE) AS vd,
-                 CAST(SUM(CAST(ROUND((ta - ms.mta) * (ta - ms.mta), 6)
-                   AS DECIMAL(28,6))) AS DOUBLE) AS vta
-          FROM comp CROSS JOIN ms)
-        SELECT n, m AS n_used,
-               ROUND(vr / CAST(m - 1 AS DOUBLE), 6) + CAST(0 AS DOUBLE)
-                 AS var_rem,
-               ROUND(GREATEST(CAST(0 AS DOUBLE),
-                 CAST(1 AS DOUBLE) - vr / vta), 6) + CAST(0 AS DOUBLE)
-                 AS f_trend,
-               ROUND(GREATEST(CAST(0 AS DOUBLE),
-                 CAST(1 AS DOUBLE) - vr / vd), 6) + CAST(0 AS DOUBLE)
-                 AS f_seasonal
-        FROM n0 CROSS JOIN vs""")),
-
+        WITH o AS (
+          SELECT o_orderpriority AS g,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+                 o_orderkey AS k
+          FROM orders),
+        ranked AS MATERIALIZED (
+          SELECT g, y, ROW_NUMBER() OVER (ORDER BY y, k) AS vr FROM o),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM ranked),
+        med AS (
+          SELECT y AS med FROM ranked CROSS JOIN n0
+          WHERE vr = (nn + 1) // 2),
+        cells AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS ni,
+                 CAST(SUM(CASE WHEN y > med.med THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ai
+          FROM ranked CROSS JOIN med GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+                 CAST(SUM(ai) AS BIGINT) AS aa,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM cells),
+        terms AS (
+          SELECT MAX(tot.nn) AS n, MAX(tot.k) AS k, MAX(tot.aa) AS n_above,
+                 SUM(CAST(ROUND(
+                   (CAST(ai AS DOUBLE) - CAST(ni AS DOUBLE) *
+                     CAST(aa AS DOUBLE) / CAST(tot.nn AS DOUBLE)) *
+                   (CAST(ai AS DOUBLE) - CAST(ni AS DOUBLE) *
+                     CAST(aa AS DOUBLE) / CAST(tot.nn AS DOUBLE)) /
+                   (CAST(ni AS DOUBLE) * CAST(aa AS DOUBLE) /
+                     CAST(tot.nn AS DOUBLE)) +
+                   (CAST(ni - ai AS DOUBLE) - CAST(ni AS DOUBLE) *
+                     CAST(tot.nn - aa AS DOUBLE) / CAST(tot.nn AS DOUBLE)) *
+                   (CAST(ni - ai AS DOUBLE) - CAST(ni AS DOUBLE) *
+                     CAST(tot.nn - aa AS DOUBLE) / CAST(tot.nn AS DOUBLE)) /
+                   (CAST(ni AS DOUBLE) * CAST(tot.nn - aa AS DOUBLE) /
+                     CAST(tot.nn AS DOUBLE)), 9) AS DECIMAL(18,9))) AS x2
+          FROM cells CROSS JOIN tot)
+        SELECT n, k, n_above,
+               CAST(med AS DOUBLE) AS grand_median,
+               ROUND(CAST(x2 AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS chi2_mood
+        FROM terms CROSS JOIN med""")),
     // Fixed-effect meta-analysis pooling the five regions' mean order
     // values: inverse-variance weights, the pooled estimate and its
     // standard error, Cochran's Q heterogeneity and the I² share — "do
@@ -3197,107 +3174,107 @@ object StatQueries {
                    CAST(qd AS DOUBLE)), 6) + CAST(0 AS DOUBLE) AS i2
         FROM het""")),
 
-    // Index-number theory on the brand "basket": Laspeyres, Paasche,
-    // Fisher-ideal and Drobisch price indexes between the first and
-    // second halves of the ship-date range, with per-brand unit values
-    // Σ extprice / Σ qty as the price and shipped quantity as the
-    // weight. The aggregate answer to "did prices move, or did the mix
-    // move?" that q9f's YoY growth can't decompose. Unit values are
-    // 9-grid ratios of exact DECIMAL sums; every p·q cross term
-    // multiplies 9-grid × INTEGER in DECIMAL per rule 15; Fisher's only
-    // irrational link is one sqrt.
-    "qdq_price_indexes" -> Q(
+    // Bartlett's test for equal order-value variances across priorities
+    // — the parametric sibling of qdl's Brown-Forsythe (Bartlett is the
+    // likelihood-ratio test and the more powerful one under normality;
+    // BF is the one that survives heavy tails — shipping both brackets
+    // the assumption). Values scale to thousands so every variance sits
+    // within the 15-digit ROUND envelope; (ni-1)·ln(s²) terms multiply
+    // INTEGER × 9-grid in DECIMAL per rule 15; the small-sample C
+    // correction sums 1/(ni-1) terms rounded at 12 in DECIMAL so the
+    // 5-term aggregation is order-free.
+    "qdq_bartlett" -> Q(
       fn = (s, dir) => {
-        val li = t(s, dir, "lineitem")
-          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-          .select(col("p_brand"),
-            expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))" +
-              " div 86400000").as("day"),
-            col("l_quantity").cast("long").as("q"),
-            col("l_extendedprice").cast("decimal(18,2)").as("ext"))
-        val mid = li.agg(((min(col("day")) + max(col("day"))) / lit(2))
-          .cast("long").as("dmid"))
-        val per = li.crossJoin(broadcast(mid))
-          .select(col("p_brand"),
-            when(col("day") <= col("dmid"), lit(0)).otherwise(lit(1))
-              .as("h"), col("q"), col("ext"))
-          .groupBy(col("p_brand"), col("h"))
-          .agg(sum(col("q")).as("qt"), sum(col("ext")).as("et"))
-          .select(col("p_brand"), col("h"), col("qt"),
-            round(col("et").cast("double") / col("qt").cast("double"), 9)
-              .as("p"))
-        val wide = per.groupBy(col("p_brand"))
-          .agg(max(when(col("h") === 0, col("p"))).as("p0"),
-            max(when(col("h") === 0, col("qt"))).as("q0"),
-            max(when(col("h") === 1, col("p"))).as("p1"),
-            max(when(col("h") === 1, col("qt"))).as("q1"))
-          .filter(col("p0").isNotNull && col("p1").isNotNull)
-        val sums = wide.agg(count(lit(1)).as("n_brands"),
-          sum(col("p1").cast("decimal(16,9)") *
-            col("q0").cast("decimal(12,0)")).as("s10"),
-          sum(col("p0").cast("decimal(16,9)") *
-            col("q0").cast("decimal(12,0)")).as("s00"),
-          sum(col("p1").cast("decimal(16,9)") *
-            col("q1").cast("decimal(12,0)")).as("s11"),
-          sum(col("p0").cast("decimal(16,9)") *
-            col("q1").cast("decimal(12,0)")).as("s01"))
-        sums.select(col("n_brands"),
-          round(col("s10").cast("double") / col("s00").cast("double"), 6)
-            .as("laspeyres"),
-          round(col("s11").cast("double") / col("s01").cast("double"), 6)
-            .as("paasche"),
-          round(sqrt((col("s10").cast("double") / col("s00").cast("double")) *
-            (col("s11").cast("double") / col("s01").cast("double"))), 6)
-            .as("fisher"),
-          round(((col("s10").cast("double") / col("s00").cast("double")) +
-            (col("s11").cast("double") / col("s01").cast("double"))) /
-            lit(2.0), 6).as("drobisch"))
+        val g = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("g"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000))
+              .cast("decimal(15,5)").as("y"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("ni"), sum(col("y")).as("syd"),
+            sum(col("y").cast("decimal(12,5)") *
+              col("y").cast("decimal(12,5)")).as("syyd"))
+          .select(col("g"), col("ni"), col("syd").cast("double").as("sy"),
+            col("syyd").cast("double").as("syy"))
+          .select(col("g"), col("ni"),
+            round((col("syy") - col("sy") * col("sy") /
+              col("ni").cast("double")) / (col("ni") - 1).cast("double"), 9)
+              .as("s2"),
+            round(col("syy") - col("sy") * col("sy") /
+              col("ni").cast("double"), 6).as("ssw_g"))
+          .localCheckpoint(eager = false)
+        val agg = g.agg(sum(col("ni")).as("nn"), count(lit(1)).as("k"),
+          sum(col("ssw_g").cast("decimal(28,6)")).as("ssw"),
+          sum((col("ni") - 1).cast("decimal(10,0)") *
+            round(log(col("s2")), 9).cast("decimal(16,9)")).as("slns"),
+          sum(round(lit(1.0) / (col("ni") - 1).cast("double"), 12)
+            .cast("decimal(24,12)")).as("sinv"))
+        val pre = agg.select(col("nn"), col("k"),
+          round(col("ssw").cast("double") /
+            (col("nn") - col("k")).cast("double"), 9).as("s2p"),
+          col("slns").cast("double").as("slns"),
+          col("sinv").cast("double").as("sinv"))
+        pre.select(col("nn").as("n"), col("k"),
+          round(col("s2p"), 6).as("pooled_var_k"),
+          round(lit(1.0) + (col("sinv") -
+            lit(1.0) / (col("nn") - col("k")).cast("double")) /
+            (lit(3.0) * (col("k") - 1).cast("double")), 6).as("c_factor"),
+          round(
+            ((col("nn") - col("k")).cast("decimal(10,0)") *
+              round(log(col("s2p")), 9).cast("decimal(16,9)"))
+              .cast("double").-(col("slns")) /
+            (lit(1.0) + (col("sinv") -
+              lit(1.0) / (col("nn") - col("k")).cast("double")) /
+              (lit(3.0) * (col("k") - 1).cast("double"))), 6)
+            .as("bartlett_stat"))
       },
       oracle = Some("""
-        WITH li AS (
-          SELECT p_brand,
-                 CAST(epoch_ms(l_shipdate) // 86400000 AS BIGINT) AS day,
-                 CAST(l_quantity AS BIGINT) AS q,
-                 CAST(l_extendedprice AS DECIMAL(18,2)) AS ext
-          FROM lineitem JOIN part ON l_partkey = p_partkey),
-        mid AS (
-          SELECT (MIN(day) + MAX(day)) // 2 AS dmid FROM li),
-        per AS (
-          SELECT p_brand,
-                 CASE WHEN day <= mid.dmid THEN 0 ELSE 1 END AS h,
-                 CAST(SUM(q) AS BIGINT) AS qt,
-                 ROUND(CAST(SUM(ext) AS DOUBLE) /
-                   CAST(SUM(q) AS DOUBLE), 9) AS p
-          FROM li CROSS JOIN mid GROUP BY 1, 2),
-        wide AS (
-          SELECT p_brand,
-                 MAX(CASE WHEN h = 0 THEN p END) AS p0,
-                 MAX(CASE WHEN h = 0 THEN qt END) AS q0,
-                 MAX(CASE WHEN h = 1 THEN p END) AS p1,
-                 MAX(CASE WHEN h = 1 THEN qt END) AS q1
-          FROM per GROUP BY 1
-          HAVING MAX(CASE WHEN h = 0 THEN p END) IS NOT NULL
-             AND MAX(CASE WHEN h = 1 THEN p END) IS NOT NULL),
-        sums AS (
-          SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
-                 CAST(SUM(CAST(p1 AS DECIMAL(16,9)) *
-                   CAST(q0 AS DECIMAL(12,0))) AS DOUBLE) AS s10,
-                 CAST(SUM(CAST(p0 AS DECIMAL(16,9)) *
-                   CAST(q0 AS DECIMAL(12,0))) AS DOUBLE) AS s00,
-                 CAST(SUM(CAST(p1 AS DECIMAL(16,9)) *
-                   CAST(q1 AS DECIMAL(12,0))) AS DOUBLE) AS s11,
-                 CAST(SUM(CAST(p0 AS DECIMAL(16,9)) *
-                   CAST(q1 AS DECIMAL(12,0))) AS DOUBLE) AS s01
-          FROM wide)
-        SELECT n_brands,
-               ROUND(s10 / s00, 6) + CAST(0 AS DOUBLE) AS laspeyres,
-               ROUND(s11 / s01, 6) + CAST(0 AS DOUBLE) AS paasche,
-               ROUND(sqrt((s10 / s00) * (s11 / s01)), 6)
-                 + CAST(0 AS DOUBLE) AS fisher,
-               ROUND(((s10 / s00) + (s11 / s01)) / CAST(2 AS DOUBLE), 6)
-                 + CAST(0 AS DOUBLE) AS drobisch
-        FROM sums""")),
-
+        WITH g0 AS (
+          SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS ni,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000
+                   AS DECIMAL(15,5))) AS DOUBLE) AS sy,
+                 CAST(CAST(SUM(
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000
+                     AS DECIMAL(15,5)) AS DECIMAL(12,5)) *
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000
+                     AS DECIMAL(15,5)) AS DECIMAL(12,5))) AS VARCHAR)
+                   AS DOUBLE) AS syy
+          FROM orders GROUP BY 1),
+        g AS MATERIALIZED (
+          SELECT g, ni,
+                 ROUND((syy - sy * sy / CAST(ni AS DOUBLE)) /
+                   CAST(ni - 1 AS DOUBLE), 9) AS s2,
+                 ROUND(syy - sy * sy / CAST(ni AS DOUBLE), 6) AS ssw_g
+          FROM g0),
+        agg AS (
+          SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+                 CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(CAST(ssw_g AS DECIMAL(28,6))) AS DOUBLE) AS ssw,
+                 CAST(SUM(CAST(ni - 1 AS DECIMAL(10,0)) *
+                   CAST(ROUND(ln(s2), 9) AS DECIMAL(16,9))) AS DOUBLE)
+                   AS slns,
+                 CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) /
+                   CAST(ni - 1 AS DOUBLE), 12) AS DECIMAL(24,12)))
+                   AS DOUBLE) AS sinv
+          FROM g),
+        pre AS (
+          SELECT nn, k,
+                 ROUND(ssw / CAST(nn - k AS DOUBLE), 9) AS s2p,
+                 slns, sinv
+          FROM agg)
+        SELECT nn AS n, k,
+               ROUND(s2p, 6) + CAST(0 AS DOUBLE) AS pooled_var_k,
+               ROUND(CAST(1 AS DOUBLE) + (sinv -
+                 CAST(1 AS DOUBLE) / CAST(nn - k AS DOUBLE)) /
+                 (CAST(3 AS DOUBLE) * CAST(k - 1 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS c_factor,
+               ROUND((CAST(CAST(nn - k AS DECIMAL(10,0)) *
+                   CAST(ROUND(ln(s2p), 9) AS DECIMAL(16,9)) AS DOUBLE) -
+                 slns) /
+                 (CAST(1 AS DOUBLE) + (sinv -
+                   CAST(1 AS DOUBLE) / CAST(nn - k AS DOUBLE)) /
+                   (CAST(3 AS DOUBLE) * CAST(k - 1 AS DOUBLE))), 6)
+                 + CAST(0 AS DOUBLE) AS bartlett_stat
+        FROM pre""")),
     // Friedman rank test + Page's L ordered-trend test over the weekly
     // blocks: each full week ranks its seven daily event counts
     // (deterministic (count, phase) tiebreak, noted in lieu of average
@@ -3524,11 +3501,13 @@ object StatQueries {
                  + CAST(0 AS DOUBLE) AS a2_stat
         FROM terms""")),
 
-    // Murphy decomposition of the Brier score for a leave-one-out
+    // Murphy decomposition of the Brier score for a LEAVE-ONE-OUT
     // week-phase forecaster of "above-median purchase day": Brier =
     // uncertainty - resolution + reliability, conditioning on the
-    // forecast value — the forecast-verification layer q5s's calibration
-    // table (reliability only) stops short of. LOO rates are exact
+    // forecast value. qap decomposes an in-sample forecaster (its
+    // reliability is an artifact of binning); holding each day out
+    // makes reliability a real miscalibration signal — the honest
+    // out-of-sample variant, beyond q5s's reliability-only table. LOO rates are exact
     // rationals (c_k - o_d)/(n_k - 1); forecast groups key on the exact
     // integer 12·f (denominators 3 and 4 both divide 12), so equal
     // forecasts merge exactly; every component is a raw ratio of exact
@@ -3663,9 +3642,10 @@ object StatQueries {
     // Pollaczek-Khinchine formula: arrival rate from the exact
     // millisecond span, a deterministic value-derived service time
     // (100·value ms, exact integers), utilization rho, and the P-K
-    // queue length / waiting time with Little's-law companions — the
-    // operations-research "what if this stream fed one worker?" card
-    // next to qd6's descriptive arrival statistics. E[S] and E[S²] are
+    // queue length / waiting time with Little's-law companions. qar
+    // measures L = λW empirically and qau sizes an M/M/c pool; P-K is
+    // the GENERAL-service single-server law both of those bracket —
+    // the second moment E[S²] is what neither computes. E[S] and E[S²] are
     // exact integer moments; every queueing link is a raw ratio.
     "qdv_mg1_queueing" -> Q(
       fn = (s, dir) => {
