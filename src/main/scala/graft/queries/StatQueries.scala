@@ -3711,6 +3711,213 @@ object StatQueries {
                ROUND(lam * (lam * es2 /
                  (CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) - lam * es)) + es),
                  6) + CAST(0 AS DOUBLE) AS l_system
+        FROM agg""")),
+
+    // Baumgartner-Weiss-Schindler two-sample test between purchase and
+    // click values: the variance-weighted rank statistic B =
+    // (B_X + B_Y)/2 — more powerful than KS (q6u) and Wilcoxon (q7o)
+    // against both location AND scale shifts, the modern default
+    // nonparametric two-sample test. Within-sample indexes come from
+    // global-rank offsets (the qdl trick, no per-group window); every
+    // term is a rational in exact integers, 9-snapped and DECIMAL-
+    // summed; the (value, sample, id) tiebreak fixes cross-sample ties
+    // deterministically.
+    "qdw_bws_test" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click") &&
+            col("value").isNotNull)
+          .select(col("value").cast("decimal(18,2)").as("v"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("g"), col("event_id"))
+        val pooled = graft.operators.ScaleOps.globalRowNumber(e,
+          Seq(col("v"), col("g"), col("event_id")), "pr")
+        val bySample = graft.operators.ScaleOps.globalRowNumber(pooled,
+          Seq(col("g"), col("v"), col("event_id")), "sr")
+          .localCheckpoint(eager = false)
+        val offs = bySample.groupBy(col("g"))
+          .agg(min(col("sr")).as("s0"), count(lit(1)).as("cnt"))
+        val tot = offs.agg(sum(col("cnt")).as("nn"),
+          max(when(col("g") === 1, col("cnt"))).as("n1"),
+          max(when(col("g") === 0, col("cnt"))).as("n0"))
+        val terms = bySample.join(offs, Seq("g"))
+          .crossJoin(broadcast(tot))
+          .select(col("g"),
+            round(
+              (col("pr").cast("double") -
+                col("nn").cast("double") /
+                  when(col("g") === 1, col("n1")).otherwise(col("n0"))
+                    .cast("double") *
+                  (col("sr") - col("s0") + 1).cast("double")) *
+              (col("pr").cast("double") -
+                col("nn").cast("double") /
+                  when(col("g") === 1, col("n1")).otherwise(col("n0"))
+                    .cast("double") *
+                  (col("sr") - col("s0") + 1).cast("double")) /
+              (((col("sr") - col("s0") + 1).cast("double") /
+                (when(col("g") === 1, col("n1")).otherwise(col("n0")) + 1)
+                  .cast("double")) *
+                (lit(1.0) - (col("sr") - col("s0") + 1).cast("double") /
+                  (when(col("g") === 1, col("n1")).otherwise(col("n0")) + 1)
+                    .cast("double")) *
+                (when(col("g") === 1, col("n0")).otherwise(col("n1"))
+                  .cast("double") * col("nn").cast("double") /
+                  when(col("g") === 1, col("n1")).otherwise(col("n0"))
+                    .cast("double"))), 9).as("term"),
+            when(col("g") === 1, col("n1")).otherwise(col("n0")).as("ns"))
+        val bs = terms.groupBy(col("g"))
+          .agg(first(col("ns")).as("ns"),
+            sum(col("term").cast("decimal(28,9)")).as("ts"))
+          .select(col("g"),
+            round(col("ts").cast("double") / col("ns").cast("double"), 9)
+              .as("b"))
+        bs.groupBy()
+          .agg(max(when(col("g") === 1, col("b"))).as("b_x"),
+            max(when(col("g") === 0, col("b"))).as("b_y"))
+          .select(round(col("b_x"), 6).as("b_x"),
+            round(col("b_y"), 6).as("b_y"),
+            round((col("b_x") + col("b_y")) / lit(2.0), 6).as("bws_b"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(value AS DECIMAL(18,2)) AS v,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+                 event_id
+          FROM events
+          WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        pooled AS MATERIALIZED (
+          SELECT g,
+                 CAST(ROW_NUMBER() OVER (ORDER BY v, g, event_id)
+                   AS BIGINT) AS pr,
+                 CAST(ROW_NUMBER() OVER (ORDER BY g, v, event_id)
+                   AS BIGINT) AS sr
+          FROM e),
+        offs AS (
+          SELECT g, MIN(sr) AS s0, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pooled GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS nn,
+                 MAX(CASE WHEN g = 1 THEN cnt END) AS n1,
+                 MAX(CASE WHEN g = 0 THEN cnt END) AS n0
+          FROM offs),
+        terms AS (
+          SELECT p.g,
+                 ROUND((CAST(pr AS DOUBLE) -
+                     CAST(nn AS DOUBLE) /
+                       CAST(CASE WHEN p.g = 1 THEN n1 ELSE n0 END
+                         AS DOUBLE) *
+                       CAST(sr - s0 + 1 AS DOUBLE)) *
+                   (CAST(pr AS DOUBLE) -
+                     CAST(nn AS DOUBLE) /
+                       CAST(CASE WHEN p.g = 1 THEN n1 ELSE n0 END
+                         AS DOUBLE) *
+                       CAST(sr - s0 + 1 AS DOUBLE)) /
+                   ((CAST(sr - s0 + 1 AS DOUBLE) /
+                       CAST((CASE WHEN p.g = 1 THEN n1 ELSE n0 END) + 1
+                         AS DOUBLE)) *
+                    (CAST(1 AS DOUBLE) - CAST(sr - s0 + 1 AS DOUBLE) /
+                       CAST((CASE WHEN p.g = 1 THEN n1 ELSE n0 END) + 1
+                         AS DOUBLE)) *
+                    (CAST(CASE WHEN p.g = 1 THEN n0 ELSE n1 END
+                       AS DOUBLE) * CAST(nn AS DOUBLE) /
+                     CAST(CASE WHEN p.g = 1 THEN n1 ELSE n0 END
+                       AS DOUBLE))), 9) AS term,
+                 CASE WHEN p.g = 1 THEN n1 ELSE n0 END AS ns
+          FROM pooled p JOIN offs o ON p.g = o.g CROSS JOIN tot),
+        bs AS (
+          SELECT g,
+                 ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE) /
+                   CAST(MAX(ns) AS DOUBLE), 9) AS b
+          FROM terms GROUP BY 1)
+        SELECT ROUND(MAX(CASE WHEN g = 1 THEN b END), 6)
+                 + CAST(0 AS DOUBLE) AS b_x,
+               ROUND(MAX(CASE WHEN g = 0 THEN b END), 6)
+                 + CAST(0 AS DOUBLE) AS b_y,
+               ROUND((MAX(CASE WHEN g = 1 THEN b END) +
+                 MAX(CASE WHEN g = 0 THEN b END)) / CAST(2 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS bws_b
+        FROM bs""")),
+
+    // Hoeffding's D test of independence between a user's activity
+    // volume and spend (thinned user panel, the qa8 audit discipline):
+    // the rank-based statistic that is consistent against EVERY form of
+    // dependence — qa4's Spearman/Kendall see monotone association
+    // only; a U-shaped spend-volume relationship is invisible to them
+    // and loud to D. Ranks carry a uid tiebreak so Q_i dominance counts
+    // are exact integers; D's five-factorial normalization is a single
+    // exact-integer ratio.
+    "qdx_hoeffdings_d" -> Q(
+      fn = (s, dir) => {
+        val users = t(s, dir, "events")
+          .filter(col("user_id") % 11 === 0)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("x"),
+            sum(coalesce(col("value"), lit(0.0)).cast("decimal(18,2)"))
+              .as("y"))
+        val rx = graft.operators.ScaleOps.globalRowNumber(users,
+          Seq(col("x"), col("user_id")), "r")
+        val rxy = graft.operators.ScaleOps.globalRowNumber(rx,
+          Seq(col("y"), col("user_id")), "s2")
+          .select(col("user_id"), col("r"), col("s2"))
+          .localCheckpoint(eager = false)
+        val q = rxy.select(col("user_id"), col("r"), col("s2"))
+          .join(rxy.select(col("r").as("rj"), col("s2").as("sj")),
+            col("rj") < col("r") && col("sj") < col("s2"), "left")
+          .groupBy(col("user_id"), col("r"), col("s2"))
+          .agg(sum(when(col("rj").isNotNull, 1L).otherwise(0L)).as("qi"))
+        val agg = q.agg(count(lit(1)).as("n"),
+          sum(col("qi") * (col("qi") - 1)).as("d1"),
+          sum((col("r") - 1) * (col("r") - 2) * (col("s2") - 1) *
+            (col("s2") - 2)).as("d2"),
+          sum((col("r") - 2) * (col("s2") - 2) * col("qi")).as("d3"))
+        agg.select(col("n"), col("d1"), col("d2"), col("d3"),
+          round(lit(30.0) *
+            ((col("n") - 2).cast("double") * (col("n") - 3).cast("double") *
+              col("d1").cast("double") + col("d2").cast("double") -
+              lit(2.0) * (col("n") - 2).cast("double") *
+                col("d3").cast("double")) /
+            (col("n").cast("double") * (col("n") - 1).cast("double") *
+              (col("n") - 2).cast("double") * (col("n") - 3).cast("double") *
+              (col("n") - 4).cast("double")), 9).as("hoeffding_d"))
+      },
+      oracle = Some("""
+        WITH users AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+                 SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,2))) AS y
+          FROM events WHERE user_id % 11 = 0 GROUP BY 1),
+        rx AS (
+          SELECT user_id, y,
+                 CAST(ROW_NUMBER() OVER (ORDER BY x, user_id) AS BIGINT)
+                   AS r
+          FROM users),
+        rxy AS MATERIALIZED (
+          SELECT user_id, r,
+                 CAST(ROW_NUMBER() OVER (ORDER BY y, user_id) AS BIGINT)
+                   AS s2
+          FROM rx),
+        q AS (
+          SELECT a.user_id, a.r, a.s2,
+                 CAST(SUM(CASE WHEN b.r IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS qi
+          FROM rxy a LEFT JOIN rxy b ON b.r < a.r AND b.s2 < a.s2
+          GROUP BY 1, 2, 3),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(qi * (qi - 1)) AS BIGINT) AS d1,
+                 CAST(SUM((r - 1) * (r - 2) * (s2 - 1) * (s2 - 2))
+                   AS BIGINT) AS d2,
+                 CAST(SUM((r - 2) * (s2 - 2) * qi) AS BIGINT) AS d3
+          FROM q)
+        SELECT n, d1, d2, d3,
+               ROUND(CAST(30 AS DOUBLE) *
+                 (CAST(n - 2 AS DOUBLE) * CAST(n - 3 AS DOUBLE) *
+                   CAST(d1 AS DOUBLE) + CAST(d2 AS DOUBLE) -
+                   CAST(2 AS DOUBLE) * CAST(n - 2 AS DOUBLE) *
+                     CAST(d3 AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) *
+                   CAST(n - 2 AS DOUBLE) * CAST(n - 3 AS DOUBLE) *
+                   CAST(n - 4 AS DOUBLE)), 9) + CAST(0 AS DOUBLE)
+                 AS hoeffding_d
         FROM agg"""))
   )
 }
