@@ -3918,6 +3918,246 @@ object StatQueries {
                    CAST(n - 2 AS DOUBLE) * CAST(n - 3 AS DOUBLE) *
                    CAST(n - 4 AS DOUBLE)), 9) + CAST(0 AS DOUBLE)
                  AS hoeffding_d
-        FROM agg"""))
+        FROM agg""")),
+
+    // Lin's concordance correlation coefficient between the order-dated
+    // and ship-dated daily volume instruments: CCC = 2·sxy /
+    // (sx² + sy² + (x̄-ȳ)²) — agreement with the 45° IDENTITY line,
+    // decomposed into precision (Pearson r) and accuracy (the bias
+    // factor C_b). qd9's Bland-Altman bounds the differences and Deming
+    // fits the best line; CCC is the single calibrated-agreement score
+    // a method-transfer report leads with. Same exact-DECIMAL daily
+    // series; the mean-gap square multiplies 9-grid values at round 9
+    // (safe per rule 15's closing note).
+    "qdy_lins_ccc" -> Q(
+      fn = (s, dir) => {
+        val a = dailyRevenueM(s, dir)
+        val b = t(s, dir, "lineitem")
+          .groupBy(expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg((sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") -
+              col("l_discount").cast("decimal(4,2)")) *
+            (lit(1).cast("decimal(4,2)") +
+              col("l_tax").cast("decimal(4,2)"))) / lit(1000000))
+            .cast("decimal(24,12)").as("yb"))
+        val j = a.join(b, Seq("day"))
+          .select(col("ym").as("ya"), col("yb"))
+          .localCheckpoint(eager = false)
+        val st = j.agg(count(lit(1)).as("n"), sum(col("ya")).as("sya"),
+          sum(col("yb")).as("syb"))
+          .select(col("n"),
+            round(col("sya").cast("double") / col("n").cast("double"), 9)
+              .as("mx"),
+            round(col("syb").cast("double") / col("n").cast("double"), 9)
+              .as("my"))
+        val mom = j.crossJoin(broadcast(st))
+          .select(col("n"), col("mx"), col("my"),
+            (col("ya").cast("double") - col("mx")).as("cx"),
+            (col("yb").cast("double") - col("my")).as("cy"))
+          .agg(first(col("n")).as("n"), first(col("mx")).as("mx"),
+            first(col("my")).as("my"),
+            sum(round(col("cx") * col("cx"), 6).cast("decimal(28,6)"))
+              .as("sxx"),
+            sum(round(col("cy") * col("cy"), 6).cast("decimal(28,6)"))
+              .as("syy"),
+            sum(round(col("cx") * col("cy"), 6).cast("decimal(28,6)"))
+              .as("sxy"))
+        mom.select(col("n"),
+          round(col("sxy").cast("double") /
+            (sqrt(col("sxx").cast("double")) *
+              sqrt(col("syy").cast("double"))), 6).as("pearson_r"),
+          round(lit(2.0) * col("sxy").cast("double") /
+            (col("sxx").cast("double") + col("syy").cast("double") +
+              col("n").cast("double") *
+                round((col("mx") - col("my")) * (col("mx") - col("my")),
+                  9)), 6).as("ccc"),
+          round((lit(2.0) * col("sxy").cast("double") /
+            (col("sxx").cast("double") + col("syy").cast("double") +
+              col("n").cast("double") *
+                round((col("mx") - col("my")) * (col("mx") - col("my")),
+                  9))) /
+            (col("sxy").cast("double") /
+              (sqrt(col("sxx").cast("double")) *
+                sqrt(col("syy").cast("double")))), 6).as("c_b"))
+      },
+      oracle = Some(s"""
+        WITH a AS ($dailyRevenueMSql),
+        b AS (
+          SELECT CAST(epoch_ms(l_shipdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                   (CAST(1 AS DECIMAL(4,2)) -
+                     CAST(l_discount AS DECIMAL(4,2))) *
+                   (CAST(1 AS DECIMAL(4,2)) +
+                     CAST(l_tax AS DECIMAL(4,2)))) / 1000000
+                   AS DECIMAL(24,12)) AS yb
+          FROM lineitem GROUP BY 1),
+        j AS MATERIALIZED (
+          SELECT a.ym AS ya, b.yb FROM a JOIN b USING (day)),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(ya) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mx,
+                 ROUND(CAST(SUM(yb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS my
+          FROM j),
+        mom AS (
+          SELECT MAX(st.n) AS n, MAX(st.mx) AS mx, MAX(st.my) AS my,
+                 CAST(SUM(CAST(ROUND((CAST(ya AS DOUBLE) - st.mx) *
+                   (CAST(ya AS DOUBLE) - st.mx), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(ROUND((CAST(yb AS DOUBLE) - st.my) *
+                   (CAST(yb AS DOUBLE) - st.my), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(ROUND((CAST(ya AS DOUBLE) - st.mx) *
+                   (CAST(yb AS DOUBLE) - st.my), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sxy
+          FROM j CROSS JOIN st)
+        SELECT n,
+               ROUND(sxy / (sqrt(sxx) * sqrt(syy)), 6)
+                 + CAST(0 AS DOUBLE) AS pearson_r,
+               ROUND(CAST(2 AS DOUBLE) * sxy /
+                 (sxx + syy + CAST(n AS DOUBLE) *
+                   ROUND((mx - my) * (mx - my), 9)), 6)
+                 + CAST(0 AS DOUBLE) AS ccc,
+               ROUND((CAST(2 AS DOUBLE) * sxy /
+                 (sxx + syy + CAST(n AS DOUBLE) *
+                   ROUND((mx - my) * (mx - my), 9))) /
+                 (sxy / (sqrt(sxx) * sqrt(syy))), 6)
+                 + CAST(0 AS DOUBLE) AS c_b
+        FROM mom""")),
+
+    // Information-criterion model-selection card for the daily revenue
+    // series: mean-only, linear-trend (qcw's fit) and week-phase-means
+    // models compared by SSE, adjusted R², AIC = n·ln(SSE/n) + 2k and
+    // BIC — the "which structure does the data earn?" table that the
+    // individual fits (q6q trend, q7p seasonality) each assume an
+    // answer to. Every SSE lands on the established 9-grid recipes
+    // (trend via Syy - Sxy²/Sxx, phase model via per-group moments);
+    // ln is the only float link.
+    "qdz_model_selection" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val st = ranked.agg(count(lit(1)).as("n"), sum(col("ym")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"),
+            ((col("n") + 1).cast("double") / lit(2.0)).as("xbar"))
+        val cen = ranked.crossJoin(broadcast(st))
+          .select(col("rn"), col("day"), col("n"),
+            (col("ym").cast("double") - col("mu")).as("c"),
+            (col("rn").cast("double") - col("xbar")).as("dx"))
+          .localCheckpoint(eager = false)
+        val sse0d = cen.agg(
+          sum(round(col("c") * col("c"), 6).cast("decimal(28,6)"))
+            .as("syyd"),
+          sum(round(col("dx") * col("dx"), 6).cast("decimal(28,6)"))
+            .as("sxxd"),
+          sum(round(col("dx") * col("c"), 6).cast("decimal(28,6)"))
+            .as("sxyd"))
+          .select(col("syyd").cast("double").as("sse0"),
+            round(col("syyd").cast("double") -
+              round(col("sxyd").cast("double") * col("sxyd").cast("double") /
+                col("sxxd").cast("double"), 9), 9).as("sse1"))
+        val phases = cen.select(pmod(col("day"), lit(7L)).as("ph"), col("c"))
+          .groupBy(col("ph"))
+          .agg(count(lit(1)).as("np"),
+            sum(col("c").cast("decimal(20,9)")).as("scd"),
+            sum(round(col("c") * col("c"), 6).cast("decimal(28,6)"))
+              .as("sccd"))
+          .select(
+            round(col("sccd").cast("double") -
+              round(col("scd").cast("double") * col("scd").cast("double") /
+                col("np").cast("double"), 9), 9).as("ssw_p"))
+          .agg(sum(col("ssw_p").cast("decimal(28,9)")).as("sse2d"))
+          .select(col("sse2d").cast("double").as("sse2"))
+        val models = st.select(col("n")).crossJoin(broadcast(sse0d))
+          .crossJoin(broadcast(phases))
+          .select(col("n"),
+            explode(array(
+              struct(lit("m0_mean").as("model"), lit(1L).as("k"),
+                col("sse0").as("sse")),
+              struct(lit("m1_trend").as("model"), lit(2L).as("k"),
+                col("sse1").as("sse")),
+              struct(lit("m2_phase").as("model"), lit(7L).as("k"),
+                col("sse2").as("sse")))).as("m"),
+            col("sse0"))
+          .select(col("n"), col("m.model").as("model"), col("m.k").as("k"),
+            col("m.sse").as("sse"), col("sse0"))
+        models.select(col("model"), col("n"), col("k"),
+          round(col("sse"), 6).as("sse"),
+          round(lit(1.0) -
+            (col("sse") / (col("n") - col("k")).cast("double")) /
+            (col("sse0") / (col("n") - 1).cast("double")), 6).as("r2_adj"),
+          round(col("n").cast("double") *
+            log(col("sse") / col("n").cast("double")) +
+            lit(2.0) * col("k").cast("double"), 6).as("aic"),
+          round(col("n").cast("double") *
+            log(col("sse") / col("n").cast("double")) +
+            col("k").cast("double") * log(col("n").cast("double")), 6)
+            .as("bic"))
+          .orderBy(col("model"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT day, ym, ROW_NUMBER() OVER (ORDER BY day) AS rn
+              FROM daily),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mu,
+                 CAST(COUNT(*) + 1 AS DOUBLE) / CAST(2 AS DOUBLE) AS xbar
+          FROM r),
+        cen AS MATERIALIZED (
+          SELECT rn, day, st.n, CAST(ym AS DOUBLE) - st.mu AS c,
+                 CAST(rn AS DOUBLE) - st.xbar AS dx
+          FROM r CROSS JOIN st),
+        sse01 AS (
+          SELECT CAST(SUM(CAST(ROUND(c * c, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sse0,
+                 ROUND(CAST(SUM(CAST(ROUND(c * c, 6) AS DECIMAL(28,6)))
+                     AS DOUBLE) -
+                   ROUND(CAST(SUM(CAST(ROUND(dx * c, 6) AS DECIMAL(28,6)))
+                       AS DOUBLE) *
+                     CAST(SUM(CAST(ROUND(dx * c, 6) AS DECIMAL(28,6)))
+                       AS DOUBLE) /
+                     CAST(SUM(CAST(ROUND(dx * dx, 6) AS DECIMAL(28,6)))
+                       AS DOUBLE), 9), 9) AS sse1
+          FROM cen),
+        phases AS (
+          SELECT CAST(SUM(CAST(ssw_p AS DECIMAL(28,9))) AS DOUBLE) AS sse2
+          FROM (
+            SELECT ROUND(CAST(SUM(CAST(ROUND(c * c, 6) AS DECIMAL(28,6)))
+                     AS DOUBLE) -
+                   ROUND(CAST(SUM(CAST(c AS DECIMAL(20,9))) AS DOUBLE) *
+                     CAST(SUM(CAST(c AS DECIMAL(20,9))) AS DOUBLE) /
+                     CAST(COUNT(*) AS DOUBLE), 9), 9) AS ssw_p
+            FROM cen GROUP BY day % 7)),
+        models AS (
+          SELECT st.n, m.model, m.k,
+                 CASE m.model WHEN 'm0_mean' THEN sse0
+                              WHEN 'm1_trend' THEN sse1
+                              ELSE sse2 END AS sse,
+                 sse0
+          FROM st CROSS JOIN sse01 CROSS JOIN phases
+          CROSS JOIN (VALUES ('m0_mean', CAST(1 AS BIGINT)),
+                             ('m1_trend', CAST(2 AS BIGINT)),
+                             ('m2_phase', CAST(7 AS BIGINT)))
+            AS m(model, k))
+        SELECT model, n, k,
+               ROUND(sse, 6) + CAST(0 AS DOUBLE) AS sse,
+               ROUND(CAST(1 AS DOUBLE) -
+                 (sse / CAST(n - k AS DOUBLE)) /
+                 (sse0 / CAST(n - 1 AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS r2_adj,
+               ROUND(CAST(n AS DOUBLE) * ln(sse / CAST(n AS DOUBLE)) +
+                 CAST(2 AS DOUBLE) * CAST(k AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS aic,
+               ROUND(CAST(n AS DOUBLE) * ln(sse / CAST(n AS DOUBLE)) +
+                 CAST(k AS DOUBLE) * ln(CAST(n AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS bic
+        FROM models ORDER BY model"""))
   )
 }
