@@ -4158,6 +4158,256 @@ object StatQueries {
                ROUND(CAST(n AS DOUBLE) * ln(sse / CAST(n AS DOUBLE)) +
                  CAST(k AS DOUBLE) * ln(CAST(n AS DOUBLE)), 6)
                  + CAST(0 AS DOUBLE) AS bic
-        FROM models ORDER BY model"""))
+        FROM models ORDER BY model""")),
+
+    // Cucconi joint location-scale test between purchase and click
+    // values: U from the squared pooled ranks, V from the squared
+    // contra-ranks, combined through their exact correlation ρ =
+    // 2(N²-4)/((2N+1)(8N+11)) - 1 — the single-statistic alternative to
+    // running q7o (location) and qdm (scale) separately, older than and
+    // competitive with Lepage. ΣR² and ΣR'² are exact BIGINTs off the
+    // tiebroken pooled ranking; everything else is one rational + sqrt.
+    "qe0_cucconi_test" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click") &&
+            col("value").isNotNull)
+          .select(col("value").cast("decimal(18,2)").as("v"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("g"), col("event_id"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(e,
+          Seq(col("v"), col("g"), col("event_id")), "r")
+        val both = ranked.crossJoin(broadcast(
+          ranked.agg(count(lit(1)).as("nn"))))
+          .select(col("g"), col("r"), col("nn"))
+          .agg(first(col("nn")).as("nn"),
+            sum(col("g")).as("n1"),
+            sum(when(col("g") === 1, col("r") * col("r")).otherwise(0L))
+              .as("sr2"),
+            sum(when(col("g") === 1,
+              (col("nn") + 1 - col("r")) * (col("nn") + 1 - col("r")))
+              .otherwise(0L)).as("sc2"))
+        both.select(col("nn"), col("n1"), (col("nn") - col("n1")).as("n2"),
+          col("sr2"), col("sc2"))
+          .select(col("n1"), col("n2"), col("nn"),
+            round((lit(6.0) * col("sr2").cast("double") -
+              col("n1").cast("double") * (col("nn") + 1).cast("double") *
+                (lit(2L) * col("nn") + 1).cast("double")) /
+              sqrt(col("n1").cast("double") * col("n2").cast("double") *
+                (col("nn") + 1).cast("double") *
+                (lit(2L) * col("nn") + 1).cast("double") *
+                (lit(8L) * col("nn") + 11).cast("double") / lit(5.0)), 9)
+              .as("u"),
+            round((lit(6.0) * col("sc2").cast("double") -
+              col("n1").cast("double") * (col("nn") + 1).cast("double") *
+                (lit(2L) * col("nn") + 1).cast("double")) /
+              sqrt(col("n1").cast("double") * col("n2").cast("double") *
+                (col("nn") + 1).cast("double") *
+                (lit(2L) * col("nn") + 1).cast("double") *
+                (lit(8L) * col("nn") + 11).cast("double") / lit(5.0)), 9)
+              .as("vv"),
+            round(lit(2.0) *
+              (col("nn").cast("double") * col("nn").cast("double") -
+                lit(4.0)) /
+              ((lit(2L) * col("nn") + 1).cast("double") *
+                (lit(8L) * col("nn") + 11).cast("double")) - lit(1.0), 9)
+              .as("rho"))
+          .select(col("n1"), col("n2"),
+            round(col("u"), 6).as("u_stat"),
+            round(col("vv"), 6).as("v_stat"),
+            round((col("u") * col("u") + col("vv") * col("vv") -
+              lit(2.0) * col("rho") * col("u") * col("vv")) /
+              (lit(2.0) * (lit(1.0) - col("rho") * col("rho"))), 6)
+              .as("cucconi_c"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(value AS DECIMAL(18,2)) AS v,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+                 event_id
+          FROM events
+          WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        ranked AS MATERIALIZED (
+          SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY v, g, event_id)
+            AS BIGINT) AS r
+          FROM e),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM ranked),
+        bt AS (
+          SELECT MAX(n0.nn) AS nn,
+                 CAST(SUM(g) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN g = 1 THEN r * r ELSE 0 END)
+                   AS BIGINT) AS sr2,
+                 CAST(SUM(CASE WHEN g = 1 THEN
+                   (n0.nn + 1 - r) * (n0.nn + 1 - r) ELSE 0 END)
+                   AS BIGINT) AS sc2
+          FROM ranked CROSS JOIN n0),
+        pre AS (
+          SELECT n1, nn - n1 AS n2, nn, sr2, sc2,
+                 ROUND((CAST(6 AS DOUBLE) * CAST(sr2 AS DOUBLE) -
+                   CAST(n1 AS DOUBLE) * CAST(nn + 1 AS DOUBLE) *
+                     CAST(2 * nn + 1 AS DOUBLE)) /
+                   sqrt(CAST(n1 AS DOUBLE) * CAST(nn - n1 AS DOUBLE) *
+                     CAST(nn + 1 AS DOUBLE) * CAST(2 * nn + 1 AS DOUBLE) *
+                     CAST(8 * nn + 11 AS DOUBLE) / CAST(5 AS DOUBLE)), 9)
+                   AS u,
+                 ROUND((CAST(6 AS DOUBLE) * CAST(sc2 AS DOUBLE) -
+                   CAST(n1 AS DOUBLE) * CAST(nn + 1 AS DOUBLE) *
+                     CAST(2 * nn + 1 AS DOUBLE)) /
+                   sqrt(CAST(n1 AS DOUBLE) * CAST(nn - n1 AS DOUBLE) *
+                     CAST(nn + 1 AS DOUBLE) * CAST(2 * nn + 1 AS DOUBLE) *
+                     CAST(8 * nn + 11 AS DOUBLE) / CAST(5 AS DOUBLE)), 9)
+                   AS vv,
+                 ROUND(CAST(2 AS DOUBLE) *
+                   (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) -
+                     CAST(4 AS DOUBLE)) /
+                   (CAST(2 * nn + 1 AS DOUBLE) *
+                     CAST(8 * nn + 11 AS DOUBLE)) - CAST(1 AS DOUBLE), 9)
+                   AS rho
+          FROM bt)
+        SELECT n1, n2,
+               ROUND(u, 6) + CAST(0 AS DOUBLE) AS u_stat,
+               ROUND(vv, 6) + CAST(0 AS DOUBLE) AS v_stat,
+               ROUND((u * u + vv * vv -
+                 CAST(2 AS DOUBLE) * rho * u * vv) /
+                 (CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) - rho * rho)), 6)
+                 + CAST(0 AS DOUBLE) AS cucconi_c
+        FROM pre""")),
+
+    // Categorical effect-size card for the event-type × week-phase
+    // table: Cramér's V, the contingency coefficient C, Tschuprow's T,
+    // Goodman-Kruskal λ (proportional-reduction-in-error predicting the
+    // phase from the type — a pure integer argmax statistic) and
+    // Theil's uncertainty coefficient U(Y|X) — the "HOW BIG is the
+    // association" companions to q6s/qdb, which only say whether it
+    // exists. χ² terms and entropies ride 9-snapped DECIMAL sums; λ is
+    // exact integer arithmetic end to end.
+    "qe1_categorical_effects" -> Q(
+      fn = (s, dir) => {
+        val cells = t(s, dir, "events")
+          .select(col("event_type").as("x"),
+            pmod((unix_millis(col("ts")) / lit(86400000L)).cast("long"),
+              lit(7L)).as("y"))
+          .groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("nij"))
+          .localCheckpoint(eager = false)
+        val rows = cells.groupBy(col("x")).agg(sum(col("nij")).as("ri"),
+          max(col("nij")).as("rowmax"))
+        val colsM = cells.groupBy(col("y")).agg(sum(col("nij")).as("cj"))
+        val tot = cells.agg(sum(col("nij")).as("nn"),
+          countDistinct(col("x")).as("r"),
+          countDistinct(col("y")).as("c"))
+        val chi = cells.join(rows.select(col("x"), col("ri")), Seq("x"))
+          .join(colsM, Seq("y")).crossJoin(broadcast(tot))
+          .select(col("nij"), col("nn"), col("r"), col("c"),
+            (col("ri").cast("double") * col("cj").cast("double") /
+              col("nn").cast("double")).as("eij"))
+          .agg(first(col("nn")).as("nn"), first(col("r")).as("r"),
+            first(col("c")).as("c"),
+            sum(round((col("nij").cast("double") - col("eij")) *
+              (col("nij").cast("double") - col("eij")) / col("eij"), 9)
+              .cast("decimal(18,9)")).as("x2d"))
+          .select(col("nn"), col("r"), col("c"),
+            col("x2d").cast("double").as("x2"))
+        val lam = rows.agg(sum(col("rowmax")).as("smax"))
+          .crossJoin(broadcast(colsM.agg(max(col("cj")).as("cmax"))))
+        val hx = rows.crossJoin(broadcast(tot.select(col("nn"))))
+          .agg(sum(round(
+            (col("ri").cast("double") / col("nn").cast("double")) *
+              log(col("ri").cast("double") / col("nn").cast("double")), 9)
+            .cast("decimal(18,9)")).as("hxd"))
+        val hy = colsM.crossJoin(broadcast(tot.select(col("nn").as("nn2"))))
+          .agg(sum(round(
+            (col("cj").cast("double") / col("nn2").cast("double")) *
+              log(col("cj").cast("double") / col("nn2").cast("double")), 9)
+            .cast("decimal(18,9)")).as("hyd"))
+        val hxy = cells.crossJoin(broadcast(tot.select(col("nn").as("nn3"))))
+          .agg(sum(round(
+            (col("nij").cast("double") / col("nn3").cast("double")) *
+              log(col("nij").cast("double") / col("nn3").cast("double")), 9)
+            .cast("decimal(18,9)")).as("hxyd"))
+        chi.crossJoin(broadcast(lam)).crossJoin(broadcast(hx))
+          .crossJoin(broadcast(hy)).crossJoin(broadcast(hxy))
+          .select(col("nn").as("n"),
+            round(sqrt(col("x2") / (col("nn").cast("double") *
+              least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+              .as("cramers_v"),
+            round(sqrt(col("x2") / (col("x2") + col("nn").cast("double"))),
+              6).as("contingency_c"),
+            round(sqrt(col("x2") / (col("nn").cast("double") *
+              sqrt(((col("r") - 1) * (col("c") - 1)).cast("double")))), 6)
+              .as("tschuprow_t"),
+            round((col("smax") - col("cmax")).cast("double") /
+              (col("nn") - col("cmax")).cast("double"), 6)
+              .as("gk_lambda"),
+            round((col("hyd").cast("double") - (col("hxyd").cast("double") -
+              col("hxd").cast("double"))) / col("hyd").cast("double"), 6)
+              .as("theil_u"))
+      },
+      oracle = Some("""
+        WITH cells AS MATERIALIZED (
+          SELECT event_type AS x,
+                 (CAST(epoch_ms(ts) // 86400000 AS BIGINT) % 7) AS y,
+                 CAST(COUNT(*) AS BIGINT) AS nij
+          FROM events GROUP BY 1, 2),
+        rows_m AS (
+          SELECT x, CAST(SUM(nij) AS BIGINT) AS ri,
+                 CAST(MAX(nij) AS BIGINT) AS rowmax
+          FROM cells GROUP BY 1),
+        cols_m AS (
+          SELECT y, CAST(SUM(nij) AS BIGINT) AS cj FROM cells GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(nij) AS BIGINT) AS nn,
+                 CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
+                 CAST(COUNT(DISTINCT y) AS BIGINT) AS c
+          FROM cells),
+        chi AS (
+          SELECT MAX(tot.nn) AS nn, MAX(tot.r) AS r, MAX(tot.c) AS c,
+                 CAST(SUM(CAST(ROUND(
+                   (CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) *
+                     CAST(cj AS DOUBLE) / CAST(tot.nn AS DOUBLE)) *
+                   (CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) *
+                     CAST(cj AS DOUBLE) / CAST(tot.nn AS DOUBLE)) /
+                   (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) /
+                     CAST(tot.nn AS DOUBLE)), 9) AS DECIMAL(18,9)))
+                   AS DOUBLE) AS x2
+          FROM cells JOIN rows_m USING (x) JOIN cols_m USING (y)
+          CROSS JOIN tot),
+        lam AS (
+          SELECT (SELECT CAST(SUM(rowmax) AS BIGINT) FROM rows_m) AS smax,
+                 (SELECT CAST(MAX(cj) AS BIGINT) FROM cols_m) AS cmax),
+        hx AS (
+          SELECT CAST(SUM(CAST(ROUND(
+                   (CAST(ri AS DOUBLE) / CAST(tot.nn AS DOUBLE)) *
+                   ln(CAST(ri AS DOUBLE) / CAST(tot.nn AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))) AS DOUBLE) AS hxd
+          FROM rows_m CROSS JOIN tot),
+        hy AS (
+          SELECT CAST(SUM(CAST(ROUND(
+                   (CAST(cj AS DOUBLE) / CAST(tot.nn AS DOUBLE)) *
+                   ln(CAST(cj AS DOUBLE) / CAST(tot.nn AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))) AS DOUBLE) AS hyd
+          FROM cols_m CROSS JOIN tot),
+        hxy AS (
+          SELECT CAST(SUM(CAST(ROUND(
+                   (CAST(nij AS DOUBLE) / CAST(tot.nn AS DOUBLE)) *
+                   ln(CAST(nij AS DOUBLE) / CAST(tot.nn AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))) AS DOUBLE) AS hxyd
+          FROM cells CROSS JOIN tot)
+        SELECT nn AS n,
+               ROUND(sqrt(x2 / (CAST(nn AS DOUBLE) *
+                 CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
+                 + CAST(0 AS DOUBLE) AS cramers_v,
+               ROUND(sqrt(x2 / (x2 + CAST(nn AS DOUBLE))), 6)
+                 + CAST(0 AS DOUBLE) AS contingency_c,
+               ROUND(sqrt(x2 / (CAST(nn AS DOUBLE) *
+                 sqrt(CAST((r - 1) * (c - 1) AS DOUBLE)))), 6)
+                 + CAST(0 AS DOUBLE) AS tschuprow_t,
+               ROUND(CAST(smax - cmax AS DOUBLE) /
+                 CAST(nn - cmax AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS gk_lambda,
+               ROUND((hyd - (hxyd - hxd)) / hyd, 6) + CAST(0 AS DOUBLE)
+                 AS theil_u
+        FROM chi CROSS JOIN lam CROSS JOIN hx CROSS JOIN hy
+        CROSS JOIN hxy"""))
   )
 }
