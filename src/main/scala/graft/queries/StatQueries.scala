@@ -4408,6 +4408,159 @@ object StatQueries {
                ROUND((hyd - (hxyd - hxd)) / hyd, 6) + CAST(0 AS DOUBLE)
                  AS theil_u
         FROM chi CROSS JOIN lam CROSS JOIN hx CROSS JOIN hy
-        CROSS JOIN hxy"""))
+        CROSS JOIN hxy""")),
+
+    // Jonckheere-Terpstra test for an ORDERED alternative: does order
+    // value trend monotonically across the priority levels 1-URGENT →
+    // 5-LOW? qbn's ANOVA and qbo's Kruskal-Wallis test "any difference";
+    // JT spends its power on the ordering and qbp's Cochran-Armitage
+    // only handles binary outcomes. Doubled statistic 2·JT = Σ_{g<h}
+    // (2·strict + ties) stays in exact integers over the per-(group,
+    // value) count table of a deterministically thinned order panel
+    // (the pair join is quadratic in distinct values — the qa8
+    // discipline); the tie-free normal approximation is noted.
+    "qe2_jonckheere_terpstra" -> Q(
+      fn = (s, dir) => {
+        val cnts = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 7 === 0)
+          .groupBy(col("o_orderpriority").as("g"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(eager = false)
+        val jt = cnts.select(col("g").as("ga"), col("v").as("va"),
+          col("c").as("ca"))
+          .join(cnts.select(col("g").as("gb"), col("v").as("vb"),
+            col("c").as("cb")),
+            col("ga") < col("gb") && col("va") <= col("vb"))
+          .agg(sum(when(col("va") < col("vb"),
+            lit(2L) * col("ca") * col("cb"))
+            .otherwise(col("ca") * col("cb"))).as("jt2"))
+        val sizes = cnts.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+          .agg(sum(col("ng")).as("nn"), sum(col("ng") * col("ng")).as("sn2"),
+            sum(col("ng") * col("ng") * (lit(2L) * col("ng") + 3))
+              .as("sn23"))
+        jt.crossJoin(broadcast(sizes))
+          .select(col("nn").as("n"), col("jt2"),
+            round((col("jt2").cast("double") / lit(2.0) -
+              (col("nn") * col("nn") - col("sn2")).cast("double") /
+                lit(4.0)) /
+              sqrt((col("nn").cast("double") * col("nn").cast("double") *
+                (lit(2L) * col("nn") + 3).cast("double") -
+                col("sn23").cast("double")) / lit(72.0)), 6).as("jt_z"))
+      },
+      oracle = Some("""
+        WITH cnts AS MATERIALIZED (
+          SELECT o_orderpriority AS g,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1, 2),
+        jt AS (
+          SELECT CAST(SUM(CASE WHEN a.v < b.v
+                   THEN 2 * a.c * b.c ELSE a.c * b.c END) AS BIGINT)
+                   AS jt2
+          FROM cnts a JOIN cnts b ON a.g < b.g AND a.v <= b.v),
+        sizes AS (
+          SELECT CAST(SUM(ng) AS BIGINT) AS nn,
+                 CAST(SUM(ng * ng) AS BIGINT) AS sn2,
+                 CAST(SUM(ng * ng * (2 * ng + 3)) AS BIGINT) AS sn23
+          FROM (SELECT g, CAST(SUM(c) AS BIGINT) AS ng
+                FROM cnts GROUP BY 1))
+        SELECT nn AS n, jt2,
+               ROUND((CAST(jt2 AS DOUBLE) / CAST(2 AS DOUBLE) -
+                 CAST(nn * nn - sn2 AS DOUBLE) / CAST(4 AS DOUBLE)) /
+                 sqrt((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) *
+                   CAST(2 * nn + 3 AS DOUBLE) -
+                   CAST(sn23 AS DOUBLE)) / CAST(72 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS jt_z
+        FROM jt CROSS JOIN sizes""")),
+
+    // TOST equivalence test of weekend vs weekday purchase RATES: two
+    // one-sided z tests against a ±0.01 absolute margin — the question
+    // q7c's difference test cannot answer ("absence of evidence" is not
+    // "evidence of absence"; TOST rejects non-equivalence). Rates and
+    // the unpooled standard error are raw ratios of exact BIGINTs; the
+    // verdict compares identically-computed doubles against 1.645 in
+    // both engines.
+    "qe3_tost_equivalence" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"), col("event_type"))
+        val rel = e.crossJoin(broadcast(e.agg(min(col("day")).as("d0"))))
+          .select((pmod(col("day") - col("d0"), lit(7L)) >= 5).as("wknd"),
+            (col("event_type") === "purchase").as("pur"))
+        val agg = rel.groupBy(col("wknd"))
+          .agg(count(lit(1)).as("nt"), sum(when(col("pur"), 1L)
+            .otherwise(0L)).as("np"))
+        val wide = agg.groupBy()
+          .agg(max(when(col("wknd"), col("nt"))).as("n1"),
+            max(when(col("wknd"), col("np"))).as("x1"),
+            max(when(!col("wknd"), col("nt"))).as("n2"),
+            max(when(!col("wknd"), col("np"))).as("x2"))
+        val pre = wide.select(col("n1"), col("n2"),
+          (col("x1").cast("double") / col("n1").cast("double")).as("p1"),
+          (col("x2").cast("double") / col("n2").cast("double")).as("p2"))
+          .withColumn("se", sqrt(
+            col("p1") * (lit(1.0) - col("p1")) / col("n1").cast("double") +
+            col("p2") * (lit(1.0) - col("p2")) / col("n2").cast("double")))
+          .withColumn("z_lower",
+            (col("p1") - col("p2") + lit(0.01)) / col("se"))
+          .withColumn("z_upper",
+            (lit(0.01) - (col("p1") - col("p2"))) / col("se"))
+        pre.select(col("n1"), col("n2"),
+          round(col("p1"), 6).as("p_wknd"),
+          round(col("p2"), 6).as("p_wkdy"),
+          round(col("p1") - col("p2"), 6).as("diff"),
+          round(col("z_lower"), 6).as("z_lower"),
+          round(col("z_upper"), 6).as("z_upper"),
+          when(least(col("z_lower"), col("z_upper")) > 1.645, lit("yes"))
+            .otherwise(lit("no")).as("equivalent_90"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 event_type
+          FROM events),
+        d0 AS (SELECT MIN(day) AS d0 FROM e),
+        rel AS (
+          SELECT ((day - d0.d0) % 7) >= 5 AS wknd,
+                 event_type = 'purchase' AS pur
+          FROM e CROSS JOIN d0),
+        agg AS (
+          SELECT wknd, CAST(COUNT(*) AS BIGINT) AS nt,
+                 CAST(SUM(CASE WHEN pur THEN 1 ELSE 0 END) AS BIGINT)
+                   AS np
+          FROM rel GROUP BY 1),
+        wide AS (
+          SELECT MAX(CASE WHEN wknd THEN nt END) AS n1,
+                 MAX(CASE WHEN wknd THEN np END) AS x1,
+                 MAX(CASE WHEN NOT wknd THEN nt END) AS n2,
+                 MAX(CASE WHEN NOT wknd THEN np END) AS x2
+          FROM agg),
+        pre AS (
+          SELECT n1, n2,
+                 CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                 CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2
+          FROM wide),
+        pre2 AS (
+          SELECT *,
+                 sqrt(p1 * (CAST(1 AS DOUBLE) - p1) / CAST(n1 AS DOUBLE) +
+                   p2 * (CAST(1 AS DOUBLE) - p2) / CAST(n2 AS DOUBLE))
+                   AS se
+          FROM pre),
+        pre3 AS (
+          SELECT *,
+                 (p1 - p2 + CAST(0.01 AS DOUBLE)) / se AS z_lower,
+                 (CAST(0.01 AS DOUBLE) - (p1 - p2)) / se AS z_upper
+          FROM pre2)
+        SELECT n1, n2,
+               ROUND(p1, 6) + CAST(0 AS DOUBLE) AS p_wknd,
+               ROUND(p2, 6) + CAST(0 AS DOUBLE) AS p_wkdy,
+               ROUND(p1 - p2, 6) + CAST(0 AS DOUBLE) AS diff,
+               ROUND(z_lower, 6) + CAST(0 AS DOUBLE) AS z_lower,
+               ROUND(z_upper, 6) + CAST(0 AS DOUBLE) AS z_upper,
+               CASE WHEN LEAST(z_lower, z_upper) > CAST(1.645 AS DOUBLE)
+                 THEN 'yes' ELSE 'no' END AS equivalent_90
+        FROM pre3"""))
   )
 }
