@@ -4561,6 +4561,181 @@ object StatQueries {
                ROUND(z_upper, 6) + CAST(0 AS DOUBLE) AS z_upper,
                CASE WHEN LEAST(z_lower, z_upper) > CAST(1.645 AS DOUBLE)
                  THEN 'yes' ELSE 'no' END AS equivalent_90
-        FROM pre3"""))
+        FROM pre3""")),
+
+    // Standardized effect sizes for the purchase-vs-click value gap:
+    // Cohen's d (pooled), Hedges' g (the exact small-sample correction
+    // 1 - 3/(4·df - 1)), Glass's Δ (control-sd denominator) and the
+    // common-language effect size P(X > Y) from the exact rank-sum U —
+    // the magnitude card that turns q7n's Welch t (significance only)
+    // into something a meta-analysis (qdp) can pool. Moments ride the
+    // established round-6 DECIMAL sums; CLES is an exact integer ratio
+    // off the tiebroken pooled ranking.
+    "qe4_effect_sizes" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click") &&
+            col("value").isNotNull)
+          .select(col("value").cast("decimal(18,2)").as("v"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("g"), col("event_id"))
+        val gs = e.groupBy(col("g"))
+          .agg(count(lit(1)).as("ni"), sum(col("v")).as("svd"))
+          .select(col("g"), col("ni"),
+            round(col("svd").cast("double") / col("ni").cast("double"), 9)
+              .as("mi"))
+        val mom = e.join(gs, Seq("g"))
+          .select(col("g"), (col("v").cast("double") - col("mi")).as("cv"))
+          .groupBy(col("g"))
+          .agg(sum(round(col("cv") * col("cv"), 6).cast("decimal(28,6)"))
+            .as("ssd"))
+        val wide = gs.join(mom, Seq("g")).groupBy()
+          .agg(max(when(col("g") === 1, col("ni"))).as("n1"),
+            max(when(col("g") === 1, col("mi"))).as("m1"),
+            max(when(col("g") === 1, col("ssd"))).as("ss1"),
+            max(when(col("g") === 0, col("ni"))).as("n2"),
+            max(when(col("g") === 0, col("mi"))).as("m2"),
+            max(when(col("g") === 0, col("ssd"))).as("ss2"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(e,
+          Seq(col("v"), col("g"), col("event_id")), "r")
+        val u = ranked.agg(
+          sum(when(col("g") === 1, col("r")).otherwise(0L)).as("r1"),
+          sum(col("g")).as("nu1"), count(lit(1)).as("nnu"))
+          .select((col("r1") - col("nu1") * (col("nu1") + 1) / 2).as("uu"))
+        val pre = wide.crossJoin(broadcast(u))
+          .select(col("n1"), col("n2"), col("m1"), col("m2"), col("uu"),
+            sqrt((col("ss1").cast("double") + col("ss2").cast("double")) /
+              (col("n1") + col("n2") - 2).cast("double")).as("sp"),
+            sqrt(col("ss2").cast("double") /
+              (col("n2") - 1).cast("double")).as("s2"))
+        pre.select(col("n1"), col("n2"),
+          round((col("m1") - col("m2")) / col("sp"), 6).as("cohens_d"),
+          round(((col("m1") - col("m2")) / col("sp")) *
+            (lit(1.0) - lit(3.0) /
+              (lit(4.0) * (col("n1") + col("n2") - 2).cast("double") -
+                lit(1.0))), 6).as("hedges_g"),
+          round((col("m1") - col("m2")) / col("s2"), 6).as("glass_delta"),
+          round(col("uu").cast("double") /
+            (col("n1") * col("n2")).cast("double"), 6).as("cles"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(value AS DECIMAL(18,2)) AS v,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+                 event_id
+          FROM events
+          WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        gs AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS ni,
+                 ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS mi
+          FROM e GROUP BY 1),
+        mom AS (
+          SELECT e.g,
+                 CAST(SUM(CAST(ROUND((CAST(v AS DOUBLE) - gs.mi) *
+                   (CAST(v AS DOUBLE) - gs.mi), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS ssd
+          FROM e JOIN gs ON e.g = gs.g GROUP BY e.g),
+        wide AS (
+          SELECT MAX(CASE WHEN gs.g = 1 THEN ni END) AS n1,
+                 MAX(CASE WHEN gs.g = 1 THEN mi END) AS m1,
+                 MAX(CASE WHEN gs.g = 1 THEN ssd END) AS ss1,
+                 MAX(CASE WHEN gs.g = 0 THEN ni END) AS n2,
+                 MAX(CASE WHEN gs.g = 0 THEN mi END) AS m2,
+                 MAX(CASE WHEN gs.g = 0 THEN ssd END) AS ss2
+          FROM gs JOIN mom ON gs.g = mom.g),
+        ranked AS (
+          SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY v, g, event_id)
+            AS BIGINT) AS r
+          FROM e),
+        u AS (
+          SELECT CAST(SUM(CASE WHEN g = 1 THEN r ELSE 0 END) AS BIGINT) -
+                 CAST(SUM(g) AS BIGINT) * (CAST(SUM(g) AS BIGINT) + 1) // 2
+                   AS uu
+          FROM ranked),
+        pre AS (
+          SELECT n1, n2, m1, m2, uu,
+                 sqrt((ss1 + ss2) / CAST(n1 + n2 - 2 AS DOUBLE)) AS sp,
+                 sqrt(ss2 / CAST(n2 - 1 AS DOUBLE)) AS s2
+          FROM wide CROSS JOIN u)
+        SELECT n1, n2,
+               ROUND((m1 - m2) / sp, 6) + CAST(0 AS DOUBLE) AS cohens_d,
+               ROUND(((m1 - m2) / sp) *
+                 (CAST(1 AS DOUBLE) - CAST(3 AS DOUBLE) /
+                   (CAST(4 AS DOUBLE) * CAST(n1 + n2 - 2 AS DOUBLE) -
+                     CAST(1 AS DOUBLE))), 6) + CAST(0 AS DOUBLE)
+                 AS hedges_g,
+               ROUND((m1 - m2) / s2, 6) + CAST(0 AS DOUBLE)
+                 AS glass_delta,
+               ROUND(CAST(uu AS DOUBLE) /
+                 CAST(n1 * n2 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS cles
+        FROM pre""")),
+
+    // Dunn's post-hoc test after Kruskal-Wallis (qbo): all ten pairwise
+    // priority comparisons from ONE global ranking pass — z_ij =
+    // (R̄_i - R̄_j)/sqrt((N(N+1)/12)(1/n_i + 1/n_j)) with the Bonferroni
+    // significance flag at |z| > 2.807 (α = 0.05 two-sided over 10
+    // comparisons) — WHICH priorities differ, not just whether any do.
+    // Rank sums are exact BIGINTs off the tiebroken global order
+    // (tiebreak noted in lieu of average ranks); one row per pair with
+    // a total output order.
+    "qe5_dunn_posthoc" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("g"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"),
+            col("o_orderkey").as("k"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(o,
+          Seq(col("v"), col("k")), "r")
+        val gs = ranked.groupBy(col("g"))
+          .agg(count(lit(1)).as("ni"), sum(col("r")).as("sr"))
+          .localCheckpoint(eager = false)
+        val n0 = gs.agg(sum(col("ni")).as("nn"))
+        val pairs = gs.select(col("g").as("gi"), col("ni").as("na"),
+          col("sr").as("sa"))
+          .join(gs.select(col("g").as("gj"), col("ni").as("nb"),
+            col("sr").as("sb")), col("gi") < col("gj"))
+          .crossJoin(broadcast(n0))
+          .select(col("gi"), col("gj"),
+            round((col("sa").cast("double") / col("na").cast("double") -
+              col("sb").cast("double") / col("nb").cast("double")) /
+              sqrt((col("nn").cast("double") *
+                (col("nn") + 1).cast("double") / lit(12.0)) *
+                (lit(1.0) / col("na").cast("double") +
+                  lit(1.0) / col("nb").cast("double"))), 6).as("z_dunn"))
+        pairs.select(col("gi"), col("gj"), col("z_dunn"),
+          when(abs(col("z_dunn")) > 2.807, lit("yes")).otherwise(lit("no"))
+            .as("sig_bonf_05"))
+          .orderBy(col("gi"), col("gj"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS g,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                 o_orderkey AS k
+          FROM orders),
+        ranked AS (
+          SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY v, k) AS BIGINT)
+            AS r
+          FROM o),
+        gs AS MATERIALIZED (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS ni,
+                 CAST(SUM(r) AS BIGINT) AS sr
+          FROM ranked GROUP BY 1),
+        n0 AS (SELECT CAST(SUM(ni) AS BIGINT) AS nn FROM gs),
+        pairs AS (
+          SELECT a.g AS gi, b.g AS gj,
+                 ROUND((CAST(a.sr AS DOUBLE) / CAST(a.ni AS DOUBLE) -
+                   CAST(b.sr AS DOUBLE) / CAST(b.ni AS DOUBLE)) /
+                   sqrt((CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE) /
+                     CAST(12 AS DOUBLE)) *
+                     (CAST(1 AS DOUBLE) / CAST(a.ni AS DOUBLE) +
+                      CAST(1 AS DOUBLE) / CAST(b.ni AS DOUBLE))), 6)
+                   AS z_dunn
+          FROM gs a JOIN gs b ON a.g < b.g CROSS JOIN n0)
+        SELECT gi, gj, z_dunn + CAST(0 AS DOUBLE) AS z_dunn,
+               CASE WHEN ABS(z_dunn) > CAST(2.807 AS DOUBLE) THEN 'yes'
+                    ELSE 'no' END AS sig_bonf_05
+        FROM pairs ORDER BY gi, gj"""))
   )
 }
