@@ -4736,6 +4736,178 @@ object StatQueries {
         SELECT gi, gj, z_dunn + CAST(0 AS DOUBLE) AS z_dunn,
                CASE WHEN ABS(z_dunn) > CAST(2.807 AS DOUBLE) THEN 'yes'
                     ELSE 'no' END AS sig_bonf_05
-        FROM pairs ORDER BY gi, gj"""))
+        FROM pairs ORDER BY gi, gj""")),
+
+    // Train/val n-gram novelty measurement: what fraction of the val
+    // split's word trigrams (by TYPE and by TOKEN) already appear in
+    // the train split — the measured memorization-risk report that
+    // q3f's decontamination FILTER acts on and q3z's split assumes.
+    // The split is the deterministic doc_id mod-10 rule; trigrams come
+    // from window-free array slicing; both overlap rates are exact
+    // integer ratios.
+    "qe6_ngram_novelty" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            split(lower(col("text")), "[\t\n\f\r ]+").as("arr"),
+            (pmod(col("doc_id"), lit(10L)) < 8).as("is_train"))
+        val tris = d
+          .select(col("doc_id"), col("is_train"),
+            explode(expr("transform(sequence(0, size(arr) - 3), " +
+              "i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))"))
+              .as("g"))
+          .filter(col("g") =!= "" && !col("g").startsWith(" ") &&
+            !col("g").endsWith(" "))
+          .localCheckpoint(eager = false)
+        val docs = d.groupBy(col("is_train")).agg(countDistinct(col("doc_id"))
+          .as("nd"))
+        val trainTypes = tris.filter(col("is_train"))
+          .select(col("g")).distinct()
+          .withColumn("in_train", lit(1L))
+        val valGrams = tris.filter(!col("is_train"))
+          .groupBy(col("g")).agg(count(lit(1)).as("c"))
+        val ov = valGrams.join(trainTypes, Seq("g"), "left")
+          .agg(count(lit(1)).as("vtypes"),
+            sum(coalesce(col("in_train"), lit(0L))).as("vtypes_hit"),
+            sum(col("c")).as("vtok"),
+            sum(when(col("in_train").isNotNull, col("c")).otherwise(0L))
+              .as("vtok_hit"))
+        val wide = docs.groupBy()
+          .agg(max(when(col("is_train"), col("nd"))).as("n_train_docs"),
+            max(when(!col("is_train"), col("nd"))).as("n_val_docs"))
+        wide.crossJoin(broadcast(ov))
+          .select(col("n_train_docs"), col("n_val_docs"),
+            col("vtypes").as("val_gram_types"),
+            col("vtok").as("val_gram_tokens"),
+            round(col("vtypes_hit").cast("double") /
+              col("vtypes").cast("double"), 6).as("type_overlap"),
+            round(col("vtok_hit").cast("double") /
+              col("vtok").cast("double"), 6).as("token_overlap"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split_regex(lower(text), '[\t\n\x0B\f\r ]+') AS arr,
+                 (doc_id % 10) < 8 AS is_train
+          FROM documents),
+        tris AS MATERIALIZED (
+          SELECT doc_id, is_train, g
+          FROM (
+            SELECT doc_id, is_train,
+                   UNNEST(list_transform(range(1, len(arr) - 1),
+                     i -> arr[i] || ' ' || arr[i + 1] || ' ' ||
+                          arr[i + 2])) AS g
+            FROM d)
+          WHERE g <> '' AND g NOT LIKE ' %' AND g NOT LIKE '% '),
+        docs AS (
+          SELECT is_train, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+          FROM d GROUP BY 1),
+        train_types AS (
+          SELECT DISTINCT g, CAST(1 AS BIGINT) AS in_train
+          FROM tris WHERE is_train),
+        val_grams AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tris WHERE NOT is_train GROUP BY 1),
+        ov AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS vtypes,
+                 CAST(SUM(COALESCE(in_train, 0)) AS BIGINT) AS vtypes_hit,
+                 CAST(SUM(c) AS BIGINT) AS vtok,
+                 CAST(SUM(CASE WHEN in_train IS NOT NULL THEN c ELSE 0
+                   END) AS BIGINT) AS vtok_hit
+          FROM val_grams LEFT JOIN train_types USING (g)),
+        wide AS (
+          SELECT MAX(CASE WHEN is_train THEN nd END) AS n_train_docs,
+                 MAX(CASE WHEN NOT is_train THEN nd END) AS n_val_docs
+          FROM docs)
+        SELECT n_train_docs, n_val_docs,
+               vtypes AS val_gram_types,
+               vtok AS val_gram_tokens,
+               ROUND(CAST(vtypes_hit AS DOUBLE) / CAST(vtypes AS DOUBLE),
+                 6) + CAST(0 AS DOUBLE) AS type_overlap,
+               ROUND(CAST(vtok_hit AS DOUBLE) / CAST(vtok AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS token_overlap
+        FROM wide CROSS JOIN ov""")),
+
+    // Vocabulary coverage planning: the corpus-token share covered by
+    // the top-k frequent types at k = 100 / 1000 / 5000, and the
+    // smallest vocabulary covering 90% and 99% of tokens (exact integer
+    // rank thresholds off the frequency-ranked running sum) — the
+    // practical "what vocab size do we ship?" card between q8f's Heaps
+    // growth and q8g's Zipf fit, and the size planner for the BPE
+    // tokenizer's vocabulary budget. Everything is exact integers; the
+    // 90/99% gates compare cum·100 ≥ share·N in BIGINTs.
+    "qe7_vocab_coverage" -> Q(
+      fn = (s, dir) => {
+        val tf = t(s, dir, "documents")
+          .select(explode(split(lower(col("text")), "[\t\n\f\r ]+"))
+            .as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          tf.select((-col("c")).as("negc"), col("tok"), col("c")),
+          Seq(col("negc"), col("tok")), "rk")
+        val cum = graft.operators.ScaleOps.globalRunningSum(ranked,
+          Seq(col("rk")), col("c"), "cum").localCheckpoint(eager = false)
+        val tot = cum.agg(max(col("cum")).as("nt"), count(lit(1)).as("v"))
+        val at = cum.crossJoin(broadcast(tot))
+          .agg(first(col("nt")).as("n_tokens"), first(col("v")).as("vocab"),
+            max(when(col("rk") === 100, col("cum"))).as("c100"),
+            max(when(col("rk") === 1000, col("cum"))).as("c1000"),
+            max(when(col("rk") === 5000, col("cum"))).as("c5000"),
+            min(when(col("cum") * 100 >= lit(90L) * col("nt"), col("rk")))
+              .as("k90"),
+            min(when(col("cum") * 100 >= lit(99L) * col("nt"), col("rk")))
+              .as("k99"))
+        at.select(col("n_tokens"), col("vocab"),
+          round(col("c100").cast("double") / col("n_tokens").cast("double"),
+            6).as("cov_top100"),
+          round(col("c1000").cast("double") / col("n_tokens").cast("double"),
+            6).as("cov_top1000"),
+          when(col("c5000").isNotNull,
+            round(col("c5000").cast("double") /
+              col("n_tokens").cast("double"), 6)).as("cov_top5000"),
+          col("k90").as("vocab_for_90"), col("k99").as("vocab_for_99"))
+      },
+      oracle = Some("""
+        WITH tf AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT UNNEST(string_split_regex(lower(text),
+                  '[\t\n\x0B\f\r ]+')) AS tok FROM documents)
+          WHERE tok <> '' GROUP BY 1),
+        ranked AS (
+          SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY -c, tok) AS BIGINT)
+            AS rk
+          FROM tf),
+        cum AS MATERIALIZED (
+          SELECT rk, SUM(c) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING)
+            AS cum
+          FROM ranked),
+        tot AS (
+          SELECT CAST(MAX(cum) AS BIGINT) AS nt,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM cum),
+        at AS (
+          SELECT MAX(tot.nt) AS n_tokens, MAX(tot.v) AS vocab,
+                 MAX(CASE WHEN rk = 100 THEN CAST(cum AS BIGINT) END)
+                   AS c100,
+                 MAX(CASE WHEN rk = 1000 THEN CAST(cum AS BIGINT) END)
+                   AS c1000,
+                 MAX(CASE WHEN rk = 5000 THEN CAST(cum AS BIGINT) END)
+                   AS c5000,
+                 MIN(CASE WHEN CAST(cum AS BIGINT) * 100 >= 90 * tot.nt
+                   THEN rk END) AS k90,
+                 MIN(CASE WHEN CAST(cum AS BIGINT) * 100 >= 99 * tot.nt
+                   THEN rk END) AS k99
+          FROM cum CROSS JOIN tot)
+        SELECT n_tokens, vocab,
+               ROUND(CAST(c100 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS cov_top100,
+               ROUND(CAST(c1000 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS cov_top1000,
+               CASE WHEN c5000 IS NOT NULL THEN
+                 ROUND(CAST(c5000 AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+                   6) + CAST(0 AS DOUBLE) END AS cov_top5000,
+               k90 AS vocab_for_90, k99 AS vocab_for_99
+        FROM at"""))
   )
 }
