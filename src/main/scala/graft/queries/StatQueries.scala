@@ -34,6 +34,21 @@ object StatQueries {
       .agg((sum(col("o_totalprice").cast("decimal(18,2)")) / lit(1000000))
         .cast("decimal(18,8)").as("ym"))
 
+  /** Deterministic pseudo-random coordinate from a key (the SciQueries
+    * hashCoord pattern — md5 hex draw, replayable in DuckDB via
+    * CAST('0x'||…)) scaled to a 3-decimal degree grid.
+    */
+  private def hashCoord(key: org.apache.spark.sql.Column, salt: String,
+      mod: Long, shift: Double): org.apache.spark.sql.Column =
+    (conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 12),
+      16, 10).cast("long") % mod).cast("double") / lit(1000.0) - lit(shift)
+
+  private def coordSql(key: String, salt: String, mod: Long,
+      shift: Int): String =
+    s"CAST(CAST('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 1, 12) " +
+      s"AS BIGINT) % $mod AS DOUBLE) / CAST(1000 AS DOUBLE) - " +
+      s"CAST($shift AS DOUBLE)"
+
   private val dailyRevenueMSql: String =
     """SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
@@ -4908,6 +4923,195 @@ object StatQueries {
                  ROUND(CAST(c5000 AS DOUBLE) / CAST(n_tokens AS DOUBLE),
                    6) + CAST(0 AS DOUBLE) END AS cov_top5000,
                k90 AS vocab_for_90, k99 AS vocab_for_99
-        FROM at"""))
+        FROM at""")),
+
+    // Survey design effect of user-clustered sampling: events arrive
+    // clustered by user, so "n events" is not "n independent draws" —
+    // DEFF = 1 + (k0 - 1)·ICC with the one-way ANOVA intraclass
+    // correlation across users, and the effective sample size N/DEFF
+    // that q7k's MDE planner should really be fed. Per-user moments
+    // ride the qd8 recipe (DECIMAL squares, VARCHAR-bridged casts,
+    // ni·d² in DECIMAL); every downstream link is a raw ratio.
+    "qe8_design_effect" -> Q(
+      fn = (s, dir) => {
+        val g = t(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("ni"),
+            sum(col("value").cast("decimal(18,2)")).as("syd"),
+            sum(col("value").cast("decimal(12,2)") *
+              col("value").cast("decimal(12,2)")).as("syyd"))
+          .select(col("ni"), col("syd").cast("double").as("syg"),
+            col("syyd").cast("double").as("syyg"))
+          .localCheckpoint(eager = false)
+        val tot = g.agg(sum(col("ni")).as("nn"), count(lit(1)).as("a"),
+          sum(col("syg")).as("sy0"), sum(col("ni") * col("ni")).as("sni2"))
+          .select(col("nn"), col("a"), col("sni2"),
+            round(col("sy0") / col("nn").cast("double"), 9).as("ybar"))
+        val parts = g.crossJoin(broadcast(tot))
+          .select(col("ni"), col("nn"), col("a"), col("sni2"),
+            round(col("syyg") - col("syg") * col("syg") /
+              col("ni").cast("double"), 6).as("ssw_g"),
+            round((round(col("syg") / col("ni").cast("double"), 9) -
+              col("ybar")) *
+              (round(col("syg") / col("ni").cast("double"), 9) -
+                col("ybar")), 9).as("dg2"))
+          .agg(first(col("nn")).as("nn"), first(col("a")).as("a"),
+            first(col("sni2")).as("sni2"),
+            sum(col("ssw_g").cast("decimal(28,6)")).as("sswd"),
+            sum(col("ni").cast("decimal(10,0)") *
+              col("dg2").cast("decimal(20,9)")).as("ssbd"))
+        val pre = parts.select(col("nn"), col("a"),
+          (col("ssbd").cast("double") / (col("a") - 1).cast("double"))
+            .as("msb"),
+          (col("sswd").cast("double") / (col("nn") - col("a"))
+            .cast("double")).as("msw"),
+          ((col("nn").cast("double") -
+            col("sni2").cast("double") / col("nn").cast("double")) /
+            (col("a") - 1).cast("double")).as("k0"))
+          .withColumn("icc", (col("msb") - col("msw")) /
+            (col("msb") + (col("k0") - lit(1.0)) * col("msw")))
+          .withColumn("deff", lit(1.0) +
+            (col("k0") - lit(1.0)) * col("icc"))
+        pre.select(col("nn").as("n_events"), col("a").as("n_users"),
+          round(col("k0"), 6).as("k0"),
+          round(col("icc"), 6).as("icc"),
+          round(col("deff"), 6).as("deff"),
+          round(col("nn").cast("double") / col("deff"), 6).as("n_eff"))
+      },
+      oracle = Some("""
+        WITH g AS MATERIALIZED (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ni,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS syg,
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)) *
+                   CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+                   AS syyg
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+                 CAST(COUNT(*) AS BIGINT) AS a,
+                 CAST(SUM(ni * ni) AS BIGINT) AS sni2,
+                 ROUND(SUM(syg) / CAST(SUM(ni) AS DOUBLE), 9) AS ybar
+          FROM g),
+        parts AS (
+          SELECT MAX(tot.nn) AS nn, MAX(tot.a) AS a,
+                 MAX(tot.sni2) AS sni2,
+                 CAST(SUM(CAST(ROUND(syyg - syg * syg /
+                   CAST(ni AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS ssw,
+                 CAST(SUM(CAST(ni AS DECIMAL(10,0)) *
+                   CAST(ROUND((ROUND(syg / CAST(ni AS DOUBLE), 9) -
+                     tot.ybar) * (ROUND(syg / CAST(ni AS DOUBLE), 9) -
+                     tot.ybar), 9) AS DECIMAL(20,9))) AS DOUBLE) AS ssb
+          FROM g CROSS JOIN tot),
+        pre AS (
+          SELECT nn, a,
+                 ssb / CAST(a - 1 AS DOUBLE) AS msb,
+                 ssw / CAST(nn - a AS DOUBLE) AS msw,
+                 (CAST(nn AS DOUBLE) -
+                   CAST(sni2 AS DOUBLE) / CAST(nn AS DOUBLE)) /
+                   CAST(a - 1 AS DOUBLE) AS k0
+          FROM parts),
+        pre2 AS (
+          SELECT *,
+                 (msb - msw) / (msb + (k0 - CAST(1 AS DOUBLE)) * msw)
+                   AS icc
+          FROM pre),
+        pre3 AS (
+          SELECT *,
+                 CAST(1 AS DOUBLE) + (k0 - CAST(1 AS DOUBLE)) * icc
+                   AS deff
+          FROM pre2)
+        SELECT nn AS n_events, a AS n_users,
+               ROUND(k0, 6) + CAST(0 AS DOUBLE) AS k0,
+               ROUND(icc, 6) + CAST(0 AS DOUBLE) AS icc,
+               ROUND(deff, 6) + CAST(0 AS DOUBLE) AS deff,
+               ROUND(CAST(nn AS DOUBLE) / deff, 6) + CAST(0 AS DOUBLE)
+                 AS n_eff
+        FROM pre3""")),
+
+    // Clark-Evans nearest-neighbor index of the synthetic customer
+    // point pattern: R = observed mean NN distance over the CSR
+    // expectation 0.5/sqrt(density), with the Donnelly-style z — the
+    // NN-based aggregation test beside qcq's Ripley K (K integrates ALL
+    // pair distances at chosen radii; Clark-Evans summarizes just the
+    // first neighbor, the field-standard single number). Planar
+    // distances on the 3-decimal synthetic degree grid (documented —
+    // the grid is synthetic, so no geodesic is pretended), a capped
+    // 600-point panel bounds the all-pairs NN scan, and the bounding-
+    // box density is exact-grid arithmetic.
+    "qe9_clark_evans" -> Q(
+      fn = (s, dir) => {
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 600)
+          .select(col("c_custkey").as("pid"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("la"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lo"))
+          .localCheckpoint(eager = false)
+        val nn = pts.select(col("pid"), col("la"), col("lo"))
+          .join(pts.select(col("pid").as("pj"), col("la").as("lb"),
+            col("lo").as("lb2")), col("pid") =!= col("pj"))
+          .select(col("pid"),
+            ((col("la") - col("lb")) * (col("la") - col("lb")) +
+              (col("lo") - col("lb2")) * (col("lo") - col("lb2")))
+              .as("d2"))
+          .groupBy(col("pid")).agg(min(col("d2")).as("mind2"))
+          .select(round(sqrt(col("mind2")), 9).as("dnn"))
+        val dbar = nn.agg(count(lit(1)).as("n"),
+          sum(col("dnn").cast("decimal(20,9)")).as("sd"))
+          .select(col("n"),
+            round(col("sd").cast("double") / col("n").cast("double"), 9)
+              .as("dbar"))
+        val box = pts.agg(min(col("la")).as("la0"), max(col("la")).as("la1"),
+          min(col("lo")).as("lo0"), max(col("lo")).as("lo1"))
+          .select(((col("la1") - col("la0")) * (col("lo1") - col("lo0")))
+            .as("area"))
+        dbar.crossJoin(broadcast(box))
+          .select(col("n"), col("dbar"), col("area"),
+            (col("n").cast("double") / col("area")).as("rho"))
+          .select(col("n"),
+            round(col("dbar"), 6).as("mean_nn"),
+            round(lit(0.5) / sqrt(col("rho")), 6).as("expected_nn"),
+            round(col("dbar") / (lit(0.5) / sqrt(col("rho"))), 6)
+              .as("ce_index"),
+            round((col("dbar") - lit(0.5) / sqrt(col("rho"))) /
+              (lit(0.26136) / sqrt(col("n").cast("double") * col("rho"))),
+              6).as("z_ce"))
+      },
+      oracle = Some(s"""
+        WITH pts AS MATERIALIZED (
+          SELECT c_custkey AS pid,
+                 ${coordSql("c_custkey", "lat", 180000L, 90)} AS la,
+                 ${coordSql("c_custkey", "lon", 360000L, 180)} AS lo
+          FROM customer WHERE c_custkey <= 600),
+        nn AS (
+          SELECT a.pid,
+                 ROUND(sqrt(MIN((a.la - b.la) * (a.la - b.la) +
+                   (a.lo - b.lo) * (a.lo - b.lo))), 9) AS dnn
+          FROM pts a JOIN pts b ON a.pid <> b.pid
+          GROUP BY a.pid),
+        dbar AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(CAST(dnn AS DECIMAL(20,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS dbar
+          FROM nn),
+        box AS (
+          SELECT (MAX(la) - MIN(la)) * (MAX(lo) - MIN(lo)) AS area
+          FROM pts),
+        pre AS (
+          SELECT n, dbar, area,
+                 CAST(n AS DOUBLE) / area AS rho
+          FROM dbar CROSS JOIN box)
+        SELECT n,
+               ROUND(dbar, 6) + CAST(0 AS DOUBLE) AS mean_nn,
+               ROUND(CAST(0.5 AS DOUBLE) / sqrt(rho), 6)
+                 + CAST(0 AS DOUBLE) AS expected_nn,
+               ROUND(dbar / (CAST(0.5 AS DOUBLE) / sqrt(rho)), 6)
+                 + CAST(0 AS DOUBLE) AS ce_index,
+               ROUND((dbar - CAST(0.5 AS DOUBLE) / sqrt(rho)) /
+                 (CAST(0.26136 AS DOUBLE) /
+                   sqrt(CAST(n AS DOUBLE) * rho)), 6)
+                 + CAST(0 AS DOUBLE) AS z_ce
+        FROM pre"""))
   )
 }
