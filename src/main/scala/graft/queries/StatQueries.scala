@@ -5112,6 +5112,194 @@ object StatQueries {
                  (CAST(0.26136 AS DOUBLE) /
                    sqrt(CAST(n AS DOUBLE) * rho)), 6)
                  + CAST(0 AS DOUBLE) AS z_ce
-        FROM pre"""))
+        FROM pre""")),
+
+    // Bowker test of transition symmetry: is the user journey's
+    // event-type transition matrix (q6b) REVERSIBLE — χ² =
+    // Σ_{i<j} (n_ij - n_ji)²/(n_ij + n_ji) over the off-diagonal pairs,
+    // the k×k generalization of qd2's McNemar. A significant Bowker
+    // says the journey has a directed flow (e.g. view → purchase ≫
+    // purchase → view) that any undirected co-occurrence analysis
+    // (q7e) erases. Transition counts are exact BIGINTs off the
+    // per-user ordered lead; terms are 9-snapped integer rationals.
+    "qea_bowker_symmetry" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_ms"), col("event_id"))
+        val tr = t(s, dir, "events")
+          .withColumn("ts_ms", unix_millis(col("ts")))
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull &&
+            col("next_type") =!= col("event_type"))
+          .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+          .agg(count(lit(1)).as("n"))
+        val pairs = tr.select(col("a"), col("b"), col("n"))
+          .join(tr.select(col("b").as("a"), col("a").as("b"),
+            col("n").as("m")), Seq("a", "b"), "left")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"), col("n"),
+            coalesce(col("m"), lit(0L)).as("m"))
+        val agg = pairs.agg(count(lit(1)).as("df"),
+          sum(round((col("n") - col("m")).cast("double") *
+            (col("n") - col("m")).cast("double") /
+            (col("n") + col("m")).cast("double"), 9)
+            .cast("decimal(18,9)")).as("x2d"),
+          sum(col("n") + col("m")).as("n_trans"))
+        agg.select(col("n_trans"), col("df"),
+          round(col("x2d").cast("double"), 6).as("bowker_chi2"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS next_type
+          FROM events),
+        tr AS MATERIALIZED (
+          SELECT event_type AS a, next_type AS b,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM e
+          WHERE next_type IS NOT NULL AND next_type <> event_type
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT x.a, x.b, x.n, CAST(COALESCE(y.n, 0) AS BIGINT) AS m
+          FROM tr x LEFT JOIN tr y ON x.a = y.b AND x.b = y.a
+          WHERE x.a < x.b),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS df,
+                 SUM(CAST(ROUND(CAST(n - m AS DOUBLE) *
+                   CAST(n - m AS DOUBLE) / CAST(n + m AS DOUBLE), 9)
+                   AS DECIMAL(18,9))) AS x2d,
+                 CAST(SUM(n + m) AS BIGINT) AS n_trans
+          FROM pairs)
+        SELECT n_trans, df,
+               ROUND(CAST(x2d AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS bowker_chi2
+        FROM agg""")),
+
+    // Ordinal-association battery between order priority (1-URGENT →
+    // 5-LOW) and order-value tertile: Goodman-Kruskal γ, Somers'
+    // d(value|priority) and d(priority|value), and Stuart's τ_c — the
+    // ordered-table effect sizes qa4's numeric τ-b doesn't give for a
+    // CROSS-TABULATED design (and qe2's JT only tests, never sizes).
+    // Concordant/discordant and every tie class are exact integer
+    // counts off the 15-cell table (cell-pair double loop is 225 rows);
+    // each coefficient is one exact ratio.
+    "qeb_ordinal_association" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(regexp_extract(col("o_orderpriority"), "^([0-9])", 1)
+            .cast("long").as("gx"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"),
+            col("o_orderkey").as("k"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(o,
+          Seq(col("v"), col("k")), "rn")
+        val n0 = ranked.agg(count(lit(1)).as("n"))
+          .select(col("n"), expr("n div 3").as("base"),
+            pmod(col("n"), lit(3)).as("rem"))
+          .select(col("n"), col("base"), col("rem"),
+            (col("rem") * (col("base") + 1)).as("cut"))
+        val cells = ranked.crossJoin(broadcast(n0))
+          .select(col("gx"),
+            when(col("rn") <= col("cut"),
+              expr("(rn - 1) div (base + 1) + 1"))
+              .otherwise(expr("rem + (rn - 1 - cut) div base + 1"))
+              .as("gy"))
+          .groupBy(col("gx"), col("gy")).agg(count(lit(1)).as("nij"))
+          .localCheckpoint(eager = false)
+        val cd = cells.select(col("gx").as("xa"), col("gy").as("ya"),
+          col("nij").as("na"))
+          .crossJoin(cells.select(col("gx").as("xb"), col("gy").as("yb"),
+            col("nij").as("nb")))
+          .agg(
+            sum(when(col("xb") > col("xa") && col("yb") > col("ya"),
+              col("na") * col("nb")).otherwise(0L)).as("c2"),
+            sum(when(col("xb") > col("xa") && col("yb") < col("ya"),
+              col("na") * col("nb")).otherwise(0L)).as("d2"))
+        val ties = cells.agg(sum(col("nij")).as("nn"),
+          sum(col("nij") * (col("nij") - 1) / 2).as("tboth"))
+        val tx = cells.groupBy(col("gx")).agg(sum(col("nij")).as("ri"))
+          .agg(sum(col("ri") * (col("ri") - 1) / 2).as("tiedx"),
+            countDistinct(col("gx")).as("r"))
+        val ty = cells.groupBy(col("gy")).agg(sum(col("nij")).as("cj"))
+          .agg(sum(col("cj") * (col("cj") - 1) / 2).as("tiedy"),
+            countDistinct(col("gy")).as("c"))
+        cd.crossJoin(broadcast(ties)).crossJoin(broadcast(tx))
+          .crossJoin(broadcast(ty))
+          .select(col("nn").as("n"), col("c2").as("concordant"),
+            col("d2").as("discordant"),
+            round((col("c2") - col("d2")).cast("double") /
+              (col("c2") + col("d2")).cast("double"), 6).as("gamma"),
+            round((col("c2") - col("d2")).cast("double") /
+              (col("nn") * (col("nn") - 1) / 2 - col("tiedx"))
+                .cast("double"), 6).as("somers_d_yx"),
+            round((col("c2") - col("d2")).cast("double") /
+              (col("nn") * (col("nn") - 1) / 2 - col("tiedy"))
+                .cast("double"), 6).as("somers_d_xy"),
+            round((col("c2") - col("d2")).cast("double") * lit(2.0) *
+              least(col("r"), col("c")).cast("double") /
+              (col("nn").cast("double") * col("nn").cast("double") *
+                (least(col("r"), col("c")) - 1).cast("double")), 6)
+              .as("stuart_tau_c"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CAST(regexp_extract(o_orderpriority, '^([0-9])', 1)
+                   AS BIGINT) AS gx,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                 o_orderkey AS k
+          FROM orders),
+        ranked AS (
+          SELECT gx, ROW_NUMBER() OVER (ORDER BY v, k) AS rn FROM o),
+        n0 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) // 3 AS BIGINT) AS base,
+                 CAST(COUNT(*) % 3 AS BIGINT) AS rem
+          FROM ranked),
+        cells AS MATERIALIZED (
+          SELECT gx,
+                 CAST(NTILE(3) OVER (ORDER BY rn) AS BIGINT) AS gy,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS dummy
+          FROM ranked),
+        cellc AS (
+          SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS nij
+          FROM cells GROUP BY 1, 2),
+        cd AS (
+          SELECT CAST(SUM(CASE WHEN b.gx > a.gx AND b.gy > a.gy
+                   THEN a.nij * b.nij ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN b.gx > a.gx AND b.gy < a.gy
+                   THEN a.nij * b.nij ELSE 0 END) AS BIGINT) AS d2
+          FROM cellc a CROSS JOIN cellc b),
+        ties AS (
+          SELECT CAST(SUM(nij) AS BIGINT) AS nn,
+                 CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS tboth
+          FROM cellc),
+        tx AS (
+          SELECT CAST(SUM(ri * (ri - 1) // 2) AS BIGINT) AS tiedx,
+                 CAST(COUNT(*) AS BIGINT) AS r
+          FROM (SELECT gx, CAST(SUM(nij) AS BIGINT) AS ri
+                FROM cellc GROUP BY 1)),
+        ty AS (
+          SELECT CAST(SUM(cj * (cj - 1) // 2) AS BIGINT) AS tiedy,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT gy, CAST(SUM(nij) AS BIGINT) AS cj
+                FROM cellc GROUP BY 1))
+        SELECT nn AS n, c2 AS concordant, d2 AS discordant,
+               ROUND(CAST(c2 - d2 AS DOUBLE) / CAST(c2 + d2 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS gamma,
+               ROUND(CAST(c2 - d2 AS DOUBLE) /
+                 CAST(nn * (nn - 1) // 2 - tiedx AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS somers_d_yx,
+               ROUND(CAST(c2 - d2 AS DOUBLE) /
+                 CAST(nn * (nn - 1) // 2 - tiedy AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS somers_d_xy,
+               ROUND(CAST(c2 - d2 AS DOUBLE) * CAST(2 AS DOUBLE) *
+                 CAST(LEAST(r, c) AS DOUBLE) /
+                 (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) *
+                   CAST(LEAST(r, c) - 1 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS stuart_tau_c
+        FROM cd CROSS JOIN ties CROSS JOIN tx CROSS JOIN ty"""))
   )
 }
