@@ -5300,6 +5300,168 @@ object StatQueries {
                  (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) *
                    CAST(LEAST(r, c) - 1 AS DOUBLE)), 6)
                  + CAST(0 AS DOUBLE) AS stuart_tau_c
-        FROM cd CROSS JOIN ties CROSS JOIN tx CROSS JOIN ty"""))
+        FROM cd CROSS JOIN ties CROSS JOIN tx CROSS JOIN ty""")),
+
+    // Mantel matrix-association statistic: the Pearson correlation
+    // between the pairwise GEOGRAPHIC distance matrix and the pairwise
+    // spend-difference matrix of the capped customer panel — "do nearby
+    // customers spend alike?" asked at the matrix level, the
+    // distance-decay companion to qcl's Moran (Moran fixes a contiguity
+    // radius; Mantel uses the full distance spectrum). Planar grid
+    // distances (the qe9 convention), |Δ ln spend| on the 9-grid,
+    // pair moments on round-6 DECIMAL sums over the bounded
+    // 400-point panel; the permutation null is out of scope (noted) —
+    // the statistic itself is the deliverable.
+    "qec_mantel_statistic" -> Q(
+      fn = (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 400)
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey").as("pid"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("la"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lo"),
+            round(log(col("sp").cast("double")), 9).as("a"))
+          .localCheckpoint(eager = false)
+        val pairs = pts.select(col("pid"), col("la"), col("lo"), col("a"))
+          .join(pts.select(col("pid").as("pj"), col("la").as("lb"),
+            col("lo").as("lb2"), col("a").as("ab")),
+            col("pid") < col("pj"))
+          .select(
+            round(sqrt((col("la") - col("lb")) * (col("la") - col("lb")) +
+              (col("lo") - col("lb2")) * (col("lo") - col("lb2"))), 9)
+              .as("d"),
+            abs(round(col("a") - col("ab"), 9)).as("v"))
+          .localCheckpoint(eager = false)
+        val st = pairs.agg(count(lit(1)).as("np"),
+          sum(col("d").cast("decimal(20,9)")).as("sdd"),
+          sum(col("v").cast("decimal(20,9)")).as("svd"))
+          .select(col("np"),
+            round(col("sdd").cast("double") / col("np").cast("double"), 9)
+              .as("md"),
+            round(col("svd").cast("double") / col("np").cast("double"), 9)
+              .as("mv"))
+        val mom = pairs.crossJoin(broadcast(st))
+          .select(col("np"),
+            (col("d") - col("md")).as("cd"), (col("v") - col("mv")).as("cv"))
+          .agg(first(col("np")).as("np"),
+            sum(round(col("cd") * col("cd"), 6).cast("decimal(28,6)"))
+              .as("sxx"),
+            sum(round(col("cv") * col("cv"), 6).cast("decimal(28,6)"))
+              .as("syy"),
+            sum(round(col("cd") * col("cv"), 6).cast("decimal(28,6)"))
+              .as("sxy"))
+        mom.select(col("np").as("n_pairs"),
+          round(col("sxy").cast("double") /
+            (sqrt(col("sxx").cast("double")) *
+              sqrt(col("syy").cast("double"))), 6).as("mantel_r"))
+      },
+      oracle = Some(s"""
+        WITH spend AS (
+          SELECT o_custkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+          FROM orders GROUP BY 1),
+        pts AS MATERIALIZED (
+          SELECT c_custkey AS pid,
+                 ${coordSql("c_custkey", "lat", 180000L, 90)} AS la,
+                 ${coordSql("c_custkey", "lon", 360000L, 180)} AS lo,
+                 ROUND(ln(CAST(sp AS DOUBLE)), 9) AS a
+          FROM customer JOIN spend ON c_custkey = o_custkey
+          WHERE c_custkey <= 400),
+        pairs AS MATERIALIZED (
+          SELECT ROUND(sqrt((x.la - y.la) * (x.la - y.la) +
+                   (x.lo - y.lo) * (x.lo - y.lo)), 9) AS d,
+                 ABS(ROUND(x.a - y.a, 9)) AS v
+          FROM pts x JOIN pts y ON x.pid < y.pid),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                 ROUND(CAST(SUM(CAST(d AS DECIMAL(20,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS md,
+                 ROUND(CAST(SUM(CAST(v AS DECIMAL(20,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS mv
+          FROM pairs),
+        mom AS (
+          SELECT MAX(st.np) AS np,
+                 CAST(SUM(CAST(ROUND((d - st.md) * (d - st.md), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(ROUND((v - st.mv) * (v - st.mv), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(ROUND((d - st.md) * (v - st.mv), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+          FROM pairs CROSS JOIN st)
+        SELECT np AS n_pairs,
+               ROUND(sxy / (sqrt(sxx) * sqrt(syy)), 6)
+                 + CAST(0 AS DOUBLE) AS mantel_r
+        FROM mom""")),
+
+    // Horvitz-Thompson estimation under deterministic Poisson PPS
+    // sampling: inclusion probability p ∝ sqrt(order value) (capped at
+    // 1), an md5 uniform draw per order (the q4d hashDraw machinery),
+    // the π-weighted total, its exact relative error against the true
+    // total, and the HT variance estimate — the design-based estimation
+    // audit for every weighted sample this engine draws (q4d/q7h give
+    // samples; this checks what an estimator built on them would
+    // report). Sample terms y/p are rounded at 6 and DECIMAL-summed so
+    // the aggregation is order-free; the SE is one sqrt.
+    "qed_horvitz_thompson" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            col("o_totalprice").cast("decimal(18,2)").as("y"))
+          .withColumn("p", least(lit(1.0),
+            sqrt(col("y").cast("double")) / lit(600.0)))
+          .withColumn("u",
+            conv(substring(md5(concat(col("k").cast("string"), lit("ht"))),
+              1, 12), 16, 10).cast("double") /
+              lit(281474976710656.0))
+        val tot = o.agg(count(lit(1)).as("n_pop"), sum(col("y")).as("ty"))
+        val samp = o.filter(col("u") < col("p"))
+          .agg(count(lit(1)).as("n_sample"),
+            sum(round(col("y").cast("double") / col("p"), 6)
+              .cast("decimal(28,6)")).as("htd"),
+            sum(round((lit(1.0) - col("p")) *
+              (col("y").cast("double") / col("p")) *
+              (col("y").cast("double") / col("p")), 2)
+              .cast("decimal(38,2)")).as("vard"))
+        tot.crossJoin(broadcast(samp))
+          .select(col("n_pop"), col("n_sample"),
+            round(col("ty"), 2).cast("double").as("true_total"),
+            round(col("htd").cast("double"), 2).as("ht_estimate"),
+            round((col("htd").cast("double") - col("ty").cast("double")) /
+              col("ty").cast("double"), 6).as("rel_err"),
+            round(sqrt(col("vard").cast("double")), 2).as("ht_se"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+                 LEAST(CAST(1 AS DOUBLE),
+                   sqrt(CAST(o_totalprice AS DOUBLE)) /
+                     CAST(600 AS DOUBLE)) AS p,
+                 CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                   || 'ht'), 1, 12) AS BIGINT) AS DOUBLE) /
+                   CAST(281474976710656 AS DOUBLE) AS u
+          FROM orders),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_pop, SUM(y) AS ty FROM o),
+        samp AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+                 SUM(CAST(ROUND(CAST(y AS DOUBLE) / p, 6)
+                   AS DECIMAL(28,6))) AS htd,
+                 SUM(CAST(ROUND((CAST(1 AS DOUBLE) - p) *
+                   (CAST(y AS DOUBLE) / p) * (CAST(y AS DOUBLE) / p), 2)
+                   AS DECIMAL(38,2))) AS vard
+          FROM o WHERE u < p)
+        SELECT n_pop, n_sample,
+               CAST(ROUND(ty, 2) AS DOUBLE) AS true_total,
+               ROUND(CAST(htd AS DOUBLE), 2) + CAST(0 AS DOUBLE)
+                 AS ht_estimate,
+               ROUND((CAST(htd AS DOUBLE) - CAST(ty AS DOUBLE)) /
+                 CAST(ty AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS rel_err,
+               ROUND(sqrt(CAST(vard AS DOUBLE)), 2) + CAST(0 AS DOUBLE)
+                 AS ht_se
+        FROM tot CROSS JOIN samp"""))
   )
 }
