@@ -5462,6 +5462,220 @@ object StatQueries {
                  CAST(ty AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS rel_err,
                ROUND(sqrt(CAST(vard AS DOUBLE)), 2) + CAST(0 AS DOUBLE)
                  AS ht_se
-        FROM tot CROSS JOIN samp"""))
+        FROM tot CROSS JOIN samp""")),
+
+    // Geometric median of the customer point panel by two unrolled
+    // Weiszfeld rounds from the centroid (the q4b iterative recipe:
+    // per-term 9-snap, DECIMAL sums, a new 9-grid estimate each round)
+    // — the robust 2-D "central facility" location a single wild point
+    // cannot drag, where the centroid (emitted for contrast) moves
+    // linearly with every outlier. Objective Σd at the centroid and at
+    // the round-2 estimate shows the descent. Planar grid coordinates
+    // (qe9 convention); sqrt is the only irrational link.
+    "qee_geometric_median" -> Q(
+      fn = (s, dir) => {
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 500)
+          .select(col("c_custkey").as("pid"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("la"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lo"))
+          .localCheckpoint(eager = false)
+        val c0 = pts.agg(count(lit(1)).as("n"),
+          sum(col("la").cast("decimal(20,9)")).as("sla"),
+          sum(col("lo").cast("decimal(20,9)")).as("slo"))
+          .select(col("n"),
+            round(col("sla").cast("double") / col("n").cast("double"), 9)
+              .as("cx0"),
+            round(col("slo").cast("double") / col("n").cast("double"), 9)
+              .as("cy0"))
+        def step(cx: String, cy: String, base: DataFrame, tag: String) = {
+          val d = pts.crossJoin(broadcast(base))
+            .select(col("la"), col("lo"), col(cx), col(cy),
+              round(sqrt((col("la") - col(cx)) * (col("la") - col(cx)) +
+                (col("lo") - col(cy)) * (col("lo") - col(cy))), 9).as("d"))
+            .filter(col("d") > 0)
+          d.agg(
+            sum(round(col("la") / col("d"), 9).cast("decimal(24,9)"))
+              .as("swx"),
+            sum(round(col("lo") / col("d"), 9).cast("decimal(24,9)"))
+              .as("swy"),
+            sum(round(lit(1.0) / col("d"), 9).cast("decimal(24,9)"))
+              .as("sw"),
+            sum(col("d").cast("decimal(20,9)")).as("obj"))
+            .select(
+              round(col("swx").cast("double") / col("sw").cast("double"), 9)
+                .as(s"cx$tag"),
+              round(col("swy").cast("double") / col("sw").cast("double"), 9)
+                .as(s"cy$tag"),
+              col("obj").cast("double").as(s"obj$tag"))
+        }
+        val s1 = step("cx0", "cy0", c0.select(col("cx0"), col("cy0")), "1")
+        val s2 = step("cx1", "cy1", s1.select(col("cx1"), col("cy1")), "2")
+        c0.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+          .select(col("n"),
+            round(col("cx0"), 6).as("centroid_lat"),
+            round(col("cy0"), 6).as("centroid_lon"),
+            round(col("cx2"), 6).as("gmed_lat"),
+            round(col("cy2"), 6).as("gmed_lon"),
+            round(col("obj1"), 6).as("obj_at_centroid"),
+            round(col("obj2"), 6).as("obj_at_round1"))
+      },
+      oracle = Some(s"""
+        WITH pts AS MATERIALIZED (
+          SELECT c_custkey AS pid,
+                 ${coordSql("c_custkey", "lat", 180000L, 90)} AS la,
+                 ${coordSql("c_custkey", "lon", 360000L, 180)} AS lo
+          FROM customer WHERE c_custkey <= 500),
+        c0 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(CAST(la AS DECIMAL(20,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS cx0,
+                 ROUND(CAST(SUM(CAST(lo AS DECIMAL(20,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS cy0
+          FROM pts),
+        d1 AS (
+          SELECT la, lo,
+                 ROUND(sqrt((la - c0.cx0) * (la - c0.cx0) +
+                   (lo - c0.cy0) * (lo - c0.cy0)), 9) AS d
+          FROM pts CROSS JOIN c0
+          WHERE ROUND(sqrt((la - c0.cx0) * (la - c0.cx0) +
+            (lo - c0.cy0) * (lo - c0.cy0)), 9) > 0),
+        s1 AS (
+          SELECT ROUND(CAST(SUM(CAST(ROUND(la / d, 9) AS DECIMAL(24,9)))
+                   AS DOUBLE) /
+                 CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / d, 9)
+                   AS DECIMAL(24,9))) AS DOUBLE), 9) AS cx1,
+                 ROUND(CAST(SUM(CAST(ROUND(lo / d, 9) AS DECIMAL(24,9)))
+                   AS DOUBLE) /
+                 CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / d, 9)
+                   AS DECIMAL(24,9))) AS DOUBLE), 9) AS cy1,
+                 CAST(SUM(CAST(d AS DECIMAL(20,9))) AS DOUBLE) AS obj1
+          FROM d1),
+        d2 AS (
+          SELECT la, lo,
+                 ROUND(sqrt((la - s1.cx1) * (la - s1.cx1) +
+                   (lo - s1.cy1) * (lo - s1.cy1)), 9) AS d
+          FROM pts CROSS JOIN s1
+          WHERE ROUND(sqrt((la - s1.cx1) * (la - s1.cx1) +
+            (lo - s1.cy1) * (lo - s1.cy1)), 9) > 0),
+        s2 AS (
+          SELECT ROUND(CAST(SUM(CAST(ROUND(la / d, 9) AS DECIMAL(24,9)))
+                   AS DOUBLE) /
+                 CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / d, 9)
+                   AS DECIMAL(24,9))) AS DOUBLE), 9) AS cx2,
+                 ROUND(CAST(SUM(CAST(ROUND(lo / d, 9) AS DECIMAL(24,9)))
+                   AS DOUBLE) /
+                 CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / d, 9)
+                   AS DECIMAL(24,9))) AS DOUBLE), 9) AS cy2,
+                 CAST(SUM(CAST(d AS DECIMAL(20,9))) AS DOUBLE) AS obj2
+          FROM d2)
+        SELECT n,
+               ROUND(cx0, 6) + CAST(0 AS DOUBLE) AS centroid_lat,
+               ROUND(cy0, 6) + CAST(0 AS DOUBLE) AS centroid_lon,
+               ROUND(cx2, 6) + CAST(0 AS DOUBLE) AS gmed_lat,
+               ROUND(cy2, 6) + CAST(0 AS DOUBLE) AS gmed_lon,
+               ROUND(obj1, 6) + CAST(0 AS DOUBLE) AS obj_at_centroid,
+               ROUND(obj2, 6) + CAST(0 AS DOUBLE) AS obj_at_round1
+        FROM c0 CROSS JOIN s1 CROSS JOIN s2""")),
+
+    // Van Elteren stratified Wilcoxon: weekend vs weekday purchase
+    // VALUES compared within each week stratum, per-stratum rank sums
+    // combined with 1/(n_k+1) weights — the design-based companion to
+    // qdn's CMH (CMH stratifies a binary outcome; van Elteren
+    // stratifies a continuous one, killing the week-trend confound
+    // that a pooled q7o would absorb). Per-stratum ranks come from
+    // global-rank offsets over (week, value, id) — no per-group window
+    // — and every null-moment term is an exact integer rational,
+    // 9-snapped and DECIMAL-summed.
+    "qef_van_elteren" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("event_type") === "purchase" && col("value").isNotNull)
+          .select((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"), col("value").cast("decimal(18,2)").as("v"),
+            col("event_id"))
+        val rel = e.crossJoin(broadcast(e.agg(min(col("day")).as("d0"))))
+          .select(((col("day") - col("d0")) / lit(7)).cast("long").as("wk"),
+            (pmod(col("day") - col("d0"), lit(7L)) >= 5).as("wknd"),
+            col("v"), col("event_id"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(rel,
+          Seq(col("wk"), col("v"), col("event_id")), "grn")
+          .localCheckpoint(eager = false)
+        val offs = ranked.groupBy(col("wk"))
+          .agg(min(col("grn")).as("g0"), count(lit(1)).as("nk"))
+        val strat = ranked.join(offs, Seq("wk"))
+          .select(col("wk"), col("wknd"), col("nk"),
+            (col("grn") - col("g0") + 1).as("r"))
+          .groupBy(col("wk"))
+          .agg(first(col("nk")).as("nk"),
+            sum(when(col("wknd"), 1L).otherwise(0L)).as("n1k"),
+            sum(when(col("wknd"), col("r")).otherwise(0L)).as("w1k"))
+          .select(col("wk"), col("nk"), col("n1k"),
+            (col("nk") - col("n1k")).as("n2k"), col("w1k"))
+        val agg = strat.agg(count(lit(1)).as("n_strata"),
+          sum(round(col("w1k").cast("double") /
+            (col("nk") + 1).cast("double"), 9).cast("decimal(18,9)"))
+            .as("ve"),
+          sum(col("n1k")).as("sn1"),
+          sum(round(col("n1k").cast("double") * col("n2k").cast("double") /
+            (lit(12.0) * (col("nk") + 1).cast("double")), 9)
+            .cast("decimal(18,9)")).as("vvar"))
+        agg.select(col("n_strata"),
+          round(col("ve").cast("double"), 6).as("ve_stat"),
+          round(col("sn1").cast("double") / lit(2.0), 6).as("ve_null_mean"),
+          round((col("ve").cast("double") -
+            col("sn1").cast("double") / lit(2.0)) /
+            sqrt(col("vvar").cast("double")), 6).as("ve_z"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(value AS DECIMAL(18,2)) AS v, event_id
+          FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+        d0 AS (SELECT MIN(day) AS d0 FROM e),
+        rel AS (
+          SELECT (day - d0.d0) // 7 AS wk,
+                 ((day - d0.d0) % 7) >= 5 AS wknd, v, event_id
+          FROM e CROSS JOIN d0),
+        ranked AS MATERIALIZED (
+          SELECT wk, wknd,
+                 CAST(ROW_NUMBER() OVER (ORDER BY wk, v, event_id)
+                   AS BIGINT) AS grn
+          FROM rel),
+        offs AS (
+          SELECT wk, MIN(grn) AS g0, CAST(COUNT(*) AS BIGINT) AS nk
+          FROM ranked GROUP BY 1),
+        strat AS (
+          SELECT r.wk, MAX(offs.nk) AS nk,
+                 CAST(SUM(CASE WHEN wknd THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1k,
+                 MAX(offs.nk) -
+                   CAST(SUM(CASE WHEN wknd THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2k,
+                 CAST(SUM(CASE WHEN wknd THEN grn - offs.g0 + 1 ELSE 0
+                   END) AS BIGINT) AS w1k
+          FROM ranked r JOIN offs USING (wk)
+          GROUP BY r.wk),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                 SUM(CAST(ROUND(CAST(w1k AS DOUBLE) /
+                   CAST(nk + 1 AS DOUBLE), 9) AS DECIMAL(18,9))) AS ve,
+                 CAST(SUM(n1k) AS BIGINT) AS sn1,
+                 SUM(CAST(ROUND(CAST(n1k AS DOUBLE) *
+                   CAST(n2k AS DOUBLE) /
+                   (CAST(12 AS DOUBLE) * CAST(nk + 1 AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))) AS vvar
+          FROM strat)
+        SELECT n_strata,
+               ROUND(CAST(ve AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS ve_stat,
+               ROUND(CAST(sn1 AS DOUBLE) / CAST(2 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS ve_null_mean,
+               ROUND((CAST(ve AS DOUBLE) -
+                 CAST(sn1 AS DOUBLE) / CAST(2 AS DOUBLE)) /
+                 sqrt(CAST(vvar AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS ve_z
+        FROM agg"""))
   )
 }
