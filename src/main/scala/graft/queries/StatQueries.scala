@@ -5676,6 +5676,188 @@ object StatQueries {
                  CAST(sn1 AS DOUBLE) / CAST(2 AS DOUBLE)) /
                  sqrt(CAST(vvar AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
                  AS ve_z
-        FROM agg"""))
+        FROM agg""")),
+
+    // Directed-graph structure card on the deterministic %997 link
+    // graph (the qct construction): full dyad census (mutual /
+    // asymmetric / null), edge reciprocity, and Newman's CATEGORICAL
+    // assortativity over the node-community attribute (node mod 5) via
+    // the exact integer identity r = (E·Σm_ii − Σ rowᵢ·colᵢ) /
+    // (E² − Σ rowᵢ·colᵢ) — q7f measures DEGREE mixing; this measures
+    // attribute homophily, and the dyad census is the SNA base rate
+    // every directed-graph claim needs. All counts are exact BIGINTs.
+    "qeg_dyad_census" -> Q(
+      fn = (s, dir) => {
+        val sres = t(s, dir, "orders")
+          .select((col("o_orderkey") % 997).cast("long").as("s")).distinct()
+        val edges = sres.select(col("s").as("src"),
+          ((col("s") * 31 + 7) % 997).as("dst"))
+          .unionByName(sres.select(col("s").as("src"),
+            ((col("s") * 17 + 3) % 997).as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .localCheckpoint(eager = false)
+        val n0 = sres.agg(count(lit(1)).as("n"))
+        val recip = edges.join(edges.select(col("dst").as("src"),
+          col("src").as("dst")).withColumn("rev", lit(1L)),
+          Seq("src", "dst"), "left")
+          .agg(count(lit(1)).as("ecnt"),
+            sum(coalesce(col("rev"), lit(0L))).as("erecip"))
+          .select(col("ecnt"), col("erecip"),
+            (col("erecip") / 2).cast("long").as("mutual"),
+            (col("ecnt") - col("erecip")).as("asym"))
+        val mix = edges
+          .select(pmod(col("src"), lit(5L)).as("ci"),
+            pmod(col("dst"), lit(5L)).as("cj"))
+          .groupBy(col("ci"), col("cj")).agg(count(lit(1)).as("m"))
+          .localCheckpoint(eager = false)
+        val diag = mix.agg(sum(col("m")).as("ee"),
+          sum(when(col("ci") === col("cj"), col("m")).otherwise(0L))
+            .as("mii"))
+        val rows = mix.groupBy(col("ci")).agg(sum(col("m")).as("ai"))
+        val cols2 = mix.groupBy(col("cj")).agg(sum(col("m")).as("bi"))
+        val ab = rows.join(cols2, col("ci") === col("cj"))
+          .agg(sum(col("ai") * col("bi")).as("sab"))
+        n0.crossJoin(broadcast(recip)).crossJoin(broadcast(diag))
+          .crossJoin(broadcast(ab))
+          .select(col("n").as("n_nodes"), col("ecnt").as("n_edges"),
+            col("mutual"), col("asym"),
+            (col("n") * (col("n") - 1) / 2 - col("mutual") - col("asym"))
+              .cast("long").as("null_dyads"),
+            round(col("erecip").cast("double") / col("ecnt").cast("double"),
+              6).as("reciprocity"),
+            round((col("ee").cast("double") * col("mii").cast("double") -
+              col("sab").cast("double")) /
+              (col("ee").cast("double") * col("ee").cast("double") -
+                col("sab").cast("double")), 6).as("attr_assortativity"))
+      },
+      oracle = Some("""
+        WITH sres AS (
+          SELECT DISTINCT CAST(o_orderkey % 997 AS BIGINT) AS s
+          FROM orders),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT s AS src, (s * 31 + 7) % 997 AS dst FROM sres
+            UNION ALL
+            SELECT s AS src, (s * 17 + 3) % 997 AS dst FROM sres)
+          WHERE src <> dst),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sres),
+        recip AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS ecnt,
+                 CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS erecip
+          FROM edges e LEFT JOIN edges r
+            ON e.src = r.dst AND e.dst = r.src),
+        recip2 AS (
+          SELECT ecnt, erecip, erecip // 2 AS mutual,
+                 ecnt - erecip AS asym
+          FROM recip),
+        mix AS MATERIALIZED (
+          SELECT src % 5 AS ci, dst % 5 AS cj,
+                 CAST(COUNT(*) AS BIGINT) AS m
+          FROM edges GROUP BY 1, 2),
+        diag AS (
+          SELECT CAST(SUM(m) AS BIGINT) AS ee,
+                 CAST(SUM(CASE WHEN ci = cj THEN m ELSE 0 END) AS BIGINT)
+                   AS mii
+          FROM mix),
+        ab AS (
+          SELECT CAST(SUM(ai * bi) AS BIGINT) AS sab
+          FROM (SELECT ci, CAST(SUM(m) AS BIGINT) AS ai
+                FROM mix GROUP BY 1) r
+          JOIN (SELECT cj, CAST(SUM(m) AS BIGINT) AS bi
+                FROM mix GROUP BY 1) c ON r.ci = c.cj)
+        SELECT n AS n_nodes, ecnt AS n_edges, mutual, asym,
+               CAST(n * (n - 1) // 2 - mutual - asym AS BIGINT)
+                 AS null_dyads,
+               ROUND(CAST(erecip AS DOUBLE) / CAST(ecnt AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS reciprocity,
+               ROUND((CAST(ee AS DOUBLE) * CAST(mii AS DOUBLE) -
+                 CAST(sab AS DOUBLE)) /
+                 (CAST(ee AS DOUBLE) * CAST(ee AS DOUBLE) -
+                   CAST(sab AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS attr_assortativity
+        FROM n0 CROSS JOIN recip2 CROSS JOIN diag CROSS JOIN ab""")),
+
+    // Rich-club connectivity curve of the undirected %997 link graph:
+    // φ(k) = 2·E_k / (n_k(n_k−1)) over the subgraphs induced by nodes
+    // of degree > k for k = 1/2/3 — do the hubs talk to each other
+    // more densely than the graph at large (the global density is the
+    // k = 0 row)? The hub-interconnection lens that q7f's degree
+    // assortativity summarizes to one number and q4s's k-core
+    // (cohesion) doesn't ask. Exact integer edge/degree arithmetic
+    // end to end.
+    "qeh_rich_club" -> Q(
+      fn = (s, dir) => {
+        val sres = t(s, dir, "orders")
+          .select((col("o_orderkey") % 997).cast("long").as("s")).distinct()
+        val und = sres.select(col("s").as("a"),
+          ((col("s") * 31 + 7) % 997).as("b"))
+          .unionByName(sres.select(col("s").as("a"),
+            ((col("s") * 17 + 3) % 997).as("b")))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v"))
+          .distinct()
+          .localCheckpoint(eager = false)
+        val deg = und.select(col("u").as("nd"))
+          .unionByName(und.select(col("v").as("nd")))
+          .groupBy(col("nd")).agg(count(lit(1)).as("dg"))
+        val ks = und.sparkSession.range(1)
+          .select(explode(array(lit(0L), lit(1L), lit(2L), lit(3L)))
+            .as("k"))
+        val nodesK = deg.crossJoin(broadcast(ks))
+          .filter(col("dg") > col("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("nk"))
+        val edgesK = und
+          .join(deg.select(col("nd").as("u"), col("dg").as("du")), Seq("u"))
+          .join(deg.select(col("nd").as("v"), col("dg").as("dv")), Seq("v"))
+          .crossJoin(broadcast(ks.select(col("k").as("k2"))))
+          .filter(col("du") > col("k2") && col("dv") > col("k2"))
+          .groupBy(col("k2")).agg(count(lit(1)).as("ek"))
+        nodesK.join(edgesK, col("k") === col("k2"), "left")
+          .select(col("k"), col("nk"),
+            coalesce(col("ek"), lit(0L)).as("ek"),
+            when(col("nk") > 1,
+              round(lit(2.0) * coalesce(col("ek"), lit(0L)).cast("double") /
+                (col("nk") * (col("nk") - 1)).cast("double"), 6))
+              .as("phi"))
+          .orderBy(col("k"))
+      },
+      oracle = Some("""
+        WITH sres AS (
+          SELECT DISTINCT CAST(o_orderkey % 997 AS BIGINT) AS s
+          FROM orders),
+        und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM (
+            SELECT s AS a, (s * 31 + 7) % 997 AS b FROM sres
+            UNION ALL
+            SELECT s AS a, (s * 17 + 3) % 997 AS b FROM sres)
+          WHERE a <> b),
+        deg AS (
+          SELECT nd, CAST(COUNT(*) AS BIGINT) AS dg
+          FROM (SELECT u AS nd FROM und UNION ALL SELECT v FROM und)
+          GROUP BY 1),
+        ks AS (SELECT CAST(UNNEST([0, 1, 2, 3]) AS BIGINT) AS k),
+        nodesk AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS nk
+          FROM deg CROSS JOIN ks WHERE dg > k GROUP BY 1),
+        edgesk AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS ek
+          FROM und
+          JOIN deg du ON und.u = du.nd
+          JOIN deg dv ON und.v = dv.nd
+          CROSS JOIN ks
+          WHERE du.dg > k AND dv.dg > k
+          GROUP BY 1)
+        SELECT n.k, n.nk, CAST(COALESCE(e.ek, 0) AS BIGINT) AS ek,
+               CASE WHEN n.nk > 1 THEN
+                 ROUND(CAST(2 AS DOUBLE) * CAST(COALESCE(e.ek, 0)
+                   AS DOUBLE) /
+                   CAST(n.nk * (n.nk - 1) AS DOUBLE), 6)
+                   + CAST(0 AS DOUBLE)
+               END AS phi
+        FROM nodesk n LEFT JOIN edgesk e ON n.k = e.k
+        ORDER BY n.k"""))
   )
 }
