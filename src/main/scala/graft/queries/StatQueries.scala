@@ -5858,6 +5858,310 @@ object StatQueries {
                    + CAST(0 AS DOUBLE)
                END AS phi
         FROM nodesk n LEFT JOIN edgesk e ON n.k = e.k
-        ORDER BY n.k"""))
+        ORDER BY n.k""")),
+
+    // Inequality diagnostics card over customer lifetime spend: Palma
+    // ratio (top-10% share over bottom-40% share), the S80/S20 quintile
+    // ratio, the Lorenz asymmetry coefficient (WHERE the curve bends —
+    // two distributions can share a Gini yet differ here), Atkinson's
+    // index at ε = 2 (harmonic-mean based, so fully algebraic) and the
+    // mean log deviation (Theil-L) — the distribution-shape battery
+    // around q6m's single Gini number and q7m's curve points. Exact
+    // rank cuts off the spend-ordered running sum (grouped-data
+    // convention, no interpolation at the quantile cuts — noted); ln
+    // and one harmonic sum are the only float links.
+    "qei_inequality_card" -> Q(
+      fn = (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(spend,
+          Seq(col("y"), col("ck")), "vr")
+        val cum = graft.operators.ScaleOps.globalRunningSum(ranked,
+          Seq(col("vr")), col("y"), "cy").localCheckpoint(eager = false)
+        val tot = cum.agg(count(lit(1)).as("n"), max(col("cy")).as("ty"))
+          .select(col("n"), col("ty").cast("double").as("t"),
+            round(col("ty").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val cuts = cum.crossJoin(broadcast(tot))
+          .agg(first(col("n")).as("n"), first(col("t")).as("t"),
+            first(col("mu")).as("mu"),
+            max(when(col("vr") === expr("n * 2 div 5"),
+              col("cy").cast("double"))).as("c40"),
+            max(when(col("vr") === expr("n div 5"),
+              col("cy").cast("double"))).as("c20"),
+            max(when(col("vr") === expr("n * 4 div 5"),
+              col("cy").cast("double"))).as("c80"),
+            max(when(col("vr") === expr("n * 9 div 10"),
+              col("cy").cast("double"))).as("c90"),
+            sum(when(col("y").cast("double") < col("mu"), 1L).otherwise(0L))
+              .as("mlt"),
+            sum(when(col("y").cast("double") < col("mu"),
+              col("y").cast("double")).otherwise(0.0)
+              .cast("decimal(28,2)")).as("cmlt"),
+            sum(round(lit(1.0) / col("y").cast("double"), 12)
+              .cast("decimal(24,12)")).as("sinv"),
+            sum(round(log(col("y").cast("double")), 9)
+              .cast("decimal(20,9)")).as("slny"))
+        cuts.select(col("n"),
+          round((col("t") - col("c90")) / col("c40"), 6).as("palma"),
+          round((col("t") - col("c80")) / col("c20"), 6).as("s80_s20"),
+          round(col("mlt").cast("double") / col("n").cast("double") +
+            col("cmlt").cast("double") / col("t"), 6).as("lorenz_asym"),
+          round(lit(1.0) -
+            (col("n").cast("double") / col("sinv").cast("double")) /
+            col("mu"), 6).as("atkinson_2"),
+          round(log(col("mu")) -
+            col("slny").cast("double") / col("n").cast("double"), 6)
+            .as("theil_l"))
+      },
+      oracle = Some("""
+        WITH spend AS (
+          SELECT o_custkey AS ck,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+          FROM orders GROUP BY 1),
+        r AS (
+          SELECT y, ROW_NUMBER() OVER (ORDER BY y, ck) AS vr FROM spend),
+        cum AS MATERIALIZED (
+          SELECT y, vr,
+                 SUM(y) OVER (ORDER BY vr ROWS UNBOUNDED PRECEDING) AS cy
+          FROM r),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MAX(cy) AS DOUBLE) AS t,
+                 ROUND(CAST(MAX(cy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS mu
+          FROM cum),
+        cuts AS (
+          SELECT MAX(tot.n) AS n, MAX(tot.t) AS t, MAX(tot.mu) AS mu,
+                 MAX(CASE WHEN vr = tot.n * 2 // 5
+                   THEN CAST(cy AS DOUBLE) END) AS c40,
+                 MAX(CASE WHEN vr = tot.n // 5
+                   THEN CAST(cy AS DOUBLE) END) AS c20,
+                 MAX(CASE WHEN vr = tot.n * 4 // 5
+                   THEN CAST(cy AS DOUBLE) END) AS c80,
+                 MAX(CASE WHEN vr = tot.n * 9 // 10
+                   THEN CAST(cy AS DOUBLE) END) AS c90,
+                 CAST(SUM(CASE WHEN CAST(y AS DOUBLE) < tot.mu THEN 1
+                   ELSE 0 END) AS BIGINT) AS mlt,
+                 SUM(CAST(CASE WHEN CAST(y AS DOUBLE) < tot.mu
+                   THEN CAST(y AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+                   AS DECIMAL(28,2))) AS cmlt,
+                 SUM(CAST(ROUND(CAST(1 AS DOUBLE) / CAST(y AS DOUBLE), 12)
+                   AS DECIMAL(24,12))) AS sinv,
+                 SUM(CAST(ROUND(ln(CAST(y AS DOUBLE)), 9)
+                   AS DECIMAL(20,9))) AS slny
+          FROM cum CROSS JOIN tot)
+        SELECT n,
+               ROUND((t - c90) / c40, 6) + CAST(0 AS DOUBLE) AS palma,
+               ROUND((t - c80) / c20, 6) + CAST(0 AS DOUBLE) AS s80_s20,
+               ROUND(CAST(mlt AS DOUBLE) / CAST(n AS DOUBLE) +
+                 CAST(cmlt AS DOUBLE) / t, 6) + CAST(0 AS DOUBLE)
+                 AS lorenz_asym,
+               ROUND(CAST(1 AS DOUBLE) -
+                 (CAST(n AS DOUBLE) / CAST(sinv AS DOUBLE)) / mu, 6)
+                 + CAST(0 AS DOUBLE) AS atkinson_2,
+               ROUND(ln(mu) - CAST(slny AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS theil_l
+        FROM cuts""")),
+
+    // Covariate-balance table ("love plot" data) comparing weekend vs
+    // weekday events on three covariates — value, hour-of-day, and the
+    // acting user's total activity — via the standardized mean
+    // difference SMD = (m₁-m₀)/sqrt((s₁²+s₀²)/2): THE causal-inference
+    // pre-check (|SMD| < 0.1 ⇒ balanced) that qbk's diff-in-diff and
+    // q7b's CUPED silently assume. One long-format moment pass serves
+    // all covariates; moments ride round-6 DECIMAL sums.
+    "qej_covariate_balance" -> Q(
+      fn = (s, dir) => {
+        val ua = t(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("uact"))
+        val base = t(s, dir, "events")
+          .join(ua, Seq("user_id"))
+          .select(
+            (pmod((unix_millis(col("ts")) / lit(86400000L)).cast("long"),
+              lit(7L)) >= 5).as("wknd"),
+            coalesce(col("value"), lit(0.0)).cast("decimal(18,2)")
+              .cast("double").as("c_value"),
+            pmod((unix_millis(col("ts")) / lit(3600000L)).cast("long"),
+              lit(24L)).cast("double").as("c_hour"),
+            col("uact").cast("double").as("c_uact"))
+        val long = base.select(col("wknd"), lit("1_value").as("cov"),
+          col("c_value").as("x"))
+          .unionByName(base.select(col("wknd"), lit("2_hour").as("cov"),
+            col("c_hour").as("x")))
+          .unionByName(base.select(col("wknd"), lit("3_user_activity")
+            .as("cov"), col("c_uact").as("x")))
+          .localCheckpoint(eager = false)
+        val gs = long.groupBy(col("cov"), col("wknd"))
+          .agg(count(lit(1)).as("ni"),
+            sum(col("x").cast("decimal(28,2)")).as("sxd"))
+          .select(col("cov"), col("wknd"), col("ni"),
+            round(col("sxd").cast("double") / col("ni").cast("double"), 9)
+              .as("mi"))
+        val mom = long.join(gs, Seq("cov", "wknd"))
+          .select(col("cov"), col("wknd"), col("ni"),
+            (col("x") - col("mi")).as("cx"))
+          .groupBy(col("cov"), col("wknd"))
+          .agg(first(col("ni")).as("ni"),
+            sum(round(col("cx") * col("cx"), 6).cast("decimal(28,6)"))
+              .as("ssd"))
+          .select(col("cov"), col("wknd"), col("ni"),
+            round(col("ssd").cast("double") / (col("ni") - 1).cast("double"),
+              9).as("s2"))
+        val wide = gs.join(mom.select(col("cov"), col("wknd"), col("s2")),
+          Seq("cov", "wknd"))
+          .groupBy(col("cov"))
+          .agg(max(when(col("wknd"), col("mi"))).as("m1"),
+            max(when(col("wknd"), col("s2"))).as("v1"),
+            max(when(!col("wknd"), col("mi"))).as("m0"),
+            max(when(!col("wknd"), col("s2"))).as("v0"))
+        wide.select(col("cov").as("covariate"),
+          round(col("m1"), 6).as("mean_wknd"),
+          round(col("m0"), 6).as("mean_wkdy"),
+          round((col("m1") - col("m0")) /
+            sqrt((col("v1") + col("v0")) / lit(2.0)), 6).as("smd"),
+          when(abs((col("m1") - col("m0")) /
+            sqrt((col("v1") + col("v0")) / lit(2.0))) < 0.1, lit("yes"))
+            .otherwise(lit("no")).as("balanced"))
+          .orderBy(col("covariate"))
+      },
+      oracle = Some("""
+        WITH ua AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS uact
+          FROM events GROUP BY 1),
+        base AS (
+          SELECT ((CAST(epoch_ms(ts) // 86400000 AS BIGINT)) % 7) >= 5
+                   AS wknd,
+                 CAST(CAST(COALESCE(value, 0) AS DECIMAL(18,2)) AS DOUBLE)
+                   AS c_value,
+                 CAST((epoch_ms(ts) // 3600000) % 24 AS DOUBLE) AS c_hour,
+                 CAST(uact AS DOUBLE) AS c_uact
+          FROM events JOIN ua USING (user_id)),
+        long_f AS MATERIALIZED (
+          SELECT wknd, '1_value' AS cov, c_value AS x FROM base
+          UNION ALL
+          SELECT wknd, '2_hour' AS cov, c_hour AS x FROM base
+          UNION ALL
+          SELECT wknd, '3_user_activity' AS cov, c_uact AS x FROM base),
+        gs AS (
+          SELECT cov, wknd, CAST(COUNT(*) AS BIGINT) AS ni,
+                 ROUND(CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS mi
+          FROM long_f GROUP BY 1, 2),
+        mom AS (
+          SELECT l.cov, l.wknd, MAX(gs.ni) AS ni,
+                 ROUND(CAST(SUM(CAST(ROUND((x - gs.mi) * (x - gs.mi), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) /
+                   CAST(MAX(gs.ni) - 1 AS DOUBLE), 9) AS s2
+          FROM long_f l JOIN gs ON l.cov = gs.cov AND l.wknd = gs.wknd
+          GROUP BY l.cov, l.wknd),
+        wide AS (
+          SELECT gs.cov,
+                 MAX(CASE WHEN gs.wknd THEN mi END) AS m1,
+                 MAX(CASE WHEN gs.wknd THEN s2 END) AS v1,
+                 MAX(CASE WHEN NOT gs.wknd THEN mi END) AS m0,
+                 MAX(CASE WHEN NOT gs.wknd THEN s2 END) AS v0
+          FROM gs JOIN mom ON gs.cov = mom.cov AND gs.wknd = mom.wknd
+          GROUP BY gs.cov)
+        SELECT cov AS covariate,
+               ROUND(m1, 6) + CAST(0 AS DOUBLE) AS mean_wknd,
+               ROUND(m0, 6) + CAST(0 AS DOUBLE) AS mean_wkdy,
+               ROUND((m1 - m0) /
+                 sqrt((v1 + v0) / CAST(2 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS smd,
+               CASE WHEN ABS((m1 - m0) /
+                 sqrt((v1 + v0) / CAST(2 AS DOUBLE))) <
+                 CAST(0.1 AS DOUBLE) THEN 'yes' ELSE 'no' END AS balanced
+        FROM wide ORDER BY covariate""")),
+
+    // Epidemiological risk-measure card for "does the weekend phase
+    // change purchase behavior": risk ratio, odds ratio, risk
+    // difference, attributable fraction in the exposed, population
+    // attributable fraction, number needed to "treat", and
+    // VanderWeele's E-value — the sensitivity bound saying how strong
+    // an unmeasured confounder would have to be to explain the
+    // observed RR away. Every measure is a raw ratio of four exact
+    // BIGINT cells; the E-value's only irrational link is one sqrt,
+    // branch taken on RR vs 1 deterministically.
+    "qek_risk_measures" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select((pmod((unix_millis(col("ts")) / lit(86400000L))
+            .cast("long"), lit(7L)) >= 5).as("wknd"),
+            (col("event_type") === "purchase").as("pur"))
+        val cells = e.agg(
+          sum(when(col("wknd") && col("pur"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("wknd") && !col("pur"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("wknd") && col("pur"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("wknd") && !col("pur"), 1L).otherwise(0L)).as("d"))
+        val pre = cells.select(col("a"), col("b"), col("c"), col("d"),
+          (col("a").cast("double") / (col("a") + col("b")).cast("double"))
+            .as("p1"),
+          (col("c").cast("double") / (col("c") + col("d")).cast("double"))
+            .as("p0"),
+          ((col("a") + col("c")).cast("double") /
+            (col("a") + col("b") + col("c") + col("d")).cast("double"))
+            .as("pp"))
+          .withColumn("rr", col("p1") / col("p0"))
+          .withColumn("rrstar",
+            when(col("rr") >= 1.0, col("rr")).otherwise(lit(1.0) / col("rr")))
+        pre.select(col("a"), col("b"), col("c"), col("d"),
+          round(col("rr"), 6).as("risk_ratio"),
+          round(col("a").cast("double") * col("d").cast("double") /
+            (col("b").cast("double") * col("c").cast("double")), 6)
+            .as("odds_ratio"),
+          round(col("p1") - col("p0"), 6).as("risk_diff"),
+          round((col("rr") - lit(1.0)) / col("rr"), 6).as("af_exposed"),
+          round((col("pp") - col("p0")) / col("pp"), 6).as("paf"),
+          round(lit(1.0) / abs(col("p1") - col("p0")), 6).as("nnt"),
+          round(col("rrstar") +
+            sqrt(col("rrstar") * (col("rrstar") - lit(1.0))), 6)
+            .as("e_value"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT ((CAST(epoch_ms(ts) // 86400000 AS BIGINT)) % 7) >= 5
+                   AS wknd,
+                 event_type = 'purchase' AS pur
+          FROM events),
+        cells AS (
+          SELECT CAST(SUM(CASE WHEN wknd AND pur THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN wknd AND NOT pur THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN NOT wknd AND pur THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN NOT wknd AND NOT pur THEN 1 ELSE 0
+                   END) AS BIGINT) AS d
+          FROM e),
+        pre AS (
+          SELECT a, b, c, d,
+                 CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE) AS p1,
+                 CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE) AS p0,
+                 CAST(a + c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
+                   AS pp
+          FROM cells),
+        pre2 AS (
+          SELECT *, p1 / p0 AS rr FROM pre),
+        pre3 AS (
+          SELECT *,
+                 CASE WHEN rr >= CAST(1 AS DOUBLE) THEN rr
+                      ELSE CAST(1 AS DOUBLE) / rr END AS rrstar
+          FROM pre2)
+        SELECT a, b, c, d,
+               ROUND(rr, 6) + CAST(0 AS DOUBLE) AS risk_ratio,
+               ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) /
+                 (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS odds_ratio,
+               ROUND(p1 - p0, 6) + CAST(0 AS DOUBLE) AS risk_diff,
+               ROUND((rr - CAST(1 AS DOUBLE)) / rr, 6)
+                 + CAST(0 AS DOUBLE) AS af_exposed,
+               ROUND((pp - p0) / pp, 6) + CAST(0 AS DOUBLE) AS paf,
+               ROUND(CAST(1 AS DOUBLE) / ABS(p1 - p0), 6)
+                 + CAST(0 AS DOUBLE) AS nnt,
+               ROUND(rrstar + sqrt(rrstar * (rrstar - CAST(1 AS DOUBLE))),
+                 6) + CAST(0 AS DOUBLE) AS e_value
+        FROM pre3"""))
   )
 }
