@@ -6162,6 +6162,193 @@ object StatQueries {
                  + CAST(0 AS DOUBLE) AS nnt,
                ROUND(rrstar + sqrt(rrstar * (rrstar - CAST(1 AS DOUBLE))),
                  6) + CAST(0 AS DOUBLE) AS e_value
-        FROM pre3"""))
+        FROM pre3""")),
+
+    // Graded ranking-evaluation metrics for "activity predicts
+    // conversion": users ranked by total activity (desc, uid tiebreak),
+    // relevance = made a purchase — average precision (the PR-curve
+    // area), R-precision, and DCG/NDCG@20 with the 1/log2(1+i)
+    // discount — the IR metric battery beyond q8a's hit-rate@k/MRR
+    // (those score ONE hit; AP and NDCG score the whole ranking).
+    // Ranks and precision numerators are exact integers off the global
+    // running sum of relevance; ln is the only float link.
+    "qel_ranking_metrics" -> Q(
+      fn = (s, dir) => {
+        val users = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("act"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("rel"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          users.select((-col("act")).as("negact"), col("user_id"),
+            col("rel")),
+          Seq(col("negact"), col("user_id")), "i")
+        val cum = graft.operators.ScaleOps.globalRunningSum(ranked,
+          Seq(col("i")), col("rel"), "hits").localCheckpoint(eager = false)
+        val tot = cum.agg(count(lit(1)).as("n"), sum(col("rel")).as("npos"))
+        val ap = cum.crossJoin(broadcast(tot))
+          .agg(first(col("n")).as("n"), first(col("npos")).as("npos"),
+            sum(when(col("rel") === 1,
+              round(col("hits").cast("double") / col("i").cast("double"), 9))
+              .otherwise(0.0).cast("decimal(18,9)")).as("apd"),
+            max(when(col("i") === col("npos"), col("hits"))).as("rprec_hits"),
+            sum(when(col("i") <= 20,
+              round(col("rel").cast("double") /
+                (log((col("i") + 1).cast("double")) / log(lit(2.0))), 9))
+              .otherwise(0.0).cast("decimal(18,9)")).as("dcgd"),
+            sum(when(col("i") <= 20,
+              round(lit(1.0) /
+                (log((col("i") + 1).cast("double")) / log(lit(2.0))), 9))
+              .otherwise(0.0).cast("decimal(18,9)")).as("idcgd"))
+        ap.select(col("n").as("n_users"), col("npos").as("n_converters"),
+          round(col("apd").cast("double") / col("npos").cast("double"), 6)
+            .as("avg_precision"),
+          round(col("rprec_hits").cast("double") /
+            col("npos").cast("double"), 6).as("r_precision"),
+          round(col("dcgd").cast("double"), 6).as("dcg_20"),
+          round(col("dcgd").cast("double") / col("idcgd").cast("double"), 6)
+            .as("ndcg_20"))
+      },
+      oracle = Some("""
+        WITH users AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS act,
+                 CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS rel
+          FROM events GROUP BY 1),
+        ranked AS (
+          SELECT rel, CAST(ROW_NUMBER() OVER (ORDER BY -act, user_id)
+            AS BIGINT) AS i
+          FROM users),
+        cum AS MATERIALIZED (
+          SELECT i, rel,
+                 CAST(SUM(rel) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS hits
+          FROM ranked),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(rel) AS BIGINT) AS npos
+          FROM cum),
+        ap AS (
+          SELECT MAX(tot.n) AS n, MAX(tot.npos) AS npos,
+                 SUM(CAST(CASE WHEN rel = 1 THEN
+                   ROUND(CAST(hits AS DOUBLE) / CAST(i AS DOUBLE), 9)
+                   ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,9))) AS apd,
+                 MAX(CASE WHEN i = tot.npos THEN hits END) AS rprec_hits,
+                 SUM(CAST(CASE WHEN i <= 20 THEN
+                   ROUND(CAST(rel AS DOUBLE) /
+                     (ln(CAST(i + 1 AS DOUBLE)) /
+                      ln(CAST(2 AS DOUBLE))), 9)
+                   ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,9))) AS dcgd,
+                 SUM(CAST(CASE WHEN i <= 20 THEN
+                   ROUND(CAST(1 AS DOUBLE) /
+                     (ln(CAST(i + 1 AS DOUBLE)) /
+                      ln(CAST(2 AS DOUBLE))), 9)
+                   ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,9))) AS idcgd
+          FROM cum CROSS JOIN tot)
+        SELECT n AS n_users, npos AS n_converters,
+               ROUND(CAST(apd AS DOUBLE) / CAST(npos AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS avg_precision,
+               ROUND(CAST(rprec_hits AS DOUBLE) / CAST(npos AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS r_precision,
+               ROUND(CAST(dcgd AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS dcg_20,
+               ROUND(CAST(dcgd AS DOUBLE) / CAST(idcgd AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS ndcg_20
+        FROM ap""")),
+
+    // Extreme-value tail-index estimator comparison on order values:
+    // Pickands (pure order-statistic ratio through one ln), the
+    // Dekkers-Einmahl-de Haan moment estimator (mean and mean-square
+    // log excesses over the top-k threshold — valid for ALL tail
+    // regimes where qb5's Hill assumes heavy tails), and the Hill
+    // replay on the same threshold for contrast. Order statistics are
+    // exact global ranks; log excesses ride round-9 DECIMAL sums.
+    "qem_tail_estimators" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_totalprice").cast("decimal(18,2)").as("y"),
+            col("o_orderkey").as("okey"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          o.select((-col("y")).as("negy"), col("y"), col("okey")),
+          Seq(col("negy"), col("okey")), "i").localCheckpoint(eager = false)
+        val n0 = ranked.agg(count(lit(1)).as("n"))
+          .select(col("n"), expr("n div 100").as("k"))
+        val picks = ranked.crossJoin(broadcast(n0))
+          .agg(first(col("n")).as("n"), first(col("k")).as("k"),
+            max(when(col("i") === col("k"), col("y").cast("double")))
+              .as("xk"),
+            max(when(col("i") === col("k") * 2, col("y").cast("double")))
+              .as("x2k"),
+            max(when(col("i") === col("k") * 4, col("y").cast("double")))
+              .as("x4k"),
+            max(when(col("i") === col("k") + 1, col("y").cast("double")))
+              .as("xk1"))
+        val excess = ranked.crossJoin(broadcast(n0))
+          .filter(col("i") <= col("k"))
+          .crossJoin(broadcast(picks.select(col("xk1"))))
+          .select(round(log(col("y").cast("double") / col("xk1")), 9)
+            .as("le"))
+          .agg(count(lit(1)).as("kk"),
+            sum(col("le").cast("decimal(18,9)")).as("m1d"),
+            sum(round(col("le") * col("le"), 9).cast("decimal(18,9)"))
+              .as("m2d"))
+          .select(col("kk"),
+            round(col("m1d").cast("double") / col("kk").cast("double"), 9)
+              .as("m1"),
+            round(col("m2d").cast("double") / col("kk").cast("double"), 9)
+              .as("m2"))
+        picks.crossJoin(broadcast(excess))
+          .select(col("n"), col("k"),
+            round(log((col("xk") - col("x2k")) /
+              (col("x2k") - col("x4k"))) / log(lit(2.0)), 6)
+              .as("pickands_xi"),
+            round(col("m1") + lit(1.0) - lit(0.5) /
+              (lit(1.0) - col("m1") * col("m1") / col("m2")), 6)
+              .as("dedh_moment_xi"),
+            round(col("m1"), 6).as("hill_xi"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+                 o_orderkey AS okey
+          FROM orders),
+        ranked AS MATERIALIZED (
+          SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY -y, okey) AS BIGINT)
+            AS i
+          FROM o),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(COUNT(*) // 100 AS BIGINT) AS k
+               FROM ranked),
+        picks AS (
+          SELECT MAX(n0.n) AS n, MAX(n0.k) AS k,
+                 MAX(CASE WHEN i = n0.k THEN CAST(y AS DOUBLE) END) AS xk,
+                 MAX(CASE WHEN i = n0.k * 2 THEN CAST(y AS DOUBLE) END)
+                   AS x2k,
+                 MAX(CASE WHEN i = n0.k * 4 THEN CAST(y AS DOUBLE) END)
+                   AS x4k,
+                 MAX(CASE WHEN i = n0.k + 1 THEN CAST(y AS DOUBLE) END)
+                   AS xk1
+          FROM ranked CROSS JOIN n0),
+        excess AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+                 ROUND(CAST(SUM(CAST(ROUND(ln(CAST(y AS DOUBLE) /
+                     picks.xk1), 9) AS DECIMAL(18,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS m1,
+                 ROUND(CAST(SUM(CAST(ROUND(
+                     ROUND(ln(CAST(y AS DOUBLE) / picks.xk1), 9) *
+                     ROUND(ln(CAST(y AS DOUBLE) / picks.xk1), 9), 9)
+                     AS DECIMAL(18,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS m2
+          FROM ranked CROSS JOIN n0 CROSS JOIN picks
+          WHERE i <= n0.k)
+        SELECT n, k,
+               ROUND(ln((xk - x2k) / (x2k - x4k)) /
+                 ln(CAST(2 AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS pickands_xi,
+               ROUND(m1 + CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE) /
+                 (CAST(1 AS DOUBLE) - m1 * m1 / m2), 6)
+                 + CAST(0 AS DOUBLE) AS dedh_moment_xi,
+               ROUND(m1, 6) + CAST(0 AS DOUBLE) AS hill_xi
+        FROM picks CROSS JOIN excess"""))
   )
 }
