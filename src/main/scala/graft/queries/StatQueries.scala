@@ -6349,6 +6349,120 @@ object StatQueries {
                  (CAST(1 AS DOUBLE) - m1 * m1 / m2), 6)
                  + CAST(0 AS DOUBLE) AS dedh_moment_xi,
                ROUND(m1, 6) + CAST(0 AS DOUBLE) AS hill_xi
-        FROM picks CROSS JOIN excess"""))
+        FROM picks CROSS JOIN excess""")),
+
+    // Oaxaca-Blinder decomposition of the spend gap between BUILDING
+    // and AUTOMOBILE market segments: how much of the mean-spend
+    // difference is EXPLAINED by account-balance composition (the
+    // endowment term β_B·(x̄_A - x̄_B)) vs unexplained (coefficients +
+    // intercept) — the standard wage-gap econometrics qbk's
+    // diff-in-diff can't produce without a time dimension. Per-group
+    // simple OLS by the qcw moment recipe; the endowment product
+    // multiplies 9-grid values at round 9 (rule-15 closing note);
+    // explained + unexplained ≡ gap by construction.
+    "qen_oaxaca_blinder" -> Q(
+      fn = (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        val base = t(s, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(when(col("c_mktsegment") === "BUILDING", lit("a"))
+            .otherwise(lit("b")).as("g"),
+            (col("sp") / lit(1000)).cast("decimal(18,5)").cast("double")
+              .as("y"),
+            (col("c_acctbal").cast("decimal(12,2)") / lit(1000))
+              .cast("decimal(12,5)").cast("double").as("x"))
+          .localCheckpoint(eager = false)
+        val gs = base.groupBy(col("g"))
+          .agg(count(lit(1)).as("ni"),
+            sum(col("y").cast("decimal(28,5)")).as("sy"),
+            sum(col("x").cast("decimal(28,5)")).as("sx"))
+          .select(col("g"), col("ni"),
+            round(col("sy").cast("double") / col("ni").cast("double"), 9)
+              .as("my"),
+            round(col("sx").cast("double") / col("ni").cast("double"), 9)
+              .as("mx"))
+        val mom = base.join(gs, Seq("g"))
+          .select(col("g"),
+            (col("x") - col("mx")).as("cx"), (col("y") - col("my")).as("cy"))
+          .groupBy(col("g"))
+          .agg(sum(round(col("cx") * col("cx"), 6).cast("decimal(28,6)"))
+            .as("sxx"),
+            sum(round(col("cx") * col("cy"), 6).cast("decimal(28,6)"))
+              .as("sxy"))
+          .select(col("g"),
+            round(col("sxy").cast("double") / col("sxx").cast("double"), 9)
+              .as("beta"))
+        val wide = gs.join(mom, Seq("g")).groupBy()
+          .agg(max(when(col("g") === "a", col("ni"))).as("na"),
+            max(when(col("g") === "a", col("my"))).as("mya"),
+            max(when(col("g") === "a", col("mx"))).as("mxa"),
+            max(when(col("g") === "a", col("beta"))).as("ba"),
+            max(when(col("g") === "b", col("ni"))).as("nb"),
+            max(when(col("g") === "b", col("my"))).as("myb"),
+            max(when(col("g") === "b", col("mx"))).as("mxb"),
+            max(when(col("g") === "b", col("beta"))).as("bb"))
+        wide.select(col("na"), col("nb"),
+          round(col("mya") - col("myb"), 6).as("gap_k"),
+          round(round(col("bb") * (col("mxa") - col("mxb")), 9), 6)
+            .as("explained_k"),
+          round((col("mya") - col("myb")) -
+            round(col("bb") * (col("mxa") - col("mxb")), 9), 6)
+            .as("unexplained_k"),
+          round(round(col("bb") * (col("mxa") - col("mxb")), 9) /
+            (col("mya") - col("myb")), 6).as("explained_share"),
+          round(col("ba"), 6).as("beta_building"),
+          round(col("bb"), 6).as("beta_automobile"))
+      },
+      oracle = Some("""
+        WITH spend AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS sp
+          FROM orders GROUP BY 1),
+        base AS MATERIALIZED (
+          SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'a' ELSE 'b'
+                   END AS g,
+                 CAST(CAST(sp / 1000 AS DECIMAL(18,5)) AS DOUBLE) AS y,
+                 CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) / 1000
+                   AS DECIMAL(12,5)) AS DOUBLE) AS x
+          FROM customer JOIN spend ON c_custkey = o_custkey
+          WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+        gs AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS ni,
+                 ROUND(CAST(SUM(CAST(y AS DECIMAL(28,5))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS my,
+                 ROUND(CAST(SUM(CAST(x AS DECIMAL(28,5))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS mx
+          FROM base GROUP BY 1),
+        mom AS (
+          SELECT b.g,
+                 ROUND(CAST(SUM(CAST(ROUND((x - gs.mx) * (y - gs.my), 6)
+                     AS DECIMAL(28,6))) AS DOUBLE) /
+                   CAST(SUM(CAST(ROUND((x - gs.mx) * (x - gs.mx), 6)
+                     AS DECIMAL(28,6))) AS DOUBLE), 9) AS beta
+          FROM base b JOIN gs ON b.g = gs.g GROUP BY b.g),
+        wide AS (
+          SELECT MAX(CASE WHEN gs.g = 'a' THEN ni END) AS na,
+                 MAX(CASE WHEN gs.g = 'a' THEN my END) AS mya,
+                 MAX(CASE WHEN gs.g = 'a' THEN mx END) AS mxa,
+                 MAX(CASE WHEN gs.g = 'a' THEN beta END) AS ba,
+                 MAX(CASE WHEN gs.g = 'b' THEN ni END) AS nb,
+                 MAX(CASE WHEN gs.g = 'b' THEN my END) AS myb,
+                 MAX(CASE WHEN gs.g = 'b' THEN mx END) AS mxb,
+                 MAX(CASE WHEN gs.g = 'b' THEN beta END) AS bb
+          FROM gs JOIN mom ON gs.g = mom.g)
+        SELECT na, nb,
+               ROUND(mya - myb, 6) + CAST(0 AS DOUBLE) AS gap_k,
+               ROUND(ROUND(bb * (mxa - mxb), 9), 6) + CAST(0 AS DOUBLE)
+                 AS explained_k,
+               ROUND((mya - myb) - ROUND(bb * (mxa - mxb), 9), 6)
+                 + CAST(0 AS DOUBLE) AS unexplained_k,
+               ROUND(ROUND(bb * (mxa - mxb), 9) / (mya - myb), 6)
+                 + CAST(0 AS DOUBLE) AS explained_share,
+               ROUND(ba, 6) + CAST(0 AS DOUBLE) AS beta_building,
+               ROUND(bb, 6) + CAST(0 AS DOUBLE) AS beta_automobile
+        FROM wide"""))
   )
 }
