@@ -6463,6 +6463,207 @@ object StatQueries {
                  + CAST(0 AS DOUBLE) AS explained_share,
                ROUND(ba, 6) + CAST(0 AS DOUBLE) AS beta_building,
                ROUND(bb, 6) + CAST(0 AS DOUBLE) AS beta_automobile
-        FROM wide"""))
+        FROM wide""")),
+
+    // Classification-metrics card for the deterministic
+    // "above-median-activity user purchases in the FINAL week" rule
+    // (ever-purchased is degenerate — nearly every user qualifies): Matthews correlation
+    // (the single balanced summary), F1 and F2, balanced accuracy,
+    // informedness (Youden's J at THIS threshold — qc2 searches the
+    // optimal one) and markedness — the q5z confusion-matrix
+    // evaluation's missing chance-corrected layer. Median activity is
+    // an exact order statistic; every metric is a raw ratio of four
+    // exact BIGINT cells (all MCC products stay far below 2^53).
+    "qeo_classification_card" -> Q(
+      fn = (s, dir) => {
+        val ev0 = t(s, dir, "events")
+          .withColumn("day", (unix_millis(col("ts")) / lit(86400000L))
+            .cast("long"))
+        val users = ev0.crossJoin(broadcast(ev0.agg(min(col("day"))
+          .as("d0"))))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("act"),
+            max(when(col("event_type") === "purchase" &&
+              col("day") - col("d0") >= 23, 1L).otherwise(0L)).as("y"))
+        val byAct = graft.operators.ScaleOps.globalRowNumber(users,
+          Seq(col("act"), col("user_id")), "vr").localCheckpoint(eager = false)
+        val n0 = byAct.agg(count(lit(1)).as("n"))
+        val med = byAct.crossJoin(broadcast(n0))
+          .filter(col("vr") ===
+            floor((col("n") + 1).cast("double") / lit(2.0)).cast("long"))
+          .select(col("act").as("medact"))
+        val cells = byAct.crossJoin(broadcast(med))
+          .agg(
+            sum(when(col("act") > col("medact") && col("y") === 1, 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("act") > col("medact") && col("y") === 0, 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("act") <= col("medact") && col("y") === 1, 1L)
+              .otherwise(0L)).as("fn"),
+            sum(when(col("act") <= col("medact") && col("y") === 0, 1L)
+              .otherwise(0L)).as("tn"))
+        val pre = cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+          (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+            .as("tpr"),
+          (col("tn").cast("double") / (col("tn") + col("fp")).cast("double"))
+            .as("tnr"),
+          (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+            .as("ppv"),
+          (col("tn").cast("double") / (col("tn") + col("fn")).cast("double"))
+            .as("npv"))
+        pre.select(col("tp"), col("fp"), col("fn"), col("tn"),
+          round((col("tp").cast("double") * col("tn").cast("double") -
+            col("fp").cast("double") * col("fn").cast("double")) /
+            sqrt((col("tp") + col("fp")).cast("double") *
+              (col("tp") + col("fn")).cast("double") *
+              (col("tn") + col("fp")).cast("double") *
+              (col("tn") + col("fn")).cast("double")), 6).as("mcc"),
+          round(lit(2.0) * col("tp").cast("double") /
+            (lit(2.0) * col("tp").cast("double") +
+              col("fp").cast("double") + col("fn").cast("double")), 6)
+            .as("f1"),
+          round(lit(5.0) * col("tp").cast("double") /
+            (lit(5.0) * col("tp").cast("double") +
+              lit(4.0) * col("fn").cast("double") +
+              col("fp").cast("double")), 6).as("f2"),
+          round((col("tpr") + col("tnr")) / lit(2.0), 6)
+            .as("balanced_acc"),
+          round(col("tpr") + col("tnr") - lit(1.0), 6).as("informedness"),
+          round(col("ppv") + col("npv") - lit(1.0), 6).as("markedness"))
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT user_id, event_type,
+                 CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day
+          FROM events),
+        d0 AS (SELECT MIN(day) AS d0 FROM e0),
+        users AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS act,
+                 CAST(MAX(CASE WHEN event_type = 'purchase'
+                   AND day - d0.d0 >= 23 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS y
+          FROM e0 CROSS JOIN d0 GROUP BY 1),
+        r AS (
+          SELECT act, y, ROW_NUMBER() OVER (ORDER BY act, user_id) AS vr
+          FROM users),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        med AS (
+          SELECT act AS medact FROM r CROSS JOIN n0
+          WHERE vr = (n + 1) // 2),
+        cells AS (
+          SELECT CAST(SUM(CASE WHEN act > medact AND y = 1 THEN 1 ELSE 0
+                   END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN act > medact AND y = 0 THEN 1 ELSE 0
+                   END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN act <= medact AND y = 1 THEN 1 ELSE 0
+                   END) AS BIGINT) AS fn,
+                 CAST(SUM(CASE WHEN act <= medact AND y = 0 THEN 1 ELSE 0
+                   END) AS BIGINT) AS tn
+          FROM r CROSS JOIN med),
+        pre AS (
+          SELECT tp, fp, fn, tn,
+                 CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS tpr,
+                 CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) AS tnr,
+                 CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS ppv,
+                 CAST(tn AS DOUBLE) / CAST(tn + fn AS DOUBLE) AS npv
+          FROM cells)
+        SELECT tp, fp, fn, tn,
+               ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) -
+                 CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) /
+                 sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE) *
+                   CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS mcc,
+               ROUND(CAST(2 AS DOUBLE) * CAST(tp AS DOUBLE) /
+                 (CAST(2 AS DOUBLE) * CAST(tp AS DOUBLE) +
+                   CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS f1,
+               ROUND(CAST(5 AS DOUBLE) * CAST(tp AS DOUBLE) /
+                 (CAST(5 AS DOUBLE) * CAST(tp AS DOUBLE) +
+                   CAST(4 AS DOUBLE) * CAST(fn AS DOUBLE) +
+                   CAST(fp AS DOUBLE)), 6) + CAST(0 AS DOUBLE) AS f2,
+               ROUND((tpr + tnr) / CAST(2 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS balanced_acc,
+               ROUND(tpr + tnr - CAST(1 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS informedness,
+               ROUND(ppv + npv - CAST(1 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS markedness
+        FROM pre""")),
+
+    // Cost-optimal decision thresholds for the activity-ranked
+    // conversion rule under three FP:FN cost ratios (1:1, 1:5, 5:1):
+    // sweep every activity cutoff via the exact cumulative confusion
+    // counts and take the integer-cost argmin (struct-min with the
+    // threshold tiebreak) — the decision-analysis layer on top of
+    // qeo's fixed-threshold card and qc2's single Youden optimum
+    // (Youden weighs errors equally; real deployments don't). Pure
+    // integer arithmetic end to end.
+    "qep_cost_threshold" -> Q(
+      fn = (s, dir) => {
+        val users = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("act"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+        val byAct = graft.operators.ScaleOps.globalRowNumber(
+          users.select((-col("act")).as("negact"), col("act"),
+            col("user_id"), col("y")),
+          Seq(col("negact"), col("user_id")), "i")
+        val cum = graft.operators.ScaleOps.globalRunningSum(byAct,
+          Seq(col("i")), col("y"), "cpos").localCheckpoint(eager = false)
+        val tot = cum.agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+        // predicting positive for the top-i users: TP = cpos, FP = i-cpos,
+        // FN = npos - cpos; cost = cfp·FP + cfn·FN (TN free)
+        val scen = cum.sparkSession.createDataFrame(
+          Seq((1L, 1L), (1L, 5L), (5L, 1L))).toDF("cfp", "cfn")
+        val best = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(scen))
+          .select(col("cfp"), col("cfn"),
+            struct(
+              (col("cfp") * (col("i") - col("cpos")) +
+                col("cfn") * (col("npos") - col("cpos"))).as("cost"),
+              col("i"), col("cpos"), col("act")).as("st"))
+          .groupBy(col("cfp"), col("cfn"))
+          .agg(min(col("st")).as("w"))
+        best.select(col("cfp"), col("cfn"),
+          col("w.cost").as("min_cost"),
+          col("w.i").as("top_k"),
+          col("w.act").as("act_threshold"),
+          col("w.cpos").as("tp_at_k"))
+          .orderBy(col("cfp"), col("cfn"))
+      },
+      oracle = Some("""
+        WITH users AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS act,
+                 CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        r AS (
+          SELECT act, y,
+                 CAST(ROW_NUMBER() OVER (ORDER BY -act, user_id)
+                   AS BIGINT) AS i
+          FROM users),
+        cum AS MATERIALIZED (
+          SELECT i, act,
+                 CAST(SUM(y) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cpos
+          FROM r),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MAX(cpos) AS BIGINT) AS npos
+          FROM cum),
+        scen AS (
+          SELECT CAST(cfp AS BIGINT) AS cfp, CAST(cfn AS BIGINT) AS cfn
+          FROM (VALUES (1, 1), (1, 5), (5, 1)) AS v(cfp, cfn)),
+        best AS (
+          SELECT cfp, cfn,
+                 MIN({'cost': cfp * (i - cpos) + cfn * (npos - cpos),
+                      'i': i, 'cpos': cpos, 'act': act}) AS w
+          FROM cum CROSS JOIN tot CROSS JOIN scen
+          GROUP BY 1, 2)
+        SELECT cfp, cfn,
+               w['cost'] AS min_cost,
+               w['i'] AS top_k,
+               w['act'] AS act_threshold,
+               w['cpos'] AS tp_at_k
+        FROM best ORDER BY cfp, cfn"""))
   )
 }
