@@ -6664,6 +6664,303 @@ object StatQueries {
                w['i'] AS top_k,
                w['act'] AS act_threshold,
                w['cpos'] AS tp_at_k
-        FROM best ORDER BY cfp, cfn"""))
+        FROM best ORDER BY cfp, cfn""")),
+
+    // Laplace trend test on the error-event stream: are failures
+    // speeding up? z = (Σt_i/(nT) - 1/2)·sqrt(12n) over event times
+    // measured from the corpus start — the centroid test every
+    // reliability program runs before quoting an MTBF (a drifting
+    // process makes the plain q4w spike flags and a constant-rate MTBF
+    // both wrong). Times are exact millisecond integers; one raw ratio
+    // and sqrt; the verdict compares the identically-computed z against
+    // ±1.96 in both engines.
+    "qeq_laplace_trend" -> Q(
+      fn = (s, dir) => {
+        val all0 = t(s, dir, "events")
+          .agg(min(unix_millis(col("ts"))).as("t0"))
+        val err = t(s, dir, "events")
+          .filter(col("event_type") === "error")
+          .select(unix_millis(col("ts")).as("ts_ms"))
+          .crossJoin(broadcast(all0))
+          .select((col("ts_ms") - col("t0")).as("ti"))
+        val agg = err.agg(count(lit(1)).as("n"),
+          sum(col("ti").cast("decimal(28,0)")).as("st"),
+          max(col("ti")).as("tt"))
+        val pre = agg.select(col("n"), col("tt"),
+          ((col("st").cast("double") /
+            (col("n").cast("double") * col("tt").cast("double"))) -
+            lit(0.5)).as("craw"))
+          .withColumn("z", col("craw") *
+            sqrt(lit(12.0) * col("n").cast("double")))
+        pre.select(col("n").as("n_errors"),
+          round(col("tt").cast("double") / (col("n") - 1).cast("double"), 2)
+            .as("mtbf_ms"),
+          round(col("z"), 6).as("laplace_z"),
+          when(col("z") > 1.96, lit("degrading"))
+            .when(col("z") < -1.96, lit("improving"))
+            .otherwise(lit("stable")).as("trend"))
+      },
+      oracle = Some("""
+        WITH all0 AS (
+          SELECT CAST(MIN(epoch_ms(ts)) AS BIGINT) AS t0 FROM events),
+        err AS (
+          SELECT CAST(epoch_ms(ts) AS BIGINT) - all0.t0 AS ti
+          FROM events CROSS JOIN all0
+          WHERE event_type = 'error'),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(ti AS DECIMAL(28,0))) AS DOUBLE) AS st,
+                 CAST(MAX(ti) AS BIGINT) AS tt
+          FROM err),
+        pre AS (
+          SELECT n, tt,
+                 ((st / (CAST(n AS DOUBLE) * CAST(tt AS DOUBLE))) -
+                   CAST(0.5 AS DOUBLE)) *
+                   sqrt(CAST(12 AS DOUBLE) * CAST(n AS DOUBLE)) AS z
+          FROM agg)
+        SELECT n AS n_errors,
+               ROUND(CAST(tt AS DOUBLE) / CAST(n - 1 AS DOUBLE), 2)
+                 + CAST(0 AS DOUBLE) AS mtbf_ms,
+               ROUND(z, 6) + CAST(0 AS DOUBLE) AS laplace_z,
+               CASE WHEN z > CAST(1.96 AS DOUBLE) THEN 'degrading'
+                    WHEN z < CAST(-1.96 AS DOUBLE) THEN 'improving'
+                    ELSE 'stable' END AS trend
+        FROM pre""")),
+
+    // Crow-AMSAA (NHPP power-law) reliability-growth fit on the error
+    // stream: the closed-form MLE β = n / Σ ln(T/t_i) — β < 1 means
+    // the system is improving, β > 1 degrading — with ln λ and the
+    // instantaneous MTBF T/(nβ). The MODEL behind the qeq trend test's
+    // yes/no answer. Event times are offset by +1 ms from the corpus
+    // start so the first ln is finite (documented convention); the ln
+    // terms ride round-9 DECIMAL sums.
+    "qer_crow_amsaa" -> Q(
+      fn = (s, dir) => {
+        val all0 = t(s, dir, "events")
+          .agg(min(unix_millis(col("ts"))).as("t0"))
+        val err = t(s, dir, "events")
+          .filter(col("event_type") === "error")
+          .select(unix_millis(col("ts")).as("ts_ms"))
+          .crossJoin(broadcast(all0))
+          .select((col("ts_ms") - col("t0") + 1).as("ti"))
+          .localCheckpoint(eager = false)
+        val tt = err.agg(max(col("ti")).as("tt"), count(lit(1)).as("n"))
+        val lnsum = err.crossJoin(broadcast(tt))
+          .select(round(log(col("tt").cast("double") /
+            col("ti").cast("double")), 9).as("lr"))
+          .agg(sum(col("lr").cast("decimal(20,9)")).as("sl"))
+        tt.crossJoin(broadcast(lnsum))
+          .select(col("n").as("n_errors"),
+            round(col("n").cast("double") / col("sl").cast("double"), 6)
+              .as("beta_mle"),
+            round(log(col("n").cast("double")) -
+              (col("n").cast("double") / col("sl").cast("double")) *
+                log(col("tt").cast("double")), 6).as("ln_lambda"),
+            round(col("tt").cast("double") /
+              (col("n").cast("double") *
+                (col("n").cast("double") / col("sl").cast("double"))), 2)
+              .as("mtbf_inst_ms"),
+            when(col("n").cast("double") / col("sl").cast("double") < 1.0,
+              lit("improving")).otherwise(lit("degrading")).as("growth"))
+      },
+      oracle = Some("""
+        WITH all0 AS (
+          SELECT CAST(MIN(epoch_ms(ts)) AS BIGINT) AS t0 FROM events),
+        err AS (
+          SELECT CAST(epoch_ms(ts) AS BIGINT) - all0.t0 + 1 AS ti
+          FROM events CROSS JOIN all0
+          WHERE event_type = 'error'),
+        tt AS (
+          SELECT CAST(MAX(ti) AS BIGINT) AS tt,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM err),
+        lnsum AS (
+          SELECT CAST(SUM(CAST(ROUND(ln(CAST(tt.tt AS DOUBLE) /
+                   CAST(ti AS DOUBLE)), 9) AS DECIMAL(20,9))) AS DOUBLE)
+                   AS sl
+          FROM err CROSS JOIN tt)
+        SELECT n AS n_errors,
+               ROUND(CAST(n AS DOUBLE) / sl, 6) + CAST(0 AS DOUBLE)
+                 AS beta_mle,
+               ROUND(ln(CAST(n AS DOUBLE)) -
+                 (CAST(n AS DOUBLE) / sl) * ln(CAST(tt AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS ln_lambda,
+               ROUND(CAST(tt AS DOUBLE) /
+                 (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) / sl)), 2)
+                 + CAST(0 AS DOUBLE) AS mtbf_inst_ms,
+               CASE WHEN CAST(n AS DOUBLE) / sl < CAST(1 AS DOUBLE)
+                 THEN 'improving' ELSE 'degrading' END AS growth
+        FROM tt CROSS JOIN lnsum""")),
+
+    // Inspection-paradox card for purchase inter-event times: the
+    // plain mean gap, the length-biased mean E[X²]/E[X] (what a
+    // randomly-arriving observer's CURRENT gap averages), and the mean
+    // forward recurrence time E[X²]/2E[X] (how long that observer
+    // waits) — the renewal-theory correction behind every "average
+    // time between purchases" claim; with bursty gaps (qd6's B > 0)
+    // the biased mean can be several times the plain one. Exact
+    // integer moment sums (the qd6 DECIMAL machinery), three raw
+    // ratios.
+    "qes_inspection_paradox" -> Q(
+      fn = (s, dir) => {
+        val p = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(p,
+          Seq(col("ts_ms"), col("event_id")), "rn")
+        val iet = ranked.select(col("rn"), col("ts_ms").as("t0"))
+          .join(ranked.select((col("rn") - 1).as("rn"),
+            col("ts_ms").as("t1")), Seq("rn"))
+          .select((col("t1") - col("t0")).as("tau"))
+        val agg = iet.agg(count(lit(1)).as("n"),
+          sum(col("tau").cast("decimal(28,0)")).as("sx"),
+          sum(col("tau").cast("decimal(12,0)") *
+            col("tau").cast("decimal(12,0)")).as("sxx"))
+          .select(col("n"), col("sx").cast("double").as("sx"),
+            col("sxx").cast("double").as("sxx"))
+        agg.select(col("n").as("n_gaps"),
+          round(col("sx") / col("n").cast("double"), 2).as("mean_gap_ms"),
+          round(col("sxx") / col("sx"), 2).as("length_biased_ms"),
+          round(col("sxx") / (lit(2.0) * col("sx")), 2)
+            .as("fwd_recurrence_ms"),
+          round((col("sxx") / col("sx")) /
+            (col("sx") / col("n").cast("double")), 6).as("paradox_ratio"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT epoch_ms(ts) AS ts_ms, event_id
+          FROM events WHERE event_type = 'purchase'),
+        r AS (
+          SELECT ts_ms, ROW_NUMBER() OVER (ORDER BY ts_ms, event_id)
+            AS rn
+          FROM p),
+        iet AS (
+          SELECT b.ts_ms - a.ts_ms AS tau
+          FROM r a JOIN r b ON b.rn = a.rn + 1),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(tau AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(tau AS DECIMAL(12,0)) *
+                   CAST(tau AS DECIMAL(12,0))) AS DOUBLE) AS sxx
+          FROM iet)
+        SELECT n AS n_gaps,
+               ROUND(sx / CAST(n AS DOUBLE), 2) + CAST(0 AS DOUBLE)
+                 AS mean_gap_ms,
+               ROUND(sxx / sx, 2) + CAST(0 AS DOUBLE)
+                 AS length_biased_ms,
+               ROUND(sxx / (CAST(2 AS DOUBLE) * sx), 2)
+                 + CAST(0 AS DOUBLE) AS fwd_recurrence_ms,
+               ROUND((sxx / sx) / (sx / CAST(n AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS paradox_ratio
+        FROM agg""")),
+
+    // Corpus compressibility card: unigram entropy in bits/token, the
+    // bigram CONDITIONAL entropy H(w₂|w₁) = H(bigram) − H(unigram)
+    // (what an order-1 model still can't predict), redundancy against
+    // the uniform log₂V bound, bits per character, and the implied
+    // optimal compression ratio over 8-bit bytes — the source-coding
+    // budget that says how far ANY tokenizer/compressor can squeeze
+    // this corpus (the planning number behind the BPE vocabulary and
+    // qe7's coverage curve). Counts are exact BIGINTs; ln is the only
+    // float link.
+    "qet_compressibility" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            split(lower(col("text")), "[\t\n\f\r ]+").as("arr"))
+        val toks = d.select(explode(col("arr")).as("tok"))
+          .filter(col("tok") =!= "")
+        val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .localCheckpoint(eager = false)
+        val tot = uni.agg(sum(col("c")).as("nt"), count(lit(1)).as("v"),
+          sum(col("c") * length(col("tok"))).as("chars"))
+        val h1 = uni.crossJoin(broadcast(tot))
+          .agg(first(col("nt")).as("nt"), first(col("v")).as("v"),
+            first(col("chars")).as("chars"),
+            sum(round((col("c").cast("double") / col("nt").cast("double")) *
+              log(col("c").cast("double") / col("nt").cast("double")), 9)
+              .cast("decimal(18,9)")).as("h1d"))
+        val bi = d.select(explode(expr(
+          "transform(sequence(0, size(arr) - 2), " +
+            "i -> concat_ws(' ', arr[i], arr[i+1]))")).as("g"))
+          .filter(col("g") =!= "" && !col("g").startsWith(" ") &&
+            !col("g").endsWith(" "))
+          .groupBy(col("g")).agg(count(lit(1)).as("c"))
+        val h2 = bi.crossJoin(broadcast(bi.agg(sum(col("c")).as("nb"))))
+          .agg(sum(round((col("c").cast("double") / col("nb").cast("double")) *
+            log(col("c").cast("double") / col("nb").cast("double")), 9)
+            .cast("decimal(18,9)")).as("h2d"))
+        h1.crossJoin(broadcast(h2))
+          .select(col("nt").as("n_tokens"), col("v").as("vocab"),
+            round(-col("h1d").cast("double") / log(lit(2.0)), 6)
+              .as("h1_bits"),
+            round((-col("h2d").cast("double") + col("h1d").cast("double")) /
+              log(lit(2.0)), 6).as("h2cond_bits"),
+            round(lit(1.0) + col("h1d").cast("double") /
+              log(col("v").cast("double")), 6).as("redundancy"),
+            round(-col("h1d").cast("double") / log(lit(2.0)) /
+              (col("chars").cast("double") / col("nt").cast("double") +
+                lit(1.0)), 6).as("bits_per_char"),
+            round(lit(8.0) /
+              (-col("h1d").cast("double") / log(lit(2.0)) /
+                (col("chars").cast("double") / col("nt").cast("double") +
+                  lit(1.0))), 6).as("est_compression"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split_regex(lower(text), '[\t\n\x0B\f\r ]+') AS arr
+          FROM documents),
+        uni AS MATERIALIZED (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT UNNEST(arr) AS tok FROM d)
+          WHERE tok <> '' GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS nt,
+                 CAST(COUNT(*) AS BIGINT) AS v,
+                 CAST(SUM(c * length(tok)) AS BIGINT) AS chars
+          FROM uni),
+        h1 AS (
+          SELECT MAX(tot.nt) AS nt, MAX(tot.v) AS v,
+                 MAX(tot.chars) AS chars,
+                 SUM(CAST(ROUND((CAST(c AS DOUBLE) /
+                   CAST(tot.nt AS DOUBLE)) *
+                   ln(CAST(c AS DOUBLE) / CAST(tot.nt AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))) AS h1d
+          FROM uni CROSS JOIN tot),
+        bi AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (
+            SELECT UNNEST(list_transform(range(1, len(arr)),
+              i -> arr[i] || ' ' || arr[i + 1])) AS g
+            FROM d)
+          WHERE g <> '' AND g NOT LIKE ' %' AND g NOT LIKE '% '
+          GROUP BY 1),
+        nb AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM bi),
+        h2 AS (
+          SELECT SUM(CAST(ROUND((CAST(c AS DOUBLE) /
+                   CAST(nb.nb AS DOUBLE)) *
+                   ln(CAST(c AS DOUBLE) / CAST(nb.nb AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))) AS h2d
+          FROM bi CROSS JOIN nb)
+        SELECT nt AS n_tokens, v AS vocab,
+               ROUND(-CAST(h1d AS DOUBLE) / ln(CAST(2 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS h1_bits,
+               ROUND((-CAST(h2d AS DOUBLE) + CAST(h1d AS DOUBLE)) /
+                 ln(CAST(2 AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS h2cond_bits,
+               ROUND(CAST(1 AS DOUBLE) + CAST(h1d AS DOUBLE) /
+                 ln(CAST(v AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS redundancy,
+               ROUND(-CAST(h1d AS DOUBLE) / ln(CAST(2 AS DOUBLE)) /
+                 (CAST(chars AS DOUBLE) / CAST(nt AS DOUBLE) +
+                   CAST(1 AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS bits_per_char,
+               ROUND(CAST(8 AS DOUBLE) /
+                 (-CAST(h1d AS DOUBLE) / ln(CAST(2 AS DOUBLE)) /
+                   (CAST(chars AS DOUBLE) / CAST(nt AS DOUBLE) +
+                     CAST(1 AS DOUBLE))), 6) + CAST(0 AS DOUBLE)
+                 AS est_compression
+        FROM h1 CROSS JOIN h2"""))
   )
 }
