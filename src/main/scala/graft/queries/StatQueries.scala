@@ -6961,6 +6961,206 @@ object StatQueries {
                    (CAST(chars AS DOUBLE) / CAST(nt AS DOUBLE) +
                      CAST(1 AS DOUBLE))), 6) + CAST(0 AS DOUBLE)
                  AS est_compression
-        FROM h1 CROSS JOIN h2"""))
+        FROM h1 CROSS JOIN h2""")),
+
+    // Word burstiness (Church-Gale): mean occurrences per CONTAINING
+    // document cf/df for the corpus' most clumped frequent words — a
+    // bursty term (jargon, names) concentrates where a function word
+    // spreads, the signal behind df-based relevance weighting that raw
+    // frequency (qe7's coverage) hides. Top 20 by exact integer
+    // (cf·10⁶ div df) score with the token tiebreak — the ranking key
+    // itself stays integer so ORDER BY needs no float comparison.
+    "qeu_word_burstiness" -> Q(
+      fn = (s, dir) => {
+        val occ = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[\t\n\f\r ]+")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("k"))
+        val stats = occ.groupBy(col("tok"))
+          .agg(sum(col("k")).as("cf"), count(lit(1)).as("df"))
+          .filter(col("cf") >= 20)
+          .select(col("tok"), col("cf"), col("df"),
+            expr("cf * 1000000 div df").as("score"))
+        stats
+          .orderBy(col("score").desc, col("tok"))
+          .limit(20)
+          .select(col("tok"), col("cf"), col("df"),
+            round(col("score").cast("double") / lit(1000000.0), 6)
+              .as("burstiness"))
+      },
+      oracle = Some("""
+        WITH occ AS (
+          SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS k
+          FROM (SELECT doc_id,
+                  UNNEST(string_split_regex(lower(text),
+                    '[\t\n\x0B\f\r ]+')) AS tok
+                FROM documents)
+          WHERE tok <> '' GROUP BY 1, 2),
+        stats AS (
+          SELECT tok, CAST(SUM(k) AS BIGINT) AS cf,
+                 CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(k) AS BIGINT) * 1000000 //
+                   CAST(COUNT(*) AS BIGINT) AS score
+          FROM occ GROUP BY 1
+          HAVING SUM(k) >= 20)
+        SELECT tok, cf, df,
+               ROUND(CAST(score AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS burstiness
+        FROM stats ORDER BY score DESC, tok LIMIT 20""")),
+
+    // Gries' deviation-of-proportions dispersion for the ten most
+    // frequent words: DP = ½·Σ_docs |share-of-word-in-doc −
+    // share-of-doc-in-corpus| — 0 means the word spreads exactly with
+    // document sizes, 1 means it all sits in one document; the
+    // dispersion axis that neither frequency (qe7) nor burstiness
+    // (qeu) measures. Every proportion is an exact integer pair
+    // multiplied out, |v·N_c − s·cf| summed in DECIMAL before one
+    // final division — fully exact until the last ratio.
+    "qev_word_dispersion" -> Q(
+      fn = (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[\t\n\f\r ]+")).as("tok"))
+          .filter(col("tok") =!= "")
+          .localCheckpoint(eager = false)
+        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val totsz = sizes.agg(sum(col("sz")).as("nc"))
+        val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+          .orderBy(col("cf").desc, col("tok")).limit(10)
+          .localCheckpoint(eager = false)
+        val occ = toks.join(broadcast(top.select(col("tok"))), Seq("tok"))
+          .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("k"))
+        // per (word, doc): |k/cf - sz/NC| = |k·NC - sz·cf| / (cf·NC);
+        // docs without the word contribute sz·cf/(cf·NC) — handled via
+        // a full join against the size table.
+        val grid = sizes.crossJoin(broadcast(top))
+          .join(occ, Seq("tok", "doc_id"), "left")
+          .crossJoin(broadcast(totsz))
+          .select(col("tok"), col("cf"),
+            abs(coalesce(col("k"), lit(0L)) * col("nc") -
+              col("sz") * col("cf")).as("num"), col("nc"))
+        grid.groupBy(col("tok"))
+          .agg(first(col("cf")).as("cf"), first(col("nc")).as("nc"),
+            sum(col("num").cast("decimal(28,0)")).as("snum"))
+          .select(col("tok"), col("cf"),
+            round(col("snum").cast("double") /
+              (lit(2.0) * col("cf").cast("double") *
+                col("nc").cast("double")), 6).as("gries_dp"))
+          .orderBy(col("cf").desc, col("tok"))
+      },
+      oracle = Some("""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, tok
+          FROM (SELECT doc_id,
+                  UNNEST(string_split_regex(lower(text),
+                    '[\t\n\x0B\f\r ]+')) AS tok
+                FROM documents)
+          WHERE tok <> ''),
+        sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM toks GROUP BY 1),
+        totsz AS (SELECT CAST(SUM(sz) AS BIGINT) AS nc FROM sizes),
+        top AS MATERIALIZED (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+          FROM toks GROUP BY 1
+          ORDER BY cf DESC, tok LIMIT 10),
+        occ AS (
+          SELECT t.tok, t.doc_id, CAST(COUNT(*) AS BIGINT) AS k
+          FROM toks t JOIN top ON t.tok = top.tok
+          GROUP BY 1, 2),
+        grid AS (
+          SELECT top.tok, top.cf,
+                 ABS(COALESCE(occ.k, 0) * totsz.nc -
+                   sizes.sz * top.cf) AS num,
+                 totsz.nc
+          FROM sizes CROSS JOIN top
+          LEFT JOIN occ ON occ.tok = top.tok
+            AND occ.doc_id = sizes.doc_id
+          CROSS JOIN totsz)
+        SELECT tok, MAX(cf) AS cf,
+               ROUND(CAST(SUM(CAST(num AS DECIMAL(28,0))) AS DOUBLE) /
+                 (CAST(2 AS DOUBLE) * CAST(MAX(cf) AS DOUBLE) *
+                   CAST(MAX(nc) AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS gries_dp
+        FROM grid GROUP BY tok ORDER BY cf DESC, tok""")),
+
+    // Dunning log-likelihood keyness: which words distinguish the
+    // even-doc_id half of the corpus from the odd half — the G² corpus-
+    // comparison statistic (signed by over/under-use) that q3y's
+    // TF-IDF (within-corpus salience) and q8e's PMI (collocation)
+    // don't compute. Expected counts are raw ratios of exact BIGINTs,
+    // the four x·ln(x/E) terms ride the 9-grid, and the top 20 rows
+    // order by the rounded G² with the token tiebreak.
+    "qew_keyness_loglik" -> Q(
+      fn = (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select((pmod(col("doc_id"), lit(2L)) === 0).as("ha"),
+            explode(split(lower(col("text")), "[\t\n\f\r ]+")).as("tok"))
+          .filter(col("tok") =!= "")
+        val cnt = toks.groupBy(col("tok"))
+          .agg(sum(when(col("ha"), 1L).otherwise(0L)).as("a"),
+            sum(when(!col("ha"), 1L).otherwise(0L)).as("b"))
+          .localCheckpoint(eager = false)
+        val tot = cnt.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+        val scored = cnt.crossJoin(broadcast(tot))
+          .filter(col("a") + col("b") >= 20)
+          .select(col("tok"), col("a"), col("b"),
+            (col("na").cast("double") *
+              (col("a") + col("b")).cast("double") /
+              (col("na") + col("nb")).cast("double")).as("ea"),
+            (col("nb").cast("double") *
+              (col("a") + col("b")).cast("double") /
+              (col("na") + col("nb")).cast("double")).as("eb"))
+          .select(col("tok"), col("a"), col("b"),
+            round(lit(2.0) * (
+              when(col("a") > 0, round(col("a").cast("double") *
+                log(col("a").cast("double") / col("ea")), 9))
+                .otherwise(0.0) +
+              when(col("b") > 0, round(col("b").cast("double") *
+                log(col("b").cast("double") / col("eb")), 9))
+                .otherwise(0.0)), 6).as("g2"),
+            when(col("a").cast("double") > col("ea"), lit("even"))
+              .otherwise(lit("odd")).as("overused_in"))
+        scored.orderBy(col("g2").desc, col("tok")).limit(20)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT (doc_id % 2 = 0) AS ha, tok
+          FROM (SELECT doc_id,
+                  UNNEST(string_split_regex(lower(text),
+                    '[\t\n\x0B\f\r ]+')) AS tok
+                FROM documents)
+          WHERE tok <> ''),
+        cnt AS MATERIALIZED (
+          SELECT tok,
+                 CAST(SUM(CASE WHEN ha THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN NOT ha THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b
+          FROM toks GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(a) AS BIGINT) AS na,
+                 CAST(SUM(b) AS BIGINT) AS nb
+          FROM cnt),
+        scored AS (
+          SELECT tok, a, b,
+                 ROUND(CAST(2 AS DOUBLE) * (
+                   CASE WHEN a > 0 THEN
+                     ROUND(CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) /
+                       (CAST(na AS DOUBLE) * CAST(a + b AS DOUBLE) /
+                        CAST(na + nb AS DOUBLE))), 9)
+                   ELSE CAST(0 AS DOUBLE) END +
+                   CASE WHEN b > 0 THEN
+                     ROUND(CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE) /
+                       (CAST(nb AS DOUBLE) * CAST(a + b AS DOUBLE) /
+                        CAST(na + nb AS DOUBLE))), 9)
+                   ELSE CAST(0 AS DOUBLE) END), 6) AS g2,
+                 CASE WHEN CAST(a AS DOUBLE) >
+                   (CAST(na AS DOUBLE) * CAST(a + b AS DOUBLE) /
+                    CAST(na + nb AS DOUBLE)) THEN 'even' ELSE 'odd' END
+                   AS overused_in
+          FROM cnt CROSS JOIN tot
+          WHERE a + b >= 20)
+        SELECT * FROM scored ORDER BY g2 DESC, tok LIMIT 20"""))
   )
 }
