@@ -7161,6 +7161,224 @@ object StatQueries {
                    AS overused_in
           FROM cnt CROSS JOIN tot
           WHERE a + b >= 20)
-        SELECT * FROM scored ORDER BY g2 DESC, tok LIMIT 20"""))
+        SELECT * FROM scored ORDER BY g2 DESC, tok LIMIT 20""")),
+
+    // Levenshtein near-pair mining over part names, blocked by brand
+    // (the q84 sorted-neighborhood discipline: never all-pairs — the
+    // brand block bounds candidates at any SF): the exact integer edit
+    // distance both engines implement natively, reported as the top-20
+    // closest distinct name pairs with a similarity ratio — the
+    // absolute-edit-budget companion to q5y's Jaro-Winkler (JW rewards
+    // shared prefixes; Levenshtein counts real keystrokes, the measure
+    // dedup QA teams quote).
+    "qex_levenshtein_pairs" -> Q(
+      fn = (s, dir) => {
+        val p = t(s, dir, "part")
+          .select(col("p_brand"), col("p_partkey"), col("p_name"))
+        val pairs = p.select(col("p_brand"), col("p_partkey").as("ka"),
+          col("p_name").as("na"))
+          .join(p.select(col("p_brand"), col("p_partkey").as("kb"),
+            col("p_name").as("nb")), Seq("p_brand"))
+          .filter(col("ka") < col("kb"))
+          .select(col("p_brand"), col("ka"), col("kb"), col("na"),
+            col("nb"),
+            levenshtein(col("na"), col("nb")).cast("long").as("dist"),
+            greatest(length(col("na")), length(col("nb"))).cast("long")
+              .as("maxlen"))
+        pairs
+          .orderBy(col("dist"), col("p_brand"), col("ka"), col("kb"))
+          .limit(20)
+          .select(col("p_brand"), col("ka"), col("kb"), col("dist"),
+            round(lit(1.0) - col("dist").cast("double") /
+              col("maxlen").cast("double"), 6).as("similarity"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT p_brand, p_partkey, p_name FROM part),
+        pairs AS (
+          SELECT a.p_brand, a.p_partkey AS ka, b.p_partkey AS kb,
+                 CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+                 CAST(GREATEST(length(a.p_name), length(b.p_name))
+                   AS BIGINT) AS maxlen
+          FROM p a JOIN p b ON a.p_brand = b.p_brand
+            AND a.p_partkey < b.p_partkey)
+        SELECT p_brand, ka, kb, dist,
+               ROUND(CAST(1 AS DOUBLE) - CAST(dist AS DOUBLE) /
+                 CAST(maxlen AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS similarity
+        FROM pairs
+        ORDER BY dist, p_brand, ka, kb LIMIT 20""")),
+
+    // Two-part ("hurdle") decomposition of revenue per user:
+    // E[spend] = P(any purchase) · E[spend | purchaser] — the
+    // health-econometrics decomposition separating the participation
+    // margin from the intensity margin, which a single mean (q99's
+    // dashboard) conflates. Both parts carry their exact-moment
+    // standard errors and recombine into the overall mean by
+    // construction. Purchase values are exact DECIMAL sums; the
+    // participation SE is one binomial sqrt.
+    "qey_two_part_model" -> Q(
+      fn = (s, dir) => {
+        val users = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase",
+            coalesce(col("value"), lit(0.0)).cast("decimal(18,2)"))
+            .otherwise(lit(0.0).cast("decimal(18,2)"))).as("spend"),
+            max(when(col("event_type") === "purchase" &&
+              col("value").isNotNull, 1L).otherwise(0L)).as("buyer"))
+          .localCheckpoint(eager = false)
+        val parts = users.agg(count(lit(1)).as("n"),
+          sum(col("buyer")).as("nb"),
+          sum(when(col("buyer") === 1, col("spend"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("sv"),
+          sum(when(col("buyer") === 1,
+            col("spend").cast("decimal(12,2)") *
+              col("spend").cast("decimal(12,2)"))
+            .otherwise(lit(0).cast("decimal(25,4)"))).as("svv"))
+          .select(col("n"), col("nb"),
+            col("sv").cast("double").as("sv"),
+            col("svv").cast("double").as("svv"))
+        parts.select(col("n").as("n_users"), col("nb").as("n_buyers"),
+          round(col("nb").cast("double") / col("n").cast("double"), 6)
+            .as("p_buy"),
+          round(sqrt((col("nb").cast("double") / col("n").cast("double")) *
+            (lit(1.0) - col("nb").cast("double") / col("n").cast("double")) /
+            col("n").cast("double")), 6).as("p_buy_se"),
+          round(col("sv") / col("nb").cast("double"), 2)
+            .as("mean_if_buyer"),
+          round(sqrt((col("svv") - col("sv") * col("sv") /
+            col("nb").cast("double")) /
+            ((col("nb") - 1).cast("double") * col("nb").cast("double"))), 2)
+            .as("mean_if_buyer_se"),
+          round((col("nb").cast("double") / col("n").cast("double")) *
+            (col("sv") / col("nb").cast("double")), 2).as("overall_mean"))
+      },
+      oracle = Some("""
+        WITH users AS MATERIALIZED (
+          SELECT user_id,
+                 SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(COALESCE(value, 0) AS DECIMAL(18,2))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS spend,
+                 CAST(MAX(CASE WHEN event_type = 'purchase'
+                   AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS buyer
+          FROM events GROUP BY 1),
+        parts AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(buyer) AS BIGINT) AS nb,
+                 CAST(SUM(CASE WHEN buyer = 1 THEN spend
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sv,
+                 CAST(SUM(CASE WHEN buyer = 1 THEN
+                   CAST(spend AS DECIMAL(12,2)) *
+                   CAST(spend AS DECIMAL(12,2))
+                   ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE) AS svv
+          FROM users)
+        SELECT n AS n_users, nb AS n_buyers,
+               ROUND(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS p_buy,
+               ROUND(sqrt((CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)) *
+                 (CAST(1 AS DOUBLE) - CAST(nb AS DOUBLE) /
+                   CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS p_buy_se,
+               ROUND(sv / CAST(nb AS DOUBLE), 2) + CAST(0 AS DOUBLE)
+                 AS mean_if_buyer,
+               ROUND(sqrt((svv - sv * sv / CAST(nb AS DOUBLE)) /
+                 (CAST(nb - 1 AS DOUBLE) * CAST(nb AS DOUBLE))), 2)
+                 + CAST(0 AS DOUBLE) AS mean_if_buyer_se,
+               ROUND((CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)) *
+                 (sv / CAST(nb AS DOUBLE)), 2) + CAST(0 AS DOUBLE)
+                 AS overall_mean
+        FROM parts""")),
+
+    // Empirical-Bayes beta-binomial shrinkage of per-user conversion
+    // rates (purchases / events): method-of-moments prior (α, β) from
+    // the across-user rate mean and variance, then shrunk rates
+    // (x + α)/(m + α + β) for the ten most active users — the
+    // industry-standard CTR stabilizer (a 1/1 user is NOT a 100%
+    // converter), the applied counterpart of qcb's James-Stein on
+    // gaussian means. Rate moments ride round-9 DECIMAL sums; the MoM
+    // prior and every shrunk rate are raw ratios.
+    "qez_eb_shrinkage" -> Q(
+      fn = (s, dir) => {
+        val users = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("m"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("x"))
+          .localCheckpoint(eager = false)
+        val st = users.select((col("x").cast("double") /
+          col("m").cast("double")).as("r"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("r"), 9).cast("decimal(18,9)")).as("sr"),
+            sum(round(col("r") * col("r"), 9).cast("decimal(18,9)"))
+              .as("srr"))
+          .select(col("n"),
+            round(col("sr").cast("double") / col("n").cast("double"), 9)
+              .as("mu"),
+            round((col("srr").cast("double") -
+              col("sr").cast("double") * col("sr").cast("double") /
+                col("n").cast("double")) / (col("n") - 1).cast("double"), 9)
+              .as("vr"))
+          .select(col("n"), col("mu"), col("vr"),
+            round(col("mu") * (col("mu") * (lit(1.0) - col("mu")) /
+              col("vr") - lit(1.0)), 9).as("alpha"),
+            round((lit(1.0) - col("mu")) *
+              (col("mu") * (lit(1.0) - col("mu")) / col("vr") - lit(1.0)),
+              9).as("beta"))
+        val top = users
+          .orderBy(col("m").desc, col("user_id")).limit(10)
+        top.crossJoin(broadcast(st))
+          .select(col("user_id"), col("m"), col("x"),
+            round(col("x").cast("double") / col("m").cast("double"), 6)
+              .as("raw_rate"),
+            round((col("x").cast("double") + col("alpha")) /
+              (col("m").cast("double") + col("alpha") + col("beta")), 6)
+              .as("shrunk_rate"),
+            round(col("alpha"), 6).as("prior_alpha"),
+            round(col("beta"), 6).as("prior_beta"))
+          .orderBy(col("m").desc, col("user_id"))
+      },
+      oracle = Some("""
+        WITH users AS MATERIALIZED (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        st0 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) /
+                   CAST(m AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE)
+                   AS sr,
+                 CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) /
+                   CAST(m AS DOUBLE)) * (CAST(x AS DOUBLE) /
+                   CAST(m AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE)
+                   AS srr
+          FROM users),
+        st1 AS (
+          SELECT n, ROUND(sr / CAST(n AS DOUBLE), 9) AS mu,
+                 ROUND((srr - sr * sr / CAST(n AS DOUBLE)) /
+                   CAST(n - 1 AS DOUBLE), 9) AS vr
+          FROM st0),
+        st AS (
+          SELECT n, mu, vr,
+                 ROUND(mu * (mu * (CAST(1 AS DOUBLE) - mu) / vr -
+                   CAST(1 AS DOUBLE)), 9) AS alpha,
+                 ROUND((CAST(1 AS DOUBLE) - mu) *
+                   (mu * (CAST(1 AS DOUBLE) - mu) / vr -
+                     CAST(1 AS DOUBLE)), 9) AS beta
+          FROM st1),
+        top AS (
+          SELECT user_id, m, x FROM users
+          ORDER BY m DESC, user_id LIMIT 10)
+        SELECT user_id, m, x,
+               ROUND(CAST(x AS DOUBLE) / CAST(m AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS raw_rate,
+               ROUND((CAST(x AS DOUBLE) + alpha) /
+                 (CAST(m AS DOUBLE) + alpha + beta), 6)
+                 + CAST(0 AS DOUBLE) AS shrunk_rate,
+               ROUND(alpha, 6) + CAST(0 AS DOUBLE) AS prior_alpha,
+               ROUND(beta, 6) + CAST(0 AS DOUBLE) AS prior_beta
+        FROM top CROSS JOIN st
+        ORDER BY m DESC, user_id"""))
   )
 }
