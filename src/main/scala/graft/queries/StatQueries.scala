@@ -7379,6 +7379,172 @@ object StatQueries {
                ROUND(alpha, 6) + CAST(0 AS DOUBLE) AS prior_alpha,
                ROUND(beta, 6) + CAST(0 AS DOUBLE) AS prior_beta
         FROM top CROSS JOIN st
-        ORDER BY m DESC, user_id"""))
+        ORDER BY m DESC, user_id""")),
+
+    // Concentration index and Kakwani decomposition: customer spend
+    // concentrated against the ACCOUNT-BALANCE ranking — the
+    // health-equity economics measure (is consumption concentrated
+    // among the asset-rich?) that q6m's Gini cannot ask because Gini
+    // ranks by the outcome itself; Kakwani = CI − Gini isolates the
+    // cross-ranking component. Both indexes come from the same exact
+    // DECIMAL Σ y·rank sums over two global rankings; one final ratio
+    // each.
+    "qf0_concentration_index" -> Q(
+      fn = (s, dir) => {
+        val base = t(s, dir, "customer")
+          .join(t(s, dir, "orders")
+            .groupBy(col("o_custkey"))
+            .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y")),
+            col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey").as("ck"), col("c_acctbal"), col("y"))
+        val rBal = graft.operators.ScaleOps.globalRowNumber(base,
+          Seq(col("c_acctbal"), col("ck")), "rb")
+        val rY = graft.operators.ScaleOps.globalRowNumber(rBal,
+          Seq(col("y"), col("ck")), "ry").localCheckpoint(eager = false)
+        val agg = rY.agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sy"),
+          sum(col("y").cast("decimal(18,2)") *
+            col("rb").cast("decimal(10,0)")).as("syrb"),
+          sum(col("y").cast("decimal(18,2)") *
+            col("ry").cast("decimal(10,0)")).as("syry"))
+        val pre = agg.select(col("n"),
+          (lit(2.0) * col("syrb").cast("double") /
+            (col("n").cast("double") * col("sy").cast("double")) -
+            (col("n") + 1).cast("double") / col("n").cast("double"))
+            .as("ci"),
+          (lit(2.0) * col("syry").cast("double") /
+            (col("n").cast("double") * col("sy").cast("double")) -
+            (col("n") + 1).cast("double") / col("n").cast("double"))
+            .as("gini"))
+        pre.select(col("n"),
+          round(col("ci"), 6).as("ci_by_balance"),
+          round(col("gini"), 6).as("gini"),
+          round(col("ci") - col("gini"), 6).as("kakwani"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT c_custkey AS ck, c_acctbal, y
+          FROM customer JOIN (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+            FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+        r AS MATERIALIZED (
+          SELECT y,
+                 CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal, ck)
+                   AS BIGINT) AS rb,
+                 CAST(ROW_NUMBER() OVER (ORDER BY y, ck) AS BIGINT) AS ry
+          FROM base),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(y AS DECIMAL(18,2)) *
+                   CAST(rb AS DECIMAL(10,0))) AS DOUBLE) AS syrb,
+                 CAST(SUM(CAST(y AS DECIMAL(18,2)) *
+                   CAST(ry AS DECIMAL(10,0))) AS DOUBLE) AS syry
+          FROM r),
+        pre AS (
+          SELECT n,
+                 CAST(2 AS DOUBLE) * syrb /
+                   (CAST(n AS DOUBLE) * sy) -
+                   CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS ci,
+                 CAST(2 AS DOUBLE) * syry /
+                   (CAST(n AS DOUBLE) * sy) -
+                   CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+          FROM agg)
+        SELECT n,
+               ROUND(ci, 6) + CAST(0 AS DOUBLE) AS ci_by_balance,
+               ROUND(gini, 6) + CAST(0 AS DOUBLE) AS gini,
+               ROUND(ci - gini, 6) + CAST(0 AS DOUBLE) AS kakwani
+        FROM pre""")),
+
+    // Shewhart individuals / moving-range chart of daily revenue: the
+    // variables-chart companion of qds's attribute p-chart — control
+    // limits x̄ ± 2.66·MR̄ from the mean moving range (the d₂-based
+    // short-term sigma that ignores slow drift), the out-of-control
+    // count, and the worst violation day by struct argmax. Moving
+    // ranges are exact DECIMAL |differences|; the ±2.66 band
+    // multiplies DECIMALs per rule 15.
+    "qf2_imr_chart" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val st = ranked.agg(count(lit(1)).as("n"), sum(col("ym")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("xbar"))
+        val mr = ranked.select(col("rn"), col("ym").as("x0"))
+          .join(ranked.select((col("rn") - 1).as("rn"), col("ym").as("x1")),
+            Seq("rn"))
+          .agg(count(lit(1)).as("nmr"),
+            sum(abs(col("x1") - col("x0"))).as("smr"))
+          .select(col("nmr"),
+            round(col("smr").cast("double") / col("nmr").cast("double"), 9)
+              .as("mrbar"))
+        val lim = st.crossJoin(broadcast(mr))
+          .select(col("n"), col("xbar"), col("mrbar"),
+            (col("xbar").cast("decimal(20,9)") -
+              lit(2.66).cast("decimal(3,2)") *
+                col("mrbar").cast("decimal(12,9)")).cast("double").as("lcl"),
+            (col("xbar").cast("decimal(20,9)") +
+              lit(2.66).cast("decimal(3,2)") *
+                col("mrbar").cast("decimal(12,9)")).cast("double").as("ucl"))
+        val ooc = ranked.crossJoin(broadcast(lim))
+          .select(col("rn"), col("n"), col("xbar"), col("mrbar"),
+            col("lcl"), col("ucl"),
+            col("ym").cast("double").as("x"))
+          .agg(first(col("n")).as("n"), first(col("xbar")).as("xbar"),
+            first(col("mrbar")).as("mrbar"), first(col("lcl")).as("lcl"),
+            first(col("ucl")).as("ucl"),
+            sum(when(col("x") < col("lcl") || col("x") > col("ucl"), 1L)
+              .otherwise(0L)).as("n_beyond"),
+            max(struct(round(abs(col("x") - col("xbar")), 9).as("ad"),
+              col("rn").cast("long").as("rn"))).as("w"))
+        ooc.select(col("n"), round(col("xbar"), 6).as("xbar"),
+          round(col("mrbar"), 6).as("mr_bar"),
+          round(col("lcl"), 6).as("lcl"), round(col("ucl"), 6).as("ucl"),
+          col("n_beyond"), col("w.rn").as("worst_rn"),
+          round(col("w.ad"), 6).as("worst_dev"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn
+              FROM daily),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS xbar
+          FROM r),
+        mr AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nmr,
+                 ROUND(CAST(SUM(ABS(b.ym - a.ym)) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS mrbar
+          FROM r a JOIN r b ON b.rn = a.rn + 1),
+        lim AS (
+          SELECT n, xbar, mrbar,
+                 CAST(CAST(xbar AS DECIMAL(20,9)) -
+                   CAST(2.66 AS DECIMAL(3,2)) *
+                   CAST(mrbar AS DECIMAL(12,9)) AS DOUBLE) AS lcl,
+                 CAST(CAST(xbar AS DECIMAL(20,9)) +
+                   CAST(2.66 AS DECIMAL(3,2)) *
+                   CAST(mrbar AS DECIMAL(12,9)) AS DOUBLE) AS ucl
+          FROM st CROSS JOIN mr),
+        ooc AS (
+          SELECT MAX(lim.n) AS n, MAX(lim.xbar) AS xbar,
+                 MAX(lim.mrbar) AS mrbar, MAX(lim.lcl) AS lcl,
+                 MAX(lim.ucl) AS ucl,
+                 CAST(SUM(CASE WHEN CAST(ym AS DOUBLE) < lim.lcl OR
+                   CAST(ym AS DOUBLE) > lim.ucl THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_beyond,
+                 MAX({'ad': ROUND(ABS(CAST(ym AS DOUBLE) - lim.xbar), 9),
+                      'rn': CAST(rn AS BIGINT)}) AS w
+          FROM r CROSS JOIN lim)
+        SELECT n, ROUND(xbar, 6) + CAST(0 AS DOUBLE) AS xbar,
+               ROUND(mrbar, 6) + CAST(0 AS DOUBLE) AS mr_bar,
+               ROUND(lcl, 6) + CAST(0 AS DOUBLE) AS lcl,
+               ROUND(ucl, 6) + CAST(0 AS DOUBLE) AS ucl,
+               n_beyond, w['rn'] AS worst_rn,
+               ROUND(w['ad'], 6) + CAST(0 AS DOUBLE) AS worst_dev
+        FROM ooc"""))
   )
 }
