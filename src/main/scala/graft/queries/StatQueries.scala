@@ -7545,6 +7545,458 @@ object StatQueries {
                ROUND(ucl, 6) + CAST(0 AS DOUBLE) AS ucl,
                n_beyond, w['rn'] AS worst_rn,
                ROUND(w['ad'], 6) + CAST(0 AS DOUBLE) AS worst_dev
-        FROM ooc"""))
+        FROM ooc""")),
+
+    // Entropy-weighted TOPSIS multi-criteria ranking of brands on
+    // (revenue↑, shipped quantity↑, mean unit price↓): vector-normalized
+    // criteria, objective entropy weights (criteria that discriminate
+    // get weight — no analyst judgment call), and closeness to the
+    // ideal/anti-ideal pair — the standard MCDM machinery none of the
+    // single-axis rankings (q7w ABC, qdl→BF swap, q8x top-k) provide.
+    // Criterion scalars are DECIMAL sums; normalized values and ideals
+    // snap to the 9-grid before min/max so both engines pick identical
+    // poles; per-row distances have a FIXED three-term expression (no
+    // float aggregation).
+    "qf1_topsis_brands" -> Q(
+      fn = (s, dir) => {
+        val brands = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(((sum(col("l_extendedprice").cast("decimal(12,2)")) /
+            lit(1000000)).cast("decimal(18,8)")).cast("double").as("rev"),
+            sum(col("l_quantity").cast("long")).as("qty"),
+            sum(col("l_extendedprice").cast("decimal(12,2)")).as("ext"),
+            sum(col("l_quantity").cast("long")).as("qty2"))
+          .select(col("p_brand"), col("rev"),
+            col("qty").cast("double").as("qty"),
+            round(col("ext").cast("double") / col("qty2").cast("double"), 9)
+              .as("price"))
+          .localCheckpoint(eager = false)
+        val sc = brands.agg(count(lit(1)).as("nb"),
+          sum(round(col("rev") * col("rev"), 6).cast("decimal(28,6)"))
+            .as("q1"),
+          sum(round(col("qty") * col("qty"), 6).cast("decimal(38,6)"))
+            .as("q2"),
+          sum(round(col("price") * col("price"), 6).cast("decimal(28,6)"))
+            .as("q3"),
+          sum(col("rev").cast("decimal(28,8)")).as("s1"),
+          sum(col("qty").cast("decimal(28,0)")).as("s2"),
+          sum(col("price").cast("decimal(28,9)")).as("s3"))
+        val ent = brands.crossJoin(broadcast(sc))
+          .select(col("nb"),
+            (col("rev") / col("s1").cast("double")).as("p1"),
+            (col("qty") / col("s2").cast("double")).as("p2"),
+            (col("price") / col("s3").cast("double")).as("p3"))
+          .agg(first(col("nb")).as("nb"),
+            sum(round(col("p1") * log(col("p1")), 9).cast("decimal(18,9)"))
+              .as("e1"),
+            sum(round(col("p2") * log(col("p2")), 9).cast("decimal(18,9)"))
+              .as("e2"),
+            sum(round(col("p3") * log(col("p3")), 9).cast("decimal(18,9)"))
+              .as("e3"))
+          .select(col("nb"),
+            (lit(1.0) + col("e1").cast("double") /
+              log(col("nb").cast("double"))).as("d1"),
+            (lit(1.0) + col("e2").cast("double") /
+              log(col("nb").cast("double"))).as("d2"),
+            (lit(1.0) + col("e3").cast("double") /
+              log(col("nb").cast("double"))).as("d3"))
+          .select(
+            round(col("d1") / (col("d1") + col("d2") + col("d3")), 9)
+              .as("w1"),
+            round(col("d2") / (col("d1") + col("d2") + col("d3")), 9)
+              .as("w2"),
+            round(col("d3") / (col("d1") + col("d2") + col("d3")), 9)
+              .as("w3"))
+        val vmat = brands.crossJoin(broadcast(sc.select(col("q1"),
+          col("q2"), col("q3")))).crossJoin(broadcast(ent))
+          .select(col("p_brand"),
+            round(col("w1") * col("rev") /
+              sqrt(col("q1").cast("double")), 9).as("v1"),
+            round(col("w2") * col("qty") /
+              sqrt(col("q2").cast("double")), 9).as("v2"),
+            round(col("w3") * col("price") /
+              sqrt(col("q3").cast("double")), 9).as("v3"))
+          .localCheckpoint(eager = false)
+        val poles = vmat.agg(
+          max(col("v1")).as("i1"), min(col("v1")).as("a1"),
+          max(col("v2")).as("i2"), min(col("v2")).as("a2"),
+          min(col("v3")).as("i3"), max(col("v3")).as("a3"))
+        vmat.crossJoin(broadcast(poles))
+          .select(col("p_brand"),
+            sqrt((col("v1") - col("i1")) * (col("v1") - col("i1")) +
+              (col("v2") - col("i2")) * (col("v2") - col("i2")) +
+              (col("v3") - col("i3")) * (col("v3") - col("i3"))).as("dp"),
+            sqrt((col("v1") - col("a1")) * (col("v1") - col("a1")) +
+              (col("v2") - col("a2")) * (col("v2") - col("a2")) +
+              (col("v3") - col("a3")) * (col("v3") - col("a3"))).as("dm"))
+          .select(col("p_brand"),
+            round(col("dm") / (col("dp") + col("dm")), 6).as("closeness"))
+          .orderBy(col("closeness").desc, col("p_brand"))
+      },
+      oracle = Some("""
+        WITH brands AS MATERIALIZED (
+          SELECT p_brand,
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) /
+                   1000000 AS DECIMAL(18,8)) AS DOUBLE) AS rev,
+                 CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS DOUBLE) AS qty,
+                 ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                     AS DOUBLE) /
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 9)
+                   AS price
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1),
+        sc AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                 CAST(SUM(CAST(ROUND(rev * rev, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS q1,
+                 CAST(SUM(CAST(ROUND(qty * qty, 6) AS DECIMAL(38,6)))
+                   AS DOUBLE) AS q2,
+                 CAST(SUM(CAST(ROUND(price * price, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS q3,
+                 CAST(SUM(CAST(rev AS DECIMAL(28,8))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(qty AS DECIMAL(28,0))) AS DOUBLE) AS s2,
+                 CAST(SUM(CAST(price AS DECIMAL(28,9))) AS DOUBLE) AS s3
+          FROM brands),
+        ent0 AS (
+          SELECT MAX(sc.nb) AS nb,
+                 SUM(CAST(ROUND((rev / sc.s1) * ln(rev / sc.s1), 9)
+                   AS DECIMAL(18,9))) AS e1,
+                 SUM(CAST(ROUND((qty / sc.s2) * ln(qty / sc.s2), 9)
+                   AS DECIMAL(18,9))) AS e2,
+                 SUM(CAST(ROUND((price / sc.s3) * ln(price / sc.s3), 9)
+                   AS DECIMAL(18,9))) AS e3
+          FROM brands CROSS JOIN sc),
+        ent1 AS (
+          SELECT (CAST(1 AS DOUBLE) + CAST(e1 AS DOUBLE) /
+                   ln(CAST(nb AS DOUBLE))) AS d1,
+                 (CAST(1 AS DOUBLE) + CAST(e2 AS DOUBLE) /
+                   ln(CAST(nb AS DOUBLE))) AS d2,
+                 (CAST(1 AS DOUBLE) + CAST(e3 AS DOUBLE) /
+                   ln(CAST(nb AS DOUBLE))) AS d3
+          FROM ent0),
+        ent AS (
+          SELECT ROUND(d1 / (d1 + d2 + d3), 9) AS w1,
+                 ROUND(d2 / (d1 + d2 + d3), 9) AS w2,
+                 ROUND(d3 / (d1 + d2 + d3), 9) AS w3
+          FROM ent1),
+        vmat AS MATERIALIZED (
+          SELECT p_brand,
+                 ROUND(ent.w1 * rev / sqrt(sc.q1), 9) AS v1,
+                 ROUND(ent.w2 * qty / sqrt(sc.q2), 9) AS v2,
+                 ROUND(ent.w3 * price / sqrt(sc.q3), 9) AS v3
+          FROM brands CROSS JOIN sc CROSS JOIN ent),
+        poles AS (
+          SELECT MAX(v1) AS i1, MIN(v1) AS a1,
+                 MAX(v2) AS i2, MIN(v2) AS a2,
+                 MIN(v3) AS i3, MAX(v3) AS a3
+          FROM vmat)
+        SELECT p_brand,
+               ROUND(sqrt((v1 - a1) * (v1 - a1) + (v2 - a2) * (v2 - a2) +
+                   (v3 - a3) * (v3 - a3)) /
+                 (sqrt((v1 - i1) * (v1 - i1) + (v2 - i2) * (v2 - i2) +
+                   (v3 - i3) * (v3 - i3)) +
+                  sqrt((v1 - a1) * (v1 - a1) + (v2 - a2) * (v2 - a2) +
+                   (v3 - a3) * (v3 - a3))), 6) + CAST(0 AS DOUBLE)
+                 AS closeness
+        FROM vmat CROSS JOIN poles
+        ORDER BY closeness DESC, p_brand""")),
+
+    // Band-averaged squared coherence between the daily all-events and
+    // purchase series: cross-spectrum over Fourier k with the qca/qdj
+    // phase-mod-n trig recipe, auto/cross spectra averaged over
+    // 3-frequency bands (raw single-taper coherence is identically 1 —
+    // the classic trap; band smoothing is what makes it informative) —
+    // the frequency-domain companion of q8h's time-domain lagged
+    // cross-correlation: WHICH rhythm do the two series share? Spectra
+    // are 9-grid; band sums ride DECIMAL.
+    "qf3_spectral_coherence" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(count(lit(1)).as("xa"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("ya"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val mu = ranked.agg(count(lit(1)).as("n"),
+          sum(col("xa")).as("sx"), sum(col("ya")).as("sy"))
+          .select(col("n"),
+            round(col("sx").cast("double") / col("n").cast("double"), 9)
+              .as("mx"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("my"))
+        val terms = ranked.crossJoin(broadcast(mu))
+          .select(col("rn"), col("n"),
+            (col("xa").cast("double") - col("mx")).as("cx"),
+            (col("ya").cast("double") - col("my")).as("cy"),
+            explode(sequence(lit(1L), lit(8L))).as("k"))
+          .withColumn("ang", lit(2.0 * math.Pi) *
+            pmod(col("rn") * col("k"), col("n")).cast("double") /
+            col("n").cast("double"))
+          .groupBy(col("k"))
+          .agg(
+            sum(round(col("cx") * cos(col("ang")), 9).cast("decimal(28,9)"))
+              .as("ax"),
+            sum(round(col("cx") * sin(col("ang")), 9).cast("decimal(28,9)"))
+              .as("bx"),
+            sum(round(col("cy") * cos(col("ang")), 9).cast("decimal(28,9)"))
+              .as("ay"),
+            sum(round(col("cy") * sin(col("ang")), 9).cast("decimal(28,9)"))
+              .as("by"))
+          .select(col("k"),
+            round(col("ax").cast("double") * col("ax").cast("double") +
+              col("bx").cast("double") * col("bx").cast("double"), 9)
+              .as("pxx"),
+            round(col("ay").cast("double") * col("ay").cast("double") +
+              col("by").cast("double") * col("by").cast("double"), 9)
+              .as("pyy"),
+            round(col("ax").cast("double") * col("ay").cast("double") +
+              col("bx").cast("double") * col("by").cast("double"), 9)
+              .as("cc"),
+            round(col("bx").cast("double") * col("ay").cast("double") -
+              col("ax").cast("double") * col("by").cast("double"), 9)
+              .as("qq"))
+          .localCheckpoint(eager = false)
+        val bands = terms.select(col("k"), col("pxx"), col("pyy"),
+          col("cc"), col("qq"))
+          .join(terms.select(col("k").as("k2"), col("pxx").as("px2"),
+            col("pyy").as("py2"), col("cc").as("cc2"),
+            col("qq").as("qq2")),
+            col("k2").between(col("k") - 1, col("k") + 1))
+          .filter(col("k") >= 2 && col("k") <= 7)
+          .groupBy(col("k"))
+          .agg(sum(col("px2").cast("decimal(28,9)")).as("spx"),
+            sum(col("py2").cast("decimal(28,9)")).as("spy"),
+            sum(col("cc2").cast("decimal(28,9)")).as("scc"),
+            sum(col("qq2").cast("decimal(28,9)")).as("sqq"))
+        bands.select(col("k"),
+          round((col("scc").cast("double") * col("scc").cast("double") +
+            col("sqq").cast("double") * col("sqq").cast("double")) /
+            (col("spx").cast("double") * col("spy").cast("double")), 6)
+            .as("coherence2"))
+          .orderBy(col("k"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS xa,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS ya
+          FROM events GROUP BY 1),
+        r AS (SELECT xa, ya, ROW_NUMBER() OVER (ORDER BY day) AS rn
+              FROM daily),
+        mu AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(xa) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS mx,
+                 ROUND(CAST(SUM(ya) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS my
+          FROM r),
+        ks AS (SELECT CAST(UNNEST(range(1, 9)) AS BIGINT) AS k),
+        terms0 AS (
+          SELECT k,
+                 SUM(CAST(ROUND((CAST(xa AS DOUBLE) - mu.mx) *
+                   COS(CAST(2 AS DOUBLE) * pi() *
+                     CAST((rn * k) % mu.n AS DOUBLE) /
+                     CAST(mu.n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS ax,
+                 SUM(CAST(ROUND((CAST(xa AS DOUBLE) - mu.mx) *
+                   SIN(CAST(2 AS DOUBLE) * pi() *
+                     CAST((rn * k) % mu.n AS DOUBLE) /
+                     CAST(mu.n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS bx,
+                 SUM(CAST(ROUND((CAST(ya AS DOUBLE) - mu.my) *
+                   COS(CAST(2 AS DOUBLE) * pi() *
+                     CAST((rn * k) % mu.n AS DOUBLE) /
+                     CAST(mu.n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS ay,
+                 SUM(CAST(ROUND((CAST(ya AS DOUBLE) - mu.my) *
+                   SIN(CAST(2 AS DOUBLE) * pi() *
+                     CAST((rn * k) % mu.n AS DOUBLE) /
+                     CAST(mu.n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS by
+          FROM r CROSS JOIN ks CROSS JOIN mu
+          GROUP BY 1),
+        terms AS MATERIALIZED (
+          SELECT k,
+                 ROUND(CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE) +
+                   CAST(bx AS DOUBLE) * CAST(bx AS DOUBLE), 9) AS pxx,
+                 ROUND(CAST(ay AS DOUBLE) * CAST(ay AS DOUBLE) +
+                   CAST(by AS DOUBLE) * CAST(by AS DOUBLE), 9) AS pyy,
+                 ROUND(CAST(ax AS DOUBLE) * CAST(ay AS DOUBLE) +
+                   CAST(bx AS DOUBLE) * CAST(by AS DOUBLE), 9) AS cc,
+                 ROUND(CAST(bx AS DOUBLE) * CAST(ay AS DOUBLE) -
+                   CAST(ax AS DOUBLE) * CAST(by AS DOUBLE), 9) AS qq
+          FROM terms0),
+        bands AS (
+          SELECT a.k,
+                 SUM(CAST(b.pxx AS DECIMAL(28,9))) AS spx,
+                 SUM(CAST(b.pyy AS DECIMAL(28,9))) AS spy,
+                 SUM(CAST(b.cc AS DECIMAL(28,9))) AS scc,
+                 SUM(CAST(b.qq AS DECIMAL(28,9))) AS sqq
+          FROM terms a JOIN terms b ON b.k BETWEEN a.k - 1 AND a.k + 1
+          WHERE a.k >= 2 AND a.k <= 7
+          GROUP BY a.k)
+        SELECT k,
+               ROUND((CAST(scc AS DOUBLE) * CAST(scc AS DOUBLE) +
+                 CAST(sqq AS DOUBLE) * CAST(sqq AS DOUBLE)) /
+                 (CAST(spx AS DOUBLE) * CAST(spy AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS coherence2
+        FROM bands ORDER BY k""")),
+
+    // VAR(1) fit of the centered (all-events, purchases) daily pair:
+    // per-equation two-regressor OLS by Cramer's rule on the lag
+    // moments, the companion-matrix spectral radius (closed-form 2×2
+    // eigenvalues, complex case via sqrt(det)) and the stability
+    // verdict — the multivariate dynamics qc0's Granger test
+    // (one-directional F) and qb9's univariate AR(2) each see only half
+    // of. Lag moments ride round-6 DECIMAL sums; all four coefficients
+    // snap to the 9-grid; the eigen branch is a deterministic CASE on
+    // the discriminant's sign.
+    "qf4_var1_fit" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(count(lit(1)).as("xa"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("ya"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(daily,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val mu = ranked.agg(count(lit(1)).as("n"),
+          sum(col("xa")).as("sx"), sum(col("ya")).as("sy"))
+          .select(
+            round(col("sx").cast("double") / col("n").cast("double"), 9)
+              .as("mx"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("my"))
+        val cen = ranked.crossJoin(broadcast(mu))
+          .select(col("rn"),
+            (col("xa").cast("double") - col("mx")).as("cx"),
+            (col("ya").cast("double") - col("my")).as("cy"))
+          .localCheckpoint(eager = false)
+        val lag = cen.select(col("rn"), col("cx").as("x1"),
+          col("cy").as("y1"))
+          .join(cen.select((col("rn") + 1).as("rn"), col("cx").as("x0"),
+            col("cy").as("y0")), Seq("rn"))
+        val mom = lag.agg(
+          sum(round(col("x0") * col("x0"), 6).cast("decimal(28,6)"))
+            .as("sxx"),
+          sum(round(col("y0") * col("y0"), 6).cast("decimal(28,6)"))
+            .as("syy"),
+          sum(round(col("x0") * col("y0"), 6).cast("decimal(28,6)"))
+            .as("sxy"),
+          sum(round(col("x1") * col("x0"), 6).cast("decimal(28,6)"))
+            .as("b1x"),
+          sum(round(col("x1") * col("y0"), 6).cast("decimal(28,6)"))
+            .as("b1y"),
+          sum(round(col("y1") * col("x0"), 6).cast("decimal(28,6)"))
+            .as("b2x"),
+          sum(round(col("y1") * col("y0"), 6).cast("decimal(28,6)"))
+            .as("b2y"))
+          .select(col("sxx").cast("double").as("sxx"),
+            col("syy").cast("double").as("syy"),
+            col("sxy").cast("double").as("sxy"),
+            col("b1x").cast("double").as("b1x"),
+            col("b1y").cast("double").as("b1y"),
+            col("b2x").cast("double").as("b2x"),
+            col("b2y").cast("double").as("b2y"))
+          .withColumn("dd", col("sxx") * col("syy") - col("sxy") * col("sxy"))
+          .select(
+            round((col("b1x") * col("syy") - col("b1y") * col("sxy")) /
+              col("dd"), 9).as("a11"),
+            round((col("b1y") * col("sxx") - col("b1x") * col("sxy")) /
+              col("dd"), 9).as("a12"),
+            round((col("b2x") * col("syy") - col("b2y") * col("sxy")) /
+              col("dd"), 9).as("a21"),
+            round((col("b2y") * col("sxx") - col("b2x") * col("sxy")) /
+              col("dd"), 9).as("a22"))
+        val eig = mom
+          .withColumn("tr", col("a11") + col("a22"))
+          .withColumn("dt", round(col("a11") * col("a22"), 9) -
+            round(col("a12") * col("a21"), 9))
+          .withColumn("disc", col("tr") * col("tr") - lit(4.0) * col("dt"))
+          .withColumn("rho",
+            when(col("disc") >= 0,
+              greatest(abs((col("tr") + sqrt(col("disc"))) / lit(2.0)),
+                abs((col("tr") - sqrt(col("disc"))) / lit(2.0))))
+              .otherwise(sqrt(abs(col("dt")))))
+        eig.select(round(col("a11"), 6).as("a11"),
+          round(col("a12"), 6).as("a12"),
+          round(col("a21"), 6).as("a21"),
+          round(col("a22"), 6).as("a22"),
+          round(col("rho"), 6).as("spectral_radius"),
+          when(col("rho") < 1.0, lit("stable")).otherwise(lit("unstable"))
+            .as("verdict"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS xa,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS ya
+          FROM events GROUP BY 1),
+        r AS (SELECT xa, ya, ROW_NUMBER() OVER (ORDER BY day) AS rn
+              FROM daily),
+        mu AS (
+          SELECT ROUND(CAST(SUM(xa) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS mx,
+                 ROUND(CAST(SUM(ya) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS my
+          FROM r),
+        cen AS MATERIALIZED (
+          SELECT rn, CAST(xa AS DOUBLE) - mu.mx AS cx,
+                 CAST(ya AS DOUBLE) - mu.my AS cy
+          FROM r CROSS JOIN mu),
+        lag AS (
+          SELECT a.cx AS x1, a.cy AS y1, b.cx AS x0, b.cy AS y0
+          FROM cen a JOIN cen b ON b.rn = a.rn - 1),
+        mom0 AS (
+          SELECT CAST(SUM(CAST(ROUND(x0 * x0, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(ROUND(y0 * y0, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(ROUND(x0 * y0, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(ROUND(x1 * x0, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS b1x,
+                 CAST(SUM(CAST(ROUND(x1 * y0, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS b1y,
+                 CAST(SUM(CAST(ROUND(y1 * x0, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS b2x,
+                 CAST(SUM(CAST(ROUND(y1 * y0, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS b2y
+          FROM lag),
+        mom AS (
+          SELECT ROUND((b1x * syy - b1y * sxy) /
+                   (sxx * syy - sxy * sxy), 9) AS a11,
+                 ROUND((b1y * sxx - b1x * sxy) /
+                   (sxx * syy - sxy * sxy), 9) AS a12,
+                 ROUND((b2x * syy - b2y * sxy) /
+                   (sxx * syy - sxy * sxy), 9) AS a21,
+                 ROUND((b2y * sxx - b2x * sxy) /
+                   (sxx * syy - sxy * sxy), 9) AS a22
+          FROM mom0),
+        eig0 AS (
+          SELECT *, a11 + a22 AS tr,
+                 ROUND(a11 * a22, 9) - ROUND(a12 * a21, 9) AS dt
+          FROM mom),
+        eig1 AS (
+          SELECT *, tr * tr - CAST(4 AS DOUBLE) * dt AS disc
+          FROM eig0),
+        eig AS (
+          SELECT *,
+                 CASE WHEN disc >= CAST(0 AS DOUBLE) THEN
+                   GREATEST(ABS((tr + sqrt(disc)) / CAST(2 AS DOUBLE)),
+                     ABS((tr - sqrt(disc)) / CAST(2 AS DOUBLE)))
+                 ELSE sqrt(ABS(dt)) END AS rho
+          FROM eig1)
+        SELECT ROUND(a11, 6) + CAST(0 AS DOUBLE) AS a11,
+               ROUND(a12, 6) + CAST(0 AS DOUBLE) AS a12,
+               ROUND(a21, 6) + CAST(0 AS DOUBLE) AS a21,
+               ROUND(a22, 6) + CAST(0 AS DOUBLE) AS a22,
+               ROUND(rho, 6) + CAST(0 AS DOUBLE) AS spectral_radius,
+               CASE WHEN rho < CAST(1 AS DOUBLE) THEN 'stable'
+                    ELSE 'unstable' END AS verdict
+        FROM eig"""))
   )
 }
