@@ -7997,6 +7997,373 @@ object StatQueries {
                ROUND(rho, 6) + CAST(0 AS DOUBLE) AS spectral_radius,
                CASE WHEN rho < CAST(1 AS DOUBLE) THEN 'stable'
                     ELSE 'unstable' END AS verdict
-        FROM eig"""))
+        FROM eig""")),
+
+    // Stationary distribution of the q6b user-journey Markov chain by
+    // three unrolled power-iteration rounds from the uniform vector
+    // (the q4b recipe: transition probabilities and every iterate on
+    // the 9-grid, matrix-vector products as grouped DECIMAL sums) —
+    // where the journey SETTLES, beside the empirical state mix it is
+    // converging from (both emitted per state). qah solves the
+    // absorbing case; this is the ergodic one.
+    "qf5_markov_stationary" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_ms"), col("event_id"))
+        val tr = t(s, dir, "events")
+          .withColumn("ts_ms", unix_millis(col("ts")))
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            col("event_type"))
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = false)
+        val outd = tr.groupBy(col("a")).agg(sum(col("n")).as("tot"))
+        val pmat = tr.join(outd, Seq("a"))
+          .select(col("a"), col("b"),
+            round(col("n").cast("double") / col("tot").cast("double"), 9)
+              .as("p"))
+          .localCheckpoint(eager = false)
+        val states = pmat.select(col("a").as("st")).distinct()
+        val k0 = states.agg(count(lit(1)).as("k"))
+        val v0 = states.crossJoin(broadcast(k0))
+          .select(col("st"),
+            round(lit(1.0) / col("k").cast("double"), 9).as("v"))
+        def step(v: DataFrame) = pmat
+          .join(v.select(col("st").as("a"), col("v")), Seq("a"))
+          .groupBy(col("b"))
+          .agg(sum(round(col("v") * col("p"), 9).cast("decimal(18,9)"))
+            .as("vd"))
+          .select(col("b").as("st"),
+            round(col("vd").cast("double"), 9).as("v"))
+        val v3 = step(step(step(v0)))
+        val emp = tr.groupBy(col("a")).agg(sum(col("n")).as("cnt"))
+          .crossJoin(broadcast(tr.agg(sum(col("n")).as("ntot"))))
+          .select(col("a").as("st"),
+            round(col("cnt").cast("double") / col("ntot").cast("double"), 6)
+              .as("p_empirical"))
+        emp.join(v3, Seq("st"))
+          .select(col("st").as("state"), col("p_empirical"),
+            round(col("v"), 6).as("p_stationary_3it"))
+          .orderBy(col("state"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS nxt
+          FROM events),
+        tr AS MATERIALIZED (
+          SELECT event_type AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS n
+          FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        outd AS (
+          SELECT a, CAST(SUM(n) AS BIGINT) AS tot FROM tr GROUP BY 1),
+        pmat AS MATERIALIZED (
+          SELECT tr.a, tr.b,
+                 ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS p
+          FROM tr JOIN outd ON tr.a = outd.a),
+        states AS (SELECT DISTINCT a AS st FROM pmat),
+        k0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+        v0 AS (
+          SELECT st, ROUND(CAST(1 AS DOUBLE) / CAST(k AS DOUBLE), 9) AS v
+          FROM states CROSS JOIN k0),
+        v1 AS (
+          SELECT b AS st,
+                 ROUND(CAST(SUM(CAST(ROUND(v * p, 9) AS DECIMAL(18,9)))
+                   AS DOUBLE), 9) AS v
+          FROM pmat JOIN v0 ON pmat.a = v0.st GROUP BY b),
+        v2 AS (
+          SELECT b AS st,
+                 ROUND(CAST(SUM(CAST(ROUND(v * p, 9) AS DECIMAL(18,9)))
+                   AS DOUBLE), 9) AS v
+          FROM pmat JOIN v1 ON pmat.a = v1.st GROUP BY b),
+        v3 AS (
+          SELECT b AS st,
+                 ROUND(CAST(SUM(CAST(ROUND(v * p, 9) AS DECIMAL(18,9)))
+                   AS DOUBLE), 9) AS v
+          FROM pmat JOIN v2 ON pmat.a = v2.st GROUP BY b),
+        emp AS (
+          SELECT a AS st,
+                 ROUND(CAST(SUM(n) AS DOUBLE) /
+                   CAST((SELECT SUM(n) FROM tr) AS DOUBLE), 6)
+                   AS p_empirical
+          FROM tr GROUP BY 1)
+        SELECT emp.st AS state, p_empirical,
+               ROUND(v3.v, 6) + CAST(0 AS DOUBLE) AS p_stationary_3it
+        FROM emp JOIN v3 ON emp.st = v3.st
+        ORDER BY state""")),
+
+    // Simpson's-paradox detector for the weekend-purchase association:
+    // the marginal odds ratio beside each week stratum's OR with a
+    // per-stratum reversal flag — does aggregation FLIP the story the
+    // strata tell (the reason qdn stratifies at all, here surfaced as
+    // an explicit audit row per stratum)? Haldane +0.5 smoothing keeps
+    // empty cells finite (noted); sign comparison happens on the
+    // identically-computed doubles in both engines.
+    "qf6_simpsons_paradox" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"), col("event_type"))
+        val rel = e.crossJoin(broadcast(e.agg(min(col("day")).as("d0"))))
+          .select(((col("day") - col("d0")) / lit(7)).cast("long").as("wk"),
+            (pmod(col("day") - col("d0"), lit(7L)) >= 5).as("wknd"),
+            (col("event_type") === "purchase").as("pur"))
+        val strata = rel.groupBy(col("wk"))
+          .agg(
+            sum(when(col("wknd") && col("pur"), 1L).otherwise(0L)).as("a"),
+            sum(when(col("wknd") && !col("pur"), 1L).otherwise(0L)).as("b"),
+            sum(when(!col("wknd") && col("pur"), 1L).otherwise(0L)).as("c"),
+            sum(when(!col("wknd") && !col("pur"), 1L).otherwise(0L)).as("d"))
+          .localCheckpoint(eager = false)
+        val marg = strata.agg(sum(col("a")).as("ma"), sum(col("b")).as("mb"),
+          sum(col("c")).as("mc"), sum(col("d")).as("md"))
+          .select(((col("ma").cast("double") + 0.5) *
+            (col("md").cast("double") + 0.5) /
+            ((col("mb").cast("double") + 0.5) *
+              (col("mc").cast("double") + 0.5))).as("or_marg"))
+        strata.crossJoin(broadcast(marg))
+          .select(col("wk"), col("a"), col("b"), col("c"), col("d"),
+            ((col("a").cast("double") + 0.5) *
+              (col("d").cast("double") + 0.5) /
+              ((col("b").cast("double") + 0.5) *
+                (col("c").cast("double") + 0.5))).as("or_k"),
+            col("or_marg"))
+          .select(col("wk"), col("a"), col("b"), col("c"), col("d"),
+            round(col("or_k"), 6).as("or_stratum"),
+            round(col("or_marg"), 6).as("or_marginal"),
+            when((col("or_k") > 1.0 && col("or_marg") < 1.0) ||
+              (col("or_k") < 1.0 && col("or_marg") > 1.0), lit("yes"))
+              .otherwise(lit("no")).as("reversed"))
+          .orderBy(col("wk"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 event_type
+          FROM events),
+        d0 AS (SELECT MIN(day) AS d0 FROM e),
+        rel AS (
+          SELECT (day - d0.d0) // 7 AS wk,
+                 ((day - d0.d0) % 7) >= 5 AS wknd,
+                 event_type = 'purchase' AS pur
+          FROM e CROSS JOIN d0),
+        strata AS MATERIALIZED (
+          SELECT wk,
+                 CAST(SUM(CASE WHEN wknd AND pur THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN wknd AND NOT pur THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN NOT wknd AND pur THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN NOT wknd AND NOT pur THEN 1 ELSE 0
+                   END) AS BIGINT) AS d
+          FROM rel GROUP BY 1),
+        marg AS (
+          SELECT (CAST(SUM(a) AS DOUBLE) + CAST(0.5 AS DOUBLE)) *
+                 (CAST(SUM(d) AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+                 ((CAST(SUM(b) AS DOUBLE) + CAST(0.5 AS DOUBLE)) *
+                  (CAST(SUM(c) AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   AS or_marg
+          FROM strata)
+        SELECT wk, a, b, c, d,
+               ROUND((CAST(a AS DOUBLE) + CAST(0.5 AS DOUBLE)) *
+                 (CAST(d AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+                 ((CAST(b AS DOUBLE) + CAST(0.5 AS DOUBLE)) *
+                  (CAST(c AS DOUBLE) + CAST(0.5 AS DOUBLE))), 6)
+                 + CAST(0 AS DOUBLE) AS or_stratum,
+               ROUND(or_marg, 6) + CAST(0 AS DOUBLE) AS or_marginal,
+               CASE WHEN ((CAST(a AS DOUBLE) + CAST(0.5 AS DOUBLE)) *
+                 (CAST(d AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+                 ((CAST(b AS DOUBLE) + CAST(0.5 AS DOUBLE)) *
+                  (CAST(c AS DOUBLE) + CAST(0.5 AS DOUBLE))) >
+                    CAST(1 AS DOUBLE)
+                 AND or_marg < CAST(1 AS DOUBLE)) OR
+                 ((CAST(a AS DOUBLE) + CAST(0.5 AS DOUBLE)) *
+                 (CAST(d AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+                 ((CAST(b AS DOUBLE) + CAST(0.5 AS DOUBLE)) *
+                  (CAST(c AS DOUBLE) + CAST(0.5 AS DOUBLE))) <
+                    CAST(1 AS DOUBLE)
+                 AND or_marg > CAST(1 AS DOUBLE))
+               THEN 'yes' ELSE 'no' END AS reversed
+        FROM strata CROSS JOIN marg ORDER BY wk""")),
+
+    // Disproportionality screening of return rates by brand — the
+    // pharmacovigilance signal battery (PRR, ROR, and the BCPNN
+    // information component IC = log₂(a·N / ((a+b)(a+c)))) applied to
+    // "which brands return disproportionately": each brand's returns
+    // against the rest of the corpus, top 10 by IC — the
+    // screening-scale version of a per-brand chi-square loop. Cells
+    // are exact BIGINTs; ln is the only float link; total (IC, brand)
+    // output order.
+    "qf7_disproportionality" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            (col("l_returnflag") === "R").as("ret"))
+        val cells = li.groupBy(col("p_brand"))
+          .agg(sum(when(col("ret"), 1L).otherwise(0L)).as("a"),
+            sum(when(!col("ret"), 1L).otherwise(0L)).as("b"))
+          .localCheckpoint(eager = false)
+        val tot = cells.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+        val scored = cells.crossJoin(broadcast(tot))
+          .select(col("p_brand"), col("a"), col("b"),
+            (col("ta") - col("a")).as("c"), (col("tb") - col("b")).as("d"),
+            (col("ta") + col("tb")).as("nn"))
+          .select(col("p_brand"), col("a"), col("b"), col("c"), col("d"),
+            round((col("a").cast("double") /
+              (col("a") + col("b")).cast("double")) /
+              (col("c").cast("double") /
+                (col("c") + col("d")).cast("double")), 6).as("prr"),
+            round(col("a").cast("double") * col("d").cast("double") /
+              (col("b").cast("double") * col("c").cast("double")), 6)
+              .as("ror"),
+            round(log(col("a").cast("double") * col("nn").cast("double") /
+              ((col("a") + col("b")).cast("double") *
+                (col("a") + col("c")).cast("double"))) / log(lit(2.0)), 6)
+              .as("ic"))
+        scored.orderBy(col("ic").desc, col("p_brand")).limit(10)
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT p_brand, l_returnflag = 'R' AS ret
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        cells AS MATERIALIZED (
+          SELECT p_brand,
+                 CAST(SUM(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a,
+                 CAST(SUM(CASE WHEN NOT ret THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b
+          FROM li GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(a) AS BIGINT) AS ta,
+                 CAST(SUM(b) AS BIGINT) AS tb
+          FROM cells),
+        scored AS (
+          SELECT p_brand, a, b, ta - a AS c, tb - b AS d,
+                 ROUND((CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE)) /
+                   (CAST(ta - a AS DOUBLE) /
+                    CAST(ta - a + tb - b AS DOUBLE)), 6) AS prr,
+                 ROUND(CAST(a AS DOUBLE) * CAST(tb - b AS DOUBLE) /
+                   (CAST(b AS DOUBLE) * CAST(ta - a AS DOUBLE)), 6)
+                   AS ror,
+                 ROUND(ln(CAST(a AS DOUBLE) * CAST(ta + tb AS DOUBLE) /
+                   (CAST(a + b AS DOUBLE) * CAST(ta AS DOUBLE))) /
+                   ln(CAST(2 AS DOUBLE)), 6) AS ic
+          FROM cells CROSS JOIN tot)
+        SELECT p_brand, a, b, c, d,
+               prr + CAST(0 AS DOUBLE) AS prr,
+               ror + CAST(0 AS DOUBLE) AS ror,
+               ic + CAST(0 AS DOUBLE) AS ic
+        FROM scored ORDER BY ic DESC, p_brand LIMIT 10""")),
+
+    // Process-capability indices for order value in thousands against
+    // deterministic spec limits (median ± 25%): Cp (spread capability),
+    // Cpk (centered capability) and the observed out-of-spec rate —
+    // the SPC acceptance numbers qf2's I-MR chart (stability) is the
+    // prerequisite for. The median is an exact order statistic; sigma
+    // comes from the established round-6 DECIMAL moments; the spec
+    // band is exact DECIMAL arithmetic.
+    "qf8_process_capability" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select((col("o_totalprice").cast("decimal(18,2)") / lit(1000))
+            .cast("decimal(15,5)").as("y"), col("o_orderkey").as("k"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(o,
+          Seq(col("y"), col("k")), "vr").localCheckpoint(eager = false)
+        val n0 = ranked.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        val med = ranked.crossJoin(broadcast(n0))
+          .filter(col("vr") ===
+            floor((col("n") + 1).cast("double") / lit(2.0)).cast("long"))
+          .select(col("y").as("med"))
+        val lims = med.select(col("med"),
+          (col("med") * lit(0.75).cast("decimal(3,2)"))
+            .cast("decimal(18,7)").as("lsl"),
+          (col("med") * lit(1.25).cast("decimal(3,2)"))
+            .cast("decimal(18,7)").as("usl"))
+        val st = ranked.crossJoin(broadcast(n0.select(col("n"))))
+          .agg(first(col("n")).as("n"), sum(col("y")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val mom = ranked.crossJoin(broadcast(st))
+          .select(col("n"), col("mu"),
+            (col("y").cast("double") - col("mu")).as("c"), col("y"))
+          .crossJoin(broadcast(lims))
+          .agg(first(col("n")).as("n"), first(col("mu")).as("mu"),
+            first(col("med").cast("double")).as("medd"),
+            first(col("lsl").cast("double")).as("lsl"),
+            first(col("usl").cast("double")).as("usl"),
+            sum(round(col("c") * col("c"), 6).cast("decimal(28,6)"))
+              .as("ss"),
+            sum(when(col("y") < col("lsl") || col("y") > col("usl"), 1L)
+              .otherwise(0L)).as("oos"))
+          .select(col("n"), col("mu"), col("medd"), col("lsl"), col("usl"),
+            round(sqrt(col("ss").cast("double") /
+              (col("n") - 1).cast("double")), 9).as("sg"), col("oos"))
+        mom.select(col("n"),
+          round(col("medd"), 6).as("median_k"),
+          round(col("lsl"), 6).as("lsl"), round(col("usl"), 6).as("usl"),
+          round((col("usl") - col("lsl")) / (lit(6.0) * col("sg")), 6)
+            .as("cp"),
+          round(least(col("usl") - col("mu"), col("mu") - col("lsl")) /
+            (lit(3.0) * col("sg")), 6).as("cpk"),
+          round(col("oos").cast("double") / col("n").cast("double"), 6)
+            .as("oos_rate"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000
+                   AS DECIMAL(15,5)) AS y,
+                 o_orderkey AS k
+          FROM orders),
+        r AS (
+          SELECT y, ROW_NUMBER() OVER (ORDER BY y, k) AS vr FROM o),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        med AS (
+          SELECT y AS med FROM r CROSS JOIN n0
+          WHERE vr = (n + 1) // 2),
+        lims AS (
+          SELECT med,
+                 CAST(med * CAST(0.75 AS DECIMAL(3,2)) AS DECIMAL(18,7))
+                   AS lsl,
+                 CAST(med * CAST(1.25 AS DECIMAL(3,2)) AS DECIMAL(18,7))
+                   AS usl
+          FROM med),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS mu
+          FROM r),
+        mom AS (
+          SELECT MAX(st.n) AS n, MAX(st.mu) AS mu,
+                 MAX(CAST(lims.med AS DOUBLE)) AS medd,
+                 MAX(CAST(lims.lsl AS DOUBLE)) AS lsl,
+                 MAX(CAST(lims.usl AS DOUBLE)) AS usl,
+                 CAST(SUM(CAST(ROUND((CAST(y AS DOUBLE) - st.mu) *
+                   (CAST(y AS DOUBLE) - st.mu), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS ss,
+                 CAST(SUM(CASE WHEN y < lims.lsl OR y > lims.usl THEN 1
+                   ELSE 0 END) AS BIGINT) AS oos
+          FROM r CROSS JOIN st CROSS JOIN lims),
+        pre AS (
+          SELECT n, mu, medd, lsl, usl, oos,
+                 ROUND(sqrt(ss / CAST(n - 1 AS DOUBLE)), 9) AS sg
+          FROM mom)
+        SELECT n,
+               ROUND(medd, 6) + CAST(0 AS DOUBLE) AS median_k,
+               ROUND(lsl, 6) + CAST(0 AS DOUBLE) AS lsl,
+               ROUND(usl, 6) + CAST(0 AS DOUBLE) AS usl,
+               ROUND((usl - lsl) / (CAST(6 AS DOUBLE) * sg), 6)
+                 + CAST(0 AS DOUBLE) AS cp,
+               ROUND(LEAST(usl - mu, mu - lsl) /
+                 (CAST(3 AS DOUBLE) * sg), 6) + CAST(0 AS DOUBLE)
+                 AS cpk,
+               ROUND(CAST(oos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS oos_rate
+        FROM pre"""))
   )
 }
