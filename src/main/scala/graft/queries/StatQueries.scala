@@ -8364,6 +8364,250 @@ object StatQueries {
                  AS cpk,
                ROUND(CAST(oos AS DOUBLE) / CAST(n AS DOUBLE), 6)
                  + CAST(0 AS DOUBLE) AS oos_rate
-        FROM pre"""))
+        FROM pre""")),
+
+    // Bradley-Terry paired-comparison strengths for brands, where brand
+    // A "beats" brand B inside an order when its mean unit price is
+    // higher (deterministic tiebreak: the lexicographically smaller
+    // brand wins ties): two unrolled Hunter MM rounds s_i ← w_i /
+    // Σ_j n_ij/(s_i+s_j) from uniform strengths, every iterate
+    // 9-snapped and renormalized — the pairwise-preference ranking
+    // model behind every LLM-eval arena, fit the q4b iterative way.
+    // Within-order brand pairs are bounded by order size; the pair
+    // matrix aggregates once.
+    "qf9_bradley_terry" -> Q(
+      fn = (s, dir) => {
+        val ob = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_orderkey"), col("p_brand"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("ext"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+          .select(col("l_orderkey").as("ok"), col("p_brand"),
+            round(col("ext").cast("double") / col("qty").cast("double"), 9)
+              .as("up"))
+          .localCheckpoint(eager = false)
+        val games = ob.select(col("ok"), col("p_brand").as("ba"),
+          col("up").as("ua"))
+          .join(ob.select(col("ok"), col("p_brand").as("bb"),
+            col("up").as("ub")), Seq("ok"))
+          .filter(col("ba") < col("bb"))
+          .select(col("ba"), col("bb"),
+            when(col("ua") >= col("ub"), lit(1L)).otherwise(0L).as("wa"))
+        val mat = games.groupBy(col("ba"), col("bb"))
+          .agg(count(lit(1)).as("nij"), sum(col("wa")).as("wij"))
+          .localCheckpoint(eager = false)
+        val wins = mat.select(col("ba").as("br"), col("wij").as("w"))
+          .unionByName(mat.select(col("bb").as("br"),
+            (col("nij") - col("wij")).as("w")))
+          .groupBy(col("br")).agg(sum(col("w")).as("wi"))
+          .localCheckpoint(eager = false)
+        val nb = wins.agg(count(lit(1)).as("k"))
+        val s0 = wins.select(col("br"), lit(1.0).as("sv"))
+        def mm(sv: DataFrame) = {
+          val paired = mat
+            .join(sv.select(col("br").as("ba"), col("sv").as("sa")),
+              Seq("ba"))
+            .join(sv.select(col("br").as("bb"), col("sv").as("sb")),
+              Seq("bb"))
+          val denom = paired.select(col("ba").as("br"),
+            round(col("nij").cast("double") / (col("sa") + col("sb")), 9)
+              .as("term"))
+            .unionByName(paired.select(col("bb").as("br"),
+              round(col("nij").cast("double") / (col("sa") + col("sb")), 9)
+                .as("term")))
+            .groupBy(col("br"))
+            .agg(sum(col("term").cast("decimal(18,9)")).as("dd"))
+          val raw = wins.join(denom, Seq("br"))
+            .select(col("br"),
+              round(col("wi").cast("double") / col("dd").cast("double"), 9)
+                .as("sraw"))
+          val tot = raw.agg(sum(col("sraw").cast("decimal(18,9)"))
+            .as("ts")).crossJoin(broadcast(nb))
+          raw.crossJoin(broadcast(tot))
+            .select(col("br"),
+              round(col("sraw") * col("k").cast("double") /
+                col("ts").cast("double"), 9).as("sv"))
+        }
+        val s2 = mm(mm(s0))
+        s2.join(wins, Seq("br"))
+          .select(col("br").as("p_brand"), col("wi").as("wins"),
+            round(col("sv"), 6).as("bt_strength"))
+          .orderBy(col("sv").desc, col("br")).limit(10)
+      },
+      oracle = Some("""
+        WITH ob AS MATERIALIZED (
+          SELECT l_orderkey AS ok, p_brand,
+                 ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                     AS DOUBLE) /
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 9)
+                   AS up
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+        games AS (
+          SELECT a.p_brand AS ba, b.p_brand AS bb,
+                 CASE WHEN a.up >= b.up THEN 1 ELSE 0 END AS wa
+          FROM ob a JOIN ob b ON a.ok = b.ok AND a.p_brand < b.p_brand),
+        mat AS MATERIALIZED (
+          SELECT ba, bb, CAST(COUNT(*) AS BIGINT) AS nij,
+                 CAST(SUM(wa) AS BIGINT) AS wij
+          FROM games GROUP BY 1, 2),
+        wins AS MATERIALIZED (
+          SELECT br, CAST(SUM(w) AS BIGINT) AS wi
+          FROM (SELECT ba AS br, wij AS w FROM mat
+                UNION ALL SELECT bb, nij - wij FROM mat)
+          GROUP BY 1),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM wins),
+        s0 AS (SELECT br, CAST(1 AS DOUBLE) AS sv FROM wins),
+        d1 AS (
+          SELECT br, SUM(CAST(term AS DECIMAL(18,9))) AS dd
+          FROM (
+            SELECT m.ba AS br,
+                   ROUND(CAST(nij AS DOUBLE) / (sa.sv + sb.sv), 9) AS term
+            FROM mat m JOIN s0 sa ON m.ba = sa.br
+            JOIN s0 sb ON m.bb = sb.br
+            UNION ALL
+            SELECT m.bb AS br,
+                   ROUND(CAST(nij AS DOUBLE) / (sa.sv + sb.sv), 9) AS term
+            FROM mat m JOIN s0 sa ON m.ba = sa.br
+            JOIN s0 sb ON m.bb = sb.br)
+          GROUP BY 1),
+        r1 AS (
+          SELECT wins.br,
+                 ROUND(CAST(wi AS DOUBLE) / CAST(dd AS DOUBLE), 9)
+                   AS sraw
+          FROM wins JOIN d1 ON wins.br = d1.br),
+        t1 AS (SELECT CAST(SUM(CAST(sraw AS DECIMAL(18,9))) AS DOUBLE)
+                 AS ts FROM r1),
+        s1 AS (
+          SELECT br, ROUND(sraw * CAST(nb.k AS DOUBLE) / t1.ts, 9) AS sv
+          FROM r1 CROSS JOIN t1 CROSS JOIN nb),
+        d2 AS (
+          SELECT br, SUM(CAST(term AS DECIMAL(18,9))) AS dd
+          FROM (
+            SELECT m.ba AS br,
+                   ROUND(CAST(nij AS DOUBLE) / (sa.sv + sb.sv), 9) AS term
+            FROM mat m JOIN s1 sa ON m.ba = sa.br
+            JOIN s1 sb ON m.bb = sb.br
+            UNION ALL
+            SELECT m.bb AS br,
+                   ROUND(CAST(nij AS DOUBLE) / (sa.sv + sb.sv), 9) AS term
+            FROM mat m JOIN s1 sa ON m.ba = sa.br
+            JOIN s1 sb ON m.bb = sb.br)
+          GROUP BY 1),
+        r2 AS (
+          SELECT wins.br,
+                 ROUND(CAST(wi AS DOUBLE) / CAST(dd AS DOUBLE), 9)
+                   AS sraw
+          FROM wins JOIN d2 ON wins.br = d2.br),
+        t2 AS (SELECT CAST(SUM(CAST(sraw AS DECIMAL(18,9))) AS DOUBLE)
+                 AS ts FROM r2),
+        s2 AS (
+          SELECT br, ROUND(sraw * CAST(nb.k AS DOUBLE) / t2.ts, 9) AS sv
+          FROM r2 CROSS JOIN t2 CROSS JOIN nb)
+        SELECT s2.br AS p_brand, wins.wi AS wins,
+               ROUND(s2.sv, 6) + CAST(0 AS DOUBLE) AS bt_strength
+        FROM s2 JOIN wins ON s2.br = wins.br
+        ORDER BY s2.sv DESC, s2.br LIMIT 10""")),
+
+    // Social-choice aggregation of the five regional brand rankings:
+    // Borda points (k − rank summed across regions, all integer) and
+    // the pairwise Condorcet check for the Borda winner — does the
+    // winner also beat every rival head-to-head region by region?
+    // Voting theory's answer to "which brand leads overall" when
+    // regions disagree — a question q99's single-total dashboard
+    // begs. Regional ranks come from one 125-row aggregate panel;
+    // everything is exact integers.
+    "qfa_borda_condorcet" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("p_brand"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("v"))
+          .localCheckpoint(eager = false)
+        val ranks = rev.select(col("r_name"), col("p_brand"),
+          row_number().over(Window.partitionBy(col("r_name"))
+            .orderBy(col("v").desc, col("p_brand"))).cast("long").as("rk"))
+          .localCheckpoint(eager = false)
+        val k0 = ranks.groupBy(col("r_name")).agg(max(col("rk")).as("k"))
+          .agg(max(col("k")).as("k"))
+        val borda = ranks.crossJoin(broadcast(k0))
+          .groupBy(col("p_brand"))
+          .agg(sum(col("k") - col("rk")).as("borda"))
+          .localCheckpoint(eager = false)
+        val winner = borda
+          .orderBy(col("borda").desc, col("p_brand")).limit(1)
+          .select(col("p_brand").as("wb"))
+        val duels = ranks.join(broadcast(winner),
+          col("p_brand") === col("wb"))
+          .select(col("r_name"), col("rk").as("wrk"), col("wb"))
+          .join(ranks, Seq("r_name"))
+          .filter(col("p_brand") =!= col("wb"))
+          .groupBy(col("p_brand"))
+          .agg(sum(when(col("wrk") < col("rk"), 1L).otherwise(0L))
+            .as("w_beats"))
+        val cond = duels.agg(count(lit(1)).as("rivals"),
+          sum(when(col("w_beats") * 2 > 5, 1L).otherwise(0L))
+            .as("majority_wins"))
+        borda.orderBy(col("borda").desc, col("p_brand")).limit(10)
+          .crossJoin(broadcast(winner)).crossJoin(broadcast(cond))
+          .select(col("p_brand"), col("borda"),
+            col("wb").as("borda_winner"),
+            when(col("majority_wins") === col("rivals"), lit("yes"))
+              .otherwise(lit("no")).as("winner_is_condorcet"))
+          .orderBy(col("borda").desc, col("p_brand"))
+      },
+      oracle = Some("""
+        WITH rev AS MATERIALIZED (
+          SELECT r_name, p_brand,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS v
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2),
+        ranks AS MATERIALIZED (
+          SELECT r_name, p_brand,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY r_name
+                   ORDER BY v DESC, p_brand) AS BIGINT) AS rk
+          FROM rev),
+        k0 AS (
+          SELECT CAST(MAX(k) AS BIGINT) AS k
+          FROM (SELECT r_name, MAX(rk) AS k FROM ranks GROUP BY 1)),
+        borda AS MATERIALIZED (
+          SELECT p_brand, CAST(SUM(k0.k - rk) AS BIGINT) AS borda
+          FROM ranks CROSS JOIN k0 GROUP BY 1),
+        winner AS (
+          SELECT p_brand AS wb FROM borda
+          ORDER BY borda DESC, p_brand LIMIT 1),
+        duels AS (
+          SELECT r.p_brand,
+                 CAST(SUM(CASE WHEN w.wrk < r.rk THEN 1 ELSE 0 END)
+                   AS BIGINT) AS w_beats
+          FROM (SELECT ranks.r_name, rk AS wrk
+                FROM ranks JOIN winner ON p_brand = wb) w
+          JOIN ranks r ON r.r_name = w.r_name
+          WHERE r.p_brand <> (SELECT wb FROM winner)
+          GROUP BY 1),
+        cond AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS rivals,
+                 CAST(SUM(CASE WHEN w_beats * 2 > 5 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS majority_wins
+          FROM duels),
+        top10 AS (
+          SELECT p_brand, borda FROM borda
+          ORDER BY borda DESC, p_brand LIMIT 10)
+        SELECT t.p_brand, t.borda,
+               winner.wb AS borda_winner,
+               CASE WHEN cond.majority_wins = cond.rivals THEN 'yes'
+                    ELSE 'no' END AS winner_is_condorcet
+        FROM top10 t CROSS JOIN winner CROSS JOIN cond
+        ORDER BY t.borda DESC, t.p_brand"""))
   )
 }
