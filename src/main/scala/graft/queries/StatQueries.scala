@@ -2387,9 +2387,18 @@ object StatQueries {
               AS yf
           FROM r a JOIN r b ON b.rn = a.rn - 1 JOIN r c ON c.rn = a.rn - 2),
         agg AS (
+          -- (19,8) factors force INT128 products in DuckDB (the qb8
+          -- width lesson); values are identical to Spark's exact
+          -- (12,8)x(12,8) = (25,16) squares
           SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
-                 SUM(ef * ef) AS sef, SUM(en * en) AS sen,
-                 SUM(ya * ya) AS sya, SUM(yf * yf) AS syf,
+                 SUM(CAST(ef AS DECIMAL(19,8)) * CAST(ef AS DECIMAL(19,8)))
+                   AS sef,
+                 SUM(CAST(en AS DECIMAL(19,8)) * CAST(en AS DECIMAL(19,8)))
+                   AS sen,
+                 SUM(CAST(ya AS DECIMAL(19,8)) * CAST(ya AS DECIMAL(19,8)))
+                   AS sya,
+                 SUM(CAST(yf AS DECIMAL(19,8)) * CAST(yf AS DECIMAL(19,8)))
+                   AS syf,
                  SUM(ABS(ef)) AS aef, SUM(ABS(en)) AS aen
           FROM tri)
         SELECT n_eval,
@@ -8608,6 +8617,159 @@ object StatQueries {
                CASE WHEN cond.majority_wins = cond.rivals THEN 'yes'
                     ELSE 'no' END AS winner_is_condorcet
         FROM top10 t CROSS JOIN winner CROSS JOIN cond
-        ORDER BY t.borda DESC, t.p_brand"""))
+        ORDER BY t.borda DESC, t.p_brand""")),
+
+    // Permutation-distance card between the first- and second-half
+    // brand revenue rankings: normalized Kendall tau distance (pairwise
+    // disagreements over C(k,2)), Spearman's footrule Σ|r₁-r₂| with its
+    // k²/2-ish maximum, and the maximum single displacement — HOW
+    // STABLE is the leaderboard, as a proper distance (q6w lists the
+    // movers; this scores the whole permutation). Ranks from two
+    // 25-row aggregate panels; every distance is exact integer
+    // arithmetic.
+    "qfb_rank_distance" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))" +
+              " div 86400000").as("day"),
+            col("l_extendedprice").cast("decimal(12,2)").as("ext"))
+        val mid = li.agg(((min(col("day")) + max(col("day"))) / lit(2))
+          .cast("long").as("dmid"))
+        val per = li.crossJoin(broadcast(mid))
+          .groupBy(col("p_brand"),
+            (col("day") <= col("dmid")).as("h1"))
+          .agg(sum(col("ext")).as("v"))
+        val ranks = per.select(col("p_brand"), col("h1"),
+          row_number().over(Window.partitionBy(col("h1"))
+            .orderBy(col("v").desc, col("p_brand"))).cast("long").as("rk"))
+        val wide = ranks.groupBy(col("p_brand"))
+          .agg(max(when(col("h1"), col("rk"))).as("r1"),
+            max(when(!col("h1"), col("rk"))).as("r2"))
+          .localCheckpoint(eager = false)
+        val foot = wide.agg(count(lit(1)).as("k"),
+          sum(abs(col("r1") - col("r2"))).as("fr"),
+          max(abs(col("r1") - col("r2"))).as("maxd"))
+        val kend = wide.select(col("r1").as("a1"), col("r2").as("a2"))
+          .join(wide.select(col("r1").as("b1"), col("r2").as("b2")),
+            col("a1") < col("b1"))
+          .agg(sum(when(col("a2") > col("b2"), 1L).otherwise(0L))
+            .as("disc"))
+        foot.crossJoin(broadcast(kend))
+          .select(col("k").as("n_brands"),
+            col("disc").as("kendall_discordant"),
+            round(col("disc").cast("double") /
+              (col("k") * (col("k") - 1) / 2).cast("double"), 6)
+              .as("kendall_tau_dist"),
+            col("fr").as("footrule"),
+            round(col("fr").cast("double") /
+              expr("(k * k div 2)").cast("double"), 6)
+              .as("footrule_norm"),
+            col("maxd").as("max_displacement"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT p_brand,
+                 CAST(epoch_ms(l_shipdate) // 86400000 AS BIGINT) AS day,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) AS ext
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        mid AS (SELECT (MIN(day) + MAX(day)) // 2 AS dmid FROM li),
+        per AS (
+          SELECT p_brand, day <= mid.dmid AS h1, SUM(ext) AS v
+          FROM li CROSS JOIN mid GROUP BY 1, 2),
+        ranks AS (
+          SELECT p_brand, h1,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY h1
+                   ORDER BY v DESC, p_brand) AS BIGINT) AS rk
+          FROM per),
+        wide AS MATERIALIZED (
+          SELECT p_brand,
+                 MAX(CASE WHEN h1 THEN rk END) AS r1,
+                 MAX(CASE WHEN NOT h1 THEN rk END) AS r2
+          FROM ranks GROUP BY 1),
+        foot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(ABS(r1 - r2)) AS BIGINT) AS fr,
+                 CAST(MAX(ABS(r1 - r2)) AS BIGINT) AS maxd
+          FROM wide),
+        kend AS (
+          SELECT CAST(SUM(CASE WHEN a.r2 > b.r2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS disc
+          FROM wide a JOIN wide b ON a.r1 < b.r1)
+        SELECT k AS n_brands,
+               disc AS kendall_discordant,
+               ROUND(CAST(disc AS DOUBLE) /
+                 CAST(k * (k - 1) // 2 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS kendall_tau_dist,
+               fr AS footrule,
+               ROUND(CAST(fr AS DOUBLE) / CAST(k * k // 2 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS footrule_norm,
+               maxd AS max_displacement
+        FROM foot CROSS JOIN kend""")),
+
+    // Last-two-digit uniformity forensics on order prices: invented
+    // numbers cluster on round cents where organic ones spread — the
+    // chi-square of the 100 cent-pair cells against uniform, the count
+    // of .00 endings vs the 1% expectation, and the most overloaded
+    // cell by struct argmax — the fraud-screening complement of q6n's
+    // FIRST-digit Benford test (first digits follow log; last digits
+    // follow uniform). Cents are exact integers end to end.
+    "qfc_last_digit_forensics" -> Q(
+      fn = (s, dir) => {
+        val cents = t(s, dir, "orders")
+          .select(pmod((col("o_totalprice").cast("decimal(18,2)") *
+            lit(100)).cast("long"), lit(100L)).as("cc"))
+        val cells = cents.groupBy(col("cc")).agg(count(lit(1)).as("m"))
+        val tot = cells.agg(sum(col("m")).as("n"), count(lit(1)).as("kc"))
+        val agg = cells.crossJoin(broadcast(tot))
+          .select(col("cc"), col("m"), col("n"), col("kc"),
+            (col("n").cast("double") / lit(100.0)).as("e"))
+          .agg(first(col("n")).as("n"), first(col("kc")).as("k_cells"),
+            sum(round((col("m").cast("double") - col("e")) *
+              (col("m").cast("double") - col("e")) / col("e"), 9)
+              .cast("decimal(18,9)")).as("x2d"),
+            sum(when(col("cc") === 0, col("m")).otherwise(0L)).as("zz"),
+            max(struct(col("m").as("m"), col("cc").as("cc"))).as("w"))
+        agg.select(col("n"), col("k_cells"),
+          round(col("x2d").cast("double"), 6).as("chi2_uniform"),
+          col("zz").as("n_round_00"),
+          round(col("zz").cast("double") / col("n").cast("double"), 6)
+            .as("share_00"),
+          col("w.cc").as("modal_cents"), col("w.m").as("modal_count"))
+      },
+      oracle = Some("""
+        WITH cents AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT) % 100 AS cc
+          FROM orders),
+        cells AS (
+          SELECT cc, CAST(COUNT(*) AS BIGINT) AS m
+          FROM cents GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(m) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS kc
+          FROM cells),
+        agg AS (
+          SELECT MAX(tot.n) AS n, MAX(tot.kc) AS k_cells,
+                 SUM(CAST(ROUND((CAST(m AS DOUBLE) -
+                   CAST(tot.n AS DOUBLE) / CAST(100 AS DOUBLE)) *
+                   (CAST(m AS DOUBLE) -
+                   CAST(tot.n AS DOUBLE) / CAST(100 AS DOUBLE)) /
+                   (CAST(tot.n AS DOUBLE) / CAST(100 AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))) AS x2d,
+                 CAST(SUM(CASE WHEN cc = 0 THEN m ELSE 0 END) AS BIGINT)
+                   AS zz,
+                 MAX({'m': m, 'cc': cc}) AS w
+          FROM cells CROSS JOIN tot)
+        SELECT n, k_cells,
+               ROUND(CAST(x2d AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS chi2_uniform,
+               zz AS n_round_00,
+               ROUND(CAST(zz AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS share_00,
+               w['cc'] AS modal_cents, w['m'] AS modal_count
+        FROM agg"""))
   )
 }
