@@ -2795,7 +2795,7 @@ object SciQueries {
           SELECT SUM(CAST(ROUND(c * c, 6) AS DECIMAL(28,6))) AS d0,
                  MAX(n) AS n
           FROM c),
-        lagt AS (SELECT CAST(UNNEST(range(1, 8)) AS BIGINT) AS lag),
+        lagt AS (SELECT CAST(UNNEST(range(1, 8)) AS INT) AS lag),
         nums AS (
           SELECT l.lag,
                  SUM(CAST(ROUND(a.c * b.c, 6) AS DECIMAL(28,6))) AS num
