@@ -8770,6 +8770,211 @@ object StatQueries {
                ROUND(CAST(zz AS DOUBLE) / CAST(n AS DOUBLE), 6)
                  + CAST(0 AS DOUBLE) AS share_00,
                w['cc'] AS modal_cents, w['m'] AS modal_count
-        FROM agg"""))
+        FROM agg""")),
+
+    // Records test on the daily revenue series: the observed count of
+    // running-maximum records against the i.i.d. expectation Σ 1/i and
+    // variance Σ (1/i − 1/i²) — under exchangeability record counts are
+    // distribution-free, so an excess says TREND with no model at all
+    // (the qc7 Mann-Kendall question answered by records theory).
+    // Records come off an exact DECIMAL prefix-max scan; the harmonic
+    // moments are 12-snapped DECIMAL sums over the bounded day index.
+    "qfd_records_test" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val pre = ranked.select(col("rn"), col("ym"))
+          .join(ranked.select(col("rn").as("rn2"), col("ym").as("ymp")),
+            col("rn2") < col("rn"), "left")
+          .groupBy(col("rn"), col("ym"))
+          .agg(max(col("ymp")).as("prevmax"))
+          .select(col("rn"),
+            when(col("prevmax").isNull || col("ym") > col("prevmax"), 1L)
+              .otherwise(0L).as("isrec"))
+        val agg = pre.agg(count(lit(1)).as("n"), sum(col("isrec")).as("r"))
+        val moments = ranked.select(col("rn"))
+          .agg(
+            sum(round(lit(1.0) / col("rn").cast("double"), 12)
+              .cast("decimal(24,12)")).as("hn"),
+            sum(round(lit(1.0) / col("rn").cast("double") -
+              lit(1.0) / (col("rn") * col("rn")).cast("double"), 12)
+              .cast("decimal(24,12)")).as("vn"))
+        agg.crossJoin(broadcast(moments))
+          .select(col("n"), col("r").as("n_records"),
+            round(col("hn").cast("double"), 6).as("expected_records"),
+            round((col("r").cast("double") - col("hn").cast("double")) /
+              sqrt(col("vn").cast("double")), 6).as("records_z"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn
+              FROM daily),
+        pre AS (
+          SELECT a.rn,
+                 CASE WHEN MAX(b.ym) IS NULL OR a.ym > MAX(b.ym)
+                   THEN 1 ELSE 0 END AS isrec
+          FROM r a LEFT JOIN r b ON b.rn < a.rn
+          GROUP BY a.rn, a.ym),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(isrec) AS BIGINT) AS rr
+          FROM pre),
+        moments AS (
+          SELECT CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) /
+                   CAST(rn AS DOUBLE), 12) AS DECIMAL(24,12)))
+                   AS DOUBLE) AS hn,
+                 CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) /
+                   CAST(rn AS DOUBLE) - CAST(1 AS DOUBLE) /
+                   CAST(rn * rn AS DOUBLE), 12) AS DECIMAL(24,12)))
+                   AS DOUBLE) AS vn
+          FROM r)
+        SELECT n, rr AS n_records,
+               ROUND(hn, 6) + CAST(0 AS DOUBLE) AS expected_records,
+               ROUND((CAST(rr AS DOUBLE) - hn) / sqrt(vn), 6)
+                 + CAST(0 AS DOUBLE) AS records_z
+        FROM agg CROSS JOIN moments""")),
+
+    // German-tank (serial-number) estimation audit: from a
+    // deterministic 5% sample of order keys, the UMVU estimate
+    // N̂ = m(1 + 1/k) − 1 of the maximum serial number, its exact
+    // standard error, and the relative error against the TRUE maximum
+    // the fixture knows — the capture-style estimator for "how big is
+    // the namespace" when only samples leak (qbv capture-recapture
+    // needs two samples; this needs one). Everything is exact integer
+    // arithmetic to one final ratio/sqrt.
+    "qfe_german_tank" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+        val tot = o.agg(max(col("k")).as("ntrue"))
+        val samp = o.filter(col("k") % 20 === 7)
+          .agg(count(lit(1)).as("kk"), max(col("k")).as("m"))
+        samp.crossJoin(broadcast(tot))
+          .select(col("kk").as("n_sample"), col("m").as("sample_max"),
+            col("ntrue").as("true_max"),
+            round(col("m").cast("double") *
+              (lit(1.0) + lit(1.0) / col("kk").cast("double")) - lit(1.0),
+              2).as("n_hat"),
+            round(sqrt(col("m").cast("double") *
+              (col("m").cast("double") - col("kk").cast("double")) *
+              (col("m").cast("double") + lit(1.0)) /
+              (col("kk").cast("double") * col("kk").cast("double") *
+                (col("kk").cast("double") + lit(2.0)))), 2).as("se_hat"),
+            round((col("m").cast("double") *
+              (lit(1.0) + lit(1.0) / col("kk").cast("double")) - lit(1.0) -
+              col("ntrue").cast("double")) / col("ntrue").cast("double"), 6)
+              .as("rel_err"))
+      },
+      oracle = Some("""
+        WITH o AS (SELECT o_orderkey AS k FROM orders),
+        tot AS (SELECT CAST(MAX(k) AS BIGINT) AS ntrue FROM o),
+        samp AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+                 CAST(MAX(k) AS BIGINT) AS m
+          FROM o WHERE k % 20 = 7)
+        SELECT kk AS n_sample, m AS sample_max, ntrue AS true_max,
+               ROUND(CAST(m AS DOUBLE) *
+                 (CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) /
+                   CAST(kk AS DOUBLE)) - CAST(1 AS DOUBLE), 2)
+                 + CAST(0 AS DOUBLE) AS n_hat,
+               ROUND(sqrt(CAST(m AS DOUBLE) *
+                 (CAST(m AS DOUBLE) - CAST(kk AS DOUBLE)) *
+                 (CAST(m AS DOUBLE) + CAST(1 AS DOUBLE)) /
+                 (CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE) *
+                   (CAST(kk AS DOUBLE) + CAST(2 AS DOUBLE)))), 2)
+                 + CAST(0 AS DOUBLE) AS se_hat,
+               ROUND((CAST(m AS DOUBLE) *
+                 (CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) /
+                   CAST(kk AS DOUBLE)) - CAST(1 AS DOUBLE) -
+                 CAST(ntrue AS DOUBLE)) / CAST(ntrue AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS rel_err
+        FROM samp CROSS JOIN tot""")),
+
+    // Lead statistics (arcsine-law territory) for the weekend-vs-
+    // weekday purchase race: walk the 30 days accumulating (weekend
+    // purchases · 5) − (weekday purchases · 2) — weights equalize the
+    // 2:5 day split — and report the fraction of days the weekend side
+    // leads, the longest lead streak, and the final margin. Under a
+    // fair race the lead fraction follows the arcsine law (piles near
+    // 0 and 1), NOT the intuitive ½ — the fluctuation-theory caveat
+    // for "X was ahead most of the month" claims. Exact integer
+    // running sums; streaks via the gaps-and-islands grouping key
+    // rn − run_index.
+    "qfg_arcsine_lead" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+          .agg(count(lit(1)).as("p"))
+        val rel = daily.crossJoin(broadcast(
+          daily.agg(min(col("day")).as("d0"))))
+          .select(col("day"),
+            when(pmod(col("day") - col("d0"), lit(7L)) >= 5,
+              col("p") * 5).otherwise(-col("p") * 2).as("step"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(rel,
+          Seq(col("day")), "rn")
+        val cum = graft.operators.ScaleOps.globalRunningSum(ranked,
+          Seq(col("rn")), col("step"), "lead")
+          .select(col("rn"), col("lead"), (col("lead") > 0).as("up"))
+          .localCheckpoint(eager = false)
+        val upRank = graft.operators.ScaleOps.globalRowNumber(
+          cum.filter(col("up")), Seq(col("rn")), "ur")
+        val streak = upRank.select((col("rn") - col("ur")).as("grp"))
+          .groupBy(col("grp")).agg(count(lit(1)).as("len"))
+          .agg(coalesce(max(col("len")), lit(0L)).as("longest_lead"))
+        val agg = cum.agg(count(lit(1)).as("n"),
+          sum(when(col("up"), 1L).otherwise(0L)).as("nup"),
+          max(when(col("rn") === 1, col("lead"))).as("dummy"))
+        val fin = cum.crossJoin(broadcast(agg.select(col("n").as("nn"))))
+          .filter(col("rn") === col("nn"))
+          .select(col("lead").as("final_margin"))
+        agg.crossJoin(broadcast(streak)).crossJoin(broadcast(fin))
+          .select(col("n").as("n_days"), col("nup").as("days_leading"),
+            round(col("nup").cast("double") / col("n").cast("double"), 6)
+              .as("lead_fraction"),
+            col("longest_lead"), col("final_margin"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS p
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        rel AS (
+          SELECT day,
+                 CASE WHEN ((day - d0.d0) % 7) >= 5 THEN p * 5
+                      ELSE -p * 2 END AS step
+          FROM daily CROSS JOIN d0),
+        r AS (
+          SELECT step, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM rel),
+        cum AS MATERIALIZED (
+          SELECT rn,
+                 CAST(SUM(step) OVER (ORDER BY rn
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lead,
+                 SUM(step) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING)
+                   > 0 AS up
+          FROM r),
+        streak AS (
+          SELECT CAST(COALESCE(MAX(len), 0) AS BIGINT) AS longest_lead
+          FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS len
+            FROM (
+              SELECT rn, rn - ROW_NUMBER() OVER (ORDER BY rn) AS grp
+              FROM cum WHERE up)
+            GROUP BY grp)),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nup
+          FROM cum),
+        fin AS (
+          SELECT lead AS final_margin
+          FROM cum CROSS JOIN agg WHERE rn = agg.n)
+        SELECT n AS n_days, nup AS days_leading,
+               ROUND(CAST(nup AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS lead_fraction,
+               longest_lead, final_margin
+        FROM agg CROSS JOIN streak CROSS JOIN fin"""))
   )
 }
