@@ -8975,6 +8975,214 @@ object StatQueries {
                ROUND(CAST(nup AS DOUBLE) / CAST(n AS DOUBLE), 6)
                  + CAST(0 AS DOUBLE) AS lead_fraction,
                longest_lead, final_margin
-        FROM agg CROSS JOIN streak CROSS JOIN fin"""))
+        FROM agg CROSS JOIN streak CROSS JOIN fin""")),
+
+    // Coupon-collector audit of brand discovery: replay the lineitem
+    // stream in (shipdate, orderkey, linenumber) order and find the
+    // exact position where the last of the 25 brands first appears,
+    // against the k·H_k coupon-collector expectation — "how much
+    // assortment must a crawler ingest before it has seen everything",
+    // the waiting-time sibling of qe7's coverage curve. First-seen
+    // positions are exact global row numbers; H_k is a 12-snapped
+    // DECIMAL sum over k terms.
+    "qfh_coupon_collector" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))" +
+              " div 86400000").as("day"),
+            col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(li,
+          Seq(col("day"), col("ok"), col("ln")), "pos")
+          .localCheckpoint(eager = false)
+        val firsts = ranked.groupBy(col("p_brand"))
+          .agg(min(col("pos")).as("fpos"))
+        val agg = firsts.agg(count(lit(1)).as("k"),
+          max(col("fpos")).as("complete_at"))
+        val harm = firsts
+          .select(row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("fpos"), col("p_brand"))).cast("long").as("i"))
+          .agg(sum(round(lit(1.0) / col("i").cast("double"), 12)
+            .cast("decimal(24,12)")).as("hk"))
+        val n0 = ranked.agg(count(lit(1)).as("n"))
+        agg.crossJoin(broadcast(harm)).crossJoin(broadcast(n0))
+          .select(col("n").as("n_lines"), col("k").as("n_brands"),
+            col("complete_at"),
+            round(col("k").cast("double") * col("hk").cast("double"), 2)
+              .as("expected_draws"),
+            round(col("complete_at").cast("double") /
+              (col("k").cast("double") * col("hk").cast("double")), 6)
+              .as("obs_over_exp"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT p_brand,
+                 CAST(epoch_ms(l_shipdate) // 86400000 AS BIGINT) AS day,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        ranked AS MATERIALIZED (
+          SELECT p_brand,
+                 CAST(ROW_NUMBER() OVER (ORDER BY day, ok, ln) AS BIGINT)
+                   AS pos
+          FROM li),
+        firsts AS (
+          SELECT p_brand, CAST(MIN(pos) AS BIGINT) AS fpos
+          FROM ranked GROUP BY 1),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(MAX(fpos) AS BIGINT) AS complete_at
+          FROM firsts),
+        harm AS (
+          SELECT CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) /
+                   CAST(i AS DOUBLE), 12) AS DECIMAL(24,12))) AS DOUBLE)
+                   AS hk
+          FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY fpos, p_brand)
+                  AS BIGINT) AS i FROM firsts)),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked)
+        SELECT n AS n_lines, k AS n_brands, complete_at,
+               ROUND(CAST(k AS DOUBLE) * hk, 2) + CAST(0 AS DOUBLE)
+                 AS expected_draws,
+               ROUND(CAST(complete_at AS DOUBLE) /
+                 (CAST(k AS DOUBLE) * hk), 6) + CAST(0 AS DOUBLE)
+                 AS obs_over_exp
+        FROM agg CROSS JOIN harm CROSS JOIN n0""")),
+
+    // Historical VaR / CVaR of day-over-day revenue changes: the 95%
+    // and 99% value-at-risk as exact order statistics of the change
+    // distribution and the conditional tail means beyond them — the
+    // risk-management quantities (worst plausible day, and how bad the
+    // worst days average) that q9e-style quantiles never point at the
+    // LOSS tail. Changes are exact DECIMAL differences; tail means
+    // divide exact DECIMAL sums; rank cuts are integer ceil
+    // arithmetic.
+    "qfi_var_cvar" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val chg = ranked.select(col("rn"), col("ym").as("y0"))
+          .join(ranked.select((col("rn") + 1).as("rn"), col("ym").as("yp")),
+            Seq("rn"))
+          .select((col("y0") - col("yp")).as("d"), col("rn"))
+        val byD = graft.operators.ScaleOps.globalRowNumber(chg,
+          Seq(col("d"), col("rn")), "vr").localCheckpoint(eager = false)
+        val n0 = byD.agg(count(lit(1)).as("n"))
+          .select(col("n"),
+            expr("(n + 19) div 20").as("k95"),
+            expr("(n + 99) div 100").as("k99"))
+        val cuts = byD.crossJoin(broadcast(n0))
+          .agg(first(col("n")).as("n"), first(col("k95")).as("k95"),
+            first(col("k99")).as("k99"),
+            max(when(col("vr") === col("k95"), col("d").cast("double")))
+              .as("var95"),
+            max(when(col("vr") === col("k99"), col("d").cast("double")))
+              .as("var99"),
+            sum(when(col("vr") <= col("k95"), col("d"))
+              .otherwise(lit(0).cast("decimal(18,8)"))).as("s95"),
+            sum(when(col("vr") <= col("k99"), col("d"))
+              .otherwise(lit(0).cast("decimal(18,8)"))).as("s99"))
+        cuts.select(col("n").as("n_changes"),
+          round(col("var95"), 6).as("var_95"),
+          round(col("s95").cast("double") / col("k95").cast("double"), 6)
+            .as("cvar_95"),
+          round(col("var99"), 6).as("var_99"),
+          round(col("s99").cast("double") / col("k99").cast("double"), 6)
+            .as("cvar_99"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn
+              FROM daily),
+        chg AS (
+          SELECT a.ym - b.ym AS d, a.rn
+          FROM r a JOIN r b ON b.rn = a.rn - 1),
+        byd AS MATERIALIZED (
+          SELECT d, ROW_NUMBER() OVER (ORDER BY d, rn) AS vr FROM chg),
+        n0 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST((COUNT(*) + 19) // 20 AS BIGINT) AS k95,
+                 CAST((COUNT(*) + 99) // 100 AS BIGINT) AS k99
+          FROM byd),
+        cuts AS (
+          SELECT MAX(n0.n) AS n, MAX(n0.k95) AS k95, MAX(n0.k99) AS k99,
+                 MAX(CASE WHEN vr = n0.k95 THEN CAST(d AS DOUBLE) END)
+                   AS var95,
+                 MAX(CASE WHEN vr = n0.k99 THEN CAST(d AS DOUBLE) END)
+                   AS var99,
+                 SUM(CASE WHEN vr <= n0.k95 THEN d
+                   ELSE CAST(0 AS DECIMAL(18,8)) END) AS s95,
+                 SUM(CASE WHEN vr <= n0.k99 THEN d
+                   ELSE CAST(0 AS DECIMAL(18,8)) END) AS s99
+          FROM byd CROSS JOIN n0)
+        SELECT n AS n_changes,
+               ROUND(var95, 6) + CAST(0 AS DOUBLE) AS var_95,
+               ROUND(CAST(s95 AS DOUBLE) / CAST(k95 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS cvar_95,
+               ROUND(var99, 6) + CAST(0 AS DOUBLE) AS var_99,
+               ROUND(CAST(s99 AS DOUBLE) / CAST(k99 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS cvar_99
+        FROM cuts""")),
+
+    // Maximum drawdown of the daily revenue level: the deepest
+    // peak-to-current drop off the exact DECIMAL prefix-max scan, with
+    // the peak's running maximum and the trough day via struct argmax,
+    // plus the current (end-of-series) drawdown — the path-risk number
+    // beside qfi's marginal-distribution VaR (two series can share a
+    // VaR and differ 10× in drawdown). Entirely exact DECIMAL
+    // arithmetic until the final rounds.
+    "qfj_max_drawdown" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val withMax = ranked.select(col("rn"), col("ym"))
+          .join(ranked.select(col("rn").as("rn2"), col("ym").as("ymp")),
+            col("rn2") <= col("rn"))
+          .groupBy(col("rn"), col("ym"))
+          .agg(max(col("ymp")).as("runmax"))
+          .select(col("rn"), col("ym"), col("runmax"),
+            (col("runmax") - col("ym")).as("dd"))
+          .localCheckpoint(eager = false)
+        val n0 = withMax.agg(count(lit(1)).as("n"))
+        val worst = withMax.agg(
+          max(struct(col("dd").as("dd"), col("rn").cast("long").as("rn"),
+            col("runmax").as("pk"))).as("w"))
+        val last = withMax.crossJoin(broadcast(n0))
+          .filter(col("rn") === col("n"))
+          .select(col("dd").as("ddl"))
+        n0.crossJoin(broadcast(worst)).crossJoin(broadcast(last))
+          .select(col("n"),
+            round(col("w.dd").cast("double"), 6).as("max_drawdown"),
+            col("w.rn").as("trough_rn"),
+            round(col("w.pk").cast("double"), 6).as("peak_level"),
+            round(col("ddl").cast("double"), 6).as("current_drawdown"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn
+              FROM daily),
+        wm AS MATERIALIZED (
+          SELECT a.rn, a.ym, MAX(b.ym) AS runmax,
+                 MAX(b.ym) - a.ym AS dd
+          FROM r a JOIN r b ON b.rn <= a.rn
+          GROUP BY a.rn, a.ym),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wm),
+        worst AS (
+          SELECT MAX({'dd': dd, 'rn': CAST(rn AS BIGINT),
+                      'pk': runmax}) AS w
+          FROM wm),
+        lastd AS (
+          SELECT dd AS ddl FROM wm CROSS JOIN n0 WHERE rn = n0.n)
+        SELECT n,
+               ROUND(CAST(w['dd'] AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS max_drawdown,
+               w['rn'] AS trough_rn,
+               ROUND(CAST(w['pk'] AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS peak_level,
+               ROUND(CAST(ddl AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS current_drawdown
+        FROM n0 CROSS JOIN worst CROSS JOIN lastd"""))
   )
 }
