@@ -3895,14 +3895,14 @@ object StatQueries {
             (col("s2") - 2)).as("d2"),
           sum((col("r") - 2) * (col("s2") - 2) * col("qi")).as("d3"))
         agg.select(col("n"), col("d1"), col("d2"), col("d3"),
-          round(lit(30.0) *
+          when(col("n") > 4, round(lit(30.0) *
             ((col("n") - 2).cast("double") * (col("n") - 3).cast("double") *
               col("d1").cast("double") + col("d2").cast("double") -
               lit(2.0) * (col("n") - 2).cast("double") *
                 col("d3").cast("double")) /
             (col("n").cast("double") * (col("n") - 1).cast("double") *
               (col("n") - 2).cast("double") * (col("n") - 3).cast("double") *
-              (col("n") - 4).cast("double")), 9).as("hoeffding_d"))
+              (col("n") - 4).cast("double")), 9)).as("hoeffding_d"))
       },
       oracle = Some("""
         WITH users AS (
@@ -3933,15 +3933,16 @@ object StatQueries {
                  CAST(SUM((r - 2) * (s2 - 2) * qi) AS BIGINT) AS d3
           FROM q)
         SELECT n, d1, d2, d3,
-               ROUND(CAST(30 AS DOUBLE) *
-                 (CAST(n - 2 AS DOUBLE) * CAST(n - 3 AS DOUBLE) *
-                   CAST(d1 AS DOUBLE) + CAST(d2 AS DOUBLE) -
-                   CAST(2 AS DOUBLE) * CAST(n - 2 AS DOUBLE) *
-                     CAST(d3 AS DOUBLE)) /
-                 (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) *
-                   CAST(n - 2 AS DOUBLE) * CAST(n - 3 AS DOUBLE) *
-                   CAST(n - 4 AS DOUBLE)), 9) + CAST(0 AS DOUBLE)
-                 AS hoeffding_d
+               CASE WHEN n > 4 THEN
+                 ROUND(CAST(30 AS DOUBLE) *
+                   (CAST(n - 2 AS DOUBLE) * CAST(n - 3 AS DOUBLE) *
+                     CAST(d1 AS DOUBLE) + CAST(d2 AS DOUBLE) -
+                     CAST(2 AS DOUBLE) * CAST(n - 2 AS DOUBLE) *
+                       CAST(d3 AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) *
+                     CAST(n - 2 AS DOUBLE) * CAST(n - 3 AS DOUBLE) *
+                     CAST(n - 4 AS DOUBLE)), 9) + CAST(0 AS DOUBLE)
+               END AS hoeffding_d
         FROM agg""")),
 
     // Lin's concordance correlation coefficient between the order-dated
