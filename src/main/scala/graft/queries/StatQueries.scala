@@ -9184,6 +9184,77 @@ object StatQueries {
                  AS peak_level,
                ROUND(CAST(ddl AS DOUBLE), 6) + CAST(0 AS DOUBLE)
                  AS current_drawdown
-        FROM n0 CROSS JOIN worst CROSS JOIN lastd"""))
+        FROM n0 CROSS JOIN worst CROSS JOIN lastd""")),
+
+    // Quadrat-count test of complete spatial randomness: bin the
+    // synthetic customer points into a fixed 12×24 degree grid, the
+    // index of dispersion (n_cells−1)·s²/x̄ against its χ² null, and
+    // the variance-to-mean ratio — the third classic CSR test beside
+    // qcq's Ripley K (distance spectrum) and qe9's Clark–Evans (first
+    // neighbor): quadrats see density HETEROGENEITY at the bin scale.
+    // Counts per cell are exact integers (empty cells enter through the
+    // fixed cell total, not a join); one ratio at the end.
+    "qfk_quadrat_test" -> Q(
+      fn = (s, dir) => {
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 1500)
+          .select(
+            floor((hashCoord(col("c_custkey"), "lat", 180000L, 90.0) +
+              lit(90.0)) / lit(15.0)).cast("long").as("gy"),
+            floor((hashCoord(col("c_custkey"), "lon", 360000L, 180.0) +
+              lit(180.0)) / lit(15.0)).cast("long").as("gx"))
+        val cells = pts.groupBy(col("gy"), col("gx"))
+          .agg(count(lit(1)).as("m"))
+        val agg = cells.agg(sum(col("m")).as("npts"),
+          count(lit(1)).as("occupied"),
+          sum(col("m") * col("m")).as("sm2"))
+        // fixed grid: 12 lat bands x 24 lon bands = 288 cells; empty
+        // cells contribute zero to counts and sm2 but enter K
+        agg.select(col("npts"), col("occupied"), lit(288L).as("k_cells"),
+          round(col("npts").cast("double") / lit(288.0), 6).as("mean_m"),
+          round(
+            (col("sm2").cast("double") -
+              col("npts").cast("double") * col("npts").cast("double") /
+                lit(288.0)) / (lit(288.0) - 1.0) /
+              (col("npts").cast("double") / lit(288.0)), 6).as("vmr"),
+          round(
+            (col("sm2").cast("double") -
+              col("npts").cast("double") * col("npts").cast("double") /
+                lit(288.0)) /
+              (col("npts").cast("double") / lit(288.0)), 6)
+            .as("dispersion_chi2"))
+      },
+      oracle = Some(s"""
+        WITH pts AS (
+          SELECT CAST(FLOOR((${coordSql("c_custkey", "lat", 180000L, 90)} +
+                   CAST(90 AS DOUBLE)) / CAST(15 AS DOUBLE)) AS BIGINT)
+                   AS gy,
+                 CAST(FLOOR((${coordSql("c_custkey", "lon", 360000L, 180)} +
+                   CAST(180 AS DOUBLE)) / CAST(15 AS DOUBLE)) AS BIGINT)
+                   AS gx
+          FROM customer WHERE c_custkey <= 1500),
+        cells AS (
+          SELECT gy, gx, CAST(COUNT(*) AS BIGINT) AS m
+          FROM pts GROUP BY 1, 2),
+        agg AS (
+          SELECT CAST(SUM(m) AS BIGINT) AS npts,
+                 CAST(COUNT(*) AS BIGINT) AS occupied,
+                 CAST(SUM(m * m) AS BIGINT) AS sm2
+          FROM cells)
+        SELECT npts, occupied, CAST(288 AS BIGINT) AS k_cells,
+               ROUND(CAST(npts AS DOUBLE) / CAST(288 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS mean_m,
+               ROUND((CAST(sm2 AS DOUBLE) -
+                 CAST(npts AS DOUBLE) * CAST(npts AS DOUBLE) /
+                   CAST(288 AS DOUBLE)) /
+                 (CAST(288 AS DOUBLE) - CAST(1 AS DOUBLE)) /
+                 (CAST(npts AS DOUBLE) / CAST(288 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS vmr,
+               ROUND((CAST(sm2 AS DOUBLE) -
+                 CAST(npts AS DOUBLE) * CAST(npts AS DOUBLE) /
+                   CAST(288 AS DOUBLE)) /
+                 (CAST(npts AS DOUBLE) / CAST(288 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS dispersion_chi2
+        FROM agg"""))
   )
 }
