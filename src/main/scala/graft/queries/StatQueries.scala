@@ -9255,6 +9255,328 @@ object StatQueries {
                    CAST(288 AS DOUBLE)) /
                  (CAST(npts AS DOUBLE) / CAST(288 AS DOUBLE)), 6)
                  + CAST(0 AS DOUBLE) AS dispersion_chi2
-        FROM agg"""))
+        FROM agg""")),
+
+    // Inverse-distance-weighted spatial prediction with leave-one-out
+    // cross-validation: predict each panel point's ln-spend from every
+    // other point with 1/d² weights and score the RMSE against a
+    // mean-only baseline — the kriging-lite "is spend spatially
+    // predictable" number that qcl's Moran (association) and qec's
+    // Mantel (matrix correlation) stop short of: an actual PREDICTION
+    // skill score. Quadratic on the capped panel (the qa8 discipline);
+    // per-term weights snap to the 12-grid before the per-point DECIMAL
+    // sums so the fold is order-free.
+    "qfl_idw_loocv" -> Q(
+      fn = (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 400)
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey").as("pid"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("la"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lo"),
+            round(log(col("sp").cast("double")), 9).as("a"))
+          .localCheckpoint(eager = false)
+        val preds = pts.select(col("pid"), col("la"), col("lo"), col("a"))
+          .join(pts.select(col("pid").as("pj"), col("la").as("lb"),
+            col("lo").as("lb2"), col("a").as("aj")),
+            col("pid") =!= col("pj"))
+          .select(col("pid"), col("a"),
+            round(lit(1.0) /
+              ((col("la") - col("lb")) * (col("la") - col("lb")) +
+                (col("lo") - col("lb2")) * (col("lo") - col("lb2"))), 12)
+              .as("w"), col("aj"))
+          .select(col("pid"), col("a"), col("w"),
+            round(col("w") * col("aj"), 12).as("wy"))
+          .groupBy(col("pid"), col("a"))
+          .agg(sum(col("w").cast("decimal(24,12)")).as("sw"),
+            sum(col("wy").cast("decimal(24,12)")).as("swy"))
+          .select(col("pid"), col("a"),
+            round(col("swy").cast("double") / col("sw").cast("double"), 9)
+              .as("pred"))
+          .localCheckpoint(eager = false)
+        val mu = preds.agg(count(lit(1)).as("n"),
+          sum(col("a").cast("decimal(20,9)")).as("sa"))
+          .select(col("n"),
+            round(col("sa").cast("double") / col("n").cast("double"), 9)
+              .as("abar"))
+        val scores = preds.crossJoin(broadcast(mu))
+          .select(col("n"),
+            (col("a") - col("pred")).as("e"),
+            (col("a") - col("abar")).as("e0"))
+          .agg(first(col("n")).as("n"),
+            sum(round(col("e") * col("e"), 9).cast("decimal(18,9)"))
+              .as("sse"),
+            sum(round(col("e0") * col("e0"), 9).cast("decimal(18,9)"))
+              .as("sse0"))
+        scores.select(col("n"),
+          round(sqrt(col("sse").cast("double") / col("n").cast("double")),
+            6).as("rmse_idw"),
+          round(sqrt(col("sse0").cast("double") / col("n").cast("double")),
+            6).as("rmse_mean"),
+          round(lit(1.0) - col("sse").cast("double") /
+            col("sse0").cast("double"), 6).as("skill_r2"))
+      },
+      oracle = Some(s"""
+        WITH spend AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS sp
+          FROM orders GROUP BY 1),
+        pts AS MATERIALIZED (
+          SELECT c_custkey AS pid,
+                 ${coordSql("c_custkey", "lat", 180000L, 90)} AS la,
+                 ${coordSql("c_custkey", "lon", 360000L, 180)} AS lo,
+                 ROUND(ln(CAST(sp AS DOUBLE)), 9) AS a
+          FROM customer JOIN spend ON c_custkey = o_custkey
+          WHERE c_custkey <= 400),
+        preds AS MATERIALIZED (
+          SELECT x.pid, x.a,
+                 ROUND(CAST(SUM(CAST(ROUND(
+                     ROUND(CAST(1 AS DOUBLE) /
+                       ((x.la - y.la) * (x.la - y.la) +
+                        (x.lo - y.lo) * (x.lo - y.lo)), 12) * y.a, 12)
+                     AS DECIMAL(24,12))) AS DOUBLE) /
+                   CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) /
+                       ((x.la - y.la) * (x.la - y.la) +
+                        (x.lo - y.lo) * (x.lo - y.lo)), 12)
+                     AS DECIMAL(24,12))) AS DOUBLE), 9) AS pred
+          FROM pts x JOIN pts y ON x.pid <> y.pid
+          GROUP BY x.pid, x.a),
+        mu AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(CAST(a AS DECIMAL(20,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS abar
+          FROM preds),
+        scores AS (
+          SELECT MAX(mu.n) AS n,
+                 SUM(CAST(ROUND((a - pred) * (a - pred), 9)
+                   AS DECIMAL(18,9))) AS sse,
+                 SUM(CAST(ROUND((a - mu.abar) * (a - mu.abar), 9)
+                   AS DECIMAL(18,9))) AS sse0
+          FROM preds CROSS JOIN mu)
+        SELECT n,
+               ROUND(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS rmse_idw,
+               ROUND(sqrt(CAST(sse0 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS rmse_mean,
+               ROUND(CAST(1 AS DOUBLE) -
+                 CAST(sse AS DOUBLE) / CAST(sse0 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS skill_r2
+        FROM scores""")),
+
+    // Burrows' Delta stylometric distance between the even- and
+    // odd-doc_id corpus halves: z-score the top-20 word frequencies
+    // per 1000 tokens against corpus-wide means, Delta = mean |Δz| —
+    // THE authorship-attribution distance, here auditing whether the
+    // two halves "write alike" (they should: same generator — Delta
+    // near 0 is the expected baseline the fixture pins). Per-half
+    // rates are raw ratios of exact counts; z links are 9-grid with a
+    // round-6 final mean over the fixed 20-word panel.
+    "qfn_burrows_delta" -> Q(
+      fn = (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select((pmod(col("doc_id"), lit(2L)) === 0).as("ha"),
+            explode(split(lower(col("text")), "[\t\n\f\r ]+")).as("tok"))
+          .filter(col("tok") =!= "")
+          .localCheckpoint(eager = false)
+        val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+          .orderBy(col("cf").desc, col("tok")).limit(20)
+          .localCheckpoint(eager = false)
+        val sizes = toks.groupBy(col("ha")).agg(count(lit(1)).as("nt"))
+        val rates = toks.join(broadcast(top.select(col("tok"))), Seq("tok"))
+          .groupBy(col("tok"), col("ha")).agg(count(lit(1)).as("c"))
+          .join(sizes, Seq("ha"))
+          .select(col("tok"), col("ha"),
+            round(col("c").cast("double") * lit(1000.0) /
+              col("nt").cast("double"), 9).as("r"))
+          .localCheckpoint(eager = false)
+        val stats = rates.groupBy(col("tok"))
+          .agg(count(lit(1)).as("k"),
+            sum(col("r").cast("decimal(18,9)")).as("sr"),
+            sum(round(col("r") * col("r"), 9).cast("decimal(18,9)"))
+              .as("srr"))
+          .select(col("tok"),
+            round(col("sr").cast("double") / col("k").cast("double"), 9)
+              .as("mr"),
+            round(sqrt(
+              (col("srr").cast("double") -
+                col("sr").cast("double") * col("sr").cast("double") /
+                  col("k").cast("double")) / (col("k") - 1).cast("double")),
+              9).as("sd"))
+        val dz = rates.groupBy(col("tok"))
+          .agg(max(when(col("ha"), col("r"))).as("ra"),
+            max(when(!col("ha"), col("r"))).as("rb"))
+          .join(stats, Seq("tok"))
+          .filter(col("sd") > 0)
+          .select(col("tok"),
+            round(abs((col("ra") - col("mr")) / col("sd") -
+              (col("rb") - col("mr")) / col("sd")), 9).as("adz"))
+        dz.agg(count(lit(1)).as("n_words"),
+          sum(col("adz").cast("decimal(18,9)")).as("sdz"))
+          .select(col("n_words"),
+            round(col("sdz").cast("double") / col("n_words").cast("double"),
+              6).as("burrows_delta"))
+      },
+      oracle = Some("""
+        WITH toks AS MATERIALIZED (
+          SELECT (doc_id % 2 = 0) AS ha, tok
+          FROM (SELECT doc_id,
+                  UNNEST(string_split_regex(lower(text),
+                    '[\t\n\x0B\f\r ]+')) AS tok
+                FROM documents)
+          WHERE tok <> ''),
+        top AS MATERIALIZED (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+          FROM toks GROUP BY 1 ORDER BY cf DESC, tok LIMIT 20),
+        sizes AS (
+          SELECT ha, CAST(COUNT(*) AS BIGINT) AS nt
+          FROM toks GROUP BY 1),
+        rates AS MATERIALIZED (
+          SELECT t.tok, t.ha,
+                 ROUND(CAST(COUNT(*) AS DOUBLE) * CAST(1000 AS DOUBLE) /
+                   CAST(MAX(sizes.nt) AS DOUBLE), 9) AS r
+          FROM toks t JOIN top ON t.tok = top.tok
+          JOIN sizes ON t.ha = sizes.ha
+          GROUP BY t.tok, t.ha),
+        stats AS (
+          SELECT tok,
+                 ROUND(CAST(SUM(CAST(r AS DECIMAL(18,9))) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 9) AS mr,
+                 ROUND(sqrt((CAST(SUM(CAST(ROUND(r * r, 9)
+                     AS DECIMAL(18,9))) AS DOUBLE) -
+                   CAST(SUM(CAST(r AS DECIMAL(18,9))) AS DOUBLE) *
+                   CAST(SUM(CAST(r AS DECIMAL(18,9))) AS DOUBLE) /
+                     CAST(COUNT(*) AS DOUBLE)) /
+                   CAST(COUNT(*) - 1 AS DOUBLE)), 9) AS sd
+          FROM rates GROUP BY 1),
+        dz AS (
+          SELECT r.tok,
+                 ROUND(ABS((MAX(CASE WHEN ha THEN r.r END) - stats.mr) /
+                     stats.sd -
+                   (MAX(CASE WHEN NOT ha THEN r.r END) - stats.mr) /
+                     stats.sd), 9) AS adz
+          FROM rates r JOIN stats ON r.tok = stats.tok
+          WHERE stats.sd > 0
+          GROUP BY r.tok, stats.mr, stats.sd)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+               ROUND(CAST(SUM(CAST(adz AS DECIMAL(18,9))) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS burrows_delta
+        FROM dz""")),
+
+    // Stratified average treatment effect of the weekend "exposure" on
+    // purchase value, stratified by the acting user's activity quintile
+    // — the poor-man's propensity adjustment (exact NTILE strata stand
+    // in for the propensity score, whose logistic fit needs exp — not
+    // oracle-safe): per-stratum weekend/weekday means, the
+    // stratum-size-weighted ATE, and the crude unadjusted difference
+    // for contrast. Quintiles ride the exact NTILE identity; stratum
+    // terms multiply INTEGER weights × 9-grid differences in DECIMAL
+    // per rule 15.
+    "qfo_stratified_ate" -> Q(
+      fn = (s, dir) => {
+        val ua = t(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("act"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(ua,
+          Seq(col("act"), col("user_id")), "rn")
+        val n0 = ranked.agg(count(lit(1)).as("n"))
+          .select(col("n"), expr("n div 5").as("base"),
+            pmod(col("n"), lit(5)).as("rem"))
+          .select(col("n"), col("base"), col("rem"),
+            (col("rem") * (col("base") + 1)).as("cut"))
+        val strata = ranked.crossJoin(broadcast(n0))
+          .select(col("user_id"),
+            when(col("rn") <= col("cut"),
+              expr("(rn - 1) div (base + 1) + 1"))
+              .otherwise(expr("rem + (rn - 1 - cut) div base + 1"))
+              .as("q"))
+        val ev0 = t(s, dir, "events")
+          .filter(col("event_type") === "purchase" && col("value").isNotNull)
+          .select(col("user_id"),
+            (pmod((unix_millis(col("ts")) / lit(86400000L)).cast("long"),
+              lit(7L)) >= 5).as("wknd"),
+            col("value").cast("decimal(18,2)").as("v"))
+          .join(strata, Seq("user_id"))
+        val cell = ev0.groupBy(col("q"), col("wknd"))
+          .agg(count(lit(1)).as("m"), sum(col("v")).as("sv"))
+          .select(col("q"), col("wknd"), col("m"),
+            round(col("sv").cast("double") / col("m").cast("double"), 9)
+              .as("mv"))
+        val wide = cell.groupBy(col("q"))
+          .agg(sum(col("m")).as("mq"),
+            max(when(col("wknd"), col("mv"))).as("m1"),
+            max(when(!col("wknd"), col("mv"))).as("m0"))
+          .filter(col("m1").isNotNull && col("m0").isNotNull)
+          .localCheckpoint(eager = false)
+        val ate = wide.agg(sum(col("mq")).as("mt"),
+          sum(col("mq").cast("decimal(12,0)") *
+            round(col("m1") - col("m0"), 9).cast("decimal(16,9)"))
+            .as("wsum"))
+          .select(col("mt"),
+            round(col("wsum").cast("double") / col("mt").cast("double"), 6)
+              .as("ate_stratified"))
+        val crude = ev0.groupBy(col("wknd"))
+          .agg(count(lit(1)).as("m"), sum(col("v")).as("sv"))
+          .groupBy()
+          .agg(max(when(col("wknd"),
+            round(col("sv").cast("double") / col("m").cast("double"), 9)))
+            .as("c1"),
+            max(when(!col("wknd"),
+              round(col("sv").cast("double") / col("m").cast("double"), 9)))
+              .as("c0"))
+          .select(round(col("c1") - col("c0"), 6).as("ate_crude"))
+        ate.crossJoin(broadcast(crude))
+          .select(col("mt").as("n_purchases"), col("ate_stratified"),
+            col("ate_crude"))
+      },
+      oracle = Some("""
+        WITH ua AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS act
+          FROM events GROUP BY 1),
+        strata AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(NTILE(5) OVER (ORDER BY act, user_id) AS BIGINT)
+                   AS q
+          FROM ua),
+        ev0 AS MATERIALIZED (
+          SELECT e.user_id, s.q,
+                 ((CAST(epoch_ms(ts) // 86400000 AS BIGINT)) % 7) >= 5
+                   AS wknd,
+                 CAST(value AS DECIMAL(18,2)) AS v
+          FROM events e JOIN strata s ON e.user_id = s.user_id
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+        cell AS (
+          SELECT q, wknd, CAST(COUNT(*) AS BIGINT) AS m,
+                 ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS mv
+          FROM ev0 GROUP BY 1, 2),
+        wide AS MATERIALIZED (
+          SELECT q, CAST(SUM(m) AS BIGINT) AS mq,
+                 MAX(CASE WHEN wknd THEN mv END) AS m1,
+                 MAX(CASE WHEN NOT wknd THEN mv END) AS m0
+          FROM cell GROUP BY 1
+          HAVING MAX(CASE WHEN wknd THEN mv END) IS NOT NULL
+             AND MAX(CASE WHEN NOT wknd THEN mv END) IS NOT NULL),
+        ate AS (
+          SELECT CAST(SUM(mq) AS BIGINT) AS mt,
+                 ROUND(CAST(SUM(CAST(mq AS DECIMAL(12,0)) *
+                   CAST(ROUND(m1 - m0, 9) AS DECIMAL(16,9))) AS DOUBLE) /
+                   CAST(SUM(mq) AS DOUBLE), 6) AS ate_stratified
+          FROM wide),
+        crude AS (
+          SELECT ROUND(
+            MAX(CASE WHEN wknd THEN mvv END) -
+            MAX(CASE WHEN NOT wknd THEN mvv END), 6) AS ate_crude
+          FROM (
+            SELECT wknd,
+                   ROUND(CAST(SUM(v) AS DOUBLE) /
+                     CAST(COUNT(*) AS DOUBLE), 9) AS mvv
+            FROM ev0 GROUP BY 1))
+        SELECT mt AS n_purchases,
+               ate_stratified + CAST(0 AS DOUBLE) AS ate_stratified,
+               ate_crude + CAST(0 AS DOUBLE) AS ate_crude
+        FROM ate CROSS JOIN crude"""))
   )
 }
