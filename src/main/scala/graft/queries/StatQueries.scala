@@ -9577,6 +9577,306 @@ object StatQueries {
         SELECT mt AS n_purchases,
                ate_stratified + CAST(0 AS DOUBLE) AS ate_stratified,
                ate_crude + CAST(0 AS DOUBLE) AS ate_crude
-        FROM ate CROSS JOIN crude"""))
+        FROM ate CROSS JOIN crude""")),
+
+    // Regression-to-the-mean audit: users in the top activity decile of
+    // the first half-month — where does their SECOND-half percentile
+    // land, and what fraction of their elevation melts away? The
+    // fallacy-check every "our best users declined" narrative needs
+    // (qcb's James-Stein SHRINKS for this reason; here the raw effect
+    // is measured). Percentiles are exact integer ranks over the two
+    // half panels; the melt fraction is one ratio.
+    "qfp_regression_to_mean" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"),
+            (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        val rel = e.crossJoin(broadcast(e.agg(min(col("day")).as("d0"))))
+          .select(col("user_id"),
+            (col("day") - col("d0") < 15).as("h1"))
+        val users = rel.groupBy(col("user_id"))
+          .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("a1"),
+            sum(when(!col("h1"), 1L).otherwise(0L)).as("a2"))
+        val r1 = graft.operators.ScaleOps.globalRowNumber(users,
+          Seq(col("a1"), col("user_id")), "rk1")
+        val r2 = graft.operators.ScaleOps.globalRowNumber(r1,
+          Seq(col("a2"), col("user_id")), "rk2")
+          .localCheckpoint(eager = false)
+        val n0 = r2.agg(count(lit(1)).as("n"))
+        val top = r2.crossJoin(broadcast(n0))
+          .filter(col("rk1") * 10 > col("n") * 9)
+        val agg = top.agg(count(lit(1)).as("ntop"),
+          sum(col("rk1")).as("s1"), sum(col("rk2")).as("s2"),
+          first(col("n")).as("n"))
+        agg.select(col("n").as("n_users"), col("ntop"),
+          round(col("s1").cast("double") /
+            (col("ntop").cast("double") * col("n").cast("double")), 6)
+            .as("mean_pctl_h1"),
+          round(col("s2").cast("double") /
+            (col("ntop").cast("double") * col("n").cast("double")), 6)
+            .as("mean_pctl_h2"),
+          round(
+            (col("s1").cast("double") /
+              (col("ntop").cast("double") * col("n").cast("double")) -
+              col("s2").cast("double") /
+                (col("ntop").cast("double") * col("n").cast("double"))) /
+            (col("s1").cast("double") /
+              (col("ntop").cast("double") * col("n").cast("double")) -
+              lit(0.5)), 6).as("melt_fraction"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id,
+                 CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day
+          FROM events),
+        d0 AS (SELECT MIN(day) AS d0 FROM e),
+        users AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN day - d0.d0 < 15 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a1,
+                 CAST(SUM(CASE WHEN day - d0.d0 >= 15 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a2
+          FROM e CROSS JOIN d0 GROUP BY 1),
+        r AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY a1, user_id) AS BIGINT)
+                   AS rk1,
+                 CAST(ROW_NUMBER() OVER (ORDER BY a2, user_id) AS BIGINT)
+                   AS rk2
+          FROM users),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        agg AS (
+          SELECT MAX(n0.n) AS n, CAST(COUNT(*) AS BIGINT) AS ntop,
+                 CAST(SUM(rk1) AS BIGINT) AS s1,
+                 CAST(SUM(rk2) AS BIGINT) AS s2
+          FROM r CROSS JOIN n0 WHERE rk1 * 10 > n0.n * 9)
+        SELECT n AS n_users, ntop,
+               ROUND(CAST(s1 AS DOUBLE) /
+                 (CAST(ntop AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS mean_pctl_h1,
+               ROUND(CAST(s2 AS DOUBLE) /
+                 (CAST(ntop AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS mean_pctl_h2,
+               ROUND((CAST(s1 AS DOUBLE) /
+                 (CAST(ntop AS DOUBLE) * CAST(n AS DOUBLE)) -
+                 CAST(s2 AS DOUBLE) /
+                 (CAST(ntop AS DOUBLE) * CAST(n AS DOUBLE))) /
+                 (CAST(s1 AS DOUBLE) /
+                 (CAST(ntop AS DOUBLE) * CAST(n AS DOUBLE)) -
+                 CAST(0.5 AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+                 AS melt_fraction
+        FROM agg""")),
+
+    // Spatial co-location quotient: are BUILDING-segment customers'
+    // nearest neighbors disproportionately AUTOMOBILE-segment ones?
+    // CLQ(A→B) = (NN-of-A-in-B share) / (B's share of everyone else) —
+    // the directional segment-mixing measure qeg's graph assortativity
+    // asks on edges, here asked on the map. NN assignment reuses the
+    // qe9 capped-panel scan with the (distance², pid) struct-min
+    // tiebreak; the quotient is exact integer counts to one ratio.
+    "qfq_colocation_quotient" -> Q(
+      fn = (s, dir) => {
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 600 &&
+            col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+          .select(col("c_custkey").as("pid"),
+            col("c_mktsegment").as("seg"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("la"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lo"))
+          .localCheckpoint(eager = false)
+        val nn = pts.select(col("pid"), col("seg"), col("la"), col("lo"))
+          .join(pts.select(col("pid").as("pj"), col("seg").as("segj"),
+            col("la").as("lb"), col("lo").as("lb2")),
+            col("pid") =!= col("pj"))
+          .select(col("pid"), col("seg"),
+            struct(
+              ((col("la") - col("lb")) * (col("la") - col("lb")) +
+                (col("lo") - col("lb2")) * (col("lo") - col("lb2")))
+                .as("d2"),
+              col("pj"), col("segj")).as("st"))
+          .groupBy(col("pid"), col("seg"))
+          .agg(min(col("st")).as("w"))
+          .select(col("pid"), col("seg"), col("w.segj").as("nnseg"))
+          .localCheckpoint(eager = false)
+        val tot = nn.groupBy(col("seg")).agg(count(lit(1)).as("nseg"))
+        val nAll = tot.agg(sum(col("nseg")).as("nt"))
+        val hits = nn.filter(col("seg") === "BUILDING")
+          .agg(count(lit(1)).as("na"),
+            sum(when(col("nnseg") === "AUTOMOBILE", 1L).otherwise(0L))
+              .as("nab"))
+        val nb = tot.filter(col("seg") === "AUTOMOBILE")
+          .select(col("nseg").as("nbn"))
+        hits.crossJoin(broadcast(nb)).crossJoin(broadcast(nAll))
+          .select(col("na").as("n_building"), col("nbn").as("n_automobile"),
+            col("nab").as("nn_in_automobile"),
+            round((col("nab").cast("double") / col("na").cast("double")) /
+              (col("nbn").cast("double") / (col("nt") - 1).cast("double")),
+              6).as("clq_a_to_b"))
+      },
+      oracle = Some(s"""
+        WITH pts AS MATERIALIZED (
+          SELECT c_custkey AS pid, c_mktsegment AS seg,
+                 ${coordSql("c_custkey", "lat", 180000L, 90)} AS la,
+                 ${coordSql("c_custkey", "lon", 360000L, 180)} AS lo
+          FROM customer
+          WHERE c_custkey <= 600
+            AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+        nn AS MATERIALIZED (
+          SELECT x.pid, x.seg,
+                 MIN({'d2': (x.la - y.la) * (x.la - y.la) +
+                       (x.lo - y.lo) * (x.lo - y.lo),
+                      'pj': y.pid, 'segj': y.seg})['segj'] AS nnseg
+          FROM pts x JOIN pts y ON x.pid <> y.pid
+          GROUP BY x.pid, x.seg),
+        tot AS (
+          SELECT seg, CAST(COUNT(*) AS BIGINT) AS nseg
+          FROM nn GROUP BY 1),
+        nall AS (SELECT CAST(SUM(nseg) AS BIGINT) AS nt FROM tot),
+        hits AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS na,
+                 CAST(SUM(CASE WHEN nnseg = 'AUTOMOBILE' THEN 1 ELSE 0
+                   END) AS BIGINT) AS nab
+          FROM nn WHERE seg = 'BUILDING'),
+        nb AS (
+          SELECT nseg AS nbn FROM tot WHERE seg = 'AUTOMOBILE')
+        SELECT na AS n_building, nbn AS n_automobile,
+               nab AS nn_in_automobile,
+               ROUND((CAST(nab AS DOUBLE) / CAST(na AS DOUBLE)) /
+                 (CAST(nbn AS DOUBLE) / CAST(nt - 1 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS clq_a_to_b
+        FROM hits CROSS JOIN nb CROSS JOIN nall""")),
+
+    // Rolling-origin one-step evaluation of three daily-revenue
+    // forecasters — prefix mean, prefix OLS trend, prefix week-phase
+    // mean — entirely via exact prefix moments (running sums of y,
+    // t·y, and per-phase y), scoring each day t from only days < t:
+    // the HONEST out-of-sample answer to qdz's in-sample AIC question,
+    // with no refitting loop because every prefix fit is closed-form
+    // in the scans. Predictions and errors are 9-grid; MAEs divide
+    // exact DECIMAL |error| sums.
+    "qfr_rolling_origin_cv" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .withColumn("ph", pmod(col("day"), lit(7L)))
+          .localCheckpoint(eager = false)
+        val c1 = graft.operators.ScaleOps.globalRunningSum(ranked,
+          Seq(col("rn")), col("ym"), "cy")
+        val c2 = graft.operators.ScaleOps.globalRunningSum(c1,
+          Seq(col("rn")), (col("ym") * col("rn").cast("decimal(10,0)"))
+            .cast("decimal(28,8)"), "cty")
+        val c3 = graft.operators.ScaleOps.groupedGlobalRunningSum(c2,
+          Seq("ph"), Seq(col("rn")), col("ym"), "cphy")
+        val c4 = graft.operators.ScaleOps.groupedGlobalRunningSum(c3,
+          Seq("ph"), Seq(col("rn")), lit(1L), "cphn")
+          .localCheckpoint(eager = false)
+        // at day t (rn = t), prefix = rows 1..t-1: subtract own row
+        val pre = c4.select(col("rn"), col("ym"), col("ph"),
+          (col("cy") - col("ym")).as("py"),
+          (col("cty") - (col("ym") * col("rn").cast("decimal(10,0)"))
+            .cast("decimal(28,8)")).as("pty"),
+          (col("cphy") - col("ym")).as("pphy"),
+          (col("cphn") - 1).as("pphn"),
+          (col("rn") - 1).as("m"))
+          .filter(col("rn") >= 8 && col("pphn") > 0)
+        // prefix OLS on t=1..m: Sx = m(m+1)/2, Sxx = m(m+1)(2m+1)/6
+        val scored = pre.select(col("rn"), col("ym"),
+          round(col("py").cast("double") / col("m").cast("double"), 9)
+            .as("pred_mean"),
+          round(col("pphy").cast("double") / col("pphn").cast("double"), 9)
+            .as("pred_phase"),
+          col("py"), col("pty"), col("m"))
+          .withColumn("sx", (col("m") * (col("m") + 1) / 2).cast("double"))
+          .withColumn("sxx", (col("m") * (col("m") + 1) *
+            (lit(2L) * col("m") + 1) / 6).cast("double"))
+          .withColumn("beta", round(
+            (col("m").cast("double") * col("pty").cast("double") -
+              col("sx") * col("py").cast("double")) /
+            (col("m").cast("double") * col("sxx") - col("sx") * col("sx")),
+            9))
+          .withColumn("alpha", round(
+            (col("py").cast("double") - col("beta") * col("sx")) /
+              col("m").cast("double"), 9))
+          .withColumn("pred_trend",
+            round(col("alpha") + col("beta") * col("rn").cast("double"), 9))
+        val agg = scored.agg(count(lit(1)).as("n_eval"),
+          sum(abs(round(col("ym").cast("double") - col("pred_mean"), 9))
+            .cast("decimal(18,9)")).as("ae_mean"),
+          sum(abs(round(col("ym").cast("double") - col("pred_trend"), 9))
+            .cast("decimal(18,9)")).as("ae_trend"),
+          sum(abs(round(col("ym").cast("double") - col("pred_phase"), 9))
+            .cast("decimal(18,9)")).as("ae_phase"))
+        agg.select(col("n_eval"),
+          round(col("ae_mean").cast("double") / col("n_eval").cast("double"),
+            6).as("mae_mean"),
+          round(col("ae_trend").cast("double") /
+            col("n_eval").cast("double"), 6).as("mae_trend"),
+          round(col("ae_phase").cast("double") /
+            col("n_eval").cast("double"), 6).as("mae_phase"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT day, ym, ROW_NUMBER() OVER (ORDER BY day) AS rn
+              FROM daily),
+        r2 AS (
+          SELECT rn, ym, day % 7 AS ph,
+                 SUM(ym) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING)
+                   AS cy,
+                 SUM(CAST(ym * CAST(rn AS DECIMAL(10,0)) AS DECIMAL(28,8)))
+                   OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS cty,
+                 SUM(ym) OVER (PARTITION BY day % 7 ORDER BY rn
+                   ROWS UNBOUNDED PRECEDING) AS cphy,
+                 COUNT(*) OVER (PARTITION BY day % 7 ORDER BY rn
+                   ROWS UNBOUNDED PRECEDING) AS cphn
+          FROM r),
+        pre AS MATERIALIZED (
+          SELECT rn, ym,
+                 cy - ym AS py,
+                 cty - CAST(ym * CAST(rn AS DECIMAL(10,0))
+                   AS DECIMAL(28,8)) AS pty,
+                 cphy - ym AS pphy,
+                 cphn - 1 AS pphn,
+                 CAST(rn - 1 AS BIGINT) AS m
+          FROM r2
+          WHERE rn >= 8 AND cphn - 1 > 0),
+        scored AS (
+          SELECT rn, ym,
+                 ROUND(CAST(py AS DOUBLE) / CAST(m AS DOUBLE), 9)
+                   AS pred_mean,
+                 ROUND(CAST(pphy AS DOUBLE) / CAST(pphn AS DOUBLE), 9)
+                   AS pred_phase,
+                 CAST(m * (m + 1) // 2 AS DOUBLE) AS sx,
+                 CAST(m * (m + 1) * (2 * m + 1) // 6 AS DOUBLE) AS sxx,
+                 CAST(py AS DOUBLE) AS pyd, CAST(pty AS DOUBLE) AS ptyd,
+                 CAST(m AS DOUBLE) AS md
+          FROM pre),
+        scored2 AS (
+          SELECT *, ROUND((md * ptyd - sx * pyd) /
+                   (md * sxx - sx * sx), 9) AS beta
+          FROM scored),
+        scored3 AS (
+          SELECT *, ROUND((pyd - beta * sx) / md, 9) AS alpha
+          FROM scored2),
+        scored4 AS (
+          SELECT rn, ym, pred_mean, pred_phase,
+                 ROUND(alpha + beta * CAST(rn AS DOUBLE), 9) AS pred_trend
+          FROM scored3),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+                 SUM(CAST(ABS(ROUND(CAST(ym AS DOUBLE) - pred_mean, 9))
+                   AS DECIMAL(18,9))) AS ae_mean,
+                 SUM(CAST(ABS(ROUND(CAST(ym AS DOUBLE) - pred_trend, 9))
+                   AS DECIMAL(18,9))) AS ae_trend,
+                 SUM(CAST(ABS(ROUND(CAST(ym AS DOUBLE) - pred_phase, 9))
+                   AS DECIMAL(18,9))) AS ae_phase
+          FROM scored4)
+        SELECT n_eval,
+               ROUND(CAST(ae_mean AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS mae_mean,
+               ROUND(CAST(ae_trend AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS mae_trend,
+               ROUND(CAST(ae_phase AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS mae_phase
+        FROM agg"""))
   )
 }
