@@ -9877,6 +9877,294 @@ object StatQueries {
                  + CAST(0 AS DOUBLE) AS mae_trend,
                ROUND(CAST(ae_phase AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
                  + CAST(0 AS DOUBLE) AS mae_phase
-        FROM agg"""))
+        FROM agg""")),
+
+    // Box-Cox transformation ladder for order values: the profile
+    // log-likelihood -n/2·ln(var(y^λ)) + (λ-1)·Σln y at λ ∈
+    // {-1, -1/2, 0, 1/2, 1} — every rung algebraic (1/y, 1/√y, ln y,
+    // √y, y; no pow needed, the reason this grid and not a continuum)
+    // — with the argmax rung: WHICH scale the analysis should run on,
+    // the question every log-or-not debate hand-waves. Transformed
+    // moments ride round-6 DECIMAL sums; ln/sqrt are the only links;
+    // the winner is a struct argmax over five 9-grid likelihoods.
+    "qfs_box_cox" -> Q(
+      fn = (s, dir) => {
+        val y = t(s, dir, "orders")
+          .select((col("o_totalprice").cast("decimal(18,2)") / lit(1000))
+            .cast("decimal(15,5)").cast("double").as("y"))
+          .localCheckpoint(eager = false)
+        val lam = y.sparkSession.range(1)
+          .select(explode(array(lit(-1.0), lit(-0.5), lit(0.0), lit(0.5),
+            lit(1.0))).as("lam"))
+        val tx = y.crossJoin(broadcast(lam))
+          .select(col("lam"),
+            round(when(col("lam") === -1.0, lit(1.0) / col("y"))
+              .when(col("lam") === -0.5, lit(1.0) / sqrt(col("y")))
+              .when(col("lam") === 0.0, log(col("y")))
+              .when(col("lam") === 0.5, sqrt(col("y")))
+              .otherwise(col("y")), 9).as("z"),
+            round(log(col("y")), 9).as("ly"))
+        val mom = tx.groupBy(col("lam"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("z").cast("decimal(24,9)")).as("sz"),
+            sum(round(col("z") * col("z"), 9).cast("decimal(28,9)"))
+              .as("szz"),
+            sum(col("ly").cast("decimal(24,9)")).as("sly"))
+          .select(col("lam"), col("n"),
+            round((col("szz").cast("double") -
+              col("sz").cast("double") * col("sz").cast("double") /
+                col("n").cast("double")) / col("n").cast("double"), 9)
+              .as("varz"),
+            col("sly").cast("double").as("sly"))
+          .select(col("lam"), col("n"),
+            round(-col("n").cast("double") / lit(2.0) * log(col("varz")) +
+              (col("lam") - lit(1.0)) * col("sly"), 6).as("loglik"))
+          .localCheckpoint(eager = false)
+        val best = mom.agg(max(struct(col("loglik").as("ll"),
+          col("lam").as("lam"))).as("w"))
+          .select(col("w.lam").as("best_lambda"))
+        mom.crossJoin(broadcast(best))
+          .select(col("lam").as("lambda"), col("loglik"),
+            col("best_lambda"))
+          .orderBy(col("lambda"))
+      },
+      oracle = Some("""
+        WITH y0 AS MATERIALIZED (
+          SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000
+            AS DECIMAL(15,5)) AS DOUBLE) AS y
+          FROM orders),
+        lam AS (
+          SELECT UNNEST([CAST(-1 AS DOUBLE), CAST(-0.5 AS DOUBLE),
+            CAST(0 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(1 AS DOUBLE)])
+            AS lam),
+        tx AS (
+          SELECT lam,
+                 ROUND(CASE WHEN lam = CAST(-1 AS DOUBLE)
+                     THEN CAST(1 AS DOUBLE) / y
+                   WHEN lam = CAST(-0.5 AS DOUBLE)
+                     THEN CAST(1 AS DOUBLE) / sqrt(y)
+                   WHEN lam = CAST(0 AS DOUBLE) THEN ln(y)
+                   WHEN lam = CAST(0.5 AS DOUBLE) THEN sqrt(y)
+                   ELSE y END, 9) AS z,
+                 ROUND(ln(y), 9) AS ly
+          FROM y0 CROSS JOIN lam),
+        mom AS MATERIALIZED (
+          SELECT lam, CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(-CAST(COUNT(*) AS DOUBLE) / CAST(2 AS DOUBLE) *
+                   ln(ROUND((CAST(SUM(CAST(ROUND(z * z, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) -
+                     CAST(SUM(CAST(z AS DECIMAL(24,9))) AS DOUBLE) *
+                     CAST(SUM(CAST(z AS DECIMAL(24,9))) AS DOUBLE) /
+                       CAST(COUNT(*) AS DOUBLE)) /
+                     CAST(COUNT(*) AS DOUBLE), 9)) +
+                   (lam - CAST(1 AS DOUBLE)) *
+                     CAST(SUM(CAST(ly AS DECIMAL(24,9))) AS DOUBLE), 6)
+                   AS loglik
+          FROM tx GROUP BY 1),
+        best AS (
+          SELECT MAX({'ll': loglik, 'lam': lam})['lam'] AS best_lambda
+          FROM mom)
+        SELECT lam AS lambda, loglik + CAST(0 AS DOUBLE) AS loglik,
+               best_lambda
+        FROM mom CROSS JOIN best ORDER BY lambda""")),
+
+    // Broken-stick (segmented) regression of the daily revenue trend:
+    // the best single breakpoint over a coarse candidate grid by total
+    // two-side SSE, the slopes either side, and the F improvement over
+    // the single trend — qcx tests ONE fixed midpoint break in level;
+    // this SEARCHES for a slope break (qc9's binseg looks for mean
+    // shifts). Per-candidate per-side stats come from one conditional
+    // aggregation over the days × candidates grid (both bounded);
+    // side x-means are exact half-integers, SSEs ride the established
+    // round-6 recipes, and the winner is a struct-min on the rounded
+    // total SSE.
+    "qft_broken_stick" -> Q(
+      fn = (s, dir) => {
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          dailyRevenueM(s, dir), Seq(col("day")), "rn")
+          .localCheckpoint(eager = false)
+        val n0 = ranked.agg(count(lit(1)).as("n"))
+        val cands = ranked.crossJoin(broadcast(n0))
+          .filter(col("rn") % 30 === 0 && col("rn") >= 60 &&
+            col("rn") <= col("n") - 60)
+          .select(col("rn").as("tau"))
+          .localCheckpoint(eager = false)
+        val grid = ranked.crossJoin(cands)
+          .select(col("tau"), col("rn"), col("ym"),
+            (col("rn") <= col("tau")).as("lft"))
+        val sides = grid.groupBy(col("tau"), col("lft"))
+          .agg(count(lit(1)).as("m"), sum(col("ym")).as("sy"),
+            sum(col("rn")).as("srn"),
+            sum((col("ym") * col("rn").cast("decimal(10,0)"))
+              .cast("decimal(28,8)")).as("sty"),
+            sum(col("rn") * col("rn")).as("stt"))
+          .select(col("tau"), col("lft"), col("m"),
+            round(col("sy").cast("double") / col("m").cast("double"), 9)
+              .as("my"),
+            (col("srn").cast("double") / col("m").cast("double")).as("mx"),
+            col("sy").cast("double").as("syd"),
+            col("sty").cast("double").as("styd"),
+            col("srn").cast("double").as("srnd"),
+            col("stt").cast("double").as("sttd"))
+          .select(col("tau"), col("lft"), col("m"),
+            (col("sttd") - col("srnd") * col("srnd") /
+              col("m").cast("double")).as("sxx"),
+            (col("styd") - col("srnd") * col("syd") /
+              col("m").cast("double")).as("sxy"))
+        val syy = grid.join(
+          grid.groupBy(col("tau"), col("lft"))
+            .agg((sum(col("ym")).cast("double") /
+              count(lit(1)).cast("double")).as("myr"),
+              count(lit(1)).as("m2")),
+          Seq("tau", "lft"))
+          .select(col("tau"), col("lft"),
+            (col("ym").cast("double") - round(col("myr"), 9)).as("c"))
+          .groupBy(col("tau"), col("lft"))
+          .agg(sum(round(col("c") * col("c"), 6).cast("decimal(28,6)"))
+            .as("syyd"))
+          .select(col("tau"), col("lft"), col("syyd").cast("double")
+            .as("syy"))
+        val sse = sides.join(syy, Seq("tau", "lft"))
+          .select(col("tau"), col("lft"), col("m"),
+            round(col("sxy") / col("sxx"), 9).as("beta"),
+            round(col("syy") -
+              round(col("sxy") * col("sxy") / col("sxx"), 9), 9)
+              .as("sse_side"))
+        val byTau = sse.groupBy(col("tau"))
+          .agg(sum(round(col("sse_side"), 6).cast("decimal(28,6)"))
+            .as("ssed"),
+            max(when(col("lft"), col("beta"))).as("beta_l"),
+            max(when(!col("lft"), col("beta"))).as("beta_r"))
+          .select(col("tau"), col("ssed").cast("double").as("sse2"),
+            col("beta_l"), col("beta_r"))
+        val best = byTau.agg(min(struct(
+          round(col("sse2"), 6).as("s"), col("tau").as("tau"),
+          col("beta_l").as("bl"), col("beta_r").as("br"))).as("w"))
+        val single = ranked.crossJoin(broadcast(n0))
+          .select(col("rn"), col("ym"), col("n"),
+            (col("rn").cast("double") -
+              (col("n") + 1).cast("double") / lit(2.0)).as("dx"))
+          .crossJoin(broadcast(ranked.agg(
+            round(sum(col("ym")).cast("double") / count(lit(1))
+              .cast("double"), 9).as("mu"))))
+          .select(col("rn"), col("dx"),
+            (col("ym").cast("double") - col("mu")).as("c"), col("n"))
+          .agg(first(col("n")).as("n"),
+            sum(round(col("dx") * col("dx"), 6).cast("decimal(28,6)"))
+              .as("sxxd"),
+            sum(round(col("dx") * col("c"), 6).cast("decimal(28,6)"))
+              .as("sxyd"),
+            sum(round(col("c") * col("c"), 6).cast("decimal(28,6)"))
+              .as("syyd"))
+          .select(col("n"),
+            round(col("syyd").cast("double") -
+              round(col("sxyd").cast("double") * col("sxyd").cast("double") /
+                col("sxxd").cast("double"), 9), 9).as("sse1"))
+        single.crossJoin(broadcast(best))
+          .select(col("n"), col("w.tau").as("break_rn"),
+            round(col("w.bl"), 6).as("slope_left"),
+            round(col("w.br"), 6).as("slope_right"),
+            round(col("sse1"), 6).as("sse_single"),
+            round(col("w.s"), 6).as("sse_broken"),
+            round(((col("sse1") - col("w.s")) / lit(2.0)) /
+              (col("w.s") / (col("n") - 4).cast("double")), 6)
+              .as("f_improvement"))
+      },
+      oracle = Some(s"""
+        WITH daily AS ($dailyRevenueMSql),
+        r AS (SELECT ym, ROW_NUMBER() OVER (ORDER BY day) AS rn
+              FROM daily),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        cands AS MATERIALIZED (
+          SELECT rn AS tau FROM r CROSS JOIN n0
+          WHERE rn % 30 = 0 AND rn >= 60 AND rn <= n - 60),
+        grid AS MATERIALIZED (
+          SELECT tau, rn, ym, rn <= tau AS lft
+          FROM r CROSS JOIN cands),
+        sides AS (
+          SELECT tau, lft, CAST(COUNT(*) AS BIGINT) AS m,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS my,
+                 (CAST(SUM(rn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                   AS mx,
+                 CAST(SUM(ym) AS DOUBLE) AS syd,
+                 CAST(SUM(CAST(ym * CAST(rn AS DECIMAL(10,0))
+                   AS DECIMAL(28,8))) AS DOUBLE) AS styd,
+                 CAST(SUM(rn) AS DOUBLE) AS srnd,
+                 CAST(SUM(rn * rn) AS DOUBLE) AS sttd
+          FROM grid GROUP BY 1, 2),
+        sides2 AS (
+          SELECT tau, lft, m,
+                 sttd - srnd * srnd / CAST(m AS DOUBLE) AS sxx,
+                 styd - srnd * syd / CAST(m AS DOUBLE) AS sxy,
+                 my
+          FROM sides),
+        syy AS (
+          SELECT g.tau, g.lft,
+                 CAST(SUM(CAST(ROUND(
+                   (CAST(g.ym AS DOUBLE) - ROUND(s.my0, 9)) *
+                   (CAST(g.ym AS DOUBLE) - ROUND(s.my0, 9)), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS syy
+          FROM grid g JOIN (
+            SELECT tau, lft,
+                   CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     AS my0
+            FROM grid GROUP BY 1, 2) s
+            ON g.tau = s.tau AND g.lft = s.lft
+          GROUP BY 1, 2),
+        sse AS (
+          SELECT s2.tau, s2.lft, s2.m,
+                 ROUND(s2.sxy / s2.sxx, 9) AS beta,
+                 ROUND(syy.syy -
+                   ROUND(s2.sxy * s2.sxy / s2.sxx, 9), 9) AS sse_side
+          FROM sides2 s2 JOIN syy ON s2.tau = syy.tau
+            AND s2.lft = syy.lft),
+        bytau AS (
+          SELECT tau,
+                 CAST(SUM(CAST(ROUND(sse_side, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sse2,
+                 MAX(CASE WHEN lft THEN beta END) AS beta_l,
+                 MAX(CASE WHEN NOT lft THEN beta END) AS beta_r
+          FROM sse GROUP BY 1),
+        best AS (
+          SELECT MIN({'s': ROUND(sse2, 6), 'tau': tau,
+                      'bl': beta_l, 'br': beta_r}) AS w
+          FROM bytau),
+        mu AS (
+          SELECT ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS mu
+          FROM r),
+        single AS (
+          SELECT MAX(n0.n) AS n,
+                 ROUND(CAST(SUM(CAST(ROUND(
+                     (CAST(ym AS DOUBLE) - mu.mu) *
+                     (CAST(ym AS DOUBLE) - mu.mu), 6) AS DECIMAL(28,6)))
+                     AS DOUBLE) -
+                   ROUND(CAST(SUM(CAST(ROUND(
+                       (CAST(rn AS DOUBLE) -
+                         CAST(n0.n + 1 AS DOUBLE) / CAST(2 AS DOUBLE)) *
+                       (CAST(ym AS DOUBLE) - mu.mu), 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) *
+                     CAST(SUM(CAST(ROUND(
+                       (CAST(rn AS DOUBLE) -
+                         CAST(n0.n + 1 AS DOUBLE) / CAST(2 AS DOUBLE)) *
+                       (CAST(ym AS DOUBLE) - mu.mu), 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) /
+                     CAST(SUM(CAST(ROUND(
+                       (CAST(rn AS DOUBLE) -
+                         CAST(n0.n + 1 AS DOUBLE) / CAST(2 AS DOUBLE)) *
+                       (CAST(rn AS DOUBLE) -
+                         CAST(n0.n + 1 AS DOUBLE) / CAST(2 AS DOUBLE)),
+                       6) AS DECIMAL(28,6))) AS DOUBLE), 9), 9) AS sse1
+          FROM r CROSS JOIN n0 CROSS JOIN mu)
+        SELECT n, w['tau'] AS break_rn,
+               ROUND(w['bl'], 6) + CAST(0 AS DOUBLE) AS slope_left,
+               ROUND(w['br'], 6) + CAST(0 AS DOUBLE) AS slope_right,
+               ROUND(sse1, 6) + CAST(0 AS DOUBLE) AS sse_single,
+               ROUND(w['s'], 6) + CAST(0 AS DOUBLE) AS sse_broken,
+               ROUND(((sse1 - w['s']) / CAST(2 AS DOUBLE)) /
+                 (w['s'] / CAST(n - 4 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS f_improvement
+        FROM single CROSS JOIN best"""))
   )
 }
