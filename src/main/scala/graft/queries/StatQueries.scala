@@ -10165,6 +10165,141 @@ object StatQueries {
                ROUND(((sse1 - w['s']) / CAST(2 AS DOUBLE)) /
                  (w['s'] / CAST(n - 4 AS DOUBLE)), 6)
                  + CAST(0 AS DOUBLE) AS f_improvement
-        FROM single CROSS JOIN best"""))
+        FROM single CROSS JOIN best""")),
+
+    // Behavioral-fingerprint similarity: cosine similarity between the
+    // 24-hour activity profiles of every event-type pair — do clicks
+    // and views share a daily rhythm that errors don't? The
+    // profile-level companion of qdb's independence test (which says
+    // THAT type and time associate; this says WHICH types look alike).
+    // Dot products and norms are exact integer arithmetic over the
+    // 5×24 count matrix; one sqrt ratio per pair, all ten pairs
+    // emitted in a total order.
+    "qfu_profile_similarity" -> Q(
+      fn = (s, dir) => {
+        val prof = t(s, dir, "events")
+          .groupBy(col("event_type").as("et"),
+            pmod((unix_millis(col("ts")) / lit(3600000L)).cast("long"),
+              lit(24L)).as("hr"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(eager = false)
+        val pairs = prof.select(col("et").as("ea"), col("hr"),
+          col("c").as("ca"))
+          .join(prof.select(col("et").as("eb"), col("hr"),
+            col("c").as("cb")), Seq("hr"))
+          .filter(col("ea") < col("eb"))
+          .groupBy(col("ea"), col("eb"))
+          .agg(sum(col("ca") * col("cb")).as("dot"),
+            sum(col("ca") * col("ca")).as("na2"),
+            sum(col("cb") * col("cb")).as("nb2"))
+        pairs.select(col("ea"), col("eb"),
+          round(col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) *
+              sqrt(col("nb2").cast("double"))), 6).as("cosine"))
+          .orderBy(col("ea"), col("eb"))
+      },
+      oracle = Some("""
+        WITH prof AS MATERIALIZED (
+          SELECT event_type AS et,
+                 (epoch_ms(ts) // 3600000) % 24 AS hr,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.et AS ea, b.et AS eb,
+                 CAST(SUM(a.c * b.c) AS BIGINT) AS dot,
+                 CAST(SUM(a.c * a.c) AS BIGINT) AS na2,
+                 CAST(SUM(b.c * b.c) AS BIGINT) AS nb2
+          FROM prof a JOIN prof b ON a.hr = b.hr AND a.et < b.et
+          GROUP BY 1, 2)
+        SELECT ea, eb,
+               ROUND(CAST(dot AS DOUBLE) /
+                 (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))),
+                 6) + CAST(0 AS DOUBLE) AS cosine
+        FROM pairs ORDER BY ea, eb""")),
+
+    // Spacings-based uniformity self-audit of the engine's own md5
+    // hash draws (the q4d/qed sampling machinery): sort the unit-
+    // interval draws for a thinned key set, and test the spacings —
+    // Moran's statistic −Σ ln((n+1)·spacing) against its Γ-based
+    // normal approximation, plus the maximum spacing — the PRNG
+    // battery every deterministic-sampling pipeline owes its users
+    // (a lattice defect would load the spacings long before a mean
+    // test noticed). Draws and spacings are exact integer differences
+    // over 2⁴⁸; ln is the only float link.
+    "qfv_prng_spacings" -> Q(
+      fn = (s, dir) => {
+        val draws = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 13 === 0)
+          .select(conv(substring(md5(concat(col("o_orderkey")
+            .cast("string"), lit("sp"))), 1, 12), 16, 10).cast("long")
+            .as("u"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(draws,
+          Seq(col("u")), "i").localCheckpoint(eager = false)
+        val n0 = ranked.agg(count(lit(1)).as("n"))
+        // spacings include the two boundary gaps: u_(1) - 0 and 2^48 - u_(n)
+        val gaps = ranked.select(col("i"), col("u"))
+          .join(ranked.select((col("i") - 1).as("i"), col("u").as("up")),
+            Seq("i"), "left")
+          .crossJoin(broadcast(n0))
+          .select(
+            when(col("up").isNull, lit(281474976710656L) - col("u"))
+              .otherwise(col("up") - col("u")).as("g"), col("n"))
+          .unionByName(ranked.crossJoin(broadcast(n0))
+            .filter(col("i") === 1)
+            .select(col("u").as("g"), col("n")))
+        val agg = gaps
+          .select(col("n"), col("g"),
+            round(log((col("n") + 1).cast("double") *
+              (col("g").cast("double") / lit(281474976710656.0))), 9)
+              .as("lg"))
+          .agg(first(col("n")).as("n"),
+            sum(col("lg").cast("decimal(20,9)")).as("slg"),
+            max(col("g")).as("maxg"))
+        // Moran M = -sum ln((n+1)*D_i); null mean ~ (n+1)*gamma_e,
+        // var ~ (n+1)*(pi^2/6 - 1); emit the z with literal constants
+        agg.select(col("n").as("n_draws"),
+          round(-col("slg").cast("double"), 6).as("moran_m"),
+          round((-col("slg").cast("double") -
+            (col("n") + 1).cast("double") * lit(0.5772156649)) /
+            sqrt((col("n") + 1).cast("double") * lit(0.6449340668)), 6)
+            .as("moran_z"),
+          round(col("maxg").cast("double") / lit(281474976710656.0) *
+            (col("n") + 1).cast("double"), 6).as("max_spacing_ratio"))
+      },
+      oracle = Some("""
+        WITH draws AS (
+          SELECT CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+            || 'sp'), 1, 12) AS BIGINT) AS BIGINT) AS u
+          FROM orders WHERE o_orderkey % 13 = 0),
+        r AS MATERIALIZED (
+          SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS i FROM draws),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        gaps AS (
+          SELECT CASE WHEN b.u IS NULL THEN 281474976710656 - a.u
+                      ELSE b.u - a.u END AS g, n0.n
+          FROM r a LEFT JOIN r b ON b.i = a.i + 1 CROSS JOIN n0
+          UNION ALL
+          SELECT u AS g, n0.n FROM r CROSS JOIN n0 WHERE i = 1),
+        agg AS (
+          SELECT MAX(n) AS n,
+                 SUM(CAST(ROUND(ln(CAST(n + 1 AS DOUBLE) *
+                   (CAST(g AS DOUBLE) /
+                    CAST(281474976710656 AS DOUBLE))), 9)
+                   AS DECIMAL(20,9))) AS slg,
+                 CAST(MAX(g) AS BIGINT) AS maxg
+          FROM gaps)
+        SELECT n AS n_draws,
+               ROUND(-CAST(slg AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS moran_m,
+               ROUND((-CAST(slg AS DOUBLE) -
+                 CAST(n + 1 AS DOUBLE) * CAST(0.5772156649 AS DOUBLE)) /
+                 sqrt(CAST(n + 1 AS DOUBLE) *
+                   CAST(0.6449340668 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS moran_z,
+               ROUND(CAST(maxg AS DOUBLE) /
+                 CAST(281474976710656 AS DOUBLE) *
+                 CAST(n + 1 AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS max_spacing_ratio
+        FROM agg"""))
   )
 }
