@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, EventQueries, Q, RelationalQueries, SciQueries, StatQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, AppliedQueries, EventQueries, Q, RelationalQueries, SciQueries, StatQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,7 @@ object SparkEntry {
   val all: Map[String, Q] =
     RelationalQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
       EventQueries.defs ++ AnalyticsQueries.defs ++ SciQueries.defs ++
-      StatQueries.defs
+      StatQueries.defs ++ AppliedQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exact cosine top-k through the codegen'd CosineSimilarity expression.

@@ -1,0 +1,917 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 session-4 families: applied business/ops analytics that the
+  * qa0-qfw waves have not yet touched — segregation & abundance profile
+  * comparison, forecast-acceptance error batteries, return/risk ratio
+  * cards, regional-economics decompositions (shift-share, RCA), revenue
+  * retention, signal cleaning (Savitzky-Golay + Hampel), credibility /
+  * chain-ladder actuarial methods, and HAC-robust regression inference.
+  *
+  * Every query carries an exact DuckDB oracle under the CLAUDE.md parity
+  * rules: DECIMAL moment sums with per-term 9-decimal rounds, ln/÷/sqrt
+  * -only float links, DECIMAL multiplies wherever an exact grid product
+  * could land on a rounding half-boundary (rule 15), and `+ CAST(0 AS
+  * DOUBLE)` guards on any ROUND whose argument can be a tiny negative.
+  *
+  * Reference anchor: the-hive's analytics surface stops at counts and
+  * rollups (internal/store/search.go, internal/server/stats.go); these
+  * queries extend the engine's applied-analytics battery the same way
+  * the earlier waves do — declaratively, over the driver fixtures,
+  * oracle-exact, with every shuffle keyed and every scalar broadcast.
+  */
+object AppliedQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Daily order revenue in millions, exact DECIMAL(18,8) (the StatQueries
+    * recipe): /1e6 of a 2-decimal sum has exactly 8 decimals, so values
+    * stay O(1..10) and every downstream ROUND(x,6) term remains inside
+    * the 15-significant-digit oracle-safe envelope.
+    */
+  private def dailyRevenueM(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
+        .as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) / lit(1000000))
+        .cast("decimal(18,8)").as("ym"))
+
+  private val dailyRevenueMSql: String =
+    """SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+      |         AS DECIMAL(18,8)) AS ym
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** round-9 → DECIMAL(20,9) accumulator term (the q4b grid recipe). */
+  private def g9(c: Column): Column = round(c, 9).cast("decimal(20,9)")
+
+  val defs: Map[String, Q] = Map(
+
+    // Segregation / dissimilarity card over the customer market-segment
+    // × nation distribution: Duncan's dissimilarity D between the two
+    // reference segments, the isolation and interaction exposure
+    // indices, and Theil's entropy segregation index H over all five
+    // segments — the demography/market-structure battery (how unevenly
+    // are segments spread across nations). All shares are exact-integer
+    // ratios; ln is the only float link; per-term 9-grid DECIMAL sums.
+    "qfx_segregation_indices" -> Q(
+      fn = (s, dir) => {
+        val c = t(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("n"), col("c_mktsegment").as("g"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false)
+        val natT = c.groupBy(col("n")).agg(sum(col("cnt")).as("tn"))
+        val tot = c.agg(sum(col("cnt")).as("tt"),
+          sum(when(col("g") === "AUTOMOBILE", col("cnt")).otherwise(0L))
+            .as("ca"),
+          sum(when(col("g") === "BUILDING", col("cnt")).otherwise(0L))
+            .as("cb"))
+        // per-nation a/b counts (0 where a segment is absent)
+        val ab = c.groupBy(col("n")).agg(
+          sum(when(col("g") === "AUTOMOBILE", col("cnt")).otherwise(0L))
+            .as("a"),
+          sum(when(col("g") === "BUILDING", col("cnt")).otherwise(0L))
+            .as("b"))
+        val duncan = ab.crossJoin(broadcast(tot))
+          .join(natT, Seq("n"))
+          .select(
+            g9(abs(col("a").cast("double") / col("ca").cast("double") -
+              col("b").cast("double") / col("cb").cast("double"))).as("dd"),
+            g9((col("a").cast("double") / col("ca").cast("double")) *
+              (col("a").cast("double") / col("tn").cast("double"))).as("iso"),
+            g9((col("a").cast("double") / col("ca").cast("double")) *
+              (col("b").cast("double") / col("tn").cast("double"))).as("ixn"))
+          .agg(sum(col("dd")).as("sdd"), sum(col("iso")).as("siso"),
+            sum(col("ixn")).as("sixn"))
+        // global entropy E over segments, per-nation entropy E_n
+        val eGlob = c.groupBy(col("g")).agg(sum(col("cnt")).as("gg"))
+          .crossJoin(broadcast(tot))
+          .select(g9(-(col("gg").cast("double") / col("tt").cast("double")) *
+            log(col("gg").cast("double") / col("tt").cast("double")))
+            .as("e"))
+          .agg(sum(col("e")).as("se"))
+        val eNat = c.join(natT, Seq("n"))
+          .select(col("n"), col("tn"),
+            g9(-(col("cnt").cast("double") / col("tn").cast("double")) *
+              log(col("cnt").cast("double") / col("tn").cast("double")))
+              .as("e"))
+          .groupBy(col("n"), col("tn")).agg(sum(col("e")).as("en"))
+        val h = eNat.crossJoin(broadcast(eGlob)).crossJoin(broadcast(tot))
+          .select(g9((col("tn").cast("double") / col("tt").cast("double")) *
+            (col("se").cast("double") - col("en").cast("double")) /
+            col("se").cast("double")).as("ht"))
+          .agg(sum(col("ht")).as("sh"))
+        duncan.crossJoin(broadcast(h))
+          .select(
+            round(col("sdd").cast("double") / 2, 6).as("duncan_d"),
+            round(col("siso").cast("double"), 6).as("isolation_a"),
+            round(col("sixn").cast("double"), 6).as("interaction_ab"),
+            (round(col("sh").cast("double"), 6) + lit(0.0).cast("double"))
+              .as("entropy_h"))
+      },
+      oracle = Some("""
+        WITH c AS MATERIALIZED (
+          SELECT c_nationkey AS n, c_mktsegment AS g,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM customer GROUP BY 1, 2),
+        natt AS (SELECT n, CAST(SUM(cnt) AS BIGINT) AS tn FROM c GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS tt,
+                 CAST(SUM(CASE WHEN g = 'AUTOMOBILE' THEN cnt ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN g = 'BUILDING' THEN cnt ELSE 0 END)
+                   AS BIGINT) AS cb
+          FROM c),
+        ab AS (
+          SELECT n,
+                 CAST(SUM(CASE WHEN g = 'AUTOMOBILE' THEN cnt ELSE 0 END)
+                   AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN g = 'BUILDING' THEN cnt ELSE 0 END)
+                   AS BIGINT) AS b
+          FROM c GROUP BY 1),
+        duncan AS (
+          SELECT SUM(CAST(ROUND(abs(CAST(a AS DOUBLE) / CAST(ca AS DOUBLE) -
+                   CAST(b AS DOUBLE) / CAST(cb AS DOUBLE)), 9)
+                 AS DECIMAL(20,9))) AS sdd,
+                 SUM(CAST(ROUND((CAST(a AS DOUBLE) / CAST(ca AS DOUBLE)) *
+                   (CAST(a AS DOUBLE) / CAST(tn AS DOUBLE)), 9)
+                 AS DECIMAL(20,9))) AS siso,
+                 SUM(CAST(ROUND((CAST(a AS DOUBLE) / CAST(ca AS DOUBLE)) *
+                   (CAST(b AS DOUBLE) / CAST(tn AS DOUBLE)), 9)
+                 AS DECIMAL(20,9))) AS sixn
+          FROM ab CROSS JOIN tot JOIN natt USING (n)),
+        eglob AS (
+          SELECT SUM(CAST(ROUND(-(CAST(gg AS DOUBLE) / CAST(tt AS DOUBLE)) *
+                   ln(CAST(gg AS DOUBLE) / CAST(tt AS DOUBLE)), 9)
+                 AS DECIMAL(20,9))) AS se
+          FROM (SELECT g, CAST(SUM(cnt) AS BIGINT) AS gg FROM c GROUP BY 1)
+               CROSS JOIN tot),
+        enat AS (
+          SELECT n, tn,
+                 SUM(CAST(ROUND(-(CAST(cnt AS DOUBLE) / CAST(tn AS DOUBLE)) *
+                   ln(CAST(cnt AS DOUBLE) / CAST(tn AS DOUBLE)), 9)
+                 AS DECIMAL(20,9))) AS en
+          FROM c JOIN natt USING (n) GROUP BY 1, 2),
+        h AS (
+          SELECT SUM(CAST(ROUND((CAST(tn AS DOUBLE) / CAST(tt AS DOUBLE)) *
+                   (CAST(se AS DOUBLE) - CAST(en AS DOUBLE)) /
+                   CAST(se AS DOUBLE), 9) AS DECIMAL(20,9))) AS sh
+          FROM enat CROSS JOIN eglob CROSS JOIN tot)
+        SELECT ROUND(CAST(sdd AS DOUBLE) / 2, 6) AS duncan_d,
+               ROUND(CAST(siso AS DOUBLE), 6) AS isolation_a,
+               ROUND(CAST(sixn AS DOUBLE), 6) AS interaction_ab,
+               ROUND(CAST(sh AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS entropy_h
+        FROM duncan CROSS JOIN h""")),
+
+    // Abundance-profile distance battery between the early and late
+    // shipping halves of the brand mix: Bray-Curtis dissimilarity,
+    // Morisita-Horn overlap, Hellinger distance and total variation —
+    // the ecology/ML toolkit for "did the corpus composition move",
+    // complementing qcz's Jensen-Shannon and qav's Wasserstein with the
+    // abundance-native indices. Counts are exact integers end-to-end;
+    // only the final ratios and sqrt links run in doubles.
+    "qfy_abundance_distance" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            sum(when(col("l_shipdate") < lit("1998-07-01").cast("timestamp"),
+              1L).otherwise(0L)).as("x"),
+            sum(when(col("l_shipdate") >= lit("1998-07-01").cast("timestamp"),
+              1L).otherwise(0L)).as("y"))
+          .localCheckpoint(eager = false)
+        val tots = li.agg(sum(col("x")).as("xx"), sum(col("y")).as("yy"))
+        val agg = li.crossJoin(broadcast(tots))
+          .select(col("x"), col("y"), col("xx"), col("yy"),
+            g9(sqrt((col("x").cast("double") / col("xx").cast("double")) *
+              (col("y").cast("double") / col("yy").cast("double"))))
+              .as("bcc"),
+            g9(abs(col("x").cast("double") / col("xx").cast("double") -
+              col("y").cast("double") / col("yy").cast("double"))).as("tv"))
+          .agg(
+            sum(abs(col("x") - col("y"))).as("sad"),
+            sum(col("x") + col("y")).as("stot"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            first(col("xx")).as("xx"), first(col("yy")).as("yy"),
+            sum(col("bcc")).as("sbcc"), sum(col("tv")).as("stv"))
+        agg.select(
+          round(col("sad").cast("double") / col("stot").cast("double"), 6)
+            .as("bray_curtis"),
+          round(lit(2.0) * col("sxy").cast("double") /
+            ((col("sxx").cast("double") /
+              (col("xx").cast("double") * col("xx").cast("double")) +
+              col("syy").cast("double") /
+                (col("yy").cast("double") * col("yy").cast("double"))) *
+              col("xx").cast("double") * col("yy").cast("double")), 6)
+            .as("morisita_horn"),
+          round(sqrt(greatest(lit(1.0) - col("sbcc").cast("double"),
+            lit(0.0))), 6).as("hellinger"),
+          round(col("stv").cast("double") / 2, 6).as("total_variation"))
+      },
+      oracle = Some("""
+        WITH li AS MATERIALIZED (
+          SELECT p_brand,
+                 CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1),
+        tots AS (
+          SELECT CAST(SUM(x) AS BIGINT) AS xx, CAST(SUM(y) AS BIGINT) AS yy
+          FROM li),
+        agg AS (
+          SELECT CAST(SUM(abs(x - y)) AS BIGINT) AS sad,
+                 CAST(SUM(x + y) AS BIGINT) AS stot,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 MAX(xx) AS xx, MAX(yy) AS yy,
+                 SUM(CAST(ROUND(sqrt((CAST(x AS DOUBLE) / CAST(xx AS DOUBLE)) *
+                   (CAST(y AS DOUBLE) / CAST(yy AS DOUBLE))), 9)
+                   AS DECIMAL(20,9))) AS sbcc,
+                 SUM(CAST(ROUND(abs(CAST(x AS DOUBLE) / CAST(xx AS DOUBLE) -
+                   CAST(y AS DOUBLE) / CAST(yy AS DOUBLE)), 9)
+                   AS DECIMAL(20,9))) AS stv
+          FROM li CROSS JOIN tots)
+        SELECT ROUND(CAST(sad AS DOUBLE) / CAST(stot AS DOUBLE), 6)
+                 AS bray_curtis,
+               ROUND(CAST(2 AS DOUBLE) * CAST(sxy AS DOUBLE) /
+                 ((CAST(sxx AS DOUBLE) /
+                   (CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE)) +
+                   CAST(syy AS DOUBLE) /
+                   (CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE))) *
+                  CAST(xx AS DOUBLE) * CAST(yy AS DOUBLE)), 6)
+                 AS morisita_horn,
+               ROUND(sqrt(GREATEST(CAST(1 AS DOUBLE) -
+                 CAST(sbcc AS DOUBLE), CAST(0 AS DOUBLE))), 6) AS hellinger,
+               ROUND(CAST(stv AS DOUBLE) / 2, 6) AS total_variation
+        FROM agg""")),
+
+    // Forecast-acceptance error battery: naive (lag-1) vs seasonal-naive
+    // (lag-7) one-step forecasts of daily revenue, scored with the
+    // production acceptance metrics q7l's Holt backtest does not carry —
+    // MAPE, sMAPE, MASE (scaled by the naive MAE), pinball loss at
+    // τ=0.9 and directional accuracy. Errors are EXACT DECIMAL(19,8)
+    // differences of the exact daily-revenue grid; squared/pinball
+    // terms multiply in DECIMAL (rule 15) so every sum is exact or
+    // 9-grid-snapped before the final ratios.
+    "qfz_forecast_errors" -> Q(
+      fn = (s, dir) => {
+        val w = Window.orderBy(col("day"))
+        val base = dailyRevenueM(s, dir)
+          .select(col("day"), col("ym"),
+            lag(col("ym"), 1).over(w).as("f1"),
+            lag(col("ym"), 7).over(w).as("f7"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") > 7)
+          .localCheckpoint(eager = false)
+        val rows = base.select(lit("naive").as("method"), col("ym"),
+          col("f1").as("f"), col("f1"))
+          .unionByName(base.select(lit("snaive").as("method"), col("ym"),
+            col("f7").as("f"), col("f1")))
+        val per = rows
+          .select(col("method"), col("ym"), col("f"), col("f1"),
+            (col("ym") - col("f")).as("e"))
+          .select(col("method"),
+            abs(col("e")).as("ae"),
+            round(col("e") * col("e"), 9).as("e2"),
+            g9(abs(col("e")).cast("double") / col("ym").cast("double"))
+              .as("ape"),
+            g9(lit(2.0) * abs(col("e")).cast("double") /
+              (col("f") + col("ym")).cast("double")).as("sape"),
+            when(col("e") >= 0, col("e") * lit(0.9).cast("decimal(2,1)"))
+              .otherwise(-col("e") * lit(0.1).cast("decimal(2,1)"))
+              .as("pb"),
+            when((col("f") > col("f1") && col("ym") > col("f1")) ||
+              (col("f") < col("f1") && col("ym") < col("f1")) ||
+              (col("f") === col("f1") && col("ym") === col("f1")), 1L)
+              .otherwise(0L).as("hit"))
+          .groupBy(col("method"))
+          .agg(count(lit(1)).as("n"), sum(col("ae")).as("sae"),
+            sum(col("e2")).as("se2"), sum(col("ape")).as("sape_"),
+            sum(col("sape")).as("ssape"), sum(col("pb")).as("spb"),
+            sum(col("hit")).as("hits"))
+          .localCheckpoint(eager = false)
+        val naiveMae = per.filter(col("method") === "naive")
+          .select(col("sae").as("nsae"))
+        per.crossJoin(broadcast(naiveMae))
+          .select(col("method"), col("n"),
+            round(col("sae").cast("double") / col("n").cast("double"), 6)
+              .as("mae"),
+            round(sqrt(col("se2").cast("double") / col("n").cast("double")),
+              6).as("rmse"),
+            round(col("sape_").cast("double") / col("n").cast("double"), 6)
+              .as("mape"),
+            round(col("ssape").cast("double") / col("n").cast("double"), 6)
+              .as("smape"),
+            round(col("sae").cast("double") / col("nsae").cast("double"), 6)
+              .as("mase"),
+            round(col("spb").cast("double") / col("n").cast("double"), 6)
+              .as("pinball90"),
+            round(col("hits").cast("double") / col("n").cast("double"), 6)
+              .as("dir_acc"))
+          .orderBy(col("method"))
+      },
+      oracle = Some(s"""
+        WITH d AS ($dailyRevenueMSql),
+        base AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT day, ym,
+                   LAG(ym, 1) OVER (ORDER BY day) AS f1,
+                   LAG(ym, 7) OVER (ORDER BY day) AS f7,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn
+            FROM d) WHERE rn > 7),
+        rows_ AS (
+          SELECT 'naive' AS method, ym, f1 AS f, f1 FROM base
+          UNION ALL
+          SELECT 'snaive' AS method, ym, f7 AS f, f1 FROM base),
+        per AS MATERIALIZED (
+          SELECT method, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(abs(ym - f)) AS sae,
+                 SUM(ROUND(CAST(ym - f AS DECIMAL(19,8)) *
+                   CAST(ym - f AS DECIMAL(19,8)), 9)) AS se2,
+                 SUM(CAST(ROUND(CAST(abs(ym - f) AS DOUBLE) /
+                   CAST(ym AS DOUBLE), 9) AS DECIMAL(20,9))) AS sape_,
+                 SUM(CAST(ROUND(CAST(2 AS DOUBLE) *
+                   CAST(abs(ym - f) AS DOUBLE) /
+                   CAST(f + ym AS DOUBLE), 9) AS DECIMAL(20,9))) AS ssape,
+                 SUM(CASE WHEN ym - f >= 0 THEN (ym - f) * 0.9
+                          ELSE -(ym - f) * 0.1 END) AS spb,
+                 CAST(SUM(CASE WHEN (f > f1 AND ym > f1) OR
+                   (f < f1 AND ym < f1) OR (f = f1 AND ym = f1)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS hits
+          FROM rows_ GROUP BY 1),
+        nmae AS (SELECT sae AS nsae FROM per WHERE method = 'naive')
+        SELECT method, n,
+               ROUND(CAST(sae AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mae,
+               ROUND(sqrt(CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 AS rmse,
+               ROUND(CAST(sape_ AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mape,
+               ROUND(CAST(ssape AS DOUBLE) / CAST(n AS DOUBLE), 6) AS smape,
+               ROUND(CAST(sae AS DOUBLE) / CAST(nsae AS DOUBLE), 6) AS mase,
+               ROUND(CAST(spb AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS pinball90,
+               ROUND(CAST(hits AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS dir_acc
+        FROM per CROSS JOIN nmae ORDER BY method""")),
+
+    // Return/risk ratio card on the daily-revenue first differences:
+    // Sharpe, Sortino (downside deviation), Omega (gain/loss mass),
+    // Kelly fraction (mean/variance) and hit rate — the finance-desk
+    // acceptance numbers qfi's VaR/CVaR and qfj's drawdown card do not
+    // cover. Differences are exact DECIMAL(19,8); squares multiply in
+    // DECIMAL and snap to the 9-grid; gain/loss masses stay exact.
+    "qg0_revenue_risk_card" -> Q(
+      fn = (s, dir) => {
+        val w = Window.orderBy(col("day"))
+        val r = dailyRevenueM(s, dir)
+          .select(col("day"), (col("ym") - lag(col("ym"), 1).over(w))
+            .as("r"))
+          .filter(col("r").isNotNull)
+        val agg = r.agg(
+          count(lit(1)).as("n"),
+          sum(col("r")).as("sr"),
+          sum(round(col("r") * col("r"), 9)).as("srr"),
+          sum(when(col("r") < 0, round(col("r") * col("r"), 9))
+            .otherwise(lit(0).cast("decimal(20,9)"))).as("sdr"),
+          sum(when(col("r") > 0, col("r")).otherwise(lit(0)
+            .cast("decimal(19,8)"))).as("spos"),
+          sum(when(col("r") < 0, -col("r")).otherwise(lit(0)
+            .cast("decimal(19,8)"))).as("sneg"),
+          sum(when(col("r") > 0, 1L).otherwise(0L)).as("hits"))
+        agg.select(col("n").as("n_days"),
+          (round(col("sr").cast("double") / col("n").cast("double"), 6) +
+            lit(0.0)).as("mean_r"),
+          round(sqrt((col("srr").cast("double") -
+            col("sr").cast("double") * col("sr").cast("double") /
+              col("n").cast("double")) / (col("n") - 1).cast("double")), 6)
+            .as("std_r"),
+          (round((col("sr").cast("double") / col("n").cast("double")) /
+            sqrt((col("srr").cast("double") -
+              col("sr").cast("double") * col("sr").cast("double") /
+                col("n").cast("double")) / (col("n") - 1).cast("double")),
+            6) + lit(0.0)).as("sharpe"),
+          (round((col("sr").cast("double") / col("n").cast("double")) /
+            sqrt(col("sdr").cast("double") / col("n").cast("double")), 6) +
+            lit(0.0)).as("sortino"),
+          round(col("spos").cast("double") / col("sneg").cast("double"), 6)
+            .as("omega"),
+          (round((col("sr").cast("double") / col("n").cast("double")) /
+            ((col("srr").cast("double") -
+              col("sr").cast("double") * col("sr").cast("double") /
+                col("n").cast("double")) / (col("n") - 1).cast("double")),
+            6) + lit(0.0)).as("kelly"),
+          round(col("hits").cast("double") / col("n").cast("double"), 6)
+            .as("hit_rate"))
+      },
+      oracle = Some(s"""
+        WITH d AS ($dailyRevenueMSql),
+        r AS (
+          SELECT CAST(ym - LAG(ym, 1) OVER (ORDER BY day)
+            AS DECIMAL(19,8)) AS r
+          FROM d QUALIFY r IS NOT NULL),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(r) AS sr,
+                 SUM(ROUND(r * r, 9)) AS srr,
+                 SUM(CASE WHEN r < 0 THEN ROUND(r * r, 9)
+                     ELSE CAST(0 AS DECIMAL(20,9)) END) AS sdr,
+                 SUM(CASE WHEN r > 0 THEN r
+                     ELSE CAST(0 AS DECIMAL(19,8)) END) AS spos,
+                 SUM(CASE WHEN r < 0 THEN -r
+                     ELSE CAST(0 AS DECIMAL(19,8)) END) AS sneg,
+                 CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hits
+          FROM r)
+        SELECT n AS n_days,
+               ROUND(CAST(sr AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS mean_r,
+               ROUND(sqrt((CAST(srr AS DOUBLE) -
+                 CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) /
+                 CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)), 6) AS std_r,
+               ROUND((CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)) /
+                 sqrt((CAST(srr AS DOUBLE) -
+                   CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) /
+                   CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS sharpe,
+               ROUND((CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)) /
+                 sqrt(CAST(sdr AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS sortino,
+               ROUND(CAST(spos AS DOUBLE) / CAST(sneg AS DOUBLE), 6)
+                 AS omega,
+               ROUND((CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)) /
+                 ((CAST(srr AS DOUBLE) -
+                   CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) /
+                   CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS kelly,
+               ROUND(CAST(hits AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS hit_rate
+        FROM agg""")),
+
+    // Shift-share decomposition of nation revenue growth between the
+    // pre-1998 and post-1998 halves, industry = brand: national-share
+    // (what the nation would gain growing at the aggregate rate),
+    // industry-mix (its brand portfolio's differential growth) and the
+    // residual competitive shift — with rs defined as e2 − e1·(1+g_b)
+    // the three components sum EXACTLY to the observed change even for
+    // cells that appear or vanish. Revenue in exact millions; the only
+    // float links are the growth-rate ratios; per-term 9-grid sums.
+    "qg1_shift_share" -> Q(
+      fn = (s, dir) => {
+        val cell = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("c_nationkey").as("n"), col("p_brand").as("b"))
+          .agg(
+            (sum(when(col("o_orderdate") < lit("1998-01-01")
+              .cast("timestamp"), col("l_extendedprice")).otherwise(0.0)
+              .cast("decimal(18,2)")) / lit(1000000)).cast("decimal(18,8)")
+              .as("e1"),
+            (sum(when(col("o_orderdate") >= lit("1998-01-01")
+              .cast("timestamp"), col("l_extendedprice")).otherwise(0.0)
+              .cast("decimal(18,2)")) / lit(1000000)).cast("decimal(18,8)")
+              .as("e2"))
+          .localCheckpoint(eager = false)
+        val brand = cell.groupBy(col("b"))
+          .agg(sum(col("e1")).as("b1"), sum(col("e2")).as("b2"))
+        val tot = cell.agg(sum(col("e1")).as("t1"), sum(col("e2")).as("t2"))
+        cell.join(broadcast(brand), Seq("b")).crossJoin(broadcast(tot))
+          .select(col("n"), col("e1"), col("e2"),
+            (col("t2").cast("double") / col("t1").cast("double") - 1)
+              .as("g"),
+            (col("b2").cast("double") / col("b1").cast("double") - 1)
+              .as("gb"))
+          .select(col("n"), col("e1"), col("e2"),
+            g9(col("e1").cast("double") * col("g")).as("ns"),
+            g9(col("e1").cast("double") * (col("gb") - col("g"))).as("im"),
+            g9(col("e2").cast("double") -
+              col("e1").cast("double") * (col("gb") + 1)).as("rs"))
+          .groupBy(col("n"))
+          .agg(sum(col("e1")).as("se1"), sum(col("e2") - col("e1"))
+            .as("chg"), sum(col("ns")).as("sns"), sum(col("im")).as("sim"),
+            sum(col("rs")).as("srs"))
+          .select(col("n"),
+            round(col("se1").cast("double"), 6).as("base_m"),
+            (round(col("chg").cast("double"), 6) + lit(0.0)).as("change_m"),
+            (round(col("sns").cast("double"), 6) + lit(0.0))
+              .as("national_share"),
+            (round(col("sim").cast("double"), 6) + lit(0.0))
+              .as("industry_mix"),
+            (round(col("srs").cast("double"), 6) + lit(0.0))
+              .as("competitive_shift"))
+          .orderBy(col("n"))
+      },
+      oracle = Some("""
+        WITH cell AS MATERIALIZED (
+          SELECT c_nationkey AS n, p_brand AS b,
+                 CAST(SUM(CAST(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                   THEN l_extendedprice ELSE 0 END AS DECIMAL(18,2)))
+                   / 1000000 AS DECIMAL(18,8)) AS e1,
+                 CAST(SUM(CAST(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                   THEN l_extendedprice ELSE 0 END AS DECIMAL(18,2)))
+                   / 1000000 AS DECIMAL(18,8)) AS e2
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+        brand AS (
+          SELECT b, SUM(e1) AS b1, SUM(e2) AS b2 FROM cell GROUP BY 1),
+        tot AS (SELECT SUM(e1) AS t1, SUM(e2) AS t2 FROM cell),
+        terms AS (
+          SELECT n, e1, e2,
+                 CAST(ROUND(CAST(e1 AS DOUBLE) * g, 9) AS DECIMAL(20,9))
+                   AS ns,
+                 CAST(ROUND(CAST(e1 AS DOUBLE) * (gb - g), 9)
+                   AS DECIMAL(20,9)) AS im,
+                 CAST(ROUND(CAST(e2 AS DOUBLE) -
+                   CAST(e1 AS DOUBLE) * (gb + 1), 9) AS DECIMAL(20,9)) AS rs
+          FROM (
+            SELECT n, e1, e2,
+                   CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE) - 1 AS g,
+                   CAST(b2 AS DOUBLE) / CAST(b1 AS DOUBLE) - 1 AS gb
+            FROM cell JOIN brand USING (b) CROSS JOIN tot))
+        SELECT n,
+               ROUND(CAST(SUM(e1) AS DOUBLE), 6) AS base_m,
+               ROUND(CAST(SUM(e2 - e1) AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS change_m,
+               ROUND(CAST(SUM(ns) AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS national_share,
+               ROUND(CAST(SUM(im) AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS industry_mix,
+               ROUND(CAST(SUM(rs) AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS competitive_shift
+        FROM terms GROUP BY n ORDER BY n""")),
+
+    // Balassa revealed-comparative-advantage matrix over nation × brand
+    // line counts: RCA = (c_nb/c_n)/(c_b/T) — which nations
+    // over-purchase which brands relative to the world mix. Pure
+    // exact-integer arithmetic to ONE double division (both products
+    // stay far below 2^53); the top-20 cut is tie-broken on (n, b) so
+    // the emitted set is engine-stable at every SF (RCA → 1 as cells
+    // grow, so a fixed threshold would go vacuous at bench scale).
+    "qg2_rca_balassa" -> Q(
+      fn = (s, dir) => {
+        val cell = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("c_nationkey").as("n"), col("p_brand").as("b"))
+          .agg(count(lit(1)).as("cnb"))
+          .localCheckpoint(eager = false)
+        val natC = cell.groupBy(col("n")).agg(sum(col("cnb")).as("cn"))
+        val brC = cell.groupBy(col("b")).agg(sum(col("cnb")).as("cb"))
+        val tot = cell.agg(sum(col("cnb")).as("tt"))
+        cell.join(natC, Seq("n")).join(broadcast(brC), Seq("b"))
+          .crossJoin(broadcast(tot))
+          .select(col("n"), col("b"), col("cnb"),
+            round((col("cnb") * col("tt")).cast("double") /
+              (col("cn") * col("cb")).cast("double"), 6).as("rca"))
+          .orderBy(col("rca").desc, col("n"), col("b"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH cell AS MATERIALIZED (
+          SELECT c_nationkey AS n, p_brand AS b,
+                 CAST(COUNT(*) AS BIGINT) AS cnb
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+        natc AS (SELECT n, CAST(SUM(cnb) AS BIGINT) AS cn FROM cell
+                 GROUP BY 1),
+        brc AS (SELECT b, CAST(SUM(cnb) AS BIGINT) AS cb FROM cell
+                GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnb) AS BIGINT) AS tt FROM cell)
+        SELECT n, b, cnb,
+               ROUND(CAST(cnb * tt AS DOUBLE) / CAST(cn * cb AS DOUBLE), 6)
+                 AS rca
+        FROM cell JOIN natc USING (n) JOIN brc USING (b) CROSS JOIN tot
+        ORDER BY rca DESC, n, b LIMIT 20""")),
+
+    // Net / gross revenue retention by calendar month: for each month
+    // pair (m, m+1), the revenue of month-m active customers observed
+    // in m+1 — uncapped (NRR, expansion counts) and capped at each
+    // customer's month-m revenue (GRR, only contraction counts) — the
+    // SaaS-board metric pair q7i's cohort-LTV curves do not give.
+    // Revenue stays exact DECIMAL(18,2); LEAST of exact decimals is
+    // exact; the two ratios are the only float links.
+    "qg3_nrr_grr" -> Q(
+      fn = (s, dir) => {
+        val cm = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("c"),
+            expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)")
+              .as("m"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+          .localCheckpoint(eager = false)
+        val maxM = cm.agg(max(col("m")).as("mx"))
+        cm.join(cm.select(col("c"), (col("m") - 1).as("m"),
+          col("rev").as("rev_next")), Seq("c", "m"), "left")
+          .crossJoin(broadcast(maxM))
+          .filter(col("m") < col("mx"))
+          .select(col("m"), col("rev"),
+            coalesce(col("rev_next"), lit(0).cast("decimal(18,2)"))
+              .as("rn2"))
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_active"),
+            sum(col("rev")).as("base"),
+            sum(col("rn2")).as("nextrev"),
+            sum(least(col("rn2"), col("rev"))).as("capped"))
+          .select(col("m"), col("n_active"),
+            round(col("base").cast("double"), 2).as("base_rev"),
+            round(col("nextrev").cast("double") /
+              col("base").cast("double"), 6).as("nrr"),
+            round(col("capped").cast("double") /
+              col("base").cast("double"), 6).as("grr"))
+          .orderBy(col("m"))
+      },
+      oracle = Some("""
+        WITH cm AS MATERIALIZED (
+          SELECT o_custkey AS c,
+                 CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS m,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1, 2),
+        mx AS (SELECT MAX(m) AS mx FROM cm),
+        j AS (
+          SELECT a.m, a.rev,
+                 COALESCE(b.rev, CAST(0 AS DECIMAL(18,2))) AS rn2
+          FROM cm a LEFT JOIN cm b ON b.c = a.c AND b.m = a.m + 1
+          CROSS JOIN mx WHERE a.m < mx)
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS n_active,
+               ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS base_rev,
+               ROUND(CAST(SUM(rn2) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE), 6)
+                 AS nrr,
+               ROUND(CAST(SUM(LEAST(rn2, rev)) AS DOUBLE) /
+                 CAST(SUM(rev) AS DOUBLE), 6) AS grr
+        FROM j GROUP BY m ORDER BY m""")),
+
+    // Signal cleaning over the 1997 daily-revenue series: Savitzky-Golay
+    // quadratic window-5 smoothing (the published integer kernel
+    // (-3,12,17,12,-3)/35 — preserves local quadratic structure where a
+    // moving average flattens it) plus a Hampel rolling-median outlier
+    // flag (window 7, 3·1.4826·MAD). The kernel combination and both
+    // medians are EXACT DECIMAL arithmetic — the outlier comparison
+    // never touches a float, so the boolean is engine-stable by
+    // construction; only the /35 smoother output rides a double.
+    "qg4_savgol_hampel" -> Q(
+      fn = (s, dir) => {
+        val w = Window.orderBy(col("day"))
+        val ww = Window.orderBy(col("day")).rowsBetween(-3, 3)
+        val d = t(s, dir, "orders")
+          .filter(expr("year(o_orderdate) = 1997"))
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) " +
+            "div 86400000").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(18,8)").as("ym"))
+        val win = d.select(col("day"), col("ym"),
+          lag(col("ym"), 2).over(w).as("l2"),
+          lag(col("ym"), 1).over(w).as("l1"),
+          lead(col("ym"), 1).over(w).as("u1"),
+          lead(col("ym"), 2).over(w).as("u2"),
+          lag(col("ym"), 3).over(w).as("l3"),
+          lead(col("ym"), 3).over(w).as("u3"),
+          sort_array(collect_list(col("ym")).over(ww)).as("arr"))
+          .filter(col("l3").isNotNull && col("u3").isNotNull)
+        val med = win.select(col("day"), col("ym"),
+          (col("l2") * -3 + col("l1") * 12 + col("ym") * 17 +
+            col("u1") * 12 + col("u2") * -3).as("sgnum"),
+          element_at(col("arr"), 4).as("med"), col("arr"))
+        val dev = med.select(col("day"), col("ym"), col("sgnum"), col("med"),
+          element_at(sort_array(transform(col("arr"),
+            v => abs(v - col("med")))), 4).as("mad"))
+        dev.select(col("day"),
+          round(col("ym").cast("double"), 6).as("ym"),
+          round(col("sgnum").cast("double") / 35, 6).as("sg_smooth"),
+          when(abs(col("ym") - col("med")) >
+            col("mad") * lit(4.4478).cast("decimal(5,4)"), 1)
+            .otherwise(0).cast("int").as("is_outlier"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(18,8)) AS ym
+          FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+        win AS (
+          SELECT day, ym,
+                 LAG(ym, 2) OVER (ORDER BY day) AS l2,
+                 LAG(ym, 1) OVER (ORDER BY day) AS l1,
+                 LEAD(ym, 1) OVER (ORDER BY day) AS u1,
+                 LEAD(ym, 2) OVER (ORDER BY day) AS u2,
+                 LAG(ym, 3) OVER (ORDER BY day) AS l3,
+                 LEAD(ym, 3) OVER (ORDER BY day) AS u3,
+                 list_sort(list(ym) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+          FROM d),
+        med AS (
+          SELECT day, ym,
+                 ym * 17 + (l1 + u1) * 12 - (l2 + u2) * 3 AS sgnum,
+                 arr[4] AS med, arr
+          FROM win WHERE l3 IS NOT NULL AND u3 IS NOT NULL),
+        dev AS (
+          SELECT day, ym, sgnum, med,
+                 list_sort(list_transform(arr, v -> abs(v - med)))[4] AS mad
+          FROM med)
+        SELECT day,
+               ROUND(CAST(ym AS DOUBLE), 6) AS ym,
+               ROUND(CAST(sgnum AS DOUBLE) / 35, 6) AS sg_smooth,
+               CAST(CASE WHEN abs(ym - med) > mad * 4.4478
+                 THEN 1 ELSE 0 END AS INT) AS is_outlier
+        FROM dev ORDER BY day""")),
+
+    // Steady-state Kalman local-level filter over the daily event
+    // counts (known variances q=1, r=4): the Riccati gain recursion
+    // K = P⁻/(P⁻+r) and level update walk the q4b grid recipe — every
+    // per-step quantity is division/add/multiply of 9-snapped values
+    // (magnitudes O(1..1e4), well inside the 15-digit envelope), so the
+    // Spark ordered fold and the DuckDB recursive CTE produce identical
+    // doubles step for step. The filter is the optimal online smoother
+    // the q5i EMA card approximates with a fixed gain.
+    "qg5_kalman_level" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(expr("CAST(unix_millis(ts) div 86400000 AS BIGINT)")
+            .as("day"))
+          .agg(count(lit(1)).as("y"))
+        daily.agg(array_sort(collect_list(struct(col("day"), col("y"))))
+          .as("a"))
+          .select(expr("""
+            aggregate(
+              slice(a, 2, size(a) - 1),
+              named_struct(
+                'x', round(CAST(a[0].y AS DOUBLE), 9),
+                'p', CAST(4 AS DOUBLE),
+                'out', array(named_struct(
+                  'day', a[0].day, 'y', a[0].y,
+                  'lvl', round(CAST(a[0].y AS DOUBLE), 9),
+                  'k', CAST(0 AS DOUBLE)))),
+              (acc, v) -> named_struct(
+                'x', round(acc.x + round((acc.p + 1) / (acc.p + 5), 9) *
+                  (v.y - acc.x), 9),
+                'p', round((1 - round((acc.p + 1) / (acc.p + 5), 9)) *
+                  (acc.p + 1), 9),
+                'out', array_append(acc.out, named_struct(
+                  'day', v.day, 'y', v.y,
+                  'lvl', round(acc.x + round((acc.p + 1) / (acc.p + 5), 9) *
+                    (v.y - acc.x), 9),
+                  'k', round((acc.p + 1) / (acc.p + 5), 9)))),
+              acc -> acc.out) AS kal"""))
+          .select(explode(col("kal")).as("r"))
+          .select(col("r.day").as("day"), col("r.y").as("y"),
+            round(col("r.lvl"), 6).as("level"),
+            round(col("r.k"), 6).as("gain"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE d AS MATERIALIZED (
+          SELECT day, y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT)
+                   AS rn
+          FROM (SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS y
+                FROM events GROUP BY 1)),
+        kal AS (
+          SELECT rn, day, y, ROUND(CAST(y AS DOUBLE), 9) AS x,
+                 CAST(4 AS DOUBLE) AS p, CAST(0 AS DOUBLE) AS k
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.rn, d.day, d.y,
+                 ROUND(k.x + ROUND((k.p + 1) / (k.p + 5), 9) *
+                   (d.y - k.x), 9),
+                 ROUND((1 - ROUND((k.p + 1) / (k.p + 5), 9)) *
+                   (k.p + 1), 9),
+                 ROUND((k.p + 1) / (k.p + 5), 9)
+          FROM kal k JOIN d ON d.rn = k.rn + 1)
+        SELECT day, y, ROUND(x, 6) AS level, ROUND(k, 6) AS gain
+        FROM kal ORDER BY day""")),
+
+    // OLS trend of daily revenue with Newey-West HAC (lag-5 Bartlett)
+    // standard errors — the serial-correlation-robust inference the
+    // qc0/qcw diagnostics call for when Durbin-Watson rejects. Centered
+    // regressors keep every moment exact (x̃² is an exact quarter-integer
+    // DECIMAL sum); residual cross-products are scaled to O(1) before
+    // the 9-grid snap so no term exceeds the 15-digit envelope; lag
+    // covariances come from a bounded rn-offset self-join, Bartlett
+    // weights fold in exact integer arithmetic ((6-l)·Γ_l summed in
+    // DECIMAL, one /6 at the end).
+    "qg6_newey_west" -> Q(
+      fn = (s, dir) => {
+        val w = Window.orderBy(col("day"))
+        val d0 = dailyRevenueM(s, dir)
+          .select(col("day"), col("ym"), row_number().over(w).as("rn"))
+          .localCheckpoint(eager = false)
+        val n0 = d0.agg(count(lit(1)).as("n"),
+          sum(col("ym")).as("sy"))
+        val cent = d0.crossJoin(broadcast(n0))
+          .select(col("rn"), col("n"),
+            (col("rn").cast("double") -
+              (col("n") + 1).cast("double") / 2).as("xt"),
+            (col("ym").cast("double") -
+              col("sy").cast("double") / col("n").cast("double")).as("yc"))
+          .localCheckpoint(eager = false)
+        val mom = cent.agg(
+          sum(round(col("xt") * col("xt"), 2).cast("decimal(20,2)"))
+            .as("sxx"),
+          sum(g9(col("xt") * col("yc") / 1000)).as("sxy"))
+        val u = cent.crossJoin(broadcast(mom.select(
+          (col("sxy").cast("double") * 1000 / col("sxx").cast("double"))
+            .as("b"))))
+          .select(col("rn"),
+            ((col("yc") - col("b") * col("xt")) * col("xt") / 1000).as("u"),
+            (col("yc") - col("b") * col("xt")).as("e"))
+          .localCheckpoint(eager = false)
+        val g0 = u.agg(sum(g9(col("u") * col("u"))).as("g0"),
+          sum(g9(col("e") * col("e"))).as("see"), count(lit(1)).as("n"))
+        val gl = u.select(col("rn"), col("u"))
+          .join(u.select(explode(sequence(lit(1), lit(5))).as("l"),
+            (col("rn") + col("l")).as("rn"), col("u").as("ul")),
+            Seq("rn"))
+          .groupBy(col("l")).agg(sum(g9(col("u") * col("ul"))).as("gll"))
+          .agg(sum(col("gll") * (lit(6) - col("l"))).as("wsum"))
+        g0.crossJoin(broadcast(gl)).crossJoin(broadcast(mom))
+          .select(col("n"),
+            col("sxy").cast("double").multiply(1000)
+              .divide(col("sxx").cast("double")).as("b"),
+            (col("g0").cast("double") +
+              lit(2.0) * col("wsum").cast("double") / 6).as("om"),
+            col("sxx").cast("double").as("sxx"),
+            col("see").cast("double").as("see"))
+          .select(col("n").as("n_days"),
+            (round(col("b"), 8) + lit(0.0)).as("slope_m_per_day"),
+            round(sqrt(col("see") / (col("n") - 2) / col("sxx")), 8)
+              .as("se_iid"),
+            round(sqrt(col("om") * 1000000) / col("sxx"), 8).as("se_hac"),
+            (round(col("b") / (sqrt(col("om") * 1000000) / col("sxx")), 4)
+              + lit(0.0)).as("t_hac"),
+            round(sqrt(col("om") * 1000000) / col("sxx") /
+              sqrt(col("see") / (col("n") - 2) / col("sxx")), 6)
+              .as("hac_iid_ratio"))
+      },
+      oracle = Some(s"""
+        WITH dd AS ($dailyRevenueMSql),
+        d0 AS MATERIALIZED (
+          SELECT day, ym, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT)
+                   AS rn
+          FROM dd),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(ym) AS sy FROM d0),
+        cent AS MATERIALIZED (
+          SELECT rn, n,
+                 CAST(rn AS DOUBLE) - CAST(n + 1 AS DOUBLE) / 2 AS xt,
+                 CAST(ym AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS yc
+          FROM d0 CROSS JOIN n0),
+        mom AS (
+          SELECT SUM(CAST(ROUND(xt * xt, 2) AS DECIMAL(20,2))) AS sxx,
+                 SUM(CAST(ROUND(xt * yc / 1000, 9) AS DECIMAL(20,9)))
+                   AS sxy
+          FROM cent),
+        u AS MATERIALIZED (
+          SELECT rn,
+                 (yc - b * xt) * xt / 1000 AS u,
+                 yc - b * xt AS e
+          FROM cent CROSS JOIN
+            (SELECT CAST(sxy AS DOUBLE) * 1000 / CAST(sxx AS DOUBLE) AS b
+             FROM mom)),
+        g0 AS (
+          SELECT SUM(CAST(ROUND(u * u, 9) AS DECIMAL(20,9))) AS g0,
+                 SUM(CAST(ROUND(e * e, 9) AS DECIMAL(20,9))) AS see,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM u),
+        gl AS (
+          SELECT SUM(gll * (6 - l)) AS wsum
+          FROM (
+            SELECT l.l,
+                   SUM(CAST(ROUND(a.u * b.u, 9) AS DECIMAL(20,9))) AS gll
+            FROM range(1, 6) AS l(l)
+            JOIN u a ON TRUE
+            JOIN u b ON b.rn + l.l = a.rn
+            GROUP BY 1)),
+        fin AS (
+          SELECT n,
+                 CAST(sxy AS DOUBLE) * 1000 / CAST(sxx AS DOUBLE) AS b,
+                 CAST(g0 AS DOUBLE) + CAST(2 AS DOUBLE) *
+                   CAST(wsum AS DOUBLE) / 6 AS om,
+                 CAST(sxx AS DOUBLE) AS sxx,
+                 CAST(see AS DOUBLE) AS see
+          FROM g0 CROSS JOIN gl CROSS JOIN mom)
+        SELECT n AS n_days,
+               ROUND(b, 8) + CAST(0 AS DOUBLE) AS slope_m_per_day,
+               ROUND(sqrt(see / (n - 2) / sxx), 8) AS se_iid,
+               ROUND(sqrt(om * 1000000) / sxx, 8) AS se_hac,
+               ROUND(b / (sqrt(om * 1000000) / sxx), 4)
+                 + CAST(0 AS DOUBLE) AS t_hac,
+               ROUND(sqrt(om * 1000000) / sxx /
+                 sqrt(see / (n - 2) / sxx), 6) AS hac_iid_ratio
+        FROM fin"""))
+  )
+}
