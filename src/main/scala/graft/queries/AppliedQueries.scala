@@ -912,6 +912,1058 @@ object AppliedQueries {
                  + CAST(0 AS DOUBLE) AS t_hac,
                ROUND(sqrt(om * 1000000) / sxx /
                  sqrt(see / (n - 2) / sxx), 6) AS hac_iid_ratio
+        FROM fin""")),
+
+    // Chain-ladder development of the order-cohort run-off triangle
+    // (cohort = order month, development age = ship-lag in months
+    // capped at 4): volume-weighted link ratios f_j over the cohorts
+    // that have both ages observed, cumulative development-to-ultimate
+    // factors as a 9-grid product chain (4 unrolled steps — rule-15
+    // safe), and per-cohort ultimates + IBNR-style reserve — the
+    // classic actuarial projection, driven here by shipping lag. The
+    // triangle grid is densified (cohort × age 0..4, zero-filled) so
+    // cumulative sums and link-ratio denominators are well-defined
+    // even for sparse cohort-age cells at small SF.
+    "qg7_chain_ladder" -> Q(
+      fn = (s, dir) => {
+        val cw = Window.partitionBy(col("i")).orderBy(col("j"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cell = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(
+            expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) " +
+              "AS BIGINT)").as("i"),
+            least(greatest(
+              expr("CAST(year(l_shipdate) * 12 + month(l_shipdate) - " +
+                "year(o_orderdate) * 12 - month(o_orderdate) AS BIGINT)"),
+              lit(0L)), lit(4L)).as("j"))
+          .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(18,8)").as("inc"))
+        val grid = cell.select(col("i")).distinct()
+          .crossJoin(broadcast(s.range(0, 5).select(col("id").as("j"))))
+          .join(cell, Seq("i", "j"), "left")
+          .select(col("i"), col("j"),
+            coalesce(col("inc"), lit(0).cast("decimal(18,8)")).as("inc"))
+        val cum = grid.select(col("i"), col("j"),
+          sum(col("inc")).over(cw).as("c"))
+          .localCheckpoint(eager = false)
+        val latest = cum.agg(max(col("i")).as("mx"))
+        val fx = cum.select(col("i"), col("j"), col("c"))
+          .join(cum.select(col("i"), (col("j") - 1).as("j"),
+            col("c").as("cn")), Seq("i", "j"))
+          .crossJoin(broadcast(latest))
+          .filter(col("i") + col("j") + 1 <= col("mx"))
+          .groupBy(col("j"))
+          .agg(sum(col("cn")).as("num"), sum(col("c")).as("den"))
+          .agg(
+            sum(when(col("j") === 0, round(col("num").cast("double") /
+              col("den").cast("double"), 9))).as("f0"),
+            sum(when(col("j") === 1, round(col("num").cast("double") /
+              col("den").cast("double"), 9))).as("f1"),
+            sum(when(col("j") === 2, round(col("num").cast("double") /
+              col("den").cast("double"), 9))).as("f2"),
+            sum(when(col("j") === 3, round(col("num").cast("double") /
+              col("den").cast("double"), 9))).as("f3"))
+          .select(
+            lit(1.0).as("g4"), col("f3").as("g3"),
+            round(col("f3") * col("f2"), 9).as("g2"),
+            round(col("f3") * round(col("f2") * col("f1"), 9), 9).as("g1"),
+            round(col("f3") * round(col("f2") * round(col("f1") *
+              col("f0"), 9), 9), 9).as("g0"))
+        cum.crossJoin(broadcast(latest))
+          .filter(col("j") === least(lit(4L), col("mx") - col("i")))
+          .crossJoin(broadcast(fx))
+          .select(col("i").as("cohort_m"), col("j").as("dev_age"),
+            round(col("c").cast("double"), 6).as("paid_m"),
+            round(col("c").cast("double") *
+              when(col("j") === 4, col("g4"))
+                .when(col("j") === 3, col("g3"))
+                .when(col("j") === 2, col("g2"))
+                .when(col("j") === 1, col("g1"))
+                .otherwise(col("g0")), 6).as("ultimate_m"),
+            (round(col("c").cast("double") *
+              (when(col("j") === 4, col("g4"))
+                .when(col("j") === 3, col("g3"))
+                .when(col("j") === 2, col("g2"))
+                .when(col("j") === 1, col("g1"))
+                .otherwise(col("g0")) - 1), 6) + lit(0.0)).as("reserve_m"))
+          .orderBy(col("cohort_m"))
+      },
+      oracle = Some("""
+        WITH cell AS MATERIALIZED (
+          SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS i,
+                 LEAST(GREATEST(CAST(year(l_shipdate) * 12 +
+                   month(l_shipdate) - year(o_orderdate) * 12 -
+                   month(o_orderdate) AS BIGINT), 0), 4) AS j,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(18,8)) AS inc
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        grid AS (
+          SELECT i, CAST(j AS BIGINT) AS j,
+                 COALESCE(inc, CAST(0 AS DECIMAL(18,8))) AS inc
+          FROM (SELECT DISTINCT i FROM cell) CROSS JOIN range(0, 5) r(j)
+          LEFT JOIN cell USING (i, j)),
+        cum AS MATERIALIZED (
+          SELECT i, j,
+                 SUM(inc) OVER (PARTITION BY i ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM grid),
+        latest AS (SELECT MAX(i) AS mx FROM cum),
+        lr AS (
+          SELECT a.j, SUM(b.c) AS num, SUM(a.c) AS den
+          FROM cum a JOIN cum b ON b.i = a.i AND b.j = a.j + 1
+          CROSS JOIN latest
+          WHERE a.i + a.j + 1 <= mx
+          GROUP BY 1),
+        fr AS (
+          SELECT SUM(CASE WHEN j = 0 THEN ROUND(CAST(num AS DOUBLE) /
+                   CAST(den AS DOUBLE), 9) END) AS f0,
+                 SUM(CASE WHEN j = 1 THEN ROUND(CAST(num AS DOUBLE) /
+                   CAST(den AS DOUBLE), 9) END) AS f1,
+                 SUM(CASE WHEN j = 2 THEN ROUND(CAST(num AS DOUBLE) /
+                   CAST(den AS DOUBLE), 9) END) AS f2,
+                 SUM(CASE WHEN j = 3 THEN ROUND(CAST(num AS DOUBLE) /
+                   CAST(den AS DOUBLE), 9) END) AS f3
+          FROM lr),
+        fx AS (
+          SELECT CAST(1 AS DOUBLE) AS g4, f3 AS g3,
+                 ROUND(f3 * f2, 9) AS g2,
+                 ROUND(f3 * ROUND(f2 * f1, 9), 9) AS g1,
+                 ROUND(f3 * ROUND(f2 * ROUND(f1 * f0, 9), 9), 9) AS g0
+          FROM fr)
+        SELECT i AS cohort_m, j AS dev_age,
+               ROUND(CAST(c AS DOUBLE), 6) AS paid_m,
+               ROUND(CAST(c AS DOUBLE) *
+                 (CASE WHEN j = 4 THEN g4 WHEN j = 3 THEN g3
+                       WHEN j = 2 THEN g2 WHEN j = 1 THEN g1
+                       ELSE g0 END), 6) AS ultimate_m,
+               ROUND(CAST(c AS DOUBLE) *
+                 ((CASE WHEN j = 4 THEN g4 WHEN j = 3 THEN g3
+                        WHEN j = 2 THEN g2 WHEN j = 1 THEN g1
+                        ELSE g0 END) - 1), 6) + CAST(0 AS DOUBLE)
+                 AS reserve_m
+        FROM cum CROSS JOIN latest CROSS JOIN fx
+        WHERE j = LEAST(4, mx - i)
+        ORDER BY cohort_m""")),
+
+    // Bühlmann-Straub credibility premiums per nation over per-order
+    // values (in exact millions): within-variance s² from per-nation
+    // raw moments, between-variance â from the size-weighted mean
+    // spread with the (I−1)s² bias correction, credibility weight
+    // Z_i = m_i/(m_i + s²/â), and the blended premium — the actuarial
+    // shrinkage counterpart of qcb's James-Stein and qez's
+    // beta-binomial, for continuous severities with unequal exposure.
+    // Moment sums ride the 9-grid DECIMAL recipe; the â>0 guard
+    // compares engine-identical doubles so the degenerate branch is
+    // stable.
+    "qg8_buhlmann_credibility" -> Q(
+      fn = (s, dir) => {
+        val x = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("n"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(18,8)").as("x"))
+        val nat = x.groupBy(col("n"))
+          .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+            sum(round(col("x") * col("x"), 9)).as("sxx"))
+          .localCheckpoint(eager = false)
+        val glob = nat.agg(
+          count(lit(1)).as("i_cnt"), sum(col("m")).as("mm"),
+          sum(col("sx")).as("tsx"),
+          sum(col("m") * col("m")).as("smm"),
+          sum(g9(col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") /
+              col("m").cast("double"))).as("sw"),
+          sum(col("m") - 1).as("dfw"))
+        val params = nat.crossJoin(broadcast(glob))
+          .select(col("n"), col("m"), col("sx"), col("i_cnt"), col("mm"),
+            col("tsx"), col("smm"), col("sw"), col("dfw"),
+            (col("tsx").cast("double") / col("mm").cast("double"))
+              .as("gmean"),
+            (col("sw").cast("double") / col("dfw").cast("double"))
+              .as("s2"))
+        val btw = params
+          .select(col("n"), col("m"), col("sx"), col("gmean"), col("s2"),
+            col("i_cnt"), col("mm"), col("smm"),
+            g9(col("m").cast("double") *
+              (col("sx").cast("double") / col("m").cast("double") -
+                col("gmean")) *
+              (col("sx").cast("double") / col("m").cast("double") -
+                col("gmean"))).as("bt"))
+        val a = btw.groupBy(col("gmean"), col("s2"), col("i_cnt"),
+          col("mm"), col("smm"))
+          .agg(sum(col("bt")).as("sbt"))
+          .select(col("gmean"), col("s2"),
+            ((col("sbt").cast("double") -
+              (col("i_cnt") - 1).cast("double") * col("s2")) /
+              (col("mm").cast("double") -
+                col("smm").cast("double") / col("mm").cast("double")))
+              .as("a"))
+        btw.select(col("n"), col("m"), col("sx"))
+          .crossJoin(broadcast(a))
+          .select(col("n"), col("m").as("n_orders"),
+            round(col("sx").cast("double") / col("m").cast("double"), 6)
+              .as("xbar_m"),
+            round(when(col("a") > 0,
+              col("m").cast("double") /
+                (col("m").cast("double") + col("s2") / col("a")))
+              .otherwise(lit(0.0)), 6).as("z"),
+            round(when(col("a") > 0,
+              (col("m").cast("double") /
+                (col("m").cast("double") + col("s2") / col("a"))) *
+                (col("sx").cast("double") / col("m").cast("double")) +
+                (lit(1.0) - col("m").cast("double") /
+                  (col("m").cast("double") + col("s2") / col("a"))) *
+                  col("gmean"))
+              .otherwise(col("gmean")), 6).as("premium_m"))
+          .orderBy(col("n"))
+      },
+      oracle = Some("""
+        WITH x AS (
+          SELECT c_nationkey AS n,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(18,8)) AS x
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        nat AS MATERIALIZED (
+          SELECT n, CAST(COUNT(*) AS BIGINT) AS m, SUM(x) AS sx,
+                 SUM(ROUND(CAST(x AS DECIMAL(19,8)) *
+                   CAST(x AS DECIMAL(19,8)), 9)) AS sxx
+          FROM x GROUP BY 1),
+        gparams AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS i_cnt,
+                 CAST(SUM(m) AS BIGINT) AS mm,
+                 SUM(sx) AS tsx,
+                 CAST(SUM(m * m) AS BIGINT) AS smm,
+                 SUM(CAST(ROUND(CAST(sxx AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+                   CAST(m AS DOUBLE), 9) AS DECIMAL(20,9))) AS sw,
+                 CAST(SUM(m - 1) AS BIGINT) AS dfw
+          FROM nat),
+        params AS MATERIALIZED (
+          SELECT n, m, sx, i_cnt, mm, smm,
+                 CAST(tsx AS DOUBLE) / CAST(mm AS DOUBLE) AS gmean,
+                 CAST(sw AS DOUBLE) / CAST(dfw AS DOUBLE) AS s2,
+                 CAST(ROUND(CAST(m AS DOUBLE) *
+                   (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) -
+                    CAST(tsx AS DOUBLE) / CAST(mm AS DOUBLE)) *
+                   (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) -
+                    CAST(tsx AS DOUBLE) / CAST(mm AS DOUBLE)), 9)
+                   AS DECIMAL(20,9)) AS bt
+          FROM nat CROSS JOIN gparams),
+        av AS (
+          SELECT MAX(gmean) AS gmean, MAX(s2) AS s2,
+                 (CAST(SUM(bt) AS DOUBLE) -
+                  CAST(MAX(i_cnt) - 1 AS DOUBLE) * MAX(s2)) /
+                 (CAST(MAX(mm) AS DOUBLE) -
+                  CAST(MAX(smm) AS DOUBLE) / CAST(MAX(mm) AS DOUBLE)) AS a
+          FROM params)
+        SELECT n, m AS n_orders,
+               ROUND(CAST(sx AS DOUBLE) / CAST(m AS DOUBLE), 6) AS xbar_m,
+               ROUND(CASE WHEN av.a > 0 THEN CAST(m AS DOUBLE) /
+                 (CAST(m AS DOUBLE) + av.s2 / av.a)
+                 ELSE CAST(0 AS DOUBLE) END, 6) AS z,
+               ROUND(CASE WHEN av.a > 0 THEN
+                 (CAST(m AS DOUBLE) / (CAST(m AS DOUBLE) + av.s2 / av.a)) *
+                 (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)) +
+                 (1 - CAST(m AS DOUBLE) /
+                  (CAST(m AS DOUBLE) + av.s2 / av.a)) * av.gmean
+                 ELSE av.gmean END, 6) AS premium_m
+        FROM params CROSS JOIN av ORDER BY n""")),
+
+    // LOWESS-style local linear smoother over the 1997 daily-revenue
+    // series: tricube weights (1-u³)³ on a ±14-day window (u = day
+    // distance / 15 is an exact rational, so both engines walk the
+    // same doubles), weighted least squares solved in closed form per
+    // target day. Targets are every 7th observed day; neighbors attach
+    // through an exploded day-offset EQUALITY join (the q4u interval
+    // recipe) — never a cross join — so the plan stays linear in the
+    // series length at any scale.
+    "qg9_lowess" -> Q(
+      fn = (s, dir) => {
+        val w = Window.orderBy(col("day"))
+        val d = t(s, dir, "orders")
+          .filter(expr("year(o_orderdate) = 1997"))
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) " +
+            "div 86400000").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(18,8)").as("ym"))
+          .localCheckpoint(eager = false)
+        val targets = d.select(col("day"), col("ym"),
+          row_number().over(w).as("rn"))
+          .filter(col("rn") % 7 === 0)
+        val cand = targets.select(col("day").as("t_day"),
+          col("ym").as("t_ym"),
+          explode(sequence(lit(-14L), lit(14L))).as("off"))
+          .select(col("t_day"), col("t_ym"),
+            (col("t_day") + col("off")).as("day"))
+          .join(d, Seq("day"))
+        val fit = cand
+          .select(col("t_day"), col("t_ym"),
+            (col("day") - col("t_day")).cast("double").as("xt"),
+            col("ym").cast("double").as("y"),
+            (abs(col("day") - col("t_day")).cast("double") / 15).as("u"))
+          // tricube via explicit products — libm pow() is NOT
+          // last-ulp-identical across engines, x*x*x is (IEEE)
+          .select(col("t_day"), col("t_ym"), col("xt"), col("y"),
+            (lit(1.0) - col("u") * col("u") * col("u")).as("v"))
+          .select(col("t_day"), col("t_ym"), col("xt"), col("y"),
+            (col("v") * col("v") * col("v")).as("wt"))
+          .select(col("t_day"), col("t_ym"), g9(col("wt")).as("sw"),
+            g9(col("wt") * col("xt")).as("sx"),
+            g9(col("wt") * col("xt") * col("xt")).as("sxx"),
+            g9(col("wt") * col("y")).as("sy"),
+            g9(col("wt") * col("xt") * col("y")).as("sxy"))
+          .groupBy(col("t_day"), col("t_ym"))
+          .agg(sum(col("sw")).as("sw"), sum(col("sx")).as("sx"),
+            sum(col("sxx")).as("sxx"), sum(col("sy")).as("sy"),
+            sum(col("sxy")).as("sxy"))
+        fit.select(col("t_day").as("day"),
+          round(col("t_ym").cast("double"), 6).as("ym"),
+          round((col("sxx").cast("double") * col("sy").cast("double") -
+            col("sx").cast("double") * col("sxy").cast("double")) /
+            (col("sw").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("lowess"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH d AS MATERIALIZED (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(18,8)) AS ym
+          FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+        targets AS (
+          SELECT day AS t_day, ym AS t_ym
+          FROM (SELECT day, ym, ROW_NUMBER() OVER (ORDER BY day) AS rn
+                FROM d)
+          WHERE rn % 7 = 0),
+        cand AS (
+          SELECT t_day, t_ym, xt, y, v * v * v AS wt
+          FROM (
+            SELECT t_day, t_ym, xt, y, 1 - u * u * u AS v
+            FROM (
+              SELECT t.t_day, t.t_ym,
+                     CAST(d.day - t.t_day AS DOUBLE) AS xt,
+                     CAST(d.ym AS DOUBLE) AS y,
+                     CAST(abs(d.day - t.t_day) AS DOUBLE) / 15 AS u
+              FROM targets t
+              CROSS JOIN range(-14, 15) o(off)
+              JOIN d ON d.day = t.t_day + o.off))),
+        fit AS (
+          SELECT t_day, t_ym,
+                 SUM(CAST(ROUND(wt, 9) AS DECIMAL(20,9))) AS sw,
+                 SUM(CAST(ROUND(wt * xt, 9) AS DECIMAL(20,9))) AS sx,
+                 SUM(CAST(ROUND(wt * xt * xt, 9) AS DECIMAL(20,9))) AS sxx,
+                 SUM(CAST(ROUND(wt * y, 9) AS DECIMAL(20,9))) AS sy,
+                 SUM(CAST(ROUND(wt * xt * y, 9) AS DECIMAL(20,9))) AS sxy
+          FROM cand GROUP BY 1, 2)
+        SELECT t_day AS day,
+               ROUND(CAST(t_ym AS DOUBLE), 6) AS ym,
+               ROUND((CAST(sxx AS DOUBLE) * CAST(sy AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) /
+                 (CAST(sw AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS lowess
+        FROM fit ORDER BY day""")),
+
+    // Matrix profile (window 7, exclusion zone ±3) over the 30-day
+    // event-count series: z-normalized nearest-neighbor distance per
+    // subsequence — the motif/discord primitive behind modern
+    // time-series mining, complementing qa9's DTW with the
+    // subsequence-self-similarity view. Dot products between
+    // subsequences are EXACT integers (join on the in-window offset,
+    // never a per-pair array carry); σ²>0 guards are exact-integer
+    // comparisons; the argmin rides a (rounded-distance, index) struct
+    // so ties break identically in both engines.
+    "qga_matrix_profile" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(expr("CAST(unix_millis(ts) div 86400000 AS BIGINT)")
+            .as("day"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.orderBy(col("day"))
+        val idx = daily.select(col("day"), col("y"),
+          row_number().over(w).cast("long").as("rn"))
+          .localCheckpoint(eager = false)
+        // subsequence membership: (start i, offset k 0..6, value)
+        val sub = idx.select(explode(sequence(lit(0L), lit(6L))).as("k"),
+          (col("rn") - col("k")).as("i"), col("y"), col("day"))
+          .filter(col("i") >= 1)
+        val stats = sub.groupBy(col("i"))
+          .agg(count(lit(1)).as("m"), sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("syy"),
+            min(when(col("k") === 0, col("day"))).as("day0"))
+          .filter(col("m") === 7 &&
+            col("syy") * 7 > col("sy") * col("sy"))
+          .localCheckpoint(eager = false)
+        val dots = sub.select(col("i"), col("k"), col("y"))
+          .join(sub.select(col("i").as("j"), col("k"), col("y").as("yj")),
+            Seq("k"))
+          .filter(abs(col("i") - col("j")) > 3)
+          .groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("mk"), sum(col("y") * col("yj")).as("dot"))
+          .filter(col("mk") === 7)
+        val dist = dots
+          .join(stats.select(col("i"), col("sy").as("syi"),
+            col("syy").as("syyi"), col("day0")), Seq("i"))
+          .join(stats.select(col("i").as("j"), col("sy").as("syj"),
+            col("syy").as("syyj")), Seq("j"))
+          .select(col("i"), col("j"), col("day0"),
+            round(sqrt(greatest(lit(0.0),
+              lit(14.0) * (lit(1.0) -
+                (lit(7.0) * col("dot").cast("double") -
+                  col("syi").cast("double") * col("syj").cast("double")) /
+                  (sqrt(lit(7.0) * col("syyi").cast("double") -
+                    col("syi").cast("double") * col("syi").cast("double")) *
+                    sqrt(lit(7.0) * col("syyj").cast("double") -
+                      col("syj").cast("double") *
+                        col("syj").cast("double")))))), 9).as("d9"))
+        dist.groupBy(col("i"), col("day0"))
+          .agg(min(struct(col("d9"), col("j"))).as("nn"))
+          .select(col("i").as("start_idx"), col("day0").as("start_day"),
+            col("nn.j").as("nn_idx"),
+            round(col("nn.d9"), 6).as("mp_dist"))
+          .orderBy(col("start_idx"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        idx AS (
+          SELECT day, y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT)
+                   AS rn
+          FROM daily),
+        sub AS MATERIALIZED (
+          SELECT rn - k.k AS i, k.k AS k, y, day
+          FROM idx CROSS JOIN range(0, 7) k(k)
+          WHERE rn - k.k >= 1),
+        stats AS MATERIALIZED (
+          SELECT i, CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 MIN(CASE WHEN k = 0 THEN day END) AS day0
+          FROM sub GROUP BY 1
+          HAVING COUNT(*) = 7 AND SUM(y * y) * 7 > SUM(y) * SUM(y)),
+        dots AS (
+          SELECT a.i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS mk,
+                 CAST(SUM(a.y * b.y) AS BIGINT) AS dot
+          FROM sub a JOIN sub b ON a.k = b.k AND abs(a.i - b.i) > 3
+          GROUP BY 1, 2 HAVING COUNT(*) = 7),
+        dist AS (
+          SELECT d.i, d.j, sa.day0,
+                 ROUND(sqrt(GREATEST(CAST(0 AS DOUBLE),
+                   CAST(14 AS DOUBLE) * (1 -
+                     (CAST(7 AS DOUBLE) * CAST(dot AS DOUBLE) -
+                      CAST(sa.sy AS DOUBLE) * CAST(sb.sy AS DOUBLE)) /
+                     (sqrt(CAST(7 AS DOUBLE) * CAST(sa.syy AS DOUBLE) -
+                        CAST(sa.sy AS DOUBLE) * CAST(sa.sy AS DOUBLE)) *
+                      sqrt(CAST(7 AS DOUBLE) * CAST(sb.syy AS DOUBLE) -
+                        CAST(sb.sy AS DOUBLE) * CAST(sb.sy AS DOUBLE)))))),
+                   9) AS d9
+          FROM dots d
+          JOIN stats sa ON sa.i = d.i
+          JOIN stats sb ON sb.i = d.j)
+        SELECT i AS start_idx, day0 AS start_day,
+               MIN({'d': d9, 'j': j})['j'] AS nn_idx,
+               ROUND(MIN({'d': d9, 'j': j})['d'], 6) AS mp_dist
+        FROM dist GROUP BY 1, 2 ORDER BY start_idx""")),
+
+    // Discrete transfer entropy between the view and purchase daily
+    // up/down series: TE(X→Y) = Σ p(y_t,y_{t-1},x_{t-1}) ·
+    // ln[p(y_t|y_{t-1},x_{t-1}) / p(y_t|y_{t-1})], both directions plus
+    // the net flow — the directed-information upgrade of qc0's Granger
+    // card (model-free, catches sign-flip coupling a linear F-test
+    // misses). Everything is exact integer counts into ONE ln of an
+    // integer-product ratio (all products ≪ 2^53), so the plug-in
+    // estimate replays exactly.
+    "qgb_transfer_entropy" -> Q(
+      fn = (s, dir) => {
+        val w = Window.orderBy(col("day"))
+        val d = t(s, dir, "events")
+          .groupBy(expr("CAST(unix_millis(ts) div 86400000 AS BIGINT)")
+            .as("day"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("xv"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("yv"))
+        val bin = d.select(col("day"),
+          when(col("xv") > lag(col("xv"), 1).over(w), 1L).otherwise(0L)
+            .as("bx"),
+          when(col("yv") > lag(col("yv"), 1).over(w), 1L).otherwise(0L)
+            .as("by"),
+          lag(col("xv"), 1).over(w).as("px"))
+          .filter(col("px").isNotNull)
+        val tr = bin.select(col("day"), col("bx"), col("by"),
+          lag(col("bx"), 1).over(w).as("x0"),
+          lag(col("by"), 1).over(w).as("y0"))
+          .filter(col("x0").isNotNull)
+          .localCheckpoint(eager = false)
+        def te(tgt: String, tgt0: String, src0: String): DataFrame = {
+          val trip = tr.select(col(tgt).as("y1"), col(tgt0).as("y0"),
+            col(src0).as("x0"))
+          val a = trip.groupBy(col("y1"), col("y0"), col("x0"))
+            .agg(count(lit(1)).as("nyyx"))
+          val nyx = trip.groupBy(col("y0"), col("x0"))
+            .agg(count(lit(1)).as("nyx"))
+          val nyy = trip.groupBy(col("y1"), col("y0"))
+            .agg(count(lit(1)).as("nyy"))
+          val ny = trip.groupBy(col("y0")).agg(count(lit(1)).as("ny"))
+          val nn = trip.agg(count(lit(1)).as("nn"))
+          a.join(nyx, Seq("y0", "x0")).join(nyy, Seq("y1", "y0"))
+            .join(ny, Seq("y0")).crossJoin(broadcast(nn))
+            .select(g9((col("nyyx").cast("double") /
+              col("nn").cast("double")) *
+              log((col("nyyx") * col("ny")).cast("double") /
+                (col("nyx") * col("nyy")).cast("double"))).as("term"),
+              col("nn"))
+            .groupBy(col("nn")).agg(sum(col("term")).as("te"))
+        }
+        val xy = te("by", "y0", "x0")
+          .select(col("nn").as("n_triples"), col("te").as("te_xy"))
+        val yx = te("bx", "x0", "y0").select(col("te").as("te_yx"))
+        xy.crossJoin(broadcast(yx))
+          .select(col("n_triples"),
+            round(col("te_xy").cast("double"), 6).as("te_view_to_purchase"),
+            round(col("te_yx").cast("double"), 6).as("te_purchase_to_view"),
+            (round(col("te_xy").cast("double") -
+              col("te_yx").cast("double"), 6) + lit(0.0)).as("net_flow"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS xv,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                   ELSE 0 END) AS BIGINT) AS yv
+          FROM events GROUP BY 1),
+        bin AS (
+          SELECT day,
+                 CASE WHEN xv > LAG(xv, 1) OVER (ORDER BY day) THEN 1
+                   ELSE 0 END AS bx,
+                 CASE WHEN yv > LAG(yv, 1) OVER (ORDER BY day) THEN 1
+                   ELSE 0 END AS by,
+                 LAG(xv, 1) OVER (ORDER BY day) AS px
+          FROM d QUALIFY px IS NOT NULL),
+        tr AS MATERIALIZED (
+          SELECT day, bx, by,
+                 LAG(bx, 1) OVER (ORDER BY day) AS x0,
+                 LAG(by, 1) OVER (ORDER BY day) AS y0
+          FROM bin QUALIFY x0 IS NOT NULL),
+        txy AS (
+          SELECT MAX(nn) AS nn, SUM(term) AS te
+          FROM (
+            SELECT a.nn,
+                   CAST(ROUND((CAST(nyyx AS DOUBLE) / CAST(nn AS DOUBLE)) *
+                     ln(CAST(nyyx * ny AS DOUBLE) /
+                        CAST(nyx * nyy AS DOUBLE)), 9) AS DECIMAL(20,9))
+                     AS term
+            FROM (
+              SELECT y1, y0, x0, CAST(COUNT(*) AS BIGINT) AS nyyx,
+                     CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS nn
+              FROM (SELECT by AS y1, y0, x0 FROM tr) GROUP BY 1, 2, 3) a
+            JOIN (SELECT y0, x0, CAST(COUNT(*) AS BIGINT) AS nyx
+                  FROM (SELECT y0, x0 FROM tr) GROUP BY 1, 2) b
+              USING (y0, x0)
+            JOIN (SELECT y1, y0, CAST(COUNT(*) AS BIGINT) AS nyy
+                  FROM (SELECT by AS y1, y0 FROM tr) GROUP BY 1, 2) c
+              USING (y1, y0)
+            JOIN (SELECT y0, CAST(COUNT(*) AS BIGINT) AS ny
+                  FROM (SELECT y0 FROM tr) GROUP BY 1) e USING (y0))),
+        tyx AS (
+          SELECT SUM(term) AS te
+          FROM (
+            SELECT CAST(ROUND((CAST(nyyx AS DOUBLE) / CAST(nn AS DOUBLE)) *
+                     ln(CAST(nyyx * ny AS DOUBLE) /
+                        CAST(nyx * nyy AS DOUBLE)), 9) AS DECIMAL(20,9))
+                     AS term
+            FROM (
+              SELECT y1, y0, x0, CAST(COUNT(*) AS BIGINT) AS nyyx,
+                     CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS nn
+              FROM (SELECT bx AS y1, x0 AS y0, y0 AS x0 FROM tr)
+              GROUP BY 1, 2, 3) a
+            JOIN (SELECT y0, x0, CAST(COUNT(*) AS BIGINT) AS nyx
+                  FROM (SELECT x0 AS y0, y0 AS x0 FROM tr) GROUP BY 1, 2) b
+              USING (y0, x0)
+            JOIN (SELECT y1, y0, CAST(COUNT(*) AS BIGINT) AS nyy
+                  FROM (SELECT bx AS y1, x0 AS y0 FROM tr) GROUP BY 1, 2) c
+              USING (y1, y0)
+            JOIN (SELECT y0, CAST(COUNT(*) AS BIGINT) AS ny
+                  FROM (SELECT x0 AS y0 FROM tr) GROUP BY 1) e USING (y0)))
+        SELECT nn AS n_triples,
+               ROUND(CAST(txy.te AS DOUBLE), 6) AS te_view_to_purchase,
+               ROUND(CAST(tyx.te AS DOUBLE), 6) AS te_purchase_to_view,
+               ROUND(CAST(txy.te AS DOUBLE) - CAST(tyx.te AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS net_flow
+        FROM txy CROSS JOIN tyx""")),
+
+    // Rank-biased overlap (p = 1/2, fully conjoint so the sum is the
+    // EXACT RBO) between the brand revenue-rank lists of the early and
+    // late order halves: per-depth overlap, agreement and geometric
+    // contribution, plus the RBO scalar — the top-weighted alternative
+    // to qfb's rank-distance card (footrule/Kendall weight all
+    // positions equally; RBO answers "do the lists agree where it
+    // matters, at the top"). p = 1/2 makes every weight an exact
+    // dyadic 2^-d, so the only float op is the final division.
+    "qgc_rbo_rankings" -> Q(
+      fn = (s, dir) => {
+        val wA = Window.orderBy(col("ca").desc, col("b"))
+        val wB = Window.orderBy(col("cb").desc, col("b"))
+        val cnt = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("b"))
+          .agg(sum(when(col("o_orderdate") < lit("1998-01-01")
+            .cast("timestamp"), 1L).otherwise(0L)).as("ca"),
+            sum(when(col("o_orderdate") >= lit("1998-01-01")
+              .cast("timestamp"), 1L).otherwise(0L)).as("cb"))
+          .localCheckpoint(eager = false)
+        val mr = cnt
+          .select(col("b"), row_number().over(wA).cast("long").as("ra"))
+          .join(cnt.select(col("b"),
+            row_number().over(wB).cast("long").as("rb")), Seq("b"))
+          .select(greatest(col("ra"), col("rb")).as("mr"))
+          .groupBy(col("mr")).agg(count(lit(1)).as("c"))
+        val cw = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val depth = s.range(1, 26).select(col("id").as("d"))
+          .join(mr.select(col("mr").as("d"), col("c")), Seq("d"), "left")
+          .select(col("d"), coalesce(col("c"), lit(0L)).as("c"))
+          .select(col("d"), sum(col("c")).over(cw).as("m"))
+          .select(col("d"), col("m"),
+            round(col("m").cast("double") / col("d").cast("double"), 6)
+              .as("agreement"),
+            g9((col("m").cast("double") / col("d").cast("double")) /
+              expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(d AS INT)) " +
+                "AS DOUBLE)")).as("contrib"))
+          .localCheckpoint(eager = false)
+        val rbo = depth.agg(round(sum(col("contrib")).cast("double"), 6)
+          .as("rbo"))
+        depth.crossJoin(broadcast(rbo))
+          .select(col("d"), col("m").as("overlap"), col("agreement"),
+            round(col("contrib").cast("double"), 9).as("contribution"),
+            col("rbo"))
+          .orderBy(col("d"))
+      },
+      oracle = Some("""
+        WITH cnt AS MATERIALIZED (
+          SELECT p_brand AS b,
+                 CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY 1),
+        mr AS (
+          SELECT GREATEST(ra, rb) AS mr, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT b, CAST(ROW_NUMBER() OVER (ORDER BY ca DESC, b)
+                  AS BIGINT) AS ra FROM cnt)
+          JOIN (SELECT b, CAST(ROW_NUMBER() OVER (ORDER BY cb DESC, b)
+                  AS BIGINT) AS rb FROM cnt) USING (b)
+          GROUP BY 1),
+        depth AS MATERIALIZED (
+          SELECT d, m,
+                 ROUND(CAST(m AS DOUBLE) / CAST(d AS DOUBLE), 6)
+                   AS agreement,
+                 CAST(ROUND((CAST(m AS DOUBLE) / CAST(d AS DOUBLE)) /
+                   CAST(1 << CAST(d AS INT) AS DOUBLE), 9)
+                   AS DECIMAL(20,9)) AS contrib
+          FROM (
+            SELECT d.d, CAST(SUM(COALESCE(mr.c, 0)) OVER (ORDER BY d.d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS m
+            FROM (SELECT CAST(r.range AS BIGINT) AS d
+                  FROM range(1, 26) r) d
+            LEFT JOIN mr ON mr.mr = d.d)),
+        rbo AS (
+          SELECT ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS rbo FROM depth)
+        SELECT d, m AS overlap, agreement,
+               ROUND(CAST(contrib AS DOUBLE), 9) AS contribution, rbo
+        FROM depth CROSS JOIN rbo ORDER BY d""")),
+
+    // SAX symbolization of the 30-day event-count series: piecewise
+    // aggregate approximation into 3-day segments, z-scored against the
+    // whole-series moments, then discretized with the published
+    // Gaussian breakpoints for a 4-symbol alphabet (±0.67449, 0) — the
+    // symbolic compression behind SAX-family motif mining, giving qa9's
+    // DTW and qga's matrix profile a vocabulary form. Moments are exact
+    // integer sums; the z-scores are engine-identical doubles, so the
+    // CASE discretization lands on the same symbol in both engines.
+    "qgd_sax_symbols" -> Q(
+      fn = (s, dir) => {
+        val w = Window.orderBy(col("day"))
+        val d = t(s, dir, "events")
+          .groupBy(expr("CAST(unix_millis(ts) div 86400000 AS BIGINT)")
+            .as("day"))
+          .agg(count(lit(1)).as("y"))
+        val idx = d.select(col("day"), col("y"),
+          row_number().over(w).cast("long").as("rn"))
+          .select(col("day"), col("y"),
+            expr("(rn - 1) div 3").as("seg"))
+          .localCheckpoint(eager = false)
+        val mom = idx.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+        val paa = idx.groupBy(col("seg"))
+          .agg(count(lit(1)).as("m"), sum(col("y")).as("ssy"),
+            min(col("day")).as("day0"))
+          .crossJoin(broadcast(mom))
+          .select(col("seg"), col("day0"),
+            ((col("ssy").cast("double") / col("m").cast("double") -
+              col("sy").cast("double") / col("n").cast("double")) /
+              sqrt((col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double") /
+                  col("n").cast("double")) / (col("n") - 1).cast("double")))
+              .as("z"))
+        paa.select(col("seg"), col("day0"),
+          (round(col("z"), 6) + lit(0.0)).as("paa_z"),
+          when(col("z") < -0.67449, "a")
+            .when(col("z") < 0.0, "b")
+            .when(col("z") < 0.67449, "c")
+            .otherwise("d").as("sym"))
+          .orderBy(col("seg"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        idx AS MATERIALIZED (
+          SELECT day, y,
+                 CAST((ROW_NUMBER() OVER (ORDER BY day) - 1) // 3
+                   AS BIGINT) AS seg
+          FROM d),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM idx),
+        paa AS (
+          SELECT seg, day0,
+                 (CAST(ssy AS DOUBLE) / CAST(m AS DOUBLE) -
+                  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+                 sqrt((CAST(syy AS DOUBLE) -
+                   CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) /
+                   CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS z
+          FROM (SELECT seg, CAST(COUNT(*) AS BIGINT) AS m,
+                       CAST(SUM(y) AS BIGINT) AS ssy,
+                       MIN(day) AS day0
+                FROM idx GROUP BY 1)
+          CROSS JOIN mom)
+        SELECT seg, day0,
+               ROUND(z, 6) + CAST(0 AS DOUBLE) AS paa_z,
+               CASE WHEN z < -0.67449 THEN 'a'
+                    WHEN z < 0.0 THEN 'b'
+                    WHEN z < 0.67449 THEN 'c'
+                    ELSE 'd' END AS sym
+        FROM paa ORDER BY seg""")),
+
+    // Direct and indirect standardization of per-nation ordering rates
+    // across market-segment strata — the epidemiology/actuarial
+    // adjustment (qek's risk measures compare two raw groups; this
+    // card removes segment-mix confounding from 25 group rates): crude
+    // rate, direct standardized rate (nation's stratum rates weighted
+    // by the REFERENCE population), SMR = observed/expected from
+    // reference stratum rates, and the indirect standardized rate.
+    // Every rate is an exact-integer ratio; products of two rationals
+    // ride the 9-grid DECIMAL sums.
+    "qge_rate_standardization" -> Q(
+      fn = (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("n"), col("c_mktsegment").as("g"))
+          .agg(count(lit(1)).as("m"))
+        val ord = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("n"), col("c_mktsegment").as("g"))
+          .agg(count(lit(1)).as("d"))
+        val cell = cust.join(ord, Seq("n", "g"), "left")
+          .select(col("n"), col("g"), col("m"),
+            coalesce(col("d"), lit(0L)).as("d"))
+          .localCheckpoint(eager = false)
+        val ref = cell.groupBy(col("g"))
+          .agg(sum(col("m")).as("mg"), sum(col("d")).as("dg"))
+        val tot = ref.agg(sum(col("mg")).as("mm"), sum(col("dg")).as("dd"))
+        cell.join(broadcast(ref), Seq("g")).crossJoin(broadcast(tot))
+          .select(col("n"), col("m"), col("d"),
+            g9((col("d").cast("double") / col("m").cast("double")) *
+              (col("mg").cast("double") / col("mm").cast("double")))
+              .as("dirterm"),
+            g9(col("m").cast("double") *
+              (col("dg").cast("double") / col("mg").cast("double")))
+              .as("expterm"),
+            col("dd"), col("mm"))
+          .groupBy(col("n"), col("dd"), col("mm"))
+          .agg(sum(col("m")).as("mn"), sum(col("d")).as("dn"),
+            sum(col("dirterm")).as("direct"),
+            sum(col("expterm")).as("expected"))
+          .select(col("n"),
+            round(col("dn").cast("double") / col("mn").cast("double"), 6)
+              .as("crude_rate"),
+            round(col("direct").cast("double"), 6).as("direct_rate"),
+            round(col("dn").cast("double") /
+              col("expected").cast("double"), 6).as("smr"),
+            round((col("dn").cast("double") /
+              col("expected").cast("double")) *
+              (col("dd").cast("double") / col("mm").cast("double")), 6)
+              .as("indirect_rate"))
+          .orderBy(col("n"))
+      },
+      oracle = Some("""
+        WITH cust AS (
+          SELECT c_nationkey AS n, c_mktsegment AS g,
+                 CAST(COUNT(*) AS BIGINT) AS m
+          FROM customer GROUP BY 1, 2),
+        ord AS (
+          SELECT c_nationkey AS n, c_mktsegment AS g,
+                 CAST(COUNT(*) AS BIGINT) AS d
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        cell AS MATERIALIZED (
+          SELECT cust.n, cust.g, cust.m, COALESCE(ord.d, 0) AS d
+          FROM cust LEFT JOIN ord ON cust.n = ord.n AND cust.g = ord.g),
+        ref AS (
+          SELECT g, CAST(SUM(m) AS BIGINT) AS mg,
+                 CAST(SUM(d) AS BIGINT) AS dg
+          FROM cell GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(mg) AS BIGINT) AS mm,
+                 CAST(SUM(dg) AS BIGINT) AS dd
+          FROM ref),
+        agg AS (
+          SELECT n, dd, mm,
+                 CAST(SUM(m) AS BIGINT) AS mn,
+                 CAST(SUM(d) AS BIGINT) AS dn,
+                 SUM(CAST(ROUND((CAST(d AS DOUBLE) / CAST(m AS DOUBLE)) *
+                   (CAST(mg AS DOUBLE) / CAST(mm AS DOUBLE)), 9)
+                   AS DECIMAL(20,9))) AS direct,
+                 SUM(CAST(ROUND(CAST(m AS DOUBLE) *
+                   (CAST(dg AS DOUBLE) / CAST(mg AS DOUBLE)), 9)
+                   AS DECIMAL(20,9))) AS expected
+          FROM cell JOIN ref USING (g) CROSS JOIN tot
+          GROUP BY 1, 2, 3)
+        SELECT n,
+               ROUND(CAST(dn AS DOUBLE) / CAST(mn AS DOUBLE), 6)
+                 AS crude_rate,
+               ROUND(CAST(direct AS DOUBLE), 6) AS direct_rate,
+               ROUND(CAST(dn AS DOUBLE) / CAST(expected AS DOUBLE), 6)
+                 AS smr,
+               ROUND((CAST(dn AS DOUBLE) / CAST(expected AS DOUBLE)) *
+                 (CAST(dd AS DOUBLE) / CAST(mm AS DOUBLE)), 6)
+                 AS indirect_rate
+        FROM agg ORDER BY n""")),
+
+    // NODF nestedness of the nation × brand purchase matrix (presence
+    // = cell count above the global mean, which keeps the matrix
+    // half-full at EVERY SF — a fixed threshold saturates to all-ones
+    // at bench scale): paired overlap over both axes, counting only
+    // decreasing-degree pairs per the NODF definition — the
+    // ecological-network structure measure (do specialist nations buy
+    // subsets of what generalist nations buy?). Presence, degrees and
+    // overlaps are exact integers; two final divisions.
+    "qgf_nodf_nestedness" -> Q(
+      fn = (s, dir) => {
+        val cell = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("c_nationkey").as("n"), col("p_brand").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(eager = false)
+        val tot = cell.agg(sum(col("c")).as("tc"),
+          count(lit(1)).as("ncells"))
+        val pres = cell.crossJoin(broadcast(tot))
+          .filter(col("c") * col("ncells") > col("tc"))
+          .select(col("n"), col("b"))
+          .localCheckpoint(eager = false)
+        def axis(key: String, other: String, alias: String): DataFrame = {
+          val deg = pres.groupBy(col(key)).agg(count(lit(1)).as("deg"))
+          val ov = pres.select(col(key).as("i"), col(other))
+            .join(pres.select(col(key).as("j"), col(other)), Seq(other))
+            .filter(col("i") < col("j"))
+            .groupBy(col("i"), col("j")).agg(count(lit(1)).as("ov"))
+          deg.select(col(key).as("i"), col("deg").as("di"))
+            .join(deg.select(col(key).as("j"), col("deg").as("dj")))
+            .filter(col("i") < col("j"))
+            .join(ov, Seq("i", "j"), "left")
+            .select(col("i"), col("j"), col("di"), col("dj"),
+              coalesce(col("ov"), lit(0L)).as("ov"))
+            .select(
+              when(col("di") > col("dj"),
+                g9(lit(100.0) * col("ov").cast("double") /
+                  col("dj").cast("double")))
+                .when(col("dj") > col("di"),
+                  g9(lit(100.0) * col("ov").cast("double") /
+                    col("di").cast("double")))
+                .otherwise(lit(0).cast("decimal(20,9)")).as("np"))
+            .agg(count(lit(1)).as(s"${alias}_pairs"),
+              sum(col("np")).as(s"${alias}_sum"))
+        }
+        axis("n", "b", "rows").crossJoin(broadcast(axis("b", "n", "cols")))
+          .select(col("rows_pairs"), col("cols_pairs"),
+            round(col("rows_sum").cast("double") /
+              col("rows_pairs").cast("double"), 6).as("nodf_rows"),
+            round(col("cols_sum").cast("double") /
+              col("cols_pairs").cast("double"), 6).as("nodf_cols"),
+            round((col("rows_sum") + col("cols_sum")).cast("double") /
+              (col("rows_pairs") + col("cols_pairs")).cast("double"), 6)
+              .as("nodf"))
+      },
+      oracle = Some("""
+        WITH cell AS MATERIALIZED (
+          SELECT c_nationkey AS n, p_brand AS b,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tc,
+                       CAST(COUNT(*) AS BIGINT) AS ncells FROM cell),
+        pres AS MATERIALIZED (
+          SELECT n, b FROM cell CROSS JOIN tot
+          WHERE c * ncells > tc),
+        degr AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM pres
+                 GROUP BY 1),
+        ovr AS (
+          SELECT a.n AS i, b.n AS j, CAST(COUNT(*) AS BIGINT) AS ov
+          FROM pres a JOIN pres b ON a.b = b.b AND a.n < b.n
+          GROUP BY 1, 2),
+        rowsax AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS rows_pairs,
+                 SUM(CASE
+                   WHEN di.deg > dj.deg THEN CAST(ROUND(
+                     CAST(100 AS DOUBLE) * CAST(COALESCE(ov, 0) AS DOUBLE) /
+                     CAST(dj.deg AS DOUBLE), 9) AS DECIMAL(20,9))
+                   WHEN dj.deg > di.deg THEN CAST(ROUND(
+                     CAST(100 AS DOUBLE) * CAST(COALESCE(ov, 0) AS DOUBLE) /
+                     CAST(di.deg AS DOUBLE), 9) AS DECIMAL(20,9))
+                   ELSE CAST(0 AS DECIMAL(20,9)) END) AS rows_sum
+          FROM degr di JOIN degr dj ON di.n < dj.n
+          LEFT JOIN ovr ON ovr.i = di.n AND ovr.j = dj.n),
+        degc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS deg FROM pres
+                 GROUP BY 1),
+        ovc AS (
+          SELECT a.b AS i, b.b AS j, CAST(COUNT(*) AS BIGINT) AS ov
+          FROM pres a JOIN pres b ON a.n = b.n AND a.b < b.b
+          GROUP BY 1, 2),
+        colsax AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS cols_pairs,
+                 SUM(CASE
+                   WHEN di.deg > dj.deg THEN CAST(ROUND(
+                     CAST(100 AS DOUBLE) * CAST(COALESCE(ov, 0) AS DOUBLE) /
+                     CAST(dj.deg AS DOUBLE), 9) AS DECIMAL(20,9))
+                   WHEN dj.deg > di.deg THEN CAST(ROUND(
+                     CAST(100 AS DOUBLE) * CAST(COALESCE(ov, 0) AS DOUBLE) /
+                     CAST(di.deg AS DOUBLE), 9) AS DECIMAL(20,9))
+                   ELSE CAST(0 AS DECIMAL(20,9)) END) AS cols_sum
+          FROM degc di JOIN degc dj ON di.b < dj.b
+          LEFT JOIN ovc ON ovc.i = di.b AND ovc.j = dj.b)
+        SELECT rows_pairs, cols_pairs,
+               ROUND(CAST(rows_sum AS DOUBLE) / CAST(rows_pairs AS DOUBLE),
+                 6) AS nodf_rows,
+               ROUND(CAST(cols_sum AS DOUBLE) / CAST(cols_pairs AS DOUBLE),
+                 6) AS nodf_cols,
+               ROUND(CAST(rows_sum + cols_sum AS DOUBLE) /
+                 CAST(rows_pairs + cols_pairs AS DOUBLE), 6) AS nodf
+        FROM rowsax CROSS JOIN colsax""")),
+
+    // Diebold-Mariano forecast-comparison test between the naive and
+    // seasonal-naive one-step forecasts of daily revenue (absolute-
+    // error loss): the loss differential is an EXACT DECIMAL per day,
+    // its serial correlation is absorbed by a Bartlett lag-5 HAC
+    // variance (the qg6 machinery applied to d_t), and the verdict
+    // column makes the acceptance decision explicit — the missing
+    // inferential step after qfz's point metrics ("is snaive's lower
+    // MAE real or noise?").
+    "qgg_diebold_mariano" -> Q(
+      fn = (s, dir) => {
+        val w = Window.orderBy(col("day"))
+        val base = dailyRevenueM(s, dir)
+          .select(col("day"), col("ym"),
+            lag(col("ym"), 1).over(w).as("f1"),
+            lag(col("ym"), 7).over(w).as("f7"),
+            row_number().over(w).cast("long").as("rn"))
+          .filter(col("rn") > 7)
+          .select((col("rn") - 7).as("rn"),
+            (abs(col("ym") - col("f1")) - abs(col("ym") - col("f7")))
+              .as("dt"))
+          .localCheckpoint(eager = false)
+        val mom = base.agg(count(lit(1)).as("n"), sum(col("dt")).as("sd"))
+        val cent = base.crossJoin(broadcast(mom))
+          .select(col("rn"), col("n"),
+            (col("dt").cast("double") -
+              col("sd").cast("double") / col("n").cast("double")).as("dc"))
+          .localCheckpoint(eager = false)
+        val g0 = cent.agg(first(col("n")).as("n"),
+          sum(g9(col("dc") * col("dc"))).as("g0"))
+        val gl = cent.select(col("rn"), col("dc"))
+          .join(cent.select(explode(sequence(lit(1L), lit(5L))).as("l"),
+            (col("rn") + col("l")).as("rn"), col("dc").as("dl")),
+            Seq("rn"))
+          .groupBy(col("l")).agg(sum(g9(col("dc") * col("dl"))).as("gll"))
+          .agg(sum(col("gll") * (lit(6) - col("l"))).as("wsum"))
+        g0.crossJoin(broadcast(gl)).crossJoin(broadcast(mom
+          .select(col("sd"))))
+          .select(col("n"),
+            (col("sd").cast("double") / col("n").cast("double"))
+              .as("dbar"),
+            ((col("g0").cast("double") +
+              lit(2.0) * col("wsum").cast("double") / 6) /
+              col("n").cast("double")).as("lrv"))
+          .select(col("n").as("n_days"),
+            (round(col("dbar"), 8) + lit(0.0)).as("mean_loss_diff"),
+            (round(col("dbar") /
+              sqrt(col("lrv") / col("n").cast("double")), 4) + lit(0.0))
+              .as("dm_stat"),
+            when(col("dbar") > 0, "snaive").when(col("dbar") < 0, "naive")
+              .otherwise("tie").as("lower_loss"))
+      },
+      oracle = Some(s"""
+        WITH dd AS ($dailyRevenueMSql),
+        base AS MATERIALIZED (
+          SELECT rn - 7 AS rn,
+                 CAST(abs(ym - f1) - abs(ym - f7) AS DECIMAL(19,8)) AS dt
+          FROM (
+            SELECT day, ym,
+                   LAG(ym, 1) OVER (ORDER BY day) AS f1,
+                   LAG(ym, 7) OVER (ORDER BY day) AS f7,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn
+            FROM dd) WHERE rn > 7),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dt) AS sd FROM base),
+        cent AS MATERIALIZED (
+          SELECT rn, n,
+                 CAST(dt AS DOUBLE) -
+                   CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS dc
+          FROM base CROSS JOIN mom),
+        g0 AS (
+          SELECT MAX(n) AS n,
+                 SUM(CAST(ROUND(dc * dc, 9) AS DECIMAL(20,9))) AS g0
+          FROM cent),
+        gl AS (
+          SELECT SUM(gll * (6 - l)) AS wsum
+          FROM (
+            SELECT l.l,
+                   SUM(CAST(ROUND(a.dc * b.dc, 9) AS DECIMAL(20,9))) AS gll
+            FROM range(1, 6) AS l(l)
+            JOIN cent a ON TRUE
+            JOIN cent b ON b.rn + l.l = a.rn
+            GROUP BY 1)),
+        fin AS (
+          SELECT g0.n,
+                 CAST(sd AS DOUBLE) / CAST(g0.n AS DOUBLE) AS dbar,
+                 (CAST(g0.g0 AS DOUBLE) + CAST(2 AS DOUBLE) *
+                   CAST(wsum AS DOUBLE) / 6) / CAST(g0.n AS DOUBLE) AS lrv
+          FROM g0 CROSS JOIN gl CROSS JOIN mom)
+        SELECT n AS n_days,
+               ROUND(dbar, 8) + CAST(0 AS DOUBLE) AS mean_loss_diff,
+               ROUND(dbar / sqrt(lrv / CAST(n AS DOUBLE)), 4)
+                 + CAST(0 AS DOUBLE) AS dm_stat,
+               CASE WHEN dbar > 0 THEN 'snaive'
+                    WHEN dbar < 0 THEN 'naive' ELSE 'tie' END
+                 AS lower_loss
         FROM fin"""))
   )
 }
