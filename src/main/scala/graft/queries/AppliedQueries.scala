@@ -1964,6 +1964,879 @@ object AppliedQueries {
                CASE WHEN dbar > 0 THEN 'snaive'
                     WHEN dbar < 0 THEN 'naive' ELSE 'tie' END
                  AS lower_loss
-        FROM fin"""))
+        FROM fin""")),
+
+    // Competing-risks cumulative incidence (discrete Aalen-Johansen):
+    // first purchase vs first error as competing terminal events per
+    // user, censoring at end of observation — the decomposition q7a's
+    // single-cause Kaplan-Meier cannot give (1-KM overestimates each
+    // cause's incidence when the other competes). The survival product
+    // and CIF increments walk the q4b 9-grid recipe (values ≤ 1, raw
+    // products snapped per step), so the Spark ordered fold and the
+    // DuckDB recursive CTE agree bit-for-bit; risk sets come from one
+    // cumulative count scan, never an inequality join.
+    "qgh_competing_risks" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("CAST(unix_millis(ts) div 86400000 AS BIGINT)").as("day"),
+            col("event_type"))
+        val users = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("u0"),
+            min(when(col("event_type") === "purchase", col("day")))
+              .as("fp"),
+            min(when(col("event_type") === "error", col("day"))).as("fe"))
+        val horizon = ev.agg(max(col("day")).as("mx"))
+        val subj = users.crossJoin(broadcast(horizon))
+          .select(
+            when(col("fp").isNotNull &&
+              (col("fe").isNull || col("fp") <= col("fe")),
+              col("fp") - col("u0"))
+              .when(col("fe").isNotNull, col("fe") - col("u0"))
+              .otherwise(col("mx") - col("u0")).as("tt"),
+            when(col("fp").isNotNull &&
+              (col("fe").isNull || col("fp") <= col("fe")), 1L)
+              .when(col("fe").isNotNull, 2L).otherwise(0L).as("k"))
+          .localCheckpoint(eager = false)
+        val nTot = subj.agg(count(lit(1)).as("nn"))
+        val wT = Window.orderBy(col("tt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val table = subj.groupBy(col("tt"))
+          .agg(count(lit(1)).as("ct"),
+            sum(when(col("k") === 1, 1L).otherwise(0L)).as("d1"),
+            sum(when(col("k") === 2, 1L).otherwise(0L)).as("d2"))
+          .crossJoin(broadcast(nTot))
+          .select(col("tt"), col("d1"), col("d2"),
+            (col("nn") - coalesce(sum(col("ct")).over(wT), lit(0L)))
+              .as("nr"))
+          .filter(col("d1") + col("d2") > 0)
+        table.agg(array_sort(collect_list(struct(col("tt"), col("nr"),
+          col("d1"), col("d2")))).as("a"))
+          .select(expr("""
+            aggregate(
+              a,
+              named_struct('s', CAST(1 AS DOUBLE), 'c1', CAST(0 AS DOUBLE),
+                'c2', CAST(0 AS DOUBLE),
+                'out', CAST(array() AS ARRAY<STRUCT<tt: BIGINT, nr: BIGINT,
+                  d1: BIGINT, d2: BIGINT, s: DOUBLE, c1: DOUBLE,
+                  c2: DOUBLE>>)),
+              (acc, v) -> named_struct(
+                's', round(acc.s * (1 - (v.d1 + v.d2) / CAST(v.nr AS
+                  DOUBLE)), 9),
+                'c1', round(acc.c1 + round(acc.s * v.d1 /
+                  CAST(v.nr AS DOUBLE), 9), 9),
+                'c2', round(acc.c2 + round(acc.s * v.d2 /
+                  CAST(v.nr AS DOUBLE), 9), 9),
+                'out', array_append(acc.out, named_struct(
+                  'tt', v.tt, 'nr', v.nr, 'd1', v.d1, 'd2', v.d2,
+                  's', round(acc.s * (1 - (v.d1 + v.d2) /
+                    CAST(v.nr AS DOUBLE)), 9),
+                  'c1', round(acc.c1 + round(acc.s * v.d1 /
+                    CAST(v.nr AS DOUBLE), 9), 9),
+                  'c2', round(acc.c2 + round(acc.s * v.d2 /
+                    CAST(v.nr AS DOUBLE), 9), 9)))),
+              acc -> acc.out) AS lt"""))
+          .select(explode(col("lt")).as("r"))
+          .select(col("r.tt").as("t_days"), col("r.nr").as("n_risk"),
+            col("r.d1").as("d_purchase"), col("r.d2").as("d_error"),
+            round(col("r.s"), 6).as("surv"),
+            round(col("r.c1"), 6).as("cif_purchase"),
+            round(col("r.c2"), 6).as("cif_error"))
+          .orderBy(col("t_days"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 event_type
+          FROM events),
+        users AS (
+          SELECT user_id, MIN(day) AS u0,
+                 MIN(CASE WHEN event_type = 'purchase' THEN day END) AS fp,
+                 MIN(CASE WHEN event_type = 'error' THEN day END) AS fe
+          FROM ev GROUP BY 1),
+        horizon AS (SELECT MAX(day) AS mx FROM ev),
+        subj AS MATERIALIZED (
+          SELECT CASE
+                   WHEN fp IS NOT NULL AND (fe IS NULL OR fp <= fe)
+                     THEN fp - u0
+                   WHEN fe IS NOT NULL THEN fe - u0
+                   ELSE mx - u0 END AS tt,
+                 CASE
+                   WHEN fp IS NOT NULL AND (fe IS NULL OR fp <= fe) THEN 1
+                   WHEN fe IS NOT NULL THEN 2 ELSE 0 END AS k
+          FROM users CROSS JOIN horizon),
+        ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM subj),
+        tbl AS MATERIALIZED (
+          SELECT tt, d1, d2, nr,
+                 CAST(ROW_NUMBER() OVER (ORDER BY tt) AS BIGINT) AS rn
+          FROM (
+            SELECT tt,
+                   CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS d1,
+                   CAST(SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS d2,
+                   nn - CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY tt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS nr
+            FROM subj CROSS JOIN ntot GROUP BY tt, nn)
+          WHERE d1 + d2 > 0),
+        aj AS (
+          SELECT rn, tt, nr, d1, d2,
+                 ROUND(1 * (1 - (d1 + d2) / CAST(nr AS DOUBLE)), 9) AS s,
+                 ROUND(0 + ROUND(1 * d1 / CAST(nr AS DOUBLE), 9), 9)
+                   AS c1,
+                 ROUND(0 + ROUND(1 * d2 / CAST(nr AS DOUBLE), 9), 9)
+                   AS c2
+          FROM tbl WHERE rn = 1
+          UNION ALL
+          SELECT t.rn, t.tt, t.nr, t.d1, t.d2,
+                 ROUND(aj.s * (1 - (t.d1 + t.d2) / CAST(t.nr AS DOUBLE)),
+                   9),
+                 ROUND(aj.c1 + ROUND(aj.s * t.d1 /
+                   CAST(t.nr AS DOUBLE), 9), 9),
+                 ROUND(aj.c2 + ROUND(aj.s * t.d2 /
+                   CAST(t.nr AS DOUBLE), 9), 9)
+          FROM aj JOIN tbl t ON t.rn = aj.rn + 1)
+        SELECT tt AS t_days, nr AS n_risk, d1 AS d_purchase,
+               d2 AS d_error,
+               ROUND(s, 6) AS surv,
+               ROUND(c1, 6) AS cif_purchase,
+               ROUND(c2, 6) AS cif_error
+        FROM aj ORDER BY t_days""")),
+
+    // Deterministic capacity-backlog flow (the Lindley recursion
+    // B_t = max(0, B_{t-1} + y_t - c) over daily order arrivals with
+    // integer capacity c = ⌈N/days⌉): solved in CLOSED FORM as
+    // B_t = P_t - min(0, min_{j≤t} P_j) over the centered prefix sums,
+    // so the "simulation" is two window scans — exact integers
+    // end-to-end, no recursion, no float — the what-if primitive
+    // behind qau's Erlang staffing and qar's Little's-law cards.
+    "qgi_capacity_backlog" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("CAST(unix_millis(ts) div 86400000 AS BIGINT)")
+            .as("day"))
+          .agg(count(lit(1)).as("y"))
+        val cap = d.agg(expr("CAST((sum(y) + count(1) - 1) div count(1) " +
+          "AS BIGINT)").as("c"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.crossJoin(broadcast(cap))
+          .select(col("day"), col("y"), col("c"),
+            sum(col("y") - col("c")).over(w).as("p"))
+          .select(col("day"), col("y"), col("c"), col("p"),
+            min(col("p")).over(w).as("mp"))
+          .select(col("day"), col("y"), col("c").as("capacity"),
+            (col("p") - least(col("mp"), lit(0L))).as("backlog"),
+            round((col("p") - least(col("mp"), lit(0L))).cast("double") /
+              col("c").cast("double"), 6).as("wait_days"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        cap AS (
+          SELECT CAST((SUM(y) + COUNT(*) - 1) // COUNT(*) AS BIGINT) AS c
+          FROM d),
+        pre AS (
+          SELECT day, y, c,
+                 CAST(SUM(y - c) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS p
+          FROM d CROSS JOIN cap),
+        mm AS (
+          SELECT day, y, c, p,
+                 CAST(MIN(p) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS mp
+          FROM pre)
+        SELECT day, y, c AS capacity,
+               p - LEAST(mp, 0) AS backlog,
+               ROUND(CAST(p - LEAST(mp, 0) AS DOUBLE) / CAST(c AS DOUBLE),
+                 6) AS wait_days
+        FROM mm ORDER BY day""")),
+
+    // Gravity model of inter-nation trade: lineitem flows between
+    // customer and supplier nations regressed as ln(flow) on
+    // ln(mass_i · mass_j) — the workhorse spatial-interaction model;
+    // the elasticity says how super/sub-linear trade is in combined
+    // market size, and the top positive residuals name the
+    // over-trading corridors (the economics twin of qa7's link
+    // prediction). ln of exact-integer products is the only float
+    // link; OLS rides 9-grid moment sums.
+    "qgj_gravity_model" -> Q(
+      fn = (s, dir) => {
+        val flow = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") =!= col("s_nationkey"))
+          .groupBy(col("c_nationkey").as("i"), col("s_nationkey").as("j"))
+          .agg(count(lit(1)).as("f"))
+          .localCheckpoint(eager = false)
+        val mi = flow.groupBy(col("i")).agg(sum(col("f")).as("m1"))
+        val mj = flow.groupBy(col("j")).agg(sum(col("f")).as("m2"))
+        val xy = flow.join(mi, Seq("i")).join(broadcast(mj), Seq("j"))
+          .select(col("i"), col("j"), col("f"),
+            log((col("m1") * col("m2")).cast("double")).as("x"),
+            log(col("f").cast("double")).as("y"))
+          .localCheckpoint(eager = false)
+        val mom = xy.agg(count(lit(1)).as("n"), sum(g9(col("x"))).as("sx"),
+          sum(g9(col("y"))).as("sy"), sum(g9(col("x") * col("x")))
+            .as("sxx"),
+          sum(g9(col("x") * col("y"))).as("sxy"),
+          sum(g9(col("y") * col("y"))).as("syy"))
+          // closed form in doubles from the exact decimal images (every
+          // scaled sum ≪ 2^53, so the casts are exact in both engines;
+          // decimal×decimal here would blow the 38-digit width)
+          .select(col("n").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("sy").cast("double").as("syd"),
+            col("sxx").cast("double").as("sxxd"),
+            col("sxy").cast("double").as("sxyd"),
+            col("syy").cast("double").as("syyd"), col("n"))
+          .select(col("n"),
+            ((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+              (col("nd") * col("sxxd") - col("sxd") * col("sxd"))).as("b"),
+            col("nd"), col("sxd"), col("syd"), col("sxxd"), col("sxyd"),
+            col("syyd"))
+          .select(col("n"), col("b"),
+            ((col("syd") - col("b") * col("sxd")) / col("nd")).as("a"),
+            (((col("nd") * col("sxyd") - col("sxd") * col("syd")) *
+              (col("nd") * col("sxyd") - col("sxd") * col("syd"))) /
+              ((col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
+                (col("nd") * col("syyd") - col("syd") * col("syd"))))
+              .as("r2"))
+        xy.crossJoin(broadcast(mom))
+          .select(col("i"), col("j"), col("f"),
+            col("n").as("n_cells"),
+            round(col("b"), 6).as("elasticity"),
+            (round(col("a"), 6) + lit(0.0)).as("intercept"),
+            round(col("r2"), 6).as("r2"),
+            (round(col("y") - col("a") - col("b") * col("x"), 6) +
+              lit(0.0)).as("log_residual"))
+          .orderBy(col("log_residual").desc, col("i"), col("j"))
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH flow AS MATERIALIZED (
+          SELECT c_nationkey AS i, s_nationkey AS j,
+                 CAST(COUNT(*) AS BIGINT) AS f
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          WHERE c_nationkey <> s_nationkey
+          GROUP BY 1, 2),
+        mi AS (SELECT i, CAST(SUM(f) AS BIGINT) AS m1 FROM flow
+               GROUP BY 1),
+        mj AS (SELECT j, CAST(SUM(f) AS BIGINT) AS m2 FROM flow
+               GROUP BY 1),
+        xy AS MATERIALIZED (
+          SELECT i, j, f,
+                 ln(CAST(m1 * m2 AS DOUBLE)) AS x,
+                 ln(CAST(f AS DOUBLE)) AS y
+          FROM flow JOIN mi USING (i) JOIN mj USING (j)),
+        mom AS (
+          SELECT n, nd, sxd, syd, sxxd, sxyd, syyd,
+                 (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS b
+          FROM (
+            SELECT n, CAST(n AS DOUBLE) AS nd,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                   CAST(sxx AS DOUBLE) AS sxxd,
+                   CAST(sxy AS DOUBLE) AS sxyd,
+                   CAST(syy AS DOUBLE) AS syyd
+            FROM (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(ROUND(x, 9) AS DECIMAL(20,9))) AS sx,
+                     SUM(CAST(ROUND(y, 9) AS DECIMAL(20,9))) AS sy,
+                     SUM(CAST(ROUND(x * x, 9) AS DECIMAL(20,9))) AS sxx,
+                     SUM(CAST(ROUND(x * y, 9) AS DECIMAL(20,9))) AS sxy,
+                     SUM(CAST(ROUND(y * y, 9) AS DECIMAL(20,9))) AS syy
+              FROM xy))),
+        fin AS (
+          SELECT n, b,
+                 (syd - b * sxd) / nd AS a,
+                 ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) /
+                 ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r2
+          FROM mom)
+        SELECT i, j, f, n AS n_cells,
+               ROUND(b, 6) AS elasticity,
+               ROUND(a, 6) + CAST(0 AS DOUBLE) AS intercept,
+               ROUND(r2, 6) AS r2,
+               ROUND(y - a - b * x, 6) + CAST(0 AS DOUBLE)
+                 AS log_residual
+        FROM xy CROSS JOIN fin
+        ORDER BY log_residual DESC, i, j LIMIT 10""")),
+
+    // Wagner-Whitin optimal lot-sizing over the 30-day purchase-demand
+    // series (setup cost K=50, holding h=1/unit/day): the classic
+    // dynamic program f(t) = min_j [f(j-1) + K + H(j,t)], with the
+    // holding term closed-form from two integer prefix sums — the
+    // EXACT-integer counterpart of qdk's newsvendor fractile and qb1's
+    // (s,S) policy (deterministic demand, time-varying, provably
+    // optimal plan). Zero float arithmetic anywhere: the Spark fold
+    // and the DuckDB recursive CTE carry the f(·) table as an integer
+    // LIST, and argmin ties break to the earliest setup in both.
+    "qgk_wagner_whitin" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("CAST(unix_millis(ts) div 86400000 AS BIGINT)")
+            .as("day"))
+          .agg(count(lit(1)).as("dm"))
+        val w = Window.orderBy(col("day"))
+        val pre = d.select(col("day"), col("dm"),
+          row_number().over(w).cast("long").as("tix"))
+        pre.agg(array_sort(collect_list(struct(col("tix"), col("day"),
+          col("dm")))).as("a"))
+          .select(expr("""
+            aggregate(
+              a,
+              named_struct(
+                'f', array(CAST(0 AS BIGINT)),
+                'dp', array(CAST(0 AS BIGINT)),
+                'wp', array(CAST(0 AS BIGINT)),
+                'out', CAST(array() AS ARRAY<STRUCT<tix: BIGINT,
+                  day: BIGINT, dm: BIGINT, cost: BIGINT, setup: BIGINT>>)),
+              (acc, v) -> named_struct(
+                'f', array_append(acc.f, array_min(transform(
+                  sequence(1, CAST(v.tix AS INT)),
+                  j -> element_at(acc.f, j) + 50L +
+                    (element_at(acc.wp, CAST(v.tix AS INT)) -
+                       element_at(acc.wp, j)
+                     + v.tix * v.dm - CAST(j AS BIGINT) *
+                       (element_at(acc.dp, CAST(v.tix AS INT)) -
+                        element_at(acc.dp, j) + v.dm))))),
+                'dp', array_append(acc.dp,
+                  element_at(acc.dp, CAST(v.tix AS INT)) + v.dm),
+                'wp', array_append(acc.wp,
+                  element_at(acc.wp, CAST(v.tix AS INT)) +
+                    v.tix * v.dm),
+                'out', array_append(acc.out, named_struct(
+                  'tix', v.tix, 'day', v.day, 'dm', v.dm,
+                  'cost', array_min(transform(
+                    sequence(1, CAST(v.tix AS INT)),
+                    j -> element_at(acc.f, j) + 50L +
+                      (element_at(acc.wp, CAST(v.tix AS INT)) -
+                         element_at(acc.wp, j)
+                       + v.tix * v.dm - CAST(j AS BIGINT) *
+                         (element_at(acc.dp, CAST(v.tix AS INT)) -
+                          element_at(acc.dp, j) + v.dm)))),
+                  'setup', CAST(array_position(transform(
+                    sequence(1, CAST(v.tix AS INT)),
+                    j -> element_at(acc.f, j) + 50L +
+                      (element_at(acc.wp, CAST(v.tix AS INT)) -
+                         element_at(acc.wp, j)
+                       + v.tix * v.dm - CAST(j AS BIGINT) *
+                         (element_at(acc.dp, CAST(v.tix AS INT)) -
+                          element_at(acc.dp, j) + v.dm))),
+                    array_min(transform(
+                      sequence(1, CAST(v.tix AS INT)),
+                      j -> element_at(acc.f, j) + 50L +
+                        (element_at(acc.wp, CAST(v.tix AS INT)) -
+                           element_at(acc.wp, j)
+                         + v.tix * v.dm - CAST(j AS BIGINT) *
+                           (element_at(acc.dp, CAST(v.tix AS INT)) -
+                            element_at(acc.dp, j) + v.dm)))))
+                    AS BIGINT)))),
+              acc -> acc.out) AS ww"""))
+          .select(explode(col("ww")).as("r"))
+          .select(col("r.tix").as("t"), col("r.day").as("day"),
+            col("r.dm").as("demand"), col("r.cost").as("total_cost"),
+            col("r.setup").as("last_setup"))
+          .orderBy(col("t"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE d AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS dm
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        pre AS MATERIALIZED (
+          SELECT day, dm, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT)
+                   AS tix
+          FROM d),
+        nmax AS (SELECT CAST(MAX(tix) AS BIGINT) AS nt FROM pre),
+        ww AS (
+          SELECT CAST(0 AS BIGINT) AS tix, CAST(0 AS BIGINT) AS day,
+                 CAST(0 AS BIGINT) AS dm,
+                 [CAST(0 AS BIGINT)] AS f,
+                 [CAST(0 AS BIGINT)] AS dp,
+                 [CAST(0 AS BIGINT)] AS wp,
+                 CAST(0 AS BIGINT) AS cost, CAST(0 AS BIGINT) AS setup
+          UNION ALL
+          SELECT p.tix, p.day, p.dm,
+                 list_append(ww.f, list_min(list_transform(
+                   range(1, CAST(p.tix AS INT) + 1),
+                   j -> ww.f[j] + 50 +
+                     (ww.wp[CAST(p.tix AS INT)] - ww.wp[j]
+                      + p.tix * p.dm - CAST(j AS BIGINT) *
+                        (ww.dp[CAST(p.tix AS INT)] - ww.dp[j]
+                         + p.dm))))),
+                 list_append(ww.dp, ww.dp[CAST(p.tix AS INT)] + p.dm),
+                 list_append(ww.wp, ww.wp[CAST(p.tix AS INT)] +
+                   p.tix * p.dm),
+                 list_min(list_transform(
+                   range(1, CAST(p.tix AS INT) + 1),
+                   j -> ww.f[j] + 50 +
+                     (ww.wp[CAST(p.tix AS INT)] - ww.wp[j]
+                      + p.tix * p.dm - CAST(j AS BIGINT) *
+                        (ww.dp[CAST(p.tix AS INT)] - ww.dp[j]
+                         + p.dm)))),
+                 CAST(list_position(list_transform(
+                   range(1, CAST(p.tix AS INT) + 1),
+                   j -> ww.f[j] + 50 +
+                     (ww.wp[CAST(p.tix AS INT)] - ww.wp[j]
+                      + p.tix * p.dm - CAST(j AS BIGINT) *
+                        (ww.dp[CAST(p.tix AS INT)] - ww.dp[j]
+                         + p.dm))),
+                   list_min(list_transform(
+                     range(1, CAST(p.tix AS INT) + 1),
+                     j -> ww.f[j] + 50 +
+                       (ww.wp[CAST(p.tix AS INT)] - ww.wp[j]
+                        + p.tix * p.dm - CAST(j AS BIGINT) *
+                          (ww.dp[CAST(p.tix AS INT)] - ww.dp[j]
+                           + p.dm))))) AS BIGINT)
+          FROM ww JOIN pre p ON p.tix = ww.tix + 1)
+        SELECT tix AS t, day, dm AS demand, cost AS total_cost,
+               setup AS last_setup
+        FROM ww WHERE tix >= 1 ORDER BY t""")),
+
+    // Seat apportionment of 100 "delegates" to nations by customer
+    // population under the three canonical rules — D'Hondt (favors
+    // large), Sainte-Laguë (odd divisors, near-unbiased) and Hamilton
+    // largest-remainder — with ties broken (quotient, population,
+    // nation) identically in both engines. The divisor methods are a
+    // top-100 over an exploded nation × divisor quotient table; every
+    // comparison is a correctly-rounded double of an exact-integer
+    // ratio. The proportionality workhorse behind quota sampling and
+    // shard assignment, not just parliaments.
+    "qgl_apportionment" -> Q(
+      fn = (s, dir) => {
+        val popd = t(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("n"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(eager = false)
+        val tot = popd.agg(sum(col("c")).as("cc"), count(lit(1)).as("k"))
+        def divisor(div: Column => Column, name: String): DataFrame = {
+          val wq = Window.orderBy(col("q").desc, col("c").desc, col("n"),
+            col("kk"))
+          popd.select(col("n"), col("c"),
+            explode(sequence(lit(1L), lit(100L))).as("kk"))
+            .select(col("n"), col("c"), col("kk"),
+              (col("c").cast("double") / div(col("kk")).cast("double"))
+                .as("q"))
+            .select(col("n"), row_number().over(wq).as("rk"))
+            .filter(col("rk") <= 100)
+            .groupBy(col("n")).agg(count(lit(1)).as(name))
+        }
+        val dh = divisor(k => k, "dhondt")
+        val sl = divisor(k => k * 2 - 1, "sainte_lague")
+        val wr = Window.orderBy(
+          (col("c") * 100 - col("base") * col("cc")).desc, col("c").desc,
+          col("n"))
+        val ham = popd.crossJoin(broadcast(tot))
+          .select(col("n"), col("c"), col("cc"),
+            expr("(c * 100) div cc").as("base"))
+          .select(col("n"), col("c"), col("cc"), col("base"),
+            row_number().over(wr).as("rr"),
+            sum(col("base")).over(Window.partitionBy()).as("sb"))
+          .select(col("n"),
+            (col("base") + when(col("rr") <= lit(100) - col("sb"), 1L)
+              .otherwise(0L)).as("hamilton"))
+        popd.join(dh, Seq("n"), "left").join(sl, Seq("n"), "left")
+          .join(ham, Seq("n"), "left")
+          .select(col("n"), col("c").as("customers"),
+            coalesce(col("dhondt"), lit(0L)).as("dhondt"),
+            coalesce(col("sainte_lague"), lit(0L)).as("sainte_lague"),
+            coalesce(col("hamilton"), lit(0L)).as("hamilton"))
+          .orderBy(col("n"))
+      },
+      oracle = Some("""
+        WITH popd AS MATERIALIZED (
+          SELECT c_nationkey AS n, CAST(COUNT(*) AS BIGINT) AS c
+          FROM customer GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS cc FROM popd),
+        dh AS (
+          SELECT n, CAST(COUNT(*) AS BIGINT) AS dhondt
+          FROM (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY
+              CAST(c AS DOUBLE) / CAST(kk AS DOUBLE) DESC, c DESC, n, kk)
+              AS rk
+            FROM (SELECT n, c, CAST(k.range AS BIGINT) AS kk
+                  FROM popd CROSS JOIN range(1, 101) k))
+          WHERE rk <= 100 GROUP BY 1),
+        sl AS (
+          SELECT n, CAST(COUNT(*) AS BIGINT) AS sainte_lague
+          FROM (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY
+              CAST(c AS DOUBLE) / CAST(kk * 2 - 1 AS DOUBLE) DESC, c DESC,
+              n, kk) AS rk
+            FROM (SELECT n, c, CAST(k.range AS BIGINT) AS kk
+                  FROM popd CROSS JOIN range(1, 101) k))
+          WHERE rk <= 100 GROUP BY 1),
+        hb AS (
+          SELECT n, c, cc, (c * 100) // cc AS base
+          FROM popd CROSS JOIN tot),
+        ham AS (
+          SELECT n, base + CASE WHEN rr <= 100 - sb THEN 1 ELSE 0 END
+                   AS hamilton
+          FROM (
+            SELECT n, c, cc, base,
+                   ROW_NUMBER() OVER (ORDER BY c * 100 - base * cc DESC,
+                     c DESC, n) AS rr,
+                   SUM(base) OVER () AS sb
+            FROM hb))
+        SELECT popd.n, popd.c AS customers,
+               CAST(COALESCE(dh.dhondt, 0) AS BIGINT) AS dhondt,
+               CAST(COALESCE(sl.sainte_lague, 0) AS BIGINT)
+                 AS sainte_lague,
+               CAST(COALESCE(ham.hamilton, 0) AS BIGINT) AS hamilton
+        FROM popd LEFT JOIN dh ON popd.n = dh.n
+        LEFT JOIN sl ON popd.n = sl.n
+        LEFT JOIN ham ON popd.n = ham.n
+        ORDER BY popd.n""")),
+
+    // Classifier fairness audit across market segments: a "high-value"
+    // flag (order value above the exact global mean — an exact DECIMAL
+    // comparison, so group membership is engine-stable) scored against
+    // an urgent-priority outcome; per-group selection rate, TPR and
+    // FPR, plus the demographic-parity ratio and equalized-odds gaps —
+    // the disparate-impact numbers a production scoring pipeline must
+    // report alongside q5z's aggregate AUC. All rates are
+    // exact-integer ratios.
+    "qgm_fairness_audit" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("g"),
+            col("o_totalprice").cast("decimal(18,2)").as("p"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("y"))
+        val thr = o.agg(sum(col("p")).as("sp"), count(lit(1)).as("np"))
+        val scored = o.crossJoin(broadcast(thr))
+          .select(col("g"), col("y"),
+            when(col("p") * col("np") > col("sp"), 1L).otherwise(0L)
+              .as("yh"))
+        val grp = scored.groupBy(col("g"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("yh")).as("sel"),
+            sum(when(col("y") === 1 && col("yh") === 1, 1L).otherwise(0L))
+              .as("tp"),
+            sum(col("y")).as("pos"),
+            sum(when(col("y") === 0 && col("yh") === 1, 1L).otherwise(0L))
+              .as("fp"))
+          .select(col("g"), col("n"),
+            (col("sel").cast("double") / col("n").cast("double"))
+              .as("selr"),
+            (col("tp").cast("double") / col("pos").cast("double"))
+              .as("tpr"),
+            (col("fp").cast("double") /
+              (col("n") - col("pos")).cast("double")).as("fpr"))
+          .localCheckpoint(eager = false)
+        val gaps = grp.agg(
+          (min(col("selr")) / max(col("selr"))).as("dp_ratio"),
+          (max(col("tpr")) - min(col("tpr"))).as("eo_tpr_gap"),
+          (max(col("fpr")) - min(col("fpr"))).as("eo_fpr_gap"))
+        grp.crossJoin(broadcast(gaps))
+          .select(col("g"), col("n"),
+            round(col("selr"), 6).as("selection_rate"),
+            round(col("tpr"), 6).as("tpr"),
+            round(col("fpr"), 6).as("fpr"),
+            round(col("dp_ratio"), 6).as("dp_ratio"),
+            round(col("eo_tpr_gap"), 6).as("eo_tpr_gap"),
+            round(col("eo_fpr_gap"), 6).as("eo_fpr_gap"))
+          .orderBy(col("g"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT c_mktsegment AS g,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                 CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        thr AS (SELECT SUM(p) AS sp, CAST(COUNT(*) AS BIGINT) AS np
+                FROM o),
+        scored AS (
+          SELECT g, y,
+                 CASE WHEN p * np > sp THEN 1 ELSE 0 END AS yh
+          FROM o CROSS JOIN thr),
+        grp AS MATERIALIZED (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(yh) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS selr,
+                 CAST(SUM(CASE WHEN y = 1 AND yh = 1 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(SUM(y) AS DOUBLE) AS tpr,
+                 CAST(SUM(CASE WHEN y = 0 AND yh = 1 THEN 1 ELSE 0 END)
+                   AS DOUBLE) /
+                   CAST(COUNT(*) - SUM(y) AS DOUBLE) AS fpr
+          FROM scored GROUP BY 1),
+        gaps AS (
+          SELECT MIN(selr) / MAX(selr) AS dp_ratio,
+                 MAX(tpr) - MIN(tpr) AS eo_tpr_gap,
+                 MAX(fpr) - MIN(fpr) AS eo_fpr_gap
+          FROM grp)
+        SELECT g, n,
+               ROUND(selr, 6) AS selection_rate,
+               ROUND(tpr, 6) AS tpr,
+               ROUND(fpr, 6) AS fpr,
+               ROUND(dp_ratio, 6) AS dp_ratio,
+               ROUND(eo_tpr_gap, 6) AS eo_tpr_gap,
+               ROUND(eo_fpr_gap, 6) AS eo_fpr_gap
+        FROM grp CROSS JOIN gaps ORDER BY g""")),
+
+    // Instrumental-variable (Wald) estimate: urgent order priority as
+    // the instrument, line count as the endogenous "effort" exposure,
+    // order value as the outcome — the two-group ratio estimator
+    // β_IV = (ȳ₁−ȳ₀)/(x̄₁−x̄₀) with its first-stage and reduced-form
+    // components reported (weak-instrument diagnosis by inspection) —
+    // the simplest member of the causal family qbk's diff-in-diff and
+    // qfo's stratified ATE belong to. Group moments are exact DECIMAL
+    // / integer sums; the three ratios are the only float ops.
+    "qgn_iv_wald" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("nl"))
+        val o = t(s, dir, "orders")
+          .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(
+            when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+              .as("z"),
+            coalesce(col("nl"), lit(0L)).as("x"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(18,8)").as("y"))
+        val g = o.groupBy(col("z"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"))
+        val z1 = g.filter(col("z") === 1)
+          .select(col("n").as("n1"), col("sx").as("sx1"),
+            col("sy").as("sy1"))
+        val z0 = g.filter(col("z") === 0)
+          .select(col("n").as("n0"), col("sx").as("sx0"),
+            col("sy").as("sy0"))
+        z1.crossJoin(broadcast(z0))
+          .select(col("n1"), col("n0"),
+            (col("sy1").cast("double") / col("n1").cast("double") -
+              col("sy0").cast("double") / col("n0").cast("double"))
+              .as("rf"),
+            (col("sx1").cast("double") / col("n1").cast("double") -
+              col("sx0").cast("double") / col("n0").cast("double"))
+              .as("fs"))
+          .select(col("n1").as("n_urgent"), col("n0").as("n_other"),
+            (round(col("rf"), 8) + lit(0.0)).as("reduced_form_m"),
+            (round(col("fs"), 8) + lit(0.0)).as("first_stage_lines"),
+            (round(col("rf") / col("fs"), 8) + lit(0.0))
+              .as("wald_iv_m_per_line"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS nl
+          FROM lineitem GROUP BY 1),
+        o AS (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS z,
+                 COALESCE(nl, 0) AS x,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(18,8)) AS y
+          FROM orders LEFT JOIN li ON o_orderkey = l_orderkey),
+        g AS (
+          SELECT z, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy
+          FROM o GROUP BY 1),
+        f AS (
+          SELECT z1.n AS n1, z0.n AS n0,
+                 CAST(z1.sy AS DOUBLE) / CAST(z1.n AS DOUBLE) -
+                   CAST(z0.sy AS DOUBLE) / CAST(z0.n AS DOUBLE) AS rf,
+                 CAST(z1.sx AS DOUBLE) / CAST(z1.n AS DOUBLE) -
+                   CAST(z0.sx AS DOUBLE) / CAST(z0.n AS DOUBLE) AS fs
+          FROM (SELECT * FROM g WHERE z = 1) z1
+          CROSS JOIN (SELECT * FROM g WHERE z = 0) z0)
+        SELECT n1 AS n_urgent, n0 AS n_other,
+               ROUND(rf, 8) + CAST(0 AS DOUBLE) AS reduced_form_m,
+               ROUND(fs, 8) + CAST(0 AS DOUBLE) AS first_stage_lines,
+               ROUND(rf / fs, 8) + CAST(0 AS DOUBLE)
+                 AS wald_iv_m_per_line
+        FROM f""")),
+
+    // Sharp regression discontinuity at account balance 0 (the
+    // "delinquent" cutoff): local linear fits on each side within a
+    // ±1000 bandwidth, outcome = orders per customer; the jump of the
+    // two intercepts at the cutoff is the RD effect — the
+    // quasi-experimental design the causal family still lacked.
+    // Balances are exact DECIMAL(18,2) regressors scaled to O(1);
+    // each side's OLS rides the 9-grid moment sums.
+    "qgo_regression_discontinuity" -> Q(
+      fn = (s, dir) => {
+        val ord = t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("no"))
+        val cst = t(s, dir, "customer")
+          .join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_acctbal").cast("decimal(18,2)").as("bal"),
+            coalesce(col("no"), lit(0L)).as("y"))
+          .filter(col("bal") >= -1000 && col("bal") < 1000)
+          .select(when(col("bal") >= 0, lit("right")).otherwise(lit("left"))
+            .as("side"),
+            (col("bal").cast("double") / 1000).as("x"),
+            col("y").cast("double").as("y"))
+        val mom = cst.groupBy(col("side"))
+          .agg(count(lit(1)).as("n"), sum(g9(col("x"))).as("sx"),
+            sum(g9(col("y"))).as("sy"),
+            sum(g9(col("x") * col("x"))).as("sxx"),
+            sum(g9(col("x") * col("y"))).as("sxy"))
+          .select(col("side"), col("n"),
+            col("n").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("sy").cast("double").as("syd"),
+            col("sxx").cast("double").as("sxxd"),
+            col("sxy").cast("double").as("sxyd"))
+          .select(col("side"), col("n"),
+            ((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+              (col("nd") * col("sxxd") - col("sxd") * col("sxd")))
+              .as("b"),
+            col("nd"), col("sxd"), col("syd"))
+          .select(col("side"), col("n"), col("b"),
+            ((col("syd") - col("b") * col("sxd")) / col("nd")).as("a"))
+          .localCheckpoint(eager = false)
+        val l = mom.filter(col("side") === "left")
+          .select(col("n").as("n_left"), col("a").as("al"),
+            col("b").as("bl"))
+        val r = mom.filter(col("side") === "right")
+          .select(col("n").as("n_right"), col("a").as("ar"),
+            col("b").as("br"))
+        l.crossJoin(broadcast(r))
+          .select(col("n_left"), col("n_right"),
+            (round(col("al"), 6) + lit(0.0)).as("intercept_left"),
+            (round(col("ar"), 6) + lit(0.0)).as("intercept_right"),
+            (round(col("bl"), 6) + lit(0.0)).as("slope_left"),
+            (round(col("br"), 6) + lit(0.0)).as("slope_right"),
+            (round(col("ar") - col("al"), 6) + lit(0.0))
+              .as("rd_effect_orders"))
+      },
+      oracle = Some("""
+        WITH ord AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS no
+          FROM orders GROUP BY 1),
+        cst AS (
+          SELECT CASE WHEN bal >= 0 THEN 'right' ELSE 'left' END AS side,
+                 CAST(bal AS DOUBLE) / 1000 AS x,
+                 CAST(y AS DOUBLE) AS y
+          FROM (
+            SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+                   COALESCE(no, 0) AS y
+            FROM customer LEFT JOIN ord ON c_custkey = o_custkey)
+          WHERE bal >= -1000 AND bal < 1000),
+        mom AS MATERIALIZED (
+          SELECT side, n, b, (syd - b * sxd) / nd AS a
+          FROM (
+            SELECT side, n, nd, sxd, syd,
+                   (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS b
+            FROM (
+              SELECT side, n, CAST(n AS DOUBLE) AS nd,
+                     CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                     CAST(sxx AS DOUBLE) AS sxxd,
+                     CAST(sxy AS DOUBLE) AS sxyd
+              FROM (
+                SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(ROUND(x, 9) AS DECIMAL(20,9))) AS sx,
+                       SUM(CAST(ROUND(y, 9) AS DECIMAL(20,9))) AS sy,
+                       SUM(CAST(ROUND(x * x, 9) AS DECIMAL(20,9))) AS sxx,
+                       SUM(CAST(ROUND(x * y, 9) AS DECIMAL(20,9))) AS sxy
+                FROM cst GROUP BY 1))))
+        SELECT l.n AS n_left, r.n AS n_right,
+               ROUND(l.a, 6) + CAST(0 AS DOUBLE) AS intercept_left,
+               ROUND(r.a, 6) + CAST(0 AS DOUBLE) AS intercept_right,
+               ROUND(l.b, 6) + CAST(0 AS DOUBLE) AS slope_left,
+               ROUND(r.b, 6) + CAST(0 AS DOUBLE) AS slope_right,
+               ROUND(r.a - l.a, 6) + CAST(0 AS DOUBLE)
+                 AS rd_effect_orders
+        FROM (SELECT * FROM mom WHERE side = 'left') l
+        CROSS JOIN (SELECT * FROM mom WHERE side = 'right') r""")),
+
+    // Baxter-King bandpass filter (pass band 4-16 days, K=8 taps per
+    // side) over the 30-day event-count series: ideal-filter sinc
+    // weights w_k = (sin(ω₂k) − sin(ω₁k))/(πk) with args reduced mod
+    // 2π and 9-snapped BEFORE the trig call (the qca/qcd lesson —
+    // large-arg libm reduction diverges, reduced-arg sin is
+    // engine-identical), then the zero-sum adjustment, applied through
+    // the day-offset equality join. Extracts the business-cycle
+    // component qaw's seasonal decomposition leaves mixed into its
+    // trend.
+    "qgp_baxter_king" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("CAST(unix_millis(ts) div 86400000 AS BIGINT)")
+            .as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+          .localCheckpoint(eager = false)
+        // raw weights for |k| = 0..8; w0 = 2/4 - 2/16 = 0.375 exactly
+        val wk = s.range(0, 9).select(col("id").as("k"))
+          .select(col("k"),
+            when(col("k") === 0, lit(0.375))
+              .otherwise(g9((sin(round(lit(6.283185307179586) *
+                pmod(col("k"), lit(4L)).cast("double") / 4, 9)) -
+                sin(round(lit(6.283185307179586) *
+                  col("k").cast("double") / 16, 9))) /
+                (lit(3.141592653589793) * col("k").cast("double")))
+                .cast("double")).as("w"))
+          .localCheckpoint(eager = false)
+        val adj = wk.agg((-(sum(when(col("k") === 0, col("w"))
+          .otherwise(col("w") * 2))) / 17).as("theta"))
+        val wadj = wk.crossJoin(broadcast(adj))
+          .select(col("k"), (col("w") + col("theta")).as("w"))
+        val taps = d.select(col("day").as("t_day"),
+          explode(sequence(lit(-8L), lit(8L))).as("off"))
+          .select(col("t_day"), col("off"),
+            (col("t_day") + col("off")).as("day"),
+            abs(col("off")).as("k"))
+          .join(d, Seq("day"))
+          .join(broadcast(wadj), Seq("k"))
+        taps.groupBy(col("t_day"))
+          .agg(count(lit(1)).as("ntap"),
+            sum(g9(col("w") * col("y"))).as("cyc"),
+            max(when(col("off") === 0, col("y"))).as("yy"))
+          .filter(col("ntap") === 17)
+          .select(col("t_day").as("day"), col("yy").cast("long").as("y"),
+            (round(col("cyc").cast("double"), 6) + lit(0.0)).as("cycle"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH d AS MATERIALIZED (
+          SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS DOUBLE) AS y
+          FROM events GROUP BY 1),
+        wk AS (
+          SELECT k,
+                 CASE WHEN k = 0 THEN CAST(0.375 AS DOUBLE)
+                 ELSE CAST(CAST(ROUND((sin(ROUND(6.283185307179586 *
+                   CAST(k % 4 AS DOUBLE) / 4, 9)) -
+                   sin(ROUND(6.283185307179586 * CAST(k AS DOUBLE) / 16,
+                     9))) / (3.141592653589793 * CAST(k AS DOUBLE)), 9)
+                   AS DECIMAL(20,9)) AS DOUBLE) END AS w
+          FROM (SELECT CAST(r.range AS BIGINT) AS k FROM range(0, 9) r)),
+        adj AS (
+          SELECT -(SUM(CASE WHEN k = 0 THEN w ELSE w * 2 END)) / 17
+                   AS theta
+          FROM wk),
+        wadj AS (
+          SELECT k, w + theta AS w FROM wk CROSS JOIN adj),
+        taps AS (
+          SELECT t.day AS t_day, o.off,
+                 abs(o.off) AS k, d2.y,
+                 CASE WHEN o.off = 0 THEN d2.y END AS y0
+          FROM d t
+          CROSS JOIN (SELECT CAST(r.range AS BIGINT) AS off
+                      FROM range(-8, 9) r) o
+          JOIN d d2 ON d2.day = t.day + o.off),
+        agg AS (
+          SELECT t_day, CAST(COUNT(*) AS BIGINT) AS ntap,
+                 SUM(CAST(ROUND(w * y, 9) AS DECIMAL(20,9))) AS cyc,
+                 CAST(MAX(y0) AS BIGINT) AS y
+          FROM taps JOIN wadj USING (k)
+          GROUP BY 1)
+        SELECT t_day AS day, y,
+               ROUND(CAST(cyc AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS cycle
+        FROM agg WHERE ntap = 17 ORDER BY day"""))
   )
 }
