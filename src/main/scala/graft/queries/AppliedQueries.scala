@@ -2837,6 +2837,275 @@ object AppliedQueries {
           GROUP BY 1)
         SELECT t_day AS day, y,
                ROUND(CAST(cyc AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS cycle
-        FROM agg WHERE ntap = 17 ORDER BY day"""))
+        FROM agg WHERE ntap = 17 ORDER BY day""")),
+
+    // Mean cumulative function for recurrent purchase events with
+    // staggered entry (each user enters observation at their first
+    // event): MCF(t) = Σ_{s≤t} d(s)/n(s) with the risk set growing as
+    // users enroll — the recurrent-events counterpart of q7a's
+    // single-event Kaplan-Meier (expected cumulative purchases per
+    // user-under-observation, the warranty-claims / repeat-orders
+    // curve). Increments are exact-integer ratios on the 9-grid; the
+    // risk set is one cumulative scan, never an inequality join.
+    "qgq_mcf_recurrent" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("CAST(unix_millis(ts) div 86400000 AS BIGINT)").as("day"),
+            col("event_type"))
+          .localCheckpoint(eager = false)
+        val entry = ev.groupBy(col("user_id")).agg(min(col("day")).as("u0"))
+          .groupBy(col("u0")).agg(count(lit(1)).as("enr"))
+        val days = ev.select(col("day")).distinct()
+        val wc = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val risk = days
+          .join(entry.select(col("u0").as("day"), col("enr")), Seq("day"),
+            "left")
+          .select(col("day"), coalesce(col("enr"), lit(0L)).as("enr"))
+          .select(col("day"), sum(col("enr")).over(wc).as("nobs"))
+        val d = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("day")).agg(count(lit(1)).as("dp"))
+        risk.join(d, Seq("day"), "left")
+          .select(col("day"), col("nobs"),
+            coalesce(col("dp"), lit(0L)).as("dp"))
+          .select(col("day"), col("nobs"), col("dp"),
+            g9(col("dp").cast("double") / col("nobs").cast("double"))
+              .as("inc"))
+          .select(col("day"), col("nobs"), col("dp"),
+            round(sum(col("inc")).over(wc).cast("double"), 6).as("mcf"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH ev AS MATERIALIZED (
+          SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                 event_type
+          FROM events),
+        entry AS (
+          SELECT u0, CAST(COUNT(*) AS BIGINT) AS enr
+          FROM (SELECT user_id, MIN(day) AS u0 FROM ev GROUP BY 1)
+          GROUP BY 1),
+        days AS (SELECT DISTINCT day FROM ev),
+        risk AS (
+          SELECT day,
+                 CAST(SUM(COALESCE(enr, 0)) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS nobs
+          FROM days LEFT JOIN entry ON entry.u0 = days.day),
+        d AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS dp
+          FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+        inc AS (
+          SELECT risk.day, nobs, COALESCE(dp, 0) AS dp,
+                 CAST(ROUND(CAST(COALESCE(dp, 0) AS DOUBLE) /
+                   CAST(nobs AS DOUBLE), 9) AS DECIMAL(20,9)) AS inc
+          FROM risk LEFT JOIN d ON d.day = risk.day)
+        SELECT day, nobs, dp,
+               ROUND(CAST(SUM(inc) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 6) AS mcf
+        FROM inc ORDER BY day""")),
+
+    // Tukey biweight one-step M-estimate of the typical order value:
+    // EXACT global median and MAD (both even-count medians taken as
+    // the exact DECIMAL mean of the two middle order statistics via
+    // the distributed globalRowNumber primitive — no interpolating
+    // percentile whose semantics could differ between engines), then
+    // bisquare weights w = (1-u²)² at tuning 9·MAD — the
+    // high-breakdown location estimate beside q6c's winsorized means
+    // (winsorizing clips at fixed percentiles; the biweight
+    // down-weights smoothly and rejects gross outliers entirely).
+    "qgr_biweight_mean" -> Q(
+      fn = (s, dir) => {
+        val x = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(18,8)").as("x"))
+        val rx = graft.operators.ScaleOps.globalRowNumber(x,
+          Seq(col("x"), col("o_orderkey")), "rk")
+          .localCheckpoint(eager = false)
+        val n0 = rx.agg(count(lit(1)).as("n"))
+        val med = rx.crossJoin(broadcast(n0))
+          .filter(col("rk") === expr("n div 2") ||
+            col("rk") === expr("n div 2 + 1"))
+          .agg((sum(col("x")) * lit(0.5).cast("decimal(2,1)")).as("med"))
+        val dev = x.crossJoin(broadcast(med))
+          .select(col("o_orderkey"), col("x"),
+            abs(col("x") - col("med")).as("ad"), col("med"))
+          .localCheckpoint(eager = false)
+        val rd = graft.operators.ScaleOps.globalRowNumber(
+          dev.select(col("o_orderkey"), col("ad")),
+          Seq(col("ad"), col("o_orderkey")), "rk")
+        val mad = rd.crossJoin(broadcast(n0))
+          .filter(col("rk") === expr("n div 2") ||
+            col("rk") === expr("n div 2 + 1"))
+          .agg((sum(col("ad")) * lit(0.5).cast("decimal(2,1)")).as("mad"))
+        val wts = dev.crossJoin(broadcast(mad))
+          .select(col("x"), col("med"), col("mad"),
+            (abs(col("x") - col("med")).cast("double") /
+              (lit(9.0) * col("mad").cast("double"))).as("u"))
+          .select(col("x"), col("med"), col("mad"),
+            when(col("u") < 1,
+              (lit(1.0) - col("u") * col("u")) *
+                (lit(1.0) - col("u") * col("u")))
+              .otherwise(lit(0.0)).as("w"))
+        wts.groupBy(col("med"), col("mad"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_used"),
+            sum(g9(col("w") * col("x").cast("double"))).as("swx"),
+            sum(g9(col("w"))).as("sw"))
+          .select(col("n"), col("n_used"),
+            round(col("med").cast("double"), 6).as("median_m"),
+            round(col("mad").cast("double"), 6).as("mad_m"),
+            round(col("swx").cast("double") / col("sw").cast("double"), 6)
+              .as("biweight_mean_m"))
+      },
+      oracle = Some("""
+        WITH x AS MATERIALIZED (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(18,8)) AS x
+          FROM orders),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+        med AS (
+          SELECT SUM(x) * 0.5 AS med
+          FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_orderkey)
+                  AS rk FROM x) CROSS JOIN n0
+          WHERE rk = n // 2 OR rk = n // 2 + 1),
+        dev AS MATERIALIZED (
+          SELECT o_orderkey, x, abs(x - med) AS ad, med
+          FROM x CROSS JOIN med),
+        mad AS (
+          SELECT SUM(ad) * 0.5 AS mad
+          FROM (SELECT ad, ROW_NUMBER() OVER (ORDER BY ad, o_orderkey)
+                  AS rk FROM dev) CROSS JOIN n0
+          WHERE rk = n // 2 OR rk = n // 2 + 1),
+        wts AS (
+          SELECT x, med, mad,
+                 CASE WHEN u < 1 THEN (1 - u * u) * (1 - u * u)
+                      ELSE CAST(0 AS DOUBLE) END AS w
+          FROM (
+            SELECT x, med, mad,
+                   CAST(abs(x - med) AS DOUBLE) /
+                     (CAST(9 AS DOUBLE) * CAST(mad AS DOUBLE)) AS u
+            FROM dev CROSS JOIN mad))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_used,
+               ROUND(CAST(MAX(med) AS DOUBLE), 6) AS median_m,
+               ROUND(CAST(MAX(mad) AS DOUBLE), 6) AS mad_m,
+               ROUND(CAST(SUM(CAST(ROUND(w * CAST(x AS DOUBLE), 9)
+                 AS DECIMAL(20,9))) AS DOUBLE) /
+                 CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(20,9))) AS DOUBLE),
+                 6) AS biweight_mean_m
+        FROM wts""")),
+
+    // Baron-Kenny mediation decomposition: does urgent priority (X)
+    // move order value (Y) through line count (M)? Path a (X→M), path
+    // b (M→Y holding X), total effect c, direct effect c′, indirect
+    // a·b and the proportion mediated — the 2-covariate OLS solved in
+    // closed form by Cramer's rule over EXACT moment images (binary X
+    // makes every cross-moment a conditional sum: integers and
+    // DECIMALs, no per-row float at all until the final ratios).
+    "qgs_mediation" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("nl"))
+        val o = t(s, dir, "orders")
+          .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(
+            when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+              .as("x"),
+            coalesce(col("nl"), lit(0L)).as("m"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(18,8)").as("y"))
+        val mm = o.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("m")).as("sm"), sum(col("y")).as("sy"),
+          sum(col("x") * col("m")).as("sxm"),
+          sum(when(col("x") === 1, col("y"))
+            .otherwise(lit(0).cast("decimal(18,8)"))).as("sxy"),
+          sum(col("m") * col("y")).as("smy"),
+          sum(col("m") * col("m")).as("smm"))
+        val cv = mm.select(
+          col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("sxd"),
+          col("sm").cast("double").as("smd"),
+          col("sy").cast("double").as("syd"),
+          col("sxm").cast("double").as("sxmd"),
+          col("sxy").cast("double").as("sxyd"),
+          col("smy").cast("double").as("smyd"),
+          col("smm").cast("double").as("smmd"))
+          .select(
+            (col("nd") * col("sxmd") - col("sxd") * col("smd")).as("cxm"),
+            (col("nd") * col("sxyd") - col("sxd") * col("syd")).as("cxy"),
+            (col("nd") * col("smyd") - col("smd") * col("syd")).as("cmy"),
+            (col("nd") * col("sxd") - col("sxd") * col("sxd")).as("vx"),
+            (col("nd") * col("smmd") - col("smd") * col("smd")).as("vm"))
+        cv.select(
+          (col("cxm") / col("vx")).as("a"),
+          ((col("vx") * col("cmy") - col("cxm") * col("cxy")) /
+            (col("vx") * col("vm") - col("cxm") * col("cxm"))).as("b"),
+          (col("cxy") / col("vx")).as("c"),
+          ((col("vm") * col("cxy") - col("cxm") * col("cmy")) /
+            (col("vx") * col("vm") - col("cxm") * col("cxm"))).as("cp"))
+          .select(
+            (round(col("a"), 6) + lit(0.0)).as("path_a_lines"),
+            (round(col("b"), 8) + lit(0.0)).as("path_b_m_per_line"),
+            (round(col("c"), 8) + lit(0.0)).as("total_effect_m"),
+            (round(col("cp"), 8) + lit(0.0)).as("direct_effect_m"),
+            (round(col("a") * col("b"), 8) + lit(0.0))
+              .as("indirect_effect_m"),
+            (round(col("a") * col("b") / col("c"), 6) + lit(0.0))
+              .as("prop_mediated"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS nl
+          FROM lineitem GROUP BY 1),
+        o AS (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS x,
+                 COALESCE(nl, 0) AS m,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(18,8)) AS y
+          FROM orders LEFT JOIN li ON o_orderkey = l_orderkey),
+        mm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(m) AS BIGINT) AS sm,
+                 SUM(y) AS sy,
+                 CAST(SUM(x * m) AS BIGINT) AS sxm,
+                 SUM(CASE WHEN x = 1 THEN y
+                     ELSE CAST(0 AS DECIMAL(18,8)) END) AS sxy,
+                 SUM(m * y) AS smy,
+                 CAST(SUM(m * m) AS BIGINT) AS smm
+          FROM o),
+        cv AS (
+          SELECT nd * sxmd - sxd * smd AS cxm,
+                 nd * sxyd - sxd * syd AS cxy,
+                 nd * smyd - smd * syd AS cmy,
+                 nd * sxd - sxd * sxd AS vx,
+                 nd * smmd - smd * smd AS vm
+          FROM (
+            SELECT CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sm AS DOUBLE) AS smd, CAST(sy AS DOUBLE) AS syd,
+                   CAST(sxm AS DOUBLE) AS sxmd,
+                   CAST(sxy AS DOUBLE) AS sxyd,
+                   CAST(smy AS DOUBLE) AS smyd,
+                   CAST(smm AS DOUBLE) AS smmd
+            FROM mm)),
+        paths AS (
+          SELECT cxm / vx AS a,
+                 (vx * cmy - cxm * cxy) / (vx * vm - cxm * cxm) AS b,
+                 cxy / vx AS c,
+                 (vm * cxy - cxm * cmy) / (vx * vm - cxm * cxm) AS cp
+          FROM cv)
+        SELECT ROUND(a, 6) + CAST(0 AS DOUBLE) AS path_a_lines,
+               ROUND(b, 8) + CAST(0 AS DOUBLE) AS path_b_m_per_line,
+               ROUND(c, 8) + CAST(0 AS DOUBLE) AS total_effect_m,
+               ROUND(cp, 8) + CAST(0 AS DOUBLE) AS direct_effect_m,
+               ROUND(a * b, 8) + CAST(0 AS DOUBLE) AS indirect_effect_m,
+               ROUND(a * b / c, 6) + CAST(0 AS DOUBLE) AS prop_mediated
+        FROM paths"""))
   )
 }
