@@ -3106,6 +3106,292 @@ object AppliedQueries {
                ROUND(cp, 8) + CAST(0 AS DOUBLE) AS direct_effect_m,
                ROUND(a * b, 8) + CAST(0 AS DOUBLE) AS indirect_effect_m,
                ROUND(a * b / c, 6) + CAST(0 AS DOUBLE) AS prop_mediated
-        FROM paths"""))
+        FROM paths""")),
+
+    // Engle's ARCH LM test on the daily-revenue series: are squared
+    // deviations from the mean autocorrelated (volatility clustering)?
+    // Regress e²ₜ on e²ₜ₋₁, LM = n·R² ~ χ²(1). Deviations and squares
+    // snap to the 9-grid per CLAUDE.md rule 15 (products of two 9-grid
+    // factors round safely at 9); all regression moments are
+    // DECIMAL(20,9) sums; the final R²/LM is pure ×−÷ on identical
+    // doubles. The conditional-heteroskedasticity companion to qb3's
+    // Ljung–Box (which tests the LEVELS).
+    "qgt_arch_lm" -> Q(
+      fn = (s, dir) => {
+        val y = dailyRevenueM(s, dir)
+        val mu = y.agg(count(lit(1)).as("n"),
+            sum(col("ym")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val u = y.crossJoin(broadcast(mu))
+          .select(col("day"),
+            round(col("ym").cast("double") - col("mu"), 9).as("e"))
+          .select(col("day"), round(col("e") * col("e"), 9).as("u"))
+        val w = Window.orderBy("day")
+        val p = u.withColumn("x", lag("u", 1).over(w))
+          .filter(col("x").isNotNull)
+        val m = p.agg(count(lit(1)).as("n2"),
+          sum(g9(col("x"))).as("sx"), sum(g9(col("u"))).as("sy2"),
+          sum(g9(round(col("x") * col("u"), 9))).as("sxy"),
+          sum(g9(round(col("x") * col("x"), 9))).as("sxx"),
+          sum(g9(round(col("u") * col("u"), 9))).as("syy"))
+        m.select(col("n2").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("sy2").cast("double").as("syd"),
+            col("sxy").cast("double").as("sxyd"),
+            col("sxx").cast("double").as("sxxd"),
+            col("syy").cast("double").as("syyd"), col("n2"))
+          .select(col("n2").as("n_obs"),
+            (col("nd") * col("sxyd") - col("sxd") * col("syd")).as("cxy"),
+            (col("nd") * col("sxxd") - col("sxd") * col("sxd")).as("vx"),
+            (col("nd") * col("syyd") - col("syd") * col("syd")).as("vy"),
+            col("nd"))
+          .select(col("n_obs"),
+            (round(col("cxy") / col("vx"), 6) + lit(0.0)).as("arch_slope"),
+            (round(col("nd") * col("cxy") * col("cxy") /
+              (col("vx") * col("vy")), 6) + lit(0.0)).as("lm_stat"),
+            when(col("nd") * col("cxy") * col("cxy") /
+              (col("vx") * col("vy")) > lit(3.841459), 1)
+              .otherwise(0).cast("int").as("reject_5pct"))
+      },
+      oracle = Some(s"""
+        WITH y AS ($dailyRevenueMSql),
+        mu AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS mu
+          FROM y),
+        u AS (
+          SELECT day, ROUND(e * e, 9) AS u
+          FROM (SELECT day, ROUND(CAST(ym AS DOUBLE) - mu, 9) AS e
+                FROM y CROSS JOIN mu)),
+        p AS (
+          SELECT * FROM (
+            SELECT u, LAG(u, 1) OVER (ORDER BY day) AS x FROM u)
+          WHERE x IS NOT NULL),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+                 SUM(CAST(ROUND(x, 9) AS DECIMAL(20,9))) AS sx,
+                 SUM(CAST(ROUND(u, 9) AS DECIMAL(20,9))) AS sy2,
+                 SUM(CAST(ROUND(x * u, 9) AS DECIMAL(20,9))) AS sxy,
+                 SUM(CAST(ROUND(x * x, 9) AS DECIMAL(20,9))) AS sxx,
+                 SUM(CAST(ROUND(u * u, 9) AS DECIMAL(20,9))) AS syy
+          FROM p),
+        cv AS (
+          SELECT n2, nd,
+                 nd * sxyd - sxd * syd AS cxy,
+                 nd * sxxd - sxd * sxd AS vx,
+                 nd * syyd - syd * syd AS vy
+          FROM (
+            SELECT n2, CAST(n2 AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sy2 AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                   CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+            FROM m))
+        SELECT n2 AS n_obs,
+               ROUND(cxy / vx, 6) + CAST(0 AS DOUBLE) AS arch_slope,
+               ROUND(nd * cxy * cxy / (vx * vy), 6) + CAST(0 AS DOUBLE)
+                 AS lm_stat,
+               CAST(CASE WHEN nd * cxy * cxy / (vx * vy)
+                 > CAST(3.841459 AS DOUBLE) THEN 1 ELSE 0 END AS INT)
+                 AS reject_5pct
+        FROM cv""")),
+
+    // Quantile treatment effects: the urgent-priority order-value
+    // distribution against all other priorities, compared decile by
+    // decile — where in the distribution does urgency move value, not
+    // just at the mean (q7n's t-test view). Per-group exact type-1
+    // quantiles via the skew-proof weightedQuantiles primitive (the q9e
+    // recipe: grouped running sum, no global window); the effects are
+    // exact DECIMAL differences of order statistics.
+    "qgu_quantile_treatment" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority") === "1-URGENT", "urgent")
+              .otherwise("other").as("grp"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"),
+            col("o_orderkey"),
+            lit(java.math.BigDecimal.ONE).cast("decimal(18,2)").as("w"))
+        val pm = (1 to 9).map(_ * 100)
+        val qs = graft.operators.Stats.weightedQuantiles(o, Seq("grp"),
+          col("v"), col("w"), pm, Seq(col("o_orderkey")))
+        val urg = qs.filter(col("grp") === "urgent")
+          .select(pm.map(q => col(s"wq_$q").as(s"t_$q")): _*)
+        val oth = qs.filter(col("grp") === "other")
+          .select(pm.map(q => col(s"wq_$q").as(s"c_$q")): _*)
+        val stacked = pm.map(q => s"$q, t_$q, c_$q").mkString(", ")
+        urg.crossJoin(broadcast(oth))
+          .select(expr(s"stack(9, $stacked) AS (per_mille, qt, qc)"))
+          .select(col("per_mille").cast("int").as("per_mille"),
+            col("qt").cast("double").as("q_treated"),
+            col("qc").cast("double").as("q_control"),
+            (col("qt") - col("qc")).cast("double").as("qte"))
+          .orderBy("per_mille")
+      },
+      oracle = Some({
+        val qsel = (1 to 9).map(q =>
+          s"MIN(CASE WHEN cumw * 1000 >= totw * ${q * 100} THEN v END) AS wq_${q * 100}")
+          .mkString(",\n                 ")
+        val rows = (1 to 9).map(q =>
+          s"""SELECT CAST(${q * 100} AS INT) AS per_mille,
+             |       CAST(u.wq_${q * 100} AS DOUBLE) AS q_treated,
+             |       CAST(o.wq_${q * 100} AS DOUBLE) AS q_control,
+             |       CAST(u.wq_${q * 100} - o.wq_${q * 100} AS DOUBLE) AS qte
+             |FROM u CROSS JOIN o""".stripMargin).mkString("\n        UNION ALL\n        ")
+        s"""
+        WITH l AS (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                      ELSE 'other' END AS grp,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                 CAST(1 AS DECIMAL(18,2)) AS w, o_orderkey
+          FROM orders),
+        c AS (
+          SELECT *,
+                 SUM(w) OVER (PARTITION BY grp ORDER BY v, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS cumw,
+                 SUM(w) OVER (PARTITION BY grp) AS totw
+          FROM l),
+        q AS (
+          SELECT grp,
+                 $qsel
+          FROM c GROUP BY 1),
+        u AS (SELECT * FROM q WHERE grp = 'urgent'),
+        o AS (SELECT * FROM q WHERE grp = 'other')
+        $rows
+        ORDER BY per_mille"""
+      })),
+
+    // Theta-method forecast (Assimakopoulos & Nikolopoulos) of daily
+    // purchase revenue: the classical theta(0,2) decomposition — a
+    // closed-form OLS trend line plus simple exponential smoothing of
+    // the theta-2 line (2yₜ − trendₜ), combined half-and-half at each
+    // horizon. The SES level walks the q7d fold recipe (ordered
+    // aggregate, per-step ROUND 9, LIST accumulator on the DuckDB
+    // side); trend moments are exact DECIMAL/integer sums.
+    "qgx_theta_forecast" -> Q(
+      fn = (s, dir) => {
+        val d0 = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("yv"))
+        val d = d0.withColumn("t",
+          row_number().over(Window.orderBy("day")).cast("long"))
+        val mm = d.agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+          sum(col("yv")).as("sy"), sum(col("t") * col("t")).as("stt"),
+          sum(col("t").cast("decimal(18,2)") * col("yv")).as("sty"))
+        val ab = mm.select(col("n"),
+            ((col("n").cast("double") * col("sty").cast("double") -
+              col("st").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("stt").cast("double") -
+                col("st").cast("double") * col("st").cast("double")))
+              .as("b"), col("st"), col("sy"))
+          .select(col("n"), col("b"),
+            ((col("sy").cast("double") - col("b") * col("st").cast("double"))
+              / col("n").cast("double")).as("a"))
+        val th = d.crossJoin(broadcast(ab))
+          .select(col("t"), col("n"), col("a"), col("b"),
+            round(lit(2.0) * col("yv").cast("double") -
+              (col("a") + col("b") * col("t").cast("double")), 9).as("d2"))
+        val folded = th.groupBy(col("n"), col("a"), col("b"))
+          .agg(expr("transform(array_sort(collect_list(struct(t, d2))), x -> x.d2)")
+            .as("ds"))
+          .select(col("n"), col("a"), col("b"),
+            expr("aggregate(slice(ds, 2, size(ds) - 1), element_at(ds, 1)," +
+              " (acc, x) -> round(0.5d * x + 0.5d * acc, 9))").as("lvl"))
+        folded.select(col("n"), col("a"), col("b"), col("lvl"),
+            explode(expr("sequence(1, 7)")).as("h"))
+          .select(col("h").cast("int").as("h"), col("n").as("n_obs"),
+            (round(col("lvl"), 6) + lit(0.0)).as("ses_level"),
+            (round(col("b"), 6) + lit(0.0)).as("trend_slope"),
+            (round(lit(0.5) * (col("a") + col("b") *
+              (col("n") + col("h")).cast("double")) +
+              lit(0.5) * col("lvl"), 6) + lit(0.0)).as("forecast"))
+          .orderBy("h")
+      },
+      oracle = Some("""
+        WITH d0 AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS yv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        d AS (
+          SELECT day, yv,
+                 CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+          FROM d0),
+        mm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(t) AS BIGINT) AS st, SUM(yv) AS sy,
+                 CAST(SUM(t * t) AS BIGINT) AS stt,
+                 SUM(CAST(t AS DECIMAL(18,2)) * yv) AS sty
+          FROM d),
+        ab AS (
+          SELECT n, b,
+                 (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS a
+          FROM (
+            SELECT n, st, sy,
+                   (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b
+            FROM mm)),
+        th AS (
+          SELECT n, a, b,
+                 list(ROUND(CAST(2 AS DOUBLE) * CAST(yv AS DOUBLE)
+                   - (a + b * CAST(t AS DOUBLE)), 9) ORDER BY t) AS ds
+          FROM d CROSS JOIN ab GROUP BY 1, 2, 3),
+        f AS (
+          SELECT n, a, b,
+                 list_reduce(ds,
+                   (acc, x) -> ROUND(CAST(0.5 AS DOUBLE) * x
+                     + CAST(0.5 AS DOUBLE) * acc, 9)) AS lvl
+          FROM th)
+        SELECT CAST(h AS INT) AS h, n AS n_obs,
+               ROUND(lvl, 6) + CAST(0 AS DOUBLE) AS ses_level,
+               ROUND(b, 6) + CAST(0 AS DOUBLE) AS trend_slope,
+               ROUND(CAST(0.5 AS DOUBLE) * (a + b * CAST(n + h AS DOUBLE))
+                 + CAST(0.5 AS DOUBLE) * lvl, 6) + CAST(0 AS DOUBLE)
+                 AS forecast
+        FROM f CROSS JOIN (SELECT unnest(range(1, 8)) AS h)
+        ORDER BY h""")),
+
+    // kth-nearest-neighbor distance outlier scores over the embedding
+    // corpus (Ramaswamy et al.): score = cosine distance to the 5th
+    // nearest neighbor, the classical distance-based outlier measure —
+    // LOF's (qa8) non-density sibling. Exact tier via the map-side
+    // top-k heap aggregator (≤k rows per partition shuffle, queries
+    // broadcast); at corpus scale the candidate pool pre-restricts via
+    // IVF/LSH (q3g/q34 machinery) exactly as hardNegatives documents.
+    "qgy_knn_outlier" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+        graft.operators.VectorSearch
+          .knnJoinViaAggregator(q, c, "q_id", "qv", "c_id", "cv", k = 5)
+          .filter(col("rn") === 5)
+          .select(col("query_id").as("vec_id"),
+            col("neighbor_id").as("nn5_id"),
+            round(lit(1.0) - col("score"), 6).as("knn_dist"))
+          .orderBy(col("knn_dist").desc, col("vec_id"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                 ROUND(CAST(list_cosine_similarity(b.v, a.v) AS DOUBLE), 6)
+                   AS score
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        r AS (
+          SELECT q_id, c_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, c_id) AS rn
+          FROM scored)
+        SELECT q_id AS vec_id, c_id AS nn5_id,
+               ROUND(CAST(1 AS DOUBLE) - score, 6) AS knn_dist
+        FROM r WHERE rn = 5
+        ORDER BY knn_dist DESC, vec_id LIMIT 20"""))
   )
 }
