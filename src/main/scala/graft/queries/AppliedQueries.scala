@@ -3392,6 +3392,435 @@ object AppliedQueries {
         SELECT q_id AS vec_id, c_id AS nn5_id,
                ROUND(CAST(1 AS DOUBLE) - score, 6) AS knn_dist
         FROM r WHERE rn = 5
-        ORDER BY knn_dist DESC, vec_id LIMIT 20"""))
+        ORDER BY knn_dist DESC, vec_id LIMIT 20""")),
+
+    // Restricted mean residual life from the signup→purchase Kaplan–
+    // Meier curve: at each hour of the life table, the expected
+    // REMAINING hours to conversion given survival to that point,
+    // integrating the KM step function out to the last observed time
+    // (users without a later purchase are right-censored at the
+    // observation window's end). S walks an ordered fold of 9-grid
+    // factors (two-9-grid products round safely at 9, the q4b recipe)
+    // carried as a growing-array accumulator so the whole PATH comes
+    // back, not just the endpoint; the residual integral is a
+    // DECIMAL window sum from the tail. The "how much longer" answer
+    // q7a's survival curve and q6k's latency histogram don't give.
+    "qgw_mean_residual_life" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ms")).as("sms"))
+        val pu = e.filter(col("event_type") === "purchase")
+          .join(su, "user_id")
+          .filter(col("ms") >= col("sms"))
+          .groupBy("user_id").agg(min(col("ms")).as("pms"))
+        val mx = e.agg(max(col("ms")).as("mms"))
+        val durs = su.join(pu, Seq("user_id"), "left")
+          .crossJoin(broadcast(mx))
+          .select(
+            when(col("pms").isNotNull, 1L).otherwise(0L).as("ev"),
+            when(col("pms").isNotNull,
+              expr("(pms - sms) div 3600000"))
+              .otherwise(expr("(mms - sms) div 3600000")).as("t"))
+        val ntot = durs.agg(count(lit(1)).as("ntot"))
+        val lt = durs.groupBy("t")
+          .agg(sum(col("ev")).as("d"), count(lit(1)).as("m"))
+        val cum = lt.crossJoin(broadcast(ntot))
+          .withColumn("cm", sum(col("m")).over(
+            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("nr", col("ntot") - (col("cm") - col("m")))
+          .withColumn("f", round(lit(1.0) -
+            col("d").cast("double") / col("nr").cast("double"), 9))
+        // The KM fold multiplies two 9-grid factors — and f can be a
+        // SHORT decimal like 0.5 (d=1, n=2 near the table's end), which
+        // parks the exact product ON the digit-10 half boundary (t=330
+        // at sf0.1 hit 0.0019999995): rule-15 territory, so the fold
+        // runs in exact DECIMAL(18,9) with half-up ROUND in both
+        // engines, never through a double product.
+        val packed = cum.agg(expr(
+          "array_sort(collect_list(struct(t, d, nr, f)))").as("rows"))
+        val zipped = packed.select(expr(
+          """explode(arrays_zip(
+            |  transform(rows, x -> x.t),
+            |  transform(rows, x -> x.d),
+            |  transform(rows, x -> x.nr),
+            |  slice(aggregate(
+            |    transform(rows, x -> cast(x.f as decimal(18,9))),
+            |    array(cast(1.0 as decimal(18,9))),
+            |    (acc, fv) -> concat(acc,
+            |      array(cast(round(element_at(acc, -1) * fv, 9)
+            |        as decimal(18,9))))),
+            |    2, size(rows)))) AS z""".stripMargin))
+          .select(col("z.0").as("t"), col("z.1").as("d"),
+            col("z.2").as("nr"), col("z.3").as("sv"))
+        val wOrd = Window.orderBy("t")
+        val terms = zipped
+          .withColumn("delta",
+            coalesce(lead("t", 1).over(wOrd), col("t")) - col("t"))
+          .withColumn("term",
+            (col("sv") * col("delta").cast("decimal(10,0)"))
+              .cast("decimal(28,9)"))
+        terms
+          .withColumn("rsum", sum(col("term")).over(
+            Window.orderBy(col("t").desc)
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("t").as("t_hours"), col("nr").as("n_risk"),
+            col("d").as("d_events"),
+            round(col("sv").cast("double"), 6).as("surv"),
+            when(col("sv") > 0,
+              round(col("rsum").cast("double") / col("sv").cast("double"),
+                6) + lit(0.0))
+              .as("rmrl_hours"))
+          .orderBy("t_hours")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        su AS (
+          SELECT user_id, MIN(ms) AS sms FROM e
+          WHERE event_type = 'signup' GROUP BY 1),
+        pu AS (
+          SELECT e.user_id, MIN(ms) AS pms
+          FROM e JOIN su ON e.user_id = su.user_id
+          WHERE e.event_type = 'purchase' AND e.ms >= su.sms
+          GROUP BY 1),
+        mx AS (SELECT MAX(ms) AS mms FROM e),
+        durs AS (
+          SELECT CASE WHEN pms IS NOT NULL THEN 1 ELSE 0 END AS ev,
+                 CASE WHEN pms IS NOT NULL THEN (pms - sms) // 3600000
+                      ELSE (mms - sms) // 3600000 END AS t
+          FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+          CROSS JOIN mx),
+        ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM durs),
+        lt AS (
+          SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS m
+          FROM durs GROUP BY 1),
+        cum AS (
+          SELECT t, d, m,
+                 CAST(ntot - (SUM(m) OVER (ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) - m) AS BIGINT) AS nr
+          FROM lt CROSS JOIN ntot),
+        cum2 AS (
+          SELECT t, d, nr,
+                 ROUND(CAST(1 AS DOUBLE)
+                   - CAST(d AS DOUBLE) / CAST(nr AS DOUBLE), 9) AS f
+          FROM cum),
+        packed AS (
+          SELECT list(t ORDER BY t) AS tl, list(d ORDER BY t) AS dl,
+                 list(nr ORDER BY t) AS nl, list(f ORDER BY t) AS fl
+          FROM cum2),
+        path AS (
+          SELECT tl, dl, nl,
+                 list_reduce(
+                   list_prepend([CAST(1 AS DECIMAL(18,9))],
+                     list_transform(fl,
+                       f -> [CAST(f AS DECIMAL(18,9))])),
+                   (acc, e) -> acc ||
+                     [CAST(ROUND(acc[-1] * e[1], 9) AS DECIMAL(18,9))])
+                   [2:] AS svals
+          FROM packed),
+        rows_z AS (
+          SELECT unnest(tl) AS t, unnest(dl) AS d, unnest(nl) AS nr,
+                 unnest(svals) AS sv
+          FROM path),
+        wd AS (
+          SELECT t, d, nr, sv,
+                 COALESCE(LEAD(t) OVER (ORDER BY t), t) - t AS delta
+          FROM rows_z),
+        terms AS (
+          SELECT *, CAST(sv * CAST(delta AS DECIMAL(10,0))
+                   AS DECIMAL(28,9)) AS term
+          FROM wd),
+        rs AS (
+          SELECT *, SUM(term) OVER (ORDER BY t DESC
+                   ROWS UNBOUNDED PRECEDING) AS rsum
+          FROM terms)
+        SELECT t AS t_hours, nr AS n_risk, d AS d_events,
+               ROUND(CAST(sv AS DOUBLE), 6) AS surv,
+               CASE WHEN sv > 0 THEN
+                 ROUND(CAST(rsum AS DOUBLE) / CAST(sv AS DOUBLE), 6)
+                   + CAST(0 AS DOUBLE)
+               END AS rmrl_hours
+        FROM rs ORDER BY t_hours""")),
+
+    // Free-disposal-hull (FDH) output efficiency per nation: among
+    // peers using no more of EITHER input (customers, orders), the
+    // best-achieved revenue ratio — the LP-free, convexity-free
+    // frontier benchmark from production economics (Deprins–Simar–
+    // Tulkens). The dominance join runs on the bounded nation panel
+    // (25 rows, broadcast); peer selection is an exact struct argmax
+    // (max revenue, min key on ties); one double division per unit.
+    "qgz_fdh_efficiency" -> Q(
+      fn = (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .groupBy(col("c_nationkey").cast("long").as("nk"))
+          .agg(count(lit(1)).as("x1"))
+        val ord = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nk2"))
+          .agg(count(lit(1)).as("x2"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+        val u = cust.join(ord, col("nk") === col("nk2"))
+          .select(col("nk"), col("x1"), col("x2"), col("y"))
+        val peers = u.crossJoin(broadcast(u.select(
+            col("nk").as("pk"), col("x1").as("px1"),
+            col("x2").as("px2"), col("y").as("py"))))
+          .filter(col("px1") <= col("x1") && col("px2") <= col("x2"))
+          .groupBy(col("nk"), col("x1"), col("x2"), col("y"))
+          .agg(max(struct(col("py").as("py"), (-col("pk")).as("negk")))
+            .as("w"))
+        peers.select(col("nk").as("nation"),
+            col("x1").as("n_customers"), col("x2").as("n_orders"),
+            col("y").cast("double").as("revenue"),
+            (-col("w.negk")).as("peer_nation"),
+            round(col("w.py").cast("double") / col("y").cast("double"), 6)
+              .as("fdh_efficiency"),
+            when(col("w.py") === col("y"), 1).otherwise(0).cast("int")
+              .as("on_frontier"))
+          .orderBy("nation")
+      },
+      oracle = Some("""
+        WITH cust AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                 CAST(COUNT(*) AS BIGINT) AS x1
+          FROM customer GROUP BY 1),
+        ord AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                 CAST(COUNT(*) AS BIGINT) AS x2,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1),
+        u AS MATERIALIZED (
+          SELECT cust.nk, x1, x2, y
+          FROM cust JOIN ord ON cust.nk = ord.nk),
+        peers AS (
+          SELECT a.nk, a.x1, a.x2, a.y,
+                 MAX({'py': b.y, 'negk': -b.nk}) AS w
+          FROM u a JOIN u b ON b.x1 <= a.x1 AND b.x2 <= a.x2
+          GROUP BY 1, 2, 3, 4)
+        SELECT nk AS nation, x1 AS n_customers, x2 AS n_orders,
+               CAST(y AS DOUBLE) AS revenue,
+               -w['negk'] AS peer_nation,
+               ROUND(CAST(w['py'] AS DOUBLE) / CAST(y AS DOUBLE), 6)
+                 AS fdh_efficiency,
+               CAST(CASE WHEN w['py'] = y THEN 1 ELSE 0 END AS INT)
+                 AS on_frontier
+        FROM peers ORDER BY nation""")),
+
+    // Risk-adjusted return card over daily revenue growth: Sharpe
+    // (mean/sd), Sortino (mean/downside deviation), the RELATIVE
+    // maximum drawdown off the exact DECIMAL prefix-max scan, and
+    // Calmar (mean/maxDD) — the ratio battery that prices qfj's raw
+    // drawdown and qfi's VaR into comparable per-unit-risk numbers.
+    // Returns snap to the 9-grid; moment sums are DECIMAL(20,9);
+    // sd/downside links are sqrt-only.
+    "qh0_risk_adjusted" -> Q(
+      fn = (s, dir) => {
+        val y = dailyRevenueM(s, dir)
+        val w = Window.orderBy("day")
+        val r = y.withColumn("prev", lag("ym", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("day"),
+            round((col("ym") - col("prev")).cast("double") /
+              col("prev").cast("double"), 9).as("r"))
+        val mom = r.agg(count(lit(1)).as("n"),
+          sum(g9(col("r"))).as("sr"),
+          sum(g9(round(col("r") * col("r"), 9))).as("srr"),
+          sum(g9(round(
+            least(col("r"), lit(0.0)) * least(col("r"), lit(0.0)), 9)))
+            .as("sdd"))
+        val dd = y.withColumn("runmax", max(col("ym")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(((col("runmax") - col("ym")).cast("double") /
+            col("runmax").cast("double")).as("rdd"))
+          .agg(max(round(col("rdd"), 9)).as("maxdd"))
+        mom.crossJoin(broadcast(dd))
+          .select(col("n"),
+            (col("sr").cast("double") / col("n").cast("double")).as("mu"),
+            sqrt((col("n").cast("double") * col("srr").cast("double") -
+              col("sr").cast("double") * col("sr").cast("double")) /
+              (col("n").cast("double") * (col("n") - 1).cast("double")))
+              .as("sd"),
+            sqrt(col("sdd").cast("double") / col("n").cast("double"))
+              .as("ddv"),
+            col("maxdd"))
+          .select(col("n").as("n_days"),
+            (round(col("mu"), 6) + lit(0.0)).as("mean_r"),
+            round(col("sd"), 6).as("sd_r"),
+            (round(col("mu") / col("sd"), 6) + lit(0.0)).as("sharpe"),
+            (round(col("mu") / col("ddv"), 6) + lit(0.0)).as("sortino"),
+            round(col("maxdd"), 6).as("max_drawdown_rel"),
+            (round(col("mu") / col("maxdd"), 6) + lit(0.0)).as("calmar"))
+      },
+      oracle = Some(s"""
+        WITH y AS ($dailyRevenueMSql),
+        r AS (
+          SELECT day, ROUND(CAST(ym - prev AS DOUBLE)
+                   / CAST(prev AS DOUBLE), 9) AS r
+          FROM (SELECT day, ym, LAG(ym) OVER (ORDER BY day) AS prev
+                FROM y)
+          WHERE prev IS NOT NULL),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(r, 9) AS DECIMAL(20,9))) AS sr,
+                 SUM(CAST(ROUND(r * r, 9) AS DECIMAL(20,9))) AS srr,
+                 SUM(CAST(ROUND(LEAST(r, CAST(0 AS DOUBLE))
+                   * LEAST(r, CAST(0 AS DOUBLE)), 9) AS DECIMAL(20,9)))
+                   AS sdd
+          FROM r),
+        dd AS (
+          SELECT MAX(ROUND(CAST(runmax - ym AS DOUBLE)
+                   / CAST(runmax AS DOUBLE), 9)) AS maxdd
+          FROM (SELECT ym, MAX(ym) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS runmax FROM y)),
+        f AS (
+          SELECT n,
+                 CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                 SQRT((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+                   - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd,
+                 SQRT(CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE)) AS ddv,
+                 maxdd
+          FROM mom CROSS JOIN dd)
+        SELECT n AS n_days,
+               ROUND(mu, 6) + CAST(0 AS DOUBLE) AS mean_r,
+               ROUND(sd, 6) AS sd_r,
+               ROUND(mu / sd, 6) + CAST(0 AS DOUBLE) AS sharpe,
+               ROUND(mu / ddv, 6) + CAST(0 AS DOUBLE) AS sortino,
+               ROUND(maxdd, 6) AS max_drawdown_rel,
+               ROUND(mu / maxdd, 6) + CAST(0 AS DOUBLE) AS calmar
+        FROM f""")),
+
+    // Permutation inference for the qbk difference-in-differences:
+    // 40 deterministic md5-draw reassignments of the 10-nation
+    // treatment label (exactly T nations treated per permutation, the
+    // rank-by-hash device = sampling without replacement), DiD
+    // recomputed per permutation from the once-aggregated nation ×
+    // period cells (10×2 exact DECIMAL images — the permutations
+    // never touch row data), and the Fisher p-value (1 + #{|DiD_b| ≥
+    // |DiD_obs|}) / (B+1). Design-based inference that needs no
+    // variance formula — the robustness companion to qbk's unpooled-SE
+    // t-stat.
+    "qh1_did_permutation" -> Q(
+      fn = (s, dir) => {
+        val base = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_regionkey") <= 1)
+          .select(col("n_nationkey").cast("long").as("nk"),
+            when(col("n_regionkey") === 0, 1).otherwise(0).as("tr_obs"),
+            when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"), 1)
+              .otherwise(0).as("post"),
+            col("o_totalprice").cast("decimal(18,2)").as("y"))
+        val cells = base.groupBy(col("nk"), col("post"))
+          .agg(count(lit(1)).as("cn"), sum(col("y")).as("csy"))
+          .localCheckpoint(eager = false)
+        val nat = base.select(col("nk"), col("tr_obs")).distinct()
+        val tcount = nat.agg(sum(col("tr_obs")).as("tt"))
+        def didOf(asg: DataFrame): DataFrame = {
+          // asg: (b, nk, tr); cells joined, group means per (b, tr, post)
+          val g = asg.join(cells, "nk")
+            .groupBy(col("b"), col("tr"), col("post"))
+            .agg(sum(col("cn")).as("n"), sum(col("csy")).as("sy"))
+            .select(col("b"), col("tr"), col("post"),
+              round(col("sy").cast("double") / col("n").cast("double"), 9)
+                .as("m"))
+          def cell(tv: Int, pv: Int) =
+            max(when(col("tr") === tv && col("post") === pv, col("m")))
+          g.groupBy(col("b"))
+            .agg(((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)))
+              .as("did"))
+        }
+        val obs = didOf(nat.select(lit(0L).as("b"), col("nk"),
+            col("tr_obs").as("tr")))
+          .select(col("did").as("did_obs"))
+        val perms = nat.select(col("nk"))
+          .crossJoin(broadcast(tcount))
+          .select(col("nk"), col("tt"),
+            explode(expr("sequence(1L, 40L)")).as("b"))
+          .withColumn("draw",
+            conv(substring(md5(concat(lit("didperm"), col("b"),
+              lit("|"), col("nk"))), 1, 12), 16, 10).cast("long"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("b").orderBy(col("draw"), col("nk"))))
+          .select(col("b"), col("nk"),
+            when(col("rk") <= col("tt"), 1).otherwise(0).as("tr"))
+        val dids = didOf(perms)
+        dids.crossJoin(broadcast(obs))
+          .agg(count(lit(1)).as("n_perms"),
+            sum(when(abs(col("did")) >= abs(col("did_obs")), 1L)
+              .otherwise(0L)).as("n_extreme"),
+            max(col("did_obs")).as("dob"))
+          .select(col("n_perms"),
+            (round(col("dob"), 6) + lit(0.0)).as("did_obs"),
+            col("n_extreme"),
+            round((lit(1.0) + col("n_extreme").cast("double")) /
+              (col("n_perms").cast("double") + lit(1.0)), 6)
+              .as("p_value"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS BIGINT) AS nk,
+                 CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS tr_obs,
+                 CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                      THEN 1 ELSE 0 END AS post,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_regionkey <= 1),
+        cells AS MATERIALIZED (
+          SELECT nk, post, CAST(COUNT(*) AS BIGINT) AS cn,
+                 SUM(y) AS csy
+          FROM base GROUP BY 1, 2),
+        nat AS MATERIALIZED (SELECT DISTINCT nk, tr_obs FROM base),
+        tc AS (SELECT CAST(SUM(tr_obs) AS BIGINT) AS tt FROM nat),
+        obs_g AS (
+          SELECT tr_obs AS tr, post,
+                 ROUND(CAST(SUM(csy) AS DOUBLE)
+                   / CAST(SUM(cn) AS DOUBLE), 9) AS m
+          FROM nat JOIN cells USING (nk) GROUP BY 1, 2),
+        obs AS (
+          SELECT (MAX(CASE WHEN tr = 1 AND post = 1 THEN m END)
+                - MAX(CASE WHEN tr = 1 AND post = 0 THEN m END))
+               - (MAX(CASE WHEN tr = 0 AND post = 1 THEN m END)
+                - MAX(CASE WHEN tr = 0 AND post = 0 THEN m END))
+                 AS did_obs
+          FROM obs_g),
+        draws AS (
+          SELECT b, nk,
+                 CAST('0x' || substr(md5('didperm' || CAST(b AS VARCHAR)
+                   || '|' || CAST(nk AS VARCHAR)), 1, 12) AS BIGINT)
+                   AS draw
+          FROM nat CROSS JOIN (SELECT unnest(range(1, 41)) AS b)),
+        asg AS (
+          SELECT b, nk,
+                 CASE WHEN ROW_NUMBER() OVER (PARTITION BY b
+                   ORDER BY draw, nk) <= tt THEN 1 ELSE 0 END AS tr
+          FROM draws CROSS JOIN tc),
+        g AS (
+          SELECT b, tr, post,
+                 ROUND(CAST(SUM(csy) AS DOUBLE)
+                   / CAST(SUM(cn) AS DOUBLE), 9) AS m
+          FROM asg JOIN cells USING (nk) GROUP BY 1, 2, 3),
+        dids AS (
+          SELECT b,
+                 (MAX(CASE WHEN tr = 1 AND post = 1 THEN m END)
+                - MAX(CASE WHEN tr = 1 AND post = 0 THEN m END))
+               - (MAX(CASE WHEN tr = 0 AND post = 1 THEN m END)
+                - MAX(CASE WHEN tr = 0 AND post = 0 THEN m END)) AS did
+          FROM g GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_perms,
+               ROUND(MAX(did_obs), 6) + CAST(0 AS DOUBLE) AS did_obs,
+               CAST(SUM(CASE WHEN ABS(did) >= ABS(did_obs)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+               ROUND((CAST(1 AS DOUBLE)
+                 + CAST(SUM(CASE WHEN ABS(did) >= ABS(did_obs)
+                     THEN 1 ELSE 0 END) AS DOUBLE))
+                 / (CAST(COUNT(*) AS DOUBLE) + CAST(1 AS DOUBLE)), 6)
+                 AS p_value
+        FROM dids CROSS JOIN obs"""))
   )
 }

@@ -8571,6 +8571,139 @@ object SciQueries {
         ${Seq(hopRow(0, "r0"), hopRow(1, "r1"), hopRow(2, "r2"),
           hopRow(3, "r3")).mkString(" UNION ALL ")}
         ORDER BY h"""
-      })
+      }),
+
+    // Binary join-count statistics over the qcl contiguity graph: are
+    // BUILDING-segment customers spatially clustered? BB / BW / WW
+    // neighbor-pair counts with the Cliff–Ord nonfree-sampling moments
+    // for BW: E[BW] = S0·nb·nw/n₍₂₎ and E[BW²] = ¼[2S1·2nbnw/n₍₂₎ +
+    // (S2−2S1)·nbnw/n₍₂₎ + (S0²+S1−S2)·4nb₍₂₎nw₍₂₎/n₍₄₎] (the shared-
+    // index term simplifies because nb+nw−2 = n−2 cancels against
+    // n₍₃₎), z = (BW−E)/√Var. The CATEGORICAL spatial-autocorrelation
+    // member of the family — qcl/qcm/qcn all need an interval mark.
+    // Same cell-bucketed radius join, never all-pairs; every count is
+    // an exact integer, the moments are pure doubles from integers.
+    "qgv_join_counts" -> Q(
+      fn = (s, dir) => {
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 1500)
+          .select(col("c_custkey").as("pid"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("lat"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lon"),
+            when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+              .as("b"))
+          .filter(abs(col("lat")) <= lit(70.0))
+          .localCheckpoint(eager = false)
+        val cnt = pts.agg(count(lit(1)).as("n"), sum(col("b")).as("nb"))
+        val aa = pts.select(col("pid").as("a_id"), col("lat").as("a_lat"),
+          col("lon").as("a_lon"), col("b").as("va"))
+        val bb = pts.select(col("pid").as("b_id"), col("lat").as("b_lat"),
+          col("lon").as("b_lon"), col("b").as("vb"))
+        val pairs = Geo.radiusJoinCells(aa, "a_lat", "a_lon",
+            bb, "b_lat", "b_lon", 400.0, 5.0, 1, 3)
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), col("va"), col("vb"))
+          .localCheckpoint(eager = false)
+        val jc = pairs.agg(count(lit(1)).as("j"),
+          sum(col("va") * col("vb")).as("bbc"),
+          sum((lit(1L) - col("va")) * (lit(1L) - col("vb"))).as("wwc"))
+        val degs = pairs.select(col("a_id").as("id"))
+          .union(pairs.select(col("b_id")))
+          .groupBy("id").agg(count(lit(1)).as("dg"))
+          .agg(coalesce(sum(col("dg") * col("dg")), lit(0L)).as("sdeg2"))
+        jc.crossJoin(broadcast(cnt)).crossJoin(broadcast(degs))
+          .withColumn("bw", col("j") - col("bbc") - col("wwc"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("nbd", col("nb").cast("double"))
+          .withColumn("nwd", col("nd") - col("nbd"))
+          .withColumn("s0", lit(2.0) * col("j").cast("double"))
+          .withColumn("s1", lit(4.0) * col("j").cast("double"))
+          .withColumn("s2v", lit(4.0) * col("sdeg2").cast("double"))
+          .withColumn("n2f", col("nd") * (col("nd") - lit(1.0)))
+          .withColumn("n4f", col("n2f") * (col("nd") - lit(2.0)) *
+            (col("nd") - lit(3.0)))
+          .withColumn("ebw",
+            col("s0") * col("nbd") * col("nwd") / col("n2f"))
+          .withColumn("ebw2", lit(0.25) * (
+            lit(2.0) * col("s1") *
+              (lit(2.0) * col("nbd") * col("nwd") / col("n2f")) +
+            (col("s2v") - lit(2.0) * col("s1")) *
+              (col("nbd") * col("nwd") / col("n2f")) +
+            (col("s0") * col("s0") + col("s1") - col("s2v")) *
+              (lit(4.0) * col("nbd") * (col("nbd") - lit(1.0)) *
+                col("nwd") * (col("nwd") - lit(1.0)) / col("n4f"))))
+          .select(col("n").as("n_points"), col("nb").as("n_black"),
+            col("j").as("n_edges"), col("bbc").as("bb"),
+            col("bw"), col("wwc").as("ww"),
+            round(col("ebw"), 6).as("e_bw"),
+            (round((col("bw").cast("double") - col("ebw")) /
+              sqrt(col("ebw2") - col("ebw") * col("ebw")), 6) + lit(0.0))
+              .as("z_bw"))
+      },
+      oracle = Some(s"""
+        WITH pts AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT c_custkey AS id,
+                   ${coordSql("c_custkey", "lat", 180000L, 90)} AS lat,
+                   ${coordSql("c_custkey", "lon", 360000L, 180)} AS lon,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                     AS b
+            FROM customer WHERE c_custkey <= 1500)
+          WHERE ABS(lat) <= CAST(70 AS DOUBLE)),
+        cnt AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(b) AS BIGINT) AS nb
+          FROM pts),
+        pairs AS MATERIALIZED (
+          SELECT a.id AS a_id, b.id AS b_id, a.b AS va, b.b AS vb
+          FROM pts a JOIN pts b ON a.id < b.id
+          WHERE ROUND(CAST(12742 AS DOUBLE) * ASIN(SQRT(
+                  SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                  + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE)))), 6)
+                <= CAST(400 AS DOUBLE)),
+        jc AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS j,
+                 CAST(COALESCE(SUM(va * vb), 0) AS BIGINT) AS bbc,
+                 CAST(COALESCE(SUM((1 - va) * (1 - vb)), 0) AS BIGINT)
+                   AS wwc
+          FROM pairs),
+        degs AS (
+          SELECT CAST(COALESCE(SUM(dg * dg), 0) AS BIGINT) AS sdeg2
+          FROM (SELECT id, CAST(COUNT(*) AS BIGINT) AS dg
+                FROM (SELECT a_id AS id FROM pairs
+                      UNION ALL SELECT b_id FROM pairs)
+                GROUP BY 1)),
+        f AS (
+          SELECT n, nb, j, bbc, wwc, j - bbc - wwc AS bw,
+                 CAST(n AS DOUBLE) AS nd, CAST(nb AS DOUBLE) AS nbd,
+                 CAST(n AS DOUBLE) - CAST(nb AS DOUBLE) AS nwd,
+                 CAST(2 AS DOUBLE) * CAST(j AS DOUBLE) AS s0,
+                 CAST(4 AS DOUBLE) * CAST(j AS DOUBLE) AS s1,
+                 CAST(4 AS DOUBLE) * CAST(sdeg2 AS DOUBLE) AS s2v
+          FROM jc CROSS JOIN cnt CROSS JOIN degs),
+        f2 AS (
+          SELECT *, nd * (nd - CAST(1 AS DOUBLE)) AS n2f,
+                 nd * (nd - CAST(1 AS DOUBLE)) * (nd - CAST(2 AS DOUBLE))
+                   * (nd - CAST(3 AS DOUBLE)) AS n4f
+          FROM f),
+        f3 AS (
+          SELECT *, s0 * nbd * nwd / n2f AS ebw,
+                 CAST(0.25 AS DOUBLE) * (
+                   CAST(2 AS DOUBLE) * s1 *
+                     (CAST(2 AS DOUBLE) * nbd * nwd / n2f) +
+                   (s2v - CAST(2 AS DOUBLE) * s1) * (nbd * nwd / n2f) +
+                   (s0 * s0 + s1 - s2v) *
+                     (CAST(4 AS DOUBLE) * nbd * (nbd - CAST(1 AS DOUBLE))
+                       * nwd * (nwd - CAST(1 AS DOUBLE)) / n4f)) AS ebw2
+          FROM f2)
+        SELECT n AS n_points, nb AS n_black, j AS n_edges, bbc AS bb,
+               bw, wwc AS ww,
+               ROUND(ebw, 6) AS e_bw,
+               ROUND((CAST(bw AS DOUBLE) - ebw)
+                 / SQRT(ebw2 - ebw * ebw), 6) + CAST(0 AS DOUBLE) AS z_bw
+        FROM f3"""))
   )
 }
