@@ -3821,6 +3821,606 @@ object AppliedQueries {
                      THEN 1 ELSE 0 END) AS DOUBLE))
                  / (CAST(COUNT(*) AS DOUBLE) + CAST(1 AS DOUBLE)), 6)
                  AS p_value
-        FROM dids CROSS JOIN obs"""))
+        FROM dids CROSS JOIN obs""")),
+
+    // X̄-R control chart over daily order-value subgroups (first 5
+    // orders per day by key, the classical fixed-n rational subgroup):
+    // subgroup means/ranges in exact DECIMAL, Shewhart limits from the
+    // n=5 constants A₂ = 0.577, D₃ = 0, D₄ = 2.114, and the
+    // out-of-control counts on both charts — the SUBGROUPED member of
+    // the SPC family (qf2's I-MR charts individuals, qds's p-chart
+    // proportions). Values carried in millions so every mean is inside
+    // the 15-significant-digit oracle envelope.
+    "qh2_xbar_r_chart" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000").as("day"),
+            col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(18,8)").as("v"))
+        val sub = o.withColumn("rn", row_number().over(
+            Window.partitionBy("day").orderBy("o_orderkey")))
+          .filter(col("rn") <= 5)
+          .groupBy("day")
+          .agg(count(lit(1)).as("m"),
+            (sum(col("v")) * lit(0.2).cast("decimal(2,1)")).as("xbar"),
+            (max(col("v")) - min(col("v"))).as("r"))
+          .filter(col("m") === 5)
+          .localCheckpoint(eager = false)
+        val grand = sub.agg(count(lit(1)).as("n_subgroups"),
+            round(sum(col("xbar")).cast("double") /
+              count(lit(1)).cast("double"), 9).as("xbb"),
+            round(sum(col("r")).cast("double") /
+              count(lit(1)).cast("double"), 9).as("rbar"))
+          .withColumn("uclx", col("xbb") + lit(0.577) * col("rbar"))
+          .withColumn("lclx", col("xbb") - lit(0.577) * col("rbar"))
+          .withColumn("uclr", lit(2.114) * col("rbar"))
+        val viol = sub.crossJoin(broadcast(grand))
+          .agg(sum(when(col("xbar").cast("double") > col("uclx") ||
+              col("xbar").cast("double") < col("lclx"), 1L).otherwise(0L))
+              .as("n_viol_x"),
+            sum(when(col("r").cast("double") > col("uclr"), 1L)
+              .otherwise(0L)).as("n_viol_r"))
+        grand.crossJoin(broadcast(viol))
+          .select(col("n_subgroups"),
+            round(col("xbb"), 6).as("xbar_bar_m"),
+            round(col("rbar"), 6).as("rbar_m"),
+            round(col("uclx"), 6).as("ucl_x"),
+            (round(col("lclx"), 6) + lit(0.0)).as("lcl_x"),
+            round(col("uclr"), 6).as("ucl_r"),
+            col("n_viol_x"), col("n_viol_r"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(18,8)) AS v
+          FROM orders),
+        sub AS MATERIALIZED (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(v) AS DECIMAL(18,8))
+                   * CAST(0.2 AS DECIMAL(2,1)) AS xbar,
+                 MAX(v) - MIN(v) AS r
+          FROM (SELECT day, v, ROW_NUMBER() OVER (PARTITION BY day
+                  ORDER BY o_orderkey) AS rn
+                FROM o)
+          WHERE rn <= 5
+          GROUP BY day HAVING COUNT(*) = 5),
+        grand AS (
+          SELECT n_subgroups, xbb, rbar,
+                 xbb + CAST(0.577 AS DOUBLE) * rbar AS uclx,
+                 xbb - CAST(0.577 AS DOUBLE) * rbar AS lclx,
+                 CAST(2.114 AS DOUBLE) * rbar AS uclr
+          FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_subgroups,
+                   ROUND(CAST(SUM(xbar) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS xbb,
+                   ROUND(CAST(SUM(r) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS rbar
+            FROM sub)),
+        viol AS (
+          SELECT CAST(SUM(CASE WHEN CAST(xbar AS DOUBLE) > uclx
+                   OR CAST(xbar AS DOUBLE) < lclx THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_viol_x,
+                 CAST(SUM(CASE WHEN CAST(r AS DOUBLE) > uclr
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_r
+          FROM sub CROSS JOIN grand)
+        SELECT n_subgroups,
+               ROUND(xbb, 6) AS xbar_bar_m,
+               ROUND(rbar, 6) AS rbar_m,
+               ROUND(uclx, 6) AS ucl_x,
+               ROUND(lclx, 6) + CAST(0 AS DOUBLE) AS lcl_x,
+               ROUND(uclr, 6) AS ucl_r,
+               n_viol_x, n_viol_r
+        FROM grand CROSS JOIN viol""")),
+
+    // Beta-binomial overdispersion of user activity: each user's count
+    // of active days out of the fixed n-day observation window, fitted
+    // by the method of moments (α, β from the first two sample
+    // moments; ICC ρ = 1/(α+β+1) is the within-user clumping). The
+    // engagement-heterogeneity companion to qbs's negative-binomial
+    // event-count fit — binomial trials here are BOUNDED (n days), so
+    // overdispersion shows up as mass at the extremes, not a long
+    // tail. Integer sums only; three double divisions at the end.
+    "qh3_beta_binomial" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+        val nt = e.agg(countDistinct(col("day")).as("n"))
+        val ku = e.groupBy("user_id")
+          .agg(countDistinct(col("day")).as("k"))
+        val mm = ku.agg(count(lit(1)).as("nu"),
+          sum(col("k")).as("sk"), sum(col("k") * col("k")).as("skk"))
+        mm.crossJoin(broadcast(nt))
+          .select(col("nu"), col("n"),
+            col("n").cast("double").as("nd"),
+            col("nu").cast("double").as("nud"),
+            col("sk").cast("double").as("skd"),
+            col("skk").cast("double").as("skkd"))
+          .select(col("nu").as("n_users"), col("n").as("n_trials"),
+            (col("skd") / col("nud")).as("m1"),
+            (col("skkd") / col("nud")).as("m2"),
+            ((col("nud") * col("skkd") - col("skd") * col("skd")) /
+              (col("nud") * (col("nud") - lit(1.0)))).as("vk"),
+            col("nd"))
+          .select(col("n_users"), col("n_trials"),
+            round(col("m1"), 6).as("mean_k"),
+            round(col("vk"), 6).as("var_k"),
+            (round((col("nd") * col("m1") - col("m2")) /
+              (col("nd") * (col("m2") / col("m1") - col("m1") - lit(1.0))
+                + col("m1")), 6) + lit(0.0)).as("alpha"),
+            (round((col("nd") - col("m1")) *
+              (col("nd") - col("m2") / col("m1")) /
+              (col("nd") * (col("m2") / col("m1") - col("m1") - lit(1.0))
+                + col("m1")), 6) + lit(0.0)).as("beta"),
+            (round(lit(1.0) / ((col("nd") * col("m1") - col("m2")) /
+              (col("nd") * (col("m2") / col("m1") - col("m1") - lit(1.0))
+                + col("m1")) + (col("nd") - col("m1")) *
+              (col("nd") - col("m2") / col("m1")) /
+              (col("nd") * (col("m2") / col("m1") - col("m1") - lit(1.0))
+                + col("m1")) + lit(1.0)), 6) + lit(0.0)).as("icc"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        nt AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n FROM e),
+        ku AS (
+          SELECT user_id, CAST(COUNT(DISTINCT day) AS BIGINT) AS k
+          FROM e GROUP BY 1),
+        mm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                 CAST(SUM(k) AS BIGINT) AS sk,
+                 CAST(SUM(k * k) AS BIGINT) AS skk
+          FROM ku),
+        d AS (
+          SELECT nu, n, CAST(n AS DOUBLE) AS nd, CAST(nu AS DOUBLE) AS nud,
+                 CAST(sk AS DOUBLE) AS skd, CAST(skk AS DOUBLE) AS skkd
+          FROM mm CROSS JOIN nt),
+        m AS (
+          SELECT nu AS n_users, n AS n_trials, nd,
+                 skd / nud AS m1, skkd / nud AS m2,
+                 (nud * skkd - skd * skd)
+                   / (nud * (nud - CAST(1 AS DOUBLE))) AS vk
+          FROM d),
+        f AS (
+          SELECT n_users, n_trials, m1, vk,
+                 (nd * m1 - m2)
+                   / (nd * (m2 / m1 - m1 - CAST(1 AS DOUBLE)) + m1) AS a,
+                 (nd - m1) * (nd - m2 / m1)
+                   / (nd * (m2 / m1 - m1 - CAST(1 AS DOUBLE)) + m1) AS b
+          FROM m)
+        SELECT n_users, n_trials,
+               ROUND(m1, 6) AS mean_k,
+               ROUND(vk, 6) AS var_k,
+               ROUND(a, 6) + CAST(0 AS DOUBLE) AS alpha,
+               ROUND(b, 6) + CAST(0 AS DOUBLE) AS beta,
+               ROUND(CAST(1 AS DOUBLE) / (a + b + CAST(1 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS icc
+        FROM f""")),
+
+    // Burt's network constraint (structural holes): per node i,
+    // Σ_{j∈N(i)} (p_ij + Σ_q p_iq·p_qj)² over the uniform-weight
+    // contact shares p_ij = 1/deg(i) — LOW constraint marks brokers
+    // whose contacts are disconnected from each other, the
+    // social-capital metric the centrality battery (qba/qbb/qad)
+    // doesn't see (centrality rewards reach; constraint penalizes
+    // redundant reach). Two self-joins of the bounded-degree edge
+    // list (the q4g triangle-count shape), never materializing paths;
+    // 9-grid shares, 12-grid products into DECIMAL sums.
+    "qh4_burt_constraint" -> Q(
+      fn = (s, dir) => {
+        val e0 = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_custkey") % 400).cast("long").as("src"),
+            (col("o_orderkey") % 400).cast("long").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val und = e0.union(e0.select(col("dst").as("src"),
+            col("src").as("dst"))).distinct()
+          .localCheckpoint(eager = false)
+        val deg = und.groupBy(col("src").as("i")).agg(count(lit(1)).as("dg"))
+        val p = und.join(deg, col("src") === col("i"))
+          .select(col("src").as("pi"), col("dst").as("pj"),
+            round(lit(1.0) / col("dg").cast("double"), 9).as("pv"))
+          .localCheckpoint(eager = false)
+        val p2 = p.select(col("pi").as("i2"), col("pj").as("q"),
+            col("pv").as("piq"))
+          .join(p.select(col("pi").as("q2"), col("pj").as("j2"),
+            col("pv").as("pqj")), col("q") === col("q2"))
+          .filter(col("i2") =!= col("j2"))
+          .groupBy(col("i2"), col("j2"))
+          .agg(sum(round(col("piq") * col("pqj"), 12)
+            .cast("decimal(28,12)")).as("ind"))
+        val terms = p
+          .join(p2, col("pi") === col("i2") && col("pj") === col("j2"),
+            "left")
+          .select(col("pi"), col("pj"),
+            (col("pv") + coalesce(col("ind").cast("double"), lit(0.0)))
+              .as("tv"))
+        terms.groupBy(col("pi").as("node"))
+          .agg(count(lit(1)).as("degree"),
+            sum(round(col("tv") * col("tv"), 12).cast("decimal(28,12)"))
+              .as("cs"))
+          .select(col("node"), col("degree"),
+            round(col("cs").cast("double"), 6).as("constraint"))
+          .orderBy(col("node"))
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT CAST(o_custkey % 400 AS BIGINT) AS src,
+                 CAST(o_orderkey % 400 AS BIGINT) AS dst
+          FROM orders
+          WHERE o_orderkey % 17 = 0 AND o_custkey % 400 <> o_orderkey % 400),
+        und AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0
+            UNION ALL SELECT dst, src FROM e0)),
+        deg AS (
+          SELECT src AS i, CAST(COUNT(*) AS BIGINT) AS dg
+          FROM und GROUP BY 1),
+        p AS MATERIALIZED (
+          SELECT src AS pi, dst AS pj,
+                 ROUND(CAST(1 AS DOUBLE) / CAST(dg AS DOUBLE), 9) AS pv
+          FROM und JOIN deg ON src = i),
+        p2 AS (
+          SELECT a.pi AS i2, b.pj AS j2,
+                 SUM(CAST(ROUND(a.pv * b.pv, 12) AS DECIMAL(28,12)))
+                   AS ind
+          FROM p a JOIN p b ON a.pj = b.pi
+          WHERE a.pi <> b.pj
+          GROUP BY 1, 2),
+        terms AS (
+          SELECT p.pi, p.pj,
+                 p.pv + COALESCE(CAST(ind AS DOUBLE), CAST(0 AS DOUBLE))
+                   AS tv
+          FROM p LEFT JOIN p2 ON p.pi = i2 AND p.pj = j2)
+        SELECT pi AS node, CAST(COUNT(*) AS BIGINT) AS degree,
+               ROUND(CAST(SUM(CAST(ROUND(tv * tv, 12) AS DECIMAL(28,12)))
+                 AS DOUBLE), 6) AS constraint
+        FROM terms GROUP BY 1 ORDER BY 1""")),
+
+    // Greenwood confidence bands on the signup→first-error survival
+    // curve (time-to-first-failure, the reliability reading): per life-
+    // table day, log-survival as the proven ln-link cumulative, the
+    // Greenwood variance Σ d/(n(n−d)) in 12-grid DECIMAL, and the
+    // ±1.96·SE band ON THE LOG SCALE (exp is not oracle-parity-safe,
+    // CLAUDE.md rule 14 — and log-scale bands are the
+    // better-calibrated form anyway). Terminal rows where everyone at
+    // risk fails (d = n) are excluded: Greenwood's variance is
+    // undefined there and always last (no one remains at risk after).
+    "qh6_greenwood_bands" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ms")).as("sms"))
+        val er = e.filter(col("event_type") === "error")
+          .join(su, "user_id")
+          .filter(col("ms") >= col("sms"))
+          .groupBy("user_id").agg(min(col("ms")).as("ems"))
+        val mx = e.agg(max(col("ms")).as("mms"))
+        val durs = su.join(er, Seq("user_id"), "left")
+          .crossJoin(broadcast(mx))
+          .select(
+            when(col("ems").isNotNull, 1L).otherwise(0L).as("ev"),
+            when(col("ems").isNotNull, expr("(ems - sms) div 86400000"))
+              .otherwise(expr("(mms - sms) div 86400000")).as("t"))
+        val ntot = durs.agg(count(lit(1)).as("ntot"))
+        val lt = durs.groupBy("t")
+          .agg(sum(col("ev")).as("d"), count(lit(1)).as("m"))
+        val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        lt.crossJoin(broadcast(ntot))
+          .withColumn("nr", col("ntot") -
+            (sum(col("m")).over(w) - col("m")))
+          .filter(col("d") < col("nr"))
+          .withColumn("lnf", round(log(lit(1.0) -
+            col("d").cast("double") / col("nr").cast("double")), 12)
+            .cast("decimal(28,12)"))
+          .withColumn("gw", round(col("d").cast("double") /
+            (col("nr").cast("double") *
+              (col("nr") - col("d")).cast("double")), 12)
+            .cast("decimal(28,12)"))
+          .withColumn("lns", sum(col("lnf")).over(w).cast("double"))
+          .withColumn("se", sqrt(sum(col("gw")).over(w).cast("double")))
+          .select(col("t").as("t_days"), col("nr").as("n_risk"),
+            col("d").as("d_events"),
+            (round(col("lns"), 6) + lit(0.0)).as("log_surv"),
+            round(col("se"), 6).as("se_log"),
+            (round(col("lns") - lit(1.96) * col("se"), 6) + lit(0.0))
+              .as("lo_log"),
+            (round(col("lns") + lit(1.96) * col("se"), 6) + lit(0.0))
+              .as("hi_log"))
+          .orderBy("t_days")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        su AS (
+          SELECT user_id, MIN(ms) AS sms FROM e
+          WHERE event_type = 'signup' GROUP BY 1),
+        er AS (
+          SELECT e.user_id, MIN(ms) AS ems
+          FROM e JOIN su ON e.user_id = su.user_id
+          WHERE e.event_type = 'error' AND e.ms >= su.sms
+          GROUP BY 1),
+        mx AS (SELECT MAX(ms) AS mms FROM e),
+        durs AS (
+          SELECT CASE WHEN ems IS NOT NULL THEN 1 ELSE 0 END AS ev,
+                 CASE WHEN ems IS NOT NULL THEN (ems - sms) // 86400000
+                      ELSE (mms - sms) // 86400000 END AS t
+          FROM su LEFT JOIN er ON su.user_id = er.user_id
+          CROSS JOIN mx),
+        ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM durs),
+        lt AS (
+          SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS m
+          FROM durs GROUP BY 1),
+        cum AS (
+          SELECT t, d,
+                 CAST(ntot - (SUM(m) OVER (ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) - m) AS BIGINT) AS nr
+          FROM lt CROSS JOIN ntot),
+        fl AS (
+          SELECT t, d, nr,
+                 CAST(ROUND(ln(CAST(1 AS DOUBLE)
+                   - CAST(d AS DOUBLE) / CAST(nr AS DOUBLE)), 12)
+                   AS DECIMAL(28,12)) AS lnf,
+                 CAST(ROUND(CAST(d AS DOUBLE)
+                   / (CAST(nr AS DOUBLE) * CAST(nr - d AS DOUBLE)), 12)
+                   AS DECIMAL(28,12)) AS gw
+          FROM cum WHERE d < nr),
+        cc AS (
+          SELECT t, d, nr,
+                 CAST(SUM(lnf) OVER (ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS lns,
+                 SQRT(CAST(SUM(gw) OVER (ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)) AS se
+          FROM fl)
+        SELECT t AS t_days, nr AS n_risk, d AS d_events,
+               ROUND(lns, 6) + CAST(0 AS DOUBLE) AS log_surv,
+               ROUND(se, 6) AS se_log,
+               ROUND(lns - CAST(1.96 AS DOUBLE) * se, 6)
+                 + CAST(0 AS DOUBLE) AS lo_log,
+               ROUND(lns + CAST(1.96 AS DOUBLE) * se, 6)
+                 + CAST(0 AS DOUBLE) AS hi_log
+        FROM cc ORDER BY t_days""")),
+
+    // Chao1 + ACE species-richness estimators over the corpus token
+    // abundance profile: how many word types does the corpus REALLY
+    // have, given the singletons and doubletons it shows? (Chao1's
+    // bias-corrected form; ACE over the ≤10-count rare tier with its
+    // sample-coverage C and CV² inflation.) The "how much is unseen"
+    // question qao's Good–Turing mass answers for PROBABILITY,
+    // answered for TYPE COUNT — the vocabulary-budget number a
+    // tokenizer trainer needs. Pure integer abundance sums; three
+    // guarded double ratios.
+    "qh7_chao1_ace" -> Q(
+      fn = (s, dir) => {
+        // species = word TRIGRAMS: the fixture's unigram (31 types) and
+        // bigram vocabularies saturate at sf0.01 — every type lands in
+        // the abundant tier and the rare-tier ratios divide by zero
+        // (the CLAUDE.md vacuity rule). The trigram space stays open at
+        // every SF (f1, f2, n_rare all nonzero, f1 < n_rare).
+        val cnts = t(s, dir, "documents")
+          .select(graft.functions.TextAnalysis.tokens(col("text")).as("a"))
+          .filter(size(col("a")) >= 3)
+          .select(explode(expr("transform(sequence(1, size(a) - 2)," +
+            " i -> concat_ws(' ', element_at(a, i), element_at(a, i + 1)," +
+            " element_at(a, i + 2)))")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("c"))
+        val prof = cnts.agg(
+          count(lit(1)).as("s_obs"), sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"),
+          sum(when(col("c") <= 10, 1L).otherwise(0L)).as("s_rare"),
+          sum(when(col("c") > 10, 1L).otherwise(0L)).as("s_abund"),
+          sum(when(col("c") <= 10, col("c")).otherwise(0L)).as("n_rare"),
+          sum(when(col("c") <= 10, col("c") * (col("c") - 1))
+            .otherwise(0L)).as("sk1"))
+        prof.select(col("s_obs"), col("n_tokens"), col("f1"), col("f2"),
+            col("s_rare"), col("s_abund"),
+            col("f1").cast("double").as("f1d"),
+            col("f2").cast("double").as("f2d"),
+            col("s_obs").cast("double").as("sod"),
+            col("s_rare").cast("double").as("srd"),
+            col("s_abund").cast("double").as("sad"),
+            col("n_rare").cast("double").as("nrd"),
+            col("sk1").cast("double").as("sk1d"))
+          .withColumn("cace", lit(1.0) - col("f1d") / col("nrd"))
+          .withColumn("g2", greatest(
+            (col("srd") / col("cace")) * col("sk1d") /
+              (col("nrd") * (col("nrd") - lit(1.0))) - lit(1.0),
+            lit(0.0)))
+          .select(col("s_obs"), col("n_tokens"), col("f1"), col("f2"),
+            round(col("sod") + col("f1d") * (col("f1d") - lit(1.0)) /
+              (lit(2.0) * (col("f2d") + lit(1.0))), 6).as("chao1"),
+            round(col("sad") + col("srd") / col("cace") +
+              col("f1d") / col("cace") * col("g2"), 6).as("ace"),
+            round(col("cace"), 6).as("coverage_rare"))
+      },
+      oracle = Some("""
+        WITH cnts AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (
+            SELECT unnest(list_transform(range(1, len(a) - 1),
+                     i -> a[i] || ' ' || a[i + 1] || ' ' || a[i + 2]))
+                   AS token
+            FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS a
+                  FROM documents)
+            WHERE len(a) >= 3)
+          GROUP BY 1),
+        prof AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f1,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f2,
+                 CAST(SUM(CASE WHEN c <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS s_rare,
+                 CAST(SUM(CASE WHEN c > 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS s_abund,
+                 CAST(SUM(CASE WHEN c <= 10 THEN c ELSE 0 END) AS BIGINT)
+                   AS n_rare,
+                 CAST(SUM(CASE WHEN c <= 10 THEN c * (c - 1) ELSE 0 END)
+                   AS BIGINT) AS sk1
+          FROM cnts),
+        d AS (
+          SELECT *, CAST(f1 AS DOUBLE) AS f1d, CAST(f2 AS DOUBLE) AS f2d,
+                 CAST(s_obs AS DOUBLE) AS sod,
+                 CAST(s_rare AS DOUBLE) AS srd,
+                 CAST(s_abund AS DOUBLE) AS sad,
+                 CAST(n_rare AS DOUBLE) AS nrd,
+                 CAST(sk1 AS DOUBLE) AS sk1d
+          FROM prof),
+        cc AS (
+          SELECT *, CAST(1 AS DOUBLE) - f1d / nrd AS cace
+          FROM d),
+        gg AS (
+          SELECT *, GREATEST((srd / cace) * sk1d
+                   / (nrd * (nrd - CAST(1 AS DOUBLE)))
+                   - CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)) AS g2
+          FROM cc)
+        SELECT s_obs, n_tokens, f1, f2,
+               ROUND(sod + f1d * (f1d - CAST(1 AS DOUBLE))
+                 / (CAST(2 AS DOUBLE) * (f2d + CAST(1 AS DOUBLE))), 6)
+                 AS chao1,
+               ROUND(sad + srd / cace + f1d / cace * g2, 6) AS ace,
+               ROUND(cace, 6) AS coverage_rare
+        FROM gg""")),
+
+    // Page–Hinkley drift monitor over daily purchase counts: the
+    // sequential changepoint statistic PH_t = U_t − min_{i≤t} U_i with
+    // U_t = Σ(x_i − x̄_i − δ), where x̄_i is the RUNNING mean — the
+    // streaming-world alternative to qc9's offline binary-seg scan
+    // and q7q's fixed-mean CUSUM (PH self-centers, so it needs no
+    // training period). δ = 5 counts of slack, alarm at λ = 50.
+    // Integer counts, 9-grid running means, exact DECIMAL cumulatives
+    // and running min.
+    "qh8_page_hinkley" -> Q(
+      fn = (s, dir) => {
+        val x = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.orderBy("day").rowsBetween(
+          Window.unboundedPreceding, 0)
+        x.withColumn("tix", row_number().over(Window.orderBy("day")))
+          .withColumn("mt", round(sum(col("x")).over(w).cast("double") /
+            col("tix").cast("double"), 9))
+          .withColumn("term", g9(round(col("x").cast("double") -
+            col("mt") - lit(5.0), 9)))
+          .withColumn("u", sum(col("term")).over(w))
+          .withColumn("runmin", min(col("u")).over(w))
+          .select(col("day"), col("x").as("n_purchases"),
+            round(col("mt"), 6).as("mean_to_date"),
+            (round(col("u").cast("double"), 6) + lit(0.0)).as("u_t"),
+            round((col("u") - col("runmin")).cast("double"), 6)
+              .as("ph_stat"),
+            when((col("u") - col("runmin")).cast("double") > lit(50.0), 1)
+              .otherwise(0).cast("int").as("alarm"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH x AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        m AS (
+          SELECT day, x,
+                 ROUND(CAST(SUM(x) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE), 9)
+                   AS mt
+          FROM x),
+        u AS (
+          SELECT day, x, mt,
+                 SUM(CAST(ROUND(CAST(x AS DOUBLE) - mt
+                   - CAST(5 AS DOUBLE), 9) AS DECIMAL(20,9)))
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS u
+          FROM m),
+        r AS (
+          SELECT day, x, mt, u,
+                 MIN(u) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS runmin
+          FROM u)
+        SELECT day, x AS n_purchases,
+               ROUND(mt, 6) AS mean_to_date,
+               ROUND(CAST(u AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS u_t,
+               ROUND(CAST(u - runmin AS DOUBLE), 6) AS ph_stat,
+               CAST(CASE WHEN CAST(u - runmin AS DOUBLE)
+                 > CAST(50 AS DOUBLE) THEN 1 ELSE 0 END AS INT) AS alarm
+        FROM r ORDER BY day""")),
+
+    // Empirical upper-tail dependence between daily view and purchase
+    // volume: λ_U(q) = P(purchases in top (1−q) | views in top (1−q))
+    // at q ∈ {0.6, 0.7, 0.8, 0.9} — do extreme-traffic days and
+    // extreme-buying days coincide? The copula-tail question that
+    // correlation (q8h) misses entirely (ρ is dominated by the body).
+    // Rank-based and integer-exact: thresholds compare r·1000 >
+    // n·q_permille, no float until the final share.
+    "qh9_tail_dependence" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("xv"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("yv"))
+        val ranked = d
+          .withColumn("rx", row_number().over(
+            Window.orderBy(col("xv"), col("day"))).cast("long"))
+          .withColumn("ry", row_number().over(
+            Window.orderBy(col("yv"), col("day"))).cast("long"))
+        val n0 = ranked.agg(count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(n0))
+          .select(col("rx"), col("ry"), col("n"),
+            explode(expr("array(600, 700, 800, 900)")).as("q_permille"))
+          .groupBy(col("q_permille"))
+          .agg(max(col("n")).as("n_days"),
+            sum(when(col("rx") * 1000 > col("n") * col("q_permille"), 1L)
+              .otherwise(0L)).as("k_x"),
+            sum(when(col("rx") * 1000 > col("n") * col("q_permille") &&
+              col("ry") * 1000 > col("n") * col("q_permille"), 1L)
+              .otherwise(0L)).as("k_both"))
+          .select(col("q_permille"), col("n_days"), col("k_x"),
+            col("k_both"),
+            round(col("k_both").cast("double") / col("k_x").cast("double"),
+              6).as("lambda_u"))
+          .orderBy("q_permille")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS xv,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS yv
+          FROM events GROUP BY 1),
+        ranked AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY xv, day) AS BIGINT)
+                   AS rx,
+                 CAST(ROW_NUMBER() OVER (ORDER BY yv, day) AS BIGINT)
+                   AS ry
+          FROM d),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+        f AS (
+          SELECT q_permille, n,
+                 CASE WHEN rx * 1000 > n * q_permille THEN 1 ELSE 0 END
+                   AS inx,
+                 CASE WHEN rx * 1000 > n * q_permille
+                   AND ry * 1000 > n * q_permille THEN 1 ELSE 0 END
+                   AS inb
+          FROM ranked CROSS JOIN n0
+          CROSS JOIN (SELECT unnest([600, 700, 800, 900]) AS q_permille))
+        SELECT q_permille, MAX(n) AS n_days,
+               CAST(SUM(inx) AS BIGINT) AS k_x,
+               CAST(SUM(inb) AS BIGINT) AS k_both,
+               ROUND(CAST(SUM(inb) AS DOUBLE) / CAST(SUM(inx) AS DOUBLE),
+                 6) AS lambda_u
+        FROM f GROUP BY 1 ORDER BY 1"""))
   )
 }

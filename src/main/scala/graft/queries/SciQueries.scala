@@ -8704,6 +8704,86 @@ object SciQueries {
                ROUND(ebw, 6) AS e_bw,
                ROUND((CAST(bw AS DOUBLE) - ebw)
                  / SQRT(ebw2 - ebw * ebw), 6) + CAST(0 AS DOUBLE) AS z_bw
-        FROM f3"""))
+        FROM f3""")),
+
+    // Empirical semivariogram of ln customer spend: γ(h) = Σ(vᵃ−vᵇ)² /
+    // (2·N_h) over 100 km distance bins out to 400 km — the
+    // geostatistical range/nugget diagnostic that qcl/qcm summarize
+    // into one number (Moran/Geary are the variogram's scalar
+    // shadows). Pairs come from the same cell-bucketed radius join
+    // (never all-pairs); the bin key is floor of the 6-rounded
+    // haversine both engines share; squared differences of 9-grid
+    // values round at 12 into DECIMAL sums.
+    "qh5_semivariogram" -> Q(
+      fn = (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 1500)
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey").as("pid"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("lat"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lon"),
+            round(log(col("sp").cast("double")), 9).as("a"))
+          .filter(abs(col("lat")) <= lit(70.0))
+          .localCheckpoint(eager = false)
+        val aa = pts.select(col("pid").as("a_id"), col("lat").as("a_lat"),
+          col("lon").as("a_lon"), col("a").as("va"))
+        val bb = pts.select(col("pid").as("b_id"), col("lat").as("b_lat"),
+          col("lon").as("b_lon"), col("a").as("vb"))
+        Geo.radiusJoinCells(aa, "a_lat", "a_lon",
+            bb, "b_lat", "b_lon", 400.0, 5.0, 1, 3)
+          .filter(col("a_id") < col("b_id"))
+          .select(floor(col("dist_km") / lit(100.0)).cast("int").as("bin"),
+            col("dist_km"), col("va"), col("vb"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("dist_km").cast("decimal(18,6)")).as("sdist"),
+            sum(round((col("va") - col("vb")) * (col("va") - col("vb")), 12)
+              .cast("decimal(28,12)")).as("ssq"))
+          .select((col("bin") * 100).as("bin_km_lo"), col("n_pairs"),
+            round(col("sdist").cast("double") / col("n_pairs").cast("double"),
+              6).as("mean_dist_km"),
+            round(col("ssq").cast("double") /
+              (lit(2.0) * col("n_pairs").cast("double")), 6).as("gamma"))
+          .orderBy("bin_km_lo")
+      },
+      oracle = Some(s"""
+        WITH spend AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+          FROM orders GROUP BY 1),
+        pts AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT c_custkey AS id,
+                   ${coordSql("c_custkey", "lat", 180000L, 90)} AS lat,
+                   ${coordSql("c_custkey", "lon", 360000L, 180)} AS lon,
+                   ROUND(ln(CAST(sp AS DOUBLE)), 9) AS a
+            FROM customer JOIN spend ON c_custkey = o_custkey
+            WHERE c_custkey <= 1500)
+          WHERE ABS(lat) <= CAST(70 AS DOUBLE)),
+        pairs AS (
+          SELECT a.a AS va, b.a AS vb,
+                 ROUND(CAST(12742 AS DOUBLE) * ASIN(SQRT(
+                   SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                     * SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                   + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                     * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE))
+                     * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE)))), 6)
+                   AS dist_km
+          FROM pts a JOIN pts b ON a.id < b.id),
+        binned AS (
+          SELECT CAST(FLOOR(dist_km / CAST(100 AS DOUBLE)) AS INT) AS bin,
+                 dist_km, va, vb
+          FROM pairs WHERE dist_km <= CAST(400 AS DOUBLE))
+        SELECT bin * 100 AS bin_km_lo,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(CAST(SUM(CAST(dist_km AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_dist_km,
+               ROUND(CAST(SUM(CAST(ROUND((va - vb) * (va - vb), 12)
+                 AS DECIMAL(28,12))) AS DOUBLE)
+                 / (CAST(2 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)), 6)
+                 AS gamma
+        FROM binned GROUP BY 1 ORDER BY 1"""))
   )
 }
