@@ -4421,6 +4421,777 @@ object AppliedQueries {
                CAST(SUM(inb) AS BIGINT) AS k_both,
                ROUND(CAST(SUM(inb) AS DOUBLE) / CAST(SUM(inx) AS DOUBLE),
                  6) AS lambda_u
-        FROM f GROUP BY 1 ORDER BY 1"""))
+        FROM f GROUP BY 1 ORDER BY 1""")),
+
+    // Restricted mean survival time difference between the user-parity
+    // experiment arms (the q7c/qbm assignment): area under each arm's
+    // signup→purchase KM curve out to τ = 30 days — "days of
+    // unconverted time saved" — the modern effect measure when
+    // proportional hazards can't be assumed (a hazard ratio has no
+    // such reading). Each arm's KM path is the qgw exact-DECIMAL(18,9)
+    // fold run per group; the τ-truncated integral adds the S=1 lead-in
+    // up to the first event time.
+    "qha_rmst_difference" -> Q(
+      fn = (s, dir) => {
+        val tau = 30L
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ms")).as("sms"))
+        val pu = e.filter(col("event_type") === "purchase")
+          .join(su, "user_id")
+          .filter(col("ms") >= col("sms"))
+          .groupBy("user_id").agg(min(col("ms")).as("pms"))
+        val mx = e.agg(max(col("ms")).as("mms"))
+        val durs = su.join(pu, Seq("user_id"), "left")
+          .crossJoin(broadcast(mx))
+          .select((col("user_id") % 2).cast("int").as("arm"),
+            when(col("pms").isNotNull, 1L).otherwise(0L).as("ev"),
+            least(when(col("pms").isNotNull,
+              expr("(pms - sms) div 86400000"))
+              .otherwise(expr("(mms - sms) div 86400000")), lit(tau))
+              .as("t"))
+        val ntot = durs.groupBy("arm").agg(count(lit(1)).as("ntot"),
+          sum(col("ev")).as("nev"))
+        val lt = durs.groupBy("arm", "t")
+          .agg(sum(col("ev")).as("d"), count(lit(1)).as("m"))
+        val wArm = Window.partitionBy("arm").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = lt.join(ntot, "arm")
+          .withColumn("nr", col("ntot") -
+            (sum(col("m")).over(wArm) - col("m")))
+          .withColumn("f", round(lit(1.0) -
+            col("d").cast("double") / col("nr").cast("double"), 9))
+        val packed = cum.groupBy("arm", "ntot", "nev")
+          .agg(expr("array_sort(collect_list(struct(t, f)))").as("rows"))
+        val zipped = packed.select(col("arm"), col("ntot"), col("nev"),
+            expr(s"""explode(arrays_zip(
+              |  transform(rows, x -> x.t),
+              |  slice(aggregate(
+              |    transform(rows, x -> cast(x.f as decimal(18,9))),
+              |    array(cast(1.0 as decimal(18,9))),
+              |    (acc, fv) -> concat(acc,
+              |      array(cast(round(element_at(acc, -1) * fv, 9)
+              |        as decimal(18,9))))),
+              |    2, size(rows)))) AS z""".stripMargin))
+          .select(col("arm"), col("ntot"), col("nev"),
+            col("z.0").as("t"), col("z.1").as("sv"))
+        val wLead = Window.partitionBy("arm").orderBy("t")
+        val terms = zipped
+          .withColumn("delta",
+            coalesce(lead("t", 1).over(wLead), lit(tau)) - col("t"))
+          .withColumn("term",
+            (col("sv") * col("delta").cast("decimal(10,0)"))
+              .cast("decimal(28,9)"))
+        val rmst = terms.groupBy("arm", "ntot", "nev")
+          .agg((min(col("t")).cast("decimal(28,9)") + sum(col("term")))
+            .as("rm"))
+        rmst.agg(
+            max(when(col("arm") === 0, col("ntot"))).as("n_arm0"),
+            max(when(col("arm") === 1, col("ntot"))).as("n_arm1"),
+            max(when(col("arm") === 0, col("nev"))).as("ev_arm0"),
+            max(when(col("arm") === 1, col("nev"))).as("ev_arm1"),
+            max(when(col("arm") === 0, col("rm"))).as("r0"),
+            max(when(col("arm") === 1, col("rm"))).as("r1"))
+          .select(col("n_arm0"), col("n_arm1"), col("ev_arm0"),
+            col("ev_arm1"),
+            round(col("r0").cast("double"), 6).as("rmst_arm0"),
+            round(col("r1").cast("double"), 6).as("rmst_arm1"),
+            (round((col("r1") - col("r0")).cast("double"), 6) + lit(0.0))
+              .as("rmst_diff"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        su AS (
+          SELECT user_id, MIN(ms) AS sms FROM e
+          WHERE event_type = 'signup' GROUP BY 1),
+        pu AS (
+          SELECT e.user_id, MIN(ms) AS pms
+          FROM e JOIN su ON e.user_id = su.user_id
+          WHERE e.event_type = 'purchase' AND e.ms >= su.sms
+          GROUP BY 1),
+        mx AS (SELECT MAX(ms) AS mms FROM e),
+        durs AS (
+          SELECT CAST(su.user_id % 2 AS INT) AS arm,
+                 CASE WHEN pms IS NOT NULL THEN 1 ELSE 0 END AS ev,
+                 LEAST(CASE WHEN pms IS NOT NULL
+                     THEN (pms - sms) // 86400000
+                     ELSE (mms - sms) // 86400000 END, 30) AS t
+          FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+          CROSS JOIN mx),
+        ntot AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS ntot,
+                 CAST(SUM(ev) AS BIGINT) AS nev
+          FROM durs GROUP BY 1),
+        lt AS (
+          SELECT arm, t, CAST(SUM(ev) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS m
+          FROM durs GROUP BY 1, 2),
+        cum AS (
+          SELECT lt.arm, t, d, ntot, nev,
+                 CAST(ntot - (SUM(m) OVER (PARTITION BY lt.arm ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) - m) AS BIGINT) AS nr
+          FROM lt JOIN ntot ON lt.arm = ntot.arm),
+        c2 AS (
+          SELECT arm, t, ntot, nev,
+                 ROUND(CAST(1 AS DOUBLE)
+                   - CAST(d AS DOUBLE) / CAST(nr AS DOUBLE), 9) AS f
+          FROM cum),
+        packed AS (
+          SELECT arm, ntot, nev, list(t ORDER BY t) AS tl,
+                 list(f ORDER BY t) AS fl
+          FROM c2 GROUP BY 1, 2, 3),
+        path AS (
+          SELECT arm, ntot, nev, tl,
+                 list_reduce(
+                   list_prepend([CAST(1 AS DECIMAL(18,9))],
+                     list_transform(fl,
+                       f -> [CAST(f AS DECIMAL(18,9))])),
+                   (acc, e) -> acc ||
+                     [CAST(ROUND(acc[-1] * e[1], 9) AS DECIMAL(18,9))])
+                   [2:] AS svals
+          FROM packed),
+        rows_z AS (
+          SELECT arm, ntot, nev, unnest(tl) AS t, unnest(svals) AS sv
+          FROM path),
+        wd AS (
+          SELECT arm, ntot, nev, t, sv,
+                 COALESCE(LEAD(t) OVER (PARTITION BY arm ORDER BY t), 30)
+                   - t AS delta
+          FROM rows_z),
+        rm AS (
+          SELECT arm, ntot, nev,
+                 CAST(MIN(t) AS DECIMAL(28,9))
+                   + SUM(CAST(sv * CAST(delta AS DECIMAL(10,0))
+                       AS DECIMAL(28,9))) AS rm
+          FROM wd GROUP BY 1, 2, 3)
+        SELECT MAX(CASE WHEN arm = 0 THEN ntot END) AS n_arm0,
+               MAX(CASE WHEN arm = 1 THEN ntot END) AS n_arm1,
+               MAX(CASE WHEN arm = 0 THEN nev END) AS ev_arm0,
+               MAX(CASE WHEN arm = 1 THEN nev END) AS ev_arm1,
+               ROUND(CAST(MAX(CASE WHEN arm = 0 THEN rm END) AS DOUBLE),
+                 6) AS rmst_arm0,
+               ROUND(CAST(MAX(CASE WHEN arm = 1 THEN rm END) AS DOUBLE),
+                 6) AS rmst_arm1,
+               ROUND(CAST(MAX(CASE WHEN arm = 1 THEN rm END)
+                 - MAX(CASE WHEN arm = 0 THEN rm END) AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS rmst_diff
+        FROM rm""")),
+
+    // Skyline (Pareto-front) operator over the brand panel: which
+    // brands are not dominated on (unit price ↓, total volume ↑,
+    // catalog breadth ↑)? The classic multi-objective DB operator —
+    // weak dominance with at least one strict inequality, counted per
+    // brand so "how contested" is visible, not just the frontier flag.
+    // The 25-brand panel broadcasts; metrics are exact DECIMAL/integer
+    // aggregates with one 9-grid price ratio.
+    "qhb_skyline" -> Q(
+      fn = (s, dir) => {
+        val m = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"))
+          .agg(
+            round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double") /
+              sum(col("l_quantity").cast("decimal(18,2)")).cast("double"),
+              9).as("unit_price"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("volume"),
+            countDistinct(col("l_partkey")).as("n_parts"))
+          .localCheckpoint(eager = false)
+        val dom = m.crossJoin(broadcast(m.select(
+            col("brand").as("b2"), col("unit_price").as("up2"),
+            col("volume").as("vol2"), col("n_parts").as("np2"))))
+          .filter(col("b2") =!= col("brand") &&
+            col("up2") <= col("unit_price") &&
+            col("vol2") >= col("volume") &&
+            col("np2") >= col("n_parts") &&
+            (col("up2") < col("unit_price") ||
+              col("vol2") > col("volume") ||
+              col("np2") > col("n_parts")))
+          .groupBy(col("brand").as("bd"))
+          .agg(count(lit(1)).as("dominated_by"))
+        m.join(dom, col("brand") === col("bd"), "left")
+          .select(col("brand"), round(col("unit_price"), 6).as("unit_price"),
+            col("volume").cast("double").as("volume"),
+            col("n_parts"),
+            coalesce(col("dominated_by"), lit(0L)).as("dominated_by"),
+            when(col("dominated_by").isNull, 1).otherwise(0).cast("int")
+              .as("on_skyline"))
+          .orderBy("brand")
+      },
+      oracle = Some("""
+        WITH m AS MATERIALIZED (
+          SELECT p_brand AS brand,
+                 ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   AS DOUBLE) /
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+                   9) AS unit_price,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS volume,
+                 CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1),
+        dom AS (
+          SELECT a.brand AS bd, CAST(COUNT(*) AS BIGINT) AS dominated_by
+          FROM m a JOIN m b ON b.brand <> a.brand
+            AND b.unit_price <= a.unit_price
+            AND b.volume >= a.volume
+            AND b.n_parts >= a.n_parts
+            AND (b.unit_price < a.unit_price OR b.volume > a.volume
+              OR b.n_parts > a.n_parts)
+          GROUP BY 1)
+        SELECT brand, ROUND(unit_price, 6) AS unit_price,
+               CAST(volume AS DOUBLE) AS volume, n_parts,
+               COALESCE(dominated_by, 0) AS dominated_by,
+               CAST(CASE WHEN dominated_by IS NULL THEN 1 ELSE 0 END
+                 AS INT) AS on_skyline
+        FROM m LEFT JOIN dom ON brand = bd
+        ORDER BY brand""")),
+
+    // Qini curve for engagement-ranked uplift: users ranked by total
+    // event count (the "model score"), exact-NTILE deciles (the q7v
+    // cut formula), and per-decile cumulative incremental conversions
+    // q(k) = convT(k) − convC(k)·NT(k)/NC(k) against the
+    // random-targeting diagonal — the uplift-model acceptance curve
+    // that qbm's per-segment effects don't order. Arms by the q7c
+    // user-parity assignment; conversion = purchase within 1 day of
+    // first view; everything integer until the final ratios.
+    "qhc_qini_uplift" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+        val fv = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ms")).as("v0"))
+        val conv = e.filter(col("event_type") === "purchase")
+          .join(fv, "user_id")
+          .filter(col("ms") >= col("v0") &&
+            col("ms") < col("v0") + lit(86400000L))
+          .select(col("user_id")).distinct()
+          .withColumn("cv", lit(1L))
+        val score = e.groupBy("user_id").agg(count(lit(1)).as("sc"))
+        val base = score.join(fv, Seq("user_id"))
+          .join(conv, Seq("user_id"), "left")
+          .select(col("user_id"), col("sc"),
+            (col("user_id") % 2).cast("int").as("arm"),
+            coalesce(col("cv"), lit(0L)).as("cv"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(base,
+          Seq(col("sc").desc, col("user_id")), "rn")
+        val n0 = ranked.agg(count(lit(1)).as("n"))
+        // exact NTILE(10) from the global row number (the q7v formula)
+        val dec = ranked.crossJoin(broadcast(n0))
+          .withColumn("base_sz", expr("n div 10"))
+          .withColumn("rem", expr("n % 10"))
+          .withColumn("cut", col("rem") * (col("base_sz") + 1))
+          .withColumn("decile",
+            expr("CAST(CASE WHEN rn <= cut" +
+              " THEN (rn - 1) div (base_sz + 1) + 1" +
+              " ELSE rem + (rn - 1 - cut) div base_sz + 1 END AS INT)"))
+        val cells = dec.groupBy("decile")
+          .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+            sum(when(col("arm") === 1, col("cv")).otherwise(0L)).as("ct"),
+            sum(when(col("arm") === 0, col("cv")).otherwise(0L)).as("cc"))
+        val w = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        cells
+          .withColumn("cnt", sum(col("nt")).over(w))
+          .withColumn("cnc", sum(col("nc")).over(w))
+          .withColumn("cct", sum(col("ct")).over(w))
+          .withColumn("ccc", sum(col("cc")).over(w))
+          .select(col("decile"), col("nt"), col("nc"), col("ct"),
+            col("cc"),
+            (round(col("cct").cast("double") -
+              col("ccc").cast("double") * col("cnt").cast("double") /
+              col("cnc").cast("double"), 6) + lit(0.0)).as("qini_q"))
+          .orderBy("decile")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        fv AS (
+          SELECT user_id, MIN(ms) AS v0 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        conv AS (
+          SELECT DISTINCT e.user_id, 1 AS cv
+          FROM e JOIN fv ON e.user_id = fv.user_id
+          WHERE e.event_type = 'purchase' AND e.ms >= fv.v0
+            AND e.ms < fv.v0 + 86400000),
+        score AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS sc
+          FROM e GROUP BY 1),
+        base AS (
+          SELECT score.user_id, sc,
+                 CAST(score.user_id % 2 AS INT) AS arm,
+                 CAST(COALESCE(cv, 0) AS BIGINT) AS cv
+          FROM score JOIN fv ON score.user_id = fv.user_id
+          LEFT JOIN conv ON score.user_id = conv.user_id),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, user_id)
+                   AS BIGINT) AS rn,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n
+          FROM base),
+        dec AS (
+          SELECT *, CAST(CASE WHEN rn <= rem * (base_sz + 1)
+                   THEN (rn - 1) // (base_sz + 1) + 1
+                   ELSE rem + (rn - 1 - rem * (base_sz + 1)) // base_sz
+                     + 1 END AS INT) AS decile
+          FROM (SELECT *, n // 10 AS base_sz, n % 10 AS rem FROM ranked)),
+        cells AS (
+          SELECT decile,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nt,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nc,
+                 CAST(SUM(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS BIGINT)
+                   AS ct,
+                 CAST(SUM(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS BIGINT)
+                   AS cc
+          FROM dec GROUP BY 1),
+        cum AS (
+          SELECT decile, nt, nc, ct, cc,
+                 CAST(SUM(nt) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnt,
+                 CAST(SUM(nc) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnc,
+                 CAST(SUM(ct) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cct,
+                 CAST(SUM(cc) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccc
+          FROM cells)
+        SELECT decile, nt, nc, ct, cc,
+               ROUND(CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE)
+                 * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS qini_q
+        FROM cum ORDER BY decile""")),
+
+    // Funnel bullwhip: variance amplification down the
+    // view→click→purchase daily-count chain — Var and CV² ratios per
+    // adjacent stage (CV² is the classical bullwhip measure; raw
+    // variance ratios mislead when stage means differ 10×, exactly
+    // this funnel). Integer daily counts, exact integer power sums,
+    // doubles only in the final ratios.
+    "qhd_bullwhip" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("v"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("c"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("p"))
+        val m = d.agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"),
+          sum(col("c")).as("sc"), sum(col("c") * col("c")).as("scc"),
+          sum(col("p")).as("sp"), sum(col("p") * col("p")).as("spp"))
+        def vr(sx: String, sxx: String) =
+          (col("n").cast("double") * col(sxx).cast("double") -
+            col(sx).cast("double") * col(sx).cast("double")) /
+          (col("n").cast("double") * (col("n") - 1).cast("double"))
+        def cv2(sx: String, sxx: String) =
+          vr(sx, sxx) /
+            ((col(sx).cast("double") / col("n").cast("double")) *
+             (col(sx).cast("double") / col("n").cast("double")))
+        m.select(col("n").as("n_days"),
+            round(vr("sv", "svv"), 6).as("var_views"),
+            round(vr("sc", "scc"), 6).as("var_clicks"),
+            round(vr("sp", "spp"), 6).as("var_purchases"),
+            round(vr("sc", "scc") / vr("sv", "svv"), 6)
+              .as("var_ratio_click_view"),
+            round(vr("sp", "spp") / vr("sc", "scc"), 6)
+              .as("var_ratio_purchase_click"),
+            round(cv2("sc", "scc") / cv2("sv", "svv"), 6)
+              .as("bullwhip_click_view"),
+            round(cv2("sp", "spp") / cv2("sc", "scc"), 6)
+              .as("bullwhip_purchase_click"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS v,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                   END) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS p
+          FROM events GROUP BY 1),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS sv,
+                 CAST(SUM(v * v) AS BIGINT) AS svv,
+                 CAST(SUM(c) AS BIGINT) AS sc,
+                 CAST(SUM(c * c) AS BIGINT) AS scc,
+                 CAST(SUM(p) AS BIGINT) AS sp,
+                 CAST(SUM(p * p) AS BIGINT) AS spp
+          FROM d),
+        f AS (
+          SELECT n,
+                 (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS vv,
+                 (CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+                   - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS vc,
+                 (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                   - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS vp,
+                 CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mv,
+                 CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mc,
+                 CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mp
+          FROM m)
+        SELECT n AS n_days,
+               ROUND(vv, 6) AS var_views,
+               ROUND(vc, 6) AS var_clicks,
+               ROUND(vp, 6) AS var_purchases,
+               ROUND(vc / vv, 6) AS var_ratio_click_view,
+               ROUND(vp / vc, 6) AS var_ratio_purchase_click,
+               ROUND((vc / (mc * mc)) / (vv / (mv * mv)), 6)
+                 AS bullwhip_click_view,
+               ROUND((vp / (mp * mp)) / (vc / (mc * mc)), 6)
+                 AS bullwhip_purchase_click
+        FROM f""")),
+
+    // Kaplan–Meier median time-to-first-error with a test-inversion
+    // confidence interval from the qh6 Greenwood bands: the median is
+    // the first life-table day whose log-survival crosses ln(0.5), the
+    // CI collects the days whose ±1.96·SE log-band still CONTAINS
+    // ln(0.5) — all on the log scale (rule 14: no exp), with ln(0.5)
+    // spelled as the shared 15-digit literal so both engines compare
+    // against the identical constant.
+    "qhe_km_median_ci" -> Q(
+      fn = (s, dir) => {
+        val lnHalf = -0.693147180559945
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ms")).as("sms"))
+        val er = e.filter(col("event_type") === "error")
+          .join(su, "user_id")
+          .filter(col("ms") >= col("sms"))
+          .groupBy("user_id").agg(min(col("ms")).as("ems"))
+        val mx = e.agg(max(col("ms")).as("mms"))
+        val durs = su.join(er, Seq("user_id"), "left")
+          .crossJoin(broadcast(mx))
+          .select(
+            when(col("ems").isNotNull, 1L).otherwise(0L).as("ev"),
+            when(col("ems").isNotNull, expr("(ems - sms) div 86400000"))
+              .otherwise(expr("(mms - sms) div 86400000")).as("t"))
+        val ntot = durs.agg(count(lit(1)).as("ntot"))
+        val lt = durs.groupBy("t")
+          .agg(sum(col("ev")).as("d"), count(lit(1)).as("m"))
+        val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        val bands = lt.crossJoin(broadcast(ntot))
+          .withColumn("nr", col("ntot") -
+            (sum(col("m")).over(w) - col("m")))
+          .filter(col("d") < col("nr"))
+          .withColumn("lnf", round(log(lit(1.0) -
+            col("d").cast("double") / col("nr").cast("double")), 12)
+            .cast("decimal(28,12)"))
+          .withColumn("gw", round(col("d").cast("double") /
+            (col("nr").cast("double") *
+              (col("nr") - col("d")).cast("double")), 12)
+            .cast("decimal(28,12)"))
+          .withColumn("lns", sum(col("lnf")).over(w).cast("double"))
+          .withColumn("se", sqrt(sum(col("gw")).over(w).cast("double")))
+          .withColumn("lo", col("lns") - lit(1.96) * col("se"))
+          .withColumn("hi", col("lns") + lit(1.96) * col("se"))
+        bands.agg(
+            min(when(col("lns") <= lit(lnHalf), col("t"))).as("t_median"),
+            min(when(col("lo") <= lit(lnHalf), col("t"))).as("t_ci_lo"),
+            min(when(col("hi") <= lit(lnHalf), col("t"))).as("t_ci_hi"),
+            count(lit(1)).as("n_times"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        su AS (
+          SELECT user_id, MIN(ms) AS sms FROM e
+          WHERE event_type = 'signup' GROUP BY 1),
+        er AS (
+          SELECT e.user_id, MIN(ms) AS ems
+          FROM e JOIN su ON e.user_id = su.user_id
+          WHERE e.event_type = 'error' AND e.ms >= su.sms
+          GROUP BY 1),
+        mx AS (SELECT MAX(ms) AS mms FROM e),
+        durs AS (
+          SELECT CASE WHEN ems IS NOT NULL THEN 1 ELSE 0 END AS ev,
+                 CASE WHEN ems IS NOT NULL THEN (ems - sms) // 86400000
+                      ELSE (mms - sms) // 86400000 END AS t
+          FROM su LEFT JOIN er ON su.user_id = er.user_id
+          CROSS JOIN mx),
+        ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM durs),
+        lt AS (
+          SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS m
+          FROM durs GROUP BY 1),
+        cum AS (
+          SELECT t, d,
+                 CAST(ntot - (SUM(m) OVER (ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) - m) AS BIGINT) AS nr
+          FROM lt CROSS JOIN ntot),
+        fl AS (
+          SELECT t, d, nr,
+                 CAST(ROUND(ln(CAST(1 AS DOUBLE)
+                   - CAST(d AS DOUBLE) / CAST(nr AS DOUBLE)), 12)
+                   AS DECIMAL(28,12)) AS lnf,
+                 CAST(ROUND(CAST(d AS DOUBLE)
+                   / (CAST(nr AS DOUBLE) * CAST(nr - d AS DOUBLE)), 12)
+                   AS DECIMAL(28,12)) AS gw
+          FROM cum WHERE d < nr),
+        cc AS (
+          SELECT t,
+                 CAST(SUM(lnf) OVER (ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS lns,
+                 SQRT(CAST(SUM(gw) OVER (ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)) AS se
+          FROM fl)
+        SELECT MIN(CASE WHEN lns <= CAST(-0.693147180559945 AS DOUBLE)
+                 THEN t END) AS t_median,
+               MIN(CASE WHEN lns - CAST(1.96 AS DOUBLE) * se
+                 <= CAST(-0.693147180559945 AS DOUBLE) THEN t END)
+                 AS t_ci_lo,
+               MIN(CASE WHEN lns + CAST(1.96 AS DOUBLE) * se
+                 <= CAST(-0.693147180559945 AS DOUBLE) THEN t END)
+                 AS t_ci_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_times
+        FROM cc""")),
+
+    // Cross-price elasticity matrix for the top-3 brands by volume:
+    // OLS slope of ln(daily quantity of brand A) on ln(daily mean unit
+    // price of brand B) over shared days — own-price elasticities on
+    // the diagonal (qbh's single-brand number), substitution /
+    // complementarity off it. ln links only (proven parity); 9-grid
+    // series, DECIMAL moment sums, bounded 3×3 output.
+    "qhf_cross_elasticity" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("p_brand").as("brand"),
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000").as("day"),
+            col("l_extendedprice").cast("decimal(18,2)").as("ep"),
+            col("l_quantity").cast("decimal(18,2)").as("qty"))
+        val top = li.groupBy("brand").agg(sum(col("qty")).as("tv"))
+          .orderBy(col("tv").desc, col("brand")).limit(3)
+          .select(col("brand").as("tb"))
+        val daily = li.join(broadcast(top), col("brand") === col("tb"))
+          .groupBy("brand", "day")
+          .agg(round(log(sum(col("qty")).cast("double")), 9).as("lq"),
+            round(log(sum(col("ep")).cast("double") /
+              sum(col("qty")).cast("double")), 9).as("lp"))
+          .localCheckpoint(eager = false)
+        val pairs = daily.select(col("brand").as("ba"), col("day"),
+            col("lq"))
+          .join(daily.select(col("brand").as("bb"), col("day").as("d2"),
+            col("lp")), col("day") === col("d2"))
+        pairs.groupBy(col("ba").as("brand_qty"), col("bb").as("brand_price"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(g9(col("lp"))).as("sx"), sum(g9(col("lq"))).as("sy"),
+            sum(g9(round(col("lp") * col("lq"), 9))).as("sxy"),
+            sum(g9(round(col("lp") * col("lp"), 9))).as("sxx"))
+          .select(col("brand_qty"), col("brand_price"), col("n_days"),
+            (round((col("n_days").cast("double") *
+              col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n_days").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")), 6)
+              + lit(0.0)).as("elasticity"))
+          .orderBy("brand_qty", "brand_price")
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT p_brand AS brand,
+                 CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS ep,
+                 CAST(l_quantity AS DECIMAL(18,2)) AS qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey),
+        top AS (
+          SELECT brand AS tb FROM (
+            SELECT brand, SUM(qty) AS tv FROM li GROUP BY 1)
+          ORDER BY tv DESC, brand LIMIT 3),
+        daily AS MATERIALIZED (
+          SELECT brand, day,
+                 ROUND(ln(CAST(SUM(qty) AS DOUBLE)), 9) AS lq,
+                 ROUND(ln(CAST(SUM(ep) AS DOUBLE)
+                   / CAST(SUM(qty) AS DOUBLE)), 9) AS lp
+          FROM li JOIN top ON brand = tb
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.brand AS brand_qty, b.brand AS brand_price,
+                 a.lq, b.lp
+          FROM daily a JOIN daily b ON a.day = b.day),
+        mm AS (
+          SELECT brand_qty, brand_price,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 SUM(CAST(ROUND(lp, 9) AS DECIMAL(20,9))) AS sx,
+                 SUM(CAST(ROUND(lq, 9) AS DECIMAL(20,9))) AS sy,
+                 SUM(CAST(ROUND(lp * lq, 9) AS DECIMAL(20,9))) AS sxy,
+                 SUM(CAST(ROUND(lp * lp, 9) AS DECIMAL(20,9))) AS sxx
+          FROM pairs GROUP BY 1, 2)
+        SELECT brand_qty, brand_price, n_days,
+               ROUND((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS elasticity
+        FROM mm ORDER BY brand_qty, brand_price""")),
+
+    // Mincer–Zarnowitz forecast-rationality regression: realized daily
+    // revenue on the naive lag-1 forecast — an unbiased, efficient
+    // forecaster has (α, β) = (0, 1), and the joint F-stat
+    // [(SSE₀ − SSE)/2] / [SSE/(n−2)] prices the deviation. SSE₀ under
+    // H₀ is Σ(y−ŷ)² from raw power sums, SSE from the fitted line —
+    // both algebraic in DECIMAL moment images; the verdict companion
+    // to qfz's loss battery and qgg's loss COMPARISON.
+    "qhg_mincer_zarnowitz" -> Q(
+      fn = (s, dir) => {
+        val y = dailyRevenueM(s, dir)
+        val w = Window.orderBy("day")
+        val p = y.withColumn("fh", lag("ym", 1).over(w))
+          .filter(col("fh").isNotNull)
+          .select(col("ym").as("yv"), col("fh"))
+        val m = p.agg(count(lit(1)).as("n"),
+          sum(col("fh")).as("sx"), sum(col("yv")).as("sy"),
+          sum((col("fh") * col("yv")).cast("decimal(38,16)")).as("sxy"),
+          sum((col("fh") * col("fh")).cast("decimal(38,16)")).as("sxx"),
+          sum((col("yv") * col("yv")).cast("decimal(38,16)")).as("syy"),
+          sum(((col("yv") - col("fh")) * (col("yv") - col("fh")))
+            .cast("decimal(38,16)")).as("see"))
+        m.select(col("n"),
+            col("n").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("sy").cast("double").as("syd"),
+            expr("CAST(CAST(sxy AS STRING) AS DOUBLE)").as("sxyd"),
+            expr("CAST(CAST(sxx AS STRING) AS DOUBLE)").as("sxxd"),
+            expr("CAST(CAST(syy AS STRING) AS DOUBLE)").as("syyd"),
+            expr("CAST(CAST(see AS STRING) AS DOUBLE)").as("seed"))
+          .withColumn("b", (col("nd") * col("sxyd") -
+            col("sxd") * col("syd")) /
+            (col("nd") * col("sxxd") - col("sxd") * col("sxd")))
+          .withColumn("a", (col("syd") - col("b") * col("sxd")) / col("nd"))
+          .withColumn("sse", col("syyd") -
+            col("a") * col("syd") - col("b") * col("sxyd"))
+          .select(col("n").as("n_days"),
+            (round(col("a"), 6) + lit(0.0)).as("alpha"),
+            round(col("b"), 6).as("beta"),
+            (round((col("seed") - col("sse")) / lit(2.0) /
+              (col("sse") / (col("nd") - lit(2.0))), 6) + lit(0.0))
+              .as("mz_f_stat"),
+            when((col("seed") - col("sse")) / lit(2.0) /
+              (col("sse") / (col("nd") - lit(2.0))) > lit(3.0),
+              "reject_rationality").otherwise("consistent")
+              .as("verdict"))
+      },
+      oracle = Some(s"""
+        WITH y AS ($dailyRevenueMSql),
+        p AS (
+          SELECT ym AS yv, fh FROM (
+            SELECT day, ym, LAG(ym) OVER (ORDER BY day) AS fh FROM y)
+          WHERE fh IS NOT NULL),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(fh) AS sx, SUM(yv) AS sy,
+                 SUM(CAST(fh AS DECIMAL(19,8))
+                   * CAST(yv AS DECIMAL(19,8))) AS sxy,
+                 SUM(CAST(fh AS DECIMAL(19,8))
+                   * CAST(fh AS DECIMAL(19,8))) AS sxx,
+                 SUM(CAST(yv AS DECIMAL(19,8))
+                   * CAST(yv AS DECIMAL(19,8))) AS syy,
+                 SUM(CAST(yv - fh AS DECIMAL(19,8))
+                   * CAST(yv - fh AS DECIMAL(19,8))) AS see
+          FROM p),
+        d AS (
+          SELECT n, CAST(n AS DOUBLE) AS nd,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+                 CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+                 CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd,
+                 CAST(CAST(see AS VARCHAR) AS DOUBLE) AS seed
+          FROM m),
+        f AS (
+          SELECT *, (syd - b * sxd) / nd AS a
+          FROM (SELECT *, (nd * sxyd - sxd * syd)
+                  / (nd * sxxd - sxd * sxd) AS b FROM d)),
+        g AS (
+          SELECT *, syyd - a * syd - b * sxyd AS sse FROM f)
+        SELECT n AS n_days,
+               ROUND(a, 6) + CAST(0 AS DOUBLE) AS alpha,
+               ROUND(b, 6) AS beta,
+               ROUND((seed - sse) / CAST(2 AS DOUBLE)
+                 / (sse / (nd - CAST(2 AS DOUBLE))), 6)
+                 + CAST(0 AS DOUBLE) AS mz_f_stat,
+               CASE WHEN (seed - sse) / CAST(2 AS DOUBLE)
+                 / (sse / (nd - CAST(2 AS DOUBLE)))
+                 > CAST(3 AS DOUBLE) THEN 'reject_rationality'
+                 ELSE 'consistent' END AS verdict
+        FROM g""")),
+
+    // Lorenz asymmetry coefficient for order values: S = F(μ) + L(μ) —
+    // the share of orders below the mean plus their value share. S < 1
+    // says inequality is driven by many small orders, S > 1 by a few
+    // giants — the SHAPE diagnostic the scalar Gini (q6m) and the
+    // Lorenz points (q7m) leave ambiguous (two very different
+    // economies share a Gini). Exact integer counts and DECIMAL value
+    // sums against the exact 9-grid mean; two final divisions.
+    "qhh_lorenz_asymmetry" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_totalprice").cast("decimal(18,2)").as("v"))
+        val mu = o.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+          .select(col("n"), col("sv"),
+            round(col("sv").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        o.crossJoin(broadcast(mu))
+          .agg(max(col("n")).as("n_orders"),
+            max(col("mu")).as("mu"),
+            max(col("sv")).as("sv"),
+            sum(when(col("v").cast("double") < col("mu"), 1L)
+              .otherwise(0L)).as("n_below"),
+            sum(when(col("v").cast("double") < col("mu"), col("v"))
+              .otherwise(lit(0).cast("decimal(18,2)"))).as("v_below"))
+          .select(col("n_orders"),
+            round(col("mu"), 6).as("mean_value"),
+            col("n_below"),
+            round(col("n_below").cast("double") /
+              col("n_orders").cast("double"), 6).as("f_mu"),
+            round(col("v_below").cast("double") /
+              col("sv").cast("double"), 6).as("l_mu"),
+            round(col("n_below").cast("double") /
+              col("n_orders").cast("double") +
+              col("v_below").cast("double") / col("sv").cast("double"), 6)
+              .as("lorenz_asymmetry"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+        mu AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv,
+                 ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS mu
+          FROM o),
+        f AS (
+          SELECT MAX(n) AS n_orders, MAX(mu) AS mu,
+                 CAST(MAX(sv) AS DOUBLE) AS svd,
+                 CAST(SUM(CASE WHEN CAST(v AS DOUBLE) < mu THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_below,
+                 CAST(SUM(CASE WHEN CAST(v AS DOUBLE) < mu THEN v
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS v_below
+          FROM o CROSS JOIN mu)
+        SELECT n_orders,
+               ROUND(mu, 6) AS mean_value,
+               n_below,
+               ROUND(CAST(n_below AS DOUBLE) / CAST(n_orders AS DOUBLE),
+                 6) AS f_mu,
+               ROUND(v_below / svd, 6) AS l_mu,
+               ROUND(CAST(n_below AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                 + v_below / svd, 6) AS lorenz_asymmetry
+        FROM f"""))
   )
 }
