@@ -5192,6 +5192,432 @@ object AppliedQueries {
                ROUND(v_below / svd, 6) AS l_mu,
                ROUND(CAST(n_below AS DOUBLE) / CAST(n_orders AS DOUBLE)
                  + v_below / svd, 6) AS lorenz_asymmetry
-        FROM f"""))
+        FROM f""")),
+
+    // Daily growth accounting: every active user classified as new
+    // (first-ever day), retained (also active yesterday) or
+    // resurrected (seen before, skipped ≥1 day), with churned = users
+    // active yesterday who went dark today — and the quick ratio
+    // (new + resurrected)/churned that separates leaky-bucket growth
+    // from compounding growth. The product-analytics ledger the
+    // retention matrix (q4a) summarizes away. Pure integer per-user
+    // lag/lead classification over the bounded user × day activity
+    // table; one guarded ratio.
+    "qhi_growth_accounting" -> Q(
+      fn = (s, dir) => {
+        val act = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .distinct()
+        val mx = act.agg(max(col("day")).as("maxday"))
+        val wU = Window.partitionBy("user_id").orderBy("day")
+        val cls = act
+          .withColumn("first_day", min(col("day")).over(
+            Window.partitionBy("user_id")))
+          .withColumn("prev", lag("day", 1).over(wU))
+          .withColumn("next", lead("day", 1).over(wU))
+        val daily = cls.groupBy("day")
+          .agg(count(lit(1)).as("active"),
+            sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+              .as("new_users"),
+            sum(when(col("prev") === col("day") - 1, 1L).otherwise(0L))
+              .as("retained"),
+            sum(when(col("day") =!= col("first_day") &&
+              (col("prev").isNull || col("prev") < col("day") - 1), 1L)
+              .otherwise(0L)).as("resurrected"))
+        // churn attributed to day d+1: active on d, not active on d+1
+        val churn = cls.crossJoin(broadcast(mx))
+          .filter(col("day") < col("maxday") &&
+            (col("next").isNull || col("next") =!= col("day") + 1))
+          .groupBy((col("day") + 1).as("cday"))
+          .agg(count(lit(1)).as("churned"))
+        daily.join(churn, col("day") === col("cday"), "left")
+          .select(col("day"), col("active"), col("new_users"),
+            col("retained"), col("resurrected"),
+            coalesce(col("churned"), lit(0L)).as("churned"),
+            when(coalesce(col("churned"), lit(0L)) > 0,
+              round((col("new_users") + col("resurrected")).cast("double")
+                / col("churned").cast("double"), 6)).as("quick_ratio"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+          FROM events),
+        mx AS (SELECT MAX(day) AS maxday FROM act),
+        cls AS (
+          SELECT user_id, day,
+                 MIN(day) OVER (PARTITION BY user_id) AS first_day,
+                 LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS prev,
+                 LEAD(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS next
+          FROM act),
+        daily AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS active,
+                 CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                   AS BIGINT) AS new_users,
+                 CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS retained,
+                 CAST(SUM(CASE WHEN day <> first_day
+                   AND (prev IS NULL OR prev < day - 1) THEN 1 ELSE 0
+                   END) AS BIGINT) AS resurrected
+          FROM cls GROUP BY 1),
+        churn AS (
+          SELECT day + 1 AS cday, CAST(COUNT(*) AS BIGINT) AS churned
+          FROM cls CROSS JOIN mx
+          WHERE day < maxday AND (next IS NULL OR next <> day + 1)
+          GROUP BY 1)
+        SELECT day, active, new_users, retained, resurrected,
+               COALESCE(churned, 0) AS churned,
+               CASE WHEN COALESCE(churned, 0) > 0 THEN
+                 ROUND(CAST(new_users + resurrected AS DOUBLE)
+                   / CAST(churned AS DOUBLE), 6) END AS quick_ratio
+        FROM daily LEFT JOIN churn ON day = cday
+        ORDER BY day""")),
+
+    // LMDI (log-mean Divisia) decomposition of the revenue change
+    // across the qbk period cut through the multiplicative KPI tree
+    // revenue = customers × orders-per-customer × revenue-per-order:
+    // each factor's contribution is L(V₁,V₀)·ln(X₁/X₀) with the
+    // logarithmic mean L(a,b) = (a−b)/(ln a − ln b) — the only
+    // decomposition that is exactly additive with no residual (the
+    // Divisia property), unlike naive one-at-a-time bridges. ln links
+    // only; the reported residual row PROVES additivity to rounding.
+    "qhj_lmdi_decomposition" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(
+            when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"),
+              1).otherwise(0).as("per"),
+            col("o_custkey"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(18,8)").as("v"))
+        val cells = o.groupBy("per")
+          .agg(countDistinct(col("o_custkey")).as("c"),
+            count(lit(1)).as("nord"), sum(col("v")).as("rev"))
+        def p(per: Int, c: String) = max(when(col("per") === per, col(c)))
+        cells.agg(
+            p(0, "c").as("c0"), p(1, "c").as("c1"),
+            p(0, "nord").as("n0"), p(1, "nord").as("n1"),
+            p(0, "rev").as("v0"), p(1, "rev").as("v1"))
+          .select(col("c0"), col("c1"), col("n0"), col("n1"),
+            col("v0").cast("double").as("v0d"),
+            col("v1").cast("double").as("v1d"),
+            col("c0").cast("double").as("c0d"),
+            col("c1").cast("double").as("c1d"),
+            col("n0").cast("double").as("n0d"),
+            col("n1").cast("double").as("n1d"))
+          .withColumn("lm", (col("v1d") - col("v0d")) /
+            (log(col("v1d")) - log(col("v0d"))))
+          .withColumn("dc", col("lm") * log(col("c1d") / col("c0d")))
+          .withColumn("df", col("lm") * log((col("n1d") / col("c1d")) /
+            (col("n0d") / col("c0d"))))
+          .withColumn("da", col("lm") * log((col("v1d") / col("n1d")) /
+            (col("v0d") / col("n0d"))))
+          .select(
+            round(col("v0d"), 6).as("rev_pre_m"),
+            round(col("v1d"), 6).as("rev_post_m"),
+            (round(col("v1d") - col("v0d"), 6) + lit(0.0)).as("delta_m"),
+            (round(col("dc"), 6) + lit(0.0)).as("contrib_customers"),
+            (round(col("df"), 6) + lit(0.0)).as("contrib_frequency"),
+            (round(col("da"), 6) + lit(0.0)).as("contrib_basket"),
+            (round(col("v1d") - col("v0d") -
+              col("dc") - col("df") - col("da"), 6) + lit(0.0))
+              .as("residual"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                 THEN 1 ELSE 0 END AS per,
+                 o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(18,8)) AS v
+          FROM orders),
+        cells AS (
+          SELECT per, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS c,
+                 CAST(COUNT(*) AS BIGINT) AS nord, SUM(v) AS rev
+          FROM o GROUP BY 1),
+        w AS (
+          SELECT CAST(MAX(CASE WHEN per = 0 THEN c END) AS DOUBLE) AS c0d,
+                 CAST(MAX(CASE WHEN per = 1 THEN c END) AS DOUBLE) AS c1d,
+                 CAST(MAX(CASE WHEN per = 0 THEN nord END) AS DOUBLE)
+                   AS n0d,
+                 CAST(MAX(CASE WHEN per = 1 THEN nord END) AS DOUBLE)
+                   AS n1d,
+                 CAST(MAX(CASE WHEN per = 0 THEN rev END) AS DOUBLE)
+                   AS v0d,
+                 CAST(MAX(CASE WHEN per = 1 THEN rev END) AS DOUBLE)
+                   AS v1d
+          FROM cells),
+        f AS (
+          SELECT *, (v1d - v0d) / (ln(v1d) - ln(v0d)) AS lm
+          FROM w),
+        g AS (
+          SELECT *,
+                 lm * ln(c1d / c0d) AS dc,
+                 lm * ln((n1d / c1d) / (n0d / c0d)) AS df,
+                 lm * ln((v1d / n1d) / (v0d / n0d)) AS da
+          FROM f)
+        SELECT ROUND(v0d, 6) AS rev_pre_m,
+               ROUND(v1d, 6) AS rev_post_m,
+               ROUND(v1d - v0d, 6) + CAST(0 AS DOUBLE) AS delta_m,
+               ROUND(dc, 6) + CAST(0 AS DOUBLE) AS contrib_customers,
+               ROUND(df, 6) + CAST(0 AS DOUBLE) AS contrib_frequency,
+               ROUND(da, 6) + CAST(0 AS DOUBLE) AS contrib_basket,
+               ROUND(v1d - v0d - dc - df - da, 6) + CAST(0 AS DOUBLE)
+                 AS residual
+        FROM g""")),
+
+    // Kupiec proportion-of-failures VaR backtest: the 95% historical
+    // VaR of daily revenue changes is estimated on the FIRST half of
+    // the series (exact order statistic at rank ⌈0.05·n⌉, integer
+    // arithmetic) and tested out-of-sample on the second half — breach
+    // count vs the 5% coverage through the binomial likelihood ratio
+    // LR = 2[x·ln((x/n)/p) + (n−x)·ln((1−x/n)/(1−p))] ~ χ²(1). The
+    // governance loop qfi's in-sample VaR number lacks: a VaR that
+    // never gets backtested is a guess. ln links only; breach
+    // comparisons on exact DECIMALs.
+    "qhk_var_backtest" -> Q(
+      fn = (s, dir) => {
+        val y = dailyRevenueM(s, dir)
+        val w = Window.orderBy("day")
+        val d = y.withColumn("prev", lag("ym", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("day"), (col("ym") - col("prev")).as("chg"))
+          .localCheckpoint(eager = false)
+        val n0 = d.agg(count(lit(1)).as("ntot"))
+        val split = d.crossJoin(broadcast(n0))
+          .withColumn("rn_t", row_number().over(Window.orderBy("day")))
+          .withColumn("half", when(col("rn_t") * 2 <= col("ntot"), 0)
+            .otherwise(1))
+        val h1 = split.filter(col("half") === 0)
+        val n1 = h1.agg(count(lit(1)).as("n1"))
+        val varRow = h1.crossJoin(broadcast(n1))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("chg"), col("day"))))
+          .filter(col("rk") === expr("(n1 + 19) div 20"))
+          .select(col("chg").as("var95"), col("n1"))
+        val h2 = split.filter(col("half") === 1)
+        h2.crossJoin(broadcast(varRow))
+          .agg(max(col("n1")).as("n_train"),
+            count(lit(1)).as("n_test"),
+            max(col("var95")).as("v95"),
+            sum(when(col("chg") < col("var95"), 1L).otherwise(0L))
+              .as("breaches"))
+          .select(col("n_train"), col("n_test"),
+            round(col("v95").cast("double"), 6).as("var95_m"),
+            col("breaches"),
+            round(col("breaches").cast("double") /
+              col("n_test").cast("double"), 6).as("breach_rate"),
+            (round(lit(2.0) * (
+              when(col("breaches") > 0,
+                col("breaches").cast("double") *
+                log((col("breaches").cast("double") /
+                  col("n_test").cast("double")) / lit(0.05)))
+                .otherwise(lit(0.0)) +
+              when(col("breaches") < col("n_test"),
+                (col("n_test") - col("breaches")).cast("double") *
+                log((lit(1.0) - col("breaches").cast("double") /
+                  col("n_test").cast("double")) / lit(0.95)))
+                .otherwise(lit(0.0))), 6) + lit(0.0)).as("kupiec_lr"))
+      },
+      oracle = Some(s"""
+        WITH y AS ($dailyRevenueMSql),
+        d AS (
+          SELECT day, ym - prev AS chg FROM (
+            SELECT day, ym, LAG(ym) OVER (ORDER BY day) AS prev FROM y)
+          WHERE prev IS NOT NULL),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM d),
+        split AS (
+          SELECT day, chg,
+                 CASE WHEN CAST(ROW_NUMBER() OVER (ORDER BY day)
+                   AS BIGINT) * 2 <= ntot THEN 0 ELSE 1 END AS half
+          FROM d CROSS JOIN n0),
+        n1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM split
+          WHERE half = 0),
+        v AS (
+          SELECT chg AS var95, n1 FROM (
+            SELECT chg, n1, ROW_NUMBER() OVER (ORDER BY chg, day) AS rk
+            FROM split CROSS JOIN n1 WHERE half = 0)
+          WHERE rk = (n1 + 19) // 20),
+        f AS (
+          SELECT MAX(n1) AS n_train,
+                 CAST(COUNT(*) AS BIGINT) AS n_test,
+                 MAX(var95) AS v95,
+                 CAST(SUM(CASE WHEN chg < var95 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS breaches
+          FROM split CROSS JOIN v WHERE half = 1)
+        SELECT n_train, n_test,
+               ROUND(CAST(v95 AS DOUBLE), 6) AS var95_m,
+               breaches,
+               ROUND(CAST(breaches AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+                 AS breach_rate,
+               ROUND(CAST(2 AS DOUBLE) * (
+                 CASE WHEN breaches > 0 THEN CAST(breaches AS DOUBLE)
+                   * ln((CAST(breaches AS DOUBLE)
+                     / CAST(n_test AS DOUBLE)) / CAST(0.05 AS DOUBLE))
+                   ELSE CAST(0 AS DOUBLE) END +
+                 CASE WHEN breaches < n_test
+                   THEN CAST(n_test - breaches AS DOUBLE)
+                   * ln((CAST(1 AS DOUBLE) - CAST(breaches AS DOUBLE)
+                     / CAST(n_test AS DOUBLE)) / CAST(0.95 AS DOUBLE))
+                   ELSE CAST(0 AS DOUBLE) END), 6) + CAST(0 AS DOUBLE)
+                 AS kupiec_lr
+        FROM f""")),
+
+    // Customer value-tier migration across the qbk period cut: spend
+    // quintile (exact-NTILE, q7v cut formula) in each half, customers
+    // absent from a half in tier 0 — the ≤36-cell transition matrix
+    // that prices upgrades, downgrades, churn (t→0) and acquisition
+    // (0→t), which q7j's single-snapshot RFM can't see. All integer
+    // ranks and counts.
+    "qhl_tier_migration" -> Q(
+      fn = (s, dir) => {
+        def tiers(per: Int): DataFrame = {
+          val sp = t(s, dir, "orders")
+            .filter((col("o_orderdate") >=
+              lit("1996-01-01").cast("timestamp")).cast("int") === per)
+            .groupBy(col("o_custkey"))
+            .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+          val ranked = graft.operators.ScaleOps.globalRowNumber(sp,
+            Seq(col("sp").desc, col("o_custkey")), "rn")
+          val n0 = ranked.agg(count(lit(1)).as("n"))
+          ranked.crossJoin(broadcast(n0))
+            .withColumn("base_sz", expr("n div 5"))
+            .withColumn("rem", expr("n % 5"))
+            .withColumn("cut", col("rem") * (col("base_sz") + 1))
+            .select(col("o_custkey").as(s"ck$per"),
+              expr("CAST(CASE WHEN rn <= cut" +
+                " THEN (rn - 1) div (base_sz + 1) + 1" +
+                " ELSE rem + (rn - 1 - cut) div base_sz + 1 END AS INT)")
+                .as(s"tier$per"))
+        }
+        val t0 = tiers(0)
+        val t1 = tiers(1)
+        t0.join(t1, col("ck0") === col("ck1"), "full")
+          .select(coalesce(col("tier0"), lit(0)).as("tier_pre"),
+            coalesce(col("tier1"), lit(0)).as("tier_post"))
+          .groupBy("tier_pre", "tier_post")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("tier_pre", "tier_post")
+      },
+      oracle = Some({
+        def half(per: Int) =
+          s"""SELECT o_custkey AS ck$per,
+             |  CAST(CASE WHEN rn <= rem * (base_sz + 1)
+             |    THEN (rn - 1) // (base_sz + 1) + 1
+             |    ELSE rem + (rn - 1 - rem * (base_sz + 1)) // base_sz + 1
+             |    END AS INT) AS tier$per
+             |FROM (
+             |  SELECT o_custkey, rn, n // 5 AS base_sz, n % 5 AS rem
+             |  FROM (
+             |    SELECT o_custkey,
+             |           CAST(ROW_NUMBER() OVER (ORDER BY sp DESC,
+             |             o_custkey) AS BIGINT) AS rn,
+             |           (SELECT CAST(COUNT(*) AS BIGINT) FROM h$per) AS n
+             |    FROM h$per))""".stripMargin
+        s"""
+        WITH h0 AS MATERIALIZED (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS sp
+          FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY 1),
+        h1 AS MATERIALIZED (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS sp
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          GROUP BY 1),
+        t0 AS (${half(0)}),
+        t1 AS (${half(1)})
+        SELECT COALESCE(tier0, 0) AS tier_pre,
+               COALESCE(tier1, 0) AS tier_post,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM t0 FULL OUTER JOIN t1 ON ck0 = ck1
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+      })),
+
+    // Sample-ratio-mismatch health check for the user-parity
+    // experiment assignment: overall arm counts with the 1-df χ²
+    // against 50/50, plus the worst single-day standardized imbalance
+    // — the first thing to audit before believing ANY of the
+    // experiment readouts (q7b/q7c/qbm/qhc); a biased assignment
+    // invalidates them all silently. Integer counts; χ² and z are
+    // pure doubles from integers.
+    "qhm_srm_check" -> Q(
+      fn = (s, dir) => {
+        val u = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+        val overall = u.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L))
+              .as("n_arm1"))
+        val daily = u.distinct()
+          .groupBy("day")
+          .agg(count(lit(1)).as("nd"),
+            sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L))
+              .as("n1d"))
+          .select(col("day"),
+            (abs(lit(2.0) * col("n1d").cast("double") -
+              col("nd").cast("double")) /
+              sqrt(col("nd").cast("double"))).as("z"))
+        val worst = daily.agg(
+          max(struct(round(col("z"), 9).as("z"), col("day").as("day")))
+            .as("w"))
+        overall.crossJoin(broadcast(worst))
+          .select(col("n_users"),
+            (col("n_users") - col("n_arm1")).as("n_arm0"),
+            col("n_arm1"),
+            round((lit(2.0) * col("n_arm1").cast("double") -
+              col("n_users").cast("double")) *
+              (lit(2.0) * col("n_arm1").cast("double") -
+                col("n_users").cast("double")) /
+              col("n_users").cast("double"), 6).as("chi2"),
+            when((lit(2.0) * col("n_arm1").cast("double") -
+              col("n_users").cast("double")) *
+              (lit(2.0) * col("n_arm1").cast("double") -
+                col("n_users").cast("double")) /
+              col("n_users").cast("double") > lit(3.841459), 1)
+              .otherwise(0).cast("int").as("srm_flag"),
+            round(col("w.z"), 6).as("worst_day_z"),
+            col("w.day").as("worst_day"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        overall AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_arm1
+          FROM (SELECT DISTINCT user_id FROM u)),
+        daily AS (
+          SELECT day,
+                 ABS(CAST(2 AS DOUBLE) * CAST(n1d AS DOUBLE)
+                   - CAST(nd AS DOUBLE)) / SQRT(CAST(nd AS DOUBLE)) AS z
+          FROM (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS nd,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n1d
+            FROM (SELECT DISTINCT user_id, day FROM u)
+            GROUP BY 1)),
+        worst AS (
+          SELECT MAX({'z': ROUND(z, 9), 'day': day}) AS w FROM daily)
+        SELECT n_users, n_users - n_arm1 AS n_arm0, n_arm1,
+               ROUND((CAST(2 AS DOUBLE) * CAST(n_arm1 AS DOUBLE)
+                 - CAST(n_users AS DOUBLE))
+                 * (CAST(2 AS DOUBLE) * CAST(n_arm1 AS DOUBLE)
+                 - CAST(n_users AS DOUBLE))
+                 / CAST(n_users AS DOUBLE), 6) AS chi2,
+               CAST(CASE WHEN (CAST(2 AS DOUBLE)
+                 * CAST(n_arm1 AS DOUBLE) - CAST(n_users AS DOUBLE))
+                 * (CAST(2 AS DOUBLE)
+                 * CAST(n_arm1 AS DOUBLE) - CAST(n_users AS DOUBLE))
+                 / CAST(n_users AS DOUBLE) > CAST(3.841459 AS DOUBLE)
+                 THEN 1 ELSE 0 END AS INT) AS srm_flag,
+               ROUND(w['z'], 6) AS worst_day_z,
+               w['day'] AS worst_day
+        FROM overall CROSS JOIN worst"""))
   )
 }
