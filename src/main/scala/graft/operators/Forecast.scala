@@ -212,6 +212,69 @@ object Forecast {
           element_at(col("__st"), slot), 6).as(s"forecast_$horizon"))
   }
 
+  /** Multiplicative Holt–Winters: the [[holtWinters]] twin for series
+    * whose seasonal swing SCALES with the level (a growing shop's weekend
+    * bump grows with it — additive seasonals then under-correct high
+    * levels and over-correct low ones). Same rotating-ring fold and
+    * 9-snap-per-step contract; the seasonal links are DIVISIONS
+    * (x/s_cur, x/l — proven oracle-parity links) and the ring seeds at
+    * 1.0 (the multiplicative identity). Requires a strictly positive
+    * series — a zero value would zero a seasonal slot and poison later
+    * divisions, so the input is filtered to > 0 (document the gap as a
+    * missing observation, exactly like nulls).
+    * Forecast: (l + h·b) · s_{matching slot}.
+    */
+  def holtWintersMultiplicative(
+      series: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      alpha: Double = 0.5, beta: Double = 0.25, gamma: Double = 0.25,
+      period: Int = 7, horizon: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1), got $beta")
+    require(gamma > 0 && gamma < 1, s"gamma must be in (0,1), got $gamma")
+    require(period >= 2 && period <= 24,
+      s"period must be in [2,24], got $period")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    exactBinary(alpha, "alpha")
+    exactBinary(beta, "beta")
+    exactBinary(gamma, "gamma")
+
+    val collected = series
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull &&
+        col(valueCol).cast("double") > 0)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        array_sort(collect_list(struct(col(orderCol).as("o"),
+          col(valueCol).cast("double").as("y")))).as("__seq"))
+      .withColumn("__ys", transform(col("__seq"), x => x.getField("y")))
+
+    // acc layout (1-based): [l, b, s_cur, s_next, …, s_cur+period−1]
+    def step(acc: Column, x: Column): Column = {
+      val l = element_at(acc, 1)
+      val b = element_at(acc, 2)
+      val sCur = element_at(acc, 3)
+      val lNew = round(lit(alpha) * (x / sCur) + lit(1 - alpha) * (l + b), 9)
+      val bNew = round(lit(beta) * (lNew - l) + lit(1 - beta) * b, 9)
+      val sNew = round(lit(gamma) * (x / lNew) + lit(1 - gamma) * sCur, 9)
+      val rotated = (4 to period + 2).map(i => element_at(acc, i))
+      array(lNew +: bNew +: rotated :+ sNew: _*)
+    }
+
+    val seed = array(element_at(col("__ys"), 1) +: lit(0.0) +:
+      Seq.fill(period)(lit(1.0)): _*)
+    val rest = slice(col("__ys"), lit(2),
+      greatest(size(col("__ys")) - 1, lit(0)))
+    val slot = 3 + ((horizon - 1) % period)
+    collected
+      .withColumn("__st", aggregate(rest, seed, step))
+      .select(col(keyCol), col("n_obs"),
+        round(element_at(col("__st"), 1), 6).as("level"),
+        round(element_at(col("__st"), 2), 6).as("trend"),
+        round(element_at(col("__st"), 3), 6).as("s_next"),
+        round((element_at(col("__st"), 1) +
+          lit(horizon.toDouble) * element_at(col("__st"), 2)) *
+          element_at(col("__st"), slot), 6).as(s"forecast_$horizon"))
+  }
+
   /** Holt one-step-ahead residual anomalies — the monitor the forecast
     * family exists to feed: the [[holtBacktest]] fold additionally carries
     * every step's 9-snapped residual (the accumulator struct grows an

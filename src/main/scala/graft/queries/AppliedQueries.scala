@@ -5618,6 +5618,342 @@ object AppliedQueries {
                  THEN 1 ELSE 0 END AS INT) AS srm_flag,
                ROUND(w['z'], 6) AS worst_day_z,
                w['day'] AS worst_day
-        FROM overall CROSS JOIN worst"""))
+        FROM overall CROSS JOIN worst""")),
+
+    // Ellison–Glaeser agglomeration index per brand: is a brand's
+    // volume more geographically concentrated than its PART-level
+    // lumpiness alone explains? γ = (G − (1−Σx²)H) / ((1−Σx²)(1−H))
+    // with G the raw spatial concentration over the DENSE brand ×
+    // region grid (absent regions contribute (0−x_r)², so the grid is
+    // completed before squaring) and H the within-brand part
+    // Herfindahl — the spatial-economics measure that separates
+    // "concentrated because few plants" from "concentrated because
+    // co-located". 9-grid shares, 12-grid squares into DECIMAL sums.
+    "qhn_ellison_glaeser" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("p_brand").as("brand"), col("l_partkey").as("pk"),
+            col("n_regionkey").cast("long").as("rg"),
+            col("l_quantity").cast("decimal(18,2)").as("q"))
+          .localCheckpoint(eager = false)
+        val tot = li.agg(sum(col("q")).as("qt"))
+        val xr = li.groupBy("rg").agg(sum(col("q")).as("qr"))
+          .crossJoin(broadcast(tot))
+          .select(col("rg"),
+            round(col("qr").cast("double") / col("qt").cast("double"), 9)
+              .as("x"))
+          .localCheckpoint(eager = false)
+        val sx2 = xr.agg(sum(round(col("x") * col("x"), 12)
+          .cast("decimal(28,12)")).as("sxx"))
+          .select(col("sxx").cast("double").as("sx2"))
+        val bq = li.groupBy("brand").agg(sum(col("q")).as("qb"))
+        val brg = li.groupBy("brand", "rg").agg(sum(col("q")).as("qbr"))
+        val dense = bq.crossJoin(broadcast(xr))
+          .join(brg, Seq("brand", "rg"), "left")
+          .select(col("brand"), col("qb"), col("x"),
+            round(coalesce(col("qbr"), lit(0).cast("decimal(18,2)"))
+              .cast("double") / col("qb").cast("double"), 9).as("sr"))
+        val g = dense.groupBy("brand", "qb")
+          .agg(sum(round((col("sr") - col("x")) * (col("sr") - col("x")),
+            12).cast("decimal(28,12)")).as("gsum"))
+          .select(col("brand"), col("qb"),
+            col("gsum").cast("double").as("gg"))
+        val h = li.groupBy("brand", "pk").agg(sum(col("q")).as("qp"))
+          .join(bq, "brand")
+          .select(col("brand"),
+            round(col("qp").cast("double") / col("qb").cast("double"), 9)
+              .as("ps"))
+          .groupBy("brand")
+          .agg(sum(round(col("ps") * col("ps"), 12)
+            .cast("decimal(28,12)")).as("hsum"))
+          .select(col("brand").as("b2"), col("hsum").cast("double").as("hh"))
+        g.join(h, col("brand") === col("b2"))
+          .crossJoin(broadcast(sx2))
+          .select(col("brand"),
+            round(col("gg"), 6).as("g_raw"),
+            round(col("hh"), 6).as("h_plant"),
+            (round((col("gg") - (lit(1.0) - col("sx2")) * col("hh")) /
+              ((lit(1.0) - col("sx2")) * (lit(1.0) - col("hh"))), 6)
+              + lit(0.0)).as("eg_gamma"))
+          .orderBy("brand")
+      },
+      oracle = Some("""
+        WITH li AS MATERIALIZED (
+          SELECT p_brand AS brand, l_partkey AS pk,
+                 CAST(n_regionkey AS BIGINT) AS rg,
+                 CAST(l_quantity AS DECIMAL(18,2)) AS q
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey),
+        tot AS (SELECT SUM(q) AS qt FROM li),
+        xr AS MATERIALIZED (
+          SELECT rg, ROUND(CAST(SUM(q) AS DOUBLE)
+                   / CAST(qt AS DOUBLE), 9) AS x
+          FROM li CROSS JOIN tot GROUP BY rg, qt),
+        sx2 AS (
+          SELECT CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS sx2
+          FROM xr),
+        bq AS MATERIALIZED (
+          SELECT brand, SUM(q) AS qb FROM li GROUP BY 1),
+        brg AS (
+          SELECT brand, rg, SUM(q) AS qbr FROM li GROUP BY 1, 2),
+        dense AS (
+          SELECT bq.brand, bq.qb, xr.x,
+                 ROUND(CAST(COALESCE(qbr, CAST(0 AS DECIMAL(18,2)))
+                   AS DOUBLE) / CAST(qb AS DOUBLE), 9) AS sr
+          FROM bq CROSS JOIN xr
+          LEFT JOIN brg ON bq.brand = brg.brand AND xr.rg = brg.rg),
+        g AS (
+          SELECT brand,
+                 CAST(SUM(CAST(ROUND((sr - x) * (sr - x), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS gg
+          FROM dense GROUP BY 1),
+        h AS (
+          SELECT brand,
+                 CAST(SUM(CAST(ROUND(ps * ps, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS hh
+          FROM (
+            SELECT pq.brand,
+                   ROUND(CAST(qp AS DOUBLE) / CAST(qb AS DOUBLE), 9) AS ps
+            FROM (SELECT brand, pk, SUM(q) AS qp FROM li GROUP BY 1, 2) pq
+            JOIN bq ON pq.brand = bq.brand)
+          GROUP BY 1)
+        SELECT g.brand,
+               ROUND(gg, 6) AS g_raw,
+               ROUND(hh, 6) AS h_plant,
+               ROUND((gg - (CAST(1 AS DOUBLE) - sx2) * hh)
+                 / ((CAST(1 AS DOUBLE) - sx2)
+                   * (CAST(1 AS DOUBLE) - hh)), 6) + CAST(0 AS DOUBLE)
+                 AS eg_gamma
+        FROM g JOIN h ON g.brand = h.brand CROSS JOIN sx2
+        ORDER BY g.brand""")),
+
+    // KMV (k-minimum-values) distinct-count sketch, audited against the
+    // exact answer: the 64 smallest 48-bit md5 draws over the customer
+    // keys, estimate (k−1)·2⁴⁸/h₍ₖ₎ — the third sketch family beside
+    // HLL (q4m: register maxima) and CMS (q4l: counter matrix), and
+    // the one whose state doubles as a uniform SAMPLE of the keys
+    // (mergeable by keeping the k smallest of a union). Integer hash
+    // arithmetic per CLAUDE.md rule 12; one double ratio.
+    "qho_kmv_distinct" -> Q(
+      fn = (s, dir) => {
+        val k = 64
+        val h = t(s, dir, "orders").select(col("o_custkey")).distinct()
+          .select(col("o_custkey"),
+            conv(substring(md5(col("o_custkey").cast("string")), 1, 12),
+              16, 10).cast("long").as("h"))
+        val n0 = h.agg(count(lit(1)).as("n_exact"))
+        val hk = h.select(col("h")).distinct()
+          .withColumn("rk", row_number().over(Window.orderBy("h")))
+          .filter(col("rk") === k)
+          .select(col("h").as("hk"))
+        n0.crossJoin(broadcast(hk))
+          .withColumn("est", lit((k - 1).toDouble) * lit(2.0) *
+            lit((1L << 47).toDouble) / col("hk").cast("double"))
+          .select(col("n_exact"), lit(k).as("k"), col("hk"),
+            round(col("est"), 6).as("kmv_estimate"),
+            (round((col("est") - col("n_exact").cast("double")) /
+              col("n_exact").cast("double"), 6) + lit(0.0)).as("rel_error"))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                   1, 12) AS BIGINT) AS h
+          FROM (SELECT DISTINCT o_custkey FROM orders)),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM h),
+        hk AS (
+          SELECT h AS hk FROM (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk
+            FROM (SELECT DISTINCT h FROM h))
+          WHERE rk = 64)
+        SELECT n_exact, CAST(64 AS INT) AS k, hk,
+               ROUND(CAST(63 AS DOUBLE) * CAST(2 AS DOUBLE)
+                 * CAST(140737488355328 AS DOUBLE)
+                 / CAST(hk AS DOUBLE), 6) AS kmv_estimate,
+               ROUND((CAST(63 AS DOUBLE) * CAST(2 AS DOUBLE)
+                 * CAST(140737488355328 AS DOUBLE) / CAST(hk AS DOUBLE)
+                 - CAST(n_exact AS DOUBLE))
+                 / CAST(n_exact AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS rel_error
+        FROM n0 CROSS JOIN hk""")),
+
+    // DAU/MAU stickiness curve: daily actives over the trailing-window
+    // monthly actives (the 30-day fixture makes MAU the cumulative
+    // distinct-user count — Σ of daily new users, exactly the qhi
+    // ledger's first column) — the engagement-intensity ratio product
+    // teams track beside raw DAU; 0.5 means the average monthly user
+    // shows up every other day. Pure integer counts, one division.
+    "qhp_dau_mau_stickiness" -> Q(
+      fn = (s, dir) => {
+        val act = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .distinct()
+        val firstd = act.groupBy("user_id").agg(min(col("day")).as("fd"))
+        val newu = firstd.groupBy(col("fd").as("day"))
+          .agg(count(lit(1)).as("nu"))
+        val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+        val w = Window.orderBy("day").rowsBetween(
+          Window.unboundedPreceding, 0)
+        dau.join(newu, Seq("day"), "left")
+          .withColumn("mau",
+            sum(coalesce(col("nu"), lit(0L))).over(w))
+          .select(col("day"), col("dau"), col("mau"),
+            round(col("dau").cast("double") / col("mau").cast("double"), 6)
+              .as("stickiness"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+          FROM events),
+        firstd AS (
+          SELECT user_id, MIN(day) AS fd FROM act GROUP BY 1),
+        newu AS (
+          SELECT fd AS day, CAST(COUNT(*) AS BIGINT) AS nu
+          FROM firstd GROUP BY 1),
+        dau AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+          FROM act GROUP BY 1)
+        SELECT day, dau,
+               CAST(SUM(COALESCE(nu, 0)) OVER (ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mau,
+               ROUND(CAST(dau AS DOUBLE)
+                 / CAST(SUM(COALESCE(nu, 0)) OVER (ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+                 AS stickiness
+        FROM dau LEFT JOIN newu USING (day)
+        ORDER BY day""")),
+
+    // Multiplicative Holt–Winters over the daily per-type event counts:
+    // the q7r additive twin for PROPORTIONAL seasonality (the weekend
+    // swing scales with the level). Same rotating-ring fold replayed as
+    // a DuckDB LIST fold; the seasonal links are divisions (proven
+    // parity), the ring seeds at the multiplicative identity 1.
+    "qhq_hw_multiplicative" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .withColumn("day", expr("unix_millis(ts) div 86400000"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        graft.operators.Forecast.holtWintersMultiplicative(daily,
+            "event_type", "day", "y",
+            alpha = 0.5, beta = 0.25, gamma = 0.25, period = 7, horizon = 7)
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                 CAST(COUNT(*) AS DOUBLE) AS y
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 list(y ORDER BY day) AS ys
+          FROM d WHERE y > 0 GROUP BY 1),
+        f AS (
+          SELECT event_type, n_obs,
+                 list_reduce(
+                   list_prepend([ys[1], CAST(0 AS DOUBLE), CAST(1 AS DOUBLE),
+                       CAST(1 AS DOUBLE), CAST(1 AS DOUBLE), CAST(1 AS DOUBLE),
+                       CAST(1 AS DOUBLE), CAST(1 AS DOUBLE), CAST(1 AS DOUBLE)],
+                     list_transform(ys[2:], x -> [x, CAST(0 AS DOUBLE),
+                       CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                       CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                       CAST(0 AS DOUBLE)])),
+                   (acc, e) -> [
+                     ROUND(CAST(0.5 AS DOUBLE) * (e[1] / acc[3])
+                       + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9),
+                     ROUND(CAST(0.25 AS DOUBLE)
+                       * (ROUND(CAST(0.5 AS DOUBLE) * (e[1] / acc[3])
+                           + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9)
+                          - acc[1])
+                       + CAST(0.75 AS DOUBLE) * acc[2], 9),
+                     acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+                     ROUND(CAST(0.25 AS DOUBLE)
+                       * (e[1] / ROUND(CAST(0.5 AS DOUBLE) * (e[1] / acc[3])
+                           + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]), 9))
+                       + CAST(0.75 AS DOUBLE) * acc[3], 9)]) AS st
+          FROM s)
+        SELECT event_type, n_obs,
+               ROUND(st[1], 6) AS level,
+               ROUND(st[2], 6) + CAST(0 AS DOUBLE) AS trend,
+               ROUND(st[3], 6) + CAST(0 AS DOUBLE) AS s_next,
+               ROUND((st[1] + CAST(7 AS DOUBLE) * st[2]) * st[9], 6)
+                 + CAST(0 AS DOUBLE) AS forecast_7
+        FROM f ORDER BY event_type""")),
+
+    // Hill diversity profile of the brand mix per region: richness
+    // (D₀), Shannon entropy in nats (ln D₁ — exp is not parity-safe,
+    // rule 14, and the log form is the standard report anyway),
+    // inverse-Simpson D₂ and Pielou evenness J = H/ln(richness) — the
+    // ecology-style assortment card that says WHICH regions
+    // concentrate their volume into few brands vs spread it. 9-grid
+    // shares, 12-grid p·ln p and p² terms into DECIMAL sums.
+    "qhr_hill_diversity" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_regionkey").cast("long").as("rg"),
+            col("p_brand").as("brand"),
+            col("l_quantity").cast("decimal(18,2)").as("q"))
+        val rb = li.groupBy("rg", "brand").agg(sum(col("q")).as("qb"))
+        val rt = rb.groupBy("rg").agg(sum(col("qb")).as("qt"),
+          count(lit(1)).as("rich"))
+        rb.join(rt, "rg")
+          .select(col("rg"), col("rich"),
+            round(col("qb").cast("double") / col("qt").cast("double"), 9)
+              .as("p"))
+          .groupBy("rg", "rich")
+          .agg(
+            sum(round(-col("p") * log(col("p")), 12)
+              .cast("decimal(28,12)")).as("hs"),
+            sum(round(col("p") * col("p"), 12)
+              .cast("decimal(28,12)")).as("sp2"))
+          .select(col("rg").as("region"), col("rich").as("richness"),
+            round(col("hs").cast("double"), 6).as("shannon_h"),
+            round(lit(1.0) / col("sp2").cast("double"), 6)
+              .as("inv_simpson_d2"),
+            round(col("hs").cast("double") /
+              log(col("rich").cast("double")), 6).as("pielou_j"))
+          .orderBy("region")
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT CAST(n_regionkey AS BIGINT) AS rg, p_brand AS brand,
+                 CAST(l_quantity AS DECIMAL(18,2)) AS q
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey),
+        rb AS (
+          SELECT rg, brand, SUM(q) AS qb FROM li GROUP BY 1, 2),
+        rt AS (
+          SELECT rg, SUM(qb) AS qt, CAST(COUNT(*) AS BIGINT) AS rich
+          FROM rb GROUP BY 1),
+        p AS (
+          SELECT rb.rg, rich,
+                 ROUND(CAST(qb AS DOUBLE) / CAST(qt AS DOUBLE), 9) AS p
+          FROM rb JOIN rt ON rb.rg = rt.rg),
+        agg AS (
+          SELECT rg, rich,
+                 CAST(SUM(CAST(ROUND(-p * ln(p), 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS hs,
+                 CAST(SUM(CAST(ROUND(p * p, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS sp2
+          FROM p GROUP BY 1, 2)
+        SELECT rg AS region, rich AS richness,
+               ROUND(hs, 6) AS shannon_h,
+               ROUND(CAST(1 AS DOUBLE) / sp2, 6) AS inv_simpson_d2,
+               ROUND(hs / ln(CAST(rich AS DOUBLE)), 6) AS pielou_j
+        FROM agg ORDER BY region"""))
   )
 }

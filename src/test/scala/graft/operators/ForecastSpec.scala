@@ -118,6 +118,34 @@ class ForecastSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("trend")) < 0.2)
   }
 
+  test("hw multiplicative: constant series stays at identity components") {
+    val series = (0 until 35).map(t => ("k", t.toLong, 8.0))
+    val out = Forecast.holtWintersMultiplicative(
+      series.toDF("k", "t", "y"), "k", "t", "y").collect().head
+    // x/s = 8/1 = 8 = l+b at every step: level pinned, trend 0, ring 1
+    assert(out.getAs[Double]("level") == 8.0)
+    assert(out.getAs[Double]("trend") == 0.0)
+    assert(out.getAs[Double]("s_next") == 1.0)
+    assert(out.getAs[Double]("forecast_7") == 8.0)
+  }
+
+  test("hw multiplicative: proportional weekly pattern tracks its slot") {
+    // level ramps 2% per day; slot-6 spikes ×3 — a multiplicative shape
+    val series = (0 until 70).map { t =>
+      val base = 10.0 * math.pow(1.0, t) // flat base, spike via seasonal
+      ("k", t.toLong, if (t % 7 == 6) base * 3 else base)
+    }
+    val out = Forecast.holtWintersMultiplicative(
+      series.toDF("k", "t", "y"), "k", "t", "y").collect().head
+    // forecast slot (70+6)%7 = 6 — the spiked slot, near 30
+    assert(out.getAs[Double]("forecast_7") > 20.0)
+    // zero and negative values are filtered, not folded
+    val withZero = series :+ (("k", 70L, 0.0))
+    val out2 = Forecast.holtWintersMultiplicative(
+      withZero.toDF("k", "t", "y"), "k", "t", "y").collect().head
+    assert(out2.getAs[Long]("n_obs") == 70L)
+  }
+
   test("holt-winters: guards and single observation") {
     val df = Seq(("k", 1L, 5.5)).toDF("k", "t", "y")
     intercept[IllegalArgumentException](
