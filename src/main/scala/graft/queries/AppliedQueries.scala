@@ -5954,6 +5954,307 @@ object AppliedQueries {
                ROUND(hs, 6) AS shannon_h,
                ROUND(CAST(1 AS DOUBLE) / sp2, 6) AS inv_simpson_d2,
                ROUND(hs / ln(CAST(rich AS DOUBLE)), 6) AS pielou_j
-        FROM agg ORDER BY region"""))
+        FROM agg ORDER BY region""")),
+
+    // Recurrence quantification of the 30-day purchase-revenue series:
+    // recurrence rate (how often the system revisits a state, |xᵢ−xⱼ|
+    // within ε = 10% of the range), determinism DET (the share of
+    // recurrences sitting on ≥2-long DIAGONAL structures — revisits
+    // that continue in parallel, the signature of deterministic
+    // dynamics) and laminarity LAM (vertical structures — sticking
+    // near one state). The phase-space view the scalar chaos battery
+    // (qcy/qd0/qbc) compresses away. 9-grid values, integer pair
+    // bookkeeping on the bounded daily panel.
+    "qhs_recurrence_quantification" -> Q(
+      fn = (s, dir) => {
+        val x = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("yv"))
+          .select(row_number().over(Window.orderBy("day")).cast("long")
+            .as("i"), round(col("yv").cast("double"), 9).as("v"))
+          .localCheckpoint(eager = false)
+        val rng = x.agg(count(lit(1)).as("n"),
+            round(lit(0.1) * (max(col("v")) - min(col("v"))), 9).as("eps"))
+        val rec = x.select(col("i").as("a"), col("v").as("va"))
+          .join(x.select(col("i").as("b"), col("v").as("vb")),
+            col("a") < col("b"))
+          .crossJoin(broadcast(rng))
+          .filter(abs(col("va") - col("vb")) <= col("eps"))
+          .select(col("a"), col("b"))
+          .localCheckpoint(eager = false)
+        val diag = rec.select((col("a") + 1).as("a2"), (col("b") + 1).as("b2"))
+        val diagDown = rec.select((col("a") - 1).as("a3"), (col("b") - 1).as("b3"))
+        val vert = rec.select(col("a").as("a4"), (col("b") + 1).as("b4"))
+        val vertDown = rec.select(col("a").as("a5"), (col("b") - 1).as("b5"))
+        val marked = rec
+          .join(diag, col("a") === col("a2") && col("b") === col("b2"),
+            "left")
+          .join(diagDown, col("a") === col("a3") && col("b") === col("b3"),
+            "left")
+          .join(vert, col("a") === col("a4") && col("b") === col("b4"),
+            "left")
+          .join(vertDown, col("a") === col("a5") && col("b") === col("b5"),
+            "left")
+          .select(col("a"), col("b"),
+            when(col("a2").isNotNull || col("a3").isNotNull, 1L)
+              .otherwise(0L).as("ond"),
+            when(col("a4").isNotNull || col("a5").isNotNull, 1L)
+              .otherwise(0L).as("onv"))
+        marked.agg(count(lit(1)).as("n_rec"),
+            sum(col("ond")).as("n_diag"), sum(col("onv")).as("n_vert"))
+          .crossJoin(broadcast(rng))
+          .select(col("n").as("n_days"), round(col("eps"), 6).as("eps"),
+            col("n_rec"),
+            round(lit(2.0) * col("n_rec").cast("double") /
+              (col("n").cast("double") * (col("n") - 1).cast("double")), 6)
+              .as("recurrence_rate"),
+            round(col("n_diag").cast("double") /
+              col("n_rec").cast("double"), 6).as("det"),
+            round(col("n_vert").cast("double") /
+              col("n_rec").cast("double"), 6).as("lam"))
+      },
+      oracle = Some("""
+        WITH d0 AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS yv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        x AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+                 ROUND(CAST(yv AS DOUBLE), 9) AS v
+          FROM d0),
+        rng AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(0.1 AS DOUBLE) * (MAX(v) - MIN(v)), 9) AS eps
+          FROM x),
+        rec AS MATERIALIZED (
+          SELECT a.i AS a, b.i AS b
+          FROM x a JOIN x b ON a.i < b.i CROSS JOIN rng
+          WHERE ABS(a.v - b.v) <= eps),
+        marked AS (
+          SELECT r.a, r.b,
+                 CASE WHEN EXISTS (SELECT 1 FROM rec u
+                     WHERE u.a = r.a + 1 AND u.b = r.b + 1)
+                   OR EXISTS (SELECT 1 FROM rec u
+                     WHERE u.a = r.a - 1 AND u.b = r.b - 1)
+                   THEN 1 ELSE 0 END AS ond,
+                 CASE WHEN EXISTS (SELECT 1 FROM rec u
+                     WHERE u.a = r.a AND u.b = r.b + 1)
+                   OR EXISTS (SELECT 1 FROM rec u
+                     WHERE u.a = r.a AND u.b = r.b - 1)
+                   THEN 1 ELSE 0 END AS onv
+          FROM rec r)
+        SELECT n AS n_days, ROUND(eps, 6) AS eps,
+               CAST(COUNT(*) AS BIGINT) AS n_rec,
+               ROUND(CAST(2 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)
+                 AS recurrence_rate,
+               ROUND(CAST(SUM(ond) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS det,
+               ROUND(CAST(SUM(onv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS lam
+        FROM marked CROSS JOIN rng
+        GROUP BY n, eps""")),
+
+    // Natural visibility graph of the daily purchase-revenue series:
+    // days a and b see each other when no day between them pokes above
+    // the sight line — the Lacasa mapping that turns a time series
+    // into a network (periodic → regular graph, random → exponential
+    // degrees, fractal → scale-free). The visibility test is cleared
+    // of divisions: (x_c−x_b)(b−a) < (x_a−x_b)(b−c) compares
+    // integer-scaled 9-grid products, identical in both engines. Per-
+    // day degree plus the series' mean degree on every row.
+    "qht_visibility_graph" -> Q(
+      fn = (s, dir) => {
+        val x = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("yv"))
+          .select(row_number().over(Window.orderBy("day")).cast("long")
+            .as("i"), round(col("yv").cast("double"), 9).as("v"))
+          .localCheckpoint(eager = false)
+        val pairs = x.select(col("i").as("a"), col("v").as("va"))
+          .join(x.select(col("i").as("b"), col("v").as("vb")),
+            col("a") < col("b"))
+        val blocked = pairs
+          .join(x.select(col("i").as("c"), col("v").as("vc")),
+            col("c") > col("a") && col("c") < col("b") &&
+            (col("vc") - col("vb")) * (col("b") - col("a"))
+              .cast("double") >=
+            (col("va") - col("vb")) * (col("b") - col("c"))
+              .cast("double"), "left_semi")
+          .select(col("a"), col("b"))
+        val edges = pairs.select(col("a"), col("b"))
+          .except(blocked)
+          .localCheckpoint(eager = false)
+        val deg = edges.select(col("a").as("node"))
+          .union(edges.select(col("b")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+        val meanDeg = edges.agg(count(lit(1)).as("ne"))
+        x.join(deg, col("i") === col("node"), "left")
+          .crossJoin(broadcast(meanDeg))
+          .crossJoin(broadcast(x.agg(count(lit(1)).as("n"))))
+          .select(col("i").as("t_index"),
+            round(col("v"), 6).as("value"),
+            coalesce(col("degree"), lit(0L)).as("degree"),
+            round(lit(2.0) * col("ne").cast("double") /
+              col("n").cast("double"), 6).as("mean_degree"))
+          .orderBy("t_index")
+      },
+      oracle = Some("""
+        WITH d0 AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS yv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        x AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+                 ROUND(CAST(yv AS DOUBLE), 9) AS v
+          FROM d0),
+        pairs AS (
+          SELECT a.i AS a, a.v AS va, b.i AS b, b.v AS vb
+          FROM x a JOIN x b ON a.i < b.i),
+        edges AS MATERIALIZED (
+          SELECT a, b FROM pairs p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM x c
+            WHERE c.i > p.a AND c.i < p.b
+              AND (c.v - p.vb) * CAST(p.b - p.a AS DOUBLE)
+                >= (p.va - p.vb) * CAST(p.b - c.i AS DOUBLE))),
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT a AS node FROM edges
+                UNION ALL SELECT b FROM edges)
+          GROUP BY 1),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne FROM edges),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x)
+        SELECT i AS t_index, ROUND(v, 6) AS value,
+               COALESCE(degree, 0) AS degree,
+               ROUND(CAST(2 AS DOUBLE) * CAST(ne AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS mean_degree
+        FROM x LEFT JOIN deg ON i = node
+        CROSS JOIN ne CROSS JOIN n0
+        ORDER BY t_index""")),
+
+    // Split-half reliability of the per-user activity measure: odd-day
+    // vs even-day event counts correlated across users, stepped up by
+    // Spearman–Brown 2r/(1+r) — is "how active a user is" a stable
+    // trait of the user or day-to-day noise? The two-halves complement
+    // of qc4's Cronbach α (which needs ≥3 items; the calendar-parity
+    // split needs none). Integer moment sums; sqrt-only links.
+    "qhu_split_half" -> Q(
+      fn = (s, dir) => {
+        val u = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .groupBy("user_id")
+          .agg(sum(when(col("day") % 2 === 1, 1L).otherwise(0L)).as("o"),
+            sum(when(col("day") % 2 === 0, 1L).otherwise(0L)).as("e"))
+        val m = u.agg(count(lit(1)).as("n"),
+          sum(col("o")).as("so"), sum(col("e")).as("se"),
+          sum(col("o") * col("o")).as("soo"),
+          sum(col("e") * col("e")).as("see"),
+          sum(col("o") * col("e")).as("soe"))
+        m.select(col("n"),
+            ((col("n").cast("double") * col("soe").cast("double") -
+              col("so").cast("double") * col("se").cast("double")) /
+            (sqrt(col("n").cast("double") * col("soo").cast("double") -
+              col("so").cast("double") * col("so").cast("double")) *
+             sqrt(col("n").cast("double") * col("see").cast("double") -
+              col("se").cast("double") * col("se").cast("double"))))
+              .as("r"))
+          .select(col("n").as("n_users"),
+            (round(col("r"), 6) + lit(0.0)).as("split_half_r"),
+            (round(lit(2.0) * col("r") / (lit(1.0) + col("r")), 6)
+              + lit(0.0)).as("spearman_brown"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN day % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS o,
+                 CAST(SUM(CASE WHEN day % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS e
+          FROM (SELECT user_id, epoch_ms(ts) // 86400000 AS day
+                FROM events)
+          GROUP BY 1),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(o) AS BIGINT) AS so,
+                 CAST(SUM(e) AS BIGINT) AS se,
+                 CAST(SUM(o * o) AS BIGINT) AS soo,
+                 CAST(SUM(e * e) AS BIGINT) AS see,
+                 CAST(SUM(o * e) AS BIGINT) AS soe
+          FROM u),
+        f AS (
+          SELECT n,
+                 (CAST(n AS DOUBLE) * CAST(soe AS DOUBLE)
+                   - CAST(so AS DOUBLE) * CAST(se AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(soo AS DOUBLE)
+                     - CAST(so AS DOUBLE) * CAST(so AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(see AS DOUBLE)
+                     - CAST(se AS DOUBLE) * CAST(se AS DOUBLE))) AS r
+          FROM m)
+        SELECT n AS n_users,
+               ROUND(r, 6) + CAST(0 AS DOUBLE) AS split_half_r,
+               ROUND(CAST(2 AS DOUBLE) * r / (CAST(1 AS DOUBLE) + r), 6)
+                 + CAST(0 AS DOUBLE) AS spearman_brown
+        FROM f""")),
+
+    // Erlang-B blocking curve: the probability an arriving purchase
+    // finds all s servers busy, for s = 1..10, at the offered load
+    // a = mean purchases/hour (unit service time) — the LOSS-system
+    // companion to qau's Erlang-C waiting staffing (C queues, B
+    // drops). The classical recursion B(s) = a·B(s−1)/(s + a·B(s−1))
+    // walks a path-carrying 9-grid fold (division links only — the
+    // factorials that overflow a naive formula never materialize).
+    "qhv_erlang_b_loss" -> Q(
+      fn = (s, dir) => {
+        val a = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_millis(ts) div 3600000").as("hr"))
+          .agg(count(lit(1)).as("c"))
+          .agg(round(sum(col("c")).cast("double") /
+            count(lit(1)).cast("double"), 9).as("a"))
+        val path = a.select(col("a"), expr(
+          """slice(aggregate(sequence(1, 10),
+            |  array(cast(1.0 as double)),
+            |  (acc, s) -> concat(acc, array(round(
+            |    a * element_at(acc, -1) /
+            |    (cast(s as double) + a * element_at(acc, -1)), 9)))),
+            |  2, 10) AS bs""".stripMargin))
+        path.select(col("a"),
+            posexplode(col("bs")).as(Seq("pos", "b")))
+          .select((col("pos") + 1).cast("int").as("servers"),
+            round(col("a"), 6).as("offered_load"),
+            round(col("b"), 6).as("blocking_prob"),
+            round(col("a") * (lit(1.0) - col("b")) /
+              (col("pos") + 1).cast("double"), 6).as("utilization"))
+          .orderBy("servers")
+      },
+      oracle = Some("""
+        WITH a0 AS (
+          SELECT ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS a
+          FROM (SELECT epoch_ms(ts) // 3600000 AS hr,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase' GROUP BY 1)),
+        path AS (
+          SELECT a,
+                 list_reduce(
+                   list_prepend([CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)],
+                     list_transform(range(1, 11),
+                       s -> [CAST(s AS DOUBLE), CAST(0 AS DOUBLE)])),
+                   (acc, e) -> acc ||
+                     [e[1], ROUND(a * acc[-1] / (e[1] + a * acc[-1]), 9)])
+                   AS st
+          FROM a0),
+        rows_b AS (
+          SELECT a, unnest(range(1, 11)) AS s, st FROM path)
+        SELECT CAST(s AS INT) AS servers,
+               ROUND(a, 6) AS offered_load,
+               ROUND(st[2 * s + 2], 6) AS blocking_prob,
+               ROUND(a * (CAST(1 AS DOUBLE) - st[2 * s + 2])
+                 / CAST(s AS DOUBLE), 6) AS utilization
+        FROM rows_b ORDER BY servers"""))
   )
 }
