@@ -255,11 +255,49 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // The driver's BENCH_r{N}.json keeps only the LAST 2000 stdout chars
+    // and parses them — rounds 5-7 shipped "parsed": null because the full
+    // record outgrew that window (the detail lives in bench_out.json, but
+    // the round artifact went machine-unreadable). The stdout line is
+    // therefore a COMPACT driver-contract record: medians at ms precision
+    // plus the two contamination stamps; min/max/shares/scaling stay in
+    // bench_out.json. A guard degrades precision rather than ever
+    // exceeding the window again.
+    def compactLine(decimals: Int): String = {
+      def fmt(v: Double): String = {
+        val s = java.math.BigDecimal.valueOf(v)
+          .setScale(decimals, java.math.RoundingMode.HALF_UP)
+        s.toPlainString
+      }
+      val qsC = okResults
+        .map { case (k, s) => "\"" + k + "\":" + fmt(s.median) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":$qsC,"errors":$errs,"untrusted":$untrusted,""" +
+        f""""load_avg_start":$loadAvgStart%.2f,""" +
+        f""""load_avg_end":$loadAvgEnd%.2f,"sf":"$sfDir"}"""
+    }
+    val compact = Seq(3, 2, 1).map(compactLine).find(_.length <= 1950)
+      .getOrElse(compactLine(1))
+    if (compact.length > 1950)
+      System.err.println(s"[bench] compact line still ${compact.length} " +
+        "chars — exceeds the driver's 2000-char stdout tail window")
+    // run_verify.sh re-emits the bench record as the true final stdout
+    // line (after JVM shutdown noise) — it must re-emit the COMPACT form,
+    // so that lands in its own file beside the full record.
+    val linePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LINE",
+      "bench_line.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(linePath),
+      (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $linePath: ${e.getMessage}")
+    }
     spark.stop()
     // Print LAST, after spark.stop(), so the JSON is the final stdout line
     // (Spark shutdown logs go to stderr; sbt passes stdout through bare via
     // outputStrategy := StdoutOutput in build.sbt).
-    println(json)
+    println(compact)
   }
 
   /** The documents corpus split into 4 micro-batches driven through

@@ -6255,6 +6255,501 @@ object AppliedQueries {
                ROUND(st[2 * s + 2], 6) AS blocking_prob,
                ROUND(a * (CAST(1 AS DOUBLE) - st[2 * s + 2])
                  / CAST(s AS DOUBLE), 6) AS utilization
-        FROM rows_b ORDER BY servers"""))
+        FROM rows_b ORDER BY servers""")),
+
+    // FDH Malmquist productivity index per nation across the qbk
+    // period cut: efficiency change (own-frontier catch-up) ×
+    // technical change (frontier shift), M = √[(D₁(p₁)/D₁(p₀)) ·
+    // (D₀(p₁)/D₀(p₀))] with the free-disposal-hull single-input
+    // (orders) single-output (revenue) distance D_s(x,y) = y/F_s(x),
+    // F_s(x) = best revenue among period-s nations using ≤ x orders —
+    // the dynamic sequel to qgz's static frontier. Nations whose
+    // input falls outside a cross-period frontier's support evaluate
+    // to NULL loudly (no extrapolation). Bounded 25-nation panels;
+    // sqrt links only.
+    "qhw_malmquist" -> Q(
+      fn = (s, dir) => {
+        val u = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").cast("long").as("nk"),
+            when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"),
+              1).otherwise(0).as("per"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"))
+          .groupBy("nk", "per")
+          .agg(count(lit(1)).as("x"), sum(col("v")).as("y"))
+          .localCheckpoint(eager = false)
+        def dist(pointPer: Int, frontierPer: Int, nm: String): DataFrame = {
+          val pts = u.filter(col("per") === pointPer)
+            .select(col("nk"), col("x"), col("y"))
+          val fr = u.filter(col("per") === frontierPer)
+            .select(col("x").as("fx"), col("y").as("fy"))
+          pts.join(broadcast(fr), col("fx") <= col("x"), "left")
+            .groupBy(col("nk"), col("y"))
+            .agg(max(col("fy")).as("best"))
+            .select(col("nk"),
+              when(col("best").isNotNull,
+                round(col("y").cast("double") / col("best").cast("double"),
+                  9)).as(nm))
+        }
+        val d00 = dist(0, 0, "d00")
+        val d11 = dist(1, 1, "d11")
+        val d10 = dist(1, 0, "d10") // period-1 point vs period-0 frontier
+        val d01 = dist(0, 1, "d01") // period-0 point vs period-1 frontier
+        d00.join(d11, "nk").join(d10, "nk").join(d01, "nk")
+          .select(col("nk").as("nation"),
+            round(col("d00"), 6).as("eff_pre"),
+            round(col("d11"), 6).as("eff_post"),
+            round(col("d11") / col("d00"), 6).as("eff_change"),
+            round(sqrt((col("d10") / col("d11")) *
+              (col("d00") / col("d01"))), 6).as("tech_change"),
+            round(sqrt((col("d10") / col("d00")) *
+              (col("d11") / col("d01"))), 6).as("malmquist"))
+          .orderBy("nation")
+      },
+      oracle = Some("""
+        WITH u AS MATERIALIZED (
+          SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                 CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                      THEN 1 ELSE 0 END AS per,
+                 CAST(COUNT(*) AS BIGINT) AS x,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        d00 AS (
+          SELECT p.nk, CASE WHEN MAX(f.fy) IS NOT NULL THEN
+                 ROUND(CAST(p.y AS DOUBLE) / CAST(MAX(f.fy) AS DOUBLE), 9)
+                 END AS d00
+          FROM (SELECT nk, x, y FROM u WHERE per = 0) p
+          LEFT JOIN (SELECT x AS fx, y AS fy FROM u WHERE per = 0) f
+            ON f.fx <= p.x
+          GROUP BY p.nk, p.y),
+        d11 AS (
+          SELECT p.nk, CASE WHEN MAX(f.fy) IS NOT NULL THEN
+                 ROUND(CAST(p.y AS DOUBLE) / CAST(MAX(f.fy) AS DOUBLE), 9)
+                 END AS d11
+          FROM (SELECT nk, x, y FROM u WHERE per = 1) p
+          LEFT JOIN (SELECT x AS fx, y AS fy FROM u WHERE per = 1) f
+            ON f.fx <= p.x
+          GROUP BY p.nk, p.y),
+        d10 AS (
+          SELECT p.nk, CASE WHEN MAX(f.fy) IS NOT NULL THEN
+                 ROUND(CAST(p.y AS DOUBLE) / CAST(MAX(f.fy) AS DOUBLE), 9)
+                 END AS d10
+          FROM (SELECT nk, x, y FROM u WHERE per = 1) p
+          LEFT JOIN (SELECT x AS fx, y AS fy FROM u WHERE per = 0) f
+            ON f.fx <= p.x
+          GROUP BY p.nk, p.y),
+        d01 AS (
+          SELECT p.nk, CASE WHEN MAX(f.fy) IS NOT NULL THEN
+                 ROUND(CAST(p.y AS DOUBLE) / CAST(MAX(f.fy) AS DOUBLE), 9)
+                 END AS d01
+          FROM (SELECT nk, x, y FROM u WHERE per = 0) p
+          LEFT JOIN (SELECT x AS fx, y AS fy FROM u WHERE per = 1) f
+            ON f.fx <= p.x
+          GROUP BY p.nk, p.y)
+        SELECT d00.nk AS nation,
+               ROUND(d00, 6) AS eff_pre,
+               ROUND(d11, 6) AS eff_post,
+               ROUND(d11 / d00, 6) AS eff_change,
+               ROUND(SQRT((d10 / d11) * (d00 / d01)), 6) AS tech_change,
+               ROUND(SQRT((d10 / d00) * (d11 / d01)), 6) AS malmquist
+        FROM d00 JOIN d11 ON d00.nk = d11.nk
+        JOIN d10 ON d00.nk = d10.nk
+        JOIN d01 ON d00.nk = d01.nk
+        ORDER BY nation""")),
+
+    // Stochastic-dominance screen between urgent and other order-value
+    // distributions on a 19-point pooled-quantile grid: first-order
+    // (CDF envelope — does one distribution sit everywhere to the
+    // right) and second-order (cumulative CDF integral — preferred by
+    // every risk-averse evaluator) with explicit verdicts. The
+    // DIRECTIONAL companion to q6u's two-sided KS sup. Grid from the
+    // exact per-mille order statistics; CDF counts are integers; the
+    // SSD integral is an exact DECIMAL trapezoid over the grid.
+    "qhx_stochastic_dominance" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)
+              .as("g"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"),
+            col("o_orderkey"))
+          .localCheckpoint(eager = false)
+        val n0 = o.agg(count(lit(1)).as("n"))
+        val grid = o.crossJoin(broadcast(n0))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("v"), col("o_orderkey"))))
+          .filter((1 to 19).map(k =>
+            col("rn") === expr(s"(n * ${k * 50} + 999) div 1000"))
+            .reduce(_ || _))
+          .select(col("v").as("gv"), col("rn"))
+          .withColumn("gk", row_number().over(Window.orderBy("rn")))
+          .select(col("gk"), col("gv"))
+          .localCheckpoint(eager = false)
+        val gtot = o.groupBy("g").agg(count(lit(1)).as("ng"))
+        val cdf = o.crossJoin(broadcast(grid))
+          .groupBy("gk", "gv")
+          .agg(
+            sum(when(col("g") === 1 && col("v") <= col("gv"), 1L)
+              .otherwise(0L)).as("c1"),
+            sum(when(col("g") === 0 && col("v") <= col("gv"), 1L)
+              .otherwise(0L)).as("c0"))
+          .crossJoin(broadcast(gtot.agg(
+            max(when(col("g") === 1, col("ng"))).as("n1"),
+            max(when(col("g") === 0, col("ng"))).as("n0"))))
+          .select(col("gk"), col("gv"),
+            round(col("c1").cast("double") / col("n1").cast("double"), 9)
+              .as("f1"),
+            round(col("c0").cast("double") / col("n0").cast("double"), 9)
+              .as("f0"))
+        val w = Window.orderBy("gk").rowsBetween(
+          Window.unboundedPreceding, 0)
+        val wLag = Window.orderBy("gk")
+        val ssd = cdf
+          .withColumn("dv",
+            (col("gv") - coalesce(lag("gv", 1).over(wLag), col("gv")))
+              .cast("double"))
+          .withColumn("term", g9(round(
+            (col("f1") - col("f0")) * col("dv"), 9)))
+          .withColumn("integ", sum(col("term")).over(w))
+        ssd.agg(count(lit(1)).as("n_grid"),
+            round(max(col("f1") - col("f0")), 6).as("max_f1_minus_f0"),
+            round(max(col("f0") - col("f1")), 6).as("max_f0_minus_f1"),
+            round(max(col("integ")).cast("double"), 6).as("max_ssd_integral"),
+            round(min(col("integ")).cast("double"), 6).as("min_ssd_integral"))
+          .select(col("n_grid"), col("max_f1_minus_f0"),
+            col("max_f0_minus_f1"),
+            (col("max_ssd_integral") + lit(0.0)).as("max_ssd_integral"),
+            (col("min_ssd_integral") + lit(0.0)).as("min_ssd_integral"),
+            when(col("max_f1_minus_f0") <= 0, "urgent_fsd_dominates")
+              .when(col("max_f0_minus_f1") <= 0, "other_fsd_dominates")
+              .otherwise("no_fsd").as("fsd_verdict"),
+            when(col("max_ssd_integral") <= 0, "urgent_ssd_dominates")
+              .when(col("min_ssd_integral") >= 0, "other_ssd_dominates")
+              .otherwise("no_ssd").as("ssd_verdict"))
+      },
+      oracle = Some({
+        val gridcond = (1 to 19).map(k =>
+          s"rn = (n * ${k * 50} + 999) // 1000").mkString(" OR ")
+        s"""
+        WITH o AS MATERIALIZED (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS g,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS v, o_orderkey
+          FROM orders),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o),
+        grid AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY rn) AS BIGINT) AS gk,
+                 v AS gv
+          FROM (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, o_orderkey)
+                  AS BIGINT) AS rn
+                FROM o) CROSS JOIN n0
+          WHERE $gridcond),
+        gtot AS (
+          SELECT CAST(MAX(CASE WHEN g = 1 THEN ng END) AS BIGINT) AS n1,
+                 CAST(MAX(CASE WHEN g = 0 THEN ng END) AS BIGINT) AS n0
+          FROM (SELECT g, COUNT(*) AS ng FROM o GROUP BY 1)),
+        cdf AS (
+          SELECT gk, gv,
+                 ROUND(CAST(SUM(CASE WHEN g = 1 AND v <= gv THEN 1
+                   ELSE 0 END) AS DOUBLE) / CAST(n1 AS DOUBLE), 9) AS f1,
+                 ROUND(CAST(SUM(CASE WHEN g = 0 AND v <= gv THEN 1
+                   ELSE 0 END) AS DOUBLE) / CAST(n0 AS DOUBLE), 9) AS f0
+          FROM o CROSS JOIN grid CROSS JOIN gtot
+          GROUP BY gk, gv, n1, n0),
+        dv AS (
+          SELECT gk, f1, f0,
+                 CAST(ROUND((f1 - f0) * CAST(gv -
+                   COALESCE(LAG(gv) OVER (ORDER BY gk), gv) AS DOUBLE),
+                   9) AS DECIMAL(20,9)) AS term
+          FROM cdf),
+        ssd AS (
+          SELECT gk, f1, f0,
+                 SUM(term) OVER (ORDER BY gk ROWS UNBOUNDED PRECEDING)
+                   AS integ
+          FROM dv),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_grid,
+                 ROUND(MAX(f1 - f0), 6) AS ma,
+                 ROUND(MAX(f0 - f1), 6) AS mb,
+                 ROUND(CAST(MAX(integ) AS DOUBLE), 6) AS mi,
+                 ROUND(CAST(MIN(integ) AS DOUBLE), 6) AS mn
+          FROM ssd)
+        SELECT n_grid, ma AS max_f1_minus_f0, mb AS max_f0_minus_f1,
+               mi + CAST(0 AS DOUBLE) AS max_ssd_integral,
+               mn + CAST(0 AS DOUBLE) AS min_ssd_integral,
+               CASE WHEN ma <= 0 THEN 'urgent_fsd_dominates'
+                    WHEN mb <= 0 THEN 'other_fsd_dominates'
+                    ELSE 'no_fsd' END AS fsd_verdict,
+               CASE WHEN mi <= 0 THEN 'urgent_ssd_dominates'
+                    WHEN mn >= 0 THEN 'other_ssd_dominates'
+                    ELSE 'no_ssd' END AS ssd_verdict
+        FROM agg"""
+      })),
+
+    // Mean-excess (mean-residual-value) curve at the order-value
+    // deciles: e(u) = E[X − u | X > u] — the EVT shape diagnostic read
+    // BEFORE fitting qcc's generalized Pareto (a linearly rising mean
+    // excess ⇒ heavy Pareto tail, flat ⇒ exponential, falling ⇒ short
+    // tail). Thresholds are exact per-mille order statistics; the
+    // conditional sums are exact DECIMALs; one division per row.
+    "qhy_mean_excess" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_totalprice").cast("decimal(18,2)").as("v"),
+            col("o_orderkey"))
+          .localCheckpoint(eager = false)
+        val n0 = o.agg(count(lit(1)).as("n"))
+        val thr = o.crossJoin(broadcast(n0))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("v"), col("o_orderkey"))))
+          .filter((1 to 9).map(k =>
+            col("rn") === expr(s"(n * ${k * 100} + 999) div 1000"))
+            .reduce(_ || _))
+          .select(col("rn"), col("v").as("u"))
+          .withColumn("per_mille", (row_number().over(
+            Window.orderBy("rn")) * 100).cast("int"))
+          .select(col("per_mille"), col("u"))
+        o.crossJoin(broadcast(thr))
+          .filter(col("v") > col("u"))
+          .groupBy("per_mille", "u")
+          .agg(count(lit(1)).as("n_exceed"),
+            sum(col("v") - col("u")).as("sx"))
+          .select(col("per_mille"),
+            round(col("u").cast("double"), 2).as("threshold"),
+            col("n_exceed"),
+            round(col("sx").cast("double") / col("n_exceed").cast("double"),
+              6).as("mean_excess"))
+          .orderBy("per_mille")
+      },
+      oracle = Some({
+        val thrcond = (1 to 9).map(k =>
+          s"rn = (n * ${k * 100} + 999) // 1000").mkString(" OR ")
+        s"""
+        WITH o AS MATERIALIZED (
+          SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v, o_orderkey
+          FROM orders),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o),
+        thr AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY rn) * 100 AS INT)
+                   AS per_mille,
+                 v AS u
+          FROM (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, o_orderkey)
+                  AS BIGINT) AS rn
+                FROM o) CROSS JOIN n0
+          WHERE $thrcond)
+        SELECT per_mille,
+               ROUND(CAST(u AS DOUBLE), 2) AS threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_exceed,
+               ROUND(CAST(SUM(v - u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS mean_excess
+        FROM o CROSS JOIN thr
+        WHERE v > u
+        GROUP BY per_mille, u
+        ORDER BY per_mille"""
+      })),
+
+    // Chained log-Törnqvist monthly price index over the parts traded
+    // in consecutive months: ln link_m = Σ ½(w_im + w_i,m−1)·
+    // ln(p_im/p_i,m−1) over matched parts, chained by cumulative sum —
+    // the superlative index in its exactly-replayable LOG form (exp is
+    // rule-14-banned; economists read log points anyway), beside qax's
+    // fixed-base Laspeyres/Paasche/Fisher. Unit prices and value
+    // shares on the 9-grid; link terms on the 12-grid into DECIMALs.
+    "qhz_tornqvist_chain" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+              .cast("long").as("m"),
+            col("l_partkey").as("pk"),
+            col("l_extendedprice").cast("decimal(18,2)").as("ep"),
+            col("l_quantity").cast("decimal(18,2)").as("qty"))
+          .groupBy("m", "pk")
+          .agg(sum(col("ep")).as("val"), sum(col("qty")).as("q"))
+          .localCheckpoint(eager = false)
+        val matched = li.select(col("m"), col("pk"), col("val"), col("q"))
+          .join(li.select((col("m") + 1).as("m2"), col("pk").as("pk2"),
+            col("val").as("pval"), col("q").as("pq")),
+            col("m") === col("m2") && col("pk") === col("pk2"))
+        val tot = matched.groupBy("m")
+          .agg(sum(col("val")).as("tv"), sum(col("pval")).as("tpv"))
+        val links = matched.join(tot, "m")
+          .select(col("m"), col("pk"),
+            round(col("val").cast("double") / col("tv").cast("double"), 9)
+              .as("w1"),
+            round(col("pval").cast("double") / col("tpv").cast("double"),
+              9).as("w0"),
+            round(log((col("val").cast("double") / col("q").cast("double"))
+              / (col("pval").cast("double") / col("pq").cast("double"))),
+              9).as("dlp"))
+          // ½(w1+w0)·dlp rounded as a DOUBLE parked one sf0.1 term on the
+          // digit-10 half boundary (rule 15: the 0.5 factor makes the
+          // exact product a SHORT decimal) — so the whole term rides
+          // DECIMAL: (12,10) × (12,9) multiplies exactly in INT128 and
+          // ROUND(·, 9) is the same half-up in both engines. No double
+          // touches the term before the grid.
+          .withColumn("wavg",
+            ((col("w1").cast("decimal(11,9)") +
+              col("w0").cast("decimal(11,9)")) *
+              lit(0.5).cast("decimal(2,1)")).cast("decimal(12,10)"))
+          .groupBy("m")
+          .agg(count(lit(1)).as("n_matched"),
+            sum(round(col("wavg") * col("dlp").cast("decimal(12,9)"), 9)
+              .cast("decimal(20,9)")).as("lnlink"))
+        val w = Window.orderBy("m").rowsBetween(
+          Window.unboundedPreceding, 0)
+        // ROUND the exact DECIMALs, not their double casts: the sf0.1
+        // chain lands EXACTLY on −0.1295285 at one month — a digit-7
+        // half boundary where double-space rounding (DuckDB) and
+        // shortest-repr rounding (Spark) disagree; decimal ROUND is the
+        // same half-up in both engines (the qbi rule-15 device).
+        links
+          .withColumn("lnchain", sum(col("lnlink")).over(w))
+          .select(col("m").as("month_index"), col("n_matched"),
+            (round(col("lnlink"), 6).cast("double") + lit(0.0))
+              .as("ln_link"),
+            (round(col("lnchain"), 6).cast("double") + lit(0.0))
+              .as("ln_chained_index"))
+          .orderBy("month_index")
+      },
+      oracle = Some("""
+        WITH li AS MATERIALIZED (
+          SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                   AS BIGINT) AS m,
+                 l_partkey AS pk,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        matched AS (
+          SELECT a.m, a.pk, a.val, a.q, b.val AS pval, b.q AS pq
+          FROM li a JOIN li b ON a.m = b.m + 1 AND a.pk = b.pk),
+        tot AS (
+          SELECT m, SUM(val) AS tv, SUM(pval) AS tpv
+          FROM matched GROUP BY 1),
+        terms AS (
+          SELECT matched.m,
+                 CAST((CAST(ROUND(CAST(val AS DOUBLE)
+                     / CAST(tv AS DOUBLE), 9) AS DECIMAL(11,9))
+                   + CAST(ROUND(CAST(pval AS DOUBLE)
+                     / CAST(tpv AS DOUBLE), 9) AS DECIMAL(11,9)))
+                   * CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(12,10)) AS wavg,
+                 CAST(ROUND(ln((CAST(val AS DOUBLE) / CAST(q AS DOUBLE))
+                   / (CAST(pval AS DOUBLE) / CAST(pq AS DOUBLE))), 9)
+                   AS DECIMAL(12,9)) AS dlp
+          FROM matched JOIN tot ON matched.m = tot.m),
+        links AS (
+          SELECT m, CAST(COUNT(*) AS BIGINT) AS n_matched,
+                 SUM(CAST(ROUND(wavg * dlp, 9) AS DECIMAL(20,9)))
+                   AS lnlink
+          FROM terms GROUP BY 1)
+        SELECT m AS month_index, n_matched,
+               CAST(ROUND(lnlink, 6) AS DOUBLE) + CAST(0 AS DOUBLE)
+                 AS ln_link,
+               CAST(ROUND(SUM(lnlink) OVER (ORDER BY m
+                 ROWS UNBOUNDED PRECEDING), 6) AS DOUBLE)
+                 + CAST(0 AS DOUBLE) AS ln_chained_index
+        FROM links ORDER BY month_index""")),
+
+    // Service-incident reliability card from per-user error bursts:
+    // errors ≤6 h apart merge into one incident (the q7z islands
+    // device), MTBF = mean gap between a user's consecutive incident
+    // STARTS, MTTR = mean incident duration (first→last error), and
+    // availability = 1 − incident time over observed user time — the
+    // ops-reliability summary (the classical MTBF/MTTR/availability
+    // triple) on top of the raw error-rate views (q16/q4w). Integer
+    // millisecond arithmetic end to end; three final divisions.
+    "qi0_incident_mtbf" -> Q(
+      fn = (s, dir) => {
+        val er = t(s, dir, "events")
+          .filter(col("event_type") === "error")
+          .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+        val wU = Window.partitionBy("user_id").orderBy("ms")
+        val inc = er
+          .withColumn("prev", lag("ms", 1).over(wU))
+          .withColumn("newinc",
+            when(col("prev").isNull ||
+              col("ms") - col("prev") > 21600000L, 1L).otherwise(0L))
+          .withColumn("iid", sum(col("newinc")).over(
+            wU.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "iid")
+          .agg(min(col("ms")).as("start"), max(col("ms")).as("fin"))
+        val gaps = inc
+          .withColumn("pstart", lag("start", 1).over(
+            Window.partitionBy("user_id").orderBy("start")))
+        val obs = t(s, dir, "events")
+          .groupBy(col("user_id").as("u2"))
+          .agg((max(unix_millis(col("ts"))) -
+            min(unix_millis(col("ts")))).as("span"))
+        val incAgg = gaps.agg(
+          count(lit(1)).as("n_incidents"),
+          countDistinct(col("user_id")).as("n_users_affected"),
+          sum(col("fin") - col("start")).as("ttr_ms"),
+          sum(when(col("pstart").isNotNull, col("start") - col("pstart")))
+            .as("tbf_ms"),
+          sum(when(col("pstart").isNotNull, 1L).otherwise(0L)).as("n_gaps"))
+        val obsAgg = obs.agg(sum(col("span")).as("obs_ms"))
+        incAgg.crossJoin(broadcast(obsAgg))
+          .select(col("n_incidents"), col("n_users_affected"),
+            round(col("tbf_ms").cast("double") /
+              col("n_gaps").cast("double") / lit(3600000.0), 6)
+              .as("mtbf_hours"),
+            round(col("ttr_ms").cast("double") /
+              col("n_incidents").cast("double") / lit(3600000.0), 6)
+              .as("mttr_hours"),
+            round(lit(1.0) - col("ttr_ms").cast("double") /
+              col("obs_ms").cast("double"), 6).as("availability"))
+      },
+      oracle = Some("""
+        WITH er AS (
+          SELECT user_id, epoch_ms(ts) AS ms FROM events
+          WHERE event_type = 'error'),
+        lagd AS (
+          SELECT user_id, ms,
+                 LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+          FROM er),
+        marked AS (
+          SELECT user_id, ms,
+                 CASE WHEN prev IS NULL OR ms - prev > 21600000
+                   THEN 1 ELSE 0 END AS newinc
+          FROM lagd),
+        iids AS (
+          SELECT user_id, ms,
+                 SUM(newinc) OVER (PARTITION BY user_id ORDER BY ms
+                   ROWS UNBOUNDED PRECEDING) AS iid
+          FROM marked),
+        inc AS (
+          SELECT user_id, iid, MIN(ms) AS start, MAX(ms) AS fin
+          FROM iids GROUP BY 1, 2),
+        gaps AS (
+          SELECT user_id, start, fin,
+                 LAG(start) OVER (PARTITION BY user_id ORDER BY start)
+                   AS pstart
+          FROM inc),
+        obs AS (
+          SELECT CAST(SUM(span) AS BIGINT) AS obs_ms FROM (
+            SELECT user_id,
+                   MAX(epoch_ms(ts)) - MIN(epoch_ms(ts)) AS span
+            FROM events GROUP BY 1)),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_incidents,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                   AS n_users_affected,
+                 CAST(SUM(fin - start) AS BIGINT) AS ttr_ms,
+                 CAST(SUM(CASE WHEN pstart IS NOT NULL
+                   THEN start - pstart END) AS BIGINT) AS tbf_ms,
+                 CAST(SUM(CASE WHEN pstart IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_gaps
+          FROM gaps)
+        SELECT n_incidents, n_users_affected,
+               ROUND(CAST(tbf_ms AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                 / CAST(3600000 AS DOUBLE), 6) AS mtbf_hours,
+               ROUND(CAST(ttr_ms AS DOUBLE) / CAST(n_incidents AS DOUBLE)
+                 / CAST(3600000 AS DOUBLE), 6) AS mttr_hours,
+               ROUND(CAST(1 AS DOUBLE) - CAST(ttr_ms AS DOUBLE)
+                 / CAST(obs_ms AS DOUBLE), 6) AS availability
+        FROM agg CROSS JOIN obs"""))
   )
 }

@@ -19,9 +19,17 @@ java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$SF" "$OUT" || rc=$?
-# Bench contract: the driver parses the FINAL stdout line as JSON. Re-emit
-# the machine-written bench record bare (no log prefixes) as that line.
-if [ "$MAIN" = "graft.Bench" ] && [ "$rc" = "0" ] && [ -f "$BENCH_OUT" ]; then
-  tail -n 1 "$BENCH_OUT"
+# Bench contract: the driver parses the FINAL stdout line as JSON — and
+# keeps only the LAST 2000 stdout chars, so the re-emitted record must be
+# the COMPACT line (bench_line.json); the full record (bench_out.json)
+# blew that window in rounds 5-7 and shipped "parsed": null. Fall back to
+# the full record only if the compact file is missing (older class).
+BENCH_LINE=${SPARK_GRAFT_BENCH_LINE:-bench_line.json}
+if [ "$MAIN" = "graft.Bench" ] && [ "$rc" = "0" ]; then
+  if [ -f "$BENCH_LINE" ]; then
+    tail -n 1 "$BENCH_LINE"
+  elif [ -f "$BENCH_OUT" ]; then
+    tail -n 1 "$BENCH_OUT"
+  fi
 fi
 exit $rc
