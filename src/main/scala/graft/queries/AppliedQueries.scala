@@ -6750,6 +6750,465 @@ object AppliedQueries {
                  / CAST(3600000 AS DOUBLE), 6) AS mttr_hours,
                ROUND(CAST(1 AS DOUBLE) - CAST(ttr_ms AS DOUBLE)
                  / CAST(obs_ms AS DOUBLE), 6) AS availability
-        FROM agg CROSS JOIN obs"""))
+        FROM agg CROSS JOIN obs""")),
+
+    // Gibrat's law test: is customer spend GROWTH independent of
+    // initial SIZE? ln(spend₁/spend₀) regressed on ln(spend₀) across
+    // customers active in both qbk periods — β ≈ 0 is Gibrat (the
+    // lognormal-size-distribution generator), β < 0 mean-reversion
+    // (small customers catch up), β > 0 rich-get-richer. ln links
+    // only; 9-grid series into DECIMAL moments.
+    "qi1_gibrat_growth" -> Q(
+      fn = (s, dir) => {
+        val sp = t(s, dir, "orders")
+          .select(col("o_custkey").as("ck"),
+            when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"),
+              1).otherwise(0).as("per"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"))
+          .groupBy("ck", "per").agg(sum(col("v")).as("sp"))
+        val both = sp.filter(col("per") === 0)
+          .select(col("ck"), col("sp").as("s0"))
+          .join(sp.filter(col("per") === 1)
+            .select(col("ck").as("ck1"), col("sp").as("s1")),
+            col("ck") === col("ck1"))
+          .select(
+            round(log(col("s0").cast("double")), 9).as("x"),
+            round(log(col("s1").cast("double") /
+              col("s0").cast("double")), 9).as("g"))
+        val m = both.agg(count(lit(1)).as("n"),
+          sum(g9(col("x"))).as("sx"), sum(g9(col("g"))).as("sy"),
+          sum(g9(round(col("x") * col("g"), 9))).as("sxy"),
+          sum(g9(round(col("x") * col("x"), 9))).as("sxx"),
+          sum(g9(round(col("g") * col("g"), 9))).as("syy"))
+        m.select(col("n"),
+            col("n").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("sy").cast("double").as("syd"),
+            col("sxy").cast("double").as("sxyd"),
+            col("sxx").cast("double").as("sxxd"),
+            col("syy").cast("double").as("syyd"))
+          .withColumn("b", (col("nd") * col("sxyd") -
+            col("sxd") * col("syd")) /
+            (col("nd") * col("sxxd") - col("sxd") * col("sxd")))
+          .withColumn("r2",
+            (col("nd") * col("sxyd") - col("sxd") * col("syd")) *
+            (col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+            ((col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
+             (col("nd") * col("syyd") - col("syd") * col("syd"))))
+          .select(col("n").as("n_customers"),
+            (round(col("b"), 6) + lit(0.0)).as("beta_size"),
+            (round((col("syd") - col("b") * col("sxd")) / col("nd"), 6)
+              + lit(0.0)).as("alpha"),
+            round(col("r2"), 6).as("r2"),
+            when(abs(col("b")) < lit(0.05), "gibrat_holds")
+              .when(col("b") < 0, "mean_reversion")
+              .otherwise("rich_get_richer").as("verdict"))
+      },
+      oracle = Some("""
+        WITH sp AS (
+          SELECT o_custkey AS ck,
+                 CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                      THEN 1 ELSE 0 END AS per,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+          FROM orders GROUP BY 1, 2),
+        both_p AS (
+          SELECT ROUND(ln(CAST(a.sp AS DOUBLE)), 9) AS x,
+                 ROUND(ln(CAST(b.sp AS DOUBLE)
+                   / CAST(a.sp AS DOUBLE)), 9) AS g
+          FROM sp a JOIN sp b ON a.ck = b.ck
+          WHERE a.per = 0 AND b.per = 1),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(x, 9) AS DECIMAL(20,9))) AS sx,
+                 SUM(CAST(ROUND(g, 9) AS DECIMAL(20,9))) AS sy,
+                 SUM(CAST(ROUND(x * g, 9) AS DECIMAL(20,9))) AS sxy,
+                 SUM(CAST(ROUND(x * x, 9) AS DECIMAL(20,9))) AS sxx,
+                 SUM(CAST(ROUND(g * g, 9) AS DECIMAL(20,9))) AS syy
+          FROM both_p),
+        d AS (
+          SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+          FROM m),
+        f AS (
+          SELECT *, (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                   AS b
+          FROM d)
+        SELECT n AS n_customers,
+               ROUND(b, 6) + CAST(0 AS DOUBLE) AS beta_size,
+               ROUND((syd - b * sxd) / nd, 6) + CAST(0 AS DOUBLE)
+                 AS alpha,
+               ROUND((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                 / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
+                 6) AS r2,
+               CASE WHEN ABS(b) < CAST(0.05 AS DOUBLE)
+                 THEN 'gibrat_holds'
+                 WHEN b < 0 THEN 'mean_reversion'
+                 ELSE 'rich_get_richer' END AS verdict
+        FROM f""")),
+
+    // Preferential attachment test on the evolving order graph: do
+    // nodes with more period-0 edges attract more NEW period-1 edges?
+    // Slope and correlation of the per-node gain on the initial
+    // degree — the Barabási–Albert mechanism check that decides
+    // whether the graph's future hubs are predictable. Degrees and
+    // gains are exact integers off distinct-edge sets; one Cramer
+    // slope at the end.
+    "qi2_preferential_attachment" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select((col("o_custkey") % 400).cast("long").as("a"),
+            (col("o_orderkey") % 400).cast("long").as("b"),
+            when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"),
+              1).otherwise(0).as("per"))
+          .filter(col("a") =!= col("b"))
+        def und(df: DataFrame): DataFrame =
+          df.select(col("a"), col("b"))
+            .union(df.select(col("b").as("a"), col("a").as("b")))
+            .distinct()
+        val e0 = und(o.filter(col("per") === 0)).localCheckpoint(eager = false)
+        val e1new = und(o.filter(col("per") === 1))
+          .except(e0).localCheckpoint(eager = false)
+        val d0 = e0.groupBy(col("a").as("node"))
+          .agg(count(lit(1)).as("deg0"))
+        val gain = e1new.groupBy(col("a").as("n2"))
+          .agg(count(lit(1)).as("gn"))
+        val base = d0.join(gain, col("node") === col("n2"), "left")
+          .select(col("node"), col("deg0"),
+            coalesce(col("gn"), lit(0L)).as("gain"))
+        val m = base.agg(count(lit(1)).as("n"),
+          sum(col("deg0")).as("sx"), sum(col("gain")).as("sy"),
+          sum(col("deg0") * col("gain")).as("sxy"),
+          sum(col("deg0") * col("deg0")).as("sxx"),
+          sum(col("gain") * col("gain")).as("syy"))
+        m.select(col("n").cast("double").as("nd"), col("n"),
+            col("sx").cast("double").as("sxd"),
+            col("sy").cast("double").as("syd"),
+            col("sxy").cast("double").as("sxyd"),
+            col("sxx").cast("double").as("sxxd"),
+            col("syy").cast("double").as("syyd"))
+          .select(col("n").as("n_nodes"),
+            round(col("sxd") / col("nd"), 6).as("mean_deg0"),
+            round(col("syd") / col("nd"), 6).as("mean_gain"),
+            (round((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+              (col("nd") * col("sxxd") - col("sxd") * col("sxd")), 6)
+              + lit(0.0)).as("pa_slope"),
+            (round((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+              (sqrt(col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
+               sqrt(col("nd") * col("syyd") - col("syd") * col("syd"))),
+              6) + lit(0.0)).as("pa_corr"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CAST(o_custkey % 400 AS BIGINT) AS a,
+                 CAST(o_orderkey % 400 AS BIGINT) AS b,
+                 CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                      THEN 1 ELSE 0 END AS per
+          FROM orders WHERE o_custkey % 400 <> o_orderkey % 400),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM o WHERE per = 0
+            UNION ALL SELECT b, a FROM o WHERE per = 0)),
+        e1new AS MATERIALIZED (
+          SELECT a, b FROM (
+            SELECT DISTINCT a, b FROM (
+              SELECT a, b FROM o WHERE per = 1
+              UNION ALL SELECT b, a FROM o WHERE per = 1))
+          EXCEPT SELECT a, b FROM e0),
+        d0 AS (
+          SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg0
+          FROM e0 GROUP BY 1),
+        gain AS (
+          SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS gn
+          FROM e1new GROUP BY 1),
+        base AS (
+          SELECT d0.node, deg0,
+                 CAST(COALESCE(gn, 0) AS BIGINT) AS gain
+          FROM d0 LEFT JOIN gain ON d0.node = gain.node),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(deg0) AS BIGINT) AS sx,
+                 CAST(SUM(gain) AS BIGINT) AS sy,
+                 CAST(SUM(deg0 * gain) AS BIGINT) AS sxy,
+                 CAST(SUM(deg0 * deg0) AS BIGINT) AS sxx,
+                 CAST(SUM(gain * gain) AS BIGINT) AS syy
+          FROM base),
+        d AS (
+          SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+          FROM m)
+        SELECT n AS n_nodes,
+               ROUND(sxd / nd, 6) AS mean_deg0,
+               ROUND(syd / nd, 6) AS mean_gain,
+               ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd),
+                 6) + CAST(0 AS DOUBLE) AS pa_slope,
+               ROUND((nd * sxyd - sxd * syd)
+                 / (SQRT(nd * sxxd - sxd * sxd)
+                   * SQRT(nd * syyd - syd * syd)), 6)
+                 + CAST(0 AS DOUBLE) AS pa_corr
+        FROM d""")),
+
+    // Two-state burst detection over the daily purchase share
+    // (Kleinberg-style, FILTERED): per day, the running minimum costs
+    // of "baseline" (rate p₀ = overall purchase share) vs "burst"
+    // (p₁ = 1.5·p₀) states under binomial log-loss, with a γ = 10
+    // entry toll for 0→1 — the day is flagged bursting when the burst
+    // path is cheaper SO FAR (the online reading; an offline Viterbi
+    // would also backtrack). The path-carrying 9-grid fold of the
+    // q7d/qgw family; ln links only.
+    "qi3_burst_detection" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("x"), count(lit(1)).as("ntot"))
+        val rates = d.agg(
+            round(sum(col("x")).cast("double") /
+              sum(col("ntot")).cast("double"), 9).as("p0"))
+          .select(col("p0"),
+            round(lit(1.5) * col("p0"), 9).as("p1"))
+          .select(
+            round(log(col("p0")), 9).as("l0"),
+            round(log(lit(1.0) - col("p0")), 9).as("l0c"),
+            round(log(col("p1")), 9).as("l1"),
+            round(log(lit(1.0) - col("p1")), 9).as("l1c"))
+        val costs = d.crossJoin(broadcast(rates))
+          .select(col("day"), col("x"), col("ntot"),
+            round(-(col("x").cast("double") * col("l0") +
+              (col("ntot") - col("x")).cast("double") * col("l0c")), 9)
+              .as("c0"),
+            round(-(col("x").cast("double") * col("l1") +
+              (col("ntot") - col("x")).cast("double") * col("l1c")), 9)
+              .as("c1"))
+        val packed = costs.agg(expr(
+          "array_sort(collect_list(struct(day, x, ntot, c0, c1)))")
+          .as("rows"))
+        // flat min-cost path [a0₁,a1₁,a0₂,a1₂,…] (seed [0, γ] sliced off),
+        // then per-day components extracted by index
+        val folded = packed
+          .withColumn("path", expr(
+            """slice(aggregate(rows,
+              |  array(cast(0.0 as double), cast(10.0 as double)),
+              |  (acc, r) -> concat(acc, array(
+              |    round(r.c0 + least(element_at(acc, -2),
+              |      element_at(acc, -1)), 9),
+              |    round(r.c1 + least(element_at(acc, -2) + 10.0d,
+              |      element_at(acc, -1)), 9)))),
+              |  3, 2 * size(rows))""".stripMargin))
+          .select(expr(
+            """explode(arrays_zip(
+              |  transform(rows, r -> r.day),
+              |  transform(rows, r -> r.x),
+              |  transform(rows, r -> r.ntot),
+              |  transform(sequence(1, size(rows)),
+              |    i -> element_at(path, 2 * i - 1)),
+              |  transform(sequence(1, size(rows)),
+              |    i -> element_at(path, 2 * i)))) AS z""".stripMargin))
+        folded.select(col("z.0").as("day"), col("z.1").as("n_purchases"),
+            col("z.2").as("n_events"),
+            round(col("z.3"), 6).as("cost_base"),
+            round(col("z.4"), 6).as("cost_burst"),
+            when(col("z.4") < col("z.3"), 1).otherwise(0).cast("int")
+              .as("bursting"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(COUNT(*) AS BIGINT) AS ntot
+          FROM events GROUP BY 1),
+        rates AS (
+          SELECT ROUND(ln(p0), 9) AS l0,
+                 ROUND(ln(CAST(1 AS DOUBLE) - p0), 9) AS l0c,
+                 ROUND(ln(p1), 9) AS l1,
+                 ROUND(ln(CAST(1 AS DOUBLE) - p1), 9) AS l1c
+          FROM (
+            SELECT p0, ROUND(CAST(1.5 AS DOUBLE) * p0, 9) AS p1
+            FROM (
+              SELECT ROUND(CAST(SUM(x) AS DOUBLE)
+                / CAST(SUM(ntot) AS DOUBLE), 9) AS p0
+              FROM d))),
+        costs AS (
+          SELECT day, x, ntot,
+                 ROUND(-(CAST(x AS DOUBLE) * l0
+                   + CAST(ntot - x AS DOUBLE) * l0c), 9) AS c0,
+                 ROUND(-(CAST(x AS DOUBLE) * l1
+                   + CAST(ntot - x AS DOUBLE) * l1c), 9) AS c1
+          FROM d CROSS JOIN rates),
+        packed AS (
+          SELECT list(day ORDER BY day) AS dl,
+                 list(x ORDER BY day) AS xl,
+                 list(ntot ORDER BY day) AS nl,
+                 list(c0 ORDER BY day) AS c0l,
+                 list(c1 ORDER BY day) AS c1l,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM costs),
+        pathed AS (
+          SELECT dl, xl, nl, n,
+                 list_reduce(
+                   list_prepend([CAST(0 AS DOUBLE), CAST(10 AS DOUBLE)],
+                     list_transform(range(1, CAST(n + 1 AS BIGINT)),
+                       i -> [c0l[i], c1l[i]])),
+                   (acc, e) -> acc || [
+                     ROUND(e[1] + LEAST(acc[-2], acc[-1]), 9),
+                     ROUND(e[2] + LEAST(acc[-2] + CAST(10 AS DOUBLE),
+                       acc[-1]), 9)])[3:] AS path
+          FROM packed),
+        split_p AS (
+          SELECT dl, xl, nl,
+                 list_transform(range(1, CAST(n + 1 AS BIGINT)),
+                   i -> path[2 * i - 1]) AS c0p,
+                 list_transform(range(1, CAST(n + 1 AS BIGINT)),
+                   i -> path[2 * i]) AS c1p
+          FROM pathed)
+        SELECT day, n_purchases, n_events,
+               ROUND(a0, 6) AS cost_base,
+               ROUND(a1, 6) AS cost_burst,
+               CAST(CASE WHEN a1 < a0 THEN 1 ELSE 0 END AS INT)
+                 AS bursting
+        FROM (
+          SELECT unnest(dl) AS day, unnest(xl) AS n_purchases,
+                 unnest(nl) AS n_events, unnest(c0p) AS a0,
+                 unnest(c1p) AS a1
+          FROM split_p)
+        ORDER BY day""")),
+
+    // Second-digit Benford screen on order totals: the second
+    // significant digit's law P(d) = Σ_{k=1..9} log₁₀(1 + 1/(10k+d))
+    // is far flatter than the first digit's — and far harder for a
+    // fabricator to fake, which is why forensic practice (Nigrini)
+    // tests it SECOND after q6n's first-digit χ² and qfc's last-digit
+    // uniformity. Digits extracted by exact string arithmetic on the
+    // cent-scaled integer (no float log10); expectations via the
+    // proven ln link; per-digit χ² components summed exactly.
+    "qi4_benford_second_digit" -> Q(
+      fn = (s, dir) => {
+        val digits = t(s, dir, "orders")
+          .select(expr(
+            "CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))" +
+              " * 100 AS BIGINT) AS STRING), 2, 1) AS INT)").as("d2"))
+          .filter(col("d2").isNotNull)
+        val obs = digits.groupBy("d2").agg(count(lit(1)).as("n_obs"))
+        val tot = digits.agg(count(lit(1)).as("n"))
+        // P(d) per Benford: Σ_k log10(1 + 1/(10k+d)), log10 = ln/ln(10)
+        val pexpr = (1 to 9).map(k =>
+          s"round(ln(1.0d + 1.0d / (10 * $k + d2)) / ln(10.0d), 12)")
+          .mkString(" + ")
+        obs.crossJoin(broadcast(tot))
+          .withColumn("p", round(expr(pexpr), 9))
+          .select(col("d2").as("digit"), col("n_obs"),
+            round(col("p"), 6).as("p_benford"),
+            round(col("p") * col("n").cast("double"), 6).as("expected"),
+            round((col("n_obs").cast("double") -
+              col("p") * col("n").cast("double")) *
+              (col("n_obs").cast("double") -
+                col("p") * col("n").cast("double")) /
+              (col("p") * col("n").cast("double")), 6)
+              .as("chi2_component"))
+          .orderBy("digit")
+      },
+      oracle = Some({
+        val pexpr = (1 to 9).map(k =>
+          s"ROUND(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) " +
+            s"/ CAST(10 * $k + d2 AS DOUBLE)) / ln(CAST(10 AS DOUBLE)), 12)")
+          .mkString(" + ")
+        s"""
+        WITH digits AS (
+          SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                   * 100 AS BIGINT) AS VARCHAR), 2, 1) AS INT) AS d2
+          FROM orders),
+        obs AS (
+          SELECT d2, CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM digits WHERE d2 IS NOT NULL GROUP BY 1),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits
+          WHERE d2 IS NOT NULL),
+        f AS (
+          SELECT d2, n_obs, n, ROUND($pexpr, 9) AS p
+          FROM obs CROSS JOIN tot)
+        SELECT d2 AS digit, n_obs,
+               ROUND(p, 6) AS p_benford,
+               ROUND(p * CAST(n AS DOUBLE), 6) AS expected,
+               ROUND((CAST(n_obs AS DOUBLE) - p * CAST(n AS DOUBLE))
+                 * (CAST(n_obs AS DOUBLE) - p * CAST(n AS DOUBLE))
+                 / (p * CAST(n AS DOUBLE)), 6) AS chi2_component
+        FROM f ORDER BY digit"""
+      })),
+
+    // Price-stickiness card: how often does a part's monthly unit
+    // price actually move month-over-month, and by how much when it
+    // does — the menu-cost microdata summary (change frequency ⇒
+    // implied price-spell duration 1/freq). Unit prices snap to a
+    // 4-decimal grid before the equality compare, so "changed" is an
+    // exact decimal predicate in both engines; magnitudes are exact
+    // DECIMAL |Δ| sums.
+    "qi5_price_stickiness" -> Q(
+      fn = (s, dir) => {
+        val mp = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+              .cast("long").as("m"),
+            col("l_partkey").as("pk"),
+            col("l_extendedprice").cast("decimal(18,2)").as("ep"),
+            col("l_quantity").cast("decimal(18,2)").as("qty"))
+          .groupBy("m", "pk")
+          .agg(round(sum(col("ep")).cast("double") /
+            sum(col("qty")).cast("double"), 4).cast("decimal(14,4)")
+            .as("u"))
+          .localCheckpoint(eager = false)
+        val links = mp.join(mp.select((col("m") + 1).as("m2"),
+            col("pk").as("pk2"), col("u").as("pu")),
+            col("m") === col("m2") && col("pk") === col("pk2"))
+        links.agg(
+            countDistinct(col("pk")).as("n_parts"),
+            count(lit(1)).as("n_links"),
+            sum(when(col("u") =!= col("pu"), 1L).otherwise(0L))
+              .as("n_changes"),
+            sum(when(col("u") =!= col("pu"), abs(col("u") - col("pu")))
+              .otherwise(lit(0).cast("decimal(14,4)"))).as("sabs"))
+          .select(col("n_parts"), col("n_links"), col("n_changes"),
+            round(col("n_changes").cast("double") /
+              col("n_links").cast("double"), 6).as("change_freq"),
+            round(col("n_links").cast("double") /
+              col("n_changes").cast("double"), 6)
+              .as("implied_spell_months"),
+            round(col("sabs").cast("double") /
+              col("n_changes").cast("double"), 6)
+              .as("mean_abs_change"))
+      },
+      oracle = Some("""
+        WITH mp AS MATERIALIZED (
+          SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                   AS BIGINT) AS m,
+                 l_partkey AS pk,
+                 CAST(ROUND(CAST(SUM(CAST(l_extendedprice
+                     AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     AS DOUBLE), 4) AS DECIMAL(14,4)) AS u
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        links AS (
+          SELECT a.pk, a.u, b.u AS pu
+          FROM mp a JOIN mp b ON a.m = b.m + 1 AND a.pk = b.pk),
+        agg AS (
+          SELECT CAST(COUNT(DISTINCT pk) AS BIGINT) AS n_parts,
+                 CAST(COUNT(*) AS BIGINT) AS n_links,
+                 CAST(SUM(CASE WHEN u <> pu THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_changes,
+                 SUM(CASE WHEN u <> pu THEN ABS(u - pu)
+                     ELSE CAST(0 AS DECIMAL(14,4)) END) AS sabs
+          FROM links)
+        SELECT n_parts, n_links, n_changes,
+               ROUND(CAST(n_changes AS DOUBLE) / CAST(n_links AS DOUBLE),
+                 6) AS change_freq,
+               ROUND(CAST(n_links AS DOUBLE) / CAST(n_changes AS DOUBLE),
+                 6) AS implied_spell_months,
+               ROUND(CAST(sabs AS DOUBLE) / CAST(n_changes AS DOUBLE), 6)
+                 AS mean_abs_change
+        FROM agg"""))
   )
 }
