@@ -7209,6 +7209,459 @@ object AppliedQueries {
                  6) AS implied_spell_months,
                ROUND(CAST(sabs AS DOUBLE) / CAST(n_changes AS DOUBLE), 6)
                  AS mean_abs_change
-        FROM agg"""))
+        FROM agg""")),
+
+    // Cochrane–Orcutt AR(1)-corrected trend regression on daily
+    // revenue: stage 1 fits the OLS trend and estimates the residual
+    // autocorrelation ρ; stage 2 re-fits on the quasi-differenced
+    // series (yₜ − ρyₜ₋₁ on tₜ − ρtₜ₋₁). Where qg6's HAC only fixes
+    // the STANDARD ERROR, CO fixes the ESTIMATE's efficiency — the
+    // textbook pair of serial-correlation remedies. Residuals snap to
+    // the 9-grid; both stages are DECIMAL moment images.
+    "qi6_cochrane_orcutt" -> Q(
+      fn = (s, dir) => {
+        val y = dailyRevenueM(s, dir)
+          .withColumn("tt",
+            row_number().over(Window.orderBy("day")).cast("long"))
+          .select(col("tt"), col("ym"))
+          .localCheckpoint(eager = false)
+        val m1 = y.agg(count(lit(1)).as("n"), sum(col("tt")).as("st"),
+          sum(col("ym")).as("sy"), sum(col("tt") * col("tt")).as("stt"),
+          sum(col("tt").cast("decimal(18,2)") * col("ym")).as("sty"))
+        val ab = m1.select(col("n"),
+            ((col("n").cast("double") *
+              expr("CAST(CAST(sty AS STRING) AS DOUBLE)") -
+              col("st").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("stt").cast("double") -
+                col("st").cast("double") * col("st").cast("double")))
+              .as("b"), col("st"), col("sy"))
+          .select(col("n"), col("b"),
+            ((col("sy").cast("double") - col("b") * col("st").cast("double"))
+              / col("n").cast("double")).as("a"))
+        val res = y.crossJoin(broadcast(ab))
+          .select(col("tt"), col("ym"), col("n"), col("a"), col("b"),
+            round(col("ym").cast("double") -
+              (col("a") + col("b") * col("tt").cast("double")), 9)
+              .as("e"))
+        val wl = Window.orderBy("tt")
+        val lagged = res.withColumn("ep", lag("e", 1).over(wl))
+          .withColumn("yp", lag("ym", 1).over(wl))
+          .filter(col("ep").isNotNull)
+          .localCheckpoint(eager = false)
+        val rho = lagged.agg(
+            sum(g9(round(col("e") * col("ep"), 9))).as("see"),
+            sum(g9(round(col("ep") * col("ep"), 9))).as("spp"))
+          .select(round(col("see").cast("double") /
+            col("spp").cast("double"), 9).as("rho"))
+        val star = lagged.crossJoin(broadcast(rho))
+          .select(col("rho"),
+            round(col("ym").cast("double") -
+              col("rho") * col("yp").cast("double"), 9).as("ys"),
+            round(col("tt").cast("double") -
+              col("rho") * (col("tt") - 1).cast("double"), 9).as("ts"))
+        val m2 = star.groupBy("rho").agg(count(lit(1)).as("n2"),
+          sum(g9(col("ts"))).as("sx"), sum(g9(col("ys"))).as("sy2"),
+          sum(g9(round(col("ts") * col("ys"), 9))).as("sxy"),
+          sum(g9(round(col("ts") * col("ts"), 9))).as("sxx"))
+        m2.crossJoin(broadcast(ab.select(col("b").as("b_ols"))))
+          .withColumn("bco", (col("n2").cast("double") *
+            col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy2").cast("double")) /
+            (col("n2").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")))
+          .select(col("n2").as("n_obs"),
+            (round(col("rho"), 6) + lit(0.0)).as("rho"),
+            (round(col("b_ols"), 6) + lit(0.0)).as("beta_ols"),
+            (round(col("bco"), 6) + lit(0.0)).as("beta_co"),
+            (round(((col("sy2").cast("double") -
+              col("bco") * col("sx").cast("double")) /
+              col("n2").cast("double")) / (lit(1.0) - col("rho")), 6)
+              + lit(0.0)).as("alpha_co"))
+      },
+      oracle = Some(s"""
+        WITH yd AS ($dailyRevenueMSql),
+        y AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS tt,
+                 ym
+          FROM yd),
+        m1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(tt) AS BIGINT) AS st, SUM(ym) AS sy,
+                 CAST(SUM(tt * tt) AS BIGINT) AS stt,
+                 SUM(CAST(tt AS DECIMAL(18,2)) * ym) AS sty
+          FROM y),
+        ab AS (
+          SELECT n, b,
+                 (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS a
+          FROM (
+            SELECT n, st, sy,
+                   (CAST(n AS DOUBLE)
+                     * CAST(CAST(sty AS VARCHAR) AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b
+            FROM m1)),
+        res AS (
+          SELECT tt, ym, a, b,
+                 ROUND(CAST(ym AS DOUBLE)
+                   - (a + b * CAST(tt AS DOUBLE)), 9) AS e
+          FROM y CROSS JOIN ab),
+        lagged AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT tt, ym, e,
+                   LAG(e) OVER (ORDER BY tt) AS ep,
+                   LAG(ym) OVER (ORDER BY tt) AS yp
+            FROM res)
+          WHERE ep IS NOT NULL),
+        rho AS (
+          SELECT ROUND(
+              CAST(SUM(CAST(ROUND(e * ep, 9) AS DECIMAL(20,9)))
+                AS DOUBLE) /
+              CAST(SUM(CAST(ROUND(ep * ep, 9) AS DECIMAL(20,9)))
+                AS DOUBLE), 9) AS rho
+          FROM lagged),
+        star AS (
+          SELECT rho,
+                 ROUND(CAST(ym AS DOUBLE) - rho * CAST(yp AS DOUBLE), 9)
+                   AS ys,
+                 ROUND(CAST(tt AS DOUBLE) - rho * CAST(tt - 1 AS DOUBLE),
+                   9) AS ts
+          FROM lagged CROSS JOIN rho),
+        m2 AS (
+          SELECT rho, CAST(COUNT(*) AS BIGINT) AS n2,
+                 SUM(CAST(ROUND(ts, 9) AS DECIMAL(20,9))) AS sx,
+                 SUM(CAST(ROUND(ys, 9) AS DECIMAL(20,9))) AS sy2,
+                 SUM(CAST(ROUND(ts * ys, 9) AS DECIMAL(20,9))) AS sxy,
+                 SUM(CAST(ROUND(ts * ts, 9) AS DECIMAL(20,9))) AS sxx
+          FROM star GROUP BY 1),
+        f AS (
+          SELECT n2, rho, b AS b_ols,
+                 (CAST(n2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy2 AS DOUBLE)) /
+                 (CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS bco,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy2 AS DOUBLE) AS syd
+          FROM m2 CROSS JOIN ab)
+        SELECT n2 AS n_obs,
+               ROUND(rho, 6) + CAST(0 AS DOUBLE) AS rho,
+               ROUND(b_ols, 6) + CAST(0 AS DOUBLE) AS beta_ols,
+               ROUND(bco, 6) + CAST(0 AS DOUBLE) AS beta_co,
+               ROUND(((syd - bco * sxd) / CAST(n2 AS DOUBLE))
+                 / (CAST(1 AS DOUBLE) - rho), 6) + CAST(0 AS DOUBLE)
+                 AS alpha_co
+        FROM f""")),
+
+    // Kneedle elbow of the brand-concentration curve: brands ranked by
+    // volume, the cumulative-share curve normalized to the unit
+    // square, and the knee = argmax of (y_norm − x_norm) — "how many
+    // brands are enough", the same geometric device that picks k for
+    // k-means or the IVF cell count (q4y/q3g operational tuning).
+    // Exact integer ranks, 9-grid shares, deterministic argmax
+    // tiebreak on rank.
+    "qi7_kneedle_elbow" -> Q(
+      fn = (s, dir) => {
+        val b = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+        val ranked = b
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("q").desc, col("brand"))).cast("long"))
+        val tot = b.agg(sum(col("q")).as("qt"), count(lit(1)).as("nb"))
+        val curve = ranked.crossJoin(broadcast(tot))
+          .withColumn("cum", sum(col("q")).over(
+            Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("rk"), col("brand"), col("nb"),
+            round(col("cum").cast("double") / col("qt").cast("double"), 9)
+              .as("cshare"))
+          .withColumn("xn",
+            (col("rk") - 1).cast("double") / (col("nb") - 1).cast("double"))
+          .withColumn("d", round(col("cshare") - col("xn"), 9))
+        val knee = curve.agg(max(struct(col("d").as("d"),
+          (-col("rk")).as("nrk"))).as("w"))
+        curve.crossJoin(broadcast(knee))
+          .select(col("rk").cast("int").as("rank"), col("brand"),
+            round(col("cshare"), 6).as("cum_share"),
+            round(col("xn"), 6).as("x_norm"),
+            (round(col("d"), 6) + lit(0.0)).as("kneedle_d"),
+            when(col("rk") === -col("w.nrk"), 1).otherwise(0).cast("int")
+              .as("is_elbow"))
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT p_brand AS brand,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1),
+        ranked AS (
+          SELECT brand, q,
+                 CAST(ROW_NUMBER() OVER (ORDER BY q DESC, brand)
+                   AS BIGINT) AS rk
+          FROM b),
+        tot AS (
+          SELECT SUM(q) AS qt, CAST(COUNT(*) AS BIGINT) AS nb FROM b),
+        curve AS MATERIALIZED (
+          SELECT rk, brand, nb,
+                 ROUND(CAST(SUM(q) OVER (ORDER BY rk
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / CAST(qt AS DOUBLE), 9) AS cshare,
+                 CAST(rk - 1 AS DOUBLE) / CAST(nb - 1 AS DOUBLE) AS xn
+          FROM ranked CROSS JOIN tot),
+        curve2 AS (
+          SELECT *, ROUND(cshare - xn, 9) AS d FROM curve),
+        knee AS (
+          SELECT MAX({'d': d, 'nrk': -rk}) AS w FROM curve2)
+        SELECT CAST(rk AS INT) AS rank, brand,
+               ROUND(cshare, 6) AS cum_share,
+               ROUND(xn, 6) AS x_norm,
+               ROUND(d, 6) + CAST(0 AS DOUBLE) AS kneedle_d,
+               CAST(CASE WHEN rk = -(w['nrk']) THEN 1 ELSE 0 END AS INT)
+                 AS is_elbow
+        FROM curve2 CROSS JOIN knee
+        ORDER BY rank""")),
+
+    // Pettitt changepoint test on the 30-day purchase-revenue series:
+    // the rank-based (Mann–Whitney) statistic U_t over every split,
+    // K = max|U_t| and its argmax day — the nonparametric
+    // complement of q7q's CUSUM (fixed reference) and qc9's binary
+    // segmentation (squared-error). Significance via the exp-free
+    // inequality 6K²/(n³+n²) > ln(2/α) — ln is the proven link, so no
+    // p-value exponential is ever evaluated. Pure integer sign sums
+    // over the bounded pair panel.
+    "qi8_pettitt_changepoint" -> Q(
+      fn = (s, dir) => {
+        val x = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("yv"))
+          .select(row_number().over(Window.orderBy("day")).cast("long")
+            .as("i"), col("yv"))
+          .localCheckpoint(eager = false)
+        val n0 = x.agg(count(lit(1)).as("n"))
+        val pairs = x.select(col("i").as("a"), col("yv").as("va"))
+          .join(x.select(col("i").as("b"), col("yv").as("vb")),
+            col("a") < col("b"))
+          .select(col("a"), col("b"),
+            when(col("va") > col("vb"), 1L)
+              .when(col("va") < col("vb"), -1L).otherwise(0L).as("sg"))
+        val grid = x.select(col("i").as("t"))
+        val ut = pairs.join(broadcast(grid),
+            col("a") <= col("t") && col("b") > col("t"))
+          .groupBy("t").agg(sum(col("sg")).as("u"))
+        val best = ut.agg(max(struct(abs(col("u")).as("k"),
+          (-col("t")).as("nt"))).as("w"))
+        best.crossJoin(broadcast(n0))
+          .select(col("n").as("n_days"),
+            col("w.k").as("pettitt_k"),
+            (-col("w.nt")).as("changepoint_day_index"),
+            round(lit(6.0) * col("w.k").cast("double") *
+              col("w.k").cast("double") /
+              (col("n").cast("double") * col("n").cast("double") *
+                col("n").cast("double") +
+               col("n").cast("double") * col("n").cast("double")), 6)
+              .as("stat_6k2"),
+            when(lit(6.0) * col("w.k").cast("double") *
+              col("w.k").cast("double") /
+              (col("n").cast("double") * col("n").cast("double") *
+                col("n").cast("double") +
+               col("n").cast("double") * col("n").cast("double")) >
+              log(lit(40.0)), 1).otherwise(0).cast("int")
+              .as("significant_5pct"))
+      },
+      oracle = Some("""
+        WITH d0 AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS yv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        x AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+                 yv
+          FROM d0),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+        pairs AS (
+          SELECT a.i AS a, b.i AS b,
+                 CASE WHEN a.yv > b.yv THEN 1
+                      WHEN a.yv < b.yv THEN -1 ELSE 0 END AS sg
+          FROM x a JOIN x b ON a.i < b.i),
+        ut AS (
+          SELECT t, CAST(SUM(sg) AS BIGINT) AS u
+          FROM pairs JOIN (SELECT i AS t FROM x) g
+            ON a <= t AND b > t
+          GROUP BY 1),
+        best AS (
+          SELECT MAX({'k': ABS(u), 'nt': -t}) AS w FROM ut)
+        SELECT n AS n_days,
+               w['k'] AS pettitt_k,
+               -(w['nt']) AS changepoint_day_index,
+               ROUND(CAST(6 AS DOUBLE) * CAST(w['k'] AS DOUBLE)
+                 * CAST(w['k'] AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * CAST(n AS DOUBLE)
+                   + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                 AS stat_6k2,
+               CAST(CASE WHEN CAST(6 AS DOUBLE) * CAST(w['k'] AS DOUBLE)
+                 * CAST(w['k'] AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * CAST(n AS DOUBLE)
+                   + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 > ln(CAST(40 AS DOUBLE)) THEN 1 ELSE 0 END AS INT)
+                 AS significant_5pct
+        FROM best CROSS JOIN n0""")),
+
+    // Sarle's bimodality coefficient per order priority: b = (g₁²+1) /
+    // (g₂ + 3(n−1)²/((n−2)(n−3))) over the exact-moment skewness and
+    // excess kurtosis (the q6l machinery, values in millions to stay
+    // inside the power-sum envelope) — b > 0.555 (the uniform's value)
+    // flags a possibly two-regime value distribution that a mean ±
+    // variance readout would average away. Computed FROM the 6-rounded
+    // moment outputs, so the oracle replays the identical arithmetic.
+    "qi9_bimodality" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("prio"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(18,8)").as("v"))
+        val m = graft.operators.Stats.groupedMoments(o, "prio", "v")
+        m.select(col("prio"), col("n"),
+            col("skewness"), col("kurtosis"))
+          .withColumn("corr3", lit(3.0) *
+            (col("n") - 1).cast("double") * (col("n") - 1).cast("double") /
+            ((col("n") - 2).cast("double") * (col("n") - 3).cast("double")))
+          .select(col("prio"), col("n"),
+            col("skewness"), col("kurtosis"),
+            round((col("skewness") * col("skewness") + lit(1.0)) /
+              (col("kurtosis") + col("corr3")), 6)
+              .as("bimodality_coeff"),
+            when((col("skewness") * col("skewness") + lit(1.0)) /
+              (col("kurtosis") + col("corr3")) > lit(0.555), 1)
+              .otherwise(0).cast("int").as("bimodal_flag"))
+          .orderBy("prio")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS prio,
+                 CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(18,8)) AS DOUBLE) AS x
+          FROM orders),
+        agg AS (
+          SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS DECIMAL(38,6))) AS s1,
+                 SUM(CAST(x * x AS DECIMAL(38,6))) AS s2,
+                 SUM(CAST(x * x * x AS DECIMAL(38,6))) AS s3,
+                 SUM(CAST(x * x * x * x AS DECIMAL(38,6))) AS s4
+          FROM o GROUP BY 1),
+        mo AS (
+          SELECT prio, n,
+                 CASE WHEN m2 > 0 THEN ROUND(m3 / (m2 * SQRT(m2)), 6) END
+                   AS skewness,
+                 CASE WHEN m2 > 0 THEN
+                   ROUND(m4 / (m2 * m2) - CAST(3 AS DOUBLE), 6) END
+                   AS kurtosis
+          FROM (
+            SELECT prio, n, m2,
+                   CAST(s3 AS DOUBLE) / nd - CAST(3 AS DOUBLE) * mean
+                     * (CAST(s2 AS DOUBLE) / nd)
+                     + CAST(2 AS DOUBLE) * mean * mean * mean AS m3,
+                   CAST(s4 AS DOUBLE) / nd - CAST(4 AS DOUBLE) * mean
+                     * (CAST(s3 AS DOUBLE) / nd)
+                     + CAST(6 AS DOUBLE) * mean * mean
+                       * (CAST(s2 AS DOUBLE) / nd)
+                     - CAST(3 AS DOUBLE) * mean * mean * mean * mean
+                     AS m4
+            FROM (
+              SELECT prio, n, CAST(n AS DOUBLE) AS nd,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                     CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2,
+                     s2, s3, s4
+              FROM agg))),
+        f AS (
+          SELECT prio, n, skewness, kurtosis,
+                 CAST(3 AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                   * CAST(n - 1 AS DOUBLE)
+                   / (CAST(n - 2 AS DOUBLE) * CAST(n - 3 AS DOUBLE))
+                   AS corr3
+          FROM mo)
+        SELECT prio, n, skewness, kurtosis,
+               ROUND((skewness * skewness + CAST(1 AS DOUBLE))
+                 / (kurtosis + corr3), 6) AS bimodality_coeff,
+               CAST(CASE WHEN (skewness * skewness + CAST(1 AS DOUBLE))
+                 / (kurtosis + corr3) > CAST(0.555 AS DOUBLE)
+                 THEN 1 ELSE 0 END AS INT) AS bimodal_flag
+        FROM f ORDER BY prio""")),
+
+    // Top-k assortment turnover: Jaccard similarity of each month's
+    // top-20 brand set (by revenue) with the previous month's — how
+    // stable is "what sells" over time, the TEMPORAL version of qgc's
+    // two-list RBO. Ranks are exact with (revenue, brand) tiebreaks;
+    // intersections are integer set counts off a self-join.
+    "qia_topk_turnover" -> Q(
+      fn = (s, dir) => {
+        val mb = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+              .cast("long").as("m"),
+            col("p_brand").as("brand"),
+            col("l_extendedprice").cast("decimal(18,2)").as("ep"))
+          .groupBy("m", "brand").agg(sum(col("ep")).as("rev"))
+        val topk = mb
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("m").orderBy(col("rev").desc, col("brand"))))
+          .filter(col("rk") <= 20)
+          .select(col("m"), col("brand"))
+          .localCheckpoint(eager = false)
+        val sizes = topk.groupBy("m").agg(count(lit(1)).as("sz"))
+        val inter = topk.join(topk.select((col("m") + 1).as("m2"),
+            col("brand").as("b2")),
+            col("m") === col("m2") && col("brand") === col("b2"))
+          .groupBy("m").agg(count(lit(1)).as("ix"))
+        sizes.join(sizes.select((col("m") + 1).as("mp"),
+            col("sz").as("psz")), col("m") === col("mp"))
+          .join(inter, Seq("m"), "left")
+          .select(col("m").as("month_index"),
+            col("sz").as("k_current"), col("psz").as("k_prev"),
+            coalesce(col("ix"), lit(0L)).as("n_common"),
+            round(coalesce(col("ix"), lit(0L)).cast("double") /
+              (col("sz") + col("psz") -
+                coalesce(col("ix"), lit(0L))).cast("double"), 6)
+              .as("jaccard"))
+          .orderBy("month_index")
+      },
+      oracle = Some("""
+        WITH mb AS (
+          SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                   AS BIGINT) AS m,
+                 p_brand AS brand,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        topk AS MATERIALIZED (
+          SELECT m, brand FROM (
+            SELECT m, brand, ROW_NUMBER() OVER (PARTITION BY m
+              ORDER BY rev DESC, brand) AS rk
+            FROM mb)
+          WHERE rk <= 20),
+        sizes AS (
+          SELECT m, CAST(COUNT(*) AS BIGINT) AS sz FROM topk GROUP BY 1),
+        inter AS (
+          SELECT a.m, CAST(COUNT(*) AS BIGINT) AS ix
+          FROM topk a JOIN topk b
+            ON a.m = b.m + 1 AND a.brand = b.brand
+          GROUP BY 1)
+        SELECT a.m AS month_index,
+               a.sz AS k_current, p.sz AS k_prev,
+               COALESCE(ix, 0) AS n_common,
+               ROUND(CAST(COALESCE(ix, 0) AS DOUBLE)
+                 / CAST(a.sz + p.sz - COALESCE(ix, 0) AS DOUBLE), 6)
+                 AS jaccard
+        FROM sizes a JOIN sizes p ON a.m = p.m + 1
+        LEFT JOIN inter ON a.m = inter.m
+        ORDER BY month_index"""))
   )
 }
