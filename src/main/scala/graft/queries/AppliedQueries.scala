@@ -7662,6 +7662,469 @@ object AppliedQueries {
                  AS jaccard
         FROM sizes a JOIN sizes p ON a.m = p.m + 1
         LEFT JOIN inter ON a.m = inter.m
-        ORDER BY month_index"""))
+        ORDER BY month_index""")),
+
+    // One-step Huber M-regression of order value on line count: OLS
+    // start, MAD residual scale from EXACT lower-median order
+    // statistics (no interpolation — rank (n+1)÷2, deterministic in
+    // both engines), Huber weights w = min(1, 1.345s/|e|), and the
+    // weighted re-fit — the robust-SLOPE member beside qac's Theil–Sen
+    // (rank-based) and qgr's biweight LOCATION. 9-grid weights and
+    // products into DECIMAL moment sums.
+    "qib_huber_regression" -> Q(
+      fn = (s, dir) => {
+        val feats = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("x"))
+        val base = t(s, dir, "orders")
+          .join(feats, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("x"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(18,8)").as("y"))
+          .localCheckpoint(eager = false)
+        val m1 = base.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(18,2)") * col("y")).as("sxy"))
+        val ab = m1.select(col("n"),
+            ((col("n").cast("double") *
+              expr("CAST(CAST(sxy AS STRING) AS DOUBLE)") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")))
+              .as("b"), col("sx"), col("sy"))
+          .select(col("n"), col("b"),
+            ((col("sy").cast("double") - col("b") * col("sx").cast("double"))
+              / col("n").cast("double")).as("a"))
+        val res = base.crossJoin(broadcast(ab))
+          .select(col("ok"), col("x"), col("y"), col("n"),
+            round(col("y").cast("double") -
+              (col("a") + col("b") * col("x").cast("double")), 9).as("e"))
+          .localCheckpoint(eager = false)
+        val rd = graft.operators.ScaleOps.globalRowNumber(
+          res.select(col("ok"), abs(col("e")).as("ae")),
+          Seq(col("ae"), col("ok")), "rk")
+        val mad = rd.crossJoin(broadcast(res.agg(max(col("n")).as("n2"))))
+          .filter(col("rk") === expr("(n2 + 1) div 2"))
+          .select(col("ae").as("s"))
+        val wts = res.crossJoin(broadcast(mad))
+          .withColumn("w", round(
+            when(abs(col("e")) <= lit(1.345) * col("s"), lit(1.0))
+              .otherwise(lit(1.345) * col("s") / abs(col("e"))), 9))
+        val m2 = wts.agg(count(lit(1)).as("n"),
+          sum(when(col("w") < 1.0, 1L).otherwise(0L)).as("n_down"),
+          max(col("s")).as("smax"),
+          sum(g9(col("w"))).as("sw"),
+          sum(g9(round(col("w") * col("x").cast("double"), 9))).as("swx"),
+          sum(g9(round(col("w") * col("y").cast("double"), 9))).as("swy"),
+          sum(g9(round(col("w") * col("x").cast("double") *
+            col("y").cast("double"), 9))).as("swxy"),
+          sum(g9(round(col("w") * col("x").cast("double") *
+            col("x").cast("double"), 9))).as("swxx"))
+        m2.crossJoin(broadcast(ab.select(col("b").as("b_ols"))))
+          .withColumn("bh", (col("sw").cast("double") *
+            col("swxy").cast("double") -
+            col("swx").cast("double") * col("swy").cast("double")) /
+            (col("sw").cast("double") * col("swxx").cast("double") -
+              col("swx").cast("double") * col("swx").cast("double")))
+          .select(col("n").as("n_orders"), col("n_down").as("n_downweighted"),
+            round(col("smax"), 6).as("mad_scale"),
+            (round(col("b_ols"), 6) + lit(0.0)).as("slope_ols"),
+            (round(col("bh"), 6) + lit(0.0)).as("slope_huber"),
+            (round((col("swy").cast("double") -
+              col("bh") * col("swx").cast("double")) /
+              col("sw").cast("double"), 6) + lit(0.0))
+              .as("intercept_huber"))
+      },
+      oracle = Some("""
+        WITH feats AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+          FROM lineitem GROUP BY 1),
+        base AS MATERIALIZED (
+          SELECT o_orderkey AS ok, x,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(18,8)) AS y
+          FROM orders JOIN feats ON o_orderkey = l_orderkey),
+        m1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 SUM(CAST(x AS DECIMAL(18,2)) * y) AS sxy
+          FROM base),
+        ab AS (
+          SELECT n, b,
+                 (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS a
+          FROM (
+            SELECT n, sx, sy,
+                   (CAST(n AS DOUBLE)
+                     * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+            FROM m1)),
+        res AS MATERIALIZED (
+          SELECT ok, x, y, n,
+                 ROUND(CAST(y AS DOUBLE)
+                   - (a + b * CAST(x AS DOUBLE)), 9) AS e
+          FROM base CROSS JOIN ab),
+        mad AS (
+          SELECT ae AS s FROM (
+            SELECT ABS(e) AS ae, ok,
+                   ROW_NUMBER() OVER (ORDER BY ABS(e), ok) AS rk,
+                   n
+            FROM res)
+          WHERE rk = (n + 1) // 2),
+        wts AS (
+          SELECT x, y,
+                 ROUND(CASE WHEN ABS(e) <= CAST(1.345 AS DOUBLE) * s
+                   THEN CAST(1 AS DOUBLE)
+                   ELSE CAST(1.345 AS DOUBLE) * s / ABS(e) END, 9) AS w,
+                 s
+          FROM res CROSS JOIN mad),
+        m2 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN w < 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down,
+                 MAX(s) AS smax,
+                 SUM(CAST(ROUND(w, 9) AS DECIMAL(20,9))) AS sw,
+                 SUM(CAST(ROUND(w * CAST(x AS DOUBLE), 9)
+                   AS DECIMAL(20,9))) AS swx,
+                 SUM(CAST(ROUND(w * CAST(y AS DOUBLE), 9)
+                   AS DECIMAL(20,9))) AS swy,
+                 SUM(CAST(ROUND(w * CAST(x AS DOUBLE)
+                   * CAST(y AS DOUBLE), 9) AS DECIMAL(20,9))) AS swxy,
+                 SUM(CAST(ROUND(w * CAST(x AS DOUBLE)
+                   * CAST(x AS DOUBLE), 9) AS DECIMAL(20,9))) AS swxx
+          FROM wts),
+        f AS (
+          SELECT m2.n AS n, n_down, smax, b AS b_ols,
+                 (CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                   - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE)) /
+                 (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                   - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS bh,
+                 CAST(sw AS DOUBLE) AS swd, CAST(swx AS DOUBLE) AS swxd,
+                 CAST(swy AS DOUBLE) AS swyd
+          FROM m2 CROSS JOIN ab)
+        SELECT n AS n_orders, n_down AS n_downweighted,
+               ROUND(smax, 6) AS mad_scale,
+               ROUND(b_ols, 6) + CAST(0 AS DOUBLE) AS slope_ols,
+               ROUND(bh, 6) + CAST(0 AS DOUBLE) AS slope_huber,
+               ROUND((swyd - bh * swxd) / swd, 6) + CAST(0 AS DOUBLE)
+                 AS intercept_huber
+        FROM f""")),
+
+    // Banzhaf power index over revenue-weighted regional voting: with
+    // each region's revenue share as its voting weight and a
+    // half-of-total quota, a region's power is the count of coalitions
+    // where it SWINGS the outcome — enumerated EXACTLY over all 2⁵
+    // coalitions (the game is 5 players; no sampling). Voting power ≠
+    // weight share — that gap is the whole point of the index. Exact
+    // DECIMAL coalition sums; one normalization at the end.
+    "qic_banzhaf_power" -> Q(
+      fn = (s, dir) => {
+        val w = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey").cast("long").as("rg"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("wv"))
+          .localCheckpoint(eager = false)
+        val tot = w.agg(sum(col("wv")).as("twv"))
+        val masks = w.sparkSession.range(0, 32)
+          .select(col("id").as("mask"))
+        val csums = masks.crossJoin(broadcast(w))
+          .filter(expr("(mask div CAST(pow(2, rg) AS BIGINT)) % 2 = 1"))
+          .groupBy("mask").agg(sum(col("wv")).as("cs"))
+        val swings = w.crossJoin(broadcast(
+            masks.join(csums, Seq("mask"), "left")
+              .select(col("mask"),
+                coalesce(col("cs"), lit(0).cast("decimal(18,2)"))
+                  .as("cs"))))
+          .crossJoin(broadcast(tot))
+          .filter(expr("(mask div CAST(pow(2, rg) AS BIGINT)) % 2 = 0"))
+          .filter(col("cs") * 2 < col("twv") &&
+            (col("cs") + col("wv")) * 2 >= col("twv"))
+          .groupBy(col("rg"), col("wv"), col("twv"))
+          .agg(count(lit(1)).as("swings"))
+        val totsw = swings.agg(sum(col("swings")).as("tsw"))
+        swings.crossJoin(broadcast(totsw))
+          .select(col("rg").as("region"),
+            round(col("wv").cast("double") / col("twv").cast("double"), 6)
+              .as("weight_share"),
+            col("swings"),
+            round(col("swings").cast("double") / col("tsw").cast("double"),
+              6).as("banzhaf_index"))
+          .orderBy("region")
+      },
+      oracle = Some("""
+        WITH w AS MATERIALIZED (
+          SELECT CAST(n_regionkey AS BIGINT) AS rg,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS wv
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1),
+        tot AS (SELECT SUM(wv) AS twv FROM w),
+        masks AS (SELECT unnest(range(0, 32)) AS mask),
+        csums AS (
+          SELECT mask, COALESCE(SUM(CASE
+                   WHEN (mask // CAST(POW(2, rg) AS BIGINT)) % 2 = 1
+                   THEN wv END), CAST(0 AS DECIMAL(18,2))) AS cs
+          FROM masks CROSS JOIN w
+          GROUP BY 1),
+        swings AS (
+          SELECT rg, wv, twv, CAST(COUNT(*) AS BIGINT) AS swings
+          FROM w CROSS JOIN csums CROSS JOIN tot
+          WHERE (mask // CAST(POW(2, rg) AS BIGINT)) % 2 = 0
+            AND cs * 2 < twv AND (cs + wv) * 2 >= twv
+          GROUP BY 1, 2, 3),
+        totsw AS (SELECT CAST(SUM(swings) AS BIGINT) AS tsw FROM swings)
+        SELECT rg AS region,
+               ROUND(CAST(wv AS DOUBLE) / CAST(twv AS DOUBLE), 6)
+                 AS weight_share,
+               swings,
+               ROUND(CAST(swings AS DOUBLE) / CAST(tsw AS DOUBLE), 6)
+                 AS banzhaf_index
+        FROM swings CROSS JOIN totsw
+        ORDER BY region""")),
+
+    // Nearest-neighbor matching ATT: region-0 (treated) customers
+    // matched to the region-1 control with the closest PRE-period
+    // spend (the sorted-merge prev/next device — struct max/min over
+    // ordered frames, no IGNORE NULLS dependence), a 10% caliper, and
+    // the average post-period spend difference over matches — the
+    // matching-estimator member of the causal family (qbk DiD assumes
+    // parallel trends; matching assumes selection-on-pre-spend).
+    // Exact DECIMAL spends; the nearer-neighbor choice compares exact
+    // decimal gaps.
+    "qid_nn_matching_att" -> Q(
+      fn = (s, dir) => {
+        val sp = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_regionkey") <= 1)
+          .select(col("o_custkey").as("ck"),
+            when(col("n_regionkey") === 0, 1).otherwise(0).as("treat"),
+            when(col("o_orderdate") < lit("1996-01-01").cast("timestamp"),
+              col("o_totalprice").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)")).as("pre"),
+            when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"),
+              col("o_totalprice").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)")).as("post"))
+          .groupBy("ck", "treat")
+          .agg(sum(col("pre")).as("pre"), sum(col("post")).as("post"))
+          .filter(col("pre") > 0)
+          .localCheckpoint(eager = false)
+        val wOrd = Window.orderBy(col("pre"), col("ck"))
+        val marked = sp
+          .withColumn("prevc", max(when(col("treat") === 0,
+            struct(col("pre").as("p"), col("post").as("o"))))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("nextc", min(when(col("treat") === 0,
+            struct(col("pre").as("p"), col("post").as("o"))))
+            .over(wOrd.rowsBetween(1, Window.unboundedFollowing)))
+        val matched = marked.filter(col("treat") === 1)
+          .withColumn("dprev",
+            when(col("prevc").isNotNull, col("pre") - col("prevc.p")))
+          .withColumn("dnext",
+            when(col("nextc").isNotNull, col("nextc.p") - col("pre")))
+          .withColumn("mpost",
+            when(col("dprev").isNotNull &&
+              (col("dnext").isNull || col("dprev") <= col("dnext")),
+              col("prevc.o"))
+              .otherwise(col("nextc.o")))
+          .withColumn("gap",
+            when(col("dprev").isNotNull &&
+              (col("dnext").isNull || col("dprev") <= col("dnext")),
+              col("dprev")).otherwise(col("dnext")))
+          .filter(col("gap").isNotNull &&
+            col("gap").cast("double") <=
+              lit(0.1) * col("pre").cast("double"))
+        matched.agg(count(lit(1)).as("n_matched"),
+            sum(col("post") - col("mpost")).as("sdiff"),
+            sum(col("post")).as("st"), sum(col("mpost")).as("sc"))
+          .crossJoin(broadcast(sp.filter(col("treat") === 1)
+            .agg(count(lit(1)).as("n_treated"))))
+          .select(col("n_treated"), col("n_matched"),
+            round(col("st").cast("double") / col("n_matched").cast("double"),
+              6).as("mean_post_treated"),
+            round(col("sc").cast("double") / col("n_matched").cast("double"),
+              6).as("mean_post_matched"),
+            (round(col("sdiff").cast("double") /
+              col("n_matched").cast("double"), 6) + lit(0.0)).as("att"))
+      },
+      oracle = Some("""
+        WITH sp AS MATERIALIZED (
+          SELECT o_custkey AS ck,
+                 CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS treat,
+                 SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS pre,
+                 SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS post
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_regionkey <= 1
+          GROUP BY 1, 2 HAVING SUM(CASE WHEN o_orderdate
+            < TIMESTAMP '1996-01-01'
+            THEN CAST(o_totalprice AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) > 0),
+        marked AS (
+          SELECT *,
+                 MAX(CASE WHEN treat = 0 THEN {'p': pre, 'o': post} END)
+                   OVER (ORDER BY pre, ck
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prevc,
+                 MIN(CASE WHEN treat = 0 THEN {'p': pre, 'o': post} END)
+                   OVER (ORDER BY pre, ck
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS nextc
+          FROM sp),
+        matched AS (
+          SELECT * FROM (
+            SELECT pre, post,
+                   CASE WHEN dprev IS NOT NULL
+                     AND (dnext IS NULL OR dprev <= dnext)
+                     THEN prevc['o'] ELSE nextc['o'] END AS mpost,
+                   CASE WHEN dprev IS NOT NULL
+                     AND (dnext IS NULL OR dprev <= dnext)
+                     THEN dprev ELSE dnext END AS gap
+            FROM (
+              SELECT pre, post, prevc, nextc,
+                     CASE WHEN prevc IS NOT NULL
+                       THEN pre - prevc['p'] END AS dprev,
+                     CASE WHEN nextc IS NOT NULL
+                       THEN nextc['p'] - pre END AS dnext
+              FROM marked WHERE treat = 1))
+          WHERE gap IS NOT NULL
+            AND CAST(gap AS DOUBLE)
+              <= CAST(0.1 AS DOUBLE) * CAST(pre AS DOUBLE)),
+        nt AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_treated FROM sp
+          WHERE treat = 1)
+        SELECT n_treated,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               ROUND(CAST(SUM(post) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS mean_post_treated,
+               ROUND(CAST(SUM(mpost) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_post_matched,
+               ROUND(CAST(SUM(post - mpost) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS att
+        FROM matched CROSS JOIN nt
+        GROUP BY n_treated""")),
+
+    // Small-world card for the order graph: transitivity C = 3T/W from
+    // the exact triangle and wedge censuses, characteristic path
+    // length L from the 10-seed bounded BFS (the qba walk), and the
+    // Humphries–Gurney σ = (C/C_rand)/(L/L_rand) against the
+    // same-density random graph's closed forms C_rand = ⟨k⟩/n,
+    // L_rand = ln n/ln⟨k⟩ — σ ≫ 1 is the clustered-yet-short
+    // small-world signature. Integer censuses; ln links only.
+    "qie_small_world" -> Q(
+      fn = (s, dir) => {
+        val raw = t(s, dir, "orders").select(
+          (col("o_custkey") % 80).cast("long").as("src"),
+          (col("o_orderkey") % 97).cast("long").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val und = raw.select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct().localCheckpoint(eager = false)
+        val tri = und.as("e1")
+          .join(und.as("e2"), col("e2.u") === col("e1.v"))
+          .join(und.as("e3"), col("e3.u") === col("e1.u") &&
+            col("e3.v") === col("e2.v"))
+          .agg(count(lit(1)).as("t"))
+        val deg = und.select(col("u").as("node"))
+          .union(und.select(col("v")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val degAgg = deg.agg(count(lit(1)).as("nn"),
+          sum(col("dg")).as("sdg"),
+          sum(col("dg") * (col("dg") - 1)).as("w2"))
+        val ne = und.agg(count(lit(1)).as("ne"))
+        val seeds = raw.sparkSession.range(0, 10).select(col("id").as("node"))
+        val walk = graft.operators.GraphOps.harmonicCentrality(
+            und.select(col("u").as("src"), col("v").as("dst"))
+              .union(und.select(col("v").as("src"), col("u").as("dst"))),
+            seeds, maxHops = 6)
+          .agg(sum(col("reached")).as("rch"),
+            sum(col("total_dist")).as("tdist"))
+        tri.crossJoin(broadcast(degAgg)).crossJoin(broadcast(ne))
+          .crossJoin(broadcast(walk))
+          .withColumn("cc", lit(3.0) * lit(2.0) * col("t").cast("double") /
+            col("w2").cast("double"))
+          .withColumn("kavg", lit(2.0) * col("ne").cast("double") /
+            col("nn").cast("double"))
+          .withColumn("lpath", col("tdist").cast("double") /
+            col("rch").cast("double"))
+          .withColumn("crand", col("kavg") / col("nn").cast("double"))
+          .withColumn("lrand",
+            log(col("nn").cast("double")) / log(col("kavg")))
+          .select(col("nn").as("n_nodes"), col("ne").as("n_edges"),
+            col("t").as("n_triangles"),
+            round(col("cc"), 6).as("transitivity"),
+            round(col("lpath"), 6).as("avg_path_sampled"),
+            round(col("crand"), 6).as("c_random"),
+            round(col("lrand"), 6).as("l_random"),
+            round((col("cc") / col("crand")) /
+              (col("lpath") / col("lrand")), 6).as("sigma_small_world"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE raw AS (
+          SELECT CAST(o_custkey % 80 AS BIGINT) AS src,
+                 CAST(o_orderkey % 97 AS BIGINT) AS dst
+          FROM orders WHERE o_custkey % 80 <> o_orderkey % 97),
+        und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM raw),
+        tri AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS t
+          FROM und e1
+          JOIN und e2 ON e2.u = e1.v
+          JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
+          FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+          GROUP BY 1),
+        dega AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                 CAST(SUM(dg * (dg - 1)) AS BIGINT) AS w2
+          FROM deg),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne FROM und),
+        bi AS MATERIALIZED (
+          SELECT u AS src, v AS dst FROM und
+          UNION ALL SELECT v, u FROM und),
+        walk(source, node, dist) AS (
+          SELECT CAST(range AS BIGINT), CAST(range AS BIGINT),
+                 CAST(0 AS BIGINT)
+          FROM range(0, 10)
+          UNION
+          SELECT w.source, e.dst, w.dist + 1
+          FROM walk w JOIN bi e ON e.src = w.node
+          WHERE w.dist < 6),
+        md AS (
+          SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2),
+        wk AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS rch,
+                 CAST(SUM(dist) AS BIGINT) AS tdist
+          FROM md WHERE dist > 0),
+        f AS (
+          SELECT nn, ne, t,
+                 CAST(3 AS DOUBLE) * CAST(2 AS DOUBLE)
+                   * CAST(t AS DOUBLE) / CAST(w2 AS DOUBLE) AS cc,
+                 CAST(2 AS DOUBLE) * CAST(ne AS DOUBLE)
+                   / CAST(nn AS DOUBLE) AS kavg,
+                 CAST(tdist AS DOUBLE) / CAST(rch AS DOUBLE) AS lpath
+          FROM tri CROSS JOIN dega CROSS JOIN ne CROSS JOIN wk),
+        g AS (
+          SELECT *, kavg / CAST(nn AS DOUBLE) AS crand,
+                 ln(CAST(nn AS DOUBLE)) / ln(kavg) AS lrand
+          FROM f)
+        SELECT nn AS n_nodes, ne AS n_edges, t AS n_triangles,
+               ROUND(cc, 6) AS transitivity,
+               ROUND(lpath, 6) AS avg_path_sampled,
+               ROUND(crand, 6) AS c_random,
+               ROUND(lrand, 6) AS l_random,
+               ROUND((cc / crand) / (lpath / lrand), 6)
+                 AS sigma_small_world
+        FROM g"""))
   )
 }
