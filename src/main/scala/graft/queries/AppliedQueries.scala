@@ -8125,6 +8125,384 @@ object AppliedQueries {
                ROUND(lrand, 6) AS l_random,
                ROUND((cc / crand) / (lpath / lrand), 6)
                  AS sigma_small_world
-        FROM g"""))
+        FROM g""")),
+
+    // Two-way ANOVA of order value over region × priority: main-effect
+    // sums of squares from the weighted marginal means, the
+    // interaction as the cell remainder (sequential/Type-I convention,
+    // stated — the fixture is unbalanced), error from within-cell
+    // variation, and both F ratios — the factorial upgrade of qbn's
+    // one-way. Every SS is algebraic in exact DECIMAL power sums (the
+    // q8c discipline: ROUND inside the big-decimal cast, VARCHAR
+    // bridge on the squares).
+    "qif_two_way_anova" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_regionkey").cast("long").as("ra"),
+            col("o_orderpriority").as("pb"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(18,8)").as("y"))
+        val cells = o.groupBy("ra", "pb")
+          .agg(count(lit(1)).as("nc"), sum(col("y")).as("sc"),
+            sum((col("y") * col("y")).cast("decimal(38,16)")).as("ssc"))
+          .localCheckpoint(eager = false)
+        val g = cells.agg(sum(col("nc")).as("n"), sum(col("sc")).as("st"),
+          sum(col("ssc")).as("sst"),
+          countDistinct(col("ra")).as("na"),
+          countDistinct(col("pb")).as("nb"),
+          count(lit(1)).as("ncell"))
+        val ssA = cells.groupBy("ra")
+          .agg(sum(col("nc")).as("ni"), sum(col("sc")).as("si"))
+          .agg(sum(g9(round(
+            expr("CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)"),
+            9))).as("qa"))
+        val ssB = cells.groupBy("pb")
+          .agg(sum(col("nc")).as("ni"), sum(col("sc")).as("si"))
+          .agg(sum(g9(round(
+            expr("CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)"),
+            9))).as("qb"))
+        val ssCells = cells.agg(sum(g9(round(
+          expr("CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)"),
+          9))).as("qc"))
+        g.crossJoin(broadcast(ssA)).crossJoin(broadcast(ssB))
+          .crossJoin(broadcast(ssCells))
+          .withColumn("cf", expr(
+            "CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .withColumn("ssa", col("qa").cast("double") - col("cf"))
+          .withColumn("ssb", col("qb").cast("double") - col("cf"))
+          .withColumn("ssab", col("qc").cast("double") -
+            col("qa").cast("double") - col("qb").cast("double") + col("cf"))
+          .withColumn("sse",
+            expr("CAST(CAST(sst AS STRING) AS DOUBLE)") -
+              col("qc").cast("double"))
+          .withColumn("dfa", (col("na") - 1).cast("double"))
+          .withColumn("dfb", (col("nb") - 1).cast("double"))
+          .withColumn("dfab", (col("ncell") - col("na") - col("nb") + 1)
+            .cast("double"))
+          .withColumn("dfe", (col("n") - col("ncell")).cast("double"))
+          .select(col("n").as("n_obs"),
+            (round(col("ssa"), 6) + lit(0.0)).as("ss_region"),
+            (round(col("ssb"), 6) + lit(0.0)).as("ss_priority"),
+            (round(col("ssab"), 6) + lit(0.0)).as("ss_interaction"),
+            round(col("sse"), 6).as("ss_error"),
+            (round((col("ssa") / col("dfa")) /
+              (col("sse") / col("dfe")), 6) + lit(0.0)).as("f_region"),
+            (round((col("ssb") / col("dfb")) /
+              (col("sse") / col("dfe")), 6) + lit(0.0)).as("f_priority"),
+            (round((col("ssab") / col("dfab")) /
+              (col("sse") / col("dfe")), 6) + lit(0.0))
+              .as("f_interaction"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CAST(n_regionkey AS BIGINT) AS ra,
+                 o_orderpriority AS pb,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(18,8)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey),
+        cells AS MATERIALIZED (
+          SELECT ra, pb, CAST(COUNT(*) AS BIGINT) AS nc,
+                 SUM(y) AS sc,
+                 SUM(CAST(y AS DECIMAL(19,8)) * CAST(y AS DECIMAL(19,8)))
+                   AS ssc
+          FROM o GROUP BY 1, 2),
+        g AS (
+          SELECT CAST(SUM(nc) AS BIGINT) AS n, SUM(sc) AS st,
+                 SUM(ssc) AS sst,
+                 CAST(COUNT(DISTINCT ra) AS BIGINT) AS na,
+                 CAST(COUNT(DISTINCT pb) AS BIGINT) AS nb,
+                 CAST(COUNT(*) AS BIGINT) AS ncell
+          FROM cells),
+        qa AS (
+          SELECT SUM(CAST(ROUND(CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+                   / CAST(ni AS DOUBLE), 9) AS DECIMAL(20,9))) AS qa
+          FROM (SELECT ra, CAST(SUM(nc) AS BIGINT) AS ni,
+                       SUM(sc) AS si
+                FROM cells GROUP BY 1)),
+        qb AS (
+          SELECT SUM(CAST(ROUND(CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+                   / CAST(ni AS DOUBLE), 9) AS DECIMAL(20,9))) AS qb
+          FROM (SELECT pb, CAST(SUM(nc) AS BIGINT) AS ni,
+                       SUM(sc) AS si
+                FROM cells GROUP BY 1)),
+        qc AS (
+          SELECT SUM(CAST(ROUND(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                   / CAST(nc AS DOUBLE), 9) AS DECIMAL(20,9))) AS qc
+          FROM cells),
+        f AS (
+          SELECT n, na, nb, ncell,
+                 CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS cf,
+                 CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd,
+                 CAST(qc AS DOUBLE) AS qcd,
+                 CAST(CAST(sst AS VARCHAR) AS DOUBLE) AS sstd
+          FROM g CROSS JOIN qa CROSS JOIN qb CROSS JOIN qc),
+        h AS (
+          SELECT n,
+                 qad - cf AS ssa, qbd - cf AS ssb,
+                 qcd - qad - qbd + cf AS ssab,
+                 sstd - qcd AS sse,
+                 CAST(na - 1 AS DOUBLE) AS dfa,
+                 CAST(nb - 1 AS DOUBLE) AS dfb,
+                 CAST(ncell - na - nb + 1 AS DOUBLE) AS dfab,
+                 CAST(n - ncell AS DOUBLE) AS dfe
+          FROM f)
+        SELECT n AS n_obs,
+               ROUND(ssa, 6) + CAST(0 AS DOUBLE) AS ss_region,
+               ROUND(ssb, 6) + CAST(0 AS DOUBLE) AS ss_priority,
+               ROUND(ssab, 6) + CAST(0 AS DOUBLE) AS ss_interaction,
+               ROUND(sse, 6) AS ss_error,
+               ROUND((ssa / dfa) / (sse / dfe), 6) + CAST(0 AS DOUBLE)
+                 AS f_region,
+               ROUND((ssb / dfb) / (sse / dfe), 6) + CAST(0 AS DOUBLE)
+                 AS f_priority,
+               ROUND((ssab / dfab) / (sse / dfe), 6) + CAST(0 AS DOUBLE)
+                 AS f_interaction
+        FROM h""")),
+
+    // Duplication-of-purchase law over the top-5 brands: the share of
+    // brand A's buyers who also bought brand B against the
+    // Ehrenberg prediction duplication ≈ D·penetration(B) — the
+    // marketing-science regularity that brand buyers are SHARED in
+    // proportion to size, not segmented. D is fitted through the
+    // origin by exact least squares over the 20 ordered pairs;
+    // deviations flag genuine partitions. Integer buyer counts; two
+    // divisions per pair.
+    "qig_duplication_law" -> Q(
+      fn = (s, dir) => {
+        val bb = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("p_brand").as("brand"), col("o_custkey").as("ck"))
+          .distinct()
+          .localCheckpoint(eager = false)
+        val top = bb.groupBy("brand").agg(count(lit(1)).as("nb"))
+          .orderBy(col("nb").desc, col("brand")).limit(5)
+          .localCheckpoint(eager = false)
+        val nAll = t(s, dir, "orders")
+          .select(col("o_custkey")).distinct().agg(count(lit(1)).as("nu"))
+        val tb = bb.join(broadcast(top.select(col("brand"))), "brand")
+        val pairs = tb.select(col("brand").as("ba"), col("ck"))
+          .join(tb.select(col("brand").as("bc"), col("ck").as("ck2")),
+            col("ck") === col("ck2") && col("ba") =!= col("bc"))
+          .groupBy("ba", "bc").agg(count(lit(1)).as("nab"))
+        val sized = pairs
+          .join(broadcast(top.select(col("brand").as("ba"),
+            col("nb").as("na0"))), "ba")
+          .join(broadcast(top.select(col("brand").as("bc"),
+            col("nb").as("nc0"))), "bc")
+          .crossJoin(broadcast(nAll))
+          .select(col("ba"), col("bc"),
+            round(col("nab").cast("double") / col("na0").cast("double"), 9)
+              .as("dup"),
+            round(col("nc0").cast("double") / col("nu").cast("double"), 9)
+              .as("pen"))
+          .localCheckpoint(eager = false)
+        val dfit = sized.agg(
+            sum(g9(round(col("dup") * col("pen"), 9))).as("sxy"),
+            sum(g9(round(col("pen") * col("pen"), 9))).as("sxx"))
+          .select(round(col("sxy").cast("double") /
+            col("sxx").cast("double"), 9).as("dcoef"))
+        sized.crossJoin(broadcast(dfit))
+          .select(col("ba").as("brand_buyers_of"),
+            col("bc").as("also_bought"),
+            round(col("dup"), 6).as("duplication"),
+            round(col("pen"), 6).as("penetration"),
+            round(col("dcoef"), 6).as("d_coefficient"),
+            (round(col("dup") - col("dcoef") * col("pen"), 6) + lit(0.0))
+              .as("residual"))
+          .orderBy("brand_buyers_of", "also_bought")
+      },
+      oracle = Some("""
+        WITH bb AS MATERIALIZED (
+          SELECT DISTINCT p_brand AS brand, o_custkey AS ck
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey),
+        top AS MATERIALIZED (
+          SELECT brand, nb FROM (
+            SELECT brand, CAST(COUNT(*) AS BIGINT) AS nb
+            FROM bb GROUP BY 1)
+          ORDER BY nb DESC, brand LIMIT 5),
+        nall AS (
+          SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nu
+          FROM orders),
+        tb AS MATERIALIZED (
+          SELECT bb.brand, ck FROM bb JOIN top ON bb.brand = top.brand),
+        pairs AS (
+          SELECT a.brand AS ba, b.brand AS bc,
+                 CAST(COUNT(*) AS BIGINT) AS nab
+          FROM tb a JOIN tb b ON a.ck = b.ck AND a.brand <> b.brand
+          GROUP BY 1, 2),
+        sized AS MATERIALIZED (
+          SELECT ba, bc,
+                 ROUND(CAST(nab AS DOUBLE) / CAST(ta.nb AS DOUBLE), 9)
+                   AS dup,
+                 ROUND(CAST(tc.nb AS DOUBLE) / CAST(nu AS DOUBLE), 9)
+                   AS pen
+          FROM pairs
+          JOIN top ta ON ba = ta.brand
+          JOIN top tc ON bc = tc.brand
+          CROSS JOIN nall),
+        dfit AS (
+          SELECT ROUND(
+              CAST(SUM(CAST(ROUND(dup * pen, 9) AS DECIMAL(20,9)))
+                AS DOUBLE) /
+              CAST(SUM(CAST(ROUND(pen * pen, 9) AS DECIMAL(20,9)))
+                AS DOUBLE), 9) AS dcoef
+          FROM sized)
+        SELECT ba AS brand_buyers_of, bc AS also_bought,
+               ROUND(dup, 6) AS duplication,
+               ROUND(pen, 6) AS penetration,
+               ROUND(dcoef, 6) AS d_coefficient,
+               ROUND(dup - dcoef * pen, 6) + CAST(0 AS DOUBLE)
+                 AS residual
+        FROM sized CROSS JOIN dfit
+        ORDER BY brand_buyers_of, also_bought""")),
+
+    // CUSUM-of-squares variance-stability scan (Brown–Durbin–Evans) on
+    // the daily revenue changes: S_t = Σ_{i≤t}e²ᵢ / Σe² against the
+    // uniform diagonal t/n, the max |S_t − t/n| and its day — a MEAN
+    // break leaves this flat while a VOLATILITY break bends it, the
+    // exact complement of q7q's mean-CUSUM (and qgt's ARCH test, which
+    // is a 1-lag parametric cousin). Squares ride the 9-grid into
+    // DECIMAL cumulatives; the envelope comparison is one division
+    // per row.
+    "qih_cusum_squares" -> Q(
+      fn = (s, dir) => {
+        val y = dailyRevenueM(s, dir)
+        val w = Window.orderBy("day")
+        val e = y.withColumn("prev", lag("ym", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("day"),
+            round((col("ym") - col("prev")).cast("double"), 9).as("e"))
+          .withColumn("e2", g9(round(col("e") * col("e"), 9)))
+          .withColumn("tix",
+            row_number().over(Window.orderBy("day")).cast("long"))
+          .localCheckpoint(eager = false)
+        val tot = e.agg(count(lit(1)).as("n"), sum(col("e2")).as("se2"))
+        val scan = e.crossJoin(broadcast(tot))
+          .withColumn("cum", sum(col("e2")).over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("st", col("cum").cast("double") /
+            col("se2").cast("double"))
+          .withColumn("dev", round(abs(col("st") -
+            col("tix").cast("double") / col("n").cast("double")), 9))
+        val worst = scan.agg(max(struct(col("dev").as("d"),
+          (-col("tix")).as("nt"))).as("w"), max(col("n")).as("n"))
+        worst.select(col("n").as("n_changes"),
+            round(col("w.d"), 6).as("max_deviation"),
+            (-col("w.nt")).as("at_index"),
+            // Brown-Durbin-Evans 5% envelope c ≈ 0.948/√n (large-sample)
+            round(lit(0.948) / sqrt(col("n").cast("double")), 6)
+              .as("envelope_5pct"),
+            when(col("w.d") > lit(0.948) / sqrt(col("n").cast("double")),
+              1).otherwise(0).cast("int").as("variance_break_flag"))
+      },
+      oracle = Some(s"""
+        WITH y AS ($dailyRevenueMSql),
+        e AS MATERIALIZED (
+          SELECT day,
+                 ROUND(CAST(ym - prev AS DOUBLE), 9) AS e,
+                 CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS tix
+          FROM (SELECT day, ym, LAG(ym) OVER (ORDER BY day) AS prev
+                FROM y)
+          WHERE prev IS NOT NULL),
+        e2 AS MATERIALIZED (
+          SELECT day, tix,
+                 CAST(ROUND(e * e, 9) AS DECIMAL(20,9)) AS e2
+          FROM e),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(e2) AS se2 FROM e2),
+        scan AS (
+          SELECT tix, n,
+                 ROUND(ABS(CAST(SUM(e2) OVER (ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / CAST(se2 AS DOUBLE)
+                   - CAST(tix AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS dev
+          FROM e2 CROSS JOIN tot),
+        worst AS (
+          SELECT MAX({'d': dev, 'nt': -tix}) AS w, MAX(n) AS n
+          FROM scan)
+        SELECT n AS n_changes,
+               ROUND(w['d'], 6) AS max_deviation,
+               -(w['nt']) AS at_index,
+               ROUND(CAST(0.948 AS DOUBLE) / SQRT(CAST(n AS DOUBLE)), 6)
+                 AS envelope_5pct,
+               CAST(CASE WHEN w['d'] > CAST(0.948 AS DOUBLE)
+                 / SQRT(CAST(n AS DOUBLE)) THEN 1 ELSE 0 END AS INT)
+                 AS variance_break_flag
+        FROM worst""")),
+
+    // Allan variance of the daily purchase-revenue series at
+    // averaging times τ = 1, 2, 4, 8 days: σ²(τ) = ½·mean((ȳ_{k+1} −
+    // ȳ_k)²) over non-overlapping τ-blocks — the stability-vs-
+    // averaging-window diagnostic from time/frequency metrology (white
+    // noise falls as 1/τ, drift RISES — a plain variance can't tell
+    // them apart). Block means are exact DECIMAL/τ ratios on the
+    // 9-grid; one pooled mean per τ.
+    "qii_allan_variance" -> Q(
+      fn = (s, dir) => {
+        val x = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("yv"))
+          .select((row_number().over(Window.orderBy("day")) - 1)
+            .cast("long").as("i"), col("yv"))
+          .localCheckpoint(eager = false)
+        val taus = Seq(1, 2, 4, 8)
+        val perTau = taus.map { tau =>
+          val blocks = x.withColumn("blk", expr(s"i div $tau"))
+            .groupBy("blk")
+            .agg(count(lit(1)).as("m"), sum(col("yv")).as("sv"))
+            .filter(col("m") === tau)
+            .select(col("blk"),
+              round(col("sv").cast("double") / lit(tau.toDouble), 9)
+                .as("bm"))
+          val wB = Window.orderBy("blk")
+          blocks.withColumn("nxt", lead("bm", 1).over(wB))
+            .filter(col("nxt").isNotNull)
+            .select(round((col("nxt") - col("bm")) *
+              (col("nxt") - col("bm")), 9).as("d2"))
+            .agg(count(lit(1)).as("n_pairs"),
+              sum(g9(col("d2"))).as("sd2"))
+            .select(lit(tau).as("tau_days"), col("n_pairs"),
+              round(lit(0.5) * col("sd2").cast("double") /
+                col("n_pairs").cast("double"), 6).as("allan_var"))
+        }
+        perTau.reduce(_ unionAll _).orderBy("tau_days")
+      },
+      oracle = Some({
+        def one(tau: Int) =
+          s"""SELECT CAST($tau AS INT) AS tau_days,
+             |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |  ROUND(CAST(0.5 AS DOUBLE)
+             |    * CAST(SUM(CAST(ROUND(d2, 9) AS DECIMAL(20,9)))
+             |        AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE), 6) AS allan_var
+             |FROM (
+             |  SELECT ROUND((nxt - bm) * (nxt - bm), 9) AS d2
+             |  FROM (
+             |    SELECT bm, LEAD(bm) OVER (ORDER BY blk) AS nxt
+             |    FROM (
+             |      SELECT i // $tau AS blk,
+             |             ROUND(CAST(SUM(yv) AS DOUBLE)
+             |               / CAST($tau AS DOUBLE), 9) AS bm
+             |      FROM x GROUP BY 1 HAVING COUNT(*) = $tau))
+             |  WHERE nxt IS NOT NULL)""".stripMargin
+        s"""
+        WITH d0 AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS yv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        x AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT)
+                   AS i, yv
+          FROM d0)
+        ${Seq(1, 2, 4, 8).map(one).mkString("\n        UNION ALL\n        ")}
+        ORDER BY tau_days"""
+      }))
   )
 }
