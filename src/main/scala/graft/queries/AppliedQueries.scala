@@ -8503,6 +8503,299 @@ object AppliedQueries {
           FROM d0)
         ${Seq(1, 2, 4, 8).map(one).mkString("\n        UNION ALL\n        ")}
         ORDER BY tau_days"""
-      }))
+      })),
+
+    // Disparity-filter backbone of the brand co-purchase graph
+    // (Serrano–Boguñá): an edge survives when its weight share is
+    // significant against the null of uniformly-split node strength —
+    // tested ENTIRELY in log space, (k−1)·ln(1 − w/s) < ln(α), so the
+    // banned exponential never evaluates (the α_ij = (1−w/s)^(k−1)
+    // power is compared, not computed). Keeps the statistically
+    // meaningful skeleton that a global weight threshold (q7e's top-k)
+    // distorts for small-strength nodes. 9-grid shares; ln links.
+    "qij_disparity_backbone" -> Q(
+      // Graph choice matters: the brand–brand co-purchase and the
+      // nation trade matrices in this fixture are UNIFORM — nothing
+      // passes the filter at any SF (hash-matching on empty output,
+      // the vacuity trap). The customer→brand bipartite has genuine
+      // small-sample skew (k ~ 5–20 brands per customer), so the
+      // backbone is non-empty at every SF (6 / 93 / 906 edges).
+      fn = (s, dir) => {
+        val e = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("ck"), col("p_brand").as("brand"))
+          .agg(count(lit(1)).as("w"))
+          .localCheckpoint(eager = false)
+        val strength = e.groupBy("ck")
+          .agg(sum(col("w")).as("si"), count(lit(1)).as("ki"))
+        val scored = e.join(strength, "ck")
+          .withColumn("la", when(col("ki") > 1,
+            round((col("ki") - 1).cast("double") *
+              log(lit(1.0) - round(col("w").cast("double") /
+                col("si").cast("double"), 9)), 9)))
+        val kept = scored.filter(col("la") < log(lit(0.05)))
+        val nKept = kept.agg(count(lit(1)).as("n_backbone"))
+        kept.crossJoin(broadcast(nKept))
+          .select(col("ck").as("customer"), col("brand"),
+            col("w").as("weight"), col("ki").as("n_brands"),
+            (round(col("la"), 6) + lit(0.0)).as("log_alpha"),
+            col("n_backbone"))
+          .orderBy(col("log_alpha"), col("customer"), col("brand"))
+          .limit(30)
+      },
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT o_custkey AS ck, p_brand AS brand,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        strength AS (
+          SELECT ck, CAST(SUM(w) AS BIGINT) AS si,
+                 CAST(COUNT(*) AS BIGINT) AS ki
+          FROM e GROUP BY 1),
+        scored AS (
+          SELECT e.ck, brand, w, ki,
+                 CASE WHEN ki > 1 THEN
+                   ROUND(CAST(ki - 1 AS DOUBLE)
+                     * ln(CAST(1 AS DOUBLE)
+                       - ROUND(CAST(w AS DOUBLE) / CAST(si AS DOUBLE),
+                           9)), 9) END AS la
+          FROM e JOIN strength ON e.ck = strength.ck),
+        kept AS MATERIALIZED (
+          SELECT * FROM scored WHERE la < ln(CAST(0.05 AS DOUBLE))),
+        nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_backbone FROM kept)
+        SELECT ck AS customer, brand, w AS weight, ki AS n_brands,
+               ROUND(la, 6) + CAST(0 AS DOUBLE) AS log_alpha,
+               n_backbone
+        FROM kept CROSS JOIN nk
+        ORDER BY log_alpha, customer, brand LIMIT 30""")),
+
+    // Streak-conditional purchase rates ("hot hand"): P(purchase |
+    // previous k events were purchases) for k = 1, 2, 3 against the
+    // k = 0 base rate, per-user ordered lags — does buying beget
+    // buying within a session stream, or is the streak an illusion?
+    // (Read with care: streak-conditional frequencies carry the
+    // Miller–Sanjurjo selection bias in short sequences — reported
+    // beside the base, not as a test.) Pure integer lag counting.
+    "qik_streak_conditional" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+            col("event_id"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("p"))
+        val wU = Window.partitionBy("user_id")
+          .orderBy(col("ms"), col("event_id"))
+        val lagged = e
+          .withColumn("p1", lag("p", 1).over(wU))
+          .withColumn("p2", lag("p", 2).over(wU))
+          .withColumn("p3", lag("p", 3).over(wU))
+          .localCheckpoint(eager = false)
+        val base = lagged.agg(lit(0).as("k"),
+          count(lit(1)).as("n_cond"), sum(col("p")).as("n_hits"))
+        def cond(k: Int) = {
+          val f = (1 to k).map(i => col(s"p$i") === 1L).reduce(_ && _)
+          lagged.filter((1 to k).map(i => col(s"p$i").isNotNull)
+              .reduce(_ && _) && f)
+            .agg(lit(k).as("k"), count(lit(1)).as("n_cond"),
+              sum(col("p")).as("n_hits"))
+        }
+        val all = base.unionAll(cond(1)).unionAll(cond(2)).unionAll(cond(3))
+        val b = base.select((col("n_hits").cast("double") /
+          col("n_cond").cast("double")).as("base_rate"))
+        all.crossJoin(broadcast(b))
+          .select(col("k"), col("n_cond"), col("n_hits"),
+            round(col("n_hits").cast("double") /
+              col("n_cond").cast("double"), 6).as("p_purchase"),
+            round((col("n_hits").cast("double") /
+              col("n_cond").cast("double")) / col("base_rate"), 6)
+              .as("lift_vs_base"))
+          .orderBy("k")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+          FROM events),
+        lagged AS MATERIALIZED (
+          SELECT p,
+                 LAG(p, 1) OVER (PARTITION BY user_id
+                   ORDER BY ms, event_id) AS p1,
+                 LAG(p, 2) OVER (PARTITION BY user_id
+                   ORDER BY ms, event_id) AS p2,
+                 LAG(p, 3) OVER (PARTITION BY user_id
+                   ORDER BY ms, event_id) AS p3
+          FROM e),
+        rows_k AS (
+          SELECT CAST(0 AS INT) AS k, CAST(COUNT(*) AS BIGINT) AS n_cond,
+                 CAST(SUM(p) AS BIGINT) AS n_hits
+          FROM lagged
+          UNION ALL
+          SELECT CAST(1 AS INT), CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(p) AS BIGINT)
+          FROM lagged WHERE p1 = 1
+          UNION ALL
+          SELECT CAST(2 AS INT), CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(p) AS BIGINT)
+          FROM lagged WHERE p1 = 1 AND p2 = 1
+          UNION ALL
+          SELECT CAST(3 AS INT), CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(p) AS BIGINT)
+          FROM lagged WHERE p1 = 1 AND p2 = 1 AND p3 = 1),
+        base AS (
+          SELECT CAST(n_hits AS DOUBLE) / CAST(n_cond AS DOUBLE)
+                   AS base_rate
+          FROM rows_k WHERE k = 0)
+        SELECT k, n_cond, n_hits,
+               ROUND(CAST(n_hits AS DOUBLE) / CAST(n_cond AS DOUBLE), 6)
+                 AS p_purchase,
+               ROUND((CAST(n_hits AS DOUBLE) / CAST(n_cond AS DOUBLE))
+                 / base_rate, 6) AS lift_vs_base
+        FROM rows_k CROSS JOIN base
+        ORDER BY k""")),
+
+    // Randomized-response privacy mechanism, audited end to end: each
+    // user answers "did you purchase?" truthfully with q = 3/4, else a
+    // forced md5 coin — the reported rate is debiased by
+    // π̂ = (p̂ − (1−q)/2)/q and compared against the true rate the
+    // mechanism never saw. The LOCAL-privacy member of the family (q7t
+    // adds central DP noise to aggregates; RR protects each ROW).
+    // Coins are exact 48-bit integer threshold compares (no float
+    // draws); the debias is two divisions.
+    "qil_randomized_response" -> Q(
+      fn = (s, dir) => {
+        val truth = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("tr"))
+        def draw(salt: String) =
+          conv(substring(md5(concat(lit(salt),
+            col("user_id").cast("string"))), 1, 12), 16, 10).cast("long")
+        // thresholds: 0.75·2^48 and 0.5·2^48, exact integers
+        val reported = truth
+          .withColumn("d1", draw("rr1"))
+          .withColumn("d2", draw("rr2"))
+          .withColumn("ans",
+            when(col("d1") < lit(211106232532992L), col("tr"))
+              .otherwise(when(col("d2") < lit(140737488355328L), 1L)
+                .otherwise(0L)))
+        reported.agg(count(lit(1)).as("n_users"),
+            sum(col("tr")).as("n_true"), sum(col("ans")).as("n_yes"))
+          .select(col("n_users"),
+            round(col("n_true").cast("double") /
+              col("n_users").cast("double"), 6).as("true_rate"),
+            round(col("n_yes").cast("double") /
+              col("n_users").cast("double"), 6).as("reported_rate"),
+            (round((col("n_yes").cast("double") /
+              col("n_users").cast("double") - lit(0.125)) / lit(0.75), 6)
+              + lit(0.0)).as("debiased_rate"),
+            (round(abs((col("n_yes").cast("double") /
+              col("n_users").cast("double") - lit(0.125)) / lit(0.75) -
+              col("n_true").cast("double") /
+              col("n_users").cast("double")), 6) + lit(0.0))
+              .as("abs_error"))
+      },
+      oracle = Some("""
+        WITH truth AS (
+          SELECT user_id,
+                 CAST(MAX(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS tr
+          FROM events GROUP BY 1),
+        reported AS (
+          SELECT tr,
+                 CASE WHEN CAST('0x' || substr(md5('rr1'
+                     || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+                     < 211106232532992 THEN tr
+                   WHEN CAST('0x' || substr(md5('rr2'
+                     || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+                     < 140737488355328 THEN 1
+                   ELSE 0 END AS ans
+          FROM truth),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(tr) AS BIGINT) AS n_true,
+                 CAST(SUM(ans) AS BIGINT) AS n_yes
+          FROM reported)
+        SELECT n_users,
+               ROUND(CAST(n_true AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+                 AS true_rate,
+               ROUND(CAST(n_yes AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+                 AS reported_rate,
+               ROUND((CAST(n_yes AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 - CAST(0.125 AS DOUBLE)) / CAST(0.75 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS debiased_rate,
+               ROUND(ABS((CAST(n_yes AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 - CAST(0.125 AS DOUBLE)) / CAST(0.75 AS DOUBLE)
+                 - CAST(n_true AS DOUBLE) / CAST(n_users AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS abs_error
+        FROM agg""")),
+
+    // Giant-component profile of the (1/97-sampled) order graph: the
+    // top-5 connected components by size with the giant share — the
+    // percolation summary that says whether the graph IS one connected
+    // object or an archipelago (every graph metric upstream silently
+    // assumes an answer). Components from the proven pointer-jumping
+    // CC (q37's operator); the oracle replays reachability with the
+    // recursive MIN-label CTE.
+    "qim_giant_component" -> Q(
+      fn = (s, dir) => {
+        val pairs = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_custkey") % 400).cast("long").as("doc_a"),
+            (col("o_orderkey") % 400).cast("long").as("doc_b"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .distinct()
+        val comps = graft.operators.Dedup.connectedComponents(pairs)
+        val sizes = comps.groupBy("component_id")
+          .agg(count(lit(1)).as("sz"))
+        val tot = sizes.agg(count(lit(1)).as("n_components"),
+          sum(col("sz")).as("n_nodes"))
+        sizes.crossJoin(broadcast(tot))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("sz").desc, col("component_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("rk").cast("int").as("comp_rank"),
+            col("component_id"), col("sz").as("size"),
+            col("n_components"), col("n_nodes"),
+            round(col("sz").cast("double") / col("n_nodes").cast("double"),
+              6).as("share"))
+          .orderBy("comp_rank")
+      },
+      oracle = Some("""
+        WITH RECURSIVE pairs AS (
+          SELECT DISTINCT CAST(o_custkey % 400 AS BIGINT) AS doc_a,
+                 CAST(o_orderkey % 400 AS BIGINT) AS doc_b
+          FROM orders
+          WHERE o_orderkey % 97 = 0
+            AND o_custkey % 400 <> o_orderkey % 400),
+        edges AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+        comps AS (
+          SELECT node, MIN(comp) AS component_id FROM reach GROUP BY 1),
+        sizes AS (
+          SELECT component_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM comps GROUP BY 1),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+                 CAST(SUM(sz) AS BIGINT) AS n_nodes
+          FROM sizes),
+        ranked AS (
+          SELECT component_id, sz, n_components, n_nodes,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sz DESC, component_id)
+                   AS INT) AS rk
+          FROM sizes CROSS JOIN tot)
+        SELECT rk AS comp_rank, component_id, sz AS size,
+               n_components, n_nodes,
+               ROUND(CAST(sz AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+                 AS share
+        FROM ranked WHERE rk <= 5
+        ORDER BY comp_rank"""))
   )
 }
