@@ -8796,6 +8796,395 @@ object AppliedQueries {
                ROUND(CAST(sz AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
                  AS share
         FROM ranked WHERE rk <= 5
-        ORDER BY comp_rank"""))
+        ORDER BY comp_rank""")),
+
+    // Longest dependency chain (≤6 hops) in the low→high-keyed DAG cut
+    // of the sampled order graph: per-node longest incoming chain by
+    // six unrolled max-relaxation rounds (the q4b per-round-checkpoint
+    // discipline — the DP is monotone, so round k holds the exact
+    // ≤k-hop answer; the horizon is declared, not silent) — the
+    // critical-path primitive for any precedence graph. The oracle
+    // enumerates (node, depth) pairs with a depth-bounded recursive
+    // CTE: identical maxima, polynomially-bounded both ways.
+    "qin_longest_chain" -> Q(
+      fn = (s, dir) => {
+        val edges = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_custkey") % 400).cast("long").as("u"),
+            (col("o_orderkey") % 400).cast("long").as("v"))
+          .filter(col("u") < col("v")).distinct()
+          .localCheckpoint(eager = false)
+        val nodes = edges.select(col("u").as("node"))
+          .union(edges.select(col("v"))).distinct()
+        var dist = nodes.withColumn("d", lit(0L))
+          .localCheckpoint(eager = false)
+        for (_ <- 1 to 6) {
+          val relaxed = edges
+            .join(dist.select(col("node").as("u"), col("d")), Seq("u"))
+            .select(col("v").as("node"), (col("d") + 1).as("d"))
+          dist = dist.union(relaxed)
+            .groupBy("node").agg(max(col("d")).as("d"))
+            .localCheckpoint(eager = false)
+        }
+        val mx = dist.agg(max(col("d")).as("maxchain"),
+          count(lit(1)).as("n_nodes"))
+        dist.crossJoin(broadcast(mx))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("d").desc, col("node"))))
+          .filter(col("rk") <= 10)
+          .select(col("rk").cast("int").as("rank"), col("node"),
+            col("d").as("chain_len"), col("maxchain"), col("n_nodes"))
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH RECURSIVE edges AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey % 400 AS BIGINT) AS u,
+                 CAST(o_orderkey % 400 AS BIGINT) AS v
+          FROM orders
+          WHERE o_orderkey % 97 = 0
+            AND o_custkey % 400 < o_orderkey % 400),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)),
+        walk(node, d) AS (
+          SELECT node, CAST(0 AS BIGINT) FROM nodes
+          UNION
+          SELECT e.v, w.d + 1
+          FROM walk w JOIN edges e ON e.u = w.node
+          WHERE w.d < 6),
+        dist AS (
+          SELECT node, MAX(d) AS d FROM walk GROUP BY 1),
+        mx AS (
+          SELECT MAX(d) AS maxchain, CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM dist),
+        ranked AS (
+          SELECT node, d, maxchain, n_nodes,
+                 CAST(ROW_NUMBER() OVER (ORDER BY d DESC, node) AS INT)
+                   AS rk
+          FROM dist CROSS JOIN mx)
+        SELECT rk AS rank, node, d AS chain_len, maxchain, n_nodes
+        FROM ranked WHERE rk <= 10
+        ORDER BY rank""")),
+
+    // Delete-a-group jackknife for the revenue-per-order ratio: 25
+    // leave-one-nation-out replicates R₍g₎ = (ΣY−Y_g)/(ΣN−N_g), SE =
+    // √((G−1)/G · Σ(R₍g₎−R̄)²) — the survey-practice variance device
+    // for NONLINEAR statistics (a ratio's SE is not the ratio of SEs),
+    // closed-form because deletion only shifts the two totals. Exact
+    // DECIMAL group images; replicate deviations on the 12-grid.
+    "qio_jackknife_ratio" -> Q(
+      fn = (s, dir) => {
+        val g = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nk"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("yg"),
+            count(lit(1)).as("ng"))
+          .localCheckpoint(eager = false)
+        val tot = g.agg(sum(col("yg")).as("sy"), sum(col("ng")).as("sn"),
+          count(lit(1)).as("gg"))
+        val reps = g.crossJoin(broadcast(tot))
+          .select(col("gg"), col("sy"), col("sn"),
+            round((col("sy") - col("yg")).cast("double") /
+              (col("sn") - col("ng")).cast("double"), 9).as("rg"))
+        val rbar = reps.agg(max(col("gg")).as("gg"),
+            max(col("sy")).as("sy"), max(col("sn")).as("sn"),
+            round(sum(g9(col("rg"))).cast("double") /
+              count(lit(1)).cast("double"), 9).as("rb"))
+        reps.crossJoin(broadcast(rbar.select(col("rb"))))
+          .agg(max(col("gg")).as("n_groups"),
+            max(col("sy")).as("syx"), max(col("sn")).as("snx"),
+            sum(round((col("rg") - col("rb")) * (col("rg") - col("rb")),
+              12).cast("decimal(28,12)")).as("ssq"))
+          .select(col("n_groups"),
+            round(col("syx").cast("double") / col("snx").cast("double"), 6)
+              .as("ratio"),
+            round(sqrt((col("n_groups") - 1).cast("double") /
+              col("n_groups").cast("double") *
+              col("ssq").cast("double")), 6).as("se_jackknife"),
+            (round(col("syx").cast("double") / col("snx").cast("double") -
+              lit(1.96) * sqrt((col("n_groups") - 1).cast("double") /
+                col("n_groups").cast("double") *
+                col("ssq").cast("double")), 6) + lit(0.0)).as("ci_lo"),
+            (round(col("syx").cast("double") / col("snx").cast("double") +
+              lit(1.96) * sqrt((col("n_groups") - 1).cast("double") /
+                col("n_groups").cast("double") *
+                col("ssq").cast("double")), 6) + lit(0.0)).as("ci_hi"))
+      },
+      oracle = Some("""
+        WITH g AS MATERIALIZED (
+          SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS yg,
+                 CAST(COUNT(*) AS BIGINT) AS ng
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1),
+        tot AS (
+          SELECT SUM(yg) AS sy, CAST(SUM(ng) AS BIGINT) AS sn,
+                 CAST(COUNT(*) AS BIGINT) AS gg
+          FROM g),
+        reps AS (
+          SELECT gg, sy, sn,
+                 ROUND(CAST(sy - yg AS DOUBLE)
+                   / CAST(sn - ng AS DOUBLE), 9) AS rg
+          FROM g CROSS JOIN tot),
+        rbar AS (
+          SELECT ROUND(CAST(SUM(CAST(ROUND(rg, 9) AS DECIMAL(20,9)))
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS rb
+          FROM reps),
+        f AS (
+          SELECT MAX(gg) AS n_groups, MAX(sy) AS syx, MAX(sn) AS snx,
+                 CAST(SUM(CAST(ROUND((rg - rb) * (rg - rb), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS ssq
+          FROM reps CROSS JOIN rbar),
+        h AS (
+          SELECT n_groups,
+                 CAST(syx AS DOUBLE) / CAST(snx AS DOUBLE) AS ratio,
+                 SQRT(CAST(n_groups - 1 AS DOUBLE)
+                   / CAST(n_groups AS DOUBLE) * ssq) AS se
+          FROM f)
+        SELECT n_groups,
+               ROUND(ratio, 6) AS ratio,
+               ROUND(se, 6) AS se_jackknife,
+               ROUND(ratio - CAST(1.96 AS DOUBLE) * se, 6)
+                 + CAST(0 AS DOUBLE) AS ci_lo,
+               ROUND(ratio + CAST(1.96 AS DOUBLE) * se, 6)
+                 + CAST(0 AS DOUBLE) AS ci_hi
+        FROM h""")),
+
+    // SETAR two-regime AR(1) on daily revenue: the series' own lagged
+    // value (split at its exact lower median) selects the regime, each
+    // regime gets its own AR(1) fit, and the pooled-vs-split SSE F
+    // tests whether the dynamics genuinely switch — the simplest
+    // THRESHOLD nonlinearity beside qb9's single-regime Yule–Walker
+    // (mean reversion from a low base often differs from decay from a
+    // high one). Exact median threshold; all fits from 9-grid DECIMAL
+    // moment images.
+    "qip_setar" -> Q(
+      fn = (s, dir) => {
+        val y = dailyRevenueM(s, dir)
+        val w = Window.orderBy("day")
+        val p = y.withColumn("yl", lag("ym", 1).over(w))
+          .filter(col("yl").isNotNull)
+          .select(col("day"),
+            round(col("ym").cast("double"), 9).as("yt"),
+            round(col("yl").cast("double"), 9).as("ylag"))
+          .localCheckpoint(eager = false)
+        val n0 = p.agg(count(lit(1)).as("n"))
+        val thr = p.crossJoin(broadcast(n0))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("ylag"), col("day"))))
+          .filter(col("rk") === expr("(n + 1) div 2"))
+          .select(col("ylag").as("thr"))
+        val tagged = p.crossJoin(broadcast(thr))
+          .withColumn("rg", when(col("ylag") <= col("thr"), 0)
+            .otherwise(1))
+        def mom(df: DataFrame, gcols: Seq[Column]) = df
+          .groupBy(gcols: _*)
+          .agg(count(lit(1)).as("n"),
+            sum(g9(col("ylag"))).as("sx"), sum(g9(col("yt"))).as("sy"),
+            sum(g9(round(col("ylag") * col("yt"), 9))).as("sxy"),
+            sum(g9(round(col("ylag") * col("ylag"), 9))).as("sxx"),
+            sum(g9(round(col("yt") * col("yt"), 9))).as("syy"))
+        def fit(pref: String): Column => Column = identity
+        def sseCols(df: DataFrame): DataFrame = df
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("b", (col("nd") *
+            col("sxy").cast("double") - col("sx").cast("double") *
+            col("sy").cast("double")) /
+            (col("nd") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")))
+          .withColumn("a", (col("sy").cast("double") -
+            col("b") * col("sx").cast("double")) / col("nd"))
+          .withColumn("sse", col("syy").cast("double") -
+            col("a") * col("sy").cast("double") -
+            col("b") * col("sxy").cast("double"))
+        val reg = sseCols(mom(tagged, Seq(col("rg"))))
+        val pooled = sseCols(mom(tagged.withColumn("all", lit(0)),
+          Seq(col("all"))))
+        val regW = reg.agg(
+          max(when(col("rg") === 0, col("b"))).as("b_lo"),
+          max(when(col("rg") === 1, col("b"))).as("b_hi"),
+          max(when(col("rg") === 0, col("a"))).as("a_lo"),
+          max(when(col("rg") === 1, col("a"))).as("a_hi"),
+          sum(col("sse")).as("sse_split"),
+          sum(col("n")).as("ntot"))
+        regW.crossJoin(broadcast(pooled.select(
+            col("sse").as("sse_pool"), col("b").as("b_pool"))))
+          .crossJoin(broadcast(thr))
+          .select(col("ntot").as("n_obs"),
+            round(col("thr"), 6).as("threshold_m"),
+            (round(col("b_lo"), 6) + lit(0.0)).as("ar_low"),
+            (round(col("b_hi"), 6) + lit(0.0)).as("ar_high"),
+            (round(col("b_pool"), 6) + lit(0.0)).as("ar_pooled"),
+            (round((col("sse_pool") - col("sse_split")) / lit(2.0) /
+              (col("sse_split") / (col("ntot") - 4).cast("double")), 6)
+              + lit(0.0)).as("f_regime"))
+      },
+      oracle = Some(s"""
+        WITH yd AS ($dailyRevenueMSql),
+        p AS MATERIALIZED (
+          SELECT day, ROUND(CAST(ym AS DOUBLE), 9) AS yt,
+                 ROUND(CAST(yl AS DOUBLE), 9) AS ylag
+          FROM (SELECT day, ym, LAG(ym) OVER (ORDER BY day) AS yl
+                FROM yd)
+          WHERE yl IS NOT NULL),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+        thr AS (
+          SELECT ylag AS thr FROM (
+            SELECT ylag, ROW_NUMBER() OVER (ORDER BY ylag, day) AS rk, n
+            FROM p CROSS JOIN n0)
+          WHERE rk = (n + 1) // 2),
+        tagged AS MATERIALIZED (
+          SELECT p.*, CASE WHEN ylag <= thr THEN 0 ELSE 1 END AS rg
+          FROM p CROSS JOIN thr),
+        mom AS (
+          SELECT rg, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(ylag, 9) AS DECIMAL(20,9))) AS sx,
+                 SUM(CAST(ROUND(yt, 9) AS DECIMAL(20,9))) AS sy,
+                 SUM(CAST(ROUND(ylag * yt, 9) AS DECIMAL(20,9))) AS sxy,
+                 SUM(CAST(ROUND(ylag * ylag, 9) AS DECIMAL(20,9)))
+                   AS sxx,
+                 SUM(CAST(ROUND(yt * yt, 9) AS DECIMAL(20,9))) AS syy
+          FROM tagged GROUP BY 1),
+        momp AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(ylag, 9) AS DECIMAL(20,9))) AS sx,
+                 SUM(CAST(ROUND(yt, 9) AS DECIMAL(20,9))) AS sy,
+                 SUM(CAST(ROUND(ylag * yt, 9) AS DECIMAL(20,9))) AS sxy,
+                 SUM(CAST(ROUND(ylag * ylag, 9) AS DECIMAL(20,9)))
+                   AS sxx,
+                 SUM(CAST(ROUND(yt * yt, 9) AS DECIMAL(20,9))) AS syy
+          FROM tagged),
+        fits AS (
+          SELECT rg, n, b,
+                 (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS a,
+                 CAST(syy AS DOUBLE)
+                   - ((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE)
+                   - b * CAST(sxy AS DOUBLE) AS sse
+          FROM (
+            SELECT rg, n, sx, sy, sxy, syy,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+            FROM mom)),
+        fitp AS (
+          SELECT b AS b_pool,
+                 CAST(syy AS DOUBLE)
+                   - ((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE)
+                   - b * CAST(sxy AS DOUBLE) AS sse_pool
+          FROM (
+            SELECT n, sx, sy, sxy, syy,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+            FROM momp)),
+        agg AS (
+          SELECT MAX(CASE WHEN rg = 0 THEN b END) AS b_lo,
+                 MAX(CASE WHEN rg = 1 THEN b END) AS b_hi,
+                 CAST(SUM(sse) AS DOUBLE) AS sse_split,
+                 CAST(SUM(n) AS BIGINT) AS ntot
+          FROM fits)
+        SELECT ntot AS n_obs,
+               ROUND(thr, 6) AS threshold_m,
+               ROUND(b_lo, 6) + CAST(0 AS DOUBLE) AS ar_low,
+               ROUND(b_hi, 6) + CAST(0 AS DOUBLE) AS ar_high,
+               ROUND(b_pool, 6) + CAST(0 AS DOUBLE) AS ar_pooled,
+               ROUND((sse_pool - sse_split) / CAST(2 AS DOUBLE)
+                 / (sse_split / CAST(ntot - 4 AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS f_regime
+        FROM agg CROSS JOIN fitp CROSS JOIN thr""")),
+
+    // Inverse-propensity weight diagnostics for the stratified user-
+    // parity design: within activity-quintile strata, control units
+    // get the ATT odds weight p̂ₛ/(1−p̂ₛ); the card reports each arm's
+    // effective sample size (Σw)²/Σw², the ESS ratio, and the largest
+    // normalized weight — the "is this reweighting trustworthy" gate
+    // read BEFORE any IPW estimate (qfo's stratified ATE). Weights are
+    // exact integer odds on the 9-grid; ESS is two divisions.
+    "qiq_weight_diagnostics" -> Q(
+      fn = (s, dir) => {
+        val u = t(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("act"))
+          .select(col("user_id"), col("act"),
+            (col("user_id") % 2).cast("int").as("arm"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(u,
+          Seq(col("act").desc, col("user_id")), "rn")
+        val n0 = ranked.agg(count(lit(1)).as("n"))
+        val strat = ranked.crossJoin(broadcast(n0))
+          .withColumn("base_sz", expr("n div 5"))
+          .withColumn("rem", expr("n % 5"))
+          .withColumn("cut", col("rem") * (col("base_sz") + 1))
+          .withColumn("st", expr("CAST(CASE WHEN rn <= cut" +
+            " THEN (rn - 1) div (base_sz + 1) + 1" +
+            " ELSE rem + (rn - 1 - cut) div base_sz + 1 END AS INT)"))
+        val ps = strat.groupBy("st")
+          .agg(count(lit(1)).as("ns"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"))
+        val wts = strat.join(broadcast(ps), "st")
+          .withColumn("wt", when(col("arm") === 1, lit(1.0))
+            .otherwise(round(col("nt").cast("double") /
+              (col("ns") - col("nt")).cast("double"), 9)))
+        wts.groupBy("arm")
+          .agg(count(lit(1)).as("n_units"),
+            sum(g9(col("wt"))).as("sw"),
+            sum(g9(round(col("wt") * col("wt"), 9))).as("sww"),
+            max(col("wt")).as("wmax"))
+          .select(col("arm"), col("n_units"),
+            round(col("sw").cast("double"), 6).as("sum_w"),
+            round(col("sw").cast("double") * col("sw").cast("double") /
+              col("sww").cast("double"), 6).as("ess"),
+            round(col("sw").cast("double") * col("sw").cast("double") /
+              col("sww").cast("double") / col("n_units").cast("double"),
+              6).as("ess_ratio"),
+            round(col("wmax") / col("sw").cast("double"), 6)
+              .as("max_norm_weight"))
+          .orderBy("arm")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS act,
+                 CAST(user_id % 2 AS INT) AS arm
+          FROM events GROUP BY 1),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY act DESC, user_id)
+                   AS BIGINT) AS rn,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n
+          FROM u),
+        strat AS (
+          SELECT *, CAST(CASE WHEN rn <= rem * (base_sz + 1)
+                   THEN (rn - 1) // (base_sz + 1) + 1
+                   ELSE rem + (rn - 1 - rem * (base_sz + 1)) // base_sz
+                     + 1 END AS INT) AS st
+          FROM (SELECT *, n // 5 AS base_sz, n % 5 AS rem FROM ranked)),
+        ps AS (
+          SELECT st, CAST(COUNT(*) AS BIGINT) AS ns,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nt
+          FROM strat GROUP BY 1),
+        wts AS (
+          SELECT arm,
+                 CASE WHEN arm = 1 THEN CAST(1 AS DOUBLE)
+                   ELSE ROUND(CAST(nt AS DOUBLE)
+                     / CAST(ns - nt AS DOUBLE), 9) END AS wt
+          FROM strat JOIN ps ON strat.st = ps.st),
+        agg AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_units,
+                 SUM(CAST(ROUND(wt, 9) AS DECIMAL(20,9))) AS sw,
+                 SUM(CAST(ROUND(wt * wt, 9) AS DECIMAL(20,9))) AS sww,
+                 MAX(wt) AS wmax
+          FROM wts GROUP BY 1)
+        SELECT arm, n_units,
+               ROUND(CAST(sw AS DOUBLE), 6) AS sum_w,
+               ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                 / CAST(sww AS DOUBLE), 6) AS ess,
+               ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                 / CAST(sww AS DOUBLE) / CAST(n_units AS DOUBLE), 6)
+                 AS ess_ratio,
+               ROUND(wmax / CAST(sw AS DOUBLE), 6) AS max_norm_weight
+        FROM agg ORDER BY arm"""))
   )
 }
