@@ -9185,6 +9185,178 @@ object AppliedQueries {
                  / CAST(sww AS DOUBLE) / CAST(n_units AS DOUBLE), 6)
                  AS ess_ratio,
                ROUND(wmax / CAST(sw AS DOUBLE), 6) AS max_norm_weight
-        FROM agg ORDER BY arm"""))
+        FROM agg ORDER BY arm""")),
+
+    // Logistic adoption-curve fit of cumulative user sign-ups: with
+    // the carrying capacity pinned at K = ⌈1.05 · total users⌉ the
+    // S-curve LINEARIZES — ln(c/(K−c)) is a straight line in t — so
+    // the growth rate r and midpoint t₀ = −α/r come from one exact
+    // OLS, no nonlinear solver (the qbz Bass model's single-parameter
+    // cousin; Bass fits WHO adopts, logistic fits WHEN saturation
+    // bites). ln links on exact integer ratios; 9-grid moments.
+    "qir_logistic_adoption" -> Q(
+      // Adoption unit: CATALOG DISCOVERY (first month each part is ever
+      // ordered), not user sign-ups — the events fixture front-loads
+      // every user's first activity into days 1-4 (1 point at sf0.001,
+      // a degenerate OLS), while part discovery accumulates over ~80
+      // months toward the catalog size at every SF.
+      fn = (s, dir) => {
+        val firstd = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_partkey"))
+          .agg(min(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+            .cast("long")).as("fd"))
+        val daily = firstd.groupBy(col("fd").as("day"))
+          .agg(count(lit(1)).as("nu"))
+        val w = Window.orderBy("day")
+        val cum = daily
+          .withColumn("c", sum(col("nu")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("tt",
+            row_number().over(Window.orderBy("day")).cast("long"))
+        val kcap = firstd.agg(
+          expr("CAST(ceil(1.05 * COUNT(*)) AS BIGINT)").as("k"))
+        val z = cum.crossJoin(broadcast(kcap))
+          .filter(col("c") < col("k"))
+          .select(col("tt"), col("k"),
+            round(log(col("c").cast("double") /
+              (col("k") - col("c")).cast("double")), 9).as("z"))
+        val m = z.groupBy("k").agg(count(lit(1)).as("n"),
+          sum(col("tt")).as("st"), sum(g9(col("z"))).as("sz"),
+          sum(col("tt") * col("tt")).as("stt"),
+          sum(g9(round(col("tt").cast("double") * col("z"), 9))).as("stz"))
+        m.withColumn("r", (col("n").cast("double") *
+            col("stz").cast("double") -
+            col("st").cast("double") * col("sz").cast("double")) /
+            (col("n").cast("double") * col("stt").cast("double") -
+              col("st").cast("double") * col("st").cast("double")))
+          .withColumn("a", (col("sz").cast("double") -
+            col("r") * col("st").cast("double")) / col("n").cast("double"))
+          .select(col("n").as("n_months"), col("k").as("capacity"),
+            (round(col("r"), 6) + lit(0.0)).as("growth_rate"),
+            (round(-col("a") / col("r"), 6) + lit(0.0))
+              .as("midpoint_month"),
+            (round(col("a"), 6) + lit(0.0)).as("intercept"))
+      },
+      oracle = Some("""
+        WITH firstd AS (
+          SELECT l_partkey,
+                 CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)
+                   - 1) AS BIGINT) AS fd
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1),
+        daily AS (
+          SELECT fd AS day, CAST(COUNT(*) AS BIGINT) AS nu
+          FROM firstd GROUP BY 1),
+        kcap AS (
+          SELECT CAST(CEIL(1.05 * COUNT(*)) AS BIGINT) AS k
+          FROM firstd),
+        cum AS (
+          SELECT day,
+                 CAST(SUM(nu) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+                 CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS tt
+          FROM daily),
+        z AS (
+          SELECT tt, k,
+                 ROUND(ln(CAST(c AS DOUBLE) / CAST(k - c AS DOUBLE)), 9)
+                   AS z
+          FROM cum CROSS JOIN kcap WHERE c < k),
+        m AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(tt) AS BIGINT) AS st,
+                 SUM(CAST(ROUND(z, 9) AS DECIMAL(20,9))) AS sz,
+                 CAST(SUM(tt * tt) AS BIGINT) AS stt,
+                 SUM(CAST(ROUND(CAST(tt AS DOUBLE) * z, 9)
+                   AS DECIMAL(20,9))) AS stz
+          FROM z GROUP BY 1),
+        f AS (
+          SELECT k, n,
+                 (CAST(n AS DOUBLE) * CAST(stz AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(sz AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS r,
+                 CAST(st AS DOUBLE) AS std, CAST(sz AS DOUBLE) AS szd
+          FROM m),
+        g AS (
+          SELECT k, n, r, (szd - r * std) / CAST(n AS DOUBLE) AS a
+          FROM f)
+        SELECT n AS n_months, k AS capacity,
+               ROUND(r, 6) + CAST(0 AS DOUBLE) AS growth_rate,
+               ROUND(-a / r, 6) + CAST(0 AS DOUBLE) AS midpoint_month,
+               ROUND(a, 6) + CAST(0 AS DOUBLE) AS intercept
+        FROM g""")),
+
+    // Extremal index of daily purchase revenue: exceedances above the
+    // empirical 90th percentile, clustered by the runs estimator
+    // (a new cluster starts when the previous day was NOT an
+    // exceedance) — θ̂ = clusters/exceedances ≈ 1/mean-cluster-size.
+    // θ < 1 means extremes arrive in BURSTS, and every iid-based
+    // return level (qb8 Gumbel, qcc GPD) overstates protection by
+    // roughly 1/θ — the dependence correction the EVT family needs.
+    // Exact order-statistic threshold; pure integer run counting.
+    "qit_extremal_index" -> Q(
+      fn = (s, dir) => {
+        val x = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("yv"))
+          .localCheckpoint(eager = false)
+        val n0 = x.agg(count(lit(1)).as("n"))
+        val thr = x.crossJoin(broadcast(n0))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("yv"), col("day"))))
+          .filter(col("rk") === expr("(n * 900 + 999) div 1000"))
+          .select(col("yv").as("u"))
+        val w = Window.orderBy("day")
+        val flags = x.crossJoin(broadcast(thr))
+          .withColumn("exc", when(col("yv") > col("u"), 1L).otherwise(0L))
+          .withColumn("pexc", lag("exc", 1).over(w))
+          .withColumn("cl_start", when(col("exc") === 1 &&
+            (col("pexc").isNull || col("pexc") === 0), 1L).otherwise(0L))
+        flags.crossJoin(broadcast(n0))
+          .agg(max(col("n")).as("n_days"),
+            round(max(col("u")).cast("double"), 6).as("threshold"),
+            sum(col("exc")).as("n_exceed"),
+            sum(col("cl_start")).as("n_clusters"))
+          .select(col("n_days"), col("threshold"), col("n_exceed"),
+            col("n_clusters"),
+            round(col("n_clusters").cast("double") /
+              col("n_exceed").cast("double"), 6).as("extremal_index"),
+            round(col("n_exceed").cast("double") /
+              col("n_clusters").cast("double"), 6).as("mean_cluster_size"))
+      },
+      oracle = Some("""
+        WITH d0 AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS yv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d0),
+        thr AS (
+          SELECT yv AS u FROM (
+            SELECT yv, ROW_NUMBER() OVER (ORDER BY yv, day) AS rk, n
+            FROM d0 CROSS JOIN n0)
+          WHERE rk = (n * 900 + 999) // 1000),
+        flags AS (
+          SELECT day, exc,
+                 LAG(exc) OVER (ORDER BY day) AS pexc
+          FROM (
+            SELECT day,
+                   CASE WHEN yv > u THEN 1 ELSE 0 END AS exc
+            FROM d0 CROSS JOIN thr)),
+        agg AS (
+          SELECT CAST(SUM(exc) AS BIGINT) AS n_exceed,
+                 CAST(SUM(CASE WHEN exc = 1
+                   AND (pexc IS NULL OR pexc = 0) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_clusters
+          FROM flags)
+        SELECT n AS n_days,
+               ROUND(CAST(u AS DOUBLE), 6) AS threshold,
+               n_exceed, n_clusters,
+               ROUND(CAST(n_clusters AS DOUBLE)
+                 / CAST(n_exceed AS DOUBLE), 6) AS extremal_index,
+               ROUND(CAST(n_exceed AS DOUBLE)
+                 / CAST(n_clusters AS DOUBLE), 6) AS mean_cluster_size
+        FROM agg CROSS JOIN thr CROSS JOIN n0"""))
   )
 }

@@ -8784,6 +8784,131 @@ object SciQueries {
                  AS DECIMAL(28,12))) AS DOUBLE)
                  / (CAST(2 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)), 6)
                  AS gamma
-        FROM binned GROUP BY 1 ORDER BY 1"""))
+        FROM binned GROUP BY 1 ORDER BY 1""")),
+
+    // LISA — local Moran's Iᵢ over the qcl contiguity graph with the
+    // Anselin quadrant typing: Iᵢ = (zᵢ/m₂)·Σ_{j∈N(i)} zⱼ, HH/LL =
+    // clusters, HL/LH = spatial OUTLIERS — the per-point answer qcl's
+    // single global I averages away, and the cluster/outlier
+    // distinction qco's G*ᵢ (which only sees magnitude) cannot make.
+    // Same cell-bucketed radius join; top 20 by |Iᵢ| with id
+    // tiebreaks; 12-grid products into DECIMAL sums.
+    "qis_local_morans" -> Q(
+      fn = (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 1500)
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey").as("pid"),
+            hashCoord(col("c_custkey"), "lat", 180000L, 90.0).as("lat"),
+            hashCoord(col("c_custkey"), "lon", 360000L, 180.0).as("lon"),
+            round(log(col("sp").cast("double")), 9).as("a"))
+          .filter(abs(col("lat")) <= lit(70.0))
+          .localCheckpoint(eager = false)
+        val mu = pts.agg(count(lit(1)).as("n"),
+            sum(col("a").cast("decimal(28,9)")).as("sa"))
+          .select(col("n"),
+            round(col("sa").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val zs = pts.crossJoin(broadcast(mu))
+          .select(col("pid"), col("lat"), col("lon"),
+            round(col("a") - col("mu"), 9).as("z"), col("n"))
+          .localCheckpoint(eager = false)
+        val m2 = zs.agg(max(col("n")).as("n"),
+            sum(round(col("z") * col("z"), 12).cast("decimal(28,12)"))
+              .as("szz"))
+          .select(col("n"),
+            round(col("szz").cast("double") / col("n").cast("double"), 9)
+              .as("m2"))
+        val aa = zs.select(col("pid").as("a_id"), col("lat").as("a_lat"),
+          col("lon").as("a_lon"), col("z").as("za"))
+        val bb = zs.select(col("pid").as("b_id"), col("lat").as("b_lat"),
+          col("lon").as("b_lon"), col("z").as("zb"))
+        val lags = Geo.radiusJoinCells(aa, "a_lat", "a_lon",
+            bb, "b_lat", "b_lon", 400.0, 5.0, 1, 3)
+          .filter(col("a_id") =!= col("b_id"))
+          .groupBy(col("a_id"), col("za"))
+          .agg(count(lit(1)).as("n_nbrs"),
+            sum(round(col("zb"), 9).cast("decimal(20,9)")).as("zlag"))
+        lags.crossJoin(broadcast(m2.select(col("m2"))))
+          .withColumn("ii", round(col("za") / col("m2") *
+            col("zlag").cast("double"), 9))
+          .withColumn("quad",
+            when(col("za") > 0 && col("zlag") > 0, "HH")
+              .when(col("za") < 0 && col("zlag") < 0, "LL")
+              .when(col("za") > 0 && col("zlag") <= 0, "HL")
+              .otherwise("LH"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(abs(col("ii")).desc, col("a_id"))))
+          .filter(col("rk") <= 20)
+          .select(col("rk").cast("int").as("rank"),
+            col("a_id").as("point_id"), col("n_nbrs"),
+            (round(col("za"), 6) + lit(0.0)).as("z_i"),
+            (round(col("zlag").cast("double"), 6) + lit(0.0))
+              .as("z_lag_sum"),
+            (round(col("ii"), 6) + lit(0.0)).as("local_i"),
+            col("quad"))
+          .orderBy("rank")
+      },
+      oracle = Some(s"""
+        WITH spend AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+          FROM orders GROUP BY 1),
+        pts AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT c_custkey AS id,
+                   ${coordSql("c_custkey", "lat", 180000L, 90)} AS lat,
+                   ${coordSql("c_custkey", "lon", 360000L, 180)} AS lon,
+                   ROUND(ln(CAST(sp AS DOUBLE)), 9) AS a
+            FROM customer JOIN spend ON c_custkey = o_custkey
+            WHERE c_custkey <= 1500)
+          WHERE ABS(lat) <= CAST(70 AS DOUBLE)),
+        mu AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(CAST(a AS DECIMAL(28,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS mu
+          FROM pts),
+        zs AS MATERIALIZED (
+          SELECT id, lat, lon, ROUND(a - mu, 9) AS z, n
+          FROM pts CROSS JOIN mu),
+        m2 AS (
+          SELECT ROUND(CAST(SUM(CAST(ROUND(z * z, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 9) AS m2
+          FROM zs),
+        lags AS (
+          SELECT a.id AS a_id, a.z AS za,
+                 CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+                 SUM(CAST(ROUND(b.z, 9) AS DECIMAL(20,9))) AS zlag
+          FROM zs a JOIN zs b ON a.id <> b.id
+          WHERE ROUND(CAST(12742 AS DOUBLE) * ASIN(SQRT(
+                  SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lat - a.lat) / CAST(2 AS DOUBLE))
+                  + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE))
+                    * SIN(RADIANS(b.lon - a.lon) / CAST(2 AS DOUBLE)))), 6)
+                <= CAST(400 AS DOUBLE)
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT a_id, za, n_nbrs, zlag,
+                 ROUND(za / m2 * CAST(zlag AS DOUBLE), 9) AS ii,
+                 CASE WHEN za > 0 AND zlag > 0 THEN 'HH'
+                      WHEN za < 0 AND zlag < 0 THEN 'LL'
+                      WHEN za > 0 AND zlag <= 0 THEN 'HL'
+                      ELSE 'LH' END AS quad
+          FROM lags CROSS JOIN m2),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY ABS(ii) DESC, a_id)
+                   AS INT) AS rk
+          FROM scored)
+        SELECT rk AS rank, a_id AS point_id, n_nbrs,
+               ROUND(za, 6) + CAST(0 AS DOUBLE) AS z_i,
+               ROUND(CAST(zlag AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS z_lag_sum,
+               ROUND(ii, 6) + CAST(0 AS DOUBLE) AS local_i,
+               quad
+        FROM ranked WHERE rk <= 20
+        ORDER BY rank"""))
   )
 }
