@@ -9357,6 +9357,491 @@ object AppliedQueries {
                  / CAST(n_exceed AS DOUBLE), 6) AS extremal_index,
                ROUND(CAST(n_exceed AS DOUBLE)
                  / CAST(n_clusters AS DOUBLE), 6) AS mean_cluster_size
-        FROM agg CROSS JOIN thr CROSS JOIN n0"""))
+        FROM agg CROSS JOIN thr CROSS JOIN n0""")),
+
+    // Rosenbaum sensitivity bounds for the qid matching estimate: at
+    // hidden-bias levels Γ ∈ {1, 1.5, 2}, the worst-case sign-test
+    // z = (T − n·p_Γ)/√(n·p_Γ(1−p_Γ)) with p_Γ = Γ/(1+Γ) over the
+    // matched pairs' post-spend signs — how much unobserved
+    // confounding would it take to explain the effect away? (Γ = 1 is
+    // the no-bias McNemar z.) Pure integer sign counts; the bound is
+    // a closed normal approximation, no exponentials.
+    "qiu_rosenbaum_bounds" -> Q(
+      fn = (s, dir) => {
+        val sp = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_regionkey") <= 1)
+          .select(col("o_custkey").as("ck"),
+            when(col("n_regionkey") === 0, 1).otherwise(0).as("treat"),
+            when(col("o_orderdate") < lit("1996-01-01").cast("timestamp"),
+              col("o_totalprice").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)")).as("pre"),
+            when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"),
+              col("o_totalprice").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)")).as("post"))
+          .groupBy("ck", "treat")
+          .agg(sum(col("pre")).as("pre"), sum(col("post")).as("post"))
+          .filter(col("pre") > 0)
+          .localCheckpoint(eager = false)
+        val wOrd = Window.orderBy(col("pre"), col("ck"))
+        val marked = sp
+          .withColumn("prevc", max(when(col("treat") === 0,
+            struct(col("pre").as("p"), col("post").as("o"))))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("nextc", min(when(col("treat") === 0,
+            struct(col("pre").as("p"), col("post").as("o"))))
+            .over(wOrd.rowsBetween(1, Window.unboundedFollowing)))
+        val matched = marked.filter(col("treat") === 1)
+          .withColumn("dprev",
+            when(col("prevc").isNotNull, col("pre") - col("prevc.p")))
+          .withColumn("dnext",
+            when(col("nextc").isNotNull, col("nextc.p") - col("pre")))
+          .withColumn("mpost",
+            when(col("dprev").isNotNull &&
+              (col("dnext").isNull || col("dprev") <= col("dnext")),
+              col("prevc.o"))
+              .otherwise(col("nextc.o")))
+          .withColumn("gap",
+            when(col("dprev").isNotNull &&
+              (col("dnext").isNull || col("dprev") <= col("dnext")),
+              col("dprev")).otherwise(col("dnext")))
+          .filter(col("gap").isNotNull &&
+            col("gap").cast("double") <=
+              lit(0.1) * col("pre").cast("double"))
+          .filter(col("post") =!= col("mpost"))
+        val counts = matched.agg(count(lit(1)).as("np"),
+          sum(when(col("post") > col("mpost"), 1L).otherwise(0L)).as("tp"))
+        val gammas = counts.select(col("np"), col("tp"),
+          explode(expr("array(CAST(1.0 AS DOUBLE)," +
+            " CAST(1.5 AS DOUBLE), CAST(2.0 AS DOUBLE))")).as("gam"))
+        gammas
+          .withColumn("pg", col("gam") / (lit(1.0) + col("gam")))
+          .select(round(col("gam"), 2).as("gamma"),
+            col("np").as("n_pairs"), col("tp").as("n_positive"),
+            round(col("pg"), 6).as("p_gamma"),
+            (round((col("tp").cast("double") -
+              col("np").cast("double") * col("pg")) /
+              sqrt(col("np").cast("double") * col("pg") *
+                (lit(1.0) - col("pg"))), 6) + lit(0.0)).as("z_bound"),
+            when((col("tp").cast("double") -
+              col("np").cast("double") * col("pg")) /
+              sqrt(col("np").cast("double") * col("pg") *
+                (lit(1.0) - col("pg"))) > lit(1.645), 1)
+              .otherwise(0).cast("int").as("still_significant"))
+          .orderBy("gamma")
+      },
+      oracle = Some("""
+        WITH sp AS MATERIALIZED (
+          SELECT o_custkey AS ck,
+                 CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS treat,
+                 SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS pre,
+                 SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS post
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_regionkey <= 1
+          GROUP BY 1, 2 HAVING SUM(CASE WHEN o_orderdate
+            < TIMESTAMP '1996-01-01'
+            THEN CAST(o_totalprice AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) > 0),
+        marked AS (
+          SELECT *,
+                 MAX(CASE WHEN treat = 0 THEN {'p': pre, 'o': post} END)
+                   OVER (ORDER BY pre, ck
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prevc,
+                 MIN(CASE WHEN treat = 0 THEN {'p': pre, 'o': post} END)
+                   OVER (ORDER BY pre, ck
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS nextc
+          FROM sp),
+        matched AS (
+          SELECT * FROM (
+            SELECT pre, post,
+                   CASE WHEN dprev IS NOT NULL
+                     AND (dnext IS NULL OR dprev <= dnext)
+                     THEN prevc['o'] ELSE nextc['o'] END AS mpost,
+                   CASE WHEN dprev IS NOT NULL
+                     AND (dnext IS NULL OR dprev <= dnext)
+                     THEN dprev ELSE dnext END AS gap
+            FROM (
+              SELECT pre, post, prevc, nextc,
+                     CASE WHEN prevc IS NOT NULL
+                       THEN pre - prevc['p'] END AS dprev,
+                     CASE WHEN nextc IS NOT NULL
+                       THEN nextc['p'] - pre END AS dnext
+              FROM marked WHERE treat = 1))
+          WHERE gap IS NOT NULL
+            AND CAST(gap AS DOUBLE)
+              <= CAST(0.1 AS DOUBLE) * CAST(pre AS DOUBLE)
+            AND post <> mpost),
+        counts AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                 CAST(SUM(CASE WHEN post > mpost THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tp
+          FROM matched),
+        gam AS (
+          SELECT np, tp, gam, gam / (CAST(1 AS DOUBLE) + gam) AS pg
+          FROM counts CROSS JOIN (SELECT unnest([CAST(1.0 AS DOUBLE),
+            CAST(1.5 AS DOUBLE), CAST(2.0 AS DOUBLE)]) AS gam))
+        SELECT ROUND(gam, 2) AS gamma, np AS n_pairs,
+               tp AS n_positive,
+               ROUND(pg, 6) AS p_gamma,
+               ROUND((CAST(tp AS DOUBLE) - CAST(np AS DOUBLE) * pg)
+                 / SQRT(CAST(np AS DOUBLE) * pg
+                   * (CAST(1 AS DOUBLE) - pg)), 6) + CAST(0 AS DOUBLE)
+                 AS z_bound,
+               CAST(CASE WHEN (CAST(tp AS DOUBLE)
+                 - CAST(np AS DOUBLE) * pg)
+                 / SQRT(CAST(np AS DOUBLE) * pg
+                   * (CAST(1 AS DOUBLE) - pg)) > CAST(1.645 AS DOUBLE)
+                 THEN 1 ELSE 0 END AS INT) AS still_significant
+        FROM gam ORDER BY gamma""")),
+
+    // VanderWeele E-value for the urgent-vs-other conversion risk
+    // ratio: the minimum confounder strength (on the risk-ratio
+    // scale, with BOTH exposure and outcome) that could explain the
+    // observed association away — E = RR + √(RR(RR−1)) — plus the
+    // E-value of the CI bound nearer the null. The one-line
+    // sensitivity answer to "but maybe it's confounded". Integer
+    // rates; sqrt links only.
+    "qiv_e_value" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("ret"))
+        val o = t(s, dir, "orders")
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(
+            when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)
+              .as("x"), col("ret"))
+        val m = o.groupBy("x")
+          .agg(count(lit(1)).as("n"), sum(col("ret")).as("k"))
+        val rr = m.agg(
+            max(when(col("x") === 1, col("n"))).as("n1"),
+            max(when(col("x") === 1, col("k"))).as("k1"),
+            max(when(col("x") === 0, col("n"))).as("n0"),
+            max(when(col("x") === 0, col("k"))).as("k0"))
+          .withColumn("p1", col("k1").cast("double") /
+            col("n1").cast("double"))
+          .withColumn("p0", col("k0").cast("double") /
+            col("n0").cast("double"))
+          .withColumn("rr0", col("p1") / col("p0"))
+          // work with RR ≥ 1 (invert when protective — the E-value is
+          // symmetric under inversion)
+          .withColumn("rrx", when(col("rr0") >= 1, col("rr0"))
+            .otherwise(lit(1.0) / col("rr0")))
+          .withColumn("selog", sqrt(
+            (lit(1.0) - col("p1")) / col("k1").cast("double") +
+            (lit(1.0) - col("p0")) / col("k0").cast("double")))
+          // CI bound nearer the null on the LOG scale: ln RR ∓ 1.96·se;
+          // exp is banned, so the bound's E-value is reported on the
+          // log scale too (monotone — the verdict is unchanged)
+          .withColumn("lnrr", log(col("rrx")))
+          .withColumn("lnlo", col("lnrr") - lit(1.96) * col("selog"))
+        rr.select(col("n1"), col("n0"),
+            round(col("p1"), 6).as("rate_exposed"),
+            round(col("p0"), 6).as("rate_unexposed"),
+            round(col("rrx"), 6).as("risk_ratio"),
+            round(col("rrx") + sqrt(col("rrx") *
+              (col("rrx") - lit(1.0))), 6).as("e_value"),
+            (round(col("lnlo"), 6) + lit(0.0)).as("ln_rr_ci_lo"),
+            when(col("lnlo") <= 0, 1).otherwise(0).cast("int")
+              .as("ci_crosses_null"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey,
+                 CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ret
+          FROM lineitem GROUP BY 1),
+        o AS (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS x, ret
+          FROM orders JOIN li ON o_orderkey = l_orderkey),
+        m AS (
+          SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ret) AS BIGINT) AS k
+          FROM o GROUP BY 1),
+        rr AS (
+          SELECT MAX(CASE WHEN x = 1 THEN n END) AS n1,
+                 MAX(CASE WHEN x = 1 THEN k END) AS k1,
+                 MAX(CASE WHEN x = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN x = 0 THEN k END) AS k0
+          FROM m),
+        f AS (
+          SELECT n1, n0, p1, p0,
+                 CASE WHEN p1 / p0 >= 1 THEN p1 / p0
+                   ELSE CAST(1 AS DOUBLE) / (p1 / p0) END AS rrx,
+                 SQRT((CAST(1 AS DOUBLE) - p1) / CAST(k1 AS DOUBLE)
+                   + (CAST(1 AS DOUBLE) - p0) / CAST(k0 AS DOUBLE))
+                   AS selog
+          FROM (
+            SELECT n1, n0, k1, k0,
+                   CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                   CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0
+            FROM rr)),
+        g AS (
+          SELECT *, ln(rrx) - CAST(1.96 AS DOUBLE) * selog AS lnlo
+          FROM f)
+        SELECT n1, n0,
+               ROUND(p1, 6) AS rate_exposed,
+               ROUND(p0, 6) AS rate_unexposed,
+               ROUND(rrx, 6) AS risk_ratio,
+               ROUND(rrx + SQRT(rrx * (rrx - CAST(1 AS DOUBLE))), 6)
+                 AS e_value,
+               ROUND(lnlo, 6) + CAST(0 AS DOUBLE) AS ln_rr_ci_lo,
+               CAST(CASE WHEN lnlo <= 0 THEN 1 ELSE 0 END AS INT)
+                 AS ci_crosses_null
+        FROM g""")),
+
+    // Parallel-trends pretest for the qbk DiD: per-group OLS slopes of
+    // monthly revenue over the PRE-period months, the slope gap, and
+    // its t-stat from the two fits' residual variances — the
+    // assumption audit that decides whether qbk's estimate means
+    // anything (a DiD with diverging pre-trends measures the
+    // divergence, not the treatment). 9-grid monthly series; exact
+    // DECIMAL moments; sqrt/÷ links.
+    "qiw_parallel_trends" -> Q(
+      fn = (s, dir) => {
+        val m0 = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_regionkey") <= 1 &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .select(
+            when(col("n_regionkey") === 0, 1).otherwise(0).as("g"),
+            expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+              .cast("long").as("m"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(18,8)").as("v"))
+          .groupBy("g", "m").agg(sum(col("v")).as("ym"))
+        val idx = m0.withColumn("tt", col("m") -
+            min(col("m")).over(Window.partitionBy("g")) + 1)
+          .select(col("g"), col("tt").cast("long").as("tt"),
+            round(col("ym").cast("double"), 9).as("y"))
+        val mm = idx.groupBy("g")
+          .agg(count(lit(1)).as("n"), sum(col("tt")).as("st"),
+            sum(g9(col("y"))).as("sy"),
+            sum(col("tt") * col("tt")).as("stt"),
+            sum(g9(round(col("tt").cast("double") * col("y"), 9)))
+              .as("sty"),
+            sum(g9(round(col("y") * col("y"), 9))).as("syy"))
+        val fits = mm
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("den", col("nd") * col("stt").cast("double") -
+            col("st").cast("double") * col("st").cast("double"))
+          .withColumn("b", (col("nd") * col("sty").cast("double") -
+            col("st").cast("double") * col("sy").cast("double")) /
+            col("den"))
+          .withColumn("a", (col("sy").cast("double") -
+            col("b") * col("st").cast("double")) / col("nd"))
+          .withColumn("sse", col("syy").cast("double") -
+            col("a") * col("sy").cast("double") -
+            col("b") * col("sty").cast("double"))
+          .withColumn("seb", sqrt(col("sse") / (col("nd") - lit(2.0)) *
+            col("nd") / col("den")))
+        fits.agg(
+            max(when(col("g") === 1, col("b"))).as("slope_treated"),
+            max(when(col("g") === 0, col("b"))).as("slope_control"),
+            max(when(col("g") === 1, col("seb"))).as("se_t"),
+            max(when(col("g") === 0, col("seb"))).as("se_c"),
+            max(col("n")).as("n_months"))
+          .select(col("n_months"),
+            (round(col("slope_treated"), 6) + lit(0.0))
+              .as("slope_treated"),
+            (round(col("slope_control"), 6) + lit(0.0))
+              .as("slope_control"),
+            (round(col("slope_treated") - col("slope_control"), 6)
+              + lit(0.0)).as("slope_gap"),
+            (round((col("slope_treated") - col("slope_control")) /
+              sqrt(col("se_t") * col("se_t") + col("se_c") * col("se_c")),
+              6) + lit(0.0)).as("t_gap"),
+            when(abs((col("slope_treated") - col("slope_control")) /
+              sqrt(col("se_t") * col("se_t") + col("se_c") * col("se_c")))
+              > lit(1.96), "trends_diverge")
+              .otherwise("parallel_ok").as("verdict"))
+      },
+      oracle = Some("""
+        WITH m0 AS (
+          SELECT CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS g,
+                 CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                   AS BIGINT) AS m,
+                 SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(18,8))) AS ym
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_regionkey <= 1
+            AND o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY 1, 2),
+        idx AS (
+          SELECT g, CAST(m - MIN(m) OVER (PARTITION BY g) + 1 AS BIGINT)
+                   AS tt,
+                 ROUND(CAST(ym AS DOUBLE), 9) AS y
+          FROM m0),
+        mm AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(tt) AS BIGINT) AS st,
+                 SUM(CAST(ROUND(y, 9) AS DECIMAL(20,9))) AS sy,
+                 CAST(SUM(tt * tt) AS BIGINT) AS stt,
+                 SUM(CAST(ROUND(CAST(tt AS DOUBLE) * y, 9)
+                   AS DECIMAL(20,9))) AS sty,
+                 SUM(CAST(ROUND(y * y, 9) AS DECIMAL(20,9))) AS syy
+          FROM idx GROUP BY 1),
+        fits AS (
+          SELECT g, n, b,
+                 SQRT((CAST(syy AS DOUBLE) - a * CAST(sy AS DOUBLE)
+                     - b * CAST(sty AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - CAST(2 AS DOUBLE))
+                   * CAST(n AS DOUBLE) / den) AS seb
+          FROM (
+            SELECT g, n, sy, sty, syy, den, b,
+                   (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+                     / CAST(n AS DOUBLE) AS a
+            FROM (
+              SELECT g, n, st, sy, sty, syy,
+                     CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS den,
+                     (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                     (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b
+              FROM mm))),
+        agg AS (
+          SELECT MAX(CASE WHEN g = 1 THEN b END) AS bt,
+                 MAX(CASE WHEN g = 0 THEN b END) AS bc,
+                 MAX(CASE WHEN g = 1 THEN seb END) AS se_t,
+                 MAX(CASE WHEN g = 0 THEN seb END) AS se_c,
+                 MAX(n) AS n_months
+          FROM fits)
+        SELECT n_months,
+               ROUND(bt, 6) + CAST(0 AS DOUBLE) AS slope_treated,
+               ROUND(bc, 6) + CAST(0 AS DOUBLE) AS slope_control,
+               ROUND(bt - bc, 6) + CAST(0 AS DOUBLE) AS slope_gap,
+               ROUND((bt - bc) / SQRT(se_t * se_t + se_c * se_c), 6)
+                 + CAST(0 AS DOUBLE) AS t_gap,
+               CASE WHEN ABS((bt - bc)
+                 / SQRT(se_t * se_t + se_c * se_c))
+                 > CAST(1.96 AS DOUBLE) THEN 'trends_diverge'
+                 ELSE 'parallel_ok' END AS verdict
+        FROM agg""")),
+
+    // Ranked probability score for the naive categorical forecaster
+    // (last month's order-priority mix predicts this month's): RPS =
+    // mean over months of Σ(cumF − cumO)² across the 5 ordered
+    // priority classes, against the climatology baseline (the overall
+    // mix) — the PROPER score for ordered-category forecasts that
+    // plain accuracy ignores (being one class off beats being four
+    // off). Shares on the 9-grid; cumulative squared gaps on the
+    // 12-grid into DECIMAL sums.
+    "qix_rps" -> Q(
+      fn = (s, dir) => {
+        val mix = t(s, dir, "orders")
+          .select(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+            .cast("long").as("m"),
+            substring(col("o_orderpriority"), 1, 1).cast("int").as("pr"))
+          .groupBy("m", "pr").agg(count(lit(1)).as("c"))
+        val tot = mix.groupBy("m").agg(sum(col("c")).as("tm"))
+        val sh = mix.join(tot, "m")
+          .select(col("m"), col("pr"),
+            round(col("c").cast("double") / col("tm").cast("double"), 9)
+              .as("sh"))
+        // dense month × class grid so absent classes carry share 0
+        val months = tot.select(col("m"))
+        val classes = mix.select(col("pr")).distinct()
+        val dense = months.crossJoin(broadcast(classes))
+          .join(sh, Seq("m", "pr"), "left")
+          .select(col("m"), col("pr"),
+            coalesce(col("sh"), lit(0.0)).as("sh"))
+        val wC = Window.partitionBy("m").orderBy("pr")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = dense.withColumn("cf", sum(col("sh")).over(wC))
+        val paired = cum.select(col("m"), col("pr"), col("cf"))
+          .join(cum.select((col("m") + 1).as("m2"), col("pr").as("pr2"),
+            col("cf").as("cfp")),
+            col("m") === col("m2") && col("pr") === col("pr2"))
+        val clim = dense.groupBy("pr")
+          .agg(round(avg(col("sh")), 9).as("csh"))
+          .withColumn("ccf", sum(col("csh")).over(
+            Window.orderBy("pr").rowsBetween(Window.unboundedPreceding, 0)))
+        val rpsNaive = paired
+          .select(col("m"),
+            round((col("cf") - col("cfp")) * (col("cf") - col("cfp")), 12)
+              .as("g2"))
+          .groupBy("m").agg(sum(col("g2").cast("decimal(28,12)")).as("sg"))
+          .agg(count(lit(1)).as("n_months"),
+            round(sum(col("sg")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("rps_naive"))
+        val rpsClim = paired.select(col("m"), col("pr"), col("cf"))
+          .join(broadcast(clim.select(col("pr"), col("ccf"))), "pr")
+          .select(col("m"),
+            round((col("cf") - col("ccf")) * (col("cf") - col("ccf")), 12)
+              .as("g2"))
+          .groupBy("m").agg(sum(col("g2").cast("decimal(28,12)")).as("sg"))
+          .agg(round(sum(col("sg")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("rps_climatology"))
+        rpsNaive.crossJoin(broadcast(rpsClim))
+          .select(col("n_months"), col("rps_naive"),
+            col("rps_climatology"),
+            (round(lit(1.0) - col("rps_naive") / col("rps_climatology"),
+              6) + lit(0.0)).as("rps_skill"))
+      },
+      oracle = Some("""
+        WITH mix AS (
+          SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                   AS BIGINT) AS m,
+                 CAST(substr(o_orderpriority, 1, 1) AS INT) AS pr,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1, 2),
+        tot AS (SELECT m, CAST(SUM(c) AS BIGINT) AS tm
+                FROM mix GROUP BY 1),
+        sh AS (
+          SELECT mix.m, pr,
+                 ROUND(CAST(c AS DOUBLE) / CAST(tm AS DOUBLE), 9) AS sh
+          FROM mix JOIN tot ON mix.m = tot.m),
+        dense AS MATERIALIZED (
+          SELECT months.m, classes.pr,
+                 COALESCE(sh, CAST(0 AS DOUBLE)) AS sh
+          FROM (SELECT m FROM tot) months
+          CROSS JOIN (SELECT DISTINCT pr FROM mix) classes
+          LEFT JOIN sh ON months.m = sh.m AND classes.pr = sh.pr),
+        cum AS MATERIALIZED (
+          SELECT m, pr,
+                 SUM(sh) OVER (PARTITION BY m ORDER BY pr
+                   ROWS UNBOUNDED PRECEDING) AS cf
+          FROM dense),
+        paired AS MATERIALIZED (
+          SELECT a.m, a.pr, a.cf, b.cf AS cfp
+          FROM cum a JOIN cum b ON a.m = b.m + 1 AND a.pr = b.pr),
+        clim AS (
+          SELECT pr,
+                 SUM(csh) OVER (ORDER BY pr ROWS UNBOUNDED PRECEDING)
+                   AS ccf
+          FROM (SELECT pr, ROUND(AVG(sh), 9) AS csh
+                FROM dense GROUP BY 1)),
+        rn AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+                 ROUND(CAST(SUM(sg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   6) AS rps_naive
+          FROM (
+            SELECT m, SUM(CAST(ROUND((cf - cfp) * (cf - cfp), 12)
+                     AS DECIMAL(28,12))) AS sg
+            FROM paired GROUP BY 1)),
+        rc AS (
+          SELECT ROUND(CAST(SUM(sg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   6) AS rps_climatology
+          FROM (
+            SELECT m, SUM(CAST(ROUND((cf - ccf) * (cf - ccf), 12)
+                     AS DECIMAL(28,12))) AS sg
+            FROM paired JOIN clim ON paired.pr = clim.pr
+            GROUP BY 1))
+        SELECT n_months, rps_naive, rps_climatology,
+               ROUND(CAST(1 AS DOUBLE) - rps_naive / rps_climatology, 6)
+                 + CAST(0 AS DOUBLE) AS rps_skill
+        FROM rn CROSS JOIN rc"""))
   )
 }
