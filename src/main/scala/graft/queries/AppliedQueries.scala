@@ -9842,6 +9842,272 @@ object AppliedQueries {
         SELECT n_months, rps_naive, rps_climatology,
                ROUND(CAST(1 AS DOUBLE) - rps_naive / rps_climatology, 6)
                  + CAST(0 AS DOUBLE) AS rps_skill
-        FROM rn CROSS JOIN rc"""))
+        FROM rn CROSS JOIN rc""")),
+
+    // Systematic PPS (probability-proportional-to-size) estimation:
+    // 100 grid points walk the cumulative cent-scaled revenue line
+    // from a deterministic md5 start, every hit weights its order by
+    // V/(100·vᵢ), and the HT estimator projects TOTAL QUANTITY from
+    // the revenue-sized sample — the audit/survey design qed's
+    // Poisson sampling doesn't cover (systematic PPS has ZERO
+    // variance for y ∝ size; the gap measures how far quantity is
+    // from proportional). Hit counts are pure BIGINT floor arithmetic
+    // (shifted positive so both engines' integer division agrees);
+    // cum positions ride the range-partitioned running sum.
+    "qiy_pps_systematic" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(max((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("vc"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+        val cum = graft.operators.ScaleOps.globalRunningSum(o,
+            Seq(col("o_orderkey")), col("vc"), "cumv")
+          .localCheckpoint(eager = false)
+        val tot = cum.agg(max(col("cumv")).as("vtot"),
+          sum(col("q")).as("qtot"))
+        val start = tot.select(col("vtot"), col("qtot"),
+          (conv(substring(md5(lit("pps-seed")), 1, 12), 16, 10)
+            .cast("long") % expr("vtot div 100")).as("st"))
+        val hits = cum.crossJoin(broadcast(start))
+          .withColumn("fb",
+            expr("((cumv - st + vtot) * 100) div vtot - 100"))
+          .withColumn("fa",
+            expr("((cumv - vc - st + vtot) * 100) div vtot - 100"))
+          .withColumn("h", col("fb") - col("fa"))
+          .filter(col("h") > 0)
+        hits.agg(max(col("vtot")).as("vt"), max(col("qtot")).as("qt"),
+            count(lit(1)).as("n_selected"), sum(col("h")).as("n_hits"),
+            sum(g9(round(col("h").cast("double") *
+              col("q").cast("double") * col("vtot").cast("double") /
+              (lit(100.0) * col("vc").cast("double")), 6)))
+              .as("est"))
+          .select(col("n_selected"), col("n_hits"),
+            round(col("qt").cast("double"), 2).as("true_total_qty"),
+            round(col("est").cast("double"), 2).as("ht_total_qty"),
+            (round((col("est").cast("double") -
+              col("qt").cast("double")) / col("qt").cast("double"), 6)
+              + lit(0.0)).as("rel_error"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT) AS vc,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1, o_totalprice),
+        cum AS MATERIALIZED (
+          SELECT o_orderkey, vc, q,
+                 CAST(SUM(vc) OVER (ORDER BY o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumv
+          FROM o),
+        tot AS (
+          SELECT MAX(cumv) AS vtot, SUM(q) AS qtot FROM cum),
+        st AS (
+          SELECT vtot, qtot,
+                 CAST('0x' || substr(md5('pps-seed'), 1, 12) AS BIGINT)
+                   % (vtot // 100) AS st
+          FROM tot),
+        hits AS (
+          SELECT vc, q, vtot, qtot,
+                 ((cumv - st + vtot) * 100) // vtot - 100
+                   - (((cumv - vc - st + vtot) * 100) // vtot - 100)
+                   AS h
+          FROM cum CROSS JOIN st),
+        sel AS (SELECT * FROM hits WHERE h > 0),
+        agg AS (
+          SELECT MAX(qtot) AS qt,
+                 CAST(COUNT(*) AS BIGINT) AS n_selected,
+                 CAST(SUM(h) AS BIGINT) AS n_hits,
+                 SUM(CAST(ROUND(CAST(h AS DOUBLE) * CAST(q AS DOUBLE)
+                   * CAST(vtot AS DOUBLE)
+                   / (CAST(100 AS DOUBLE) * CAST(vc AS DOUBLE)), 6)
+                   AS DECIMAL(20,9))) AS est
+          FROM sel)
+        SELECT n_selected, n_hits,
+               ROUND(CAST(qt AS DOUBLE), 2) AS true_total_qty,
+               ROUND(CAST(est AS DOUBLE), 2) AS ht_total_qty,
+               ROUND((CAST(est AS DOUBLE) - CAST(qt AS DOUBLE))
+                 / CAST(qt AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS rel_error
+        FROM agg""")),
+
+    // Peak prominence over the 30-day purchase-revenue series: local
+    // maxima (strictly above the previous day, at least the next),
+    // each peak's base = the higher of the two key saddles (the MIN
+    // between the peak and the nearest strictly-higher day on each
+    // side, series edge when none) — the topographic measure that
+    // separates real events from ripples, which a plain local-max
+    // scan (q9c's argmax) cannot. Bounded panel joins; exact DECIMAL
+    // value comparisons.
+    "qiz_peak_prominence" -> Q(
+      fn = (s, dir) => {
+        val x = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("yv"))
+          .select(row_number().over(Window.orderBy("day")).cast("long")
+            .as("i"), col("yv"))
+          .localCheckpoint(eager = false)
+        val w = Window.orderBy("i")
+        val peaks = x
+          .withColumn("pv", lag("yv", 1).over(w))
+          .withColumn("nv", lead("yv", 1).over(w))
+          .filter(col("pv").isNotNull && col("yv") > col("pv") &&
+            (col("nv").isNull || col("yv") >= col("nv")))
+          .select(col("i").as("pi"), col("yv").as("pvv"))
+          .localCheckpoint(eager = false)
+        val hiL = peaks.join(x, col("i") < col("pi") &&
+            col("yv") > col("pvv"), "left")
+          .groupBy("pi", "pvv").agg(max(col("i")).as("lb"))
+        val hiR = peaks.join(x, col("i") > col("pi") &&
+            col("yv") > col("pvv"), "left")
+          .groupBy("pi", "pvv").agg(min(col("i")).as("rb"))
+        val based = hiL.join(hiR, Seq("pi", "pvv"))
+          .join(x.select(col("i").as("li"), col("yv").as("lv")),
+            col("li") < col("pi") &&
+            col("li") >= coalesce(col("lb"), lit(0L)), "left")
+          .groupBy("pi", "pvv", "rb").agg(min(col("lv")).as("lbase"))
+        val based2 = based
+          .join(x.select(col("i").as("ri"), col("yv").as("rv")),
+            col("ri") > col("pi") &&
+            col("ri") <= coalesce(col("rb"), lit(1000000L)), "left")
+          .groupBy("pi", "pvv", "lbase").agg(min(col("rv")).as("rbase"))
+        based2
+          .withColumn("base", greatest(
+            coalesce(col("lbase"), col("rbase")),
+            coalesce(col("rbase"), col("lbase"))))
+          .select(col("pi").as("t_index"),
+            round(col("pvv").cast("double"), 2).as("peak_value"),
+            round((col("pvv") - col("base")).cast("double"), 2)
+              .as("prominence"))
+          .orderBy(col("prominence").desc, col("t_index"))
+      },
+      oracle = Some("""
+        WITH d0 AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS yv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        x AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+                 yv
+          FROM d0),
+        peaks AS MATERIALIZED (
+          SELECT i AS pi, yv AS pvv FROM (
+            SELECT i, yv, LAG(yv) OVER (ORDER BY i) AS pv,
+                   LEAD(yv) OVER (ORDER BY i) AS nv
+            FROM x)
+          WHERE pv IS NOT NULL AND yv > pv
+            AND (nv IS NULL OR yv >= nv)),
+        hil AS (
+          SELECT pi, pvv, MAX(x.i) AS lb
+          FROM peaks LEFT JOIN x ON x.i < pi AND x.yv > pvv
+          GROUP BY 1, 2),
+        hir AS (
+          SELECT pi, pvv, MIN(x.i) AS rb
+          FROM peaks LEFT JOIN x ON x.i > pi AND x.yv > pvv
+          GROUP BY 1, 2),
+        basedl AS (
+          SELECT hil.pi, hil.pvv, rb, MIN(x.yv) AS lbase
+          FROM hil JOIN hir ON hil.pi = hir.pi
+          LEFT JOIN x ON x.i < hil.pi
+            AND x.i >= COALESCE(lb, 0)
+          GROUP BY 1, 2, 3),
+        basedr AS (
+          SELECT pi, pvv, lbase, MIN(x.yv) AS rbase
+          FROM basedl LEFT JOIN x ON x.i > pi
+            AND x.i <= COALESCE(rb, 1000000)
+          GROUP BY 1, 2, 3)
+        SELECT pi AS t_index,
+               ROUND(CAST(pvv AS DOUBLE), 2) AS peak_value,
+               ROUND(CAST(pvv - GREATEST(
+                 COALESCE(lbase, rbase), COALESCE(rbase, lbase))
+                 AS DOUBLE), 2) AS prominence
+        FROM basedr
+        ORDER BY prominence DESC, t_index""")),
+
+    // Greedy knapsack over the brand panel: pick brands by revenue-
+    // per-volume density into a 50%-of-total-volume budget, against
+    // the fractional-LP bound (greedy value + the split item's
+    // prorated density) — the classic budget-allocation heuristic with
+    // its optimality certificate attached (the gap to the LP bound
+    // bounds the regret of the integral answer). Exact DECIMAL
+    // costs/values, 9-grid densities, integer-exact cut selection.
+    "qj0_knapsack_greedy" -> Q(
+      fn = (s, dir) => {
+        val b = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("vol"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+          .localCheckpoint(eager = false)
+        val budget = b.agg((sum(col("vol")) / 2).as("bud"))
+        val ranked = b
+          .withColumn("dens", round(col("rev").cast("double") /
+            col("vol").cast("double"), 9))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("dens").desc, col("brand"))))
+          .crossJoin(broadcast(budget))
+          .withColumn("cumv", sum(col("vol")).over(
+            Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)))
+          .localCheckpoint(eager = false)
+        val chosen = ranked.filter(col("cumv") <= col("bud"))
+        val agg = chosen.agg(count(lit(1)).as("n_chosen"),
+          sum(col("vol")).as("volc"), sum(col("rev")).as("valc"))
+        val nextItem = ranked.filter(col("cumv") > col("bud"))
+          .orderBy("rk").limit(1)
+          .select(col("dens").as("next_dens"))
+        agg.crossJoin(broadcast(budget)).crossJoin(broadcast(nextItem))
+          .select(col("n_chosen"),
+            round(col("bud").cast("double"), 2).as("budget_volume"),
+            round(col("volc").cast("double"), 2).as("used_volume"),
+            round(col("valc").cast("double"), 2).as("greedy_value"),
+            round(col("valc").cast("double") +
+              (col("bud") - col("volc")).cast("double") * col("next_dens"),
+              2).as("lp_bound"),
+            round(col("valc").cast("double") /
+              (col("valc").cast("double") +
+                (col("bud") - col("volc")).cast("double") *
+                col("next_dens")), 6).as("greedy_to_bound_ratio"))
+      },
+      oracle = Some("""
+        WITH b AS MATERIALIZED (
+          SELECT p_brand AS brand,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS vol,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1),
+        budget AS (SELECT SUM(vol) / 2 AS bud FROM b),
+        ranked AS MATERIALIZED (
+          SELECT brand, vol, rev, dens, bud,
+                 SUM(vol) OVER (ORDER BY rk
+                   ROWS UNBOUNDED PRECEDING) AS cumv, rk
+          FROM (
+            SELECT brand, vol, rev, bud,
+                   ROUND(CAST(rev AS DOUBLE) / CAST(vol AS DOUBLE), 9)
+                     AS dens,
+                   ROW_NUMBER() OVER (ORDER BY
+                     ROUND(CAST(rev AS DOUBLE) / CAST(vol AS DOUBLE), 9)
+                     DESC, brand) AS rk
+            FROM b CROSS JOIN budget)),
+        chosen AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_chosen,
+                 SUM(vol) AS volc, SUM(rev) AS valc
+          FROM ranked WHERE cumv <= bud),
+        nxt AS (
+          SELECT dens AS next_dens FROM ranked
+          WHERE cumv > bud ORDER BY rk LIMIT 1)
+        SELECT n_chosen,
+               ROUND(CAST(bud AS DOUBLE), 2) AS budget_volume,
+               ROUND(CAST(volc AS DOUBLE), 2) AS used_volume,
+               ROUND(CAST(valc AS DOUBLE), 2) AS greedy_value,
+               ROUND(CAST(valc AS DOUBLE) + CAST(bud - volc AS DOUBLE)
+                 * next_dens, 2) AS lp_bound,
+               ROUND(CAST(valc AS DOUBLE) / (CAST(valc AS DOUBLE)
+                 + CAST(bud - volc AS DOUBLE) * next_dens), 6)
+                 AS greedy_to_bound_ratio
+        FROM chosen CROSS JOIN budget CROSS JOIN nxt"""))
   )
 }
