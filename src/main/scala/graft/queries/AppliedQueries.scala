@@ -10108,6 +10108,204 @@ object AppliedQueries {
                ROUND(CAST(valc AS DOUBLE) / (CAST(valc AS DOUBLE)
                  + CAST(bud - volc AS DOUBLE) * next_dens), 6)
                  AS greedy_to_bound_ratio
-        FROM chosen CROSS JOIN budget CROSS JOIN nxt"""))
+        FROM chosen CROSS JOIN budget CROSS JOIN nxt""")),
+
+    // Inverse-MSE forecast combination: three one-step forecasters of
+    // daily revenue (naive lag-1, expanding mean, seasonal-naive
+    // lag-7) weighted by their FIRST-half inverse MSEs and evaluated
+    // out-of-sample on the second half against each component and the
+    // equal-weight ensemble — the "forecast combination puzzle" card
+    // (equal weights are famously hard to beat; this measures by how
+    // much, exactly). Errors snap to the 9-grid; weights are exact
+    // ratios of DECIMAL MSE sums.
+    "qj1_forecast_combination" -> Q(
+      fn = (s, dir) => {
+        val y = dailyRevenueM(s, dir)
+        val w = Window.orderBy("day")
+        val f = y
+          .withColumn("tt", row_number().over(w).cast("long"))
+          .withColumn("yd", round(col("ym").cast("double"), 9))
+          .withColumn("f1", lag("ym", 1).over(w).cast("double"))
+          .withColumn("f7", lag("ym", 7).over(w).cast("double"))
+          .withColumn("fm", round(
+            (sum(col("ym")).over(w.rowsBetween(
+              Window.unboundedPreceding, -1))).cast("double") /
+            (col("tt") - 1).cast("double"), 9))
+          .filter(col("f1").isNotNull && col("f7").isNotNull)
+          .localCheckpoint(eager = false)
+        val n0 = f.agg(count(lit(1)).as("n"))
+        val half = f.crossJoin(broadcast(n0))
+          .withColumn("rn2", row_number().over(Window.orderBy("tt")))
+          .withColumn("tr", when(col("rn2") * 2 <= col("n"), 1)
+            .otherwise(0))
+          .withColumn("e1", g9(round((col("yd") - col("f1")) *
+            (col("yd") - col("f1")), 9)))
+          .withColumn("e7", g9(round((col("yd") - col("f7")) *
+            (col("yd") - col("f7")), 9)))
+          .withColumn("em", g9(round((col("yd") - col("fm")) *
+            (col("yd") - col("fm")), 9)))
+          .localCheckpoint(eager = false)
+        val wts = half.filter(col("tr") === 1)
+          .agg(sum(col("e1")).as("m1"), sum(col("e7")).as("m7"),
+            sum(col("em")).as("mm"))
+          .select(
+            round(lit(1.0) / col("m1").cast("double"), 9).as("i1"),
+            round(lit(1.0) / col("m7").cast("double"), 9).as("i7"),
+            round(lit(1.0) / col("mm").cast("double"), 9).as("im"))
+          .select(
+            round(col("i1") / (col("i1") + col("i7") + col("im")), 9)
+              .as("w1"),
+            round(col("i7") / (col("i1") + col("i7") + col("im")), 9)
+              .as("w7"),
+            round(col("im") / (col("i1") + col("i7") + col("im")), 9)
+              .as("wm"))
+        val test = half.filter(col("tr") === 0)
+          .crossJoin(broadcast(wts))
+          .withColumn("fc", round(col("w1") * col("f1") +
+            col("w7") * col("f7") + col("wm") * col("fm"), 9))
+          .withColumn("fe", round((col("f1") + col("f7") + col("fm")) /
+            lit(3.0), 9))
+          .withColumn("ec", g9(round((col("yd") - col("fc")) *
+            (col("yd") - col("fc")), 9)))
+          .withColumn("ee", g9(round((col("yd") - col("fe")) *
+            (col("yd") - col("fe")), 9)))
+        test.agg(count(lit(1)).as("n_test"),
+            max(col("w1")).as("w1x"), max(col("w7")).as("w7x"),
+            sum(col("e1")).as("s1"), sum(col("e7")).as("s7"),
+            sum(col("em")).as("sm"), sum(col("ec")).as("sc"),
+            sum(col("ee")).as("se"))
+          .select(col("n_test"),
+            round(col("w1x"), 6).as("weight_naive"),
+            round(col("w7x"), 6).as("weight_seasonal"),
+            round(col("s1").cast("double") / col("n_test").cast("double"),
+              6).as("mse_naive"),
+            round(col("s7").cast("double") / col("n_test").cast("double"),
+              6).as("mse_seasonal"),
+            round(col("sm").cast("double") / col("n_test").cast("double"),
+              6).as("mse_mean"),
+            round(col("sc").cast("double") / col("n_test").cast("double"),
+              6).as("mse_invmse_combo"),
+            round(col("se").cast("double") / col("n_test").cast("double"),
+              6).as("mse_equal_combo"))
+      },
+      oracle = Some(s"""
+        WITH yd AS ($dailyRevenueMSql),
+        f AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT day,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT)
+                     AS tt,
+                   ROUND(CAST(ym AS DOUBLE), 9) AS y,
+                   CAST(LAG(ym, 1) OVER (ORDER BY day) AS DOUBLE) AS f1,
+                   CAST(LAG(ym, 7) OVER (ORDER BY day) AS DOUBLE) AS f7,
+                   ROUND(CAST(SUM(ym) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS DOUBLE)
+                     / CAST(ROW_NUMBER() OVER (ORDER BY day) - 1
+                       AS DOUBLE), 9) AS fm
+            FROM yd)
+          WHERE f1 IS NOT NULL AND f7 IS NOT NULL),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+        half AS MATERIALIZED (
+          SELECT *,
+                 CASE WHEN CAST(ROW_NUMBER() OVER (ORDER BY tt)
+                   AS BIGINT) * 2 <= n THEN 1 ELSE 0 END AS tr,
+                 CAST(ROUND((y - f1) * (y - f1), 9) AS DECIMAL(20,9))
+                   AS e1,
+                 CAST(ROUND((y - f7) * (y - f7), 9) AS DECIMAL(20,9))
+                   AS e7,
+                 CAST(ROUND((y - fm) * (y - fm), 9) AS DECIMAL(20,9))
+                   AS em
+          FROM f CROSS JOIN n0),
+        wts AS (
+          SELECT ROUND(i1 / (i1 + i7 + im), 9) AS w1,
+                 ROUND(i7 / (i1 + i7 + im), 9) AS w7,
+                 ROUND(im / (i1 + i7 + im), 9) AS wm
+          FROM (
+            SELECT ROUND(CAST(1 AS DOUBLE) / CAST(SUM(e1) AS DOUBLE), 9)
+                     AS i1,
+                   ROUND(CAST(1 AS DOUBLE) / CAST(SUM(e7) AS DOUBLE), 9)
+                     AS i7,
+                   ROUND(CAST(1 AS DOUBLE) / CAST(SUM(em) AS DOUBLE), 9)
+                     AS im
+            FROM half WHERE tr = 1)),
+        test AS (
+          SELECT y, e1, e7, em, w1, w7, wm,
+                 CAST(ROUND((y - fc) * (y - fc), 9) AS DECIMAL(20,9))
+                   AS ec,
+                 CAST(ROUND((y - fe) * (y - fe), 9) AS DECIMAL(20,9))
+                   AS ee
+          FROM (
+            SELECT y, e1, e7, em, w1, w7, wm,
+                   ROUND(w1 * f1 + w7 * f7 + wm * fm, 9) AS fc,
+                   ROUND((f1 + f7 + fm) / CAST(3 AS DOUBLE), 9) AS fe
+            FROM half CROSS JOIN wts
+            WHERE tr = 0))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               ROUND(MAX(w1), 6) AS weight_naive,
+               ROUND(MAX(w7), 6) AS weight_seasonal,
+               ROUND(CAST(SUM(e1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS mse_naive,
+               ROUND(CAST(SUM(e7) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS mse_seasonal,
+               ROUND(CAST(SUM(em) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS mse_mean,
+               ROUND(CAST(SUM(ec) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS mse_invmse_combo,
+               ROUND(CAST(SUM(ee) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS mse_equal_combo
+        FROM test""")),
+
+    // OTIF (on-time-in-full) service levels per order priority: on
+    // time = every line ships within 7 days of the order date, in
+    // full = no line returned, OTIF = both — the supply-chain
+    // headline KPI that neither the ship-lag quantiles (q9e) nor the
+    // return-rate views report as the composite the contract is
+    // actually written against. Pure integer line predicates rolled
+    // up to order level, then one ratio per priority.
+    "qj2_otif" -> Q(
+      fn = (s, dir) => {
+        val lines = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority"))
+          .agg(
+            min(when(expr("(unix_millis(CAST(l_shipdate AS TIMESTAMP))" +
+              " - unix_millis(CAST(o_orderdate AS TIMESTAMP)))" +
+              " div 86400000") <= 7, 1L).otherwise(0L)).as("on_time"),
+            min(when(col("l_returnflag") =!= "R", 1L).otherwise(0L))
+              .as("in_full"))
+        lines.groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("on_time")).as("n_on_time"),
+            sum(col("in_full")).as("n_in_full"),
+            sum(col("on_time") * col("in_full")).as("n_otif"))
+          .select(col("priority"), col("n_orders"),
+            round(col("n_on_time").cast("double") /
+              col("n_orders").cast("double"), 6).as("on_time_rate"),
+            round(col("n_in_full").cast("double") /
+              col("n_orders").cast("double"), 6).as("in_full_rate"),
+            round(col("n_otif").cast("double") /
+              col("n_orders").cast("double"), 6).as("otif_rate"))
+          .orderBy("priority")
+      },
+      oracle = Some("""
+        WITH lines AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(MIN(CASE WHEN (epoch_ms(l_shipdate)
+                   - epoch_ms(o_orderdate)) // 86400000 <= 7
+                   THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
+                 CAST(MIN(CASE WHEN l_returnflag <> 'R'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS in_full
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2)
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(on_time) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS on_time_rate,
+               ROUND(CAST(SUM(in_full) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS in_full_rate,
+               ROUND(CAST(SUM(on_time * in_full) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS otif_rate
+        FROM lines GROUP BY 1 ORDER BY 1"""))
   )
 }
