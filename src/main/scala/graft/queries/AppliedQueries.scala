@@ -10306,6 +10306,249 @@ object AppliedQueries {
                  / CAST(COUNT(*) AS DOUBLE), 6) AS in_full_rate,
                ROUND(CAST(SUM(on_time * in_full) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS otif_rate
-        FROM lines GROUP BY 1 ORDER BY 1"""))
+        FROM lines GROUP BY 1 ORDER BY 1""")),
+
+    // Win-back targeting by log alive-score: the Schmittlein-style
+    // heuristic ln P(alive) = x·ln(t_x/T) (x orders, last order at
+    // t_x of an observation span T — frequent buyers who stopped
+    // abruptly score most-dead) — reported in LOG form (exp is
+    // rule-14-banned; the ranking is monotone anyway), crossed with
+    // spend to surface the top-20 highest-value most-likely-churned
+    // customers: the CRM kill list. ln link on exact day ratios;
+    // integer × 9-grid products.
+    "qj3_alive_score" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey").as("ck"),
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000").as("d"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"))
+        val span = o.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        val cust = o.crossJoin(broadcast(span))
+          .groupBy("ck", "d0", "d1")
+          .agg(count(lit(1)).as("x"), max(col("d")).as("dx"),
+            sum(col("v")).as("spend"))
+          .filter(col("dx") > col("d0")) // t_x = 0 would send ln to −∞
+          .withColumn("lnr", round(log(
+            (col("dx") - col("d0")).cast("double") /
+            (col("d1") - col("d0")).cast("double")), 9))
+          .withColumn("ln_alive", round(col("x").cast("double") *
+            col("lnr"), 9))
+        cust
+          .withColumn("rk", row_number().over(Window.orderBy(
+            col("ln_alive"), (-col("spend")).cast("double"), col("ck"))))
+          .filter(col("rk") <= 20)
+          .select(col("rk").cast("int").as("rank"),
+            col("ck").as("customer"), col("x").as("n_orders"),
+            (col("dx") - col("d0")).as("last_order_day"),
+            (col("d1") - col("d0")).as("span_days"),
+            round(col("spend").cast("double"), 2).as("spend"),
+            (round(col("ln_alive"), 6) + lit(0.0)).as("ln_alive_score"))
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_custkey AS ck,
+                 CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS d,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS v
+          FROM orders),
+        span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM o),
+        cust AS (
+          SELECT ck, d0, d1, CAST(COUNT(*) AS BIGINT) AS x,
+                 MAX(d) AS dx, SUM(v) AS spend
+          FROM o CROSS JOIN span
+          GROUP BY 1, 2, 3 HAVING MAX(d) > d0),
+        scored AS (
+          SELECT ck, x, dx - d0 AS last_order_day,
+                 d1 - d0 AS span_days, spend,
+                 ROUND(CAST(x AS DOUBLE)
+                   * ROUND(ln(CAST(dx - d0 AS DOUBLE)
+                     / CAST(d1 - d0 AS DOUBLE)), 9), 9) AS ln_alive
+          FROM cust),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY ln_alive,
+                   -CAST(spend AS DOUBLE), ck) AS INT) AS rk
+          FROM scored)
+        SELECT rk AS rank, ck AS customer, x AS n_orders,
+               last_order_day, span_days,
+               ROUND(CAST(spend AS DOUBLE), 2) AS spend,
+               ROUND(ln_alive, 6) + CAST(0 AS DOUBLE) AS ln_alive_score
+        FROM ranked WHERE rk <= 20
+        ORDER BY rank""")),
+
+    // Deterministic CLV card per spend quintile: average order value ×
+    // orders-per-active-year × expected remaining lifetime from the
+    // tier's inactivity-based churn proxy (share of the tier silent in
+    // the final quarter of the window; lifetime = 1/churn years,
+    // capped at 10) — the back-of-envelope CLV every finance deck
+    // starts from, with each factor exposed for audit. Exact-NTILE
+    // tiers; integer counts; capped ratio links.
+    "qj4_clv_card" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey").as("ck"),
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000").as("d"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"))
+        val span = o.agg(max(col("d")).as("d1"), min(col("d")).as("d0"))
+        val cust = o.crossJoin(broadcast(span))
+          .groupBy("ck")
+          .agg(count(lit(1)).as("x"), sum(col("v")).as("spend"),
+            max(col("d")).as("dx"), max(col("d1")).as("d1"),
+            max(col("d0")).as("d0"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(cust,
+          Seq(col("spend").desc, col("ck")), "rn")
+        val n0 = ranked.agg(count(lit(1)).as("n"))
+        val tiers = ranked.crossJoin(broadcast(n0))
+          .withColumn("base_sz", expr("n div 5"))
+          .withColumn("rem", expr("n % 5"))
+          .withColumn("cut", col("rem") * (col("base_sz") + 1))
+          .withColumn("tier", expr("CAST(CASE WHEN rn <= cut" +
+            " THEN (rn - 1) div (base_sz + 1) + 1" +
+            " ELSE rem + (rn - 1 - cut) div base_sz + 1 END AS INT)"))
+        val card = tiers.groupBy("tier")
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("spend")).as("sv"), sum(col("x")).as("sx"),
+            max(col("d1") - col("d0")).as("span_days"),
+            sum(when(expr("dx < d1 - (d1 - d0) div 4"), 1L).otherwise(0L))
+              .as("n_inactive"))
+        card.select(col("tier"), col("n_cust"),
+            round(col("sv").cast("double") / col("sx").cast("double"), 6)
+              .as("aov"),
+            round(col("sx").cast("double") / col("n_cust").cast("double")
+              / (col("span_days").cast("double") / lit(365.0)), 6)
+              .as("orders_per_year"),
+            round(col("n_inactive").cast("double") /
+              col("n_cust").cast("double"), 6).as("churn_proxy"),
+            round(when(col("n_inactive") > 0,
+              least(col("n_cust").cast("double") /
+                col("n_inactive").cast("double"), lit(10.0)))
+              .otherwise(lit(10.0)), 6).as("exp_lifetime_years"),
+            round((col("sv").cast("double") / col("sx").cast("double")) *
+              (col("sx").cast("double") / col("n_cust").cast("double") /
+                (col("span_days").cast("double") / lit(365.0))) *
+              when(col("n_inactive") > 0,
+                least(col("n_cust").cast("double") /
+                  col("n_inactive").cast("double"), lit(10.0)))
+                .otherwise(lit(10.0)), 2).as("clv"))
+          .orderBy("tier")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_custkey AS ck,
+                 CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS d,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS v
+          FROM orders),
+        span AS (SELECT MAX(d) AS d1, MIN(d) AS d0 FROM o),
+        cust AS (
+          SELECT ck, CAST(COUNT(*) AS BIGINT) AS x, SUM(v) AS spend,
+                 MAX(d) AS dx, MAX(d1) AS d1, MAX(d0) AS d0
+          FROM o CROSS JOIN span GROUP BY 1),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY spend DESC, ck)
+                   AS BIGINT) AS rn,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM cust) AS n
+          FROM cust),
+        tiers AS (
+          SELECT *, CAST(CASE WHEN rn <= rem * (base_sz + 1)
+                   THEN (rn - 1) // (base_sz + 1) + 1
+                   ELSE rem + (rn - 1 - rem * (base_sz + 1)) // base_sz
+                     + 1 END AS INT) AS tier
+          FROM (SELECT *, n // 5 AS base_sz, n % 5 AS rem FROM ranked)),
+        card AS (
+          SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                 SUM(spend) AS sv, CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(MAX(d1 - d0) AS BIGINT) AS span_days,
+                 CAST(SUM(CASE WHEN dx < d1 - (d1 - d0) // 4
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+          FROM tiers GROUP BY 1)
+        SELECT tier, n_cust,
+               ROUND(CAST(sv AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS aov,
+               ROUND(CAST(sx AS DOUBLE) / CAST(n_cust AS DOUBLE)
+                 / (CAST(span_days AS DOUBLE) / CAST(365 AS DOUBLE)), 6)
+                 AS orders_per_year,
+               ROUND(CAST(n_inactive AS DOUBLE)
+                 / CAST(n_cust AS DOUBLE), 6) AS churn_proxy,
+               ROUND(CASE WHEN n_inactive > 0
+                 THEN LEAST(CAST(n_cust AS DOUBLE)
+                   / CAST(n_inactive AS DOUBLE), CAST(10 AS DOUBLE))
+                 ELSE CAST(10 AS DOUBLE) END, 6)
+                 AS exp_lifetime_years,
+               ROUND((CAST(sv AS DOUBLE) / CAST(sx AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n_cust AS DOUBLE)
+                   / (CAST(span_days AS DOUBLE) / CAST(365 AS DOUBLE)))
+                 * CASE WHEN n_inactive > 0
+                   THEN LEAST(CAST(n_cust AS DOUBLE)
+                     / CAST(n_inactive AS DOUBLE), CAST(10 AS DOUBLE))
+                   ELSE CAST(10 AS DOUBLE) END, 2)
+                 AS clv
+        FROM card ORDER BY tier""")),
+
+    // Standardized Pearson residuals for the region × priority
+    // contingency table: rᵢⱼ = (O−E)/√(E(1−rowshare)(1−colshare)) —
+    // WHICH cells drive q6s's omnibus χ², with |r| > 2 flags. The
+    // post-hoc localization step without which a significant χ² is
+    // unactionable. Integer table; closed-form shares; one sqrt.
+    "qj5_chi2_residuals" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey").cast("long").as("rg"),
+            col("o_orderpriority").as("pr"))
+          .agg(count(lit(1)).as("obs"))
+          .localCheckpoint(eager = false)
+        val rowt = o.groupBy("rg").agg(sum(col("obs")).as("nr"))
+        val colt = o.groupBy("pr").agg(sum(col("obs")).as("nc"))
+        val tot = o.agg(sum(col("obs")).as("nn"))
+        o.join(rowt, "rg").join(colt, "pr").crossJoin(broadcast(tot))
+          .withColumn("e", col("nr").cast("double") *
+            col("nc").cast("double") / col("nn").cast("double"))
+          .withColumn("res", (col("obs").cast("double") - col("e")) /
+            sqrt(col("e") *
+              (lit(1.0) - col("nr").cast("double") /
+                col("nn").cast("double")) *
+              (lit(1.0) - col("nc").cast("double") /
+                col("nn").cast("double"))))
+          .select(col("rg").as("region"), col("pr").as("priority"),
+            col("obs"), round(col("e"), 6).as("expected"),
+            (round(col("res"), 6) + lit(0.0)).as("std_residual"),
+            when(abs(col("res")) > 2, 1).otherwise(0).cast("int")
+              .as("cell_flag"))
+          .orderBy("region", "priority")
+      },
+      oracle = Some("""
+        WITH o AS MATERIALIZED (
+          SELECT CAST(n_regionkey AS BIGINT) AS rg,
+                 o_orderpriority AS pr,
+                 CAST(COUNT(*) AS BIGINT) AS obs
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        rowt AS (SELECT rg, CAST(SUM(obs) AS BIGINT) AS nr
+                 FROM o GROUP BY 1),
+        colt AS (SELECT pr, CAST(SUM(obs) AS BIGINT) AS nc
+                 FROM o GROUP BY 1),
+        tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn FROM o),
+        f AS (
+          SELECT o.rg, o.pr, obs,
+                 CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                   / CAST(nn AS DOUBLE) AS e,
+                 CAST(nr AS DOUBLE) / CAST(nn AS DOUBLE) AS rs,
+                 CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE) AS cs
+          FROM o JOIN rowt ON o.rg = rowt.rg
+          JOIN colt ON o.pr = colt.pr CROSS JOIN tot),
+        g AS (
+          SELECT rg, pr, obs, e,
+                 (CAST(obs AS DOUBLE) - e)
+                   / SQRT(e * (CAST(1 AS DOUBLE) - rs)
+                     * (CAST(1 AS DOUBLE) - cs)) AS res
+          FROM f)
+        SELECT rg AS region, pr AS priority, obs,
+               ROUND(e, 6) AS expected,
+               ROUND(res, 6) + CAST(0 AS DOUBLE) AS std_residual,
+               CAST(CASE WHEN ABS(res) > 2 THEN 1 ELSE 0 END AS INT)
+                 AS cell_flag
+        FROM g ORDER BY region, priority"""))
   )
 }
