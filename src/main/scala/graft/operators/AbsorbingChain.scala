@@ -109,4 +109,79 @@ object AbsorbingChain {
     }
     solved.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
+
+  /** Expected steps to absorption from each transient state: the same
+    * (I − Q) Cramer solve with the all-ones right-hand side — t =
+    * (I − Q)⁻¹·1, the fundamental matrix's row sums. Shares the full
+    * [[absorption]] contract (3 transient + 2 absorbing states, loud
+    * rejection of unknown states, 12-grid rates, 9-snapped solution).
+    * Returns 3 rows: (state, expected_steps).
+    */
+  def expectedSteps(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, stateCol: String, transient: Seq[String],
+      absorbing: Seq[String]): DataFrame = {
+    require(transient.size == 3, s"exactly 3 transient states, got $transient")
+    require(absorbing.size == 2, s"exactly 2 absorbing states, got $absorbing")
+    val states = transient ++ absorbing
+    require(states.distinct == states, "states must be distinct")
+    val unknown = events
+      .filter(!col(stateCol).isin(states: _*) || col(stateCol).isNull)
+      .limit(1).count()
+    require(unknown == 0L,
+      s"events contain states outside the declared universe $states")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val tr = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(stateCol).as("st"))
+      .withColumn("nxt", lead(col("st"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .filter(col("st").isin(transient: _*))
+    val tot = tr.groupBy(col("st")).agg(count(lit(1)).as("ntot"))
+    val rates = tr.groupBy(col("st"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+      .join(tot, Seq("st"))
+      .withColumn("p",
+        round(col("n").cast("double") / col("ntot").cast("double"), 12))
+    val cellAggs = (for {
+      (fi, i) <- transient.zipWithIndex
+      (tj, j) <- transient.zipWithIndex
+    } yield coalesce(
+      max(when(col("st") === fi && col("nxt") === tj, col("p"))),
+      lit(0.0)).as(s"q${i + 1}${j + 1}")).toSeq
+    val m = rates.agg(cellAggs.head, cellAggs.tail: _*)
+      .withColumn("m11", lit(1.0) - col("q11"))
+      .withColumn("m12", lit(0.0) - col("q12"))
+      .withColumn("m13", lit(0.0) - col("q13"))
+      .withColumn("m21", lit(0.0) - col("q21"))
+      .withColumn("m22", lit(1.0) - col("q22"))
+      .withColumn("m23", lit(0.0) - col("q23"))
+      .withColumn("m31", lit(0.0) - col("q31"))
+      .withColumn("m32", lit(0.0) - col("q32"))
+      .withColumn("m33", lit(1.0) - col("q33"))
+      .withColumn("det",
+        col("m11") * (col("m22") * col("m33") - col("m23") * col("m32")) -
+          col("m12") * (col("m21") * col("m33") - col("m23") * col("m31")) +
+          col("m13") * (col("m21") * col("m32") - col("m22") * col("m31")))
+      .withColumn("o1", lit(1.0)).withColumn("o2", lit(1.0))
+      .withColumn("o3", lit(1.0))
+      .withColumn("t1", round((
+        col("o1") * (col("m22") * col("m33") - col("m23") * col("m32")) -
+          col("m12") * (col("o2") * col("m33") - col("m23") * col("o3")) +
+          col("m13") * (col("o2") * col("m32") - col("m22") * col("o3"))
+        ) / col("det"), 9))
+      .withColumn("t2", round((
+        col("m11") * (col("o2") * col("m33") - col("m23") * col("o3")) -
+          col("o1") * (col("m21") * col("m33") - col("m23") * col("m31")) +
+          col("m13") * (col("m21") * col("o3") - col("o2") * col("m31"))
+        ) / col("det"), 9))
+      .withColumn("t3", round((
+        col("m11") * (col("m22") * col("o3") - col("o2") * col("m32")) -
+          col("m12") * (col("m21") * col("o3") - col("o2") * col("m31")) +
+          col("o1") * (col("m21") * col("m32") - col("m22") * col("m31"))
+        ) / col("det"), 9))
+    val rows = transient.zipWithIndex.map { case (st, i) =>
+      struct(lit(st).as("state"),
+        round(col(s"t${i + 1}"), 6).as("expected_steps"))
+    }
+    m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
 }

@@ -10549,6 +10549,278 @@ object AppliedQueries {
                ROUND(res, 6) + CAST(0 AS DOUBLE) AS std_residual,
                CAST(CASE WHEN ABS(res) > 2 THEN 1 ELSE 0 END AS INT)
                  AS cell_flag
-        FROM g ORDER BY region, priority"""))
+        FROM g ORDER BY region, priority""")),
+
+    // Replenishment regularity: customers with ≥4 orders classified by
+    // the coefficient of variation of their inter-order gaps —
+    // clockwork (CV < 0.5, auto-replenishment candidates), Poisson-
+    // random (CV ≤ 1.5) or bursty (stock-up behavior) — the per-
+    // CUSTOMER regularity read that qd6's series-level burstiness
+    // aggregates away, and the segmentation subscription programs are
+    // built on. Integer day gaps; exact integer moment sums per
+    // customer; one CV division.
+    "qj6_replenishment_regularity" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey").as("ck"),
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000").as("d"),
+            col("o_orderkey"))
+        val wC = Window.partitionBy("ck").orderBy(col("d"), col("o_orderkey"))
+        val gaps = o.withColumn("pd", lag("d", 1).over(wC))
+          .filter(col("pd").isNotNull)
+          .select(col("ck"), (col("d") - col("pd")).as("g"))
+        val cust = gaps.groupBy("ck")
+          .agg(count(lit(1)).as("ng"), sum(col("g")).as("sg"),
+            sum(col("g") * col("g")).as("sgg"))
+          .filter(col("ng") >= 3) // ≥4 orders = ≥3 gaps
+          .withColumn("mg", round(col("sg").cast("double") /
+            col("ng").cast("double"), 9))
+          .withColumn("vg", (col("ng").cast("double") *
+            col("sgg").cast("double") - col("sg").cast("double") *
+            col("sg").cast("double")) /
+            (col("ng").cast("double") * (col("ng") - 1).cast("double")))
+          .withColumn("cv", round(sqrt(col("vg")) / col("mg"), 9))
+          .withColumn("cls", when(col("cv") < 0.5, "regular")
+            .when(col("cv") <= 1.5, "random").otherwise("bursty"))
+        val tot = cust.agg(count(lit(1)).as("nc"))
+        cust.groupBy("cls")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(g9(col("mg"))).as("smg"), sum(g9(col("cv"))).as("scv"))
+          .crossJoin(broadcast(tot))
+          .select(col("cls").as("regularity"), col("n_customers"),
+            round(col("n_customers").cast("double") /
+              col("nc").cast("double"), 6).as("share"),
+            round(col("smg").cast("double") /
+              col("n_customers").cast("double"), 6).as("avg_gap_days"),
+            round(col("scv").cast("double") /
+              col("n_customers").cast("double"), 6).as("avg_cv"))
+          .orderBy("regularity")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_custkey AS ck,
+                 CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS d,
+                 o_orderkey
+          FROM orders),
+        gaps AS (
+          SELECT ck, d - pd AS g FROM (
+            SELECT ck, d, LAG(d) OVER (PARTITION BY ck
+              ORDER BY d, o_orderkey) AS pd
+            FROM o)
+          WHERE pd IS NOT NULL),
+        cust AS MATERIALIZED (
+          SELECT ck, cv, mg,
+                 CASE WHEN cv < CAST(0.5 AS DOUBLE) THEN 'regular'
+                      WHEN cv <= CAST(1.5 AS DOUBLE) THEN 'random'
+                      ELSE 'bursty' END AS cls
+          FROM (
+            SELECT ck, mg,
+                   ROUND(SQRT(vg) / mg, 9) AS cv
+            FROM (
+              SELECT ck,
+                     ROUND(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE), 9)
+                       AS mg,
+                     (CAST(ng AS DOUBLE) * CAST(sgg AS DOUBLE)
+                       - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                       / (CAST(ng AS DOUBLE) * CAST(ng - 1 AS DOUBLE))
+                       AS vg
+              FROM (
+                SELECT ck, CAST(COUNT(*) AS BIGINT) AS ng,
+                       CAST(SUM(g) AS BIGINT) AS sg,
+                       CAST(SUM(g * g) AS BIGINT) AS sgg
+                FROM gaps GROUP BY 1)
+              WHERE ng >= 3))),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cust)
+        SELECT cls AS regularity,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+                 AS share,
+               ROUND(CAST(SUM(CAST(ROUND(mg, 9) AS DECIMAL(20,9)))
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                 AS avg_gap_days,
+               ROUND(CAST(SUM(CAST(ROUND(cv, 9) AS DECIMAL(20,9)))
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_cv
+        FROM cust CROSS JOIN tot
+        GROUP BY cls, nc ORDER BY regularity""")),
+
+    // Three-step Markov reward per starting event type: V₃(s) =
+    // (P·r + P²·r + P³·r)(s) with transition rates over the full
+    // 5-state chain and per-state average event value as the arrival
+    // reward — "what is a user in state s worth over their next three
+    // events", the MDP-flavored composite of qf5's stationary mix and
+    // q6b's raw transitions. Three unrolled matrix-vector rounds on
+    // the q4b 9-grid; 12-grid rates.
+    "qj7_markov_reward" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+            col("event_id"), col("event_type").as("st"),
+            coalesce(col("value"), lit(0.0)).as("v"))
+        val wU = Window.partitionBy("user_id")
+          .orderBy(col("ms"), col("event_id"))
+        val tr = e.withColumn("nxt", lead("st", 1).over(wU))
+          .filter(col("nxt").isNotNull)
+        val tot = tr.groupBy("st").agg(count(lit(1)).as("ntot"))
+        val p = tr.groupBy("st", "nxt").agg(count(lit(1)).as("n"))
+          .join(tot, "st")
+          .select(col("st"), col("nxt"),
+            round(col("n").cast("double") / col("ntot").cast("double"), 12)
+              .as("p"))
+          .localCheckpoint(eager = false)
+        val r = e.groupBy(col("st").as("rs"))
+          .agg(round(sum(col("v").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)).cast("double"), 9).as("rv"))
+          .localCheckpoint(eager = false)
+        def step(v: DataFrame): DataFrame = p
+          .join(v.select(col("rs").as("nxt2"), col("rv").as("vv")),
+            col("nxt") === col("nxt2"))
+          .groupBy(col("st").as("rs"))
+          .agg(round(sum(round(col("p") * col("vv"), 12)
+            .cast("decimal(28,12)")).cast("double"), 9).as("rv"))
+        val w1 = step(r).localCheckpoint(eager = false)
+        val w2 = step(w1).localCheckpoint(eager = false)
+        val w3 = step(w2)
+        w1.select(col("rs"), col("rv").as("v1"))
+          .join(w2.select(col("rs").as("r2"), col("rv").as("v2")),
+            col("rs") === col("r2"))
+          .join(w3.select(col("rs").as("r3"), col("rv").as("v3")),
+            col("rs") === col("r3"))
+          .select(col("rs").as("state"),
+            round(col("v1"), 6).as("exp_value_1step"),
+            round(col("v1") + col("v2") + col("v3"), 6)
+              .as("exp_value_3steps"))
+          .orderBy("state")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+                 event_type AS st,
+                 COALESCE(value, CAST(0 AS DOUBLE)) AS v
+          FROM events),
+        tr AS (
+          SELECT st, nxt FROM (
+            SELECT st, LEAD(st) OVER (PARTITION BY user_id
+              ORDER BY ms, event_id) AS nxt
+            FROM e)
+          WHERE nxt IS NOT NULL),
+        tot AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS ntot
+                FROM tr GROUP BY 1),
+        p AS MATERIALIZED (
+          SELECT c.st, c.nxt,
+                 ROUND(CAST(c.n AS DOUBLE) / CAST(ntot AS DOUBLE), 12)
+                   AS p
+          FROM (SELECT st, nxt, CAST(COUNT(*) AS BIGINT) AS n
+                FROM tr GROUP BY 1, 2) c
+          JOIN tot ON tot.st = c.st),
+        r AS MATERIALIZED (
+          SELECT st AS rs,
+                 ROUND(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS rv
+          FROM e GROUP BY 1),
+        w1 AS MATERIALIZED (
+          SELECT p.st AS rs,
+                 ROUND(CAST(SUM(CAST(ROUND(p * rv, 12)
+                   AS DECIMAL(28,12))) AS DOUBLE), 9) AS rv
+          FROM p JOIN r ON p.nxt = r.rs GROUP BY 1),
+        w2 AS MATERIALIZED (
+          SELECT p.st AS rs,
+                 ROUND(CAST(SUM(CAST(ROUND(p * w1.rv, 12)
+                   AS DECIMAL(28,12))) AS DOUBLE), 9) AS rv
+          FROM p JOIN w1 ON p.nxt = w1.rs GROUP BY 1),
+        w3 AS (
+          SELECT p.st AS rs,
+                 ROUND(CAST(SUM(CAST(ROUND(p * w2.rv, 12)
+                   AS DECIMAL(28,12))) AS DOUBLE), 9) AS rv
+          FROM p JOIN w2 ON p.nxt = w2.rs GROUP BY 1)
+        SELECT w1.rs AS state,
+               ROUND(w1.rv, 6) AS exp_value_1step,
+               ROUND(w1.rv + w2.rv + w3.rv, 6) AS exp_value_3steps
+        FROM w1 JOIN w2 ON w1.rs = w2.rs JOIN w3 ON w1.rs = w3.rs
+        ORDER BY state""")),
+
+    // Expected steps to absorption from each transient journey state:
+    // t = (I − Q)⁻¹·1, the fundamental-matrix row sums through the
+    // same exact Cramer solve as qah's absorption probabilities —
+    // "how many more events until this user converts or errors out",
+    // the TIME companion to qah's WHERE. Identical 12-grid rate
+    // contract; the oracle replays the 3×3 solve with the ones RHS.
+    "qj8_absorption_time" -> Q(
+      fn = (s, dir) =>
+        graft.operators.AbsorbingChain.expectedSteps(
+            t(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts"))),
+            "user_id", "ts_ms", "event_id", "event_type",
+            transient = Seq("click", "signup", "view"),
+            absorbing = Seq("purchase", "error"))
+          .orderBy(col("state")),
+      oracle = Some {
+        val transient = Seq("click", "signup", "view")
+        val cells = (for {
+          (fi, i) <- transient.zipWithIndex
+          (tj, j) <- transient.zipWithIndex
+        } yield
+          s"COALESCE(MAX(CASE WHEN st = '$fi' AND nxt = '$tj' THEN p END), " +
+            s"CAST(0 AS DOUBLE)) AS q${i + 1}${j + 1}")
+          .mkString(",\n                 ")
+        s"""
+        WITH e AS (
+          SELECT event_type AS st,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS nxt
+          FROM events),
+        tr AS (
+          SELECT st, nxt FROM e
+          WHERE nxt IS NOT NULL AND st IN ('click', 'signup', 'view')),
+        tot AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS ntot
+                FROM tr GROUP BY 1),
+        rates AS (
+          SELECT c.st, c.nxt,
+                 ROUND(CAST(c.n AS DOUBLE) / CAST(tot.ntot AS DOUBLE), 12)
+                   AS p
+          FROM (SELECT st, nxt, CAST(COUNT(*) AS BIGINT) AS n
+                FROM tr GROUP BY 1, 2) c
+          JOIN tot ON tot.st = c.st),
+        cells AS (
+          SELECT $cells
+          FROM rates),
+        m AS (
+          SELECT *,
+                 CAST(1 AS DOUBLE) - q11 AS m11,
+                 CAST(0 AS DOUBLE) - q12 AS m12,
+                 CAST(0 AS DOUBLE) - q13 AS m13,
+                 CAST(0 AS DOUBLE) - q21 AS m21,
+                 CAST(1 AS DOUBLE) - q22 AS m22,
+                 CAST(0 AS DOUBLE) - q23 AS m23,
+                 CAST(0 AS DOUBLE) - q31 AS m31,
+                 CAST(0 AS DOUBLE) - q32 AS m32,
+                 CAST(1 AS DOUBLE) - q33 AS m33,
+                 CAST(1 AS DOUBLE) AS o1, CAST(1 AS DOUBLE) AS o2,
+                 CAST(1 AS DOUBLE) AS o3
+          FROM cells),
+        d AS (
+          SELECT *,
+                 m11 * (m22 * m33 - m23 * m32)
+                   - m12 * (m21 * m33 - m23 * m31)
+                   + m13 * (m21 * m32 - m22 * m31) AS det
+          FROM m),
+        sv AS (
+          SELECT *,
+                 ROUND((o1 * (m22 * m33 - m23 * m32)
+                   - m12 * (o2 * m33 - m23 * o3)
+                   + m13 * (o2 * m32 - m22 * o3)) / det, 9) AS t1,
+                 ROUND((m11 * (o2 * m33 - m23 * o3)
+                   - o1 * (m21 * m33 - m23 * m31)
+                   + m13 * (m21 * o3 - o2 * m31)) / det, 9) AS t2,
+                 ROUND((m11 * (m22 * o3 - o2 * m32)
+                   - m12 * (m21 * o3 - o2 * m31)
+                   + o1 * (m21 * m32 - m22 * m31)) / det, 9) AS t3
+          FROM d)
+        SELECT 'click' AS state, ROUND(t1, 6) AS expected_steps FROM sv
+        UNION ALL
+        SELECT 'signup', ROUND(t2, 6) FROM sv
+        UNION ALL
+        SELECT 'view', ROUND(t3, 6) FROM sv
+        ORDER BY state"""
+      })
   )
 }

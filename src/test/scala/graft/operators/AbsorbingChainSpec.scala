@@ -16,6 +16,23 @@ class AbsorbingChainSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("state") ->
         (r.getAs[Double]("p_A"), r.getAs[Double]("p_B"))).toMap
 
+  test("expected steps to absorption: direct = 1, chained = 2") {
+    val ev = Seq(
+      (1L, 1L, "t1"), (1L, 2L, "A"),                 // t1 → A (1 step)
+      (2L, 1L, "t2"), (2L, 2L, "t1"), (2L, 3L, "A"), // t2 → t1 → A
+      (3L, 1L, "t3"), (3L, 2L, "B"))                 // t3 → B (1 step)
+    val m = AbsorbingChain.expectedSteps(
+        ev.map { case (u, t, st) => (u, t, t, st) }
+          .toDF("u", "ts", "tie", "st"),
+        "u", "ts", "tie", "st",
+        transient = Seq("t1", "t2", "t3"), absorbing = Seq("A", "B"))
+      .collect().map(r => r.getAs[String]("state") ->
+        r.getAs[Double]("expected_steps")).toMap
+    assert(m("t1") == 1.0)
+    assert(m("t2") == 2.0)
+    assert(m("t3") == 1.0)
+  }
+
   test("direct, chained and split absorption solve exactly") {
     val ev = Seq(
       (1L, 1L, "t1"), (1L, 2L, "A"),            // t1 → A
