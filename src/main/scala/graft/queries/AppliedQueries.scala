@@ -10821,6 +10821,222 @@ object AppliedQueries {
         UNION ALL
         SELECT 'view', ROUND(t3, 6) FROM sv
         ORDER BY state"""
-      })
+      }),
+
+    // Ratio-to-moving-average seasonal indices: daily events revenue
+    // over its centered 7-day moving average (full windows only),
+    // ratios averaged per weekday and normalized to mean 1 — the
+    // classical MULTIPLICATIVE seasonal-index construction (census
+    // method I), the ratio twin of qaw's additive day-of-week indices.
+    // A Tuesday index of 1.12 reads directly as "+12%". CMA and
+    // ratios on the 9-grid; index normalization is one exact mean.
+    "qj9_ratio_to_ma" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(coalesce(col("value"), lit(0.0))
+            .cast("decimal(18,2)")).as("yv"))
+        val w = Window.orderBy("day").rowsBetween(-3, 3)
+        val cma = d
+          .withColumn("nw", count(lit(1)).over(w))
+          .withColumn("sw", sum(col("yv")).over(w))
+          .filter(col("nw") === 7)
+          .withColumn("cma", round(col("sw").cast("double") / lit(7.0), 9))
+          .withColumn("ratio", round(col("yv").cast("double") /
+            col("cma"), 9))
+          .withColumn("dow", ((col("day") + 4) % 7).cast("int"))
+        val per = cma.groupBy("dow")
+          .agg(count(lit(1)).as("n_days"),
+            round(sum(g9(col("ratio"))).cast("double") /
+              count(lit(1)).cast("double"), 9).as("raw_idx"))
+        val norm = per.agg(round(sum(g9(col("raw_idx"))).cast("double") /
+          count(lit(1)).cast("double"), 9).as("mean_idx"))
+        per.crossJoin(broadcast(norm))
+          .select(col("dow").as("day_of_week"), col("n_days"),
+            round(col("raw_idx"), 6).as("raw_ratio"),
+            round(col("raw_idx") / col("mean_idx"), 6)
+              .as("seasonal_index"))
+          .orderBy("day_of_week")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 SUM(CAST(COALESCE(value, CAST(0 AS DOUBLE))
+                   AS DECIMAL(18,2))) AS yv
+          FROM events GROUP BY 1),
+        cma AS (
+          SELECT day, yv,
+                 COUNT(*) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw,
+                 SUM(yv) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sw
+          FROM d),
+        rat AS (
+          SELECT CAST((day + 4) % 7 AS INT) AS dow,
+                 ROUND(CAST(yv AS DOUBLE) /
+                   ROUND(CAST(sw AS DOUBLE) / CAST(7 AS DOUBLE), 9), 9)
+                   AS ratio
+          FROM cma WHERE nw = 7),
+        per AS (
+          SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 ROUND(CAST(SUM(CAST(ROUND(ratio, 9) AS DECIMAL(20,9)))
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS raw_idx
+          FROM rat GROUP BY 1),
+        norm AS (
+          SELECT ROUND(CAST(SUM(CAST(ROUND(raw_idx, 9)
+                   AS DECIMAL(20,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS mean_idx
+          FROM per)
+        SELECT dow AS day_of_week, n_days,
+               ROUND(raw_idx, 6) AS raw_ratio,
+               ROUND(raw_idx / mean_idx, 6) AS seasonal_index
+        FROM per CROSS JOIN norm
+        ORDER BY day_of_week""")),
+
+    // Decision-curve analysis for "activity predicts purchase": net
+    // benefit NB(p_t) = TP/n − FP/n · p_t/(1−p_t) at per-mille
+    // thresholds, against the treat-ALL and treat-NONE policies — the
+    // model-evaluation view that prices FALSE POSITIVES by the
+    // threshold odds (an AUC of 0.8 can still be clinically useless;
+    // NB says WHERE the score earns its keep). Score = exact activity
+    // percentile; everything integer until the odds ratio.
+    "qja_decision_curve" -> Q(
+      fn = (s, dir) => {
+        val u = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("act"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(u,
+          Seq(col("act").desc, col("user_id")), "rn")
+        val n0 = ranked.agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+        val th = Seq(100, 200, 300, 400, 500)
+        val cells = ranked.crossJoin(broadcast(n0))
+          .select(col("rn"), col("y"), col("n"), col("np"),
+            explode(expr(s"array(${th.mkString(", ")})")).as("pt"))
+          // classify positive when the user's activity percentile beats
+          // the threshold: rn ≤ (1000 − pt)·n/1000 — higher threshold
+          // odds demand a shorter treated list
+          .withColumn("pos",
+            when(col("rn") * 1000 <= (lit(1000) - col("pt")) * col("n"),
+              1L).otherwise(0L))
+        cells.groupBy("pt")
+          .agg(max(col("n")).as("n"), max(col("np")).as("np"),
+            sum(col("pos") * col("y")).as("tp"),
+            sum(col("pos") * (lit(1L) - col("y"))).as("fp"))
+          .select(col("pt").cast("int").as("threshold_permille"),
+            col("tp"), col("fp"),
+            (round(col("tp").cast("double") / col("n").cast("double") -
+              col("fp").cast("double") / col("n").cast("double") *
+              (col("pt").cast("double") /
+                (lit(1000.0) - col("pt").cast("double"))), 6) + lit(0.0))
+              .as("net_benefit"),
+            (round(col("np").cast("double") / col("n").cast("double") -
+              (lit(1.0) - col("np").cast("double") /
+                col("n").cast("double")) *
+              (col("pt").cast("double") /
+                (lit(1000.0) - col("pt").cast("double"))), 6) + lit(0.0))
+              .as("nb_treat_all"))
+          .orderBy("threshold_permille")
+      },
+      oracle = Some({
+        val th = Seq(100, 200, 300, 400, 500)
+        s"""
+        WITH u AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS act,
+                 CAST(MAX(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY act DESC, user_id)
+                   AS BIGINT) AS rn,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n,
+                 (SELECT CAST(SUM(y) AS BIGINT) FROM u) AS np
+          FROM u),
+        cells AS (
+          SELECT pt, n, np,
+                 CASE WHEN rn * 1000 <= (1000 - pt) * n THEN 1 ELSE 0
+                   END AS pos, y
+          FROM ranked CROSS JOIN
+            (SELECT unnest([${th.mkString(", ")}]) AS pt)),
+        agg AS (
+          SELECT pt, MAX(n) AS n, MAX(np) AS np,
+                 CAST(SUM(pos * y) AS BIGINT) AS tp,
+                 CAST(SUM(pos * (1 - y)) AS BIGINT) AS fp
+          FROM cells GROUP BY 1)
+        SELECT CAST(pt AS INT) AS threshold_permille, tp, fp,
+               ROUND(CAST(tp AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(fp AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (CAST(pt AS DOUBLE)
+                   / (CAST(1000 AS DOUBLE) - CAST(pt AS DOUBLE))), 6)
+                 + CAST(0 AS DOUBLE) AS net_benefit,
+               ROUND(CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(1 AS DOUBLE) - CAST(np AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+                 * (CAST(pt AS DOUBLE)
+                   / (CAST(1000 AS DOUBLE) - CAST(pt AS DOUBLE))), 6)
+                 + CAST(0 AS DOUBLE) AS nb_treat_all
+        FROM agg ORDER BY threshold_permille"""
+      })),
+
+    // Mean-reversion half-life of daily revenue: AR(1) on deviations
+    // from the series mean, half-life = ln(½)/ln(φ) days — "how long
+    // until half of a shock has decayed", the number a raw φ = 0.8
+    // never communicates (3.1 days) — with the stationarity verdict.
+    // ln links only (ln(½) is the same shared literal as qhe's);
+    // 9-grid deviation moments.
+    "qjb_ar_half_life" -> Q(
+      fn = (s, dir) => {
+        val y = dailyRevenueM(s, dir)
+        val mu = y.agg(count(lit(1)).as("n"), sum(col("ym")).as("sy"))
+          .select(round(col("sy").cast("double") / col("n").cast("double"),
+            9).as("mu"))
+        val w = Window.orderBy("day")
+        val dev = y.crossJoin(broadcast(mu))
+          .select(col("day"),
+            round(col("ym").cast("double") - col("mu"), 9).as("z"))
+          .withColumn("zp", lag("z", 1).over(w))
+          .filter(col("zp").isNotNull)
+        val m = dev.agg(count(lit(1)).as("n"),
+          sum(g9(round(col("z") * col("zp"), 9))).as("szp"),
+          sum(g9(round(col("zp") * col("zp"), 9))).as("spp"))
+        m.withColumn("phi", col("szp").cast("double") /
+            col("spp").cast("double"))
+          .select(col("n").as("n_obs"),
+            (round(col("phi"), 6) + lit(0.0)).as("phi"),
+            when(col("phi") > 0 && col("phi") < 1,
+              round(lit(-0.693147180559945) / log(col("phi")), 6))
+              .as("half_life_days"),
+            when(col("phi") >= 1, "non_stationary")
+              .when(col("phi") <= 0, "oscillatory_or_white")
+              .otherwise("mean_reverting").as("verdict"))
+      },
+      oracle = Some(s"""
+        WITH yd AS ($dailyRevenueMSql),
+        mu AS (
+          SELECT ROUND(CAST(SUM(ym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS mu
+          FROM yd),
+        dev AS (
+          SELECT z, LAG(z) OVER (ORDER BY day) AS zp
+          FROM (SELECT day, ROUND(CAST(ym AS DOUBLE) - mu, 9) AS z
+                FROM yd CROSS JOIN mu)),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(z * zp, 9) AS DECIMAL(20,9))) AS szp,
+                 SUM(CAST(ROUND(zp * zp, 9) AS DECIMAL(20,9))) AS spp
+          FROM dev WHERE zp IS NOT NULL),
+        f AS (
+          SELECT n, CAST(szp AS DOUBLE) / CAST(spp AS DOUBLE) AS phi
+          FROM m)
+        SELECT n AS n_obs,
+               ROUND(phi, 6) + CAST(0 AS DOUBLE) AS phi,
+               CASE WHEN phi > 0 AND phi < 1 THEN
+                 ROUND(CAST(-0.693147180559945 AS DOUBLE) / ln(phi), 6)
+               END AS half_life_days,
+               CASE WHEN phi >= 1 THEN 'non_stationary'
+                    WHEN phi <= 0 THEN 'oscillatory_or_white'
+                    ELSE 'mean_reverting' END AS verdict
+        FROM f"""))
   )
 }
