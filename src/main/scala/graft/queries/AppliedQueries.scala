@@ -11037,6 +11037,182 @@ object AppliedQueries {
                CASE WHEN phi >= 1 THEN 'non_stationary'
                     WHEN phi <= 0 THEN 'oscillatory_or_white'
                     ELSE 'mean_reverting' END AS verdict
-        FROM f"""))
+        FROM f""")),
+
+    // l-diversity and t-closeness over the q7s quasi-identifier
+    // classes: per (event_type, hour, value-band) equivalence class,
+    // the count of DISTINCT sensitive values (user activity tier) and
+    // the total-variation distance of the class's tier mix from the
+    // global mix — k-anonymity (q7s) stops re-identification, but a
+    // k-large class whose members ALL share one sensitive value still
+    // leaks it (the homogeneity attack l-diversity counts, the
+    // skew t-closeness prices). Integer tiers and counts; exact
+    // share differences.
+    "qjc_l_diversity" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            (expr("unix_millis(ts) div 3600000") % 24).cast("int")
+              .as("hod"),
+            coalesce(floor(col("value") / lit(100.0)).cast("long"),
+              lit(-1L)).as("vband"))
+        val tier = t(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("act"))
+          .select(col("user_id").as("u2"),
+            when(col("act") >= 40, 2).when(col("act") >= 20, 1)
+              .otherwise(0).as("tier"))
+        val rows = e.join(tier, col("user_id") === col("u2"))
+        val global = rows.groupBy("tier")
+          .agg(count(lit(1)).as("gt"))
+          .crossJoin(broadcast(rows.agg(count(lit(1)).as("gn"))))
+          .select(col("tier"),
+            round(col("gt").cast("double") / col("gn").cast("double"), 9)
+              .as("gshare"))
+        val cls = rows.groupBy("event_type", "hod", "vband", "tier")
+          .agg(count(lit(1)).as("ct"))
+        val clsTot = cls.groupBy("event_type", "hod", "vband")
+          .agg(sum(col("ct")).as("cn"),
+            countDistinct(col("tier")).as("l_div"))
+        // dense class × GLOBAL-tier grid (the oracle's cross join): a
+        // class missing a tier must still pay |0 − gshare| for it
+        val tv = clsTot.crossJoin(broadcast(global))
+          .join(cls, Seq("event_type", "hod", "vband", "tier"), "left")
+          .select(col("event_type"), col("hod"), col("vband"), col("cn"),
+            col("l_div"),
+            abs(coalesce(round(col("ct").cast("double") /
+              col("cn").cast("double"), 9), lit(0.0)) - col("gshare"))
+              .as("ad"))
+          .groupBy("event_type", "hod", "vband", "cn", "l_div")
+          .agg(round(sum(g9(col("ad"))).cast("double") / lit(2.0), 6)
+            .as("t_closeness"))
+        val agg = tv.agg(count(lit(1)).as("n_classes"),
+          min(col("l_div")).as("min_l"),
+          sum(when(col("l_div") === 1, 1L).otherwise(0L))
+            .as("n_homogeneous"),
+          max(col("t_closeness")).as("max_t"),
+          round(sum(g9(col("t_closeness"))).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_t"))
+        agg.select(col("n_classes"), col("min_l"), col("n_homogeneous"),
+          round(col("max_t"), 6).as("max_t_closeness"),
+          col("avg_t").as("avg_t_closeness"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hod,
+                 COALESCE(CAST(FLOOR(value / CAST(100 AS DOUBLE))
+                   AS BIGINT), -1) AS vband
+          FROM events),
+        tier AS (
+          SELECT user_id AS u2,
+                 CASE WHEN act >= 40 THEN 2 WHEN act >= 20 THEN 1
+                   ELSE 0 END AS tier
+          FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS act
+                FROM events GROUP BY 1)),
+        rows_t AS MATERIALIZED (
+          SELECT event_type, hod, vband, tier
+          FROM e JOIN tier ON user_id = u2),
+        global AS (
+          SELECT tier,
+                 ROUND(CAST(COUNT(*) AS DOUBLE) /
+                   CAST((SELECT COUNT(*) FROM rows_t) AS DOUBLE), 9)
+                   AS gshare
+          FROM rows_t GROUP BY 1),
+        cls AS (
+          SELECT event_type, hod, vband, tier,
+                 CAST(COUNT(*) AS BIGINT) AS ct
+          FROM rows_t GROUP BY 1, 2, 3, 4),
+        clstot AS (
+          SELECT event_type, hod, vband, CAST(SUM(ct) AS BIGINT) AS cn,
+                 CAST(COUNT(DISTINCT tier) AS BIGINT) AS l_div
+          FROM cls GROUP BY 1, 2, 3),
+        tv AS (
+          SELECT event_type, hod, vband, cn, l_div,
+                 ROUND(CAST(SUM(CAST(ROUND(ad, 9) AS DECIMAL(20,9)))
+                   AS DOUBLE) / CAST(2 AS DOUBLE), 6) AS t_closeness
+          FROM (
+            SELECT ct.event_type, ct.hod, ct.vband, ct.cn, ct.l_div,
+                   ABS(COALESCE(ROUND(CAST(cls.ct AS DOUBLE)
+                     / CAST(ct.cn AS DOUBLE), 9), CAST(0 AS DOUBLE))
+                     - gshare) AS ad
+            FROM clstot ct
+            CROSS JOIN global g
+            LEFT JOIN cls ON cls.event_type = ct.event_type
+              AND cls.hod = ct.hod AND cls.vband = ct.vband
+              AND cls.tier = g.tier)
+          GROUP BY 1, 2, 3, 4, 5)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               MIN(l_div) AS min_l,
+               CAST(SUM(CASE WHEN l_div = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_homogeneous,
+               ROUND(MAX(t_closeness), 6) AS max_t_closeness,
+               ROUND(CAST(SUM(CAST(ROUND(t_closeness, 9)
+                 AS DECIMAL(20,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS avg_t_closeness
+        FROM tv""")),
+
+    // Dixon's Q test on the 25-nation revenue panel: Q = (suspect −
+    // nearest neighbor) / range for the largest AND smallest values
+    // against the n=25 critical value 0.29 — the SMALL-SAMPLE outlier
+    // test (Grubbs qdg needs near-normality and more data; Dixon was
+    // built for exactly this panel size). Exact order statistics via
+    // rank picks; two ratios.
+    "qjd_dixon_q" -> Q(
+      fn = (s, dir) => {
+        val g = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nk"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        val ranked = g
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rev"), col("nk"))))
+          .crossJoin(broadcast(g.agg(count(lit(1)).as("n"))))
+        val picks = ranked.agg(
+          max(when(col("rk") === 1, col("rev"))).as("x1"),
+          max(when(col("rk") === 2, col("rev"))).as("x2"),
+          max(when(col("rk") === col("n") - 1, col("rev"))).as("xn1"),
+          max(when(col("rk") === col("n"), col("rev"))).as("xn"),
+          max(col("n")).as("n"))
+        picks.select(col("n").as("n_nations"),
+            round((col("xn") - col("xn1")).cast("double") /
+              (col("xn") - col("x1")).cast("double"), 6).as("q_high"),
+            round((col("x2") - col("x1")).cast("double") /
+              (col("xn") - col("x1")).cast("double"), 6).as("q_low"),
+            when((col("xn") - col("xn1")).cast("double") /
+              (col("xn") - col("x1")).cast("double") > lit(0.29), 1)
+              .otherwise(0).cast("int").as("high_outlier_flag"),
+            when((col("x2") - col("x1")).cast("double") /
+              (col("xn") - col("x1")).cast("double") > lit(0.29), 1)
+              .otherwise(0).cast("int").as("low_outlier_flag"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1),
+        ranked AS (
+          SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, nk) AS rk,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n
+          FROM g),
+        picks AS (
+          SELECT MAX(CASE WHEN rk = 1 THEN rev END) AS x1,
+                 MAX(CASE WHEN rk = 2 THEN rev END) AS x2,
+                 MAX(CASE WHEN rk = n - 1 THEN rev END) AS xn1,
+                 MAX(CASE WHEN rk = n THEN rev END) AS xn,
+                 MAX(n) AS n
+          FROM ranked)
+        SELECT n AS n_nations,
+               ROUND(CAST(xn - xn1 AS DOUBLE) / CAST(xn - x1 AS DOUBLE),
+                 6) AS q_high,
+               ROUND(CAST(x2 - x1 AS DOUBLE) / CAST(xn - x1 AS DOUBLE),
+                 6) AS q_low,
+               CAST(CASE WHEN CAST(xn - xn1 AS DOUBLE)
+                 / CAST(xn - x1 AS DOUBLE) > CAST(0.29 AS DOUBLE)
+                 THEN 1 ELSE 0 END AS INT) AS high_outlier_flag,
+               CAST(CASE WHEN CAST(x2 - x1 AS DOUBLE)
+                 / CAST(xn - x1 AS DOUBLE) > CAST(0.29 AS DOUBLE)
+                 THEN 1 ELSE 0 END AS INT) AS low_outlier_flag
+        FROM picks"""))
   )
 }
