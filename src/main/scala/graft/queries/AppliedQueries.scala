@@ -11213,6 +11213,159 @@ object AppliedQueries {
                CAST(CASE WHEN CAST(x2 - x1 AS DOUBLE)
                  / CAST(xn - x1 AS DOUBLE) > CAST(0.29 AS DOUBLE)
                  THEN 1 ELSE 0 END AS INT) AS low_outlier_flag
-        FROM picks"""))
+        FROM picks""")),
+
+    // Explicit GROUPING SETS surface: the ((region), (priority),
+    // (region, priority), ()) lattice with grouping_id — the
+    // ARBITRARY-subset member of the SQL aggregation-lattice family
+    // that q11's ROLLUP (prefix chain) and q8k's CUBE (full power
+    // set) bracket; real reports want exactly the sets they'll
+    // render, not the power set's waste. grouping_id replays as
+    // GROUPING()·2+GROUPING() per the q8k convention.
+    "qje_grouping_sets" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_regionkey").cast("long").as("region"),
+            col("o_orderpriority").as("priority"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"))
+        o.createOrReplaceTempView("qje_orders")
+        o.sparkSession.sql("""
+          SELECT region, priority,
+                 CAST(grouping_id(region, priority) AS INT) AS gid,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(v) AS DOUBLE) AS revenue
+          FROM qje_orders
+          GROUP BY GROUPING SETS ((region), (priority),
+            (region, priority), ())
+          ORDER BY gid, region, priority""")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CAST(n_regionkey AS BIGINT) AS region,
+                 o_orderpriority AS priority,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey)
+        SELECT region, priority,
+               CAST(GROUPING(region) * 2 + GROUPING(priority) AS INT)
+                 AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(v) AS DOUBLE) AS revenue
+        FROM o
+        GROUP BY GROUPING SETS ((region), (priority),
+          (region, priority), ())
+        ORDER BY gid, region, priority""")),
+
+    // Log spectral flatness (Wiener entropy) of daily purchase
+    // revenue: mean(ln Pₖ) − ln(mean Pₖ) over the k = 1..14 Fourier
+    // powers — 0 for white noise, increasingly negative as power
+    // concentrates into few frequencies; the geometric/arithmetic
+    // ratio REPORTED IN LOGS (exp is rule-14-banned; the log form is
+    // the standard dB-style reading anyway). Angles reduce mod n
+    // BEFORE the trig call (the qca/qcd large-arg libm lesson);
+    // cos/sin terms on the 9-grid.
+    "qjf_spectral_flatness" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("yv"))
+        val ranked = graft.operators.ScaleOps.globalRowNumber(d,
+          Seq(col("day")), "rn").localCheckpoint(eager = false)
+        val mu = ranked.agg(count(lit(1)).as("n"), sum(col("yv")).as("sy"))
+          .select(col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("mu"))
+        val ks = d.sparkSession.range(1, 15).select(col("id").as("k"))
+        val pows = ranked.crossJoin(broadcast(ks))
+          .crossJoin(broadcast(mu))
+          .withColumn("ang", lit(2.0 * math.Pi) *
+            pmod(col("rn") * col("k"), col("n")).cast("double") /
+            col("n").cast("double"))
+          .withColumn("yc", col("yv").cast("double") - col("mu"))
+          .groupBy(col("k"))
+          .agg(first(col("n")).as("n"),
+            sum(round(col("yc") * cos(col("ang")), 9)
+              .cast("decimal(28,9)")).as("ct"),
+            sum(round(col("yc") * sin(col("ang")), 9)
+              .cast("decimal(28,9)")).as("st"))
+          .withColumn("power", round(
+            (col("ct").cast("double") * col("ct").cast("double") +
+             col("st").cast("double") * col("st").cast("double")) *
+            lit(2.0) / col("n").cast("double"), 9))
+          .filter(col("power") > 0)
+        pows.agg(count(lit(1)).as("n_freqs"),
+            sum(g9(col("power"))).as("sp"),
+            sum(round(log(col("power")), 12).cast("decimal(28,12)"))
+              .as("slnp"))
+          .select(col("n_freqs"),
+            round(col("sp").cast("double") / col("n_freqs").cast("double"),
+              6).as("mean_power"),
+            (round(col("slnp").cast("double") /
+              col("n_freqs").cast("double") -
+              log(col("sp").cast("double") /
+                col("n_freqs").cast("double")), 6) + lit(0.0))
+              .as("log_flatness"),
+            when(col("slnp").cast("double") /
+              col("n_freqs").cast("double") -
+              log(col("sp").cast("double") /
+                col("n_freqs").cast("double")) > lit(-0.5),
+              "near_white").otherwise("tonal").as("verdict"))
+      },
+      oracle = Some("""
+        WITH d0 AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS yv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        ranked AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn,
+                 yv
+          FROM d0),
+        mu AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(yv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                   9) AS mu
+          FROM ranked),
+        pows AS (
+          SELECT k, n,
+                 ROUND((CAST(ct AS DOUBLE) * CAST(ct AS DOUBLE)
+                   + CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                   * CAST(2 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS power
+          FROM (
+            SELECT k, MAX(n) AS n,
+                   SUM(CAST(ROUND(yc * COS(ang), 9) AS DECIMAL(28,9)))
+                     AS ct,
+                   SUM(CAST(ROUND(yc * SIN(ang), 9) AS DECIMAL(28,9)))
+                     AS st
+            FROM (
+              SELECT k, n,
+                     CAST(2 AS DOUBLE) * PI()
+                       * CAST((rn * k) % n AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS ang,
+                     CAST(yv AS DOUBLE) - mu AS yc
+              FROM ranked
+              CROSS JOIN (SELECT unnest(range(1, 15)) AS k)
+              CROSS JOIN mu)
+            GROUP BY 1)),
+        pos AS (SELECT * FROM pows WHERE power > 0),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_freqs,
+                 SUM(CAST(ROUND(power, 9) AS DECIMAL(20,9))) AS sp,
+                 SUM(CAST(ROUND(ln(power), 12) AS DECIMAL(28,12)))
+                   AS slnp
+          FROM pos)
+        SELECT n_freqs,
+               ROUND(CAST(sp AS DOUBLE) / CAST(n_freqs AS DOUBLE), 6)
+                 AS mean_power,
+               ROUND(CAST(slnp AS DOUBLE) / CAST(n_freqs AS DOUBLE)
+                 - ln(CAST(sp AS DOUBLE) / CAST(n_freqs AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS log_flatness,
+               CASE WHEN CAST(slnp AS DOUBLE) / CAST(n_freqs AS DOUBLE)
+                 - ln(CAST(sp AS DOUBLE) / CAST(n_freqs AS DOUBLE))
+                 > CAST(-0.5 AS DOUBLE) THEN 'near_white'
+                 ELSE 'tonal' END AS verdict
+        FROM agg"""))
   )
 }
