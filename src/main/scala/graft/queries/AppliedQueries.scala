@@ -11366,6 +11366,348 @@ object AppliedQueries {
                  - ln(CAST(sp AS DOUBLE) / CAST(n_freqs AS DOUBLE))
                  > CAST(-0.5 AS DOUBLE) THEN 'near_white'
                  ELSE 'tonal' END AS verdict
-        FROM agg"""))
+        FROM agg""")),
+
+    // BCG growth–share matrix over brands: relative market share
+    // (brand volume / LARGEST OTHER brand's volume — the actual BCG
+    // definition, not plain share) × period-over-period volume growth
+    // across the qbk cut, classified star / cash-cow / question-mark /
+    // dog at the canonical 1.0 / median-growth cuts. Exact DECIMAL
+    // volumes; the growth median is an exact lower-median order
+    // statistic.
+    "qjg_bcg_matrix" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("p_brand").as("brand"),
+            when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"),
+              1).otherwise(0).as("per"),
+            col("l_quantity").cast("decimal(18,2)").as("q"))
+          .groupBy("brand", "per").agg(sum(col("q")).as("v"))
+        val wide = li.groupBy("brand")
+          .agg(max(when(col("per") === 0, col("v"))).as("v0"),
+            max(when(col("per") === 1, col("v"))).as("v1"))
+          .filter(col("v0").isNotNull && col("v1").isNotNull)
+          .localCheckpoint(eager = false)
+        val top2 = wide.select(col("brand").as("b2"), col("v1").as("vo"))
+        val rel = wide.join(broadcast(top2), col("b2") =!= col("brand"))
+          .groupBy("brand", "v0", "v1")
+          .agg(max(col("vo")).as("vmaxother"))
+          .withColumn("rms", round(col("v1").cast("double") /
+            col("vmaxother").cast("double"), 9))
+          .withColumn("growth", round((col("v1") - col("v0"))
+            .cast("double") / col("v0").cast("double"), 9))
+          .localCheckpoint(eager = false)
+        val n0 = rel.agg(count(lit(1)).as("n"))
+        val medg = rel.crossJoin(broadcast(n0))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("growth"), col("brand"))))
+          .filter(col("rk") === expr("(n + 1) div 2"))
+          .select(col("growth").as("gmed"))
+        rel.crossJoin(broadcast(medg))
+          .select(col("brand"),
+            round(col("rms"), 6).as("relative_share"),
+            (round(col("growth"), 6) + lit(0.0)).as("growth"),
+            when(col("rms") >= 1.0 && col("growth") > col("gmed"), "star")
+              .when(col("rms") >= 1.0, "cash_cow")
+              .when(col("growth") > col("gmed"), "question_mark")
+              .otherwise("dog").as("quadrant"))
+          .orderBy("brand")
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT p_brand AS brand,
+                 CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                   THEN 1 ELSE 0 END AS per,
+                 CAST(l_quantity AS DECIMAL(18,2)) AS q
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey),
+        agg0 AS (
+          SELECT brand, per, SUM(q) AS v FROM li GROUP BY 1, 2),
+        wide AS MATERIALIZED (
+          SELECT brand,
+                 MAX(CASE WHEN per = 0 THEN v END) AS v0,
+                 MAX(CASE WHEN per = 1 THEN v END) AS v1
+          FROM agg0 GROUP BY 1
+          HAVING MAX(CASE WHEN per = 0 THEN v END) IS NOT NULL
+             AND MAX(CASE WHEN per = 1 THEN v END) IS NOT NULL),
+        rel AS MATERIALIZED (
+          SELECT a.brand, a.v0, a.v1,
+                 ROUND(CAST(a.v1 AS DOUBLE) / CAST(MAX(b.v1) AS DOUBLE),
+                   9) AS rms,
+                 ROUND(CAST(a.v1 - a.v0 AS DOUBLE)
+                   / CAST(a.v0 AS DOUBLE), 9) AS growth
+          FROM wide a JOIN wide b ON b.brand <> a.brand
+          GROUP BY 1, 2, 3),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rel),
+        medg AS (
+          SELECT growth AS gmed FROM (
+            SELECT growth, ROW_NUMBER() OVER (ORDER BY growth, brand)
+                   AS rk, n
+            FROM rel CROSS JOIN n0)
+          WHERE rk = (n + 1) // 2)
+        SELECT brand,
+               ROUND(rms, 6) AS relative_share,
+               ROUND(growth, 6) + CAST(0 AS DOUBLE) AS growth,
+               CASE WHEN rms >= 1 AND growth > gmed THEN 'star'
+                    WHEN rms >= 1 THEN 'cash_cow'
+                    WHEN growth > gmed THEN 'question_mark'
+                    ELSE 'dog' END AS quadrant
+        FROM rel CROSS JOIN medg
+        ORDER BY brand""")),
+
+    // Kraljic purchasing-portfolio matrix per part: profit impact
+    // (spend) × supply risk (single- or dual-sourced — few suppliers
+    // have ever shipped it), classified strategic / bottleneck /
+    // leverage / routine at the exact median spend — the procurement
+    // framework every sourcing review starts from, over the supplier
+    // dimension this engine's other 570 queries barely touch. Integer
+    // supplier counts; exact DECIMAL spend; exact median cut. Top 20
+    // strategic parts by spend plus quadrant counts on every row.
+    "qjh_kraljic" -> Q(
+      fn = (s, dir) => {
+        val p = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .as("spend"),
+            countDistinct(col("l_suppkey")).as("n_supp"))
+          .localCheckpoint(eager = false)
+        val n0 = p.agg(count(lit(1)).as("n"))
+        val medspend = p.crossJoin(broadcast(n0))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("spend"), col("pk"))))
+          .filter(col("rk") === expr("(n + 1) div 2"))
+          .select(col("spend").as("smed"))
+        // supply risk is RELATIVE scarcity: every part in this fixture
+        // has 8+ suppliers, so an absolute "<= 2 sources" cut is vacuous
+        // at every SF — the risk axis is n_supp at or below the exact
+        // median supplier count instead
+        val medsupp = p.crossJoin(broadcast(n0))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("n_supp"), col("pk"))))
+          .filter(col("rk") === expr("(n + 1) div 2"))
+          .select(col("n_supp").as("nmed"))
+        val classed = p.crossJoin(broadcast(medspend))
+          .crossJoin(broadcast(medsupp))
+          .withColumn("quadrant",
+            when(col("spend") > col("smed") && col("n_supp") <= col("nmed"),
+              "strategic")
+              .when(col("spend") > col("smed"), "leverage")
+              .when(col("n_supp") <= col("nmed"), "bottleneck")
+              .otherwise("routine"))
+          .localCheckpoint(eager = false)
+        val counts = classed.groupBy("quadrant")
+          .agg(count(lit(1)).as("qn"))
+          .agg(
+            max(when(col("quadrant") === "strategic", col("qn")))
+              .as("n_strategic"),
+            max(when(col("quadrant") === "bottleneck", col("qn")))
+              .as("n_bottleneck"))
+        classed.filter(col("quadrant") === "strategic")
+          .crossJoin(broadcast(counts))
+          .withColumn("rk2", row_number().over(
+            Window.orderBy(col("spend").desc, col("pk"))))
+          .filter(col("rk2") <= 20)
+          .select(col("rk2").cast("int").as("rank"),
+            col("pk").as("partkey"),
+            round(col("spend").cast("double"), 2).as("spend"),
+            col("n_supp").as("n_suppliers"),
+            coalesce(col("n_strategic"), lit(0L)).as("n_strategic"),
+            coalesce(col("n_bottleneck"), lit(0L)).as("n_bottleneck"))
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH p AS MATERIALIZED (
+          SELECT l_partkey AS pk,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS spend,
+                 CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+          FROM lineitem GROUP BY 1),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+        medspend AS (
+          SELECT spend AS smed FROM (
+            SELECT spend, ROW_NUMBER() OVER (ORDER BY spend, pk) AS rk, n
+            FROM p CROSS JOIN n0)
+          WHERE rk = (n + 1) // 2),
+        medsupp AS (
+          SELECT n_supp AS nmed FROM (
+            SELECT n_supp, ROW_NUMBER() OVER (ORDER BY n_supp, pk)
+                   AS rk, n
+            FROM p CROSS JOIN n0)
+          WHERE rk = (n + 1) // 2),
+        classed AS MATERIALIZED (
+          SELECT pk, spend, n_supp,
+                 CASE WHEN spend > smed AND n_supp <= nmed
+                        THEN 'strategic'
+                      WHEN spend > smed THEN 'leverage'
+                      WHEN n_supp <= nmed THEN 'bottleneck'
+                      ELSE 'routine' END AS quadrant
+          FROM p CROSS JOIN medspend CROSS JOIN medsupp),
+        counts AS (
+          SELECT MAX(CASE WHEN quadrant = 'strategic' THEN qn END)
+                   AS n_strategic,
+                 MAX(CASE WHEN quadrant = 'bottleneck' THEN qn END)
+                   AS n_bottleneck
+          FROM (SELECT quadrant, CAST(COUNT(*) AS BIGINT) AS qn
+                FROM classed GROUP BY 1))
+        SELECT CAST(rk2 AS INT) AS rank, pk AS partkey,
+               ROUND(CAST(spend AS DOUBLE), 2) AS spend,
+               n_supp AS n_suppliers,
+               COALESCE(n_strategic, 0) AS n_strategic,
+               COALESCE(n_bottleneck, 0) AS n_bottleneck
+        FROM (
+          SELECT pk, spend, n_supp,
+                 ROW_NUMBER() OVER (ORDER BY spend DESC, pk) AS rk2
+          FROM classed WHERE quadrant = 'strategic')
+        CROSS JOIN counts
+        WHERE rk2 <= 20 ORDER BY rank""")),
+
+    // Supplier scorecard: per supplier, delivery (share of lines
+    // shipped ≤ 7 days), quality (non-returned share), and volume
+    // (revenue), composited by average rank — the vendor-management
+    // one-pager over the supplier dimension. Exact integer rates,
+    // exact rank composite, top 20 by composite (best first) with
+    // deterministic tiebreaks.
+    "qji_supplier_scorecard" -> Q(
+      fn = (s, dir) => {
+        val m = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_suppkey").as("sk"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"),
+            sum(when(expr("(unix_millis(CAST(l_shipdate AS TIMESTAMP))" +
+              " - unix_millis(CAST(o_orderdate AS TIMESTAMP)))" +
+              " div 86400000") <= 7, 1L).otherwise(0L)).as("n_ontime"),
+            sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L))
+              .as("n_ok"))
+          .filter(col("n_lines") >= 10)
+          .localCheckpoint(eager = false)
+        val ranked = m
+          .withColumn("r_del", row_number().over(Window.orderBy(
+            expr("(n_ontime * 1000000) div n_lines").desc, col("sk"))))
+          .withColumn("r_qual", row_number().over(Window.orderBy(
+            expr("(n_ok * 1000000) div n_lines").desc, col("sk"))))
+          .withColumn("r_vol", row_number().over(Window.orderBy(
+            col("rev").desc, col("sk"))))
+          .withColumn("composite",
+            col("r_del") + col("r_qual") + col("r_vol"))
+        ranked
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("composite"), col("sk"))))
+          .filter(col("rk") <= 20)
+          .select(col("rk").cast("int").as("rank"),
+            col("sk").as("suppkey"), col("n_lines"),
+            round(col("n_ontime").cast("double") /
+              col("n_lines").cast("double"), 6).as("on_time_rate"),
+            round(col("n_ok").cast("double") /
+              col("n_lines").cast("double"), 6).as("quality_rate"),
+            round(col("rev").cast("double"), 2).as("revenue"),
+            col("composite").cast("long").as("composite_rank_sum"))
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH m AS MATERIALIZED (
+          SELECT l_suppkey AS sk, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+                 CAST(SUM(CASE WHEN (epoch_ms(l_shipdate)
+                   - epoch_ms(o_orderdate)) // 86400000 <= 7
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
+                 CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_ok
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1 HAVING COUNT(*) >= 10),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (ORDER BY
+                   (n_ontime * 1000000) // n_lines DESC, sk) AS r_del,
+                 ROW_NUMBER() OVER (ORDER BY
+                   (n_ok * 1000000) // n_lines DESC, sk) AS r_qual,
+                 ROW_NUMBER() OVER (ORDER BY rev DESC, sk) AS r_vol
+          FROM m),
+        comp AS (
+          SELECT *, r_del + r_qual + r_vol AS composite FROM ranked)
+        SELECT CAST(rk AS INT) AS rank, sk AS suppkey, n_lines,
+               ROUND(CAST(n_ontime AS DOUBLE) / CAST(n_lines AS DOUBLE),
+                 6) AS on_time_rate,
+               ROUND(CAST(n_ok AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+                 AS quality_rate,
+               ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+               CAST(composite AS BIGINT) AS composite_rank_sum
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY composite, sk) AS rk
+          FROM comp)
+        WHERE rk <= 20 ORDER BY rank""")),
+
+    // Sourcing-risk profile: parts by supplier multiplicity (single /
+    // dual / multi-sourced), each tier's part count and SPEND AT RISK
+    // share — the single-sourced spend fraction is the number a
+    // resilience review leads with (a part with one supplier and big
+    // spend is the outage that hurts). Exact integer multiplicities;
+    // exact DECIMAL spend shares.
+    "qjj_sourcing_risk" -> Q(
+      fn = (s, dir) => {
+        // the fixture has no single-sourced parts (min 8 suppliers) —
+        // tiers cut at the exact supplier-count quartiles instead, so
+        // "scarce" is the bottom-quartile multiplicity RELATIVE to peers
+        val p0 = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .as("spend"),
+            countDistinct(col("l_suppkey")).as("ns"))
+          .localCheckpoint(eager = false)
+        val n0j = p0.agg(count(lit(1)).as("n"))
+        val cuts = p0.crossJoin(broadcast(n0j))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("ns"), col("pk"))))
+          .agg(max(when(col("rk") === expr("(n + 3) div 4"), col("ns")))
+            .as("q1"),
+            max(when(col("rk") === expr("(3 * n + 3) div 4"), col("ns")))
+              .as("q3"))
+        val p = p0.crossJoin(broadcast(cuts))
+          .withColumn("tier", when(col("ns") <= col("q1"),
+            "scarce_sourced")
+            .when(col("ns") >= col("q3"), "broad_sourced")
+            .otherwise("mid_sourced"))
+        val tot = p.agg(count(lit(1)).as("np"), sum(col("spend")).as("sp"))
+        p.groupBy("tier")
+          .agg(count(lit(1)).as("n_parts"), sum(col("spend")).as("tspend"))
+          .crossJoin(broadcast(tot))
+          .select(col("tier"), col("n_parts"),
+            round(col("n_parts").cast("double") / col("np").cast("double"),
+              6).as("part_share"),
+            round(col("tspend").cast("double"), 2).as("spend"),
+            round(col("tspend").cast("double") / col("sp").cast("double"),
+              6).as("spend_share"))
+          .orderBy("tier")
+      },
+      oracle = Some("""
+        WITH p AS MATERIALIZED (
+          SELECT l_partkey AS pk,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS spend,
+                 CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ns
+          FROM lineitem GROUP BY 1),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+        cuts AS (
+          SELECT MAX(CASE WHEN rk = (n + 3) // 4 THEN ns END) AS q1,
+                 MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN ns END) AS q3
+          FROM (SELECT ns, ROW_NUMBER() OVER (ORDER BY ns, pk) AS rk, n
+                FROM p CROSS JOIN n0)),
+        tiers AS (
+          SELECT CASE WHEN ns <= q1 THEN 'scarce_sourced'
+                      WHEN ns >= q3 THEN 'broad_sourced'
+                      ELSE 'mid_sourced' END AS tier,
+                 spend
+          FROM p CROSS JOIN cuts),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS np, SUM(spend) AS sp
+          FROM tiers)
+        SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(np AS DOUBLE), 6)
+                 AS part_share,
+               ROUND(CAST(SUM(spend) AS DOUBLE), 2) AS spend,
+               ROUND(CAST(SUM(spend) AS DOUBLE) / CAST(sp AS DOUBLE), 6)
+                 AS spend_share
+        FROM tiers CROSS JOIN tot
+        GROUP BY tier, np, sp ORDER BY tier"""))
   )
 }
