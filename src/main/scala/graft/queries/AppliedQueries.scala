@@ -11708,6 +11708,234 @@ object AppliedQueries {
                ROUND(CAST(SUM(spend) AS DOUBLE) / CAST(sp AS DOUBLE), 6)
                  AS spend_share
         FROM tiers CROSS JOIN tot
-        GROUP BY tier, np, sp ORDER BY tier"""))
+        GROUP BY tier, np, sp ORDER BY tier""")),
+
+    // Dominant-supplier switching across the period cut: each part's
+    // top supplier per period (struct argmax: volume, then key), the
+    // switch rate, and the top-20 biggest-spend parts that changed
+    // hands — the supplier-churn read procurement tracks as
+    // relationship health (a high switch rate means either healthy
+    // competition or a qualification problem; either way you want the
+    // list). Exact DECIMAL volumes; deterministic argmax.
+    "qjk_supplier_switching" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+            when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"),
+              1).otherwise(0).as("per"),
+            col("l_extendedprice").cast("decimal(18,2)").as("v"))
+          .groupBy("pk", "sk", "per").agg(sum(col("v")).as("sv"))
+        val dom = li.groupBy("pk", "per")
+          .agg(max(struct(col("sv").as("v"), (-col("sk")).as("nsk")))
+            .as("w"), sum(col("sv")).as("tot"))
+          .select(col("pk"), col("per"), (-col("w.nsk")).as("top_sk"),
+            col("tot"))
+        val wide = dom.groupBy("pk")
+          .agg(max(when(col("per") === 0, col("top_sk"))).as("s0"),
+            max(when(col("per") === 1, col("top_sk"))).as("s1"),
+            sum(col("tot")).as("spend"))
+          .filter(col("s0").isNotNull && col("s1").isNotNull)
+          .withColumn("switched", when(col("s0") =!= col("s1"), 1L)
+            .otherwise(0L))
+          .localCheckpoint(eager = false)
+        val rate = wide.agg(count(lit(1)).as("n_parts"),
+          sum(col("switched")).as("n_switched"))
+        wide.filter(col("switched") === 1)
+          .crossJoin(broadcast(rate))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("spend").desc, col("pk"))))
+          .filter(col("rk") <= 20)
+          .select(col("rk").cast("int").as("rank"),
+            col("pk").as("partkey"), col("s0").as("supplier_pre"),
+            col("s1").as("supplier_post"),
+            round(col("spend").cast("double"), 2).as("total_spend"),
+            col("n_parts"), col("n_switched"),
+            round(col("n_switched").cast("double") /
+              col("n_parts").cast("double"), 6).as("switch_rate"))
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_partkey AS pk, l_suppkey AS sk,
+                 CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                   THEN 1 ELSE 0 END AS per,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sv
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2, 3),
+        dom AS (
+          SELECT pk, per, -(MAX({'v': sv, 'nsk': -sk})['nsk']) AS top_sk,
+                 SUM(sv) AS tot
+          FROM li GROUP BY 1, 2),
+        wide AS MATERIALIZED (
+          SELECT pk,
+                 MAX(CASE WHEN per = 0 THEN top_sk END) AS s0,
+                 MAX(CASE WHEN per = 1 THEN top_sk END) AS s1,
+                 SUM(tot) AS spend
+          FROM dom GROUP BY 1
+          HAVING MAX(CASE WHEN per = 0 THEN top_sk END) IS NOT NULL
+             AND MAX(CASE WHEN per = 1 THEN top_sk END) IS NOT NULL),
+        sw AS MATERIALIZED (
+          SELECT *, CASE WHEN s0 <> s1 THEN 1 ELSE 0 END AS switched
+          FROM wide),
+        rate AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+                 CAST(SUM(switched) AS BIGINT) AS n_switched
+          FROM sw)
+        SELECT CAST(rk AS INT) AS rank, pk AS partkey,
+               s0 AS supplier_pre, s1 AS supplier_post,
+               ROUND(CAST(spend AS DOUBLE), 2) AS total_spend,
+               n_parts, n_switched,
+               ROUND(CAST(n_switched AS DOUBLE)
+                 / CAST(n_parts AS DOUBLE), 6) AS switch_rate
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY spend DESC, pk) AS rk
+          FROM sw WHERE switched = 1)
+        CROSS JOIN rate
+        WHERE rk <= 20 ORDER BY rank""")),
+
+    // Nation trade balance over the customer-nation → supplier-nation
+    // flow matrix: per nation, exports (what its suppliers earn from
+    // OTHER nations' customers), imports (what its customers spend
+    // with OTHER nations' suppliers), balance, and trade openness
+    // ((X+M)/total flow) — the international-economics read on the
+    // supplier axis qgj's gravity model sizes pairwise. Exact DECIMAL
+    // flow sums; two ratios per nation.
+    "qjl_trade_balance" -> Q(
+      fn = (s, dir) => {
+        val cn = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey").cast("long")
+            .as("cnat"))
+        val sn = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey").cast("long")
+            .as("snat"))
+        val flows = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(cn, col("o_custkey") === col("c_custkey"))
+          .join(sn, col("l_suppkey") === col("s_suppkey"))
+          .filter(col("cnat") =!= col("snat"))
+          .groupBy("cnat", "snat")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("f"))
+          .localCheckpoint(eager = false)
+        val exports = flows.groupBy(col("snat").as("nation"))
+          .agg(sum(col("f")).as("x"))
+        val imports = flows.groupBy(col("cnat").as("n2"))
+          .agg(sum(col("f")).as("m"))
+        val tot = flows.agg(sum(col("f")).as("w"))
+        exports.join(imports, col("nation") === col("n2"), "full")
+          .select(coalesce(col("nation"), col("n2")).as("nation"),
+            coalesce(col("x"), lit(0).cast("decimal(18,2)")).as("x"),
+            coalesce(col("m"), lit(0).cast("decimal(18,2)")).as("m"))
+          .crossJoin(broadcast(tot))
+          .select(col("nation"),
+            round(col("x").cast("double"), 2).as("exports"),
+            round(col("m").cast("double"), 2).as("imports"),
+            (round((col("x") - col("m")).cast("double"), 2) + lit(0.0))
+              .as("balance"),
+            round((col("x") + col("m")).cast("double") /
+              col("w").cast("double"), 6).as("openness_share"))
+          .orderBy("nation")
+      },
+      oracle = Some("""
+        WITH flows AS MATERIALIZED (
+          SELECT CAST(c_nationkey AS BIGINT) AS cnat,
+                 CAST(s_nationkey AS BIGINT) AS snat,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS f
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          WHERE c_nationkey <> s_nationkey
+          GROUP BY 1, 2),
+        exports AS (
+          SELECT snat AS nation, SUM(f) AS x FROM flows GROUP BY 1),
+        imports AS (
+          SELECT cnat AS nation, SUM(f) AS m FROM flows GROUP BY 1),
+        tot AS (SELECT SUM(f) AS w FROM flows)
+        SELECT COALESCE(exports.nation, imports.nation) AS nation,
+               ROUND(CAST(COALESCE(x, CAST(0 AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS exports,
+               ROUND(CAST(COALESCE(m, CAST(0 AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS imports,
+               ROUND(CAST(COALESCE(x, CAST(0 AS DECIMAL(18,2)))
+                 - COALESCE(m, CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 + CAST(0 AS DOUBLE) AS balance,
+               ROUND(CAST(COALESCE(x, CAST(0 AS DECIMAL(18,2)))
+                 + COALESCE(m, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(w AS DOUBLE), 6) AS openness_share
+        FROM exports FULL OUTER JOIN imports
+          ON exports.nation = imports.nation
+        CROSS JOIN tot
+        ORDER BY nation""")),
+
+    // Wilson lower-bound supplier ranking: quality rate's 95% lower
+    // confidence bound (p̂ + z²/2n − z√(p̂(1−p̂)/n + z²/4n²))/(1+z²/n) —
+    // the small-sample-honest ranking (a 10/10 supplier should NOT
+    // outrank a 980/1000 one; the raw rate says it does, the Wilson
+    // bound doesn't). Top-20 by bound with the naive-rank column
+    // showing exactly where the correction reorders. Integer
+    // rates; sqrt links.
+    "qjm_wilson_ranking" -> Q(
+      fn = (s, dir) => {
+        val m = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey").as("sk"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L))
+              .as("k"))
+        // z² as the shared decimal literal 3.8416 — computing 1.96·1.96
+        // in Scala lands 1 ulp BELOW the literal's nearest double
+        val scored = m
+          .withColumn("p", col("k").cast("double") / col("n").cast("double"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("wlb", round(
+            (col("p") + lit(3.8416) / (lit(2.0) * col("nd")) -
+              lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) /
+                col("nd") + lit(3.8416) / (lit(4.0) * col("nd") * col("nd"))))
+              / (lit(1.0) + lit(3.8416) / col("nd")), 9))
+          .localCheckpoint(eager = false)
+        val naive = scored.withColumn("naive_rank", row_number().over(
+          Window.orderBy(col("p").desc, col("sk"))))
+        naive
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("wlb").desc, col("sk"))))
+          .filter(col("rk") <= 20)
+          .select(col("rk").cast("int").as("rank"),
+            col("sk").as("suppkey"), col("n").as("n_lines"),
+            round(col("p"), 6).as("raw_rate"),
+            round(col("wlb"), 6).as("wilson_lower_bound"),
+            col("naive_rank").cast("int").as("naive_rank"))
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT l_suppkey AS sk, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0
+                   END) AS BIGINT) AS k
+          FROM lineitem GROUP BY 1),
+        scored AS MATERIALIZED (
+          SELECT sk, n, p,
+                 ROUND((p + CAST(3.8416 AS DOUBLE)
+                     / (CAST(2 AS DOUBLE) * nd)
+                   - CAST(1.96 AS DOUBLE)
+                     * SQRT(p * (CAST(1 AS DOUBLE) - p) / nd
+                       + CAST(3.8416 AS DOUBLE)
+                         / (CAST(4 AS DOUBLE) * nd * nd)))
+                   / (CAST(1 AS DOUBLE) + CAST(3.8416 AS DOUBLE) / nd),
+                   9) AS wlb
+          FROM (
+            SELECT sk, n, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                   CAST(n AS DOUBLE) AS nd
+            FROM m)),
+        naive AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY p DESC, sk)
+                   AS naive_rank
+          FROM scored)
+        SELECT CAST(rk AS INT) AS rank, sk AS suppkey, n AS n_lines,
+               ROUND(p, 6) AS raw_rate,
+               ROUND(wlb, 6) AS wilson_lower_bound,
+               CAST(naive_rank AS INT) AS naive_rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY wlb DESC, sk) AS rk
+          FROM naive)
+        WHERE rk <= 20 ORDER BY rank"""))
   )
 }
