@@ -11936,6 +11936,315 @@ object AppliedQueries {
         FROM (
           SELECT *, ROW_NUMBER() OVER (ORDER BY wlb DESC, sk) AS rk
           FROM naive)
-        WHERE rk <= 20 ORDER BY rank"""))
+        WHERE rk <= 20 ORDER BY rank""")),
+
+    // Retention-curve shape discrimination: the day-offset retention
+    // rates fit BOTH ways — exponential (ln r on t, q93's memoryless
+    // form) and power-law (ln r on ln t, the Duolingo/forgetting-curve
+    // form) — with R²s and the verdict. The shapes imply opposite
+    // product truths (exponential = constant hazard, power = the
+    // longer they stay the safer they are), and only the fit
+    // comparison can tell them apart. ln links; 9-grid moments.
+    "qjn_retention_shape" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .distinct()
+        val first = e.groupBy("user_id").agg(min(col("day")).as("fd"))
+        val coh = first.groupBy("fd").agg(count(lit(1)).as("n0"))
+        val ret = e.join(first, "user_id")
+          .select(col("fd"), (col("day") - col("fd")).as("off"))
+          .filter(col("off") >= 1)
+          .groupBy("fd", "off").agg(count(lit(1)).as("na"))
+          .join(coh, "fd")
+          .groupBy("off")
+          .agg(sum(col("na")).as("act"), sum(col("n0")).as("base"))
+          .select(col("off"),
+            round(log(col("act").cast("double") /
+              col("base").cast("double")), 9).as("lnr"),
+            round(log(col("off").cast("double")), 9).as("lnt"))
+          .localCheckpoint(eager = false)
+        val fe = ret.withColumn("xo", col("off").cast("double"))
+        val mmE = fe.agg(count(lit(1)).as("n"),
+          sum(g9(col("xo"))).as("sx"), sum(g9(col("lnr"))).as("sy"),
+          sum(g9(round(col("xo") * col("lnr"), 9))).as("sxy"),
+          sum(g9(round(col("xo") * col("xo"), 9))).as("sxx"),
+          sum(g9(round(col("lnr") * col("lnr"), 9))).as("syy"))
+        def solve(mm: DataFrame) = mm.select(col("n"),
+          ((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")))
+            .as("b"),
+          ((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) *
+           (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            ((col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+             (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+            .as("r2"))
+        val eF = solve(mmE)
+        val mmP = ret.agg(count(lit(1)).as("n"),
+          sum(g9(col("lnt"))).as("sx"), sum(g9(col("lnr"))).as("sy"),
+          sum(g9(round(col("lnt") * col("lnr"), 9))).as("sxy"),
+          sum(g9(round(col("lnt") * col("lnt"), 9))).as("sxx"),
+          sum(g9(round(col("lnr") * col("lnr"), 9))).as("syy"))
+        val pF = solve(mmP)
+        eF.select(col("n").as("n_offsets"),
+            (round(col("b"), 6) + lit(0.0)).as("exp_rate"),
+            round(col("r2"), 6).as("exp_r2"))
+          .crossJoin(broadcast(pF.select(
+            (round(col("b"), 6) + lit(0.0)).as("power_exponent"),
+            round(col("r2"), 6).as("power_r2"))))
+          .withColumn("shape_verdict",
+            when(col("power_r2") > col("exp_r2"), "power_law")
+              .otherwise("exponential"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+          FROM events),
+        fd AS (SELECT user_id, MIN(day) AS fd FROM e GROUP BY 1),
+        coh AS (SELECT fd, CAST(COUNT(*) AS BIGINT) AS n0
+                FROM fd GROUP BY 1),
+        ret AS MATERIALIZED (
+          SELECT off,
+                 ROUND(ln(CAST(act AS DOUBLE) / CAST(base AS DOUBLE)), 9)
+                   AS lnr,
+                 ROUND(ln(CAST(off AS DOUBLE)), 9) AS lnt,
+                 CAST(off AS DOUBLE) AS xo
+          FROM (
+            SELECT off, CAST(SUM(na) AS BIGINT) AS act,
+                   CAST(SUM(n0) AS BIGINT) AS base
+            FROM (
+              SELECT r.fd, day - r.fd AS off,
+                     CAST(COUNT(*) AS BIGINT) AS na
+              FROM e JOIN fd r ON e.user_id = r.user_id
+              WHERE day - r.fd >= 1
+              GROUP BY 1, 2) a
+            JOIN coh ON a.fd = coh.fd
+            GROUP BY 1)),
+        me AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(xo, 9) AS DECIMAL(20,9))) AS sx,
+                 SUM(CAST(ROUND(lnr, 9) AS DECIMAL(20,9))) AS sy,
+                 SUM(CAST(ROUND(xo * lnr, 9) AS DECIMAL(20,9))) AS sxy,
+                 SUM(CAST(ROUND(xo * xo, 9) AS DECIMAL(20,9))) AS sxx,
+                 SUM(CAST(ROUND(lnr * lnr, 9) AS DECIMAL(20,9))) AS syy
+          FROM ret),
+        mp AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(lnt, 9) AS DECIMAL(20,9))) AS sx,
+                 SUM(CAST(ROUND(lnr, 9) AS DECIMAL(20,9))) AS sy,
+                 SUM(CAST(ROUND(lnt * lnr, 9) AS DECIMAL(20,9))) AS sxy,
+                 SUM(CAST(ROUND(lnt * lnt, 9) AS DECIMAL(20,9))) AS sxx,
+                 SUM(CAST(ROUND(lnr * lnr, 9) AS DECIMAL(20,9))) AS syy
+          FROM ret),
+        fe AS (
+          SELECT n,
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+          FROM me),
+        fp AS (
+          SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+          FROM mp)
+        SELECT fe.n AS n_offsets,
+               ROUND(fe.b, 6) + CAST(0 AS DOUBLE) AS exp_rate,
+               ROUND(fe.r2, 6) AS exp_r2,
+               ROUND(fp.b, 6) + CAST(0 AS DOUBLE) AS power_exponent,
+               ROUND(fp.r2, 6) AS power_r2,
+               CASE WHEN ROUND(fp.r2, 6) > ROUND(fe.r2, 6)
+                 THEN 'power_law' ELSE 'exponential' END AS shape_verdict
+        FROM fe CROSS JOIN fp""")),
+
+    // Frequency–severity (compound) variance decomposition of daily
+    // revenue: Var(S) ≈ E[N]·Var(X) + Var(N)·E[X]² — how much of
+    // revenue volatility is purchase-COUNT noise vs ticket-SIZE noise
+    // (they demand opposite fixes: demand smoothing vs mix control).
+    // The identity is exact for iid compound sums; the residual row
+    // measures how far the data is from that. Exact integer/DECIMAL
+    // power sums; value in thousands for the moment envelope.
+    "qjo_compound_variance" -> Q(
+      fn = (s, dir) => {
+        val pv = t(s, dir, "events")
+          .filter(col("event_type") === "purchase" &&
+            col("value").isNotNull)
+          .select(expr("unix_millis(ts) div 86400000").as("day"),
+            (col("value").cast("decimal(18,2)") / lit(1000))
+              .cast("decimal(18,5)").as("x"))
+        val daily = pv.groupBy("day")
+          .agg(count(lit(1)).as("nd"), sum(col("x")).as("sd"))
+        val mN = daily.agg(count(lit(1)).as("days"),
+          sum(col("nd")).as("sn"), sum(col("nd") * col("nd")).as("snn"),
+          sum(col("sd")).as("ss"),
+          sum((col("sd") * col("sd")).cast("decimal(38,10)")).as("sss"))
+        val mX = pv.agg(count(lit(1)).as("nx"), sum(col("x")).as("sx"),
+          sum((col("x") * col("x")).cast("decimal(38,10)")).as("sxx"))
+        mN.crossJoin(broadcast(mX))
+          .select(col("days"),
+            (col("sn").cast("double") / col("days").cast("double"))
+              .as("en"),
+            ((col("days").cast("double") * col("snn").cast("double") -
+              col("sn").cast("double") * col("sn").cast("double")) /
+              (col("days").cast("double") *
+                (col("days") - 1).cast("double"))).as("vn"),
+            (col("sx").cast("double") / col("nx").cast("double"))
+              .as("ex"),
+            ((col("nx").cast("double") *
+              expr("CAST(CAST(sxx AS STRING) AS DOUBLE)") -
+              col("sx").cast("double") * col("sx").cast("double")) /
+              (col("nx").cast("double") *
+                (col("nx") - 1).cast("double"))).as("vx"),
+            ((col("days").cast("double") *
+              expr("CAST(CAST(sss AS STRING) AS DOUBLE)") -
+              col("ss").cast("double") * col("ss").cast("double")) /
+              (col("days").cast("double") *
+                (col("days") - 1).cast("double"))).as("vs"))
+          .select(col("days").as("n_days"),
+            round(col("en"), 6).as("mean_daily_count"),
+            round(col("ex"), 6).as("mean_ticket_k"),
+            round(col("vs"), 6).as("var_daily_revenue"),
+            round(col("en") * col("vx"), 6).as("severity_component"),
+            round(col("vn") * col("ex") * col("ex"), 6)
+              .as("frequency_component"),
+            (round(col("vs") - col("en") * col("vx") -
+              col("vn") * col("ex") * col("ex"), 6) + lit(0.0))
+              .as("residual"),
+            round(col("vn") * col("ex") * col("ex") /
+              (col("en") * col("vx") +
+                col("vn") * col("ex") * col("ex")), 6)
+              .as("frequency_share"))
+      },
+      oracle = Some("""
+        WITH pv AS MATERIALIZED (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 CAST(CAST(value AS DECIMAL(18,2)) / 1000
+                   AS DECIMAL(18,5)) AS x
+          FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+        daily AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS nd, SUM(x) AS sd
+          FROM pv GROUP BY 1),
+        mn AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS days,
+                 CAST(SUM(nd) AS BIGINT) AS sn,
+                 CAST(SUM(nd * nd) AS BIGINT) AS snn,
+                 SUM(sd) AS ss,
+                 SUM(CAST(sd AS DECIMAL(19,5)) * CAST(sd AS DECIMAL(19,5)))
+                   AS sss
+          FROM daily),
+        mx AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nx, SUM(x) AS sx,
+                 SUM(CAST(x AS DECIMAL(19,5)) * CAST(x AS DECIMAL(19,5)))
+                   AS sxx
+          FROM pv),
+        f AS (
+          SELECT days,
+                 CAST(sn AS DOUBLE) / CAST(days AS DOUBLE) AS en,
+                 (CAST(days AS DOUBLE) * CAST(snn AS DOUBLE)
+                   - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+                   / (CAST(days AS DOUBLE) * CAST(days - 1 AS DOUBLE))
+                   AS vn,
+                 CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE) AS ex,
+                 (CAST(nx AS DOUBLE)
+                   * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / (CAST(nx AS DOUBLE) * CAST(nx - 1 AS DOUBLE)) AS vx,
+                 (CAST(days AS DOUBLE)
+                   * CAST(CAST(sss AS VARCHAR) AS DOUBLE)
+                   - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                   / (CAST(days AS DOUBLE) * CAST(days - 1 AS DOUBLE))
+                   AS vs
+          FROM mn CROSS JOIN mx)
+        SELECT days AS n_days,
+               ROUND(en, 6) AS mean_daily_count,
+               ROUND(ex, 6) AS mean_ticket_k,
+               ROUND(vs, 6) AS var_daily_revenue,
+               ROUND(en * vx, 6) AS severity_component,
+               ROUND(vn * ex * ex, 6) AS frequency_component,
+               ROUND(vs - en * vx - vn * ex * ex, 6)
+                 + CAST(0 AS DOUBLE) AS residual,
+               ROUND(vn * ex * ex / (en * vx + vn * ex * ex), 6)
+                 AS frequency_share
+        FROM f""")),
+
+    // Load-factor card per event type: peak-to-average ratio, load
+    // factor (average/peak) and the top-3-hour concentration over the
+    // hour-of-day profile — the capacity-planning shape summary
+    // (a 0.4 load factor means provisioning for peak wastes 60% —
+    // the argument for smoothing or pricing off the peak). Exact
+    // integer hourly counts; ratios at the end.
+    "qjp_load_factor" -> Q(
+      fn = (s, dir) => {
+        val h = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            (expr("unix_millis(ts) div 3600000") % 24).cast("int")
+              .as("hod"))
+          .agg(count(lit(1)).as("c"))
+        val ranked = h
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("event_type")
+              .orderBy(col("c").desc, col("hod"))))
+        ranked.groupBy("event_type")
+          .agg(sum(col("c")).as("total"),
+            max(col("c")).as("peak"),
+            sum(when(col("rk") <= 3, col("c")).otherwise(0L)).as("top3"))
+          .select(col("event_type"), col("total"),
+            col("peak"),
+            round(col("peak").cast("double") * lit(24.0) /
+              col("total").cast("double"), 6).as("peak_to_avg"),
+            round(col("total").cast("double") /
+              (col("peak").cast("double") * lit(24.0)), 6)
+              .as("load_factor"),
+            round(col("top3").cast("double") / col("total").cast("double"),
+              6).as("top3_hour_share"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT event_type,
+                 CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hod,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY c DESC, hod) AS rk
+          FROM h)
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(MAX(c) AS BIGINT) AS peak,
+               ROUND(CAST(MAX(c) AS DOUBLE) * CAST(24 AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE), 6) AS peak_to_avg,
+               ROUND(CAST(SUM(c) AS DOUBLE)
+                 / (CAST(MAX(c) AS DOUBLE) * CAST(24 AS DOUBLE)), 6)
+                 AS load_factor,
+               ROUND(CAST(SUM(CASE WHEN rk <= 3 THEN c ELSE 0 END)
+                 AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                 AS top3_hour_share
+        FROM ranked GROUP BY 1 ORDER BY 1"""))
   )
 }
