@@ -12245,6 +12245,262 @@ object AppliedQueries {
                ROUND(CAST(SUM(CASE WHEN rk <= 3 THEN c ELSE 0 END)
                  AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
                  AS top3_hour_share
-        FROM ranked GROUP BY 1 ORDER BY 1"""))
+        FROM ranked GROUP BY 1 ORDER BY 1""")),
+
+    // Law-of-one-price dispersion: per part, the coefficient of
+    // variation of its per-line unit price — the IO-economics measure
+    // of market friction (identical goods, different prices) that
+    // qi5's TIME dimension (stickiness) doesn't see: this is the
+    // CROSS-SECTION spread. Top-20 most-dispersed parts (≥10 lines)
+    // plus the corpus-wide mean CV on each row. Unit prices on the
+    // 9-grid; exact moment sums per part.
+    "qjq_price_dispersion" -> Q(
+      fn = (s, dir) => {
+        val u = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_orderkey"),
+            col("l_linenumber"),
+            round(col("l_extendedprice").cast("double") /
+              col("l_quantity").cast("double"), 9).as("up"))
+        val m = u.groupBy("pk")
+          .agg(count(lit(1)).as("n"),
+            sum(g9(col("up"))).as("su"),
+            sum(g9(round(col("up") * col("up"), 9))).as("suu"))
+          .filter(col("n") >= 10)
+          .withColumn("mean_p", col("su").cast("double") /
+            col("n").cast("double"))
+          .withColumn("cv", round(sqrt(
+            (col("n").cast("double") * col("suu").cast("double") -
+              col("su").cast("double") * col("su").cast("double")) /
+            (col("n").cast("double") * (col("n") - 1).cast("double"))) /
+            col("mean_p"), 9))
+          .localCheckpoint(eager = false)
+        val overall = m.agg(count(lit(1)).as("n_parts"),
+          round(sum(g9(col("cv"))).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_cv"))
+        m.crossJoin(broadcast(overall))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cv").desc, col("pk"))))
+          .filter(col("rk") <= 20)
+          .select(col("rk").cast("int").as("rank"),
+            col("pk").as("partkey"), col("n").as("n_lines"),
+            round(col("mean_p"), 6).as("mean_unit_price"),
+            round(col("cv"), 6).as("price_cv"),
+            col("n_parts"), col("mean_cv"))
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT l_partkey AS pk,
+                 ROUND(CAST(l_extendedprice AS DOUBLE)
+                   / CAST(l_quantity AS DOUBLE), 9) AS up
+          FROM lineitem),
+        m AS MATERIALIZED (
+          SELECT pk, n, mean_p,
+                 ROUND(SQRT((CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                     - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                   / mean_p, 9) AS cv
+          FROM (
+            SELECT pk, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(ROUND(up, 9) AS DECIMAL(20,9))) AS su,
+                   SUM(CAST(ROUND(up * up, 9) AS DECIMAL(20,9))) AS suu,
+                   CAST(SUM(CAST(ROUND(up, 9) AS DECIMAL(20,9)))
+                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_p
+            FROM u GROUP BY 1 HAVING COUNT(*) >= 10)),
+        overall AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+                 ROUND(CAST(SUM(CAST(ROUND(cv, 9) AS DECIMAL(20,9)))
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_cv
+          FROM m)
+        SELECT CAST(rk AS INT) AS rank, pk AS partkey, n AS n_lines,
+               ROUND(mean_p, 6) AS mean_unit_price,
+               ROUND(cv, 6) AS price_cv,
+               n_parts, mean_cv
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY cv DESC, pk) AS rk
+          FROM m CROSS JOIN overall)
+        WHERE rk <= 20 ORDER BY rank""")),
+
+    // Cost-of-returns Pareto by brand: returned-line revenue ranked,
+    // cumulative share, and the vital-few count (brands covering 80%
+    // of return cost) — the quality-cost concentration read that says
+    // whether returns are a SYSTEMIC problem or two bad brands
+    // (q7w's ABC logic pointed at the quality ledger). Exact DECIMAL
+    // return revenue; exact cumulative shares.
+    "qjr_return_pareto" -> Q(
+      fn = (s, dir) => {
+        val b = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"))
+          .agg(sum(when(col("l_returnflag") === "R",
+            col("l_extendedprice").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("ret_rev"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+        val tot = b.agg(sum(col("ret_rev")).as("trr"))
+        val ranked = b.crossJoin(broadcast(tot))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("ret_rev").desc, col("brand"))))
+          .withColumn("cum", sum(col("ret_rev")).over(
+            Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("cshare", round(col("cum").cast("double") /
+            col("trr").cast("double"), 9))
+          .localCheckpoint(eager = false)
+        val vital = ranked.filter(col("cshare") < 0.8)
+          .agg((count(lit(1)) + 1).as("vital_few"))
+        ranked.crossJoin(broadcast(vital))
+          .select(col("rk").cast("int").as("rank"), col("brand"),
+            round(col("ret_rev").cast("double"), 2).as("return_revenue"),
+            round(col("ret_rev").cast("double") /
+              col("rev").cast("double"), 6).as("brand_return_rate"),
+            round(col("cshare"), 6).as("cum_share"),
+            col("vital_few"))
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT p_brand AS brand,
+                 SUM(CASE WHEN l_returnflag = 'R'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS ret_rev,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1),
+        tot AS (SELECT SUM(ret_rev) AS trr FROM b),
+        ranked AS MATERIALIZED (
+          SELECT *, ROUND(CAST(SUM(ret_rev) OVER (ORDER BY rk
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(trr AS DOUBLE), 9) AS cshare
+          FROM (
+            SELECT brand, ret_rev, rev, trr,
+                   ROW_NUMBER() OVER (ORDER BY ret_rev DESC, brand)
+                     AS rk
+            FROM b CROSS JOIN tot)),
+        vital AS (
+          SELECT CAST(COUNT(*) + 1 AS BIGINT) AS vital_few
+          FROM ranked WHERE cshare < CAST(0.8 AS DOUBLE))
+        SELECT CAST(rk AS INT) AS rank, brand,
+               ROUND(CAST(ret_rev AS DOUBLE), 2) AS return_revenue,
+               ROUND(CAST(ret_rev AS DOUBLE) / CAST(rev AS DOUBLE), 6)
+                 AS brand_return_rate,
+               ROUND(cshare, 6) AS cum_share,
+               vital_few
+        FROM ranked CROSS JOIN vital
+        ORDER BY rank""")),
+
+    // One-covariate ANCOVA: post-period spend per region adjusted for
+    // pre-period spend — the common within-group slope b_w from pooled
+    // within moments, adjusted means ȳ_g − b_w(x̄_g − x̄), and the
+    // adjusted-vs-raw gap per region — the "fair comparison" the raw
+    // group means can't make when groups start from different bases
+    // (regression-to-mean eats naive before/after readings, qfp's
+    // lesson institutionalized). Exact DECIMAL moments per group;
+    // doubles in the final algebra.
+    "qjs_ancova" -> Q(
+      fn = (s, dir) => {
+        val sp = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("o_custkey").as("ck"),
+            col("n_regionkey").cast("long").as("rg"),
+            when(col("o_orderdate") < lit("1996-01-01").cast("timestamp"),
+              (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+                .cast("decimal(18,8)"))
+              .otherwise(lit(0).cast("decimal(18,8)")).as("x"),
+            when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"),
+              (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+                .cast("decimal(18,8)"))
+              .otherwise(lit(0).cast("decimal(18,8)")).as("y"))
+          .groupBy("ck", "rg")
+          .agg(sum(col("x")).as("x"), sum(col("y")).as("y"))
+        val g = sp.groupBy("rg")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum((col("x") * col("y")).cast("decimal(38,16)")).as("sxy"),
+            sum((col("x") * col("x")).cast("decimal(38,16)")).as("sxx"))
+          .localCheckpoint(eager = false)
+        // pooled WITHIN-group cross moments: Σ_g (Sxy_g − Sx_g·Sy_g/n_g)
+        val within = g.agg(
+            sum(col("n")).as("nt"), sum(col("sx")).as("sxt"),
+            sum(col("sy")).as("syt"),
+            sum(g9(round(
+              expr("CAST(CAST(sxy AS STRING) AS DOUBLE)") -
+                col("sx").cast("double") * col("sy").cast("double") /
+                col("n").cast("double"), 9))).as("wxy"),
+            sum(g9(round(
+              expr("CAST(CAST(sxx AS STRING) AS DOUBLE)") -
+                col("sx").cast("double") * col("sx").cast("double") /
+                col("n").cast("double"), 9))).as("wxx"))
+          .select(col("nt"), col("sxt"), col("syt"),
+            (col("wxy").cast("double") / col("wxx").cast("double"))
+              .as("bw"))
+        g.crossJoin(broadcast(within))
+          .withColumn("xbar", col("sx").cast("double") /
+            col("n").cast("double"))
+          .withColumn("ybar", col("sy").cast("double") /
+            col("n").cast("double"))
+          .withColumn("xgrand", col("sxt").cast("double") /
+            col("nt").cast("double"))
+          .withColumn("adj", col("ybar") - col("bw") *
+            (col("xbar") - col("xgrand")))
+          .select(col("rg").as("region"), col("n").as("n_customers"),
+            round(col("xbar"), 6).as("pre_mean_m"),
+            round(col("ybar"), 6).as("post_mean_raw_m"),
+            round(col("adj"), 6).as("post_mean_adjusted_m"),
+            (round(-col("bw") * (col("xbar") - col("xgrand")), 6)
+              + lit(0.0)).as("adjustment"),
+            round(col("bw"), 6).as("common_slope"))
+          .orderBy("region")
+      },
+      oracle = Some("""
+        WITH sp AS (
+          SELECT o_custkey AS ck, CAST(n_regionkey AS BIGINT) AS rg,
+                 SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                     / 1000000 AS DECIMAL(18,8))
+                   ELSE CAST(0 AS DECIMAL(18,8)) END) AS x,
+                 SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                     / 1000000 AS DECIMAL(18,8))
+                   ELSE CAST(0 AS DECIMAL(18,8)) END) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        g AS MATERIALIZED (
+          SELECT rg, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x AS DECIMAL(19,8)) * CAST(y AS DECIMAL(19,8)))
+                   AS sxy,
+                 SUM(CAST(x AS DECIMAL(19,8)) * CAST(x AS DECIMAL(19,8)))
+                   AS sxx
+          FROM sp GROUP BY 1),
+        within AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(sx) AS sxt,
+                 SUM(sy) AS syt,
+                 CAST(SUM(CAST(ROUND(
+                   CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                     / CAST(n AS DOUBLE), 9) AS DECIMAL(20,9)))
+                   AS DOUBLE)
+                 / CAST(SUM(CAST(ROUND(
+                   CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                     / CAST(n AS DOUBLE), 9) AS DECIMAL(20,9)))
+                   AS DOUBLE) AS bw
+          FROM g)
+        SELECT rg AS region, n AS n_customers,
+               ROUND(xbar, 6) AS pre_mean_m,
+               ROUND(ybar, 6) AS post_mean_raw_m,
+               ROUND(ybar - bw * (xbar - xgrand), 6)
+                 AS post_mean_adjusted_m,
+               ROUND(-(bw * (xbar - xgrand)), 6) + CAST(0 AS DOUBLE)
+                 AS adjustment,
+               ROUND(bw, 6) AS common_slope
+        FROM (
+          SELECT rg, n, bw,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+                 CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+                 CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) AS xgrand
+          FROM g CROSS JOIN within)
+        ORDER BY region"""))
   )
 }
