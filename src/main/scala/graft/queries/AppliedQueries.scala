@@ -12501,6 +12501,537 @@ object AppliedQueries {
                  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
                  CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) AS xgrand
           FROM g CROSS JOIN within)
-        ORDER BY region"""))
+        ORDER BY region""")),
+
+    // Seasonal-amplitude trend: per year, the within-year monthly
+    // revenue swing (max − min, in millions), OLS'd over years — is
+    // seasonality itself growing (multiplicative world, qhq's
+    // assumption) or fixed (additive, q7r's)? The one-number answer
+    // to which Holt–Winters variant this series wants. Exact monthly
+    // DECIMALs; one tiny OLS over the year panel.
+    "qjt_seasonal_amplitude" -> Q(
+      fn = (s, dir) => {
+        val m = t(s, dir, "orders")
+          .groupBy(expr("year(o_orderdate)").cast("long").as("yr"),
+            expr("month(o_orderdate)").cast("int").as("mo"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(18,8)").as("rev"))
+        val amp = m.groupBy("yr")
+          .agg(count(lit(1)).as("n_months"),
+            (max(col("rev")) - min(col("rev"))).as("amp"))
+          .filter(col("n_months") === 12)
+          .select(col("yr"), round(col("amp").cast("double"), 9).as("a"))
+          .localCheckpoint(eager = false)
+        val base = amp.agg(min(col("yr")).as("y0"))
+        val idx = amp.crossJoin(broadcast(base))
+          .select((col("yr") - col("y0") + 1).as("tt"), col("a"))
+        val mm = idx.agg(count(lit(1)).as("n"), sum(col("tt")).as("st"),
+          sum(g9(col("a"))).as("sa"),
+          sum(col("tt") * col("tt")).as("stt"),
+          sum(g9(round(col("tt").cast("double") * col("a"), 9)))
+            .as("sta"))
+        mm.select(col("n").as("n_years"),
+            (round((col("n").cast("double") * col("sta").cast("double") -
+              col("st").cast("double") * col("sa").cast("double")) /
+              (col("n").cast("double") * col("stt").cast("double") -
+                col("st").cast("double") * col("st").cast("double")), 6)
+              + lit(0.0)).as("amplitude_slope_m_per_year"),
+            round(col("sa").cast("double") / col("n").cast("double"), 6)
+              .as("mean_amplitude_m"),
+            when((col("n").cast("double") * col("sta").cast("double") -
+              col("st").cast("double") * col("sa").cast("double")) /
+              (col("n").cast("double") * col("stt").cast("double") -
+                col("st").cast("double") * col("st").cast("double")) > 0,
+              "growing_multiplicative").otherwise("stable_additive")
+              .as("verdict"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(month(o_orderdate) AS INT) AS mo,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(18,8)) AS rev
+          FROM orders GROUP BY 1, 2),
+        amp AS MATERIALIZED (
+          SELECT yr, ROUND(CAST(MAX(rev) - MIN(rev) AS DOUBLE), 9) AS a
+          FROM m GROUP BY 1 HAVING COUNT(*) = 12),
+        base AS (SELECT MIN(yr) AS y0 FROM amp),
+        idx AS (
+          SELECT yr - y0 + 1 AS tt, a FROM amp CROSS JOIN base),
+        mm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(tt) AS BIGINT) AS st,
+                 SUM(CAST(ROUND(a, 9) AS DECIMAL(20,9))) AS sa,
+                 CAST(SUM(tt * tt) AS BIGINT) AS stt,
+                 SUM(CAST(ROUND(CAST(tt AS DOUBLE) * a, 9)
+                   AS DECIMAL(20,9))) AS sta
+          FROM idx),
+        f AS (
+          SELECT n,
+                 (CAST(n AS DOUBLE) * CAST(sta AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(sa AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope,
+                 CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) AS meana
+          FROM mm)
+        SELECT n AS n_years,
+               ROUND(slope, 6) + CAST(0 AS DOUBLE)
+                 AS amplitude_slope_m_per_year,
+               ROUND(meana, 6) AS mean_amplitude_m,
+               CASE WHEN slope > 0 THEN 'growing_multiplicative'
+                 ELSE 'stable_additive' END AS verdict
+        FROM f""")),
+
+    // u-chart (defects per unit) over daily order lines: returned
+    // lines per order per day against ū ± 3·√(ū/nᵢ) — the SPC chart
+    // whose limits WIDEN on thin days (a 50% defect day with 2 orders
+    // is noise; with 200 it's a crisis — fixed-limit charts can't say
+    // that). Integer defect/unit counts; per-day limits from the
+    // pooled rate; violations flagged exactly.
+    "qju_u_chart" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000").as("day"))
+          .agg(countDistinct(col("o_orderkey")).as("n_units"),
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+              .as("n_def"))
+        val ubar = d.agg(
+          round(sum(col("n_def")).cast("double") /
+            sum(col("n_units")).cast("double"), 9).as("ub"))
+        val scan = d.crossJoin(broadcast(ubar))
+          .withColumn("u", round(col("n_def").cast("double") /
+            col("n_units").cast("double"), 9))
+          .withColumn("ucl", col("ub") + lit(3.0) *
+            sqrt(col("ub") / col("n_units").cast("double")))
+          .withColumn("lcl", greatest(col("ub") - lit(3.0) *
+            sqrt(col("ub") / col("n_units").cast("double")), lit(0.0)))
+          .withColumn("viol", when(col("u") > col("ucl") ||
+            (col("lcl") > 0 && col("u") < col("lcl")), 1L).otherwise(0L))
+        scan.agg(count(lit(1)).as("n_days"),
+            max(col("ub")).as("ubx"),
+            sum(col("viol")).as("n_violations"),
+            max(struct(col("u").as("u"), col("day").as("day"))).as("w"))
+          .select(col("n_days"),
+            round(col("ubx"), 6).as("u_bar"),
+            col("n_violations"),
+            round(col("w.u"), 6).as("worst_u"),
+            col("w.day").as("worst_day"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT)
+                   AS day,
+                 CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_units,
+                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_def
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1),
+        ubar AS (
+          SELECT ROUND(CAST(SUM(n_def) AS DOUBLE)
+                 / CAST(SUM(n_units) AS DOUBLE), 9) AS ub
+          FROM d),
+        scan AS (
+          SELECT day, ub,
+                 ROUND(CAST(n_def AS DOUBLE) / CAST(n_units AS DOUBLE),
+                   9) AS u,
+                 ub + CAST(3 AS DOUBLE)
+                   * SQRT(ub / CAST(n_units AS DOUBLE)) AS ucl,
+                 GREATEST(ub - CAST(3 AS DOUBLE)
+                   * SQRT(ub / CAST(n_units AS DOUBLE)),
+                   CAST(0 AS DOUBLE)) AS lcl
+          FROM d CROSS JOIN ubar)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(MAX(ub), 6) AS u_bar,
+               CAST(SUM(CASE WHEN u > ucl OR (lcl > 0 AND u < lcl)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               ROUND(MAX({'u': u, 'day': day})['u'], 6) AS worst_u,
+               MAX({'u': u, 'day': day})['day'] AS worst_day
+        FROM scan""")),
+
+    // Market-concentration trend: monthly brand HHI (exact 9-grid
+    // share squares) with its OLS slope over month index — is the
+    // market concentrating or fragmenting, the dynamic question
+    // qas's single concentration snapshot can't answer. Exact DECIMAL
+    // revenue shares; tiny OLS over the month panel.
+    "qjv_hhi_trend" -> Q(
+      fn = (s, dir) => {
+        val mb = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+            .cast("long").as("m"), col("p_brand").as("brand"),
+            col("l_extendedprice").cast("decimal(18,2)").as("v"))
+          .groupBy("m", "brand").agg(sum(col("v")).as("bv"))
+        val tot = mb.groupBy("m").agg(sum(col("bv")).as("tv"))
+        val hhi = mb.join(tot, "m")
+          .select(col("m"),
+            round(col("bv").cast("double") / col("tv").cast("double"), 9)
+              .as("sh"))
+          .groupBy("m")
+          .agg(round(sum(round(col("sh") * col("sh"), 12)
+            .cast("decimal(28,12)")).cast("double") * lit(10000.0), 9)
+            .as("hhi"))
+          .localCheckpoint(eager = false)
+        val base = hhi.agg(min(col("m")).as("m0"))
+        val idx = hhi.crossJoin(broadcast(base))
+          .select((col("m") - col("m0") + 1).as("tt"), col("hhi"))
+        val mm = idx.agg(count(lit(1)).as("n"), sum(col("tt")).as("st"),
+          sum(g9(col("hhi"))).as("sh"),
+          sum(col("tt") * col("tt")).as("stt"),
+          sum(round(col("tt").cast("double") * col("hhi"), 6)
+            .cast("decimal(28,6)")).as("sth"))
+        mm.select(col("n").as("n_months"),
+            round(col("sh").cast("double") / col("n").cast("double"), 6)
+              .as("mean_hhi"),
+            (round((col("n").cast("double") *
+              expr("CAST(CAST(sth AS STRING) AS DOUBLE)") -
+              col("st").cast("double") * col("sh").cast("double")) /
+              (col("n").cast("double") * col("stt").cast("double") -
+                col("st").cast("double") * col("st").cast("double")), 6)
+              + lit(0.0)).as("hhi_slope_per_month"))
+      },
+      oracle = Some("""
+        WITH mb AS (
+          SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                   AS BIGINT) AS m,
+                 p_brand AS brand,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS bv
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        tot AS (SELECT m, SUM(bv) AS tv FROM mb GROUP BY 1),
+        hhi AS MATERIALIZED (
+          SELECT mb.m,
+                 ROUND(CAST(SUM(CAST(ROUND(sh * sh, 12)
+                   AS DECIMAL(28,12))) AS DOUBLE)
+                   * CAST(10000 AS DOUBLE), 9) AS hhi
+          FROM (
+            SELECT mb.m, ROUND(CAST(bv AS DOUBLE) / CAST(tv AS DOUBLE),
+                     9) AS sh
+            FROM mb JOIN tot ON mb.m = tot.m) mb
+          GROUP BY 1),
+        base AS (SELECT MIN(m) AS m0 FROM hhi),
+        idx AS (
+          SELECT m - m0 + 1 AS tt, hhi FROM hhi CROSS JOIN base),
+        mm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(tt) AS BIGINT) AS st,
+                 SUM(CAST(ROUND(hhi, 9) AS DECIMAL(20,9))) AS sh,
+                 CAST(SUM(tt * tt) AS BIGINT) AS stt,
+                 SUM(CAST(ROUND(CAST(tt AS DOUBLE) * hhi, 6)
+                   AS DECIMAL(28,6))) AS sth
+          FROM idx)
+        SELECT n AS n_months,
+               ROUND(CAST(sh AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS mean_hhi,
+               ROUND((CAST(n AS DOUBLE)
+                 * CAST(CAST(sth AS VARCHAR) AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(sh AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS hhi_slope_per_month
+        FROM mm""")),
+
+    // Double jeopardy (Ehrenberg's law): small brands are punished
+    // twice — fewer buyers AND lower purchase frequency per buyer.
+    // Frequency regressed on ln penetration across the 25 brands,
+    // with the smallest- and largest-brand fitted frequencies shown —
+    // the empirical regularity (with qig's duplication law) that
+    // brand-growth strategy debates keep rediscovering. ln link;
+    // integer buyer/purchase counts; 9-grid moments.
+    "qjw_double_jeopardy" -> Q(
+      fn = (s, dir) => {
+        val bb = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("p_brand").as("brand"))
+          .agg(countDistinct(col("o_custkey")).as("buyers"),
+            countDistinct(col("o_orderkey")).as("purchases"))
+        val nAll = t(s, dir, "orders")
+          .select(col("o_custkey")).distinct().agg(count(lit(1)).as("nu"))
+        val pts = bb.crossJoin(broadcast(nAll))
+          .select(col("brand"),
+            round(log(col("buyers").cast("double") /
+              col("nu").cast("double")), 9).as("lpen"),
+            round(col("purchases").cast("double") /
+              col("buyers").cast("double"), 9).as("freq"))
+          .localCheckpoint(eager = false)
+        val mm = pts.agg(count(lit(1)).as("n"),
+          sum(g9(col("lpen"))).as("sx"), sum(g9(col("freq"))).as("sy"),
+          sum(g9(round(col("lpen") * col("freq"), 9))).as("sxy"),
+          sum(g9(round(col("lpen") * col("lpen"), 9))).as("sxx"),
+          min(col("lpen")).as("xmin"), max(col("lpen")).as("xmax"))
+        mm.withColumn("b", (col("n").cast("double") *
+            col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")))
+          .withColumn("a", (col("sy").cast("double") -
+            col("b") * col("sx").cast("double")) / col("n").cast("double"))
+          .select(col("n").as("n_brands"),
+            (round(col("b"), 6) + lit(0.0)).as("freq_on_lnpen_slope"),
+            round(col("a") + col("b") * col("xmin"), 6)
+              .as("fitted_freq_smallest"),
+            round(col("a") + col("b") * col("xmax"), 6)
+              .as("fitted_freq_largest"),
+            when(col("b") > 0, "double_jeopardy_holds")
+              .otherwise("anomalous").as("verdict"))
+      },
+      oracle = Some("""
+        WITH bb AS (
+          SELECT p_brand AS brand,
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS buyers,
+                 CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS purchases
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1),
+        nall AS (
+          SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nu
+          FROM orders),
+        pts AS MATERIALIZED (
+          SELECT brand,
+                 ROUND(ln(CAST(buyers AS DOUBLE) / CAST(nu AS DOUBLE)),
+                   9) AS lpen,
+                 ROUND(CAST(purchases AS DOUBLE)
+                   / CAST(buyers AS DOUBLE), 9) AS freq
+          FROM bb CROSS JOIN nall),
+        mm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(lpen, 9) AS DECIMAL(20,9))) AS sx,
+                 SUM(CAST(ROUND(freq, 9) AS DECIMAL(20,9))) AS sy,
+                 SUM(CAST(ROUND(lpen * freq, 9) AS DECIMAL(20,9)))
+                   AS sxy,
+                 SUM(CAST(ROUND(lpen * lpen, 9) AS DECIMAL(20,9)))
+                   AS sxx,
+                 MIN(lpen) AS xmin, MAX(lpen) AS xmax
+          FROM pts),
+        f AS (
+          SELECT n, xmin, xmax, b,
+                 (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS a
+          FROM (
+            SELECT *, (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+            FROM mm))
+        SELECT n AS n_brands,
+               ROUND(b, 6) + CAST(0 AS DOUBLE) AS freq_on_lnpen_slope,
+               ROUND(a + b * xmin, 6) AS fitted_freq_smallest,
+               ROUND(a + b * xmax, 6) AS fitted_freq_largest,
+               CASE WHEN b > 0 THEN 'double_jeopardy_holds'
+                 ELSE 'anomalous' END AS verdict
+        FROM f""")),
+
+    // Birthday-collision audit of the engine's own hash machinery:
+    // customer keys md5-bucketed into 2²⁰ slots, observed colliding
+    // PAIRS vs the birthday expectation C(n,2)/B — every banded-dedup
+    // and LSH path upstream assumes this hash spreads like uniform
+    // randomness; this measures it. Pure integer bucket arithmetic
+    // (rule 12 hex prefix), one expectation ratio.
+    "qjx_birthday_collisions" -> Q(
+      fn = (s, dir) => {
+        val h = t(s, dir, "customer")
+          .select((conv(substring(md5(col("c_custkey").cast("string")),
+            1, 12), 16, 10).cast("long") % 1048576L).as("b"))
+        val n0 = h.agg(count(lit(1)).as("n"))
+        val coll = h.groupBy("b").agg(count(lit(1)).as("c"))
+          .agg(sum(expr("c * (c - 1) div 2")).as("obs_pairs"),
+            sum(when(col("c") > 1, 1L).otherwise(0L))
+              .as("buckets_with_collisions"))
+        coll.crossJoin(broadcast(n0))
+          .select(col("n").as("n_keys"),
+            col("obs_pairs"), col("buckets_with_collisions"),
+            round(col("n").cast("double") * (col("n") - 1).cast("double") /
+              (lit(2.0) * lit(1048576.0)), 6).as("expected_pairs"),
+            (round(col("obs_pairs").cast("double") /
+              (col("n").cast("double") * (col("n") - 1).cast("double") /
+                (lit(2.0) * lit(1048576.0))), 6) + lit(0.0))
+              .as("obs_to_expected"))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                   1, 12) AS BIGINT) % 1048576 AS b
+          FROM customer),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h),
+        coll AS (
+          SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS obs_pairs,
+                 CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS buckets_with_collisions
+          FROM (SELECT b, CAST(COUNT(*) AS BIGINT) AS c
+                FROM h GROUP BY 1))
+        SELECT n AS n_keys, obs_pairs, buckets_with_collisions,
+               ROUND(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                 / (CAST(2 AS DOUBLE) * CAST(1048576 AS DOUBLE)), 6)
+                 AS expected_pairs,
+               ROUND(CAST(obs_pairs AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                   / (CAST(2 AS DOUBLE) * CAST(1048576 AS DOUBLE))), 6)
+                 + CAST(0 AS DOUBLE) AS obs_to_expected
+        FROM coll CROSS JOIN n0""")),
+
+    // A/A negative control for the experiment stack: the CONTROL arm
+    // split by a second independent hash bit (user_id div 2 parity),
+    // conversion difference + pooled z — a "significant" A/A effect
+    // means the assignment, the metric, or the test machinery is
+    // broken, and every q7b/q7c/qbm/qhc readout is suspect. The
+    // calibration run every experimentation platform schedules.
+    // Integer rates; one pooled z.
+    "qjy_aa_test" -> Q(
+      fn = (s, dir) => {
+        val u = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("cv"))
+          .filter(col("user_id") % 2 === 0) // control arm only
+          .select(expr("(user_id div 2) % 2").cast("int").as("aa"),
+            col("cv"))
+        val m = u.groupBy("aa")
+          .agg(count(lit(1)).as("n"), sum(col("cv")).as("k"))
+        m.agg(max(when(col("aa") === 0, col("n"))).as("n0"),
+            max(when(col("aa") === 0, col("k"))).as("k0"),
+            max(when(col("aa") === 1, col("n"))).as("n1"),
+            max(when(col("aa") === 1, col("k"))).as("k1"))
+          .withColumn("p0", col("k0").cast("double") /
+            col("n0").cast("double"))
+          .withColumn("p1", col("k1").cast("double") /
+            col("n1").cast("double"))
+          .withColumn("pp", (col("k0") + col("k1")).cast("double") /
+            (col("n0") + col("n1")).cast("double"))
+          // degenerate pooled variance (everyone or no one converts):
+          // no detectable difference is possible — z = 0 by convention
+          .withColumn("zden", col("pp") * (lit(1.0) - col("pp")) *
+            (lit(1.0) / col("n0").cast("double") +
+             lit(1.0) / col("n1").cast("double")))
+          .withColumn("z", when(col("zden") > 0,
+            (col("p1") - col("p0")) / sqrt(col("zden")))
+            .otherwise(lit(0.0)))
+          .select(col("n0"), col("n1"),
+            round(col("p0"), 6).as("rate_a1"),
+            round(col("p1"), 6).as("rate_a2"),
+            (round(col("p1") - col("p0"), 6) + lit(0.0)).as("diff"),
+            (round(col("z"), 6) + lit(0.0)).as("z"),
+            when(abs(col("z")) > lit(1.96), "BROKEN_machinery")
+              .otherwise("calibrated").as("verdict"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT CAST((user_id // 2) % 2 AS INT) AS aa,
+                 CAST(MAX(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS cv
+          FROM events
+          GROUP BY user_id HAVING user_id % 2 = 0),
+        m AS (
+          SELECT aa, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cv) AS BIGINT) AS k
+          FROM u GROUP BY 1),
+        w AS (
+          SELECT MAX(CASE WHEN aa = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN aa = 0 THEN k END) AS k0,
+                 MAX(CASE WHEN aa = 1 THEN n END) AS n1,
+                 MAX(CASE WHEN aa = 1 THEN k END) AS k1
+          FROM m),
+        f AS (
+          SELECT n0, n1, p0, p1,
+                 CASE WHEN pp * (CAST(1 AS DOUBLE) - pp)
+                   * (CAST(1 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                     + CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE)) > 0
+                   THEN (p1 - p0) / SQRT(pp * (CAST(1 AS DOUBLE) - pp)
+                     * (CAST(1 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                       + CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                   ELSE CAST(0 AS DOUBLE) END AS z
+          FROM (
+            SELECT n0, n1, k0, k1,
+                   CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+                   CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                   CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+                     AS pp
+            FROM w))
+        SELECT n0, n1,
+               ROUND(p0, 6) AS rate_a1,
+               ROUND(p1, 6) AS rate_a2,
+               ROUND(p1 - p0, 6) + CAST(0 AS DOUBLE) AS diff,
+               ROUND(z, 6) + CAST(0 AS DOUBLE) AS z,
+               CASE WHEN ABS(z) > CAST(1.96 AS DOUBLE)
+                 THEN 'BROKEN_machinery' ELSE 'calibrated' END
+                 AS verdict
+        FROM f""")),
+
+    // Capacity what-if: the qhv Erlang-B blocking curve re-run at
+    // +20% offered load, side by side — "can today's s servers absorb
+    // next quarter's demand, and where does the blocking knee move" —
+    // the scenario read a capacity review actually asks for. Same
+    // path-carrying recursion fold at both loads; division links.
+    "qjz_capacity_scenario" -> Q(
+      fn = (s, dir) => {
+        val a0 = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_millis(ts) div 3600000").as("hr"))
+          .agg(count(lit(1)).as("c"))
+          .agg(round(sum(col("c")).cast("double") /
+            count(lit(1)).cast("double"), 9).as("a"))
+          .withColumn("a2", round(lit(1.2) * col("a"), 9))
+        def foldExpr(load: String) =
+          s"""slice(aggregate(sequence(1, 10),
+             |  array(cast(1.0 as double)),
+             |  (acc, s) -> concat(acc, array(round(
+             |    $load * element_at(acc, -1) /
+             |    (cast(s as double) + $load * element_at(acc, -1)), 9)))),
+             |  2, 10)""".stripMargin
+        val path = a0.select(col("a"), col("a2"),
+          expr(foldExpr("a")).as("b1"), expr(foldExpr("a2")).as("b2"))
+        path.select(col("a"), col("a2"),
+            posexplode(col("b1")).as(Seq("pos", "bb1")))
+          .join(path.select(posexplode(col("b2")).as(Seq("pos2", "bb2"))),
+            col("pos") === col("pos2"))
+          .select((col("pos") + 1).cast("int").as("servers"),
+            round(col("a"), 6).as("load_now"),
+            round(col("a2"), 6).as("load_plus20"),
+            round(col("bb1"), 6).as("blocking_now"),
+            round(col("bb2"), 6).as("blocking_plus20"),
+            (round(col("bb2") - col("bb1"), 6) + lit(0.0))
+              .as("blocking_delta"))
+          .orderBy("servers")
+      },
+      oracle = Some("""
+        WITH a0 AS (
+          SELECT a, ROUND(CAST(1.2 AS DOUBLE) * a, 9) AS a2
+          FROM (
+            SELECT ROUND(CAST(SUM(c) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS a
+            FROM (SELECT epoch_ms(ts) // 3600000 AS hr,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY 1))),
+        paths AS (
+          SELECT a, a2,
+                 list_reduce(
+                   list_prepend([CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)],
+                     list_transform(range(1, 11),
+                       s -> [CAST(s AS DOUBLE), CAST(0 AS DOUBLE)])),
+                   (acc, e) -> acc ||
+                     [e[1], ROUND(a * acc[-1] / (e[1] + a * acc[-1]),
+                        9)]) AS st1,
+                 list_reduce(
+                   list_prepend([CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)],
+                     list_transform(range(1, 11),
+                       s -> [CAST(s AS DOUBLE), CAST(0 AS DOUBLE)])),
+                   (acc, e) -> acc ||
+                     [e[1], ROUND(a2 * acc[-1] / (e[1] + a2 * acc[-1]),
+                        9)]) AS st2
+          FROM a0),
+        rows_b AS (
+          SELECT a, a2, unnest(range(1, 11)) AS s, st1, st2 FROM paths)
+        SELECT CAST(s AS INT) AS servers,
+               ROUND(a, 6) AS load_now,
+               ROUND(a2, 6) AS load_plus20,
+               ROUND(st1[2 * s + 2], 6) AS blocking_now,
+               ROUND(st2[2 * s + 2], 6) AS blocking_plus20,
+               ROUND(st2[2 * s + 2] - st1[2 * s + 2], 6)
+                 + CAST(0 AS DOUBLE) AS blocking_delta
+        FROM rows_b ORDER BY servers"""))
   )
 }
