@@ -13032,6 +13032,166 @@ object AppliedQueries {
                ROUND(st2[2 * s + 2], 6) AS blocking_plus20,
                ROUND(st2[2 * s + 2] - st1[2 * s + 2], 6)
                  + CAST(0 AS DOUBLE) AS blocking_delta
-        FROM rows_b ORDER BY servers"""))
+        FROM rows_b ORDER BY servers""")),
+
+    // Fano factor across window scales: Var/Mean of purchase counts in
+    // 1-, 2-, 4- and 7-day windows — 1 for a Poisson process at every
+    // scale, RISING with window size under clustering (the count-
+    // domain reading qii's Allan variance gives for amplitudes). Full
+    // windows only; integer counts and power sums throughout.
+    "qk0_fano_factor" -> Q(
+      fn = (s, dir) => {
+        val x = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(count(lit(1)).as("c"))
+          .select((row_number().over(Window.orderBy("day")) - 1)
+            .cast("long").as("i"), col("c"))
+          .localCheckpoint(eager = false)
+        val taus = Seq(1, 2, 4, 7)
+        taus.map { tau =>
+          x.withColumn("blk", expr(s"i div $tau"))
+            .groupBy("blk")
+            .agg(count(lit(1)).as("m"), sum(col("c")).as("w"))
+            .filter(col("m") === tau)
+            .agg(count(lit(1)).as("n_windows"),
+              sum(col("w")).as("sw"), sum(col("w") * col("w")).as("sww"))
+            .select(lit(tau).as("window_days"), col("n_windows"),
+              round(col("sw").cast("double") /
+                col("n_windows").cast("double"), 6).as("mean_count"),
+              (round(((col("n_windows").cast("double") *
+                col("sww").cast("double") -
+                col("sw").cast("double") * col("sw").cast("double")) /
+                (col("n_windows").cast("double") *
+                  (col("n_windows") - 1).cast("double"))) /
+                (col("sw").cast("double") /
+                  col("n_windows").cast("double")), 6) + lit(0.0))
+                .as("fano_factor"))
+        }.reduce(_ unionAll _).orderBy("window_days")
+      },
+      oracle = Some({
+        def one(tau: Int) =
+          s"""SELECT CAST($tau AS INT) AS window_days,
+             |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+             |  ROUND(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+             |    6) AS mean_count,
+             |  ROUND(((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(w * w)
+             |      AS DOUBLE)
+             |    - CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE))
+             |    / (CAST(COUNT(*) AS DOUBLE)
+             |      * CAST(COUNT(*) - 1 AS DOUBLE)))
+             |    / (CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+             |    6) + CAST(0 AS DOUBLE) AS fano_factor
+             |FROM (
+             |  SELECT i // $tau AS blk, CAST(SUM(c) AS BIGINT) AS w
+             |  FROM x GROUP BY 1 HAVING COUNT(*) = $tau)""".stripMargin
+        s"""
+        WITH d0 AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        x AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT)
+                   AS i, c
+          FROM d0)
+        ${Seq(1, 2, 4, 7).map(one).mkString("\n        UNION ALL\n        ")}
+        ORDER BY window_days"""
+      })),
+
+    // Hour × day-of-week activity heatmap with each type's peak cell —
+    // the operational staffing grid every dashboard leads with,
+    // emitted as the top-3 cells per event type (the full 168-cell
+    // grid is the pivot q8j already shapes; the TOP cells are what a
+    // staffing decision reads). Exact integer counts; struct-argmax
+    // ranking with deterministic tiebreaks.
+    "qk1_peak_cells" -> Q(
+      fn = (s, dir) => {
+        val g = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            ((expr("unix_millis(ts) div 86400000") + 4) % 7).cast("int")
+              .as("dow"),
+            (expr("unix_millis(ts) div 3600000") % 24).cast("int")
+              .as("hod"))
+          .agg(count(lit(1)).as("c"))
+        val tot = g.groupBy("event_type").agg(sum(col("c")).as("tt"))
+        g.join(tot, "event_type")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("event_type")
+              .orderBy(col("c").desc, col("dow"), col("hod"))))
+          .filter(col("rk") <= 3)
+          .select(col("event_type"), col("rk").cast("int").as("rank"),
+            col("dow"), col("hod"), col("c").as("n_events"),
+            round(col("c").cast("double") / col("tt").cast("double"), 6)
+              .as("cell_share"))
+          .orderBy("event_type", "rank")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT event_type,
+                 CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS INT) AS dow,
+                 CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hod,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2, 3),
+        tot AS (
+          SELECT event_type, CAST(SUM(c) AS BIGINT) AS tt
+          FROM g GROUP BY 1),
+        ranked AS (
+          SELECT g.event_type, dow, hod, c, tt,
+                 ROW_NUMBER() OVER (PARTITION BY g.event_type
+                   ORDER BY c DESC, dow, hod) AS rk
+          FROM g JOIN tot ON g.event_type = tot.event_type)
+        SELECT event_type, CAST(rk AS INT) AS rank, dow, hod,
+               c AS n_events,
+               ROUND(CAST(c AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+                 AS cell_share
+        FROM ranked WHERE rk <= 3
+        ORDER BY event_type, rank""")),
+
+    // Line-position effect: does a line's POSITION within its order
+    // predict its value? Mean value and quantity by l_linenumber with
+    // the per-position share of order-total — a nonzero slope here is
+    // a data-generation artifact detector (real commerce has no
+    // reason for line 1 to be pricier), the forensic sibling of qfc's
+    // digit tests. Exact DECIMAL means per position.
+    "qk2_position_effect" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_linenumber").cast("int").as("pos"),
+            col("l_extendedprice").cast("decimal(18,2)").as("v"),
+            col("l_quantity").cast("decimal(18,2)").as("q"))
+        val m = li.groupBy("pos")
+          .agg(count(lit(1)).as("n_lines"), sum(col("v")).as("sv"),
+            sum(col("q")).as("sq"))
+        val tot = m.agg(sum(col("sv")).as("tv"))
+        m.crossJoin(broadcast(tot))
+          .select(col("pos").as("line_position"), col("n_lines"),
+            round(col("sv").cast("double") / col("n_lines").cast("double"),
+              6).as("mean_value"),
+            round(col("sq").cast("double") / col("n_lines").cast("double"),
+              6).as("mean_quantity"),
+            round(col("sv").cast("double") / col("tv").cast("double"), 6)
+              .as("revenue_share"))
+          .orderBy("line_position")
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT CAST(l_linenumber AS INT) AS pos,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+                 CAST(l_quantity AS DECIMAL(18,2)) AS q
+          FROM lineitem),
+        m AS (
+          SELECT pos, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 SUM(v) AS sv, SUM(q) AS sq
+          FROM li GROUP BY 1),
+        tot AS (SELECT SUM(sv) AS tv FROM m)
+        SELECT pos AS line_position, n_lines,
+               ROUND(CAST(sv AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+                 AS mean_value,
+               ROUND(CAST(sq AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+                 AS mean_quantity,
+               ROUND(CAST(sv AS DOUBLE) / CAST(tv AS DOUBLE), 6)
+                 AS revenue_share
+        FROM m CROSS JOIN tot
+        ORDER BY line_position"""))
   )
 }
