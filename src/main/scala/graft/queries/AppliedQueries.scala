@@ -13192,6 +13192,409 @@ object AppliedQueries {
                ROUND(CAST(sv AS DOUBLE) / CAST(tv AS DOUBLE), 6)
                  AS revenue_share
         FROM m CROSS JOIN tot
-        ORDER BY line_position"""))
+        ORDER BY line_position""")),
+
+    // Durbin–Watson on the daily-revenue trend residuals: DW =
+    // Σ(eₜ−eₜ₋₁)²/Σe² with the canonical <1.5 / >2.5 bands — THE
+    // textbook first look at serial correlation (qi6 then fixes it,
+    // qg6 then robustifies around it; DW is the stat referees ask for
+    // by name). 9-grid residuals; exact DECIMAL quadratic sums.
+    "qk3_durbin_watson" -> Q(
+      fn = (s, dir) => {
+        val y = dailyRevenueM(s, dir)
+          .withColumn("tt",
+            row_number().over(Window.orderBy("day")).cast("long"))
+        val m1 = y.agg(count(lit(1)).as("n"), sum(col("tt")).as("st"),
+          sum(col("ym")).as("sy"), sum(col("tt") * col("tt")).as("stt"),
+          sum(col("tt").cast("decimal(18,2)") * col("ym")).as("sty"))
+        val ab = m1.select(col("n"),
+            ((col("n").cast("double") *
+              expr("CAST(CAST(sty AS STRING) AS DOUBLE)") -
+              col("st").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("stt").cast("double") -
+                col("st").cast("double") * col("st").cast("double")))
+              .as("b"), col("st"), col("sy"))
+          .select(col("n"), col("b"),
+            ((col("sy").cast("double") - col("b") * col("st").cast("double"))
+              / col("n").cast("double")).as("a"))
+        val res = y.crossJoin(broadcast(ab))
+          .select(col("tt"),
+            round(col("ym").cast("double") -
+              (col("a") + col("b") * col("tt").cast("double")), 9).as("e"))
+        val w = Window.orderBy("tt")
+        val lagged = res.withColumn("ep", lag("e", 1).over(w))
+        lagged.agg(count(lit(1)).as("n"),
+            sum(g9(round(col("e") * col("e"), 9))).as("see"),
+            sum(when(col("ep").isNotNull,
+              g9(round((col("e") - col("ep")) * (col("e") - col("ep")),
+                9))).otherwise(lit(0).cast("decimal(20,9)"))).as("sdd"))
+          .select(col("n").as("n_obs"),
+            round(col("sdd").cast("double") / col("see").cast("double"),
+              6).as("durbin_watson"),
+            when(col("sdd").cast("double") / col("see").cast("double") <
+              lit(1.5), "positive_autocorrelation")
+              .when(col("sdd").cast("double") / col("see").cast("double")
+                > lit(2.5), "negative_autocorrelation")
+              .otherwise("no_evidence").as("verdict"))
+      },
+      oracle = Some(s"""
+        WITH yd AS ($dailyRevenueMSql),
+        y AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS tt,
+                 ym
+          FROM yd),
+        m1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(tt) AS BIGINT) AS st, SUM(ym) AS sy,
+                 CAST(SUM(tt * tt) AS BIGINT) AS stt,
+                 SUM(CAST(tt AS DECIMAL(18,2)) * ym) AS sty
+          FROM y),
+        ab AS (
+          SELECT n, b,
+                 (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS a
+          FROM (
+            SELECT n, st, sy,
+                   (CAST(n AS DOUBLE)
+                     * CAST(CAST(sty AS VARCHAR) AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b
+            FROM m1)),
+        res AS (
+          SELECT tt, ROUND(CAST(ym AS DOUBLE)
+                   - (a + b * CAST(tt AS DOUBLE)), 9) AS e
+          FROM y CROSS JOIN ab),
+        lagged AS (
+          SELECT e, LAG(e) OVER (ORDER BY tt) AS ep FROM res),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(e * e, 9) AS DECIMAL(20,9))) AS see,
+                 SUM(CASE WHEN ep IS NOT NULL
+                   THEN CAST(ROUND((e - ep) * (e - ep), 9)
+                     AS DECIMAL(20,9))
+                   ELSE CAST(0 AS DECIMAL(20,9)) END) AS sdd
+          FROM lagged)
+        SELECT n AS n_obs,
+               ROUND(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE), 6)
+                 AS durbin_watson,
+               CASE WHEN CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)
+                   < CAST(1.5 AS DOUBLE) THEN 'positive_autocorrelation'
+                 WHEN CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)
+                   > CAST(2.5 AS DOUBLE) THEN 'negative_autocorrelation'
+                 ELSE 'no_evidence' END AS verdict
+        FROM agg""")),
+
+    // Breusch–Pagan heteroskedasticity test: squared residuals of the
+    // order-value-on-line-count regression regressed back on the
+    // regressor, LM = n·R² ~ χ²(1) — does error VARIANCE grow with
+    // order size (it should: more lines, more variance), in which case
+    // every naive OLS standard error upstream is wrong and qg6's HAC
+    // was necessary, not decorative. 9-grid residuals; squares on the
+    // 9-grid (same-factor products); DECIMAL moment images.
+    "qk4_breusch_pagan" -> Q(
+      fn = (s, dir) => {
+        val feats = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("x"))
+        val base = t(s, dir, "orders")
+          .join(feats, col("o_orderkey") === col("l_orderkey"))
+          .select(col("x").cast("long").as("x"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(18,8)").as("y"))
+          .localCheckpoint(eager = false)
+        val m1 = base.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(18,2)") * col("y")).as("sxy"))
+        val ab = m1.select(col("n"),
+            ((col("n").cast("double") *
+              expr("CAST(CAST(sxy AS STRING) AS DOUBLE)") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")))
+              .as("b"), col("sx"), col("sy"))
+          .select(col("n"), col("b"),
+            ((col("sy").cast("double") - col("b") * col("sx").cast("double"))
+              / col("n").cast("double")).as("a"))
+        val e2 = base.crossJoin(broadcast(ab))
+          .select(col("x"),
+            round(col("y").cast("double") -
+              (col("a") + col("b") * col("x").cast("double")), 9).as("e"))
+          .select(col("x"), round(col("e") * col("e"), 9).as("u"))
+        val m2 = e2.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(g9(col("u"))).as("su"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(g9(round(col("x").cast("double") * col("u"), 9))).as("sxu"),
+          sum(g9(round(col("u") * col("u"), 9))).as("suu"))
+        m2.select(col("n"),
+            col("n").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("su").cast("double").as("sud"),
+            col("sxu").cast("double").as("sxud"),
+            col("sxx").cast("double").as("sxxd"),
+            col("suu").cast("double").as("suud"))
+          .select(col("n").as("n_obs"),
+            (round((col("nd") * col("sxud") - col("sxd") * col("sud")) /
+              (col("nd") * col("sxxd") - col("sxd") * col("sxd")), 9)
+              + lit(0.0)).as("e2_slope"),
+            (round(col("nd") *
+              (col("nd") * col("sxud") - col("sxd") * col("sud")) *
+              (col("nd") * col("sxud") - col("sxd") * col("sud")) /
+              ((col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
+               (col("nd") * col("suud") - col("sud") * col("sud"))), 6)
+              + lit(0.0)).as("bp_lm"),
+            when(col("nd") *
+              (col("nd") * col("sxud") - col("sxd") * col("sud")) *
+              (col("nd") * col("sxud") - col("sxd") * col("sud")) /
+              ((col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
+               (col("nd") * col("suud") - col("sud") * col("sud"))) >
+              lit(3.841459), "heteroskedastic")
+              .otherwise("homoskedastic").as("verdict"))
+      },
+      oracle = Some("""
+        WITH feats AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+          FROM lineitem GROUP BY 1),
+        base AS MATERIALIZED (
+          SELECT x,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(18,8)) AS y
+          FROM orders JOIN feats ON o_orderkey = l_orderkey),
+        m1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 SUM(CAST(x AS DECIMAL(18,2)) * y) AS sxy
+          FROM base),
+        ab AS (
+          SELECT n, b,
+                 (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS a
+          FROM (
+            SELECT n, sx, sy,
+                   (CAST(n AS DOUBLE)
+                     * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+            FROM m1)),
+        e2 AS (
+          SELECT x, ROUND(e * e, 9) AS u
+          FROM (
+            SELECT x, ROUND(CAST(y AS DOUBLE)
+                     - (a + b * CAST(x AS DOUBLE)), 9) AS e
+            FROM base CROSS JOIN ab)),
+        m2 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 SUM(CAST(ROUND(u, 9) AS DECIMAL(20,9))) AS su,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 SUM(CAST(ROUND(CAST(x AS DOUBLE) * u, 9)
+                   AS DECIMAL(20,9))) AS sxu,
+                 SUM(CAST(ROUND(u * u, 9) AS DECIMAL(20,9))) AS suu
+          FROM e2),
+        d AS (
+          SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(su AS DOUBLE) AS sud, CAST(sxu AS DOUBLE) AS sxud,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(suu AS DOUBLE) AS suud
+          FROM m2)
+        SELECT n AS n_obs,
+               ROUND((nd * sxud - sxd * sud) / (nd * sxxd - sxd * sxd),
+                 9) + CAST(0 AS DOUBLE) AS e2_slope,
+               ROUND(nd * (nd * sxud - sxd * sud)
+                 * (nd * sxud - sxd * sud)
+                 / ((nd * sxxd - sxd * sxd) * (nd * suud - sud * sud)),
+                 6) + CAST(0 AS DOUBLE) AS bp_lm,
+               CASE WHEN nd * (nd * sxud - sxd * sud)
+                 * (nd * sxud - sxd * sud)
+                 / ((nd * sxxd - sxd * sxd) * (nd * suud - sud * sud))
+                 > CAST(3.841459 AS DOUBLE) THEN 'heteroskedastic'
+                 ELSE 'homoskedastic' END AS verdict
+        FROM d""")),
+
+    // Ramsey RESET for functional form: does adding ŷ² to the
+    // order-value-on-line-count regression buy significant SSE
+    // reduction? F = (SSE₁−SSE₂)/(SSE₂/(n−3)) via the qgs Cramer
+    // machinery on (x, ŷ²) — a significant RESET means the LINEAR
+    // spec is wrong (curvature, interactions) and every slope reading
+    // on it is a misspecification artifact. 9-grid fitted values
+    // (ŷ² is a same-factor product, 9-safe); exact DECIMAL moments.
+    "qk5_ramsey_reset" -> Q(
+      fn = (s, dir) => {
+        val feats = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("x"))
+        val base = t(s, dir, "orders")
+          .join(feats, col("o_orderkey") === col("l_orderkey"))
+          .select(col("x").cast("long").as("x"),
+            (col("o_totalprice").cast("decimal(18,2)") / lit(1000000))
+              .cast("decimal(18,8)").as("y"))
+          .localCheckpoint(eager = false)
+        val m1 = base.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(18,2)") * col("y")).as("sxy"),
+          sum((col("y") * col("y")).cast("decimal(38,16)")).as("syy"))
+        val ab = m1.select(col("n"), col("sy"), col("sxy"), col("syy"),
+            ((col("n").cast("double") *
+              expr("CAST(CAST(sxy AS STRING) AS DOUBLE)") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")))
+              .as("b"), col("sx"))
+          .select(col("n"), col("b"), col("sy"), col("sxy"), col("syy"),
+            ((col("sy").cast("double") - col("b") * col("sx").cast("double"))
+              / col("n").cast("double")).as("a"))
+          .localCheckpoint(eager = false)
+        val aug = base.crossJoin(broadcast(ab.select(col("a"), col("b"))))
+          .withColumn("yh", round(col("a") + col("b") *
+            col("x").cast("double"), 9))
+          .select(col("x"), col("y"),
+            round(col("yh") * col("yh"), 9).as("z"))
+        // centered 2-regressor solve, the qgs Cramer shapes
+        val mm = aug.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(g9(col("z"))).as("sz"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(g9(round(col("x").cast("double") * col("z"), 9))).as("sxz"),
+          sum(g9(round(col("z") * col("z"), 9))).as("szz"),
+          sum(col("x").cast("decimal(18,2)") * col("y")).as("sxy"),
+          sum((col("z").cast("decimal(18,9)") * col("y"))
+            .cast("decimal(38,17)")).as("szy"))
+        val cv = mm.select(col("n"),
+            col("n").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("sz").cast("double").as("szd"),
+            col("sy").cast("double").as("syd"),
+            col("sxx").cast("double").as("sxxd"),
+            col("sxz").cast("double").as("sxzd"),
+            col("szz").cast("double").as("szzd"),
+            expr("CAST(CAST(sxy AS STRING) AS DOUBLE)").as("sxyd"),
+            expr("CAST(CAST(szy AS STRING) AS DOUBLE)").as("szyd"))
+          .select(col("n"), col("nd"), col("syd"), col("sxyd"),
+            col("szyd"),
+            (col("nd") * col("sxzd") - col("sxd") * col("szd")).as("cxz"),
+            (col("nd") * col("sxyd") - col("sxd") * col("syd")).as("cxy"),
+            (col("nd") * col("szyd") - col("szd") * col("syd")).as("czy"),
+            (col("nd") * col("sxxd") - col("sxd") * col("sxd")).as("vx"),
+            (col("nd") * col("szzd") - col("szd") * col("szd")).as("vz"),
+            col("sxd"), col("szd"))
+        val fit2 = cv.select(col("n"), col("nd"), col("syd"),
+            col("sxyd"), col("szyd"), col("sxd"), col("szd"),
+            ((col("vz") * col("cxy") - col("cxz") * col("czy")) /
+              (col("vx") * col("vz") - col("cxz") * col("cxz"))).as("b1"),
+            ((col("vx") * col("czy") - col("cxz") * col("cxy")) /
+              (col("vx") * col("vz") - col("cxz") * col("cxz"))).as("b2"))
+          .withColumn("b0", (col("syd") - col("b1") * col("sxd") -
+            col("b2") * col("szd")) / col("nd"))
+        val sses = fit2.crossJoin(broadcast(ab.select(
+            col("a").as("a1"), col("b").as("bb1"),
+            expr("CAST(CAST(syy AS STRING) AS DOUBLE)").as("syyd"),
+            col("sy").cast("double").as("sy1"),
+            expr("CAST(CAST(sxy AS STRING) AS DOUBLE)").as("sxy1"))))
+          .withColumn("sse1", col("syyd") - col("a1") * col("sy1") -
+            col("bb1") * col("sxy1"))
+          .withColumn("sse2", col("syyd") - col("b0") * col("syd") -
+            col("b1") * col("sxyd") - col("b2") * col("szyd"))
+        sses.select(col("n").as("n_obs"),
+            (round(col("b2"), 6) + lit(0.0)).as("yhat_sq_coef"),
+            round(col("sse1"), 6).as("sse_linear"),
+            round(col("sse2"), 6).as("sse_reset"),
+            (round((col("sse1") - col("sse2")) /
+              (col("sse2") / (col("nd") - lit(3.0))), 6) + lit(0.0))
+              .as("reset_f"),
+            when((col("sse1") - col("sse2")) /
+              (col("sse2") / (col("nd") - lit(3.0))) > lit(3.841459),
+              "misspecified").otherwise("linear_ok").as("verdict"))
+      },
+      oracle = Some("""
+        WITH feats AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+          FROM lineitem GROUP BY 1),
+        base AS MATERIALIZED (
+          SELECT x,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 1000000
+                   AS DECIMAL(18,8)) AS y
+          FROM orders JOIN feats ON o_orderkey = l_orderkey),
+        m1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 SUM(CAST(x AS DECIMAL(18,2)) * y) AS sxy,
+                 SUM(CAST(y AS DECIMAL(19,8)) * CAST(y AS DECIMAL(19,8)))
+                   AS syy
+          FROM base),
+        ab AS MATERIALIZED (
+          SELECT n, b, sy, sxy, syy, sx,
+                 (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS a
+          FROM (
+            SELECT n, sx, sy, sxy, syy,
+                   (CAST(n AS DOUBLE)
+                     * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+            FROM m1)),
+        aug AS MATERIALIZED (
+          SELECT x, y, ROUND(yh * yh, 9) AS z
+          FROM (
+            SELECT x, y,
+                   ROUND(a + b * CAST(x AS DOUBLE), 9) AS yh
+            FROM base CROSS JOIN ab)),
+        mm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 SUM(CAST(ROUND(z, 9) AS DECIMAL(20,9))) AS sz,
+                 SUM(y) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 SUM(CAST(ROUND(CAST(x AS DOUBLE) * z, 9)
+                   AS DECIMAL(20,9))) AS sxz,
+                 SUM(CAST(ROUND(z * z, 9) AS DECIMAL(20,9))) AS szz,
+                 SUM(CAST(x AS DECIMAL(18,2)) * y) AS sxy,
+                 SUM(CAST(CAST(z AS DECIMAL(18,9)) * y
+                   AS DECIMAL(38,17))) AS szy
+          FROM aug),
+        cv AS (
+          SELECT n, nd, syd, sxyd, szyd, sxd, szd,
+                 nd * sxzd - sxd * szd AS cxz,
+                 nd * sxyd - sxd * syd AS cxy,
+                 nd * szyd - szd * syd AS czy,
+                 nd * sxxd - sxd * sxd AS vx,
+                 nd * szzd - szd * szd AS vz
+          FROM (
+            SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sz AS DOUBLE) AS szd, CAST(sy AS DOUBLE) AS syd,
+                   CAST(sxx AS DOUBLE) AS sxxd,
+                   CAST(sxz AS DOUBLE) AS sxzd,
+                   CAST(szz AS DOUBLE) AS szzd,
+                   CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+                   CAST(CAST(szy AS VARCHAR) AS DOUBLE) AS szyd
+            FROM mm)),
+        fit2 AS (
+          SELECT n, nd, syd, sxyd, szyd,
+                 (vz * cxy - cxz * czy) / (vx * vz - cxz * cxz) AS b1,
+                 (vx * czy - cxz * cxy) / (vx * vz - cxz * cxz) AS b2,
+                 sxd, szd
+          FROM cv),
+        fit2b AS (
+          SELECT *, (syd - b1 * sxd - b2 * szd) / nd AS b0
+          FROM fit2),
+        sses AS (
+          SELECT fit2b.*,
+                 CAST(CAST(ab.syy AS VARCHAR) AS DOUBLE)
+                   - ab.a * CAST(ab.sy AS DOUBLE)
+                   - ab.b * CAST(CAST(ab.sxy AS VARCHAR) AS DOUBLE)
+                   AS sse1,
+                 CAST(CAST(ab.syy AS VARCHAR) AS DOUBLE)
+                   - b0 * syd - b1 * sxyd - b2 * szyd AS sse2
+          FROM fit2b CROSS JOIN ab)
+        SELECT n AS n_obs,
+               ROUND(b2, 6) + CAST(0 AS DOUBLE) AS yhat_sq_coef,
+               ROUND(sse1, 6) AS sse_linear,
+               ROUND(sse2, 6) AS sse_reset,
+               ROUND((sse1 - sse2) / (sse2 / (nd - CAST(3 AS DOUBLE))),
+                 6) + CAST(0 AS DOUBLE) AS reset_f,
+               CASE WHEN (sse1 - sse2)
+                 / (sse2 / (nd - CAST(3 AS DOUBLE)))
+                 > CAST(3.841459 AS DOUBLE) THEN 'misspecified'
+                 ELSE 'linear_ok' END AS verdict
+        FROM sses"""))
   )
 }
