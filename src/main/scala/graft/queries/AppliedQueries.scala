@@ -13595,6 +13595,189 @@ object AppliedQueries {
                  / (sse2 / (nd - CAST(3 AS DOUBLE)))
                  > CAST(3.841459 AS DOUBLE) THEN 'misspecified'
                  ELSE 'linear_ok' END AS verdict
-        FROM sses"""))
+        FROM sses""")),
+
+    // Attribution-model disagreement card: each converting user's
+    // pre-purchase touches credited under FOUR rules at once —
+    // first-touch, last-touch, linear, and U-shaped (40/20/40) — per
+    // channel (event type), side by side. The uncomfortable table
+    // every marketing-mix meeting runs on: when the models disagree
+    // 2×, the budget fight is about the RULE, not the data (q5x and
+    // q98 each report one rule; this is the confrontation view).
+    // Exact dyadic U-weights over integer touch positions.
+    "qk6_attribution_compare" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"), col("event_id"))
+        val conv = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min(col("ms")).as("pms"))
+        val touches = e.join(conv, "user_id")
+          .filter(col("ms") < col("pms") &&
+            col("event_type") =!= "purchase")
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("user_id")
+              .orderBy(col("ms"), col("event_id"))))
+          .withColumn("npos", count(lit(1)).over(
+            Window.partitionBy("user_id")))
+        // U-shaped: 0.4 first, 0.4 last, 0.2 split over middles;
+        // single-touch journeys take 1.0, two-touch 0.5/0.5
+        val credited = touches
+          .withColumn("w_first",
+            when(col("pos") === 1, lit(1.0)).otherwise(lit(0.0)))
+          .withColumn("w_last",
+            when(col("pos") === col("npos"), lit(1.0)).otherwise(lit(0.0)))
+          .withColumn("w_linear",
+            round(lit(1.0) / col("npos").cast("double"), 9))
+          .withColumn("w_u",
+            when(col("npos") === 1, lit(1.0))
+              .when(col("npos") === 2, lit(0.5))
+              .when(col("pos") === 1 || col("pos") === col("npos"),
+                lit(0.4))
+              .otherwise(round(lit(0.2) /
+                (col("npos") - 2).cast("double"), 9)))
+        credited.groupBy("event_type")
+          .agg(count(lit(1)).as("n_touches"),
+            round(sum(g9(col("w_first"))).cast("double"), 6)
+              .as("credit_first"),
+            round(sum(g9(col("w_last"))).cast("double"), 6)
+              .as("credit_last"),
+            round(sum(g9(col("w_linear"))).cast("double"), 6)
+              .as("credit_linear"),
+            round(sum(g9(col("w_u"))).cast("double"), 6).as("credit_u"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+          FROM events),
+        conv AS (
+          SELECT user_id, MIN(ms) AS pms FROM e
+          WHERE event_type = 'purchase' GROUP BY 1),
+        touches AS MATERIALIZED (
+          SELECT e.user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY e.user_id
+                   ORDER BY ms, event_id) AS pos,
+                 COUNT(*) OVER (PARTITION BY e.user_id) AS npos
+          FROM e JOIN conv ON e.user_id = conv.user_id
+          WHERE ms < pms AND event_type <> 'purchase'),
+        credited AS (
+          SELECT event_type,
+                 CASE WHEN pos = 1 THEN CAST(1 AS DOUBLE)
+                   ELSE CAST(0 AS DOUBLE) END AS w_first,
+                 CASE WHEN pos = npos THEN CAST(1 AS DOUBLE)
+                   ELSE CAST(0 AS DOUBLE) END AS w_last,
+                 ROUND(CAST(1 AS DOUBLE) / CAST(npos AS DOUBLE), 9)
+                   AS w_linear,
+                 CASE WHEN npos = 1 THEN CAST(1 AS DOUBLE)
+                      WHEN npos = 2 THEN CAST(0.5 AS DOUBLE)
+                      WHEN pos = 1 OR pos = npos THEN CAST(0.4 AS DOUBLE)
+                      ELSE ROUND(CAST(0.2 AS DOUBLE)
+                        / CAST(npos - 2 AS DOUBLE), 9) END AS w_u
+          FROM touches)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+               ROUND(CAST(SUM(CAST(ROUND(w_first, 9) AS DECIMAL(20,9)))
+                 AS DOUBLE), 6) AS credit_first,
+               ROUND(CAST(SUM(CAST(ROUND(w_last, 9) AS DECIMAL(20,9)))
+                 AS DOUBLE), 6) AS credit_last,
+               ROUND(CAST(SUM(CAST(ROUND(w_linear, 9) AS DECIMAL(20,9)))
+                 AS DOUBLE), 6) AS credit_linear,
+               ROUND(CAST(SUM(CAST(ROUND(w_u, 9) AS DECIMAL(20,9)))
+                 AS DOUBLE), 6) AS credit_u
+        FROM credited GROUP BY 1 ORDER BY 1""")),
+
+    // Rise/fall asymmetry of daily revenue: mean up-step vs mean
+    // down-step, their count split, and the longest run each way —
+    // "slow climbs, sharp drops" (or the reverse) is a SHAPE fact the
+    // variance can't express and drawdown (qfj) only half-sees.
+    // Exact DECIMAL steps; runs via the islands device on the sign
+    // sequence.
+    "qk7_rise_fall_asymmetry" -> Q(
+      fn = (s, dir) => {
+        val y = dailyRevenueM(s, dir)
+        val w = Window.orderBy("day")
+        val steps = y.withColumn("prev", lag("ym", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("day"), (col("ym") - col("prev")).as("d"))
+          .withColumn("sgn", when(col("d") > 0, 1)
+            .when(col("d") < 0, -1).otherwise(0))
+          .localCheckpoint(eager = false)
+        val runs = steps
+          .withColumn("psgn", lag("sgn", 1).over(Window.orderBy("day")))
+          .withColumn("brk", when(col("psgn").isNull ||
+            col("sgn") =!= col("psgn"), 1L).otherwise(0L))
+          .withColumn("rid", sum(col("brk")).over(
+            Window.orderBy("day").rowsBetween(
+              Window.unboundedPreceding, 0)))
+          .groupBy("rid", "sgn").agg(count(lit(1)).as("len"))
+        val runAgg = runs.agg(
+          max(when(col("sgn") === 1, col("len"))).as("longest_rise"),
+          max(when(col("sgn") === -1, col("len"))).as("longest_fall"))
+        steps.agg(
+            sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+            sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+            sum(when(col("sgn") === 1, col("d"))
+              .otherwise(lit(0).cast("decimal(18,8)"))).as("sum_up"),
+            sum(when(col("sgn") === -1, -col("d"))
+              .otherwise(lit(0).cast("decimal(18,8)"))).as("sum_down"))
+          .crossJoin(broadcast(runAgg))
+          .select(col("n_up"), col("n_down"),
+            round(col("sum_up").cast("double") /
+              col("n_up").cast("double"), 6).as("mean_rise_m"),
+            round(col("sum_down").cast("double") /
+              col("n_down").cast("double"), 6).as("mean_fall_m"),
+            (round(col("sum_down").cast("double") /
+              col("n_down").cast("double") /
+              (col("sum_up").cast("double") /
+                col("n_up").cast("double")), 6) + lit(0.0))
+              .as("fall_to_rise_ratio"),
+            col("longest_rise"), col("longest_fall"))
+      },
+      oracle = Some(s"""
+        WITH yd AS ($dailyRevenueMSql),
+        steps AS MATERIALIZED (
+          SELECT day, d,
+                 CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END
+                   AS sgn
+          FROM (SELECT day, ym - LAG(ym) OVER (ORDER BY day) AS d
+                FROM yd)
+          WHERE d IS NOT NULL),
+        runs AS (
+          SELECT rid, sgn, CAST(COUNT(*) AS BIGINT) AS len
+          FROM (
+            SELECT day, sgn,
+                   SUM(brk) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                     AS rid
+            FROM (
+              SELECT day, sgn,
+                     CASE WHEN LAG(sgn) OVER (ORDER BY day) IS NULL
+                       OR sgn <> LAG(sgn) OVER (ORDER BY day)
+                       THEN 1 ELSE 0 END AS brk
+              FROM steps))
+          GROUP BY 1, 2),
+        runagg AS (
+          SELECT MAX(CASE WHEN sgn = 1 THEN len END) AS longest_rise,
+                 MAX(CASE WHEN sgn = -1 THEN len END) AS longest_fall
+          FROM runs),
+        agg AS (
+          SELECT CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_up,
+                 CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_down,
+                 SUM(CASE WHEN sgn = 1 THEN d
+                   ELSE CAST(0 AS DECIMAL(18,8)) END) AS sum_up,
+                 SUM(CASE WHEN sgn = -1 THEN -d
+                   ELSE CAST(0 AS DECIMAL(18,8)) END) AS sum_down
+          FROM steps)
+        SELECT n_up, n_down,
+               ROUND(CAST(sum_up AS DOUBLE) / CAST(n_up AS DOUBLE), 6)
+                 AS mean_rise_m,
+               ROUND(CAST(sum_down AS DOUBLE) / CAST(n_down AS DOUBLE),
+                 6) AS mean_fall_m,
+               ROUND(CAST(sum_down AS DOUBLE) / CAST(n_down AS DOUBLE)
+                 / (CAST(sum_up AS DOUBLE) / CAST(n_up AS DOUBLE)), 6)
+                 + CAST(0 AS DOUBLE) AS fall_to_rise_ratio,
+               longest_rise, longest_fall
+        FROM agg CROSS JOIN runagg"""))
   )
 }
