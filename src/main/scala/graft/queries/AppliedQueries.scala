@@ -13778,6 +13778,218 @@ object AppliedQueries {
                  / (CAST(sum_up AS DOUBLE) / CAST(n_up AS DOUBLE)), 6)
                  + CAST(0 AS DOUBLE) AS fall_to_rise_ratio,
                longest_rise, longest_fall
-        FROM agg CROSS JOIN runagg"""))
+        FROM agg CROSS JOIN runagg""")),
+
+    // Syntetos–Boylan demand classification: per part, the average
+    // inter-demand interval (ADI, in months) × the demand-size CV²,
+    // cut at the published 1.32 / 0.49 boundaries into smooth /
+    // intermittent / erratic / lumpy — the classifier that DECIDES
+    // the forecasting method (smooth → SES/Holt, intermittent →
+    // qbe's Croston, lumpy → don't forecast, buffer). Quadrant counts
+    // plus share of spend in each class. Exact integer months;
+    // 9-grid size moments.
+    "qk8_demand_classes" -> Q(
+      fn = (s, dir) => {
+        val pm = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey").as("pk"),
+            expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+              .cast("long").as("m"),
+            col("l_quantity").cast("decimal(18,2)").as("q"),
+            col("l_extendedprice").cast("decimal(18,2)").as("v"))
+          .groupBy("pk", "m")
+          .agg(sum(col("q")).as("dq"), sum(col("v")).as("dv"))
+        val span = pm.agg((max(col("m")) - min(col("m")) + 1)
+          .as("n_months"))
+        val parts = pm.groupBy("pk")
+          .agg(count(lit(1)).as("nd"), sum(col("dv")).as("spend"),
+            sum(g9(col("dq").cast("double"))).as("sq"),
+            sum(g9(round(col("dq").cast("double") *
+              col("dq").cast("double"), 9))).as("sqq"))
+          .filter(col("nd") >= 5)
+          .crossJoin(broadcast(span))
+          .withColumn("adi", round(col("n_months").cast("double") /
+            col("nd").cast("double"), 9))
+          .withColumn("mu", col("sq").cast("double") /
+            col("nd").cast("double"))
+          .withColumn("cv2", round(
+            ((col("nd").cast("double") * col("sqq").cast("double") -
+              col("sq").cast("double") * col("sq").cast("double")) /
+              (col("nd").cast("double") * (col("nd") - 1).cast("double")))
+              / (col("mu") * col("mu")), 9))
+          .withColumn("cls",
+            when(col("adi") < 1.32 && col("cv2") < 0.49, "smooth")
+              .when(col("adi") >= 1.32 && col("cv2") < 0.49,
+                "intermittent")
+              .when(col("adi") < 1.32, "erratic")
+              .otherwise("lumpy"))
+        val tot = parts.agg(count(lit(1)).as("np"),
+          sum(col("spend")).as("sp"))
+        parts.groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"), sum(col("spend")).as("cspend"),
+            round(sum(g9(col("adi"))).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_adi"),
+            round(sum(g9(col("cv2"))).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_cv2"))
+          .crossJoin(broadcast(tot))
+          .select(col("cls").as("demand_class"), col("n_parts"),
+            round(col("n_parts").cast("double") / col("np").cast("double"),
+              6).as("part_share"),
+            round(col("cspend").cast("double") / col("sp").cast("double"),
+              6).as("spend_share"),
+            col("avg_adi"), col("avg_cv2"))
+          .orderBy("demand_class")
+      },
+      oracle = Some("""
+        WITH pm AS (
+          SELECT l_partkey AS pk,
+                 CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                   AS BIGINT) AS m,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dq,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS dv
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        span AS (
+          SELECT CAST(MAX(m) - MIN(m) + 1 AS BIGINT) AS n_months
+          FROM pm),
+        parts AS MATERIALIZED (
+          SELECT pk, nd, spend,
+                 ROUND(CAST(n_months AS DOUBLE) / CAST(nd AS DOUBLE), 9)
+                   AS adi,
+                 ROUND(((CAST(nd AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                   / (CAST(nd AS DOUBLE) * CAST(nd - 1 AS DOUBLE)))
+                   / ((CAST(sq AS DOUBLE) / CAST(nd AS DOUBLE))
+                     * (CAST(sq AS DOUBLE) / CAST(nd AS DOUBLE))), 9)
+                   AS cv2
+          FROM (
+            SELECT pk, CAST(COUNT(*) AS BIGINT) AS nd,
+                   SUM(dv) AS spend,
+                   SUM(CAST(ROUND(CAST(dq AS DOUBLE), 9)
+                     AS DECIMAL(20,9))) AS sq,
+                   SUM(CAST(ROUND(CAST(dq AS DOUBLE)
+                     * CAST(dq AS DOUBLE), 9) AS DECIMAL(20,9))) AS sqq
+            FROM pm GROUP BY 1 HAVING COUNT(*) >= 5)
+          CROSS JOIN span),
+        classed AS (
+          SELECT *, CASE
+                 WHEN adi < CAST(1.32 AS DOUBLE)
+                   AND cv2 < CAST(0.49 AS DOUBLE) THEN 'smooth'
+                 WHEN adi >= CAST(1.32 AS DOUBLE)
+                   AND cv2 < CAST(0.49 AS DOUBLE) THEN 'intermittent'
+                 WHEN adi < CAST(1.32 AS DOUBLE) THEN 'erratic'
+                 ELSE 'lumpy' END AS cls
+          FROM parts),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS np, SUM(spend) AS sp
+          FROM classed)
+        SELECT cls AS demand_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(np AS DOUBLE), 6)
+                 AS part_share,
+               ROUND(CAST(SUM(spend) AS DOUBLE) / CAST(sp AS DOUBLE), 6)
+                 AS spend_share,
+               ROUND(CAST(SUM(CAST(ROUND(adi, 9) AS DECIMAL(20,9)))
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_adi,
+               ROUND(CAST(SUM(CAST(ROUND(cv2, 9) AS DECIMAL(20,9)))
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_cv2
+        FROM classed CROSS JOIN tot
+        GROUP BY cls, np, sp ORDER BY demand_class""")),
+
+    // Exceedance correlation: views↔purchases daily correlation over
+    // ALL days vs over the days where views exceed their 75th
+    // percentile — correlations that STRENGTHEN in the tail mean the
+    // system couples exactly when capacity is scarce (the finance
+    // "correlations go to 1 in a crisis" effect, read operationally).
+    // Exact order-statistic threshold; integer moment sums on both
+    // panels.
+    "qk9_exceedance_correlation" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+          .localCheckpoint(eager = false)
+        val n0 = d.agg(count(lit(1)).as("n"))
+        val thr = d.crossJoin(broadcast(n0))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("x"), col("day"))))
+          .filter(col("rk") === expr("(n * 750 + 999) div 1000"))
+          .select(col("x").as("u"))
+        def corrOf(df: DataFrame, nm: String): DataFrame = df
+          .agg(count(lit(1)).as(s"n_$nm"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col(s"n_$nm"),
+            (round((col(s"n_$nm").cast("double") *
+              col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(col(s"n_$nm").cast("double") *
+                col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+               sqrt(col(s"n_$nm").cast("double") *
+                col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))),
+              6) + lit(0.0)).as(s"corr_$nm"))
+        val all = corrOf(d, "all")
+        val tail = corrOf(d.crossJoin(broadcast(thr))
+          .filter(col("x") > col("u")), "tail")
+        all.crossJoin(broadcast(tail))
+          .crossJoin(broadcast(thr))
+          .select(col("n_all"), col("corr_all"),
+            col("n_tail"), col("corr_tail"),
+            col("u").as("view_threshold"),
+            (round(col("corr_tail") - col("corr_all"), 6) + lit(0.0))
+              .as("tail_minus_all"))
+      },
+      oracle = Some("""
+        WITH d AS MATERIALIZED (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                   END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+        thr AS (
+          SELECT x AS u FROM (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY x, day) AS rk, n
+            FROM d CROSS JOIN n0)
+          WHERE rk = (n * 750 + 999) // 1000),
+        ca AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                 ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y)
+                     AS DOUBLE)
+                   - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                   / (SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x)
+                       AS DOUBLE)
+                     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                   * SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(y * y)
+                       AS DOUBLE)
+                     - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))),
+                   6) + CAST(0 AS DOUBLE) AS corr_all
+          FROM d),
+        ct AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+                 ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y)
+                     AS DOUBLE)
+                   - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                   / (SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x)
+                       AS DOUBLE)
+                     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                   * SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(y * y)
+                       AS DOUBLE)
+                     - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))),
+                   6) + CAST(0 AS DOUBLE) AS corr_tail
+          FROM d CROSS JOIN thr WHERE x > u)
+        SELECT n_all, corr_all, n_tail, corr_tail,
+               u AS view_threshold,
+               ROUND(corr_tail - corr_all, 6) + CAST(0 AS DOUBLE)
+                 AS tail_minus_all
+        FROM ca CROSS JOIN ct CROSS JOIN thr"""))
   )
 }
