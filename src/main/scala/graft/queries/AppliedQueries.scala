@@ -13990,6 +13990,283 @@ object AppliedQueries {
                u AS view_threshold,
                ROUND(corr_tail - corr_all, 6) + CAST(0 AS DOUBLE)
                  AS tail_minus_all
-        FROM ca CROSS JOIN ct CROSS JOIN thr"""))
+        FROM ca CROSS JOIN ct CROSS JOIN thr""")),
+
+    // Price–volume–mix bridge per brand across the period cut:
+    // ΔRevenue = Δq·p₀ (volume) + q₀·Δp (price) + Δq·Δp (cross), with
+    // the totals row proving EXACT additivity — the finance bridge
+    // every revenue review walks (qhj's LMDI is the log-exact
+    // three-factor on totals; PVM is the per-brand additive ledger the
+    // CFO actually reads). Unit prices on the 4-grid DECIMAL; every
+    // component an exact DECIMAL product.
+    "qka_pvm_bridge" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("p_brand").as("brand"),
+            when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"),
+              1).otherwise(0).as("per"),
+            col("l_quantity").cast("decimal(18,2)").as("q"),
+            col("l_extendedprice").cast("decimal(18,2)").as("v"))
+          .groupBy("brand", "per")
+          .agg(sum(col("q")).as("qt"), sum(col("v")).as("vt"))
+        val wide = li.groupBy("brand")
+          .agg(max(when(col("per") === 0, col("qt"))).as("q0"),
+            max(when(col("per") === 1, col("qt"))).as("q1"),
+            max(when(col("per") === 0, col("vt"))).as("v0"),
+            max(when(col("per") === 1, col("vt"))).as("v1"))
+          .filter(col("q0").isNotNull && col("q1").isNotNull)
+          .withColumn("p0", round(col("v0").cast("double") /
+            col("q0").cast("double"), 4).cast("decimal(14,4)"))
+          .withColumn("p1", round(col("v1").cast("double") /
+            col("q1").cast("double"), 4).cast("decimal(14,4)"))
+          .withColumn("vol_eff",
+            ((col("q1") - col("q0")) * col("p0")).cast("decimal(24,6)"))
+          .withColumn("price_eff",
+            (col("q0") * (col("p1") - col("p0"))).cast("decimal(24,6)"))
+          .withColumn("cross_eff",
+            ((col("q1") - col("q0")) * (col("p1") - col("p0")))
+              .cast("decimal(24,6)"))
+          .localCheckpoint(eager = false)
+        wide.agg(count(lit(1)).as("n_brands"),
+            sum(col("vol_eff")).as("sv"), sum(col("price_eff")).as("sp"),
+            sum(col("cross_eff")).as("sc"),
+            sum((col("q1").cast("decimal(18,2)") * col("p1"))
+              .cast("decimal(24,6)") -
+              (col("q0").cast("decimal(18,2)") * col("p0"))
+                .cast("decimal(24,6)")).as("dtotal"))
+          .select(col("n_brands"),
+            (round(col("sv").cast("double"), 2) + lit(0.0))
+              .as("volume_effect"),
+            (round(col("sp").cast("double"), 2) + lit(0.0))
+              .as("price_effect"),
+            (round(col("sc").cast("double"), 2) + lit(0.0))
+              .as("cross_effect"),
+            (round(col("dtotal").cast("double"), 2) + lit(0.0))
+              .as("delta_revenue_px"),
+            (round((col("sv") + col("sp") + col("sc") - col("dtotal"))
+              .cast("double"), 6) + lit(0.0)).as("additivity_residual"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT p_brand AS brand,
+                 CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                   THEN 1 ELSE 0 END AS per,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qt,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS vt
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        wide AS MATERIALIZED (
+          SELECT brand, q0, q1,
+                 CAST(ROUND(CAST(v0 AS DOUBLE) / CAST(q0 AS DOUBLE), 4)
+                   AS DECIMAL(14,4)) AS p0,
+                 CAST(ROUND(CAST(v1 AS DOUBLE) / CAST(q1 AS DOUBLE), 4)
+                   AS DECIMAL(14,4)) AS p1
+          FROM (
+            SELECT brand,
+                   MAX(CASE WHEN per = 0 THEN qt END) AS q0,
+                   MAX(CASE WHEN per = 1 THEN qt END) AS q1,
+                   MAX(CASE WHEN per = 0 THEN vt END) AS v0,
+                   MAX(CASE WHEN per = 1 THEN vt END) AS v1
+            FROM li GROUP BY 1
+            HAVING MAX(CASE WHEN per = 0 THEN qt END) IS NOT NULL
+               AND MAX(CASE WHEN per = 1 THEN qt END) IS NOT NULL)),
+        eff AS (
+          SELECT brand,
+                 CAST((q1 - q0) * p0 AS DECIMAL(24,6)) AS vol_eff,
+                 CAST(q0 * (p1 - p0) AS DECIMAL(24,6)) AS price_eff,
+                 CAST((q1 - q0) * (p1 - p0) AS DECIMAL(24,6))
+                   AS cross_eff,
+                 CAST(CAST(q1 AS DECIMAL(18,2)) * p1 AS DECIMAL(24,6))
+                   - CAST(CAST(q0 AS DECIMAL(18,2)) * p0
+                     AS DECIMAL(24,6)) AS dt
+          FROM wide)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+               ROUND(CAST(SUM(vol_eff) AS DOUBLE), 2)
+                 + CAST(0 AS DOUBLE) AS volume_effect,
+               ROUND(CAST(SUM(price_eff) AS DOUBLE), 2)
+                 + CAST(0 AS DOUBLE) AS price_effect,
+               ROUND(CAST(SUM(cross_eff) AS DOUBLE), 2)
+                 + CAST(0 AS DOUBLE) AS cross_effect,
+               ROUND(CAST(SUM(dt) AS DOUBLE), 2) + CAST(0 AS DOUBLE)
+                 AS delta_revenue_px,
+               ROUND(CAST(SUM(vol_eff) + SUM(price_eff) + SUM(cross_eff)
+                 - SUM(dt) AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+                 AS additivity_residual
+        FROM eff""")),
+
+    // Missingness-mechanism probe: the NULL rate of `value` per event
+    // type with the independence G-test — MCAR (missing completely at
+    // random) predicts one flat rate; a significant G says missingness
+    // DEPENDS on the event type, and any complete-case analysis
+    // upstream (every AVG(value)) carries selection bias. Integer
+    // null/total counts; ln-link G terms (the qdb device) with
+    // zero-cell guards.
+    "qkb_missingness" -> Q(
+      fn = (s, dir) => {
+        val m = t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value").isNull, 1L).otherwise(0L)).as("miss"))
+          .localCheckpoint(eager = false)
+        val tot = m.agg(sum(col("n")).as("nt"), sum(col("miss")).as("mt"))
+        val g = m.crossJoin(broadcast(tot))
+          .withColumn("e1", col("n").cast("double") *
+            col("mt").cast("double") / col("nt").cast("double"))
+          .withColumn("e0", col("n").cast("double") *
+            (col("nt") - col("mt")).cast("double") /
+            col("nt").cast("double"))
+          .withColumn("t1", when(col("miss") > 0,
+            g9(round(col("miss").cast("double") *
+              log(col("miss").cast("double") / col("e1")), 9)))
+            .otherwise(lit(0).cast("decimal(20,9)")))
+          .withColumn("t0", when(col("n") - col("miss") > 0,
+            g9(round((col("n") - col("miss")).cast("double") *
+              log((col("n") - col("miss")).cast("double") / col("e0")),
+              9))).otherwise(lit(0).cast("decimal(20,9)")))
+        val gstat = g.agg((sum(col("t1")) + sum(col("t0"))).as("gsum"),
+          count(lit(1)).as("k"))
+        val rates = m.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n"), col("miss"),
+            round(col("miss").cast("double") / col("n").cast("double"), 6)
+              .as("null_rate"))
+        rates.crossJoin(broadcast(gstat))
+          .select(col("event_type"), col("n"), col("miss"),
+            col("null_rate"),
+            (round(lit(2.0) * col("gsum").cast("double"), 6) + lit(0.0))
+              .as("g_statistic"),
+            when(lit(2.0) * col("gsum").cast("double") > lit(9.487729),
+              "not_mcar").otherwise("mcar_plausible").as("verdict"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH m AS MATERIALIZED (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS miss
+          FROM events GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                 CAST(SUM(miss) AS BIGINT) AS mt
+          FROM m),
+        g AS (
+          SELECT CASE WHEN miss > 0 THEN
+                   CAST(ROUND(CAST(miss AS DOUBLE)
+                     * ln(CAST(miss AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(mt AS DOUBLE)
+                         / CAST(nt AS DOUBLE))), 9) AS DECIMAL(20,9))
+                   ELSE CAST(0 AS DECIMAL(20,9)) END AS t1,
+                 CASE WHEN n - miss > 0 THEN
+                   CAST(ROUND(CAST(n - miss AS DOUBLE)
+                     * ln(CAST(n - miss AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(nt - mt AS DOUBLE)
+                         / CAST(nt AS DOUBLE))), 9) AS DECIMAL(20,9))
+                   ELSE CAST(0 AS DECIMAL(20,9)) END AS t0
+          FROM m CROSS JOIN tot),
+        gstat AS (
+          SELECT SUM(t1) + SUM(t0) AS gsum FROM g)
+        SELECT event_type, n, miss,
+               ROUND(CAST(miss AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS null_rate,
+               ROUND(CAST(2 AS DOUBLE) * CAST(gsum AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS g_statistic,
+               CASE WHEN CAST(2 AS DOUBLE) * CAST(gsum AS DOUBLE)
+                 > CAST(9.487729 AS DOUBLE) THEN 'not_mcar'
+                 ELSE 'mcar_plausible' END AS verdict
+        FROM m CROSS JOIN tot CROSS JOIN gstat
+        ORDER BY event_type""")),
+
+    // Trading-day effect: monthly revenue regressed on the month's
+    // CALENDAR weekday count — the unrolled 6-term remainder formula
+    // computes weekdays(month) from pure epoch-day integer arithmetic
+    // identically in both engines (no date-library dependence) — the
+    // adjustment official statistics applies before ANY month-over-
+    // month comparison (a 23-weekday March beats a 20-weekday
+    // February by calendar alone). Slope = revenue per weekday.
+    "qkc_trading_days" -> Q(
+      fn = (s, dir) => {
+        val mrev = t(s, dir, "orders")
+          .groupBy(expr("year(o_orderdate)").cast("long").as("yr"),
+            expr("month(o_orderdate)").cast("long").as("mo"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            lit(1000000)).cast("decimal(18,8)").as("rev"),
+            min(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000 - (day(o_orderdate) - 1)")).as("d0"),
+            max(expr("day(last_day(o_orderdate))")).cast("long").as("len"))
+        // weekdays in [d0, d0+len): 5·(len div 7) + Σ_{j<len%7}
+        // [(dow0+j) % 7 < 5], dow0 = (d0+4) % 7 (epoch day 0 = Thursday)
+        val extras = (0 to 5).map(j =>
+          when(expr(s"pmod(pmod(d0 + 4, 7) + $j, 7)") < 5 &&
+            expr(s"len % 7") > j, 1L).otherwise(0L))
+          .reduce(_ + _)
+        val wd = mrev
+          .withColumn("weekdays", expr("5 * (len div 7)") + extras)
+          .select(col("yr"), col("mo"),
+            round(col("rev").cast("double"), 9).as("y"),
+            col("weekdays").cast("long").as("x"))
+        val mm = wd.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(g9(col("y"))).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(g9(round(col("x").cast("double") * col("y"), 9))).as("sxy"),
+          sum(g9(round(col("y") * col("y"), 9))).as("syy"))
+        mm.select(col("n"),
+            col("n").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("sy").cast("double").as("syd"),
+            col("sxy").cast("double").as("sxyd"),
+            col("sxx").cast("double").as("sxxd"),
+            col("syy").cast("double").as("syyd"))
+          .select(col("n").as("n_months"),
+            (round((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+              (col("nd") * col("sxxd") - col("sxd") * col("sxd")), 6)
+              + lit(0.0)).as("rev_per_weekday_m"),
+            (round((col("nd") * col("sxyd") - col("sxd") * col("syd")) *
+              (col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+              ((col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
+               (col("nd") * col("syyd") - col("syd") * col("syd"))), 6)
+              + lit(0.0)).as("r2_trading_days"))
+      },
+      oracle = Some({
+        val extras = (0 to 5).map(j =>
+          s"CASE WHEN ((d0 + 4) % 7 + $j) % 7 < 5 AND len % 7 > $j" +
+            s" THEN 1 ELSE 0 END").mkString(" + ")
+        s"""
+        WITH mrev AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(month(o_orderdate) AS BIGINT) AS mo,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000000
+                   AS DECIMAL(18,8)) AS rev,
+                 CAST(MIN(epoch_ms(o_orderdate) // 86400000
+                   - (day(o_orderdate) - 1)) AS BIGINT) AS d0,
+                 CAST(MAX(day(last_day(o_orderdate))) AS BIGINT) AS len
+          FROM orders GROUP BY 1, 2),
+        wd AS (
+          SELECT yr, mo, ROUND(CAST(rev AS DOUBLE), 9) AS y,
+                 CAST(5 * (len // 7) + $extras AS BIGINT) AS x
+          FROM mrev),
+        mm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 SUM(CAST(ROUND(y, 9) AS DECIMAL(20,9))) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 SUM(CAST(ROUND(CAST(x AS DOUBLE) * y, 9)
+                   AS DECIMAL(20,9))) AS sxy,
+                 SUM(CAST(ROUND(y * y, 9) AS DECIMAL(20,9))) AS syy
+          FROM wd),
+        d AS (
+          SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+          FROM mm)
+        SELECT n AS n_months,
+               ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd),
+                 6) + CAST(0 AS DOUBLE) AS rev_per_weekday_m,
+               ROUND((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                 / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
+                 6) + CAST(0 AS DOUBLE) AS r2_trading_days
+        FROM d"""
+      }))
   )
 }
