@@ -14267,6 +14267,248 @@ object AppliedQueries {
                  / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
                  6) + CAST(0 AS DOUBLE) AS r2_trading_days
         FROM d"""
-      }))
+      })),
+
+    // Stable-seasonality F (the X-11 presence test): one-way ANOVA of
+    // daily purchase revenue BY day-of-week — is there weekly
+    // seasonality AT ALL, the gate read before any seasonal machinery
+    // (qj9's indices, q7r/qhq's Holt–Winters) is allowed to run on
+    // the series. Between/within SS from exact DECIMAL group images;
+    // the same sequential-SS discipline as qif.
+    "qkd_seasonal_f" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) / lit(1000))
+            .cast("decimal(18,5)").as("y"))
+          .withColumn("dow", ((col("day") + 4) % 7).cast("int"))
+        val g = d.groupBy("dow")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+            sum((col("y") * col("y")).cast("decimal(38,10)")).as("syy"))
+        val agg = g.agg(sum(col("n")).as("nt"), sum(col("sy")).as("st"),
+          sum(col("syy")).as("sst"), count(lit(1)).as("k"),
+          sum(g9(round(expr(
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"),
+            9))).as("qg"))
+        agg.select(col("nt").as("n_days"), col("k").as("n_groups"),
+            col("nt").cast("double").as("ntd"),
+            col("k").cast("double").as("kd"),
+            (col("qg").cast("double") -
+              col("st").cast("double") * col("st").cast("double") /
+              col("nt").cast("double")).as("ssb"),
+            (expr("CAST(CAST(sst AS STRING) AS DOUBLE)") -
+              col("qg").cast("double")).as("ssw"))
+          .select(col("n_days"), col("n_groups"),
+            (round(col("ssb"), 6) + lit(0.0)).as("ss_between"),
+            round(col("ssw"), 6).as("ss_within"),
+            (round((col("ssb") / (col("kd") - lit(1.0))) /
+              (col("ssw") / (col("ntd") - col("kd"))), 6) + lit(0.0))
+              .as("seasonal_f"),
+            when((col("ssb") / (col("kd") - lit(1.0))) /
+              (col("ssw") / (col("ntd") - col("kd"))) > lit(2.5),
+              "seasonality_present").otherwise("no_stable_seasonality")
+              .as("verdict"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT CAST((day + 4) % 7 AS INT) AS dow, y
+          FROM (
+            SELECT epoch_ms(ts) // 86400000 AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) / 1000
+                     AS DECIMAL(18,5)) AS y
+            FROM events WHERE event_type = 'purchase' GROUP BY 1)),
+        g AS (
+          SELECT dow, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS sy,
+                 SUM(CAST(y AS DECIMAL(19,5)) * CAST(y AS DECIMAL(19,5)))
+                   AS syy
+          FROM d GROUP BY 1),
+        agg AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(sy) AS st,
+                 SUM(syy) AS sst, CAST(COUNT(*) AS BIGINT) AS k,
+                 SUM(CAST(ROUND(CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                   / CAST(n AS DOUBLE), 9) AS DECIMAL(20,9))) AS qg
+          FROM g),
+        f AS (
+          SELECT nt, k, CAST(nt AS DOUBLE) AS ntd, CAST(k AS DOUBLE)
+                   AS kd,
+                 CAST(qg AS DOUBLE) - CAST(st AS DOUBLE)
+                   * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS ssb,
+                 CAST(CAST(sst AS VARCHAR) AS DOUBLE)
+                   - CAST(qg AS DOUBLE) AS ssw
+          FROM agg)
+        SELECT nt AS n_days, k AS n_groups,
+               ROUND(ssb, 6) + CAST(0 AS DOUBLE) AS ss_between,
+               ROUND(ssw, 6) AS ss_within,
+               ROUND((ssb / (kd - CAST(1 AS DOUBLE)))
+                 / (ssw / (ntd - kd)), 6) + CAST(0 AS DOUBLE)
+                 AS seasonal_f,
+               CASE WHEN (ssb / (kd - CAST(1 AS DOUBLE)))
+                 / (ssw / (ntd - kd)) > CAST(2.5 AS DOUBLE)
+                 THEN 'seasonality_present'
+                 ELSE 'no_stable_seasonality' END AS verdict
+        FROM f""")),
+
+    // Spend-rank persistence: Spearman correlation of customer spend
+    // RANKS between the two halves of the window — do the same
+    // customers stay on top (persistent hierarchy) or reshuffle
+    // (churning market)? The nonparametric twin of qi1's Gibrat
+    // regression (which tests growth-vs-size in logs; this tests
+    // ORDER preservation directly). Exact integer ranks; the classic
+    // 1 − 6Σd²/(n(n²−1)) closed form.
+    "qke_persistence" -> Q(
+      fn = (s, dir) => {
+        val sp = t(s, dir, "orders")
+          .select(col("o_custkey").as("ck"),
+            when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"),
+              1).otherwise(0).as("per"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"))
+          .groupBy("ck", "per").agg(sum(col("v")).as("sp"))
+        val both = sp.filter(col("per") === 0)
+          .select(col("ck"), col("sp").as("s0"))
+          .join(sp.filter(col("per") === 1)
+            .select(col("ck").as("ck1"), col("sp").as("s1")),
+            col("ck") === col("ck1"))
+          .select(col("ck"), col("s0"), col("s1"))
+          .localCheckpoint(eager = false)
+        val ranked = both
+          .withColumn("r0", row_number().over(
+            Window.orderBy(col("s0"), col("ck"))).cast("long"))
+          .withColumn("r1", row_number().over(
+            Window.orderBy(col("s1"), col("ck"))).cast("long"))
+        ranked.agg(count(lit(1)).as("n"),
+            sum((col("r0") - col("r1")) * (col("r0") - col("r1")))
+              .as("sd2"))
+          .select(col("n").as("n_customers"),
+            (round(lit(1.0) - lit(6.0) * col("sd2").cast("double") /
+              (col("n").cast("double") *
+                (col("n").cast("double") * col("n").cast("double") -
+                  lit(1.0))), 6) + lit(0.0)).as("spearman_rho"),
+            when(lit(1.0) - lit(6.0) * col("sd2").cast("double") /
+              (col("n").cast("double") *
+                (col("n").cast("double") * col("n").cast("double") -
+                  lit(1.0))) > lit(0.5), "persistent_hierarchy")
+              .otherwise("reshuffling").as("verdict"))
+      },
+      oracle = Some("""
+        WITH sp AS (
+          SELECT o_custkey AS ck,
+                 CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                   THEN 1 ELSE 0 END AS per,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+          FROM orders GROUP BY 1, 2),
+        both_p AS MATERIALIZED (
+          SELECT a.ck, a.sp AS s0, b.sp AS s1
+          FROM sp a JOIN sp b ON a.ck = b.ck
+          WHERE a.per = 0 AND b.per = 1),
+        ranked AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY s0, ck) AS BIGINT)
+                   AS r0,
+                 CAST(ROW_NUMBER() OVER (ORDER BY s1, ck) AS BIGINT)
+                   AS r1
+          FROM both_p),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM((r0 - r1) * (r0 - r1)) AS BIGINT) AS sd2
+          FROM ranked)
+        SELECT n AS n_customers,
+               ROUND(CAST(1 AS DOUBLE) - CAST(6 AS DOUBLE)
+                 * CAST(sd2 AS DOUBLE) / (CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(1 AS DOUBLE))), 6) + CAST(0 AS DOUBLE)
+                 AS spearman_rho,
+               CASE WHEN CAST(1 AS DOUBLE) - CAST(6 AS DOUBLE)
+                 * CAST(sd2 AS DOUBLE) / (CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(1 AS DOUBLE))) > CAST(0.5 AS DOUBLE)
+                 THEN 'persistent_hierarchy' ELSE 'reshuffling' END
+                 AS verdict
+        FROM agg""")),
+
+    // Demand-law audit: per part (≥10 lines), the correlation between
+    // its per-line unit price and quantity — economics says negative;
+    // the share of parts violating it (positive correlation) is a
+    // data-generation forensic (synthetic or aggregated data often
+    // breaks micro demand structure). 9-grid per-part moments; the
+    // share and the pooled mean correlation. Degenerate parts (zero
+    // price or quantity variance) are excluded loudly via the
+    // variance guard, not silently zeroed.
+    "qkf_demand_law_audit" -> Q(
+      fn = (s, dir) => {
+        val u = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("pk"),
+            round(col("l_extendedprice").cast("double") /
+              col("l_quantity").cast("double"), 9).as("p"),
+            col("l_quantity").cast("decimal(18,2)").as("q"))
+        val m = u.groupBy("pk")
+          .agg(count(lit(1)).as("n"),
+            sum(g9(col("p"))).as("sp"),
+            sum(col("q")).as("sq"),
+            sum(g9(round(col("p") * col("p"), 9))).as("spp"),
+            sum((col("q") * col("q")).cast("decimal(38,6)")).as("sqq"),
+            sum(g9(round(col("p") * col("q").cast("double"), 9)))
+              .as("spq"))
+          .filter(col("n") >= 10)
+          .withColumn("vp", col("n").cast("double") *
+            col("spp").cast("double") -
+            col("sp").cast("double") * col("sp").cast("double"))
+          .withColumn("vq", col("n").cast("double") *
+            expr("CAST(CAST(sqq AS STRING) AS DOUBLE)") -
+            col("sq").cast("double") * col("sq").cast("double"))
+          .filter(col("vp") > 0 && col("vq") > 0)
+          .withColumn("r", round((col("n").cast("double") *
+            col("spq").cast("double") -
+            col("sp").cast("double") * col("sq").cast("double")) /
+            (sqrt(col("vp")) * sqrt(col("vq"))), 9))
+        m.agg(count(lit(1)).as("n_parts"),
+            sum(when(col("r") > 0, 1L).otherwise(0L)).as("n_positive"),
+            sum(g9(col("r"))).as("sr"))
+          .select(col("n_parts"), col("n_positive"),
+            round(col("n_positive").cast("double") /
+              col("n_parts").cast("double"), 6).as("violation_share"),
+            (round(col("sr").cast("double") /
+              col("n_parts").cast("double"), 6) + lit(0.0))
+              .as("mean_price_qty_corr"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT l_partkey AS pk,
+                 ROUND(CAST(l_extendedprice AS DOUBLE)
+                   / CAST(l_quantity AS DOUBLE), 9) AS p,
+                 CAST(l_quantity AS DECIMAL(18,2)) AS q
+          FROM lineitem),
+        m AS MATERIALIZED (
+          SELECT pk, n,
+                 ROUND((CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+                   - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+                   / (SQRT(vp) * SQRT(vq)), 9) AS r
+          FROM (
+            SELECT pk, n, sp, sq, spq,
+                   CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                     - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) AS vp,
+                   CAST(n AS DOUBLE)
+                     * CAST(CAST(sqq AS VARCHAR) AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) AS vq
+            FROM (
+              SELECT pk, CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(ROUND(p, 9) AS DECIMAL(20,9))) AS sp,
+                     SUM(q) AS sq,
+                     SUM(CAST(ROUND(p * p, 9) AS DECIMAL(20,9))) AS spp,
+                     SUM(CAST(q AS DECIMAL(19,2)) * CAST(q
+                       AS DECIMAL(19,2))) AS sqq,
+                     SUM(CAST(ROUND(p * CAST(q AS DOUBLE), 9)
+                       AS DECIMAL(20,9))) AS spq
+              FROM u GROUP BY 1 HAVING COUNT(*) >= 10))
+          WHERE vp > 0 AND vq > 0)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_positive,
+               ROUND(CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                 AS violation_share,
+               ROUND(CAST(SUM(CAST(ROUND(r, 9) AS DECIMAL(20,9)))
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS mean_price_qty_corr
+        FROM m"""))
   )
 }
