@@ -14509,6 +14509,184 @@ object AppliedQueries {
                ROUND(CAST(SUM(CAST(ROUND(r, 9) AS DECIMAL(20,9)))
                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
                  + CAST(0 AS DOUBLE) AS mean_price_qty_corr
-        FROM m"""))
+        FROM m""")),
+
+    // Per-brand Benford conformity (Nigrini MAD): each brand's
+    // first-digit distribution of line prices against Benford, scored
+    // by the mean absolute deviation and the published conformity
+    // bands (<0.006 close, <0.012 acceptable, <0.015 marginal) — the
+    // fraud-TRIAGE view (q6n's single global χ² says "something's
+    // off"; this says WHICH ledger to audit first). First digits via
+    // explicit FLOOR (DuckDB's decimal→int cast ROUNDS, Spark's
+    // truncates — floor agrees); dense digit grid per brand.
+    "qkg_benford_by_brand" -> Q(
+      fn = (s, dir) => {
+        val d1 = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand").as("brand"),
+            expr("CAST(substring(CAST(CAST(FLOOR(l_extendedprice)" +
+              " AS BIGINT) AS STRING), 1, 1) AS INT)").as("d"))
+        val obs = d1.groupBy("brand", "d").agg(count(lit(1)).as("c"))
+        val tot = d1.groupBy("brand").agg(count(lit(1)).as("n"))
+        val digits = d1.sparkSession.range(1, 10)
+          .select(col("id").cast("int").as("dd"))
+        val obs2 = obs.select(col("brand").as("b2"), col("d"), col("c"))
+        val dense = tot.crossJoin(broadcast(digits))
+          .join(obs2, col("brand") === col("b2") && col("dd") === col("d"),
+            "left")
+          .select(col("brand"), col("dd"), col("n"),
+            coalesce(col("c"), lit(0L)).as("c"))
+          .withColumn("pb", round(
+            log(lit(1.0) + lit(1.0) / col("dd").cast("double")) /
+              log(lit(10.0)), 12))
+          .withColumn("ad", round(abs(col("c").cast("double") /
+            col("n").cast("double") - col("pb")), 9))
+        dense.groupBy("brand", "n")
+          .agg(round(sum(g9(col("ad"))).cast("double") / lit(9.0), 6)
+            .as("mad"))
+          .select(col("brand"), col("n").as("n_lines"), col("mad"),
+            when(col("mad") < 0.006, "close_conformity")
+              .when(col("mad") < 0.012, "acceptable")
+              .when(col("mad") < 0.015, "marginal")
+              .otherwise("nonconformity").as("nigrini_band"))
+          .orderBy(col("mad").desc, col("brand"))
+      },
+      oracle = Some("""
+        WITH d1 AS (
+          SELECT p_brand AS brand,
+                 CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) AS d
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        obs AS (
+          SELECT brand, d, CAST(COUNT(*) AS BIGINT) AS c
+          FROM d1 GROUP BY 1, 2),
+        tot AS (
+          SELECT brand, CAST(COUNT(*) AS BIGINT) AS n
+          FROM d1 GROUP BY 1),
+        dense AS (
+          SELECT tot.brand, dd, n, COALESCE(c, 0) AS c,
+                 ROUND(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE)
+                   / CAST(dd AS DOUBLE)) / ln(CAST(10 AS DOUBLE)), 12)
+                   AS pb
+          FROM tot
+          CROSS JOIN (SELECT unnest(range(1, 10)) AS dd)
+          LEFT JOIN obs ON tot.brand = obs.brand AND dd = obs.d),
+        mads AS (
+          SELECT brand, n,
+                 ROUND(CAST(SUM(CAST(ROUND(ABS(CAST(c AS DOUBLE)
+                   / CAST(n AS DOUBLE) - pb), 9) AS DECIMAL(20,9)))
+                   AS DOUBLE) / CAST(9 AS DOUBLE), 6) AS mad
+          FROM dense GROUP BY 1, 2)
+        SELECT brand, n AS n_lines, mad,
+               CASE WHEN mad < CAST(0.006 AS DOUBLE)
+                      THEN 'close_conformity'
+                    WHEN mad < CAST(0.012 AS DOUBLE) THEN 'acceptable'
+                    WHEN mad < CAST(0.015 AS DOUBLE) THEN 'marginal'
+                    ELSE 'nonconformity' END AS nigrini_band
+        FROM mads ORDER BY mad DESC, brand""")),
+
+    // Per-priority Weibull shapes for shipping delay: the qbu Weibull-
+    // plot fit (Bernard ranks, ln(−ln(1−F)) on ln t) run PER GROUP via
+    // the grouped running-count ranks — does urgency change the
+    // hazard's SHAPE (k < 1 improving, ≈ 1 memoryless, > 1 wearout),
+    // not just its scale? Comparative reliability reading on the one
+    // duration every order has. Per-group ranks ride the skew-proof
+    // grouped running sum; ln links only.
+    "qkh_weibull_by_group" -> Q(
+      fn = (s, dir) => {
+        val durs = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("grp"),
+            ((unix_millis(col("l_shipdate").cast("timestamp")) -
+              unix_millis(col("o_orderdate").cast("timestamp"))) /
+              lit(86400000.0)).as("tt"),
+            col("l_orderkey"), col("l_linenumber"),
+            lit(java.math.BigDecimal.ONE).cast("decimal(18,2)").as("w"))
+          .filter(col("tt") > 0)
+        val ranked = graft.operators.ScaleOps.groupedGlobalRunningSum(
+          durs, Seq("grp"),
+          Seq(col("tt"), col("l_orderkey"), col("l_linenumber")),
+          col("w"), "__cumw")
+          .withColumn("i", col("__cumw").cast("long"))
+        val n0 = durs.groupBy("grp").agg(count(lit(1)).as("n"))
+        val pts = ranked.join(n0, "grp")
+          .select(col("grp"),
+            round(log(col("tt")), 9).as("x"),
+            round(log(-log(lit(1.0) -
+              (col("i").cast("double") - lit(0.3)) /
+              (col("n").cast("double") + lit(0.4)))), 9).as("y"))
+        val mm = pts.groupBy("grp")
+          .agg(count(lit(1)).as("n"),
+            sum(g9(col("x"))).as("sx"), sum(g9(col("y"))).as("sy"),
+            sum(g9(round(col("x") * col("y"), 9))).as("sxy"),
+            sum(g9(round(col("x") * col("x"), 9))).as("sxx"))
+        mm.withColumn("k", (col("n").cast("double") *
+            col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")))
+          .withColumn("a", (col("sy").cast("double") -
+            col("k") * col("sx").cast("double")) / col("n").cast("double"))
+          .select(col("grp").as("priority"), col("n").as("n_lines"),
+            round(col("k"), 6).as("weibull_shape"),
+            (round(-col("a") / col("k"), 6) + lit(0.0)).as("ln_scale"),
+            when(col("k") < 0.95, "improving_hazard")
+              .when(col("k") <= 1.05, "near_memoryless")
+              .otherwise("wearout_hazard").as("shape_class"))
+          .orderBy("priority")
+      },
+      oracle = Some("""
+        WITH durs AS MATERIALIZED (
+          SELECT o_orderpriority AS grp,
+                 CAST(epoch_ms(l_shipdate) - epoch_ms(o_orderdate)
+                   AS DOUBLE) / CAST(86400000 AS DOUBLE) AS tt,
+                 l_orderkey, l_linenumber
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE CAST(epoch_ms(l_shipdate) - epoch_ms(o_orderdate)
+            AS DOUBLE) / CAST(86400000 AS DOUBLE) > 0),
+        ranked AS (
+          SELECT grp, tt,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                   ORDER BY tt, l_orderkey, l_linenumber) AS BIGINT)
+                   AS i
+          FROM durs),
+        n0 AS (
+          SELECT grp, CAST(COUNT(*) AS BIGINT) AS n
+          FROM durs GROUP BY 1),
+        pts AS (
+          SELECT ranked.grp,
+                 ROUND(ln(tt), 9) AS x,
+                 ROUND(ln(-ln(CAST(1 AS DOUBLE)
+                   - (CAST(i AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) + CAST(0.4 AS DOUBLE)))), 9)
+                   AS y
+          FROM ranked JOIN n0 ON ranked.grp = n0.grp),
+        mm AS (
+          SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(x, 9) AS DECIMAL(20,9))) AS sx,
+                 SUM(CAST(ROUND(y, 9) AS DECIMAL(20,9))) AS sy,
+                 SUM(CAST(ROUND(x * y, 9) AS DECIMAL(20,9))) AS sxy,
+                 SUM(CAST(ROUND(x * x, 9) AS DECIMAL(20,9))) AS sxx
+          FROM pts GROUP BY 1),
+        f AS (
+          SELECT grp, n, k,
+                 (CAST(sy AS DOUBLE) - k * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS a
+          FROM (
+            SELECT grp, n, sx, sy,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS k
+            FROM mm))
+        SELECT grp AS priority, n AS n_lines,
+               ROUND(k, 6) AS weibull_shape,
+               ROUND(-a / k, 6) + CAST(0 AS DOUBLE) AS ln_scale,
+               CASE WHEN k < CAST(0.95 AS DOUBLE)
+                      THEN 'improving_hazard'
+                    WHEN k <= CAST(1.05 AS DOUBLE)
+                      THEN 'near_memoryless'
+                    ELSE 'wearout_hazard' END AS shape_class
+        FROM f ORDER BY priority"""))
   )
 }
