@@ -14687,6 +14687,179 @@ object AppliedQueries {
                     WHEN k <= CAST(1.05 AS DOUBLE)
                       THEN 'near_memoryless'
                     ELSE 'wearout_hazard' END AS shape_class
-        FROM f ORDER BY priority"""))
+        FROM f ORDER BY priority""")),
+
+    // Vintage quality: per signup-day cohort, the 7-day conversion
+    // rate, with the OLS trend across vintages — "are the users we
+    // acquire THIS week worse than last week's", the acquisition-
+    // quality drift read (q4a's retention matrix shows WHEN users
+    // leave; vintages show whether the INTAKE is degrading). Integer
+    // cohort cells; trend over the bounded vintage panel.
+    "qki_vintage_quality" -> Q(
+      fn = (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ms")).as("sms"))
+          .withColumn("vd", expr("sms div 86400000"))
+        val conv = e.filter(col("event_type") === "purchase")
+          .join(su, "user_id")
+          .filter(col("ms") >= col("sms") &&
+            col("ms") < col("sms") + lit(604800000L))
+          .select(col("user_id")).distinct()
+          .withColumn("cv", lit(1L))
+        val vint = su.join(conv, Seq("user_id"), "left")
+          .groupBy("vd")
+          .agg(count(lit(1)).as("n_users"),
+            sum(coalesce(col("cv"), lit(0L))).as("n_conv"))
+          .withColumn("rate", round(col("n_conv").cast("double") /
+            col("n_users").cast("double"), 9))
+          .localCheckpoint(eager = false)
+        val base = vint.agg(min(col("vd")).as("v0"))
+        val idx = vint.crossJoin(broadcast(base))
+          .select((col("vd") - col("v0") + 1).as("tt"), col("vd"),
+            col("n_users"), col("n_conv"), col("rate"))
+        val mm = idx.agg(count(lit(1)).as("n"), sum(col("tt")).as("st"),
+          sum(g9(col("rate"))).as("sr"),
+          sum(col("tt") * col("tt")).as("stt"),
+          sum(g9(round(col("tt").cast("double") * col("rate"), 9)))
+            .as("str"))
+        idx.crossJoin(broadcast(mm))
+          .withColumn("slope", (col("n").cast("double") *
+            col("str").cast("double") -
+            col("st").cast("double") * col("sr").cast("double")) /
+            (col("n").cast("double") * col("stt").cast("double") -
+              col("st").cast("double") * col("st").cast("double")))
+          .select(col("vd").as("vintage_day"), col("n_users"),
+            col("n_conv"), round(col("rate"), 6).as("conv_rate_7d"),
+            (round(col("slope"), 9) + lit(0.0))
+              .as("vintage_trend_per_day"),
+            when(col("slope") < 0, "intake_degrading")
+              .otherwise("intake_stable_or_improving")
+              .as("trend_verdict"))
+          .orderBy("vintage_day")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        su AS (
+          SELECT user_id, MIN(ms) AS sms,
+                 MIN(ms) // 86400000 AS vd
+          FROM e WHERE event_type = 'signup' GROUP BY 1),
+        conv AS (
+          SELECT DISTINCT e.user_id, 1 AS cv
+          FROM e JOIN su ON e.user_id = su.user_id
+          WHERE e.event_type = 'purchase' AND e.ms >= su.sms
+            AND e.ms < su.sms + 604800000),
+        vint AS MATERIALIZED (
+          SELECT vd, CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(COALESCE(cv, 0)) AS BIGINT) AS n_conv,
+                 ROUND(CAST(SUM(COALESCE(cv, 0)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS rate
+          FROM su LEFT JOIN conv ON su.user_id = conv.user_id
+          GROUP BY 1),
+        base AS (SELECT MIN(vd) AS v0 FROM vint),
+        idx AS (
+          SELECT vd - v0 + 1 AS tt, vd, n_users, n_conv, rate
+          FROM vint CROSS JOIN base),
+        mm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(tt) AS BIGINT) AS st,
+                 SUM(CAST(ROUND(rate, 9) AS DECIMAL(20,9))) AS sr,
+                 CAST(SUM(tt * tt) AS BIGINT) AS stt,
+                 SUM(CAST(ROUND(CAST(tt AS DOUBLE) * rate, 9)
+                   AS DECIMAL(20,9))) AS str
+          FROM idx),
+        f AS (
+          SELECT (CAST(n AS DOUBLE) * CAST(str AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(sr AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope
+          FROM mm)
+        SELECT vd AS vintage_day, n_users, n_conv,
+               ROUND(rate, 6) AS conv_rate_7d,
+               ROUND(slope, 9) + CAST(0 AS DOUBLE)
+                 AS vintage_trend_per_day,
+               CASE WHEN slope < 0 THEN 'intake_degrading'
+                 ELSE 'intake_stable_or_improving' END AS trend_verdict
+        FROM idx CROSS JOIN f
+        ORDER BY vintage_day""")),
+
+    // Runner / repeater / stranger classification: parts by the
+    // number of distinct order-months they appear in, cut at the
+    // exact tertiles RELATIVE to the panel (the absolute-threshold
+    // vacuity lesson, applied) — runners justify continuous-flow
+    // handling, strangers justify make-to-order; each tier's part and
+    // spend share quantifies how much of the business each regime
+    // carries. Integer month counts; exact rank cuts.
+    "qkj_runner_repeater" -> Q(
+      fn = (s, dir) => {
+        val p = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(countDistinct(expr(
+            "year(o_orderdate) * 12 + month(o_orderdate)")).as("nm"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("spend"))
+          .localCheckpoint(eager = false)
+        val n0 = p.agg(count(lit(1)).as("n"))
+        val cuts = p.crossJoin(broadcast(n0))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("nm"), col("pk"))))
+          .agg(max(when(col("rk") === expr("(n + 2) div 3"), col("nm")))
+            .as("t1"),
+            max(when(col("rk") === expr("(2 * n + 2) div 3"), col("nm")))
+              .as("t2"))
+        val classed = p.crossJoin(broadcast(cuts))
+          .withColumn("tier", when(col("nm") <= col("t1"), "stranger")
+            .when(col("nm") <= col("t2"), "repeater")
+            .otherwise("runner"))
+        val tot = p.agg(count(lit(1)).as("np"), sum(col("spend")).as("sp"))
+        classed.groupBy("tier")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("spend")).as("tspend"),
+            round(sum(col("nm")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_months"))
+          .crossJoin(broadcast(tot))
+          .select(col("tier"), col("n_parts"),
+            round(col("n_parts").cast("double") / col("np").cast("double"),
+              6).as("part_share"),
+            round(col("tspend").cast("double") / col("sp").cast("double"),
+              6).as("spend_share"),
+            col("avg_months"))
+          .orderBy("tier")
+      },
+      oracle = Some("""
+        WITH p AS MATERIALIZED (
+          SELECT l_partkey AS pk,
+                 CAST(COUNT(DISTINCT year(o_orderdate) * 12
+                   + month(o_orderdate)) AS BIGINT) AS nm,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS spend
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+        cuts AS (
+          SELECT MAX(CASE WHEN rk = (n + 2) // 3 THEN nm END) AS t1,
+                 MAX(CASE WHEN rk = (2 * n + 2) // 3 THEN nm END) AS t2
+          FROM (SELECT nm, ROW_NUMBER() OVER (ORDER BY nm, pk) AS rk, n
+                FROM p CROSS JOIN n0)),
+        classed AS (
+          SELECT pk, nm, spend,
+                 CASE WHEN nm <= t1 THEN 'stranger'
+                      WHEN nm <= t2 THEN 'repeater'
+                      ELSE 'runner' END AS tier
+          FROM p CROSS JOIN cuts),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS np, SUM(spend) AS sp
+          FROM p)
+        SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(np AS DOUBLE), 6)
+                 AS part_share,
+               ROUND(CAST(SUM(spend) AS DOUBLE) / CAST(sp AS DOUBLE), 6)
+                 AS spend_share,
+               ROUND(CAST(SUM(nm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS avg_months
+        FROM classed CROSS JOIN tot
+        GROUP BY tier, np, sp ORDER BY tier"""))
   )
 }
