@@ -35,9 +35,12 @@ object IterCheckpoint {
   /** Pin `df` for the next iteration round in the configured mode. */
   def pin(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
+    // no try/catch: getOption on a plain string key does not throw, and a
+    // swallow-everything guard here would silently downgrade a REQUESTED
+    // reliable checkpoint to localCheckpoint — the opposite of the knob's
+    // loud-refusal design (round-9 ADVICE)
     val reliable =
-      try spark.conf.getOption(ConfKey).exists(_.trim.equalsIgnoreCase("true"))
-      catch { case _: Throwable => false }
+      spark.conf.getOption(ConfKey).exists(_.trim.equalsIgnoreCase("true"))
     if (reliable) {
       require(spark.sparkContext.getCheckpointDir.isDefined,
         s"$ConfKey=true requires SparkContext.setCheckpointDir " +

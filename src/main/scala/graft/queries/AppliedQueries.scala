@@ -10334,9 +10334,9 @@ object AppliedQueries {
             (col("d1") - col("d0")).cast("double")), 9))
           .withColumn("ln_alive", round(col("x").cast("double") *
             col("lnr"), 9))
-        cust
-          .withColumn("rk", row_number().over(Window.orderBy(
-            col("ln_alive"), (-col("spend")).cast("double"), col("ck"))))
+        graft.operators.ScaleOps.globalRowNumber(cust,
+            Seq(col("ln_alive"), (-col("spend")).cast("double"), col("ck")),
+            "rk")
           .filter(col("rk") <= 20)
           .select(col("rk").cast("int").as("rank"),
             col("ck").as("customer"), col("x").as("n_orders"),
@@ -11473,19 +11473,24 @@ object AppliedQueries {
             .as("spend"),
             countDistinct(col("l_suppkey")).as("n_supp"))
           .localCheckpoint(eager = false)
+        // rank cuts ride ScaleOps.globalRowNumber, not an unpartitioned
+        // row_number() window: the part profile is dimension-sized today
+        // but a single-partition sort of it is the named 100×
+        // scale-killer (round-9 VERDICT task 2); same total order, so
+        // the oracle is unchanged
         val n0 = p.agg(count(lit(1)).as("n"))
-        val medspend = p.crossJoin(broadcast(n0))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("spend"), col("pk"))))
+        val medspend = graft.operators.ScaleOps
+          .globalRowNumber(p, Seq(col("spend"), col("pk")), "rk")
+          .crossJoin(broadcast(n0))
           .filter(col("rk") === expr("(n + 1) div 2"))
           .select(col("spend").as("smed"))
         // supply risk is RELATIVE scarcity: every part in this fixture
         // has 8+ suppliers, so an absolute "<= 2 sources" cut is vacuous
         // at every SF — the risk axis is n_supp at or below the exact
         // median supplier count instead
-        val medsupp = p.crossJoin(broadcast(n0))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("n_supp"), col("pk"))))
+        val medsupp = graft.operators.ScaleOps
+          .globalRowNumber(p, Seq(col("n_supp"), col("pk")), "rk")
+          .crossJoin(broadcast(n0))
           .filter(col("rk") === expr("(n + 1) div 2"))
           .select(col("n_supp").as("nmed"))
         val classed = p.crossJoin(broadcast(medspend))
@@ -11504,10 +11509,10 @@ object AppliedQueries {
               .as("n_strategic"),
             max(when(col("quadrant") === "bottleneck", col("qn")))
               .as("n_bottleneck"))
-        classed.filter(col("quadrant") === "strategic")
+        graft.operators.ScaleOps.globalRowNumber(
+            classed.filter(col("quadrant") === "strategic"),
+            Seq(col("spend").desc, col("pk")), "rk2")
           .crossJoin(broadcast(counts))
-          .withColumn("rk2", row_number().over(
-            Window.orderBy(col("spend").desc, col("pk"))))
           .filter(col("rk2") <= 20)
           .select(col("rk2").cast("int").as("rank"),
             col("pk").as("partkey"),
@@ -11656,9 +11661,11 @@ object AppliedQueries {
             countDistinct(col("l_suppkey")).as("ns"))
           .localCheckpoint(eager = false)
         val n0j = p0.agg(count(lit(1)).as("n"))
-        val cuts = p0.crossJoin(broadcast(n0j))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("ns"), col("pk"))))
+        // quartile cuts via the range-partitioned global row number —
+        // never a single-partition sort of the part dimension (r9 sweep)
+        val cuts = graft.operators.ScaleOps
+          .globalRowNumber(p0, Seq(col("ns"), col("pk")), "rk")
+          .crossJoin(broadcast(n0j))
           .agg(max(when(col("rk") === expr("(n + 3) div 4"), col("ns")))
             .as("q1"),
             max(when(col("rk") === expr("(3 * n + 3) div 4"), col("ns")))
@@ -11741,10 +11748,10 @@ object AppliedQueries {
           .localCheckpoint(eager = false)
         val rate = wide.agg(count(lit(1)).as("n_parts"),
           sum(col("switched")).as("n_switched"))
-        wide.filter(col("switched") === 1)
+        graft.operators.ScaleOps.globalRowNumber(
+            wide.filter(col("switched") === 1),
+            Seq(col("spend").desc, col("pk")), "rk")
           .crossJoin(broadcast(rate))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("spend").desc, col("pk"))))
           .filter(col("rk") <= 20)
           .select(col("rk").cast("int").as("rank"),
             col("pk").as("partkey"), col("s0").as("supplier_pre"),
@@ -14371,11 +14378,13 @@ object AppliedQueries {
             col("ck") === col("ck1"))
           .select(col("ck"), col("s0"), col("s1"))
           .localCheckpoint(eager = false)
-        val ranked = both
-          .withColumn("r0", row_number().over(
-            Window.orderBy(col("s0"), col("ck"))).cast("long"))
-          .withColumn("r1", row_number().over(
-            Window.orderBy(col("s1"), col("ck"))).cast("long"))
+        // two global ranks over the customer dimension — each through the
+        // range-partitioned machinery (globalRowNumber is already LONG),
+        // never TWO single-partition sorts back to back (r9 sweep)
+        val ranked = graft.operators.ScaleOps.globalRowNumber(
+          graft.operators.ScaleOps.globalRowNumber(
+            both, Seq(col("s0"), col("ck")), "r0"),
+          Seq(col("s1"), col("ck")), "r1")
         ranked.agg(count(lit(1)).as("n"),
             sum((col("r0") - col("r1")) * (col("r0") - col("r1")))
               .as("sd2"))
@@ -14803,9 +14812,11 @@ object AppliedQueries {
             sum(col("l_extendedprice").cast("decimal(18,2)")).as("spend"))
           .localCheckpoint(eager = false)
         val n0 = p.agg(count(lit(1)).as("n"))
-        val cuts = p.crossJoin(broadcast(n0))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("nm"), col("pk"))))
+        // tertile cuts via the range-partitioned global row number —
+        // never a single-partition sort of the part dimension (r9 sweep)
+        val cuts = graft.operators.ScaleOps
+          .globalRowNumber(p, Seq(col("nm"), col("pk")), "rk")
+          .crossJoin(broadcast(n0))
           .agg(max(when(col("rk") === expr("(n + 2) div 3"), col("nm")))
             .as("t1"),
             max(when(col("rk") === expr("(2 * n + 2) div 3"), col("nm")))

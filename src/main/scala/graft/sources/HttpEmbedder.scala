@@ -17,6 +17,14 @@ trait BatchEmbedder extends Serializable {
   def batchSize: Int
   /** Embed one batch (≤ [[batchSize]] texts), one vector per input text. */
   def embedBatch(texts: Seq[String]): Seq[Array[Float]]
+
+  /** Degraded-batch counter, wired by [[Ingest.withEmbedding]] before the
+    * instance ships to tasks (accumulators are serializable, so the tasks'
+    * adds flow back to the driver). Implementations that ever fall back to
+    * placeholder output MUST `add(1)` here per degraded batch — a corpus
+    * silently embedded as zeros is the production failure this surfaces.
+    */
+  var degradedBatches: Option[org.apache.spark.util.LongAccumulator] = None
 }
 
 /** The deterministic in-process embedder behind the [[BatchEmbedder]] seam
@@ -78,9 +86,23 @@ final case class HttpEmbedder(
             Thread.sleep(retryBackoffMs * attempt)
       }
     }
-    // retries exhausted: zero-vector fallback, never a failed task
+    // retries exhausted: zero-vector fallback, never a failed task — but
+    // LOUDLY: an ingest against a dead endpoint must not ship an
+    // all-zeros corpus with no signal anywhere (round-9 ADVICE), so the
+    // degradation logs per batch and counts through the accumulator
+    // surfaced by Ingest.withEmbedding.
+    System.err.println(
+      s"[graft.HttpEmbedder] batch of ${texts.length} texts degraded to " +
+        s"zero vectors after ${maxRetries + 1} attempts against $endpoint " +
+        s"(last failure: $lastFailure)")
+    degradedBatches.foreach(_.add(1L))
     Seq.fill(texts.length)(new Array[Float](dim))
   }
+
+  /** Last per-attempt failure detail for the degradation log line (task-
+    * local; the adapter is instantiated per task closure).
+    */
+  @transient private var lastFailure: String = "unknown"
 
   /** One HTTP round trip; None on any failure (IO, status, shape). */
   private def tryOnce(texts: Seq[String]): Option[Seq[Array[Float]]] =
@@ -99,17 +121,27 @@ final case class HttpEmbedder(
         conn.setFixedLengthStreamingMode(body.length)
         val os = conn.getOutputStream
         try { os.write(body); os.flush() } finally os.close()
-        if (conn.getResponseCode != 200) None
-        else {
+        if (conn.getResponseCode != 200) {
+          lastFailure = s"HTTP ${conn.getResponseCode}"
+          None
+        } else {
           val vecs = parseEmbeddings(readAll(conn.getInputStream))
           // the reference's length check: a short response is an error,
           // not a silent partial result
           if (vecs.length == texts.length && vecs.forall(_.length == dim))
             Some(vecs)
-          else None
+          else {
+            lastFailure =
+              s"response shape ${vecs.length} vectors for ${texts.length} texts"
+            None
+          }
         }
       } finally conn.disconnect()
-    } catch { case _: java.io.IOException | _: IllegalArgumentException => None }
+    } catch {
+      case e @ (_: java.io.IOException | _: IllegalArgumentException) =>
+        lastFailure = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        None
+    }
 
   private def readAll(in: InputStream): String = {
     val buf = new ByteArrayOutputStream()

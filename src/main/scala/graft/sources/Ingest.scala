@@ -126,11 +126,26 @@ object Ingest {
     val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
     val idx = df.schema.fieldIndex(textCol)
     val batch = embedder.batchSize
+    // degraded-batch observability (round-9 ADVICE): the accumulator rides
+    // the serialized embedder into every task; implementations that fall
+    // back to placeholder vectors add() per degraded batch, and the total
+    // is queryable on the driver (spark.sparkContext.statusTracker /
+    // named-accumulator UIs) after the job.
+    if (embedder.degradedBatches.isEmpty)
+      embedder.degradedBatches = Some(df.sparkSession.sparkContext
+        .longAccumulator("graft.embedder.degradedBatches"))
     val rdd = df.rdd.mapPartitions { it =>
       it.grouped(batch).flatMap { rows =>
         val texts = rows.map(r => if (r.isNullAt(idx)) null else r.getString(idx))
         val live = texts.filter(_ != null)
-        val embedded = embedder.embedBatch(live).iterator
+        val embeddedSeq = embedder.embedBatch(live)
+        // the trait contract is one vector per input text; a misbehaving
+        // implementation must fail loudly here, not throw
+        // NoSuchElementException mid-zip or silently misalign rows
+        require(embeddedSeq.length == live.length,
+          s"BatchEmbedder returned ${embeddedSeq.length} vectors for " +
+            s"${live.length} texts — one vector per input is the contract")
+        val embedded = embeddedSeq.iterator
         rows.zip(texts).map { case (r, t) =>
           val v = if (t == null) new Array[Float](embedder.dim) else embedded.next()
           Row.fromSeq(r.toSeq :+ v.toSeq)

@@ -158,10 +158,20 @@ object SnapshotStore {
   }
 
   /** Retire history: keep the newest `keepLast` manifests, delete older
-    * ones, then delete every data dir no RETAINED manifest references
-    * (including orphans from lost commit races). Run it after a grace
-    * period covering the longest reader, like any snapshot-table
-    * maintenance. Returns (manifestsDeleted, dataDirsDeleted).
+    * ones, then delete every data dir no RETAINED manifest references.
+    * Run it after a grace period covering the longest reader, like any
+    * snapshot-table maintenance. Returns (manifestsDeleted, dataDirsDeleted).
+    *
+    * Writer safety (round-9 ADVICE): [[append]]/[[compact]] write their
+    * data dir BEFORE committing the manifest, so an in-flight writer's dir
+    * is unreferenced while its parquet write runs. The sweep therefore
+    * only deletes unreferenced dirs whose `s<N>-` version prefix is at or
+    * below the newest RETAINED version: an in-flight writer's dir carries
+    * N = current + 1 (above every retained version → never swept), while a
+    * lost-race orphan's N equals a version someone else committed (at or
+    * below current → swept). Dirs with an unparseable name are left alone
+    * — deleting only what this protocol provably wrote is the
+    * fails-loudly-never-corrupts contract.
     */
   def expireSnapshots(
       spark: SparkSession, root: String, keepLast: Int = 2): (Int, Int) = {
@@ -170,12 +180,19 @@ object SnapshotStore {
     val all = versions(spark, root)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
     val referenced = keep.flatMap(v => readManifest(fs, root, v)).toSet
+    val newestRetained = keep.lastOption.getOrElse(0)
     drop.foreach(v => fs.delete(manifestPath(root, v), false))
     val dataRoot = new Path(root, DataDir)
+    def dirVersion(name: String): Option[Int] =
+      if (name.startsWith("s")) name.drop(1).takeWhile(_ != '-').toIntOption
+      else None
     val doomed =
       if (!fs.exists(dataRoot)) Seq.empty
-      else fs.listStatus(dataRoot).toSeq
-        .filter(s => s.isDirectory && !referenced.contains(s"$DataDir/${s.getPath.getName}"))
+      else fs.listStatus(dataRoot).toSeq.filter { s =>
+        s.isDirectory &&
+          !referenced.contains(s"$DataDir/${s.getPath.getName}") &&
+          dirVersion(s.getPath.getName).exists(_ <= newestRetained)
+      }
     doomed.foreach(s => fs.delete(s.getPath, true))
     (drop.size, doomed.size)
   }

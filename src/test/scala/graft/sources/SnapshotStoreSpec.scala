@@ -69,13 +69,21 @@ class SnapshotStoreSpec extends AnyFunSuite {
     SnapshotStore.append(spark, root, Seq((2L, "b")).toDF("id", "s"))
     SnapshotStore.compact(spark, root, nFiles = 1)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // plant an orphan dir (a lost commit race leaves exactly this)
-    fs.mkdirs(new Path(root, "data/s9-orphan"))
+    // plant a lost-race orphan (version <= current: its commit lost to
+    // someone else's v2) and an IN-FLIGHT writer's dir (version =
+    // current + 1: its parquet write is running, manifest not yet
+    // committed) — expire must sweep the former and never the latter
+    fs.mkdirs(new Path(root, "data/s2-orphan"))
+    fs.mkdirs(new Path(root, "data/s4-inflight"))
     val (mDel, dDel) = SnapshotStore.expireSnapshots(spark, root, keepLast = 1)
     assert(mDel == 2, "v1 and v2 manifests retired")
     // v1's and v2's data dirs are unreferenced by v3 (compact rewrote),
-    // plus the planted orphan
+    // plus the planted lost-race orphan; the in-flight dir survives
     assert(dDel == 3, s"expected 3 swept dirs, got $dDel")
+    assert(fs.exists(new Path(root, "data/s4-inflight")),
+      "expire swept an in-flight writer's data dir")
+    assert(!fs.exists(new Path(root, "data/s2-orphan")),
+      "expire left a lost-race orphan behind")
     assert(SnapshotStore.read(spark, root).count() == 2)
     intercept[IllegalArgumentException] {
       SnapshotStore.read(spark, root, Some(1))
