@@ -40,6 +40,20 @@ object Bench {
   private val MaxExternalShare = 0.10
   private val SentinelAttempts = 3
 
+  /** Internal-spread gate (round 9, VERDICT r8 task 1): the external-CPU
+    * sentinel is blind to I/O and page-cache contention — the filed r8
+    * record shipped q03_flat_join with median 3.77 s over min 0.86 s and
+    * `untrusted: {}` because the interloper was stealing disk, not
+    * cycles. An entry whose own three runs disagree by more than
+    * [[MaxSpread]]× is measuring the machine regardless of WHAT the
+    * contention was, so it re-runs after a settle and ships flagged if
+    * still spread. The [[SpreadFloorSec]] absolute floor keeps sub-second
+    * entries from flapping on JIT/GC jitter — a 0.10 s vs 0.16 s pair is
+    * a 1.6× ratio and entirely healthy; 0.86 s vs 3.77 s is not.
+    */
+  private val MaxSpread = 1.5
+  private val SpreadFloorSec = 0.25
+
   private final case class Stat(
       median: Double, min: Double, max: Double, failures: Int, error: String,
       externalShare: Double, untrusted: Boolean)
@@ -99,15 +113,24 @@ object Bench {
         val ext = externalCpuShare(ticks0, procStatTicks(), ownNs0, processCpuNs())
         if (times.isEmpty)
           Stat(-1.0, -1.0, -1.0, failures, lastError, ext, untrusted = false)
-        else Stat(median = times(times.length / 2), min = times.head,
-          max = times.last, failures = failures, error = lastError,
-          externalShare = ext, untrusted = ext > MaxExternalShare)
+        else {
+          // two independent contamination detectors: external CPU share
+          // (cycle theft) and internal run spread (I/O / page-cache theft
+          // the tick counters cannot see — the r8 failure mode)
+          val spread = times.last / math.max(times.head, 1e-9) > MaxSpread &&
+            times.last - times.head > SpreadFloorSec
+          Stat(median = times(times.length / 2), min = times.head,
+            max = times.last, failures = failures, error = lastError,
+            externalShare = ext,
+            untrusted = ext > MaxExternalShare || spread)
+        }
       }
       var stat = attempt()
       var tries = 1
       while (stat.untrusted && stat.failures == 0 && tries < SentinelAttempts) {
-        System.err.println(f"[bench] $name window had ${stat.externalShare}%.3f " +
-          s"external CPU share (> $MaxExternalShare) — retrying after settle")
+        System.err.println(f"[bench] $name contaminated window (external CPU " +
+          f"share ${stat.externalShare}%.3f, spread min ${stat.min}%.3f s / " +
+          f"max ${stat.max}%.3f s) — retrying after settle")
         settle()
         stat = attempt()
         tries += 1
@@ -162,6 +185,11 @@ object Bench {
       // long-running stream pays per trigger (the 4batches entry is the
       // bootstrap regime where every batch covers all buckets)
       "streaming_dedup_trigger" -> (() => streamingDedupTrigger(spark, sfDir)),
+      // same 4-batch loop under the round-9 commit-every-N knob (one store
+      // flush instead of four): the delta vs 4batches is the measured
+      // commit-overhead saving of StreamingDedup.run(commitEveryN = 4)
+      "streaming_dedup_4batches_batchedcommit" ->
+        (() => streamingDedup4BatchesBatchedCommit(spark, sfDir, sdedupRoot)),
       // q3m runs the oracled default stage set; this tracks the FULL
       // seven-stage pipeline (adds transitive MinHash near-dup CC + the
       // LM surprisal band) so the complete curation cost moves per round
@@ -243,6 +271,7 @@ object Bench {
         s""""queries_max":${statMap(_.max)},"errors":$errs,""" +
         s""""external_cpu_share":$extShares,"untrusted":$untrusted,""" +
         s""""max_external_share":$MaxExternalShare,""" +
+        s""""max_spread":$MaxSpread,"spread_floor_sec":$SpreadFloorSec,""" +
         s""""scaling":$scalingJson,""" +
         s""""load_avg_start":$loadAvgStart,""" +
         s""""load_avg_end":$loadAvgEnd,"cpus":"$cpus","sf":"$sfDir"}"""
@@ -334,6 +363,42 @@ object Bench {
         .partitionBy("batch_id", "band_bucket").parquet(storePath)
     }
     lastStorePath = Some(storePath) // root is deleted by main after all entries
+  }
+
+  /** The same 4-batch drive with survivor band rows buffered
+    * (localCheckpoint) and ONE store flush at the end — the
+    * `commitEveryN = 4` trigger path. Batches dedup against store ∪
+    * pending exactly as [[graft.streaming.StreamingDedup.run]] does.
+    */
+  private def streamingDedup4BatchesBatchedCommit(
+      spark: SparkSession, sfDir: String, root: java.nio.file.Path): Unit = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory(root, "runN")
+    val storePath = tmp.resolve("store").toString
+    val outPath = tmp.resolve("out").toString
+    val docs = Tables(spark, sfDir, "documents")
+    val pending = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    (0 until 4).foreach { b =>
+      val batch = docs.filter(col("doc_id") % 4 === b)
+      val committed = graft.streaming.StreamingDedup.readStore(
+        spark, storePath, excludeBatchId = Some(b.toLong))
+      val store = pending.foldLeft(committed)((s, p) =>
+        s.unionByName(p.drop("batch_id")))
+      val (survivors, survivorRows) = graft.streaming.StreamingDedup
+        .processBatch(batch, store, "doc_id", "text")
+      survivors.withColumn("batch_id", lit(b.toLong))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outPath)
+      pending += survivorRows.withColumn("batch_id", lit(b.toLong))
+        .localCheckpoint()
+    }
+    pending.reduce(_.unionByName(_))
+      .repartition(col("band_bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "band_bucket").parquet(storePath)
   }
 
   /** A 2-doc re-ingest trigger against the accumulated store: measures the

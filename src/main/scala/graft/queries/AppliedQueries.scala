@@ -1368,7 +1368,8 @@ object AppliedQueries {
         SELECT i AS start_idx, day0 AS start_day,
                MIN({'d': d9, 'j': j})['j'] AS nn_idx,
                ROUND(MIN({'d': d9, 'j': j})['d'], 6) AS mp_dist
-        FROM dist GROUP BY 1, 2 ORDER BY start_idx""")),
+        FROM dist GROUP BY 1, 2 ORDER BY start_idx"""),
+      headline = true),
 
     // Discrete transfer entropy between the view and purchase daily
     // up/down series: TE(X→Y) = Σ p(y_t,y_{t-1},x_{t-1}) ·
@@ -4578,7 +4579,8 @@ object AppliedQueries {
                ROUND(CAST(MAX(CASE WHEN arm = 1 THEN rm END)
                  - MAX(CASE WHEN arm = 0 THEN rm END) AS DOUBLE), 6)
                  + CAST(0 AS DOUBLE) AS rmst_diff
-        FROM rm""")),
+        FROM rm"""),
+      headline = true),
 
     // Skyline (Pareto-front) operator over the brand panel: which
     // brands are not dominated on (unit price ↓, total volume ↑,
@@ -11565,7 +11567,8 @@ object AppliedQueries {
                  ROW_NUMBER() OVER (ORDER BY spend DESC, pk) AS rk2
           FROM classed WHERE quadrant = 'strategic')
         CROSS JOIN counts
-        WHERE rk2 <= 20 ORDER BY rank""")),
+        WHERE rk2 <= 20 ORDER BY rank"""),
+      headline = true),
 
     // Supplier scorecard: per supplier, delivery (share of lines
     // shipped ≤ 7 days), quality (non-returned share), and volume
@@ -14432,7 +14435,8 @@ object AppliedQueries {
                      - CAST(1 AS DOUBLE))) > CAST(0.5 AS DOUBLE)
                  THEN 'persistent_hierarchy' ELSE 'reshuffling' END
                  AS verdict
-        FROM agg""")),
+        FROM agg"""),
+      headline = true),
 
     // Demand-law audit: per part (≥10 lines), the correlation between
     // its per-line unit price and quantity — economics says negative;
@@ -14871,6 +14875,7 @@ object AppliedQueries {
                ROUND(CAST(SUM(nm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
                  6) AS avg_months
         FROM classed CROSS JOIN tot
-        GROUP BY tier, np, sp ORDER BY tier"""))
+        GROUP BY tier, np, sp ORDER BY tier"""),
+      headline = true)
   )
 }

@@ -111,15 +111,45 @@ object SnapshotStore {
     * for blind appends.
     */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      expectedBase: Option[Int] = None): Int = {
+      expectedBase: Option[Int] = None,
+      partitionBy: Seq[String] = Seq.empty): Int = {
     val fs = fsOf(spark, root)
     val base = expectedBase.orElse(currentVersion(spark, root)).filter(_ > 0)
     val prevDirs = base.map(v => readManifest(fs, root, v)).getOrElse(Seq.empty)
     val next = base.getOrElse(0) + 1
     val newDir = s"$DataDir/s$next-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("errorifexists").parquet(new Path(root, newDir).toString)
+    writeDataDir(df, new Path(root, newDir), partitionBy)
     commitManifest(fs, root, next, prevDirs :+ newDir)
     next
+  }
+
+  /** Replace the snapshot's CONTENT in one commit: a new data dir holding
+    * exactly `df`, published as a manifest that references only it — the
+    * versioned twin of an overwrite write (and the primitive a changelog
+    * fold publishes through, [[graft.streaming.StreamingMerge]]). Readers
+    * of prior versions are untouched; same loud-failure contract as
+    * [[append]] on a concurrent commit. Works on a fresh root (version 1).
+    */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame,
+      expectedBase: Option[Int] = None,
+      partitionBy: Seq[String] = Seq.empty): Int = {
+    val fs = fsOf(spark, root)
+    val base = expectedBase.orElse(currentVersion(spark, root)).filter(_ > 0)
+    val next = base.getOrElse(0) + 1
+    val newDir = s"$DataDir/s$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    writeDataDir(df, new Path(root, newDir), partitionBy)
+    commitManifest(fs, root, next, Seq(newDir))
+    next
+  }
+
+  /** One immutable data dir, hive-partitioned when `partitionBy` is set so
+    * partition-column predicates prune directories inside every snapshot.
+    */
+  private def writeDataDir(
+      df: DataFrame, dir: Path, partitionBy: Seq[String]): Unit = {
+    val w = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dir.toString)
   }
 
   /** Rewrite the CURRENT snapshot into ≈`nFiles` compacted files as a new
@@ -129,15 +159,22 @@ object SnapshotStore {
     * [[expireSnapshots]]. Same loud-failure contract as [[append]] on a
     * concurrent commit.
     */
-  def compact(spark: SparkSession, root: String, nFiles: Int = 1): Int = {
+  def compact(spark: SparkSession, root: String, nFiles: Int = 1,
+      partitionBy: Seq[String] = Seq.empty): Int = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     val fs = fsOf(spark, root)
     val base = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
     val next = base + 1
     val newDir = s"$DataDir/s$next-${java.util.UUID.randomUUID().toString.take(8)}"
-    read(spark, root, Some(base)).repartition(nFiles)
-      .write.mode("errorifexists").parquet(new Path(root, newDir).toString)
+    val compacted = read(spark, root, Some(base)) match {
+      // repartition by the partition columns so each hive leaf of the
+      // rewritten dir lands ≈nFiles files instead of one per input task
+      case df if partitionBy.nonEmpty =>
+        df.repartition(nFiles, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      case df => df.repartition(nFiles)
+    }
+    writeDataDir(compacted, new Path(root, newDir), partitionBy)
     commitManifest(fs, root, next, Seq(newDir))
     next
   }
@@ -154,7 +191,13 @@ object SnapshotStore {
       s"version $v of $root does not exist or was expired")
     val dirs = readManifest(fs, root, v)
       .map(d => new Path(root, d).toString)
-    spark.read.parquet(dirs: _*)
+    // one scan per data dir, unioned — NOT a multi-path load: each dir is
+    // its own hive-partitioned root (data/sN-x/organization_id=y/...), and
+    // a multi-path read would refuse the "conflicting" structures. Filters
+    // push through the Union into every child scan, so partition-column
+    // predicates still prune directories per snapshot dir; a schema
+    // mismatch between dirs fails loudly in unionByName.
+    dirs.map(d => spark.read.parquet(d)).reduce(_.unionByName(_))
   }
 
   /** Retire history: keep the newest `keepLast` manifests, delete older

@@ -21,6 +21,49 @@ object Warehouse {
     Ingest.idempotent(chunks)
       .write.mode("append").partitionBy("organization_id").parquet(path)
 
+  // ---- Versioned-commit mode (round 9, VERDICT r8 task 3) --------------
+  // The rename-swap paths above are honest about their plain-parquet
+  // limits: readers can catch a partition mid-swap, and old data is gone
+  // the moment the swap completes. The reference gets reader/writer
+  // safety on every path from SQLite WAL (cmd/hive-server/main.go:140-149);
+  // here the same guarantees come from running the chunks table as a
+  // [[SnapshotStore]] root — every write is a manifest commit, a reader
+  // resolves ONE version at open and keeps it through any concurrent
+  // compaction, and time travel covers retained history. These are the
+  // production write/read/compact paths for deployments that want
+  // isolation without a lakehouse format; the plain-parquet paths remain
+  // for layouts owned by external writers.
+
+  /** [[writeChunks]] as a snapshot commit: idempotent chunk rows land as a
+    * new immutable tenant-partitioned data dir plus a manifest publish.
+    * Returns the committed version. Concurrent appends collide loudly
+    * (optimistic concurrency) instead of interleaving files.
+    */
+  def writeChunksVersioned(
+      spark: SparkSession, chunks: DataFrame, root: String,
+      expectedBase: Option[Int] = None): Int =
+    SnapshotStore.append(spark, root, Ingest.idempotent(chunks),
+      expectedBase, partitionBy = Seq("organization_id"))
+
+  /** Open the chunks table at a version (default: latest). Resolution is
+    * pinned at this call — a compaction committing mid-read changes
+    * nothing the returned DataFrame references.
+    */
+  def readChunksVersioned(
+      spark: SparkSession, root: String, version: Option[Int] = None): DataFrame =
+    SnapshotStore.read(spark, root, version)
+
+  /** Small-files compaction as a snapshot commit: the current version is
+    * rewritten into ≈`filesPerTenantLeaf` files per tenant leaf and
+    * published as a NEW version — no absent-partition window, no
+    * single-writer swap contract; readers of the old version keep it until
+    * [[SnapshotStore.expireSnapshots]] retires it. Returns the new version.
+    */
+  def compactChunksVersioned(
+      spark: SparkSession, root: String, filesPerTenantLeaf: Int = 1): Int =
+    SnapshotStore.compact(spark, root, filesPerTenantLeaf,
+      partitionBy = Seq("organization_id"))
+
   /** [[writeChunks]] with a z-ordered file layout inside each tenant
     * partition: rows are range-partitioned and sorted by the Morton
     * interleave of `zDims` ([[graft.functions.ZOrder]]), so every parquet

@@ -162,31 +162,109 @@ object StreamingDedup {
     * idempotent. Only a genuinely missing store path falls back to the
     * empty store — any other read failure propagates (silently resetting
     * dedup state would un-dedup the batch).
+    *
+    * `commitEveryN` (round 9, VERDICT r8 task 8) amortizes the store
+    * commit cost: each trigger's store write is a ≤[[NumBandBuckets]]-leaf
+    * dynamic-overwrite parquet job, and that commit overhead — not the
+    * dedup math — dominates the trigger path (32% of the r8 bench total).
+    * With N > 1, survivor band rows accumulate in memory (localCheckpoint
+    * pins them) and flush as ONE write of the last N batches' partitions
+    * every Nth batch; batches in between dedup against store ∪ pending, so
+    * the semantics are batch-for-batch identical to N = 1. The replay
+    * contract survives because the layout is unchanged (per-batch
+    * `batch_id=` partitions, so a replayed flush overwrites its own
+    * partitions) and the recovery path rebuilds any signatures a crash
+    * kept out of the store: survivors land in `outPath` per batch WITH
+    * their text, signatures are deterministic, so
+    * [[recoverPendingSignatures]] (run at every start when N > 1)
+    * recomputes exactly the missing partitions from the survivor docs.
     */
   def run(
       spark: SparkSession, docsStream: DataFrame, idCol: String, textCol: String,
       storePath: String, outPath: String, checkpoint: String,
-      minEstJaccard: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+      minEstJaccard: Double = 0.8,
+      commitEveryN: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(commitEveryN >= 1, s"commitEveryN must be >= 1, got $commitEveryN")
+    if (commitEveryN > 1)
+      recoverPendingSignatures(spark, storePath, outPath, idCol, textCol)
+    // pending survivor band rows not yet flushed to the store, each stamped
+    // with its batch_id; driver-held but bounded (N-1 batches of survivor
+    // signatures, localCheckpointed so they neither recompute nor pin the
+    // store-read lineage)
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def flushPending(): Unit = if (pending.nonEmpty) {
+      // one shuffle of the (small) survivor band rows so each band_bucket
+      // leaf gets a single file instead of one per task — the store is
+      // read every batch; its file count is the read cost
+      pending.reduce(_.unionByName(_))
+        .repartition(col("band_bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "band_bucket").parquet(storePath)
+      pending.clear()
+    }
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val store = readStore(spark, storePath, excludeBatchId = Some(batchId))
+        val committed = readStore(spark, storePath, excludeBatchId = Some(batchId))
+        // a batch must see the signatures of every PRIOR batch, flushed or
+        // not — union the pending rows (filter pushdown still reaches the
+        // parquet side of the union for bucket pruning)
+        val store = pending.foldLeft(committed)((s, p) =>
+          s.unionByName(p.drop("batch_id")))
         val (survivors, survivorRows) = processBatch(
           batch, store, idCol, textCol, minEstJaccard)
         survivors.withColumn("batch_id", lit(batchId))
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(outPath)
-        // one shuffle of the (small) survivor band rows so each band_bucket
-        // leaf gets a single file instead of one per task — the store is
-        // read every batch; its file count is the read cost
-        survivorRows.withColumn("batch_id", lit(batchId))
-          .repartition(col("band_bucket"))
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id", "band_bucket").parquet(storePath)
+        pending += survivorRows.withColumn("batch_id", lit(batchId))
+          .localCheckpoint()
+        if (pending.size >= commitEveryN) flushPending()
         ()
       }
       .start()
+  }
+
+  /** Rebuild store partitions a deferred-commit crash lost: any `batch_id`
+    * present under `outPath` (survivors were published) but absent from
+    * the store (its signatures were pending, never flushed) gets its band
+    * rows recomputed from the survivor docs — deterministic signatures
+    * make the rebuilt partition byte-equivalent to what the flush would
+    * have written. Bounded work: at most commitEveryN − 1 batches can be
+    * missing, each a survivor-sized hash pass. Returns the batch ids
+    * rebuilt (empty when the store is complete — the N = 1 fast path).
+    */
+  def recoverPendingSignatures(
+      spark: SparkSession, storePath: String, outPath: String,
+      idCol: String, textCol: String, n: Int = 3): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(outPath))) return Seq.empty
+    val out = spark.read.parquet(outPath)
+    if (!out.columns.contains("batch_id")) return Seq.empty
+    // partition-column types come from directory inference — cast both
+    // sides to LONG rather than trusting it
+    val outIds = out.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val storeIds =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) Set.empty[Long]
+      else {
+        val st = spark.read.parquet(storePath)
+        if (!st.columns.contains("batch_id")) Set.empty[Long]
+        else st.select(col("batch_id").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+      }
+    val missing = (outIds -- storeIds).toSeq.sorted
+    missing.foreach { b =>
+      bandRows(out.filter(col("batch_id").cast("long") === b)
+          .drop("batch_id"), idCol, textCol, n)
+        .withColumn("batch_id", lit(b))
+        .repartition(col("band_bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "band_bucket").parquet(storePath)
+    }
+    missing
   }
 }

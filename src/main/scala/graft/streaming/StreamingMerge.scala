@@ -106,6 +106,65 @@ object StreamingMerge {
     f.delete(logPath, true)
   }
 
+  // ---- Versioned-base mode (round 9, VERDICT r8 task 3) ----------------
+  // The rename-promote compact above leaves a window where `base/` is
+  // briefly absent and gives readers no isolation from the fold. With the
+  // base kept as a [[graft.sources.SnapshotStore]] root
+  // (store/base/_manifests + store/base/data), the fold publishes a NEW
+  // base version in one manifest commit: a reader that resolved before
+  // the fold keeps its version, time travel covers retained history, and
+  // the crash windows collapse to (a) orphan data dir before the commit
+  // (swept by expireSnapshots) and (b) already-folded changelog after it
+  // (re-folding is idempotent — winners are version-decided).
+
+  /** [[currentState]] with a snapshot-store base: the resolved latest-wins
+    * view over the base version (default: latest committed) plus the live
+    * changelog. `version` pins the base for time travel.
+    */
+  def currentStateVersioned(
+      spark: SparkSession, storePath: String, keys: Seq[String],
+      versionCol: String, opCol: String,
+      version: Option[Int] = None): DataFrame = {
+    val baseRoot = s"$storePath/base"
+    val base =
+      if (graft.sources.SnapshotStore.versions(spark, baseRoot).nonEmpty)
+        Some(graft.sources.SnapshotStore.read(spark, baseRoot, version))
+      else None
+    val log = readIfExists(spark, s"$storePath/changelog")
+      .map(_.drop("batch_id"))
+    (base, log) match {
+      case (Some(b), Some(l)) =>
+        Merge.applyChanges(b, l, keys, versionCol, opCol)
+      case (Some(b), None) => b
+      case (None, Some(l)) =>
+        val data = l.drop(versionCol, opCol)
+        Merge.applyChanges(data.limit(0), l, keys, versionCol, opCol)
+      case (None, None) =>
+        throw new java.io.IOException(
+          s"merge store $storePath has neither base nor changelog")
+    }
+  }
+
+  /** Fold the changelog into a NEW base snapshot version and clear it.
+    * Unlike [[compact]], concurrent readers need no care from the caller:
+    * whatever version they resolved stays on disk until
+    * `SnapshotStore.expireSnapshots(storePath + "/base")`. Returns the
+    * committed base version, or None when there was nothing to fold.
+    */
+  def compactVersioned(
+      spark: SparkSession, storePath: String, keys: Seq[String],
+      versionCol: String, opCol: String): Option[Int] = {
+    val logPath = new org.apache.hadoop.fs.Path(s"$storePath/changelog")
+    val f = fs(spark, storePath)
+    if (!f.exists(logPath)) return None
+    val resolved = currentStateVersioned(spark, storePath, keys, versionCol, opCol)
+    val v = graft.sources.SnapshotStore.overwrite(
+      spark, s"$storePath/base", resolved)
+    // only after the commit — a crash here re-folds idempotently
+    f.delete(logPath, true)
+    Some(v)
+  }
+
   /** Streaming wiring: each micro-batch appends to the changelog. The
     * store stays queryable throughout via [[currentState]].
     */

@@ -175,4 +175,94 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(batchDirs.forall(_.listFiles().exists(
       _.getName.startsWith("band_bucket="))))
   }
+
+  test("commitEveryN: mid-window batches dedup against pending rows and " +
+      "the flushed store matches per-batch commits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup-n")
+    val (store, out, ckpt) = (s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.run(spark,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      store, out, ckpt, minEstJaccard = 0.5, commitEveryN = 2)
+    try {
+      input.addData((1L, base))
+      q.processAllAvailable()
+      // batch 0's signatures are PENDING (not yet flushed) — batch 1's
+      // near-dup must still be dropped, proving the union path works
+      assert(!new java.io.File(store).exists(),
+        "store flushed before the commit window closed")
+      input.addData((4L, nearDup(base) + " tail"))
+      q.processAllAvailable()
+      // window of 2 closed → one flush carrying both batch partitions
+      assert(new java.io.File(store).exists())
+    } finally q.stop()
+    val landed = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L), "batch-1 near-dup must drop against PENDING rows")
+    val stored = spark.read.parquet(store)
+    assert(stored.select("doc_id").distinct().as[String].collect().toSet == Set("1"))
+    // flushed layout identical to the per-batch mode: per-batch partitions
+    // nested over band_bucket leaves (replay overwrite granularity)
+    val batchDirs = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(batchDirs.map(_.getName).toSet == Set("batch_id=0"),
+      "only batch 0 had survivors, so only its partition exists")
+  }
+
+  test("recoverPendingSignatures rebuilds store partitions a deferred-" +
+      "commit crash lost, and is a no-op on a complete store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup-rec")
+    val (store, out) = (s"$dir/store", s"$dir/out")
+    val b0 = Seq((1L, base), (3L, "completely different content about " +
+      "spark physical plans and shuffle exchanges in query engines"))
+      .toDF("doc_id", "text")
+    // batch 0: survivors published AND flushed (the healthy case)
+    val (s0, rows0) = StreamingDedup.processBatch(
+      b0, StreamingDedup.readStore(spark, store), "doc_id", "text",
+      minEstJaccard = 0.5)
+    s0.withColumn("batch_id", lit(0L)).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").mode("overwrite").parquet(out)
+    rows0.withColumn("batch_id", lit(0L)).repartition(col("band_bucket"))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "band_bucket").mode("overwrite").parquet(store)
+    // batch 1: survivors published, signatures PENDING at crash — the
+    // store never saw them
+    val b1 = Seq((5L, "an entirely novel document describing reciprocal " +
+      "rank fusion for hybrid lexical and semantic retrieval pipelines"))
+      .toDF("doc_id", "text")
+    val (s1, rows1) = StreamingDedup.processBatch(
+      b1, StreamingDedup.readStore(spark, store), "doc_id", "text",
+      minEstJaccard = 0.5)
+    s1.withColumn("batch_id", lit(1L)).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").mode("overwrite").parquet(out)
+    val expectedRows = rows1
+      .select("doc_id", "sig", "band_idx", "band_key", "band_bucket")
+      .collect().map(_.toString).sorted
+    val rebuilt = StreamingDedup.recoverPendingSignatures(
+      spark, store, out, "doc_id", "text")
+    assert(rebuilt == Seq(1L))
+    // the rebuilt partition is exactly what the lost flush would have
+    // written (deterministic signatures)
+    val got = spark.read.parquet(store)
+      .filter(col("batch_id").cast("long") === 1L)
+      .select("doc_id", "sig", "band_idx", "band_key", "band_bucket")
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(expectedRows))
+    // second recovery finds nothing missing
+    assert(StreamingDedup.recoverPendingSignatures(
+      spark, store, out, "doc_id", "text").isEmpty)
+    // and a future batch now dedups against the recovered signatures
+    val b2 = Seq((9L, "an entirely novel document describing reciprocal " +
+      "rank fusion for hybrid lexical and semantic retrieval pipelines"))
+      .toDF("doc_id", "text")
+    val (s2, _) = StreamingDedup.processBatch(
+      b2, StreamingDedup.readStore(spark, store), "doc_id", "text",
+      minEstJaccard = 0.5)
+    assert(s2.count() == 0)
+  }
 }
