@@ -178,6 +178,34 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed layout build failed: ${e.getMessage}")
     }
+    // ANN setup, untimed (the amortized once-per-snapshot costs): the
+    // frozen coarse index, the append entry's base store (90% of the
+    // corpus — the timed append commits the remaining 10% delta), and the
+    // graph-ANN neighbor graph the traversal entry searches over. The
+    // store entries run over a ×16 id-remapped replication of the
+    // embeddings table (32k vectors at sf0.1) — at fixture size both
+    // rebuild and append are fixed-overhead-dominated and the delta-vs-
+    // corpus cost gap the entries exist to measure would be invisible.
+    val ivfRoot = java.nio.file.Files.createTempDirectory("graft-bench-ivf")
+    try {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables(spark, sfDir, "embeddings")
+      val reps = spark.range(16).select(col("id").as("__rep"))
+      emb.select(col("vec_id"), col("embedding")).crossJoin(reps)
+        .withColumn("vec_id", col("vec_id") + col("__rep") * 100000000L)
+        .drop("__rep")
+        .write.mode("overwrite").parquet(ivfRoot.resolve("corpus").toString)
+      val big = spark.read.parquet(ivfRoot.resolve("corpus").toString)
+      benchIvfIndex = Some(graft.operators.IvfIndex.centroidsByDraw(
+        big, "vec_id", "embedding", nCells = 16))
+      graft.operators.IvfIndex.buildStoreVersioned(
+        spark, ivfRoot.resolve("append").toString,
+        big.filter(col("vec_id") % 10 =!= 0), "embedding", benchIvfIndex.get)
+      benchGraph = Some(graft.operators.GraphAnn.buildGraph(
+        emb, "vec_id", "embedding", m = 16).localCheckpoint())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ANN setup failed: ${e.getMessage}")
+    }
     val extras = Seq(
       "streaming_dedup_4batches" -> (() => streamingDedup4Batches(spark, sfDir, sdedupRoot)),
       // steady-state trigger regime: a small re-ingest batch against the
@@ -208,7 +236,18 @@ object Bench {
           .select("l_orderkey", "l_extendedprice", "l_discount"),
         Tables(spark, sfDir, "orders").select("o_orderkey", "o_orderstatus"))),
       "q03_bucketed_join" -> (() => factJoinRevenue(spark,
-        spark.table("bench_li_bucketed"), spark.table("bench_o_bucketed"))))
+        spark.table("bench_li_bucketed"), spark.table("bench_o_bucketed"))),
+      // versioned ANN store lifecycle (round 9): a full rebuild commits the
+      // whole corpus re-quantized; an incremental append commits only a 10%
+      // delta assigned with frozen centroids — the measured gap is why the
+      // upsert path exists (reference parity: continuous vector upserts)
+      "ivf_store_rebuild" -> (() => ivfStoreRebuild(spark, sfDir, ivfRoot)),
+      "ivf_store_append" -> (() => ivfStoreAppend(spark, sfDir, ivfRoot)),
+      // graph-ANN beam tier (round 9): the per-query-batch traversal cost
+      // over a pre-built neighbor graph (build is the amortized
+      // once-per-snapshot cost, paid outside the timed region like the
+      // BM25 lens table)
+      "graph_ann_search5" -> (() => graphAnnSearch(spark, sfDir)))
     val extraResults = extras.map { case (name, fn) => settle(); timed(name)(fn()) }
     // repeated per-round runs must not accumulate /tmp parquet
     try {
@@ -218,6 +257,7 @@ object Bench {
     deleteRecursively(lensDir)
     deleteRecursively(sdedupRoot)
     deleteRecursively(bucketRoot)
+    deleteRecursively(ivfRoot)
     val results = headlineResults ++ extraResults
     // Measured scaling curvature (round 8, VERDICT r7 task 4): answer
     // "survives 100×?" with data. Six representative kernels timed at
@@ -338,6 +378,59 @@ object Bench {
     * fixture for the trigger-regime entry below.
     */
   private var lastStorePath: Option[String] = None
+  // ANN setup built once, untimed, in main (see the ivfRoot block)
+  private var benchIvfIndex: Option[graft.operators.IvfIndex.Index] = None
+  private var benchGraph: Option[org.apache.spark.sql.DataFrame] = None
+
+  /** Full versioned rebuild of the int8 IVF store over the ×16 replicated
+    * corpus: re-quantize + re-assign everything and commit. The cost
+    * baseline the append entry is measured against.
+    */
+  private def ivfStoreRebuild(
+      spark: SparkSession, sfDir: String, root: java.nio.file.Path): Unit = {
+    val idx = benchIvfIndex.getOrElse(
+      throw new IllegalStateException("ANN setup failed — no index"))
+    graft.operators.IvfIndex.buildStoreVersioned(
+      spark, root.resolve("rebuild").toString,
+      spark.read.parquet(root.resolve("corpus").toString), "embedding", idx)
+    ()
+  }
+
+  /** Incremental append of a 10% delta (frozen centroids) into the base
+    * store built at setup — the continuous-upsert path. Each timed run
+    * commits one more delta version; per-run work is delta-sized and
+    * constant (append never rewrites committed dirs).
+    */
+  private def ivfStoreAppend(
+      spark: SparkSession, sfDir: String, root: java.nio.file.Path): Unit = {
+    val idx = benchIvfIndex.getOrElse(
+      throw new IllegalStateException("ANN setup failed — no index"))
+    graft.operators.IvfIndex.appendToStore(
+      spark, root.resolve("append").toString,
+      spark.read.parquet(root.resolve("corpus").toString)
+        .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0),
+      "embedding", idx)
+    ()
+  }
+
+  /** Batch beam traversal over the pre-built neighbor graph: 5 queries
+    * traverse simultaneously through the iterative frontier loop — the
+    * measured per-batch serving cost of the graph tier (the 0.95+-recall
+    * configuration RecallSpec gates at sf0.1).
+    */
+  private def graphAnnSearch(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val g = benchGraph.getOrElse(
+      throw new IllegalStateException("ANN setup failed — no graph"))
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    graft.operators.GraphAnn.searchMany(
+      g, emb, queries, "q_id", "qv", "vec_id", "embedding",
+      k = 10, beamWidth = 96, maxHops = 24, nSeeds = 4, expandPerHop = 8)
+      .count()
+    ()
+  }
 
   private def streamingDedup4Batches(
       spark: SparkSession, sfDir: String, root: java.nio.file.Path): Unit = {

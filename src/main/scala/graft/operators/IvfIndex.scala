@@ -144,6 +144,55 @@ object IvfIndex {
       .withColumn(cellCol, assignCell(col("__dv"), index))
       .drop("__dv", vecCol)
 
+  // ---- Versioned store lifecycle (round 9, VERDICT r8 task 4) ----------
+  // The reference upserts points into a live index continuously
+  // (internal/vectordb/vectordb.go:117-193). The Spark-native equivalent:
+  // the quantized cell-partitioned store lives as a SnapshotStore root, a
+  // full (re)build is an `overwrite` commit, and NEW vectors append as one
+  // more cell-partitioned data dir — assigned with the FROZEN centroids,
+  // so the append touches only the delta (no corpus rewrite) and probes
+  // keep pruning: the per-dir union read pushes the cell predicate into
+  // every snapshot dir. Readers get snapshot isolation and time travel for
+  // free; recall drift of frozen-centroid assignment vs a fresh rebuild is
+  // gated in RecallSpec, and when drift exceeds tolerance the answer is a
+  // rebuild commit (same root, one `overwrite`).
+
+  /** Build (or fully rebuild) the int8 IVF store as a snapshot commit:
+    * [[quantizedStore]] written cell-partitioned under `root`. Returns the
+    * committed version.
+    */
+  def buildStoreVersioned(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      corpus: DataFrame, vecCol: String, index: Index,
+      cellCol: String = "cell"): Int =
+    graft.sources.SnapshotStore.overwrite(
+      spark, root, quantizedStore(corpus, vecCol, index, cellCol),
+      partitionBy = Seq(cellCol))
+
+  /** Incrementally add `newVecs` to an existing store: quantize + assign
+    * with the store's FROZEN centroids and commit one cell-partitioned
+    * data dir (delta-sized work, optimistic-concurrency append — a racing
+    * writer fails loudly, nothing interleaves). Returns the committed
+    * version. Pass `expectedBase` to pin the version this delta was
+    * planned against.
+    */
+  def appendToStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      newVecs: DataFrame, vecCol: String, index: Index,
+      cellCol: String = "cell", expectedBase: Option[Int] = None,
+      dirTag: Option[String] = None): Int =
+    graft.sources.SnapshotStore.append(
+      spark, root, quantizedStore(newVecs, vecCol, index, cellCol),
+      expectedBase, partitionBy = Seq(cellCol), dirTag = dirTag)
+
+  /** Open the versioned store (latest or pinned version) for
+    * [[searchQuantized]]. Cell predicates prune inside every snapshot dir.
+    */
+  def readStoreVersioned(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Option[Int] = None): DataFrame =
+    graft.sources.SnapshotStore.read(spark, root, version)
+
   /** IVF top-k over an int8 store: probe cells exactly like [[search]]
     * (float query against the float centroid metadata), dequantize on the
     * fly inside the probed cells only — the cell filter is applied BEFORE

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * rounding half-boundary (rule 15).
   *
   * Reference anchor: the-hive's analytics surface stops at counts and
-  * rollups (internal/store/search.go, internal/server/stats.go); this
+  * rollups (internal/server/search_handler.go,
+  * internal/server/stats_handler.go); this
   * file extends the engine's inference battery the same way the qa0-qcv
   * families do — declaratively, over the driver fixtures, oracle-exact.
   */

@@ -911,8 +911,127 @@ object VectorQueries {
         sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
                FROM cc GROUP BY comp)
         SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
-        FROM sz GROUP BY 1 ORDER BY cluster_size"""))
+        FROM sz GROUP BY 1 ORDER BY cluster_size""")),
+
+    // Graph-ANN beam search, hash-exact (round 9 — the HNSW-equivalent
+    // tier as a DRIVER-GATED query, not just a recall-gated operator):
+    // the navigable graph (LSH top-m near edges + md5 skip ring) AND the
+    // full 4-hop beam traversal replay in DuckDB — the graph build rides
+    // the q3h hyperplane-inlining technique, the traversal unrolls each
+    // hop as frontier→neighbors→score→re-top chained CTEs (the q4b
+    // unrolled-iteration discipline; every hop is pure integer sets plus
+    // round-6 cosines, so the beam is bit-replayable). Early termination
+    // is hop-parity-safe: an empty frontier makes every later hop a
+    // no-op in BOTH engines. expandPerHop=0 expands the whole frontier —
+    // the batch-shaped variant searchMany runs distributed with per-hop
+    // IterCheckpoint pinning.
+    "qkk_graph_beam" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val graph = graft.operators.GraphAnn.buildGraph(
+          e, "vec_id", "embedding", m = 6, nBits = 2, nTables = 2)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        graft.operators.GraphAnn.searchMany(
+          graph, e, q, "q_id", "qv", "vec_id", "embedding",
+          k = 10, beamWidth = 16, maxHops = 4, nSeeds = 4, expandPerHop = 0)
+          .select(col("neighbor_id"), col("score"), col("rn"))
+          .orderBy(col("rn"))
+      },
+      oracle = Some(s"""
+        ${graphBeamCtes(m = 6, nTables = 2, beamWidth = 16, hops = 4, nSeeds = 4)}
+        SELECT id AS neighbor_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS INT) AS rn
+        FROM beam4 ORDER BY rn LIMIT 10"""),
+      headline = true)
   )
+
+  /** Oracle CTE chain replaying [[graft.operators.GraphAnn]] end to end:
+    * the navigable graph — `pairs` (the [[lshPairsCtes]] collision scores
+    * at threshold −1), symmetrized top-`m` near edges, the (md5(id), id)
+    * ring with ±4^j offsets, deduped into `edges` — then `hops` unrolled
+    * beam rounds. Round h: `frontier$h` = unexpanded beam members,
+    * `nbrs$h` = their unvisited graph neighbors, `fresh$h` = round-6
+    * cosine scores vs the query (self excluded), `beam$h` = global
+    * top-`beamWidth` of the union by (score DESC, id). Ends with
+    * `beam$hops(id, score)` in scope. Multi-referenced CTEs are
+    * MATERIALIZED (CLAUDE.md rule 9).
+    */
+  private def graphBeamCtes(
+      m: Int, nTables: Int, beamWidth: Int, hops: Int, nSeeds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(lshPairsCtes(threshold = -1.0, nBits = 2, nTables = nTables))
+    sb.append(s""",
+        sym AS (
+          SELECT vec_a AS src, vec_b AS dst, score FROM pairs
+          UNION ALL SELECT vec_b, vec_a, score FROM pairs),
+        near AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                     ORDER BY score DESC, dst) AS rnk
+            FROM sym) WHERE rnk <= $m),
+        ringo AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+          FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+        offs AS (
+          SELECT (CAST(1 AS BIGINT) << (2 * CAST(j AS INT))) AS off
+          FROM range(0, 16) t(j), nn
+          WHERE (CAST(1 AS BIGINT) << (2 * CAST(j AS INT))) < nn.n),
+        longl AS (
+          SELECT a.id AS src, b.id AS dst
+          FROM ringo a CROSS JOIN offs o CROSS JOIN nn
+          JOIN ringo b ON b.rn = ((a.rn - 1 + o.off) % nn.n) + 1),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM near
+            UNION ALL SELECT src, dst FROM longl
+            UNION ALL SELECT dst, src FROM longl)
+          WHERE src <> dst),
+        seeds AS MATERIALIZED (
+          SELECT vec_id AS id FROM e
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nSeeds),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        visited0 AS (SELECT id FROM seeds),
+        beam0 AS MATERIALIZED (
+          SELECT s.id,
+                 ROUND(CAST(list_cosine_similarity(ev.v, q.qv)
+                   AS DOUBLE), 6) AS score
+          FROM seeds s JOIN e ev ON ev.vec_id = s.id CROSS JOIN q
+          WHERE s.id <> 0),
+        expanded0 AS (SELECT id FROM seeds WHERE 1 = 0)""")
+    for (h <- 1 to hops) {
+      val (b0, v0, x0) = (s"beam${h - 1}", s"visited${h - 1}", s"expanded${h - 1}")
+      sb.append(s""",
+        frontier$h AS MATERIALIZED (
+          SELECT id FROM $b0 WHERE id NOT IN (SELECT id FROM $x0)),
+        nbrs$h AS MATERIALIZED (
+          SELECT DISTINCT g.dst AS id
+          FROM frontier$h f JOIN edges g ON g.src = f.id
+          WHERE g.dst NOT IN (SELECT id FROM $v0)),
+        visited$h AS MATERIALIZED (
+          SELECT id FROM $v0 UNION ALL SELECT id FROM nbrs$h),
+        fresh$h AS (
+          SELECT nb.id,
+                 ROUND(CAST(list_cosine_similarity(ev.v, q.qv)
+                   AS DOUBLE), 6) AS score
+          FROM nbrs$h nb JOIN e ev ON ev.vec_id = nb.id CROSS JOIN q
+          WHERE nb.id <> 0),
+        expanded$h AS MATERIALIZED (
+          SELECT id FROM $x0 UNION ALL SELECT id FROM frontier$h),
+        beam$h AS MATERIALIZED (
+          SELECT id, score FROM (
+            SELECT id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk
+            FROM (SELECT id, score FROM $b0
+                  UNION ALL SELECT id, score FROM fresh$h))
+          WHERE rnk <= $beamWidth)""")
+    }
+    sb.toString
+  }
 
   /** Shared oracle CTE chain for the power-iteration family (q5u, q5v):
     * 2 unrolled rounds over the 64-dim embeddings, ending at `v2`

@@ -112,15 +112,32 @@ object SnapshotStore {
     */
   def append(spark: SparkSession, root: String, df: DataFrame,
       expectedBase: Option[Int] = None,
-      partitionBy: Seq[String] = Seq.empty): Int = {
+      partitionBy: Seq[String] = Seq.empty,
+      dirTag: Option[String] = None): Int = {
+    dirTag.foreach(t => require(t.nonEmpty && t.forall(c =>
+      c.isLetterOrDigit || c == '_'), s"dirTag must be [A-Za-z0-9_]+, got '$t'"))
     val fs = fsOf(spark, root)
     val base = expectedBase.orElse(currentVersion(spark, root)).filter(_ > 0)
     val prevDirs = base.map(v => readManifest(fs, root, v)).getOrElse(Seq.empty)
     val next = base.getOrElse(0) + 1
-    val newDir = s"$DataDir/s$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    // the optional tag rides INSIDE the dir name so an idempotence check
+    // can ask "was this logical append already committed?" by scanning
+    // the current manifest (committedDirs) — the streaming-upsert replay
+    // guard ([[graft.streaming.StreamingVectorIndex]])
+    val tag = dirTag.fold("")(t => s"$t-")
+    val newDir = s"$DataDir/s$next-$tag${java.util.UUID.randomUUID().toString.take(8)}"
     writeDataDir(df, new Path(root, newDir), partitionBy)
     commitManifest(fs, root, next, prevDirs :+ newDir)
     next
+  }
+
+  /** The data dirs (root-relative) the given — default current — committed
+    * version references. Empty for a fresh root.
+    */
+  def committedDirs(
+      spark: SparkSession, root: String, version: Option[Int] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, root))
+    v.map(readManifest(fsOf(spark, root), root, _)).getOrElse(Seq.empty)
   }
 
   /** Replace the snapshot's CONTENT in one commit: a new data dir holding

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.operators.IvfIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Continuous vector-index upsert (round 9 — the streaming face of
+  * `IvfIndex.appendToStore`; reference parity: the-hive upserts points
+  * into its live index on every ingest, internal/vectordb/vectordb.go:
+  * 117-193). Each micro-batch of new embeddings is quantized + assigned
+  * with the FROZEN coarse centroids and committed as one cell-partitioned
+  * delta version of the SnapshotStore root — so a concurrently-serving
+  * query keeps the version it resolved at open, and the index grows
+  * delta-sized work per trigger, never a rebuild.
+  *
+  * Exactly-once across replays: Structured Streaming re-runs a batch
+  * whose epoch didn't commit, and a blind append would double-insert the
+  * batch's vectors. Each append therefore carries a `b<batchId>` dir tag
+  * and [[processBatch]] first scans the CURRENT manifest for it — a
+  * replayed batch whose append already committed becomes a no-op. The
+  * crash windows: (a) append committed, checkpoint epoch lost → replay
+  * sees the tag, skips (the guard's whole point); (b) data dir written,
+  * manifest not committed → the orphan dir is invisible to readers,
+  * `SnapshotStore.expireSnapshots` sweeps it, and the replay appends
+  * cleanly (fresh uuid suffix, no name collision).
+  *
+  * Staleness contract: centroids stay frozen — assignment quality drifts
+  * as the corpus distribution moves (RecallSpec gates the 80%-trained
+  * case). The monitoring hook is `IvfIndex.assignCellScore` means per
+  * batch; past tolerance, rebuild via `buildStoreVersioned` (one
+  * overwrite commit readers never race).
+  */
+object StreamingVectorIndex {
+
+  /** One micro-batch: skip if this batchId's delta is already committed,
+    * else append it. Returns the committed version (None = skipped or
+    * empty batch). Factored out of [[run]] so the replay contract is
+    * directly testable.
+    */
+  def processBatch(
+      spark: SparkSession, batch: DataFrame, batchId: Long,
+      storeRoot: String, index: IvfIndex.Index, vecCol: String): Option[Int] = {
+    val tag = s"b$batchId"
+    val already = graft.sources.SnapshotStore
+      .committedDirs(spark, storeRoot)
+      .exists(_.contains(s"-$tag-"))
+    if (already || batch.isEmpty) None
+    else Some(IvfIndex.appendToStore(
+      spark, storeRoot, batch, vecCol, index, dirTag = Some(tag)))
+  }
+
+  /** Streaming wiring: every micro-batch of `vecStream` (id + embedding
+    * rows) lands as one delta version. The store stays queryable at any
+    * pinned version throughout via `IvfIndex.readStoreVersioned`.
+    */
+  def run(
+      spark: SparkSession, vecStream: DataFrame, vecCol: String,
+      storeRoot: String, index: IvfIndex.Index,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, storeRoot, index, vecCol)
+        ()
+      }
+      .start()
+}

@@ -115,6 +115,18 @@ object RecallAtScale {
       f"""{"r":${p.r},"recall":${p.recall}%.4f,"rerank_frac":${p.rerankFrac}%.4f}""")
       .mkString("[", ",", "]")
 
+    // Cross-method tuner (round 9): IVF and graph-beam points on ONE cost
+    // axis, cheapest config at target 0.95 — the tier selection the graph
+    // tier exists for (at sf0.1 no IVF point reaches 0.95 below exhaustive)
+    val annTune = graft.operators.AnnTuner.tune(
+      emb, "vec_id", "embedding", targetRecall = 0.95, k = 10,
+      nCellsGrid = Seq(16, 64), nQueries = 30)
+    def annPointJson(p: graft.operators.AnnTuner.AnnPoint) =
+      f"""{"method":"${p.method}","config":"${p.config}",""" +
+        f""""recall":${p.recall}%.4f,"cost_frac":${p.costFrac}%.4f}"""
+    val annCurveJson = annTune.curve.map(annPointJson).mkString("[", ",", "]")
+    val annBestJson = annTune.best.map(annPointJson).getOrElse("null")
+
     spark.stop()
     println(f"""{"sf":"$sfDir","lsh_single":$rSingle%.4f,"lsh_multiprobe":$rMulti%.4f,""" +
       f""""lsh_8table":$rTables%.4f,"minhash_banding":$rMinhash%.4f,""" +
@@ -128,6 +140,7 @@ object RecallAtScale {
       f""""matryoshka16_rerank":$rMrl16%.4f,"matryoshka32_rerank":$rMrl32%.4f,""" +
       f""""neardup_lsh_pairs":$rNearDup%.4f,"neardup_true_pairs":${exactCos.size},""" +
       s""""ivf_tuner_best":$bestJson,"ivf_tuner_curve":$curveJson,""" +
-      s""""pq_shortlist_curve":$slJson}""")
+      s""""pq_shortlist_curve":$slJson,""" +
+      s""""ann_tuner_best":$annBestJson,"ann_tuner_curve":$annCurveJson}""")
   }
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph-ANN beam tier (round 9, VERDICT r8 task 5): deterministic
+  * bounded-degree graph build, distributed-vs-local search equivalence
+  * (the contract that lets [[AnnTuner]] measure curves locally after real
+  * distributed builds), and the cross-method tuner selecting among IVF and
+  * graph points on one cost axis.
+  */
+class GraphAnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val emb = Tables(spark, sf, "embeddings")
+
+  test("buildGraph is deterministic, self-loop-free, out-degree-bounded") {
+    def edges() = GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e1 = edges()
+    assert(e1 == edges(), "two builds over the same corpus must be identical")
+    assert(e1.forall { case (s, d) => s != d }, "no self loops")
+    val n = emb.count()
+    val ringLevels = Iterator.iterate(1L)(_ << 2).takeWhile(_ < n).size
+    val maxOut = e1.groupBy(_._1).map(_._2.size).max
+    info(s"n=$n edges=${e1.size} maxOutDegree=$maxOut " +
+      s"(bound ${8 + 2 * ringLevels})")
+    assert(maxOut <= 8 + 2 * ringLevels,
+      s"out-degree $maxOut exceeds m + 2·ringLevels = ${8 + 2 * ringLevels}")
+    // navigable: every node is someone's source (ring guarantees it)
+    assert(e1.map(_._1).size.toLong == n, "every node must have out-edges")
+  }
+
+  test("searchMany (distributed, IterCheckpoint frontier loop) returns " +
+      "exactly localBeam's hits per query") {
+    val graph = GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 8)
+      .localCheckpoint()
+    val adj = GraphAnn.collectAdjacency(graph)
+    val vecs = graft.tools.RecallHarness.collectVecs(emb).toMap
+    val seeds = GraphAnn.entryPoints(emb, "vec_id", nSeeds = 4)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val dist = GraphAnn.searchMany(
+      graph, emb, queries, "q_id", "qv", "vec_id", "embedding",
+      k = 10, beamWidth = 24, maxHops = 12, nSeeds = 4, expandPerHop = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    (0L until 5L).foreach { qid =>
+      val local = GraphAnn.localBeam(vecs, adj, seeds, vecs(qid), Some(qid),
+        k = 10, beamWidth = 24, maxHops = 12, expandPerHop = 4)
+      assert(dist(qid) == local.hits,
+        s"query $qid: distributed ${dist(qid)} != local ${local.hits}")
+    }
+  }
+
+  test("beam search recall/cost at sf0.01: high recall at bounded " +
+      "evaluation cost; cost is corpus-size-independent state") {
+    val adj = GraphAnn.collectAdjacency(
+      GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 12))
+    val vecsArr = graft.tools.RecallHarness.collectVecs(emb)
+    val vecs = vecsArr.toMap
+    val seeds = GraphAnn.entryPoints(emb, "vec_id", nSeeds = 4)
+    val k = 10
+    val queries = vecsArr.take(30)
+    val per = queries.map { case (qid, qv) =>
+      val exact = vecsArr.filter(_._1 != qid).map { case (id, v) =>
+        (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
+      }.sortBy { case (s, id) => (-s, id) }.take(k).map(_._2).toSet
+      val r = GraphAnn.localBeam(vecs, adj, seeds, qv, Some(qid),
+        k, beamWidth = 48, maxHops = 12, expandPerHop = 4)
+      ((exact intersect r.hits.map(_._1).toSet).size.toDouble / k,
+        r.scored.toDouble / vecsArr.length)
+    }
+    val recall = per.map(_._1).sum / per.length
+    val costFrac = per.map(_._2).sum / per.length
+    info(f"graph-ann m=12 beam=48: recall@10 $recall%.4f, " +
+      f"mean scored fraction $costFrac%.4f over ${vecsArr.length} vectors")
+    assert(recall >= 0.95, f"graph-ann recall $recall%.4f below 0.95 gate")
+    assert(costFrac < 1.0, "beam search must not score the whole corpus")
+  }
+
+  test("bucketed graph store: searchMany over the versioned layout equals " +
+      "the in-memory graph, and the bucket predicate prunes partitions") {
+    val graph = GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 8)
+      .localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-gann-store").toString
+    val v = GraphAnn.writeGraphStore(spark, root, graph, nBuckets = 8)
+    assert(v == 1)
+    val store = GraphAnn.readGraphStore(spark, root)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def run(g: org.apache.spark.sql.DataFrame, nb: Option[Int]) =
+      GraphAnn.searchMany(g, emb, queries, "q_id", "qv", "vec_id", "embedding",
+        k = 10, beamWidth = 24, maxHops = 12, nSeeds = 4, expandPerHop = 4,
+        srcBuckets = nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+    assert(run(store, Some(8)).sameElements(run(graph, None)),
+      "bucketed-store search must equal the in-memory graph search")
+    // the hop-shaped slice must land its bucket predicate as a
+    // PartitionFilter on the store scan (the IvfSpec gate technique)
+    val sliced = store.where(col("src_bucket").isin(0, 3))
+    val explained = sliced.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PartitionFilters"),
+      s"bucket filter did not reach the scan:\n$explained")
+    val pf = explained.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("src_bucket"), s"partition filter not on src_bucket: $pf")
+  }
+
+  test("AnnTuner: one curve across IVF and graph tiers, cheapest point " +
+      "meeting the target is selected") {
+    val tune = AnnTuner.tune(emb, "vec_id", "embedding",
+      targetRecall = 0.90, k = 10,
+      nCellsGrid = Seq(16), graphGrid = Seq((12, 48)), nQueries = 20)
+    assert(tune.curve.exists(_.method == "ivf"), "curve must carry IVF points")
+    assert(tune.curve.exists(_.method == "graph"), "curve must carry graph points")
+    // nProbe = nCells probes everything -> recall 1.0, so a best always exists
+    assert(tune.best.nonEmpty, "a full-probe IVF point guarantees a best")
+    val best = tune.best.get
+    info(s"tuner best: ${best.method} ${best.config} " +
+      f"recall ${best.recall}%.4f cost ${best.costFrac}%.4f")
+    assert(best.recall >= 0.90)
+    assert(tune.curve.forall(p => p.costFrac >= 0 && p.costFrac <= 1.0001))
+  }
+}

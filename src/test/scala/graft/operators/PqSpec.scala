@@ -230,4 +230,43 @@ class PqSpec extends AnyFunSuite {
     assert(readSchema.contains("pq") && !readSchema.contains("embedding"),
       s"ADC scan should read codes only:\n$readSchema")
   }
+
+  test("versioned IVF-PQ store: append with frozen quantizers equals the " +
+      "monolithic build exactly; snapshot versions pin history") {
+    // frozen coarse centroids + codebook make codes/cells a pure function
+    // of the vector, so base-build + delta-append must reproduce the
+    // one-shot store row-for-row — the incremental-upsert correctness
+    // contract (round 9, VERDICT r8 task 4)
+    val ivf = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 8)
+    val book = cb
+    val root = java.nio.file.Files.createTempDirectory("pq-vstore").toString
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    val v1 = PqIndex.buildIvfPqStoreVersioned(spark, root, base, "embedding", ivf, book)
+    val v2 = PqIndex.appendToIvfPqStore(spark, root, delta, "embedding", ivf, book)
+    assert(v1 == 1 && v2 == 2)
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell").cast("int"), col("pq"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getAs[scala.collection.Seq[Byte]](2).toSeq))
+        .sortBy(_._1)
+    val appended = img(IvfIndex.readStoreVersioned(spark, root))
+    val oneShot = img(PqIndex.ivfPqStore(emb, "embedding", ivf, book))
+    assert(appended === oneShot,
+      "append path must reproduce the monolithic build bit-for-bit")
+    // version 1 still reads the pre-append base (snapshot isolation)
+    assert(IvfIndex.readStoreVersioned(spark, root, Some(1)).count() == 400)
+    // search over the versioned store: full probe + full shortlist = exact
+    val qv = collected.find(_._1 == 0L).get._2
+    val store = IvfIndex.readStoreVersioned(spark, root)
+      .filter(col("vec_id") =!= 0L)
+    val got = PqIndex.searchIvfPq(store, "vec_id", "embedding", qv, ivf, book,
+      nProbe = 8, r = 499, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = collected.filter(_._1 != 0L).map { case (id, v) =>
+      (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
+    }.sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSeq
+    assert(got == exact, "exhaustive IVF-PQ over the appended store is exact")
+  }
 }

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import graft.operators.IvfIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Continuous vector-index upsert (round 9): per-batch delta commits with
+  * frozen centroids, replay idempotence via manifest dir tags, and pinned
+  * snapshot isolation for concurrent readers.
+  */
+class StreamingVectorIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val emb = Tables(spark, sf, "embeddings")
+
+  test("per-batch appends accumulate; a replayed batch is a no-op; a " +
+      "reader's pinned version survives later commits") {
+    val root = java.nio.file.Files.createTempDirectory("graft-svi").toString
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 8)
+    val b0 = emb.filter(col("vec_id") < 200)
+    val b1 = emb.filter(col("vec_id") >= 200 && col("vec_id") < 350)
+
+    assert(StreamingVectorIndex.processBatch(spark, b0, 0L, root, idx, "embedding")
+      .contains(1))
+    val pinned = IvfIndex.readStoreVersioned(spark, root, Some(1))
+    assert(pinned.count() == 200)
+
+    assert(StreamingVectorIndex.processBatch(spark, b1, 1L, root, idx, "embedding")
+      .contains(2))
+    assert(IvfIndex.readStoreVersioned(spark, root).count() == 350)
+    // the epoch-replay window: batch 1 re-runs after its append committed
+    assert(StreamingVectorIndex.processBatch(spark, b1, 1L, root, idx, "embedding")
+      .isEmpty, "replayed committed batch must be a no-op")
+    assert(IvfIndex.readStoreVersioned(spark, root).count() == 350,
+      "replay must not double-insert")
+    // pinned reader unaffected by the later commits
+    assert(pinned.count() == 200)
+    // the accumulated store serves searches (delta assignment ≡ monolithic:
+    // frozen centroids make cells a pure function of the vector)
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[scala.collection.Seq[Float]](0).toArray
+    val got = IvfIndex.searchQuantized(
+      IvfIndex.readStoreVersioned(spark, root).filter(col("vec_id") =!= 0),
+      "q8", "scale", qv, idx, nProbe = 8, k = 5, tiebreak = Some("vec_id"))
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    val mono = IvfIndex.searchQuantized(
+      IvfIndex.quantizedStore(
+        emb.filter(col("vec_id") < 350), "embedding", idx)
+        .filter(col("vec_id") =!= 0),
+      "q8", "scale", qv, idx, nProbe = 8, k = 5, tiebreak = Some("vec_id"))
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    assert(got == mono, "streamed store must search like the one-shot store")
+  }
+
+  test("MemoryStream end-to-end: micro-batches land as delta versions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-svi-e2e")
+    val root = s"$dir/store"
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 8)
+    val rows = emb.filter(col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingVectorIndex.run(spark,
+      input.toDF().toDF("vec_id", "embedding"), "embedding",
+      root, idx, s"$dir/ckpt")
+    try {
+      input.addData(rows.take(30).toIndexedSeq)
+      q.processAllAvailable()
+      assert(IvfIndex.readStoreVersioned(spark, root).count() == 30)
+      input.addData(rows.drop(30).toIndexedSeq)
+      q.processAllAvailable()
+      assert(IvfIndex.readStoreVersioned(spark, root).count() == 60)
+      assert(graft.sources.SnapshotStore.versions(spark, root) == Seq(1, 2))
+    } finally q.stop()
+  }
+}
