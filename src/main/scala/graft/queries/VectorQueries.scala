@@ -942,8 +942,10 @@ object VectorQueries {
         ${graphBeamCtes(m = 6, nTables = 2, beamWidth = 16, hops = 4, nSeeds = 4)}
         SELECT id AS neighbor_id, score,
                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS INT) AS rn
-        FROM beam4 ORDER BY rn LIMIT 10"""),
-      headline = true)
+        FROM beam4 ORDER BY rn LIMIT 10"""))
+      // not headline: the query times graph BUILD + search per run, but the
+      // build is the amortized once-per-snapshot cost — the tier's bench
+      // presence is graph_ann_search5 (pre-built graph, traversal only)
   )
 
   /** Oracle CTE chain replaying [[graft.operators.GraphAnn]] end to end:
