@@ -52,13 +52,25 @@ object GraphAnn {
     * 2^2·stride, … < n): stride 2 halves the long-link degree while
     * keeping the diameter logarithmic. Out-degree per node is bounded by
     * m + 2·⌈log2(n)/stride⌉ regardless of corpus size.
+    *
+    * '''nBits is the build's scale knob''': the candidate stage is
+    * quadratic INSIDE each of the 2^nBits buckets per table, so nBits
+    * must grow with the corpus to hold per-bucket membership bounded
+    * (~10³-10⁴ rows — the fixture default 2 is sized for 10³-scale test
+    * tables, a 10⁹-row corpus wants ~18-20 bits). Fewer collisions per
+    * table lose near-edge recall; compensate with `nTables` (linear
+    * cost), and note the skip ring keeps the graph navigable even where
+    * LSH under-links a node — beam recall degrades gracefully, gated in
+    * RecallSpec at the fixture operating point.
     */
   def buildGraph(
       emb: DataFrame, idCol: String, vecCol: String,
       m: Int = 12, nBits: Int = 2, dim: Int = 64, nTables: Int = 4,
-      ringStride: Int = 2, scoreScale: Int = 6): DataFrame = {
+      ringStride: Int = 2, scoreScale: Int = 6,
+      refineIters: Int = 0): DataFrame = {
     require(m > 0, s"m must be positive, got $m")
     require(ringStride >= 1, s"ringStride must be >= 1, got $ringStride")
+    require(refineIters >= 0, s"refineIters must be >= 0, got $refineIters")
     // near leg: LSH candidate pairs scored exactly, symmetrized, top-m per
     // src — the banded (never all-pairs) candidate machinery, then a
     // per-node window (partitioned by src: no single-partition exchange)
@@ -67,9 +79,14 @@ object GraphAnn {
     val sym = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("score"))
       .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("score")))
     val w = Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst").asc)
-    val near = sym.withColumn("__rn", row_number().over(w))
+    val near0 = sym.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= m)
       .select(col("src"), col("dst"))
+    val near =
+      if (refineIters == 0) near0
+      else refineNearEdges(emb, idCol, vecCol,
+        near0.select(col("src").cast("long"), col("dst").cast("long")),
+        m, refineIters, scoreScale)
 
     // long leg: the skip ring. Nodes take a deterministic ring position by
     // (md5(id), id) — the centroidsByDraw ordering — via the
@@ -96,6 +113,49 @@ object GraphAnn {
       .unionByName(longLinks).unionByName(back)
       .filter(col("src") =!= col("dst"))
       .distinct()
+  }
+
+  /** NN-descent refinement of the near-edge list (Dong, Charikar & Li,
+    * 2011 — "a neighbor of a neighbor is likely a neighbor"): each round
+    * proposes every node's reversed edges and two-hop neighbors as
+    * candidates, scores them exactly, and keeps the top-m per node. The
+    * candidate volume per node is bounded by degree² — corpus-size-
+    * independent — and each round is two equality self-joins plus the
+    * per-node window, pinned with [[IterCheckpoint]]. On LSH-built graphs
+    * the first round recovers most of the true-kNN edges the bucketing
+    * missed (GraphAnnSpec measures mean neighbor cosine strictly rising),
+    * which is the cheapest recall lift available to [[searchMany]]:
+    * better edges beat a wider beam.
+    */
+  def refineNearEdges(
+      emb: DataFrame, idCol: String, vecCol: String, near: DataFrame,
+      m: Int, iters: Int, scoreScale: Int = 6): DataFrame = {
+    require(m > 0 && iters >= 0, s"bad refine config m=$m iters=$iters")
+    val vecs = emb.select(col(idCol).cast("long").as("__vid"),
+      VectorFunctions.asFloatArray(col(vecCol)).as("__v"))
+    val w = Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst").asc)
+    var g = near.select(col("src").cast("long"), col("dst").cast("long"))
+      .iterCheckpoint()
+    for (_ <- 1 to iters) {
+      val twoHop = g.as("a").join(g.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      val cand = g
+        .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+        .unionByName(twoHop)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      g = cand
+        .join(vecs.withColumnRenamed("__vid", "src"), "src")
+        .withColumnRenamed("__v", "__sv")
+        .join(vecs.withColumnRenamed("__vid", "dst"), "dst")
+        .withColumn("score",
+          round(VectorFunctions.cosine(col("__sv"), col("__v")), scoreScale))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= m)
+        .select(col("src"), col("dst"))
+        .iterCheckpoint()
+    }
+    g
   }
 
   /** Persist the neighbor graph as a [[graft.sources.SnapshotStore]] root

@@ -193,6 +193,25 @@ object IvfIndex {
       version: Option[Int] = None): DataFrame =
     graft.sources.SnapshotStore.read(spark, root, version)
 
+  /** Index-staleness probe — the drift alarm for frozen-centroid appends
+    * (the hook [[graft.streaming.StreamingVectorIndex]]'s contract names):
+    * one aggregate over `vecs` returning (n, mean/min member→centroid
+    * cosine at the [[assignCellScore]] arithmetic). A falling mean against
+    * the build-time baseline means the corpus distribution has moved off
+    * the frozen centroids — rebuild via [[buildStoreVersioned]]. One
+    * narrow codegen pass + a scalar aggregate: cheap enough to run on
+    * every append delta.
+    */
+  def assignQuality(
+      vecs: DataFrame, vecCol: String, index: Index): (Long, Double, Double) = {
+    val row = vecs
+      .select(assignCellScore(col(vecCol), index).getField("score").as("__s"))
+      .agg(count(lit(1)), avg(col("__s")), min(col("__s")))
+      .head()
+    if (row.getLong(0) == 0L) (0L, Double.NaN, Double.NaN)
+    else (row.getLong(0), row.getDouble(1), row.getDouble(2))
+  }
+
   /** IVF top-k over an int8 store: probe cells exactly like [[search]]
     * (float query against the float centroid metadata), dequantize on the
     * fly inside the probed cells only — the cell filter is applied BEFORE

@@ -83,6 +83,47 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(costFrac < 1.0, "beam search must not score the whole corpus")
   }
 
+  test("NN-descent refinement lifts edge quality and beam recall at a " +
+      "fixed degree budget") {
+    import graft.tools.RecallHarness
+    def meanEdgeCosine(g: org.apache.spark.sql.DataFrame): Double = {
+      val vecs = emb.select(col("vec_id").cast("long").as("src"),
+        col("embedding").as("sv"))
+      g.join(vecs, "src")
+        .join(emb.select(col("vec_id").cast("long").as("dst"),
+          col("embedding").as("dv")), "dst")
+        .agg(avg(round(graft.functions.VectorFunctions
+          .cosine(col("sv"), col("dv")), 6)))
+        .head().getDouble(0)
+    }
+    val g0 = GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 8)
+      .localCheckpoint()
+    val g1 = GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 8,
+      refineIters = 2).localCheckpoint()
+    val (q0, q1) = (meanEdgeCosine(g0), meanEdgeCosine(g1))
+    info(f"mean edge cosine: LSH-built $q0%.4f, NN-descent refined $q1%.4f")
+    assert(q1 > q0, "refinement must lift mean neighbor similarity")
+
+    val vecs = RecallHarness.collectVecs(emb).toMap
+    val vecsArr = RecallHarness.collectVecs(emb)
+    val seeds = GraphAnn.entryPoints(emb, "vec_id", nSeeds = 4)
+    def recallOf(adj: Map[Long, Array[Long]]): Double = {
+      val per = vecsArr.take(30).map { case (qid, qv) =>
+        val exact = vecsArr.filter(_._1 != qid).map { case (id, v) =>
+          (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
+        }.sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+        val r = GraphAnn.localBeam(vecs, adj, seeds, qv, Some(qid),
+          k = 10, beamWidth = 32, maxHops = 12, expandPerHop = 4)
+        (exact intersect r.hits.map(_._1).toSet).size.toDouble / 10
+      }
+      per.sum / per.length
+    }
+    val (r0, r1) = (recallOf(GraphAnn.collectAdjacency(g0)),
+      recallOf(GraphAnn.collectAdjacency(g1)))
+    info(f"beam recall@10 (m=8, beam=32): LSH graph $r0%.4f, refined $r1%.4f")
+    assert(r1 >= r0, "refined graph must not lose beam recall")
+  }
+
   test("bucketed graph store: searchMany over the versioned layout equals " +
       "the in-memory graph, and the bucket predicate prunes partitions") {
     val graph = GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 8)

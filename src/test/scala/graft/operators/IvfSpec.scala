@@ -216,4 +216,20 @@ class IvfSpec extends AnyFunSuite {
       assert(r.getDouble(2) === best._1, s"vec $id score")
     }
   }
+
+  test("assignQuality: the staleness probe falls when the corpus moves " +
+      "off the frozen centroids, and handles the empty delta") {
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val (n1, mean1, min1) = IvfIndex.assignQuality(emb, "embedding", idx)
+    assert(n1 == emb.count() && mean1 >= min1)
+    // synthetic distribution shift: negate every vector — each row's best
+    // centroid cosine flips sign, so the mean MUST fall hard
+    val drifted = emb.withColumn("neg",
+      org.apache.spark.sql.functions.transform(col("embedding"), x => -x))
+    val (_, mean2, _) = IvfIndex.assignQuality(drifted, "neg", idx)
+    info(f"assign quality: baseline mean $mean1%.4f, drifted mean $mean2%.4f")
+    assert(mean2 < mean1, "drifted corpus must score below the baseline")
+    val (n0, m0, _) = IvfIndex.assignQuality(emb.limit(0), "embedding", idx)
+    assert(n0 == 0L && m0.isNaN)
+  }
 }
