@@ -458,10 +458,12 @@ object Bench {
     lastStorePath = Some(storePath) // root is deleted by main after all entries
   }
 
-  /** The same 4-batch drive with survivor band rows buffered
-    * (localCheckpoint) and ONE store flush at the end — the
-    * `commitEveryN = 4` trigger path. Batches dedup against store ∪
-    * pending exactly as [[graft.streaming.StreamingDedup.run]] does.
+  /** The same 4-batch drive with survivor band rows buffered and ONE
+    * store flush at the end — the `commitEveryN = 4` trigger path,
+    * executed through [[graft.streaming.StreamingDedup.processBatchDeferred]]
+    * and [[graft.streaming.StreamingDedup.flushPending]] — the EXACT
+    * helpers `run()` drives, so the measured delta vs the per-batch entry
+    * is production's commit-overhead saving, not a reimplementation's.
     */
   private def streamingDedup4BatchesBatchedCommit(
       spark: SparkSession, sfDir: String, root: java.nio.file.Path): Unit = {
@@ -473,25 +475,11 @@ object Bench {
     val pending = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.DataFrame]
     (0 until 4).foreach { b =>
-      val batch = docs.filter(col("doc_id") % 4 === b)
-      val committed = graft.streaming.StreamingDedup.readStore(
-        spark, storePath, excludeBatchId = Some(b.toLong))
-      val store = pending.foldLeft(committed)((s, p) =>
-        s.unionByName(p.drop("batch_id")))
-      val (survivors, survivorRows) = graft.streaming.StreamingDedup
-        .processBatch(batch, store, "doc_id", "text")
-      survivors.withColumn("batch_id", lit(b.toLong))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(outPath)
-      pending += survivorRows.withColumn("batch_id", lit(b.toLong))
-        .localCheckpoint()
+      graft.streaming.StreamingDedup.processBatchDeferred(
+        spark, docs.filter(col("doc_id") % 4 === b), b.toLong,
+        storePath, outPath, "doc_id", "text", minEstJaccard = 0.8, pending)
     }
-    pending.reduce(_.unionByName(_))
-      .repartition(col("band_bucket"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "band_bucket").parquet(storePath)
+    graft.streaming.StreamingDedup.flushPending(pending, storePath)
   }
 
   /** A 2-doc re-ingest trigger against the accumulated store: measures the

@@ -251,8 +251,8 @@ object GraphAnn {
     val seedCand = q.select(col("__qid"))
       .withColumn("id", explode(typedLit(seeds)))
     var beam = score(seedCand)
-      .withColumn("expanded", lit(false)).iterCheckpoint()
-    var visited = seedCand.iterCheckpoint()
+      .withColumn("expanded", lit(false)).iterCheckpoint(false)
+    var visited = seedCand.iterCheckpoint(false)
 
     val beamW = Window.partitionBy(col("__qid"))
       .orderBy(col("score").desc, col("id").asc)
@@ -260,14 +260,17 @@ object GraphAnn {
     var frontierRows = beam.filter(!col("expanded")).count()
     while (hop < maxHops && frontierRows > 0) {
       val unexp = beam.filter(!col("expanded"))
-      // pinned: reused for the adjacency lookup AND the expanded-mark
-      // join against `beam` (breaking lineage also avoids the ambiguous
-      // self-join trap — frontier is a filter of beam)
+      // pinned LAZILY: the checkpoint node breaks lineage at analysis
+      // time (which is what defuses the ambiguous filter-of-self join
+      // against `beam`), while materialization folds into this hop's one
+      // real job — the beam pin below — instead of costing its own job;
+      // the hop loop is driver-latency-bound locally, so job count IS
+      // the entry's cost
       val frontier = (
         if (expandPerHop <= 0) unexp
         else unexp.withColumn("__fr", row_number().over(beamW))
           .filter(col("__fr") <= expandPerHop).drop("__fr")
-      ).iterCheckpoint()
+      ).iterCheckpoint(false)
       // with a bucketed store: restrict the edge scan to the frontier's
       // buckets first — a literal partition predicate (bounded driver
       // image, ≤ nBuckets ints per hop), the actual match stays the join
@@ -295,8 +298,11 @@ object GraphAnn {
         .withColumn("__rn", row_number().over(beamW))
         .filter(col("__rn") <= beamWidth)
         .drop("__rn")
-        .iterCheckpoint()
-      visited = visited.unionByName(nbrs).iterCheckpoint()
+        .iterCheckpoint(false)
+      visited = visited.unionByName(nbrs).iterCheckpoint(false)
+      // the loop-control count is the hop's ONE materializing action —
+      // it computes the (lazy) beam pin; the visited pin computes inside
+      // the next hop's first job
       frontierRows = beam.filter(!col("expanded")).count()
       hop += 1
     }
@@ -307,7 +313,9 @@ object GraphAnn {
   }
 
   /** Result of one [[localBeam]] search: ranked (id, score) plus the
-    * evaluation count (distinct nodes scored — the probe cost).
+    * evaluation count (distinct nodes actually SCORED — the probe cost;
+    * the excluded query id and adjacency targets absent from the audit
+    * sample enter `visited` but cost nothing and are not counted).
     */
   final case class BeamResult(hits: Seq[(Long, Double)], scored: Int, hops: Int)
 
@@ -333,8 +341,10 @@ object GraphAnn {
     }
     val visited = scala.collection.mutable.Set.empty[Long]
     visited ++= seeds
-    var beam = seeds.filterNot(excludeId.contains)
-      .map(id => (id, sc(id))).sorted(ord).take(beamWidth)
+    val seedScored = seeds.filterNot(excludeId.contains)
+      .filter(vecs.contains).map(id => (id, sc(id)))
+    var scoredCount = seedScored.length
+    var beam = seedScored.sorted(ord).take(beamWidth)
     var expanded = Set.empty[Long]
     var hop = 0
     var frontier = beam.map(_._1).filterNot(expanded)
@@ -346,12 +356,13 @@ object GraphAnn {
       visited ++= nbrs
       val fresh = nbrs.filterNot(excludeId.contains)
         .filter(vecs.contains).map(id => (id, sc(id)))
+      scoredCount += fresh.length
       expanded ++= batch
       beam = (beam ++ fresh).sorted(ord).take(beamWidth)
       frontier = beam.map(_._1).filterNot(expanded)
       hop += 1
     }
-    BeamResult(beam.take(k), visited.size, hop)
+    BeamResult(beam.take(k), scoredCount, hop)
   }
 
   /** Collect a (bounded) graph into an adjacency map for [[localBeam]] —

@@ -140,6 +140,18 @@ object SnapshotStore {
     v.map(readManifest(fsOf(spark, root), root, _)).getOrElse(Seq.empty)
   }
 
+  /** The distinct data dirs referenced by ANY retained manifest — the
+    * idempotence surface for tag-based replay guards: an `overwrite`
+    * (rebuild) rewrites the CURRENT manifest to one new dir, but the
+    * tagged delta dirs stay visible here as long as their manifests are
+    * retained. Callers gating replays on a tag must size
+    * [[expireSnapshots]]'s `keepLast` to cover their replay horizon.
+    */
+  def allCommittedDirs(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    versions(spark, root).flatMap(v => readManifest(fs, root, v)).distinct
+  }
+
   /** Replace the snapshot's CONTENT in one commit: a new data dir holding
     * exactly `df`, published as a manifest that references only it — the
     * versioned twin of an overwrite write (and the primitive a changelog
@@ -161,11 +173,19 @@ object SnapshotStore {
 
   /** One immutable data dir, hive-partitioned when `partitionBy` is set so
     * partition-column predicates prune directories inside every snapshot.
+    *
+    * Empty-input guard: a PARTITIONED write of zero rows emits no parquet
+    * files at all (only _SUCCESS), and a file-less dir poisons every later
+    * [[read]] ("unable to infer schema") — an empty append would brick the
+    * store. Zero-row frames therefore write non-partitioned: the single
+    * empty file carries the full schema (partition columns as ordinary
+    * columns), reads back as zero rows, and unions cleanly.
     */
   private def writeDataDir(
       df: DataFrame, dir: Path, partitionBy: Seq[String]): Unit = {
+    val parts = if (partitionBy.nonEmpty && df.isEmpty) Seq.empty else partitionBy
     val w = df.write.mode("errorifexists")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(dir.toString)
   }
 
@@ -185,10 +205,24 @@ object SnapshotStore {
     val next = base + 1
     val newDir = s"$DataDir/s$next-${java.util.UUID.randomUUID().toString.take(8)}"
     val compacted = read(spark, root, Some(base)) match {
-      // repartition by the partition columns so each hive leaf of the
-      // rewritten dir lands ≈nFiles files instead of one per input task
+      // fan each hive leaf across ≈nFiles writer tasks: shuffling on the
+      // partition columns ALONE would funnel every leaf through a single
+      // task (one file per leaf, nFiles dead, and the whole-table
+      // single-task scale-killer at nFiles=1) — so add a CONTENT-DERIVED
+      // salt, pmod(hash(all columns), nFiles). A row-position salt would
+      // be a nondeterministic shuffle key (silent row loss/dup on
+      // fetch-failure recompute — the SkewJoin lesson); the content hash
+      // is recompute-stable.
       case df if partitionBy.nonEmpty =>
-        df.repartition(nFiles, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+        val salt = pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(nFiles))
+        // EXPLICIT partition count: an unsized repartition(cols…) is an
+        // AQE coalescing target — tiny leaves get merged back into one
+        // task and the fanout silently collapses to 1 file per leaf
+        val numLeaves = math.max(1L,
+          df.select(partitionBy.map(col): _*).distinct().count())
+        val numParts = math.min(numLeaves * nFiles, 100000L).toInt
+        df.repartition(numParts, partitionBy.map(col) :+ salt: _*)
       case df => df.repartition(nFiles)
     }
     writeDataDir(compacted, new Path(root, newDir), partitionBy)
@@ -212,9 +246,26 @@ object SnapshotStore {
     // its own hive-partitioned root (data/sN-x/organization_id=y/...), and
     // a multi-path read would refuse the "conflicting" structures. Filters
     // push through the Union into every child scan, so partition-column
-    // predicates still prune directories per snapshot dir; a schema
+    // predicates still prune directories per snapshot dir; a column-SET
     // mismatch between dirs fails loudly in unionByName.
-    dirs.map(d => spark.read.parquet(d)).reduce(_.unionByName(_))
+    val dfs = dirs.map(d => spark.read.parquet(d))
+    // partition-column TYPES are inferred per dir, so one delta whose
+    // values happen to look numeric infers INT while its siblings infer
+    // STRING — a same-table union must not fail (or silently coerce
+    // '0123' -> 123) on that artifact. Only on an actual conflict, cast
+    // the column to STRING in every dir: no behavior change for stores
+    // whose dirs agree.
+    val conflicted = dfs.flatMap(_.schema.fields).groupBy(_.name).collect {
+      case (name, fields) if fields.map(_.dataType).distinct.size > 1 => name
+    }.toSet
+    val normalized =
+      if (conflicted.isEmpty) dfs
+      else dfs.map(df => conflicted.foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c))
+          d.withColumn(c, org.apache.spark.sql.functions.col(c).cast("string"))
+        else d
+      })
+    normalized.reduce(_.unionByName(_))
   }
 
   /** Retire history: keep the newest `keepLast` manifests, delete older

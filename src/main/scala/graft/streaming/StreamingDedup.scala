@@ -176,7 +176,8 @@ object StreamingDedup {
     * partitions) and the recovery path rebuilds any signatures a crash
     * kept out of the store: survivors land in `outPath` per batch WITH
     * their text, signatures are deterministic, so
-    * [[recoverPendingSignatures]] (run at every start when N > 1)
+    * [[recoverPendingSignatures]] (run at EVERY start, whatever this
+    * run's N — a prior N>1 run may have left the window open)
     * recomputes exactly the missing partitions from the survivor docs.
     */
   def run(
@@ -185,45 +186,67 @@ object StreamingDedup {
       minEstJaccard: Double = 0.8,
       commitEveryN: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
     require(commitEveryN >= 1, s"commitEveryN must be >= 1, got $commitEveryN")
-    if (commitEveryN > 1)
-      recoverPendingSignatures(spark, storePath, outPath, idCol, textCol)
+    // recovery runs UNCONDITIONALLY: a previous N>1 run may have stopped
+    // mid-window (survivors published, signatures pending) — restarting
+    // with the default N=1 must still rebuild those store partitions, or
+    // every future near-dup of the window's survivors re-enters the corpus
+    recoverPendingSignatures(spark, storePath, outPath, idCol, textCol)
     // pending survivor band rows not yet flushed to the store, each stamped
     // with its batch_id; driver-held but bounded (N-1 batches of survivor
     // signatures, localCheckpointed so they neither recompute nor pin the
     // store-read lineage)
     val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def flushPending(): Unit = if (pending.nonEmpty) {
-      // one shuffle of the (small) survivor band rows so each band_bucket
-      // leaf gets a single file instead of one per task — the store is
-      // read every batch; its file count is the read cost
-      pending.reduce(_.unionByName(_))
-        .repartition(col("band_bucket"))
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "band_bucket").parquet(storePath)
-      pending.clear()
-    }
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val committed = readStore(spark, storePath, excludeBatchId = Some(batchId))
-        // a batch must see the signatures of every PRIOR batch, flushed or
-        // not — union the pending rows (filter pushdown still reaches the
-        // parquet side of the union for bucket pruning)
-        val store = pending.foldLeft(committed)((s, p) =>
-          s.unionByName(p.drop("batch_id")))
-        val (survivors, survivorRows) = processBatch(
-          batch, store, idCol, textCol, minEstJaccard)
-        survivors.withColumn("batch_id", lit(batchId))
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(outPath)
-        pending += survivorRows.withColumn("batch_id", lit(batchId))
-          .localCheckpoint()
-        if (pending.size >= commitEveryN) flushPending()
+        processBatchDeferred(spark, batch, batchId, storePath, outPath,
+          idCol, textCol, minEstJaccard, pending)
+        if (pending.size >= commitEveryN) flushPending(pending, storePath)
         ()
       }
       .start()
+  }
+
+  /** One micro-batch of the deferred-commit loop: dedup `batch` against
+    * store ∪ `pending` (a batch must see every PRIOR batch's signatures,
+    * flushed or not — filter pushdown still reaches the parquet side of
+    * the union for bucket pruning), publish survivors to their `outPath`
+    * batch partition, and buffer the survivor band rows into `pending`.
+    * Shared verbatim by [[run]] and the bench's batched-commit entry so
+    * the benchmark measures EXACTLY the production algorithm.
+    */
+  def processBatchDeferred(
+      spark: SparkSession, batch: DataFrame, batchId: Long,
+      storePath: String, outPath: String, idCol: String, textCol: String,
+      minEstJaccard: Double,
+      pending: scala.collection.mutable.ArrayBuffer[DataFrame]): Unit = {
+    val committed = readStore(spark, storePath, excludeBatchId = Some(batchId))
+    val store = pending.foldLeft(committed)((s, p) =>
+      s.unionByName(p.drop("batch_id")))
+    val (survivors, survivorRows) = processBatch(
+      batch, store, idCol, textCol, minEstJaccard)
+    survivors.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outPath)
+    pending += survivorRows.withColumn("batch_id", lit(batchId))
+      .localCheckpoint()
+  }
+
+  /** Flush the buffered survivor band rows as ONE store write covering the
+    * window's batch partitions — one shuffle of the (small) band rows so
+    * each band_bucket leaf gets a single file instead of one per task (the
+    * store is read every batch; its file count is the read cost).
+    */
+  def flushPending(
+      pending: scala.collection.mutable.ArrayBuffer[DataFrame],
+      storePath: String): Unit = if (pending.nonEmpty) {
+    pending.reduce(_.unionByName(_))
+      .repartition(col("band_bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "band_bucket").parquet(storePath)
+    pending.clear()
   }
 
   /** Rebuild store partitions a deferred-commit crash lost: any `batch_id`

@@ -145,10 +145,16 @@ object StreamingMerge {
     }
   }
 
-  /** Fold the changelog into a NEW base snapshot version and clear it.
-    * Unlike [[compact]], concurrent readers need no care from the caller:
+  /** Fold the changelog into a NEW base snapshot version and clear the
+    * folded batches. Concurrent READERS need no care from the caller:
     * whatever version they resolved stays on disk until
-    * `SnapshotStore.expireSnapshots(storePath + "/base")`. Returns the
+    * `SnapshotStore.expireSnapshots(storePath + "/base")`. Concurrent
+    * WRITERS keep [[compact]]'s contract — pause the append stream for
+    * the fold — but the blast radius of violating it is bounded: the
+    * batch ids present at entry are CAPTURED first, only those rows are
+    * folded, and only those `batch_id=` partitions are deleted, so a
+    * batch that lands mid-fold survives in the changelog and folds next
+    * time (instead of being deleted unfolded — silent loss). Returns the
     * committed base version, or None when there was nothing to fold.
     */
   def compactVersioned(
@@ -157,11 +163,38 @@ object StreamingMerge {
     val logPath = new org.apache.hadoop.fs.Path(s"$storePath/changelog")
     val f = fs(spark, storePath)
     if (!f.exists(logPath)) return None
-    val resolved = currentStateVersioned(spark, storePath, keys, versionCol, opCol)
-    val v = graft.sources.SnapshotStore.overwrite(
-      spark, s"$storePath/base", resolved)
-    // only after the commit — a crash here re-folds idempotently
-    f.delete(logPath, true)
+    // capture the fold set ONCE; everything below references exactly it
+    val foldIds = spark.read.parquet(logPath.toString)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (foldIds.isEmpty) return None
+    val baseRoot = s"$storePath/base"
+    val base =
+      if (graft.sources.SnapshotStore.versions(spark, baseRoot).nonEmpty)
+        Some(graft.sources.SnapshotStore.read(spark, baseRoot))
+      else None
+    val log = spark.read.parquet(logPath.toString)
+      .filter(col("batch_id").cast("long").isin(foldIds: _*))
+      .drop("batch_id")
+    val resolved = base match {
+      case Some(b) => Merge.applyChanges(b, log, keys, versionCol, opCol)
+      case None =>
+        val data = log.drop(versionCol, opCol)
+        Merge.applyChanges(data.limit(0), log, keys, versionCol, opCol)
+    }
+    val v = graft.sources.SnapshotStore.overwrite(spark, baseRoot, resolved)
+    // only after the commit — a crash here re-folds idempotently; delete
+    // ONLY the folded partitions (directory names are the long values the
+    // cast above parsed, so the round-trip is exact)
+    foldIds.foreach { id =>
+      f.delete(new org.apache.hadoop.fs.Path(logPath, s"batch_id=$id"), true)
+    }
+    // retire the changelog root only when nothing remains (a mid-fold
+    // append keeps it alive); a root holding only _SUCCESS would poison
+    // the next read's schema inference
+    val leftover = f.listStatus(logPath).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    if (!leftover) f.delete(logPath, true)
     Some(v)
   }
 

@@ -40,8 +40,14 @@ object StreamingVectorIndex {
       spark: SparkSession, batch: DataFrame, batchId: Long,
       storeRoot: String, index: IvfIndex.Index, vecCol: String): Option[Int] = {
     val tag = s"b$batchId"
+    // scan EVERY retained manifest, not just the current one: a rebuild
+    // (buildStoreVersioned = overwrite) rewrites the current manifest to a
+    // single untagged dir, but the batch's tagged delta stays visible in
+    // the retained history — otherwise a replay straddling a rebuild
+    // would double-insert vectors the rebuild already folded in. Operate
+    // expireSnapshots with keepLast covering the checkpoint replay horizon.
     val already = graft.sources.SnapshotStore
-      .committedDirs(spark, storeRoot)
+      .allCommittedDirs(spark, storeRoot)
       .exists(_.contains(s"-$tag-"))
     if (already || batch.isEmpty) None
     else Some(IvfIndex.appendToStore(

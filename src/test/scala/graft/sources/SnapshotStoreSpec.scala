@@ -89,4 +89,56 @@ class SnapshotStoreSpec extends AnyFunSuite {
       SnapshotStore.read(spark, root, Some(1))
     }
   }
+
+  test("an EMPTY partitioned append must not brick the store: later reads " +
+      "of every version keep working") {
+    val root = freshRoot()
+    val rows = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "part", "v")
+    SnapshotStore.append(spark, root, rows, partitionBy = Seq("part"))
+    // the empty-delta tick (e.g. an ingest with no new chunks): a
+    // partitioned write of zero rows emits no parquet files — the store
+    // must still read at this and every later version
+    SnapshotStore.append(spark, root, rows.limit(0), partitionBy = Seq("part"))
+    val v3 = SnapshotStore.append(spark, root,
+      Seq((3L, "a", "z")).toDF("id", "part", "v"), partitionBy = Seq("part"))
+    assert(v3 == 3)
+    assert(SnapshotStore.read(spark, root).count() == 3)
+    assert(SnapshotStore.read(spark, root, Some(2)).count() == 2)
+    // partition pruning still works across the mixed dirs
+    assert(SnapshotStore.read(spark, root)
+      .filter(org.apache.spark.sql.functions.col("part") === "a").count() == 2)
+  }
+
+  test("partitioned compact fans each leaf across ~nFiles files instead " +
+      "of funneling the table through one task") {
+    val root = freshRoot()
+    val rows = spark.range(400)
+      .selectExpr("id", "CAST(id % 2 AS STRING) AS part", "CAST(id AS STRING) AS v")
+    SnapshotStore.append(spark, root, rows, partitionBy = Seq("part"))
+    SnapshotStore.compact(spark, root, nFiles = 4, partitionBy = Seq("part"))
+    val dataRoot = new java.io.File(s"$root/data")
+    val compactedDir = dataRoot.listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("s2-")).head
+    val leaf = new java.io.File(compactedDir, "part=0")
+    val files = leaf.listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files > 1 && files <= 4,
+      s"expected 2..4 files in the leaf (content-salted fanout), got $files")
+    assert(SnapshotStore.read(spark, root).count() == 400)
+  }
+
+  test("partition-column type conflicts between dirs normalize to string " +
+      "instead of failing the union") {
+    val root = freshRoot()
+    // dir 1: a non-numeric partition value infers STRING
+    SnapshotStore.append(spark, root,
+      Seq((1L, "acme", "x")).toDF("id", "part", "v"), partitionBy = Seq("part"))
+    // dir 2: a numeric-looking value would infer INT on its own
+    SnapshotStore.append(spark, root,
+      Seq((2L, "123", "y")).toDF("id", "part", "v"), partitionBy = Seq("part"))
+    val df = SnapshotStore.read(spark, root)
+    assert(df.schema("part").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(df.select("part").collect().map(_.getString(0)).toSet ==
+      Set("acme", "123"))
+  }
 }

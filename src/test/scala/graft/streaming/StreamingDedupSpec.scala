@@ -265,4 +265,42 @@ class StreamingDedupSpec extends AnyFunSuite {
       minEstJaccard = 0.5)
     assert(s2.count() == 0)
   }
+
+  test("run() recovers a prior N>1 run's pending window even when " +
+      "restarted with the default commitEveryN = 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup-n1rec")
+    val (store, out) = (s"$dir/store", s"$dir/out")
+    // simulate the crash state a commitEveryN>1 run leaves: survivors
+    // published to outPath, signatures never flushed (no store at all)
+    // the prior run's window is stamped with ITS batch id (5 — a
+    // mid-stream id; the restarted stream shares the store, and the
+    // per-batch replay exclusion only ever targets the CURRENT batch id)
+    val (s0, _) = StreamingDedup.processBatch(
+      Seq((1L, base)).toDF("doc_id", "text"),
+      StreamingDedup.readStore(spark, store), "doc_id", "text",
+      minEstJaccard = 0.5)
+    s0.withColumn("batch_id", lit(5L)).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").mode("overwrite").parquet(out)
+    assert(!new java.io.File(store).exists())
+    // restart with the DEFAULT N=1: recovery must run anyway, so the
+    // first new batch already dedups against batch 0's survivors
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.run(spark,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      store, out, s"$dir/ckpt", minEstJaccard = 0.5)
+    try {
+      assert(new java.io.File(store).exists(),
+        "run() start must rebuild the lost store partition")
+      input.addData((7L, nearDup(base) + " tail"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(out)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(landed == Set(1L),
+      "the near-dup must drop against the RECOVERED signatures")
+  }
 }

@@ -53,6 +53,24 @@ class StreamingVectorIndexSpec extends AnyFunSuite {
     assert(got == mono, "streamed store must search like the one-shot store")
   }
 
+  test("replay straddling a rebuild: the tag survives in retained " +
+      "manifests, so the replayed batch stays a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-svi-rb").toString
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 8)
+    val b0 = emb.filter(col("vec_id") < 100)
+    assert(StreamingVectorIndex.processBatch(spark, b0, 0L, root, idx, "embedding")
+      .contains(1))
+    // staleness-driven rebuild folds everything into one untagged dir —
+    // the CURRENT manifest no longer carries '-b0-'
+    IvfIndex.buildStoreVersioned(spark, root,
+      emb.filter(col("vec_id") < 100), "embedding", idx)
+    assert(IvfIndex.readStoreVersioned(spark, root).count() == 100)
+    // the epoch replay after the rebuild must NOT double-insert
+    assert(StreamingVectorIndex.processBatch(spark, b0, 0L, root, idx, "embedding")
+      .isEmpty, "replay after a rebuild must see the retained tag")
+    assert(IvfIndex.readStoreVersioned(spark, root).count() == 100)
+  }
+
   test("MemoryStream end-to-end: micro-batches land as delta versions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
