@@ -158,6 +158,95 @@ object GraphAnn {
     g
   }
 
+  /** Incremental node insertion — the HNSW-insert shape (reference: the
+    * continuous upsert path behind vectordb.go:117-193, which inserts
+    * points into a live graph index): each NEW node finds its top-m
+    * neighbors by running the existing graph's OWN batch beam search
+    * ([[searchMany]] with the new vectors as the query batch — delta-sized
+    * work, never a rebuild), links both directions, and chains to its
+    * predecessor in (md5(id), id) order so a batch of new nodes stays
+    * connected even where beam links are weak. Back-edges onto existing
+    * nodes are then DEGREE-PRUNED: any src whose out-degree exceeds
+    * `maxDegree` keeps its top-`maxDegree` edges by exact cosine — the
+    * HNSW neighbor-list shrink, bounded to the touched nodes.
+    *
+    * Returns the updated edge list. Determinism: searchMany, the chain
+    * order and the prune ranking are all (round-6 score, id)-ordered, so
+    * the grown graph is replayable. Staleness contract: repeated appends
+    * preserve navigability (the chain + pruned near edges), but the skip
+    * ring is NOT extended (ring positions are a build-time total order) —
+    * after the corpus grows several-fold, rebuild via [[buildGraph]]; the
+    * GraphAnnSpec drift gate measures the appended graph's beam recall
+    * against a fresh rebuild.
+    */
+  def appendNodes(
+      graph: DataFrame, corpus: DataFrame, newVecs: DataFrame,
+      idCol: String, vecCol: String,
+      m: Int = 12, maxDegree: Int = 48, beamWidth: Int = 24,
+      maxHops: Int = 12, nSeeds: Int = 4, expandPerHop: Int = 0,
+      scoreScale: Int = 6): DataFrame = {
+    require(m > 0 && maxDegree >= m, s"need maxDegree >= m > 0, got $maxDegree/$m")
+    val g = graph.select(col("src").cast("long"), col("dst").cast("long"))
+    // 1) each new node's top-m neighbors among the EXISTING corpus, found
+    //    by the graph's own search (delta-sized: one batch traversal)
+    val queries = newVecs.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).as("qv"))
+    val nn = searchMany(g, corpus, queries, "q_id", "qv", idCol, vecCol,
+      k = m, beamWidth = beamWidth, maxHops = maxHops, nSeeds = nSeeds,
+      expandPerHop = expandPerHop, scoreScale = scoreScale)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    // 2) intra-batch chain in (md5(id), id) order — connectivity insurance
+    //    for the batch itself (new nodes may be each other's best links)
+    val ordered = ScaleOps.globalRowNumber(
+      newVecs.select(col(idCol).cast("long").as("id"),
+        md5(col(idCol).cast("string")).as("__d")),
+      Seq(col("__d"), col("id")), as = "rn")
+      .select(col("id"), col("rn")).localCheckpoint()
+    val chain = ordered.as("a")
+      .join(ordered.select((col("rn") - 1).as("rn"), col("id").as("dst")), "rn")
+      .select(col("a.id").as("src"), col("dst"))
+    val newEdges = nn
+      .unionByName(nn.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(chain)
+      .unionByName(chain.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+    val grown = g.unionByName(newEdges).distinct().localCheckpoint()
+    // 3) degree prune, bounded to the srcs the append touched: re-rank
+    //    their edge lists by exact cosine and keep top-maxDegree
+    val touched = newEdges.select("src").distinct()
+    val all = corpus.select(col(idCol).cast("long").as("__vid"),
+        VectorFunctions.asFloatArray(col(vecCol)).as("__v"))
+      .unionByName(newVecs.select(col(idCol).cast("long").as("__vid"),
+        VectorFunctions.asFloatArray(col(vecCol)).as("__v")))
+    val touchedEdges = grown.join(touched, "src")
+    val w = Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst").asc)
+    val pruned = touchedEdges
+      .join(all.withColumnRenamed("__vid", "src"), "src")
+      .withColumnRenamed("__v", "__sv")
+      .join(all.withColumnRenamed("__vid", "dst"), "dst")
+      .withColumn("score",
+        round(VectorFunctions.cosine(col("__sv"), col("__v")), scoreScale))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxDegree)
+      .select(col("src"), col("dst"))
+    grown.join(touched, Seq("src"), "left_anti").unionByName(pruned)
+  }
+
+  /** [[appendNodes]] against a versioned store: read the current graph,
+    * grow it with the delta, publish the result as a NEW snapshot version
+    * (degree pruning rewrites touched nodes' lists, so the commit is an
+    * overwrite, not an append — readers pinned to the old version are
+    * untouched until expire). Returns the committed version.
+    */
+  def appendNodesToStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      corpus: DataFrame, newVecs: DataFrame, idCol: String, vecCol: String,
+      m: Int = 12, maxDegree: Int = 48, nBuckets: Int = 64): Int = {
+    val g = readGraphStore(spark, root).select(col("src"), col("dst"))
+    writeGraphStore(spark, root,
+      appendNodes(g, corpus, newVecs, idCol, vecCol, m, maxDegree), nBuckets)
+  }
+
   /** Persist the neighbor graph as a [[graft.sources.SnapshotStore]] root
     * partitioned by `src_bucket = pmod(src, nBuckets)` — the serving
     * layout: a hop's adjacency lookup reads only the frontier's buckets

