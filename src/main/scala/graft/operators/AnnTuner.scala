@@ -46,17 +46,25 @@ object AnnTuner {
     }
   }
 
-  /** Measure the IVF grid (delegating to [[IvfIndex.tuneForRecall]]) and a
-    * [[GraphAnn]] (m, beamWidth) grid on the same query sample, and pick
-    * the cheapest point with recall ≥ `targetRecall`. Ties break to the
-    * smaller config string — deterministic output for a deterministic
-    * corpus.
+  /** Measure the IVF grid (delegating to [[IvfIndex.tuneForRecall]]), a
+    * [[GraphAnn]] (m, beamWidth) grid, and a PQ two-stage-rerank shortlist
+    * ladder on the same query sample, and pick the cheapest point with
+    * recall ≥ `targetRecall`. PQ cost on the shared axis is honest about
+    * BOTH stages: the full codes pass costs m/(4·dim) float-equivalents
+    * (m bytes vs 4·dim float bytes per row) plus the r/N float fetch of
+    * the re-rank — on locality-free corpora this is usually the winning
+    * tier, on clustered corpora the pruning tiers overtake it, and the
+    * tuner is what tells a deployment which regime it is in. Ties break
+    * to the smaller config string — deterministic output for a
+    * deterministic corpus. Pass an empty grid to skip a family.
     */
   def tune(
       corpus: DataFrame, idCol: String, vecCol: String,
       targetRecall: Double, k: Int,
       nCellsGrid: Seq[Int] = Seq(8, 16, 32, 64),
       graphGrid: Seq[(Int, Int)] = Seq((12, 48), (16, 96)),
+      pqFracGrid: Seq[Double] = Seq(0.05, 0.10),
+      pqM: Int = 16, pqCodes: Int = 64, pqRefineIters: Int = 3,
       nQueries: Int = 30, refineIters: Int = 2, nSeeds: Int = 4,
       maxHops: Int = 24, expandPerHop: Int = 8): AnnTune = {
     require(targetRecall > 0 && targetRecall <= 1, s"bad target $targetRecall")
@@ -98,7 +106,28 @@ object AnnTuner {
         per.map(_._1).sum / per.length, per.map(_._2).sum / per.length)
     }
 
-    val curve = ivfPoints ++ graphPoints
+    val pqPoints =
+      if (pqFracGrid.isEmpty) Seq.empty
+      else {
+        // pqMeanRecall runs the REAL distributed searchRerank per query —
+        // the same shared-harness discipline as the other legs; it reads
+        // the (vec_id, embedding) shape, so normalize the caller's names
+        val pqCorpus = corpus.select(
+          col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+        val cb = PqIndex.refineCodebook(pqCorpus, "embedding",
+          PqIndex.codebookByDraw(pqCorpus, "vec_id", "embedding", pqM, pqCodes),
+          pqRefineIters)
+        val dim = vecsArr.head._2.length
+        val codesPass = pqM.toDouble / (4.0 * dim)
+        pqFracGrid.map { f =>
+          val r = math.max(k, math.ceil(f * (vecsArr.length - 1)).toInt)
+          val rec = graft.tools.RecallHarness.pqMeanRecall(
+            pqCorpus, cb, rerank = Some(r), nQueries = nQueries, k = k)
+          AnnPoint("pq-rerank", s"m=$pqM,rOverN=$f", rec, codesPass + f)
+        }
+      }
+
+    val curve = ivfPoints ++ graphPoints ++ pqPoints
     val best = curve.filter(_.recall >= targetRecall)
       .sortBy(p => (p.costFrac, p.config)).headOption
     AnnTune(best, curve)

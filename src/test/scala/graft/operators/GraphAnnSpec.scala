@@ -215,9 +215,11 @@ class GraphAnnSpec extends AnyFunSuite {
       "meeting the target is selected") {
     val tune = AnnTuner.tune(emb, "vec_id", "embedding",
       targetRecall = 0.90, k = 10,
-      nCellsGrid = Seq(16), graphGrid = Seq((12, 48)), nQueries = 20)
+      nCellsGrid = Seq(16), graphGrid = Seq((12, 48)),
+      pqFracGrid = Seq(0.10), nQueries = 20)
     assert(tune.curve.exists(_.method == "ivf"), "curve must carry IVF points")
     assert(tune.curve.exists(_.method == "graph"), "curve must carry graph points")
+    assert(tune.curve.exists(_.method == "pq-rerank"), "curve must carry PQ points")
     // nProbe = nCells probes everything -> recall 1.0, so a best always exists
     assert(tune.best.nonEmpty, "a full-probe IVF point guarantees a best")
     val best = tune.best.get
