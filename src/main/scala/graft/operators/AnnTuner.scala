@@ -123,7 +123,12 @@ object AnnTuner {
           val r = math.max(k, math.ceil(f * (vecsArr.length - 1)).toInt)
           val rec = graft.tools.RecallHarness.pqMeanRecall(
             pqCorpus, cb, rerank = Some(r), nQueries = nQueries, k = k)
-          AnnPoint("pq-rerank", s"m=$pqM,rOverN=$f", rec, codesPass + f)
+          // cost from the EFFECTIVE shortlist actually passed to
+          // searchRerank — when k dominates ceil(f·(N−1)) the nominal f
+          // understates the measured configuration and would mis-rank PQ
+          // against the IVF/graph points on the shared axis
+          val rFrac = r.toDouble / (vecsArr.length - 1)
+          AnnPoint("pq-rerank", s"m=$pqM,rOverN=$f", rec, codesPass + rFrac)
         }
       }
 

@@ -11,7 +11,7 @@ package graft.operators
   * transitions — hand-derived goldens in ComplexitySpec pin both.
   *
   * Reference anchor: the-hive has no sequence-complexity surface
-  * (internal/store/search.go stops at counts); this extends the engine's
+  * (internal/server/search_handler.go stops at counts); this extends the engine's
   * time-series battery beside permutation entropy (qbc) and sample
   * entropy (qcy).
   */

@@ -160,30 +160,197 @@ object IvfIndex {
   /** Build (or fully rebuild) the int8 IVF store as a snapshot commit:
     * [[quantizedStore]] written cell-partitioned under `root`. Returns the
     * committed version.
+    *
+    * `extraPartitionCols` adds secondary partition dimensions under the
+    * cell — most importantly the TENANT column (VERDICT r9 task 4;
+    * reference parity: the org filter is compiled into every vector
+    * search, internal/vectordb/vectordb.go:216-234): with
+    * `Seq("organization_id")`, a per-tenant search filters
+    * `(cell IN probes) AND org = x` and BOTH predicates prune directories,
+    * so small tenants get k rows at index cost instead of a post-filtered
+    * global top-k that leaks budget to other tenants' neighbors.
     */
   def buildStoreVersioned(
       spark: org.apache.spark.sql.SparkSession, root: String,
       corpus: DataFrame, vecCol: String, index: Index,
-      cellCol: String = "cell"): Int =
+      cellCol: String = "cell",
+      extraPartitionCols: Seq[String] = Seq.empty): Int =
     graft.sources.SnapshotStore.overwrite(
       spark, root, quantizedStore(corpus, vecCol, index, cellCol),
-      partitionBy = Seq(cellCol))
+      partitionBy = cellCol +: extraPartitionCols)
 
   /** Incrementally add `newVecs` to an existing store: quantize + assign
     * with the store's FROZEN centroids and commit one cell-partitioned
     * data dir (delta-sized work, optimistic-concurrency append — a racing
     * writer fails loudly, nothing interleaves). Returns the committed
     * version. Pass `expectedBase` to pin the version this delta was
-    * planned against.
+    * planned against. `extraPartitionCols` must match the build's.
     */
   def appendToStore(
       spark: org.apache.spark.sql.SparkSession, root: String,
       newVecs: DataFrame, vecCol: String, index: Index,
       cellCol: String = "cell", expectedBase: Option[Int] = None,
-      dirTag: Option[String] = None): Int =
+      dirTag: Option[String] = None,
+      extraPartitionCols: Seq[String] = Seq.empty): Int =
     graft.sources.SnapshotStore.append(
       spark, root, quantizedStore(newVecs, vecCol, index, cellCol),
-      expectedBase, partitionBy = Seq(cellCol), dirTag = dirTag)
+      expectedBase, partitionBy = cellCol +: extraPartitionCols,
+      dirTag = dirTag)
+
+  // ---- Id-level upsert / delete (round 10, VERDICT r9 task 2) ----------
+  // Reference parity: the vector sink is an UPSERT — re-ingesting a point
+  // with the same id REPLACES it (internal/vectordb/vectordb.go:117-193),
+  // points are deletable by id (:382-400) and purgeable by predicate
+  // (:488-591). Plain-parquet translation: logical deletes ride as
+  // TOMBSTONE rows (id + `__op = 'D'`, parked in the never-probed
+  // `cell = -1` partition so data scans stay pruned while every fold sees
+  // them), and "newer commit wins" is decided by the snapshot protocol's
+  // OWN dir versions — SnapshotStore.read(commitCol) stamps each row with
+  // the version its dir committed at, so no version column is stored.
+  // An upsert is ONE commit carrying both the tombstone (kills strictly
+  // older copies) and the replacement rows (same commit → survive).
+  // Tombstones hold ids only and fold physically at [[compactStore]];
+  // between compactions they are small by contract, so the fold is a
+  // broadcast anti-ish join, not a shuffle.
+
+  /** Marker column: 'U' data row, 'D' tombstone. Dirs written before the
+    * upsert era lack it and read as 'U' via absentDefaults.
+    */
+  private val OpCol = "__op"
+  private val CommitCol = "__commit"
+
+  /** Tombstone rows for `ids`, shaped to the store row type of `dataDf`:
+    * every column null except the id, `cellCol = -1`, `__op = 'D'`.
+    */
+  private def tombstonesLike(
+      dataDf: DataFrame, ids: DataFrame, idCol: String,
+      cellCol: String): DataFrame = {
+    val base = ids.select(col(idCol))
+    dataDf.schema.fields.foldLeft(base) { (d, f) =>
+      if (f.name == idCol) d
+      else if (f.name == cellCol) d.withColumn(f.name, lit(-1))
+      else if (f.name == OpCol) d.withColumn(f.name, lit("D"))
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(dataDf.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Upsert `newVecs` by id in ONE commit: a tombstone per incoming id
+    * (kills every strictly-older copy of that id, in whatever cell the old
+    * vector landed — an update can MOVE cells, so the kill must be
+    * cell-agnostic) plus the quantized replacement rows. Returns the
+    * committed version. Latest-wins reads via [[readStoreLatest]] /
+    * [[searchQuantizedLatest]]; pinned older versions still serve the old
+    * rows until expiry.
+    */
+  def upsertToStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      newVecs: DataFrame, idCol: String, vecCol: String, index: Index,
+      cellCol: String = "cell", expectedBase: Option[Int] = None,
+      dirTag: Option[String] = None): Int = {
+    val data = quantizedStore(newVecs, vecCol, index, cellCol)
+      .withColumn(OpCol, lit("U"))
+    val df = data.unionByName(
+      tombstonesLike(data, newVecs.select(col(idCol)), idCol, cellCol))
+    graft.sources.SnapshotStore.append(
+      spark, root, df, expectedBase, partitionBy = Seq(cellCol),
+      dirTag = dirTag)
+  }
+
+  /** Delete by id: one tombstone-only commit. A later [[upsertToStore]] of
+    * the same id resurrects it (newer commit wins); [[compactStore]] folds
+    * the tombstone away physically. Returns the committed version.
+    */
+  def deleteFromStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      ids: DataFrame, idCol: String, cellCol: String = "cell",
+      expectedBase: Option[Int] = None): Int = {
+    val shape = graft.sources.SnapshotStore
+      .read(spark, root, absentDefaults = Seq(OpCol -> lit("U")))
+      .limit(0)
+    graft.sources.SnapshotStore.append(
+      spark, root, tombstonesLike(shape, ids, idCol, cellCol),
+      expectedBase, partitionBy = Seq(cellCol))
+  }
+
+  /** Latest-wins tombstone fold over a commit-stamped read: a data row
+    * survives unless SOME tombstone for its id carries a STRICTLY newer
+    * commit (an upsert's same-commit replacement outlives its own
+    * tombstone). Tombstones are broadcast — small by the compaction
+    * contract.
+    */
+  private def foldTombstones(raw: DataFrame, idCol: String): DataFrame = {
+    val tombs = raw.filter(col(OpCol) === "D")
+      .groupBy(col(idCol)).agg(max(col(CommitCol)).as("__tv"))
+    raw.filter(col(OpCol) =!= "D")
+      .join(broadcast(tombs), Seq(idCol), "left")
+      .filter(col("__tv").isNull || col(CommitCol) >= col("__tv"))
+      .drop("__tv")
+  }
+
+  /** The store's LIVE rows at a version (default current): tombstones and
+    * superseded copies folded out, helper columns dropped. Time travel to
+    * a pinned version replays exactly that version's visible state.
+    */
+  def readStoreLatest(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      idCol: String, cellCol: String = "cell",
+      version: Option[Int] = None): DataFrame =
+    foldTombstones(
+      graft.sources.SnapshotStore.read(spark, root, version,
+        commitCol = Some(CommitCol),
+        absentDefaults = Seq(OpCol -> lit("U"))),
+      idCol)
+      .filter(col(cellCol) =!= -1)
+      .drop(CommitCol, OpCol)
+
+  /** [[searchQuantized]] over an upsert/delete store: probes read the
+    * probed cells PLUS the tombstone partition (`cell = -1`) — still one
+    * partition-pruning isin predicate — fold latest-wins, then score.
+    * A row whose id was upserted into an UNPROBED cell is correctly
+    * absent: its old copy is killed by the tombstone, its new copy lives
+    * in the cell that now matches its vector.
+    */
+  def searchQuantizedLatest(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      q8Col: String, scaleCol: String, queryVec: Array[Float], index: Index,
+      nProbe: Int, k: Int, idCol: String, cellCol: String = "cell",
+      version: Option[Int] = None, scoreScale: Option[Int] = Some(6),
+      tiebreak: Option[String] = None): DataFrame = {
+    val cells = probeCells(index, queryVec, nProbe) :+ -1
+    val raw = graft.sources.SnapshotStore.read(spark, root, version,
+        commitCol = Some(CommitCol),
+        absentDefaults = Seq(OpCol -> lit("U")))
+      .where(col(cellCol).isin(cells: _*))
+    val live = foldTombstones(raw, idCol)
+      .filter(col(cellCol) =!= -1)
+      .drop(CommitCol, OpCol)
+    VectorSearch.topK(
+      live.withColumn("__dv", VectorFunctions.int8Dequant(col(q8Col), col(scaleCol))),
+      "__dv", queryVec, k, scoreScale = scoreScale, tiebreak = tiebreak)
+      .drop("__dv")
+  }
+
+  /** Fold tombstones PHYSICALLY: rewrite the resolved live rows as one
+    * fresh cell-partitioned snapshot (tombstone rows and superseded copies
+    * do not survive into the new dir). This — not the generic
+    * `SnapshotStore.compact`, which would collapse every row onto one
+    * commit version and resurrect deleted ids — is the compaction path for
+    * upsert/delete stores. Returns the committed version.
+    */
+  def compactStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      idCol: String, cellCol: String = "cell",
+      expectedBase: Option[Int] = None): Int = {
+    // pin ONE version as both the read snapshot and the commit base — a
+    // commit interleaving this read-modify-write collides loudly instead
+    // of being silently folded over (the appendNodesToStore discipline)
+    val base = expectedBase.orElse(
+      graft.sources.SnapshotStore.currentVersion(spark, root))
+    val live = readStoreLatest(spark, root, idCol, cellCol, version = base)
+      .withColumn(OpCol, lit("U"))
+    graft.sources.SnapshotStore.overwrite(spark, root, live,
+      base, partitionBy = Seq(cellCol))
+  }
 
   /** Open the versioned store (latest or pinned version) for
     * [[searchQuantized]]. Cell predicates prune inside every snapshot dir.

@@ -33,7 +33,9 @@ object Timeline {
   def stats(chunks: DataFrame, documents: DataFrame): DataFrame = {
     val c = chunks.agg(count(lit(1)).as("n_chunks"))
     val d = documents.agg(count(lit(1)).as("n_documents"))
-    c.crossJoin(d)
+    // both sides are 1-row aggregates; pin the product as a broadcast
+    // nested loop so planner drift can never shuffle it
+    c.crossJoin(broadcast(d))
   }
 
   /** Usage metering (the engine-side of the reconstructed UsageStore):

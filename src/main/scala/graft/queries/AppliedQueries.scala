@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * DOUBLE)` guards on any ROUND whose argument can be a tiny negative.
   *
   * Reference anchor: the-hive's analytics surface stops at counts and
-  * rollups (internal/store/search.go, internal/server/stats.go); these
+  * rollups (internal/server/search_handler.go, internal/server/stats_handler.go); these
   * queries extend the engine's applied-analytics battery the same way
   * the earlier waves do — declaratively, over the driver fixtures,
   * oracle-exact, with every shuffle keyed and every scalar broadcast.

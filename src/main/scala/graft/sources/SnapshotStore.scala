@@ -42,6 +42,25 @@ object SnapshotStore {
 
   private val ManifestDir = "_manifests"
   private val DataDir = "data"
+  private val TagsDir = "_tags"
+
+  /** Manifest entries are root-relative paths that are either a whole data
+    * dir (`data/sN-tok`) or — since the partition-level replace commit
+    * ([[replacePartitions]]) — a single hive partition LEAF inside one
+    * (`data/sN-tok/col=value`). This maps any entry back to its data dir,
+    * the unit of immutability and garbage collection.
+    */
+  private def dataDirOf(entry: String): String =
+    entry.split('/').take(2).mkString("/")
+
+  /** The commit version a data dir (or leaf ref inside it) was written at,
+    * parsed from the protocol's own `s<N>-` prefix.
+    */
+  private[graft] def entryVersion(entry: String): Option[Int] = {
+    val name = entry.split('/').lift(1).getOrElse("")
+    if (name.startsWith("s")) name.drop(1).takeWhile(_ != '-').toIntOption
+    else None
+  }
 
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -128,7 +147,34 @@ object SnapshotStore {
     val newDir = s"$DataDir/s$next-$tag${java.util.UUID.randomUUID().toString.take(8)}"
     writeDataDir(df, new Path(root, newDir), partitionBy)
     commitManifest(fs, root, next, prevDirs :+ newDir)
+    dirTag.foreach(recordTag(fs, root, _))
     next
+  }
+
+  /** Durably record a committed dir tag in the `_tags` sidecar — NOT
+    * subject to [[expireSnapshots]], so a replay guard keyed on tags
+    * (the [[graft.streaming.StreamingVectorIndex]] exactly-once contract)
+    * survives manifest retirement inside the checkpoint replay horizon.
+    * Written AFTER the manifest commit: a crash in between narrows the
+    * guard back to the retained-manifest scan for that one tag.
+    */
+  private def recordTag(fs: FileSystem, root: String, tag: String): Unit = {
+    val dir = new Path(root, TagsDir)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val p = new Path(dir, tag)
+    try fs.create(p, false).close()
+    catch { case _: java.io.IOException => () } // already recorded — idempotent
+  }
+
+  /** Every dir tag durably recorded by a committed append — the durable
+    * half of the replay-guard surface (see [[allCommittedDirs]] for the
+    * manifest-scan half).
+    */
+  def committedTags(spark: SparkSession, root: String): Set[String] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, TagsDir)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).toSet
   }
 
   /** The data dirs (root-relative) the given — default current — committed
@@ -171,6 +217,68 @@ object SnapshotStore {
     next
   }
 
+  /** Replace ONLY the hive partitions of `partitionCol` that `df` carries,
+    * in one commit — the delta-sized alternative to [[overwrite]] for
+    * partition-local rewrites (VERDICT r9 task 1: the graph-ANN append
+    * rewrites touched `src_bucket` partitions; untouched partitions' files
+    * are never rewritten, only re-referenced). Mechanics:
+    *
+    *   - `df` is written as one new data dir partitioned by `partitionCol`
+    *     (immutable, like every commit);
+    *   - the new manifest references that dir PLUS, for every previous
+    *     entry, only the partition leaves whose `col=value` name the new
+    *     dir does NOT carry — so a replaced partition's old rows drop out
+    *     of the snapshot while their files stay on disk for pinned readers
+    *     until [[expireSnapshots]].
+    *
+    * Previous entries that are not hive-partitioned by `partitionCol`
+    * (e.g. the zero-row non-partitioned guard dir) are carried whole —
+    * they hold no rows of any replaced partition by construction. Same
+    * optimistic-concurrency contract as [[append]]; requires an existing
+    * snapshot (a first write is an [[overwrite]]).
+    */
+  def replacePartitions(spark: SparkSession, root: String, df: DataFrame,
+      partitionCol: String, expectedBase: Option[Int] = None,
+      dirTag: Option[String] = None): Int = {
+    dirTag.foreach(t => require(t.nonEmpty && t.forall(c =>
+      c.isLetterOrDigit || c == '_'), s"dirTag must be [A-Za-z0-9_]+, got '$t'"))
+    val fs = fsOf(spark, root)
+    val base = expectedBase.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(
+        s"replacePartitions needs an existing snapshot at $root — " +
+          "first write is an overwrite"))
+    val prev = readManifest(fs, root, base)
+    val next = base + 1
+    val tag = dirTag.fold("")(t => s"$t-")
+    val newDir = s"$DataDir/s$next-$tag${java.util.UUID.randomUUID().toString.take(8)}"
+    val newDirPath = new Path(root, newDir)
+    writeDataDir(df, newDirPath, Seq(partitionCol))
+    // the replaced partition set, read back from what was ACTUALLY written
+    // (exact hive dir-name formatting, no value-to-string guesswork)
+    val touched = fs.listStatus(newDirPath).toSeq.collect {
+      case s if s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol=") =>
+        s.getPath.getName
+    }.toSet
+    val survivors = prev.flatMap { entry =>
+      val parts = entry.split('/')
+      if (parts.length >= 3) {
+        // already a leaf ref: survives unless its partition was replaced
+        if (touched.contains(parts.last)) Seq.empty else Seq(entry)
+      } else {
+        val leaves = fs.listStatus(new Path(root, entry)).toSeq.collect {
+          case s if s.isDirectory &&
+            s.getPath.getName.startsWith(s"$partitionCol=") => s.getPath.getName
+        }
+        if (leaves.isEmpty) Seq(entry) // non-partitioned (zero-row guard) dir
+        else if (leaves.forall(l => !touched.contains(l))) Seq(entry)
+        else leaves.filterNot(touched.contains).map(l => s"$entry/$l")
+      }
+    }
+    commitManifest(fs, root, next, survivors :+ newDir)
+    dirTag.foreach(recordTag(fs, root, _))
+    next
+  }
+
   /** One immutable data dir, hive-partitioned when `partitionBy` is set so
     * partition-column predicates prune directories inside every snapshot.
     *
@@ -195,6 +303,13 @@ object SnapshotStore {
     * reading them, and explicit-version reads keep working until
     * [[expireSnapshots]]. Same loud-failure contract as [[append]] on a
     * concurrent commit.
+    *
+    * NOT for tombstone-carrying stores: this preserves rows as-is, which
+    * collapses every row onto ONE commit version — a `commitCol` read can
+    * then no longer order tombstones against the rows they killed
+    * (resurrection). Stores using id-level upsert/delete must compact via
+    * their folding twin (`IvfIndex.compactStore`), which resolves
+    * tombstones BEFORE the rewrite.
     */
   def compact(spark: SparkSession, root: String, nFiles: Int = 1,
       partitionBy: Seq[String] = Seq.empty): Int = {
@@ -233,22 +348,55 @@ object SnapshotStore {
   /** Open a snapshot: the given version, or the highest committed one.
     * Resolution happens HERE, once — the returned DataFrame reads exactly
     * the resolved dirs regardless of later commits.
+    *
+    * `commitCol`: when set, every row gains an INT column holding the
+    * version its data dir was committed at (parsed from the protocol's own
+    * `s<N>-` dir prefix — zero write-side cost). This is the ordering
+    * handle for latest-wins folds and tombstone semantics
+    * ([[graft.operators.IvfIndex]] id-level upsert/delete): "newer commit
+    * beats older" without any version column in the stored data.
+    *
+    * `absentDefaults`: per-dir columns to synthesize when a dir predates a
+    * schema addition (e.g. an `__op` marker added by the upsert path) —
+    * the union stays loud on true mismatches while tolerating the documented
+    * forward-compatible additions.
     */
-  def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
+  def read(spark: SparkSession, root: String, version: Option[Int] = None,
+      commitCol: Option[String] = None,
+      absentDefaults: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty): DataFrame = {
     val fs = fsOf(spark, root)
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     require(fs.exists(manifestPath(root, v)),
       s"version $v of $root does not exist or was expired")
-    val dirs = readManifest(fs, root, v)
-      .map(d => new Path(root, d).toString)
+    val entries = readManifest(fs, root, v)
+    // group entries by data dir, preserving first-appearance order: whole
+    // dirs read as their own hive root; partition-leaf refs (from
+    // replacePartitions) read with basePath = the data dir, which keeps
+    // the partition column while listing ONLY the referenced leaves
+    val grouped = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    entries.foreach { e =>
+      val d = dataDirOf(e)
+      grouped(d) = grouped.getOrElse(d, Vector.empty) :+ e
+    }
     // one scan per data dir, unioned — NOT a multi-path load: each dir is
     // its own hive-partitioned root (data/sN-x/organization_id=y/...), and
     // a multi-path read would refuse the "conflicting" structures. Filters
     // push through the Union into every child scan, so partition-column
     // predicates still prune directories per snapshot dir; a column-SET
     // mismatch between dirs fails loudly in unionByName.
-    val dfs = dirs.map(d => spark.read.parquet(d))
+    val dfs = grouped.toSeq.map { case (dirRel, es) =>
+      val dirAbs = new Path(root, dirRel).toString
+      val base =
+        if (es.contains(dirRel)) spark.read.parquet(dirAbs)
+        else spark.read.option("basePath", dirAbs)
+          .parquet(es.map(e => new Path(root, e).toString): _*)
+      val stamped = commitCol.fold(base)(c => base.withColumn(c,
+        org.apache.spark.sql.functions.lit(entryVersion(dirRel).getOrElse(0))))
+      absentDefaults.foldLeft(stamped) { case (d, (name, expr)) =>
+        if (d.columns.contains(name)) d else d.withColumn(name, expr)
+      }
+    }
     // partition-column TYPES are inferred per dir, so one delta whose
     // values happen to look numeric infers INT while its siblings infer
     // STRING — a same-table union must not fail (or silently coerce
@@ -290,7 +438,11 @@ object SnapshotStore {
     val fs = fsOf(spark, root)
     val all = versions(spark, root)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
-    val referenced = keep.flatMap(v => readManifest(fs, root, v)).toSet
+    // normalize leaf refs (replacePartitions manifests) to their data dir:
+    // a dir stays as long as ANY retained manifest references any of its
+    // partitions — GC granularity is the whole immutable dir
+    val referenced = keep.flatMap(v => readManifest(fs, root, v))
+      .map(dataDirOf).toSet
     val newestRetained = keep.lastOption.getOrElse(0)
     drop.foreach(v => fs.delete(manifestPath(root, v), false))
     val dataRoot = new Path(root, DataDir)

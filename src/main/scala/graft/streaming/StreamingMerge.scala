@@ -40,6 +40,31 @@ object StreamingMerge {
     if (fs(spark, p).exists(hp)) Some(spark.read.parquet(p)) else None
   }
 
+  /** The changelog's live batch partitions. A compaction crash after
+    * deleting the last `batch_id=` partition but before deleting the root
+    * leaves a file-less dir (only _SUCCESS) whose parquet read fails on
+    * schema inference — so every changelog read keys off the PARTITION
+    * DIRS, not the root's existence, and a partition-less root counts as
+    * absent (recoverable) instead of wedging the store.
+    */
+  private def changelogBatchDirs(
+      spark: SparkSession, storePath: String): Seq[org.apache.hadoop.fs.Path] = {
+    val logPath = new org.apache.hadoop.fs.Path(s"$storePath/changelog")
+    val f = fs(spark, storePath)
+    if (!f.exists(logPath)) Seq.empty
+    else f.listStatus(logPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath)
+  }
+
+  /** The changelog as a DataFrame, or None when no batch partition is live
+    * (absent root, or the crash-window root holding only _SUCCESS).
+    */
+  private def readChangelogIfExists(
+      spark: SparkSession, storePath: String): Option[DataFrame] =
+    if (changelogBatchDirs(spark, storePath).isEmpty) None
+    else Some(spark.read.parquet(s"$storePath/changelog"))
+
   /** Append one micro-batch of changes (data cols + version + op) to the
     * changelog. Dynamic partition overwrite: a replayed batch rewrites its
     * own `batch_id` partition instead of duplicating it.
@@ -59,7 +84,7 @@ object StreamingMerge {
       spark: SparkSession, storePath: String, keys: Seq[String],
       versionCol: String, opCol: String): DataFrame = {
     val base = readIfExists(spark, s"$storePath/base")
-    val log = readIfExists(spark, s"$storePath/changelog")
+    val log = readChangelogIfExists(spark, storePath)
       .map(_.drop("batch_id"))
     (base, log) match {
       case (Some(b), Some(l)) =>
@@ -130,7 +155,7 @@ object StreamingMerge {
       if (graft.sources.SnapshotStore.versions(spark, baseRoot).nonEmpty)
         Some(graft.sources.SnapshotStore.read(spark, baseRoot, version))
       else None
-    val log = readIfExists(spark, s"$storePath/changelog")
+    val log = readChangelogIfExists(spark, storePath)
       .map(_.drop("batch_id"))
     (base, log) match {
       case (Some(b), Some(l)) =>
@@ -162,7 +187,14 @@ object StreamingMerge {
       versionCol: String, opCol: String): Option[Int] = {
     val logPath = new org.apache.hadoop.fs.Path(s"$storePath/changelog")
     val f = fs(spark, storePath)
-    if (!f.exists(logPath)) return None
+    // key off the batch_id= partition dirs, not the root: a crash between
+    // the last partition delete and the root delete leaves a file-less
+    // root that parquet schema inference chokes on — treat it as absent
+    // (and sweep it) so the store recovers without manual cleanup
+    if (changelogBatchDirs(spark, storePath).isEmpty) {
+      if (f.exists(logPath)) f.delete(logPath, true)
+      return None
+    }
     // capture the fold set ONCE; everything below references exactly it
     val foldIds = spark.read.parquet(logPath.toString)
       .select(col("batch_id").cast("long")).distinct()

@@ -40,15 +40,20 @@ object StreamingVectorIndex {
       spark: SparkSession, batch: DataFrame, batchId: Long,
       storeRoot: String, index: IvfIndex.Index, vecCol: String): Option[Int] = {
     val tag = s"b$batchId"
-    // scan EVERY retained manifest, not just the current one: a rebuild
-    // (buildStoreVersioned = overwrite) rewrites the current manifest to a
-    // single untagged dir, but the batch's tagged delta stays visible in
-    // the retained history — otherwise a replay straddling a rebuild
-    // would double-insert vectors the rebuild already folded in. Operate
-    // expireSnapshots with keepLast covering the checkpoint replay horizon.
-    val already = graft.sources.SnapshotStore
-      .allCommittedDirs(spark, storeRoot)
-      .exists(_.contains(s"-$tag-"))
+    // two-layer replay guard: (a) the durable `_tags` sidecar every tagged
+    // append records — NOT subject to expireSnapshots, so the guard
+    // survives manifest retirement inside the checkpoint replay horizon
+    // (round-10 ADVICE fix: previously keepLast < horizon silently
+    // double-inserted); (b) the retained-manifest scan, which still covers
+    // the one crash window where the manifest committed but the tag write
+    // didn't land. A rebuild (buildStoreVersioned = overwrite) folds
+    // tagged deltas into an untagged dir, and both layers keep the tags
+    // visible — no replay straddling a rebuild can double-insert.
+    val already =
+      graft.sources.SnapshotStore.committedTags(spark, storeRoot).contains(tag) ||
+      graft.sources.SnapshotStore
+        .allCommittedDirs(spark, storeRoot)
+        .exists(_.contains(s"-$tag-"))
     if (already || batch.isEmpty) None
     else Some(IvfIndex.appendToStore(
       spark, storeRoot, batch, vecCol, index, dirTag = Some(tag)))

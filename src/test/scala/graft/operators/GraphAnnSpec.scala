@@ -211,6 +211,254 @@ class GraphAnnSpec extends AnyFunSuite {
       col("src").cast("long"), col("dst").cast("long"))))
   }
 
+  test("appendNodesToStore commits DELTA-SIZED bytes: untouched buckets' " +
+      "files are byte-identical across the append, and the result equals " +
+      "appendNodes") {
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(root: String): Set[(String, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val out = scala.collection.mutable.Set.empty[(String, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          out += ((s.getPath.toString, s.getLen))
+      }
+      out.toSet
+    }
+    val base = emb.filter(col("vec_id") < 480)
+    // a 4-node delta touches few srcs — with 64 buckets most stay untouched
+    val delta = emb.filter(col("vec_id") >= 480 && col("vec_id") < 484)
+    val g0 = GraphAnn.buildGraph(base, "vec_id", "embedding", m = 8)
+      .localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-gann-delta").toString
+    GraphAnn.writeGraphStore(spark, root, g0, nBuckets = 64)
+    val before = files(root)
+    val v2 = GraphAnn.appendNodesToStore(spark, root, base, delta,
+      "vec_id", "embedding", m = 8, maxDegree = 24, nBuckets = 64)
+    assert(v2 == 2)
+    val after = files(root)
+    assert(before.subsetOf(after),
+      "append must never rewrite an existing file")
+    // the commit added strictly fewer bucket dirs than a full rewrite:
+    // at least one v1 bucket leaf is still REFERENCED by v2 (not only on
+    // disk for the pinned reader)
+    val v2dirs = graft.sources.SnapshotStore.committedDirs(spark, root, Some(2))
+    val leafRefs = v2dirs.count(_.split('/').length >= 3)
+    info(s"v2 manifest: ${v2dirs.length} entries, $leafRefs untouched-leaf refs")
+    assert(leafRefs > 0, "v2 must re-reference untouched v1 bucket leaves")
+    // semantics: the store's current graph equals the in-memory appendNodes
+    val grown = GraphAnn.appendNodes(g0, base, delta, "vec_id", "embedding",
+      m = 8, maxDegree = 24)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges(GraphAnn.readGraphStore(spark, root)) == edges(grown))
+    // pinned v1 still serves the pre-append graph
+    assert(edges(GraphAnn.readGraphStore(spark, root, Some(1))) ==
+      edges(g0.select(col("src").cast("long"), col("dst").cast("long"))))
+    // a concurrent commit landing between the read and the publish
+    // collides loudly (round-10 ADVICE: the expectedBase capture) — the
+    // append planned against v2 while someone else committed v3
+    val stolen = new org.apache.hadoop.fs.Path(root, "_manifests/v00000003.manifest")
+    val out = fs.create(stolen, false)
+    out.write("data/s3-stolen\n".getBytes("UTF-8")); out.close()
+    val e = intercept[java.io.IOException] {
+      graft.sources.SnapshotStore.replacePartitions(spark, root,
+        GraphAnn.readGraphStore(spark, root, Some(2)).limit(4),
+        "src_bucket", expectedBase = Some(2))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+  }
+
+  test("searchMany chunks an oversized query batch and returns results " +
+      "identical to the unchunked path (bounded query broadcast)") {
+    val graph = GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 8)
+      .localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def run(maxB: Int) = GraphAnn.searchMany(
+      graph, emb, queries, "q_id", "qv", "vec_id", "embedding",
+      k = 5, beamWidth = 16, maxHops = 8, nSeeds = 4, expandPerHop = 4,
+      maxBroadcastQueries = maxB)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    // 40 queries at a 16-query bound -> 3 slices; must equal one broadcast
+    assert(run(16) == run(4096),
+      "chunked traversal must equal the unchunked answer")
+  }
+
+  test("degree prune reserves long links: a touched node's lowest-cosine " +
+      "pre-existing edges survive an append that would otherwise evict them") {
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+    val g0 = GraphAnn.buildGraph(base, "vec_id", "embedding", m = 12)
+      .localCheckpoint()
+    val vecs = graft.tools.RecallHarness.collectVecs(emb).toMap
+    // per pre-existing src: its reserveLong lowest-cosine edges (the ring
+    // lives here) ranked exactly like the prune (score asc, dst desc)
+    val reserveLong = 4
+    val pre = GraphAnn.collectAdjacency(g0)
+    def lowEdges(s: Long): Seq[(Long, Long)] =
+      pre(s).map { d =>
+        (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(vecs(s), vecs(d)), 6), d)
+      }.sortBy { case (sc, d) => (sc, -d) }.take(reserveLong)
+        .map { case (_, d) => (s, d) }.toSeq
+    val grown = GraphAnn.appendNodes(g0, base, delta, "vec_id", "embedding",
+      m = 12, maxDegree = 20, reserveLong = reserveLong)
+    val grownSet = grown.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = GraphAnn.collectAdjacency(grown)
+    // cap holds for every REWRITTEN (touched) src; untouched build nodes
+    // legitimately keep their build degree (m + 2·ringLevels may exceed
+    // this test's deliberately tight maxDegree)
+    val newNodeEdges = grownSet.filter { case (s, d) => s >= 400 || d >= 400 }
+    val touchedSrcs = newNodeEdges.map(_._1) ++ newNodeEdges.map(_._2).filter(adj.contains)
+    assert(touchedSrcs.forall(s => adj(s).length <= 20),
+      "degree cap must hold on every rewritten src")
+    // every touched pre-existing src keeps its reserved low-cosine edges
+    val touchedPre = grownSet.map(_._1).filter(s => s < 400 && pre.contains(s))
+    val violations = touchedPre.toSeq.flatMap { s =>
+      lowEdges(s).filterNot(grownSet.contains)
+    }
+    assert(violations.isEmpty,
+      s"reserved long links evicted by the prune: ${violations.take(5)}")
+  }
+
+  test("staleness probes drift in the documented direction on a severely " +
+      "appended vs fresh graph: ring coverage falls as 1/growth; beam " +
+      "health degrades (the rebuild alarm fires)") {
+    // several-fold growth — the exact case the appendNodes staleness
+    // contract says to rebuild for: only 60/500 nodes carry ring links
+    val base = emb.filter(col("vec_id") < 60)
+    val delta = emb.filter(col("vec_id") >= 60)
+    val g0 = GraphAnn.buildGraph(base, "vec_id", "embedding", m = 12)
+      .localCheckpoint()
+    val grown = GraphAnn.appendNodes(g0, base, delta, "vec_id", "embedding",
+      m = 12, maxDegree = 36).localCheckpoint()
+    val fresh = GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 12)
+      .localCheckpoint()
+    // ring coverage: 1.0 on the fresh build, 60/500 on the grown graph —
+    // far below the documented ~0.7 rebuild threshold
+    val covFresh = GraphAnn.ringCoverage(fresh, emb, "vec_id")
+    val covGrown = GraphAnn.ringCoverage(grown,
+      base.select(col("vec_id")), "vec_id")
+    info(f"ring coverage: fresh $covFresh%.4f grown $covGrown%.4f")
+    assert(covFresh == 1.0, "every fresh-build node is ring-linked")
+    assert(math.abs(covGrown - 0.12) < 0.01,
+      s"grown coverage should be 60/500, got $covGrown")
+    assert(covGrown < 0.7, "the documented rebuild threshold must fire")
+    // beam health on the same audit sample: at this growth the appended
+    // graph must not strictly beat the fresh build on routing (hops +
+    // scored fraction together) — the drift direction a deployment
+    // alarms on, alongside the decisive coverage ratio above
+    val vecsArr = graft.tools.RecallHarness.collectVecs(emb)
+    val vecs = vecsArr.toMap
+    val seeds = GraphAnn.entryPoints(emb, "vec_id", nSeeds = 4)
+    val queries = vecsArr.take(30).toSeq
+    val hFresh = GraphAnn.graphHealth(vecs,
+      GraphAnn.collectAdjacency(fresh), seeds, queries)
+    val hGrown = GraphAnn.graphHealth(vecs,
+      GraphAnn.collectAdjacency(grown), seeds, queries)
+    info(s"health fresh: $hFresh")
+    info(s"health grown: $hGrown")
+    assert(hGrown.meanHops + 1e-9 >= hFresh.meanHops ||
+      hGrown.meanScoredFrac + 1e-9 >= hFresh.meanScoredFrac,
+      "severely appended graph must not strictly beat fresh on both " +
+        "hops and scored cost")
+    assert(hFresh.convergedFrac == 1.0,
+      "fresh build must converge within the hop budget on the fixture")
+  }
+
+  test("graph-store node delete (round 10): tombstones fold every edge " +
+      "incident to the deleted node out of the live view; a pinned old " +
+      "version still serves it; a later append re-links it at a newer " +
+      "commit; a touched-bucket rewrite cleans dead rows physically") {
+    import spark.implicits._
+    val g0 = GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 8)
+      .localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-gann-del").toString
+    GraphAnn.writeGraphStore(spark, root, g0, nBuckets = 16)
+    val victim = 42L
+    val v2 = GraphAnn.deleteNodesFromStore(spark, root,
+      Seq(victim).toDF("vec_id"), "vec_id")
+    assert(v2 == 2)
+    val live = GraphAnn.readGraphStoreLatest(spark, root)
+    assert(live.filter(col("src") === victim || col("dst") === victim).isEmpty,
+      "no live edge may touch the deleted node")
+    // the rest of the graph is untouched
+    val g0Set = g0.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val liveSet = live.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(liveSet == g0Set.filterNot { case (s, d) => s == victim || d == victim })
+    // pinned v1 still serves the node
+    assert(GraphAnn.readGraphStoreLatest(spark, root, Some(1))
+      .filter(col("src") === victim).count() > 0)
+    // searches over the folded view never return the deleted node
+    val qv = emb.filter(col("vec_id") === victim)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val hits = GraphAnn.searchMany(live, emb, qv, "q_id", "qv",
+      "vec_id", "embedding", k = 10, beamWidth = 24, maxHops = 12,
+      nSeeds = 4, expandPerHop = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!hits.contains(victim))
+    // re-append the node: its fresh edges commit NEWER than the tombstone,
+    // so it is live again (the upsert-resurrection semantics)
+    val v3 = GraphAnn.appendNodesToStore(spark, root,
+      emb.filter(col("vec_id") =!= victim), emb.filter(col("vec_id") === victim),
+      "vec_id", "embedding", m = 8, maxDegree = 24, nBuckets = 16)
+    assert(v3 == 3)
+    val relinked = GraphAnn.readGraphStoreLatest(spark, root)
+    assert(relinked.filter(col("src") === victim).count() > 0,
+      "re-appended node must be navigable again")
+  }
+
+  test("filtered searchMany (tenant predicate compiled into the search): " +
+      "distributed equals localBeam with the same keep; every hit matches; " +
+      "k rows come back for the tenant; per-tenant recall is gated") {
+    val graph = GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 12)
+      .localCheckpoint()
+    val adj = GraphAnn.collectAdjacency(graph)
+    val vecsArr = graft.tools.RecallHarness.collectVecs(emb)
+    val vecs = vecsArr.toMap
+    val seeds = GraphAnn.entryPoints(emb, "vec_id", nSeeds = 4)
+    val keepOrg2: Long => Boolean = id => id % 4 == 2
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val dist = GraphAnn.searchMany(
+      graph, emb, queries, "q_id", "qv", "vec_id", "embedding",
+      k = 10, beamWidth = 48, maxHops = 12, nSeeds = 4, expandPerHop = 4,
+      resultFilter = Some(pmod(col("vec_id"), lit(4L)) === 2L))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    (0L until 5L).foreach { qid =>
+      val local = GraphAnn.localBeam(vecs, adj, seeds, vecs(qid), Some(qid),
+        k = 10, beamWidth = 48, maxHops = 12, expandPerHop = 4,
+        keep = keepOrg2)
+      assert(dist(qid) == local.hits,
+        s"query $qid: distributed ${dist(qid)} != local ${local.hits}")
+      assert(dist(qid).length == 10, "the tenant must get k rows")
+      assert(dist(qid).forall(_._1 % 4 == 2), "only tenant rows")
+    }
+    // per-tenant recall vs per-tenant exact brute force (the RecallSpec
+    // discipline): the filtered beam must recover most of the tenant's
+    // true top-k even though routing is tenant-blind
+    val per = vecsArr.take(30).map { case (qid, qv) =>
+      val exact = vecsArr.filter(t => t._1 != qid && keepOrg2(t._1))
+        .map { case (id, v) =>
+          (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
+        }.sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+      val got = GraphAnn.localBeam(vecs, adj, seeds, qv, Some(qid),
+        k = 10, beamWidth = 48, maxHops = 12, expandPerHop = 4,
+        keep = keepOrg2).hits.map(_._1).toSet
+      (exact intersect got).size.toDouble / 10
+    }
+    val recall = per.sum / per.length
+    info(f"per-tenant filtered-beam recall@10: $recall%.4f")
+    assert(recall >= 0.85, f"per-tenant recall $recall%.4f below gate")
+  }
+
   test("AnnTuner: one curve across IVF and graph tiers, cheapest point " +
       "meeting the target is selected") {
     val tune = AnnTuner.tune(emb, "vec_id", "embedding",

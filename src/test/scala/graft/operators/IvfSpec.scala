@@ -232,4 +232,103 @@ class IvfSpec extends AnyFunSuite {
     val (n0, m0, _) = IvfIndex.assignQuality(emb.limit(0), "embedding", idx)
     assert(n0 == 0L && m0.isNaN)
   }
+
+  test("id-level upsert/delete lifecycle (round 10): re-appending an id " +
+      "returns ONE row with the new vector even across a cell move; a " +
+      "deleted id is absent at the new version while a pinned old version " +
+      "still serves it; compaction folds tombstones physically; a later " +
+      "upsert resurrects a deleted id") {
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 16)
+    val root = java.nio.file.Files.createTempDirectory("ivf-upsert").toString
+    val v1 = IvfIndex.buildStoreVersioned(spark, root,
+      emb.filter(col("vec_id") < 100), "embedding", idx)
+    assert(v1 == 1)
+    // upsert id 5 with vec 400's embedding — a different cell (checked
+    // below), so the kill must be cell-agnostic
+    val newVec = emb.filter(col("vec_id") === 400)
+      .select(lit(5L).as("vec_id"), col("embedding"),
+        lit(99).as("label"))
+    assert(!newVec.isEmpty, "fixture must contain vec 400")
+    val v2 = IvfIndex.upsertToStore(spark, root, newVec, "vec_id", "embedding", idx)
+    assert(v2 == 2)
+    val live2 = IvfIndex.readStoreLatest(spark, root, "vec_id")
+    assert(live2.count() == 100, "upsert must replace, not add")
+    val row5 = live2.filter(col("vec_id") === 5).collect()
+    assert(row5.length == 1, s"exactly one live copy of id 5, got ${row5.length}")
+    assert(row5.head.getAs[Int]("label") == 99, "the NEW row must win")
+    // the new copy sits in the cell of the NEW vector (frozen centroids)
+    val cell400 = IvfIndex.quantizedStore(
+      emb.filter(col("vec_id") === 400), "embedding", idx)
+      .select("cell").head().getInt(0)
+    assert(row5.head.getAs[Int]("cell") == cell400)
+    // delete id 7
+    import spark.implicits._
+    val v3 = IvfIndex.deleteFromStore(spark, root, Seq(7L).toDF("vec_id"), "vec_id")
+    assert(v3 == 3)
+    assert(IvfIndex.readStoreLatest(spark, root, "vec_id").count() == 99)
+    assert(IvfIndex.readStoreLatest(spark, root, "vec_id")
+      .filter(col("vec_id") === 7).isEmpty)
+    // pinned older versions still serve both the old id-5 row and id 7
+    val pinned1 = IvfIndex.readStoreLatest(spark, root, "vec_id", version = Some(1))
+    assert(pinned1.filter(col("vec_id") === 7).count() == 1)
+    assert(pinned1.filter(col("vec_id") === 5).head().getAs[Int]("label") != 99)
+    // search: deleted id absent, upserted id found near its NEW vector
+    val qv = emb.filter(col("vec_id") === 400).select("embedding")
+      .head().getAs[scala.collection.Seq[Float]](0).toArray
+    val hits = IvfIndex.searchQuantizedLatest(spark, root, "q8", "scale", qv,
+      idx, nProbe = 16, k = 5, idCol = "vec_id", tiebreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(5L), "upserted id must be served from its new cell")
+    assert(!hits.contains(7L), "deleted id must not be served")
+    // physical fold: after compactStore no tombstone partition remains and
+    // the resolved state is unchanged
+    val v4 = IvfIndex.compactStore(spark, root, "vec_id")
+    assert(v4 == 4)
+    val raw4 = graft.sources.SnapshotStore.read(spark, root, Some(4))
+    assert(raw4.filter(col("cell") === -1).isEmpty, "tombstones folded away")
+    assert(raw4.filter(col("__op") === "D").isEmpty)
+    val live4 = IvfIndex.readStoreLatest(spark, root, "vec_id")
+    assert(live4.count() == 99 && live4.filter(col("vec_id") === 7).isEmpty)
+    // resurrection: upserting id 7 after its delete makes it live again
+    val v5 = IvfIndex.upsertToStore(spark, root,
+      emb.filter(col("vec_id") === 7), "vec_id", "embedding", idx)
+    assert(v5 == 5)
+    assert(IvfIndex.readStoreLatest(spark, root, "vec_id")
+      .filter(col("vec_id") === 7).count() == 1)
+  }
+
+  test("tenant-partitioned store (round 10): the (cell, org) predicate " +
+      "prunes BOTH partition dimensions and per-tenant top-k equals the " +
+      "in-memory composition") {
+    val withOrg = emb.withColumn("org", pmod(col("vec_id"), lit(4L)).cast("int"))
+    val idx = IvfIndex.centroidsByDraw(withOrg, "vec_id", "embedding", nCells = 16)
+    val root = java.nio.file.Files.createTempDirectory("ivf-tenant").toString
+    IvfIndex.buildStoreVersioned(spark, root, withOrg, "embedding", idx,
+      extraPartitionCols = Seq("org"))
+    val stored = IvfIndex.readStoreVersioned(spark, root)
+    val qv = collected.find(_._1 == 0L).get._2
+    val probes = IvfIndex.probeCells(idx, qv, nProbe = 4)
+    val pruned = stored.where(col("cell").isin(probes: _*) && col("org") === 2)
+    val explained = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pfLine = explained.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pfLine.nonEmpty, s"no PartitionFilters:\n$explained")
+    assert(pfLine.forall(l => l.contains("cell") && l.contains("org")),
+      s"both dimensions must prune: $pfLine")
+    // per-tenant search over the store == in-memory per-tenant composition
+    val got = IvfIndex.searchQuantized(
+      stored.where(col("org") === 2 && col("vec_id") =!= 0), "q8", "scale",
+      qv, idx, nProbe = 4, k = 10, tiebreak = Some("vec_id"))
+      .select("vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expect = IvfIndex.searchQuantized(
+      IvfIndex.quantizedStore(withOrg, "embedding", idx)
+        .where(col("org") === 2 && col("vec_id") =!= 0), "q8", "scale",
+      qv, idx, nProbe = 4, k = 10, tiebreak = Some("vec_id"))
+      .select("vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+    assert(got.length == 10, "small tenant still gets k rows at index cost")
+    assert(got.forall(_._1 % 4 == 2), "only tenant rows returned")
+  }
 }

@@ -141,4 +141,110 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(df.select("part").collect().map(_.getString(0)).toSet ==
       Set("acme", "123"))
   }
+
+  /** Recursively list (relative path, length) of every data file under a
+    * dir — the byte-identity fingerprint for the replace-commit gates.
+    */
+  private def fileSig(root: String, rel: String): Set[(String, Long)] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = if (rel.isEmpty) new Path(root) else new Path(root, rel)
+    val it = fs.listFiles(base, true)
+    val out = scala.collection.mutable.Set.empty[(String, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet"))
+        out += ((s.getPath.toString.stripPrefix(base.toString),
+          s.getLen))
+    }
+    out.toSet
+  }
+
+  test("replacePartitions rewrites ONLY the touched partitions: untouched " +
+      "partition files are byte-identical (re-referenced, never rewritten), " +
+      "pinned old versions still serve the old rows, and reads stay " +
+      "partition-pruned") {
+    val root = freshRoot()
+    val v1 = SnapshotStore.overwrite(spark, root,
+      (0L until 40L).map(i => (i, (i % 4).toInt, s"old$i")).toDF("id", "b", "v"),
+      partitionBy = Seq("b"))
+    assert(v1 == 1)
+    val before = fileSig(root, "")
+    // replace buckets 1 and 3 with 2 rows each
+    val v2 = SnapshotStore.replacePartitions(spark, root,
+      Seq((100L, 1, "new100"), (101L, 1, "new101"),
+        (300L, 3, "new300"), (301L, 3, "new301")).toDF("id", "b", "v"), "b")
+    assert(v2 == 2)
+    // every pre-existing file is still on disk with identical length —
+    // the commit ADDED a dir, it rewrote nothing
+    val after = fileSig(root, "")
+    assert(before.subsetOf(after), "replace must not rewrite any old file")
+    // current version: untouched buckets keep their 10 rows each, touched
+    // buckets hold exactly the replacement rows
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.count() == 24, s"10+10 untouched + 2+2 replaced, got ${cur.count()}")
+    assert(cur.filter($"b" === 1).select("id").collect().map(_.getLong(0)).toSet
+      == Set(100L, 101L))
+    assert(cur.filter($"b" === 0).count() == 10)
+    // pinned v1 still serves the old content in full
+    assert(SnapshotStore.read(spark, root, Some(1)).count() == 40)
+    // a partition predicate still reaches the scans as a PartitionFilter
+    val explained = cur.where($"b" === 0).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PartitionFilters"),
+      s"bucket filter did not reach the scan:\n$explained")
+    // a second replace on bucket 1 drops the first replacement's rows
+    val v3 = SnapshotStore.replacePartitions(spark, root,
+      Seq((200L, 1, "newer")).toDF("id", "b", "v"), "b")
+    assert(v3 == 3)
+    val cur3 = SnapshotStore.read(spark, root)
+    assert(cur3.filter($"b" === 1).select("id").collect().map(_.getLong(0)).toSet
+      == Set(200L))
+    assert(cur3.count() == 23)
+  }
+
+  test("expireSnapshots keeps a data dir alive while any retained manifest " +
+      "references any of its partition LEAVES") {
+    val root = freshRoot()
+    SnapshotStore.overwrite(spark, root,
+      (0L until 20L).map(i => (i, (i % 2).toInt)).toDF("id", "b"),
+      partitionBy = Seq("b"))
+    SnapshotStore.replacePartitions(spark, root,
+      Seq((100L, 0)).toDF("id", "b"), "b")
+    // keepLast = 1 retains only v2, whose manifest references v1's dir via
+    // the surviving b=1 LEAF — the dir must not be swept
+    val (_, dDel) = SnapshotStore.expireSnapshots(spark, root, keepLast = 1)
+    assert(dDel == 0, "leaf-referenced dir must survive expiry")
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.filter($"b" === 1).count() == 10)
+    assert(cur.filter($"b" === 0).select("id").collect().map(_.getLong(0)).toSet
+      == Set(100L))
+  }
+
+  test("dir tags are durable in the _tags sidecar: a tagged append's tag " +
+      "survives expireSnapshots retiring its manifest (the streaming " +
+      "replay-guard horizon)") {
+    val root = freshRoot()
+    SnapshotStore.append(spark, root, Seq((1L, "a")).toDF("id", "s"),
+      dirTag = Some("b7"))
+    SnapshotStore.compact(spark, root) // v2 references only the rewritten dir
+    SnapshotStore.compact(spark, root) // v3
+    SnapshotStore.expireSnapshots(spark, root, keepLast = 1)
+    // the tagged dir and its manifests are gone…
+    assert(!SnapshotStore.allCommittedDirs(spark, root).exists(_.contains("-b7-")))
+    // …but the durable tag record remains
+    assert(SnapshotStore.committedTags(spark, root).contains("b7"))
+  }
+
+  test("read with commitCol stamps each row with its data dir's commit " +
+      "version; absentDefaults backfills columns older dirs lack") {
+    val root = freshRoot()
+    SnapshotStore.append(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    SnapshotStore.append(spark, root,
+      Seq((2L, "b", "U")).toDF("id", "s", "op"))
+    val df = SnapshotStore.read(spark, root, commitCol = Some("__commit"),
+      absentDefaults = Seq("op" -> org.apache.spark.sql.functions.lit("U")))
+    val rows = df.select("id", "__commit", "op").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 1, "U"), (2L, 2, "U")))
+  }
 }

@@ -91,6 +91,34 @@ class StreamingMergeSpec extends AnyFunSuite {
     assert(snap(state(store)) == expected)
   }
 
+  test("crash window: a file-less changelog root (only _SUCCESS left after " +
+      "a partial compaction delete) reads as absent instead of wedging the " +
+      "store on schema inference (round-10 ADVICE fix)") {
+    val store = tmp()
+    StreamingMerge.appendBatch(changes, store, 0L)
+    val folded = StreamingMerge.compactVersioned(
+      spark, store, keys, "version", "op")
+    assert(folded.contains(1))
+    // simulate the crash: recreate the changelog root holding ONLY a
+    // _SUCCESS marker (the state left when the last batch_id= partition
+    // delete landed but the root delete did not)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logPath = new org.apache.hadoop.fs.Path(s"$store/changelog")
+    fs.mkdirs(logPath)
+    fs.create(new org.apache.hadoop.fs.Path(logPath, "_SUCCESS"), false).close()
+    // both the read and the next compaction must treat it as absent
+    assert(snap(StreamingMerge.currentStateVersioned(
+      spark, store, keys, "version", "op")) == expected)
+    assert(StreamingMerge.compactVersioned(
+      spark, store, keys, "version", "op").isEmpty)
+    // and the poisoned root was swept, so the stream can append again
+    StreamingMerge.appendBatch(
+      Seq((9L, "z", 9L, "upsert")).toDF("k", "v", "version", "op"), store, 1L)
+    assert(snap(StreamingMerge.currentStateVersioned(
+      spark, store, keys, "version", "op")) == expected :+ (9L, "z"))
+  }
+
   test("reading a store that was never written fails loudly") {
     intercept[java.io.IOException] { state(tmp() + "/nope") }
   }

@@ -53,6 +53,33 @@ class StreamingVectorIndexSpec extends AnyFunSuite {
     assert(got == mono, "streamed store must search like the one-shot store")
   }
 
+  test("replay straddling EXPIRED history: the durable _tags sidecar keeps " +
+      "the guard after expireSnapshots retires every manifest that carried " +
+      "the batch's dir tag (round-10 ADVICE fix)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-svi-exp").toString
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 8)
+    val b0 = emb.filter(col("vec_id") < 100)
+    val b1 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+    assert(StreamingVectorIndex.processBatch(spark, b0, 0L, root, idx, "embedding")
+      .contains(1))
+    // a rebuild folds the delta into an untagged dir, then aggressive
+    // expiry (keepLast = 1, SMALLER than the checkpoint replay horizon —
+    // the previously-fatal misconfiguration) retires every manifest that
+    // referenced the b0-tagged dir
+    IvfIndex.buildStoreVersioned(spark, root, b0, "embedding", idx)
+    graft.sources.SnapshotStore.expireSnapshots(spark, root, keepLast = 1)
+    assert(!graft.sources.SnapshotStore.allCommittedDirs(spark, root)
+      .exists(_.contains("-b0-")), "setup: the tagged dir must be expired")
+    // the replay of batch 0 must STILL be a no-op — the sidecar remembers
+    assert(StreamingVectorIndex.processBatch(spark, b0, 0L, root, idx, "embedding")
+      .isEmpty, "replay after expiry must not double-insert")
+    assert(IvfIndex.readStoreVersioned(spark, root).count() == 100)
+    // and a genuinely new batch still appends normally
+    assert(StreamingVectorIndex.processBatch(spark, b1, 1L, root, idx, "embedding")
+      .nonEmpty)
+    assert(IvfIndex.readStoreVersioned(spark, root).count() == 150)
+  }
+
   test("replay straddling a rebuild: the tag survives in retained " +
       "manifests, so the replayed batch stays a no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft-svi-rb").toString
