@@ -138,7 +138,15 @@ object Bench {
       name -> stat
     }
 
-    val headlineResults = SparkEntry.headline.map { name =>
+    // SPARK_GRAFT_BENCH_ONLY=prefix1,prefix2 runs only matching entries —
+    // the Verify SPARK_GRAFT_ONLY twin for fast single-entry iteration.
+    // Iteration aid only: a filtered record is NOT a round artifact.
+    val onlyPrefixes = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      onlyPrefixes.forall(_.exists(name.startsWith))
+
+    val headlineResults = SparkEntry.headline.filter(selected).map { name =>
       timed(name)(SparkEntry.queries(name)(spark, sfDir).count(): Unit)
     }
     // non-query benches: incremental streaming dedup (the accumulated-store
@@ -203,6 +211,27 @@ object Bench {
         big.filter(col("vec_id") % 10 =!= 0), "embedding", benchIvfIndex.get)
       benchGraph = Some(graft.operators.GraphAnn.buildGraph(
         emb, "vec_id", "embedding", m = 16).localCheckpoint())
+      // round 10: the SERVING layout twin of graph_ann_search5 — the same
+      // graph committed as a 64-bucket SnapshotStore so the traversal's
+      // per-hop partition pruning (and its overhead) gets a tracked number
+      graft.operators.GraphAnn.writeGraphStore(
+        spark, ivfRoot.resolve("gserve").toString, benchGraph.get, nBuckets = 64)
+      // round 10: the delta-append base — a graph over the ×16 corpus
+      // minus an 8-node delta, stored at 512 buckets (bucket count well
+      // above the delta's touched-src count, the sizing rule the append
+      // savings depend on). Built untimed; the timed entries measure a
+      // full rebuild of the 32k graph vs appending the 8 nodes.
+      // graph-maintenance pair runs on the full ×16 corpus (32k nodes):
+      // measured at ×4 (8k) the append's constant hop-latency floor
+      // (~16 s) already exceeds the rebuild (~15 s) — the delta-commit
+      // win only shows above the crossover, and hiding that would be
+      // dishonest. Both measured points live in SCALE.md.
+      val gBase = big.filter(col("vec_id") % 4096 =!= 0)
+      graft.operators.GraphAnn.writeGraphStore(
+        spark, ivfRoot.resolve("gappend").toString,
+        graft.operators.GraphAnn.buildGraph(
+          gBase, "vec_id", "embedding", m = 16, nBits = 12, nTables = 4),
+        nBuckets = 512)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ANN setup failed: ${e.getMessage}")
     }
@@ -247,8 +276,21 @@ object Bench {
       // over a pre-built neighbor graph (build is the amortized
       // once-per-snapshot cost, paid outside the timed region like the
       // BM25 lens table)
-      "graph_ann_search5" -> (() => graphAnnSearch(spark, sfDir)))
-    val extraResults = extras.map { case (name, fn) => settle(); timed(name)(fn()) }
+      "graph_ann_search5" -> (() => graphAnnSearch(spark, sfDir)),
+      // round 10 (VERDICT r9 task 8): the same 5-query traversal over the
+      // bucketed SnapshotStore layout with per-hop partition pruning —
+      // the layout a deployment actually serves from; the delta vs
+      // graph_ann_search5 is the store read + prune overhead
+      "graph_ann_search5_store" -> (() => graphAnnSearchStore(spark, sfDir, ivfRoot)),
+      // round 10 (VERDICT r9 task 1): graph-index maintenance — a full
+      // rebuild re-runs the LSH build over all 32k vectors and commits the
+      // whole edge table; the append beam-searches an 8-node delta
+      // (corpus-size-independent hop cost) and commits only the touched
+      // src_bucket partitions via replacePartitions
+      "graph_store_rebuild" -> (() => graphStoreRebuild(spark, ivfRoot)),
+      "graph_store_append" -> (() => graphStoreAppend(spark, ivfRoot)))
+    val extraResults = extras.filter(e => selected(e._1))
+      .map { case (name, fn) => settle(); timed(name)(fn()) }
     // repeated per-round runs must not accumulate /tmp parquet
     try {
       spark.sql("DROP TABLE IF EXISTS bench_li_bucketed")
@@ -429,6 +471,59 @@ object Bench {
       g, emb, queries, "q_id", "qv", "vec_id", "embedding",
       k = 10, beamWidth = 96, maxHops = 24, nSeeds = 4, expandPerHop = 8)
       .count()
+    ()
+  }
+
+  /** The graph_ann_search5 batch over the bucketed SnapshotStore layout:
+    * every hop restricts the edge scan to the frontier's src_bucket
+    * partitions (plan-gated PartitionFilter) before the equality join.
+    */
+  private def graphAnnSearchStore(
+      spark: SparkSession, sfDir: String, root: java.nio.file.Path): Unit = {
+    import org.apache.spark.sql.functions.col
+    val g = graft.operators.GraphAnn.readGraphStore(
+      spark, root.resolve("gserve").toString)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    graft.operators.GraphAnn.searchMany(
+      g, emb, queries, "q_id", "qv", "vec_id", "embedding",
+      k = 10, beamWidth = 96, maxHops = 24, nSeeds = 4, expandPerHop = 8,
+      srcBuckets = Some(64))
+      .count()
+    ()
+  }
+
+  /** Full graph-index rebuild over the ×16 replicated corpus: re-run the
+    * LSH-banded build and commit the complete edge table — the cost
+    * baseline graph_store_append is measured against (it scales with the
+    * CORPUS; the append scales with the DELTA).
+    */
+  private def graphStoreRebuild(
+      spark: SparkSession, root: java.nio.file.Path): Unit = {
+    val gBig = spark.read.parquet(root.resolve("corpus").toString)
+    graft.operators.GraphAnn.writeGraphStore(
+      spark, root.resolve("grebuild").toString,
+      graft.operators.GraphAnn.buildGraph(
+        gBig, "vec_id", "embedding", m = 16, nBits = 12, nTables = 4),
+      nBuckets = 512)
+    ()
+  }
+
+  /** Incremental 8-node insert into the pre-built 32k-node graph store:
+    * the delta finds its neighbors by the graph's own beam search (hop
+    * cost independent of corpus size) and the commit rewrites only the
+    * touched src_bucket partitions, re-referencing the rest.
+    */
+  private def graphStoreAppend(
+      spark: SparkSession, root: java.nio.file.Path): Unit = {
+    import org.apache.spark.sql.functions.col
+    val gBig = spark.read.parquet(root.resolve("corpus").toString)
+    graft.operators.GraphAnn.appendNodesToStore(
+      spark, root.resolve("gappend").toString,
+      gBig.filter(col("vec_id") % 4096 =!= 0),
+      gBig.filter(col("vec_id") % 4096 === 0),
+      "vec_id", "embedding", m = 16, maxDegree = 48, nBuckets = 512)
     ()
   }
 

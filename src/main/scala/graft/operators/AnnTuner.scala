@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   * build), measurement runs on the collected sample with the
   * spec-proven-equivalent local arithmetic, and the chosen config
   * transfers to the full-scale build.
+  *
+  * Maintenance probes (when to re-tune/rebuild, per family): IVF —
+  * `IvfIndex.assignQuality` per append delta (falling mean member→centroid
+  * cosine = the corpus moved off the frozen centroids); graph —
+  * `GraphAnn.ringCoverage` per append (ring-linked fraction of live nodes;
+  * rebuild below ~0.7) and `GraphAnn.graphHealth` on the build-time audit
+  * sample (rising mean hops / falling converged fraction). Past tolerance
+  * the answer in every family is a rebuild commit into the same versioned
+  * root, then re-run this tuner on the fresh audit sample.
   */
 object AnnTuner {
 

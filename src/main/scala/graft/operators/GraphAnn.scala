@@ -186,9 +186,9 @@ object GraphAnn {
       maxHops: Int = 12, nSeeds: Int = 4, expandPerHop: Int = 0,
       scoreScale: Int = 6, reserveLong: Int = 8): DataFrame = {
     val g = graph.select(col("src").cast("long"), col("dst").cast("long"))
-    val (touched, pruned) = appendRewrite(g, corpus, newVecs, idCol, vecCol,
-      m, maxDegree, beamWidth, maxHops, nSeeds, expandPerHop, scoreScale,
-      reserveLong)
+    val (touched, pruned) = appendRewrite(g, g, None, corpus, newVecs,
+      idCol, vecCol, m, maxDegree, beamWidth, maxHops, nSeeds, expandPerHop,
+      scoreScale, reserveLong)
     g.join(touched, Seq("src"), "left_anti").unionByName(pruned)
   }
 
@@ -211,7 +211,8 @@ object GraphAnn {
     * score DESC, dst ASC) — fully deterministic.
     */
   private def appendRewrite(
-      g: DataFrame, corpus: DataFrame, newVecs: DataFrame,
+      g: DataFrame, searchGraph: DataFrame, srcBuckets: Option[Int],
+      corpus: DataFrame, newVecs: DataFrame,
       idCol: String, vecCol: String,
       m: Int, maxDegree: Int, beamWidth: Int, maxHops: Int, nSeeds: Int,
       expandPerHop: Int, scoreScale: Int,
@@ -220,12 +221,15 @@ object GraphAnn {
     require(reserveLong >= 0 && reserveLong + 2 <= maxDegree,
       s"need 0 <= reserveLong <= maxDegree - 2, got $reserveLong/$maxDegree")
     // 1) each new node's top-m neighbors among the EXISTING corpus, found
-    //    by the graph's own search (delta-sized: one batch traversal)
+    //    by the graph's own search (delta-sized: one batch traversal over
+    //    `searchGraph` — the bucketed store layout when available, so each
+    //    hop's edge scan partition-prunes to the frontier's buckets)
     val queries = newVecs.select(col(idCol).cast("long").as("q_id"),
       col(vecCol).as("qv"))
-    val nn = searchMany(g, corpus, queries, "q_id", "qv", idCol, vecCol,
-      k = m, beamWidth = beamWidth, maxHops = maxHops, nSeeds = nSeeds,
-      expandPerHop = expandPerHop, scoreScale = scoreScale)
+    val nn = searchMany(searchGraph, corpus, queries, "q_id", "qv", idCol,
+      vecCol, k = m, beamWidth = beamWidth, maxHops = maxHops,
+      nSeeds = nSeeds, expandPerHop = expandPerHop, scoreScale = scoreScale,
+      srcBuckets = srcBuckets)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     // 2) intra-batch chain in (md5(id), id) order — connectivity insurance
     //    for the batch itself (new nodes may be each other's best links)
@@ -318,7 +322,10 @@ object GraphAnn {
     // dead rows physically as a side effect)
     val store = readGraphStoreLatest(spark, root, Some(baseV))
     val g = store.select(col("src").cast("long"), col("dst").cast("long"))
-    val (touched, pruned) = appendRewrite(g, corpus, newVecs, idCol, vecCol,
+    val (touched, pruned) = appendRewrite(
+      g, store.select(col("src").cast("long"), col("dst").cast("long"),
+        col("src_bucket")), Some(nBuckets),
+      corpus, newVecs, idCol, vecCol,
       m, maxDegree, beamWidth = 24, maxHops = 12, nSeeds = 4,
       expandPerHop = 0, scoreScale = 6, reserveLong = reserveLong)
     val bucketOf = pmod(col("src"), lit(nBuckets.toLong)).cast("int")
@@ -326,13 +333,15 @@ object GraphAnn {
       .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ nBuckets ints
     // complete new content of the touched buckets = rewritten touched-src
     // rows + same-bucket untouched srcs carried unchanged (the store scan
-    // below partition-prunes to exactly the touched buckets)
+    // below partition-prunes to exactly the touched buckets); bucket rows
+    // are shuffled together pre-write (the writeGraphStore file-fanout rule)
     val carried = store
       .where(col("src_bucket").isin(touchedBuckets: _*))
       .select(col("src").cast("long"), col("dst").cast("long"))
       .join(touched, Seq("src"), "left_anti")
     val replacement = pruned.unionByName(carried)
       .withColumn("src_bucket", bucketOf)
+      .repartition(col("src_bucket"))
     graft.sources.SnapshotStore.replacePartitions(
       spark, root, replacement, "src_bucket", expectedBase = Some(baseV))
   }
@@ -347,9 +356,14 @@ object GraphAnn {
       spark: org.apache.spark.sql.SparkSession, root: String,
       graph: DataFrame, nBuckets: Int = 64): Int = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // shuffle each bucket's rows together BEFORE the partitioned write:
+    // without it every write task emits a file into every bucket dir it
+    // touches — tasks × nBuckets tiny files whose listing cost then taxes
+    // every later scan (measured 5× on the bench maintenance entries)
     graft.sources.SnapshotStore.overwrite(spark, root,
       graph.withColumn("src_bucket",
-        pmod(col("src"), lit(nBuckets.toLong)).cast("int")),
+          pmod(col("src"), lit(nBuckets.toLong)).cast("int"))
+        .repartition(col("src_bucket")),
       partitionBy = Seq("src_bucket"))
   }
 
@@ -408,6 +422,29 @@ object GraphAnn {
       .filter(col("__dtv").isNull || col("__commit") >= col("__dtv"))
       .drop("__dtv", "__commit")
       .select(col("src"), col("dst"), col("src_bucket"))
+  }
+
+  /** Fold graph tombstones PHYSICALLY: rewrite the resolved live edges as
+    * one fresh bucketed snapshot — deleted nodes' edges and the tombstone
+    * partition do not survive into the new dir. The graph twin of
+    * `IvfIndex.compactStore` (and like it, NOT the generic
+    * `SnapshotStore.compact`, which would collapse commit versions and
+    * resurrect deleted nodes). Pins one version as both the read snapshot
+    * and the commit base, so an interleaving commit collides loudly.
+    * Returns the committed version.
+    */
+  def compactGraphStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      nBuckets: Int = 64, expectedBase: Option[Int] = None): Int = {
+    val base = expectedBase.orElse(
+      graft.sources.SnapshotStore.currentVersion(spark, root))
+    val live = readGraphStoreLatest(spark, root, base)
+      .select(col("src"), col("dst"))
+      .withColumn("src_bucket",
+        pmod(col("src"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("src_bucket"))
+    graft.sources.SnapshotStore.overwrite(spark, root, live, base,
+      partitionBy = Seq("src_bucket"))
   }
 
   /** Deterministic entry points: the `nSeeds` corpus ids with the smallest

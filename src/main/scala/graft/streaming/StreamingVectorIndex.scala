@@ -35,10 +35,20 @@ object StreamingVectorIndex {
     * else append it. Returns the committed version (None = skipped or
     * empty batch). Factored out of [[run]] so the replay contract is
     * directly testable.
+    *
+    * `upsertIdCol` (round 10): when set, the batch commits through
+    * `IvfIndex.upsertToStore` — the reference's ACTUAL re-ingest
+    * semantics (same deterministic id replaces the point,
+    * internal/vectordb/vectordb.go:117-193): one commit carrying a
+    * tombstone per incoming id plus the replacement rows, so re-ingested
+    * documents never serve stale vectors. Serve the store through
+    * `IvfIndex.readStoreLatest`/`searchQuantizedLatest` in this mode.
+    * The default (None) keeps blind appends for insert-only streams.
     */
   def processBatch(
       spark: SparkSession, batch: DataFrame, batchId: Long,
-      storeRoot: String, index: IvfIndex.Index, vecCol: String): Option[Int] = {
+      storeRoot: String, index: IvfIndex.Index, vecCol: String,
+      upsertIdCol: Option[String] = None): Option[Int] = {
     val tag = s"b$batchId"
     // two-layer replay guard: (a) the durable `_tags` sidecar every tagged
     // append records — NOT subject to expireSnapshots, so the guard
@@ -55,22 +65,29 @@ object StreamingVectorIndex {
         .allCommittedDirs(spark, storeRoot)
         .exists(_.contains(s"-$tag-"))
     if (already || batch.isEmpty) None
-    else Some(IvfIndex.appendToStore(
-      spark, storeRoot, batch, vecCol, index, dirTag = Some(tag)))
+    else upsertIdCol match {
+      case Some(idCol) => Some(IvfIndex.upsertToStore(
+        spark, storeRoot, batch, idCol, vecCol, index, dirTag = Some(tag)))
+      case None => Some(IvfIndex.appendToStore(
+        spark, storeRoot, batch, vecCol, index, dirTag = Some(tag)))
+    }
   }
 
   /** Streaming wiring: every micro-batch of `vecStream` (id + embedding
     * rows) lands as one delta version. The store stays queryable at any
-    * pinned version throughout via `IvfIndex.readStoreVersioned`.
+    * pinned version throughout via `IvfIndex.readStoreVersioned` (or
+    * `readStoreLatest` in upsert mode).
     */
   def run(
       spark: SparkSession, vecStream: DataFrame, vecCol: String,
       storeRoot: String, index: IvfIndex.Index,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      upsertIdCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     vecStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch, batchId, storeRoot, index, vecCol)
+        processBatch(spark, batch, batchId, storeRoot, index, vecCol,
+          upsertIdCol)
         ()
       }
       .start()

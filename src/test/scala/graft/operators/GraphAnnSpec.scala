@@ -409,6 +409,16 @@ class GraphAnnSpec extends AnyFunSuite {
     val relinked = GraphAnn.readGraphStoreLatest(spark, root)
     assert(relinked.filter(col("src") === victim).count() > 0,
       "re-appended node must be navigable again")
+    // physical fold: compaction drops the tombstone partition while the
+    // resolved live view is unchanged
+    val relinkedSet = relinked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v4 = GraphAnn.compactGraphStore(spark, root, nBuckets = 16)
+    assert(v4 == 4)
+    val raw4 = graft.sources.SnapshotStore.read(spark, root, Some(4))
+    assert(raw4.filter(col("src_bucket") === -1).isEmpty,
+      "compaction must fold tombstones physically")
+    assert(GraphAnn.readGraphStoreLatest(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == relinkedSet)
   }
 
   test("filtered searchMany (tenant predicate compiled into the search): " +

@@ -122,4 +122,33 @@ class StreamingVectorIndexSpec extends AnyFunSuite {
       assert(graft.sources.SnapshotStore.versions(spark, root) == Seq(1, 2))
     } finally q.stop()
   }
+
+  test("upsert mode (round 10): a re-ingested id REPLACES its point — the " +
+      "reference's continuous re-ingest semantics — and a replayed upsert " +
+      "batch stays a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-svi-up").toString
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 8)
+    val b0 = emb.filter(col("vec_id") < 100).select(col("vec_id"), col("embedding"))
+    assert(StreamingVectorIndex.processBatch(spark, b0, 0L, root, idx,
+      "embedding", upsertIdCol = Some("vec_id")).contains(1))
+    assert(IvfIndex.readStoreLatest(spark, root, "vec_id").count() == 100)
+    // batch 1 re-ingests ids 0..49 with DIFFERENT vectors (ids 100..149's)
+    val b1 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      .select((col("vec_id") - 100).as("vec_id"), col("embedding"))
+    assert(StreamingVectorIndex.processBatch(spark, b1, 1L, root, idx,
+      "embedding", upsertIdCol = Some("vec_id")).contains(2))
+    val live = IvfIndex.readStoreLatest(spark, root, "vec_id")
+    assert(live.count() == 100, "re-ingest must replace, not grow")
+    // id 0's live row now carries vec 100's quantized bytes
+    val q0 = live.filter(col("vec_id") === 0).select("q8").head()
+      .getAs[scala.collection.Seq[Byte]](0)
+    val want = IvfIndex.quantizedStore(
+      emb.filter(col("vec_id") === 100), "embedding", idx)
+      .select("q8").head().getAs[scala.collection.Seq[Byte]](0)
+    assert(q0 == want, "the replacement vector must win")
+    // epoch replay of batch 1 is a no-op (no tombstone/row duplication)
+    assert(StreamingVectorIndex.processBatch(spark, b1, 1L, root, idx,
+      "embedding", upsertIdCol = Some("vec_id")).isEmpty)
+    assert(IvfIndex.readStoreLatest(spark, root, "vec_id").count() == 100)
+  }
 }
