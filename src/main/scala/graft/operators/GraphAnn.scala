@@ -586,7 +586,11 @@ object GraphAnn {
       // against `beam`), while materialization folds into this hop's one
       // real job — the beam pin below — instead of costing its own job;
       // the hop loop is driver-latency-bound locally, so job count IS
-      // the entry's cost
+      // the entry's cost. (A round-10 attempt to merge the loop-control
+      // count into the frontier-bucket collect measured 70% SLOWER on
+      // the bench search entries — probing the derived frontier instead
+      // of the beam reorders which job materializes the heavy window
+      // stages; keep the count-on-beam shape.)
       val frontier = (
         if (expandPerHop <= 0) unexp
         else unexp.withColumn("__fr", row_number().over(beamW))

@@ -246,13 +246,18 @@ object IvfIndex {
       spark: org.apache.spark.sql.SparkSession, root: String,
       newVecs: DataFrame, idCol: String, vecCol: String, index: Index,
       cellCol: String = "cell", expectedBase: Option[Int] = None,
-      dirTag: Option[String] = None): Int = {
+      dirTag: Option[String] = None,
+      extraPartitionCols: Seq[String] = Seq.empty): Int = {
     val data = quantizedStore(newVecs, vecCol, index, cellCol)
       .withColumn(OpCol, lit("U"))
     val df = data.unionByName(
       tombstonesLike(data, newVecs.select(col(idCol)), idCol, cellCol))
+    // tenant stores: the delta rides the same (cell, org) layout as the
+    // build (tombstone rows carry null in the extra columns — they live
+    // in cell=-1 regardless, so their pruning is unaffected)
     graft.sources.SnapshotStore.append(
-      spark, root, df, expectedBase, partitionBy = Seq(cellCol),
+      spark, root, df, expectedBase,
+      partitionBy = cellCol +: extraPartitionCols,
       dirTag = dirTag)
   }
 
@@ -354,6 +359,11 @@ object IvfIndex {
 
   /** Open the versioned store (latest or pinned version) for
     * [[searchQuantized]]. Cell predicates prune inside every snapshot dir.
+    * RAW view for append-only stores — a store that has seen
+    * [[upsertToStore]]/[[deleteFromStore]] must read through
+    * [[readStoreLatest]]/[[searchQuantizedLatest]] so tombstones fold
+    * (this raw read fails loudly on the `__op` column-set mismatch rather
+    * than silently serving dead rows).
     */
   def readStoreVersioned(
       spark: org.apache.spark.sql.SparkSession, root: String,
