@@ -214,15 +214,19 @@ object IvfIndex {
   // broadcast anti-ish join, not a shuffle.
 
   /** Marker column: 'U' data row, 'D' tombstone. Dirs written before the
-    * upsert era lack it and read as 'U' via absentDefaults.
+    * upsert era lack it and read as 'U' via absentDefaults. Shared with
+    * [[PqIndex]] — the tombstone mechanics are quantization-agnostic
+    * (only the id, the cell partition and the op marker participate), so
+    * `deleteFromStore`/`readStoreLatest`/`compactStore` work verbatim on
+    * IVF-PQ roots.
     */
-  private val OpCol = "__op"
-  private val CommitCol = "__commit"
+  private[operators] val OpCol = "__op"
+  private[operators] val CommitCol = "__commit"
 
   /** Tombstone rows for `ids`, shaped to the store row type of `dataDf`:
     * every column null except the id, `cellCol = -1`, `__op = 'D'`.
     */
-  private def tombstonesLike(
+  private[operators] def tombstonesLike(
       dataDf: DataFrame, ids: DataFrame, idCol: String,
       cellCol: String): DataFrame = {
     val base = ids.select(col(idCol))

@@ -265,6 +265,31 @@ object PqIndex {
       spark, root, ivfPqStore(newVecs, vecCol, ivf, cb, cellCol, codesCol),
       expectedBase, partitionBy = Seq(cellCol))
 
+  /** Id-level UPSERT into an IVF-PQ store (round 10 — the codes-store twin
+    * of `IvfIndex.upsertToStore`; reference parity vectordb.go:117-193):
+    * one commit carrying a tombstone per incoming id (kills every
+    * strictly-older copy, cell-agnostic — an update can move cells) plus
+    * the re-encoded replacement rows. Deletes, latest-wins reads and
+    * physical compaction are the SHARED quantization-agnostic mechanics:
+    * use `IvfIndex.deleteFromStore` / `IvfIndex.readStoreLatest` /
+    * `IvfIndex.compactStore` on the same root, and feed
+    * `readStoreLatest`'s output to [[searchIvfPq]].
+    */
+  def upsertToIvfPqStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      newVecs: DataFrame, idCol: String, vecCol: String,
+      ivf: IvfIndex.Index, cb: Codebook,
+      cellCol: String = "cell", codesCol: String = "pq",
+      expectedBase: Option[Int] = None, dirTag: Option[String] = None): Int = {
+    val data = ivfPqStore(newVecs, vecCol, ivf, cb, cellCol, codesCol)
+      .withColumn(IvfIndex.OpCol, lit("U"))
+    val df = data.unionByName(IvfIndex.tombstonesLike(
+      data, newVecs.select(col(idCol)), idCol, cellCol))
+    graft.sources.SnapshotStore.append(
+      spark, root, df, expectedBase, partitionBy = Seq(cellCol),
+      dirTag = dirTag)
+  }
+
   /** Per-cell row counts of an IVF(-PQ) store, materialized ONCE at build
     * time: the map is bounded by nCells (index metadata scale, like the
     * centroids themselves), and lets every subsequent query size its

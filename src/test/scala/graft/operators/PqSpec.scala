@@ -269,4 +269,46 @@ class PqSpec extends AnyFunSuite {
     }.sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSeq
     assert(got == exact, "exhaustive IVF-PQ over the appended store is exact")
   }
+
+  test("IVF-PQ id-level upsert/delete (round 10): an upserted id has ONE " +
+      "live row re-encoded from the new vector; deletes fold; the shared " +
+      "IvfIndex compaction folds tombstones physically; search over the " +
+      "latest view serves the replacement") {
+    import spark.implicits._
+    val ivf = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 8)
+    val book = cb
+    val root = java.nio.file.Files.createTempDirectory("pq-upsert").toString
+    PqIndex.buildIvfPqStoreVersioned(spark, root,
+      emb.filter(col("vec_id") < 100), "embedding", ivf, book)
+    // upsert id 5 with vec 400's embedding
+    val newVec = emb.filter(col("vec_id") === 400)
+      .select(lit(5L).as("vec_id"), col("embedding"), lit(99).as("label"))
+    val v2 = PqIndex.upsertToIvfPqStore(spark, root, newVec,
+      "vec_id", "embedding", ivf, book)
+    assert(v2 == 2)
+    val live = IvfIndex.readStoreLatest(spark, root, "vec_id")
+    assert(live.count() == 100, "upsert must replace, not add")
+    val row5 = live.filter(col("vec_id") === 5).collect()
+    assert(row5.length == 1)
+    // the live codes equal a fresh encode of the NEW vector
+    val wantCodes = PqIndex.ivfPqStore(
+      emb.filter(col("vec_id") === 400), "embedding", ivf, book)
+      .select("pq").head().getAs[scala.collection.Seq[Byte]](0)
+    assert(row5.head.getAs[scala.collection.Seq[Byte]]("pq") == wantCodes)
+    // delete id 7 via the SHARED quantization-agnostic path
+    IvfIndex.deleteFromStore(spark, root, Seq(7L).toDF("vec_id"), "vec_id")
+    assert(IvfIndex.readStoreLatest(spark, root, "vec_id").count() == 99)
+    // search over the latest view: id 5 found at its NEW vector, 7 absent
+    val qv = collected.find(_._1 == 400L).get._2
+    val hits = PqIndex.searchIvfPq(
+      IvfIndex.readStoreLatest(spark, root, "vec_id"),
+      "vec_id", "embedding", qv, ivf, book, nProbe = 8, r = 99, k = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(5L) && !hits.contains(7L))
+    // shared physical compaction
+    val v4 = IvfIndex.compactStore(spark, root, "vec_id")
+    val raw = graft.sources.SnapshotStore.read(spark, root, Some(v4))
+    assert(raw.filter(col("cell") === -1).isEmpty)
+    assert(IvfIndex.readStoreLatest(spark, root, "vec_id").count() == 99)
+  }
 }
