@@ -281,19 +281,81 @@ object IvfIndex {
       expectedBase, partitionBy = Seq(cellCol))
   }
 
+  /** Tenant purge — ONE tombstone row per purge call (reference parity:
+    * org-scoped point deletion, internal/vectordb/vectordb.go:488-591,
+    * where the whole organization's points are removed by a filter, not by
+    * id enumeration): commits a single marker row `__op = "P:<orgCol>"`
+    * carrying the org value, which the latest-wins fold reads as "every
+    * STRICTLY older row whose <orgCol> equals this value is dead". The
+    * marker is self-describing — the fold discovers purge columns from the
+    * op string itself, so reads need no caller-supplied tenant column.
+    *
+    * Delta-sized by construction: a billion-row tenant purges with one
+    * committed row — no id scan, no partition rewrite. Logical-then-
+    * physical: the tenant disappears from [[readStoreLatest]] /
+    * [[searchQuantizedLatest]] at this commit; bytes leave disk at
+    * [[compactStore]] (folds the rows away) + `SnapshotStore
+    * .expireSnapshots` (retires the old versions still holding them) —
+    * the two-step every snapshot-versioned store (and the GDPR clock)
+    * requires. A LATER upsert of the same tenant's ids resurrects exactly
+    * those ids (newer commit wins) — re-ingest-after-purge semantics.
+    * Works verbatim on IVF-PQ roots (the shared tombstone mechanics).
+    */
+  def purgeTenantFromStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      orgCol: String, orgValue: Any, cellCol: String = "cell",
+      expectedBase: Option[Int] = None): Int = {
+    val shape = graft.sources.SnapshotStore
+      .read(spark, root, absentDefaults = Seq(OpCol -> lit("U")))
+      .limit(0)
+    require(shape.columns.contains(orgCol),
+      s"store at $root has no column '$orgCol' to purge on")
+    require(orgCol != cellCol && orgCol != OpCol,
+      s"cannot purge on protocol column '$orgCol'")
+    val marker = shape.schema.fields.foldLeft(
+      spark.range(1).toDF("__seed")) { (d, f) =>
+      if (f.name == orgCol) d.withColumn(f.name, lit(orgValue).cast(f.dataType))
+      else if (f.name == cellCol) d.withColumn(f.name, lit(-1))
+      else if (f.name == OpCol) d.withColumn(f.name, lit(s"P:$orgCol"))
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(shape.columns.map(col).toIndexedSeq: _*)
+    graft.sources.SnapshotStore.append(
+      spark, root, marker, expectedBase, partitionBy = Seq(cellCol))
+  }
+
   /** Latest-wins tombstone fold over a commit-stamped read: a data row
     * survives unless SOME tombstone for its id carries a STRICTLY newer
     * commit (an upsert's same-commit replacement outlives its own
-    * tombstone). Tombstones are broadcast — small by the compaction
-    * contract.
+    * tombstone), and unless a strictly-newer org-level purge marker
+    * ([[purgeTenantFromStore]]) covers one of its column values. Purge
+    * markers are self-describing (`P:<orgCol>`), discovered by one bounded
+    * collect over the tombstone partition (cell = -1, partition-pruned;
+    * distinct marker strings ≤ the number of columns ever purged on — in
+    * practice one). Tombstones are broadcast — small by the compaction
+    * contract: id tombstones fold away at [[compactStore]], purge markers
+    * are one row each.
     */
-  private def foldTombstones(raw: DataFrame, idCol: String): DataFrame = {
-    val tombs = raw.filter(col(OpCol) === "D")
+  private def foldTombstones(
+      raw: DataFrame, idCol: String, cellCol: String): DataFrame = {
+    val dead = raw.filter(col(cellCol) === -1)
+    val tombs = dead.filter(col(OpCol) === "D")
       .groupBy(col(idCol)).agg(max(col(CommitCol)).as("__tv"))
-    raw.filter(col(OpCol) =!= "D")
+    val purgeMarkers = dead
+      .filter(col(OpCol).startsWith("P:"))
+      .select(col(OpCol)).distinct()
+      .collect().map(_.getString(0)).sorted // bounded: ≤ #purged-on columns
+    val base = raw.filter(col(OpCol) === "U")
       .join(broadcast(tombs), Seq(idCol), "left")
       .filter(col("__tv").isNull || col(CommitCol) >= col("__tv"))
       .drop("__tv")
+    purgeMarkers.foldLeft(base) { (live, m) =>
+      val oc = m.stripPrefix("P:")
+      val pt = dead.filter(col(OpCol) === m)
+        .groupBy(col(oc)).agg(max(col(CommitCol)).as("__pv"))
+      live.join(broadcast(pt), Seq(oc), "left")
+        .filter(col("__pv").isNull || col(CommitCol) >= col("__pv"))
+        .drop("__pv")
+    }
   }
 
   /** The store's LIVE rows at a version (default current): tombstones and
@@ -308,7 +370,7 @@ object IvfIndex {
       graft.sources.SnapshotStore.read(spark, root, version,
         commitCol = Some(CommitCol),
         absentDefaults = Seq(OpCol -> lit("U"))),
-      idCol)
+      idCol, cellCol)
       .filter(col(cellCol) =!= -1)
       .drop(CommitCol, OpCol)
 
@@ -330,7 +392,7 @@ object IvfIndex {
         commitCol = Some(CommitCol),
         absentDefaults = Seq(OpCol -> lit("U")))
       .where(col(cellCol).isin(cells: _*))
-    val live = foldTombstones(raw, idCol)
+    val live = foldTombstones(raw, idCol, cellCol)
       .filter(col(cellCol) =!= -1)
       .drop(CommitCol, OpCol)
     VectorSearch.topK(
@@ -349,16 +411,22 @@ object IvfIndex {
   def compactStore(
       spark: org.apache.spark.sql.SparkSession, root: String,
       idCol: String, cellCol: String = "cell",
-      expectedBase: Option[Int] = None): Int = {
+      expectedBase: Option[Int] = None,
+      extraPartitionCols: Seq[String] = Seq.empty): Int = {
     // pin ONE version as both the read snapshot and the commit base — a
     // commit interleaving this read-modify-write collides loudly instead
-    // of being silently folded over (the appendNodesToStore discipline)
+    // of being silently folded over (the appendNodesToStore discipline).
+    // `extraPartitionCols` MUST match the build's (e.g. the tenant column
+    // of a buildStoreVersioned(extraPartitionCols = Seq(org)) store):
+    // compacting with the default would silently demote the org dimension
+    // to a data column and per-tenant searches would lose directory
+    // pruning from this version on.
     val base = expectedBase.orElse(
       graft.sources.SnapshotStore.currentVersion(spark, root))
     val live = readStoreLatest(spark, root, idCol, cellCol, version = base)
       .withColumn(OpCol, lit("U"))
     graft.sources.SnapshotStore.overwrite(spark, root, live,
-      base, partitionBy = Seq(cellCol))
+      base, partitionBy = cellCol +: extraPartitionCols)
   }
 
   /** Open the versioned store (latest or pinned version) for

@@ -244,10 +244,11 @@ object PqIndex {
   def buildIvfPqStoreVersioned(
       spark: org.apache.spark.sql.SparkSession, root: String,
       corpus: DataFrame, vecCol: String, ivf: IvfIndex.Index, cb: Codebook,
-      cellCol: String = "cell", codesCol: String = "pq"): Int =
+      cellCol: String = "cell", codesCol: String = "pq",
+      extraPartitionCols: Seq[String] = Seq.empty): Int =
     graft.sources.SnapshotStore.overwrite(
       spark, root, ivfPqStore(corpus, vecCol, ivf, cb, cellCol, codesCol),
-      partitionBy = Seq(cellCol))
+      partitionBy = cellCol +: extraPartitionCols)
 
   /** Incrementally add `newVecs` to an IVF-PQ store: encode with the
     * FROZEN codebook, assign with the FROZEN coarse centroids, commit one
@@ -260,10 +261,11 @@ object PqIndex {
       spark: org.apache.spark.sql.SparkSession, root: String,
       newVecs: DataFrame, vecCol: String, ivf: IvfIndex.Index, cb: Codebook,
       cellCol: String = "cell", codesCol: String = "pq",
-      expectedBase: Option[Int] = None): Int =
+      expectedBase: Option[Int] = None,
+      extraPartitionCols: Seq[String] = Seq.empty): Int =
     graft.sources.SnapshotStore.append(
       spark, root, ivfPqStore(newVecs, vecCol, ivf, cb, cellCol, codesCol),
-      expectedBase, partitionBy = Seq(cellCol))
+      expectedBase, partitionBy = cellCol +: extraPartitionCols)
 
   /** Id-level UPSERT into an IVF-PQ store (round 10 — the codes-store twin
     * of `IvfIndex.upsertToStore`; reference parity vectordb.go:117-193):
@@ -280,13 +282,14 @@ object PqIndex {
       newVecs: DataFrame, idCol: String, vecCol: String,
       ivf: IvfIndex.Index, cb: Codebook,
       cellCol: String = "cell", codesCol: String = "pq",
-      expectedBase: Option[Int] = None, dirTag: Option[String] = None): Int = {
+      expectedBase: Option[Int] = None, dirTag: Option[String] = None,
+      extraPartitionCols: Seq[String] = Seq.empty): Int = {
     val data = ivfPqStore(newVecs, vecCol, ivf, cb, cellCol, codesCol)
       .withColumn(IvfIndex.OpCol, lit("U"))
     val df = data.unionByName(IvfIndex.tombstonesLike(
       data, newVecs.select(col(idCol)), idCol, cellCol))
     graft.sources.SnapshotStore.append(
-      spark, root, df, expectedBase, partitionBy = Seq(cellCol),
+      spark, root, df, expectedBase, partitionBy = cellCol +: extraPartitionCols,
       dirTag = dirTag)
   }
 

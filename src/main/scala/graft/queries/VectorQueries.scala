@@ -1036,8 +1036,168 @@ object VectorQueries {
               UNION ALL SELECT id, score FROM fresh3
               UNION ALL SELECT id, score FROM fresh4)
         WHERE id % 4 = 2
-        ORDER BY rn LIMIT 10"""))
+        ORDER BY rn LIMIT 10""")),
+
+    // Versioned-store id-level upsert/delete lifecycle, hash-exact
+    // (round 10, VERDICT r9 task 2; reference parity: re-ingest REPLACES
+    // the point, internal/vectordb/vectordb.go:117-193, delete by id
+    // :382-400): drives the REAL SnapshotStore protocol in a temp root —
+    // build (v1, every vector except the query), upsert (v2: ids %17==3
+    // plus id 5 re-ingested with the QUERY's vector — so serving them
+    // proves the replacement wins across cell moves), delete (v3: ids
+    // %23==5, killing id 5's fresh copy via the strictly-newer rule),
+    // then searchQuantizedLatest folds tombstones inside the probed
+    // cells. If the latest-wins fold were broken, id 5 would rank #1;
+    // correct output starts at the smallest surviving upserted id. The
+    // oracle replays the fold SET-THEORETICALLY (survivors = originals
+    // minus upserted/deleted, plus replacements minus deleted) through
+    // the proven q3n quantization chain. Bounded collect (k rows) so the
+    // temp store can be deleted before returning.
+    "qkn_store_upsert_topk" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val index = graft.operators.IvfIndex.centroidsByDraw(
+          e, "vec_id", "embedding", nCells = 16)
+        val root = java.nio.file.Files.createTempDirectory("graft-qkn").toFile
+        try {
+          graft.operators.IvfIndex.buildStoreVersioned(
+            s, root.toString, e.filter(col("vec_id") =!= 0), "embedding", index)
+          val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+            .head().getAs[scala.collection.Seq[Float]](0).toArray
+          val replacements = e
+            .filter(col("vec_id") % 17 === 3 || col("vec_id") === 5)
+            .select(col("vec_id"), col("label"))
+            .crossJoin(broadcast(
+              e.filter(col("vec_id") === 0).select(col("embedding"))))
+          graft.operators.IvfIndex.upsertToStore(
+            s, root.toString, replacements, "vec_id", "embedding", index)
+          graft.operators.IvfIndex.deleteFromStore(
+            s, root.toString,
+            e.filter(col("vec_id") % 23 === 5).select(col("vec_id")), "vec_id")
+          val res = graft.operators.IvfIndex.searchQuantizedLatest(
+            s, root.toString, "q8", "scale", qv, index, nProbe = 4, k = 10,
+            idCol = "vec_id", tiebreak = Some("vec_id"))
+            .select(col("vec_id"), col("label"), col("score"))
+          val rows = res.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+        } finally deleteRecursively(root)
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        ups AS (SELECT vec_id FROM e WHERE vec_id % 17 = 3 OR vec_id = 5),
+        del AS (SELECT vec_id FROM e WHERE vec_id % 23 = 5),
+        live AS (
+          SELECT vec_id, label, v FROM e
+          WHERE vec_id <> 0
+            AND vec_id NOT IN (SELECT vec_id FROM ups)
+            AND vec_id NOT IN (SELECT vec_id FROM del)
+          UNION ALL
+          SELECT e.vec_id, e.label, q.qv AS v FROM e CROSS JOIN q
+          WHERE e.vec_id IN (SELECT vec_id FROM ups)
+            AND e.vec_id NOT IN (SELECT vec_id FROM del)),
+        s AS (SELECT vec_id, label, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM live),
+        d AS MATERIALIZED (SELECT vec_id, label,
+              CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0.0 AS DOUBLE))
+                   ELSE CAST(list_transform(v, x ->
+                        CAST(CAST(ROUND(x / scale) AS TINYINT) * scale AS FLOAT))
+                        AS DOUBLE[]) END AS dv
+              FROM s),
+        cent AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY dd, vec_id) - 1 AS INT) AS cell, v AS cv
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS dd, vec_id, v FROM e
+                ORDER BY dd, vec_id LIMIT 16)),
+        assign AS (
+          SELECT vec_id, label, dv, cell FROM (
+            SELECT d.vec_id, d.label, d.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(d.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM d CROSS JOIN cent c) WHERE rn = 1),
+        probe AS (
+          SELECT cell FROM (
+            SELECT c.cell, ROW_NUMBER() OVER (ORDER BY
+              ROUND(CAST(list_cosine_similarity(c.cv, q.qv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM cent c CROSS JOIN q) WHERE rn <= 4)
+        SELECT a.vec_id, a.label,
+               ROUND(CAST(list_cosine_similarity(a.dv, q.qv) AS DOUBLE), 6) AS score
+        FROM assign a CROSS JOIN q JOIN probe p ON a.cell = p.cell
+        ORDER BY score DESC, a.vec_id LIMIT 10""")),
+
+    // Tenant purge lifecycle, hash-exact (round 10; reference parity:
+    // org-scoped purge, internal/vectordb/vectordb.go:488-591): the REAL
+    // store protocol again — tenant-partitioned build (v1), ONE-ROW purge
+    // marker for org 1 (v2), re-ingest of the tenant's %29==2 ids (v3,
+    // newer commit beats the purge = resurrect), then a PHYSICAL
+    // compaction preserving the (cell, org) layout (v4). The answer is
+    // the per-org live census + best cosine vs the query vector — purge
+    // arithmetic (org 1 collapses to exactly its re-ingested ids) is
+    // visible at every SF, not just when a purged id happens to crack a
+    // top-k. Oracle: survivors = vec_id<>0 AND (org<>1 OR %29==2),
+    // through the quantization chain, grouped per org.
+    "qko_tenant_purge_census" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+          .withColumn("org", pmod(col("vec_id"), lit(4L)).cast("int"))
+        val index = graft.operators.IvfIndex.centroidsByDraw(
+          e, "vec_id", "embedding", nCells = 16)
+        val root = java.nio.file.Files.createTempDirectory("graft-qko").toFile
+        try {
+          graft.operators.IvfIndex.buildStoreVersioned(
+            s, root.toString, e.filter(col("vec_id") =!= 0), "embedding",
+            index, extraPartitionCols = Seq("org"))
+          graft.operators.IvfIndex.purgeTenantFromStore(
+            s, root.toString, "org", 1)
+          graft.operators.IvfIndex.upsertToStore(
+            s, root.toString,
+            e.filter(col("org") === 1 && col("vec_id") % 29 === 2),
+            "vec_id", "embedding", index, extraPartitionCols = Seq("org"))
+          graft.operators.IvfIndex.compactStore(
+            s, root.toString, "vec_id", extraPartitionCols = Seq("org"))
+          val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+            .head().getAs[scala.collection.Seq[Float]](0).toArray
+          val res = graft.operators.IvfIndex
+            .readStoreLatest(s, root.toString, "vec_id")
+            .withColumn("__dv",
+              VectorFunctions.int8Dequant(col("q8"), col("scale")))
+            .withColumn("score",
+              round(VectorFunctions.cosine(col("__dv"), typedLit(qv)), 6))
+            .groupBy(col("org"))
+            .agg(count(lit(1)).as("n_live"), max(col("score")).as("best"))
+            .orderBy(col("org"))
+          val rows = res.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+        } finally deleteRecursively(root)
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        live AS (
+          SELECT vec_id, v FROM e
+          WHERE vec_id <> 0 AND (vec_id % 4 <> 1 OR vec_id % 29 = 2)),
+        s AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM live),
+        d AS (SELECT vec_id,
+              CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0.0 AS DOUBLE))
+                   ELSE CAST(list_transform(v, x ->
+                        CAST(CAST(ROUND(x / scale) AS TINYINT) * scale AS FLOAT))
+                        AS DOUBLE[]) END AS dv
+              FROM s)
+        SELECT CAST(d.vec_id % 4 AS INT) AS org,
+               COUNT(*) AS n_live,
+               MAX(ROUND(CAST(list_cosine_similarity(d.dv, q.qv) AS DOUBLE), 6)) AS best
+        FROM d CROSS JOIN q
+        GROUP BY 1 ORDER BY org"""))
   )
+
+  /** Bounded temp-store cleanup for the lifecycle queries above (qkn/qko):
+    * their results are collected (≤ k rows / ≤ 4 orgs) BEFORE the store
+    * root is deleted, so the returned frame owns no reference to it.
+    */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(); ()
+  }
 
   /** Oracle CTE chain replaying [[graft.operators.GraphAnn]] end to end:
     * the navigable graph — `pairs` (the [[lshPairsCtes]] collision scores

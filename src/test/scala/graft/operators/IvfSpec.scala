@@ -331,4 +331,68 @@ class IvfSpec extends AnyFunSuite {
     assert(got.length == 10, "small tenant still gets k rows at index cost")
     assert(got.forall(_._1 % 4 == 2), "only tenant rows returned")
   }
+
+  test("tenant purge (round 10): ONE marker row logically purges every " +
+      "older row of the org; a pinned version still serves it; a later " +
+      "upsert resurrects exactly the re-ingested ids; compaction folds the " +
+      "purge physically AND preserves the (cell, org) partition layout") {
+    val withOrg = emb.filter(col("vec_id") < 200)
+      .withColumn("org", pmod(col("vec_id"), lit(4L)).cast("int"))
+    val idx = IvfIndex.centroidsByDraw(withOrg, "vec_id", "embedding", nCells = 8)
+    val root = java.nio.file.Files.createTempDirectory("ivf-purge").toString
+    val v1 = IvfIndex.buildStoreVersioned(spark, root, withOrg, "embedding", idx,
+      extraPartitionCols = Seq("org"))
+    val n = withOrg.count()
+    val nOrg1 = withOrg.filter(col("org") === 1).count()
+    assert(nOrg1 > 0, "fixture must populate the purged tenant")
+
+    val v2 = IvfIndex.purgeTenantFromStore(spark, root, "org", 1)
+    assert(v2 == v1 + 1)
+    // delta-sized: the purge commit added exactly ONE raw row
+    val raw2 = graft.sources.SnapshotStore.read(spark, root, Some(v2),
+      absentDefaults = Seq("__op" -> lit("U")))
+    assert(raw2.count() == n + 1, "a tenant purge must commit one marker row")
+    // logical purge at the new version; pinned old version untouched
+    val live2 = IvfIndex.readStoreLatest(spark, root, "vec_id")
+    assert(live2.count() == n - nOrg1)
+    assert(live2.filter(col("org") === 1).isEmpty, "purged tenant must be gone")
+    assert(IvfIndex.readStoreLatest(spark, root, "vec_id", version = Some(v1))
+      .filter(col("org") === 1).count() == nOrg1, "pinned version still serves")
+
+    // re-ingest two of the tenant's ids — newer commit wins over the purge
+    val back = withOrg.filter(col("vec_id").isin(1L, 5L))
+    val v3 = IvfIndex.upsertToStore(spark, root, back, "vec_id", "embedding",
+      idx, extraPartitionCols = Seq("org"))
+    val live3 = IvfIndex.readStoreLatest(spark, root, "vec_id")
+    assert(live3.filter(col("org") === 1).count() == 2,
+      "exactly the re-ingested ids resurrect")
+    assert(live3.count() == n - nOrg1 + 2)
+
+    // physical fold preserving the tenant layout
+    val v4 = IvfIndex.compactStore(spark, root, "vec_id",
+      extraPartitionCols = Seq("org"))
+    assert(v4 == v3 + 1)
+    val raw4 = graft.sources.SnapshotStore.read(spark, root, Some(v4))
+    assert(raw4.filter(col("cell") === -1).isEmpty, "purge marker folded away")
+    assert(raw4.filter(col("__op") =!= "U").isEmpty)
+    assert(raw4.count() == n - nOrg1 + 2)
+    // the compacted dir keeps org as the SECOND partition level (pruning
+    // survives compaction) — check the hive structure on disk
+    val dataDirs = new java.io.File(root, "data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(s"s$v4-"))
+    assert(dataDirs.length == 1)
+    val cellDirs = dataDirs.head.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "compacted dir must stay cell-partitioned")
+    assert(cellDirs.forall(_.listFiles().exists(_.getName.startsWith("org="))),
+      "compaction must preserve the org partition dimension")
+    // and the post-compaction tenant predicate still prunes both dimensions
+    val pruned = IvfIndex.readStoreVersioned(spark, root)
+      .where(col("cell").isin(0, 1) && col("org") === 2)
+    val explained = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = explained.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.nonEmpty && pf.forall(l => l.contains("cell") && l.contains("org")),
+      s"post-compaction pruning lost: $pf")
+  }
 }

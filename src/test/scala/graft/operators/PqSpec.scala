@@ -311,4 +311,24 @@ class PqSpec extends AnyFunSuite {
     assert(raw.filter(col("cell") === -1).isEmpty)
     assert(IvfIndex.readStoreLatest(spark, root, "vec_id").count() == 99)
   }
+
+  test("tenant purge works verbatim on IVF-PQ roots (the shared " +
+      "quantization-agnostic tombstone mechanics)") {
+    val ivf = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 8)
+    val withOrg = emb.filter(col("vec_id") < 120)
+      .withColumn("org", pmod(col("vec_id"), lit(3L)).cast("int"))
+    val root = java.nio.file.Files.createTempDirectory("pq-purge").toString
+    PqIndex.buildIvfPqStoreVersioned(spark, root, withOrg, "embedding",
+      ivf, cb, extraPartitionCols = Seq("org"))
+    IvfIndex.purgeTenantFromStore(spark, root, "org", 0)
+    val live = IvfIndex.readStoreLatest(spark, root, "vec_id")
+    assert(live.filter(col("org") === 0).isEmpty, "purged tenant gone")
+    assert(live.count() == withOrg.filter(col("org") =!= 0).count())
+    // physical fold with the tenant layout preserved
+    val vC = IvfIndex.compactStore(spark, root, "vec_id",
+      extraPartitionCols = Seq("org"))
+    val raw = graft.sources.SnapshotStore.read(spark, root, Some(vC))
+    assert(raw.filter(col("__op") =!= "U").isEmpty)
+    assert(raw.count() == withOrg.filter(col("org") =!= 0).count())
+  }
 }
