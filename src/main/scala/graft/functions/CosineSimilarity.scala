@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expression: cosine similarity of two `ARRAY<FLOAT>` columns.
   *
@@ -134,6 +134,124 @@ case class L2SquaredDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sign-bit LSH bucket id of an `ARRAY<FLOAT>` vector against `nBits`
+  * deterministic splitmix-generated hyperplanes (family selected by
+  * `seedBase`) — ALL bits in one codegen pass over the array.
+  *
+  * Replaces the per-bit `zip_with` + `aggregate` HOF chain, which Spark
+  * evaluates interpreted per element (no whole-stage codegen for lambda
+  * functions): at the graph-rebuild bench configuration (32k vectors ×
+  * 4 tables × 12 bits) the HOF chain alone cost ~15 s of a 36 s rebuild,
+  * recomputed on BOTH sides of the bucket self-join. Arithmetic is
+  * bit-for-bit the contract the DuckDB oracles inline: each element is a
+  * FLOAT widened to double, multiplied by the double plane component,
+  * accumulated left-to-right; bit b sets on `dot >= 0`.
+  *
+  * A vector whose length differs from `dim` buckets to 0 — the HOF
+  * chain's null-padded zip_with folded every such row to bucket 0 too.
+  * A NULL vector yields NULL (standard null propagation; ingest and the
+  * fixtures guarantee non-null embeddings on every LSH path).
+  */
+case class HyperplaneBucket(child: Expression, nBits: Int, dim: Int, seedBase: Int)
+    extends UnaryExpression {
+  require(nBits > 0 && nBits <= 62 && dim > 0,
+    s"bad LSH config nBits=$nBits dim=$dim")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "hyperplane_bucket"
+
+  @transient private lazy val planes: Array[Double] =
+    HyperplaneBucket.flatPlanes(seedBase, nBits, dim)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) 0L
+    else {
+      val p = planes
+      var bucket = 0L
+      var b = 0
+      while (b < nBits) {
+        var dot = 0.0
+        val off = b * dim
+        var i = 0
+        while (i < dim) {
+          dot += x.getFloat(i).toDouble * p(off + i)
+          i += 1
+        }
+        if (dot >= 0) bucket |= 1L << b
+        b += 1
+      }
+      bucket
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("hyperplanes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val bkt = ctx.freshName("bkt")
+      val b = ctx.freshName("b")
+      val dot = ctx.freshName("dot")
+      val off = ctx.freshName("off")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.value} = 0L;
+         |} else {
+         |  long $bkt = 0L;
+         |  for (int $b = 0; $b < $nBits; $b++) {
+         |    double $dot = 0.0;
+         |    final int $off = $b * $dim;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $dot += (double) $a.getFloat($i) * $p[$off + $i];
+         |    }
+         |    if ($dot >= 0) $bkt |= 1L << $b;
+         |  }
+         |  ${ev.value} = $bkt;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBucket {
+  /** Hyperplane component stream for one bit: a splitmix-style integer mix
+    * of (seed, element index) mapped to [-1, 1) — deterministic, no side
+    * data to ship, and exactly what the oracle builders inline as literal
+    * arrays (`graft.operators.VectorSearch.hyperplane` delegates here).
+    */
+  def hyperplane(seed: Int, dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      var z = (seed.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      // map to [-1, 1): enough for a sign test
+      out(i) = (z.toDouble / Long.MaxValue.toDouble)
+      i += 1
+    }
+    out
+  }
+
+  /** All `nBits` planes of one table, flattened row-major (bit b at
+    * offset b·dim) — the single reference object the generated code reads.
+    */
+  private[graft] def flatPlanes(seedBase: Int, nBits: Int, dim: Int): Array[Double] = {
+    val out = new Array[Double](nBits * dim)
+    var b = 0
+    while (b < nBits) {
+      System.arraycopy(hyperplane(seedBase + b, dim), 0, out, b * dim, dim)
+      b += 1
+    }
+    out
+  }
 }
 
 /** Dot product of two `ARRAY<FLOAT>` columns (double accumulation), codegen'd. */

@@ -325,31 +325,22 @@ object VectorSearch {
     * hyperplanes are generated per-element from a splitmix-style integer mix,
     * so the bucketing is deterministic with no side data to ship. `seedBase`
     * selects an independent hyperplane family (one per LSH table).
+    *
+    * Lowers to the one-pass codegen [[graft.functions.HyperplaneBucket]]
+    * expression (all bits in one array scan) — the former per-bit
+    * `zip_with` + `aggregate` chain ran interpreted per element and
+    * dominated the graph-rebuild bench entry; arithmetic is identical
+    * (float→double element × double plane, left-to-right, `dot >= 0`),
+    * so every inlined-constant DuckDB oracle replays unchanged.
     */
   def hyperplaneBucket(vec: Column, nBits: Int, dim: Int, seedBase: Int = 0): Column = {
-    val bits = (0 until nBits).map { b =>
-      val dot = aggregate(
-        zip_with(vec, typedLit(hyperplane(seedBase + b, dim)), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a + b)
+    import graft.functions.ColumnBridge.{col2expr, expr2col}
+    expr2col(graft.functions.HyperplaneBucket(
+      col2expr(VectorFunctions.asFloatArray(vec)), nBits, dim, seedBase))
   }
 
-  private[graft] def hyperplane(seed: Int, dim: Int): Array[Double] = {
-    val out = new Array[Double](dim)
-    var i = 0
-    while (i < dim) {
-      var z = (seed.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      // map to [-1, 1): enough for a sign test
-      out(i) = (z.toDouble / Long.MaxValue.toDouble)
-      i += 1
-    }
-    out
-  }
+  private[graft] def hyperplane(seed: Int, dim: Int): Array[Double] =
+    graft.functions.HyperplaneBucket.hyperplane(seed, dim)
 
   /** Semantic search (§3.1): embed the query text deterministically, filter by
     * tenant, score, top-k — returns (id, document_id, content, score, metadata)
