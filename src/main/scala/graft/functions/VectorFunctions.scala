@@ -52,24 +52,42 @@ object VectorFunctions {
       (acc, x) => acc + x)
 
   /** Per-vector symmetric int8 scale: max|x| / 127 (0.0 for the zero
-    * vector). Callers MUST materialize this as its own column before passing
-    * it to [[int8Quantize]]/[[int8Dequant]] — referencing the aggregate
-    * expression inside their lambdas would re-evaluate it per element
-    * (CLAUDE.md HOF gotcha).
+    * vector). Codegen'd ([[Int8Scale]]); the store convention still
+    * materializes it as its own `scale` column — the oracles replay it
+    * from there and [[int8Dequant]] consumes it per row.
     */
   def int8Scale(vec: Column): Column =
-    aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+    expr2col(Int8Scale(col2expr(asFloatArray(vec))))
 
   /** Quantize to ARRAY<TINYINT> with a materialized per-vector scale —
     * 4× smaller than FLOAT on the 100 TB-dominant embedding column (and 8×
     * vs DOUBLE), the standard memory/bandwidth lever for ANN at scale.
+    * Codegen'd ([[Int8Quantize]]); exact Spark-ROUND (HALF_UP) semantics.
     */
   def int8Quantize(vec: Column, scale: Column): Column =
+    expr2col(Int8Quantize(
+      col2expr(asFloatArray(vec)), col2expr(scale.cast("double"))))
+
+  /** Dequantize back to ARRAY<FLOAT> for scoring (q · scale) — the
+    * per-probed-row search primitive, codegen'd ([[Int8Dequantize]]).
+    */
+  def int8Dequant(q: Column, scale: Column): Column =
+    expr2col(Int8Dequantize(
+      col2expr(q.cast(ArrayType(org.apache.spark.sql.types.ByteType))),
+      col2expr(scale.cast("double"))))
+
+  /** Pure-API HOF twins of the int8 codec (interpreted; kept as the
+    * reference semantics the codegen expressions are spec-checked
+    * against, like [[cosineHof]]).
+    */
+  def int8ScaleHof(vec: Column): Column =
+    aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+
+  def int8QuantizeHof(vec: Column, scale: Column): Column =
     when(scale === 0.0, transform(vec, _ => lit(0).cast("byte")))
       .otherwise(transform(vec, x => round(x.cast("double") / scale).cast("byte")))
 
-  /** Dequantize back to ARRAY<FLOAT> for scoring (q · scale). */
-  def int8Dequant(q: Column, scale: Column): Column =
+  def int8DequantHof(q: Column, scale: Column): Column =
     transform(q, x => (x.cast("double") * scale).cast("float"))
 
   /** L2 norm (double). */

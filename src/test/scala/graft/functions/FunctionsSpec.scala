@@ -79,6 +79,63 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(top.head.getAs[Double]("s") - 1.0) < 1e-9)
   }
 
+  test("codegen int8 codec == HOF twins, incl. half-way rounding and zero scale") {
+    import spark.implicits._
+    // max = 127 → scale exactly 1.0, so ±2.5 sit exactly on the .5
+    // boundary: Spark ROUND is HALF_UP away from zero (3 / −3), where
+    // Math.round would give −2 — the parity trap Int8Codec.roundHalfUp0
+    // exists for. Plus the zero vector (scale 0 → all-zero codes of the
+    // same length) and real embedder vectors.
+    val vecs = Seq(
+      Array(127.0f, 2.5f, -2.5f, 0.1f, -126.9f),
+      Array.fill(5)(0.0f),
+      MockEmbedder.embed("alpha", 5),
+      MockEmbedder.embed("beta", 5)).map(Tuple1(_)).toDF("v")
+    val out = vecs
+      .withColumn("s", VectorFunctions.int8Scale(col("v")))
+      .withColumn("sh", VectorFunctions.int8ScaleHof(col("v")))
+      .withColumn("q", VectorFunctions.int8Quantize(col("v"), col("s")))
+      .withColumn("qh", VectorFunctions.int8QuantizeHof(col("v"), col("s")))
+      .withColumn("d", VectorFunctions.int8Dequant(col("q"), col("s")))
+      .withColumn("dh", VectorFunctions.int8DequantHof(col("qh"), col("s")))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), "scale == HOF scale")
+      assert(r.getAs[scala.collection.Seq[Byte]]("q") ==
+        r.getAs[scala.collection.Seq[Byte]]("qh"), "codes == HOF codes")
+      assert(r.getAs[scala.collection.Seq[Float]]("d") ==
+        r.getAs[scala.collection.Seq[Float]]("dh"), "dequant == HOF dequant")
+    }
+    val q0 = out.head.getAs[scala.collection.Seq[Byte]]("q")
+    assert(q0(1) == 3 && q0(2) == -3, s"HALF_UP away from zero, got $q0")
+    assert(out(1).getAs[scala.collection.Seq[Byte]]("q") == Seq.fill(5)(0.toByte))
+  }
+
+  test("codegen HyperplaneBucket == scala reference dot-sign fold") {
+    import spark.implicits._
+    val data = (0 until 50).map(i => MockEmbedder.embed(s"v$i", 16))
+    val got = data.map(Tuple1(_)).toDF("v")
+      .select(graft.operators.VectorSearch
+        .hyperplaneBucket(col("v"), nBits = 6, dim = 16, seedBase = 3).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val planes = (0 until 6).map(b =>
+      graft.operators.VectorSearch.hyperplane(3 + b, 16))
+    val want = data.map { v =>
+      (0 until 6).map { b =>
+        var dot = 0.0; var j = 0
+        while (j < 16) { dot += v(j).toDouble * planes(b)(j); j += 1 }
+        if (dot >= 0) 1L << b else 0L
+      }.sum
+    }
+    assert(got == want)
+    // wrong-length vector buckets to 0 (the former chain's null-padded
+    // zip_with folded such rows to bucket 0 likewise)
+    val z = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("v")
+      .select(graft.operators.VectorSearch.hyperplaneBucket(col("v"), 6, 16, 3))
+      .head().getLong(0)
+    assert(z == 0L)
+  }
+
   // --- text analysis columns ---
 
   test("token count / stopword ratio / mean word length") {
