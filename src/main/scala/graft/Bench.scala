@@ -272,6 +272,13 @@ object Bench {
       // upsert path exists (reference parity: continuous vector upserts)
       "ivf_store_rebuild" -> (() => ivfStoreRebuild(spark, sfDir, ivfRoot)),
       "ivf_store_append" -> (() => ivfStoreAppend(spark, sfDir, ivfRoot)),
+      // round 10: the drift-repair loop over the append store — localize
+      // (one cellQuality pass over the full store) + repair (Lloyd over
+      // ONLY the 4 worst cells' members, partition-level replace commit).
+      // Sits between append (delta-only) and rebuild (everything): the
+      // measured cost of acting on the assignQuality alarm without a
+      // rebuild
+      "ivf_store_refresh" -> (() => ivfStoreRefresh(spark, ivfRoot)),
       // graph-ANN beam tier (round 9): the per-query-batch traversal cost
       // over a pre-built neighbor graph (build is the amortized
       // once-per-snapshot cost, paid outside the timed region like the
@@ -452,6 +459,25 @@ object Bench {
       spark.read.parquet(root.resolve("corpus").toString)
         .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0),
       "embedding", idx)
+    ()
+  }
+
+  /** The drift-repair loop (alarm → localize → repair) on the append
+    * store: one full-store [[graft.operators.IvfIndex.cellQuality]] scan
+    * names the 4 least-cohesive cells, then
+    * [[graft.operators.IvfIndex.refreshCells]] re-fits ONLY their members
+    * (2 Lloyd rounds) and commits a partition-level replace. The entry's
+    * cost is localize + repair; the repair leg alone is delta-sized.
+    */
+  private def ivfStoreRefresh(
+      spark: SparkSession, root: java.nio.file.Path): Unit = {
+    val idx = benchIvfIndex.getOrElse(
+      throw new IllegalStateException("ANN setup failed — no index"))
+    val sroot = root.resolve("append").toString
+    val live = graft.operators.IvfIndex.readStoreLatest(spark, sroot, "vec_id")
+    val worst = graft.operators.IvfIndex.worstCells(
+      graft.operators.IvfIndex.cellQuality(live, "q8", "scale", idx), k = 4)
+    graft.operators.IvfIndex.refreshCells(spark, sroot, idx, worst, "vec_id")
     ()
   }
 

@@ -461,6 +461,122 @@ object IvfIndex {
     else (row.getLong(0), row.getDouble(1), row.getDouble(2))
   }
 
+  // ---- Drift repair: localize + refresh (round 10) ---------------------
+  // [[assignQuality]] is the ALARM (corpus-level mean cohesion falling
+  // against the build-time baseline); acting on it used to mean a full
+  // [[buildStoreVersioned]] rebuild. The repair is usually local — drift
+  // concentrates in the cells the appended distribution lands on — so the
+  // maintenance loop is: alarm (assignQuality on each append delta) →
+  // localize ([[cellQuality]], one pass naming the incohesive cells) →
+  // repair ([[refreshCells]], Lloyd over ONLY those cells' members +
+  // a partition-level replace commit). The repair is delta-sized twice
+  // over: the Lloyd rounds touch only the named cells' members
+  // (partition-pruned read), and the commit rewrites only their dirs —
+  // untouched cells' files are re-referenced byte-identical, the
+  // [[appendToStore]] discipline applied to re-clustering.
+
+  /** Per-cell cohesion: for every cell, the member count and mean/min
+    * round-6 cosine of each member's dequantized vector against its OWN
+    * cell centroid — the localization scan behind [[refreshCells]].
+    * Columns `(cellCol, n, mean_score, min_score)`.
+    *
+    * One narrow full-store pass (codegen dequant + cosine against a
+    * broadcast centroid frame, partial-aggregated on cell); on a 100 TB
+    * store run it on a sampled read (`store.sample(f)`) — per-cell MEANS
+    * are what rank cells, and they survive sampling.
+    */
+  def cellQuality(
+      store: DataFrame, q8Col: String, scaleCol: String, index: Index,
+      cellCol: String = "cell"): DataFrame = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.toSeq.toDF(cellCol, "__cent")
+    store
+      .select(col(cellCol),
+        VectorFunctions.int8Dequant(col(q8Col), col(scaleCol)).as("__dv"))
+      .join(broadcast(cents), cellCol)
+      .select(col(cellCol),
+        round(VectorFunctions.cosine(col("__dv"), col("__cent")), 6).as("__s"))
+      .groupBy(col(cellCol))
+      .agg(count(lit(1)).as("n"), avg(col("__s")).as("mean_score"),
+        min(col("__s")).as("min_score"))
+  }
+
+  /** The `k` least-cohesive cells of a [[cellQuality]] frame (mean ASC,
+    * cell ASC tiebreak), skipping cells below `minCellSize` members —
+    * singleton cells are perfectly cohesive by construction and tiny ones
+    * rank low on noise, not drift.
+    */
+  def worstCells(
+      quality: DataFrame, k: Int, minCellSize: Long = 2L,
+      cellCol: String = "cell"): Seq[Int] =
+    quality.filter(col("n") >= minCellSize)
+      .orderBy(col("mean_score").asc, col(cellCol).asc)
+      .limit(k)
+      .select(col(cellCol)).collect().map(_.getInt(0)).toSeq
+
+  /** Re-cluster ONLY `cells` and commit the result as a partition-level
+    * replace: their live members (tombstones folded at the pinned base
+    * version) are read partition-pruned, their centroids re-fit with
+    * [[refineExact]]'s order-free DECIMAL/9-grid Lloyd rounds seeded from
+    * the current centroids, members re-assigned among the REFRESHED
+    * subset only (a member cannot leave the touched set, so untouched
+    * cells — and their files — are provably untouched), and the touched
+    * dirs replaced in one optimistic-concurrency commit. Returns the new
+    * caller-held [[Index]] (untouched centroids carried as-is) and the
+    * committed version.
+    *
+    * Codes and scales are per-row and cell-independent, so the rewrite
+    * re-quantizes nothing — only the `cellCol` value changes. A cell whose
+    * reassignment emptied it is dropped from the manifest via
+    * `dropPartitions` (a hive write cannot emit an empty dir); its
+    * refreshed centroid stays in the index and simply probes zero rows
+    * until an append repopulates it. Not for tenant-partitioned stores:
+    * the rewrite dir is cell-only, which would demote the org dimension
+    * to a data column for the touched cells (same caveat as
+    * [[compactStore]]'s `extraPartitionCols` contract).
+    */
+  def refreshCells(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      index: Index, cells: Seq[Int], idCol: String,
+      q8Col: String = "q8", scaleCol: String = "scale",
+      cellCol: String = "cell", iters: Int = 2,
+      expectedBase: Option[Int] = None,
+      dirTag: Option[String] = None): (Index, Int) = {
+    require(cells.nonEmpty, "refreshCells needs at least one cell")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val cellSet = cells.toSet
+    val known = index.centroids.map(_._1).toSet
+    require(cellSet.subsetOf(known),
+      s"unknown cells: ${(cellSet -- known).toSeq.sorted.mkString(",")}")
+    // pin ONE version as both the read snapshot and the commit base — a
+    // commit interleaving this read-modify-write collides loudly instead
+    // of being silently folded over (the compactStore discipline)
+    val base = expectedBase.orElse(
+      graft.sources.SnapshotStore.currentVersion(spark, root))
+    val members = graft.operators.IterCheckpoint.pin(
+      readStoreLatest(spark, root, idCol, cellCol, version = base)
+        .filter(col(cellCol).isin(cells: _*))
+        .withColumn("__dv",
+          VectorFunctions.int8Dequant(col(q8Col), col(scaleCol))))
+    val subIndex = Index(index.centroids.filter(p => cellSet.contains(p._1)))
+    val refreshed = refineExact(members, "__dv", subIndex, iters)
+    val rewritten = members
+      .withColumn(cellCol, assignCell(col("__dv"), refreshed))
+      .drop("__dv")
+      .withColumn(OpCol, lit("U"))
+    // bounded collect: ≤ |cells| ints — cells the reassignment emptied
+    val kept = rewritten.select(col(cellCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val next = graft.sources.SnapshotStore.replacePartitions(
+      spark, root, rewritten, cellCol, expectedBase = base, dirTag = dirTag,
+      dropPartitions = cellSet.diff(kept).map(c => s"$cellCol=$c"))
+    val byCell = refreshed.centroids.toMap
+    (Index(index.centroids.map { case (c, v) =>
+      c -> byCell.getOrElse(c, v)
+    }), next)
+  }
+
   /** IVF top-k over an int8 store: probe cells exactly like [[search]]
     * (float query against the float centroid metadata), dequantize on the
     * fly inside the probed cells only — the cell filter is applied BEFORE

@@ -1187,7 +1187,153 @@ object VectorQueries {
                COUNT(*) AS n_live,
                MAX(ROUND(CAST(list_cosine_similarity(d.dv, q.qv) AS DOUBLE), 6)) AS best
         FROM d CROSS JOIN q
-        GROUP BY 1 ORDER BY org"""))
+        GROUP BY 1 ORDER BY org""")),
+
+    // Drift repair lifecycle, hash-exact (round 10): the REAL store
+    // protocol once more — index drawn from the FIRST 100 vectors only,
+    // store built from them (v1), the REST appended under the frozen
+    // centroids (v2, the drift regime: at sf0.01/0.1 the bulk of the
+    // corpus was never seen by the draw), then the repair loop: the 3
+    // least-cohesive cells (selection by a DECIMAL-summed round-6 mean —
+    // deterministic in both engines, n >= 2 guard) are re-fit with
+    // refreshCells (2 refineExact Lloyd rounds over ONLY their members'
+    // DEQUANTIZED vectors, reassignment confined to the refreshed subset,
+    // partition-level replace commit). The answer is the per-cell census
+    // of the refreshed store against the refreshed index: member count,
+    // id-sum (pins the exact final assignment) and the DECIMAL-snapped
+    // mean own-centroid cosine. Oracle: the full chain — md5 draw over
+    // the sub-corpus, int8 quantize/dequant (q3n), argmax assignment,
+    // worst-3 selection, two unrolled Lloyd rounds on dv (the q4y recipe
+    // restricted to the touched members), final reassignment, census.
+    // At sf0.001 all 50 vectors sit in the build and the append is empty
+    // (exercising the empty-append guard); the repair arithmetic is
+    // gated at every SF.
+    "qkp_drift_refresh_census" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = emb(s, dir)
+        val baseC = e.filter(col("vec_id") < 100)
+        val index = graft.operators.IvfIndex.centroidsByDraw(
+          baseC, "vec_id", "embedding", nCells = 8)
+        val root = java.nio.file.Files.createTempDirectory("graft-qkp").toFile
+        try {
+          graft.operators.IvfIndex.buildStoreVersioned(
+            s, root.toString, baseC, "embedding", index)
+          graft.operators.IvfIndex.appendToStore(
+            s, root.toString, e.filter(col("vec_id") >= 100), "embedding",
+            index)
+          def census(idx: graft.operators.IvfIndex.Index): DataFrame =
+            graft.operators.IvfIndex
+              .readStoreLatest(s, root.toString, "vec_id")
+              .withColumn("__dv",
+                VectorFunctions.int8Dequant(col("q8"), col("scale")))
+              .join(broadcast(idx.centroids.toSeq.toDF("cell", "__cent")),
+                "cell")
+              .select(col("cell"), col("vec_id"),
+                round(VectorFunctions.cosine(col("__dv"), col("__cent")), 6)
+                  .as("sc"))
+              .groupBy(col("cell"))
+              .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_vec"),
+                round(sum(col("sc").cast("decimal(18,6)")).cast("double")
+                  / count(lit(1)).cast("double"), 6).as("mean_sim"))
+          val worst = census(index)
+            .filter(col("n") >= 2)
+            .orderBy(col("mean_sim").asc, col("cell").asc)
+            .limit(3).select("cell").collect().map(_.getInt(0)).toSeq
+          val (idx2, _) = graft.operators.IvfIndex.refreshCells(
+            s, root.toString, index, worst, "vec_id", iters = 2)
+          val res = census(idx2).orderBy(col("cell"))
+          val rows = res.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+        } finally deleteRecursively(root)
+      },
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent0 AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY dd, vec_id) - 1 AS INT) AS cell, v AS cv
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS dd, vec_id, v FROM e
+                WHERE vec_id < 100 ORDER BY dd, vec_id LIMIT 8)),
+        sq AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        d AS MATERIALIZED (SELECT vec_id,
+              CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0.0 AS DOUBLE))
+                   ELSE CAST(list_transform(v, x ->
+                        CAST(CAST(ROUND(x / scale) AS TINYINT) * scale AS FLOAT))
+                        AS DOUBLE[]) END AS dv
+              FROM sq),
+        a0 AS MATERIALIZED (
+          SELECT vec_id, dv, cell FROM (
+            SELECT d.vec_id, d.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(d.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM d CROSS JOIN cent0 c) WHERE rn = 1),
+        qual0 AS (
+          SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(CAST(ROUND(CAST(list_cosine_similarity(a.dv, c.cv) AS DOUBLE), 6)
+                                     AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS m6
+          FROM a0 a JOIN cent0 c USING (cell) GROUP BY a.cell),
+        worst AS MATERIALIZED (
+          SELECT cell FROM qual0 WHERE n >= 2 ORDER BY m6 ASC, cell ASC LIMIT 3),
+        mem AS MATERIALIZED (
+          SELECT a.vec_id, a.dv FROM a0 a JOIN worst w USING (cell)),
+        sub0 AS MATERIALIZED (
+          SELECT c.cell, c.cv FROM cent0 c JOIN worst w USING (cell)),
+        r1 AS MATERIALIZED (
+          SELECT vec_id, dv, cell FROM (
+            SELECT m.vec_id, m.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(m.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM mem m CROSS JOIN sub0 c) WHERE rn = 1),
+        m1 AS (
+          SELECT cell, pos,
+                 CAST(ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE), 9) AS FLOAT) AS mf
+          FROM (SELECT cell, unnest(dv) AS x, generate_subscripts(dv, 1) AS pos FROM r1)
+          GROUP BY cell, pos),
+        sub1 AS MATERIALIZED (
+          SELECT c.cell, COALESCE(m.cv, c.cv) AS cv
+          FROM sub0 c LEFT JOIN
+            (SELECT cell, list(CAST(mf AS DOUBLE) ORDER BY pos) AS cv
+             FROM m1 GROUP BY cell) m USING (cell)),
+        r2 AS MATERIALIZED (
+          SELECT vec_id, dv, cell FROM (
+            SELECT m.vec_id, m.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(m.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM mem m CROSS JOIN sub1 c) WHERE rn = 1),
+        m2 AS (
+          SELECT cell, pos,
+                 CAST(ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE), 9) AS FLOAT) AS mf
+          FROM (SELECT cell, unnest(dv) AS x, generate_subscripts(dv, 1) AS pos FROM r2)
+          GROUP BY cell, pos),
+        sub2 AS MATERIALIZED (
+          SELECT c.cell, COALESCE(m.cv, c.cv) AS cv
+          FROM sub1 c LEFT JOIN
+            (SELECT cell, list(CAST(mf AS DOUBLE) ORDER BY pos) AS cv
+             FROM m2 GROUP BY cell) m USING (cell)),
+        fin AS MATERIALIZED (
+          SELECT vec_id, dv, cell FROM (
+            SELECT m.vec_id, m.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(m.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM mem m CROSS JOIN sub2 c) WHERE rn = 1),
+        cens AS (
+          SELECT a.cell, a.vec_id,
+                 ROUND(CAST(list_cosine_similarity(a.dv, c.cv) AS DOUBLE), 6) AS sc2
+          FROM a0 a JOIN cent0 c USING (cell)
+          WHERE a.cell NOT IN (SELECT cell FROM worst)
+          UNION ALL
+          SELECT f.cell, f.vec_id,
+                 ROUND(CAST(list_cosine_similarity(f.dv, c.cv) AS DOUBLE), 6) AS sc2
+          FROM fin f JOIN sub2 c USING (cell))
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_vec,
+               ROUND(CAST(SUM(CAST(sc2 AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sim
+        FROM cens GROUP BY cell ORDER BY cell"""))
   )
 
   /** Bounded temp-store cleanup for the lifecycle queries above (qkn/qko):

@@ -236,10 +236,20 @@ object SnapshotStore {
     * they hold no rows of any replaced partition by construction. Same
     * optimistic-concurrency contract as [[append]]; requires an existing
     * snapshot (a first write is an [[overwrite]]).
+    *
+    * `dropPartitions` names leaf dirs (`"col=value"`) to remove from the
+    * new manifest even though `df` carries no rows for them — the
+    * rewrite-to-empty case (a hive write cannot emit an empty partition
+    * dir, so a partition whose rewrite produced zero rows would otherwise
+    * silently keep its OLD rows). [[graft.operators.IvfIndex.refreshCells]]
+    * passes the refreshed cells that ended up empty after reassignment.
     */
   def replacePartitions(spark: SparkSession, root: String, df: DataFrame,
       partitionCol: String, expectedBase: Option[Int] = None,
-      dirTag: Option[String] = None): Int = {
+      dirTag: Option[String] = None,
+      dropPartitions: Set[String] = Set.empty): Int = {
+    dropPartitions.foreach(d => require(d.startsWith(s"$partitionCol="),
+      s"dropPartitions entries must be '$partitionCol=<value>' leaves, got '$d'"))
     dirTag.foreach(t => require(t.nonEmpty && t.forall(c =>
       c.isLetterOrDigit || c == '_'), s"dirTag must be [A-Za-z0-9_]+, got '$t'"))
     val fs = fsOf(spark, root)
@@ -258,7 +268,7 @@ object SnapshotStore {
     val touched = fs.listStatus(newDirPath).toSeq.collect {
       case s if s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol=") =>
         s.getPath.getName
-    }.toSet
+    }.toSet ++ dropPartitions
     val survivors = prev.flatMap { entry =>
       val parts = entry.split('/')
       if (parts.length >= 3) {

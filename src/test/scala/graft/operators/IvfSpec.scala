@@ -297,6 +297,97 @@ class IvfSpec extends AnyFunSuite {
       .filter(col("vec_id") === 7).count() == 1)
   }
 
+  test("drift repair (round 10): cellQuality localizes the drifted cells, " +
+      "refreshCells improves their cohesion via a partition-level commit " +
+      "that rewrites no untouched file, membership stays inside the " +
+      "touched set, full-probe search over the refreshed store is exact, " +
+      "and a pre-refresh delete stays folded") {
+    import spark.implicits._
+    // index + store fit to the FIRST 100 vectors only, then append 200
+    // UNSEEN vectors: the frozen centroids were never fit to them, so
+    // cohesion falls in the cells they land on — the drift regime the
+    // alarm → localize → repair loop exists for
+    val base = emb.filter(col("vec_id") < 100)
+    val idx = IvfIndex.centroidsByDraw(base, "vec_id", "embedding", nCells = 8)
+    val root = java.nio.file.Files.createTempDirectory("ivf-refresh").toString
+    IvfIndex.buildStoreVersioned(spark, root, base, "embedding", idx)
+    IvfIndex.appendToStore(spark, root,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 500), "embedding", idx)
+    val v3 = IvfIndex.deleteFromStore(spark, root, Seq(450L).toDF("vec_id"), "vec_id")
+
+    def liveAt(v: Option[Int] = None) =
+      IvfIndex.readStoreLatest(spark, root, "vec_id", version = v)
+    def cohesion(index: IvfIndex.Index, cells: Seq[Int]): Double = {
+      val r = IvfIndex.cellQuality(liveAt(), "q8", "scale", index)
+        .filter(col("cell").isin(cells: _*))
+        .agg((sum(col("n") * col("mean_score")) / sum(col("n"))).as("m"))
+        .head()
+      r.getDouble(0)
+    }
+    def allFiles(): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val b = new java.io.File(root)
+      walk(b).map(f => b.toPath.relativize(f.toPath).toString -> f.length()).toSet
+    }
+
+    val worst = IvfIndex.worstCells(
+      IvfIndex.cellQuality(liveAt(), "q8", "scale", idx), k = 3)
+    assert(worst.size == 3)
+    val before = liveAt()
+    val nBefore = before.count()
+    val touchedIdsBefore = before.filter(col("cell").isin(worst: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(touchedIdsBefore.nonEmpty)
+    val cohBefore = cohesion(idx, worst)
+    val filesBefore = allFiles()
+
+    val (idx2, v4) = IvfIndex.refreshCells(spark, root, idx, worst, "vec_id")
+    assert(v4 == v3 + 1)
+    // untouched centroids carried verbatim, touched ones moved
+    for ((c, v) <- idx.centroids if !worst.contains(c))
+      assert(idx2.centroids.find(_._1 == c).get._2.toSeq == v.toSeq)
+    // the commit ADDED a dir; no pre-existing file was rewritten, and
+    // every new parquet leaf lives in a touched cell's partition
+    val filesAfter = allFiles()
+    assert(filesBefore.subsetOf(filesAfter), "refresh must not rewrite old files")
+    val newParquet = (filesAfter -- filesBefore).map(_._1)
+      .filter(p => p.endsWith(".parquet") && !p.contains("cell=-1"))
+    assert(newParquet.nonEmpty)
+    val touchedLeaves = worst.map(c => s"cell=$c").toSet
+    assert(newParquet.forall(p => p.split('/').exists(touchedLeaves.contains)),
+      s"new files outside touched cells: ${newParquet.mkString(", ")}")
+    // membership: same live rows, every touched member still in a touched
+    // cell (reassignment cannot leave the refreshed subset), delete folded
+    val after = liveAt()
+    assert(after.count() == nBefore)
+    val touchedIdsAfter = after.filter(col("cell").isin(worst: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(touchedIdsAfter == touchedIdsBefore)
+    assert(after.filter(col("vec_id") === 450).isEmpty)
+    // the repair's point: touched-cell cohesion strictly improves
+    val cohAfter = cohesion(idx2, worst)
+    assert(cohAfter > cohBefore,
+      s"cohesion must improve: before $cohBefore, after $cohAfter")
+    // full-probe search with the refreshed index stays EXACT
+    val qv = emb.filter(col("vec_id") === 400).select("embedding")
+      .head().getAs[scala.collection.Seq[Float]](0).toArray
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = rows(IvfIndex.searchQuantizedLatest(spark, root, "q8", "scale",
+      qv, idx2, nProbe = 8, k = 10, idCol = "vec_id", tiebreak = Some("vec_id")))
+    val exact = rows(VectorSearch.topK(
+      after.withColumn("__dv",
+        graft.functions.VectorFunctions.int8Dequant(col("q8"), col("scale"))),
+      "__dv", qv, k = 10, scoreScale = Some(6), tiebreak = Some("vec_id")))
+    assert(got == exact)
+    // pinned pre-refresh version replays the pre-refresh state
+    assert(liveAt(Some(v3)).count() == nBefore)
+    assert(liveAt(Some(v3)).filter(col("cell").isin(worst: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet == touchedIdsBefore)
+  }
+
   test("tenant-partitioned store (round 10): the (cell, org) predicate " +
       "prunes BOTH partition dimensions and per-tenant top-k equals the " +
       "in-memory composition") {

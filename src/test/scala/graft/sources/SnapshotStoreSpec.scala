@@ -202,6 +202,32 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(cur3.count() == 23)
   }
 
+  test("replacePartitions dropPartitions removes a partition that the " +
+      "rewrite emptied: its old rows vanish at the new version, survive at " +
+      "the pinned one, and a malformed leaf name refuses loudly") {
+    val root = freshRoot()
+    SnapshotStore.overwrite(spark, root,
+      (0L until 30L).map(i => (i, (i % 3).toInt, s"old$i")).toDF("id", "b", "v"),
+      partitionBy = Seq("b"))
+    // bucket 2's rewrite produced zero rows: a hive write cannot emit an
+    // empty dir, so the commit must name it dropped explicitly
+    val v2 = SnapshotStore.replacePartitions(spark, root,
+      Seq((100L, 1, "new100")).toDF("id", "b", "v"), "b",
+      dropPartitions = Set("b=2"))
+    assert(v2 == 2)
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.filter($"b" === 2).isEmpty, "dropped partition must be empty")
+    assert(cur.filter($"b" === 0).count() == 10, "untouched partition intact")
+    assert(cur.filter($"b" === 1).count() == 1)
+    assert(SnapshotStore.read(spark, root, Some(1)).filter($"b" === 2).count() == 10)
+    val err = intercept[IllegalArgumentException] {
+      SnapshotStore.replacePartitions(spark, root,
+        Seq((7L, 0, "x")).toDF("id", "b", "v"), "b",
+        dropPartitions = Set("c=2"))
+    }
+    assert(err.getMessage.contains("b=<value>"))
+  }
+
   test("expireSnapshots keeps a data dir alive while any retained manifest " +
       "references any of its partition LEAVES") {
     val root = freshRoot()
