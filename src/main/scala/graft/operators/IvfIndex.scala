@@ -577,6 +577,77 @@ object IvfIndex {
     }), next)
   }
 
+  /** The `k` FULLEST cells of a [[cellQuality]] frame (n DESC, cell ASC
+    * tiebreak) — the skew localizer behind [[splitCell]]. With the store
+    * partitioned by cell, a cell's member count IS its probe cost
+    * ([[TunePoint]] measures real sizes for the same reason), so a
+    * runaway cell makes every query that probes it pay its whole scan.
+    */
+  def largestCells(
+      quality: DataFrame, k: Int, cellCol: String = "cell"): Seq[Int] =
+    quality.orderBy(col("n").desc, col(cellCol).asc)
+      .limit(k)
+      .select(col(cellCol)).collect().map(_.getInt(0)).toSeq
+
+  /** Split ONE overfull cell in two — the skew repair beside
+    * [[refreshCells]]'s drift repair. The cell's live members are read
+    * partition-pruned at a pinned base version, two seed centroids are
+    * drawn deterministically INSIDE the cell ((md5(id), id) order — the
+    * [[centroidsByDraw]] contract restricted to its members), re-fit with
+    * [[refreshCells]]'s exact Lloyd rounds over the dequantized vectors,
+    * members re-assigned between the two halves, and the result committed
+    * as a partition-level replace of the one touched dir plus the new
+    * cell's dir. Returns the grown [[Index]] (the new half gets
+    * `max(cell) + 1`; every other centroid carried verbatim) and the
+    * committed version.
+    *
+    * Untouched cells' files are never rewritten; codes/scales are reused
+    * (cell-independent, like the refresh); the split is delta-sized in
+    * the one cell's member count. Probes keep working mid-rollout: a
+    * query planned against the OLD index simply never probes the new
+    * cell id, and the pinned-version read serves the pre-split layout.
+    * Same cell-only layout caveat as [[refreshCells]].
+    */
+  def splitCell(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      index: Index, cell: Int, idCol: String,
+      q8Col: String = "q8", scaleCol: String = "scale",
+      cellCol: String = "cell", iters: Int = 2,
+      expectedBase: Option[Int] = None,
+      dirTag: Option[String] = None): (Index, Int) = {
+    require(index.centroids.exists(_._1 == cell), s"unknown cell $cell")
+    val newCell = index.centroids.map(_._1).max + 1
+    val base = expectedBase.orElse(
+      graft.sources.SnapshotStore.currentVersion(spark, root))
+    val members = graft.operators.IterCheckpoint.pin(
+      readStoreLatest(spark, root, idCol, cellCol, version = base)
+        .filter(col(cellCol) === cell)
+        .withColumn("__dv",
+          VectorFunctions.int8Dequant(col(q8Col), col(scaleCol))))
+    val seeds = centroidsByDraw(members, idCol, "__dv", nCells = 2)
+    require(seeds.nCells == 2,
+      s"cell $cell has < 2 members — nothing to split")
+    val subIndex = Index(Array(
+      cell -> seeds.centroids(0)._2, newCell -> seeds.centroids(1)._2))
+    val refined = refineExact(members, "__dv", subIndex, iters)
+    val rewritten = members
+      .withColumn(cellCol, assignCell(col("__dv"), refined))
+      .drop("__dv")
+      .withColumn(OpCol, lit("U"))
+    // bounded collect: ≤ 2 ints — a half the reassignment emptied (the
+    // degenerate all-members-on-one-side split) must still drop its dir
+    val kept = rewritten.select(col(cellCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val next = graft.sources.SnapshotStore.replacePartitions(
+      spark, root, rewritten, cellCol, expectedBase = base, dirTag = dirTag,
+      dropPartitions =
+        (Set(cell) -- kept).map(c => s"$cellCol=$c"))
+    val byCell = refined.centroids.toMap
+    (Index(index.centroids.map { case (c, v) =>
+      c -> byCell.getOrElse(c, v)
+    } :+ (newCell -> byCell(newCell))), next)
+  }
+
   /** IVF top-k over an int8 store: probe cells exactly like [[search]]
     * (float query against the float centroid metadata), dequantize on the
     * fly inside the probed cells only — the cell filter is applied BEFORE

@@ -1333,6 +1333,140 @@ object VectorQueries {
                CAST(SUM(vec_id) AS BIGINT) AS sum_vec,
                ROUND(CAST(SUM(CAST(sc2 AS DECIMAL(18,6))) AS DOUBLE)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sim
+        FROM cens GROUP BY cell ORDER BY cell""")),
+
+    // Skew repair lifecycle, hash-exact (round 10 — qkp's capacity twin):
+    // with the store partitioned by cell, a cell's member count IS its
+    // probe cost, so the repair for a runaway cell is splitCell — two
+    // seed centroids drawn deterministically INSIDE the fullest cell
+    // ((md5(id), id) order, the centroidsByDraw contract restricted to
+    // its members' DEQUANTIZED vectors), two refineExact Lloyd rounds,
+    // members re-assigned between the halves, one partition-level
+    // replace commit, index grown to nCells + 1. The answer is the same
+    // per-cell census as qkp over the grown index — the largest-cell
+    // selection (n DESC, cell ASC) is integer-deterministic, and every
+    // float step reuses qkp's proven recipes.
+    "qkq_split_cell_census" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = emb(s, dir)
+        val index = graft.operators.IvfIndex.centroidsByDraw(
+          e, "vec_id", "embedding", nCells = 8)
+        val root = java.nio.file.Files.createTempDirectory("graft-qkq").toFile
+        try {
+          graft.operators.IvfIndex.buildStoreVersioned(
+            s, root.toString, e, "embedding", index)
+          def census(idx: graft.operators.IvfIndex.Index): DataFrame =
+            graft.operators.IvfIndex
+              .readStoreLatest(s, root.toString, "vec_id")
+              .withColumn("__dv",
+                VectorFunctions.int8Dequant(col("q8"), col("scale")))
+              .join(broadcast(idx.centroids.toSeq.toDF("cell", "__cent")),
+                "cell")
+              .select(col("cell"), col("vec_id"),
+                round(VectorFunctions.cosine(col("__dv"), col("__cent")), 6)
+                  .as("sc"))
+              .groupBy(col("cell"))
+              .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_vec"),
+                round(sum(col("sc").cast("decimal(18,6)")).cast("double")
+                  / count(lit(1)).cast("double"), 6).as("mean_sim"))
+          val target = graft.operators.IvfIndex.largestCells(
+            graft.operators.IvfIndex.cellQuality(
+              graft.operators.IvfIndex.readStoreLatest(s, root.toString, "vec_id"),
+              "q8", "scale", index), k = 1).head
+          val (idx2, _) = graft.operators.IvfIndex.splitCell(
+            s, root.toString, index, target, "vec_id", iters = 2)
+          val res = census(idx2).orderBy(col("cell"))
+          val rows = res.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+        } finally deleteRecursively(root)
+      },
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent0 AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY dd, vec_id) - 1 AS INT) AS cell, v AS cv
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS dd, vec_id, v FROM e
+                ORDER BY dd, vec_id LIMIT 8)),
+        sq AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        d AS MATERIALIZED (SELECT vec_id,
+              CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0.0 AS DOUBLE))
+                   ELSE CAST(list_transform(v, x ->
+                        CAST(CAST(ROUND(x / scale) AS TINYINT) * scale AS FLOAT))
+                        AS DOUBLE[]) END AS dv
+              FROM sq),
+        a0 AS MATERIALIZED (
+          SELECT vec_id, dv, cell FROM (
+            SELECT d.vec_id, d.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(d.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM d CROSS JOIN cent0 c) WHERE rn = 1),
+        big AS MATERIALIZED (
+          SELECT cell FROM (SELECT cell, COUNT(*) AS n FROM a0 GROUP BY cell)
+          ORDER BY n DESC, cell ASC LIMIT 1),
+        mem AS MATERIALIZED (
+          SELECT a.vec_id, a.dv FROM a0 a JOIN big b USING (cell)),
+        sub0 AS MATERIALIZED (
+          SELECT CASE WHEN rn = 1 THEN (SELECT cell FROM big) ELSE 8 END AS cell,
+                 dv AS cv
+          FROM (SELECT dv, ROW_NUMBER() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                FROM mem)
+          WHERE rn <= 2),
+        r1 AS MATERIALIZED (
+          SELECT vec_id, dv, cell FROM (
+            SELECT m.vec_id, m.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(m.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM mem m CROSS JOIN sub0 c) WHERE rn = 1),
+        m1 AS (
+          SELECT cell, pos,
+                 CAST(ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE), 9) AS FLOAT) AS mf
+          FROM (SELECT cell, unnest(dv) AS x, generate_subscripts(dv, 1) AS pos FROM r1)
+          GROUP BY cell, pos),
+        sub1 AS MATERIALIZED (
+          SELECT c.cell, COALESCE(m.cv, c.cv) AS cv
+          FROM sub0 c LEFT JOIN
+            (SELECT cell, list(CAST(mf AS DOUBLE) ORDER BY pos) AS cv
+             FROM m1 GROUP BY cell) m USING (cell)),
+        r2 AS MATERIALIZED (
+          SELECT vec_id, dv, cell FROM (
+            SELECT m.vec_id, m.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(m.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM mem m CROSS JOIN sub1 c) WHERE rn = 1),
+        m2 AS (
+          SELECT cell, pos,
+                 CAST(ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE), 9) AS FLOAT) AS mf
+          FROM (SELECT cell, unnest(dv) AS x, generate_subscripts(dv, 1) AS pos FROM r2)
+          GROUP BY cell, pos),
+        sub2 AS MATERIALIZED (
+          SELECT c.cell, COALESCE(m.cv, c.cv) AS cv
+          FROM sub1 c LEFT JOIN
+            (SELECT cell, list(CAST(mf AS DOUBLE) ORDER BY pos) AS cv
+             FROM m2 GROUP BY cell) m USING (cell)),
+        fin AS MATERIALIZED (
+          SELECT vec_id, dv, cell FROM (
+            SELECT m.vec_id, m.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(m.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM mem m CROSS JOIN sub2 c) WHERE rn = 1),
+        cens AS (
+          SELECT a.cell, a.vec_id,
+                 ROUND(CAST(list_cosine_similarity(a.dv, c.cv) AS DOUBLE), 6) AS sc2
+          FROM a0 a JOIN cent0 c USING (cell)
+          WHERE a.cell <> (SELECT cell FROM big)
+          UNION ALL
+          SELECT f.cell, f.vec_id,
+                 ROUND(CAST(list_cosine_similarity(f.dv, c.cv) AS DOUBLE), 6) AS sc2
+          FROM fin f JOIN sub2 c USING (cell))
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_vec,
+               ROUND(CAST(SUM(CAST(sc2 AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sim
         FROM cens GROUP BY cell ORDER BY cell"""))
   )
 

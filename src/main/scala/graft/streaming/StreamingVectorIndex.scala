@@ -25,9 +25,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Staleness contract: centroids stay frozen — assignment quality drifts
   * as the corpus distribution moves (RecallSpec gates the 80%-trained
-  * case). The monitoring hook is `IvfIndex.assignCellScore` means per
-  * batch; past tolerance, rebuild via `buildStoreVersioned` (one
-  * overwrite commit readers never race).
+  * case). The monitoring hook is `IvfIndex.assignQuality` per batch
+  * delta; past tolerance, the first response is the delta-sized repair
+  * loop — `IvfIndex.cellQuality` to localize, `refreshCells` /
+  * `splitCell` to re-fit or split only the affected cells (run it
+  * BETWEEN triggers: the repair commit and a concurrent micro-batch
+  * append collide loudly under optimistic concurrency, never silently) —
+  * and only distribution-wide drift warrants a full `buildStoreVersioned`
+  * rebuild (one overwrite commit readers never race).
   */
 object StreamingVectorIndex {
 

@@ -388,6 +388,87 @@ class IvfSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet == touchedIdsBefore)
   }
 
+  test("skew repair (round 10): splitCell divides the fullest cell's " +
+      "members between the old id and a fresh one, rewrites only that " +
+      "cell's dir plus the new one, grows the index by one centroid, " +
+      "keeps full-probe search exact, and leaves the pinned version " +
+      "split-free") {
+    val idx = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 4)
+    val root = java.nio.file.Files.createTempDirectory("ivf-split").toString
+    IvfIndex.buildStoreVersioned(spark, root, emb, "embedding", idx)
+    def liveAt(v: Option[Int] = None) =
+      IvfIndex.readStoreLatest(spark, root, "vec_id", version = v)
+    def allFiles(): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val b = new java.io.File(root)
+      walk(b).map(f => b.toPath.relativize(f.toPath).toString -> f.length()).toSet
+    }
+    val target = IvfIndex.largestCells(
+      IvfIndex.cellQuality(liveAt(), "q8", "scale", idx), k = 1).head
+    val before = liveAt()
+    val nAll = before.count()
+    val idsTarget = before.filter(col("cell") === target)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(idsTarget.size >= 2)
+    val filesBefore = allFiles()
+
+    val (idx2, v2) = IvfIndex.splitCell(spark, root, idx, target, "vec_id")
+    assert(v2 == 2)
+    assert(idx2.nCells == 5)
+    val newCell = idx.centroids.map(_._1).max + 1
+    assert(idx2.centroids.map(_._1).toSet ==
+      idx.centroids.map(_._1).toSet + newCell)
+    for ((c, v) <- idx.centroids if c != target)
+      assert(idx2.centroids.find(_._1 == c).get._2.toSeq == v.toSeq,
+        s"untouched centroid $c must carry verbatim")
+    // no pre-existing file rewritten; new parquet only under the split
+    // pair's partitions
+    val filesAfter = allFiles()
+    assert(filesBefore.subsetOf(filesAfter))
+    val newParquet = (filesAfter -- filesBefore).map(_._1)
+      .filter(_.endsWith(".parquet"))
+    assert(newParquet.nonEmpty)
+    val pair = Set(s"cell=$target", s"cell=$newCell")
+    assert(newParquet.forall(p => p.split('/').exists(pair.contains)),
+      s"new files outside the split pair: ${newParquet.mkString(", ")}")
+    // membership conservation: the target's members partition EXACTLY
+    // into the two halves, both non-empty on real data
+    val after = liveAt()
+    assert(after.count() == nAll)
+    val half1 = after.filter(col("cell") === target)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val half2 = after.filter(col("cell") === newCell)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(half1.nonEmpty && half2.nonEmpty, "split must not be degenerate")
+    assert((half1 & half2).isEmpty)
+    assert((half1 | half2) == idsTarget)
+    assert(math.max(half1.size, half2.size) < idsTarget.size,
+      "skew must strictly decrease")
+    // full-probe search over the grown index stays exact
+    val qv = emb.filter(col("vec_id") === 42).select("embedding")
+      .head().getAs[scala.collection.Seq[Float]](0).toArray
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = rows(IvfIndex.searchQuantizedLatest(spark, root, "q8", "scale",
+      qv, idx2, nProbe = 5, k = 10, idCol = "vec_id", tiebreak = Some("vec_id")))
+    val exact = rows(VectorSearch.topK(
+      after.withColumn("__dv",
+        graft.functions.VectorFunctions.int8Dequant(col("q8"), col("scale"))),
+      "__dv", qv, k = 10, scoreScale = Some(6), tiebreak = Some("vec_id")))
+    assert(got == exact)
+    // the pinned pre-split version has no new cell and the full old cell
+    assert(liveAt(Some(1)).filter(col("cell") === newCell).isEmpty)
+    assert(liveAt(Some(1)).filter(col("cell") === target)
+      .select("vec_id").collect().map(_.getLong(0)).toSet == idsTarget)
+    // unknown cell refuses loudly before touching the store
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.splitCell(spark, root, idx2, cell = 99, idCol = "vec_id")
+    }
+    assert(err.getMessage.contains("unknown cell"))
+  }
+
   test("tenant-partitioned store (round 10): the (cell, org) predicate " +
       "prunes BOTH partition dimensions and per-tenant top-k equals the " +
       "in-memory composition") {
