@@ -461,6 +461,20 @@ object IvfIndex {
     else (row.getLong(0), row.getDouble(1), row.getDouble(2))
   }
 
+  /** The member vector the repair family scores and re-fits against —
+    * MUST match the convention the store's build assigned with:
+    * the int8 store ([[quantizedStore]]) assigns on the DEQUANTIZED
+    * vector (default — `q8Col`/`scaleCol`), the IVF-PQ store
+    * ([[PqIndex.ivfPqStore]]) on the RAW float sibling column (pass
+    * `vecColOpt = Some(vecCol)`; PQ codes are codebook-only functions,
+    * so a cell move never invalidates them and the repair family works
+    * verbatim on IVF-PQ roots).
+    */
+  private def memberVec(
+      q8Col: String, scaleCol: String, vecColOpt: Option[String]): Column =
+    vecColOpt.fold(VectorFunctions.int8Dequant(col(q8Col), col(scaleCol)))(
+      vc => VectorFunctions.asFloatArray(col(vc)))
+
   // ---- Drift repair: localize + refresh (round 10) ---------------------
   // [[assignQuality]] is the ALARM (corpus-level mean cohesion falling
   // against the build-time baseline); acting on it used to mean a full
@@ -487,13 +501,12 @@ object IvfIndex {
     */
   def cellQuality(
       store: DataFrame, q8Col: String, scaleCol: String, index: Index,
-      cellCol: String = "cell"): DataFrame = {
+      cellCol: String = "cell", vecColOpt: Option[String] = None): DataFrame = {
     val spark = store.sparkSession
     import spark.implicits._
     val cents = index.centroids.toSeq.toDF(cellCol, "__cent")
     store
-      .select(col(cellCol),
-        VectorFunctions.int8Dequant(col(q8Col), col(scaleCol)).as("__dv"))
+      .select(col(cellCol), memberVec(q8Col, scaleCol, vecColOpt).as("__dv"))
       .join(broadcast(cents), cellCol)
       .select(col(cellCol),
         round(VectorFunctions.cosine(col("__dv"), col("__cent")), 6).as("__s"))
@@ -542,7 +555,8 @@ object IvfIndex {
       q8Col: String = "q8", scaleCol: String = "scale",
       cellCol: String = "cell", iters: Int = 2,
       expectedBase: Option[Int] = None,
-      dirTag: Option[String] = None): (Index, Int) = {
+      dirTag: Option[String] = None,
+      vecColOpt: Option[String] = None): (Index, Int) = {
     require(cells.nonEmpty, "refreshCells needs at least one cell")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val cellSet = cells.toSet
@@ -557,8 +571,7 @@ object IvfIndex {
     val members = graft.operators.IterCheckpoint.pin(
       readStoreLatest(spark, root, idCol, cellCol, version = base)
         .filter(col(cellCol).isin(cells: _*))
-        .withColumn("__dv",
-          VectorFunctions.int8Dequant(col(q8Col), col(scaleCol))))
+        .withColumn("__dv", memberVec(q8Col, scaleCol, vecColOpt)))
     val subIndex = Index(index.centroids.filter(p => cellSet.contains(p._1)))
     val refreshed = refineExact(members, "__dv", subIndex, iters)
     val rewritten = members
@@ -614,7 +627,8 @@ object IvfIndex {
       q8Col: String = "q8", scaleCol: String = "scale",
       cellCol: String = "cell", iters: Int = 2,
       expectedBase: Option[Int] = None,
-      dirTag: Option[String] = None): (Index, Int) = {
+      dirTag: Option[String] = None,
+      vecColOpt: Option[String] = None): (Index, Int) = {
     require(index.centroids.exists(_._1 == cell), s"unknown cell $cell")
     val newCell = index.centroids.map(_._1).max + 1
     val base = expectedBase.orElse(
@@ -622,8 +636,7 @@ object IvfIndex {
     val members = graft.operators.IterCheckpoint.pin(
       readStoreLatest(spark, root, idCol, cellCol, version = base)
         .filter(col(cellCol) === cell)
-        .withColumn("__dv",
-          VectorFunctions.int8Dequant(col(q8Col), col(scaleCol))))
+        .withColumn("__dv", memberVec(q8Col, scaleCol, vecColOpt)))
     val seeds = centroidsByDraw(members, idCol, "__dv", nCells = 2)
     require(seeds.nCells == 2,
       s"cell $cell has < 2 members — nothing to split")

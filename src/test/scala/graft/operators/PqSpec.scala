@@ -270,6 +270,47 @@ class PqSpec extends AnyFunSuite {
     assert(got == exact, "exhaustive IVF-PQ over the appended store is exact")
   }
 
+  test("IVF-PQ cell repair (round 10): splitCell on an IVF-PQ root — raw " +
+      "vector convention via vecColOpt — conserves membership, keeps every " +
+      "PQ code byte-identical, and exhaustive search over the grown index " +
+      "stays exact") {
+    val ivf = IvfIndex.centroidsByDraw(emb, "vec_id", "embedding", nCells = 4)
+    val book = cb
+    val root = java.nio.file.Files.createTempDirectory("pq-split").toString
+    PqIndex.buildIvfPqStoreVersioned(spark, root, emb, "embedding", ivf, book)
+    def codesImg(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("pq")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Byte]](1).toSeq)
+        .toMap
+    val live = IvfIndex.readStoreLatest(spark, root, "vec_id")
+    val before = codesImg(live)
+    // the PQ store assigns on the RAW float vector — the repair must too
+    val target = IvfIndex.largestCells(
+      IvfIndex.cellQuality(live, "q8", "scale", ivf,
+        vecColOpt = Some("embedding")), k = 1).head
+    val idsTarget = live.filter(col("cell") === target)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val (ivf2, _) = IvfIndex.splitCell(spark, root, ivf, target, "vec_id",
+      vecColOpt = Some("embedding"))
+    assert(ivf2.nCells == 5)
+    val after = IvfIndex.readStoreLatest(spark, root, "vec_id")
+    assert(codesImg(after) == before,
+      "PQ codes are codebook-only — a cell move must not re-encode")
+    val halves = after.filter(col("cell").isin(target, 4))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(halves == idsTarget)
+    assert(after.filter(col("cell") === 4).count() > 0)
+    // exhaustive IVF-PQ over the grown index = exact brute force
+    val qv = collected.find(_._1 == 0L).get._2
+    val got = PqIndex.searchIvfPq(after.filter(col("vec_id") =!= 0L),
+      "vec_id", "embedding", qv, ivf2, book, nProbe = 5, r = 499, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = collected.filter(_._1 != 0L).map { case (id, v) =>
+      (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
+    }.sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSeq
+    assert(got == exact)
+  }
+
   test("IVF-PQ id-level upsert/delete (round 10): an upserted id has ONE " +
       "live row re-encoded from the new vector; deletes fold; the shared " +
       "IvfIndex compaction folds tombstones physically; search over the " +
