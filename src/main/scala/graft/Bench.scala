@@ -223,9 +223,13 @@ object Bench {
       // full rebuild of the 32k graph vs appending the 8 nodes.
       // graph-maintenance pair runs on the full ×16 corpus (32k nodes):
       // measured at ×4 (8k) the append's constant hop-latency floor
-      // (~16 s) already exceeds the rebuild (~15 s) — the delta-commit
-      // win only shows above the crossover, and hiding that would be
-      // dishonest. Both measured points live in SCALE.md.
+      // (~16 s) already exceeds the rebuild (~15 s), and the codegen
+      // HyperplaneBucket rebuild (7.6 s at ×16) pushed the wall-time
+      // crossover beyond the fixture entirely — locally the append
+      // entry demos the hop-latency cost ceiling; the durable scale
+      // argument is commit volume (O(delta) vs O(graph) bytes), not
+      // local seconds. Both measured points and the honesty update
+      // live in SCALE.md.
       val gBase = big.filter(col("vec_id") % 4096 =!= 0)
       graft.operators.GraphAnn.writeGraphStore(
         spark, ivfRoot.resolve("gappend").toString,
