@@ -386,6 +386,16 @@ class IvfSpec extends AnyFunSuite {
     assert(liveAt(Some(v3)).count() == nBefore)
     assert(liveAt(Some(v3)).filter(col("cell").isin(worst: _*))
       .select("vec_id").collect().map(_.getLong(0)).toSet == touchedIdsBefore)
+    // the repair's member read is partition-pruned: the cell predicate
+    // reaches every snapshot dir's scan as a PartitionFilter (the
+    // delta-sized-read half of the delta-sized claim)
+    val memberPlan = liveAt().filter(col("cell").isin(worst: _*))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(memberPlan.contains("PartitionFilters: [") &&
+      memberPlan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cell")),
+      s"cell predicate did not prune the member read:\n$memberPlan")
   }
 
   test("skew repair (round 10): splitCell divides the fullest cell's " +
