@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The maintenance planner's policy contracts: each regime (healthy,
+  * localized drift → refresh, widespread drift → rebuild, skew → split,
+  * fold waste → compact) is constructed deterministically on the real
+  * fixture and the decision list asserted, including the refresh-budget
+  * cap and the rebuild-supersedes-refresh exclusivity.
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def emb = Tables(spark, sf, "embeddings")
+
+  private def freshStore(
+      corpus: org.apache.spark.sql.DataFrame,
+      nCells: Int): (String, IvfIndex.Index, Double) = {
+    val idx = IvfIndex.centroidsByDraw(corpus, "vec_id", "embedding", nCells)
+    val root = java.nio.file.Files.createTempDirectory("maint").toString
+    IvfIndex.buildStoreVersioned(spark, root, corpus, "embedding", idx)
+    // the build-time baseline the caller is told to record: corpus mean
+    // cohesion over the store's own dequantized vectors
+    val live = IvfIndex.readStoreLatest(spark, root, "vec_id")
+      .withColumn("__dv",
+        graft.functions.VectorFunctions.int8Dequant(col("q8"), col("scale")))
+    val (_, baseline, _) = IvfIndex.assignQuality(live, "__dv", idx)
+    (root, idx, baseline)
+  }
+
+  test("healthy store plans nothing") {
+    val (root, idx, baseline) = freshStore(emb, nCells = 8)
+    val plan = IndexMaintenance.plan(spark, root, idx, "vec_id", baseline)
+    assert(plan.isEmpty, s"healthy store must plan nothing, got $plan")
+  }
+
+  test("localized vs widespread drift: the SAME drifted store plans a " +
+      "budget-capped refresh of the worst cells under a permissive global " +
+      "cut and a rebuild (superseding refresh) under a strict one") {
+    // index fit to the first 100 vectors, store carries everything — the
+    // appended 400 were never seen by the draw, so cohesion drops in the
+    // cells they land on
+    val base = emb.filter(col("vec_id") < 100)
+    val idx = IvfIndex.centroidsByDraw(base, "vec_id", "embedding", 8)
+    val root = java.nio.file.Files.createTempDirectory("maint-drift").toString
+    IvfIndex.buildStoreVersioned(spark, root, base, "embedding", idx)
+    // baseline recorded at build time, BEFORE the drifting append
+    val buildLive = IvfIndex.readStoreLatest(spark, root, "vec_id")
+      .withColumn("__dv",
+        graft.functions.VectorFunctions.int8Dequant(col("q8"), col("scale")))
+    val (_, baseline, _) = IvfIndex.assignQuality(buildLive, "__dv", idx)
+    IvfIndex.appendToStore(spark, root,
+      emb.filter(col("vec_id") >= 100), "embedding", idx)
+
+    // globalDriftFrac = 1.0 disables the rebuild escalation (frac can
+    // never exceed 1): on this fixture EVERY cell drifts — the unseen
+    // append dominates each cell's membership — so the permissive branch
+    // must opt out of the global cut to exercise the refresh path
+    val permissive = IndexMaintenance.Thresholds(
+      refreshQualityDrop = 0.01, refreshMaxCells = 2, globalDriftFrac = 1.0)
+    val p1 = IndexMaintenance.plan(spark, root, idx, "vec_id", baseline,
+      t = permissive)
+    val refreshes = p1.filter(_.action == "refresh")
+    assert(refreshes.size == 1, s"expected one refresh decision, got $p1")
+    assert(refreshes.head.cells.nonEmpty && refreshes.head.cells.size <= 2,
+      "refresh must respect the per-window budget")
+    assert(!p1.exists(_.action == "rebuild"))
+    // the named cells must be applicable as-is
+    val (idx2, _) = IvfIndex.refreshCells(
+      spark, root, idx, refreshes.head.cells, "vec_id")
+    assert(idx2.nCells == idx.nCells)
+
+    val strict = permissive.copy(globalDriftFrac = 0.0)
+    val p2 = IndexMaintenance.plan(spark, root, idx2, "vec_id", baseline,
+      t = strict)
+    assert(p2.exists(_.action == "rebuild"), s"strict cut must rebuild: $p2")
+    assert(!p2.exists(_.action == "refresh"),
+      "rebuild supersedes refresh — both must never be planned together")
+  }
+
+  test("skew plans a split per overfull cell, consistent with the quality " +
+      "frame the policy reads") {
+    val (root, idx, baseline) = freshStore(emb, nCells = 4)
+    val quality = IvfIndex.cellQuality(
+      IvfIndex.readStoreLatest(spark, root, "vec_id"), "q8", "scale", idx)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val sizes = quality.map(_._2).sorted
+    val median = sizes(sizes.length / 2).toDouble
+    // a factor low enough that the fixture's natural imbalance trips it
+    val factor = quality.map(_._2).max / median - 0.01
+    assert(factor > 1.0, "fixture must be naturally imbalanced")
+    val expect = quality.filter(_._2 > factor * median).map(_._1).toSet
+    assert(expect.nonEmpty)
+    val plan = IndexMaintenance.plan(spark, root, idx, "vec_id", baseline,
+      t = IndexMaintenance.Thresholds(splitSkewFactor = factor))
+    val splits = plan.filter(_.action == "split")
+    assert(splits.map(_.cells.head).toSet == expect,
+      s"split set must match the policy's own quality frame: $plan")
+    // and each is applicable as-is
+    val (idx3, _) = IvfIndex.splitCell(
+      spark, root, idx, splits.head.cells.head, "vec_id")
+    assert(idx3.nCells == idx.nCells + 1)
+  }
+
+  test("fold waste plans a compaction; compacting clears it") {
+    import spark.implicits._
+    val (root, idx, baseline) = freshStore(
+      emb.filter(col("vec_id") < 200), nCells = 8)
+    // delete a third of the ids: tombstones + dead copies = fold waste
+    IvfIndex.deleteFromStore(spark, root,
+      (0L until 200L by 3L).toDF("vec_id"), "vec_id")
+    val plan = IndexMaintenance.plan(spark, root, idx, "vec_id", baseline,
+      t = IndexMaintenance.Thresholds(compactFoldWaste = 0.2))
+    assert(plan.exists(_.action == "compact"), s"expected compact: $plan")
+    IvfIndex.compactStore(spark, root, "vec_id")
+    val after = IndexMaintenance.plan(spark, root, idx, "vec_id", baseline,
+      t = IndexMaintenance.Thresholds(compactFoldWaste = 0.2))
+    assert(!after.exists(_.action == "compact"),
+      s"compaction must clear the waste decision: $after")
+  }
+}
