@@ -60,7 +60,8 @@ object IndexMaintenance {
       globalDriftFrac: Double = 0.5,
       splitSkewFactor: Double = 4.0,
       compactFoldWaste: Double = 0.2,
-      minCellSize: Long = 2L)
+      minCellSize: Long = 2L,
+      ringCoverageRebuild: Double = 0.7)
 
   /** One planned action: `action` ∈ rebuild | refresh | split | compact,
     * the cells it applies to (empty for store-wide actions), and a
@@ -148,6 +149,48 @@ object IndexMaintenance {
           f"$rawCount rows (${waste * 100}%.0f%% of live) — fold " +
           "tombstones physically")
 
+    out.result()
+  }
+
+  /** The graph-tier window: the zero-query probes only.
+    *
+    *   - `ringCoverage` below `ringCoverageRebuild` → rebuild: appended
+    *     nodes are beam-reachable but carry no skip-ring long links
+    *     ([[GraphAnn.appendNodes]]'s documented staleness contract), so
+    *     past several-fold growth the O(log n)-diameter routing guarantee
+    *     erodes. `buildIds` is the roster the ring was last built over —
+    *     record it at (re)build time like the IVF baseline.
+    *   - Edge fold waste past `compactFoldWaste` → compact via
+    *     [[GraphAnn.compactGraphStore]] (the tombstone-folding twin).
+    *
+    * The deeper audit ([[GraphAnn.graphHealth]]: hops-to-converge and
+    * scored-fraction drift over a query sample) stays a separate,
+    * costlier call — run it when this plan is empty but latency SLOs
+    * regress anyway.
+    */
+  def planGraph(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      buildIds: DataFrame, buildIdCol: String,
+      t: Thresholds = Thresholds()): Seq[Decision] = {
+    val live = GraphAnn.readGraphStoreLatest(spark, root)
+    val out = Seq.newBuilder[Decision]
+    val cov = GraphAnn.ringCoverage(live, buildIds, buildIdCol)
+    if (cov < t.ringCoverageRebuild)
+      out += Decision("rebuild", Seq.empty,
+        f"ring coverage $cov%.3f < ${t.ringCoverageRebuild}%.2f — " +
+          "appended nodes outgrew the skip ring; rebuild restores the " +
+          "O(log n) routing diameter")
+    val rawCount = graft.sources.SnapshotStore
+      .read(spark, root, commitCol = Some("__commit")).count()
+    val liveCount = live.count()
+    val waste =
+      if (liveCount == 0L) 0.0
+      else (rawCount - liveCount).toDouble / liveCount
+    if (liveCount > 0L && waste > t.compactFoldWaste)
+      out += Decision("compact", Seq.empty,
+        f"latest read scans-and-discards ${rawCount - liveCount} of " +
+          f"$rawCount edge rows (${waste * 100}%.0f%% of live) — fold " +
+          "node tombstones physically")
     out.result()
   }
 }

@@ -105,6 +105,35 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(idx3.nCells == idx.nCells + 1)
   }
 
+  test("graph tier: a fresh store plans nothing; append-driven growth " +
+      "past the ring-coverage cut plans a rebuild; node deletes plan a " +
+      "compaction that compactGraphStore clears") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") < 60)
+    val delta = emb.filter(col("vec_id") >= 60 && col("vec_id") < 200)
+    val g0 = GraphAnn.buildGraph(base, "vec_id", "embedding", m = 8)
+    val root = java.nio.file.Files.createTempDirectory("maint-graph").toString
+    GraphAnn.writeGraphStore(spark, root, g0, nBuckets = 8)
+    val buildIds = base.select(col("vec_id"))
+    assert(IndexMaintenance.planGraph(spark, root, buildIds, "vec_id").isEmpty)
+    // grow 60 -> 200: coverage 0.3 < 0.7 default cut
+    GraphAnn.appendNodesToStore(spark, root, base, delta,
+      "vec_id", "embedding", m = 8, maxDegree = 24, nBuckets = 8)
+    val grown = IndexMaintenance.planGraph(spark, root, buildIds, "vec_id")
+    assert(grown.exists(_.action == "rebuild"), s"expected rebuild: $grown")
+    // delete a large slice of nodes: edge tombstones + dead rows = waste;
+    // coverage is computed over the LIVE graph, so the rebuild decision
+    // may remain — the compact decision must appear alongside
+    GraphAnn.deleteNodesFromStore(spark, root,
+      (0L until 200L by 2L).toDF("vec_id"), "vec_id")
+    val afterDel = IndexMaintenance.planGraph(spark, root, buildIds, "vec_id")
+    assert(afterDel.exists(_.action == "compact"), s"expected compact: $afterDel")
+    GraphAnn.compactGraphStore(spark, root, nBuckets = 8)
+    val afterCompact = IndexMaintenance.planGraph(spark, root, buildIds, "vec_id")
+    assert(!afterCompact.exists(_.action == "compact"),
+      s"compaction must clear the waste decision: $afterCompact")
+  }
+
   test("fold waste plans a compaction; compacting clears it") {
     import spark.implicits._
     val (root, idx, baseline) = freshStore(
