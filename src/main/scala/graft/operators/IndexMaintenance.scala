@@ -89,12 +89,22 @@ object IndexMaintenance {
       index: IvfIndex.Index, idCol: String, baselineMeanScore: Double,
       q8Col: String = "q8", scaleCol: String = "scale",
       cellCol: String = "cell", vecColOpt: Option[String] = None,
-      t: Thresholds = Thresholds()): Seq[Decision] = {
+      t: Thresholds = Thresholds(),
+      sampleFrac: Option[Double] = None): Seq[Decision] = {
     require(t.refreshMaxCells > 0, "refreshMaxCells must be positive")
+    sampleFrac.foreach(f => require(f > 0.0 && f <= 1.0,
+      s"sampleFrac must be in (0, 1], got $f"))
     val live = IvfIndex.readStoreLatest(spark, root, idCol, cellCol)
+    // the quality leg is the one full-corpus scoring pass — at extreme
+    // store sizes sample it (per-cell MEANS rank cells; they survive
+    // sampling; `n` is scaled back up so the size-based policies keep
+    // their units). Seeded: two plans over the same snapshot agree.
+    val scoredInput = sampleFrac.fold(live)(f => live.sample(f, seed = 41L))
+    val scaleUp = sampleFrac.fold(1.0)(1.0 / _)
     // bounded driver image: one row per cell
     val quality = IvfIndex
-      .cellQuality(live, q8Col, scaleCol, index, cellCol, vecColOpt)
+      .cellQuality(scoredInput, q8Col, scaleCol, index, cellCol, vecColOpt)
+      .withColumn("n", ceil(col("n") * lit(scaleUp)).cast("long"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
       .sortBy(_._1)

@@ -79,6 +79,11 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(p2.exists(_.action == "rebuild"), s"strict cut must rebuild: $p2")
     assert(!p2.exists(_.action == "refresh"),
       "rebuild supersedes refresh — both must never be planned together")
+    // the sampled quality leg (the 100 TB knob) sees the same widespread
+    // drift: per-cell means survive sampling
+    val p3 = IndexMaintenance.plan(spark, root, idx2, "vec_id", baseline,
+      t = strict, sampleFrac = Some(0.5))
+    assert(p3.exists(_.action == "rebuild"), s"sampled plan must agree: $p3")
   }
 
   test("skew plans a split per overfull cell, consistent with the quality " +
