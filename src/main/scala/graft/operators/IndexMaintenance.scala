@@ -53,6 +53,9 @@ object IndexMaintenance {
     *   - `minCellSize`: cells below this member count are skipped by the
     *     drift scorer (singletons are perfectly cohesive by construction
     *     and tiny cells rank on noise).
+    *   - `ringCoverageRebuild` (graph tier, [[planGraph]]): rebuild when
+    *     the ring-linked fraction of live nodes falls below this — the
+    *     `GraphAnn.appendNodes` staleness contract's documented cut.
     */
   final case class Thresholds(
       refreshQualityDrop: Double = 0.05,
