@@ -511,7 +511,14 @@ object IvfIndex {
       .select(col(cellCol),
         round(VectorFunctions.cosine(col("__dv"), col("__cent")), 6).as("__s"))
       .groupBy(col(cellCol))
-      .agg(count(lit(1)).as("n"), avg(col("__s")).as("mean_score"),
+      // order-free mean (the refineExact discipline applied to the
+      // localizer): round-6 scores sum exactly through DECIMAL, divide in
+      // double, snap back to the 6-grid — so [[worstCells]] ranks, the
+      // planner's drift cuts, and any oracle replay see the SAME number
+      // on every partitioning (a double `avg` leaks summation order)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__s").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_score"),
         min(col("__s")).as("min_score"))
   }
 

@@ -1467,7 +1467,132 @@ object VectorQueries {
                CAST(SUM(vec_id) AS BIGINT) AS sum_vec,
                ROUND(CAST(SUM(CAST(sc2 AS DECIMAL(18,6))) AS DOUBLE)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sim
-        FROM cens GROUP BY cell ORDER BY cell"""))
+        FROM cens GROUP BY cell ORDER BY cell""")),
+
+    // Maintenance-planner decision table, hash-exact (round 10): the
+    // POLICY is data math and the DECIMAL cell means make it order-free,
+    // so the whole decision list replays in SQL. Protocol: biased build
+    // (index + store from vec_id < 100, baseline recorded AT BUILD as the
+    // exact-DECIMAL global mean), drifting append (the rest), id deletes
+    // (every 3rd id -> tombstones + dead copies ~ the live count itself,
+    // so the fold-waste branch fires at EVERY SF), then ONE
+    // IndexMaintenance.plan call under pinned thresholds (drop 0.01,
+    // budget 2, globalDriftFrac 1.0 disables rebuild, skew 1.08 x median
+    // — a RELATIVE cut probed non-vacuous at every SF: max/median reads
+    // 1.21 / 1.31 / 1.09, so the split branch fires everywhere — waste
+    // 0.2). The answer is the ranked decision table (ord, action,
+    // comma-joined cells). Oracle: per-cell DECIMAL means over the
+    // survivor fold, the build baseline, the budgeted (mean, cell)-ranked
+    // refresh pick, the upper-median skew cut, and the raw-vs-live waste
+    // ratio — every comparison on 6-grid or integer values.
+    "qkr_maintenance_plan" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = emb(s, dir)
+        val baseC = e.filter(col("vec_id") < 100)
+        val index = graft.operators.IvfIndex.centroidsByDraw(
+          baseC, "vec_id", "embedding", nCells = 8)
+        val root = java.nio.file.Files.createTempDirectory("graft-qkr").toFile
+        try {
+          graft.operators.IvfIndex.buildStoreVersioned(
+            s, root.toString, baseC, "embedding", index)
+          // build-time baseline, exact-DECIMAL (order-free in both engines)
+          val cents = index.centroids.toSeq.toDF("cell", "__cent")
+          val baseline = graft.operators.IvfIndex
+            .readStoreLatest(s, root.toString, "vec_id")
+            .withColumn("__dv",
+              VectorFunctions.int8Dequant(col("q8"), col("scale")))
+            .join(broadcast(cents), "cell")
+            .select(round(VectorFunctions.cosine(col("__dv"), col("__cent")), 6)
+              .as("__s"))
+            .agg(round(sum(col("__s").cast("decimal(18,6)")).cast("double")
+              / count(lit(1)).cast("double"), 6))
+            .head().getDouble(0)
+          graft.operators.IvfIndex.appendToStore(
+            s, root.toString, e.filter(col("vec_id") >= 100), "embedding",
+            index)
+          graft.operators.IvfIndex.deleteFromStore(
+            s, root.toString,
+            e.filter(col("vec_id") % 3 === 0)
+              .select(col("vec_id")), "vec_id")
+          val plan = graft.operators.IndexMaintenance.plan(
+            s, root.toString, index, "vec_id", baseline,
+            t = graft.operators.IndexMaintenance.Thresholds(
+              refreshQualityDrop = 0.01, refreshMaxCells = 2,
+              globalDriftFrac = 1.0, splitSkewFactor = 1.08,
+              compactFoldWaste = 0.2, minCellSize = 2L))
+          val rows = plan.zipWithIndex.map { case (d, i) =>
+            (i + 1, d.action, d.cells.mkString(",")) }
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1))
+            .toDF("ord", "action", "cells")
+        } finally deleteRecursively(root)
+      },
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent0 AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY dd, vec_id) - 1 AS INT) AS cell, v AS cv
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS dd, vec_id, v FROM e
+                WHERE vec_id < 100 ORDER BY dd, vec_id LIMIT 8)),
+        sq AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        d AS MATERIALIZED (SELECT vec_id,
+              CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0.0 AS DOUBLE))
+                   ELSE CAST(list_transform(v, x ->
+                        CAST(CAST(ROUND(x / scale) AS TINYINT) * scale AS FLOAT))
+                        AS DOUBLE[]) END AS dv
+              FROM sq),
+        a0 AS MATERIALIZED (
+          SELECT vec_id, dv, cell FROM (
+            SELECT d.vec_id, d.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(d.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM d CROSS JOIN cent0 c) WHERE rn = 1),
+        bscore AS MATERIALIZED (
+          SELECT ROUND(CAST(SUM(CAST(ROUND(CAST(list_cosine_similarity(a.dv, c.cv) AS DOUBLE), 6)
+                                    AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS b
+          FROM a0 a JOIN cent0 c USING (cell) WHERE a.vec_id < 100),
+        live AS MATERIALIZED (
+          SELECT * FROM a0 WHERE vec_id % 3 <> 0),
+        qual AS MATERIALIZED (
+          SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(CAST(ROUND(CAST(list_cosine_similarity(a.dv, c.cv) AS DOUBLE), 6)
+                                     AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS m
+          FROM live a JOIN cent0 c USING (cell) GROUP BY a.cell),
+        drifted AS (
+          SELECT cell, m FROM qual, bscore WHERE n >= 2 AND m < b - 0.01),
+        r2 AS (
+          SELECT cell, m FROM (
+            SELECT cell, m, ROW_NUMBER() OVER (ORDER BY m, cell) AS rn
+            FROM drifted) WHERE rn <= 2),
+        refreshrow AS (
+          SELECT 'refresh' AS action,
+                 string_agg(CAST(cell AS VARCHAR), ',' ORDER BY m, cell) AS cells
+          FROM r2 HAVING COUNT(*) > 0),
+        med AS (
+          SELECT CAST(n AS DOUBLE) AS mn FROM (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn,
+                   COUNT(*) OVER () AS c FROM qual)
+          WHERE rn = c // 2 + 1),
+        splits AS (
+          SELECT cell FROM qual, med
+          WHERE CAST(n AS DOUBLE) > 1.08 * mn AND n >= 2),
+        waste AS (
+          SELECT CAST((SELECT COUNT(*) FROM e) +
+                      (SELECT COUNT(*) FROM e WHERE vec_id % 3 = 0)
+                      - (SELECT COUNT(*) FROM live) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM live) AS DOUBLE) AS w),
+        decisions AS (
+          SELECT 1 AS pri, 0 AS sub, action, cells FROM refreshrow
+          UNION ALL
+          SELECT 2, cell, 'split', CAST(cell AS VARCHAR) FROM splits
+          UNION ALL
+          SELECT 3, 0, 'compact', '' FROM waste WHERE w > 0.2)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY pri, sub) AS INT) AS ord,
+               action, cells
+        FROM decisions ORDER BY ord"""))
   )
 
   /** Bounded temp-store cleanup for the lifecycle queries above (qkn/qko):
