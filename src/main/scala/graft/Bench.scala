@@ -54,6 +54,28 @@ object Bench {
   private val MaxSpread = 1.5
   private val SpreadFloorSec = 0.25
 
+  /** Pair-ratio sentinel (round 11, VERDICT r10 task 8): entries that
+    * exist as fast/slow DEMONSTRATION PAIRS (flat vs bucketed join,
+    * append vs rebuild) are trusted for their RELATIONSHIP, and the r10
+    * driver run showed both per-entry gates are blind to the failure mode
+    * that breaks it — three uniformly-slow reps (q03_flat_join at 9.4×
+    * its quiet value, zero spread, zero external CPU). The ratio is
+    * immune to uniform slowdowns only when BOTH entries are hit, so gate
+    * the measured ratio of each pair against the filed quiet-box record:
+    * divergence beyond [[PairRatioTolerance]]× in either direction lands
+    * in the JSON's "pair_alerts" map (and the compact line), flagging the
+    * pair's STORY as contaminated even when each entry passed its own
+    * gates. Update the record ratios when a code change legitimately
+    * moves a pair (noted in SCALE.md alongside the record).
+    */
+  private val RecordPairRatios = Map(
+    ("q03_flat_join", "q03_bucketed_join") -> 2.2,
+    // round 11: the append's neighbor search now takes the driver-hosted
+    // twin — quiet-box re-measured this round (append ≈ rebuild at the
+    // fixture; the durable argument stays commit volume, SCALE.md)
+    ("graph_store_append", "graph_store_rebuild") -> 1.0)
+  private val PairRatioTolerance = 3.0
+
   private final case class Stat(
       median: Double, min: Double, max: Double, failures: Int, error: String,
       externalShare: Double, untrusted: Boolean)
@@ -293,6 +315,14 @@ object Bench {
       // the layout a deployment actually serves from; the delta vs
       // graph_ann_search5 is the store read + prune overhead
       "graph_ann_search5_store" -> (() => graphAnnSearchStore(spark, sfDir, ivfRoot)),
+      // round 11 (VERDICT r10 task 4): the DRIVER-HOSTED small-batch twin
+      // over the same store — identical results (GraphAnnSpec-gated), but
+      // per hop two bounded collects instead of the distributed loop's
+      // window/checkpoint DAGs. batch-1 is the latency floor the task
+      // named (~12 s distributed); batch-5 is the direct comparison
+      // against graph_ann_search5_store
+      "graph_ann_search1_local" -> (() => graphAnnSearchLocal(spark, sfDir, ivfRoot, 1)),
+      "graph_ann_search5_local" -> (() => graphAnnSearchLocal(spark, sfDir, ivfRoot, 5)),
       // round 10 (VERDICT r9 task 1): graph-index maintenance — a full
       // rebuild re-runs the LSH build over all 32k vectors and commits the
       // whole edge table; the append beam-searches an 8-node delta
@@ -358,11 +388,33 @@ object Bench {
     val untrusted = okResults.filter(_._2.untrusted)
       .map { case (k, s) => "\"" + k + "\":" + f"${s.externalShare}%.4f" }
       .mkString("{", ",", "}")
+    // pair-ratio sentinel: measured ratio of each demonstration pair vs
+    // the filed record; divergence past the tolerance is an alert even
+    // when both entries passed their own per-entry gates
+    val medians = okResults.map { case (k, s) => k -> s.median }.toMap
+    val pairChecks = RecordPairRatios.toSeq
+      .sortBy { case ((a, _), _) => a }
+      .flatMap { case ((a, b), rec) =>
+        for (ma <- medians.get(a); mb <- medians.get(b) if ma > 0 && mb > 0)
+          yield {
+            val ratio = ma / mb
+            val bad = ratio > rec * PairRatioTolerance ||
+              ratio < rec / PairRatioTolerance
+            (s"$a/$b", ratio, bad)
+          }
+      }
+    val pairRatios = pairChecks
+      .map { case (k, r, _) => "\"" + k + "\":" + f"$r%.3f" }
+      .mkString("{", ",", "}")
+    val pairAlerts = pairChecks.filter(_._3)
+      .map { case (k, r, _) => "\"" + k + "\":" + f"$r%.3f" }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""runs_per_entry":$TimedRuns,"queries_min":${statMap(_.min)},""" +
         s""""queries_max":${statMap(_.max)},"errors":$errs,""" +
         s""""external_cpu_share":$extShares,"untrusted":$untrusted,""" +
+        s""""pair_ratios":$pairRatios,"pair_alerts":$pairAlerts,""" +
         s""""max_external_share":$MaxExternalShare,""" +
         s""""max_spread":$MaxSpread,"spread_floor_sec":$SpreadFloorSec,""" +
         s""""scaling":$scalingJson,""" +
@@ -396,6 +448,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":$qsC,"errors":$errs,"untrusted":$untrusted,""" +
+        s""""pair_alerts":$pairAlerts,""" +
         f""""load_avg_start":$loadAvgStart%.2f,""" +
         f""""load_avg_end":$loadAvgEnd%.2f,"sf":"$sfDir"}"""
     }
@@ -472,6 +525,18 @@ object Bench {
     * [[graft.operators.IvfIndex.refreshCells]] re-fits ONLY their members
     * (2 Lloyd rounds) and commits a partition-level replace. The entry's
     * cost is localize + repair; the repair leg alone is delta-sized.
+    *
+    * Cumulative-run convention (round-10 ADVICE, noted not "fixed"): each
+    * execution — warm-up and the three timed runs alike — commits its
+    * repair to the shared store, so successive runs score a progressively
+    * repaired store against the UNCHANGED benchIvfIndex centroids and the
+    * "4 worst cells" target drifts toward already-repaired cells. That is
+    * the same cumulative convention the append entry uses (every run
+    * commits one more delta); the measured shape — one full-store
+    * localize pass + a 4-cell partition-pruned repair — is identical run
+    * over run, which is what the entry tracks. Refreshing a per-run store
+    * copy would add a store-sized untimed copy per rep for no shape
+    * change.
     */
   private def ivfStoreRefresh(
       spark: SparkSession, root: java.nio.file.Path): Unit = {
@@ -517,6 +582,30 @@ object Bench {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     graft.operators.GraphAnn.searchMany(
+      g, emb, queries, "q_id", "qv", "vec_id", "embedding",
+      k = 10, beamWidth = 96, maxHops = 24, nSeeds = 4, expandPerHop = 8,
+      srcBuckets = Some(64))
+      .count()
+    ()
+  }
+
+  /** The SAME store traversal through the driver-hosted twin
+    * (searchManyLocal, round 11): per hop one bucket-pruned adjacency
+    * collect + one candidate-vector collect, beam bookkeeping on the
+    * driver. Search parameters identical to graph_ann_search5_store, so
+    * the entry pair measures exactly the distributed loop's fixed per-hop
+    * cost.
+    */
+  private def graphAnnSearchLocal(
+      spark: SparkSession, sfDir: String, root: java.nio.file.Path,
+      nQueries: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val g = graft.operators.GraphAnn.readGraphStore(
+      spark, root.resolve("gserve").toString)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    graft.operators.GraphAnn.searchManyLocal(
       g, emb, queries, "q_id", "qv", "vec_id", "embedding",
       k = 10, beamWidth = 96, maxHops = 24, nSeeds = 4, expandPerHop = 8,
       srcBuckets = Some(64))

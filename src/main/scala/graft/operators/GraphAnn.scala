@@ -184,11 +184,12 @@ object GraphAnn {
       idCol: String, vecCol: String,
       m: Int = 12, maxDegree: Int = 48, beamWidth: Int = 24,
       maxHops: Int = 12, nSeeds: Int = 4, expandPerHop: Int = 0,
-      scoreScale: Int = 6, reserveLong: Int = 8): DataFrame = {
+      scoreScale: Int = 6, reserveLong: Int = 8,
+      smallBatchBound: Int = 64): DataFrame = {
     val g = graph.select(col("src").cast("long"), col("dst").cast("long"))
     val (touched, pruned) = appendRewrite(g, g, None, corpus, newVecs,
       idCol, vecCol, m, maxDegree, beamWidth, maxHops, nSeeds, expandPerHop,
-      scoreScale, reserveLong)
+      scoreScale, reserveLong, smallBatchBound)
     g.join(touched, Seq("src"), "left_anti").unionByName(pruned)
   }
 
@@ -216,20 +217,21 @@ object GraphAnn {
       idCol: String, vecCol: String,
       m: Int, maxDegree: Int, beamWidth: Int, maxHops: Int, nSeeds: Int,
       expandPerHop: Int, scoreScale: Int,
-      reserveLong: Int): (DataFrame, DataFrame) = {
+      reserveLong: Int, smallBatchBound: Int): (DataFrame, DataFrame) = {
     require(m > 0 && maxDegree >= m, s"need maxDegree >= m > 0, got $maxDegree/$m")
     require(reserveLong >= 0 && reserveLong + 2 <= maxDegree,
       s"need 0 <= reserveLong <= maxDegree - 2, got $reserveLong/$maxDegree")
     // 1) each new node's top-m neighbors among the EXISTING corpus, found
     //    by the graph's own search (delta-sized: one batch traversal over
     //    `searchGraph` — the bucketed store layout when available, so each
-    //    hop's edge scan partition-prunes to the frontier's buckets)
+    //    hop's edge scan partition-prunes to the frontier's buckets; small
+    //    deltas take the driver-hosted twin — the hop-latency fix)
     val queries = newVecs.select(col(idCol).cast("long").as("q_id"),
       col(vecCol).as("qv"))
     val nn = searchMany(searchGraph, corpus, queries, "q_id", "qv", idCol,
       vecCol, k = m, beamWidth = beamWidth, maxHops = maxHops,
       nSeeds = nSeeds, expandPerHop = expandPerHop, scoreScale = scoreScale,
-      srcBuckets = srcBuckets)
+      srcBuckets = srcBuckets, smallBatchBound = smallBatchBound)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     // 2) intra-batch chain in (md5(id), id) order — connectivity insurance
     //    for the batch itself (new nodes may be each other's best links)
@@ -308,12 +310,20 @@ object GraphAnn {
     * ~(delta·(m+2)) srcs spread over min(that, nBuckets) buckets — size
     * nBuckets well above the typical delta's touched-src count (e.g. 512+
     * for streaming micro-batches), exactly like sizing IVF nCells.
+    *
+    * `beamWidth`/`maxHops`/`nSeeds`/`expandPerHop` are the insertion-
+    * search knobs (VERDICT r10 task 6): they thread straight into the
+    * delta's neighbor search, trading insert cost against link quality
+    * exactly like the serving-side [[searchMany]] knobs. Defaults match
+    * the previous hardcoded values.
     */
   def appendNodesToStore(
       spark: org.apache.spark.sql.SparkSession, root: String,
       corpus: DataFrame, newVecs: DataFrame, idCol: String, vecCol: String,
       m: Int = 12, maxDegree: Int = 48, nBuckets: Int = 64,
-      reserveLong: Int = 8): Int = {
+      reserveLong: Int = 8,
+      beamWidth: Int = 24, maxHops: Int = 12, nSeeds: Int = 4,
+      expandPerHop: Int = 0, smallBatchBound: Int = 64): Int = {
     val baseV = graft.sources.SnapshotStore.currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(
         s"no committed graph at $root — build via writeGraphStore first"))
@@ -326,8 +336,9 @@ object GraphAnn {
       g, store.select(col("src").cast("long"), col("dst").cast("long"),
         col("src_bucket")), Some(nBuckets),
       corpus, newVecs, idCol, vecCol,
-      m, maxDegree, beamWidth = 24, maxHops = 12, nSeeds = 4,
-      expandPerHop = 0, scoreScale = 6, reserveLong = reserveLong)
+      m, maxDegree, beamWidth = beamWidth, maxHops = maxHops,
+      nSeeds = nSeeds, expandPerHop = expandPerHop, scoreScale = 6,
+      reserveLong = reserveLong, smallBatchBound = smallBatchBound)
     val bucketOf = pmod(col("src"), lit(nBuckets.toLong)).cast("int")
     val touchedBuckets = touched.select(bucketOf.as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ nBuckets ints
@@ -399,28 +410,72 @@ object GraphAnn {
       partitionBy = Seq("src_bucket"))
   }
 
+  /** Tenant purge for the graph tier (VERDICT r10 task 2; reference
+    * parity: org-scoped point removal, internal/vectordb/vectordb.go:
+    * 488-591 — the whole organization's points leave the index by a
+    * filter, not by caller-side id enumeration). Graph stores index EDGES
+    * and carry no tenant column, so — unlike `IvfIndex
+    * .purgeTenantFromStore`'s one-row marker — the purge is an ID-SET
+    * purge composed from the tenant's ROSTER: the corpus/chunks table the
+    * graph was built from (every deployment has it — it fed
+    * [[buildGraph]]), filtered to the tenant, committed as ONE
+    * tombstone-only version via [[deleteNodesFromStore]]. Delta-sized in
+    * the TENANT (|roster ∩ org| tombstone rows), never the store; the
+    * enumeration is one partition-prunable scan of the roster, not of the
+    * edge table.
+    *
+    * Semantics inherited from the tombstone protocol: every edge INCIDENT
+    * to a purged node folds out of [[readGraphStoreLatest]] at this
+    * commit (either-endpoint rule — the tenant is unreachable AND
+    * unreturnable); pinned older versions still serve it until expiry
+    * (the GDPR two-step); a LATER [[appendNodesToStore]] of the same ids
+    * re-links them at a newer commit (re-ingest-after-purge resurrect);
+    * bytes leave disk at [[compactGraphStore]]. Returns the committed
+    * version.
+    */
+  def purgeTenantFromGraphStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      roster: DataFrame, rosterIdCol: String,
+      orgCol: String, orgValue: Any,
+      expectedBase: Option[Int] = None): Int =
+    deleteNodesFromStore(spark, root,
+      roster.filter(col(orgCol) === lit(orgValue)).select(col(rosterIdCol)),
+      rosterIdCol, expectedBase)
+
   /** The graph store's LIVE edges at a version: an edge survives unless
     * either endpoint carries a tombstone from a STRICTLY newer commit than
     * the edge's own data dir (commit versions come from the snapshot
-    * protocol's dir names — nothing is stored). Tombstones are broadcast —
-    * small between compactions by contract; fold them physically by
-    * committing this view via [[writeGraphStore]] (an overwrite).
+    * protocol's dir names — nothing is stored).
+    *
+    * Tombstones are small between compactions BY CONTRACT, but the fold
+    * must not trust the contract with executor memory (VERDICT r10 task
+    * 3): one cheap partition-pruned count over the tombstone partition
+    * (`src_bucket = -1`) picks the join strategy — broadcast below
+    * `maxBroadcastTombstones` distinct tombstoned ids, an unhinted
+    * (shuffle-capable) join above it, so a bulk delete cannot OOM the
+    * very fold that is supposed to clean it up. Results are identical
+    * either way (GraphAnnSpec gates equality with the guard forced to 0).
+    * Fold physically via [[compactGraphStore]].
     */
   def readGraphStoreLatest(
       spark: org.apache.spark.sql.SparkSession, root: String,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None,
+      maxBroadcastTombstones: Long = IvfIndex.DefaultMaxBroadcastTombstones): DataFrame = {
+    val cc = graft.sources.SnapshotStore.CommitCol
     val raw = graft.sources.SnapshotStore.read(spark, root, version,
-      commitCol = Some("__commit"))
+      commitCol = Some(cc))
     val tombs = raw.filter(col("src_bucket") === -1)
-      .groupBy(col("src")).agg(max(col("__commit")).as("__tv"))
+      .groupBy(col("src")).agg(max(col(cc)).as("__tv"))
+    // the strategy probe: one small job over the pruned -1 partition
+    val hint = IvfIndex.sizeGuardedHint(tombs, maxBroadcastTombstones)
     raw.filter(col("src_bucket") =!= -1)
-      .join(broadcast(tombs), Seq("src"), "left")
-      .filter(col("__tv").isNull || col("__commit") >= col("__tv"))
+      .join(hint(tombs), Seq("src"), "left")
+      .filter(col("__tv").isNull || col(cc) >= col("__tv"))
       .drop("__tv")
-      .join(broadcast(tombs.withColumnRenamed("src", "dst")
+      .join(hint(tombs.withColumnRenamed("src", "dst")
         .withColumnRenamed("__tv", "__dtv")), Seq("dst"), "left")
-      .filter(col("__dtv").isNull || col("__commit") >= col("__dtv"))
-      .drop("__dtv", "__commit")
+      .filter(col("__dtv").isNull || col(cc) >= col("__dtv"))
+      .drop("__dtv", cc)
       .select(col("src"), col("dst"), col("src_bucket"))
   }
 
@@ -496,6 +551,16 @@ object GraphAnn {
     * unchunked answer — GraphAnnSpec gates it); the common small batch
     * keeps the single-broadcast fast path.
     *
+    * `smallBatchBound` (VERDICT r10 task 4): batches of at most this many
+    * queries run on the DRIVER-HOSTED twin [[searchManyLocal]] — identical
+    * results (GraphAnnSpec gates equality per query and config), a
+    * fraction of the latency: the distributed loop pays ~1 s of job/
+    * window/checkpoint machinery per hop regardless of data volume, which
+    * is the measured ~12 s batch-1 floor; the local twin's per-hop cost is
+    * two bounded collects. Default 0 keeps every caller distributed
+    * unless it opts in ([[appendNodesToStore]] opts in at 64 — insert
+    * deltas are the canonical small batch).
+    *
     * `resultFilter` is the FILTERED search (VERDICT r9 task 4 — the
     * tenant predicate compiled into the search, reference parity
     * vectordb.go:216-234): a boolean predicate over `corpus` rows. The
@@ -515,7 +580,8 @@ object GraphAnn {
       expandPerHop: Int = 0, scoreScale: Int = 6,
       srcBuckets: Option[Int] = None,
       maxBroadcastQueries: Int = 4096,
-      resultFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      resultFilter: Option[org.apache.spark.sql.Column] = None,
+      smallBatchBound: Int = 0): DataFrame = {
     require(k > 0 && beamWidth >= k, s"need beamWidth >= k > 0, got $beamWidth/$k")
     require(maxBroadcastQueries > 0,
       s"maxBroadcastQueries must be positive, got $maxBroadcastQueries")
@@ -524,6 +590,10 @@ object GraphAnn {
     val q0 = queries.select(col(qId).cast("long").as("__qid"),
       VectorFunctions.asFloatArray(col(qVec)).as("__qv"))
     val nq = q0.count()
+    if (nq <= smallBatchBound)
+      return searchManyLocal(graph, corpus, queries, qId, qVec, idCol, vecCol,
+        k, beamWidth, maxHops, nSeeds, expandPerHop, scoreScale, srcBuckets,
+        resultFilter)
     if (nq > maxBroadcastQueries) {
       // strictly-bounded slices (≤ maxBroadcastQueries each) via the
       // range-partitioned global row number; pinned ONCE so every slice
@@ -642,6 +712,183 @@ object GraphAnn {
       .filter(col("rn") <= k)
       .select(col("__qid").as("query_id"), col("id").as("neighbor_id"),
         col("score"), col("rn").cast("int").as("rn"))
+  }
+
+  /** The driver-hosted twin of [[searchMany]] for SMALL query batches
+    * (VERDICT r10 task 4 — the batch-1 latency fix): hop-for-hop the same
+    * algorithm with the same arithmetic ([[IvfIndex.cosineScalar]] /
+    * [[IvfIndex.roundHalfUp]] — the proven equivalents of the codegen
+    * round-6 cosine), so results are IDENTICAL per query (GraphAnnSpec
+    * gates it across filtered / capped / bucketed configs). What changes
+    * is only WHERE the bookkeeping runs: beam/visited state lives on the
+    * driver (bounded by nQueries × search parameters, never the corpus),
+    * and each hop issues exactly two bounded cluster reads —
+    *
+    *   1. the frontier's adjacency: edge rows `src ∈ frontier` (≤
+    *      frontier × maxDegree rows; with a [[writeGraphStore]] layout
+    *      the scan is FIRST partition-pruned to the frontier's
+    *      `src_bucket` values, same as the distributed hop), and
+    *   2. the unseen candidates' vectors: corpus rows `id ∈ candidates`
+    *      (≤ frontier × degree rows), evaluated with the resultFilter
+    *      predicate server-side.
+    *
+    * Both reads cache across hops (an id's vector and a node's edge list
+    * are immutable within one search), so later hops fetch only genuinely
+    * new ids. The distributed loop pays per-hop window/checkpoint/join
+    * DAGs whose fixed cost dominates small batches (the measured ~12 s
+    * batch-1 floor, GraphBatchCurve); this twin's per-hop floor is two
+    * small jobs. Scale contract: queries × beamWidth × degree × hops
+    * driver rows — the [[AnnTuner]] audit-sample discipline; large
+    * batches belong on [[searchMany]] (which delegates here below
+    * `smallBatchBound` and runs distributed above it).
+    */
+  def searchManyLocal(
+      graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+      qId: String, qVec: String, idCol: String, vecCol: String,
+      k: Int, beamWidth: Int = 32, maxHops: Int = 12, nSeeds: Int = 4,
+      expandPerHop: Int = 0, scoreScale: Int = 6,
+      srcBuckets: Option[Int] = None,
+      resultFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(k > 0 && beamWidth >= k, s"need beamWidth >= k > 0, got $beamWidth/$k")
+    srcBuckets.foreach(nb => require(nb > 0 && graph.columns.contains("src_bucket"),
+      s"srcBuckets=Some($nb) needs a writeGraphStore layout with src_bucket"))
+    val spark = queries.sparkSession
+    val qs = queries.select(col(qId).cast("long"),
+        VectorFunctions.asFloatArray(col(qVec)))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+    // output schema matches the distributed path's (nullable columns,
+    // RDD-backed relation): a non-nullable LocalRelation head changes the
+    // downstream plan shape — empirically it trips Catalyst's Union
+    // constraint rewrite inside appendRewrite's prune self-join — and the
+    // driver's parallelize(rows) pattern (the qkn discipline) sidesteps
+    // ConvertToLocalRelation folding entirely
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("rn",
+        org.apache.spark.sql.types.IntegerType, nullable = true)))
+    if (qs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+
+    val seeds = entryPoints(corpus, idCol, nSeeds)
+    val cBase = corpus.select(col(idCol).cast("long").as("__vid"),
+      VectorFunctions.asFloatArray(col(vecCol)).as("__v"),
+      resultFilter.getOrElse(lit(true)).cast("boolean").as("__keep"))
+    val gBase = graph.select(
+      col("src").cast("long") +: col("dst").cast("long") +:
+        (if (srcBuckets.isDefined) Seq(col("src_bucket")) else Nil): _*)
+
+    // vector/filter cache: id -> (vec, keep); None marks "not in corpus"
+    // so later hops never re-probe an absent id
+    val vecCache = scala.collection.mutable.Map.empty[Long, Option[(Array[Float], Boolean)]]
+    def fetchVecs(ids: Iterable[Long]): Unit = {
+      val missing = ids.iterator.filterNot(vecCache.contains).toSeq.distinct
+      if (missing.nonEmpty) {
+        cBase.where(col("__vid").isInCollection(missing)).collect().foreach { r =>
+          vecCache(r.getLong(0)) = Some((
+            r.getAs[scala.collection.Seq[Float]](1).toArray,
+            !r.isNullAt(2) && r.getBoolean(2)))
+        }
+        missing.foreach(id => vecCache.getOrElseUpdate(id, None))
+      }
+    }
+    // adjacency cache: src -> out-edges, fetched per hop for the union of
+    // all queries' frontiers; bucket-pruned first on a store layout
+    val adjCache = scala.collection.mutable.Map.empty[Long, Array[Long]]
+    def fetchAdj(ids: Iterable[Long]): Unit = {
+      val missing = ids.iterator.filterNot(adjCache.contains).toSeq.distinct
+      if (missing.nonEmpty) {
+        val sliced = srcBuckets match {
+          case Some(nb) =>
+            val buckets = missing.map(id =>
+              (((id % nb) + nb) % nb).toInt).distinct
+            gBase.where(col("src_bucket").isin(buckets: _*)).drop("src_bucket")
+          case None => gBase
+        }
+        val rows = sliced.where(col("src").isInCollection(missing)).collect()
+        rows.groupBy(_.getLong(0)).foreach { case (s, rs) =>
+          adjCache(s) = rs.map(_.getLong(1)).distinct.sorted
+        }
+        missing.foreach(id => adjCache.getOrElseUpdate(id, Array.empty[Long]))
+      }
+    }
+
+    // per-query beam state, mirroring the distributed loop exactly:
+    // (score desc, id asc) ordering, whole-frontier (or capped best-first)
+    // expansion, visited = every id ever CANDIDATE (scored or not)
+    final class QState(val qid: Long, val qv: Array[Float]) {
+      var beam: Vector[(Long, Double, Boolean)] = Vector.empty // (id, score, expanded)
+      val visited: scala.collection.mutable.Set[Long] =
+        scala.collection.mutable.Set.empty[Long]
+      var results: Vector[(Long, Double)] = Vector.empty // filtered mode only
+    }
+    def scoreOf(st: QState, id: Long): Option[(Long, Double, Boolean)] =
+      if (id == st.qid) None
+      else vecCache(id).map { case (v, keep) =>
+        (id, IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, st.qv), scoreScale), keep)
+      }
+    val filtered = resultFilter.isDefined
+    fetchVecs(seeds)
+    val states = qs.map { case (qid, qv) =>
+      val st = new QState(qid, qv)
+      st.visited ++= seeds
+      val seedScored = seeds.flatMap(scoreOf(st, _))
+      st.beam = seedScored.map { case (id, s, _) => (id, s, false) }.toVector
+      if (filtered)
+        st.results = seedScored.filter(_._3).map { case (id, s, _) => (id, s) }
+          .toVector.sortBy(t => (-t._2, t._1)).take(k)
+      st
+    }
+    var hop = 0
+    var anyFrontier = states.exists(_.beam.exists(!_._3))
+    while (hop < maxHops && anyFrontier) {
+      val frontiers = states.map { st =>
+        val unexp = st.beam.filter(!_._3)
+        val f =
+          if (expandPerHop <= 0) unexp
+          else unexp.sortBy(t => (-t._2, t._1)).take(expandPerHop)
+        st -> f.map(_._1)
+      }
+      fetchAdj(frontiers.iterator.flatMap(_._2).toSeq)
+      val perQueryNbrs = frontiers.map { case (st, f) =>
+        val nbrs = f.flatMap(adjCache(_)).distinct
+          .filterNot(st.visited)
+        st -> (f, nbrs)
+      }
+      fetchVecs(perQueryNbrs.iterator.flatMap(_._2._2).toSeq)
+      perQueryNbrs.foreach { case (st, (f, nbrs)) =>
+        val fresh = nbrs.flatMap(scoreOf(st, _))
+        val fSet = f.toSet
+        val marked = st.beam.map { case (id, s, e) =>
+          (id, s, e || fSet.contains(id))
+        }
+        st.beam = (marked ++ fresh.map { case (id, s, _) => (id, s, false) })
+          .sortBy(t => (-t._2, t._1)).take(beamWidth)
+        if (filtered)
+          st.results = (st.results ++
+            fresh.filter(_._3).map { case (id, s, _) => (id, s) })
+            .sortBy(t => (-t._2, t._1)).take(k)
+        st.visited ++= nbrs
+      }
+      anyFrontier = states.exists(_.beam.exists(!_._3))
+      hop += 1
+    }
+    val out = states.toSeq.flatMap { st =>
+      val ranked =
+        if (filtered) st.results
+        else st.beam.map { case (id, s, _) => (id, s) }
+          .sortBy(t => (-t._2, t._1)).take(k)
+      ranked.zipWithIndex.map { case ((id, s), i) =>
+        org.apache.spark.sql.Row(st.qid, id, s, i + 1)
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), outSchema)
   }
 
   /** Result of one [[localBeam]] search: ranked (id, score) plus the

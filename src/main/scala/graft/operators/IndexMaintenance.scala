@@ -136,12 +136,24 @@ object IndexMaintenance {
             s"refreshing up to ${t.refreshMaxCells} per window")
     }
 
-    // ---- skew: split every overfull cell (needs >= 2 members to split)
+    // ---- skew: split every overfull cell (needs >= 2 members to split).
+    // Sampled plans re-check candidates' TRUE counts first (round-10
+    // ADVICE): ceil-extrapolation turns 1 sampled member into n >= 2, so
+    // without the re-check a sampled plan could name a cell splitCell
+    // then rejects ("has < 2 members"). The re-check is one
+    // partition-pruned count over only the candidate cells.
     if (quality.nonEmpty) {
       val sizes = quality.map(_._2).sorted
       val median = sizes(sizes.length / 2).toDouble
-      for ((cell, n, _) <- quality
-           if n > t.splitSkewFactor * median && n >= 2)
+      val candidates = quality.filter { case (_, n, _) =>
+        n > t.splitSkewFactor * median && n >= 2 }
+      val trueN: Map[Int, Long] =
+        if (sampleFrac.isEmpty || candidates.isEmpty)
+          candidates.map(c => c._1 -> c._2).toMap
+        else live.filter(col(cellCol).isin(candidates.map(_._1).toSeq: _*))
+          .groupBy(col(cellCol)).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      for ((cell, n, _) <- candidates if trueN.getOrElse(cell, 0L) >= 2L)
         out += Decision("split", Seq(cell),
           f"cell $cell holds $n members > ${t.splitSkewFactor}%.1f x " +
             f"median $median%.0f — its partition is the probe-cost hot spot")
@@ -194,7 +206,8 @@ object IndexMaintenance {
           "appended nodes outgrew the skip ring; rebuild restores the " +
           "O(log n) routing diameter")
     val rawCount = graft.sources.SnapshotStore
-      .read(spark, root, commitCol = Some("__commit")).count()
+      .read(spark, root,
+        commitCol = Some(graft.sources.SnapshotStore.CommitCol)).count()
     val liveCount = live.count()
     val waste =
       if (liveCount == 0L) 0.0

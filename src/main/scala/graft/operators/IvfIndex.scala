@@ -221,7 +221,7 @@ object IvfIndex {
     * IVF-PQ roots.
     */
   private[operators] val OpCol = "__op"
-  private[operators] val CommitCol = "__commit"
+  private[operators] val CommitCol = graft.sources.SnapshotStore.CommitCol
 
   /** Tombstone rows for `ids`, shaped to the store row type of `dataDf`:
     * every column null except the id, `cellCol = -1`, `__op = 'D'`.
@@ -323,6 +323,26 @@ object IvfIndex {
       spark, root, marker, expectedBase, partitionBy = Seq(cellCol))
   }
 
+  /** Broadcast bound for tombstone folds (VERDICT r10 task 3): at ~64
+    * bytes a row, 4M distinct tombstoned ids is a ~256 MB broadcast — the
+    * edge of sane; past it a hard-hinted broadcast would OOM executors
+    * exactly when a bulk delete made the cleanup urgent. Shared with
+    * [[GraphAnn.readGraphStoreLatest]].
+    */
+  private[operators] val DefaultMaxBroadcastTombstones = 4000000L
+
+  /** The size-guarded join hint: ONE cheap count over `small` (the caller
+    * passes a partition-pruned tombstone aggregate) decides broadcast vs
+    * an unhinted join — above the bound Spark is free to plan a shuffle
+    * join and the fold completes instead of OOMing. Results are identical
+    * either way (spec-gated with the bound forced to 0).
+    */
+  private[operators] def sizeGuardedHint(
+      small: DataFrame, maxRows: Long): DataFrame => DataFrame = {
+    val n = small.count()
+    if (n <= maxRows) df => broadcast(df) else identity[DataFrame]
+  }
+
   /** Latest-wins tombstone fold over a commit-stamped read: a data row
     * survives unless SOME tombstone for its id carries a STRICTLY newer
     * commit (an upsert's same-commit replacement outlives its own
@@ -331,21 +351,26 @@ object IvfIndex {
     * markers are self-describing (`P:<orgCol>`), discovered by one bounded
     * collect over the tombstone partition (cell = -1, partition-pruned;
     * distinct marker strings ≤ the number of columns ever purged on — in
-    * practice one). Tombstones are broadcast — small by the compaction
-    * contract: id tombstones fold away at [[compactStore]], purge markers
-    * are one row each.
+    * practice one). Id tombstones fold physically at [[compactStore]] and
+    * are small between compactions by contract — but the join strategy is
+    * SIZE-GUARDED, not contract-trusted ([[sizeGuardedHint]]): a bulk
+    * delete degrades the fold to a shuffle join instead of OOMing it.
+    * Purge markers stay broadcast (one committed row per purge call by
+    * construction).
     */
   private def foldTombstones(
-      raw: DataFrame, idCol: String, cellCol: String): DataFrame = {
+      raw: DataFrame, idCol: String, cellCol: String,
+      maxBroadcastTombstones: Long = DefaultMaxBroadcastTombstones): DataFrame = {
     val dead = raw.filter(col(cellCol) === -1)
     val tombs = dead.filter(col(OpCol) === "D")
       .groupBy(col(idCol)).agg(max(col(CommitCol)).as("__tv"))
+    val hint = sizeGuardedHint(tombs, maxBroadcastTombstones)
     val purgeMarkers = dead
       .filter(col(OpCol).startsWith("P:"))
       .select(col(OpCol)).distinct()
       .collect().map(_.getString(0)).sorted // bounded: ≤ #purged-on columns
     val base = raw.filter(col(OpCol) === "U")
-      .join(broadcast(tombs), Seq(idCol), "left")
+      .join(hint(tombs), Seq(idCol), "left")
       .filter(col("__tv").isNull || col(CommitCol) >= col("__tv"))
       .drop("__tv")
     purgeMarkers.foldLeft(base) { (live, m) =>
@@ -365,12 +390,13 @@ object IvfIndex {
   def readStoreLatest(
       spark: org.apache.spark.sql.SparkSession, root: String,
       idCol: String, cellCol: String = "cell",
-      version: Option[Int] = None): DataFrame =
+      version: Option[Int] = None,
+      maxBroadcastTombstones: Long = DefaultMaxBroadcastTombstones): DataFrame =
     foldTombstones(
       graft.sources.SnapshotStore.read(spark, root, version,
         commitCol = Some(CommitCol),
         absentDefaults = Seq(OpCol -> lit("U"))),
-      idCol, cellCol)
+      idCol, cellCol, maxBroadcastTombstones)
       .filter(col(cellCol) =!= -1)
       .drop(CommitCol, OpCol)
 
@@ -386,13 +412,14 @@ object IvfIndex {
       q8Col: String, scaleCol: String, queryVec: Array[Float], index: Index,
       nProbe: Int, k: Int, idCol: String, cellCol: String = "cell",
       version: Option[Int] = None, scoreScale: Option[Int] = Some(6),
-      tiebreak: Option[String] = None): DataFrame = {
+      tiebreak: Option[String] = None,
+      maxBroadcastTombstones: Long = DefaultMaxBroadcastTombstones): DataFrame = {
     val cells = probeCells(index, queryVec, nProbe) :+ -1
     val raw = graft.sources.SnapshotStore.read(spark, root, version,
         commitCol = Some(CommitCol),
         absentDefaults = Seq(OpCol -> lit("U")))
       .where(col(cellCol).isin(cells: _*))
-    val live = foldTombstones(raw, idCol, cellCol)
+    val live = foldTombstones(raw, idCol, cellCol, maxBroadcastTombstones)
       .filter(col(cellCol) =!= -1)
       .drop(CommitCol, OpCol)
     VectorSearch.topK(
@@ -417,10 +444,11 @@ object IvfIndex {
     // commit interleaving this read-modify-write collides loudly instead
     // of being silently folded over (the appendNodesToStore discipline).
     // `extraPartitionCols` MUST match the build's (e.g. the tenant column
-    // of a buildStoreVersioned(extraPartitionCols = Seq(org)) store):
-    // compacting with the default would silently demote the org dimension
-    // to a data column and per-tenant searches would lose directory
-    // pruning from this version on.
+    // of a buildStoreVersioned(extraPartitionCols = Seq(org)) store) —
+    // ENFORCED against the store's own directory layout, so compacting
+    // with the default can no longer silently demote the org dimension
+    // to a data column (round-10 ADVICE, the refreshCells guard).
+    requireLayoutMatches(spark, root, cellCol, extraPartitionCols, "compactStore")
     val base = expectedBase.orElse(
       graft.sources.SnapshotStore.currentVersion(spark, root))
     val live = readStoreLatest(spark, root, idCol, cellCol, version = base)
@@ -551,10 +579,16 @@ object IvfIndex {
     * reassignment emptied it is dropped from the manifest via
     * `dropPartitions` (a hive write cannot emit an empty dir); its
     * refreshed centroid stays in the index and simply probes zero rows
-    * until an append repopulates it. Not for tenant-partitioned stores:
-    * the rewrite dir is cell-only, which would demote the org dimension
-    * to a data column for the touched cells (same caveat as
-    * [[compactStore]]'s `extraPartitionCols` contract).
+    * until an append repopulates it.
+    *
+    * Tenant-partitioned stores (VERDICT r10 task 1): pass the build's
+    * `extraPartitionCols` and the rewrite dir carries the full
+    * `(cell, org, …)` layout — touched cells keep EVERY prune dimension
+    * (the tenant values ride readStoreLatest's output as ordinary columns
+    * and become directories again at the write). The store's actual
+    * layout is derived from its own dirs and checked against the declared
+    * one, so a refresh that would silently demote a partition dimension
+    * fails loudly instead (round-10 ADVICE).
     */
   def refreshCells(
       spark: org.apache.spark.sql.SparkSession, root: String,
@@ -563,9 +597,11 @@ object IvfIndex {
       cellCol: String = "cell", iters: Int = 2,
       expectedBase: Option[Int] = None,
       dirTag: Option[String] = None,
-      vecColOpt: Option[String] = None): (Index, Int) = {
+      vecColOpt: Option[String] = None,
+      extraPartitionCols: Seq[String] = Seq.empty): (Index, Int) = {
     require(cells.nonEmpty, "refreshCells needs at least one cell")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    requireLayoutMatches(spark, root, cellCol, extraPartitionCols, "refreshCells")
     val cellSet = cells.toSet
     val known = index.centroids.map(_._1).toSet
     require(cellSet.subsetOf(known),
@@ -590,11 +626,33 @@ object IvfIndex {
       .collect().map(_.getInt(0)).toSet
     val next = graft.sources.SnapshotStore.replacePartitions(
       spark, root, rewritten, cellCol, expectedBase = base, dirTag = dirTag,
-      dropPartitions = cellSet.diff(kept).map(c => s"$cellCol=$c"))
+      dropPartitions = cellSet.diff(kept).map(c => s"$cellCol=$c"),
+      extraPartitionCols = extraPartitionCols)
     val byCell = refreshed.centroids.toMap
     (Index(index.centroids.map { case (c, v) =>
       c -> byCell.getOrElse(c, v)
     }), next)
+  }
+
+  /** The repair family's layout guard (round-10 ADVICE): the store's real
+    * partition chain — derived from its own directory structure, the only
+    * layout record a plain-parquet store has — must equal the declared
+    * `cellCol +: extraPartitionCols`, or the rewrite would silently demote
+    * the undeclared dimensions to data columns for every touched cell and
+    * per-tenant searches would lose directory pruning from that version
+    * on. Empty layout (fresh/unpartitioned store) passes — there is
+    * nothing to demote.
+    */
+  private def requireLayoutMatches(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      cellCol: String, extraPartitionCols: Seq[String], op: String): Unit = {
+    val layout = graft.sources.SnapshotStore.partitionLayout(spark, root)
+    val declared = cellCol +: extraPartitionCols
+    require(layout.isEmpty || layout == declared,
+      s"$op: store at $root is partitioned (${layout.mkString(", ")}) but " +
+        s"the rewrite would commit (${declared.mkString(", ")}) — pass " +
+        "extraPartitionCols matching the build's so touched partitions " +
+        "keep every prune dimension")
   }
 
   /** The `k` FULLEST cells of a [[cellQuality]] frame (n DESC, cell ASC
@@ -626,7 +684,8 @@ object IvfIndex {
     * the one cell's member count. Probes keep working mid-rollout: a
     * query planned against the OLD index simply never probes the new
     * cell id, and the pinned-version read serves the pre-split layout.
-    * Same cell-only layout caveat as [[refreshCells]].
+    * Tenant-partitioned stores: same `extraPartitionCols` contract and
+    * layout guard as [[refreshCells]].
     */
   def splitCell(
       spark: org.apache.spark.sql.SparkSession, root: String,
@@ -635,8 +694,10 @@ object IvfIndex {
       cellCol: String = "cell", iters: Int = 2,
       expectedBase: Option[Int] = None,
       dirTag: Option[String] = None,
-      vecColOpt: Option[String] = None): (Index, Int) = {
+      vecColOpt: Option[String] = None,
+      extraPartitionCols: Seq[String] = Seq.empty): (Index, Int) = {
     require(index.centroids.exists(_._1 == cell), s"unknown cell $cell")
+    requireLayoutMatches(spark, root, cellCol, extraPartitionCols, "splitCell")
     val newCell = index.centroids.map(_._1).max + 1
     val base = expectedBase.orElse(
       graft.sources.SnapshotStore.currentVersion(spark, root))
@@ -661,7 +722,8 @@ object IvfIndex {
     val next = graft.sources.SnapshotStore.replacePartitions(
       spark, root, rewritten, cellCol, expectedBase = base, dirTag = dirTag,
       dropPartitions =
-        (Set(cell) -- kept).map(c => s"$cellCol=$c"))
+        (Set(cell) -- kept).map(c => s"$cellCol=$c"),
+      extraPartitionCols = extraPartitionCols)
     val byCell = refined.centroids.toMap
     (Index(index.centroids.map { case (c, v) =>
       c -> byCell.getOrElse(c, v)

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Ranked keyword retrieval — the lexical half of hybrid RAG search
   * (complements [[VectorSearch.semanticSearch]]; the reference only has a
-  * boolean keyword predicate, internal/analyst/analyst.go keyword rules —
+  * boolean keyword predicate, internal/worker/analyst.go:270-399 keyword
+  * matching fallback —
   * ranked BM25 + fusion is the capability upgrade a retrieval engine needs).
   *
   * Scale shape: one narrow pass over tokens; per-doc lengths and corpus

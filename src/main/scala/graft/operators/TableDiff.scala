@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * changed (with the exact set of changed columns).
   *
   * The reference's warehouse is upsert-only (chunk uuid5 dedup,
-  * `internal/store/warehouse.go`-style append/replace); a 100 TB curation
+  * `INSERT OR REPLACE INTO chunks`, internal/server/hive_service.go:82); a
+  * 100 TB curation
   * pipeline additionally needs to answer "what moved between snapshot N
   * and N+1" — for incremental re-embedding, cache invalidation, and audit.
   *

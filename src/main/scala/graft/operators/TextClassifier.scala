@@ -9,7 +9,9 @@ import IterCheckpoint.Pinnable
   * cheap supervision signal (metadata, a heuristic gate, a labeled slice)
   * and then applies to the whole corpus. The reference has no trained
   * models at all (rule evaluation is exact matching,
-  * /root/reference/internal/rules/engine.go); this is a north-star
+  * /root/reference/internal/worker/analyst.go:270-274 keyword containment,
+  * rules stored in /root/reference/internal/rules/store.go); this is a
+  * north-star
   * extension in the q3m/q3r curation family.
   *
   * Everything is deterministic and cross-engine replayable, which is what

@@ -1592,7 +1592,205 @@ object VectorQueries {
           SELECT 3, 0, 'compact', '' FROM waste WHERE w > 0.2)
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY pri, sub) AS INT) AS ord,
                action, cells
-        FROM decisions ORDER BY ord"""))
+        FROM decisions ORDER BY ord""")),
+
+    // Tenant-aware drift repair, hash-exact (round 11, VERDICT r10 task 1):
+    // qkp's alarm → localize → refresh lifecycle on a TENANT-PARTITIONED
+    // (cell, org) store — build and append commit with extraPartitionCols,
+    // the repair passes them through, and the partition-level replace
+    // preserves both prune dimensions (the multi-level replacePartitions;
+    // IvfSpec plan-gates the PartitionFilters). The repair arithmetic is
+    // tenant-agnostic (IvfSpec proves assignment equality vs the cell-only
+    // twin), so the oracle is qkp's proven chain with the tenant dimension
+    // carried into the census grain: per (cell, org) member count, id-sum
+    // and DECIMAL-snapped mean own-centroid cosine.
+    "qks_tenant_refresh_census" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = emb(s, dir)
+          .withColumn("org", pmod(col("vec_id"), lit(4L)).cast("int"))
+        val baseC = e.filter(col("vec_id") < 100)
+        val index = graft.operators.IvfIndex.centroidsByDraw(
+          baseC, "vec_id", "embedding", nCells = 8)
+        val root = java.nio.file.Files.createTempDirectory("graft-qks").toFile
+        try {
+          graft.operators.IvfIndex.buildStoreVersioned(
+            s, root.toString, baseC, "embedding", index,
+            extraPartitionCols = Seq("org"))
+          graft.operators.IvfIndex.appendToStore(
+            s, root.toString, e.filter(col("vec_id") >= 100), "embedding",
+            index, extraPartitionCols = Seq("org"))
+          def census(idx: graft.operators.IvfIndex.Index): DataFrame =
+            graft.operators.IvfIndex
+              .readStoreLatest(s, root.toString, "vec_id")
+              .withColumn("__dv",
+                VectorFunctions.int8Dequant(col("q8"), col("scale")))
+              .join(broadcast(idx.centroids.toSeq.toDF("cell", "__cent")),
+                "cell")
+              .select(col("cell"), col("org"), col("vec_id"),
+                round(VectorFunctions.cosine(col("__dv"), col("__cent")), 6)
+                  .as("sc"))
+              .groupBy(col("cell"), col("org"))
+              .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_vec"),
+                round(sum(col("sc").cast("decimal(18,6)")).cast("double")
+                  / count(lit(1)).cast("double"), 6).as("mean_sim"))
+          val worst = graft.operators.IvfIndex
+            .readStoreLatest(s, root.toString, "vec_id")
+            .withColumn("__dv",
+              VectorFunctions.int8Dequant(col("q8"), col("scale")))
+            .join(broadcast(index.centroids.toSeq.toDF("cell", "__cent")),
+              "cell")
+            .select(col("cell"),
+              round(VectorFunctions.cosine(col("__dv"), col("__cent")), 6)
+                .as("sc"))
+            .groupBy(col("cell"))
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("sc").cast("decimal(18,6)")).cast("double")
+                / count(lit(1)).cast("double"), 6).as("mean_sim"))
+            .filter(col("n") >= 2)
+            .orderBy(col("mean_sim").asc, col("cell").asc)
+            .limit(3).select("cell").collect().map(_.getInt(0)).toSeq
+          val (idx2, _) = graft.operators.IvfIndex.refreshCells(
+            s, root.toString, index, worst, "vec_id", iters = 2,
+            extraPartitionCols = Seq("org"))
+          val res = census(idx2).orderBy(col("cell"), col("org"))
+          val rows = res.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+        } finally deleteRecursively(root)
+      },
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent0 AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY dd, vec_id) - 1 AS INT) AS cell, v AS cv
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS dd, vec_id, v FROM e
+                WHERE vec_id < 100 ORDER BY dd, vec_id LIMIT 8)),
+        sq AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        d AS MATERIALIZED (SELECT vec_id,
+              CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0.0 AS DOUBLE))
+                   ELSE CAST(list_transform(v, x ->
+                        CAST(CAST(ROUND(x / scale) AS TINYINT) * scale AS FLOAT))
+                        AS DOUBLE[]) END AS dv
+              FROM sq),
+        a0 AS MATERIALIZED (
+          SELECT vec_id, dv, cell FROM (
+            SELECT d.vec_id, d.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(d.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM d CROSS JOIN cent0 c) WHERE rn = 1),
+        qual0 AS (
+          SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(CAST(ROUND(CAST(list_cosine_similarity(a.dv, c.cv) AS DOUBLE), 6)
+                                     AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS m6
+          FROM a0 a JOIN cent0 c USING (cell) GROUP BY a.cell),
+        worst AS MATERIALIZED (
+          SELECT cell FROM qual0 WHERE n >= 2 ORDER BY m6 ASC, cell ASC LIMIT 3),
+        mem AS MATERIALIZED (
+          SELECT a.vec_id, a.dv FROM a0 a JOIN worst w USING (cell)),
+        sub0 AS MATERIALIZED (
+          SELECT c.cell, c.cv FROM cent0 c JOIN worst w USING (cell)),
+        r1 AS MATERIALIZED (
+          SELECT vec_id, dv, cell FROM (
+            SELECT m.vec_id, m.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(m.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM mem m CROSS JOIN sub0 c) WHERE rn = 1),
+        m1 AS (
+          SELECT cell, pos,
+                 CAST(ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE), 9) AS FLOAT) AS mf
+          FROM (SELECT cell, unnest(dv) AS x, generate_subscripts(dv, 1) AS pos FROM r1)
+          GROUP BY cell, pos),
+        sub1 AS MATERIALIZED (
+          SELECT c.cell, COALESCE(m.cv, c.cv) AS cv
+          FROM sub0 c LEFT JOIN
+            (SELECT cell, list(CAST(mf AS DOUBLE) ORDER BY pos) AS cv
+             FROM m1 GROUP BY cell) m USING (cell)),
+        r2 AS MATERIALIZED (
+          SELECT vec_id, dv, cell FROM (
+            SELECT m.vec_id, m.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(m.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM mem m CROSS JOIN sub1 c) WHERE rn = 1),
+        m2 AS (
+          SELECT cell, pos,
+                 CAST(ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE), 9) AS FLOAT) AS mf
+          FROM (SELECT cell, unnest(dv) AS x, generate_subscripts(dv, 1) AS pos FROM r2)
+          GROUP BY cell, pos),
+        sub2 AS MATERIALIZED (
+          SELECT c.cell, COALESCE(m.cv, c.cv) AS cv
+          FROM sub1 c LEFT JOIN
+            (SELECT cell, list(CAST(mf AS DOUBLE) ORDER BY pos) AS cv
+             FROM m2 GROUP BY cell) m USING (cell)),
+        fin AS MATERIALIZED (
+          SELECT vec_id, dv, cell FROM (
+            SELECT m.vec_id, m.dv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(m.dv, c.cv) AS DOUBLE), 6) DESC, c.cell) AS rn
+            FROM mem m CROSS JOIN sub2 c) WHERE rn = 1),
+        cens AS (
+          SELECT a.cell, a.vec_id,
+                 ROUND(CAST(list_cosine_similarity(a.dv, c.cv) AS DOUBLE), 6) AS sc2
+          FROM a0 a JOIN cent0 c USING (cell)
+          WHERE a.cell NOT IN (SELECT cell FROM worst)
+          UNION ALL
+          SELECT f.cell, f.vec_id,
+                 ROUND(CAST(list_cosine_similarity(f.dv, c.cv) AS DOUBLE), 6) AS sc2
+          FROM fin f JOIN sub2 c USING (cell))
+        SELECT cell, CAST(vec_id % 4 AS INT) AS org,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_vec,
+               ROUND(CAST(SUM(CAST(sc2 AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sim
+        FROM cens GROUP BY cell, org ORDER BY cell, org""")),
+
+    // Graph-tier tenant purge, hash-exact (round 11, VERDICT r10 task 2;
+    // reference parity: org-scoped point removal, internal/vectordb/
+    // vectordb.go:488-591): the REAL graph-store protocol — build +
+    // bucketed store commit (v1), roster-derived id-set purge of org 1 in
+    // ONE tombstone commit (v2, delta-sized in the tenant — graph rows
+    // carry no org column, so the roster supplies the org → node-id map),
+    // then a PHYSICAL compaction folding the tombstones away (v3). The
+    // answer is the live edge census per (src_org, dst_org) with an
+    // endpoint-sum pin — purge arithmetic (every edge INCIDENT to an org-1
+    // node dies, both directions) is visible at every SF. Oracle: the
+    // graph build's own edge CTE filtered set-theoretically.
+    "qkt_graph_purge_census" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val graph = graft.operators.GraphAnn.buildGraph(
+          e, "vec_id", "embedding", m = 6, nBits = 2, nTables = 2)
+        val roster = e.withColumn("org", pmod(col("vec_id"), lit(4L)).cast("int"))
+        val root = java.nio.file.Files.createTempDirectory("graft-qkt").toFile
+        try {
+          graft.operators.GraphAnn.writeGraphStore(
+            s, root.toString, graph, nBuckets = 8)
+          graft.operators.GraphAnn.purgeTenantFromGraphStore(
+            s, root.toString, roster, "vec_id", "org", 1)
+          graft.operators.GraphAnn.compactGraphStore(
+            s, root.toString, nBuckets = 8)
+          val res = graft.operators.GraphAnn
+            .readGraphStoreLatest(s, root.toString)
+            .groupBy(pmod(col("src"), lit(4L)).cast("int").as("src_org"),
+              pmod(col("dst"), lit(4L)).cast("int").as("dst_org"))
+            .agg(count(lit(1)).as("n_edges"),
+              sum(col("src") + col("dst")).cast("long").as("sum_ends"))
+            .orderBy(col("src_org"), col("dst_org"))
+          val rows = res.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+        } finally deleteRecursively(root)
+      },
+      oracle = Some(s"""
+        ${graphEdgesCtes(m = 6, nTables = 2)}
+        SELECT CAST(src % 4 AS INT) AS src_org, CAST(dst % 4 AS INT) AS dst_org,
+               COUNT(*) AS n_edges,
+               CAST(SUM(src + dst) AS BIGINT) AS sum_ends
+        FROM edges
+        WHERE src % 4 <> 1 AND dst % 4 <> 1
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** Bounded temp-store cleanup for the lifecycle queries above (qkn/qko):
@@ -1615,8 +1813,12 @@ object VectorQueries {
     * `beam$hops(id, score)` in scope. Multi-referenced CTEs are
     * MATERIALIZED (CLAUDE.md rule 9).
     */
-  private def graphBeamCtes(
-      m: Int, nTables: Int, beamWidth: Int, hops: Int, nSeeds: Int): String = {
+  /** The graph-build prefix of [[graphBeamCtes]] alone: everything up to
+    * the deduped `edges(src, dst)` CTE — the exact [[graft.operators
+    * .GraphAnn.buildGraph]] edge set. qkt's purge census replays the graph
+    * store's set-theoretic live view from this without unrolling a beam.
+    */
+  private def graphEdgesCtes(m: Int, nTables: Int): String = {
     val sb = new StringBuilder
     sb.append(lshPairsCtes(threshold = -1.0, nBits = 2, nTables = nTables))
     sb.append(s""",
@@ -1648,7 +1850,15 @@ object VectorQueries {
             SELECT src, dst FROM near
             UNION ALL SELECT src, dst FROM longl
             UNION ALL SELECT dst, src FROM longl)
-          WHERE src <> dst),
+          WHERE src <> dst)""")
+    sb.toString
+  }
+
+  private def graphBeamCtes(
+      m: Int, nTables: Int, beamWidth: Int, hops: Int, nSeeds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(graphEdgesCtes(m, nTables))
+    sb.append(s""",
         seeds AS MATERIALIZED (
           SELECT vec_id AS id FROM e
           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nSeeds),

@@ -44,11 +44,21 @@ object SnapshotStore {
   private val DataDir = "data"
   private val TagsDir = "_tags"
 
+  /** THE commit-column name every tombstone-carrying store reads with —
+    * one shared constant (round-10 ADVICE: `IndexMaintenance.planGraph`
+    * and `GraphAnn.readGraphStoreLatest` each spelled the literal, so a
+    * rename would silently desynchronize the fold from the waste probe).
+    * The column itself is synthesized by [[read]]'s `commitCol` option;
+    * nothing with this name is ever stored in data files.
+    */
+  private[graft] val CommitCol = "__commit"
+
   /** Manifest entries are root-relative paths that are either a whole data
     * dir (`data/sN-tok`) or — since the partition-level replace commit
-    * ([[replacePartitions]]) — a single hive partition LEAF inside one
-    * (`data/sN-tok/col=value`). This maps any entry back to its data dir,
-    * the unit of immutability and garbage collection.
+    * ([[replacePartitions]]) — a hive partition SUBTREE inside one, possibly
+    * nested (`data/sN-tok/col=value`, `data/sN-tok/cell=3/org=7`). This maps
+    * any entry back to its data dir, the unit of immutability and garbage
+    * collection.
     */
   private def dataDirOf(entry: String): String =
     entry.split('/').take(2).mkString("/")
@@ -224,12 +234,24 @@ object SnapshotStore {
     * are never rewritten, only re-referenced). Mechanics:
     *
     *   - `df` is written as one new data dir partitioned by `partitionCol`
-    *     (immutable, like every commit);
+    *     plus `extraPartitionCols` (immutable, like every commit);
     *   - the new manifest references that dir PLUS, for every previous
-    *     entry, only the partition leaves whose `col=value` name the new
-    *     dir does NOT carry — so a replaced partition's old rows drop out
-    *     of the snapshot while their files stay on disk for pinned readers
-    *     until [[expireSnapshots]].
+    *     entry, only the partition subtrees the new dir does NOT carry —
+    *     so a replaced partition's old rows drop out of the snapshot while
+    *     their files stay on disk for pinned readers until
+    *     [[expireSnapshots]].
+    *
+    * '''Nested layouts''' (VERDICT r10 task 1): `extraPartitionCols` adds
+    * secondary partition dimensions UNDER `partitionCol` — e.g. a tenant
+    * store laid out `cell=3/organization_id=7`. The replace unit is the
+    * prefix of the partition chain named by `replaceLevels` (default 1 =
+    * whole `cell=` subtrees, every tenant leaf under a touched cell
+    * replaced together; `replaceLevels = 2` replaces individual
+    * `cell=/org=` leaves while sibling tenants inside the same cell are
+    * carried as DEEPER leaf refs). Untouched subtrees survive at their
+    * shallowest possible ref — a previous entry none of whose leaves were
+    * touched is carried verbatim, one that was partially touched is split
+    * into refs for exactly its untouched children.
     *
     * Previous entries that are not hive-partitioned by `partitionCol`
     * (e.g. the zero-row non-partitioned guard dir) are carried whole —
@@ -237,8 +259,9 @@ object SnapshotStore {
     * optimistic-concurrency contract as [[append]]; requires an existing
     * snapshot (a first write is an [[overwrite]]).
     *
-    * `dropPartitions` names leaf dirs (`"col=value"`) to remove from the
-    * new manifest even though `df` carries no rows for them — the
+    * `dropPartitions` names replace units (`"col=value"` paths of depth
+    * `replaceLevels`, e.g. `"cell=3"` or `"cell=3/org=7"`) to remove from
+    * the new manifest even though `df` carries no rows for them — the
     * rewrite-to-empty case (a hive write cannot emit an empty partition
     * dir, so a partition whose rewrite produced zero rows would otherwise
     * silently keep its OLD rows). [[graft.operators.IvfIndex.refreshCells]]
@@ -247,9 +270,20 @@ object SnapshotStore {
   def replacePartitions(spark: SparkSession, root: String, df: DataFrame,
       partitionCol: String, expectedBase: Option[Int] = None,
       dirTag: Option[String] = None,
-      dropPartitions: Set[String] = Set.empty): Int = {
-    dropPartitions.foreach(d => require(d.startsWith(s"$partitionCol="),
-      s"dropPartitions entries must be '$partitionCol=<value>' leaves, got '$d'"))
+      dropPartitions: Set[String] = Set.empty,
+      extraPartitionCols: Seq[String] = Seq.empty,
+      replaceLevels: Int = 1): Int = {
+    val partitionCols = partitionCol +: extraPartitionCols
+    require(replaceLevels >= 1 && replaceLevels <= partitionCols.length,
+      s"replaceLevels must be in [1, ${partitionCols.length}], got $replaceLevels")
+    val levelCols = partitionCols.take(replaceLevels)
+    val unitShape = levelCols.map(_ + "=<value>").mkString("/")
+    dropPartitions.foreach { d =>
+      val ps = d.split('/')
+      require(ps.length == replaceLevels &&
+        ps.zip(levelCols).forall { case (p, c) => p.startsWith(s"$c=") },
+        s"dropPartitions entries must be '$unitShape' paths, got '$d'")
+    }
     dirTag.foreach(t => require(t.nonEmpty && t.forall(c =>
       c.isLetterOrDigit || c == '_'), s"dirTag must be [A-Za-z0-9_]+, got '$t'"))
     val fs = fsOf(spark, root)
@@ -262,31 +296,81 @@ object SnapshotStore {
     val tag = dirTag.fold("")(t => s"$t-")
     val newDir = s"$DataDir/s$next-$tag${java.util.UUID.randomUUID().toString.take(8)}"
     val newDirPath = new Path(root, newDir)
-    writeDataDir(df, newDirPath, Seq(partitionCol))
-    // the replaced partition set, read back from what was ACTUALLY written
-    // (exact hive dir-name formatting, no value-to-string guesswork)
-    val touched = fs.listStatus(newDirPath).toSeq.collect {
-      case s if s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol=") =>
-        s.getPath.getName
-    }.toSet ++ dropPartitions
-    val survivors = prev.flatMap { entry =>
-      val parts = entry.split('/')
-      if (parts.length >= 3) {
-        // already a leaf ref: survives unless its partition was replaced
-        if (touched.contains(parts.last)) Seq.empty else Seq(entry)
-      } else {
-        val leaves = fs.listStatus(new Path(root, entry)).toSeq.collect {
-          case s if s.isDirectory &&
-            s.getPath.getName.startsWith(s"$partitionCol=") => s.getPath.getName
-        }
-        if (leaves.isEmpty) Seq(entry) // non-partitioned (zero-row guard) dir
-        else if (leaves.forall(l => !touched.contains(l))) Seq(entry)
-        else leaves.filterNot(touched.contains).map(l => s"$entry/$l")
+    writeDataDir(df, newDirPath, partitionCols)
+    // list the `col=` children of a dir for one partition level
+    def children(p: Path, c: String): Seq[String] =
+      fs.listStatus(p).toSeq.collect {
+        case s if s.isDirectory && s.getPath.getName.startsWith(s"$c=") =>
+          s.getPath.getName
       }
+    // the replaced unit set, read back from what was ACTUALLY written
+    // (exact hive dir-name formatting, no value-to-string guesswork):
+    // relative `col=value[/col=value…]` paths of depth replaceLevels
+    def unitsUnder(p: Path, cols: Seq[String]): Seq[String] = cols match {
+      case Seq() => Seq("")
+      case c +: rest => children(p, c).flatMap { name =>
+        unitsUnder(new Path(p, name), rest)
+          .map(sub => if (sub.isEmpty) name else s"$name/$sub")
+      }
+    }
+    val touched = unitsUnder(newDirPath, levelCols).toSet ++ dropPartitions
+    // survivors: walk each previous entry only as deep as needed. An
+    // entry at or below replace depth survives unless its depth-L prefix
+    // was touched; a shallower entry splits into child refs ONLY when a
+    // touched unit actually lives under it (collapse keeps untouched
+    // entries verbatim, so repeated replaces don't fragment manifests).
+    def survivorsOf(entry: String, rel: Vector[String]): Seq[String] = {
+      if (rel.length >= replaceLevels) {
+        if (touched.contains(rel.take(replaceLevels).mkString("/"))) Seq.empty
+        else Seq(entry)
+      } else {
+        val kids = children(new Path(root, entry), levelCols(rel.length))
+        if (kids.isEmpty) Seq(entry) // non-partitioned (zero-row guard) dir
+        else {
+          val kept = kids.flatMap(k => survivorsOf(s"$entry/$k", rel :+ k))
+          // nothing under this entry was touched → carry it whole
+          if (kept == kids.map(k => s"$entry/$k")) Seq(entry) else kept
+        }
+      }
+    }
+    val survivors = prev.flatMap { entry =>
+      survivorsOf(entry, entry.split('/').drop(2).toVector)
     }
     commitManifest(fs, root, next, survivors :+ newDir)
     dirTag.foreach(recordTag(fs, root, _))
     next
+  }
+
+  /** The store's partition-column chain, derived from the CURRENT
+    * snapshot's own directory structure (the store records no layout
+    * metadata — the dirs ARE the metadata): the deepest `col=` chain any
+    * referenced entry exhibits. Tombstone-only dirs are partitioned
+    * shallower than data dirs by design (the `cell = -1` parking lot needs
+    * no tenant level), so the DEEPEST chain is the data layout. Empty for
+    * an unpartitioned or empty store.
+    *
+    * This is the guard the repair family checks `extraPartitionCols`
+    * against (round-10 ADVICE: a refresh that silently demotes a partition
+    * dimension to a data column costs every later per-tenant search its
+    * directory pruning — fail loudly instead).
+    */
+  private[graft] def partitionLayout(
+      spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    def chainBelow(p: Path): Seq[String] = {
+      val sub = fs.listStatus(p).toSeq.find(s =>
+        s.isDirectory && s.getPath.getName.contains('='))
+      sub match {
+        case Some(s) =>
+          s.getPath.getName.takeWhile(_ != '=') +: chainBelow(s.getPath)
+        case None => Seq.empty
+      }
+    }
+    committedDirs(spark, root).map { e =>
+      val refCols = e.split('/').drop(2).toSeq.map(_.takeWhile(_ != '='))
+      val entryPath = new Path(root, e)
+      refCols ++ (if (fs.exists(entryPath)) chainBelow(entryPath) else Seq.empty)
+    }.maxByOption(_.length).getOrElse(Seq.empty)
   }
 
   /** One immutable data dir, hive-partitioned when `partitionBy` is set so

@@ -486,4 +486,150 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(best.recall >= 0.90)
     assert(tune.curve.forall(p => p.costFrac >= 0 && p.costFrac <= 1.0001))
   }
+
+  test("searchManyLocal (round 11, VERDICT r10 task 4): the driver-hosted " +
+      "small-batch twin returns EXACTLY searchMany's rows across plain / " +
+      "capped / filtered / bucketed-store configs, and searchMany " +
+      "delegates below smallBatchBound") {
+    val graph = GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 8)
+      .localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("gann-local").toString
+    GraphAnn.writeGraphStore(spark, root, graph, nBuckets = 16)
+    val store = GraphAnn.readGraphStore(spark, root)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val configs: Seq[(String, () => org.apache.spark.sql.DataFrame,
+        () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("plain",
+        () => GraphAnn.searchMany(graph, emb, queries, "q_id", "qv",
+          "vec_id", "embedding", k = 10, beamWidth = 24, maxHops = 12, nSeeds = 4),
+        () => GraphAnn.searchManyLocal(graph, emb, queries, "q_id", "qv",
+          "vec_id", "embedding", k = 10, beamWidth = 24, maxHops = 12, nSeeds = 4)),
+      ("capped",
+        () => GraphAnn.searchMany(graph, emb, queries, "q_id", "qv",
+          "vec_id", "embedding", k = 10, beamWidth = 24, maxHops = 12,
+          nSeeds = 4, expandPerHop = 4),
+        () => GraphAnn.searchManyLocal(graph, emb, queries, "q_id", "qv",
+          "vec_id", "embedding", k = 10, beamWidth = 24, maxHops = 12,
+          nSeeds = 4, expandPerHop = 4)),
+      ("filtered",
+        () => GraphAnn.searchMany(graph, emb, queries, "q_id", "qv",
+          "vec_id", "embedding", k = 10, beamWidth = 48, maxHops = 12,
+          nSeeds = 4, expandPerHop = 4,
+          resultFilter = Some(pmod(col("vec_id"), lit(4L)) === 2L)),
+        () => GraphAnn.searchManyLocal(graph, emb, queries, "q_id", "qv",
+          "vec_id", "embedding", k = 10, beamWidth = 48, maxHops = 12,
+          nSeeds = 4, expandPerHop = 4,
+          resultFilter = Some(pmod(col("vec_id"), lit(4L)) === 2L))),
+      ("bucketed-store",
+        () => GraphAnn.searchMany(store, emb, queries, "q_id", "qv",
+          "vec_id", "embedding", k = 10, beamWidth = 24, maxHops = 12,
+          nSeeds = 4, srcBuckets = Some(16)),
+        () => GraphAnn.searchManyLocal(store, emb, queries, "q_id", "qv",
+          "vec_id", "embedding", k = 10, beamWidth = 24, maxHops = 12,
+          nSeeds = 4, srcBuckets = Some(16))))
+    configs.foreach { case (name, dist, local) =>
+      assert(rows(dist()) == rows(local()),
+        s"config '$name': local twin must equal the distributed answer")
+    }
+    // delegation: a batch at or under the bound takes the local path and
+    // must still equal the distributed answer
+    assert(rows(GraphAnn.searchMany(graph, emb, queries, "q_id", "qv",
+        "vec_id", "embedding", k = 10, beamWidth = 24, maxHops = 12,
+        nSeeds = 4, smallBatchBound = 16))
+      == rows(GraphAnn.searchMany(graph, emb, queries, "q_id", "qv",
+        "vec_id", "embedding", k = 10, beamWidth = 24, maxHops = 12,
+        nSeeds = 4)))
+  }
+
+  test("graph-tier tenant purge (round 11, VERDICT r10 task 2): one " +
+      "roster-derived tombstone commit removes every edge incident to the " +
+      "tenant's nodes, beams never return the tenant, a pinned version " +
+      "still serves it, re-append resurrects, compaction folds physically") {
+    val corpus = emb.filter(col("vec_id") < 300)
+    val roster = corpus.withColumn("org", pmod(col("vec_id"), lit(4L)).cast("int"))
+    val g0 = GraphAnn.buildGraph(corpus, "vec_id", "embedding", m = 8)
+      .localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("gann-purge").toString
+    val v1 = GraphAnn.writeGraphStore(spark, root, g0, nBuckets = 16)
+    val nOrg1 = roster.filter(col("org") === 1).count()
+    assert(nOrg1 > 0)
+    val v2 = GraphAnn.purgeTenantFromGraphStore(
+      spark, root, roster, "vec_id", "org", 1)
+    assert(v2 == v1 + 1)
+    // delta-sized: the purge commit added exactly the tenant's tombstones
+    assert(graft.sources.SnapshotStore.read(spark, root, Some(v2))
+      .filter(col("src_bucket") === -1).count() == nOrg1)
+    val live = GraphAnn.readGraphStoreLatest(spark, root)
+    assert(live.filter(col("src") % 4 === 1 || col("dst") % 4 === 1).isEmpty,
+      "no live edge may touch a purged node")
+    assert(live.count() > 0, "other tenants' graph must survive")
+    // a beam over the purged store never returns the tenant (the serving
+    // corpus excludes the purged chunks too — the warehouse purge is the
+    // same commit family)
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val hits = GraphAnn.searchMany(live,
+      corpus.filter(col("vec_id") % 4 =!= 1), queries, "q_id", "qv",
+      "vec_id", "embedding", k = 10, beamWidth = 24, maxHops = 12, nSeeds = 4)
+      .collect().map(_.getLong(1))
+    assert(hits.nonEmpty && hits.forall(_ % 4 != 1))
+    // pinned v1 still serves the tenant (the GDPR grace window)
+    assert(GraphAnn.readGraphStoreLatest(spark, root, Some(v1))
+      .filter(col("src") % 4 === 1).count() > 0)
+    // re-ingest one purged node: newer commit outlives the tombstone
+    val back = corpus.filter(col("vec_id") === 1)
+    GraphAnn.appendNodesToStore(spark, root,
+      corpus.filter(col("vec_id") % 4 =!= 1), back,
+      "vec_id", "embedding", m = 8, maxDegree = 24, nBuckets = 16)
+    val relinked = GraphAnn.readGraphStoreLatest(spark, root)
+    assert(relinked.filter(col("src") === 1).count() > 0,
+      "re-ingested node must re-link")
+    assert(relinked.filter((col("src") % 4 === 1 && col("src") =!= 1) ||
+      (col("dst") % 4 === 1 && col("dst") =!= 1)).isEmpty,
+      "only the re-ingested id resurrects")
+    // physical fold: no tombstone partition, no purged edges in the raw dir
+    GraphAnn.compactGraphStore(spark, root, nBuckets = 16)
+    val raw = graft.sources.SnapshotStore.read(spark, root)
+    assert(raw.filter(col("src_bucket") === -1).isEmpty,
+      "compaction must fold the tombstone partition away")
+    assert(rowsOf(raw) == rowsOf(relinked), "fold must preserve live edges")
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("src").cast("long"), col("dst").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("size-guarded graph tombstone fold (round 11): a bulk node delete " +
+      "past the broadcast bound degrades to an unhinted join with " +
+      "IDENTICAL live edges") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") < 300)
+    val g0 = GraphAnn.buildGraph(corpus, "vec_id", "embedding", m = 8)
+    val root = java.nio.file.Files.createTempDirectory("gann-guard").toString
+    GraphAnn.writeGraphStore(spark, root, g0, nBuckets = 16)
+    GraphAnn.deleteNodesFromStore(spark, root,
+      (0L until 80L).map(_ * 3 + 1).toDF("vec_id"), "vec_id")
+    def edges(maxB: Long) = rowsOf(
+      GraphAnn.readGraphStoreLatest(spark, root, maxBroadcastTombstones = maxB))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val guarded = GraphAnn.readGraphStoreLatest(
+        spark, root, maxBroadcastTombstones = 0L)
+      assert(!guarded.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "guarded fold must not plan a broadcast")
+      assert(GraphAnn.readGraphStoreLatest(spark, root)
+        .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "small-tombstone fold must keep the broadcast fast path")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    assert(edges(0L) == edges(IvfIndex.DefaultMaxBroadcastTombstones),
+      "guarded and broadcast folds must return identical live edges")
+    val del = (0L until 80L).map(_ * 3 + 1).toSet
+    assert(edges(0L).nonEmpty &&
+      edges(0L).forall { case (s, d) => !del(s) && !del(d) })
+  }
 }

@@ -110,6 +110,45 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(idx3.nCells == idx.nCells + 1)
   }
 
+  test("sampled plan never names an unsplittable cell (round-11 ADVICE): " +
+      "ceil-extrapolation can turn a singleton into n >= 2, so split " +
+      "candidates are re-checked against TRUE partition-pruned counts and " +
+      "every emitted split applies without throwing") {
+    val corpus = emb.filter(col("vec_id") < 60)
+    // pick a draw size that leaves at least one SINGLETON cell on the
+    // fixture (deterministic: the md5 draw never changes)
+    val nCells = Seq(16, 24, 32).find { nc =>
+      val i = IvfIndex.centroidsByDraw(corpus, "vec_id", "embedding", nc)
+      IvfIndex.assign(corpus, "embedding", i)
+        .groupBy("cell").count().collect().exists(_.getLong(1) == 1L)
+    }
+    assert(nCells.isDefined, "fixture must yield a singleton cell")
+    val (root, idx, baseline) = freshStore(corpus, nCells.get)
+    val trueCounts = IvfIndex.cellQuality(
+      IvfIndex.readStoreLatest(spark, root, "vec_id"), "q8", "scale", idx)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(trueCounts.values.exists(_ == 1L))
+    // a skew factor this low makes EVERY extrapolated cell a candidate —
+    // including extrapolated singletons, the exact false-positive class
+    val t = IndexMaintenance.Thresholds(
+      splitSkewFactor = 0.1, refreshQualityDrop = 10.0, compactFoldWaste = 1e9)
+    Seq(0.3, 0.5, 0.7).foreach { f =>
+      val plan = IndexMaintenance.plan(spark, root, idx, "vec_id", baseline,
+        t = t, sampleFrac = Some(f))
+      val splits = plan.filter(_.action == "split").map(_.cells.head)
+      assert(splits.nonEmpty, s"sampleFrac $f: the tiny skew cut must trip")
+      assert(splits.forall(c => trueCounts.getOrElse(c, 0L) >= 2L),
+        s"sampleFrac $f: plan named unsplittable cells " +
+          s"${splits.filter(c => trueCounts.getOrElse(c, 0L) < 2L)}")
+    }
+    // applicability: the first planned split (full-count plan) applies
+    val plan = IndexMaintenance.plan(spark, root, idx, "vec_id", baseline,
+      t = t, sampleFrac = Some(0.5))
+    val first = plan.filter(_.action == "split").map(_.cells.head).head
+    val (idx2, _) = IvfIndex.splitCell(spark, root, idx, first, "vec_id")
+    assert(idx2.nCells == idx.nCells + 1)
+  }
+
   test("graph tier: a fresh store plans nothing; append-driven growth " +
       "past the ring-coverage cut plans a rebuild; node deletes plan a " +
       "compaction that compactGraphStore clears") {

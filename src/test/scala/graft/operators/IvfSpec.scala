@@ -577,4 +577,116 @@ class IvfSpec extends AnyFunSuite {
     assert(pf.nonEmpty && pf.forall(l => l.contains("cell") && l.contains("org")),
       s"post-compaction pruning lost: $pf")
   }
+
+  test("tenant-aware refresh (round 11, VERDICT r10 task 1): refreshCells " +
+      "on a (cell, org) store preserves BOTH prune dimensions, rewrites no " +
+      "untouched file, moves members identically to the cell-only twin, " +
+      "and the layout guard refuses an undeclared tenant dimension loudly") {
+    val withOrg = emb.withColumn("org", pmod(col("vec_id"), lit(4L)).cast("int"))
+    val base = withOrg.filter(col("vec_id") < 100)
+    val idx = IvfIndex.centroidsByDraw(base, "vec_id", "embedding", nCells = 8)
+    val root = java.nio.file.Files.createTempDirectory("ivf-trefresh").toString
+    IvfIndex.buildStoreVersioned(spark, root, base, "embedding", idx,
+      extraPartitionCols = Seq("org"))
+    IvfIndex.appendToStore(spark, root,
+      withOrg.filter(col("vec_id") >= 300 && col("vec_id") < 500),
+      "embedding", idx, extraPartitionCols = Seq("org"))
+    // the guard: an undeclared tenant dimension must refuse, not demote
+    val guard = intercept[IllegalArgumentException] {
+      IvfIndex.refreshCells(spark, root, idx, Seq(0), "vec_id")
+    }
+    assert(guard.getMessage.contains("prune dimension"),
+      s"unexpected guard message: ${guard.getMessage}")
+    // same guard on compactStore's foot-gun default
+    val guardC = intercept[IllegalArgumentException] {
+      IvfIndex.compactStore(spark, root, "vec_id")
+    }
+    assert(guardC.getMessage.contains("prune dimension"))
+
+    def liveAt() = IvfIndex.readStoreLatest(spark, root, "vec_id")
+    val worst = IvfIndex.worstCells(
+      IvfIndex.cellQuality(liveAt(), "q8", "scale", idx), k = 3)
+    val before = liveAt()
+    val nBefore = before.count()
+    def fileSig(): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val b = new java.io.File(root)
+      walk(b).filter(_.getName.endsWith(".parquet"))
+        .map(f => b.toPath.relativize(f.toPath).toString -> f.length()).toSet
+    }
+    val filesBefore = fileSig()
+    val (idx2, v3) = IvfIndex.refreshCells(spark, root, idx, worst, "vec_id",
+      extraPartitionCols = Seq("org"))
+    assert(filesBefore.subsetOf(fileSig()),
+      "tenant refresh must rewrite no pre-existing file")
+    // the store keeps its full nested layout after the repair
+    assert(graft.sources.SnapshotStore.partitionLayout(spark, root)
+      == Seq("cell", "org"), "refresh must preserve the (cell, org) layout")
+    val after = liveAt()
+    assert(after.count() == nBefore, "refresh must not lose or duplicate rows")
+    // both dimensions still prune on the CURRENT version (rewrite dir incl.;
+    // raw read with the documented absentDefaults — the rewrite dir carries
+    // the upsert-era __op marker, pre-era dirs synthesize it)
+    val explained2 = graft.sources.SnapshotStore.read(spark, root,
+        absentDefaults = Seq("__op" -> lit("U")))
+      .where(col("cell").isin(worst: _*) && col("org") === 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf2 = explained2.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf2.nonEmpty && pf2.forall(l => l.contains("cell") && l.contains("org")),
+      s"post-refresh pruning lost: $pf2")
+    // the repair math is tenant-agnostic: the same refresh on a cell-only
+    // twin store produces the IDENTICAL final (vec_id, cell) assignment
+    val root2 = java.nio.file.Files.createTempDirectory("ivf-trefresh2").toString
+    IvfIndex.buildStoreVersioned(spark, root2,
+      base.drop("org"), "embedding", idx)
+    IvfIndex.appendToStore(spark, root2,
+      withOrg.filter(col("vec_id") >= 300 && col("vec_id") < 500).drop("org"),
+      "embedding", idx)
+    val (idx2b, _) = IvfIndex.refreshCells(spark, root2, idx, worst, "vec_id")
+    assert(idx2.centroids.map { case (c, v) => c -> v.toSeq }.toSeq
+      == idx2b.centroids.map { case (c, v) => c -> v.toSeq }.toSeq,
+      "refreshed centroids must not depend on the tenant layout")
+    def assignments(r: String) = IvfIndex.readStoreLatest(spark, r, "vec_id")
+      .select("vec_id", "cell").collect()
+      .map(x => (x.getLong(0), x.getInt(1))).toSet
+    assert(assignments(root) == assignments(root2),
+      "tenant and cell-only refresh must land identical assignments")
+  }
+
+  test("size-guarded tombstone fold (round 11, VERDICT r10 task 3): a bulk " +
+      "delete past the broadcast bound degrades the fold to an unhinted " +
+      "(shuffle-capable) join with IDENTICAL results") {
+    import spark.implicits._
+    val idx = IvfIndex.centroidsByDraw(
+      emb.filter(col("vec_id") < 200), "vec_id", "embedding", nCells = 8)
+    val root = java.nio.file.Files.createTempDirectory("ivf-guard").toString
+    IvfIndex.buildStoreVersioned(spark, root,
+      emb.filter(col("vec_id") < 200), "embedding", idx)
+    // bulk delete: 60 ids — force the guard by setting the bound to 0
+    IvfIndex.deleteFromStore(spark, root,
+      (0L until 60L).map(_ * 3).toDF("vec_id"), "vec_id")
+    def rows(maxB: Long) = IvfIndex
+      .readStoreLatest(spark, root, "vec_id", maxBroadcastTombstones = maxB)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // pin auto-broadcast off so the PLAN shape proves the guard (not AQE)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val guarded = IvfIndex.readStoreLatest(
+        spark, root, "vec_id", maxBroadcastTombstones = 0L)
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"guarded fold must not plan a broadcast:\n$plan")
+      val hinted = IvfIndex.readStoreLatest(spark, root, "vec_id")
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "small-tombstone fold must keep the broadcast fast path")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    assert(rows(0L) == rows(IvfIndex.DefaultMaxBroadcastTombstones),
+      "guarded and broadcast folds must return identical live rows")
+    assert(rows(0L).size == 200 - 60 + (0 until 60).count(i => i * 3 >= 200))
+  }
 }

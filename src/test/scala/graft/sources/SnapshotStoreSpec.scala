@@ -273,4 +273,69 @@ class SnapshotStoreSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(rows == Set((1L, 1, "U"), (2L, 2, "U")))
   }
+
+  test("nested-layout replacePartitions (round 11): a level-1 replace on a " +
+      "(b, o) store carries BOTH dimensions in the rewrite dir, a level-2 " +
+      "replace carries sibling tenants as deeper leaf refs, untouched files " +
+      "are never rewritten, and both dimensions keep pruning") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    // 3 buckets × 2 orgs, 5 rows per (b, o) leaf
+    val v1 = SnapshotStore.overwrite(spark, root,
+      (0L until 30L).map(i => (i, (i % 3).toInt, (i % 2).toInt, s"old$i"))
+        .toDF("id", "b", "o", "v"),
+      partitionBy = Seq("b", "o"))
+    assert(SnapshotStore.partitionLayout(spark, root) == Seq("b", "o"),
+      "the store's own dirs must reveal the nested layout")
+    val before = fileSig(root, "")
+    // level-1 replace of bucket 1 (both orgs replaced together — the
+    // refreshCells shape on a tenant store)
+    val v2 = SnapshotStore.replacePartitions(spark, root,
+      Seq((100L, 1, 0, "n0"), (101L, 1, 1, "n1")).toDF("id", "b", "o", "v"),
+      "b", extraPartitionCols = Seq("o"))
+    assert(v2 == v1 + 1)
+    assert(before.subsetOf(fileSig(root, "")),
+      "replace must not rewrite any old file")
+    assert(SnapshotStore.partitionLayout(spark, root) == Seq("b", "o"),
+      "the rewrite dir must preserve the tenant dimension")
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.count() == 22, s"10+10 untouched + 2 replaced, got ${cur.count()}")
+    assert(cur.filter(col("b") === 1).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(100L, 101L))
+    // both partition dimensions reach every scan as PartitionFilters
+    val explained = cur.where(col("b") === 0 && col("o") === 1)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = explained.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.nonEmpty && pf.forall(l => l.contains("b") && l.contains("o")),
+      s"both dimensions must prune:\n$explained")
+    // level-2 replace: ONLY (b=0, o=1); the sibling tenant (b=0, o=0)
+    // must survive as a deeper leaf ref, untouched
+    val v3 = SnapshotStore.replacePartitions(spark, root,
+      Seq((200L, 0, 1, "nn")).toDF("id", "b", "o", "v"),
+      "b", extraPartitionCols = Seq("o"), replaceLevels = 2)
+    val cur3 = SnapshotStore.read(spark, root)
+    assert(cur3.filter(col("b") === 0 && col("o") === 1).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(200L))
+    assert(cur3.filter(col("b") === 0 && col("o") === 0).count() == 5,
+      "sibling tenant in the same bucket must be untouched")
+    assert(cur3.count() == 18, s"10 + 2 + 5 + 1, got ${cur3.count()}")
+    val dirs = SnapshotStore.committedDirs(spark, root, Some(v3))
+    assert(dirs.exists(e => e.split('/').length == 4 && e.endsWith("o=0")),
+      s"v3 must reference the sibling tenant as a depth-2 leaf: $dirs")
+    // pinned versions intact; expiry keeps dirs any retained ref names
+    assert(SnapshotStore.read(spark, root, Some(v1)).count() == 30)
+    assert(SnapshotStore.read(spark, root, Some(v2)).count() == 22)
+    val (_, dDel) = SnapshotStore.expireSnapshots(spark, root, keepLast = 1)
+    assert(dDel == 0, "deep-leaf-referenced dirs must survive expiry")
+    assert(SnapshotStore.read(spark, root).count() == 18)
+    // dropPartitions at the wrong depth refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      SnapshotStore.replacePartitions(spark, root,
+        Seq((1L, 0, 0, "x")).toDF("id", "b", "o", "v"),
+        "b", extraPartitionCols = Seq("o"), replaceLevels = 2,
+        dropPartitions = Set("b=2"))
+    }
+    assert(err.getMessage.contains("b=<value>/o=<value>"))
+  }
 }
