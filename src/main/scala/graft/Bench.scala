@@ -71,9 +71,10 @@ object Bench {
   private val RecordPairRatios = Map(
     ("q03_flat_join", "q03_bucketed_join") -> 2.2,
     // round 11: the append's neighbor search now takes the driver-hosted
-    // twin — quiet-box re-measured this round (append ≈ rebuild at the
-    // fixture; the durable argument stays commit volume, SCALE.md)
-    ("graph_store_append", "graph_store_rebuild") -> 1.0)
+    // twin — the filed quiet-box record measures append 6.45 s vs rebuild
+    // 7.65 s (the local win restored; the durable argument stays commit
+    // volume, SCALE.md)
+    ("graph_store_append", "graph_store_rebuild") -> 0.84)
   private val PairRatioTolerance = 3.0
 
   private final case class Stat(

@@ -1790,7 +1790,34 @@ object VectorQueries {
                CAST(SUM(src + dst) AS BIGINT) AS sum_ends
         FROM edges
         WHERE src % 4 <> 1 AND dst % 4 <> 1
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // The driver-hosted small-batch beam under the FULL traversal oracle
+    // (round 11, VERDICT r10 task 4): qkk's graph + query + parameters
+    // run through searchManyLocal — the hop-for-hop twin whose per-hop
+    // cost is two bounded collects instead of the distributed loop's
+    // window/checkpoint DAGs (bench: batch-1 1.75 s vs 11.7 s). The
+    // oracle is qkk's unrolled beam replay VERBATIM: hash-equality here
+    // certifies the twin against DuckDB directly, not merely against
+    // searchMany (which GraphAnnSpec already gates).
+    "qku_graph_beam_local" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val graph = graft.operators.GraphAnn.buildGraph(
+          e, "vec_id", "embedding", m = 6, nBits = 2, nTables = 2)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        graft.operators.GraphAnn.searchManyLocal(
+          graph, e, q, "q_id", "qv", "vec_id", "embedding",
+          k = 10, beamWidth = 16, maxHops = 4, nSeeds = 4, expandPerHop = 0)
+          .select(col("neighbor_id"), col("score"), col("rn"))
+          .orderBy(col("rn"))
+      },
+      oracle = Some(s"""
+        ${graphBeamCtes(m = 6, nTables = 2, beamWidth = 16, hops = 4, nSeeds = 4)}
+        SELECT id AS neighbor_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS INT) AS rn
+        FROM beam4 ORDER BY rn LIMIT 10"""))
   )
 
   /** Bounded temp-store cleanup for the lifecycle queries above (qkn/qko):
