@@ -388,6 +388,38 @@ object GraphAnn {
       version: Option[Int] = None): DataFrame =
     graft.sources.SnapshotStore.read(spark, root, version)
 
+  /** Persist the CORPUS (id + vector + payload columns) as a snapshot
+    * root partitioned by `id_bucket = pmod(id, nBuckets)` — the
+    * point-lookup layout for the beam tier's OTHER per-hop read (round
+    * 11): scoring a hop's candidates needs their vectors by id, and
+    * against a flat corpus that is a full-corpus scan per hop even though
+    * only frontier × degree rows are wanted. With this layout and
+    * `searchMany(idBuckets = Some(nBuckets))` the candidate fetch prunes
+    * to the candidates' buckets exactly like the edge scan prunes to the
+    * frontier's `src_bucket`s — at 100 TB the hop cost becomes two sets
+    * of point lookups, zero full scans. Same file-fanout discipline and
+    * snapshot semantics as [[writeGraphStore]]. Returns the version.
+    */
+  def writeVectorStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      corpus: DataFrame, idCol: String, nBuckets: Int = 64): Int = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    graft.sources.SnapshotStore.overwrite(spark, root,
+      corpus.withColumn("id_bucket",
+          pmod(col(idCol).cast("long"), lit(nBuckets.toLong)).cast("int"))
+        .repartition(col("id_bucket")),
+      partitionBy = Seq("id_bucket"))
+  }
+
+  /** Open the versioned corpus store for [[searchMany]]/[[searchManyLocal]]
+    * (pass the matching `idBuckets = Some(nBuckets)` so candidate fetches
+    * prune partitions).
+    */
+  def readVectorStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Option[Int] = None): DataFrame =
+    graft.sources.SnapshotStore.read(spark, root, version)
+
   /** Delete nodes by id from a versioned graph store (VERDICT r9 task 2,
     * graph half; reference parity: point deletes,
     * internal/vectordb/vectordb.go:382-400): one tombstone-only commit —
@@ -542,6 +574,17 @@ object GraphAnn {
     * one bounded ≤ nBuckets driver image per hop) before the equality
     * join on src; GraphAnnSpec plan-gates the PartitionFilter.
     *
+    * `idBuckets` (round 11): when `corpus` is a [[writeVectorStore]]
+    * layout, pass its nBuckets and every candidate-vector fetch (seed
+    * scoring and each hop's fresh scoring) restricts the corpus scan to
+    * the candidates' `id_bucket` values first — the srcBuckets discipline
+    * applied to the OTHER per-hop read. Without it, scoring a hop's
+    * frontier × degree candidates joins against the FULL corpus scan
+    * every hop, which is the remaining full-table touch in the beam tier
+    * at 100 TB; with it, both per-hop reads are partition-pruned point
+    * lookups. Costs one bounded ≤ nBuckets driver image per hop (the
+    * candidates' bucket set); results identical (GraphAnnSpec-gated).
+    *
     * `maxBroadcastQueries` bounds the query-side broadcast (VERDICT r9
     * task 3): per-hop scoring ships the query batch to every executor, so
     * an unbounded batch — e.g. a large [[appendNodes]] delta — would die
@@ -581,19 +624,22 @@ object GraphAnn {
       srcBuckets: Option[Int] = None,
       maxBroadcastQueries: Int = 4096,
       resultFilter: Option[org.apache.spark.sql.Column] = None,
-      smallBatchBound: Int = 0): DataFrame = {
+      smallBatchBound: Int = 0,
+      idBuckets: Option[Int] = None): DataFrame = {
     require(k > 0 && beamWidth >= k, s"need beamWidth >= k > 0, got $beamWidth/$k")
     require(maxBroadcastQueries > 0,
       s"maxBroadcastQueries must be positive, got $maxBroadcastQueries")
     srcBuckets.foreach(nb => require(nb > 0 && graph.columns.contains("src_bucket"),
       s"srcBuckets=Some($nb) needs a writeGraphStore layout with src_bucket"))
+    idBuckets.foreach(nb => require(nb > 0 && corpus.columns.contains("id_bucket"),
+      s"idBuckets=Some($nb) needs a writeVectorStore layout with id_bucket"))
     val q0 = queries.select(col(qId).cast("long").as("__qid"),
       VectorFunctions.asFloatArray(col(qVec)).as("__qv"))
     val nq = q0.count()
     if (nq <= smallBatchBound)
       return searchManyLocal(graph, corpus, queries, qId, qVec, idCol, vecCol,
         k, beamWidth, maxHops, nSeeds, expandPerHop, scoreScale, srcBuckets,
-        resultFilter)
+        resultFilter, idBuckets)
     if (nq > maxBroadcastQueries) {
       // strictly-bounded slices (≤ maxBroadcastQueries each) via the
       // range-partitioned global row number; pinned ONCE so every slice
@@ -608,29 +654,45 @@ object GraphAnn {
           sliced.filter(col("__slice") === s).select(col("__qid"), col("__qv")),
           "__qid", "__qv", idCol, vecCol, k, beamWidth, maxHops, nSeeds,
           expandPerHop, scoreScale, srcBuckets, maxBroadcastQueries,
-          resultFilter)
+          resultFilter, smallBatchBound = 0, idBuckets = idBuckets)
       }.reduce(_.unionByName(_))
     }
     val seeds = entryPoints(corpus, idCol, nSeeds)
-    val c = corpus.select(col(idCol).cast("long").as("id"),
-      VectorFunctions.asFloatArray(col(vecCol)).as("__cv"),
-      resultFilter.getOrElse(lit(true)).cast("boolean").as("__keep"))
+    val c = corpus.select(
+      col(idCol).cast("long").as("id") +:
+        VectorFunctions.asFloatArray(col(vecCol)).as("__cv") +:
+        resultFilter.getOrElse(lit(true)).cast("boolean").as("__keep") +:
+        (if (idBuckets.isDefined) Seq(col("id_bucket")) else Nil): _*)
     val q = q0
     val g = graph.select(
       col("src").cast("long") +: col("dst").cast("long") +:
         (if (srcBuckets.isDefined) Seq(col("src_bucket")) else Nil): _*)
 
-    def score(cand: DataFrame): DataFrame =
-      cand.join(c, "id")
+    // with a bucketed corpus store: restrict the candidate-vector scan to
+    // the candidates' id_bucket values first (a literal partition
+    // predicate, bounded driver image ≤ nBuckets ints per hop — the
+    // srcBuckets discipline applied to the corpus side); the actual match
+    // stays the equality join on id
+    def score(cand: DataFrame, candBuckets: Option[Seq[Int]]): DataFrame = {
+      val cSlice = (idBuckets, candBuckets) match {
+        case (Some(_), Some(bs)) =>
+          c.where(col("id_bucket").isin(bs: _*)).drop("id_bucket")
+        case (Some(_), None) => c.drop("id_bucket")
+        case _ => c
+      }
+      cand.join(cSlice, "id")
         .join(broadcast(q), "__qid")
         .select(col("__qid"), col("id"),
           round(VectorFunctions.cosine(col("__cv"), col("__qv")), scoreScale)
             .as("score"), col("__keep"))
         .filter(col("id") =!= col("__qid"))
+    }
+    def bucketOf(id: Long, nb: Int): Int = (((id % nb) + nb) % nb).toInt
 
     val seedCand = q.select(col("__qid"))
       .withColumn("id", explode(typedLit(seeds)))
-    var beam = score(seedCand)
+    var beam = score(seedCand,
+        idBuckets.map(nb => seeds.map(bucketOf(_, nb)).distinct))
       .withColumn("expanded", lit(false)).iterCheckpoint(false)
     var visited = seedCand.iterCheckpoint(false)
 
@@ -677,12 +739,23 @@ object GraphAnn {
           g.where(col("src_bucket").isin(buckets: _*)).drop("src_bucket")
         case None => g
       }
-      val nbrs = frontier.select(col("__qid"), col("id").as("src"))
+      val nbrs0 = frontier.select(col("__qid"), col("id").as("src"))
         .join(gSlice, "src")
         .select(col("__qid"), col("dst").as("id"))
         .distinct()
         .join(visited, Seq("__qid", "id"), "left_anti")
-      val fresh = score(nbrs).withColumn("expanded", lit(false))
+      // a bucketed corpus needs the candidates' bucket set (one bounded
+      // collect); pin nbrs LAZILY first so the collect, the scoring join
+      // and the visited union share one materialization instead of
+      // recomputing the anti-join three times. The default path keeps the
+      // round-10-tuned job shape untouched.
+      val nbrs =
+        if (idBuckets.isDefined) nbrs0.iterCheckpoint(false) else nbrs0
+      val candBuckets = idBuckets.map { nb =>
+        nbrs.select(pmod(col("id"), lit(nb.toLong)).cast("int").as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+      }
+      val fresh = score(nbrs, candBuckets).withColumn("expanded", lit(false))
       val expandedIds = frontier.select(col("__qid"), col("id"))
       val marked = beam.as("b").join(expandedIds.as("e"),
           col("b.__qid") === col("e.__qid") && col("b.id") === col("e.id"),
@@ -748,10 +821,13 @@ object GraphAnn {
       k: Int, beamWidth: Int = 32, maxHops: Int = 12, nSeeds: Int = 4,
       expandPerHop: Int = 0, scoreScale: Int = 6,
       srcBuckets: Option[Int] = None,
-      resultFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      resultFilter: Option[org.apache.spark.sql.Column] = None,
+      idBuckets: Option[Int] = None): DataFrame = {
     require(k > 0 && beamWidth >= k, s"need beamWidth >= k > 0, got $beamWidth/$k")
     srcBuckets.foreach(nb => require(nb > 0 && graph.columns.contains("src_bucket"),
       s"srcBuckets=Some($nb) needs a writeGraphStore layout with src_bucket"))
+    idBuckets.foreach(nb => require(nb > 0 && corpus.columns.contains("id_bucket"),
+      s"idBuckets=Some($nb) needs a writeVectorStore layout with id_bucket"))
     val spark = queries.sparkSession
     val qs = queries.select(col(qId).cast("long"),
         VectorFunctions.asFloatArray(col(qVec)))
@@ -777,20 +853,30 @@ object GraphAnn {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
 
     val seeds = entryPoints(corpus, idCol, nSeeds)
-    val cBase = corpus.select(col(idCol).cast("long").as("__vid"),
-      VectorFunctions.asFloatArray(col(vecCol)).as("__v"),
-      resultFilter.getOrElse(lit(true)).cast("boolean").as("__keep"))
+    val cBase = corpus.select(
+      col(idCol).cast("long").as("__vid") +:
+        VectorFunctions.asFloatArray(col(vecCol)).as("__v") +:
+        resultFilter.getOrElse(lit(true)).cast("boolean").as("__keep") +:
+        (if (idBuckets.isDefined) Seq(col("id_bucket")) else Nil): _*)
     val gBase = graph.select(
       col("src").cast("long") +: col("dst").cast("long") +:
         (if (srcBuckets.isDefined) Seq(col("src_bucket")) else Nil): _*)
 
     // vector/filter cache: id -> (vec, keep); None marks "not in corpus"
-    // so later hops never re-probe an absent id
+    // so later hops never re-probe an absent id. With a writeVectorStore
+    // corpus the fetch is id_bucket-pruned first (partition predicate),
+    // the point lookup stays the isInCollection filter.
     val vecCache = scala.collection.mutable.Map.empty[Long, Option[(Array[Float], Boolean)]]
     def fetchVecs(ids: Iterable[Long]): Unit = {
       val missing = ids.iterator.filterNot(vecCache.contains).toSeq.distinct
       if (missing.nonEmpty) {
-        cBase.where(col("__vid").isInCollection(missing)).collect().foreach { r =>
+        val slice = idBuckets match {
+          case Some(nb) =>
+            val buckets = missing.map(id => (((id % nb) + nb) % nb).toInt).distinct
+            cBase.where(col("id_bucket").isin(buckets: _*)).drop("id_bucket")
+          case None => cBase
+        }
+        slice.where(col("__vid").isInCollection(missing)).collect().foreach { r =>
           vecCache(r.getLong(0)) = Some((
             r.getAs[scala.collection.Seq[Float]](1).toArray,
             !r.isNullAt(2) && r.getBoolean(2)))

@@ -1817,6 +1817,46 @@ object VectorQueries {
         ${graphBeamCtes(m = 6, nTables = 2, beamWidth = 16, hops = 4, nSeeds = 4)}
         SELECT id AS neighbor_id, score,
                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS INT) AS rn
+        FROM beam4 ORDER BY rn LIMIT 10""")),
+
+    // The FULLY-BUCKETED serving path under the same traversal oracle
+    // (round 11): the graph committed as a 4-bucket SnapshotStore AND the
+    // corpus committed as a 4-bucket writeVectorStore, searched with both
+    // prune knobs armed — per hop the edge scan prunes to the frontier's
+    // src_buckets and the candidate-vector scan to the candidates'
+    // id_buckets (the two reads that would otherwise be full scans at
+    // 100 TB). Bucketing must not change a single ranked row, so the
+    // oracle is the identical unrolled beam replay. Bounded collect
+    // (k rows) before the temp roots are deleted.
+    "qkv_graph_beam_bucketed" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val graph = graft.operators.GraphAnn.buildGraph(
+          e, "vec_id", "embedding", m = 6, nBits = 2, nTables = 2)
+        val root = java.nio.file.Files.createTempDirectory("graft-qkv").toFile
+        try {
+          val groot = new java.io.File(root, "g").toString
+          val vroot = new java.io.File(root, "v").toString
+          graft.operators.GraphAnn.writeGraphStore(s, groot, graph, nBuckets = 4)
+          graft.operators.GraphAnn.writeVectorStore(s, vroot, e, "vec_id", nBuckets = 4)
+          val q = e.filter(col("vec_id") === 0)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+          val res = graft.operators.GraphAnn.searchMany(
+            graft.operators.GraphAnn.readGraphStore(s, groot),
+            graft.operators.GraphAnn.readVectorStore(s, vroot),
+            q, "q_id", "qv", "vec_id", "embedding",
+            k = 10, beamWidth = 16, maxHops = 4, nSeeds = 4,
+            expandPerHop = 0, srcBuckets = Some(4), idBuckets = Some(4))
+            .select(col("neighbor_id"), col("score"), col("rn"))
+            .orderBy(col("rn"))
+          val rows = res.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+        } finally deleteRecursively(root)
+      },
+      oracle = Some(s"""
+        ${graphBeamCtes(m = 6, nTables = 2, beamWidth = 16, hops = 4, nSeeds = 4)}
+        SELECT id AS neighbor_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS INT) AS rn
         FROM beam4 ORDER BY rn LIMIT 10"""))
   )
 

@@ -602,6 +602,57 @@ class GraphAnnSpec extends AnyFunSuite {
     df.select(col("src").cast("long"), col("dst").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("bucketed corpus store (round 11): searchMany/searchManyLocal with " +
+      "idBuckets prune the candidate-vector scan by partition and return " +
+      "EXACTLY the flat-corpus answer") {
+    val graph = GraphAnn.buildGraph(emb, "vec_id", "embedding", m = 8)
+      .localCheckpoint()
+    val groot = java.nio.file.Files.createTempDirectory("gann-vsg").toString
+    GraphAnn.writeGraphStore(spark, groot, graph, nBuckets = 16)
+    val store = GraphAnn.readGraphStore(spark, groot)
+    val vroot = java.nio.file.Files.createTempDirectory("gann-vstore").toString
+    GraphAnn.writeVectorStore(spark, vroot, emb, "vec_id", nBuckets = 8)
+    val vstore = GraphAnn.readVectorStore(spark, vroot)
+    // the pruned fetch shape: an id_bucket literal predicate reaches the
+    // corpus scan as a PartitionFilter
+    val explained = vstore.where(col("id_bucket").isin(0, 3))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("id_bucket")),
+      s"id_bucket must prune the corpus scan:\n$explained")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val flat = rows(GraphAnn.searchMany(store, emb, queries, "q_id", "qv",
+      "vec_id", "embedding", k = 10, beamWidth = 24, maxHops = 12,
+      nSeeds = 4, srcBuckets = Some(16)))
+    assert(rows(GraphAnn.searchMany(store, vstore, queries, "q_id", "qv",
+      "vec_id", "embedding", k = 10, beamWidth = 24, maxHops = 12,
+      nSeeds = 4, srcBuckets = Some(16), idBuckets = Some(8))) == flat,
+      "distributed bucketed-corpus search must equal the flat answer")
+    assert(rows(GraphAnn.searchManyLocal(store, vstore, queries, "q_id", "qv",
+      "vec_id", "embedding", k = 10, beamWidth = 24, maxHops = 12,
+      nSeeds = 4, srcBuckets = Some(16), idBuckets = Some(8))) == flat,
+      "local bucketed-corpus search must equal the flat answer")
+    // filtered mode composes with the bucketed corpus
+    val flatF = rows(GraphAnn.searchMany(store, emb, queries, "q_id", "qv",
+      "vec_id", "embedding", k = 10, beamWidth = 48, maxHops = 12,
+      nSeeds = 4, srcBuckets = Some(16),
+      resultFilter = Some(pmod(col("vec_id"), lit(4L)) === 2L)))
+    assert(rows(GraphAnn.searchMany(store, vstore, queries, "q_id", "qv",
+      "vec_id", "embedding", k = 10, beamWidth = 48, maxHops = 12,
+      nSeeds = 4, srcBuckets = Some(16), idBuckets = Some(8),
+      resultFilter = Some(pmod(col("vec_id"), lit(4L)) === 2L))) == flatF)
+    // guard: idBuckets against a flat corpus refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      GraphAnn.searchMany(store, emb, queries, "q_id", "qv",
+        "vec_id", "embedding", k = 10, beamWidth = 24, idBuckets = Some(8))
+    }
+    assert(err.getMessage.contains("id_bucket"))
+  }
+
   test("size-guarded graph tombstone fold (round 11): a bulk node delete " +
       "past the broadcast bound degrades to an unhinted join with " +
       "IDENTICAL live edges") {
