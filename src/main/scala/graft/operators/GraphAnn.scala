@@ -189,7 +189,7 @@ object GraphAnn {
     val g = graph.select(col("src").cast("long"), col("dst").cast("long"))
     val (touched, pruned) = appendRewrite(g, g, None, corpus, newVecs,
       idCol, vecCol, m, maxDegree, beamWidth, maxHops, nSeeds, expandPerHop,
-      scoreScale, reserveLong, smallBatchBound)
+      scoreScale, reserveLong, smallBatchBound, idBuckets = None)
     g.join(touched, Seq("src"), "left_anti").unionByName(pruned)
   }
 
@@ -217,7 +217,8 @@ object GraphAnn {
       idCol: String, vecCol: String,
       m: Int, maxDegree: Int, beamWidth: Int, maxHops: Int, nSeeds: Int,
       expandPerHop: Int, scoreScale: Int,
-      reserveLong: Int, smallBatchBound: Int): (DataFrame, DataFrame) = {
+      reserveLong: Int, smallBatchBound: Int,
+      idBuckets: Option[Int]): (DataFrame, DataFrame) = {
     require(m > 0 && maxDegree >= m, s"need maxDegree >= m > 0, got $maxDegree/$m")
     require(reserveLong >= 0 && reserveLong + 2 <= maxDegree,
       s"need 0 <= reserveLong <= maxDegree - 2, got $reserveLong/$maxDegree")
@@ -231,7 +232,8 @@ object GraphAnn {
     val nn = searchMany(searchGraph, corpus, queries, "q_id", "qv", idCol,
       vecCol, k = m, beamWidth = beamWidth, maxHops = maxHops,
       nSeeds = nSeeds, expandPerHop = expandPerHop, scoreScale = scoreScale,
-      srcBuckets = srcBuckets, smallBatchBound = smallBatchBound)
+      srcBuckets = srcBuckets, smallBatchBound = smallBatchBound,
+      idBuckets = idBuckets)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     // 2) intra-batch chain in (md5(id), id) order — connectivity insurance
     //    for the batch itself (new nodes may be each other's best links)
@@ -256,14 +258,32 @@ object GraphAnn {
     //    aggregation, not a whole-graph distinct
     val touched = newEdges.select("src").distinct()
     val preExisting = g.join(touched, Seq("src"), "left_semi")
-    val candidate = preExisting
+    val candidate0 = preExisting
       .withColumn("__pre", lit(true)).withColumn("__chain", lit(false))
       .unionByName(newEdges.withColumn("__pre", lit(false)))
       .groupBy(col("src"), col("dst"))
       .agg(max(col("__pre")).as("__pre"), max(col("__chain")).as("__chain"))
+    // pinned when a bucketed corpus needs the endpoints' bucket image (the
+    // collect below) — one materialization shared with the scoring joins
+    val candidate =
+      if (idBuckets.isDefined) candidate0.localCheckpoint() else candidate0
     // 4) degree prune with reservation: exact round-6 cosine per edge,
-    //    chain + reserved-long edges sort first, budget fills by score
-    val all = corpus.select(col(idCol).cast("long").as("__vid"),
+    //    chain + reserved-long edges sort first, budget fills by score.
+    //    With a bucketed corpus store the vector fetch for the scoring
+    //    joins is id_bucket-pruned to the candidate endpoints' buckets
+    //    (candidate is delta-bounded, so the bucket image is too) —
+    //    without it this is the append's one full-corpus scan.
+    val corpusForScore = idBuckets match {
+      case Some(nb) =>
+        val buckets = candidate
+          .select(pmod(col("src"), lit(nb.toLong)).cast("int").as("__b"))
+          .union(candidate
+            .select(pmod(col("dst"), lit(nb.toLong)).cast("int").as("__b")))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        corpus.where(col("id_bucket").isin(buckets: _*))
+      case None => corpus
+    }
+    val all = corpusForScore.select(col(idCol).cast("long").as("__vid"),
         VectorFunctions.asFloatArray(col(vecCol)).as("__v"))
       .unionByName(newVecs.select(col(idCol).cast("long").as("__vid"),
         VectorFunctions.asFloatArray(col(vecCol)).as("__v")))
@@ -323,7 +343,9 @@ object GraphAnn {
       m: Int = 12, maxDegree: Int = 48, nBuckets: Int = 64,
       reserveLong: Int = 8,
       beamWidth: Int = 24, maxHops: Int = 12, nSeeds: Int = 4,
-      expandPerHop: Int = 0, smallBatchBound: Int = 64): Int = {
+      expandPerHop: Int = 0, smallBatchBound: Int = 64,
+      idBuckets: Option[Int] = None,
+      dirTag: Option[String] = None): Int = {
     val baseV = graft.sources.SnapshotStore.currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(
         s"no committed graph at $root — build via writeGraphStore first"))
@@ -338,7 +360,8 @@ object GraphAnn {
       corpus, newVecs, idCol, vecCol,
       m, maxDegree, beamWidth = beamWidth, maxHops = maxHops,
       nSeeds = nSeeds, expandPerHop = expandPerHop, scoreScale = 6,
-      reserveLong = reserveLong, smallBatchBound = smallBatchBound)
+      reserveLong = reserveLong, smallBatchBound = smallBatchBound,
+      idBuckets = idBuckets)
     val bucketOf = pmod(col("src"), lit(nBuckets.toLong)).cast("int")
     val touchedBuckets = touched.select(bucketOf.as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ nBuckets ints
@@ -354,7 +377,8 @@ object GraphAnn {
       .withColumn("src_bucket", bucketOf)
       .repartition(col("src_bucket"))
     graft.sources.SnapshotStore.replacePartitions(
-      spark, root, replacement, "src_bucket", expectedBase = Some(baseV))
+      spark, root, replacement, "src_bucket", expectedBase = Some(baseV),
+      dirTag = dirTag)
   }
 
   /** Persist the neighbor graph as a [[graft.sources.SnapshotStore]] root
@@ -419,6 +443,26 @@ object GraphAnn {
       spark: org.apache.spark.sql.SparkSession, root: String,
       version: Option[Int] = None): DataFrame =
     graft.sources.SnapshotStore.read(spark, root, version)
+
+  /** Append new vectors to a [[writeVectorStore]] root as one bucketed
+    * delta commit — the corpus half of a streaming graph upsert
+    * ([[graft.streaming.StreamingGraphIndex]]). `nBuckets` MUST match the
+    * build's (the `id_bucket` value is pmod(id, nBuckets) — a mismatched
+    * append would park rows where readers' pruning never looks, the
+    * StreamingDedup store constant rule). Returns the committed version.
+    */
+  def appendToVectorStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      newVecs: DataFrame, idCol: String, nBuckets: Int = 64,
+      expectedBase: Option[Int] = None,
+      dirTag: Option[String] = None): Int = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    graft.sources.SnapshotStore.append(spark, root,
+      newVecs.withColumn("id_bucket",
+          pmod(col(idCol).cast("long"), lit(nBuckets.toLong)).cast("int"))
+        .repartition(col("id_bucket")),
+      expectedBase, partitionBy = Seq("id_bucket"), dirTag = dirTag)
+  }
 
   /** Delete nodes by id from a versioned graph store (VERDICT r9 task 2,
     * graph half; reference parity: point deletes,

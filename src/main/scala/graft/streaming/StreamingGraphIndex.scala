@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.operators.GraphAnn
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Continuous GRAPH-index upsert (round 11 — the graph-tier twin of
+  * [[StreamingVectorIndex]]; reference parity: the-hive upserts points
+  * into its live Qdrant index on every ingest,
+  * internal/vectordb/vectordb.go:117-193, whose default index is the
+  * HNSW-family graph our beam tier re-expresses): each micro-batch of new
+  * embeddings commits TWO delta versions —
+  *
+  *   1. the vectors into the [[GraphAnn.writeVectorStore]] corpus root
+  *      (one bucketed append), and
+  *   2. the nodes into the graph store via
+  *      [[GraphAnn.appendNodesToStore]] — the HNSW-insert shape: each new
+  *      node finds its neighbors by the existing graph's OWN beam search
+  *      (the driver-hosted twin below `smallBatchBound` — micro-batches
+  *      are the canonical small batch), and the commit rewrites only the
+  *      touched `src_bucket` partitions.
+  *
+  * Exactly-once across replays, per store: each commit carries a
+  * batch-scoped dir tag (`v<id>` corpus / `g<id>` graph) checked against
+  * the durable `_tags` sidecar ∪ retained manifests — the
+  * [[StreamingVectorIndex.processBatch]] guard applied twice. The crash
+  * windows compose safely BECAUSE the corpus leg commits first and the
+  * graph leg's inputs are replay-stable:
+  *
+  *   - corpus committed, graph not → the replay skips the corpus append
+  *     (tag present) and re-runs the graph leg against the SAME corpus
+  *     image (the store's latest with this batch's own ids anti-joined
+  *     out — identical whether the corpus commit was fresh or replayed),
+  *     producing the same deterministic insert;
+  *   - both committed → full no-op;
+  *   - graph-leg data dir written but its manifest not committed → the
+  *     orphan is unreferenced, expireSnapshots sweeps it, the replay
+  *     commits cleanly.
+  *
+  * Staleness contract inherited from [[GraphAnn.appendNodes]]: appended
+  * nodes carry no skip-ring links, so after several-fold growth rebuild
+  * via [[GraphAnn.buildGraph]] + [[GraphAnn.writeGraphStore]] — the
+  * `IndexMaintenance.planGraph` ring-coverage probe is the alarm; run it
+  * (and the compaction it may plan) BETWEEN triggers exactly like the IVF
+  * maintenance hook.
+  */
+object StreamingGraphIndex {
+
+  /** Insert/search knobs for the per-batch graph append — one value
+    * object so [[run]] and [[processBatch]] share defaults. `nBuckets` /
+    * `idBuckets` MUST match the stores' build layouts.
+    */
+  final case class Config(
+      m: Int = 12, maxDegree: Int = 48, nBuckets: Int = 64,
+      idBuckets: Int = 64, reserveLong: Int = 8,
+      beamWidth: Int = 24, maxHops: Int = 12, nSeeds: Int = 4,
+      expandPerHop: Int = 0, smallBatchBound: Int = 64)
+
+  /** One micro-batch: append the vectors (skip if its `v<id>` tag is
+    * already committed), then insert the nodes (skip if `g<id>` is).
+    * Returns the graph store's committed version (None = batch empty or
+    * graph leg already committed). Factored out of [[run]] so the replay
+    * contract is directly testable.
+    */
+  def processBatch(
+      spark: SparkSession, batch: DataFrame, batchId: Long,
+      graphRoot: String, vectorRoot: String,
+      idCol: String, vecCol: String,
+      cfg: Config = Config()): Option[Int] = {
+    if (batch.isEmpty) return None
+    val vTag = s"v$batchId"
+    val gTag = s"g$batchId"
+    def committed(root: String, tag: String): Boolean =
+      graft.sources.SnapshotStore.committedTags(spark, root).contains(tag) ||
+        graft.sources.SnapshotStore.allCommittedDirs(spark, root)
+          .exists(_.contains(s"-$tag-"))
+    if (!committed(vectorRoot, vTag))
+      GraphAnn.appendToVectorStore(spark, vectorRoot, batch, idCol,
+        nBuckets = cfg.idBuckets, dirTag = Some(vTag))
+    if (committed(graphRoot, gTag)) None
+    else {
+      // the corpus the insert searches over: the store's CURRENT image
+      // minus this batch's own ids — replay-stable (identical whether the
+      // corpus commit above was fresh or skipped) and semantically the
+      // appendNodes contract (new nodes search the EXISTING corpus; the
+      // intra-batch chain covers batch-internal links)
+      val corpus = GraphAnn.readVectorStore(spark, vectorRoot)
+        .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+      Some(GraphAnn.appendNodesToStore(spark, graphRoot, corpus, batch,
+        idCol, vecCol, m = cfg.m, maxDegree = cfg.maxDegree,
+        nBuckets = cfg.nBuckets, reserveLong = cfg.reserveLong,
+        beamWidth = cfg.beamWidth, maxHops = cfg.maxHops,
+        nSeeds = cfg.nSeeds, expandPerHop = cfg.expandPerHop,
+        smallBatchBound = cfg.smallBatchBound,
+        idBuckets = Some(cfg.idBuckets), dirTag = Some(gTag)))
+    }
+  }
+
+  /** Streaming wiring: every micro-batch of `vecStream` (id + embedding
+    * rows) lands as one corpus delta + one graph delta. Serve searches
+    * from the two stores with both prune knobs
+    * (`searchMany(srcBuckets = Some(cfg.nBuckets),
+    * idBuckets = Some(cfg.idBuckets))`) at any pinned version.
+    */
+  def run(
+      spark: SparkSession, vecStream: DataFrame,
+      graphRoot: String, vectorRoot: String,
+      idCol: String, vecCol: String, checkpoint: String,
+      cfg: Config = Config()): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, graphRoot, vectorRoot,
+          idCol, vecCol, cfg)
+        ()
+      }
+      .start()
+}
