@@ -115,4 +115,74 @@ object StreamingGraphIndex {
         ()
       }
       .start()
+
+  /** Graph-tier maintenance hook (the `StreamingVectorIndex.Maintain`
+    * twin): every `every`-th micro-batch runs
+    * `IndexMaintenance.planGraph` between triggers and applies the
+    * zero-query repairs inline —
+    *
+    *   - `compact` (edge fold waste past the threshold) is applied via
+    *     `GraphAnn.compactGraphStore` (the tombstone-folding twin);
+    *   - `rebuild` (ring coverage below the cut — appended nodes outgrew
+    *     the skip ring) is NOT auto-applied: a full `buildGraph` re-run
+    *     is a corpus-wide decision the operator owns; it is surfaced
+    *     through `onPlan` — stop the stream, rebuild, restart.
+    *
+    * `buildIds` is a THUNK returning the roster the ring was last built
+    * over (the build corpus' id column — record it at (re)build like the
+    * IVF baseline); a thunk so a restart after a rebuild can swap it
+    * without re-wiring the stream.
+    */
+  final case class Maintain(
+      every: Int,
+      buildIds: () => DataFrame,
+      buildIdCol: String,
+      thresholds: graft.operators.IndexMaintenance.Thresholds =
+        graft.operators.IndexMaintenance.Thresholds(),
+      onPlan: Seq[graft.operators.IndexMaintenance.Decision] => Unit = _ => ()) {
+    require(every >= 1, s"maintain every must be >= 1, got $every")
+  }
+
+  /** One graph maintenance window: plan, apply compactions, surface the
+    * full decision list (rebuilds included) through `m.onPlan` and the
+    * return value. Factored out of [[runWithMaintenance]] so the
+    * delete-debt → automatic-compaction loop is directly testable.
+    */
+  def applyMaintenance(
+      spark: SparkSession, graphRoot: String, cfg: Config,
+      m: Maintain): Seq[graft.operators.IndexMaintenance.Decision] = {
+    import graft.operators.IndexMaintenance
+    val decisions = IndexMaintenance.planGraph(
+      spark, graphRoot, m.buildIds(), m.buildIdCol, m.thresholds)
+    decisions.foreach {
+      case IndexMaintenance.Decision("compact", _, _) =>
+        GraphAnn.compactGraphStore(spark, graphRoot, nBuckets = cfg.nBuckets)
+        ()
+      case _ => () // rebuild (operator-owned) — surfaced via onPlan below
+    }
+    m.onPlan(decisions)
+    decisions
+  }
+
+  /** [[run]] with the maintenance hook armed: every `maintain.every`-th
+    * micro-batch is followed by one [[applyMaintenance]] window before
+    * the trigger completes (foreachBatch serialization — the compaction
+    * commit never races this stream's own appends).
+    */
+  def runWithMaintenance(
+      spark: SparkSession, vecStream: DataFrame,
+      graphRoot: String, vectorRoot: String,
+      idCol: String, vecCol: String, checkpoint: String,
+      maintain: Maintain,
+      cfg: Config = Config()): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, graphRoot, vectorRoot,
+          idCol, vecCol, cfg)
+        if ((batchId + 1) % maintain.every == 0)
+          applyMaintenance(spark, graphRoot, cfg, maintain)
+        ()
+      }
+      .start()
 }

@@ -129,6 +129,50 @@ class StreamingGraphIndexSpec extends AnyFunSuite {
       "crash-replayed graph must equal the clean run")
   }
 
+  test("maintenance hook: delete debt streamed past the fold-waste cut " +
+      "triggers an AUTOMATIC compaction between micro-batches; ring-" +
+      "coverage rebuilds are surfaced via onPlan but never auto-applied") {
+    val cfg = StreamingGraphIndex.Config(
+      m = 8, maxDegree = 24, nBuckets = 16, idBuckets = 8)
+    val base = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val (graphRoot, vectorRoot) = freshStores(base, cfg)
+    // delete debt: tombstone a third of the nodes — every incident edge
+    // becomes scan-and-discard weight for the latest read
+    GraphAnn.deleteNodesFromStore(spark, graphRoot,
+      base.filter(col("vec_id") % 3 === 0).select(col("vec_id")), "vec_id")
+    val liveBefore = edgesOf(graphRoot)
+    val planned = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[graft.operators.IndexMaintenance.Decision]]
+    val maintain = StreamingGraphIndex.Maintain(
+      every = 1, buildIds = () => base.select(col("vec_id")),
+      buildIdCol = "vec_id",
+      thresholds = graft.operators.IndexMaintenance.Thresholds(
+        compactFoldWaste = 0.05, ringCoverageRebuild = 0.0),
+      onPlan = ds => { planned += ds; () })
+    val decisions = StreamingGraphIndex.applyMaintenance(
+      spark, graphRoot, cfg, maintain)
+    assert(decisions.exists(_.action == "compact"),
+      s"delete debt must plan a compaction: $decisions")
+    assert(planned.flatten == decisions, "onPlan must see the full list")
+    // applied: tombstone partition physically gone, live edges unchanged
+    val raw = graft.sources.SnapshotStore.read(spark, graphRoot)
+    assert(raw.filter(col("src_bucket") === -1).isEmpty,
+      "the hook must have folded the tombstones physically")
+    assert(edgesOf(graphRoot) == liveBefore)
+    // a second window over the clean store plans nothing
+    assert(StreamingGraphIndex.applyMaintenance(
+      spark, graphRoot, cfg, maintain).isEmpty)
+    // growth past the ring cut: rebuild SURFACED, store untouched
+    val strict = maintain.copy(thresholds = maintain.thresholds.copy(
+      ringCoverageRebuild = 1.1, compactFoldWaste = 1e9))
+    val vBefore = graft.sources.SnapshotStore.currentVersion(spark, graphRoot)
+    val ds2 = StreamingGraphIndex.applyMaintenance(spark, graphRoot, cfg, strict)
+    assert(ds2.exists(_.action == "rebuild"), s"expected a rebuild: $ds2")
+    assert(graft.sources.SnapshotStore.currentVersion(spark, graphRoot)
+      == vBefore, "a rebuild decision must not be auto-applied")
+  }
+
   test("MemoryStream end-to-end: micro-batches land as paired delta " +
       "versions in both stores") {
     import spark.implicits._
