@@ -360,7 +360,12 @@ object IvfIndex {
     */
   private def foldTombstones(
       raw: DataFrame, idCol: String, cellCol: String,
-      maxBroadcastTombstones: Long = DefaultMaxBroadcastTombstones): DataFrame = {
+      maxBroadcastTombstones: Long = DefaultMaxBroadcastTombstones,
+      tombstonesPossible: Boolean = true): DataFrame = {
+    // round-11 ADVICE: when the caller proved (manifest/dir listing, no
+    // Spark job) that no committed dir holds the -1 parking lot, there is
+    // nothing to fold — skip the strategy count AND the marker collect
+    if (!tombstonesPossible) return raw.filter(col(OpCol) === "U")
     val dead = raw.filter(col(cellCol) === -1)
     val tombs = dead.filter(col(OpCol) === "D")
       .groupBy(col(idCol)).agg(max(col(CommitCol)).as("__tv"))
@@ -396,7 +401,9 @@ object IvfIndex {
       graft.sources.SnapshotStore.read(spark, root, version,
         commitCol = Some(CommitCol),
         absentDefaults = Seq(OpCol -> lit("U"))),
-      idCol, cellCol, maxBroadcastTombstones)
+      idCol, cellCol, maxBroadcastTombstones,
+      tombstonesPossible = graft.sources.SnapshotStore
+        .mayContainPartition(spark, root, cellCol, "-1", version))
       .filter(col(cellCol) =!= -1)
       .drop(CommitCol, OpCol)
 
@@ -419,7 +426,9 @@ object IvfIndex {
         commitCol = Some(CommitCol),
         absentDefaults = Seq(OpCol -> lit("U")))
       .where(col(cellCol).isin(cells: _*))
-    val live = foldTombstones(raw, idCol, cellCol, maxBroadcastTombstones)
+    val live = foldTombstones(raw, idCol, cellCol, maxBroadcastTombstones,
+      tombstonesPossible = graft.sources.SnapshotStore
+        .mayContainPartition(spark, root, cellCol, "-1", version))
       .filter(col(cellCol) =!= -1)
       .drop(CommitCol, OpCol)
     VectorSearch.topK(

@@ -341,6 +341,77 @@ object SnapshotStore {
     next
   }
 
+  /** Memo for [[mayContainPartition]]: a committed version's entry set is
+    * immutable, so the probe's answer is too. Keyed (root, version,
+    * col=value); cleared wholesale past a sanity bound rather than LRU'd —
+    * entries are a few dozen bytes and real sessions touch few stores.
+    */
+  private val partitionProbeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long, String), java.lang.Boolean]()
+
+  /** Could the given committed version reference ANY rows under
+    * `col=value`? Answered from the manifest entries' own paths plus (for
+    * whole-dir refs) one driver-side directory listing per entry — '''no
+    * Spark job''' (round-11 ADVICE: the tombstone folds' size-guarded
+    * broadcast probe ran an eager `count()` on every read even when the
+    * store had never seen a delete; this probe short-circuits that to a
+    * listing, memoized per immutable (root, version)).
+    *
+    * Exactness: partition dirs ARE the layout, so a partitioned dir
+    * answers exactly. A dir with no `col=` children at the probed level is
+    * either the zero-row empty-append guard or a pre-partitioning write —
+    * indistinguishable by listing, so it conservatively answers TRUE
+    * (fold runs, correctness unharmed). Callers use this only to SKIP
+    * work when the answer is provably no.
+    */
+  def mayContainPartition(
+      spark: SparkSession, root: String, partitionCol: String, value: String,
+      version: Option[Int] = None): Boolean = {
+    version.orElse(currentVersion(spark, root)) match {
+      case None => false
+      case Some(v) =>
+        val fs = fsOf(spark, root)
+        // the manifest's mtime disambiguates a deleted-and-recreated root
+        // that reuses version numbers — same (root, v), different content
+        val mtime =
+          try Some(fs.getFileStatus(manifestPath(root, v)).getModificationTime)
+          catch { case _: java.io.IOException => None }
+        mtime match {
+          case None => false
+          case Some(mt) =>
+            val target = s"$partitionCol=$value"
+            val key = (root, v, mt, target)
+            val cached = partitionProbeMemo.get(key)
+            if (cached != null) cached.booleanValue()
+            else {
+              // walk down one dir: does `target` exist among (possibly
+              // deeper) partition children? Recursion only happens when the
+              // probed column sits BELOW another partition level — the
+              // tombstone parking lots are level 1: a single listing.
+              def probeDir(p: Path): Boolean =
+                fs.exists(p) && {
+                  val partDirs = fs.listStatus(p).toSeq
+                    .filter(s => s.isDirectory && s.getPath.getName.contains('='))
+                    .map(_.getPath)
+                  if (partDirs.isEmpty) true // non-partitioned guard/legacy dir
+                  else if (partDirs.exists(_.getName.startsWith(s"$partitionCol=")))
+                    partDirs.exists(_.getName == target)
+                  else partDirs.exists(probeDir)
+                }
+              val answer = committedDirs(spark, root, Some(v)).exists { e =>
+                e.split('/').drop(2).find(_.startsWith(s"$partitionCol=")) match {
+                  case Some(seg) => seg == target // leaf ref pins the value
+                  case None => probeDir(new Path(root, e))
+                }
+              }
+              if (partitionProbeMemo.size > 100000) partitionProbeMemo.clear()
+              partitionProbeMemo.put(key, answer)
+              answer
+            }
+        }
+    }
+  }
+
   /** The store's partition-column chain, derived from the CURRENT
     * snapshot's own directory structure (the store records no layout
     * metadata — the dirs ARE the metadata): the deepest `col=` chain any
@@ -508,6 +579,31 @@ object SnapshotStore {
         else d
       })
     normalized.reduce(_.unionByName(_))
+  }
+
+  /** Undo the NEWEST commit: delete version `v`'s manifest and the data
+    * dirs only it introduced (the `s<v>-` prefix), restoring the previous
+    * version as current. Refuses unless `v` IS the current version —
+    * history rollback is not what this is for. Single-writer operation
+    * (the caller owns the store for the duration, e.g. a benchmark
+    * measuring a repair steady-state by discarding its own commit, or an
+    * operator backing out a just-published bad commit before readers
+    * resolve it); a reader that already resolved `v` loses it mid-read,
+    * exactly like an aggressive [[expireSnapshots]].
+    */
+  private[graft] def discardVersion(
+      spark: SparkSession, root: String, v: Int): Unit = {
+    val cur = currentVersion(spark, root)
+    require(cur.contains(v),
+      s"discardVersion: $v is not the current version of $root (current $cur)")
+    val fs = fsOf(spark, root)
+    fs.delete(manifestPath(root, v), false)
+    val dataRoot = new Path(root, DataDir)
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"s$v-"))
+        .foreach(s => fs.delete(s.getPath, true))
+    ()
   }
 
   /** Retire history: keep the newest `keepLast` manifests, delete older

@@ -338,4 +338,100 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("b=<value>/o=<value>"))
   }
+
+  test("mayContainPartition (round 12, r11 ADVICE): a Spark-job-free probe " +
+      "that is exactly false on partitioned stores without the value, true " +
+      "once any commit carries it, version-pinned, and conservative (true) " +
+      "on non-partitioned dirs") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    val v1 = SnapshotStore.append(spark, root,
+      Seq((1L, 0, "a"), (2L, 1, "b")).toDF("id", "b", "v"),
+      partitionBy = Seq("b"))
+    assert(!SnapshotStore.mayContainPartition(spark, root, "b", "-1"))
+    assert(SnapshotStore.mayContainPartition(spark, root, "b", "0"))
+    assert(SnapshotStore.mayContainPartition(spark, root, "b", "1"))
+    // a tombstone-style commit flips the probe at the new version only
+    val v2 = SnapshotStore.append(spark, root,
+      Seq((1L, -1, "t")).toDF("id", "b", "v"), partitionBy = Seq("b"))
+    assert(SnapshotStore.mayContainPartition(spark, root, "b", "-1"))
+    assert(!SnapshotStore.mayContainPartition(spark, root, "b", "-1", Some(v1)),
+      "the pinned old version must still answer from ITS entry set")
+    // an overwrite that folds the tombstones away flips it back
+    val v3 = SnapshotStore.overwrite(spark, root,
+      Seq((1L, 0, "a"), (2L, 1, "b")).toDF("id", "b", "v"),
+      partitionBy = Seq("b"))
+    assert(!SnapshotStore.mayContainPartition(spark, root, "b", "-1"))
+    assert(SnapshotStore.mayContainPartition(spark, root, "b", "-1", Some(v2)))
+    // leaf refs (replacePartitions manifests) answer from their own path
+    SnapshotStore.replacePartitions(spark, root,
+      Seq((9L, 0, "z")).toDF("id", "b", "v"), "b")
+    assert(!SnapshotStore.mayContainPartition(spark, root, "b", "-1"))
+    assert(SnapshotStore.mayContainPartition(spark, root, "b", "1"),
+      "the untouched partition survives as a ref the probe must see")
+    // non-partitioned dirs (the zero-row empty-append guard) answer TRUE —
+    // conservative, never wrong-to-fold
+    val root2 = freshRoot()
+    SnapshotStore.append(spark, root2,
+      Seq((1L, 0, "a")).toDF("id", "b", "v").filter(col("id") < 0),
+      partitionBy = Seq("b"))
+    assert(SnapshotStore.mayContainPartition(spark, root2, "b", "-1"))
+    // nested layouts: the level-1 probe sees through (b, o) chains
+    val root3 = freshRoot()
+    SnapshotStore.append(spark, root3,
+      Seq((1L, 2, 7, "a")).toDF("id", "b", "o", "v"),
+      partitionBy = Seq("b", "o"))
+    assert(!SnapshotStore.mayContainPartition(spark, root3, "b", "-1"))
+    assert(SnapshotStore.mayContainPartition(spark, root3, "b", "2"))
+    assert(SnapshotStore.mayContainPartition(spark, root3, "o", "7"),
+      "a level-2 column probes through the level-1 chain")
+    assert(!SnapshotStore.mayContainPartition(spark, root3, "o", "8"))
+    // fresh root: nothing committed, nothing possible
+    assert(!SnapshotStore.mayContainPartition(spark, freshRoot(), "b", "-1"))
+  }
+
+  test("discardVersion (round 12, VERDICT r11 task 4): undoing the newest " +
+      "commit restores the prior version with untouched files byte-" +
+      "identical, removes only the discarded commit's dirs, and refuses " +
+      "non-current versions") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    val v1 = SnapshotStore.append(spark, root,
+      Seq((1L, 0, "a"), (2L, 1, "b")).toDF("id", "b", "v"),
+      partitionBy = Seq("b"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          out += (s.getPath.toString -> s.getLen)
+      }
+      out.toMap
+    }
+    val baseFiles = files()
+    val v2 = SnapshotStore.append(spark, root,
+      Seq((3L, 0, "c")).toDF("id", "b", "v"), partitionBy = Seq("b"))
+    assert(SnapshotStore.read(spark, root).count() == 3)
+    // a stale version refuses: only the CURRENT commit can be discarded
+    val err = intercept[IllegalArgumentException] {
+      SnapshotStore.discardVersion(spark, root, v1)
+    }
+    assert(err.getMessage.contains("not the current version"))
+    SnapshotStore.discardVersion(spark, root, v2)
+    // prior version is current again and serves exactly its rows
+    assert(SnapshotStore.currentVersion(spark, root).contains(v1))
+    assert(SnapshotStore.read(spark, root)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // v1's files untouched byte-for-byte; v2's data dirs gone
+    val afterFiles = files()
+    assert(afterFiles == baseFiles,
+      s"discard must restore the exact v1 file set: ${afterFiles.keySet diff baseFiles.keySet}")
+    // the store keeps working: a fresh append reuses the freed version slot
+    val v3 = SnapshotStore.append(spark, root,
+      Seq((4L, 1, "d")).toDF("id", "b", "v"), partitionBy = Seq("b"))
+    assert(v3 == v2 && SnapshotStore.read(spark, root).count() == 3)
+  }
 }
