@@ -146,4 +146,85 @@ object AnnTuner {
       .sortBy(p => (p.costFrac, p.config)).headOption
     AnnTune(best, curve)
   }
+
+  /** One measured beam serving configuration over a FIXED graph (round 12,
+    * VERDICT r11 task 6): the four serving/insert knobs, recall@k over the
+    * query sample, mean scored corpus fraction (the shared cost axis),
+    * and mean hops to converge (the LATENCY proxy in the driver-hosted
+    * regime, where each hop is a fixed-cost round trip — the
+    * GraphBatchCurve lesson that hop count, not data volume, prices the
+    * small-batch path).
+    */
+  final case class BeamPoint(
+      beamWidth: Int, maxHops: Int, nSeeds: Int, expandPerHop: Int,
+      recall: Double, costFrac: Double, meanHops: Double) {
+    def config: String =
+      s"beam=$beamWidth,hops=$maxHops,seeds=$nSeeds,expand=$expandPerHop"
+  }
+
+  final case class BeamTune(best: Option[BeamPoint], curve: Seq[BeamPoint])
+
+  /** Grid-measure the BEAM SERVING KNOBS on a bounded audit sample —
+    * the graph-tier axis [[tune]] does not cover (it tunes the BUILD:
+    * m/beamWidth per graph; this tunes serving/insert against ONE built
+    * graph, which is what a deployment re-tunes as the corpus drifts
+    * without paying a rebuild). Same audit-sample contract: the graph
+    * and ground truth are real, measurement runs [[GraphAnn.localBeam]]
+    * — the spec-proven twin of both serving paths.
+    *
+    * Selection: cheapest point with recall ≥ `targetRecall`, cost ranked
+    * by (scored fraction, mean hops, knobs) — scored work prices the
+    * distributed path, hops price the driver-hosted one; ranking cost
+    * first with hops as the tiebreak picks configs good for both. Use the
+    * winner's knobs in `searchMany`/`searchManyLocal`/insert calls (e.g.
+    * via `StreamingGraphIndex.Config(beamWidth = p.beamWidth, ...)`).
+    */
+  def tuneBeam(
+      corpus: DataFrame, idCol: String, vecCol: String, graph: DataFrame,
+      targetRecall: Double, k: Int,
+      beamGrid: Seq[Int] = Seq(16, 32, 48),
+      hopsGrid: Seq[Int] = Seq(8, 24),
+      seedsGrid: Seq[Int] = Seq(2, 4),
+      expandGrid: Seq[Int] = Seq(0, 8),
+      nQueries: Int = 30): BeamTune = {
+    require(targetRecall > 0 && targetRecall <= 1, s"bad target $targetRecall")
+    val vecsArr = corpus
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.VectorFunctions.asFloatArray(col(vecCol)).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+      .sortBy(_._1)
+    require(vecsArr.length > k, s"audit sample smaller than k=$k")
+    val vecs = vecsArr.toMap
+    val queries = vecsArr.take(nQueries)
+    val exactByQ = queries.map { case (qid, qv) =>
+      qid -> vecsArr.filter(_._1 != qid).map { case (id, v) =>
+        (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
+      }.sortBy { case (s, id) => (-s, id) }.take(k).map(_._2).toSet
+    }.toMap
+    val adj = GraphAnn.collectAdjacency(graph)
+    val n = vecsArr.length.toDouble
+    val curve = for {
+      bw <- beamGrid; if bw >= k
+      mh <- hopsGrid
+      ns <- seedsGrid
+      ex <- expandGrid
+    } yield {
+      val seeds = GraphAnn.entryPoints(corpus, idCol, ns)
+      val per = queries.map { case (qid, qv) =>
+        val r = GraphAnn.localBeam(vecs, adj, seeds, qv, Some(qid),
+          k, beamWidth = bw, maxHops = mh, expandPerHop = ex)
+        ((exactByQ(qid) intersect r.hits.map(_._1).toSet).size.toDouble / k,
+          r.scored / n, r.hops.toDouble)
+      }
+      BeamPoint(bw, mh, ns, ex,
+        recall = per.map(_._1).sum / per.length,
+        costFrac = per.map(_._2).sum / per.length,
+        meanHops = per.map(_._3).sum / per.length)
+    }
+    val best = curve.filter(_.recall >= targetRecall)
+      .sortBy(p => (p.costFrac, p.meanHops,
+        p.beamWidth, p.maxHops, p.nSeeds, p.expandPerHop)).headOption
+    BeamTune(best, curve.toSeq)
+  }
 }

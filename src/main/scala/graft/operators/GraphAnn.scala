@@ -218,7 +218,9 @@ object GraphAnn {
       m: Int, maxDegree: Int, beamWidth: Int, maxHops: Int, nSeeds: Int,
       expandPerHop: Int, scoreScale: Int,
       reserveLong: Int, smallBatchBound: Int,
-      idBuckets: Option[Int]): (DataFrame, DataFrame) = {
+      idBuckets: Option[Int],
+      stitched: Option[DataFrame] = None,
+      cache: Option[ServingCache] = None): (DataFrame, DataFrame) = {
     require(m > 0 && maxDegree >= m, s"need maxDegree >= m > 0, got $maxDegree/$m")
     require(reserveLong >= 0 && reserveLong + 2 <= maxDegree,
       s"need 0 <= reserveLong <= maxDegree - 2, got $reserveLong/$maxDegree")
@@ -233,7 +235,7 @@ object GraphAnn {
       vecCol, k = m, beamWidth = beamWidth, maxHops = maxHops,
       nSeeds = nSeeds, expandPerHop = expandPerHop, scoreScale = scoreScale,
       srcBuckets = srcBuckets, smallBatchBound = smallBatchBound,
-      idBuckets = idBuckets)
+      idBuckets = idBuckets, cache = cache)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     // 2) intra-batch chain in (md5(id), id) order — connectivity insurance
     //    for the batch itself (new nodes may be each other's best links)
@@ -247,10 +249,18 @@ object GraphAnn {
       .select(col("a.id").as("src"), col("dst"))
     val chainBoth = chain
       .unionByName(chain.select(col("dst").as("src"), col("src").as("dst")))
+    // ring-stitched finger edges (round 12): symmetrized like the build's
+    // long leg and EXEMPT from the degree prune like the chain — they are
+    // the O(log n)-diameter insurance the prune must never evict
+    val stitchBoth = stitched.map(sdf =>
+      sdf.select(col("src").cast("long"), col("dst").cast("long"))
+        .unionByName(sdf.select(col("dst").cast("long").as("src"),
+          col("src").cast("long").as("dst"))))
+    val exempt = stitchBoth.fold(chainBoth)(chainBoth.unionByName(_))
     val newEdges = nn
       .unionByName(nn.select(col("dst").as("src"), col("src").as("dst")))
       .withColumn("__chain", lit(false))
-      .unionByName(chainBoth.withColumn("__chain", lit(true)))
+      .unionByName(exempt.withColumn("__chain", lit(true)))
       .filter(col("src") =!= col("dst"))
       .localCheckpoint()
     // 3) candidate edge lists of the TOUCHED srcs only: their pre-existing
@@ -336,6 +346,21 @@ object GraphAnn {
     * delta's neighbor search, trading insert cost against link quality
     * exactly like the serving-side [[searchMany]] knobs. Defaults match
     * the previous hardcoded values.
+    *
+    * `ringRoot` (round 12, VERDICT r11 task 1 — retires the append
+    * staleness contract): a [[RingRoster]] root created at build time
+    * (`RingRoster.write` beside [[writeGraphStore]]). When set, every
+    * inserted node ALSO receives its deterministic finger long links
+    * (Chord-style circular successors across the `2^(j·ringStride)` draw
+    * ladder — the insertable equivalent of the build's positional skip
+    * ring), symmetrized and exempt from the degree prune, and the batch
+    * joins the roster in the same call. Sustained growth then keeps
+    * `ringCoverage(live, RingRoster.read(...))` at 1.0 and the planner
+    * never reaches the full-rebuild rung — Qdrant-HNSW upsert parity
+    * (vectordb.go:117-193). `rosterBuckets` must match the roster build;
+    * `ringStride` the graph build's. Without it the pre-round-12
+    * staleness contract (appends un-ringed, rebuild after several-fold
+    * growth) still applies.
     */
   def appendNodesToStore(
       spark: org.apache.spark.sql.SparkSession, root: String,
@@ -345,7 +370,10 @@ object GraphAnn {
       beamWidth: Int = 24, maxHops: Int = 12, nSeeds: Int = 4,
       expandPerHop: Int = 0, smallBatchBound: Int = 64,
       idBuckets: Option[Int] = None,
-      dirTag: Option[String] = None): Int = {
+      dirTag: Option[String] = None,
+      ringRoot: Option[String] = None,
+      rosterBuckets: Int = 64, ringStride: Int = 2,
+      servingCache: Option[ServingCache] = None): Int = {
     val baseV = graft.sources.SnapshotStore.currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(
         s"no committed graph at $root — build via writeGraphStore first"))
@@ -354,6 +382,15 @@ object GraphAnn {
     // dead rows physically as a side effect)
     val store = readGraphStoreLatest(spark, root, Some(baseV))
     val g = store.select(col("src").cast("long"), col("dst").cast("long"))
+    // ring maintenance (round 12, VERDICT r11 task 1): with a RingRoster
+    // root, each inserted node also gets its FINGER long links — the
+    // Chord-style circular successors of its draw ladder — so appended
+    // nodes are first-class ring members and ringCoverage (measured
+    // against the roster) never decays toward the full-rebuild cliff.
+    // Fingers are computed against the roster MINUS this batch (replay-
+    // stable) and ride the rewrite as prune-exempt edges.
+    val stitched = ringRoot.map(rr => RingRoster.stitchFingers(
+      spark, rr, newVecs.select(col(idCol)), idCol, ringStride, rosterBuckets))
     val (touched, pruned) = appendRewrite(
       g, store.select(col("src").cast("long"), col("dst").cast("long"),
         col("src_bucket")), Some(nBuckets),
@@ -361,7 +398,7 @@ object GraphAnn {
       m, maxDegree, beamWidth = beamWidth, maxHops = maxHops,
       nSeeds = nSeeds, expandPerHop = expandPerHop, scoreScale = 6,
       reserveLong = reserveLong, smallBatchBound = smallBatchBound,
-      idBuckets = idBuckets)
+      idBuckets = idBuckets, stitched = stitched, cache = servingCache)
     val bucketOf = pmod(col("src"), lit(nBuckets.toLong)).cast("int")
     val touchedBuckets = touched.select(bucketOf.as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ nBuckets ints
@@ -376,9 +413,25 @@ object GraphAnn {
     val replacement = pruned.unionByName(carried)
       .withColumn("src_bucket", bucketOf)
       .repartition(col("src_bucket"))
-    graft.sources.SnapshotStore.replacePartitions(
+    val v = graft.sources.SnapshotStore.replacePartitions(
       spark, root, replacement, "src_bucket", expectedBase = Some(baseV),
       dirTag = dirTag)
+    // roster append AFTER the graph commit (idempotent — already-rostered
+    // ids anti-join out), so a crash mid-write leaves the roster honest;
+    // the one crash window left (graph committed, roster not) reads as
+    // per-bucket coverage loss that planGraph's stitch_region repair
+    // closes — self-healing, never corrupting
+    ringRoot.foreach { rr =>
+      RingRoster.append(spark, rr, newVecs.select(col(idCol)), idCol,
+        rosterBuckets)
+      ()
+    }
+    // warm-cache advance (round 12): exactly the rewritten srcs' adjacency
+    // changed at this commit — one delta-bounded collect keeps the rest of
+    // the handle warm for the next insert/serve
+    servingCache.foreach(_.advanceGraph(root, v,
+      touched.select(col("src")).collect().map(_.getLong(0)).toIndexedSeq))
+    v
   }
 
   /** Persist the neighbor graph as a [[graft.sources.SnapshotStore]] root
@@ -464,6 +517,106 @@ object GraphAnn {
       expectedBase, partitionBy = Seq("id_bucket"), dirTag = dirTag)
   }
 
+  /** Upsert vectors by id into a [[writeVectorStore]] root in ONE commit
+    * (round 12, r11 ADVICE — the corpus half of a streaming graph
+    * RE-INGEST; reference parity: upsert-by-id replaces the point,
+    * internal/vectordb/vectordb.go:117-193): a tombstone row per incoming
+    * id (parked in the never-probed `id_bucket = -1`, so data scans stay
+    * partition-pruned) plus the replacement rows — the
+    * `IvfIndex.upsertToStore` protocol with the graph store's minimal
+    * tombstone shape (no op marker needed: ANY `-1` row is a kill).
+    * Strictly-older copies of the id fold out of
+    * [[readVectorStoreLatest]]; the same-commit replacement survives
+    * (commit >= its own tombstone). One row per id per batch is the
+    * caller's contract, as with the IVF twin. Returns the version.
+    */
+  def upsertToVectorStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      newVecs: DataFrame, idCol: String, nBuckets: Int = 64,
+      expectedBase: Option[Int] = None,
+      dirTag: Option[String] = None): Int = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val data = newVecs.withColumn("id_bucket",
+      pmod(col(idCol).cast("long"), lit(nBuckets.toLong)).cast("int"))
+    graft.sources.SnapshotStore.append(spark, root,
+      data.unionByName(vectorTombstonesLike(data, newVecs.select(col(idCol)), idCol))
+        .repartition(col("id_bucket")),
+      expectedBase, partitionBy = Seq("id_bucket"), dirTag = dirTag)
+  }
+
+  /** Delete vectors by id from a [[writeVectorStore]] root: one
+    * tombstone-only commit. A later [[upsertToVectorStore]] of the same id
+    * resurrects it (newer commit wins); [[compactVectorStore]] folds the
+    * tombstone away physically. Returns the committed version.
+    */
+  def deleteFromVectorStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      ids: DataFrame, idCol: String,
+      expectedBase: Option[Int] = None): Int = {
+    val shape = graft.sources.SnapshotStore.read(spark, root).limit(0)
+    graft.sources.SnapshotStore.append(spark, root,
+      vectorTombstonesLike(shape, ids.select(col(idCol)), idCol),
+      expectedBase, partitionBy = Seq("id_bucket"))
+  }
+
+  /** Tombstone rows shaped like `dataDf`: id kept, `id_bucket = -1`,
+    * every other column null.
+    */
+  private def vectorTombstonesLike(
+      dataDf: DataFrame, ids: DataFrame, idCol: String): DataFrame =
+    dataDf.schema.fields.foldLeft(ids) { (d, f) =>
+      if (f.name == idCol) d
+      else if (f.name == "id_bucket") d.withColumn(f.name, lit(-1))
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(dataDf.columns.map(col).toIndexedSeq: _*)
+
+  /** The corpus store's LIVE rows at a version: a data row survives unless
+    * some tombstone for its id carries a STRICTLY newer commit (a
+    * same-commit upsert replacement outlives its own tombstone). Mirrors
+    * [[readGraphStoreLatest]]: stores never deleted from skip the whole
+    * fold via the manifest probe (no Spark job), and the tombstone join
+    * strategy is size-guarded, never contract-trusted. This is the serving
+    * view for upsert-mode corpora — [[readVectorStore]] stays the raw view
+    * for insert-only stores.
+    */
+  def readVectorStoreLatest(
+      spark: org.apache.spark.sql.SparkSession, root: String, idCol: String,
+      version: Option[Int] = None,
+      maxBroadcastTombstones: Long = IvfIndex.DefaultMaxBroadcastTombstones): DataFrame = {
+    val cc = graft.sources.SnapshotStore.CommitCol
+    val raw = graft.sources.SnapshotStore.read(spark, root, version,
+      commitCol = Some(cc))
+    if (!graft.sources.SnapshotStore.mayContainPartition(
+        spark, root, "id_bucket", "-1", version))
+      return raw.filter(col("id_bucket") =!= -1).drop(cc)
+    val tombs = raw.filter(col("id_bucket") === -1)
+      .groupBy(col(idCol)).agg(max(col(cc)).as("__tv"))
+    val hint = IvfIndex.sizeGuardedHint(tombs, maxBroadcastTombstones)
+    raw.filter(col("id_bucket") =!= -1)
+      .join(hint(tombs), Seq(idCol), "left")
+      .filter(col("__tv").isNull || col(cc) >= col("__tv"))
+      .drop("__tv", cc)
+  }
+
+  /** Fold corpus tombstones PHYSICALLY: rewrite the live rows as one fresh
+    * bucketed snapshot — superseded copies and the tombstone partition do
+    * not survive. The corpus twin of [[compactGraphStore]] (and like it,
+    * NOT the generic `SnapshotStore.compact`). Returns the version.
+    */
+  def compactVectorStore(
+      spark: org.apache.spark.sql.SparkSession, root: String, idCol: String,
+      nBuckets: Int = 64, expectedBase: Option[Int] = None): Int = {
+    val base = expectedBase.orElse(
+      graft.sources.SnapshotStore.currentVersion(spark, root))
+    val live = readVectorStoreLatest(spark, root, idCol, base)
+      .drop("id_bucket")
+      .withColumn("id_bucket",
+        pmod(col(idCol).cast("long"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("id_bucket"))
+    graft.sources.SnapshotStore.overwrite(spark, root, live, base,
+      partitionBy = Seq("id_bucket"))
+  }
+
   /** Delete nodes by id from a versioned graph store (VERDICT r9 task 2,
     * graph half; reference parity: point deletes,
     * internal/vectordb/vectordb.go:382-400): one tombstone-only commit —
@@ -540,6 +693,13 @@ object GraphAnn {
     val cc = graft.sources.SnapshotStore.CommitCol
     val raw = graft.sources.SnapshotStore.read(spark, root, version,
       commitCol = Some(cc))
+    // a never-deleted-from store skips the whole fold — decided by a
+    // driver-side manifest/dir listing, NOT a Spark job (round-11 ADVICE:
+    // the eager strategy count taxed every serving-path read)
+    if (!graft.sources.SnapshotStore.mayContainPartition(
+        spark, root, "src_bucket", "-1", version))
+      return raw.filter(col("src_bucket") =!= -1).drop(cc)
+        .select(col("src"), col("dst"), col("src_bucket"))
     val tombs = raw.filter(col("src_bucket") === -1)
       .groupBy(col("src")).agg(max(col(cc)).as("__tv"))
     // the strategy probe: one small job over the pruned -1 partition
@@ -576,6 +736,53 @@ object GraphAnn {
       .repartition(col("src_bucket"))
     graft.sources.SnapshotStore.overwrite(spark, root, live, base,
       partitionBy = Seq("src_bucket"))
+  }
+
+  /** Region-scoped ring repair (round 12, VERDICT r11 task 2 — the
+    * planner's MIDDLE RUNG between compaction and a full rebuild): for the
+    * live source nodes of the named `buckets` that are NOT in the ring
+    * roster (appended before round 12, or stranded by the
+    * graph-committed/roster-lost crash window), draw their fingers against
+    * the current roster ([[RingRoster.stitchFingers]]) and commit them in
+    * ONE `replacePartitions` that rewrites ONLY those buckets — fingers
+    * stay FORWARD-only here precisely so the commit footprint is the
+    * repaired region (a back-edge would land in its target's arbitrary
+    * bucket; outbound fingers alone restore the O(log n) routing ladder,
+    * and the nodes' own append-time back-edges keep them findable). The
+    * repaired ids then join the roster (idempotent append), so per-bucket
+    * ring coverage returns to 1 and `IndexMaintenance.planGraph` stops
+    * planning for them. Returns the graph commit version (None = nothing
+    * uncovered — the region was already healthy).
+    */
+  def repairRingRegion(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      ringRoot: String, buckets: Seq[Int], nBuckets: Int = 64,
+      rosterBuckets: Int = 64, ringStride: Int = 2): Option[Int] = {
+    require(buckets.nonEmpty, "repairRingRegion needs at least one bucket")
+    val baseV = graft.sources.SnapshotStore.currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed graph at $root"))
+    val live = readGraphStoreLatest(spark, root, Some(baseV))
+      .where(col("src_bucket").isin(buckets: _*))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val roster = RingRoster.read(spark, ringRoot)
+    val uncovered = live.select(col("src")).distinct()
+      .join(roster.select(col("id").as("src")), Seq("src"), "left_anti")
+      .localCheckpoint() // pinned: drives the stitch, the union, the append
+    if (uncovered.isEmpty) return None
+    val fingers = RingRoster.stitchFingers(
+      spark, ringRoot, uncovered, "src", ringStride, rosterBuckets)
+    // complete new content of the repaired buckets: carried live rows +
+    // forward fingers, deduped (bucket-scoped, never whole-graph)
+    val replacement = live
+      .unionByName(fingers.select(col("src"), col("dst")))
+      .distinct()
+      .withColumn("src_bucket", pmod(col("src"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("src_bucket"))
+    val v = graft.sources.SnapshotStore.replacePartitions(
+      spark, root, replacement, "src_bucket", expectedBase = Some(baseV))
+    RingRoster.append(spark, ringRoot, uncovered, "src", rosterBuckets)
+    Some(v)
   }
 
   /** Deterministic entry points: the `nSeeds` corpus ids with the smallest
@@ -669,7 +876,8 @@ object GraphAnn {
       maxBroadcastQueries: Int = 4096,
       resultFilter: Option[org.apache.spark.sql.Column] = None,
       smallBatchBound: Int = 0,
-      idBuckets: Option[Int] = None): DataFrame = {
+      idBuckets: Option[Int] = None,
+      cache: Option[ServingCache] = None): DataFrame = {
     require(k > 0 && beamWidth >= k, s"need beamWidth >= k > 0, got $beamWidth/$k")
     require(maxBroadcastQueries > 0,
       s"maxBroadcastQueries must be positive, got $maxBroadcastQueries")
@@ -683,7 +891,7 @@ object GraphAnn {
     if (nq <= smallBatchBound)
       return searchManyLocal(graph, corpus, queries, qId, qVec, idCol, vecCol,
         k, beamWidth, maxHops, nSeeds, expandPerHop, scoreScale, srcBuckets,
-        resultFilter, idBuckets)
+        resultFilter, idBuckets, cache)
     if (nq > maxBroadcastQueries) {
       // strictly-bounded slices (≤ maxBroadcastQueries each) via the
       // range-partitioned global row number; pinned ONCE so every slice
@@ -831,6 +1039,113 @@ object GraphAnn {
         col("score"), col("rn").cast("int").as("rn"))
   }
 
+  /** Store-version-keyed WARM SERVING CACHE for the driver-hosted beam
+    * (round 12, VERDICT r11 task 3): [[searchManyLocal]]'s adjacency and
+    * vector caches — and the seed image — used to die with each call, so
+    * a steady-state serve/insert loop re-read them per batch against an
+    * unchanged store version. This handle carries them across calls,
+    * keyed by (root, version) per store and invalidated on any foreign
+    * commit ([[ensure]] resets on a key mismatch) or advanced SURGICALLY
+    * by the commits this process makes itself ([[advanceGraph]] drops
+    * exactly the rewritten srcs; [[advanceCorpus]] merges the upserted
+    * vectors and the seed image — the seed merge is exact because
+    * top-n(A ∪ B) = top-n(top-n(A) ∪ B)).
+    *
+    * Correctness contract: results with a warm cache are IDENTICAL to a
+    * cold run (GraphAnnSpec gates it) because entries are immutable within
+    * a store version — the cache only changes WHEN reads happen, never
+    * what they return. Filtered searches (`resultFilter`) bypass the cache
+    * entirely: the cached keep-flag is filter-specific, so sharing it
+    * across different predicates would be wrong. Driver-memory bound:
+    * vectors/adjacency ever touched by this handle's searches — the
+    * serving working set, not the corpus ([[reset]] when in doubt).
+    */
+  final class ServingCache {
+    private[operators] var corpusKey: Option[(String, Int)] = None
+    private[operators] var graphKey: Option[(String, Int)] = None
+    private[operators] val vecCache =
+      scala.collection.mutable.Map.empty[Long, Option[(Array[Float], Boolean)]]
+    private[operators] val adjCache =
+      scala.collection.mutable.Map.empty[Long, Array[Long]]
+    // (nSeeds, the top-nSeeds (md5-hex, id) pairs ascending) — the exact
+    // entryPoints image, merge-maintainable
+    private[operators] var seedImage: Option[(Int, Seq[(String, Long)])] = None
+
+    /** Spark-identical md5 hex of an id (lowercase, full 32 chars). */
+    private def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+
+    def reset(): Unit = {
+      vecCache.clear(); adjCache.clear(); seedImage = None
+      corpusKey = None; graphKey = None
+    }
+
+    /** Validate against the CURRENT store versions — resets the
+      * corresponding side on any mismatch (foreign commit, first use,
+      * different root). Call before each warm search/insert.
+      */
+    def ensure(
+        corpusRoot: String, corpusVersion: Int,
+        graphRoot: String, graphVersion: Int): Unit = {
+      if (!corpusKey.contains((corpusRoot, corpusVersion))) {
+        vecCache.clear(); seedImage = None
+        corpusKey = Some((corpusRoot, corpusVersion))
+      }
+      if (!graphKey.contains((graphRoot, graphVersion))) {
+        adjCache.clear()
+        graphKey = Some((graphRoot, graphVersion))
+      }
+    }
+
+    /** Mark `ids` ABSENT for the next search — the corpus-minus-batch
+      * image an insert leg searches (a re-ingested id's cached pre-batch
+      * vector must not serve while its replacement is in flight).
+      * [[advanceCorpus]] afterwards overwrites the mask with the new
+      * vectors.
+      */
+    def maskAbsent(ids: Iterable[Long]): Unit =
+      ids.foreach(id => vecCache(id) = None)
+
+    /** This process committed `upserted` (id, vector) rows at
+      * `newVersion`: fold them into the cache instead of resetting —
+      * vectors overwrite (upsert semantics), the seed image merges
+      * exactly. Only exact for append/upsert commits; deletes need
+      * [[reset]]/[[ensure]].
+      */
+    def advanceCorpus(
+        corpusRoot: String, newVersion: Int,
+        upserted: Seq[(Long, Array[Float])]): Unit = {
+      if (corpusKey.exists(_._1 == corpusRoot)) {
+        upserted.foreach { case (id, v) => vecCache(id) = Some((v, true)) }
+        seedImage = seedImage.map { case (n, cur) =>
+          val merged = (cur ++ upserted.map { case (id, _) => (md5hex(id), id) })
+            .distinct.sorted.take(n)
+          (n, merged)
+        }
+        corpusKey = Some((corpusRoot, newVersion))
+      }
+    }
+
+    /** This process rewrote `touchedSrcs` at graph `newVersion`: drop
+      * exactly their adjacency, keep everything else warm.
+      */
+    def advanceGraph(
+        graphRoot: String, newVersion: Int, touchedSrcs: Seq[Long]): Unit = {
+      if (graphKey.exists(_._1 == graphRoot)) {
+        touchedSrcs.foreach(adjCache.remove)
+        graphKey = Some((graphRoot, newVersion))
+      }
+    }
+
+    private[operators] def seedsFor(nSeeds: Int): Option[Seq[Long]] =
+      seedImage.collect { case (n, s) if n == nSeeds => s.map(_._2) }
+
+    private[operators] def recordSeeds(nSeeds: Int, ids: Seq[Long]): Unit =
+      seedImage = Some((nSeeds, ids.map(id => (md5hex(id), id)).sorted))
+  }
+
   /** The driver-hosted twin of [[searchMany]] for SMALL query batches
     * (VERDICT r10 task 4 — the batch-1 latency fix): hop-for-hop the same
     * algorithm with the same arithmetic ([[IvfIndex.cosineScalar]] /
@@ -866,7 +1181,8 @@ object GraphAnn {
       expandPerHop: Int = 0, scoreScale: Int = 6,
       srcBuckets: Option[Int] = None,
       resultFilter: Option[org.apache.spark.sql.Column] = None,
-      idBuckets: Option[Int] = None): DataFrame = {
+      idBuckets: Option[Int] = None,
+      cache: Option[ServingCache] = None): DataFrame = {
     require(k > 0 && beamWidth >= k, s"need beamWidth >= k > 0, got $beamWidth/$k")
     srcBuckets.foreach(nb => require(nb > 0 && graph.columns.contains("src_bucket"),
       s"srcBuckets=Some($nb) needs a writeGraphStore layout with src_bucket"))
@@ -896,7 +1212,17 @@ object GraphAnn {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
 
-    val seeds = entryPoints(corpus, idCol, nSeeds)
+    // warm-cache handle (round 12): filtered searches bypass it — the
+    // cached keep-flag is predicate-specific. Seeds come from the cached
+    // image when present (exact: the caller's ensure/advance protocol
+    // keeps it equal to entryPoints over this corpus), else one
+    // TakeOrdered job that warms it.
+    val warm = cache.filter(_ => resultFilter.isEmpty)
+    val seeds = warm.flatMap(_.seedsFor(nSeeds)).getOrElse {
+      val s = entryPoints(corpus, idCol, nSeeds)
+      warm.foreach(_.recordSeeds(nSeeds, s))
+      s
+    }
     val cBase = corpus.select(
       col(idCol).cast("long").as("__vid") +:
         VectorFunctions.asFloatArray(col(vecCol)).as("__v") +:
@@ -909,8 +1235,11 @@ object GraphAnn {
     // vector/filter cache: id -> (vec, keep); None marks "not in corpus"
     // so later hops never re-probe an absent id. With a writeVectorStore
     // corpus the fetch is id_bucket-pruned first (partition predicate),
-    // the point lookup stays the isInCollection filter.
-    val vecCache = scala.collection.mutable.Map.empty[Long, Option[(Array[Float], Boolean)]]
+    // the point lookup stays the isInCollection filter. With a warm
+    // handle the maps OUTLIVE this call — entries are immutable within a
+    // store version, so reuse changes cost, never results.
+    val vecCache = warm.map(_.vecCache).getOrElse(
+      scala.collection.mutable.Map.empty[Long, Option[(Array[Float], Boolean)]])
     def fetchVecs(ids: Iterable[Long]): Unit = {
       val missing = ids.iterator.filterNot(vecCache.contains).toSeq.distinct
       if (missing.nonEmpty) {
@@ -930,7 +1259,8 @@ object GraphAnn {
     }
     // adjacency cache: src -> out-edges, fetched per hop for the union of
     // all queries' frontiers; bucket-pruned first on a store layout
-    val adjCache = scala.collection.mutable.Map.empty[Long, Array[Long]]
+    val adjCache = warm.map(_.adjCache).getOrElse(
+      scala.collection.mutable.Map.empty[Long, Array[Long]])
     def fetchAdj(ids: Iterable[Long]): Unit = {
       val missing = ids.iterator.filterNot(adjCache.contains).toSeq.distinct
       if (missing.nonEmpty) {

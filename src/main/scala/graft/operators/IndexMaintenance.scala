@@ -53,9 +53,17 @@ object IndexMaintenance {
     *   - `minCellSize`: cells below this member count are skipped by the
     *     drift scorer (singletons are perfectly cohesive by construction
     *     and tiny cells rank on noise).
-    *   - `ringCoverageRebuild` (graph tier, [[planGraph]]): rebuild when
-    *     the ring-linked fraction of live nodes falls below this — the
-    *     `GraphAnn.appendNodes` staleness contract's documented cut.
+    *   - `ringCoverageRebuild` (graph tier, [[planGraph]]): a src bucket
+    *     is RING-STALE when its ring-linked fraction of live source nodes
+    *     falls below this — the `GraphAnn.appendNodes` staleness
+    *     contract's documented cut, applied per bucket since round 12.
+    *   - `stitchRegionMaxFrac` (round 12, VERDICT r11 task 2 — the middle
+    *     rung): when AT MOST this fraction of live buckets is ring-stale,
+    *     the plan is the delta-sized `stitch_region` repair
+    *     ([[GraphAnn.repairRingRegion]]: fingers for just those buckets'
+    *     uncovered nodes, commit touching only their dirs); past it the
+    *     staleness is structural and the plan escalates to the full
+    *     rebuild.
     */
   final case class Thresholds(
       refreshQualityDrop: Double = 0.05,
@@ -64,7 +72,8 @@ object IndexMaintenance {
       splitSkewFactor: Double = 4.0,
       compactFoldWaste: Double = 0.2,
       minCellSize: Long = 2L,
-      ringCoverageRebuild: Double = 0.7)
+      ringCoverageRebuild: Double = 0.7,
+      stitchRegionMaxFrac: Double = 0.25)
 
   /** One planned action: `action` ∈ rebuild | refresh | split | compact,
     * the cells it applies to (empty for store-wide actions), and a
@@ -141,7 +150,12 @@ object IndexMaintenance {
     // ADVICE): ceil-extrapolation turns 1 sampled member into n >= 2, so
     // without the re-check a sampled plan could name a cell splitCell
     // then rejects ("has < 2 members"). The re-check is one
-    // partition-pruned count over only the candidate cells.
+    // partition-pruned count over only the candidate cells, and the skew
+    // CONDITION itself is re-applied on the true count (round-11 ADVICE:
+    // a sampling overestimate must not plan a split of a cell that is not
+    // actually overfull — the extrapolated median stays the yardstick,
+    // per-cell means/medians survive sampling where single counts don't);
+    // the decision reason reports the TRUE count.
     if (quality.nonEmpty) {
       val sizes = quality.map(_._2).sorted
       val median = sizes(sizes.length / 2).toDouble
@@ -153,9 +167,12 @@ object IndexMaintenance {
         else live.filter(col(cellCol).isin(candidates.map(_._1).toSeq: _*))
           .groupBy(col(cellCol)).count()
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      for ((cell, n, _) <- candidates if trueN.getOrElse(cell, 0L) >= 2L)
-        out += Decision("split", Seq(cell),
-          f"cell $cell holds $n members > ${t.splitSkewFactor}%.1f x " +
+      for {
+        (cell, _, _) <- candidates
+        tn = trueN.getOrElse(cell, 0L)
+        if tn >= 2L && tn > t.splitSkewFactor * median
+      } out += Decision("split", Seq(cell),
+          f"cell $cell holds $tn members > ${t.splitSkewFactor}%.1f x " +
             f"median $median%.0f — its partition is the probe-cost hot spot")
     }
 
@@ -179,12 +196,19 @@ object IndexMaintenance {
 
   /** The graph-tier window: the zero-query probes only.
     *
-    *   - `ringCoverage` below `ringCoverageRebuild` → rebuild: appended
-    *     nodes are beam-reachable but carry no skip-ring long links
-    *     ([[GraphAnn.appendNodes]]'s documented staleness contract), so
-    *     past several-fold growth the O(log n)-diameter routing guarantee
-    *     erodes. `buildIds` is the roster the ring was last built over —
-    *     record it at (re)build time like the IVF baseline.
+    *   - Ring coverage below `ringCoverageRebuild` — PER SRC BUCKET since
+    *     round 12: stale buckets hold live source nodes missing from the
+    *     ring roster (appended un-stitched, or stranded by a crash
+    *     window), so their routes lack the O(log n) long-link ladder.
+    *     Localized staleness (≤ `stitchRegionMaxFrac` of live buckets) →
+    *     `stitch_region` naming exactly those buckets — apply with
+    *     [[GraphAnn.repairRingRegion]], delta-sized, commit confined to
+    *     their dirs. Widespread staleness → `rebuild` (exclusive, like
+    *     the IVF refresh/rebuild ladder). `buildIds` is the roster the
+    *     ring was last (re)built or stitched over — with a
+    *     [[RingRoster]]-maintained store pass `RingRoster.read(...)`,
+    *     which [[GraphAnn.appendNodesToStore]]'s stitching keeps current
+    *     so neither decision ever fires from growth alone.
     *   - Edge fold waste past `compactFoldWaste` → compact via
     *     [[GraphAnn.compactGraphStore]] (the tombstone-folding twin).
     *
@@ -197,14 +221,40 @@ object IndexMaintenance {
       spark: org.apache.spark.sql.SparkSession, root: String,
       buildIds: DataFrame, buildIdCol: String,
       t: Thresholds = Thresholds()): Seq[Decision] = {
+    require(t.stitchRegionMaxFrac >= 0.0 && t.stitchRegionMaxFrac <= 1.0,
+      s"stitchRegionMaxFrac must be in [0, 1], got ${t.stitchRegionMaxFrac}")
     val live = GraphAnn.readGraphStoreLatest(spark, root)
     val out = Seq.newBuilder[Decision]
-    val cov = GraphAnn.ringCoverage(live, buildIds, buildIdCol)
-    if (cov < t.ringCoverageRebuild)
-      out += Decision("rebuild", Seq.empty,
-        f"ring coverage $cov%.3f < ${t.ringCoverageRebuild}%.2f — " +
-          "appended nodes outgrew the skip ring; rebuild restores the " +
-          "O(log n) routing diameter")
+    // per-bucket coverage: one distinct + broadcast-ranged semi-join +
+    // bucket-grain aggregate — driver image ≤ nBuckets rows
+    val liveSrcs = live.select(col("src").cast("long"), col("src_bucket"))
+      .distinct()
+    val build = buildIds
+      .select(col(buildIdCol).cast("long").as("src")).distinct()
+    val perBucket = liveSrcs
+      .join(build.withColumn("__cov", lit(1)), Seq("src"), "left")
+      .groupBy(col("src_bucket"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("__cov"), lit(0))).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val stale = perBucket.filter { case (_, n, c) =>
+      n > 0 && c.toDouble / n < t.ringCoverageRebuild }
+    if (stale.nonEmpty) {
+      val frac = stale.length.toDouble / perBucket.length
+      val worst = stale.minBy { case (b, n, c) => (c.toDouble / n, b) }
+      if (frac <= t.stitchRegionMaxFrac)
+        out += Decision("stitch_region", stale.map(_._1).toSeq,
+          f"${stale.length}/${perBucket.length} buckets ring-stale " +
+            f"(worst: bucket ${worst._1} coverage ${worst._3.toDouble / worst._2}%.3f " +
+            f"< ${t.ringCoverageRebuild}%.2f) — stitch fingers for their " +
+            "uncovered nodes; commit confined to these buckets")
+      else
+        out += Decision("rebuild", Seq.empty,
+          f"${stale.length}/${perBucket.length} buckets (${frac * 100}%.0f%%) " +
+            f"ring-stale past ${t.stitchRegionMaxFrac * 100}%.0f%% — staleness " +
+            "is structural; rebuild restores the O(log n) routing diameter")
+    }
     val rawCount = graft.sources.SnapshotStore
       .read(spark, root,
         commitCol = Some(graft.sources.SnapshotStore.CommitCol)).count()

@@ -683,4 +683,281 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(edges(0L).nonEmpty &&
       edges(0L).forall { case (s, d) => !del(s) && !del(d) })
   }
+
+  test("ring-stitched append (round 12, VERDICT r11 task 1): append waves " +
+      "totaling MORE than the build size keep ring coverage at 1.0 and " +
+      "beam recall within tolerance of a fresh rebuild — WITHOUT ever " +
+      "calling buildGraph — while the same waves un-stitched plan the old " +
+      "full rebuild; stitched fingers survive the degree prune") {
+    import graft.tools.RecallHarness
+    val base = emb.filter(col("vec_id") < 150)
+    val root = java.nio.file.Files.createTempDirectory("graft-stitch").toString
+    val ringRoot = java.nio.file.Files
+      .createTempDirectory("graft-stitch-ring").toString
+    val g0 = GraphAnn.buildGraph(base, "vec_id", "embedding", m = 8)
+    GraphAnn.writeGraphStore(spark, root, g0, nBuckets = 8)
+    RingRoster.write(spark, ringRoot, base.select(col("vec_id")), "vec_id",
+      nBuckets = 16)
+    // four 50-node waves: 150 -> 350 (2.3x the build — past the documented
+    // several-fold staleness cliff)
+    val waves = (0 until 4).map(w =>
+      emb.filter(col("vec_id") >= 150 + w * 50 && col("vec_id") < 200 + w * 50))
+    // pin the roster version before the LAST wave so its expected fingers
+    // are replayable after the append mutates the roster
+    var rosterVBeforeLast = 0
+    waves.zipWithIndex.foreach { case (delta, i) =>
+      if (i == 3) rosterVBeforeLast = graft.sources.SnapshotStore
+        .currentVersion(spark, ringRoot).get
+      GraphAnn.appendNodesToStore(spark, root, emb.filter(col("vec_id") < 150 + i * 50),
+        delta, "vec_id", "embedding", m = 8, maxDegree = 32, nBuckets = 8,
+        ringRoot = Some(ringRoot), rosterBuckets = 16)
+    }
+    val live = GraphAnn.readGraphStoreLatest(spark, root)
+    // 1) every live source is a ring member: coverage vs the roster is 1.0
+    val roster = RingRoster.read(spark, ringRoot)
+    assert(RingRoster.read(spark, ringRoot).count() == 350)
+    val cov = GraphAnn.ringCoverage(live, roster, "id")
+    assert(cov == 1.0, f"stitched coverage must be 1.0, got $cov%.3f")
+    // 2) the planner never reaches a ring decision on the stitched store
+    val plan = IndexMaintenance.planGraph(spark, root, roster, "id")
+    assert(!plan.exists(d => d.action == "rebuild" || d.action == "stitch_region"),
+      s"stitched store must plan no ring repair: $plan")
+    // ...while the SAME growth un-stitched (legacy roster = build ids)
+    // crosses the cliff and plans the full rebuild
+    val legacyPlan = IndexMaintenance.planGraph(
+      spark, root, base.select(col("vec_id")), "vec_id")
+    assert(legacyPlan.exists(_.action == "rebuild"),
+      s"un-rostered view of 2.3x growth must plan a rebuild: $legacyPlan")
+    // 3) the last wave's fingers (replayed against the pinned pre-append
+    // roster) all survived the prune, both directions
+    val expected = RingRoster.stitchFingers(spark, ringRoot,
+      waves(3).select(col("vec_id")), "vec_id", ringStride = 2,
+      nBuckets = 16, version = Some(rosterVBeforeLast))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "the last wave must have stitched fingers")
+    val edgeSet = live.select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    expected.foreach { case (s, d) =>
+      assert(edgeSet.contains((s, d)) && edgeSet.contains((d, s)),
+        s"stitched finger ($s,$d) must survive the prune in both directions")
+    }
+    // 4) recall within tolerance of a fresh rebuild over the grown corpus
+    val adj = GraphAnn.collectAdjacency(
+      live.select(col("src"), col("dst")))
+    val grownCorpus = emb.filter(col("vec_id") < 350)
+    val fresh = GraphAnn.collectAdjacency(
+      GraphAnn.buildGraph(grownCorpus, "vec_id", "embedding", m = 8))
+    val vecsArr = RecallHarness.collectVecs(grownCorpus)
+    val vecs = vecsArr.toMap
+    val seeds = GraphAnn.entryPoints(grownCorpus, "vec_id", nSeeds = 4)
+    def recallOf(a: Map[Long, Array[Long]]): Double = {
+      val per = vecsArr.take(30).map { case (qid, qv) =>
+        val exact = vecsArr.filter(_._1 != qid).map { case (id, v) =>
+          (IvfIndex.roundHalfUp(IvfIndex.cosineScalar(v, qv), 6), id)
+        }.sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+        val r = GraphAnn.localBeam(vecs, a, seeds, qv, Some(qid),
+          k = 10, beamWidth = 48, maxHops = 16, expandPerHop = 4)
+        (exact intersect r.hits.map(_._1).toSet).size.toDouble / 10
+      }
+      per.sum / per.length
+    }
+    val (rStitched, rFresh) = (recallOf(adj), recallOf(fresh))
+    info(f"recall@10 after 2.3x stitched growth: $rStitched%.4f vs fresh " +
+      f"rebuild $rFresh%.4f")
+    assert(rStitched >= rFresh - 0.05,
+      f"stitched recall $rStitched%.4f drifted > 0.05 below fresh $rFresh%.4f")
+  }
+
+  test("AnnTuner.tuneBeam (round 12, VERDICT r11 task 6): the serving-knob " +
+      "grid measures recall/cost/hops per config on the audit sample, the " +
+      "selection is the cheapest point meeting the target, and the winning " +
+      "knobs thread straight into the serving paths") {
+    val corpus = emb.filter(col("vec_id") < 300)
+    val graph = GraphAnn.buildGraph(corpus, "vec_id", "embedding", m = 12)
+      .localCheckpoint()
+    def key(p: AnnTuner.BeamPoint) = (p.costFrac, p.meanHops,
+      p.beamWidth.toDouble, p.maxHops.toDouble, p.nSeeds.toDouble,
+      p.expandPerHop.toDouble)
+    val t = AnnTuner.tuneBeam(corpus, "vec_id", "embedding", graph,
+      targetRecall = 0.5, k = 10,
+      beamGrid = Seq(16, 48), hopsGrid = Seq(2, 24),
+      seedsGrid = Seq(4), expandGrid = Seq(0), nQueries = 20)
+    assert(t.curve.length == 4, "the full grid must be measured")
+    assert(t.curve.forall(p =>
+      p.recall >= 0 && p.recall <= 1 && p.costFrac > 0 && p.costFrac <= 1))
+    // fixture sanity: truncating the hop budget must actually cost recall,
+    // so the selection has something to trade off
+    val (minR, maxR) = (t.curve.map(_.recall).min, t.curve.map(_.recall).max)
+    assert(minR < maxR, s"grid must span a recall range, got $minR..$maxR")
+    // the selection invariant at a target the range straddles: best meets
+    // it, every strictly cheaper point does not
+    val target = (minR + maxR) / 2
+    val t2 = AnnTuner.tuneBeam(corpus, "vec_id", "embedding", graph,
+      targetRecall = target, k = 10,
+      beamGrid = Seq(16, 48), hopsGrid = Seq(2, 24),
+      seedsGrid = Seq(4), expandGrid = Seq(0), nQueries = 20)
+    val best = t2.best.getOrElse(fail(s"a point above $target exists"))
+    assert(best.recall >= target)
+    import scala.math.Ordering.Implicits._
+    assert(t2.curve.filter(p => key(p) < key(best)).forall(_.recall < target),
+      "no strictly cheaper point may meet the target")
+    // a floor target forces the globally cheapest point
+    val t3 = AnnTuner.tuneBeam(corpus, "vec_id", "embedding", graph,
+      targetRecall = 1e-9, k = 10,
+      beamGrid = Seq(16, 48), hopsGrid = Seq(2, 24),
+      seedsGrid = Seq(4), expandGrid = Seq(0), nQueries = 20)
+    assert(t3.best.contains(t3.curve.minBy(key)))
+    // the winner's knobs serve: k rows per query through searchManyLocal
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val served = GraphAnn.searchManyLocal(
+      graph, corpus, q, "q_id", "qv", "vec_id", "embedding",
+      k = 10, beamWidth = best.beamWidth, maxHops = best.maxHops,
+      nSeeds = best.nSeeds, expandPerHop = best.expandPerHop)
+    assert(served.count() == 10)
+  }
+
+  test("warm serving cache (round 12, VERDICT r11 task 3): version-keyed " +
+      "adjacency/vector/seed reuse returns EXACTLY the cold results, " +
+      "survives this process's own insert commits via surgical advance, " +
+      "and a foreign commit invalidates it through ensure()") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warm")
+    val groot = s"$dir/g"; val vroot = s"$dir/v"
+    GraphAnn.writeGraphStore(spark, groot,
+      GraphAnn.buildGraph(base, "vec_id", "embedding", m = 8), nBuckets = 8)
+    GraphAnn.writeVectorStore(spark, vroot, base, "vec_id", nBuckets = 8)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def gv = graft.sources.SnapshotStore.currentVersion(spark, groot).get
+    def vv = graft.sources.SnapshotStore.currentVersion(spark, vroot).get
+    def run(c: Option[GraphAnn.ServingCache],
+        filter: Option[org.apache.spark.sql.Column] = None) =
+      GraphAnn.searchManyLocal(
+        GraphAnn.readGraphStore(spark, groot),
+        GraphAnn.readVectorStoreLatest(spark, vroot, "vec_id"),
+        queries, "q_id", "qv", "vec_id", "embedding",
+        k = 8, beamWidth = 24, maxHops = 12, nSeeds = 4,
+        srcBuckets = Some(8), idBuckets = Some(8),
+        resultFilter = filter, cache = c)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val cold = run(None)
+    val cache = new GraphAnn.ServingCache
+    cache.ensure(vroot, vv, groot, gv)
+    assert(run(Some(cache)) == cold, "first (filling) warm run must equal cold")
+    assert(cache.vecCache.nonEmpty && cache.adjCache.nonEmpty &&
+      cache.seedImage.nonEmpty, "the handle must be warm now")
+    assert(run(Some(cache)) == cold, "fully-warm run must equal cold")
+    // filtered searches bypass the handle (predicate-specific keep flags)
+    val filt = Some(col("vec_id") % 2 === 0)
+    assert(run(Some(cache), filt) == run(None, filt),
+      "filtered warm must equal filtered cold (cache bypassed)")
+    assert(run(Some(cache)) == cold, "bypass must not have corrupted the handle")
+
+    // this process's own insert: processBatch advances the handle
+    // surgically (mask -> insert -> advance), no reset
+    val delta = emb.filter(col("vec_id") >= 200 && col("vec_id") < 204)
+      .select(col("vec_id"), col("embedding"))
+    val cfg = graft.streaming.StreamingGraphIndex.Config(
+      m = 8, maxDegree = 32, nBuckets = 8, idBuckets = 8)
+    assert(graft.streaming.StreamingGraphIndex.processBatch(
+      spark, delta, 0L, groot, vroot, "vec_id", "embedding", cfg,
+      Some(cache)).nonEmpty)
+    assert(cache.corpusKey.contains((vroot, vv)) &&
+      cache.graphKey.contains((groot, gv)),
+      "the advance must stamp the post-commit versions")
+    // the merged seed image is EXACTLY entryPoints over the grown corpus
+    assert(cache.seedImage.get._2.map(_._2) == GraphAnn.entryPoints(
+      GraphAnn.readVectorStoreLatest(spark, vroot, "vec_id"), "vec_id", 4),
+      "seed merge must equal a fresh entryPoints draw")
+    val coldGrown = run(None)
+    assert(run(Some(cache)) == coldGrown,
+      "post-insert warm results must equal a cold run over the new stores")
+    // the inserted node actually serves warm: a probe query carrying node
+    // 201's own vector (under another query id) must return 201 at rank 1
+    val probe = emb.filter(col("vec_id") === 201).select(col("embedding").as("qv"))
+      .crossJoin(emb.filter(col("vec_id") === 0).select(col("vec_id").as("q_id")))
+    val top = GraphAnn.searchManyLocal(
+      GraphAnn.readGraphStore(spark, groot),
+      GraphAnn.readVectorStoreLatest(spark, vroot, "vec_id"),
+      probe, "q_id", "qv", "vec_id", "embedding",
+      k = 1, beamWidth = 24, maxHops = 12, nSeeds = 4,
+      srcBuckets = Some(8), idBuckets = Some(8), cache = Some(cache))
+      .collect()
+    assert(top.length == 1 && top.head.getLong(1) == 201L,
+      s"warm serve must find the inserted node, got ${top.toSeq}")
+
+    // foreign commits (a delete this handle never saw): ensure() resets
+    GraphAnn.deleteNodesFromStore(spark, groot,
+      Seq(7L).toDF("vec_id"), "vec_id")
+    GraphAnn.deleteFromVectorStore(spark, vroot,
+      Seq(7L).toDF("vec_id"), "vec_id")
+    cache.ensure(vroot, vv, groot, gv)
+    assert(cache.vecCache.isEmpty && cache.adjCache.isEmpty &&
+      cache.seedImage.isEmpty, "ensure must reset on a version mismatch")
+    val coldDel = run(None)
+    assert(run(Some(cache)) == coldDel,
+      "post-invalidation warm results must equal cold over the folded view")
+    assert(coldDel.forall(_._2 != 7L), "the deleted node must not serve")
+  }
+
+  test("corpus-store upsert/delete/compact (round 12, r11 ADVICE): a " +
+      "re-ingested id replaces its vector in the latest view, pinned " +
+      "versions still serve the old one, deletes fold out, compaction " +
+      "folds physically, and a never-deleted-from store answers the " +
+      "tombstone probe false") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft-vstore").toString
+    val v1 = GraphAnn.writeVectorStore(spark, root, corpus, "vec_id", nBuckets = 8)
+    // fresh store: the probe says no tombstone partition can exist, and the
+    // latest view equals the raw view
+    assert(!graft.sources.SnapshotStore.mayContainPartition(
+      spark, root, "id_bucket", "-1"))
+    assert(GraphAnn.readVectorStoreLatest(spark, root, "vec_id").count() == 120)
+    // upsert id 3 with id 90's embedding
+    val replacement = emb.filter(col("vec_id") === 90).select(col("embedding"))
+      .crossJoin(Seq(3L).toDF("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val v2 = GraphAnn.upsertToVectorStore(spark, root, replacement, "vec_id",
+      nBuckets = 8)
+    val live = GraphAnn.readVectorStoreLatest(spark, root, "vec_id")
+    assert(live.count() == 120, "upsert of an existing id must not grow")
+    val got = live.filter(col("vec_id") === 3)
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("embedding"))
+    val want = emb.filter(col("vec_id") === 90)
+      .collect().head.getAs[scala.collection.Seq[Float]]("embedding")
+    assert(got.length == 1 && got.head == want, "latest view serves the NEW vector")
+    // pinned v1 still serves the OLD vector (GDPR-style time travel)
+    val old = GraphAnn.readVectorStoreLatest(spark, root, "vec_id", Some(v1))
+      .filter(col("vec_id") === 3).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding"))
+    val orig = emb.filter(col("vec_id") === 3)
+      .collect().head.getAs[scala.collection.Seq[Float]]("embedding")
+    assert(old.length == 1 && old.head == orig)
+    // delete folds the id out; raw still carries the bytes
+    GraphAnn.deleteFromVectorStore(spark, root,
+      Seq(5L, 7L).toDF("vec_id"), "vec_id")
+    assert(GraphAnn.readVectorStoreLatest(spark, root, "vec_id")
+      .count() == 118)
+    assert(GraphAnn.readVectorStore(spark, root)
+      .filter(col("id_bucket") =!= -1).filter(col("vec_id") === 5)
+      .count() == 1, "logical delete leaves bytes for pinned readers")
+    // delete-then-reingest resurrects at the newer commit
+    GraphAnn.upsertToVectorStore(spark, root,
+      emb.filter(col("vec_id") === 5).select(col("vec_id"), col("embedding")),
+      "vec_id", nBuckets = 8)
+    assert(GraphAnn.readVectorStoreLatest(spark, root, "vec_id")
+      .filter(col("vec_id") === 5).count() == 1)
+    // compaction folds physically: no -1 partition, no superseded copies
+    GraphAnn.compactVectorStore(spark, root, "vec_id", nBuckets = 8)
+    val raw = GraphAnn.readVectorStore(spark, root)
+    assert(raw.filter(col("id_bucket") === -1).isEmpty)
+    assert(raw.count() == 119 && raw.filter(col("vec_id") === 7).isEmpty)
+    assert(v2 == v1 + 1)
+  }
 }

@@ -135,11 +135,29 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     Seq(0.3, 0.5, 0.7).foreach { f =>
       val plan = IndexMaintenance.plan(spark, root, idx, "vec_id", baseline,
         t = t, sampleFrac = Some(f))
-      val splits = plan.filter(_.action == "split").map(_.cells.head)
+      val splits = plan.filter(_.action == "split")
       assert(splits.nonEmpty, s"sampleFrac $f: the tiny skew cut must trip")
-      assert(splits.forall(c => trueCounts.getOrElse(c, 0L) >= 2L),
+      assert(splits.forall(d => trueCounts.getOrElse(d.cells.head, 0L) >= 2L),
         s"sampleFrac $f: plan named unsplittable cells " +
-          s"${splits.filter(c => trueCounts.getOrElse(c, 0L) < 2L)}")
+          s"${splits.filter(d => trueCounts.getOrElse(d.cells.head, 0L) < 2L)}")
+      // round-12 (r11 ADVICE): the skew condition is re-applied on the
+      // TRUE count and the decision reason reports it — parse the reason's
+      // own numbers and check the guarantee they state
+      val MemberCount = """cell \d+ holds (\d+) members > [\d.]+ x median (\d+)""".r
+      splits.foreach { d =>
+        MemberCount.findFirstMatchIn(d.reason) match {
+          case Some(mm) =>
+            val reported = mm.group(1).toLong
+            val median = mm.group(2).toDouble
+            assert(reported == trueCounts(d.cells.head),
+              s"sampleFrac $f: reason must report the TRUE count, got " +
+                s"'${d.reason}' vs true ${trueCounts(d.cells.head)}")
+            assert(reported > t.splitSkewFactor * median,
+              s"sampleFrac $f: emitted split fails its own stated cut: " +
+                d.reason)
+          case None => fail(s"unparseable split reason: ${d.reason}")
+        }
+      }
     }
     // applicability: the first planned split (full-count plan) applies
     val plan = IndexMaintenance.plan(spark, root, idx, "vec_id", baseline,
@@ -176,6 +194,76 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val afterCompact = IndexMaintenance.planGraph(spark, root, buildIds, "vec_id")
     assert(!afterCompact.exists(_.action == "compact"),
       s"compaction must clear the waste decision: $afterCompact")
+  }
+
+  test("graph tier stitch_region (round 12, VERDICT r11 task 2): ring " +
+      "staleness localized to a few buckets plans the REGIONAL stitch " +
+      "(never the full rebuild), repairRingRegion restores per-bucket " +
+      "coverage with a commit confined to those buckets, and the repair " +
+      "is idempotent") {
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(root: String): Set[(String, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val out = scala.collection.mutable.Set.empty[(String, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          out += ((s.getPath.toString, s.getLen))
+      }
+      out.toSet
+    }
+    val base = emb.filter(col("vec_id") < 200)
+    // ids congruent to 0/1 mod 8 land in src buckets {0, 1} of an
+    // 8-bucket store — staleness stays localized to 2/8 = 25% of buckets
+    val delta = emb.filter(col("vec_id") >= 200 && col("vec_id") < 400 &&
+      col("vec_id") % 8 < 2)
+    val root = java.nio.file.Files.createTempDirectory("maint-region").toString
+    val ringRoot = java.nio.file.Files
+      .createTempDirectory("maint-region-ring").toString
+    GraphAnn.writeGraphStore(spark, root,
+      GraphAnn.buildGraph(base, "vec_id", "embedding", m = 8), nBuckets = 8)
+    RingRoster.write(spark, ringRoot, base.select(col("vec_id")), "vec_id",
+      nBuckets = 16)
+    // legacy (un-stitched) append strands the delta outside the ring
+    GraphAnn.appendNodesToStore(spark, root, base, delta,
+      "vec_id", "embedding", m = 8, maxDegree = 32, nBuckets = 8)
+    val roster = () => RingRoster.read(spark, ringRoot)
+    val plan = IndexMaintenance.planGraph(spark, root, roster(), "id")
+    val region = plan.filter(_.action == "stitch_region")
+    assert(region.size == 1 && !plan.exists(_.action == "rebuild"),
+      s"localized staleness must plan stitch_region, never rebuild: $plan")
+    assert(region.head.cells.toSet == Set(0, 1),
+      s"the stale buckets are exactly {0, 1}: ${region.head.cells}")
+    // apply: coverage restored, plan clears, commit touched ONLY {0, 1}
+    val before = files(root)
+    val v = GraphAnn.repairRingRegion(spark, root, ringRoot,
+      region.head.cells, nBuckets = 8, rosterBuckets = 16)
+    assert(v.nonEmpty)
+    val after = files(root)
+    assert(before.subsetOf(after), "repair must never rewrite a file")
+    val newFiles = after -- before
+    assert(newFiles.nonEmpty &&
+      newFiles.forall { case (p, _) =>
+        p.contains("src_bucket=0") || p.contains("src_bucket=1") },
+      s"repair commit must write only the repaired buckets: " +
+        s"${newFiles.map(_._1).filterNot(p =>
+          p.contains("src_bucket=0") || p.contains("src_bucket=1"))}")
+    assert(IndexMaintenance.planGraph(spark, root, roster(), "id").isEmpty,
+      "repair must clear the plan")
+    assert(GraphAnn.ringCoverage(
+      GraphAnn.readGraphStoreLatest(spark, root), roster(), "id") == 1.0)
+    // idempotent: nothing uncovered on the second call
+    assert(GraphAnn.repairRingRegion(spark, root, ringRoot,
+      Seq(0, 1), nBuckets = 8, rosterBuckets = 16).isEmpty)
+    // the repaired nodes now carry OUTBOUND finger long links
+    val live = GraphAnn.readGraphStoreLatest(spark, root)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deltaIds = delta.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(deltaIds.forall(id => live.exists(_._1 == id)),
+      "every repaired node keeps out-edges")
   }
 
   test("fold waste plans a compaction; compacting clears it") {
