@@ -48,10 +48,12 @@ class StreamingGraphIndexSpec extends AnyFunSuite {
 
     assert(StreamingGraphIndex.processBatch(
       spark, b0, 0L, graphRoot, vectorRoot, "vec_id", "embedding", cfg).nonEmpty)
-    assert(GraphAnn.readVectorStore(spark, vectorRoot).count() == 306)
+    assert(GraphAnn.readVectorStoreLatest(spark, vectorRoot, "vec_id")
+      .count() == 306)
     assert(StreamingGraphIndex.processBatch(
       spark, b1, 1L, graphRoot, vectorRoot, "vec_id", "embedding", cfg).nonEmpty)
-    assert(GraphAnn.readVectorStore(spark, vectorRoot).count() == 310)
+    assert(GraphAnn.readVectorStoreLatest(spark, vectorRoot, "vec_id")
+      .count() == 310)
     val streamed = edgesOf(graphRoot)
     // every new node is navigable (has out-edges in the live graph)
     (300L until 310L).foreach(id =>
@@ -61,15 +63,15 @@ class StreamingGraphIndexSpec extends AnyFunSuite {
     // corpus frames): the streaming wrapper adds replay plumbing, not
     // semantics
     val (gr2, vr2) = freshStores(base, cfg)
-    GraphAnn.appendToVectorStore(spark, vr2, b0, "vec_id", cfg.idBuckets)
+    GraphAnn.upsertToVectorStore(spark, vr2, b0, "vec_id", cfg.idBuckets)
     GraphAnn.appendNodesToStore(spark, gr2,
-      GraphAnn.readVectorStore(spark, vr2)
+      GraphAnn.readVectorStoreLatest(spark, vr2, "vec_id")
         .join(b0.select(col("vec_id")), Seq("vec_id"), "left_anti"),
       b0, "vec_id", "embedding", m = cfg.m, maxDegree = cfg.maxDegree,
       nBuckets = cfg.nBuckets, idBuckets = Some(cfg.idBuckets))
-    GraphAnn.appendToVectorStore(spark, vr2, b1, "vec_id", cfg.idBuckets)
+    GraphAnn.upsertToVectorStore(spark, vr2, b1, "vec_id", cfg.idBuckets)
     GraphAnn.appendNodesToStore(spark, gr2,
-      GraphAnn.readVectorStore(spark, vr2)
+      GraphAnn.readVectorStoreLatest(spark, vr2, "vec_id")
         .join(b1.select(col("vec_id")), Seq("vec_id"), "left_anti"),
       b1, "vec_id", "embedding", m = cfg.m, maxDegree = cfg.maxDegree,
       nBuckets = cfg.nBuckets, idBuckets = Some(cfg.idBuckets))
@@ -92,13 +94,70 @@ class StreamingGraphIndexSpec extends AnyFunSuite {
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val hits = GraphAnn.searchMany(
       GraphAnn.readGraphStoreLatest(spark, graphRoot),
-      GraphAnn.readVectorStore(spark, vectorRoot),
+      GraphAnn.readVectorStoreLatest(spark, vectorRoot, "vec_id"),
       q, "q_id", "qv", "vec_id", "embedding",
       k = 5, beamWidth = 24, maxHops = 12, nSeeds = 4,
       srcBuckets = Some(cfg.nBuckets), idBuckets = Some(cfg.idBuckets))
       .collect()
     assert(hits.length == 5, "the streamed store must serve k results")
     assert(hits.forall(_.getLong(0) == 305L))
+  }
+
+  test("re-ingest (round 12, r11 ADVICE): a batch carrying an EXISTING id " +
+      "replaces its vector — exactly one live corpus row, the new vector " +
+      "served, the node's edges re-derived from the new vector, and the " +
+      "distributed/local search twins stay identical; insert-only mode " +
+      "refuses the same batch loudly") {
+    val cfg = StreamingGraphIndex.Config(
+      m = 8, maxDegree = 24, nBuckets = 16, idBuckets = 8)
+    val base = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val (graphRoot, vectorRoot) = freshStores(base, cfg)
+    // id 7 re-ingested with a DIFFERENT vector (id 150's embedding — a
+    // deterministic stand-in for an edited document's new embedding)
+    val newVec = emb.filter(col("vec_id") === 150).select(col("embedding"))
+      .crossJoin(emb.filter(col("vec_id") === 7).select(col("vec_id")))
+      .select(col("vec_id"), col("embedding"))
+    assert(StreamingGraphIndex.processBatch(
+      spark, newVec, 0L, graphRoot, vectorRoot, "vec_id", "embedding",
+      cfg).nonEmpty)
+    val live = GraphAnn.readVectorStoreLatest(spark, vectorRoot, "vec_id")
+    assert(live.count() == 200, "re-ingest must not grow the corpus")
+    val row7 = live.filter(col("vec_id") === 7).collect()
+    assert(row7.length == 1, "exactly one live row for the re-ingested id")
+    val served = row7.head.getAs[scala.collection.Seq[Float]]("embedding")
+    val expected = emb.filter(col("vec_id") === 150)
+      .collect().head.getAs[scala.collection.Seq[Float]]("embedding")
+    assert(served == expected, "the NEW vector must be served")
+    // the node's out-edges were re-derived: its new top neighbors score
+    // against the new vector (its beam ran with the replacement)
+    assert(edgesOf(graphRoot).exists(_._1 == 7L), "node 7 stays navigable")
+    // twins agree over the latest view (the ADVICE divergence scenario)
+    val q = newVec.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def hitsOf(small: Int) = GraphAnn.searchMany(
+      GraphAnn.readGraphStoreLatest(spark, graphRoot),
+      GraphAnn.readVectorStoreLatest(spark, vectorRoot, "vec_id"),
+      q, "q_id", "qv", "vec_id", "embedding",
+      k = 5, beamWidth = 24, maxHops = 12, nSeeds = 4,
+      srcBuckets = Some(cfg.nBuckets), idBuckets = Some(cfg.idBuckets),
+      smallBatchBound = small)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hitsOf(0) == hitsOf(64),
+      "distributed and driver-hosted twins must agree after re-ingest")
+    // insert-only mode: the same pre-existing id refuses loudly
+    val (gr3, vr3) = freshStores(base, cfg)
+    val strict = cfg.copy(upsert = false)
+    val err = intercept[IllegalArgumentException] {
+      StreamingGraphIndex.processBatch(
+        spark, newVec, 0L, gr3, vr3, "vec_id", "embedding", strict)
+    }
+    assert(err.getMessage.contains("pre-existing"))
+    // while genuinely-new ids still append fine in insert-only mode
+    val fresh = emb.filter(col("vec_id") >= 200 && col("vec_id") < 203)
+      .select(col("vec_id"), col("embedding"))
+    assert(StreamingGraphIndex.processBatch(
+      spark, fresh, 1L, gr3, vr3, "vec_id", "embedding", strict).nonEmpty)
+    assert(GraphAnn.readVectorStoreLatest(spark, vr3, "vec_id").count() == 203)
   }
 
   test("crash window: corpus leg committed, graph leg lost — the replay " +
@@ -111,8 +170,8 @@ class StreamingGraphIndexSpec extends AnyFunSuite {
     val b0 = emb.filter(col("vec_id") >= 200 && col("vec_id") < 205)
       .select(col("vec_id"), col("embedding"))
     val (graphRoot, vectorRoot) = freshStores(base, cfg)
-    // simulate the crash: ONLY the corpus append landed (tag v0)
-    GraphAnn.appendToVectorStore(spark, vectorRoot, b0, "vec_id",
+    // simulate the crash: ONLY the corpus upsert landed (tag v0)
+    GraphAnn.upsertToVectorStore(spark, vectorRoot, b0, "vec_id",
       cfg.idBuckets, dirTag = Some("v0"))
     val vAfterCrash = graft.sources.SnapshotStore.currentVersion(spark, vectorRoot)
     // the replay completes the batch
@@ -120,13 +179,83 @@ class StreamingGraphIndexSpec extends AnyFunSuite {
       spark, b0, 0L, graphRoot, vectorRoot, "vec_id", "embedding", cfg).nonEmpty)
     assert(graft.sources.SnapshotStore.currentVersion(spark, vectorRoot)
       == vAfterCrash, "replay must not double-append the corpus")
-    assert(GraphAnn.readVectorStore(spark, vectorRoot).count() == 205)
+    assert(GraphAnn.readVectorStoreLatest(spark, vectorRoot, "vec_id")
+      .count() == 205)
     // and the graph equals the no-crash run
     val (gr2, vr2) = freshStores(base, cfg)
     assert(StreamingGraphIndex.processBatch(
       spark, b0, 0L, gr2, vr2, "vec_id", "embedding", cfg).nonEmpty)
     assert(edgesOf(graphRoot) == edgesOf(gr2),
       "crash-replayed graph must equal the clean run")
+  }
+
+  test("ring maintenance in-stream (round 12): with Config(ringRoot) every " +
+      "micro-batch keeps ring coverage at 1.0; a graph-committed/roster-" +
+      "lost crash window is swept by the replay; and the maintenance hook " +
+      "auto-applies stitch_region for stores appended before the ring era") {
+    import graft.operators.{GraphAnn => GA, IndexMaintenance, RingRoster}
+    val dir = java.nio.file.Files.createTempDirectory("graft-sgi-ring")
+    val ringRoot = s"$dir/ring"
+    val cfg = StreamingGraphIndex.Config(
+      m = 8, maxDegree = 32, nBuckets = 8, idBuckets = 8,
+      ringRoot = Some(ringRoot), rosterBuckets = 16)
+    val base = emb.filter(col("vec_id") < 150)
+      .select(col("vec_id"), col("embedding"))
+    val (graphRoot, vectorRoot) = freshStores(base, cfg)
+    RingRoster.write(spark, ringRoot, base.select(col("vec_id")), "vec_id",
+      nBuckets = 16)
+    val b0 = emb.filter(col("vec_id") >= 150 && col("vec_id") < 156)
+      .select(col("vec_id"), col("embedding"))
+    val b1 = emb.filter(col("vec_id") >= 156 && col("vec_id") < 160)
+      .select(col("vec_id"), col("embedding"))
+    assert(StreamingGraphIndex.processBatch(
+      spark, b0, 0L, graphRoot, vectorRoot, "vec_id", "embedding", cfg).nonEmpty)
+    assert(StreamingGraphIndex.processBatch(
+      spark, b1, 1L, graphRoot, vectorRoot, "vec_id", "embedding", cfg).nonEmpty)
+    val roster = () => RingRoster.read(spark, ringRoot)
+    assert(roster().count() == 160, "both batches must join the roster")
+    assert(GA.ringCoverage(
+      GA.readGraphStoreLatest(spark, graphRoot), roster(), "id") == 1.0)
+    assert(IndexMaintenance.planGraph(spark, graphRoot, roster(), "id").isEmpty)
+    // crash window: both store legs committed (tags v2/g2) but the roster
+    // append was lost — the REPLAY of the batch sweeps the roster
+    val b2 = emb.filter(col("vec_id") >= 160 && col("vec_id") < 164)
+      .select(col("vec_id"), col("embedding"))
+    GA.upsertToVectorStore(spark, vectorRoot, b2, "vec_id",
+      cfg.idBuckets, dirTag = Some("v2"))
+    GA.appendNodesToStore(spark, graphRoot,
+      GA.readVectorStoreLatest(spark, vectorRoot, "vec_id")
+        .join(b2.select(col("vec_id")), Seq("vec_id"), "left_anti"),
+      b2, "vec_id", "embedding", m = cfg.m, maxDegree = cfg.maxDegree,
+      nBuckets = cfg.nBuckets, idBuckets = Some(cfg.idBuckets),
+      dirTag = Some("g2")) // NO ringRoot: simulates the lost roster append
+    assert(roster().count() == 160, "crash window: roster missing batch 2")
+    assert(StreamingGraphIndex.processBatch(
+      spark, b2, 2L, graphRoot, vectorRoot, "vec_id", "embedding", cfg).isEmpty,
+      "both legs committed -> replay is a store no-op")
+    assert(roster().count() == 164, "the replay must sweep the roster")
+    // maintenance hook auto-applies the middle rung: strand a batch the
+    // pre-ring way (no roster, no sweep), then run one window
+    val b3 = emb.filter(col("vec_id") >= 164 && col("vec_id") < 180 &&
+      col("vec_id") % 8 < 2).select(col("vec_id"), col("embedding"))
+    GA.upsertToVectorStore(spark, vectorRoot, b3, "vec_id", cfg.idBuckets)
+    GA.appendNodesToStore(spark, graphRoot,
+      GA.readVectorStoreLatest(spark, vectorRoot, "vec_id")
+        .join(b3.select(col("vec_id")), Seq("vec_id"), "left_anti"),
+      b3, "vec_id", "embedding", m = cfg.m, maxDegree = cfg.maxDegree,
+      nBuckets = cfg.nBuckets, idBuckets = Some(cfg.idBuckets))
+    val maintain = StreamingGraphIndex.Maintain(
+      every = 1, buildIds = roster, buildIdCol = "id",
+      thresholds = IndexMaintenance.Thresholds(ringCoverageRebuild = 0.999))
+    val ds = StreamingGraphIndex.applyMaintenance(
+      spark, graphRoot, cfg, maintain)
+    assert(ds.exists(_.action == "stitch_region"),
+      s"stranded nodes must plan the regional stitch: $ds")
+    assert(GA.ringCoverage(
+      GA.readGraphStoreLatest(spark, graphRoot), roster(), "id") == 1.0,
+      "the hook must have applied the repair inline")
+    assert(StreamingGraphIndex.applyMaintenance(
+      spark, graphRoot, cfg, maintain).isEmpty)
   }
 
   test("maintenance hook: delete debt streamed past the fold-waste cut " +
@@ -194,10 +323,12 @@ class StreamingGraphIndexSpec extends AnyFunSuite {
     try {
       input.addData(rows.take(4).toIndexedSeq)
       q.processAllAvailable()
-      assert(GraphAnn.readVectorStore(spark, vectorRoot).count() == 154)
+      assert(GraphAnn.readVectorStoreLatest(spark, vectorRoot, "vec_id")
+        .count() == 154)
       input.addData(rows.drop(4).toIndexedSeq)
       q.processAllAvailable()
-      assert(GraphAnn.readVectorStore(spark, vectorRoot).count() == 158)
+      assert(GraphAnn.readVectorStoreLatest(spark, vectorRoot, "vec_id")
+        .count() == 158)
       val live = edgesOf(graphRoot)
       (150L until 158L).foreach(id =>
         assert(live.exists(_._1 == id), s"streamed node $id must be linked"))
