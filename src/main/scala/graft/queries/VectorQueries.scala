@@ -22,7 +22,8 @@ object VectorQueries {
     * pairs filtered at `threshold`. Ends with a `pairs(vec_a, vec_b, score)`
     * CTE ready for selection or graph traversal.
     */
-  private def lshPairsCtes(threshold: Double, nBits: Int, nTables: Int): String = {
+  private def lshPairsCtes(threshold: Double, nBits: Int, nTables: Int,
+      where: String = ""): String = {
     def bucketExpr(t: Int) = (0 until nBits).map { b =>
       val lit = VectorSearch.hyperplane(t * nBits + b, 64).mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << b} ELSE 0 END)"
@@ -32,7 +33,7 @@ object VectorQueries {
       .mkString("\nUNION ALL\n")
     // WITH RECURSIVE so callers may append recursive CTEs (q3l's reach);
     // DuckDB accepts the keyword when no CTE recurses (q3h)
-    s"""WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings $where),
         b AS MATERIALIZED ($tables),
         cand AS (
           SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
@@ -1857,7 +1858,213 @@ object VectorQueries {
         ${graphBeamCtes(m = 6, nTables = 2, beamWidth = 16, hops = 4, nSeeds = 4)}
         SELECT id AS neighbor_id, score,
                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS INT) AS rn
-        FROM beam4 ORDER BY rn LIMIT 10"""))
+        FROM beam4 ORDER BY rn LIMIT 10""")),
+
+    // Ring-stitched append census, hash-exact (round 12, VERDICT r11 task
+    // 1 — the graph tier's last scale gap closed): build over vec_id<120 +
+    // bucketed store + RingRoster, then ONE appendNodesToStore of 6 nodes
+    // with the ring armed. The insertion beam runs with beamWidth ≥ corpus
+    // (so its top-m is the EXACT global top-m — SQL-derivable without
+    // unrolling hops), maxDegree is sized above any attainable degree (so
+    // the prune provably evicts nothing), and the census is the live edge
+    // set per (src-is-appended, dst-is-appended) with endpoint sums. The
+    // oracle composes the build's own edge CTEs with the wave replay:
+    // exact top-m per appended node, the (md5, id) intra-batch chain, and
+    // the Chord-style finger stitch — circular successor of
+    // draw + off·(2^60 div n) per ladder level, the [[graft.operators
+    // .RingRoster]] semantics verbatim (hex-draw parity per rule 12).
+    "qkw_graph_stitch_census" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val base = e.filter(col("vec_id") < 120)
+        val batch = e.filter(col("vec_id") >= 120 && col("vec_id") < 126)
+          .select(col("vec_id"), col("embedding"))
+        val graph = graft.operators.GraphAnn.buildGraph(
+          base, "vec_id", "embedding", m = 6, nBits = 2, nTables = 2)
+        val root = java.nio.file.Files.createTempDirectory("graft-qkw").toFile
+        try {
+          val groot = new java.io.File(root, "g").toString
+          val rroot = new java.io.File(root, "r").toString
+          graft.operators.GraphAnn.writeGraphStore(s, groot, graph, nBuckets = 4)
+          graft.operators.RingRoster.write(
+            s, rroot, base.select(col("vec_id")), "vec_id", nBuckets = 8)
+          graft.operators.GraphAnn.appendNodesToStore(
+            s, groot, base, batch, "vec_id", "embedding",
+            m = 6, maxDegree = 64, nBuckets = 4, beamWidth = 256,
+            maxHops = 16, nSeeds = 4,
+            ringRoot = Some(rroot), rosterBuckets = 8)
+          val res = graft.operators.GraphAnn.readGraphStoreLatest(s, groot)
+            .groupBy((col("src") >= 120).cast("int").as("src_new"),
+              (col("dst") >= 120).cast("int").as("dst_new"))
+            .agg(count(lit(1)).as("n_edges"),
+              sum(col("src") + col("dst")).cast("long").as("sum_ends"))
+            .orderBy(col("src_new"), col("dst_new"))
+          val rows = res.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+        } finally deleteRecursively(root)
+      },
+      oracle = Some(s"""
+        ${graphEdgesCtes(m = 6, nTables = 2, where = "WHERE vec_id < 120")}
+        ${stitchWaveCtes(1,
+          batchSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+            "FROM embeddings WHERE vec_id >= 120 AND vec_id < 126",
+          corpusSql = "SELECT vec_id, v FROM e",
+          rosterSql = "SELECT vec_id FROM e",
+          m = 6)},
+        fin AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT src, dst FROM nn1
+            UNION ALL SELECT dst, src FROM nn1
+            UNION ALL SELECT src, dst FROM chain1
+            UNION ALL SELECT dst, src FROM chain1
+            UNION ALL SELECT src, dst FROM fing1
+            UNION ALL SELECT dst, src FROM fing1)
+          WHERE src <> dst)
+        SELECT CAST(src >= 120 AS INT) AS src_new,
+               CAST(dst >= 120 AS INT) AS dst_new,
+               COUNT(*) AS n_edges,
+               CAST(SUM(src + dst) AS BIGINT) AS sum_ends
+        FROM fin GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // The STREAMING graph protocol driver-gated (round 12, VERDICT r11
+    // task 7): three-commit-per-batch sequence (corpus upsert v<id> +
+    // graph append g<id> + roster join) replayed over two micro-batches in
+    // a temp root through the REAL StreamingGraphIndex.processBatch —
+    // including an exact REPLAY of batch 1 (must be a version no-op) and a
+    // RE-INGEST in batch 2 (id 5 returns with id 100's embedding: the
+    // upsert tombstone + latest-wins fold must serve exactly one row with
+    // the new vector, r11 ADVICE). Census rows: 'c' = live corpus per
+    // (id_bucket, served-vector-matches-raw), 'g' = live edges per
+    // (src/dst appended), 'v' = version/roster counts pinning the
+    // replay-no-op arithmetic. Oracle: two stitch-wave replays (batch 2's
+    // candidate corpus EXCLUDES the re-ingested id and scores it with its
+    // NEW vector) over the build CTEs, all set-theoretic.
+    "qkx_streaming_graph_census" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = emb(s, dir)
+        val base = e.filter(col("vec_id") < 120)
+        val b1 = e.filter(col("vec_id") >= 120 && col("vec_id") < 123)
+          .select(col("vec_id"), col("embedding"))
+        // both sides file-backed (the toDF-LocalRelation / appendRewrite
+        // Catalyst constraint trap — the qkn discipline)
+        val re5 = e.filter(col("vec_id") === 100).select(col("embedding"))
+          .crossJoin(e.filter(col("vec_id") === 5).select(col("vec_id")))
+          .select(col("vec_id"), col("embedding"))
+        val b2 = e.filter(col("vec_id") >= 123 && col("vec_id") < 125)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(re5)
+        val root = java.nio.file.Files.createTempDirectory("graft-qkx").toFile
+        try {
+          val groot = new java.io.File(root, "g").toString
+          val vroot = new java.io.File(root, "v").toString
+          val rroot = new java.io.File(root, "r").toString
+          val cfg = graft.streaming.StreamingGraphIndex.Config(
+            m = 6, maxDegree = 64, nBuckets = 4, idBuckets = 8,
+            beamWidth = 256, maxHops = 16, nSeeds = 4,
+            ringRoot = Some(rroot), rosterBuckets = 8)
+          graft.operators.GraphAnn.writeGraphStore(s, groot,
+            graft.operators.GraphAnn.buildGraph(
+              base, "vec_id", "embedding", m = 6, nBits = 2, nTables = 2),
+            nBuckets = 4)
+          graft.operators.GraphAnn.writeVectorStore(
+            s, vroot, base.select(col("vec_id"), col("embedding")),
+            "vec_id", nBuckets = 8)
+          graft.operators.RingRoster.write(
+            s, rroot, base.select(col("vec_id")), "vec_id", nBuckets = 8)
+          graft.streaming.StreamingGraphIndex.processBatch(
+            s, b1, 1L, groot, vroot, "vec_id", "embedding", cfg)
+          graft.streaming.StreamingGraphIndex.processBatch(
+            s, b1, 1L, groot, vroot, "vec_id", "embedding", cfg) // replay
+          graft.streaming.StreamingGraphIndex.processBatch(
+            s, b2, 2L, groot, vroot, "vec_id", "embedding", cfg)
+          val live = graft.operators.GraphAnn
+            .readVectorStoreLatest(s, vroot, "vec_id")
+          val raw = e.select(col("vec_id"), col("embedding").as("__raw"))
+          val corpusCensus = live.join(raw, "vec_id")
+            .groupBy(col("id_bucket").as("k1"),
+              (col("embedding") === col("__raw")).cast("int").as("k2"))
+            .agg(count(lit(1)).as("n"), sum(col("vec_id")).cast("long").as("s"))
+            .withColumn("kind", lit("c"))
+          val graphCensus = graft.operators.GraphAnn
+            .readGraphStoreLatest(s, groot)
+            .groupBy((col("src") >= 120).cast("int").as("k1"),
+              (col("dst") >= 120).cast("int").as("k2"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("src") + col("dst")).cast("long").as("s"))
+            .withColumn("kind", lit("g"))
+          val versions = Seq((
+            graft.sources.SnapshotStore.versions(s, vroot).size,
+            graft.sources.SnapshotStore.versions(s, groot).size,
+            graft.operators.RingRoster.read(s, rroot).count(),
+            graft.sources.SnapshotStore.versions(s, rroot).size.toLong))
+            .toDF("k1", "k2", "n", "s")
+            .withColumn("kind", lit("v"))
+          val res = corpusCensus.unionByName(graphCensus)
+            .unionByName(versions)
+            .select(col("kind"), col("k1"), col("k2"), col("n"), col("s"))
+            .orderBy(col("kind"), col("k1"), col("k2"))
+          val rows = res.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+        } finally deleteRecursively(root)
+      },
+      oracle = Some(s"""
+        ${graphEdgesCtes(m = 6, nTables = 2, where = "WHERE vec_id < 120")}
+        ${stitchWaveCtes(1,
+          batchSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+            "FROM embeddings WHERE vec_id >= 120 AND vec_id < 123",
+          corpusSql = "SELECT vec_id, v FROM e",
+          rosterSql = "SELECT vec_id FROM e",
+          m = 6)},
+        ${stitchWaveCtes(2,
+          batchSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+            "FROM embeddings WHERE vec_id >= 123 AND vec_id < 125 " +
+            "UNION ALL SELECT CAST(5 AS BIGINT), " +
+            "CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 100",
+          corpusSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+            "FROM embeddings WHERE vec_id < 123 AND vec_id <> 5",
+          rosterSql = "SELECT vec_id FROM embeddings WHERE vec_id < 123 " +
+            "AND vec_id <> 5",
+          m = 6).stripPrefix(",")},
+        fin AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT src, dst FROM nn1
+            UNION ALL SELECT dst, src FROM nn1
+            UNION ALL SELECT src, dst FROM chain1
+            UNION ALL SELECT dst, src FROM chain1
+            UNION ALL SELECT src, dst FROM fing1
+            UNION ALL SELECT dst, src FROM fing1
+            UNION ALL SELECT src, dst FROM nn2
+            UNION ALL SELECT dst, src FROM nn2
+            UNION ALL SELECT src, dst FROM chain2
+            UNION ALL SELECT dst, src FROM chain2
+            UNION ALL SELECT src, dst FROM fing2
+            UNION ALL SELECT dst, src FROM fing2)
+          WHERE src <> dst),
+        corpus_live AS (
+          SELECT vec_id,
+                 CAST(vec_id % 8 AS INT) AS id_bucket,
+                 CASE WHEN vec_id = 5 THEN
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                    WHERE vec_id = 100)
+                 ELSE CAST(embedding AS DOUBLE[]) END AS served,
+                 CAST(embedding AS DOUBLE[]) AS raw
+          FROM embeddings WHERE vec_id < 125)
+        SELECT kind, k1, k2, n, s FROM (
+          SELECT 'c' AS kind, k1, k2, n, s FROM (
+            SELECT id_bucket AS k1,
+                   CAST(served = raw AS INT) AS k2,
+                   COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS s
+            FROM corpus_live GROUP BY 1, 2)
+          UNION ALL
+          SELECT 'g', CAST(src >= 120 AS INT), CAST(dst >= 120 AS INT),
+                 COUNT(*), CAST(SUM(src + dst) AS BIGINT)
+          FROM fin GROUP BY 2, 3
+          UNION ALL
+          SELECT 'v', 3, 3, CAST(125 AS BIGINT), CAST(3 AS BIGINT))
+        ORDER BY kind, k1, k2"""))
   )
 
   /** Bounded temp-store cleanup for the lifecycle queries above (qkn/qko):
@@ -1885,9 +2092,9 @@ object VectorQueries {
     * .GraphAnn.buildGraph]] edge set. qkt's purge census replays the graph
     * store's set-theoretic live view from this without unrolling a beam.
     */
-  private def graphEdgesCtes(m: Int, nTables: Int): String = {
+  private def graphEdgesCtes(m: Int, nTables: Int, where: String = ""): String = {
     val sb = new StringBuilder
-    sb.append(lshPairsCtes(threshold = -1.0, nBits = 2, nTables = nTables))
+    sb.append(lshPairsCtes(threshold = -1.0, nBits = 2, nTables = nTables, where))
     sb.append(s""",
         sym AS (
           SELECT vec_a AS src, vec_b AS dst, score FROM pairs
@@ -1919,6 +2126,67 @@ object VectorQueries {
             UNION ALL SELECT dst, src FROM longl)
           WHERE src <> dst)""")
     sb.toString
+  }
+
+  /** CTEs replaying ONE stitched append wave set-theoretically (round 12
+    * — the qkw/qkx machinery). Valid when the wave ran with beamWidth ≥
+    * |corpus| and maxHops ≥ diameter (the beam then scores EVERY reachable
+    * corpus node, so its top-m is the global top-m — no hop unrolling) and
+    * maxDegree above any attainable degree (the prune evicts nothing, so
+    * the final edges are a pure union). Emits, suffixed `$k`:
+    * `nn$k` (exact top-`m` per batch node over `corpusSql`, round-6 cosine
+    * DESC / id ASC), `chain$k` (the (md5, id)-ordered intra-batch chain),
+    * and `fing$k` (the [[graft.operators.RingRoster.stitchFingers]]
+    * circular-successor fingers over `rosterSql`: target = draw +
+    * off · (2^60 div n) mod 2^60, successor = argmin (circular distance,
+    * id)). All three SELECT (src, dst). Starts with a ',' — drop it when
+    * chaining after an explicit comma.
+    */
+  private def stitchWaveCtes(
+      k: Int, batchSql: String, corpusSql: String, rosterSql: String,
+      m: Int, ringStride: Int = 2): String = {
+    val P = "1152921504606846976" // 2^60, the RingRoster draw modulus
+    s""",
+        bat$k AS MATERIALIZED ($batchSql),
+        corp$k AS MATERIALIZED ($corpusSql),
+        nn$k AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT b.vec_id AS src, c.vec_id AS dst,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                     ROUND(CAST(list_cosine_similarity(c.v, b.v) AS DOUBLE), 6)
+                       DESC, c.vec_id ASC) AS rnk
+            FROM bat$k b CROSS JOIN corp$k c) WHERE rnk <= $m),
+        bord$k AS MATERIALIZED (
+          SELECT vec_id, ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+          FROM bat$k),
+        chain$k AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst
+          FROM bord$k a JOIN bord$k b ON b.rn = a.rn - 1),
+        rost$k AS MATERIALIZED (
+          SELECT vec_id,
+                 CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS d
+          FROM ($rosterSql)),
+        rn$k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rost$k),
+        offs_s$k AS (
+          SELECT (CAST(1 AS BIGINT) << ($ringStride * CAST(j AS INT))) AS off
+          FROM range(0, 16) t(j), rn$k
+          WHERE (CAST(1 AS BIGINT) << ($ringStride * CAST(j AS INT))) < rn$k.n),
+        tgt$k AS MATERIALIZED (
+          SELECT b.vec_id AS src, o.off,
+                 (CAST('0x' || substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 15)
+                    AS BIGINT)
+                  + o.off * (CAST($P AS BIGINT) // n.n))
+                 % CAST($P AS BIGINT) AS t
+          FROM bat$k b CROSS JOIN offs_s$k o CROSS JOIN rn$k n),
+        fing$k AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT t.src, r.vec_id AS dst,
+                   ROW_NUMBER() OVER (PARTITION BY t.src, t.off ORDER BY
+                     ((r.d - t.t) % CAST($P AS BIGINT) + CAST($P AS BIGINT))
+                       % CAST($P AS BIGINT) ASC, r.vec_id ASC) AS rnk
+            FROM tgt$k t CROSS JOIN rost$k r) WHERE rnk = 1)"""
   }
 
   private def graphBeamCtes(
