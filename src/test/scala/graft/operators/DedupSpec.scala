@@ -47,16 +47,44 @@ class DedupSpec extends AnyFunSuite {
     // propagation needs O(diameter) rounds; pointer jumping must finish a
     // 2000-hop chain comfortably inside maxIter=20 (~log2 rounds)
     val chain = (0L until 1999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(chain, maxIter = 20).collect()
+    // maxDriverPairs = 0 pins the DISTRIBUTED loop — this test exists to
+    // prove ITS convergence, which the r12 driver fast path would bypass
+    val labels = Dedup.connectedComponents(chain, maxIter = 20,
+      maxDriverPairs = 0L).collect()
     assert(labels.length == 2000)
     assert(labels.forall(_.getAs[Long]("component_id") == 0L))
     // and a forest of 100 separate 20-node chains keeps components apart
     val forest = (for (c <- 0L until 100L; i <- 0L until 19L)
       yield (c * 100 + i, c * 100 + i + 1)).toDF("doc_a", "doc_b")
-    val fLabels = Dedup.connectedComponents(forest, maxIter = 20).collect()
+    val fLabels = Dedup.connectedComponents(forest, maxIter = 20,
+      maxDriverPairs = 0L).collect()
     assert(fLabels.length == 2000)
     assert(fLabels.forall(r =>
       r.getAs[Long]("component_id") == (r.getAs[Long]("doc_id") / 100) * 100))
+  }
+
+  test("driver-hosted union-find (round 12) returns EXACTLY the distributed " +
+      "loop's labels, and the fast path engages only under the pair bound") {
+    import spark.implicits._
+    // chains + stars + a dense clique + singleton-free isolation, ids
+    // deliberately out of order so min-labels do real work
+    val mixed = (Seq((7L, 3L), (3L, 9L), (20L, 15L), (15L, 16L), (16L, 21L)) ++
+      (0 until 6).flatMap(i => (i + 1 until 6).map(j => (100L + i, 100L + j))) ++
+      Seq((55L, 54L))).toDF("doc_a", "doc_b")
+    val dist = Dedup.connectedComponents(mixed, maxIter = 20, maxDriverPairs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val drv = Dedup.connectedComponents(mixed, maxIter = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drv == dist, s"driver union-find diverged: ${drv diff dist} / ${dist diff drv}")
+    // the deep chain agrees too (path-halving vs pointer-jumping)
+    val chain2 = (0L until 500L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(chain2).collect()
+      .forall(_.getAs[Long]("component_id") == 0L))
+    // non-long ids (string docs) always take the distributed loop
+    val strPairs = Seq(("a", "b"), ("b", "c")).toDF("doc_a", "doc_b")
+    val strLabels = Dedup.connectedComponents(strPairs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(strLabels == Set(("a", "a"), ("b", "a"), ("c", "a")))
   }
 
   test("blank documents produce no jaccard pairs (no NaN, no phantom clusters)") {
