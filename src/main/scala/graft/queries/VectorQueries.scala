@@ -2064,6 +2064,120 @@ object VectorQueries {
           FROM fin GROUP BY 2, 3
           UNION ALL
           SELECT 'v', 3, 3, CAST(125 AS BIGINT), CAST(3 AS BIGINT))
+        ORDER BY kind, k1, k2""")),
+
+    // Region-scoped ring repair driver-gated (round 12, VERDICT r11 task
+    // 2): a LEGACY (un-ringed) append of 30 nodes all congruent 1 mod 4 —
+    // so exactly src_bucket 1 of the 4-bucket store goes ring-stale
+    // (coverage 0.5 < 0.7) while 1/4 = stitchRegionMaxFrac stays on the
+    // regional rung. The REAL planGraph names stitch_region([1]); the REAL
+    // repairRingRegion stitches forward-only fingers for the uncovered
+    // nodes and joins them to the roster. Census: live edges per
+    // (src-appended, dst-appended) + a 'p' row pinning (stale count,
+    // stale bucket, uncovered count, post-repair version). Oracle: the
+    // append wave's nn/chain (exact under the beamWidth >= corpus
+    // regime) + the SAME fing CTE the stitch declares, FORWARD-only this
+    // time (the commit-footprint contract), with per-bucket coverage and
+    // the stale set derived set-theoretically.
+    "qky_region_repair_census" -> Q(
+      fn = (s, dir) => {
+        val e = emb(s, dir)
+        val base = e.filter(col("vec_id") < 120)
+        val batch = e.filter(col("vec_id") >= 120 && col("vec_id") < 240 &&
+          col("vec_id") % 4 === 1)
+          .select(col("vec_id"), col("embedding"))
+        val root = java.nio.file.Files.createTempDirectory("graft-qky").toFile
+        try {
+          val groot = new java.io.File(root, "g").toString
+          val rroot = new java.io.File(root, "r").toString
+          graft.operators.GraphAnn.writeGraphStore(s, groot,
+            graft.operators.GraphAnn.buildGraph(
+              base, "vec_id", "embedding", m = 6, nBits = 2, nTables = 2),
+            nBuckets = 4)
+          graft.operators.RingRoster.write(
+            s, rroot, base.select(col("vec_id")), "vec_id", nBuckets = 8)
+          // legacy append: NO ringRoot — the pre-round-12 staleness path
+          graft.operators.GraphAnn.appendNodesToStore(
+            s, groot, base, batch, "vec_id", "embedding",
+            m = 6, maxDegree = 128, nBuckets = 4, beamWidth = 256,
+            maxHops = 16, nSeeds = 4)
+          val plan = graft.operators.IndexMaintenance.planGraph(
+            s, groot, graft.operators.RingRoster.read(s, rroot), "id")
+          val stitches = plan.filter(_.action == "stitch_region")
+          val repaired = graft.operators.GraphAnn.repairRingRegion(
+            s, groot, rroot, stitches.head.cells, nBuckets = 4,
+            rosterBuckets = 8)
+          val uncovered =
+            graft.operators.RingRoster.read(s, rroot).count() - 120
+          val pin = Seq((stitches.map(_.cells.size).sum,
+            stitches.head.cells.min, uncovered,
+            repaired.get.toLong))
+          val pinDf = s.createDataFrame(
+            s.sparkContext.parallelize(pin.map(p =>
+              org.apache.spark.sql.Row(p._1, p._2, p._3, p._4)), 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k1",
+                org.apache.spark.sql.types.IntegerType, nullable = false),
+              org.apache.spark.sql.types.StructField("k2",
+                org.apache.spark.sql.types.IntegerType, nullable = false),
+              org.apache.spark.sql.types.StructField("n",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("s",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+            .withColumn("kind", lit("p"))
+          val res = graft.operators.GraphAnn.readGraphStoreLatest(s, groot)
+            .groupBy((col("src") >= 120).cast("int").as("k1"),
+              (col("dst") >= 120).cast("int").as("k2"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("src") + col("dst")).cast("long").as("s"))
+            .withColumn("kind", lit("g"))
+            .unionByName(pinDf)
+            .select(col("kind"), col("k1"), col("k2"), col("n"), col("s"))
+            .orderBy(col("kind"), col("k1"), col("k2"))
+          val rows = res.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+        } finally deleteRecursively(root)
+      },
+      oracle = Some(s"""
+        ${graphEdgesCtes(m = 6, nTables = 2, where = "WHERE vec_id < 120")}
+        ${stitchWaveCtes(1,
+          batchSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+            "FROM embeddings WHERE vec_id >= 120 AND vec_id < 240 " +
+            "AND vec_id % 4 = 1",
+          corpusSql = "SELECT vec_id, v FROM e",
+          rosterSql = "SELECT vec_id FROM e",
+          m = 6)},
+        pre AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT src, dst FROM nn1
+            UNION ALL SELECT dst, src FROM nn1
+            UNION ALL SELECT src, dst FROM chain1
+            UNION ALL SELECT dst, src FROM chain1)
+          WHERE src <> dst),
+        cov AS (
+          SELECT CAST(s % 4 AS INT) AS b,
+                 CAST(SUM(CASE WHEN s < 120 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS c
+          FROM (SELECT DISTINCT src AS s FROM pre) GROUP BY 1),
+        stale AS (SELECT b FROM cov WHERE c < 0.7),
+        fin AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM pre
+            UNION ALL SELECT src, dst FROM fing1)
+          WHERE src <> dst)
+        SELECT kind, k1, k2, n, s FROM (
+          SELECT 'g' AS kind, CAST(src >= 120 AS INT) AS k1,
+                 CAST(dst >= 120 AS INT) AS k2,
+                 COUNT(*) AS n, CAST(SUM(src + dst) AS BIGINT) AS s
+          FROM fin GROUP BY 2, 3
+          UNION ALL
+          SELECT 'p', CAST((SELECT COUNT(*) FROM stale) AS INT),
+                 (SELECT CAST(MIN(b) AS INT) FROM stale),
+                 (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM pre
+                  WHERE src >= 120
+                    AND CAST(src % 4 AS INT) IN (SELECT b FROM stale)),
+                 CAST(3 AS BIGINT))
         ORDER BY kind, k1, k2"""))
   )
 
