@@ -75,7 +75,19 @@ object Bench {
     // vs rebuild 7.5-7.7 s; r10 shipped 17.8 vs 7.6): the hop-latency
     // penalty is gone and the two are within host noise of each other at
     // the fixture; the durable argument stays commit volume (SCALE.md)
-    ("graph_store_append", "graph_store_rebuild") -> 1.0)
+    ("graph_store_append", "graph_store_rebuild") -> 1.0,
+    // round 12: the ring-stitched insert vs the plain one — the measured
+    // price of never needing the O(corpus) rebuild (quiet-box ~15.9 vs
+    // ~8.4 s at the 32k fixture: the stitch's roster jobs + delta commit)
+    ("graph_store_append_ring", "graph_store_append") -> 1.9,
+    // round 12: the warm serving cache where it bites — 5 sequential
+    // batch-1 serves, cold re-reads seeds/adjacency/vectors per call,
+    // warm pays once per store version (quiet-box ~9.4 vs ~0.86 s)
+    ("graph_serve5_seq", "graph_serve5_seq_warm") -> 10.9,
+    // round 12: the INSERT loop pair is commit-dominated at the fixture —
+    // three delta commits + stitch + prune per batch dwarf the reads the
+    // cache saves, so the honest ratio is ~1.1, not the serve pair's 11x
+    ("streaming_graph_4b", "streaming_graph_4b_warm") -> 1.1)
   private val PairRatioTolerance = 3.0
 
   private final case class Stat(
@@ -260,6 +272,31 @@ object Bench {
         graft.operators.GraphAnn.buildGraph(
           gBase, "vec_id", "embedding", m = 16, nBits = 12, nTables = 4),
         nBuckets = 512)
+      // round 12: the ring roster for the stitched-append entry (built
+      // untimed beside the graph, like any (re)build)
+      graft.operators.RingRoster.write(
+        spark, ivfRoot.resolve("gappend_ring").toString,
+        gBase.select(col("vec_id")), "vec_id", nBuckets = 64)
+      // round 12 (VERDICT r11 task 3): the streaming-insert store pairs —
+      // one per cache regime so the cold and warm entries mutate disjoint
+      // state. Small corpus and small layouts on purpose: the entries
+      // measure the per-batch INSERT floor (driver-hosted beam + three
+      // delta commits), which is read-latency-bound, not data-bound.
+      val sgiBase = emb.filter(col("vec_id") < 1600)
+        .select(col("vec_id"), col("embedding"))
+      Seq("sgi_cold", "sgi_warm").foreach { tag =>
+        graft.operators.GraphAnn.writeVectorStore(
+          spark, ivfRoot.resolve(s"$tag/v").toString, sgiBase, "vec_id",
+          nBuckets = 16)
+        graft.operators.GraphAnn.writeGraphStore(
+          spark, ivfRoot.resolve(s"$tag/g").toString,
+          graft.operators.GraphAnn.buildGraph(
+            sgiBase, "vec_id", "embedding", m = 8, nBits = 5),
+          nBuckets = 16)
+        graft.operators.RingRoster.write(
+          spark, ivfRoot.resolve(s"$tag/r").toString,
+          sgiBase.select(col("vec_id")), "vec_id", nBuckets = 32)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ANN setup failed: ${e.getMessage}")
     }
@@ -325,13 +362,35 @@ object Bench {
       // against graph_ann_search5_store
       "graph_ann_search1_local" -> (() => graphAnnSearchLocal(spark, sfDir, ivfRoot, 1)),
       "graph_ann_search5_local" -> (() => graphAnnSearchLocal(spark, sfDir, ivfRoot, 5)),
+      // round 12 (VERDICT r11 task 3): the warm serving cache where it
+      // bites — a SERVING loop (5 sequential batch-1 searches against an
+      // unchanged store). Cold pays the seed job + per-hop adjacency and
+      // vector fetches on every call; warm pays them once per store
+      // version (the handle survives calls AND runs: the store never
+      // changes, so even the untimed warmup leaves it hot — the measured
+      // number IS the steady serve floor)
+      "graph_serve5_seq" -> (() => graphAnnServeLoop(spark, sfDir, ivfRoot, warm = false)),
+      "graph_serve5_seq_warm" -> (() => graphAnnServeLoop(spark, sfDir, ivfRoot, warm = true)),
       // round 10 (VERDICT r9 task 1): graph-index maintenance — a full
       // rebuild re-runs the LSH build over all 32k vectors and commits the
       // whole edge table; the append beam-searches an 8-node delta
       // (corpus-size-independent hop cost) and commits only the touched
       // src_bucket partitions via replacePartitions
       "graph_store_rebuild" -> (() => graphStoreRebuild(spark, ivfRoot)),
-      "graph_store_append" -> (() => graphStoreAppend(spark, ivfRoot)))
+      "graph_store_append" -> (() => graphStoreAppend(spark, ivfRoot)),
+      // round 12 (VERDICT r11 task 1): the SAME 8-node insert with ring
+      // maintenance armed — finger stitch against the 32k roster + the
+      // roster delta commit ride along; the delta vs graph_store_append
+      // is the measured price of never needing the O(corpus) rebuild
+      // (which graph_store_rebuild prices directly above)
+      "graph_store_append_ring" -> (() => graphStoreAppendRing(spark, ivfRoot)),
+      // round 12 (VERDICT r11 task 3): a 4-batch streaming graph insert
+      // loop (three delta commits per batch: corpus upsert + graph append
+      // + roster) cold vs with the store-version-keyed warm serving cache
+      // — the delta is the adjacency/vector/seed re-read a steady-state
+      // insert loop no longer pays per batch
+      "streaming_graph_4b" -> (() => streamingGraphInsert(spark, sfDir, ivfRoot, warm = false)),
+      "streaming_graph_4b_warm" -> (() => streamingGraphInsert(spark, sfDir, ivfRoot, warm = true)))
     val extraResults = extras.filter(e => selected(e._1))
       .map { case (name, fn) => settle(); timed(name)(fn()) }
     // repeated per-round runs must not accumulate /tmp parquet
@@ -548,7 +607,15 @@ object Bench {
     val live = graft.operators.IvfIndex.readStoreLatest(spark, sroot, "vec_id")
     val worst = graft.operators.IvfIndex.worstCells(
       graft.operators.IvfIndex.cellQuality(live, "q8", "scale", idx), k = 4)
-    graft.operators.IvfIndex.refreshCells(spark, sroot, idx, worst, "vec_id")
+    val (_, v) = graft.operators.IvfIndex.refreshCells(
+      spark, sroot, idx, worst, "vec_id")
+    // steady state (round 12, VERDICT r11 task 4 / r11 ADVICE A2): discard
+    // the repair commit, so EVERY execution — warm, timed, and every later
+    // round — localizes and repairs the SAME store image (the same worst
+    // cells, the same member volume) instead of progressively healing it;
+    // the measured region still includes the full localize + Lloyd +
+    // partition-replace commit cost (the discard itself is two file ops)
+    graft.sources.SnapshotStore.discardVersion(spark, sroot, v)
     ()
   }
 
@@ -598,6 +665,40 @@ object Bench {
     * the entry pair measures exactly the distributed loop's fixed per-hop
     * cost.
     */
+  private val gserveWarmCache = new graft.operators.GraphAnn.ServingCache
+
+  /** Five SEQUENTIAL batch-1 searches against the unchanged `gserve`
+    * store — the steady-state serving loop. `warm = true` routes all five
+    * through the shared version-keyed handle (seed image + adjacency +
+    * vectors reused across calls; the raw embeddings table is keyed as a
+    * constant pseudo-version since nothing rewrites it during a bench
+    * run); `warm = false` lets each call rebuild its caches from scratch,
+    * which is what serving paid every call before round 12.
+    */
+  private def graphAnnServeLoop(
+      spark: SparkSession, sfDir: String, root: java.nio.file.Path,
+      warm: Boolean): Unit = {
+    import org.apache.spark.sql.functions.col
+    val groot = root.resolve("gserve").toString
+    val g = graft.operators.GraphAnn.readGraphStore(spark, groot)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cache = if (warm) {
+      gserveWarmCache.ensure(
+        s"raw:$sfDir/embeddings", 0, groot,
+        graft.sources.SnapshotStore.currentVersion(spark, groot).getOrElse(0))
+      Some(gserveWarmCache)
+    } else None
+    (0 until 5).foreach { q =>
+      val queries = emb.filter(col("vec_id") === q)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      graft.operators.GraphAnn.searchManyLocal(
+        g, emb, queries, "q_id", "qv", "vec_id", "embedding",
+        k = 10, beamWidth = 96, maxHops = 24, nSeeds = 4, expandPerHop = 8,
+        srcBuckets = Some(64), cache = cache)
+        .count()
+    }
+  }
+
   private def graphAnnSearchLocal(
       spark: SparkSession, sfDir: String, root: java.nio.file.Path,
       nQueries: Int): Unit = {
@@ -646,6 +747,81 @@ object Bench {
       gBig.filter(col("vec_id") % 4096 === 0),
       "vec_id", "embedding", m = 16, maxDegree = 48, nBuckets = 512)
     ()
+  }
+
+  /** The [[graphStoreAppend]] delta with ring maintenance armed: fingers
+    * stitched against the pre-built 32k roster + the roster delta commit.
+    * Shares the gappend store with the plain entry (cumulative-append
+    * convention), so the per-invocation work shape stays the 8-node
+    * insert ± the stitch.
+    */
+  private def graphStoreAppendRing(
+      spark: SparkSession, root: java.nio.file.Path): Unit = {
+    import org.apache.spark.sql.functions.col
+    val gBig = spark.read.parquet(root.resolve("corpus").toString)
+    graft.operators.GraphAnn.appendNodesToStore(
+      spark, root.resolve("gappend").toString,
+      gBig.filter(col("vec_id") % 4096 =!= 0),
+      gBig.filter(col("vec_id") % 4096 === 0),
+      "vec_id", "embedding", m = 16, maxDegree = 48, nBuckets = 512,
+      ringRoot = Some(root.resolve("gappend_ring").toString),
+      rosterBuckets = 64)
+    ()
+  }
+
+  // monotonic epoch counter shared by both streaming-insert entries: every
+  // run's batch ids are globally fresh, so the durable `_tags` replay
+  // guards (which survive the end-of-run version discard) never suppress a
+  // later run's work
+  private var sgiEpoch = 0
+  private val sgiWarmCache = new graft.operators.GraphAnn.ServingCache
+
+  /** A 4-batch streaming graph insert through the REAL
+    * `StreamingGraphIndex.processBatch` (corpus upsert + graph append +
+    * roster join per batch), cold or with the warm serving-cache handle.
+    * The warm entry's first batch fills the cache; batches 2-4 measure
+    * the steady state the handle exists for.
+    *
+    * STEADY-STATE by construction (the ivf_store_refresh discipline, r11
+    * ADVICE A2 generalized): the run's 12 delta commits are discarded at
+    * the end (cheap file ops inside the timed window), so every rep — and
+    * every later round — inserts into the IDENTICAL store image instead
+    * of a monotonically growing one. The first artifact shipped without
+    * the discard and measured exactly that failure: reps slowed 59 →
+    * 103 → 135 s as `readVectorStoreLatest` unioned one scan per
+    * accumulated commit dir. Batch ids stay monotonically fresh across
+    * runs via `sgiEpoch`; node ids can repeat because the stores reset.
+    */
+  private def streamingGraphInsert(
+      spark: SparkSession, sfDir: String, root: java.nio.file.Path,
+      warm: Boolean): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tag = if (warm) "sgi_warm" else "sgi_cold"
+    val k = sgiEpoch
+    sgiEpoch += 1
+    val emb = Tables(spark, sfDir, "embeddings")
+    val (groot, vroot, rroot) = (root.resolve(s"$tag/g").toString,
+      root.resolve(s"$tag/v").toString, root.resolve(s"$tag/r").toString)
+    val cfg = graft.streaming.StreamingGraphIndex.Config(
+      m = 8, maxDegree = 24, nBuckets = 16, idBuckets = 16,
+      beamWidth = 16, maxHops = 6,
+      ringRoot = Some(rroot), rosterBuckets = 32)
+    val cache = if (warm) Some(sgiWarmCache) else None
+    def v0(r: String) =
+      graft.sources.SnapshotStore.currentVersion(spark, r).getOrElse(0)
+    val bases = Seq(groot, vroot, rroot).map(r => r -> v0(r))
+    (0 until 4).foreach { j =>
+      val lo = 1600 + j * 8
+      val batch = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 8)
+        .select(col("vec_id"), col("embedding"))
+      graft.streaming.StreamingGraphIndex.processBatch(
+        spark, batch, (k * 4 + j).toLong, groot, vroot,
+        "vec_id", "embedding", cfg, cache)
+    }
+    bases.foreach { case (r, base) =>
+      while (v0(r) > base)
+        graft.sources.SnapshotStore.discardVersion(spark, r, v0(r))
+    }
   }
 
   private def streamingDedup4Batches(
