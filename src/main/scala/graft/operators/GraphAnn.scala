@@ -321,6 +321,141 @@ object GraphAnn {
     (touched, pruned)
   }
 
+  /** Spark-identical md5 hex of a long id (lowercase, 32 chars) — the
+    * driver twin of `md5(col.cast("string"))`, shared by the serving
+    * cache's seed image and the driver-hosted rewrite's chain order.
+    */
+  private[operators] def md5hexOf(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** The DRIVER-HOSTED twin of [[appendRewrite]] for SMALL deltas (round
+    * 12 optimization — the searchManyLocal philosophy applied to the
+    * insert's rewrite leg): the distributed rewrite executes ~40 AQE
+    * stage-jobs of joins/windows per micro-insert to prune a few hundred
+    * candidate edges, a fixed scheduling latency that dominates every
+    * store insert (profiled ~100 stage-jobs/batch on the streaming-insert
+    * bench entries). This kernel computes the SAME (touched, pruned) sets
+    * with two bounded cluster reads — the touched srcs' current edges
+    * (src_bucket-pruned point lookup) and the candidate endpoints'
+    * vectors (id_bucket-pruned when available, reusing the serving
+    * cache's vector map) — and the prune arithmetic on the driver:
+    * identical scores (`IvfIndex.cosineScalar`/`roundHalfUp`, the proven
+    * equivalents of the codegen round-6 cosine), identical orderings
+    * (exempt desc, score desc, dst asc / score asc, dst desc), so the
+    * rewritten edge lists are row-identical (GraphAnnSpec gates the full
+    * store image against the distributed path). Driver image is bounded
+    * by delta × (m + 2 + ring levels) srcs × maxDegree edges — the
+    * smallBatchBound serving contract; large deltas stay distributed.
+    */
+  private def driverAppendRewrite(
+      store: DataFrame, corpus: DataFrame,
+      delta: IndexedSeq[(Long, Array[Float])],
+      idCol: String, vecCol: String,
+      m: Int, maxDegree: Int, beamWidth: Int, maxHops: Int, nSeeds: Int,
+      expandPerHop: Int, scoreScale: Int, reserveLong: Int,
+      srcBuckets: Int, idBuckets: Option[Int],
+      stitchedRows: Seq[(Long, Long)],
+      cache: Option[ServingCache]): (Seq[Long], Seq[(Long, Long)]) = {
+    require(m > 0 && maxDegree >= m, s"need maxDegree >= m > 0, got $maxDegree/$m")
+    require(reserveLong >= 0 && reserveLong + 2 <= maxDegree,
+      s"need 0 <= reserveLong <= maxDegree - 2, got $reserveLong/$maxDegree")
+    // 1) each new node's top-m neighbors by the graph's own beam search —
+    //    the searchManyLocal kernel, rows staying on the driver
+    val nn = searchManyLocalRows(store, corpus, delta, idCol, vecCol,
+      k = m, beamWidth = beamWidth, maxHops = maxHops, nSeeds = nSeeds,
+      expandPerHop = expandPerHop, scoreScale = scoreScale,
+      srcBuckets = Some(srcBuckets), resultFilter = None,
+      idBuckets = idBuckets, cache = cache)
+      .map { case (qid, id, _, _) => (qid, id) }
+    // 2) intra-batch chain in (md5(id), id) order (hex ASCII compares
+    //    identically to Spark's binary string ordering)
+    val ordered = delta.map(_._1).distinct
+      .sortBy(id => (md5hexOf(id), id))
+    val chain = ordered.zip(ordered.drop(1))
+    // 3) merged candidate flags per (src, dst): pre-existing edges of the
+    //    touched srcs + new edges (nn symmetrized, chain + stitched
+    //    symmetrized and prune-exempt) — the appendRewrite groupBy/max
+    val flags = scala.collection.mutable.Map.empty[(Long, Long), (Boolean, Boolean)]
+    def mark(src: Long, dst: Long, pre: Boolean, chainF: Boolean): Unit =
+      if (src != dst) {
+        val (p0, c0) = flags.getOrElse((src, dst), (false, false))
+        flags((src, dst)) = (p0 || pre, c0 || chainF)
+      }
+    nn.foreach { case (s, d) => mark(s, d, pre = false, chainF = false)
+      mark(d, s, pre = false, chainF = false) }
+    (chain ++ stitchedRows).foreach { case (s, d) =>
+      mark(s, d, pre = false, chainF = true)
+      mark(d, s, pre = false, chainF = true) }
+    val touched = flags.keysIterator.map(_._1).toSeq.distinct.sorted
+    val touchedBuckets = touched
+      .map(id => (((id % srcBuckets) + srcBuckets) % srcBuckets).toInt).distinct
+    // the touched srcs' current edge lists: one src_bucket-pruned point
+    // lookup (the distributed path's left-semi join, as a literal scan)
+    store.where(col("src_bucket").isin(touchedBuckets: _*))
+      .where(col("src").isInCollection(touched))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+      .foreach { r =>
+        val (s, d) = (r.getLong(0), r.getLong(1))
+        val (_, c0) = flags.getOrElse((s, d), (false, false))
+        flags((s, d)) = (true, c0)
+      }
+    // 4) vectors for scoring: batch vectors (driver-held) + corpus point
+    //    lookups (id_bucket-pruned, reusing the serving cache's map — an
+    //    id absent from the corpus view drops its edges, exactly like the
+    //    distributed inner scoring join)
+    val batchVec = delta.toMap
+    val vecCache = cache.map(_.vecCache).getOrElse(
+      scala.collection.mutable.Map.empty[Long, Option[(Array[Float], Boolean)]])
+    val endpoints = flags.keysIterator
+      .flatMap { case (s, d) => Iterator(s, d) }.toSeq.distinct
+    val missing = endpoints
+      .filterNot(batchVec.contains).filterNot(vecCache.contains)
+    if (missing.nonEmpty) {
+      val cBase = corpus.select(
+        col(idCol).cast("long").as("__vid") +:
+          VectorFunctions.asFloatArray(col(vecCol)).as("__v") +:
+          (if (idBuckets.isDefined) Seq(col("id_bucket")) else Nil): _*)
+      val slice = idBuckets match {
+        case Some(nb) =>
+          val buckets = missing.map(id => (((id % nb) + nb) % nb).toInt).distinct
+          cBase.where(col("id_bucket").isin(buckets: _*)).drop("id_bucket")
+        case None => cBase
+      }
+      slice.where(col("__vid").isInCollection(missing)).collect().foreach { r =>
+        vecCache(r.getLong(0)) =
+          Some((r.getAs[scala.collection.Seq[Float]](1).toArray, true))
+      }
+      missing.foreach(id => vecCache.getOrElseUpdate(id, None))
+    }
+    def vecOf(id: Long): Option[Array[Float]] =
+      batchVec.get(id).orElse(vecCache.get(id).flatMap(_.map(_._1)))
+    // 5) score + degree prune with reservation, per touched src — the
+    //    distributed windows' exact orderings on driver collections
+    final case class Edge(dst: Long, score: Double, pre: Boolean, chainF: Boolean)
+    val bySrc = flags.toSeq.flatMap { case ((s, d), (pre, chainF)) =>
+      for (sv <- vecOf(s); dv <- vecOf(d)) yield
+        s -> Edge(d, IvfIndex.roundHalfUp(
+          IvfIndex.cosineScalar(sv, dv), scoreScale), pre, chainF)
+    }.groupBy(_._1)
+    val pruned = bySrc.toSeq.flatMap { case (s, es0) =>
+      val es = es0.map(_._2)
+      val reserved = es.filter(_.pre)
+        .sortBy(e => (e.score, -e.dst))(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+        .take(reserveLong).map(_.dst).toSet
+      es.map(e => (e, e.chainF || reserved.contains(e.dst)))
+        .sortBy { case (e, ex) => (!ex, -e.score, e.dst) }(
+          Ordering.Tuple3(Ordering.Boolean,
+            Ordering.Double.TotalOrdering, Ordering.Long))
+        .take(maxDegree)
+        .map { case (e, _) => (s, e.dst) }
+    }
+    (touched, pruned)
+  }
+
   /** [[appendNodes]] against a versioned store, committing DELTA-SIZED
     * bytes (VERDICT r9 task 1 — the `IvfIndex.appendToStore` discipline
     * applied to the graph tier): the rewrite is confined to the
@@ -389,33 +524,90 @@ object GraphAnn {
     // against the roster) never decays toward the full-rebuild cliff.
     // Fingers are computed against the roster MINUS this batch (replay-
     // stable) and ride the rewrite as prune-exempt edges.
+    val storeView = store.select(col("src").cast("long"),
+      col("dst").cast("long"), col("src_bucket"))
+    // small deltas take the DRIVER-HOSTED rewrite twin (round 12
+    // optimization): one bounded collect decides, and the whole
+    // join/window prune DAG collapses to two point-lookup reads + driver
+    // arithmetic — spec-gated row-identical to the distributed rewrite
+    val deltaImage: Option[IndexedSeq[(Long, Array[Float])]] =
+      if (smallBatchBound <= 0) None
+      else {
+        val rows = newVecs.select(col(idCol).cast("long"),
+            graft.functions.VectorFunctions.asFloatArray(col(vecCol)))
+          .limit(smallBatchBound + 1).collect()
+        if (rows.length > smallBatchBound) None
+        else Some(rows.toIndexedSeq.map(r =>
+          r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray))
+      }
     val stitched = ringRoot.map(rr => RingRoster.stitchFingers(
       spark, rr, newVecs.select(col(idCol)), idCol, ringStride, rosterBuckets))
-    val (touched, pruned) = appendRewrite(
-      g, store.select(col("src").cast("long"), col("dst").cast("long"),
-        col("src_bucket")), Some(nBuckets),
-      corpus, newVecs, idCol, vecCol,
-      m, maxDegree, beamWidth = beamWidth, maxHops = maxHops,
-      nSeeds = nSeeds, expandPerHop = expandPerHop, scoreScale = 6,
-      reserveLong = reserveLong, smallBatchBound = smallBatchBound,
-      idBuckets = idBuckets, stitched = stitched, cache = servingCache)
     val bucketOf = pmod(col("src"), lit(nBuckets.toLong)).cast("int")
-    val touchedBuckets = touched.select(bucketOf.as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ nBuckets ints
-    // complete new content of the touched buckets = rewritten touched-src
-    // rows + same-bucket untouched srcs carried unchanged (the store scan
-    // below partition-prunes to exactly the touched buckets); bucket rows
-    // are shuffled together pre-write (the writeGraphStore file-fanout rule)
-    val carried = store
-      .where(col("src_bucket").isin(touchedBuckets: _*))
-      .select(col("src").cast("long"), col("dst").cast("long"))
-      .join(touched, Seq("src"), "left_anti")
-    val replacement = pruned.unionByName(carried)
-      .withColumn("src_bucket", bucketOf)
-      .repartition(col("src_bucket"))
-    val v = graft.sources.SnapshotStore.replacePartitions(
-      spark, root, replacement, "src_bucket", expectedBase = Some(baseV),
-      dirTag = dirTag)
+    val (v, touchedForCache) = deltaImage match {
+      case Some(delta) =>
+        val stitchedRows = stitched.map(_
+            .select(col("src").cast("long"), col("dst").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+          .getOrElse(Seq.empty)
+        val (touchedSeq, prunedRows) = driverAppendRewrite(
+          storeView, corpus, delta, idCol, vecCol,
+          m, maxDegree, beamWidth, maxHops, nSeeds, expandPerHop,
+          scoreScale = 6, reserveLong = reserveLong,
+          srcBuckets = nBuckets, idBuckets = idBuckets,
+          stitchedRows = stitchedRows, cache = servingCache)
+        val touchedBuckets = touchedSeq
+          .map(id => (((id % nBuckets) + nBuckets) % nBuckets).toInt).distinct
+        val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("dst",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        val prunedDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            prunedRows.map { case (s, d) => org.apache.spark.sql.Row(s, d) }, 1),
+          edgeSchema)
+        // carried: same-bucket untouched srcs, as a literal anti-filter
+        // (partition-pruned scan, no join)
+        val carried = store
+          .where(col("src_bucket").isin(touchedBuckets: _*))
+          .select(col("src").cast("long"), col("dst").cast("long"))
+          .where(!col("src").isInCollection(touchedSeq))
+        val replacement = prunedDf.unionByName(carried)
+          .withColumn("src_bucket", bucketOf)
+          .repartition(col("src_bucket"))
+        (graft.sources.SnapshotStore.replacePartitions(
+          spark, root, replacement, "src_bucket", expectedBase = Some(baseV),
+          dirTag = dirTag), touchedSeq)
+      case None =>
+        val (touched, pruned) = appendRewrite(
+          g, storeView, Some(nBuckets),
+          corpus, newVecs, idCol, vecCol,
+          m, maxDegree, beamWidth = beamWidth, maxHops = maxHops,
+          nSeeds = nSeeds, expandPerHop = expandPerHop, scoreScale = 6,
+          reserveLong = reserveLong, smallBatchBound = 0,
+          idBuckets = idBuckets, stitched = stitched, cache = servingCache)
+        val touchedBuckets = touched.select(bucketOf.as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ nBuckets ints
+        // complete new content of the touched buckets = rewritten touched-src
+        // rows + same-bucket untouched srcs carried unchanged (the store scan
+        // below partition-prunes to exactly the touched buckets); bucket rows
+        // are shuffled together pre-write (the writeGraphStore file-fanout rule)
+        val carried = store
+          .where(col("src_bucket").isin(touchedBuckets: _*))
+          .select(col("src").cast("long"), col("dst").cast("long"))
+          .join(touched, Seq("src"), "left_anti")
+        val replacement = pruned.unionByName(carried)
+          .withColumn("src_bucket", bucketOf)
+          .repartition(col("src_bucket"))
+        val ver = graft.sources.SnapshotStore.replacePartitions(
+          spark, root, replacement, "src_bucket", expectedBase = Some(baseV),
+          dirTag = dirTag)
+        // warm-cache advance needs the touched srcs — one delta-bounded
+        // collect on the distributed path (driver path knows them already)
+        (ver, if (servingCache.isDefined)
+          touched.select(col("src")).collect().map(_.getLong(0)).toIndexedSeq
+        else Seq.empty[Long])
+    }
     // roster append AFTER the graph commit (idempotent — already-rostered
     // ids anti-join out), so a crash mid-write leaves the roster honest;
     // the one crash window left (graph committed, roster not) reads as
@@ -427,10 +619,8 @@ object GraphAnn {
       ()
     }
     // warm-cache advance (round 12): exactly the rewritten srcs' adjacency
-    // changed at this commit — one delta-bounded collect keeps the rest of
-    // the handle warm for the next insert/serve
-    servingCache.foreach(_.advanceGraph(root, v,
-      touched.select(col("src")).collect().map(_.getLong(0)).toIndexedSeq))
+    // changed at this commit
+    servingCache.foreach(_.advanceGraph(root, v, touchedForCache))
     v
   }
 
@@ -1193,6 +1383,7 @@ object GraphAnn {
         VectorFunctions.asFloatArray(col(qVec)))
       .collect()
       .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+      .toIndexedSeq
     // output schema matches the distributed path's (nullable columns,
     // RDD-backed relation): a non-nullable LocalRelation head changes the
     // downstream plan shape — empirically it trips Catalyst's Union
@@ -1211,7 +1402,28 @@ object GraphAnn {
     if (qs.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val out = searchManyLocalRows(graph, corpus, qs, idCol, vecCol, k,
+      beamWidth, maxHops, nSeeds, expandPerHop, scoreScale, srcBuckets,
+      resultFilter, idBuckets, cache)
+      .map { case (qid, id, s, rn) => org.apache.spark.sql.Row(qid, id, s, rn) }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), outSchema)
+  }
 
+  /** [[searchManyLocal]]'s kernel with driver-side inputs and outputs —
+    * the round-12 optimization seam: the driver-hosted append rewrite
+    * consumes (query, neighbor) rows directly, so the insert path no
+    * longer round-trips them through parallelize + re-collect.
+    */
+  private[graft] def searchManyLocalRows(
+      graph: DataFrame, corpus: DataFrame,
+      qs: IndexedSeq[(Long, Array[Float])],
+      idCol: String, vecCol: String,
+      k: Int, beamWidth: Int, maxHops: Int, nSeeds: Int,
+      expandPerHop: Int, scoreScale: Int,
+      srcBuckets: Option[Int],
+      resultFilter: Option[org.apache.spark.sql.Column],
+      idBuckets: Option[Int],
+      cache: Option[ServingCache]): Seq[(Long, Long, Double, Int)] = {
     // warm-cache handle (round 12): filtered searches bypass it — the
     // cached keep-flag is predicate-specific. Seeds come from the cached
     // image when present (exact: the caller's ensure/advance protocol
@@ -1339,16 +1551,13 @@ object GraphAnn {
       anyFrontier = states.exists(_.beam.exists(!_._3))
       hop += 1
     }
-    val out = states.toSeq.flatMap { st =>
+    states.toSeq.flatMap { st =>
       val ranked =
         if (filtered) st.results
         else st.beam.map { case (id, s, _) => (id, s) }
           .sortBy(t => (-t._2, t._1)).take(k)
-      ranked.zipWithIndex.map { case ((id, s), i) =>
-        org.apache.spark.sql.Row(st.qid, id, s, i + 1)
-      }
+      ranked.zipWithIndex.map { case ((id, s), i) => (st.qid, id, s, i + 1) }
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), outSchema)
   }
 
   /** Result of one [[localBeam]] search: ranked (id, score) plus the

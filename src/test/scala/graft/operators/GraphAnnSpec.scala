@@ -768,6 +768,71 @@ class GraphAnnSpec extends AnyFunSuite {
       f"stitched recall $rStitched%.4f drifted > 0.05 below fresh $rFresh%.4f")
   }
 
+  test("driver-hosted append rewrite (round 12 optimization): a small-delta " +
+      "appendNodesToStore through the driver twin commits the IDENTICAL " +
+      "store image as the distributed rewrite — ring stitch and bucketed " +
+      "corpus armed, warm cache on the driver side") {
+    val base = emb.filter(col("vec_id") < 200)
+    val delta = emb.filter(col("vec_id") >= 200 && col("vec_id") < 212)
+    def build(tag: String): (String, String, String) = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-dar-$tag").toString
+      val vroot = java.nio.file.Files.createTempDirectory(s"graft-dar-v-$tag").toString
+      val rroot = java.nio.file.Files.createTempDirectory(s"graft-dar-r-$tag").toString
+      GraphAnn.writeGraphStore(spark, root,
+        GraphAnn.buildGraph(base, "vec_id", "embedding", m = 8), nBuckets = 8)
+      GraphAnn.writeVectorStore(spark, vroot, base.select(col("vec_id"),
+        col("embedding")), "vec_id", nBuckets = 8)
+      RingRoster.write(spark, rroot, base.select(col("vec_id")), "vec_id",
+        nBuckets = 16)
+      (root, vroot, rroot)
+    }
+    def append(roots: (String, String, String), bound: Int,
+        cache: Option[GraphAnn.ServingCache]): Int = {
+      val (root, vroot, rroot) = roots
+      GraphAnn.appendNodesToStore(spark, root,
+        GraphAnn.readVectorStore(spark, vroot), delta,
+        "vec_id", "embedding", m = 8, maxDegree = 24, nBuckets = 8,
+        beamWidth = 16, maxHops = 8, smallBatchBound = bound,
+        idBuckets = Some(8), ringRoot = Some(rroot), rosterBuckets = 16,
+        servingCache = cache)
+    }
+    def image(root: String): Set[(Long, Long, Int)] =
+      GraphAnn.readGraphStore(spark, root)
+        .select(col("src"), col("dst"), col("src_bucket"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fastRoots = build("fast")
+    val distRoots = build("dist")
+    val cache = new GraphAnn.ServingCache
+    cache.ensure(fastRoots._2, 1, fastRoots._1, 1)
+    append(fastRoots, bound = 64, cache = Some(cache)) // driver twin (12 <= 64)
+    append(distRoots, bound = 0, cache = None) // distributed rewrite forced
+    assert(image(fastRoots._1) == image(distRoots._1),
+      "driver-hosted rewrite must commit the identical store image")
+    // the roster advanced identically on both sides
+    def rosterIds(r: String): Set[Long] = RingRoster.read(spark, r)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(rosterIds(fastRoots._3) == rosterIds(distRoots._3))
+    // and a SECOND wave through the warm handle still matches (the cache
+    // advance path: masked ids, merged seeds, dropped touched adjacency)
+    val delta2 = emb.filter(col("vec_id") >= 212 && col("vec_id") < 220)
+    def append2(roots: (String, String, String), bound: Int,
+        cache: Option[GraphAnn.ServingCache]): Int = {
+      val (root, vroot, rroot) = roots
+      GraphAnn.appendNodesToStore(spark, root,
+        GraphAnn.readVectorStore(spark, vroot), delta2,
+        "vec_id", "embedding", m = 8, maxDegree = 24, nBuckets = 8,
+        beamWidth = 16, maxHops = 8, smallBatchBound = bound,
+        idBuckets = Some(8), ringRoot = Some(rroot), rosterBuckets = 16,
+        servingCache = cache)
+    }
+    cache.ensure(fastRoots._2, 1, fastRoots._1,
+      graft.sources.SnapshotStore.currentVersion(spark, fastRoots._1).get)
+    append2(fastRoots, bound = 64, cache = Some(cache))
+    append2(distRoots, bound = 0, cache = None)
+    assert(image(fastRoots._1) == image(distRoots._1),
+      "second warm-cache wave must stay identical to the distributed path")
+  }
+
   test("AnnTuner.tuneBeam (round 12, VERDICT r11 task 6): the serving-knob " +
       "grid measures recall/cost/hops per config on the audit sample, the " +
       "selection is the cheapest point meeting the target, and the winning " +
