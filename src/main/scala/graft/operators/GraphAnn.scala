@@ -540,14 +540,14 @@ object GraphAnn {
         else Some(rows.toIndexedSeq.map(r =>
           r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray))
       }
-    val stitched = ringRoot.map(rr => RingRoster.stitchFingers(
-      spark, rr, newVecs.select(col(idCol)), idCol, ringStride, rosterBuckets))
     val bucketOf = pmod(col("src"), lit(nBuckets.toLong)).cast("int")
     val (v, touchedForCache) = deltaImage match {
       case Some(delta) =>
-        val stitchedRows = stitched.map(_
-            .select(col("src").cast("long"), col("dst").cast("long"))
-            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+        // driver-hosted stitch twin: targets + arcs computed on the
+        // driver, one argmin aggregate job (RingRosterSpec-gated
+        // identical to the distributed stitch)
+        val stitchedRows = ringRoot.map(rr => RingRoster.stitchFingersLocal(
+            spark, rr, delta.map(_._1), ringStride, rosterBuckets))
           .getOrElse(Seq.empty)
         val (touchedSeq, prunedRows) = driverAppendRewrite(
           storeView, corpus, delta, idCol, vecCol,
@@ -579,6 +579,9 @@ object GraphAnn {
           spark, root, replacement, "src_bucket", expectedBase = Some(baseV),
           dirTag = dirTag), touchedSeq)
       case None =>
+        val stitched = ringRoot.map(rr => RingRoster.stitchFingers(
+          spark, rr, newVecs.select(col(idCol)), idCol, ringStride,
+          rosterBuckets))
         val (touched, pruned) = appendRewrite(
           g, storeView, Some(nBuckets),
           corpus, newVecs, idCol, vecCol,
@@ -612,10 +615,16 @@ object GraphAnn {
     // ids anti-join out), so a crash mid-write leaves the roster honest;
     // the one crash window left (graph committed, roster not) reads as
     // per-bucket coverage loss that planGraph's stitch_region repair
-    // closes — self-healing, never corrupting
+    // closes — self-healing, never corrupting. Small deltas take the
+    // driver-ids variant (no bucket collect / checkpoint / isEmpty probe).
     ringRoot.foreach { rr =>
-      RingRoster.append(spark, rr, newVecs.select(col(idCol)), idCol,
-        rosterBuckets)
+      deltaImage match {
+        case Some(delta) =>
+          RingRoster.appendIds(spark, rr, delta.map(_._1), rosterBuckets)
+        case None =>
+          RingRoster.append(spark, rr, newVecs.select(col(idCol)), idCol,
+            rosterBuckets)
+      }
       ()
     }
     // warm-cache advance (round 12): exactly the rewritten srcs' adjacency

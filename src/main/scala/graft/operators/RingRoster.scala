@@ -102,6 +102,54 @@ object RingRoster {
       expectedBase, partitionBy = Seq("draw_bucket")))
   }
 
+  /** [[append]] with driver-held ids (round 12 optimization — the
+    * insert path already knows the batch's ids, so the append needs no
+    * bucket collect, no anti-join checkpoint and no isEmpty probe): draws
+    * and buckets are computed on the driver ([[drawOf]], exact parity
+    * with the conv/md5 column), the already-rostered check is ONE
+    * bucket-pruned point-lookup collect, and fresh rows enter as a
+    * single-partition parallelize (≤ |ids| rows) so the partitioned
+    * write emits one file per touched bucket. Returns the committed
+    * version (None → nothing new).
+    */
+  private[graft] def appendIds(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      ids: Seq[Long], nBuckets: Int = 64,
+      expectedBase: Option[Int] = None): Option[Int] = {
+    val b = log2(nBuckets)
+    val rows = ids.distinct.map(id => (id, drawOf(id)))
+    val batchBuckets = rows.map(_._2 >> (60 - b)).map(_.toInt).distinct
+    if (rows.isEmpty) return None
+    val existing = read(spark, root)
+      .where(col("draw_bucket").isin(batchBuckets: _*))
+      .where(col("id").isInCollection(rows.map(_._1)))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val fresh = rows.filterNot { case (id, _) => existing.contains(id) }
+    if (fresh.isEmpty) None
+    else {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("draw",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("draw_bucket",
+          org.apache.spark.sql.types.IntegerType, nullable = true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(fresh.map { case (id, d) =>
+          org.apache.spark.sql.Row(id, d, (d >> (60 - b)).toInt)
+        }, 1), schema)
+      Some(graft.sources.SnapshotStore.append(spark, root, df,
+        expectedBase, partitionBy = Seq("draw_bucket")))
+    }
+  }
+
+  /** The driver twin of [[drawCol]]: first 15 hex digits of
+    * md5(id.toString) parsed base 16 — 60 bits, never overflows a long.
+    */
+  private[graft] def drawOf(id: Long): Long =
+    java.lang.Long.parseLong(
+      graft.operators.GraphAnn.md5hexOf(id).substring(0, 15), 16)
+
   /** Open the roster: (id, draw, draw_bucket). */
   def read(
       spark: org.apache.spark.sql.SparkSession, root: String,
@@ -224,5 +272,91 @@ object RingRoster {
             .select(col("src"), col("__off"), col("__rid").as("dst")))
       }
     resolved.select(col("src"), col("dst")).distinct()
+  }
+
+  /** The DRIVER-HOSTED twin of [[stitchFingers]] for driver-held id
+    * batches (round 12 optimization): the distributed stitch costs a
+    * checkpoint + bucket collect + windowed rank + emptiness probe per
+    * insert — ~5 driver-blocking jobs to resolve a few hundred successor
+    * lookups. Here the targets (draw ladder, probe buckets, acceptance
+    * arcs) are computed on the driver ([[drawOf]] parity), and the
+    * successor argmin is ONE aggregate job — `min(struct(dist, id))`
+    * per (src, level) over the bucket-pruned roster slice, which is the
+    * same total order as the distributed rank (struct comparison is
+    * field-order lexicographic), with map-side partial aggregation so
+    * only |batch| · levels rows ever reach the driver. The rare
+    * empty-window targets fall back to one restricted full-roster argmin
+    * job, exactly like the distributed fallback. RingRosterSpec gates
+    * row-identity against [[stitchFingers]] on dense and sparse rosters.
+    */
+  private[graft] def stitchFingersLocal(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      ids: Seq[Long], ringStride: Int = 2, nBuckets: Int = 64,
+      version: Option[Int] = None): Seq[(Long, Long)] = {
+    require(ringStride >= 1, s"ringStride must be >= 1, got $ringStride")
+    val b = log2(nBuckets)
+    val w = P >> b
+    val batch = ids.distinct.map(id => (id, drawOf(id)))
+    if (batch.isEmpty) return Seq.empty
+    val roster = read(spark, root, version)
+      .where(!col("id").isInCollection(batch.map(_._1)))
+    val n = roster.count()
+    if (n == 0) return Seq.empty
+    val offsets = Iterator.iterate(1L)(_ << ringStride).takeWhile(_ < n).toSeq
+    if (offsets.isEmpty) return Seq.empty
+    val unit = P / n
+    // (src, off, t, arcLen, probe bucket) rows, driver-computed
+    val targets = for {
+      (src, sd) <- batch
+      off <- offsets
+    } yield {
+      val t = Math.floorMod(sd + off * unit, P)
+      val bt = (t >> (60 - b)).toInt
+      (src, off, t, (bt + 2) * w - t, bt)
+    }
+    val probed = targets.flatMap { case (src, off, t, arc, bt) =>
+      Seq((src, off, t, arc, bt), (src, off, t, arc, (bt + 1) % nBuckets))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("__off",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("__t",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("__arc",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("__cb",
+        org.apache.spark.sql.types.IntegerType, nullable = true)))
+    val targetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probed.map { case (s, o, t, a, cb) =>
+        org.apache.spark.sql.Row(s, o, t, a, cb)
+      }, 1), schema)
+    val buckets = probed.map(_._5).distinct
+    def argmin(cand: DataFrame): Seq[((Long, Long), Long)] =
+      cand
+        .withColumn("__dist", pmod(col("draw") - col("__t"), lit(P)))
+        .filter(col("__dist") < col("__arc"))
+        .groupBy(col("src"), col("__off"))
+        .agg(min(struct(col("__dist"), col("id"))).as("__m"))
+        .select(col("src"), col("__off"), col("__m.id"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSeq
+    val nearWins = argmin(
+      roster.where(col("draw_bucket").isin(buckets: _*))
+        .join(broadcast(targetsDf), col("draw_bucket") === col("__cb")))
+    val resolvedKeys = nearWins.map(_._1).toSet
+    val missing = targets.filterNot(t => resolvedKeys.contains((t._1, t._2)))
+    val resolved =
+      if (missing.isEmpty) nearWins
+      else {
+        // full-roster argmin for just the unresolved targets (arc filter
+        // dropped — the circular-distance min over everything)
+        val missDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(missing.map { case (s, o, t, _, _) =>
+            org.apache.spark.sql.Row(s, o, t, Long.MaxValue, 0)
+          }, 1), schema)
+        nearWins ++ argmin(roster.crossJoin(broadcast(missDf)))
+      }
+    resolved.map { case ((src, _), dst) => (src, dst) }.distinct
   }
 }

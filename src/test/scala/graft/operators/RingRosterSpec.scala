@@ -125,4 +125,47 @@ class RingRosterSpec extends AnyFunSuite {
     assert(stitchOf(one, Seq(10L), 2, 16).isEmpty)
     assert(stitchOf(one, Seq(9L, 10L), 2, 16).isEmpty)
   }
+
+  test("driver-hosted stitch twin (round 12 optimization) returns EXACTLY " +
+      "stitchFingers' edges — dense window path, sparse fallback path, " +
+      "replay stability, degenerate rosters — and appendIds commits the " +
+      "same idempotent delta as append") {
+    import spark.implicits._
+    def localOf(root: String, ids: Seq[Long], stride: Int,
+        nBuckets: Int): Set[(Long, Long)] =
+      RingRoster.stitchFingersLocal(spark, root, ids, stride, nBuckets).toSet
+    val dense = java.nio.file.Files.createTempDirectory("graft-ringl-d").toString
+    val rosterIds = (0L until 300L)
+    RingRoster.write(spark, dense, rosterIds.toDF("vec_id"), "vec_id",
+      nBuckets = 16)
+    val batch = (300L until 312L)
+    assert(localOf(dense, batch, 2, 16) == stitchOf(dense, batch, 2, 16))
+    assert(localOf(dense, batch, 1, 16) == stitchOf(dense, batch, 1, 16))
+    // sparse roster: the fallback leg must agree too
+    val sparse = java.nio.file.Files.createTempDirectory("graft-ringl-s").toString
+    val tiny = Seq(5L, 77L, 1234L)
+    RingRoster.write(spark, sparse, tiny.toDF("vec_id"), "vec_id",
+      nBuckets = 64)
+    assert(localOf(sparse, batch, 2, 64) == stitchOf(sparse, batch, 2, 64))
+    // replay stability through the driver-ids append: same answer before
+    // and after, the roster gains exactly the new ids, and a replayed
+    // appendIds commits nothing
+    val before = localOf(dense, batch, 2, 16)
+    assert(RingRoster.appendIds(spark, dense, batch, 16).contains(2))
+    assert(localOf(dense, batch, 2, 16) == before)
+    assert(RingRoster.read(spark, dense).count() == 312)
+    assert(RingRoster.appendIds(spark, dense, batch, 16).isEmpty)
+    val rows = RingRoster.read(spark, dense)
+      .where(col("id") >= 300).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    rows.foreach { case (id, d, b) =>
+      assert(d == draw(id) && b == (d >> 56).toInt,
+        s"appendIds row for $id must carry the md5 draw and range bucket")
+    }
+    // degenerate: single-member roster (no offsets), batch-only roster
+    val one = java.nio.file.Files.createTempDirectory("graft-ringl-1").toString
+    RingRoster.write(spark, one, Seq(9L).toDF("vec_id"), "vec_id", 16)
+    assert(localOf(one, Seq(10L), 2, 16).isEmpty)
+    assert(localOf(one, Seq(9L, 10L), 2, 16).isEmpty)
+  }
 }
