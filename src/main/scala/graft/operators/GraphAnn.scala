@@ -769,32 +769,85 @@ object GraphAnn {
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(dataDf.columns.map(col).toIndexedSeq: _*)
 
+  /** Row bound for the DRIVER-LITERAL tombstone fold (round 12
+    * optimization): at or below this many tombstone rows the fold
+    * collects them once (≤ ~1 MB driver image) and becomes a pure scan
+    * predicate — no aggregate, no join — in EVERY job that consumes the
+    * live view (the streaming insert loop re-executes the fold in each
+    * of its per-hop point-lookup collects, so the join fold was paid
+    * many times per batch). Above the bound the size-guarded join fold
+    * runs unchanged.
+    */
+  private[operators] val MaxDriverTombstoneRows = 65536L
+
+  /** Collect (key, commit) tombstone rows when within `bound`: the
+    * per-key NEWEST tombstone commit, or None when the set is too large
+    * for a driver literal (fall back to the join fold).
+    */
+  private def driverTombMax(
+      tombRows: DataFrame, bound: Long): Option[Map[Long, Int]] = {
+    val rows = tombRows.limit(bound.toInt + 1).collect()
+    if (rows.length > bound) None
+    else Some(rows.foldLeft(Map.empty[Long, Int]) { (m, r) =>
+      val id = r.getLong(0)
+      m.updated(id, math.max(r.getInt(1), m.getOrElse(id, Int.MinValue)))
+    })
+  }
+
+  /** The literal kill predicate of a collected tombstone image: a row
+    * dies iff its key has a STRICTLY newer tombstone — grouped by
+    * distinct tombstone commit so each per-dir scan (whose commit column
+    * is a literal) constant-folds most clauses away.
+    */
+  private def killPred(
+      key: org.apache.spark.sql.Column, ccCol: org.apache.spark.sql.Column,
+      tombMax: Map[Long, Int]): org.apache.spark.sql.Column =
+    tombMax.groupBy(_._2).foldLeft(lit(false)) { case (p, (v, ids)) =>
+      p || (ccCol < lit(v) && key.isInCollection(ids.keys.toSeq))
+    }
+
   /** The corpus store's LIVE rows at a version: a data row survives unless
     * some tombstone for its id carries a STRICTLY newer commit (a
     * same-commit upsert replacement outlives its own tombstone). Mirrors
     * [[readGraphStoreLatest]]: stores never deleted from skip the whole
-    * fold via the manifest probe (no Spark job), and the tombstone join
-    * strategy is size-guarded, never contract-trusted. This is the serving
-    * view for upsert-mode corpora — [[readVectorStore]] stays the raw view
-    * for insert-only stores.
+    * fold via the manifest probe (no Spark job); small tombstone sets
+    * fold as a driver-literal scan predicate ([[MaxDriverTombstoneRows]]
+    * — one bounded collect at construction, join-free consumer plans);
+    * large sets keep the size-guarded join, never contract-trusted. This
+    * is the serving view for upsert-mode corpora — [[readVectorStore]]
+    * stays the raw view for insert-only stores.
     */
   def readVectorStoreLatest(
       spark: org.apache.spark.sql.SparkSession, root: String, idCol: String,
       version: Option[Int] = None,
-      maxBroadcastTombstones: Long = IvfIndex.DefaultMaxBroadcastTombstones): DataFrame = {
+      maxBroadcastTombstones: Long = IvfIndex.DefaultMaxBroadcastTombstones,
+      maxDriverTombstoneRows: Long = MaxDriverTombstoneRows): DataFrame = {
     val cc = graft.sources.SnapshotStore.CommitCol
     val raw = graft.sources.SnapshotStore.read(spark, root, version,
       commitCol = Some(cc))
     if (!graft.sources.SnapshotStore.mayContainPartition(
         spark, root, "id_bucket", "-1", version))
       return raw.filter(col("id_bucket") =!= -1).drop(cc)
-    val tombs = raw.filter(col("id_bucket") === -1)
-      .groupBy(col(idCol)).agg(max(col(cc)).as("__tv"))
-    val hint = IvfIndex.sizeGuardedHint(tombs, maxBroadcastTombstones)
-    raw.filter(col("id_bucket") =!= -1)
-      .join(hint(tombs), Seq(idCol), "left")
-      .filter(col("__tv").isNull || col(cc) >= col("__tv"))
-      .drop("__tv", cc)
+    val data = raw.filter(col("id_bucket") =!= -1)
+    val fast =
+      if (maxDriverTombstoneRows > 0 &&
+          raw.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+        driverTombMax(raw.filter(col("id_bucket") === -1)
+          .select(col(idCol), col(cc)), maxDriverTombstoneRows)
+      else None
+    fast match {
+      case Some(tm) =>
+        (if (tm.isEmpty) data else data.filter(!killPred(col(idCol), col(cc), tm)))
+          .drop(cc)
+      case None =>
+        val tombs = raw.filter(col("id_bucket") === -1)
+          .groupBy(col(idCol)).agg(max(col(cc)).as("__tv"))
+        val hint = IvfIndex.sizeGuardedHint(tombs, maxBroadcastTombstones)
+        data
+          .join(hint(tombs), Seq(idCol), "left")
+          .filter(col("__tv").isNull || col(cc) >= col("__tv"))
+          .drop("__tv", cc)
+    }
   }
 
   /** Fold corpus tombstones PHYSICALLY: rewrite the live rows as one fresh
@@ -888,7 +941,8 @@ object GraphAnn {
   def readGraphStoreLatest(
       spark: org.apache.spark.sql.SparkSession, root: String,
       version: Option[Int] = None,
-      maxBroadcastTombstones: Long = IvfIndex.DefaultMaxBroadcastTombstones): DataFrame = {
+      maxBroadcastTombstones: Long = IvfIndex.DefaultMaxBroadcastTombstones,
+      maxDriverTombstoneRows: Long = MaxDriverTombstoneRows): DataFrame = {
     val cc = graft.sources.SnapshotStore.CommitCol
     val raw = graft.sources.SnapshotStore.read(spark, root, version,
       commitCol = Some(cc))
@@ -899,19 +953,38 @@ object GraphAnn {
         spark, root, "src_bucket", "-1", version))
       return raw.filter(col("src_bucket") =!= -1).drop(cc)
         .select(col("src"), col("dst"), col("src_bucket"))
-    val tombs = raw.filter(col("src_bucket") === -1)
-      .groupBy(col("src")).agg(max(col(cc)).as("__tv"))
-    // the strategy probe: one small job over the pruned -1 partition
-    val hint = IvfIndex.sizeGuardedHint(tombs, maxBroadcastTombstones)
-    raw.filter(col("src_bucket") =!= -1)
-      .join(hint(tombs), Seq("src"), "left")
-      .filter(col("__tv").isNull || col(cc) >= col("__tv"))
-      .drop("__tv")
-      .join(hint(tombs.withColumnRenamed("src", "dst")
-        .withColumnRenamed("__tv", "__dtv")), Seq("dst"), "left")
-      .filter(col("__dtv").isNull || col(cc) >= col("__dtv"))
-      .drop("__dtv", cc)
-      .select(col("src"), col("dst"), col("src_bucket"))
+    val data = raw.filter(col("src_bucket") =!= -1)
+    // small tombstone sets become a driver-literal scan predicate over
+    // BOTH endpoints (round 12 optimization — join-free consumer plans);
+    // large sets keep the size-guarded join fold
+    val fast =
+      if (maxDriverTombstoneRows > 0 &&
+          raw.schema("src").dataType == org.apache.spark.sql.types.LongType)
+        driverTombMax(raw.filter(col("src_bucket") === -1)
+          .select(col("src"), col(cc)), maxDriverTombstoneRows)
+      else None
+    fast match {
+      case Some(tm) =>
+        (if (tm.isEmpty) data
+         else data.filter(!killPred(col("src"), col(cc), tm) &&
+           !killPred(col("dst"), col(cc), tm)))
+          .drop(cc)
+          .select(col("src"), col("dst"), col("src_bucket"))
+      case None =>
+        val tombs = raw.filter(col("src_bucket") === -1)
+          .groupBy(col("src")).agg(max(col(cc)).as("__tv"))
+        // the strategy probe: one small job over the pruned -1 partition
+        val hint = IvfIndex.sizeGuardedHint(tombs, maxBroadcastTombstones)
+        data
+          .join(hint(tombs), Seq("src"), "left")
+          .filter(col("__tv").isNull || col(cc) >= col("__tv"))
+          .drop("__tv")
+          .join(hint(tombs.withColumnRenamed("src", "dst")
+            .withColumnRenamed("__tv", "__dtv")), Seq("dst"), "left")
+          .filter(col("__dtv").isNull || col(cc) >= col("__dtv"))
+          .drop("__dtv", cc)
+          .select(col("src"), col("dst"), col("src_bucket"))
+    }
   }
 
   /** Fold graph tombstones PHYSICALLY: rewrite the resolved live edges as

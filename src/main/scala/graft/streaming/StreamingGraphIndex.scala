@@ -86,7 +86,15 @@ object StreamingGraphIndex {
       idCol: String, vecCol: String,
       cfg: Config = Config(),
       cache: Option[GraphAnn.ServingCache] = None): Option[Int] = {
-    if (batch.isEmpty) return None
+    // one bounded probe replaces the isEmpty job AND (for small batches)
+    // the corpus anti-join below: the batch's ids as a driver literal
+    // (round 12 optimization — every per-hop collect of the insert search
+    // re-executed the anti-join's scan of the batch source)
+    val idProbe = batch.select(col(idCol).cast("long"))
+      .limit(cfg.smallBatchBound + 1).collect().map(_.getLong(0))
+    if (idProbe.isEmpty) return None
+    val smallIds: Option[Seq[Long]] =
+      if (idProbe.length > cfg.smallBatchBound) None else Some(idProbe.toSeq)
     val vTag = s"v$batchId"
     val gTag = s"g$batchId"
     def committed(root: String, tag: String): Boolean =
@@ -150,8 +158,13 @@ object StreamingGraphIndex {
         // the same image: the batch's ids are masked absent until the
         // corpus advance below.
         warm.foreach(c => c.maskAbsent(batchImage.get.map(_._1)))
-        val corpus = GraphAnn.readVectorStoreLatest(spark, vectorRoot, idCol)
-          .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+        val live = GraphAnn.readVectorStoreLatest(spark, vectorRoot, idCol)
+        val corpus = smallIds match {
+          case Some(ids) =>
+            live.filter(!col(idCol).cast("long").isInCollection(ids))
+          case None =>
+            live.join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+        }
         Some(GraphAnn.appendNodesToStore(spark, graphRoot, corpus, batch,
           idCol, vecCol, m = cfg.m, maxDegree = cfg.maxDegree,
           nBuckets = cfg.nBuckets, reserveLong = cfg.reserveLong,

@@ -663,25 +663,38 @@ class GraphAnnSpec extends AnyFunSuite {
     GraphAnn.writeGraphStore(spark, root, g0, nBuckets = 16)
     GraphAnn.deleteNodesFromStore(spark, root,
       (0L until 80L).map(_ * 3 + 1).toDF("vec_id"), "vec_id")
-    def edges(maxB: Long) = rowsOf(
-      GraphAnn.readGraphStoreLatest(spark, root, maxBroadcastTombstones = maxB))
+    def edges(maxB: Long, maxDriver: Long) = rowsOf(
+      GraphAnn.readGraphStoreLatest(spark, root,
+        maxBroadcastTombstones = maxB, maxDriverTombstoneRows = maxDriver))
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val guarded = GraphAnn.readGraphStoreLatest(
-        spark, root, maxBroadcastTombstones = 0L)
+        spark, root, maxBroadcastTombstones = 0L, maxDriverTombstoneRows = 0L)
       assert(!guarded.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"),
         "guarded fold must not plan a broadcast")
-      assert(GraphAnn.readGraphStoreLatest(spark, root)
+      assert(GraphAnn.readGraphStoreLatest(spark, root,
+          maxDriverTombstoneRows = 0L)
         .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
-        "small-tombstone fold must keep the broadcast fast path")
+        "small-tombstone join fold must keep the broadcast fast path")
+      // round 12: the DEFAULT path folds small tombstone sets as a
+      // driver-literal scan predicate — join-free consumer plans
+      assert(!GraphAnn.readGraphStoreLatest(spark, root)
+        .queryExecution.executedPlan.toString.contains("Join"),
+        "driver-literal fold must plan no join at all")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-    assert(edges(0L) == edges(IvfIndex.DefaultMaxBroadcastTombstones),
-      "guarded and broadcast folds must return identical live edges")
+    // all three tiers — driver literal (default), broadcast join,
+    // shuffle join — return identical live edges
+    val viaLiteral = edges(IvfIndex.DefaultMaxBroadcastTombstones,
+      GraphAnn.MaxDriverTombstoneRows)
+    assert(viaLiteral == edges(IvfIndex.DefaultMaxBroadcastTombstones, 0L),
+      "driver-literal and broadcast folds must return identical live edges")
+    assert(viaLiteral == edges(0L, 0L),
+      "driver-literal and shuffle folds must return identical live edges")
     val del = (0L until 80L).map(_ * 3 + 1).toSet
-    assert(edges(0L).nonEmpty &&
-      edges(0L).forall { case (s, d) => !del(s) && !del(d) })
+    assert(viaLiteral.nonEmpty &&
+      viaLiteral.forall { case (s, d) => !del(s) && !del(d) })
   }
 
   test("ring-stitched append (round 12, VERDICT r11 task 1): append waves " +
