@@ -188,9 +188,13 @@ object Dedup {
       minEstJaccard: Double = 0.5, n: Int = 3,
       maxBucketSize: Int = 1000): DataFrame =
     // localCheckpoint (not cache): blocks are freed by the ContextCleaner
-    // once this call's results are consumed — no permanent cache pinning
+    // once this call's results are consumed — no permanent cache pinning.
+    // LAZY (round 12): the hash pass folds into the first consuming job
+    // (typically the connected-components probe) instead of costing its
+    // own driver-blocking barrier at construction; later consumers reuse
+    // the pinned blocks exactly as before.
     minhashCandidatePairsFromSigs(
-      minhashSignatures(docs, idCol, textCol, n).iterCheckpoint(),
+      minhashSignatures(docs, idCol, textCol, n).iterCheckpoint(false),
       idCol, minEstJaccard, maxBucketSize)
 
   /** The banding + refine phase over PRECOMPUTED signatures (columns: idCol,
@@ -255,12 +259,24 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, maxIter: Int = 20,
       maxDriverPairs: Long = 200000L): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edgePlan = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().iterCheckpoint()
-    if (edges.schema("src").dataType == org.apache.spark.sql.types.LongType &&
-        edges.count() <= maxDriverPairs)
-      return driverComponents(edges)
+      .distinct()
+    // ONE bounded probe decides the tier AND delivers the small edge set
+    // (round 12 optimization): the former eager pin + count + collect
+    // triple cost three driver-blocking jobs to label a few hundred
+    // pairs. A limit(bound+1) collect is a single job; within the bound
+    // the collected rows feed the union-find directly, past it the
+    // distributed loop pins the plan eagerly exactly as before (the
+    // probe's extra cost there is one truncated pass, amortized by the
+    // loop's many full passes).
+    if (edgePlan.schema("src").dataType == org.apache.spark.sql.types.LongType) {
+      val bound = math.min(maxDriverPairs, (Int.MaxValue - 1).toLong).toInt
+      val probe = edgePlan.limit(bound + 1).collect()
+      if (probe.length <= bound)
+        return driverComponents(probe, pairs.sparkSession)
+    }
+    val edges = edgePlan.iterCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component_id", col("doc_id"))
       .iterCheckpoint()
@@ -303,15 +319,16 @@ object Dedup {
     * LocalRelation feeding later self-joins trips Catalyst's
     * Union-constraint rewrite).
     */
-  private def driverComponents(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
+  private def driverComponents(
+      edges: Array[org.apache.spark.sql.Row],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
       while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
       r
     }
-    edges.collect().foreach { row =>
+    edges.foreach { row =>
       val (a, b) = (row.getLong(0), row.getLong(1))
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))

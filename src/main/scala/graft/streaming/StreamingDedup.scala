@@ -71,8 +71,13 @@ object StreamingDedup {
     // text is the widest column; hashing it twice per batch would double
     // the dominant batch cost.
     val uniqueIds = batch.dropDuplicates(idCol)
+    // LAZY pin (round 12): the hash pass materializes inside the first
+    // consuming job (the within-batch components probe) instead of paying
+    // its own driver-blocking barrier; every later consumer reuses the
+    // pinned blocks. Lineage is batch-only (no store read), so the pin
+    // can never capture a store image the flush later overwrites.
     val sigs = Dedup.minhashSignatures(uniqueIds, idCol, textCol, n)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val withinPairs = Dedup.minhashCandidatePairsFromSigs(sigs, idCol, minEstJaccard)
     val dropWithin = Dedup.dropSet(withinPairs)
     val batchDeduped = uniqueIds.join(
@@ -82,16 +87,27 @@ object StreamingDedup {
     // broadcast (the store is never shuffled); signature refine on band
     // collisions. Survivor band rows are derived from the SAME precomputed
     // signatures.
+    // LAZY pin again: materializes inside the bucket-set collect of
+    // [[pruneStoreForBatch]] (one job for both), then backs the store
+    // join, the survivor anti-join and the returned rows. Same batch-only
+    // lineage argument as the signature pin above.
     val newBands = bandRowsFromSigs(
       sigs.join(dropWithin.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti"),
       idCol)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val hitIds = pruneStoreForBatch(store, newBands).as("st")
       .join(broadcast(newBands.as("nb")), Seq("band_idx", "band_key"))
       .filter(GraftFunctions.minhashJaccardUdf(col("nb.sig"), col("st.sig"))
         >= minEstJaccard)
       .select(col("nb.doc_id")).distinct()
+    // EAGER pin (round 12): both returned frames consume the store-join +
+    // signature-refine chain — unpinned, the survivor write and the
+    // survivor-rows buffer each re-executed it (two store reads + two UDF
+    // refine passes per batch). One materialization here serves both, and
+    // the pin captures the store image AT CALL TIME, so a deferred-commit
+    // caller's later store flush can never leak into this batch's rows.
     val survivorRows = newBands.join(hitIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val survivors = batchDeduped.join(
       survivorRows.select(col("doc_id").as(idCol)).distinct()
         .withColumn(idCol, col(idCol).cast(batch.schema(idCol).dataType)),
@@ -229,8 +245,11 @@ object StreamingDedup {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(outPath)
+    // no second pin: survivorRows is already localCheckpoint'ed inside
+    // processBatch (store lineage severed there), so the buffered frame is
+    // a scan of pinned blocks plus a literal column — safe to hold across
+    // the window and cheap to flush
     pending += survivorRows.withColumn("batch_id", lit(batchId))
-      .localCheckpoint()
   }
 
   /** Flush the buffered survivor band rows as ONE store write covering the
